@@ -1,0 +1,28 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+/** Loaders for the driver-generated parquet test layout (see TESTDATA.md).
+  *
+  * All tables are plain parquet files `<dir>/<name>.parquet`; reading them
+  * through `spark.read.parquet` gives vectorized scans with predicate pushdown
+  * and column pruning for free. At cluster scale the same call works against
+  * any Hadoop-compatible FS path.
+  */
+object Tables {
+  val names: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  def apply(spark: SparkSession, dir: String, name: String): DataFrame = {
+    val df = spark.read.parquet(s"$dir/$name.parquet")
+    // `events.ts` is TIMESTAMP(NANOS) parquet, which Spark cannot represent:
+    // sessions set spark.sql.legacy.parquet.nanosAsLong=true and we convert
+    // here (floor to micros, matching DuckDB's TIMESTAMP_NS -> epoch_us).
+    if (name == "events" && df.schema("ts").dataType == LongType)
+      df.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+    else df
+  }
+}

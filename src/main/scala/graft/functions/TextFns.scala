@@ -1,0 +1,119 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Deterministic scalar text functions.
+  *
+  * Semantics are pinned to the reference implementation (citations below point
+  * into /root/reference). Everything here is a pure Column expression —
+  * Catalyst folds these into whole-stage codegen; no UDF/serialization cost,
+  * and they distribute trivially at any scale.
+  */
+object TextFns {
+
+  /** Slug for output paths. Reference: airflow/dags/zara_hybrid_etl.py:77-80
+    * (lowercase, non-alnum runs -> "-", squeeze repeats, strip, default
+    * "untitled").
+    */
+  def slugify(c: Column): Column = {
+    val s = trim(
+      regexp_replace(regexp_replace(lower(coalesce(c, lit(""))), "[^a-z0-9]+", "-"), "-{2,}", "-"),
+      "-")
+    when(s === "", lit("untitled")).otherwise(s)
+  }
+
+  /** Filesystem-safe filename from a title.
+    * Reference: airflow/plugins/arxiv_hook.py:115-122 — keep alnum, space,
+    * dash, underscore of the first 50 chars; spaces -> "_".
+    */
+  def safeFilename(c: Column): Column =
+    regexp_replace(
+      regexp_replace(substring(coalesce(c, lit("")), 1, 50), "[^A-Za-z0-9 _-]", ""),
+      " ", "_")
+
+  /** Whitespace tokenization; empty/null-safe (empty -> empty array). */
+  def tokens(c: Column): Column =
+    when(length(trim(coalesce(c, lit("")))) === 0, array().cast("array<string>"))
+      .otherwise(split(trim(c), "\\s+"))
+
+  /** Word count = len(body.split()).
+    * Reference: airflow/dags/zara_hybrid_etl.py:216.
+    */
+  def wordCount(c: Column): Column = size(tokens(c))
+
+  /** Adjacent-token bigrams as "a b" strings. */
+  def bigrams(toks: Column): Column = {
+    val n = greatest(size(toks) - 1, lit(0))
+    zip_with(slice(toks, lit(1), n), slice(toks, lit(2), n), (a, b) => concat(a, lit(" "), b))
+  }
+
+  /** Word shingles of size k (for MinHash / Jaccard dedup). */
+  def wordShingles(toks: Column, k: Int): Column =
+    transform(
+      sequence(lit(1), greatest(size(toks) - (k - 1), lit(0))),
+      i => concat_ws(" ", (0 until k).map(j => element_at(toks, i + j)): _*))
+
+  /** Weighted article-quality rubric, decomposed form.
+    *
+    * Exact semantics of reference airflow/dags/zara_hybrid_etl.py:212-222:
+    *  - headline present (len>0): contributes to max; 0.2 if 10<=len<=60 else 0.1
+    *  - word count: 0.2 if 700..1000, 0.15 if 500..1200, 0.1 if >200, else 0
+    *  - 0.3 * (fraction of {headline, subtitle, body, meta} non-blank after trim)
+    *  - pull quotes: 0.15 if >=2, 0.1 if >=1
+    *  - key takeaways: 0.15 if >=3, 0.1 if >=1
+    *  - normalized by attainable max (0.8 when headline missing, else 1.0)
+    */
+  def qualityScoreParts(headline: Column, subtitle: Column, body: Column,
+                        wc: Column, meta: Column,
+                        nQuotes: Column, nTakeaways: Column): Column = {
+    val h    = coalesce(headline, lit(""))
+    val hasH = length(h) > 0
+    val maxs = when(hasH, lit(1.0)).otherwise(lit(0.8))
+    val sH   = when(hasH && length(h).between(10, 60), 0.2).when(hasH, 0.1).otherwise(0.0)
+    val sW   = when(wc.between(700, 1000), 0.2)
+      .when(wc.between(500, 1200), 0.15)
+      .when(wc > 200, 0.1)
+      .otherwise(0.0)
+    def present(c: Column) = when(length(trim(coalesce(c, lit("")))) > 0, 1).otherwise(0)
+    val sR = (present(h) + present(subtitle) + present(body) + present(meta)).cast("double") / 4 * 0.3
+    val sQ = when(nQuotes >= 2, 0.15).when(nQuotes >= 1, 0.1).otherwise(0.0)
+    val sK = when(nTakeaways >= 3, 0.15).when(nTakeaways >= 1, 0.1).otherwise(0.0)
+    (sH + sW + sR + sQ + sK) / maxs
+  }
+
+  /** Faithful article form of the rubric (word count derived from the body;
+    * list sizes from the array columns). Reference as above.
+    */
+  def qualityScore(headline: Column, subtitle: Column, body: Column, meta: Column,
+                   pullQuotes: Column, takeaways: Column): Column =
+    qualityScoreParts(
+      headline, subtitle, body, wordCount(body), meta,
+      coalesce(size(pullQuotes), lit(0)), coalesce(size(takeaways), lit(0)))
+
+  /** Ratio of punctuation chars to total chars (text quality signal). */
+  def punctRatio(c: Column): Column = {
+    val total = length(c)
+    val punct = length(regexp_replace(c, "[^.,;:!?'\"()-]", ""))
+    when(total > 0, punct.cast("double") / total.cast("double")).otherwise(lit(0.0))
+  }
+
+  /** Ratio of tokens that are common-English stopwords (quality signal). */
+  val stopwords: Seq[String] =
+    Seq("the", "a", "an", "and", "or", "of", "to", "in", "is", "it", "for", "on", "with", "as", "at", "by")
+
+  def stopwordRatio(toks: Column): Column = {
+    val hits = size(filter(toks, t => t.isin(stopwords.map(x => x: Any): _*)))
+    when(size(toks) > 0, hits.cast("double") / size(toks).cast("double")).otherwise(lit(0.0))
+  }
+
+  /** Order-sensitive 64-bit-ish rolling fingerprint over tokens (polynomial
+    * hash, overflow-free so it is ANSI-mode safe: accumulator is kept < 2^31
+    * and each step multiplies by a constant < 2^20).
+    */
+  def fingerprint(toks: Column): Column =
+    aggregate(
+      toks,
+      lit(0L),
+      (acc, t) => pmod(acc * lit(1000003L) + pmod(xxhash64(t), lit(2147483647L)), lit(2147483647L)))
+}

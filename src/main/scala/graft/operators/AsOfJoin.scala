@@ -1,0 +1,52 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** As-of join: for each left row attach the most recent right row (per key)
+  * whose time <= the left row's time.
+  *
+  * Implemented as ONE union + window pass instead of the naive
+  * join-filter-rank formulation: the naive version materializes every
+  * (left, right-history) pair before ranking — quadratic blowup per key at
+  * scale — while this shape shuffles each input exactly once on the key and
+  * streams a sorted merge per partition. Skewed keys can additionally be
+  * salted upstream; AQE handles moderate skew.
+  *
+  * Semantics mirror DuckDB's `ASOF JOIN` with `left.t >= right.t`
+  * (inclusive): on a time tie the right row is visible to the left row.
+  * The reference has no as-of operator; this is part of the carrier surface
+  * (SURVEY.md §2.4 J4) for the `events` table.
+  *
+  * Contract: `left` and `right` share the key column name `keyCol` and time
+  * column name `timeCol`; all other right columns are carried as the as-of
+  * payload (null when no right row precedes the left row — filter
+  * `isNotNull` for inner semantics). Right (key, time, payload) should be
+  * unique per (key, time) — pre-aggregate otherwise.
+  */
+object AsOfJoin {
+  def asof(left: DataFrame, right: DataFrame, keyCol: String, timeCol: String): DataFrame = {
+    val lv = left.columns.filterNot(c => c == keyCol || c == timeCol)
+    val rv = right.columns.filterNot(c => c == keyCol || c == timeCol)
+
+    val lSel = left.select(
+      col(keyCol) +: col(timeCol).as("__ts") +: lit(1).as("__side") +:
+        (lv.map(col) ++ rv.map(c => lit(null).cast(right.schema(c).dataType).as(c))): _*)
+    val rSel = right.select(
+      col(keyCol) +: col(timeCol).as("__ts") +: lit(0).as("__side") +:
+        (lv.map(c => lit(null).cast(left.schema(c).dataType).as(c)) ++ rv.map(col)): _*)
+
+    // __side orders right(0) before left(1) at equal time => inclusive (>=).
+    val w = Window.partitionBy(keyCol).orderBy(col("__ts"), col("__side"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+
+    lSel.unionByName(rSel)
+      .select(
+        col(keyCol) +: col("__ts") +: col("__side") +:
+          (lv.map(col) ++ rv.map(c => last(col(c), ignoreNulls = true).over(w).as(c))): _*)
+      .filter(col("__side") === 1)
+      .drop("__side")
+      .withColumnRenamed("__ts", timeCol)
+  }
+}

@@ -1,0 +1,91 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Event-table queries: JSON accessors (F12), time bucketing (the batch
+  * equivalent of the streaming tumbling window, §2.12), lag/lead analytics
+  * (§2.6) and gaps-and-islands sessionization (batch analog of
+  * session_window).
+  */
+object EventQueries {
+  private def t(s: SparkSession, dir: String, n: String): DataFrame = Tables(s, dir, n)
+
+  def all: Seq[Q] = Seq(
+
+    // ---- F12 JSON accessor + aggregate. ----
+    Q("q20_json_extract",
+      (s, dir) => {
+        t(s, dir, "events")
+          .groupBy(col("event_type"))
+          .agg(
+            sum(get_json_object(col("props"), "$.k").cast("long")).as("sum_k"),
+            count(lit(1)).as("n"))
+          .orderBy(col("event_type"))
+      },
+      Some("""SELECT event_type,
+             |  CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+             |  count(*) AS n
+             |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)),
+
+    // ---- §2.12 tumbling window, batch form (date_trunc == window('1 hour')).
+    Q("q21_hourly_tumbling",
+      (s, dir) => {
+        t(s, dir, "events")
+          .groupBy(date_trunc("hour", col("ts")).as("h"), col("event_type"))
+          .agg(count(lit(1)).as("n"), round(sum(col("value")), 4).as("sv"))
+          .orderBy(col("h"), col("event_type"))
+      },
+      Some("""SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS h, event_type,
+             |  count(*) AS n, round(sum(value), 4) AS sv
+             |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
+    // ---- §2.6 lag analytics: per-user value deltas. ----
+    Q("q22_event_deltas",
+      (s, dir) => {
+        val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+        t(s, dir, "events")
+          .select(col("user_id"), col("event_id"),
+            round(col("value") - lag(col("value"), 1).over(w), 4).as("delta"))
+          .orderBy(col("user_id"), col("event_id"))
+      },
+      Some("""SELECT user_id, event_id,
+             |  round(value - lag(value) OVER (
+             |    PARTITION BY user_id ORDER BY ts, event_id), 4) AS delta
+             |FROM events ORDER BY user_id, event_id""".stripMargin)),
+
+    // ---- Sessionization (gaps-and-islands, 30 min inactivity gap) — the
+    // batch analog of session_window; one shuffle on user_id, then two
+    // window passes over the same sort order (no extra exchange).
+    Q("q23_sessionize",
+      (s, dir) => {
+        val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+        val gapUs = unix_micros(col("ts")) - lag(unix_micros(col("ts")), 1).over(w)
+        t(s, dir, "events")
+          .withColumn("new_s", when(gapUs.isNull || gapUs > 1800000000L, 1).otherwise(0))
+          .withColumn("sess", sum(col("new_s")).over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+          .groupBy(col("user_id"), col("sess"))
+          .agg(count(lit(1)).as("n"), min(col("event_id")).as("first_ev"),
+            max(col("event_id")).as("last_ev"))
+          .orderBy(col("user_id"), col("sess"))
+      },
+      Some("""WITH x AS (
+             |  SELECT user_id, event_id, ts,
+             |    CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+             |           OR epoch_us(ts) - lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) > 1800000000
+             |         THEN 1 ELSE 0 END AS new_s
+             |  FROM events),
+             |y AS (
+             |  SELECT user_id, event_id,
+             |    sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+             |                     ROWS UNBOUNDED PRECEDING) AS sess
+             |  FROM x)
+             |SELECT user_id, CAST(sess AS BIGINT) AS sess, count(*) AS n,
+             |  min(event_id) AS first_ev, max(event_id) AS last_ev
+             |FROM y GROUP BY user_id, sess ORDER BY user_id, sess""".stripMargin))
+  )
+}

@@ -1,0 +1,148 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.TextFns
+
+/** Text-analysis surface over the `documents` table: the reference's scalar
+  * functions (slugify F1, word_count F4, quality rubric F3) plus the
+  * training-pipeline text stats (token counting, exact dedup, n-gram
+  * frequencies).
+  */
+object TextQueries {
+  private def t(s: SparkSession, dir: String, n: String): DataFrame = Tables(s, dir, n)
+
+  def all: Seq[Q] = Seq(
+
+    // ---- F1 slugify (reference zara_hybrid_etl.py:77-80). ----
+    Q("q30_slugify",
+      (s, dir) => {
+        t(s, dir, "part")
+          .select(col("p_partkey"), TextFns.slugify(col("p_name")).as("slug"))
+          .orderBy(col("p_partkey"))
+      },
+      Some("""SELECT p_partkey,
+             |  CASE WHEN s IS NULL OR s = '' THEN 'untitled' ELSE s END AS slug
+             |FROM (SELECT p_partkey,
+             |        trim(regexp_replace(regexp_replace(lower(p_name),
+             |          '[^a-z0-9]+', '-', 'g'), '-{2,}', '-', 'g'), '-') AS s
+             |      FROM part)
+             |ORDER BY p_partkey""".stripMargin)),
+
+    // ---- F4 word_count (reference zara_hybrid_etl.py:216). ----
+    Q("q31_word_count",
+      (s, dir) => {
+        t(s, dir, "documents")
+          .select(col("doc_id"),
+            TextFns.wordCount(col("text")).cast("long").as("n_tokens"),
+            col("n_chars"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""SELECT doc_id,
+             |  len(string_split_regex(trim(text), '\s+')) AS n_tokens, n_chars
+             |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    // ---- Corpus quality stats per language (training-data QA). ----
+    Q("q32_text_stats",
+      (s, dir) => {
+        t(s, dir, "documents")
+          .groupBy(col("lang"))
+          .agg(
+            count(lit(1)).as("n_docs"),
+            round(avg(col("n_chars")), 4).as("avg_chars"),
+            round(avg(TextFns.wordCount(col("text")).cast("double")), 4).as("avg_tokens"),
+            round(avg(when(col("n_chars") > 300, 1).otherwise(0)), 4).as("frac_long"))
+          .orderBy(col("lang"))
+      },
+      Some("""SELECT lang, count(*) AS n_docs,
+             |  round(avg(n_chars), 4) AS avg_chars,
+             |  round(avg(len(string_split_regex(trim(text), '\s+'))), 4) AS avg_tokens,
+             |  round(avg(CASE WHEN n_chars > 300 THEN 1 ELSE 0 END), 4) AS frac_long
+             |FROM documents GROUP BY lang ORDER BY lang""".stripMargin)),
+
+    // ---- F3 quality rubric (reference zara_hybrid_etl.py:212-222) applied
+    // to deterministic article-shaped inputs derived from `documents`, so
+    // every branch of the rubric is exercised. The oracle mirrors the exact
+    // double arithmetic (all constants cast to DOUBLE, same fold order).
+    Q("q33_quality_score",
+      (s, dir) => {
+        val d = t(s, dir, "documents")
+        val headline = expr("substring(text, 1, CAST(doc_id % 70 AS INT))")
+        val wc = (TextFns.wordCount(col("text")) * 37) % 1400
+        val meta = when(col("doc_id") % 3 === 0, lit("")).otherwise(col("lang"))
+        val score = TextFns.qualityScoreParts(
+          headline, col("source"), col("text"), wc, meta,
+          col("doc_id") % 4, col("doc_id") % 5)
+        d.select(col("doc_id"), round(score, 4).as("score"),
+            (score >= 0.7).as("pass"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH a AS (
+             |  SELECT doc_id,
+             |    substring(text, 1, CAST(doc_id % 70 AS INT)) AS h,
+             |    source AS subtitle, text AS body,
+             |    (len(string_split_regex(trim(text), '\s+')) * 37) % 1400 AS wc,
+             |    CASE WHEN doc_id % 3 = 0 THEN '' ELSE lang END AS meta,
+             |    doc_id % 4 AS nq, doc_id % 5 AS nk
+             |  FROM documents),
+             |sc AS (
+             |  SELECT doc_id,
+             |    (CASE WHEN len(h) > 0 AND len(h) BETWEEN 10 AND 60 THEN 0.2::DOUBLE
+             |          WHEN len(h) > 0 THEN 0.1::DOUBLE ELSE 0.0::DOUBLE END
+             |     + CASE WHEN wc BETWEEN 700 AND 1000 THEN 0.2::DOUBLE
+             |            WHEN wc BETWEEN 500 AND 1200 THEN 0.15::DOUBLE
+             |            WHEN wc > 200 THEN 0.1::DOUBLE ELSE 0.0::DOUBLE END
+             |     + CAST(((CASE WHEN len(trim(h)) > 0 THEN 1 ELSE 0 END)
+             |           + (CASE WHEN len(trim(subtitle)) > 0 THEN 1 ELSE 0 END)
+             |           + (CASE WHEN len(trim(body)) > 0 THEN 1 ELSE 0 END)
+             |           + (CASE WHEN len(trim(meta)) > 0 THEN 1 ELSE 0 END)) AS DOUBLE) / 4 * 0.3::DOUBLE
+             |     + CASE WHEN nq >= 2 THEN 0.15::DOUBLE WHEN nq >= 1 THEN 0.1::DOUBLE ELSE 0.0::DOUBLE END
+             |     + CASE WHEN nk >= 3 THEN 0.15::DOUBLE WHEN nk >= 1 THEN 0.1::DOUBLE ELSE 0.0::DOUBLE END)
+             |    / (CASE WHEN len(h) > 0 THEN 1.0::DOUBLE ELSE 0.8::DOUBLE END) AS score
+             |  FROM a)
+             |SELECT doc_id, round(score, 4) AS score, score >= 0.7::DOUBLE AS pass
+             |FROM sc ORDER BY doc_id""".stripMargin)),
+
+    // ---- Exact dedup by content hash (hash-groupBy; scales as a single
+    // shuffle on the digest, no pairwise comparison). ----
+    Q("q34_dedup_exact",
+      (s, dir) => {
+        t(s, dir, "documents")
+          .groupBy(md5(col("text").cast("binary")).as("h"))
+          .agg(count(lit(1)).as("n"), min(col("doc_id")).as("keep"))
+          .orderBy(col("h"))
+      },
+      Some("""SELECT md5(text) AS h, count(*) AS n, min(doc_id) AS keep
+             |FROM documents GROUP BY 1 ORDER BY h""".stripMargin)),
+
+    // ---- Token n-gram frequencies (explode + count; partial agg keeps the
+    // shuffle to distinct-ngram cardinality). ----
+    Q("q35_top_bigrams",
+      (s, dir) => {
+        t(s, dir, "documents")
+          .select(explode(TextFns.bigrams(TextFns.tokens(col("text")))).as("bg"))
+          .groupBy(col("bg"))
+          .agg(count(lit(1)).as("n"))
+          .orderBy(col("n").desc, col("bg"))
+          .limit(20)
+      },
+      Some("""WITH t AS (SELECT string_split_regex(trim(text), '\s+') AS toks FROM documents),
+             |b AS (SELECT unnest(list_transform(
+             |        list_zip(toks[1:len(toks)-1], toks[2:]),
+             |        x -> x[1] || ' ' || x[2])) AS bg FROM t)
+             |SELECT bg, count(*) AS n FROM b
+             |GROUP BY bg ORDER BY n DESC, bg LIMIT 20""".stripMargin)),
+
+    // ---- Order-sensitive document fingerprint (rolling polynomial hash) —
+    // custom hash, not SQL-portable => rows-only check. ----
+    Q("q36_fingerprint",
+      (s, dir) => {
+        t(s, dir, "documents")
+          .select(col("doc_id"), TextFns.fingerprint(TextFns.tokens(col("text"))).as("fp"))
+          .orderBy(col("doc_id"))
+      },
+      None)
+  )
+}
