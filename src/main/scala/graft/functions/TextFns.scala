@@ -29,7 +29,7 @@ object TextFns {
     */
   def safeFilename(c: Column): Column =
     regexp_replace(
-      regexp_replace(substring(coalesce(c, lit("")), 1, 50), "[^A-Za-z0-9 _-]", ""),
+      trim(regexp_replace(substring(coalesce(c, lit("")), 1, 50), "[^A-Za-z0-9 _-]", "")),
       " ", "_")
 
   /** Whitespace tokenization; empty/null-safe (empty -> empty array). */

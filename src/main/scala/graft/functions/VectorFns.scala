@@ -49,7 +49,8 @@ object VectorFns {
   /** nBits-bit LSH bucket id for an embedding (random-hyperplane SimHash).
     * Near-duplicate vectors land in the same bucket with high probability;
     * at 100 TB this turns O(n^2) similarity search into a bucket-local join.
+    * `seedBase` decorrelates multiple hash tables.
     */
-  def lshBucket(v: Column, nBits: Int): Column =
-    (0 until nBits).map(b => hyperplaneBit(v, b) * lit(1L << b)).reduce(_ + _)
+  def lshBucket(v: Column, nBits: Int, seedBase: Int = 0): Column =
+    (0 until nBits).map(b => hyperplaneBit(v, seedBase + b) * lit(1L << b)).reduce(_ + _)
 }

@@ -1,0 +1,145 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.{TextFns, VectorFns}
+
+/** Deduplication operators for large text corpora (BASELINE.json north star).
+  *
+  * Everything here avoids the O(n^2) all-pairs comparison that kills at
+  * 100 TB: exact dedup is a hash groupBy (one shuffle on the digest);
+  * near-dup detection generates candidate pairs through locality-sensitive
+  * *blocking* (MinHash bands / SimHash blocks / hyperplane buckets) so the
+  * pairwise verification only runs inside small buckets. Pathologically hot
+  * buckets are capped (`maxBucket`) — the standard guard against a single
+  * popular band hash degenerating back to quadratic work.
+  */
+object Dedup {
+
+  /** Exact dedup: keep the lowest id per identical value of `cols`.
+    * Plain hash groupBy — partial aggregation makes the shuffle proportional
+    * to distinct values, not rows.
+    */
+  def exact(df: DataFrame, idCol: String, cols: Seq[String]): DataFrame =
+    df.groupBy(cols.map(c => md5(to_json(struct(col(c))))).reduce((a, b) => md5(concat(a, b))).as("h"))
+      .agg(min(col(idCol)).as(idCol), count(lit(1)).as("n_dupes"))
+
+  /** MinHash signature as an array<long> column: minimum of seeded 64-bit
+    * hashes over the (distinct) shingle set, one slot per hash function.
+    * Seeded hashing is xxhash64 over shingle + "#" + seed (deterministic,
+    * codegen'd, no UDF).
+    */
+  def minhashSignature(shingles: Column, numHashes: Int): Column =
+    transform(
+      sequence(lit(0), lit(numHashes - 1)),
+      i => array_min(transform(shingles, x => xxhash64(concat(x, lit("#"), i)))))
+
+  /** LSH band keys for a signature: `bands` hashes, each over an equal slice
+    * of the signature. Two docs sharing any band key become a candidate pair.
+    */
+  def bandKeys(sig: Column, numHashes: Int, bands: Int): Column = {
+    val rows = numHashes / bands
+    transform(
+      sequence(lit(0), lit(bands - 1)),
+      b => struct(
+        b.as("band"),
+        xxhash64(concat_ws(",", slice(sig, b * rows + 1, lit(rows)))).as("key")))
+  }
+
+  /** Near-duplicate pairs via MinHash + LSH banding, verified with exact
+    * Jaccard over the shingle sets.
+    *
+    * Pipeline: shingle -> signature -> explode band keys -> bucket-join ->
+    * distinct candidate pairs -> fetch shingles per side -> Jaccard filter.
+    * Only the banded explode (bands x n rows) and the bucket-local join
+    * shuffle; verification joins are by id.
+    */
+  def minhashPairs(df: DataFrame, idCol: String, textCol: String,
+                   numHashes: Int = 32, bands: Int = 8, shingleK: Int = 3,
+                   threshold: Double = 0.5, maxBucket: Int = 1000): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val sh = array_distinct(TextFns.wordShingles(TextFns.tokens(col(textCol)), shingleK))
+    val base = df.select(col(idCol).as("__id"), sh.as("__sh"))
+      .filter(size(col("__sh")) > 0)
+    val sig = base.withColumn("__sig", minhashSignature(col("__sh"), numHashes))
+    val banded = sig
+      .select(col("__id"), explode(bandKeys(col("__sig"), numHashes, bands)).as("__b"))
+      .select(col("__id"), col("__b.band").as("band"), col("__b.key").as("key"))
+
+    // Hot-bucket cap: a band key shared by k docs yields k^2/2 candidates.
+    val bucketed = banded
+      .withColumn("__cnt", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("band", "key")))
+      .filter(col("__cnt") <= maxBucket)
+
+    val cand = bucketed.as("a")
+      .join(bucketed.as("b"),
+        col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
+          col("a.__id") < col("b.__id"))
+      .select(col("a.__id").as("id_a"), col("b.__id").as("id_b"))
+      .distinct()
+
+    val withSets = cand
+      .join(base.select(col("__id").as("id_a"), col("__sh").as("sh_a")), "id_a")
+      .join(base.select(col("__id").as("id_b"), col("__sh").as("sh_b")), "id_b")
+    val jac = size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+      size(array_union(col("sh_a"), col("sh_b"))).cast("double")
+    withSets
+      .select(col("id_a"), col("id_b"), round(jac, 4).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+
+  /** 64-bit SimHash per document: per-bit vote of token hashes (explode +
+    * 64 partial-aggregated sums, then bit reassembly — one shuffle on id).
+    */
+  def simhash(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val tok = df.select(col(idCol).as("__id"),
+      explode(TextFns.tokens(col(textCol))).as("__t"))
+      .withColumn("__h", xxhash64(col("__t")))
+    val votes = (0 until 64).map { i =>
+      sum(when(shiftright(col("__h"), i).bitwiseAND(1) === 1, 1L).otherwise(-1L)).as(s"v$i")
+    }
+    val agg = tok.groupBy(col("__id")).agg(votes.head, votes.tail: _*)
+    val sig = (0 until 64).map { i =>
+      when(col(s"v$i") > 0, lit(1L << i)).otherwise(0L)
+    }.reduce(_ + _)
+    agg.select(col("__id").as(idCol), sig.as("simhash"))
+  }
+
+  /** Near-dup pairs by SimHash Hamming distance <= maxHamming, blocked on
+    * (maxHamming+1) 16-bit sig blocks — pigeonhole guarantees any pair
+    * within distance maxHamming (<=3) shares at least one exact block.
+    */
+  def simhashPairs(df: DataFrame, idCol: String, textCol: String,
+                   maxHamming: Int = 3): DataFrame = {
+    require(maxHamming <= 3, "4 blocks of 16 bits guarantee recall only to distance 3")
+    val sh = simhash(df, idCol, textCol)
+    val blocked = sh.select(
+      col(idCol).as("__id"), col("simhash"),
+      explode(array((0 until 4).map(b => struct(lit(b).as("blk"),
+        shiftright(col("simhash"), b * 16).bitwiseAND(0xFFFFL).as("key"))): _*)).as("__b"))
+      .select(col("__id"), col("simhash"), col("__b.blk").as("blk"), col("__b.key").as("key"))
+    blocked.as("a").join(blocked.as("b"),
+        col("a.blk") === col("b.blk") && col("a.key") === col("b.key") &&
+          col("a.__id") < col("b.__id"))
+      .select(col("a.__id").as("id_a"), col("b.__id").as("id_b"),
+        bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+
+  /** Embedding near-duplicates: hyperplane-LSH bucket blocking + exact
+    * cosine verification inside buckets.
+    */
+  def embeddingPairs(df: DataFrame, idCol: String, vecCol: String,
+                     threshold: Double = 0.95, nBits: Int = 8): DataFrame = {
+    val b = df.select(col(idCol).as("__id"), col(vecCol).as("__v"),
+      VectorFns.lshBucket(col(vecCol), nBits).as("__bkt"))
+    b.as("a").join(b.as("b"),
+        col("a.__bkt") === col("b.__bkt") && col("a.__id") < col("b.__id"))
+      .select(col("a.__id").as("id_a"), col("b.__id").as("id_b"),
+        round(VectorFns.cosine(col("a.__v"), col("b.__v")), 4).as("cosine"))
+      .filter(col("cosine") >= threshold)
+  }
+}

@@ -1,0 +1,60 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.VectorFns
+
+/** Approximate-nearest-neighbor search over an embedding column.
+  *
+  * `bruteTopK` is the exact baseline: broadcast the (small) query side so the
+  * corpus scans once without shuffling; ranking is a per-query window.
+  *
+  * `lshTopK` is the scale path: multi-table random-hyperplane LSH. Each table
+  * hashes every vector to a bucket; queries join the corpus only inside
+  * matching buckets, so per-query work drops from |corpus| to
+  * ~tables * |corpus| / 2^nBits while recall stays high for near vectors
+  * (multiple tables recover neighbors lost to one unlucky cut). At cluster
+  * scale the corpus bucketing is computed once and reusable across query
+  * batches (write bucketed-by-`bucket` parquet).
+  */
+object Similarity {
+
+  /** Exact cosine top-k per query row. */
+  def bruteTopK(queries: DataFrame, corpus: DataFrame, k: Int,
+                qId: String = "qid", qVec: String = "qe",
+                cId: String = "nid", cVec: String = "ne"): DataFrame = {
+    val w = Window.partitionBy(col(qId)).orderBy(col("sim").desc, col(cId))
+    broadcast(queries)
+      .crossJoin(corpus)
+      .filter(col(cId) =!= col(qId))
+      .select(col(qId), col(cId), VectorFns.cosine(col(qVec), col(cVec)).as("sim"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+  }
+
+  /** Approximate top-k via nTables independent hyperplane-LSH bucketings. */
+  def lshTopK(queries: DataFrame, corpus: DataFrame, k: Int,
+              nBits: Int = 6, nTables: Int = 4,
+              qId: String = "qid", qVec: String = "qe",
+              cId: String = "nid", cVec: String = "ne"): DataFrame = {
+    def bucketed(df: DataFrame, vec: String, keep: Seq[String]): DataFrame =
+      (0 until nTables).map { t =>
+        df.select(keep.map(col) :+ lit(t).as("tbl") :+
+          VectorFns.lshBucket(col(vec), nBits, seedBase = t * nBits).as("bkt"): _*)
+      }.reduce(_ unionByName _)
+
+    val qb = bucketed(queries, qVec, Seq(qId, qVec))
+    val cb = bucketed(corpus, cVec, Seq(cId, cVec))
+    val cand = qb.join(cb, Seq("tbl", "bkt"))
+      .filter(col(cId) =!= col(qId))
+      .select(col(qId), col(cId), col(qVec), col(cVec))
+      .dropDuplicates(qId, cId)
+    val w = Window.partitionBy(col(qId)).orderBy(col("sim").desc, col(cId))
+    cand
+      .select(col(qId), col(cId), VectorFns.cosine(col(qVec), col(cVec)).as("sim"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+  }
+}

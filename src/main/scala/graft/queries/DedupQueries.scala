@@ -1,0 +1,111 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.TextFns
+import graft.operators.{Chunker, Dedup, Similarity}
+
+/** Dedup / similarity / chunking surface (BASELINE.json north star):
+  * exact + MinHash-LSH + SimHash + n-gram-Jaccard + embedding near-dup,
+  * ANN search, token-window chunking. Custom-hash operators (xxhash64-based)
+  * are not portable to the oracle => rows-only checks; the set-algebra and
+  * chunking ops have exact DuckDB oracles.
+  */
+object DedupQueries {
+  private def t(s: SparkSession, dir: String, n: String): DataFrame = Tables(s, dir, n)
+
+  def all: Seq[Q] = Seq(
+
+    // ---- MinHash+LSH near-dup candidate pairs, Jaccard-verified. ----
+    Q("q50_minhash_pairs",
+      (s, dir) => {
+        Dedup.minhashPairs(t(s, dir, "documents"), "doc_id", "text",
+            numHashes = 32, bands = 8, shingleK = 3, threshold = 0.2)
+          .orderBy(col("id_a"), col("id_b"))
+      },
+      None),
+
+    // ---- SimHash near-dup pairs (Hamming <= 16 over word-soup docs). ----
+    Q("q51_simhash_pairs",
+      (s, dir) => {
+        Dedup.simhash(t(s, dir, "documents"), "doc_id", "text")
+          .select(col("doc_id"), col("simhash"))
+          .orderBy(col("doc_id"))
+      },
+      None),
+
+    // ---- Exact pairwise token-set Jaccard on a capped block (the
+    // verification kernel of MinHash, oracle-checkable via set algebra). ----
+    Q("q52_jaccard_exact",
+      (s, dir) => {
+        val d = t(s, dir, "documents")
+          .filter(col("doc_id") < 60)
+          .select(col("doc_id"), array_distinct(TextFns.tokens(col("text"))).as("toks"))
+        val jac = size(array_intersect(col("a.toks"), col("b.toks"))).cast("double") /
+          size(array_union(col("a.toks"), col("b.toks"))).cast("double")
+        d.as("a").join(d.as("b"), col("a.doc_id") < col("b.doc_id"))
+          .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
+            round(jac, 4).as("jac"))
+          .filter(col("jac") >= 0.2)
+          .orderBy(col("id_a"), col("id_b"))
+      },
+      Some("""WITH d AS (SELECT doc_id,
+             |        list_distinct(string_split_regex(trim(text), '\s+')) AS toks
+             |      FROM documents WHERE doc_id < 60)
+             |SELECT id_a, id_b, jac FROM (
+             |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             |    round(CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+             |      / CAST(len(list_distinct(a.toks || b.toks)) AS DOUBLE), 4) AS jac
+             |  FROM d a JOIN d b ON a.doc_id < b.doc_id)
+             |WHERE jac >= 0.2
+             |ORDER BY id_a, id_b""".stripMargin)),
+
+    // ---- Embedding near-duplicates (hyperplane-LSH blocked cosine). The
+    // synthetic embeddings are near-uniform (max pairwise cosine ~0.46), so
+    // the "near-dup" threshold is set below that to exercise the operator.
+    Q("q53_embedding_dupes",
+      (s, dir) => {
+        Dedup.embeddingPairs(t(s, dir, "embeddings"), "vec_id", "embedding",
+            threshold = 0.35, nBits = 4)
+          .orderBy(col("id_a"), col("id_b"))
+      },
+      None),
+
+    // ---- ANN: LSH-bucketed approximate top-k (scale path of q41). ----
+    Q("q54_knn_lsh",
+      (s, dir) => {
+        val emb = t(s, dir, "embeddings")
+        val q = emb.filter(col("vec_id") < 5)
+          .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+        val c = emb.select(col("vec_id").as("nid"), col("embedding").as("ne"))
+        Similarity.lshTopK(q, c, k = 5, nBits = 4, nTables = 4)
+          .select(col("qid"), col("nid"), round(col("sim"), 4).as("sim"), col("rn"))
+          .orderBy(col("qid"), col("rn"))
+      },
+      None),
+
+    // ---- G1 token chunker (size 30, overlap 5), content-hash checked. ----
+    Q("q55_chunk",
+      (s, dir) => {
+        Chunker.split(t(s, dir, "documents"), "text", chunkSize = 30, overlap = 5)
+          .select(col("doc_id"), col("chunk_id"),
+            md5(col("chunk_text").cast("binary")).as("h"),
+            TextFns.wordCount(col("chunk_text")).cast("long").as("n_toks"))
+          .orderBy(col("doc_id"), col("chunk_id"))
+      },
+      Some("""WITH d AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+             |           FROM documents),
+             |n AS (SELECT doc_id, toks,
+             |        CASE WHEN len(toks) <= 30 THEN 1
+             |             ELSE CAST(ceil((len(toks) - 5) / 25.0) AS BIGINT) END AS nc
+             |      FROM d),
+             |c AS (SELECT doc_id, unnest(generate_series(0, nc - 1)) AS chunk_id, toks
+             |      FROM n)
+             |SELECT doc_id, chunk_id,
+             |  md5(array_to_string(toks[chunk_id*25+1 : chunk_id*25+30], ' ')) AS h,
+             |  len(toks[chunk_id*25+1 : chunk_id*25+30]) AS n_toks
+             |FROM c ORDER BY doc_id, chunk_id""".stripMargin))
+  )
+}

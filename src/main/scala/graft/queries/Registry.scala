@@ -15,7 +15,8 @@ case class Q(name: String,
 
 object Registry {
   def all: Seq[Q] =
-    RelationalQueries.all ++ EventQueries.all ++ TextQueries.all ++ VectorQueries.all
+    RelationalQueries.all ++ EventQueries.all ++ TextQueries.all ++
+      VectorQueries.all ++ DedupQueries.all ++ ScalarQueries.all
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.fn).toMap

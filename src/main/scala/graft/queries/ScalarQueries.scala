@@ -1,0 +1,76 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.TextFns
+
+/** Remaining scalar-function surface from SURVEY.md §2.9: safe_filename
+  * (F2), regex extraction (F5), timestamp formatting (F6/F7), and the
+  * declarative validation predicates (P4).
+  */
+object ScalarQueries {
+  private def t(s: SparkSession, dir: String, n: String): DataFrame = Tables(s, dir, n)
+
+  def all: Seq[Q] = Seq(
+
+    // ---- F2 safe_filename (reference arxiv_hook.py:115-122). ----
+    Q("q60_safe_filename",
+      (s, dir) => {
+        t(s, dir, "part")
+          .select(col("p_partkey"), TextFns.safeFilename(col("p_name")).as("fname"))
+          .orderBy(col("p_partkey"))
+      },
+      Some("""SELECT p_partkey,
+             |  replace(trim(regexp_replace(substring(p_name, 1, 50),
+             |    '[^A-Za-z0-9 _-]', '', 'g')), ' ', '_') AS fname
+             |FROM part ORDER BY p_partkey""".stripMargin)),
+
+    // ---- F5 regex extraction (the reference's cost-scrape pattern,
+    // zara_hybrid_etl.py:39-75, applied to the events props strings). ----
+    Q("q61_regex_extract",
+      (s, dir) => {
+        t(s, dir, "events")
+          .select(col("event_id"),
+            regexp_extract(col("props"), "\"k\": (\\d+)", 1).as("k_str"))
+          .orderBy(col("event_id"))
+      },
+      Some("""SELECT event_id, regexp_extract(props, '"k": (\d+)', 1) AS k_str
+             |FROM events ORDER BY event_id""".stripMargin)),
+
+    // ---- F6/F7 timestamp formatting (zara_hybrid_etl.py:108/240/265:
+    // strftime %Y%m%d_%H%M%S and ISO-8601+Z). ----
+    Q("q62_date_format",
+      (s, dir) => {
+        t(s, dir, "orders")
+          .filter(col("o_orderkey") % 37 === 0)
+          .select(col("o_orderkey"),
+            date_format(col("o_orderdate"), "yyyyMMdd_HHmmss").as("ts_key"),
+            date_format(col("o_orderdate"), "yyyy-MM-dd'T'HH:mm:ss'Z'").as("iso"))
+          .orderBy(col("o_orderkey"))
+      },
+      Some("""SELECT o_orderkey,
+             |  strftime(o_orderdate, '%Y%m%d_%H%M%S') AS ts_key,
+             |  strftime(o_orderdate, '%Y-%m-%dT%H:%M:%SZ') AS iso
+             |FROM orders WHERE o_orderkey % 37 = 0 ORDER BY o_orderkey""".stripMargin)),
+
+    // ---- P4 declarative validation predicates as Column exprs
+    // (article_pipeline.yaml.j2:45-48, :85-88). ----
+    Q("q63_validate_predicates",
+      (s, dir) => {
+        val wcSynth = (TextFns.wordCount(col("text")) * 37) % 1400
+        t(s, dir, "documents")
+          .select(col("doc_id"),
+            (TextFns.wordCount(col("text")) >= 25).as("v_abstract_25w"),
+            wcSynth.between(700, 1000).as("v_wc_700_1000"),
+            (length(expr("substring(text, 1, CAST(doc_id % 70 AS INT))")) <= 60).as("v_headline_60"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""SELECT doc_id,
+             |  len(string_split_regex(trim(text), '\s+')) >= 25 AS v_abstract_25w,
+             |  (len(string_split_regex(trim(text), '\s+')) * 37) % 1400 BETWEEN 700 AND 1000 AS v_wc_700_1000,
+             |  len(substring(text, 1, CAST(doc_id % 70 AS INT))) <= 60 AS v_headline_60
+             |FROM documents ORDER BY doc_id""".stripMargin))
+  )
+}
