@@ -6,9 +6,12 @@ import graft.queries.Registry
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
+    * Runs the full reference-DAG-equivalent pipeline (chunk -> semantic
+    * extract -> synthesize -> article -> quality gate) with the stub client.
+    */
   def entry(spark: SparkSession): DataFrame =
-    Registry.queries("q01_pricing_summary")(spark, "/root/testdata/sf0.001")
+    Flagship.run(spark, "/root/testdata/sf0.001")
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Registry.queries

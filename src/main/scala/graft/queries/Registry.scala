@@ -16,7 +16,8 @@ case class Q(name: String,
 object Registry {
   def all: Seq[Q] =
     RelationalQueries.all ++ EventQueries.all ++ TextQueries.all ++
-      VectorQueries.all ++ DedupQueries.all ++ ScalarQueries.all
+      VectorQueries.all ++ DedupQueries.all ++ ScalarQueries.all ++
+      SemanticQueries.all
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.fn).toMap

@@ -1,0 +1,92 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.{Flagship, Tables}
+import graft.semantic.{SemanticOps, StubModelClient}
+
+/** Semantic-operator surface (SURVEY.md §2.11: M-ops, A1 reduce, P6 judge
+  * filter, K5 dead-letter). LLM output is inherently engine-specific =>
+  * rows-only checks (deterministic via the stub client, so row counts and
+  * shapes are stable across runs).
+  */
+object SemanticQueries {
+  private def t(s: SparkSession, dir: String, n: String): DataFrame = Tables(s, dir, n)
+  private def client = new StubModelClient()
+
+  def all: Seq[Q] = Seq(
+
+    // ---- M1-shape: schema-constrained extraction map with validation. ----
+    Q("q70_semantic_extract",
+      (s, dir) => {
+        val schema = StructType(Seq(
+          StructField("title", StringType),
+          StructField("abstract_summary", StringType),
+          StructField("key_findings", ArrayType(StringType)),
+          StructField("confidence", DoubleType)))
+        SemanticOps.semanticMap(
+            t(s, dir, "documents").select(col("doc_id"), col("text")),
+            "Extract structured content: {{ input.text }}",
+            schema, client,
+            validations = Seq("length(abstract_summary) > 0"), retries = 1)
+          .ok
+          .select(col("doc_id"), col("title"), col("abstract_summary"),
+            size(col("key_findings")).as("n_findings"), round(col("confidence"), 3).as("confidence"))
+          .orderBy(col("doc_id"))
+      },
+      None),
+
+    // ---- A1-shape: semantic reduce (hierarchical fold per group). ----
+    Q("q71_semantic_reduce",
+      (s, dir) => {
+        val schema = StructType(Seq(
+          StructField("summary", StringType),
+          StructField("themes", ArrayType(StringType))))
+        SemanticOps.semanticReduce(
+            t(s, dir, "documents").select(col("lang"), col("doc_id"), col("text")),
+            Seq("lang"),
+            "Synthesize a summary of these documents:",
+            schema, client, fanIn = 8)
+          .select(col("lang"), col("summary"), size(col("themes")).as("n_themes"))
+          .orderBy(col("lang"))
+      },
+      None),
+
+    // ---- P6: LLM-judge filter. ----
+    Q("q72_judge_filter",
+      (s, dir) => {
+        SemanticOps.semanticFilter(
+            t(s, dir, "documents").select(col("doc_id"), col("text")),
+            "Is this document high quality? {{ input.text }}", client)
+          .select(col("doc_id"))
+          .orderBy(col("doc_id"))
+      },
+      None),
+
+    // ---- K5: dead-letter channel — a validation no output satisfies
+    // routes every row to the dead letter instead of failing the job. ----
+    Q("q73_dead_letter",
+      (s, dir) => {
+        val schema = StructType(Seq(StructField("summary", StringType),
+          StructField("confidence", DoubleType)))
+        val res = SemanticOps.semanticMap(
+          t(s, dir, "documents").select(col("doc_id"), col("text")).limit(50),
+          "Summarize: {{ input.text }}", schema, client,
+          validations = Seq("confidence > 1.5"), retries = 1)
+        res.dead.select(col("doc_id"), col("__error").as("error")).orderBy(col("doc_id"))
+      },
+      None),
+
+    // ---- The full DAG-equivalent pipeline (t1 flagship). ----
+    Q("q74_flagship_articles",
+      (s, dir) => {
+        Flagship.run(s, dir)
+          .select(col("doc_id"), col("headline"), col("word_count"),
+            col("quality_score"), col("bucket"))
+          .orderBy(col("doc_id"))
+      },
+      None)
+  )
+}
