@@ -107,6 +107,51 @@ object TextFns {
     when(size(toks) > 0, hits.cast("double") / size(toks).cast("double")).otherwise(lit(0.0))
   }
 
+  /** Language-ID heuristic: count stopword hits per candidate language over
+    * the token array plus a CJK-character ratio for zh; argmax with a fixed
+    * tie-break order (en, fr, es, de, zh). Pure Column expression.
+    */
+  val langStopwords: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "and", "of", "to", "in", "is", "that", "it", "for", "with"),
+    "fr" -> Seq("le", "la", "les", "de", "et", "un", "une", "est", "dans", "pour"),
+    "es" -> Seq("el", "la", "los", "de", "y", "un", "una", "es", "en", "para"),
+    "de" -> Seq("der", "die", "das", "und", "ein", "eine", "ist", "in", "zu", "mit"))
+
+  def langId(text: Column): Column = {
+    val toks = tokens(lower(text))
+    def hits(lang: String): Column =
+      size(filter(toks, t => t.isin(langStopwords(lang).map(x => x: Any): _*)))
+    val cjk = length(regexp_replace(text, "[^\\x{4E00}-\\x{9FFF}]", ""))
+    val zhScore = when(length(text) > 0,
+      cjk * 20 / greatest(length(text), lit(1))).otherwise(0)
+    val scores = Seq("en", "fr", "es", "de").map(l => l -> hits(l)) :+ ("zh" -> zhScore)
+    val best = scores.map(_._2).reduce((a, b) => greatest(a, b))
+    scores.foldRight(lit("unknown")) { case ((l, sc), acc) =>
+      when(sc === best && best > 0, lit(l)).otherwise(acc)
+    }
+  }
+
+  /** Composite text-quality score in [0,1]: length band + stopword ratio +
+    * punctuation sanity (training-data quality scoring).
+    */
+  def textQuality(text: Column): Column = {
+    val toks = tokens(text)
+    val n = size(toks)
+    val lenScore = when(n.between(50, 10000), 0.4)
+      .when(n.between(10, 50000), 0.2).otherwise(0.0)
+    val sw = stopwordRatio(toks)
+    val swScore = when(sw.between(0.01, 0.6), 0.3).when(sw > 0.0, 0.15).otherwise(0.0)
+    val pr = punctRatio(text)
+    val prScore = when(pr < 0.2, 0.3).when(pr < 0.4, 0.15).otherwise(0.0)
+    lenScore + swScore + prScore
+  }
+
+  /** BPE-ish token count: letter runs, digit runs, or single non-space
+    * symbols (the regex analog of a byte-pair pre-tokenizer).
+    */
+  def tokenCountBpe(text: Column): Column =
+    size(regexp_extract_all(coalesce(text, lit("")), lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"), lit(0)))
+
   /** Order-sensitive 64-bit-ish rolling fingerprint over tokens (polynomial
     * hash, overflow-free so it is ANSI-mode safe: accumulator is kept < 2^31
     * and each step multiplies by a constant < 2^20).

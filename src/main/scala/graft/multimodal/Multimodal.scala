@@ -1,0 +1,105 @@
+package graft.multimodal
+
+import org.apache.spark.sql.{DataFrame, Encoders, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal column plumbing (BASELINE.json north star): image/audio/video
+  * as opaque `binary` columns plus typed metadata, with decode / feature /
+  * resize / frame-sample stages as batched per-partition transforms.
+  *
+  * The Spark-side shape — schema, partition-parallel batching, declared
+  * output schema — is real and tested. The codec itself is STUBBED with a
+  * deterministic fake (this container ships no image/audio libraries); the
+  * stub is clearly marked and isolated behind `Codec` so a real
+  * JNI/JavaCV-backed implementation drops in without touching the plumbing.
+  *
+  * At scale: binary payloads stay columnar (parquet binary), transforms are
+  * mapPartitions (no shuffle), and feature extraction emits fixed-width
+  * float arrays ready for the Similarity/Dedup operators.
+  */
+object Multimodal {
+
+  /** Codec boundary. Real implementations decode actual media bytes. */
+  trait Codec extends Serializable {
+    def decodeDims(content: Array[Byte]): (Int, Int)
+    def features(content: Array[Byte], dim: Int): Array[Float]
+  }
+
+  /** STUB codec — deterministic fake decode (no media libs in the
+    * container). Dims and features are pure functions of the bytes.
+    */
+  class StubCodec extends Codec {
+    override def decodeDims(content: Array[Byte]): (Int, Int) = {
+      val h = java.util.Arrays.hashCode(content)
+      (64 + math.abs(h % 193), 64 + math.abs((h / 193) % 129))
+    }
+    override def features(content: Array[Byte], dim: Int): Array[Float] = {
+      val out = new Array[Float](dim)
+      var acc = 0x9E3779B9L
+      var i = 0
+      while (i < content.length) {
+        acc = acc * 31 + (content(i) & 0xFF)
+        out(math.abs((acc % dim).toInt)) += 1.0f
+        i += 1
+      }
+      val n = math.sqrt(out.map(x => x.toDouble * x).sum).toFloat max 1e-9f
+      out.map(_ / n)
+    }
+  }
+
+  val metaSchema: StructType = StructType(Seq(
+    StructField("width", IntegerType), StructField("height", IntegerType),
+    StructField("format", StringType)))
+
+  /** Deterministic binary fixture derived from the documents table (each
+    * doc's text bytes stand in for an encoded image payload).
+    */
+  def fixtureFromDocuments(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+      col("text").cast("binary").as("content"),
+      when(col("doc_id") % 3 === 0, "png").when(col("doc_id") % 3 === 1, "jpeg")
+        .otherwise("webp").as("format"))
+
+  /** Decode stage: binary -> metadata struct. Batched per partition with a
+    * declared output schema (the real-codec integration point).
+    */
+  def decode(df: DataFrame, codec: Codec, contentCol: String = "content"): DataFrame = {
+    val outSchema = StructType(df.schema.fields :+ StructField("meta", metaSchema))
+    val cIdx = df.schema.fieldIndex(contentCol)
+    val fIdx = df.schema.fieldIndex("format")
+    df.mapPartitions { rows =>
+      rows.map { r =>
+        val (w, h) = codec.decodeDims(r.getAs[Array[Byte]](cIdx))
+        Row.fromSeq(r.toSeq :+ Row(w, h, r.getString(fIdx)))
+      }
+    }(Encoders.row(outSchema))
+  }
+
+  /** Feature-extraction stage: binary -> array<float> embedding column,
+    * ready for Similarity.bruteTopK / Dedup.embeddingPairs.
+    */
+  def extractFeatures(df: DataFrame, codec: Codec, dim: Int = 64,
+                      contentCol: String = "content"): DataFrame = {
+    val outSchema = StructType(df.schema.fields :+
+      StructField("features", ArrayType(FloatType)))
+    val cIdx = df.schema.fieldIndex(contentCol)
+    df.mapPartitions { rows =>
+      rows.map { r =>
+        Row.fromSeq(r.toSeq :+ codec.features(r.getAs[Array[Byte]](cIdx), dim).toSeq)
+      }
+    }(Encoders.row(outSchema))
+  }
+
+  /** Frame sampling for "video" payloads: split the binary into fixed-size
+    * frames and keep every `stride`-th — pure Column expressions.
+    */
+  def sampleFrames(df: DataFrame, frameBytes: Int, stride: Int,
+                   contentCol: String = "content"): DataFrame = {
+    val nFrames = ceil(length(col(contentCol)).cast("double") / frameBytes).cast("int")
+    df.withColumn("frame_id",
+        explode(filter(sequence(lit(0), greatest(nFrames - 1, lit(0))), i => i % stride === 0)))
+      .withColumn("frame",
+        col(contentCol).substr(col("frame_id") * frameBytes + 1, lit(frameBytes)))
+  }
+}

@@ -1,0 +1,131 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.TextFns
+import graft.multimodal.Multimodal
+import graft.streaming.Streams
+
+/** Text analysis (lang-ID, quality scoring, token counting), streaming
+  * equivalence, and multimodal plumbing queries.
+  */
+object QualityQueries {
+  private def t(s: SparkSession, dir: String, n: String): DataFrame = Tables(s, dir, n)
+
+  def all: Seq[Q] = Seq(
+
+    // ---- Language-ID heuristic (stopword hits + CJK ratio, fixed
+    // tie-break). The oracle mirrors the expression exactly. ----
+    Q("q37_lang_id",
+      (s, dir) => {
+        t(s, dir, "documents")
+          .select(col("doc_id"), col("lang").as("labeled"),
+            TextFns.langId(col("text")).as("predicted"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH x AS (
+             |  SELECT doc_id, lang AS labeled,
+             |    len(list_filter(string_split_regex(trim(lower(text)), '\s+'),
+             |      w -> w IN ('the','and','of','to','in','is','that','it','for','with'))) AS h_en,
+             |    len(list_filter(string_split_regex(trim(lower(text)), '\s+'),
+             |      w -> w IN ('le','la','les','de','et','un','une','est','dans','pour'))) AS h_fr,
+             |    len(list_filter(string_split_regex(trim(lower(text)), '\s+'),
+             |      w -> w IN ('el','la','los','de','y','un','una','es','en','para'))) AS h_es,
+             |    len(list_filter(string_split_regex(trim(lower(text)), '\s+'),
+             |      w -> w IN ('der','die','das','und','ein','eine','ist','in','zu','mit'))) AS h_de,
+             |    CASE WHEN length(text) > 0 THEN
+             |      length(regexp_replace(text, '[^\x{4E00}-\x{9FFF}]', '', 'g')) * 20
+             |        / greatest(length(text), 1)
+             |    ELSE 0 END AS h_zh
+             |  FROM documents),
+             |y AS (SELECT doc_id, labeled, h_en, h_fr, h_es, h_de, h_zh,
+             |        greatest(h_en, greatest(h_fr, greatest(h_es, greatest(h_de, h_zh)))) AS best
+             |      FROM x)
+             |SELECT doc_id, labeled,
+             |  CASE WHEN h_en = best AND best > 0 THEN 'en'
+             |       WHEN h_fr = best AND best > 0 THEN 'fr'
+             |       WHEN h_es = best AND best > 0 THEN 'es'
+             |       WHEN h_de = best AND best > 0 THEN 'de'
+             |       WHEN h_zh = best AND best > 0 THEN 'zh'
+             |       ELSE 'unknown' END AS predicted
+             |FROM y ORDER BY doc_id""".stripMargin)),
+
+    // ---- Composite text-quality score (length band + stopword ratio +
+    // punctuation sanity). ----
+    Q("q38_text_quality",
+      (s, dir) => {
+        t(s, dir, "documents")
+          .select(col("doc_id"), round(TextFns.textQuality(col("text")), 4).as("q"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH x AS (
+             |  SELECT doc_id,
+             |    len(string_split_regex(trim(text), '\s+')) AS n,
+             |    CAST(len(list_filter(string_split_regex(trim(text), '\s+'),
+             |      w -> w IN ('the','a','an','and','or','of','to','in','is','it','for','on','with','as','at','by'))) AS DOUBLE)
+             |      / CAST(len(string_split_regex(trim(text), '\s+')) AS DOUBLE) AS sw,
+             |    CAST(length(regexp_replace(text, '[^.,;:!?''"()-]', '', 'g')) AS DOUBLE)
+             |      / CAST(length(text) AS DOUBLE) AS pr
+             |  FROM documents WHERE length(trim(text)) > 0)
+             |SELECT doc_id, round(
+             |  (CASE WHEN n BETWEEN 50 AND 10000 THEN 0.4::DOUBLE
+             |        WHEN n BETWEEN 10 AND 50000 THEN 0.2::DOUBLE ELSE 0.0::DOUBLE END
+             |   + CASE WHEN sw BETWEEN 0.01 AND 0.6 THEN 0.3::DOUBLE
+             |          WHEN sw > 0.0 THEN 0.15::DOUBLE ELSE 0.0::DOUBLE END
+             |   + CASE WHEN pr < 0.2 THEN 0.3::DOUBLE
+             |          WHEN pr < 0.4 THEN 0.15::DOUBLE ELSE 0.0::DOUBLE END), 4) AS q
+             |FROM x ORDER BY doc_id""".stripMargin)),
+
+    // ---- Token counting: whitespace + BPE-ish regex pre-tokenizer. ----
+    Q("q39_token_counts",
+      (s, dir) => {
+        t(s, dir, "documents")
+          .select(col("doc_id"),
+            TextFns.wordCount(col("text")).cast("long").as("ws_tokens"),
+            TextFns.tokenCountBpe(col("text")).cast("long").as("bpe_tokens"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""SELECT doc_id,
+             |  len(string_split_regex(trim(text), '\s+')) AS ws_tokens,
+             |  len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS bpe_tokens
+             |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    // ---- §2.12 streaming: watermarked tumbling windows via a real
+    // Structured Streaming run (Trigger.AvailableNow), result returned as a
+    // batch DF. Equality with the batch q21 aggregation (modulo trailing
+    // windows held by the watermark) is asserted in StreamingSpec. ----
+    Q("q80_stream_tumbling",
+      (s, dir) => {
+        Streams.tumblingViaStream(s, dir).orderBy(col("h"), col("event_type"))
+      },
+      None),
+
+    // ---- Multimodal plumbing: binary content -> decode (stub codec) ->
+    // fixed-width feature vectors. ----
+    Q("q81_multimodal_features",
+      (s, dir) => {
+        val codec = new Multimodal.StubCodec()
+        val fixture = Multimodal.fixtureFromDocuments(t(s, dir, "documents"))
+        val decoded = Multimodal.decode(fixture, codec)
+        Multimodal.extractFeatures(decoded, codec, dim = 16)
+          .select(col("doc_id"), col("format"),
+            col("meta.width").as("width"), col("meta.height").as("height"),
+            round(element_at(col("features"), 1), 4).as("f0"))
+          .orderBy(col("doc_id"))
+      },
+      None),
+
+    // ---- Multimodal frame sampling (every 2nd 64-byte "frame"). ----
+    Q("q82_frame_sample",
+      (s, dir) => {
+        val fixture = Multimodal.fixtureFromDocuments(t(s, dir, "documents"))
+        Multimodal.sampleFrames(fixture, frameBytes = 64, stride = 2)
+          .select(col("doc_id"), col("frame_id"),
+            md5(col("frame")).as("frame_hash"))
+          .orderBy(col("doc_id"), col("frame_id"))
+      },
+      None)
+  )
+}

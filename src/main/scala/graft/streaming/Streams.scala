@@ -1,0 +1,85 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+import graft.Tables
+
+/** Structured Streaming surface (SURVEY.md §2.12).
+  *
+  * The reference is a daily batch DAG; its "process what arrived,
+  * exactly-once, idempotent re-run" semantics map to a file-source stream
+  * with Trigger.AvailableNow + checkpointing. The north-star streaming ops
+  * over `events` are all built-ins: watermarked tumbling/sliding windows,
+  * session windows, and stateful dedup within the watermark.
+  *
+  * At scale: file-source streaming partitions by input file; the windowed
+  * aggregations shuffle on (window, keys) with partial aggregation, and the
+  * watermark bounds state size — no unbounded state anywhere.
+  */
+object Streams {
+
+  /** File-source stream over the events table (schema pinned from a batch
+    * read; ts arrives as nanos-long and is converted exactly like the batch
+    * path so stream and batch results are comparable).
+    */
+  def eventsStream(spark: SparkSession, dir: String): DataFrame = {
+    val batchSchema = spark.read.parquet(s"$dir/events.parquet").schema
+    // file-source streaming wants a directory; narrow it to the events file
+    val raw = spark.readStream.schema(batchSchema)
+      .option("pathGlobFilter", "events.parquet").parquet(dir)
+    if (raw.schema("ts").dataType == org.apache.spark.sql.types.LongType)
+      raw.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+    else raw
+  }
+
+  /** Watermarked tumbling-window counts per event type. */
+  def tumblingCounts(events: DataFrame, window_ : String = "1 hour",
+                     watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), window_), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 4).as("sv"))
+      .select(col("window.start").as("h"), col("event_type"), col("n"), col("sv"))
+
+  /** Session windows (30 min gap) per user. */
+  def sessionCounts(events: DataFrame, gap: String = "30 minutes",
+                    watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(session_window(col("ts"), gap), col("user_id"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("session_window.start").as("sess_start"), col("user_id"), col("n"))
+
+  /** Stateful dedup bounded by the watermark. */
+  def dedupWithinWatermark(events: DataFrame, watermark: String = "2 hours"): DataFrame =
+    events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark("event_id")
+
+  /** Run a streaming DataFrame to parquet with Trigger.AvailableNow (the
+    * daily-DAG equivalence: process everything available, then stop) and
+    * read the result back as a batch DataFrame.
+    */
+  def runAvailableNow(stream: DataFrame, outPath: String, checkpoint: String): DataFrame = {
+    val q = stream.writeStream
+      .format("parquet")
+      .option("path", outPath)
+      .option("checkpointLocation", checkpoint)
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    stream.sparkSession.read.parquet(outPath)
+  }
+
+  /** Streaming tumbling aggregation, materialized and returned as a batch
+    * DataFrame (used by the q80 check: must equal the batch date_trunc agg).
+    */
+  def tumblingViaStream(spark: SparkSession, dir: String): DataFrame = {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_stream_").toString
+    val out = runAvailableNow(
+      tumblingCounts(eventsStream(spark, dir)),
+      s"$tmp/out", s"$tmp/ckpt")
+    out
+  }
+}
