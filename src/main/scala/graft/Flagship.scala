@@ -71,8 +71,11 @@ object Flagship {
     val articles = run(spark, dir)
     Sinks.thresholdJson(articles, "quality_score", 0.7, s"$outDir/articles")
     val hi = articles.filter(col("bucket") === "high")
+    // `source` does not survive the synthesize reduce (keys + output schema
+    // only) — attribute the pipeline itself, as the reference does for
+    // missing authors.
     val md = Sinks.markdownColumn(col("headline"), col("subtitle"),
-      col("key_takeaways"), array(col("source")), col("doc_id"),
+      col("key_takeaways"), array(lit("article_pipeline")), col("doc_id"),
       col("word_count"), col("meta_description"), col("article_body"),
       col("pull_quotes"), col("key_takeaways"))
     Sinks.writeMarkdown(hi, "headline", md, s"$outDir/markdown")

@@ -31,8 +31,13 @@ trait ModelClient extends Serializable {
   */
 class StubModelClient(seed: Long = 42L) extends ModelClient {
 
+  // DDL parsing goes through the full ANTLR SQL parser — memoize it, the
+  // same schema arrives with every call in a pipeline stage.
+  @transient private lazy val schemaCache =
+    new java.util.concurrent.ConcurrentHashMap[String, StructType]()
+
   override def complete(prompt: String, schemaDdl: String): String = {
-    val schema = StructType.fromDDL(schemaDdl)
+    val schema = schemaCache.computeIfAbsent(schemaDdl, StructType.fromDDL(_))
     val words = prompt.split("\\s+").filter(w => w.nonEmpty && w.length < 40)
     val s0 = mix(seed, prompt)
     genStruct(schema, "", s0, if (words.isEmpty) Array("empty") else words)

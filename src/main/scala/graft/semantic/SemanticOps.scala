@@ -81,8 +81,12 @@ object SemanticOps extends Serializable {
       val parsed = callModel(pending, salted, client, ddl, batchSize)
         .withColumn("__out", from_json(col("__resp"), outputSchema))
         .drop("__resp")
+      // Checkpoint each attempt: without this the retry chain's lineage
+      // grows multiplicatively (attempt k replays every earlier model pass
+      // on re-execution) — and model passes are the expensive stage by far.
       val flat = parsed.select(
         (keepCols.map(col) ++ outputSchema.fieldNames.map(n => col(s"__out.$n").as(n))): _*)
+        .localCheckpoint()
       val good = flat.filter(validExpr)
       ok = Some(ok.map(_.unionByName(good)).getOrElse(good))
       pending = flat.filter(!validExpr).select(inCols.map(col): _*)
@@ -107,6 +111,7 @@ object SemanticOps extends Serializable {
   def semanticReduce(df: DataFrame, keyCols: Seq[String], instruction: String,
                      outputSchema: StructType, client: ModelClient,
                      fanIn: Int = 8): DataFrame = {
+    require(fanIn >= 2, "fanIn < 2 cannot converge (n items fold to n summaries)")
     val ddl = outputSchema.toDDL
     val payload = df.columns.filterNot(keyCols.contains)
     val grouped = df

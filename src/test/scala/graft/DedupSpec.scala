@@ -1,0 +1,54 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{AsOfJoin, Dedup}
+
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog again and again today"),
+    (2L, "the quick brown fox jumps over the lazy dog again and again tonight"), // near-dup of 1
+    (3L, "completely different content about query engines and shuffles at scale"),
+    (4L, "the quick brown fox jumps over the lazy dog again and again today") // exact dup of 1
+  ).toDF("doc_id", "text")
+
+  test("exact dedup keeps lowest id per identical content") {
+    val out = Dedup.exact(docs, "doc_id", Seq("text"))
+    assert(out.count() == 3)
+    val dupRow = out.filter(col("n_dupes") === 2).select("doc_id").as[Long].collect()
+    assert(dupRow.toSeq == Seq(1L))
+  }
+
+  test("minhash LSH finds planted near-duplicates and the exact duplicate") {
+    val pairs = Dedup.minhashPairs(docs, "doc_id", "text",
+        numHashes = 32, bands = 16, shingleK = 3, threshold = 0.5)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 4L)), "exact duplicate must be found")
+    assert(pairs.contains((1L, 2L)) || pairs.contains((2L, 4L)), "near-duplicate must be found")
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L), "unrelated doc must not pair")
+  }
+
+  test("simhash of identical docs is identical; hamming pairs found") {
+    val sig = Dedup.simhash(docs, "doc_id", "text")
+      .as[(Long, Long)].collect().toMap
+    assert(sig(1L) == sig(4L))
+    val pairs = Dedup.simhashPairs(docs, "doc_id", "text", maxHamming = 3)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 4L)))
+  }
+
+  test("as-of join matches a naive per-row scan") {
+    val left = Seq((1L, 10L, "e1"), (1L, 20L, "e2"), (2L, 5L, "e3"), (3L, 9L, "e4"))
+      .toDF("k", "t", "ev").withColumn("t", col("t").cast("timestamp"))
+    val right = Seq((1L, 5L, 100.0), (1L, 15L, 200.0), (2L, 5L, 300.0))
+      .toDF("k", "t", "price").withColumn("t", col("t").cast("timestamp"))
+    val got = AsOfJoin.asof(left, right, "k", "t")
+      .select(col("ev"), col("price")).as[(String, Option[Double])].collect().toMap
+    // e1@10: latest right for k=1 with t<=10 is t=5 -> 100
+    // e2@20: t=15 -> 200 ; e3@5: inclusive tie t=5 -> 300 ; e4: no right rows
+    assert(got == Map("e1" -> Some(100.0), "e2" -> Some(200.0),
+      "e3" -> Some(300.0), "e4" -> None))
+  }
+}

@@ -1,0 +1,95 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.pipeline._
+import graft.semantic.{SemanticOps, StubModelClient}
+
+class SemanticOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val client = new StubModelClient()
+  private val docs = Seq(
+    (1L, "alpha beta gamma delta epsilon zeta"),
+    (2L, "one two three four five six seven"),
+    (3L, "red green blue cyan magenta yellow")).toDF("doc_id", "text")
+
+  private val schema = StructType(Seq(
+    StructField("summary", StringType),
+    StructField("n", LongType)))
+
+  test("semanticMap output conforms to the declared schema and is deterministic") {
+    def run() = SemanticOps.semanticMap(docs, "Summarize: {{ input.text }}",
+      schema, client).ok.orderBy("doc_id").collect().toSeq
+    val a = run(); val b = run()
+    assert(a == b, "stub-backed semantic map must be deterministic")
+    assert(a.size == 3)
+    val out = SemanticOps.semanticMap(docs, "Summarize: {{ input.text }}", schema, client).ok
+    assert(out.columns.toSet == Set("doc_id", "text", "summary", "n"))
+    assert(out.schema("summary").dataType == StringType)
+  }
+
+  test("retries recover rows the first attempt fails; dead-letter catches the rest") {
+    // n is in [0, 1000); demand a narrow band so attempt salts matter.
+    val lax = SemanticOps.semanticMap(docs, "S: {{ input.text }}", schema, client,
+      validations = Seq("n >= 0"), retries = 0)
+    assert(lax.ok.count() == 3 && lax.dead.count() == 0)
+
+    val impossible = SemanticOps.semanticMap(docs, "S: {{ input.text }}", schema, client,
+      validations = Seq("n < 0"), retries = 1)
+    assert(impossible.ok.count() == 0)
+    assert(impossible.dead.count() == 3)
+    assert(impossible.dead.columns.contains("__error"))
+
+    // a band some attempt satisfies: more retries -> no fewer successes
+    def okAt(r: Int) = SemanticOps.semanticMap(docs, "S: {{ input.text }}", schema, client,
+      validations = Seq("n % 2 = 0"), retries = r).ok.count()
+    assert(okAt(4) >= okAt(0))
+  }
+
+  test("semanticReduce folds each group to one schema-conformant row, fanIn-invariant determinism") {
+    val grouped = Seq((1L, "g1", "aa"), (2L, "g1", "bb"), (3L, "g2", "cc"))
+      .toDF("doc_id", "grp", "text")
+    val out = SemanticOps.semanticReduce(grouped, Seq("grp"), "Synthesize:",
+      schema, client, fanIn = 8)
+    assert(out.count() == 2)
+    assert(out.columns.toSet == Set("grp", "summary", "n"))
+    // hierarchical path (fanIn=2 forces a multi-level fold) still yields one row per group
+    val deep = SemanticOps.semanticReduce(grouped, Seq("grp"), "Synthesize:",
+      schema, client, fanIn = 2)
+    assert(deep.count() == 2)
+    intercept[IllegalArgumentException] {
+      SemanticOps.semanticReduce(grouped, Seq("grp"), "S:", schema, client, fanIn = 1)
+    }
+  }
+
+  test("pipeline spec: validator rejects bad specs, rewriter decomposes optimized maps") {
+    val bad = PipelineSpec("p", Seq(MapOp("m", "", Map("a" -> "string"))))
+    intercept[IllegalArgumentException](Validator.validate(bad))
+
+    val spec = PipelineSpec("p", Seq(
+      MapOp("extract", "E {{ input.text }}", Map("s" -> "string"), optimize = true)))
+    val rw = Rewriter.rewrite(spec, textCol = "text", chunkSize = 10, overlap = 2)
+    assert(rw.ops.map(_.getClass.getSimpleName) ==
+      Seq("SplitOp", "MapOp", "ReduceOp"))
+    val m = rw.ops(1).asInstanceOf[MapOp]
+    assert(m.prompt.contains("{{ input.chunk_text }}"))
+    Validator.validate(rw)
+  }
+
+  test("schema compiler maps docetl type strings") {
+    assert(SchemaCompiler.toDataType("list[string]") == ArrayType(StringType))
+    assert(SchemaCompiler.toDataType("number") == DoubleType)
+    assert(SchemaCompiler.toDataType("integer") == LongType)
+    assert(SchemaCompiler.toDataType(Map("a" -> "string", "b" -> "list[integer]")) ==
+      StructType(Seq(StructField("a", StringType), StructField("b", ArrayType(LongType)))))
+    intercept[IllegalArgumentException](SchemaCompiler.toDataType("tensor"))
+  }
+
+  test("judge filter keeps a deterministic subset") {
+    val kept = SemanticOps.semanticFilter(docs, "Good? {{ input.text }}", client)
+    assert(kept.count() < 3 || kept.count() > 0)
+    assert(kept.columns.toSet == Set("doc_id", "text"))
+  }
+}

@@ -1,0 +1,102 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFns
+
+/** Behavior pinned to the reference implementations (SURVEY §5.2 item 1). */
+class TextFnsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def slug1(s: String): String =
+    Seq(s).toDF("t").select(TextFns.slugify(col("t"))).as[String].head()
+
+  test("slugify matches reference semantics (zara_hybrid_etl.py:77-80)") {
+    assert(slug1("Hello, World!") == "hello-world")
+    assert(slug1("  --- ") == "untitled")
+    assert(slug1("") == "untitled")
+    assert(slug1("A  B   C") == "a-b-c")
+    assert(slug1("already-slugged") == "already-slugged")
+    assert(slug1("MiXeD CaSe 42") == "mixed-case-42")
+  }
+
+  test("slugify is idempotent and emits only [a-z0-9-] (seeded fuzz)") {
+    val rnd = new scala.util.Random(42)
+    val samples = Seq.fill(60)(rnd.nextString(rnd.nextInt(30))) ++
+      Seq.fill(40)(Seq.fill(rnd.nextInt(8))(rnd.alphanumeric.take(5).mkString).mkString(" !@# "))
+    val once = samples.toDF("t").select(TextFns.slugify(col("t"))).as[String].collect()
+    once.foreach(o => assert(o.matches("[a-z0-9-]+") || o == "untitled", s"bad slug: '$o'"))
+    val twice = once.toSeq.toDF("t").select(TextFns.slugify(col("t"))).as[String].collect()
+    assert(once.toSeq == twice.toSeq, "slugify must be idempotent")
+  }
+
+  test("safe_filename matches reference semantics (arxiv_hook.py:115-122)") {
+    def f(s: String): String =
+      Seq(s).toDF("t").select(TextFns.safeFilename(col("t"))).as[String].head()
+    // python: keep alnum/space/dash/underscore of title[:50], strip, spaces->_
+    assert(f("A Paper: On Things!") == "A_Paper_On_Things")
+    assert(f("x" * 60) == "x" * 50)
+    assert(f("  padded  ") == "padded")
+  }
+
+  test("word_count = len(split()) incl. empty edge (zara_hybrid_etl.py:216)") {
+    val rows = Seq("a b  c", "", "   ", "one").toDF("t")
+      .select(TextFns.wordCount(col("t"))).as[Int].collect()
+    assert(rows.toSeq == Seq(3, 0, 0, 1))
+  }
+
+  /** Scala port of calculate_quality_score (zara_hybrid_etl.py:212-222)
+    * used as the test oracle for the Column implementation.
+    */
+  private def refScore(h: String, sub: String, body: String, meta: String,
+                       pq: Int, kt: Int): Double = {
+    var score = 0.0; var maxs = 0.0
+    if (h.nonEmpty) { maxs += 0.2; score += (if (h.length >= 10 && h.length <= 60) 0.2 else 0.1) }
+    val wc = if (body.nonEmpty) body.trim.split("\\s+").count(_.nonEmpty) else 0
+    maxs += 0.2
+    score += (if (wc >= 700 && wc <= 1000) 0.2 else if (wc >= 500 && wc <= 1200) 0.15 else if (wc > 200) 0.1 else 0.0)
+    maxs += 0.3
+    val present = Seq(h, sub, body, meta).count(_.trim.nonEmpty)
+    score += present / 4.0 * 0.3
+    maxs += 0.15; score += (if (pq >= 2) 0.15 else if (pq >= 1) 0.1 else 0.0)
+    maxs += 0.15; score += (if (kt >= 3) 0.15 else if (kt >= 1) 0.1 else 0.0)
+    if (maxs > 0) score / maxs else 0.0
+  }
+
+  test("qualityScore matches the python reference rubric on branch matrix") {
+    val cases = for {
+      h <- Seq("", "short", "a headline of a reasonable length", "h" * 70)
+      wc <- Seq(0, 150, 300, 600, 800, 1100, 1300)
+      pq <- Seq(0, 1, 2)
+      kt <- Seq(0, 1, 3)
+      meta <- Seq("", "meta")
+    } yield (h, "sub", ("w " * wc).trim, meta, pq, kt)
+
+    val df = cases.toDF("h", "sub", "body", "meta", "pq", "kt")
+    val got = df.select(
+      TextFns.qualityScoreParts(col("h"), col("sub"), col("body"),
+        TextFns.wordCount(col("body")), col("meta"), col("pq"), col("kt"))).as[Double].collect()
+    cases.zip(got).foreach { case ((h, sub, body, meta, pq, kt), g) =>
+      val exp = refScore(h, sub, body, meta, pq, kt)
+      assert(math.abs(g - exp) < 1e-9, s"case h=${h.take(8)} wc=${body.length} pq=$pq kt=$kt: got $g want $exp")
+    }
+  }
+
+  test("fingerprint is deterministic and order-sensitive") {
+    val fp = Seq("a b c", "a b c", "c b a").toDF("t")
+      .select(TextFns.fingerprint(TextFns.tokens(col("t")))).as[Long].collect()
+    assert(fp(0) == fp(1))
+    assert(fp(0) != fp(2))
+  }
+
+  test("langId picks the stopword-dominant language with fixed tie-break") {
+    val preds = Seq(
+      "the cat and the dog is in the house",
+      "le chat et la maison est dans les champs",
+      "el gato y la casa es una de los campos",
+      "der hund und die katze ist ein tier zu haus",
+      "只有中文字符在这里没有别的",
+      "zzz qqq xxx").toDF("t").select(TextFns.langId(col("t"))).as[String].collect()
+    assert(preds.toSeq == Seq("en", "fr", "es", "de", "zh", "unknown"))
+  }
+}

@@ -1,0 +1,51 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.VectorFns
+import graft.multimodal.Multimodal
+import graft.operators.Similarity
+
+class VectorFnsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("dot/norm/cosine basics") {
+    val df = Seq((Seq(1.0f, 0.0f), Seq(0.0f, 1.0f)), (Seq(1.0f, 1.0f), Seq(1.0f, 1.0f)))
+      .toDF("a", "b")
+    val rows = df.select(
+      VectorFns.dot(col("a"), col("b")).as("d"),
+      VectorFns.cosine(col("a"), col("b")).as("c")).as[(Double, Double)].collect()
+    assert(rows(0) == ((0.0, 0.0)))
+    assert(math.abs(rows(1)._2 - 1.0) < 1e-12)
+  }
+
+  test("lsh bucket is deterministic and identical vectors collide") {
+    val v = Seq.fill(8)(0.5f)
+    val df = Seq(v, v).toDF("v")
+    val b = df.select(VectorFns.lshBucket(col("v"), 8)).as[Long].collect()
+    assert(b(0) == b(1))
+  }
+
+  test("lshTopK recall vs brute force on real embeddings") {
+    val emb = Tables(spark, sfDir, "embeddings")
+    val q = emb.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+    val c = emb.select(col("vec_id").as("nid"), col("embedding").as("ne"))
+    val exact = Similarity.bruteTopK(q, c, 10)
+      .select("qid", "nid").as[(Long, Long)].collect().toSet
+    val approx = Similarity.lshTopK(q, c, 10, nBits = 3, nTables = 6)
+      .select("qid", "nid").as[(Long, Long)].collect().toSet
+    val recall = (exact & approx).size.toDouble / exact.size
+    assert(recall > 0.2, s"LSH recall unreasonably low: $recall")
+    assert(approx.nonEmpty)
+  }
+
+  test("multimodal stub codec: deterministic features, unit norm") {
+    val codec = new Multimodal.StubCodec()
+    val f1 = codec.features("hello world".getBytes, 16)
+    val f2 = codec.features("hello world".getBytes, 16)
+    assert(f1.toSeq == f2.toSeq)
+    val norm = math.sqrt(f1.map(x => x.toDouble * x).sum)
+    assert(math.abs(norm - 1.0) < 1e-5)
+  }
+}
