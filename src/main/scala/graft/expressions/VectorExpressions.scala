@@ -126,9 +126,9 @@ object VectorExpressions {
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
     reg.createOrReplaceTempFunction("cosine_similarity",
-      es => CosineSimilarity(es.head, es(1)), "builtin")
+      es => CosineSimilarity(es.head, es(1)), "built-in")
     reg.createOrReplaceTempFunction("dot_product",
-      es => DotProduct(es.head, es(1)), "builtin")
+      es => DotProduct(es.head, es(1)), "built-in")
   }
 }
 

@@ -1,0 +1,75 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.Tables
+import graft.expressions.VectorExpressions
+import graft.sources.Sources
+
+/** SQL entry-point coverage (spark.sql over registered views, GROUPING SETS,
+  * custom functions in the registry) and the lenient-JSON normalization
+  * surface (F8).
+  */
+object SqlQueries {
+  private def t(s: SparkSession, dir: String, n: String): DataFrame = Tables(s, dir, n)
+
+  def all: Seq[Q] = Seq(
+
+    // ---- A6 GROUPING SETS through the SQL surface. ----
+    Q("q14_grouping_sets",
+      (s, dir) => {
+        t(s, dir, "orders").createOrReplaceTempView("orders_v")
+        s.sql("""SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+                |  round(sum(o_totalprice), 2) AS total
+                |FROM orders_v
+                |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
+                |ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""".stripMargin)
+      },
+      Some("""SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+             |  round(sum(o_totalprice), 2) AS total
+             |FROM orders
+             |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
+             |ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""".stripMargin)),
+
+    // ---- Custom Catalyst expression exposed to SQL via FunctionRegistry
+    // (SparkSessionExtensions path); oracle mirrors the same math. ----
+    Q("q42_sql_cosine",
+      (s, dir) => {
+        VectorExpressions.register(s)
+        t(s, dir, "embeddings").createOrReplaceTempView("emb_v")
+        s.sql("""SELECT a.vec_id AS qid, b.vec_id AS nid,
+                |  round(cosine_similarity(a.embedding, b.embedding), 4) AS sim
+                |FROM emb_v a JOIN emb_v b ON a.vec_id < b.vec_id
+                |WHERE a.vec_id < 3 AND b.vec_id < 20
+                |ORDER BY qid, nid""".stripMargin)
+      },
+      Some("""SELECT a.vec_id AS qid, b.vec_id AS nid,
+             |  round(list_sum(list_transform(list_zip(a.embedding, b.embedding),
+             |      x -> x[1]::DOUBLE * x[2]::DOUBLE))
+             |    / (sqrt(list_sum(list_transform(a.embedding, x -> x::DOUBLE * x::DOUBLE)))
+             |       * sqrt(list_sum(list_transform(b.embedding, x -> x::DOUBLE * x::DOUBLE)))), 4) AS sim
+             |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+             |WHERE a.vec_id < 3 AND b.vec_id < 20
+             |ORDER BY qid, nid""".stripMargin)),
+
+    // ---- F8: lenient JSON shape normalization (bare list | {articles} |
+    // {data}) — each doc round-trips through its shape variant, so the
+    // normalized output must equal the identity projection. ----
+    Q("q16_json_normalize",
+      (s, dir) => {
+        val d = t(s, dir, "documents")
+        val payload = to_json(array(struct(col("doc_id"), col("lang"))))
+        val jdoc = when(col("doc_id") % 3 === 0, payload)
+          .when(col("doc_id") % 3 === 1, concat(lit("{\"articles\": "), payload, lit("}")))
+          .otherwise(concat(lit("{\"data\": "), payload, lit("}")))
+        val itemSchema = StructType(Seq(
+          StructField("doc_id", LongType), StructField("lang", StringType)))
+        Sources.normalizeJsonShapes(d.select(jdoc.as("jdoc")), "jdoc", itemSchema)
+          .select(col("record.doc_id").as("doc_id"), col("record.lang").as("lang"))
+          .orderBy(col("doc_id"))
+      },
+      Some("SELECT doc_id, lang FROM documents ORDER BY doc_id"))
+  )
+}

@@ -47,14 +47,31 @@ object SemanticOps extends Serializable {
     if (parts.isEmpty) lit(tmpl) else concat(parts.toSeq: _*)
   }
 
+  /** Per-session model-call accounting (A3/§4.1: accumulators instead of
+    * the reference's stdout scraping). Driver-readable after any action.
+    */
+  case class Metrics(calls: org.apache.spark.util.LongAccumulator,
+                     retriedRows: org.apache.spark.util.LongAccumulator)
+
+  private val metricsBySession =
+    new java.util.concurrent.ConcurrentHashMap[org.apache.spark.SparkContext, Metrics]()
+
+  def metrics(spark: org.apache.spark.sql.SparkSession): Metrics =
+    metricsBySession.computeIfAbsent(spark.sparkContext, sc => Metrics(
+      sc.longAccumulator("graft.model.calls"),
+      sc.longAccumulator("graft.model.retried_rows")))
+
   /** One model pass: adds a `__resp` string column via batched client calls. */
   private def callModel(in: DataFrame, promptCol: Column, client: ModelClient,
-                        schemaDdl: String, batchSize: Int): DataFrame = {
+                        schemaDdl: String, batchSize: Int, isRetry: Boolean = false): DataFrame = {
     val withPrompt = in.withColumn("__prompt", promptCol)
     val outSchema = StructType(withPrompt.schema.fields :+ StructField("__resp", StringType))
     val idx = withPrompt.schema.fieldIndex("__prompt")
+    val m = metrics(in.sparkSession)
     withPrompt.mapPartitions { rows =>
       rows.grouped(batchSize).flatMap { batch =>
+        m.calls.add(batch.size)
+        if (isRetry) m.retriedRows.add(batch.size)
         val resps = client.completeBatch(batch.map(_.getString(idx)), schemaDdl)
         batch.lazyZip(resps).map((r, resp) => Row.fromSeq(r.toSeq :+ resp))
       }
@@ -78,7 +95,7 @@ object SemanticOps extends Serializable {
     var attempt = 0
     while (attempt <= retries && !pending.isEmpty) {
       val salted = concat(renderTemplate(template), lit(s"\n#attempt=$attempt"))
-      val parsed = callModel(pending, salted, client, ddl, batchSize)
+      val parsed = callModel(pending, salted, client, ddl, batchSize, isRetry = attempt > 0)
         .withColumn("__out", from_json(col("__resp"), outputSchema))
         .drop("__resp")
       // Checkpoint each attempt: without this the retry chain's lineage

@@ -1,0 +1,66 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.semantic.{SemanticOps, StubModelClient}
+import graft.sources.Sources
+
+class SourcesSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val schema = StructType(Seq(
+    StructField("id", LongType), StructField("name", StringType)))
+
+  test("jsonDataset: valid rows parse, malformed rows dead-letter, job survives") {
+    val dir = Files.createTempDirectory("graft_src_").toString
+    Files.writeString(java.nio.file.Paths.get(s"$dir/a.json"),
+      """[{"id": 1, "name": "one"}, {"id": 2, "name": "two"}]""")
+    val good = Sources.jsonDataset(spark, s"$dir/a.json", schema)
+    assert(good.ok.count() == 2 && good.dead.count() == 0)
+
+    val dir2 = Files.createTempDirectory("graft_src2_").toString
+    Files.writeString(java.nio.file.Paths.get(s"$dir2/b.json"),
+      "{\"id\": 1, \"name\": \"ok\"}\n{not json at all\n{\"id\": 3, \"name\": \"three\"}")
+    val mixed = Sources.jsonDataset(spark, s"$dir2/b.json", schema, multiLine = false)
+    assert(mixed.ok.count() == 2)
+    assert(mixed.dead.count() == 1)
+    assert(mixed.dead.select("error").as[String].head() == "malformed json")
+  }
+
+  test("binaryDocuments: binaryFile glob + registered parser yields full_text") {
+    val dir = Files.createTempDirectory("graft_bin_").toString
+    Files.writeString(java.nio.file.Paths.get(s"$dir/d1.txt"), "hello binary world")
+    Files.writeString(java.nio.file.Paths.get(s"$dir/d2.txt"), "second doc")
+    val out = Sources.binaryDocuments(spark, s"$dir/*.txt", "txt")
+    assert(out.count() == 2)
+    assert(out.columns.toSet == Set("path", "modificationTime", "segment", "full_text"))
+    val texts = out.select("full_text").as[String].collect().toSet
+    assert(texts == Set("hello binary world", "second doc"))
+    intercept[IllegalArgumentException](Sources.binaryDocuments(spark, dir, "pdf"))
+  }
+
+  test("pendingFetches: anti-join idempotence (arxiv_hook.py:126-128 analog)") {
+    val requested = Seq(("a", 1), ("b", 2), ("c", 3)).toDF("key", "v")
+    val manifest = Seq("b").toDF("key")
+    val pending = Sources.pendingFetches(requested, manifest, "key")
+    assert(pending.select("key").as[String].collect().toSet == Set("a", "c"))
+    // re-running with an updated manifest fetches nothing new
+    val done = Seq("a", "b", "c").toDF("key")
+    assert(Sources.pendingFetches(requested, done, "key").isEmpty)
+  }
+
+  test("model-call accumulators count calls and retried rows") {
+    val m = SemanticOps.metrics(spark)
+    val before = m.calls.value
+    val docs = Seq((1L, "x y z"), (2L, "p q r")).toDF("doc_id", "text")
+    val schema = StructType(Seq(StructField("summary", StringType), StructField("n", LongType)))
+    SemanticOps.semanticMap(docs, "S: {{ input.text }}", schema, new StubModelClient(),
+      validations = Seq("n < 0"), retries = 2).dead.count()
+    val delta = m.calls.value - before
+    assert(delta == 6, s"2 rows x 3 attempts expected, got $delta")
+    assert(m.retriedRows.value >= 4)
+  }
+}
