@@ -254,6 +254,48 @@ object RelationalQueries {
              |  ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate
              |ORDER BY e.event_id""".stripMargin)),
 
+    // ---- §2.6 ranking/analytic window family in one pass over one sort. ----
+    Q("q15_rank_family",
+      (s, dir) => {
+        val w = Window.partitionBy(col("o_custkey")).orderBy(col("o_orderdate"), col("o_orderkey"))
+        t(s, dir, "orders")
+          .select(col("o_custkey"), col("o_orderkey"),
+            row_number().over(w).as("rn"),
+            rank().over(Window.partitionBy(col("o_custkey")).orderBy(col("o_orderpriority"))).as("rk"),
+            dense_rank().over(Window.partitionBy(col("o_custkey")).orderBy(col("o_orderpriority"))).as("drk"),
+            lead(col("o_orderkey"), 1).over(w).as("next_ok"),
+            first(col("o_orderkey")).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)).as("first_ok"))
+          .orderBy(col("o_custkey"), col("o_orderkey"))
+      },
+      Some("""SELECT o_custkey, o_orderkey,
+             |  row_number() OVER w AS rn,
+             |  rank() OVER (PARTITION BY o_custkey ORDER BY o_orderpriority) AS rk,
+             |  dense_rank() OVER (PARTITION BY o_custkey ORDER BY o_orderpriority) AS drk,
+             |  lead(o_orderkey, 1) OVER w AS next_ok,
+             |  first_value(o_orderkey) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS first_ok
+             |FROM orders
+             |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+             |ORDER BY o_custkey, o_orderkey""".stripMargin)),
+
+    // ---- Salted join for skewed keys: result must equal the plain join
+    // (the oracle IS the unsalted formulation). ----
+    Q("q17_salted_join",
+      (s, dir) => {
+        graft.operators.Skew.saltedJoin(
+            t(s, dir, "lineitem"),
+            t(s, dir, "orders").select(col("o_orderkey").as("l_orderkey"), col("o_orderstatus")),
+            "l_orderkey", factor = 4)
+          .groupBy(col("o_orderstatus"))
+          .agg(count(lit(1)).as("n"),
+            round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+          .orderBy(col("o_orderstatus"))
+      },
+      Some("""SELECT o_orderstatus, count(*) AS n,
+             |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+             |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+             |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)),
+
     // ---- A6 approx distinct (HLL++). Algorithm-specific => no SQL oracle;
     // driver records rows>0. Exact distinct is q13's own sanity column pair.
     Q("q13_approx_distinct",

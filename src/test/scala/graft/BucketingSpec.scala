@@ -1,0 +1,61 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Skew
+
+/** Scale-path evidence: bucketed tables co-locate equi-joins (no exchange
+  * in the plan), and salted joins/aggs reproduce unsalted results exactly.
+  */
+class BucketingSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("bucketed-by-key tables join without a shuffle exchange") {
+    val wh = Files.createTempDirectory("graft_wh_").toString
+    val o = Tables(spark, sfDir, "orders")
+    val l = Tables(spark, sfDir, "lineitem")
+    o.write.mode("overwrite").bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+      .option("path", s"$wh/b_orders").saveAsTable("b_orders")
+    l.write.mode("overwrite").bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+      .option("path", s"$wh/b_lineitem").saveAsTable("b_lineitem")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val joined = spark.table("b_lineitem")
+        .join(spark.table("b_orders"), col("l_orderkey") === col("o_orderkey"))
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"),
+        s"bucketed join must not shuffle; plan:\n${plan.take(2000)}")
+      assert(joined.count() == l.count())
+    } finally {
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+      spark.sql("DROP TABLE IF EXISTS b_orders")
+      spark.sql("DROP TABLE IF EXISTS b_lineitem")
+    }
+  }
+
+  test("salted join equals plain join; salted agg equals plain agg") {
+    val l = Tables(spark, sfDir, "lineitem")
+    val o = Tables(spark, sfDir, "orders")
+      .select(col("o_orderkey").as("l_orderkey"), col("o_orderstatus"))
+    val plain = l.join(o, Seq("l_orderkey")).groupBy("o_orderstatus")
+      .agg(count(lit(1)).as("n"), round(sum(col("l_quantity")), 2).as("q"))
+      .as[(String, Long, Double)].collect().toSet
+    val salted = Skew.saltedJoin(l, o, "l_orderkey", factor = 4)
+      .groupBy("o_orderstatus")
+      .agg(count(lit(1)).as("n"), round(sum(col("l_quantity")), 2).as("q"))
+      .as[(String, Long, Double)].collect().toSet
+    assert(salted == plain)
+
+    val plainAgg = l.groupBy("l_returnflag").agg(sum(col("l_quantity")).as("s"))
+      .select(col("l_returnflag"), round(col("s"), 2).as("s"))
+      .as[(String, Double)].collect().toSet
+    val saltedAgg = Skew.saltedAgg(l, "l_returnflag", 8,
+        partials = Seq("ps" -> sum(col("l_quantity"))),
+        finals = Seq(round(sum(col("ps")), 2).as("s")))
+      .select(col("l_returnflag"), col("s"))
+      .as[(String, Double)].collect().toSet
+    assert(saltedAgg == plainAgg)
+  }
+}
