@@ -296,6 +296,24 @@ object RelationalQueries {
              |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
              |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)),
 
+    // ---- A6 exact interpolated percentiles (Spark `percentile` and DuckDB
+    // `quantile_cont` share linear-interpolation semantics). ----
+    Q("q18_percentiles",
+      (s, dir) => {
+        t(s, dir, "lineitem")
+          .groupBy(col("l_returnflag"))
+          .agg(
+            round(expr("percentile(l_extendedprice, 0.25)"), 4).as("p25"),
+            round(expr("percentile(l_extendedprice, 0.5)"), 4).as("p50"),
+            round(expr("percentile(l_extendedprice, 0.75)"), 4).as("p75"))
+          .orderBy(col("l_returnflag"))
+      },
+      Some("""SELECT l_returnflag,
+             |  round(quantile_cont(l_extendedprice, 0.25), 4) AS p25,
+             |  round(quantile_cont(l_extendedprice, 0.5), 4) AS p50,
+             |  round(quantile_cont(l_extendedprice, 0.75), 4) AS p75
+             |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
+
     // ---- A6 approx distinct (HLL++). Algorithm-specific => no SQL oracle;
     // driver records rows>0. Exact distinct is q13's own sanity column pair.
     Q("q13_approx_distinct",
