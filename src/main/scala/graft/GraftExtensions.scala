@@ -1,0 +1,29 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+import graft.expressions.{CosineSimilarity, DotProduct, SplitTokens}
+
+/** SparkSessionExtensions injector: makes the engine's custom expressions
+  * available to any session started with
+  * `--conf spark.sql.extensions=graft.GraftExtensions` (cluster-wide SQL
+  * users get them without touching code).
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      new FunctionIdentifier("cosine_similarity"),
+      new ExpressionInfo(classOf[CosineSimilarity].getName, "cosine_similarity"),
+      (es: Seq[Expression]) => CosineSimilarity(es(0), es(1))))
+    ext.injectFunction((
+      new FunctionIdentifier("dot_product"),
+      new ExpressionInfo(classOf[DotProduct].getName, "dot_product"),
+      (es: Seq[Expression]) => DotProduct(es(0), es(1))))
+    ext.injectFunction((
+      new FunctionIdentifier("split_tokens"),
+      new ExpressionInfo(classOf[SplitTokens].getName, "split_tokens"),
+      (es: Seq[Expression]) => SplitTokens(es(0), es(1), es(2))))
+  }
+}

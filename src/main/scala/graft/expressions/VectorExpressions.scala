@@ -129,6 +129,8 @@ object VectorExpressions {
       es => CosineSimilarity(es.head, es(1)), "built-in")
     reg.createOrReplaceTempFunction("dot_product",
       es => DotProduct(es.head, es(1)), "built-in")
+    reg.createOrReplaceTempFunction("split_tokens",
+      es => SplitTokens(es.head, es(1), es(2)), "built-in")
   }
 }
 

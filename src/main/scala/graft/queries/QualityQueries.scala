@@ -102,6 +102,17 @@ object QualityQueries {
       },
       None),
 
+    // ---- §2.12 streaming session windows via a real streaming run. ----
+    Q("q83_stream_sessions",
+      (s, dir) => {
+        val tmp = java.nio.file.Files.createTempDirectory("graft_sess_").toString
+        Streams.runAvailableNow(
+            Streams.sessionCounts(Streams.eventsStream(s, dir)),
+            s"$tmp/out", s"$tmp/ckpt")
+          .orderBy(col("user_id"), col("sess_start"))
+      },
+      None),
+
     // ---- Multimodal plumbing: binary content -> decode (stub codec) ->
     // fixed-width feature vectors. ----
     Q("q81_multimodal_features",

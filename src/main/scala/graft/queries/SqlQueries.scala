@@ -54,6 +54,32 @@ object SqlQueries {
              |WHERE a.vec_id < 3 AND b.vec_id < 20
              |ORDER BY qid, nid""".stripMargin)),
 
+    // ---- G1 chunker through SQL: custom Generator expression via
+    // LATERAL VIEW; must match the DataFrame chunker's oracle (q55). ----
+    Q("q19_sql_chunk",
+      (s, dir) => {
+        VectorExpressions.register(s)
+        t(s, dir, "documents").createOrReplaceTempView("documents_v")
+        s.sql("""SELECT doc_id, c.chunk_id,
+                |  md5(cast(c.chunk_text AS BINARY)) AS h,
+                |  CAST(size(split(trim(c.chunk_text), '\\s+')) AS BIGINT) AS n_toks
+                |FROM documents_v
+                |LATERAL VIEW split_tokens(text, 30, 5) c AS chunk_id, chunk_text
+                |ORDER BY doc_id, chunk_id""".stripMargin)
+      },
+      Some("""WITH d AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+             |           FROM documents),
+             |n AS (SELECT doc_id, toks,
+             |        CASE WHEN len(toks) <= 30 THEN 1
+             |             ELSE CAST(ceil((len(toks) - 5) / 25.0) AS BIGINT) END AS nc
+             |      FROM d),
+             |c AS (SELECT doc_id, unnest(generate_series(0, nc - 1)) AS chunk_id, toks
+             |      FROM n)
+             |SELECT doc_id, chunk_id,
+             |  md5(array_to_string(toks[chunk_id*25+1 : chunk_id*25+30], ' ')) AS h,
+             |  len(toks[chunk_id*25+1 : chunk_id*25+30]) AS n_toks
+             |FROM c ORDER BY doc_id, chunk_id""".stripMargin)),
+
     // ---- F8: lenient JSON shape normalization (bare list | {articles} |
     // {data}) — each doc round-trips through its shape variant, so the
     // normalized output must equal the identity projection. ----
