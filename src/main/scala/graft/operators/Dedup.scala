@@ -112,6 +112,55 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
   }
 
+  /** Connected components over a pair graph by iterative min-label
+    * propagation (the bounded-join form of union-find: each round every
+    * node adopts the smallest label in its neighborhood; after k rounds
+    * labels are correct for components of diameter <= 2^k-ish — duplicate
+    * clusters are near-cliques, so a handful of rounds suffices).
+    * Each round is one shuffle; lineage is cut per round (localCheckpoint)
+    * so iteration count doesn't compound plan depth.
+    */
+  def connectedComponents(pairs: DataFrame, maxIters: Int = 5): DataFrame = {
+    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .unionByName(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+      .distinct()
+      .localCheckpoint()
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("label", col("id"))
+      .localCheckpoint()
+    var iter = 0
+    var changed = true
+    while (iter < maxIters && changed) {
+      val nbrMin = edges
+        .join(labels.withColumnRenamed("id", "src"), "src")
+        .groupBy(col("dst").as("id"))
+        .agg(min(col("label")).as("nbr_label"))
+      val updated = labels.join(nbrMin, Seq("id"), "left")
+        .select(col("id"),
+          least(col("label"), coalesce(col("nbr_label"), col("label"))).as("label"))
+        .localCheckpoint()
+      changed = updated.join(labels.withColumnRenamed("label", "old"), "id")
+        .filter(col("label") =!= col("old")).limit(1).count() > 0
+      labels = updated
+      iter += 1
+    }
+    labels
+  }
+
+  /** End-to-end corpus dedup: MinHash-LSH candidate pairs -> transitive
+    * clusters -> keep one representative (lowest id) per cluster. Documents
+    * not in any near-dup cluster survive untouched.
+    */
+  def dedupCorpus(df: DataFrame, idCol: String, textCol: String,
+                  numHashes: Int = 32, bands: Int = 8, shingleK: Int = 3,
+                  threshold: Double = 0.8): DataFrame = {
+    val pairs = minhashPairs(df, idCol, textCol, numHashes, bands, shingleK, threshold)
+    val comps = connectedComponents(pairs)
+    val losers = comps.filter(col("id") =!= col("label"))
+      .select(col("id").as(idCol))
+    df.join(losers, Seq(idCol), "left_anti")
+  }
+
   /** 64-bit SimHash per document: per-bit vote of token hashes (explode +
     * 64 partial-aggregated sums, then bit reassembly — one shuffle on id).
     */

@@ -34,6 +34,49 @@ object Similarity {
       .filter(col("rn") <= k)
   }
 
+  /** IVF (inverted-file) ANN: KMeans partitions the corpus into nCells
+    * cells once; each query probes only its nProbe nearest cells. The
+    * classic trade: one offline clustering pass buys per-query work of
+    * ~nProbe/nCells of the corpus. At cluster scale the cell assignment is
+    * computed once and persisted (write bucketed-by-cell), queries join
+    * only their probed cells.
+    */
+  def ivfTopK(queries: DataFrame, corpus: DataFrame, k: Int,
+              nCells: Int = 16, nProbe: Int = 3,
+              qId: String = "qid", qVec: String = "qe",
+              cId: String = "nid", cVec: String = "ne"): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val spark = corpus.sparkSession
+    import spark.implicits._
+
+    val withFeatures = corpus.withColumn("features",
+      array_to_vector(transform(col(cVec), x => x.cast("double"))))
+    val model = new KMeans().setK(nCells).setSeed(42).setMaxIter(10)
+      .fit(withFeatures)
+    val assigned = model.transform(withFeatures)
+      .select(col(cId), col(cVec), col("prediction").as("cell"))
+
+    val centroids = model.clusterCenters.zipWithIndex
+      .map { case (v, i) => (i, v.toArray.map(_.toFloat).toSeq) }.toSeq
+      .toDF("cell", "cvec")
+    val probed = broadcast(queries)
+      .crossJoin(broadcast(centroids))
+      .select(col(qId), col(qVec), col("cell"),
+        VectorFns.l2sq(col(qVec), col("cvec")).as("cdist"))
+      .withColumn("crn", row_number().over(
+        Window.partitionBy(col(qId)).orderBy(col("cdist"), col("cell"))))
+      .filter(col("crn") <= nProbe)
+      .select(col(qId), col(qVec), col("cell"))
+
+    val w = Window.partitionBy(col(qId)).orderBy(col("sim").desc, col(cId))
+    probed.join(assigned, "cell")
+      .filter(col(cId) =!= col(qId))
+      .select(col(qId), col(cId), VectorFns.cosine(col(qVec), col(cVec)).as("sim"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+  }
+
   /** Approximate top-k via nTables independent hyperplane-LSH bucketings. */
   def lshTopK(queries: DataFrame, corpus: DataFrame, k: Int,
               nBits: Int = 6, nTables: Int = 4,

@@ -62,6 +62,17 @@ object DedupQueries {
              |WHERE jac >= 0.2
              |ORDER BY id_a, id_b""".stripMargin)),
 
+    // ---- End-to-end corpus dedup: LSH pairs -> transitive clusters ->
+    // one representative per cluster (what a training pipeline actually
+    // runs; q50 exposes the pairs, this exposes the surviving corpus). ----
+    Q("q56_dedup_corpus",
+      (s, dir) => {
+        Dedup.dedupCorpus(t(s, dir, "documents"), "doc_id", "text", threshold = 0.8)
+          .select(col("doc_id"), col("n_chars"))
+          .orderBy(col("doc_id"))
+      },
+      None),
+
     // ---- Embedding near-duplicates (hyperplane-LSH blocked cosine). The
     // synthetic embeddings are near-uniform (max pairwise cosine ~0.46), so
     // the "near-dup" threshold is set below that to exercise the operator.
@@ -81,6 +92,19 @@ object DedupQueries {
           .select(col("vec_id").as("qid"), col("embedding").as("qe"))
         val c = emb.select(col("vec_id").as("nid"), col("embedding").as("ne"))
         Similarity.lshTopK(q, c, k = 5, nBits = 4, nTables = 4)
+          .select(col("qid"), col("nid"), round(col("sim"), 4).as("sim"), col("rn"))
+          .orderBy(col("qid"), col("rn"))
+      },
+      None),
+
+    // ---- ANN scale path #2: IVF (KMeans cells + nProbe probing). ----
+    Q("q57_knn_ivf",
+      (s, dir) => {
+        val emb = t(s, dir, "embeddings")
+        val q = emb.filter(col("vec_id") < 5)
+          .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+        val c = emb.select(col("vec_id").as("nid"), col("embedding").as("ne"))
+        Similarity.ivfTopK(q, c, k = 5, nCells = 16, nProbe = 4)
           .select(col("qid"), col("nid"), round(col("sim"), 4).as("sim"), col("rn"))
           .orderBy(col("qid"), col("rn"))
       },

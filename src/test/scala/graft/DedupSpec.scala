@@ -39,6 +39,21 @@ class DedupSpec extends SparkSpec {
     assert(pairs.contains((1L, 4L)))
   }
 
+  test("connected components resolve transitive chains; corpus dedup keeps representatives") {
+    // chain 1-2, 2-5 (no direct 1-5 edge) plus isolated pair 3-4
+    val pairs = Seq((1L, 2L), (2L, 5L), (3L, 4L)).toDF("id_a", "id_b")
+    val comps = Dedup.connectedComponents(pairs)
+      .as[(Long, Long)].collect().toMap
+    assert(comps == Map(1L -> 1L, 2L -> 1L, 5L -> 1L, 3L -> 3L, 4L -> 3L))
+
+    val surviving = Dedup.dedupCorpus(docs, "doc_id", "text", threshold = 0.8)
+      .select("doc_id").as[Long].collect().toSet
+    // docs 1 and 4 are exact dups (cluster rep 1); doc 2 is a near-dup of 1
+    // at jaccard > 0.8; doc 3 unrelated
+    assert(surviving.contains(1L) && surviving.contains(3L))
+    assert(!surviving.contains(4L))
+  }
+
   test("as-of join matches a naive per-row scan") {
     val left = Seq((1L, 10L, "e1"), (1L, 20L, "e2"), (2L, 5L, "e3"), (3L, 9L, "e4"))
       .toDF("k", "t", "ev").withColumn("t", col("t").cast("timestamp"))

@@ -40,6 +40,19 @@ class VectorFnsSpec extends SparkSpec {
     assert(approx.nonEmpty)
   }
 
+  test("ivfTopK recall vs brute force on real embeddings") {
+    val emb = Tables(spark, sfDir, "embeddings")
+    val q = emb.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+    val c = emb.select(col("vec_id").as("nid"), col("embedding").as("ne"))
+    val exact = Similarity.bruteTopK(q, c, 10)
+      .select("qid", "nid").as[(Long, Long)].collect().toSet
+    val ivf = Similarity.ivfTopK(q, c, 10, nCells = 8, nProbe = 4)
+      .select("qid", "nid").as[(Long, Long)].collect().toSet
+    val recall = (exact & ivf).size.toDouble / exact.size
+    assert(recall > 0.3, s"IVF recall unreasonably low: $recall")
+  }
+
   test("multimodal stub codec: deterministic features, unit norm") {
     val codec = new Multimodal.StubCodec()
     val f1 = codec.features("hello world".getBytes, 16)
