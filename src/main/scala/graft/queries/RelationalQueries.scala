@@ -296,6 +296,27 @@ object RelationalQueries {
              |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
              |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)),
 
+    // ---- J4 outer-join family (right + full outer; left/semi/anti are
+    // q05/q06). Customers with no orders keep null order columns. ----
+    Q("q16_outer_joins",
+      (s, dir) => {
+        val c = t(s, dir, "customer")
+        val o = t(s, dir, "orders").filter(col("o_totalprice") > 4000)
+        c.join(o, c("c_custkey") === o("o_custkey"), "full_outer")
+          .groupBy(col("c_mktsegment"))
+          .agg(count(lit(1)).as("n"),
+            sum(when(col("o_orderkey").isNull, 1).otherwise(0)).as("n_no_order"),
+            sum(when(col("c_custkey").isNull, 1).otherwise(0)).as("n_no_cust"))
+          .orderBy(asc_nulls_first("c_mktsegment"))
+      },
+      Some("""SELECT c_mktsegment, count(*) AS n,
+             |  CAST(sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_no_order,
+             |  CAST(sum(CASE WHEN c_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_no_cust
+             |FROM customer FULL OUTER JOIN (SELECT * FROM orders WHERE o_totalprice > 4000) o
+             |  ON c_custkey = o_custkey
+             |GROUP BY c_mktsegment
+             |ORDER BY c_mktsegment ASC NULLS FIRST""".stripMargin)),
+
     // ---- A6 exact interpolated percentiles (Spark `percentile` and DuckDB
     // `quantile_cont` share linear-interpolation semantics). ----
     Q("q18_percentiles",

@@ -79,6 +79,36 @@ object SemanticQueries {
       },
       None),
 
+    // ---- M4/M5-shape: 3-level NESTED output schema (the reference's
+    // synthesis records, paper_extraction.yaml:89-108) parsed through
+    // from_json into nested StructTypes. ----
+    Q("q75_nested_semantic",
+      (s, dir) => {
+        val schema = StructType(Seq(
+          StructField("paper_metadata", StructType(Seq(
+            StructField("title", StringType),
+            StructField("authors", ArrayType(StringType)),
+            StructField("quality", StructType(Seq(
+              StructField("completeness", DoubleType),
+              StructField("confidence_notes", ArrayType(StringType)))))))),
+          StructField("content_summary", StructType(Seq(
+            StructField("abstract", StringType),
+            StructField("key_findings", ArrayType(StringType))))),
+          StructField("extraction_confidence", DoubleType)))
+        SemanticOps.semanticMap(
+            t(s, dir, "documents").select(col("doc_id"), col("text")).limit(100),
+            "Synthesize nested record: {{ input.text }}", schema, client)
+          .ok
+          .select(col("doc_id"),
+            col("paper_metadata.title").as("title"),
+            size(col("paper_metadata.authors")).as("n_authors"),
+            round(col("paper_metadata.quality.completeness"), 3).as("completeness"),
+            size(col("content_summary.key_findings")).as("n_findings"),
+            round(col("extraction_confidence"), 3).as("confidence"))
+          .orderBy(col("doc_id"))
+      },
+      None),
+
     // ---- The full DAG-equivalent pipeline (t1 flagship). ----
     Q("q74_flagship_articles",
       (s, dir) => {

@@ -80,6 +80,21 @@ object SqlQueries {
              |  len(toks[chunk_id*25+1 : chunk_id*25+30]) AS n_toks
              |FROM c ORDER BY doc_id, chunk_id""".stripMargin)),
 
+    // ---- S1: the DSv2 search source as a queryable table (per-category
+    // partitions + pushed limit; synthetic deterministic rows). ----
+    Q("q90_search_source",
+      (s, dir) => {
+        s.read.format("graft.sources.SearchSource")
+          .option("categories", "cs.AI,cs.DB,cs.LG")
+          .option("maxResults", "30")
+          .load()
+          .groupBy(col("category"))
+          .agg(count(lit(1)).as("n"),
+            min(col("published")).cast("date").as("first_pub"))
+          .orderBy(col("category"))
+      },
+      None),
+
     // ---- F8: lenient JSON shape normalization (bare list | {articles} |
     // {data}) — each doc round-trips through its shape variant, so the
     // normalized output must equal the identity projection. ----
