@@ -77,16 +77,21 @@ object Similarity {
       .filter(col("rn") <= k)
   }
 
-  /** Approximate top-k via nTables independent hyperplane-LSH bucketings. */
+  /** Approximate top-k via nTables independent hyperplane-LSH bucketings.
+    * All tables' buckets are computed in ONE scan per side (explode over a
+    * per-table struct array) — a union of per-table scans would read the
+    * input nTables times and multiply stage/codegen overhead.
+    */
   def lshTopK(queries: DataFrame, corpus: DataFrame, k: Int,
               nBits: Int = 6, nTables: Int = 4,
               qId: String = "qid", qVec: String = "qe",
               cId: String = "nid", cVec: String = "ne"): DataFrame = {
     def bucketed(df: DataFrame, vec: String, keep: Seq[String]): DataFrame =
-      (0 until nTables).map { t =>
-        df.select(keep.map(col) :+ lit(t).as("tbl") :+
-          VectorFns.lshBucket(col(vec), nBits, seedBase = t * nBits).as("bkt"): _*)
-      }.reduce(_ unionByName _)
+      df.select(keep.map(col) :+ explode(array((0 until nTables).map { t =>
+          struct(lit(t).as("tbl"),
+            VectorFns.lshBucket(col(vec), nBits, seedBase = t * nBits).as("bkt"))
+        }: _*)).as("__tb"): _*)
+        .select(keep.map(col) :+ col("__tb.tbl").as("tbl") :+ col("__tb.bkt").as("bkt"): _*)
 
     val qb = bucketed(queries, qVec, Seq(qId, qVec))
     val cb = bucketed(corpus, cVec, Seq(cId, cVec))

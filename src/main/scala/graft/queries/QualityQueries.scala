@@ -113,6 +113,21 @@ object QualityQueries {
       },
       None),
 
+    // ---- §2.12 sliding windows (1h window, 30m slide) through a real
+    // streaming run; each event lands in two overlapping windows. ----
+    Q("q84_stream_sliding",
+      (s, dir) => {
+        val tmp = java.nio.file.Files.createTempDirectory("graft_slide_").toString
+        val agg = Streams.eventsStream(s, dir)
+          .withWatermark("ts", "2 hours")
+          .groupBy(window(col("ts"), "1 hour", "30 minutes"), col("event_type"))
+          .agg(count(lit(1)).as("n"))
+          .select(col("window.start").as("ws"), col("event_type"), col("n"))
+        Streams.runAvailableNow(agg, s"$tmp/out", s"$tmp/ckpt")
+          .orderBy(col("ws"), col("event_type"))
+      },
+      None),
+
     // ---- Multimodal plumbing: binary content -> decode (stub codec) ->
     // fixed-width feature vectors. ----
     Q("q81_multimodal_features",

@@ -109,6 +109,30 @@ object SemanticQueries {
       },
       None),
 
+    // ---- M8-shape: multi-channel content variants (twitter thread as a
+    // list, per-network posts, hashtags) with P4 validations on list
+    // sizes (article_generation.yaml:98-147 analog). ----
+    Q("q76_social_variants",
+      (s, dir) => {
+        val schema = StructType(Seq(
+          StructField("twitter_thread", ArrayType(StringType)),
+          StructField("linkedin_post", StringType),
+          StructField("facebook_post", StringType),
+          StructField("instagram_caption", StringType),
+          StructField("hashtags", ArrayType(StringType))))
+        SemanticOps.semanticMap(
+            t(s, dir, "documents").select(col("doc_id"), col("text")).limit(100),
+            "Create social variants for: {{ input.text }}", schema, client,
+            validations = Seq("size(twitter_thread) >= 2", "size(hashtags) >= 1"),
+            retries = 2)
+          .ok
+          .select(col("doc_id"), size(col("twitter_thread")).as("n_tweets"),
+            length(col("linkedin_post")).as("li_len"),
+            size(col("hashtags")).as("n_tags"))
+          .orderBy(col("doc_id"))
+      },
+      None),
+
     // ---- The full DAG-equivalent pipeline (t1 flagship). ----
     Q("q74_flagship_articles",
       (s, dir) => {

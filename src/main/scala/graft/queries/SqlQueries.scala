@@ -80,6 +80,15 @@ object SqlQueries {
              |  len(toks[chunk_id*25+1 : chunk_id*25+30]) AS n_toks
              |FROM c ORDER BY doc_id, chunk_id""".stripMargin)),
 
+    // ---- Typed Dataset[T] + custom Aggregator path; oracle is the plain
+    // SQL formulation — typed and untyped must agree exactly. ----
+    Q("q91_typed_aggregator",
+      (s, dir) => graft.typed.TypedQueries.revenueByFlag(s, dir),
+      Some("""SELECT l_returnflag AS flag, count(*) AS n,
+             |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+             |FROM lineitem WHERE l_quantity > 10
+             |GROUP BY l_returnflag ORDER BY flag""".stripMargin)),
+
     // ---- S1: the DSv2 search source as a queryable table (per-category
     // partitions + pushed limit; synthetic deterministic rows). ----
     Q("q90_search_source",
