@@ -128,6 +128,20 @@ object QualityQueries {
       },
       None),
 
+    // ---- §2.12 stateful dedup within the watermark through a real
+    // streaming run (event_id is unique in the data, so the invariant is
+    // output count == input count; the operator still maintains real
+    // dedup state bounded by the watermark). ----
+    Q("q85_stream_dedup",
+      (s, dir) => {
+        val tmp = java.nio.file.Files.createTempDirectory("graft_dd_").toString
+        val deduped = Streams.dedupWithinWatermark(Streams.eventsStream(s, dir))
+          .select(col("event_id"), col("user_id"), col("event_type"))
+        Streams.runAvailableNow(deduped, s"$tmp/out", s"$tmp/ckpt")
+          .orderBy(col("event_id"))
+      },
+      None),
+
     // ---- Multimodal plumbing: binary content -> decode (stub codec) ->
     // fixed-width feature vectors. ----
     Q("q81_multimodal_features",

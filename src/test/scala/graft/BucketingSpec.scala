@@ -35,6 +35,22 @@ class BucketingSpec extends SparkSpec {
     }
   }
 
+  test("date-partitioned writes prune partitions at scan time") {
+    val out = Files.createTempDirectory("graft_part_").toString
+    val ev = Tables(spark, sfDir, "events")
+      .withColumn("day", to_date(col("ts")))
+    ev.write.mode("overwrite").partitionBy("day").parquet(out)
+
+    val read = spark.read.parquet(out)
+      .filter(col("day") === "2024-01-05")
+    val plan = read.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("2024-01-05"),
+      s"day filter must prune partitions:\n${plan.take(1500)}")
+    val expected = ev.filter(to_date(col("ts")) === "2024-01-05").count()
+    assert(read.count() == expected)
+    assert(expected > 0)
+  }
+
   test("salted join equals plain join; salted agg equals plain agg") {
     val l = Tables(spark, sfDir, "lineitem")
     val o = Tables(spark, sfDir, "orders")
