@@ -120,11 +120,46 @@ object Dedup {
     * Each round is one shuffle; lineage is cut per round (localCheckpoint)
     * so iteration count doesn't compound plan depth.
     */
-  def connectedComponents(pairs: DataFrame, maxIters: Int = 5): DataFrame = {
+  def connectedComponents(pairs: DataFrame, maxIters: Int = 5,
+                          smallGraphThreshold: Long = 2000000L): DataFrame = {
     val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
       .unionByName(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
       .distinct()
       .localCheckpoint()
+
+    // Two-regime design: LSH-verified duplicate pairs are RARE relative to
+    // the corpus (that is the point of blocking), so the pair graph usually
+    // fits on the driver even at 100 TB corpus scale — exact union-find
+    // there beats ~2*maxIters distributed jobs. The distributed
+    // label-propagation below is the fallback for pathological graphs.
+    val nEdges = edges.count()
+    if (nEdges == 0) {
+      val spark = pairs.sparkSession
+      return spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("id", org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("label", org.apache.spark.sql.types.LongType))))
+    }
+    if (nEdges <= smallGraphThreshold) {
+      val es = edges.collect().map(r => (r.getLong(0), r.getLong(1)))
+      val parent = scala.collection.mutable.Map.empty[Long, Long]
+      def find(x: Long): Long = {
+        var r = x
+        while (parent.getOrElse(r, r) != r) r = parent.getOrElse(r, r)
+        var c = x
+        while (parent.getOrElse(c, c) != c) { val n = parent(c); parent(c) = r; c = n }
+        r
+      }
+      es.foreach { case (a, b) =>
+        parent.getOrElseUpdate(a, a); parent.getOrElseUpdate(b, b)
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) { val (lo, hi) = if (ra < rb) (ra, rb) else (rb, ra); parent(hi) = lo }
+      }
+      val spark = pairs.sparkSession
+      import spark.implicits._
+      return parent.keys.toSeq.map(k => (k, find(k))).toDF("id", "label")
+    }
     var labels = edges.select(col("src").as("id")).distinct()
       .withColumn("label", col("id"))
       .localCheckpoint()

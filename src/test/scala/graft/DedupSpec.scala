@@ -42,9 +42,15 @@ class DedupSpec extends SparkSpec {
   test("connected components resolve transitive chains; corpus dedup keeps representatives") {
     // chain 1-2, 2-5 (no direct 1-5 edge) plus isolated pair 3-4
     val pairs = Seq((1L, 2L), (2L, 5L), (3L, 4L)).toDF("id_a", "id_b")
+    val expected = Map(1L -> 1L, 2L -> 1L, 5L -> 1L, 3L -> 3L, 4L -> 3L)
+    // driver union-find regime
     val comps = Dedup.connectedComponents(pairs)
       .as[(Long, Long)].collect().toMap
-    assert(comps == Map(1L -> 1L, 2L -> 1L, 5L -> 1L, 3L -> 3L, 4L -> 3L))
+    assert(comps == expected)
+    // distributed label-propagation regime (forced)
+    val compsDist = Dedup.connectedComponents(pairs, smallGraphThreshold = 0L)
+      .as[(Long, Long)].collect().toMap
+    assert(compsDist == expected)
 
     val surviving = Dedup.dedupCorpus(docs, "doc_id", "text", threshold = 0.8)
       .select("doc_id").as[Long].collect().toSet
