@@ -1,0 +1,116 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Additional relational-carrier breadth: multi-join analytics (TPC-H Q5
+  * shape), FILTER-clause aggregates, higher-order array carrier functions
+  * (F13), and null-handling scalar functions.
+  */
+object MiscQueries {
+  private def t(s: SparkSession, dir: String, n: String): DataFrame = Tables(s, dir, n)
+
+  def all: Seq[Q] = Seq(
+
+    // ---- TPC-H Q5 shape: 5-way join, date filter, revenue per nation.
+    // All dimensions broadcast; lineitem (the only big table) shuffles
+    // once for the final aggregation only.
+    Q("q25_nation_volume",
+      (s, dir) => {
+        val l = t(s, dir, "lineitem")
+        val o = t(s, dir, "orders")
+          .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+            col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+        val c = t(s, dir, "customer")
+        val n = t(s, dir, "nation")
+        val r = t(s, dir, "region")
+        l.join(o, l("l_orderkey") === o("o_orderkey"))
+          .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+          .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+          .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+          .groupBy(col("r_name"), col("n_name"))
+          .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"),
+            count(lit(1)).as("n"))
+          .orderBy(col("r_name"), col("n_name"))
+      },
+      Some("""SELECT r_name, n_name,
+             |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+             |  count(*) AS n
+             |FROM lineitem
+             |JOIN orders ON l_orderkey = o_orderkey
+             |JOIN customer ON o_custkey = c_custkey
+             |JOIN nation ON c_nationkey = n_nationkey
+             |JOIN region ON n_regionkey = r_regionkey
+             |WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+             |  AND o_orderdate < TIMESTAMP '1998-01-01'
+             |GROUP BY r_name, n_name
+             |ORDER BY r_name, n_name""".stripMargin)),
+
+    // ---- Conditional aggregates via FILTER (WHERE ...) — one scan, many
+    // filtered measures (the idiomatic alternative to N passes). ----
+    Q("q26_filtered_aggs",
+      (s, dir) => {
+        t(s, dir, "lineitem")
+          .groupBy(col("l_returnflag"))
+          .agg(
+            count(lit(1)).as("n_all"),
+            count(when(col("l_discount") > 0.05, 1)).as("n_disc"),
+            round(sum(when(col("l_quantity") > 25, col("l_extendedprice"))), 2).as("rev_bulk"),
+            round(avg(when(col("l_tax") > 0.04, col("l_extendedprice"))), 4).as("avg_taxed"))
+          .orderBy(col("l_returnflag"))
+      },
+      Some("""SELECT l_returnflag,
+             |  count(*) AS n_all,
+             |  count(*) FILTER (WHERE l_discount > 0.05) AS n_disc,
+             |  round(sum(l_extendedprice) FILTER (WHERE l_quantity > 25), 2) AS rev_bulk,
+             |  round(avg(l_extendedprice) FILTER (WHERE l_tax > 0.04), 4) AS avg_taxed
+             |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
+
+    // ---- F13 higher-order array carrier: filter/transform/exists over the
+    // embedding arrays (element predicates, not UDFs). ----
+    Q("q27_array_carrier",
+      (s, dir) => {
+        t(s, dir, "embeddings")
+          .select(col("vec_id"),
+            size(filter(col("embedding"), x => x > 0)).cast("long").as("n_pos"),
+            round(aggregate(filter(col("embedding"), x => x > 0),
+              lit(0.0), (a, x) => a + x.cast("double")), 4).as("sum_pos"),
+            exists(col("embedding"), x => x > 0.2).as("has_big"),
+            round(element_at(col("embedding"), 1).cast("double"), 4).as("first"))
+          .orderBy(col("vec_id"))
+      },
+      Some("""SELECT vec_id,
+             |  len(list_filter(embedding, x -> x > 0)) AS n_pos,
+             |  round(list_sum(list_transform(list_filter(embedding, x -> x > 0),
+             |    x -> x::DOUBLE)), 4) AS sum_pos,
+             |  CASE WHEN len(list_filter(embedding, x -> x > 0.2)) > 0
+             |       THEN true ELSE false END AS has_big,
+             |  round(embedding[1]::DOUBLE, 4) AS first
+             |FROM embeddings ORDER BY vec_id""".stripMargin)),
+
+    // ---- Null-handling scalars over the dangling side of an outer join
+    // (coalesce / nullif / nvl2-equivalent). ----
+    Q("q28_null_funcs",
+      (s, dir) => {
+        val c = t(s, dir, "customer")
+        val o = t(s, dir, "orders").filter(col("o_totalprice") > 4500)
+          .groupBy(col("o_custkey")).agg(round(max(col("o_totalprice")), 2).as("max_price"))
+        c.join(o, c("c_custkey") === o("o_custkey"), "left")
+          .select(col("c_custkey"),
+            coalesce(col("max_price"), lit(0.0)).as("best"),
+            col("max_price").isNull.as("no_big_order"),
+            nullif(col("c_mktsegment"), lit("BUILDING")).as("seg_or_null"))
+          .orderBy(col("c_custkey"))
+      },
+      Some("""WITH o AS (SELECT o_custkey, round(max(o_totalprice), 2) AS max_price
+             |           FROM orders WHERE o_totalprice > 4500 GROUP BY o_custkey)
+             |SELECT c_custkey,
+             |  coalesce(max_price, 0.0::DOUBLE) AS best,
+             |  max_price IS NULL AS no_big_order,
+             |  nullif(c_mktsegment, 'BUILDING') AS seg_or_null
+             |FROM customer LEFT JOIN o ON c_custkey = o_custkey
+             |ORDER BY c_custkey""".stripMargin))
+  )
+}

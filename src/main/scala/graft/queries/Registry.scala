@@ -17,7 +17,8 @@ object Registry {
   def all: Seq[Q] =
     RelationalQueries.all ++ EventQueries.all ++ TextQueries.all ++
       VectorQueries.all ++ DedupQueries.all ++ ScalarQueries.all ++
-      SemanticQueries.all ++ QualityQueries.all ++ SqlQueries.all
+      SemanticQueries.all ++ QualityQueries.all ++ SqlQueries.all ++
+      MiscQueries.all
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.fn).toMap
