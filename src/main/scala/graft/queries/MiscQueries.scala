@@ -90,6 +90,27 @@ object MiscQueries {
              |  round(embedding[1]::DOUBLE, 4) AS first
              |FROM embeddings ORDER BY vec_id""".stripMargin)),
 
+    // ---- §2.6 RANGE frame: trailing-30-day spend per customer (value
+    // range, not row count — Spark needs a numeric order key, so the frame
+    // is expressed over epoch seconds; DuckDB over an INTERVAL range). ----
+    Q("q29_range_frame",
+      (s, dir) => {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("o_custkey"))
+          .orderBy(unix_timestamp(col("o_orderdate")))
+          .rangeBetween(-30L * 86400L, 0L)
+        t(s, dir, "orders")
+          .select(col("o_custkey"), col("o_orderkey"),
+            round(sum(col("o_totalprice")).over(w), 2).as("spend_30d"))
+          .orderBy(col("o_custkey"), col("o_orderkey"))
+      },
+      Some("""SELECT o_custkey, o_orderkey,
+             |  round(sum(o_totalprice) OVER (
+             |    PARTITION BY o_custkey ORDER BY o_orderdate
+             |    RANGE BETWEEN INTERVAL 30 DAY PRECEDING AND CURRENT ROW), 2) AS spend_30d
+             |FROM orders
+             |ORDER BY o_custkey, o_orderkey""".stripMargin)),
+
     // ---- Null-handling scalars over the dangling side of an outer join
     // (coalesce / nullif / nvl2-equivalent). ----
     Q("q28_null_funcs",
