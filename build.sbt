@@ -1,6 +1,11 @@
 ThisBuild / scalaVersion := "2.13.17"
 ThisBuild / version := "0.1.0"
 name := "etlpocspark"
+// Keep stdout clean after `runMain graft.Bench`: the driver tail-parses the
+// bench JSON line, so sbt's "[success] Total time" epilogue must not follow it.
+Global / showSuccess := false
+// ...and without sbt's "[info] " log prefix on the forked process's stdout.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark jars ship with the image at /opt/spark/jars (zero-egress):
 unmanagedBase := file("/opt/spark/jars")
 // Test-only deps resolve from the pre-warmed coursier cache; anything
