@@ -22,31 +22,44 @@ import org.apache.spark.sql.functions._
   * Contract: `left` and `right` share the key column name `keyCol` and time
   * column name `timeCol`; all other right columns are carried as the as-of
   * payload (null when no right row precedes the left row — filter
-  * `isNotNull` for inner semantics). Right (key, time, payload) should be
-  * unique per (key, time) — pre-aggregate otherwise.
+  * `isNotNull` for inner semantics) and their names must be disjoint from
+  * the left's payload columns. Right (key, time, payload) should be unique
+  * per (key, time) — pre-aggregate otherwise.
+  *
+  * The right payload travels as ONE struct through the window (a single
+  * `last(struct, ignoreNulls)`), so a right row whose payload field is
+  * genuinely NULL keeps that NULL — per-column `last` would silently backfill
+  * it from an older right row.
   */
 object AsOfJoin {
   def asof(left: DataFrame, right: DataFrame, keyCol: String, timeCol: String): DataFrame = {
     val lv = left.columns.filterNot(c => c == keyCol || c == timeCol)
     val rv = right.columns.filterNot(c => c == keyCol || c == timeCol)
+    val overlap = lv.toSet.intersect(rv.toSet)
+    require(overlap.isEmpty,
+      s"as-of payload column names must be disjoint, both sides have: ${overlap.mkString(", ")}")
+    if (rv.isEmpty) return left
+
+    val rPacked = right.select(col(keyCol), col(timeCol).as("__ts"),
+      struct(rv.map(col): _*).as("__r"))
+    val rType = rPacked.schema("__r").dataType
 
     val lSel = left.select(
       col(keyCol) +: col(timeCol).as("__ts") +: lit(1).as("__side") +:
-        (lv.map(col) ++ rv.map(c => lit(null).cast(right.schema(c).dataType).as(c))): _*)
-    val rSel = right.select(
-      col(keyCol) +: col(timeCol).as("__ts") +: lit(0).as("__side") +:
-        (lv.map(c => lit(null).cast(left.schema(c).dataType).as(c)) ++ rv.map(col)): _*)
+        (lv.map(col) :+ lit(null).cast(rType).as("__r")): _*)
+    val rSel = rPacked.select(
+      col(keyCol) +: col("__ts") +: lit(0).as("__side") +:
+        (lv.map(c => lit(null).cast(left.schema(c).dataType).as(c)) :+ col("__r")): _*)
 
     // __side orders right(0) before left(1) at equal time => inclusive (>=).
     val w = Window.partitionBy(keyCol).orderBy(col("__ts"), col("__side"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
 
     lSel.unionByName(rSel)
-      .select(
-        col(keyCol) +: col("__ts") +: col("__side") +:
-          (lv.map(col) ++ rv.map(c => last(col(c), ignoreNulls = true).over(w).as(c))): _*)
+      .withColumn("__r", last(col("__r"), ignoreNulls = true).over(w))
       .filter(col("__side") === 1)
-      .drop("__side")
-      .withColumnRenamed("__ts", timeCol)
+      .select(
+        col(keyCol) +: col("__ts").as(timeCol) +:
+          (lv.map(col) ++ rv.map(c => col("__r").getField(c).as(c))): _*)
   }
 }

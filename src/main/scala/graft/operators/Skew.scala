@@ -15,12 +15,24 @@ import org.apache.spark.sql.functions._
   *
   * Cost model: replicates the right side `factor` times — use when
   * |right| * factor is still far below the skewed key's row count.
+  *
+  * Limitations: only join types where an unmatched RIGHT row produces no
+  * output are sound (its `factor` replicas would each be emitted otherwise),
+  * so `joinType` is restricted to inner/left/left_semi/left_anti. And since
+  * the salt is a content hash, fully identical duplicate rows of a hot key
+  * share one salt and are not spread — mix in a per-partition counter
+  * (mapPartitions) if that shape matters.
   */
 object Skew {
+
+  private val soundJoinTypes = Set("inner", "left", "left_outer", "left_semi", "left_anti")
 
   def saltedJoin(skewed: DataFrame, other: DataFrame, key: String,
                  factor: Int, joinType: String = "inner"): DataFrame = {
     require(factor >= 2, "factor < 2 is a plain join")
+    require(soundJoinTypes.contains(joinType.toLowerCase),
+      s"saltedJoin is only sound for ${soundJoinTypes.mkString("/")}; " +
+        s"a right/full outer join would emit each unmatched right replica ($joinType)")
     // Deterministic salt from the full row content: any distribution is
     // correct, content-hash avoids nondeterministic re-execution issues
     // (rand() would break task retry idempotence).

@@ -67,7 +67,11 @@ class SearchScanBuilder(categories: Seq[String], maxResults: Int)
   private var limit: Int = maxResults
   private var required: StructType = SearchSource.schema
 
+  // Partially pushed: the scan caps its output at `limit` but Spark keeps its
+  // own Limit operator, so any per-partition rounding can never change the
+  // query's row count.
   override def pushLimit(l: Int): Boolean = { limit = math.min(limit, l); true }
+  override def isPartiallyPushed(): Boolean = true
   override def pruneColumns(requiredSchema: StructType): Unit = { required = requiredSchema }
 
   override def build(): Scan = new Scan with Batch {
@@ -77,12 +81,18 @@ class SearchScanBuilder(categories: Seq[String], maxResults: Int)
       s"GraftSearch(categories=${categories.mkString("|")}, pushedLimit=$limit, " +
         s"prunedColumns=${required.fieldNames.mkString(",")})"
 
-    // One partition per category; each gets the per-category quota
-    // max(1, limit / #categories) — the distributed form of the
-    // reference's sequential quota loop (L2).
+    // One partition per category — the distributed form of the reference's
+    // sequential quota loop (L2, zara_hybrid_etl.py:141-145). The pushed
+    // limit is distributed exactly (remainder spread over the first
+    // limit % k categories) so the partitions produce `limit` rows in total.
     override def planInputPartitions(): Array[InputPartition] = {
-      val quota = math.max(1, limit / categories.size)
-      categories.map(c => SearchPartition(c, quota): InputPartition).toArray
+      val k = categories.size
+      val base = limit / k
+      val rem = limit % k
+      categories.zipWithIndex
+        .map { case (c, i) => SearchPartition(c, base + (if (i < rem) 1 else 0)) }
+        .filter(_.quota > 0)
+        .map(p => p: InputPartition).toArray
     }
 
     override def createReaderFactory(): PartitionReaderFactory = {

@@ -11,14 +11,17 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   *
   * State per user = the open session (start, last-seen, count). An event
   * that arrives more than `gapMinutes` after last-seen closes the session
-  * (emits it) and opens a new one. In streaming mode the event-time timeout
-  * flushes idle sessions; in batch mode (used by the equivalence test and
-  * the Trigger.AvailableNow equivalence argument) each group's full history
-  * arrives at once and every closed session is emitted plus the final open
-  * one.
+  * (emits it) and opens a new one. In streaming mode the input MUST carry a
+  * watermark on `ts`; an event-time timeout at last-seen + gap then flushes
+  * idle sessions and removes their state once the watermark passes. In batch
+  * mode (used by the equivalence test and the Trigger.AvailableNow
+  * equivalence argument) each group's full history arrives at once and every
+  * closed session is emitted plus the final open one.
   *
-  * Scale: state is O(users), one small struct each; the shuffle is the same
-  * single user_id exchange as the batch gaps-and-islands formulation.
+  * Scale: state is O(users), one small struct each, and the timeout removal
+  * keeps it bounded by active users within the watermark horizon; the
+  * shuffle is the same single user_id exchange as the batch gaps-and-islands
+  * formulation.
   */
 object StatefulSessions {
 
@@ -49,19 +52,29 @@ object StatefulSessions {
         }
       }
       if (state.hasTimedOut) {
+        // watermark passed last-seen + gap: the open session is closed by
+        // definition — emit it and drop the per-user state
         val res = state.getOption.toList
         state.remove()
         res.map(s => Session(userId, s.start, s.n, s.firstEv, s.lastEv)).iterator
       } else {
-        if (cur != null) state.update(cur)
+        if (cur != null) {
+          state.update(cur)
+          // arm the event-time timeout so an idle session is flushed once
+          // the watermark reaches its close time (millis, like GroupState)
+          if (!isBatch) state.setTimeoutTimestamp(cur.last / 1000L + gapMinutes.toLong * 60000L)
+        }
         // batch mode: everything arrived; emit closed sessions AND the open one
         val all = if (isBatch && cur != null) (cur :: out).reverse else out.reverse
         all.map(s => Session(userId, s.start, s.n, s.firstEv, s.lastEv)).iterator
       }
     }
 
+    val timeout =
+      if (isBatch) GroupStateTimeout.NoTimeout()
+      else GroupStateTimeout.EventTimeTimeout()
     events.select(col("user_id"), col("ts"), col("event_id")).as[Ev]
       .groupByKey(_.user_id)
-      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout())(flush)
+      .flatMapGroupsWithState(OutputMode.Append, timeout)(flush)
   }
 }

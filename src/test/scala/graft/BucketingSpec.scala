@@ -74,4 +74,15 @@ class BucketingSpec extends SparkSpec {
       .as[(String, Double)].collect().toSet
     assert(saltedAgg == plainAgg)
   }
+
+  test("salted join rejects join types where unmatched right replicas leak") {
+    val l = Seq((1L, "a")).toDF("k", "lv")
+    val r = Seq((1L, "b"), (2L, "unmatched")).toDF("k", "rv")
+    for (bad <- Seq("right", "right_outer", "full", "full_outer")) {
+      val e = intercept[IllegalArgumentException](Skew.saltedJoin(l, r, "k", 4, bad))
+      assert(e.getMessage.contains("only sound"))
+    }
+    // left_outer remains allowed and exact
+    assert(Skew.saltedJoin(l, r, "k", 4, "left").count() == 1)
+  }
 }

@@ -72,4 +72,28 @@ class DedupSpec extends SparkSpec {
     assert(got == Map("e1" -> Some(100.0), "e2" -> Some(200.0),
       "e3" -> Some(300.0), "e4" -> None))
   }
+
+  test("as-of join: a genuinely-NULL right payload field is not backfilled") {
+    val left = Seq((1L, 10L, "e1"), (1L, 20L, "e2"))
+      .toDF("k", "t", "ev").withColumn("t", col("t").cast("timestamp"))
+    // newer right row (t=15) has price NULL but venue set; per-column last()
+    // would wrongly attach price=100 from the t=5 row to e2
+    val right = Seq((1L, 5L, Some(100.0), "A"), (1L, 15L, None, "B"))
+      .toDF("k", "t", "price", "venue").withColumn("t", col("t").cast("timestamp"))
+    val got = AsOfJoin.asof(left, right, "k", "t")
+      .select(col("ev"), col("price"), col("venue"))
+      .as[(String, Option[Double], String)].collect()
+      .map { case (e, p, v) => e -> (p, v) }.toMap
+    assert(got("e1") == (Some(100.0), "A"))
+    assert(got("e2") == (None, "B"), "NULL field must stay attached to its own right row")
+  }
+
+  test("as-of join rejects overlapping payload column names") {
+    val left = Seq((1L, 10L, "x")).toDF("k", "t", "p")
+      .withColumn("t", col("t").cast("timestamp"))
+    val right = Seq((1L, 5L, "y")).toDF("k", "t", "p")
+      .withColumn("t", col("t").cast("timestamp"))
+    val e = intercept[IllegalArgumentException](AsOfJoin.asof(left, right, "k", "t"))
+    assert(e.getMessage.contains("disjoint"))
+  }
 }

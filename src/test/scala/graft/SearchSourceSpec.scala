@@ -31,6 +31,16 @@ class SearchSourceSpec extends SparkSpec {
     assert(df.count() == 8)
   }
 
+  test("pushed limit is honored exactly for non-divisible and tiny limits") {
+    def rows(limit: Int): Long =
+      spark.read.format("graft.sources.SearchSource")
+        .option("categories", "cs.AI,cs.DB,cs.LG,cs.CV").option("maxResults", "1000")
+        .load().limit(limit).count()
+    assert(rows(10) == 10, "remainder must be distributed, not floored")
+    assert(rows(2) == 2, "limit below #categories must not over-produce")
+    assert(rows(8) == 8)
+  }
+
   test("flatMapGroupsWithState sessionization equals gaps-and-islands batch") {
     val ev = Tables(spark, sfDir, "events")
     val stateful = StatefulSessions.sessionize(ev, 30)

@@ -35,4 +35,37 @@ class StreamingSpec extends SparkSpec {
     // batch fallback of the same op: dropDuplicates on the key
     assert(dup.dropDuplicates("event_id").count() == 100)
   }
+
+  test("stateful sessions: event-time timeout flushes an idle session in streaming mode") {
+    import java.sql.Timestamp
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.streaming.StatefulSessions
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+
+    def ts(min: Int): Timestamp = new Timestamp(1700000000000L + min * 60000L)
+    val input = MemoryStream[(Long, Timestamp, Long)]
+    val events = input.toDF().toDF("user_id", "ts", "event_id")
+      .withWatermark("ts", "0 seconds")
+    val q = StatefulSessions.sessionize(events, gapMinutes = 30)
+      .writeStream.format("memory").queryName("sess_timeout")
+      .outputMode("append").start()
+    try {
+      // user 1: two events 10 min apart — one open session, timeout armed at +30
+      input.addData((1L, ts(0), 1L), (1L, ts(10), 2L))
+      q.processAllAvailable()
+      assert(spark.table("sess_timeout").count() == 0, "open session must not emit yet")
+      // unrelated event far in the future advances the watermark past the timeout
+      input.addData((2L, ts(600), 3L))
+      q.processAllAvailable()
+      // timeouts fire against the previous batch's watermark -> one more batch
+      input.addData((2L, ts(610), 4L))
+      q.processAllAvailable()
+      val sessions = spark.table("sess_timeout")
+        .select("user_id", "n", "first_ev", "last_ev")
+        .as[(Long, Long, Long, Long)].collect().toSet
+      assert(sessions.contains((1L, 2L, 1L, 2L)),
+        s"idle session must be flushed by the event-time timeout, got $sessions")
+    } finally q.stop()
+  }
 }
