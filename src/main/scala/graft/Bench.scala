@@ -36,6 +36,9 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val registry = SparkEntry.queries
+    // Untimed warmup: JVM/codegen/session init and the first parquet footer
+    // reads otherwise land on whichever query runs first.
+    try { registry("q01_pricing_summary")(spark, sfDir).count() } catch { case _: Throwable => () }
     val results = headline.flatMap { name =>
       registry.get(name).map { fn =>
         val t0 = System.nanoTime()

@@ -1,0 +1,93 @@
+package graft.expressions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, XXH64}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.GraftShim
+import org.apache.spark.sql.types._
+
+/** Whole MinHash signature in ONE codegen'd pass over the shingle array.
+  *
+  * Equivalent declarative form (graft.operators.Dedup.shingleHashes +
+  * minhashSignature): `transform(shingles, x => pmod(xxhash64(x), p))`
+  * followed by k x `array_min(transform(hs, h => pmod(h*a_i+b_i, p)))`.
+  * Higher-order functions are always interpreted (CodegenFallback), so that
+  * shape pays k+1 boxed closure passes per row; for a corpus-dedup job the
+  * signature is the dominant map-side cost. This expression emits the same
+  * arithmetic (xxhash64 seed 42 -> 31-bit, universal hash family
+  * (a*h+b) mod (2^31-1)) as a fused primitive loop: one shingle scan,
+  * k running minima, no allocation beyond the output array.
+  *
+  * Bounds: h < 2^31, a < 2^20 => a*h+b < 2^52 — no long overflow.
+  */
+case class MinHashSig(child: Expression, ab: Array[Array[Long]])
+    extends UnaryExpression {
+
+  private val P = 2147483647L // 2^31 - 1 (Mersenne prime)
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def nullSafeEval(in: Any): Any = {
+    val arr = in.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    val k = ab.length
+    val mins = Array.fill(k)(Long.MaxValue)
+    var j = 0
+    while (j < n) {
+      val raw = XXH64.hashUTF8String(arr.getUTF8String(j), 42L)
+      val h = ((raw % P) + P) % P
+      var i = 0
+      while (i < k) {
+        val v = (ab(i)(0) * h + ab(i)(1)) % P
+        if (v < mins(i)) mins(i) = v
+        i += 1
+      }
+      j += 1
+    }
+    new GenericArrayData(mins)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val abRef = ctx.addReferenceObj("ab", ab, "long[][]")
+    nullSafeCodeGen(ctx, ev, v => {
+      val n = ctx.freshName("n"); val j = ctx.freshName("j")
+      val i = ctx.freshName("i"); val mins = ctx.freshName("mins")
+      val raw = ctx.freshName("raw"); val h = ctx.freshName("h")
+      val slot = ctx.freshName("slot")
+      s"""
+         |int $n = $v.numElements();
+         |long[] $mins = new long[$abRef.length];
+         |java.util.Arrays.fill($mins, Long.MAX_VALUE);
+         |for (int $j = 0; $j < $n; $j++) {
+         |  long $raw = org.apache.spark.sql.catalyst.expressions.XXH64
+         |    .hashUTF8String($v.getUTF8String($j), 42L);
+         |  long $h = (($raw % 2147483647L) + 2147483647L) % 2147483647L;
+         |  for (int $i = 0; $i < $abRef.length; $i++) {
+         |    long $slot = ($abRef[$i][0] * $h + $abRef[$i][1]) % 2147483647L;
+         |    if ($slot < $mins[$i]) $mins[$i] = $slot;
+         |  }
+         |}
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($mins);
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object MinHashSig {
+  /** Deterministic universal-hash constants — same family and seed handling
+    * as Dedup.minhashSignature so both formulations produce identical
+    * signatures.
+    */
+  def constants(numHashes: Int, seed: Int = 7): Array[Array[Long]] = {
+    val rnd = new java.util.Random(seed)
+    Array.fill(numHashes)(Array(1L + rnd.nextInt((1 << 20) - 1).toLong,
+      rnd.nextInt(1 << 20).toLong))
+  }
+
+  def apply(shingles: Column, numHashes: Int, seed: Int): Column =
+    GraftShim.column(MinHashSig(GraftShim.expression(shingles), constants(numHashes, seed)))
+}

@@ -134,6 +134,69 @@ object VectorExpressions {
   }
 }
 
+/** Index of the nearest centroid by squared L2 — the IVF cell-assignment
+  * kernel. Centroid matrix ships as a codegen reference object; per row the
+  * work is one fused cells x dims multiply-accumulate with running argmin.
+  * Ties break to the lower cell index (strict <).
+  */
+case class NearestCell(child: Expression, centroids: Array[Array[Double]])
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def dataType: DataType = IntegerType
+
+  private def elemIsFloat: Boolean =
+    child.dataType.asInstanceOf[ArrayType].elementType == FloatType
+
+  override def nullSafeEval(a: Any): Any = {
+    val v = a.asInstanceOf[ArrayData]
+    val n = v.numElements()
+    val f = elemIsFloat
+    var best = 0; var bestD = Double.MaxValue
+    var c = 0
+    while (c < centroids.length) {
+      val cen = centroids(c)
+      val m = math.min(n, cen.length)
+      var d = 0.0; var i = 0
+      while (i < m) {
+        val xv: Double = if (f) v.getFloat(i).toDouble else v.getDouble(i)
+        val diff = xv - cen(i); d += diff * diff
+        i += 1
+      }
+      if (d < bestD) { bestD = d; best = c }
+      c += 1
+    }
+    best
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val get = if (elemIsFloat) "getFloat" else "getDouble"
+    val cRef = ctx.addReferenceObj("centroids", centroids, "double[][]")
+    nullSafeCodeGen(ctx, ev, v => {
+      val c = ctx.freshName("c"); val i = ctx.freshName("i")
+      val d = ctx.freshName("d"); val best = ctx.freshName("best")
+      val bestD = ctx.freshName("bestD"); val m = ctx.freshName("m")
+      val diff = ctx.freshName("diff")
+      s"""
+         |int $best = 0; double $bestD = Double.MAX_VALUE;
+         |for (int $c = 0; $c < $cRef.length; $c++) {
+         |  double[] cen = $cRef[$c];
+         |  int $m = java.lang.Math.min($v.numElements(), cen.length);
+         |  double $d = 0.0;
+         |  for (int $i = 0; $i < $m; $i++) {
+         |    double $diff = ((double) $v.$get($i)) - cen[$i];
+         |    $d += $diff * $diff;
+         |  }
+         |  if ($d < $bestD) { $bestD = $d; $best = $c; }
+         |}
+         |${ev.value} = $best;
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** All nBits hyperplane sign-bits of the LSH bucket in ONE pass over the
   * vector (plane matrix shipped as a codegen reference object — no per-row
   * array literals, no per-bit re-reads of the vector).

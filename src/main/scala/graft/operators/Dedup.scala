@@ -75,15 +75,12 @@ object Dedup {
     // Persist: the shingle sets feed signature generation AND both sides of
     // the candidate verification join — recomputing tokenization+hashing per
     // consumer would multiply the dominant cost 4-6x.
-    // __hs is a separate projection on purpose: referencing it 32 times in
-    // the signature must NOT re-inline the tokenize+shingle+hash chain into
-    // every slot (CollapseProject keeps multiply-referenced non-cheap
-    // expressions materialized).
+    // The signature is the native codegen'd MinHashSig expression (one fused
+    // pass); the declarative shingleHashes/minhashSignature pair below stays
+    // as the reference formulation and produces identical signatures.
     val base = df.select(col(idCol).as("__id"), sh.as("__sh"))
       .filter(size(col("__sh")) > 0)
-      .withColumn("__hs", shingleHashes(col("__sh")))
-      .withColumn("__sig", minhashSignature(col("__hs"), numHashes))
-      .drop("__hs")
+      .withColumn("__sig", graft.expressions.MinHashSig(col("__sh"), numHashes, 7))
       .persist()
     val banded = base
       .select(col("__id"), explode(bandKeys(col("__sig"), numHashes, bands)).as("__b"))

@@ -34,31 +34,39 @@ object Similarity {
       .filter(col("rn") <= k)
   }
 
-  /** IVF (inverted-file) ANN: KMeans partitions the corpus into nCells
+  /** IVF (inverted-file) ANN: k-means partitions the corpus into nCells
     * cells once; each query probes only its nProbe nearest cells. The
     * classic trade: one offline clustering pass buys per-query work of
-    * ~nProbe/nCells of the corpus. At cluster scale the cell assignment is
-    * computed once and persisted (write bucketed-by-cell), queries join
-    * only their probed cells.
+    * ~nProbe/nCells of the corpus.
+    *
+    * The codebook is trained DRIVER-SIDE on a bounded deterministic sample
+    * (`maxTrain` vectors) — how IVF codebooks are built at any scale: a
+    * 100 TB corpus still trains on ~1e5 sampled vectors, then the cell
+    * ASSIGNMENT (the part proportional to corpus size) runs distributed via
+    * the codegen'd NearestCell expression. This replaces ~15 tiny Spark jobs
+    * of an in-cluster Lloyd iteration with zero extra jobs beyond the sample
+    * collect. At cluster scale the assignment is computed once and persisted
+    * (write bucketed-by-cell); queries join only their probed cells.
     */
   def ivfTopK(queries: DataFrame, corpus: DataFrame, k: Int,
               nCells: Int = 16, nProbe: Int = 3,
               qId: String = "qid", qVec: String = "qe",
-              cId: String = "nid", cVec: String = "ne"): DataFrame = {
-    import org.apache.spark.ml.clustering.KMeans
-    import org.apache.spark.ml.functions.array_to_vector
+              cId: String = "nid", cVec: String = "ne",
+              maxTrain: Int = 100000): DataFrame = {
     val spark = corpus.sparkSession
     import spark.implicits._
 
-    val withFeatures = corpus.withColumn("features",
-      array_to_vector(transform(col(cVec), x => x.cast("double"))))
-    val model = new KMeans().setK(nCells).setSeed(42).setMaxIter(10)
-      .fit(withFeatures)
-    val assigned = model.transform(withFeatures)
-      .select(col(cId), col(cVec), col("prediction").as("cell"))
+    val sample = corpus.select(col(cId), col(cVec)).orderBy(col(cId))
+      .limit(maxTrain).collect()
+      .map(_.getSeq[Number](1).map(_.doubleValue()).toArray)
+    val cents = lloyd(sample, nCells, iters = 10, seed = 42)
 
-    val centroids = model.clusterCenters.zipWithIndex
-      .map { case (v, i) => (i, v.toArray.map(_.toFloat).toSeq) }.toSeq
+    val assigned = corpus.select(col(cId), col(cVec),
+      org.apache.spark.sql.GraftShim.column(graft.expressions.NearestCell(
+        org.apache.spark.sql.GraftShim.expression(col(cVec)), cents)).as("cell"))
+
+    val centroids = cents.zipWithIndex
+      .map { case (v, i) => (i, v.map(_.toFloat).toSeq) }.toSeq
       .toDF("cell", "cvec")
     val probed = broadcast(queries)
       .crossJoin(broadcast(centroids))
@@ -75,6 +83,62 @@ object Similarity {
       .select(col(qId), col(cId), VectorFns.cosine(col(qVec), col(cVec)).as("sim"))
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= k)
+  }
+
+  /** Deterministic Lloyd's k-means over a driver-resident sample: seeded
+    * random initialization (first k of a seeded shuffle), then `iters`
+    * assign/update rounds. Empty cells respawn on a random point.
+    */
+  private[graft] def lloyd(points: Array[Array[Double]], k: Int,
+                           iters: Int, seed: Long): Array[Array[Double]] = {
+    require(points.nonEmpty, "cannot train a codebook on an empty sample")
+    val dim = points.head.length
+    val rnd = new scala.util.Random(seed)
+    val order = rnd.shuffle(points.indices.toVector)
+    val cents = Array.tabulate(math.min(k, points.length))(i => points(order(i)).clone())
+    val kEff = cents.length
+    def d2(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < dim) { val d = a(i) - b(i); s += d * d; i += 1 }
+      s
+    }
+    val assign = new Array[Int](points.length)
+    var it = 0
+    while (it < iters) {
+      var p = 0
+      while (p < points.length) {
+        var best = 0; var bestD = Double.MaxValue
+        var c = 0
+        while (c < kEff) {
+          val d = d2(points(p), cents(c))
+          if (d < bestD) { bestD = d; best = c }
+          c += 1
+        }
+        assign(p) = best
+        p += 1
+      }
+      val sums = Array.fill(kEff)(new Array[Double](dim))
+      val counts = new Array[Int](kEff)
+      p = 0
+      while (p < points.length) {
+        val c = assign(p); counts(c) += 1
+        var i = 0
+        while (i < dim) { sums(c)(i) += points(p)(i); i += 1 }
+        p += 1
+      }
+      var c = 0
+      while (c < kEff) {
+        if (counts(c) > 0) {
+          var i = 0
+          while (i < dim) { cents(c)(i) = sums(c)(i) / counts(c); i += 1 }
+        } else {
+          cents(c) = points(rnd.nextInt(points.length)).clone()
+        }
+        c += 1
+      }
+      it += 1
+    }
+    cents
   }
 
   /** Approximate top-k via nTables independent hyperplane-LSH bucketings.

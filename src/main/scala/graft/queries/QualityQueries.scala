@@ -98,17 +98,17 @@ object QualityQueries {
     // windows held by the watermark) is asserted in StreamingSpec. ----
     Q("q80_stream_tumbling",
       (s, dir) => {
-        Streams.tumblingViaStream(s, dir).orderBy(col("h"), col("event_type"))
+        Streams.runAvailableNowMem(
+            Streams.tumblingCounts(Streams.eventsStream(s, dir)), "q80")
+          .orderBy(col("h"), col("event_type"))
       },
       None),
 
     // ---- §2.12 streaming session windows via a real streaming run. ----
     Q("q83_stream_sessions",
       (s, dir) => {
-        val tmp = java.nio.file.Files.createTempDirectory("graft_sess_").toString
-        Streams.runAvailableNow(
-            Streams.sessionCounts(Streams.eventsStream(s, dir)),
-            s"$tmp/out", s"$tmp/ckpt")
+        Streams.runAvailableNowMem(
+            Streams.sessionCounts(Streams.eventsStream(s, dir)), "q83")
           .orderBy(col("user_id"), col("sess_start"))
       },
       None),
@@ -117,13 +117,12 @@ object QualityQueries {
     // streaming run; each event lands in two overlapping windows. ----
     Q("q84_stream_sliding",
       (s, dir) => {
-        val tmp = java.nio.file.Files.createTempDirectory("graft_slide_").toString
         val agg = Streams.eventsStream(s, dir)
           .withWatermark("ts", "2 hours")
           .groupBy(window(col("ts"), "1 hour", "30 minutes"), col("event_type"))
           .agg(count(lit(1)).as("n"))
           .select(col("window.start").as("ws"), col("event_type"), col("n"))
-        Streams.runAvailableNow(agg, s"$tmp/out", s"$tmp/ckpt")
+        Streams.runAvailableNowMem(agg, "q84")
           .orderBy(col("ws"), col("event_type"))
       },
       None),
@@ -134,10 +133,9 @@ object QualityQueries {
     // dedup state bounded by the watermark). ----
     Q("q85_stream_dedup",
       (s, dir) => {
-        val tmp = java.nio.file.Files.createTempDirectory("graft_dd_").toString
         val deduped = Streams.dedupWithinWatermark(Streams.eventsStream(s, dir))
           .select(col("event_id"), col("user_id"), col("event_type"))
-        Streams.runAvailableNow(deduped, s"$tmp/out", s"$tmp/ckpt")
+        Streams.runAvailableNowMem(deduped, "q85")
           .orderBy(col("event_id"))
       },
       None),

@@ -72,6 +72,24 @@ object Streams {
     stream.sparkSession.read.parquet(outPath)
   }
 
+  /** Run a streaming DataFrame through the same AvailableNow machinery but
+    * into a memory sink — identical streaming semantics (microbatches,
+    * watermark, state stores), minus the parquet write + read-back round
+    * trip. Used by the bench/verify queries; the durable file-sink path with
+    * an explicit checkpoint stays exercised by runAvailableNow.
+    */
+  def runAvailableNowMem(stream: DataFrame, name: String): DataFrame = {
+    val qname = name + "_" + java.util.UUID.randomUUID().toString.replace("-", "").take(8)
+    val q = stream.writeStream
+      .format("memory")
+      .queryName(qname)
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    stream.sparkSession.table(qname)
+  }
+
   /** Streaming tumbling aggregation, materialized and returned as a batch
     * DataFrame (used by the q80 check: must equal the batch date_trunc agg).
     */

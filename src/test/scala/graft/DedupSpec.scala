@@ -30,6 +30,20 @@ class DedupSpec extends SparkSpec {
     assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L), "unrelated doc must not pair")
   }
 
+  test("native MinHashSig equals the declarative shingleHashes+minhashSignature") {
+    import graft.functions.TextFns
+    val sh = array_distinct(TextFns.wordShingles(TextFns.tokens(col("text")), 3))
+    val base = docs.select(col("doc_id"), sh.as("sh")).filter(size(col("sh")) > 0)
+    val native = base.select(col("doc_id"),
+        graft.expressions.MinHashSig(col("sh"), 32, 7).as("sig"))
+      .as[(Long, Seq[Long])].collect().toMap
+    val declarative = base
+      .withColumn("hs", Dedup.shingleHashes(col("sh")))
+      .select(col("doc_id"), Dedup.minhashSignature(col("hs"), 32).as("sig"))
+      .as[(Long, Seq[Long])].collect().toMap
+    assert(native == declarative)
+  }
+
   test("simhash of identical docs is identical; hamming pairs found") {
     val sig = Dedup.simhash(docs, "doc_id", "text")
       .as[(Long, Long)].collect().toMap
