@@ -15,7 +15,7 @@ case class Q(name: String,
 
 object Registry {
   def all: Seq[Q] =
-    RelationalQueries.all ++ EventQueries.all ++ TextQueries.all ++
+    RelationalQueries.all ++ CarrierQueries.all ++ EventQueries.all ++ TextQueries.all ++
       VectorQueries.all ++ DedupQueries.all ++ ScalarQueries.all ++
       SemanticQueries.all ++ QualityQueries.all ++ SqlQueries.all ++
       MiscQueries.all
