@@ -133,6 +133,42 @@ object SemanticQueries {
       },
       None),
 
+    // ---- Declarative entry point: a DocETL-shaped YAML config parsed by
+    // the hand-rolled loader, validated, rewritten (auto-chunk) and compiled
+    // onto the same semantic operators (SURVEY §1.1 row 5 / §3.3). ----
+    Q("q77_yaml_pipeline",
+      (s, dir) => {
+        val yaml =
+          """name: yaml_article_pipeline
+            |operations:
+            |  - name: extract
+            |    type: map
+            |    prompt: |
+            |      Extract the key points from this document:
+            |      {{ input.text }}
+            |    output:
+            |      schema:
+            |        title: string
+            |        key_points: list[string]
+            |        confidence: number
+            |    validate:
+            |      - length(title) > 0
+            |    num_retries_on_validate_failure: 1
+            |  - name: keep_confident
+            |    type: filter
+            |    predicate: confidence >= 0.1
+            |""".stripMargin
+        val spec = graft.pipeline.YamlSpec.load(yaml)
+        val compiled = graft.pipeline.Compiler.run(
+          t(s, dir, "documents").select(col("doc_id"), col("text")), spec, client)
+        compiled.result
+          .select(col("doc_id"), col("title"),
+            size(col("key_points")).as("n_points"),
+            round(col("confidence"), 3).as("confidence"))
+          .orderBy(col("doc_id"))
+      },
+      None),
+
     // ---- The full DAG-equivalent pipeline (t1 flagship). ----
     Q("q74_flagship_articles",
       (s, dir) => {
