@@ -54,6 +54,29 @@ object SemanticQueries {
       },
       None),
 
+    // ---- A1 via custom Aggregator (agg()-syntax): semantic synthesis
+    // composed with ordinary aggregates in ONE groupBy/agg pass. ----
+    Q("q78_semantic_agg",
+      (s, dir) => {
+        val schema = StructType(Seq(
+          StructField("summary", StringType),
+          StructField("themes", ArrayType(StringType))))
+        t(s, dir, "documents")
+          .select(col("lang"), col("doc_id"), col("text"))
+          .withColumn("__doc", to_json(struct(col("doc_id"), col("text"))))
+          .groupBy(col("lang"))
+          .agg(count(lit(1)).as("n_docs"),
+            graft.semantic.SemanticAgg.synthesize(col("__doc"),
+              "Synthesize a summary of these documents:", schema, client, fanIn = 8)
+              .as("__resp"))
+          .withColumn("__out", from_json(col("__resp"), schema))
+          .select(col("lang"), col("n_docs"),
+            col("__out.summary").as("summary"),
+            size(col("__out.themes")).as("n_themes"))
+          .orderBy(col("lang"))
+      },
+      None),
+
     // ---- P6: LLM-judge filter. ----
     Q("q72_judge_filter",
       (s, dir) => {

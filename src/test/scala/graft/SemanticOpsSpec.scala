@@ -92,4 +92,34 @@ class SemanticOpsSpec extends SparkSpec {
     assert(kept.count() < 3 || kept.count() > 0)
     assert(kept.columns.toSet == Set("doc_id", "text"))
   }
+
+  test("Aggregator-based semantic reduce equals mapPartitions semanticReduce") {
+    import graft.semantic.SemanticAgg
+    val ev = Tables(spark, sfDir, "documents")
+      .select(col("lang"), col("doc_id"), col("text")).limit(200)
+    val schema = StructType(Seq(
+      StructField("summary", StringType), StructField("themes", ArrayType(StringType))))
+    val viaAgg = SemanticAgg.semanticReduceAgg(ev, Seq("lang"),
+        "Synthesize a summary of these documents:", schema, client, fanIn = 4)
+      .select(col("lang"), col("summary"), size(col("themes")).as("nt"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getInt(2))).toSet
+    val viaMap = SemanticOps.semanticReduce(ev, Seq("lang"),
+        "Synthesize a summary of these documents:", schema, client, fanIn = 4)
+      .select(col("lang"), col("summary"), size(col("themes")).as("nt"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getInt(2))).toSet
+    assert(viaAgg == viaMap)
+  }
+
+  test("semantic UDAF through spark.sql groups and synthesizes") {
+    import graft.semantic.SemanticAgg
+    val schema = StructType(Seq(StructField("summary", StringType)))
+    SemanticAgg.register(spark, "semantic_synthesize",
+      "Summarize:", schema, client, fanIn = 4)
+    Tables(spark, sfDir, "documents").limit(50).createOrReplaceTempView("docs_udaf")
+    val out = spark.sql(
+      """SELECT lang, count(*) AS n, semantic_synthesize(text) AS resp
+        |FROM docs_udaf GROUP BY lang ORDER BY lang""".stripMargin)
+    assert(out.count() > 0)
+    assert(out.filter(col("resp").isNull || length(col("resp")) === 0).count() == 0)
+  }
 }
