@@ -156,6 +156,65 @@ object SemanticQueries {
       },
       None),
 
+    // ---- M9-shape: multi-format email versions as a nested struct per
+    // format (article_generation.yaml:149-207 analog), with P4 validations
+    // on subject lengths. ----
+    Q("q79_email_versions",
+      (s, dir) => {
+        val email = StructType(Seq(
+          StructField("subject", StringType), StructField("body", StringType)))
+        val schema = StructType(Seq(
+          StructField("newsletter", email), StructField("digest", email),
+          StructField("alert", email), StructField("promotional", email)))
+        SemanticOps.semanticMap(
+            t(s, dir, "documents").select(col("doc_id"), col("text")).limit(100),
+            "Create four email versions of: {{ input.text }}", schema, client,
+            validations = Seq("length(newsletter.subject) > 0",
+              "length(alert.subject) > 0"),
+            retries = 1)
+          .ok
+          .select(col("doc_id"),
+            length(col("newsletter.subject")).as("nl_subj_len"),
+            length(col("digest.body")).as("digest_len"),
+            length(col("alert.subject")).as("alert_subj_len"),
+            length(col("promotional.body")).as("promo_len"))
+          .orderBy(col("doc_id"))
+      },
+      None),
+
+    // ---- M10-shape: 4-dimension scored rubric -> weighted composite ->
+    // readiness buckets (article_generation.yaml:209-278 analog). The
+    // dimension scores are semantic; the composite and bucketing are pure
+    // Column arithmetic, as in the reference's deterministic tail. ----
+    Q("q64_composite_quality",
+      (s, dir) => {
+        val schema = StructType(Seq(
+          StructField("content_accuracy", DoubleType),
+          StructField("engagement_potential", DoubleType),
+          StructField("format_compliance", DoubleType),
+          StructField("brand_alignment", DoubleType)))
+        val scored = SemanticOps.semanticMap(
+            t(s, dir, "documents").select(col("doc_id"), col("text")).limit(200),
+            "Score this content on four dimensions: {{ input.text }}",
+            schema, client, retries = 0).ok
+        val clamp = (c: org.apache.spark.sql.Column) =>
+          least(greatest(abs(c) * 100, lit(0.0)), lit(100.0))
+        val composite = round(clamp(col("content_accuracy")) * 0.35 +
+          clamp(col("engagement_potential")) * 0.3 +
+          clamp(col("format_compliance")) * 0.2 +
+          clamp(col("brand_alignment")) * 0.15, 2)
+        scored
+          .withColumn("composite", composite)
+          .withColumn("readiness",
+            when(col("composite") >= 80, "publish")
+              .when(col("composite") >= 60, "review")
+              .otherwise("rework"))
+          .groupBy(col("readiness"))
+          .agg(count(lit(1)).as("n"), round(avg(col("composite")), 2).as("avg_score"))
+          .orderBy(col("readiness"))
+      },
+      None),
+
     // ---- Declarative entry point: a DocETL-shaped YAML config parsed by
     // the hand-rolled loader, validated, rewritten (auto-chunk) and compiled
     // onto the same semantic operators (SURVEY §1.1 row 5 / §3.3). ----
