@@ -39,6 +39,40 @@ object ScalarQueries {
       Some("""SELECT event_id, regexp_extract(props, '"k": (\d+)', 1) AS k_str
              |FROM events ORDER BY event_id""".stripMargin)),
 
+    // ---- F5 proper: the reference's multi-pattern CLI-log scrape
+    // (per-op cost line, total-time line, output-path line —
+    // zara_hybrid_etl.py:39-75) over deterministically synthesized log
+    // texts; every field recovered by regexp_extract in both engines. ----
+    Q("q65_log_extract",
+      (s, dir) => {
+        val o = t(s, dir, "orders").filter(col("o_orderkey") <= 3000)
+        val logText = concat(
+          lit("✓ op"), col("o_orderkey") % 7,
+          lit(" (Cost: $"), floor(col("o_totalprice")).cast("long"),
+          lit(")\nTotal time: "), col("o_orderkey") % 3600,
+          lit("s\nOutput saved to: /data/output/run_"), col("o_orderkey"), lit(".json"))
+        o.select(col("o_orderkey"), logText.as("log"))
+          .select(col("o_orderkey"),
+            regexp_extract(col("log"), "✓ (\\w+) \\(Cost: \\$(\\d+)\\)", 1).as("op"),
+            regexp_extract(col("log"), "\\(Cost: \\$(\\d+)\\)", 1).cast("long").as("cost"),
+            regexp_extract(col("log"), "Total time: (\\d+)s", 1).cast("long").as("secs"),
+            regexp_extract(col("log"), "Output saved to: (\\S+)", 1).as("path"))
+          .orderBy(col("o_orderkey"))
+      },
+      Some("""WITH l AS (SELECT o_orderkey,
+             |    concat(chr(10003), ' op', o_orderkey % 7,
+             |      ' (Cost: $', CAST(floor(o_totalprice) AS BIGINT),
+             |      ')', chr(10), 'Total time: ', o_orderkey % 3600,
+             |      's', chr(10), 'Output saved to: /data/output/run_',
+             |      o_orderkey, '.json') AS log
+             |  FROM orders WHERE o_orderkey <= 3000)
+             |SELECT o_orderkey,
+             |  regexp_extract(log, concat(chr(10003), ' (\w+) \(Cost: \$(\d+)\)'), 1) AS op,
+             |  CAST(regexp_extract(log, '\(Cost: \$(\d+)\)', 1) AS BIGINT) AS cost,
+             |  CAST(regexp_extract(log, 'Total time: (\d+)s', 1) AS BIGINT) AS secs,
+             |  regexp_extract(log, 'Output saved to: (\S+)', 1) AS path
+             |FROM l ORDER BY o_orderkey""".stripMargin)),
+
     // ---- F6/F7 timestamp formatting (zara_hybrid_etl.py:108/240/265:
     // strftime %Y%m%d_%H%M%S and ISO-8601+Z). ----
     Q("q62_date_format",
