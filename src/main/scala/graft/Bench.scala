@@ -18,8 +18,9 @@ object Bench {
     "q14_grouping_sets", "q17_salted_join", "q21_hourly_tumbling",
     "q23_sessionize", "q29_range_frame", "q33_quality_score",
     "q35_top_bigrams", "q41_knn_brute", "q50_minhash_pairs",
-    "q52_jaccard_exact", "q55_chunk", "q56_dedup_corpus",
-    "q57_knn_ivf", "q74_flagship_articles", "q80_stream_tumbling",
+    "q45_exists_subquery", "q52_jaccard_exact", "q55_chunk",
+    "q56_dedup_corpus", "q57_knn_ivf", "q74_flagship_articles",
+    "q77_yaml_pipeline", "q80_stream_tumbling",
     "q83_stream_sessions", "q85_stream_dedup",
   )
 

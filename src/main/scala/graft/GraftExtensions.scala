@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.expressions.{CosineSimilarity, DotProduct, SplitTokens}
+import graft.expressions.{CosineSimilarity, DotProduct, MinHashSig, SplitTokens}
 
 /** SparkSessionExtensions injector: makes the engine's custom expressions
   * available to any session started with
@@ -25,5 +25,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("split_tokens"),
       new ExpressionInfo(classOf[SplitTokens].getName, "split_tokens"),
       (es: Seq[Expression]) => SplitTokens(es(0), es(1), es(2))))
+    // minhash_sig(shingles, numHashes, seed): numHashes/seed must be
+    // literals — the hash-family constants are derived at plan time.
+    ext.injectFunction((
+      new FunctionIdentifier("minhash_sig"),
+      new ExpressionInfo(classOf[MinHashSig].getName, "minhash_sig"),
+      (es: Seq[Expression]) => MinHashSig(es(0), MinHashSig.constants(
+        es(1).eval().asInstanceOf[Number].intValue(),
+        es(2).eval().asInstanceOf[Number].intValue()))))
   }
 }

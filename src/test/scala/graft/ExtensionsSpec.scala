@@ -23,6 +23,14 @@ class ExtensionsSpec extends SparkSpec {
         |LATERAL VIEW split_tokens(t, 4, 1) c AS chunk_id, chunk_text""".stripMargin)
       .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
     assert(chunks == Seq((0L, "a b c d"), (1L, "d e f g")))
+    // minhash_sig through SQL equals the Column-API expression
+    val sqlSig = spark.sql(
+      "SELECT minhash_sig(array('a b c', 'b c d'), 8, 7) AS s")
+      .collect()(0).getSeq[Long](0)
+    val colSig = Seq(("x", Seq("a b c", "b c d"))).toDF("id", "sh")
+      .select(graft.expressions.MinHashSig(col("sh"), 8, 7).as("s"))
+      .collect()(0).getSeq[Long](0)
+    assert(sqlSig == colSig && sqlSig.length == 8)
   }
 
   test("split_tokens generator matches the DataFrame chunker") {
