@@ -346,6 +346,25 @@ object RelationalQueries {
             countDistinct(col("l_partkey")).as("exact_parts"))
           .orderBy(col("l_returnflag"))
       },
+      None),
+
+    // ---- Mergeable HLL sketches (A6 scale path): build fine-grained
+    // per-(flag, status) sketches ONCE, then answer the coarser per-flag
+    // distinct question by unioning sketch partials — the pre-aggregated
+    // sketch-table pattern that replaces re-scanning 100 TB per rollup.
+    // Not oracle-able (binary sketch format); the <2% relative-error
+    // invariant vs the exact count is asserted in a spec. ----
+    Q("q67_hll_sketch",
+      (s, dir) => {
+        val fine = t(s, dir, "lineitem")
+          .groupBy(col("l_returnflag"), col("l_linestatus"))
+          .agg(hll_sketch_agg(col("l_partkey")).as("sk"))
+        fine
+          .groupBy(col("l_returnflag"))
+          .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("approx_parts"),
+            count(lit(1)).as("n_partials"))
+          .orderBy(col("l_returnflag"))
+      },
       None)
   )
 }

@@ -75,6 +75,23 @@ class BucketingSpec extends SparkSpec {
     assert(saltedAgg == plainAgg)
   }
 
+  test("unioned HLL sketch partials estimate within 2% of the exact distinct") {
+    val l = Tables(spark, sfDir, "lineitem")
+    val fine = l.groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(hll_sketch_agg(col("l_partkey")).as("sk"))
+    val est = fine.groupBy(col("l_returnflag"))
+      .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("approx"))
+      .as[(String, Long)].collect().toMap
+    val exact = l.groupBy(col("l_returnflag"))
+      .agg(countDistinct(col("l_partkey")).as("n"))
+      .as[(String, Long)].collect().toMap
+    exact.foreach { case (flag, n) =>
+      val e = est(flag)
+      assert(math.abs(e - n).toDouble / n < 0.02,
+        s"$flag: estimate $e vs exact $n exceeds 2% relative error")
+    }
+  }
+
   test("salted join rejects join types where unmatched right replicas leak") {
     val l = Seq((1L, "a")).toDF("k", "lv")
     val r = Seq((1L, "b"), (2L, "unmatched")).toDF("k", "rv")
