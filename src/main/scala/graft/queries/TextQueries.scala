@@ -135,6 +135,29 @@ object TextQueries {
              |SELECT bg, count(*) AS n FROM b
              |GROUP BY bg ORDER BY n DESC, bg LIMIT 20""".stripMargin)),
 
+    // ---- Deterministic stratified sampling (training-data op): per-stratum
+    // rates via content-addressed md5 bucketing — stable under reruns,
+    // retries and repartitioning (unlike rng-based sampleBy), and portable
+    // enough to oracle exactly. en is kept at 50%, other langs at 10%. ----
+    Q("q68_stratified_sample",
+      (s, dir) => {
+        val bucket = conv(substring(
+            md5(concat(col("doc_id").cast("string"), lit(":"), col("lang")).cast("binary")),
+            1, 8), 16, 10).cast("long") % 100
+        val keep = bucket < when(col("lang") === "en", 50).otherwise(10)
+        t(s, dir, "documents")
+          .groupBy(col("lang"))
+          .agg(count(lit(1)).as("n_total"),
+            sum(when(keep, 1L).otherwise(0L)).as("n_sampled"))
+          .orderBy(col("lang"))
+      },
+      Some("""SELECT lang, count(*) AS n_total,
+             |  sum(CASE WHEN CAST(concat('0x', substr(md5(
+             |        concat(CAST(doc_id AS VARCHAR), ':', lang)), 1, 8)) AS BIGINT) % 100
+             |      < (CASE WHEN lang = 'en' THEN 50 ELSE 10 END)
+             |    THEN 1 ELSE 0 END) AS n_sampled
+             |FROM documents GROUP BY lang ORDER BY lang""".stripMargin)),
+
     // ---- Order-sensitive document fingerprint (rolling polynomial hash) —
     // custom hash, not SQL-portable => rows-only check. ----
     Q("q36_fingerprint",

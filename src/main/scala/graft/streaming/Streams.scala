@@ -90,6 +90,36 @@ object Streams {
     stream.sparkSession.table(qname)
   }
 
+  /** Idempotent merge for foreachBatch sinks: append only rows whose key is
+    * not already in the target — the streaming form of the reference's
+    * skip-if-downloaded re-run semantics (arxiv_hook.py:126-128, J2).
+    * Together with the checkpoint this makes the sink exactly-once under
+    * batch replay: a re-delivered microbatch anti-joins to nothing.
+    *
+    * Scale: the anti-join probe reads only the target's key column (column
+    * pruning); partition the target by an arrival-date column so the probe
+    * prunes to the replay horizon instead of scanning history.
+    */
+  def idempotentMerge(batch: DataFrame, keyCol: String, targetPath: String): Unit = {
+    val spark = batch.sparkSession
+    val existing =
+      try spark.read.parquet(targetPath).select(keyCol)
+      catch { case _: Throwable => batch.select(keyCol).limit(0) }
+    batch.join(existing, Seq(keyCol), "left_anti")
+      .write.mode("append").parquet(targetPath)
+  }
+
+  /** Run a stream through a foreachBatch idempotent-merge sink. */
+  def runMergeSink(stream: DataFrame, keyCol: String, targetPath: String,
+                   checkpoint: String): Unit = {
+    val q = stream.writeStream
+      .foreachBatch((batch: DataFrame, _: Long) => idempotentMerge(batch, keyCol, targetPath))
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
   /** Streaming tumbling aggregation, materialized and returned as a batch
     * DataFrame (used by the q80 check: must equal the batch date_trunc agg).
     */
