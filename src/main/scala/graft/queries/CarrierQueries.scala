@@ -195,6 +195,37 @@ object CarrierQueries {
              |  date_diff('day', CAST(o_orderdate AS DATE), DATE '1998-12-31') AS days_left
              |FROM orders WHERE o_orderkey <= 2000 ORDER BY o_orderkey""".stripMargin)),
 
+    // ---- Range join, rewritten to an equi join (J4 scale path): joining
+    // events into [start, end) time bins with a raw inequality condition
+    // plans as a nested-loop join — quadratic at scale. Aligning the bins to
+    // a fixed grid lets the join key be the floored timestamp: one hash
+    // shuffle, same result. The oracle states the ORIGINAL range form
+    // (BETWEEN), proving the rewrite's semantics. ----
+    Q("q69_range_bin_join",
+      (s, dir) => {
+        val ev = t(s, dir, "events")
+        val bins = ev
+          .select(date_trunc("hour", col("ts")).as("bin_start"))
+          .distinct()
+          .withColumn("bin_end", col("bin_start") + expr("INTERVAL 1 HOUR"))
+        ev.select(col("event_id"), col("event_type"), col("ts"),
+            date_trunc("hour", col("ts")).as("bin_start"))
+          .join(bins, "bin_start")
+          .groupBy(col("bin_start"), col("event_type"))
+          .agg(count(lit(1)).as("n"))
+          .orderBy(col("bin_start"), col("event_type"))
+      },
+      Some("""WITH bins AS (
+             |  SELECT DISTINCT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS bin_start,
+             |    CAST(date_trunc('hour', ts) AS TIMESTAMP) + INTERVAL 1 HOUR AS bin_end
+             |  FROM events)
+             |SELECT b.bin_start, e.event_type, count(*) AS n
+             |FROM events e JOIN bins b
+             |  ON CAST(e.ts AS TIMESTAMP) >= b.bin_start
+             | AND CAST(e.ts AS TIMESTAMP) < b.bin_end
+             |GROUP BY b.bin_start, e.event_type
+             |ORDER BY b.bin_start, e.event_type""".stripMargin)),
+
     // ---- Interval arithmetic over event timestamps (§2.9 carrier):
     // shift, bucket-floor, and window-end computations. ----
     Q("q59_intervals",
