@@ -91,6 +91,29 @@ object Multimodal {
     }(Encoders.row(outSchema))
   }
 
+  /** Audio segmentation: fixed-duration windows with overlap over PCM-style
+    * byte payloads, driven by a bytes-per-second rate — the audio analog of
+    * the G1 token chunker. Pure Column expressions (no shuffle); emits
+    * segment id, start offset in ms, and the byte slice. The last segment
+    * may be short (clipped to the payload), every byte is covered, and
+    * consecutive segments overlap by `overlapMs`.
+    */
+  def segmentAudio(df: DataFrame, bytesPerSecond: Int, segmentMs: Int,
+                   overlapMs: Int, contentCol: String = "content"): DataFrame = {
+    require(overlapMs >= 0 && overlapMs < segmentMs, "0 <= overlap < segment")
+    val segBytes = math.max(1, bytesPerSecond * segmentMs / 1000)
+    val stepBytes = math.max(1, bytesPerSecond * (segmentMs - overlapMs) / 1000)
+    val len = length(col(contentCol))
+    // number of steps so that the last window reaches the end
+    val nSeg = when(len <= segBytes, lit(1)).otherwise(
+      ceil((len - segBytes).cast("double") / stepBytes).cast("int") + 1)
+    df.withColumn("segment_id", explode(sequence(lit(0), nSeg - 1)))
+      .withColumn("start_ms",
+        col("segment_id").cast("long") * (segmentMs - overlapMs))
+      .withColumn("segment",
+        col(contentCol).substr(col("segment_id") * stepBytes + 1, lit(segBytes)))
+  }
+
   /** Frame sampling for "video" payloads: split the binary into fixed-size
     * frames and keep every `stride`-th — pure Column expressions.
     */

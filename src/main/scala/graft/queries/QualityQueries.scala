@@ -164,6 +164,21 @@ object QualityQueries {
             md5(col("frame")).as("frame_hash"))
           .orderBy(col("doc_id"), col("frame_id"))
       },
+      None),
+
+    // ---- Multimodal audio segmentation: 500ms windows, 100ms overlap at a
+    // 16 kB/s PCM-ish rate (coverage/overlap invariants pinned in the
+    // spec; byte-slice hashing is not SQL-portable => rows-only). ----
+    Q("q86_audio_segments",
+      (s, dir) => {
+        val fixture = Multimodal.fixtureFromDocuments(t(s, dir, "documents"))
+        Multimodal.segmentAudio(fixture, bytesPerSecond = 16000,
+            segmentMs = 500, overlapMs = 100)
+          .select(col("doc_id"), col("segment_id"), col("start_ms"),
+            length(col("segment")).as("seg_bytes"),
+            md5(col("segment")).as("seg_hash"))
+          .orderBy(col("doc_id"), col("segment_id"))
+      },
       None)
   )
 }

@@ -61,4 +61,28 @@ class VectorFnsSpec extends SparkSpec {
     val norm = math.sqrt(f1.map(x => x.toDouble * x).sum)
     assert(math.abs(norm - 1.0) < 1e-5)
   }
+
+  test("audio segmentation: full coverage, exact overlap, clipped tail") {
+    import org.apache.spark.sql.functions._
+    // 16 kB/s, 500ms seg = 8000 B, 100ms overlap -> 6400 B step
+    val payload = ("x" * 20000).getBytes
+    val df = Seq((1L, payload)).toDF("doc_id", "content")
+    val segs = Multimodal.segmentAudio(df, bytesPerSecond = 16000,
+        segmentMs = 500, overlapMs = 100)
+      .select(col("segment_id"), col("start_ms"), length(col("segment")).as("n"))
+      .as[(Int, Long, Int)].collect().sortBy(_._1)
+    // windows: [0,8000), [6400,14400), [12800,20000-): 3 segments
+    assert(segs.map(_._1).toSeq == Seq(0, 1, 2))
+    assert(segs.map(_._2).toSeq == Seq(0L, 400L, 800L))
+    assert(segs.map(_._3).toSeq == Seq(8000, 8000, 7200), "tail clipped to payload")
+    // coverage: last segment reaches the end; overlap = segBytes - step
+    assert(12800 + 7200 == payload.length)
+
+    // short payload -> exactly one clipped segment
+    val one = Multimodal.segmentAudio(
+        Seq((1L, "abc".getBytes)).toDF("doc_id", "content"),
+        16000, 500, 100)
+      .select(length(col("segment"))).as[Int].collect().toSeq
+    assert(one == Seq(3))
+  }
 }
