@@ -54,10 +54,10 @@ object Profile {
       .select(col("__id"), explode(Dedup.bandKeys(col("__sig"), 32, 8)).as("__b"))
       .select(col("__id"), col("__b.band").as("band"), col("__b.key").as("key"))
     time("banded count")(banded.count())
-    val bucketed = banded
-      .withColumn("__cnt", count(lit(1)).over(
-        org.apache.spark.sql.expressions.Window.partitionBy("band", "key")))
-      .filter(col("__cnt") <= 1000)
+    val hot = banded.groupBy(col("band"), col("key"))
+      .agg(count(lit(1)).as("__cnt")).filter(col("__cnt") > 1000)
+      .select(col("band"), col("key"))
+    val bucketed = banded.join(broadcast(hot), Seq("band", "key"), "left_anti")
     time("bucketed count")(bucketed.count())
     val cand = bucketed.as("a")
       .join(bucketed.as("b"),

@@ -87,10 +87,15 @@ object Dedup {
       .select(col("__id"), col("__b.band").as("band"), col("__b.key").as("key"))
 
     // Hot-bucket cap: a band key shared by k docs yields k^2/2 candidates.
-    val bucketed = banded
-      .withColumn("__cnt", count(lit(1)).over(
-        org.apache.spark.sql.expressions.Window.partitionBy("band", "key")))
-      .filter(col("__cnt") <= maxBucket)
+    // Shape: partial-aggregated counts (tiny — one row per distinct band
+    // key) -> keep only the hot ones -> broadcast anti-join. This avoids
+    // the window formulation's full shuffle+sort of every banded row just
+    // to count bucket sizes.
+    val hot = banded.groupBy(col("band"), col("key"))
+      .agg(count(lit(1)).as("__cnt"))
+      .filter(col("__cnt") > maxBucket)
+      .select(col("band"), col("key"))
+    val bucketed = banded.join(broadcast(hot), Seq("band", "key"), "left_anti")
 
     val cand = bucketed.as("a")
       .join(bucketed.as("b"),
