@@ -135,6 +135,38 @@ object TextQueries {
              |SELECT bg, count(*) AS n FROM b
              |GROUP BY bg ORDER BY n DESC, bg LIMIT 20""".stripMargin)),
 
+    // ---- Readability scoring (Flesch-style): words/sentences/vowel-group
+    // syllable proxy, all via regexp counts that both engines share. ----
+    Q("q66_readability",
+      (s, dir) => {
+        val words = size(split(trim(col("text")), "\\s+")).cast("double")
+        val sentences = greatest(
+          size(regexp_extract_all(col("text"), lit("[.!?]+"), lit(0))).cast("double"),
+          lit(1.0))
+        val syllables = greatest(
+          size(regexp_extract_all(lower(col("text")), lit("[aeiouy]+"), lit(0))).cast("double"),
+          lit(1.0))
+        val flesch = lit(206.835) - lit(1.015) * (words / sentences) -
+          lit(84.6) * (syllables / words)
+        t(s, dir, "documents")
+          .select(col("doc_id"),
+            words.cast("long").as("n_words"),
+            sentences.cast("long").as("n_sents"),
+            syllables.cast("long").as("n_syl"),
+            round(flesch, 4).as("flesch"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""SELECT doc_id,
+             |  CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_words,
+             |  CAST(greatest(len(regexp_extract_all(text, '[.!?]+')), 1) AS BIGINT) AS n_sents,
+             |  CAST(greatest(len(regexp_extract_all(lower(text), '[aeiouy]+')), 1) AS BIGINT) AS n_syl,
+             |  round(206.835::DOUBLE
+             |    - 1.015::DOUBLE * (len(string_split_regex(trim(text), '\s+'))::DOUBLE
+             |        / greatest(len(regexp_extract_all(text, '[.!?]+')), 1)::DOUBLE)
+             |    - 84.6::DOUBLE * (greatest(len(regexp_extract_all(lower(text), '[aeiouy]+')), 1)::DOUBLE
+             |        / len(string_split_regex(trim(text), '\s+'))::DOUBLE), 4) AS flesch
+             |FROM documents ORDER BY doc_id""".stripMargin)),
+
     // ---- Deterministic stratified sampling (training-data op): per-stratum
     // rates via content-addressed md5 bucketing — stable under reruns,
     // retries and repartitioning (unlike rng-based sampleBy), and portable
