@@ -73,6 +73,37 @@ object ScalarQueries {
              |  regexp_extract(log, 'Output saved to: (\S+)', 1) AS path
              |FROM l ORDER BY o_orderkey""".stripMargin)),
 
+    // ---- F11 stdout heuristics (docetl_operator.py:297-317): error/
+    // warning/success containment plus the "processed ... <digit>" line
+    // picker, over synthesized runner output. ----
+    Q("q88_stdout_heuristics",
+      (s, dir) => {
+        val o = t(s, dir, "orders").filter(col("o_orderkey") <= 3000)
+        val out = concat(
+          when(col("o_orderkey") % 5 === 0, lit("ERROR: stage failed\n")).otherwise(lit("")),
+          when(col("o_orderkey") % 3 === 0, lit("Warning: slow stage\n")).otherwise(lit("")),
+          lit("processed "), col("o_orderkey") % 97, lit(" records\nSuccess: done"))
+        o.select(col("o_orderkey"), out.as("stdout"))
+          .select(col("o_orderkey"),
+            lower(col("stdout")).contains("error").as("has_error"),
+            lower(col("stdout")).contains("warning").as("has_warning"),
+            lower(col("stdout")).contains("success").as("has_success"),
+            regexp_extract(col("stdout"), "processed (\\d+) records", 1)
+              .cast("long").as("n_processed"))
+          .orderBy(col("o_orderkey"))
+      },
+      Some("""WITH l AS (SELECT o_orderkey,
+             |    concat(CASE WHEN o_orderkey % 5 = 0 THEN 'ERROR: stage failed' || chr(10) ELSE '' END,
+             |      CASE WHEN o_orderkey % 3 = 0 THEN 'Warning: slow stage' || chr(10) ELSE '' END,
+             |      'processed ', o_orderkey % 97, ' records', chr(10), 'Success: done') AS stdout
+             |  FROM orders WHERE o_orderkey <= 3000)
+             |SELECT o_orderkey,
+             |  contains(lower(stdout), 'error') AS has_error,
+             |  contains(lower(stdout), 'warning') AS has_warning,
+             |  contains(lower(stdout), 'success') AS has_success,
+             |  CAST(regexp_extract(stdout, 'processed (\d+) records', 1) AS BIGINT) AS n_processed
+             |FROM l ORDER BY o_orderkey""".stripMargin)),
+
     // ---- F6/F7 timestamp formatting (zara_hybrid_etl.py:108/240/265:
     // strftime %Y%m%d_%H%M%S and ISO-8601+Z). ----
     Q("q62_date_format",
