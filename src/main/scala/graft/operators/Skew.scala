@@ -25,12 +25,13 @@ import org.apache.spark.sql.functions._
   */
 object Skew {
 
-  private val soundJoinTypes = Set("inner", "left", "left_outer", "left_semi", "left_anti")
+  // all spellings Spark's JoinType.apply accepts for the sound types
+  private val soundJoinTypes = Set("inner", "left", "leftouter", "leftsemi", "semi", "leftanti", "anti")
 
   def saltedJoin(skewed: DataFrame, other: DataFrame, key: String,
                  factor: Int, joinType: String = "inner"): DataFrame = {
     require(factor >= 2, "factor < 2 is a plain join")
-    require(soundJoinTypes.contains(joinType.toLowerCase),
+    require(soundJoinTypes.contains(joinType.toLowerCase.replace("_", "")),
       s"saltedJoin is only sound for ${soundJoinTypes.mkString("/")}; " +
         s"a right/full outer join would emit each unmatched right replica ($joinType)")
     // Deterministic salt from the full row content: any distribution is

@@ -61,8 +61,15 @@ object StatefulSessions {
         if (cur != null) {
           state.update(cur)
           // arm the event-time timeout so an idle session is flushed once
-          // the watermark reaches its close time (millis, like GroupState)
-          if (!isBatch) state.setTimeoutTimestamp(cur.last / 1000L + gapMinutes.toLong * 60000L)
+          // the watermark reaches its close time (millis, like GroupState).
+          // An out-of-order event within the watermark allowance can put
+          // last+gap BEHIND the current watermark — Spark rejects such a
+          // timestamp, so clamp to just past the watermark (the session is
+          // already closed by definition; it flushes on the next batch).
+          if (!isBatch) {
+            val close = cur.last / 1000L + gapMinutes.toLong * 60000L
+            state.setTimeoutTimestamp(math.max(close, state.getCurrentWatermarkMs() + 1))
+          }
         }
         // batch mode: everything arrived; emit closed sessions AND the open one
         val all = if (isBatch && cur != null) (cur :: out).reverse else out.reverse

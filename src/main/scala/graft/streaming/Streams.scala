@@ -102,9 +102,12 @@ object Streams {
     */
   def idempotentMerge(batch: DataFrame, keyCol: String, targetPath: String): Unit = {
     val spark = batch.sparkSession
+    // first batch: target doesn't exist yet. Only that case may fall back
+    // to "no existing keys" — a corrupted target must fail, not duplicate.
     val existing =
-      try spark.read.parquet(targetPath).select(keyCol)
-      catch { case _: Throwable => batch.select(keyCol).limit(0) }
+      if (new java.io.File(targetPath).exists())
+        spark.read.parquet(targetPath).select(keyCol)
+      else batch.select(keyCol).limit(0)
     batch.join(existing, Seq(keyCol), "left_anti")
       .write.mode("append").parquet(targetPath)
   }
