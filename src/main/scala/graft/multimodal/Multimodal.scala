@@ -24,15 +24,30 @@ object Multimodal {
   trait Codec extends Serializable {
     def decodeDims(content: Array[Byte]): (Int, Int)
     def features(content: Array[Byte], dim: Int): Array[Float]
+    def resize(content: Array[Byte], w: Int, h: Int): Array[Byte]
   }
 
   /** STUB codec — deterministic fake decode (no media libs in the
-    * container). Dims and features are pure functions of the bytes.
+    * container). Dims, resampling and features are pure functions of the
+    * bytes.
     */
   class StubCodec extends Codec {
     override def decodeDims(content: Array[Byte]): (Int, Int) = {
       val h = java.util.Arrays.hashCode(content)
       (64 + math.abs(h % 193), 64 + math.abs((h / 193) % 129))
+    }
+
+    /** Nearest-neighbor byte resampling to exactly w*h bytes. */
+    override def resize(content: Array[Byte], w: Int, h: Int): Array[Byte] = {
+      val n = w * h
+      val out = new Array[Byte](n)
+      if (content.isEmpty) return out
+      var i = 0
+      while (i < n) {
+        out(i) = content((i.toLong * content.length / n).toInt)
+        i += 1
+      }
+      out
     }
     override def features(content: Array[Byte], dim: Int): Array[Float] = {
       val out = new Array[Float](dim)
@@ -72,6 +87,29 @@ object Multimodal {
       rows.map { r =>
         val (w, h) = codec.decodeDims(r.getAs[Array[Byte]](cIdx))
         Row.fromSeq(r.toSeq :+ Row(w, h, r.getString(fIdx)))
+      }
+    }(Encoders.row(outSchema))
+  }
+
+  /** Resize stage: binary -> resized binary at target dims, meta updated.
+    * Batched per partition like decode; the real-codec integration point
+    * for thumbnailing / model-input normalization.
+    */
+  def resize(df: DataFrame, codec: Codec, w: Int, h: Int,
+             contentCol: String = "content"): DataFrame = {
+    val cIdx = df.schema.fieldIndex(contentCol)
+    val outSchema = df.schema // content/meta change values, not shape
+    val mIdx = df.schema.fieldNames.indexOf("meta")
+    df.mapPartitions { rows =>
+      rows.map { r =>
+        val resized = codec.resize(r.getAs[Array[Byte]](cIdx), w, h)
+        val vals = r.toSeq.toArray
+        vals(cIdx) = resized
+        if (mIdx >= 0) {
+          val m = r.getStruct(mIdx)
+          vals(mIdx) = Row(w, h, m.getString(2))
+        }
+        Row.fromSeq(vals.toSeq)
       }
     }(Encoders.row(outSchema))
   }

@@ -147,9 +147,11 @@ object QualityQueries {
         val codec = new Multimodal.StubCodec()
         val fixture = Multimodal.fixtureFromDocuments(t(s, dir, "documents"))
         val decoded = Multimodal.decode(fixture, codec)
-        Multimodal.extractFeatures(decoded, codec, dim = 16)
+        val resized = Multimodal.resize(decoded, codec, w = 64, h = 64)
+        Multimodal.extractFeatures(resized, codec, dim = 16)
           .select(col("doc_id"), col("format"),
             col("meta.width").as("width"), col("meta.height").as("height"),
+            length(col("content")).as("n_bytes"),
             round(element_at(col("features"), 1), 4).as("f0"))
           .orderBy(col("doc_id"))
       },

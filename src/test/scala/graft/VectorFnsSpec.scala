@@ -62,6 +62,22 @@ class VectorFnsSpec extends SparkSpec {
     assert(math.abs(norm - 1.0) < 1e-5)
   }
 
+  test("resize stage: exact target byte count, meta updated, deterministic") {
+    import org.apache.spark.sql.functions._
+    val codec = new Multimodal.StubCodec()
+    val fixture = Multimodal.fixtureFromDocuments(
+      Seq((1L, "some binary-ish payload content", "en", "s"))
+        .toDF("doc_id", "text", "lang", "source"))
+    val resized = Multimodal.resize(Multimodal.decode(fixture, codec), codec, 8, 4)
+    val r = resized.select(length(col("content")), col("meta.width"), col("meta.height"))
+      .as[(Int, Int, Int)].collect().head
+    assert(r == ((32, 8, 4)))
+    val b1 = codec.resize("abcdef".getBytes, 4, 2)
+    val b2 = codec.resize("abcdef".getBytes, 4, 2)
+    assert(b1.toSeq == b2.toSeq && b1.length == 8)
+    assert(codec.resize(Array.emptyByteArray, 2, 2).length == 4)
+  }
+
   test("audio segmentation: full coverage, exact overlap, clipped tail") {
     import org.apache.spark.sql.functions._
     // 16 kB/s, 500ms seg = 8000 B, 100ms overlap -> 6400 B step
