@@ -1,0 +1,108 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+import graft.functions.TextFns
+import graft.operators.Chunker
+
+/** Property-based coverage (SURVEY §5.2 item 4): sanitizer idempotence and
+  * charset invariants, chunker coverage, MinHash signature laws. Inputs are
+  * ScalaCheck-generated with a FIXED seed and evaluated in single Spark
+  * passes (one DataFrame of all samples per law, not one job per sample).
+  */
+class PropertySpec extends SparkSpec {
+  import spark.implicits._
+
+  private def sampleN[T](g: Gen[T], n: Int): Seq[T] = {
+    var seed = Seed(42L)
+    (1 to n).map { _ =>
+      val t = g.pureApply(Gen.Parameters.default, seed)
+      seed = seed.next
+      t
+    }
+  }
+
+  // BMP chars excluding surrogates: adversarial mix of alnum, separators,
+  // punctuation, accents, CJK, control chars
+  private val charGen: Gen[Char] = Gen.frequency(
+    6 -> Gen.alphaNumChar,
+    3 -> Gen.oneOf(' ', '-', '_', '.', '!', '?', '/', '\\', '\t', '\n'),
+    2 -> Gen.oneOf('é', 'ß', 'Ω', '中', 'ル', 'ä'),
+    1 -> Gen.choose(1.toChar, 0xD7FF.toChar))
+  private val strGen: Gen[String] =
+    Gen.chooseNum(0, 80).flatMap(n => Gen.listOfN(n, charGen)).map(_.mkString)
+
+  test("slugify: output charset, idempotence, untitled fallback (300 generated strings)") {
+    val inputs = sampleN(strGen, 300) :+ "" :+ "---" :+ "中文タイトル"
+    val out = inputs.toDF("s")
+      .select(col("s"), TextFns.slugify(col("s")).as("slug"))
+      .withColumn("slug2", TextFns.slugify(col("slug")))
+      .as[(String, String, String)].collect()
+    out.foreach { case (in, slug, slug2) =>
+      assert(slug.matches("[a-z0-9]+(-[a-z0-9]+)*") || slug == "untitled",
+        s"bad slug for ${in.take(30)}: '$slug'")
+      assert(slug2 == slug, s"not idempotent: '$slug' -> '$slug2'")
+    }
+  }
+
+  test("safe_filename: charset, bounded length, no spaces (300 generated strings)") {
+    val inputs = sampleN(strGen, 300)
+    val out = inputs.toDF("s")
+      .select(TextFns.safeFilename(col("s")).as("f"))
+      .as[String].collect()
+    out.foreach { f =>
+      assert(f.matches("[A-Za-z0-9_-]*"), s"bad filename chars: '$f'")
+      assert(f.length <= 50, s"too long: ${f.length}")
+    }
+  }
+
+  test("chunker: every token covered, overlap exact, ids dense (100 generated docs)") {
+    val tokGen = Gen.chooseNum(0, 120).flatMap(n =>
+      Gen.listOfN(n, Gen.alphaNumStr.suchThat(_.nonEmpty).map(_.take(6))))
+    val docs = sampleN(tokGen, 100).zipWithIndex
+      .map { case (toks, i) => (i.toLong, toks.mkString(" "), toks) }
+    val chunked = docs.map(d => (d._1, d._2)).toDF("doc_id", "text")
+    val out = Chunker.split(chunked, "text", chunkSize = 30, overlap = 5)
+      .select(col("doc_id"), col("chunk_id"), col("chunk_text"))
+      .as[(Long, Long, String)].collect()
+      .groupBy(_._1).view.mapValues(_.sortBy(_._2)).toMap
+    docs.foreach { case (id, _, toks) =>
+      val chunks = out.getOrElse(id, Array.empty[(Long, Long, String)]).toSeq
+      if (toks.isEmpty) {
+        // empty doc -> single empty chunk
+        assert(chunks.map(_._3).forall(_.isEmpty))
+      } else {
+        assert(chunks.map(_._2) == chunks.indices.map(_.toLong), "dense chunk ids")
+        // step-based reconstruction: dropping the 5-token overlap from every
+        // chunk after the first must give back the original token stream
+        val rebuilt = chunks.head._3.split(" ").toSeq ++
+          chunks.tail.flatMap(_._3.split(" ").drop(5))
+        assert(rebuilt == toks, s"doc $id: coverage broken")
+      }
+    }
+  }
+
+  test("minhash signature: length, bounds, permutation invariance, union monotonicity") {
+    val setGen = Gen.chooseNum(1, 60).flatMap(n =>
+      Gen.listOfN(n, Gen.alphaNumStr.suchThat(_.nonEmpty).map(_.take(8))))
+    val sets = sampleN(setGen, 80).map(_.distinct)
+    val rnd = new scala.util.Random(7)
+    val rows = sets.zipWithIndex.map { case (s, i) =>
+      (i.toLong, s, rnd.shuffle(s), s ++ s.map(_ + "X"))
+    }
+    val df = rows.toDF("id", "a", "shuffled", "superset")
+    val sig = (c: String) => graft.expressions.MinHashSig(col(c), 16, 7)
+    val out = df.select(sig("a").as("sa"), sig("shuffled").as("sp"), sig("superset").as("su"))
+      .as[(Seq[Long], Seq[Long], Seq[Long])].collect()
+    val P = 2147483647L
+    out.foreach { case (sa, sp, su) =>
+      assert(sa.length == 16)
+      assert(sa.forall(v => v >= 0 && v < P), "slots within the hash field")
+      assert(sa == sp, "signature must not depend on shingle order")
+      assert(sa.lazyZip(su).forall((x, y) => y <= x),
+        "adding shingles can only lower each min slot")
+    }
+  }
+}
