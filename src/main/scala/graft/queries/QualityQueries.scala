@@ -140,6 +140,23 @@ object QualityQueries {
       },
       None),
 
+    // ---- §2.12 stream-stream join through a real streaming run:
+    // click -> purchase attribution within 30 min per user; the time-bound
+    // condition keeps both sides' state evictable. Equality with the batch
+    // formulation is asserted in StreamingSpec. ----
+    Q("q87_stream_join",
+      (s, dir) => {
+        val ev = Streams.eventsStream(s, dir)
+        Streams.runAvailableNowMem(
+            Streams.attributionJoin(
+              ev.filter(col("event_type") === "click"),
+              Streams.eventsStream(s, dir).filter(col("event_type") === "purchase"),
+              withinMinutes = 30), "q87")
+          .select(col("user_id"), col("click_id"), col("purchase_id"))
+          .orderBy(col("user_id"), col("click_id"), col("purchase_id"))
+      },
+      None),
+
     // ---- Multimodal plumbing: binary content -> decode (stub codec) ->
     // fixed-width feature vectors. ----
     Q("q81_multimodal_features",

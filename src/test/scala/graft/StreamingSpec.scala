@@ -36,6 +36,34 @@ class StreamingSpec extends SparkSpec {
     assert(dup.dropDuplicates("event_id").count() == 100)
   }
 
+  test("stream-stream attribution join equals the batch time-bounded join") {
+    import graft.streaming.Streams
+    import spark.implicits._
+    val streamed = Streams.runAvailableNowMem(
+        Streams.attributionJoin(
+          Streams.eventsStream(spark, sfDir).filter(col("event_type") === "click"),
+          Streams.eventsStream(spark, sfDir).filter(col("event_type") === "purchase"),
+          withinMinutes = 30), "sj_test")
+      .select("user_id", "click_id", "purchase_id")
+      .as[(Long, Long, Long)].collect().toSet
+
+    val ev = Tables(spark, sfDir, "events")
+    val c = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts").as("click_ts"), col("event_id").as("click_id"))
+    val p = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("pu"), col("ts").as("purchase_ts"),
+        col("event_id").as("purchase_id"))
+    val batch = c.join(p,
+        col("user_id") === col("pu") &&
+          col("purchase_ts") >= col("click_ts") &&
+          col("purchase_ts") < col("click_ts") + expr("INTERVAL 30 MINUTES"))
+      .select("user_id", "click_id", "purchase_id")
+      .as[(Long, Long, Long)].collect().toSet
+
+    assert(streamed == batch, "AvailableNow stream-stream join must equal the batch join")
+    assert(batch.nonEmpty, "fixture must actually produce attributed pairs")
+  }
+
   test("foreachBatch idempotent merge: replayed batches do not duplicate") {
     val tmp = java.nio.file.Files.createTempDirectory("graft_merge_").toString
     val target = s"$tmp/target"
