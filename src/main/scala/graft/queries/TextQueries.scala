@@ -183,11 +183,14 @@ object TextQueries {
             sum(when(keep, 1L).otherwise(0L)).as("n_sampled"))
           .orderBy(col("lang"))
       },
+      // NB: the sum MUST be cast to BIGINT — DuckDB's sum(int) is HUGEINT,
+      // which round-trips through Arrow as double (99.0 != 99 under the
+      // driver's value hash even though rows/schema "match").
       Some("""SELECT lang, count(*) AS n_total,
-             |  sum(CASE WHEN CAST(concat('0x', substr(md5(
+             |  CAST(sum(CASE WHEN CAST(concat('0x', substr(md5(
              |        concat(CAST(doc_id AS VARCHAR), ':', lang)), 1, 8)) AS BIGINT) % 100
              |      < (CASE WHEN lang = 'en' THEN 50 ELSE 10 END)
-             |    THEN 1 ELSE 0 END) AS n_sampled
+             |    THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled
              |FROM documents GROUP BY lang ORDER BY lang""".stripMargin)),
 
     // ---- Order-sensitive document fingerprint (rolling polynomial hash) —

@@ -126,8 +126,15 @@ object Streams {
     val spark = batch.sparkSession
     // first batch: target doesn't exist yet. Only that case may fall back
     // to "no existing keys" — a corrupted target must fail, not duplicate.
+    // The probe MUST go through the Hadoop FileSystem API: java.io.File only
+    // sees the local FS, so on HDFS/S3/object stores it would report "absent"
+    // forever, skip the anti-join, and silently append duplicates on every
+    // replay. FileSystem.get resolves the scheme (file:, hdfs:, s3a:, ...)
+    // from the path URI against the session's Hadoop conf.
+    val hPath = new org.apache.hadoop.fs.Path(targetPath)
+    val fs = hPath.getFileSystem(spark.sessionState.newHadoopConf())
     val existing =
-      if (new java.io.File(targetPath).exists())
+      if (fs.exists(hPath))
         spark.read.parquet(targetPath).select(keyCol)
       else batch.select(keyCol).limit(0)
     batch.join(existing, Seq(keyCol), "left_anti")

@@ -66,7 +66,10 @@ class StreamingSpec extends SparkSpec {
 
   test("foreachBatch idempotent merge: replayed batches do not duplicate") {
     val tmp = java.nio.file.Files.createTempDirectory("graft_merge_").toString
-    val target = s"$tmp/target"
+    // deliberately a file: URI — java.io.File.exists("file:/...") is always
+    // false, so this asserts the probe goes through the Hadoop FileSystem
+    // API (the HDFS/S3 code path), not the local-FS shortcut
+    val target = s"file:$tmp/target"
     Streams.runMergeSink(
       Streams.eventsStream(spark, sfDir).select(col("event_id"), col("event_type")),
       "event_id", target, s"$tmp/ckpt")

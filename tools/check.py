@@ -49,11 +49,11 @@ def main():
     for name in sorted(oracle):
         sql = oracle[name]
         try:
-            res = con.execute(sql)
-            exp_names = [d[0] for d in res.description]
-            exp_cols = list(map(list, zip(*res.fetchall()))) or [[] for _ in exp_names]
-            if not res or exp_cols == []:
-                exp_cols = [[] for _ in exp_names]
+            # Fetch via Arrow (like the driver): surfaces type round-trip
+            # artifacts fetchall() hides, e.g. DuckDB HUGEINT -> float64.
+            atbl = con.execute(sql).arrow()
+            exp_names = atbl.column_names
+            exp_cols = [c.to_pylist() for c in atbl.columns]
             exp = rows_of(exp_cols, exp_names)
         except Exception as e:
             print(f"FAIL {name}: oracle error: {e}")
