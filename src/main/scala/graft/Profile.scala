@@ -76,12 +76,23 @@ object Profile {
       .select(col("id_a"), col("id_b"), round(jac, 4).as("jaccard"))
       .filter(col("jaccard") >= 0.2)
     time("verify+filter")(pairs.count())
-    time("full q50 fresh")(
-      Dedup.minhashPairs(Tables(spark, sfDir, "documents"), "doc_id", "text",
-        numHashes = 32, bands = 8, shingleK = 3, threshold = 0.2).count())
-    time("full q56 fresh")(
-      Dedup.dedupCorpus(Tables(spark, sfDir, "documents"), "doc_id", "text",
-        threshold = 0.8).count())
+    val jobTimes = new java.util.concurrent.ConcurrentHashMap[Int, (Long, Int)]()
+    spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(js: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobTimes.put(js.jobId, (js.time, js.stageInfos.map(_.numTasks).sum))
+      override def onJobEnd(je: org.apache.spark.scheduler.SparkListenerJobEnd): Unit = {
+        val (t0, nt) = jobTimes.getOrDefault(je.jobId, (je.time, -1))
+        println(f"[profile]   job ${je.jobId}%3d ${(je.time - t0) / 1e3}%.3f s tasks=$nt")
+      }
+    })
+    for (i <- 1 to 3)
+      time(s"full q50 fresh #$i")(
+        Dedup.minhashPairs(Tables(spark, sfDir, "documents"), "doc_id", "text",
+          numHashes = 32, bands = 8, shingleK = 3, threshold = 0.2).count())
+    for (i <- 1 to 2)
+      time(s"full q56 fresh #$i")(
+        Dedup.dedupCorpus(Tables(spark, sfDir, "documents"), "doc_id", "text",
+          threshold = 0.8).count())
     spark.stop()
   }
 }

@@ -25,4 +25,17 @@ object Tables {
       df.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
     else df
   }
+
+  /** Re-balance an under-parallelized scan before CPU-heavy per-row work
+    * (tokenization, shingling, hashing). A small parquet file arrives as a
+    * single input split, which would serialize the expensive computation on
+    * one core AND let concurrent AQE stages duplicate it before a cache
+    * materializes. No-op when the scan already has enough partitions — at
+    * warehouse scale the input is thousands of splits and repartitioning
+    * here would be a pointless full shuffle.
+    */
+  def spread(df: DataFrame): DataFrame = {
+    val p = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < p) df.repartition(p) else df
+  }
 }

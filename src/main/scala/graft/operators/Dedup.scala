@@ -78,13 +78,24 @@ object Dedup {
     // The signature is the native codegen'd MinHashSig expression (one fused
     // pass); the declarative shingleHashes/minhashSignature pair below stays
     // as the reference formulation and produces identical signatures.
-    val base = df.select(col(idCol).as("__id"), sh.as("__sh"))
+    val base = graft.Tables.spread(df)
+      .select(col(idCol).as("__id"), sh.as("__sh"))
       .filter(size(col("__sh")) > 0)
       .withColumn("__sig", graft.expressions.MinHashSig(col("__sh"), numHashes, 7))
       .persist()
+    // Materialize the cache BEFORE fan-out: the hot-bucket count, the banded
+    // cache fill and the candidate pipeline otherwise launch as concurrent
+    // AQE stage jobs that each recompute the (dominant) shingle+signature
+    // work while the cache is still cold.
+    base.count()
+    // The banded projection is consumed three times (hot-bucket counts and
+    // both sides of the candidate self-join). It is tiny — (id, band, key),
+    // bands rows per doc, no shingle payload — so cache it instead of
+    // re-running the explode over the (much wider) cached base per consumer.
     val banded = base
       .select(col("__id"), explode(bandKeys(col("__sig"), numHashes, bands)).as("__b"))
       .select(col("__id"), col("__b.band").as("band"), col("__b.key").as("key"))
+      .persist()
 
     // Hot-bucket cap: a band key shared by k docs yields k^2/2 candidates.
     // Shape: partial-aggregated counts (tiny — one row per distinct band
@@ -97,11 +108,21 @@ object Dedup {
       .select(col("band"), col("key"))
     val bucketed = banded.join(broadcast(hot), Seq("band", "key"), "left_anti")
 
-    val cand = bucketed.as("a")
-      .join(bucketed.as("b"),
-        col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
-          col("a.__id") < col("b.__id"))
-      .select(col("a.__id").as("id_a"), col("b.__id").as("id_b"))
+    // Pair generation: one shuffle groups each surviving bucket's ids, then
+    // pairs expand bucket-locally. Because the hot anti-join above already
+    // removed every bucket larger than maxBucket, the collected id list is
+    // BOUNDED (<= maxBucket) — this is what makes the collect_list safe at
+    // corpus scale, and it replaces the previous two-sided self-join (two
+    // full exchanges + join) with a single exchange.
+    val ids = col("ids")
+    val pairsOf = flatten(transform(ids, (x, i) =>
+      transform(slice(ids, i + lit(2), size(ids)),
+        y => struct(x.as("id_a"), y.as("id_b")))))
+    val cand = bucketed.groupBy(col("band"), col("key"))
+      .agg(sort_array(collect_list(col("__id"))).as("ids"))
+      .filter(size(ids) >= 2)
+      .select(explode(pairsOf).as("p"))
+      .select(col("p.id_a"), col("p.id_b"))
       .distinct()
 
     val withSets = cand
@@ -109,9 +130,19 @@ object Dedup {
       .join(base.select(col("__id").as("id_b"), col("__sh").as("sh_b")), "id_b")
     val jac = size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
       size(array_union(col("sh_a"), col("sh_b"))).cast("double")
-    withSets
+    // Materialize the (small) verified pair set so the two caches above can
+    // be released HERE instead of leaking for the session lifetime — repeated
+    // minhashPairs/dedupCorpus calls previously accumulated storage. The
+    // result is near-dup pairs only, orders of magnitude smaller than the
+    // corpus, so the eager localCheckpoint is cheap and also cuts lineage
+    // for downstream iteration (connectedComponents).
+    val out = withSets
       .select(col("id_a"), col("id_b"), round(jac, 4).as("jaccard"))
       .filter(col("jaccard") >= threshold)
+      .localCheckpoint(true)
+    base.unpersist(false)
+    banded.unpersist(false)
+    out
   }
 
   /** Connected components over a pair graph by iterative min-label
