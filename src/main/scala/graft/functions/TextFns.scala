@@ -162,11 +162,26 @@ object TextFns {
 
   /** Order-sensitive 64-bit-ish rolling fingerprint over tokens (polynomial
     * hash, overflow-free so it is ANSI-mode safe: accumulator is kept < 2^31
-    * and each step multiplies by a constant < 2^20).
+    * and each step multiplies by a constant < 2^20). The per-token hash is
+    * pluggable: the algorithm is the Horner fold; the hash only needs to be
+    * deterministic and < 2^31.
     */
-  def fingerprint(toks: Column): Column =
+  def rollingFingerprint(toks: Column, tokHash: Column => Column): Column =
     aggregate(
       toks,
       lit(0L),
-      (acc, t) => pmod(acc * lit(1000003L) + pmod(xxhash64(t), lit(2147483647L)), lit(2147483647L)))
+      (acc, t) => pmod(acc * lit(1000003L) + tokHash(t), lit(2147483647L)))
+
+  /** Production form: xxhash64 token hash (codegen'd, fastest). */
+  def fingerprint(toks: Column): Column =
+    rollingFingerprint(toks, t => pmod(xxhash64(t), lit(2147483647L)))
+
+  /** Cross-engine-verifiable form: md5-derived token hash (first 15 hex
+    * chars = 60 bits, so the conv result fits a signed long) — byte-for-byte
+    * reproducible in any engine with md5 + integer arithmetic, which is what
+    * lets the DuckDB oracle replay the exact fold (q36).
+    */
+  def fingerprintPortable(toks: Column): Column =
+    rollingFingerprint(toks,
+      t => pmod(conv(substring(md5(t), 1, 15), 16, 10).cast("long"), lit(2147483647L)))
 }

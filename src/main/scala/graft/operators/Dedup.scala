@@ -229,22 +229,31 @@ object Dedup {
     df.join(losers, Seq(idCol), "left_anti")
   }
 
-  /** 64-bit SimHash per document: per-bit vote of token hashes (explode +
-    * 64 partial-aggregated sums, then bit reassembly — one shuffle on id).
+  /** SimHash per document: per-bit vote of token hashes (explode + `bits`
+    * partial-aggregated sums, then bit reassembly — one shuffle on id).
+    * The token hash is pluggable: xxhash64/64-bit is the production default;
+    * an md5-derived 60-bit hash makes the whole signature replayable in the
+    * DuckDB oracle (q51) since the vote/reassembly is plain integer math.
     */
-  def simhash(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+  def simhash(df: DataFrame, idCol: String, textCol: String,
+              tokHash: Column => Column = xxhash64(_), bits: Int = 64): DataFrame = {
+    require(bits >= 16 && bits <= 64, "simhash supports 16..64 bits")
     val tok = df.select(col(idCol).as("__id"),
       explode(TextFns.tokens(col(textCol))).as("__t"))
-      .withColumn("__h", xxhash64(col("__t")))
-    val votes = (0 until 64).map { i =>
+      .withColumn("__h", tokHash(col("__t")))
+    val votes = (0 until bits).map { i =>
       sum(when(shiftright(col("__h"), i).bitwiseAND(1) === 1, 1L).otherwise(-1L)).as(s"v$i")
     }
     val agg = tok.groupBy(col("__id")).agg(votes.head, votes.tail: _*)
-    val sig = (0 until 64).map { i =>
+    val sig = (0 until bits).map { i =>
       when(col(s"v$i") > 0, lit(1L << i)).otherwise(0L)
     }.reduce(_ + _)
     agg.select(col("__id").as(idCol), sig.as("simhash"))
   }
+
+  /** md5-derived 60-bit token hash shared with the q51 oracle formulation. */
+  def portableTokHash(t: Column): Column =
+    conv(substring(md5(t), 1, 15), 16, 10).cast("long")
 
   /** Near-dup pairs by SimHash Hamming distance <= maxHamming, blocked on
     * (maxHamming+1) 16-bit sig blocks — pigeonhole guarantees any pair

@@ -16,6 +16,32 @@ import graft.operators.{Chunker, Dedup, Similarity}
 object DedupQueries {
   private def t(s: SparkSession, dir: String, n: String): DataFrame = Tables(s, dir, n)
 
+  /** q53 oracle: replays hyperplane-LSH bucketing + cosine verification in
+    * DuckDB. The planes (VectorFns.planeFor, seeds 0..3, dim 64 — exactly
+    * what embeddingPairs(nBits = 4) uses) are emitted as double literals via
+    * Double.toString, whose shortest-round-trip form parses back to the
+    * identical double in any IEEE-754 strtod, so the projection signs match
+    * bit-for-bit. Bucket equality is compared as the per-plane sign list.
+    */
+  private lazy val q53OracleSql: String = {
+    val planes = Array.tabulate(4)(b => graft.functions.VectorFns.planeFor(b, 64))
+    def lit(p: Array[Double]) = p.map(java.lang.Double.toString).mkString("[", ", ", "]")
+    val bitExprs = planes.map { p =>
+      s"""CASE WHEN list_sum(list_transform(list_zip(embedding, ${lit(p)}),
+         |  x -> coalesce(CAST(x[1] AS DOUBLE) * x[2], 0.0))) >= 0 THEN 1 ELSE 0 END""".stripMargin
+    }
+    s"""WITH b AS (SELECT vec_id, embedding,
+       |    [${bitExprs.mkString(",\n     ")}] AS bits
+       |  FROM embeddings),
+       |p AS (SELECT a.vec_id AS id_a, c.vec_id AS id_b,
+       |    round(list_sum(list_transform(list_zip(a.embedding, c.embedding),
+       |        x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))
+       |      / (sqrt(list_sum(list_transform(a.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+       |       * sqrt(list_sum(list_transform(c.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 4) AS cosine
+       |  FROM b a JOIN b c ON a.bits = c.bits AND a.vec_id < c.vec_id)
+       |SELECT id_a, id_b, cosine FROM p WHERE cosine >= 0.35 ORDER BY id_a, id_b""".stripMargin
+  }
+
   def all: Seq[Q] = Seq(
 
     // ---- MinHash+LSH near-dup candidate pairs, Jaccard-verified. ----
@@ -27,14 +53,29 @@ object DedupQueries {
       },
       None),
 
-    // ---- SimHash near-dup pairs (Hamming <= 16 over word-soup docs). ----
+    // ---- SimHash signatures. The oracle-facing form uses the md5-derived
+    // 60-bit token hash so DuckDB can replay the per-bit vote + reassembly
+    // exactly (integer shifts/sums are portable; xxhash64 is not). The
+    // production default (xxhash64/64-bit) runs the identical vote logic —
+    // pinned by SimHash specs — so this hash-proves the algorithm. ----
     Q("q51_simhash_pairs",
       (s, dir) => {
-        Dedup.simhash(t(s, dir, "documents"), "doc_id", "text")
+        Dedup.simhash(t(s, dir, "documents"), "doc_id", "text",
+            Dedup.portableTokHash _, bits = 60)
           .select(col("doc_id"), col("simhash"))
           .orderBy(col("doc_id"))
       },
-      None),
+      Some("""WITH tok AS (SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS t
+             |             FROM documents WHERE length(trim(text)) > 0),
+             |h AS (SELECT doc_id,
+             |        CAST(concat('0x', substr(md5(t), 1, 15)) AS BIGINT) AS hv FROM tok),
+             |v AS (SELECT doc_id, i,
+             |        sum(CASE WHEN (hv >> i) & 1 = 1 THEN 1 ELSE -1 END) AS vote
+             |      FROM h CROSS JOIN (SELECT unnest(range(60)) AS i) bits
+             |      GROUP BY doc_id, i)
+             |SELECT doc_id,
+             |  CAST(sum(CASE WHEN vote > 0 THEN (1::BIGINT << CAST(i AS INT)) ELSE 0 END) AS BIGINT) AS simhash
+             |FROM v GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
 
     // ---- Exact pairwise token-set Jaccard on a capped block (the
     // verification kernel of MinHash, oracle-checkable via set algebra). ----
@@ -76,13 +117,17 @@ object DedupQueries {
     // ---- Embedding near-duplicates (hyperplane-LSH blocked cosine). The
     // synthetic embeddings are near-uniform (max pairwise cosine ~0.46), so
     // the "near-dup" threshold is set below that to exercise the operator.
+    // Oracle: the hyperplanes are deterministic driver-side arrays, so they
+    // are INLINED into the generated SQL as double literals — DuckDB then
+    // reproduces the exact bucket partition (per-plane projection sign) and
+    // the exact cosine (q42-proven bit-identical fold). ----
     Q("q53_embedding_dupes",
       (s, dir) => {
         Dedup.embeddingPairs(t(s, dir, "embeddings"), "vec_id", "embedding",
             threshold = 0.35, nBits = 4)
           .orderBy(col("id_a"), col("id_b"))
       },
-      None),
+      Some(q53OracleSql)),
 
     // ---- ANN: LSH-bucketed approximate top-k (scale path of q41). ----
     Q("q54_knn_lsh",

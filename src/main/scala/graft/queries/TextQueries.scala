@@ -193,14 +193,24 @@ object TextQueries {
              |    THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled
              |FROM documents GROUP BY lang ORDER BY lang""".stripMargin)),
 
-    // ---- Order-sensitive document fingerprint (rolling polynomial hash) —
-    // custom hash, not SQL-portable => rows-only check. ----
+    // ---- Order-sensitive document fingerprint (rolling polynomial hash).
+    // The oracle replays the exact Horner fold via list_reduce with the
+    // md5-derived 60-bit token hash (portable integer arithmetic); the
+    // xxhash64 production default runs the identical fold. ----
     Q("q36_fingerprint",
       (s, dir) => {
         t(s, dir, "documents")
-          .select(col("doc_id"), TextFns.fingerprint(TextFns.tokens(col("text"))).as("fp"))
+          .select(col("doc_id"),
+            TextFns.fingerprintPortable(TextFns.tokens(col("text"))).as("fp"))
           .orderBy(col("doc_id"))
       },
-      None)
+      Some("""SELECT doc_id,
+             |  CASE WHEN length(trim(text)) = 0 THEN 0
+             |       ELSE list_reduce(list_prepend(0::BIGINT,
+             |         list_transform(string_split_regex(trim(text), '\s+'),
+             |           t -> CAST(concat('0x', substr(md5(t), 1, 15)) AS BIGINT) % 2147483647)),
+             |         (acc, x) -> (acc * 1000003 + x) % 2147483647)
+             |  END AS fp
+             |FROM documents ORDER BY doc_id""".stripMargin))
   )
 }

@@ -53,6 +53,13 @@ class DedupSpec extends SparkSpec {
     assert(pairs.contains((1L, 4L)))
   }
 
+  test("simhash portable hash: same vote algorithm, signatures bounded to 60 bits") {
+    val sig = Dedup.simhash(docs, "doc_id", "text", Dedup.portableTokHash _, bits = 60)
+      .as[(Long, Long)].collect().toMap
+    assert(sig(1L) == sig(4L), "identical docs still collide under the portable hash")
+    assert(sig.values.forall(v => v >= 0 && v < (1L << 60)))
+  }
+
   test("connected components resolve transitive chains; corpus dedup keeps representatives") {
     // chain 1-2, 2-5 (no direct 1-5 edge) plus isolated pair 3-4
     val pairs = Seq((1L, 2L), (2L, 5L), (3L, 4L)).toDF("id_a", "id_b")

@@ -89,6 +89,15 @@ class TextFnsSpec extends SparkSpec {
     assert(fp(0) != fp(2))
   }
 
+  test("fingerprintPortable: same fold laws, values bounded by the modulus") {
+    val fp = Seq("a b c", "a b c", "c b a", "").toDF("t")
+      .select(TextFns.fingerprintPortable(TextFns.tokens(col("t")))).as[Long].collect()
+    assert(fp(0) == fp(1))
+    assert(fp(0) != fp(2))
+    assert(fp(3) == 0L, "empty text folds to the init value")
+    assert(fp.forall(v => v >= 0 && v < 2147483647L))
+  }
+
   test("langId picks the stopword-dominant language with fixed tie-break") {
     val preds = Seq(
       "the cat and the dog is in the house",
