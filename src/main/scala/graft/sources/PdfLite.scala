@@ -1,0 +1,192 @@
+package graft.sources
+
+import java.nio.charset.StandardCharsets.ISO_8859_1
+
+/** Minimal from-scratch PDF text extractor (S3).
+  *
+  * The reference's core ingestion parses fetched PDFs into text
+  * (arxiv_hook.py:145-182); this container has no PDF library offline, so
+  * instead of stubbing, the common case is implemented directly from the PDF
+  * spec: locate object streams, FlateDecode them with `java.util.zip`, and
+  * interpret the page-content text operators (Tj / ' / TJ arrays, literal
+  * + hex strings, Td/TD/T* line moves).
+  *
+  * Scope (documented, checked by `PdfLiteSpec`): classic xref PDFs with
+  * uncompressed or Flate-compressed content streams and simple (Type1 /
+  * WinAnsi-ish) encodings — i.e. the bulk of text-first PDFs like arXiv
+  * papers. NOT handled: encryption, LZW/ASCII85 filters, object streams
+  * (PDF 1.5 compressed xref), CID/Type0 composite fonts (their 2-byte
+  * strings surface as garbage and should be routed to the dead-letter
+  * channel by a downstream quality guard). A full-fidelity library parser
+  * can drop in behind the same `DocParser` trait without touching callers.
+  */
+object PdfLite {
+
+  /** Extract text, one string per content stream (== per page for PDFs that
+    * keep one /Contents stream per page, the overwhelmingly common layout).
+    */
+  def extract(content: Array[Byte]): Seq[String] = {
+    val latin1 = new String(content, ISO_8859_1)
+    val out = scala.collection.mutable.Buffer.empty[String]
+    var idx = 0
+    while ({ idx = latin1.indexOf("stream", idx); idx >= 0 }) {
+      if (idx >= 3 && latin1.regionMatches(idx - 3, "end", 0, 3)) {
+        idx += "stream".length // this is an "endstream" keyword, not a start
+      } else {
+        val dictStart = math.max(latin1.lastIndexOf("obj", idx), 0)
+        val dict = latin1.substring(dictStart, idx)
+        var dataStart = idx + "stream".length
+        if (dataStart < latin1.length && latin1.charAt(dataStart) == '\r') dataStart += 1
+        if (dataStart < latin1.length && latin1.charAt(dataStart) == '\n') dataStart += 1
+        val end = latin1.indexOf("endstream", dataStart)
+        if (end < 0) { idx = dataStart }
+        else {
+          val raw = content.slice(dataStart, trimEol(latin1, end))
+          val decoded =
+            if (dict.contains("/FlateDecode")) inflate(raw)
+            else Some(raw)
+          decoded.map(b => new String(b, ISO_8859_1)).foreach { s =>
+            if (s.contains("BT")) {
+              val txt = extractTextOps(s)
+              if (txt.nonEmpty) out += txt
+            }
+          }
+          idx = end + "endstream".length
+        }
+      }
+    }
+    out.toSeq
+  }
+
+  /** Strip the EOL that precedes `endstream` (stream data per spec ends
+    * before it).
+    */
+  private def trimEol(latin1: String, end: Int): Int = {
+    var e = end
+    if (e > 0 && latin1.charAt(e - 1) == '\n') e -= 1
+    if (e > 0 && latin1.charAt(e - 1) == '\r') e -= 1
+    e
+  }
+
+  private def inflate(b: Array[Byte]): Option[Array[Byte]] =
+    try {
+      val inf = new java.util.zip.Inflater()
+      inf.setInput(b)
+      val out = new java.io.ByteArrayOutputStream()
+      val buf = new Array[Byte](8192)
+      while (!inf.finished()) {
+        val n = inf.inflate(buf)
+        if (n == 0 && inf.needsInput()) throw new java.util.zip.DataFormatException("truncated")
+        out.write(buf, 0, n)
+      }
+      inf.end()
+      Some(out.toByteArray)
+    } catch { case _: java.util.zip.DataFormatException => None }
+
+  /** Interpret the text-showing subset of the content-stream language.
+    * Kerning gaps below -150/1000 em in TJ arrays become spaces (the
+    * standard word-boundary heuristic).
+    */
+  private[sources] def extractTextOps(s: String): String = {
+    val lines = scala.collection.mutable.Buffer(new StringBuilder)
+    def cur = lines.last
+    def newline(): Unit = if (cur.nonEmpty) lines += new StringBuilder
+    var pending: List[String] = Nil // strings awaiting their operator
+    var lastNum = 0.0
+    var inText = false
+    var i = 0
+    val n = s.length
+    while (i < n) {
+      val c = s.charAt(i)
+      if (c.isWhitespace) i += 1
+      else if (c == '(') { val (str, j) = literalString(s, i); pending ::= str; i = j }
+      else if (c == '<' && i + 1 < n && s.charAt(i + 1) != '<') {
+        val (str, j) = hexString(s, i); pending ::= str; i = j
+      }
+      else if (c == '<') i += 2 // dict open <<
+      else if (c == '[' || c == ']' || c == '>') i += 1
+      else if (c == '/') { i += 1; while (i < n && !s.charAt(i).isWhitespace && !"()<>[]/".contains(s.charAt(i))) i += 1 }
+      else if (c == '-' || c == '.' || c.isDigit) {
+        val start = i
+        i += 1
+        while (i < n && (s.charAt(i).isDigit || s.charAt(i) == '.')) i += 1
+        lastNum = try s.substring(start, i).toDouble catch { case _: NumberFormatException => 0.0 }
+        // a large negative kern between TJ strings is a word boundary
+        if (inText && pending.nonEmpty && lastNum < -150.0) pending ::= " "
+      }
+      else {
+        val start = i
+        while (i < n && !s.charAt(i).isWhitespace && !"()<>[]/".contains(s.charAt(i))) i += 1
+        s.substring(start, i) match {
+          case "BT" => inText = true; pending = Nil
+          case "ET" => inText = false; pending = Nil
+          case "Tj" | "TJ" =>
+            if (inText) cur ++= pending.reverse.mkString("").replaceAll(" +", " ")
+            pending = Nil
+          case "'" | "\"" =>
+            if (inText) { newline(); cur ++= pending.reverse.mkString("") }
+            pending = Nil
+          case "Td" | "TD" | "T*" =>
+            if (inText) newline()
+            pending = Nil
+          case _ => () // Tf, Tm, graphics operators, ...
+        }
+      }
+    }
+    lines.map(_.toString).mkString("\n").trim
+  }
+
+  /** Parse a PDF literal string starting at `(`; returns (text, next index).
+    * Handles nesting, the standard escapes, and octal codes.
+    */
+  private def literalString(s: String, start: Int): (String, Int) = {
+    val sb = new StringBuilder
+    var depth = 1
+    var i = start + 1
+    while (i < s.length && depth > 0) {
+      s.charAt(i) match {
+        case '\\' if i + 1 < s.length =>
+          s.charAt(i + 1) match {
+            case 'n' => sb += '\n'; i += 2
+            case 'r' => sb += '\r'; i += 2
+            case 't' => sb += '\t'; i += 2
+            case 'b' => sb += '\b'; i += 2
+            case 'f' => sb += '\f'; i += 2
+            case d if d >= '0' && d <= '7' =>
+              var j = i + 1; var v = 0
+              while (j < s.length && j < i + 4 && s.charAt(j) >= '0' && s.charAt(j) <= '7') {
+                v = v * 8 + (s.charAt(j) - '0'); j += 1
+              }
+              sb += v.toChar; i = j
+            case other => sb += other; i += 2
+          }
+        case '(' => depth += 1; sb += '('; i += 1
+        case ')' => depth -= 1; if (depth > 0) sb += ')'; i += 1
+        case ch => sb += ch; i += 1
+      }
+    }
+    (sb.toString, i)
+  }
+
+  /** Parse a hex string starting at `<`; returns (text, next index). */
+  private def hexString(s: String, start: Int): (String, Int) = {
+    val end = s.indexOf('>', start + 1)
+    if (end < 0) return ("", s.length)
+    val hex = s.substring(start + 1, end).filterNot(_.isWhitespace)
+    val padded = if (hex.length % 2 == 1) hex + "0" else hex
+    val sb = new StringBuilder
+    var i = 0
+    while (i + 1 < padded.length + 1 && i + 2 <= padded.length) {
+      try sb += Integer.parseInt(padded.substring(i, i + 2), 16).toChar
+      catch { case _: NumberFormatException => () }
+      i += 2
+    }
+    (sb.toString, end + 1)
+  }
+}
+
+/** `DocParser` over PdfLite: one row per extracted content stream/page. */
+class PdfLiteParser extends Sources.DocParser {
+  override def parse(path: String, content: Array[Byte]): Seq[String] =
+    PdfLite.extract(content)
+}

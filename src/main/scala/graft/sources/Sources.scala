@@ -77,7 +77,8 @@ object Sources {
       Seq(new String(content, java.nio.charset.StandardCharsets.UTF_8))
   }
 
-  val parserRegistry: Map[String, DocParser] = Map("txt" -> new TextParser)
+  val parserRegistry: Map[String, DocParser] =
+    Map("txt" -> new TextParser, "pdf" -> new PdfLiteParser)
 
   /** S5: glob of binary documents -> (path, modificationTime, full_text)
     * via a registered parser; fan-out parsers yield one row per segment.

@@ -39,7 +39,28 @@ class SourcesSpec extends SparkSpec {
     assert(out.columns.toSet == Set("path", "modificationTime", "segment", "full_text"))
     val texts = out.select("full_text").as[String].collect().toSet
     assert(texts == Set("hello binary world", "second doc"))
-    intercept[IllegalArgumentException](Sources.binaryDocuments(spark, dir, "pdf"))
+    intercept[IllegalArgumentException](Sources.binaryDocuments(spark, dir, "docx"))
+  }
+
+  test("PdfLite: binaryFile -> full_text over the checked-in PDF fixture") {
+    val fixture = new java.io.File("src/test/resources/fixtures/sample.pdf")
+    assert(fixture.exists, s"missing fixture ${fixture.getAbsolutePath}")
+    val out = Sources.binaryDocuments(spark, fixture.getAbsolutePath, "pdf")
+      .orderBy("segment")
+      .select("segment", "full_text").as[(Int, String)].collect()
+    assert(out.length == 2, "one row per page content stream")
+    assert(out(0) == (0, "Spark-native analytics engine\ngraft parses (lite) PDFs natively."),
+      s"page 1 got: ${out(0)}")
+    assert(out(1) == (1, "Page two\nhex string"), s"page 2 got: ${out(1)}")
+  }
+
+  test("PdfLite: uncompressed streams, octal escapes, and non-PDF bytes") {
+    import graft.sources.PdfLite
+    val raw = ("1 0 obj << /Length 60 >>\nstream\n" +
+      "BT (A\\051B) Tj ET\nendstream\nendobj\n").getBytes("ISO-8859-1")
+    assert(PdfLite.extract(raw) == Seq("A)B"), "octal \\051 is ')'")
+    assert(PdfLite.extract("not a pdf at all".getBytes("UTF-8")).isEmpty)
+    assert(PdfLite.extract(Array.fill[Byte](64)(0x7f)).isEmpty)
   }
 
   test("pendingFetches: anti-join idempotence (arxiv_hook.py:126-128 analog)") {
