@@ -50,7 +50,12 @@ object SemanticOps extends Serializable {
   /** Per-session model-call accounting (A3/§4.1: accumulators instead of
     * the reference's stdout scraping). Driver-readable after any action.
     */
+  /** `calls` counts model invocations (one per request batch — the unit
+    * API cost scales with); `rows` counts documents sent through those
+    * calls; `retriedRows` counts rows re-sent on retry attempts.
+    */
   case class Metrics(calls: org.apache.spark.util.LongAccumulator,
+                     rows: org.apache.spark.util.LongAccumulator,
                      retriedRows: org.apache.spark.util.LongAccumulator)
 
   private val metricsBySession =
@@ -59,6 +64,7 @@ object SemanticOps extends Serializable {
   def metrics(spark: org.apache.spark.sql.SparkSession): Metrics =
     metricsBySession.computeIfAbsent(spark.sparkContext, sc => Metrics(
       sc.longAccumulator("graft.model.calls"),
+      sc.longAccumulator("graft.model.rows"),
       sc.longAccumulator("graft.model.retried_rows")))
 
   /** One model pass: adds a `__resp` string column via batched client calls. */
@@ -70,7 +76,8 @@ object SemanticOps extends Serializable {
     val m = metrics(in.sparkSession)
     withPrompt.mapPartitions { rows =>
       rows.grouped(batchSize).flatMap { batch =>
-        m.calls.add(batch.size)
+        m.calls.add(1)
+        m.rows.add(batch.size)
         if (isRetry) m.retriedRows.add(batch.size)
         val resps = client.completeBatch(batch.map(_.getString(idx)), schemaDdl)
         batch.lazyZip(resps).map((r, resp) => Row.fromSeq(r.toSeq :+ resp))

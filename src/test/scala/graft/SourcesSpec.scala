@@ -73,15 +73,18 @@ class SourcesSpec extends SparkSpec {
     assert(Sources.pendingFetches(requested, done, "key").isEmpty)
   }
 
-  test("model-call accumulators count calls and retried rows") {
+  test("model-call accumulators: calls per batch, rows per document") {
     val m = SemanticOps.metrics(spark)
-    val before = m.calls.value
+    val (calls0, rows0, retried0) = (m.calls.value, m.rows.value, m.retriedRows.value)
     val docs = Seq((1L, "x y z"), (2L, "p q r")).toDF("doc_id", "text")
+      .repartition(1) // one partition => batching is deterministic
     val schema = StructType(Seq(StructField("summary", StringType), StructField("n", LongType)))
     SemanticOps.semanticMap(docs, "S: {{ input.text }}", schema, new StubModelClient(),
-      validations = Seq("n < 0"), retries = 2).dead.count()
-    val delta = m.calls.value - before
-    assert(delta == 6, s"2 rows x 3 attempts expected, got $delta")
-    assert(m.retriedRows.value >= 4)
+      validations = Seq("n < 0"), retries = 2, batchSize = 16).dead.count()
+    // 2 rows, batchSize 16 => ceil(2/16) = 1 call per attempt, 3 attempts
+    assert(m.calls.value - calls0 == 3,
+      s"expected 3 calls (1 batch x 3 attempts), got ${m.calls.value - calls0}")
+    assert(m.rows.value - rows0 == 6, "2 rows x 3 attempts")
+    assert(m.retriedRows.value - retried0 == 4, "2 rows x 2 retry attempts")
   }
 }
