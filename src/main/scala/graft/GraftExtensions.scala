@@ -30,8 +30,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((
       new FunctionIdentifier("minhash_sig"),
       new ExpressionInfo(classOf[MinHashSig].getName, "minhash_sig"),
-      (es: Seq[Expression]) => MinHashSig(es(0), MinHashSig.constants(
-        es(1).eval().asInstanceOf[Number].intValue(),
-        es(2).eval().asInstanceOf[Number].intValue()))))
+      (es: Seq[Expression]) => MinHashSig.fromSql(es)))
   }
 }

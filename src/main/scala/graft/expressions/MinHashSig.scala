@@ -90,4 +90,23 @@ object MinHashSig {
 
   def apply(shingles: Column, numHashes: Int, seed: Int): Column =
     GraftShim.column(MinHashSig(GraftShim.expression(shingles), constants(numHashes, seed)))
+
+  /** SQL-registration builder: the hash-family constants are derived at plan
+    * time, so numHashes/seed MUST be foldable — a bare column reference here
+    * would otherwise surface as an opaque unbound-reference/NPE from eval().
+    */
+  private def analysisError(msg: String): Nothing =
+    throw new org.apache.spark.sql.AnalysisException(
+      "USER_RAISED_EXCEPTION", Map("errorMessage" -> msg))
+
+  def fromSql(es: Seq[org.apache.spark.sql.catalyst.expressions.Expression]): MinHashSig = {
+    if (es.length != 3)
+      analysisError("minhash_sig(shingles, numHashes, seed) takes exactly 3 arguments")
+    if (!es(1).foldable || !es(2).foldable)
+      analysisError("minhash_sig(shingles, numHashes, seed) requires literal " +
+        "numHashes/seed: the hash-family constants are derived at plan time")
+    MinHashSig(es.head, constants(
+      es(1).eval().asInstanceOf[Number].intValue(),
+      es(2).eval().asInstanceOf[Number].intValue()))
+  }
 }

@@ -132,9 +132,7 @@ object VectorExpressions {
     reg.createOrReplaceTempFunction("split_tokens",
       es => SplitTokens(es.head, es(1), es(2)), "built-in")
     reg.createOrReplaceTempFunction("minhash_sig",
-      es => MinHashSig(es.head, MinHashSig.constants(
-        es(1).eval().asInstanceOf[Number].intValue(),
-        es(2).eval().asInstanceOf[Number].intValue())), "built-in")
+      es => MinHashSig.fromSql(es), "built-in")
   }
 }
 

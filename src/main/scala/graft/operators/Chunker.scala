@@ -28,21 +28,49 @@ object Chunker {
 
   /** Explode `textCol` into (chunk_id, chunk_text) rows, preserving all other
     * columns (preserve_metadata semantics).
+    *
+    * `neighbors > 0` additionally emits `prev_context` / `next_context`
+    * columns carrying up to `neighbors` chunk-steps of tokens on either side
+    * of the chunk — the DocETL "gather" peripheral-context analog
+    * (arXiv:2410.12189 §4.2: split chunks lose cross-boundary context, so
+    * downstream maps receive a bounded neighbor window). Default off; the
+    * context is cut from the same token array inside the same codegen'd
+    * expression, so it adds no extra pass or shuffle.
     */
   def split(df: DataFrame, textCol: String, chunkSize: Int, overlap: Int,
-            chunkIdCol: String = "chunk_id", chunkCol: String = "chunk_text"): DataFrame = {
+            chunkIdCol: String = "chunk_id", chunkCol: String = "chunk_text",
+            neighbors: Int = 0): DataFrame = {
     require(overlap >= 0 && overlap < chunkSize, "need 0 <= overlap < chunkSize")
+    require(neighbors >= 0, "neighbors must be >= 0")
     val step = chunkSize - overlap
     val toks = TextFns.tokens(col(textCol))
     val n = chunkCount(size(toks), chunkSize, overlap)
     val chunks = transform(
       sequence(lit(0L), n - 1),
-      i => struct(
-        i.as("id"),
-        concat_ws(" ", slice(toks, (i * step + 1).cast("int"), lit(chunkSize))).as("text")))
-    df.withColumn("__c", explode(chunks))
+      i => {
+        val base = Seq(
+          i.as("id"),
+          concat_ws(" ", slice(toks, (i * step + 1).cast("int"), lit(chunkSize))).as("text"))
+        val ctx =
+          if (neighbors == 0) Nil
+          else {
+            val pstart = greatest(i * step - lit(neighbors.toLong * step), lit(0L))
+            Seq(
+              concat_ws(" ", slice(toks, (pstart + 1).cast("int"),
+                (i * step - pstart).cast("int"))).as("prev"),
+              concat_ws(" ", slice(toks, (i * step + chunkSize + 1).cast("int"),
+                lit(neighbors * step))).as("next"))
+          }
+        struct(base ++ ctx: _*)
+      })
+    val exploded = df.withColumn("__c", explode(chunks))
       .withColumn(chunkIdCol, col("__c.id"))
       .withColumn(chunkCol, col("__c.text"))
-      .drop("__c")
+    val withCtx =
+      if (neighbors == 0) exploded
+      else exploded
+        .withColumn("prev_context", col("__c.prev"))
+        .withColumn("next_context", col("__c.next"))
+    withCtx.drop("__c")
   }
 }

@@ -42,6 +42,26 @@ class ChunkerSpec extends SparkSpec {
     }
   }
 
+  test("neighbors: bounded prev/next context windows, default off") {
+    val toks = (1 to 100).map(i => s"t$i")
+    val df = Seq((1L, toks.mkString(" "))).toDF("id", "text")
+    val out = Chunker.split(df, "text", 10, 0, neighbors = 2)
+      .select(col("chunk_id"), col("prev_context"), col("chunk_text"), col("next_context"))
+      .as[(Long, String, String, String)].collect().sortBy(_._1)
+    assert(out.length == 10)
+    // chunk 3 covers t31..t40; +-2 chunk-steps of context on each side
+    val c3 = out(3)
+    assert(c3._2 == (11 to 30).map(i => s"t$i").mkString(" "), s"prev: ${c3._2}")
+    assert(c3._3 == (31 to 40).map(i => s"t$i").mkString(" "))
+    assert(c3._4 == (41 to 60).map(i => s"t$i").mkString(" "), s"next: ${c3._4}")
+    // edges: first chunk has no prev, chunk 1 a truncated prev, last no next
+    assert(out(0)._2 == "" && out(0)._4 == (11 to 30).map(i => s"t$i").mkString(" "))
+    assert(out(1)._2 == (1 to 10).map(i => s"t$i").mkString(" "))
+    assert(out(9)._4 == "")
+    // default: context columns absent (q55 output shape unchanged)
+    assert(!Chunker.split(df, "text", 10, 0).columns.contains("prev_context"))
+  }
+
   test("metadata columns are preserved on every chunk") {
     val df = Seq((7L, "x", ("w " * 50).trim)).toDF("id", "lang", "text")
     val out = Chunker.split(df, "text", 20, 5)

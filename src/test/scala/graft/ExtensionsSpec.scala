@@ -33,6 +33,20 @@ class ExtensionsSpec extends SparkSpec {
     assert(sqlSig == colSig && sqlSig.length == 8)
   }
 
+  test("minhash_sig rejects non-literal numHashes/seed with a clear message") {
+    graft.expressions.VectorExpressions.register(spark)
+    val e = intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("SELECT minhash_sig(array('a'), doc_id, 7) FROM (SELECT 8L AS doc_id)")
+        .collect()
+    }
+    assert(e.getMessage.contains("requires literal"), s"got: ${e.getMessage}")
+    val arity = intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("SELECT minhash_sig(array('a'), 8)").collect()
+    }
+    assert(arity.getMessage.contains("exactly 3 arguments") ||
+      arity.getMessage.toLowerCase.contains("number of arguments"), s"got: ${arity.getMessage}")
+  }
+
   test("split_tokens generator matches the DataFrame chunker") {
     graft.expressions.VectorExpressions.register(spark)
     val docs = Tables(spark, sfDir, "documents").limit(50)
