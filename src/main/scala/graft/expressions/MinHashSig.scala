@@ -7,6 +7,30 @@ import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.GraftShim
 import org.apache.spark.sql.types._
 
+/** Shingle hash shared by the fused expression's portable mode and the
+  * declarative/oracle formulations: the first 60 bits (15 hex chars) of
+  * md5 — reproducible in any engine with md5 + integer arithmetic, and
+  * small enough that the universal-hash step (a*h+b, a < 2^20) cannot
+  * overflow a signed long after the mod-P reduction.
+  */
+object PortableHash {
+  private val md5 = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+
+  /** First 60 bits of md5(utf8 bytes) == CAST('0x' || substr(md5(s),1,15) AS BIGINT). */
+  def hash60(s: org.apache.spark.unsafe.types.UTF8String): Long = {
+    val d = md5.get()
+    d.reset()
+    val dig = d.digest(s.getBytes)
+    var v = 0L
+    var i = 0
+    while (i < 7) { v = (v << 8) | (dig(i) & 0xffL); i += 1 }
+    (v << 4) | ((dig(7) & 0xf0L) >>> 4)
+  }
+}
+
 /** Whole MinHash signature in ONE codegen'd pass over the shingle array.
   *
   * Equivalent declarative form (graft.operators.Dedup.shingleHashes +
@@ -21,7 +45,8 @@ import org.apache.spark.sql.types._
   *
   * Bounds: h < 2^31, a < 2^20 => a*h+b < 2^52 — no long overflow.
   */
-case class MinHashSig(child: Expression, ab: Array[Array[Long]])
+case class MinHashSig(child: Expression, ab: Array[Array[Long]],
+                      portableHash: Boolean = false)
     extends UnaryExpression {
 
   private val P = 2147483647L // 2^31 - 1 (Mersenne prime)
@@ -35,7 +60,9 @@ case class MinHashSig(child: Expression, ab: Array[Array[Long]])
     val mins = Array.fill(k)(Long.MaxValue)
     var j = 0
     while (j < n) {
-      val raw = XXH64.hashUTF8String(arr.getUTF8String(j), 42L)
+      val raw =
+        if (portableHash) PortableHash.hash60(arr.getUTF8String(j))
+        else XXH64.hashUTF8String(arr.getUTF8String(j), 42L)
       val h = ((raw % P) + P) % P
       var i = 0
       while (i < k) {
@@ -50,6 +77,10 @@ case class MinHashSig(child: Expression, ab: Array[Array[Long]])
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val abRef = ctx.addReferenceObj("ab", ab, "long[][]")
+    val hashCall =
+      if (portableHash) "graft.expressions.PortableHash.hash60"
+      else "org.apache.spark.sql.catalyst.expressions.XXH64.hashUTF8String"
+    val hashArgs = if (portableHash) "" else ", 42L"
     nullSafeCodeGen(ctx, ev, v => {
       val n = ctx.freshName("n"); val j = ctx.freshName("j")
       val i = ctx.freshName("i"); val mins = ctx.freshName("mins")
@@ -60,8 +91,7 @@ case class MinHashSig(child: Expression, ab: Array[Array[Long]])
          |long[] $mins = new long[$abRef.length];
          |java.util.Arrays.fill($mins, Long.MAX_VALUE);
          |for (int $j = 0; $j < $n; $j++) {
-         |  long $raw = org.apache.spark.sql.catalyst.expressions.XXH64
-         |    .hashUTF8String($v.getUTF8String($j), 42L);
+         |  long $raw = $hashCall($v.getUTF8String($j)$hashArgs);
          |  long $h = (($raw % 2147483647L) + 2147483647L) % 2147483647L;
          |  for (int $i = 0; $i < $abRef.length; $i++) {
          |    long $slot = ($abRef[$i][0] * $h + $abRef[$i][1]) % 2147483647L;
@@ -89,7 +119,11 @@ object MinHashSig {
   }
 
   def apply(shingles: Column, numHashes: Int, seed: Int): Column =
-    GraftShim.column(MinHashSig(GraftShim.expression(shingles), constants(numHashes, seed)))
+    apply(shingles, numHashes, seed, portableHash = false)
+
+  def apply(shingles: Column, numHashes: Int, seed: Int, portableHash: Boolean): Column =
+    GraftShim.column(MinHashSig(GraftShim.expression(shingles),
+      constants(numHashes, seed), portableHash))
 
   /** SQL-registration builder: the hash-family constants are derived at plan
     * time, so numHashes/seed MUST be foldable — a bare column reference here

@@ -39,6 +39,14 @@ object Dedup {
   def shingleHashes(shingles: Column): Column =
     transform(shingles, x => pmod(xxhash64(x), lit(MersennePrime)))
 
+  /** Declarative form of the portable (md5/60-bit) shingle hash — the
+    * reference formulation for MinHashSig's portableHash mode and the exact
+    * arithmetic the q92 DuckDB oracle replays.
+    */
+  def shingleHashesPortable(shingles: Column): Column =
+    transform(shingles, x =>
+      pmod(conv(substring(md5(x), 1, 15), 16, 10).cast("long"), lit(MersennePrime)))
+
   def minhashSignature(hashedShingles: Column, numHashes: Int, seed: Int = 7): Column = {
     val rnd = new java.util.Random(seed)
     val ab = Array.fill(numHashes)((1L + rnd.nextInt((1 << 20) - 1).toLong, rnd.nextInt(1 << 20).toLong))
@@ -49,14 +57,20 @@ object Dedup {
 
   /** LSH band keys for a signature: `bands` hashes, each over an equal slice
     * of the signature. Two docs sharing any band key become a candidate pair.
+    * Portable mode hashes the comma-joined slice with md5 (replayable as
+    * `md5(array_to_string(sig[a:b], ','))` in the DuckDB oracle) instead of
+    * xxhash64; the banding semantics are identical.
     */
-  def bandKeys(sig: Column, numHashes: Int, bands: Int): Column = {
+  def bandKeys(sig: Column, numHashes: Int, bands: Int,
+               portableHash: Boolean = false): Column = {
     val rows = numHashes / bands
     transform(
       sequence(lit(0), lit(bands - 1)),
-      b => struct(
-        b.as("band"),
-        xxhash64(concat_ws(",", slice(sig, b * rows + 1, lit(rows)))).as("key")))
+      b => {
+        val joined = concat_ws(",", slice(sig, b * rows + 1, lit(rows)))
+        val key = if (portableHash) md5(joined.cast("binary")) else xxhash64(joined)
+        struct(b.as("band"), key.as("key"))
+      })
   }
 
   /** Near-duplicate pairs via MinHash + LSH banding, verified with exact
@@ -69,7 +83,8 @@ object Dedup {
     */
   def minhashPairs(df: DataFrame, idCol: String, textCol: String,
                    numHashes: Int = 32, bands: Int = 8, shingleK: Int = 3,
-                   threshold: Double = 0.5, maxBucket: Int = 1000): DataFrame = {
+                   threshold: Double = 0.5, maxBucket: Int = 1000,
+                   portableHash: Boolean = false): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val sh = array_distinct(TextFns.wordShingles(TextFns.tokens(col(textCol)), shingleK))
     // Persist: the shingle sets feed signature generation AND both sides of
@@ -81,7 +96,8 @@ object Dedup {
     val base = graft.Tables.spread(df)
       .select(col(idCol).as("__id"), sh.as("__sh"))
       .filter(size(col("__sh")) > 0)
-      .withColumn("__sig", graft.expressions.MinHashSig(col("__sh"), numHashes, 7))
+      .withColumn("__sig",
+        graft.expressions.MinHashSig(col("__sh"), numHashes, 7, portableHash))
       .persist()
     // Materialize the cache BEFORE fan-out: the hot-bucket count, the banded
     // cache fill and the candidate pipeline otherwise launch as concurrent
@@ -93,7 +109,8 @@ object Dedup {
     // bands rows per doc, no shingle payload — so cache it instead of
     // re-running the explode over the (much wider) cached base per consumer.
     val banded = base
-      .select(col("__id"), explode(bandKeys(col("__sig"), numHashes, bands)).as("__b"))
+      .select(col("__id"),
+        explode(bandKeys(col("__sig"), numHashes, bands, portableHash)).as("__b"))
       .select(col("__id"), col("__b.band").as("band"), col("__b.key").as("key"))
       .persist()
 

@@ -16,6 +16,46 @@ import graft.operators.{Chunker, Dedup, Similarity}
 object DedupQueries {
   private def t(s: SparkSession, dir: String, n: String): DataFrame = Tables(s, dir, n)
 
+  /** q92 oracle: replays the whole MinHash-LSH pipeline in DuckDB. The
+    * universal-hash constants (MinHashSig.constants(32, 7) — exactly what
+    * the Spark side plans) are inlined as literals; the md5-based shingle
+    * and band hashes are portable by construction. The hot-bucket cap is
+    * the HAVING count(*) <= 1000 filter (same anti-join semantics: a hot
+    * (band, key) contributes no candidates, its members can still pair
+    * through other bands).
+    */
+  private lazy val q92OracleSql: String = {
+    val ab = graft.expressions.MinHashSig.constants(32, 7)
+    val sigExprs = ab.map { case Array(a, b) =>
+      s"list_min(list_transform(hh, v -> (v * $a + $b) % 2147483647))"
+    }
+    s"""WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks
+       |           FROM documents WHERE length(trim(text)) > 0),
+       |s AS (SELECT doc_id, list_distinct(list_transform(range(1, len(toks) - 1),
+       |        i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS sh
+       |      FROM t WHERE len(toks) >= 3),
+       |h AS (SELECT doc_id, sh, list_transform(sh, x ->
+       |        CAST(concat('0x', substr(md5(x), 1, 15)) AS BIGINT) % 2147483647) AS hh
+       |      FROM s),
+       |g AS (SELECT doc_id, sh,
+       |    [${sigExprs.mkString(",\n     ")}] AS sig
+       |  FROM h),
+       |banded AS (SELECT doc_id, b.band,
+       |    md5(array_to_string(sig[b.band*4+1 : b.band*4+4], ',')) AS key
+       |  FROM g CROSS JOIN (SELECT unnest(range(8)) AS band) b),
+       |ok AS (SELECT band, key FROM banded GROUP BY band, key HAVING count(*) <= 1000),
+       |cand AS (SELECT DISTINCT a.doc_id AS id_a, c.doc_id AS id_b
+       |  FROM banded a
+       |  JOIN ok ON ok.band = a.band AND ok.key = a.key
+       |  JOIN banded c ON a.band = c.band AND a.key = c.key AND a.doc_id < c.doc_id),
+       |j AS (SELECT id_a, id_b,
+       |    round(CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
+       |      / CAST(len(list_distinct(sa.sh || sb.sh)) AS DOUBLE), 4) AS jaccard
+       |  FROM cand JOIN g sa ON sa.doc_id = cand.id_a JOIN g sb ON sb.doc_id = cand.id_b)
+       |SELECT id_a, id_b, jaccard FROM j WHERE jaccard >= 0.2
+       |ORDER BY id_a, id_b""".stripMargin
+  }
+
   /** q53 oracle: replays hyperplane-LSH bucketing + cosine verification in
     * DuckDB. The planes (VectorFns.planeFor, seeds 0..3, dim 64 — exactly
     * what embeddingPairs(nBits = 4) uses) are emitted as double literals via
@@ -128,6 +168,22 @@ object DedupQueries {
           .orderBy(col("id_a"), col("id_b"))
       },
       Some(q53OracleSql)),
+
+    // ---- The FULL MinHash-LSH near-dup pipeline, hash-proven end-to-end:
+    // shingling -> 60-bit md5 shingle hashes -> 32-slot universal-hash
+    // signatures (constants inlined into the oracle SQL) -> 8-way banding
+    // (md5 band keys) -> hot-bucket cap -> candidate pairs -> exact Jaccard
+    // verification. q50 runs the identical pipeline with the faster
+    // xxhash64 hashing (rows-only + parity specs); this row proves the
+    // algorithm byte-for-byte against DuckDB. ----
+    Q("q92_minhash_portable",
+      (s, dir) => {
+        Dedup.minhashPairs(t(s, dir, "documents"), "doc_id", "text",
+            numHashes = 32, bands = 8, shingleK = 3, threshold = 0.2,
+            portableHash = true)
+          .orderBy(col("id_a"), col("id_b"))
+      },
+      Some(q92OracleSql)),
 
     // ---- ANN: LSH-bucketed approximate top-k (scale path of q41). ----
     Q("q54_knn_lsh",

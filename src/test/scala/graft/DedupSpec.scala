@@ -44,6 +44,25 @@ class DedupSpec extends SparkSpec {
     assert(native == declarative)
   }
 
+  test("portable MinHashSig equals its declarative md5-hash formulation") {
+    import graft.functions.TextFns
+    val sh = array_distinct(TextFns.wordShingles(TextFns.tokens(col("text")), 3))
+    val base = docs.select(col("doc_id"), sh.as("sh")).filter(size(col("sh")) > 0)
+    val native = base.select(col("doc_id"),
+        graft.expressions.MinHashSig(col("sh"), 32, 7, portableHash = true).as("sig"))
+      .as[(Long, Seq[Long])].collect().toMap
+    val declarative = base
+      .withColumn("hs", Dedup.shingleHashesPortable(col("sh")))
+      .select(col("doc_id"), Dedup.minhashSignature(col("hs"), 32).as("sig"))
+      .as[(Long, Seq[Long])].collect().toMap
+    assert(native == declarative)
+    // the portable pipeline finds the same planted duplicates
+    val pairs = Dedup.minhashPairs(docs, "doc_id", "text",
+        numHashes = 32, bands = 16, shingleK = 3, threshold = 0.5, portableHash = true)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 4L)))
+  }
+
   test("simhash of identical docs is identical; hamming pairs found") {
     val sig = Dedup.simhash(docs, "doc_id", "text")
       .as[(Long, Long)].collect().toMap
