@@ -14,6 +14,25 @@ object MiscQueries {
 
   def all: Seq[Q] = Seq(
 
+    // ---- Z-order (Morton) curve code — the clustering key behind
+    // Layout.writeZOrdered (multi-dimensional file pruning at scale). The
+    // bit interleave is plain integer arithmetic, so DuckDB replays it
+    // exactly. ----
+    Q("q93_zorder_code",
+      (s, dir) => {
+        val x = pmod(col("user_id"), lit(256))
+        val y = pmod(col("event_id"), lit(256))
+        t(s, dir, "events")
+          .select(col("event_id"), x.cast("long").as("x"), y.cast("long").as("y"),
+            graft.operators.Layout.mortonCode(x, y, bits = 8).as("z"))
+          .orderBy(col("event_id"))
+      },
+      Some("""SELECT event_id, user_id % 256 AS x, event_id % 256 AS y,
+             |  CAST(list_sum(list_transform(range(8), i ->
+             |    (((user_id % 256) >> i) & 1) * (1::BIGINT << CAST(2*i AS INT)) +
+             |    (((event_id % 256) >> i) & 1) * (1::BIGINT << CAST(2*i+1 AS INT)))) AS BIGINT) AS z
+             |FROM events ORDER BY event_id""".stripMargin)),
+
     // ---- TPC-H Q5 shape: 5-way join, date filter, revenue per nation.
     // All dimensions broadcast; lineitem (the only big table) shuffles
     // once for the final aggregation only.

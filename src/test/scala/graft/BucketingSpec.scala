@@ -92,6 +92,25 @@ class BucketingSpec extends SparkSpec {
     }
   }
 
+  test("approx_percentile honors its rank-error accuracy bound (mergeable sketch)") {
+    // approx_percentile(c, q, accuracy) guarantees rank error <= 1/accuracy
+    // (Greenwald-Khanna style summary — the mergeable-sketch pattern that
+    // replaces a full sort at 100 TB). Verify the bound against the exact
+    // percentile by RANK, not value: the estimate's rank position among the
+    // sorted values must be within n/accuracy of the target rank.
+    val l = Tables(spark, sfDir, "lineitem").select(col("l_extendedprice").cast("double").as("v"))
+    val n = l.count()
+    val acc = 100
+    for (q <- Seq(0.25, 0.5, 0.9)) {
+      val est = l.agg(expr(s"approx_percentile(v, $q, $acc)")).head().getDouble(0)
+      val rankOfEst = l.filter(col("v") <= est).count()
+      val targetRank = q * n
+      val tol = n.toDouble / acc + 1
+      assert(math.abs(rankOfEst - targetRank) <= tol,
+        s"q=$q: est $est has rank $rankOfEst, target $targetRank, tol $tol")
+    }
+  }
+
   test("salted join rejects join types where unmatched right replicas leak") {
     val l = Seq((1L, "a")).toDF("k", "lv")
     val r = Seq((1L, "b"), (2L, "unmatched")).toDF("k", "rv")
