@@ -63,13 +63,50 @@ object DedupQueries {
     * identical double in any IEEE-754 strtod, so the projection signs match
     * bit-for-bit. Bucket equality is compared as the per-plane sign list.
     */
+  /** Hyperplane sign bit as DuckDB SQL with the plane inlined as literals
+    * (shortest-round-trip doubles parse back bit-identically). Shared by the
+    * q53/q54 oracles.
+    */
+  private def planeBitSql(plane: Array[Double]): String = {
+    val lits = plane.map(java.lang.Double.toString).mkString("[", ", ", "]")
+    s"""CASE WHEN list_sum(list_transform(list_zip(embedding, $lits),
+       |  x -> coalesce(CAST(x[1] AS DOUBLE) * x[2], 0.0))) >= 0 THEN 1 ELSE 0 END""".stripMargin
+  }
+
+  /** q54 oracle: multi-table hyperplane-LSH ANN. Table t uses planes
+    * planeFor(t*nBits + b) — exactly lshTopK(nBits = 4, nTables = 4)'s
+    * seedBase layout. Candidates are any-table bucket collisions; ranking
+    * re-computes exact cosine (bit-identical fold), tie-broken on nid.
+    */
+  private lazy val q54OracleSql: String = {
+    val tables = Array.tabulate(4)(t => Array.tabulate(4)(b =>
+      planeBitSql(graft.functions.VectorFns.planeFor(t * 4 + b, 64))))
+    val tableLists = tables.map(_.mkString("[", ",\n      ", "]")).mkString("[", ",\n     ", "]")
+    s"""WITH bk AS (SELECT vec_id, embedding,
+       |    $tableLists AS tb
+       |  FROM embeddings),
+       |bt AS (SELECT vec_id, embedding, t.t AS tbl, tb[t.t + 1] AS bkt
+       |  FROM bk CROSS JOIN (SELECT unnest(range(4)) AS t) t),
+       |cand AS (SELECT DISTINCT q.vec_id AS qid, c.vec_id AS nid
+       |  FROM bt q JOIN bt c ON q.tbl = c.tbl AND q.bkt = c.bkt AND q.vec_id != c.vec_id
+       |  WHERE q.vec_id < 5),
+       |sims AS (SELECT cand.qid, cand.nid,
+       |    list_sum(list_transform(list_zip(a.embedding, b.embedding),
+       |        x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))
+       |      / (sqrt(list_sum(list_transform(a.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+       |       * sqrt(list_sum(list_transform(b.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) AS sim
+       |  FROM cand JOIN embeddings a ON a.vec_id = cand.qid
+       |            JOIN embeddings b ON b.vec_id = cand.nid),
+       |r AS (SELECT qid, nid, sim,
+       |    row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rn
+       |  FROM sims)
+       |SELECT qid, nid, round(sim, 4) AS sim, rn FROM r WHERE rn <= 5
+       |ORDER BY qid, rn""".stripMargin
+  }
+
   private lazy val q53OracleSql: String = {
-    val planes = Array.tabulate(4)(b => graft.functions.VectorFns.planeFor(b, 64))
-    def lit(p: Array[Double]) = p.map(java.lang.Double.toString).mkString("[", ", ", "]")
-    val bitExprs = planes.map { p =>
-      s"""CASE WHEN list_sum(list_transform(list_zip(embedding, ${lit(p)}),
-         |  x -> coalesce(CAST(x[1] AS DOUBLE) * x[2], 0.0))) >= 0 THEN 1 ELSE 0 END""".stripMargin
-    }
+    val bitExprs = Array.tabulate(4)(b =>
+      planeBitSql(graft.functions.VectorFns.planeFor(b, 64)))
     s"""WITH b AS (SELECT vec_id, embedding,
        |    [${bitExprs.mkString(",\n     ")}] AS bits
        |  FROM embeddings),
@@ -185,7 +222,9 @@ object DedupQueries {
       },
       Some(q92OracleSql)),
 
-    // ---- ANN: LSH-bucketed approximate top-k (scale path of q41). ----
+    // ---- ANN: LSH-bucketed approximate top-k (scale path of q41). The
+    // oracle replays all 4 hash tables' bucketings (16 inlined hyperplanes),
+    // the any-table candidate union, and the exact-cosine re-rank. ----
     Q("q54_knn_lsh",
       (s, dir) => {
         val emb = t(s, dir, "embeddings")
@@ -196,7 +235,7 @@ object DedupQueries {
           .select(col("qid"), col("nid"), round(col("sim"), 4).as("sim"), col("rn"))
           .orderBy(col("qid"), col("rn"))
       },
-      None),
+      Some(q54OracleSql)),
 
     // ---- ANN scale path #2: IVF (KMeans cells + nProbe probing). ----
     Q("q57_knn_ivf",
