@@ -79,11 +79,19 @@ object RelationalQueries {
       (s, dir) => {
         val o = t(s, dir, "orders")
         val l = t(s, dir, "lineitem")
-        l.join(o, l("l_orderkey") === o("o_orderkey"))
-          .groupBy(col("l_orderkey"), col("o_orderdate").cast("date").as("o_date"))
+        // Aggregate-then-join: revenue depends only on lineitem and
+        // o_orderdate is functionally dependent on the order key, so the
+        // top-10 is computed from lineitem alone (partial-agg + global
+        // TakeOrdered) and the orders join touches 10 rows instead of the
+        // whole fact table. At 100 TB this removes the fact-side join
+        // entirely from the hot path.
+        l.groupBy(col("l_orderkey"))
           .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
           .orderBy(col("revenue").desc, col("l_orderkey"))
           .limit(10)
+          .join(o, col("l_orderkey") === o("o_orderkey"))
+          .select(col("l_orderkey"), col("o_orderdate").cast("date").as("o_date"), col("revenue"))
+          .orderBy(col("revenue").desc, col("l_orderkey"))
       },
       Some("""SELECT l_orderkey, CAST(o_orderdate AS DATE) AS o_date,
              |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
