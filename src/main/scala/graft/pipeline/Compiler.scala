@@ -29,7 +29,7 @@ object Compiler {
 
     spec.ops.foreach {
       case s: SplitOp =>
-        df = Chunker.split(df, s.textCol, s.chunkSize, s.overlap)
+        df = Chunker.split(df, s.textCol, s.chunkSize, s.overlap, neighbors = s.neighbors)
       case m: MapOp =>
         val r = SemanticOps.semanticMap(df, m.prompt, SchemaCompiler.toStruct(m.output),
           client, m.validations, m.retries)

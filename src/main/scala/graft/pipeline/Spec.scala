@@ -13,8 +13,11 @@ import org.apache.spark.sql.types._
   */
 sealed trait OpSpec { def name: String }
 
-/** G1: token-window chunking; metadata preserved. */
-case class SplitOp(name: String, textCol: String, chunkSize: Int, overlap: Int) extends OpSpec
+/** G1: token-window chunking; metadata preserved. `neighbors > 0` carries
+  * ±neighbors chunk-steps of peripheral context (the DocETL gather analog).
+  */
+case class SplitOp(name: String, textCol: String, chunkSize: Int, overlap: Int,
+                   neighbors: Int = 0) extends OpSpec
 
 /** M-ops: schema-constrained semantic map with P4 validations + retries. */
 case class MapOp(name: String, prompt: String, output: Map[String, String],
@@ -97,11 +100,12 @@ object Validator {
 object Rewriter {
   def rewrite(spec: PipelineSpec, textCol: String = "text",
               chunkSize: Int = 3000, overlap: Int = 300,
-              docKeys: Seq[String] = Seq("doc_id")): PipelineSpec = {
+              docKeys: Seq[String] = Seq("doc_id"),
+              neighbors: Int = 0): PipelineSpec = {
     val ops = spec.ops.flatMap {
       case m: MapOp if m.optimize =>
         Seq(
-          SplitOp(s"${m.name}_split", textCol, chunkSize, overlap),
+          SplitOp(s"${m.name}_split", textCol, chunkSize, overlap, neighbors),
           m.copy(name = s"${m.name}_chunked", optimize = false,
             prompt = m.prompt.replace(s"{{ input.$textCol }}", "{{ input.chunk_text }}")),
           ReduceOp(s"${m.name}_synthesize", docKeys,

@@ -238,7 +238,8 @@ object YamlSpec {
         }
         SplitOp(name, str(m, "split_key"),
           chunkSize = kw.get("chunk_size").map(_.toString.toInt).getOrElse(3000),
-          overlap = kw.get("chunk_overlap").map(_.toString.toInt).getOrElse(300))
+          overlap = kw.get("chunk_overlap").map(_.toString.toInt).getOrElse(300),
+          neighbors = kw.get("neighbors").map(_.toString.toInt).getOrElse(0))
       case "filter" =>
         (m.get("predicate"), m.get("prompt")) match {
           case (Some(p), _) => FilterOp(name, p.toString)
