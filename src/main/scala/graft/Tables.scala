@@ -30,12 +30,17 @@ object Tables {
     * (tokenization, shingling, hashing). A small parquet file arrives as a
     * single input split, which would serialize the expensive computation on
     * one core AND let concurrent AQE stages duplicate it before a cache
-    * materializes. No-op when the scan already has enough partitions — at
-    * warehouse scale the input is thousands of splits and repartitioning
-    * here would be a pointless full shuffle.
+    * materializes. The probe uses optimizer STATISTICS (no job): `df.rdd
+    * .getNumPartitions` would materialize the physical plan and, under AQE,
+    * actually execute any upstream shuffle stages just to count partitions.
+    * No-op when the input is large — at warehouse scale it arrives as
+    * thousands of splits and repartitioning would be a pointless shuffle.
     */
   def spread(df: DataFrame): DataFrame = {
     val p = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions < p) df.repartition(p) else df
+    val bytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
+    // under ~16MB per core the scan cannot have enough splits to keep the
+    // cores busy; the re-balancing shuffle itself is then trivially cheap
+    if (bytes < BigInt(p.toLong) * 16L * 1024 * 1024) df.repartition(p) else df
   }
 }

@@ -53,9 +53,18 @@ object Layout {
     val s = df.agg(
       min(col(colX).cast("double")), max(col(colX).cast("double")),
       min(col(colY).cast("double")), max(col(colY).cast("double"))).head()
+    if (s.isNullAt(0) || s.isNullAt(2)) {
+      // empty input or an all-null cluster column: no meaningful curve —
+      // write as-is rather than NPE on the missing bounds
+      df.write.mode("overwrite").parquet(path)
+      return
+    }
+    // per-row nulls have no position on the curve; pin them to cell 0 so
+    // they cluster together instead of propagating null z values
+    def nn(c: Column) = coalesce(c.cast("double"), lit(Double.MinValue))
     val z = mortonCode(
-      bin(col(colX), s.getDouble(0), s.getDouble(1), bits),
-      bin(col(colY), s.getDouble(2), s.getDouble(3), bits), bits)
+      bin(nn(col(colX)), s.getDouble(0), s.getDouble(1), bits),
+      bin(nn(col(colY)), s.getDouble(2), s.getDouble(3), bits), bits)
     val parts =
       if (numFiles > 0) numFiles else df.sparkSession.sparkContext.defaultParallelism
     df.withColumn("__z", z)

@@ -48,11 +48,10 @@ object SemanticOps extends Serializable {
   }
 
   /** Per-session model-call accounting (A3/§4.1: accumulators instead of
-    * the reference's stdout scraping). Driver-readable after any action.
-    */
-  /** `calls` counts model invocations (one per request batch — the unit
-    * API cost scales with); `rows` counts documents sent through those
-    * calls; `retriedRows` counts rows re-sent on retry attempts.
+    * the reference's stdout scraping; driver-readable after any action).
+    * `calls` counts model invocations (one per request batch — the unit API
+    * cost scales with); `rows` counts documents sent through those calls;
+    * `retriedRows` counts rows re-sent on retry attempts.
     */
   case class Metrics(calls: org.apache.spark.util.LongAccumulator,
                      rows: org.apache.spark.util.LongAccumulator,

@@ -66,7 +66,12 @@ object Fetcher {
   def fetchNew(urls: DataFrame, manifest: DataFrame, keyCol: String, urlCol: String,
                timeoutMs: Int = 10000, retries: Int = 2): (DataFrame, DataFrame) = {
     val pending = Sources.pendingFetches(urls, manifest, keyCol)
+    // Materialize ONCE before splitting: the fetch is a side-effecting,
+    // non-deterministic pass — without this, consuming the two outputs would
+    // re-run every HTTP request per action, and a URL flapping between
+    // attempts could land in both outputs or neither.
     val fetched = fetchAll(pending, keyCol, urlCol, timeoutMs, retries)
+      .localCheckpoint(true)
     (fetched.filter(col("status").between(200, 299)),
       fetched.filter(!col("status").between(200, 299)))
   }

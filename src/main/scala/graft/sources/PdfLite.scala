@@ -158,6 +158,10 @@ object PdfLite {
                 v = v * 8 + (s.charAt(j) - '0'); j += 1
               }
               sb += v.toChar; i = j
+            case '\r' =>
+              // backslash-EOL is a line continuation: produces NO characters
+              i += (if (i + 2 < s.length && s.charAt(i + 2) == '\n') 3 else 2)
+            case '\n' => i += 2
             case other => sb += other; i += 2
           }
         case '(' => depth += 1; sb += '('; i += 1
@@ -176,7 +180,7 @@ object PdfLite {
     val padded = if (hex.length % 2 == 1) hex + "0" else hex
     val sb = new StringBuilder
     var i = 0
-    while (i + 1 < padded.length + 1 && i + 2 <= padded.length) {
+    while (i + 2 <= padded.length) {
       try sb += Integer.parseInt(padded.substring(i, i + 2), 16).toChar
       catch { case _: NumberFormatException => () }
       i += 2

@@ -59,6 +59,10 @@ class SourcesSpec extends SparkSpec {
     val raw = ("1 0 obj << /Length 60 >>\nstream\n" +
       "BT (A\\051B) Tj ET\nendstream\nendobj\n").getBytes("ISO-8859-1")
     assert(PdfLite.extract(raw) == Seq("A)B"), "octal \\051 is ')'")
+    // backslash-EOL inside a literal string is a line continuation (7.3.4.2)
+    val cont = ("2 0 obj << >>\nstream\n" +
+      "BT (hel\\\nlo) Tj ET\nendstream\nendobj\n").getBytes("ISO-8859-1")
+    assert(PdfLite.extract(cont) == Seq("hello"), "escaped EOL produces no chars")
     assert(PdfLite.extract("not a pdf at all".getBytes("UTF-8")).isEmpty)
     assert(PdfLite.extract(Array.fill[Byte](64)(0x7f)).isEmpty)
   }
