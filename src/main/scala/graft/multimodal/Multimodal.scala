@@ -9,10 +9,13 @@ import org.apache.spark.sql.types._
   * resize / frame-sample stages as batched per-partition transforms.
   *
   * The Spark-side shape — schema, partition-parallel batching, declared
-  * output schema — is real and tested. The codec itself is STUBBED with a
-  * deterministic fake (this container ships no image/audio libraries); the
-  * stub is clearly marked and isolated behind `Codec` so a real
-  * JNI/JavaCV-backed implementation drops in without touching the plumbing.
+  * output schema — is real and tested. Common formats decode for REAL on
+  * the pure JDK: `JdkCodecs.ImageIoCodec` (PNG/JPEG/BMP/GIF via
+  * javax.imageio) and `JdkCodecs.audioInfo` (WAV/AIFF PCM via
+  * javax.sound.sampled). `StubCodec` remains the deterministic fallback for
+  * formats the JDK lacks (webp, video containers, compressed audio) — the
+  * seam where a JNI/JavaCV implementation drops in without touching the
+  * plumbing.
   *
   * At scale: binary payloads stay columnar (parquet binary), transforms are
   * mapPartitions (no shuffle), and feature extraction emits fixed-width

@@ -1,0 +1,82 @@
+package graft
+
+import java.awt.image.BufferedImage
+import java.io.ByteArrayOutputStream
+
+import javax.imageio.ImageIO
+import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream, AudioSystem}
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.multimodal.{JdkCodecs, Multimodal}
+
+/** Real JDK media codecs over generated fixtures: PNG decode/resize/
+  * histogram features and WAV PCM header + RMS — plus the Spark decode
+  * stage running the real codec.
+  */
+class JdkCodecsSpec extends AnyFunSuite {
+
+  private def pngBytes(w: Int, h: Int, rgb: Int): Array[Byte] = {
+    val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w) img.setRGB(x, y, rgb)
+    val bos = new ByteArrayOutputStream()
+    ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  private def wavBytes(sampleRate: Int, ms: Int, amp: Double, hz: Double): Array[Byte] = {
+    val n = sampleRate * ms / 1000
+    val pcm = new Array[Byte](n * 2)
+    for (i <- 0 until n) {
+      val s = (math.sin(2 * math.Pi * hz * i / sampleRate) * amp * 32767).toInt
+      pcm(2 * i) = (s & 0xff).toByte
+      pcm(2 * i + 1) = ((s >> 8) & 0xff).toByte
+    }
+    val fmt = new AudioFormat(sampleRate.toFloat, 16, 1, true, false)
+    val ais = new AudioInputStream(new java.io.ByteArrayInputStream(pcm), fmt, n.toLong)
+    val bos = new ByteArrayOutputStream()
+    AudioSystem.write(ais, AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+
+  test("ImageIoCodec: real PNG dims, resize round-trip, luminance histogram") {
+    val codec = new JdkCodecs.ImageIoCodec
+    val white = pngBytes(8, 4, 0xffffff)
+    assert(codec.decodeDims(white) == (8, 4))
+
+    val resized = codec.resize(white, 4, 2)
+    assert(codec.decodeDims(resized) == (4, 2), "resized payload re-decodes at target dims")
+
+    val fWhite = codec.features(white, 64)
+    assert(math.abs(fWhite.map(v => v.toDouble * v).sum - 1.0) < 1e-5, "L2-normalized")
+    assert(fWhite(63) > 0.99f, "white image mass lands in the top luminance bin")
+    val fBlack = codec.features(pngBytes(8, 4, 0x000000), 64)
+    assert(fBlack(0) > 0.99f, "black image mass lands in bin 0")
+
+    assert(codec.decodeDims("not an image".getBytes) == (-1, -1))
+  }
+
+  test("audioInfo: WAV header + RMS of a generated sine") {
+    val wav = wavBytes(8000, 500, amp = 0.5, hz = 440)
+    val info = JdkCodecs.audioInfo(wav).get
+    assert(info.sampleRate == 8000 && info.channels == 1 && info.bitsPerSample == 16)
+    assert(math.abs(info.durationMs - 500) <= 1, s"duration ${info.durationMs}")
+    // RMS of a 0.5-amplitude sine is 0.5/sqrt(2) ~= 0.3536
+    assert(math.abs(info.rms - 0.3536) < 0.01, s"rms ${info.rms}")
+    assert(JdkCodecs.audioInfo("nope".getBytes).isEmpty)
+  }
+
+  test("Spark decode stage runs the REAL image codec end-to-end") {
+    val spark = SparkSpec.session
+    import spark.implicits._
+    val df = Seq(
+      (1L, pngBytes(16, 8, 0x336699), "png"),
+      (2L, pngBytes(5, 7, 0xff0000), "png"))
+      .toDF("doc_id", "content", "format")
+    val out = Multimodal.decode(df, new JdkCodecs.ImageIoCodec)
+      .select(col("doc_id"), col("meta.width"), col("meta.height"))
+      .as[(Long, Int, Int)].collect().toSet
+    assert(out == Set((1L, 16, 8), (2L, 5, 7)))
+  }
+}
