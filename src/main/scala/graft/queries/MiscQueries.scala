@@ -100,13 +100,16 @@ object MiscQueries {
             round(element_at(col("embedding"), 1).cast("double"), 4).as("first"))
           .orderBy(col("vec_id"))
       },
+      // NB: "+ 0.0" canonicalizes IEEE negative zero — Spark's round goes
+      // through BigDecimal (which has no -0.0) while DuckDB keeps -0.0;
+      // the values compare equal but serialize/sort differently.
       Some("""SELECT vec_id,
              |  len(list_filter(embedding, x -> x > 0)) AS n_pos,
              |  round(list_sum(list_transform(list_filter(embedding, x -> x > 0),
-             |    x -> x::DOUBLE)), 4) AS sum_pos,
+             |    x -> x::DOUBLE)), 4) + 0.0 AS sum_pos,
              |  CASE WHEN len(list_filter(embedding, x -> x > 0.2)) > 0
              |       THEN true ELSE false END AS has_big,
-             |  round(embedding[1]::DOUBLE, 4) AS first
+             |  round(embedding[1]::DOUBLE, 4) + 0.0 AS first
              |FROM embeddings ORDER BY vec_id""".stripMargin)),
 
     // ---- §2.6 RANGE frame: trailing-30-day spend per customer (value

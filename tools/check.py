@@ -17,6 +17,8 @@ def norm(v):
     if isinstance(v, float):
         if math.isnan(v):
             return "NaN"
+        if v == 0.0:
+            return 0.0  # canonicalize IEEE -0.0 (sorts/serializes differently)
         return round(v, 9)
     if isinstance(v, datetime.datetime):
         return v.replace(tzinfo=None).isoformat()
