@@ -118,4 +118,56 @@ class StreamingSpec extends SparkSpec {
         s"idle session must be flushed by the event-time timeout, got $sessions")
     } finally q.stop()
   }
+
+  test("transformWithState sessions: timers flush idle sessions, gap splits emit inline") {
+    import java.sql.Timestamp
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.streaming.TwsSessions
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+
+    // transformWithState requires the RocksDB state store
+    val prevProvider = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      def ts(min: Int): Timestamp = new Timestamp(1700000000000L + min * 60000L)
+      val input = MemoryStream[(Long, Timestamp, Long)]
+      val events = input.toDF().toDF("user_id", "ts", "event_id")
+        .withWatermark("ts", "0 seconds")
+      val q = TwsSessions.sessionize(events, gapMinutes = 30)
+        .writeStream.format("memory").queryName("tws_sessions")
+        .outputMode("append").start()
+      try {
+        // user 1: two events 10 min apart -> one open session
+        input.addData((1L, ts(0), 1L), (1L, ts(10), 2L))
+        q.processAllAvailable()
+        assert(spark.table("tws_sessions").count() == 0, "open session must not emit yet")
+        // user 1 again 100 min later: gap exceeded -> closed session emits
+        // INLINE from handleInputRows, new session opens
+        input.addData((1L, ts(110), 5L))
+        q.processAllAvailable()
+        val inline = spark.table("tws_sessions")
+          .select("user_id", "n", "first_ev", "last_ev")
+          .as[(Long, Long, Long, Long)].collect().toSet
+        assert(inline == Set((1L, 2L, 1L, 2L)), s"gap split must emit inline, got $inline")
+        // advance the watermark far past the open session's deadline; the
+        // timer fires against the previous batch's watermark -> one extra batch
+        input.addData((2L, ts(600), 6L))
+        q.processAllAvailable()
+        input.addData((2L, ts(610), 7L))
+        q.processAllAvailable()
+        val all = spark.table("tws_sessions")
+          .select("user_id", "n", "first_ev", "last_ev")
+          .as[(Long, Long, Long, Long)].collect().toSet
+        assert(all.contains((1L, 1L, 5L, 5L)),
+          s"idle session must be flushed by the event-time TIMER, got $all")
+      } finally q.stop()
+    } finally {
+      prevProvider match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
 }
