@@ -238,8 +238,9 @@ object Dedup {
     */
   def dedupCorpus(df: DataFrame, idCol: String, textCol: String,
                   numHashes: Int = 32, bands: Int = 8, shingleK: Int = 3,
-                  threshold: Double = 0.8): DataFrame = {
-    val pairs = minhashPairs(df, idCol, textCol, numHashes, bands, shingleK, threshold)
+                  threshold: Double = 0.8, portableHash: Boolean = false): DataFrame = {
+    val pairs = minhashPairs(df, idCol, textCol, numHashes, bands, shingleK, threshold,
+      portableHash = portableHash)
     val comps = connectedComponents(pairs)
     val losers = comps.filter(col("id") =!= col("label"))
       .select(col("id").as(idCol))

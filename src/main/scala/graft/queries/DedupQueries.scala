@@ -24,12 +24,15 @@ object DedupQueries {
     * (band, key) contributes no candidates, its members can still pair
     * through other bands).
     */
-  private lazy val q92OracleSql: String = {
+  /** The MinHash-LSH pipeline as DuckDB CTEs, shared by q92 (pairs) and
+    * q94 (corpus dedup): `j` ends with (id_a, id_b, jaccard).
+    */
+  private def minhashCtes: String = {
     val ab = graft.expressions.MinHashSig.constants(32, 7)
     val sigExprs = ab.map { case Array(a, b) =>
       s"list_min(list_transform(hh, v -> (v * $a + $b) % 2147483647))"
     }
-    s"""WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks
+    s"""t AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks
        |           FROM documents WHERE length(trim(text)) > 0),
        |s AS (SELECT doc_id, list_distinct(list_transform(range(1, len(toks) - 1),
        |        i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS sh
@@ -51,10 +54,32 @@ object DedupQueries {
        |j AS (SELECT id_a, id_b,
        |    round(CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
        |      / CAST(len(list_distinct(sa.sh || sb.sh)) AS DOUBLE), 4) AS jaccard
-       |  FROM cand JOIN g sa ON sa.doc_id = cand.id_a JOIN g sb ON sb.doc_id = cand.id_b)
+       |  FROM cand JOIN g sa ON sa.doc_id = cand.id_a JOIN g sb ON sb.doc_id = cand.id_b)""".stripMargin
+  }
+
+  private lazy val q92OracleSql: String =
+    s"""WITH $minhashCtes
        |SELECT id_a, id_b, jaccard FROM j WHERE jaccard >= 0.2
        |ORDER BY id_a, id_b""".stripMargin
-  }
+
+  /** q94 oracle: corpus dedup end-to-end — the q92 pipeline at threshold
+    * 0.8, transitive closure via WITH RECURSIVE (duplicate clusters are
+    * tiny near-cliques, so the fixpoint is shallow), keep the minimum id
+    * per component (isolated docs keep themselves).
+    */
+  private lazy val q94OracleSql: String =
+    s"""WITH RECURSIVE $minhashCtes,
+       |und AS (SELECT id_a AS a, id_b AS b FROM j WHERE jaccard >= 0.8
+       |        UNION SELECT id_b, id_a FROM j WHERE jaccard >= 0.8),
+       |reach(src, dst) AS (
+       |  SELECT a, b FROM und
+       |  UNION
+       |  SELECT r.src, u.b FROM reach r JOIN und u ON r.dst = u.a),
+       |losers AS (SELECT src AS id FROM reach GROUP BY src
+       |           HAVING least(src, min(dst)) < src)
+       |SELECT doc_id, n_chars FROM documents
+       |WHERE doc_id NOT IN (SELECT id FROM losers)
+       |ORDER BY doc_id""".stripMargin
 
   /** q53 oracle: replays hyperplane-LSH bucketing + cosine verification in
     * DuckDB. The planes (VectorFns.planeFor, seeds 0..3, dim 64 — exactly
@@ -221,6 +246,20 @@ object DedupQueries {
           .orderBy(col("id_a"), col("id_b"))
       },
       Some(q92OracleSql)),
+
+    // ---- Corpus dedup, hash-proven END-TO-END: the portable q92 pipeline
+    // at threshold 0.8 plus transitive clustering — the oracle computes the
+    // components with a recursive CTE and keeps the same min-id
+    // representative per cluster. q56 is the xxhash fast path of exactly
+    // this operator. ----
+    Q("q94_dedup_corpus_portable",
+      (s, dir) => {
+        Dedup.dedupCorpus(t(s, dir, "documents"), "doc_id", "text",
+            threshold = 0.8, portableHash = true)
+          .select(col("doc_id"), col("n_chars"))
+          .orderBy(col("doc_id"))
+      },
+      Some(q94OracleSql)),
 
     // ---- ANN: LSH-bucketed approximate top-k (scale path of q41). The
     // oracle replays all 4 hash tables' bucketings (16 inlined hyperplanes),
