@@ -113,6 +113,32 @@ object QualityQueries {
       },
       None),
 
+    // ---- §2.12 custom state on Spark 4's transformWithState: the TWS
+    // sessionizer (named ValueState + event-time timers) through a real
+    // streaming run on the RocksDB store TWS requires. Sessions still open
+    // at end-of-input stay held (their timers are beyond the final
+    // watermark), matching AvailableNow semantics. ----
+    Q("q95_tws_sessions",
+      (s, dir) => {
+        val prev = s.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+        s.conf.set("spark.sql.streaming.stateStore.providerClass",
+          "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+        try {
+          Streams.runAvailableNowMem(
+              graft.streaming.TwsSessions.sessionize(
+                Streams.eventsStream(s, dir).withWatermark("ts", "2 hours"),
+                gapMinutes = 30).toDF(),
+              "q95")
+            .orderBy(col("user_id"), col("sess"))
+        } finally {
+          prev match {
+            case Some(p) => s.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+            case None => s.conf.unset("spark.sql.streaming.stateStore.providerClass")
+          }
+        }
+      },
+      None),
+
     // ---- §2.12 sliding windows (1h window, 30m slide) through a real
     // streaming run; each event lands in two overlapping windows. ----
     Q("q84_stream_sliding",
