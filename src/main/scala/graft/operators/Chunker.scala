@@ -43,7 +43,14 @@ object Chunker {
     require(overlap >= 0 && overlap < chunkSize, "need 0 <= overlap < chunkSize")
     require(neighbors >= 0, "neighbors must be >= 0")
     val step = chunkSize - overlap
-    val toks = TextFns.tokens(col(textCol))
+    // Materialized ONCE as a column, never inlined into the lambda: Spark HOF
+    // lambdas have no let-binding, so referencing the tokens(...) EXPRESSION
+    // inside `transform` would re-split the whole document per chunk —
+    // O(doc_len x n_chunks), quadratic in document length. An attribute
+    // reference is a row-field read, so tokenization stays O(doc_len).
+    // (CollapseProject keeps it hoisted: __toks is referenced more than once
+    // and array-split is not a "cheap" expression, so the rule won't inline.)
+    val toks = col("__toks")
     val n = chunkCount(size(toks), chunkSize, overlap)
     val chunks = transform(
       sequence(lit(0L), n - 1),
@@ -63,7 +70,8 @@ object Chunker {
           }
         struct(base ++ ctx: _*)
       })
-    val exploded = df.withColumn("__c", explode(chunks))
+    val exploded = df.withColumn("__toks", TextFns.tokens(col(textCol)))
+      .withColumn("__c", explode(chunks))
       .withColumn(chunkIdCol, col("__c.id"))
       .withColumn(chunkCol, col("__c.text"))
     val withCtx =
@@ -71,6 +79,6 @@ object Chunker {
       else exploded
         .withColumn("prev_context", col("__c.prev"))
         .withColumn("next_context", col("__c.next"))
-    withCtx.drop("__c")
+    withCtx.drop("__c", "__toks")
   }
 }
