@@ -163,14 +163,19 @@ object Dedup {
   }
 
   /** Connected components over a pair graph by iterative min-label
-    * propagation (the bounded-join form of union-find: each round every
-    * node adopts the smallest label in its neighborhood; after k rounds
-    * labels are correct for components of diameter <= 2^k-ish — duplicate
-    * clusters are near-cliques, so a handful of rounds suffices).
-    * Each round is one shuffle; lineage is cut per round (localCheckpoint)
-    * so iteration count doesn't compound plan depth.
+    * propagation PLUS pointer jumping (each round every node adopts the
+    * smallest label in its neighborhood, then compresses one level:
+    * label := label(label)). The jump doubles the distance a small label
+    * travels per round, so convergence is O(log diameter) — a path graph
+    * of length 1000 converges in ~10 rounds, not 1000. The loop runs to
+    * CONVERGENCE (no label changed), bounded by `maxIters` as a hard cap
+    * that FAILS LOUDLY — returning silently-unconverged (wrong) components
+    * is never an option. maxIters = 64 is unreachable for any graph
+    * (pointer jumping covers diameter 2^64); it guards logic bugs only.
+    * Each round is a bounded number of shuffles; lineage is cut per round
+    * (localCheckpoint) so iteration count doesn't compound plan depth.
     */
-  def connectedComponents(pairs: DataFrame, maxIters: Int = 5,
+  def connectedComponents(pairs: DataFrame, maxIters: Int = 64,
                           smallGraphThreshold: Long = 2000000L): DataFrame = {
     val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
       .unionByName(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
@@ -215,14 +220,27 @@ object Dedup {
       .localCheckpoint()
     var iter = 0
     var changed = true
-    while (iter < maxIters && changed) {
+    while (changed) {
+      if (iter >= maxIters)
+        throw new IllegalStateException(
+          s"connectedComponents did not converge in $maxIters rounds — " +
+            "refusing to return unconverged (wrong) component labels")
       val nbrMin = edges
         .join(labels.withColumnRenamed("id", "src"), "src")
         .groupBy(col("dst").as("id"))
         .agg(min(col("label")).as("nbr_label"))
-      val updated = labels.join(nbrMin, Seq("id"), "left")
+      val propagated = labels.join(nbrMin, Seq("id"), "left")
         .select(col("id"),
           least(col("label"), coalesce(col("nbr_label"), col("label"))).as("label"))
+      // pointer jump: label := label(label). Every label value IS a node id
+      // (labels start as ids and only ever adopt other nodes' labels), so the
+      // self-join always finds the parent row; the left join is belt-and-
+      // braces. This is what turns O(diameter) propagation into O(log d).
+      val parents = propagated
+        .select(col("id").as("p_id"), col("label").as("p_label"))
+      val updated = propagated.join(parents, col("label") === col("p_id"), "left")
+        .select(col("id"),
+          least(col("label"), coalesce(col("p_label"), col("label"))).as("label"))
         .localCheckpoint()
       changed = updated.join(labels.withColumnRenamed("label", "old"), "id")
         .filter(col("label") =!= col("old")).limit(1).count() > 0

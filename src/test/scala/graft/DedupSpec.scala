@@ -100,6 +100,23 @@ class DedupSpec extends SparkSpec {
     assert(!surviving.contains(4L))
   }
 
+  test("connected components converge on a long path graph (diameter >> 2^5)") {
+    // path 0-1-2-...-100: min-label propagation alone moves label 0 one hop
+    // per round, so the old fixed-5-round loop would have stopped unconverged
+    // and SILENTLY returned wrong labels. Pointer jumping makes convergence
+    // O(log diameter) and the loop now runs to an actual fixpoint.
+    val n = 100
+    val chain = (0 until n).map(i => (i.toLong, i.toLong + 1)).toDF("id_a", "id_b")
+    val comps = Dedup.connectedComponents(chain, smallGraphThreshold = 0L)
+      .as[(Long, Long)].collect().toMap
+    assert(comps.size == n + 1)
+    assert(comps.values.forall(_ == 0L), "every node must label to the path head")
+    // an impossible round budget fails loudly, never returns wrong labels
+    assertThrows[IllegalStateException] {
+      Dedup.connectedComponents(chain, maxIters = 2, smallGraphThreshold = 0L).count()
+    }
+  }
+
   test("as-of join matches a naive per-row scan") {
     val left = Seq((1L, 10L, "e1"), (1L, 20L, "e2"), (2L, 5L, "e3"), (3L, 9L, "e4"))
       .toDF("k", "t", "ev").withColumn("t", col("t").cast("timestamp"))
