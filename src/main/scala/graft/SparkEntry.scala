@@ -19,4 +19,12 @@ object SparkEntry {
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] = Registry.oracles
+
+  /** Same, plus oracles whose SQL must be GENERATED with a live session on
+    * the verified dir (driver-side constants inlined — e.g. the q57 IVF
+    * codebook, trained on the same corpus the query runs over). Verify dumps
+    * THIS map, so the driver's DuckDB gate covers the generated oracles too.
+    */
+  def oracleSqlFor(spark: SparkSession, dir: String): Map[String, String] =
+    Registry.oraclesFor(spark, dir)
 }

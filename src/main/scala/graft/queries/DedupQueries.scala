@@ -129,6 +129,61 @@ object DedupQueries {
        |ORDER BY qid, rn""".stripMargin
   }
 
+  /** q57 oracle GENERATOR (runs at Verify time with a live session): the IVF
+    * codebook is trained driver-side on the corpus being verified
+    * (Similarity.lloyd, seed 42, bounded sample ordered by vec_id — exactly
+    * what ivfTopK plans), so the SQL cannot be a static string. Both centroid
+    * forms are inlined as shortest-round-trip double literals: the raw
+    * doubles (cell ASSIGNMENT — NearestCell's math) and the float-widened
+    * doubles (query PROBING, which joins ivfTopK's float-cast centroid
+    * table). DuckDB then replays the assignment argmin (strict <, lower cell
+    * on ties == ORDER BY dist, cell), the nProbe=4 probing, and the exact-
+    * cosine re-rank (the q42/q54-proven bit-identical fold). round(...)+0.0
+    * canonicalizes IEEE -0.0 (Spark's BigDecimal round never emits it).
+    */
+  private def q57OracleGen(s: SparkSession, dir: String): String = {
+    val sample = Tables(s, dir, "embeddings")
+      .select(col("vec_id"), col("embedding")).orderBy(col("vec_id"))
+      .limit(100000).collect()
+      .map(_.getSeq[Number](1).map(_.doubleValue()).toArray)
+    val cents = Similarity.lloyd(sample, 16, iters = 10, seed = 42)
+    def vec(a: Array[Double]): String =
+      a.map(java.lang.Double.toString).mkString("[", ", ", "]")
+    val centsD = cents.zipWithIndex
+      .map { case (v, i) => s"($i, ${vec(v)})" }.mkString(",\n    ")
+    val centsF = cents.zipWithIndex
+      .map { case (v, i) => s"($i, ${vec(v.map(_.toFloat.toDouble))})" }.mkString(",\n    ")
+    def l2(e: String, c: String): String =
+      s"""list_sum(list_transform(list_zip($e, $c),
+         |          x -> (CAST(x[1] AS DOUBLE) - x[2]) * (CAST(x[1] AS DOUBLE) - x[2])))""".stripMargin
+    s"""WITH centsd(cell, cvec) AS (VALUES
+       |    $centsD),
+       |centsf(cell, cvec) AS (VALUES
+       |    $centsF),
+       |a AS (SELECT e.vec_id AS nid, e.embedding AS ne, c.cell,
+       |        row_number() OVER (PARTITION BY e.vec_id
+       |          ORDER BY ${l2("e.embedding", "c.cvec")}, c.cell) AS arn
+       |      FROM embeddings e CROSS JOIN centsd c),
+       |asg AS (SELECT nid, ne, cell FROM a WHERE arn = 1),
+       |p AS (SELECT q.vec_id AS qid, q.embedding AS qe, c.cell,
+       |        row_number() OVER (PARTITION BY q.vec_id
+       |          ORDER BY ${l2("q.embedding", "c.cvec")}, c.cell) AS crn
+       |      FROM embeddings q CROSS JOIN centsf c
+       |      WHERE q.vec_id < 5),
+       |probed AS (SELECT qid, qe, cell FROM p WHERE crn <= 4),
+       |sims AS (SELECT probed.qid, asg.nid,
+       |    list_sum(list_transform(list_zip(probed.qe, asg.ne),
+       |        x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))
+       |      / (sqrt(list_sum(list_transform(probed.qe, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+       |       * sqrt(list_sum(list_transform(asg.ne, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) AS sim
+       |  FROM probed JOIN asg ON probed.cell = asg.cell AND asg.nid != probed.qid),
+       |r AS (SELECT qid, nid, sim,
+       |    row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rn
+       |  FROM sims)
+       |SELECT qid, nid, round(sim, 4) + 0.0 AS sim, rn FROM r WHERE rn <= 5
+       |ORDER BY qid, rn""".stripMargin
+  }
+
   private lazy val q53OracleSql: String = {
     val bitExprs = Array.tabulate(4)(b =>
       planeBitSql(graft.functions.VectorFns.planeFor(b, 64)))
@@ -287,7 +342,8 @@ object DedupQueries {
           .select(col("qid"), col("nid"), round(col("sim"), 4).as("sim"), col("rn"))
           .orderBy(col("qid"), col("rn"))
       },
-      None),
+      None,
+      oracleGen = Some(q57OracleGen _)),
 
     // ---- G1 token chunker (size 30, overlap 5), content-hash checked. ----
     Q("q55_chunk",

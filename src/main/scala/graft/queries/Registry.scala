@@ -9,9 +9,15 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * on both sides; every query carries a deterministic total ORDER BY and
   * doubles are rounded identically so the driver's hash compare is stable.
   */
+/** `oracle` is a fixed SQL string; `oracleGen` derives the SQL from a live
+  * session + data dir at Verify time — for oracles that must inline
+  * data-dependent driver-side constants (e.g. q57's k-means codebook, which
+  * is trained on the corpus being verified). At most one should be set.
+  */
 case class Q(name: String,
              fn: (SparkSession, String) => DataFrame,
-             oracle: Option[String])
+             oracle: Option[String],
+             oracleGen: Option[(SparkSession, String) => String] = None)
 
 object Registry {
   def all: Seq[Q] =
@@ -25,4 +31,10 @@ object Registry {
 
   def oracles: Map[String, String] =
     all.flatMap(q => q.oracle.map(q.name -> _)).toMap
+
+  /** Static oracles plus the session-generated ones (codebooks etc.). */
+  def oraclesFor(spark: SparkSession, dir: String): Map[String, String] =
+    all.flatMap(q =>
+      q.oracleGen.map(g => q.name -> g(spark, dir)).orElse(q.oracle.map(q.name -> _))
+    ).toMap
 }
