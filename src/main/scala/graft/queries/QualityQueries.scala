@@ -95,14 +95,27 @@ object QualityQueries {
     // ---- §2.12 streaming: watermarked tumbling windows via a real
     // Structured Streaming run (Trigger.AvailableNow), result returned as a
     // batch DF. Equality with the batch q21 aggregation (modulo trailing
-    // windows held by the watermark) is asserted in StreamingSpec. ----
+    // windows held by the watermark) is asserted in StreamingSpec — and the
+    // oracle below makes it official: AvailableNow drains all input, so the
+    // emitted set is exactly the batch agg restricted to windows whose END
+    // has passed the final watermark (max event-time ms - 2h). The trailing
+    // held-back windows are the watermark's correct behavior, not noise;
+    // the horizon is derived from the data, so the oracle is deterministic
+    // at every sf. ----
     Q("q80_stream_tumbling",
       (s, dir) => {
         Streams.runAvailableNowMem(
             Streams.tumblingCounts(Streams.eventsStream(s, dir)), "q80")
           .orderBy(col("h"), col("event_type"))
       },
-      None),
+      Some("""WITH e AS (SELECT CAST(ts AS TIMESTAMP) AS ts, event_type, value FROM events),
+             |m AS (SELECT epoch_ms(max(ts)) AS mxms FROM e),
+             |agg AS (SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS h, event_type,
+             |          count(*) AS n, round(sum(value), 4) AS sv
+             |        FROM e GROUP BY 1, 2)
+             |SELECT h, event_type, n, sv FROM agg, m
+             |WHERE epoch_ms(h + INTERVAL 1 HOUR) <= mxms - 7200000
+             |ORDER BY h, event_type""".stripMargin)),
 
     // ---- §2.12 streaming session windows via a real streaming run. ----
     Q("q83_stream_sessions",
