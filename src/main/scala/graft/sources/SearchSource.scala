@@ -16,19 +16,31 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * arXiv API source (SURVEY §2.1 S1: "a DataSource V2 TableProvider with
   * SupportsPushDownLimit, maps max_results").
   *
-  * This implementation serves deterministic synthetic paper metadata (the
-  * container has no egress; a real HTTP-backed reader drops into
-  * `SearchPartitionReader.fetch`). What is REAL and exercised:
-  * the DSv2 contract (TableProvider -> ScanBuilder -> Batch -> partition
-  * readers), limit pushdown (`SupportsPushDownLimit` — the driver-side
-  * `max_results` cap reaches the reader instead of filtering post-scan) and
-  * column pruning (`SupportsPushDownRequiredColumns`), plus per-category
-  * partition planning (one input partition per category, the parallel
-  * form of the reference's per-category quota loop, zara_hybrid_etl.py:139-147).
+  * Two data planes behind the same DSv2 contract (TableProvider ->
+  * ScanBuilder -> Batch -> partition readers):
+  *
+  *   - `endpoint` option set: REAL HTTP. Each per-category partition issues
+  *     one arXiv-wire-shape GET (`?search_query=cat:C&start=0&max_results=N`)
+  *     from its executor and parses the Atom feed (entry/id/title/category/
+  *     published/link[pdf]/summary — arxiv_hook.py:80-94's fields). Transient
+  *     5xx/IO errors retry with backoff; 4xx fails the scan loudly. Tested
+  *     against an in-process localhost server (zero egress) in
+  *     SearchSourceSpec, which also asserts the PUSHED limit is what reaches
+  *     the wire as max_results.
+  *   - no `endpoint`: deterministic synthetic metadata (the offline default
+  *     in this container).
+  *
+  * Limit pushdown (`SupportsPushDownLimit` — the driver-side `max_results`
+  * cap reaches the reader instead of filtering post-scan), column pruning
+  * (`SupportsPushDownRequiredColumns`) and per-category partition planning
+  * (one input partition per category, the parallel form of the reference's
+  * per-category quota loop, zara_hybrid_etl.py:139-147) apply to both modes.
   *
   * Usage:
   *   spark.read.format("graft.sources.SearchSource")
-  *     .option("categories", "cs.AI,cs.DB").option("maxResults", "20").load()
+  *     .option("categories", "cs.AI,cs.DB").option("maxResults", "20")
+  *     .option("endpoint", "https://export.arxiv.org/api/query")  // optional
+  *     .load()
   */
 class SearchSource extends TableProvider {
   override def inferSchema(options: CaseInsensitiveStringMap): StructType =
@@ -58,10 +70,12 @@ class SearchTable(options: CaseInsensitiveStringMap) extends Table with Supports
   override def newScanBuilder(o: CaseInsensitiveStringMap): ScanBuilder =
     new SearchScanBuilder(
       o.getOrDefault("categories", "cs.AI").split(",").toSeq,
-      o.getInt("maxResults", 100))
+      o.getInt("maxResults", 100),
+      Option(o.get("endpoint")))
 }
 
-class SearchScanBuilder(categories: Seq[String], maxResults: Int)
+class SearchScanBuilder(categories: Seq[String], maxResults: Int,
+                        endpoint: Option[String])
     extends ScanBuilder with SupportsPushDownLimit with SupportsPushDownRequiredColumns {
 
   private var limit: Int = maxResults
@@ -79,7 +93,8 @@ class SearchScanBuilder(categories: Seq[String], maxResults: Int)
     override def toBatch: Batch = this
     override def description(): String =
       s"GraftSearch(categories=${categories.mkString("|")}, pushedLimit=$limit, " +
-        s"prunedColumns=${required.fieldNames.mkString(",")})"
+        s"prunedColumns=${required.fieldNames.mkString(",")}, " +
+        s"mode=${if (endpoint.isDefined) "http" else "synthetic"})"
 
     // One partition per category — the distributed form of the reference's
     // sequential quota loop (L2, zara_hybrid_etl.py:141-145). The pushed
@@ -90,7 +105,7 @@ class SearchScanBuilder(categories: Seq[String], maxResults: Int)
       val base = limit / k
       val rem = limit % k
       categories.zipWithIndex
-        .map { case (c, i) => SearchPartition(c, base + (if (i < rem) 1 else 0)) }
+        .map { case (c, i) => SearchPartition(c, base + (if (i < rem) 1 else 0), endpoint) }
         .filter(_.quota > 0)
         .map(p => p: InputPartition).toArray
     }
@@ -103,17 +118,24 @@ class SearchScanBuilder(categories: Seq[String], maxResults: Int)
   }
 }
 
-case class SearchPartition(category: String, quota: Int) extends InputPartition
+case class SearchPartition(category: String, quota: Int,
+                           endpoint: Option[String]) extends InputPartition
 
 class SearchPartitionReader(p: SearchPartition, schema: StructType)
     extends PartitionReader[InternalRow] {
 
   private var i = 0
 
-  /** The network boundary. Deterministic synthetic results stand in for the
-    * arXiv HTTP call (zero-egress container).
+  /** The network boundary: one HTTP search per partition when an endpoint is
+    * configured, deterministic synthetic rows otherwise. Materialized lazily
+    * on first `next()` in the executor — the driver never fetches.
     */
-  private def fetch(idx: Int): Map[String, Any] = {
+  private lazy val records: IndexedSeq[Map[String, Any]] = p.endpoint match {
+    case Some(ep) => SearchHttp.search(ep, p.category, p.quota).take(p.quota).toIndexedSeq
+    case None     => (0 until p.quota).map(synthetic)
+  }
+
+  private def synthetic(idx: Int): Map[String, Any] = {
     val id = s"${p.category}.${2400 + idx % 12}.${10000 + idx}"
     Map(
       "arxiv_id" -> id,
@@ -125,10 +147,10 @@ class SearchPartitionReader(p: SearchPartition, schema: StructType)
       "summary" -> s"Deterministic abstract $idx for category ${p.category}.")
   }
 
-  override def next(): Boolean = { i += 1; i <= p.quota }
+  override def next(): Boolean = { i += 1; i <= records.length }
 
   override def get(): InternalRow = {
-    val rec = fetch(i - 1)
+    val rec = records(i - 1)
     InternalRow.fromSeq(schema.fields.toSeq.map { f =>
       rec(f.name) match {
         case s: String => UTF8String.fromString(s)
@@ -139,4 +161,92 @@ class SearchPartitionReader(p: SearchPartition, schema: StructType)
   }
 
   override def close(): Unit = ()
+}
+
+/** The real-HTTP data plane of the S1 source: arXiv-wire-shape request, Atom
+  * feed response. Kept dependency-free (JDK HttpClient + regex field
+  * extraction over the handful of Atom elements the schema needs — not a
+  * general XML parser, and documented as such).
+  */
+object SearchHttp {
+
+  /** GET `endpoint?search_query=cat:CAT&start=0&max_results=QUOTA` and parse
+    * the Atom entries. Retries transient failures (IO errors, 5xx) with
+    * linear backoff; a 4xx is definitive and fails the scan loudly — a
+    * misconfigured source must never quietly read as empty.
+    */
+  def search(endpoint: String, category: String, quota: Int,
+             timeoutMs: Int = 10000, retries: Int = 2): Seq[Map[String, Any]] = {
+    val url = s"$endpoint?search_query=cat:$category&start=0&max_results=$quota"
+    parseAtom(get(url, timeoutMs, retries), category)
+  }
+
+  private def get(url: String, timeoutMs: Int, retries: Int): String = {
+    val client = java.net.http.HttpClient.newBuilder()
+      .connectTimeout(java.time.Duration.ofMillis(timeoutMs.toLong))
+      .followRedirects(java.net.http.HttpClient.Redirect.NORMAL)
+      .build()
+    var attempt = 0
+    while (attempt <= retries) {
+      val resp =
+        try {
+          Some(client.send(
+            java.net.http.HttpRequest.newBuilder(java.net.URI.create(url))
+              .timeout(java.time.Duration.ofMillis(timeoutMs.toLong)).GET().build(),
+            java.net.http.HttpResponse.BodyHandlers.ofString()))
+        } catch {
+          case e: Exception =>
+            if (attempt == retries) throw e
+            None
+        }
+      resp.foreach { r =>
+        if (r.statusCode() == 200) return r.body()
+        if (r.statusCode() < 500 || attempt == retries)
+          throw new java.io.IOException(s"HTTP ${r.statusCode()} from $url")
+      }
+      attempt += 1
+      Thread.sleep(50L * attempt)
+    }
+    throw new IllegalStateException("unreachable")
+  }
+
+  private val entryRe = "(?s)<entry\\b[^>]*>(.*?)</entry>".r
+
+  private def tagText(block: String, name: String): Option[String] =
+    s"(?s)<$name\\b[^>]*>(.*?)</$name>".r
+      .findFirstMatchIn(block).map(m => unescape(m.group(1).trim))
+
+  private def attrOf(block: String, tag: String, attr: String): Option[String] =
+    s"""<$tag\\b[^>]*\\b$attr="([^"]*)"""".r
+      .findFirstMatchIn(block).map(m => unescape(m.group(1)))
+
+  /** The pdf <link> carries title="pdf" (arXiv convention); attribute order
+    * is not fixed, so match the tag first, then pull href out of it.
+    */
+  private def pdfLink(block: String): Option[String] =
+    "<link\\b[^>]*>".r.findAllIn(block).toSeq
+      .find(_.contains("title=\"pdf\""))
+      .flatMap(l => "href=\"([^\"]*)\"".r.findFirstMatchIn(l).map(m => unescape(m.group(1))))
+
+  private def unescape(s: String): String = s
+    .replace("&lt;", "<").replace("&gt;", ">")
+    .replace("&quot;", "\"").replace("&apos;", "'")
+    .replace("&amp;", "&")
+
+  private[sources] def parseAtom(xml: String, fallbackCategory: String): Seq[Map[String, Any]] =
+    entryRe.findAllMatchIn(xml).map(_.group(1)).map { e =>
+      val rawId = tagText(e, "id").getOrElse("")
+      val published = tagText(e, "published").map { s =>
+        val t = java.time.Instant.parse(s)
+        t.getEpochSecond * 1000000L + t.getNano / 1000L
+      }.getOrElse(0L)
+      Map[String, Any](
+        // arXiv ids arrive as http://arxiv.org/abs/<id>; keep the <id> part
+        "arxiv_id" -> rawId.split("/abs/").last,
+        "title" -> tagText(e, "title").getOrElse(""),
+        "category" -> attrOf(e, "category", "term").getOrElse(fallbackCategory),
+        "published" -> published,
+        "pdf_url" -> pdfLink(e).getOrElse(""),
+        "summary" -> tagText(e, "summary").getOrElse(""))
+    }.toSeq
 }

@@ -1,11 +1,74 @@
 package graft
 
+import java.net.InetSocketAddress
+import java.util.concurrent.atomic.AtomicInteger
+
+import scala.jdk.CollectionConverters._
+
+import com.sun.net.httpserver.HttpServer
+
 import org.apache.spark.sql.functions._
 
 import graft.streaming.StatefulSessions
 
-class SearchSourceSpec extends SparkSpec {
+class SearchSourceSpec extends SparkSpec with org.scalatest.BeforeAndAfterAll {
   import spark.implicits._
+
+  private var server: HttpServer = _
+  private var port: Int = _
+  private val atomRequests = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+  private val flakyHits = new AtomicInteger(0)
+
+  private def atomFeed(cat: String, n: Int): Array[Byte] = {
+    val entries = (0 until n).map { i =>
+      s"""<entry>
+         |  <id>http://arxiv.org/abs/2401.1000$i</id>
+         |  <title>Paper $i &amp; friends</title>
+         |  <category term="$cat"/>
+         |  <published>2024-01-0${i % 9 + 1}T12:00:00Z</published>
+         |  <link title="pdf" href="http://example.org/pdf/$i"/>
+         |  <summary>Abstract $i for $cat.</summary>
+         |</entry>""".stripMargin
+    }.mkString("\n")
+    s"""<?xml version="1.0" encoding="UTF-8"?>
+       |<feed xmlns="http://www.w3.org/2005/Atom">
+       |$entries
+       |</feed>""".stripMargin.getBytes("UTF-8")
+  }
+
+  private def queryParam(q: String, name: String): Option[String] =
+    s"$name=([^&]*)".r.findFirstMatchIn(q).map(_.group(1))
+
+  override def beforeAll(): Unit = {
+    super.beforeAll()
+    server = HttpServer.create(new InetSocketAddress("127.0.0.1", 0), 0)
+    server.createContext("/atom", { ex =>
+      val q = Option(ex.getRequestURI.getRawQuery).getOrElse("")
+      atomRequests.add(q)
+      val cat = queryParam(q, "search_query").getOrElse("cat:cs.XX").stripPrefix("cat:")
+      val n = queryParam(q, "max_results").map(_.toInt).getOrElse(0)
+      val body = atomFeed(cat, n)
+      ex.sendResponseHeaders(200, body.length.toLong)
+      ex.getResponseBody.write(body); ex.close()
+    })
+    server.createContext("/flakyatom", { ex =>
+      // first attempt 503, then healthy — exercises the reader's retry path
+      if (flakyHits.incrementAndGet() == 1) {
+        ex.sendResponseHeaders(503, -1); ex.close()
+      } else {
+        val body = atomFeed("cs.AI", 2)
+        ex.sendResponseHeaders(200, body.length.toLong)
+        ex.getResponseBody.write(body); ex.close()
+      }
+    })
+    server.start()
+    port = server.getAddress.getPort
+  }
+
+  override def afterAll(): Unit = {
+    if (server != null) server.stop(0)
+    super.afterAll()
+  }
 
   test("DSv2 search source: per-category partitions, quota, deterministic rows") {
     val df = spark.read.format("graft.sources.SearchSource")
@@ -39,6 +102,58 @@ class SearchSourceSpec extends SparkSpec {
     assert(rows(10) == 10, "remainder must be distributed, not floored")
     assert(rows(2) == 2, "limit below #categories must not over-produce")
     assert(rows(8) == 8)
+  }
+
+  test("HTTP mode: end-to-end DSv2 read against a local server, pushed limit on the wire") {
+    atomRequests.clear()
+    val df = spark.read.format("graft.sources.SearchSource")
+      .option("categories", "cs.AI").option("maxResults", "100")
+      .option("endpoint", s"http://127.0.0.1:$port/atom")
+      .load()
+      .limit(3)
+    val rows = df.collect()
+    assert(rows.length == 3)
+
+    // the PUSHED limit is what reached the wire — the reader asked the
+    // server for 3 results, it did not fetch 100 and filter post-scan
+    val served = atomRequests.asScala.toSeq
+    assert(served.nonEmpty && served.forall(_.contains("max_results=3")),
+      s"pushed limit must reach the HTTP request, got: $served")
+    assert(served.forall(_.contains("search_query=cat:cs.AI")))
+
+    // parsed fields are faithful to the feed (incl. XML entity unescape,
+    // /abs/ id stripping, ISO-8601 -> timestamp)
+    val r0 = rows.sortBy(_.getString(0)).head
+    assert(r0.getString(0) == "2401.10000")
+    assert(r0.getString(1) == "Paper 0 & friends")
+    assert(r0.getString(2) == "cs.AI")
+    assert(r0.getTimestamp(3).toInstant == java.time.Instant.parse("2024-01-01T12:00:00Z"))
+    assert(r0.getString(4) == "http://example.org/pdf/0")
+    assert(r0.getString(5) == "Abstract 0 for cs.AI.")
+  }
+
+  test("HTTP mode: multi-category quota split, each category hits its own request") {
+    atomRequests.clear()
+    val df = spark.read.format("graft.sources.SearchSource")
+      .option("categories", "cs.AI,cs.DB").option("maxResults", "10")
+      .option("endpoint", s"http://127.0.0.1:$port/atom")
+      .load()
+    assert(df.count() == 10)
+    val served = atomRequests.asScala.toSeq
+    assert(served.exists(q => q.contains("cat:cs.AI") && q.contains("max_results=5")))
+    assert(served.exists(q => q.contains("cat:cs.DB") && q.contains("max_results=5")))
+    assert(df.select("category").distinct().as[String].collect().toSet ==
+      Set("cs.AI", "cs.DB"))
+  }
+
+  test("HTTP mode: transient 503 is retried to success") {
+    flakyHits.set(0)
+    val df = spark.read.format("graft.sources.SearchSource")
+      .option("categories", "cs.AI").option("maxResults", "2")
+      .option("endpoint", s"http://127.0.0.1:$port/flakyatom")
+      .load()
+    assert(df.count() == 2)
+    assert(flakyHits.get() >= 2, "the 503 must have been retried")
   }
 
   test("flatMapGroupsWithState sessionization equals gaps-and-islands batch") {
