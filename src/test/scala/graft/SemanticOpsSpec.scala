@@ -1,13 +1,72 @@
 package graft
 
+import java.net.InetSocketAddress
+import java.util.concurrent.atomic.AtomicInteger
+
+import scala.jdk.CollectionConverters._
+
+import com.sun.net.httpserver.HttpServer
+
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
 import graft.pipeline._
-import graft.semantic.{SemanticOps, StubModelClient}
+import graft.semantic.{HttpModelClient, SemanticOps, StubModelClient}
 
-class SemanticOpsSpec extends SparkSpec {
+class SemanticOpsSpec extends SparkSpec with org.scalatest.BeforeAndAfterAll {
   import spark.implicits._
+
+  private var server: HttpServer = _
+  private var port: Int = _
+  private val chatRequests = new java.util.concurrent.ConcurrentLinkedQueue[(String, String)]()
+  private val chatHits = new AtomicInteger(0)
+  private val flakyModelHits = new AtomicInteger(0)
+
+  private def jstr(s: String): String =
+    "\"" + s.flatMap {
+      case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => "\\n"
+      case c => c.toString
+    } + "\""
+
+  private def envelope(content: String): Array[Byte] =
+    s"""{"id":"chatcmpl-test","choices":[{"index":0,
+       |"message":{"role":"assistant","content":${jstr(content)}}}]}"""
+      .stripMargin.getBytes("UTF-8")
+
+  override def beforeAll(): Unit = {
+    super.beforeAll()
+    server = HttpServer.create(new InetSocketAddress("127.0.0.1", 0), 0)
+    server.createContext("/v1/chat/completions", { ex =>
+      val req = new String(ex.getRequestBody.readAllBytes(), "UTF-8")
+      chatRequests.add((Option(ex.getRequestHeaders.getFirst("Authorization")).getOrElse(""), req))
+      // first call returns a verdict that FAILS the SQL validation, every
+      // later call a passing one — so semanticMap's attempt-salt retry loop
+      // is exercised through the HTTP boundary, not just the HTTP retry.
+      val content =
+        if (chatHits.incrementAndGet() == 1) """{"verdict": "no"}"""
+        else """{"verdict": "a sufficiently long verdict"}"""
+      val body = envelope(content)
+      ex.sendResponseHeaders(200, body.length.toLong)
+      ex.getResponseBody.write(body); ex.close()
+    })
+    server.createContext("/flaky-model", { ex =>
+      // transient 503 first, then healthy — the client-level retry path
+      if (flakyModelHits.incrementAndGet() == 1) {
+        ex.sendResponseHeaders(503, -1); ex.close()
+      } else {
+        val body = envelope("""{"verdict": "recovered"}""")
+        ex.sendResponseHeaders(200, body.length.toLong)
+        ex.getResponseBody.write(body); ex.close()
+      }
+    })
+    server.start()
+    port = server.getAddress.getPort
+  }
+
+  override def afterAll(): Unit = {
+    if (server != null) server.stop(0)
+    super.afterAll()
+  }
 
   private val client = new StubModelClient()
   private val docs = Seq(
@@ -108,6 +167,42 @@ class SemanticOpsSpec extends SparkSpec {
       .select(col("lang"), col("summary"), size(col("themes")).as("nt"))
       .collect().map(r => (r.getString(0), r.getString(1), r.getInt(2))).toSet
     assert(viaAgg == viaMap)
+  }
+
+  test("semanticMap through the HTTP client: OpenAI wire shape, validation retry, bearer auth") {
+    chatHits.set(0); chatRequests.clear()
+    val httpClient = new HttpModelClient(
+      s"http://127.0.0.1:$port/v1/chat/completions", "graft-test-model",
+      apiKey = Some("sk-test-key"))
+    val one = Seq((1L, "judge this document")).toDF("doc_id", "text")
+    val vSchema = StructType(Seq(StructField("verdict", StringType)))
+
+    val res = SemanticOps.semanticMap(one, "Verdict for: {{ input.text }}",
+      vSchema, httpClient, validations = Seq("length(verdict) >= 10"), retries = 2)
+    val ok = res.ok.select("doc_id", "verdict").as[(Long, String)].collect()
+
+    assert(ok.toSeq == Seq((1L, "a sufficiently long verdict")),
+      "the failing first response must be retried through the validation loop")
+    assert(res.dead.isEmpty)
+    assert(chatHits.get() == 2, "attempt 0 invalid + attempt 1 valid = exactly 2 model calls")
+
+    val (auth, req) = chatRequests.asScala.head
+    assert(auth == "Bearer sk-test-key", "api key must travel as a bearer header")
+    assert(req.contains("\"model\":\"graft-test-model\""))
+    assert(req.contains("\"response_format\":{\"type\":\"json_object\"}"))
+    assert(req.contains("Verdict for: judge this document"))
+    assert(req.contains("verdict STRING"), "schema DDL must reach the system message")
+    // the retried prompt carries a different attempt salt than the first
+    val prompts = chatRequests.asScala.map(_._2).toSeq
+    assert(prompts.exists(_.contains("#attempt=0")) && prompts.exists(_.contains("#attempt=1")))
+  }
+
+  test("HTTP model client retries a transient 503 to success") {
+    flakyModelHits.set(0)
+    val httpClient = new HttpModelClient(s"http://127.0.0.1:$port/flaky-model", "m")
+    val out = httpClient.complete("p", "verdict STRING")
+    assert(out == """{"verdict": "recovered"}""")
+    assert(flakyModelHits.get() >= 2)
   }
 
   test("semantic UDAF through spark.sql groups and synthesizes") {
