@@ -38,6 +38,10 @@ object StatefulSessions {
     def flush(userId: Long, evs: Iterator[Ev], state: GroupState[SessionState]): Iterator[Session] = {
       var out = List.empty[SessionState]
       var cur = state.getOption.orNull
+      // Bound: materializes ONE key's rows from ONE (micro)batch for the
+      // semantically-required event-time sort — task memory ∝ the hottest
+      // key's per-batch row count, not its full history (see the identical
+      // note in TwsSessions; hot-key behavior pinned in StreamingSpec).
       evs.toSeq.sortBy(e => (e.ts.getTime, e.event_id)).foreach { e =>
         val tUs = e.ts.getTime * 1000L
         if (cur == null) {

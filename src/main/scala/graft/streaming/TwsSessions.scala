@@ -37,6 +37,14 @@ object TwsSessions {
                                  timers: TimerValues): Iterator[Session] = {
       var out = List.empty[SessionState]
       var cur = if (state.exists()) state.get() else null
+      // Bound: this materializes ONE key's rows from ONE microbatch — the
+      // sort is semantically required (arrival order within a batch is not
+      // event-time order). Task memory is ∝ the hottest key's PER-BATCH row
+      // count, never its full history: with watermarked ingestion a batch
+      // spans one trigger interval, and a backfill (AvailableNow over deep
+      // history) should bound batch size at the source (maxFilesPerTrigger/
+      // maxBytesPerTrigger). Persistent state stays one small struct per
+      // key. Hot-key behavior is pinned in StreamingSpec.
       rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id)).foreach { e =>
         val tUs = e.ts.getTime * 1000L
         if (cur == null) {

@@ -29,6 +29,29 @@ class StreamingSpec extends SparkSpec {
       "only trailing windows within the watermark horizon may be unemitted")
   }
 
+  test("sessionizer hot key: thousands of one user's shuffled rows in a single batch") {
+    import graft.streaming.StatefulSessions
+    import spark.implicits._
+    // one user, 5000 events delivered in ONE batch in shuffled order:
+    // 20 sessions of 250 events (10 s apart inside a session, 6 h between
+    // session starts, gap = 30 min). Exercises the documented per-key
+    // buffering bound and the in-batch event-time sort.
+    val rnd = new scala.util.Random(7)
+    val evs = rnd.shuffle((0 until 5000).toVector).map { i =>
+      val sess = i / 250; val off = i % 250
+      (1L, new java.sql.Timestamp(1700000000000L + sess * 21600000L + off * 10000L),
+        i.toLong)
+    }.toDF("user_id", "ts", "event_id")
+    val got = StatefulSessions.sessionize(evs, 30)
+      .collect().sortBy(_.sess)
+    assert(got.length == 20)
+    got.zipWithIndex.foreach { case (s, k) =>
+      assert(s.user_id == 1L && s.n == 250)
+      assert(s.sess == (1700000000000L + k * 21600000L) * 1000L)
+      assert(s.first_ev == k * 250L && s.last_ev == k * 250L + 249L)
+    }
+  }
+
   test("dedup within watermark removes reinjected duplicates") {
     val ev = Tables(spark, sfDir, "events").limit(100)
     val dup = ev.union(ev)
