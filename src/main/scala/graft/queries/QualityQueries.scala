@@ -117,14 +117,34 @@ object QualityQueries {
              |WHERE epoch_ms(h + INTERVAL 1 HOUR) <= mxms - 7200000
              |ORDER BY h, event_type""".stripMargin)),
 
-    // ---- §2.12 streaming session windows via a real streaming run. ----
+    // ---- §2.12 streaming session windows via a real streaming run.
+    // Oracle: gaps-and-islands sessionization (the q23-proven equivalence)
+    // restricted to sessions CLOSED by the final watermark — a session
+    // window's end is last-event + gap, and append mode emits it once the
+    // watermark (max event-time ms - 2h) passes that end. ----
     Q("q83_stream_sessions",
       (s, dir) => {
         Streams.runAvailableNowMem(
             Streams.sessionCounts(Streams.eventsStream(s, dir)), "q83")
           .orderBy(col("user_id"), col("sess_start"))
       },
-      None),
+      Some("""WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id FROM events),
+             |m AS (SELECT epoch_ms(max(ts)) AS mxms FROM e),
+             |g AS (SELECT user_id, ts, event_id,
+             |        CASE WHEN lag(ts) OVER w IS NULL
+             |               OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+             |             THEN 1 ELSE 0 END AS new_s
+             |      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+             |s AS (SELECT user_id, ts,
+             |        sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+             |          ROWS UNBOUNDED PRECEDING) AS sessno
+             |      FROM g),
+             |agg AS (SELECT user_id, min(ts) AS sess_start, max(ts) AS sess_end,
+             |          count(*) AS n
+             |        FROM s GROUP BY user_id, sessno)
+             |SELECT sess_start, user_id, n FROM agg, m
+             |WHERE epoch_ms(sess_end + INTERVAL 30 MINUTE) <= mxms - 7200000
+             |ORDER BY user_id, sess_start""".stripMargin)),
 
     // ---- §2.12 custom state on Spark 4's transformWithState: the TWS
     // sessionizer (named ValueState + event-time timers) through a real
@@ -150,7 +170,34 @@ object QualityQueries {
           }
         }
       },
-      None),
+      // Oracle mirrors the processor's TWO emission paths exactly: a session
+      // closed by a later event emits INLINE (watermark-independent; with
+      // AvailableNow's single batch that is every session but each user's
+      // last), and each user's final open session emits only if its timer
+      // (last-event ms + gap) fired under the final watermark. All arithmetic
+      // is at MILLISECOND precision — the processor works on ts.getTime, so a
+      // us-precision replay would mis-segment sub-ms boundary gaps; `sess` is
+      // floor-to-ms micros for the same reason.
+      Some("""WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id FROM events),
+             |m AS (SELECT epoch_ms(max(ts)) AS mxms FROM e),
+             |g AS (SELECT user_id, ts, event_id,
+             |        CASE WHEN lag(ts) OVER w IS NULL
+             |               OR epoch_ms(ts) - epoch_ms(lag(ts) OVER w) > 1800000
+             |             THEN 1 ELSE 0 END AS new_s
+             |      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+             |s AS (SELECT user_id, ts, event_id,
+             |        sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+             |          ROWS UNBOUNDED PRECEDING) AS sessno
+             |      FROM g),
+             |agg AS (SELECT user_id, sessno, epoch_ms(min(ts)) * 1000 AS sess,
+             |          epoch_ms(max(ts)) AS end_ms, CAST(count(*) AS BIGINT) AS n,
+             |          min(event_id) AS first_ev, max(event_id) AS last_ev
+             |        FROM s GROUP BY user_id, sessno),
+             |lastsess AS (SELECT user_id, max(sessno) AS msess FROM agg GROUP BY user_id)
+             |SELECT user_id, sess, n, first_ev, last_ev
+             |FROM agg JOIN lastsess USING (user_id), m
+             |WHERE sessno < msess OR end_ms + 1800000 <= mxms - 7200000
+             |ORDER BY user_id, sess""".stripMargin)),
 
     // ---- §2.12 sliding windows (1h window, 30m slide) through a real
     // streaming run; each event lands in two overlapping windows. ----
@@ -164,7 +211,21 @@ object QualityQueries {
         Streams.runAvailableNowMem(agg, "q84")
           .orderBy(col("ws"), col("event_type"))
       },
-      None),
+      // Oracle: each event belongs to the two 1h windows starting at its
+      // 30-min floor and 30 min before it (us-exact arithmetic, matching
+      // Spark's epoch-aligned window()); emitted = windows whose end passed
+      // the final watermark, same horizon rule as q80.
+      Some("""WITH e AS (SELECT CAST(ts AS TIMESTAMP) AS ts, event_type FROM events),
+             |m AS (SELECT epoch_ms(max(ts)) AS mxms FROM e),
+             |w AS (SELECT make_timestamp(epoch_us(ts) - epoch_us(ts) % 1800000000) AS t30,
+             |             event_type FROM e),
+             |x AS (SELECT t30 AS ws, event_type FROM w
+             |      UNION ALL
+             |      SELECT t30 - INTERVAL 30 MINUTE AS ws, event_type FROM w),
+             |agg AS (SELECT ws, event_type, count(*) AS n FROM x GROUP BY 1, 2)
+             |SELECT ws, event_type, n FROM agg, m
+             |WHERE epoch_ms(ws + INTERVAL 1 HOUR) <= mxms - 7200000
+             |ORDER BY ws, event_type""".stripMargin)),
 
     // ---- §2.12 stateful dedup within the watermark through a real
     // streaming run (event_id is unique in the data, so the invariant is
@@ -177,7 +238,11 @@ object QualityQueries {
         Streams.runAvailableNowMem(deduped, "q85")
           .orderBy(col("event_id"))
       },
-      None),
+      // Oracle: dedup rows emit immediately on first sight (append mode holds
+      // back nothing — the watermark only bounds the dedup STATE), and
+      // event_id is unique in this data, so the emitted set is the input.
+      Some("""SELECT event_id, user_id, event_type FROM events
+             |ORDER BY event_id""".stripMargin)),
 
     // ---- §2.12 stream-stream join through a real streaming run:
     // click -> purchase attribution within 30 min per user; the time-bound
@@ -194,7 +259,21 @@ object QualityQueries {
           .select(col("user_id"), col("click_id"), col("purchase_id"))
           .orderBy(col("user_id"), col("click_id"), col("purchase_id"))
       },
-      None),
+      // Oracle: the batch time-bounded join IS the emitted set — a streaming
+      // inner join emits every match once both sides have arrived, and
+      // AvailableNow drains both sides completely (the watermark evicts
+      // state, it never suppresses an inner-join match).
+      Some("""WITH e AS (SELECT user_id, event_id, event_type,
+             |             CAST(ts AS TIMESTAMP) AS ts FROM events),
+             |c AS (SELECT user_id, ts AS click_ts, event_id AS click_id
+             |      FROM e WHERE event_type = 'click'),
+             |p AS (SELECT user_id AS pu, ts AS purchase_ts, event_id AS purchase_id
+             |      FROM e WHERE event_type = 'purchase')
+             |SELECT user_id, click_id, purchase_id
+             |FROM c JOIN p ON user_id = pu
+             |  AND purchase_ts >= click_ts
+             |  AND purchase_ts < click_ts + INTERVAL 30 MINUTE
+             |ORDER BY user_id, click_id, purchase_id""".stripMargin)),
 
     // ---- Multimodal plumbing: binary content -> decode (stub codec) ->
     // fixed-width feature vectors. ----
