@@ -11,11 +11,16 @@ import java.nio.charset.StandardCharsets.ISO_8859_1
   * interpret the page-content text operators (Tj / ' / TJ arrays, literal
   * + hex strings, Td/TD/T* line moves).
   *
-  * Scope (documented, checked by `PdfLiteSpec`): classic xref PDFs with
-  * uncompressed or Flate-compressed content streams and simple (Type1 /
-  * WinAnsi-ish) encodings — i.e. the bulk of text-first PDFs like arXiv
-  * papers. NOT handled: encryption, LZW/ASCII85 filters, object streams
-  * (PDF 1.5 compressed xref), CID/Type0 composite fonts (their 2-byte
+  * Scope (documented, checked by `SourcesSpec`): PDFs with uncompressed,
+  * Flate-, LZW-, ASCII85- or ASCIIHex-coded content streams — including
+  * filter CHAINS (`/Filter [/ASCII85Decode /FlateDecode]`) — and simple
+  * (Type1 / WinAnsi-ish) encodings, i.e. the bulk of text-first PDFs like
+  * arXiv papers. PDF 1.5 cross-reference/object streams need no special
+  * path here: object streams may only hold non-stream objects, so page
+  * CONTENT streams remain ordinary `stream...endstream` segments, which
+  * this extractor finds by scanning rather than via the xref. NOT handled:
+  * encryption, predictors on content streams (rare — predictors normally
+  * apply to xref/image data), CID/Type0 composite fonts (their 2-byte
   * strings surface as garbage and should be routed to the dead-letter
   * channel by a downstream quality guard). A full-fidelity library parser
   * can drop in behind the same `DocParser` trait without touching callers.
@@ -42,9 +47,7 @@ object PdfLite {
         if (end < 0) { idx = dataStart }
         else {
           val raw = content.slice(dataStart, trimEol(latin1, end))
-          val decoded =
-            if (dict.contains("/FlateDecode")) inflate(raw)
-            else Some(raw)
+          val decoded = applyFilters(raw, filterChain(dict))
           decoded.map(b => new String(b, ISO_8859_1)).foreach { s =>
             if (s.contains("BT")) {
               val txt = extractTextOps(s)
@@ -67,6 +70,130 @@ object PdfLite {
     if (e > 0 && latin1.charAt(e - 1) == '\r') e -= 1
     e
   }
+
+  /** Parse the stream dictionary's /Filter entry into the ordered decode
+    * chain: a bare name (`/Filter /FlateDecode`) or an array
+    * (`/Filter [/ASCII85Decode /FlateDecode]`, applied left to right).
+    */
+  private[graft] def filterChain(dict: String): Seq[String] = {
+    val fIdx = dict.indexOf("/Filter")
+    if (fIdx < 0) return Nil
+    val rest = dict.substring(fIdx + "/Filter".length)
+    "^\\s*\\[([^\\]]*)\\]".r.findFirstMatchIn(rest) match {
+      case Some(m) => "/([A-Za-z0-9]+)".r.findAllMatchIn(m.group(1)).map(_.group(1)).toSeq
+      case None    => "^\\s*/([A-Za-z0-9]+)".r.findFirstMatchIn(rest).map(_.group(1)).toSeq
+    }
+  }
+
+  /** Run the filter chain; an unknown or binary filter (DCTDecode images,
+    * JBIG2, ...) or a corrupt payload yields None — the stream is skipped,
+    * never a crash (failures belong to the dead-letter channel upstream).
+    */
+  private def applyFilters(raw: Array[Byte], chain: Seq[String]): Option[Array[Byte]] =
+    chain.foldLeft(Option(raw)) { (acc, f) =>
+      acc.flatMap { b =>
+        f match {
+          case "FlateDecode"    => inflate(b)
+          case "LZWDecode"      => lzwDecode(b)
+          case "ASCII85Decode"  => ascii85Decode(b)
+          case "ASCIIHexDecode" => asciiHexDecode(b)
+          case _                => None
+        }
+      }
+    }
+
+  /** ASCII85 (btoa) decode: 5 chars '!'..'u' -> 4 bytes base-85, 'z' = four
+    * zero bytes, optional `<~ ~>` frame, whitespace ignored, final partial
+    * group of g chars yields g-1 bytes (padded with 'u' per spec).
+    */
+  private[graft] def ascii85Decode(b: Array[Byte]): Option[Array[Byte]] =
+    try {
+      val s = new String(b, ISO_8859_1)
+      val from = { val i = s.indexOf("<~"); if (i >= 0) i + 2 else 0 }
+      val end = { val i = s.indexOf("~>", from); if (i >= 0) i else s.length }
+      val out = new java.io.ByteArrayOutputStream()
+      val grp = new Array[Long](5)
+      var g = 0
+      def flush(k: Int): Unit = {
+        var v = 0L
+        var j = 0
+        while (j < 5) { v = v * 85 + (if (j < k) grp(j) else 84L); j += 1 }
+        val bytes = Array(((v >> 24) & 0xFF).toByte, ((v >> 16) & 0xFF).toByte,
+          ((v >> 8) & 0xFF).toByte, (v & 0xFF).toByte)
+        out.write(bytes, 0, k - 1)
+      }
+      var i = from
+      while (i < end) {
+        val c = s.charAt(i)
+        if (c.isWhitespace) ()
+        else if (c == 'z' && g == 0) out.write(Array[Byte](0, 0, 0, 0))
+        else if (c >= '!' && c <= 'u') {
+          grp(g) = (c - '!').toLong; g += 1
+          if (g == 5) { flush(5); g = 0 }
+        }
+        else throw new IllegalArgumentException(s"bad ascii85 char '$c'")
+        i += 1
+      }
+      if (g == 1) throw new IllegalArgumentException("ascii85 group of one char")
+      if (g > 1) flush(g)
+      Some(out.toByteArray)
+    } catch { case _: IllegalArgumentException => None }
+
+  /** ASCIIHex decode: hex pairs up to `>`, whitespace ignored, odd final
+    * digit padded with 0.
+    */
+  private[graft] def asciiHexDecode(b: Array[Byte]): Option[Array[Byte]] =
+    try {
+      val s = new String(b, ISO_8859_1)
+      val end = { val i = s.indexOf('>'); if (i >= 0) i else s.length }
+      val hex = s.substring(0, end).filterNot(_.isWhitespace)
+      val padded = if (hex.length % 2 == 1) hex + "0" else hex
+      if (!padded.forall(c => c.isDigit || ('a' to 'f').contains(c.toLower)))
+        throw new IllegalArgumentException("non-hex digit")
+      Some(padded.grouped(2).map(Integer.parseInt(_, 16).toByte).toArray)
+    } catch { case _: IllegalArgumentException | _: NumberFormatException => None }
+
+  /** LZW decode, PDF/TIFF variant: variable 9-12 bit MSB-first codes,
+    * clear = 256 resets the table, EOD = 257, EarlyChange = 1 (the PDF
+    * default: code width grows one entry EARLY, at table sizes 511/1023/
+    * 2047). Corrupt codes yield None, not a crash.
+    */
+  private[graft] def lzwDecode(b: Array[Byte]): Option[Array[Byte]] =
+    try {
+      val out = new java.io.ByteArrayOutputStream()
+      var table = scala.collection.mutable.ArrayBuffer.tabulate(258)(i =>
+        if (i < 256) Array(i.toByte) else null)
+      var codeLen = 9
+      var prev: Array[Byte] = null
+      var bitBuf = 0L
+      var bits = 0
+      var i = 0
+      var done = false
+      while (i < b.length && !done) {
+        bitBuf = (bitBuf << 8) | (b(i) & 0xFFL); bits += 8; i += 1
+        while (bits >= codeLen && !done) {
+          val code = ((bitBuf >> (bits - codeLen)) & ((1L << codeLen) - 1)).toInt
+          bits -= codeLen
+          if (code == 256) {
+            table = scala.collection.mutable.ArrayBuffer.tabulate(258)(k =>
+              if (k < 256) Array(k.toByte) else null)
+            codeLen = 9
+            prev = null
+          } else if (code == 257) done = true
+          else {
+            val entry =
+              if (code < table.length && table(code) != null) table(code)
+              else if (code == table.length && prev != null) prev :+ prev(0)
+              else throw new IllegalArgumentException(s"bad LZW code $code")
+            out.write(entry)
+            if (prev != null) table += (prev :+ entry(0))
+            prev = entry
+            if (table.length >= (1 << codeLen) - 1 && codeLen < 12) codeLen += 1
+          }
+        }
+      }
+      Some(out.toByteArray)
+    } catch { case _: IllegalArgumentException => None }
 
   private def inflate(b: Array[Byte]): Option[Array[Byte]] =
     try {

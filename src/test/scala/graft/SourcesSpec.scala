@@ -67,6 +67,183 @@ class SourcesSpec extends SparkSpec {
     assert(PdfLite.extract(Array.fill[Byte](64)(0x7f)).isEmpty)
   }
 
+  // ---- PdfLite filter coverage: ASCII85 / ASCIIHex / LZW / chains ----
+
+  private def miniPdf(dict: String, data: Array[Byte]): Array[Byte] = {
+    val head = s"1 0 obj\n<< $dict /Length ${data.length} >>\nstream\n".getBytes("ISO-8859-1")
+    val tail = "\nendstream\nendobj\n".getBytes("ISO-8859-1")
+    head ++ data ++ tail
+  }
+
+  private def ascii85Encode(data: Array[Byte]): Array[Byte] = {
+    val sb = new StringBuilder
+    var i = 0
+    while (i < data.length) {
+      val n = math.min(4, data.length - i)
+      var v = 0L
+      var k = 0
+      while (k < 4) { v = (v << 8) | (if (i + k < data.length) data(i + k) & 0xFFL else 0L); k += 1 }
+      if (n == 4 && v == 0L) sb += 'z'
+      else {
+        val cs = new Array[Char](5)
+        var vv = v
+        var j = 4
+        while (j >= 0) { cs(j) = ('!' + (vv % 85)).toChar; vv /= 85; j -= 1 }
+        sb.appendAll(cs, 0, n + 1)
+      }
+      i += 4
+    }
+    (sb.toString + "~>").getBytes("ISO-8859-1")
+  }
+
+  /** PDF/TIFF-variant LZW encoder (9-12 bit MSB codes, clear first, EOD,
+    * EarlyChange=1) — the round-trip partner for the integration test; the
+    * decoder's external ground truth is the JDK TIFF writer test below.
+    */
+  private def lzwEncode(data: Array[Byte]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    var bitBuf = 0L; var bits = 0; var codeLen = 9
+    def emit(code: Int): Unit = {
+      bitBuf = (bitBuf << codeLen) | code; bits += codeLen
+      while (bits >= 8) { out.write(((bitBuf >> (bits - 8)) & 0xFF).toInt); bits -= 8 }
+    }
+    val table = scala.collection.mutable.Map[Seq[Byte], Int](
+      (0 until 256).map(i => Seq(i.toByte) -> i): _*)
+    var next = 258
+    emit(256)
+    var w = Vector.empty[Byte]
+    data.foreach { b =>
+      val wb = w :+ b
+      if (table.contains(wb)) w = wb
+      else {
+        emit(table(w))
+        if (next >= 4093) {
+          // table nearly full: emit CLEAR and restart, like real writers —
+          // codes past 4095 are unrepresentable in 12 bits
+          emit(256)
+          table.clear(); table ++= (0 until 256).map(i => Seq(i.toByte) -> i)
+          next = 258; codeLen = 9
+        } else {
+          table(wb) = next; next += 1
+          // the decoder's table lags the writer's by one entry, so the
+          // writer bumps at 2^n exactly when the (ground-truth-validated)
+          // reader bumps at 2^n - 1
+          if (next >= (1 << codeLen) && codeLen < 12) codeLen += 1
+        }
+        w = Vector(b)
+      }
+    }
+    if (w.nonEmpty) emit(table(w))
+    emit(257)
+    if (bits > 0) out.write(((bitBuf << (8 - bits)) & 0xFF).toInt)
+    out.toByteArray
+  }
+
+  test("PdfLite filters: ASCII85, ASCIIHex, LZW, and chained ASCII85+Flate") {
+    import graft.sources.PdfLite
+    val content = "BT (Filtered Hello) Tj ET".getBytes("ISO-8859-1")
+
+    val a85 = miniPdf("/Filter /ASCII85Decode", ascii85Encode(content))
+    assert(PdfLite.extract(a85) == Seq("Filtered Hello"), "ascii85")
+
+    val hex = content.map(b => f"${b & 0xFF}%02x").mkString + ">"
+    val ahx = miniPdf("/Filter /ASCIIHexDecode", hex.getBytes("ISO-8859-1"))
+    assert(PdfLite.extract(ahx) == Seq("Filtered Hello"), "asciihex")
+
+    val lzw = miniPdf("/Filter /LZWDecode", lzwEncode(content))
+    assert(PdfLite.extract(lzw) == Seq("Filtered Hello"), "lzw")
+
+    val deflater = new java.util.zip.Deflater()
+    deflater.setInput(content); deflater.finish()
+    val flateOut = new java.io.ByteArrayOutputStream()
+    val buf = new Array[Byte](256)
+    while (!deflater.finished()) flateOut.write(buf, 0, deflater.deflate(buf))
+    val chained = miniPdf("/Filter [/ASCII85Decode /FlateDecode]",
+      ascii85Encode(flateOut.toByteArray))
+    assert(PdfLite.extract(chained) == Seq("Filtered Hello"), "a85+flate chain")
+
+    // corrupt payloads and unknown (image) filters are skipped, not crashed
+    assert(PdfLite.extract(miniPdf("/Filter /LZWDecode",
+      Array.fill[Byte](32)(0x55))).isEmpty)
+    assert(PdfLite.extract(miniPdf("/Filter /DCTDecode",
+      "BT (not text) Tj ET".getBytes("ISO-8859-1"))).isEmpty)
+  }
+
+  test("LZW round-trips data large enough to cross the 9->10->11 bit widths") {
+    import graft.sources.PdfLite
+    val rnd = new scala.util.Random(42)
+    val data = Array.fill[Byte](20000)(rnd.nextInt(64).toByte)
+    val decoded = PdfLite.lzwDecode(lzwEncode(data))
+    assert(decoded.exists(_.sameElements(data)))
+  }
+
+  test("LZW decoder matches the JDK TIFF writer's LZW (external ground truth)") {
+    import graft.sources.PdfLite
+    // write an 8-bit gray image through ImageIO's TIFF writer with LZW
+    // compression (TIFF LZW == PDF LZW, EarlyChange=1), pull the compressed
+    // strip back out of the container, and decode it with PdfLite.lzwDecode.
+    val w = 64; val h = 64
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    val rnd = new scala.util.Random(7)
+    val pixels = Array.fill[Byte](w * h)(rnd.nextInt(256).toByte)
+    img.getRaster.setDataElements(0, 0, w, h, pixels)
+
+    val writer = javax.imageio.ImageIO.getImageWritersByFormatName("TIFF").next()
+    val param = writer.getDefaultWriteParam
+    param.setCompressionMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
+    param.setCompressionType("LZW")
+    val bos = new java.io.ByteArrayOutputStream()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+    writer.setOutput(ios)
+    writer.write(null, new javax.imageio.IIOImage(img, null, null), param)
+    ios.close(); writer.dispose()
+    val tiff = bos.toByteArray
+
+    // minimal TIFF IFD walk: RowsPerStrip must cover the image (single strip)
+    val le = tiff(0) == 'I'
+    def u16(o: Int): Int =
+      if (le) (tiff(o) & 0xFF) | ((tiff(o + 1) & 0xFF) << 8)
+      else ((tiff(o) & 0xFF) << 8) | (tiff(o + 1) & 0xFF)
+    def u32(o: Int): Int =
+      if (le) (tiff(o) & 0xFF) | ((tiff(o + 1) & 0xFF) << 8) |
+        ((tiff(o + 2) & 0xFF) << 16) | ((tiff(o + 3) & 0xFF) << 24)
+      else ((tiff(o) & 0xFF) << 24) | ((tiff(o + 1) & 0xFF) << 16) |
+        ((tiff(o + 2) & 0xFF) << 8) | (tiff(o + 3) & 0xFF)
+    val ifd = u32(4)
+    val nTags = u16(ifd)
+    var compression = -1
+    var offsets = Vector.empty[Int]
+    var counts = Vector.empty[Int]
+    var predictor = 1
+    (0 until nTags).foreach { t =>
+      val e = ifd + 2 + t * 12
+      val tag = u16(e); val typ = u16(e + 2); val cnt = u32(e + 4)
+      def values: Vector[Int] = {
+        val sz = if (typ == 3) 2 else 4
+        val base = if (cnt * sz <= 4) e + 8 else u32(e + 8)
+        (0 until cnt).map(k => if (typ == 3) u16(base + k * 2) else u32(base + k * 4)).toVector
+      }
+      tag match {
+        case 259 => compression = values.head
+        case 273 => offsets = values
+        case 279 => counts = values
+        case 317 => predictor = values.head
+        case _ => ()
+      }
+    }
+    assert(compression == 5, s"TIFF writer must emit LZW, got $compression")
+    assert(predictor == 1, s"need no predictor for a direct compare, got $predictor")
+    val strip = offsets.indices.flatMap { k =>
+      val raw = tiff.slice(offsets(k), offsets(k) + counts(k))
+      val dec = PdfLite.lzwDecode(raw)
+      assert(dec.nonEmpty, s"strip $k must decode")
+      dec.get
+    }.toArray
+    assert(strip.sameElements(pixels),
+      "PdfLite LZW must reproduce the JDK TIFF writer's pixel data exactly")
+  }
+
   test("pendingFetches: anti-join idempotence (arxiv_hook.py:126-128 analog)") {
     val requested = Seq(("a", 1), ("b", 2), ("c", 3)).toDF("key", "v")
     val manifest = Seq("b").toDF("key")
