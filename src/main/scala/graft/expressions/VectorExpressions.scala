@@ -199,6 +199,87 @@ case class NearestCell(child: Expression, centroids: Array[Array[Double]])
     copy(child = newChild)
 }
 
+/** Product-quantization asymmetric-distance table: for a query vector,
+  * dt[m][c] = ||q_sub_m - codebook[m][c]||^2 over all M subspaces x K
+  * sub-centroids — computed ONCE per query row (the FAISS ADC shape), so
+  * each (query, code) candidate afterwards costs M array lookups instead of
+  * M x subDim multiplies. Codebooks ship as a codegen reference object.
+  */
+case class PqDistTable(child: Expression, codebooks: Array[Array[Array[Double]]])
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def dataType: DataType = ArrayType(ArrayType(DoubleType, false), false)
+
+  private def elemIsFloat: Boolean =
+    child.dataType.asInstanceOf[ArrayType].elementType == FloatType
+
+  override def nullSafeEval(a: Any): Any = {
+    val v = a.asInstanceOf[ArrayData]
+    val f = elemIsFloat
+    val m = codebooks.length
+    val sub = if (m > 0) codebooks(0)(0).length else 0
+    val rows = new Array[Any](m)
+    var mi = 0
+    while (mi < m) {
+      val cb = codebooks(mi)
+      val row = new Array[Any](cb.length)
+      var c = 0
+      while (c < cb.length) {
+        val cen = cb(c)
+        var d = 0.0
+        var i = 0
+        while (i < sub) {
+          val idx = mi * sub + i
+          val xv: Double =
+            if (idx < v.numElements()) { if (f) v.getFloat(idx).toDouble else v.getDouble(idx) }
+            else 0.0
+          val diff = xv - cen(i); d += diff * diff
+          i += 1
+        }
+        row(c) = d
+        c += 1
+      }
+      rows(mi) = org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(row)
+      mi += 1
+    }
+    org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(rows)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val get = if (elemIsFloat) "getFloat" else "getDouble"
+    val cbRef = ctx.addReferenceObj("codebooks", codebooks, "double[][][]")
+    nullSafeCodeGen(ctx, ev, v => {
+      val m = ctx.freshName("m"); val c = ctx.freshName("c")
+      val i = ctx.freshName("i"); val d = ctx.freshName("d")
+      val idx = ctx.freshName("idx"); val diff = ctx.freshName("diff")
+      val sub = ctx.freshName("sub"); val rows = ctx.freshName("rows")
+      val row = ctx.freshName("row")
+      s"""
+         |int $sub = $cbRef.length > 0 ? $cbRef[0][0].length : 0;
+         |Object[] $rows = new Object[$cbRef.length];
+         |for (int $m = 0; $m < $cbRef.length; $m++) {
+         |  double[] $row = new double[$cbRef[$m].length];
+         |  for (int $c = 0; $c < $cbRef[$m].length; $c++) {
+         |    double $d = 0.0;
+         |    for (int $i = 0; $i < $sub; $i++) {
+         |      int $idx = $m * $sub + $i;
+         |      double $diff = ($idx < $v.numElements() ? (double) $v.$get($idx) : 0.0)
+         |        - $cbRef[$m][$c][$i];
+         |      $d += $diff * $diff;
+         |    }
+         |    $row[$c] = $d;
+         |  }
+         |  $rows[$m] = org.apache.spark.sql.catalyst.util.ArrayData.toArrayData($row);
+         |}
+         |${ev.value} = org.apache.spark.sql.catalyst.util.ArrayData.toArrayData($rows);
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** All nBits hyperplane sign-bits of the LSH bucket in ONE pass over the
   * vector (plane matrix shipped as a codegen reference object — no per-row
   * array literals, no per-bit re-reads of the vector).

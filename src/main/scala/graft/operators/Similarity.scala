@@ -141,6 +141,70 @@ object Similarity {
     cents
   }
 
+  /** Train per-subspace PQ codebooks on a bounded deterministic corpus
+    * sample: the D-dim space splits into `m` contiguous subspaces of
+    * D/m dims; each gets a `kSub`-centroid Lloyd codebook (seed 42 + the
+    * subspace index, so every subspace is deterministic but distinct).
+    */
+  private[graft] def trainPq(sample: Array[Array[Double]], m: Int,
+                             kSub: Int): Array[Array[Array[Double]]] = {
+    require(sample.nonEmpty, "cannot train PQ codebooks on an empty sample")
+    val dim = sample.head.length
+    require(dim % m == 0, s"dim $dim must divide into $m subspaces")
+    val sub = dim / m
+    Array.tabulate(m) { mi =>
+      val subSample = sample.map(v => java.util.Arrays.copyOfRange(v, mi * sub, (mi + 1) * sub))
+      lloyd(subSample, kSub, iters = 10, seed = 42L + mi)
+    }
+  }
+
+  /** Product-quantization ANN (the FAISS ADC shape, the canonical
+    * memory-bound scale path): corpus vectors compress to `m` byte-ish codes
+    * (nearest sub-centroid per subspace — 64 floats become 8 ints here), and
+    * each query ranks candidates by the asymmetric distance
+    * sum_m dt[m][code_m] where dt is the query's distance table, computed
+    * ONCE per query row by the codegen'd PqDistTable expression. Per
+    * candidate the work is m array lookups — no touch of the original
+    * vector. At 100 TB the encoded corpus (codes only) is ~32x smaller than
+    * the float vectors and is what actually scans; codebooks are trained
+    * driver-side on a bounded sample exactly like the IVF codebook, and the
+    * encode pass is one distributed projection (NearestCell per subspace
+    * slice, all inside whole-stage codegen).
+    */
+  def pqTopK(queries: DataFrame, corpus: DataFrame, k: Int,
+             m: Int = 8, kSub: Int = 16,
+             qId: String = "qid", qVec: String = "qe",
+             cId: String = "nid", cVec: String = "ne",
+             maxTrain: Int = 100000): DataFrame = {
+    import org.apache.spark.sql.GraftShim.{column, expression}
+    val sample = corpus.select(col(cId), col(cVec)).orderBy(col(cId))
+      .limit(maxTrain).collect()
+      .map(_.getSeq[Number](1).map(_.doubleValue()).toArray)
+    val cbs = trainPq(sample, m, kSub)
+    val sub = cbs(0)(0).length
+
+    val encoded = corpus.select(col(cId),
+      array((0 until m).map { mi =>
+        column(graft.expressions.NearestCell(
+          expression(slice(col(cVec), mi * sub + 1, sub)), cbs(mi)))
+      }: _*).as("codes"))
+
+    val q = queries.select(col(qId),
+      column(graft.expressions.PqDistTable(expression(col(qVec)), cbs)).as("dt"))
+
+    // adist = sum_m dt[m][code_m]: m element_at lookups, left-to-right sum
+    val adist = (0 until m).map { mi =>
+      element_at(element_at(col("dt"), mi + 1), element_at(col("codes"), mi + 1) + 1)
+    }.reduce(_ + _)
+
+    val w = Window.partitionBy(col(qId)).orderBy(col("adist"), col(cId))
+    broadcast(q).crossJoin(encoded)
+      .filter(col(cId) =!= col(qId))
+      .select(col(qId), col(cId), adist.as("adist"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+  }
+
   /** Approximate top-k via nTables independent hyperplane-LSH bucketings.
     * All tables' buckets are computed in ONE scan per side (explode over a
     * per-table struct array) — a union of per-table scans would read the

@@ -184,6 +184,53 @@ object DedupQueries {
        |ORDER BY qid, rn""".stripMargin
   }
 
+  /** q96 oracle GENERATOR: product-quantization ADC ranking, replayed
+    * end-to-end. The per-subspace codebooks (trainPq: Lloyd, seed 42+m,
+    * trained on the verified corpus like q57's codebook) are inlined as one
+    * (m, c, cvec) VALUES table of raw-double literals — both the Spark
+    * encode pass (NearestCell on subspace slices) and the distance table
+    * (PqDistTable) use the raw doubles, so ONE table serves both. DuckDB
+    * replays: per-subspace argmin assignment (strict <, lower c on ties ==
+    * ORDER BY d, c), then adist = the m-ordered sum of the query's subspace
+    * distances to each candidate's assigned sub-centroids (list_sum over a
+    * list(... ORDER BY m) — DuckDB's plain sum() has no deterministic order).
+    */
+  private def q96OracleGen(s: SparkSession, dir: String): String = {
+    val sample = Tables(s, dir, "embeddings")
+      .select(col("vec_id"), col("embedding")).orderBy(col("vec_id"))
+      .limit(100000).collect()
+      .map(_.getSeq[Number](1).map(_.doubleValue()).toArray)
+    val cbs = Similarity.trainPq(sample, m = 8, kSub = 16)
+    val sub = cbs(0)(0).length
+    def vecLit(a: Array[Double]): String =
+      a.map(java.lang.Double.toString).mkString("[", ", ", "]")
+    val cbRows = (for (mi <- cbs.indices; c <- cbs(mi).indices)
+      yield s"($mi, $c, ${vecLit(cbs(mi)(c))})").mkString(",\n    ")
+    def l2sub(embExpr: String, mExpr: String): String =
+      s"""list_sum(list_transform(list_zip($embExpr[$mExpr*$sub+1 : $mExpr*$sub+$sub], cb.cvec),
+         |          x -> (CAST(x[1] AS DOUBLE) - x[2]) * (CAST(x[1] AS DOUBLE) - x[2])))""".stripMargin
+    s"""WITH cb(m, c, cvec) AS (VALUES
+       |    $cbRows),
+       |a AS (SELECT e.vec_id AS nid, cb.m, cb.c,
+       |        row_number() OVER (PARTITION BY e.vec_id, cb.m
+       |          ORDER BY ${l2sub("e.embedding", "cb.m")}, cb.c) AS arn
+       |      FROM embeddings e CROSS JOIN cb),
+       |codes AS (SELECT nid, m, c FROM a WHERE arn = 1),
+       |pd AS (SELECT q.vec_id AS qid, codes.nid, codes.m,
+       |         ${l2sub("q.embedding", "codes.m")} AS d
+       |       FROM embeddings q
+       |       JOIN codes ON codes.nid != q.vec_id
+       |       JOIN cb ON cb.m = codes.m AND cb.c = codes.c
+       |       WHERE q.vec_id < 5),
+       |ad AS (SELECT qid, nid, list_sum(list(d ORDER BY m)) AS adist
+       |       FROM pd GROUP BY qid, nid),
+       |r AS (SELECT qid, nid, adist,
+       |        row_number() OVER (PARTITION BY qid ORDER BY adist, nid) AS rn
+       |      FROM ad)
+       |SELECT qid, nid, round(adist, 4) AS adist, rn FROM r WHERE rn <= 5
+       |ORDER BY qid, rn""".stripMargin
+  }
+
   private lazy val q53OracleSql: String = {
     val bitExprs = Array.tabulate(4)(b =>
       planeBitSql(graft.functions.VectorFns.planeFor(b, 64)))
@@ -344,6 +391,24 @@ object DedupQueries {
       },
       None,
       oracleGen = Some(q57OracleGen _)),
+
+    // ---- ANN scale path #3: product quantization (ADC). The corpus
+    // compresses to 8 sub-centroid codes per vector; queries rank by the
+    // asymmetric distance out of a per-query distance table. The oracle
+    // replays assignment + the m-ordered ADC sum with the trained codebooks
+    // inlined (generated at Verify time — they depend on the corpus). ----
+    Q("q96_pq_ann",
+      (s, dir) => {
+        val emb = t(s, dir, "embeddings")
+        val q = emb.filter(col("vec_id") < 5)
+          .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+        val c = emb.select(col("vec_id").as("nid"), col("embedding").as("ne"))
+        Similarity.pqTopK(q, c, k = 5, m = 8, kSub = 16)
+          .select(col("qid"), col("nid"), round(col("adist"), 4).as("adist"), col("rn"))
+          .orderBy(col("qid"), col("rn"))
+      },
+      None,
+      oracleGen = Some(q96OracleGen _)),
 
     // ---- G1 token chunker (size 30, overlap 5), content-hash checked. ----
     Q("q55_chunk",

@@ -53,6 +53,65 @@ class VectorFnsSpec extends SparkSpec {
     assert(recall > 0.3, s"IVF recall unreasonably low: $recall")
   }
 
+  test("pqTopK equals a driver-side ADC mirror, distances included") {
+    val emb = Tables(spark, sfDir, "embeddings")
+    val q = emb.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+    val c = emb.select(col("vec_id").as("nid"), col("embedding").as("ne"))
+    val got = Similarity.pqTopK(q, c, k = 5, m = 8, kSub = 16)
+      .select(col("qid"), col("nid"), col("adist"), col("rn"))
+      .as[(Long, Long, Double, Int)].collect().toSet
+
+    // independent scala mirror of the whole pipeline (same arithmetic order)
+    val all = emb.select(col("vec_id"), col("embedding")).orderBy("vec_id")
+      .collect().map(r => r.getLong(0) ->
+        r.getSeq[Number](1).map(_.doubleValue()).toArray).toSeq
+    val cbs = Similarity.trainPq(all.map(_._2).toArray, 8, 16)
+    val sub = cbs(0)(0).length
+    def subL2(v: Array[Double], mi: Int, cen: Array[Double]): Double = {
+      var d = 0.0; var i = 0
+      while (i < sub) { val df = v(mi * sub + i) - cen(i); d += df * df; i += 1 }
+      d
+    }
+    val codes = all.map { case (id, v) =>
+      id -> Array.tabulate(8) { mi =>
+        var best = 0; var bestD = Double.MaxValue
+        cbs(mi).zipWithIndex.foreach { case (cen, ci) =>
+          val d = subL2(v, mi, cen)
+          if (d < bestD) { bestD = d; best = ci }
+        }
+        best
+      }
+    }.toMap
+    val expected = all.filter(_._1 < 5).flatMap { case (qid, qv) =>
+      val ranked = all.filter(_._1 != qid).map { case (nid, _) =>
+        val ad = (0 until 8).map(mi => subL2(qv, mi, cbs(mi)(codes(nid)(mi)))).sum
+        (nid, ad)
+      }.sortBy { case (nid, ad) => (ad, nid) }.take(5)
+      ranked.zipWithIndex.map { case ((nid, ad), i) => (qid, nid, ad, i + 1) }
+    }.toSet
+    assert(got == expected, "distributed PQ/ADC must equal the driver mirror exactly")
+  }
+
+  test("pqTopK on clustered data: top neighbor comes from the same cluster") {
+    val rnd = new scala.util.Random(3)
+    val pts = for (cl <- 0 until 4; i <- 0 until 10) yield {
+      val base = Array.tabulate(16)(d => if (d % 4 == cl) 5.0f else 0.0f)
+      ((cl * 10 + i).toLong,
+        base.map(v => v + rnd.nextGaussian().toFloat * 0.1f).toSeq, cl)
+    }
+    val df = pts.toDF("id", "vec", "cluster")
+    val q = df.select(col("id").as("qid"), col("vec").as("qe"))
+    val c = df.select(col("id").as("nid"), col("vec").as("ne"))
+    val top1 = Similarity.pqTopK(q, c, k = 1, m = 4, kSub = 8)
+      .select("qid", "nid").as[(Long, Long)].collect()
+    assert(top1.length == 40)
+    top1.foreach { case (qid, nid) =>
+      assert(qid / 10 == nid / 10,
+        s"query $qid's PQ nearest neighbor $nid must share its cluster")
+    }
+  }
+
   test("multimodal stub codec: deterministic features, unit norm") {
     val codec = new Multimodal.StubCodec()
     val f1 = codec.features("hello world".getBytes, 16)
