@@ -211,6 +211,52 @@ object TextQueries {
              |           t -> CAST(concat('0x', substr(md5(t), 1, 15)) AS BIGINT) % 2147483647)),
              |         (acc, x) -> (acc * 1000003 + x) % 2147483647)
              |  END AS fp
-             |FROM documents ORDER BY doc_id""".stripMargin))
+             |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    // ---- BM25 keyword retrieval (operators/Bm25): lexical top-k, the
+    // counterpart of the embedding ANN family. The oracle replays the
+    // whole pipeline — postings, tf/df/dl/avgdl, 6-dp-quantized idf (the
+    // only transcendental), and the TERM-ORDERED score fold (double
+    // addition is not associative; list_sum over list(ORDER BY t) mirrors
+    // Spark's sorted collect_list fold exactly). ----
+    Q("q97_bm25",
+      (s, dir) => {
+        val spark = s
+        import spark.implicits._
+        val queries = Seq(
+          (1L, "fast table scan"),
+          (2L, "hash join merge"),
+          (3L, "stream window batch group")).toDF("qid", "qtext")
+        graft.operators.Bm25.search(
+            t(s, dir, "documents"), "doc_id", "text", queries, "qid", "qtext", k = 10)
+          .select(col("qid"), col("doc_id"), round(col("score"), 4).as("score"), col("rn"))
+          .orderBy(col("qid"), col("rn"))
+      },
+      Some("""WITH q(qid, qtext) AS (VALUES
+             |    (1::BIGINT, 'fast table scan'),
+             |    (2::BIGINT, 'hash join merge'),
+             |    (3::BIGINT, 'stream window batch group')),
+             |toks AS (SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\s+')) AS t
+             |         FROM documents WHERE length(trim(text)) > 0),
+             |tf AS (SELECT doc_id, t, CAST(count(*) AS BIGINT) AS tf FROM toks GROUP BY 1, 2),
+             |dl AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS dl FROM toks GROUP BY 1),
+             |stats AS (SELECT avg(dl) AS avgdl, CAST(count(*) AS BIGINT) AS nd FROM dl),
+             |df AS (SELECT t, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+             |qt AS (SELECT DISTINCT qid, unnest(string_split_regex(lower(trim(qtext)), '\s+')) AS t
+             |       FROM q),
+             |contrib AS (SELECT qt.qid, tf.doc_id, qt.t,
+             |    round(ln(1.0 + (stats.nd - df.df + 0.5) / (df.df + 0.5)), 6)
+             |      * (tf.tf * 2.2) / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / stats.avgdl)) AS c
+             |  FROM qt JOIN tf ON tf.t = qt.t
+             |          JOIN dl ON dl.doc_id = tf.doc_id
+             |          JOIN df ON df.t = qt.t
+             |          CROSS JOIN stats),
+             |scored AS (SELECT qid, doc_id, list_sum(list(c ORDER BY t)) AS score
+             |           FROM contrib GROUP BY qid, doc_id),
+             |r AS (SELECT qid, doc_id, score,
+             |        row_number() OVER (PARTITION BY qid ORDER BY score DESC, doc_id) AS rn
+             |      FROM scored)
+             |SELECT qid, doc_id, round(score, 4) AS score, rn FROM r WHERE rn <= 10
+             |ORDER BY qid, rn""".stripMargin))
   )
 }

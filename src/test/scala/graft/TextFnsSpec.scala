@@ -108,4 +108,24 @@ class TextFnsSpec extends SparkSpec {
       "zzz qqq xxx").toDF("t").select(TextFns.langId(col("t"))).as[String].collect()
     assert(preds.toSeq == Seq("en", "fr", "es", "de", "zh", "unknown"))
   }
+
+  test("bm25: length normalization, tf saturation, and absent terms") {
+    import graft.operators.Bm25
+    val docs = Seq(
+      (1L, "apple banana apple"),
+      (2L, "apple"),
+      (3L, "cherry banana")).toDF("doc_id", "text")
+    val qs = Seq((1L, "apple"), (2L, "banana"), (3L, "durian")).toDF("qid", "qtext")
+    val got = Bm25.search(docs, "doc_id", "text", qs, "qid", "qtext", k = 10)
+      .select("qid", "doc_id", "rn").as[(Long, Long, Int)].collect()
+      .groupBy(_._1).view.mapValues(_.sortBy(_._3).map(_._2).toSeq).toMap
+
+    // b=0.75 length normalization outranks doc 1's double tf with the
+    // 1-token doc 2: tfpart(2) = 2.2/1.75 > tfpart(1) = 4.4/3.65
+    assert(got(1L) == Seq(2L, 1L), s"apple ranking: ${got(1L)}")
+    // banana: the shorter doc 3 outranks doc 1; doc 2 has no banana
+    assert(got(2L) == Seq(3L, 1L), s"banana ranking: ${got(2L)}")
+    // a term absent from the corpus returns no rows, not an error
+    assert(!got.contains(3L))
+  }
 }
