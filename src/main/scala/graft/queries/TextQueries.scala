@@ -257,6 +257,36 @@ object TextQueries {
              |        row_number() OVER (PARTITION BY qid ORDER BY score DESC, doc_id) AS rn
              |      FROM scored)
              |SELECT qid, doc_id, round(score, 4) AS score, rn FROM r WHERE rn <= 10
-             |ORDER BY qid, rn""".stripMargin))
+             |ORDER BY qid, rn""".stripMargin)),
+
+    // ---- Bigram-LM perplexity scoring (operators/LmScore): the CCNet-
+    // style quality filter, trained on the corpus itself. Oracle replays
+    // counts, add-0.5 smoothing, the 6-dp-quantized ln, and the
+    // POSITION-ordered per-document log-prob fold. ----
+    Q("q98_lm_score",
+      (s, dir) => {
+        graft.operators.LmScore.bigramNll(t(s, dir, "documents"), "doc_id", "text")
+          .select(col("doc_id"), round(col("nll"), 4).as("nll"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH t AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS toks
+             |           FROM documents WHERE length(trim(text)) > 0),
+             |t2 AS (SELECT doc_id, toks FROM t WHERE len(toks) >= 2),
+             |bg AS (SELECT doc_id, unnest(generate_series(1, len(toks) - 1)) AS pos, toks
+             |       FROM t2),
+             |bg2 AS (SELECT doc_id, pos, toks[pos] AS w1, toks[pos + 1] AS w2 FROM bg),
+             |c1 AS (SELECT w1, CAST(count(*) AS BIGINT) AS c1 FROM bg2 GROUP BY 1),
+             |c2 AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c2 FROM bg2 GROUP BY 1, 2),
+             |v AS (SELECT CAST(count(DISTINCT w) AS BIGINT) AS v
+             |      FROM (SELECT unnest(toks) AS w FROM t2)),
+             |lp AS (SELECT bg2.doc_id, bg2.pos,
+             |         round(ln((c2.c2 + 0.5) / (c1.c1 + 0.5 * v.v)), 6) AS lp
+             |       FROM bg2 JOIN c2 ON c2.w1 = bg2.w1 AND c2.w2 = bg2.w2
+             |                JOIN c1 ON c1.w1 = bg2.w1
+             |                CROSS JOIN v),
+             |d AS (SELECT doc_id, list_sum(list(lp ORDER BY pos)) AS s,
+             |        CAST(count(*) AS BIGINT) AS n
+             |      FROM lp GROUP BY doc_id)
+             |SELECT doc_id, round(-(s) / n, 4) AS nll FROM d ORDER BY doc_id""".stripMargin))
   )
 }

@@ -128,4 +128,22 @@ class TextFnsSpec extends SparkSpec {
     // a term absent from the corpus returns no rows, not an error
     assert(!got.contains(3L))
   }
+
+  test("bigram-LM nll: improbable transitions score worse than corpus-typical ones") {
+    import graft.operators.LmScore
+    // docs 1-8 establish "the cat sat" as the dominant pattern; doc 9 walks
+    // rare transitions and must score a higher negative log-likelihood.
+    val docs = ((1 to 8).map(i => (i.toLong, "the cat sat on the mat")) :+
+      (9L, "mat the sat cat on sat")).toDF("doc_id", "text")
+    val nll = LmScore.bigramNll(docs, "doc_id", "text")
+      .as[(Long, Double)].collect().toMap
+    assert(nll.size == 9)
+    assert(nll(9L) > nll(1L) + 0.5,
+      s"rare-transition doc must score clearly worse: ${nll(9L)} vs ${nll(1L)}")
+    assert(nll(1L) == nll(5L), "identical docs score identically")
+    // single-token and empty docs are excluded, not scored
+    val tiny = Seq((1L, "word"), (2L, ""), (3L, "a b")).toDF("doc_id", "text")
+    assert(LmScore.bigramNll(tiny, "doc_id", "text")
+      .select("doc_id").as[Long].collect().toSeq == Seq(3L))
+  }
 }
