@@ -301,11 +301,25 @@ object QualityQueries {
             md5(col("frame")).as("frame_hash"))
           .orderBy(col("doc_id"), col("frame_id"))
       },
-      None),
+      // Oracle: the fixture's binary IS the document text's bytes, and this
+      // corpus is pure ASCII (verified: octet_length(encode(text)) ==
+      // length(text) for every row at every sf), so DuckDB's VARCHAR
+      // substring slices the same bytes the Spark binary substr does and
+      // md5(VARCHAR) hashes them identically.
+      Some("""WITH n AS (SELECT doc_id, text AS content,
+             |        greatest(CAST(ceil(length(text) / 64.0) AS INT) - 1, 0) AS maxf
+             |      FROM documents),
+             |x AS (SELECT doc_id, content, unnest(generate_series(0, maxf)) AS frame_id
+             |      FROM n)
+             |SELECT doc_id, CAST(frame_id AS INTEGER) AS frame_id,
+             |  md5(substring(content, CAST(frame_id * 64 + 1 AS INT), 64)) AS frame_hash
+             |FROM x WHERE frame_id % 2 = 0
+             |ORDER BY doc_id, frame_id""".stripMargin)),
 
     // ---- Multimodal audio segmentation: 500ms windows, 100ms overlap at a
     // 16 kB/s PCM-ish rate (coverage/overlap invariants pinned in the
-    // spec; byte-slice hashing is not SQL-portable => rows-only). ----
+    // spec; byte-slice hashes replayed in DuckDB — the fixture corpus is
+    // pure ASCII, so VARCHAR slicing equals byte slicing, see q82). ----
     Q("q86_audio_segments",
       (s, dir) => {
         val fixture = Multimodal.fixtureFromDocuments(t(s, dir, "documents"))
@@ -316,6 +330,17 @@ object QualityQueries {
             md5(col("segment")).as("seg_hash"))
           .orderBy(col("doc_id"), col("segment_id"))
       },
-      None)
+      Some("""WITH n AS (SELECT doc_id, text AS content,
+             |        CASE WHEN length(text) <= 8000 THEN 1
+             |             ELSE CAST(ceil((length(text) - 8000) / 6400.0) AS INT) + 1
+             |        END AS nseg
+             |      FROM documents),
+             |x AS (SELECT doc_id, content, unnest(generate_series(0, nseg - 1)) AS segment_id
+             |      FROM n)
+             |SELECT doc_id, CAST(segment_id AS INTEGER) AS segment_id,
+             |  CAST(segment_id * 400 AS BIGINT) AS start_ms,
+             |  CAST(length(substring(content, CAST(segment_id * 6400 + 1 AS INT), 8000)) AS INT) AS seg_bytes,
+             |  md5(substring(content, CAST(segment_id * 6400 + 1 AS INT), 8000)) AS seg_hash
+             |FROM x ORDER BY doc_id, segment_id""".stripMargin))
   )
 }

@@ -32,9 +32,21 @@ object Registry {
   def oracles: Map[String, String] =
     all.flatMap(q => q.oracle.map(q.name -> _)).toMap
 
-  /** Static oracles plus the session-generated ones (codebooks etc.). */
+  /** Static oracles plus the session-generated ones (codebooks etc.). A
+    * failing generator downgrades ITS query to rows-only instead of
+    * crashing the dump — one bad generator must never zero the whole
+    * correctness run's oracle file.
+    */
   def oraclesFor(spark: SparkSession, dir: String): Map[String, String] =
-    all.flatMap(q =>
-      q.oracleGen.map(g => q.name -> g(spark, dir)).orElse(q.oracle.map(q.name -> _))
-    ).toMap
+    all.flatMap { q =>
+      val gen = q.oracleGen.flatMap { g =>
+        try Some(g(spark, dir))
+        catch {
+          case e: Exception =>
+            System.err.println(s"[oracle-gen] ${q.name} failed, demoted to rows-only: ${e.getMessage}")
+            None
+        }
+      }
+      gen.orElse(q.oracle).map(q.name -> _)
+    }.toMap
 }
