@@ -62,28 +62,40 @@ object Bench {
     // (an "errors" list), never a silently-missing key or a fake-fast time.
     val errors = scala.collection.mutable.ListBuffer.empty[String]
     headline.filterNot(registry.contains).foreach(n => errors += n)
-    // Per-query MIN over repeated runs: a single-shot timing under sandbox
-    // contention (GC pause, noisy neighbor) becomes the round's official
-    // number otherwise — BENCH_r03 captured a 2-4x outlier on exactly the
-    // heaviest queries that an identical re-run refuted. Two runs always;
-    // a third only when the first two disagree by >25%, so steady-state
-    // queries don't pay for the outliers' re-measurement.
-    val results = headline.flatMap { name =>
-      registry.get(name).map { fn =>
-        def once(): Double = {
-          val t0 = System.nanoTime()
-          val ok = try { fn(spark, sfDir).count(); true }
-                   catch { case _: Throwable => false }
-          if (!ok) errors += name
-          (System.nanoTime() - t0) / 1e9
-        }
-        val (a, b) = (once(), once())
-        val best =
-          if (math.min(a, b) / math.max(a, b) < 0.75) math.min(math.min(a, b), once())
-          else math.min(a, b)
-        name -> best
-      }
+    // Per-query MIN over INTERLEAVED passes: a single-shot timing under
+    // sandbox contention (GC pause, noisy neighbor) becomes the round's
+    // official number otherwise. Back-to-back repeats of the same query
+    // share one contention window, so min-of-two still captured 3-8x
+    // outliers (BENCH_r04 q01/q03/q50 vs an identical re-run minutes
+    // later). Decorrelate instead: run the FULL headline list twice in
+    // sequence — repeats of any one query are now separated by the whole
+    // suite's runtime — and take per-query mins across passes. Queries
+    // whose two runs still disagree by >25% get a third, equally
+    // decorrelated, batch pass.
+    val names = headline.filter(registry.contains)
+    def once(name: String): Double = {
+      val fn = registry(name)
+      val t0 = System.nanoTime()
+      val ok = try { fn(spark, sfDir).count(); true }
+               catch { case _: Throwable => false }
+      if (!ok) errors += name
+      (System.nanoTime() - t0) / 1e9
     }
+    val pass1 = names.map(n => n -> once(n)).toMap
+    val pass2 = names.map(n => n -> once(n)).toMap
+    val disagree = names.filter { n =>
+      val (a, b) = (pass1(n), pass2(n))
+      math.min(a, b) / math.max(a, b) < 0.75
+    }
+    val pass3 = disagree.map(n => n -> once(n)).toMap
+    val runs = names.map(n => n -> (Seq(pass1(n), pass2(n)) ++ pass3.get(n)))
+    val results = runs.map { case (n, rs) => n -> rs.min }
+    // Per-run detail on its own line BEFORE the official JSON (which must
+    // stay last + short for the driver's finite tail capture): makes any
+    // surviving outlier visible instead of silently folded into the min.
+    println(runs.map { case (n, rs) =>
+      "\"" + n + "\":[" + rs.map(r => f"$r%.2f").mkString(",") + "]"
+    }.mkString("{\"bench_runs\":{", ",", "}}"))
     val qs = results
       .map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")

@@ -35,7 +35,12 @@ object Bm25 {
     val toks = docs.select(col(idCol).as("__id"),
       explode(TextFns.tokens(lower(col(textCol)))).as("__t"))
     val tf = toks.groupBy(col("__id"), col("__t")).agg(count(lit(1)).as("tf"))
-    val dl = toks.groupBy(col("__id")).agg(count(lit(1)).as("dl"))
+    // doc length derives from tf (sum of term frequencies), NOT from a second
+    // aggregation over the exploded tokens: dl's plan then contains tf's
+    // exchange as a subplan, Spark's ReuseExchange materializes the postings
+    // shuffle once, and the corpus is tokenized in a single pass — at corpus
+    // scale the tokenize/explode is the dominant cost of the postings build.
+    val dl = tf.groupBy(col("__id")).agg(sum(col("tf")).as("dl"))
     val stats = dl.agg(avg(col("dl")).as("avgdl"), count(lit(1)).as("nd"))
     val df = tf.groupBy(col("__t")).agg(count(lit(1)).as("df"))
 

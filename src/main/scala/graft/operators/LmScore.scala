@@ -41,7 +41,12 @@ object LmScore {
 
     val c1 = bg.groupBy(col("w1")).agg(count(lit(1)).as("c1"))
     val c2 = bg.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c2"))
-    val vocab = toks.select(explode(col("__toks")).as("w"))
+    // every token of a >=2-token doc occurs as some bigram's w1 or w2, so the
+    // vocabulary is exactly distinct(w1 union w2) over the DISTINCT-bigram
+    // table c2 — far smaller than re-exploding the corpus, and c2's exchange
+    // is shared with the scoring join below (ReuseExchange), so the corpus
+    // is tokenized one time fewer per scoring run.
+    val vocab = c2.select(col("w1").as("w")).union(c2.select(col("w2").as("w")))
       .agg(countDistinct(col("w")).as("v"))
 
     val lp = round(
