@@ -20,7 +20,7 @@ object Bench {
     "q23_sessionize", "q29_range_frame", "q33_quality_score",
     "q35_top_bigrams", "q41_knn_brute",
     "q45_exists_subquery", "q52_jaccard_exact", "q55_chunk",
-    "q57_knn_ivf", "q96_pq_ann", "q74_flagship_articles",
+    "q57_knn_ivf", "q96_pq_ann", "q99_ivfpq_ann", "q74_flagship_articles",
     "q77_yaml_pipeline", "q80_stream_tumbling",
     "q83_stream_sessions", "q84_stream_sliding", "q85_stream_dedup",
   )

@@ -205,6 +205,121 @@ object Similarity {
       .filter(col("rn") <= k)
   }
 
+  /** Nearest coarse-centroid index of one driver-side vector — the same
+    * argmin rule as the distributed NearestCell expression (strict <, lower
+    * cell wins ties), shared by IVF-PQ training, its oracle generator, and
+    * the spec mirror so all three replay the identical assignment.
+    */
+  private[graft] def nearestIdx(v: Array[Double], cents: Array[Array[Double]]): Int = {
+    var best = 0; var bestD = Double.MaxValue
+    var c = 0
+    while (c < cents.length) {
+      val cen = cents(c)
+      var d = 0.0; var i = 0
+      while (i < v.length) { val df = v(i) - cen(i); d += df * df; i += 1 }
+      if (d < bestD) { bestD = d; best = c }
+      c += 1
+    }
+    best
+  }
+
+  /** Residuals of a driver-side sample against its nearest coarse centroids
+    * (v - c(v)) — what IVF-PQ trains its sub-codebooks on.
+    */
+  private[graft] def residualsOf(sample: Array[Array[Double]],
+                                 cents: Array[Array[Double]]): Array[Array[Double]] =
+    sample.map { v =>
+      val cen = cents(nearestIdx(v, cents))
+      val r = new Array[Double](v.length)
+      var i = 0
+      while (i < v.length) { r(i) = v(i) - cen(i); i += 1 }
+      r
+    }
+
+  /** IVF-PQ composed ANN — the FAISS IVFADC serving shape, and the one that
+    * actually runs at 100 TB: IVF prunes WHICH vectors each query touches
+    * (nProbe of nCells cells), PQ compresses WHAT is touched (m byte-ish
+    * residual codes, ~32x smaller than the floats). Neither half alone
+    * scales: IVF-only re-ranks on raw vectors (memory-bound), PQ-only scans
+    * every code (compute-bound). Composed, a query reads ~nProbe/nCells of
+    * an already-32x-compressed corpus.
+    *
+    * Classic residual encoding: PQ codebooks are trained on (v - c(v)) — the
+    * displacement from each vector's coarse centroid — which has far lower
+    * variance than raw vectors, so the same kSub codes quantize it tighter.
+    * Each query then builds ONE distance table per probed cell from its own
+    * residual (q - centroid), and every candidate in that cell costs m array
+    * lookups (the codegen'd PqDistTable / element_at pipeline from pqTopK).
+    *
+    * Scale shape: both codebooks train driver-side on one bounded sample
+    * (exactly ivfTopK/pqTopK's convention); the encode pass is a single
+    * distributed projection (cell + m residual codes, all whole-stage
+    * codegen); the probed (query, cell, dt) side is tiny and broadcasts, so
+    * the encoded corpus never shuffles. At cluster scale the encode persists
+    * bucketed-by-cell and queries read only their probed buckets.
+    */
+  def ivfPqTopK(queries: DataFrame, corpus: DataFrame, k: Int,
+                nCells: Int = 16, nProbe: Int = 4, m: Int = 8, kSub: Int = 16,
+                qId: String = "qid", qVec: String = "qe",
+                cId: String = "nid", cVec: String = "ne",
+                maxTrain: Int = 100000): DataFrame = {
+    import org.apache.spark.sql.GraftShim.{column, expression}
+    val spark = corpus.sparkSession
+    import spark.implicits._
+
+    val sample = corpus.select(col(cId), col(cVec)).orderBy(col(cId))
+      .limit(maxTrain).collect()
+      .map(_.getSeq[Number](1).map(_.doubleValue()).toArray)
+    val cents = lloyd(sample, nCells, iters = 10, seed = 42)
+    val cbs = trainPq(residualsOf(sample, cents), m, kSub)
+    val sub = cbs(0)(0).length
+
+    // raw-double centroids on BOTH sides (unlike ivfTopK's float-cast probe
+    // table): assignment, probing, and both residuals all subtract the same
+    // doubles, which keeps the oracle replay to one inlined constant table.
+    val centroids = cents.zipWithIndex.map { case (v, i) => (i, v.toSeq) }
+      .toSeq.toDF("cell", "cvec")
+
+    // encode: coarse cell, then m sub-codes of the residual. __rvec is
+    // materialized as its own column — zip_with is not "cheap", so
+    // CollapseProject keeps it hoisted instead of re-subtracting the full
+    // vector once per subspace slice (the Chunker.split precedent).
+    val assigned = corpus.select(col(cId), col(cVec),
+      column(graft.expressions.NearestCell(expression(col(cVec)), cents)).as("cell"))
+    val enc = assigned.join(broadcast(centroids), "cell")
+      .withColumn("__rvec",
+        zip_with(col(cVec).cast("array<double>"), col("cvec"), (a, b) => a - b))
+      .select(col(cId), col("cell"),
+        array((0 until m).map { mi =>
+          column(graft.expressions.NearestCell(
+            expression(slice(col("__rvec"), mi * sub + 1, sub)), cbs(mi)))
+        }: _*).as("codes"))
+
+    // probe nProbe nearest cells, then one ADC table per (query, cell) from
+    // the query's residual against that cell
+    val probed = broadcast(queries)
+      .crossJoin(broadcast(centroids))
+      .select(col(qId), col(qVec), col("cell"), col("cvec"),
+        VectorFns.l2sq(col(qVec), col("cvec")).as("cdist"))
+      .withColumn("crn", row_number().over(
+        Window.partitionBy(col(qId)).orderBy(col("cdist"), col("cell"))))
+      .filter(col("crn") <= nProbe)
+      .select(col(qId), col("cell"),
+        column(graft.expressions.PqDistTable(expression(
+          zip_with(col(qVec).cast("array<double>"), col("cvec"), (a, b) => a - b)),
+          cbs)).as("dt"))
+
+    val adist = (0 until m).map { mi =>
+      element_at(element_at(col("dt"), mi + 1), element_at(col("codes"), mi + 1) + 1)
+    }.reduce(_ + _)
+    val w = Window.partitionBy(col(qId)).orderBy(col("adist"), col(cId))
+    broadcast(probed).join(enc, "cell")
+      .filter(col(cId) =!= col(qId))
+      .select(col(qId), col(cId), adist.as("adist"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+  }
+
   /** Approximate top-k via nTables independent hyperplane-LSH bucketings.
     * All tables' buckets are computed in ONE scan per side (explode over a
     * per-table struct array) — a union of per-table scans would read the

@@ -231,6 +231,73 @@ object DedupQueries {
        |ORDER BY qid, rn""".stripMargin
   }
 
+  /** q99 oracle GENERATOR: the composed IVF-PQ (FAISS IVFADC) pipeline,
+    * replayed end-to-end in DuckDB. Two inlined constant tables — the coarse
+    * centroids (lloyd, seed 42) and the residual-trained PQ codebooks
+    * (trainPq over v - c(v), seed 42+m) — then the replay: coarse argmin
+    * assignment (strict <, lower cell on ties), per-subspace residual code
+    * argmin, nProbe probing, query-residual ADC distances, and the m-ordered
+    * sum (list_sum over list(... ORDER BY m), q96's determinism convention).
+    * Residuals are double-exact on both engines: CAST(float AS DOUBLE) is
+    * exact widening and both sides subtract the same raw-double centroids.
+    */
+  private def q99OracleGen(s: SparkSession, dir: String): String = {
+    val sample = Tables(s, dir, "embeddings")
+      .select(col("vec_id"), col("embedding")).orderBy(col("vec_id"))
+      .limit(100000).collect()
+      .map(_.getSeq[Number](1).map(_.doubleValue()).toArray)
+    val cents = Similarity.lloyd(sample, 16, iters = 10, seed = 42)
+    val cbs = Similarity.trainPq(Similarity.residualsOf(sample, cents), m = 8, kSub = 16)
+    val sub = cbs(0)(0).length
+    def vecLit(a: Array[Double]): String =
+      a.map(java.lang.Double.toString).mkString("[", ", ", "]")
+    val centsD = cents.zipWithIndex
+      .map { case (v, i) => s"($i, ${vecLit(v)})" }.mkString(",\n    ")
+    val cbRows = (for (mi <- cbs.indices; c <- cbs(mi).indices)
+      yield s"($mi, $c, ${vecLit(cbs(mi)(c))})").mkString(",\n    ")
+    def l2(e: String, c: String): String =
+      s"""list_sum(list_transform(list_zip($e, $c),
+         |          x -> (CAST(x[1] AS DOUBLE) - x[2]) * (CAST(x[1] AS DOUBLE) - x[2])))""".stripMargin
+    def l2res(rv: String, mExpr: String): String =
+      s"""list_sum(list_transform(list_zip($rv[$mExpr*$sub+1 : $mExpr*$sub+$sub], cb.cvec),
+         |          x -> (x[1] - x[2]) * (x[1] - x[2])))""".stripMargin
+    s"""WITH cents(cell, cvec) AS (VALUES
+       |    $centsD),
+       |cb(m, c, cvec) AS (VALUES
+       |    $cbRows),
+       |a AS (SELECT e.vec_id AS nid, e.embedding AS ne, c.cell, c.cvec,
+       |        row_number() OVER (PARTITION BY e.vec_id
+       |          ORDER BY ${l2("e.embedding", "c.cvec")}, c.cell) AS arn
+       |      FROM embeddings e CROSS JOIN cents c),
+       |asg AS (SELECT nid, cell,
+       |          list_transform(list_zip(ne, cvec), x -> CAST(x[1] AS DOUBLE) - x[2]) AS rvec
+       |        FROM a WHERE arn = 1),
+       |cd AS (SELECT asg.nid, asg.cell, cb.m, cb.c,
+       |         row_number() OVER (PARTITION BY asg.nid, cb.m
+       |           ORDER BY ${l2res("asg.rvec", "cb.m")}, cb.c) AS crn
+       |       FROM asg CROSS JOIN cb),
+       |codes AS (SELECT nid, cell, m, c FROM cd WHERE crn = 1),
+       |p AS (SELECT q.vec_id AS qid, q.embedding AS qe, c.cell, c.cvec,
+       |        row_number() OVER (PARTITION BY q.vec_id
+       |          ORDER BY ${l2("q.embedding", "c.cvec")}, c.cell) AS prn
+       |      FROM embeddings q CROSS JOIN cents c
+       |      WHERE q.vec_id < 5),
+       |probed AS (SELECT qid, cell,
+       |             list_transform(list_zip(qe, cvec), x -> CAST(x[1] AS DOUBLE) - x[2]) AS qr
+       |           FROM p WHERE prn <= 4),
+       |pd AS (SELECT probed.qid, codes.nid, codes.m,
+       |         ${l2res("probed.qr", "codes.m")} AS d
+       |       FROM probed JOIN codes ON codes.cell = probed.cell AND codes.nid != probed.qid
+       |       JOIN cb ON cb.m = codes.m AND cb.c = codes.c),
+       |ad AS (SELECT qid, nid, list_sum(list(d ORDER BY m)) AS adist
+       |       FROM pd GROUP BY qid, nid),
+       |r AS (SELECT qid, nid, adist,
+       |        row_number() OVER (PARTITION BY qid ORDER BY adist, nid) AS rn
+       |      FROM ad)
+       |SELECT qid, nid, round(adist, 4) AS adist, rn FROM r WHERE rn <= 5
+       |ORDER BY qid, rn""".stripMargin
+  }
+
   private lazy val q53OracleSql: String = {
     val bitExprs = Array.tabulate(4)(b =>
       planeBitSql(graft.functions.VectorFns.planeFor(b, 64)))
@@ -409,6 +476,22 @@ object DedupQueries {
       },
       None,
       oracleGen = Some(q96OracleGen _)),
+
+    // ---- ANN scale path #4: IVF-PQ composed (FAISS IVFADC) — probe nProbe
+    // coarse cells, ADC-rank residual codes inside them. The oracle replays
+    // the full composition with both trained codebooks inlined. ----
+    Q("q99_ivfpq_ann",
+      (s, dir) => {
+        val emb = t(s, dir, "embeddings")
+        val q = emb.filter(col("vec_id") < 5)
+          .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+        val c = emb.select(col("vec_id").as("nid"), col("embedding").as("ne"))
+        Similarity.ivfPqTopK(q, c, k = 5, nCells = 16, nProbe = 4, m = 8, kSub = 16)
+          .select(col("qid"), col("nid"), round(col("adist"), 4).as("adist"), col("rn"))
+          .orderBy(col("qid"), col("rn"))
+      },
+      None,
+      oracleGen = Some(q99OracleGen _)),
 
     // ---- G1 token chunker (size 30, overlap 5), content-hash checked. ----
     Q("q55_chunk",

@@ -93,6 +93,65 @@ class VectorFnsSpec extends SparkSpec {
     assert(got == expected, "distributed PQ/ADC must equal the driver mirror exactly")
   }
 
+  test("ivfPqTopK equals a driver-side IVFADC mirror, distances included") {
+    val emb = Tables(spark, sfDir, "embeddings")
+    val q = emb.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+    val c = emb.select(col("vec_id").as("nid"), col("embedding").as("ne"))
+    val got = Similarity.ivfPqTopK(q, c, k = 5, nCells = 16, nProbe = 4, m = 8, kSub = 16)
+      .select(col("qid"), col("nid"), col("adist"), col("rn"))
+      .as[(Long, Long, Double, Int)].collect().toSet
+
+    // independent scala mirror of the whole composition (same arithmetic
+    // order: coarse assign, residual codes, probe, residual ADC)
+    val all = emb.select(col("vec_id"), col("embedding")).orderBy("vec_id")
+      .collect().map(r => r.getLong(0) ->
+        r.getSeq[Number](1).map(_.doubleValue()).toArray).toSeq
+    val vecs = all.map(_._2).toArray
+    val cents = Similarity.lloyd(vecs, 16, iters = 10, seed = 42)
+    val cbs = Similarity.trainPq(Similarity.residualsOf(vecs, cents), 8, 16)
+    val sub = cbs(0)(0).length
+    def subL2(v: Array[Double], mi: Int, cen: Array[Double]): Double = {
+      var d = 0.0; var i = 0
+      while (i < sub) { val df = v(mi * sub + i) - cen(i); d += df * df; i += 1 }
+      d
+    }
+    def l2(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { val d = a(i) - b(i); s += d * d; i += 1 }
+      s
+    }
+    def resid(v: Array[Double], cell: Int): Array[Double] =
+      Array.tabulate(v.length)(i => v(i) - cents(cell)(i))
+    val cellOf = all.map { case (id, v) => id -> Similarity.nearestIdx(v, cents) }.toMap
+    val codes = all.map { case (id, v) =>
+      val rv = resid(v, cellOf(id))
+      id -> Array.tabulate(8) { mi =>
+        var best = 0; var bestD = Double.MaxValue
+        cbs(mi).zipWithIndex.foreach { case (cen, ci) =>
+          val d = subL2(rv, mi, cen)
+          if (d < bestD) { bestD = d; best = ci }
+        }
+        best
+      }
+    }.toMap
+    val expected = all.filter(_._1 < 5).flatMap { case (qid, qv) =>
+      val probedCells = cents.indices.map(cc => (l2(qv, cents(cc)), cc))
+        .sorted.take(4).map(_._2).toSet
+      val qrByCell = probedCells.map(cc => cc -> resid(qv, cc)).toMap
+      val ranked = all
+        .filter { case (nid, _) => nid != qid && probedCells.contains(cellOf(nid)) }
+        .map { case (nid, _) =>
+          val cell = cellOf(nid)
+          val qr = qrByCell(cell)
+          val ad = (0 until 8).map(mi => subL2(qr, mi, cbs(mi)(codes(nid)(mi)))).sum
+          (nid, ad)
+        }.sortBy { case (nid, ad) => (ad, nid) }.take(5)
+      ranked.zipWithIndex.map { case ((nid, ad), i) => (qid, nid, ad, i + 1) }
+    }.toSet
+    assert(got == expected, "distributed IVF-PQ must equal the driver IVFADC mirror exactly")
+  }
+
   test("pqTopK on clustered data: top neighbor comes from the same cluster") {
     val rnd = new scala.util.Random(3)
     val pts = for (cl <- 0 until 4; i <- 0 until 10) yield {
