@@ -64,6 +64,44 @@ object JdkCodecs {
     }
   }
 
+  /** Deterministic REAL-PNG fixture from the documents table: each row's
+    * text seeds an LCG that paints a 16x16 RGB image, encoded to actual PNG
+    * bytes with ImageIO in the executors (mapPartitions, no shuffle — the
+    * same distribution shape a real image corpus would use). Unlike the
+    * byte-stand-in fixture, these payloads exercise the REAL codec path:
+    * q81 decodes, resamples, and histograms them through ImageIoCodec.
+    */
+  def pngFixtureFromDocuments(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.{Encoders, Row}
+    import org.apache.spark.sql.types._
+    val outSchema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("content", BinaryType),
+      StructField("format", StringType)))
+    docs.select(org.apache.spark.sql.functions.col("doc_id"),
+        org.apache.spark.sql.functions.col("text"))
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val img = new BufferedImage(16, 16, BufferedImage.TYPE_INT_RGB)
+          // java String.hashCode is specified (31-base polynomial), so the
+          // seed — and therefore every pixel — is stable across JVMs
+          var seed = r.getString(1).hashCode.toLong
+          var y = 0
+          while (y < 16) {
+            var x = 0
+            while (x < 16) {
+              seed = seed * 6364136223846793005L + 1442695040888963407L
+              img.setRGB(x, y, ((seed >>> 16) & 0xffffff).toInt)
+              x += 1
+            }
+            y += 1
+          }
+          val bos = new ByteArrayOutputStream()
+          ImageIO.write(img, "png", bos)
+          Row(r.getLong(0), bos.toByteArray, "png")
+        }
+      }(Encoders.row(outSchema))
+  }
+
   /** Parsed PCM audio header + signal stats (javax.sound.sampled). */
   case class AudioInfo(sampleRate: Int, channels: Int, bitsPerSample: Int,
                        frames: Long, durationMs: Long, rms: Double)

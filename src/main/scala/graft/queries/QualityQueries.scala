@@ -275,12 +275,15 @@ object QualityQueries {
              |  AND purchase_ts < click_ts + INTERVAL 30 MINUTE
              |ORDER BY user_id, click_id, purchase_id""".stripMargin)),
 
-    // ---- Multimodal plumbing: binary content -> decode (stub codec) ->
-    // fixed-width feature vectors. ----
+    // ---- Multimodal plumbing on the REAL JDK image codec: per-doc
+    // deterministic PNG payloads -> ImageIO decode -> real 64x64 resample ->
+    // luminance-histogram features. rows-only by nature (DuckDB cannot
+    // decode PNG); the codec behavior itself is pinned in JdkCodecsSpec. ----
     Q("q81_multimodal_features",
       (s, dir) => {
-        val codec = new Multimodal.StubCodec()
-        val fixture = Multimodal.fixtureFromDocuments(t(s, dir, "documents"))
+        val codec = new graft.multimodal.JdkCodecs.ImageIoCodec
+        val fixture = graft.multimodal.JdkCodecs.pngFixtureFromDocuments(
+          t(s, dir, "documents"))
         val decoded = Multimodal.decode(fixture, codec)
         val resized = Multimodal.resize(decoded, codec, w = 64, h = 64)
         Multimodal.extractFeatures(resized, codec, dim = 16)

@@ -18,12 +18,20 @@ import java.nio.charset.StandardCharsets.ISO_8859_1
   * arXiv papers. PDF 1.5 cross-reference/object streams need no special
   * path here: object streams may only hold non-stream objects, so page
   * CONTENT streams remain ordinary `stream...endstream` segments, which
-  * this extractor finds by scanning rather than via the xref. NOT handled:
-  * encryption, predictors on content streams (rare — predictors normally
-  * apply to xref/image data), CID/Type0 composite fonts (their 2-byte
-  * strings surface as garbage and should be routed to the dead-letter
-  * channel by a downstream quality guard). A full-fidelity library parser
-  * can drop in behind the same `DocParser` trait without touching callers.
+  * this extractor finds by scanning rather than via the xref.
+  *
+  * CID/Type0 composite fonts ARE handled when they carry a /ToUnicode CMap
+  * (the norm for searchable arXiv PDFs — PyMuPDF reads the same table): a
+  * pre-pass links /Font resource names -> font objects -> their /ToUnicode
+  * streams, parses the bfchar/bfrange sections, and Tj/TJ strings shown
+  * under such a font decode as (usually 2-byte) codes through the map.
+  * Composite fonts WITHOUT /ToUnicode (unsearchable by design), encryption,
+  * and predictors on content streams (rare — predictors normally apply to
+  * xref/image data) remain out of scope: their text surfaces as garbage and
+  * is routed to the dead-letter channel by a downstream quality guard; a
+  * corrupt CMap demotes its font to the same path rather than crashing. A
+  * full-fidelity library parser can drop in behind the same `DocParser`
+  * trait without touching callers.
   */
 object PdfLite {
 
@@ -32,6 +40,7 @@ object PdfLite {
     */
   def extract(content: Array[Byte]): Seq[String] = {
     val latin1 = new String(content, ISO_8859_1)
+    val cmaps = fontCMaps(content)
     val out = scala.collection.mutable.Buffer.empty[String]
     var idx = 0
     while ({ idx = latin1.indexOf("stream", idx); idx >= 0 }) {
@@ -50,7 +59,7 @@ object PdfLite {
           val decoded = applyFilters(raw, filterChain(dict))
           decoded.map(b => new String(b, ISO_8859_1)).foreach { s =>
             if (s.contains("BT")) {
-              val txt = extractTextOps(s)
+              val txt = extractTextOps(s, cmaps)
               if (txt.nonEmpty) out += txt
             }
           }
@@ -210,17 +219,159 @@ object PdfLite {
       Some(out.toByteArray)
     } catch { case _: java.util.zip.DataFormatException => None }
 
+  /** A parsed /ToUnicode CMap: fixed code width in bytes (from the
+    * codespacerange, 2 for the Identity-H composite fonts that dominate real
+    * arXiv PDFs) and the code -> Unicode-string mapping.
+    */
+  private[graft] case class CidMap(codeBytes: Int, map: Map[Int, String])
+
+  /** Parse a decoded /ToUnicode CMap stream (bfchar + bfrange sections,
+    * scalar and array range forms, UTF-16BE destinations). Any structural
+    * problem — or a range expansion past the 65,536 codes a codespace can
+    * hold — yields None: the font then decodes as raw bytes and its garbage
+    * text is routed to the dead-letter channel downstream, never a crash.
+    */
+  private[graft] def parseCMap(text: String): Option[CidMap] =
+    try {
+      def utf16(hex: String): String = {
+        val padded = if (hex.length % 4 == 0) hex else ("0" * (4 - hex.length % 4)) + hex
+        new String(padded.grouped(2).map(Integer.parseInt(_, 16).toByte).toArray,
+          java.nio.charset.StandardCharsets.UTF_16BE)
+      }
+      // dst of a scalar bfrange increments its LAST UTF-16 code unit
+      def addToLast(hex: String, inc: Int): String = {
+        val padded = if (hex.length % 4 == 0) hex else ("0" * (4 - hex.length % 4)) + hex
+        val units = padded.grouped(4).toArray
+        units(units.length - 1) = f"${Integer.parseInt(units.last, 16) + inc}%04x"
+        utf16(units.mkString)
+      }
+      val codeBytes = "begincodespacerange\\s*<([0-9A-Fa-f]+)>".r
+        .findFirstMatchIn(text).map(_.group(1).length / 2)
+        .filter(w => w == 1 || w == 2).getOrElse(2)
+      val m = scala.collection.mutable.Map.empty[Int, String]
+      for (sec <- "(?s)beginbfchar(.*?)endbfchar".r.findAllMatchIn(text);
+           mm <- "<([0-9A-Fa-f]+)>\\s*<([0-9A-Fa-f]+)>".r.findAllMatchIn(sec.group(1)))
+        m(Integer.parseInt(mm.group(1), 16)) = utf16(mm.group(2))
+      for (sec <- "(?s)beginbfrange(.*?)endbfrange".r.findAllMatchIn(text)) {
+        val body = sec.group(1)
+        for (mm <- "<([0-9A-Fa-f]+)>\\s*<([0-9A-Fa-f]+)>\\s*\\[([^\\]]*)\\]".r
+               .findAllMatchIn(body)) {
+          val lo = Integer.parseInt(mm.group(1), 16)
+          "<([0-9A-Fa-f]+)>".r.findAllMatchIn(mm.group(3)).map(_.group(1))
+            .zipWithIndex.foreach { case (d, i) => m(lo + i) = utf16(d) }
+        }
+        // strip array ranges so the scalar regex can't match inside their
+        // bracketed destination lists
+        val scalar = body.replaceAll(
+          "<[0-9A-Fa-f]+>\\s*<[0-9A-Fa-f]+>\\s*\\[[^\\]]*\\]", " ")
+        for (mm <- "<([0-9A-Fa-f]+)>\\s*<([0-9A-Fa-f]+)>\\s*<([0-9A-Fa-f]+)>".r
+               .findAllMatchIn(scalar)) {
+          val lo = Integer.parseInt(mm.group(1), 16)
+          val hi = Integer.parseInt(mm.group(2), 16)
+          if (hi < lo || hi - lo >= 65536) throw new IllegalArgumentException("bad bfrange")
+          var c = lo
+          while (c <= hi) { m(c) = addToLast(mm.group(3), c - lo); c += 1 }
+        }
+        if (m.size > 65536) throw new IllegalArgumentException("CMap too large")
+      }
+      if (m.isEmpty) None else Some(CidMap(codeBytes, m.toMap))
+    } catch { case _: IllegalArgumentException | _: NumberFormatException => None }
+
+  /** Link /Font resource names to parsed /ToUnicode CMaps: a lightweight
+    * object-graph pass (objects by number, font dicts' /ToUnicode refs, the
+    * referenced streams decoded through the same filter chains as content).
+    * Latin-1 round-trips bytes losslessly, so substrings of the decoded
+    * document recover exact stream bytes. Any failure -> empty map (raw-byte
+    * fallback), never a crash.
+    */
+  private[graft] def fontCMaps(content: Array[Byte]): Map[String, CidMap] =
+    try {
+      val latin1 = new String(content, ISO_8859_1)
+      val objs = "(?s)(\\d+)\\s+\\d+\\s+obj\\b(.*?)endobj".r.findAllMatchIn(latin1)
+        .map(m => m.group(1).toInt -> m.group(2)).toMap
+      val fontToCmapRef = objs.flatMap { case (num, body) =>
+        if (body.contains("/Font") || body.contains("/Type0"))
+          "/ToUnicode\\s+(\\d+)\\s+\\d+\\s+R".r.findFirstMatchIn(body)
+            .map(m => num -> m.group(1).toInt)
+        else None
+      }
+      val cmapByRef = fontToCmapRef.values.toSet.iterator.flatMap { (ref: Int) =>
+        objs.get(ref).flatMap { body =>
+          val si = body.indexOf("stream")
+          if (si < 0) None
+          else {
+            var ds = si + "stream".length
+            if (ds < body.length && body.charAt(ds) == '\r') ds += 1
+            if (ds < body.length && body.charAt(ds) == '\n') ds += 1
+            val e = body.indexOf("endstream", ds)
+            if (e < 0) None
+            else applyFilters(body.substring(ds, trimEol(body, e)).getBytes(ISO_8859_1),
+                filterChain(body.substring(0, si)))
+              .flatMap(b => parseCMap(new String(b, ISO_8859_1)))
+              .map(ref -> _)
+          }
+        }
+      }.toMap
+      // /Font resource dicts (nesting-aware scan to the matching >>)
+      val names = scala.collection.mutable.Map.empty[String, Int]
+      for (m <- "/Font\\s*<<".r.findAllMatchIn(latin1)) {
+        var i = m.end; var depth = 1
+        val start = i
+        while (i < latin1.length - 1 && depth > 0) {
+          if (latin1.charAt(i) == '<' && latin1.charAt(i + 1) == '<') { depth += 1; i += 2 }
+          else if (latin1.charAt(i) == '>' && latin1.charAt(i + 1) == '>') { depth -= 1; i += 2 }
+          else i += 1
+        }
+        for (e <- "/([A-Za-z0-9]+)\\s+(\\d+)\\s+\\d+\\s+R".r
+               .findAllMatchIn(latin1.substring(start, math.max(start, i - 2))))
+          names(e.group(1)) = e.group(2).toInt
+      }
+      names.iterator.flatMap { case (n, fref) =>
+        fontToCmapRef.get(fref).flatMap(cmapByRef.get).map(n -> _)
+      }.toMap
+    } catch { case scala.util.control.NonFatal(_) => Map.empty }
+
+  /** Decode a raw (latin-1 byte-per-char) shown string as fixed-width CID
+    * codes through a CMap; unmapped codes and a trailing partial code are
+    * dropped (PyMuPDF's behavior for unmapped CIDs, minus the U+FFFD noise).
+    */
+  private def decodeCid(raw: String, cm: CidMap): String = {
+    val sb = new StringBuilder
+    val w = cm.codeBytes
+    var i = 0
+    while (i + w <= raw.length) {
+      var code = 0; var j = 0
+      while (j < w) { code = (code << 8) | (raw.charAt(i + j) & 0xFF); j += 1 }
+      cm.map.get(code).foreach(sb ++= _)
+      i += w
+    }
+    sb.toString
+  }
+
   /** Interpret the text-showing subset of the content-stream language.
     * Kerning gaps below -150/1000 em in TJ arrays become spaces (the
-    * standard word-boundary heuristic).
+    * standard word-boundary heuristic). The active font (`/Fx ... Tf`) is
+    * tracked; strings shown under a font with a /ToUnicode CMap decode as
+    * CID codes, everything else stays byte-per-char.
     */
-  private[sources] def extractTextOps(s: String): String = {
+  private[sources] def extractTextOps(s: String,
+                                      cmaps: Map[String, CidMap] = Map.empty): String = {
     val lines = scala.collection.mutable.Buffer(new StringBuilder)
     def cur = lines.last
     def newline(): Unit = if (cur.nonEmpty) lines += new StringBuilder
     var pending: List[String] = Nil // strings awaiting their operator
     var lastNum = 0.0
+    var lastName = ""
+    var curFont = ""
     var inText = false
+    // kern-gap spaces are injected POST-decode markers, not CID bytes; the
+    // object identity of this constant tells them apart from a legitimate
+    // one-char shown string
+    val kernSpace = new String(" ")
+    def shown(p: String): String = cmaps.get(curFont) match {
+      case Some(cm) if p.asInstanceOf[AnyRef] ne kernSpace => decodeCid(p, cm)
+      case _ => p
+    }
     var i = 0
     val n = s.length
     while (i < n) {
@@ -232,14 +383,19 @@ object PdfLite {
       }
       else if (c == '<') i += 2 // dict open <<
       else if (c == '[' || c == ']' || c == '>') i += 1
-      else if (c == '/') { i += 1; while (i < n && !s.charAt(i).isWhitespace && !"()<>[]/".contains(s.charAt(i))) i += 1 }
+      else if (c == '/') {
+        i += 1
+        val start = i
+        while (i < n && !s.charAt(i).isWhitespace && !"()<>[]/".contains(s.charAt(i))) i += 1
+        lastName = s.substring(start, i)
+      }
       else if (c == '-' || c == '.' || c.isDigit) {
         val start = i
         i += 1
         while (i < n && (s.charAt(i).isDigit || s.charAt(i) == '.')) i += 1
         lastNum = try s.substring(start, i).toDouble catch { case _: NumberFormatException => 0.0 }
         // a large negative kern between TJ strings is a word boundary
-        if (inText && pending.nonEmpty && lastNum < -150.0) pending ::= " "
+        if (inText && pending.nonEmpty && lastNum < -150.0) pending ::= kernSpace
       }
       else {
         val start = i
@@ -247,16 +403,17 @@ object PdfLite {
         s.substring(start, i) match {
           case "BT" => inText = true; pending = Nil
           case "ET" => inText = false; pending = Nil
+          case "Tf" => curFont = lastName
           case "Tj" | "TJ" =>
-            if (inText) cur ++= pending.reverse.mkString("").replaceAll(" +", " ")
+            if (inText) cur ++= pending.reverse.map(shown).mkString("").replaceAll(" +", " ")
             pending = Nil
           case "'" | "\"" =>
-            if (inText) { newline(); cur ++= pending.reverse.mkString("") }
+            if (inText) { newline(); cur ++= pending.reverse.map(shown).mkString("") }
             pending = Nil
           case "Td" | "TD" | "T*" =>
             if (inText) newline()
             pending = Nil
-          case _ => () // Tf, Tm, graphics operators, ...
+          case _ => () // Tm, graphics operators, ...
         }
       }
     }

@@ -169,6 +169,68 @@ class SourcesSpec extends SparkSpec {
       "BT (not text) Tj ET".getBytes("ISO-8859-1"))).isEmpty)
   }
 
+  test("PdfLite CID/Type0: /ToUnicode CMap decodes 2-byte Tj/TJ strings") {
+    import graft.sources.PdfLite
+    val cmap =
+      """/CIDInit /ProcSet findresource begin
+        |begincmap
+        |1 begincodespacerange
+        |<0000> <FFFF>
+        |endcodespacerange
+        |5 beginbfchar
+        |<0001> <0048>
+        |<0002> <0065>
+        |<0003> <006C>
+        |<0004> <006F>
+        |<0005> <00660069>
+        |endbfchar
+        |2 beginbfrange
+        |<0010> <0019> <0030>
+        |<0020> <0022> [<0041> <0042> <0043>]
+        |endbfrange
+        |endcmap""".stripMargin
+    val content =
+      "BT /F9 12 Tf <00010002000300030004> Tj T* [<00050010> -300 <0011>] TJ ET"
+    val pdf =
+      (s"""1 0 obj << /Type /Page /Resources << /Font << /F9 2 0 R >> >> >> endobj
+          |2 0 obj << /Type /Font /Subtype /Type0 /BaseFont /TestCID /ToUnicode 3 0 R >> endobj
+          |3 0 obj << /Length ${cmap.length} >>
+          |stream
+          |$cmap
+          |endstream
+          |endobj
+          |4 0 obj << /Length ${content.length} >>
+          |stream
+          |$content
+          |endstream
+          |endobj
+          |""".stripMargin).getBytes("ISO-8859-1")
+    // bfchar spell Hello + the fi ligature; bfrange covers digits (scalar,
+    // last-code-unit increment) and ABC (array form); the -300 kern gap
+    // still becomes a word boundary AFTER CID decoding
+    assert(PdfLite.extract(pdf) == Seq("Hello\nfi0 1"))
+
+    // same content with a corrupt CMap (reversed bfrange): the map is
+    // rejected, codes surface as raw control bytes whose lines trim away —
+    // no decoded text, and above all no crash
+    val corrupt = pdf.map(_.toChar).mkString
+      .replace("<0010> <0019> <0030>", "<0019> <0010> <0030>")
+      .getBytes("ISO-8859-1")
+    assert(!PdfLite.extract(corrupt).exists(_.contains("Hello")),
+      "corrupt CMap falls back to raw bytes, not a crash")
+
+    // parseCMap unit edges: 1-byte codespace, multi-unit dst increment
+    val one = PdfLite.parseCMap(
+      "1 begincodespacerange <00> <FF> endcodespacerange " +
+        "1 beginbfrange <41> <43> <00410300> endbfrange")
+    assert(one.exists(_.codeBytes == 1))
+    assert(one.get.map(0x42) == "A\u0301", "increment applies to the LAST code unit")
+    assert(PdfLite.parseCMap("no cmap here").isEmpty)
+    assert(PdfLite.parseCMap(
+      "1 beginbfrange <00000> <FFFFF> <0000> endbfrange").isEmpty,
+      "a range wider than any codespace is rejected, not expanded")
+  }
+
   test("LZW round-trips data large enough to cross the 9->10->11 bit widths") {
     import graft.sources.PdfLite
     val rnd = new scala.util.Random(42)
