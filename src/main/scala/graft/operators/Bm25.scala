@@ -32,8 +32,15 @@ object Bm25 {
   def search(docs: DataFrame, idCol: String, textCol: String,
              queries: DataFrame, qIdCol: String, qTextCol: String,
              k: Int = 10, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    // The isNotNull is semantically a no-op (explode never yields null
+    // tokens) but it equalizes the canonical plans of tf's two consumers:
+    // the query join pushes isnotnull(__t) into ITS tf branch only, which
+    // otherwise blocks ReuseExchange from sharing the postings shuffle with
+    // the dl branch — and exchange reuse is what makes this a single
+    // tokenize pass.
     val toks = docs.select(col(idCol).as("__id"),
       explode(TextFns.tokens(lower(col(textCol)))).as("__t"))
+      .filter(col("__t").isNotNull)
     val tf = toks.groupBy(col("__id"), col("__t")).agg(count(lit(1)).as("tf"))
     // doc length derives from tf (sum of term frequencies), NOT from a second
     // aggregation over the exploded tokens: dl's plan then contains tf's

@@ -1,0 +1,92 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.{SparkPlan, TakeOrderedAndProjectExec}
+import org.apache.spark.sql.execution.exchange.{ReusedExchangeExec, ShuffleExchangeExec}
+import org.apache.spark.sql.execution.joins.{BroadcastHashJoinExec, SortMergeJoinExec}
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Bm25, Chunker, LmScore}
+import graft.queries.Registry
+
+/** Physical-plan regression pins for the hot queries.
+  *
+  * The round-over-round perf story otherwise rests entirely on wall-clock,
+  * which contention noise can hide regressions inside: a broadcast hint
+  * silently lost to a sort-merge join, the chunker regaining a shuffle, or
+  * exchange reuse breaking would each cost multiples at 100 TB while moving
+  * a local benchmark by fractions of a second. These asserts fail the build
+  * instead. AQE is disabled per-assert so the compile-time plan shape (what
+  * ships to a cluster) is what's pinned, not a runtime re-plan of sf0.001
+  * row counts.
+  */
+class PlanSpec extends SparkSpec {
+
+  private val registry = Registry.queries
+
+  private def withoutAqe[A](f: => A): A = {
+    val prev = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try f finally spark.conf.set("spark.sql.adaptive.enabled", prev)
+  }
+
+  private def plan(df: DataFrame): SparkPlan = df.queryExecution.executedPlan
+  private def shuffles(p: SparkPlan): Seq[ShuffleExchangeExec] =
+    p.collect { case e: ShuffleExchangeExec => e }
+
+  test("q02/q25: dimension joins stay broadcast, never sort-merge") {
+    withoutAqe {
+      for (name <- Seq("q02_market_share", "q25_nation_volume")) {
+        val p = plan(registry(name)(spark, sfDir))
+        val bhj = p.collect { case j: BroadcastHashJoinExec => j }
+        val smj = p.collect { case j: SortMergeJoinExec => j }
+        assert(bhj.size >= 3, s"$name: expected >=3 broadcast joins, got ${bhj.size}")
+        assert(smj.isEmpty, s"$name: broadcast hint degraded to sort-merge join:\n$p")
+      }
+    }
+  }
+
+  test("q03: top-10 aggregate runs BELOW the orders join (join touches 10 rows)") {
+    withoutAqe {
+      val p = plan(registry("q03_revenue_topn")(spark, sfDir))
+      val joins = p.collect { case j: BroadcastHashJoinExec => j }
+      assert(joins.nonEmpty, s"q03: orders join must be broadcast, got:\n$p")
+      assert(joins.exists(_.children.exists(
+          _.collectFirst { case t: TakeOrderedAndProjectExec => t }.isDefined)),
+        s"q03: the TakeOrdered top-10 must sit under the join, not above it:\n$p")
+      assert(p.collect { case j: SortMergeJoinExec => j }.isEmpty)
+    }
+  }
+
+  test("q55 chunker: zero shuffles end-to-end") {
+    withoutAqe {
+      val docs = Tables(spark, sfDir, "documents")
+      val p = plan(Chunker.split(docs, "text", chunkSize = 30, overlap = 5)
+        .select(col("doc_id"), col("chunk_id"), col("chunk_text")))
+      assert(shuffles(p).isEmpty, s"chunker must stay shuffle-free:\n$p")
+    }
+  }
+
+  test("BM25/LmScore: postings exchange is built once and reused") {
+    withoutAqe {
+      val docs = Tables(spark, sfDir, "documents")
+      import spark.implicits._
+      val queries = Seq((1L, "spark data"), (2L, "model training"))
+        .toDF("qid", "qtext")
+      val bm25 = plan(Bm25.search(docs, "doc_id", "text", queries, "qid", "qtext"))
+      assert(bm25.collect { case r: ReusedExchangeExec => r }.nonEmpty,
+        s"BM25: dl must reuse tf's exchange (single tokenize pass):\n$bm25")
+      val lm = plan(LmScore.bigramNll(docs, "doc_id", "text"))
+      assert(lm.collect { case r: ReusedExchangeExec => r }.nonEmpty,
+        s"LmScore: vocab must reuse c2's exchange:\n$lm")
+    }
+  }
+
+  test("q50 minhash: single pair-generating exchange above the cached base") {
+    withoutAqe {
+      val p = plan(registry("q50_minhash_pairs")(spark, sfDir))
+      val n = shuffles(p).size
+      assert(n <= 2, s"q50: pair-gen grew extra exchanges ($n):\n$p")
+    }
+  }
+}
