@@ -171,41 +171,51 @@ class SearchPartitionReader(p: SearchPartition, schema: StructType)
 object SearchHttp {
 
   /** GET `endpoint?search_query=cat:CAT&start=0&max_results=QUOTA` and parse
-    * the Atom entries. Retries transient failures (IO errors, 5xx) with
-    * linear backoff; a 4xx is definitive and fails the scan loudly — a
-    * misconfigured source must never quietly read as empty.
+    * the Atom entries. Retries transient failures (IO errors, 5xx, 429 rate
+    * limits) with linear backoff, honoring a delta-seconds `Retry-After`
+    * when the server sends one (arXiv's API does exactly this under load);
+    * any other 4xx is definitive and fails the scan loudly — a
+    * misconfigured source must never quietly read as empty. Bodies read
+    * through a hard byte cap so a runaway feed can't OOM the executor.
     */
   def search(endpoint: String, category: String, quota: Int,
-             timeoutMs: Int = 10000, retries: Int = 2): Seq[Map[String, Any]] = {
+             timeoutMs: Int = 10000, retries: Int = 2,
+             maxBodyBytes: Int = 8 << 20): Seq[Map[String, Any]] = {
     val url = s"$endpoint?search_query=cat:$category&start=0&max_results=$quota"
-    parseAtom(get(url, timeoutMs, retries), category)
+    parseAtom(get(url, timeoutMs, retries, maxBodyBytes), category)
   }
 
-  private def get(url: String, timeoutMs: Int, retries: Int): String = {
+  private def get(url: String, timeoutMs: Int, retries: Int, maxBodyBytes: Int): String = {
     val client = java.net.http.HttpClient.newBuilder()
       .connectTimeout(java.time.Duration.ofMillis(timeoutMs.toLong))
       .followRedirects(java.net.http.HttpClient.Redirect.NORMAL)
       .build()
     var attempt = 0
     while (attempt <= retries) {
+      var waitMs = 50L * (attempt + 1)
       val resp =
         try {
           Some(client.send(
             java.net.http.HttpRequest.newBuilder(java.net.URI.create(url))
               .timeout(java.time.Duration.ofMillis(timeoutMs.toLong)).GET().build(),
-            java.net.http.HttpResponse.BodyHandlers.ofString()))
+            java.net.http.HttpResponse.BodyHandlers.ofInputStream()))
         } catch {
           case e: Exception =>
             if (attempt == retries) throw e
             None
         }
       resp.foreach { r =>
-        if (r.statusCode() == 200) return r.body()
-        if (r.statusCode() < 500 || attempt == retries)
+        if (r.statusCode() == 200)
+          return graft.semantic.HttpBodies.bounded(r.body(), maxBodyBytes, url)
+        try r.body().close() catch { case _: Exception => () }
+        val transient = r.statusCode() >= 500 || r.statusCode() == 429
+        if (!transient || attempt == retries)
           throw new java.io.IOException(s"HTTP ${r.statusCode()} from $url")
+        waitMs = graft.semantic.HttpBodies.retryAfterMs(
+          r.headers().firstValue("Retry-After").orElse(null)).getOrElse(waitMs)
       }
       attempt += 1
-      Thread.sleep(50L * attempt)
+      Thread.sleep(waitMs)
     }
     throw new IllegalStateException("unreachable")
   }

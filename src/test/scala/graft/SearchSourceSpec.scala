@@ -61,9 +61,22 @@ class SearchSourceSpec extends SparkSpec with org.scalatest.BeforeAndAfterAll {
         ex.getResponseBody.write(body); ex.close()
       }
     })
+    server.createContext("/limited-atom", { ex =>
+      // 429 + Retry-After: 1 first, then healthy
+      if (limitedHits.incrementAndGet() == 1) {
+        ex.getResponseHeaders.set("Retry-After", "1")
+        ex.sendResponseHeaders(429, -1); ex.close()
+      } else {
+        val body = atomFeed("cs.AI", 2)
+        ex.sendResponseHeaders(200, body.length.toLong)
+        ex.getResponseBody.write(body); ex.close()
+      }
+    })
     server.start()
     port = server.getAddress.getPort
   }
+
+  private val limitedHits = new java.util.concurrent.atomic.AtomicInteger(0)
 
   override def afterAll(): Unit = {
     if (server != null) server.stop(0)
@@ -154,6 +167,22 @@ class SearchSourceSpec extends SparkSpec with org.scalatest.BeforeAndAfterAll {
       .load()
     assert(df.count() == 2)
     assert(flakyHits.get() >= 2, "the 503 must have been retried")
+  }
+
+  test("search plane: 429 Retry-After honored, oversized body rejected") {
+    import graft.sources.SearchHttp
+    limitedHits.set(0)
+    val t0 = System.nanoTime()
+    val rows = SearchHttp.search(s"http://127.0.0.1:$port/limited-atom", "cs.AI", 2)
+    val elapsedMs = (System.nanoTime() - t0) / 1000000L
+    assert(rows.length == 2 && limitedHits.get() == 2)
+    assert(elapsedMs >= 900,
+      s"Retry-After: 1 must govern the wait, got ${elapsedMs}ms")
+
+    // /atom serves ~n entries; a 2-result feed is far beyond a 64-byte cap
+    val e = intercept[java.io.IOException](
+      SearchHttp.search(s"http://127.0.0.1:$port/atom", "cs.AI", 2, maxBodyBytes = 64))
+    assert(e.getMessage.contains("exceeds 64 bytes"), e.getMessage)
   }
 
   test("flatMapGroupsWithState sessionization equals gaps-and-islands batch") {

@@ -59,9 +59,28 @@ class SemanticOpsSpec extends SparkSpec with org.scalatest.BeforeAndAfterAll {
         ex.getResponseBody.write(body); ex.close()
       }
     })
+    server.createContext("/rate-limited", { ex =>
+      // 429 + Retry-After: 1 first, then healthy — the header must govern
+      // the backoff instead of the 50ms linear default
+      if (rateLimitHits.incrementAndGet() == 1) {
+        ex.getResponseHeaders.set("Retry-After", "1")
+        ex.sendResponseHeaders(429, -1); ex.close()
+      } else {
+        val body = envelope("""{"verdict": "after the wait"}""")
+        ex.sendResponseHeaders(200, body.length.toLong)
+        ex.getResponseBody.write(body); ex.close()
+      }
+    })
+    server.createContext("/huge-model", { ex =>
+      val body = envelope("x" * 65536)
+      ex.sendResponseHeaders(200, body.length.toLong)
+      ex.getResponseBody.write(body); ex.close()
+    })
     server.start()
     port = server.getAddress.getPort
   }
+
+  private val rateLimitHits = new AtomicInteger(0)
 
   override def afterAll(): Unit = {
     if (server != null) server.stop(0)
@@ -203,6 +222,33 @@ class SemanticOpsSpec extends SparkSpec with org.scalatest.BeforeAndAfterAll {
     val out = httpClient.complete("p", "verdict STRING")
     assert(out == """{"verdict": "recovered"}""")
     assert(flakyModelHits.get() >= 2)
+  }
+
+  test("HTTP model client honors Retry-After on 429") {
+    rateLimitHits.set(0)
+    val httpClient = new HttpModelClient(s"http://127.0.0.1:$port/rate-limited", "m")
+    val t0 = System.nanoTime()
+    val out = httpClient.complete("p", "verdict STRING")
+    val elapsedMs = (System.nanoTime() - t0) / 1000000L
+    assert(out == """{"verdict": "after the wait"}""")
+    assert(rateLimitHits.get() == 2)
+    assert(elapsedMs >= 900,
+      s"Retry-After: 1 must govern the wait (default backoff is 50ms), got ${elapsedMs}ms")
+
+    // header parsing edges: clamp, garbage, HTTP-date form
+    import graft.semantic.HttpBodies
+    assert(HttpBodies.retryAfterMs("1") == Some(1000L))
+    assert(HttpBodies.retryAfterMs("999") == Some(30000L), "clamped to 30s")
+    assert(HttpBodies.retryAfterMs("Wed, 21 Oct 2026 07:28:00 GMT").isEmpty)
+    assert(HttpBodies.retryAfterMs("-5").isEmpty)
+    assert(HttpBodies.retryAfterMs(null).isEmpty)
+  }
+
+  test("HTTP model client rejects an oversized response body") {
+    val httpClient = new HttpModelClient(s"http://127.0.0.1:$port/huge-model", "m",
+      maxBodyBytes = 1024)
+    val e = intercept[java.io.IOException](httpClient.complete("p", "verdict STRING"))
+    assert(e.getMessage.contains("exceeds 1024 bytes"), e.getMessage)
   }
 
   test("semantic UDAF through spark.sql groups and synthesizes") {
