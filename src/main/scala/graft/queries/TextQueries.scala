@@ -287,6 +287,123 @@ object TextQueries {
              |d AS (SELECT doc_id, list_sum(list(lp ORDER BY pos)) AS s,
              |        CAST(count(*) AS BIGINT) AS n
              |      FROM lp GROUP BY doc_id)
-             |SELECT doc_id, round(-(s) / n, 4) AS nll FROM d ORDER BY doc_id""".stripMargin))
+             |SELECT doc_id, round(-(s) / n, 4) AS nll FROM d ORDER BY doc_id""".stripMargin)),
+
+    // ---- Gopher-style repetition filters (operators/QualityFilters):
+    // top-bigram share + duplicated-trigram share, the corpus-level
+    // pathologies the per-doc rubric can't see. Full oracle. ----
+    Q("q100_gopher_repetition",
+      (s, dir) => {
+        graft.operators.QualityFilters
+          .repetitionStats(t(s, dir, "documents"), "doc_id", "text")
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH d AS (SELECT doc_id,
+             |        CASE WHEN length(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
+             |             ELSE string_split_regex(lower(trim(text)), '\s+') END AS toks
+             |      FROM documents),
+             |bgx AS (SELECT doc_id, unnest(generate_series(1, len(toks) - 1)) AS i, toks
+             |        FROM d WHERE len(toks) >= 2),
+             |bgc AS (SELECT doc_id, toks[i] || ' ' || toks[i + 1] AS g, count(*) AS c
+             |        FROM bgx GROUP BY 1, 2),
+             |bgs AS (SELECT doc_id, CAST(max(c) AS DOUBLE) / CAST(sum(c) AS DOUBLE) AS top2
+             |        FROM bgc GROUP BY 1),
+             |tgx AS (SELECT doc_id, unnest(generate_series(1, len(toks) - 2)) AS i, toks
+             |        FROM d WHERE len(toks) >= 3),
+             |tgc AS (SELECT doc_id,
+             |          toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2] AS g, count(*) AS c
+             |        FROM tgx GROUP BY 1, 2),
+             |tgs AS (SELECT doc_id,
+             |          CAST(sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS DOUBLE)
+             |            / CAST(sum(c) AS DOUBLE) AS dup3
+             |        FROM tgc GROUP BY 1)
+             |SELECT d.doc_id, CAST(len(toks) AS BIGINT) AS n_toks,
+             |  round(coalesce(top2, 0.0), 6) AS top_bigram_frac,
+             |  round(coalesce(dup3, 0.0), 6) AS dup_trigram_frac,
+             |  (round(coalesce(top2, 0.0), 6) <= 0.2::DOUBLE
+             |    AND round(coalesce(dup3, 0.0), 6) <= 0.3::DOUBLE) AS keep
+             |FROM d LEFT JOIN bgs USING (doc_id) LEFT JOIN tgs USING (doc_id)
+             |ORDER BY doc_id""".stripMargin)),
+
+    // ---- Benchmark decontamination (operators/QualityFilters): corpus
+    // docs sharing any 8-token window with the held-out set (doc_id % 41
+    // as the stand-in benchmark). Full oracle. ----
+    Q("q101_decontaminate",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        graft.operators.QualityFilters.decontaminate(
+            docs, "doc_id", "text",
+            docs.filter(col("doc_id") % 41 === 0), "doc_id", "text", n = 8)
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH d AS (SELECT doc_id,
+             |        CASE WHEN length(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
+             |             ELSE string_split_regex(lower(trim(text)), '\s+') END AS toks
+             |      FROM documents),
+             |bgrams AS (SELECT DISTINCT array_to_string(toks[i : i + 7], ' ') AS g
+             |           FROM (SELECT toks, unnest(generate_series(1, len(toks) - 7)) AS i
+             |                 FROM d WHERE doc_id % 41 = 0 AND len(toks) >= 8)),
+             |cg AS (SELECT doc_id, array_to_string(toks[i : i + 7], ' ') AS g
+             |       FROM (SELECT doc_id, toks, unnest(generate_series(1, len(toks) - 7)) AS i
+             |             FROM d WHERE doc_id % 41 != 0 AND len(toks) >= 8)),
+             |hits AS (SELECT cg.doc_id, CAST(count(DISTINCT cg.g) AS BIGINT) AS n_hits
+             |         FROM cg JOIN bgrams ON cg.g = bgrams.g GROUP BY 1)
+             |SELECT d.doc_id, CAST(coalesce(n_hits, 0) AS BIGINT) AS n_hits,
+             |  coalesce(n_hits, 0) > 0 AS contaminated
+             |FROM d LEFT JOIN hits USING (doc_id)
+             |WHERE doc_id % 41 != 0
+             |ORDER BY doc_id""".stripMargin)),
+
+    // ---- Vocabulary build + token-id encoding (operators/Vocab): the
+    // tokenizer-dictionary step. Rank ties break lexicographically; ids are
+    // position-ordered; OOV -> -1. Full oracle incl. the id arrays. ----
+    Q("q102_vocab_encode",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val vocab = graft.operators.Vocab.buildVocab(docs, "text", size = 256)
+        graft.operators.Vocab.encode(docs, "doc_id", "text", vocab)
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH d AS (SELECT doc_id,
+             |        CASE WHEN length(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
+             |             ELSE string_split_regex(lower(trim(text)), '\s+') END AS toks
+             |      FROM documents),
+             |f AS (SELECT t AS token, CAST(count(*) AS BIGINT) AS freq
+             |      FROM (SELECT unnest(toks) AS t FROM d) GROUP BY 1),
+             |v AS (SELECT token,
+             |        CAST(row_number() OVER (ORDER BY freq DESC, token) - 1 AS BIGINT) AS token_id
+             |      FROM f ORDER BY freq DESC, token LIMIT 256),
+             |tok AS (SELECT doc_id, unnest(generate_series(1, len(toks))) AS pos, toks
+             |        FROM d WHERE len(toks) > 0),
+             |tid AS (SELECT doc_id, pos, coalesce(v.token_id, -1) AS tid
+             |        FROM (SELECT doc_id, pos, toks[pos] AS token FROM tok) x
+             |        LEFT JOIN v USING (token))
+             |SELECT doc_id, list(tid ORDER BY pos) AS ids,
+             |  CAST(count(*) AS BIGINT) AS n_toks,
+             |  CAST(sum(CASE WHEN tid = -1 THEN 1 ELSE 0 END) AS BIGINT) AS n_oov
+             |FROM tid GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
+
+    // ---- Offset-based sequence packing (operators/Packing): each doc's
+    // absolute token offset in the id-ordered concatenated stream, computed
+    // by a two-phase distributed scan (never a one-partition window). The
+    // oracle is the textbook exclusive running sum. ----
+    Q("q103_pack_sequences",
+      (s, dir) => {
+        graft.operators.Packing
+          .packSequences(t(s, dir, "documents"), "doc_id", "text", seqLen = 512)
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH d AS (SELECT doc_id,
+             |        CASE WHEN length(trim(text)) = 0 THEN 0
+             |             ELSE len(string_split_regex(lower(trim(text)), '\s+')) END AS n
+             |      FROM documents),
+             |c AS (SELECT doc_id, CAST(n AS BIGINT) AS n_toks,
+             |        CAST(coalesce(sum(n) OVER (ORDER BY doc_id
+             |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS tok_start
+             |      FROM d)
+             |SELECT doc_id, n_toks, tok_start,
+             |  CAST(tok_start // 512 AS BIGINT) AS seq_id,
+             |  CAST(tok_start % 512 AS BIGINT) AS seq_offset
+             |FROM c ORDER BY doc_id""".stripMargin))
   )
 }

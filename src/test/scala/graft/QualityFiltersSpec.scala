@@ -1,0 +1,49 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.QualityFilters
+
+class QualityFiltersSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("repetitionStats: degenerate repetition maxes both signals, clean text scores 0") {
+    val docs = Seq(
+      (1L, "spam spam spam spam spam"),            // one bigram, repeated
+      (2L, "the quick brown fox jumps over dogs"), // all grams unique
+      (3L, "a b c a b c a b c"),                   // cyclic: every trigram duplicated? no — 3 distinct, each repeated
+      (4L, "solo"),                                 // too short for any gram
+      (5L, "")).toDF("doc_id", "text")
+    val out = QualityFilters.repetitionStats(docs, "doc_id", "text")
+      .orderBy("doc_id")
+      .select("doc_id", "n_toks", "top_bigram_frac", "dup_trigram_frac", "keep")
+      .as[(Long, Long, Double, Double, Boolean)].collect().toSeq
+
+    assert(out(0) == ((1L, 5L, 1.0, 1.0, false)), s"got ${out(0)}")
+    assert(out(1) == ((2L, 7L, 0.166667, 0.0, true)),
+      s"unique-bigram doc: top share = round(1/6, 6), keep; got ${out(1)}")
+    // "a b c" x3: trigrams = {abc x3, bca x2, cab x2} -> all 7 occurrences duplicated
+    assert(out(2)._4 == 1.0 && !out(2)._5, s"got ${out(2)}")
+    assert(out(3) == ((4L, 1L, 0.0, 0.0, true)))
+    assert(out(4) == ((5L, 0L, 0.0, 0.0, true)))
+  }
+
+  test("decontaminate: leaked 8-token window flags the doc, benchmark excluded") {
+    val w = "w1 w2 w3 w4 w5 w6 w7 w8"
+    val docs = Seq(
+      (0L, s"benchmark question text here $w and the answer"), // benchmark (0 % 41 == 0)
+      (1L, s"innocent looking training doc that contains $w verbatim inside"),
+      (2L, "completely unrelated training document with fresh tokens only"),
+      (3L, "short doc")).toDF("doc_id", "text")
+    val out = QualityFilters.decontaminate(docs, "doc_id", "text",
+        docs.filter(col("doc_id") % 41 === 0), "doc_id", "text", n = 8)
+      .orderBy("doc_id")
+      .select("doc_id", "n_hits", "contaminated")
+      .as[(Long, Long, Boolean)].collect().toSeq
+
+    assert(out.map(_._1) == Seq(1L, 2L, 3L), "benchmark doc 0 must not appear")
+    assert(out(0)._2 >= 1 && out(0)._3, s"doc 1 leaks the window: ${out(0)}")
+    assert(out(1) == ((2L, 0L, false)))
+    assert(out(2) == ((3L, 0L, false)), "sub-8-token doc cannot match")
+  }
+}
