@@ -18,7 +18,7 @@ object Bench {
     "q05_semi_join", "q10_running_total", "q12_asof_join",
     "q14_grouping_sets", "q17_salted_join", "q21_hourly_tumbling",
     "q23_sessionize", "q29_range_frame", "q33_quality_score",
-    "q35_top_bigrams", "q41_knn_brute",
+    "q35_top_bigrams", "q41_knn_brute", "q100_gopher_repetition",
     "q45_exists_subquery", "q52_jaccard_exact", "q55_chunk",
     "q57_knn_ivf", "q96_pq_ann", "q99_ivfpq_ann", "q74_flagship_articles",
     "q77_yaml_pipeline", "q80_stream_tumbling",

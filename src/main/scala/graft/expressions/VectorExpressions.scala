@@ -131,6 +131,8 @@ object VectorExpressions {
       es => DotProduct(es.head, es(1)), "built-in")
     reg.createOrReplaceTempFunction("split_tokens",
       es => SplitTokens(es.head, es(1), es(2)), "built-in")
+    reg.createOrReplaceTempFunction("normalize_text",
+      es => NormalizeText(es.head), "built-in")
     reg.createOrReplaceTempFunction("minhash_sig",
       es => MinHashSig.fromSql(es), "built-in")
   }

@@ -404,6 +404,23 @@ object TextQueries {
              |SELECT doc_id, n_toks, tok_start,
              |  CAST(tok_start // 512 AS BIGINT) AS seq_id,
              |  CAST(tok_start % 512 AS BIGINT) AS seq_offset
-             |FROM c ORDER BY doc_id""".stripMargin))
+             |FROM c ORDER BY doc_id""".stripMargin)),
+
+    // ---- Unicode normalization (expressions/NormalizeText): NFC + control
+    // strip + whitespace collapse, the pre-tokenization cleanup pass, as a
+    // native codegen expression (Spark has no NFC builtin). DuckDB's
+    // nfc_normalize replays it exactly. ----
+    Q("q104_normalize_text",
+      (s, dir) => {
+        graft.expressions.VectorExpressions.register(s)
+        t(s, dir, "documents").createOrReplaceTempView("docs_norm")
+        s.sql("""SELECT doc_id, normalize_text(text) AS norm_text
+                 FROM docs_norm ORDER BY doc_id""")
+      },
+      Some("""SELECT doc_id,
+             |  trim(regexp_replace(regexp_replace(nfc_normalize(text),
+             |    '[\x00-\x08\x0B\x0C\x0E-\x1F\x7F]', '', 'g'),
+             |    '\s+', ' ', 'g')) AS norm_text
+             |FROM documents ORDER BY doc_id""".stripMargin))
   )
 }

@@ -146,4 +146,21 @@ class TextFnsSpec extends SparkSpec {
     assert(LmScore.bigramNll(tiny, "doc_id", "text")
       .select("doc_id").as[Long].collect().toSeq == Seq(3L))
   }
+
+  test("normalize_text: NFC composition, control strip, whitespace collapse") {
+    import graft.expressions.NormalizeText
+    // decomposed e + combining acute (U+0301) must compose to U+00E9
+    assert(NormalizeText.norm("cafe\u0301") == "caf\u00e9")
+    assert(NormalizeText.norm("a\u0001b\u0007cd\u007f") == "abcd", "controls stripped")
+    assert(NormalizeText.norm("  a\t\tb \n\n c  ") == "a b c", "whitespace collapsed")
+    assert(NormalizeText.norm("") == "")
+
+    // the SQL-registered codegen path agrees with the driver function
+    graft.expressions.VectorExpressions.register(spark)
+    Seq((1L, "cafe\u0301  bar\u0002 baz"), (2L, " x  y "))
+      .toDF("id", "t").createOrReplaceTempView("norm_in")
+    val got = spark.sql("SELECT id, normalize_text(t) AS n FROM norm_in ORDER BY id")
+      .as[(Long, String)].collect().toSeq
+    assert(got == Seq((1L, "caf\u00e9 bar baz"), (2L, "x y")))
+  }
 }
