@@ -258,11 +258,18 @@ object Similarity {
     * the encoded corpus never shuffles. At cluster scale the encode persists
     * bucketed-by-cell and queries read only their probed buckets.
     */
+  /** `refine` > 0 adds the FAISS refine stage: ADC shortlists k*refine
+    * candidates per query, then their RAW vectors re-rank the shortlist by
+    * exact squared L2 (the `adist` column then carries the exact distance).
+    * Cost at scale: one extra bounded-candidate probe of the stored raw
+    * vectors — candidates broadcast, the corpus is point-looked-up, never
+    * shuffled — for recall close to exact search at ADC's scan price.
+    */
   def ivfPqTopK(queries: DataFrame, corpus: DataFrame, k: Int,
                 nCells: Int = 16, nProbe: Int = 4, m: Int = 8, kSub: Int = 16,
                 qId: String = "qid", qVec: String = "qe",
                 cId: String = "nid", cVec: String = "ne",
-                maxTrain: Int = 100000): DataFrame = {
+                maxTrain: Int = 100000, refine: Int = 0): DataFrame = {
     import org.apache.spark.sql.GraftShim.{column, expression}
     val spark = corpus.sparkSession
     import spark.implicits._
@@ -313,11 +320,22 @@ object Similarity {
       element_at(element_at(col("dt"), mi + 1), element_at(col("codes"), mi + 1) + 1)
     }.reduce(_ + _)
     val w = Window.partitionBy(col(qId)).orderBy(col("adist"), col(cId))
-    broadcast(probed).join(enc, "cell")
+    val shortlist = if (refine > 0) k * refine else k
+    val adc = broadcast(probed).join(enc, "cell")
       .filter(col(cId) =!= col(qId))
       .select(col(qId), col(cId), adist.as("adist"))
       .withColumn("rn", row_number().over(w))
-      .filter(col("rn") <= k)
+      .filter(col("rn") <= shortlist)
+    if (refine == 0) adc
+    else {
+      val wx = Window.partitionBy(col(qId)).orderBy(col("adist"), col(cId))
+      broadcast(adc.select(col(qId), col(cId)))
+        .join(corpus.select(col(cId), col(cVec)), cId)
+        .join(broadcast(queries.select(col(qId), col(qVec))), qId)
+        .select(col(qId), col(cId), VectorFns.l2sq(col(qVec), col(cVec)).as("adist"))
+        .withColumn("rn", row_number().over(wx))
+        .filter(col("rn") <= k)
+    }
   }
 
   /** Approximate top-k via nTables independent hyperplane-LSH bucketings.

@@ -25,9 +25,10 @@ import java.nio.charset.StandardCharsets.ISO_8859_1
   * pre-pass links /Font resource names -> font objects -> their /ToUnicode
   * streams, parses the bfchar/bfrange sections, and Tj/TJ strings shown
   * under such a font decode as (usually 2-byte) codes through the map.
-  * Composite fonts WITHOUT /ToUnicode (unsearchable by design), encryption,
-  * and predictors on content streams (rare — predictors normally apply to
-  * xref/image data) remain out of scope: their text surfaces as garbage and
+  * /DecodeParms predictors on compressed streams (PNG Sub/Up/Average/Paeth
+  * and TIFF horizontal, 8-bit) are undone after decompression.
+  * Composite fonts WITHOUT /ToUnicode (unsearchable by design) and
+  * encryption remain out of scope: their text surfaces as garbage and
   * is routed to the dead-letter channel by a downstream quality guard; a
   * corrupt CMap demotes its font to the same path rather than crashing. A
   * full-fidelity library parser can drop in behind the same `DocParser`
@@ -56,7 +57,7 @@ object PdfLite {
         if (end < 0) { idx = dataStart }
         else {
           val raw = content.slice(dataStart, trimEol(latin1, end))
-          val decoded = applyFilters(raw, filterChain(dict))
+          val decoded = applyFilters(raw, filterChain(dict), decodeParms(dict))
           decoded.map(b => new String(b, ISO_8859_1)).foreach { s =>
             if (s.contains("BT")) {
               val txt = extractTextOps(s, cmaps)
@@ -94,16 +95,103 @@ object PdfLite {
     }
   }
 
+  /** Predictor parameters from /DecodeParms (also spelled /DP): Predictor,
+    * Columns, Colors, BitsPerComponent with the spec's defaults. Only the
+    * first parms dict is read — PDFs with per-filter parms arrays apply
+    * the predictor to the compression filter, which is the only one that
+    * takes parms in practice.
+    */
+  private[graft] case class PredParams(predictor: Int, columns: Int,
+                                       colors: Int, bpc: Int)
+
+  private[graft] def decodeParms(dict: String): Option[PredParams] = {
+    val pIdx = math.max(dict.indexOf("/DecodeParms"), dict.indexOf("/DP"))
+    if (pIdx < 0) return None
+    val rest = dict.substring(pIdx)
+    def num(name: String, default: Int): Int =
+      s"/$name\\s+(\\d+)".r.findFirstMatchIn(rest).map(_.group(1).toInt).getOrElse(default)
+    val pred = num("Predictor", 1)
+    if (pred <= 1) None
+    else Some(PredParams(pred, num("Columns", 1), num("Colors", 1),
+      num("BitsPerComponent", 8)))
+  }
+
+  /** Undo a PNG (predictor >= 10) or TIFF horizontal (predictor 2) row
+    * predictor after decompression. PNG rows carry a leading filter-type
+    * byte (0 None, 1 Sub, 2 Up, 3 Average, 4 Paeth) exactly as in the PNG
+    * spec; 8-bit components only (the practical case). Malformed input
+    * yields None.
+    */
+  private[graft] def unpredict(data: Array[Byte], p: PredParams): Option[Array[Byte]] =
+    try {
+      if (p.bpc != 8) return None
+      val bpp = math.max(1, p.colors)
+      val rowLen = p.columns * bpp
+      if (p.predictor == 2) {
+        val out = data.clone()
+        var r = 0
+        while (r * rowLen < out.length) {
+          val off = r * rowLen
+          var i = bpp
+          while (i < rowLen && off + i < out.length) {
+            out(off + i) = (out(off + i) + out(off + i - bpp)).toByte
+            i += 1
+          }
+          r += 1
+        }
+        Some(out)
+      } else if (p.predictor >= 10) {
+        val stride = rowLen + 1
+        if (data.length % stride != 0) return None
+        val rows = data.length / stride
+        val out = new Array[Byte](rows * rowLen)
+        val prev = new Array[Byte](rowLen)
+        var r = 0
+        while (r < rows) {
+          val ft = data(r * stride) & 0xFF
+          val src = r * stride + 1
+          val dst = r * rowLen
+          var i = 0
+          while (i < rowLen) {
+            val raw = data(src + i) & 0xFF
+            val left = if (i >= bpp) out(dst + i - bpp) & 0xFF else 0
+            val up = prev(i) & 0xFF
+            val upLeft = if (i >= bpp) prev(i - bpp) & 0xFF else 0
+            val v = ft match {
+              case 0 => raw
+              case 1 => raw + left
+              case 2 => raw + up
+              case 3 => raw + ((left + up) / 2)
+              case 4 =>
+                val pp = left + up - upLeft
+                val pa = math.abs(pp - left); val pb = math.abs(pp - up)
+                val pc = math.abs(pp - upLeft)
+                raw + (if (pa <= pb && pa <= pc) left else if (pb <= pc) up else upLeft)
+              case _ => throw new IllegalArgumentException(s"bad PNG filter $ft")
+            }
+            out(dst + i) = (v & 0xFF).toByte
+            i += 1
+          }
+          System.arraycopy(out, dst, prev, 0, rowLen)
+          r += 1
+        }
+        Some(out)
+      } else Some(data)
+    } catch { case _: IllegalArgumentException | _: ArrayIndexOutOfBoundsException => None }
+
   /** Run the filter chain; an unknown or binary filter (DCTDecode images,
     * JBIG2, ...) or a corrupt payload yields None — the stream is skipped,
     * never a crash (failures belong to the dead-letter channel upstream).
+    * A /DecodeParms predictor is undone after the (single, in practice)
+    * compression filter in the chain.
     */
-  private def applyFilters(raw: Array[Byte], chain: Seq[String]): Option[Array[Byte]] =
+  private def applyFilters(raw: Array[Byte], chain: Seq[String],
+                           parms: Option[PredParams] = None): Option[Array[Byte]] =
     chain.foldLeft(Option(raw)) { (acc, f) =>
       acc.flatMap { b =>
         f match {
-          case "FlateDecode"    => inflate(b)
-          case "LZWDecode"      => lzwDecode(b)
+          case "FlateDecode"    => inflate(b).flatMap(d => parms.fold(Option(d))(unpredict(d, _)))
+          case "LZWDecode"      => lzwDecode(b).flatMap(d => parms.fold(Option(d))(unpredict(d, _)))
           case "ASCII85Decode"  => ascii85Decode(b)
           case "ASCIIHexDecode" => asciiHexDecode(b)
           case _                => None
@@ -306,7 +394,7 @@ object PdfLite {
             val e = body.indexOf("endstream", ds)
             if (e < 0) None
             else applyFilters(body.substring(ds, trimEol(body, e)).getBytes(ISO_8859_1),
-                filterChain(body.substring(0, si)))
+                filterChain(body.substring(0, si)), decodeParms(body.substring(0, si)))
               .flatMap(b => parseCMap(new String(b, ISO_8859_1)))
               .map(ref -> _)
           }

@@ -82,6 +82,16 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("q99 IVF-PQ: probed side broadcasts, encoded corpus never sort-merges") {
+    withoutAqe {
+      val p = plan(registry("q99_ivfpq_ann")(spark, sfDir))
+      assert(p.collect { case j: BroadcastHashJoinExec => j }.nonEmpty,
+        s"q99: probed (query, cell, dt) side must broadcast into the codes join:\n$p")
+      assert(p.collect { case j: SortMergeJoinExec => j }.isEmpty,
+        s"q99: encoded corpus must not shuffle for the query:\n$p")
+    }
+  }
+
   test("q50 minhash: single pair-generating exchange above the cached base") {
     withoutAqe {
       val p = plan(registry("q50_minhash_pairs")(spark, sfDir))

@@ -169,6 +169,80 @@ class SourcesSpec extends SparkSpec {
       "BT (not text) Tj ET".getBytes("ISO-8859-1"))).isEmpty)
   }
 
+  test("PdfLite predictors: PNG filter types and TIFF horizontal undone after Flate") {
+    import graft.sources.PdfLite
+
+    def deflate(b: Array[Byte]): Array[Byte] = {
+      val d = new java.util.zip.Deflater()
+      d.setInput(b); d.finish()
+      val out = new java.io.ByteArrayOutputStream()
+      val buf = new Array[Byte](256)
+      while (!d.finished()) out.write(buf, 0, d.deflate(buf))
+      out.toByteArray
+    }
+    def paeth(a: Int, b: Int, c: Int): Int = {
+      val p = a + b - c
+      val pa = math.abs(p - a); val pb = math.abs(p - b); val pc = math.abs(p - c)
+      if (pa <= pb && pa <= pc) a else if (pb <= pc) b else c
+    }
+    // PNG-encode rows cycling through ALL five filter types
+    def pngEncode(data: Array[Byte], cols: Int): Array[Byte] = {
+      val rows = data.grouped(cols).toArray
+      val out = new java.io.ByteArrayOutputStream()
+      var prev = new Array[Byte](cols)
+      rows.zipWithIndex.foreach { case (row, ri) =>
+        val ft = Seq(1, 2, 4, 0, 3)(ri % 5)
+        out.write(ft)
+        row.indices.foreach { i =>
+          val raw = row(i) & 0xFF
+          val left = if (i > 0) row(i - 1) & 0xFF else 0
+          val up = prev(i) & 0xFF
+          val upLeft = if (i > 0) prev(i - 1) & 0xFF else 0
+          val pred = ft match {
+            case 0 => 0
+            case 1 => left
+            case 2 => up
+            case 3 => (left + up) / 2
+            case 4 => paeth(left, up, upLeft)
+          }
+          out.write((raw - pred) & 0xFF)
+        }
+        prev = row
+      }
+      out.toByteArray
+    }
+
+    val cols = 10
+    val text = "BT (Predicted Hello World) Tj ET"
+    val padded = (text + " " * ((cols - text.length % cols) % cols)).getBytes("ISO-8859-1")
+
+    val png = miniPdf(
+      s"/Filter /FlateDecode /DecodeParms << /Predictor 12 /Columns $cols >>",
+      deflate(pngEncode(padded, cols)))
+    assert(PdfLite.extract(png) == Seq("Predicted Hello World"), "png predictors")
+
+    // TIFF predictor 2: horizontal differencing within each row
+    val tiffEnc = padded.grouped(cols).flatMap { row =>
+      row.indices.map(i => if (i == 0) row(0)
+        else ((row(i) - row(i - 1)) & 0xFF).toByte)
+    }.toArray
+    val tiff = miniPdf(
+      s"/Filter /FlateDecode /DecodeParms << /Predictor 2 /Columns $cols >>",
+      deflate(tiffEnc))
+    assert(PdfLite.extract(tiff) == Seq("Predicted Hello World"), "tiff predictor")
+
+    // parms parsing: defaults, /DP alias, predictor 1 = no-op
+    assert(PdfLite.decodeParms("<< /DP << /Predictor 2 >> >>")
+      .contains(PdfLite.PredParams(2, 1, 1, 8)))
+    assert(PdfLite.decodeParms("<< /DecodeParms << /Predictor 1 >> >>").isEmpty)
+    assert(PdfLite.decodeParms("<< /Length 10 >>").isEmpty)
+    // corrupt predicted payload (bad row alignment) -> skipped, not crashed
+    val bad = miniPdf(
+      "/Filter /FlateDecode /DecodeParms << /Predictor 12 /Columns 7 >>",
+      deflate(pngEncode(padded, cols)))
+    assert(PdfLite.extract(bad).isEmpty)
+  }
+
   test("PdfLite CID/Type0: /ToUnicode CMap decodes 2-byte Tj/TJ strings") {
     import graft.sources.PdfLite
     val cmap =

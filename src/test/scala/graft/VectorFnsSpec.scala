@@ -152,6 +152,35 @@ class VectorFnsSpec extends SparkSpec {
     assert(got == expected, "distributed IVF-PQ must equal the driver IVFADC mirror exactly")
   }
 
+  test("ivfPqTopK refine: exact distances on the shortlist, exact ordering") {
+    val emb = Tables(spark, sfDir, "embeddings")
+    val q = emb.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+    val c = emb.select(col("vec_id").as("nid"), col("embedding").as("ne"))
+    val refined = Similarity.ivfPqTopK(q, c, k = 5, refine = 4)
+      .select(col("qid"), col("nid"), col("adist"), col("rn"))
+      .as[(Long, Long, Double, Int)].collect().toSeq
+
+    val all = emb.select(col("vec_id"), col("embedding"))
+      .collect().map(r => r.getLong(0) ->
+        r.getSeq[Number](1).map(_.doubleValue()).toArray).toMap
+    def l2(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { val d = a(i) - b(i); s += d * d; i += 1 }
+      s
+    }
+    assert(refined.nonEmpty && refined.forall(_._4 <= 5))
+    refined.foreach { case (qid, nid, ad, _) =>
+      assert(ad == l2(all(qid), all(nid)),
+        s"refined adist must be the EXACT raw L2 for ($qid,$nid)")
+    }
+    refined.groupBy(_._1).values.foreach { rows =>
+      val sorted = rows.sortBy(_._4)
+      assert(sorted.map(r => (r._3, r._2)) == sorted.map(r => (r._3, r._2)).sorted,
+        "refined ranking is by exact distance")
+    }
+  }
+
   test("pqTopK on clustered data: top neighbor comes from the same cluster") {
     val rnd = new scala.util.Random(3)
     val pts = for (cl <- 0 until 4; i <- 0 until 10) yield {
