@@ -1,0 +1,60 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Domain reweighting — the "data mixing" stage of a training-data
+  * pipeline: given target proportions per domain (language, source,
+  * toxicity band, ...), downsample each domain deterministically so the
+  * output matches the target mix at the largest size achievable WITHOUT
+  * upsampling any domain (the DoReMi/Pile-style static-mixture shape).
+  *
+  * Per-domain keep-rates are computed from the (tiny, one row per domain)
+  * count aggregate on the driver; each row's keep decision is a pure
+  * function of (id, domain) via the q68-proven portable md5 bucket, so the
+  * sample is rerun-stable, cluster-size-independent, and replayable in any
+  * engine with md5 — no RNG state, no sampleBy non-determinism.
+  *
+  * Scale shape: one partial-aggregated count shuffle, then a single
+  * filter pass over the corpus with the thresholds inlined as a CASE
+  * column. Nothing per-row touches the driver.
+  */
+object DomainMix {
+
+  /** Integer bucket thresholds per domain (of `buckets`), normalized from
+    * `targets`. floor semantics so any engine's integer conversion agrees.
+    */
+  private[graft] def thresholds(counts: Map[String, Long],
+                                targets: Map[String, Double],
+                                buckets: Int): Map[String, Long] = {
+    val norm = targets.values.sum
+    require(norm > 0, "target weights must sum to a positive value")
+    val t = targets.map { case (d, w) => d -> w / norm }
+    // feasible output size: bounded by the scarcest domain relative to its
+    // target share (no upsampling)
+    val scale = counts.flatMap { case (d, n) =>
+      t.get(d).filter(_ > 0).map(n / _)
+    }.foldLeft(Double.MaxValue)(math.min)
+    counts.map { case (d, n) =>
+      val rate = if (n == 0) 0.0 else math.min(1.0, t.getOrElse(d, 0.0) * scale / n)
+      d -> math.floor(rate * buckets).toLong
+    }
+  }
+
+  /** Adds `keep` to `docs`: true iff the row survives mixing to `targets`.
+    * Domains absent from `targets` are dropped entirely.
+    */
+  def reweight(docs: DataFrame, idCol: String, domainCol: String,
+               targets: Map[String, Double], buckets: Int = 10000): DataFrame = {
+    val counts = docs.groupBy(col(domainCol)).agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val th = thresholds(counts, targets, buckets)
+    val thCol = th.toSeq.sortBy(_._1).foldLeft(lit(0L)) { case (acc, (d, v)) =>
+      when(col(domainCol) === d, lit(v)).otherwise(acc)
+    }
+    val bucket = conv(substring(
+        md5(concat(col(idCol).cast("string"), lit(":"), col(domainCol)).cast("binary")),
+        1, 8), 16, 10).cast("long") % buckets
+    docs.withColumn("keep", bucket < thCol)
+  }
+}

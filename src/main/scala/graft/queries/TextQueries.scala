@@ -406,6 +406,38 @@ object TextQueries {
              |  CAST(tok_start % 512 AS BIGINT) AS seq_offset
              |FROM c ORDER BY doc_id""".stripMargin)),
 
+    // ---- Domain mixing (operators/DomainMix): downsample each language to
+    // a uniform target mix, deterministically (q68's portable md5 bucket).
+    // The oracle re-derives the per-domain thresholds with the SAME IEEE
+    // double operations in the same order, so floor() agrees bit-exactly. ----
+    Q("q105_domain_mix",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val langs = docs.select(col("lang")).distinct()
+          .collect().map(_.getString(0))
+        graft.operators.DomainMix.reweight(docs, "doc_id", "lang",
+            langs.map(_ -> 1.0).toMap)
+          .groupBy(col("lang"))
+          .agg(count(lit(1)).as("n_total"),
+            sum(when(col("keep"), 1L).otherwise(0L)).as("n_kept"))
+          .orderBy(col("lang"))
+      },
+      Some("""WITH c AS (SELECT lang, CAST(count(*) AS BIGINT) AS n
+             |           FROM documents GROUP BY lang),
+             |k AS (SELECT CAST(count(*) AS DOUBLE) AS k FROM c),
+             |s AS (SELECT min(CAST(n AS DOUBLE) / (1.0 / k.k)) AS scale FROM c, k),
+             |th AS (SELECT lang, n,
+             |         CAST(floor(least(1.0, (1.0 / k.k) * s.scale / CAST(n AS DOUBLE))
+             |           * 10000) AS BIGINT) AS th
+             |       FROM c, k, s)
+             |SELECT d.lang, count(*) AS n_total,
+             |  CAST(sum(CASE WHEN CAST(concat('0x', substr(md5(
+             |        concat(CAST(doc_id AS VARCHAR), ':', d.lang)), 1, 8)) AS BIGINT)
+             |        % 10000 < th.th
+             |    THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+             |FROM documents d JOIN th ON d.lang = th.lang
+             |GROUP BY d.lang ORDER BY d.lang""".stripMargin)),
+
     // ---- Unicode normalization (expressions/NormalizeText): NFC + control
     // strip + whitespace collapse, the pre-tokenization cleanup pass, as a
     // native codegen expression (Spark has no NFC builtin). DuckDB's

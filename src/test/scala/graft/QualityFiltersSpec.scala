@@ -28,6 +28,35 @@ class QualityFiltersSpec extends SparkSpec {
     assert(out(4) == ((5L, 0L, 0.0, 0.0, true)))
   }
 
+  test("domain mix: feasible uniform thresholds, scarcest domain kept whole") {
+    import graft.operators.DomainMix
+    val counts = Map("a" -> 100L, "b" -> 50L, "c" -> 10L)
+    val th = DomainMix.thresholds(counts,
+      Map("a" -> 1.0, "b" -> 1.0, "c" -> 1.0), buckets = 10000)
+    // uniform mix limited by c: rates 10/100, 10/50, 10/10
+    assert(th == Map("a" -> 1000L, "b" -> 2000L, "c" -> 10000L), th.toString)
+
+    val docs = (0L until 160L).map { i =>
+      (i, if (i < 100) "a" else if (i < 150) "b" else "c")
+    }.toDF("doc_id", "lang")
+    val out = DomainMix.reweight(docs, "doc_id", "lang",
+      Map("a" -> 1.0, "b" -> 1.0, "c" -> 1.0))
+    val kept = out.filter(col("keep")).groupBy("lang").count()
+      .as[(String, Long)].collect().toMap
+    assert(kept("c") == 10L, "rate-1.0 domain keeps every row")
+    assert(kept("a") > 0 && kept("a") < 100, s"a downsampled: ${kept("a")}")
+    // deterministic: identical rerun
+    val again = DomainMix.reweight(docs, "doc_id", "lang",
+      Map("a" -> 1.0, "b" -> 1.0, "c" -> 1.0))
+      .filter(col("keep")).groupBy("lang").count()
+      .as[(String, Long)].collect().toMap
+    assert(kept == again)
+    // a domain missing from targets is dropped entirely
+    val dropped = DomainMix.reweight(docs, "doc_id", "lang",
+      Map("a" -> 1.0, "b" -> 1.0))
+    assert(dropped.filter(col("lang") === "c" && col("keep")).count() == 0)
+  }
+
   test("decontaminate: leaked 8-token window flags the doc, benchmark excluded") {
     val w = "w1 w2 w3 w4 w5 w6 w7 w8"
     val docs = Seq(
