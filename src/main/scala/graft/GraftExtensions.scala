@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.expressions.{CosineSimilarity, DotProduct, MinHashSig, SplitTokens}
+import graft.expressions.{CosineSimilarity, DotProduct, MinHashSig, NormalizeText, SplitTokens}
 
 /** SparkSessionExtensions injector: makes the engine's custom expressions
   * available to any session started with
@@ -25,6 +25,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("split_tokens"),
       new ExpressionInfo(classOf[SplitTokens].getName, "split_tokens"),
       (es: Seq[Expression]) => SplitTokens(es(0), es(1), es(2))))
+    ext.injectFunction((
+      new FunctionIdentifier("normalize_text"),
+      new ExpressionInfo(classOf[NormalizeText].getName, "normalize_text"),
+      (es: Seq[Expression]) => NormalizeText(es.head)))
     // minhash_sig(shingles, numHashes, seed): numHashes/seed must be
     // literals — the hash-family constants are derived at plan time.
     ext.injectFunction((

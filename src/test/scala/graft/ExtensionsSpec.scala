@@ -31,6 +31,10 @@ class ExtensionsSpec extends SparkSpec {
       .select(graft.expressions.MinHashSig(col("sh"), 8, 7).as("s"))
       .collect()(0).getSeq[Long](0)
     assert(sqlSig == colSig && sqlSig.length == 8)
+    // normalize_text through SQL: NFC + whitespace collapse
+    val n = spark.sql("SELECT normalize_text('cafe\\u0301  x') AS n")
+      .collect()(0).getString(0)
+    assert(n == "caf\u00e9 x")
   }
 
   test("minhash_sig rejects non-literal numHashes/seed with a clear message") {
