@@ -75,6 +75,11 @@ object QualityFilters {
     * benchmark set. Output: id, n_hits (distinct leaked benchmark n-grams),
     * contaminated. Benchmark documents themselves are excluded from the
     * corpus side (they would trivially self-match).
+    *
+    * The corpus is read twice (the id roster keeps zero-gram docs that the
+    * explode necessarily drops); in a real 100 TB run the filtered corpus
+    * side is a staged table read from storage, so the second pass prunes
+    * to one column — or persist the roster when it fits.
     */
   def decontaminate(corpus: DataFrame, idCol: String, textCol: String,
                     bench: DataFrame, benchIdCol: String, benchTextCol: String,
