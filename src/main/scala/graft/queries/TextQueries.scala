@@ -406,6 +406,97 @@ object TextQueries {
              |  CAST(tok_start % 512 AS BIGINT) AS seq_offset
              |FROM c ORDER BY doc_id""".stripMargin)),
 
+    // ---- The corpus-hygiene pipeline COMPOSED: repetition filter ->
+    // exact dedup -> benchmark decontamination -> domain mixing, emitting
+    // per-stage survival counts. Every stage is individually oracle-proven
+    // (q100/q34-family/q101/q105); this query proves the COMPOSITION —
+    // the DuckDB oracle replays all four stages chained. ----
+    Q("q106_corpus_pipeline",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val keepRep = graft.operators.QualityFilters
+          .repetitionStats(docs, "doc_id", "text")
+          .filter(col("keep")).select(col("doc_id"))
+        val s1 = docs.join(keepRep, Seq("doc_id"), "left_semi")
+        val dd = s1.withColumn("__rn", row_number().over(
+            org.apache.spark.sql.expressions.Window
+              .partitionBy(md5(col("text").cast("binary"))).orderBy(col("doc_id"))))
+          .filter(col("__rn") === 1).drop("__rn")
+        // benchmark docs are held OUT (decontaminate drops them from the
+        // corpus side), so stage 4 counts only trainable survivors
+        val clean = graft.operators.QualityFilters.decontaminate(
+            dd, "doc_id", "text",
+            docs.filter(col("doc_id") % 41 === 0), "doc_id", "text", n = 8)
+          .filter(!col("contaminated")).select(col("doc_id"))
+        val s3 = dd.join(clean, Seq("doc_id"), "left_semi")
+        val langs = s3.select(col("lang")).distinct().collect().map(_.getString(0))
+        val s4 = graft.operators.DomainMix.reweight(s3, "doc_id", "lang",
+            langs.map(_ -> 1.0).toMap)
+          .filter(col("keep"))
+        val counts = Seq(
+          (1L, "total", docs.count()),
+          (2L, "repetition", s1.count()),
+          (3L, "exact_dedup", dd.count()),
+          (4L, "decontaminated", s3.count()),
+          (5L, "domain_mix", s4.count()))
+        import s.implicits._
+        counts.toDF("stage", "name", "n").orderBy(col("stage"))
+      },
+      Some("""WITH t0 AS (SELECT doc_id, lang, text,
+             |        CASE WHEN length(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
+             |             ELSE string_split_regex(lower(trim(text)), '\s+') END AS toks
+             |      FROM documents),
+             |bgx AS (SELECT doc_id, unnest(generate_series(1, len(toks) - 1)) AS i, toks
+             |        FROM t0 WHERE len(toks) >= 2),
+             |bgc AS (SELECT doc_id, toks[i] || ' ' || toks[i + 1] AS g, count(*) AS c
+             |        FROM bgx GROUP BY 1, 2),
+             |bgs AS (SELECT doc_id, CAST(max(c) AS DOUBLE) / CAST(sum(c) AS DOUBLE) AS top2
+             |        FROM bgc GROUP BY 1),
+             |tgx AS (SELECT doc_id, unnest(generate_series(1, len(toks) - 2)) AS i, toks
+             |        FROM t0 WHERE len(toks) >= 3),
+             |tgc AS (SELECT doc_id,
+             |          toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2] AS g, count(*) AS c
+             |        FROM tgx GROUP BY 1, 2),
+             |tgs AS (SELECT doc_id,
+             |          CAST(sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS DOUBLE)
+             |            / CAST(sum(c) AS DOUBLE) AS dup3
+             |        FROM tgc GROUP BY 1),
+             |s1 AS (SELECT t0.doc_id, t0.lang, t0.text, t0.toks
+             |       FROM t0 LEFT JOIN bgs USING (doc_id) LEFT JOIN tgs USING (doc_id)
+             |       WHERE round(coalesce(top2, 0.0), 6) <= 0.2::DOUBLE
+             |         AND round(coalesce(dup3, 0.0), 6) <= 0.3::DOUBLE),
+             |dd AS (SELECT doc_id, lang, text, toks FROM (
+             |         SELECT s1.*, row_number() OVER (PARTITION BY md5(text)
+             |           ORDER BY doc_id) AS rn FROM s1) WHERE rn = 1),
+             |bgrams AS (SELECT DISTINCT array_to_string(toks[i : i + 7], ' ') AS g
+             |           FROM (SELECT toks, unnest(generate_series(1, len(toks) - 7)) AS i
+             |                 FROM t0 WHERE doc_id % 41 = 0 AND len(toks) >= 8)),
+             |cg AS (SELECT doc_id, array_to_string(toks[i : i + 7], ' ') AS g
+             |       FROM (SELECT doc_id, toks, unnest(generate_series(1, len(toks) - 7)) AS i
+             |             FROM dd WHERE doc_id % 41 != 0 AND len(toks) >= 8)),
+             |contam AS (SELECT DISTINCT cg.doc_id FROM cg JOIN bgrams USING (g)),
+             |s3 AS (SELECT * FROM dd WHERE doc_id % 41 != 0
+             |         AND doc_id NOT IN (SELECT doc_id FROM contam)),
+             |c AS (SELECT lang, CAST(count(*) AS BIGINT) AS n FROM s3 GROUP BY lang),
+             |k AS (SELECT CAST(count(*) AS DOUBLE) AS k FROM c),
+             |sc AS (SELECT min(CAST(n AS DOUBLE) / (1.0 / k.k)) AS scale FROM c, k),
+             |th AS (SELECT lang,
+             |         CAST(floor(least(1.0, (1.0 / k.k) * sc.scale / CAST(n AS DOUBLE))
+             |           * 10000) AS BIGINT) AS th
+             |       FROM c, k, sc),
+             |s4 AS (SELECT s3.doc_id FROM s3 JOIN th USING (lang)
+             |       WHERE CAST(concat('0x', substr(md5(
+             |           concat(CAST(s3.doc_id AS VARCHAR), ':', s3.lang)), 1, 8)) AS BIGINT)
+             |         % 10000 < th.th)
+             |SELECT * FROM (
+             |  SELECT CAST(1 AS BIGINT) AS stage, 'total' AS name,
+             |    CAST((SELECT count(*) FROM documents) AS BIGINT) AS n
+             |  UNION ALL SELECT 2, 'repetition', CAST((SELECT count(*) FROM s1) AS BIGINT)
+             |  UNION ALL SELECT 3, 'exact_dedup', CAST((SELECT count(*) FROM dd) AS BIGINT)
+             |  UNION ALL SELECT 4, 'decontaminated', CAST((SELECT count(*) FROM s3) AS BIGINT)
+             |  UNION ALL SELECT 5, 'domain_mix', CAST((SELECT count(*) FROM s4) AS BIGINT)
+             |) ORDER BY stage""".stripMargin)),
+
     // ---- Domain mixing (operators/DomainMix): downsample each language to
     // a uniform target mix, deterministically (q68's portable md5 bucket).
     // The oracle re-derives the per-domain thresholds with the SAME IEEE

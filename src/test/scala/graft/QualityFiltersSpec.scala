@@ -28,6 +28,17 @@ class QualityFiltersSpec extends SparkSpec {
     assert(out(4) == ((5L, 0L, 0.0, 0.0, true)))
   }
 
+  test("corpus pipeline composition: stages shrink monotonically, end nonempty") {
+    val out = graft.queries.Registry.queries("q106_corpus_pipeline")(spark, sfDir)
+      .as[(Long, String, Long)].collect().sortBy(_._1)
+    assert(out.map(_._2).toSeq ==
+      Seq("total", "repetition", "exact_dedup", "decontaminated", "domain_mix"))
+    val ns = out.map(_._3)
+    assert(ns.zip(ns.tail).forall { case (a, b) => b <= a },
+      s"each stage can only remove rows: ${ns.toSeq}")
+    assert(ns.head > 0 && ns.last > 0, s"pipeline must not drain the corpus: ${ns.toSeq}")
+  }
+
   test("domain mix: feasible uniform thresholds, scarcest domain kept whole") {
     import graft.operators.DomainMix
     val counts = Map("a" -> 100L, "b" -> 50L, "c" -> 10L)
