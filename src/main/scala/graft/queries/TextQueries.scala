@@ -529,6 +529,44 @@ object TextQueries {
              |FROM documents d JOIN th ON d.lang = th.lang
              |GROUP BY d.lang ORDER BY d.lang""".stripMargin)),
 
+    // ---- Count-Min sketch as a TABLE (operators/Sketches): depth x width
+    // bucket weights from one explode + partial agg; estimates are the
+    // row-wise min. Portable md5 hashing -> the oracle recomputes the FULL
+    // sketch and the estimates for the true top-20 tokens in DuckDB. ----
+    Q("q107_countmin",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val sketch = graft.operators.Sketches.countMin(docs, "text", depth = 4, width = 256)
+        val top = docs
+          .select(explode(TextFns.tokens(lower(col("text")))).as("t"))
+          .groupBy(col("t")).agg(count(lit(1)).as("true_n"))
+          .orderBy(col("true_n").desc, col("t")).limit(20)
+          .withColumnRenamed("t", "term")
+        graft.operators.Sketches.estimate(sketch, top, "term", depth = 4, width = 256)
+          .join(top, Seq("term"))
+          .select(col("term"), col("true_n"), col("est"))
+          .orderBy(col("term"))
+      },
+      Some("""WITH tok AS (SELECT unnest(string_split_regex(lower(trim(text)), '\s+')) AS t
+             |             FROM documents WHERE length(trim(text)) > 0),
+             |cnt AS (SELECT t, CAST(count(*) AS BIGINT) AS true_n FROM tok GROUP BY t),
+             |top AS (SELECT t AS term, true_n FROM cnt ORDER BY true_n DESC, t LIMIT 20),
+             |r AS (SELECT unnest(range(4)) AS row),
+             |sk AS (SELECT r.row,
+             |         CAST(concat('0x', substr(md5(concat(r.row, ':', t)), 1, 8)) AS BIGINT)
+             |           % 256 AS bucket,
+             |         CAST(count(*) AS BIGINT) AS w
+             |       FROM tok, r GROUP BY 1, 2),
+             |q AS (SELECT top.term, r.row,
+             |        CAST(concat('0x', substr(md5(concat(r.row, ':', term)), 1, 8)) AS BIGINT)
+             |          % 256 AS bucket
+             |      FROM top, r),
+             |est AS (SELECT term, CAST(min(coalesce(w, 0)) AS BIGINT) AS est
+             |        FROM q LEFT JOIN sk ON sk.row = q.row AND sk.bucket = q.bucket
+             |        GROUP BY term)
+             |SELECT top.term, top.true_n, est.est
+             |FROM top JOIN est USING (term) ORDER BY term""".stripMargin)),
+
     // ---- Unicode normalization (expressions/NormalizeText): NFC + control
     // strip + whitespace collapse, the pre-tokenization cleanup pass, as a
     // native codegen expression (Spark has no NFC builtin). DuckDB's

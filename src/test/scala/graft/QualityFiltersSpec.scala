@@ -28,6 +28,28 @@ class QualityFiltersSpec extends SparkSpec {
     assert(out(4) == ((5L, 0L, 0.0, 0.0, true)))
   }
 
+  test("count-min sketch: overestimates only, shard-merge equals whole-corpus build") {
+    import graft.operators.Sketches
+    val docs = Seq((1L, "a a a b b c"), (2L, "a b d d d d"), (3L, "e e c a"))
+      .toDF("doc_id", "text")
+    val sketch = Sketches.countMin(docs, "text", depth = 4, width = 16)
+    val terms = Seq("a", "b", "c", "d", "e", "zzz").toDF("term")
+    val est = Sketches.estimate(sketch, terms, "term", depth = 4, width = 16)
+      .as[(String, Long)].collect().toMap
+    val truth = Map("a" -> 5L, "b" -> 3L, "c" -> 2L, "d" -> 4L, "e" -> 2L, "zzz" -> 0L)
+    truth.foreach { case (t, n) =>
+      assert(est(t) >= n, s"CMS must never underestimate: $t est ${est(t)} < $n")
+    }
+    assert(est("a") <= 5L + 11, "width-16 overcount stays bounded on this corpus")
+
+    // mergeability: per-shard sketches folded == whole-corpus sketch
+    val merged = Sketches.merge(
+      Sketches.countMin(docs.filter(col("doc_id") <= 1), "text", 4, 16),
+      Sketches.countMin(docs.filter(col("doc_id") > 1), "text", 4, 16))
+    val whole = sketch.orderBy("row", "bucket").as[(Int, Long, Long)].collect().toSeq
+    assert(merged.orderBy("row", "bucket").as[(Int, Long, Long)].collect().toSeq == whole)
+  }
+
   test("corpus pipeline composition: stages shrink monotonically, end nonempty") {
     val out = graft.queries.Registry.queries("q106_corpus_pipeline")(spark, sfDir)
       .as[(Long, String, Long)].collect().sortBy(_._1)
