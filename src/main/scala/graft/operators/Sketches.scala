@@ -48,6 +48,36 @@ object Sketches {
       .groupBy(col("row"), col("bucket"))
       .agg(sum(col("w")).as("w"))
 
+  /** Streaming build: each microbatch's sketch lands as its own
+    * `batch=<id>` directory, written ONLY if absent — the probe goes
+    * through the Hadoop FileSystem API (HDFS/S3-correct, same rule as
+    * Streams.idempotentMerge), so a replayed microbatch is a no-op instead
+    * of double-counting into the running sketch. Readers call
+    * `readMerged`, which unions every batch shard through `merge` —
+    * cheap, because each shard is at most depth x width rows no matter
+    * how much data the batch carried.
+    */
+  def streamingCountMin(stream: DataFrame, textCol: String, targetPath: String,
+                        checkpoint: String, depth: Int = 4, width: Int = 256): Unit = {
+    import org.apache.spark.sql.streaming.Trigger
+    val q = stream.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val dir = s"$targetPath/batch=$batchId"
+        val hPath = new org.apache.hadoop.fs.Path(dir)
+        val fs = hPath.getFileSystem(batch.sparkSession.sessionState.newHadoopConf())
+        if (!fs.exists(hPath))
+          countMin(batch, textCol, depth, width).write.mode("overwrite").parquet(dir)
+      }
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
+  /** Fold every batch shard under `targetPath` into one sketch. */
+  def readMerged(spark: org.apache.spark.sql.SparkSession, targetPath: String): DataFrame =
+    merge(spark.read.parquet(targetPath).select(col("row"), col("bucket"), col("w")))
+
   /** Point estimates for a column of terms: min over the sketch's rows of
     * the bucket weights each term hashes into. The (tiny) sketch
     * broadcasts; the term side never shuffles.

@@ -344,6 +344,41 @@ object QualityQueries {
              |  CAST(segment_id * 400 AS BIGINT) AS start_ms,
              |  CAST(length(substring(content, CAST(segment_id * 6400 + 1 AS INT), 8000)) AS INT) AS seg_bytes,
              |  md5(substring(content, CAST(segment_id * 6400 + 1 AS INT), 8000)) AS seg_hash
-             |FROM x ORDER BY doc_id, segment_id""".stripMargin))
+             |FROM x ORDER BY doc_id, segment_id""".stripMargin)),
+
+    // ---- Streaming Count-Min: per-microbatch sketch shards written
+    // idempotently by batch id, merged on read. AvailableNow drains the
+    // whole source, so the merged streaming sketch MUST equal a batch CMS
+    // over the events table — which the oracle computes directly (same
+    // portable md5 hash family as q107). event_type values are single
+    // tokens, so tokenize(lower(text)) == lower(event_type). ----
+    Q("q108_stream_countmin",
+      (s, dir) => {
+        import graft.operators.Sketches
+        val tmp = java.nio.file.Files.createTempDirectory("graft_q108_").toString
+        Sketches.streamingCountMin(
+          Streams.eventsStream(s, dir).select(col("event_type").as("text")),
+          "text", s"$tmp/sk", s"$tmp/ckpt", depth = 4, width = 64)
+        val terms = Tables(s, dir, "events")
+          .select(lower(col("event_type")).as("term")).distinct()
+        Sketches.estimate(Sketches.readMerged(s, s"$tmp/sk"), terms, "term",
+            depth = 4, width = 64)
+          .orderBy(col("term"))
+      },
+      Some("""WITH tok AS (SELECT lower(event_type) AS t FROM events),
+             |r AS (SELECT unnest(range(4)) AS row),
+             |sk AS (SELECT r.row,
+             |         CAST(concat('0x', substr(md5(concat(r.row, ':', t)), 1, 8)) AS BIGINT)
+             |           % 64 AS bucket,
+             |         CAST(count(*) AS BIGINT) AS w
+             |       FROM tok, r GROUP BY 1, 2),
+             |terms AS (SELECT DISTINCT lower(event_type) AS term FROM events),
+             |q AS (SELECT terms.term, r.row,
+             |        CAST(concat('0x', substr(md5(concat(r.row, ':', term)), 1, 8)) AS BIGINT)
+             |          % 64 AS bucket
+             |      FROM terms, r)
+             |SELECT term, CAST(min(coalesce(w, 0)) AS BIGINT) AS est
+             |FROM q LEFT JOIN sk ON sk.row = q.row AND sk.bucket = q.bucket
+             |GROUP BY term ORDER BY term""".stripMargin))
   )
 }

@@ -109,6 +109,32 @@ class StreamingSpec extends SparkSpec {
     assert(spark.read.parquet(target).count() == n1, "full redelivery must merge to no-op")
   }
 
+  test("streaming count-min: batch shards are idempotent under full redelivery") {
+    import graft.operators.Sketches
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft_cms_").toString
+    // file: URI so the shard-exists probe must use the Hadoop FS API
+    val target = s"file:$tmp/sketch"
+    val src = Streams.eventsStream(spark, sfDir).select(col("event_type").as("text"))
+    Sketches.streamingCountMin(src, "text", target, s"$tmp/ckpt", depth = 4, width = 64)
+
+    val exact = Tables(spark, sfDir, "events")
+      .groupBy(lower(col("event_type"))).count()
+      .as[(String, Long)].collect().toMap
+    def estimates(): Map[String, Long] =
+      Sketches.estimate(Sketches.readMerged(spark, target),
+          exact.keys.toSeq.toDF("term"), "term", depth = 4, width = 64)
+        .as[(String, Long)].collect().toMap
+    val est1 = estimates()
+    exact.foreach { case (t, n) =>
+      assert(est1(t) >= n, s"CMS underestimated $t: ${est1(t)} < $n")
+    }
+    // full redelivery from a FRESH checkpoint: same batches re-arrive with
+    // the same ids, every shard already exists, the sketch must not move
+    Sketches.streamingCountMin(src, "text", target, s"$tmp/ckpt2", depth = 4, width = 64)
+    assert(estimates() == est1, "redelivered batches must not double-count")
+  }
+
   test("stateful sessions: event-time timeout flushes an idle session in streaming mode") {
     import java.sql.Timestamp
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
