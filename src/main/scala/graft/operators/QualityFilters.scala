@@ -71,6 +71,41 @@ object QualityFilters {
         col("top_bigram_frac") <= maxTopBigram && col("dup_trigram_frac") <= maxDupTrigram)
   }
 
+  /** Substring-level (duplicated-span) dedup signals — the third dedup
+    * granularity after document-exact and document-near: the fraction of a
+    * document's k-token windows that occur MORE THAN ONCE corpus-wide
+    * (Lee et al. 2022, "Deduplicating Training Data Makes Language Models
+    * Better": repeated spans, not just repeated documents, cause
+    * memorization). Output: id, n_win, n_dup, dup_frac, keep.
+    *
+    * Shape: one explode builds the rolling windows; the global window
+    * counts and the flag join share the same gram-keyed exchange
+    * (ReuseExchange), so the corpus tokenizes once; shuffle is
+    * proportional to window count. Documents shorter than k windows score
+    * 0 (nothing to repeat).
+    */
+  def duplicatedSpans(docs: DataFrame, idCol: String, textCol: String,
+                      k: Int = 10, maxDupFrac: Double = 0.3): DataFrame = {
+    val base = docs.select(col(idCol).as("__id"),
+      TextFns.tokens(lower(col(textCol))).as("__toks"))
+    val wins = base.select(col("__id"),
+      explode(TextFns.wordShingles(col("__toks"), k)).as("g"))
+    val cnt = wins.groupBy(col("g")).agg(count(lit(1)).as("c"))
+    val perDoc = wins.join(cnt, Seq("g"))
+      .groupBy(col("__id"))
+      .agg(count(lit(1)).as("n_win"),
+        sum(when(col("c") > 1, 1L).otherwise(0L)).as("n_dup"))
+    base.select(col("__id"))
+      .join(perDoc, Seq("__id"), "left")
+      .select(col("__id").as(idCol),
+        coalesce(col("n_win"), lit(0L)).as("n_win"),
+        coalesce(col("n_dup"), lit(0L)).as("n_dup"))
+      .withColumn("dup_frac",
+        round(when(col("n_win") === 0, lit(0.0))
+          .otherwise(col("n_dup").cast("double") / col("n_win")), 6))
+      .withColumn("keep", col("dup_frac") <= maxDupFrac)
+  }
+
   /** Flag corpus documents that share at least one n-token window with the
     * benchmark set. Output: id, n_hits (distinct leaked benchmark n-grams),
     * contaminated. Benchmark documents themselves are excluded from the

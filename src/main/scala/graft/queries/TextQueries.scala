@@ -529,6 +529,39 @@ object TextQueries {
              |FROM documents d JOIN th ON d.lang = th.lang
              |GROUP BY d.lang ORDER BY d.lang""".stripMargin)),
 
+    // ---- Substring-level dedup signals (operators/QualityFilters): the
+    // fraction of each doc's 10-token windows repeated corpus-wide. The
+    // documents table has PLANTED near-dups, so nonzero fractions exist.
+    // Full oracle. ----
+    Q("q109_dup_spans",
+      (s, dir) => {
+        graft.operators.QualityFilters
+          .duplicatedSpans(t(s, dir, "documents"), "doc_id", "text", k = 10)
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH d AS (SELECT doc_id,
+             |        CASE WHEN length(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
+             |             ELSE string_split_regex(lower(trim(text)), '\s+') END AS toks
+             |      FROM documents),
+             |w AS (SELECT doc_id, array_to_string(toks[i : i + 9], ' ') AS g
+             |      FROM (SELECT doc_id, toks, unnest(generate_series(1, len(toks) - 9)) AS i
+             |            FROM d WHERE len(toks) >= 10)),
+             |c AS (SELECT g, count(*) AS c FROM w GROUP BY g),
+             |p AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_win,
+             |        CAST(sum(CASE WHEN c.c > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup
+             |      FROM w JOIN c USING (g) GROUP BY doc_id)
+             |SELECT d.doc_id,
+             |  CAST(coalesce(n_win, 0) AS BIGINT) AS n_win,
+             |  CAST(coalesce(n_dup, 0) AS BIGINT) AS n_dup,
+             |  round(CASE WHEN coalesce(n_win, 0) = 0 THEN 0.0
+             |             ELSE CAST(coalesce(n_dup, 0) AS DOUBLE) / coalesce(n_win, 0) END, 6)
+             |    AS dup_frac,
+             |  round(CASE WHEN coalesce(n_win, 0) = 0 THEN 0.0
+             |             ELSE CAST(coalesce(n_dup, 0) AS DOUBLE) / coalesce(n_win, 0) END, 6)
+             |    <= 0.3::DOUBLE AS keep
+             |FROM d LEFT JOIN p USING (doc_id)
+             |ORDER BY doc_id""".stripMargin)),
+
     // ---- Count-Min sketch as a TABLE (operators/Sketches): depth x width
     // bucket weights from one explode + partial agg; estimates are the
     // row-wise min. Portable md5 hashing -> the oracle recomputes the FULL

@@ -28,6 +28,23 @@ class QualityFiltersSpec extends SparkSpec {
     assert(out(4) == ((5L, 0L, 0.0, 0.0, true)))
   }
 
+  test("duplicated spans: a 10-token window shared across docs flags both") {
+    val span = (1 to 10).map(i => s"w$i").mkString(" ")
+    val docs = Seq(
+      (1L, s"unique alpha beta $span gamma delta"),
+      (2L, s"other prefix tokens $span and a suffix here"),
+      (3L, "totally fresh text with no repeats whatsoever in it at all"),
+      (4L, "tiny")).toDF("doc_id", "text")
+    val out = QualityFilters.duplicatedSpans(docs, "doc_id", "text", k = 10)
+      .orderBy("doc_id")
+      .select("doc_id", "n_win", "n_dup", "dup_frac", "keep")
+      .as[(Long, Long, Long, Double, Boolean)].collect()
+    assert(out(0)._3 == 1 && out(1)._3 == 1,
+      s"exactly the shared span is duplicated: ${out.toSeq}")
+    assert(out(2)._3 == 0 && out(2)._5, "fresh doc is clean")
+    assert(out(3) == ((4L, 0L, 0L, 0.0, true)), "sub-window doc scores 0")
+  }
+
   test("count-min sketch: overestimates only, shard-merge equals whole-corpus build") {
     import graft.operators.Sketches
     val docs = Seq((1L, "a a a b b c"), (2L, "a b d d d d"), (3L, "e e c a"))
