@@ -184,4 +184,22 @@ object TextFns {
   def fingerprintPortable(toks: Column): Column =
     rollingFingerprint(toks,
       t => pmod(conv(substring(md5(t), 1, 15), 16, 10).cast("long"), lit(2147483647L)))
+
+  /** PII scrubbing patterns + redaction — the privacy stage of a
+    * training-data pipeline. Patterns deliberately use only constructs
+    * shared by Java regex and RE2 (character classes, bounded repeats,
+    * \b), so any engine replays them identically; replacement order is
+    * fixed (email, then IPv4, then phone) because the classes can overlap
+    * in raw text.
+    */
+  val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val ipv4Re = "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"
+  val phoneRe = "\\+[0-9]{1,3}[- ][0-9]{3}[- ][0-9]{3,4}[- ]?[0-9]{0,4}\\b"
+
+  def redactPii(text: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(text, emailRe, "<EMAIL>"),
+        ipv4Re, "<IP>"),
+      phoneRe, "<PHONE>")
 }

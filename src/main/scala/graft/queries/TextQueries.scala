@@ -529,6 +529,33 @@ object TextQueries {
              |FROM documents d JOIN th ON d.lang = th.lang
              |GROUP BY d.lang ORDER BY d.lang""".stripMargin)),
 
+    // ---- PII scrubbing (TextFns.redactPii): email/IPv4/phone counts and
+    // the redacted-text hash. Patterns use only Java-regex/RE2-shared
+    // constructs and a fixed replacement order, so DuckDB replays both the
+    // counts and the full redaction byte-for-byte. ----
+    Q("q110_pii_redact",
+      (s, dir) => {
+        t(s, dir, "documents").select(col("doc_id"),
+            regexp_count(col("text"), lit(TextFns.emailRe)).cast("long").as("n_email"),
+            regexp_count(col("text"), lit(TextFns.ipv4Re)).cast("long").as("n_ip"),
+            regexp_count(col("text"), lit(TextFns.phoneRe)).cast("long").as("n_phone"),
+            md5(TextFns.redactPii(col("text")).cast("binary")).as("redacted_hash"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""SELECT doc_id,
+             |  CAST(len(regexp_extract_all(text,
+             |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_email,
+             |  CAST(len(regexp_extract_all(text,
+             |    '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b')) AS BIGINT) AS n_ip,
+             |  CAST(len(regexp_extract_all(text,
+             |    '\+[0-9]{1,3}[- ][0-9]{3}[- ][0-9]{3,4}[- ]?[0-9]{0,4}\b')) AS BIGINT) AS n_phone,
+             |  md5(regexp_replace(regexp_replace(regexp_replace(text,
+             |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+             |    '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b', '<IP>', 'g'),
+             |    '\+[0-9]{1,3}[- ][0-9]{3}[- ][0-9]{3,4}[- ]?[0-9]{0,4}\b', '<PHONE>', 'g'))
+             |    AS redacted_hash
+             |FROM documents ORDER BY doc_id""".stripMargin)),
+
     // ---- Substring-level dedup signals (operators/QualityFilters): the
     // fraction of each doc's 10-token windows repeated corpus-wide. The
     // documents table has PLANTED near-dups, so nonzero fractions exist.

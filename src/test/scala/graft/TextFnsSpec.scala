@@ -147,6 +147,23 @@ class TextFnsSpec extends SparkSpec {
       .select("doc_id").as[Long].collect().toSeq == Seq(3L))
   }
 
+  test("redactPii: emails, IPv4s, phones replaced in order; counts match") {
+    val raw = "contact john.doe@example.com or +1 555 867-5309 at 192.168.0.1 " +
+      "cc admin@sub.domain.org; not-pii: 1.2 v2.5.1x +notaphone"
+    val got = Seq(raw).toDF("t").select(
+        TextFns.redactPii(col("t")).as("r"),
+        regexp_count(col("t"), lit(TextFns.emailRe)).as("ne"),
+        regexp_count(col("t"), lit(TextFns.ipv4Re)).as("ni"),
+        regexp_count(col("t"), lit(TextFns.phoneRe)).as("np"))
+      .as[(String, Int, Int, Int)].head()
+    assert(got._2 == 2 && got._3 == 1 && got._4 == 1, got.toString)
+    assert(got._1.contains("<EMAIL>") && got._1.contains("<IP>") && got._1.contains("<PHONE>"))
+    assert(!got._1.contains("example.com") && !got._1.contains("192.168.0.1")
+      && !got._1.contains("867-5309"))
+    assert(got._1.contains("v2.5.1x"), "version strings survive (no \\b match)")
+    assert(got._1.contains("+notaphone"), "a bare + without digits survives")
+  }
+
   test("normalize_text: NFC composition, control strip, whitespace collapse") {
     import graft.expressions.NormalizeText
     // decomposed e + combining acute (U+0301) must compose to U+00E9
