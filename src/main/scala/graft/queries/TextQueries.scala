@@ -529,6 +529,47 @@ object TextQueries {
              |FROM documents d JOIN th ON d.lang = th.lang
              |GROUP BY d.lang ORDER BY d.lang""".stripMargin)),
 
+    // ---- Adaptive perplexity gate: keep docs at or below the corpus's own
+    // 90th-percentile bigram-LM nll — a DATA-DEPENDENT threshold (CCNet's
+    // actual deployment shape: percentile cuts, not fixed constants). The
+    // nll doubles are bit-identical cross-engine (q98), and Spark's exact
+    // percentile interpolates like DuckDB's quantile_cont; the keep
+    // comparison runs on 4-dp-rounded values on BOTH sides so a last-ulp
+    // interpolation wobble can never flip a row. ----
+    Q("q111_perplexity_gate",
+      (s, dir) => {
+        val nll = graft.operators.LmScore
+          .bigramNll(t(s, dir, "documents"), "doc_id", "text")
+        val cut = nll.agg(percentile(col("nll"), lit(0.9)).as("p90"))
+        nll.crossJoin(broadcast(cut))
+          .select(col("doc_id"), round(col("nll"), 4).as("nll"),
+            round(col("p90"), 4).as("p90"))
+          .withColumn("keep", col("nll") <= col("p90"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH t AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS toks
+             |           FROM documents WHERE length(trim(text)) > 0),
+             |t2 AS (SELECT doc_id, toks FROM t WHERE len(toks) >= 2),
+             |bg AS (SELECT doc_id, unnest(generate_series(1, len(toks) - 1)) AS pos, toks
+             |       FROM t2),
+             |bg2 AS (SELECT doc_id, pos, toks[pos] AS w1, toks[pos + 1] AS w2 FROM bg),
+             |c1 AS (SELECT w1, CAST(count(*) AS BIGINT) AS c1 FROM bg2 GROUP BY 1),
+             |c2 AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c2 FROM bg2 GROUP BY 1, 2),
+             |v AS (SELECT CAST(count(DISTINCT w) AS BIGINT) AS v
+             |      FROM (SELECT unnest(toks) AS w FROM t2)),
+             |lp AS (SELECT bg2.doc_id, bg2.pos,
+             |         round(ln((c2.c2 + 0.5) / (c1.c1 + 0.5 * v.v)), 6) AS lp
+             |       FROM bg2 JOIN c2 ON c2.w1 = bg2.w1 AND c2.w2 = bg2.w2
+             |                JOIN c1 ON c1.w1 = bg2.w1
+             |                CROSS JOIN v),
+             |d AS (SELECT doc_id,
+             |        -(list_sum(list(lp ORDER BY pos))) / CAST(count(*) AS BIGINT) AS nll
+             |      FROM lp GROUP BY doc_id),
+             |p AS (SELECT quantile_cont(nll, 0.9) AS p90 FROM d)
+             |SELECT doc_id, round(nll, 4) AS nll, round(p90, 4) AS p90,
+             |  round(nll, 4) <= round(p90, 4) AS keep
+             |FROM d, p ORDER BY doc_id""".stripMargin)),
+
     // ---- PII scrubbing (TextFns.redactPii): email/IPv4/phone counts and
     // the redacted-text hash. Patterns use only Java-regex/RE2-shared
     // constructs and a fixed replacement order, so DuckDB replays both the
