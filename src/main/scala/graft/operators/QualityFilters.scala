@@ -78,11 +78,14 @@ object QualityFilters {
     * Better": repeated spans, not just repeated documents, cause
     * memorization). Output: id, n_win, n_dup, dup_frac, keep.
     *
-    * Shape: one explode builds the rolling windows; the global window
-    * counts and the flag join share the same gram-keyed exchange
-    * (ReuseExchange), so the corpus tokenizes once; shuffle is
-    * proportional to window count. Documents shorter than k windows score
-    * 0 (nothing to repeat).
+    * Shape: one explode builds the rolling windows, ONE gram-keyed
+    * exchange gives every window its global count via a partition-only
+    * window aggregate — the count-then-join-back formulation would scan
+    * and tokenize the corpus twice (its two exchange branches differ by a
+    * partial aggregate, so ReuseExchange cannot merge them), and the
+    * tokenize/explode is the dominant cost at corpus scale. Hot grams are
+    * bounded by document count per gram; salt the gram key if one span
+    * dominates a corpus. Documents shorter than k windows score 0.
     */
   def duplicatedSpans(docs: DataFrame, idCol: String, textCol: String,
                       k: Int = 10, maxDupFrac: Double = 0.3): DataFrame = {
@@ -90,8 +93,9 @@ object QualityFilters {
       TextFns.tokens(lower(col(textCol))).as("__toks"))
     val wins = base.select(col("__id"),
       explode(TextFns.wordShingles(col("__toks"), k)).as("g"))
-    val cnt = wins.groupBy(col("g")).agg(count(lit(1)).as("c"))
-    val perDoc = wins.join(cnt, Seq("g"))
+    val perDoc = wins
+      .withColumn("c", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("g"))))
       .groupBy(col("__id"))
       .agg(count(lit(1)).as("n_win"),
         sum(when(col("c") > 1, 1L).otherwise(0L)).as("n_dup"))

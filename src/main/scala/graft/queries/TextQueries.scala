@@ -429,18 +429,25 @@ object TextQueries {
             docs.filter(col("doc_id") % 41 === 0), "doc_id", "text", n = 8)
           .filter(!col("contaminated")).select(col("doc_id"))
         val s3 = dd.join(clean, Seq("doc_id"), "left_semi")
-        val langs = s3.select(col("lang")).distinct().collect().map(_.getString(0))
-        val s4 = graft.operators.DomainMix.reweight(s3, "doc_id", "lang",
-            langs.map(_ -> 1.0).toMap)
-          .filter(col("keep"))
-        val counts = Seq(
-          (1L, "total", docs.count()),
-          (2L, "repetition", s1.count()),
-          (3L, "exact_dedup", dd.count()),
-          (4L, "decontaminated", s3.count()),
-          (5L, "domain_mix", s4.count()))
-        import s.implicits._
-        counts.toDF("stage", "name", "n").orderBy(col("stage"))
+        // each stage feeds both the next stage AND its own count — persist
+        // so the five counts execute each stage's lineage once, not
+        // O(stages^2) times (dd alone would otherwise recompute the
+        // repetition filter three times)
+        Seq(s1, dd, s3).foreach(_.persist())
+        try {
+          val langs = s3.select(col("lang")).distinct().collect().map(_.getString(0))
+          val s4 = graft.operators.DomainMix.reweight(s3, "doc_id", "lang",
+              langs.map(_ -> 1.0).toMap)
+            .filter(col("keep"))
+          val counts = Seq(
+            (1L, "total", docs.count()),
+            (2L, "repetition", s1.count()),
+            (3L, "exact_dedup", dd.count()),
+            (4L, "decontaminated", s3.count()),
+            (5L, "domain_mix", s4.count()))
+          import s.implicits._
+          counts.toDF("stage", "name", "n").orderBy(col("stage"))
+        } finally Seq(s1, dd, s3).foreach(_.unpersist(false))
       },
       Some("""WITH t0 AS (SELECT doc_id, lang, text,
              |        CASE WHEN length(trim(text)) = 0 THEN CAST([] AS VARCHAR[])

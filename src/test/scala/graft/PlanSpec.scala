@@ -92,6 +92,18 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("q109 dup-spans: single tokenize pass (window counts, no count-join-back)") {
+    withoutAqe {
+      val p = plan(registry("q109_dup_spans")(spark, sfDir))
+      val scans = p.collect { case s: org.apache.spark.sql.execution.FileSourceScanExec => s }
+      // one wide scan feeds the exploded windows; the second reads only
+      // doc_id for the zero-window-doc roster
+      assert(scans.size <= 2, s"q109: gram stats must not rescan the corpus:\n$p")
+      assert(p.collect { case w: org.apache.spark.sql.execution.window.WindowExec => w }.nonEmpty,
+        s"q109: global gram counts must ride the single exchange as a window agg:\n$p")
+    }
+  }
+
   test("q50 minhash: single pair-generating exchange above the cached base") {
     withoutAqe {
       val p = plan(registry("q50_minhash_pairs")(spark, sfDir))
