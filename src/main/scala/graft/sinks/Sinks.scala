@@ -57,6 +57,27 @@ object Sinks {
   def writeManifest(df: DataFrame, cols: Seq[String], path: String): Unit =
     df.select(cols.map(col): _*).coalesce(1).write.mode("overwrite").json(path)
 
+  /** Training-shard writer: the layout trainers actually read — parquet
+    * shards capped at `rowsPerShard` rows each (maxRecordsPerFile splits
+    * oversized task outputs), plus a shard manifest (file, rows) so a
+    * loader can size its epoch without listing-and-counting the data.
+    * Returns the manifest. At cluster scale pair with repartition(n) to
+    * also bound the shard COUNT per executor wave.
+    */
+  def trainingShards(df: DataFrame, path: String, rowsPerShard: Int): DataFrame = {
+    require(rowsPerShard > 0, "rowsPerShard must be positive")
+    df.write.mode("overwrite")
+      .option("maxRecordsPerFile", rowsPerShard.toLong)
+      .parquet(path)
+    val spark = df.sparkSession
+    import org.apache.spark.sql.functions.{col, count, input_file_name, lit}
+    val manifest = spark.read.parquet(path)
+      .groupBy(input_file_name().as("file"))
+      .agg(count(lit(1)).as("rows"))
+    manifest.coalesce(1).write.mode("overwrite").json(s"$path.manifest")
+    manifest
+  }
+
   /** K4: run-summary — aggregate stats of the quality gate
     * (zara_hybrid_etl.py:233-239 field-for-field).
     */

@@ -55,4 +55,17 @@ class SinksSpec extends SparkSpec {
     val md = spark.read.text(s"$out/markdown").count()
     assert(md > 0)
   }
+
+  test("training shards: every file capped at rowsPerShard, manifest adds up") {
+    import spark.implicits._
+    val out = java.nio.file.Files.createTempDirectory("graft_shards_").toString
+    val df = (1L to 1000L).toDF("id").repartition(3)
+    val manifest = graft.sinks.Sinks.trainingShards(df, s"$out/shards", rowsPerShard = 100)
+      .as[(String, Long)].collect()
+    assert(manifest.forall(_._2 <= 100), s"oversized shard: ${manifest.toSeq}")
+    assert(manifest.map(_._2).sum == 1000L, "manifest rows must cover the dataset")
+    assert(manifest.length >= 10, "1000 rows at <=100/shard means >= 10 files")
+    assert(spark.read.parquet(s"$out/shards").count() == 1000L)
+    assert(spark.read.json(s"$out/shards.manifest").count() == manifest.length.toLong)
+  }
 }
