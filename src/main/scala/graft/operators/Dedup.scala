@@ -162,6 +162,83 @@ object Dedup {
     out
   }
 
+  /** Incremental near-dup — the production dedup mode: flag NEW documents
+    * that near-duplicate the EXISTING corpus or each other, WITHOUT
+    * re-pairing the historical corpus against itself. A daily increment is
+    * a sliver of the corpus; regenerating old-vs-old pairs every run would
+    * dominate the cost for zero information.
+    *
+    * Same banded-LSH machinery as `minhashPairs` (hot-bucket cap,
+    * bucket-local bounded pair expansion, Jaccard verification), with the
+    * side carried through banding and the expansion lambda dropping
+    * old-old pairs INSIDE the codegen'd per-bucket loop — they never reach
+    * the shuffle. In production the existing side's signatures are a
+    * stored table; recomputing them from text here is the same plan minus
+    * that scan.
+    *
+    * Output: new_id (always the new doc), dup_id, dup_is_existing,
+    * jaccard. New-new pairs appear once (smaller id as new_id).
+    */
+  def incrementalMinhashPairs(newDocs: DataFrame, existing: DataFrame,
+                              idCol: String, textCol: String,
+                              numHashes: Int = 32, bands: Int = 8, shingleK: Int = 3,
+                              threshold: Double = 0.5, maxBucket: Int = 1000,
+                              portableHash: Boolean = false): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val sh = array_distinct(TextFns.wordShingles(TextFns.tokens(col(textCol)), shingleK))
+    def sideOf(df: DataFrame, isNew: Boolean): DataFrame =
+      graft.Tables.spread(df)
+        .select(col(idCol).as("__id"), sh.as("__sh"), lit(isNew).as("__new"))
+        .filter(size(col("__sh")) > 0)
+    val base = sideOf(newDocs, isNew = true).unionByName(sideOf(existing, isNew = false))
+      .withColumn("__sig",
+        graft.expressions.MinHashSig(col("__sh"), numHashes, 7, portableHash))
+      .persist()
+    base.count()
+    val banded = base.select(col("__id"), col("__new"),
+        explode(bandKeys(col("__sig"), numHashes, bands, portableHash)).as("__b"))
+      .select(col("__id"), col("__new"),
+        col("__b.band").as("band"), col("__b.key").as("key"))
+      .persist()
+    val hot = banded.groupBy(col("band"), col("key"))
+      .agg(count(lit(1)).as("__cnt"))
+      .filter(col("__cnt") > maxBucket)
+      .select(col("band"), col("key"))
+    val bucketed = banded.join(broadcast(hot), Seq("band", "key"), "left_anti")
+
+    val ids = col("ids")
+    val pairsOf = filter(
+      flatten(transform(ids, (x, i) =>
+        transform(slice(ids, i + lit(2), size(ids)), y =>
+          struct(x.getField("id").as("id_a"), x.getField("n").as("na"),
+            y.getField("id").as("id_b"), y.getField("n").as("nb"))))),
+      p => p.getField("na") || p.getField("nb"))
+    val cand = bucketed.groupBy(col("band"), col("key"))
+      .agg(sort_array(collect_list(struct(col("__id").as("id"), col("__new").as("n"))))
+        .as("ids"))
+      .filter(size(ids) >= 2)
+      .select(explode(pairsOf).as("p"))
+      .select(col("p.id_a"), col("p.na"), col("p.id_b"), col("p.nb"))
+      .distinct()
+    val oriented = cand.select(
+      when(col("na"), col("id_a")).otherwise(col("id_b")).as("new_id"),
+      when(col("na"), col("id_b")).otherwise(col("id_a")).as("dup_id"),
+      (!(col("na") && col("nb"))).as("dup_is_existing"))
+
+    val jac = size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+      size(array_union(col("sh_a"), col("sh_b"))).cast("double")
+    val out = oriented
+      .join(base.select(col("__id").as("new_id"), col("__sh").as("sh_a")), "new_id")
+      .join(base.select(col("__id").as("dup_id"), col("__sh").as("sh_b")), "dup_id")
+      .select(col("new_id"), col("dup_id"), col("dup_is_existing"),
+        round(jac, 4).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+      .localCheckpoint(true)
+    base.unpersist(false)
+    banded.unpersist(false)
+    out
+  }
+
   /** Connected components over a pair graph by iterative min-label
     * propagation PLUS pointer jumping (each round every node adopts the
     * smallest label in its neighborhood, then compresses one level:

@@ -24,10 +24,11 @@ object DedupQueries {
     * (band, key) contributes no candidates, its members can still pair
     * through other bands).
     */
-  /** The MinHash-LSH pipeline as DuckDB CTEs, shared by q92 (pairs) and
-    * q94 (corpus dedup): `j` ends with (id_a, id_b, jaccard).
+  /** The MinHash-LSH pipeline PREFIX (shingles -> signatures -> bands ->
+    * hot-bucket filter) as DuckDB CTEs, shared by q92/q94 and the
+    * incremental q112, which differ only in candidate generation.
     */
-  private def minhashCtes: String = {
+  private def minhashPrefixCtes: String = {
     val ab = graft.expressions.MinHashSig.constants(32, 7)
     val sigExprs = ab.map { case Array(a, b) =>
       s"list_min(list_transform(hh, v -> (v * $a + $b) % 2147483647))"
@@ -46,7 +47,14 @@ object DedupQueries {
        |banded AS (SELECT doc_id, b.band,
        |    md5(array_to_string(sig[b.band*4+1 : b.band*4+4], ',')) AS key
        |  FROM g CROSS JOIN (SELECT unnest(range(8)) AS band) b),
-       |ok AS (SELECT band, key FROM banded GROUP BY band, key HAVING count(*) <= 1000),
+       |ok AS (SELECT band, key FROM banded GROUP BY band, key HAVING count(*) <= 1000)""".stripMargin
+  }
+
+  /** Prefix + the all-pairs candidate/verify tail: `j` ends with
+    * (id_a, id_b, jaccard).
+    */
+  private def minhashCtes: String =
+    s"""$minhashPrefixCtes,
        |cand AS (SELECT DISTINCT a.doc_id AS id_a, c.doc_id AS id_b
        |  FROM banded a
        |  JOIN ok ON ok.band = a.band AND ok.key = a.key
@@ -55,7 +63,30 @@ object DedupQueries {
        |    round(CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
        |      / CAST(len(list_distinct(sa.sh || sb.sh)) AS DOUBLE), 4) AS jaccard
        |  FROM cand JOIN g sa ON sa.doc_id = cand.id_a JOIN g sb ON sb.doc_id = cand.id_b)""".stripMargin
-  }
+
+  /** q112 oracle: the incremental variant — doc_id % 3 == 0 plays the
+    * "new" increment, the rest the existing corpus. Candidates must touch
+    * a new doc; pairs orient new-first (smaller id when both new).
+    */
+  private lazy val q112OracleSql: String =
+    s"""WITH $minhashPrefixCtes,
+       |cand0 AS (SELECT DISTINCT a.doc_id AS id_a, c.doc_id AS id_b
+       |  FROM banded a
+       |  JOIN ok ON ok.band = a.band AND ok.key = a.key
+       |  JOIN banded c ON a.band = c.band AND a.key = c.key AND a.doc_id < c.doc_id
+       |  WHERE a.doc_id % 3 = 0 OR c.doc_id % 3 = 0),
+       |cand AS (SELECT
+       |    CASE WHEN id_a % 3 = 0 THEN id_a ELSE id_b END AS new_id,
+       |    CASE WHEN id_a % 3 = 0 THEN id_b ELSE id_a END AS dup_id,
+       |    NOT (id_a % 3 = 0 AND id_b % 3 = 0) AS dup_is_existing
+       |  FROM cand0),
+       |j AS (SELECT new_id, dup_id, dup_is_existing,
+       |    round(CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
+       |      / CAST(len(list_distinct(sa.sh || sb.sh)) AS DOUBLE), 4) AS jaccard
+       |  FROM cand JOIN g sa ON sa.doc_id = cand.new_id
+       |            JOIN g sb ON sb.doc_id = cand.dup_id)
+       |SELECT new_id, dup_id, dup_is_existing, jaccard FROM j WHERE jaccard >= 0.2
+       |ORDER BY new_id, dup_id""".stripMargin
 
   private lazy val q92OracleSql: String =
     s"""WITH $minhashCtes
@@ -415,6 +446,21 @@ object DedupQueries {
           .orderBy(col("id_a"), col("id_b"))
       },
       Some(q92OracleSql)),
+
+    // ---- Incremental near-dup: flag new docs (doc_id % 3 == 0 plays the
+    // daily increment) against the existing corpus without re-pairing the
+    // existing corpus against itself — the production dedup mode. ----
+    Q("q112_incremental_dedup",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        Dedup.incrementalMinhashPairs(
+            docs.filter(col("doc_id") % 3 === 0),
+            docs.filter(col("doc_id") % 3 =!= 0),
+            "doc_id", "text", numHashes = 32, bands = 8, shingleK = 3,
+            threshold = 0.2, portableHash = true)
+          .orderBy(col("new_id"), col("dup_id"))
+      },
+      Some(q112OracleSql)),
 
     // ---- Corpus dedup, hash-proven END-TO-END: the portable q92 pipeline
     // at threshold 0.8 plus transitive clustering — the oracle computes the

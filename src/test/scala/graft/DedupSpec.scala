@@ -153,4 +153,23 @@ class DedupSpec extends SparkSpec {
     val e = intercept[IllegalArgumentException](AsOfJoin.asof(left, right, "k", "t"))
     assert(e.getMessage.contains("disjoint"))
   }
+
+  test("incremental dedup: new-vs-existing and new-vs-new, never old-vs-old") {
+    import spark.implicits._
+    val a = "a b c d e f g h i j"
+    val b = "p q r s t u v w x y"
+    // existing corpus holds an internal duplicate pair (10, 11) that must
+    // NOT be reported; new docs 1 (dup of existing) and 2/3 (dups of each
+    // other) must
+    val existing = Seq((10L, a), (11L, a), (12L, b)).toDF("doc_id", "text")
+    val fresh = Seq((1L, a), (2L, "k l m n o k2 l2 m2 n2 o2"),
+      (3L, "k l m n o k2 l2 m2 n2 o2")).toDF("doc_id", "text")
+    val out = Dedup.incrementalMinhashPairs(fresh, existing, "doc_id", "text",
+        threshold = 0.5)
+      .select("new_id", "dup_id", "dup_is_existing", "jaccard")
+      .as[(Long, Long, Boolean, Double)].collect().toSet
+    assert(out == Set(
+      (1L, 10L, true, 1.0), (1L, 11L, true, 1.0), (2L, 3L, false, 1.0)),
+      s"got $out")
+  }
 }
