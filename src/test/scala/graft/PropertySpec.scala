@@ -105,4 +105,60 @@ class PropertySpec extends SparkSpec {
         "adding shingles can only lower each min slot")
     }
   }
+
+  test("packing laws: exclusive scan invariants on 200 generated documents") {
+    import graft.operators.Packing
+    val wordCounts = sampleN(Gen.chooseNum(0, 40), 200)
+    val docs = wordCounts.zipWithIndex.map { case (n, i) =>
+      (i.toLong, Seq.fill(n)("w").mkString(" "))
+    }.toDF("doc_id", "text").repartition(7)
+    val out = Packing.packSequences(docs, "doc_id", "text", seqLen = 64)
+      .orderBy("doc_id")
+      .select("doc_id", "n_toks", "tok_start", "seq_id", "seq_offset")
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    // law 1: offsets are the exclusive prefix sum in id order
+    out.sliding(2).foreach {
+      case Seq(a, b) => assert(b._3 == a._3 + a._2, s"gap between $a and $b")
+      case _ => ()
+    }
+    assert(out.head._3 == 0L, "stream starts at offset 0")
+    // law 2: (seq_id, seq_offset) is exactly the div/mod decomposition
+    out.foreach { case (_, _, start, sid, off) =>
+      assert(sid == start / 64 && off == start % 64)
+    }
+  }
+
+  test("count-min law: estimates never undercount on 100 generated corpora rows") {
+    import graft.operators.Sketches
+    val rows = sampleN(Gen.listOfN(8, Gen.oneOf("a", "b", "c", "d", "e", "f")), 100)
+      .zipWithIndex.map { case (ws, i) => (i.toLong, ws.mkString(" ")) }
+    val docs = rows.toDF("doc_id", "text")
+    val truth = rows.flatMap(_._2.split(" ")).groupBy(identity).view.mapValues(_.size.toLong)
+    val sketch = Sketches.countMin(docs, "text", depth = 3, width = 8) // tiny: force collisions
+    val est = Sketches.estimate(sketch, truth.keys.toSeq.toDF("term"), "term",
+        depth = 3, width = 8)
+      .as[(String, Long)].collect().toMap
+    truth.foreach { case (t, n) =>
+      assert(est(t) >= n, s"CMS undercounted $t: ${est(t)} < $n")
+    }
+  }
+
+  test("domain-mix law: thresholds feasible, scarcest target saturated") {
+    import graft.operators.DomainMix
+    val gen = for {
+      k <- Gen.chooseNum(2, 6)
+      counts <- Gen.listOfN(k, Gen.chooseNum(1L, 5000L))
+      weights <- Gen.listOfN(k, Gen.chooseNum(1, 10))
+    } yield (counts, weights)
+    sampleN(gen, 50).foreach { case (counts, weights) =>
+      val cm = counts.zipWithIndex.map { case (n, i) => s"d$i" -> n }.toMap
+      val tm = weights.zipWithIndex.map { case (w, i) => s"d$i" -> w.toDouble }.toMap
+      val th = DomainMix.thresholds(cm, tm, buckets = 10000)
+      assert(th.values.forall(v => v >= 0 && v <= 10000), s"rates must be in [0,1]: $th")
+      // the binding domain's rate is t*(n/t)/n == 1 up to one ulp, so its
+      // threshold is the full bucket range or one bucket below it
+      assert(th.values.max >= 9999L,
+        s"the binding domain must keep (essentially) everything: $th counts=$cm weights=$tm")
+    }
+  }
 }
