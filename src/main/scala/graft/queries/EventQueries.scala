@@ -86,6 +86,47 @@ object EventQueries {
              |  FROM x)
              |SELECT user_id, CAST(sess AS BIGINT) AS sess, count(*) AS n,
              |  min(event_id) AS first_ev, max(event_id) AS last_ev
-             |FROM y GROUP BY user_id, sess ORDER BY user_id, sess""".stripMargin))
+             |FROM y GROUP BY user_id, sess ORDER BY user_id, sess""".stripMargin)),
+
+    // ---- Ordered funnel: the view -> click -> purchase progression, each
+    // stage's timestamp the FIRST occurrence strictly after the previous
+    // stage (so an out-of-order purchase before any click does not count).
+    // Three conditional-min aggregations, each stage joining the (tiny,
+    // one row per user) previous stage back — no windows, no sort. ----
+    Q("q113_funnel",
+      (s, dir) => {
+        val e = t(s, dir, "events")
+          .select(col("user_id"), col("event_type"), col("ts"))
+        val v = e.filter(col("event_type") === "view")
+          .groupBy(col("user_id")).agg(min(col("ts")).as("t_view"))
+        val c = e.join(v, "user_id")
+          .filter(col("event_type") === "click" && col("ts") > col("t_view"))
+          .groupBy(col("user_id")).agg(min(col("ts")).as("t_click"))
+        val p = e.join(c, "user_id")
+          .filter(col("event_type") === "purchase" && col("ts") > col("t_click"))
+          .groupBy(col("user_id")).agg(min(col("ts")).as("t_purchase"))
+        v.join(c, Seq("user_id"), "left").join(p, Seq("user_id"), "left")
+          .select(col("user_id"),
+            when(col("t_purchase").isNotNull, 3)
+              .when(col("t_click").isNotNull, 2).otherwise(1).as("stage"))
+          .orderBy(col("user_id"))
+      },
+      Some("""WITH e AS (SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts FROM events),
+             |v AS (SELECT user_id, min(ts) AS t_view FROM e
+             |      WHERE event_type = 'view' GROUP BY user_id),
+             |c AS (SELECT e.user_id, min(e.ts) AS t_click
+             |      FROM e JOIN v ON v.user_id = e.user_id
+             |      WHERE e.event_type = 'click' AND e.ts > v.t_view
+             |      GROUP BY e.user_id),
+             |p AS (SELECT e.user_id, min(e.ts) AS t_purchase
+             |      FROM e JOIN c ON c.user_id = e.user_id
+             |      WHERE e.event_type = 'purchase' AND e.ts > c.t_click
+             |      GROUP BY e.user_id)
+             |SELECT v.user_id,
+             |  CAST(CASE WHEN p.t_purchase IS NOT NULL THEN 3
+             |            WHEN c.t_click IS NOT NULL THEN 2 ELSE 1 END AS INT) AS stage
+             |FROM v LEFT JOIN c ON c.user_id = v.user_id
+             |       LEFT JOIN p ON p.user_id = v.user_id
+             |ORDER BY v.user_id""".stripMargin))
   )
 }
