@@ -127,6 +127,33 @@ object EventQueries {
              |            WHEN c.t_click IS NOT NULL THEN 2 ELSE 1 END AS INT) AS stage
              |FROM v LEFT JOIN c ON c.user_id = v.user_id
              |       LEFT JOIN p ON p.user_id = v.user_id
-             |ORDER BY v.user_id""".stripMargin))
+             |ORDER BY v.user_id""".stripMargin)),
+
+    // ---- Weekly cohort retention: users grouped by first-seen week,
+    // counted per week offset they return in. Week offsets are integer
+    // day-diffs floor-divided by 7 (both engines truncate non-negative
+    // values identically; a raw CAST would ROUND in DuckDB). ----
+    Q("q114_cohort_retention",
+      (s, dir) => {
+        val e = t(s, dir, "events")
+          .select(col("user_id"), to_date(date_trunc("week", col("ts"))).as("wk"))
+          .distinct()
+        val first = e.groupBy(col("user_id")).agg(min(col("wk")).as("cohort"))
+        e.join(first, "user_id")
+          .select(col("cohort"),
+            floor(datediff(col("wk"), col("cohort")) / 7).cast("int").as("wk_offset"),
+            col("user_id"))
+          .groupBy(col("cohort"), col("wk_offset"))
+          .agg(countDistinct(col("user_id")).as("n_users"))
+          .orderBy(col("cohort"), col("wk_offset"))
+      },
+      Some("""WITH e AS (SELECT DISTINCT user_id,
+             |        CAST(date_trunc('week', CAST(ts AS TIMESTAMP)) AS DATE) AS wk
+             |      FROM events),
+             |f AS (SELECT user_id, min(wk) AS cohort FROM e GROUP BY user_id)
+             |SELECT f.cohort, CAST(date_diff('day', f.cohort, e.wk) // 7 AS INT) AS wk_offset,
+             |  CAST(count(DISTINCT e.user_id) AS BIGINT) AS n_users
+             |FROM e JOIN f ON f.user_id = e.user_id
+             |GROUP BY 1, 2 ORDER BY cohort, wk_offset""".stripMargin))
   )
 }
