@@ -1,0 +1,30 @@
+package graft
+
+import graft.queries.Registry
+
+/** Rerun determinism for this round's queries: the driver's gate executes
+  * each query once, so a cache leak, temp-view collision, or
+  * rerun-unstable ordering would pass it silently and only break on the
+  * SECOND execution in a shared session (exactly what Bench does). Every
+  * query here runs twice in one session and must produce identical rows.
+  */
+class RerunSpec extends SparkSpec {
+
+  private val round5 = Seq(
+    "q99_ivfpq_ann", "q100_gopher_repetition", "q101_decontaminate",
+    "q102_vocab_encode", "q103_pack_sequences", "q104_normalize_text",
+    "q105_domain_mix", "q106_corpus_pipeline", "q107_countmin",
+    "q108_stream_countmin", "q109_dup_spans", "q110_pii_redact",
+    "q111_perplexity_gate", "q112_incremental_dedup", "q113_funnel",
+    "q114_cohort_retention")
+
+  test("round-5 queries produce identical rows when rerun in one session") {
+    val reg = Registry.queries
+    round5.foreach { n =>
+      val a = reg(n)(spark, sfDir).collect().toSeq
+      val b = reg(n)(spark, sfDir).collect().toSeq
+      assert(a.nonEmpty, s"$n returned no rows")
+      assert(a == b, s"$n is not rerun-stable in a shared session")
+    }
+  }
+}
