@@ -18,6 +18,18 @@ class RerunSpec extends SparkSpec {
     "q111_perplexity_gate", "q112_incremental_dedup", "q113_funnel",
     "q114_cohort_retention")
 
+  test("registry invariants: unique names, single oracle source per query") {
+    val names = Registry.all.map(_.name)
+    val dups = names.groupBy(identity).collect { case (n, g) if g.size > 1 => n }
+    assert(dups.isEmpty,
+      s"duplicate query names silently drop entries from the gate map: $dups")
+    Registry.all.foreach { q =>
+      assert(!(q.oracle.isDefined && q.oracleGen.isDefined),
+        s"${q.name}: static oracle and generator both set")
+    }
+    assert(names.forall(_.matches("q\\d+_[a-z0-9_]+")), "name convention")
+  }
+
   test("round-5 queries produce identical rows when rerun in one session") {
     val reg = Registry.queries
     round5.foreach { n =>
