@@ -67,11 +67,13 @@ object Bench {
     // official number otherwise. Back-to-back repeats of the same query
     // share one contention window, so min-of-two still captured 3-8x
     // outliers (BENCH_r04 q01/q03/q50 vs an identical re-run minutes
-    // later). Decorrelate instead: run the FULL headline list twice in
-    // sequence — repeats of any one query are now separated by the whole
-    // suite's runtime — and take per-query mins across passes. Queries
-    // whose two runs still disagree by >25% get a third, equally
-    // decorrelated, batch pass.
+    // later). Decorrelate instead: run the FULL headline list THREE times
+    // in sequence — repeats of any one query are separated by the whole
+    // suite's runtime — and take per-query mins across passes. The third
+    // pass is unconditional: two runs inside one contention window can
+    // agree while both being slow (BENCH_r05 q50 [3.89,3.95] vs a 2.03s
+    // re-run), so a disagreement trigger misses exactly the case that
+    // matters.
     val names = headline.filter(registry.contains)
     def once(name: String): Double = {
       val fn = registry(name)
@@ -83,12 +85,8 @@ object Bench {
     }
     val pass1 = names.map(n => n -> once(n)).toMap
     val pass2 = names.map(n => n -> once(n)).toMap
-    val disagree = names.filter { n =>
-      val (a, b) = (pass1(n), pass2(n))
-      math.min(a, b) / math.max(a, b) < 0.75
-    }
-    val pass3 = disagree.map(n => n -> once(n)).toMap
-    val runs = names.map(n => n -> (Seq(pass1(n), pass2(n)) ++ pass3.get(n)))
+    val pass3 = names.map(n => n -> once(n)).toMap
+    val runs = names.map(n => n -> Seq(pass1(n), pass2(n), pass3(n)))
     val results = runs.map { case (n, rs) => n -> rs.min }
     // Per-run detail on its own line BEFORE the official JSON (which must
     // stay last + short for the driver's finite tail capture): makes any

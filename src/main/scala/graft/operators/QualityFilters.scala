@@ -78,27 +78,37 @@ object QualityFilters {
     * Better": repeated spans, not just repeated documents, cause
     * memorization). Output: id, n_win, n_dup, dup_frac, keep.
     *
-    * Shape: one explode builds the rolling windows, ONE gram-keyed
-    * exchange gives every window its global count via a partition-only
-    * window aggregate — the count-then-join-back formulation would scan
-    * and tokenize the corpus twice (its two exchange branches differ by a
-    * partial aggregate, so ReuseExchange cannot merge them), and the
-    * tokenize/explode is the dominant cost at corpus scale. Hot grams are
-    * bounded by document count per gram; salt the gram key if one span
-    * dominates a corpus. Documents shorter than k windows score 0.
+    * Shape: one explode builds the rolling windows, then a TWO-LEVEL
+    * count. Level one pre-aggregates on (gram, doc) — the doc id acts as
+    * the salt, so a corpus-dominating span (license header, template
+    * boilerplate) spreads across the id dimension instead of landing in a
+    * single task the way a raw `Window.partitionBy(g)` would (window
+    * partitions cannot be split by AQE; shuffle-join partitions can).
+    * Level two sums the pre-aggregate by gram for the global totals and
+    * joins back — both branches consume the SAME (gram, doc) aggregate,
+    * so ReuseExchange keeps the corpus scan/tokenize single-pass
+    * (pinned in PlanSpec), and the join runs under AQE skew-join.
+    * Documents shorter than k windows score 0.
     */
   def duplicatedSpans(docs: DataFrame, idCol: String, textCol: String,
                       k: Int = 10, maxDupFrac: Double = 0.3): DataFrame = {
-    val base = docs.select(col(idCol).as("__id"),
-      TextFns.tokens(lower(col(textCol))).as("__toks"))
+    // the explicit id filter keeps BOTH count branches' scan subtrees
+    // canonically identical (the roster's outer join infers isnotnull on
+    // one branch only otherwise), which is what lets ReuseExchange fold
+    // them into a single corpus scan
+    val base = docs.filter(col(idCol).isNotNull)
+      .select(col(idCol).as("__id"),
+        TextFns.tokens(lower(col(textCol))).as("__toks"))
     val wins = base.select(col("__id"),
       explode(TextFns.wordShingles(col("__toks"), k)).as("g"))
-    val perDoc = wins
-      .withColumn("c", count(lit(1)).over(
-        org.apache.spark.sql.expressions.Window.partitionBy(col("g"))))
+    // level 1: per-(gram, doc) occurrence counts — the salted partial
+    val dg = wins.groupBy(col("g"), col("__id")).agg(count(lit(1)).as("c"))
+    // level 2: global per-gram totals over one row per (gram, doc)
+    val gtot = dg.groupBy(col("g")).agg(sum(col("c")).as("tot"))
+    val perDoc = dg.join(gtot, Seq("g"))
       .groupBy(col("__id"))
-      .agg(count(lit(1)).as("n_win"),
-        sum(when(col("c") > 1, 1L).otherwise(0L)).as("n_dup"))
+      .agg(sum(col("c")).as("n_win"),
+        sum(when(col("tot") > 1, col("c")).otherwise(lit(0L))).as("n_dup"))
     base.select(col("__id"))
       .join(perDoc, Seq("__id"), "left")
       .select(col("__id").as(idCol),

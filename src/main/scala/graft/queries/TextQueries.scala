@@ -356,12 +356,17 @@ object TextQueries {
 
     // ---- Vocabulary build + token-id encoding (operators/Vocab): the
     // tokenizer-dictionary step. Rank ties break lexicographically; ids are
-    // position-ordered; OOV -> -1. Full oracle incl. the id arrays. ----
+    // position-ordered; OOV -> -1. Full oracle incl. the id sequence —
+    // emitted as a space-joined string, not a raw array, because the
+    // driver's gate sorts rows via pandas and crashes on top-level array
+    // columns (registry rule: no query emits a top-level array column). ----
     Q("q102_vocab_encode",
       (s, dir) => {
         val docs = t(s, dir, "documents")
         val vocab = graft.operators.Vocab.buildVocab(docs, "text", size = 256)
         graft.operators.Vocab.encode(docs, "doc_id", "text", vocab)
+          .select(col("doc_id"), array_join(col("ids"), " ").as("ids_str"),
+            col("n_toks"), col("n_oov"))
           .orderBy(col("doc_id"))
       },
       Some("""WITH d AS (SELECT doc_id,
@@ -378,7 +383,8 @@ object TextQueries {
              |tid AS (SELECT doc_id, pos, coalesce(v.token_id, -1) AS tid
              |        FROM (SELECT doc_id, pos, toks[pos] AS token FROM tok) x
              |        LEFT JOIN v USING (token))
-             |SELECT doc_id, list(tid ORDER BY pos) AS ids,
+             |SELECT doc_id,
+             |  array_to_string(list(tid ORDER BY pos), ' ') AS ids_str,
              |  CAST(count(*) AS BIGINT) AS n_toks,
              |  CAST(sum(CASE WHEN tid = -1 THEN 1 ELSE 0 END) AS BIGINT) AS n_oov
              |FROM tid GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
@@ -489,7 +495,7 @@ object TextQueries {
              |sc AS (SELECT min(CAST(n AS DOUBLE) / (1.0 / k.k)) AS scale FROM c, k),
              |th AS (SELECT lang,
              |         CAST(floor(least(1.0, (1.0 / k.k) * sc.scale / CAST(n AS DOUBLE))
-             |           * 10000) AS BIGINT) AS th
+             |           * 10000 + 1e-9) AS BIGINT) AS th
              |       FROM c, k, sc),
              |s4 AS (SELECT s3.doc_id FROM s3 JOIN th USING (lang)
              |       WHERE CAST(concat('0x', substr(md5(
@@ -526,7 +532,7 @@ object TextQueries {
              |s AS (SELECT min(CAST(n AS DOUBLE) / (1.0 / k.k)) AS scale FROM c, k),
              |th AS (SELECT lang, n,
              |         CAST(floor(least(1.0, (1.0 / k.k) * s.scale / CAST(n AS DOUBLE))
-             |           * 10000) AS BIGINT) AS th
+             |           * 10000 + 1e-9) AS BIGINT) AS th
              |       FROM c, k, s)
              |SELECT d.lang, count(*) AS n_total,
              |  CAST(sum(CASE WHEN CAST(concat('0x', substr(md5(

@@ -92,15 +92,41 @@ class PlanSpec extends SparkSpec {
     }
   }
 
-  test("q109 dup-spans: single tokenize pass (window counts, no count-join-back)") {
+  test("q109 dup-spans: salted two-level counts, no gram-partitioned window, one tokenize") {
     withoutAqe {
       val p = plan(registry("q109_dup_spans")(spark, sfDir))
       val scans = p.collect { case s: org.apache.spark.sql.execution.FileSourceScanExec => s }
       // one wide scan feeds the exploded windows; the second reads only
       // doc_id for the zero-window-doc roster
       assert(scans.size <= 2, s"q109: gram stats must not rescan the corpus:\n$p")
-      assert(p.collect { case w: org.apache.spark.sql.execution.window.WindowExec => w }.nonEmpty,
-        s"q109: global gram counts must ride the single exchange as a window agg:\n$p")
+      // the 100 TB skew hazard: a raw Window.partitionBy(g) puts every
+      // occurrence of one boilerplate span in a single unsplittable task;
+      // the (g, doc) pre-aggregate + sum-by-g + join-back shape must hold
+      assert(p.collect { case w: org.apache.spark.sql.execution.window.WindowExec => w }.isEmpty,
+        s"q109: gram counts regained an unsalted window partition:\n$p")
+      assert(p.collect { case r: ReusedExchangeExec => r }.nonEmpty,
+        s"q109: gtot and the join-back must consume the SAME (g, doc) aggregate:\n$p")
+    }
+  }
+
+  test("dup-spans: a corpus-dominating span never rides a window partition") {
+    withoutAqe {
+      import spark.implicits._
+      // 40 documents all sharing one 10-token boilerplate span (the license-
+      // header shape), plus distinct tails — the hot-gram case that must
+      // spread across the (g, doc) salt instead of one window partition
+      val boiler = (1 to 10).map(i => s"tok$i").mkString(" ")
+      val docs = (1 to 40).map(i => (i.toLong, s"$boiler unique$i trail$i")).toDF("id", "text")
+      val out = graft.operators.QualityFilters.duplicatedSpans(docs, "id", "text", k = 10)
+      val p = plan(out)
+      assert(p.collect { case w: org.apache.spark.sql.execution.window.WindowExec => w }.isEmpty,
+        s"dominating gram landed in a window partition:\n$p")
+      // every doc has 3 windows; the boilerplate window [tok1..tok10] is
+      // corpus-duplicated, the two windows overlapping uniqueN/trailN are not
+      val rows = out.orderBy($"id").collect()
+      assert(rows.length == 40)
+      assert(rows.forall(r => r.getAs[Long]("n_win") == 3L && r.getAs[Long]("n_dup") == 1L),
+        s"expected n_win=3, n_dup=1 per doc, got:\n${rows.take(5).mkString("\n")}")
     }
   }
 
