@@ -194,7 +194,18 @@ object Dedup {
       .withColumn("__sig",
         graft.expressions.MinHashSig(col("__sh"), numHashes, 7, portableHash))
       .persist()
-    base.count()
+    // One pass both materializes the cache (before the AQE fan-out below)
+    // AND guards the contract: the two sides' ids must be DISJOINT — the
+    // output schema carries bare new_id/dup_id, so an id on both sides
+    // (plausible for daily increments with per-day sequence ids) would
+    // conflate two documents in the shingle join-backs and emit wrong
+    // pairs/jaccards. Failing loudly is the only correct behavior.
+    val overlap = base.groupBy(col("__id"))
+      .agg(min(col("__new")).as("__lo"), max(col("__new")).as("__hi"))
+      .filter(col("__lo") =!= col("__hi")).limit(1).count()
+    require(overlap == 0,
+      "incrementalMinhashPairs: newDocs and existing share document ids — " +
+        "the sides must be disjoint (key increments globally, e.g. date-prefixed ids)")
     val banded = base.select(col("__id"), col("__new"),
         explode(bandKeys(col("__sig"), numHashes, bands, portableHash)).as("__b"))
       .select(col("__id"), col("__new"),

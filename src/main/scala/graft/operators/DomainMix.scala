@@ -37,7 +37,14 @@ object DomainMix {
     }.foldLeft(Double.MaxValue)(math.min)
     counts.map { case (d, n) =>
       val rate = if (n == 0) 0.0 else math.min(1.0, t.getOrElse(d, 0.0) * scale / n)
-      d -> math.floor(rate * buckets).toLong
+      // +1e-9 before floor: the binding domain's rate computes to 1.0 only
+      // up to ulp error (t * (n/t) / n rounds three times), and a bare
+      // floor would then keep 9999/10000 buckets of the domain the scale
+      // math says is "kept whole". The epsilon (absolute, vs ~5e-12 worst-
+      // case error at bucket magnitude, far below the ~buckets/n rate
+      // granularity of any real corpus) is mirrored verbatim in every
+      // oracle replay so both engines floor the same value.
+      d -> math.floor(rate * buckets + 1e-9).toLong
     }
   }
 

@@ -63,9 +63,15 @@ object Sketches {
     val q = stream.writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val dir = s"$targetPath/batch=$batchId"
-        val hPath = new org.apache.hadoop.fs.Path(dir)
-        val fs = hPath.getFileSystem(batch.sparkSession.sessionState.newHadoopConf())
-        if (!fs.exists(hPath))
+        // probe the committed _SUCCESS marker, not the bare directory: Spark
+        // creates the directory (with _temporary) BEFORE committing, so a
+        // crash mid-write leaves an existing-but-uncommitted shard — a bare
+        // exists() would then skip the redelivered batch forever, silently
+        // undercounting (violating CMS est >= true). mode("overwrite")
+        // makes the retry over a torn shard safe.
+        val success = new org.apache.hadoop.fs.Path(dir, "_SUCCESS")
+        val fs = success.getFileSystem(batch.sparkSession.sessionState.newHadoopConf())
+        if (!fs.exists(success))
           countMin(batch, textCol, depth, width).write.mode("overwrite").parquet(dir)
       }
       .option("checkpointLocation", checkpoint)

@@ -155,10 +155,12 @@ class PropertySpec extends SparkSpec {
       val tm = weights.zipWithIndex.map { case (w, i) => s"d$i" -> w.toDouble }.toMap
       val th = DomainMix.thresholds(cm, tm, buckets = 10000)
       assert(th.values.forall(v => v >= 0 && v <= 10000), s"rates must be in [0,1]: $th")
-      // the binding domain's rate is t*(n/t)/n == 1 up to one ulp, so its
-      // threshold is the full bucket range or one bucket below it
-      assert(th.values.max >= 9999L,
-        s"the binding domain must keep (essentially) everything: $th counts=$cm weights=$tm")
+      // the binding domain's rate is t*(n/t)/n == 1 up to a few ulps; the
+      // pre-floor epsilon absorbs that, so its threshold is EXACTLY the
+      // full bucket range — the domain the scale math says is "kept whole"
+      // really keeps every bucket
+      assert(th.values.max == 10000L,
+        s"the binding domain must keep everything: $th counts=$cm weights=$tm")
     }
   }
 }
