@@ -338,6 +338,109 @@ object Similarity {
     }
   }
 
+  /** OFFLINE half of the IVF-PQ serving story — the piece that makes ANN
+    * viable at 100 TB, where re-encoding the corpus per query batch is not:
+    * train both codebooks once (bounded sample, same seeds as `ivfPqTopK`,
+    * so served answers are bit-identical to the inline operator), encode
+    * the corpus in one distributed projection, and PERSIST:
+    *
+    *   path/codes/cell=N/   — the m-code rows, PARTITIONED BY coarse cell,
+    *                          so a query batch's scan lists only its probed
+    *                          cell directories (proved in PlanSpec)
+    *   path/centroids/      — nCells rows (cell, cvec)
+    *   path/codebooks/      — m × kSub rows (mi, code, cvec)
+    *
+    * The codebook tables are tiny and engine-portable parquet; a serving
+    * session reloads them without retraining or touching the raw vectors.
+    */
+  def buildIvfPqIndex(corpus: DataFrame, path: String,
+                      nCells: Int = 16, m: Int = 8, kSub: Int = 16,
+                      cId: String = "nid", cVec: String = "ne",
+                      maxTrain: Int = 100000): Unit = {
+    import org.apache.spark.sql.GraftShim.{column, expression}
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val sample = corpus.select(col(cId), col(cVec)).orderBy(col(cId))
+      .limit(maxTrain).collect()
+      .map(_.getSeq[Number](1).map(_.doubleValue()).toArray)
+    val cents = lloyd(sample, nCells, iters = 10, seed = 42)
+    val cbs = trainPq(residualsOf(sample, cents), m, kSub)
+    val sub = cbs(0)(0).length
+    val centroids = cents.zipWithIndex.map { case (v, i) => (i, v.toSeq) }
+      .toSeq.toDF("cell", "cvec")
+    val assigned = corpus.select(col(cId), col(cVec),
+      column(graft.expressions.NearestCell(expression(col(cVec)), cents)).as("cell"))
+    val enc = assigned.join(broadcast(centroids), "cell")
+      .withColumn("__rvec",
+        zip_with(col(cVec).cast("array<double>"), col("cvec"), (a, b) => a - b))
+      .select(col(cId),
+        array((0 until m).map { mi =>
+          column(graft.expressions.NearestCell(
+            expression(slice(col("__rvec"), mi * sub + 1, sub)), cbs(mi)))
+        }: _*).as("codes"),
+        col("cell"))
+    enc.write.partitionBy("cell").mode("overwrite").parquet(s"$path/codes")
+    centroids.write.mode("overwrite").parquet(s"$path/centroids")
+    cbs.zipWithIndex.flatMap { case (cb, mi) =>
+        cb.zipWithIndex.map { case (v, code) => (mi, code, v.toSeq) }
+      }.toSeq.toDF("mi", "code", "cvec")
+      .write.mode("overwrite").parquet(s"$path/codebooks")
+  }
+
+  /** ONLINE half: answer a query batch from a persisted `buildIvfPqIndex`
+    * layout. The probe set is bounded (|queries| × nProbe), so the distinct
+    * probed cell ids collect to the driver and push down as a STATIC
+    * partition filter — the codes scan lists ONLY the probed `cell=`
+    * directories, and the (tiny) per-(query, cell) ADC tables broadcast
+    * into it: the encoded corpus is never shuffled, never re-encoded, and
+    * never read outside the probed cells. Same ranking as `ivfPqTopK`
+    * (ADC sum, ties on candidate id), so served results match the inline
+    * operator exactly.
+    */
+  def serveIvfPq(spark: org.apache.spark.sql.SparkSession, path: String,
+                 queries: DataFrame, k: Int, nProbe: Int = 4,
+                 qId: String = "qid", qVec: String = "qe",
+                 cId: String = "nid"): DataFrame = {
+    import org.apache.spark.sql.GraftShim.{column, expression}
+    import spark.implicits._
+    // codebooks: nCells + m*kSub rows — driver-resident by design
+    val cents = spark.read.parquet(s"$path/centroids").as[(Int, Seq[Double])]
+      .collect().sortBy(_._1).map(_._2.toArray)
+    val cbRows = spark.read.parquet(s"$path/codebooks").as[(Int, Int, Seq[Double])]
+      .collect()
+    val m = cbRows.iterator.map(_._1).max + 1
+    val cbs = Array.tabulate(m)(mi =>
+      cbRows.filter(_._1 == mi).sortBy(_._2).map(_._3.toArray))
+    val centroids = cents.zipWithIndex.map { case (v, i) => (i, v.toSeq) }
+      .toSeq.toDF("cell", "cvec")
+
+    val probed = broadcast(queries)
+      .crossJoin(broadcast(centroids))
+      .select(col(qId), col(qVec), col("cell"), col("cvec"),
+        VectorFns.l2sq(col(qVec), col("cvec")).as("cdist"))
+      .withColumn("crn", row_number().over(
+        Window.partitionBy(col(qId)).orderBy(col("cdist"), col("cell"))))
+      .filter(col("crn") <= nProbe)
+      .select(col(qId), col("cell"),
+        column(graft.expressions.PqDistTable(expression(
+          zip_with(col(qVec).cast("array<double>"), col("cvec"), (a, b) => a - b)),
+          cbs)).as("dt"))
+
+    val cellsHit = probed.select(col("cell")).distinct().collect().map(_.getInt(0))
+    val codes = spark.read.parquet(s"$path/codes")
+      .where(col("cell").isin(cellsHit.map(Int.box): _*))
+
+    val adist = (0 until m).map { mi =>
+      element_at(element_at(col("dt"), mi + 1), element_at(col("codes"), mi + 1) + 1)
+    }.reduce(_ + _)
+    val w = Window.partitionBy(col(qId)).orderBy(col("adist"), col(cId))
+    broadcast(probed).join(codes, "cell")
+      .filter(col(cId) =!= col(qId))
+      .select(col(qId), col(cId), adist.as("adist"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+  }
+
   /** Approximate top-k via nTables independent hyperplane-LSH bucketings.
     * All tables' buckets are computed in ONE scan per side (explode over a
     * per-table struct array) — a union of per-table scans would read the

@@ -88,6 +88,35 @@ object DedupQueries {
        |SELECT new_id, dup_id, dup_is_existing, jaccard FROM j WHERE jaccard >= 0.2
        |ORDER BY new_id, dup_id""".stripMargin
 
+  /** q115 oracle: batch-equivalence for the STREAMING incremental dedup.
+    * The stream feeds documents in three microbatches (batch r carries
+    * doc_id % 3 == r, in r order), each paired against the store of all
+    * earlier batches plus itself — so across the whole run, a banded
+    * candidate pair is emitted exactly once, when its LATER-batch member
+    * arrives: new_id is the later-batch doc (the smaller id when both
+    * share a batch), dup_is_existing iff the batches differ. Signatures,
+    * banding, and the verification jaccard are the q92/q112 portable
+    * formulation, so the replay is closed-form.
+    */
+  private lazy val q115OracleSql: String =
+    s"""WITH $minhashPrefixCtes,
+       |cand0 AS (SELECT DISTINCT a.doc_id AS id_a, c.doc_id AS id_b
+       |  FROM banded a
+       |  JOIN ok ON ok.band = a.band AND ok.key = a.key
+       |  JOIN banded c ON a.band = c.band AND a.key = c.key AND a.doc_id < c.doc_id),
+       |cand AS (SELECT
+       |    CASE WHEN id_a % 3 >= id_b % 3 THEN id_a ELSE id_b END AS new_id,
+       |    CASE WHEN id_a % 3 >= id_b % 3 THEN id_b ELSE id_a END AS dup_id,
+       |    id_a % 3 != id_b % 3 AS dup_is_existing
+       |  FROM cand0),
+       |j AS (SELECT new_id, dup_id, dup_is_existing,
+       |    round(CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
+       |      / CAST(len(list_distinct(sa.sh || sb.sh)) AS DOUBLE), 4) AS jaccard
+       |  FROM cand JOIN g sa ON sa.doc_id = cand.new_id
+       |            JOIN g sb ON sb.doc_id = cand.dup_id)
+       |SELECT new_id, dup_id, dup_is_existing, jaccard FROM j WHERE jaccard >= 0.2
+       |ORDER BY new_id, dup_id""".stripMargin
+
   private lazy val q92OracleSql: String =
     s"""WITH $minhashCtes
        |SELECT id_a, id_b, jaccard FROM j WHERE jaccard >= 0.2
@@ -461,6 +490,38 @@ object DedupQueries {
           .orderBy(col("new_id"), col("dup_id"))
       },
       Some(q112OracleSql)),
+
+    // ---- STREAMING incremental dedup: documents arrive as three
+    // microbatches (batch r = doc_id % 3 == r); each batch pairs against
+    // the persisted store of everything before it via foreachBatch +
+    // incrementalMinhashPairs, with per-batch idempotent pair shards and
+    // an anti-join store merge (exactly-once under replay — see
+    // StreamingSpec). The oracle replays the arrival-order semantics in
+    // closed form; the driver-side collect feeds the MemoryStream test
+    // harness (500 rows), not the operator. ----
+    Q("q115_stream_incremental_dedup",
+      (s, dir) => {
+        import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+        implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+        import s.implicits._
+        val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+        val tmp = java.nio.file.Files.createTempDirectory("graft_q115_").toString
+        val input = MemoryStream[(Long, String)]
+        val q = graft.streaming.StreamingDedup.sink(
+          input.toDF().toDF("doc_id", "text"), "doc_id", "text",
+          s"$tmp/store", s"$tmp/pairs", s"$tmp/ckpt",
+          threshold = 0.2, portableHash = true)
+        try {
+          for (r <- 0 to 2) {
+            input.addData(docs.filter(col("doc_id") % 3 === r)
+              .as[(Long, String)].collect().toSeq)
+            q.processAllAvailable()
+          }
+        } finally q.stop()
+        graft.streaming.StreamingDedup.pairs(s, s"$tmp/pairs")
+          .orderBy(col("new_id"), col("dup_id"))
+      },
+      Some(q115OracleSql)),
 
     // ---- Corpus dedup, hash-proven END-TO-END: the portable q92 pipeline
     // at threshold 0.8 plus transitive clustering — the oracle computes the

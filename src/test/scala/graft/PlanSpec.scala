@@ -130,6 +130,48 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("IVF-PQ serving layout: scan lists only probed cells, corpus side never shuffles") {
+    withoutAqe {
+      import graft.operators.Similarity
+      val emb = Tables(spark, sfDir, "embeddings")
+      val corpus = emb.select(col("vec_id").as("nid"), col("embedding").as("ne"))
+      // 2 queries x 4 probes <= 8 of 16 cells: pruning is visible
+      val queries = emb.filter(col("vec_id") < 2)
+        .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+      val nCells = 16; val nProbe = 4
+      val tmp = java.nio.file.Files.createTempDirectory("graft_ivfpq_idx_").toString
+
+      Similarity.buildIvfPqIndex(corpus, tmp, nCells = nCells)
+      val served = Similarity.serveIvfPq(spark, tmp, queries, k = 5, nProbe = nProbe)
+
+      // 1. the plan pins it: the codes scan carries a partition filter and
+      // feeds a broadcast join — no sort-merge, no exchange of the corpus
+      val p = plan(served)
+      val scans = p.collect { case s: org.apache.spark.sql.execution.FileSourceScanExec => s }
+      val codesScan = scans.find(
+        _.relation.location.rootPaths.exists(_.toString.contains("codes")))
+      assert(codesScan.exists(_.partitionFilters.nonEmpty),
+        s"serving scan must push the probed-cell partition filter:\n$p")
+      // 2. partition pruning is REAL: execute once and read the scan's
+      // driver metric — at most |queries| x nProbe of the nCells cell=
+      // directories are listed. The 100 TB claim is exactly that the
+      // corpus outside the probed cells is never read
+      served.collect()
+      val nRead = codesScan.get.metrics("numPartitions").value
+      assert(nRead > 0 && nRead <= 2 * nProbe && nRead < nCells,
+        s"scan must list only probed cells, read $nRead of $nCells")
+      assert(p.collect { case j: SortMergeJoinExec => j }.isEmpty,
+        s"encoded corpus must never sort-merge on the serving path:\n$p")
+      assert(p.collect { case j: BroadcastHashJoinExec => j }.nonEmpty)
+      // 3. served answers == the inline operator (same seeds, same ranking)
+      val inline = Similarity.ivfPqTopK(queries, corpus, k = 5,
+        nCells = nCells, nProbe = nProbe)
+      val a = served.orderBy(col("qid"), col("rn")).collect().toSeq
+      val b = inline.orderBy(col("qid"), col("rn")).collect().toSeq
+      assert(a == b, s"served results must match the inline operator:\n$a\nvs\n$b")
+    }
+  }
+
   test("q50 minhash: single pair-generating exchange above the cached base") {
     withoutAqe {
       val p = plan(registry("q50_minhash_pairs")(spark, sfDir))

@@ -135,6 +135,43 @@ class StreamingSpec extends SparkSpec {
     assert(estimates() == est1, "redelivered batches must not double-count")
   }
 
+  test("streaming incremental dedup: replayed batches add zero pairs, history pairs once") {
+    import graft.streaming.StreamingDedup
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft_sdedup_").toString
+    // file: URIs so both the shard _SUCCESS probe and the store probe must
+    // go through the Hadoop FS API (the HDFS/S3 code path)
+    val store = s"file:$tmp/store"
+    val pairs = s"file:$tmp/pairs"
+    // identical texts -> jaccard 1.0 -> identical signatures -> every band
+    // collides: the expected pairs are deterministic, not probabilistic
+    val text = "w1 w2 w3 w4 w5 w6"
+    val b0 = Seq((1L, text), (2L, text)).toDF("id", "text")
+    def pairSet() = StreamingDedup.pairs(spark, pairs)
+      .as[(Long, Long, Boolean, Double)].collect().toSet
+    def storeN() = spark.read.parquet(store).count()
+
+    StreamingDedup.processBatch(b0, "id", "text", store, pairs, 0L, threshold = 0.5)
+    assert(pairSet() == Set((1L, 2L, false, 1.0)), s"batch-0 new-new pair: ${pairSet()}")
+    assert(storeN() == 2)
+    // exact redelivery (same batch id): the committed shard is skipped and
+    // the store merge anti-joins to nothing
+    StreamingDedup.processBatch(b0, "id", "text", store, pairs, 0L, threshold = 0.5)
+    assert(pairSet() == Set((1L, 2L, false, 1.0)) && storeN() == 2,
+      "redelivered batch must be a complete no-op")
+    // redelivery under a NEW batch id (lost checkpoint): the store anti-join
+    // leaves no new docs -> an EMPTY shard, never re-paired content
+    StreamingDedup.processBatch(b0, "id", "text", store, pairs, 99L, threshold = 0.5)
+    assert(pairSet() == Set((1L, 2L, false, 1.0)) && storeN() == 2,
+      "replay under a different batch id must add nothing")
+    // a genuine increment pairs against ALL history, flagged as existing
+    val b1 = Seq((3L, text)).toDF("id", "text")
+    StreamingDedup.processBatch(b1, "id", "text", store, pairs, 1L, threshold = 0.5)
+    assert(pairSet() == Set((1L, 2L, false, 1.0), (3L, 1L, true, 1.0), (3L, 2L, true, 1.0)),
+      s"increment must pair against history exactly once: ${pairSet()}")
+    assert(storeN() == 3)
+  }
+
   test("stateful sessions: event-time timeout flushes an idle session in streaming mode") {
     import java.sql.Timestamp
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
