@@ -70,6 +70,28 @@ object Multimodal {
     StructField("width", IntegerType), StructField("height", IntegerType),
     StructField("format", StringType)))
 
+  /** Lift embedded JPEG image XObjects out of a PDF binary column
+    * (PdfLite.extractImages): one output row per image, carrying the
+    * dict-declared dims and the JPEG payload — ready for `decode` /
+    * `extractFeatures` over `JdkCodecs.ImageIoCodec`, which reads JPEG on
+    * the pure JDK. mapPartitions, no shuffle: the same per-document
+    * distribution shape as every other multimodal stage.
+    */
+  def imagesFromPdfs(pdfs: DataFrame, idCol: String = "doc_id",
+                     contentCol: String = "content"): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("obj_num", IntegerType),
+      StructField("width", IntegerType), StructField("height", IntegerType),
+      StructField("format", StringType), StructField("content", BinaryType)))
+    pdfs.select(col(idCol).cast("long").as("__id"), col(contentCol).as("__c"))
+      .mapPartitions { rows =>
+        rows.flatMap { r =>
+          graft.sources.PdfLite.extractImages(r.getAs[Array[Byte]](1)).map(im =>
+            Row(r.getLong(0), im.objNum, im.width, im.height, im.format, im.bytes))
+        }
+      }(Encoders.row(outSchema))
+  }
+
   /** Deterministic binary fixture derived from the documents table (each
     * doc's text bytes stand in for an encoded image payload).
     */

@@ -105,11 +105,36 @@ object PdfLite {
                                        colors: Int, bpc: Int)
 
   private[graft] def decodeParms(dict: String): Option[PredParams] = {
-    val pIdx = math.max(dict.indexOf("/DecodeParms"), dict.indexOf("/DP"))
-    if (pIdx < 0) return None
-    val rest = dict.substring(pIdx)
+    // word-bounded key match (/DP must not prefix-match /DPart etc.), then
+    // a nesting-aware scan bounded to the key's own << ... >> sub-dict —
+    // searching the whole remainder would happily read a /Predictor or
+    // /Columns belonging to a LATER key and mis-unpredict the stream
+    val km = "/(?:DecodeParms|DP)(?![A-Za-z0-9])".r.findFirstMatchIn(dict)
+      .getOrElse(return None)
+    var i = km.end
+    while (i < dict.length && dict.charAt(i).isWhitespace) i += 1
+    // array form ([ <<..>> null ... ], one entry per filter): the predictor
+    // belongs to the compression filter, the only parms-taking filter in
+    // practice — read the first sub-dict inside the array
+    if (i < dict.length && dict.charAt(i) == '[') {
+      val close = dict.indexOf(']', i)
+      val open = dict.indexOf("<<", i)
+      if (open < 0 || (close >= 0 && open > close)) return None
+      i = open
+    }
+    if (i + 1 >= dict.length || dict.charAt(i) != '<' || dict.charAt(i + 1) != '<')
+      return None // an indirect reference (`5 0 R`) — nothing inline to read
+    val start = i + 2
+    var j = start
+    var depth = 1
+    while (j < dict.length - 1 && depth > 0) {
+      if (dict.charAt(j) == '<' && dict.charAt(j + 1) == '<') { depth += 1; j += 2 }
+      else if (dict.charAt(j) == '>' && dict.charAt(j + 1) == '>') { depth -= 1; j += 2 }
+      else j += 1
+    }
+    val sub = dict.substring(start, math.max(start, j - 2))
     def num(name: String, default: Int): Int =
-      s"/$name\\s+(\\d+)".r.findFirstMatchIn(rest).map(_.group(1).toInt).getOrElse(default)
+      s"/$name\\s+(\\d+)".r.findFirstMatchIn(sub).map(_.group(1).toInt).getOrElse(default)
     val pred = num("Predictor", 1)
     if (pred <= 1) None
     else Some(PredParams(pred, num("Columns", 1), num("Colors", 1),
@@ -306,6 +331,55 @@ object PdfLite {
       inf.end()
       Some(out.toByteArray)
     } catch { case _: java.util.zip.DataFormatException => None }
+
+  /** An image XObject lifted out of a PDF: dict-declared pixel dims and the
+    * image payload in a format `javax.imageio` reads directly.
+    */
+  case class PdfImage(objNum: Int, width: Int, height: Int,
+                      format: String, bytes: Array[Byte])
+
+  /** Extract /Subtype /Image XObjects whose filter chain ends in
+    * /DCTDecode — the embedded-JPEG case (the dominant image encoding in
+    * arXiv PDFs; the reference's PyMuPDF path reads the same objects,
+    * arxiv_hook.py:145-182). A DCTDecode payload IS a JPEG byte stream,
+    * and the JDK's ImageIO decodes JPEG natively, so the extracted bytes
+    * feed `JdkCodecs.ImageIoCodec` (dims / features / resize) with no
+    * external library. Wrapping ASCII85/ASCIIHex/Flate stages before the
+    * DCT stage are undone with the existing filter machinery; JPXDecode /
+    * JBIG2 / CCITT images stay out of scope (skipped, never a crash).
+    */
+  def extractImages(content: Array[Byte]): Seq[PdfImage] = {
+    val latin1 = new String(content, ISO_8859_1)
+    "(?s)(\\d+)\\s+\\d+\\s+obj\\b(.*?)endobj".r.findAllMatchIn(latin1).flatMap { m =>
+      val num = m.group(1).toInt
+      val body = m.group(2)
+      val si = body.indexOf("stream")
+      if (si < 0) None
+      else {
+        val dict = body.substring(0, si)
+        val chain = filterChain(dict)
+        if (!"/Subtype\\s*/Image\\b".r.findFirstIn(dict).isDefined ||
+            chain.isEmpty || chain.last != "DCTDecode") None
+        else {
+          var ds = si + "stream".length
+          if (ds < body.length && body.charAt(ds) == '\r') ds += 1
+          if (ds < body.length && body.charAt(ds) == '\n') ds += 1
+          val e = body.indexOf("endstream", ds)
+          if (e < 0) None
+          else {
+            def dim(name: String): Int =
+              s"/$name\\s+(\\d+)".r.findFirstMatchIn(dict)
+                .map(_.group(1).toInt).getOrElse(-1)
+            val raw = body.substring(ds, trimEol(body, e)).getBytes(ISO_8859_1)
+            // undo everything BEFORE the DCT stage; the JPEG itself is the
+            // payload (ImageIO consumes it as-is)
+            applyFilters(raw, chain.dropRight(1), decodeParms(dict))
+              .map(jpeg => PdfImage(num, dim("Width"), dim("Height"), "jpeg", jpeg))
+          }
+        }
+      }
+    }.toSeq
+  }
 
   /** A parsed /ToUnicode CMap: fixed code width in bytes (from the
     * codespacerange, 2 for the Identity-H composite fonts that dominate real

@@ -243,6 +243,74 @@ class SourcesSpec extends SparkSpec {
     assert(PdfLite.extract(bad).isEmpty)
   }
 
+  test("PdfLite decodeParms: bounded to its own sub-dict, word-bounded key") {
+    import graft.sources.PdfLite
+    assert(PdfLite.decodeParms("<< /DecodeParms << /Predictor 12 /Columns 4 >> >>")
+      .contains(PdfLite.PredParams(12, 4, 1, 8)))
+    // a later key's /Columns must NOT leak into the parms
+    assert(PdfLite.decodeParms(
+        "<< /DecodeParms << /Predictor 12 >> /W [1 2 1] /Columns 99 >>")
+      .contains(PdfLite.PredParams(12, 1, 1, 8)))
+    // /DPart is not /DP (word boundary)
+    assert(PdfLite.decodeParms("<< /DPart << /Predictor 15 /Columns 7 >> >>").isEmpty)
+    // per-filter parms array: first sub-dict wins
+    assert(PdfLite.decodeParms("<< /DP [ << /Predictor 2 /Columns 3 >> null ] >>")
+      .contains(PdfLite.PredParams(2, 3, 1, 8)))
+    // indirect reference: nothing inline to read
+    assert(PdfLite.decodeParms("<< /DecodeParms 5 0 R /Columns 9 >>").isEmpty)
+  }
+
+  test("PdfLite DCTDecode: embedded JPEGs round-trip byte-exact into ImageIO") {
+    import graft.sources.PdfLite
+    import graft.multimodal.{JdkCodecs, Multimodal}
+    // a real 8x8 JPEG with a deterministic pattern
+    val img = new java.awt.image.BufferedImage(8, 8,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 8; x <- 0 until 8)
+      img.setRGB(x, y, ((x * 37 + y * 101) * 2654435761L & 0xffffff).toInt)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "jpg", bos)
+    val jpeg = bos.toByteArray
+
+    val a85 = ascii85Encode(jpeg)
+    val pdf = (
+      // a text page, so text extraction coexists with the images
+      "1 0 obj << /Length 20 >>\nstream\nBT (hi) Tj ET\nendstream\nendobj\n"
+        .getBytes("ISO-8859-1") ++
+      (s"2 0 obj << /Type /XObject /Subtype /Image /Width 8 /Height 8" +
+        s" /ColorSpace /DeviceRGB /BitsPerComponent 8 /Filter /DCTDecode" +
+        s" /Length ${jpeg.length} >>\nstream\n").getBytes("ISO-8859-1") ++
+      jpeg ++ "\nendstream\nendobj\n".getBytes("ISO-8859-1") ++
+      (s"3 0 obj << /Subtype /Image /Width 8 /Height 8" +
+        s" /Filter [/ASCII85Decode /DCTDecode] /Length ${a85.length} >>\nstream\n")
+        .getBytes("ISO-8859-1") ++
+      a85 ++ "\nendstream\nendobj\n".getBytes("ISO-8859-1"))
+
+    val images = PdfLite.extractImages(pdf)
+    assert(images.map(_.objNum) == Seq(2, 3), s"got ${images.map(_.objNum)}")
+    images.foreach { im =>
+      assert((im.width, im.height, im.format) == (8, 8, "jpeg"))
+      // byte-exact payload recovery through the container (+ filter chain)
+      assert(java.util.Arrays.equals(im.bytes, jpeg),
+        s"obj ${im.objNum}: extracted JPEG must equal the embedded bytes")
+      // and the REAL codec reads it: decoded dims + pinned feature vector
+      val codec = new JdkCodecs.ImageIoCodec
+      assert(codec.decodeDims(im.bytes) == (8, 8))
+      assert(codec.features(im.bytes, 16).toSeq == codec.features(jpeg, 16).toSeq)
+    }
+    // text extraction is undisturbed by the binary image objects
+    assert(PdfLite.extract(pdf) == Seq("hi"))
+
+    // the DataFrame plumbing: one row per image, no shuffle shape
+    import spark.implicits._
+    val df = Seq((7L, pdf)).toDF("doc_id", "content")
+    val rows = Multimodal.imagesFromPdfs(df)
+      .orderBy(col("obj_num")).collect()
+    assert(rows.map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getInt(3),
+      r.getString(4))).toSeq == Seq((7L, 2, 8, 8, "jpeg"), (7L, 3, 8, 8, "jpeg")))
+    rows.foreach(r => assert(java.util.Arrays.equals(r.getAs[Array[Byte]](5), jpeg)))
+  }
+
   test("PdfLite CID/Type0: /ToUnicode CMap decodes 2-byte Tj/TJ strings") {
     import graft.sources.PdfLite
     val cmap =
