@@ -1,0 +1,173 @@
+package graft.operators
+
+import scala.collection.mutable
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFns
+
+/** Byte-pair-encoding subword tokenization — deterministic BPE merge-rule
+  * training plus distributed corpus encoding. This is the "learn the
+  * tokenizer, then integerize the corpus with it" step a real LLM training
+  * pipeline runs between text hygiene and sequence packing; the reference
+  * only tokenizes implicitly (DocETL `split` by `token_count`,
+  * paper_extraction.yaml:22-23), so this follows the published algorithm
+  * (Sennrich et al. 2016; the HuggingFace-tokenizers training shape) rather
+  * than any reference code.
+  *
+  * Scale shape, deliberately mirroring the FAISS-codebook precedent in
+  * [[Similarity]]: TRAINING runs on the word-frequency table, not the raw
+  * corpus — one partial-aggregated `groupBy(word)` shuffle (cost ∝ distinct
+  * words), capped at the top-`maxWords` rows before a bounded driver
+  * collect. This is exactly how production BPE trainers work: merge rules
+  * are learned from word counts, so the driver-side step is
+  * O(maxWords · alphabet), never O(corpus). ENCODING is fully distributed
+  * and also ∝ distinct words, not corpus tokens: the distinct-word set is
+  * encoded once (broadcast merge table, greedy lowest-rank merge loop per
+  * word), then joined back into the position-exploded token stream — at
+  * 100 TB the dictionary join shuffles the (bounded) word set while the
+  * corpus-side explode stays a narrow map.
+  *
+  * Determinism contract (same everywhere in this repo): the winning pair at
+  * each merge step is max-frequency with ties broken lexicographically on
+  * (left, right); the vocabulary assigns ids 0..k-1 to the sorted base
+  * alphabet (end-of-word marker included) and base+i to merge product i.
+  */
+object Bpe {
+
+  /** End-of-word marker appended to every word's symbol sequence, so merges
+    * can distinguish word-final from word-internal contexts (Sennrich §3.2).
+    */
+  val Eow = "</w>"
+
+  /** A trained model: ordered merge rules, symbol→id vocabulary, unk id. */
+  final case class Model(merges: IndexedSeq[(String, String)],
+                         vocab: Map[String, Long],
+                         unkId: Long = -1L) {
+    /** Merge priority: position in the learned sequence (lower wins). */
+    lazy val ranks: Map[(String, String), Int] = merges.zipWithIndex.toMap
+  }
+
+  /** Train merge rules on the corpus' word-frequency table. One shuffle
+    * (groupBy word), one bounded collect (top-`maxWords` by freq, ties
+    * lexicographic — same cap discipline as Similarity's `maxTrain`).
+    */
+  def train(docs: DataFrame, textCol: String, numMerges: Int,
+            maxWords: Int = 50000): Model = {
+    val wordFreq = docs
+      .select(explode(TextFns.tokens(lower(col(textCol)))).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("freq"))
+      .orderBy(col("freq").desc, col("w"))
+      .limit(maxWords)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+      .toIndexedSeq
+    trainOnCounts(wordFreq, numMerges)
+  }
+
+  /** Pure driver-side trainer over (word, freq) pairs — split out so specs
+    * can pin the classic textbook examples without a session. Stops early
+    * when no pair occurs at least twice (a merge seen once compresses
+    * nothing and would make the rule order data-layout-dependent).
+    */
+  def trainOnCounts(wordFreq: IndexedSeq[(String, Long)], numMerges: Int): Model = {
+    var seqs: Array[(Array[String], Long)] =
+      wordFreq.map { case (w, f) => (w.map(_.toString).toArray :+ Eow, f) }.toArray
+    val merges = mutable.ArrayBuffer.empty[(String, String)]
+    var done = false
+    while (!done && merges.length < numMerges) {
+      val pairFreq = mutable.HashMap.empty[(String, String), Long]
+      for ((syms, f) <- seqs; j <- 0 until syms.length - 1)
+        pairFreq.updateWith((syms(j), syms(j + 1)))(c => Some(c.getOrElse(0L) + f))
+      val best = pairFreq.filter(_._2 >= 2L)
+      if (best.isEmpty) done = true
+      else {
+        val ((a, b), _) = best.minBy { case ((x, y), f) => (-f, x, y) }
+        merges += ((a, b))
+        seqs = seqs.map { case (syms, f) => (mergePair(syms, a, b), f) }
+      }
+    }
+    val alphabet = (wordFreq.flatMap(_._1.map(_.toString)) :+ Eow).distinct.sorted
+    val vocab = mutable.LinkedHashMap.empty[String, Long]
+    alphabet.zipWithIndex.foreach { case (s, i) => vocab(s) = i.toLong }
+    // two merge rules can yield the same product string (("a","bc") and
+    // ("ab","c") both make "abc") — first id wins, the rule keeps its rank
+    merges.foreach { case (a, b) =>
+      if (!vocab.contains(a + b)) vocab(a + b) = vocab.size.toLong
+    }
+    Model(merges.toIndexedSeq, vocab.toMap)
+  }
+
+  private def mergePair(syms: Array[String], a: String, b: String): Array[String] = {
+    val out = mutable.ArrayBuffer.empty[String]
+    var j = 0
+    while (j < syms.length) {
+      if (j < syms.length - 1 && syms(j) == a && syms(j + 1) == b) {
+        out += a + b; j += 2
+      } else { out += syms(j); j += 1 }
+    }
+    out.toArray
+  }
+
+  /** Greedy encode of one word: split to chars + Eow, repeatedly apply the
+    * lowest-rank applicable merge (leftmost occurrence first — standard BPE
+    * application order), then map symbols to ids; symbols outside the
+    * vocabulary (characters never seen in training) become `unkId`.
+    */
+  def encodeWord(word: String, model: Model): Array[Long] = {
+    var syms = word.map(_.toString).toArray :+ Eow
+    var merging = syms.length >= 2
+    while (merging) {
+      var bestRank = Int.MaxValue
+      var bestIdx = -1
+      var j = 0
+      while (j < syms.length - 1) {
+        model.ranks.get((syms(j), syms(j + 1))) match {
+          case Some(r) if r < bestRank => bestRank = r; bestIdx = j
+          case _ =>
+        }
+        j += 1
+      }
+      if (bestIdx < 0) merging = false
+      else {
+        syms = mergePair(syms, syms(bestIdx), syms(bestIdx + 1))
+        merging = syms.length >= 2
+      }
+    }
+    syms.map(s => model.vocab.getOrElse(s, model.unkId))
+  }
+
+  /** Inverse of [[encodeWord]] over known ids (diagnostic / spec use). */
+  def decode(ids: Seq[Long], model: Model): String = {
+    val inv = model.vocab.map(_.swap)
+    ids.flatMap(inv.get).mkString.replace(Eow, " ").trim
+  }
+
+  /** Distributed corpus encoding. The distinct-word set is encoded once
+    * (cost ∝ dictionary, not corpus), then joined back into the
+    * position-exploded token stream; per-document id sequences are
+    * reassembled in token order. Output per doc: `ids` (subword ids),
+    * `n_words`, `n_toks` (subword count), `n_unk`.
+    */
+  def encode(docs: DataFrame, idCol: String, textCol: String, model: Model): DataFrame = {
+    val spark = docs.sparkSession
+    val bc = spark.sparkContext.broadcast(model)
+    val enc = udf((w: String) => encodeWord(w, bc.value))
+    val toks = docs.select(col(idCol).as("__id"),
+      posexplode(TextFns.tokens(lower(col(textCol)))).as(Seq("pos", "w")))
+    // dictionary pass: one row per distinct word — the only place the UDF
+    // runs, so encode cost scales with vocabulary-of-corpus, not tokens
+    val dict = toks.select(col("w")).distinct().withColumn("sub", enc(col("w")))
+    toks.join(dict, Seq("w"))
+      .groupBy(col("__id"))
+      .agg(sort_array(collect_list(struct(col("pos"), col("sub")))).as("ps"),
+        count(lit(1)).as("n_words"))
+      .select(col("__id").as(idCol),
+        expr("flatten(transform(ps, x -> x.sub))").as("ids"),
+        col("n_words"))
+      .withColumn("n_toks", size(col("ids")).cast("long"))
+      .withColumn("n_unk",
+        size(expr(s"filter(ids, x -> x = ${model.unkId}L)")).cast("long"))
+  }
+}

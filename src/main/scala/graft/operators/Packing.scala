@@ -25,11 +25,22 @@ import graft.functions.TextFns
 object Packing {
 
   def packSequences(docs: DataFrame, idCol: String, textCol: String,
-                    seqLen: Int): DataFrame = {
+                    seqLen: Int): DataFrame =
+    packCounted(docs.select(col(idCol),
+        TextFns.wordCount(lower(col(textCol))).cast("long").as("n_toks")),
+      idCol, "n_toks", seqLen)
+
+  /** Same layout over a PRE-COMPUTED token-count column — so the packing
+    * offsets can come from any tokenizer (e.g. [[Bpe.encode]]'s subword
+    * counts) instead of the whitespace count. `counts` must carry one row
+    * per document.
+    */
+  def packCounted(counts: DataFrame, idCol: String, countCol: String,
+                  seqLen: Int): DataFrame = {
     require(seqLen > 0, "seqLen must be positive")
-    val spark = docs.sparkSession
-    val counted = docs
-      .select(col(idCol).as("__id"), TextFns.wordCount(lower(col(textCol))).cast("long").as("n_toks"))
+    val spark = counts.sparkSession
+    val counted = counts
+      .select(col(idCol).as("__id"), col(countCol).cast("long").as("n_toks"))
       .repartitionByRange(col("__id"))
       .sortWithinPartitions(col("__id"))
 

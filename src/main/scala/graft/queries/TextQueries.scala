@@ -696,6 +696,114 @@ object TextQueries {
              |  trim(regexp_replace(regexp_replace(nfc_normalize(text),
              |    '[\x00-\x08\x0B\x0C\x0E-\x1F\x7F]', '', 'g'),
              |    '\s+', ' ', 'g')) AS norm_text
-             |FROM documents ORDER BY doc_id""".stripMargin))
+             |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    // ---- Subword (BPE) tokenization (operators/Bpe): deterministic
+    // Sennrich-style merge training on the word-frequency table, then a
+    // fully distributed encode (dictionary pass over distinct words,
+    // joined back into the token stream). The oracle is session-generated
+    // (the q57/q96 trained-artifact pattern): the learned per-word subword
+    // encoding is inlined as a VALUES dictionary and DuckDB independently
+    // replays the tokenize -> dictionary join -> per-doc reassembly.
+    // ids emitted as a space-joined string (registry rule: no top-level
+    // array columns). ----
+    Q("q116_bpe_encode",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val model = graft.operators.Bpe.train(docs, "text", numMerges = 40)
+        graft.operators.Bpe.encode(docs, "doc_id", "text", model)
+          .select(col("doc_id"), array_join(col("ids"), " ").as("ids_str"),
+            col("n_words"), col("n_toks"), col("n_unk"))
+          .orderBy(col("doc_id"))
+      },
+      None,
+      oracleGen = Some(q116OracleGen _)),
+
+    // ---- Sequence packing re-based on BPE subword counts (the VERDICT-r5
+    // ask): identical two-phase distributed exclusive scan as q103, but the
+    // per-document token count comes from the learned tokenizer, which is
+    // what a real pre-training layout uses. Empty/token-free docs keep
+    // count 0 so every document still gets an offset. ----
+    Q("q117_pack_bpe",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val model = graft.operators.Bpe.train(docs, "text", numMerges = 40)
+        val enc = graft.operators.Bpe.encode(docs, "doc_id", "text", model)
+          .select(col("doc_id"), col("n_toks"))
+        val counts = docs.select(col("doc_id")).join(enc, Seq("doc_id"), "left")
+          .select(col("doc_id"), coalesce(col("n_toks"), lit(0L)).as("n_toks"))
+        graft.operators.Packing.packCounted(counts, "doc_id", "n_toks", seqLen = 512)
+          .orderBy(col("doc_id"))
+      },
+      None,
+      oracleGen = Some(q117OracleGen _))
   )
+
+  /** The trained BPE dictionary as oracle-inlinable rows: every distinct
+    * corpus word with its subword id sequence, subword count, and unk
+    * count — computed driver-side by the same deterministic
+    * [[graft.operators.Bpe]] trainer/encoder the queries use. The SQL
+    * oracle then replays the DISTRIBUTED part (tokenize, dictionary join,
+    * position-ordered per-doc reassembly, counts) independently; the
+    * per-word encoding itself is pinned by BpeSpec's textbook cases.
+    */
+  private def bpeDictRows(s: SparkSession, dir: String): String = {
+    val docs = t(s, dir, "documents")
+    val model = graft.operators.Bpe.train(docs, "text", numMerges = 40)
+    val words = docs
+      .select(explode(TextFns.tokens(lower(col("text")))).as("w"))
+      .distinct().orderBy(col("w")).collect().map(_.getString(0))
+    require(words.nonEmpty, "bpe oracle: empty corpus")
+    words.map { w =>
+      val ids = graft.operators.Bpe.encodeWord(w, model)
+      val esc = w.replace("'", "''")
+      s"('$esc', '${ids.mkString(" ")}', ${ids.length}, ${ids.count(_ == model.unkId)})"
+    }.mkString(",\n    ")
+  }
+
+  // plain (non-interpolated) strings so the oracle's regex escapes survive
+  // verbatim; the generated dictionary is spliced in with replace()
+  private def q116OracleGen(s: SparkSession, dir: String): String =
+    """WITH dict(word, sub_str, n_sub, n_unk_w) AS (VALUES
+       |    __DICT__),
+       |d AS (SELECT doc_id,
+       |        CASE WHEN length(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
+       |             ELSE string_split_regex(lower(trim(text)), '\s+') END AS toks
+       |      FROM documents),
+       |tok AS (SELECT doc_id, unnest(generate_series(1, len(toks))) AS pos, toks
+       |        FROM d WHERE len(toks) > 0),
+       |j AS (SELECT doc_id, pos, sub_str, n_sub, n_unk_w
+       |      FROM (SELECT doc_id, pos, toks[pos] AS word FROM tok) x
+       |      JOIN dict USING (word))
+       |SELECT doc_id,
+       |  array_to_string(list(sub_str ORDER BY pos), ' ') AS ids_str,
+       |  CAST(count(*) AS BIGINT) AS n_words,
+       |  CAST(sum(n_sub) AS BIGINT) AS n_toks,
+       |  CAST(sum(n_unk_w) AS BIGINT) AS n_unk
+       |FROM j GROUP BY doc_id ORDER BY doc_id""".stripMargin
+      .replace("__DICT__", bpeDictRows(s, dir))
+
+  private def q117OracleGen(s: SparkSession, dir: String): String =
+    """WITH dict(word, sub_str, n_sub, n_unk_w) AS (VALUES
+       |    __DICT__),
+       |d AS (SELECT doc_id,
+       |        CASE WHEN length(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
+       |             ELSE string_split_regex(lower(trim(text)), '\s+') END AS toks
+       |      FROM documents),
+       |tok AS (SELECT doc_id, unnest(generate_series(1, len(toks))) AS pos, toks
+       |        FROM d WHERE len(toks) > 0),
+       |cnt AS (SELECT doc_id, CAST(sum(n_sub) AS BIGINT) AS n
+       |        FROM (SELECT doc_id, toks[pos] AS word FROM tok) x
+       |        JOIN dict USING (word) GROUP BY doc_id),
+       |alld AS (SELECT documents.doc_id, CAST(coalesce(n, 0) AS BIGINT) AS n_toks
+       |         FROM documents LEFT JOIN cnt ON documents.doc_id = cnt.doc_id),
+       |c AS (SELECT doc_id, n_toks,
+       |        CAST(coalesce(sum(n_toks) OVER (ORDER BY doc_id
+       |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS tok_start
+       |      FROM alld)
+       |SELECT doc_id, n_toks, tok_start,
+       |  CAST(tok_start // 512 AS BIGINT) AS seq_id,
+       |  CAST(tok_start % 512 AS BIGINT) AS seq_offset
+       |FROM c ORDER BY doc_id""".stripMargin
+      .replace("__DICT__", bpeDictRows(s, dir))
 }
