@@ -144,28 +144,50 @@ object Bpe {
     ids.flatMap(inv.get).mkString.replace(Eow, " ").trim
   }
 
-  /** Distributed corpus encoding. The distinct-word set is encoded once
-    * (cost ∝ dictionary, not corpus), then joined back into the
-    * position-exploded token stream; per-document id sequences are
-    * reassembled in token order. Output per doc: `ids` (subword ids),
-    * `n_words`, `n_toks` (subword count), `n_unk`.
+  /** Per-executor memo cache for [[encodeWord]]: the greedy merge loop
+    * runs once per distinct word PER EXECUTOR instead of once per token
+    * occurrence. Bounded so a pathological vocabulary can't OOM an
+    * executor; eviction only costs re-encoding, never changes results.
+    */
+  private val memoCap = 1 << 20
+  @transient private lazy val memo =
+    new java.util.concurrent.ConcurrentHashMap[(Int, String), Array[Long]]()
+
+  private def encodeWordMemo(word: String, model: Model, modelKey: Int): Array[Long] = {
+    val k = (modelKey, word)
+    val hit = memo.get(k)
+    if (hit != null) hit
+    else {
+      val ids = encodeWord(word, model)
+      if (memo.size < memoCap) memo.put(k, ids)
+      ids
+    }
+  }
+
+  /** Distributed corpus encoding as a ZERO-SHUFFLE narrow map: the model
+    * is broadcast, each document's token array is encoded in place (the
+    * per-word merge loop memoized per executor, so cost still scales with
+    * distinct words, not token occurrences), and no corpus row ever moves.
+    * The earlier alternative — encode a distinct-word dictionary and join
+    * it back — costs TWO corpus-token-scale shuffles (join on word,
+    * regroup by doc); at 100 TB that's the whole job, so the narrow map
+    * wins outright. Token-free documents drop (same contract as
+    * [[Vocab.encode]]). Output per doc: `ids` (subword ids in token
+    * order), `n_words`, `n_toks` (subword count), `n_unk`.
     */
   def encode(docs: DataFrame, idCol: String, textCol: String, model: Model): DataFrame = {
     val spark = docs.sparkSession
     val bc = spark.sparkContext.broadcast(model)
-    val enc = udf((w: String) => encodeWord(w, bc.value))
-    val toks = docs.select(col(idCol).as("__id"),
-      posexplode(TextFns.tokens(lower(col(textCol)))).as(Seq("pos", "w")))
-    // dictionary pass: one row per distinct word — the only place the UDF
-    // runs, so encode cost scales with vocabulary-of-corpus, not tokens
-    val dict = toks.select(col("w")).distinct().withColumn("sub", enc(col("w")))
-    toks.join(dict, Seq("w"))
-      .groupBy(col("__id"))
-      .agg(sort_array(collect_list(struct(col("pos"), col("sub")))).as("ps"),
-        count(lit(1)).as("n_words"))
-      .select(col("__id").as(idCol),
-        expr("flatten(transform(ps, x -> x.sub))").as("ids"),
-        col("n_words"))
+    // merges+vocab identify the model; the memo is keyed by it so two
+    // models in one JVM (tests, retrains) can never cross-contaminate
+    val modelKey = (model.merges, model.vocab.size, model.unkId).hashCode()
+    val enc = udf((ws: Seq[String]) =>
+      ws.flatMap(w => encodeWordMemo(w, bc.value, modelKey)))
+    docs
+      .select(col(idCol), TextFns.tokens(lower(col(textCol))).as("ws"))
+      .filter(size(col("ws")) > 0)
+      .select(col(idCol), enc(col("ws")).as("ids"),
+        size(col("ws")).cast("long").as("n_words"))
       .withColumn("n_toks", size(col("ids")).cast("long"))
       .withColumn("n_unk",
         size(expr(s"filter(ids, x -> x = ${model.unkId}L)")).cast("long"))

@@ -179,4 +179,17 @@ class PlanSpec extends SparkSpec {
       assert(n <= 2, s"q50: pair-gen grew extra exchanges ($n):\n$p")
     }
   }
+
+  test("BPE encode: zero-shuffle narrow map (no word join, no doc regroup)") {
+    withoutAqe {
+      val docs = Tables(spark, sfDir, "documents")
+      val model = graft.operators.Bpe.train(docs, "text", numMerges = 20)
+      val p = plan(graft.operators.Bpe.encode(docs, "doc_id", "text", model))
+      assert(shuffles(p).isEmpty,
+        s"BPE encode must be a narrow map — a shuffle here is corpus-scale at 100 TB:\n$p")
+      assert(p.collect { case j: SortMergeJoinExec => j }.isEmpty &&
+        p.collect { case j: BroadcastHashJoinExec => j }.isEmpty,
+        s"BPE encode must not join a dictionary back into the token stream:\n$p")
+    }
+  }
 }
