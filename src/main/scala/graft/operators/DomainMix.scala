@@ -52,9 +52,35 @@ object DomainMix {
     * Domains absent from `targets` are dropped entirely.
     */
   def reweight(docs: DataFrame, idCol: String, domainCol: String,
-               targets: Map[String, Double], buckets: Int = 10000): DataFrame = {
-    val counts = docs.groupBy(col(domainCol)).agg(count(lit(1)).as("n"))
+               targets: Map[String, Double], buckets: Int = 10000): DataFrame =
+    reweightWithCounts(docs, idCol, domainCol, domainCounts(docs, domainCol),
+      targets, buckets)
+
+  /** Temperature-scaled mixing: targets ∝ (n_d/N)^alpha — the standard
+    * multilingual-pretraining sampling formula (exponentiated-unigram
+    * mixing: alpha = 1 reproduces the natural distribution and keeps
+    * everything; alpha -> 0 approaches a uniform mix bounded by the
+    * scarcest domain; 0.3-0.7 is the usual up-weight-the-tail range).
+    * Same no-upsampling scale rule and deterministic md5 buckets as
+    * [[reweight]] — the alpha weighting only changes the target vector.
+    */
+  def temperatureReweight(docs: DataFrame, idCol: String, domainCol: String,
+                          alpha: Double, buckets: Int = 10000): DataFrame = {
+    require(alpha >= 0, "alpha must be non-negative")
+    val counts = domainCounts(docs, domainCol)
+    val total = counts.values.sum.toDouble
+    val targets = counts.map { case (d, n) => d -> math.pow(n / total, alpha) }
+    reweightWithCounts(docs, idCol, domainCol, counts, targets, buckets)
+  }
+
+  private def domainCounts(docs: DataFrame, domainCol: String): Map[String, Long] =
+    docs.groupBy(col(domainCol)).agg(count(lit(1)).as("n"))
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+
+  private def reweightWithCounts(docs: DataFrame, idCol: String, domainCol: String,
+                                 counts: Map[String, Long],
+                                 targets: Map[String, Double],
+                                 buckets: Int): DataFrame = {
     val th = thresholds(counts, targets, buckets)
     val thCol = th.toSeq.sortBy(_._1).foldLeft(lit(0L)) { case (acc, (d, v)) =>
       when(col(domainCol) === d, lit(v)).otherwise(acc)

@@ -34,6 +34,46 @@ object Similarity {
       .filter(col("rn") <= k)
   }
 
+  /** Semantic (embedding-space) deduplication, the SemDeDup shape
+    * (Abbas et al. 2023, arXiv:2303.09540): k-means partitions the
+    * embedding space, and near-duplicate detection — cosine at/above
+    * `threshold` — runs only WITHIN each cell, keeping the lowest id of
+    * every near-dup pair. This is the semantic sibling of MinHash dedup:
+    * it catches paraphrases and re-encodings that share no n-grams.
+    *
+    * Scale shape: the pairwise pass is confined to cells, so total work is
+    * sum over cells of |cell|^2 instead of |corpus|^2 — at 100 TB you grow
+    * `nCells` proportionally (the paper runs ~100k clusters for billions
+    * of points) so cells stay ~constant-sized; the codebook still trains
+    * on a bounded driver sample like every ANN index here, assignment is
+    * the codegen'd NearestCell projection, and the self-join shuffles by
+    * cell key. A keep decision is local to its cell (no transitive chase
+    * across cells), matching the published algorithm.
+    *
+    * Output: one row per input vector — (id, cell, keep); keep = false iff
+    * a lower-id vector in the same cell has cosine >= threshold.
+    */
+  def semanticDedup(emb: DataFrame, idCol: String, vecCol: String,
+                    nCells: Int = 16, threshold: Double = 0.9,
+                    maxTrain: Int = 100000): DataFrame = {
+    import org.apache.spark.sql.GraftShim.{column, expression}
+    val sample = emb.select(col(idCol), col(vecCol)).orderBy(col(idCol))
+      .limit(maxTrain).collect()
+      .map(_.getSeq[Number](1).map(_.doubleValue()).toArray)
+    val cents = lloyd(sample, nCells, iters = 10, seed = 42)
+    val assigned = emb.select(col(idCol), col(vecCol),
+      column(graft.expressions.NearestCell(expression(col(vecCol)), cents)).as("cell"))
+    val right = assigned
+      .select(col("cell"), col(idCol).as("__b"), col(vecCol).as("__vb"))
+    val losers = assigned.join(right, "cell")
+      .filter(col("__b") < col(idCol))
+      .filter(VectorFns.cosine(col(vecCol), col("__vb")) >= threshold)
+      .select(col(idCol)).distinct()
+    assigned
+      .join(losers.withColumn("__lost", lit(true)), Seq(idCol), "left")
+      .select(col(idCol), col("cell"), col("__lost").isNull.as("keep"))
+  }
+
   /** IVF (inverted-file) ANN: k-means partitions the corpus into nCells
     * cells once; each query probes only its nProbe nearest cells. The
     * classic trade: one offline clustering pass buys per-query work of

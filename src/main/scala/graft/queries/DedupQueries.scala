@@ -620,6 +620,55 @@ object DedupQueries {
              |SELECT doc_id, chunk_id,
              |  md5(array_to_string(toks[chunk_id*25+1 : chunk_id*25+30], ' ')) AS h,
              |  len(toks[chunk_id*25+1 : chunk_id*25+30]) AS n_toks
-             |FROM c ORDER BY doc_id, chunk_id""".stripMargin))
+             |FROM c ORDER BY doc_id, chunk_id""".stripMargin)),
+
+    // ---- Semantic dedup, the SemDeDup shape (Similarity.semanticDedup):
+    // k-means cells + within-cell cosine near-dup drop, catching
+    // paraphrase-level duplicates MinHash can't see. Full generated
+    // oracle: centroids inlined (q57 pattern), DuckDB replays the argmin
+    // assignment, the within-cell pairwise cosine (the q54-proven
+    // bit-identical fold), and the lowest-id-wins keep rule. ----
+    Q("q119_semantic_dedup",
+      (s, dir) => {
+        Similarity.semanticDedup(t(s, dir, "embeddings"), "vec_id", "embedding",
+            nCells = 16, threshold = 0.4)
+          .orderBy(col("vec_id"))
+      },
+      None,
+      oracleGen = Some(q119OracleGen _))
   )
+
+  private def q119OracleGen(s: SparkSession, dir: String): String = {
+    val sample = Tables(s, dir, "embeddings")
+      .select(col("vec_id"), col("embedding")).orderBy(col("vec_id"))
+      .limit(100000).collect()
+      .map(_.getSeq[Number](1).map(_.doubleValue()).toArray)
+    val cents = Similarity.lloyd(sample, 16, iters = 10, seed = 42)
+    def vec(a: Array[Double]): String =
+      a.map(java.lang.Double.toString).mkString("[", ", ", "]")
+    val centsD = cents.zipWithIndex
+      .map { case (v, i) => s"($i, ${vec(v)})" }.mkString(",\n    ")
+    def l2(e: String, c: String): String =
+      s"""list_sum(list_transform(list_zip($e, $c),
+         |          x -> (CAST(x[1] AS DOUBLE) - x[2]) * (CAST(x[1] AS DOUBLE) - x[2])))""".stripMargin
+    def cos(a: String, b: String): String =
+      s"""list_sum(list_transform(list_zip($a, $b),
+         |          x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))
+         |        / (sqrt(list_sum(list_transform($a, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+         |         * sqrt(list_sum(list_transform($b, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))""".stripMargin
+    s"""WITH centsd(cell, cvec) AS (VALUES
+       |    $centsD),
+       |a AS (SELECT e.vec_id AS id, e.embedding AS v, c.cell,
+       |        row_number() OVER (PARTITION BY e.vec_id
+       |          ORDER BY ${l2("e.embedding", "c.cvec")}, c.cell) AS arn
+       |      FROM embeddings e CROSS JOIN centsd c),
+       |asg AS (SELECT id, v, cell FROM a WHERE arn = 1),
+       |l AS (SELECT DISTINCT x.id
+       |      FROM asg x JOIN asg y ON x.cell = y.cell AND y.id < x.id
+       |      WHERE ${cos("x.v", "y.v")} >= 0.4)
+       |SELECT asg.id AS vec_id, CAST(asg.cell AS INTEGER) AS cell,
+       |  l.id IS NULL AS keep
+       |FROM asg LEFT JOIN l ON asg.id = l.id
+       |ORDER BY vec_id""".stripMargin
+  }
 }

@@ -736,8 +736,49 @@ object TextQueries {
           .orderBy(col("doc_id"))
       },
       None,
-      oracleGen = Some(q117OracleGen _))
+      oracleGen = Some(q117OracleGen _)),
+
+    // ---- Temperature-scaled domain mixing (DomainMix.temperatureReweight):
+    // targets ∝ (n_d/N)^alpha, the exponentiated-unigram sampling formula
+    // multilingual pretraining uses to up-weight tail languages. alpha=0.5
+    // over the skewed `lang` column. The per-domain thresholds are computed
+    // driver-side (math.pow isn't bit-portable across engines) and inlined
+    // into the generated oracle, which independently replays the
+    // distributed part: md5 bucketing, filtering, per-domain counts. The
+    // threshold derivation itself is pinned by PropertySpec laws
+    // (alpha=1 keeps everything; alpha=0 is the uniform floor). ----
+    Q("q118_temperature_mix",
+      (s, dir) => {
+        graft.operators.DomainMix
+          .temperatureReweight(t(s, dir, "documents"), "doc_id", "lang", alpha = 0.5)
+          .groupBy(col("lang"))
+          .agg(count(lit(1)).as("n_total"),
+            sum(when(col("keep"), 1L).otherwise(0L)).as("n_kept"))
+          .orderBy(col("lang"))
+      },
+      None,
+      oracleGen = Some(q118OracleGen _))
   )
+
+  private def q118OracleGen(s: SparkSession, dir: String): String = {
+    val docs = t(s, dir, "documents")
+    val counts = docs.groupBy(col("lang")).agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val total = counts.values.sum.toDouble
+    val targets = counts.map { case (d, n) => d -> math.pow(n / total, 0.5) }
+    val th = graft.operators.DomainMix.thresholds(counts, targets, 10000)
+    val thRows = th.toSeq.sortBy(_._1)
+      .map { case (d, v) => s"('${d.replace("'", "''")}', $v)" }.mkString(",\n    ")
+    s"""WITH th(lang, th) AS (VALUES
+       |    $thRows)
+       |SELECT d.lang, count(*) AS n_total,
+       |  CAST(sum(CASE WHEN CAST(concat('0x', substr(md5(
+       |        concat(CAST(doc_id AS VARCHAR), ':', d.lang)), 1, 8)) AS BIGINT)
+       |        % 10000 < th.th
+       |    THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+       |FROM documents d JOIN th ON d.lang = th.lang
+       |GROUP BY d.lang ORDER BY d.lang""".stripMargin
+  }
 
   /** The trained BPE dictionary as oracle-inlinable rows: every distinct
     * corpus word with its subword id sequence, subword count, and unk

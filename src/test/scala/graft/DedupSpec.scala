@@ -172,4 +172,23 @@ class DedupSpec extends SparkSpec {
       (1L, 10L, true, 1.0), (1L, 11L, true, 1.0), (2L, 3L, false, 1.0)),
       s"got $out")
   }
+
+  test("semantic dedup: in-cell near-dup drops, lowest id survives, cross-cluster stays") {
+    import spark.implicits._
+    import graft.operators.Similarity
+    // two tight clusters far apart; 1/2 near-identical, 5 a scaled copy of
+    // 1 (cosine 1.0), 3/4 the opposite corner and not near-dups of each
+    // other (cosine(3,4) < 0.9)
+    val emb = Seq(
+      (1L, Seq(1.0f, 0.0f, 0.1f)), (2L, Seq(1.0f, 0.01f, 0.1f)),
+      (5L, Seq(2.0f, 0.0f, 0.2f)),
+      (3L, Seq(0.0f, 1.0f, -0.9f)), (4L, Seq(0.0f, 0.1f, -1.0f))
+    ).toDF("vec_id", "embedding")
+    val out = Similarity.semanticDedup(emb, "vec_id", "embedding",
+        nCells = 2, threshold = 0.9)
+      .select("vec_id", "keep").as[(Long, Boolean)].collect().toMap
+    assert(out(1L), "lowest id of the near-dup group survives")
+    assert(!out(2L) && !out(5L), "higher-id near-dups drop")
+    assert(out(3L) && out(4L), "sub-threshold neighbors both survive")
+  }
 }

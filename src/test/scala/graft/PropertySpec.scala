@@ -163,4 +163,32 @@ class PropertySpec extends SparkSpec {
         s"the binding domain must keep everything: $th counts=$cm weights=$tm")
     }
   }
+
+  test("temperature-mix laws: alpha=1 is identity, alpha=0 is the uniform floor") {
+    import graft.operators.DomainMix
+    val gen = Gen.chooseNum(2, 6).flatMap(k => Gen.listOfN(k, Gen.chooseNum(1L, 5000L)))
+    sampleN(gen, 50).foreach { counts =>
+      val cm = counts.zipWithIndex.map { case (n, i) => s"d$i" -> n }.toMap
+      val total = cm.values.sum.toDouble
+      def thAt(alpha: Double) = DomainMix.thresholds(cm,
+        cm.map { case (d, n) => d -> math.pow(n / total, alpha) }, 10000)
+      // alpha=1: targets == the natural distribution -> every domain's
+      // rate is 1 and mixing keeps the whole corpus
+      assert(thAt(1.0).values.forall(_ == 10000L),
+        s"alpha=1 must keep everything: ${thAt(1.0)} counts=$cm")
+      // alpha=0: uniform targets -> every domain downsamples to the
+      // scarcest domain's size (the no-upsampling uniform mix). The
+      // expected value mirrors thresholds' exact double op order, so the
+      // comparison is ulp-stable.
+      val t0 = thAt(0.0)
+      val t = 1.0 / cm.size
+      val scale = cm.values.map(n => n / t).min
+      cm.foreach { case (d, n) =>
+        val want = math.floor(math.min(1.0, t * scale / n) * 10000 + 1e-9).toLong
+        assert(t0(d) == want, s"alpha=0: $d got ${t0(d)}, want $want (n=$n)")
+        assert(math.abs(t0(d) - math.floor(10000.0 * cm.values.min / n)) <= 1,
+          s"alpha=0 must track the scarcest-domain rate: $d -> ${t0(d)}")
+      }
+    }
+  }
 }

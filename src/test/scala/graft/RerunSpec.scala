@@ -39,4 +39,18 @@ class RerunSpec extends SparkSpec {
       assert(a == b, s"$n is not rerun-stable in a shared session")
     }
   }
+
+  private val round6 = Seq(
+    "q115_stream_incremental_dedup", "q116_bpe_encode", "q117_pack_bpe",
+    "q118_temperature_mix", "q119_semantic_dedup")
+
+  test("round-6 queries produce identical rows when rerun in one session") {
+    val reg = Registry.queries
+    round6.foreach { n =>
+      val a = reg(n)(spark, sfDir).collect().toSeq
+      val b = reg(n)(spark, sfDir).collect().toSeq
+      assert(a.nonEmpty, s"$n returned no rows")
+      assert(a == b, s"$n is not rerun-stable in a shared session")
+    }
+  }
 }
