@@ -138,6 +138,36 @@ object Bpe {
     syms.map(s => model.vocab.getOrElse(s, model.unkId))
   }
 
+  /** Persist a trained model as parquet tables (ordered merges, vocab,
+    * meta) — the tokenizer trains ONCE and every later job (batch encode,
+    * streaming encode, serving) loads the identical artifact, which is how
+    * a production pipeline guarantees train/serve token parity.
+    */
+  def save(spark: org.apache.spark.sql.SparkSession, model: Model, path: String): Unit = {
+    import spark.implicits._
+    model.merges.zipWithIndex
+      .map { case ((a, b), i) => (i, a, b) }
+      .toDF("rank", "left", "right")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/merges")
+    model.vocab.toSeq.toDF("symbol", "id")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/vocab")
+    Seq(model.unkId).toDF("unk_id")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
+  }
+
+  /** Inverse of [[save]]: reconstructs the identical model (merge order,
+    * vocabulary, unk id) from the persisted artifact.
+    */
+  def load(spark: org.apache.spark.sql.SparkSession, path: String): Model = {
+    val merges = spark.read.parquet(s"$path/merges")
+      .orderBy(col("rank")).collect()
+      .map(r => (r.getAs[String]("left"), r.getAs[String]("right"))).toIndexedSeq
+    val vocab = spark.read.parquet(s"$path/vocab").collect()
+      .map(r => r.getAs[String]("symbol") -> r.getAs[Long]("id")).toMap
+    val unk = spark.read.parquet(s"$path/meta").collect().head.getAs[Long]("unk_id")
+    Model(merges, vocab, unk)
+  }
+
   /** Inverse of [[encodeWord]] over known ids (diagnostic / spec use). */
   def decode(ids: Seq[Long], model: Model): String = {
     val inv = model.vocab.map(_.swap)
@@ -151,9 +181,9 @@ object Bpe {
     */
   private val memoCap = 1 << 20
   @transient private lazy val memo =
-    new java.util.concurrent.ConcurrentHashMap[(Int, String), Array[Long]]()
+    new java.util.concurrent.ConcurrentHashMap[(String, String), Array[Long]]()
 
-  private def encodeWordMemo(word: String, model: Model, modelKey: Int): Array[Long] = {
+  private def encodeWordMemo(word: String, model: Model, modelKey: String): Array[Long] = {
     val k = (modelKey, word)
     val hit = memo.get(k)
     if (hit != null) hit
@@ -178,9 +208,21 @@ object Bpe {
   def encode(docs: DataFrame, idCol: String, textCol: String, model: Model): DataFrame = {
     val spark = docs.sparkSession
     val bc = spark.sparkContext.broadcast(model)
-    // merges+vocab identify the model; the memo is keyed by it so two
-    // models in one JVM (tests, retrains) can never cross-contaminate
-    val modelKey = (model.merges, model.vocab.size, model.unkId).hashCode()
+    // merges+vocab identify the model; the memo is keyed by an md5 of them
+    // (not a 32-bit hashCode, whose collisions would silently serve another
+    // model's ids) so two models in one JVM can never cross-contaminate
+    val modelKey = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      model.merges.foreach { case (a, b) =>
+        md.update(a.getBytes("UTF-8")); md.update(0.toByte)
+        md.update(b.getBytes("UTF-8")); md.update(1.toByte)
+      }
+      model.vocab.toSeq.sorted.foreach { case (sym, id) =>
+        md.update(sym.getBytes("UTF-8")); md.update(s"=$id;".getBytes("UTF-8"))
+      }
+      md.update(s"${model.unkId}".getBytes("UTF-8"))
+      md.digest().map("%02x".format(_)).mkString
+    }
     val enc = udf((ws: Seq[String]) =>
       ws.flatMap(w => encodeWordMemo(w, bc.value, modelKey)))
     docs

@@ -81,4 +81,36 @@ class BpeSpec extends SparkSpec {
     assert(a.merges == b.merges && a.vocab == b.vocab)
     assert(a.merges.nonEmpty)
   }
+
+  test("save/load round-trips the exact model (train/serve token parity)") {
+    val docs = graft.Tables(spark, sfDir, "documents")
+    val m = Bpe.train(docs, "text", numMerges = 20)
+    val tmp = java.nio.file.Files.createTempDirectory("graft_bpe_").toString
+    Bpe.save(spark, m, tmp)
+    val loaded = Bpe.load(spark, tmp)
+    assert(loaded.merges == m.merges && loaded.vocab == m.vocab &&
+      loaded.unkId == m.unkId)
+    assert(Bpe.encodeWord("lowestish", loaded).toSeq ==
+      Bpe.encodeWord("lowestish", m).toSeq)
+  }
+
+  test("streaming encode with a loaded model equals the batch encode") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val rows = Seq((1L, "low lower newest"), (2L, "widest lowest"), (3L, "low"))
+    val m = Bpe.trainOnCounts(corpus, numMerges = 6)
+    val batch = Bpe.encode(rows.toDF("doc_id", "text"), "doc_id", "text", m)
+      .select(col("doc_id"), array_join(col("ids"), " ").as("ids_str"),
+        col("n_toks")).orderBy("doc_id")
+      .as[(Long, String, Long)].collect().toSeq
+    val input = MemoryStream[(Long, String)]
+    input.addData(rows)
+    val q = Bpe.encode(input.toDF().toDF("doc_id", "text"), "doc_id", "text", m)
+      .select(col("doc_id"), array_join(col("ids"), " ").as("ids_str"), col("n_toks"))
+      .writeStream.format("memory").queryName("bpe_stream").outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    val streamed = spark.table("bpe_stream").orderBy("doc_id")
+      .as[(Long, String, Long)].collect().toSeq
+    assert(streamed == batch, s"stream/batch token divergence: $streamed vs $batch")
+  }
 }
