@@ -52,10 +52,16 @@ object Similarity {
     *
     * Output: one row per input vector — (id, cell, keep); keep = false iff
     * a lower-id vector in the same cell has cosine >= threshold.
+    *
+    * `maxCell` is the hot-cell guard — the same loud-cap discipline as
+    * LSH's `maxBucket`: a degenerate cluster (k-means CAN collapse mass
+    * into one cell — think a spike of zero vectors) would otherwise cost
+    * |cell|^2 in one task. Oversized cells contribute no pairs and their
+    * members survive; the production fix is raising `nCells`, not the cap.
     */
   def semanticDedup(emb: DataFrame, idCol: String, vecCol: String,
                     nCells: Int = 16, threshold: Double = 0.9,
-                    maxTrain: Int = 100000): DataFrame = {
+                    maxTrain: Int = 100000, maxCell: Int = 100000): DataFrame = {
     import org.apache.spark.sql.GraftShim.{column, expression}
     val sample = emb.select(col(idCol), col(vecCol)).orderBy(col(idCol))
       .limit(maxTrain).collect()
@@ -63,9 +69,13 @@ object Similarity {
     val cents = lloyd(sample, nCells, iters = 10, seed = 42)
     val assigned = emb.select(col(idCol), col(vecCol),
       column(graft.expressions.NearestCell(expression(col(vecCol)), cents)).as("cell"))
+    // ≤ nCells rows — broadcast; filtering ONE side of the cell self-join
+    // is enough to zero out a hot cell's pairs
+    val ok = assigned.groupBy(col("cell")).agg(count(lit(1)).as("__n"))
+      .filter(col("__n") <= maxCell).select(col("cell"))
     val right = assigned
       .select(col("cell"), col(idCol).as("__b"), col(vecCol).as("__vb"))
-    val losers = assigned.join(right, "cell")
+    val losers = assigned.join(broadcast(ok), "cell").join(right, "cell")
       .filter(col("__b") < col(idCol))
       .filter(VectorFns.cosine(col(vecCol), col("__vb")) >= threshold)
       .select(col(idCol)).distinct()

@@ -631,7 +631,7 @@ object DedupQueries {
     Q("q119_semantic_dedup",
       (s, dir) => {
         Similarity.semanticDedup(t(s, dir, "embeddings"), "vec_id", "embedding",
-            nCells = 16, threshold = 0.4)
+            nCells = 16, threshold = 0.4, maxCell = 100000)
           .orderBy(col("vec_id"))
       },
       None,
@@ -663,8 +663,10 @@ object DedupQueries {
        |          ORDER BY ${l2("e.embedding", "c.cvec")}, c.cell) AS arn
        |      FROM embeddings e CROSS JOIN centsd c),
        |asg AS (SELECT id, v, cell FROM a WHERE arn = 1),
+       |ok AS (SELECT cell FROM asg GROUP BY cell HAVING count(*) <= 100000),
        |l AS (SELECT DISTINCT x.id
-       |      FROM asg x JOIN asg y ON x.cell = y.cell AND y.id < x.id
+       |      FROM asg x JOIN ok USING (cell) JOIN asg y
+       |        ON x.cell = y.cell AND y.id < x.id
        |      WHERE ${cos("x.v", "y.v")} >= 0.4)
        |SELECT asg.id AS vec_id, CAST(asg.cell AS INTEGER) AS cell,
        |  l.id IS NULL AS keep

@@ -191,4 +191,24 @@ class DedupSpec extends SparkSpec {
     assert(!out(2L) && !out(5L), "higher-id near-dups drop")
     assert(out(3L) && out(4L), "sub-threshold neighbors both survive")
   }
+
+  test("semantic dedup: an oversized cell contributes no pairs (maxCell guard)") {
+    import spark.implicits._
+    import graft.operators.Similarity
+    // nCells=1 collapses everything into one cell of 4 > maxCell=3: the
+    // hot-cell cap must zero the pairwise pass and keep every row
+    val emb = Seq(
+      (1L, Seq(1.0f, 0.0f)), (2L, Seq(1.0f, 0.001f)),
+      (3L, Seq(1.0f, 0.002f)), (4L, Seq(1.0f, 0.003f))
+    ).toDF("vec_id", "embedding")
+    val capped = Similarity.semanticDedup(emb, "vec_id", "embedding",
+        nCells = 1, threshold = 0.9, maxCell = 3)
+      .select("vec_id", "keep").as[(Long, Boolean)].collect().toMap
+    assert(capped.values.forall(identity), s"hot cell must pair nothing: $capped")
+    val uncapped = Similarity.semanticDedup(emb, "vec_id", "embedding",
+        nCells = 1, threshold = 0.9, maxCell = 100)
+      .select("vec_id", "keep").as[(Long, Boolean)].collect().toMap
+    assert(uncapped == Map(1L -> true, 2L -> false, 3L -> false, 4L -> false),
+      s"same cell under the cap must dedup normally: $uncapped")
+  }
 }

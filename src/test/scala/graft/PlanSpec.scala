@@ -180,6 +180,17 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("q118 temperature mix: thresholds are literals — no join in the corpus pass") {
+    withoutAqe {
+      val p = plan(registry("q118_temperature_mix")(spark, sfDir))
+      assert(p.collect { case j: SortMergeJoinExec => j }.isEmpty &&
+        p.collect { case j: BroadcastHashJoinExec => j }.isEmpty,
+        s"q118: the keep decision must be a CASE literal column, never a join:\n$p")
+      assert(shuffles(p).size <= 2,
+        s"q118: one partial-agg exchange plus the output sort, nothing more:\n$p")
+    }
+  }
+
   test("BPE encode: zero-shuffle narrow map (no word join, no doc regroup)") {
     withoutAqe {
       val docs = Tables(spark, sfDir, "documents")
