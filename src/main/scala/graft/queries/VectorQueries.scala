@@ -60,6 +60,86 @@ object VectorQueries {
              |SELECT qid, nid, round(sim, 4) AS sim, rn
              |FROM (SELECT *, row_number() OVER (
              |        PARTITION BY qid ORDER BY sim DESC, nid) AS rn FROM s)
-             |WHERE rn <= 5 ORDER BY qid, rn""".stripMargin))
+             |WHERE rn <= 5 ORDER BY qid, rn""".stripMargin)),
+
+    // ---- Learned quality classifier (operators/Classifier): logistic
+    // regression trained driver-side on the labeled embeddings (binary
+    // task: label < 5), scored distributedly via the codegen'd DotProduct
+    // with the weights inlined as array literals. keep evaluates on the
+    // LOGIT (pure multiply-add, bit-identical cross-engine); the sigmoid
+    // probability is reported 4-dp-rounded. Generated oracle inlines the
+    // trained weights (the q57 trained-artifact pattern) and replays the
+    // scoring pass in DuckDB. ----
+    Q("q120_quality_classifier",
+      (s, dir) => {
+        val emb = t(s, dir, "embeddings")
+          .withColumn("y", (col("label") < 5).cast("int"))
+        val m = graft.operators.Classifier.train(emb, "vec_id", "embedding", "y")
+        graft.operators.Classifier.score(emb, "embedding", m)
+          .select(col("vec_id"), col("label"),
+            round(col("score"), 4).as("score"), col("keep"))
+          .orderBy(col("vec_id"))
+      },
+      None,
+      oracleGen = Some(q120OracleGen _)),
+
+    // ---- Exact distributed AUC (operators/Metrics) of that classifier:
+    // Mann-Whitney with midrank ties over the LINEAR logit (AUC is
+    // invariant under the sigmoid, and the logit is bit-deterministic).
+    // The rank statistic stays in integer space until one final division,
+    // so the DuckDB replay — same grouping, same integer midrank formula —
+    // must agree exactly. ----
+    Q("q121_classifier_auc",
+      (s, dir) => {
+        val emb = t(s, dir, "embeddings")
+          .withColumn("y", (col("label") < 5).cast("int"))
+        val m = graft.operators.Classifier.train(emb, "vec_id", "embedding", "y")
+        val scored = graft.operators.Classifier.score(emb, "embedding", m)
+        graft.operators.Metrics.auc(scored, "logit", "y")
+          .select(round(col("auc"), 6).as("auc"), col("n_pos"), col("n_neg"))
+      },
+      None,
+      oracleGen = Some(q121OracleGen _))
   )
+
+  /** Shared by the q120/q121 generators: train the (deterministic) model
+    * and render the logit expression with weights inlined as
+    * shortest-round-trip double literals.
+    */
+  private def trainedLogitSql(s: SparkSession, dir: String): String = {
+    val emb = Tables(s, dir, "embeddings")
+      .withColumn("y", (col("label") < 5).cast("int"))
+    val m = graft.operators.Classifier.train(emb, "vec_id", "embedding", "y")
+    val w = m.w.map(java.lang.Double.toString).mkString("[", ", ", "]")
+    s"""list_sum(list_transform(list_zip(embedding, $w),
+       |          x -> CAST(x[1] AS DOUBLE) * x[2])) + ${java.lang.Double.toString(m.b)}""".stripMargin
+  }
+
+  private def q120OracleGen(s: SparkSession, dir: String): String =
+    s"""WITH sc AS (SELECT vec_id, label,
+       |        ${trainedLogitSql(s, dir)} AS logit
+       |      FROM embeddings)
+       |SELECT vec_id, label,
+       |  round(1.0 / (1.0 + exp(-logit)), 4) AS score,
+       |  logit >= 0 AS keep
+       |FROM sc ORDER BY vec_id""".stripMargin
+
+  private def q121OracleGen(s: SparkSession, dir: String): String =
+    s"""WITH sc AS (SELECT CASE WHEN label < 5 THEN 1 ELSE 0 END AS y,
+       |        ${trainedLogitSql(s, dir)} AS logit
+       |      FROM embeddings),
+       |g AS (SELECT logit AS sv, CAST(count(*) AS BIGINT) AS n,
+       |        CAST(sum(y) AS BIGINT) AS np
+       |      FROM sc GROUP BY logit),
+       |r AS (SELECT n, np,
+       |        CAST(coalesce(sum(n) OVER (ORDER BY sv
+       |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS c
+       |      FROM g),
+       |t AS (SELECT sum(np * (2 * c + n + 1)) AS s2, sum(np) AS p,
+       |        sum(n) - sum(np) AS nn
+       |      FROM r)
+       |SELECT round(CAST(s2 - p * (p + 1) AS DOUBLE) / 2.0
+       |         / (CAST(p AS DOUBLE) * CAST(nn AS DOUBLE)), 6) AS auc,
+       |  CAST(p AS BIGINT) AS n_pos, CAST(nn AS BIGINT) AS n_neg
+       |FROM t""".stripMargin
 }

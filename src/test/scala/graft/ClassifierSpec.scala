@@ -1,0 +1,58 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Classifier, Metrics}
+
+/** Pins the learned-filter pair: deterministic logistic-regression
+  * training, logit-boundary keep flags, and the exact Mann-Whitney AUC
+  * (midrank ties, two-phase distributed ranking).
+  */
+class ClassifierSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("train is deterministic and separates a separable toy task") {
+    val data = Seq(
+      (1L, Seq(1.0f, 0.0f), 1), (2L, Seq(0.9f, 0.1f), 1), (3L, Seq(1.1f, -0.1f), 1),
+      (4L, Seq(-1.0f, 0.0f), 0), (5L, Seq(-0.9f, 0.1f), 0), (6L, Seq(-1.1f, -0.2f), 0)
+    ).toDF("id", "embedding", "y")
+    val a = Classifier.train(data, "id", "embedding", "y", iters = 200, lr = 1.0)
+    val b = Classifier.train(data, "id", "embedding", "y", iters = 200, lr = 1.0)
+    assert(a.w.toSeq == b.w.toSeq && a.b == b.b, "training must be a pure function")
+    val keep = Classifier.score(data, "embedding", a)
+      .select("id", "keep").as[(Long, Boolean)].collect().toMap
+    assert(Seq(1L, 2L, 3L).forall(keep) && !Seq(4L, 5L, 6L).exists(keep),
+      s"separable task must classify perfectly: $keep")
+  }
+
+  test("auc: hand-checked midrank ties, perfect ranking, and partition independence") {
+    // scores 0.9(+), 0.8(+), 0.8(-), 0.1(-): midranks 4, 2.5, 2.5, 1
+    // => U = (4 + 2.5) - 2*3/2 = 3.5 => AUC = 3.5 / (2*2) = 0.875
+    val tied = Seq((0.9, 1), (0.8, 1), (0.8, 0), (0.1, 0)).toDF("s", "y")
+    val got = Metrics.auc(tied, "s", "y").select("auc").as[Double].head()
+    assert(math.abs(got - 0.875) < 1e-12, s"midrank AUC: got $got")
+
+    val perfect = Seq((3.0, 1), (2.0, 1), (1.0, 0), (0.5, 0)).toDF("s", "y")
+    assert(Metrics.auc(perfect, "s", "y").select("auc").as[Double].head() == 1.0)
+
+    // many partitions, many ties: equals the single-threaded formula
+    val rows = (0 until 400).map { i =>
+      val s = (i * 7919 % 23).toDouble // heavy ties
+      val y = if ((i * 104729) % 31 < 13) 1 else 0
+      (s, y)
+    }
+    val df = rows.toDF("s", "y").repartition(16)
+    val got2 = Metrics.auc(df, "s", "y").select("auc").as[Double].head()
+    // driver mirror with midranks
+    val byS = rows.groupBy(_._1).toSeq.sortBy(_._1)
+    var c = 0L; var s2 = 0L
+    byS.foreach { case (_, g) =>
+      val n = g.size.toLong; val np = g.count(_._2 == 1).toLong
+      s2 += np * (2 * c + n + 1); c += n
+    }
+    val p = rows.count(_._2 == 1).toLong
+    val nn = rows.size - p
+    val want = (s2 - p * (p + 1)).toDouble / 2.0 / (p.toDouble * nn)
+    assert(got2 == want, s"partitioned AUC $got2 != driver mirror $want")
+  }
+}
