@@ -14,6 +14,59 @@ import graft.functions.TextFns
 object TextQueries {
   private def t(s: SparkSession, dir: String, n: String): DataFrame = Tables(s, dir, n)
 
+  /** The corpus-hygiene chain (repetition -> exact dedup -> benchmark
+    * decontamination -> uniform domain mix) as DuckDB CTEs `t0..s4` —
+    * shared verbatim by the q106 oracle and the q122 pretraining-pipeline
+    * generator so the two replays can never drift apart.
+    */
+  private val hygienePrefixSql: String =
+    """WITH t0 AS (SELECT doc_id, lang, text,
+      |        CASE WHEN length(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
+      |             ELSE string_split_regex(lower(trim(text)), '\s+') END AS toks
+      |      FROM documents),
+      |bgx AS (SELECT doc_id, unnest(generate_series(1, len(toks) - 1)) AS i, toks
+      |        FROM t0 WHERE len(toks) >= 2),
+      |bgc AS (SELECT doc_id, toks[i] || ' ' || toks[i + 1] AS g, count(*) AS c
+      |        FROM bgx GROUP BY 1, 2),
+      |bgs AS (SELECT doc_id, CAST(max(c) AS DOUBLE) / CAST(sum(c) AS DOUBLE) AS top2
+      |        FROM bgc GROUP BY 1),
+      |tgx AS (SELECT doc_id, unnest(generate_series(1, len(toks) - 2)) AS i, toks
+      |        FROM t0 WHERE len(toks) >= 3),
+      |tgc AS (SELECT doc_id,
+      |          toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2] AS g, count(*) AS c
+      |        FROM tgx GROUP BY 1, 2),
+      |tgs AS (SELECT doc_id,
+      |          CAST(sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS DOUBLE)
+      |            / CAST(sum(c) AS DOUBLE) AS dup3
+      |        FROM tgc GROUP BY 1),
+      |s1 AS (SELECT t0.doc_id, t0.lang, t0.text, t0.toks
+      |       FROM t0 LEFT JOIN bgs USING (doc_id) LEFT JOIN tgs USING (doc_id)
+      |       WHERE round(coalesce(top2, 0.0), 6) <= 0.2::DOUBLE
+      |         AND round(coalesce(dup3, 0.0), 6) <= 0.3::DOUBLE),
+      |dd AS (SELECT doc_id, lang, text, toks FROM (
+      |         SELECT s1.*, row_number() OVER (PARTITION BY md5(text)
+      |           ORDER BY doc_id) AS rn FROM s1) WHERE rn = 1),
+      |bgrams AS (SELECT DISTINCT array_to_string(toks[i : i + 7], ' ') AS g
+      |           FROM (SELECT toks, unnest(generate_series(1, len(toks) - 7)) AS i
+      |                 FROM t0 WHERE doc_id % 41 = 0 AND len(toks) >= 8)),
+      |cg AS (SELECT doc_id, array_to_string(toks[i : i + 7], ' ') AS g
+      |       FROM (SELECT doc_id, toks, unnest(generate_series(1, len(toks) - 7)) AS i
+      |             FROM dd WHERE doc_id % 41 != 0 AND len(toks) >= 8)),
+      |contam AS (SELECT DISTINCT cg.doc_id FROM cg JOIN bgrams USING (g)),
+      |s3 AS (SELECT * FROM dd WHERE doc_id % 41 != 0
+      |         AND doc_id NOT IN (SELECT doc_id FROM contam)),
+      |c AS (SELECT lang, CAST(count(*) AS BIGINT) AS n FROM s3 GROUP BY lang),
+      |k AS (SELECT CAST(count(*) AS DOUBLE) AS k FROM c),
+      |sc AS (SELECT min(CAST(n AS DOUBLE) / (1.0 / k.k)) AS scale FROM c, k),
+      |th AS (SELECT lang,
+      |         CAST(floor(least(1.0, (1.0 / k.k) * sc.scale / CAST(n AS DOUBLE))
+      |           * 10000 + 1e-9) AS BIGINT) AS th
+      |       FROM c, k, sc),
+      |s4 AS (SELECT s3.doc_id FROM s3 JOIN th USING (lang)
+      |       WHERE CAST(concat('0x', substr(md5(
+      |           concat(CAST(s3.doc_id AS VARCHAR), ':', s3.lang)), 1, 8)) AS BIGINT)
+      |         % 10000 < th.th)""".stripMargin
+
   def all: Seq[Q] = Seq(
 
     // ---- F1 slugify (reference zara_hybrid_etl.py:77-80). ----
@@ -455,60 +508,15 @@ object TextQueries {
           counts.toDF("stage", "name", "n").orderBy(col("stage"))
         } finally Seq(s1, dd, s3).foreach(_.unpersist(false))
       },
-      Some("""WITH t0 AS (SELECT doc_id, lang, text,
-             |        CASE WHEN length(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
-             |             ELSE string_split_regex(lower(trim(text)), '\s+') END AS toks
-             |      FROM documents),
-             |bgx AS (SELECT doc_id, unnest(generate_series(1, len(toks) - 1)) AS i, toks
-             |        FROM t0 WHERE len(toks) >= 2),
-             |bgc AS (SELECT doc_id, toks[i] || ' ' || toks[i + 1] AS g, count(*) AS c
-             |        FROM bgx GROUP BY 1, 2),
-             |bgs AS (SELECT doc_id, CAST(max(c) AS DOUBLE) / CAST(sum(c) AS DOUBLE) AS top2
-             |        FROM bgc GROUP BY 1),
-             |tgx AS (SELECT doc_id, unnest(generate_series(1, len(toks) - 2)) AS i, toks
-             |        FROM t0 WHERE len(toks) >= 3),
-             |tgc AS (SELECT doc_id,
-             |          toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2] AS g, count(*) AS c
-             |        FROM tgx GROUP BY 1, 2),
-             |tgs AS (SELECT doc_id,
-             |          CAST(sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS DOUBLE)
-             |            / CAST(sum(c) AS DOUBLE) AS dup3
-             |        FROM tgc GROUP BY 1),
-             |s1 AS (SELECT t0.doc_id, t0.lang, t0.text, t0.toks
-             |       FROM t0 LEFT JOIN bgs USING (doc_id) LEFT JOIN tgs USING (doc_id)
-             |       WHERE round(coalesce(top2, 0.0), 6) <= 0.2::DOUBLE
-             |         AND round(coalesce(dup3, 0.0), 6) <= 0.3::DOUBLE),
-             |dd AS (SELECT doc_id, lang, text, toks FROM (
-             |         SELECT s1.*, row_number() OVER (PARTITION BY md5(text)
-             |           ORDER BY doc_id) AS rn FROM s1) WHERE rn = 1),
-             |bgrams AS (SELECT DISTINCT array_to_string(toks[i : i + 7], ' ') AS g
-             |           FROM (SELECT toks, unnest(generate_series(1, len(toks) - 7)) AS i
-             |                 FROM t0 WHERE doc_id % 41 = 0 AND len(toks) >= 8)),
-             |cg AS (SELECT doc_id, array_to_string(toks[i : i + 7], ' ') AS g
-             |       FROM (SELECT doc_id, toks, unnest(generate_series(1, len(toks) - 7)) AS i
-             |             FROM dd WHERE doc_id % 41 != 0 AND len(toks) >= 8)),
-             |contam AS (SELECT DISTINCT cg.doc_id FROM cg JOIN bgrams USING (g)),
-             |s3 AS (SELECT * FROM dd WHERE doc_id % 41 != 0
-             |         AND doc_id NOT IN (SELECT doc_id FROM contam)),
-             |c AS (SELECT lang, CAST(count(*) AS BIGINT) AS n FROM s3 GROUP BY lang),
-             |k AS (SELECT CAST(count(*) AS DOUBLE) AS k FROM c),
-             |sc AS (SELECT min(CAST(n AS DOUBLE) / (1.0 / k.k)) AS scale FROM c, k),
-             |th AS (SELECT lang,
-             |         CAST(floor(least(1.0, (1.0 / k.k) * sc.scale / CAST(n AS DOUBLE))
-             |           * 10000 + 1e-9) AS BIGINT) AS th
-             |       FROM c, k, sc),
-             |s4 AS (SELECT s3.doc_id FROM s3 JOIN th USING (lang)
-             |       WHERE CAST(concat('0x', substr(md5(
-             |           concat(CAST(s3.doc_id AS VARCHAR), ':', s3.lang)), 1, 8)) AS BIGINT)
-             |         % 10000 < th.th)
-             |SELECT * FROM (
-             |  SELECT CAST(1 AS BIGINT) AS stage, 'total' AS name,
-             |    CAST((SELECT count(*) FROM documents) AS BIGINT) AS n
-             |  UNION ALL SELECT 2, 'repetition', CAST((SELECT count(*) FROM s1) AS BIGINT)
-             |  UNION ALL SELECT 3, 'exact_dedup', CAST((SELECT count(*) FROM dd) AS BIGINT)
-             |  UNION ALL SELECT 4, 'decontaminated', CAST((SELECT count(*) FROM s3) AS BIGINT)
-             |  UNION ALL SELECT 5, 'domain_mix', CAST((SELECT count(*) FROM s4) AS BIGINT)
-             |) ORDER BY stage""".stripMargin)),
+      Some(hygienePrefixSql + "\n" +
+        """SELECT * FROM (
+          |  SELECT CAST(1 AS BIGINT) AS stage, 'total' AS name,
+          |    CAST((SELECT count(*) FROM documents) AS BIGINT) AS n
+          |  UNION ALL SELECT 2, 'repetition', CAST((SELECT count(*) FROM s1) AS BIGINT)
+          |  UNION ALL SELECT 3, 'exact_dedup', CAST((SELECT count(*) FROM dd) AS BIGINT)
+          |  UNION ALL SELECT 4, 'decontaminated', CAST((SELECT count(*) FROM s3) AS BIGINT)
+          |  UNION ALL SELECT 5, 'domain_mix', CAST((SELECT count(*) FROM s4) AS BIGINT)
+          |) ORDER BY stage""".stripMargin)),
 
     // ---- Domain mixing (operators/DomainMix): downsample each language to
     // a uniform target mix, deterministically (q68's portable md5 bucket).
@@ -757,8 +765,91 @@ object TextQueries {
           .orderBy(col("lang"))
       },
       None,
-      oracleGen = Some(q118OracleGen _))
+      oracleGen = Some(q118OracleGen _)),
+
+    // ---- The END-TO-END pre-training data pipeline: q106's hygiene chain
+    // (repetition -> exact dedup -> decontamination -> domain mix), then a
+    // BPE tokenizer TRAINED ON THE SURVIVORS, the surviving corpus encoded
+    // with it, and the packed-sequence budget derived — the complete
+    // corpus-to-training-rows story in one oracle-proven query. The
+    // generated oracle chains the proven q106 CTEs with the survivor-
+    // trained dictionary inlined; the sequence count stays in integer
+    // arithmetic ((t + 511) // 512) so both engines agree exactly. ----
+    Q("q122_pretraining_pipeline",
+      (s, dir) => {
+        val surv = hygieneSurvivors(s, dir).persist()
+        try {
+          val nSurv = surv.count()
+          val model = graft.operators.Bpe.train(surv, "text", numMerges = 40)
+          val enc = graft.operators.Bpe.encode(surv, "doc_id", "text", model)
+          val totalToks = enc.agg(coalesce(sum(col("n_toks")), lit(0L)))
+            .collect()(0).getLong(0)
+          import s.implicits._
+          Seq((1L, "survivors", nSurv),
+            (2L, "bpe_tokens", totalToks),
+            (3L, "sequences", (totalToks + 511L) / 512L))
+            .toDF("stage", "name", "n").orderBy(col("stage"))
+        } finally surv.unpersist(false)
+      },
+      None,
+      oracleGen = Some(q122OracleGen _))
   )
+
+  /** The q106 hygiene chain as a reusable frame: repetition filter ->
+    * exact dedup -> benchmark decontamination -> uniform domain mix,
+    * returning the surviving documents with all columns. Shared by q122's
+    * query and its oracle generator (which trains the BPE dictionary on
+    * exactly these survivors).
+    */
+  private def hygieneSurvivors(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val keepRep = graft.operators.QualityFilters
+      .repetitionStats(docs, "doc_id", "text")
+      .filter(col("keep")).select(col("doc_id"))
+    val s1 = docs.join(keepRep, Seq("doc_id"), "left_semi")
+    val dd = s1.withColumn("__rn", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(md5(col("text").cast("binary"))).orderBy(col("doc_id"))))
+      .filter(col("__rn") === 1).drop("__rn")
+    val clean = graft.operators.QualityFilters.decontaminate(
+        dd, "doc_id", "text",
+        docs.filter(col("doc_id") % 41 === 0), "doc_id", "text", n = 8)
+      .filter(!col("contaminated")).select(col("doc_id"))
+    val s3 = dd.join(clean, Seq("doc_id"), "left_semi")
+    val langs = s3.select(col("lang")).distinct().collect().map(_.getString(0))
+    graft.operators.DomainMix.reweight(s3, "doc_id", "lang",
+        langs.map(_ -> 1.0).toMap)
+      .filter(col("keep")).drop("keep")
+  }
+
+  private def q122OracleGen(s: SparkSession, dir: String): String = {
+    val surv = hygieneSurvivors(s, dir).persist()
+    try {
+      val model = graft.operators.Bpe.train(surv, "text", numMerges = 40)
+      val words = surv
+        .select(explode(TextFns.tokens(lower(col("text")))).as("w"))
+        .distinct().orderBy(col("w")).collect().map(_.getString(0))
+      require(words.nonEmpty, "pretraining-pipeline oracle: no survivors")
+      val dictRows = words.map { w =>
+        val ids = graft.operators.Bpe.encodeWord(w, model)
+        s"('${w.replace("'", "''")}', ${ids.length})"
+      }.mkString(",\n    ")
+      hygienePrefixSql + ",\n" +
+        """dict(word, n_sub) AS (VALUES
+          |    __DICT__),
+          |surv AS (SELECT s3.doc_id, s3.toks FROM s3 JOIN s4 USING (doc_id)),
+          |tokx AS (SELECT doc_id, unnest(toks) AS word FROM surv),
+          |tot AS (SELECT CAST(coalesce(sum(n_sub), 0) AS BIGINT) AS tk
+          |        FROM tokx JOIN dict USING (word))
+          |SELECT * FROM (
+          |  SELECT CAST(1 AS BIGINT) AS stage, 'survivors' AS name,
+          |    CAST((SELECT count(*) FROM s4) AS BIGINT) AS n
+          |  UNION ALL SELECT 2, 'bpe_tokens', (SELECT tk FROM tot)
+          |  UNION ALL SELECT 3, 'sequences', (SELECT (tk + 511) // 512 FROM tot)
+          |) ORDER BY stage""".stripMargin
+          .replace("__DICT__", dictRows)
+    } finally surv.unpersist(false)
+  }
 
   private def q118OracleGen(s: SparkSession, dir: String): String = {
     val docs = t(s, dir, "documents")
