@@ -191,6 +191,17 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("q120 classifier scoring: inlined-weight narrow map, no join, no agg exchange") {
+    withoutAqe {
+      val p = plan(registry("q120_quality_classifier")(spark, sfDir))
+      assert(p.collect { case j: SortMergeJoinExec => j }.isEmpty &&
+        p.collect { case j: BroadcastHashJoinExec => j }.isEmpty,
+        s"q120: scoring must not join a weight table — weights are literals:\n$p")
+      assert(shuffles(p).size <= 1,
+        s"q120: only the output sort may exchange; scoring is a narrow map:\n$p")
+    }
+  }
+
   test("BPE encode: zero-shuffle narrow map (no word join, no doc regroup)") {
     withoutAqe {
       val docs = Tables(spark, sfDir, "documents")
