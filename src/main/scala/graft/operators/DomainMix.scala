@@ -73,6 +73,18 @@ object DomainMix {
     reweightWithCounts(docs, idCol, domainCol, counts, targets, buckets)
   }
 
+  /** Uniform mix over whatever domains exist: targets 1.0 for every
+    * observed domain, derived from the SAME single counts collect — so a
+    * caller never needs a separate distinct-domains action (which would
+    * re-execute the upstream lineage when the input isn't cached).
+    */
+  def uniformReweight(docs: DataFrame, idCol: String, domainCol: String,
+                      buckets: Int = 10000): DataFrame = {
+    val counts = domainCounts(docs, domainCol)
+    reweightWithCounts(docs, idCol, domainCol, counts,
+      counts.map { case (d, _) => d -> 1.0 }, buckets)
+  }
+
   private def domainCounts(docs: DataFrame, domainCol: String): Map[String, Long] =
     docs.groupBy(col(domainCol)).agg(count(lit(1)).as("n"))
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap

@@ -816,9 +816,10 @@ object TextQueries {
         docs.filter(col("doc_id") % 41 === 0), "doc_id", "text", n = 8)
       .filter(!col("contaminated")).select(col("doc_id"))
     val s3 = dd.join(clean, Seq("doc_id"), "left_semi")
-    val langs = s3.select(col("lang")).distinct().collect().map(_.getString(0))
-    graft.operators.DomainMix.reweight(s3, "doc_id", "lang",
-        langs.map(_ -> 1.0).toMap)
+    // uniformReweight derives the domain set from its single counts
+    // collect — a separate distinct-langs action would re-execute the
+    // whole (uncached) filter chain a second time
+    graft.operators.DomainMix.uniformReweight(s3, "doc_id", "lang")
       .filter(col("keep")).drop("keep")
   }
 
