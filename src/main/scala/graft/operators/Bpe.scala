@@ -80,7 +80,14 @@ object Bpe {
       val pairFreq = mutable.HashMap.empty[(String, String), Long]
       for ((syms, f) <- seqs; j <- 0 until syms.length - 1)
         pairFreq.updateWith((syms(j), syms(j + 1)))(c => Some(c.getOrElse(0L) + f))
-      val best = pairFreq.filter(_._2 >= 2L)
+      // a merge whose product string equals the end-of-word marker would
+      // alias real content ("</w>" appearing literally in a scraped
+      // corpus) with the out-of-band boundary symbol — ban it, so the
+      // marker string stays uniquely the marker (subword-nmt escapes the
+      // marker for the same reason)
+      val best = pairFreq
+        .filter(_._2 >= 2L)
+        .filterNot { case ((a, b), _) => a + b == Eow }
       if (best.isEmpty) done = true
       else {
         val ((a, b), _) = best.minBy { case ((x, y), f) => (-f, x, y) }
@@ -168,16 +175,29 @@ object Bpe {
     Model(merges, vocab, unk)
   }
 
-  /** Inverse of [[encodeWord]] over known ids (diagnostic / spec use). */
+  /** Inverse of [[encodeWord]] over known ids (diagnostic / spec use).
+    * Per-symbol mapping: the marker symbol becomes a space, and a merged
+    * symbol's trailing marker (word-final merges like "est</w>") is
+    * stripped. Single characters are never markers, so literal "</w>"
+    * TEXT in the corpus — whose chars stay unmerged because the trainer
+    * bans any product equal to the marker string — survives decoding.
+    */
   def decode(ids: Seq[Long], model: Model): String = {
     val inv = model.vocab.map(_.swap)
-    ids.flatMap(inv.get).mkString.replace(Eow, " ").trim
+    ids.flatMap(inv.get).map {
+      case Eow => " "
+      case s if s.length > Eow.length && s.endsWith(Eow) =>
+        s.dropRight(Eow.length) + " "
+      case s => s
+    }.mkString.trim
   }
 
   /** Per-executor memo cache for [[encodeWord]]: the greedy merge loop
     * runs once per distinct word PER EXECUTOR instead of once per token
     * occurrence. Bounded so a pathological vocabulary can't OOM an
-    * executor; eviction only costs re-encoding, never changes results.
+    * executor; at the cap the whole map is cleared and re-warmed (so
+    * memoization never silently dies, and stale models' entries can't pin
+    * the cap forever) — eviction only costs re-encoding, never results.
     */
   private val memoCap = 1 << 20
   @transient private lazy val memo =
@@ -189,7 +209,8 @@ object Bpe {
     if (hit != null) hit
     else {
       val ids = encodeWord(word, model)
-      if (memo.size < memoCap) memo.put(k, ids)
+      if (memo.size >= memoCap) memo.clear()
+      memo.put(k, ids)
       ids
     }
   }

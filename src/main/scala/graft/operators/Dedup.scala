@@ -199,10 +199,14 @@ object Dedup {
     // output schema carries bare new_id/dup_id, so an id on both sides
     // (plausible for daily increments with per-day sequence ids) would
     // conflate two documents in the shingle join-backs and emit wrong
-    // pairs/jaccards. Failing loudly is the only correct behavior.
-    val overlap = base.groupBy(col("__id"))
-      .agg(min(col("__new")).as("__lo"), max(col("__new")).as("__hi"))
-      .filter(col("__lo") =!= col("__hi")).limit(1).count()
+    // pairs/jaccards. Failing loudly is the only correct behavior. The
+    // probe broadcasts the (bounded, by the incremental premise) new-id
+    // set against the existing side — a groupBy-all-ids guard would
+    // shuffle one row per corpus document, the exact old-corpus-
+    // proportional cost this mode exists to avoid.
+    val newIds = base.filter(col("__new")).select(col("__id"))
+    val overlap = base.filter(!col("__new"))
+      .join(broadcast(newIds), Seq("__id"), "left_semi").count()
     require(overlap == 0,
       "incrementalMinhashPairs: newDocs and existing share document ids — " +
         "the sides must be disjoint (key increments globally, e.g. date-prefixed ids)")

@@ -95,7 +95,9 @@ object QualityFilters {
     // the explicit id filter keeps BOTH count branches' scan subtrees
     // canonically identical (the roster's outer join infers isnotnull on
     // one branch only otherwise), which is what lets ReuseExchange fold
-    // them into a single corpus scan
+    // them into a single corpus scan. CONTRACT: rows with a null id are
+    // dropped from the output (not scored keep=true) — a corpus keyed by
+    // nullable ids must synthesize ids upstream.
     val base = docs.filter(col(idCol).isNotNull)
       .select(col(idCol).as("__id"),
         TextFns.tokens(lower(col(textCol))).as("__toks"))

@@ -67,21 +67,29 @@ object Similarity {
       .limit(maxTrain).collect()
       .map(_.getSeq[Number](1).map(_.doubleValue()).toArray)
     val cents = lloyd(sample, nCells, iters = 10, seed = 42)
+    // the scan+assignment feeds FOUR subtrees (hot-cell counts, both sides
+    // of the pair join, the final keep join) — cache it, materialize the
+    // small loser set eagerly (the minhashPairs localCheckpoint pattern),
+    // release the cache; only the final output pass re-derives assignment
     val assigned = emb.select(col(idCol), col(vecCol),
       column(graft.expressions.NearestCell(expression(col(vecCol)), cents)).as("cell"))
-    // ≤ nCells rows — broadcast; filtering ONE side of the cell self-join
-    // is enough to zero out a hot cell's pairs
-    val ok = assigned.groupBy(col("cell")).agg(count(lit(1)).as("__n"))
-      .filter(col("__n") <= maxCell).select(col("cell"))
-    val right = assigned
-      .select(col("cell"), col(idCol).as("__b"), col(vecCol).as("__vb"))
-    val losers = assigned.join(broadcast(ok), "cell").join(right, "cell")
-      .filter(col("__b") < col(idCol))
-      .filter(VectorFns.cosine(col(vecCol), col("__vb")) >= threshold)
-      .select(col(idCol)).distinct()
-    assigned
-      .join(losers.withColumn("__lost", lit(true)), Seq(idCol), "left")
-      .select(col(idCol), col("cell"), col("__lost").isNull.as("keep"))
+      .persist()
+    try {
+      // ≤ nCells rows — broadcast; filtering ONE side of the cell
+      // self-join is enough to zero out a hot cell's pairs
+      val ok = assigned.groupBy(col("cell")).agg(count(lit(1)).as("__n"))
+        .filter(col("__n") <= maxCell).select(col("cell"))
+      val right = assigned
+        .select(col("cell"), col(idCol).as("__b"), col(vecCol).as("__vb"))
+      val losers = assigned.join(broadcast(ok), "cell").join(right, "cell")
+        .filter(col("__b") < col(idCol))
+        .filter(VectorFns.cosine(col(vecCol), col("__vb")) >= threshold)
+        .select(col(idCol)).distinct()
+        .localCheckpoint(true)
+      assigned
+        .join(losers.withColumn("__lost", lit(true)), Seq(idCol), "left")
+        .select(col(idCol), col("cell"), col("__lost").isNull.as("keep"))
+    } finally assigned.unpersist(false)
   }
 
   /** IVF (inverted-file) ANN: k-means partitions the corpus into nCells

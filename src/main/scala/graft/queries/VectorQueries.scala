@@ -65,11 +65,12 @@ object VectorQueries {
     // ---- Learned quality classifier (operators/Classifier): logistic
     // regression trained driver-side on the labeled embeddings (binary
     // task: label < 5), scored distributedly via the codegen'd DotProduct
-    // with the weights inlined as array literals. keep evaluates on the
-    // LOGIT (pure multiply-add, bit-identical cross-engine); the sigmoid
-    // probability is reported 4-dp-rounded. Generated oracle inlines the
-    // trained weights (the q57 trained-artifact pattern) and replays the
-    // scoring pass in DuckDB. ----
+    // with the weights inlined as array literals. The oracle-compared
+    // columns are the LOGIT and keep — pure multiply-add, bit-identical
+    // cross-engine; the sigmoid probability stays out of the hash compare
+    // (repo rule: no transcendental recomputed independently on both
+    // sides — JVM Math.exp and libm exp may differ in the last ulp;
+    // Classifier.score's sigmoid is spec-tested instead). ----
     Q("q120_quality_classifier",
       (s, dir) => {
         val emb = t(s, dir, "embeddings")
@@ -77,7 +78,7 @@ object VectorQueries {
         val m = graft.operators.Classifier.train(emb, "vec_id", "embedding", "y")
         graft.operators.Classifier.score(emb, "embedding", m)
           .select(col("vec_id"), col("label"),
-            round(col("score"), 4).as("score"), col("keep"))
+            round(col("logit"), 4).as("logit"), col("keep"))
           .orderBy(col("vec_id"))
       },
       None,
@@ -120,7 +121,7 @@ object VectorQueries {
        |        ${trainedLogitSql(s, dir)} AS logit
        |      FROM embeddings)
        |SELECT vec_id, label,
-       |  round(1.0 / (1.0 + exp(-logit)), 4) AS score,
+       |  round(logit, 4) AS logit,
        |  logit >= 0 AS keep
        |FROM sc ORDER BY vec_id""".stripMargin
 

@@ -364,18 +364,38 @@ object PdfLite {
           var ds = si + "stream".length
           if (ds < body.length && body.charAt(ds) == '\r') ds += 1
           if (ds < body.length && body.charAt(ds) == '\n') ds += 1
-          val e = body.indexOf("endstream", ds)
-          if (e < 0) None
-          else {
-            def dim(name: String): Int =
-              s"/$name\\s+(\\d+)".r.findFirstMatchIn(dict)
-                .map(_.group(1).toInt).getOrElse(-1)
-            val raw = body.substring(ds, trimEol(body, e)).getBytes(ISO_8859_1)
-            // undo everything BEFORE the DCT stage; the JPEG itself is the
-            // payload (ImageIO consumes it as-is)
-            applyFilters(raw, chain.dropRight(1), decodeParms(dict))
-              .map(jpeg => PdfImage(num, dim("Width"), dim("Height"), "jpeg", jpeg))
+          // JPEG payloads are raw binary and may contain "endstream" (or
+          // "endobj", which truncates the object-regex body) as byte
+          // sequences — bound by the dict's direct /Length when present,
+          // slicing the FULL document string so an early in-payload
+          // "endobj" can't clip it; verified by the endstream keyword
+          // that must follow. Textual scan only as fallback.
+          val absDs = m.start(2) + ds
+          val viaLength = "/Length\\s+(\\d+)".r.findFirstMatchIn(dict).flatMap { lm =>
+            val end = absDs + lm.group(1).toInt
+            if (end > latin1.length) None
+            else {
+              var p = end
+              while (p < latin1.length &&
+                (latin1.charAt(p) == '\r' || latin1.charAt(p) == '\n' ||
+                 latin1.charAt(p) == ' ')) p += 1
+              if (latin1.startsWith("endstream", p))
+                Some(latin1.substring(absDs, end).getBytes(ISO_8859_1))
+              else None
+            }
           }
+          val raw = viaLength.orElse {
+            val e = body.indexOf("endstream", ds)
+            if (e < 0) None
+            else Some(body.substring(ds, trimEol(body, e)).getBytes(ISO_8859_1))
+          }
+          def dim(name: String): Int =
+            s"/$name\\s+(\\d+)".r.findFirstMatchIn(dict)
+              .map(_.group(1).toInt).getOrElse(-1)
+          // undo everything BEFORE the DCT stage; the JPEG itself is the
+          // payload (ImageIO consumes it as-is)
+          raw.flatMap(applyFilters(_, chain.dropRight(1), decodeParms(dict)))
+            .map(jpeg => PdfImage(num, dim("Width"), dim("Height"), "jpeg", jpeg))
         }
       }
     }.toSeq

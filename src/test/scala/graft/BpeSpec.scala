@@ -52,6 +52,22 @@ class BpeSpec extends SparkSpec {
     assert(m.merges.isEmpty, "freq-1 pairs must not become merge rules")
   }
 
+  test("literal </w> corpus text never aliases the end-of-word marker") {
+    // a scraped corpus containing the marker string as real content: no
+    // merge product may equal the marker, ids stay unambiguous, and
+    // decode round-trips the literal text instead of erasing it
+    val m = Bpe.trainOnCounts(
+      IndexedSeq((Bpe.Eow, 5L), ("low", 4L), ("lower", 2L)), numMerges = 50)
+    assert(!m.merges.exists { case (a, b) => a + b == Bpe.Eow },
+      s"banned product slipped through: ${m.merges}")
+    val ids = Bpe.encodeWord(Bpe.Eow, m)
+    assert(!ids.contains(m.vocab(Bpe.Eow)) ||
+      ids.count(_ == m.vocab(Bpe.Eow)) == 1,
+      "content ids must not collapse into the marker id")
+    assert(Bpe.decode(ids, m) == Bpe.Eow,
+      s"literal marker text must survive decode: '${Bpe.decode(ids, m)}'")
+  }
+
   test("encode: distributed output agrees with driver-side encodeWord") {
     val docs = Seq(
       (1L, "low lower newest"), (2L, "widest lowest löw"), (3L, ""))

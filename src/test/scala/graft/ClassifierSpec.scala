@@ -25,6 +25,18 @@ class ClassifierSpec extends SparkSpec {
       s"separable task must classify perfectly: $keep")
   }
 
+  test("score: sigmoid column matches driver math (excluded from the oracle by design)") {
+    val data = Seq((1L, Seq(0.5f, -0.25f), 1), (2L, Seq(-2.0f, 1.5f), 0))
+      .toDF("id", "embedding", "y")
+    val m = Classifier.train(data, "id", "embedding", "y", iters = 5, lr = 0.1)
+    val rows = Classifier.score(data, "embedding", m)
+      .select("id", "logit", "score").as[(Long, Double, Double)].collect()
+    rows.foreach { case (_, logit, score) =>
+      assert(score == 1.0 / (1.0 + math.exp(-logit)),
+        "sigmoid must be the exact JVM math of the logit")
+    }
+  }
+
   test("auc: hand-checked midrank ties, perfect ranking, and partition independence") {
     // scores 0.9(+), 0.8(+), 0.8(-), 0.1(-): midranks 4, 2.5, 2.5, 1
     // => U = (4 + 2.5) - 2*3/2 = 3.5 => AUC = 3.5 / (2*2) = 0.875

@@ -311,6 +311,24 @@ class SourcesSpec extends SparkSpec {
     rows.foreach(r => assert(java.util.Arrays.equals(r.getAs[Array[Byte]](5), jpeg)))
   }
 
+  test("PdfLite DCTDecode: /Length bounds a payload containing endstream/endobj bytes") {
+    import graft.sources.PdfLite
+    // adversarial binary: the compressed payload legitimately contains the
+    // ASCII sequences a textual scan would stop at — the declared /Length
+    // must win, recovering the full payload byte-exact
+    val payload = ("ÿØJPEGDATA endstream MORE endobj TAILÿÙ")
+      .getBytes("ISO-8859-1")
+    val pdf = (
+      (s"4 0 obj << /Subtype /Image /Width 3 /Height 2 /Filter /DCTDecode" +
+        s" /Length ${payload.length} >>\nstream\n").getBytes("ISO-8859-1") ++
+      payload ++ "\nendstream\nendobj\n".getBytes("ISO-8859-1"))
+    val images = PdfLite.extractImages(pdf)
+    assert(images.map(_.objNum) == Seq(4), s"got ${images.map(_.objNum)}")
+    assert(java.util.Arrays.equals(images.head.bytes, payload),
+      "payload with in-band endstream/endobj bytes must be /Length-bounded")
+    assert((images.head.width, images.head.height) == (3, 2))
+  }
+
   test("PdfLite CID/Type0: /ToUnicode CMap decodes 2-byte Tj/TJ strings") {
     import graft.sources.PdfLite
     val cmap =
