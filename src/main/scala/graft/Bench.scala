@@ -23,7 +23,7 @@ object Bench {
     "q57_knn_ivf", "q96_pq_ann", "q99_ivfpq_ann", "q74_flagship_articles",
     "q77_yaml_pipeline", "q80_stream_tumbling",
     "q83_stream_sessions", "q84_stream_sliding", "q85_stream_dedup",
-    "q116_bpe_encode",
+    "q116_bpe_encode", "q119_semantic_dedup",
   )
 
   def main(args: Array[String]): Unit = {
