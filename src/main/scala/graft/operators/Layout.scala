@@ -21,6 +21,43 @@ import org.apache.spark.sql.functions._
   */
 object Layout {
 
+  /** Deterministic training-order shuffle: a global permutation of the
+    * corpus keyed by md5(seed:id) — the "shuffle the packed sequences
+    * before training" step, with no RNG state (rerun-stable, replayable
+    * in any engine with md5). The global position is computed by the same
+    * two-phase range-partitioned scan as [[Packing]]: range-partition by
+    * the hash key, count per partition (bounded driver collect), then
+    * offset within partition — never a one-partition window over the
+    * corpus. Output: all input columns plus `pos` (0-based position in
+    * the shuffled order). Hash collisions tie-break on the id so the
+    * permutation is total.
+    */
+  def shuffledOrder(df: DataFrame, idCol: String, seed: Long): DataFrame = {
+    import org.apache.spark.sql.types._
+    val spark = df.sparkSession
+    val keyed = df
+      .withColumn("__k", md5(concat(lit(seed.toString), lit(":"),
+        col(idCol).cast("string")).cast("binary")))
+      .repartitionByRange(col("__k"), col(idCol))
+      .sortWithinPartitions(col("__k"), col(idCol))
+    val fields = keyed.schema.fields
+    val perPartition = keyed.rdd.mapPartitionsWithIndex { case (pi, rows) =>
+      var n = 0L; rows.foreach(_ => n += 1); Iterator((pi, n))
+    }.collect().sortBy(_._1)
+    val base = perPartition.scanLeft(0L)(_ + _._2).dropRight(1)
+    val outSchema = StructType(fields :+ StructField("pos", LongType))
+    spark.createDataFrame(
+      keyed.rdd.mapPartitionsWithIndex { case (pi, rows) =>
+        var p = base(pi)
+        rows.map { r =>
+          val out = org.apache.spark.sql.Row.fromSeq(r.toSeq :+ p)
+          p += 1
+          out
+        }
+      }, outSchema)
+      .drop("__k")
+  }
+
   /** Interleave the low `bits` bits of two non-negative int columns into
     * the Morton (Z-curve) code: x occupies even bit positions, y odd.
     */

@@ -792,7 +792,44 @@ object TextQueries {
         } finally surv.unpersist(false)
       },
       None,
-      oracleGen = Some(q122OracleGen _))
+      oracleGen = Some(q122OracleGen _)),
+
+    // ---- Deterministic training-order shuffle (Layout.shuffledOrder):
+    // the global permutation applied to packed sequences before training.
+    // md5(seed:id) keys, two-phase distributed rank (never a
+    // one-partition window); hex-string ordering is identical in any
+    // engine, so the oracle is the textbook row_number. ----
+    Q("q123_training_shuffle",
+      (s, dir) => {
+        graft.operators.Layout.shuffledOrder(
+            t(s, dir, "documents").select(col("doc_id")), "doc_id", seed = 42L)
+          .orderBy(col("doc_id"))
+      },
+      Some("""SELECT doc_id,
+             |  CAST(row_number() OVER (
+             |    ORDER BY md5(concat('42:', CAST(doc_id AS VARCHAR))), doc_id)
+             |    - 1 AS BIGINT) AS pos
+             |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    // ---- Deterministic train/validation split: the md5-bucket holdout
+    // every training run needs, rerun-stable and engine-portable (no RNG
+    // state; q68's bucket discipline). 90/10 by document. ----
+    Q("q124_train_val_split",
+      (s, dir) => {
+        val bucket = conv(substring(
+            md5(concat(lit("split:"), col("doc_id").cast("string")).cast("binary")),
+            1, 8), 16, 10).cast("long") % 100
+        t(s, dir, "documents")
+          .withColumn("split", when(bucket < 90, "train").otherwise("val"))
+          .groupBy(col("split"))
+          .agg(count(lit(1)).as("n"), sum(col("n_chars")).as("n_chars"))
+          .orderBy(col("split"))
+      },
+      Some("""SELECT CASE WHEN CAST(concat('0x', substr(md5(
+             |      concat('split:', CAST(doc_id AS VARCHAR))), 1, 8)) AS BIGINT)
+             |      % 100 < 90 THEN 'train' ELSE 'val' END AS split,
+             |  count(*) AS n, CAST(sum(n_chars) AS BIGINT) AS n_chars
+             |FROM documents GROUP BY 1 ORDER BY split""".stripMargin))
   )
 
   /** The q106 hygiene chain as a reusable frame: repetition filter ->

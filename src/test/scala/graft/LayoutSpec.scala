@@ -46,4 +46,26 @@ class LayoutSpec extends SparkSpec {
     assert(avgX < n / 2.0, s"avg x-span $avgX not tight (global ${n - 1})")
     assert(avgY < n / 2.0, s"avg y-span $avgY not tight (global ${n - 1})")
   }
+
+  test("shuffledOrder: exact permutation matching the driver mirror, seed-sensitive") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val ids = (0L until 300L)
+    val df = ids.toDF("id").repartition(16)
+    val got = graft.operators.Layout.shuffledOrder(df, "id", seed = 7L)
+      .select("id", "pos").as[(Long, Long)].collect().toMap
+    // driver mirror: same md5 key, same (key, id) order
+    def key(i: Long): String = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"7:$i".getBytes("UTF-8"))
+      d.map("%02x".format(_)).mkString
+    }
+    val want = ids.sortBy(i => (key(i), i)).zipWithIndex
+      .map { case (i, p) => i -> p.toLong }.toMap
+    assert(got == want, "distributed rank must equal the driver mirror")
+    assert(got.values.toSeq.sorted == (0L until 300L), "pos must be a permutation")
+    val other = graft.operators.Layout.shuffledOrder(df, "id", seed = 8L)
+      .select("id", "pos").as[(Long, Long)].collect().toMap
+    assert(other != got, "a different seed must produce a different permutation")
+  }
 }
