@@ -30,6 +30,20 @@ class RerunSpec extends SparkSpec {
     assert(names.forall(_.matches("q\\d+_[a-z0-9_]+")), "name convention")
   }
 
+  test("registry rule: no query emits a top-level array/map column") {
+    import org.apache.spark.sql.types.{ArrayType, MapType}
+    // the driver's gate sorts result rows via pandas, which crashes on
+    // unhashable array cells (the one red row of round 5) — emit
+    // array_join/md5 scalar twins instead
+    Registry.all.foreach { q =>
+      q.fn(spark, sfDir).schema.fields.foreach { f =>
+        assert(!f.dataType.isInstanceOf[ArrayType] &&
+          !f.dataType.isInstanceOf[MapType],
+          s"${q.name}.${f.name}: ${f.dataType} is not driver-sortable")
+      }
+    }
+  }
+
   test("round-5 queries produce identical rows when rerun in one session") {
     val reg = Registry.queries
     round5.foreach { n =>
