@@ -176,6 +176,15 @@ object TextFns {
   def fingerprint(toks: Column): Column =
     rollingFingerprint(toks, t => pmod(xxhash64(t), lit(2147483647L)))
 
+  /** The portable deterministic bucket: first 8 md5 hex digits of the key
+    * as an integer, mod `buckets`. One definition for every sampling /
+    * mixing / split site (q68, DomainMix, train/val split) so the idiom
+    * and its DuckDB replay (`CAST(concat('0x', substr(md5(k), 1, 8)) AS
+    * BIGINT) % n`) can never drift apart per call site.
+    */
+  def md5Bucket(key: Column, buckets: Int): Column =
+    conv(substring(md5(key.cast("binary")), 1, 8), 16, 10).cast("long") % buckets
+
   /** Cross-engine-verifiable form: md5-derived token hash (first 15 hex
     * chars = 60 bits, so the conv result fits a signed long) — byte-for-byte
     * reproducible in any engine with md5 + integer arithmetic, which is what

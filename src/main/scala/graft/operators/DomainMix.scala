@@ -97,9 +97,8 @@ object DomainMix {
     val thCol = th.toSeq.sortBy(_._1).foldLeft(lit(0L)) { case (acc, (d, v)) =>
       when(col(domainCol) === d, lit(v)).otherwise(acc)
     }
-    val bucket = conv(substring(
-        md5(concat(col(idCol).cast("string"), lit(":"), col(domainCol)).cast("binary")),
-        1, 8), 16, 10).cast("long") % buckets
+    val bucket = graft.functions.TextFns.md5Bucket(
+      concat(col(idCol).cast("string"), lit(":"), col(domainCol)), buckets)
     docs.withColumn("keep", bucket < thCol)
   }
 }

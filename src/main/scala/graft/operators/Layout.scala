@@ -34,6 +34,11 @@ object Layout {
     */
   def shuffledOrder(df: DataFrame, idCol: String, seed: Long): DataFrame = {
     import org.apache.spark.sql.types._
+    // CONTRACT: ids must be UNIQUE — duplicate ids share a sort key, so
+    // their relative order (and thus the pos-to-payload mapping) would
+    // depend on shuffle arrival order, breaking rerun stability.
+    require(!df.columns.contains("__k") && !df.columns.contains("pos"),
+      "shuffledOrder: input must not carry reserved columns __k/pos")
     val spark = df.sparkSession
     val keyed = df
       .withColumn("__k", md5(concat(lit(seed.toString), lit(":"),
@@ -41,10 +46,7 @@ object Layout {
       .repartitionByRange(col("__k"), col(idCol))
       .sortWithinPartitions(col("__k"), col(idCol))
     val fields = keyed.schema.fields
-    val perPartition = keyed.rdd.mapPartitionsWithIndex { case (pi, rows) =>
-      var n = 0L; rows.foreach(_ => n += 1); Iterator((pi, n))
-    }.collect().sortBy(_._1)
-    val base = perPartition.scanLeft(0L)(_ + _._2).dropRight(1)
+    val base = Scan.partitionBases(keyed.rdd)(_ => 1L)
     val outSchema = StructType(fields :+ StructField("pos", LongType))
     spark.createDataFrame(
       keyed.rdd.mapPartitionsWithIndex { case (pi, rows) =>

@@ -31,12 +31,7 @@ object Metrics {
         sum(when(col(labelCol) === 1, 1L).otherwise(0L)).as("np"))
       .repartitionByRange(col("s"))
       .sortWithinPartitions(col("s"))
-    val perPartition = g.rdd.mapPartitionsWithIndex { case (pi, rows) =>
-      var t = 0L
-      rows.foreach(t += _.getLong(1))
-      Iterator((pi, t))
-    }.collect().sortBy(_._1)
-    val base = perPartition.scanLeft(0L)(_ + _._2).dropRight(1)
+    val base = Scan.partitionBases(g.rdd)(_.getLong(1))
     val partials = g.rdd.mapPartitionsWithIndex { case (pi, rows) =>
       var c = base(pi)
       var s2 = BigInt(0); var p = 0L; var tot = 0L

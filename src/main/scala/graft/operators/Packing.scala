@@ -44,13 +44,7 @@ object Packing {
       .repartitionByRange(col("__id"))
       .sortWithinPartitions(col("__id"))
 
-    val perPartition = counted.rdd
-      .mapPartitionsWithIndex { case (pi, rows) =>
-        var s = 0L; var n = 0L
-        rows.foreach { r => s += r.getLong(1); n += 1 }
-        Iterator((pi, s, n))
-      }.collect().sortBy(_._1)
-    val base = perPartition.scanLeft(0L)(_ + _._2).dropRight(1)
+    val base = Scan.partitionBases(counted.rdd)(_.getLong(1))
 
     val outSchema = StructType(Seq(
       StructField("__id", LongType), StructField("n_toks", LongType),

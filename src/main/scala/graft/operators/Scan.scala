@@ -1,0 +1,24 @@
+package graft.operators
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.Row
+
+/** The two-phase distributed exclusive scan shared by [[Packing]] (token
+  * offsets), [[Metrics]] (rank bases), and [[Layout]] (shuffle positions):
+  * over a range-partitioned, within-partition-sorted frame, collect ONE
+  * weight total per partition (bounded by the partition count, never the
+  * data) and prefix-sum them into each partition's exclusive base offset.
+  * This is what replaces a corpus-wide one-partition window everywhere a
+  * global running total is needed.
+  */
+private[graft] object Scan {
+
+  def partitionBases(rdd: RDD[Row])(weight: Row => Long): Array[Long] = {
+    val per = rdd.mapPartitionsWithIndex { case (pi, rows) =>
+      var t = 0L
+      rows.foreach(r => t += weight(r))
+      Iterator((pi, t))
+    }.collect().sortBy(_._1)
+    per.scanLeft(0L)(_ + _._2).dropRight(1)
+  }
+}

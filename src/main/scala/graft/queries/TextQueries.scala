@@ -226,9 +226,8 @@ object TextQueries {
     // enough to oracle exactly. en is kept at 50%, other langs at 10%. ----
     Q("q68_stratified_sample",
       (s, dir) => {
-        val bucket = conv(substring(
-            md5(concat(col("doc_id").cast("string"), lit(":"), col("lang")).cast("binary")),
-            1, 8), 16, 10).cast("long") % 100
+        val bucket = TextFns.md5Bucket(
+          concat(col("doc_id").cast("string"), lit(":"), col("lang")), 100)
         val keep = bucket < when(col("lang") === "en", 50).otherwise(10)
         t(s, dir, "documents")
           .groupBy(col("lang"))
@@ -816,9 +815,8 @@ object TextQueries {
     // state; q68's bucket discipline). 90/10 by document. ----
     Q("q124_train_val_split",
       (s, dir) => {
-        val bucket = conv(substring(
-            md5(concat(lit("split:"), col("doc_id").cast("string")).cast("binary")),
-            1, 8), 16, 10).cast("long") % 100
+        val bucket = TextFns.md5Bucket(
+          concat(lit("split:"), col("doc_id").cast("string")), 100)
         t(s, dir, "documents")
           .withColumn("split", when(bucket < 90, "train").otherwise("val"))
           .groupBy(col("split"))

@@ -30,24 +30,38 @@ class RerunSpec extends SparkSpec {
     assert(names.forall(_.matches("q\\d+_[a-z0-9_]+")), "name convention")
   }
 
-  test("registry rule: no query emits a top-level array/map column") {
+  /** The driver's gate sorts result rows via pandas, which crashes on
+    * unhashable array cells (the one red row of round 5) — every query
+    * must emit array_join/md5 scalar twins instead. Asserted here for
+    * each frame the suite already constructs.
+    */
+  private def assertSortable(name: String,
+                             df: org.apache.spark.sql.DataFrame): Unit = {
     import org.apache.spark.sql.types.{ArrayType, MapType}
-    // the driver's gate sorts result rows via pandas, which crashes on
-    // unhashable array cells (the one red row of round 5) — emit
-    // array_join/md5 scalar twins instead
-    Registry.all.foreach { q =>
-      q.fn(spark, sfDir).schema.fields.foreach { f =>
-        assert(!f.dataType.isInstanceOf[ArrayType] &&
-          !f.dataType.isInstanceOf[MapType],
-          s"${q.name}.${f.name}: ${f.dataType} is not driver-sortable")
-      }
+    df.schema.fields.foreach { f =>
+      assert(!f.dataType.isInstanceOf[ArrayType] &&
+        !f.dataType.isInstanceOf[MapType],
+        s"$name.${f.name}: ${f.dataType} is not driver-sortable")
+    }
+  }
+
+  test("registry rule: no query emits a top-level array/map column") {
+    // round-listed queries are built (and executed) by the rerun tests
+    // below, which assert their schemas — constructing the eager ones
+    // (streaming runs, model training) twice just to read a schema would
+    // double the suite's heaviest work
+    val covered = (round5 ++ round6).toSet
+    Registry.all.filterNot(q => covered(q.name)).foreach { q =>
+      assertSortable(q.name, q.fn(spark, sfDir))
     }
   }
 
   test("round-5 queries produce identical rows when rerun in one session") {
     val reg = Registry.queries
     round5.foreach { n =>
-      val a = reg(n)(spark, sfDir).collect().toSeq
+      val df = reg(n)(spark, sfDir)
+      assertSortable(n, df)
+      val a = df.collect().toSeq
       val b = reg(n)(spark, sfDir).collect().toSeq
       assert(a.nonEmpty, s"$n returned no rows")
       assert(a == b, s"$n is not rerun-stable in a shared session")
@@ -63,7 +77,9 @@ class RerunSpec extends SparkSpec {
   test("round-6 queries produce identical rows when rerun in one session") {
     val reg = Registry.queries
     round6.foreach { n =>
-      val a = reg(n)(spark, sfDir).collect().toSeq
+      val df = reg(n)(spark, sfDir)
+      assertSortable(n, df)
+      val a = df.collect().toSeq
       val b = reg(n)(spark, sfDir).collect().toSeq
       assert(a.nonEmpty, s"$n returned no rows")
       assert(a == b, s"$n is not rerun-stable in a shared session")
