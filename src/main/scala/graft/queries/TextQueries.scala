@@ -827,8 +827,83 @@ object TextQueries {
              |      concat('split:', CAST(doc_id AS VARCHAR))), 1, 8)) AS BIGINT)
              |      % 100 < 90 THEN 'train' ELSE 'val' END AS split,
              |  count(*) AS n, CAST(sum(n_chars) AS BIGINT) AS n_chars
-             |FROM documents GROUP BY 1 ORDER BY split""".stripMargin))
+             |FROM documents GROUP BY 1 ORDER BY split""".stripMargin)),
+
+    // ---- STREAMING pretraining ingest (streaming/StreamingIngest): the
+    // q122 story against an unbounded source — each microbatch is PII-
+    // scrubbed, length-gated, encoded with a pre-trained broadcast BPE
+    // model (train/serve parity: the stream only LOADS the artifact),
+    // and appended as an idempotent _SUCCESS-guarded shard. Documents
+    // arrive as three microbatches; the generated oracle replays scrub ->
+    // gate -> dictionary encode in DuckDB, which the drained stream must
+    // equal exactly (replay safety pinned in StreamingSpec). ----
+    Q("q125_stream_ingest",
+      (s, dir) => {
+        import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+        implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+        import s.implicits._
+        val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+        val model = graft.operators.Bpe.train(
+          docs.select(TextFns.redactPii(col("text")).as("text")), "text",
+          numMerges = 40)
+        val tmp = java.nio.file.Files.createTempDirectory("graft_q125_").toString
+        val input = MemoryStream[(Long, String)]
+        val q = graft.streaming.StreamingIngest.sink(
+          input.toDF().toDF("doc_id", "text"), "doc_id", "text",
+          model, minTokens = 5, s"$tmp/shards", s"$tmp/ckpt")
+        try {
+          for (r <- 0 to 2) {
+            input.addData(docs.filter(col("doc_id") % 3 === r)
+              .as[(Long, String)].collect().toSeq)
+            q.processAllAvailable()
+          }
+        } finally q.stop()
+        graft.streaming.StreamingIngest.shards(s, s"$tmp/shards", "doc_id")
+          .orderBy(col("doc_id"))
+      },
+      None,
+      oracleGen = Some(q125OracleGen _))
   )
+
+  private def q125OracleGen(s: SparkSession, dir: String): String = {
+    val docs = t(s, dir, "documents")
+    val clean = docs.select(col("doc_id"),
+      TextFns.redactPii(col("text")).as("text"))
+    val model = graft.operators.Bpe.train(clean, "text", numMerges = 40)
+    val words = clean
+      .select(explode(TextFns.tokens(lower(col("text")))).as("w"))
+      .distinct().orderBy(col("w")).collect().map(_.getString(0))
+    require(words.nonEmpty, "stream-ingest oracle: empty corpus")
+    val dictRows = words.map { w =>
+      val ids = graft.operators.Bpe.encodeWord(w, model)
+      s"('${w.replace("'", "''")}', '${ids.mkString(" ")}', ${ids.length}, ${ids.count(_ == model.unkId)})"
+    }.mkString(",\n    ")
+    """WITH dict(word, sub_str, n_sub, n_unk_w) AS (VALUES
+      |    __DICT__),
+      |r AS (SELECT doc_id, regexp_replace(regexp_replace(regexp_replace(text,
+      |        '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+      |        '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b', '<IP>', 'g'),
+      |        '\+[0-9]{1,3}[- ][0-9]{3}[- ][0-9]{3,4}[- ]?[0-9]{0,4}\b', '<PHONE>', 'g')
+      |        AS clean
+      |      FROM documents),
+      |d AS (SELECT doc_id,
+      |        CASE WHEN length(trim(clean)) = 0 THEN CAST([] AS VARCHAR[])
+      |             ELSE string_split_regex(lower(trim(clean)), '\s+') END AS toks
+      |      FROM r),
+      |f AS (SELECT doc_id, toks FROM d WHERE len(toks) >= 5),
+      |tok AS (SELECT doc_id, unnest(generate_series(1, len(toks))) AS pos, toks
+      |        FROM f),
+      |j AS (SELECT doc_id, pos, sub_str, n_sub, n_unk_w
+      |      FROM (SELECT doc_id, pos, toks[pos] AS word FROM tok) x
+      |      JOIN dict USING (word))
+      |SELECT doc_id,
+      |  array_to_string(list(sub_str ORDER BY pos), ' ') AS ids_str,
+      |  CAST(count(*) AS BIGINT) AS n_words,
+      |  CAST(sum(n_sub) AS BIGINT) AS n_toks,
+      |  CAST(sum(n_unk_w) AS BIGINT) AS n_unk
+      |FROM j GROUP BY doc_id ORDER BY doc_id""".stripMargin
+      .replace("__DICT__", dictRows)
+  }
 
   /** The q106 hygiene chain as a reusable frame: repetition filter ->
     * exact dedup -> benchmark decontamination -> uniform domain mix,

@@ -256,4 +256,40 @@ class StreamingSpec extends SparkSpec {
       }
     }
   }
+
+  test("streaming ingest: shards are idempotent under replay, scrub+gate+encode applied") {
+    import spark.implicits._
+    import graft.streaming.StreamingIngest
+    import graft.operators.Bpe
+    val corpus = Seq(
+      (1L, "alice at alice@example.com says the merge rules converge fast"),
+      (2L, "short"), // gated out: fewer than 5 tokens after scrubbing
+      (3L, "the merge rules converge fast says the other machine today"))
+      .toDF("doc_id", "text")
+    val model = Bpe.train(
+      corpus.select(graft.functions.TextFns.redactPii(col("text")).as("text")),
+      "text", numMerges = 10)
+    val tmp = java.nio.file.Files.createTempDirectory("graft_si_").toString
+    StreamingIngest.processBatch(corpus, "doc_id", "text", model,
+      minTokens = 5, s"$tmp/shards", batchId = 0L)
+    val once = StreamingIngest.shards(spark, s"$tmp/shards", "doc_id")
+      .orderBy("doc_id")
+      .as[(Long, String, Long, Long, Long)].collect().toSeq
+    assert(once.map(_._1) == Seq(1L, 3L), s"gate must drop doc 2: $once")
+    assert(!once.head._2.isEmpty && once.head._4 > 0)
+    // the email must have been redacted BEFORE encoding: the raw address
+    // word never reaches the dictionary
+    val rawIds = Bpe.encodeWord("alice@example.com", model)
+    val redIds = Bpe.encodeWord("<email>", model)
+    assert(once.head._2.contains(redIds.mkString(" ")) &&
+      !once.head._2.contains(rawIds.mkString(" ")),
+      "scrub must run before encode")
+    // full redelivery of the same batch is a no-op
+    StreamingIngest.processBatch(corpus, "doc_id", "text", model,
+      minTokens = 5, s"$tmp/shards", batchId = 0L)
+    val twice = StreamingIngest.shards(spark, s"$tmp/shards", "doc_id")
+      .orderBy("doc_id")
+      .as[(Long, String, Long, Long, Long)].collect().toSeq
+    assert(twice == once, "replayed batch must not duplicate or change rows")
+  }
 }
