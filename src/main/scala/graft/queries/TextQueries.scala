@@ -862,7 +862,103 @@ object TextQueries {
           .orderBy(col("doc_id"))
       },
       None,
-      oracleGen = Some(q125OracleGen _))
+      oracleGen = Some(q125OracleGen _)),
+
+    // ---- TF-IDF top terms per document: the classic keyword-extraction
+    // IR op. df derives from the (doc, term) tf aggregate — the second
+    // groupBy consumes the first's output, so the corpus tokenizes once.
+    // idf quantized at 6 dp (the q97 BM25 discipline) so ln() is
+    // cross-engine safe; per-doc ranking windows are keyed by doc_id
+    // (high cardinality, no skew). ----
+    Q("q126_tfidf_topk",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val toks = docs.select(col("doc_id"),
+          explode(TextFns.tokens(lower(col("text")))).as("term"))
+        val tf = toks.groupBy(col("doc_id"), col("term"))
+          .agg(count(lit(1)).as("tf"))
+        val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+        val nd = docs.agg(count(lit(1)).cast("double").as("nd"))
+        val scored = tf.join(df, "term").crossJoin(broadcast(nd))
+          .withColumn("idf", round(log(col("nd") / col("df")), 6))
+          .withColumn("score", round(col("idf") * col("tf"), 6))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("doc_id")).orderBy(col("score").desc, col("term"))
+        scored.withColumn("rn", row_number().over(w).cast("long"))
+          .filter(col("rn") <= 3)
+          .select(col("doc_id"), col("term"), col("tf"), col("df"),
+            col("score"), col("rn"))
+          .orderBy(col("doc_id"), col("rn"))
+      },
+      Some("""WITH t AS (SELECT doc_id,
+             |        unnest(string_split_regex(lower(trim(text)), '\s+')) AS term
+             |      FROM documents WHERE length(trim(text)) > 0),
+             |tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+             |       FROM t GROUP BY 1, 2),
+             |df AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+             |nd AS (SELECT CAST(count(*) AS DOUBLE) AS nd FROM documents),
+             |s AS (SELECT doc_id, term, tf, df,
+             |        round(round(ln(nd.nd / df), 6) * tf, 6) AS score
+             |      FROM tf JOIN df USING (term), nd),
+             |r AS (SELECT *, row_number() OVER (PARTITION BY doc_id
+             |        ORDER BY score DESC, term) AS rn FROM s)
+             |SELECT doc_id, term, tf, df, score, CAST(rn AS BIGINT) AS rn
+             |FROM r WHERE rn <= 3 ORDER BY doc_id, rn""".stripMargin)),
+
+    // ---- Bigram collocations by LIFT — P(ab) / (P(a)·P(b)) — the
+    // log-free PMI variant, so every number is a division chain over
+    // exact integer counts (identical op order on both sides, no
+    // transcendentals at all). min-count floor 5, top 20 by lift. ----
+    Q("q127_bigram_lift",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val toks = docs.select(TextFns.tokens(lower(col("text"))).as("toks"))
+        val uni = toks.select(explode(col("toks")).as("w"))
+          .groupBy(col("w")).agg(count(lit(1)).as("c"))
+        val bi = toks.select(explode(TextFns.bigrams(col("toks"))).as("bg"))
+          .groupBy(col("bg")).agg(count(lit(1)).as("c_ab"))
+          .filter(col("c_ab") >= 5)
+        val nUni = uni.agg(sum(col("c")).cast("double").as("n_uni"))
+        val nBi = toks.select(explode(TextFns.bigrams(col("toks"))).as("bg"))
+          .agg(count(lit(1)).cast("double").as("n_bi"))
+        val parts = bi
+          .withColumn("a", split(col("bg"), " ").getItem(0))
+          .withColumn("b", split(col("bg"), " ").getItem(1))
+          .join(uni.select(col("w").as("a"), col("c").as("c_a")), "a")
+          .join(uni.select(col("w").as("b"), col("c").as("c_b")), "b")
+          .crossJoin(broadcast(nUni)).crossJoin(broadcast(nBi))
+        parts
+          .withColumn("lift", round(
+            (col("c_ab") / col("n_bi")) /
+              ((col("c_a") / col("n_uni")) * (col("c_b") / col("n_uni"))), 6))
+          .select(col("bg"), col("c_ab"), col("c_a"), col("c_b"), col("lift"))
+          .orderBy(col("lift").desc, col("bg"))
+          .limit(20)
+      },
+      Some("""WITH tk AS (SELECT CASE WHEN length(trim(text)) = 0
+             |          THEN CAST([] AS VARCHAR[])
+             |          ELSE string_split_regex(lower(trim(text)), '\s+') END AS toks
+             |      FROM documents),
+             |uni AS (SELECT w, CAST(count(*) AS BIGINT) AS c
+             |        FROM (SELECT unnest(toks) AS w FROM tk) GROUP BY 1),
+             |bg0 AS (SELECT unnest(list_transform(
+             |          list_zip(toks[1:len(toks)-1], toks[2:]),
+             |          x -> x[1] || ' ' || x[2])) AS bg FROM tk),
+             |bi AS (SELECT bg, CAST(count(*) AS BIGINT) AS c_ab FROM bg0
+             |       GROUP BY 1 HAVING count(*) >= 5),
+             |nu AS (SELECT CAST(sum(c) AS DOUBLE) AS n_uni FROM uni),
+             |nb AS (SELECT CAST(count(*) AS DOUBLE) AS n_bi FROM bg0),
+             |p AS (SELECT bg, c_ab,
+             |        string_split(bg, ' ')[1] AS a, string_split(bg, ' ')[2] AS b
+             |      FROM bi),
+             |j AS (SELECT p.bg, p.c_ab, ua.c AS c_a, ub.c AS c_b
+             |      FROM p JOIN uni ua ON p.a = ua.w JOIN uni ub ON p.b = ub.w)
+             |SELECT bg, c_ab, c_a, c_b,
+             |  round((CAST(c_ab AS DOUBLE) / nb.n_bi)
+             |    / ((CAST(c_a AS DOUBLE) / nu.n_uni)
+             |       * (CAST(c_b AS DOUBLE) / nu.n_uni)), 6) AS lift
+             |FROM j, nu, nb
+             |ORDER BY lift DESC, bg LIMIT 20""".stripMargin))
   )
 
   private def q125OracleGen(s: SparkSession, dir: String): String = {
