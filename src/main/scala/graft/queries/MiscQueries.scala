@@ -154,6 +154,51 @@ object MiscQueries {
              |  max_price IS NULL AS no_big_order,
              |  nullif(c_mktsegment, 'BUILDING') AS seg_or_null
              |FROM customer LEFT JOIN o ON c_custkey = o_custkey
-             |ORDER BY c_custkey""".stripMargin))
+             |ORDER BY c_custkey""".stripMargin)),
+
+    // ---- Exact fixed-point PageRank (operators/Graph) over the
+    // customer<->supplier commerce graph (who trades with whom, via
+    // orders x lineitem; supplier ids offset into their own range).
+    // Integer micro-rank units + integer division per contribution, so
+    // every engine's arithmetic agrees bit-for-bit — the oracle replays
+    // ten synchronous iterations in a recursive CTE with the identical
+    // integer ops. Top-20 most central parties. ----
+    Q("q128_pagerank",
+      (s, dir) => {
+        val pairs = t(s, dir, "lineitem").select(col("l_orderkey"), col("l_suppkey"))
+          .join(t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey")),
+            col("l_orderkey") === col("o_orderkey"))
+          .select(col("o_custkey").as("cust"),
+            (col("l_suppkey") + 10000000L).as("supp"))
+          .distinct()
+        val edges = pairs.select(col("cust").as("src"), col("supp").as("dst"))
+          .unionByName(pairs.select(col("supp").as("src"), col("cust").as("dst")))
+        graft.operators.Graph.pageRankFixed(edges, "src", "dst", iters = 10)
+          .orderBy(col("r").desc, col("node")).limit(20)
+      },
+      Some("""WITH RECURSIVE
+             |pairs AS (SELECT DISTINCT o_custkey AS cust,
+             |            l_suppkey + 10000000 AS supp
+             |          FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+             |edges AS (SELECT cust AS src, supp AS dst FROM pairs
+             |          UNION ALL SELECT supp, cust FROM pairs),
+             |nodes AS (SELECT DISTINCT src AS node FROM edges),
+             |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM nodes),
+             |deg AS (SELECT src, CAST(count(*) AS BIGINT) AS od
+             |        FROM edges GROUP BY src),
+             |pr AS (
+             |  SELECT 0 AS iter, node,
+             |    CAST(CAST(1000000000 AS BIGINT) // nn.n AS BIGINT) AS r
+             |  FROM nodes, nn
+             |  UNION ALL
+             |  SELECT p.iter + 1, e.dst AS node,
+             |    CAST((SELECT ((15 * CAST(1000000000 AS BIGINT)) // 100) // n FROM nn)
+             |      + sum((85 * p.r) // (100 * d.od)) AS BIGINT) AS r
+             |  FROM pr p JOIN edges e ON p.node = e.src JOIN deg d ON d.src = p.node
+             |  WHERE p.iter < 10
+             |  GROUP BY p.iter, e.dst
+             |)
+             |SELECT node, r FROM pr WHERE iter = 10
+             |ORDER BY r DESC, node LIMIT 20""".stripMargin))
   )
 }
