@@ -199,6 +199,44 @@ object MiscQueries {
              |  GROUP BY p.iter, e.dst
              |)
              |SELECT node, r FROM pr WHERE iter = 10
-             |ORDER BY r DESC, node LIMIT 20""".stripMargin))
+             |ORDER BY r DESC, node LIMIT 20""".stripMargin)),
+
+    // ---- Entity resolution (operators/Entities): fuzzy-match customer
+    // names within Levenshtein distance 1 via deletion-neighborhood
+    // blocking (FastSS/SymSpell), verified with the exact integer edit
+    // distance — aggregated to per-entity match counts. The oracle
+    // replays blocking, verification, and the symmetrized rollup. ----
+    Q("q129_fuzzy_entities",
+      (s, dir) => {
+        val c = t(s, dir, "customer")
+          .select(col("c_custkey").as("id"), col("c_name").as("nm"))
+        val pairs = graft.operators.Entities.fuzzyPairs(c, "id", "nm")
+        val sym = pairs.select(col("id_a").as("id"), col("id_b").as("peer"))
+          .unionByName(pairs.select(col("id_b").as("id"), col("id_a").as("peer")))
+        c.join(sym, Seq("id"), "left")
+          .groupBy(col("id"))
+          .agg(sum(when(col("peer").isNotNull, 1L).otherwise(0L)).as("n_fuzzy"),
+            min(col("peer")).as("min_peer"))
+          .select(col("id"), col("n_fuzzy"),
+            coalesce(col("min_peer"), lit(-1L)).as("min_peer"))
+          .orderBy(col("id"))
+      },
+      Some("""WITH n AS (SELECT c_custkey AS id, c_name AS nm FROM customer),
+             |v AS (SELECT DISTINCT id, nm, var FROM (
+             |        SELECT id, nm,
+             |          substr(nm, 1, i - 1) || substr(nm, i + 1, length(nm)) AS var
+             |        FROM n, unnest(generate_series(1, length(nm))) AS t(i)
+             |        UNION ALL SELECT id, nm, nm FROM n)),
+             |cand AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b,
+             |           a.nm AS na, b.nm AS nb
+             |         FROM v a JOIN v b ON a.var = b.var AND a.id < b.id),
+             |p AS (SELECT id_a, id_b FROM cand WHERE levenshtein(na, nb) <= 1),
+             |sym AS (SELECT id_a AS id, id_b AS peer FROM p
+             |        UNION ALL SELECT id_b, id_a FROM p)
+             |SELECT n.id,
+             |  CAST(count(sym.peer) AS BIGINT) AS n_fuzzy,
+             |  CAST(coalesce(min(sym.peer), -1) AS BIGINT) AS min_peer
+             |FROM n LEFT JOIN sym ON n.id = sym.id
+             |GROUP BY n.id ORDER BY n.id""".stripMargin))
   )
 }
