@@ -38,12 +38,21 @@ object Graph {
       val nodes = e.select(col("src").as("node"))
         .union(e.select(col("dst").as("node"))).distinct().persist()
       try {
-        val dangling = nodes
+        val noOut = nodes
           .join(e.select(col("src").as("node")).distinct(), Seq("node"), "left_anti")
           .count()
-        require(dangling == 0,
-          s"pageRankFixed: $dangling node(s) have no out-edge — rank mass " +
+        require(noOut == 0,
+          s"pageRankFixed: $noOut node(s) have no out-edge — rank mass " +
             "would leak; make the edge set symmetric or add self-loops")
+        // and the dual: a node with no IN-edge would silently drop from
+        // the groupBy(dst)-built rank vector after iteration 1, taking its
+        // outgoing contributions with it
+        val noIn = nodes
+          .join(e.select(col("dst").as("node")).distinct(), Seq("node"), "left_anti")
+          .count()
+        require(noIn == 0,
+          s"pageRankFixed: $noIn node(s) have no in-edge — they would " +
+            "vanish from the rank vector; make the edge set symmetric")
         val n = nodes.count()
         val init = scale / n
         val base = ((15L * scale) / 100L) / n

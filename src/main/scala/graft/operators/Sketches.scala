@@ -63,16 +63,12 @@ object Sketches {
     val q = stream.writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val dir = s"$targetPath/batch=$batchId"
-        // probe the committed _SUCCESS marker, not the bare directory: Spark
-        // creates the directory (with _temporary) BEFORE committing, so a
-        // crash mid-write leaves an existing-but-uncommitted shard — a bare
-        // exists() would then skip the redelivered batch forever, silently
-        // undercounting (violating CMS est >= true). mode("overwrite")
-        // makes the retry over a torn shard safe.
-        val success = new org.apache.hadoop.fs.Path(dir, "_SUCCESS")
-        val fs = success.getFileSystem(batch.sparkSession.sessionState.newHadoopConf())
-        if (!fs.exists(success))
+        // the shared _SUCCESS-guarded idempotency rule (see
+        // Streams.idempotentShardWrite): a redelivered batch is a no-op,
+        // a torn shard is safely overwritten — CMS est >= true holds
+        graft.streaming.Streams.idempotentShardWrite(batch.sparkSession, dir) {
           countMin(batch, textCol, depth, width).write.mode("overwrite").parquet(dir)
+        }
       }
       .option("checkpointLocation", checkpoint)
       .trigger(Trigger.AvailableNow())

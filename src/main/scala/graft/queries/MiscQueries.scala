@@ -210,7 +210,11 @@ object MiscQueries {
       (s, dir) => {
         val c = t(s, dir, "customer")
           .select(col("c_custkey").as("id"), col("c_name").as("nm"))
+        // materialize the (small) verified pair set once — the two-branch
+        // symmetrization union would otherwise embed the whole variant-
+        // explode/self-join/levenshtein subtree twice
         val pairs = graft.operators.Entities.fuzzyPairs(c, "id", "nm")
+          .localCheckpoint(true)
         val sym = pairs.select(col("id_a").as("id"), col("id_b").as("peer"))
           .unionByName(pairs.select(col("id_b").as("id"), col("id_a").as("peer")))
         c.join(sym, Seq("id"), "left")

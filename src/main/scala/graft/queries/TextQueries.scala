@@ -915,12 +915,13 @@ object TextQueries {
         val toks = docs.select(TextFns.tokens(lower(col("text"))).as("toks"))
         val uni = toks.select(explode(col("toks")).as("w"))
           .groupBy(col("w")).agg(count(lit(1)).as("c"))
-        val bi = toks.select(explode(TextFns.bigrams(col("toks"))).as("bg"))
+        // one bigram explode serves the filtered counts AND the total —
+        // nBi sums the pre-filter aggregate instead of re-exploding
+        val bi0 = toks.select(explode(TextFns.bigrams(col("toks"))).as("bg"))
           .groupBy(col("bg")).agg(count(lit(1)).as("c_ab"))
-          .filter(col("c_ab") >= 5)
+        val bi = bi0.filter(col("c_ab") >= 5)
         val nUni = uni.agg(sum(col("c")).cast("double").as("n_uni"))
-        val nBi = toks.select(explode(TextFns.bigrams(col("toks"))).as("bg"))
-          .agg(count(lit(1)).cast("double").as("n_bi"))
+        val nBi = bi0.agg(sum(col("c_ab")).cast("double").as("n_bi"))
         val parts = bi
           .withColumn("a", split(col("bg"), " ").getItem(0))
           .withColumn("b", split(col("bg"), " ").getItem(1))

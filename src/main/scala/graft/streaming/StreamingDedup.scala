@@ -50,9 +50,7 @@ object StreamingDedup {
     val spark = batch.sparkSession
     val conf = spark.sessionState.newHadoopConf()
     val pairsDir = s"$pairsPath/batch=$batchId"
-    val success = new org.apache.hadoop.fs.Path(pairsDir, "_SUCCESS")
-    val fs = success.getFileSystem(conf)
-    if (!fs.exists(success)) {
+    Streams.idempotentShardWrite(spark, pairsDir) {
       val storeP = new org.apache.hadoop.fs.Path(storePath)
       val existing =
         if (storeP.getFileSystem(conf).exists(storeP))

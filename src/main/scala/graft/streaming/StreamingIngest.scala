@@ -35,10 +35,7 @@ object StreamingIngest {
                    model: Bpe.Model, minTokens: Int,
                    shardsPath: String, batchId: Long): Unit = {
     val dir = s"$shardsPath/batch=$batchId"
-    val success = new org.apache.hadoop.fs.Path(dir, "_SUCCESS")
-    val fs = success.getFileSystem(
-      batch.sparkSession.sessionState.newHadoopConf())
-    if (!fs.exists(success)) {
+    Streams.idempotentShardWrite(batch.sparkSession, dir) {
       val scrubbed = batch
         .select(col(idCol), TextFns.redactPii(col(textCol)).as("__clean"))
         .filter(TextFns.wordCount(col("__clean")) >= minTokens)

@@ -122,6 +122,21 @@ object Streams {
     * pruning); partition the target by an arrival-date column so the probe
     * prunes to the replay horizon instead of scanning history.
     */
+  /** Run `write` only if `dir` lacks a committed `_SUCCESS` marker — the
+    * per-batch idempotent-shard guard shared by every foreachBatch sink
+    * that appends `batch=<id>` directories. The probe MUST be the marker,
+    * not the bare directory: Spark creates the directory (with
+    * `_temporary`) BEFORE committing, so a crash mid-write leaves an
+    * existing-but-uncommitted shard that a bare exists() would skip
+    * forever on redelivery; the caller's `mode("overwrite")` makes the
+    * retry over a torn shard safe.
+    */
+  def idempotentShardWrite(spark: SparkSession, dir: String)(write: => Unit): Unit = {
+    val success = new org.apache.hadoop.fs.Path(dir, "_SUCCESS")
+    val fs = success.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(success)) write
+  }
+
   def idempotentMerge(batch: DataFrame, keyCol: String, targetPath: String): Unit = {
     val spark = batch.sparkSession
     // first batch: target doesn't exist yet. Only that case may fall back

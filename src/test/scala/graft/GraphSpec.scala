@@ -1,5 +1,7 @@
 package graft
 
+import org.apache.spark.sql.functions.col
+
 import graft.operators.Graph
 
 /** Pins the exact fixed-point PageRank: bit-equality with a driver mirror
@@ -38,5 +40,15 @@ class GraphSpec extends SparkSpec {
       Graph.pageRankFixed(Seq((1L, 2L)).toDF("src", "dst"), "src", "dst")
     }
     assert(e.getMessage.contains("no out-edge"))
+  }
+
+  test("a node with no in-edge fails loudly instead of silently vanishing") {
+    // node 3 has an out-edge but nothing points at it: after iteration 1
+    // it would drop from the groupBy(dst)-built rank vector
+    val e = intercept[IllegalArgumentException] {
+      Graph.pageRankFixed(Seq((3L, 1L), (1L, 2L), (2L, 1L), (1L, 3L))
+        .toDF("src", "dst").filter(col("dst") =!= 3L), "src", "dst")
+    }
+    assert(e.getMessage.contains("no in-edge"))
   }
 }
