@@ -154,6 +154,85 @@ object EventQueries {
              |SELECT f.cohort, CAST(date_diff('day', f.cohort, e.wk) // 7 AS INT) AS wk_offset,
              |  CAST(count(DISTINCT e.user_id) AS BIGINT) AS n_users
              |FROM e JOIN f ON f.user_id = e.user_id
-             |GROUP BY 1, 2 ORDER BY cohort, wk_offset""".stripMargin))
+             |GROUP BY 1, 2 ORDER BY cohort, wk_offset""".stripMargin)),
+
+    // ---- Markov event-transition matrix: per-user next-event chains
+    // (lag windows keyed by user_id — high cardinality, no skew), counts
+    // plus the empirical transition probability. The division runs on
+    // exact integer counts with one op order on both sides. Ties in
+    // event time are broken by event_id so the chain is total. ----
+    Q("q130_markov_transitions",
+      (s, dir) => {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+        val trans = t(s, dir, "events")
+          .withColumn("next_type", lead(col("event_type"), 1).over(w))
+          .filter(col("next_type").isNotNull)
+          .groupBy(col("event_type").as("from_type"), col("next_type").as("to_type"))
+          .agg(count(lit(1)).as("n"))
+        val totals = trans.groupBy(col("from_type"))
+          .agg(sum(col("n")).as("n_from"))
+        trans.join(totals, "from_type")
+          .select(col("from_type"), col("to_type"), col("n"), col("n_from"),
+            round(col("n").cast("double") / col("n_from"), 6).as("p"))
+          .orderBy(col("from_type"), col("to_type"))
+      },
+      Some("""WITH tr AS (SELECT event_type AS from_type,
+             |        lead(event_type) OVER (PARTITION BY user_id
+             |          ORDER BY ts, event_id) AS to_type
+             |      FROM events),
+             |c AS (SELECT from_type, to_type, CAST(count(*) AS BIGINT) AS n
+             |      FROM tr WHERE to_type IS NOT NULL GROUP BY 1, 2),
+             |f AS (SELECT from_type, CAST(sum(n) AS BIGINT) AS n_from
+             |      FROM c GROUP BY 1)
+             |SELECT c.from_type, c.to_type, c.n, f.n_from,
+             |  round(CAST(c.n AS DOUBLE) / f.n_from, 6) AS p
+             |FROM c JOIN f USING (from_type)
+             |ORDER BY from_type, to_type""".stripMargin)),
+
+    // ---- Market-basket co-purchase pairs: parts bought together in one
+    // order (frequent-itemset support), ranked by lift. Pair generation
+    // is WITHIN-order (work bounded by basket size squared, never
+    // corpus^2 — the same blocking discipline as LSH buckets); support
+    // and item counts are exact integers, lift one shared division
+    // chain. ----
+    Q("q131_copurchase",
+      (s, dir) => {
+        val li = t(s, dir, "lineitem")
+          .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+          .distinct()
+        val nOrders = t(s, dir, "orders")
+          .agg(countDistinct(col("o_orderkey")).cast("double").as("n_ord"))
+        val itemN = li.groupBy(col("pk")).agg(count(lit(1)).as("n_item"))
+        val pairs = li.select(col("ok"), col("pk").as("pa"))
+          .join(li.select(col("ok"), col("pk").as("pb")), "ok")
+          .filter(col("pa") < col("pb"))
+          .groupBy(col("pa"), col("pb")).agg(count(lit(1)).as("support"))
+          .filter(col("support") >= 2)
+        pairs
+          .join(itemN.select(col("pk").as("pa"), col("n_item").as("na")), "pa")
+          .join(itemN.select(col("pk").as("pb"), col("n_item").as("nb")), "pb")
+          .crossJoin(broadcast(nOrders))
+          .select(col("pa"), col("pb"), col("support"), col("na"), col("nb"),
+            round((col("support") / col("n_ord")) /
+              ((col("na") / col("n_ord")) * (col("nb") / col("n_ord"))), 6)
+              .as("lift"))
+          .orderBy(col("lift").desc, col("pa"), col("pb"))
+          .limit(20)
+      },
+      Some("""WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+             |            FROM lineitem),
+             |no AS (SELECT CAST(count(DISTINCT o_orderkey) AS DOUBLE) AS n_ord
+             |       FROM orders),
+             |it AS (SELECT pk, CAST(count(*) AS BIGINT) AS n_item FROM li GROUP BY 1),
+             |p AS (SELECT a.pk AS pa, b.pk AS pb, CAST(count(*) AS BIGINT) AS support
+             |      FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk
+             |      GROUP BY 1, 2 HAVING count(*) >= 2)
+             |SELECT p.pa, p.pb, p.support, ia.n_item AS na, ib.n_item AS nb,
+             |  round((CAST(p.support AS DOUBLE) / no.n_ord)
+             |    / ((CAST(ia.n_item AS DOUBLE) / no.n_ord)
+             |       * (CAST(ib.n_item AS DOUBLE) / no.n_ord)), 6) AS lift
+             |FROM p JOIN it ia ON ia.pk = p.pa JOIN it ib ON ib.pk = p.pb, no
+             |ORDER BY lift DESC, pa, pb LIMIT 20""".stripMargin))
   )
 }

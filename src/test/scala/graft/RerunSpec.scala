@@ -73,7 +73,8 @@ class RerunSpec extends SparkSpec {
     "q118_temperature_mix", "q119_semantic_dedup", "q120_quality_classifier",
     "q121_classifier_auc", "q122_pretraining_pipeline",
     "q123_training_shuffle", "q124_train_val_split", "q125_stream_ingest",
-    "q126_tfidf_topk", "q127_bigram_lift", "q128_pagerank", "q129_fuzzy_entities")
+    "q126_tfidf_topk", "q127_bigram_lift", "q128_pagerank", "q129_fuzzy_entities",
+    "q130_markov_transitions", "q131_copurchase")
 
   test("round-6 queries produce identical rows when rerun in one session") {
     val reg = Registry.queries
