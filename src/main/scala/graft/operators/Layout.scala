@@ -46,10 +46,12 @@ object Layout {
       .repartitionByRange(col("__k"), col(idCol))
       .sortWithinPartitions(col("__k"), col(idCol))
     val fields = keyed.schema.fields
-    val base = Scan.partitionBases(keyed.rdd)(_ => 1L)
+    // one RDD instance for both passes (see Scan's invariant)
+    val keyedRdd = keyed.rdd
+    val base = Scan.partitionBases(keyedRdd)(_ => 1L)
     val outSchema = StructType(fields :+ StructField("pos", LongType))
     spark.createDataFrame(
-      keyed.rdd.mapPartitionsWithIndex { case (pi, rows) =>
+      keyedRdd.mapPartitionsWithIndex { case (pi, rows) =>
         var p = base(pi)
         rows.map { r =>
           val out = org.apache.spark.sql.Row.fromSeq(r.toSeq :+ p)

@@ -31,8 +31,10 @@ object Metrics {
         sum(when(col(labelCol) === 1, 1L).otherwise(0L)).as("np"))
       .repartitionByRange(col("s"))
       .sortWithinPartitions(col("s"))
-    val base = Scan.partitionBases(g.rdd)(_.getLong(1))
-    val partials = g.rdd.mapPartitionsWithIndex { case (pi, rows) =>
+    // one RDD instance for both passes (see Scan's invariant)
+    val gRdd = g.rdd
+    val base = Scan.partitionBases(gRdd)(_.getLong(1))
+    val partials = gRdd.mapPartitionsWithIndex { case (pi, rows) =>
       var c = base(pi)
       var s2 = BigInt(0); var p = 0L; var tot = 0L
       rows.foreach { r =>

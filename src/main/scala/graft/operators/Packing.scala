@@ -44,14 +44,16 @@ object Packing {
       .repartitionByRange(col("__id"))
       .sortWithinPartitions(col("__id"))
 
-    val base = Scan.partitionBases(counted.rdd)(_.getLong(1))
+    // one RDD instance for both passes (see Scan's invariant)
+    val countedRdd = counted.rdd
+    val base = Scan.partitionBases(countedRdd)(_.getLong(1))
 
     val outSchema = StructType(Seq(
       StructField("__id", LongType), StructField("n_toks", LongType),
       StructField("tok_start", LongType), StructField("seq_id", LongType),
       StructField("seq_offset", LongType)))
     val packed = spark.createDataFrame(
-      counted.rdd.mapPartitionsWithIndex { case (pi, rows) =>
+      countedRdd.mapPartitionsWithIndex { case (pi, rows) =>
         var off = base(pi)
         rows.map { r =>
           val n = r.getLong(1)

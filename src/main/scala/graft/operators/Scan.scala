@@ -10,6 +10,13 @@ import org.apache.spark.sql.Row
   * data) and prefix-sum them into each partition's exclusive base offset.
   * This is what replaces a corpus-wide one-partition window everywhere a
   * global running total is needed.
+  *
+  * INVARIANT: the caller must pass the SAME `RDD` instance here and to
+  * its second (offset-applying) pass — `Dataset.rdd` is a lazy val, so
+  * binding it once (`val rdd = frame.rdd`) shares one ShuffleDependency
+  * whose RangePartitioner bounds are computed exactly once; two separate
+  * `.rdd` materializations of equivalent plans would sample range bounds
+  * independently and could disagree on partition membership.
   */
 private[graft] object Scan {
 

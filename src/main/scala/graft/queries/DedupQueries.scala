@@ -97,6 +97,14 @@ object DedupQueries {
     * share a batch), dup_is_existing iff the batches differ. Signatures,
     * banding, and the verification jaccard are the q92/q112 portable
     * formulation, so the replay is closed-form.
+    *
+    * Hot-bucket cap caveat: the STREAM evaluates maxBucket at ARRIVAL
+    * time (each increment defends itself against the store as it stands —
+    * the production-correct semantics), while this closed-form replay
+    * uses final whole-corpus counts. The two coincide exactly while no
+    * (band, key) bucket crosses the cap, which holds at gate scale by two
+    * orders of magnitude; the capped path itself is pinned by the
+    * maxBucket specs, not by this oracle.
     */
   private lazy val q115OracleSql: String =
     s"""WITH $minhashPrefixCtes,

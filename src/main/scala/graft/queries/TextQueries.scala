@@ -776,19 +776,24 @@ object TextQueries {
     // arithmetic ((t + 511) // 512) so both engines agree exactly. ----
     Q("q122_pretraining_pipeline",
       (s, dir) => {
-        val surv = hygieneSurvivors(s, dir).persist()
-        try {
-          val nSurv = surv.count()
-          val model = graft.operators.Bpe.train(surv, "text", numMerges = 40)
-          val enc = graft.operators.Bpe.encode(surv, "doc_id", "text", model)
-          val totalToks = enc.agg(coalesce(sum(col("n_toks")), lit(0L)))
-            .collect()(0).getLong(0)
-          import s.implicits._
-          Seq((1L, "survivors", nSurv),
-            (2L, "bpe_tokens", totalToks),
-            (3L, "sequences", (totalToks + 511L) / 512L))
-            .toDF("stage", "name", "n").orderBy(col("stage"))
-        } finally surv.unpersist(false)
+        withHygieneSurvivors(s, dir) { surv0 =>
+          val surv = surv0.persist()
+          try {
+            val nSurv = surv.count()
+            val model = graft.operators.Bpe.train(surv, "text", numMerges = 40)
+            val enc = graft.operators.Bpe.encode(surv, "doc_id", "text", model)
+            val totalToks = enc.agg(coalesce(sum(col("n_toks")), lit(0L)))
+              .collect()(0).getLong(0)
+            import s.implicits._
+            Seq((1L, "survivors", nSurv),
+              (2L, "bpe_tokens", totalToks),
+              (3L, "sequences", (totalToks + 511L) / 512L))
+              .toDF("stage", "name", "n").orderBy(col("stage"))
+              // the loan frame unpersists on exit — materialize the tiny
+              // result before the caches go away
+              .localCheckpoint(true)
+          } finally surv.unpersist(false)
+        }
       },
       None,
       oracleGen = Some(q122OracleGen _)),
@@ -1003,12 +1008,16 @@ object TextQueries {
   }
 
   /** The q106 hygiene chain as a reusable frame: repetition filter ->
-    * exact dedup -> benchmark decontamination -> uniform domain mix,
-    * returning the surviving documents with all columns. Shared by q122's
-    * query and its oracle generator (which trains the BPE dictionary on
-    * exactly these survivors).
+    * exact dedup -> benchmark decontamination -> uniform domain mix.
+    * Loan-pattern: dd and s3 are persisted for `body`'s lifetime (dd
+    * feeds two branches and s3 feeds the mix counts collect PLUS every
+    * downstream consumer — uncached, the filter chain would re-execute
+    * per consumer, the exact O(stages²) recompute q106 persists against)
+    * and released on exit. Shared by q122's query and its oracle
+    * generator (which trains the BPE dictionary on these survivors).
     */
-  private def hygieneSurvivors(s: SparkSession, dir: String): DataFrame = {
+  private def withHygieneSurvivors[T](s: SparkSession, dir: String)
+                                     (body: DataFrame => T): T = {
     val docs = t(s, dir, "documents")
     val keepRep = graft.operators.QualityFilters
       .repetitionStats(docs, "doc_id", "text")
@@ -1018,31 +1027,37 @@ object TextQueries {
         org.apache.spark.sql.expressions.Window
           .partitionBy(md5(col("text").cast("binary"))).orderBy(col("doc_id"))))
       .filter(col("__rn") === 1).drop("__rn")
-    val clean = graft.operators.QualityFilters.decontaminate(
-        dd, "doc_id", "text",
-        docs.filter(col("doc_id") % 41 === 0), "doc_id", "text", n = 8)
-      .filter(!col("contaminated")).select(col("doc_id"))
-    val s3 = dd.join(clean, Seq("doc_id"), "left_semi")
-    // uniformReweight derives the domain set from its single counts
-    // collect — a separate distinct-langs action would re-execute the
-    // whole (uncached) filter chain a second time
-    graft.operators.DomainMix.uniformReweight(s3, "doc_id", "lang")
-      .filter(col("keep")).drop("keep")
+      .persist()
+    try {
+      val clean = graft.operators.QualityFilters.decontaminate(
+          dd, "doc_id", "text",
+          docs.filter(col("doc_id") % 41 === 0), "doc_id", "text", n = 8)
+        .filter(!col("contaminated")).select(col("doc_id"))
+      val s3 = dd.join(clean, Seq("doc_id"), "left_semi").persist()
+      try {
+        // uniformReweight derives the domain set from its single counts
+        // collect — a separate distinct-langs action would re-execute
+        // the whole filter chain a second time
+        body(graft.operators.DomainMix.uniformReweight(s3, "doc_id", "lang")
+          .filter(col("keep")).drop("keep"))
+      } finally s3.unpersist(false)
+    } finally dd.unpersist(false)
   }
 
-  private def q122OracleGen(s: SparkSession, dir: String): String = {
-    val surv = hygieneSurvivors(s, dir).persist()
-    try {
-      val model = graft.operators.Bpe.train(surv, "text", numMerges = 40)
-      val words = surv
-        .select(explode(TextFns.tokens(lower(col("text")))).as("w"))
-        .distinct().orderBy(col("w")).collect().map(_.getString(0))
-      require(words.nonEmpty, "pretraining-pipeline oracle: no survivors")
-      val dictRows = words.map { w =>
-        val ids = graft.operators.Bpe.encodeWord(w, model)
-        s"('${w.replace("'", "''")}', ${ids.length})"
-      }.mkString(",\n    ")
-      hygienePrefixSql + ",\n" +
+  private def q122OracleGen(s: SparkSession, dir: String): String =
+    withHygieneSurvivors(s, dir) { surv0 =>
+      val surv = surv0.persist()
+      try {
+        val model = graft.operators.Bpe.train(surv, "text", numMerges = 40)
+        val words = surv
+          .select(explode(TextFns.tokens(lower(col("text")))).as("w"))
+          .distinct().orderBy(col("w")).collect().map(_.getString(0))
+        require(words.nonEmpty, "pretraining-pipeline oracle: no survivors")
+        val dictRows = words.map { w =>
+          val ids = graft.operators.Bpe.encodeWord(w, model)
+          s"('${w.replace("'", "''")}', ${ids.length})"
+        }.mkString(",\n    ")
+        hygienePrefixSql + ",\n" +
         """dict(word, n_sub) AS (VALUES
           |    __DICT__),
           |surv AS (SELECT s3.doc_id, s3.toks FROM s3 JOIN s4 USING (doc_id)),
@@ -1056,8 +1071,8 @@ object TextQueries {
           |  UNION ALL SELECT 3, 'sequences', (SELECT (tk + 511) // 512 FROM tot)
           |) ORDER BY stage""".stripMargin
           .replace("__DICT__", dictRows)
-    } finally surv.unpersist(false)
-  }
+      } finally surv.unpersist(false)
+    }
 
   private def q118OracleGen(s: SparkSession, dir: String): String = {
     val docs = t(s, dir, "documents")

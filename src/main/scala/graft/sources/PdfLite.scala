@@ -371,23 +371,39 @@ object PdfLite {
           // "endobj" can't clip it; verified by the endstream keyword
           // that must follow. Textual scan only as fallback.
           val absDs = m.start(2) + ds
-          val viaLength = "/Length\\s+(\\d+)".r.findFirstMatchIn(dict).flatMap { lm =>
-            val end = absDs + lm.group(1).toInt
-            if (end > latin1.length) None
-            else {
-              var p = end
-              while (p < latin1.length &&
-                (latin1.charAt(p) == '\r' || latin1.charAt(p) == '\n' ||
-                 latin1.charAt(p) == ' ')) p += 1
-              if (latin1.startsWith("endstream", p))
-                Some(latin1.substring(absDs, end).getBytes(ISO_8859_1))
-              else None
+          // direct integers only — "/Length 12 0 R" is an indirect
+          // reference whose leading number is NOT the byte count
+          val viaLength = "/Length\\s+(\\d+)(?!\\s+\\d+\\s+R)".r
+            .findFirstMatchIn(dict).flatMap { lm =>
+              val end = absDs + lm.group(1).toInt
+              if (end > latin1.length) None
+              else {
+                var p = end
+                while (p < latin1.length &&
+                  (latin1.charAt(p) == '\r' || latin1.charAt(p) == '\n' ||
+                   latin1.charAt(p) == ' ')) p += 1
+                if (latin1.startsWith("endstream", p))
+                  Some(latin1.substring(absDs, end).getBytes(ISO_8859_1))
+                else None
+              }
             }
-          }
+          // the textual fallback can truncate a binary payload that
+          // happens to contain "endstream"/"endobj" bytes — accept its
+          // slice only when it looks like a COMPLETE JPEG (SOI..EOI);
+          // otherwise skip, never emit corrupt bytes downstream
+          def completeJpeg(b: Array[Byte]): Boolean =
+            b.length >= 4 &&
+              (b(0) & 0xff) == 0xff && (b(1) & 0xff) == 0xd8 &&
+              (b(b.length - 2) & 0xff) == 0xff && (b(b.length - 1) & 0xff) == 0xd9
+          val textArmored = chain.dropRight(1)
+            .forall(f => f == "ASCII85Decode" || f == "ASCIIHexDecode")
           val raw = viaLength.orElse {
             val e = body.indexOf("endstream", ds)
             if (e < 0) None
             else Some(body.substring(ds, trimEol(body, e)).getBytes(ISO_8859_1))
+              .filter(b =>
+                if (chain.length > 1) textArmored // binary pre-filters need /Length
+                else completeJpeg(b))
           }
           def dim(name: String): Int =
             s"/$name\\s+(\\d+)".r.findFirstMatchIn(dict)

@@ -56,9 +56,20 @@ object StreamingDedup {
         if (storeP.getFileSystem(conf).exists(storeP))
           spark.read.parquet(storePath).select(col(idCol), col(textCol))
         else batch.select(col(idCol), col(textCol)).limit(0)
+      // an at-least-once source can redeliver a record INSIDE one batch:
+      // collapse exact (id, text) duplicates (a duplicated row would
+      // otherwise pair with itself through the bucket expansion), and
+      // fail loudly on conflicting texts under one id — the batch is
+      // increment-sized, so the check is bounded
+      val deduped = batch.select(col(idCol), col(textCol)).distinct()
+      val conflicts = deduped.groupBy(col(idCol))
+        .agg(count(lit(1)).as("__n")).filter(col("__n") > 1).count()
+      require(conflicts == 0,
+        s"StreamingDedup: $conflicts id(s) arrive with conflicting texts " +
+          "in one batch — upstream must version or de-conflict ids")
       // replay guard: ids already merged into the store are not "new" —
       // this also guarantees incrementalMinhashPairs' disjointness contract
-      val newOnly = batch.select(col(idCol), col(textCol))
+      val newOnly = deduped
         .join(existing.select(col(idCol)), Seq(idCol), "left_anti")
       val pairs =
         if (newOnly.isEmpty) {
