@@ -233,6 +233,35 @@ object EventQueries {
              |    / ((CAST(ia.n_item AS DOUBLE) / no.n_ord)
              |       * (CAST(ib.n_item AS DOUBLE) / no.n_ord)), 6) AS lift
              |FROM p JOIN it ia ON ia.pk = p.pa JOIN it ib ON ib.pk = p.pb, no
-             |ORDER BY lift DESC, pa, pb LIMIT 20""".stripMargin))
+             |ORDER BY lift DESC, pa, pb LIMIT 20""".stripMargin)),
+
+    // ---- SCD Type-2 dimension history (operators/Scd): collapse each
+    // user's event-type observation log into version rows with
+    // [valid_from, valid_to) intervals — re-observations of the same
+    // state extend the current version. Two key-partitioned window
+    // passes, ts+event_id total order; the oracle is the identical
+    // lag/lead formulation. ----
+    Q("q132_scd2_history",
+      (s, dir) => {
+        graft.operators.Scd.scd2(t(s, dir, "events"),
+            "user_id", "event_type", "ts", "event_id")
+          .orderBy(col("user_id"), col("version"))
+      },
+      Some("""WITH ch AS (SELECT user_id, event_type, ts, event_id,
+             |        lag(event_type) OVER (PARTITION BY user_id
+             |          ORDER BY ts, event_id) AS prev
+             |      FROM events),
+             |k AS (SELECT user_id, event_type, ts, event_id FROM ch
+             |      WHERE prev IS NULL OR prev <> event_type),
+             |v AS (SELECT user_id,
+             |        CAST(row_number() OVER (PARTITION BY user_id
+             |          ORDER BY ts, event_id) AS BIGINT) AS version,
+             |        event_type AS state, ts AS valid_from,
+             |        lead(ts) OVER (PARTITION BY user_id
+             |          ORDER BY ts, event_id) AS valid_to
+             |      FROM k)
+             |SELECT user_id, version, state, valid_from, valid_to,
+             |  valid_to IS NULL AS is_current
+             |FROM v ORDER BY user_id, version""".stripMargin))
   )
 }

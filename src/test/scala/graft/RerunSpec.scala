@@ -74,7 +74,7 @@ class RerunSpec extends SparkSpec {
     "q121_classifier_auc", "q122_pretraining_pipeline",
     "q123_training_shuffle", "q124_train_val_split", "q125_stream_ingest",
     "q126_tfidf_topk", "q127_bigram_lift", "q128_pagerank", "q129_fuzzy_entities",
-    "q130_markov_transitions", "q131_copurchase")
+    "q130_markov_transitions", "q131_copurchase", "q132_scd2_history")
 
   test("round-6 queries produce identical rows when rerun in one session") {
     val reg = Registry.queries
