@@ -183,38 +183,90 @@ object Dedup {
                               idCol: String, textCol: String,
                               numHashes: Int = 32, bands: Int = 8, shingleK: Int = 3,
                               threshold: Double = 0.5, maxBucket: Int = 1000,
-                              portableHash: Boolean = false): DataFrame = {
+                              portableHash: Boolean = false): DataFrame =
+    incrementalPairsSigned(
+      signedSide(newDocs, idCol, textCol, numHashes, bands, shingleK, portableHash),
+      signedSide(existing, idCol, textCol, numHashes, bands, shingleK, portableHash),
+      threshold, maxBucket, cacheExisting = true)
+
+  /** One side of an incremental pairing with every per-document computation
+    * done ONCE: `(__id, __sh shingle set, __sig signature, __bk band keys)`.
+    * This is also the persisted-store schema for continuously-running dedup
+    * ([[graft.streaming.StreamingDedup]]): signatures and band keys are
+    * written at ingest/merge time, so later increments feed
+    * [[incrementalPairsSigned]] straight from storage and history is never
+    * re-tokenized.
+    */
+  def signedSide(df: DataFrame, idCol: String, textCol: String,
+                 numHashes: Int = 32, bands: Int = 8, shingleK: Int = 3,
+                 portableHash: Boolean = false): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
-    val sh = array_distinct(TextFns.wordShingles(TextFns.tokens(col(textCol)), shingleK))
-    def sideOf(df: DataFrame, isNew: Boolean): DataFrame =
-      graft.Tables.spread(df)
-        .select(col(idCol).as("__id"), sh.as("__sh"), lit(isNew).as("__new"))
-        .filter(size(col("__sh")) > 0)
-    val base = sideOf(newDocs, isNew = true).unionByName(sideOf(existing, isNew = false))
+    graft.Tables.spread(df)
+      .select(col(idCol).as("__id"),
+        array_distinct(TextFns.wordShingles(TextFns.tokens(col(textCol)), shingleK))
+          .as("__sh"))
+      .filter(size(col("__sh")) > 0)
       .withColumn("__sig",
         graft.expressions.MinHashSig(col("__sh"), numHashes, 7, portableHash))
-      .persist()
-    // One pass both materializes the cache (before the AQE fan-out below)
-    // AND guards the contract: the two sides' ids must be DISJOINT — the
-    // output schema carries bare new_id/dup_id, so an id on both sides
-    // (plausible for daily increments with per-day sequence ids) would
-    // conflate two documents in the shingle join-backs and emit wrong
-    // pairs/jaccards. Failing loudly is the only correct behavior. The
-    // probe broadcasts the (bounded, by the incremental premise) new-id
-    // set against the existing side — a groupBy-all-ids guard would
-    // shuffle one row per corpus document, the exact old-corpus-
-    // proportional cost this mode exists to avoid.
-    val newIds = base.filter(col("__new")).select(col("__id"))
-    val overlap = base.filter(!col("__new"))
-      .join(broadcast(newIds), Seq("__id"), "left_semi").count()
-    require(overlap == 0,
-      "incrementalMinhashPairs: newDocs and existing share document ids — " +
-        "the sides must be disjoint (key increments globally, e.g. date-prefixed ids)")
-    val banded = base.select(col("__id"), col("__new"),
-        explode(bandKeys(col("__sig"), numHashes, bands, portableHash)).as("__b"))
+      .withColumn("__bk", bandKeys(col("__sig"), numHashes, bands, portableHash))
+  }
+
+  /** Core of the incremental pairing, fed with PRE-SIGNED sides (the
+    * [[signedSide]] schema; `__sig` is optional — banding consumes the
+    * stored `__bk` directly). Contains NO tokenize/shingle/signature
+    * expression: a caller whose existing side is a persisted
+    * signature-bearing store pays zero per-batch text processing for
+    * history — the store contributes a column-pruned `(__id, __bk)` scan
+    * to the banding stage and a `(__id, __sh)` scan to the verification
+    * join-backs, and nothing else.
+    *
+    * `cacheExisting` trades memory for scan reuse: text-fed batch callers
+    * (where re-deriving the side means re-tokenizing) cache it; store-fed
+    * streaming callers leave it false so history is only ever re-SCANNED
+    * (pruned parquet columns), never held corpus-sized in executor memory
+    * per microbatch.
+    *
+    * `eager = false` skips caching, the disjointness action, and the final
+    * materialization and returns the raw lazy plan — for plan-shape
+    * assertions (StreamingSpec pins that a store-fed pairing contains no
+    * tokenizer anywhere); production callers keep the default.
+    */
+  def incrementalPairsSigned(newSigned: DataFrame, existingSigned: DataFrame,
+                             threshold: Double, maxBucket: Int,
+                             cacheExisting: Boolean = false,
+                             eager: Boolean = true): DataFrame = {
+    def sel(df: DataFrame, isNew: Boolean): DataFrame =
+      df.select(col("__id"), col("__sh"), col("__bk"), lit(isNew).as("__new"))
+    val newSide0 = sel(newSigned, isNew = true)
+    val exSide0 = sel(existingSigned, isNew = false)
+    val newSide = if (eager) newSide0.persist() else newSide0
+    val exSide = if (eager && cacheExisting) exSide0.persist() else exSide0
+    if (eager) {
+      // Materialize caches BEFORE the AQE fan-out (concurrent stage jobs
+      // would otherwise each recompute the sides while the cache is cold),
+      // and guard the contract in the same pass: the two sides' ids must be
+      // DISJOINT — the output schema carries bare new_id/dup_id, so an id on
+      // both sides (plausible for daily increments with per-day sequence
+      // ids) would conflate two documents in the shingle join-backs and emit
+      // wrong pairs/jaccards. Failing loudly is the only correct behavior.
+      // The probe broadcasts the (bounded, by the incremental premise)
+      // new-id set against the existing side — a groupBy-all-ids guard would
+      // shuffle one row per corpus document, the exact old-corpus-
+      // proportional cost this mode exists to avoid.
+      val overlap = exSide
+        .join(broadcast(newSide.select(col("__id"))), Seq("__id"), "left_semi").count()
+      require(overlap == 0,
+        "incrementalPairsSigned: newDocs and existing share document ids — " +
+          "the sides must be disjoint (key increments globally, e.g. date-prefixed ids)")
+    }
+    val base = newSide.unionByName(exSide)
+    val banded0 = base.select(col("__id"), col("__new"), explode(col("__bk")).as("__b"))
       .select(col("__id"), col("__new"),
         col("__b.band").as("band"), col("__b.key").as("key"))
-      .persist()
+    // tiny per row (id, flag, band, key) and consumed by both the hot-bucket
+    // count and the candidate pipeline — cache it instead of re-running the
+    // explode (and, for text-fed sides, the signature work) per consumer
+    val banded = if (eager) banded0.persist() else banded0
     val hot = banded.groupBy(col("band"), col("key"))
       .agg(count(lit(1)).as("__cnt"))
       .filter(col("__cnt") > maxBucket)
@@ -242,15 +294,17 @@ object Dedup {
 
     val jac = size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
       size(array_union(col("sh_a"), col("sh_b"))).cast("double")
-    val out = oriented
+    val joined = oriented
       .join(base.select(col("__id").as("new_id"), col("__sh").as("sh_a")), "new_id")
       .join(base.select(col("__id").as("dup_id"), col("__sh").as("sh_b")), "dup_id")
       .select(col("new_id"), col("dup_id"), col("dup_is_existing"),
         round(jac, 4).as("jaccard"))
       .filter(col("jaccard") >= threshold)
-      .localCheckpoint(true)
-    base.unpersist(false)
+    if (!eager) return joined
+    val out = joined.localCheckpoint(true)
     banded.unpersist(false)
+    newSide.unpersist(false)
+    if (cacheExisting) exSide.unpersist(false)
     out
   }
 

@@ -3,17 +3,34 @@ package graft.streaming
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
+import graft.functions.TextFns
 import graft.operators.Dedup
 
 /** Continuous corpus ingestion with near-dup detection — the production
   * shape for a training-data pipeline that receives documents as a stream:
   * each microbatch is checked against the ever-growing persisted corpus
-  * (and itself) with `Dedup.incrementalMinhashPairs`, verified pairs land
+  * (and itself) with `Dedup.incrementalPairsSigned`, verified pairs land
   * in a per-batch shard, and the batch then merges into the corpus store.
   * Old–old pairs are never recomputed — each arriving document is paired
   * against history exactly once, which is what keeps a continuously-running
   * dedup affordable at 100 TB (cost per day ∝ increment × bands, not
   * corpus²).
+  *
+  * The store is SIGNATURE-BEARING: every merged document carries its
+  * shingle set, MinHash signature, and LSH band keys
+  * (`id, text, __sh, __sig, __bk`), each computed exactly once at merge
+  * time. A microbatch therefore pays text processing only for its OWN
+  * documents; history contributes column-pruned parquet scans — `(id,
+  * __bk)` into the banding stage and `(id, __sh)` into the Jaccard
+  * verification join-backs — and is never re-tokenized (StreamingSpec pins
+  * that the store-fed pairing plan contains no tokenizer and never reads
+  * the text column). Storing `__sh` trades ~text-sized storage for a
+  * tokenize-free verify; a deployment tighter on storage than CPU can drop
+  * it and re-shingle only the (bounded) candidate-matched history rows.
+  * `__sig` itself is not read on the hot path (banding consumes `__bk`)
+  * but is what allows re-banding the corpus under a different bands/rows
+  * split without re-signing it. At cluster scale, bucket the store by id
+  * so the anti-join probe and the verify join-backs prune to buckets.
   *
   * Exactly-once under microbatch replay, by construction, in two layers:
   *
@@ -29,14 +46,26 @@ import graft.operators.Dedup
   * replays the batch with its ids not yet merged, so the shard is
   * recomputed against the same store state; the reverse order would lose
   * the batch's pairs forever (ids in store ⇒ newOnly empty on replay).
-  *
-  * The store here carries (id, text) and re-derives signatures per batch —
-  * correct but re-tokenizes history each increment. At scale, persist the
-  * signature/shingle columns alongside (compute once on ingest) and feed a
-  * signature-bearing store straight into the banding stage; the plan is
-  * otherwise identical (Dedup.scala's incremental docstring).
   */
 object StreamingDedup {
+
+  /** The batch enriched with the store columns: shingles, signature, band
+    * keys — the single per-document text-processing pass of the whole
+    * pipeline. Documents whose text yields no shingles keep null
+    * `__sig`/`__bk` (they are corpus rows but can never pair).
+    */
+  private def enrich(batch: DataFrame, idCol: String, textCol: String,
+                     numHashes: Int, bands: Int, shingleK: Int,
+                     portableHash: Boolean): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    batch.select(col(idCol), col(textCol))
+      .withColumn("__sh",
+        array_distinct(TextFns.wordShingles(TextFns.tokens(col(textCol)), shingleK)))
+      .withColumn("__sig", when(size(col("__sh")) > 0,
+        graft.expressions.MinHashSig(col("__sh"), numHashes, 7, portableHash)))
+      .withColumn("__bk", when(size(col("__sh")) > 0,
+        Dedup.bandKeys(col("__sig"), numHashes, bands, portableHash)))
+  }
 
   /** One microbatch step. Exposed (rather than inlined in the foreachBatch
     * closure) so replay semantics are unit-testable without checkpoint
@@ -50,46 +79,70 @@ object StreamingDedup {
     val spark = batch.sparkSession
     val conf = spark.sessionState.newHadoopConf()
     val pairsDir = s"$pairsPath/batch=$batchId"
-    Streams.idempotentShardWrite(spark, pairsDir) {
-      val storeP = new org.apache.hadoop.fs.Path(storePath)
-      val existing =
-        if (storeP.getFileSystem(conf).exists(storeP))
-          spark.read.parquet(storePath).select(col(idCol), col(textCol))
-        else batch.select(col(idCol), col(textCol)).limit(0)
-      // an at-least-once source can redeliver a record INSIDE one batch:
-      // collapse exact (id, text) duplicates (a duplicated row would
-      // otherwise pair with itself through the bucket expansion), and
-      // fail loudly on conflicting texts under one id — the batch is
-      // increment-sized, so the check is bounded
-      val deduped = batch.select(col(idCol), col(textCol)).distinct()
-      val conflicts = deduped.groupBy(col(idCol))
-        .agg(count(lit(1)).as("__n")).filter(col("__n") > 1).count()
-      require(conflicts == 0,
-        s"StreamingDedup: $conflicts id(s) arrive with conflicting texts " +
-          "in one batch — upstream must version or de-conflict ids")
-      // replay guard: ids already merged into the store are not "new" —
-      // this also guarantees incrementalMinhashPairs' disjointness contract
-      val newOnly = deduped
-        .join(existing.select(col(idCol)), Seq(idCol), "left_anti")
-      val pairs =
-        if (newOnly.isEmpty) {
-          // fully-redelivered batch: emit the empty shard without paying a
-          // whole-store signature pass just to pair nothing against it
-          val schema = org.apache.spark.sql.types.StructType(Seq(
-            org.apache.spark.sql.types.StructField("new_id",
-              batch.schema(idCol).dataType),
-            org.apache.spark.sql.types.StructField("dup_id",
-              batch.schema(idCol).dataType),
-            org.apache.spark.sql.types.StructField("dup_is_existing",
-              org.apache.spark.sql.types.BooleanType),
-            org.apache.spark.sql.types.StructField("jaccard",
-              org.apache.spark.sql.types.DoubleType)))
-          spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
-        } else Dedup.incrementalMinhashPairs(newOnly, existing, idCol, textCol,
-          numHashes, bands, shingleK, threshold, maxBucket, portableHash)
-      pairs.write.mode("overwrite").parquet(pairsDir)
-    }
-    Streams.idempotentMerge(batch.select(col(idCol), col(textCol)), idCol, storePath)
+    val storeP = new org.apache.hadoop.fs.Path(storePath)
+    val storeExists = storeP.getFileSystem(conf).exists(storeP)
+    // an at-least-once source can redeliver a record INSIDE one batch:
+    // collapse exact (id, text) duplicates (a duplicated row would
+    // otherwise pair with itself through the bucket expansion and land in
+    // the store twice)
+    val deduped = batch.select(col(idCol), col(textCol)).distinct()
+    // increment-sized; cached because it feeds BOTH the pairing (inside the
+    // shard guard) and the store merge — one tokenize pass per batch, ever
+    val enriched = enrich(deduped, idCol, textCol,
+      numHashes, bands, shingleK, portableHash).persist()
+    try {
+      Streams.idempotentShardWrite(spark, pairsDir) {
+        // fail loudly on conflicting texts under one id — the batch is
+        // increment-sized, so the check is bounded
+        val conflicts = deduped.groupBy(col(idCol))
+          .agg(count(lit(1)).as("__n")).filter(col("__n") > 1).count()
+        require(conflicts == 0,
+          s"StreamingDedup: $conflicts id(s) arrive with conflicting texts " +
+            "in one batch — upstream must version or de-conflict ids")
+        val existingIds =
+          if (storeExists) spark.read.parquet(storePath).select(col(idCol))
+          else deduped.select(col(idCol)).limit(0)
+        // replay guard: ids already merged into the store are not "new" —
+        // this also guarantees incrementalPairsSigned's disjointness contract
+        val newSigned = enriched
+          .join(existingIds, Seq(idCol), "left_anti")
+          .filter(col("__sig").isNotNull)
+          .select(col(idCol).as("__id"), col("__sh"), col("__bk"))
+        val pairs =
+          if (newSigned.isEmpty) {
+            // fully-redelivered batch: emit the empty shard without scanning
+            // the whole store's band keys just to pair nothing against them
+            val schema = org.apache.spark.sql.types.StructType(Seq(
+              org.apache.spark.sql.types.StructField("new_id",
+                batch.schema(idCol).dataType),
+              org.apache.spark.sql.types.StructField("dup_id",
+                batch.schema(idCol).dataType),
+              org.apache.spark.sql.types.StructField("dup_is_existing",
+                org.apache.spark.sql.types.BooleanType),
+              org.apache.spark.sql.types.StructField("jaccard",
+                org.apache.spark.sql.types.DoubleType)))
+            spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+          } else Dedup.incrementalPairsSigned(newSigned,
+            existingSigned(spark, storePath, idCol, storeExists, enriched),
+            threshold, maxBucket)
+        pairs.write.mode("overwrite").parquet(pairsDir)
+      }
+      Streams.idempotentMerge(enriched, idCol, storePath)
+    } finally enriched.unpersist(false)
+  }
+
+  /** History as a pairing side, read STRAIGHT from the store's persisted
+    * columns — no text read, no tokenizer in the plan.
+    */
+  private[graft] def existingSigned(spark: org.apache.spark.sql.SparkSession,
+                                    storePath: String, idCol: String,
+                                    storeExists: Boolean,
+                                    emptyTemplate: DataFrame): DataFrame = {
+    val src =
+      if (storeExists) spark.read.parquet(storePath)
+      else emptyTemplate.limit(0)
+    src.filter(col("__sig").isNotNull)
+      .select(col(idCol).as("__id"), col("__sh"), col("__bk"))
   }
 
   /** Attach the per-batch step to a streaming DataFrame of documents. */

@@ -172,6 +172,53 @@ class StreamingSpec extends SparkSpec {
     assert(storeN() == 3)
   }
 
+  test("streaming dedup store is signature-bearing: history is never re-tokenized") {
+    import graft.streaming.StreamingDedup
+    import graft.operators.Dedup
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft_sigstore_").toString
+    val store = s"file:$tmp/store"
+    val pairs = s"file:$tmp/pairs"
+    val text = "w1 w2 w3 w4 w5 w6"
+    StreamingDedup.processBatch(Seq((1L, text), (2L, text)).toDF("id", "text"),
+      "id", "text", store, pairs, 0L, threshold = 0.5)
+    StreamingDedup.processBatch(Seq((3L, text)).toDF("id", "text"),
+      "id", "text", store, pairs, 1L, threshold = 0.5)
+
+    // 1. the store carries the per-document signature columns, computed
+    // once at merge time
+    val st = spark.read.parquet(store)
+    assert(Set("__sh", "__sig", "__bk").subsetOf(st.columns.toSet),
+      s"store must persist shingles/signature/band keys, has ${st.columns.toSeq}")
+    assert(st.filter(col("__sig").isNull || size(col("__bk")) =!= 8).count() == 0,
+      "every stored doc must carry a signature and one key per band")
+
+    // 2. the history side processBatch feeds into the pairing reads ONLY
+    // (id, __sh, __sig, __bk) from parquet — the text column never loads
+    val ex = StreamingDedup.existingSigned(spark, store, "id",
+      storeExists = true, emptyTemplate = st)
+    val scan = ex.queryExecution.executedPlan.collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+    }
+    assert(scan.nonEmpty && !scan.exists(_.requiredSchema.fieldNames.contains("text")),
+      s"history scan must prune the text column:\n${ex.queryExecution.executedPlan}")
+
+    // 3. the whole store-fed pairing plan contains NO tokenize/shingle/
+    // signature expression — both sides arrive pre-signed (the new side's
+    // single text pass happens upstream in enrich); history cost is pruned
+    // column scans, ∝ corpus bytes read but zero per-batch text CPU
+    val newSigned = Dedup.signedSide(Seq((9L, text)).toDF("id", "text"), "id", "text")
+    val tmpNew = s"file:$tmp/new_signed"
+    newSigned.write.parquet(tmpNew)
+    val lazyPlan = Dedup.incrementalPairsSigned(
+      spark.read.parquet(tmpNew), ex, threshold = 0.5, maxBucket = 1000,
+      eager = false)
+    val planStr = lazyPlan.queryExecution.optimizedPlan.toString
+    for (tok <- Seq("split(", "regexp_replace", "lower(", "minhash"))
+      assert(!planStr.toLowerCase.contains(tok),
+        s"pairing plan must be tokenizer-free, found '$tok':\n$planStr")
+  }
+
   test("stateful sessions: event-time timeout flushes an idle session in streaming mode") {
     import java.sql.Timestamp
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
