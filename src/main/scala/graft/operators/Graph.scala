@@ -13,18 +13,29 @@ import org.apache.spark.sql.functions._
   * two engines share). This is the same determinism trade the repo's
   * md5-bucket samplers make.
   *
+  * DANGLING nodes (no out-edge — the web/citation-graph norm) are handled
+  * the standard way: their rank mass redistributes uniformly to every
+  * node each iteration. The redistribution stays bit-exact — each
+  * dangling node's contribution is the floor division `(85 * r) div
+  * (100 * n)` and the total is one exact integer sum, collected as a
+  * single scalar aggregate per iteration and added back as a literal.
+  * Nodes with no IN-edge need no special case: each iteration rebuilds
+  * the rank vector FROM THE NODE LIST (left join against the aggregated
+  * contributions), so an uncited node simply keeps base + dangling share
+  * instead of silently dropping out of the groupBy(dst) result.
+  *
   * Scale shape: each iteration is one join of the edge list with the
   * current rank vector plus one partial-aggregated sum by destination —
-  * the standard distributed PageRank step (shuffle ∝ edges). Lineage is
-  * cut with `localCheckpoint` every few rounds, the
-  * [[Dedup.connectedComponents]] discipline, so ten iterations don't
+  * the standard distributed PageRank step (shuffle ∝ edges). The dangling
+  * probe is a node-set anti-join computed ONCE; per iteration it costs
+  * one scalar aggregate over the (semi-joined) rank vector and nothing at
+  * all when the graph has no dangling nodes. Lineage is cut with
+  * `localCheckpoint` (every round when the dangling aggregate forces a
+  * materialization anyway, every 4th otherwise — the
+  * [[Dedup.connectedComponents]] discipline), so ten iterations don't
   * compound into a thousand-stage plan. At cluster scale the edge list
   * is pre-partitioned by `src` once and every iteration reuses that
   * exchange.
-  *
-  * CONTRACT: every node must have at least one outgoing and one incoming
-  * edge (no dangling mass) — symmetric edge sets satisfy this by
-  * construction; violations fail loudly.
   */
 object Graph {
 
@@ -38,40 +49,49 @@ object Graph {
       val nodes = e.select(col("src").as("node"))
         .union(e.select(col("dst").as("node"))).distinct().persist()
       try {
-        val noOut = nodes
+        // node-sized, computed once: the set whose mass must be
+        // redistributed (replaces the former loud no-out/no-in contract —
+        // both cases are now first-class, in ONE pass over the node set)
+        val dangling = nodes
           .join(e.select(col("src").as("node")).distinct(), Seq("node"), "left_anti")
-          .count()
-        require(noOut == 0,
-          s"pageRankFixed: $noOut node(s) have no out-edge — rank mass " +
-            "would leak; make the edge set symmetric or add self-loops")
-        // and the dual: a node with no IN-edge would silently drop from
-        // the groupBy(dst)-built rank vector after iteration 1, taking its
-        // outgoing contributions with it
-        val noIn = nodes
-          .join(e.select(col("dst").as("node")).distinct(), Seq("node"), "left_anti")
-          .count()
-        require(noIn == 0,
-          s"pageRankFixed: $noIn node(s) have no in-edge — they would " +
-            "vanish from the rank vector; make the edge set symmetric")
-        val n = nodes.count()
-        val init = scale / n
-        val base = ((15L * scale) / 100L) / n
-        val deg = e.groupBy(col("src")).agg(count(lit(1)).as("od"))
-        var rank = nodes.select(col("node"), lit(init).as("r"))
-        var i = 1
-        while (i <= iters) {
-          rank = e
-            .join(rank.withColumnRenamed("node", "src"), "src")
-            .join(deg, "src")
-            .select(col("dst").as("node"),
-              expr("(85 * r) div (100 * od)").as("c"))
-            .groupBy(col("node"))
-            .agg((lit(base) + sum(col("c"))).as("r"))
-          // cut lineage so ten iterations don't stack into one mega-plan
-          if (i % 4 == 0 || i == iters) rank = rank.localCheckpoint(true)
-          i += 1
-        }
-        rank
+          .persist()
+        try {
+          val nDangling = dangling.count()
+          val n = nodes.count()
+          val init = scale / n
+          val base = ((15L * scale) / 100L) / n
+          val deg = e.groupBy(col("src")).agg(count(lit(1)).as("od"))
+          var rank = nodes.select(col("node"), lit(init).as("r"))
+          var i = 1
+          while (i <= iters) {
+            // one exact integer scalar per round: sum of the per-dangling-
+            // node floored share — the same decomposition the oracle's
+            // target-map replay sums row-wise, so totals agree bit-for-bit
+            val dShare =
+              if (nDangling == 0) 0L
+              else rank.join(dangling, Seq("node"), "left_semi")
+                .agg(coalesce(sum(expr(s"(85 * r) div (100 * $n)")), lit(0L)))
+                .head().getLong(0)
+            val contribs = e
+              .join(rank.withColumnRenamed("node", "src"), "src")
+              .join(deg, "src")
+              .select(col("dst").as("node"),
+                expr("(85 * r) div (100 * od)").as("c"))
+              .groupBy(col("node"))
+              .agg(sum(col("c")).as("s"))
+            rank = nodes.join(contribs, Seq("node"), "left")
+              .select(col("node"),
+                (lit(base + dShare) + coalesce(col("s"), lit(0L))).as("r"))
+            // cut lineage so ten iterations don't stack into one mega-plan;
+            // with dangling nodes every round takes a driver action anyway,
+            // so materialize every round and the dShare aggregate reads a
+            // checkpointed vector instead of replaying join lineage
+            if (nDangling > 0 || i % 4 == 0 || i == iters)
+              rank = rank.localCheckpoint(true)
+            i += 1
+          }
+          rank
+        } finally dangling.unpersist(false)
       } finally nodes.unpersist(false)
     } finally e.unpersist(false)
   }

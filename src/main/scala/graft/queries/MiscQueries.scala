@@ -12,6 +12,66 @@ import graft.Tables
 object MiscQueries {
   private def t(s: SparkSession, dir: String, n: String): DataFrame = Tables(s, dir, n)
 
+  /** q133 oracle GENERATOR (the q57 inline-constants pattern): the
+    * edge-contribution recursion replays in SQL exactly as q128's, while
+    * the ten per-iteration dangling shares are inlined as integer literals
+    * computed driver-side by the same floor-division recursion — DuckDB's
+    * recursive-CTE planner degenerates (hours, not seconds) on a
+    * setop/cross-join target-map CTE inside WITH RECURSIVE, so the
+    * uniform-redistribution term can't live in the SQL. Zero-contribution
+    * self-loops keep uncited nodes (no in-edge) in the groupBy(dst) rank
+    * vector, mirroring the engine's rebuild-from-node-list step.
+    */
+  private def q133OracleGen(s: SparkSession, dir: String): String = {
+    val pairs = t(s, dir, "lineitem").select(col("l_orderkey"), col("l_suppkey"))
+      .join(t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey")),
+        col("l_orderkey") === col("o_orderkey"))
+      .select(col("o_custkey").cast("long").as("src"),
+        (col("l_suppkey") + 10000000L).cast("long").as("dst"))
+      .distinct()
+    val edges = pairs.collect().map(r => (r.getLong(0), r.getLong(1)))
+    val nodes = (edges.map(_._1) ++ edges.map(_._2)).distinct.sorted
+    val n = nodes.length.toLong
+    val scale = 1000000000L
+    val init = scale / n
+    val base = ((15L * scale) / 100L) / n
+    val out = edges.groupBy(_._1).map { case (k, v) => k -> v.length.toLong }
+    val dangling = nodes.filterNot(out.contains)
+    var r = nodes.map(_ -> init).toMap
+    val shares = (1 to 10).map { _ =>
+      val d = dangling.map(v => (85L * r(v)) / (100L * n)).sum
+      val contrib = scala.collection.mutable.Map(nodes.map(_ -> 0L): _*)
+      edges.foreach { case (a, b) => contrib(b) += (85L * r(a)) / (100L * out(a)) }
+      r = nodes.map(v => v -> (base + d + contrib(v))).toMap
+      d
+    }
+    val arms = shares.zipWithIndex
+      .map { case (d, i) => s"WHEN $i THEN CAST($d AS BIGINT)" }.mkString(" ")
+    s"""WITH RECURSIVE
+       |edges AS (SELECT DISTINCT o_custkey AS src, l_suppkey + 10000000 AS dst
+       |          FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+       |deg AS (SELECT src, CAST(count(*) AS BIGINT) AS od FROM edges GROUP BY src),
+       |nodes AS (SELECT DISTINCT node FROM
+       |          (SELECT src AS node FROM edges UNION ALL SELECT dst FROM edges) u),
+       |e2 AS (SELECT e.src, e.dst, CAST(100 * d.od AS BIGINT) AS den
+       |       FROM edges e JOIN deg d ON e.src = d.src
+       |       UNION ALL
+       |       SELECT node, node, CAST(NULL AS BIGINT) AS den FROM nodes),
+       |pr AS (
+       |  SELECT 0 AS iter, node, CAST($init AS BIGINT) AS r FROM nodes
+       |  UNION ALL
+       |  SELECT p.iter + 1, e.dst AS node,
+       |    CAST(CAST($base AS BIGINT) + (CASE p.iter $arms END)
+       |      + sum(CASE WHEN e.den IS NULL THEN 0 ELSE (85 * p.r) // e.den END)
+       |      AS BIGINT) AS r
+       |  FROM pr p JOIN e2 e ON p.node = e.src
+       |  WHERE p.iter < 10
+       |  GROUP BY p.iter, e.dst
+       |)
+       |SELECT node, r FROM pr WHERE iter = 10
+       |ORDER BY r DESC, node LIMIT 20""".stripMargin
+  }
+
   def all: Seq[Q] = Seq(
 
     // ---- Z-order (Morton) curve code — the clustering key behind
@@ -200,6 +260,27 @@ object MiscQueries {
              |)
              |SELECT node, r FROM pr WHERE iter = 10
              |ORDER BY r DESC, node LIMIT 20""".stripMargin)),
+
+    // ---- Dangling-node PageRank: the same fixed-point operator on the
+    // ONE-WAY commerce graph (cust -> supp only), where every supplier is
+    // a dangling sink and every customer is uncited — the web/citation
+    // shape the symmetric q128 can't exhibit. The engine redistributes
+    // dangling mass as one integer scalar per iteration; the oracle
+    // replays the edge recursion in SQL with those scalars inlined as
+    // literals (see q133OracleGen). ----
+    Q("q133_pagerank_dangling",
+      (s, dir) => {
+        val edges = t(s, dir, "lineitem").select(col("l_orderkey"), col("l_suppkey"))
+          .join(t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey")),
+            col("l_orderkey") === col("o_orderkey"))
+          .select(col("o_custkey").cast("long").as("src"),
+            (col("l_suppkey") + 10000000L).cast("long").as("dst"))
+          .distinct()
+        graft.operators.Graph.pageRankFixed(edges, "src", "dst", iters = 10)
+          .orderBy(col("r").desc, col("node")).limit(20)
+      },
+      None,
+      oracleGen = Some(q133OracleGen _)),
 
     // ---- Entity resolution (operators/Entities): fuzzy-match customer
     // names within Levenshtein distance 1 via deletion-neighborhood

@@ -5,10 +5,30 @@ import org.apache.spark.sql.functions.col
 import graft.operators.Graph
 
 /** Pins the exact fixed-point PageRank: bit-equality with a driver mirror
-  * using the identical integer ops, and the loud dangling-node contract.
+  * using the identical integer ops, on symmetric AND dangling graphs.
   */
 class GraphSpec extends SparkSpec {
   import spark.implicits._
+
+  /** Driver mirror of the integer PageRank step, dangling mass included. */
+  private def mirror(edges: Seq[(Long, Long)], iters: Int): Map[Long, Long] = {
+    val nodes = edges.flatMap(p => Seq(p._1, p._2)).distinct.sorted
+    val n = nodes.length.toLong
+    val scale = 1000000000L
+    val base = ((15L * scale) / 100L) / n
+    val out = edges.groupBy(_._1).map { case (k, v) => k -> v.size.toLong }
+    val dangling = nodes.filterNot(out.contains)
+    var r = nodes.map(_ -> scale / n).toMap
+    for (_ <- 1 to iters) {
+      val dShare = dangling.map(d => (85L * r(d)) / (100L * n)).sum
+      val contrib = scala.collection.mutable.Map(nodes.map(_ -> 0L): _*)
+      edges.foreach { case (s0, d0) =>
+        contrib(d0) += (85L * r(s0)) / (100L * out(s0))
+      }
+      r = nodes.map(v => v -> (base + dShare + contrib(v))).toMap
+    }
+    r
+  }
 
   test("pageRankFixed equals the integer driver mirror on a symmetric graph") {
     val rnd = new scala.util.Random(7)
@@ -35,20 +55,28 @@ class GraphSpec extends SparkSpec {
     assert(got == r, s"distributed $got != mirror $r")
   }
 
-  test("a node with no out-edge fails loudly instead of leaking rank mass") {
-    val e = intercept[IllegalArgumentException] {
-      Graph.pageRankFixed(Seq((1L, 2L)).toDF("src", "dst"), "src", "dst")
-    }
-    assert(e.getMessage.contains("no out-edge"))
+  test("dangling nodes redistribute mass exactly; uncited nodes survive") {
+    // 2 is dangling (no out-edge); 3 has an out-edge but no in-edge. The
+    // former loud contract rejected both shapes — now they are first-class:
+    // 2's mass spreads uniformly, 3 keeps base + dangling share.
+    val edges = Seq((1L, 2L), (3L, 1L), (3L, 2L))
+    val got = Graph.pageRankFixed(edges.toDF("src", "dst"), "src", "dst", iters = 10)
+      .as[(Long, Long)].collect().toMap
+    val exp = mirror(edges, 10)
+    assert(got == exp, s"distributed $got != mirror $exp")
+    assert(got.keySet == Set(1L, 2L, 3L), "every node must stay in the vector")
+    // a sink plus a source can never tie: 2 receives from both others
+    assert(got(2L) > got(3L))
   }
 
-  test("a node with no in-edge fails loudly instead of silently vanishing") {
-    // node 3 has an out-edge but nothing points at it: after iteration 1
-    // it would drop from the groupBy(dst)-built rank vector
-    val e = intercept[IllegalArgumentException] {
-      Graph.pageRankFixed(Seq((3L, 1L), (1L, 2L), (2L, 1L), (1L, 3L))
-        .toDF("src", "dst").filter(col("dst") =!= 3L), "src", "dst")
-    }
-    assert(e.getMessage.contains("no in-edge"))
+  test("a mostly-dangling random graph matches the mirror bit-for-bit") {
+    val rnd = new scala.util.Random(13)
+    val edges = (1 to 40)
+      .map(_ => (rnd.nextInt(8).toLong, (8 + rnd.nextInt(8)).toLong))
+      .distinct
+    // every dst-side node (8..15) is dangling: redistribution dominates
+    val got = Graph.pageRankFixed(edges.toDF("src", "dst"), "src", "dst", iters = 7)
+      .as[(Long, Long)].collect().toMap
+    assert(got == mirror(edges, 7), "dangling-heavy graph must match the mirror")
   }
 }
