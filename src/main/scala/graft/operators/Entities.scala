@@ -7,37 +7,67 @@ import org.apache.spark.sql.functions._
   * the "same real-world entity, slightly different string" problem that
   * MinHash (token-level) and SemDeDup (embedding-level) don't address.
   *
-  * Blocking is the deletion neighborhood (the FastSS / SymSpell shape):
-  * two strings within Levenshtein distance 1 (substitution, insertion,
-  * or deletion) always share at least one single-character-deletion
-  * variant, so candidates come from a self-join on the variant key —
-  * O(n · len) variant rows and bounded groups instead of the O(n²)
-  * all-pairs scan. Candidates are verified with the exact integer
-  * Levenshtein distance (identical in any engine — the DP has no
+  * Blocking is the deletion neighborhood (the FastSS / SymSpell shape),
+  * generalized to edit distance k: two strings within Levenshtein
+  * distance k always share at least one variant in their delete-0..k
+  * neighborhoods (FastSS's theorem — each side deletes the characters
+  * its alignment edits), so candidates come from a self-join on the
+  * variant key — O(n · len^k) variant rows and bounded groups instead of
+  * the O(n²) all-pairs scan. Candidates are verified with the exact
+  * integer Levenshtein distance (identical in any engine — the DP has no
   * floating point), so the oracle replays the whole pipeline.
   *
-  * Scale shape: the variant explode is a narrow map; the self-join
-  * shuffles on the variant key; a shared-prefix corpus can make some
-  * variants hot, which AQE's skew-join handles (groups are bounded by
-  * the alphabet-at-one-position, not the corpus).
+  * Scale shape: the variant explode is a narrow map (the neighborhood is
+  * built by k rounds of "delete one more character from everything so
+  * far", deduplicated per round); the self-join shuffles on the variant
+  * key; a shared-prefix corpus can make some variants hot, which AQE's
+  * skew-join handles. `maxLen` bounds the per-name fan-out — at k = 2 a
+  * name of length L yields ~L²/2 variants, so names longer than the cap
+  * fail loudly rather than silently exploding the block index (cap or
+  * pre-truncate upstream; 64 chars ≈ 2k variants per name).
   */
 object Entities {
 
-  /** Pairs of ids whose names are within Levenshtein distance 1
+  /** Pairs of ids whose names are within Levenshtein distance `maxDist`
     * (id_a < id_b, deduplicated across blocking variants).
     */
-  def fuzzyPairs(df: DataFrame, idCol: String, nameCol: String): DataFrame = {
-    val base = df.select(col(idCol).as("__id"), col(nameCol).as("__nm"))
+  def fuzzyPairs(df: DataFrame, idCol: String, nameCol: String,
+                 maxDist: Int = 1, maxLen: Int = 64): DataFrame = {
+    require(maxDist >= 1 && maxDist <= 3,
+      "fuzzyPairs supports maxDist 1..3 (variant fan-out is len^k)")
+    // length guard rides the name column itself (a separate check column
+    // would be pruned as dead): any over-long name fails the scan loudly,
+    // with no extra validation job
+    val guarded = when(length(col(nameCol)) <= maxLen, col(nameCol))
+      .otherwise(raise_error(concat(
+        lit(s"fuzzyPairs: name longer than maxLen=$maxLen chars — the " +
+          s"delete-$maxDist neighborhood would explode; cap or truncate " +
+          "upstream: "), col(nameCol))))
+    val base = df.select(col(idCol).as("__id"), guarded.as("__nm"))
     // the delete-0 variant (the string itself) is REQUIRED: an
-    // insertion/deletion pair shares no delete-1 variant — the shorter
-    // string IS the longer one's delete-1 variant (FastSS's 0..k set)
-    val vars = base.select(col("__id"), col("__nm"),
-      explode(array_distinct(expr(
-        """concat(array(__nm),
-          |  transform(sequence(1, length(__nm)),
-          |    i -> concat(substring(__nm, 1, i - 1),
-          |                substring(__nm, i + 1, length(__nm)))))""".stripMargin)))
-        .as("__v"))
+    // insertion/deletion pair shares no same-depth variant — the shorter
+    // string IS the longer one's deeper variant (FastSS's 0..k set). The
+    // neighborhood accumulates k rounds of single-character deletions over
+    // everything collected so far; array_distinct per round keeps the
+    // blow-up at distinct-variant size (deleting positions i<j and j<i
+    // collide constantly).
+    val neighborhood = expr(
+      s"""aggregate(sequence(1, $maxDist), array(__nm),
+         |  (acc, step) -> array_distinct(concat(acc,
+         |    flatten(transform(acc, v ->
+         |      transform(sequence(1, length(v)), i ->
+         |        concat(substring(v, 1, i - 1),
+         |               substring(v, i + 1, length(v)))))))))""".stripMargin)
+    // materialize the variant table ONCE and self-join the materialization:
+    // the explode is the dominant cost and can never silently run twice,
+    // regardless of join strategy (broadcast at small scale picks a
+    // BroadcastExchange build side that ReuseExchange would NOT fold with
+    // the streamed side; sort-merge at corpus scale would reuse, but only
+    // while the subtrees stay canonically equal). PlanSpec pins both join
+    // sides to the same materialized RDD.
+    val vars = base
+      .select(col("__id"), col("__nm"), explode(neighborhood).as("__v"))
+      .localCheckpoint(true)
     vars.alias("a")
       .join(vars.alias("b"),
         col("a.__v") === col("b.__v") && col("a.__id") < col("b.__id"))
@@ -45,7 +75,7 @@ object Entities {
         col("a.__nm").as("na"), col("b.__nm").as("nb"))
       .distinct()
       .withColumn("dist", levenshtein(col("na"), col("nb")).cast("long"))
-      .filter(col("dist") <= 1)
+      .filter(col("dist") <= maxDist)
       .select(col("id_a"), col("id_b"), col("dist"))
   }
 }

@@ -322,6 +322,58 @@ object MiscQueries {
              |  CAST(count(sym.peer) AS BIGINT) AS n_fuzzy,
              |  CAST(coalesce(min(sym.peer), -1) AS BIGINT) AS min_peer
              |FROM n LEFT JOIN sym ON n.id = sym.id
+             |GROUP BY n.id ORDER BY n.id""".stripMargin)),
+
+    // ---- Entity resolution at edit distance 2 (FastSS delete-0..2
+    // neighborhoods): catches the double-substitution / transposition
+    // pairs k=1 blocking provably cannot see. Bounded input slice (the
+    // per-name variant fan-out is len²/2); the oracle replays the two
+    // deletion rounds, the exact Levenshtein verify at distance 2, and
+    // the symmetrized rollup with a distance-2 peer count. ----
+    Q("q134_fuzzy_entities_k2",
+      (s, dir) => {
+        val c = t(s, dir, "customer").filter(col("c_custkey") <= 500)
+          .select(col("c_custkey").as("id"), col("c_name").as("nm"))
+        val pairs = graft.operators.Entities.fuzzyPairs(c, "id", "nm", maxDist = 2)
+          .localCheckpoint(true)
+        val sym = pairs
+          .select(col("id_a").as("id"), col("id_b").as("peer"), col("dist"))
+          .unionByName(pairs
+            .select(col("id_b").as("id"), col("id_a").as("peer"), col("dist")))
+        c.join(sym, Seq("id"), "left")
+          .groupBy(col("id"))
+          .agg(sum(when(col("peer").isNotNull, 1L).otherwise(0L)).as("n_fuzzy"),
+            sum(when(col("dist") === 2, 1L).otherwise(0L)).as("n_d2"),
+            min(col("peer")).as("min_peer"))
+          .select(col("id"), col("n_fuzzy"), col("n_d2"),
+            coalesce(col("min_peer"), lit(-1L)).as("min_peer"))
+          .orderBy(col("id"))
+      },
+      Some("""WITH n AS (SELECT c_custkey AS id, c_name AS nm FROM customer
+             |           WHERE c_custkey <= 500),
+             |d1 AS (SELECT id, nm,
+             |         substr(nm, 1, i - 1) || substr(nm, i + 1, length(nm)) AS var
+             |       FROM n, unnest(generate_series(1, length(nm))) AS t(i)),
+             |d2 AS (SELECT id, nm,
+             |         substr(var, 1, i - 1) || substr(var, i + 1, length(var)) AS v2
+             |       FROM d1, unnest(generate_series(1, length(var))) AS t(i)),
+             |v AS (SELECT DISTINCT id, nm, var FROM (
+             |        SELECT id, nm, nm AS var FROM n
+             |        UNION ALL SELECT id, nm, var FROM d1
+             |        UNION ALL SELECT id, nm, v2 AS var FROM d2)),
+             |cand AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b,
+             |           a.nm AS na, b.nm AS nb
+             |         FROM v a JOIN v b ON a.var = b.var AND a.id < b.id),
+             |p AS (SELECT id_a, id_b, CAST(levenshtein(na, nb) AS BIGINT) AS dist
+             |      FROM cand WHERE levenshtein(na, nb) <= 2),
+             |sym AS (SELECT id_a AS id, id_b AS peer, dist FROM p
+             |        UNION ALL SELECT id_b, id_a, dist FROM p)
+             |SELECT n.id,
+             |  CAST(sum(CASE WHEN sym.peer IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+             |    AS n_fuzzy,
+             |  CAST(sum(CASE WHEN sym.dist = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_d2,
+             |  CAST(coalesce(min(sym.peer), -1) AS BIGINT) AS min_peer
+             |FROM n LEFT JOIN sym ON n.id = sym.id
              |GROUP BY n.id ORDER BY n.id""".stripMargin))
   )
 }

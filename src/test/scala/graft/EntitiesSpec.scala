@@ -24,4 +24,38 @@ class EntitiesSpec extends SparkSpec {
     assert(!pairs.contains((3L, 4L, 2L)) && !pairs.exists(_._3 > 1),
       s"distance-2 pairs must be verified away: $pairs")
   }
+
+  test("delete-2 neighborhoods find distance-2 pairs k=1 blocking provably misses") {
+    // two substitutions at NON-ADJACENT positions (i->y at index 2 and 8):
+    // no single deletion aligns the strings, so the k=1 neighborhoods
+    // share no variant at all — this pair is invisible to k=1 blocking,
+    // not merely rejected by its verify filter
+    val df = Seq((1L, "alice smith"), (2L, "alyce smyth"), (3L, "bob"))
+      .toDF("id", "nm")
+    val k1 = Entities.fuzzyPairs(df, "id", "nm")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(k1.isEmpty, s"k=1 must not even see the candidate: $k1")
+    val k2 = Entities.fuzzyPairs(df, "id", "nm", maxDist = 2)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(k2 == Set((1L, 2L, 2L)), s"k=2 must verify the pair at distance 2: $k2")
+  }
+
+  test("transposition pairs verify at distance 2 under k=2") {
+    // an adjacent transposition = two adjacent substitutions: k=1 blocking
+    // sees the candidate (both sides' delete-1 hit the same string) but
+    // its verify filter rejects dist 2; k=2 keeps it
+    val df = Seq((1L, "Customer#12"), (2L, "Customer#21")).toDF("id", "nm")
+    assert(Entities.fuzzyPairs(df, "id", "nm").count() == 0)
+    val k2 = Entities.fuzzyPairs(df, "id", "nm", maxDist = 2)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(k2 == Set((1L, 2L, 2L)), s"transposition must pair at dist 2: $k2")
+  }
+
+  test("names longer than maxLen fail loudly instead of exploding the block index") {
+    val df = Seq((1L, "x" * 70)).toDF("id", "nm")
+    val e = intercept[Exception] {
+      Entities.fuzzyPairs(df, "id", "nm", maxDist = 2).count()
+    }
+    assert(e.getMessage != null)
+  }
 }

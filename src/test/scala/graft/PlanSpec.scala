@@ -202,6 +202,27 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("fuzzyPairs: variant explode runs ONCE; both join sides scan the materialization") {
+    withoutAqe {
+      val c = Tables(spark, sfDir, "customer")
+        .select(col("c_custkey").as("id"), col("c_name").as("nm"))
+      val p = plan(graft.operators.Entities.fuzzyPairs(c, "id", "nm", maxDist = 2))
+      // the (dominant) delete-neighborhood explode must be materialized
+      // before the self-join — a Generate in this plan means some join
+      // strategy (e.g. a small-scale broadcast build) re-runs it
+      val gens = p.collect {
+        case g: org.apache.spark.sql.execution.GenerateExec => g
+      }
+      assert(gens.isEmpty,
+        s"fuzzyPairs: variant explode leaked past the materialization:\n$p")
+      val rddIds = p.collect {
+        case r: org.apache.spark.sql.execution.RDDScanExec => r.inputRDD.id
+      }
+      assert(rddIds.size == 2 && rddIds.distinct.size == 1,
+        s"fuzzyPairs: both join sides must scan ONE materialized RDD, got $rddIds:\n$p")
+    }
+  }
+
   test("BPE encode: zero-shuffle narrow map (no word join, no doc regroup)") {
     withoutAqe {
       val docs = Tables(spark, sfDir, "documents")
