@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -8,33 +8,51 @@ import org.apache.spark.sql.functions._
   * collapse a per-key observation log into SCD Type-2 version rows with
   * `[valid_from, valid_to)` intervals, keeping one row per RUN of equal
   * attribute values (a re-observation of the same value extends the
-  * current version instead of opening a new one).
+  * current version instead of opening a new one). Real dimensions
+  * version a TUPLE of attributes; the multi-column form compares the
+  * whole attribute struct with one null-safe equality and emits it as a
+  * single `state` struct column.
   *
   * Scale shape: two window passes keyed by the dimension key (high
   * cardinality — no skew concern), no joins, no driver work; ties in the
   * observation time are broken by `tieCol` so versioning is total and
-  * rerun-stable. Attribute values must be non-null (a null would make
-  * run-collapse comparisons ambiguous); violations fail the comparison
-  * loudly via the null-safe equality below rather than silently merging
-  * runs.
+  * rerun-stable.
+  *
+  * Null attribute values are OUTSIDE the contract and unchecked: Spark's
+  * null-safe struct comparison gives them consistent engine semantics
+  * (a re-observed null field collapses into the run; a value→null
+  * transition opens a version), but replaying that choice in another
+  * engine's SQL needs explicit IS DISTINCT FROM plumbing — callers who
+  * want cross-engine-verifiable histories should pre-filter or sentinel
+  * nulls upstream.
   */
 object Scd {
 
-  def scd2(df: DataFrame, keyCol: String, attrCol: String,
+  def scd2(df: DataFrame, keyCol: String, attrCols: Seq[String],
            tsCol: String, tieCol: String): DataFrame = {
+    require(attrCols.nonEmpty, "scd2 needs at least one attribute column")
     val w = Window.partitionBy(col(keyCol)).orderBy(col(tsCol), col(tieCol))
     val changed = df
-      .withColumn("__prev", lag(col(attrCol), 1).over(w))
+      .withColumn("__state", struct(attrCols.map(col): _*))
+      .withColumn("__prev", lag(col("__state"), 1).over(w))
       // null-safe: the first observation (prev null) always opens a
-      // version; equal consecutive values collapse into one run
-      .filter(!(col("__prev") <=> col(attrCol)))
+      // version; equal consecutive states collapse into one run
+      .filter(!(col("__prev") <=> col("__state")))
     val w2 = Window.partitionBy(col(keyCol)).orderBy(col(tsCol), col(tieCol))
     changed
       .withColumn("version", row_number().over(w2).cast("long"))
       .withColumn("valid_from", col(tsCol))
       .withColumn("valid_to", lead(col(tsCol), 1).over(w2))
       .withColumn("is_current", col("valid_to").isNull)
-      .select(col(keyCol), col("version"), col(attrCol).as("state"),
+      .select(col(keyCol), col("version"), col("__state").as("state"),
         col("valid_from"), col("valid_to"), col("is_current"))
   }
+
+  /** Single-attribute convenience form: same pipeline, `state` carries the
+    * bare attribute value instead of a one-field struct.
+    */
+  def scd2(df: DataFrame, keyCol: String, attrCol: String,
+           tsCol: String, tieCol: String): DataFrame =
+    scd2(df, keyCol, Seq(attrCol), tsCol, tieCol)
+      .withColumn("state", col("state").getField(attrCol))
 }

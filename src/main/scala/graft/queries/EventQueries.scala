@@ -262,6 +262,47 @@ object EventQueries {
              |      FROM k)
              |SELECT user_id, version, state, valid_from, valid_to,
              |  valid_to IS NULL AS is_current
+             |FROM v ORDER BY user_id, version""".stripMargin)),
+
+    // ---- Multi-attribute SCD2: the dimension state is the TUPLE
+    // (event_type, k-band); a version opens when EITHER attribute moves.
+    // The operator compares the whole struct null-safely in one lag; the
+    // query flattens the struct for the driver compare, and the oracle is
+    // the identical two-lag formulation. ----
+    Q("q135_scd2_multi_attr",
+      (s, dir) => {
+        val ev = t(s, dir, "events")
+          .withColumn("band",
+            expr("CAST(get_json_object(props, '$.k') AS BIGINT) div 25"))
+        graft.operators.Scd.scd2(ev, "user_id", Seq("event_type", "band"),
+            "ts", "event_id")
+          .select(col("user_id"), col("version"),
+            col("state.event_type").as("state_event_type"),
+            col("state.band").as("state_band"),
+            col("valid_from"), col("valid_to"), col("is_current"))
+          .orderBy(col("user_id"), col("version"))
+      },
+      Some("""WITH e AS (SELECT user_id, event_type,
+             |        CAST(json_extract_string(props, '$.k') AS BIGINT) // 25 AS band,
+             |        ts, event_id FROM events),
+             |ch AS (SELECT user_id, event_type, band, ts, event_id,
+             |        lag(event_type) OVER (PARTITION BY user_id
+             |          ORDER BY ts, event_id) AS pet,
+             |        lag(band) OVER (PARTITION BY user_id
+             |          ORDER BY ts, event_id) AS pb
+             |      FROM e),
+             |k AS (SELECT user_id, event_type, band, ts, event_id FROM ch
+             |      WHERE pet IS NULL OR pet <> event_type OR pb <> band),
+             |v AS (SELECT user_id,
+             |        CAST(row_number() OVER (PARTITION BY user_id
+             |          ORDER BY ts, event_id) AS BIGINT) AS version,
+             |        event_type AS state_event_type, band AS state_band,
+             |        ts AS valid_from,
+             |        lead(ts) OVER (PARTITION BY user_id
+             |          ORDER BY ts, event_id) AS valid_to
+             |      FROM k)
+             |SELECT user_id, version, state_event_type, state_band,
+             |  valid_from, valid_to, valid_to IS NULL AS is_current
              |FROM v ORDER BY user_id, version""".stripMargin))
   )
 }
