@@ -309,7 +309,11 @@ object DedupQueries {
     * Residuals are double-exact on both engines: CAST(float AS DOUBLE) is
     * exact widening and both sides subtract the same raw-double centroids.
     */
-  private def q99OracleGen(s: SparkSession, dir: String): String = {
+  /** The IVF-PQ replay CTEs (constants + assignment + codes + probing +
+    * ADC ranking, through ranked `r`), shared by q99 (the ranked answers)
+    * and q136 (recall@k against exact search).
+    */
+  private def ivfPqReplayCtes(s: SparkSession, dir: String): String = {
     val sample = Tables(s, dir, "embeddings")
       .select(col("vec_id"), col("embedding")).orderBy(col("vec_id"))
       .limit(100000).collect()
@@ -329,7 +333,7 @@ object DedupQueries {
     def l2res(rv: String, mExpr: String): String =
       s"""list_sum(list_transform(list_zip($rv[$mExpr*$sub+1 : $mExpr*$sub+$sub], cb.cvec),
          |          x -> (x[1] - x[2]) * (x[1] - x[2])))""".stripMargin
-    s"""WITH cents(cell, cvec) AS (VALUES
+    s"""cents(cell, cvec) AS (VALUES
        |    $centsD),
        |cb(m, c, cvec) AS (VALUES
        |    $cbRows),
@@ -361,9 +365,36 @@ object DedupQueries {
        |       FROM pd GROUP BY qid, nid),
        |r AS (SELECT qid, nid, adist,
        |        row_number() OVER (PARTITION BY qid ORDER BY adist, nid) AS rn
-       |      FROM ad)
+       |      FROM ad)""".stripMargin
+  }
+
+  private def q99OracleGen(s: SparkSession, dir: String): String =
+    s"""WITH ${ivfPqReplayCtes(s, dir)}
        |SELECT qid, nid, round(adist, 4) AS adist, rn FROM r WHERE rn <= 5
        |ORDER BY qid, rn""".stripMargin
+
+  /** q136 oracle GENERATOR: recall@5 of the IVF-PQ replay against exact
+    * L2 top-5 — set intersection of two deterministically-ranked id sets,
+    * an exact integer per query.
+    */
+  private def q136OracleGen(s: SparkSession, dir: String): String = {
+    val l2e =
+      """list_sum(list_transform(list_zip(q.embedding, e.embedding),
+        |           x -> (CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE))
+        |              * (CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE))))""".stripMargin
+    s"""WITH ${ivfPqReplayCtes(s, dir)},
+       |approx AS (SELECT qid, nid FROM r WHERE rn <= 5),
+       |ex AS (SELECT q.vec_id AS qid, e.vec_id AS nid,
+       |         row_number() OVER (PARTITION BY q.vec_id
+       |           ORDER BY $l2e, e.vec_id) AS ern
+       |       FROM embeddings q CROSS JOIN embeddings e
+       |       WHERE q.vec_id < 5 AND e.vec_id != q.vec_id),
+       |exact AS (SELECT qid, nid FROM ex WHERE ern <= 5),
+       |hits AS (SELECT exact.qid, CAST(count(approx.nid) AS BIGINT) AS n_hit
+       |         FROM exact LEFT JOIN approx
+       |           ON approx.qid = exact.qid AND approx.nid = exact.nid
+       |         GROUP BY exact.qid)
+       |SELECT qid, n_hit, CAST(5 AS BIGINT) AS k FROM hits ORDER BY qid""".stripMargin
   }
 
   private lazy val q53OracleSql: String = {
@@ -643,7 +674,41 @@ object DedupQueries {
           .orderBy(col("vec_id"))
       },
       None,
-      oracleGen = Some(q119OracleGen _))
+      oracleGen = Some(q119OracleGen _)),
+
+    // ---- ANN quality measurement: recall@5 of the served IVF-PQ ranking
+    // (q99's exact parameters) against exact L2 top-5 on the same
+    // queries — the metric that closes the serving story (latency is
+    // proven by the partition-pruned layout, THIS proves what the probes
+    // give up). Recall is an integer intersection of two
+    // deterministically-ranked id sets, so it is fully oracle-able. ----
+    Q("q136_ann_recall",
+      (s, dir) => {
+        val emb = t(s, dir, "embeddings")
+        val q = emb.filter(col("vec_id") < 5)
+          .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+        val c = emb.select(col("vec_id").as("nid"), col("embedding").as("ne"))
+        val approx = Similarity.ivfPqTopK(q, c, k = 5,
+            nCells = 16, nProbe = 4, m = 8, kSub = 16)
+          .select(col("qid"), col("nid"))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("qid")).orderBy(col("d2"), col("nid"))
+        val exact = broadcast(q).crossJoin(c)
+          .filter(col("nid") =!= col("qid"))
+          .select(col("qid"), col("nid"),
+            graft.functions.VectorFns.l2sq(col("qe"), col("ne")).as("d2"))
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") <= 5)
+          .select(col("qid"), col("nid"))
+        val hits = exact.join(approx, Seq("qid", "nid"), "left_semi")
+          .groupBy(col("qid")).agg(count(lit(1)).as("h"))
+        q.select(col("qid")).join(hits, Seq("qid"), "left")
+          .select(col("qid"), coalesce(col("h"), lit(0L)).as("n_hit"),
+            lit(5L).as("k"))
+          .orderBy(col("qid"))
+      },
+      None,
+      oracleGen = Some(q136OracleGen _))
   )
 
   private def q119OracleGen(s: SparkSession, dir: String): String = {
