@@ -39,22 +39,19 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val registry = SparkEntry.queries
-    // Untimed warmup: JVM/codegen/session init and the first parquet footer
-    // reads otherwise land on whichever query first touches each table.
+    // Untimed warmup: one full pass of the HEADLINE LIST. JVM/codegen/
+    // session init, parquet footer reads, page-cache fill, C2 compilation
+    // of the hot generated code, and microbatch-engine/state-store class
+    // init otherwise all land on whichever timed query touches them first
+    // (r6 evidence: q56's first run was 10.14s vs a 2.26s min — pure
+    // warm-up noise polluting the official capture). Nothing persists
+    // across passes — every query unpersists its own intermediates — so
+    // the timed passes measure steady-state plan cost, not caches.
     val warmup = try {
       Seq("lineitem", "orders", "customer", "events", "documents", "embeddings")
         .foreach(t => Tables(spark, sfDir, t).count())
-      registry("q01_pricing_summary")(spark, sfDir).count()
-      // Two untimed passes of the minhash pipeline: its tokenise/shingle/
-      // signature codegen is the hottest generated code in the suite and
-      // needs real invocation counts before C2 compiles it — the timed q50
-      // then measures steady-state throughput (JMH-style warmup; nothing is
-      // cached across passes, the pipeline unpersists its own intermediates).
-      registry("q50_minhash_pairs")(spark, sfDir).count()
-      registry("q50_minhash_pairs")(spark, sfDir).count()
-      // One streaming micro-run so microbatch-engine + state-store class
-      // initialization doesn't land on whichever stateful query runs first.
-      registry("q85_stream_dedup")(spark, sfDir).count()
+      headline.filter(registry.contains)
+        .foreach(n => registry(n)(spark, sfDir).count())
       true
     } catch { case _: Throwable => false }
     // A failed warmup must be VISIBLE ("warmup_ok": false), never silently
