@@ -14,6 +14,28 @@ import graft.Tables
 object EventQueries {
   private def t(s: SparkSession, dir: String, n: String): DataFrame = Tables(s, dir, n)
 
+  /** SCD2 oracle over the full events log — shared by q132 (batch) and
+    * q137 (streaming maintenance), whose batch-equivalence contract is
+    * exactly "the maintained dimension equals this".
+    */
+  private lazy val scd2OracleSql: String =
+    """WITH ch AS (SELECT user_id, event_type, ts, event_id,
+      |        lag(event_type) OVER (PARTITION BY user_id
+      |          ORDER BY ts, event_id) AS prev
+      |      FROM events),
+      |k AS (SELECT user_id, event_type, ts, event_id FROM ch
+      |      WHERE prev IS NULL OR prev <> event_type),
+      |v AS (SELECT user_id,
+      |        CAST(row_number() OVER (PARTITION BY user_id
+      |          ORDER BY ts, event_id) AS BIGINT) AS version,
+      |        event_type AS state, ts AS valid_from,
+      |        lead(ts) OVER (PARTITION BY user_id
+      |          ORDER BY ts, event_id) AS valid_to
+      |      FROM k)
+      |SELECT user_id, version, state, valid_from, valid_to,
+      |  valid_to IS NULL AS is_current
+      |FROM v ORDER BY user_id, version""".stripMargin
+
   def all: Seq[Q] = Seq(
 
     // ---- F12 JSON accessor + aggregate. ----
@@ -247,22 +269,42 @@ object EventQueries {
             "user_id", "event_type", "ts", "event_id")
           .orderBy(col("user_id"), col("version"))
       },
-      Some("""WITH ch AS (SELECT user_id, event_type, ts, event_id,
-             |        lag(event_type) OVER (PARTITION BY user_id
-             |          ORDER BY ts, event_id) AS prev
-             |      FROM events),
-             |k AS (SELECT user_id, event_type, ts, event_id FROM ch
-             |      WHERE prev IS NULL OR prev <> event_type),
-             |v AS (SELECT user_id,
-             |        CAST(row_number() OVER (PARTITION BY user_id
-             |          ORDER BY ts, event_id) AS BIGINT) AS version,
-             |        event_type AS state, ts AS valid_from,
-             |        lead(ts) OVER (PARTITION BY user_id
-             |          ORDER BY ts, event_id) AS valid_to
-             |      FROM k)
-             |SELECT user_id, version, state, valid_from, valid_to,
-             |  valid_to IS NULL AS is_current
-             |FROM v ORDER BY user_id, version""".stripMargin)),
+      Some(scd2OracleSql)),
+
+    // ---- STREAMING SCD2 maintenance (streaming/StreamingScd):
+    // observations arrive in three microbatches split by event_id % 3 —
+    // heavily out-of-order, so most batches REWRITE touched keys'
+    // histories — against an idempotent observation log and a
+    // bucket-partitioned dimension rewritten only where touched. The
+    // final dimension must equal the one-shot batch scd2 over all
+    // events: the oracle IS q132's. ----
+    Q("q137_stream_scd2",
+      (s, dir) => {
+        import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+        implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+        import s.implicits._
+        val ev = t(s, dir, "events")
+          .select(col("user_id"), col("event_type"), col("ts"), col("event_id"))
+        val tmp = java.nio.file.Files.createTempDirectory("graft_q137_").toString
+        val input = MemoryStream[(Long, String, java.sql.Timestamp, Long)]
+        val q = graft.streaming.StreamingScd.sink(
+          input.toDF().toDF("user_id", "event_type", "ts", "event_id"),
+          "user_id", Seq("event_type"), "ts", "event_id",
+          s"$tmp/obs", s"$tmp/dim", s"$tmp/ckpt")
+        try {
+          for (r <- 0 to 2) {
+            input.addData(ev.filter(col("event_id") % 3 === r)
+              .as[(Long, String, java.sql.Timestamp, Long)].collect().toSeq)
+            q.processAllAvailable()
+          }
+        } finally q.stop()
+        graft.streaming.StreamingScd.dim(s, s"$tmp/dim")
+          .select(col("user_id"), col("version"),
+            col("state.event_type").as("state"),
+            col("valid_from"), col("valid_to"), col("is_current"))
+          .orderBy(col("user_id"), col("version"))
+      },
+      Some(scd2OracleSql)),
 
     // ---- Multi-attribute SCD2: the dimension state is the TUPLE
     // (event_type, k-band); a version opens when EITHER attribute moves.

@@ -219,6 +219,40 @@ class StreamingSpec extends SparkSpec {
         s"pairing plan must be tokenizer-free, found '$tok':\n$planStr")
   }
 
+  test("streaming SCD2: late data rewrites touched keys only; replay is a no-op") {
+    import graft.streaming.StreamingScd
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft_sscd_").toString
+    val obs = s"file:$tmp/obs"
+    val dimp = s"file:$tmp/dim"
+    def ts(min: Int) = new java.sql.Timestamp(1700000000000L + min * 60000L)
+    def dimSet() = StreamingScd.dim(spark, dimp)
+      .select(col("k"), col("version"), col("state.attr").as("a"),
+        col("valid_from"), col("is_current"))
+      .as[(Long, Long, String, java.sql.Timestamp, Boolean)].collect().toSet
+
+    val b0 = Seq((1L, "a", ts(0), 1L), (1L, "b", ts(10), 2L), (2L, "a", ts(0), 3L))
+      .toDF("k", "attr", "ts", "tie")
+    StreamingScd.processBatch(b0, "k", Seq("attr"), "ts", "tie", obs, dimp)
+    val d1 = dimSet()
+    assert(d1 == Set((1L, 1L, "a", ts(0), false), (1L, 2L, "b", ts(10), true),
+      (2L, 1L, "a", ts(0), true)), s"initial versions: $d1")
+
+    // exact redelivery: log merge anti-joins to nothing, dim content holds
+    StreamingScd.processBatch(b0, "k", Seq("attr"), "ts", "tie", obs, dimp)
+    assert(dimSet() == d1, "replayed batch must be a complete no-op")
+
+    // a LATE observation lands between key 1's versions: that key's
+    // history is rewritten from the merged log; key 2 is untouched
+    val b1 = Seq((1L, "c", ts(5), 4L)).toDF("k", "attr", "ts", "tie")
+    StreamingScd.processBatch(b1, "k", Seq("attr"), "ts", "tie", obs, dimp)
+    val d2 = dimSet()
+    assert(d2 == Set(
+      (1L, 1L, "a", ts(0), false), (1L, 2L, "c", ts(5), false),
+      (1L, 3L, "b", ts(10), true), (2L, 1L, "a", ts(0), true)),
+      s"late data must rewrite key 1's history: $d2")
+  }
+
   test("stateful sessions: event-time timeout flushes an idle session in streaming mode") {
     import java.sql.Timestamp
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
