@@ -36,7 +36,10 @@ object Layout {
     import org.apache.spark.sql.types._
     // CONTRACT: ids must be UNIQUE — duplicate ids share a sort key, so
     // their relative order (and thus the pos-to-payload mapping) would
-    // depend on shuffle arrival order, breaking rerun stability.
+    // depend on shuffle arrival order, breaking rerun stability. The
+    // check is the CALLER's responsibility (deliberately unenforced: a
+    // uniqueness probe is a full groupBy-count job per call, priced at
+    // corpus scale for a property the upstream id mint already owns).
     require(!df.columns.contains("__k") && !df.columns.contains("pos"),
       "shuffledOrder: input must not carry reserved columns __k/pos")
     val spark = df.sparkSession

@@ -372,8 +372,12 @@ object PdfLite {
           // that must follow. Textual scan only as fallback.
           val absDs = m.start(2) + ds
           // direct integers only — "/Length 12 0 R" is an indirect
-          // reference whose leading number is NOT the byte count
-          val viaLength = "/Length\\s+(\\d+)(?!\\s+\\d+\\s+R)".r
+          // reference whose leading number is NOT the byte count. The
+          // (?!\d) pins the capture to the FULL number first: without it,
+          // backtracking lets "/Length 12 0 R" match a truncated "1"
+          // (the ref-shaped lookahead then fails on "2 0 R" instead of
+          // rejecting), probing a bogus end offset
+          val viaLength = "/Length\\s+(\\d+)(?!\\d)(?!\\s+\\d+\\s+R)".r
             .findFirstMatchIn(dict).flatMap { lm =>
               val end = absDs + lm.group(1).toInt
               if (end > latin1.length) None

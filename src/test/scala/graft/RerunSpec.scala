@@ -50,7 +50,7 @@ class RerunSpec extends SparkSpec {
     // below, which assert their schemas — constructing the eager ones
     // (streaming runs, model training) twice just to read a schema would
     // double the suite's heaviest work
-    val covered = (round5 ++ round6).toSet
+    val covered = (round5 ++ round6 ++ round7).toSet
     Registry.all.filterNot(q => covered(q.name)).foreach { q =>
       assertSortable(q.name, q.fn(spark, sfDir))
     }
@@ -79,6 +79,22 @@ class RerunSpec extends SparkSpec {
   test("round-6 queries produce identical rows when rerun in one session") {
     val reg = Registry.queries
     round6.foreach { n =>
+      val df = reg(n)(spark, sfDir)
+      assertSortable(n, df)
+      val a = df.collect().toSeq
+      val b = reg(n)(spark, sfDir).collect().toSeq
+      assert(a.nonEmpty, s"$n returned no rows")
+      assert(a == b, s"$n is not rerun-stable in a shared session")
+    }
+  }
+
+  private val round7 = Seq(
+    "q133_pagerank_dangling", "q134_fuzzy_entities_k2", "q135_scd2_multi_attr",
+    "q136_ann_recall", "q137_stream_scd2")
+
+  test("round-7 queries produce identical rows when rerun in one session") {
+    val reg = Registry.queries
+    round7.foreach { n =>
       val df = reg(n)(spark, sfDir)
       assertSortable(n, df)
       val a = df.collect().toSeq

@@ -226,17 +226,23 @@ class StreamingSpec extends SparkSpec {
     val obs = s"file:$tmp/obs"
     val dimp = s"file:$tmp/dim"
     def ts(min: Int) = new java.sql.Timestamp(1700000000000L + min * 60000L)
+    // a second key in a DIFFERENT hash bucket than key 1, so the
+    // untouched-partition claim below is observable
+    val bOf = Seq((1L to 20L): _*).toDF("k")
+      .select(col("k"), pmod(xxhash64(col("k")), lit(16L)).cast("int").as("b"))
+      .as[(Long, Int)].collect().toMap
+    val k2 = (2L to 20L).find(bOf(_) != bOf(1L)).get
     def dimSet() = StreamingScd.dim(spark, dimp)
       .select(col("k"), col("version"), col("state.attr").as("a"),
         col("valid_from"), col("is_current"))
       .as[(Long, Long, String, java.sql.Timestamp, Boolean)].collect().toSet
 
-    val b0 = Seq((1L, "a", ts(0), 1L), (1L, "b", ts(10), 2L), (2L, "a", ts(0), 3L))
+    val b0 = Seq((1L, "a", ts(0), 1L), (1L, "b", ts(10), 2L), (k2, "a", ts(0), 3L))
       .toDF("k", "attr", "ts", "tie")
     StreamingScd.processBatch(b0, "k", Seq("attr"), "ts", "tie", obs, dimp)
     val d1 = dimSet()
     assert(d1 == Set((1L, 1L, "a", ts(0), false), (1L, 2L, "b", ts(10), true),
-      (2L, 1L, "a", ts(0), true)), s"initial versions: $d1")
+      (k2, 1L, "a", ts(0), true)), s"initial versions: $d1")
 
     // exact redelivery: log merge anti-joins to nothing, dim content holds
     StreamingScd.processBatch(b0, "k", Seq("attr"), "ts", "tie", obs, dimp)
@@ -244,13 +250,26 @@ class StreamingSpec extends SparkSpec {
 
     // a LATE observation lands between key 1's versions: that key's
     // history is rewritten from the merged log; key 2 is untouched
+    def bucketFiles(b: Int): Map[String, Long] = {
+      val d = new java.io.File(s"$tmp/dim/__bucket=$b")
+      if (!d.exists()) Map.empty
+      else d.listFiles().filter(_.getName.endsWith(".parquet"))
+        .map(f => f.getName -> f.lastModified()).toMap
+    }
+    val k2FilesBefore = bucketFiles(bOf(k2))
+    assert(k2FilesBefore.nonEmpty)
     val b1 = Seq((1L, "c", ts(5), 4L)).toDF("k", "attr", "ts", "tie")
     StreamingScd.processBatch(b1, "k", Seq("attr"), "ts", "tie", obs, dimp)
     val d2 = dimSet()
     assert(d2 == Set(
       (1L, 1L, "a", ts(0), false), (1L, 2L, "c", ts(5), false),
-      (1L, 3L, "b", ts(10), true), (2L, 1L, "a", ts(0), true)),
+      (1L, 3L, "b", ts(10), true), (k2, 1L, "a", ts(0), true)),
       s"late data must rewrite key 1's history: $d2")
+    // the untouched bucket's partition was not even rewritten: dynamic
+    // partition overwrite + the static bucket-list filter leave its
+    // files byte-for-byte alone (same names, same mtimes)
+    assert(bucketFiles(bOf(k2)) == k2FilesBefore,
+      "untouched bucket partitions must not be rewritten")
   }
 
   test("stateful sessions: event-time timeout flushes an idle session in streaming mode") {
