@@ -24,6 +24,7 @@ object Bench {
     "q77_yaml_pipeline", "q80_stream_tumbling",
     "q83_stream_sessions", "q84_stream_sliding", "q85_stream_dedup",
     "q116_bpe_encode", "q119_semantic_dedup",
+    "q134_fuzzy_entities_k2", "q136_ann_recall",
   )
 
   def main(args: Array[String]): Unit = {
