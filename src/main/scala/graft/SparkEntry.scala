@@ -27,4 +27,11 @@ object SparkEntry {
     */
   def oracleSqlFor(spark: SparkSession, dir: String): Map[String, String] =
     Registry.oraclesFor(spark, dir)
+
+  /** Subset form for Verify's local-iteration mode: generators outside
+    * `keep` never run (some train models driver-side).
+    */
+  def oracleSqlFor(spark: SparkSession, dir: String,
+                   keep: String => Boolean): Map[String, String] =
+    Registry.oraclesFor(spark, dir, keep)
 }

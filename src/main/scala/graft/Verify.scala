@@ -41,8 +41,10 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
-    val json = SparkEntry.oracleSqlFor(spark, sfDir)
-      .filter(kv => keep(kv._1))
+    // subset mode: generators outside the subset never run, and the dumped
+    // oracle_sql.json covers ONLY the subset — point subset runs at their
+    // own outDir rather than a dir holding a full dump
+    val json = SparkEntry.oracleSqlFor(spark, sfDir, keep)
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()

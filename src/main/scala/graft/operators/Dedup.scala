@@ -294,8 +294,14 @@ object Dedup {
 
     val jac = size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
       size(array_union(col("sh_a"), col("sh_b"))).cast("double")
+    // sh_a joins against the NEW side only — new_id is a new-side id by
+    // construction (the pair filter requires a flagged member and the
+    // orientation picks it), so probing the union would re-scan the whole
+    // store's (heaviest) shingle column once more per microbatch in the
+    // store-fed path for rows that can never match. dup_id can be either
+    // side, so sh_b keeps the union.
     val joined = oriented
-      .join(base.select(col("__id").as("new_id"), col("__sh").as("sh_a")), "new_id")
+      .join(newSide.select(col("__id").as("new_id"), col("__sh").as("sh_a")), "new_id")
       .join(base.select(col("__id").as("dup_id"), col("__sh").as("sh_b")), "dup_id")
       .select(col("new_id"), col("dup_id"), col("dup_is_existing"),
         round(jac, 4).as("jaccard"))

@@ -37,8 +37,11 @@ object Entities {
       "fuzzyPairs supports maxDist 1..3 (variant fan-out is len^k)")
     // length guard rides the name column itself (a separate check column
     // would be pruned as dead): any over-long name fails the scan loudly,
-    // with no extra validation job
-    val guarded = when(length(col(nameCol)) <= maxLen, col(nameCol))
+    // with no extra validation job. NULL names stay out of scope silently
+    // (their variant array is null => zero exploded rows), as before the
+    // guard existed — the isNull arm keeps them off the raise_error path.
+    val guarded = when(col(nameCol).isNull || length(col(nameCol)) <= maxLen,
+        col(nameCol))
       .otherwise(raise_error(concat(
         lit(s"fuzzyPairs: name longer than maxLen=$maxLen chars — the " +
           s"delete-$maxDist neighborhood would explode; cap or truncate " +

@@ -311,9 +311,18 @@ object DedupQueries {
     */
   /** The IVF-PQ replay CTEs (constants + assignment + codes + probing +
     * ADC ranking, through ranked `r`), shared by q99 (the ranked answers)
-    * and q136 (recall@k against exact search).
+    * and q136 (recall@k against exact search). Memoized per data dir —
+    * both generators run in one oracle dump and the 100k-sample collect +
+    * lloyd + trainPq is the heaviest driver-side work in the pass;
+    * training it twice on identical inputs/seeds would double it.
     */
-  private def ivfPqReplayCtes(s: SparkSession, dir: String): String = {
+  private val ivfPqCtesCache =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+
+  private def ivfPqReplayCtes(s: SparkSession, dir: String): String =
+    ivfPqCtesCache.getOrElseUpdate(dir, ivfPqReplayCtesUncached(s, dir))
+
+  private def ivfPqReplayCtesUncached(s: SparkSession, dir: String): String = {
     val sample = Tables(s, dir, "embeddings")
       .select(col("vec_id"), col("embedding")).orderBy(col("vec_id"))
       .limit(100000).collect()

@@ -334,7 +334,8 @@ object EventQueries {
              |          ORDER BY ts, event_id) AS pb
              |      FROM e),
              |k AS (SELECT user_id, event_type, band, ts, event_id FROM ch
-             |      WHERE pet IS NULL OR pet <> event_type OR pb <> band),
+             |      WHERE (pet IS DISTINCT FROM event_type)
+             |         OR (pb IS DISTINCT FROM band)),
              |v AS (SELECT user_id,
              |        CAST(row_number() OVER (PARTITION BY user_id
              |          ORDER BY ts, event_id) AS BIGINT) AS version,

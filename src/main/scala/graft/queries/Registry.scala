@@ -37,8 +37,12 @@ object Registry {
     * crashing the dump — one bad generator must never zero the whole
     * correctness run's oracle file.
     */
-  def oraclesFor(spark: SparkSession, dir: String): Map[String, String] =
-    all.flatMap { q =>
+  /** `keep` prunes BEFORE the generators run — a subset dump must not pay
+    * every generator's driver-side training just to discard the SQL.
+    */
+  def oraclesFor(spark: SparkSession, dir: String,
+                 keep: String => Boolean = _ => true): Map[String, String] =
+    all.filter(q => keep(q.name)).flatMap { q =>
       val gen = q.oracleGen.flatMap { g =>
         try Some(g(spark, dir))
         catch {
