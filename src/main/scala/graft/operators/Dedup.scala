@@ -234,84 +234,102 @@ object Dedup {
   def incrementalPairsSigned(newSigned: DataFrame, existingSigned: DataFrame,
                              threshold: Double, maxBucket: Int,
                              cacheExisting: Boolean = false,
-                             eager: Boolean = true): DataFrame = {
+                             eager: Boolean = true,
+                             checkDisjoint: Boolean = true): DataFrame = {
     def sel(df: DataFrame, isNew: Boolean): DataFrame =
       df.select(col("__id"), col("__sh"), col("__bk"), lit(isNew).as("__new"))
     val newSide0 = sel(newSigned, isNew = true)
     val exSide0 = sel(existingSigned, isNew = false)
-    val newSide = if (eager) newSide0.persist() else newSide0
-    val exSide = if (eager && cacheExisting) exSide0.persist() else exSide0
-    if (eager) {
-      // Materialize caches BEFORE the AQE fan-out (concurrent stage jobs
-      // would otherwise each recompute the sides while the cache is cold),
-      // and guard the contract in the same pass: the two sides' ids must be
-      // DISJOINT — the output schema carries bare new_id/dup_id, so an id on
-      // both sides (plausible for daily increments with per-day sequence
-      // ids) would conflate two documents in the shingle join-backs and emit
-      // wrong pairs/jaccards. Failing loudly is the only correct behavior.
-      // The probe broadcasts the (bounded, by the incremental premise)
-      // new-id set against the existing side — a groupBy-all-ids guard would
-      // shuffle one row per corpus document, the exact old-corpus-
-      // proportional cost this mode exists to avoid.
-      val overlap = exSide
-        .join(broadcast(newSide.select(col("__id"))), Seq("__id"), "left_semi").count()
-      require(overlap == 0,
-        "incrementalPairsSigned: newDocs and existing share document ids — " +
-          "the sides must be disjoint (key increments globally, e.g. date-prefixed ids)")
+
+    def pipeline(newSide: DataFrame, exSide: DataFrame,
+                 banded: DataFrame): DataFrame = {
+      val hot = banded.groupBy(col("band"), col("key"))
+        .agg(count(lit(1)).as("__cnt"))
+        .filter(col("__cnt") > maxBucket)
+        .select(col("band"), col("key"))
+      val bucketed = banded.join(broadcast(hot), Seq("band", "key"), "left_anti")
+
+      val ids = col("ids")
+      val pairsOf = filter(
+        flatten(transform(ids, (x, i) =>
+          transform(slice(ids, i + lit(2), size(ids)), y =>
+            struct(x.getField("id").as("id_a"), x.getField("n").as("na"),
+              y.getField("id").as("id_b"), y.getField("n").as("nb"))))),
+        p => p.getField("na") || p.getField("nb"))
+      val cand = bucketed.groupBy(col("band"), col("key"))
+        .agg(sort_array(collect_list(struct(col("__id").as("id"), col("__new").as("n"))))
+          .as("ids"))
+        .filter(size(ids) >= 2)
+        .select(explode(pairsOf).as("p"))
+        .select(col("p.id_a"), col("p.na"), col("p.id_b"), col("p.nb"))
+        .distinct()
+      val oriented = cand.select(
+        when(col("na"), col("id_a")).otherwise(col("id_b")).as("new_id"),
+        when(col("na"), col("id_b")).otherwise(col("id_a")).as("dup_id"),
+        (!(col("na") && col("nb"))).as("dup_is_existing"))
+
+      val jac = size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+        size(array_union(col("sh_a"), col("sh_b"))).cast("double")
+      // sh_a joins against the NEW side only — new_id is a new-side id by
+      // construction (the pair filter requires a flagged member and the
+      // orientation picks it), so probing the union would re-scan the whole
+      // store's (heaviest) shingle column once more per microbatch in the
+      // store-fed path for rows that can never match. dup_id can be either
+      // side, so sh_b keeps the union.
+      oriented
+        .join(newSide.select(col("__id").as("new_id"), col("__sh").as("sh_a")), "new_id")
+        .join(newSide.unionByName(exSide)
+          .select(col("__id").as("dup_id"), col("__sh").as("sh_b")), "dup_id")
+        .select(col("new_id"), col("dup_id"), col("dup_is_existing"),
+          round(jac, 4).as("jaccard"))
+        .filter(col("jaccard") >= threshold)
     }
-    val base = newSide.unionByName(exSide)
-    val banded0 = base.select(col("__id"), col("__new"), explode(col("__bk")).as("__b"))
-      .select(col("__id"), col("__new"),
-        col("__b.band").as("band"), col("__b.key").as("key"))
+
+    def bandedOf(newSide: DataFrame, exSide: DataFrame): DataFrame =
+      newSide.unionByName(exSide)
+        .select(col("__id"), col("__new"), explode(col("__bk")).as("__b"))
+        .select(col("__id"), col("__new"),
+          col("__b.band").as("band"), col("__b.key").as("key"))
+
+    if (!eager)
+      return pipeline(newSide0, exSide0, bandedOf(newSide0, exSide0))
+
+    val newSide = newSide0.persist()
+    val exSide = if (cacheExisting) exSide0.persist() else exSide0
     // tiny per row (id, flag, band, key) and consumed by both the hot-bucket
-    // count and the candidate pipeline — cache it instead of re-running the
+    // count and the candidate pipeline — cached instead of re-running the
     // explode (and, for text-fed sides, the signature work) per consumer
-    val banded = if (eager) banded0.persist() else banded0
-    val hot = banded.groupBy(col("band"), col("key"))
-      .agg(count(lit(1)).as("__cnt"))
-      .filter(col("__cnt") > maxBucket)
-      .select(col("band"), col("key"))
-    val bucketed = banded.join(broadcast(hot), Seq("band", "key"), "left_anti")
-
-    val ids = col("ids")
-    val pairsOf = filter(
-      flatten(transform(ids, (x, i) =>
-        transform(slice(ids, i + lit(2), size(ids)), y =>
-          struct(x.getField("id").as("id_a"), x.getField("n").as("na"),
-            y.getField("id").as("id_b"), y.getField("n").as("nb"))))),
-      p => p.getField("na") || p.getField("nb"))
-    val cand = bucketed.groupBy(col("band"), col("key"))
-      .agg(sort_array(collect_list(struct(col("__id").as("id"), col("__new").as("n"))))
-        .as("ids"))
-      .filter(size(ids) >= 2)
-      .select(explode(pairsOf).as("p"))
-      .select(col("p.id_a"), col("p.na"), col("p.id_b"), col("p.nb"))
-      .distinct()
-    val oriented = cand.select(
-      when(col("na"), col("id_a")).otherwise(col("id_b")).as("new_id"),
-      when(col("na"), col("id_b")).otherwise(col("id_a")).as("dup_id"),
-      (!(col("na") && col("nb"))).as("dup_is_existing"))
-
-    val jac = size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
-      size(array_union(col("sh_a"), col("sh_b"))).cast("double")
-    // sh_a joins against the NEW side only — new_id is a new-side id by
-    // construction (the pair filter requires a flagged member and the
-    // orientation picks it), so probing the union would re-scan the whole
-    // store's (heaviest) shingle column once more per microbatch in the
-    // store-fed path for rows that can never match. dup_id can be either
-    // side, so sh_b keeps the union.
-    val joined = oriented
-      .join(newSide.select(col("__id").as("new_id"), col("__sh").as("sh_a")), "new_id")
-      .join(base.select(col("__id").as("dup_id"), col("__sh").as("sh_b")), "dup_id")
-      .select(col("new_id"), col("dup_id"), col("dup_is_existing"),
-        round(jac, 4).as("jaccard"))
-      .filter(col("jaccard") >= threshold)
-    if (!eager) return joined
-    val out = joined.localCheckpoint(true)
-    banded.unpersist(false)
-    newSide.unpersist(false)
-    if (cacheExisting) exSide.unpersist(false)
-    out
+    val banded = bandedOf(newSide, exSide).persist()
+    try {
+      if (checkDisjoint) {
+        // Materialize caches BEFORE the AQE fan-out (concurrent stage jobs
+        // would otherwise each recompute the sides while the cache is
+        // cold), and guard the contract in the same pass: the two sides'
+        // ids must be DISJOINT — the output schema carries bare
+        // new_id/dup_id, so an id on both sides (plausible for daily
+        // increments with per-day sequence ids) would conflate two
+        // documents in the shingle join-backs and emit wrong
+        // pairs/jaccards. Failing loudly is the only correct behavior. The
+        // probe broadcasts the (bounded, by the incremental premise)
+        // new-id set against the existing side — a groupBy-all-ids guard
+        // would shuffle one row per corpus document, the exact old-corpus-
+        // proportional cost this mode exists to avoid. A caller that
+        // GUARANTEES disjointness structurally (StreamingDedup's anti-join
+        // against the store) passes checkDisjoint = false and skips this
+        // corpus-proportional probe per batch.
+        val overlap = exSide
+          .join(broadcast(newSide.select(col("__id"))), Seq("__id"), "left_semi")
+          .count()
+        require(overlap == 0,
+          "incrementalPairsSigned: newDocs and existing share document ids — " +
+            "the sides must be disjoint (key increments globally, e.g. date-prefixed ids)")
+      } else newSide.count() // still materialize the bounded new side first
+      pipeline(newSide, exSide, banded).localCheckpoint(true)
+    } finally {
+      banded.unpersist(false)
+      newSide.unpersist(false)
+      if (cacheExisting) exSide.unpersist(false)
+    }
   }
 
   /** Connected components over a pair graph by iterative min-label

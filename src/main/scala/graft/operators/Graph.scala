@@ -67,10 +67,13 @@ object Graph {
             // one exact integer scalar per round: sum of the per-dangling-
             // node floored share — the same decomposition the oracle's
             // target-map replay sums row-wise, so totals agree bit-for-bit
+            // the denominator is precomputed as a Long IN SCALA: an SQL-side
+            // `100 * $n` would parse n as an Int literal and overflow Int
+            // arithmetic beyond ~21.4M nodes (ANSI throw / silent wrap)
             val dShare =
               if (nDangling == 0) 0L
               else rank.join(dangling, Seq("node"), "left_semi")
-                .agg(coalesce(sum(expr(s"(85 * r) div (100 * $n)")), lit(0L)))
+                .agg(coalesce(sum(expr(s"(85 * r) div ${100L * n}")), lit(0L)))
                 .head().getLong(0)
             val contribs = e
               .join(rank.withColumnRenamed("node", "src"), "src")

@@ -124,7 +124,10 @@ object StreamingDedup {
             spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
           } else Dedup.incrementalPairsSigned(newSigned,
             existingSigned(spark, storePath, idCol, storeExists, enriched),
-            threshold, maxBucket)
+            threshold, maxBucket,
+            // the left_anti above structurally guarantees disjointness —
+            // skip the core's corpus-proportional re-probe per batch
+            checkDisjoint = false)
         pairs.write.mode("overwrite").parquet(pairsDir)
       }
       Streams.idempotentMerge(enriched, idCol, storePath)

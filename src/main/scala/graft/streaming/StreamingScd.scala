@@ -60,6 +60,25 @@ object StreamingScd {
       require(conflicts == 0,
         s"StreamingScd: $conflicts observation id(s) arrive with conflicting " +
           "payloads in one batch — upstream must de-conflict")
+      // ...and across batches: a redelivered observation id whose PAYLOAD
+      // differs from what the log already holds would be silently dropped
+      // by the idempotent merge (anti-join on the id), burying the same
+      // upstream bug the in-batch check surfaces. The probe is bounded:
+      // the increment's ids broadcast into a semi-join of the log.
+      val obsP = new org.apache.hadoop.fs.Path(obsPath)
+      if (obsP.getFileSystem(spark.sessionState.newHadoopConf()).exists(obsP)) {
+        val payload = struct((Seq(keyCol) ++ attrCols ++ Seq(tsCol)).map(col): _*)
+        val logged = spark.read.parquet(obsPath)
+          .join(broadcast(obs.select(col(tieCol))), Seq(tieCol), "left_semi")
+          .select(col(tieCol), payload.as("__logged"))
+        val crossBatch = obs.select(col(tieCol), payload.as("__incoming"))
+          .join(logged, Seq(tieCol))
+          .filter(!(col("__incoming") <=> col("__logged"))).count()
+        require(crossBatch == 0,
+          s"StreamingScd: $crossBatch observation id(s) redelivered with a " +
+            "DIFFERENT payload than the log holds — upstream must version " +
+            "corrections as new observation ids")
+      }
       Streams.idempotentMerge(obs, tieCol, obsPath)
 
       val touched = obs.select(col(keyCol)).distinct()

@@ -248,6 +248,15 @@ class StreamingSpec extends SparkSpec {
     StreamingScd.processBatch(b0, "k", Seq("attr"), "ts", "tie", obs, dimp)
     assert(dimSet() == d1, "replayed batch must be a complete no-op")
 
+    // a redelivered observation id with a DIFFERENT payload is an upstream
+    // bug — surfaced loudly, never silently dropped by the merge
+    val bad = Seq((1L, "z", ts(0), 1L)).toDF("k", "attr", "ts", "tie")
+    val e = intercept[IllegalArgumentException] {
+      StreamingScd.processBatch(bad, "k", Seq("attr"), "ts", "tie", obs, dimp)
+    }
+    assert(e.getMessage.contains("DIFFERENT payload"))
+    assert(dimSet() == d1, "a rejected batch must leave the dimension untouched")
+
     // a LATE observation lands between key 1's versions: that key's
     // history is rewritten from the merged log; key 2 is untouched
     def bucketFiles(b: Int): Map[String, Long] = {
