@@ -76,9 +76,17 @@ object Entities {
         col("a.__v") === col("b.__v") && col("a.__id") < col("b.__id"))
       .select(col("a.__id").as("id_a"), col("b.__id").as("id_b"),
         col("a.__nm").as("na"), col("b.__nm").as("nb"))
-      .distinct()
-      .withColumn("dist", levenshtein(col("na"), col("nb")).cast("long"))
-      .filter(col("dist") <= maxDist)
+      // (na, nb) are functionally dependent on the id pair, so dedup
+      // groups on the two ids alone — the exchange still carries the
+      // names, but hashing/comparing skips the string payload
+      .dropDuplicates("id_a", "id_b")
+      // thresholded levenshtein: banded O(k·len) DP with early exit
+      // (returns -1 above maxDist) instead of the full O(len²) table —
+      // the verify step only ever needs distances <= maxDist, and on a
+      // templated corpus (weak blocking) it dominates the runtime
+      .withColumn("dist",
+        levenshtein(col("na"), col("nb"), maxDist).cast("long"))
+      .filter(col("dist") >= 0)
       .select(col("id_a"), col("id_b"), col("dist"))
   }
 }
