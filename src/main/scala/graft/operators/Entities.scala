@@ -37,15 +37,19 @@ object Entities {
       "fuzzyPairs supports maxDist 1..3 (variant fan-out is len^k)")
     // length guard rides the name column itself (a separate check column
     // would be pruned as dead): any over-long name fails the scan loudly,
-    // with no extra validation job. NULL names stay out of scope silently
+    // with no extra validation job. Only k >= 2 needs it — the k = 1
+    // neighborhood is linear in the name length, so long names are merely
+    // bigger there, not explosive. NULL names stay out of scope silently
     // (their variant array is null => zero exploded rows), as before the
     // guard existed — the isNull arm keeps them off the raise_error path.
-    val guarded = when(col(nameCol).isNull || length(col(nameCol)) <= maxLen,
-        col(nameCol))
-      .otherwise(raise_error(concat(
-        lit(s"fuzzyPairs: name longer than maxLen=$maxLen chars — the " +
-          s"delete-$maxDist neighborhood would explode; cap or truncate " +
-          "upstream: "), col(nameCol))))
+    val guarded =
+      if (maxDist <= 1) col(nameCol)
+      else when(col(nameCol).isNull || length(col(nameCol)) <= maxLen,
+          col(nameCol))
+        .otherwise(raise_error(concat(
+          lit(s"fuzzyPairs: name longer than maxLen=$maxLen chars — the " +
+            s"delete-$maxDist neighborhood would explode; cap or truncate " +
+            "upstream: "), col(nameCol))))
     val base = df.select(col(idCol).as("__id"), guarded.as("__nm"))
     // the delete-0 variant (the string itself) is REQUIRED: an
     // insertion/deletion pair shares no same-depth variant — the shorter
@@ -76,10 +80,13 @@ object Entities {
         col("a.__v") === col("b.__v") && col("a.__id") < col("b.__id"))
       .select(col("a.__id").as("id_a"), col("b.__id").as("id_b"),
         col("a.__nm").as("na"), col("b.__nm").as("nb"))
-      // (na, nb) are functionally dependent on the id pair, so dedup
-      // groups on the two ids alone — the exchange still carries the
-      // names, but hashing/comparing skips the string payload
-      .dropDuplicates("id_a", "id_b")
+      // dedup on the id pair alone — hashing/comparing skips the string
+      // payload. min() (not first()) keeps the result DETERMINISTIC even
+      // if a caller violates id uniqueness and one id carries several
+      // names; for well-formed input the names are functionally dependent
+      // and min is the identity
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(min(col("na")).as("na"), min(col("nb")).as("nb"))
       // thresholded levenshtein: banded O(k·len) DP with early exit
       // (returns -1 above maxDist) instead of the full O(len²) table —
       // the verify step only ever needs distances <= maxDist, and on a

@@ -324,9 +324,13 @@ object EventQueries {
             col("valid_from"), col("valid_to"), col("is_current"))
           .orderBy(col("user_id"), col("version"))
       },
-      Some("""WITH e AS (SELECT user_id, event_type,
-             |        CAST(json_extract_string(props, '$.k') AS BIGINT) // 25 AS band,
+      Some("""WITH e0 AS (SELECT user_id, event_type,
+             |        CAST(json_extract_string(props, '$.k') AS BIGINT) AS kk,
              |        ts, event_id FROM events),
+             |e AS (SELECT user_id, event_type,
+             |        CASE WHEN kk >= 0 THEN kk // 25
+             |             ELSE -((-kk) // 25) END AS band,
+             |        ts, event_id FROM e0),
              |ch AS (SELECT user_id, event_type, band, ts, event_id,
              |        lag(event_type) OVER (PARTITION BY user_id
              |          ORDER BY ts, event_id) AS pet,

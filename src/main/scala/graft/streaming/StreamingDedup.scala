@@ -17,9 +17,11 @@ import graft.operators.Dedup
   * corpus²).
   *
   * The store is SIGNATURE-BEARING: every merged document carries its
-  * shingle set, MinHash signature, and LSH band keys
-  * (`id, text, __sh, __sig, __bk`), each computed exactly once at merge
-  * time. A microbatch therefore pays text processing only for its OWN
+  * text digest, shingle set, MinHash signature, and LSH band keys
+  * (`id, text, __th, __sh, __sig, __bk`), each computed exactly once at
+  * merge time; the signature parameters are pinned in a meta file so a
+  * redeploy under different banding fails loudly instead of silently
+  * never matching history. A microbatch therefore pays text processing only for its OWN
   * documents; history contributes column-pruned parquet scans — `(id,
   * __bk)` into the banding stage and `(id, __sh)` into the Jaccard
   * verification join-backs — and is never re-tokenized (StreamingSpec pins
@@ -59,12 +61,47 @@ object StreamingDedup {
                      portableHash: Boolean): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     batch.select(col(idCol), col(textCol))
+      // thin text digest for the cross-batch conflict probe: comparing
+      // redelivered texts against history must not re-read the (wide)
+      // text column per batch
+      .withColumn("__th", md5(col(textCol).cast("binary")))
       .withColumn("__sh",
         array_distinct(TextFns.wordShingles(TextFns.tokens(col(textCol)), shingleK)))
       .withColumn("__sig", when(size(col("__sh")) > 0,
         graft.expressions.MinHashSig(col("__sh"), numHashes, 7, portableHash)))
       .withColumn("__bk", when(size(col("__sh")) > 0,
         Dedup.bandKeys(col("__sig"), numHashes, bands, portableHash)))
+  }
+
+  /** The stored columns are a function of the signature parameters: a
+    * store written under one (numHashes, bands, shingleK, portableHash)
+    * silently never matches batches signed under another (band keys from
+    * different slicings are never equal). The parameters are pinned in a
+    * `_graft_dedup_meta.json` beside the parquet (underscore-prefixed, so
+    * scans ignore it); every batch requires a match. Absence self-heals
+    * (written after the first merge; a crash between merge and meta write
+    * must not brick the store).
+    */
+  private def checkOrWriteMeta(fs: org.apache.hadoop.fs.FileSystem,
+                               storePath: String, numHashes: Int, bands: Int,
+                               shingleK: Int, portableHash: Boolean,
+                               write: Boolean): Unit = {
+    val meta = new org.apache.hadoop.fs.Path(storePath, "_graft_dedup_meta.json")
+    val expected = s"""{"numHashes":$numHashes,"bands":$bands,""" +
+      s""""shingleK":$shingleK,"portableHash":$portableHash}"""
+    if (fs.exists(meta)) {
+      val in = fs.open(meta)
+      val found =
+        try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+        finally in.close()
+      require(found == expected,
+        s"StreamingDedup: store at $storePath was built with $found — " +
+          s"refusing to pair against it with $expected (rebuild the store " +
+          "or match the parameters)")
+    } else if (write) {
+      val out = fs.create(meta, true)
+      try out.write(expected.getBytes("UTF-8")) finally out.close()
+    }
   }
 
   /** One microbatch step. Exposed (rather than inlined in the foreachBatch
@@ -80,7 +117,10 @@ object StreamingDedup {
     val conf = spark.sessionState.newHadoopConf()
     val pairsDir = s"$pairsPath/batch=$batchId"
     val storeP = new org.apache.hadoop.fs.Path(storePath)
-    val storeExists = storeP.getFileSystem(conf).exists(storeP)
+    val fs = storeP.getFileSystem(conf)
+    val storeExists = fs.exists(storeP)
+    checkOrWriteMeta(fs, storePath, numHashes, bands, shingleK, portableHash,
+      write = false)
     // an at-least-once source can redeliver a record INSIDE one batch:
     // collapse exact (id, text) duplicates (a duplicated row would
     // otherwise pair with itself through the bucket expansion and land in
@@ -91,6 +131,22 @@ object StreamingDedup {
     val enriched = enrich(deduped, idCol, textCol,
       numHashes, bands, shingleK, portableHash).persist()
     try {
+      // a redelivered id whose TEXT differs from the store is an upstream
+      // bug the anti-join below would silently bury (the stale text would
+      // keep representing the document forever) — fail loudly instead.
+      // The probe reads only the store's (id, digest) columns, the same
+      // thin-scan class as the replay guard's id read.
+      if (storeExists) {
+        val stale = spark.read.parquet(storePath)
+          .select(col(idCol), col("__th"))
+          .join(broadcast(enriched.select(col(idCol), col("__th").as("__bth"))),
+            Seq(idCol))
+          .filter(!(col("__th") <=> col("__bth"))).count()
+        require(stale == 0,
+          s"StreamingDedup: $stale id(s) redelivered with DIFFERENT text " +
+            "than the store holds — upstream must version corrections as " +
+            "new document ids")
+      }
       Streams.idempotentShardWrite(spark, pairsDir) {
         // fail loudly on conflicting texts under one id — the batch is
         // increment-sized, so the check is bounded
@@ -131,6 +187,8 @@ object StreamingDedup {
         pairs.write.mode("overwrite").parquet(pairsDir)
       }
       Streams.idempotentMerge(enriched, idCol, storePath)
+      checkOrWriteMeta(fs, storePath, numHashes, bands, shingleK, portableHash,
+        write = true)
     } finally enriched.unpersist(false)
   }
 

@@ -8,33 +8,38 @@ import graft.operators.Scd
 /** Streaming SCD Type-2 maintenance — the warehouse production shape:
   * observations arrive as a stream, and a persisted dimension table of
   * `[valid_from, valid_to)` version rows is kept current by re-versioning
-  * ONLY the keys each microbatch touches. Late/out-of-order arrivals are
-  * first-class: a key's versions are recomputed from its FULL merged
+  * the key-hash BUCKETS each microbatch touches. Late/out-of-order
+  * arrivals are first-class: versions are recomputed from the full merged
   * observation log, so an observation that lands between two existing
   * versions rewrites that key's history to what a batch run over all
   * observations would produce (q137 pins exactly that batch-equivalence).
   *
-  * Two stores:
+  * Two stores, BOTH hash-partitioned by `__bucket=` of the key:
   *
   *   obsPath — append-only observation log, idempotent on `tieCol` (the
-  *     unique observation id): a redelivered batch anti-joins to nothing.
-  *   dimPath — the dimension, hash-partitioned by `bucket=` of the key.
-  *     Per batch, only the buckets containing touched keys are rewritten
-  *     (dynamic partition overwrite): untouched keys in those buckets are
-  *     carried over, every other bucket's files are not even listed.
+  *     unique observation id): a redelivered batch anti-joins to nothing,
+  *     and a redelivered id whose payload DIFFERS from the log fails
+  *     loudly instead of being silently dropped. Every per-batch probe of
+  *     the log prunes to the touched buckets (a redelivered id's key is
+  *     in the batch, so its bucket is always touched).
+  *   dimPath — the dimension. Per batch, the touched buckets are
+  *     recomputed WHOLE from the log and replaced via dynamic partition
+  *     overwrite; untouched buckets' files are not even listed.
   *
-  * Cost per batch ∝ touched buckets + the log scan for touched keys —
-  * increment-proportional at a fixed key distribution, never a full-dim
-  * rewrite. At cluster scale, partition the OBSERVATION log by the same
-  * key hash so the re-versioning scan prunes to touched buckets too, and
-  * size `nBuckets` so one bucket's dimension rows fit a write task.
+  * The dimension write is a PURE FUNCTION of the log for the touched
+  * buckets — there is no read-modify-write of the dimension at all. That
+  * is what makes the module crash-safe at every point: a torn dynamic
+  * overwrite (some bucket partitions replaced, some not, some half-
+  * staged) heals on replay, because the replayed batch merges nothing
+  * into the log and regenerates the same buckets from the same log
+  * state. A carried-over-rows design (untouched keys read from the old
+  * dimension) would instead LOSE those keys forever if the crash landed
+  * between a partition delete and its rename.
   *
-  * Exactly-once under replay, by construction: the log merge is
-  * `Streams.idempotentMerge` (keyed on the observation id), and the
-  * dimension rewrite is a DETERMINISTIC function of the merged log — a
-  * redelivered batch merges nothing and overwrites the same bucket
-  * partitions with byte-identical content. A crash between the two
-  * stores replays into the correct state (log first, then dim).
+  * Cost per batch ∝ the touched buckets (log scan + re-version compute +
+  * dimension rewrite) — bucket-bounded, never corpus-proportional; size
+  * `nBuckets` so one bucket's rows fit a task comfortably. This is the
+  * file-granular-rewrite trade every warehouse MERGE makes.
   */
 object StreamingScd {
 
@@ -53,63 +58,57 @@ object StreamingScd {
     // an at-least-once source can duplicate a row INSIDE one batch;
     // conflicting payloads under one observation id are upstream bugs and
     // fail loudly (the check is increment-sized)
-    val obs = batch.select(obsCols: _*).distinct().persist()
+    val obs = batch.select(obsCols: _*).distinct()
+      .withColumn("__bucket", bucketOf(col(keyCol), nBuckets))
+      .persist()
     try {
       val conflicts = obs.groupBy(col(tieCol))
         .agg(count(lit(1)).as("__n")).filter(col("__n") > 1).count()
       require(conflicts == 0,
         s"StreamingScd: $conflicts observation id(s) arrive with conflicting " +
           "payloads in one batch — upstream must de-conflict")
-      // ...and across batches: a redelivered observation id whose PAYLOAD
-      // differs from what the log already holds would be silently dropped
-      // by the idempotent merge (anti-join on the id), burying the same
-      // upstream bug the in-batch check surfaces. The probe is bounded:
-      // the increment's ids broadcast into a semi-join of the log.
+
       val obsP = new org.apache.hadoop.fs.Path(obsPath)
-      if (obsP.getFileSystem(spark.sessionState.newHadoopConf()).exists(obsP)) {
+      val logExists =
+        obsP.getFileSystem(spark.sessionState.newHadoopConf()).exists(obsP)
+      val touchedBuckets = obs.select(col("__bucket")).distinct()
+        .collect().map(_.getInt(0))
+      val bucketFilter = col("__bucket").isin(touchedBuckets.map(Int.box): _*)
+      def logTouched(): DataFrame =
+        spark.read.parquet(obsPath).where(bucketFilter)
+
+      if (logExists) {
+        // ...and across batches: a redelivered observation id whose
+        // PAYLOAD differs from what the log already holds would be
+        // silently dropped by the idempotent merge, burying the same
+        // upstream bug the in-batch check surfaces. Bounded: the log scan
+        // prunes to the touched buckets, the increment broadcasts.
         val payload = struct((Seq(keyCol) ++ attrCols ++ Seq(tsCol)).map(col): _*)
-        val logged = spark.read.parquet(obsPath)
-          .join(broadcast(obs.select(col(tieCol))), Seq(tieCol), "left_semi")
+        val crossBatch = logTouched()
           .select(col(tieCol), payload.as("__logged"))
-        val crossBatch = obs.select(col(tieCol), payload.as("__incoming"))
-          .join(logged, Seq(tieCol))
+          .join(broadcast(obs.select(col(tieCol), payload.as("__incoming"))),
+            Seq(tieCol))
           .filter(!(col("__incoming") <=> col("__logged"))).count()
         require(crossBatch == 0,
           s"StreamingScd: $crossBatch observation id(s) redelivered with a " +
             "DIFFERENT payload than the log holds — upstream must version " +
             "corrections as new observation ids")
       }
-      Streams.idempotentMerge(obs, tieCol, obsPath)
 
-      val touched = obs.select(col(keyCol)).distinct()
-      // re-version ONLY the touched keys, from their full merged history
-      // (scd2 is per-key independent, so this equals the global batch
-      // result restricted to these keys)
-      val log = spark.read.parquet(obsPath)
-        .join(broadcast(touched), Seq(keyCol), "left_semi")
-      val reversioned = Scd.scd2(log, keyCol, attrCols, tsCol, tieCol)
+      // idempotent, bucket-partitioned log append
+      val existingTies =
+        if (logExists) logTouched().select(col(tieCol))
+        else obs.select(col(tieCol)).limit(0)
+      obs.join(existingTies, Seq(tieCol), "left_anti")
+        .write.mode("append").partitionBy("__bucket").parquet(obsPath)
+
+      // re-version the touched buckets WHOLE from the merged log and
+      // replace exactly those dimension partitions
+      val reversioned = Scd.scd2(
+          spark.read.parquet(obsPath).where(bucketFilter),
+          keyCol, attrCols, tsCol, tieCol)
         .withColumn("__bucket", bucketOf(col(keyCol), nBuckets))
-
-      // carry over untouched keys in the touched buckets; the bucket list
-      // is bounded (<= nBuckets), so it pushes down as a STATIC partition
-      // filter — buckets with no touched key are never listed. Materialize
-      // before the overwrite below deletes the files being read.
-      val dimP = new org.apache.hadoop.fs.Path(dimPath)
-      val dimExists =
-        dimP.getFileSystem(spark.sessionState.newHadoopConf()).exists(dimP)
-      val kept =
-        if (!dimExists) reversioned.limit(0)
-        else {
-          val buckets = touched.select(bucketOf(col(keyCol), nBuckets).as("b"))
-            .distinct().collect().map(_.getInt(0))
-          spark.read.parquet(dimPath)
-            .where(col("__bucket").isin(buckets.map(Int.box): _*))
-            .join(broadcast(touched), Seq(keyCol), "left_anti")
-            .localCheckpoint(true)
-        }
-
-      reversioned.unionByName(kept)
-        .write.mode("overwrite")
+      reversioned.write.mode("overwrite")
         .option("partitionOverwriteMode", "dynamic")
         .partitionBy("__bucket")
         .parquet(dimPath)

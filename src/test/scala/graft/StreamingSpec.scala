@@ -170,6 +170,22 @@ class StreamingSpec extends SparkSpec {
     assert(pairSet() == Set((1L, 2L, false, 1.0), (3L, 1L, true, 1.0), (3L, 2L, true, 1.0)),
       s"increment must pair against history exactly once: ${pairSet()}")
     assert(storeN() == 3)
+    // parameter drift: the store pins its signature parameters — a
+    // redeploy under different banding can never match history, so it
+    // must fail loudly, not silently emit zero pairs forever
+    val e1 = intercept[IllegalArgumentException] {
+      StreamingDedup.processBatch(Seq((9L, text)).toDF("id", "text"),
+        "id", "text", store, pairs, 2L, bands = 4, threshold = 0.5)
+    }
+    assert(e1.getMessage.contains("built with"), e1.getMessage)
+    // a redelivered id with DIFFERENT text is an upstream bug the
+    // replay anti-join would otherwise bury with the stale text kept
+    val e2 = intercept[IllegalArgumentException] {
+      StreamingDedup.processBatch(Seq((1L, "completely different w9 w8"))
+        .toDF("id", "text"), "id", "text", store, pairs, 3L, threshold = 0.5)
+    }
+    assert(e2.getMessage.contains("DIFFERENT text"), e2.getMessage)
+    assert(pairSet().size == 3 && storeN() == 3, "rejected batches change nothing")
   }
 
   test("streaming dedup store is signature-bearing: history is never re-tokenized") {
