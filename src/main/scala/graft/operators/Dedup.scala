@@ -211,6 +211,64 @@ object Dedup {
       .withColumn("__bk", bandKeys(col("__sig"), numHashes, bands, portableHash))
   }
 
+  /** Candidate generation over an already-banded union of sides:
+    * `(__id, __new, band, key)` rows in, oriented candidate pairs
+    * `(new_id, dup_id, dup_is_existing)` out. Hot-bucket cap, bounded
+    * bucket-local pair expansion (old–old pairs dropped INSIDE the
+    * codegen'd lambda — they never reach the shuffle), id-pair dedup
+    * across blocking buckets, then orientation (new_id is always a
+    * new-side id; new-new pairs appear once with the smaller id as
+    * new_id). Exposed separately from [[incrementalPairsSigned]] so a
+    * caller with a PARTITIONED band index ([[graft.streaming.StreamingDedup]])
+    * can feed a bucket-pruned history scan straight in.
+    */
+  private[graft] def orientedCandidates(banded: DataFrame, maxBucket: Int): DataFrame = {
+    val hot = banded.groupBy(col("band"), col("key"))
+      .agg(count(lit(1)).as("__cnt"))
+      .filter(col("__cnt") > maxBucket)
+      .select(col("band"), col("key"))
+    val bucketed = banded.join(broadcast(hot), Seq("band", "key"), "left_anti")
+
+    val ids = col("ids")
+    val pairsOf = filter(
+      flatten(transform(ids, (x, i) =>
+        transform(slice(ids, i + lit(2), size(ids)), y =>
+          struct(x.getField("id").as("id_a"), x.getField("n").as("na"),
+            y.getField("id").as("id_b"), y.getField("n").as("nb"))))),
+      p => p.getField("na") || p.getField("nb"))
+    bucketed.groupBy(col("band"), col("key"))
+      .agg(sort_array(collect_list(struct(col("__id").as("id"), col("__new").as("n"))))
+        .as("ids"))
+      .filter(size(ids) >= 2)
+      .select(explode(pairsOf).as("p"))
+      .select(col("p.id_a"), col("p.na"), col("p.id_b"), col("p.nb"))
+      .distinct()
+      .select(
+        when(col("na"), col("id_a")).otherwise(col("id_b")).as("new_id"),
+        when(col("na"), col("id_b")).otherwise(col("id_a")).as("dup_id"),
+        (!(col("na") && col("nb"))).as("dup_is_existing"))
+  }
+
+  /** Jaccard verification of oriented candidates. `newShingles` serves the
+    * new_id join-back (new_id is a new-side id by construction — probing a
+    * wider set would re-scan history shingles for rows that can never
+    * match); `dupShingles` must cover every possible dup_id (both sides for
+    * the generic path; new side + a candidate-bucket-pruned store scan for
+    * the streaming path). Both in the `(__id, __sh)` projection.
+    */
+  private[graft] def verifyOriented(cand: DataFrame, newShingles: DataFrame,
+                                    dupShingles: DataFrame,
+                                    threshold: Double): DataFrame = {
+    val jac = size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+      size(array_union(col("sh_a"), col("sh_b"))).cast("double")
+    cand
+      .join(newShingles.select(col("__id").as("new_id"), col("__sh").as("sh_a")), "new_id")
+      .join(dupShingles.select(col("__id").as("dup_id"), col("__sh").as("sh_b")), "dup_id")
+      .select(col("new_id"), col("dup_id"), col("dup_is_existing"),
+        round(jac, 4).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+
   /** Core of the incremental pairing, fed with PRE-SIGNED sides (the
     * [[signedSide]] schema; `__sig` is optional — banding consumes the
     * stored `__bk` directly). Contains NO tokenize/shingle/signature
@@ -242,48 +300,11 @@ object Dedup {
     val exSide0 = sel(existingSigned, isNew = false)
 
     def pipeline(newSide: DataFrame, exSide: DataFrame,
-                 banded: DataFrame): DataFrame = {
-      val hot = banded.groupBy(col("band"), col("key"))
-        .agg(count(lit(1)).as("__cnt"))
-        .filter(col("__cnt") > maxBucket)
-        .select(col("band"), col("key"))
-      val bucketed = banded.join(broadcast(hot), Seq("band", "key"), "left_anti")
-
-      val ids = col("ids")
-      val pairsOf = filter(
-        flatten(transform(ids, (x, i) =>
-          transform(slice(ids, i + lit(2), size(ids)), y =>
-            struct(x.getField("id").as("id_a"), x.getField("n").as("na"),
-              y.getField("id").as("id_b"), y.getField("n").as("nb"))))),
-        p => p.getField("na") || p.getField("nb"))
-      val cand = bucketed.groupBy(col("band"), col("key"))
-        .agg(sort_array(collect_list(struct(col("__id").as("id"), col("__new").as("n"))))
-          .as("ids"))
-        .filter(size(ids) >= 2)
-        .select(explode(pairsOf).as("p"))
-        .select(col("p.id_a"), col("p.na"), col("p.id_b"), col("p.nb"))
-        .distinct()
-      val oriented = cand.select(
-        when(col("na"), col("id_a")).otherwise(col("id_b")).as("new_id"),
-        when(col("na"), col("id_b")).otherwise(col("id_a")).as("dup_id"),
-        (!(col("na") && col("nb"))).as("dup_is_existing"))
-
-      val jac = size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
-        size(array_union(col("sh_a"), col("sh_b"))).cast("double")
-      // sh_a joins against the NEW side only — new_id is a new-side id by
-      // construction (the pair filter requires a flagged member and the
-      // orientation picks it), so probing the union would re-scan the whole
-      // store's (heaviest) shingle column once more per microbatch in the
-      // store-fed path for rows that can never match. dup_id can be either
-      // side, so sh_b keeps the union.
-      oriented
-        .join(newSide.select(col("__id").as("new_id"), col("__sh").as("sh_a")), "new_id")
-        .join(newSide.unionByName(exSide)
-          .select(col("__id").as("dup_id"), col("__sh").as("sh_b")), "dup_id")
-        .select(col("new_id"), col("dup_id"), col("dup_is_existing"),
-          round(jac, 4).as("jaccard"))
-        .filter(col("jaccard") >= threshold)
-    }
+                 banded: DataFrame): DataFrame =
+      verifyOriented(orientedCandidates(banded, maxBucket),
+        newShingles = newSide,
+        dupShingles = newSide.unionByName(exSide).select(col("__id"), col("__sh")),
+        threshold = threshold)
 
     def bandedOf(newSide: DataFrame, exSide: DataFrame): DataFrame =
       newSide.unionByName(exSide)

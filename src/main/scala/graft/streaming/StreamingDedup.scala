@@ -1,7 +1,8 @@
 package graft.streaming
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{IntegerType, StructField, StructType}
 
 import graft.functions.TextFns
 import graft.operators.Dedup
@@ -9,30 +10,50 @@ import graft.operators.Dedup
 /** Continuous corpus ingestion with near-dup detection — the production
   * shape for a training-data pipeline that receives documents as a stream:
   * each microbatch is checked against the ever-growing persisted corpus
-  * (and itself) with `Dedup.incrementalPairsSigned`, verified pairs land
-  * in a per-batch shard, and the batch then merges into the corpus store.
-  * Old–old pairs are never recomputed — each arriving document is paired
-  * against history exactly once, which is what keeps a continuously-running
-  * dedup affordable at 100 TB (cost per day ∝ increment × bands, not
-  * corpus²).
+  * (and itself), verified pairs land in a per-batch shard, and the batch
+  * then merges into the corpus store. Old–old pairs are never recomputed —
+  * each arriving document is paired against history exactly once, which is
+  * what keeps a continuously-running dedup affordable at 100 TB (cost per
+  * day ∝ increment × bands, not corpus²).
   *
-  * The store is SIGNATURE-BEARING: every merged document carries its
-  * text digest, shingle set, MinHash signature, and LSH band keys
-  * (`id, text, __th, __sh, __sig, __bk`), each computed exactly once at
-  * merge time; the signature parameters are pinned in a meta file so a
-  * redeploy under different banding fails loudly instead of silently
-  * never matching history. A microbatch therefore pays text processing only for its OWN
-  * documents; history contributes column-pruned parquet scans — `(id,
-  * __bk)` into the banding stage and `(id, __sh)` into the Jaccard
-  * verification join-backs — and is never re-tokenized (StreamingSpec pins
-  * that the store-fed pairing plan contains no tokenizer and never reads
-  * the text column). Storing `__sh` trades ~text-sized storage for a
-  * tokenize-free verify; a deployment tighter on storage than CPU can drop
-  * it and re-shingle only the (bounded) candidate-matched history rows.
-  * `__sig` itself is not read on the hot path (banding consumes `__bk`)
-  * but is what allows re-banding the corpus under a different bands/rows
-  * split without re-signing it. At cluster scale, bucket the store by id
-  * so the anti-join probe and the verify join-backs prune to buckets.
+  * The store is TWO bucket-partitioned parquet tables under `storePath`,
+  * so every per-batch history probe prunes to the partitions the batch
+  * actually touches (the [[StreamingScd]] `__bucket=` discipline) instead
+  * of scanning the whole corpus:
+  *
+  *   docs/__bucket=B/  — one row per document `(id, text, __th, __sh,
+  *     __sig)`, hash-bucketed by id. The text digest `__th`, shingle set,
+  *     and MinHash signature are computed exactly ONCE, at merge time.
+  *     A batch's ids land in a bounded set of buckets, so the (single)
+  *     `(id, __th)` probe that feeds the stale-text check, the replay
+  *     anti-join, and the merge anti-join lists only those partitions.
+  *   bands/__bbk=K/    — the LSH band index `(id, band, key)`, bucketed
+  *     by a hash of the band KEY. A batch's band keys are bounded
+  *     (increment × bands) and every history row sharing a key hashes to
+  *     the same `__bbk`, so the candidate-pairing stage reads exactly the
+  *     partitions the batch's keys touch — with the FULL membership of
+  *     each touched key, which keeps hot-bucket counts (and therefore the
+  *     emitted pairs) identical to an unpruned scan. Keys the batch does
+  *     not touch can only produce old–old pairs, which are dropped anyway.
+  *
+  * Shingle sets (`__sh`, the heaviest stored column) stay OUT of the
+  * banding scan entirely: the Jaccard verification joins them back from
+  * `docs/` only for the buckets that candidate-matched dup ids hash to —
+  * candidates are bounded, so that scan is bounded too. `__sig` is not
+  * read on the hot path (banding consumes the persisted index) but is
+  * what allows re-banding the corpus under a different bands/rows split
+  * without re-tokenizing it. History is never re-tokenized at all:
+  * StreamingSpec pins that the store-fed pairing plan contains no
+  * tokenizer and never reads the text column, and that every store scan
+  * in the batch plan carries partition filters.
+  *
+  * The signature parameters (including both bucket counts) are pinned in
+  * `_graft_dedup_meta.json` beside the stores; every batch requires a
+  * match, so a redeploy under different banding fails loudly instead of
+  * silently never matching history. The meta is written BEFORE the first
+  * merge: a crash between the two leaves meta-without-data, which replays
+  * cleanly — the reverse order had a window where a crash-then-redeploy
+  * could pin NEW parameters over a store signed with the old ones.
   *
   * Exactly-once under microbatch replay, by construction, in two layers:
   *
@@ -40,21 +61,32 @@ import graft.operators.Dedup
   *     `_SUCCESS` marker is absent (torn shards from a mid-write crash are
   *     overwritten on retry — same rule as `Sketches.streamingCountMin`).
   *  2. Batch documents whose ids are already in the store are dropped
-  *     before pairing (`left_anti` on the store's id column), so a batch
-  *     redelivered after its store merge committed generates ZERO pairs,
-  *     and the store merge itself is `Streams.idempotentMerge`.
+  *     before pairing (`left_anti` on the pruned docs probe), so a batch
+  *     redelivered after its store merge committed generates ZERO pairs;
+  *     both store merges are per-row anti-join idempotent.
   *
-  * The pairs write runs BEFORE the store merge: a crash between the two
+  * The pairs write runs BEFORE the store merges: a crash between the two
   * replays the batch with its ids not yet merged, so the shard is
   * recomputed against the same store state; the reverse order would lose
-  * the batch's pairs forever (ids in store ⇒ newOnly empty on replay).
+  * the batch's pairs forever (ids in store ⇒ nothing new on replay). The
+  * band index merges BEFORE the docs table: pairing requires every docs
+  * row to be banded, so the index must never lag the docs store across a
+  * crash (index rows whose doc row hasn't landed yet heal on replay and
+  * are invisible to verification until it does; the reverse order would
+  * leave documents that silently never pair).
   */
 object StreamingDedup {
 
-  /** The batch enriched with the store columns: shingles, signature, band
-    * keys — the single per-document text-processing pass of the whole
-    * pipeline. Documents whose text yields no shingles keep null
-    * `__sig`/`__bk` (they are corpus rows but can never pair).
+  private def bucketOf(c: Column, n: Int): Column =
+    pmod(xxhash64(c), lit(n.toLong)).cast("int")
+
+  private[graft] def docsPath(storePath: String): String = s"$storePath/docs"
+  private[graft] def bandsPath(storePath: String): String = s"$storePath/bands"
+
+  /** The batch enriched with the store columns: text digest, shingles,
+    * signature, band keys — the single per-document text-processing pass
+    * of the whole pipeline. Documents whose text yields no shingles keep
+    * null `__sig`/`__bk` (they are corpus rows but can never pair).
     */
   private def enrich(batch: DataFrame, idCol: String, textCol: String,
                      numHashes: Int, bands: Int, shingleK: Int,
@@ -73,22 +105,24 @@ object StreamingDedup {
         Dedup.bandKeys(col("__sig"), numHashes, bands, portableHash)))
   }
 
-  /** The stored columns are a function of the signature parameters: a
-    * store written under one (numHashes, bands, shingleK, portableHash)
-    * silently never matches batches signed under another (band keys from
-    * different slicings are never equal). The parameters are pinned in a
-    * `_graft_dedup_meta.json` beside the parquet (underscore-prefixed, so
-    * scans ignore it); every batch requires a match. Absence self-heals
-    * (written after the first merge; a crash between merge and meta write
-    * must not brick the store).
+  /** The stored columns and partition layout are a function of these
+    * parameters: a store written under one (numHashes, bands, shingleK,
+    * portableHash, nBuckets, nBandBuckets) silently never matches batches
+    * signed under another (band keys from different slicings are never
+    * equal; partition pruning under a different bucket count reads the
+    * wrong partitions). They are pinned in `_graft_dedup_meta.json` beside
+    * the stores (underscore-prefixed, so scans ignore it); every batch
+    * requires a match.
     */
   private def checkOrWriteMeta(fs: org.apache.hadoop.fs.FileSystem,
                                storePath: String, numHashes: Int, bands: Int,
                                shingleK: Int, portableHash: Boolean,
+                               nBuckets: Int, nBandBuckets: Int,
                                write: Boolean): Unit = {
     val meta = new org.apache.hadoop.fs.Path(storePath, "_graft_dedup_meta.json")
     val expected = s"""{"numHashes":$numHashes,"bands":$bands,""" +
-      s""""shingleK":$shingleK,"portableHash":$portableHash}"""
+      s""""shingleK":$shingleK,"portableHash":$portableHash,""" +
+      s""""nBuckets":$nBuckets,"nBandBuckets":$nBandBuckets}"""
     if (fs.exists(meta)) {
       val in = fs.open(meta)
       val found =
@@ -104,6 +138,36 @@ object StreamingDedup {
     }
   }
 
+  /** Bucket-pruned band-index scan, as a pairing side (`__new = false`).
+    * Explicit schema so a crash-window or signature-free store never
+    * trips schema inference.
+    */
+  private[graft] def bandsSide(spark: SparkSession, storePath: String,
+                               idCol: String, bbks: Seq[Int],
+                               schema: StructType): DataFrame = {
+    val p = new org.apache.hadoop.fs.Path(bandsPath(storePath))
+    val exists = p.getFileSystem(spark.sessionState.newHadoopConf()).exists(p)
+    val src =
+      if (exists)
+        spark.read.schema(schema).parquet(bandsPath(storePath))
+          .where(col("__bbk").isin(bbks.map(Int.box): _*))
+      else
+        spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    src.select(col(idCol).as("__id"), lit(false).as("__new"),
+      col("band"), col("key"))
+  }
+
+  /** Bucket-pruned `(__id, __sh)` scan of the docs table — the dup-side
+    * shingle join-back, read only for the buckets candidate-matched dup
+    * ids hash to.
+    */
+  private[graft] def docsShingles(spark: SparkSession, storePath: String,
+                                  idCol: String, buckets: Seq[Int],
+                                  schema: StructType): DataFrame =
+    spark.read.schema(schema).parquet(docsPath(storePath))
+      .where(col("__bucket").isin(buckets.map(Int.box): _*))
+      .select(col(idCol).as("__id"), col("__sh"))
+
   /** One microbatch step. Exposed (rather than inlined in the foreachBatch
     * closure) so replay semantics are unit-testable without checkpoint
     * machinery: calling it twice with the same batch must be a no-op.
@@ -112,98 +176,162 @@ object StreamingDedup {
                    storePath: String, pairsPath: String, batchId: Long,
                    numHashes: Int = 32, bands: Int = 8, shingleK: Int = 3,
                    threshold: Double = 0.5, maxBucket: Int = 1000,
-                   portableHash: Boolean = false): Unit = {
+                   portableHash: Boolean = false,
+                   nBuckets: Int = 16, nBandBuckets: Int = 16): Unit = {
     val spark = batch.sparkSession
     val conf = spark.sessionState.newHadoopConf()
     val pairsDir = s"$pairsPath/batch=$batchId"
-    val storeP = new org.apache.hadoop.fs.Path(storePath)
-    val fs = storeP.getFileSystem(conf)
-    val storeExists = fs.exists(storeP)
+    val docsP = new org.apache.hadoop.fs.Path(docsPath(storePath))
+    val fs = docsP.getFileSystem(conf)
+    val storeExists = fs.exists(docsP)
     checkOrWriteMeta(fs, storePath, numHashes, bands, shingleK, portableHash,
-      write = false)
+      nBuckets, nBandBuckets, write = false)
     // an at-least-once source can redeliver a record INSIDE one batch:
     // collapse exact (id, text) duplicates (a duplicated row would
     // otherwise pair with itself through the bucket expansion and land in
     // the store twice)
     val deduped = batch.select(col(idCol), col(textCol)).distinct()
-    // increment-sized; cached because it feeds BOTH the pairing (inside the
-    // shard guard) and the store merge — one tokenize pass per batch, ever
+    // an empty microbatch (recovery, no-data trigger) must not create
+    // empty store directories or probe anything
+    if (deduped.isEmpty) return
+    // increment-sized; cached because it feeds the pairing (inside the
+    // shard guard) AND both store merges — one tokenize pass per batch, ever
     val enriched = enrich(deduped, idCol, textCol,
-      numHashes, bands, shingleK, portableHash).persist()
+        numHashes, bands, shingleK, portableHash)
+      .withColumn("__bucket", bucketOf(col(idCol), nBuckets))
+      .persist()
     try {
-      // a redelivered id whose TEXT differs from the store is an upstream
-      // bug the anti-join below would silently bury (the stale text would
-      // keep representing the document forever) — fail loudly instead.
-      // The probe reads only the store's (id, digest) columns, the same
-      // thin-scan class as the replay guard's id read.
-      if (storeExists) {
-        val stale = spark.read.parquet(storePath)
-          .select(col(idCol), col("__th"))
-          .join(broadcast(enriched.select(col(idCol), col("__th").as("__bth"))),
-            Seq(idCol))
-          .filter(!(col("__th") <=> col("__bth"))).count()
-        require(stale == 0,
-          s"StreamingDedup: $stale id(s) redelivered with DIFFERENT text " +
-            "than the store holds — upstream must version corrections as " +
-            "new document ids")
-      }
-      Streams.idempotentShardWrite(spark, pairsDir) {
-        // fail loudly on conflicting texts under one id — the batch is
-        // increment-sized, so the check is bounded
-        val conflicts = deduped.groupBy(col(idCol))
-          .agg(count(lit(1)).as("__n")).filter(col("__n") > 1).count()
-        require(conflicts == 0,
-          s"StreamingDedup: $conflicts id(s) arrive with conflicting texts " +
-            "in one batch — upstream must version or de-conflict ids")
-        val existingIds =
-          if (storeExists) spark.read.parquet(storePath).select(col(idCol))
-          else deduped.select(col(idCol)).limit(0)
-        // replay guard: ids already merged into the store are not "new" —
-        // this also guarantees incrementalPairsSigned's disjointness contract
-        val newSigned = enriched
-          .join(existingIds, Seq(idCol), "left_anti")
-          .filter(col("__sig").isNotNull)
-          .select(col(idCol).as("__id"), col("__sh"), col("__bk"))
-        val pairs =
-          if (newSigned.isEmpty) {
-            // fully-redelivered batch: emit the empty shard without scanning
-            // the whole store's band keys just to pair nothing against them
-            val schema = org.apache.spark.sql.types.StructType(Seq(
-              org.apache.spark.sql.types.StructField("new_id",
-                batch.schema(idCol).dataType),
-              org.apache.spark.sql.types.StructField("dup_id",
-                batch.schema(idCol).dataType),
-              org.apache.spark.sql.types.StructField("dup_is_existing",
-                org.apache.spark.sql.types.BooleanType),
-              org.apache.spark.sql.types.StructField("jaccard",
-                org.apache.spark.sql.types.DoubleType)))
-            spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
-          } else Dedup.incrementalPairsSigned(newSigned,
-            existingSigned(spark, storePath, idCol, storeExists, enriched),
-            threshold, maxBucket,
-            // the left_anti above structurally guarantees disjointness —
-            // skip the core's corpus-proportional re-probe per batch
-            checkDisjoint = false)
-        pairs.write.mode("overwrite").parquet(pairsDir)
-      }
-      Streams.idempotentMerge(enriched, idCol, storePath)
-      checkOrWriteMeta(fs, storePath, numHashes, bands, shingleK, portableHash,
-        write = true)
-    } finally enriched.unpersist(false)
-  }
+      // fail loudly on conflicting texts under one id — the batch is
+      // increment-sized, so the check is bounded
+      val conflicts = enriched.groupBy(col(idCol))
+        .agg(count(lit(1)).as("__n")).filter(col("__n") > 1).count()
+      require(conflicts == 0,
+        s"StreamingDedup: $conflicts id(s) arrive with conflicting texts " +
+          "in one batch — upstream must version or de-conflict ids")
 
-  /** History as a pairing side, read STRAIGHT from the store's persisted
-    * columns — no text read, no tokenizer in the plan.
-    */
-  private[graft] def existingSigned(spark: org.apache.spark.sql.SparkSession,
-                                    storePath: String, idCol: String,
-                                    storeExists: Boolean,
-                                    emptyTemplate: DataFrame): DataFrame = {
-    val src =
-      if (storeExists) spark.read.parquet(storePath)
-      else emptyTemplate.limit(0)
-    src.filter(col("__sig").isNotNull)
-      .select(col(idCol).as("__id"), col("__sh"), col("__bk"))
+      val touchedBuckets = enriched.select(col("__bucket")).distinct()
+        .collect().map(_.getInt(0))
+      val docsSchema = StructType(enriched.drop("__bk").schema.fields)
+      // ONE pruned `(id, __th)` scan of the docs store feeds all three
+      // history-id probes of the batch — the stale-text check, the replay
+      // anti-join, and the merge anti-join. A batch id's bucket is touched
+      // by construction, so pruning to the batch's buckets loses nothing.
+      val probe =
+        if (storeExists)
+          spark.read.schema(docsSchema).parquet(docsPath(storePath))
+            .where(col("__bucket").isin(touchedBuckets.map(Int.box): _*))
+            .select(col(idCol), col("__th"))
+            .persist()
+        else enriched.select(col(idCol), col("__th")).limit(0)
+      try {
+        // a redelivered id whose TEXT differs from the store is an upstream
+        // bug the anti-join below would silently bury (the stale text would
+        // keep representing the document forever) — fail loudly instead.
+        // This count also materializes the probe cache, so the merge's
+        // append never reads the parquet it is writing to.
+        if (storeExists) {
+          val stale = probe
+            .join(broadcast(enriched.select(col(idCol), col("__th").as("__bth"))),
+              Seq(idCol))
+            .filter(!(col("__th") <=> col("__bth"))).count()
+          require(stale == 0,
+            s"StreamingDedup: $stale id(s) redelivered with DIFFERENT text " +
+              "than the store holds — upstream must version corrections as " +
+              "new document ids")
+        }
+        // replay guard: ids already merged into the store are not "new"
+        val newDocs = enriched
+          .join(probe.select(col(idCol)), Seq(idCol), "left_anti")
+        val newSigned = newDocs.filter(col("__sig").isNotNull)
+          .select(col(idCol).as("__id"), col("__sh"), col("__bk"))
+        val newBanded = newSigned
+          .select(col("__id"), lit(true).as("__new"), explode(col("__bk")).as("__b"))
+          .select(col("__id"), col("__new"),
+            col("__b.band").as("band"), col("__b.key").as("key"))
+        // the band-key buckets this batch touches — bounded (≤ nBandBuckets),
+        // shared by the pairing scan and the band-index merge below
+        val touchedBbk = newBanded
+          .select(bucketOf(col("key"), nBandBuckets).as("__bbk"))
+          .distinct().collect().map(_.getInt(0))
+        val bandsSchema = StructType(Seq(
+          StructField(idCol, batch.schema(idCol).dataType),
+          StructField("band", enriched.schema("__bk").dataType
+            .asInstanceOf[org.apache.spark.sql.types.ArrayType].elementType
+            .asInstanceOf[StructType]("band").dataType),
+          StructField("key", enriched.schema("__bk").dataType
+            .asInstanceOf[org.apache.spark.sql.types.ArrayType].elementType
+            .asInstanceOf[StructType]("key").dataType),
+          StructField("__bbk", IntegerType)))
+
+        Streams.idempotentShardWrite(spark, pairsDir) {
+          val pairs =
+            if (touchedBbk.isEmpty) {
+              // fully-redelivered (or signature-free) batch: emit the empty
+              // shard without touching the band index at all
+              val schema = StructType(Seq(
+                StructField("new_id", batch.schema(idCol).dataType),
+                StructField("dup_id", batch.schema(idCol).dataType),
+                StructField("dup_is_existing",
+                  org.apache.spark.sql.types.BooleanType),
+                StructField("jaccard",
+                  org.apache.spark.sql.types.DoubleType)))
+              spark.createDataFrame(
+                spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+            } else {
+              // the anti-join keeps the sides structurally disjoint even in
+              // the crash-plus-lost-checkpoint corner where the band index
+              // holds this batch's ids but the docs table does not yet (the
+              // bands-before-docs merge order): without it a replayed batch
+              // under a NEW batch id could pair a document with itself.
+              // The new-id set is increment-bounded, so it broadcasts.
+              val exBanded =
+                (if (storeExists)
+                  bandsSide(spark, storePath, idCol, touchedBbk.toSeq, bandsSchema)
+                else newBanded.limit(0))
+                  .join(broadcast(newSigned.select(col("__id"))), Seq("__id"), "left_anti")
+              // candidates are near-dup-pair-bounded: materialize them so
+              // the dup-side buckets can collect and prune the shingle scan
+              val cand = Dedup.orientedCandidates(
+                  newBanded.unionByName(exBanded), maxBucket)
+                .localCheckpoint(true)
+              val dupBuckets = cand.filter(col("dup_is_existing"))
+                .select(bucketOf(col("dup_id"), nBuckets).as("__bucket"))
+                .distinct().collect().map(_.getInt(0))
+              val newSh = newSigned.select(col("__id"), col("__sh"))
+              val dupSh =
+                if (storeExists && dupBuckets.nonEmpty)
+                  newSh.unionByName(docsShingles(spark, storePath, idCol,
+                    dupBuckets.toSeq, docsSchema))
+                else newSh
+              Dedup.verifyOriented(cand, newSh, dupSh, threshold)
+            }
+          pairs.write.mode("overwrite").parquet(pairsDir)
+        }
+
+        // parameters are pinned BEFORE the store gains rows (see scaladoc)
+        checkOrWriteMeta(fs, storePath, numHashes, bands, shingleK,
+          portableHash, nBuckets, nBandBuckets, write = true)
+        // band index first (see scaladoc), idempotent per (id, band) so a
+        // torn append that split one id across partitions heals row-wise;
+        // the localCheckpoint decouples the pruned read from the append to
+        // the same path
+        if (touchedBbk.nonEmpty) {
+          val exBandKeys = bandsSide(spark, storePath, idCol,
+              touchedBbk.toSeq, bandsSchema)
+            .select(col("__id").as(idCol), col("band"))
+          val bandAppend = newBanded
+            .select(col("__id").as(idCol), col("band"), col("key"))
+            .join(exBandKeys, Seq(idCol, "band"), "left_anti")
+            .withColumn("__bbk", bucketOf(col("key"), nBandBuckets))
+            .localCheckpoint(true)
+          bandAppend.write.mode("append").partitionBy("__bbk")
+            .parquet(bandsPath(storePath))
+        }
+        val docsAppend = newDocs.drop("__bk").localCheckpoint(true)
+        docsAppend.write.mode("append").partitionBy("__bucket")
+          .parquet(docsPath(storePath))
+      } finally probe.unpersist(false)
+    } finally enriched.unpersist(false)
   }
 
   /** Attach the per-batch step to a streaming DataFrame of documents. */
@@ -211,17 +339,23 @@ object StreamingDedup {
            storePath: String, pairsPath: String, checkpoint: String,
            numHashes: Int = 32, bands: Int = 8, shingleK: Int = 3,
            threshold: Double = 0.5, maxBucket: Int = 1000,
-           portableHash: Boolean = false): org.apache.spark.sql.streaming.StreamingQuery =
+           portableHash: Boolean = false,
+           nBuckets: Int = 16, nBandBuckets: Int = 16): org.apache.spark.sql.streaming.StreamingQuery =
     stream.writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         processBatch(batch, idCol, textCol, storePath, pairsPath, batchId,
-          numHashes, bands, shingleK, threshold, maxBucket, portableHash)
+          numHashes, bands, shingleK, threshold, maxBucket, portableHash,
+          nBuckets, nBandBuckets)
       }
       .option("checkpointLocation", checkpoint)
       .start()
 
+  /** The persisted corpus (docs table; bucket column dropped). */
+  def corpus(spark: SparkSession, storePath: String): DataFrame =
+    spark.read.parquet(docsPath(storePath)).drop("__bucket")
+
   /** All pairs emitted so far, across every batch shard. */
-  def pairs(spark: org.apache.spark.sql.SparkSession, pairsPath: String): DataFrame =
+  def pairs(spark: SparkSession, pairsPath: String): DataFrame =
     spark.read.parquet(pairsPath)
       .select(col("new_id"), col("dup_id"), col("dup_is_existing"), col("jaccard"))
 }

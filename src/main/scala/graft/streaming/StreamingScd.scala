@@ -61,6 +61,10 @@ object StreamingScd {
     val obs = batch.select(obsCols: _*).distinct()
       .withColumn("__bucket", bucketOf(col(keyCol), nBuckets))
       .persist()
+    // an empty microbatch (recovery, no-data trigger) touches no buckets
+    // and must not create an empty log dir a later read would fail
+    // schema inference on
+    if (obs.isEmpty) { obs.unpersist(false); return }
     try {
       val conflicts = obs.groupBy(col(tieCol))
         .agg(count(lit(1)).as("__n")).filter(col("__n") > 1).count()
@@ -95,12 +99,17 @@ object StreamingScd {
             "corrections as new observation ids")
       }
 
-      // idempotent, bucket-partitioned log append
+      // idempotent, bucket-partitioned log append. The appended rows are
+      // materialized (localCheckpoint) BEFORE the write so the job never
+      // reads obsPath while appending to it — Spark only rejects that
+      // self-read for overwrite mode, and relying on planning-time file
+      // listing to make it safe is committer-implementation-dependent.
       val existingTies =
         if (logExists) logTouched().select(col(tieCol))
         else obs.select(col(tieCol)).limit(0)
-      obs.join(existingTies, Seq(tieCol), "left_anti")
-        .write.mode("append").partitionBy("__bucket").parquet(obsPath)
+      val logAppend = obs.join(existingTies, Seq(tieCol), "left_anti")
+        .localCheckpoint(true)
+      logAppend.write.mode("append").partitionBy("__bucket").parquet(obsPath)
 
       // re-version the touched buckets WHOLE from the merged log and
       // replace exactly those dimension partitions

@@ -149,7 +149,7 @@ class StreamingSpec extends SparkSpec {
     val b0 = Seq((1L, text), (2L, text)).toDF("id", "text")
     def pairSet() = StreamingDedup.pairs(spark, pairs)
       .as[(Long, Long, Boolean, Double)].collect().toSet
-    def storeN() = spark.read.parquet(store).count()
+    def storeN() = StreamingDedup.corpus(spark, store).count()
 
     StreamingDedup.processBatch(b0, "id", "text", store, pairs, 0L, threshold = 0.5)
     assert(pairSet() == Set((1L, 2L, false, 1.0)), s"batch-0 new-new pair: ${pairSet()}")
@@ -188,9 +188,10 @@ class StreamingSpec extends SparkSpec {
     assert(pairSet().size == 3 && storeN() == 3, "rejected batches change nothing")
   }
 
-  test("streaming dedup store is signature-bearing: history is never re-tokenized") {
+  test("streaming dedup store is signature-bearing and bucketed: history probes prune") {
     import graft.streaming.StreamingDedup
     import graft.operators.Dedup
+    import org.apache.spark.sql.types.{IntegerType, StructField, StructType}
     import spark.implicits._
     val tmp = java.nio.file.Files.createTempDirectory("graft_sigstore_").toString
     val store = s"file:$tmp/store"
@@ -201,38 +202,99 @@ class StreamingSpec extends SparkSpec {
     StreamingDedup.processBatch(Seq((3L, text)).toDF("id", "text"),
       "id", "text", store, pairs, 1L, threshold = 0.5)
 
-    // 1. the store carries the per-document signature columns, computed
-    // once at merge time
-    val st = spark.read.parquet(store)
-    assert(Set("__sh", "__sig", "__bk").subsetOf(st.columns.toSet),
-      s"store must persist shingles/signature/band keys, has ${st.columns.toSeq}")
-    assert(st.filter(col("__sig").isNull || size(col("__bk")) =!= 8).count() == 0,
-      "every stored doc must carry a signature and one key per band")
+    // 1. the docs table carries the per-document signature columns
+    // (computed once at merge time) and is partitioned by id bucket; the
+    // band index holds one row per (doc, band) partitioned by key bucket
+    val docs = spark.read.parquet(s"$store/docs")
+    assert(Set("__th", "__sh", "__sig", "__bucket").subsetOf(docs.columns.toSet),
+      s"docs must persist digest/shingles/signature + bucket, has ${docs.columns.toSeq}")
+    assert(docs.filter(col("__sig").isNull).count() == 0,
+      "every stored doc must carry a signature")
+    val bandsIdx = spark.read.parquet(s"$store/bands")
+    assert(Set("id", "band", "key", "__bbk").subsetOf(bandsIdx.columns.toSet),
+      s"band index columns: ${bandsIdx.columns.toSeq}")
+    assert(bandsIdx.groupBy(col("id")).count().filter(col("count") =!= 8).count() == 0,
+      "every stored doc must carry one index row per band")
 
-    // 2. the history side processBatch feeds into the pairing reads ONLY
-    // (id, __sh, __sig, __bk) from parquet — the text column never loads
-    val ex = StreamingDedup.existingSigned(spark, store, "id",
-      storeExists = true, emptyTemplate = st)
-    val scan = ex.queryExecution.executedPlan.collect {
-      case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+    // 2. the history sides of the pairing read ONLY persisted columns with
+    // PARTITION FILTERS — no text read, bucket pruning reaches the scan
+    val docsSchema = StructType(docs.schema.fields)
+    val bandsSchema = StructType(Seq(
+      StructField("id", org.apache.spark.sql.types.LongType),
+      StructField("band", IntegerType),
+      StructField("key", org.apache.spark.sql.types.LongType),
+      StructField("__bbk", IntegerType)))
+    val ex = StreamingDedup.bandsSide(spark, store, "id", Seq(0, 1), bandsSchema)
+    val sh = StreamingDedup.docsShingles(spark, store, "id", Seq(0, 1), docsSchema)
+    for ((df, what) <- Seq((ex, "bands"), (sh, "docs-shingles"))) {
+      val scans = df.queryExecution.executedPlan.collect {
+        case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+      }
+      assert(scans.nonEmpty, s"$what side must be a file scan")
+      assert(scans.forall(_.partitionFilters.nonEmpty),
+        s"$what scan must carry a partition filter:\n${df.queryExecution.executedPlan}")
+      assert(!scans.exists(_.requiredSchema.fieldNames.contains("text")),
+        s"$what scan must prune the text column")
     }
-    assert(scan.nonEmpty && !scan.exists(_.requiredSchema.fieldNames.contains("text")),
-      s"history scan must prune the text column:\n${ex.queryExecution.executedPlan}")
 
     // 3. the whole store-fed pairing plan contains NO tokenize/shingle/
-    // signature expression — both sides arrive pre-signed (the new side's
-    // single text pass happens upstream in enrich); history cost is pruned
-    // column scans, ∝ corpus bytes read but zero per-batch text CPU
+    // signature expression — the new side's single text pass happens
+    // upstream in enrich; history cost is pruned column scans
     val newSigned = Dedup.signedSide(Seq((9L, text)).toDF("id", "text"), "id", "text")
     val tmpNew = s"file:$tmp/new_signed"
     newSigned.write.parquet(tmpNew)
-    val lazyPlan = Dedup.incrementalPairsSigned(
-      spark.read.parquet(tmpNew), ex, threshold = 0.5, maxBucket = 1000,
-      eager = false)
+    val storedNew = spark.read.parquet(tmpNew)
+    val newBanded = storedNew
+      .select(col("__id"), lit(true).as("__new"), explode(col("__bk")).as("__b"))
+      .select(col("__id"), col("__new"), col("__b.band").as("band"), col("__b.key").as("key"))
+    val cand = Dedup.orientedCandidates(newBanded.unionByName(ex), maxBucket = 1000)
+    val lazyPlan = Dedup.verifyOriented(cand,
+      storedNew.select(col("__id"), col("__sh")),
+      storedNew.select(col("__id"), col("__sh")).unionByName(sh),
+      threshold = 0.5)
     val planStr = lazyPlan.queryExecution.optimizedPlan.toString
     for (tok <- Seq("split(", "regexp_replace", "lower(", "minhash"))
       assert(!planStr.toLowerCase.contains(tok),
         s"pairing plan must be tokenizer-free, found '$tok':\n$planStr")
+  }
+
+  test("streaming dedup merge rewrites only touched buckets; probes prune to them") {
+    import graft.streaming.StreamingDedup
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft_bdedup_").toString
+    val store = s"file:$tmp/store"
+    val pairs = s"file:$tmp/pairs"
+    // two ids in DIFFERENT docs buckets (bucket = pmod(xxhash64(id), 16))
+    val bOf = Seq((1L to 40L): _*).toDF("k")
+      .select(col("k"), pmod(xxhash64(col("k")), lit(16L)).cast("int").as("b"))
+      .as[(Long, Int)].collect().toMap
+    val idB = (2L to 40L).find(bOf(_) != bOf(1L)).get
+    val tA = "w1 w2 w3 w4 w5 w6"
+    val tB = "z1 z2 z3 z4 z5 z6 z7 z8"
+    StreamingDedup.processBatch(Seq((1L, tA), (idB, tB)).toDF("id", "text"),
+      "id", "text", store, pairs, 0L, threshold = 0.5)
+
+    def bucketFiles(b: Int): Map[String, Long] = {
+      val d = new java.io.File(s"$tmp/store/docs/__bucket=$b")
+      if (!d.exists()) Map.empty
+      else d.listFiles().filter(_.getName.endsWith(".parquet"))
+        .map(f => f.getName -> f.lastModified()).toMap
+    }
+    val untouchedBefore = bucketFiles(bOf(idB))
+    assert(untouchedBefore.nonEmpty)
+    // an increment whose id lands in id 1's bucket: the other bucket's
+    // partition must not gain or rewrite any file (append-only merge +
+    // bucket pruning — the q137 discipline)
+    val idC = (2L to 40L).find(k => bOf(k) == bOf(1L) && k != 1L).get
+    StreamingDedup.processBatch(Seq((idC, tA)).toDF("id", "text"),
+      "id", "text", store, pairs, 1L, threshold = 0.5)
+    assert(bucketFiles(bOf(idB)) == untouchedBefore,
+      "untouched docs buckets must not be rewritten by a merge")
+    import spark.implicits._
+    val got = StreamingDedup.pairs(spark, pairs)
+      .as[(Long, Long, Boolean, Double)].collect().toSet
+    assert(got == Set((idC, 1L, true, 1.0)),
+      s"increment must pair against its bucket's history: $got")
   }
 
   test("streaming SCD2: late data rewrites touched keys only; replay is a no-op") {
