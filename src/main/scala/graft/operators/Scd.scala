@@ -55,4 +55,36 @@ object Scd {
            tsCol: String, tieCol: String): DataFrame =
     scd2(df, keyCol, Seq(attrCol), tsCol, tieCol)
       .withColumn("state", col("state").getField(attrCol))
+
+  /** Point-in-time consumption of an SCD2 dimension — the join that makes
+    * versioned dimensions useful: attach to each fact row the version
+    * valid at the fact's timestamp (key match + `ts ∈ [valid_from,
+    * valid_to)`).
+    *
+    * Because [[scd2]] version intervals tile each key's timeline
+    * contiguously from its first observation on, "the valid version" IS
+    * "the latest version opening at-or-before ts" — so this is the as-of
+    * union+window shape ([[AsOfJoin.asof]]): each side shuffles ONCE on
+    * the key and a sorted per-partition pass attaches versions. The naive
+    * `BETWEEN` inequality join expresses the same thing but Spark can only
+    * plan it as a broadcast-nested-loop / cartesian filter — per-key
+    * quadratic, the classic scale trap (PlanSpec pins its absence here).
+    * Facts before a key's first version carry null version columns (left
+    * semantics).
+    *
+    * Zero-width versions (two attribute changes at the same timestamp —
+    * the earlier one's `[t, t)` interval is empty) are dropped before the
+    * join: they are valid at NO point in time, and the as-of window's
+    * "latest at tie" would otherwise depend on intra-timestamp order the
+    * dimension no longer carries.
+    *
+    * `dim` is the [[scd2]] output schema; `facts` carries keyCol + tsCol +
+    * payload columns whose names are disjoint from the dim's.
+    */
+  def pointInTime(facts: DataFrame, dim: DataFrame, keyCol: String,
+                  tsCol: String): DataFrame =
+    AsOfJoin.asof(facts,
+      dim.filter(col("valid_to").isNull || col("valid_from") =!= col("valid_to"))
+        .withColumnRenamed("valid_from", tsCol),
+      keyCol, tsCol)
 }

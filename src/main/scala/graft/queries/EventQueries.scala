@@ -306,6 +306,49 @@ object EventQueries {
       },
       Some(scd2OracleSql)),
 
+    // ---- Point-in-time SCD2 consumption (operators/Scd.pointInTime):
+    // the dimension is each user's non-purchase activity state; the facts
+    // are the purchases; each purchase is joined to the version valid at
+    // its timestamp. The as-of union+window shape shuffles each side once
+    // on the key — PlanSpec pins that no broadcast-nested-loop/cartesian
+    // plan sneaks in — while the oracle states the same semantics as the
+    // plain interval range join it IS. ----
+    Q("q138_scd2_pit",
+      (s, dir) => {
+        val ev = t(s, dir, "events")
+        val dim = graft.operators.Scd.scd2(
+          ev.filter(col("event_type") =!= "purchase"),
+          "user_id", "event_type", "ts", "event_id")
+        val facts = ev.filter(col("event_type") === "purchase")
+          .select(col("user_id"), col("ts"), col("event_id"),
+            round(col("value"), 4).as("fact_value"))
+        graft.operators.Scd.pointInTime(facts, dim, "user_id", "ts")
+          .select(col("user_id"), col("event_id"), col("ts"),
+            col("fact_value"), col("version"), col("state"), col("valid_to"))
+          .orderBy(col("user_id"), col("event_id"))
+      },
+      Some("""WITH ch AS (SELECT user_id, event_type, ts, event_id,
+             |        lag(event_type) OVER (PARTITION BY user_id
+             |          ORDER BY ts, event_id) AS prev
+             |      FROM events WHERE event_type <> 'purchase'),
+             |k AS (SELECT user_id, event_type, ts, event_id FROM ch
+             |      WHERE prev IS NULL OR prev <> event_type),
+             |v AS (SELECT user_id,
+             |        CAST(row_number() OVER (PARTITION BY user_id
+             |          ORDER BY ts, event_id) AS BIGINT) AS version,
+             |        event_type AS state, ts AS valid_from,
+             |        lead(ts) OVER (PARTITION BY user_id
+             |          ORDER BY ts, event_id) AS valid_to
+             |      FROM k),
+             |f AS (SELECT user_id, ts, event_id, round(value, 4) AS fact_value
+             |      FROM events WHERE event_type = 'purchase')
+             |SELECT f.user_id, f.event_id, f.ts, f.fact_value,
+             |  v.version, v.state, v.valid_to
+             |FROM f LEFT JOIN v
+             |  ON f.user_id = v.user_id AND f.ts >= v.valid_from
+             | AND (v.valid_to IS NULL OR f.ts < v.valid_to)
+             |ORDER BY f.user_id, f.event_id""".stripMargin)),
+
     // ---- Multi-attribute SCD2: the dimension state is the TUPLE
     // (event_type, k-band); a version opens when EITHER attribute moves.
     // The operator compares the whole struct null-safely in one lag; the

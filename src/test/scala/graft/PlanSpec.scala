@@ -202,6 +202,25 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("q138 point-in-time SCD2 join: union+window shape, no nested-loop/cartesian join") {
+    withoutAqe {
+      val p = plan(registry("q138_scd2_pit")(spark, sfDir))
+      val bad = p.collect {
+        case j: org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec => j
+        case j: org.apache.spark.sql.execution.joins.CartesianProductExec => j
+      }
+      assert(bad.isEmpty,
+        s"point-in-time join degenerated to a nested-loop/cartesian plan:\n$p")
+      // no join operator at all: the dimension attach is the as-of window
+      val joins = p.collect {
+        case j: BroadcastHashJoinExec => j
+        case j: SortMergeJoinExec => j
+      }
+      assert(joins.isEmpty,
+        s"expected the union+window as-of shape, found join operators:\n$p")
+    }
+  }
+
   test("fuzzyPairs: variant explode runs ONCE; both join sides scan the materialization") {
     withoutAqe {
       val c = Tables(spark, sfDir, "customer")

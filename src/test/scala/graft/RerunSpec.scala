@@ -50,7 +50,7 @@ class RerunSpec extends SparkSpec {
     // below, which assert their schemas — constructing the eager ones
     // (streaming runs, model training) twice just to read a schema would
     // double the suite's heaviest work
-    val covered = (round5 ++ round6 ++ round7).toSet
+    val covered = (round5 ++ round6 ++ round7 ++ round8).toSet
     Registry.all.filterNot(q => covered(q.name)).foreach { q =>
       assertSortable(q.name, q.fn(spark, sfDir))
     }
@@ -95,6 +95,21 @@ class RerunSpec extends SparkSpec {
   test("round-7 queries produce identical rows when rerun in one session") {
     val reg = Registry.queries
     round7.foreach { n =>
+      val df = reg(n)(spark, sfDir)
+      assertSortable(n, df)
+      val a = df.collect().toSeq
+      val b = reg(n)(spark, sfDir).collect().toSeq
+      assert(a.nonEmpty, s"$n returned no rows")
+      assert(a == b, s"$n is not rerun-stable in a shared session")
+    }
+  }
+
+  private val round8 = Seq(
+    "q138_scd2_pit")
+
+  test("round-8 queries produce identical rows when rerun in one session") {
+    val reg = Registry.queries
+    round8.foreach { n =>
       val df = reg(n)(spark, sfDir)
       assertSortable(n, df)
       val a = df.collect().toSeq
