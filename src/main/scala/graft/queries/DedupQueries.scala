@@ -406,6 +406,43 @@ object DedupQueries {
        |SELECT qid, n_hit, CAST(5 AS BIGINT) AS k FROM hits ORDER BY qid""".stripMargin
   }
 
+  /** q139 oracle GENERATOR: recall@5 of the REFINED IVF-PQ serving path —
+    * ADC shortlists k·refine candidates (the shared replay CTEs through
+    * `r`), exact L2 re-ranks the shortlist, and the kept top-5 intersects
+    * the exact top-5 exactly as in q136. Same probes, same cells: the
+    * only difference vs q136 is the refine stage, so the recall delta IS
+    * the refine stage's contribution.
+    */
+  private def q139OracleGen(s: SparkSession, dir: String): String = {
+    val l2e =
+      """list_sum(list_transform(list_zip(q.embedding, e.embedding),
+        |           x -> (CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE))
+        |              * (CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE))))""".stripMargin
+    val l2s =
+      """list_sum(list_transform(list_zip(q.embedding, e.embedding),
+        |             x -> (CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE))
+        |                * (CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE))))""".stripMargin
+    s"""WITH ${ivfPqReplayCtes(s, dir)},
+       |sl AS (SELECT qid, nid FROM r WHERE rn <= 20),
+       |rr AS (SELECT sl.qid, sl.nid,
+       |         row_number() OVER (PARTITION BY sl.qid
+       |           ORDER BY $l2s, sl.nid) AS rrn
+       |       FROM sl JOIN embeddings q ON q.vec_id = sl.qid
+       |         JOIN embeddings e ON e.vec_id = sl.nid),
+       |approx AS (SELECT qid, nid FROM rr WHERE rrn <= 5),
+       |ex AS (SELECT q.vec_id AS qid, e.vec_id AS nid,
+       |         row_number() OVER (PARTITION BY q.vec_id
+       |           ORDER BY $l2e, e.vec_id) AS ern
+       |       FROM embeddings q CROSS JOIN embeddings e
+       |       WHERE q.vec_id < 5 AND e.vec_id != q.vec_id),
+       |exact AS (SELECT qid, nid FROM ex WHERE ern <= 5),
+       |hits AS (SELECT exact.qid, CAST(count(approx.nid) AS BIGINT) AS n_hit
+       |         FROM exact LEFT JOIN approx
+       |           ON approx.qid = exact.qid AND approx.nid = exact.nid
+       |         GROUP BY exact.qid)
+       |SELECT qid, n_hit, CAST(5 AS BIGINT) AS k FROM hits ORDER BY qid""".stripMargin
+  }
+
   private lazy val q53OracleSql: String = {
     val bitExprs = Array.tabulate(4)(b =>
       planeBitSql(graft.functions.VectorFns.planeFor(b, 64)))
@@ -717,7 +754,44 @@ object DedupQueries {
           .orderBy(col("qid"))
       },
       None,
-      oracleGen = Some(q136OracleGen _))
+      oracleGen = Some(q136OracleGen _)),
+
+    // ---- ANN refine stage (FAISS's standard serving fix for ADC recall
+    // loss): retrieve k·refine candidates by ADC, re-rank them with exact
+    // L2 over the raw vectors, keep top-k. Identical probes/cells to
+    // q136, so comparing the two rows measures exactly what the refine
+    // stage buys — ADC misranking within the probed cells is recovered;
+    // neighbors in unprobed cells remain the (documented) recall floor.
+    // Cost at scale: one bounded-candidate point-lookup join against the
+    // stored raw vectors — candidates broadcast, the corpus never
+    // shuffles. ----
+    Q("q139_ann_refine",
+      (s, dir) => {
+        val emb = t(s, dir, "embeddings")
+        val q = emb.filter(col("vec_id") < 5)
+          .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+        val c = emb.select(col("vec_id").as("nid"), col("embedding").as("ne"))
+        val approx = Similarity.ivfPqTopK(q, c, k = 5,
+            nCells = 16, nProbe = 4, m = 8, kSub = 16, refine = 4)
+          .select(col("qid"), col("nid"))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("qid")).orderBy(col("d2"), col("nid"))
+        val exact = broadcast(q).crossJoin(c)
+          .filter(col("nid") =!= col("qid"))
+          .select(col("qid"), col("nid"),
+            graft.functions.VectorFns.l2sq(col("qe"), col("ne")).as("d2"))
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") <= 5)
+          .select(col("qid"), col("nid"))
+        val hits = exact.join(approx, Seq("qid", "nid"), "left_semi")
+          .groupBy(col("qid")).agg(count(lit(1)).as("h"))
+        q.select(col("qid")).join(hits, Seq("qid"), "left")
+          .select(col("qid"), coalesce(col("h"), lit(0L)).as("n_hit"),
+            lit(5L).as("k"))
+          .orderBy(col("qid"))
+      },
+      None,
+      oracleGen = Some(q139OracleGen _))
   )
 
   private def q119OracleGen(s: SparkSession, dir: String): String = {

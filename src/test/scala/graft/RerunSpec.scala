@@ -105,7 +105,7 @@ class RerunSpec extends SparkSpec {
   }
 
   private val round8 = Seq(
-    "q138_scd2_pit")
+    "q138_scd2_pit", "q139_ann_refine")
 
   test("round-8 queries produce identical rows when rerun in one session") {
     val reg = Registry.queries
