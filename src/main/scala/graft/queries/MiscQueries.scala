@@ -374,6 +374,93 @@ object MiscQueries {
              |  CAST(sum(CASE WHEN sym.dist = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_d2,
              |  CAST(coalesce(min(sym.peer), -1) AS BIGINT) AS min_peer
              |FROM n LEFT JOIN sym ON n.id = sym.id
-             |GROUP BY n.id ORDER BY n.id""".stripMargin))
+             |GROUP BY n.id ORDER BY n.id""".stripMargin)),
+
+    // ---- INCREMENTAL entity resolution (operators/Entities
+    // .incrementalFuzzyPairs): the c_custkey % 10 == 0 slice plays the
+    // daily increment against the rest as the existing corpus — only the
+    // increment is exploded into its deletion neighborhood; history
+    // would come from the persisted variant index in production
+    // (StreamingEntities). Old–old pairs are provably absent: every
+    // output row carries a new-side id. The oracle replays both
+    // candidate branches and the exact levenshtein verify. ----
+    Q("q140_incremental_entities",
+      (s, dir) => {
+        val c = t(s, dir, "customer")
+          .select(col("c_custkey").as("id"), col("c_name").as("nm"))
+        graft.operators.Entities.incrementalFuzzyPairs(
+            c.filter(col("id") % 10 === 0), c.filter(col("id") % 10 =!= 0),
+            "id", "nm")
+          .orderBy(col("new_id"), col("peer_id"))
+      },
+      Some("""WITH n AS (SELECT c_custkey AS id, c_name AS nm FROM customer),
+             |v AS (SELECT DISTINCT id, nm, var FROM (
+             |        SELECT id, nm,
+             |          substr(nm, 1, i - 1) || substr(nm, i + 1, length(nm)) AS var
+             |        FROM n, unnest(generate_series(1, length(nm))) AS t(i)
+             |        UNION ALL SELECT id, nm, nm FROM n)),
+             |nv AS (SELECT * FROM v WHERE id % 10 = 0),
+             |ev AS (SELECT * FROM v WHERE id % 10 <> 0),
+             |cx AS (SELECT DISTINCT a.id AS new_id, b.id AS peer_id,
+             |         a.nm AS na, b.nm AS nb, true AS peer_is_existing
+             |       FROM nv a JOIN ev b ON a.var = b.var),
+             |nn AS (SELECT DISTINCT a.id AS new_id, b.id AS peer_id,
+             |         a.nm AS na, b.nm AS nb, false AS peer_is_existing
+             |       FROM nv a JOIN nv b ON a.var = b.var AND a.id < b.id),
+             |u AS (SELECT * FROM cx UNION ALL SELECT * FROM nn)
+             |SELECT new_id, peer_id, peer_is_existing,
+             |  CAST(levenshtein(na, nb) AS BIGINT) AS dist
+             |FROM u WHERE levenshtein(na, nb) <= 1
+             |ORDER BY new_id, peer_id""".stripMargin)),
+
+    // ---- STREAMING entity resolution (streaming/StreamingEntities):
+    // customers arrive in three microbatches (batch r = c_custkey % 3),
+    // each fuzzy-matched against the persisted names+variant-index store
+    // of everything before it, with _SUCCESS-guarded pair shards and
+    // per-row idempotent merges. The oracle replays the arrival-order
+    // semantics in closed form (the q115 convention): a pair is emitted
+    // once, when its LATER-batch member arrives — new_id is the
+    // later-batch id (the smaller id when both share a batch),
+    // peer_is_existing iff the batches differ. ----
+    Q("q141_stream_entities",
+      (s, dir) => {
+        import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+        implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+        import s.implicits._
+        val c = t(s, dir, "customer")
+          .select(col("c_custkey").as("id"), col("c_name").as("nm"))
+        val tmp = java.nio.file.Files.createTempDirectory("graft_q141_").toString
+        val input = MemoryStream[(Long, String)]
+        val q = graft.streaming.StreamingEntities.sink(
+          input.toDF().toDF("id", "nm"), "id", "nm",
+          s"$tmp/store", s"$tmp/pairs", s"$tmp/ckpt")
+        try {
+          for (r <- 0 to 2) {
+            input.addData(c.filter(col("id") % 3 === r)
+              .as[(Long, String)].collect().toSeq)
+            q.processAllAvailable()
+          }
+        } finally q.stop()
+        graft.streaming.StreamingEntities.pairs(s, s"$tmp/pairs")
+          .orderBy(col("new_id"), col("peer_id"))
+      },
+      Some("""WITH n AS (SELECT c_custkey AS id, c_name AS nm FROM customer),
+             |v AS (SELECT DISTINCT id, nm, var FROM (
+             |        SELECT id, nm,
+             |          substr(nm, 1, i - 1) || substr(nm, i + 1, length(nm)) AS var
+             |        FROM n, unnest(generate_series(1, length(nm))) AS t(i)
+             |        UNION ALL SELECT id, nm, nm FROM n)),
+             |cand AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b,
+             |           a.nm AS na, b.nm AS nb
+             |         FROM v a JOIN v b ON a.var = b.var AND a.id < b.id),
+             |o AS (SELECT
+             |        CASE WHEN id_a % 3 >= id_b % 3 THEN id_a ELSE id_b END AS new_id,
+             |        CASE WHEN id_a % 3 >= id_b % 3 THEN id_b ELSE id_a END AS peer_id,
+             |        id_a % 3 <> id_b % 3 AS peer_is_existing, na, nb
+             |      FROM cand)
+             |SELECT new_id, peer_id, peer_is_existing,
+             |  CAST(levenshtein(na, nb) AS BIGINT) AS dist
+             |FROM o WHERE levenshtein(na, nb) <= 1
+             |ORDER BY new_id, peer_id""".stripMargin))
   )
 }

@@ -58,4 +58,94 @@ class EntitiesSpec extends SparkSpec {
     }
     assert(e.getMessage != null)
   }
+
+  test("the default length cap tightens with k: 40 chars pass k=2, fail k=3") {
+    // the variant blow-up is ~len^k/k!: a 64-char cap calibrated for k=2
+    // (~2k variants) would admit 40k+ variants per name at k=3, so the
+    // default scales down (an explicit maxLen always wins)
+    val df = Seq((1L, "x" * 40), (2L, "y" * 40)).toDF("id", "nm")
+    Entities.fuzzyPairs(df, "id", "nm", maxDist = 2).count() // passes: cap 64
+    val e = intercept[Exception] {
+      Entities.fuzzyPairs(df, "id", "nm", maxDist = 3).count() // cap 32
+    }
+    assert(e.getMessage != null)
+    // explicit override restores the k=2 cap at the caller's risk
+    Entities.fuzzyPairs(df, "id", "nm", maxDist = 3, maxLen = 64).count()
+  }
+
+  test("incremental pairs equal the full run's pairs that touch the increment") {
+    val df = Seq(
+      (1L, "smith"), (2L, "smyth"), (10L, "smiths"), (20L, "smit"),
+      (5L, "jones"), (30L, "smith")).toDF("id", "nm")
+    val newDf = df.filter($"id" % 10 === 0)
+    val oldDf = df.filter($"id" % 10 =!= 0)
+    val inc = Entities.incrementalFuzzyPairs(newDf, oldDf, "id", "nm")
+      .as[(Long, Long, Boolean, Long)].collect().toSet
+    // full-run pairs touching a new id, re-oriented new-first
+    val full = Entities.fuzzyPairs(df, "id", "nm")
+      .as[(Long, Long, Long)].collect().toSet
+      .filter(p => p._1 % 10 == 0 || p._2 % 10 == 0)
+      .map { case (a, b, d) =>
+        if (a % 10 == 0) (a, b, b % 10 != 0, d) else (b, a, a % 10 != 0, d)
+      }
+    assert(inc == full && inc.nonEmpty,
+      s"incremental must equal the full run on increment-touching pairs: $inc vs $full")
+    // old-old pairs are provably absent: every row carries a new-side id
+    assert(inc.forall(_._1 % 10 == 0))
+    // disjointness contract fails loudly
+    val e = intercept[IllegalArgumentException] {
+      Entities.incrementalFuzzyPairs(newDf, df, "id", "nm")
+    }
+    assert(e.getMessage.contains("disjoint"))
+  }
+
+  test("streaming entity resolution: replay is a no-op, drift fails loudly, store prunes") {
+    import graft.streaming.StreamingEntities
+    val tmp = java.nio.file.Files.createTempDirectory("graft_sent_").toString
+    val store = s"file:$tmp/store"
+    val pairs = s"file:$tmp/pairs"
+    def pairSet() = StreamingEntities.pairs(spark, pairs)
+      .as[(Long, Long, Boolean, Long)].collect().toSet
+    val b0 = Seq((1L, "smith"), (2L, "smyth")).toDF("id", "nm")
+    StreamingEntities.processBatch(b0, "id", "nm", store, pairs, 0L)
+    assert(pairSet() == Set((1L, 2L, false, 1L)), s"batch-0 new-new: ${pairSet()}")
+    // exact redelivery: committed shard skipped, merges anti-join to nothing
+    StreamingEntities.processBatch(b0, "id", "nm", store, pairs, 0L)
+    assert(pairSet() == Set((1L, 2L, false, 1L)))
+    assert(StreamingEntities.names(spark, store).count() == 2)
+    // redelivery under a NEW batch id (lost checkpoint): empty shard
+    StreamingEntities.processBatch(b0, "id", "nm", store, pairs, 99L)
+    assert(pairSet() == Set((1L, 2L, false, 1L)))
+    assert(StreamingEntities.names(spark, store).count() == 2)
+    // a genuine increment pairs against history, flagged existing
+    StreamingEntities.processBatch(Seq((3L, "smiths")).toDF("id", "nm"),
+      "id", "nm", store, pairs, 1L)
+    assert(pairSet() == Set((1L, 2L, false, 1L), (3L, 1L, true, 1L)),
+      s"increment must pair against history exactly once: ${pairSet()}")
+    // parameter drift fails loudly (index depth cannot serve deeper queries)
+    val e1 = intercept[IllegalArgumentException] {
+      StreamingEntities.processBatch(Seq((9L, "smythe")).toDF("id", "nm"),
+        "id", "nm", store, pairs, 2L, maxDist = 2)
+    }
+    assert(e1.getMessage.contains("built with"), e1.getMessage)
+    // name drift under a known id fails loudly
+    val e2 = intercept[IllegalArgumentException] {
+      StreamingEntities.processBatch(Seq((1L, "totally else")).toDF("id", "nm"),
+        "id", "nm", store, pairs, 3L)
+    }
+    assert(e2.getMessage.contains("DIFFERENT"), e2.getMessage)
+    assert(pairSet().size == 2)
+    // the store scans carry partition filters (bucket pruning reaches them)
+    import org.apache.spark.sql.types.{IntegerType, StringType, StructField, StructType}
+    val varsSchema = StructType(Seq(
+      StructField("id", org.apache.spark.sql.types.LongType),
+      StructField("nm", StringType), StructField("__v", StringType),
+      StructField("__vbk", IntegerType)))
+    val vs = StreamingEntities.varsSide(spark, store, "id", "nm", Seq(0, 1), varsSchema)
+    val scans = vs.queryExecution.executedPlan.collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+    }
+    assert(scans.nonEmpty && scans.forall(_.partitionFilters.nonEmpty),
+      s"variant-index scan must carry a partition filter:\n${vs.queryExecution.executedPlan}")
+  }
 }
