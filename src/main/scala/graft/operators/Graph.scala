@@ -39,8 +39,30 @@ import org.apache.spark.sql.functions._
   */
 object Graph {
 
+  /** Fixed-iteration entry point; `epsilon >= 0` adds the convergence
+    * stop (see [[pageRankFixedConverged]] — the default -1 disables it,
+    * keeping existing callers bit-identical).
+    */
   def pageRankFixed(edges: DataFrame, srcCol: String, dstCol: String,
-                    iters: Int = 10, scale: Long = 1000000000L): DataFrame = {
+                    iters: Int = 10, scale: Long = 1000000000L,
+                    epsilon: Long = -1L): DataFrame =
+    pageRankFixedConverged(edges, srcCol, dstCol, iters, scale, epsilon)._1
+
+  /** PageRank with an optional CONVERGENCE stop: when `epsilon >= 0`,
+    * iteration ends as soon as the max per-node |Δr| (integer rank
+    * units) is ≤ epsilon — one extra scalar aggregate per iteration over
+    * the already-checkpointed rank vectors, the same decomposition as
+    * the dangling share — so a 100×-scale graph doesn't pay for
+    * iterations past convergence just because the caller guessed `iters`
+    * high. `epsilon = 0` stops at the exact integer fixpoint (all later
+    * iterations are bit-identical by induction, so the early answer IS
+    * the fixed-run answer); positive epsilon trades iterations for a
+    * bounded per-node wobble. Returns (ranks, iterations actually run);
+    * `iters` remains the hard cap.
+    */
+  def pageRankFixedConverged(edges: DataFrame, srcCol: String, dstCol: String,
+                             iters: Int = 10, scale: Long = 1000000000L,
+                             epsilon: Long = -1L): (DataFrame, Int) = {
     require(iters >= 1, "iters must be positive")
     val e = edges
       .select(col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst"))
@@ -63,7 +85,9 @@ object Graph {
           val deg = e.groupBy(col("src")).agg(count(lit(1)).as("od"))
           var rank = nodes.select(col("node"), lit(init).as("r"))
           var i = 1
-          while (i <= iters) {
+          var ranIters = 0
+          var converged = false
+          while (i <= iters && !converged) {
             // one exact integer scalar per round: sum of the per-dangling-
             // node floored share — the same decomposition the oracle's
             // target-map replay sums row-wise, so totals agree bit-for-bit
@@ -82,18 +106,32 @@ object Graph {
                 expr("(85 * r) div (100 * od)").as("c"))
               .groupBy(col("node"))
               .agg(sum(col("c")).as("s"))
-            rank = nodes.join(contribs, Seq("node"), "left")
+            val next = nodes.join(contribs, Seq("node"), "left")
               .select(col("node"),
                 (lit(base + dShare) + coalesce(col("s"), lit(0L))).as("r"))
             // cut lineage so ten iterations don't stack into one mega-plan;
-            // with dangling nodes every round takes a driver action anyway,
-            // so materialize every round and the dShare aggregate reads a
-            // checkpointed vector instead of replaying join lineage
-            if (nDangling > 0 || i % 4 == 0 || i == iters)
-              rank = rank.localCheckpoint(true)
+            // with dangling nodes (or the convergence probe) every round
+            // takes a driver action anyway, so materialize every round and
+            // the scalar aggregates read a checkpointed vector instead of
+            // replaying join lineage
+            val materialized =
+              if (epsilon >= 0 || nDangling > 0 || i % 4 == 0 || i == iters)
+                next.localCheckpoint(true)
+              else next
+            if (epsilon >= 0) {
+              // one exact integer scalar per round, over two checkpointed
+              // node-sized vectors — the dangling-share cost class
+              val maxDelta = materialized
+                .join(rank.withColumnRenamed("r", "__pr"), "node")
+                .agg(coalesce(max(abs(col("r") - col("__pr"))), lit(0L)))
+                .head().getLong(0)
+              converged = maxDelta <= epsilon
+            }
+            rank = materialized
+            ranIters = i
             i += 1
           }
-          rank
+          (rank, ranIters)
         } finally dangling.unpersist(false)
       } finally nodes.unpersist(false)
     } finally e.unpersist(false)

@@ -79,4 +79,26 @@ class GraphSpec extends SparkSpec {
       .as[(Long, Long)].collect().toMap
     assert(got == mirror(edges, 7), "dangling-heavy graph must match the mirror")
   }
+
+  test("epsilon stop ends iteration at the integer fixpoint with the fixed-run answer") {
+    // a directed 4-cycle hits its exact integer fixpoint at iteration 1:
+    // od = 1 everywhere, so r1 = base + (85*init) div 100 = init (with
+    // scale 1e9 and n = 4 the floor divisions are exact)
+    val cycle = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L)).toDF("src", "dst")
+    val (eps, ran) = Graph.pageRankFixedConverged(cycle, "src", "dst",
+      iters = 50, epsilon = 0L)
+    assert(ran == 1, s"fixpoint graph must stop after one round, ran $ran")
+    val epsMap = eps.as[(Long, Long)].collect().toMap
+    val fixed50 = Graph.pageRankFixed(cycle, "src", "dst", iters = 50)
+      .as[(Long, Long)].collect().toMap
+    val fixed1 = Graph.pageRankFixed(cycle, "src", "dst", iters = 1)
+      .as[(Long, Long)].collect().toMap
+    assert(epsMap == fixed1 && epsMap == fixed50,
+      "early-stopped ranks must equal the fixed run at the stop round AND at the cap")
+    // defaults (epsilon = -1) keep the fixed-iteration behavior: a graph
+    // that has NOT converged by the cap still runs every round
+    val chain = Seq((1L, 2L), (2L, 3L), (3L, 1L), (4L, 1L)).toDF("src", "dst")
+    val (_, ranAll) = Graph.pageRankFixedConverged(chain, "src", "dst", iters = 5)
+    assert(ranAll == 5, "disabled epsilon must run to the cap")
+  }
 }
