@@ -25,6 +25,7 @@ object Bench {
     "q83_stream_sessions", "q84_stream_sliding", "q85_stream_dedup",
     "q116_bpe_encode", "q119_semantic_dedup",
     "q134_fuzzy_entities_k2", "q136_ann_recall",
+    "q138_scd2_pit", "q139_ann_refine", "q142_phash_dedup",
   )
 
   def main(args: Array[String]): Unit = {
@@ -52,6 +53,14 @@ object Bench {
       Seq("lineitem", "orders", "customer", "events", "documents", "embeddings")
         .foreach(t => Tables(spark, sfDir, t).count())
       headline.filter(registry.contains)
+        .foreach(n => registry(n)(spark, sfDir).count())
+      // second untimed pass for the heaviest generated-code pipelines
+      // (minhash/dedup/clustering): one invocation can leave their hot
+      // loops C1-compiled, and the r7 capture still showed a 1.53× first-
+      // run spread on q119 — a second pass crosses the C2 thresholds so
+      // the timed minimum measures steady state, not JIT tiers
+      Seq("q50_minhash_pairs", "q56_dedup_corpus", "q119_semantic_dedup")
+        .filter(registry.contains)
         .foreach(n => registry(n)(spark, sfDir).count())
       true
     } catch { case _: Throwable => false }

@@ -102,6 +102,180 @@ object JdkCodecs {
       }(Encoders.row(outSchema))
   }
 
+  /** Near-dup variant of the PNG fixture: docs in the same group of ten
+    * (doc_id div 10) share one LCG-painted base image, and each member
+    * perturbs `doc_id mod 10` pixels of it — so groups are planted
+    * perceptual near-duplicates (few pixels moved ⇒ the low-frequency
+    * DCT spectrum, and therefore the pHash, barely moves) while images
+    * across groups are unrelated noise. Deterministic: the base seed is
+    * the group id and the perturbation is a fixed pixel walk.
+    */
+  def pngNearDupFixture(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.{Encoders, Row}
+    import org.apache.spark.sql.types._
+    val outSchema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("content", BinaryType),
+      StructField("format", StringType)))
+    docs.select(org.apache.spark.sql.functions.col("doc_id"))
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val docId = r.getLong(0)
+          val img = new BufferedImage(16, 16, BufferedImage.TYPE_INT_RGB)
+          var seed = docId / 10
+          var y = 0
+          while (y < 16) {
+            var x = 0
+            while (x < 16) {
+              seed = seed * 6364136223846793005L + 1442695040888963407L
+              img.setRGB(x, y, ((seed >>> 16) & 0xffffff).toInt)
+              x += 1
+            }
+            y += 1
+          }
+          var j = 0
+          while (j < (docId % 10).toInt) {
+            img.setRGB((j * 5) % 16, (j * 3) % 16, 0x808080)
+            j += 1
+          }
+          val bos = new ByteArrayOutputStream()
+          ImageIO.write(img, "png", bos)
+          Row(docId, bos.toByteArray, "png")
+        }
+      }(Encoders.row(outSchema))
+  }
+
+  /** 64-bit perceptual hash — the classic DCT pHash: grayscale
+    * area-resample to 32×32, 2D DCT-II, keep the 8×8 lowest-frequency
+    * block, threshold each AC coefficient against the block's median.
+    * Two images that differ by a few pixels (or re-encoding noise) move
+    * only slightly in the low-frequency spectrum, so their hashes land
+    * within a small Hamming distance — the image-side analog of SimHash,
+    * and it feeds the same banded Hamming pairing ([[graft.operators
+    * .Dedup.hammingPairs]]).
+    *
+    * Deterministic by construction, so the oracle can inline the hashes
+    * and replay the pairing exactly: integer box resample, fixed
+    * summation order, and StrictMath.cos (Math.cos may use platform
+    * intrinsics; StrictMath is specified bit-for-bit). The median of the
+    * 63 AC coefficients is the middle element of the sorted array —
+    * no averaging, no float ambiguity in the compare. Undecodable bytes
+    * hash to 0L (they pair only with each other at distance 0 and are
+    * trivially filtered by callers that care).
+    */
+  def pHash(content: Array[Byte]): Long = {
+    val img =
+      try Option(ImageIO.read(new ByteArrayInputStream(content)))
+      catch { case _: Exception => None }
+    img match {
+      case None => 0L
+      case Some(im) =>
+        val n = 32
+        val w = im.getWidth
+        val h = im.getHeight
+        if (w <= 0 || h <= 0) return 0L
+        // integer-box grayscale downsample (pixel replication when the
+        // source is smaller than 32×32)
+        val g = Array.ofDim[Double](n, n)
+        var i = 0
+        while (i < n) {
+          val y0 = i * h / n
+          val y1 = math.max((i + 1) * h / n, y0 + 1)
+          var j = 0
+          while (j < n) {
+            val x0 = j * w / n
+            val x1 = math.max((j + 1) * w / n, x0 + 1)
+            var sum = 0.0
+            var y = y0
+            while (y < y1) {
+              var x = x0
+              while (x < x1) {
+                val rgb = im.getRGB(x, y)
+                sum += (((rgb >> 16) & 0xff) * 299 + ((rgb >> 8) & 0xff) * 587 +
+                  (rgb & 0xff) * 114) / 1000.0
+                x += 1
+              }
+              y += 1
+            }
+            g(i)(j) = sum / ((y1 - y0) * (x1 - x0))
+            j += 1
+          }
+          i += 1
+        }
+        // 2D DCT-II of the 8×8 lowest-frequency corner only (computing
+        // the 24 needed basis rows, not the full 32×32 transform)
+        val coef = Array.ofDim[Double](8, 8)
+        var u = 0
+        while (u < 8) {
+          var v = 0
+          while (v < 8) {
+            var s = 0.0
+            var y = 0
+            while (y < n) {
+              var x = 0
+              while (x < n) {
+                s += g(y)(x) *
+                  StrictMath.cos((2 * y + 1) * u * StrictMath.PI / (2.0 * n)) *
+                  StrictMath.cos((2 * x + 1) * v * StrictMath.PI / (2.0 * n))
+                x += 1
+              }
+              y += 1
+            }
+            val cu = if (u == 0) 1.0 / StrictMath.sqrt(2.0) else 1.0
+            val cv = if (v == 0) 1.0 / StrictMath.sqrt(2.0) else 1.0
+            coef(u)(v) = 0.25 * cu * cv * s
+            v += 1
+          }
+          u += 1
+        }
+        val ac = new Array[Double](63)
+        var k = 0
+        u = 0
+        while (u < 8) {
+          var v = 0
+          while (v < 8) {
+            if (u != 0 || v != 0) { ac(k) = coef(u)(v); k += 1 }
+            v += 1
+          }
+          u += 1
+        }
+        val sorted = ac.clone()
+        java.util.Arrays.sort(sorted)
+        val median = sorted(31)
+        var hash = 0L
+        k = 0
+        u = 0
+        while (u < 8) {
+          var v = 0
+          while (v < 8) {
+            if (u != 0 || v != 0) {
+              if (ac(k) > median) hash |= (1L << (u * 8 + v))
+              k += 1
+            }
+            v += 1
+          }
+          u += 1
+        }
+        hash
+    }
+  }
+
+  /** pHash as a per-partition map over a binary column — the mapPartitions
+    * distribution shape of the other codec paths (no shuffle).
+    */
+  def pHashes(df: org.apache.spark.sql.DataFrame, idCol: String,
+              contentCol: String): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.{Encoders, Row}
+    import org.apache.spark.sql.types._
+    val outSchema = StructType(Seq(
+      StructField(idCol, df.schema(idCol).dataType),
+      StructField("phash", LongType)))
+    df.select(org.apache.spark.sql.functions.col(idCol),
+        org.apache.spark.sql.functions.col(contentCol))
+      .mapPartitions { rows =>
+        rows.map(r => Row(r.get(0), pHash(r.getAs[Array[Byte]](1))))
+      }(Encoders.row(outSchema))
+  }
+
   /** Parsed PCM audio header + signal stats (javax.sound.sampled). */
   case class AudioInfo(sampleRate: Int, channels: Int, bitsPerSample: Int,
                        frames: Long, durationMs: Long, rms: Double)

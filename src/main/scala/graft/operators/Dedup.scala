@@ -482,26 +482,42 @@ object Dedup {
   def portableTokHash(t: Column): Column =
     conv(substring(md5(t), 1, 15), 16, 10).cast("long")
 
-  /** Near-dup pairs by SimHash Hamming distance <= maxHamming, blocked on
-    * (maxHamming+1) 16-bit sig blocks — pigeonhole guarantees any pair
-    * within distance maxHamming (<=3) shares at least one exact block.
+  /** Near-dup pairs among precomputed 64-bit signatures by Hamming
+    * distance <= maxHamming, blocked on four exact 16-bit signature
+    * blocks — pigeonhole guarantees any pair within distance 3 shares at
+    * least one block; maxHamming <= 3 therefore has FULL recall, and
+    * callers may raise it (<= 8) for best-effort recall at the same scan
+    * cost (standard SimHash/pHash practice; the oracle replays blocking
+    * + distance exactly, so the semantics stay hash-provable either
+    * way). The shifted-then-masked block key is identical under
+    * arithmetic or logical shift, so any engine replays it.
     */
-  def simhashPairs(df: DataFrame, idCol: String, textCol: String,
+  def hammingPairs(sig: DataFrame, idCol: String, sigCol: String,
                    maxHamming: Int = 3): DataFrame = {
-    require(maxHamming <= 3, "4 blocks of 16 bits guarantee recall only to distance 3")
-    val sh = simhash(df, idCol, textCol)
-    val blocked = sh.select(
-      col(idCol).as("__id"), col("simhash"),
+    require(maxHamming <= 8,
+      "hammingPairs blocks on 4×16-bit blocks: full recall to distance 3, " +
+        "best-effort above; > 8 needs a different block split")
+    val blocked = sig.select(
+      col(idCol).as("__id"), col(sigCol).as("__sig"),
       explode(array((0 until 4).map(b => struct(lit(b).as("blk"),
-        shiftright(col("simhash"), b * 16).bitwiseAND(0xFFFFL).as("key"))): _*)).as("__b"))
-      .select(col("__id"), col("simhash"), col("__b.blk").as("blk"), col("__b.key").as("key"))
+        shiftright(col(sigCol), b * 16).bitwiseAND(0xFFFFL).as("key"))): _*)).as("__b"))
+      .select(col("__id"), col("__sig"), col("__b.blk").as("blk"), col("__b.key").as("key"))
     blocked.as("a").join(blocked.as("b"),
         col("a.blk") === col("b.blk") && col("a.key") === col("b.key") &&
           col("a.__id") < col("b.__id"))
       .select(col("a.__id").as("id_a"), col("b.__id").as("id_b"),
-        bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))).as("hamming"))
+        bit_count(col("a.__sig").bitwiseXOR(col("b.__sig"))).as("hamming"))
       .distinct()
       .filter(col("hamming") <= maxHamming)
+  }
+
+  /** Near-dup pairs by SimHash Hamming distance <= maxHamming over a text
+    * column ([[hammingPairs]] on [[simhash]] signatures).
+    */
+  def simhashPairs(df: DataFrame, idCol: String, textCol: String,
+                   maxHamming: Int = 3): DataFrame = {
+    require(maxHamming <= 3, "4 blocks of 16 bits guarantee recall only to distance 3")
+    hammingPairs(simhash(df, idCol, textCol), idCol, "simhash", maxHamming)
   }
 
   /** Embedding near-duplicates: hyperplane-LSH bucket blocking + exact

@@ -295,6 +295,29 @@ object QualityQueries {
       },
       None),
 
+    // ---- Perceptual-hash image dedup: the multimodal wing meets the
+    // dedup story. Planted near-duplicate PNGs (groups of ten share a
+    // base image, each member perturbs a few pixels) -> DCT pHash in the
+    // executors -> the SimHash 16-bit-block Hamming pairing. The hash
+    // itself is JVM-deterministic (StrictMath DCT) but not SQL-portable,
+    // so the generated oracle inlines the hashes and replays blocking +
+    // integer Hamming exactly — the q51 split of "algorithm pinned by
+    // spec, pairing hash-proven" applied to images. ----
+    Q("q142_phash_dedup",
+      (s, dir) => {
+        val fixture = graft.multimodal.JdkCodecs.pngNearDupFixture(
+          t(s, dir, "documents"))
+        val hashes = graft.multimodal.JdkCodecs.pHashes(
+          fixture, "doc_id", "content")
+        graft.operators.Dedup.hammingPairs(hashes, "doc_id", "phash",
+            maxHamming = 3)
+          .select(col("id_a"), col("id_b"),
+            col("hamming").cast("long").as("hamming"))
+          .orderBy(col("id_a"), col("id_b"))
+      },
+      None,
+      oracleGen = Some(q142OracleGen _)),
+
     // ---- Multimodal frame sampling (every 2nd 64-byte "frame"). ----
     Q("q82_frame_sample",
       (s, dir) => {
@@ -381,4 +404,31 @@ object QualityQueries {
              |FROM q LEFT JOIN sk ON sk.row = q.row AND sk.bucket = q.bucket
              |GROUP BY term ORDER BY term""".stripMargin))
   )
+
+  /** q142 oracle GENERATOR: the per-image pHashes (deterministic JVM DCT,
+    * computed by the operator's own codec path over the same fixture) are
+    * inlined as VALUES; DuckDB then replays the 16-bit-block candidate
+    * join and the integer Hamming verify exactly. The shifted key is
+    * masked to 16 bits, so arithmetic-vs-logical shift on negative hashes
+    * cannot differ between engines.
+    */
+  private def q142OracleGen(s: SparkSession, dir: String): String = {
+    val hs = graft.multimodal.JdkCodecs.pHashes(
+        graft.multimodal.JdkCodecs.pngNearDupFixture(t(s, dir, "documents")),
+        "doc_id", "content")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    val values = hs.map { case (id, h) => s"($id, CAST($h AS BIGINT))" }
+      .mkString(",\n    ")
+    s"""WITH h(doc_id, phash) AS (VALUES
+       |    $values),
+       |b AS (SELECT doc_id, phash, blk,
+       |        (phash >> (blk * 16)) & 65535 AS key
+       |      FROM h, unnest(generate_series(0, 3)) AS t(blk)),
+       |p AS (SELECT DISTINCT a.doc_id AS id_a, c.doc_id AS id_b,
+       |        bit_count(xor(a.phash, c.phash)) AS hamming
+       |      FROM b a JOIN b c ON a.blk = c.blk AND a.key = c.key
+       |        AND a.doc_id < c.doc_id)
+       |SELECT id_a, id_b, CAST(hamming AS BIGINT) AS hamming FROM p
+       |WHERE hamming <= 3 ORDER BY id_a, id_b""".stripMargin
+  }
 }

@@ -116,4 +116,34 @@ class JdkCodecsSpec extends AnyFunSuite {
     assert(a(0)._4 == a(2)._4, "identical text seeds identical pixels/features")
     assert(a(0)._4 != a(1)._4, "different text diverges")
   }
+
+  test("pHash: identical images collide, small perturbations stay near, noise lands far") {
+    import java.awt.image.BufferedImage
+    import java.io.ByteArrayOutputStream
+    import javax.imageio.ImageIO
+    def png(seed0: Long, perturb: Int): Array[Byte] = {
+      val img = new BufferedImage(16, 16, BufferedImage.TYPE_INT_RGB)
+      var seed = seed0
+      for (y <- 0 until 16; x <- 0 until 16) {
+        seed = seed * 6364136223846793005L + 1442695040888963407L
+        img.setRGB(x, y, ((seed >>> 16) & 0xffffff).toInt)
+      }
+      for (j <- 0 until perturb) img.setRGB((j * 5) % 16, (j * 3) % 16, 0x808080)
+      val bos = new ByteArrayOutputStream()
+      ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    val base = JdkCodecs.pHash(png(7L, 0))
+    assert(JdkCodecs.pHash(png(7L, 0)) == base, "pHash must be deterministic")
+    // a few perturbed pixels move the low-frequency spectrum barely
+    assert(ham(base, JdkCodecs.pHash(png(7L, 5))) <= 6,
+      "near-duplicate image must land within a small Hamming distance")
+    // unrelated noise images land far apart (random 63-bit hashes differ
+    // in ~31 bits; 16 is a generous floor)
+    val far = (1L to 5L).map(s => ham(base, JdkCodecs.pHash(png(s * 1000 + 13, 0))))
+    assert(far.forall(_ > 16), s"unrelated images must hash far apart: $far")
+    // undecodable bytes take the documented sentinel
+    assert(JdkCodecs.pHash(Array[Byte](1, 2, 3)) == 0L)
+  }
 }
