@@ -72,6 +72,71 @@ object MiscQueries {
        |ORDER BY r DESC, node LIMIT 20""".stripMargin
   }
 
+  /** q143 oracle GENERATOR: the q133 integer mirror extended with the
+    * epsilon stop — the driver replay runs the same fixed-point
+    * iterations, tracks max per-node |Δr|, and stops where the engine
+    * stops; the recursion depth and the per-iteration dangling shares
+    * are inlined as literals. Bit-exact on both sides by the q128/q133
+    * argument (pure integer arithmetic).
+    */
+  private def q143OracleGen(s: SparkSession, dir: String): String = {
+    val eps = 2000000L
+    val pairs = t(s, dir, "lineitem").select(col("l_orderkey"), col("l_suppkey"))
+      .join(t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey")),
+        col("l_orderkey") === col("o_orderkey"))
+      .select(col("o_custkey").cast("long").as("src"),
+        (col("l_suppkey") + 10000000L).cast("long").as("dst"))
+      .distinct()
+    val edges = pairs.collect().map(r => (r.getLong(0), r.getLong(1)))
+    val nodes = (edges.map(_._1) ++ edges.map(_._2)).distinct.sorted
+    val n = nodes.length.toLong
+    val scale = 1000000000L
+    val init = scale / n
+    val base = ((15L * scale) / 100L) / n
+    val out = edges.groupBy(_._1).map { case (k, v) => k -> v.length.toLong }
+    val dangling = nodes.filterNot(out.contains)
+    var r = nodes.map(_ -> init).toMap
+    val shares = scala.collection.mutable.ListBuffer.empty[Long]
+    var converged = false
+    var i = 0
+    while (i < 10 && !converged) {
+      val d = dangling.map(v => (85L * r(v)) / (100L * n)).sum
+      val contrib = scala.collection.mutable.Map(nodes.map(_ -> 0L): _*)
+      edges.foreach { case (a, b) => contrib(b) += (85L * r(a)) / (100L * out(a)) }
+      val r2 = nodes.map(v => v -> (base + d + contrib(v))).toMap
+      converged = nodes.map(v => math.abs(r2(v) - r(v))).max <= eps
+      r = r2
+      shares += d
+      i += 1
+    }
+    val k = shares.length
+    val arms = shares.zipWithIndex
+      .map { case (d, idx) => s"WHEN $idx THEN CAST($d AS BIGINT)" }.mkString(" ")
+    s"""WITH RECURSIVE
+       |edges AS (SELECT DISTINCT o_custkey AS src, l_suppkey + 10000000 AS dst
+       |          FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+       |deg AS (SELECT src, CAST(count(*) AS BIGINT) AS od FROM edges GROUP BY src),
+       |nodes AS (SELECT DISTINCT node FROM
+       |          (SELECT src AS node FROM edges UNION ALL SELECT dst FROM edges) u),
+       |e2 AS (SELECT e.src, e.dst, CAST(100 * d.od AS BIGINT) AS den
+       |       FROM edges e JOIN deg d ON e.src = d.src
+       |       UNION ALL
+       |       SELECT node, node, CAST(NULL AS BIGINT) AS den FROM nodes),
+       |pr AS (
+       |  SELECT 0 AS iter, node, CAST($init AS BIGINT) AS r FROM nodes
+       |  UNION ALL
+       |  SELECT p.iter + 1, e.dst AS node,
+       |    CAST(CAST($base AS BIGINT) + (CASE p.iter $arms END)
+       |      + sum(CASE WHEN e.den IS NULL THEN 0 ELSE (85 * p.r) // e.den END)
+       |      AS BIGINT) AS r
+       |  FROM pr p JOIN e2 e ON p.node = e.src
+       |  WHERE p.iter < $k
+       |  GROUP BY p.iter, e.dst
+       |)
+       |SELECT node, r, CAST($k AS BIGINT) AS iters_run FROM pr WHERE iter = $k
+       |ORDER BY r DESC, node LIMIT 20""".stripMargin
+  }
+
   def all: Seq[Q] = Seq(
 
     // ---- Z-order (Morton) curve code — the clustering key behind
@@ -281,6 +346,30 @@ object MiscQueries {
       },
       None,
       oracleGen = Some(q133OracleGen _)),
+
+    // ---- Convergence-aware PageRank on the q133 commerce graph: the
+    // epsilon stop ends iteration when max per-node |Δr| ≤ 2,000,000
+    // integer units (one extra scalar aggregate per round) — round 8 of
+    // 10 at sf0.01, round 1 at sf0.1 (ranks scale ∝ 1/n, so the same
+    // absolute epsilon bites earlier on the bigger graph; both stops are
+    // replayed exactly by the generated oracle, which inlines the stop
+    // round and per-iteration dangling shares). iters_run makes the
+    // early stop itself part of the hash-verified contract. ----
+    Q("q143_pagerank_converged",
+      (s, dir) => {
+        val edges = t(s, dir, "lineitem").select(col("l_orderkey"), col("l_suppkey"))
+          .join(t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey")),
+            col("l_orderkey") === col("o_orderkey"))
+          .select(col("o_custkey").cast("long").as("src"),
+            (col("l_suppkey") + 10000000L).cast("long").as("dst"))
+          .distinct()
+        val (ranks, ran) = graft.operators.Graph.pageRankFixedConverged(
+          edges, "src", "dst", iters = 10, epsilon = 2000000L)
+        ranks.withColumn("iters_run", lit(ran.toLong))
+          .orderBy(col("r").desc, col("node")).limit(20)
+      },
+      None,
+      oracleGen = Some(q143OracleGen _)),
 
     // ---- Entity resolution (operators/Entities): fuzzy-match customer
     // names within Levenshtein distance 1 via deletion-neighborhood

@@ -106,7 +106,7 @@ class RerunSpec extends SparkSpec {
 
   private val round8 = Seq(
     "q138_scd2_pit", "q139_ann_refine", "q140_incremental_entities",
-    "q141_stream_entities", "q142_phash_dedup")
+    "q141_stream_entities", "q142_phash_dedup", "q143_pagerank_converged")
 
   test("round-8 queries produce identical rows when rerun in one session") {
     val reg = Registry.queries
