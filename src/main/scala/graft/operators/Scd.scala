@@ -59,7 +59,10 @@ object Scd {
   /** Point-in-time consumption of an SCD2 dimension — the join that makes
     * versioned dimensions useful: attach to each fact row the version
     * valid at the fact's timestamp (key match + `ts ∈ [valid_from,
-    * valid_to)`).
+    * valid_to)`). The scaled-up analog of the reference's metadata lookup
+    * join (`arxiv_hook.py:184-215` resolves each download against the
+    * manifest state current at run time; a versioned dimension answers
+    * the same question AT ANY PAST INSTANT).
     *
     * Because [[scd2]] version intervals tile each key's timeline
     * contiguously from its first observation on, "the valid version" IS
