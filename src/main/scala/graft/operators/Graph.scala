@@ -39,6 +39,65 @@ import org.apache.spark.sql.functions._
   */
 object Graph {
 
+  /** Exact triangle counts and degrees per node of an UNDIRECTED graph
+    * (direction and duplicates in the input edge list are ignored;
+    * self-loops dropped). Returns `(node, deg, tri)` — one row per node
+    * that has at least one edge; the local clustering coefficient is
+    * `2*tri / (deg*(deg-1))`, left to the caller so it can pick its own
+    * exact-integer encoding.
+    *
+    * Scale shape — the degree-ordered orientation that makes triangle
+    * enumeration survive skew: each undirected edge is oriented from its
+    * lower endpoint to its higher endpoint in the total order `(deg,
+    * node)`, which bounds every node's OUT-degree by O(sqrt(m)) even
+    * when a celebrity node has millions of neighbors (a wedge self-join
+    * on the raw adjacency would square that hot node). Each triangle
+    * then has exactly one "apex" (its minimum-order vertex) and is
+    * counted once: wedges `(v, w)` from a shared apex, closed by an
+    * inner join against the oriented edge `(v, w)` — oriented edges are
+    * distinct, so the join IS the existence test. Three shuffles total
+    * (orientation join by endpoint, wedge self-join by apex, closing
+    * join by edge pair), all on keys AQE can split.
+    */
+  def triangleCounts(edges: DataFrame, srcCol: String, dstCol: String): DataFrame = {
+    val und = edges
+      .select(least(col(srcCol), col(dstCol)).cast("long").as("u"),
+        greatest(col(srcCol), col(dstCol)).cast("long").as("v"))
+      .filter(col("u") =!= col("v"))
+      .distinct()
+    val deg = und.select(col("u").as("n"))
+      .unionByName(und.select(col("v").as("n")))
+      .groupBy(col("n")).agg(count(lit(1)).as("d"))
+    // orient by (deg, id): lo -> hi, carrying hi's degree for the wedge
+    // ordering below; ties in deg break on the id, which is unique
+    val o = und
+      .join(deg.select(col("n").as("u"), col("d").as("du")), "u")
+      .join(deg.select(col("n").as("v"), col("d").as("dv")), "v")
+      .select(
+        when(struct(col("du"), col("u")) < struct(col("dv"), col("v")), col("u"))
+          .otherwise(col("v")).as("lo"),
+        when(struct(col("du"), col("u")) < struct(col("dv"), col("v")), col("v"))
+          .otherwise(col("u")).as("hi"),
+        when(struct(col("du"), col("u")) < struct(col("dv"), col("v")), col("dv"))
+          .otherwise(col("du")).as("dhi"))
+      // the wedge join and the closing join each read this once; without
+      // the materialization the orientation joins would replay 3x
+      .localCheckpoint(true)
+    val wedges = o.select(col("lo"), col("hi").as("b"), col("dhi").as("db"))
+      .join(o.select(col("lo"), col("hi").as("c"), col("dhi").as("dc")), "lo")
+      .filter(struct(col("db"), col("b")) < struct(col("dc"), col("c")))
+      .select(col("lo").as("a"), col("b"), col("c"))
+    val tris = wedges
+      .join(o.select(col("hi").as("c"), col("lo").as("b")), Seq("b", "c"))
+    val triPerNode = tris.select(col("a").as("n"))
+      .unionByName(tris.select(col("b").as("n")))
+      .unionByName(tris.select(col("c").as("n")))
+      .groupBy(col("n")).agg(count(lit(1)).as("tri"))
+    deg.join(triPerNode, Seq("n"), "left")
+      .select(col("n").as("node"), col("d").as("deg"),
+        coalesce(col("tri"), lit(0L)).as("tri"))
+  }
+
   /** Fixed-iteration entry point; `epsilon >= 0` adds the convergence
     * stop (see [[pageRankFixedConverged]] — the default -1 disables it,
     * keeping existing callers bit-identical).

@@ -393,6 +393,151 @@ object EventQueries {
              |      FROM k)
              |SELECT user_id, version, state_event_type, state_band,
              |  valid_from, valid_to, valid_to IS NULL AS is_current
-             |FROM v ORDER BY user_id, version""".stripMargin))
+             |FROM v ORDER BY user_id, version""".stripMargin)),
+
+    // ---- CDC apply (operators/Cdc): MERGE the orders log into the
+    // customer snapshot as last-writer-wins upserts with deletes — each
+    // order is a change record for its customer (payload: price, priority
+    // band), sequenced by (o_orderdate, o_orderkey); a finalized urgent
+    // order is the tombstone. One key-partitioned window pass, no join;
+    // the oracle replays the same union + row_number recipe. ----
+    Q("q145_cdc_apply",
+      (s, dir) => {
+        val snap = t(s, dir, "customer")
+          .select(col("c_custkey").as("id"),
+            round(col("c_acctbal"), 2).as("bal"),
+            col("c_mktsegment").as("seg"))
+        val deltas = t(s, dir, "orders")
+          .select(col("o_custkey").as("id"),
+            round(col("o_totalprice"), 2).as("bal"),
+            col("o_orderpriority").as("seg"),
+            when(col("o_orderstatus") === "F" &&
+              col("o_orderpriority") === "1-URGENT", "D")
+              .otherwise("U").as("op"),
+            col("o_orderdate").as("seq_ts"), col("o_orderkey").as("seq_id"))
+        graft.operators.Cdc.applyDeltas(snap, deltas, "id",
+            Seq("seq_ts", "seq_id"))
+          .orderBy(col("id"))
+      },
+      Some("""WITH base AS (SELECT c_custkey AS id, round(c_acctbal, 2) AS bal,
+             |        c_mktsegment AS seg, 0 AS src,
+             |        CAST(NULL AS TIMESTAMP) AS s1, CAST(NULL AS BIGINT) AS s2,
+             |        CAST(NULL AS VARCHAR) AS op
+             |      FROM customer),
+             |d AS (SELECT o_custkey AS id, round(o_totalprice, 2) AS bal,
+             |        o_orderpriority AS seg, 1 AS src,
+             |        o_orderdate AS s1, o_orderkey AS s2,
+             |        CASE WHEN o_orderstatus = 'F'
+             |              AND o_orderpriority = '1-URGENT'
+             |          THEN 'D' ELSE 'U' END AS op
+             |      FROM orders),
+             |u AS (SELECT * FROM base UNION ALL SELECT * FROM d),
+             |r AS (SELECT *, row_number() OVER (PARTITION BY id
+             |        ORDER BY src DESC, s1 DESC NULLS LAST, s2 DESC NULLS LAST)
+             |        AS rn
+             |      FROM u)
+             |SELECT id, bal, seg FROM r
+             |WHERE rn = 1 AND (op IS NULL OR op <> 'D')
+             |ORDER BY id""".stripMargin)),
+
+    // ---- Time-series gap fill + interpolation (operators/TimeSeries):
+    // per-user daily purchase cents densified onto each user's own day
+    // span, forward-filled and linearly interpolated. Cents are per-event
+    // half-up-rounded integers BEFORE the sum so every engine's total is
+    // bit-exact; interp is the one double column (exact integer product,
+    // one IEEE division, round 2 — same op sequence in the oracle). ----
+    Q("q146_gap_fill",
+      (s, dir) => {
+        val daily = t(s, dir, "events")
+          .filter(col("event_type") === "purchase")
+          .groupBy(col("user_id"), date_trunc("day", col("ts")).as("day"))
+          .agg(sum(expr("CAST(round(value * 100) AS BIGINT)")).as("cents"))
+        graft.operators.TimeSeries
+          .gapFillInterpolate(daily, "user_id", "day", "cents")
+          .orderBy(col("user_id"), col("day"))
+      },
+      Some("""WITH daily AS (
+             |  SELECT user_id, date_trunc('day', ts) AS day,
+             |         sum(CAST(round(value * 100) AS BIGINT)) AS cents
+             |  FROM events WHERE event_type = 'purchase' GROUP BY 1, 2),
+             |span AS (SELECT user_id, min(day) AS d0, max(day) AS d1
+             |         FROM daily GROUP BY 1),
+             |grid AS (SELECT user_id,
+             |           unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS day
+             |         FROM span),
+             |j AS (SELECT g.user_id, g.day, d.cents AS observed
+             |      FROM grid g LEFT JOIN daily d
+             |        ON g.user_id = d.user_id AND g.day = d.day),
+             |w AS (SELECT user_id, day, observed,
+             |        last_value(observed IGNORE NULLS) OVER (
+             |          PARTITION BY user_id ORDER BY day
+             |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ffill,
+             |        last_value(CASE WHEN observed IS NOT NULL THEN day END
+             |          IGNORE NULLS) OVER (
+             |          PARTITION BY user_id ORDER BY day
+             |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pd,
+             |        first_value(observed IGNORE NULLS) OVER (
+             |          PARTITION BY user_id ORDER BY day
+             |          ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv,
+             |        first_value(CASE WHEN observed IS NOT NULL THEN day END
+             |          IGNORE NULLS) OVER (
+             |          PARTITION BY user_id ORDER BY day
+             |          ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nd
+             |      FROM j)
+             |SELECT user_id, day, observed, ffill,
+             |  CASE WHEN observed IS NOT NULL THEN CAST(observed AS DOUBLE)
+             |       WHEN ffill IS NOT NULL AND nv IS NOT NULL THEN
+             |         round(ffill + ((nv - ffill) * date_diff('day', pd, day))
+             |           / date_diff('day', pd, nd), 2)
+             |       ELSE NULL END AS interp
+             |FROM w ORDER BY user_id, day""".stripMargin)),
+
+    // ---- Last-touch marketing attribution: each purchase's value lands
+    // on the most recent preceding click/view of the same user within a
+    // 3-day lookback, else 'unattributed'. Two IGNORE-NULLS window reads
+    // over the (ts, event_id)-ordered event stream — the same frame both
+    // sides, so both engines pick the identical touch row; revenue is
+    // per-event integer cents. ----
+    Q("q147_attribution",
+      (s, dir) => {
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts"), col("event_id"))
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val touch = when(col("event_type").isin("click", "view"), col("ts"))
+        val touchTy =
+          when(col("event_type").isin("click", "view"), col("event_type"))
+        t(s, dir, "events")
+          .select(col("user_id"), col("ts"), col("event_id"),
+            col("event_type"), col("value"),
+            last(touch, ignoreNulls = true).over(w).as("lt_ts"),
+            last(touchTy, ignoreNulls = true).over(w).as("lt_ty"))
+          .filter(col("event_type") === "purchase")
+          .select(
+            when(col("lt_ts").isNotNull &&
+              col("ts").cast("long") - col("lt_ts").cast("long") <= 259200L,
+              col("lt_ty")).otherwise(lit("unattributed")).as("channel"),
+            expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
+          .groupBy(col("channel"))
+          .agg(count(lit(1)).as("n_purchases"), sum(col("cents")).as("cents"))
+          .orderBy(col("channel"))
+      },
+      Some("""WITH e AS (SELECT user_id, ts, event_id, event_type, value,
+             |        last_value(CASE WHEN event_type IN ('click', 'view')
+             |          THEN ts END IGNORE NULLS) OVER (
+             |          PARTITION BY user_id ORDER BY ts, event_id
+             |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS lt_ts,
+             |        last_value(CASE WHEN event_type IN ('click', 'view')
+             |          THEN event_type END IGNORE NULLS) OVER (
+             |          PARTITION BY user_id ORDER BY ts, event_id
+             |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS lt_ty
+             |      FROM events),
+             |p AS (SELECT CASE WHEN lt_ts IS NOT NULL
+             |          AND date_diff('second', lt_ts, ts) <= 259200
+             |        THEN lt_ty ELSE 'unattributed' END AS channel,
+             |        CAST(round(value * 100) AS BIGINT) AS cents
+             |      FROM e WHERE event_type = 'purchase')
+             |SELECT channel, CAST(count(*) AS BIGINT) AS n_purchases,
+             |  sum(cents) AS cents
+             |FROM p GROUP BY channel ORDER BY channel""".stripMargin))
   )
 }

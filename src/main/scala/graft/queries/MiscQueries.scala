@@ -502,6 +502,63 @@ object MiscQueries {
              |FROM u WHERE levenshtein(na, nb) <= 1
              |ORDER BY new_id, peer_id""".stripMargin)),
 
+    // ---- Exact triangle counting + local clustering coefficient
+    // (operators/Graph.triangleCounts) over the co-purchase graph (parts
+    // co-ordered with support >= 2 — the q131 edge set). Degree-ordered
+    // orientation bounds every wedge fan-out by O(sqrt(m)) so a celebrity
+    // part can't square itself in the self-join; each triangle is counted
+    // once at its minimum-(deg,id) apex. The coefficient is exact integer
+    // parts-per-million (2*tri*1e6 div deg*(deg-1)) — non-negative
+    // operands, so Spark's `div` and DuckDB's `//` agree. ----
+    Q("q144_triangles",
+      (s, dir) => {
+        val li = t(s, dir, "lineitem")
+          .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+          .distinct()
+        val edges = li.select(col("ok"), col("pk").as("pa"))
+          .join(li.select(col("ok"), col("pk").as("pb")), "ok")
+          .filter(col("pa") < col("pb"))
+          .groupBy(col("pa"), col("pb")).agg(count(lit(1)).as("support"))
+          .filter(col("support") >= 2)
+          .select(col("pa"), col("pb"))
+        graft.operators.Graph.triangleCounts(edges, "pa", "pb")
+          .select(col("node"), col("deg"), col("tri"),
+            when(col("deg") >= 2,
+              expr("(2 * tri * 1000000) div (deg * (deg - 1))"))
+              .otherwise(lit(0L)).as("cc_ppm"))
+          .orderBy(col("tri").desc, col("node"))
+      },
+      Some("""WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+             |            FROM lineitem),
+             |e AS (SELECT a.pk AS u, b.pk AS v
+             |      FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk
+             |      GROUP BY 1, 2 HAVING count(*) >= 2),
+             |deg AS (SELECT n, CAST(count(*) AS BIGINT) AS d FROM
+             |        (SELECT u AS n FROM e UNION ALL SELECT v FROM e) t
+             |        GROUP BY n),
+             |o AS (SELECT
+             |        CASE WHEN du.d < dv.d OR (du.d = dv.d AND e.u < e.v)
+             |          THEN e.u ELSE e.v END AS lo,
+             |        CASE WHEN du.d < dv.d OR (du.d = dv.d AND e.u < e.v)
+             |          THEN e.v ELSE e.u END AS hi,
+             |        CASE WHEN du.d < dv.d OR (du.d = dv.d AND e.u < e.v)
+             |          THEN dv.d ELSE du.d END AS dhi
+             |      FROM e JOIN deg du ON du.n = e.u JOIN deg dv ON dv.n = e.v),
+             |tri AS (SELECT o1.lo AS a, o1.hi AS b, o2.hi AS c
+             |        FROM o o1 JOIN o o2 ON o1.lo = o2.lo
+             |          AND (o1.dhi < o2.dhi OR (o1.dhi = o2.dhi AND o1.hi < o2.hi))
+             |        JOIN o oc ON oc.lo = o1.hi AND oc.hi = o2.hi),
+             |tc AS (SELECT n, CAST(count(*) AS BIGINT) AS tri FROM
+             |       (SELECT a AS n FROM tri UNION ALL SELECT b FROM tri
+             |        UNION ALL SELECT c FROM tri) t GROUP BY n)
+             |SELECT deg.n AS node, deg.d AS deg,
+             |  CAST(coalesce(tc.tri, 0) AS BIGINT) AS tri,
+             |  CASE WHEN deg.d >= 2
+             |    THEN (2 * coalesce(tc.tri, 0) * 1000000) // (deg.d * (deg.d - 1))
+             |    ELSE CAST(0 AS BIGINT) END AS cc_ppm
+             |FROM deg LEFT JOIN tc ON tc.n = deg.n
+             |ORDER BY tri DESC, node""".stripMargin)),
+
     // ---- STREAMING entity resolution (streaming/StreamingEntities):
     // customers arrive in three microbatches (batch r = c_custkey % 3),
     // each fuzzy-matched against the persisted names+variant-index store

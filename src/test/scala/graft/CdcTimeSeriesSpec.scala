@@ -1,0 +1,81 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Cdc, TimeSeries}
+
+/** Pins the CDC merge semantics (last-writer-wins, tombstones, inserts,
+  * untouched keys) and the gap-fill/interpolation contract on hand
+  * fixtures small enough to assert row-by-row.
+  */
+class CdcTimeSeriesSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String): Timestamp = Timestamp.valueOf(s)
+
+  test("applyDeltas: latest delta wins, deletes remove, inserts appear, rest kept") {
+    val snap = Seq((1L, "a"), (2L, "b"), (3L, "c"), (4L, "d"))
+      .toDF("id", "payload")
+    val deltas = Seq(
+      // key 1: two updates out of order — seq 2 must win
+      (1L, "a2", "U", 2L), (1L, "a1", "U", 1L),
+      // key 2: update then delete — tombstone wins
+      (2L, "b1", "U", 1L), (2L, "gone", "D", 2L),
+      // key 3: delete then a LATER re-insert — the row comes back
+      (3L, "gone", "D", 1L), (3L, "c2", "U", 2L),
+      // key 5: insert of a key the snapshot never had
+      (5L, "e", "U", 1L)
+    ).toDF("id", "payload", "op", "seq")
+    val got = Cdc.applyDeltas(snap, deltas, "id", Seq("seq"))
+      .as[(Long, String)].collect().toMap
+    assert(got == Map(1L -> "a2", 3L -> "c2", 4L -> "d", 5L -> "e"),
+      s"merge semantics broke: $got")
+  }
+
+  test("applyDeltas is insensitive to delta arrival order (latest-seq-wins is commutative)") {
+    val snap = Seq((1L, 10L)).toDF("id", "v")
+    val deltas = Seq((1L, 30L, "U", 3L), (1L, 20L, "U", 2L), (1L, 40L, "D", 1L))
+    val a = Cdc.applyDeltas(snap, deltas.toDF("id", "v", "op", "seq"),
+      "id", Seq("seq")).as[(Long, Long)].collect().toSeq
+    val b = Cdc.applyDeltas(snap, deltas.reverse.toDF("id", "v", "op", "seq"),
+      "id", Seq("seq")).as[(Long, Long)].collect().toSeq
+    assert(a == Seq((1L, 30L)) && a == b)
+  }
+
+  test("gapFillInterpolate: dense grid, step fill, exact linear midpoints") {
+    // key 7: observations on days 1, 4, 5 — gap days 2 and 3 interpolate
+    // along the 100 -> 400 slope; day 5 closes the series
+    val daily = Seq(
+      (7L, ts("2024-01-01 00:00:00"), 100L),
+      (7L, ts("2024-01-04 00:00:00"), 400L),
+      (7L, ts("2024-01-05 00:00:00"), 150L),
+      // key 8: a single observation — a one-row grid, no interpolation arms
+      (8L, ts("2024-03-10 00:00:00"), 55L)
+    ).toDF("k", "day", "cents")
+    val got = TimeSeries.gapFillInterpolate(daily, "k", "day", "cents")
+      .orderBy("k", "day")
+      .select(col("k"), col("day"), col("observed"), col("ffill"), col("interp"))
+      .as[(Long, Timestamp, Option[Long], Option[Long], Option[Double])]
+      .collect().toSeq
+    val exp = Seq(
+      (7L, ts("2024-01-01 00:00:00"), Some(100L), Some(100L), Some(100.0)),
+      (7L, ts("2024-01-02 00:00:00"), None, Some(100L), Some(200.0)),
+      (7L, ts("2024-01-03 00:00:00"), None, Some(100L), Some(300.0)),
+      (7L, ts("2024-01-04 00:00:00"), Some(400L), Some(400L), Some(400.0)),
+      (7L, ts("2024-01-05 00:00:00"), Some(150L), Some(150L), Some(150.0)),
+      (8L, ts("2024-03-10 00:00:00"), Some(55L), Some(55L), Some(55.0)))
+    assert(got == exp, s"gap fill broke:\n$got")
+  }
+
+  test("gapFillInterpolate: non-divisible slope rounds half-up at 2 decimals") {
+    // 0 -> 100 over 3 days: day 1 = 100/3 = 33.33, day 2 = 66.67
+    val daily = Seq(
+      (1L, ts("2024-01-01 00:00:00"), 0L),
+      (1L, ts("2024-01-04 00:00:00"), 100L)).toDF("k", "day", "cents")
+    val interp = TimeSeries.gapFillInterpolate(daily, "k", "day", "cents")
+      .orderBy("day").select("interp").as[Option[Double]].collect().toSeq
+    assert(interp == Seq(Some(0.0), Some(33.33), Some(66.67), Some(100.0)))
+  }
+}

@@ -80,6 +80,42 @@ class GraphSpec extends SparkSpec {
     assert(got == mirror(edges, 7), "dangling-heavy graph must match the mirror")
   }
 
+  test("triangleCounts matches a brute-force mirror on a random graph") {
+    val rnd = new scala.util.Random(21)
+    val raw = (1 to 120)
+      .map(_ => (rnd.nextInt(15).toLong, rnd.nextInt(15).toLong))
+      .filter(p => p._1 != p._2)
+    val got = Graph.triangleCounts(raw.toDF("src", "dst"), "src", "dst")
+      .as[(Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+
+    val und = raw.map(p => (math.min(p._1, p._2), math.max(p._1, p._2))).distinct
+    val adj = (und ++ und.map(_.swap)).groupBy(_._1)
+      .map { case (k, v) => k -> v.map(_._2).toSet }
+    val exp = adj.map { case (k, nb) =>
+      val tri = nb.toSeq.sorted.combinations(2)
+        .count { case Seq(a, b) => adj(a)(b) }.toLong
+      k -> ((nb.size.toLong, tri))
+    }
+    assert(got == exp, s"distributed $got != mirror $exp")
+  }
+
+  test("triangleCounts: K4 is all-triangles, a star has none, direction ignored") {
+    // K4: every node has deg 3 and sits in C(3,2) = 3 triangles
+    val k4 = (for (a <- 1L to 4L; b <- 1L to 4L if a < b) yield (a, b))
+    val gotK4 = Graph.triangleCounts(k4.toDF("src", "dst"), "src", "dst")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(gotK4 == (1L to 4L).map(n => (n, 3L, 3L)).toSet)
+    // star around 0: wedges everywhere, no closing edge anywhere — and
+    // reversed duplicate edges must not fabricate one
+    val star = (1L to 5L).flatMap(i => Seq((0L, i), (i, 0L)))
+    val gotStar = Graph.triangleCounts(star.toDF("src", "dst"), "src", "dst")
+      .as[(Long, Long, Long)].collect()
+      .map { case (n, d, t) => n -> ((d, t)) }.toMap
+    assert(gotStar(0L) == ((5L, 0L)))
+    (1L to 5L).foreach(i => assert(gotStar(i) == ((1L, 0L))))
+  }
+
   test("epsilon stop ends iteration at the integer fixpoint with the fixed-run answer") {
     // a directed 4-cycle hits its exact integer fixpoint at iteration 1:
     // od = 1 everywhere, so r1 = base + (85*init) div 100 = init (with
