@@ -49,11 +49,27 @@ object Cdc {
       .select((col(keyCol) +: payload.map(col)) ++
         (col(opCol) +: seqCols.map(col)): _*)
       .withColumn("__src", lit(1))
+    resolveLog(base.unionByName(d), keyCol, seqCols, opCol, deleteOp)
+  }
+
+  /** Winner-per-key resolution over a TAGGED change log: rows carry
+    * `__src` (0 = snapshot base — null seq columns, loses to any delta;
+    * 1 = delta), `opCol`, and `seqCols`; every other non-key column is
+    * payload. The highest `(__src, seqCols...)` row per key survives
+    * unless it is a `deleteOp` tombstone. Shared by the batch MERGE
+    * above and the streaming snapshot maintenance
+    * ([[graft.streaming.StreamingCdc]]) — their equivalence contract is
+    * literally "both resolve the same log".
+    */
+  def resolveLog(log: DataFrame, keyCol: String, seqCols: Seq[String],
+                 opCol: String = "op", deleteOp: String = "D"): DataFrame = {
+    val payload = log.columns
+      .filterNot(c => c == keyCol || c == opCol || c == "__src" ||
+        seqCols.contains(c)).toSeq
     val order: Seq[Column] =
       col("__src").desc +: seqCols.map(c => col(c).desc_nulls_last)
     val w = Window.partitionBy(col(keyCol)).orderBy(order: _*)
-    base.unionByName(d)
-      .withColumn("__rn", row_number().over(w))
+    log.withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1 &&
         (col(opCol).isNull || col(opCol) =!= deleteOp))
       .select(col(keyCol) +: payload.map(col): _*)

@@ -36,6 +36,33 @@ object EventQueries {
       |  valid_to IS NULL AS is_current
       |FROM v ORDER BY user_id, version""".stripMargin
 
+  /** CDC merge oracle over customer base + orders change feed — shared by
+    * q145 (batch MERGE) and q148 (streaming maintenance), whose
+    * batch-equivalence contract is exactly "the maintained snapshot
+    * equals this".
+    */
+  private lazy val cdcMergedOracleSql: String =
+    """WITH base AS (SELECT c_custkey AS id, round(c_acctbal, 2) AS bal,
+      |        c_mktsegment AS seg, 0 AS src,
+      |        CAST(NULL AS TIMESTAMP) AS s1, CAST(NULL AS BIGINT) AS s2,
+      |        CAST(NULL AS VARCHAR) AS op
+      |      FROM customer),
+      |d AS (SELECT o_custkey AS id, round(o_totalprice, 2) AS bal,
+      |        o_orderpriority AS seg, 1 AS src,
+      |        o_orderdate AS s1, o_orderkey AS s2,
+      |        CASE WHEN o_orderstatus = 'F'
+      |              AND o_orderpriority = '1-URGENT'
+      |          THEN 'D' ELSE 'U' END AS op
+      |      FROM orders),
+      |u AS (SELECT * FROM base UNION ALL SELECT * FROM d),
+      |r AS (SELECT *, row_number() OVER (PARTITION BY id
+      |        ORDER BY src DESC, s1 DESC NULLS LAST, s2 DESC NULLS LAST)
+      |        AS rn
+      |      FROM u)
+      |SELECT id, bal, seg FROM r
+      |WHERE rn = 1 AND (op IS NULL OR op <> 'D')
+      |ORDER BY id""".stripMargin
+
   def all: Seq[Q] = Seq(
 
     // ---- F12 JSON accessor + aggregate. ----
@@ -400,7 +427,9 @@ object EventQueries {
     // order is a change record for its customer (payload: price, priority
     // band), sequenced by (o_orderdate, o_orderkey); a finalized urgent
     // order is the tombstone. One key-partitioned window pass, no join;
-    // the oracle replays the same union + row_number recipe. ----
+    // the oracle replays the same union + row_number recipe (and is
+    // shared with q148, whose contract is "the maintained streaming
+    // snapshot equals this batch MERGE"). ----
     Q("q145_cdc_apply",
       (s, dir) => {
         val snap = t(s, dir, "customer")
@@ -419,26 +448,57 @@ object EventQueries {
             Seq("seq_ts", "seq_id"))
           .orderBy(col("id"))
       },
-      Some("""WITH base AS (SELECT c_custkey AS id, round(c_acctbal, 2) AS bal,
-             |        c_mktsegment AS seg, 0 AS src,
-             |        CAST(NULL AS TIMESTAMP) AS s1, CAST(NULL AS BIGINT) AS s2,
-             |        CAST(NULL AS VARCHAR) AS op
-             |      FROM customer),
-             |d AS (SELECT o_custkey AS id, round(o_totalprice, 2) AS bal,
-             |        o_orderpriority AS seg, 1 AS src,
-             |        o_orderdate AS s1, o_orderkey AS s2,
-             |        CASE WHEN o_orderstatus = 'F'
-             |              AND o_orderpriority = '1-URGENT'
-             |          THEN 'D' ELSE 'U' END AS op
-             |      FROM orders),
-             |u AS (SELECT * FROM base UNION ALL SELECT * FROM d),
-             |r AS (SELECT *, row_number() OVER (PARTITION BY id
-             |        ORDER BY src DESC, s1 DESC NULLS LAST, s2 DESC NULLS LAST)
-             |        AS rn
-             |      FROM u)
-             |SELECT id, bal, seg FROM r
-             |WHERE rn = 1 AND (op IS NULL OR op <> 'D')
-             |ORDER BY id""".stripMargin)),
+      Some(cdcMergedOracleSql)),
+
+    // ---- STREAMING CDC apply (streaming/StreamingCdc): the same change
+    // feed arrives in three microbatches keyed o_orderkey % 3 — i.e. NOT
+    // in sequence order — against a bootstrapped customer snapshot.
+    // Latest-seq-wins resolution is commutative over batches, tombstones
+    // persist in the log, and touched key-hash buckets are resolved
+    // whole as a pure function of the log (the StreamingScd crash-safety
+    // argument). The maintained snapshot must equal the q145 batch
+    // MERGE: the oracle IS q145's. ----
+    Q("q148_stream_cdc",
+      (s, dir) => {
+        import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+        implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+        import s.implicits._
+        val snap = t(s, dir, "customer")
+          .select(col("c_custkey").as("id"),
+            round(col("c_acctbal"), 2).as("bal"),
+            col("c_mktsegment").as("seg"))
+        val deltas = t(s, dir, "orders")
+          .select(col("o_custkey").as("id"),
+            round(col("o_totalprice"), 2).as("bal"),
+            col("o_orderpriority").as("seg"),
+            when(col("o_orderstatus") === "F" &&
+              col("o_orderpriority") === "1-URGENT", "D")
+              .otherwise("U").as("op"),
+            col("o_orderdate").as("seq_ts"), col("o_orderkey").as("seq_id"),
+            col("o_orderkey").as("change_id"))
+        val tmp = java.nio.file.Files.createTempDirectory("graft_q148_").toString
+        graft.streaming.StreamingCdc.bootstrap(snap, "id",
+          Seq("seq_ts", "seq_id"), Seq("timestamp", "bigint"),
+          "op", "change_id", s"$tmp/log", s"$tmp/snap")
+        val input = MemoryStream[
+          (Long, Double, String, String, java.sql.Timestamp, Long, Long)]
+        val q = graft.streaming.StreamingCdc.sink(
+          input.toDF().toDF("id", "bal", "seg", "op", "seq_ts", "seq_id",
+            "change_id"),
+          "id", Seq("seq_ts", "seq_id"), "op", "change_id",
+          s"$tmp/log", s"$tmp/snap", s"$tmp/ckpt")
+        try {
+          for (r <- 0 to 2) {
+            input.addData(deltas.filter(col("seq_id") % 3 === r)
+              .as[(Long, Double, String, String, java.sql.Timestamp, Long, Long)]
+              .collect().toSeq)
+            q.processAllAvailable()
+          }
+        } finally q.stop()
+        graft.streaming.StreamingCdc.snapshot(s, s"$tmp/snap")
+          .orderBy(col("id"))
+      },
+      Some(cdcMergedOracleSql)),
 
     // ---- Time-series gap fill + interpolation (operators/TimeSeries):
     // per-user daily purchase cents densified onto each user's own day

@@ -479,4 +479,87 @@ class StreamingSpec extends SparkSpec {
       .as[(Long, String, Long, Long, Long)].collect().toSeq
     assert(twice == once, "replayed batch must not duplicate or change rows")
   }
+
+  test("streaming CDC: out-of-order batches converge, tombstones persist, replay is a no-op") {
+    import graft.streaming.StreamingCdc
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft_scdc_").toString
+    val log = s"file:$tmp/log"
+    val snp = s"file:$tmp/snap"
+    // a second key in a DIFFERENT hash bucket than key 1, so the
+    // untouched-partition claim below is observable
+    val bOf = Seq((1L to 20L): _*).toDF("k")
+      .select(col("k"), pmod(xxhash64(col("k")), lit(16L)).cast("int").as("b"))
+      .as[(Long, Int)].collect().toMap
+    val k2 = (2L to 20L).find(bOf(_) != bOf(1L)).get
+    def snapSet() = StreamingCdc.snapshot(spark, snp)
+      .as[(Long, String)].collect().toSet
+
+    val base = Seq((1L, "a"), (k2, "b"), (17L, "c")).toDF("id", "v")
+    StreamingCdc.bootstrap(base, "id", Seq("seq"), Seq("bigint"),
+      "op", "tie", log, snp)
+    // bootstrap is itself replay-safe: guarded by the log dir
+    StreamingCdc.bootstrap(base, "id", Seq("seq"), Seq("bigint"),
+      "op", "tie", log, snp)
+    assert(snapSet() == Set((1L, "a"), (k2, "b"), (17L, "c")))
+
+    // batch 0 arrives with the LATEST changes first (seq 2 before seq 1),
+    // plus a tombstone for k2
+    val b0 = Seq((1L, "a2", "U", 2L, 100L), (k2, "dead", "D", 1L, 101L))
+      .toDF("id", "v", "op", "seq", "tie")
+    StreamingCdc.processBatch(b0, "id", Seq("seq"), "op", "tie", log, snp)
+    val s1 = snapSet()
+    assert(s1 == Set((1L, "a2"), (17L, "c")), s"batch 0: $s1")
+    // k2 was alone in its bucket: the tombstone emptied the bucket, and
+    // dynamic overwrite alone would have left the stale partition behind
+    assert(!new java.io.File(s"$tmp/snap/__bucket=${bOf(k2)}").exists(),
+      "an emptied bucket's partition must be dropped, not left stale")
+
+    // exact redelivery: log merge anti-joins to nothing, snapshot holds
+    StreamingCdc.processBatch(b0, "id", Seq("seq"), "op", "tie", log, snp)
+    assert(snapSet() == s1, "replayed batch must be a complete no-op")
+
+    // a redelivered change id with a DIFFERENT payload is an upstream
+    // bug — surfaced loudly, never silently dropped by the merge
+    val bad = Seq((1L, "zzz", "U", 2L, 100L)).toDF("id", "v", "op", "seq", "tie")
+    val e = intercept[IllegalArgumentException] {
+      StreamingCdc.processBatch(bad, "id", Seq("seq"), "op", "tie", log, snp)
+    }
+    assert(e.getMessage.contains("DIFFERENT payload"))
+    assert(snapSet() == s1, "a rejected batch must leave the snapshot untouched")
+
+    // batch 1 delivers the STRAGGLERS: an older update for key 1 (must
+    // lose to the already-applied seq 2) and an older update for k2 (must
+    // lose to the tombstone); key 17's bucket is never touched
+    def bucketFiles(b: Int): Map[String, Long] = {
+      val d = new java.io.File(s"$tmp/snap/__bucket=$b")
+      if (!d.exists()) Map.empty
+      else d.listFiles().filter(_.getName.endsWith(".parquet"))
+        .map(f => f.getName -> f.lastModified()).toMap
+    }
+    val k17Before = bucketFiles(bOf(17L))
+    assert(k17Before.nonEmpty)
+    val b1 = Seq((1L, "a1", "U", 1L, 102L), (k2, "b0", "U", 0L, 103L))
+      .toDF("id", "v", "op", "seq", "tie")
+    StreamingCdc.processBatch(b1, "id", Seq("seq"), "op", "tie", log, snp)
+    val s2 = snapSet()
+    assert(s2 == Set((1L, "a2"), (17L, "c")),
+      s"stragglers must lose to later seq and to the tombstone: $s2")
+    assert(bucketFiles(bOf(17L)) == k17Before,
+      "untouched bucket partitions must not be rewritten")
+
+    // a LATER update resurrects a tombstoned key; an insert of a key the
+    // base never had appears
+    val b2 = Seq((k2, "b2", "U", 9L, 104L), (55L, "new", "U", 1L, 105L))
+      .toDF("id", "v", "op", "seq", "tie")
+    StreamingCdc.processBatch(b2, "id", Seq("seq"), "op", "tie", log, snp)
+    val s3 = snapSet()
+    assert(s3 == Set((1L, "a2"), (k2, "b2"), (17L, "c"), (55L, "new")),
+      s"resurrect + insert: $s3")
+    // and the maintained snapshot equals the batch MERGE over the same log
+    val batchMerge = graft.operators.Cdc.applyDeltas(
+      base, b0.unionByName(b1).unionByName(b2).drop("tie"),
+      "id", Seq("seq")).as[(Long, String)].collect().toSet
+    assert(s3 == batchMerge, "streaming snapshot must equal the batch MERGE")
+  }
 }
