@@ -80,6 +80,76 @@ object Sketches {
   def readMerged(spark: org.apache.spark.sql.SparkSession, targetPath: String): DataFrame =
     merge(spark.read.parquet(targetPath).select(col("row"), col("bucket"), col("w")))
 
+  // ---------------------------------------------------------------- HLL
+
+  /** Portable HyperLogLog — the distinct-count sketch, kept ENTIRELY in
+    * integer space so the estimate replays bit-identically in any engine
+    * with md5 (q67's `approx_count_distinct` is the fast path; this is
+    * its fully-oracle-provable twin, the q92/q94 convention).
+    *
+    * Register construction: bucket = md5("b:"||v) % m and rank =
+    * trailing-zeros(md5("r:"||v) as a 60-bit int) + 1, capped at 32 —
+    * independent hash rows for bucket and rank, and trailing zeros
+    * instead of leading so rho is pure bit arithmetic
+    * (`bit_count((h & -h) - 1)`), no log2/float anywhere. Registers are
+    * the mergeable form: max per bucket across shards.
+    *
+    * Estimation (`hllEstimate`): the harmonic sum is computed at scale
+    * 2^32 — each bucket contributes the exact integer 2^(32-r), empty
+    * buckets 2^32, so Z_scaled ≤ 65·2^32 fits a BIGINT exactly — and the
+    * raw estimate is one integer division
+    * (709·m²·2^32) div (1000·Z_scaled), i.e. alpha_64 = 0.709 kept as a
+    * 709/1000 rational. The small-range branch (raw ≤ 2.5m with empty
+    * buckets) is Flajolet's linear counting m·ln(m/V), the one
+    * transcendental — rounded to an integer, where engines agree unless
+    * the true value sits within an ulp of .5 (the 6-dp-quantized-ln
+    * discipline from BM25, coarsened).
+    */
+  def hllRegisters(df: DataFrame, valueCol: String, groupCols: Seq[String],
+                   m: Int = 64): DataFrame = {
+    require(Integer.bitCount(m) == 1, s"m must be a power of two, got $m")
+    val v = col(valueCol).cast("string")
+    val bucket =
+      conv(substring(md5(concat(lit("b:"), v).cast("binary")), 1, 8), 16, 10)
+        .cast("long") % m
+    val h =
+      conv(substring(md5(concat(lit("r:"), v).cast("binary")), 1, 15), 16, 10)
+        .cast("long")
+    val rank = least(bit_count(h.bitwiseAND(-h) - 1).cast("long") + 1L, lit(32L))
+    df.select((groupCols.map(col) :+ bucket.as("bucket")) :+ rank.as("r"): _*)
+      .groupBy(groupCols.map(col) :+ col("bucket"): _*)
+      .agg(max(col("r")).as("r"))
+  }
+
+  /** Fold (possibly sharded) registers into one integer estimate per
+    * group: `est` (the branch-selected final), plus `raw_est` and
+    * `v_empty` so the branch choice itself is part of the verified
+    * contract.
+    */
+  def hllEstimate(registers: DataFrame, groupCols: Seq[String],
+                  m: Int = 64): DataFrame = {
+    val alphaNum = 709L * m * m // alpha_64 = 709/1000
+    val pow32 = 4294967296L // 2^32
+    registers
+      .groupBy(groupCols.map(col): _*)
+      .agg(
+        (sum(expr("shiftleft(CAST(1 AS BIGINT), CAST(32 - r AS INT))"))
+          .cast("long") +
+          (lit(m.toLong) - count(lit(1))) * lit(pow32))
+          .as("z_scaled"),
+        (lit(m.toLong) - count(lit(1))).as("v_empty"))
+      .withColumn("raw_est",
+        expr(s"(${alphaNum}L * ${pow32}L) div (1000L * z_scaled)"))
+      .withColumn("est",
+        when(col("raw_est") <= lit((2.5 * m).toLong) && col("v_empty") > 0,
+          round(lit(m.toDouble) *
+            log(lit(m.toDouble) / col("v_empty").cast("double")), 0)
+            .cast("long"))
+          .otherwise(col("raw_est")))
+      .select(groupCols.map(col) ++
+        Seq(col("raw_est"), col("v_empty"), col("est")): _*)
+  }
+
   /** Point estimates for a column of terms: min over the sketch's rows of
     * the bucket weights each term hashes into. The (tiny) sketch
     * broadcasts; the term side never shuffles.

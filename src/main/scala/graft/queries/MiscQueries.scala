@@ -607,6 +607,65 @@ object MiscQueries {
              |SELECT new_id, peer_id, peer_is_existing,
              |  CAST(levenshtein(na, nb) AS BIGINT) AS dist
              |FROM o WHERE levenshtein(na, nb) <= 1
-             |ORDER BY new_id, peer_id""".stripMargin))
+             |ORDER BY new_id, peer_id""".stripMargin)),
+
+    // ---- Bloom-filter semi-join reduction (operators/Bloom): the thin
+    // urgent-finalized orders slice folds into an 8192-bit portable-md5
+    // Bloom filter; lineitem is pruned by a pure Column predicate (no
+    // shuffle, no join — the runtime-filter shape) before the real join.
+    // Survival counts pin the whole contract: stage 3's count comes from
+    // the REDUCED join while the oracle computes the PLAIN join — equal
+    // by no-false-negatives — and stages 2/4 replay the filter's exact
+    // pass set, false positives included, from the same md5 family. ----
+    Q("q149_bloom_join",
+      (s, dir) => {
+        import graft.operators.Bloom
+        val (m, k) = (8192, 3)
+        val li = t(s, dir, "lineitem").select(col("l_orderkey").as("k"))
+        val dim = t(s, dir, "orders")
+          .filter(col("o_orderpriority") === "1-URGENT" &&
+            col("o_orderstatus") === "F")
+          .select(col("o_orderkey").as("k")).distinct()
+        val words = Bloom.bitWords(Bloom.positions(dim, "k", m, k), m)
+        val pass = li.filter(Bloom.mightContain(words, col("k"), m, k))
+        Seq(
+          li.agg(count(lit(1)).as("n"))
+            .select(lit("1_fact").as("stage"), col("n")),
+          pass.agg(count(lit(1)).as("n"))
+            .select(lit("2_bloom_pass").as("stage"), col("n")),
+          pass.join(dim, Seq("k")).agg(count(lit(1)).as("n"))
+            .select(lit("3_join").as("stage"), col("n")),
+          pass.join(dim, Seq("k"), "left_anti").agg(count(lit(1)).as("n"))
+            .select(lit("4_false_pos").as("stage"), col("n"))
+        ).reduce(_ unionByName _).orderBy(col("stage"))
+      },
+      Some("""WITH dk AS (SELECT DISTINCT o_orderkey AS k FROM orders
+             |            WHERE o_orderpriority = '1-URGENT'
+             |              AND o_orderstatus = 'F'),
+             |r AS (SELECT unnest(range(3)) AS i),
+             |bits AS (SELECT DISTINCT
+             |           CAST(concat('0x', substr(md5(concat(i, ':', k)), 1, 8))
+             |             AS BIGINT) % 8192 AS pos
+             |         FROM dk, r),
+             |fk AS (SELECT DISTINCT l_orderkey AS k FROM lineitem),
+             |fpos AS (SELECT fk.k, i,
+             |           CAST(concat('0x', substr(md5(concat(i, ':', fk.k)), 1, 8))
+             |             AS BIGINT) % 8192 AS pos
+             |         FROM fk, r),
+             |passk AS (SELECT k FROM fpos JOIN bits USING (pos)
+             |          GROUP BY k HAVING count(DISTINCT i) = 3),
+             |s1 AS (SELECT '1_fact' AS stage, CAST(count(*) AS BIGINT) AS n
+             |       FROM lineitem),
+             |s2 AS (SELECT '2_bloom_pass' AS stage, CAST(count(*) AS BIGINT) AS n
+             |       FROM lineitem JOIN passk ON l_orderkey = passk.k),
+             |s3 AS (SELECT '3_join' AS stage, CAST(count(*) AS BIGINT) AS n
+             |       FROM lineitem JOIN dk ON l_orderkey = dk.k),
+             |s4 AS (SELECT '4_false_pos' AS stage, CAST(count(*) AS BIGINT) AS n
+             |       FROM lineitem JOIN passk ON l_orderkey = passk.k
+             |       WHERE l_orderkey NOT IN (SELECT k FROM dk))
+             |SELECT stage, n FROM (
+             |  SELECT * FROM s1 UNION ALL SELECT * FROM s2
+             |  UNION ALL SELECT * FROM s3 UNION ALL SELECT * FROM s4)
+             |ORDER BY stage""".stripMargin))
   )
 }

@@ -688,6 +688,55 @@ object TextQueries {
              |SELECT top.term, top.true_n, est.est
              |FROM top JOIN est USING (term) ORDER BY term""".stripMargin)),
 
+    // ---- Portable HyperLogLog (operators/Sketches.hll*): q67's
+    // approx_count_distinct is Spark's fast path; this is its fully
+    // oracle-provable twin (the q92/q94 convention). Registers are pure
+    // bit arithmetic (trailing zeros via bit_count, no log2), the
+    // harmonic sum is an exact integer at scale 2^32, the raw estimate
+    // one integer division, and the linear-counting branch choice is
+    // itself part of the hash-verified output. Per-lang doc_id
+    // cardinalities (64–218 at m=64) exercise BOTH branches. ----
+    Q("q150_hll_portable",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val regs = graft.operators.Sketches
+          .hllRegisters(docs, "doc_id", Seq("lang"))
+        graft.operators.Sketches.hllEstimate(regs, Seq("lang"))
+          .join(docs.groupBy(col("lang"))
+            .agg(countDistinct(col("doc_id")).as("true_nd")), Seq("lang"))
+          .select(col("lang"), col("true_nd"), col("raw_est"),
+            col("v_empty"), col("est"))
+          .orderBy(col("lang"))
+      },
+      Some("""WITH h AS (SELECT lang, doc_id,
+             |        CAST(concat('0x', substr(md5(concat('b:', doc_id)), 1, 8))
+             |          AS BIGINT) % 64 AS bucket,
+             |        CAST(concat('0x', substr(md5(concat('r:', doc_id)), 1, 15))
+             |          AS BIGINT) AS hr
+             |      FROM documents),
+             |reg AS (SELECT lang, bucket,
+             |          max(least(CAST(bit_count((hr & -hr) - 1) AS BIGINT) + 1,
+             |                    32)) AS r
+             |        FROM h GROUP BY 1, 2),
+             |z AS (SELECT lang,
+             |        CAST(sum(CAST(1 AS BIGINT) << CAST(32 - r AS INT))
+             |          AS BIGINT)
+             |          + (64 - count(*)) * 4294967296 AS z_scaled,
+             |        64 - count(*) AS v_empty
+             |      FROM reg GROUP BY 1),
+             |e AS (SELECT lang, v_empty,
+             |        CAST((2904064 * 4294967296) // (1000 * z_scaled)
+             |          AS BIGINT) AS raw_est
+             |      FROM z),
+             |t AS (SELECT lang, CAST(count(DISTINCT doc_id) AS BIGINT) AS true_nd
+             |      FROM documents GROUP BY 1)
+             |SELECT t.lang, t.true_nd, e.raw_est,
+             |  CAST(e.v_empty AS BIGINT) AS v_empty,
+             |  CAST(CASE WHEN e.raw_est <= 160 AND e.v_empty > 0
+             |    THEN round(64 * ln(64.0 / e.v_empty), 0)
+             |    ELSE e.raw_est END AS BIGINT) AS est
+             |FROM t JOIN e USING (lang) ORDER BY lang""".stripMargin)),
+
     // ---- Unicode normalization (expressions/NormalizeText): NFC + control
     // strip + whitespace collapse, the pre-tokenization cleanup pass, as a
     // native codegen expression (Spark has no NFC builtin). DuckDB's

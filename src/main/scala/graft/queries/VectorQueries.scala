@@ -100,7 +100,96 @@ object VectorQueries {
           .select(round(col("auc"), 6).as("auc"), col("n_pos"), col("n_neg"))
       },
       None,
-      oracleGen = Some(q121OracleGen _))
+      oracleGen = Some(q121OracleGen _)),
+
+    // ---- Hybrid retrieval: reciprocal-rank fusion of BM25 (lexical) and
+    // brute-cosine (vector) top-20 lists per query (operators/Fusion).
+    // Each query is a (text, embedding-of-doc-qid) pair; fused scores are
+    // integer micro-units 1000000 div (60 + rank) so the fused ORDER is
+    // bit-portable. The oracle replays both retrievers end-to-end (the
+    // q97 BM25 CTEs + the q41 cosine shape) and the integer fusion. ----
+    Q("q151_hybrid_rrf",
+      (s, dir) => {
+        val spark = s
+        import spark.implicits._
+        val queries = Seq(
+          (1L, "fast table scan"),
+          (2L, "hash join merge"),
+          (3L, "stream window batch group")).toDF("qid", "qtext")
+        val lex = graft.operators.Bm25.search(
+            t(s, dir, "documents"), "doc_id", "text",
+            queries, "qid", "qtext", k = 20)
+          .select(col("qid"), col("doc_id"), col("rn"))
+        val emb = t(s, dir, "embeddings")
+        val qe = emb.filter(col("vec_id").isin(1L, 2L, 3L))
+          .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+        val wA = Window.partitionBy(col("qid"))
+          .orderBy(col("sim").desc, col("doc_id"))
+        val ann = broadcast(qe)
+          .crossJoin(emb.select(col("vec_id").as("doc_id"),
+            col("embedding").as("ne")))
+          .select(col("qid"), col("doc_id"),
+            VectorFns.cosine(col("qe"), col("ne")).as("sim"))
+          .withColumn("rn", row_number().over(wA))
+          .filter(col("rn") <= 20)
+          .select(col("qid"), col("doc_id"), col("rn"))
+        graft.operators.Fusion.rrf(
+            Seq("lex" -> lex, "ann" -> ann), "qid", "doc_id", "rn", topK = 10)
+          .select(col("qid"), col("doc_id"), col("lex_rn"), col("ann_rn"),
+            col("rrf"), col("rn"))
+          .orderBy(col("qid"), col("rn"))
+      },
+      Some("""WITH q(qid, qtext) AS (VALUES
+             |    (1::BIGINT, 'fast table scan'),
+             |    (2::BIGINT, 'hash join merge'),
+             |    (3::BIGINT, 'stream window batch group')),
+             |toks AS (SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\s+')) AS t
+             |         FROM documents WHERE length(trim(text)) > 0),
+             |tf AS (SELECT doc_id, t, CAST(count(*) AS BIGINT) AS tf FROM toks GROUP BY 1, 2),
+             |dl AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS dl FROM toks GROUP BY 1),
+             |stats AS (SELECT avg(dl) AS avgdl, CAST(count(*) AS BIGINT) AS nd FROM dl),
+             |df AS (SELECT t, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+             |qt AS (SELECT DISTINCT qid, unnest(string_split_regex(lower(trim(qtext)), '\s+')) AS t
+             |       FROM q),
+             |contrib AS (SELECT qt.qid, tf.doc_id, qt.t,
+             |    round(ln(1.0 + (stats.nd - df.df + 0.5) / (df.df + 0.5)), 6)
+             |      * (tf.tf * 2.2) / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / stats.avgdl)) AS c
+             |  FROM qt JOIN tf ON tf.t = qt.t
+             |          JOIN dl ON dl.doc_id = tf.doc_id
+             |          JOIN df ON df.t = qt.t
+             |          CROSS JOIN stats),
+             |scored AS (SELECT qid, doc_id, list_sum(list(c ORDER BY t)) AS score
+             |           FROM contrib GROUP BY qid, doc_id),
+             |lexr AS (SELECT qid, doc_id, rn FROM (
+             |           SELECT qid, doc_id,
+             |             row_number() OVER (PARTITION BY qid
+             |               ORDER BY score DESC, doc_id) AS rn
+             |           FROM scored) WHERE rn <= 20),
+             |qe AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings
+             |       WHERE vec_id IN (1, 2, 3)),
+             |sim AS (SELECT qid, e.vec_id AS doc_id,
+             |          list_sum(list_transform(list_zip(qe, e.embedding),
+             |            x -> x[1]::DOUBLE * x[2]::DOUBLE))
+             |          / (sqrt(list_sum(list_transform(qe, x -> x::DOUBLE * x::DOUBLE)))
+             |             * sqrt(list_sum(list_transform(e.embedding, x -> x::DOUBLE * x::DOUBLE)))) AS sim
+             |        FROM qe, embeddings e),
+             |annr AS (SELECT qid, doc_id, rn FROM (
+             |           SELECT qid, doc_id,
+             |             row_number() OVER (PARTITION BY qid
+             |               ORDER BY sim DESC, doc_id) AS rn
+             |           FROM sim) WHERE rn <= 20),
+             |u AS (SELECT qid, doc_id, rn, 'lex' AS src FROM lexr
+             |      UNION ALL SELECT qid, doc_id, rn, 'ann' FROM annr),
+             |f AS (SELECT qid, doc_id,
+             |        CAST(sum(1000000 // (60 + rn)) AS BIGINT) AS rrf,
+             |        min(CASE WHEN src = 'lex' THEN rn END) AS lex_rn,
+             |        min(CASE WHEN src = 'ann' THEN rn END) AS ann_rn
+             |      FROM u GROUP BY 1, 2)
+             |SELECT qid, doc_id, CAST(lex_rn AS BIGINT) AS lex_rn,
+             |  CAST(ann_rn AS BIGINT) AS ann_rn, rrf, rn
+             |FROM (SELECT *, row_number() OVER (PARTITION BY qid
+             |        ORDER BY rrf DESC, doc_id) AS rn FROM f)
+             |WHERE rn <= 10 ORDER BY qid, rn""".stripMargin))
   )
 
   /** Shared by the q120/q121 generators: train the (deterministic) model

@@ -1,0 +1,63 @@
+package graft
+
+import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+import org.apache.spark.sql.execution.joins.{BroadcastHashJoinExec, SortMergeJoinExec}
+import org.apache.spark.sql.functions._
+
+import graft.operators.Bloom
+
+/** Pins the Bloom semi-join reduction contract: no false negatives (the
+  * reduced join equals the plain join row-for-row), shard mergeability,
+  * and the scale shape — the probe side is pruned by a pure expression,
+  * never an exchange or a join.
+  */
+class BloomSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val m = 1024
+  private val k = 3
+
+  test("no false negatives: every dim key passes, reduced join equals plain join") {
+    val dim = Seq((2L, "x"), (5L, "y"), (9L, "z")).toDF("k", "d")
+    val fact = Seq((1L, 10L), (2L, 20L), (5L, 50L), (7L, 70L), (9L, 90L))
+      .toDF("k", "v")
+    val words = Bloom.bitWords(Bloom.positions(dim, "k", m, k), m)
+    // every dim key must pass its own filter
+    val dimPass = dim.filter(Bloom.mightContain(words, col("k"), m, k)).count()
+    assert(dimPass == 3, "a dim key failed its own filter: false negative")
+    val reduced = Bloom.reduce(fact, dim, "k", m, k)
+    val a = reduced.join(dim, Seq("k")).orderBy(col("k"))
+      .as[(Long, Long, String)].collect().toSeq
+    val b = fact.join(dim, Seq("k")).orderBy(col("k"))
+      .as[(Long, Long, String)].collect().toSeq
+    assert(a == b && a.map(_._1) == Seq(2L, 5L, 9L),
+      s"reduced join must equal plain join: $a vs $b")
+  }
+
+  test("filters over dim shards merge by union-distinct of positions") {
+    val shardA = Seq(1L, 2L, 3L).toDF("k")
+    val shardB = Seq(3L, 4L).toDF("k")
+    val whole = shardA.unionByName(shardB)
+    val merged = Bloom.positions(shardA, "k", m, k)
+      .unionByName(Bloom.positions(shardB, "k", m, k)).distinct()
+      .as[Long].collect().toSet
+    val direct = Bloom.positions(whole, "k", m, k).as[Long].collect().toSet
+    assert(merged == direct, "sharded filters must merge to the whole-set filter")
+  }
+
+  test("the pruned probe side is expression-only: no exchange, no join in its plan") {
+    val fact = spark.read.parquet(s"$sfDir/lineitem.parquet")
+      .select(col("l_orderkey").as("k"))
+    val dim = Seq(1L, 3L, 5L).toDF("k")
+    val words = Bloom.bitWords(Bloom.positions(dim, "k", m, k), m)
+    val pass = fact.filter(Bloom.mightContain(words, col("k"), m, k))
+    val p = pass.queryExecution.executedPlan
+    assert(p.collect { case e: ShuffleExchangeExec => e }.isEmpty,
+      "bloom probe must not shuffle the fact side")
+    assert(p.collect {
+      case j: BroadcastHashJoinExec => j
+      case j: SortMergeJoinExec => j
+    }.isEmpty, "bloom probe must not be planned as a join")
+    assert(pass.count() > 0)
+  }
+}

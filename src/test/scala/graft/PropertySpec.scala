@@ -143,6 +143,26 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("hll law: sharded registers merge by max to the whole-set registers; estimate within 3σ") {
+    import graft.operators.Sketches
+    val ids = sampleN(Gen.chooseNum(1L, 1000000L), 400).distinct
+    val (a, b) = ids.splitAt(ids.length / 2)
+    val whole = ids.map(Tuple1(_)).toDF("id")
+    def regs(xs: Seq[Long]) =
+      Sketches.hllRegisters(xs.map(Tuple1(_)).toDF("id"), "id", Seq.empty)
+    // merge law: max-per-bucket over shard registers == whole-set registers
+    val merged = regs(a).unionByName(regs(b))
+      .groupBy(col("bucket")).agg(max(col("r")).as("r"))
+      .as[(Long, Long)].collect().toSet
+    val direct = regs(ids).as[(Long, Long)].collect().toSet
+    assert(merged == direct, "sharded registers must merge to the whole-set ones")
+    // sanity: estimate within 3 * 1.04/sqrt(64) ≈ 39% of truth (loose 3σ)
+    val est = Sketches.hllEstimate(regs(ids), Seq.empty)
+      .select(col("est")).as[Long].head()
+    val n = ids.length
+    assert(math.abs(est - n) <= 0.39 * n, s"estimate $est too far from $n")
+  }
+
   test("domain-mix law: thresholds feasible, scarcest target saturated") {
     import graft.operators.DomainMix
     val gen = for {
