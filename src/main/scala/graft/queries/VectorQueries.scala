@@ -110,36 +110,108 @@ object VectorQueries {
     // q97 BM25 CTEs + the q41 cosine shape) and the integer fusion. ----
     Q("q151_hybrid_rrf",
       (s, dir) => {
-        val spark = s
-        import spark.implicits._
-        val queries = Seq(
-          (1L, "fast table scan"),
-          (2L, "hash join merge"),
-          (3L, "stream window batch group")).toDF("qid", "qtext")
-        val lex = graft.operators.Bm25.search(
-            t(s, dir, "documents"), "doc_id", "text",
-            queries, "qid", "qtext", k = 20)
-          .select(col("qid"), col("doc_id"), col("rn"))
-        val emb = t(s, dir, "embeddings")
-        val qe = emb.filter(col("vec_id").isin(1L, 2L, 3L))
-          .select(col("vec_id").as("qid"), col("embedding").as("qe"))
-        val wA = Window.partitionBy(col("qid"))
-          .orderBy(col("sim").desc, col("doc_id"))
-        val ann = broadcast(qe)
-          .crossJoin(emb.select(col("vec_id").as("doc_id"),
-            col("embedding").as("ne")))
-          .select(col("qid"), col("doc_id"),
-            VectorFns.cosine(col("qe"), col("ne")).as("sim"))
-          .withColumn("rn", row_number().over(wA))
-          .filter(col("rn") <= 20)
-          .select(col("qid"), col("doc_id"), col("rn"))
-        graft.operators.Fusion.rrf(
-            Seq("lex" -> lex, "ann" -> ann), "qid", "doc_id", "rn", topK = 10)
+        fusedLists(s, dir)
           .select(col("qid"), col("doc_id"), col("lex_rn"), col("ann_rn"),
             col("rrf"), col("rn"))
           .orderBy(col("qid"), col("rn"))
       },
-      Some("""WITH q(qid, qtext) AS (VALUES
+      Some(rrfOracleCtes +
+        """SELECT qid, doc_id, CAST(lex_rn AS BIGINT) AS lex_rn,
+          |  CAST(ann_rn AS BIGINT) AS ann_rn, rrf, rn
+          |FROM (SELECT *, row_number() OVER (PARTITION BY qid
+          |        ORDER BY rrf DESC, doc_id) AS rn FROM f)
+          |WHERE rn <= 10 ORDER BY qid, rn""".stripMargin)),
+
+    // ---- Retrieval-quality eval of that fused list (Fusion.rankMetrics):
+    // MRR@10 / DCG@10 / NDCG@10 against exact-cosine-top-10 truth, every
+    // metric an exact integer in micro-units — the log2 position discounts
+    // are StrictMath-computed ONCE on the driver and inlined as literals
+    // on both sides, so the whole evaluation (including the ideal-DCG
+    // denominator) hash-verifies cross-engine. The q136-recall convention,
+    // extended from set overlap to position-weighted ranking quality. ----
+    Q("q152_rank_eval",
+      (s, dir) => {
+        val fused = fusedLists(s, dir)
+          .select(col("qid"), col("doc_id"), col("rn"))
+        val emb = t(s, dir, "embeddings")
+        val qe = emb.filter(col("vec_id").isin(1L, 2L, 3L))
+          .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+        val wT = Window.partitionBy(col("qid"))
+          .orderBy(col("sim").desc, col("doc_id"))
+        val truth = broadcast(qe)
+          .crossJoin(emb.select(col("vec_id").as("doc_id"),
+            col("embedding").as("ne")))
+          .select(col("qid"), col("doc_id"),
+            VectorFns.cosine(col("qe"), col("ne")).as("sim"))
+          .withColumn("rn", row_number().over(wT))
+          .filter(col("rn") <= 10)
+          .select(col("qid"), col("doc_id"))
+        graft.operators.Fusion
+          .rankMetrics(fused, truth, "qid", "doc_id", "rn", k = 10)
+          .orderBy(col("qid"))
+      },
+      Some(rrfOracleCtes +
+        """, fused AS (SELECT qid, doc_id, rn FROM (
+          |           SELECT *, row_number() OVER (PARTITION BY qid
+          |             ORDER BY rrf DESC, doc_id) AS rn FROM f)
+          |         WHERE rn <= 10),
+          |tr AS (SELECT qid, doc_id FROM annr WHERE rn <= 10),
+          |d(rn, disc) AS (VALUES (1, 1000000), (2, 630930), (3, 500000),
+          |    (4, 430677), (5, 386853), (6, 356207), (7, 333333),
+          |    (8, 315465), (9, 301030), (10, 289065)),
+          |rel AS (SELECT fused.qid, fused.rn,
+          |          CASE WHEN tr.doc_id IS NOT NULL THEN 1 ELSE 0 END AS rel
+          |        FROM fused LEFT JOIN tr
+          |          ON fused.qid = tr.qid AND fused.doc_id = tr.doc_id)
+          |SELECT qid, CAST(sum(rel) AS BIGINT) AS hits,
+          |  CAST(coalesce(max(CASE WHEN rel = 1 THEN 1000000 // rel2.rn END), 0)
+          |    AS BIGINT) AS mrr_micro,
+          |  CAST(sum(rel * disc) AS BIGINT) AS dcg_micro,
+          |  CAST(4543560 AS BIGINT) AS idcg_micro,
+          |  CAST((1000000 * sum(rel * disc)) // 4543560 AS BIGINT) AS ndcg_micro
+          |FROM rel rel2 JOIN d ON rel2.rn = d.rn
+          |GROUP BY qid ORDER BY qid""".stripMargin))
+  )
+
+  /** q151/q152 shared Spark side: RRF-fuse BM25 and brute-cosine top-20
+    * lists for three fixed queries (each query text paired with the
+    * embedding of the same-id document).
+    */
+  private def fusedLists(s: SparkSession, dir: String): DataFrame = {
+    val spark = s
+    import spark.implicits._
+    val queries = Seq(
+      (1L, "fast table scan"),
+      (2L, "hash join merge"),
+      (3L, "stream window batch group")).toDF("qid", "qtext")
+    val lex = graft.operators.Bm25.search(
+        t(s, dir, "documents"), "doc_id", "text",
+        queries, "qid", "qtext", k = 20)
+      .select(col("qid"), col("doc_id"), col("rn"))
+    val emb = t(s, dir, "embeddings")
+    val qe = emb.filter(col("vec_id").isin(1L, 2L, 3L))
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+    val wA = Window.partitionBy(col("qid"))
+      .orderBy(col("sim").desc, col("doc_id"))
+    val ann = broadcast(qe)
+      .crossJoin(emb.select(col("vec_id").as("doc_id"),
+        col("embedding").as("ne")))
+      .select(col("qid"), col("doc_id"),
+        VectorFns.cosine(col("qe"), col("ne")).as("sim"))
+      .withColumn("rn", row_number().over(wA))
+      .filter(col("rn") <= 20)
+      .select(col("qid"), col("doc_id"), col("rn"))
+    graft.operators.Fusion.rrf(
+      Seq("lex" -> lex, "ann" -> ann), "qid", "doc_id", "rn", topK = 10)
+  }
+
+  /** q151/q152 shared oracle prefix: replay both retrievers end-to-end
+    * (the q97 BM25 CTEs + the q41 cosine shape) and the integer RRF
+    * fold, ending at CTE `f` (qid, doc_id, rrf, lex_rn, ann_rn) with
+    * `annr` (cosine top-20) still in scope; no trailing comma.
+    */
+  private val rrfOracleCtes: String =
+    """WITH q(qid, qtext) AS (VALUES
              |    (1::BIGINT, 'fast table scan'),
              |    (2::BIGINT, 'hash join merge'),
              |    (3::BIGINT, 'stream window batch group')),
@@ -185,12 +257,7 @@ object VectorQueries {
              |        min(CASE WHEN src = 'lex' THEN rn END) AS lex_rn,
              |        min(CASE WHEN src = 'ann' THEN rn END) AS ann_rn
              |      FROM u GROUP BY 1, 2)
-             |SELECT qid, doc_id, CAST(lex_rn AS BIGINT) AS lex_rn,
-             |  CAST(ann_rn AS BIGINT) AS ann_rn, rrf, rn
-             |FROM (SELECT *, row_number() OVER (PARTITION BY qid
-             |        ORDER BY rrf DESC, doc_id) AS rn FROM f)
-             |WHERE rn <= 10 ORDER BY qid, rn""".stripMargin))
-  )
+             |""".stripMargin
 
   /** Shared by the q120/q121 generators: train the (deterministic) model
     * and render the logit expression with weights inlined as
