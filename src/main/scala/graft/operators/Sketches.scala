@@ -150,6 +150,43 @@ object Sketches {
         Seq(col("raw_est"), col("v_empty"), col("est")): _*)
   }
 
+  /** Streaming build of the HLL registers: each microbatch's per-group
+    * registers land as their own `batch=<id>` shard, written only if
+    * absent (the `Streams.idempotentShardWrite` _SUCCESS rule shared with
+    * `streamingCountMin`), so a replayed microbatch is a no-op. Readers
+    * call `readMergedHll`, which folds every shard by max-per-bucket —
+    * the HLL merge law (PropertySpec) — so the drained stream's estimate
+    * EQUALS the batch estimate over the same rows; that equality is
+    * exactly what the q153 oracle checks. Each shard is at most
+    * groups x m rows no matter how much data the batch carried.
+    */
+  def streamingHll(stream: DataFrame, valueCol: String, groupCols: Seq[String],
+                   targetPath: String, checkpoint: String, m: Int = 64): Unit = {
+    import org.apache.spark.sql.streaming.Trigger
+    val q = stream.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val dir = s"$targetPath/batch=$batchId"
+        graft.streaming.Streams.idempotentShardWrite(batch.sparkSession, dir) {
+          hllRegisters(batch, valueCol, groupCols, m)
+            .write.mode("overwrite").parquet(dir)
+        }
+      }
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
+  /** Fold every batch shard under `targetPath` into whole-stream
+    * registers (max merge law); feed to `hllEstimate`.
+    */
+  def readMergedHll(spark: org.apache.spark.sql.SparkSession, targetPath: String,
+                    groupCols: Seq[String]): DataFrame =
+    spark.read.parquet(targetPath)
+      .select((groupCols :+ "bucket" :+ "r").map(col): _*)
+      .groupBy((groupCols :+ "bucket").map(col): _*)
+      .agg(max(col("r")).as("r"))
+
   /** Point estimates for a column of terms: min over the sketch's rows of
     * the bucket weights each term hashes into. The (tiny) sketch
     * broadcasts; the term side never shuffles.

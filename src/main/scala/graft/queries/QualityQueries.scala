@@ -402,7 +402,61 @@ object QualityQueries {
              |      FROM terms, r)
              |SELECT term, CAST(min(coalesce(w, 0)) AS BIGINT) AS est
              |FROM q LEFT JOIN sk ON sk.row = q.row AND sk.bucket = q.bucket
-             |GROUP BY term ORDER BY term""".stripMargin))
+             |GROUP BY term ORDER BY term""".stripMargin)),
+
+    // ---- Streaming HyperLogLog: per-microbatch register shards written
+    // idempotently by batch id (the q108 _SUCCESS discipline), folded on
+    // read by max-per-bucket — the HLL merge law — so the drained
+    // stream's distinct-user estimate per event_type MUST equal the
+    // batch HLL over the events table, which the oracle computes
+    // directly (the q150 integer-space replay, value = user_id). The
+    // register store is groups x 64 rows per batch regardless of batch
+    // size: distinct-counting 100 TB of events costs one bounded-output
+    // scan per increment and a register fold on read. ----
+    Q("q153_stream_hll",
+      (s, dir) => {
+        import graft.operators.Sketches
+        val tmp = java.nio.file.Files.createTempDirectory("graft_q153_").toString
+        Sketches.streamingHll(
+          Streams.eventsStream(s, dir)
+            .select(col("event_type"), col("user_id")),
+          "user_id", Seq("event_type"), s"$tmp/hll", s"$tmp/ckpt", m = 64)
+        val regs = Sketches.readMergedHll(s, s"$tmp/hll", Seq("event_type"))
+        Sketches.hllEstimate(regs, Seq("event_type"), m = 64)
+          .join(Tables(s, dir, "events").groupBy(col("event_type"))
+            .agg(countDistinct(col("user_id")).as("true_nd")), Seq("event_type"))
+          .select(col("event_type"), col("true_nd"), col("raw_est"),
+            col("v_empty"), col("est"))
+          .orderBy(col("event_type"))
+      },
+      Some("""WITH h AS (SELECT event_type, user_id,
+             |        CAST(concat('0x', substr(md5(concat('b:', user_id)), 1, 8))
+             |          AS BIGINT) % 64 AS bucket,
+             |        CAST(concat('0x', substr(md5(concat('r:', user_id)), 1, 15))
+             |          AS BIGINT) AS hr
+             |      FROM events),
+             |reg AS (SELECT event_type, bucket,
+             |          max(least(CAST(bit_count((hr & -hr) - 1) AS BIGINT) + 1,
+             |                    32)) AS r
+             |        FROM h GROUP BY 1, 2),
+             |z AS (SELECT event_type,
+             |        CAST(sum(CAST(1 AS BIGINT) << CAST(32 - r AS INT))
+             |          AS BIGINT)
+             |          + (64 - count(*)) * 4294967296 AS z_scaled,
+             |        64 - count(*) AS v_empty
+             |      FROM reg GROUP BY 1),
+             |e AS (SELECT event_type, v_empty,
+             |        CAST((2904064 * 4294967296) // (1000 * z_scaled)
+             |          AS BIGINT) AS raw_est
+             |      FROM z),
+             |t AS (SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS true_nd
+             |      FROM events GROUP BY 1)
+             |SELECT t.event_type, t.true_nd, e.raw_est,
+             |  CAST(e.v_empty AS BIGINT) AS v_empty,
+             |  CAST(CASE WHEN e.raw_est <= 160 AND e.v_empty > 0
+             |    THEN round(64 * ln(64.0 / e.v_empty), 0)
+             |    ELSE e.raw_est END AS BIGINT) AS est
+             |FROM t JOIN e USING (event_type) ORDER BY t.event_type""".stripMargin))
   )
 
   /** q142 oracle GENERATOR: the per-image pHashes (deterministic JVM DCT,

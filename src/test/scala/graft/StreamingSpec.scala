@@ -135,6 +135,31 @@ class StreamingSpec extends SparkSpec {
     assert(estimates() == est1, "redelivered batches must not double-count")
   }
 
+  test("streaming HLL: merged registers equal the batch registers; redelivery is a no-op") {
+    import graft.operators.Sketches
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft_shll_").toString
+    val target = s"file:$tmp/hll" // file: URI → Hadoop-FS shard probe
+    val src = Streams.eventsStream(spark, sfDir)
+      .select(col("event_type"), col("user_id"))
+    Sketches.streamingHll(src, "user_id", Seq("event_type"),
+      target, s"$tmp/ckpt", m = 64)
+    def regs(): Set[(String, Long, Long)] =
+      Sketches.readMergedHll(spark, target, Seq("event_type"))
+        .as[(String, Long, Long)].collect().toSet
+    val batchRegs = Sketches.hllRegisters(
+        Tables(spark, sfDir, "events").select(col("event_type"), col("user_id")),
+        "user_id", Seq("event_type"), m = 64)
+      .as[(String, Long, Long)].collect().toSet
+    val r1 = regs()
+    assert(r1 == batchRegs,
+      "stream-folded registers must equal the batch registers (merge law)")
+    // full redelivery from a fresh checkpoint: shards exist, fold unchanged
+    Sketches.streamingHll(src, "user_id", Seq("event_type"),
+      target, s"$tmp/ckpt2", m = 64)
+    assert(regs() == r1, "redelivered batches must not change the registers")
+  }
+
   test("streaming incremental dedup: replayed batches add zero pairs, history pairs once") {
     import graft.streaming.StreamingDedup
     import spark.implicits._
