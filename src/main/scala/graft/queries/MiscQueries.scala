@@ -666,6 +666,49 @@ object MiscQueries {
              |SELECT stage, n FROM (
              |  SELECT * FROM s1 UNION ALL SELECT * FROM s2
              |  UNION ALL SELECT * FROM s3 UNION ALL SELECT * FROM s4)
-             |ORDER BY stage""".stripMargin))
+             |ORDER BY stage""".stripMargin)),
+
+    // ---- Z-order layout stats (operators/ZOrder): lineitem keyed by the
+    // Morton interleave of (l_partkey, l_suppkey), bucketed by the top 4 z
+    // bits — the 4x4 grid cell — reporting the min/max stats a
+    // file-skipping reader consults. Every bucket's span of BOTH columns
+    // is ~1/4 of its range (ZOrderSpec pins it), which is the whole
+    // OPTIMIZE-ZORDER win; the oracle replays the integer scaling and the
+    // 16-term interleave verbatim. ----
+    Q("q154_zorder_layout",
+      (s, dir) => {
+        graft.operators.ZOrder.layoutStats(
+            t(s, dir, "lineitem").select(col("l_partkey"), col("l_suppkey")),
+            "l_partkey", "l_suppkey", bits = 8, gridBits = 2)
+          .orderBy(col("bucket"))
+      },
+      Some("""WITH mm AS (SELECT CAST(min(l_partkey) AS BIGINT) AS amn,
+             |             CAST(max(l_partkey) AS BIGINT) AS amx,
+             |             CAST(min(l_suppkey) AS BIGINT) AS bmn,
+             |             CAST(max(l_suppkey) AS BIGINT) AS bmx
+             |           FROM lineitem),
+             |sc AS (SELECT l_partkey, l_suppkey,
+             |         CASE WHEN amx = amn THEN 0
+             |              ELSE ((l_partkey - amn) * 255) // (amx - amn) END AS sa,
+             |         CASE WHEN bmx = bmn THEN 0
+             |              ELSE ((l_suppkey - bmn) * 255) // (bmx - bmn) END AS sb
+             |       FROM lineitem, mm),
+             |z AS (SELECT l_partkey, l_suppkey,
+             |        ((sa // 1) % 2) * 2 + ((sb // 1) % 2) * 1
+             |        + ((sa // 2) % 2) * 8 + ((sb // 2) % 2) * 4
+             |        + ((sa // 4) % 2) * 32 + ((sb // 4) % 2) * 16
+             |        + ((sa // 8) % 2) * 128 + ((sb // 8) % 2) * 64
+             |        + ((sa // 16) % 2) * 512 + ((sb // 16) % 2) * 256
+             |        + ((sa // 32) % 2) * 2048 + ((sb // 32) % 2) * 1024
+             |        + ((sa // 64) % 2) * 8192 + ((sb // 64) % 2) * 4096
+             |        + ((sa // 128) % 2) * 32768 + ((sb // 128) % 2) * 16384
+             |          AS zv
+             |      FROM sc)
+             |SELECT zv // 4096 AS bucket, CAST(count(*) AS BIGINT) AS n,
+             |  CAST(min(l_partkey) AS BIGINT) AS a_min,
+             |  CAST(max(l_partkey) AS BIGINT) AS a_max,
+             |  CAST(min(l_suppkey) AS BIGINT) AS b_min,
+             |  CAST(max(l_suppkey) AS BIGINT) AS b_max
+             |FROM z GROUP BY 1 ORDER BY bucket""".stripMargin))
   )
 }
