@@ -1,0 +1,72 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Exact set-similarity self-join with prefix filtering — the
+  * AllPairs/PPJoin shape (Bayardo et al.) that removes q52's block cap:
+  * instead of an O(n²) cross join, each set is sorted by a global
+  * rarest-first token order and only its PREFIX (the |d| - ceil(t·|d|) + 1
+  * rarest tokens) is indexed; two sets with Jaccard >= t MUST share a
+  * prefix token (pigeonhole on the (1-t)·|∪| tokens a pair may miss), so
+  * an equi-join on prefix tokens finds every qualifying pair — no false
+  * negatives by construction, which is exactly what the q155 oracle
+  * (an independent brute-force threshold join) proves.
+  *
+  * Every similarity decision is integer arithmetic: the threshold is a
+  * rational tNum/tDen and J >= t is tested as tDen·|∩| >= tNum·|∪|, so
+  * the keep set replays bit-identically in any engine. The prefix-order
+  * tie-break never needs to be portable — ANY total order satisfies the
+  * theorem, and the verified output is order-independent.
+  *
+  * Scale shape: one explode + token-keyed df aggregate (shuffle ∝
+  * distinct tokens), one token-keyed rank join-back, one per-set sort
+  * (bounded by set size), then an equi-join on PREFIX tokens only —
+  * candidate work ∝ Σ prefix co-occurrence, which the rarest-first order
+  * minimizes — a pair-keyed distinct, and two join-backs for the exact
+  * verify. The length filter tDen·min >= tNum·max prunes candidates
+  * before the verify; AQE handles residual hot prefix tokens.
+  */
+object SetJoin {
+
+  /** All pairs (id_a < id_b) with Jaccard(toksCol_a, toksCol_b) >=
+    * tNum/tDen, returned with the exact integer |∩| and |∪|.
+    */
+  def allPairs(sets: DataFrame, idCol: String, toksCol: String,
+               tNum: Int, tDen: Int): DataFrame = {
+    require(tNum > 0 && tDen >= tNum, s"need 0 < tNum/tDen <= 1, got $tNum/$tDen")
+    val base = sets
+      .select(col(idCol).as("__id"), array_distinct(col(toksCol)).as("__tk"))
+      .filter(size(col("__tk")) > 0)
+    val tokDf = base.select(explode(col("__tk")).as("t"))
+      .groupBy(col("t")).agg(count(lit(1)).as("df"))
+    // per-set tokens in global (df, token) order; prefix keeps the rarest
+    // |d| - ceil(t|d|) + 1 — the most selective index keys
+    val ordered = base.select(col("__id"), explode(col("__tk")).as("t"))
+      .join(tokDf, Seq("t"))
+      .groupBy(col("__id"))
+      .agg(sort_array(collect_list(struct(col("df"), col("t")))).as("st"))
+      .select(col("__id"), expr("transform(st, x -> x.t)").as("tks"),
+        size(col("st")).cast("long").as("len"))
+      .withColumn("plen",
+        col("len") - call_function("div",
+          col("len") * tNum + (tDen - 1), lit(tDen.toLong)) + 1L)
+    val pref = ordered
+      .select(col("__id"), col("len"),
+        explode(slice(col("tks"), lit(1), col("plen").cast("int"))).as("t"))
+    val cand = pref.as("a").join(pref.as("b"),
+        col("a.t") === col("b.t") && col("a.__id") < col("b.__id") &&
+          col("a.len") * tDen >= col("b.len") * tNum &&
+          col("b.len") * tDen >= col("a.len") * tNum)
+      .select(col("a.__id").as("id_a"), col("b.__id").as("id_b"))
+      .distinct()
+    val side = ordered.select(col("__id"), col("tks"))
+    cand
+      .join(side.select(col("__id").as("id_a"), col("tks").as("ta")), Seq("id_a"))
+      .join(side.select(col("__id").as("id_b"), col("tks").as("tb")), Seq("id_b"))
+      .withColumn("isect", size(array_intersect(col("ta"), col("tb"))).cast("long"))
+      .withColumn("uni", size(array_union(col("ta"), col("tb"))).cast("long"))
+      .filter(col("isect") * tDen >= col("uni") * tNum)
+      .select(col("id_a"), col("id_b"), col("isect"), col("uni"))
+  }
+}

@@ -519,6 +519,34 @@ object DedupQueries {
              |WHERE jac >= 0.2
              |ORDER BY id_a, id_b""".stripMargin)),
 
+    // ---- Exact set-similarity self-join WITHOUT the q52 block cap
+    // (operators/SetJoin): AllPairs prefix filtering over 3-word
+    // shingles at Jaccard >= 1/2 — only each set's rarest
+    // |d| - ceil(|d|/2) + 1 shingles are indexed, an equi-join on those
+    // prefix keys finds every qualifying pair (pigeonhole), and the
+    // verify is pure integer arithmetic (tDen·|∩| >= tNum·|∪|). The
+    // oracle is an INDEPENDENT brute-force threshold join over all
+    // pairs, so a hash match proves the no-false-negatives theorem
+    // held end-to-end. Finds exactly the 25 planted near-dup pairs. ----
+    Q("q155_setsim_join",
+      (s, dir) => {
+        val sets = t(s, dir, "documents").select(col("doc_id"),
+          TextFns.wordShingles(TextFns.tokens(col("text")), 3).as("sh"))
+        graft.operators.SetJoin.allPairs(sets, "doc_id", "sh", 1, 2)
+          .orderBy(col("id_a"), col("id_b"))
+      },
+      Some("""WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+             |           FROM documents WHERE length(trim(text)) > 0),
+             |s AS (SELECT doc_id, list_distinct(list_transform(range(1, len(toks) - 1),
+             |        i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS sh
+             |      FROM t WHERE len(toks) >= 3),
+             |p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             |        CAST(len(list_intersect(a.sh, b.sh)) AS BIGINT) AS isect,
+             |        CAST(len(list_distinct(a.sh || b.sh)) AS BIGINT) AS uni
+             |      FROM s a JOIN s b ON a.doc_id < b.doc_id)
+             |SELECT id_a, id_b, isect, uni FROM p
+             |WHERE 2 * isect >= uni ORDER BY id_a, id_b""".stripMargin)),
+
     // ---- End-to-end corpus dedup: LSH pairs -> transitive clusters ->
     // one representative per cluster (what a training pipeline actually
     // runs; q50 exposes the pairs, this exposes the surviving corpus). ----
