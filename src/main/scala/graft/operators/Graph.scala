@@ -195,4 +195,57 @@ object Graph {
       } finally nodes.unpersist(false)
     } finally e.unpersist(false)
   }
+
+  /** k-core of an undirected graph: the maximal subgraph in which every
+    * node has degree >= k, computed by iterative peeling — drop every
+    * node whose CURRENT degree is below k, recompute, repeat to
+    * fixpoint. The fixpoint is order-independent (the k-core is unique),
+    * so no tie-breaking is needed anywhere and any engine that peels to
+    * convergence gets the identical node set — the q156 oracle replays
+    * the rounds as plain chained SQL (peeling is monotone, so unrolling
+    * PAST the fixpoint is a no-op and the unroll depth only needs to be
+    * an upper bound).
+    *
+    * Returns `(node, deg)` — surviving nodes with their degree INSIDE
+    * the core. Direction, duplicate edges, and self-loops in the input
+    * are ignored.
+    *
+    * Scale shape: each round is one degree aggregate (shuffle ∝ alive
+    * edges) plus two anti-joins against the dropped-node set, with
+    * `localCheckpoint` cutting lineage per round (the pageRankFixed
+    * discipline — the per-round driver action is the convergence test
+    * itself, same cost class as the dangling probe). Rounds are
+    * data-bounded: real graphs peel in a handful of cascades, and the
+    * loud `maxRounds` cap turns a pathological chain into an error
+    * instead of an endless job.
+    */
+  def kCore(edges: DataFrame, srcCol: String, dstCol: String, k: Int,
+            maxRounds: Int = 64): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    var cur = edges
+      .select(least(col(srcCol), col(dstCol)).as("a"),
+        greatest(col(srcCol), col(dstCol)).as("b"))
+      .filter(col("a") =!= col("b")).distinct()
+      .localCheckpoint(true)
+    var rounds = 0
+    var done = false
+    while (!done) {
+      val weak = cur
+        .select(explode(array(col("a"), col("b"))).as("n"))
+        .groupBy(col("n")).agg(count(lit(1)).as("d"))
+        .filter(col("d") < k).select(col("n"))
+      if (weak.isEmpty) done = true
+      else {
+        rounds += 1
+        require(rounds < maxRounds, s"k-core did not converge in $maxRounds rounds")
+        cur = cur
+          .join(weak.select(col("n").as("a")), Seq("a"), "left_anti")
+          .join(weak.select(col("n").as("b")), Seq("b"), "left_anti")
+          .select(col("a"), col("b"))
+          .localCheckpoint(true)
+      }
+    }
+    cur.select(explode(array(col("a"), col("b"))).as("node"))
+      .groupBy(col("node")).agg(count(lit(1)).as("deg"))
+  }
 }

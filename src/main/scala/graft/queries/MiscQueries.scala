@@ -709,6 +709,60 @@ object MiscQueries {
              |  CAST(max(l_partkey) AS BIGINT) AS a_max,
              |  CAST(min(l_suppkey) AS BIGINT) AS b_min,
              |  CAST(max(l_suppkey) AS BIGINT) AS b_max
-             |FROM z GROUP BY 1 ORDER BY bucket""".stripMargin))
+             |FROM z GROUP BY 1 ORDER BY bucket""".stripMargin)),
+
+    // ---- k-core decomposition (operators/Graph.kCore) of the
+    // repeat-trade commerce graph (customer-supplier pairs with >= 2
+    // lineitems): iteratively peel nodes with current degree < 5 until
+    // the 5-core fixpoint. The k-core is UNIQUE (order-independent), and
+    // peeling past the fixpoint is a no-op — so the oracle just unrolls
+    // 12 chained peel rounds in plain SQL (an upper bound on the
+    // observed cascade depth at every sf) and must land on the identical
+    // node set with identical in-core degrees. ----
+    Q("q156_kcore",
+      (s, dir) => {
+        val edges = t(s, dir, "lineitem")
+          .select(col("l_orderkey"), col("l_suppkey"))
+          .join(t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey")),
+            col("l_orderkey") === col("o_orderkey"))
+          .groupBy(col("o_custkey").as("src"),
+            (col("l_suppkey") + 10000000L).as("dst"))
+          .agg(count(lit(1)).as("w"))
+          .filter(col("w") >= 2)
+          .select(col("src"), col("dst"))
+        graft.operators.Graph.kCore(edges, "src", "dst", k = 5)
+          .orderBy(col("node"))
+      },
+      Some(q156OracleSql))
   )
+
+  /** q156 oracle: 12 statically-unrolled peel rounds — each round keeps
+    * nodes whose degree within the previous round's edge set is >= 5,
+    * then restricts the edges to kept endpoints. Monotone, so rounds
+    * past the fixpoint change nothing and 12 only needs to be an upper
+    * bound (observed cascades: 1-5 rounds across the test SFs).
+    */
+  private def q156OracleSql: String = {
+    val rounds = 12
+    // MATERIALIZED: DuckDB inlines plain CTEs per reference, and each
+    // round references the previous one three times — an exponential
+    // re-evaluation tree without materialization
+    val peel = (1 to rounds).map { i =>
+      s"""a$i AS MATERIALIZED (SELECT n FROM (
+         |  SELECT n, count(*) AS d FROM
+         |    (SELECT a AS n FROM e${i - 1} UNION ALL SELECT b FROM e${i - 1})
+         |  GROUP BY n) WHERE d >= 5),
+         |e$i AS MATERIALIZED (SELECT a, b FROM e${i - 1}
+         |  WHERE a IN (SELECT n FROM a$i) AND b IN (SELECT n FROM a$i))"""
+        .stripMargin
+    }.mkString(",\n")
+    s"""WITH e0 AS MATERIALIZED (
+       |  SELECT o_custkey AS a, l_suppkey + 10000000 AS b
+       |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+       |  GROUP BY 1, 2 HAVING count(*) >= 2),
+       |$peel
+       |SELECT n AS node, CAST(count(*) AS BIGINT) AS deg FROM
+       |  (SELECT a AS n FROM e$rounds UNION ALL SELECT b FROM e$rounds)
+       |GROUP BY n ORDER BY node""".stripMargin
+  }
 }

@@ -137,4 +137,27 @@ class GraphSpec extends SparkSpec {
     val (_, ranAll) = Graph.pageRankFixedConverged(chain, "src", "dst", iters = 5)
     assert(ranAll == 5, "disabled epsilon must run to the cap")
   }
+
+  test("kCore: multi-round peel cascade lands on the unique core") {
+    // triangle {1,2,3} with a tail 3-4-5-6: at k=2 the tail peels one
+    // node per round (6, then 5, then 4 — three cascading rounds), and
+    // the 2-core is exactly the triangle with in-core degree 2 each
+    val g = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L), (4L, 5L), (5L, 6L))
+      .toDF("src", "dst")
+    val core = Graph.kCore(g, "src", "dst", k = 2)
+      .as[(Long, Long)].collect().toMap
+    assert(core == Map(1L -> 2L, 2L -> 2L, 3L -> 2L),
+      s"2-core must be the triangle, got $core")
+    // k above the max degree empties the graph
+    assert(Graph.kCore(g, "src", "dst", k = 4).isEmpty, "4-core must be empty")
+  }
+
+  test("kCore ignores direction, duplicate edges, and self-loops") {
+    val messy = Seq((2L, 1L), (1L, 2L), (2L, 3L), (3L, 3L), (1L, 3L), (3L, 1L))
+      .toDF("src", "dst")
+    val core = Graph.kCore(messy, "src", "dst", k = 2)
+      .as[(Long, Long)].collect().toMap
+    assert(core == Map(1L -> 2L, 2L -> 2L, 3L -> 2L),
+      s"dedup/canonicalization failed: $core")
+  }
 }
