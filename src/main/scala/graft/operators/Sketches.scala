@@ -187,6 +187,59 @@ object Sketches {
       .groupBy((groupCols :+ "bucket").map(col): _*)
       .agg(max(col("r")).as("r"))
 
+  // ---------------------------------------------------- histogram quantiles
+
+  /** Mergeable fixed-width histogram — the one-pass quantile sketch for
+    * columns too large to sort: one narrow map to a bin id plus one
+    * (group, bin)-keyed partial aggregate, output bounded by
+    * groups x bins regardless of input size, and shard histograms merge
+    * by summing counts (same law as the CMS). Requires non-negative
+    * values (SQL `div` truncates toward zero; bin = v div width is a
+    * floor only for v >= 0 — callers shift negatives into range first).
+    */
+  def histogram(df: DataFrame, valueCol: String, groupCols: Seq[String],
+                binWidth: Long): DataFrame = {
+    require(binWidth > 0, s"binWidth must be positive, got $binWidth")
+    df.select(groupCols.map(col) :+
+        call_function("div", col(valueCol).cast("long"), lit(binWidth)).as("bin"): _*)
+      .groupBy(groupCols.map(col) :+ col("bin"): _*)
+      .agg(count(lit(1)).as("cnt"))
+  }
+
+  /** Quantile estimates from a histogram: for each rational target
+    * qNum/qDen, the first bin whose cumulative count reaches
+    * k = ceil(q·n) — every step integer arithmetic, so the chosen bin
+    * replays bit-identically in any engine. The true quantile provably
+    * lies in [lo, hi) = [bin·w, (bin+1)·w), which is the sketch's whole
+    * accuracy contract (`PropertySpec` pins containment against exact
+    * sorted quantiles and the shard-merge law). The histogram is
+    * groups x bins rows, so the cumulative windows here cost nothing at
+    * any corpus scale.
+    */
+  def histQuantiles(hist: DataFrame, groupCols: Seq[String], binWidth: Long,
+                    qs: Seq[(String, Int, Int)]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val g = groupCols.map(col)
+    val cum = hist
+      .withColumn("cum", sum(col("cnt")).over(
+        Window.partitionBy(g: _*).orderBy(col("bin"))))
+      .withColumn("n", sum(col("cnt")).over(Window.partitionBy(g: _*)))
+    qs.map { case (label, qNum, qDen) =>
+      require(qNum > 0 && qNum <= qDen, s"bad quantile $qNum/$qDen")
+      cum
+        .withColumn("k",
+          call_function("div", col("n") * qNum + (qDen - 1), lit(qDen.toLong)))
+        .filter(col("cum") >= col("k"))
+        .groupBy(g: _*)
+        .agg(min(col("n")).as("n"), min(col("k")).as("k"),
+          min(col("bin")).as("bin"))
+        .withColumn("q", lit(label))
+    }.reduce(_ unionByName _)
+      .select(g ++ Seq(col("q"), col("n"), col("k"), col("bin"),
+        (col("bin") * binWidth).as("lo"),
+        ((col("bin") + 1L) * binWidth).as("hi")): _*)
+  }
+
   /** Point estimates for a column of terms: min over the sketch's rows of
     * the bucket weights each term hashes into. The (tiny) sketch
     * broadcasts; the term side never shuffles.

@@ -733,7 +733,45 @@ object MiscQueries {
         graft.operators.Graph.kCore(edges, "src", "dst", k = 5)
           .orderBy(col("node"))
       },
-      Some(q156OracleSql))
+      Some(q156OracleSql)),
+
+    // ---- Histogram quantile sketch (Sketches.histogram/histQuantiles):
+    // one-pass mergeable fixed-width binning of floor(l_extendedprice)
+    // per return flag, then p50/p90/p99 as the first bin whose cumulative
+    // count reaches ceil(q*n) — integer arithmetic end to end, so the
+    // chosen bin is engine-exact even though the estimate is
+    // approximate; the true quantile provably lies in [lo, hi)
+    // (PropertySpec pins containment + the shard-merge law). floor()
+    // over the parquet double is IEEE-deterministic on both engines —
+    // no rounding ties anywhere. ----
+    Q("q157_hist_quantiles",
+      (s, dir) => {
+        import graft.operators.Sketches
+        val v = t(s, dir, "lineitem").select(col("l_returnflag"),
+          floor(col("l_extendedprice")).cast("long").as("price"))
+        val hist = Sketches.histogram(v, "price", Seq("l_returnflag"), 1000L)
+        Sketches.histQuantiles(hist, Seq("l_returnflag"), 1000L,
+            Seq(("p50", 1, 2), ("p90", 9, 10), ("p99", 99, 100)))
+          .orderBy(col("l_returnflag"), col("q"))
+      },
+      Some("""WITH v AS (SELECT l_returnflag AS g,
+             |        CAST(floor(l_extendedprice) AS BIGINT) // 1000 AS bin
+             |      FROM lineitem),
+             |h AS (SELECT g, bin, CAST(count(*) AS BIGINT) AS cnt
+             |      FROM v GROUP BY 1, 2),
+             |c AS (SELECT g, bin, cnt,
+             |        CAST(sum(cnt) OVER (PARTITION BY g ORDER BY bin) AS BIGINT) AS cum,
+             |        CAST(sum(cnt) OVER (PARTITION BY g) AS BIGINT) AS n
+             |      FROM h),
+             |qs(q, qn, qd) AS (VALUES ('p50', 1, 2), ('p90', 9, 10), ('p99', 99, 100)),
+             |sel AS (SELECT c.g, qs.q, c.n,
+             |          (qs.qn * c.n + qs.qd - 1) // qs.qd AS k,
+             |          min(c.bin) AS bin
+             |        FROM c JOIN qs ON c.cum >= (qs.qn * c.n + qs.qd - 1) // qs.qd
+             |        GROUP BY c.g, qs.q, c.n, qs.qn, qs.qd)
+             |SELECT g AS l_returnflag, q, n, k, bin,
+             |  bin * 1000 AS lo, (bin + 1) * 1000 AS hi
+             |FROM sel ORDER BY l_returnflag, q""".stripMargin))
   )
 
   /** q156 oracle: 12 statically-unrolled peel rounds — each round keeps

@@ -163,6 +163,36 @@ class PropertySpec extends SparkSpec {
     assert(math.abs(est - n) <= 0.39 * n, s"estimate $est too far from $n")
   }
 
+  test("histogram law: shards merge by sum; quantile bin contains the exact quantile") {
+    import graft.operators.Sketches
+    val vals = sampleN(Gen.chooseNum(0L, 50000L), 300)
+    val width = 1000L
+    val whole = vals.map(Tuple1(_)).toDF("v")
+    val (s1, s2) = vals.splitAt(vals.length / 3)
+    def hist(xs: Seq[Long]) =
+      Sketches.histogram(xs.map(Tuple1(_)).toDF("v"), "v", Seq.empty, width)
+    // merge law: summing shard histograms == whole-set histogram
+    val merged = hist(s1).unionByName(hist(s2))
+      .groupBy(col("bin")).agg(sum(col("cnt")).as("cnt"))
+      .as[(Long, Long)].collect().toSet
+    val direct = hist(vals).as[(Long, Long)].collect().toSet
+    assert(merged == direct, "shard histograms must merge to the whole-set one")
+    // containment: the exact ceil(q*n)-th order statistic lies in [lo, hi)
+    val qs = Seq(("p50", 1, 2), ("p90", 9, 10), ("p99", 99, 100))
+    val est = Sketches.histQuantiles(
+        Sketches.histogram(whole, "v", Seq.empty, width), Seq.empty, width, qs)
+      .select(col("q"), col("lo"), col("hi"))
+      .as[(String, Long, Long)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    val sorted = vals.sorted
+    qs.foreach { case (label, qn, qd) =>
+      val k = (qn.toLong * vals.length + qd - 1) / qd
+      val exact = sorted((k - 1).toInt)
+      val (lo, hi) = est(label)
+      assert(lo <= exact && exact < hi,
+        s"$label: exact $exact outside sketch bin [$lo, $hi)")
+    }
+  }
+
   test("domain-mix law: thresholds feasible, scarcest target saturated") {
     import graft.operators.DomainMix
     val gen = for {

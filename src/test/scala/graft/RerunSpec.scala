@@ -110,7 +110,8 @@ class RerunSpec extends SparkSpec {
     "q144_triangles", "q145_cdc_apply", "q146_gap_fill", "q147_attribution",
     "q148_stream_cdc", "q149_bloom_join", "q150_hll_portable",
     "q151_hybrid_rrf", "q152_rank_eval", "q153_stream_hll",
-    "q154_zorder_layout", "q155_setsim_join", "q156_kcore")
+    "q154_zorder_layout", "q155_setsim_join", "q156_kcore",
+    "q157_hist_quantiles")
 
   test("round-8 queries produce identical rows when rerun in one session") {
     val reg = Registry.queries
