@@ -537,15 +537,24 @@ object DedupQueries {
       },
       Some("""WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
              |           FROM documents WHERE length(trim(text)) > 0),
-             |s AS (SELECT doc_id, list_distinct(list_transform(range(1, len(toks) - 1),
-             |        i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS sh
+             |s AS MATERIALIZED (SELECT doc_id,
+             |        list_distinct(list_transform(range(1, len(toks) - 1),
+             |          i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS sh
              |      FROM t WHERE len(toks) >= 3),
+             |u AS MATERIALIZED (SELECT doc_id, unnest(sh) AS g FROM s),
+             |sz AS (SELECT doc_id, CAST(len(sh) AS BIGINT) AS n FROM s),
+             |-- exact |intersection| by equi-join on shingles (a pair with
+             |-- J >= 1/2 must share one, so no qualifying pair is missed);
+             |-- |union| by inclusion-exclusion — unlike a list_intersect
+             |-- over all O(n^2) doc pairs, this is hash-joinable
              |p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-             |        CAST(len(list_intersect(a.sh, b.sh)) AS BIGINT) AS isect,
-             |        CAST(len(list_distinct(a.sh || b.sh)) AS BIGINT) AS uni
-             |      FROM s a JOIN s b ON a.doc_id < b.doc_id)
-             |SELECT id_a, id_b, isect, uni FROM p
-             |WHERE 2 * isect >= uni ORDER BY id_a, id_b""".stripMargin)),
+             |        CAST(count(*) AS BIGINT) AS isect
+             |      FROM u a JOIN u b ON a.g = b.g AND a.doc_id < b.doc_id
+             |      GROUP BY 1, 2)
+             |SELECT id_a, id_b, isect, sa.n + sb.n - isect AS uni
+             |FROM p JOIN sz sa ON sa.doc_id = id_a JOIN sz sb ON sb.doc_id = id_b
+             |WHERE 2 * isect >= sa.n + sb.n - isect
+             |ORDER BY id_a, id_b""".stripMargin)),
 
     // ---- End-to-end corpus dedup: LSH pairs -> transitive clusters ->
     // one representative per cluster (what a training pipeline actually
