@@ -26,6 +26,7 @@ object Bench {
     "q116_bpe_encode", "q119_semantic_dedup",
     "q134_fuzzy_entities_k2", "q136_ann_recall",
     "q138_scd2_pit", "q139_ann_refine", "q142_phash_dedup",
+    "q151_hybrid_rrf", "q153_stream_hll", "q155_setsim_join", "q156_kcore",
   )
 
   def main(args: Array[String]): Unit = {

@@ -46,14 +46,19 @@ object SetJoin {
       .join(tokDf, Seq("t"))
       .groupBy(col("__id"))
       .agg(sort_array(collect_list(struct(col("df"), col("t")))).as("st"))
-      .select(col("__id"), expr("transform(st, x -> x.t)").as("tks"),
+      .select(col("__id"), col("st"), expr("transform(st, x -> x.t)").as("tks"),
         size(col("st")).cast("long").as("len"))
       .withColumn("plen",
         col("len") - call_function("div",
           col("len") * tNum + (tDen - 1), lit(tDen.toLong)) + 1L)
+    // a candidate needs a SHARED prefix token, and a shared token has
+    // df >= 2 — so df=1 prefix entries (the bulk, since the prefix keeps
+    // each set's rarest tokens) can be dropped from BOTH sides losslessly
     val pref = ordered
       .select(col("__id"), col("len"),
-        explode(slice(col("tks"), lit(1), col("plen").cast("int"))).as("t"))
+        explode(slice(col("st"), lit(1), col("plen").cast("int"))).as("s"))
+      .filter(col("s.df") >= 2L)
+      .select(col("__id"), col("len"), col("s.t").as("t"))
     val cand = pref.as("a").join(pref.as("b"),
         col("a.t") === col("b.t") && col("a.__id") < col("b.__id") &&
           col("a.len") * tDen >= col("b.len") * tNum &&
