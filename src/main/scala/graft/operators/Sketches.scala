@@ -130,7 +130,14 @@ object Sketches {
                   m: Int = 64): DataFrame = {
     val alphaNum = 709L * m * m // alpha_64 = 709/1000
     val pow32 = 4294967296L // 2^32
+    // Max-merge per (group, bucket) first — the HLL merge law — so shard
+    // input with duplicate buckets folds correctly instead of
+    // double-counting the harmonic sum (and driving v_empty negative).
+    // Identity on pre-merged registers, so readMergedHll callers are
+    // unaffected; a partial-agg max precedes the one shuffle either way.
     registers
+      .groupBy((groupCols :+ "bucket").map(col): _*)
+      .agg(max(col("r")).as("r"))
       .groupBy(groupCols.map(col): _*)
       .agg(
         (sum(expr("shiftleft(CAST(1 AS BIGINT), CAST(32 - r AS INT))"))

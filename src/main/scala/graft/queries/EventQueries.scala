@@ -518,7 +518,7 @@ object EventQueries {
       },
       Some("""WITH daily AS (
              |  SELECT user_id, date_trunc('day', ts) AS day,
-             |         sum(CAST(round(value * 100) AS BIGINT)) AS cents
+             |         CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
              |  FROM events WHERE event_type = 'purchase' GROUP BY 1, 2),
              |span AS (SELECT user_id, min(day) AS d0, max(day) AS d1
              |         FROM daily GROUP BY 1),
@@ -597,7 +597,7 @@ object EventQueries {
              |        CAST(round(value * 100) AS BIGINT) AS cents
              |      FROM e WHERE event_type = 'purchase')
              |SELECT channel, CAST(count(*) AS BIGINT) AS n_purchases,
-             |  sum(cents) AS cents
+             |  CAST(sum(cents) AS BIGINT) AS cents
              |FROM p GROUP BY channel ORDER BY channel""".stripMargin))
   )
 }
