@@ -46,8 +46,7 @@ object SetJoin {
       .join(tokDf, Seq("t"))
       .groupBy(col("__id"))
       .agg(sort_array(collect_list(struct(col("df"), col("t")))).as("st"))
-      .select(col("__id"), col("st"), expr("transform(st, x -> x.t)").as("tks"),
-        size(col("st")).cast("long").as("len"))
+      .select(col("__id"), col("st"), size(col("st")).cast("long").as("len"))
       .withColumn("plen",
         col("len") - call_function("div",
           col("len") * tNum + (tDen - 1), lit(tDen.toLong)) + 1L)
@@ -65,12 +64,24 @@ object SetJoin {
           col("b.len") * tDen >= col("a.len") * tNum)
       .select(col("a.__id").as("id_a"), col("b.__id").as("id_b"))
       .distinct()
-    val side = ordered.select(col("__id"), col("tks"))
+    // verify arrays come straight from `base`, string-sorted — a NARROW,
+    // join-free pipeline (scan + tokenize + array_sort), so deriving them
+    // for the two join-backs never replays the df-join/collect/sort
+    // machinery above; the fused merge-count kernel then does at most
+    // |a|+|b| binary string compares per pair with zero allocation.
+    // `size(array_intersect)` + `size(array_union)` instead hash every
+    // element of BOTH arrays twice and allocate both result arrays — with
+    // ~310k candidates for 256 real pairs at sf0.1 that hashing was the
+    // query's dominant cost; |∪| now follows free by inclusion–exclusion
+    // on the duplicate-free inputs.
+    val side = base.select(col("__id"), array_sort(col("__tk")).as("tks"))
     cand
       .join(side.select(col("__id").as("id_a"), col("tks").as("ta")), Seq("id_a"))
       .join(side.select(col("__id").as("id_b"), col("tks").as("tb")), Seq("id_b"))
-      .withColumn("isect", size(array_intersect(col("ta"), col("tb"))).cast("long"))
-      .withColumn("uni", size(array_union(col("ta"), col("tb"))).cast("long"))
+      .withColumn("isect",
+        graft.expressions.SortedIntersectCount(col("ta"), col("tb")))
+      .withColumn("uni",
+        size(col("ta")).cast("long") + size(col("tb")).cast("long") - col("isect"))
       .filter(col("isect") * tDen >= col("uni") * tNum)
       .select(col("id_a"), col("id_b"), col("isect"), col("uni"))
   }
