@@ -771,7 +771,48 @@ object MiscQueries {
              |        GROUP BY c.g, qs.q, c.n, qs.qn, qs.qd)
              |SELECT g AS l_returnflag, q, n, k, bin,
              |  bin * 1000 AS lo, (bin + 1) * 1000 AS hi
-             |FROM sel ORDER BY l_returnflag, q""".stripMargin))
+             |FROM sel ORDER BY l_returnflag, q""".stripMargin)),
+
+    // ---- KMV bottom-k distinct sketch (operators/Kmv): per-event-type
+    // distinct-user estimate from the 64 smallest 48-bit md5 hashes.
+    // The register is a SET (sorted distinct hashes), so the result is
+    // independent of row order/partitioning; the estimator is one
+    // integer division — the oracle replays hash, bottom-k selection
+    // (row_number over distinct hashes) and the division verbatim.
+    // Groups sit on BOTH sides of k: sparse event types stay exact
+    // (n_seen < k, kth null), dense ones exercise the estimator. ----
+    Q("q158_kmv_distinct",
+      (s, dir) => {
+        import graft.operators.Kmv
+        val ev = t(s, dir, "events")
+        val regs = Kmv.kmvRegisters(ev, "user_id", Seq("event_type"), k = 64)
+        Kmv.kmvEstimate(regs, Seq("event_type"), k = 64)
+          .join(ev.groupBy(col("event_type"))
+            .agg(countDistinct(col("user_id")).as("true_nd")), Seq("event_type"))
+          .select(col("event_type"), col("true_nd"), col("n_seen"),
+            col("kth"), col("est"))
+          .orderBy(col("event_type"))
+      },
+      Some("""WITH h AS (SELECT DISTINCT event_type,
+             |        CAST(concat('0x', substr(md5(concat('k:', user_id)), 1, 12))
+             |          AS BIGINT) AS h
+             |      FROM events),
+             |r AS (SELECT event_type, h,
+             |        row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn,
+             |        count(*) OVER (PARTITION BY event_type) AS nd
+             |      FROM h),
+             |k AS (SELECT event_type,
+             |        CAST(least(max(nd), 64) AS BIGINT) AS n_seen,
+             |        max(CASE WHEN rn = 64 THEN h END) AS kth
+             |      FROM r WHERE rn <= 64 GROUP BY event_type),
+             |t AS (SELECT event_type,
+             |        CAST(count(DISTINCT user_id) AS BIGINT) AS true_nd
+             |      FROM events GROUP BY 1)
+             |SELECT t.event_type, t.true_nd, k.n_seen,
+             |  CAST(k.kth AS BIGINT) AS kth,
+             |  CAST(CASE WHEN k.n_seen < 64 THEN k.n_seen
+             |    ELSE (63 * 281474976710656) // (k.kth + 1) END AS BIGINT) AS est
+             |FROM t JOIN k USING (event_type) ORDER BY t.event_type""".stripMargin))
   )
 
   /** q156 oracle: 12 statically-unrolled peel rounds — each round keeps

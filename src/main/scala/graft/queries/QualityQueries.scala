@@ -456,7 +456,52 @@ object QualityQueries {
              |  CAST(CASE WHEN e.raw_est <= 160 AND e.v_empty > 0
              |    THEN round(64 * ln(64.0 / e.v_empty), 0)
              |    ELSE e.raw_est END AS BIGINT) AS est
-             |FROM t JOIN e USING (event_type) ORDER BY t.event_type""".stripMargin))
+             |FROM t JOIN e USING (event_type) ORDER BY t.event_type""".stripMargin)),
+
+    // ---- Streaming KMV: per-microbatch bottom-k register shards written
+    // idempotently by batch id (the q108/q153 _SUCCESS discipline),
+    // folded on read by the KMV merge law (bottom-k of a union = bottom-k
+    // of the union of bottom-ks — every global minimum is among its own
+    // shard's minima). The drained stream's estimate MUST equal the
+    // batch sketch over the events table, which the oracle computes
+    // directly (the q158 integer-space replay). Each shard is groups × 64
+    // hashes per batch regardless of batch size. ----
+    Q("q159_stream_kmv",
+      (s, dir) => {
+        import graft.operators.Kmv
+        val tmp = java.nio.file.Files.createTempDirectory("graft_q159_").toString
+        Kmv.streamingKmv(
+          Streams.eventsStream(s, dir)
+            .select(col("event_type"), col("user_id")),
+          "user_id", Seq("event_type"), s"$tmp/kmv", s"$tmp/ckpt", k = 64)
+        val regs = Kmv.readMergedKmv(s, s"$tmp/kmv", Seq("event_type"), k = 64)
+        Kmv.kmvEstimate(regs, Seq("event_type"), k = 64)
+          .join(Tables(s, dir, "events").groupBy(col("event_type"))
+            .agg(countDistinct(col("user_id")).as("true_nd")), Seq("event_type"))
+          .select(col("event_type"), col("true_nd"), col("n_seen"),
+            col("kth"), col("est"))
+          .orderBy(col("event_type"))
+      },
+      Some("""WITH h AS (SELECT DISTINCT event_type,
+             |        CAST(concat('0x', substr(md5(concat('k:', user_id)), 1, 12))
+             |          AS BIGINT) AS h
+             |      FROM events),
+             |r AS (SELECT event_type, h,
+             |        row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn,
+             |        count(*) OVER (PARTITION BY event_type) AS nd
+             |      FROM h),
+             |k AS (SELECT event_type,
+             |        CAST(least(max(nd), 64) AS BIGINT) AS n_seen,
+             |        max(CASE WHEN rn = 64 THEN h END) AS kth
+             |      FROM r WHERE rn <= 64 GROUP BY event_type),
+             |t AS (SELECT event_type,
+             |        CAST(count(DISTINCT user_id) AS BIGINT) AS true_nd
+             |      FROM events GROUP BY 1)
+             |SELECT t.event_type, t.true_nd, k.n_seen,
+             |  CAST(k.kth AS BIGINT) AS kth,
+             |  CAST(CASE WHEN k.n_seen < 64 THEN k.n_seen
+             |    ELSE (63 * 281474976710656) // (k.kth + 1) END AS BIGINT) AS est
+             |FROM t JOIN k USING (event_type) ORDER BY t.event_type""".stripMargin))
   )
 
   /** q142 oracle GENERATOR: the per-image pHashes (deterministic JVM DCT,

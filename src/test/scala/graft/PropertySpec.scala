@@ -163,6 +163,32 @@ class PropertySpec extends SparkSpec {
     assert(math.abs(est - n) <= 0.39 * n, s"estimate $est too far from $n")
   }
 
+  test("kmv law: sharded registers merge to the whole-set bottom-k; exact below k") {
+    import graft.operators.Kmv
+    val ids = sampleN(Gen.chooseNum(1L, 1000000L), 400).distinct
+    val (a, b) = ids.splitAt(ids.length / 3)
+    def regs(xs: Seq[Long]) =
+      Kmv.kmvRegisters(xs.map(Tuple1(_)).toDF("id"), "id", Seq.empty, k = 32)
+    // merge law: bottom-k over the union of shard bottom-ks == whole-set
+    val merged = Kmv.mergeRegisters(regs(a).unionByName(regs(b)), Seq.empty, k = 32)
+      .select(col("hs")).as[Seq[Long]].head()
+    val direct = regs(ids).select(col("hs")).as[Seq[Long]].head()
+    assert(merged == direct, "sharded registers must merge to the whole-set ones")
+    // registers are the k smallest distinct hashes, sorted
+    assert(direct == direct.sorted && direct.distinct == direct)
+    // exact regime: below k the estimate IS the distinct count
+    val small = ids.take(10)
+    val exact = Kmv.kmvEstimate(regs(small), Seq.empty, k = 32)
+      .select(col("n_seen"), col("est")).as[(Long, Long)].head()
+    assert(exact == ((small.length.toLong, small.length.toLong)),
+      s"below-k estimate must be exact, got $exact")
+    // sanity: estimate within 3 * 1/sqrt(k-2) ≈ 55% of truth (loose 3σ)
+    val est = Kmv.kmvEstimate(regs(ids), Seq.empty, k = 32)
+      .select(col("est")).as[Long].head()
+    val n = ids.length
+    assert(math.abs(est - n) <= 0.55 * n, s"estimate $est too far from $n")
+  }
+
   test("histogram law: shards merge by sum; quantile bin contains the exact quantile") {
     import graft.operators.Sketches
     val vals = sampleN(Gen.chooseNum(0L, 50000L), 300)

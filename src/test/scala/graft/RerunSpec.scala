@@ -124,4 +124,19 @@ class RerunSpec extends SparkSpec {
       assert(a == b, s"$n is not rerun-stable in a shared session")
     }
   }
+
+  private val round9 = Seq(
+    "q158_kmv_distinct", "q159_stream_kmv")
+
+  test("round-9 queries produce identical rows when rerun in one session") {
+    val reg = Registry.queries
+    round9.foreach { n =>
+      val df = reg(n)(spark, sfDir)
+      assertSortable(n, df)
+      val a = df.collect().toSeq
+      val b = reg(n)(spark, sfDir).collect().toSeq
+      assert(a.nonEmpty, s"$n returned no rows")
+      assert(a == b, s"$n is not rerun-stable in a shared session")
+    }
+  }
 }
