@@ -2,7 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, Encoder, Encoders, SparkSession}
 import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
-import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.expressions.{Aggregator, Window}
 import org.apache.spark.sql.functions._
 
 /** KMV (k-minimum-values, "bottom-k") distinct-count sketch — the third
@@ -126,6 +126,77 @@ object Kmv {
           .otherwise(expr(s"(${(k - 1).toLong}L * ${HashSpace}L) div (kth + 1L)")))
       .select(groupCols.map(col) ++
         Seq(col("n_seen"), col("kth"), col("est")): _*)
+
+  /** Merge two register arrays in pure Column space (no aggregation):
+    * bottom-k of the distinct union — the same merge law as
+    * [[mergeRegisters]], usable inside joins and windows.
+    */
+  def mergeArrays(a: Column, b: Column, k: Int): Column =
+    slice(array_sort(array_distinct(concat(a, b))), 1, k)
+
+  /** Pairwise distinct-INTERSECTION estimates — the set-algebra payoff
+    * KMV has over HLL (registers are real hash samples, so union
+    * registers are exact and inclusion–exclusion applies):
+    *
+    *   |A ∩ B| ≈ est(A) + est(B) − est(A ∪ B)
+    *
+    * with est(A ∪ B) computed from the MERGED registers (bottom-k of
+    * the union — exact by the merge law, never a union of estimates).
+    * All three terms are this module's integer estimator, so the
+    * result is engine-exact; the estimator's noise can push the
+    * difference below zero, so it is clamped at 0 (a true intersection
+    * of 0 is indistinguishable from noise at sketch resolution).
+    *
+    * Scale shape: the self-join runs on the REGISTER table — groups ×
+    * k·8 bytes, corpus-size-independent — so all-pairs over g groups is
+    * g²/2 array merges of ≤ 2k longs each, a broadcast-sized problem
+    * for any realistic group count (and never touches raw rows).
+    */
+  def kmvIntersect(regs: DataFrame, groupCol: String, k: Int = 64): DataFrame = {
+    val est = kmvEstimate(regs, Seq(groupCol), k).select(col(groupCol), col("est"))
+    val pairs = regs.select(col(groupCol).as("ga"), col("hs").as("__ha"))
+      .join(regs.select(col(groupCol).as("gb"), col("hs").as("__hb")),
+        col("ga") < col("gb"))
+      .select(col("ga"), col("gb"), mergeArrays(col("__ha"), col("__hb"), k).as("hs"))
+    kmvEstimate(pairs, Seq("ga", "gb"), k)
+      .select(col("ga"), col("gb"), col("est").as("est_union"))
+      .join(est.select(col(groupCol).as("ga"), col("est").as("est_a")), "ga")
+      .join(est.select(col(groupCol).as("gb"), col("est").as("est_b")), "gb")
+      .withColumn("est_intersect",
+        greatest(lit(0L), col("est_a") + col("est_b") - col("est_union")))
+      .select(col("ga"), col("gb"), col("est_a"), col("est_b"),
+        col("est_union"), col("est_intersect"))
+  }
+
+  /** Trailing-window register merge: for each (partition, day) row of a
+    * per-day register table, replace `hs` with the bottom-k of the
+    * distinct union of the trailing `days` days' registers (RANGE
+    * window on the day index, `collect_list` → flatten → distinct →
+    * sort → slice — [[mergeArrays]] generalized to the window) —
+    * sliding-window cardinality that never rescans raw rows. Days with
+    * no input rows contribute nothing and produce no output row (the
+    * register table has no row to anchor them), matching a grid built
+    * from observed days only.
+    *
+    * Scale shape: the window runs over the REGISTER table (partitions ×
+    * days rows of ≤ k longs each), corpus-size-independent; the raw
+    * corpus is touched exactly once, by the daily [[kmvRegisters]]
+    * build, which at 100 TB is the one full scan a trailing-distinct
+    * dashboard needs per refresh (and incremental days append via
+    * [[streamingKmv]] shards).
+    */
+  def kmvTrailing(regs: DataFrame, partitionCols: Seq[String], dayCol: String,
+                  days: Int, k: Int = 64): DataFrame = {
+    require(days >= 1, s"need days >= 1, got $days")
+    val w = Window.partitionBy(partitionCols.map(col): _*)
+      .orderBy(col("__d")).rangeBetween(-(days - 1), 0)
+    regs
+      .withColumn("__d", datediff(col(dayCol), to_date(lit("1970-01-01"))))
+      .withColumn("hs",
+        slice(array_sort(array_distinct(flatten(collect_list(col("hs")).over(w)))),
+          1, k))
+      .drop("__d")
+  }
 
   /** Streaming build: each microbatch's per-group registers land as their
     * own `batch=<id>` shard, written only if absent (the

@@ -812,7 +812,62 @@ object MiscQueries {
              |  CAST(k.kth AS BIGINT) AS kth,
              |  CAST(CASE WHEN k.n_seen < 64 THEN k.n_seen
              |    ELSE (63 * 281474976710656) // (k.kth + 1) END AS BIGINT) AS est
-             |FROM t JOIN k USING (event_type) ORDER BY t.event_type""".stripMargin))
+             |FROM t JOIN k USING (event_type) ORDER BY t.event_type""".stripMargin)),
+
+    // ---- KMV set algebra (Kmv.kmvIntersect): pairwise distinct-user
+    // INTERSECTION estimates across event types via inclusion–exclusion
+    // — est(A) + est(B) − est(A∪B), with the union term computed from
+    // the MERGED registers (exact by the bottom-k merge law, never a
+    // union of estimates), clamped at 0. This is the set-algebra payoff
+    // KMV has over HLL; every term is the q158 integer estimator, so
+    // the oracle replays hash → per-type bottom-64 → pairwise register
+    // union → the same three divisions, all in BIGINT space. The pair
+    // join runs on the register table (types × 64 longs), never raw
+    // rows. ----
+    Q("q160_kmv_intersect",
+      (s, dir) => {
+        import graft.operators.Kmv
+        val regs = Kmv.kmvRegisters(t(s, dir, "events"), "user_id",
+          Seq("event_type"), k = 64)
+        Kmv.kmvIntersect(regs, "event_type", k = 64)
+          .orderBy(col("ga"), col("gb"))
+      },
+      Some("""WITH h AS (SELECT DISTINCT event_type AS g,
+             |        CAST(concat('0x', substr(md5(concat('k:', user_id)), 1, 12))
+             |          AS BIGINT) AS h
+             |      FROM events),
+             |r AS (SELECT g, h,
+             |        row_number() OVER (PARTITION BY g ORDER BY h) AS rn,
+             |        count(*) OVER (PARTITION BY g) AS nd
+             |      FROM h),
+             |reg AS (SELECT g, h FROM r WHERE rn <= 64),
+             |e AS (SELECT g, CAST(least(max(nd), 64) AS BIGINT) AS n_seen,
+             |        max(CASE WHEN rn = 64 THEN h END) AS kth
+             |      FROM r WHERE rn <= 64 GROUP BY g),
+             |est AS (SELECT g,
+             |        CAST(CASE WHEN n_seen < 64 THEN n_seen
+             |          ELSE (63 * 281474976710656) // (kth + 1) END AS BIGINT) AS est
+             |      FROM e),
+             |p AS (SELECT a.g AS ga, b.g AS gb FROM est a JOIN est b ON a.g < b.g),
+             |ur AS (SELECT DISTINCT p.ga, p.gb, reg.h
+             |       FROM p JOIN reg ON reg.g = p.ga OR reg.g = p.gb),
+             |ur2 AS (SELECT ga, gb, h,
+             |         row_number() OVER (PARTITION BY ga, gb ORDER BY h) AS rn,
+             |         count(*) OVER (PARTITION BY ga, gb) AS nd
+             |       FROM ur),
+             |uu AS (SELECT ga, gb, CAST(least(max(nd), 64) AS BIGINT) AS n_seen,
+             |         max(CASE WHEN rn = 64 THEN h END) AS kth
+             |       FROM ur2 WHERE rn <= 64 GROUP BY ga, gb),
+             |eu AS (SELECT ga, gb,
+             |        CAST(CASE WHEN n_seen < 64 THEN n_seen
+             |          ELSE (63 * 281474976710656) // (kth + 1) END AS BIGINT)
+             |          AS est_union
+             |      FROM uu)
+             |SELECT eu.ga, eu.gb, ea.est AS est_a, eb.est AS est_b, eu.est_union,
+             |  CAST(greatest(0, ea.est + eb.est - eu.est_union) AS BIGINT)
+             |    AS est_intersect
+             |FROM eu JOIN est ea ON ea.g = eu.ga JOIN est eb ON eb.g = eu.gb
+             |ORDER BY eu.ga, eu.gb""".stripMargin))
   )
 
   /** q156 oracle: 12 statically-unrolled peel rounds — each round keeps

@@ -501,7 +501,69 @@ object QualityQueries {
              |  CAST(k.kth AS BIGINT) AS kth,
              |  CAST(CASE WHEN k.n_seen < 64 THEN k.n_seen
              |    ELSE (63 * 281474976710656) // (k.kth + 1) END AS BIGINT) AS est
-             |FROM t JOIN k USING (event_type) ORDER BY t.event_type""".stripMargin))
+             |FROM t JOIN k USING (event_type) ORDER BY t.event_type""".stripMargin)),
+
+    // ---- Trailing-window cardinality from daily KMV registers
+    // (Kmv.kmvTrailing): distinct users per (event_type, day) over the
+    // trailing 7 days, computed by merging the 7 daily register arrays
+    // (RANGE window over the REGISTER table — partitions × days rows of
+    // ≤ 64 longs, corpus-size-independent; the raw corpus is scanned
+    // exactly once, by the daily register build). Early days ride the
+    // exact below-k regime, saturated windows the estimator — both in
+    // one result. true_nd (exact trailing distinct, here cheap at test
+    // scale) sits beside the estimate so the oracle pins BOTH the
+    // sketch replay and the ground truth. ----
+    Q("q161_kmv_sliding",
+      (s, dir) => {
+        import graft.operators.Kmv
+        val ev = Tables(s, dir, "events")
+          .select(col("event_type"), to_date(col("ts")).as("day"), col("user_id"))
+        val regs = Kmv.kmvRegisters(ev, "user_id", Seq("event_type", "day"), k = 64)
+        val win = Kmv.kmvTrailing(regs, Seq("event_type"), "day", days = 7, k = 64)
+        val est = Kmv.kmvEstimate(win, Seq("event_type", "day"), k = 64)
+        val du = ev.distinct()
+        val grid = du.select(col("event_type"), col("day")).distinct()
+        val truth = du
+          .withColumn("off", explode(sequence(lit(0), lit(6))))
+          .select(col("event_type"), date_add(col("day"), col("off")).as("day"),
+            col("user_id"))
+          .join(grid, Seq("event_type", "day"))
+          .groupBy(col("event_type"), col("day"))
+          .agg(countDistinct(col("user_id")).as("true_nd"))
+        est.join(truth, Seq("event_type", "day"))
+          .select(col("event_type"), col("day"), col("true_nd"),
+            col("n_seen"), col("kth"), col("est"))
+          .orderBy(col("event_type"), col("day"))
+      },
+      Some("""WITH du AS (SELECT DISTINCT event_type, CAST(ts AS DATE) AS day,
+             |        user_id FROM events),
+             |grid AS (SELECT DISTINCT event_type, day FROM du),
+             |h AS (SELECT DISTINCT event_type, day,
+             |        CAST(concat('0x', substr(md5(concat('k:', user_id)), 1, 12))
+             |          AS BIGINT) AS h
+             |      FROM du),
+             |wd AS (SELECT DISTINCT g.event_type, g.day, h.h
+             |       FROM grid g JOIN h ON h.event_type = g.event_type
+             |         AND h.day BETWEEN g.day - 6 AND g.day),
+             |r AS (SELECT event_type, day, h,
+             |        row_number() OVER (PARTITION BY event_type, day ORDER BY h) AS rn,
+             |        count(*) OVER (PARTITION BY event_type, day) AS nd
+             |      FROM wd),
+             |k AS (SELECT event_type, day,
+             |        CAST(least(max(nd), 64) AS BIGINT) AS n_seen,
+             |        max(CASE WHEN rn = 64 THEN h END) AS kth
+             |      FROM r WHERE rn <= 64 GROUP BY event_type, day),
+             |t AS (SELECT g.event_type, g.day,
+             |        CAST(count(DISTINCT du.user_id) AS BIGINT) AS true_nd
+             |      FROM grid g JOIN du ON du.event_type = g.event_type
+             |        AND du.day BETWEEN g.day - 6 AND g.day
+             |      GROUP BY 1, 2)
+             |SELECT t.event_type, t.day, t.true_nd, k.n_seen,
+             |  CAST(k.kth AS BIGINT) AS kth,
+             |  CAST(CASE WHEN k.n_seen < 64 THEN k.n_seen
+             |    ELSE (63 * 281474976710656) // (k.kth + 1) END AS BIGINT) AS est
+             |FROM t JOIN k USING (event_type, day)
+             |ORDER BY t.event_type, t.day""".stripMargin))
   )
 
   /** q142 oracle GENERATOR: the per-image pHashes (deterministic JVM DCT,

@@ -189,6 +189,30 @@ class PropertySpec extends SparkSpec {
     assert(math.abs(est - n) <= 0.55 * n, s"estimate $est too far from $n")
   }
 
+  test("kmv intersection law: inclusion-exclusion is EXACT when all sets fit below k") {
+    import graft.operators.Kmv
+    // two groups with a known overlap, every set (A, B, A∪B) under k=64
+    val ids = sampleN(Gen.chooseNum(1L, 1000000L), 80).distinct.take(40)
+    val (onlyA, rest) = ids.splitAt(15)
+    val (shared, onlyB) = rest.splitAt(10)
+    val rows = (onlyA ++ shared).map(("a", _)) ++ (shared ++ onlyB).map(("b", _))
+    val regs = Kmv.kmvRegisters(rows.toDF("g", "id"), "id", Seq("g"), k = 64)
+    val r = Kmv.kmvIntersect(regs, "g", k = 64)
+      .select(col("est_a"), col("est_b"), col("est_union"), col("est_intersect"))
+      .as[(Long, Long, Long, Long)].head()
+    assert(r == ((onlyA.length + shared.length, shared.length + onlyB.length,
+      ids.length, shared.length)),
+      s"below-k intersection must be exact, got $r")
+    // trailing window degenerate case: 1-day window is the identity
+    val daily = Seq(("2024-01-01", 1L), ("2024-01-02", 2L), ("2024-01-02", 3L))
+      .toDF("day", "id").select(to_date(col("day")).as("day"), col("id"))
+    val dRegs = Kmv.kmvRegisters(daily, "id", Seq("day"), k = 8)
+    val same = Kmv.kmvTrailing(dRegs, Seq.empty, "day", days = 1, k = 8)
+    assert(same.orderBy(col("day")).select(col("hs")).as[Seq[Long]].collect().toSeq ==
+      dRegs.orderBy(col("day")).select(col("hs")).as[Seq[Long]].collect().toSeq,
+      "1-day trailing window must be the identity on registers")
+  }
+
   test("histogram law: shards merge by sum; quantile bin contains the exact quantile") {
     import graft.operators.Sketches
     val vals = sampleN(Gen.chooseNum(0L, 50000L), 300)

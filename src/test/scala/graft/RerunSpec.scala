@@ -126,7 +126,8 @@ class RerunSpec extends SparkSpec {
   }
 
   private val round9 = Seq(
-    "q158_kmv_distinct", "q159_stream_kmv")
+    "q158_kmv_distinct", "q159_stream_kmv", "q160_kmv_intersect",
+    "q161_kmv_sliding")
 
   test("round-9 queries produce identical rows when rerun in one session") {
     val reg = Registry.queries
