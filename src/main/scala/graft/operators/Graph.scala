@@ -196,6 +196,63 @@ object Graph {
     } finally e.unpersist(false)
   }
 
+  /** Multi-source BFS hop distances over an undirected graph: for every
+    * node reachable from `sources`, the MINIMUM number of edge hops from
+    * any source (`dist`, sources themselves at 0). Distances are mins,
+    * so the result is order-independent and engine-exact — any BFS that
+    * runs to completion produces the identical table.
+    *
+    * Scale shape — the frontier-iteration (Pregel) pattern: each round
+    * joins ONLY the current frontier against the adjacency list and
+    * anti-joins the visited set, so per-round work is proportional to
+    * the frontier's edges, not the graph; rounds = the reached
+    * component's eccentricity (small for real graphs), with a loud
+    * `maxRounds` cap instead of an endless job on a pathological chain.
+    * The adjacency list is materialized once (`localCheckpoint`) and
+    * every round reuses it; the visited set grows by append and is
+    * checkpointed per round so lineage never stacks. At cluster scale
+    * the adjacency is pre-partitioned by `u` once, and every frontier
+    * join reuses that exchange; the per-round driver action is just the
+    * emptiness test (the [[kCore]] convergence-probe cost class).
+    *
+    * Unreached nodes are absent from the result (callers who need them
+    * can left-join the node list); sources that never appear in the
+    * edge list still emit their 0 row — a seed is reached by definition.
+    */
+  def bfsHops(edges: DataFrame, srcCol: String, dstCol: String,
+              sources: DataFrame, sourceCol: String,
+              maxRounds: Int = 32): DataFrame = {
+    require(maxRounds >= 1, s"maxRounds must be positive, got $maxRounds")
+    val adj = edges
+      .select(col(srcCol).cast("long").as("u"), col(dstCol).cast("long").as("v"))
+      .filter(col("u") =!= col("v"))
+    val und = adj.unionByName(adj.select(col("v").as("u"), col("u").as("v")))
+      .distinct().localCheckpoint(true)
+    var visited = sources
+      .select(col(sourceCol).cast("long").as("node")).distinct()
+      .select(col("node"), lit(0L).as("dist"))
+      .localCheckpoint(true)
+    var frontier = visited.select(col("node"))
+    var d = 0L
+    var done = frontier.isEmpty
+    while (!done) {
+      val next = und.join(frontier.withColumnRenamed("node", "u"), "u")
+        .select(col("v").as("node")).distinct()
+        .join(visited.select(col("node")), Seq("node"), "left_anti")
+        .localCheckpoint(true)
+      if (next.isEmpty) done = true
+      else {
+        d += 1
+        require(d <= maxRounds, s"BFS did not finish in $maxRounds rounds")
+        visited = visited
+          .unionByName(next.select(col("node"), lit(d).as("dist")))
+          .localCheckpoint(true)
+        frontier = next
+      }
+    }
+    visited
+  }
+
   /** k-core of an undirected graph: the maximal subgraph in which every
     * node has degree >= k, computed by iterative peeling — drop every
     * node whose CURRENT degree is below k, recompute, repeat to

@@ -867,7 +867,51 @@ object MiscQueries {
              |  CAST(greatest(0, ea.est + eb.est - eu.est_union) AS BIGINT)
              |    AS est_intersect
              |FROM eu JOIN est ea ON ea.g = eu.ga JOIN est eb ON eb.g = eu.gb
-             |ORDER BY eu.ga, eu.gb""".stripMargin))
+             |ORDER BY eu.ga, eu.gb""".stripMargin)),
+
+    // ---- Multi-source BFS hop distances (Graph.bfsHops) over the
+    // q156 repeat-trade commerce graph, seeded from every 5th supplier
+    // (s_suppkey % 5 = 0 — non-empty at every SF, unlike a nation
+    // filter: sf0.001 has 10 suppliers across 25 nations): for every
+    // reachable node the minimum hop count from any seed. Distances
+    // are mins — order-independent, engine-exact.
+    // The frontier iteration touches only the frontier's edges per
+    // round (the Pregel shape a 100-TB graph wants); the oracle walks
+    // the same graph with a recursive CTE capped at 12 levels (an
+    // upper bound on the observed eccentricity — deepening past the
+    // true BFS depth adds no new (node, dist) minima) and must land on
+    // identical distances. ----
+    Q("q162_bfs_hops",
+      (s, dir) => {
+        val edges = t(s, dir, "lineitem")
+          .select(col("l_orderkey"), col("l_suppkey"))
+          .join(t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey")),
+            col("l_orderkey") === col("o_orderkey"))
+          .groupBy(col("o_custkey").as("src"),
+            (col("l_suppkey") + 10000000L).as("dst"))
+          .agg(count(lit(1)).as("w"))
+          .filter(col("w") >= 2)
+          .select(col("src"), col("dst"))
+        val seeds = t(s, dir, "supplier").filter(col("s_suppkey") % 5 === 0)
+          .select((col("s_suppkey") + 10000000L).as("node"))
+        graft.operators.Graph.bfsHops(edges, "src", "dst", seeds, "node")
+          .orderBy(col("node"))
+      },
+      Some("""WITH RECURSIVE e AS (
+             |  SELECT CAST(o.o_custkey AS BIGINT) AS cu,
+             |    CAST(l.l_suppkey + 10000000 AS BIGINT) AS su
+             |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+             |  GROUP BY 1, 2 HAVING count(*) >= 2),
+             |walk(node, dist) AS (
+             |  SELECT CAST(s_suppkey + 10000000 AS BIGINT) AS node, 0 AS dist
+             |  FROM supplier WHERE s_suppkey % 5 = 0
+             |  UNION
+             |  SELECT CASE WHEN e.cu = w.node THEN e.su ELSE e.cu END,
+             |    w.dist + 1
+             |  FROM walk w JOIN e ON e.cu = w.node OR e.su = w.node
+             |  WHERE w.dist < 12)
+             |SELECT node, CAST(min(dist) AS BIGINT) AS dist
+             |FROM walk GROUP BY node ORDER BY node""".stripMargin))
   )
 
   /** q156 oracle: 12 statically-unrolled peel rounds — each round keeps

@@ -160,4 +160,30 @@ class GraphSpec extends SparkSpec {
     assert(core == Map(1L -> 2L, 2L -> 2L, 3L -> 2L),
       s"dedup/canonicalization failed: $core")
   }
+
+  test("bfsHops: multi-source min distance, off-graph seeds, unreachable absent") {
+    // path 1-2-3-4-5 plus a detached edge 8-9; seeds 1, 4 and the
+    // off-graph 99. node 3 is 1 hop from seed 4 (not 2 from seed 1).
+    val g = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (8L, 9L))
+      .toDF("src", "dst")
+    val seeds = Seq(1L, 4L, 99L).toDF("node")
+    val dist = Graph.bfsHops(g, "src", "dst", seeds, "node")
+      .as[(Long, Long)].collect().toMap
+    assert(dist == Map(1L -> 0L, 4L -> 0L, 99L -> 0L,
+      2L -> 1L, 3L -> 1L, 5L -> 1L),
+      s"wrong distances: $dist")
+    assert(!dist.contains(8L) && !dist.contains(9L),
+      "unreachable component must be absent")
+    // direction is ignored: seeding the sink end walks the path back
+    val back = Graph.bfsHops(g, "src", "dst", Seq(5L).toDF("node"), "node")
+      .as[(Long, Long)].collect().toMap
+    assert(back == Map(5L -> 0L, 4L -> 1L, 3L -> 2L, 2L -> 3L, 1L -> 4L),
+      s"undirected walk failed: $back")
+    // the loud cap trips instead of running forever
+    val err = intercept[IllegalArgumentException] {
+      Graph.bfsHops(g, "src", "dst", Seq(5L).toDF("node"), "node",
+        maxRounds = 2).count()
+    }
+    assert(err.getMessage.contains("did not finish"))
+  }
 }

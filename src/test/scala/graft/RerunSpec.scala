@@ -127,7 +127,7 @@ class RerunSpec extends SparkSpec {
 
   private val round9 = Seq(
     "q158_kmv_distinct", "q159_stream_kmv", "q160_kmv_intersect",
-    "q161_kmv_sliding")
+    "q161_kmv_sliding", "q162_bfs_hops")
 
   test("round-9 queries produce identical rows when rerun in one session") {
     val reg = Registry.queries
