@@ -157,6 +157,27 @@ object Sketches {
         Seq(col("raw_est"), col("v_empty"), col("est")): _*)
   }
 
+  /** One-pass sketch CUBE: build the registers ONCE at the finest grain,
+    * then derive every rollup level — (a, b), (a), () — by max-merging
+    * those same registers, never rescanning the rows. This is the payoff
+    * of HLL's merge law at 100 TB: a multi-level distinct-count report
+    * (per language+source, per language, global) costs one corpus scan
+    * plus folds over groups x m register rows, where the exact
+    * `countDistinct` rollup would shuffle the full id set once per level.
+    * Rolled-out columns are filled with "*"; the register table is cached
+    * because every level folds the same (tiny) frame.
+    */
+  def hllCube(df: DataFrame, valueCol: String, groupCols: Seq[String],
+              m: Int = 64): DataFrame = {
+    val regs = hllRegisters(df, valueCol, groupCols, m).cache()
+    (0 to groupCols.length).reverse.map(groupCols.take).map { lvl =>
+      val filled = groupCols.map(c =>
+        (if (lvl.contains(c)) col(c) else lit("*")).as(c))
+      hllEstimate(regs, lvl, m)
+        .select(filled ++ Seq(col("raw_est"), col("v_empty"), col("est")): _*)
+    }.reduce(_ unionByName _)
+  }
+
   /** Streaming build of the HLL registers: each microbatch's per-group
     * registers land as their own `batch=<id>` shard, written only if
     * absent (the `Streams.idempotentShardWrite` _SUCCESS rule shared with

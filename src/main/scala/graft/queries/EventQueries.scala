@@ -598,6 +598,48 @@ object EventQueries {
              |      FROM e WHERE event_type = 'purchase')
              |SELECT channel, CAST(count(*) AS BIGINT) AS n_purchases,
              |  CAST(sum(cents) AS BIGINT) AS cents
-             |FROM p GROUP BY channel ORDER BY channel""".stripMargin))
+             |FROM p GROUP BY channel ORDER BY channel""".stripMargin)),
+
+    // ---- OHLC time-series downsample: per (hour, event_type) candle —
+    // open/close are the values at the earliest/latest (ts, event_id),
+    // high/low the extremes, all in integer cents. One hash shuffle with
+    // full map-side partial aggregation: min_by/max_by over the unique
+    // (ts, event_id) struct replaces the two-window row_number approach,
+    // which would sort every partition twice. OHLC is a mergeable
+    // summary (min_by/max_by/min/max/count all fold associatively), so
+    // per-shard candles union+re-aggregate at 100 TB without rescanning
+    // — same law the sketch family leans on. ----
+    Q("q164_ohlc",
+      (s, dir) => {
+        t(s, dir, "events")
+          .select(date_trunc("hour", col("ts")).as("h"), col("event_type"),
+            col("ts"), col("event_id"),
+            round(col("value") * 100).cast("long").as("c"))
+          .groupBy(col("h"), col("event_type"))
+          .agg(
+            min_by(col("c"), struct(col("ts"), col("event_id"))).as("open"),
+            max(col("c")).as("high"),
+            min(col("c")).as("low"),
+            max_by(col("c"), struct(col("ts"), col("event_id"))).as("close"),
+            count(lit(1)).as("volume"))
+          .orderBy(col("h"), col("event_type"))
+      },
+      Some("""WITH e AS (SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS h,
+             |        event_type, ts, event_id,
+             |        CAST(round(value * 100) AS BIGINT) AS c
+             |      FROM events),
+             |r AS (SELECT *,
+             |        row_number() OVER (PARTITION BY h, event_type
+             |          ORDER BY ts, event_id) AS rn_a,
+             |        row_number() OVER (PARTITION BY h, event_type
+             |          ORDER BY ts DESC, event_id DESC) AS rn_d
+             |      FROM e)
+             |SELECT h, event_type,
+             |  max(CASE WHEN rn_a = 1 THEN c END) AS open,
+             |  max(c) AS high, min(c) AS low,
+             |  max(CASE WHEN rn_d = 1 THEN c END) AS close,
+             |  CAST(count(*) AS BIGINT) AS volume
+             |FROM r GROUP BY h, event_type
+             |ORDER BY h, event_type""".stripMargin))
   )
 }

@@ -911,7 +911,77 @@ object MiscQueries {
              |  FROM walk w JOIN e ON e.cu = w.node OR e.su = w.node
              |  WHERE w.dist < 12)
              |SELECT node, CAST(min(dist) AS BIGINT) AS dist
-             |FROM walk GROUP BY node ORDER BY node""".stripMargin))
+             |FROM walk GROUP BY node ORDER BY node""".stripMargin)),
+
+    // ---- 2-D Pareto skyline (Skyline.skyline2d): the undominated parts
+    // maximizing p_size and minimizing price — collapse-to-candidates +
+    // the two-phase distributed running strict-min (never a
+    // one-partition window), broadcast frontier join-back. The oracle is
+    // the O(n²) NOT-EXISTS dominance definition, fine at sf0.01 and
+    // exactly the formulation the operator exists to avoid at scale.
+    // Integer-cents dominance so both engines compare exactly. ----
+    Q("q165_skyline",
+      (s, dir) => {
+        val parts = t(s, dir, "part")
+          .select(col("p_partkey"), col("p_size").cast("long").as("p_size"),
+            round(col("p_retailprice") * 100).cast("long").as("price_c"))
+        graft.operators.Skyline.skyline2d(parts, "p_size", "price_c")
+          .select(col("p_partkey"), col("p_size"), col("price_c"))
+          .orderBy(col("p_size").desc, col("p_partkey"))
+      },
+      Some("""WITH p AS (SELECT p_partkey, CAST(p_size AS BIGINT) AS p_size,
+             |  CAST(round(p_retailprice * 100) AS BIGINT) AS price_c
+             |  FROM part)
+             |SELECT p_partkey, p_size, price_c FROM p a
+             |WHERE NOT EXISTS (SELECT 1 FROM p b
+             |  WHERE b.p_size >= a.p_size AND b.price_c <= a.price_c
+             |    AND (b.p_size > a.p_size OR b.price_c < a.price_c))
+             |ORDER BY p_size DESC, p_partkey""".stripMargin)),
+
+    // ---- Dataset profiling (Profile.profile): per-column non-null /
+    // null / distinct counts and min/max-as-string in ONE aggregate over
+    // the table (Catalyst Expand for the multi-distinct; at 100 TB the
+    // approx=true mode collapses it to a single HLL++ pass — the q150
+    // trade made explicit). Integral + string columns only, so the string
+    // rendering is engine-exact. ----
+    Q("q167_profile",
+      (s, dir) => {
+        graft.operators.Profile.profile(t(s, dir, "orders"),
+          Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority"))
+          .orderBy(col("col_name"))
+      },
+      Some(Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority")
+        .map { c =>
+          s"""SELECT '$c' AS col_name, CAST(count($c) AS BIGINT) AS n,
+             |  CAST(count(*) - count($c) AS BIGINT) AS n_null,
+             |  CAST(count(DISTINCT $c) AS BIGINT) AS n_distinct,
+             |  CAST(min($c) AS VARCHAR) AS vmin,
+             |  CAST(max($c) AS VARCHAR) AS vmax
+             |FROM orders""".stripMargin
+        }.mkString("", "\nUNION ALL\n", "\nORDER BY col_name"))),
+
+    // ---- Deterministic stratified sampling (Sampling.stratified): per
+    // stratum the n rows with the smallest md5(seed:id) — membership is a
+    // pure function of (seed, id), so the sample reproduces across runs,
+    // engines, and repartitionings, which `sample(fraction)` never does.
+    // The rank window is PARTITIONED by stratum (the q04 top-k-per-group
+    // shape, never a global sort). ----
+    Q("q168_stratified_sample",
+      (s, dir) => {
+        graft.operators.Sampling
+          .stratified(t(s, dir, "documents"), "lang", "doc_id", n = 20)
+          .select(col("lang"), col("doc_id"), col("source"))
+          .orderBy(col("lang"), col("doc_id"))
+      },
+      Some("""WITH r AS (SELECT doc_id, lang, source,
+             |        md5(concat('s0:', doc_id)) AS h
+             |      FROM documents),
+             |k AS (SELECT lang, doc_id, source,
+             |        row_number() OVER (PARTITION BY lang
+             |          ORDER BY h, doc_id) AS rn
+             |      FROM r)
+             |SELECT lang, doc_id, source FROM k WHERE rn <= 20
+             |ORDER BY lang, doc_id""".stripMargin))
   )
 
   /** q156 oracle: 12 statically-unrolled peel rounds — each round keeps

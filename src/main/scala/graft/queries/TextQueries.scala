@@ -1013,7 +1013,65 @@ object TextQueries {
              |    / ((CAST(c_a AS DOUBLE) / nu.n_uni)
              |       * (CAST(c_b AS DOUBLE) / nu.n_uni)), 6) AS lift
              |FROM j, nu, nb
-             |ORDER BY lift DESC, bg LIMIT 20""".stripMargin))
+             |ORDER BY lift DESC, bg LIMIT 20""".stripMargin)),
+
+    // ---- HLL sketch CUBE (Sketches.hllCube): one register build at the
+    // finest grain (lang, source), every rollup level — per (lang,
+    // source), per lang, global — derived by max-merging those SAME
+    // registers (the merge law), never rescanning documents. Joined to
+    // the exact rollup so the sketch error is part of the verified
+    // contract. The oracle replays the register fold with GROUPING SETS
+    // over the q150 md5 construction — bucket and rank depend only on
+    // the value, so registers merged UP equal registers built AT the
+    // coarser grain, which is exactly the law the cube exploits. ----
+    Q("q163_hll_cube",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val cube = graft.operators.Sketches
+          .hllCube(docs, "doc_id", Seq("lang", "source"))
+        val truth = docs.rollup(col("lang"), col("source"))
+          .agg(countDistinct(col("doc_id")).as("true_nd"))
+          .select(coalesce(col("lang"), lit("*")).as("lang"),
+            coalesce(col("source"), lit("*")).as("source"), col("true_nd"))
+        cube.join(truth, Seq("lang", "source"))
+          .select(col("lang"), col("source"), col("true_nd"),
+            col("raw_est"), col("v_empty"), col("est"))
+          .orderBy(col("lang"), col("source"))
+      },
+      Some("""WITH h AS (SELECT lang, source, doc_id,
+             |        CAST(concat('0x', substr(md5(concat('b:', doc_id)), 1, 8))
+             |          AS BIGINT) % 64 AS bucket,
+             |        CAST(concat('0x', substr(md5(concat('r:', doc_id)), 1, 15))
+             |          AS BIGINT) AS hr
+             |      FROM documents),
+             |reg AS (SELECT coalesce(lang, '*') AS lang,
+             |          coalesce(source, '*') AS source, bucket,
+             |          max(least(CAST(bit_count((hr & -hr) - 1) AS BIGINT) + 1,
+             |                    32)) AS r
+             |        FROM h GROUP BY GROUPING SETS
+             |          ((lang, source, bucket), (lang, bucket), (bucket))),
+             |z AS (SELECT lang, source,
+             |        CAST(sum(CAST(1 AS BIGINT) << CAST(32 - r AS INT))
+             |          AS BIGINT)
+             |          + (64 - count(*)) * 4294967296 AS z_scaled,
+             |        64 - count(*) AS v_empty
+             |      FROM reg GROUP BY 1, 2),
+             |e AS (SELECT lang, source, v_empty,
+             |        CAST((2904064 * 4294967296) // (1000 * z_scaled)
+             |          AS BIGINT) AS raw_est
+             |      FROM z),
+             |t AS (SELECT coalesce(lang, '*') AS lang,
+             |        coalesce(source, '*') AS source,
+             |        CAST(count(DISTINCT doc_id) AS BIGINT) AS true_nd
+             |      FROM documents
+             |      GROUP BY GROUPING SETS ((lang, source), (lang), ()))
+             |SELECT t.lang, t.source, t.true_nd, e.raw_est,
+             |  CAST(e.v_empty AS BIGINT) AS v_empty,
+             |  CAST(CASE WHEN e.raw_est <= 160 AND e.v_empty > 0
+             |    THEN round(64 * ln(64.0 / e.v_empty), 0)
+             |    ELSE e.raw_est END AS BIGINT) AS est
+             |FROM t JOIN e ON t.lang = e.lang AND t.source = e.source
+             |ORDER BY t.lang, t.source""".stripMargin))
   )
 
   private def q125OracleGen(s: SparkSession, dir: String): String = {
