@@ -1,0 +1,46 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deterministic sampling for corpus curation. `sample(fraction)` is
+  * useless for a training pipeline: it is partitioning- and run-dependent,
+  * so the "same" sample can never be reproduced, diffed, or re-drawn after
+  * a backfill. Here membership is a pure function of (seed, id):
+  *
+  *  - [[stratified]]: per stratum, the n rows with the smallest
+  *    md5(seed:id) — a fixed-size per-group sample whose rank window is
+  *    PARTITIONED by stratum (never a global sort), the same shape as
+  *    top-k-per-group (q04). Adding rows can only rotate members out by
+  *    hash rank; re-running is free.
+  *  - [[hashFraction]]: keep id iff md5(seed:id) mod d < k — the
+  *    shuffle-free Bernoulli-by-hash used for holdouts (q124's md5-bucket
+  *    discipline generalized): no window, no shuffle, a pure filter that
+  *    pushes down to the scan, and two samples with different seeds are
+  *    independent while the SAME seed always reproduces.
+  *
+  * Both replay bit-identically in any engine with md5 — fully
+  * oracle-checkable, unlike RNG-based sampling.
+  */
+object Sampling {
+
+  def stratified(df: DataFrame, stratumCol: String, idCol: String,
+                 n: Int, seed: String = "s0"): DataFrame = {
+    require(n > 0, "sample size must be positive")
+    val r = md5(concat(lit(s"$seed:"), col(idCol).cast("string")))
+    val w = Window.partitionBy(col(stratumCol)).orderBy(r, col(idCol))
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= n)
+      .drop("__rn")
+  }
+
+  def hashFraction(df: DataFrame, idCol: String, k: Int, d: Int,
+                   seed: String = "s0"): DataFrame = {
+    require(k > 0 && k <= d, s"need 0 < k <= d, got k=$k d=$d")
+    val bucket =
+      conv(substring(md5(concat(lit(s"$seed:"), col(idCol).cast("string"))),
+        1, 8), 16, 10).cast("long") % d
+    df.filter(bucket < k)
+  }
+}

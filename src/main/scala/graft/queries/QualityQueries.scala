@@ -563,7 +563,42 @@ object QualityQueries {
              |  CAST(CASE WHEN k.n_seen < 64 THEN k.n_seen
              |    ELSE (63 * 281474976710656) // (k.kth + 1) END AS BIGINT) AS est
              |FROM t JOIN k USING (event_type, day)
-             |ORDER BY t.event_type, t.day""".stripMargin))
+             |ORDER BY t.event_type, t.day""".stripMargin)),
+
+    // ---- STREAMING OHLC (Ohlc.streamingCandles): per-microbatch candle
+    // shards via the q108/q153 _SUCCESS discipline, folded on read by the
+    // candle merge law — open of the earliest open-key wins, close of the
+    // latest close-key wins, high/low/volume are max/min/sum. Candles are
+    // a mergeable summary exactly like the sketches, so the drained
+    // stream's candles EQUAL the q164 batch candles over the same rows —
+    // the oracle is q164's SQL verbatim. Per batch the shard is bounded
+    // by touched (hour, type) groups, never batch size. ----
+    Q("q166_stream_ohlc",
+      (s, dir) => {
+        import graft.operators.Ohlc
+        val tmp = java.nio.file.Files.createTempDirectory("graft_q166_").toString
+        Ohlc.streamingCandles(Streams.eventsStream(s, dir),
+          s"$tmp/ohlc", s"$tmp/ckpt")
+        Ohlc.finish(Ohlc.readMerged(s, s"$tmp/ohlc"))
+          .orderBy(col("h"), col("event_type"))
+      },
+      Some("""WITH e AS (SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS h,
+             |        event_type, ts, event_id,
+             |        CAST(round(value * 100) AS BIGINT) AS c
+             |      FROM events),
+             |r AS (SELECT *,
+             |        row_number() OVER (PARTITION BY h, event_type
+             |          ORDER BY ts, event_id) AS rn_a,
+             |        row_number() OVER (PARTITION BY h, event_type
+             |          ORDER BY ts DESC, event_id DESC) AS rn_d
+             |      FROM e)
+             |SELECT h, event_type,
+             |  max(CASE WHEN rn_a = 1 THEN c END) AS open,
+             |  max(c) AS high, min(c) AS low,
+             |  max(CASE WHEN rn_d = 1 THEN c END) AS close,
+             |  CAST(count(*) AS BIGINT) AS volume
+             |FROM r GROUP BY h, event_type
+             |ORDER BY h, event_type""".stripMargin))
   )
 
   /** q142 oracle GENERATOR: the per-image pHashes (deterministic JVM DCT,
