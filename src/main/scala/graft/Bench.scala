@@ -27,6 +27,7 @@ object Bench {
     "q134_fuzzy_entities_k2", "q136_ann_recall",
     "q138_scd2_pit", "q139_ann_refine", "q142_phash_dedup",
     "q151_hybrid_rrf", "q153_stream_hll", "q155_setsim_join", "q156_kcore",
+    "q164_ohlc", "q165_skyline", "q170_exact_quantiles",
   )
 
   def main(args: Array[String]): Unit = {

@@ -640,6 +640,47 @@ object EventQueries {
              |  max(CASE WHEN rn_d = 1 THEN c END) AS close,
              |  CAST(count(*) AS BIGINT) AS volume
              |FROM r GROUP BY h, event_type
-             |ORDER BY h, event_type""".stripMargin))
+             |ORDER BY h, event_type""".stripMargin)),
+
+    // ---- Trailing-window anomaly detection: per user, flag events whose
+    // cents deviate from the trailing-10-event mean by more than 200%,
+    // entirely in integers — dev_bp = |c·n − S|·10⁴ div S is the
+    // deviation in basis points with the mean's division cross-multiplied
+    // away, so there is no float in the contract and the oracle replays
+    // it exactly. The window is partitioned by user and bounded (ROWS 10
+    // PRECEDING..1 PRECEDING): per-key state is O(10) — the same shape a
+    // streaming fMGWS port would keep — and never a global sort. Warm-up
+    // guard n >= 5 keeps early-history noise out. ----
+    Q("q169_anomaly",
+      (s, dir) => {
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts"), col("event_id"))
+          .rowsBetween(-10, -1)
+        t(s, dir, "events")
+          .select(col("user_id"), col("event_id"),
+            round(col("value") * 100).cast("long").as("c"),
+            count(lit(1)).over(w).as("n_trail"),
+            sum(round(col("value") * 100).cast("long")).over(w).as("s_trail"))
+          .filter(col("n_trail") >= 5)
+          .withColumn("dev_bp",
+            expr("abs(c * n_trail - s_trail) * 10000L DIV s_trail"))
+          .filter(col("dev_bp") > 20000)
+          .orderBy(col("user_id"), col("event_id"))
+      },
+      Some("""WITH e AS (SELECT user_id, event_id, ts,
+             |        CAST(round(value * 100) AS BIGINT) AS c
+             |      FROM events),
+             |w AS (SELECT user_id, event_id, c,
+             |        CAST(count(*) OVER win AS BIGINT) AS n_trail,
+             |        CAST(sum(c) OVER win AS BIGINT) AS s_trail
+             |      FROM e WINDOW win AS (PARTITION BY user_id
+             |        ORDER BY ts, event_id
+             |        ROWS BETWEEN 10 PRECEDING AND 1 PRECEDING))
+             |SELECT user_id, event_id, c, n_trail, s_trail,
+             |  CAST(abs(c * n_trail - s_trail) * 10000 // s_trail
+             |    AS BIGINT) AS dev_bp
+             |FROM w WHERE n_trail >= 5
+             |  AND abs(c * n_trail - s_trail) * 10000 // s_trail > 20000
+             |ORDER BY user_id, event_id""".stripMargin))
   )
 }

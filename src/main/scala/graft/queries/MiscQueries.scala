@@ -981,7 +981,35 @@ object MiscQueries {
              |          ORDER BY h, doc_id) AS rn
              |      FROM r)
              |SELECT lang, doc_id, source FROM k WHERE rn <= 20
-             |ORDER BY lang, doc_id""".stripMargin))
+             |ORDER BY lang, doc_id""".stripMargin)),
+
+    // ---- EXACT distributed quantiles (Selection.exactQuantiles): true
+    // p50/p90/p99 of lineitem price cents by counting selection — group
+    // by value (shuffle ∝ distinct values, never rows), two-phase Scan
+    // prefix sum for global ranks, one narrow pass emits the first value
+    // whose cumulative count reaches ceil(pct·n/100). The complement of
+    // the q157/q13 sketches when the answer must be exact; target_rank
+    // makes the selection rule part of the verified contract. ----
+    Q("q170_exact_quantiles",
+      (s, dir) => {
+        val cents = t(s, dir, "lineitem")
+          .select(round(col("l_extendedprice") * 100).cast("long").as("c"))
+        graft.operators.Selection.exactQuantiles(cents, "c", Seq(50, 90, 99))
+          .orderBy(col("pct"))
+      },
+      Some("""WITH c AS (SELECT CAST(round(l_extendedprice * 100) AS BIGINT)
+             |        AS v, count(*) AS n
+             |      FROM lineitem GROUP BY 1),
+             |s AS (SELECT v, CAST(sum(n) OVER (ORDER BY v) AS BIGINT) AS cum
+             |      FROM c),
+             |tt AS (SELECT CAST(sum(n) AS BIGINT) AS tot FROM c),
+             |q(pct) AS (VALUES (50), (90), (99)),
+             |tg AS (SELECT pct, (tot * pct + 99) // 100 AS target
+             |       FROM q, tt)
+             |SELECT CAST(tg.pct AS INT) AS pct, min(s.v) AS value,
+             |  CAST(tg.target AS BIGINT) AS target_rank
+             |FROM tg JOIN s ON s.cum >= tg.target
+             |GROUP BY tg.pct, tg.target ORDER BY pct""".stripMargin))
   )
 
   /** q156 oracle: 12 statically-unrolled peel rounds — each round keeps

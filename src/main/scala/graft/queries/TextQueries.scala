@@ -1071,7 +1071,43 @@ object TextQueries {
              |    THEN round(64 * ln(64.0 / e.v_empty), 0)
              |    ELSE e.raw_est END AS BIGINT) AS est
              |FROM t JOIN e ON t.lang = e.lang AND t.source = e.source
-             |ORDER BY t.lang, t.source""".stripMargin))
+             |ORDER BY t.lang, t.source""".stripMargin)),
+
+    // ---- Positional inverted index — the retrieval wing's missing
+    // foundation (BM25/q97 consumes postings; this MATERIALIZES them):
+    // per (term, doc) the term frequency and first 1-based position, per
+    // term the document frequency via a term-partitioned window (never
+    // global). One tokenize pass; shuffle keyed on (term, doc) with
+    // map-side partial counts — the same build a 100-TB index shards by
+    // term. ----
+    Q("q171_inverted_index",
+      (s, dir) => {
+        val w = org.apache.spark.sql.expressions.Window.partitionBy(col("term"))
+        t(s, dir, "documents")
+          .select(col("doc_id"),
+            posexplode(TextFns.tokens(lower(col("text")))).as(Seq("pos", "term")))
+          .groupBy(col("term"), col("doc_id"))
+          .agg(count(lit(1)).as("tf"), (min(col("pos")) + 1).as("first_pos"))
+          .withColumn("df", count(lit(1)).over(w))
+          .select(col("term"), col("doc_id"), col("tf"),
+            col("first_pos").cast("long").as("first_pos"), col("df"))
+          .orderBy(col("term"), col("doc_id"))
+      },
+      Some("""WITH d AS (SELECT doc_id, CASE WHEN length(trim(text)) = 0
+             |          THEN CAST([] AS VARCHAR[])
+             |          ELSE string_split_regex(lower(trim(text)), '\s+') END
+             |          AS toks
+             |      FROM documents),
+             |tok AS (SELECT doc_id,
+             |          unnest(generate_series(1, len(toks))) AS pos, toks
+             |        FROM d WHERE len(toks) > 0),
+             |post AS (SELECT toks[pos] AS term, doc_id,
+             |           CAST(count(*) AS BIGINT) AS tf,
+             |           CAST(min(pos) AS BIGINT) AS first_pos
+             |         FROM tok GROUP BY 1, 2)
+             |SELECT term, doc_id, tf, first_pos,
+             |  CAST(count(*) OVER (PARTITION BY term) AS BIGINT) AS df
+             |FROM post ORDER BY term, doc_id""".stripMargin))
   )
 
   private def q125OracleGen(s: SparkSession, dir: String): String = {

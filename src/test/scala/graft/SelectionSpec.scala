@@ -1,0 +1,49 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+import graft.operators.Selection
+
+/** Counting selection equals the sorted-array definition, at every
+  * percentile, regardless of partitioning and duplicate skew.
+  */
+class SelectionSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def sampleN[T](g: Gen[T], n: Int): Seq[T] = {
+    var seed = Seed(11L)
+    (1 to n).map { _ =>
+      val t = g.pureApply(Gen.Parameters.default, seed)
+      seed = seed.next
+      t
+    }
+  }
+
+  test("exactQuantiles equals the sorted definition on skewed generated data") {
+    // heavy duplication: values from a tiny domain so cumulative-count
+    // boundaries land ON ties — the case naive implementations get wrong
+    val vals = sampleN(Gen.frequency(
+      5 -> Gen.const(7L), 3 -> Gen.chooseNum(0L, 20L),
+      1 -> Gen.chooseNum(0L, 1000000L)), 977)
+    val pcts = Seq(1, 25, 50, 90, 99, 100)
+    val got = Selection.exactQuantiles(vals.toDF("v").repartition(13), "v", pcts)
+      .select("pct", "value").as[(Int, Long)].collect().toMap
+    val sorted = vals.sorted
+    val expected = pcts.map { p =>
+      val target = (sorted.length.toLong * p + 99L) / 100L
+      p -> sorted((target - 1).toInt)
+    }.toMap
+    assert(got === expected)
+  }
+
+  test("exactQuantiles is partitioning-invariant") {
+    val vals = sampleN(Gen.chooseNum(0L, 500L), 400)
+    val a = Selection.exactQuantiles(vals.toDF("v").repartition(11), "v", Seq(50, 95))
+      .collect().toSeq.sortBy(_.getInt(0))
+    val b = Selection.exactQuantiles(vals.toDF("v").coalesce(1), "v", Seq(50, 95))
+      .collect().toSeq.sortBy(_.getInt(0))
+    assert(a === b)
+  }
+}
