@@ -26,14 +26,29 @@ import org.apache.spark.sql.types._
   */
 object Selection {
 
+  /** The (value, count) summary the selection runs on. MERGEABLE: counts
+    * over row shards fold by plain sum — the law the streaming builder
+    * uses (a value-count table is the exact-world analog of a sketch).
+    */
+  def valueCounts(df: DataFrame, valueCol: String): DataFrame =
+    df.groupBy(col(valueCol).cast("long").as("__v"))
+      .agg(count(lit(1)).as("__n"))
+
   def exactQuantiles(df: DataFrame, valueCol: String,
-                     pcts: Seq[Int]): DataFrame = {
+                     pcts: Seq[Int]): DataFrame =
+    quantilesFromCounts(valueCounts(df, valueCol), pcts)
+
+  /** Selection over a (possibly sharded) `__v`/`__n` count table: folds
+    * duplicate values by sum first, so per-batch shard unions are legal
+    * input.
+    */
+  def quantilesFromCounts(countTable: DataFrame, pcts: Seq[Int]): DataFrame = {
     require(pcts.nonEmpty && pcts.forall(p => p >= 1 && p <= 100),
       s"percentiles must be in [1, 100], got $pcts")
-    val spark = df.sparkSession
-    val counts = df
-      .groupBy(col(valueCol).cast("long").as("__v"))
-      .agg(count(lit(1)).as("__n"))
+    val spark = countTable.sparkSession
+    val counts = countTable
+      .groupBy(col("__v"))
+      .agg(sum(col("__n")).as("__n"))
       .repartitionByRange(col("__v"))
       .sortWithinPartitions(col("__v"))
     // one RDD instance for both passes (the Scan invariant)
@@ -63,4 +78,31 @@ object Selection {
       StructField("value", LongType, nullable = false),
       StructField("target_rank", LongType, nullable = false))))
   }
+
+  /** Streaming build of the value-count summary: each microbatch's counts
+    * land as their own `batch=<id>` shard, written only if absent
+    * (`Streams.idempotentShardWrite`), so replays are no-ops; shards fold
+    * by sum on read and the drained stream's quantiles EQUAL the batch
+    * quantiles over the same rows. Per batch the shard is bounded by the
+    * batch's distinct values, never its row count.
+    */
+  def streamingValueCounts(stream: DataFrame, valueCol: String,
+                           targetPath: String, checkpoint: String): Unit = {
+    import org.apache.spark.sql.streaming.Trigger
+    val q = stream.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val dir = s"$targetPath/batch=$batchId"
+        graft.streaming.Streams.idempotentShardWrite(batch.sparkSession, dir) {
+          valueCounts(batch, valueCol).write.mode("overwrite").parquet(dir)
+        }
+      }
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
+  def readMergedCounts(spark: org.apache.spark.sql.SparkSession,
+                       targetPath: String): DataFrame =
+    spark.read.parquet(targetPath).select(col("__v"), col("__n"))
 }

@@ -681,6 +681,39 @@ object EventQueries {
              |    AS BIGINT) AS dev_bp
              |FROM w WHERE n_trail >= 5
              |  AND abs(c * n_trail - s_trail) * 10000 // s_trail > 20000
-             |ORDER BY user_id, event_id""".stripMargin))
+             |ORDER BY user_id, event_id""".stripMargin)),
+
+    // ---- Group-wise linear trend (Trend.groupTrend): OLS slope of cents
+    // over epoch DAYS per event type, as the integer rational
+    // (n·Σxy − Σx·Σy) / (n·Σx² − (Σx)²) — five plain sums, one shuffle,
+    // float-free contract (the 6-dp double is a ride-along). x is
+    // pre-scaled to days so BIGINT holds to ~10⁹ rows per group
+    // (Trend.scala's overflow budget). ----
+    Q("q172_groupwise_trend",
+      (s, dir) => {
+        val ev = t(s, dir, "events")
+          .select(col("event_type"),
+            expr("CAST(ts AS LONG) DIV 86400").as("x"),
+            round(col("value") * 100).cast("long").as("y"))
+        graft.operators.Trend.groupTrend(ev, Seq("event_type"), "x", "y")
+          .orderBy(col("event_type"))
+      },
+      Some("""WITH e AS (SELECT event_type,
+             |        CAST(epoch(ts) AS BIGINT) // 86400 AS x,
+             |        CAST(round(value * 100) AS BIGINT) AS y
+             |      FROM events),
+             |a AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+             |        CAST(sum(x) AS BIGINT) AS sx,
+             |        CAST(sum(y) AS BIGINT) AS sy,
+             |        CAST(sum(x * y) AS BIGINT) AS sxy,
+             |        CAST(sum(x * x) AS BIGINT) AS sxx
+             |      FROM e GROUP BY 1)
+             |SELECT event_type, n,
+             |  n * sxy - sx * sy AS slope_num,
+             |  n * sxx - sx * sx AS slope_den,
+             |  CASE WHEN n * sxx - sx * sx = 0 THEN NULL
+             |    ELSE round(CAST(n * sxy - sx * sy AS DOUBLE)
+             |      / CAST(n * sxx - sx * sx AS DOUBLE), 6) END AS slope6
+             |FROM a ORDER BY event_type""".stripMargin))
   )
 }

@@ -598,7 +598,40 @@ object QualityQueries {
              |  max(CASE WHEN rn_d = 1 THEN c END) AS close,
              |  CAST(count(*) AS BIGINT) AS volume
              |FROM r GROUP BY h, event_type
-             |ORDER BY h, event_type""".stripMargin))
+             |ORDER BY h, event_type""".stripMargin)),
+
+    // ---- STREAMING exact quantiles (Selection.streamingValueCounts):
+    // per-microbatch value-count shards via the _SUCCESS discipline; the
+    // count table is the exact-world analog of a sketch — shards fold by
+    // plain sum — so the drained stream's p50/p90/p99 EQUAL the batch
+    // counting selection over the same rows (oracle = the q170 shape on
+    // events cents). Per batch the shard is bounded by the batch's
+    // distinct values, never its row count. ----
+    Q("q173_stream_quantiles",
+      (s, dir) => {
+        import graft.operators.Selection
+        val tmp = java.nio.file.Files.createTempDirectory("graft_q173_").toString
+        Selection.streamingValueCounts(
+          Streams.eventsStream(s, dir)
+            .select(round(col("value") * 100).cast("long").as("c")),
+          "c", s"$tmp/vc", s"$tmp/ckpt")
+        Selection.quantilesFromCounts(
+          Selection.readMergedCounts(s, s"$tmp/vc"), Seq(50, 90, 99))
+          .orderBy(col("pct"))
+      },
+      Some("""WITH c AS (SELECT CAST(round(value * 100) AS BIGINT) AS v,
+             |        count(*) AS n
+             |      FROM events GROUP BY 1),
+             |s AS (SELECT v, CAST(sum(n) OVER (ORDER BY v) AS BIGINT) AS cum
+             |      FROM c),
+             |tt AS (SELECT CAST(sum(n) AS BIGINT) AS tot FROM c),
+             |q(pct) AS (VALUES (50), (90), (99)),
+             |tg AS (SELECT pct, (tot * pct + 99) // 100 AS target
+             |       FROM q, tt)
+             |SELECT CAST(tg.pct AS INT) AS pct, min(s.v) AS value,
+             |  CAST(tg.target AS BIGINT) AS target_rank
+             |FROM tg JOIN s ON s.cum >= tg.target
+             |GROUP BY tg.pct, tg.target ORDER BY pct""".stripMargin))
   )
 
   /** q142 oracle GENERATOR: the per-image pHashes (deterministic JVM DCT,

@@ -38,6 +38,21 @@ class SelectionSpec extends SparkSpec {
     assert(got === expected)
   }
 
+  test("count-table merge law: sharded valueCounts fold to the whole-input quantiles") {
+    val vals = sampleN(Gen.chooseNum(0L, 300L), 600).zipWithIndex
+    val shards = (0 until 3).map { k =>
+      Selection.valueCounts(
+        vals.filter(_._2 % 3 == k).map(_._1).toDF("v"), "v")
+    }
+    val merged = Selection.quantilesFromCounts(
+      shards.reduce(_ unionByName _), Seq(25, 50, 99)).collect().toSeq
+      .sortBy(_.getInt(0))
+    val whole = Selection.exactQuantiles(
+      vals.map(_._1).toDF("v"), "v", Seq(25, 50, 99)).collect().toSeq
+      .sortBy(_.getInt(0))
+    assert(merged === whole)
+  }
+
   test("exactQuantiles is partitioning-invariant") {
     val vals = sampleN(Gen.chooseNum(0L, 500L), 400)
     val a = Selection.exactQuantiles(vals.toDF("v").repartition(11), "v", Seq(50, 95))
