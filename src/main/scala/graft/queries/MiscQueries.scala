@@ -1009,7 +1009,116 @@ object MiscQueries {
              |SELECT CAST(tg.pct AS INT) AS pct, min(s.v) AS value,
              |  CAST(tg.target AS BIGINT) AS target_rank
              |FROM tg JOIN s ON s.cum >= tg.target
-             |GROUP BY tg.pct, tg.target ORDER BY pct""".stripMargin))
+             |GROUP BY tg.pct, tg.target ORDER BY pct""".stripMargin)),
+
+    // ---- Snapshot diff (Diff.tableDiff): classify keys across two table
+    // versions as added/removed/changed (+ which columns), emitting ONLY
+    // differences — diff-proportional output, one full-outer hash join,
+    // null-safe comparison. The second version is derived from orders by
+    // deterministic md5 buckets (bk 0–4 removed, 5–9 price-bumped,
+    // 10–14 duplicated under shifted keys as adds), so the expected diff
+    // is exactly replayable in SQL. ----
+    Q("q175_table_diff",
+      (s, dir) => {
+        val base = t(s, dir, "orders").select(col("o_orderkey"),
+          round(col("o_totalprice") * 100).cast("long").as("cents"),
+          col("o_orderstatus"))
+        val bk = conv(substring(md5(concat(lit("d:"),
+          col("o_orderkey").cast("string")).cast("binary")), 1, 8), 16, 10)
+          .cast("long") % 100
+        val wb = base.withColumn("__bk", bk)
+        val kept = wb.filter(col("__bk") >= 5)
+          .withColumn("cents", when(col("__bk").between(5, 9),
+            col("cents") + 100).otherwise(col("cents")))
+        val adds = wb.filter(col("__bk").between(10, 14))
+          .withColumn("o_orderkey", col("o_orderkey") + 1000000000L)
+        val v2 = kept.unionByName(adds).drop("__bk")
+        graft.operators.Diff
+          .tableDiff(base, v2, Seq("o_orderkey"), Seq("cents", "o_orderstatus"))
+          .orderBy(col("change"), col("o_orderkey"))
+      },
+      Some("""WITH base AS (SELECT o_orderkey,
+             |        CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+             |        o_orderstatus,
+             |        CAST(concat('0x', substr(md5(concat('d:', o_orderkey)),
+             |          1, 8)) AS BIGINT) % 100 AS bk
+             |      FROM orders),
+             |v2 AS (SELECT o_orderkey,
+             |         CASE WHEN bk BETWEEN 5 AND 9 THEN cents + 100
+             |           ELSE cents END AS cents, o_orderstatus
+             |       FROM base WHERE bk >= 5
+             |       UNION ALL
+             |       SELECT o_orderkey + 1000000000, cents, o_orderstatus
+             |       FROM base WHERE bk BETWEEN 10 AND 14),
+             |j AS (SELECT coalesce(a.o_orderkey, b.o_orderkey) AS o_orderkey,
+             |        a.o_orderkey IS NOT NULL AS in_a,
+             |        b.o_orderkey IS NOT NULL AS in_b,
+             |        a.cents AS ac, b.cents AS bc,
+             |        a.o_orderstatus AS ast, b.o_orderstatus AS bst
+             |      FROM base a FULL OUTER JOIN v2 b
+             |        ON a.o_orderkey = b.o_orderkey)
+             |SELECT o_orderkey,
+             |  CASE WHEN NOT in_a THEN 'added'
+             |    WHEN NOT in_b THEN 'removed'
+             |    ELSE 'changed' END AS change,
+             |  CASE WHEN in_a AND in_b THEN concat_ws(',',
+             |      CASE WHEN ac IS DISTINCT FROM bc THEN 'cents' END,
+             |      CASE WHEN ast IS DISTINCT FROM bst
+             |        THEN 'o_orderstatus' END)
+             |    ELSE '' END AS changed_cols
+             |FROM j WHERE NOT in_a OR NOT in_b
+             |  OR ac IS DISTINCT FROM bc OR ast IS DISTINCT FROM bst
+             |ORDER BY change, o_orderkey""".stripMargin)),
+
+    // ---- Data-quality check suite (Checks): uniqueness, referential
+    // integrity, non-null, range, and k-anonymity checks, each reduced to
+    // one (check_name, violations, pass) row — count-only aggregates and
+    // anti-joins, output bounded by the number of checks regardless of
+    // data size. The governance gate a training-data pipeline runs
+    // before shipping a corpus. ----
+    Q("q176_data_checks",
+      (s, dir) => {
+        import graft.operators.Checks
+        Checks.suite(Seq(
+          Checks.unique(t(s, dir, "orders"), Seq("o_orderkey"),
+            "orders_key_unique"),
+          Checks.refIntegrity(t(s, dir, "lineitem"), "l_orderkey",
+            t(s, dir, "orders"), "o_orderkey", "lineitem_fk_orders"),
+          Checks.notNull(t(s, dir, "events"), "user_id",
+            "events_user_not_null"),
+          Checks.inRange(t(s, dir, "part"), "p_size", 1, 50,
+            "part_size_range"),
+          Checks.kAnonymity(t(s, dir, "documents"), Seq("lang", "source"),
+            5, "documents_k_anon_5")))
+          .orderBy(col("check_name"))
+      },
+      Some("""SELECT 'orders_key_unique' AS check_name,
+             |  CAST(coalesce(sum(n - 1), 0) AS BIGINT) AS violations,
+             |  coalesce(sum(n - 1), 0) = 0 AS pass
+             |FROM (SELECT count(*) AS n FROM orders
+             |      GROUP BY o_orderkey HAVING count(*) > 1)
+             |UNION ALL
+             |SELECT 'lineitem_fk_orders', CAST(count(*) AS BIGINT),
+             |  count(*) = 0
+             |FROM lineitem WHERE l_orderkey NOT IN
+             |  (SELECT o_orderkey FROM orders)
+             |UNION ALL
+             |SELECT 'events_user_not_null',
+             |  CAST(count(CASE WHEN user_id IS NULL THEN 1 END) AS BIGINT),
+             |  count(CASE WHEN user_id IS NULL THEN 1 END) = 0
+             |FROM events
+             |UNION ALL
+             |SELECT 'part_size_range',
+             |  CAST(count(CASE WHEN p_size < 1 OR p_size > 50 THEN 1 END)
+             |    AS BIGINT),
+             |  count(CASE WHEN p_size < 1 OR p_size > 50 THEN 1 END) = 0
+             |FROM part
+             |UNION ALL
+             |SELECT 'documents_k_anon_5',
+             |  CAST(coalesce(sum(CASE WHEN n < 5 THEN n END), 0) AS BIGINT),
+             |  coalesce(sum(CASE WHEN n < 5 THEN n END), 0) = 0
+             |FROM (SELECT count(*) AS n FROM documents GROUP BY lang, source)
+             |ORDER BY check_name""".stripMargin))
   )
 
   /** q156 oracle: 12 statically-unrolled peel rounds — each round keeps

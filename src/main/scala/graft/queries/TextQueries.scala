@@ -1107,7 +1107,37 @@ object TextQueries {
              |         FROM tok GROUP BY 1, 2)
              |SELECT term, doc_id, tf, first_pos,
              |  CAST(count(*) OVER (PARTITION BY term) AS BIGINT) AS df
-             |FROM post ORDER BY term, doc_id""".stripMargin))
+             |FROM post ORDER BY term, doc_id""".stripMargin)),
+
+    // ---- Positional phrase search (Phrase.phraseMatches): exact
+    // n-word-phrase occurrence counts per document by a lead-chain over a
+    // document-partitioned window — one tokenize pass, ONE shuffle, any
+    // phrase length; the self-join formulation would shuffle the postings
+    // n−1 times. Phrase "customer join" is a frequent corpus bigram, so
+    // the result is non-trivial at every SF. ----
+    Q("q174_phrase_search",
+      (s, dir) => {
+        graft.operators.Phrase
+          .phraseMatches(t(s, dir, "documents"), "doc_id", "text",
+            "customer join")
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH d AS (SELECT doc_id, CASE WHEN length(trim(text)) = 0
+             |          THEN CAST([] AS VARCHAR[])
+             |          ELSE string_split_regex(lower(trim(text)), '\s+') END
+             |          AS toks
+             |      FROM documents),
+             |tok AS (SELECT doc_id,
+             |          unnest(generate_series(1, len(toks))) AS pos, toks
+             |        FROM d WHERE len(toks) > 0),
+             |l AS (SELECT doc_id, pos, toks[pos] AS term,
+             |        lead(toks[pos], 1) OVER (PARTITION BY doc_id
+             |          ORDER BY pos) AS t1
+             |      FROM tok)
+             |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_matches,
+             |  CAST(min(pos) AS BIGINT) AS first_pos
+             |FROM l WHERE term = 'customer' AND t1 = 'join'
+             |GROUP BY doc_id ORDER BY doc_id""".stripMargin))
   )
 
   private def q125OracleGen(s: SparkSession, dir: String): String = {

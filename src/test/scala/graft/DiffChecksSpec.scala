@@ -1,0 +1,45 @@
+package graft
+
+import graft.operators.{Checks, Diff}
+
+/** Null-transition edges of tableDiff (the q175 fixture has no NULLs) and
+  * the counting contracts of the check suite.
+  */
+class DiffChecksSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("tableDiff: null transitions count as changes, unchanged rows are dropped") {
+    val a = Seq((1L, Option(10L), "x"), (2L, Option(20L), "y"),
+      (3L, None: Option[Long], "z"), (4L, Option(40L), "w"))
+      .toDF("k", "v", "s")
+    val b = Seq((1L, Option(10L), "x"), // unchanged
+      (2L, None: Option[Long], "y"), // value -> NULL
+      (3L, Option(30L), "z"), // NULL -> value
+      (5L, Option(50L), "n")) // added; 4 removed
+      .toDF("k", "v", "s")
+    val got = Diff.tableDiff(a, b, Seq("k"), Seq("v", "s"))
+      .as[(Long, String, String)].collect().sortBy(_._1)
+    assert(got === Array(
+      (2L, "changed", "v"), (3L, "changed", "v"),
+      (4L, "removed", ""), (5L, "added", "")))
+  }
+
+  test("checks: dup counting, k-anonymity row counting, orphan counting") {
+    val dups = Seq(1L, 1L, 1L, 2L, 3L, 3L).toDF("k")
+    val u = Checks.unique(dups, Seq("k"), "u").as[(String, Long, Boolean)]
+      .collect().head
+    assert(u === ("u", 3L, false)) // (3-1) + (2-1) = 3 extra rows
+
+    val quasi = Seq(("a", 1), ("a", 2), ("a", 3), ("b", 1), ("b", 2))
+      .toDF("g", "i")
+    val ka = Checks.kAnonymity(quasi, Seq("g"), 3, "ka")
+      .as[(String, Long, Boolean)].collect().head
+    assert(ka === ("ka", 2L, false)) // group b has 2 rows < k=3
+
+    val child = Seq(10L, 11L, 99L).toDF("fk")
+    val parent = Seq(10L, 11L, 12L).toDF("pk")
+    val ri = Checks.refIntegrity(child, "fk", parent, "pk", "ri")
+      .as[(String, Long, Boolean)].collect().head
+    assert(ri === ("ri", 1L, false))
+  }
+}
