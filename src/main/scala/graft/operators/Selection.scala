@@ -79,6 +79,35 @@ object Selection {
       StructField("target_rank", LongType, nullable = false))))
   }
 
+  /** Per-GROUP exact quantile bounds (the winsorization primitive): for
+    * each group the smallest values whose cumulative counts reach
+    * ceil(loPct·n/100) and ceil(hiPct·n/100). Runs on the group's value
+    * counts with a group-partitioned cumulative window — distributed
+    * across groups; for a single colossal group use the global two-phase
+    * [[quantilesFromCounts]] instead.
+    */
+  def groupQuantileBounds(df: DataFrame, groupCol: String, valueCol: String,
+                          loPct: Int, hiPct: Int): DataFrame = {
+    require(loPct >= 1 && hiPct <= 100 && loPct < hiPct,
+      s"need 1 <= loPct < hiPct <= 100, got $loPct/$hiPct")
+    import org.apache.spark.sql.expressions.Window
+    val counts = df.groupBy(col(groupCol), col(valueCol).cast("long").as("__v"))
+      .agg(count(lit(1)).as("__n"))
+    val wOrd = Window.partitionBy(col(groupCol)).orderBy(col("__v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy(col(groupCol))
+    counts
+      .withColumn("__cum", sum(col("__n")).over(wOrd))
+      .withColumn("__tot", sum(col("__n")).over(wAll))
+      .groupBy(col(groupCol))
+      .agg(
+        min(when(col("__cum") >= expr(s"(__tot * $loPct + 99) DIV 100"),
+          col("__v"))).as("lo"),
+        min(when(col("__cum") >= expr(s"(__tot * $hiPct + 99) DIV 100"),
+          col("__v"))).as("hi"),
+        sum(col("__n")).as("n"))
+  }
+
   /** Streaming build of the value-count summary: each microbatch's counts
     * land as their own `batch=<id>` shard, written only if absent
     * (`Streams.idempotentShardWrite`), so replays are no-ops; shards fold

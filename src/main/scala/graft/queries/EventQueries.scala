@@ -714,6 +714,53 @@ object EventQueries {
              |  CASE WHEN n * sxx - sx * sx = 0 THEN NULL
              |    ELSE round(CAST(n * sxy - sx * sy AS DOUBLE)
              |      / CAST(n * sxx - sx * sx AS DOUBLE), 6) END AS slope6
-             |FROM a ORDER BY event_type""".stripMargin))
+             |FROM a ORDER BY event_type""".stripMargin)),
+
+    // ---- Winsorization (Selection.groupQuantileBounds): clamp each
+    // group's cents to its exact [p5, p95] — the robust-stats guard a
+    // metrics pipeline applies before averaging over heavy tails. Bounds
+    // come from per-group counting selection over a GROUP-partitioned
+    // cumulative window (distributed across groups; a single colossal
+    // group would use the q170 two-phase scan), then broadcast back for
+    // the clamped re-aggregate. All integer. ----
+    Q("q178_winsorize",
+      (s, dir) => {
+        val ev = t(s, dir, "events").select(col("event_type"),
+          round(col("value") * 100).cast("long").as("c"))
+        val bounds = graft.operators.Selection
+          .groupQuantileBounds(ev, "event_type", "c", 5, 95)
+        ev.join(broadcast(bounds), Seq("event_type"))
+          .groupBy(col("event_type"), col("n"), col("lo"), col("hi"))
+          .agg(sum(col("c")).as("sum_raw"),
+            sum(greatest(col("lo"), least(col("hi"), col("c"))))
+              .as("sum_wins"))
+          .select(col("event_type"), col("n"), col("lo"), col("hi"),
+            col("sum_raw"), col("sum_wins"))
+          .orderBy(col("event_type"))
+      },
+      Some("""WITH e AS (SELECT event_type,
+             |        CAST(round(value * 100) AS BIGINT) AS c
+             |      FROM events),
+             |g AS (SELECT event_type, c AS v, count(*) AS n
+             |      FROM e GROUP BY 1, 2),
+             |w AS (SELECT event_type, v,
+             |        CAST(sum(n) OVER (PARTITION BY event_type
+             |          ORDER BY v) AS BIGINT) AS cum,
+             |        CAST(sum(n) OVER (PARTITION BY event_type)
+             |          AS BIGINT) AS tot
+             |      FROM g),
+             |b AS (SELECT event_type,
+             |        min(CASE WHEN cum >= (tot * 5 + 99) // 100
+             |          THEN v END) AS lo,
+             |        min(CASE WHEN cum >= (tot * 95 + 99) // 100
+             |          THEN v END) AS hi,
+             |        max(tot) AS n
+             |      FROM w GROUP BY 1)
+             |SELECT e.event_type, CAST(b.n AS BIGINT) AS n, b.lo, b.hi,
+             |  CAST(sum(e.c) AS BIGINT) AS sum_raw,
+             |  CAST(sum(greatest(b.lo, least(b.hi, e.c))) AS BIGINT)
+             |    AS sum_wins
+             |FROM e JOIN b USING (event_type)
+             |GROUP BY 1, 2, 3, 4 ORDER BY event_type""".stripMargin))
   )
 }

@@ -1118,7 +1118,41 @@ object MiscQueries {
              |  CAST(coalesce(sum(CASE WHEN n < 5 THEN n END), 0) AS BIGINT),
              |  coalesce(sum(CASE WHEN n < 5 THEN n END), 0) = 0
              |FROM (SELECT count(*) AS n FROM documents GROUP BY lang, source)
-             |ORDER BY check_name""".stripMargin))
+             |ORDER BY check_name""".stripMargin)),
+
+    // ---- ABC / Pareto analysis (Abc.classify): parts classed A/B/C by
+    // cumulative revenue share (80/95), with the cumulative sum as the
+    // two-phase Scan — never a global one-partition window — and the
+    // share thresholds cross-multiplied into exact integers. The oracle
+    // replays with the window formulation the operator exists to avoid
+    // (fine at sf0.01). ----
+    Q("q179_abc_analysis",
+      (s, dir) => {
+        val rev = t(s, dir, "lineitem")
+          .groupBy(col("l_partkey"))
+          .agg(sum(round(col("l_extendedprice") * 100).cast("long"))
+            .as("rev"))
+        graft.operators.Abc.classify(rev, "l_partkey", "rev")
+          .groupBy(col("cls"))
+          .agg(count(lit(1)).as("n_parts"), sum(col("value")).as("rev_cents"))
+          .orderBy(col("cls"))
+      },
+      Some("""WITH r AS (SELECT l_partkey,
+             |        CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+             |          AS BIGINT) AS rev
+             |      FROM lineitem GROUP BY 1),
+             |w AS (SELECT l_partkey, rev,
+             |        CAST(sum(rev) OVER (ORDER BY rev DESC, l_partkey)
+             |          AS BIGINT) AS cum,
+             |        CAST((SELECT sum(rev) FROM r) AS BIGINT) AS tot
+             |      FROM r),
+             |c AS (SELECT CASE WHEN cum * 100 <= tot * 80 THEN 'A'
+             |        WHEN cum * 100 <= tot * 95 THEN 'B'
+             |        ELSE 'C' END AS cls, rev
+             |      FROM w)
+             |SELECT cls, CAST(count(*) AS BIGINT) AS n_parts,
+             |  CAST(sum(rev) AS BIGINT) AS rev_cents
+             |FROM c GROUP BY 1 ORDER BY 1""".stripMargin))
   )
 
   /** q156 oracle: 12 statically-unrolled peel rounds — each round keeps

@@ -170,7 +170,42 @@ object VectorQueries {
           |  CAST(4543560 AS BIGINT) AS idcg_micro,
           |  CAST((1000000 * sum(rel * disc)) // 4543560 AS BIGINT) AS ndcg_micro
           |FROM rel rel2 JOIN d ON rel2.rn = d.rn
-          |GROUP BY qid ORDER BY qid""".stripMargin))
+          |GROUP BY qid ORDER BY qid""".stripMargin)),
+
+    // ---- Per-class embedding outliers (Centroids.classOutliers): which
+    // vectors sit farthest from their label's centroid — the mislabeled/
+    // corrupt-example sweep of a training-data pipeline — EXACT in
+    // integers. Floats quantized once as round((x+1)·10⁵) (the +1 keeps
+    // the domain positive so floor and truncating division agree, and it
+    // cancels in the centroid difference); per-(label,pos) floor
+    // centroids broadcast back; integer squared-L2; top-10 per label.
+    // No float ever crosses a row boundary, so the result is summation-
+    // order-free and fully oracle-checkable. ----
+    Q("q177_embedding_outliers",
+      (s, dir) => {
+        graft.operators.Centroids.classOutliers(
+          t(s, dir, "embeddings"), "vec_id", "embedding", "label")
+          .orderBy(col("label"), col("rn"))
+      },
+      Some("""WITH e AS (SELECT vec_id, label, pos,
+             |        CAST(round((CAST(embedding[pos] AS DOUBLE) + 1)
+             |          * 100000) AS BIGINT) AS q
+             |      FROM embeddings,
+             |        unnest(generate_series(1, len(embedding))) AS t(pos)),
+             |c AS (SELECT label, pos,
+             |        CAST(sum(q) AS BIGINT) // CAST(count(*) AS BIGINT)
+             |          AS cq
+             |      FROM e GROUP BY 1, 2),
+             |d AS (SELECT e.vec_id, e.label,
+             |        CAST(sum((e.q - c.cq) * (e.q - c.cq)) AS BIGINT) AS d2
+             |      FROM e JOIN c ON e.label = c.label AND e.pos = c.pos
+             |      GROUP BY 1, 2),
+             |r AS (SELECT vec_id, label, d2,
+             |        CAST(row_number() OVER (PARTITION BY label
+             |          ORDER BY d2 DESC, vec_id) AS BIGINT) AS rn
+             |      FROM d)
+             |SELECT vec_id, label, d2, rn FROM r WHERE rn <= 10
+             |ORDER BY label, rn""".stripMargin))
   )
 
   /** q151/q152 shared Spark side: RRF-fuse BM25 and brute-cosine top-20

@@ -1,0 +1,54 @@
+package graft
+
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+import graft.operators.{Abc, Selection}
+
+/** ABC classification vs the sorted-reference definition, plus the
+  * per-group quantile-bounds contract behind winsorization.
+  */
+class AbcSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def sampleN[T](g: Gen[T], n: Int): Seq[T] = {
+    var seed = Seed(23L)
+    (1 to n).map { _ =>
+      val t = g.pureApply(Gen.Parameters.default, seed)
+      seed = seed.next
+      t
+    }
+  }
+
+  test("Abc.classify equals the sorted cumulative-share reference, any partitioning") {
+    val rows = sampleN(Gen.chooseNum(1L, 10000L), 300).zipWithIndex
+      .map { case (v, i) => (i.toLong, v) }
+    val got = Abc.classify(rows.toDF("k", "v").repartition(9), "k", "v")
+      .select("k", "cls").as[(Long, String)].collect().toMap
+    val tot = rows.map(_._2).sum
+    var cum = 0L
+    val expected = rows.sortBy { case (k, v) => (-v, k) }.map { case (k, v) =>
+      cum += v
+      k -> (if (cum * 100 <= tot * 80) "A"
+            else if (cum * 100 <= tot * 95) "B" else "C")
+    }.toMap
+    assert(got === expected)
+    assert(Set("A", "B", "C").subsetOf(got.values.toSet))
+  }
+
+  test("groupQuantileBounds: bounds are the ceil-rank order statistics per group") {
+    val rows = sampleN(Gen.zip(Gen.oneOf("g1", "g2", "g3"),
+      Gen.chooseNum(0L, 999L)), 500)
+    val got = Selection.groupQuantileBounds(
+      rows.toDF("g", "v").repartition(7), "g", "v", 10, 90)
+      .as[(String, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    rows.groupBy(_._1).foreach { case (g, grp) =>
+      val sorted = grp.map(_._2).sorted
+      val n = sorted.length.toLong
+      val lo = sorted(((n * 10 + 99) / 100 - 1).toInt)
+      val hi = sorted(((n * 90 + 99) / 100 - 1).toInt)
+      assert(got(g) === ((lo, hi, n)), s"group $g")
+    }
+  }
+}
