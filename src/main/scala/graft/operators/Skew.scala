@@ -57,4 +57,21 @@ object Skew {
         partials.tail.map { case (n, c) => c.as(n) }: _*)
     phase1.groupBy(col(key)).agg(finals.head, finals.tail: _*)
   }
+
+  /** Skew diagnosis — the decision input for [[saltedJoin]]/[[saltedAgg]]:
+    * per key its row share in ppm and the hot flag at `thresholdPpm`. One
+    * partial-aggregated count per key plus a broadcast scalar total;
+    * integer shares so the report replays exactly. Run it on the join/
+    * group key BEFORE picking a plan — salting cold keys wastes a
+    * shuffle, not salting hot ones loses the stage.
+    */
+  def skewReport(df: DataFrame, keyCol: String,
+                 thresholdPpm: Long): DataFrame = {
+    val counts = df.groupBy(col(keyCol)).agg(count(lit(1)).as("n"))
+    val tot = counts.agg(sum(col("n")).as("__tot"))
+    counts.crossJoin(broadcast(tot))
+      .select(col(keyCol), col("n"),
+        expr("n * 1000000 DIV __tot").as("share_ppm"))
+      .withColumn("is_hot", col("share_ppm") > thresholdPpm)
+  }
 }

@@ -761,6 +761,24 @@ object EventQueries {
              |  CAST(sum(greatest(b.lo, least(b.hi, e.c))) AS BIGINT)
              |    AS sum_wins
              |FROM e JOIN b USING (event_type)
-             |GROUP BY 1, 2, 3, 4 ORDER BY event_type""".stripMargin))
+             |GROUP BY 1, 2, 3, 4 ORDER BY event_type""".stripMargin)),
+
+    // ---- Skew diagnosis (Skew.skewReport): per-key row share in ppm +
+    // hot flag — the decision input for the salted join/agg family
+    // (q17): salting cold keys wastes a shuffle, not salting hot ones
+    // loses the stage. One partial-aggregated count per key, broadcast
+    // scalar total, integer shares. ----
+    Q("q182_skew_report",
+      (s, dir) => {
+        graft.operators.Skew
+          .skewReport(t(s, dir, "events"), "event_type", 200000L)
+          .orderBy(col("event_type"))
+      },
+      Some("""WITH c AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n
+             |      FROM events GROUP BY 1),
+             |t AS (SELECT CAST(sum(n) AS BIGINT) AS tot FROM c)
+             |SELECT event_type, n, n * 1000000 // tot AS share_ppm,
+             |  n * 1000000 // tot > 200000 AS is_hot
+             |FROM c, t ORDER BY event_type""".stripMargin))
   )
 }

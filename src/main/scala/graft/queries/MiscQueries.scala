@@ -1152,7 +1152,46 @@ object MiscQueries {
              |      FROM w)
              |SELECT cls, CAST(count(*) AS BIGINT) AS n_parts,
              |  CAST(sum(rev) AS BIGINT) AS rev_cents
-             |FROM c GROUP BY 1 ORDER BY 1""".stripMargin))
+             |FROM c GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // ---- Rendezvous sharding (Sharding.assign): every order key routed
+    // to the shard with the highest md5(key, shard) weight — pure Column
+    // argmax over structs, zero shuffles, whole-stage codegen. The query
+    // also PROVES the minimal-movement property the scheme exists for:
+    // re-assigning under 7 shards, only keys won by the new shard 7 move
+    // (moved = n on shard 7, 0 everywhere else). ----
+    Q("q181_rendezvous",
+      (s, dir) => {
+        import graft.operators.Sharding
+        val keys = t(s, dir, "orders").select(col("o_orderkey"))
+        val a8 = Sharding.assign(keys, "o_orderkey", 8)
+          .withColumnRenamed("shard", "shard8")
+        val a7 = Sharding.assign(keys, "o_orderkey", 7)
+          .withColumnRenamed("shard", "shard7")
+        a8.join(a7, Seq("o_orderkey"))
+          .groupBy(col("shard8").cast("long").as("shard"))
+          .agg(count(lit(1)).as("n"),
+            sum(when(col("shard7") =!= col("shard8"), 1L).otherwise(0L))
+              .as("moved"))
+          .orderBy(col("shard"))
+      },
+      Some("""WITH k AS (SELECT o_orderkey AS key FROM orders),
+             |w AS (SELECT key, sh,
+             |        CAST(concat('0x', substr(md5(concat('rv:', key, ':',
+             |          sh)), 1, 15)) AS BIGINT) AS w
+             |      FROM k, unnest(generate_series(0, 7)) AS t(sh)),
+             |a8 AS (SELECT key, sh FROM (SELECT key, sh, row_number()
+             |         OVER (PARTITION BY key ORDER BY w DESC, sh DESC) rn
+             |       FROM w) WHERE rn = 1),
+             |a7 AS (SELECT key, sh FROM (SELECT key, sh, row_number()
+             |         OVER (PARTITION BY key ORDER BY w DESC, sh DESC) rn
+             |       FROM w WHERE sh < 7) WHERE rn = 1)
+             |SELECT CAST(a8.sh AS BIGINT) AS shard,
+             |  CAST(count(*) AS BIGINT) AS n,
+             |  CAST(sum(CASE WHEN a7.sh != a8.sh THEN 1 ELSE 0 END)
+             |    AS BIGINT) AS moved
+             |FROM a8 JOIN a7 USING (key) GROUP BY 1 ORDER BY 1"""
+        .stripMargin))
   )
 
   /** q156 oracle: 12 statically-unrolled peel rounds — each round keeps

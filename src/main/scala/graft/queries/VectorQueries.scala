@@ -205,7 +205,36 @@ object VectorQueries {
              |          ORDER BY d2 DESC, vec_id) AS BIGINT) AS rn
              |      FROM d)
              |SELECT vec_id, label, d2, rn FROM r WHERE rn <= 10
-             |ORDER BY label, rn""".stripMargin))
+             |ORDER BY label, rn""".stripMargin)),
+
+    // ---- Johnson–Lindenstrauss random projection (Projection.project):
+    // 64 → 8 dims via a HASH-DEFINED ±1 sign matrix (md5("p:pos:j")) —
+    // no materialized matrix, no driver state, no RNG; any executor or
+    // engine regenerates each entry on demand, so a distributed
+    // projection reproduces across backfills and replays in SQL. Inputs
+    // quantized once (q177 discipline) → exact integer sums,
+    // summation-order-free. ----
+    Q("q180_jl_projection",
+      (s, dir) => {
+        graft.operators.Projection
+          .project(t(s, dir, "embeddings"), "vec_id", "embedding", k = 8)
+          .select(col("vec_id"), col("j").cast("long").as("j"), col("p"))
+          .orderBy(col("vec_id"), col("j"))
+      },
+      Some("""WITH e AS (SELECT vec_id, pos,
+             |        CAST(round(CAST(embedding[pos] AS DOUBLE) * 100000)
+             |          AS BIGINT) AS q
+             |      FROM embeddings,
+             |        unnest(generate_series(1, len(embedding))) AS t(pos)),
+             |t2 AS (SELECT vec_id, pos, q, j
+             |       FROM e, unnest(generate_series(1, 8)) AS u(j)),
+             |sg AS (SELECT vec_id, j, q,
+             |        CASE WHEN CAST(concat('0x',
+             |            substr(md5(concat('p:', pos, ':', j)), 1, 1))
+             |          AS BIGINT) % 2 = 0 THEN 1 ELSE -1 END AS s
+             |      FROM t2)
+             |SELECT vec_id, j, CAST(sum(q * s) AS BIGINT) AS p
+             |FROM sg GROUP BY 1, 2 ORDER BY vec_id, j""".stripMargin))
   )
 
   /** q151/q152 shared Spark side: RRF-fuse BM25 and brute-cosine top-20
