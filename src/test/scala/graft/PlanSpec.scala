@@ -254,4 +254,62 @@ class PlanSpec extends SparkSpec {
         s"BPE encode must not join a dictionary back into the token stream:\n$p")
     }
   }
+
+  test("skyline/centroids/winsorize: frontier and bounds joins stay broadcast") {
+    withoutAqe {
+      // skyline: the frontier join-back must broadcast, never sort-merge —
+      // a frontier is at most one row per distinct x
+      val parts = Tables(spark, sfDir, "part")
+        .select(col("p_partkey"), col("p_size").cast("long").as("ps"),
+          round(col("p_retailprice") * 100).cast("long").as("pc"))
+      val sky = plan(graft.operators.Skyline.skyline2d(parts, "ps", "pc"))
+      assert(sky.collect { case j: SortMergeJoinExec => j }.isEmpty,
+        s"skyline join-back degraded to sort-merge:\n$sky")
+      assert(sky.collect { case j: BroadcastHashJoinExec => j }.nonEmpty,
+        s"skyline join-back must broadcast the frontier:\n$sky")
+
+      // centroids: the labels x dim centroid table must broadcast
+      val emb = Tables(spark, sfDir, "embeddings")
+      val cen = plan(graft.operators.Centroids
+        .classOutliers(emb, "vec_id", "embedding", "label"))
+      assert(cen.collect { case j: SortMergeJoinExec => j }.isEmpty,
+        s"centroid join degraded to sort-merge:\n$cen")
+
+      // winsorize bounds (group-cardinality-sized) must broadcast back
+      val ev = Tables(spark, sfDir, "events").select(col("event_type"),
+        round(col("value") * 100).cast("long").as("c"))
+      val bounds = graft.operators.Selection
+        .groupQuantileBounds(ev, "event_type", "c", 5, 95)
+      val win = plan(ev.join(broadcast(bounds), Seq("event_type")))
+      assert(win.collect { case j: SortMergeJoinExec => j }.isEmpty,
+        s"winsorize bounds join degraded to sort-merge:\n$win")
+    }
+  }
+
+  test("rendezvous sharding: pure projection — no shuffle, no join below the agg") {
+    withoutAqe {
+      val keys = Tables(spark, sfDir, "orders").select(col("o_orderkey"))
+      val p = plan(graft.operators.Sharding.assign(keys, "o_orderkey", 8))
+      assert(shuffles(p).isEmpty,
+        s"rendezvous assignment must be a narrow map:\n$p")
+      assert(p.collect { case j: SortMergeJoinExec => j }.isEmpty &&
+        p.collect { case j: BroadcastHashJoinExec => j }.isEmpty,
+        s"rendezvous assignment must not join a shard table:\n$p")
+    }
+  }
+
+  test("phrase search: one shuffle (window regroup), no postings self-join") {
+    withoutAqe {
+      val docs = Tables(spark, sfDir, "documents")
+      val p = plan(graft.operators.Phrase
+        .phraseMatches(docs, "doc_id", "text", "customer join"))
+      assert(p.collect { case j: SortMergeJoinExec => j }.isEmpty &&
+        p.collect { case j: BroadcastHashJoinExec => j }.isEmpty,
+        s"phrase match must be a lead-chain, not a postings self-join:\n$p")
+      // tokens regroup to (doc) for the window, then aggregate reuses the
+      // partitioning: at most 2 exchanges, never one per phrase word
+      assert(shuffles(p).size <= 2,
+        s"phrase lead-chain must not add per-word exchanges:\n$p")
+    }
+  }
 }
