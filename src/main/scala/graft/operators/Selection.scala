@@ -108,6 +108,40 @@ object Selection {
         sum(col("__n")).as("n"))
   }
 
+  /** Equal-frequency discretization (the ML-feature binning step): assign
+    * every row its quantile bucket 1..nBins within its group. Bucket
+    * bounds are the exact ceil-rank order statistics (one windowed pass
+    * over the group's value counts, the [[groupQuantileBounds]] shape,
+    * all bounds in a single aggregate), broadcast back; the bucket id is
+    * then a pure Column expression `1 + Σ [v > bound_i]` — no second
+    * shuffle of the data. Ties share a bucket by construction, so bucket
+    * populations are equal only up to tie mass — the honest definition.
+    */
+  def equiFreqBins(df: DataFrame, groupCol: String, valueCol: String,
+                   nBins: Int): DataFrame = {
+    require(nBins >= 2, s"need nBins >= 2, got $nBins")
+    import org.apache.spark.sql.expressions.Window
+    val counts = df.groupBy(col(groupCol), col(valueCol).cast("long").as("__v"))
+      .agg(count(lit(1)).as("__n"))
+    val wOrd = Window.partitionBy(col(groupCol)).orderBy(col("__v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy(col(groupCol))
+    val cum = counts
+      .withColumn("__cum", sum(col("__n")).over(wOrd))
+      .withColumn("__tot", sum(col("__n")).over(wAll))
+    val boundAggs = (1 until nBins).map { i =>
+      min(when(col("__cum") >= expr(s"(__tot * $i + ${nBins - 1}) DIV $nBins"),
+        col("__v"))).as(s"__b$i")
+    }
+    val bounds = cum.groupBy(col(groupCol)).agg(boundAggs.head, boundAggs.tail: _*)
+    val bucket = (1 until nBins).map(i =>
+      when(col(valueCol).cast("long") > col(s"__b$i"), 1).otherwise(0))
+      .reduce(_ + _) + 1
+    df.join(broadcast(bounds), Seq(groupCol))
+      .withColumn("bucket", bucket)
+      .drop((1 until nBins).map(i => s"__b$i"): _*)
+  }
+
   /** Streaming build of the value-count summary: each microbatch's counts
     * land as their own `batch=<id>` shard, written only if absent
     * (`Streams.idempotentShardWrite`), so replays are no-ops; shards fold

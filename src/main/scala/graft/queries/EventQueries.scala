@@ -779,6 +779,49 @@ object EventQueries {
              |t AS (SELECT CAST(sum(n) AS BIGINT) AS tot FROM c)
              |SELECT event_type, n, n * 1000000 // tot AS share_ppm,
              |  n * 1000000 // tot > 200000 AS is_hot
-             |FROM c, t ORDER BY event_type""".stripMargin))
+             |FROM c, t ORDER BY event_type""".stripMargin)),
+
+    // ---- Equal-frequency binning (Selection.equiFreqBins): every event
+    // assigned its quartile bucket within its type — exact ceil-rank
+    // bounds from one windowed pass over the group's value counts, all
+    // three bounds in a single aggregate, broadcast back; the bucket id
+    // is a pure Column expression (no second data shuffle). Ties share a
+    // bucket by construction. The ML feature-discretization step,
+    // summarized per (type, bucket). ----
+    Q("q185_equifreq_binning",
+      (s, dir) => {
+        val ev = t(s, dir, "events").select(col("event_type"),
+          round(col("value") * 100).cast("long").as("c"))
+        graft.operators.Selection.equiFreqBins(ev, "event_type", "c", 4)
+          .groupBy(col("event_type"), col("bucket"))
+          .agg(count(lit(1)).as("n"), min(col("c")).as("vmin"),
+            max(col("c")).as("vmax"))
+          .orderBy(col("event_type"), col("bucket"))
+      },
+      Some("""WITH e AS (SELECT event_type,
+             |        CAST(round(value * 100) AS BIGINT) AS c
+             |      FROM events),
+             |g AS (SELECT event_type, c AS v, count(*) AS n
+             |      FROM e GROUP BY 1, 2),
+             |w AS (SELECT event_type, v,
+             |        CAST(sum(n) OVER (PARTITION BY event_type
+             |          ORDER BY v) AS BIGINT) AS cum,
+             |        CAST(sum(n) OVER (PARTITION BY event_type)
+             |          AS BIGINT) AS tot
+             |      FROM g),
+             |b AS (SELECT event_type,
+             |        min(CASE WHEN cum >= (tot * 1 + 3) // 4 THEN v END) AS b1,
+             |        min(CASE WHEN cum >= (tot * 2 + 3) // 4 THEN v END) AS b2,
+             |        min(CASE WHEN cum >= (tot * 3 + 3) // 4 THEN v END) AS b3
+             |      FROM w GROUP BY 1),
+             |x AS (SELECT e.event_type,
+             |        1 + (CASE WHEN e.c > b.b1 THEN 1 ELSE 0 END)
+             |          + (CASE WHEN e.c > b.b2 THEN 1 ELSE 0 END)
+             |          + (CASE WHEN e.c > b.b3 THEN 1 ELSE 0 END) AS bucket,
+             |        e.c
+             |      FROM e JOIN b USING (event_type))
+             |SELECT event_type, bucket, CAST(count(*) AS BIGINT) AS n,
+             |  min(c) AS vmin, max(c) AS vmax
+             |FROM x GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin))
   )
 }

@@ -1191,7 +1191,137 @@ object MiscQueries {
              |  CAST(sum(CASE WHEN a7.sh != a8.sh THEN 1 ELSE 0 END)
              |    AS BIGINT) AS moved
              |FROM a8 JOIN a7 USING (key) GROUP BY 1 ORDER BY 1"""
-        .stripMargin))
+        .stripMargin)),
+
+    // ---- Golden-record survivorship — the MDM step AFTER entity
+    // resolution: q129's verified fuzzy pairs → connected components
+    // (min-id labels, the two-regime q94 machinery) → one golden row per
+    // cluster by rule "longest name, tie smallest id" via a single
+    // min_by over a (−length, id) struct. The oracle replays blocking,
+    // verification, a recursive-CTE closure (duplicate clusters are tiny
+    // near-cliques), and the same survivorship rule as a window. ----
+    Q("q183_golden_record",
+      (s, dir) => {
+        val c = t(s, dir, "customer")
+          .select(col("c_custkey").as("id"), col("c_name").as("nm"))
+        val pairs = graft.operators.Entities.fuzzyPairs(c, "id", "nm")
+          .localCheckpoint(true)
+        val cc = graft.operators.Dedup.connectedComponents(pairs)
+        val key = struct((-length(col("nm"))).as("nl"), col("id"))
+        c.join(cc, Seq("id"))
+          .groupBy(col("label").as("cluster"))
+          .agg(count(lit(1)).as("n_members"),
+            min_by(col("id"), key).as("golden_id"),
+            min_by(col("nm"), key).as("golden_name"))
+          .orderBy(col("cluster"))
+      },
+      Some("""WITH RECURSIVE n AS (SELECT c_custkey AS id, c_name AS nm
+             |      FROM customer),
+             |v AS (SELECT DISTINCT id, nm, var FROM (
+             |        SELECT id, nm,
+             |          substr(nm, 1, i - 1) || substr(nm, i + 1, length(nm))
+             |            AS var
+             |        FROM n, unnest(generate_series(1, length(nm))) AS t(i)
+             |        UNION ALL SELECT id, nm, nm FROM n)),
+             |cand AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b,
+             |           a.nm AS na, b.nm AS nb
+             |         FROM v a JOIN v b ON a.var = b.var AND a.id < b.id),
+             |p AS (SELECT id_a, id_b FROM cand WHERE levenshtein(na, nb) <= 1),
+             |und AS (SELECT id_a AS a, id_b AS b FROM p
+             |        UNION SELECT id_b, id_a FROM p),
+             |reach(src, dst) AS (
+             |  SELECT a, b FROM und
+             |  UNION
+             |  SELECT r.src, u.b FROM reach r JOIN und u ON r.dst = u.a),
+             |lbl AS (SELECT src AS id, least(src, min(dst)) AS label
+             |        FROM reach GROUP BY src),
+             |m AS (SELECT n.id, n.nm, lbl.label
+             |      FROM n JOIN lbl ON n.id = lbl.id),
+             |g AS (SELECT label, id, nm, row_number() OVER (
+             |        PARTITION BY label ORDER BY length(nm) DESC, id) AS rn
+             |      FROM m),
+             |cnt AS (SELECT label AS cluster, CAST(count(*) AS BIGINT)
+             |          AS n_members
+             |        FROM m GROUP BY 1)
+             |SELECT cnt.cluster, cnt.n_members, g.id AS golden_id,
+             |  g.nm AS golden_name
+             |FROM cnt JOIN g ON g.label = cnt.cluster AND g.rn = 1
+             |ORDER BY cnt.cluster""".stripMargin)),
+
+    // ---- Sketch-quality measurement for KMV set algebra: the q160
+    // estimated pairwise user overlaps joined against the EXACT
+    // distinct-user intersections (one distinct + self-join on user),
+    // with the absolute error as a verified column — the q136/q150
+    // "measure the sketch, don't trust it" discipline applied to
+    // inclusion–exclusion. ----
+    Q("q184_overlap_exact_vs_kmv",
+      (s, dir) => {
+        import graft.operators.Kmv
+        val ev = t(s, dir, "events")
+        val est = Kmv.kmvIntersect(
+          Kmv.kmvRegisters(ev, "user_id", Seq("event_type"), k = 64),
+          "event_type", k = 64)
+          .select(col("ga"), col("gb"), col("est_intersect"))
+        val du = ev.select(col("event_type"), col("user_id")).distinct()
+        val exact = du.select(col("event_type").as("ga"), col("user_id"))
+          .join(du.select(col("event_type").as("gb"), col("user_id")),
+            Seq("user_id"))
+          .filter(col("ga") < col("gb"))
+          .groupBy(col("ga"), col("gb"))
+          .agg(count(lit(1)).as("exact_n"))
+        est.join(exact, Seq("ga", "gb"))
+          .select(col("ga"), col("gb"), col("exact_n"), col("est_intersect"),
+            abs(col("est_intersect") - col("exact_n")).as("abs_err"))
+          .orderBy(col("ga"), col("gb"))
+      },
+      Some("""WITH h AS (SELECT DISTINCT event_type AS g,
+             |        CAST(concat('0x', substr(md5(concat('k:', user_id)), 1, 12))
+             |          AS BIGINT) AS h
+             |      FROM events),
+             |r AS (SELECT g, h,
+             |        row_number() OVER (PARTITION BY g ORDER BY h) AS rn,
+             |        count(*) OVER (PARTITION BY g) AS nd
+             |      FROM h),
+             |reg AS (SELECT g, h FROM r WHERE rn <= 64),
+             |e AS (SELECT g, CAST(least(max(nd), 64) AS BIGINT) AS n_seen,
+             |        max(CASE WHEN rn = 64 THEN h END) AS kth
+             |      FROM r WHERE rn <= 64 GROUP BY g),
+             |est AS (SELECT g,
+             |        CAST(CASE WHEN n_seen < 64 THEN n_seen
+             |          ELSE (63 * 281474976710656) // (kth + 1) END AS BIGINT)
+             |          AS est
+             |      FROM e),
+             |pr AS (SELECT a.g AS ga, b.g AS gb FROM est a
+             |       JOIN est b ON a.g < b.g),
+             |ur AS (SELECT DISTINCT pr.ga, pr.gb, reg.h
+             |       FROM pr JOIN reg ON reg.g = pr.ga OR reg.g = pr.gb),
+             |ur2 AS (SELECT ga, gb, h,
+             |         row_number() OVER (PARTITION BY ga, gb ORDER BY h) AS rn,
+             |         count(*) OVER (PARTITION BY ga, gb) AS nd
+             |       FROM ur),
+             |uu AS (SELECT ga, gb, CAST(least(max(nd), 64) AS BIGINT) AS n_seen,
+             |         max(CASE WHEN rn = 64 THEN h END) AS kth
+             |       FROM ur2 WHERE rn <= 64 GROUP BY ga, gb),
+             |eu AS (SELECT ga, gb,
+             |        CAST(CASE WHEN n_seen < 64 THEN n_seen
+             |          ELSE (63 * 281474976710656) // (kth + 1) END AS BIGINT)
+             |          AS est_union
+             |      FROM uu),
+             |fin AS (SELECT eu.ga, eu.gb,
+             |          CAST(greatest(0, ea.est + eb.est - eu.est_union)
+             |            AS BIGINT) AS est_intersect
+             |        FROM eu JOIN est ea ON ea.g = eu.ga
+             |          JOIN est eb ON eb.g = eu.gb),
+             |du AS (SELECT DISTINCT event_type AS g, user_id FROM events),
+             |ex AS (SELECT a.g AS ga, b.g AS gb,
+             |         CAST(count(*) AS BIGINT) AS exact_n
+             |       FROM du a JOIN du b
+             |         ON a.user_id = b.user_id AND a.g < b.g
+             |       GROUP BY 1, 2)
+             |SELECT f.ga, f.gb, ex.exact_n, f.est_intersect,
+             |  abs(f.est_intersect - ex.exact_n) AS abs_err
+             |FROM fin f JOIN ex USING (ga, gb)
+             |ORDER BY f.ga, f.gb""".stripMargin))
   )
 
   /** q156 oracle: 12 statically-unrolled peel rounds — each round keeps

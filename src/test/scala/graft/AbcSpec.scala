@@ -36,6 +36,27 @@ class AbcSpec extends SparkSpec {
     assert(Set("A", "B", "C").subsetOf(got.values.toSet))
   }
 
+  test("equiFreqBins: buckets match the driver-side ceil-rank reference, ties share") {
+    val rows = sampleN(Gen.zip(Gen.oneOf("a", "b"),
+      Gen.chooseNum(0L, 40L)), 400) // tiny domain forces heavy ties
+    val got = Selection.equiFreqBins(
+      rows.zipWithIndex.map { case ((g, v), i) => (i.toLong, g, v) }
+        .toDF("id", "g", "v").repartition(5), "g", "v", 4)
+      .select("id", "bucket").as[(Long, Int)].collect().toMap
+    val expected = rows.zipWithIndex.flatMap { case ((g, v), i) =>
+      val grp = rows.filter(_._1 == g).map(_._2).sorted
+      val n = grp.length.toLong
+      val bounds = (1 until 4).map(k => grp(((n * k + 3) / 4 - 1).toInt))
+      Some(i.toLong -> (1 + bounds.count(v > _)))
+    }.toMap
+    assert(got === expected)
+    // equal values always land in the same bucket
+    val byVal = rows.zipWithIndex.groupBy { case ((g, v), _) => (g, v) }
+    byVal.foreach { case (_, members) =>
+      assert(members.map { case (_, i) => got(i.toLong) }.distinct.size == 1)
+    }
+  }
+
   test("groupQuantileBounds: bounds are the ceil-rank order statistics per group") {
     val rows = sampleN(Gen.zip(Gen.oneOf("g1", "g2", "g3"),
       Gen.chooseNum(0L, 999L)), 500)
