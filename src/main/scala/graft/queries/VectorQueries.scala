@@ -234,7 +234,35 @@ object VectorQueries {
              |          AS BIGINT) % 2 = 0 THEN 1 ELSE -1 END AS s
              |      FROM t2)
              |SELECT vec_id, j, CAST(sum(q * s) AS BIGINT) AS p
-             |FROM sg GROUP BY 1, 2 ORDER BY vec_id, j""".stripMargin))
+             |FROM sg GROUP BY 1, 2 ORDER BY vec_id, j""".stripMargin)),
+
+    // ---- Reliability diagram for the q120 classifier — the calibration
+    // eval that belongs next to AUC (q121): score → micro-logit integers
+    // (round(logit·10⁴), one shared rounding, then all-integer) →
+    // equal-frequency deciles (Selection.equiFreqBins) → per-bin
+    // positive rate in ppm. A well-ordered model shows pos_ppm rising
+    // with the bucket. Stays on the LINEAR logit scale: the sigmoid is a
+    // transcendental and never enters the hash compare (repo rule). The
+    // oracle regenerates with the trained weights inlined (q120's
+    // oracleGen pattern) and replays binning + rates exactly. ----
+    Q("q186_reliability",
+      (s, dir) => {
+        val emb = t(s, dir, "embeddings")
+          .withColumn("y", (col("label") < 5).cast("int"))
+        val m = graft.operators.Classifier.train(emb, "vec_id", "embedding", "y")
+        val scored = graft.operators.Classifier.score(emb, "embedding", m)
+          .select(col("vec_id"), col("y"),
+            round(col("logit") * 10000).cast("long").as("ml"))
+          .withColumn("g", lit("all"))
+        graft.operators.Selection.equiFreqBins(scored, "g", "ml", 10)
+          .groupBy(col("bucket"))
+          .agg(count(lit(1)).as("n"), sum(col("y").cast("long")).as("n_pos"),
+            min(col("ml")).as("logit_lo"), max(col("ml")).as("logit_hi"))
+          .withColumn("pos_ppm", expr("n_pos * 1000000 DIV n"))
+          .orderBy(col("bucket"))
+      },
+      None,
+      oracleGen = Some(q186OracleGen _))
   )
 
   /** q151/q152 shared Spark side: RRF-fuse BM25 and brute-cosine top-20
@@ -334,6 +362,34 @@ object VectorQueries {
     val w = m.w.map(java.lang.Double.toString).mkString("[", ", ", "]")
     s"""list_sum(list_transform(list_zip(embedding, $w),
        |          x -> CAST(x[1] AS DOUBLE) * x[2])) + ${java.lang.Double.toString(m.b)}""".stripMargin
+  }
+
+  private def q186OracleGen(s: SparkSession, dir: String): String = {
+    val bounds = (1 to 9).map { i =>
+      s"min(CASE WHEN cum >= (tot * $i + 9) // 10 THEN v END) AS b$i"
+    }.mkString(",\n|        ")
+    val bucketExpr = (1 to 9).map { i =>
+      s"(CASE WHEN sc.ml > b.b$i THEN 1 ELSE 0 END)"
+    }.mkString(" + ")
+    s"""WITH sc AS (SELECT vec_id,
+       |        CASE WHEN label < 5 THEN 1 ELSE 0 END AS y,
+       |        CAST(round((${trainedLogitSql(s, dir)}) * 10000) AS BIGINT)
+       |          AS ml
+       |      FROM embeddings),
+       |g AS (SELECT ml AS v, count(*) AS n FROM sc GROUP BY 1),
+       |w AS (SELECT v, CAST(sum(n) OVER (ORDER BY v) AS BIGINT) AS cum,
+       |        CAST((SELECT sum(n) FROM g) AS BIGINT) AS tot
+       |      FROM g),
+       |b AS (SELECT $bounds
+       |      FROM w),
+       |x AS (SELECT sc.y, sc.ml, 1 + $bucketExpr AS bucket
+       |      FROM sc, b)
+       |SELECT bucket, CAST(count(*) AS BIGINT) AS n,
+       |  CAST(sum(y) AS BIGINT) AS n_pos,
+       |  min(ml) AS logit_lo, max(ml) AS logit_hi,
+       |  CAST(sum(y) AS BIGINT) * 1000000 // CAST(count(*) AS BIGINT)
+       |    AS pos_ppm
+       |FROM x GROUP BY 1 ORDER BY bucket""".stripMargin
   }
 
   private def q120OracleGen(s: SparkSession, dir: String): String =
