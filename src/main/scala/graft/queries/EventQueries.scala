@@ -822,6 +822,94 @@ object EventQueries {
              |      FROM e JOIN b USING (event_type))
              |SELECT event_type, bucket, CAST(count(*) AS BIGINT) AS n,
              |  min(c) AS vmin, max(c) AS vmax
-             |FROM x GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin))
+             |FROM x GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
+    // ---- Presence-bitmap retention (the ClickHouse-retention shape):
+    // each user's first-28-days activity folded into ONE BIGINT bitmask
+    // by bit_or(1 << day_offset) — a per-user month of history in 8
+    // bytes, mergeable across shards by bit_or, with day-set algebra
+    // (retained day0∧day7 = mask & 129) as pure integer ops. Output:
+    // users per active-day count + how many of them include day 0.
+    // At 100 TB the mask build is one partial-aggregated shuffle on
+    // user, and every retention curve after that reads masks, never
+    // events. ----
+    Q("q187_presence_bitmap",
+      (s, dir) => {
+        val days = t(s, dir, "events")
+          .select(col("user_id"), expr("CAST(ts AS LONG) DIV 86400").as("day"))
+        val d0 = days.agg(min(col("day")).as("d0"))
+        val masks = days.crossJoin(broadcast(d0))
+          .filter(col("day") - col("d0") < 28)
+          .groupBy(col("user_id"))
+          .agg(expr("bit_or(shiftleft(CAST(1 AS BIGINT), " +
+            "CAST(day - d0 AS INT)))").as("mask"))
+        masks
+          .groupBy(bit_count(col("mask")).cast("long").as("n_active"))
+          .agg(count(lit(1)).as("n_users"),
+            sum(when(col("mask").bitwiseAND(1L) === 1L, 1L).otherwise(0L))
+              .as("with_day0"))
+          .orderBy(col("n_active"))
+      },
+      Some("""WITH d AS (SELECT user_id,
+             |        CAST(epoch(ts) AS BIGINT) // 86400 AS day
+             |      FROM events),
+             |d0 AS (SELECT min(day) AS d0 FROM d),
+             |m AS (SELECT user_id,
+             |        bit_or(CAST(1 AS BIGINT) << CAST(day - d0 AS INT))
+             |          AS mask
+             |      FROM d, d0 WHERE day - d0 < 28 GROUP BY user_id)
+             |SELECT CAST(bit_count(mask) AS BIGINT) AS n_active,
+             |  CAST(count(*) AS BIGINT) AS n_users,
+             |  CAST(sum(CASE WHEN mask & 1 = 1 THEN 1 ELSE 0 END) AS BIGINT)
+             |    AS with_day0
+             |FROM m GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // ---- Distribution drift report (the PSI mechanics in integers):
+    // events split into early/late halves at the midpoint day, cents
+    // histogrammed into fixed 50.00-unit bins, per-bin shares in ppm and
+    // a drift flag at |Δshare| > 10000 ppm. The two halves' bin counts
+    // are independent partial-aggregated scans; shares are integer
+    // cross-divisions, so the report replays exactly — the deploy-gate
+    // check a feature pipeline runs between training and serving
+    // snapshots. ----
+    Q("q188_drift_report",
+      (s, dir) => {
+        val ev = t(s, dir, "events")
+          .select(expr("CAST(ts AS LONG) DIV 86400").as("day"),
+            round(col("value") * 100).cast("long").as("c"))
+        val mid = ev.agg(expr("(min(day) + max(day) + 1) DIV 2").as("mid"))
+        val binned = ev.crossJoin(broadcast(mid))
+          .select(expr("c DIV 5000").as("bin"),
+            when(col("day") < col("mid"), 1L).otherwise(0L).as("is_a"))
+        val agg = binned.groupBy(col("bin"))
+          .agg(sum(col("is_a")).as("n_a"),
+            sum(lit(1L) - col("is_a")).as("n_b"))
+        val tots = agg.agg(sum(col("n_a")).as("ta"), sum(col("n_b")).as("tb"))
+        agg.crossJoin(broadcast(tots))
+          .select(col("bin"), col("n_a"), col("n_b"),
+            expr("n_a * 1000000 DIV ta").as("share_a_ppm"),
+            expr("n_b * 1000000 DIV tb").as("share_b_ppm"))
+          .withColumn("drift",
+            abs(col("share_a_ppm") - col("share_b_ppm")) > 10000L)
+          .orderBy(col("bin"))
+      },
+      Some("""WITH e AS (SELECT CAST(epoch(ts) AS BIGINT) // 86400 AS day,
+             |        CAST(round(value * 100) AS BIGINT) AS c
+             |      FROM events),
+             |md AS (SELECT (min(day) + max(day) + 1) // 2 AS mid FROM e),
+             |b AS (SELECT c // 5000 AS bin,
+             |        CASE WHEN day < mid THEN 1 ELSE 0 END AS is_a
+             |      FROM e, md),
+             |a AS (SELECT bin, CAST(sum(is_a) AS BIGINT) AS n_a,
+             |        CAST(sum(1 - is_a) AS BIGINT) AS n_b
+             |      FROM b GROUP BY 1),
+             |t AS (SELECT CAST(sum(n_a) AS BIGINT) AS ta,
+             |        CAST(sum(n_b) AS BIGINT) AS tb FROM a)
+             |SELECT bin, n_a, n_b,
+             |  n_a * 1000000 // ta AS share_a_ppm,
+             |  n_b * 1000000 // tb AS share_b_ppm,
+             |  abs(n_a * 1000000 // ta - n_b * 1000000 // tb) > 10000
+             |    AS drift
+             |FROM a, t ORDER BY bin""".stripMargin))
   )
 }
