@@ -1137,7 +1137,40 @@ object TextQueries {
              |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_matches,
              |  CAST(min(pos) AS BIGINT) AS first_pos
              |FROM l WHERE term = 'customer' AND t1 = 'join'
-             |GROUP BY doc_id ORDER BY doc_id""".stripMargin))
+             |GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
+
+    // ---- Sketch-screened EXACT heavy hitters: the two-phase pattern
+    // that makes exact thresholds affordable at 100 TB — a Count-Min
+    // screen first (est >= T has NO false negatives, since est >= true
+    // by construction), then the exact count runs ONLY over the
+    // candidate tokens (broadcast semi-join prunes the stream before the
+    // counting shuffle). The output EQUALS the plain exact threshold —
+    // that transparency IS the no-false-negative guarantee made
+    // testable, so the oracle is the direct exact query with no sketch
+    // in sight. ----
+    Q("q189_heavy_hitters",
+      (s, dir) => {
+        import graft.operators.Sketches
+        val docs = t(s, dir, "documents")
+        val sketch = Sketches.countMin(docs, "text")
+        val toks = docs
+          .select(explode(TextFns.tokens(lower(col("text")))).as("t"))
+        val cand = Sketches.estimate(sketch, toks.distinct(), "t")
+          .filter(col("est") >= 300)
+          .select(col("term"))
+        toks.join(broadcast(cand), toks("t") === cand("term"), "left_semi")
+          .groupBy(col("t").as("term")).agg(count(lit(1)).as("n"))
+          .filter(col("n") >= 300)
+          .orderBy(col("n").desc, col("term"))
+      },
+      Some("""WITH tk AS (SELECT unnest(CASE WHEN length(trim(text)) = 0
+             |          THEN CAST([] AS VARCHAR[])
+             |          ELSE string_split_regex(lower(trim(text)), '\s+') END)
+             |          AS t
+             |      FROM documents)
+             |SELECT t AS term, CAST(count(*) AS BIGINT) AS n
+             |FROM tk GROUP BY 1 HAVING count(*) >= 300
+             |ORDER BY n DESC, term""".stripMargin))
   )
 
   private def q125OracleGen(s: SparkSession, dir: String): String = {
