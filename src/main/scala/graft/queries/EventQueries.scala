@@ -910,6 +910,40 @@ object EventQueries {
              |  n_b * 1000000 // tb AS share_b_ppm,
              |  abs(n_a * 1000000 // ta - n_b * 1000000 // tb) > 10000
              |    AS drift
-             |FROM a, t ORDER BY bin""".stripMargin))
+             |FROM a, t ORDER BY bin""".stripMargin)),
+
+    // ---- Incremental rollup maintenance (materialized-view delta
+    // merge): the daily (event_type, day) rollup updated by aggregating
+    // ONLY the newest day and merging algebraically (counts and sums
+    // fold by +) — history is never rescanned. The query materializes
+    // base (days < max) and delta (the max day) separately, merges, and
+    // the oracle is the direct full rollup the merge must equal: the
+    // equality IS the incremental-maintenance law. At 100 TB this is the
+    // difference between an hourly refresh touching one hour and one
+    // touching three years. ----
+    Q("q190_incremental_rollup",
+      (s, dir) => {
+        val ev = t(s, dir, "events")
+          .select(col("event_type"), expr("CAST(ts AS LONG) DIV 86400").as("day"),
+            round(col("value") * 100).cast("long").as("c"))
+        val mx = ev.agg(max(col("day")).as("mx"))
+        val tagged = ev.crossJoin(broadcast(mx))
+        def rollup(df: org.apache.spark.sql.DataFrame) =
+          df.groupBy(col("event_type"), col("day"))
+            .agg(count(lit(1)).as("n"), sum(col("c")).as("sum_c"))
+        val base = rollup(tagged.filter(col("day") < col("mx")))
+        val delta = rollup(tagged.filter(col("day") === col("mx")))
+        base.unionByName(delta)
+          .groupBy(col("event_type"), col("day"))
+          .agg(sum(col("n")).as("n"), sum(col("sum_c")).as("sum_c"))
+          .orderBy(col("event_type"), col("day"))
+      },
+      Some("""WITH e AS (SELECT event_type,
+             |        CAST(epoch(ts) AS BIGINT) // 86400 AS day,
+             |        CAST(round(value * 100) AS BIGINT) AS c
+             |      FROM events)
+             |SELECT event_type, day, CAST(count(*) AS BIGINT) AS n,
+             |  CAST(sum(c) AS BIGINT) AS sum_c
+             |FROM e GROUP BY 1, 2 ORDER BY event_type, day""".stripMargin))
   )
 }
