@@ -944,6 +944,91 @@ object EventQueries {
              |      FROM events)
              |SELECT event_type, day, CAST(count(*) AS BIGINT) AS n,
              |  CAST(sum(c) AS BIGINT) AS sum_c
-             |FROM e GROUP BY 1, 2 ORDER BY event_type, day""".stripMargin))
+             |FROM e GROUP BY 1, 2 ORDER BY event_type, day""".stripMargin)),
+
+    // ---- Longest activity streaks (gaps-and-islands at day grain):
+    // each user's maximum run of consecutive active days via the
+    // day − row_number anchor trick — one distinct, one user-partitioned
+    // window, two partial-aggregated groupBys; summarized as the streak
+    // distribution. The engagement metric every activation dashboard
+    // starts with, entirely in integers. ----
+    Q("q191_activity_streaks",
+      (s, dir) => {
+        val w = Window.partitionBy(col("user_id")).orderBy(col("day"))
+        val days = t(s, dir, "events")
+          .select(col("user_id"), expr("CAST(ts AS LONG) DIV 86400").as("day"))
+          .distinct()
+        val streaks = days
+          .withColumn("anchor", col("day") - row_number().over(w))
+          .groupBy(col("user_id"), col("anchor"))
+          .agg(count(lit(1)).as("len"))
+          .groupBy(col("user_id"))
+          .agg(max(col("len")).as("max_streak"))
+        streaks.groupBy(col("max_streak"))
+          .agg(count(lit(1)).as("n_users"))
+          .orderBy(col("max_streak"))
+      },
+      Some("""WITH d AS (SELECT DISTINCT user_id,
+             |        CAST(epoch(ts) AS BIGINT) // 86400 AS day
+             |      FROM events),
+             |a AS (SELECT user_id, day,
+             |        day - row_number() OVER (PARTITION BY user_id
+             |          ORDER BY day) AS anchor
+             |      FROM d),
+             |s AS (SELECT user_id, CAST(count(*) AS BIGINT) AS len
+             |      FROM a GROUP BY user_id, anchor),
+             |m AS (SELECT user_id, max(len) AS max_streak FROM s
+             |      GROUP BY user_id)
+             |SELECT max_streak, CAST(count(*) AS BIGINT) AS n_users
+             |FROM m GROUP BY 1 ORDER BY max_streak""".stripMargin)),
+
+    // ---- Time-weighted average (TWAP) per (hour, event_type): each
+    // observation weighted by its holding time — dt = seconds until the
+    // next same-type event, the last observation extending to the hour
+    // end (lead over a type-partitioned window with the hour boundary as
+    // the default). Emitted as the exact integer rational (Σc·dt, Σdt)
+    // plus a 4-dp ride-along — the q164 candles' integral-valued sibling,
+    // and the correct average when sampling is irregular. ----
+    Q("q192_twap",
+      (s, dir) => {
+        val w = Window.partitionBy(col("event_type"), col("h"))
+          .orderBy(col("ts"), col("event_id"))
+        val ev = t(s, dir, "events")
+          .select(col("event_type"), col("ts"), col("event_id"),
+            date_trunc("hour", col("ts")).as("h"),
+            round(col("value") * 100).cast("long").as("c"))
+          .withColumn("t_us", expr("unix_micros(ts)"))
+          .withColumn("next_us", lead(col("t_us"), 1, null).over(w))
+          .withColumn("dt",
+            coalesce(col("next_us"),
+              expr("unix_micros(h)") + 3600000000L) - col("t_us"))
+        ev.groupBy(col("h"), col("event_type"))
+          .agg(sum(col("c") * col("dt")).as("twap_num"),
+            sum(col("dt")).as("twap_den"))
+          .withColumn("twap4",
+            when(col("twap_den") === 0L, lit(null).cast("double"))
+              .otherwise(round(col("twap_num").cast("double") /
+                col("twap_den").cast("double"), 4)))
+          .orderBy(col("h"), col("event_type"))
+      },
+      Some("""WITH e AS (SELECT event_type, ts, event_id,
+             |        CAST(date_trunc('hour', ts) AS TIMESTAMP) AS h,
+             |        CAST(round(value * 100) AS BIGINT) AS c,
+             |        epoch_us(ts) AS t_us
+             |      FROM events),
+             |l AS (SELECT *, lead(t_us) OVER (PARTITION BY event_type, h
+             |        ORDER BY ts, event_id) AS next_us
+             |      FROM e),
+             |d AS (SELECT h, event_type, c,
+             |        coalesce(next_us, epoch_us(h) + 3600000000) - t_us
+             |          AS dt
+             |      FROM l)
+             |SELECT h, event_type,
+             |  CAST(sum(c * dt) AS BIGINT) AS twap_num,
+             |  CAST(sum(dt) AS BIGINT) AS twap_den,
+             |  CASE WHEN sum(dt) = 0 THEN NULL
+             |    ELSE round(CAST(sum(c * dt) AS DOUBLE)
+             |      / CAST(sum(dt) AS DOUBLE), 4) END AS twap4
+             |FROM d GROUP BY 1, 2 ORDER BY h, event_type""".stripMargin))
   )
 }
