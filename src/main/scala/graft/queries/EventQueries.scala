@@ -1029,6 +1029,121 @@ object EventQueries {
              |  CASE WHEN sum(dt) = 0 THEN NULL
              |    ELSE round(CAST(sum(c * dt) AS DOUBLE)
              |      / CAST(sum(dt) AS DOUBLE), 4) END AS twap4
-             |FROM d GROUP BY 1, 2 ORDER BY h, event_type""".stripMargin))
+             |FROM d GROUP BY 1, 2 ORDER BY h, event_type""".stripMargin)),
+
+    // ---- Conversion-latency quantiles: how long from first view to the
+    // first subsequent purchase — the q113 funnel's conditional-min
+    // stages composed with the q170 counting selection (shuffle ∝
+    // distinct latencies, never a sort of users). Latency in integer
+    // seconds; exact p50/p90/p99 over converting users. ----
+    Q("q193_conversion_latency",
+      (s, dir) => {
+        val e = t(s, dir, "events")
+          .select(col("user_id"), col("event_type"), col("ts"))
+        val v = e.filter(col("event_type") === "view")
+          .groupBy(col("user_id")).agg(min(col("ts")).as("t_view"))
+        val p = e.join(v, "user_id")
+          .filter(col("event_type") === "purchase" && col("ts") > col("t_view"))
+          .groupBy(col("user_id")).agg(min(col("ts")).as("t_purchase"),
+            min(col("t_view")).as("t_view2"))
+        val lat = p.select((expr("unix_micros(t_purchase)") -
+          expr("unix_micros(t_view2)")).as("lat_us"))
+          .select(expr("lat_us DIV 1000000").as("lat_s"))
+        graft.operators.Selection.exactQuantiles(lat, "lat_s", Seq(50, 90, 99))
+          .orderBy(col("pct"))
+      },
+      Some("""WITH v AS (SELECT user_id, min(ts) AS t_view FROM events
+             |      WHERE event_type = 'view' GROUP BY 1),
+             |p AS (SELECT e.user_id, min(epoch_us(e.ts)) AS t_p,
+             |        min(epoch_us(v.t_view)) AS t_v
+             |      FROM events e JOIN v ON e.user_id = v.user_id
+             |      WHERE e.event_type = 'purchase' AND e.ts > v.t_view
+             |      GROUP BY 1),
+             |lt AS (SELECT (t_p - t_v) // 1000000 AS lat_s FROM p),
+             |c AS (SELECT lat_s AS v, count(*) AS n FROM lt GROUP BY 1),
+             |s AS (SELECT v, CAST(sum(n) OVER (ORDER BY v) AS BIGINT) AS cum
+             |      FROM c),
+             |tt AS (SELECT CAST(sum(n) AS BIGINT) AS tot FROM c),
+             |q(pct) AS (VALUES (50), (90), (99)),
+             |tg AS (SELECT pct, (tot * pct + 99) // 100 AS target FROM q, tt)
+             |SELECT CAST(tg.pct AS INT) AS pct, min(s.v) AS value,
+             |  CAST(tg.target AS BIGINT) AS target_rank
+             |FROM tg JOIN s ON s.cum >= tg.target
+             |GROUP BY tg.pct, tg.target ORDER BY pct""".stripMargin)),
+
+    // ---- RFM segmentation: per user recency (days since last activity),
+    // frequency (events), monetary (purchase cents) — each cut into
+    // quartiles by equiFreqBins, composed into the classic three-digit
+    // RFM code (recency quartile INVERTED so 4 = most recent = best).
+    // Output: users per segment. The whole pipeline is integer
+    // aggregates + three broadcast bound-joins; the marketing
+    // segmentation every activation stack runs, reproducible to the
+    // row. ----
+    Q("q194_rfm",
+      (s, dir) => {
+        val ev = t(s, dir, "events")
+          .select(col("user_id"), expr("CAST(ts AS LONG) DIV 86400").as("day"),
+            col("event_type"), round(col("value") * 100).cast("long").as("c"))
+        val mx = ev.agg(max(col("day")).as("mx"))
+        val per = ev.crossJoin(broadcast(mx))
+          .groupBy(col("user_id"))
+          .agg(min(col("mx") - col("day")).as("recency"),
+            count(lit(1)).as("frequency"),
+            coalesce(sum(when(col("event_type") === "purchase", col("c"))),
+              lit(0L)).as("monetary"))
+          .withColumn("g", lit("all"))
+        import graft.operators.Selection.equiFreqBins
+        val r = equiFreqBins(per, "g", "recency", 4)
+          .withColumnRenamed("bucket", "rb")
+        val f = equiFreqBins(r, "g", "frequency", 4)
+          .withColumnRenamed("bucket", "fb")
+        val m = equiFreqBins(f, "g", "monetary", 4)
+          .withColumnRenamed("bucket", "mb")
+        m.select(col("user_id"),
+          ((lit(5) - col("rb")) * 100 + col("fb") * 10 + col("mb"))
+            .as("segment"))
+          .groupBy(col("segment"))
+          .agg(count(lit(1)).as("n_users"))
+          .orderBy(col("segment"))
+      },
+      Some {
+        def quartiles(metric: String, pfx: String) =
+          s"""${pfx}g AS (SELECT $metric AS v, count(*) AS n FROM per
+             |        GROUP BY 1),
+             |${pfx}w AS (SELECT v, CAST(sum(n) OVER (ORDER BY v) AS BIGINT)
+             |          AS cum,
+             |        CAST((SELECT sum(n) FROM ${pfx}g) AS BIGINT) AS tot
+             |      FROM ${pfx}g),
+             |${pfx}b AS (SELECT
+             |        min(CASE WHEN cum >= (tot * 1 + 3) // 4 THEN v END) AS b1,
+             |        min(CASE WHEN cum >= (tot * 2 + 3) // 4 THEN v END) AS b2,
+             |        min(CASE WHEN cum >= (tot * 3 + 3) // 4 THEN v END) AS b3
+             |      FROM ${pfx}w)""".stripMargin
+        def bucket(metric: String, pfx: String) =
+          s"1 + (CASE WHEN per.$metric > $pfx" + "b.b1 THEN 1 ELSE 0 END)" +
+            s" + (CASE WHEN per.$metric > $pfx" + "b.b2 THEN 1 ELSE 0 END)" +
+            s" + (CASE WHEN per.$metric > $pfx" + "b.b3 THEN 1 ELSE 0 END)"
+        s"""WITH e AS (SELECT user_id,
+           |        CAST(epoch(ts) AS BIGINT) // 86400 AS day, event_type,
+           |        CAST(round(value * 100) AS BIGINT) AS c
+           |      FROM events),
+           |mx AS (SELECT max(day) AS mx FROM e),
+           |per AS (SELECT user_id, min(mx - day) AS recency,
+           |          CAST(count(*) AS BIGINT) AS frequency,
+           |          CAST(coalesce(sum(CASE WHEN event_type = 'purchase'
+           |            THEN c END), 0) AS BIGINT) AS monetary
+           |        FROM e, mx GROUP BY user_id),
+           |${quartiles("recency", "r")},
+           |${quartiles("frequency", "f")},
+           |${quartiles("monetary", "m")},
+           |seg AS (SELECT per.user_id,
+           |          ${bucket("recency", "r")} AS rb,
+           |          ${bucket("frequency", "f")} AS fb,
+           |          ${bucket("monetary", "m")} AS mb
+           |        FROM per, rb, fb, mb)
+           |SELECT (5 - rb) * 100 + fb * 10 + mb AS segment,
+           |  CAST(count(*) AS BIGINT) AS n_users
+           |FROM seg GROUP BY 1 ORDER BY 1""".stripMargin
+      })
   )
 }
