@@ -600,6 +600,48 @@ object QualityQueries {
              |FROM r GROUP BY h, event_type
              |ORDER BY h, event_type""".stripMargin)),
 
+    // ---- STREAMING anomaly detection (StreamingAnomaly): the q169
+    // trailing-window detector as a transformWithState processor — state
+    // is the last ≤10 cents per user in RocksDB (the batch frame's
+    // O(window) bound made explicit), each event judged before it is
+    // pushed, identical integer contract. Drained stream EQUALS the
+    // batch query: the oracle is q169's SQL verbatim. ----
+    Q("q195_stream_anomaly",
+      (s, dir) => {
+        val prev = s.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+        s.conf.set("spark.sql.streaming.stateStore.providerClass",
+          "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+        try {
+          Streams.runAvailableNowMem(
+              graft.streaming.StreamingAnomaly
+                .detect(Streams.eventsStream(s, dir)).toDF(),
+              "q195")
+            .orderBy(col("user_id"), col("event_id"))
+        } finally {
+          prev match {
+            case Some(p) =>
+              s.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+            case None =>
+              s.conf.unset("spark.sql.streaming.stateStore.providerClass")
+          }
+        }
+      },
+      Some("""WITH e AS (SELECT user_id, event_id, ts,
+             |        CAST(round(value * 100) AS BIGINT) AS c
+             |      FROM events),
+             |w AS (SELECT user_id, event_id, c,
+             |        CAST(count(*) OVER win AS BIGINT) AS n_trail,
+             |        CAST(sum(c) OVER win AS BIGINT) AS s_trail
+             |      FROM e WINDOW win AS (PARTITION BY user_id
+             |        ORDER BY ts, event_id
+             |        ROWS BETWEEN 10 PRECEDING AND 1 PRECEDING))
+             |SELECT user_id, event_id, c, n_trail, s_trail,
+             |  CAST(abs(c * n_trail - s_trail) * 10000 // s_trail
+             |    AS BIGINT) AS dev_bp
+             |FROM w WHERE n_trail >= 5
+             |  AND abs(c * n_trail - s_trail) * 10000 // s_trail > 20000
+             |ORDER BY user_id, event_id""".stripMargin)),
+
     // ---- STREAMING exact quantiles (Selection.streamingValueCounts):
     // per-microbatch value-count shards via the _SUCCESS discipline; the
     // count table is the exact-world analog of a sketch — shards fold by
