@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -1321,7 +1322,106 @@ object MiscQueries {
              |SELECT f.ga, f.gb, ex.exact_n, f.est_intersect,
              |  abs(f.est_intersect - ex.exact_n) AS abs_err
              |FROM fin f JOIN ex USING (ga, gb)
-             |ORDER BY f.ga, f.gb""".stripMargin))
+             |ORDER BY f.ga, f.gb""".stripMargin)),
+
+    // ---- Hierarchical contribution shares (percent-of-parent): supplier
+    // revenue rolled to nation and region, each nation's ppm share of its
+    // region and each region's ppm share of the total — broadcast dim
+    // joins (PlanSpec's q02 discipline), one fact shuffle, shares by
+    // integer cross-division over region-partitioned (dimension-sized)
+    // windows. The drill-down header of every BI report. ----
+    Q("q196_hierarchy_share",
+      (s, dir) => {
+        val rev = t(s, dir, "lineitem")
+          .join(broadcast(t(s, dir, "supplier")
+            .select(col("s_suppkey"), col("s_nationkey"))),
+            col("l_suppkey") === col("s_suppkey"))
+          .join(broadcast(t(s, dir, "nation")
+            .select(col("n_nationkey"), col("n_name"), col("n_regionkey"))),
+            col("s_nationkey") === col("n_nationkey"))
+          .join(broadcast(t(s, dir, "region")
+            .select(col("r_regionkey"), col("r_name"))),
+            col("n_regionkey") === col("r_regionkey"))
+          .groupBy(col("r_name"), col("n_name"))
+          .agg(sum(round(col("l_extendedprice") * 100).cast("long")).as("rev"))
+        val wr = Window.partitionBy(col("r_name"))
+        val wa = Window.partitionBy()
+        rev
+          .withColumn("region_rev", sum(col("rev")).over(wr))
+          .withColumn("total_rev", sum(col("rev")).over(wa))
+          .select(col("r_name"), col("n_name"), col("rev"),
+            expr("rev * 1000000 DIV region_rev").as("share_of_region_ppm"),
+            expr("region_rev * 1000000 DIV total_rev").as("region_share_ppm"))
+          .orderBy(col("r_name"), col("n_name"))
+      },
+      Some("""WITH rev AS (SELECT r_name, n_name,
+             |        CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+             |          AS BIGINT) AS rev
+             |      FROM lineitem
+             |      JOIN supplier ON l_suppkey = s_suppkey
+             |      JOIN nation ON s_nationkey = n_nationkey
+             |      JOIN region ON n_regionkey = r_regionkey
+             |      GROUP BY 1, 2),
+             |w AS (SELECT r_name, n_name, rev,
+             |        CAST(sum(rev) OVER (PARTITION BY r_name) AS BIGINT)
+             |          AS region_rev,
+             |        CAST(sum(rev) OVER () AS BIGINT) AS total_rev
+             |      FROM rev)
+             |SELECT r_name, n_name, rev,
+             |  rev * 1000000 // region_rev AS share_of_region_ppm,
+             |  region_rev * 1000000 // total_rev AS region_share_ppm
+             |FROM w ORDER BY r_name, n_name""".stripMargin)),
+
+    // ---- Week-over-week top movers: weekly supplier-nation revenue,
+    // integer cent deltas vs the previous week (lag over a
+    // nation-partitioned window), ranked by absolute delta within each
+    // week — the "what changed" report. Weeks are epoch-day DIV 7 so the
+    // bucket is engine-neutral; first weeks (no prior) are excluded
+    // explicitly rather than null-faked. ----
+    Q("q197_top_movers",
+      (s, dir) => {
+        val weekly = t(s, dir, "lineitem")
+          .join(broadcast(t(s, dir, "supplier")
+            .select(col("s_suppkey"), col("s_nationkey"))),
+            col("l_suppkey") === col("s_suppkey"))
+          .join(broadcast(t(s, dir, "nation")
+            .select(col("n_nationkey"), col("n_name"))),
+            col("s_nationkey") === col("n_nationkey"))
+          .groupBy(col("n_name"),
+            expr("CAST(l_shipdate AS LONG) DIV 604800").as("wk"))
+          .agg(sum(round(col("l_extendedprice") * 100).cast("long")).as("rev"))
+        val wn = Window.partitionBy(col("n_name")).orderBy(col("wk"))
+        val wrank = Window.partitionBy(col("wk"))
+          .orderBy(abs(col("delta")).desc, col("n_name"))
+        weekly
+          .withColumn("prev", lag(col("rev"), 1).over(wn))
+          .filter(col("prev").isNotNull)
+          .withColumn("delta", col("rev") - col("prev"))
+          .withColumn("mover_rank", row_number().over(wrank).cast("long"))
+          .filter(col("mover_rank") <= 3)
+          .select(col("wk"), col("mover_rank"), col("n_name"), col("rev"),
+            col("prev"), col("delta"))
+          .orderBy(col("wk"), col("mover_rank"))
+      },
+      Some("""WITH weekly AS (SELECT n_name,
+             |        CAST(epoch(l_shipdate) AS BIGINT) // 604800 AS wk,
+             |        CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+             |          AS BIGINT) AS rev
+             |      FROM lineitem
+             |      JOIN supplier ON l_suppkey = s_suppkey
+             |      JOIN nation ON s_nationkey = n_nationkey
+             |      GROUP BY 1, 2),
+             |d AS (SELECT n_name, wk, rev,
+             |        lag(rev) OVER (PARTITION BY n_name ORDER BY wk) AS prev
+             |      FROM weekly),
+             |r AS (SELECT wk, n_name, rev, prev, rev - prev AS delta,
+             |        CAST(row_number() OVER (PARTITION BY wk
+             |          ORDER BY abs(rev - prev) DESC, n_name) AS BIGINT)
+             |          AS mover_rank
+             |      FROM d WHERE prev IS NOT NULL)
+             |SELECT wk, mover_rank, n_name, rev, prev, delta
+             |FROM r WHERE mover_rank <= 3
+             |ORDER BY wk, mover_rank""".stripMargin))
   )
 
   /** q156 oracle: 12 statically-unrolled peel rounds — each round keeps
