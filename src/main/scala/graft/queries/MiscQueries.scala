@@ -1421,7 +1421,90 @@ object MiscQueries {
              |      FROM d WHERE prev IS NOT NULL)
              |SELECT wk, mover_rank, n_name, rev, prev, delta
              |FROM r WHERE mover_rank <= 3
-             |ORDER BY wk, mover_rank""".stripMargin))
+             |ORDER BY wk, mover_rank""".stripMargin)),
+
+    // ---- Order-insensitive table checksum: each row serialized
+    // canonically ('|'-joined exact-typed columns), hashed to a 48-bit
+    // md5 integer, and SUMMED — addition commutes, so the fingerprint is
+    // independent of partitioning, ordering, and engine, and two
+    // replicas compare by exchanging 16 bytes instead of rows. The
+    // cheap pre-check before a q175 diff: equal checksums ⇒ skip the
+    // full-outer join (with 2⁻⁴⁸-scale collision odds per differing
+    // row); split by o_orderstatus so a mismatch localizes. ----
+    Q("q198_table_checksum",
+      (s, dir) => {
+        val rows = t(s, dir, "orders").select(col("o_orderstatus"),
+          conv(substring(md5(concat_ws("|", lit("ck"), col("o_orderkey"),
+            col("o_custkey"), col("o_orderpriority")).cast("binary")),
+            1, 12), 16, 10).cast("long").as("rh"))
+        rows.groupBy(col("o_orderstatus"))
+          .agg(count(lit(1)).as("n"), sum(col("rh")).as("checksum"))
+          .orderBy(col("o_orderstatus"))
+      },
+      Some("""WITH r AS (SELECT o_orderstatus,
+             |        CAST(concat('0x', substr(md5(concat_ws('|', 'ck',
+             |          o_orderkey, o_custkey, o_orderpriority)), 1, 12))
+             |          AS BIGINT) AS rh
+             |      FROM orders)
+             |SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n,
+             |  CAST(sum(rh) AS BIGINT) AS checksum
+             |FROM r GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // ---- Contingency deviation from independence (the chi-square
+    // screen WITHOUT the division): for each (event_type, value-quartile)
+    // cell, dev = o·N − r·c in exact integers — zero iff the cell
+    // matches the independence expectation, sign shows direction, and
+    // ranking |dev| finds the association structure a chi-square test
+    // would flag, with no float in the contract. Quartiles from the
+    // single-group equiFreqBins bounds. ----
+    Q("q199_contingency",
+      (s, dir) => {
+        val ev = t(s, dir, "events")
+          .select(col("event_type"),
+            round(col("value") * 100).cast("long").as("c"))
+          .withColumn("g", lit("all"))
+        val binned = graft.operators.Selection.equiFreqBins(ev, "g", "c", 4)
+        val cells = binned.groupBy(col("event_type"), col("bucket"))
+          .agg(count(lit(1)).as("o"))
+        val rowTot = Window.partitionBy(col("event_type"))
+        val colTot = Window.partitionBy(col("bucket"))
+        val all = Window.partitionBy()
+        cells
+          .withColumn("r", sum(col("o")).over(rowTot))
+          .withColumn("cc", sum(col("o")).over(colTot))
+          .withColumn("nn", sum(col("o")).over(all))
+          .select(col("event_type"), col("bucket"), col("o"),
+            (col("o") * col("nn") - col("r") * col("cc")).as("dev"))
+          .orderBy(col("event_type"), col("bucket"))
+      },
+      Some("""WITH e AS (SELECT event_type,
+             |        CAST(round(value * 100) AS BIGINT) AS c
+             |      FROM events),
+             |g AS (SELECT c AS v, count(*) AS n FROM e GROUP BY 1),
+             |w AS (SELECT v, CAST(sum(n) OVER (ORDER BY v) AS BIGINT) AS cum,
+             |        CAST((SELECT sum(n) FROM g) AS BIGINT) AS tot
+             |      FROM g),
+             |b AS (SELECT
+             |        min(CASE WHEN cum >= (tot * 1 + 3) // 4 THEN v END) AS b1,
+             |        min(CASE WHEN cum >= (tot * 2 + 3) // 4 THEN v END) AS b2,
+             |        min(CASE WHEN cum >= (tot * 3 + 3) // 4 THEN v END) AS b3
+             |      FROM w),
+             |x AS (SELECT event_type,
+             |        1 + (CASE WHEN c > b1 THEN 1 ELSE 0 END)
+             |          + (CASE WHEN c > b2 THEN 1 ELSE 0 END)
+             |          + (CASE WHEN c > b3 THEN 1 ELSE 0 END) AS bucket
+             |      FROM e, b),
+             |cells AS (SELECT event_type, bucket,
+             |            CAST(count(*) AS BIGINT) AS o
+             |          FROM x GROUP BY 1, 2),
+             |t AS (SELECT event_type, bucket, o,
+             |        CAST(sum(o) OVER (PARTITION BY event_type) AS BIGINT)
+             |          AS r,
+             |        CAST(sum(o) OVER (PARTITION BY bucket) AS BIGINT) AS cc,
+             |        CAST(sum(o) OVER () AS BIGINT) AS nn
+             |      FROM cells)
+             |SELECT event_type, bucket, o, o * nn - r * cc AS dev
+             |FROM t ORDER BY event_type, bucket""".stripMargin))
   )
 
   /** q156 oracle: 12 statically-unrolled peel rounds — each round keeps
