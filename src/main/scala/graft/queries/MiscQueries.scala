@@ -1504,7 +1504,93 @@ object MiscQueries {
              |        CAST(sum(o) OVER () AS BIGINT) AS nn
              |      FROM cells)
              |SELECT event_type, bucket, o, o * nn - r * cc AS dev
-             |FROM t ORDER BY event_type, bucket""".stripMargin))
+             |FROM t ORDER BY event_type, bucket""".stripMargin)),
+
+    // ---- Benford first-digit screening (the audit/fraud first-pass):
+    // leading-digit shares of price cents vs Benford's log10(1 + 1/d)
+    // expectation, both in ppm — the expectation inlined as nine integer
+    // literals, so the whole test (shares, expected, deviation) is exact
+    // integer arithmetic. One narrow digit-extraction scan + a
+    // nine-row aggregate. ----
+    Q("q200_benford",
+      (s, dir) => {
+        val benford = Seq(301030L, 176091L, 124939L, 96910L, 79181L,
+          66947L, 57992L, 51153L, 45757L)
+        val bmap = map((1 to 9).flatMap(d =>
+          Seq(lit(d.toString), lit(benford(d - 1)))): _*)
+        val digits = t(s, dir, "lineitem")
+          .select(substring(round(col("l_extendedprice") * 100)
+            .cast("long").cast("string"), 1, 1).as("digit"))
+        val tot = digits.agg(count(lit(1)).as("tot"))
+        digits.groupBy(col("digit")).agg(count(lit(1)).as("n"))
+          .crossJoin(broadcast(tot))
+          .select(col("digit"), col("n"),
+            expr("n * 1000000 DIV tot").as("share_ppm"),
+            bmap(col("digit")).as("benford_ppm"))
+          .withColumn("dev_ppm", col("share_ppm") - col("benford_ppm"))
+          .orderBy(col("digit"))
+      },
+      Some("""WITH d AS (SELECT substr(CAST(CAST(round(l_extendedprice * 100)
+             |          AS BIGINT) AS VARCHAR), 1, 1) AS digit
+             |      FROM lineitem),
+             |c AS (SELECT digit, CAST(count(*) AS BIGINT) AS n
+             |      FROM d GROUP BY 1),
+             |t AS (SELECT CAST(sum(n) AS BIGINT) AS tot FROM c),
+             |b(digit, benford_ppm) AS (VALUES ('1', CAST(301030 AS BIGINT)),
+             |  ('2', 176091), ('3', 124939), ('4', 96910), ('5', 79181),
+             |  ('6', 66947), ('7', 57992), ('8', 51153), ('9', 45757))
+             |SELECT c.digit, c.n, c.n * 1000000 // t.tot AS share_ppm,
+             |  b.benford_ppm,
+             |  c.n * 1000000 // t.tot - b.benford_ppm AS dev_ppm
+             |FROM c JOIN b USING (digit), t ORDER BY c.digit""".stripMargin)),
+
+    // ---- Peak concurrency (interval sweep): events as 30-minute
+    // half-open activity intervals; +1/−1 boundary explode, a running
+    // sum over a TYPE-partitioned ordered window (ends sort before
+    // starts at the same instant, the half-open rule), peak = max
+    // running level, with the first time it is reached. Partitioned by
+    // type the sweep distributes across types; one colossal type would
+    // ride the Scan two-phase pattern instead (the q165/q179
+    // discipline). The ops question "how many sessions were live at
+    // worst" answered exactly. ----
+    Q("q201_peak_concurrency",
+      (s, dir) => {
+        val iv = t(s, dir, "events")
+          .select(col("event_type"), expr("unix_micros(ts)").as("t0"))
+          .withColumn("t1", col("t0") + 1800000000L)
+        val bounds = iv.select(col("event_type"), col("t0").as("t"),
+            lit(1L).as("delta"))
+          .unionByName(iv.select(col("event_type"), col("t1").as("t"),
+            lit(-1L).as("delta")))
+        val w = Window.partitionBy(col("event_type"))
+          .orderBy(col("t"), col("delta"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val swept = bounds.withColumn("level", sum(col("delta")).over(w))
+        val peak = swept.groupBy(col("event_type"))
+          .agg(max(col("level")).as("peak"))
+        swept.join(broadcast(peak), Seq("event_type"))
+          .filter(col("level") === col("peak"))
+          .groupBy(col("event_type"), col("peak"))
+          .agg(min(col("t")).as("first_peak_us"))
+          .orderBy(col("event_type"))
+      },
+      Some("""WITH iv AS (SELECT event_type, epoch_us(ts) AS t0,
+             |        epoch_us(ts) + 1800000000 AS t1
+             |      FROM events),
+             |b AS (SELECT event_type, t0 AS t, CAST(1 AS BIGINT) AS delta
+             |        FROM iv
+             |      UNION ALL
+             |      SELECT event_type, t1, -1 FROM iv),
+             |s AS (SELECT event_type, t, delta,
+             |        CAST(sum(delta) OVER (PARTITION BY event_type
+             |          ORDER BY t, delta
+             |          ROWS UNBOUNDED PRECEDING) AS BIGINT) AS level
+             |      FROM b),
+             |p AS (SELECT event_type, max(level) AS peak FROM s GROUP BY 1)
+             |SELECT s.event_type, p.peak, min(s.t) AS first_peak_us
+             |FROM s JOIN p ON s.event_type = p.event_type
+             |  AND s.level = p.peak
+             |GROUP BY 1, 2 ORDER BY s.event_type""".stripMargin))
   )
 
   /** q156 oracle: 12 statically-unrolled peel rounds — each round keeps
