@@ -1144,6 +1144,60 @@ object EventQueries {
            |SELECT (5 - rb) * 100 + fb * 10 + mb AS segment,
            |  CAST(count(*) AS BIGINT) AS n_users
            |FROM seg GROUP BY 1 ORDER BY 1""".stripMargin
-      })
+      }),
+
+    // ---- Time-bounded funnel: view → click within 1 h → purchase
+    // within 24 h — the q113 ordered funnel with per-step deadlines,
+    // which is what real conversion attribution means (a purchase a week
+    // later is not this funnel's conversion). Same conditional-min
+    // shape, windows enforced in exact microseconds; step counts and
+    // ppm conversion rates in one summary row. ----
+    Q("q202_windowed_funnel",
+      (s, dir) => {
+        val e = t(s, dir, "events")
+          .select(col("user_id"), col("event_type"),
+            expr("unix_micros(ts)").as("tu"))
+        val v = e.filter(col("event_type") === "view")
+          .groupBy(col("user_id")).agg(min(col("tu")).as("t_view"))
+        val c = e.join(v, "user_id")
+          .filter(col("event_type") === "click" &&
+            col("tu") > col("t_view") &&
+            col("tu") <= col("t_view") + 3600000000L)
+          .groupBy(col("user_id")).agg(min(col("tu")).as("t_click"))
+        val p = e.join(c, "user_id")
+          .filter(col("event_type") === "purchase" &&
+            col("tu") > col("t_click") &&
+            col("tu") <= col("t_click") + 86400000000L)
+          .groupBy(col("user_id")).agg(min(col("tu")).as("t_purchase"))
+        val nv = v.agg(count(lit(1)).as("n_view"))
+        val nc = c.agg(count(lit(1)).as("n_click"))
+        val np = p.agg(count(lit(1)).as("n_purchase"))
+        nv.crossJoin(nc).crossJoin(np)
+          .select(col("n_view"), col("n_click"), col("n_purchase"),
+            expr("n_click * 1000000 DIV n_view").as("view_to_click_ppm"),
+            expr("n_purchase * 1000000 DIV n_click").as("click_to_buy_ppm"))
+      },
+      Some("""WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS tu
+             |      FROM events),
+             |v AS (SELECT user_id, min(tu) AS t_view FROM e
+             |      WHERE event_type = 'view' GROUP BY 1),
+             |c AS (SELECT e.user_id, min(e.tu) AS t_click
+             |      FROM e JOIN v ON e.user_id = v.user_id
+             |      WHERE e.event_type = 'click' AND e.tu > v.t_view
+             |        AND e.tu <= v.t_view + 3600000000
+             |      GROUP BY 1),
+             |p AS (SELECT e.user_id, min(e.tu) AS t_purchase
+             |      FROM e JOIN c ON e.user_id = c.user_id
+             |      WHERE e.event_type = 'purchase' AND e.tu > c.t_click
+             |        AND e.tu <= c.t_click + 86400000000
+             |      GROUP BY 1)
+             |SELECT (SELECT CAST(count(*) AS BIGINT) FROM v) AS n_view,
+             |  (SELECT CAST(count(*) AS BIGINT) FROM c) AS n_click,
+             |  (SELECT CAST(count(*) AS BIGINT) FROM p) AS n_purchase,
+             |  (SELECT count(*) FROM c) * 1000000
+             |    // (SELECT count(*) FROM v) AS view_to_click_ppm,
+             |  (SELECT count(*) FROM p) * 1000000
+             |    // (SELECT count(*) FROM c) AS click_to_buy_ppm"""
+        .stripMargin))
   )
 }

@@ -1590,7 +1590,51 @@ object MiscQueries {
              |SELECT s.event_type, p.peak, min(s.t) AS first_peak_us
              |FROM s JOIN p ON s.event_type = p.event_type
              |  AND s.level = p.peak
-             |GROUP BY 1, 2 ORDER BY s.event_type""".stripMargin))
+             |GROUP BY 1, 2 ORDER BY s.event_type""".stripMargin)),
+
+    // ---- Exact Gini coefficient of supplier revenue concentration, as
+    // the integer rational (2·Σi·xᵢ − (n+1)·Σx, n·Σx) over
+    // ascending-sorted revenues — the standard rank formula with the
+    // division deferred, so inequality measurement carries no float.
+    // Rank ties contribute identically under any permutation (equal x
+    // share a consecutive rank block), so the statistic is deterministic
+    // without a tiebreak; the rank window rides the supplier DIMENSION
+    // (fact table already aggregated away — for a fact-sized ranking use
+    // the Scan two-phase pattern, q179's discipline). ----
+    Q("q203_gini",
+      (s, dir) => {
+        val rev = t(s, dir, "lineitem")
+          .groupBy(col("l_suppkey"))
+          .agg(sum(round(col("l_extendedprice") * 100).cast("long")).as("x"))
+        val w = Window.orderBy(col("x"), col("l_suppkey"))
+        rev.withColumn("i", row_number().over(w).cast("long"))
+          .agg(count(lit(1)).as("n"), sum(col("x")).as("sum_cents"),
+            sum(col("i") * col("x")).as("wsum"))
+          .select(col("n"), col("sum_cents"),
+            (lit(2L) * col("wsum") - (col("n") + 1L) * col("sum_cents"))
+              .as("gini_num"),
+            (col("n") * col("sum_cents")).as("gini_den"))
+          .withColumn("gini6",
+            round(col("gini_num").cast("double") /
+              col("gini_den").cast("double"), 6))
+      },
+      Some("""WITH rev AS (SELECT l_suppkey,
+             |        CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+             |          AS BIGINT) AS x
+             |      FROM lineitem GROUP BY 1),
+             |r AS (SELECT x, CAST(row_number() OVER (ORDER BY x, l_suppkey)
+             |          AS BIGINT) AS i
+             |      FROM rev),
+             |a AS (SELECT CAST(count(*) AS BIGINT) AS n,
+             |        CAST(sum(x) AS BIGINT) AS sum_cents,
+             |        CAST(sum(i * x) AS BIGINT) AS wsum
+             |      FROM r)
+             |SELECT n, sum_cents,
+             |  2 * wsum - (n + 1) * sum_cents AS gini_num,
+             |  n * sum_cents AS gini_den,
+             |  round(CAST(2 * wsum - (n + 1) * sum_cents AS DOUBLE)
+             |    / CAST(n * sum_cents AS DOUBLE), 6) AS gini6
+             |FROM a""".stripMargin))
   )
 
   /** q156 oracle: 12 statically-unrolled peel rounds — each round keeps
