@@ -1198,6 +1198,90 @@ object EventQueries {
              |    // (SELECT count(*) FROM v) AS view_to_click_ppm,
              |  (SELECT count(*) FROM p) * 1000000
              |    // (SELECT count(*) FROM c) AS click_to_buy_ppm"""
-        .stripMargin))
+        .stripMargin)),
+
+    // ---- Cohort LTV curves: users grouped by first-activity week, each
+    // cohort's CUMULATIVE purchase cents by week age — the growth chart
+    // behind every retention deck. First-touch via per-user min, age
+    // arithmetic in epoch weeks, cumulative sum over a cohort-partitioned
+    // (cohort-count-bounded) window; per-user normalization as ppm of
+    // cohort size. All integer. ----
+    Q("q204_ltv_curve",
+      (s, dir) => {
+        val ev = t(s, dir, "events")
+          .select(col("user_id"), col("event_type"),
+            expr("CAST(ts AS LONG) DIV 604800").as("wk"),
+            round(col("value") * 100).cast("long").as("c"))
+        val first = ev.groupBy(col("user_id")).agg(min(col("wk")).as("cohort"))
+        val sized = first.groupBy(col("cohort"))
+          .agg(count(lit(1)).as("cohort_users"))
+        val weekly = ev.join(first, "user_id")
+          .filter(col("event_type") === "purchase")
+          .groupBy(col("cohort"), (col("wk") - col("cohort")).as("age"))
+          .agg(sum(col("c")).as("rev"))
+        val w = Window.partitionBy(col("cohort")).orderBy(col("age"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        weekly
+          .withColumn("cum_rev", sum(col("rev")).over(w))
+          .join(broadcast(sized), Seq("cohort"))
+          .select(col("cohort"), col("age"), col("rev"), col("cum_rev"),
+            col("cohort_users"),
+            expr("cum_rev DIV cohort_users").as("cum_rev_per_user"))
+          .orderBy(col("cohort"), col("age"))
+      },
+      Some("""WITH e AS (SELECT user_id, event_type,
+             |        CAST(epoch(ts) AS BIGINT) // 604800 AS wk,
+             |        CAST(round(value * 100) AS BIGINT) AS c
+             |      FROM events),
+             |f AS (SELECT user_id, min(wk) AS cohort FROM e GROUP BY 1),
+             |sz AS (SELECT cohort, CAST(count(*) AS BIGINT) AS cohort_users
+             |       FROM f GROUP BY 1),
+             |wk AS (SELECT f.cohort, e.wk - f.cohort AS age,
+             |         CAST(sum(e.c) AS BIGINT) AS rev
+             |       FROM e JOIN f ON e.user_id = f.user_id
+             |       WHERE e.event_type = 'purchase'
+             |       GROUP BY 1, 2),
+             |cm AS (SELECT cohort, age, rev,
+             |         CAST(sum(rev) OVER (PARTITION BY cohort ORDER BY age)
+             |           AS BIGINT) AS cum_rev
+             |       FROM wk)
+             |SELECT cm.cohort, cm.age, cm.rev, cm.cum_rev, sz.cohort_users,
+             |  cm.cum_rev // sz.cohort_users AS cum_rev_per_user
+             |FROM cm JOIN sz USING (cohort)
+             |ORDER BY cm.cohort, cm.age""".stripMargin)),
+
+    // ---- Deterministic mode (most-frequent value) per group: max_by
+    // over the (count, −value) struct so the tie rule — highest count,
+    // then SMALLEST value — is explicit and engine-portable, where a
+    // bare mode() aggregate leaves ties undefined. Two partial-agg
+    // shuffles (value counts, then the struct argmax), never a sort. ----
+    Q("q205_mode",
+      (s, dir) => {
+        val counts = t(s, dir, "events")
+          .groupBy(col("event_type"),
+            round(col("value") * 100).cast("long").as("c"))
+          .agg(count(lit(1)).as("n"))
+        counts.groupBy(col("event_type"))
+          .agg(
+            max_by(col("c"), struct(col("n"), (-col("c")).as("negc")))
+              .as("mode_cents"),
+            max(col("n")).as("mode_n"),
+            countDistinct(col("c")).as("n_distinct"))
+          .orderBy(col("event_type"))
+      },
+      Some("""WITH c AS (SELECT event_type,
+             |        CAST(round(value * 100) AS BIGINT) AS c,
+             |        CAST(count(*) AS BIGINT) AS n
+             |      FROM events GROUP BY 1, 2),
+             |r AS (SELECT event_type, c, n, row_number() OVER (
+             |        PARTITION BY event_type ORDER BY n DESC, c) AS rn
+             |      FROM c),
+             |d AS (SELECT event_type,
+             |        CAST(count(*) AS BIGINT) AS n_distinct,
+             |        max(n) AS mode_n
+             |      FROM c GROUP BY 1)
+             |SELECT r.event_type, r.c AS mode_cents, d.mode_n, d.n_distinct
+             |FROM r JOIN d USING (event_type) WHERE r.rn = 1
+             |ORDER BY r.event_type""".stripMargin))
   )
 }
