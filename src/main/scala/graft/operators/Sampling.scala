@@ -43,4 +43,25 @@ object Sampling {
         1, 8), 16, 10).cast("long") % d
     df.filter(bucket < k)
   }
+
+  /** Weighted Bernoulli sampling, still a pure function of (seed, id):
+    * keep a row iff its 32-bit hash falls below (w·2³²) div maxW, so
+    * inclusion probability is proportional to the integer weight (the
+    * max-weight row is always kept; floors shave < 2⁻³²). The
+    * importance-sampling step of corpus curation — sample long/high-
+    * quality documents preferentially — without surrendering
+    * reproducibility: no RNG, no state, replayable in SQL. `maxW` is one
+    * broadcast scalar aggregate; the filter itself is shuffle-free.
+    * Weights must fit 2³⁰ so w·2³² stays in BIGINT.
+    */
+  def weightedHash(df: DataFrame, idCol: String, weightCol: String,
+                   seed: String = "w0"): DataFrame = {
+    val maxW = df.agg(max(col(weightCol).cast("long")).as("__maxw"))
+    val h = conv(substring(md5(concat(lit(s"$seed:"),
+      col(idCol).cast("string")).cast("binary")), 1, 8), 16, 10)
+      .cast("long")
+    df.crossJoin(broadcast(maxW))
+      .filter(h < expr(s"CAST($weightCol AS LONG) * 4294967296L DIV __maxw"))
+      .drop("__maxw")
+  }
 }

@@ -1282,6 +1282,50 @@ object EventQueries {
              |      FROM c GROUP BY 1)
              |SELECT r.event_type, r.c AS mode_cents, d.mode_n, d.n_distinct
              |FROM r JOIN d USING (event_type) WHERE r.rn = 1
-             |ORDER BY r.event_type""".stripMargin))
+             |ORDER BY r.event_type""".stripMargin)),
+
+    // ---- Bounce rate over q23's sessionization: the share of 30-min-gap
+    // sessions containing exactly one event, in ppm — the engagement KPI
+    // computed on the same gaps-and-islands pass (two window sweeps, one
+    // shuffle on user), summarized to a single integer row. ----
+    Q("q207_bounce_rate",
+      (s, dir) => {
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts"), col("event_id"))
+        val gapUs = unix_micros(col("ts")) -
+          lag(unix_micros(col("ts")), 1).over(w)
+        t(s, dir, "events")
+          .withColumn("new_s",
+            when(gapUs.isNull || gapUs > 1800000000L, 1).otherwise(0))
+          .withColumn("sess", sum(col("new_s")).over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+          .groupBy(col("user_id"), col("sess"))
+          .agg(count(lit(1)).as("n"))
+          .agg(count(lit(1)).as("n_sessions"),
+            sum(when(col("n") === 1L, 1L).otherwise(0L)).as("n_bounces"))
+          .select(col("n_sessions"), col("n_bounces"),
+            expr("n_bounces * 1000000 DIV n_sessions").as("bounce_ppm"))
+      },
+      Some("""WITH x AS (SELECT user_id, event_id, ts,
+             |    CASE WHEN lag(ts) OVER (PARTITION BY user_id
+             |             ORDER BY ts, event_id) IS NULL
+             |           OR epoch_us(ts) - lag(epoch_us(ts)) OVER (
+             |             PARTITION BY user_id ORDER BY ts, event_id)
+             |             > 1800000000
+             |         THEN 1 ELSE 0 END AS new_s
+             |  FROM events),
+             |y AS (SELECT user_id,
+             |    sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+             |                     ROWS UNBOUNDED PRECEDING) AS sess
+             |  FROM x),
+             |g AS (SELECT user_id, sess, count(*) AS n FROM y
+             |      GROUP BY 1, 2),
+             |a AS (SELECT CAST(count(*) AS BIGINT) AS n_sessions,
+             |        CAST(sum(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS BIGINT)
+             |          AS n_bounces
+             |      FROM g)
+             |SELECT n_sessions, n_bounces,
+             |  n_bounces * 1000000 // n_sessions AS bounce_ppm
+             |FROM a""".stripMargin))
   )
 }

@@ -1634,7 +1634,30 @@ object MiscQueries {
              |  n * sum_cents AS gini_den,
              |  round(CAST(2 * wsum - (n + 1) * sum_cents AS DOUBLE)
              |    / CAST(n * sum_cents AS DOUBLE), 6) AS gini6
-             |FROM a""".stripMargin))
+             |FROM a""".stripMargin)),
+
+    // ---- Weighted deterministic sampling (Sampling.weightedHash):
+    // parts kept with probability proportional to their price cents —
+    // keep iff hash32(seed:id) < (w·2³²) div maxW. Importance sampling
+    // with zero RNG: membership is a pure function of (seed, id,
+    // weight), the filter is shuffle-free (one broadcast scalar), and
+    // the oracle replays every inclusion decision bit-for-bit — the
+    // property RNG-based weighted samplers can never offer. ----
+    Q("q206_weighted_sample",
+      (s, dir) => {
+        val parts = t(s, dir, "part").select(col("p_partkey"),
+          round(col("p_retailprice") * 100).cast("long").as("w"))
+        graft.operators.Sampling.weightedHash(parts, "p_partkey", "w")
+          .orderBy(col("p_partkey"))
+      },
+      Some("""WITH p AS (SELECT p_partkey,
+             |        CAST(round(p_retailprice * 100) AS BIGINT) AS w
+             |      FROM part),
+             |m AS (SELECT max(w) AS maxw FROM p)
+             |SELECT p_partkey, w FROM p, m
+             |WHERE CAST(concat('0x', substr(md5(concat('w0:', p_partkey)),
+             |    1, 8)) AS BIGINT) < w * 4294967296 // maxw
+             |ORDER BY p_partkey""".stripMargin))
   )
 
   /** q156 oracle: 12 statically-unrolled peel rounds — each round keeps

@@ -1170,7 +1170,62 @@ object TextQueries {
              |      FROM documents)
              |SELECT t AS term, CAST(count(*) AS BIGINT) AS n
              |FROM tk GROUP BY 1 HAVING count(*) >= 300
-             |ORDER BY n DESC, term""".stripMargin))
+             |ORDER BY n DESC, term""".stripMargin)),
+
+    // ---- Characteristic vocabulary per language: terms whose in-language
+    // frequency share most exceeds their corpus-wide share — the ratio of
+    // ppm shares in integer per-mille, min support 20, top-5 per lang by
+    // (ratio, term). The TF-IDF idea as exact integer cross-division:
+    // distinctive terms surface without a single float. One tokenize
+    // pass; the per-language totals broadcast, the per-term join shuffles
+    // on term. ----
+    Q("q208_char_terms",
+      (s, dir) => {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("lang"))
+          .orderBy(col("ratio_pm").desc, col("t"))
+        val tok = t(s, dir, "documents")
+          .select(col("lang"), explode(TextFns.tokens(lower(col("text")))).as("t"))
+        val lt = tok.groupBy(col("lang"), col("t")).agg(count(lit(1)).as("n_lt"))
+        val tl = tok.groupBy(col("lang")).agg(count(lit(1)).as("tot_lang"))
+        val tg = tok.groupBy(col("t")).agg(count(lit(1)).as("n_t"))
+        val tot = tok.agg(count(lit(1)).as("tot_all"))
+        lt.join(broadcast(tl), "lang").join(tg, "t")
+          .crossJoin(broadcast(tot))
+          .filter(col("n_lt") >= 20)
+          .withColumn("ratio_pm",
+            expr("(n_lt * 1000000 DIV tot_lang) * 1000 DIV " +
+              "greatest(n_t * 1000000 DIV tot_all, 1)"))
+          .withColumn("rn", row_number().over(w).cast("long"))
+          .filter(col("rn") <= 5)
+          .select(col("lang"), col("rn"), col("t").as("term"), col("n_lt"),
+            col("ratio_pm"))
+          .orderBy(col("lang"), col("rn"))
+      },
+      Some("""WITH tk AS (SELECT lang, unnest(CASE WHEN length(trim(text)) = 0
+             |          THEN CAST([] AS VARCHAR[])
+             |          ELSE string_split_regex(lower(trim(text)), '\s+') END)
+             |          AS t
+             |      FROM documents),
+             |lt AS (SELECT lang, t, CAST(count(*) AS BIGINT) AS n_lt
+             |       FROM tk GROUP BY 1, 2),
+             |tl AS (SELECT lang, CAST(count(*) AS BIGINT) AS tot_lang
+             |       FROM tk GROUP BY 1),
+             |tg AS (SELECT t, CAST(count(*) AS BIGINT) AS n_t
+             |       FROM tk GROUP BY 1),
+             |tot AS (SELECT CAST(count(*) AS BIGINT) AS tot_all FROM tk),
+             |j AS (SELECT lt.lang, lt.t, lt.n_lt,
+             |        (lt.n_lt * 1000000 // tl.tot_lang) * 1000
+             |          // greatest(tg.n_t * 1000000 // tot.tot_all, 1)
+             |          AS ratio_pm
+             |      FROM lt JOIN tl USING (lang) JOIN tg USING (t), tot
+             |      WHERE lt.n_lt >= 20),
+             |r AS (SELECT lang, t, n_lt, ratio_pm,
+             |        CAST(row_number() OVER (PARTITION BY lang
+             |          ORDER BY ratio_pm DESC, t) AS BIGINT) AS rn
+             |      FROM j)
+             |SELECT lang, rn, t AS term, n_lt, ratio_pm
+             |FROM r WHERE rn <= 5 ORDER BY lang, rn""".stripMargin))
   )
 
   private def q125OracleGen(s: SparkSession, dir: String): String = {
