@@ -149,6 +149,30 @@ object DedupQueries {
        |WHERE doc_id NOT IN (SELECT id FROM losers)
        |ORDER BY doc_id""".stripMargin
 
+  /** q209 oracle: the q94 keep-set aggregated to the impact summary. */
+  private lazy val q209OracleSql: String =
+    s"""WITH RECURSIVE $minhashCtes,
+       |und AS (SELECT id_a AS a, id_b AS b FROM j WHERE jaccard >= 0.8
+       |        UNION SELECT id_b, id_a FROM j WHERE jaccard >= 0.8),
+       |reach(src, dst) AS (
+       |  SELECT a, b FROM und
+       |  UNION
+       |  SELECT r.src, u.b FROM reach r JOIN und u ON r.dst = u.a),
+       |losers AS (SELECT src AS id FROM reach GROUP BY src
+       |           HAVING least(src, min(dst)) < src),
+       |tot AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+       |          CAST(sum(n_chars) AS BIGINT) AS chars_total
+       |        FROM documents),
+       |k AS (SELECT CAST(count(*) AS BIGINT) AS n_kept,
+       |        CAST(sum(n_chars) AS BIGINT) AS chars_kept
+       |      FROM documents
+       |      WHERE doc_id NOT IN (SELECT id FROM losers))
+       |SELECT tot.n_docs, k.n_kept, tot.n_docs - k.n_kept AS n_dropped,
+       |  tot.chars_total, k.chars_kept,
+       |  k.n_kept * 1000000 // tot.n_docs AS docs_kept_ppm,
+       |  k.chars_kept * 1000000 // tot.chars_total AS chars_kept_ppm
+       |FROM tot, k""".stripMargin
+
   /** q53 oracle: replays hyperplane-LSH bucketing + cosine verification in
     * DuckDB. The planes (VectorFns.planeFor, seeds 0..3, dim 64 — exactly
     * what embeddingPairs(nBits = 4) uses) are emitted as double literals via
@@ -658,6 +682,31 @@ object DedupQueries {
           .orderBy(col("doc_id"))
       },
       Some(q94OracleSql)),
+
+    // ---- Dedup impact report: what the q94 corpus dedup actually BUYS —
+    // docs and characters kept/dropped, in counts and ppm, one summary
+    // row. The decision artifact a curation run ships with its output
+    // (is the near-dup pass worth its cost at this threshold?); the
+    // oracle replays the full q94 keep-set and aggregates it. ----
+    Q("q209_dedup_impact",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val kept = Dedup.dedupCorpus(docs, "doc_id", "text",
+            threshold = 0.8, portableHash = true)
+          .select(col("doc_id"), col("n_chars"))
+        val tot = docs.agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("chars_total"))
+        val k = kept.agg(count(lit(1)).as("n_kept"),
+          sum(col("n_chars")).as("chars_kept"))
+        tot.crossJoin(k)
+          .select(col("n_docs"), col("n_kept"),
+            (col("n_docs") - col("n_kept")).as("n_dropped"),
+            col("chars_total"), col("chars_kept"),
+            expr("n_kept * 1000000 DIV n_docs").as("docs_kept_ppm"),
+            expr("chars_kept * 1000000 DIV chars_total")
+              .as("chars_kept_ppm"))
+      },
+      Some(q209OracleSql)),
 
     // ---- ANN: LSH-bucketed approximate top-k (scale path of q41). The
     // oracle replays all 4 hash tables' bucketings (16 inlined hyperplanes),

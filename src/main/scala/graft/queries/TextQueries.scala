@@ -1225,7 +1225,48 @@ object TextQueries {
              |          ORDER BY ratio_pm DESC, t) AS BIGINT) AS rn
              |      FROM j)
              |SELECT lang, rn, t AS term, n_lt, ratio_pm
-             |FROM r WHERE rn <= 5 ORDER BY lang, rn""".stripMargin))
+             |FROM r WHERE rn <= 5 ORDER BY lang, rn""".stripMargin)),
+
+    // ---- Skip-gram co-occurrence counts (the word2vec-style training
+    // pair extraction): (center, following-context) pairs for contexts
+    // 1–3 positions ahead, via THREE leads over one doc-partitioned
+    // window — one tokenize pass, one shuffle, where the position
+    // self-join costs a join of the token table against itself. Top-20
+    // pairs with support ≥ 30, fully deterministic ordering. ----
+    Q("q210_skipgrams",
+      (s, dir) => {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("doc_id")).orderBy(col("pos"))
+        val toks = t(s, dir, "documents")
+          .select(col("doc_id"),
+            posexplode(TextFns.tokens(lower(col("text")))).as(Seq("pos", "t")))
+        toks
+          .select(col("t") +: (1 to 3).map(i =>
+            lead(col("t"), i).over(w).as(s"c$i")): _*)
+          .select(col("t"), explode(array(col("c1"), col("c2"), col("c3")))
+            .as("ctx"))
+          .filter(col("ctx").isNotNull)
+          .groupBy(col("t"), col("ctx"))
+          .agg(count(lit(1)).as("n"))
+          .filter(col("n") >= 30)
+          .orderBy(col("n").desc, col("t"), col("ctx"))
+          .limit(20)
+      },
+      Some("""WITH d AS (SELECT doc_id, CASE WHEN length(trim(text)) = 0
+             |          THEN CAST([] AS VARCHAR[])
+             |          ELSE string_split_regex(lower(trim(text)), '\s+') END
+             |          AS toks
+             |      FROM documents),
+             |tok AS (SELECT doc_id,
+             |          unnest(generate_series(1, len(toks))) AS pos, toks
+             |        FROM d WHERE len(toks) > 0),
+             |p AS (SELECT a.toks[a.pos] AS t, a.toks[a.pos + k.k] AS ctx
+             |      FROM tok a, unnest(generate_series(1, 3)) AS k(k)
+             |      WHERE a.pos + k.k <= len(a.toks)),
+             |c AS (SELECT t, ctx, CAST(count(*) AS BIGINT) AS n
+             |      FROM p GROUP BY 1, 2 HAVING count(*) >= 30)
+             |SELECT t, ctx, n FROM c
+             |ORDER BY n DESC, t, ctx LIMIT 20""".stripMargin))
   )
 
   private def q125OracleGen(s: SparkSession, dir: String): String = {
