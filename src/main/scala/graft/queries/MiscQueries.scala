@@ -1657,7 +1657,50 @@ object MiscQueries {
              |SELECT p_partkey, w FROM p, m
              |WHERE CAST(concat('0x', substr(md5(concat('w0:', p_partkey)),
              |    1, 8)) AS BIGINT) < w * 4294967296 // maxw
-             |ORDER BY p_partkey""".stripMargin))
+             |ORDER BY p_partkey""".stripMargin)),
+
+    // ---- Degree distribution of the q156/q162 commerce graph — the
+    // first diagnostic of any graph workload (is it power-law? where do
+    // the hubs start?): per degree the node count and its ppm share,
+    // plus the hub flag at degree ≥ 20 — what decides whether the graph
+    // ops above need their hot-node caps. Two partial-aggregated
+    // shuffles (node degrees, then the histogram); integer shares. ----
+    Q("q211_degree_dist",
+      (s, dir) => {
+        val edges = t(s, dir, "lineitem")
+          .select(col("l_orderkey"), col("l_suppkey"))
+          .join(t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey")),
+            col("l_orderkey") === col("o_orderkey"))
+          .groupBy(col("o_custkey").as("src"),
+            (col("l_suppkey") + 10000000L).as("dst"))
+          .agg(count(lit(1)).as("w"))
+          .filter(col("w") >= 2)
+          .select(col("src"), col("dst"))
+        val deg = edges.select(col("src").as("n"))
+          .unionByName(edges.select(col("dst").as("n")))
+          .groupBy(col("n")).agg(count(lit(1)).as("deg"))
+        val tot = deg.agg(count(lit(1)).as("n_nodes"))
+        deg.groupBy(col("deg")).agg(count(lit(1)).as("n"))
+          .crossJoin(broadcast(tot))
+          .select(col("deg"), col("n"),
+            expr("n * 1000000 DIV n_nodes").as("share_ppm"),
+            (col("deg") >= 20L).as("is_hub_degree"))
+          .orderBy(col("deg"))
+      },
+      Some("""WITH e AS (SELECT o_custkey AS src,
+             |        l_suppkey + 10000000 AS dst
+             |      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+             |      GROUP BY 1, 2 HAVING count(*) >= 2),
+             |d AS (SELECT n, CAST(count(*) AS BIGINT) AS deg FROM
+             |        (SELECT src AS n FROM e
+             |         UNION ALL SELECT dst FROM e) u
+             |      GROUP BY n),
+             |t AS (SELECT CAST(count(*) AS BIGINT) AS n_nodes FROM d),
+             |h AS (SELECT deg, CAST(count(*) AS BIGINT) AS n FROM d
+             |      GROUP BY 1)
+             |SELECT h.deg, h.n, h.n * 1000000 // t.n_nodes AS share_ppm,
+             |  h.deg >= 20 AS is_hub_degree
+             |FROM h, t ORDER BY h.deg""".stripMargin))
   )
 
   /** q156 oracle: 12 statically-unrolled peel rounds — each round keeps
