@@ -1700,7 +1700,79 @@ object MiscQueries {
              |      GROUP BY 1)
              |SELECT h.deg, h.n, h.n * 1000000 // t.n_nodes AS share_ppm,
              |  h.deg >= 20 AS is_hub_degree
-             |FROM h, t ORDER BY h.deg""".stripMargin))
+             |FROM h, t ORDER BY h.deg""".stripMargin)),
+
+    // ---- SLA compliance by order priority: the share of line items
+    // shipped more than 30 days after their order date, per priority —
+    // lateness in whole epoch days (integer), shares in ppm. One
+    // broadcast orders join keyed on the fact side, one aggregate: the
+    // operational report every fulfilment dashboard leads with. ----
+    Q("q212_sla_compliance",
+      (s, dir) => {
+        val li = t(s, dir, "lineitem")
+          .select(col("l_orderkey"),
+            expr("CAST(l_shipdate AS LONG) DIV 86400").as("ship_day"))
+        val o = t(s, dir, "orders")
+          .select(col("o_orderkey"), col("o_orderpriority"),
+            expr("CAST(o_orderdate AS LONG) DIV 86400").as("order_day"))
+        li.join(o, col("l_orderkey") === col("o_orderkey"))
+          .groupBy(col("o_orderpriority"))
+          .agg(count(lit(1)).as("n"),
+            sum(when(col("ship_day") - col("order_day") > 30L, 1L)
+              .otherwise(0L)).as("n_late"))
+          .select(col("o_orderpriority"), col("n"), col("n_late"),
+            expr("n_late * 1000000 DIV n").as("late_ppm"))
+          .orderBy(col("o_orderpriority"))
+      },
+      Some("""WITH j AS (SELECT o_orderpriority,
+             |        CAST(epoch(l_shipdate) AS BIGINT) // 86400
+             |          - CAST(epoch(o_orderdate) AS BIGINT) // 86400 AS lag
+             |      FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+             |a AS (SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n,
+             |        CAST(sum(CASE WHEN lag > 30 THEN 1 ELSE 0 END)
+             |          AS BIGINT) AS n_late
+             |      FROM j GROUP BY 1)
+             |SELECT o_orderpriority, n, n_late,
+             |  n_late * 1000000 // n AS late_ppm
+             |FROM a ORDER BY o_orderpriority""".stripMargin)),
+
+    // ---- Price–quantity association per brand (Trend reused on a
+    // second domain): the OLS slope of quantity over unit price dollars
+    // as the same integer rational — a negative slope is the
+    // elasticity signal. Demonstrates the sufficient-statistics
+    // aggregate is a general operator, not a time-series special. ----
+    Q("q213_price_qty_trend",
+      (s, dir) => {
+        val li = t(s, dir, "lineitem")
+          .join(broadcast(t(s, dir, "part")
+            .select(col("p_partkey"), col("p_brand"))),
+            col("l_partkey") === col("p_partkey"))
+          .select(col("p_brand"),
+            expr("CAST(round(l_extendedprice * 100) AS LONG) DIV " +
+              "(100 * CAST(l_quantity AS LONG))").as("unit_dollars"),
+            col("l_quantity").cast("long").as("qty"))
+        graft.operators.Trend
+          .groupTrend(li, Seq("p_brand"), "unit_dollars", "qty")
+          .orderBy(col("p_brand"))
+      },
+      Some("""WITH li AS (SELECT p_brand,
+             |        CAST(round(l_extendedprice * 100) AS BIGINT)
+             |          // (100 * CAST(l_quantity AS BIGINT)) AS x,
+             |        CAST(l_quantity AS BIGINT) AS y
+             |      FROM lineitem JOIN part ON l_partkey = p_partkey),
+             |a AS (SELECT p_brand, CAST(count(*) AS BIGINT) AS n,
+             |        CAST(sum(x) AS BIGINT) AS sx,
+             |        CAST(sum(y) AS BIGINT) AS sy,
+             |        CAST(sum(x * y) AS BIGINT) AS sxy,
+             |        CAST(sum(x * x) AS BIGINT) AS sxx
+             |      FROM li GROUP BY 1)
+             |SELECT p_brand, n,
+             |  n * sxy - sx * sy AS slope_num,
+             |  n * sxx - sx * sx AS slope_den,
+             |  CASE WHEN n * sxx - sx * sx = 0 THEN NULL
+             |    ELSE round(CAST(n * sxy - sx * sy AS DOUBLE)
+             |      / CAST(n * sxx - sx * sx AS DOUBLE), 6) END AS slope6
+             |FROM a ORDER BY p_brand""".stripMargin))
   )
 
   /** q156 oracle: 12 statically-unrolled peel rounds — each round keeps
