@@ -29,10 +29,16 @@ object Checks {
   def notNull(df: DataFrame, c: String, name: String): DataFrame =
     one(name, df.agg(count(when(col(c).isNull, 1)).as("violations")))
 
-  /** Child rows whose foreign key has no parent (left-anti count). */
+  /** Child rows whose NON-NULL foreign key has no parent (left-anti
+    * count). Null FKs are excluded by definition — SQL `NOT IN` / `IN`
+    * never matches a null key, so counting them here would diverge from
+    * the relational reading; detecting null FKs is `notNull`'s job
+    * (compose both checks in a suite when nulls are themselves
+    * violations).
+    */
   def refIntegrity(child: DataFrame, fk: String, parent: DataFrame,
                    pk: String, name: String): DataFrame =
-    one(name, child.select(col(fk))
+    one(name, child.select(col(fk)).filter(col(fk).isNotNull)
       .join(parent.select(col(pk).as(fk)).distinct(), Seq(fk), "left_anti")
       .agg(count(lit(1)).as("violations")))
 

@@ -51,17 +51,30 @@ object Sampling {
     * importance-sampling step of corpus curation — sample long/high-
     * quality documents preferentially — without surrendering
     * reproducibility: no RNG, no state, replayable in SQL. `maxW` is one
-    * broadcast scalar aggregate; the filter itself is shuffle-free.
-    * Weights must fit 2³⁰ so w·2³² stays in BIGINT.
+    * scalar aggregate (a bounded one-row driver artifact, the Selection
+    * convention); the filter itself is shuffle-free.
+    *
+    * Preconditions are ENFORCED, not just documented (the sibling-operator
+    * `require` discipline): every weight must be positive — w ≤ 0 would
+    * silently exclude its rows — and max(w) must fit 2³⁰ so w·2³² stays in
+    * BIGINT; a larger weight would silently overflow the threshold
+    * negative and drop the rows that should be kept with the HIGHEST
+    * probability. Both bounds come from the same one-row min/max
+    * aggregate.
     */
   def weightedHash(df: DataFrame, idCol: String, weightCol: String,
                    seed: String = "w0"): DataFrame = {
-    val maxW = df.agg(max(col(weightCol).cast("long")).as("__maxw"))
+    val r = df.agg(max(col(weightCol).cast("long")).as("__maxw"),
+      min(col(weightCol).cast("long")).as("__minw")).head
+    if (r.isNullAt(0)) return df.limit(0) // empty input: nothing to sample
+    val (maxW, minW) = (r.getLong(0), r.getLong(1))
+    require(minW > 0,
+      s"weightedHash: weights must be positive, got min($weightCol)=$minW")
+    require(maxW < (1L << 30),
+      s"weightedHash: max($weightCol)=$maxW >= 2^30 would overflow w*2^32")
     val h = conv(substring(md5(concat(lit(s"$seed:"),
       col(idCol).cast("string")).cast("binary")), 1, 8), 16, 10)
       .cast("long")
-    df.crossJoin(broadcast(maxW))
-      .filter(h < expr(s"CAST($weightCol AS LONG) * 4294967296L DIV __maxw"))
-      .drop("__maxw")
+    df.filter(h < expr(s"CAST($weightCol AS LONG) * 4294967296L DIV ${maxW}L"))
   }
 }

@@ -164,18 +164,36 @@ object Sketches {
     * (per language+source, per language, global) costs one corpus scan
     * plus folds over groups x m register rows, where the exact
     * `countDistinct` rollup would shuffle the full id set once per level.
-    * Rolled-out columns are filled with "*"; the register table is cached
-    * because every level folds the same (tiny) frame.
+    *
+    * Group columns must be STRING-typed (enforced): rolled-out levels fill
+    * them with the "*" marker, which only round-trips losslessly through
+    * `unionByName` for strings — a non-string group column would be
+    * silently coerced, and a real group value equal to "*" would be
+    * indistinguishable from the marker either way (callers with such data
+    * should prefix-escape before cubing).
+    *
+    * The register table is cached because every level folds the same
+    * (tiny) frame — and UNCACHED before returning: the rollup result is
+    * report-sized (sum of level cardinalities), so it is materialized
+    * eagerly via `localCheckpoint` first, letting the cache be released
+    * instead of leaking executor storage across calls.
     */
   def hllCube(df: DataFrame, valueCol: String, groupCols: Seq[String],
               m: Int = 64): DataFrame = {
+    val schema = df.select(groupCols.map(col): _*).schema
+    require(schema.fields.forall(_.dataType ==
+      org.apache.spark.sql.types.StringType),
+      s"hllCube group columns must be string-typed, got ${schema.simpleString}")
     val regs = hllRegisters(df, valueCol, groupCols, m).cache()
-    (0 to groupCols.length).reverse.map(groupCols.take).map { lvl =>
-      val filled = groupCols.map(c =>
-        (if (lvl.contains(c)) col(c) else lit("*")).as(c))
-      hllEstimate(regs, lvl, m)
-        .select(filled ++ Seq(col("raw_est"), col("v_empty"), col("est")): _*)
-    }.reduce(_ unionByName _)
+    try {
+      (0 to groupCols.length).reverse.map(groupCols.take).map { lvl =>
+        val filled = groupCols.map(c =>
+          (if (lvl.contains(c)) col(c) else lit("*")).as(c))
+        hllEstimate(regs, lvl, m)
+          .select(filled ++ Seq(col("raw_est"), col("v_empty"), col("est")): _*)
+      }.reduce(_ unionByName _)
+        .localCheckpoint(true) // eager: materialize before releasing cache
+    } finally regs.unpersist()
   }
 
   /** Streaming build of the HLL registers: each microbatch's per-group

@@ -46,9 +46,17 @@ object StreamingAnomaly {
         val n = ring.size
         if (n >= 5) {
           val s = ring.sum
-          val dev = math.abs(e.c * n - s) * 10000L / s
-          if (dev > 20000L)
-            out += Anom(key, e.event_id, e.c, n.toLong, s, dev)
+          // s == 0 (all-zero trailing cents): the batch twin's SQL DIV
+          // yields NULL and the row silently drops out of the `> 20000`
+          // filter — skip here too, so drained-stream EQUALS batch holds
+          // on that input instead of an ArithmeticException killing the
+          // query. (s < 0 cannot occur: c = round(value*100) of a
+          // non-negative event value; the guard still covers it.)
+          if (s > 0) {
+            val dev = math.abs(e.c * n - s) * 10000L / s
+            if (dev > 20000L)
+              out += Anom(key, e.event_id, e.c, n.toLong, s, dev)
+          }
         }
         ring = (ring :+ e.c).takeRight(10)
       }

@@ -41,5 +41,12 @@ class DiffChecksSpec extends SparkSpec {
     val ri = Checks.refIntegrity(child, "fk", parent, "pk", "ri")
       .as[(String, Long, Boolean)].collect().head
     assert(ri === ("ri", 1L, false))
+
+    // null FKs are NOT orphans (SQL NOT IN semantics — null detection is
+    // notNull's job): only the one non-null dangling key counts
+    val childN = Seq(Option(10L), None, None, Option(99L)).toDF("fk")
+    val riN = Checks.refIntegrity(childN, "fk", parent, "pk", "ri_null")
+      .as[(String, Long, Boolean)].collect().head
+    assert(riN === ("ri_null", 1L, false))
   }
 }

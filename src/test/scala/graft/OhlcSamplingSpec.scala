@@ -61,4 +61,29 @@ class OhlcSamplingSpec extends SparkSpec {
     assert(a === b)
     assert(a.nonEmpty && a.size < docs.count())
   }
+
+  test("weightedHash: enforces positive weights and the 2^30 overflow bound") {
+    val ok = Seq((1L, 10L), (2L, 1L), (3L, 10L)).toDF("id", "w")
+    // max-weight rows are always kept (threshold = 2^32 exactly)
+    val kept = Sampling.weightedHash(ok, "id", "w")
+      .select("id").as[Long].collect().toSet
+    assert(kept.contains(1L) && kept.contains(3L))
+
+    // w <= 0 would silently drop rows — must be rejected loudly
+    val zero = Seq((1L, 0L), (2L, 5L)).toDF("id", "w")
+    val e1 = intercept[IllegalArgumentException] {
+      Sampling.weightedHash(zero, "id", "w")
+    }
+    assert(e1.getMessage.contains("positive"))
+
+    // w >= 2^30 would overflow w*2^32 negative — must be rejected loudly
+    val big = Seq((1L, 1L << 30), (2L, 5L)).toDF("id", "w")
+    val e2 = intercept[IllegalArgumentException] {
+      Sampling.weightedHash(big, "id", "w")
+    }
+    assert(e2.getMessage.contains("2^30"))
+
+    // empty input: empty sample, no crash
+    assert(Sampling.weightedHash(ok.limit(0), "id", "w").count() == 0L)
+  }
 }

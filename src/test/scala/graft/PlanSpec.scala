@@ -257,8 +257,10 @@ class PlanSpec extends SparkSpec {
 
   test("skyline/centroids/winsorize: frontier and bounds joins stay broadcast") {
     withoutAqe {
-      // skyline: the frontier join-back must broadcast, never sort-merge —
-      // a frontier is at most one row per distinct x
+      // skyline: when the candidate count is inside the broadcast guard
+      // (always true at test scale) the frontier join-back must broadcast,
+      // never sort-merge; above the guard the hint is dropped and AQE
+      // decides at runtime (equality of that path: SkylineSpec)
       val parts = Tables(spark, sfDir, "part")
         .select(col("p_partkey"), col("p_size").cast("long").as("ps"),
           round(col("p_retailprice") * 100).cast("long").as("pc"))

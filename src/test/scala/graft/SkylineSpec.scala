@@ -51,6 +51,35 @@ class SkylineSpec extends SparkSpec {
     assert(frontierPts.size > frontierPts.distinct.size)
   }
 
+  test("skyline2d: unhinted join-back above the broadcast guard equals the hinted result; " +
+    "int-typed and null y are handled") {
+    val pts = sampleN(Gen.zip(Gen.chooseNum(0L, 30L), Gen.chooseNum(0L, 30L)), 150)
+      .zipWithIndex.map { case ((x, y), i) => (i.toLong, x, y) }
+    val df = pts.toDF("id", "x", "y")
+    val hinted = Skyline.skyline2d(df, "x", "y")
+      .select("id").as[Long].collect().toSet
+    // broadcastThreshold = 0 forces the AQE/shuffle fallback path — the
+    // anti-correlated-staircase safety valve must produce the same frontier
+    val unhinted = Skyline.skyline2d(df, "x", "y", broadcastThreshold = 0L)
+      .select("id").as[Long].collect().toSet
+    assert(unhinted === hinted)
+
+    // int-typed y: the candidate min is cast to long internally (the
+    // scaladoc contract says "integral", not "long")
+    val intDf = pts.map { case (i, x, y) => (i, x.toInt, y.toInt) }
+      .toDF("id", "x", "y")
+    val gotInt = Skyline.skyline2d(intDf, "x", "y")
+      .select("id").as[Long].collect().toSet
+    assert(gotInt === hinted)
+
+    // null y rows are never on the frontier and never NPE the scan
+    val withNulls = pts.map { case (i, x, y) => (i, x, Option(y)) } ++
+      Seq((9001L, 0L, None: Option[Long]), (9002L, 31L, None: Option[Long]))
+    val gotNull = Skyline.skyline2d(withNulls.toDF("id", "x", "y"), "x", "y")
+      .select("id").as[Long].collect().toSet
+    assert(gotNull === hinted)
+  }
+
   test("skyline2d on a single partition equals the many-partition result") {
     val pts = sampleN(Gen.zip(Gen.chooseNum(0L, 50L), Gen.chooseNum(0L, 50L)), 200)
       .zipWithIndex.map { case ((x, y), i) => (i.toLong, x, y) }

@@ -469,6 +469,49 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("streaming anomaly: zero trailing sum drops the row (batch DIV-null semantics), no crash") {
+    import java.sql.Timestamp
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.streaming.StreamingAnomaly
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+
+    val prevProvider = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      def ts(min: Int): Timestamp = new Timestamp(1700000000000L + min * 60000L)
+      val input = MemoryStream[(Long, Timestamp, Long, Double)]
+      val events = input.toDF().toDF("user_id", "ts", "event_id", "value")
+      val q = StreamingAnomaly.detect(events).toDF()
+        .writeStream.format("memory").queryName("anom_zero")
+        .outputMode("append").start()
+      try {
+        // six all-zero events fill the ring; event 7 is judged against a
+        // trailing sum of 0 — the batch twin's SQL DIV yields NULL and the
+        // row drops out of the > 20000 filter, so the stream must DROP it
+        // too (pre-fix: ArithmeticException killed the query here)
+        input.addData((1 to 7).map(i =>
+          (1L, ts(i), i.toLong, if (i <= 6) 0.0 else 5.0)): _*)
+        q.processAllAvailable()
+        // event 8 vs ring [0,0,0,0,0,0,500]: n=7, s=500,
+        // dev = |500*7-500|*10^4 div 500 = 60000 > 20000 -> flagged
+        input.addData((1L, ts(8), 8L, 5.0))
+        q.processAllAvailable()
+        val got = spark.table("anom_zero")
+          .select("event_id", "c", "n_trail", "s_trail", "dev_bp")
+          .as[(Long, Long, Long, Long, Long)].collect().toSet
+        assert(got === Set((8L, 500L, 7L, 500L, 60000L)),
+          s"only event 8 may flag; zero-sum rows must drop silently, got $got")
+      } finally q.stop()
+    } finally {
+      prevProvider match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("streaming ingest: shards are idempotent under replay, scrub+gate+encode applied") {
     import spark.implicits._
     import graft.streaming.StreamingIngest
