@@ -1,0 +1,182 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Rank-error-bounded MERGEABLE quantile summary over unknown-range
+  * values — the everyday "p50/p90/p99 of a heavy-tailed double" sketch
+  * that neither [[Selection]] (exact, but shuffle ∝ distinct values) nor
+  * the fixed-width histogram ([[Sketches.histogram]], needs a known value
+  * range up front) serves.
+  *
+  * Lineage: the GK summary (Greenwald–Khanna, SIGMOD'01) keeps
+  * (value, gap, spread) tuples with rank error ≤ εn; MRL
+  * (Manku–Rajagopalan–Lindsay, SIGMOD'98) and KLL (Karnin–Lang–Liberty,
+  * FOCS'16) build compactor hierarchies. KLL's compaction flips a random
+  * coin per compaction — useless here, where the whole point is that the
+  * summary REPLAYS bit-identically in any engine (the repo's oracle
+  * discipline). This operator therefore uses the DETERMINISTIC batch
+  * compaction rule: within each portable-md5 bucket, rows are put in the
+  * canonical (value, id) order and collapsed into blocks of exactly
+  * m = ceil(n_bucket / k) consecutive ranks; each block is summarized by
+  * its MAXIMUM value carrying the block's total weight. The kept item's
+  * cumulative weight inside its bucket is then the EXACT rank of that
+  * value — the summary is exact at block boundaries and wrong by at most
+  * m−1 ranks in between (the one straddling block per bucket).
+  *
+  * Contract (what the specs pin):
+  *  - weight conservation, exactly: Σ w = n per group — always, not in
+  *    expectation;
+  *  - rank bound: for any value c,
+  *    true_count(≤c) − Σ_buckets (m_b − 1)  ≤  Σ_{registers ≤ c} w
+  *    ≤ true_count(≤c); so the q-quantile estimate sits within
+  *    Σ_b (m_b − 1) ≈ n/k ranks of the true order statistic, for EVERY q
+  *    at once, with no assumption on the value range or distribution;
+  *  - merge = UNION of register rows (plus an exact re-aggregation of
+  *    equal values) — associative, commutative, order-free, the same
+  *    shard law as CMS/HLL/KMV; errors add across merged summaries;
+  *  - [[compress]] re-bounds a grown union to ≤ k items per group,
+  *    adding ≤ ceil(W/k) − 1 rank error, again deterministically.
+  *
+  * 100 TB shape: one hash exchange on (group, bucket) + a per-partition
+  * sort (spill-aware, the price of a canonical engine-portable order),
+  * all in whole-stage-codegen'd window functions — no RDD, no driver
+  * state, no `collect`. `buckets` scales the parallelism (each bucket
+  * sorts independently); registers are ≤ (k+1)·buckets rows per group no
+  * matter the input size, so estimation and re-merging are free. The
+  * streaming twin lands per-microbatch registers via the
+  * `idempotentShardWrite` _SUCCESS rule shared with the other sketch
+  * families; shards fold by the union law.
+  *
+  * Values ride as doubles (selection, not arithmetic — the emitted
+  * quantile is an actual data value, so longs/cents pass through exactly;
+  * doubles are fine because nothing is ever added to them).
+  */
+object Gk {
+
+  private def bucketOf(idCol: String, buckets: Int): Column =
+    conv(substring(md5(concat(lit("b:"), col(idCol).cast("string"))
+      .cast("binary")), 1, 8), 16, 10).cast("long") % buckets
+
+  /** Build the (group…, value, w) register table. `idCol` supplies the
+    * canonical tie-break/bucketing identity (any unique row id).
+    */
+  def registers(df: DataFrame, valueCol: String, idCol: String,
+                groupCols: Seq[String], k: Int, buckets: Int = 32): DataFrame = {
+    require(k >= 2, s"need k >= 2, got $k")
+    require(buckets >= 1, s"need buckets >= 1, got $buckets")
+    import org.apache.spark.sql.expressions.Window
+    val g = groupCols.map(col)
+    val w = Window.partitionBy(g :+ col("__bk"): _*)
+      .orderBy(col("value"), col("__id"))
+    val wAll = Window.partitionBy(g :+ col("__bk"): _*)
+    df.filter(col(valueCol).isNotNull)
+      .select(g ++ Seq(col(valueCol).cast("double").as("value"),
+        col(idCol).as("__id"), bucketOf(idCol, buckets).as("__bk")): _*)
+      .withColumn("__rn", row_number().over(w))
+      .withColumn("__nb", count(lit(1)).over(wAll))
+      // block size m = ceil(n_bucket / k): exact-rank block boundaries
+      .withColumn("__m", expr(s"(__nb + ${k - 1}) DIV $k"))
+      .filter(col("__rn") % col("__m") === 0 || col("__rn") === col("__nb"))
+      .withColumn("w",
+        when(col("__rn") % col("__m") === 0, col("__m"))
+          .otherwise(col("__nb") % col("__m")))
+      .select(g ++ Seq(col("value"), col("w")): _*)
+  }
+
+  /** Quantile estimates from a register table (built, unioned from
+    * shards, or compressed): for each rational target qNum/qDen the
+    * smallest register value whose cumulative weight reaches
+    * ceil(q·W) — every step integer arithmetic over the (tiny) register
+    * frame, tie-safe because equal values are summed before the
+    * cumulative pass.
+    */
+  def estimate(regs: DataFrame, groupCols: Seq[String],
+               qs: Seq[(String, Int, Int)]): DataFrame = {
+    require(qs.nonEmpty, "no quantiles requested")
+    import org.apache.spark.sql.expressions.Window
+    val g = groupCols.map(col)
+    val dedup = regs.groupBy(g :+ col("value"): _*).agg(sum(col("w")).as("w"))
+    val cum = dedup
+      .withColumn("__cum", sum(col("w")).over(
+        Window.partitionBy(g: _*).orderBy(col("value"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("__tot", sum(col("w")).over(Window.partitionBy(g: _*)))
+    qs.map { case (label, qNum, qDen) =>
+      require(qNum > 0 && qNum <= qDen, s"bad quantile $qNum/$qDen")
+      cum
+        .withColumn("__k",
+          expr(s"(__tot * $qNum + ${qDen - 1}) DIV $qDen"))
+        .filter(col("__cum") >= col("__k"))
+        .groupBy(g: _*)
+        .agg(min(col("__tot")).as("w_total"), min(col("__k")).as("k_target"),
+          min(col("value")).as("est"))
+        .withColumn("q", lit(label))
+    }.reduce(_ unionByName _)
+      .select(g ++ Seq(col("q"), col("w_total"), col("k_target"),
+        col("est")): _*)
+  }
+
+  /** Deterministically re-bound a (possibly union-grown) register table
+    * to ≤ k items per group: equal values are summed exactly, the value
+    * order is cut into blocks of cumulative weight M = ceil(W/k), and
+    * each block keeps its max value with the block's total weight — the
+    * same exact-at-boundaries rule as the build, adding ≤ M−1 rank error.
+    * A pure function of the register MULTISET (no order, no RNG), so
+    * compress(union(shards)) replays in SQL too.
+    */
+  def compress(regs: DataFrame, groupCols: Seq[String], k: Int): DataFrame = {
+    require(k >= 2, s"need k >= 2, got $k")
+    import org.apache.spark.sql.expressions.Window
+    val g = groupCols.map(col)
+    regs.groupBy(g :+ col("value"): _*).agg(sum(col("w")).as("w"))
+      .withColumn("__cum", sum(col("w")).over(
+        Window.partitionBy(g: _*).orderBy(col("value"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("__tot", sum(col("w")).over(Window.partitionBy(g: _*)))
+      .withColumn("__blk",
+        expr(s"(__cum + (__tot + ${k - 1}) DIV $k - 1) DIV ((__tot + ${k - 1}) DIV $k)"))
+      .groupBy(g :+ col("__blk"): _*)
+      .agg(max(col("value")).as("value"), sum(col("w")).as("w"))
+      .select(g ++ Seq(col("value"), col("w")): _*)
+  }
+
+  /** Streaming build: each microbatch's registers land as their own
+    * `batch=<id>` shard under the `_SUCCESS`-guarded idempotency rule, so
+    * a replayed microbatch is a no-op. Shards fold by the union law on
+    * read. A single-microbatch drain (the AvailableNow one-file case)
+    * yields registers IDENTICAL to the batch build — construction is a
+    * pure function of the batch's row multiset; across many microbatches
+    * the union keeps exact total weight and the per-shard rank bounds
+    * add.
+    */
+  def streamingRegisters(stream: DataFrame, valueCol: String, idCol: String,
+                         groupCols: Seq[String], targetPath: String,
+                         checkpoint: String, k: Int,
+                         buckets: Int = 32): Unit = {
+    import org.apache.spark.sql.streaming.Trigger
+    val q = stream.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val dir = s"$targetPath/batch=$batchId"
+        graft.streaming.Streams.idempotentShardWrite(batch.sparkSession, dir) {
+          registers(batch, valueCol, idCol, groupCols, k, buckets)
+            .write.mode("overwrite").parquet(dir)
+        }
+      }
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
+  /** Fold every batch shard under `targetPath` by the union law (exact
+    * re-aggregation of equal values); feed to [[estimate]] or
+    * [[compress]].
+    */
+  def readMergedRegisters(spark: org.apache.spark.sql.SparkSession,
+                          targetPath: String,
+                          groupCols: Seq[String]): DataFrame =
+    spark.read.parquet(targetPath)
+      .groupBy((groupCols.map(col) :+ col("value")): _*)
+      .agg(sum(col("w")).as("w"))
+}

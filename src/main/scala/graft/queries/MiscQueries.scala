@@ -1772,8 +1772,170 @@ object MiscQueries {
              |  CASE WHEN n * sxx - sx * sx = 0 THEN NULL
              |    ELSE round(CAST(n * sxy - sx * sy AS DOUBLE)
              |      / CAST(n * sxx - sx * sx AS DOUBLE), 6) END AS slope6
-             |FROM a ORDER BY p_brand""".stripMargin))
+             |FROM a ORDER BY p_brand""".stripMargin)),
+
+    // ---- Mergeable rank-error-bounded quantile summary (Gk.registers +
+    // estimate): deterministic GK/MRL-style batch compaction — per
+    // portable-md5 bucket, canonical (value, id) order collapsed into
+    // blocks of exactly ceil(n_b/k) ranks, block max carrying the block
+    // weight — so unlike randomized KLL the ENTIRE pipeline replays in
+    // SQL: the oracle rebuilds the registers and the estimates from
+    // scratch. Registers are exact at block boundaries, weight-conserving
+    // (Σw = n), union-mergeable. ----
+    Q("q214_gk_quantiles",
+      (s, dir) => {
+        val ev = t(s, dir, "events").select(col("event_type"),
+          col("event_id"), round(col("value") * 100).cast("long").as("c"))
+        val regs = graft.operators.Gk.registers(ev, "c", "event_id",
+          Seq("event_type"), k = 64, buckets = 8)
+        graft.operators.Gk.estimate(regs, Seq("event_type"),
+          Seq(("p50", 1, 2), ("p90", 9, 10), ("p99", 99, 100)))
+          .withColumn("est", col("est").cast("long"))
+          .orderBy(col("event_type"), col("q"))
+      },
+      Some(gkOracleSql)),
+
+    // ---- STREAMING twin of q214 (Gk.streamingRegisters): per-microbatch
+    // register shards via the _SUCCESS idempotency rule; shards fold by
+    // the union law (exact re-aggregation of equal values). Construction
+    // is a pure function of each batch's row multiset, so the drained
+    // stream's registers EQUAL the batch build — the oracle is q214's
+    // SQL verbatim. ----
+    Q("q215_stream_gk",
+      (s, dir) => {
+        import graft.operators.Gk
+        val tmp = java.nio.file.Files.createTempDirectory("graft_q215_").toString
+        Gk.streamingRegisters(
+          graft.streaming.Streams.eventsStream(s, dir)
+            .select(col("event_type"), col("event_id"),
+              round(col("value") * 100).cast("long").as("c")),
+          "c", "event_id", Seq("event_type"), s"$tmp/regs", s"$tmp/ckpt",
+          k = 64, buckets = 8)
+        Gk.estimate(
+            Gk.readMergedRegisters(s, s"$tmp/regs", Seq("event_type")),
+            Seq("event_type"),
+            Seq(("p50", 1, 2), ("p90", 9, 10), ("p99", 99, 100)))
+          .withColumn("est", col("est").cast("long"))
+          .orderBy(col("event_type"), col("q"))
+      },
+      Some(gkOracleSql)),
+
+    // ---- Shard-merge + compress law, oracle-proven END-TO-END: build
+    // registers independently on two disjoint md5 halves of events (the
+    // per-day/per-shard pattern at 100 TB), UNION them, deterministically
+    // compress the union back to ≤ 32 items, and estimate — every step
+    // (both half-builds, the union fold, the block re-collapse, the
+    // selection) replayed from scratch by the SQL oracle. ----
+    Q("q216_gk_merged",
+      (s, dir) => {
+        import graft.operators.Gk
+        val ev = t(s, dir, "events").select(col("event_id"),
+          round(col("value") * 100).cast("long").as("c"),
+          (conv(substring(md5(concat(lit("h:"),
+            col("event_id").cast("string")).cast("binary")), 1, 8), 16, 10)
+            .cast("long") % 2).as("half"))
+        val r0 = Gk.registers(ev.filter(col("half") === 0), "c", "event_id",
+          Nil, k = 64, buckets = 4)
+        val r1 = Gk.registers(ev.filter(col("half") === 1), "c", "event_id",
+          Nil, k = 64, buckets = 4)
+        val merged = Gk.compress(r0.unionByName(r1), Nil, k = 32)
+        Gk.estimate(merged, Nil,
+          Seq(("p50", 1, 2), ("p90", 9, 10), ("p99", 99, 100)))
+          .withColumn("est", col("est").cast("long"))
+          .orderBy(col("q"))
+      },
+      Some(q216OracleSql))
   )
+
+  /** Shared q214/q215 oracle: rebuilds the GK registers (md5 buckets,
+    * canonical order, exact-rank block collapse) and the ceil-rank
+    * selection entirely in SQL — the full pipeline, not inlined
+    * artifacts; q215 equals it because the drained single-batch stream's
+    * registers are the same pure function of the row multiset.
+    */
+  private def gkOracleSql: String =
+    """WITH e AS (SELECT event_type, event_id,
+      |        CAST(round(value * 100) AS BIGINT) AS c FROM events),
+      |b AS (SELECT event_type, c, event_id,
+      |        CAST(concat('0x', substr(md5(concat('b:', event_id)), 1, 8))
+      |          AS BIGINT) % 8 AS bk FROM e),
+      |r AS (SELECT event_type, bk, c, event_id,
+      |        CAST(row_number() OVER (PARTITION BY event_type, bk
+      |          ORDER BY c, event_id) AS BIGINT) AS rn,
+      |        CAST(count(*) OVER (PARTITION BY event_type, bk)
+      |          AS BIGINT) AS nb
+      |      FROM b),
+      |g AS (SELECT event_type, c,
+      |        CASE WHEN rn % ((nb + 63) // 64) = 0 THEN (nb + 63) // 64
+      |             ELSE nb % ((nb + 63) // 64) END AS w
+      |      FROM r WHERE rn % ((nb + 63) // 64) = 0 OR rn = nb),
+      |d AS (SELECT event_type, c, CAST(sum(w) AS BIGINT) AS w
+      |      FROM g GROUP BY 1, 2),
+      |s AS (SELECT event_type, c,
+      |        CAST(sum(w) OVER (PARTITION BY event_type ORDER BY c)
+      |          AS BIGINT) AS cum,
+      |        CAST(sum(w) OVER (PARTITION BY event_type) AS BIGINT) AS tot
+      |      FROM d),
+      |q(q, num, den) AS (VALUES ('p50', 1, 2), ('p90', 9, 10),
+      |        ('p99', 99, 100)),
+      |tg AS (SELECT DISTINCT s.event_type, q.q, s.tot,
+      |         (s.tot * q.num + q.den - 1) // q.den AS k_target
+      |       FROM s, q)
+      |SELECT tg.event_type, tg.q, CAST(tg.tot AS BIGINT) AS w_total,
+      |  CAST(tg.k_target AS BIGINT) AS k_target,
+      |  CAST(min(s.c) AS BIGINT) AS est
+      |FROM tg JOIN s ON s.event_type = tg.event_type
+      |  AND s.cum >= tg.k_target
+      |GROUP BY 1, 2, 3, 4
+      |ORDER BY 1, 2""".stripMargin
+
+  /** q216 oracle: the two half-builds (bucketed within each half), the
+    * union fold, the deterministic weight-block compress to 32 items, and
+    * the final selection — all from scratch in SQL.
+    */
+  private def q216OracleSql: String =
+    """WITH e AS (SELECT event_id,
+      |        CAST(round(value * 100) AS BIGINT) AS c,
+      |        CAST(concat('0x', substr(md5(concat('h:', event_id)), 1, 8))
+      |          AS BIGINT) % 2 AS half
+      |      FROM events),
+      |b AS (SELECT half, c, event_id,
+      |        CAST(concat('0x', substr(md5(concat('b:', event_id)), 1, 8))
+      |          AS BIGINT) % 4 AS bk FROM e),
+      |r AS (SELECT half, bk, c, event_id,
+      |        CAST(row_number() OVER (PARTITION BY half, bk
+      |          ORDER BY c, event_id) AS BIGINT) AS rn,
+      |        CAST(count(*) OVER (PARTITION BY half, bk) AS BIGINT) AS nb
+      |      FROM b),
+      |g AS (SELECT c,
+      |        CASE WHEN rn % ((nb + 63) // 64) = 0 THEN (nb + 63) // 64
+      |             ELSE nb % ((nb + 63) // 64) END AS w
+      |      FROM r WHERE rn % ((nb + 63) // 64) = 0 OR rn = nb),
+      |d AS (SELECT c, CAST(sum(w) AS BIGINT) AS w FROM g GROUP BY 1),
+      |s1 AS (SELECT c, w,
+      |         CAST(sum(w) OVER (ORDER BY c) AS BIGINT) AS cum,
+      |         CAST(sum(w) OVER () AS BIGINT) AS tot
+      |       FROM d),
+      |z AS (SELECT c, w,
+      |        (cum + (tot + 31) // 32 - 1) // ((tot + 31) // 32) AS blk
+      |      FROM s1),
+      |cp AS (SELECT max(c) AS c, CAST(sum(w) AS BIGINT) AS w
+      |       FROM z GROUP BY blk),
+      |s AS (SELECT c,
+      |        CAST(sum(w) OVER (ORDER BY c) AS BIGINT) AS cum,
+      |        CAST(sum(w) OVER () AS BIGINT) AS tot
+      |      FROM cp),
+      |q(q, num, den) AS (VALUES ('p50', 1, 2), ('p90', 9, 10),
+      |        ('p99', 99, 100)),
+      |tg AS (SELECT DISTINCT q.q, s.tot,
+      |         (s.tot * q.num + q.den - 1) // q.den AS k_target
+      |       FROM s, q)
+      |SELECT tg.q, CAST(tg.tot AS BIGINT) AS w_total,
+      |  CAST(tg.k_target AS BIGINT) AS k_target,
+      |  CAST(min(s.c) AS BIGINT) AS est
+      |FROM tg JOIN s ON s.cum >= tg.k_target
+      |GROUP BY 1, 2, 3
+      |ORDER BY q""".stripMargin
 
   /** q156 oracle: 12 statically-unrolled peel rounds — each round keeps
     * nodes whose degree within the previous round's edge set is >= 5,

@@ -243,6 +243,101 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("gk law: exact weight, rank-error bound at every q, partition-invariant, " +
+    "union+compress stays bounded") {
+    import graft.operators.Gk
+    // heavy-tailed doubles with ties (squared small ints / 4)
+    val vals = sampleN(Gen.chooseNum(0L, 300L), 2000).map(v => (v * v).toDouble / 4.0)
+    val df = vals.zipWithIndex.map { case (v, i) => (i.toLong, v) }.toDF("id", "v")
+    val (k, buckets) = (50, 4)
+    val regs = Gk.registers(df, "v", "id", Nil, k, buckets)
+    val collected = regs.as[(Double, Long)].collect()
+    // weight conservation is EXACT, not approximate
+    assert(collected.map(_._2).sum === vals.length.toLong)
+    // register count bounded by (k+1) x buckets
+    assert(collected.length <= (k + 1) * buckets)
+
+    // partition invariance: construction is a pure function of the multiset
+    val reg1 = Gk.registers(df.coalesce(1), "v", "id", Nil, k, buckets)
+      .as[(Double, Long)].collect().sorted
+    val reg7 = Gk.registers(df.repartition(7), "v", "id", Nil, k, buckets)
+      .as[(Double, Long)].collect().sorted
+    assert(reg1 === reg7)
+
+    // rank bound for EVERY 5%-step quantile at once:
+    // sum_b (m_b - 1) <= n/k + buckets
+    val errBound = vals.length.toLong / k + buckets
+    val sorted = vals.sorted
+    val qs = (1 to 20).map(i => (s"q$i", i, 20))
+    Gk.estimate(regs, Nil, qs)
+      .select(col("q"), col("w_total"), col("k_target"), col("est"))
+      .as[(String, Long, Long, Double)].collect().foreach {
+        case (label, w, kt, est) =>
+          assert(w === vals.length.toLong)
+          assert(vals.contains(est), s"$label: est $est is not a data value")
+          // selection rule: register cum <= true cum, so true_count(<=est) >= kt
+          assert(sorted.count(_ <= est) >= kt,
+            s"$label: est $est sits below target rank $kt")
+          // and every value below est had register cum < kt, with register
+          // cum >= true cum - errBound -> true_count(<est) < kt + errBound
+          assert(sorted.count(_ < est) < kt + errBound,
+            s"$label: est $est overshoots rank $kt by more than $errBound")
+      }
+
+    // union of shard builds conserves weight exactly; compress re-bounds
+    // size with error err1 + err2 + ceil(W/k') - 1
+    val (h1, h2) = vals.zipWithIndex.partition(_._2 % 2 == 0)
+    def half(xs: Seq[(Double, Int)]) = Gk.registers(
+      xs.map { case (v, i) => (i.toLong, v) }.toDF("id", "v"), "v", "id",
+      Nil, k, buckets)
+    val merged = half(h1).unionByName(half(h2))
+    assert(merged.as[(Double, Long)].collect().map(_._2).sum === vals.length.toLong)
+    val kC = 25
+    val comp = Gk.compress(merged, Nil, kC)
+    val compRows = comp.as[(Double, Long)].collect()
+    assert(compRows.map(_._2).sum === vals.length.toLong)
+    assert(compRows.length <= kC + 1)
+    val errC = 2L * (vals.length / 2 / k + buckets) +
+      (vals.length.toLong + kC - 1) / kC - 1
+    Gk.estimate(comp, Nil, Seq(("p50", 1, 2), ("p90", 9, 10)))
+      .select(col("q"), col("k_target"), col("est"))
+      .as[(String, Long, Double)].collect().foreach { case (label, kt, est) =>
+        assert(sorted.count(_ <= est) >= kt &&
+          sorted.count(_ < est) < kt + errC,
+          s"$label after union+compress: est $est outside rank window " +
+            s"[$kt, ${kt + errC})")
+      }
+  }
+
+  test("gk vs exact selection: estimates sit within n/k+buckets ranks of q170's " +
+    "counting-selection answers on real data") {
+    import graft.operators.{Gk, Selection}
+    val cents = Tables(spark, sfDir, "lineitem")
+      .select(col("l_orderkey") * 10 + col("l_linenumber"),
+        round(col("l_extendedprice") * 100).cast("long"))
+      .toDF("id", "c")
+    val n = cents.count()
+    val (k, buckets) = (64, 8)
+    val regs = Gk.registers(cents, "c", "id", Nil, k, buckets)
+    val est = Gk.estimate(regs, Nil,
+        Seq(("p50", 1, 2), ("p90", 9, 10), ("p99", 99, 100)))
+      .select(col("q"), col("k_target"), col("est").cast("long"))
+      .as[(String, Long, Long)].collect()
+      .map(r => r._1 -> (r._2, r._3)).toMap
+    val exact = Selection.exactQuantiles(cents, "c", Seq(50, 90, 99))
+      .select(col("pct"), col("value")).as[(Int, Long)].collect().toMap
+    val errBound = n / k + buckets
+    Seq("p50" -> 50, "p90" -> 90, "p99" -> 99).foreach { case (label, pct) =>
+      val (kt, e) = est(label)
+      // exact rank window: count rows <= est vs the shared ceil-rank target
+      val le = cents.filter(col("c") <= e).count()
+      val lt = cents.filter(col("c") < e).count()
+      assert(le >= kt && lt < kt + errBound,
+        s"$label: gk est $e (exact ${exact(pct)}) outside rank window " +
+          s"[$kt, ${kt + errBound}) — le=$le lt=$lt")
+    }
+  }
+
   test("domain-mix law: thresholds feasible, scarcest target saturated") {
     import graft.operators.DomainMix
     val gen = for {

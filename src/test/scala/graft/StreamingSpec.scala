@@ -469,6 +469,41 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("streaming gk: multi-batch register shards fold by the union law — " +
+    "exact total weight, bounded rank error") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.operators.Gk
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+
+    val tmp = java.nio.file.Files.createTempDirectory("gk_stream_").toString
+    val input = MemoryStream[(Long, Long)]
+    val (k, buckets) = (32, 4)
+    val all = scala.collection.mutable.ArrayBuffer.empty[Long]
+    // three separate AvailableNow drains over one checkpoint = three real
+    // microbatches, each landing its own register shard
+    Seq(0 until 400, 400 until 900, 900 until 1500).foreach { r =>
+      val rows = r.map(i => (i.toLong, (i * 2654435761L) % 100003L))
+      all ++= rows.map(_._2)
+      input.addData(rows: _*)
+      Gk.streamingRegisters(input.toDF().toDF("id", "v"), "v", "id", Nil,
+        s"$tmp/regs", s"$tmp/ckpt", k, buckets)
+    }
+    val regs = Gk.readMergedRegisters(spark, s"$tmp/regs", Nil)
+    val rows = regs.as[(Double, Long)].collect()
+    assert(rows.map(_._2).sum === all.length.toLong,
+      "merged shards must conserve total weight exactly")
+    // per-batch error adds: sum_b (n_b/k + buckets)
+    val errBound = Seq(400, 500, 600).map(n => n.toLong / k + buckets).sum
+    val sorted = all.map(_.toDouble).sorted
+    Gk.estimate(regs, Nil, Seq(("p50", 1, 2), ("p90", 9, 10)))
+      .select(col("q"), col("k_target"), col("est"))
+      .as[(String, Long, Double)].collect().foreach { case (label, kt, est) =>
+        assert(sorted.count(_ <= est) >= kt && sorted.count(_ < est) < kt + errBound,
+          s"$label: streamed est $est outside rank window [$kt, ${kt + errBound})")
+      }
+  }
+
   test("streaming anomaly: zero trailing sum drops the row (batch DIV-null semantics), no crash") {
     import java.sql.Timestamp
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
