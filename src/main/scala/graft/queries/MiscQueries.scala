@@ -1844,7 +1844,50 @@ object MiscQueries {
           .withColumn("est", col("est").cast("long"))
           .orderBy(col("q"))
       },
-      Some(q216OracleSql))
+      Some(q216OracleSql)),
+
+    // ---- General interval-overlap join (IntervalJoin.overlap): shipment
+    // windows (shipdate, length 1 + quantity%14 days) x per-part promo
+    // windows (30 days at a partkey-derived start), joined on key +
+    // [s,e) overlap via fixed-width grid fragmentation — an equi-join on
+    // (key, cell) with each pair emitted exactly once at the cell of
+    // max(s_a, s_b), never the BNLJ the naive inequality join plans to
+    // (PlanSpec pins it). The oracle is the plain inequality join. ----
+    Q("q217_interval_join",
+      (s, dir) => {
+        val day = datediff(to_date(col("l_shipdate")), lit("1970-01-01"))
+          .cast("long")
+        val a = t(s, dir, "lineitem").select(col("l_orderkey"),
+          col("l_linenumber"), col("l_partkey"), day.as("s"),
+          (day + 1L + pmod(col("l_quantity").cast("long"), lit(14L))).as("e"))
+        val b = t(s, dir, "part").select(col("p_partkey").as("l_partkey"),
+          (lit(8766L) + pmod(col("p_partkey"), lit(1461L))).as("s"),
+          (lit(8766L) + pmod(col("p_partkey"), lit(1461L)) + 30L).as("e"))
+        graft.operators.IntervalJoin
+          .overlap(a, b, Seq("l_partkey"), "s", "e", binWidth = 32L)
+          .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
+            col("s"), col("e"), col("s_r").as("promo_s"),
+            (least(col("e"), col("e_r")) - greatest(col("s"), col("s_r")))
+              .as("overlap_days"))
+          .orderBy(col("l_orderkey"), col("l_linenumber"))
+      },
+      Some("""WITH a AS (SELECT l_orderkey, l_linenumber, l_partkey,
+             |        CAST(CAST(l_shipdate AS DATE) - DATE '1970-01-01'
+             |          AS BIGINT) AS s,
+             |        CAST(CAST(l_shipdate AS DATE) - DATE '1970-01-01'
+             |          AS BIGINT) + 1 + CAST(l_quantity AS BIGINT) % 14 AS e
+             |      FROM lineitem),
+             |b AS (SELECT p_partkey,
+             |        CAST(8766 + p_partkey % 1461 AS BIGINT) AS s2,
+             |        CAST(8766 + p_partkey % 1461 + 30 AS BIGINT) AS e2
+             |      FROM part)
+             |SELECT a.l_orderkey, a.l_linenumber, a.l_partkey, a.s, a.e,
+             |  b.s2 AS promo_s,
+             |  CAST(least(a.e, b.e2) - greatest(a.s, b.s2) AS BIGINT)
+             |    AS overlap_days
+             |FROM a JOIN b ON a.l_partkey = b.p_partkey
+             |  AND a.s < b.e2 AND b.s2 < a.e
+             |ORDER BY 1, 2""".stripMargin))
   )
 
   /** Shared q214/q215 oracle: rebuilds the GK registers (md5 buckets,

@@ -288,6 +288,20 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("interval overlap join: equi-join on (key, cell) — no BNLJ, no cartesian") {
+    withoutAqe {
+      val p = plan(registry("q217_interval_join")(spark, sfDir))
+      assert(p.collect {
+        case j: org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec => j
+        case j: org.apache.spark.sql.execution.joins.CartesianProductExec => j
+      }.isEmpty,
+        s"interval overlap join degenerated to a nested-loop/cartesian plan:\n$p")
+      assert(p.collect { case j: SortMergeJoinExec => j }.nonEmpty ||
+        p.collect { case j: BroadcastHashJoinExec => j }.nonEmpty,
+        s"interval overlap join must plan as an equi-join on (key, cell):\n$p")
+    }
+  }
+
   test("rendezvous sharding: pure projection — no shuffle, no join below the agg") {
     withoutAqe {
       val keys = Tables(spark, sfDir, "orders").select(col("o_orderkey"))
