@@ -85,4 +85,69 @@ object SetJoin {
       .filter(col("isect") * tDen >= col("uni") * tNum)
       .select(col("id_a"), col("id_b"), col("isect"), col("uni"))
   }
+
+  /** Bipartite (R–S) variant: every (left, right) pair with
+    * Jaccard >= tNum/tDen — the set-level decontamination/containment
+    * query (corpus vs a reference corpus). Same machinery as [[allPairs]]
+    * with the two-corpus refinements:
+    *
+    *  - the global rarest-first token order comes from the df over the
+    *    UNION of both corpora (the prefix theorem needs one COMMON total
+    *    order; any works, so the union df is both valid and the most
+    *    selective);
+    *  - the df=1 drop strengthens to a cross-presence drop: a candidate
+    *    shares a prefix token ACROSS corpora, so prefix entries for
+    *    tokens absent from the other side are dropped losslessly from
+    *    each side — typically the bulk, since reference sets share few
+    *    rare tokens with the corpus;
+    *  - no id ordering between sides (ids may even collide across
+    *    corpora); the pair key is (id_l, id_r).
+    */
+  def bipartite(left: DataFrame, leftId: String,
+                right: DataFrame, rightId: String, toksCol: String,
+                tNum: Int, tDen: Int): DataFrame = {
+    require(tNum > 0 && tDen >= tNum, s"need 0 < tNum/tDen <= 1, got $tNum/$tDen")
+    def base(df: DataFrame, id: String) = df
+      .select(col(id).as("__id"), array_distinct(col(toksCol)).as("__tk"))
+      .filter(size(col("__tk")) > 0)
+    val bl = base(left, leftId)
+    val br = base(right, rightId)
+    val tokDf = bl.select(explode(col("__tk")).as("t"), lit(1L).as("__s"))
+      .unionByName(br.select(explode(col("__tk")).as("t"), lit(2L).as("__s")))
+      .groupBy(col("t"))
+      .agg(count(lit(1)).as("df"),
+        sum(when(col("__s") === 1L, 1L).otherwise(0L)).as("dfl"),
+        sum(when(col("__s") === 2L, 1L).otherwise(0L)).as("dfr"))
+    def prefix(b: DataFrame, needOther: String) = b
+      .select(col("__id"), explode(col("__tk")).as("t"))
+      .join(tokDf, Seq("t"))
+      .groupBy(col("__id"))
+      .agg(sort_array(collect_list(struct(col("df"), col("t"),
+        col(needOther)))).as("st"))
+      .select(col("__id"), col("st"), size(col("st")).cast("long").as("len"))
+      .withColumn("plen",
+        col("len") - call_function("div",
+          col("len") * tNum + (tDen - 1), lit(tDen.toLong)) + 1L)
+      .select(col("__id"), col("len"),
+        explode(slice(col("st"), lit(1), col("plen").cast("int"))).as("s"))
+      .filter(col(s"s.$needOther") >= 1L) // token must exist on the other side
+      .select(col("__id"), col("len"), col("s.t").as("t"))
+    val cand = prefix(bl, "dfr").as("a").join(prefix(br, "dfl").as("b"),
+        col("a.t") === col("b.t") &&
+          col("a.len") * tDen >= col("b.len") * tNum &&
+          col("b.len") * tDen >= col("a.len") * tNum)
+      .select(col("a.__id").as("id_l"), col("b.__id").as("id_r"))
+      .distinct()
+    val sl = bl.select(col("__id").as("id_l"), array_sort(col("__tk")).as("ta"))
+    val sr = br.select(col("__id").as("id_r"), array_sort(col("__tk")).as("tb"))
+    cand
+      .join(sl, Seq("id_l"))
+      .join(sr, Seq("id_r"))
+      .withColumn("isect",
+        graft.expressions.SortedIntersectCount(col("ta"), col("tb")))
+      .withColumn("uni",
+        size(col("ta")).cast("long") + size(col("tb")).cast("long") - col("isect"))
+      .filter(col("isect") * tDen >= col("uni") * tNum)
+      .select(col("id_l"), col("id_r"), col("isect"), col("uni"))
+  }
 }

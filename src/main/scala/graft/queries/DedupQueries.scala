@@ -580,6 +580,43 @@ object DedupQueries {
              |WHERE 2 * isect >= sa.n + sb.n - isect
              |ORDER BY id_a, id_b""".stripMargin)),
 
+    // ---- Bipartite (R–S) set-similarity join (SetJoin.bipartite): the
+    // set-level decontamination query — corpus docs (doc_id % 5 != 0) vs
+    // a reference corpus (doc_id % 5 = 0) at Jaccard >= 1/4 over 3-word
+    // shingles. One COMMON rarest-first order from the union df, prefix
+    // filtering on both sides, cross-presence prefix drop, and the same
+    // fused integer verify kernel as q155. The oracle is the independent
+    // exact threshold join (equi-join on shingles, inclusion-exclusion
+    // union), so a hash match proves no-false-negatives across corpora. ----
+    Q("q218_setsim_bipartite",
+      (s, dir) => {
+        val docs = t(s, dir, "documents").select(col("doc_id"),
+          TextFns.wordShingles(TextFns.tokens(col("text")), 3).as("sh"))
+        val corpus = docs.filter(col("doc_id") % 5 =!= 0)
+        val ref = docs.filter(col("doc_id") % 5 === 0)
+        graft.operators.SetJoin
+          .bipartite(corpus, "doc_id", ref, "doc_id", "sh", 1, 4)
+          .orderBy(col("id_l"), col("id_r"))
+      },
+      Some("""WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+             |           FROM documents WHERE length(trim(text)) > 0),
+             |s AS MATERIALIZED (SELECT doc_id,
+             |        list_distinct(list_transform(range(1, len(toks) - 1),
+             |          i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS sh
+             |      FROM t WHERE len(toks) >= 3),
+             |u AS MATERIALIZED (SELECT doc_id, unnest(sh) AS g FROM s),
+             |sz AS (SELECT doc_id, CAST(len(sh) AS BIGINT) AS n FROM s),
+             |p AS (SELECT a.doc_id AS id_l, b.doc_id AS id_r,
+             |        CAST(count(*) AS BIGINT) AS isect
+             |      FROM u a JOIN u b ON a.g = b.g
+             |        AND a.doc_id % 5 <> 0 AND b.doc_id % 5 = 0
+             |      GROUP BY 1, 2)
+             |SELECT id_l, id_r, isect, sa.n + sb.n - isect AS uni
+             |FROM p JOIN sz sa ON sa.doc_id = id_l
+             |  JOIN sz sb ON sb.doc_id = id_r
+             |WHERE 4 * isect >= sa.n + sb.n - isect
+             |ORDER BY id_l, id_r""".stripMargin)),
+
     // ---- End-to-end corpus dedup: LSH pairs -> transitive clusters ->
     // one representative per cluster (what a training pipeline actually
     // runs; q50 exposes the pairs, this exposes the surviving corpus). ----
