@@ -1172,6 +1172,41 @@ object TextQueries {
              |FROM tk GROUP BY 1 HAVING count(*) >= 300
              |ORDER BY n DESC, term""".stripMargin)),
 
+    // ---- Misra–Gries heavy hitters (operators/Mg): ONE-PASS candidate
+    // surfacing — k counters per partition + the PODS'12 merge law — with
+    // the deterministic no-false-negative guarantee above N/(k+1); the
+    // exact tail then recounts ONLY the ≤ k candidates (broadcast
+    // semi-join) and keeps the support set f·(k+1) > N. Unlike q189's
+    // CMS screen this needs NO term list and no full-corpus distinct:
+    // the sketch itself proposes. Counters are order-dependent (inherent
+    // to MG), the support set is not — the oracle is the plain exact
+    // threshold with no sketch in sight. ----
+    Q("q219_heavy_hitters_mg",
+      (s, dir) => {
+        import graft.operators.Mg
+        val k = 128
+        val toks = t(s, dir, "documents")
+          .select(explode(TextFns.tokens(lower(col("text")))).as("t"))
+        val cand = Mg.summary(toks, "t", Nil, k).select(col("value"))
+        val tot = toks.agg(count(lit(1)).as("n_total"))
+        toks.join(broadcast(cand), toks("t") === cand("value"), "left_semi")
+          .groupBy(col("t").as("term")).agg(count(lit(1)).as("f"))
+          .crossJoin(broadcast(tot))
+          .filter(col("f") * (k + 1) > col("n_total"))
+          .select(col("term"), col("f"), col("n_total"))
+          .orderBy(col("f").desc, col("term"))
+      },
+      Some("""WITH tk AS (SELECT unnest(CASE WHEN length(trim(text)) = 0
+             |          THEN CAST([] AS VARCHAR[])
+             |          ELSE string_split_regex(lower(trim(text)), '\s+') END)
+             |          AS t
+             |      FROM documents),
+             |tot AS (SELECT CAST(count(*) AS BIGINT) AS n_total FROM tk)
+             |SELECT t AS term, CAST(count(*) AS BIGINT) AS f, tot.n_total
+             |FROM tk, tot GROUP BY 1, 3
+             |HAVING count(*) * 129 > tot.n_total
+             |ORDER BY f DESC, term""".stripMargin)),
+
     // ---- Characteristic vocabulary per language: terms whose in-language
     // frequency share most exceeds their corpus-wide share — the ratio of
     // ppm shares in integer per-mille, min support 20, top-5 per lang by

@@ -1,0 +1,74 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Mg
+
+/** Misra–Gries: the three published invariants hold — under several
+  * physical partitionings, since only the GUARANTEES (not the counters)
+  * are order-free — per group and globally, on a zipf-ish multiset.
+  */
+class MgSpec extends SparkSpec {
+  import spark.implicits._
+
+  // zipf-ish: value j appears ~3000/(j+1) times, two groups with
+  // different skews
+  private val rows: Seq[(String, String)] = (0 until 60).flatMap { j =>
+    Seq.fill(3000 / (j + 1))(("a", s"v$j"))
+  } ++ (0 until 40).flatMap { j =>
+    Seq.fill(1000 / (j * j + 1))(("b", s"w$j"))
+  }
+
+  test("MG invariants per group: size <= k, undercount only, bounded error, " +
+    "no false negatives above N/(k+1) — for any partitioning") {
+    val k = 16
+    val exact = rows.groupBy(identity).map { case ((g, v), xs) =>
+      (g, v) -> xs.size.toLong
+    }
+    val nByG = rows.groupBy(_._1).map { case (g, xs) => g -> xs.size.toLong }
+
+    for (parts <- Seq(1, 7, 32)) {
+      val df = rows.toDF("g", "v").repartition(parts)
+      val summ = Mg.summary(df, "v", Seq("g"), k)
+        .as[(String, String, Long)].collect()
+      val byG = summ.groupBy(_._1)
+      nByG.foreach { case (g, n) =>
+        val counters = byG.getOrElse(g, Array.empty).map(r => r._2 -> r._3).toMap
+        assert(counters.size <= k, s"parts=$parts g=$g: more than $k counters")
+        // never overcount
+        counters.foreach { case (v, c) =>
+          assert(c <= exact((g, v)), s"parts=$parts $g/$v: c=$c > f=${exact((g, v))}")
+          assert(c > 0L)
+        }
+        // error bound: f_v - c_v <= (N - sum c)/(k+1), for EVERY value
+        val d = (n - counters.values.sum) / (k + 1)
+        exact.filter(_._1._1 == g).foreach { case ((_, v), f) =>
+          val c = counters.getOrElse(v, 0L)
+          assert(f - c <= d, s"parts=$parts $g/$v: f=$f c=$c exceeds bound $d")
+        }
+        // no false negatives above the support bound
+        exact.filter { case ((gg, _), f) => gg == g && f * (k + 1) > n }
+          .foreach { case ((_, v), f) =>
+            assert(counters.contains(v),
+              s"parts=$parts $g/$v (f=$f > N/(k+1)=${n / (k + 1)}) missing")
+          }
+      }
+    }
+  }
+
+  test("ungrouped summary: same invariants, support set recoverable exactly") {
+    val k = 8
+    val vals = rows.map(_._2)
+    val n = vals.length.toLong
+    val exact = vals.groupBy(identity).map { case (v, xs) => v -> xs.size.toLong }
+    val df = vals.map(Tuple1(_)).toDF("v").repartition(5)
+    val summ = Mg.summary(df, "v", Nil, k)
+      .as[(String, Long)].collect().toMap
+    assert(summ.size <= k)
+    summ.foreach { case (v, c) => assert(c <= exact(v) && c > 0L) }
+    val support = exact.filter { case (_, f) => f * (k + 1) > n }.keySet
+    assert(support.nonEmpty, "fixture must have heavy hitters")
+    assert(support.subsetOf(summ.keySet),
+      s"support set ${support -- summ.keySet} escaped the summary")
+  }
+}
