@@ -196,6 +196,81 @@ object Graph {
     } finally e.unpersist(false)
   }
 
+  /** PERSONALIZED PageRank — teleport restricted to a seed set (the
+    * similar-entities / recommendation query: rank every node by its
+    * proximity to the seeds). Identical exact-integer machinery to
+    * [[pageRankFixedConverged]] — micro-rank units, floored divisions,
+    * bit-exact in any engine — with the teleport redistribution paid ONLY
+    * to seeds: seeds start at scale/|S| (everyone else 0), each iteration
+    * gives every seed base = (15·scale/100)/|S| plus the usual damped
+    * edge contributions, and dangling mass returns to the seeds
+    * ((85·r) div (100·|S|) each, one scalar aggregate per round — the
+    * q133 decomposition with |S| in the denominator instead of n).
+    * Seeds outside the node set are ignored; at least one live seed is
+    * required. Scale shape is unchanged: one edge-join + dst-aggregate
+    * per iteration, lineage cut by localCheckpoint.
+    */
+  def personalizedPageRank(edges: DataFrame, srcCol: String, dstCol: String,
+                           seeds: DataFrame, seedCol: String,
+                           iters: Int = 10,
+                           scale: Long = 1000000000L): DataFrame = {
+    require(iters >= 1, "iters must be positive")
+    val e = edges
+      .select(col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst"))
+      .distinct().persist()
+    try {
+      val nodes = e.select(col("src").as("node"))
+        .union(e.select(col("dst").as("node"))).distinct().persist()
+      try {
+        val seed = seeds.select(col(seedCol).cast("long").as("node")).distinct()
+          .join(nodes, Seq("node"), "left_semi").persist()
+        try {
+          val nSeeds = seed.count()
+          require(nSeeds > 0, "personalizedPageRank: no seed is a graph node")
+          val dangling = nodes
+            .join(e.select(col("src").as("node")).distinct(), Seq("node"), "left_anti")
+            .persist()
+          try {
+            val nDangling = dangling.count()
+            val init = scale / nSeeds
+            val base = ((15L * scale) / 100L) / nSeeds
+            val deg = e.groupBy(col("src")).agg(count(lit(1)).as("od"))
+            val isSeed = seed.withColumn("__is", lit(1))
+            var rank = nodes.join(isSeed, Seq("node"), "left")
+              .select(col("node"),
+                when(col("__is") === 1, lit(init)).otherwise(lit(0L)).as("r"))
+            var i = 1
+            while (i <= iters) {
+              val dShare =
+                if (nDangling == 0) 0L
+                else rank.join(dangling, Seq("node"), "left_semi")
+                  .agg(coalesce(sum(expr(s"(85 * r) div ${100L * nSeeds}")), lit(0L)))
+                  .head().getLong(0)
+              val contribs = e
+                .join(rank.withColumnRenamed("node", "src"), "src")
+                .join(deg, "src")
+                .select(col("dst").as("node"),
+                  expr("(85 * r) div (100 * od)").as("c"))
+                .groupBy(col("node"))
+                .agg(sum(col("c")).as("s"))
+              val next = nodes.join(contribs, Seq("node"), "left")
+                .join(isSeed, Seq("node"), "left")
+                .select(col("node"),
+                  (when(col("__is") === 1, lit(base + dShare)).otherwise(lit(0L)) +
+                    coalesce(col("s"), lit(0L))).as("r"))
+              rank =
+                if (nDangling > 0 || i % 4 == 0 || i == iters)
+                  next.localCheckpoint(true)
+                else next
+              i += 1
+            }
+            rank
+          } finally dangling.unpersist(false)
+        } finally seed.unpersist(false)
+      } finally nodes.unpersist(false)
+    } finally e.unpersist(false)
+  }
+
   /** Multi-source BFS hop distances over an undirected graph: for every
     * node reachable from `sources`, the MINIMUM number of edge hops from
     * any source (`dist`, sources themselves at 0). Distances are mins,

@@ -1887,7 +1887,62 @@ object MiscQueries {
              |    AS overlap_days
              |FROM a JOIN b ON a.l_partkey = b.p_partkey
              |  AND a.s < b.e2 AND b.s2 < a.e
-             |ORDER BY 1, 2""".stripMargin))
+             |ORDER BY 1, 2""".stripMargin)),
+
+    // ---- Personalized PageRank (Graph.personalizedPageRank): teleport
+    // restricted to a seed set — proximity-to-seeds ranking on the q128
+    // commerce graph, seeds = customers with custkey % 100 = 0. Same
+    // exact-integer machinery (micro-units, floored divisions), so the
+    // oracle replays all ten iterations in a recursive CTE with the
+    // seed-gated base term; q128/q133 are untouched. Top-20 by rank. ----
+    Q("q220_ppr",
+      (s, dir) => {
+        val pairs = t(s, dir, "lineitem").select(col("l_orderkey"), col("l_suppkey"))
+          .join(t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey")),
+            col("l_orderkey") === col("o_orderkey"))
+          .select(col("o_custkey").as("cust"),
+            (col("l_suppkey") + 10000000L).as("supp"))
+          .distinct()
+        val edges = pairs.select(col("cust").as("src"), col("supp").as("dst"))
+          .unionByName(pairs.select(col("supp").as("src"), col("cust").as("dst")))
+        val seeds = pairs.select(col("cust").as("node"))
+          .filter(col("cust") % 100 === 0).distinct()
+        graft.operators.Graph
+          .personalizedPageRank(edges, "src", "dst", seeds, "node", iters = 10)
+          .orderBy(col("r").desc, col("node")).limit(20)
+      },
+      Some("""WITH RECURSIVE
+             |pairs AS MATERIALIZED (SELECT DISTINCT o_custkey AS cust,
+             |            l_suppkey + 10000000 AS supp
+             |          FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+             |edges AS MATERIALIZED (SELECT cust AS src, supp AS dst FROM pairs
+             |          UNION ALL SELECT supp, cust FROM pairs),
+             |nodes AS MATERIALIZED (SELECT DISTINCT src AS node FROM edges),
+             |seeds AS MATERIALIZED (SELECT DISTINCT cust AS node FROM pairs
+             |          WHERE cust % 100 = 0),
+             |sn AS (SELECT CAST(count(*) AS BIGINT) AS ns FROM seeds),
+             |deg AS MATERIALIZED (SELECT src, CAST(count(*) AS BIGINT) AS od
+             |        FROM edges GROUP BY src),
+             |pr AS (
+             |  SELECT 0 AS iter, node,
+             |    CAST(CASE WHEN node IN (SELECT node FROM seeds)
+             |      THEN (SELECT CAST(1000000000 AS BIGINT) // ns FROM sn)
+             |      ELSE 0 END AS BIGINT) AS r
+             |  FROM nodes
+             |  UNION ALL
+             |  SELECT p.iter + 1, e.dst AS node,
+             |    CAST(CASE WHEN e.dst IN (SELECT node FROM seeds)
+             |        THEN (SELECT ((15 * CAST(1000000000 AS BIGINT)) // 100) // ns
+             |              FROM sn)
+             |        ELSE 0 END
+             |      + sum((85 * p.r) // (100 * d.od)) AS BIGINT) AS r
+             |  FROM pr p JOIN edges e ON p.node = e.src
+             |    JOIN deg d ON d.src = p.node
+             |  WHERE p.iter < 10
+             |  GROUP BY p.iter, e.dst
+             |)
+             |SELECT node, r FROM pr WHERE iter = 10
+             |ORDER BY r DESC, node LIMIT 20""".stripMargin))
   )
 
   /** Shared q214/q215 oracle: rebuilds the GK registers (md5 buckets,

@@ -55,6 +55,45 @@ class GraphSpec extends SparkSpec {
     assert(got == r, s"distributed $got != mirror $r")
   }
 
+  test("personalizedPageRank: all-nodes seed set degenerates to pageRankFixed; " +
+    "mass localizes to seed-reachable nodes") {
+    val rnd = new scala.util.Random(11)
+    val raw = (1 to 50).map(_ => (rnd.nextInt(10).toLong, rnd.nextInt(10).toLong))
+      .filter(p => p._1 != p._2)
+    val sym = (raw ++ raw.map(_.swap)).distinct
+    val df = sym.toDF("src", "dst")
+    val allNodes = sym.flatMap(p => Seq(p._1, p._2)).distinct
+      .map(Tuple1(_)).toDF("node")
+    // law: seeds = every node => identical to the global operator
+    // (init scale/n, base (15 scale/100)/n, teleport to everyone)
+    val ppr = Graph.personalizedPageRank(df, "src", "dst", allNodes, "node",
+      iters = 10).as[(Long, Long)].collect().toMap
+    val global = Graph.pageRankFixed(df, "src", "dst", iters = 10)
+      .as[(Long, Long)].collect().toMap
+    assert(ppr === global, "all-nodes PPR must equal global PageRank")
+
+    // two disconnected components: seeding only one keeps the other at 0
+    val twoComp = Seq((1L, 2L), (2L, 1L), (2L, 3L), (3L, 2L),
+      (10L, 11L), (11L, 10L))
+    val seeded = Graph.personalizedPageRank(twoComp.toDF("src", "dst"),
+        "src", "dst", Seq(1L).map(Tuple1(_)).toDF("node"), "node", iters = 10)
+      .as[(Long, Long)].collect().toMap
+    assert(seeded.keySet === Set(1L, 2L, 3L, 10L, 11L))
+    assert(seeded(10L) === 0L && seeded(11L) === 0L,
+      "unreachable component must hold zero mass")
+    assert(seeded(1L) > 0L && seeded(2L) > 0L && seeded(3L) > 0L)
+    // off-graph seeds are ignored; all-off-graph seeds are loud
+    val withGhost = Graph.personalizedPageRank(twoComp.toDF("src", "dst"),
+        "src", "dst", Seq(1L, 999L).map(Tuple1(_)).toDF("node"), "node",
+        iters = 3).as[(Long, Long)].collect().toMap
+    assert(withGhost(10L) === 0L)
+    val e = intercept[IllegalArgumentException] {
+      Graph.personalizedPageRank(twoComp.toDF("src", "dst"), "src", "dst",
+        Seq(999L).map(Tuple1(_)).toDF("node"), "node", iters = 3)
+    }
+    assert(e.getMessage.contains("seed"))
+  }
+
   test("dangling nodes redistribute mass exactly; uncited nodes survive") {
     // 2 is dangling (no out-edge); 3 has an out-edge but no in-edge. The
     // former loud contract rejected both shapes — now they are first-class:
