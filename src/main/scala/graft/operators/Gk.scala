@@ -84,6 +84,40 @@ object Gk {
       .select(g ++ Seq(col("value"), col("w")): _*)
   }
 
+  /** WEIGHTED build — the weighted-percentile primitive (median price
+    * weighted by quantity, latency weighted by request count): identical
+    * block-collapse rule with blocks cut by CUMULATIVE WEIGHT instead of
+    * rank — per bucket, M = ceil(W_b/k), an item belongs to the block its
+    * cumulative weight ends in, each block keeps its max value with the
+    * block's total weight. Exact at block boundaries in WEIGHT units,
+    * ≤ M−1 between; Σw preserved exactly; same union/compress/estimate
+    * algebra as the unweighted build (which is this with all weights 1).
+    * Weights must be positive integers; null values/weights are excluded.
+    */
+  def weightedRegisters(df: DataFrame, valueCol: String, weightCol: String,
+                        idCol: String, groupCols: Seq[String], k: Int,
+                        buckets: Int = 32): DataFrame = {
+    require(k >= 2, s"need k >= 2, got $k")
+    require(buckets >= 1, s"need buckets >= 1, got $buckets")
+    import org.apache.spark.sql.expressions.Window
+    val g = groupCols.map(col)
+    val w = Window.partitionBy(g :+ col("__bk"): _*)
+      .orderBy(col("value"), col("__id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy(g :+ col("__bk"): _*)
+    df.filter(col(valueCol).isNotNull && col(weightCol).isNotNull)
+      .select(g ++ Seq(col(valueCol).cast("double").as("value"),
+        col(weightCol).cast("long").as("__w"), col(idCol).as("__id"),
+        bucketOf(idCol, buckets).as("__bk")): _*)
+      .withColumn("__cumw", sum(col("__w")).over(w))
+      .withColumn("__wb", sum(col("__w")).over(wAll))
+      .withColumn("__m", expr(s"(__wb + ${k - 1}) DIV $k"))
+      .withColumn("__blk", expr("(__cumw + __m - 1) DIV __m"))
+      .groupBy(g ++ Seq(col("__bk"), col("__blk")): _*)
+      .agg(max(col("value")).as("value"), sum(col("__w")).as("w"))
+      .select(g ++ Seq(col("value"), col("w")): _*)
+  }
+
   /** Quantile estimates from a register table (built, unioned from
     * shards, or compressed): for each rational target qNum/qDen the
     * smallest register value whose cumulative weight reaches

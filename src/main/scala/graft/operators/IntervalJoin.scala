@@ -62,4 +62,40 @@ object IntervalJoin {
         col("__cell") === emitCell)
       .drop("__cell")
   }
+
+  /** Per-key COVERAGE of a set of possibly-overlapping [s, e) intervals:
+    * the total length of their union (uptime from overlapping
+    * maintenance windows, billed time from concurrent sessions) plus the
+    * interval count. The classic sweep: every interval contributes a +1
+    * boundary at s and a −1 at e, deltas are summed PER POSITION first
+    * (so touching/equal boundaries never depend on processing order),
+    * the running level is a key-partitioned cumulative sum, and each
+    * segment [pos, next_pos) counts iff the level after `pos` is
+    * positive. One explode + one aggregate + one key-partitioned window
+    * — per-key work ∝ the key's boundary count, never a cross join;
+    * degenerate intervals drop as in [[overlap]].
+    */
+  def coverage(df: DataFrame, keyCols: Seq[String],
+               sCol: String, eCol: String): DataFrame = {
+    require(keyCols.nonEmpty, "coverage needs at least one key")
+    import org.apache.spark.sql.expressions.Window
+    val g = keyCols.map(col)
+    val iv = df.filter(col(sCol) < col(eCol))
+    val bounds = iv
+      .select(g ++ Seq(col(sCol).as("__pos"), lit(1L).as("__d")): _*)
+      .unionByName(iv.select(g ++ Seq(col(eCol).as("__pos"),
+        lit(-1L).as("__d")): _*))
+      .groupBy(g :+ col("__pos"): _*)
+      .agg(sum(col("__d")).as("__d"))
+    val w = Window.partitionBy(g: _*).orderBy(col("__pos"))
+    val n = iv.groupBy(g: _*).agg(count(lit(1)).as("n_intervals"))
+    bounds
+      .withColumn("__lvl", sum(col("__d")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("__nxt", lead(col("__pos"), 1).over(w))
+      .groupBy(g: _*)
+      .agg(coalesce(sum(when(col("__lvl") > 0,
+        col("__nxt") - col("__pos"))), lit(0L)).as("covered"))
+      .join(n, keyCols)
+  }
 }

@@ -1942,7 +1942,106 @@ object MiscQueries {
              |  GROUP BY p.iter, e.dst
              |)
              |SELECT node, r FROM pr WHERE iter = 10
-             |ORDER BY r DESC, node LIMIT 20""".stripMargin))
+             |ORDER BY r DESC, node LIMIT 20""".stripMargin)),
+
+    // ---- WEIGHTED quantiles (Gk.weightedRegisters): median/p90/p99
+    // price cents weighted by quantity per return flag — the weighted-
+    // percentile primitive, as the same deterministic block collapse with
+    // blocks cut by cumulative WEIGHT. Fully SQL-replayable like q214:
+    // the oracle rebuilds the weighted registers and the selection from
+    // scratch. ----
+    Q("q221_weighted_quantiles",
+      (s, dir) => {
+        val li = t(s, dir, "lineitem").select(col("l_returnflag"),
+          round(col("l_extendedprice") * 100).cast("long").as("c"),
+          col("l_quantity").cast("long").as("w"),
+          (col("l_orderkey") * 10 + col("l_linenumber")).as("id"))
+        val regs = graft.operators.Gk.weightedRegisters(li, "c", "w", "id",
+          Seq("l_returnflag"), k = 64, buckets = 8)
+        graft.operators.Gk.estimate(regs, Seq("l_returnflag"),
+          Seq(("p50", 1, 2), ("p90", 9, 10), ("p99", 99, 100)))
+          .withColumn("est", col("est").cast("long"))
+          .orderBy(col("l_returnflag"), col("q"))
+      },
+      Some("""WITH e AS (SELECT l_returnflag AS g,
+             |        CAST(round(l_extendedprice * 100) AS BIGINT) AS c,
+             |        CAST(l_quantity AS BIGINT) AS w,
+             |        l_orderkey * 10 + l_linenumber AS id
+             |      FROM lineitem),
+             |b AS (SELECT g, c, w, id,
+             |        CAST(concat('0x', substr(md5(concat('b:', id)), 1, 8))
+             |          AS BIGINT) % 8 AS bk FROM e),
+             |s0 AS (SELECT g, bk, c, w,
+             |        CAST(sum(w) OVER (PARTITION BY g, bk ORDER BY c, id
+             |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             |          AS BIGINT) AS cumw,
+             |        CAST(sum(w) OVER (PARTITION BY g, bk) AS BIGINT) AS wb
+             |      FROM b),
+             |r AS (SELECT g, bk, c, w,
+             |        (cumw + (wb + 63) // 64 - 1) // ((wb + 63) // 64) AS blk
+             |      FROM s0),
+             |regs AS (SELECT g, max(c) AS c, CAST(sum(w) AS BIGINT) AS w
+             |         FROM r GROUP BY g, bk, blk),
+             |d AS (SELECT g, c, CAST(sum(w) AS BIGINT) AS w
+             |      FROM regs GROUP BY 1, 2),
+             |s AS (SELECT g, c,
+             |        CAST(sum(w) OVER (PARTITION BY g ORDER BY c)
+             |          AS BIGINT) AS cum,
+             |        CAST(sum(w) OVER (PARTITION BY g) AS BIGINT) AS tot
+             |      FROM d),
+             |q(q, num, den) AS (VALUES ('p50', 1, 2), ('p90', 9, 10),
+             |        ('p99', 99, 100)),
+             |tg AS (SELECT DISTINCT s.g, q.q, s.tot,
+             |         (s.tot * q.num + q.den - 1) // q.den AS k_target
+             |       FROM s, q)
+             |SELECT tg.g AS l_returnflag, tg.q,
+             |  CAST(tg.tot AS BIGINT) AS w_total,
+             |  CAST(tg.k_target AS BIGINT) AS k_target,
+             |  CAST(min(s.c) AS BIGINT) AS est
+             |FROM tg JOIN s ON s.g = tg.g AND s.cum >= tg.k_target
+             |GROUP BY 1, 2, 3, 4
+             |ORDER BY 1, 2""".stripMargin)),
+
+    // ---- Interval-union coverage (IntervalJoin.coverage): per-supplier
+    // total days covered by the union of its (overlapping) shipment
+    // windows, via the order-free sweep — per-position delta sums, a
+    // key-partitioned running level, segments counted while the level is
+    // positive. The uptime/billed-time aggregate; the oracle replays the
+    // sweep in SQL. ----
+    Q("q222_interval_coverage",
+      (s, dir) => {
+        val day = datediff(to_date(col("l_shipdate")), lit("1970-01-01"))
+          .cast("long")
+        val iv = t(s, dir, "lineitem").select(col("l_suppkey"), day.as("s"),
+          (day + 1L + pmod(col("l_quantity").cast("long"), lit(14L))).as("e"))
+        graft.operators.IntervalJoin.coverage(iv, Seq("l_suppkey"), "s", "e")
+          .orderBy(col("l_suppkey"))
+      },
+      Some("""WITH a AS (SELECT l_suppkey, s, s + 1 + q % 14 AS e FROM
+             |        (SELECT l_suppkey,
+             |           CAST(CAST(l_shipdate AS DATE) - DATE '1970-01-01'
+             |             AS BIGINT) AS s,
+             |           CAST(l_quantity AS BIGINT) AS q
+             |         FROM lineitem)),
+             |bnd AS (SELECT l_suppkey, pos, CAST(sum(d) AS BIGINT) AS d
+             |        FROM (SELECT l_suppkey, s AS pos, 1 AS d FROM a
+             |              UNION ALL SELECT l_suppkey, e, -1 FROM a)
+             |        GROUP BY 1, 2),
+             |lv AS (SELECT l_suppkey, pos,
+             |         CAST(sum(d) OVER (PARTITION BY l_suppkey ORDER BY pos)
+             |           AS BIGINT) AS lvl,
+             |         lead(pos) OVER (PARTITION BY l_suppkey ORDER BY pos)
+             |           AS nxt
+             |       FROM bnd),
+             |cov AS (SELECT l_suppkey,
+             |          CAST(coalesce(sum(CASE WHEN lvl > 0 THEN nxt - pos END),
+             |            0) AS BIGINT) AS covered
+             |        FROM lv GROUP BY 1),
+             |n AS (SELECT l_suppkey, CAST(count(*) AS BIGINT) AS n_intervals
+             |      FROM a GROUP BY 1)
+             |SELECT cov.l_suppkey, cov.covered, n.n_intervals
+             |FROM cov JOIN n USING (l_suppkey)
+             |ORDER BY l_suppkey""".stripMargin))
   )
 
   /** Shared q214/q215 oracle: rebuilds the GK registers (md5 buckets,

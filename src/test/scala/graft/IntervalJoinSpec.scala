@@ -56,6 +56,30 @@ class IntervalJoinSpec extends SparkSpec {
     assert(expected.nonEmpty)
   }
 
+  test("coverage equals the brute-force union length per key, touching " +
+    "intervals merge, degenerate intervals drop") {
+    val ivs = sampleN(ivGen, 200).zipWithIndex
+      .map { case ((k, s, e), i) => (i.toLong, k, s, e) }
+    val got = IntervalJoin.coverage(ivs.toDF("id", "k", "s", "e"),
+        Seq("k"), "s", "e")
+      .select(col("k"), col("covered"), col("n_intervals"))
+      .as[(Long, Long, Long)].collect()
+      .map(r => r._1 -> (r._2, r._3)).toMap
+    val expected = ivs.filter(iv => iv._3 < iv._4).groupBy(_._2).map {
+      case (k, xs) =>
+        val covered = xs.flatMap(iv => iv._3 until iv._4).distinct.size.toLong
+        k -> (covered, xs.size.toLong)
+    }
+    assert(got === expected)
+    // touching [0,3) + [3,5) merge to 5 with no gap double-count
+    val touch = Seq((1L, 9L, 0L, 3L), (2L, 9L, 3L, 5L), (3L, 9L, 1L, 2L))
+      .toDF("id", "k", "s", "e")
+    val t9 = IntervalJoin.coverage(touch, Seq("k"), "s", "e")
+      .select(col("covered"), col("n_intervals"))
+      .as[(Long, Long)].collect().head
+    assert(t9 === ((5L, 3L)))
+  }
+
   test("fragment cap raises loudly instead of exploding") {
     val a = Seq((1L, 0L, 0L, 1000000L)).toDF("aid", "k", "s", "e")
     val b = Seq((2L, 0L, 0L, 10L)).toDF("bid", "k", "s", "e")

@@ -309,6 +309,41 @@ class PropertySpec extends SparkSpec {
       }
   }
 
+  test("gk weighted law: exact weight, weighted-rank window at every q, " +
+    "all-ones weights equal the unweighted build") {
+    import graft.operators.Gk
+    val rows = sampleN(Gen.zip(Gen.chooseNum(0L, 400L), Gen.chooseNum(1L, 9L)), 1500)
+      .zipWithIndex.map { case ((v, w), i) => (i.toLong, v.toDouble, w) }
+    val df = rows.map { case (i, v, w) => (i, v, w) }.toDF("id", "v", "w")
+    val (k, buckets) = (40, 4)
+    val regs = Gk.weightedRegisters(df, "v", "w", "id", Nil, k, buckets)
+    val totalW = rows.map(_._3).sum
+    val collected = regs.as[(Double, Long)].collect()
+    assert(collected.map(_._2).sum === totalW, "weighted build must conserve sum w")
+
+    // weighted rank window: expand each value w times, same bound with
+    // the per-bucket block M = ceil(W_b/k) <= W/k + 1 -> err <= W/k + buckets
+    val expanded = rows.flatMap { case (_, v, w) => Seq.fill(w.toInt)(v) }.sorted
+    val errBound = totalW / k + buckets
+    Gk.estimate(regs, Nil, (1 to 10).map(i => (s"q$i", i, 10)))
+      .select(col("q"), col("k_target"), col("est"))
+      .as[(String, Long, Double)].collect().foreach { case (label, kt, est) =>
+        assert(expanded.count(_ <= est) >= kt &&
+          expanded.count(_ < est) < kt + errBound,
+          s"$label: weighted est $est outside window [$kt, ${kt + errBound})")
+      }
+
+    // degeneration law: all weights 1 == the unweighted build, register
+    // for register
+    val ones = rows.map { case (i, v, _) => (i, v, 1L) }.toDF("id", "v", "w")
+    val wRegs = Gk.weightedRegisters(ones, "v", "w", "id", Nil, k, buckets)
+      .as[(Double, Long)].collect().sorted
+    val uRegs = Gk.registers(rows.map { case (i, v, _) => (i, v) }
+        .toDF("id", "v"), "v", "id", Nil, k, buckets)
+      .as[(Double, Long)].collect().sorted
+    assert(wRegs === uRegs)
+  }
+
   test("gk vs exact selection: estimates sit within n/k+buckets ranks of q170's " +
     "counting-selection answers on real data") {
     import graft.operators.{Gk, Selection}
