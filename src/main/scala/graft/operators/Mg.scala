@@ -75,18 +75,65 @@ object Mg {
           m.iterator.map { case (v, c) => Row.fromSeq(key ++ Seq(v, c)) }
         }
       }, schema)
+    mergeCounters(partials.withColumnRenamed("__v", "value")
+      .withColumnRenamed("__c", "c"), groupCols, k)
+  }
+
+  /** The multiway mergeable-summaries law over any union of (group…,
+    * value, c) counter shards: sum counters pointwise, subtract the
+    * (k+1)-st largest of the sums, drop the non-positives. The potential
+    * argument survives arbitrary merge trees, so the MG invariants hold
+    * for the result whether the shards came from partitions (batch
+    * build) or microbatches (streaming shards).
+    */
+  def mergeCounters(partials: DataFrame, groupCols: Seq[String],
+                    k: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val g = groupCols.map(col)
-    val summed = partials.groupBy(g :+ col("__v"): _*)
-      .agg(sum(col("__c")).as("c"))
-    val w = Window.partitionBy(g: _*).orderBy(col("c").desc, col("__v"))
+    val summed = partials.groupBy(g :+ col("value"): _*)
+      .agg(sum(col("c")).as("c"))
+    val w = Window.partitionBy(g: _*).orderBy(col("c").desc, col("value"))
     val wAll = Window.partitionBy(g: _*)
     summed
       .withColumn("__rk", row_number().over(w))
       .withColumn("__s", coalesce(
         max(when(col("__rk") === k + 1, col("c"))).over(wAll), lit(0L)))
       .filter(col("c") > col("__s"))
-      .select(g ++ Seq(col("__v").as("value"),
-        (col("c") - col("__s")).as("c")): _*)
+      .select(g ++ Seq(col("value"), (col("c") - col("__s")).as("c")): _*)
   }
+
+  /** Streaming build: each microbatch's MG summary lands as its own
+    * `batch=<id>` shard under the `_SUCCESS`-guarded idempotency rule
+    * shared with the other sketch families, so a replayed microbatch is
+    * a no-op. Shards fold on read via [[mergeCounters]]; the guarantees
+    * (and therefore the support set f > N/(k+1)) are preserved for ANY
+    * batch split, so a query over the drained stream's summary equals
+    * its batch twin.
+    */
+  def streamingSummary(stream: DataFrame, valueCol: String,
+                       groupCols: Seq[String], targetPath: String,
+                       checkpoint: String, k: Int): Unit = {
+    import org.apache.spark.sql.streaming.Trigger
+    val q = stream.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val dir = s"$targetPath/batch=$batchId"
+        graft.streaming.Streams.idempotentShardWrite(batch.sparkSession, dir) {
+          summary(batch, valueCol, groupCols, k)
+            .write.mode("overwrite").parquet(dir)
+        }
+      }
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
+  /** Fold every batch shard under `targetPath` by the merge law. */
+  def readMergedSummary(spark: org.apache.spark.sql.SparkSession,
+                        targetPath: String, groupCols: Seq[String],
+                        k: Int): DataFrame =
+    mergeCounters(
+      spark.read.parquet(targetPath)
+        .select((groupCols :+ "value" :+ "c").map(col): _*),
+      groupCols, k)
 }

@@ -1196,16 +1196,45 @@ object TextQueries {
           .select(col("term"), col("f"), col("n_total"))
           .orderBy(col("f").desc, col("term"))
       },
-      Some("""WITH tk AS (SELECT unnest(CASE WHEN length(trim(text)) = 0
-             |          THEN CAST([] AS VARCHAR[])
-             |          ELSE string_split_regex(lower(trim(text)), '\s+') END)
-             |          AS t
-             |      FROM documents),
-             |tot AS (SELECT CAST(count(*) AS BIGINT) AS n_total FROM tk)
-             |SELECT t AS term, CAST(count(*) AS BIGINT) AS f, tot.n_total
-             |FROM tk, tot GROUP BY 1, 3
-             |HAVING count(*) * 129 > tot.n_total
-             |ORDER BY f DESC, term""".stripMargin)),
+      Some(q219OracleSql)),
+
+    // ---- STREAMING Misra–Gries (Mg.streamingSummary): per-microbatch MG
+    // summaries land as _SUCCESS-guarded shards and fold on read by the
+    // same mergeable-summaries law the batch build uses internally — the
+    // invariants (and so the support set f·(k+1) > N) survive ANY batch
+    // split, which is why the drained three-batch stream answers with
+    // q219's oracle verbatim. Completes the streaming-shard discipline
+    // across all five summary families (CMS/HLL/KMV/GK/MG). ----
+    Q("q223_stream_heavy_hitters_mg",
+      (s, dir) => {
+        import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+        implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+        import s.implicits._
+        import graft.operators.Mg
+        val k = 128
+        val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+        val tmp = java.nio.file.Files.createTempDirectory("graft_q223_").toString
+        val input = MemoryStream[(Long, String)]
+        for (r <- 0 to 2) {
+          input.addData(docs.filter(col("doc_id") % 3 === r)
+            .as[(Long, String)].collect().toSeq)
+          Mg.streamingSummary(
+            input.toDF().toDF("doc_id", "text")
+              .select(explode(TextFns.tokens(lower(col("text")))).as("t")),
+            "t", Nil, s"$tmp/shards", s"$tmp/ckpt", k)
+        }
+        val cand = Mg.readMergedSummary(s, s"$tmp/shards", Nil, k)
+          .select(col("value"))
+        val toks = docs.select(explode(TextFns.tokens(lower(col("text")))).as("t"))
+        val tot = toks.agg(count(lit(1)).as("n_total"))
+        toks.join(broadcast(cand), toks("t") === cand("value"), "left_semi")
+          .groupBy(col("t").as("term")).agg(count(lit(1)).as("f"))
+          .crossJoin(broadcast(tot))
+          .filter(col("f") * (k + 1) > col("n_total"))
+          .select(col("term"), col("f"), col("n_total"))
+          .orderBy(col("f").desc, col("term"))
+      },
+      Some(q219OracleSql)),
 
     // ---- Characteristic vocabulary per language: terms whose in-language
     // frequency share most exceeds their corpus-wide share — the ratio of
@@ -1498,4 +1527,20 @@ object TextQueries {
        |  CAST(tok_start % 512 AS BIGINT) AS seq_offset
        |FROM c ORDER BY doc_id""".stripMargin
       .replace("__DICT__", bpeDictRows(s, dir))
+
+  /** Shared q219/q223 oracle: the plain exact support-set threshold with
+    * no sketch in sight — both the batch and the drained-stream MG
+    * summaries must surface exactly this set.
+    */
+  private def q219OracleSql: String =
+    """WITH tk AS (SELECT unnest(CASE WHEN length(trim(text)) = 0
+      |          THEN CAST([] AS VARCHAR[])
+      |          ELSE string_split_regex(lower(trim(text)), '\s+') END)
+      |          AS t
+      |      FROM documents),
+      |tot AS (SELECT CAST(count(*) AS BIGINT) AS n_total FROM tk)
+      |SELECT t AS term, CAST(count(*) AS BIGINT) AS f, tot.n_total
+      |FROM tk, tot GROUP BY 1, 3
+      |HAVING count(*) * 129 > tot.n_total
+      |ORDER BY f DESC, term""".stripMargin
 }

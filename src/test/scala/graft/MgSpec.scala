@@ -56,6 +56,36 @@ class MgSpec extends SparkSpec {
     }
   }
 
+  test("streaming shards fold by the merge law: invariants and support set " +
+    "survive any batch split") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val k = 12
+    val vals = rows.map(_._2)
+    val n = vals.length.toLong
+    val exact = vals.groupBy(identity).map { case (v, xs) => v -> xs.size.toLong }
+    val tmp = java.nio.file.Files.createTempDirectory("mg_stream_").toString
+    val input = MemoryStream[String]
+    // three uneven microbatches over one checkpoint
+    Seq(vals.take(500), vals.slice(500, 3000), vals.drop(3000)).foreach { b =>
+      input.addData(b)
+      Mg.streamingSummary(input.toDF().toDF("v"), "v", Nil,
+        s"$tmp/shards", s"$tmp/ckpt", k)
+    }
+    val merged = Mg.readMergedSummary(spark, s"$tmp/shards", Nil, k)
+      .as[(String, Long)].collect().toMap
+    assert(merged.size <= k)
+    merged.foreach { case (v, c) => assert(c <= exact(v) && c > 0L) }
+    val d = (n - merged.values.sum) / (k + 1)
+    exact.foreach { case (v, f) =>
+      assert(f - merged.getOrElse(v, 0L) <= d,
+        s"$v: f=$f c=${merged.getOrElse(v, 0L)} exceeds merged bound $d")
+    }
+    val support = exact.filter { case (_, f) => f * (k + 1) > n }.keySet
+    assert(support.nonEmpty && support.subsetOf(merged.keySet),
+      s"support ${support -- merged.keySet} escaped the streamed summary")
+  }
+
   test("ungrouped summary: same invariants, support set recoverable exactly") {
     val k = 8
     val vals = rows.map(_._2)
