@@ -142,6 +142,40 @@ object Selection {
       .drop((1 until nBins).map(i => s"__b$i"): _*)
   }
 
+  /** EXACT median absolute deviation per group — the robust dispersion
+    * statistic (outlier fences that a heavy tail cannot drag, unlike
+    * stddev): mad = median(|v − median(v)|), both medians the exact
+    * ceil-rank order statistic. Two counting-selection passes (each
+    * shuffle ∝ distinct values, the [[groupQuantileBounds]] shape) with
+    * the per-group medians broadcast back between them — never a sort of
+    * the data, never a one-partition window. Integral values (cents
+    * discipline); ceil-rank target (n·50+99) div 100, matching the
+    * repo's other selections.
+    */
+  def groupMad(df: DataFrame, groupCol: String, valueCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    def medianOf(in: DataFrame, c: String, out: String): DataFrame = {
+      val counts = in.groupBy(col(groupCol), col(c).cast("long").as("__v"))
+        .agg(count(lit(1)).as("__n"))
+      val wOrd = Window.partitionBy(col(groupCol)).orderBy(col("__v"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wAll = Window.partitionBy(col(groupCol))
+      counts
+        .withColumn("__cum", sum(col("__n")).over(wOrd))
+        .withColumn("__tot", sum(col("__n")).over(wAll))
+        .groupBy(col(groupCol))
+        .agg(min(when(col("__cum") >= expr("(__tot * 50 + 99) DIV 100"),
+          col("__v"))).as(out), sum(col("__n")).as("__tot"))
+    }
+    val med = medianOf(df, valueCol, "med")
+    val dev = df.join(broadcast(med.select(col(groupCol), col("med"))), Seq(groupCol))
+      .withColumn("__dev", abs(col(valueCol).cast("long") - col("med")))
+    medianOf(dev, "__dev", "mad")
+      .withColumnRenamed("__tot", "n")
+      .join(broadcast(med.select(col(groupCol), col("med"))), Seq(groupCol))
+      .select(col(groupCol), col("n"), col("med"), col("mad"))
+  }
+
   /** Streaming build of the value-count summary: each microbatch's counts
     * land as their own `batch=<id>` shard, written only if absent
     * (`Streams.idempotentShardWrite`), so replays are no-ops; shards fold

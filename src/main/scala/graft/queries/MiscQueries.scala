@@ -2041,7 +2041,52 @@ object MiscQueries {
              |      FROM a GROUP BY 1)
              |SELECT cov.l_suppkey, cov.covered, n.n_intervals
              |FROM cov JOIN n USING (l_suppkey)
-             |ORDER BY l_suppkey""".stripMargin))
+             |ORDER BY l_suppkey""".stripMargin)),
+
+    // ---- EXACT median absolute deviation (Selection.groupMad): the
+    // robust dispersion statistic per event type — two counting-selection
+    // passes (shuffle ∝ distinct values each) with the per-group medians
+    // broadcast between them, never a data sort. The outlier fence a
+    // heavy tail cannot drag; oracle replays both ceil-rank selections. ----
+    Q("q224_mad",
+      (s, dir) => {
+        val ev = t(s, dir, "events").select(col("event_type"),
+          round(col("value") * 100).cast("long").as("c"))
+        graft.operators.Selection.groupMad(ev, "event_type", "c")
+          .orderBy(col("event_type"))
+      },
+      Some("""WITH e AS (SELECT event_type,
+             |        CAST(round(value * 100) AS BIGINT) AS c FROM events),
+             |c1 AS (SELECT event_type, c AS v, count(*) AS n
+             |       FROM e GROUP BY 1, 2),
+             |s1 AS (SELECT event_type, v,
+             |        CAST(sum(n) OVER (PARTITION BY event_type ORDER BY v)
+             |          AS BIGINT) AS cum,
+             |        CAST(sum(n) OVER (PARTITION BY event_type)
+             |          AS BIGINT) AS tot
+             |       FROM c1),
+             |m AS (SELECT event_type,
+             |        CAST(min(CASE WHEN cum >= (tot * 50 + 99) // 100
+             |          THEN v END) AS BIGINT) AS med,
+             |        CAST(min(tot) AS BIGINT) AS n
+             |      FROM s1 GROUP BY 1),
+             |d AS (SELECT e.event_type, abs(e.c - m.med) AS dv
+             |      FROM e JOIN m USING (event_type)),
+             |c2 AS (SELECT event_type, dv AS v, count(*) AS n
+             |       FROM d GROUP BY 1, 2),
+             |s2 AS (SELECT event_type, v,
+             |        CAST(sum(n) OVER (PARTITION BY event_type ORDER BY v)
+             |          AS BIGINT) AS cum,
+             |        CAST(sum(n) OVER (PARTITION BY event_type)
+             |          AS BIGINT) AS tot
+             |       FROM c2),
+             |m2 AS (SELECT event_type,
+             |        CAST(min(CASE WHEN cum >= (tot * 50 + 99) // 100
+             |          THEN v END) AS BIGINT) AS mad
+             |       FROM s2 GROUP BY 1)
+             |SELECT m.event_type, m.n, m.med, m2.mad
+             |FROM m JOIN m2 USING (event_type)
+             |ORDER BY event_type""".stripMargin))
   )
 
   /** Shared q214/q215 oracle: rebuilds the GK registers (md5 buckets,

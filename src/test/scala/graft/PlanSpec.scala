@@ -288,6 +288,20 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("gk registers: ONE data-sized exchange (the bucket window), no join") {
+    withoutAqe {
+      val ev = Tables(spark, sfDir, "events").select(col("event_type"),
+        col("event_id"), round(col("value") * 100).cast("long").as("c"))
+      val p = plan(graft.operators.Gk.registers(ev, "c", "event_id",
+        Seq("event_type"), k = 64, buckets = 8))
+      assert(shuffles(p).size == 1,
+        s"gk build must cost exactly one exchange over the data:\n$p")
+      assert(p.collect { case j: SortMergeJoinExec => j }.isEmpty &&
+        p.collect { case j: BroadcastHashJoinExec => j }.isEmpty,
+        s"gk build must not join:\n$p")
+    }
+  }
+
   test("interval overlap join: equi-join on (key, cell) — no BNLJ, no cartesian") {
     withoutAqe {
       val p = plan(registry("q217_interval_join")(spark, sfDir))

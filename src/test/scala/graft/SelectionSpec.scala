@@ -38,6 +38,25 @@ class SelectionSpec extends SparkSpec {
     assert(got === expected)
   }
 
+  test("groupMad equals the brute-force median-of-absolute-deviations per group") {
+    val rows = sampleN(Gen.zip(Gen.oneOf("a", "b", "c"), Gen.frequency(
+      4 -> Gen.chooseNum(0L, 30L), 1 -> Gen.chooseNum(0L, 100000L))), 701)
+    val got = Selection.groupMad(rows.toDF("g", "v").repartition(9), "g", "v")
+      .select("g", "n", "med", "mad")
+      .as[(String, Long, Long, Long)].collect()
+      .map(r => r._1 -> (r._2, r._3, r._4)).toMap
+    def ceilMedian(xs: Seq[Long]): Long = {
+      val s = xs.sorted
+      s(((s.length.toLong * 50 + 99) / 100 - 1).toInt)
+    }
+    val expected = rows.groupBy(_._1).map { case (g, xs) =>
+      val vs = xs.map(_._2)
+      val med = ceilMedian(vs)
+      g -> (vs.length.toLong, med, ceilMedian(vs.map(v => math.abs(v - med))))
+    }
+    assert(got === expected)
+  }
+
   test("count-table merge law: sharded valueCounts fold to the whole-input quantiles") {
     val vals = sampleN(Gen.chooseNum(0L, 300L), 600).zipWithIndex
     val shards = (0 until 3).map { k =>
