@@ -151,6 +151,31 @@ object Gk {
         col("est")): _*)
   }
 
+  /** Annotate every row with its estimated within-group percentile in
+    * ppm — `percent_rank` for groups too large to window-sort: the
+    * (tiny) register table collapses to one sorted (value, w) array per
+    * group, broadcasts, and each row's estimated count-below-or-equal is
+    * a pure Column fold over that array — ZERO shuffles on the data side
+    * (PlanSpec-pinnable), per-row cost O(registers). The estimate
+    * undercounts true_count(≤v) by less than the build's rank error, so
+    * the ppm is within (err/W)·10⁶ below the true percentile; exact at
+    * register values. The percentile-feature step of feature
+    * engineering, at any scale the registers fit a broadcast (they are
+    * ≤ (k+1)·buckets rows per group by construction).
+    */
+  def cdfPpm(regs: DataFrame, df: DataFrame, valueCol: String,
+             groupCols: Seq[String], outCol: String = "pctl_ppm"): DataFrame = {
+    require(groupCols.nonEmpty, "cdfPpm needs at least one group column")
+    val arr = regs.groupBy(groupCols.map(col): _*)
+      .agg(sort_array(collect_list(struct(col("value"), col("w"))))
+        .as("__regs"), sum(col("w")).as("__wtot"))
+    df.join(broadcast(arr), groupCols)
+      .withColumn(outCol, expr(
+        s"aggregate(filter(__regs, r -> r.value <= CAST($valueCol AS DOUBLE)), " +
+          "0L, (acc, r) -> acc + r.w) * 1000000L DIV __wtot"))
+      .drop("__regs", "__wtot")
+  }
+
   /** Deterministically re-bound a (possibly union-grown) register table
     * to ≤ k items per group: equal values are summed exactly, the value
     * order is cut into blocks of cumulative weight M = ceil(W/k), and

@@ -2086,7 +2086,51 @@ object MiscQueries {
              |       FROM s2 GROUP BY 1)
              |SELECT m.event_type, m.n, m.med, m2.mad
              |FROM m JOIN m2 USING (event_type)
-             |ORDER BY event_type""".stripMargin))
+             |ORDER BY event_type""".stripMargin)),
+
+    // ---- Percentile features from broadcast GK registers (Gk.cdfPpm):
+    // every event annotated with its estimated within-type percentile in
+    // ppm — percent_rank for groups too large to window-sort, as a pure
+    // Column fold over the broadcast register array, ZERO shuffles on
+    // the event side. Deterministic like q214, so the oracle rebuilds
+    // the registers and replays the cdf join from scratch. ----
+    Q("q225_percentile_features",
+      (s, dir) => {
+        val ev = t(s, dir, "events").select(col("event_type"),
+          col("event_id"), round(col("value") * 100).cast("long").as("c"))
+        val regs = graft.operators.Gk.registers(ev, "c", "event_id",
+          Seq("event_type"), k = 64, buckets = 8)
+        graft.operators.Gk.cdfPpm(regs, ev, "c", Seq("event_type"))
+          .select(col("event_id"), col("event_type"), col("c"),
+            col("pctl_ppm"))
+          .orderBy(col("event_id"))
+      },
+      Some("""WITH e AS (SELECT event_type, event_id,
+             |        CAST(round(value * 100) AS BIGINT) AS c FROM events),
+             |b AS (SELECT event_type, c, event_id,
+             |        CAST(concat('0x', substr(md5(concat('b:', event_id)), 1, 8))
+             |          AS BIGINT) % 8 AS bk FROM e),
+             |r AS (SELECT event_type, bk, c, event_id,
+             |        CAST(row_number() OVER (PARTITION BY event_type, bk
+             |          ORDER BY c, event_id) AS BIGINT) AS rn,
+             |        CAST(count(*) OVER (PARTITION BY event_type, bk)
+             |          AS BIGINT) AS nb
+             |      FROM b),
+             |g AS (SELECT event_type, c,
+             |        CASE WHEN rn % ((nb + 63) // 64) = 0 THEN (nb + 63) // 64
+             |             ELSE nb % ((nb + 63) // 64) END AS w
+             |      FROM r WHERE rn % ((nb + 63) // 64) = 0 OR rn = nb),
+             |d AS (SELECT event_type, c, CAST(sum(w) AS BIGINT) AS w
+             |      FROM g GROUP BY 1, 2),
+             |tot AS (SELECT event_type, CAST(sum(w) AS BIGINT) AS wtot
+             |        FROM d GROUP BY 1)
+             |SELECT e.event_id, e.event_type, e.c,
+             |  CAST(coalesce(sum(d.w), 0) * 1000000 // min(tot.wtot)
+             |    AS BIGINT) AS pctl_ppm
+             |FROM e JOIN tot USING (event_type)
+             |  LEFT JOIN d ON d.event_type = e.event_type AND d.c <= e.c
+             |GROUP BY 1, 2, 3
+             |ORDER BY event_id""".stripMargin))
   )
 
   /** Shared q214/q215 oracle: rebuilds the GK registers (md5 buckets,

@@ -299,6 +299,15 @@ class PlanSpec extends SparkSpec {
       assert(p.collect { case j: SortMergeJoinExec => j }.isEmpty &&
         p.collect { case j: BroadcastHashJoinExec => j }.isEmpty,
         s"gk build must not join:\n$p")
+
+      // cdf annotation: the (checkpointed) registers broadcast; the data
+      // side must never sort-merge or re-shuffle for the join
+      val regs = graft.operators.Gk.registers(ev, "c", "event_id",
+        Seq("event_type"), k = 64, buckets = 8).localCheckpoint(true)
+      val p2 = plan(graft.operators.Gk.cdfPpm(regs, ev, "c", Seq("event_type")))
+      assert(p2.collect { case j: SortMergeJoinExec => j }.isEmpty &&
+        p2.collect { case j: BroadcastHashJoinExec => j }.nonEmpty,
+        s"gk cdf annotation must broadcast the registers:\n$p2")
     }
   }
 

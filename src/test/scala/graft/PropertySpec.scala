@@ -309,6 +309,27 @@ class PropertySpec extends SparkSpec {
       }
   }
 
+  test("gk cdf law: percentile ppm undercounts only, within the build's rank error") {
+    import graft.operators.Gk
+    val vals = sampleN(Gen.chooseNum(0L, 500L), 1200).map(_.toDouble)
+    val df = vals.zipWithIndex.map { case (v, i) => ("g", i.toLong, v) }
+      .toDF("g", "id", "v")
+    val (k, buckets) = (50, 4)
+    val regs = Gk.registers(df, "v", "id", Seq("g"), k, buckets)
+    val ann = Gk.cdfPpm(regs, df, "v", Seq("g"))
+      .select(col("v"), col("pctl_ppm")).as[(Double, Long)].collect()
+    val n = vals.length.toLong
+    val sorted = vals.sorted
+    val err = n / k + buckets
+    ann.foreach { case (v, ppm) =>
+      val trueCnt = sorted.count(_ <= v).toLong
+      assert(ppm <= trueCnt * 1000000L / n,
+        s"cdf($v)=$ppm ppm overcounts true ${trueCnt * 1000000L / n}")
+      assert(ppm >= (trueCnt - err) * 1000000L / n - 1,
+        s"cdf($v)=$ppm ppm undershoots beyond the $err-rank error")
+    }
+  }
+
   test("gk weighted law: exact weight, weighted-rank window at every q, " +
     "all-ones weights equal the unweighted build") {
     import graft.operators.Gk
