@@ -2130,7 +2130,37 @@ object MiscQueries {
              |FROM e JOIN tot USING (event_type)
              |  LEFT JOIN d ON d.event_type = e.event_type AND d.c <= e.c
              |GROUP BY 1, 2, 3
-             |ORDER BY event_id""".stripMargin))
+             |ORDER BY event_id""".stripMargin)),
+
+    // ---- Targeted delete from a bucketed store (operators/Purge): the
+    // right-to-be-forgotten purge — orders land in a __bucket=md5(key)
+    // store, a scattered key set (o_orderkey % 97 = 0) is deleted by
+    // rewriting ONLY the touched bucket partitions (untouched partitions
+    // stay byte-identical — PurgeSpec asserts file-for-file), and the
+    // surviving store is summarized. Oracle = the plain NOT-filter. ----
+    Q("q226_targeted_delete",
+      (s, dir) => {
+        import graft.operators.Purge
+        val tmp = java.nio.file.Files.createTempDirectory("graft_q226_").toString
+        val orders = t(s, dir, "orders").select(col("o_orderkey"),
+          col("o_orderstatus"),
+          round(col("o_totalprice") * 100).cast("long").as("cents"))
+        Purge.writeBucketed(orders, "o_orderkey", s"$tmp/store")
+        Purge.deleteKeys(s, s"$tmp/store", "o_orderkey",
+          orders.filter(col("o_orderkey") % 97 === 0).select(col("o_orderkey")))
+        Purge.read(s, s"$tmp/store")
+          .groupBy(col("o_orderstatus"))
+          .agg(count(lit(1)).as("n"), sum(col("cents")).as("cents_total"),
+            min(col("o_orderkey")).as("min_key"),
+            max(col("o_orderkey")).as("max_key"))
+          .orderBy(col("o_orderstatus"))
+      },
+      Some("""SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n,
+             |  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+             |    AS BIGINT) AS cents_total,
+             |  min(o_orderkey) AS min_key, max(o_orderkey) AS max_key
+             |FROM orders WHERE o_orderkey % 97 <> 0
+             |GROUP BY 1 ORDER BY 1""".stripMargin))
   )
 
   /** Shared q214/q215 oracle: rebuilds the GK registers (md5 buckets,
