@@ -176,6 +176,53 @@ object Selection {
       .select(col(groupCol), col("n"), col("med"), col("mad"))
   }
 
+  /** Robust NULL imputation: fill each null `valueCol` with the exact
+    * ceil-rank MEDIAN of its group's non-null values (median, not mean —
+    * a heavy tail or a few corrupt extremes cannot drag the fill value).
+    * One counting-selection pass over the non-null rows + a broadcast
+    * join-back; rows in a group with NO non-null value stay null (the
+    * honest answer — flag them with `Checks.notNull` instead of
+    * inventing a number).
+    */
+  def imputeMedian(df: DataFrame, groupCol: String, valueCol: String,
+                   outCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val counts = df.filter(col(valueCol).isNotNull)
+      .groupBy(col(groupCol), col(valueCol).cast("long").as("__v"))
+      .agg(count(lit(1)).as("__n"))
+    val wOrd = Window.partitionBy(col(groupCol)).orderBy(col("__v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy(col(groupCol))
+    val med = counts
+      .withColumn("__cum", sum(col("__n")).over(wOrd))
+      .withColumn("__tot", sum(col("__n")).over(wAll))
+      .groupBy(col(groupCol))
+      .agg(min(when(col("__cum") >= expr("(__tot * 50 + 99) DIV 100"),
+        col("__v"))).as("__med"))
+    df.join(broadcast(med), Seq(groupCol), "left")
+      .withColumn(outCol, coalesce(col(valueCol).cast("long"), col("__med")))
+      .drop("__med")
+  }
+
+  /** Tukey-fence outlier flags per group: exact ceil-rank quartiles
+    * (q1 = p25, q3 = p75), and a row is an outlier when it falls outside
+    * [q1 − 1.5·iqr, q3 + 1.5·iqr]. The comparison is doubled into pure
+    * integers (2·v < 2·q1 − 3·iqr, 2·v > 2·q3 + 3·iqr) so no fractional
+    * fence ever exists to round. One counting-selection pass + a
+    * broadcast join-back — the box-plot outlier screen at table scale.
+    */
+  def tukeyOutliers(df: DataFrame, groupCol: String, valueCol: String,
+                    flagCol: String = "is_outlier"): DataFrame = {
+    val bounds = groupQuantileBounds(df, groupCol, valueCol, 25, 75)
+      .select(col(groupCol), col("lo").as("__q1"), col("hi").as("__q3"))
+    df.join(broadcast(bounds), Seq(groupCol))
+      .withColumn("__iqr", col("__q3") - col("__q1"))
+      .withColumn(flagCol,
+        (col(valueCol).cast("long") * 2 < col("__q1") * 2 - col("__iqr") * 3) ||
+          (col(valueCol).cast("long") * 2 > col("__q3") * 2 + col("__iqr") * 3))
+      .drop("__q1", "__q3", "__iqr")
+  }
+
   /** Streaming build of the value-count summary: each microbatch's counts
     * land as their own `batch=<id>` shard, written only if absent
     * (`Streams.idempotentShardWrite`), so replays are no-ops; shards fold

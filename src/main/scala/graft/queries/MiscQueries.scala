@@ -2160,7 +2160,81 @@ object MiscQueries {
              |    AS BIGINT) AS cents_total,
              |  min(o_orderkey) AS min_key, max(o_orderkey) AS max_key
              |FROM orders WHERE o_orderkey % 97 <> 0
-             |GROUP BY 1 ORDER BY 1""".stripMargin))
+             |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // ---- Robust null imputation (Selection.imputeMedian): nulls
+    // (synthesized at event_id % 13 = 0) filled with the exact ceil-rank
+    // MEDIAN of the group's non-null values — a heavy tail cannot drag
+    // the fill the way a mean-impute would. One counting-selection pass
+    // + broadcast join-back; oracle replays the selection. ----
+    Q("q227_robust_impute",
+      (s, dir) => {
+        val ev = t(s, dir, "events").select(col("event_id"), col("event_type"),
+          when(col("event_id") % 13 === 0, lit(null))
+            .otherwise(round(col("value") * 100).cast("long")).as("c"))
+        graft.operators.Selection
+          .imputeMedian(ev, "event_type", "c", "c_filled")
+          .select(col("event_id"), col("event_type"), col("c"),
+            col("c_filled"))
+          .orderBy(col("event_id"))
+      },
+      Some("""WITH e AS (SELECT event_id, event_type,
+             |        CASE WHEN event_id % 13 = 0 THEN NULL
+             |             ELSE CAST(round(value * 100) AS BIGINT) END AS c
+             |      FROM events),
+             |c1 AS (SELECT event_type, c AS v, count(*) AS n
+             |       FROM e WHERE c IS NOT NULL GROUP BY 1, 2),
+             |s1 AS (SELECT event_type, v,
+             |        CAST(sum(n) OVER (PARTITION BY event_type ORDER BY v)
+             |          AS BIGINT) AS cum,
+             |        CAST(sum(n) OVER (PARTITION BY event_type)
+             |          AS BIGINT) AS tot
+             |       FROM c1),
+             |m AS (SELECT event_type,
+             |        CAST(min(CASE WHEN cum >= (tot * 50 + 99) // 100
+             |          THEN v END) AS BIGINT) AS med
+             |      FROM s1 GROUP BY 1)
+             |SELECT e.event_id, e.event_type, e.c,
+             |  coalesce(e.c, m.med) AS c_filled
+             |FROM e JOIN m USING (event_type)
+             |ORDER BY event_id""".stripMargin)),
+
+    // ---- Tukey-fence outliers (Selection.tukeyOutliers): rows outside
+    // [q1 − 1.5·iqr, q3 + 1.5·iqr] with EXACT ceil-rank quartiles and
+    // the comparison doubled into pure integers (2v vs 2q1 − 3·iqr) so
+    // no fractional fence exists to round — the box-plot screen at table
+    // scale, one counting pass + broadcast bounds. ~470 flagged rows on
+    // the sf0.01 events. ----
+    Q("q228_tukey_outliers",
+      (s, dir) => {
+        val ev = t(s, dir, "events").select(col("event_id"), col("event_type"),
+          round(col("value") * 100).cast("long").as("c"))
+        graft.operators.Selection.tukeyOutliers(ev, "event_type", "c")
+          .filter(col("is_outlier"))
+          .select(col("event_id"), col("event_type"), col("c"))
+          .orderBy(col("event_id"))
+      },
+      Some("""WITH e AS (SELECT event_id, event_type,
+             |        CAST(round(value * 100) AS BIGINT) AS c FROM events),
+             |c1 AS (SELECT event_type, c AS v, count(*) AS n
+             |       FROM e GROUP BY 1, 2),
+             |s1 AS (SELECT event_type, v,
+             |        CAST(sum(n) OVER (PARTITION BY event_type ORDER BY v)
+             |          AS BIGINT) AS cum,
+             |        CAST(sum(n) OVER (PARTITION BY event_type)
+             |          AS BIGINT) AS tot
+             |       FROM c1),
+             |b AS (SELECT event_type,
+             |        CAST(min(CASE WHEN cum >= (tot * 25 + 99) // 100
+             |          THEN v END) AS BIGINT) AS q1,
+             |        CAST(min(CASE WHEN cum >= (tot * 75 + 99) // 100
+             |          THEN v END) AS BIGINT) AS q3
+             |      FROM s1 GROUP BY 1)
+             |SELECT e.event_id, e.event_type, e.c
+             |FROM e JOIN b USING (event_type)
+             |WHERE e.c * 2 < q1 * 2 - (q3 - q1) * 3
+             |   OR e.c * 2 > q3 * 2 + (q3 - q1) * 3
+             |ORDER BY event_id""".stripMargin))
   )
 
   /** Shared q214/q215 oracle: rebuilds the GK registers (md5 buckets,

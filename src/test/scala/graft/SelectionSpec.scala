@@ -57,6 +57,28 @@ class SelectionSpec extends SparkSpec {
     assert(got === expected)
   }
 
+  test("imputeMedian fills with the group ceil-median; all-null groups stay null") {
+    val rows = Seq(("a", Some(10L)), ("a", Some(20L)), ("a", Some(30L)),
+      ("a", None), ("b", Some(5L)), ("b", None), ("c", None))
+    val got = Selection.imputeMedian(
+        rows.toDF("g", "v"), "g", "v", "filled")
+      .select("g", "v", "filled")
+      .as[(String, Option[Long], Option[Long])].collect().toSet
+    assert(got === Set(
+      ("a", Some(10L), Some(10L)), ("a", Some(20L), Some(20L)),
+      ("a", Some(30L), Some(30L)), ("a", None, Some(20L)),
+      ("b", Some(5L), Some(5L)), ("b", None, Some(5L)),
+      ("c", None, None))) // no non-null basis -> honest null
+  }
+
+  test("tukeyOutliers flags exactly the rows outside the integer-doubled fences") {
+    val vals = Seq.tabulate(100)(i => ("g", i.toLong, (i % 20 + 40).toLong)) ++
+      Seq(("g", 100L, 0L), ("g", 101L, 500L)) // planted extremes
+    val flagged = Selection.tukeyOutliers(vals.toDF("g", "id", "v"), "g", "v")
+      .filter(col("is_outlier")).select("id").as[Long].collect().toSet
+    assert(flagged === Set(100L, 101L))
+  }
+
   test("count-table merge law: sharded valueCounts fold to the whole-input quantiles") {
     val vals = sampleN(Gen.chooseNum(0L, 300L), 600).zipWithIndex
     val shards = (0 until 3).map { k =>
