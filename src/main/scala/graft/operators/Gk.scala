@@ -200,6 +200,28 @@ object Gk {
       .select(g ++ Seq(col("value"), col("w")): _*)
   }
 
+  /** Trailing-window quantiles from per-day register shards — the
+    * quantile analog of the KMV sliding cardinality: build registers
+    * once per day (grouped by the day column), then each day's
+    * p50/p90/… over the trailing `windowDays` is a fold over the
+    * REGISTER TABLE only (day-range join of days × registers, both
+    * register-sized) — the corpus is scanned once ever, and a 100-day
+    * dashboard costs days × registers rows of work, not days × corpus.
+    * The day-range join runs on the tiny register frame by construction;
+    * error bounds add across the window's shards (union law).
+    */
+  def slidingEstimate(regs: DataFrame, dayCol: String, windowDays: Int,
+                      qs: Seq[(String, Int, Int)]): DataFrame = {
+    require(windowDays >= 1, s"need windowDays >= 1, got $windowDays")
+    val days = regs.select(col(dayCol).as("__day")).distinct()
+    val joined = regs.join(days,
+        col(dayCol) >= col("__day") - (windowDays - 1) &&
+          col(dayCol) <= col("__day"))
+      .groupBy(col("__day").as(dayCol), col("value"))
+      .agg(sum(col("w")).as("w"))
+    estimate(joined, Seq(dayCol), qs)
+  }
+
   /** Streaming build: each microbatch's registers land as their own
     * `batch=<id>` shard under the `_SUCCESS`-guarded idempotency rule, so
     * a replayed microbatch is a no-op. Shards fold by the union law on

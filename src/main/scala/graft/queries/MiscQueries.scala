@@ -2234,7 +2234,68 @@ object MiscQueries {
              |FROM e JOIN b USING (event_type)
              |WHERE e.c * 2 < q1 * 2 - (q3 - q1) * 3
              |   OR e.c * 2 > q3 * 2 + (q3 - q1) * 3
-             |ORDER BY event_id""".stripMargin))
+             |ORDER BY event_id""".stripMargin)),
+
+    // ---- Trailing-window percentiles from daily GK shards
+    // (Gk.slidingEstimate): per-day registers built ONCE, each day's
+    // trailing-7-day p50/p90 a fold over the register table only — the
+    // quantile analog of q161's sliding KMV cardinality; the corpus is
+    // scanned once for the whole dashboard. Deterministic end-to-end, so
+    // the oracle replays daily builds + the day-range fold + selection. ----
+    Q("q229_gk_sliding",
+      (s, dir) => {
+        val ev = t(s, dir, "events").select(
+          datediff(to_date(col("ts")), lit("1970-01-01")).cast("long")
+            .as("day"),
+          col("event_id"), round(col("value") * 100).cast("long").as("c"))
+        val regs = graft.operators.Gk.registers(ev, "c", "event_id",
+          Seq("day"), k = 32, buckets = 4)
+        graft.operators.Gk.slidingEstimate(regs, "day", windowDays = 7,
+            Seq(("p50", 1, 2), ("p90", 9, 10)))
+          .withColumn("est", col("est").cast("long"))
+          .orderBy(col("day"), col("q"))
+      },
+      Some("""WITH e AS (SELECT
+             |        CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT)
+             |          AS day,
+             |        event_id, CAST(round(value * 100) AS BIGINT) AS c
+             |      FROM events),
+             |b AS (SELECT day, c, event_id,
+             |        CAST(concat('0x', substr(md5(concat('b:', event_id)), 1, 8))
+             |          AS BIGINT) % 4 AS bk FROM e),
+             |r AS (SELECT day, bk, c, event_id,
+             |        CAST(row_number() OVER (PARTITION BY day, bk
+             |          ORDER BY c, event_id) AS BIGINT) AS rn,
+             |        CAST(count(*) OVER (PARTITION BY day, bk)
+             |          AS BIGINT) AS nb
+             |      FROM b),
+             |g AS (SELECT day, c,
+             |        CASE WHEN rn % ((nb + 31) // 32) = 0 THEN (nb + 31) // 32
+             |             ELSE nb % ((nb + 31) // 32) END AS w
+             |      FROM r WHERE rn % ((nb + 31) // 32) = 0 OR rn = nb),
+             |regs AS (SELECT day, c, CAST(sum(w) AS BIGINT) AS w
+             |         FROM g GROUP BY 1, 2),
+             |days AS (SELECT DISTINCT day AS d FROM regs),
+             |u AS (SELECT days.d AS day, regs.c,
+             |        CAST(sum(regs.w) AS BIGINT) AS w
+             |      FROM regs JOIN days
+             |        ON regs.day BETWEEN days.d - 6 AND days.d
+             |      GROUP BY 1, 2),
+             |s AS (SELECT day, c,
+             |        CAST(sum(w) OVER (PARTITION BY day ORDER BY c)
+             |          AS BIGINT) AS cum,
+             |        CAST(sum(w) OVER (PARTITION BY day) AS BIGINT) AS tot
+             |      FROM u),
+             |q(q, num, den) AS (VALUES ('p50', 1, 2), ('p90', 9, 10)),
+             |tg AS (SELECT DISTINCT s.day, q.q, s.tot,
+             |         (s.tot * q.num + q.den - 1) // q.den AS k_target
+             |       FROM s, q)
+             |SELECT tg.day, tg.q, CAST(tg.tot AS BIGINT) AS w_total,
+             |  CAST(tg.k_target AS BIGINT) AS k_target,
+             |  CAST(min(s.c) AS BIGINT) AS est
+             |FROM tg JOIN s ON s.day = tg.day AND s.cum >= tg.k_target
+             |GROUP BY 1, 2, 3, 4
+             |ORDER BY 1, 2""".stripMargin))
   )
 
   /** Shared q214/q215 oracle: rebuilds the GK registers (md5 buckets,

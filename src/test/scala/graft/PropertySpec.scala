@@ -309,6 +309,22 @@ class PropertySpec extends SparkSpec {
       }
   }
 
+  test("gk sliding law: windowDays=1 equals the plain per-day estimate") {
+    import graft.operators.Gk
+    val rows = sampleN(Gen.zip(Gen.chooseNum(0L, 9L), Gen.chooseNum(0L, 5000L)), 800)
+      .zipWithIndex.map { case ((d, v), i) => (d, i.toLong, v.toDouble) }
+    val df = rows.toDF("day", "id", "v")
+    val regs = Gk.registers(df, "v", "id", Seq("day"), 16, 2)
+    val qs = Seq(("p50", 1, 2), ("p90", 9, 10))
+    val slid = Gk.slidingEstimate(regs, "day", 1, qs)
+      .select(col("day"), col("q"), col("est"))
+      .as[(Long, String, Double)].collect().toSet
+    val plain = Gk.estimate(regs, Seq("day"), qs)
+      .select(col("day"), col("q"), col("est"))
+      .as[(Long, String, Double)].collect().toSet
+    assert(slid === plain)
+  }
+
   test("gk cdf law: percentile ppm undercounts only, within the build's rank error") {
     import graft.operators.Gk
     val vals = sampleN(Gen.chooseNum(0L, 500L), 1200).map(_.toDouble)
