@@ -51,6 +51,16 @@ import org.apache.spark.sql.functions._
   * Values ride as doubles (selection, not arithmetic — the emitted
   * quantile is an actual data value, so longs/cents pass through exactly;
   * doubles are fine because nothing is ever added to them).
+  *
+  * Cost model vs [[Selection]]: the build shuffles ∝ ROWS (the price of
+  * the canonical order), where exact counting selection shuffles ∝
+  * DISTINCT values — so for heavily-duplicated columns, compose instead
+  * of choosing: pre-aggregate to (value, n) counts (shuffle ∝ distinct)
+  * and feed them to [[weightedRegisters]] with the count as the weight
+  * and the value as its own id — same bounds, the cheaper exchange, one
+  * code path. For unknown-range doubles where every value is distinct
+  * (latencies, losses) the direct build is the right tool and exact
+  * selection is not.
   */
 object Gk {
 
