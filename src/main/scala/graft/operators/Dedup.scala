@@ -456,6 +456,34 @@ object Dedup {
     df.join(losers, Seq(idCol), "left_anti")
   }
 
+  /** LEAKAGE-SAFE train/validation split: near-duplicate CLUSTERS land
+    * whole on one side. A plain per-doc holdout (q124) leaks through
+    * near-duplicates — a training doc's 0.9-Jaccard twin in the eval set
+    * inflates every metric. Here each document maps to its transitive
+    * near-dup cluster label (min-id representative; singletons label
+    * themselves) and the side is the deterministic md5-bucket rule
+    * applied to the LABEL, so two near-dups can never straddle the
+    * split. Same reproducibility contract as the other samplers: a pure
+    * function of (seed, corpus), no RNG. Keeps `trainOutOf - 1` of
+    * `trainOutOf` buckets for train.
+    */
+  def leakageSafeSplit(df: DataFrame, idCol: String, textCol: String,
+                       numHashes: Int = 32, bands: Int = 8, shingleK: Int = 3,
+                       threshold: Double = 0.8, portableHash: Boolean = false,
+                       trainOutOf: Int = 10, seed: String = "s"): DataFrame = {
+    require(trainOutOf >= 2, s"need trainOutOf >= 2, got $trainOutOf")
+    val pairs = minhashPairs(df, idCol, textCol, numHashes, bands, shingleK,
+      threshold, portableHash = portableHash)
+    val comps = connectedComponents(pairs)
+    val bucket = conv(substring(md5(concat(lit(s"$seed:"),
+      col("label").cast("string")).cast("binary")), 1, 8), 16, 10)
+      .cast("long") % trainOutOf
+    df.join(comps.withColumnRenamed("id", idCol), Seq(idCol), "left")
+      .withColumn("label", coalesce(col("label"), col(idCol)))
+      .withColumn("split",
+        when(bucket < trainOutOf - 1, lit("train")).otherwise(lit("val")))
+  }
+
   /** SimHash per document: per-bit vote of token hashes (explode + `bits`
     * partial-aggregated sums, then bit reassembly — one shuffle on id).
     * The token hash is pluggable: xxhash64/64-bit is the production default;

@@ -173,6 +173,29 @@ object DedupQueries {
        |  k.chars_kept * 1000000 // tot.chars_total AS chars_kept_ppm
        |FROM tot, k""".stripMargin
 
+  /** q230 oracle: the q94 closure re-labeled — every doc mapped to its
+    * component minimum (singletons to themselves) — then the md5-bucket
+    * split applied to the LABEL, so near-dup clusters provably land
+    * whole on one side.
+    */
+  private lazy val q230OracleSql: String =
+    s"""WITH RECURSIVE $minhashCtes,
+       |und AS (SELECT id_a AS a, id_b AS b FROM j WHERE jaccard >= 0.8
+       |        UNION SELECT id_b, id_a FROM j WHERE jaccard >= 0.8),
+       |reach(src, dst) AS (
+       |  SELECT a, b FROM und
+       |  UNION
+       |  SELECT r.src, u.b FROM reach r JOIN und u ON r.dst = u.a),
+       |lbl AS (SELECT src AS id, least(src, min(dst)) AS label
+       |        FROM reach GROUP BY src),
+       |alld AS (SELECT doc_id, coalesce(l.label, doc_id) AS label
+       |         FROM documents LEFT JOIN lbl l ON l.id = doc_id)
+       |SELECT doc_id, label,
+       |  CASE WHEN CAST(concat('0x', substr(md5(concat('s:', label)), 1, 8))
+       |         AS BIGINT) % 10 < 9
+       |       THEN 'train' ELSE 'val' END AS split
+       |FROM alld ORDER BY doc_id""".stripMargin
+
   /** q53 oracle: replays hyperplane-LSH bucketing + cosine verification in
     * DuckDB. The planes (VectorFns.planeFor, seeds 0..3, dim 64 — exactly
     * what embeddingPairs(nBits = 4) uses) are emitted as double literals via
@@ -579,6 +602,22 @@ object DedupQueries {
              |FROM p JOIN sz sa ON sa.doc_id = id_a JOIN sz sb ON sb.doc_id = id_b
              |WHERE 2 * isect >= sa.n + sb.n - isect
              |ORDER BY id_a, id_b""".stripMargin)),
+
+    // ---- Leakage-safe train/val split (Dedup.leakageSafeSplit): the
+    // dedup-aware holdout — a plain per-doc split leaks through
+    // near-duplicates (a training doc's 0.9-Jaccard twin in eval
+    // inflates every metric); here the md5-bucket split is applied to
+    // each doc's transitive near-dup CLUSTER label, so twins can never
+    // straddle. Oracle = the q94 closure re-labeled + the bucket rule
+    // on the label. ----
+    Q("q230_leakage_safe_split",
+      (s, dir) => {
+        Dedup.leakageSafeSplit(t(s, dir, "documents"), "doc_id", "text",
+            threshold = 0.8, portableHash = true)
+          .select(col("doc_id"), col("label"), col("split"))
+          .orderBy(col("doc_id"))
+      },
+      Some(q230OracleSql)),
 
     // ---- Bipartite (R–S) set-similarity join (SetJoin.bipartite): the
     // set-level decontamination query — corpus docs (doc_id % 5 != 0) vs

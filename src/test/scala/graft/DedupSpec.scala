@@ -211,4 +211,25 @@ class DedupSpec extends SparkSpec {
     assert(uncapped == Map(1L -> true, 2L -> false, 3L -> false, 4L -> false),
       s"same cell under the cap must dedup normally: $uncapped")
   }
+
+  test("leakage-safe split: no near-dup cluster straddles the split, " +
+    "every doc assigned, split pure in the label") {
+    val docs = Tables(spark, sfDir, "documents")
+    val split = Dedup.leakageSafeSplit(docs, "doc_id", "text",
+        threshold = 0.8, portableHash = true)
+      .select("doc_id", "label", "split")
+      .as[(Long, Long, String)].collect()
+    assert(split.length.toLong === docs.count(), "every doc gets a side")
+    // the whole point: one side per cluster
+    split.groupBy(_._2).foreach { case (label, members) =>
+      assert(members.map(_._3).distinct.length === 1,
+        s"cluster $label straddles the split")
+    }
+    // the fixture's planted near-dups produce multi-member clusters
+    assert(split.groupBy(_._2).exists(_._2.length > 1),
+      "fixture must contain non-trivial clusters")
+    // both sides populated at a ~90/10 bucket rule
+    val sides = split.groupBy(_._3).view.mapValues(_.length).toMap
+    assert(sides.keySet === Set("train", "val") && sides("train") > sides("val"))
+  }
 }
