@@ -52,4 +52,58 @@ object Metrics {
     import spark.implicits._
     Seq((a, p, nneg)).toDF("auc", "n_pos", "n_neg")
   }
+
+  /** EXACT two-sample Kolmogorov–Smirnov distance — the nonparametric
+    * drift test (q188's fixed-bin histograms made exact): the max over
+    * all values of |cdf_A − cdf_B|, computed ENTIRELY in integers as
+    * ks_num = max |n_b·cum_a − n_a·cum_b| over the merged value axis, so
+    * the statistic (and its argmax value, smallest on ties) replays
+    * bit-for-bit in any engine; the 6-dp double ks6 = ks_num/(n_a·n_b)
+    * rides along. Distributed as the [[auc]] shape: counts per value
+    * (shuffle ∝ distinct values), range partition, one combined
+    * per-partition totals collect (bounded by partition count), one
+    * narrow pass tracking the per-partition max — never a
+    * single-partition window. Overflow budget: n_a·n_b must fit BIGINT
+    * (holds to ~3·10⁹ rows per side).
+    */
+  def ksStatistic(a: DataFrame, b: DataFrame, valueCol: String): DataFrame = {
+    val spark = a.sparkSession
+    val g = a.select(col(valueCol).cast("long").as("v"),
+        lit(1L).as("__a"), lit(0L).as("__b"))
+      .unionByName(b.select(col(valueCol).cast("long").as("v"),
+        lit(0L).as("__a"), lit(1L).as("__b")))
+      .groupBy(col("v"))
+      .agg(sum(col("__a")).as("na"), sum(col("__b")).as("nb"))
+      .repartitionByRange(col("v"))
+      .sortWithinPartitions(col("v"))
+    val rdd = g.rdd // one instance for both passes (the Scan invariant)
+    val per = rdd.mapPartitionsWithIndex { case (pi, rows) =>
+      var sa = 0L; var sb = 0L
+      rows.foreach { r => sa += r.getLong(1); sb += r.getLong(2) }
+      Iterator((pi, sa, sb))
+    }.collect().sortBy(_._1)
+    val basesA = per.map(_._2).scanLeft(0L)(_ + _).dropRight(1)
+    val basesB = per.map(_._3).scanLeft(0L)(_ + _).dropRight(1)
+    val nA = per.map(_._2).sum
+    val nB = per.map(_._3).sum
+    require(nA > 0 && nB > 0, "ksStatistic needs both samples non-empty")
+    val best = rdd.mapPartitionsWithIndex { case (pi, rows) =>
+      var ca = basesA(pi); var cb = basesB(pi)
+      var bestNum = -1L; var bestV = 0L
+      rows.foreach { r =>
+        ca += r.getLong(1); cb += r.getLong(2)
+        val num = math.abs(nB * ca - nA * cb)
+        if (num > bestNum) { bestNum = num; bestV = r.getLong(0) }
+      }
+      if (bestNum >= 0) Iterator((bestNum, bestV)) else Iterator.empty
+    }.collect()
+    val (ksNum, atV) = best.reduce { (x, y) =>
+      if (x._1 > y._1 || (x._1 == y._1 && x._2 <= y._2)) x else y
+    }
+    import spark.implicits._
+    Seq((nA, nB, ksNum, atV,
+      BigDecimal(ksNum.toDouble / (nA.toDouble * nB.toDouble))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble))
+      .toDF("n_a", "n_b", "ks_num", "at_value", "ks6")
+  }
 }

@@ -2295,7 +2295,44 @@ object MiscQueries {
              |  CAST(min(s.c) AS BIGINT) AS est
              |FROM tg JOIN s ON s.day = tg.day AND s.cum >= tg.k_target
              |GROUP BY 1, 2, 3, 4
-             |ORDER BY 1, 2""".stripMargin))
+             |ORDER BY 1, 2""".stripMargin)),
+
+    // ---- Exact two-sample Kolmogorov–Smirnov drift test
+    // (Metrics.ksStatistic): max |cdf_click − cdf_purchase| over cents,
+    // entirely in integers (ks_num = max |n_b·cum_a − n_a·cum_b|, argmax
+    // value, smallest on ties) — q188's binned drift report made exact,
+    // distributed by the counting + two-phase-scan shape. Full oracle. ----
+    Q("q231_ks_drift",
+      (s, dir) => {
+        val ev = t(s, dir, "events").select(col("event_type"),
+          round(col("value") * 100).cast("long").as("c"))
+        graft.operators.Metrics.ksStatistic(
+          ev.filter(col("event_type") === "click"),
+          ev.filter(col("event_type") === "purchase"), "c")
+      },
+      Some("""WITH g AS (SELECT v,
+             |        CAST(sum(CASE WHEN side = 'a' THEN 1 ELSE 0 END)
+             |          AS BIGINT) AS na,
+             |        CAST(sum(CASE WHEN side = 'b' THEN 1 ELSE 0 END)
+             |          AS BIGINT) AS nb
+             |      FROM (SELECT CAST(round(value * 100) AS BIGINT) AS v,
+             |              'a' AS side FROM events WHERE event_type = 'click'
+             |            UNION ALL
+             |            SELECT CAST(round(value * 100) AS BIGINT), 'b'
+             |            FROM events WHERE event_type = 'purchase')
+             |      GROUP BY v),
+             |t AS (SELECT CAST(sum(na) AS BIGINT) AS n_a,
+             |        CAST(sum(nb) AS BIGINT) AS n_b FROM g),
+             |s AS (SELECT v,
+             |        CAST(sum(na) OVER (ORDER BY v) AS BIGINT) AS ca,
+             |        CAST(sum(nb) OVER (ORDER BY v) AS BIGINT) AS cb
+             |      FROM g),
+             |d AS (SELECT v, abs(t.n_b * ca - t.n_a * cb) AS num FROM s, t),
+             |m AS (SELECT CAST(max(num) AS BIGINT) AS ks_num FROM d)
+             |SELECT t.n_a, t.n_b, m.ks_num,
+             |  (SELECT min(v) FROM d WHERE num = m.ks_num) AS at_value,
+             |  round(CAST(m.ks_num AS DOUBLE) / (t.n_a * t.n_b), 6) AS ks6
+             |FROM t, m""".stripMargin))
   )
 
   /** Shared q214/q215 oracle: rebuilds the GK registers (md5 buckets,

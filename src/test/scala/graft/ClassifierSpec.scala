@@ -67,4 +67,31 @@ class ClassifierSpec extends SparkSpec {
     val want = (s2 - p * (p + 1)).toDouble / 2.0 / (p.toDouble * nn)
     assert(got2 == want, s"partitioned AUC $got2 != driver mirror $want")
   }
+
+  test("ksStatistic equals the brute-force max-cdf-gap with smallest-value tie, " +
+    "partition-independent") {
+    val as_ = (0 until 300).map(i => (i * 7919 % 40).toLong)
+    val bs = (0 until 200).map(i => (i * 104729 % 40 + 5).toLong)
+    val got = Metrics.ksStatistic(
+        as_.map(Tuple1(_)).toDF("v").repartition(11),
+        bs.map(Tuple1(_)).toDF("v").repartition(3), "v")
+      .select("n_a", "n_b", "ks_num", "at_value")
+      .as[(Long, Long, Long, Long)].head()
+    val (na, nb) = (as_.length.toLong, bs.length.toLong)
+    val allV = (as_ ++ bs).distinct.sorted
+    val cands = allV.map { v =>
+      (math.abs(nb * as_.count(_ <= v) - na * bs.count(_ <= v)), v)
+    }
+    val mx = cands.map(_._1).max
+    val atV = cands.filter(_._1 == mx).map(_._2).min
+    assert(got === ((na, nb, mx, atV)))
+    // identical under a different physical layout
+    val again = Metrics.ksStatistic(
+        as_.map(Tuple1(_)).toDF("v").coalesce(1),
+        bs.map(Tuple1(_)).toDF("v").coalesce(1), "v")
+      .select("n_a", "n_b", "ks_num", "at_value")
+      .as[(Long, Long, Long, Long)].head()
+    assert(again === got)
+  }
+
 }
