@@ -106,4 +106,36 @@ object Metrics {
         .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble))
       .toDF("n_a", "n_b", "ks_num", "at_value", "ks6")
   }
+
+  /** Per-GROUP KS — the drift dashboard (one statistic per segment):
+    * same integer contract as [[ksStatistic]], with `isACol` (boolean)
+    * marking side A, distributed across groups by group-partitioned
+    * cumulative windows over the value-count table (never the corpus).
+    * Groups missing either side are dropped — a one-sided KS is
+    * undefined, not zero.
+    */
+  def ksByGroup(df: DataFrame, groupCol: String, isACol: String,
+                valueCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val g = df.groupBy(col(groupCol), col(valueCol).cast("long").as("v"))
+      .agg(sum(when(col(isACol), 1L).otherwise(0L)).as("na"),
+        sum(when(!col(isACol), 1L).otherwise(0L)).as("nb"))
+    val wOrd = Window.partitionBy(col(groupCol)).orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy(col(groupCol))
+    g.withColumn("ca", sum(col("na")).over(wOrd))
+      .withColumn("cb", sum(col("nb")).over(wOrd))
+      .withColumn("n_a", sum(col("na")).over(wAll))
+      .withColumn("n_b", sum(col("nb")).over(wAll))
+      .filter(col("n_a") > 0 && col("n_b") > 0)
+      .withColumn("num", abs(col("n_b") * col("ca") - col("n_a") * col("cb")))
+      .groupBy(col(groupCol))
+      .agg(min(col("n_a")).as("n_a"), min(col("n_b")).as("n_b"),
+        max(struct(col("num"), (-col("v")).as("negv"))).as("m"))
+      .select(col(groupCol), col("n_a"), col("n_b"),
+        col("m.num").as("ks_num"), (-col("m.negv")).as("at_value"),
+        round(col("m.num").cast("double") /
+          (col("n_a").cast("double") * col("n_b").cast("double")), 6)
+          .as("ks6"))
+  }
 }

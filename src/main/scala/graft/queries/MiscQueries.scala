@@ -2332,7 +2332,57 @@ object MiscQueries {
              |SELECT t.n_a, t.n_b, m.ks_num,
              |  (SELECT min(v) FROM d WHERE num = m.ks_num) AS at_value,
              |  round(CAST(m.ks_num AS DOUBLE) / (t.n_a * t.n_b), 6) AS ks6
-             |FROM t, m""".stripMargin))
+             |FROM t, m""".stripMargin)),
+
+    // ---- Per-segment KS drift (Metrics.ksByGroup): one exact KS per
+    // event type between the first 15 days and the rest — the drift
+    // dashboard, distributed across groups by group-partitioned windows
+    // over the value-count table. Same integer contract as q231. ----
+    Q("q232_ks_by_segment",
+      (s, dir) => {
+        val ev = t(s, dir, "events").select(col("event_type"),
+          datediff(to_date(col("ts")), lit("1970-01-01")).cast("long")
+            .as("day"),
+          round(col("value") * 100).cast("long").as("c"))
+        val pivot = ev.agg(min(col("day"))).head().getLong(0) + 15L
+        graft.operators.Metrics.ksByGroup(
+            ev.withColumn("is_a", col("day") < pivot),
+            "event_type", "is_a", "c")
+          .orderBy(col("event_type"))
+      },
+      Some("""WITH e AS (SELECT event_type,
+             |        CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT)
+             |          AS day,
+             |        CAST(round(value * 100) AS BIGINT) AS v FROM events),
+             |p AS (SELECT min(day) + 15 AS pv FROM e),
+             |g AS (SELECT event_type, v,
+             |        CAST(sum(CASE WHEN day < pv THEN 1 ELSE 0 END)
+             |          AS BIGINT) AS na,
+             |        CAST(sum(CASE WHEN day >= pv THEN 1 ELSE 0 END)
+             |          AS BIGINT) AS nb
+             |      FROM e, p GROUP BY 1, 2),
+             |t AS (SELECT event_type, CAST(sum(na) AS BIGINT) AS n_a,
+             |        CAST(sum(nb) AS BIGINT) AS n_b FROM g GROUP BY 1),
+             |s AS (SELECT event_type, v,
+             |        CAST(sum(na) OVER (PARTITION BY event_type ORDER BY v)
+             |          AS BIGINT) AS ca,
+             |        CAST(sum(nb) OVER (PARTITION BY event_type ORDER BY v)
+             |          AS BIGINT) AS cb
+             |      FROM g),
+             |d AS (SELECT s.event_type, s.v,
+             |        abs(t.n_b * s.ca - t.n_a * s.cb) AS num
+             |      FROM s JOIN t USING (event_type)
+             |      WHERE t.n_a > 0 AND t.n_b > 0),
+             |m AS (SELECT event_type, CAST(max(num) AS BIGINT) AS ks_num
+             |      FROM d GROUP BY 1),
+             |av AS (SELECT d.event_type, CAST(min(d.v) AS BIGINT) AS at_value
+             |       FROM d JOIN m ON m.event_type = d.event_type
+             |         AND d.num = m.ks_num
+             |       GROUP BY 1)
+             |SELECT t.event_type, t.n_a, t.n_b, m.ks_num, av.at_value,
+             |  round(CAST(m.ks_num AS DOUBLE) / (t.n_a * t.n_b), 6) AS ks6
+             |FROM t JOIN m USING (event_type) JOIN av USING (event_type)
+             |ORDER BY event_type""".stripMargin))
   )
 
   /** Shared q214/q215 oracle: rebuilds the GK registers (md5 buckets,

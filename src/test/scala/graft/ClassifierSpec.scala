@@ -94,4 +94,29 @@ class ClassifierSpec extends SparkSpec {
     assert(again === got)
   }
 
+
+  test("ksByGroup matches per-group brute force; one-sided groups dropped") {
+    val rows = (0 until 500).map { i =>
+      val g = "g" + (i % 3)
+      val isA = i % 2 == 0
+      (g, isA, ((i * 7919) % 35).toLong)
+    } ++ Seq(("solo", true, 1L)) // one-sided group must be dropped
+    val got = Metrics.ksByGroup(rows.toDF("g", "is_a", "v").repartition(7),
+        "g", "is_a", "v")
+      .select("g", "n_a", "n_b", "ks_num", "at_value")
+      .as[(String, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> (r._2, r._3, r._4, r._5)).toMap
+    assert(!got.contains("solo"))
+    rows.filter(_._1 != "solo").groupBy(_._1).foreach { case (g, xs) =>
+      val as_ = xs.filter(_._2).map(_._3)
+      val bs = xs.filterNot(_._2).map(_._3)
+      val (na, nb) = (as_.length.toLong, bs.length.toLong)
+      val cands = (as_ ++ bs).distinct.sorted.map { v =>
+        (math.abs(nb * as_.count(_ <= v) - na * bs.count(_ <= v)), v)
+      }
+      val mx = cands.map(_._1).max
+      assert(got(g) === ((na, nb, mx, cands.filter(_._1 == mx).map(_._2).min)))
+    }
+  }
+
 }
