@@ -399,4 +399,70 @@ object Graph {
     cur.select(explode(array(col("a"), col("b"))).as("node"))
       .groupBy(col("node")).agg(count(lit(1)).as("deg"))
   }
+
+  /** Single/multi-source WEIGHTED shortest paths (distributed
+    * Bellman-Ford) over an undirected graph with non-negative integer
+    * edge weights — [[bfsHops]] generalized from hop counts to weighted
+    * distance (cheapest total cost, not fewest hops).
+    *
+    * Each round relaxes ONLY the edges incident to nodes whose distance
+    * improved last round (the frontier), then folds the candidate
+    * distances into the running vector with one `min` aggregate — so
+    * per-round work is proportional to the frontier's edges, the Pregel
+    * shape. Parallel edges collapse to their minimum weight up front.
+    * Rounds converge in (max hop count over all shortest weighted
+    * paths), with a loud `maxRounds` cap; relaxation is MONOTONE, so
+    * running past the fixpoint is a no-op — which is exactly what lets
+    * a SQL oracle replay the rounds as a static unroll with any round
+    * count >= the true convergence depth (the q156 k-core discipline).
+    *
+    * Everything is exact BIGINT arithmetic (distance = sum of integer
+    * weights, min fold), so the fixpoint is engine-exact bit for bit.
+    * Unreached nodes are absent; sources emit their 0 row by definition.
+    * `localCheckpoint` cuts lineage each round; the per-round driver
+    * action is the emptiness probe (the [[kCore]] cost class).
+    */
+  def weightedHops(edges: DataFrame, srcCol: String, dstCol: String,
+                   wCol: String, sources: DataFrame, sourceCol: String,
+                   maxRounds: Int = 64): DataFrame = {
+    require(maxRounds >= 1, s"maxRounds must be positive, got $maxRounds")
+    val adj = edges
+      .select(col(srcCol).cast("long").as("u"), col(dstCol).cast("long").as("v"),
+        col(wCol).cast("long").as("w"))
+      .filter(col("u") =!= col("v"))
+    val und = adj
+      .unionByName(adj.select(col("v").as("u"), col("u").as("v"), col("w")))
+      .groupBy(col("u"), col("v")).agg(min(col("w")).as("w"))
+      .localCheckpoint(true)
+    var dist = sources
+      .select(col(sourceCol).cast("long").as("node")).distinct()
+      .select(col("node"), lit(0L).as("dist"))
+      .localCheckpoint(true)
+    var frontier = dist
+    var r = 0
+    var done = frontier.isEmpty
+    while (!done) {
+      val cand = und
+        .join(frontier.select(col("node").as("u"), col("dist").as("du")), "u")
+        .select(col("v").as("node"), (col("du") + col("w")).as("dist"))
+        .groupBy(col("node")).agg(min(col("dist")).as("dist"))
+      val improved = cand
+        .join(dist.select(col("node"), col("dist").as("old")),
+          Seq("node"), "left_outer")
+        .filter(col("old").isNull || col("dist") < col("old"))
+        .select(col("node"), col("dist"))
+        .localCheckpoint(true)
+      if (improved.isEmpty) done = true
+      else {
+        r += 1
+        require(r <= maxRounds,
+          s"weighted shortest paths did not converge in $maxRounds rounds")
+        dist = dist.unionByName(improved)
+          .groupBy(col("node")).agg(min(col("dist")).as("dist"))
+          .localCheckpoint(true)
+        frontier = improved
+      }
+    }
+    dist
+  }
 }

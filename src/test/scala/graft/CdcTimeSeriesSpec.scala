@@ -78,4 +78,46 @@ class CdcTimeSeriesSpec extends SparkSpec {
       .orderBy("day").select("interp").as[Option[Double]].collect().toSeq
     assert(interp == Seq(Some(0.0), Some(33.33), Some(66.67), Some(100.0)))
   }
+
+  test("changePoint: a planted step lands on the last pre-step day; flat series tie to day one") {
+    val days = (1 to 6).map(d => ts(f"2024-02-0$d 00:00:00"))
+    val step = days.zip(Seq(10L, 10L, 10L, 20L, 20L, 20L))
+      .map { case (d, v) => ("step", d, v) }
+    val flat = days.take(4).map(d => ("flat", d, 5L))
+    val got = TimeSeries.changePoint(
+        (step ++ flat).toDF("g", "day", "v").repartition(5), "g", "day", "v")
+      .as[(String, Long, Long, Timestamp, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+    // step: S_d = |6*cum - d*90| peaks at 90 on day 3 (the last low day)
+    assert(got("step") == ((6L, 90L, days(2), 90L)), s"step: ${got("step")}")
+    // flat: S is 0 everywhere -> smallest day wins the tie
+    assert(got("flat") == ((4L, 20L, days(0), 0L)), s"flat: ${got("flat")}")
+  }
+
+  test("acf matches a driver mirror on a random series; constant series has den 0") {
+    val rnd = new scala.util.Random(11)
+    val vals = (1 to 40).map(_ => rnd.nextInt(500).toLong)
+    val rows = vals.zipWithIndex.map { case (v, i) =>
+      ("g", ts(f"2024-03-${i / 24 + 1}%02d ${i % 24}%02d:00:00"), v)
+    } // distinct timestamps, ordered like the index
+    val sorted = rows.sortBy(_._2.getTime).map(_._3)
+    val got = TimeSeries.acf(rows.toDF("g", "day", "v").repartition(7),
+        "g", "day", "v", maxLag = 5)
+      .as[(String, Long, Long, Long, Option[Double])].collect()
+      .map(r => r._2 -> ((r._3, r._4))).toMap
+    val n = sorted.length.toLong
+    val t = sorted.sum
+    val dev = sorted.map(v => n * v - t)
+    val den = dev.map(d => d * d).sum
+    (1 to 5).foreach { k =>
+      val num = dev.dropRight(k).zip(dev.drop(k)).map { case (a, b) => a * b }.sum
+      assert(got(k.toLong) == ((num, den)), s"lag $k: ${got(k.toLong)} vs ($num, $den)")
+    }
+    val const = TimeSeries.acf(
+        (1 to 4).map(d => ("c", ts(f"2024-04-0$d 00:00:00"), 9L))
+          .toDF("g", "day", "v"), "g", "day", "v", maxLag = 2)
+      .as[(String, Long, Long, Long, Option[Double])].collect()
+    assert(const.forall(r => r._3 == 0L && r._4 == 0L && r._5.isEmpty),
+      s"constant series must have 0/0 rational and null r6: ${const.toSeq}")
+  }
 }

@@ -225,4 +225,36 @@ class GraphSpec extends SparkSpec {
     }
     assert(err.getMessage.contains("did not finish"))
   }
+
+  test("weightedHops: cheapest path beats fewest hops; parallel edges collapse to min") {
+    // 1-3 direct costs 100, but 1-2-3 costs 20: the weighted answer must
+    // take the longer-hop cheaper route (the exact thing bfsHops can't).
+    // Parallel 1-2 edges (50 and 10) must collapse to 10.
+    val edges = Seq((1L, 2L, 50L), (1L, 2L, 10L), (2L, 3L, 10L),
+      (1L, 3L, 100L), (9L, 10L, 1L))
+      .toDF("src", "dst", "w").repartition(4)
+    val got = Graph.weightedHops(edges, "src", "dst", "w",
+        Seq(1L).toDF("node"), "node")
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 0L, 2L -> 10L, 3L -> 20L),
+      s"wrong weighted distances: $got")
+    assert(!got.contains(9L) && !got.contains(10L),
+      "unreachable component must be absent")
+  }
+
+  test("weightedHops: multi-source nearest seed, undirected, loud round cap") {
+    val chain = Seq((1L, 2L, 5L), (2L, 3L, 7L), (3L, 4L, 5L))
+      .toDF("src", "dst", "w")
+    val got = Graph.weightedHops(chain, "src", "dst", "w",
+        Seq(1L, 4L).toDF("node"), "node")
+      .as[(Long, Long)].collect().toMap
+    // node 2: 5 from seed 1; node 3: 5 from seed 4 (undirected edges)
+    assert(got == Map(1L -> 0L, 2L -> 5L, 3L -> 5L, 4L -> 0L),
+      s"wrong multi-source distances: $got")
+    val err = intercept[IllegalArgumentException] {
+      Graph.weightedHops(chain, "src", "dst", "w",
+        Seq(1L).toDF("node"), "node", maxRounds = 2).count()
+    }
+    assert(err.getMessage.contains("did not converge"))
+  }
 }
