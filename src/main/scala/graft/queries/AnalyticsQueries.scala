@@ -200,6 +200,44 @@ object AnalyticsQueries {
              |  CASE WHEN den.den = 0 THEN NULL
              |    ELSE round(CAST(num.num AS DOUBLE) / den.den, 6) END AS r6
              |FROM num JOIN den USING (event_type)
-             |ORDER BY event_type, lag""".stripMargin))
+             |ORDER BY event_type, lag""".stripMargin)),
+
+    // ---- Spatial radius join (SpatialJoin.radiusJoin): every
+    // customer-supplier pair within Chebyshev distance 2048 on a
+    // deterministic md5-derived 65536x65536 integer plane — grid-cell
+    // equi-join with 3x3 neighbor replication of the smaller side, never
+    // the cross join the naive inequality predicate plans to (PlanSpec
+    // pins no-BNLJ). The oracle IS that cross join, fine at sf0.01 and
+    // exactly the formulation the operator exists to avoid at scale. ----
+    Q("q237_spatial_join",
+      (s, dir) => {
+        def ax(prefix: String, c: org.apache.spark.sql.Column) =
+          conv(substring(md5(concat(lit(prefix), c.cast("string"))), 1, 8),
+            16, 10).cast("long") % 65536L
+        val cust = t(s, dir, "customer").select(col("c_custkey"),
+          ax("x:", col("c_custkey")).as("x"), ax("y:", col("c_custkey")).as("y"))
+        val supp = t(s, dir, "supplier").select(col("s_suppkey"),
+          ax("x:", col("s_suppkey")).as("x"), ax("y:", col("s_suppkey")).as("y"))
+        graft.operators.SpatialJoin.radiusJoin(
+            cust, "c_custkey", "x", "y", supp, "s_suppkey", "x", "y", 2048L)
+          .orderBy(col("c_custkey"), col("s_suppkey"))
+      },
+      Some("""WITH c AS (SELECT CAST(c_custkey AS BIGINT) AS c_custkey,
+             |    CAST(concat('0x', substr(md5('x:' ||
+             |      CAST(c_custkey AS VARCHAR)), 1, 8)) AS BIGINT) % 65536 AS x,
+             |    CAST(concat('0x', substr(md5('y:' ||
+             |      CAST(c_custkey AS VARCHAR)), 1, 8)) AS BIGINT) % 65536 AS y
+             |  FROM customer),
+             |s AS (SELECT CAST(s_suppkey AS BIGINT) AS s_suppkey,
+             |    CAST(concat('0x', substr(md5('x:' ||
+             |      CAST(s_suppkey AS VARCHAR)), 1, 8)) AS BIGINT) % 65536 AS x,
+             |    CAST(concat('0x', substr(md5('y:' ||
+             |      CAST(s_suppkey AS VARCHAR)), 1, 8)) AS BIGINT) % 65536 AS y
+             |  FROM supplier)
+             |SELECT c.c_custkey, s.s_suppkey,
+             |  greatest(abs(c.x - s.x), abs(c.y - s.y)) AS dist
+             |FROM c, s
+             |WHERE abs(c.x - s.x) <= 2048 AND abs(c.y - s.y) <= 2048
+             |ORDER BY c_custkey, s_suppkey""".stripMargin))
   )
 }

@@ -325,6 +325,20 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("spatial radius join: equi-join on grid cells — no BNLJ, no cartesian") {
+    withoutAqe {
+      val p = plan(registry("q237_spatial_join")(spark, sfDir))
+      assert(p.collect {
+        case j: org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec => j
+        case j: org.apache.spark.sql.execution.joins.CartesianProductExec => j
+      }.isEmpty,
+        s"spatial radius join degenerated to a nested-loop/cartesian plan:\n$p")
+      assert(p.collect { case j: SortMergeJoinExec => j }.nonEmpty ||
+        p.collect { case j: BroadcastHashJoinExec => j }.nonEmpty,
+        s"spatial radius join must plan as an equi-join on grid cells:\n$p")
+    }
+  }
+
   test("rendezvous sharding: pure projection — no shuffle, no join below the agg") {
     withoutAqe {
       val keys = Tables(spark, sfDir, "orders").select(col("o_orderkey"))
