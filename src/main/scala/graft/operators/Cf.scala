@@ -1,0 +1,91 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** User-based collaborative filtering over a binary user-item matrix:
+  * nearest neighbors by co-consumption, then unseen-item
+  * recommendations — the "users like you also bought" query, exact and
+  * float-free.
+  *
+  * Similarity is squared cosine in integer ppm — `co²·10⁶ div (n_a·n_b)`
+  * — which ranks identically to cosine (all terms non-negative, squaring
+  * is monotone) without a square root, so the whole pipeline stays in
+  * BIGINT and replays in any engine. Ties break by neighbor id, then
+  * candidate item id: fully deterministic output.
+  *
+  * Scale shape — the three standard CF blow-ups, each bounded:
+  *  - pair generation is ITEM-BLOCKED (the LSH-bucket discipline): a
+  *    self-join on item only ever multiplies within an item's user list;
+  *  - `maxDf` drops stop-items up front (an item half the corpus bought
+  *    contributes df² pairs and no signal — the classic stop-word cut,
+  *    applied before any join and replayed by the oracle);
+  *  - `minCo` prunes the accidental one-item overlaps before the
+  *    neighbor ranking, bounding the per-user neighbor candidate list.
+  * Shuffles: one per groupBy/join, all on user/item/pair keys AQE can
+  * split. Windows are per-user, never global. Overflow: co ≤ min(n_a,
+  * n_b), so `co²·10⁶` needs per-user item counts below ~3·10⁶.
+  */
+object Cf {
+
+  /** `ui`: one row per DISTINCT (user, item). Returns per-user top-`k`
+    * neighbors `(u, nb, co, sim2_ppm)`.
+    */
+  def userNeighbors(ui: DataFrame, uCol: String, iCol: String,
+                    maxDf: Long, minCo: Long, k: Int): DataFrame = {
+    require(maxDf >= 1, s"maxDf must be positive, got $maxDf")
+    require(minCo >= 1, s"minCo must be positive, got $minCo")
+    require(k >= 1, s"k must be positive, got $k")
+    val base = ui.select(col(uCol).cast("long").as("u"),
+      col(iCol).cast("long").as("i")).distinct()
+    val kept = base.join(
+      base.groupBy(col("i")).agg(count(lit(1)).as("__df"))
+        .filter(col("__df") <= maxDf).select(col("i")), "i")
+    val nu = kept.groupBy(col("u")).agg(count(lit(1)).as("__n"))
+    val co = kept.select(col("i"), col("u").as("ua"))
+      .join(kept.select(col("i"), col("u").as("ub")), "i")
+      .filter(col("ua") =!= col("ub"))
+      .groupBy(col("ua"), col("ub")).agg(count(lit(1)).as("co"))
+      .filter(col("co") >= minCo)
+    val sim = co
+      .join(nu.select(col("u").as("ua"), col("__n").as("__na")), "ua")
+      .join(nu.select(col("u").as("ub"), col("__n").as("__nb")), "ub")
+      .select(col("ua").as("u"), col("ub").as("nb"), col("co"),
+        expr("(co * co * 1000000) div (__na * __nb)").as("sim2_ppm"))
+    val w = Window.partitionBy(col("u"))
+      .orderBy(col("sim2_ppm").desc, col("nb"))
+    sim.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= k)
+      .select(col("u"), col("nb"), col("co"), col("sim2_ppm"))
+  }
+
+  /** Top-`topN` unseen-item recommendations per user: candidates are the
+    * top-`k` neighbors' NON-stop items minus the user's own (the
+    * anti-join runs against the user's FULL basket — a stop item the
+    * user already owns is never re-recommended), scored by the sum of
+    * the recommending neighbors' `sim2_ppm`. Returns
+    * `(u, item, score, n_nb, rank)`.
+    */
+  def recommend(ui: DataFrame, uCol: String, iCol: String,
+                maxDf: Long, minCo: Long, k: Int, topN: Int): DataFrame = {
+    require(topN >= 1, s"topN must be positive, got $topN")
+    val base = ui.select(col(uCol).cast("long").as("u"),
+      col(iCol).cast("long").as("i")).distinct()
+    val kept = base.join(
+      base.groupBy(col("i")).agg(count(lit(1)).as("__df"))
+        .filter(col("__df") <= maxDf).select(col("i")), "i")
+    val nbrs = userNeighbors(ui, uCol, iCol, maxDf, minCo, k)
+    val cand = nbrs
+      .join(kept.select(col("u").as("nb"), col("i")), "nb")
+      .join(base.select(col("u"), col("i")), Seq("u", "i"), "left_anti")
+      .groupBy(col("u"), col("i"))
+      .agg(sum(col("sim2_ppm")).as("score"), count(lit(1)).as("n_nb"))
+    val w = Window.partitionBy(col("u"))
+      .orderBy(col("score").desc, col("i"))
+    cand.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= topN)
+      .select(col("u"), col("i").as("item"), col("score"), col("n_nb"),
+        col("rank"))
+  }
+}

@@ -238,6 +238,63 @@ object AnalyticsQueries {
              |  greatest(abs(c.x - s.x), abs(c.y - s.y)) AS dist
              |FROM c, s
              |WHERE abs(c.x - s.x) <= 2048 AND abs(c.y - s.y) <= 2048
-             |ORDER BY c_custkey, s_suppkey""".stripMargin))
+             |ORDER BY c_custkey, s_suppkey""".stripMargin)),
+
+    // ---- User-based CF recommendations (operators/Cf): "customers like
+    // you also bought" — item-blocked co-consumption pairs (stop items
+    // with df > 64 cut up front, accidental co < 2 overlaps pruned),
+    // squared-cosine integer-ppm neighbor ranking (monotone in cosine,
+    // no sqrt), top-3 neighbors, unseen-item candidates scored by summed
+    // neighbor similarity, top-5 per user. Deterministic ties (neighbor
+    // id, then item id); the oracle replays every stage. Distinct from
+    // q131's pair-lift ranking: this emits per-user RECOMMENDATIONS of
+    // items the user has never bought. ----
+    Q("q238_cf_recommend",
+      (s, dir) => {
+        val ui = t(s, dir, "lineitem")
+          .select(col("l_orderkey"), col("l_partkey"))
+          .join(t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey")),
+            col("l_orderkey") === col("o_orderkey"))
+          .select(col("o_custkey").as("u"), col("l_partkey").as("i"))
+        graft.operators.Cf.recommend(ui, "u", "i",
+            maxDf = 64L, minCo = 2L, k = 3, topN = 5)
+          .select(col("u"), col("item"), col("score"), col("n_nb"),
+            col("rank").as("rec_rank"))
+          .orderBy(col("u"), col("rec_rank"))
+      },
+      Some("""WITH ui AS (SELECT DISTINCT CAST(o_custkey AS BIGINT) AS u,
+             |        CAST(l_partkey AS BIGINT) AS i
+             |      FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+             |idf AS (SELECT i, CAST(count(*) AS BIGINT) AS df
+             |        FROM ui GROUP BY 1),
+             |k AS (SELECT ui.u, ui.i FROM ui JOIN idf USING (i)
+             |      WHERE idf.df <= 64),
+             |nu AS (SELECT u, CAST(count(*) AS BIGINT) AS n FROM k GROUP BY 1),
+             |co AS (SELECT a.u AS ua, b.u AS ub, CAST(count(*) AS BIGINT) AS co
+             |       FROM k a JOIN k b ON a.i = b.i AND a.u <> b.u
+             |       GROUP BY 1, 2 HAVING count(*) >= 2),
+             |sim AS (SELECT co.ua, co.ub, co.co,
+             |          (co.co * co.co * 1000000) // (na.n * nb.n) AS sim2_ppm
+             |        FROM co JOIN nu na ON na.u = co.ua
+             |        JOIN nu nb ON nb.u = co.ub),
+             |nb3 AS (SELECT ua, ub, sim2_ppm FROM (
+             |          SELECT ua, ub, sim2_ppm, row_number() OVER (
+             |            PARTITION BY ua ORDER BY sim2_ppm DESC, ub) AS rn
+             |          FROM sim) t
+             |        WHERE rn <= 3),
+             |cand AS (SELECT nb3.ua AS u, k.i,
+             |           CAST(sum(nb3.sim2_ppm) AS BIGINT) AS score,
+             |           CAST(count(*) AS BIGINT) AS n_nb
+             |         FROM nb3 JOIN k ON k.u = nb3.ub
+             |         WHERE NOT EXISTS (SELECT 1 FROM ui o
+             |           WHERE o.u = nb3.ua AND o.i = k.i)
+             |         GROUP BY 1, 2)
+             |SELECT u, i AS item, score, n_nb,
+             |  CAST(rec_rank AS BIGINT) AS rec_rank
+             |FROM (SELECT u, i, score, n_nb, row_number() OVER (
+             |        PARTITION BY u ORDER BY score DESC, i) AS rec_rank
+             |      FROM cand) t
+             |WHERE rec_rank <= 5
+             |ORDER BY u, rec_rank""".stripMargin))
   )
 }
