@@ -295,6 +295,49 @@ object AnalyticsQueries {
              |        PARTITION BY u ORDER BY score DESC, i) AS rec_rank
              |      FROM cand) t
              |WHERE rec_rank <= 5
-             |ORDER BY u, rec_rank""".stripMargin))
+             |ORDER BY u, rec_rank""".stripMargin)),
+
+    // ---- STREAMING change-point detection (streaming/StreamingCounts +
+    // TimeSeries.changePoint): per-microbatch (event_type, day) count
+    // shards written idempotently by batch id (the _SUCCESS discipline),
+    // folded on read by plain SUM — the ADDITIVE member of the
+    // streaming-shard family (HLL max / KMV bottom-k / GK union / MG
+    // counter-merge). Counts are additive over any batch split, so the
+    // drained stream's folded dailies EQUAL the batch aggregate and the
+    // detector answers with q235's oracle verbatim. ----
+    Q("q239_stream_change_point",
+      (s, dir) => {
+        import graft.streaming.{StreamingCounts, Streams}
+        val tmp = java.nio.file.Files.createTempDirectory("graft_q239_").toString
+        StreamingCounts.streamingDailyCounts(
+          Streams.eventsStream(s, dir).select(col("event_type"), col("ts")),
+          "event_type", "ts", s"$tmp/counts", s"$tmp/ckpt")
+        val daily = StreamingCounts.readMergedDailyCounts(s, s"$tmp/counts",
+          "event_type")
+        graft.operators.TimeSeries.changePoint(daily, "event_type", "day", "cnt")
+          .orderBy(col("event_type"))
+      },
+      Some("""WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS day,
+             |        CAST(count(*) AS BIGINT) AS v
+             |      FROM events GROUP BY 1, 2),
+             |d AS (SELECT event_type, day, v,
+             |        CAST(row_number() OVER (PARTITION BY event_type
+             |          ORDER BY day) AS BIGINT) AS idx,
+             |        CAST(sum(v) OVER (PARTITION BY event_type
+             |          ORDER BY day) AS BIGINT) AS cum
+             |      FROM daily),
+             |t AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_days,
+             |        CAST(sum(v) AS BIGINT) AS total
+             |      FROM daily GROUP BY 1),
+             |s AS (SELECT d.event_type, d.day, t.n_days, t.total,
+             |        abs(t.n_days * d.cum - d.idx * t.total) AS sd
+             |      FROM d JOIN t USING (event_type)),
+             |m AS (SELECT event_type, CAST(max(sd) AS BIGINT) AS s_max
+             |      FROM s GROUP BY 1)
+             |SELECT s.event_type, s.n_days, s.total,
+             |  min(s.day) AS at_day, m.s_max
+             |FROM s JOIN m ON m.event_type = s.event_type AND s.sd = m.s_max
+             |GROUP BY 1, 2, 3, 5
+             |ORDER BY 1""".stripMargin))
   )
 }
