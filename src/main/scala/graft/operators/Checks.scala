@@ -60,4 +60,27 @@ object Checks {
     require(checks.nonEmpty, "empty check suite")
     checks.reduce(_ unionByName _)
   }
+
+  /** l-diversity report — [[kAnonymity]]'s companion: a quasi-identifier
+    * group is safe only when its SENSITIVE column also takes at least `l`
+    * distinct values (k-anonymity alone leaks when the whole group shares
+    * one diagnosis). One row per quasi group with its size, distinct
+    * sensitive count, and the diverse flag — the full table a release
+    * review wants, not just a count (feed the flagged groups to a
+    * generalization/suppression pass).
+    *
+    * Scale shape: one two-level aggregate — (quasi…, sensitive) counts,
+    * then a grouped count over those — shuffle ∝ distinct combinations,
+    * partial-aggregated map-side.
+    */
+  def lDiversity(df: DataFrame, quasiCols: Seq[String], sensCol: String,
+                 l: Long): DataFrame = {
+    require(l >= 1, s"l must be positive, got $l")
+    df.groupBy((quasiCols :+ sensCol).map(col): _*)
+      .agg(count(lit(1)).as("__n"))
+      .groupBy(quasiCols.map(col): _*)
+      .agg(sum(col("__n")).as("n_rows"),
+        count(lit(1)).as("n_sensitive"))
+      .withColumn("diverse", col("n_sensitive") >= l)
+  }
 }

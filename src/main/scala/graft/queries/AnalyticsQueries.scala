@@ -338,6 +338,73 @@ object AnalyticsQueries {
              |  min(s.day) AS at_day, m.s_max
              |FROM s JOIN m ON m.event_type = s.event_type AND s.sd = m.s_max
              |GROUP BY 1, 2, 3, 5
-             |ORDER BY 1""".stripMargin))
+             |ORDER BY 1""".stripMargin)),
+
+    // ---- Group-wise Pearson correlation (Trend.groupCorr): does bigger
+    // basket size track bigger spend per brand — r² from six
+    // map-side-combinable sums, exact BIGINT components (cov, varx,
+    // vary), NO square root anywhere (the q236 no-sqrt trade), one
+    // identically-written double for the 6-dp r². y pre-scaled to whole
+    // dollars for the documented n·Σy² < 2⁶³ budget. Full oracle. ----
+    Q("q240_group_corr",
+      (s, dir) => {
+        val d = t(s, dir, "lineitem")
+          .join(t(s, dir, "part").select(col("p_partkey"), col("p_brand")),
+            col("l_partkey") === col("p_partkey"))
+          .select(col("p_brand"), col("l_quantity").cast("long").as("x"),
+            floor(col("l_extendedprice")).cast("long").as("y"))
+        graft.operators.Trend.groupCorr(d, Seq("p_brand"), "x", "y")
+          .orderBy(col("p_brand"))
+      },
+      Some("""WITH d AS (SELECT p.p_brand, CAST(l_quantity AS BIGINT) AS x,
+             |        CAST(floor(l_extendedprice) AS BIGINT) AS y
+             |      FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey),
+             |a AS (SELECT p_brand, CAST(count(*) AS BIGINT) AS n,
+             |        CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+             |        CAST(sum(x * y) AS BIGINT) AS sxy,
+             |        CAST(sum(x * x) AS BIGINT) AS sxx,
+             |        CAST(sum(y * y) AS BIGINT) AS syy
+             |      FROM d GROUP BY 1)
+             |SELECT p_brand, n,
+             |  n * sxy - sx * sy AS cov_num,
+             |  n * sxx - sx * sx AS varx_num,
+             |  n * syy - sy * sy AS vary_num,
+             |  CASE WHEN n * sxx - sx * sx = 0 OR n * syy - sy * sy = 0
+             |    THEN NULL
+             |    ELSE round(CAST(n * sxy - sx * sy AS DOUBLE)
+             |      * CAST(n * sxy - sx * sy AS DOUBLE)
+             |      / (CAST(n * sxx - sx * sx AS DOUBLE)
+             |         * CAST(n * syy - sy * sy AS DOUBLE)), 6) END AS r2_6
+             |FROM a ORDER BY p_brand""".stripMargin)),
+
+    // ---- l-diversity privacy report (Checks.lDiversity): k-anonymity's
+    // companion for the release-review wing (q176 checks, q226 purge) —
+    // each (segment, nation) quasi-identifier group must see >= 4
+    // distinct account-balance bands, or the group leaks its members'
+    // band by association. Two-level aggregate, one row per group, full
+    // oracle. ----
+    Q("q241_l_diversity",
+      (s, dir) => {
+        val c = t(s, dir, "customer").select(col("c_mktsegment"),
+          col("c_nationkey").cast("long").as("c_nationkey"),
+          floor((col("c_acctbal") + 1000.0) / 2000.0).cast("long").as("band"))
+        graft.operators.Checks.lDiversity(c,
+            Seq("c_mktsegment", "c_nationkey"), "band", l = 4L)
+          .orderBy(col("c_mktsegment"), col("c_nationkey"))
+      },
+      Some("""WITH b AS (SELECT c_mktsegment,
+             |        CAST(c_nationkey AS BIGINT) AS c_nationkey,
+             |        CAST(floor((c_acctbal + 1000.0) / 2000.0) AS BIGINT)
+             |          AS band
+             |      FROM customer),
+             |g AS (SELECT c_mktsegment, c_nationkey, band,
+             |        CAST(count(*) AS BIGINT) AS n
+             |      FROM b GROUP BY 1, 2, 3)
+             |SELECT c_mktsegment, c_nationkey,
+             |  CAST(sum(n) AS BIGINT) AS n_rows,
+             |  CAST(count(*) AS BIGINT) AS n_sensitive,
+             |  count(*) >= 4 AS diverse
+             |FROM g GROUP BY 1, 2
+             |ORDER BY c_mktsegment, c_nationkey""".stripMargin))
   )
 }

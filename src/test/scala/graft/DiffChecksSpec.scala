@@ -49,4 +49,19 @@ class DiffChecksSpec extends SparkSpec {
       .as[(String, Long, Boolean)].collect().head
     assert(riN === ("ri_null", 1L, false))
   }
+
+  test("lDiversity: distinct-sensitive counting, inclusive threshold, loud l") {
+    // group a: 3 rows, sensitive {x, y} -> 2 distinct; group b: 2 rows,
+    // both 'z' -> 1 distinct (k-anonymity-safe sizes can still leak).
+    val rows = Seq(("a", "x"), ("a", "x"), ("a", "y"), ("b", "z"), ("b", "z"))
+      .toDF("g", "s")
+    val got = Checks.lDiversity(rows, Seq("g"), "s", l = 2L)
+      .as[(String, Long, Long, Boolean)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(got == Map("a" -> ((3L, 2L, true)), "b" -> ((2L, 1L, false))),
+      s"l-diversity report wrong: $got")
+    intercept[IllegalArgumentException] {
+      Checks.lDiversity(rows, Seq("g"), "s", l = 0L)
+    }
+  }
 }
