@@ -400,6 +400,76 @@ object Graph {
       .groupBy(col("node")).agg(count(lit(1)).as("deg"))
   }
 
+  /** WEIGHTED PageRank — [[pageRankFixed]] with each node's outgoing
+    * mass split in proportion to integer edge weights instead of
+    * uniformly: the contribution along `(u, v, w)` is
+    * `(85·r_u·w) div (100·W_u)` with `W_u` the sum of u's out-weights —
+    * the trade-volume-aware importance query. Parallel `(src, dst)`
+    * edges collapse by SUMMING weights first (so a duplicated edge row
+    * is more weight, not a second contribution). Everything else keeps
+    * the exact-integer discipline bit-for-bit: floored divisions,
+    * integer sums, dangling mass redistributed uniformly as one scalar
+    * per round, per-round `localCheckpoint`, edges pre-partitioned by
+    * src once.
+    *
+    * Overflow budget (BIGINT): `85·scale·maxW < 2⁶³` — weights up to
+    * ~10⁸ at the default 10⁹ scale. Weights must be positive (a zero
+    * total out-weight would divide by zero; enforced).
+    *
+    * Scale shape: identical to [[pageRankFixed]] — one edge-join + one
+    * dst-aggregate per iteration, shuffle ∝ edges.
+    */
+  def weightedPageRank(edges: DataFrame, srcCol: String, dstCol: String,
+                       wCol: String, iters: Int = 10,
+                       scale: Long = 1000000000L): DataFrame = {
+    require(iters >= 1, "iters must be positive")
+    val e = edges
+      .select(col(srcCol).cast("long").as("src"),
+        col(dstCol).cast("long").as("dst"), col(wCol).cast("long").as("w"))
+      .groupBy(col("src"), col("dst")).agg(sum(col("w")).as("w"))
+      .repartition(col("src")).persist()
+    try {
+      require(e.filter(col("w") <= 0L).isEmpty,
+        "weighted PageRank needs positive edge weights")
+      val nodes = e.select(col("src").as("node"))
+        .union(e.select(col("dst").as("node"))).distinct().persist()
+      try {
+        val dangling = nodes
+          .join(e.select(col("src").as("node")).distinct(), Seq("node"), "left_anti")
+          .persist()
+        try {
+          val nDangling = dangling.count()
+          val n = nodes.count()
+          val init = scale / n
+          val base = ((15L * scale) / 100L) / n
+          val wdeg = e.groupBy(col("src")).agg(sum(col("w")).as("wd")).persist()
+          try {
+            var rank = nodes.select(col("node"), lit(init).as("r"))
+            for (_ <- 1 to iters) {
+              val dShare =
+                if (nDangling == 0) 0L
+                else rank.join(dangling, Seq("node"), "left_semi")
+                  .agg(coalesce(sum(expr(s"(85 * r) div ${100L * n}")), lit(0L)))
+                  .head().getLong(0)
+              val contribs = e
+                .join(rank.withColumnRenamed("node", "src"), "src")
+                .join(wdeg, "src")
+                .select(col("dst").as("node"),
+                  expr("(85 * r * w) div (100 * wd)").as("c"))
+                .groupBy(col("node"))
+                .agg(sum(col("c")).as("s"))
+              rank = nodes.join(contribs, Seq("node"), "left")
+                .select(col("node"),
+                  (lit(base + dShare) + coalesce(col("s"), lit(0L))).as("r"))
+                .localCheckpoint(true)
+            }
+            rank
+          } finally wdeg.unpersist(false)
+        } finally dangling.unpersist(false)
+      } finally nodes.unpersist(false)
+    } finally e.unpersist(false)
+  }
+
   /** Single/multi-source WEIGHTED shortest paths (distributed
     * Bellman-Ford) over an undirected graph with non-negative integer
     * edge weights — [[bfsHops]] generalized from hop counts to weighted

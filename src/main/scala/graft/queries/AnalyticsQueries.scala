@@ -405,6 +405,56 @@ object AnalyticsQueries {
              |  CAST(count(*) AS BIGINT) AS n_sensitive,
              |  count(*) >= 4 AS diverse
              |FROM g GROUP BY 1, 2
-             |ORDER BY c_mktsegment, c_nationkey""".stripMargin))
+             |ORDER BY c_mktsegment, c_nationkey""".stripMargin)),
+
+    // ---- Weighted PageRank (Graph.weightedPageRank): importance on the
+    // symmetric commerce graph with trade VOLUME as the edge weight —
+    // each node's damped mass splits in proportion to lineitem counts,
+    // (85*r*w) div (100*W_u), exact integer end to end; the symmetric
+    // graph has no dangling nodes, so the oracle replays all ten
+    // iterations as a plain recursive CTE (the q128 shape with the
+    // weighted split). ----
+    Q("q242_weighted_pagerank",
+      (s, dir) => {
+        val pairs = t(s, dir, "lineitem")
+          .select(col("l_orderkey"), col("l_suppkey"))
+          .join(t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey")),
+            col("l_orderkey") === col("o_orderkey"))
+          .groupBy(col("o_custkey").cast("long").as("cust"),
+            (col("l_suppkey") + 10000000L).cast("long").as("supp"))
+          .agg(count(lit(1)).as("w"))
+        val edges = pairs.select(col("cust").as("src"), col("supp").as("dst"),
+            col("w"))
+          .unionByName(pairs.select(col("supp").as("src"),
+            col("cust").as("dst"), col("w")))
+        graft.operators.Graph.weightedPageRank(edges, "src", "dst", "w",
+            iters = 10)
+          .orderBy(col("r").desc, col("node")).limit(20)
+      },
+      Some("""WITH RECURSIVE
+             |pairs AS (SELECT o_custkey AS cust, l_suppkey + 10000000 AS supp,
+             |            CAST(count(*) AS BIGINT) AS w
+             |          FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+             |          GROUP BY 1, 2),
+             |edges AS (SELECT cust AS src, supp AS dst, w FROM pairs
+             |          UNION ALL SELECT supp, cust, w FROM pairs),
+             |nodes AS (SELECT DISTINCT src AS node FROM edges),
+             |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM nodes),
+             |wdeg AS (SELECT src, CAST(sum(w) AS BIGINT) AS wd
+             |         FROM edges GROUP BY src),
+             |pr AS (
+             |  SELECT 0 AS iter, node,
+             |    CAST(CAST(1000000000 AS BIGINT) // nn.n AS BIGINT) AS r
+             |  FROM nodes, nn
+             |  UNION ALL
+             |  SELECT p.iter + 1, e.dst AS node,
+             |    CAST((SELECT ((15 * CAST(1000000000 AS BIGINT)) // 100) // n FROM nn)
+             |      + sum((85 * p.r * e.w) // (100 * d.wd)) AS BIGINT) AS r
+             |  FROM pr p JOIN edges e ON p.node = e.src JOIN wdeg d ON d.src = p.node
+             |  WHERE p.iter < 10
+             |  GROUP BY p.iter, e.dst
+             |)
+             |SELECT node, r FROM pr WHERE iter = 10
+             |ORDER BY r DESC, node LIMIT 20""".stripMargin))
   )
 }

@@ -226,6 +226,39 @@ class GraphSpec extends SparkSpec {
     assert(err.getMessage.contains("did not finish"))
   }
 
+  test("weightedPageRank: uniform weights degenerate to pageRankFixed bit-for-bit") {
+    val rnd = new scala.util.Random(13)
+    val raw = (1 to 60).map(_ => (rnd.nextInt(12).toLong, rnd.nextInt(12).toLong))
+      .filter(p => p._1 != p._2).distinct
+    val plain = Graph.pageRankFixed(raw.toDF("src", "dst"), "src", "dst",
+      iters = 8).as[(Long, Long)].collect().toMap
+    val weighted = Graph.weightedPageRank(
+        raw.map(p => (p._1, p._2, 7L)).toDF("src", "dst", "w"),
+        "src", "dst", "w", iters = 8)
+      .as[(Long, Long)].collect().toMap
+    // w=7 everywhere: (85*r*7) div (100*7*od) == (85*r) div (100*od)?
+    // NOT in general (floor of a*7/(b*7) == floor(a/b) exactly) — it IS:
+    // floor(7x/7y) = floor(x/y). So equal weights must reproduce the
+    // unweighted ranks exactly.
+    assert(weighted == plain, s"uniform weights diverged from pageRankFixed")
+  }
+
+  test("weightedPageRank: mass follows weight; parallel edges sum; loud on w<=0") {
+    // star: 1 -> {2,3} with weights 9 and 1 (as parallel 1->3 rows
+    // summing to 1+0? no — two rows (1,3,0.5) invalid; use (1,2,4)+(1,2,5)
+    // to pin the sum-collapse), plus back-edges so nothing dangles.
+    val edges = Seq((1L, 2L, 4L), (1L, 2L, 5L), (1L, 3L, 1L),
+      (2L, 1L, 1L), (3L, 1L, 1L)).toDF("src", "dst", "w")
+    val r = Graph.weightedPageRank(edges, "src", "dst", "w", iters = 6)
+      .as[(Long, Long)].collect().toMap
+    assert(r(2L) > r(3L),
+      s"node 2 (weight 9-of-10) must outrank node 3 (1-of-10): $r")
+    intercept[IllegalArgumentException] {
+      Graph.weightedPageRank(Seq((1L, 2L, 0L)).toDF("src", "dst", "w"),
+        "src", "dst", "w")
+    }
+  }
+
   test("weightedHops: cheapest path beats fewest hops; parallel edges collapse to min") {
     // 1-3 direct costs 100, but 1-2-3 costs 20: the weighted answer must
     // take the longer-hop cheaper route (the exact thing bfsHops can't).
