@@ -455,6 +455,89 @@ object AnalyticsQueries {
              |  GROUP BY p.iter, e.dst
              |)
              |SELECT node, r FROM pr WHERE iter = 10
-             |ORDER BY r DESC, node LIMIT 20""".stripMargin))
+             |ORDER BY r DESC, node LIMIT 20""".stripMargin)),
+
+    // ---- CF holdout evaluation (Cf.recommend + temporal split): train
+    // the q238 recommender on the first 3/4 of the order-date span, then
+    // measure hit rate BY RANK POSITION against the held-out quarter —
+    // the model-evaluation wing's recommender member (next to AUC q120,
+    // reliability q186, rank-eval q152). Hits are exact integer ppm; the
+    // pivot date is derived inside both engines from min/max alone. ----
+    Q("q243_cf_holdout_eval",
+      (s, dir) => {
+        val orders = t(s, dir, "orders")
+          .select(col("o_orderkey"), col("o_custkey"),
+            to_date(col("o_orderdate")).as("od"))
+        val b = orders.agg(min(col("od")), max(col("od"))).head()
+        val d0 = b.getDate(0).toLocalDate
+        val pivot = java.sql.Date.valueOf(
+          d0.plusDays(java.time.temporal.ChronoUnit.DAYS.between(
+            d0, b.getDate(1).toLocalDate) * 3 / 4))
+        val li = t(s, dir, "lineitem").select(col("l_orderkey"), col("l_partkey"))
+        def ui(f: org.apache.spark.sql.Column) = li
+          .join(orders.filter(f), col("l_orderkey") === col("o_orderkey"))
+          .select(col("o_custkey").cast("long").as("u"),
+            col("l_partkey").cast("long").as("i")).distinct()
+        val train = ui(col("od") < lit(pivot))
+        val test = ui(col("od") >= lit(pivot))
+        val recs = graft.operators.Cf.recommend(train, "u", "i",
+          maxDf = 64L, minCo = 2L, k = 3, topN = 5)
+        recs.join(test.withColumn("__hit", lit(1L)),
+            recs("u") === test("u") && recs("item") === test("i"), "left")
+          .groupBy(col("rank").as("rec_rank"))
+          .agg(count(lit(1)).as("n_recs"),
+            coalesce(sum(col("__hit")), lit(0L)).as("n_hits"))
+          .select(col("rec_rank"), col("n_recs"), col("n_hits"),
+            expr("(n_hits * 1000000) div n_recs").as("hit_ppm"))
+          .orderBy(col("rec_rank"))
+      },
+      Some("""WITH bounds AS (SELECT min(CAST(o_orderdate AS DATE)) AS d0,
+             |         max(CAST(o_orderdate AS DATE)) AS d1 FROM orders),
+             |piv AS (SELECT d0 + CAST(((d1 - d0) * 3) // 4 AS INT) AS pd
+             |        FROM bounds),
+             |tr AS (SELECT DISTINCT CAST(o_custkey AS BIGINT) AS u,
+             |         CAST(l_partkey AS BIGINT) AS i
+             |       FROM lineitem JOIN orders ON l_orderkey = o_orderkey, piv
+             |       WHERE CAST(o_orderdate AS DATE) < piv.pd),
+             |te AS (SELECT DISTINCT CAST(o_custkey AS BIGINT) AS u,
+             |         CAST(l_partkey AS BIGINT) AS i
+             |       FROM lineitem JOIN orders ON l_orderkey = o_orderkey, piv
+             |       WHERE CAST(o_orderdate AS DATE) >= piv.pd),
+             |idf AS (SELECT i, CAST(count(*) AS BIGINT) AS df
+             |        FROM tr GROUP BY 1),
+             |k AS (SELECT tr.u, tr.i FROM tr JOIN idf USING (i)
+             |      WHERE idf.df <= 64),
+             |nu AS (SELECT u, CAST(count(*) AS BIGINT) AS n FROM k GROUP BY 1),
+             |co AS (SELECT a.u AS ua, b.u AS ub, CAST(count(*) AS BIGINT) AS co
+             |       FROM k a JOIN k b ON a.i = b.i AND a.u <> b.u
+             |       GROUP BY 1, 2 HAVING count(*) >= 2),
+             |sim AS (SELECT co.ua, co.ub, co.co,
+             |          (co.co * co.co * 1000000) // (na.n * nb.n) AS sim2_ppm
+             |        FROM co JOIN nu na ON na.u = co.ua
+             |        JOIN nu nb ON nb.u = co.ub),
+             |nb3 AS (SELECT ua, ub, sim2_ppm FROM (
+             |          SELECT ua, ub, sim2_ppm, row_number() OVER (
+             |            PARTITION BY ua ORDER BY sim2_ppm DESC, ub) AS rn
+             |          FROM sim) t
+             |        WHERE rn <= 3),
+             |cand AS (SELECT nb3.ua AS u, k.i,
+             |           CAST(sum(nb3.sim2_ppm) AS BIGINT) AS score,
+             |           CAST(count(*) AS BIGINT) AS n_nb
+             |         FROM nb3 JOIN k ON k.u = nb3.ub
+             |         WHERE NOT EXISTS (SELECT 1 FROM tr o
+             |           WHERE o.u = nb3.ua AND o.i = k.i)
+             |         GROUP BY 1, 2),
+             |top AS (SELECT u, i, CAST(rec_rank AS BIGINT) AS rec_rank
+             |        FROM (SELECT u, i, row_number() OVER (
+             |                PARTITION BY u ORDER BY score DESC, i) AS rec_rank
+             |              FROM cand) t
+             |        WHERE rec_rank <= 5)
+             |SELECT top.rec_rank, CAST(count(*) AS BIGINT) AS n_recs,
+             |  CAST(sum(CASE WHEN te.i IS NOT NULL THEN 1 ELSE 0 END)
+             |    AS BIGINT) AS n_hits,
+             |  (CAST(sum(CASE WHEN te.i IS NOT NULL THEN 1 ELSE 0 END)
+             |    AS BIGINT) * 1000000) // CAST(count(*) AS BIGINT) AS hit_ppm
+             |FROM top LEFT JOIN te ON te.u = top.u AND te.i = top.i
+             |GROUP BY 1 ORDER BY 1""".stripMargin))
   )
 }
