@@ -468,11 +468,16 @@ object AnalyticsQueries {
         val orders = t(s, dir, "orders")
           .select(col("o_orderkey"), col("o_custkey"),
             to_date(col("o_orderdate")).as("od"))
-        val b = orders.agg(min(col("od")), max(col("od"))).head()
-        val d0 = b.getDate(0).toLocalDate
+        // min/max collected as STRINGS: decoding a DateType row via
+        // head() needs the external-row date codec, which is absent when
+        // Verify runs outside sbt's launcher — strings decode everywhere
+        val b = orders
+          .agg(min(col("od")).cast("string"), max(col("od")).cast("string"))
+          .head()
+        val d0 = java.time.LocalDate.parse(b.getString(0))
         val pivot = java.sql.Date.valueOf(
           d0.plusDays(java.time.temporal.ChronoUnit.DAYS.between(
-            d0, b.getDate(1).toLocalDate) * 3 / 4))
+            d0, java.time.LocalDate.parse(b.getString(1))) * 3 / 4))
         val li = t(s, dir, "lineitem").select(col("l_orderkey"), col("l_partkey"))
         def ui(f: org.apache.spark.sql.Column) = li
           .join(orders.filter(f), col("l_orderkey") === col("o_orderkey"))
