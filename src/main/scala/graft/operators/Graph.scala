@@ -535,4 +535,112 @@ object Graph {
     }
     dist
   }
+
+  /** HITS hubs & authorities in exact fixed-point integers: each
+    * iteration is `auth(v) = Σ_{u→v} hub(u)` then `hub(u) = Σ_{u→v}
+    * auth(v)`, each vector renormalized to total `scale` by the floored
+    * division `(x · scale) div S` (S = the vector's exact integer sum) —
+    * so both scores stay bounded, every step is engine-exact, and the
+    * whole run replays in a SQL oracle (the q128/q133 discipline; a
+    * float HITS normalizes by an L2 norm no two engines sum alike).
+    * Initial hub = 1 per node, so iteration 1's authority vector is the
+    * normalized in-degree.
+    *
+    * Scale shape: per iteration, two edge-joins + grouped sums (shuffle
+    * ∝ edges, map-side partials) and two node-sized scalar aggregates
+    * (the dangling-share cost class); the edge list is src/dst
+    * partitioned once and reused; lineage cut per round.
+    * Overflow budget: post-normalization vectors sum to ≤ scale, so a
+    * per-node score ≤ scale and the renormalization numerator is
+    * ≤ scale·maxdeg·scale — with the default `scale` = 10⁶, safe to
+    * maxdeg ≈ 9·10⁶.
+    */
+  def hits(edges: DataFrame, srcCol: String, dstCol: String,
+           iters: Int = 5, scale: Long = 1000000L): DataFrame = {
+    require(iters >= 1, "iters must be positive")
+    val e = edges
+      .select(col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst"))
+      .distinct()
+      .repartition(col("src")).persist()
+    try {
+      val nodes = e.select(col("src").as("node"))
+        .union(e.select(col("dst").as("node"))).distinct().persist()
+      try {
+        var hub = nodes.select(col("node"), lit(1L).as("h"))
+        var auth = nodes.select(col("node"), lit(0L).as("a"))
+        var i = 1
+        while (i <= iters) {
+          val aRaw = e.join(hub.withColumnRenamed("node", "src"), "src")
+            .groupBy(col("dst").as("node")).agg(sum(col("h")).as("a"))
+          val aFull = nodes.join(aRaw, Seq("node"), "left")
+            .select(col("node"), coalesce(col("a"), lit(0L)).as("a"))
+            .localCheckpoint(true)
+          val sA = aFull.agg(coalesce(sum(col("a")), lit(0L))).head().getLong(0)
+          require(sA > 0, "hits: authority mass vanished (no edges?)")
+          auth = aFull
+            .select(col("node"), expr(s"(a * ${scale}L) div ${sA}L").as("a"))
+            .localCheckpoint(true)
+          val hRaw = e.join(auth.withColumnRenamed("node", "dst"), "dst")
+            .groupBy(col("src").as("node")).agg(sum(col("a")).as("h"))
+          val hFull = nodes.join(hRaw, Seq("node"), "left")
+            .select(col("node"), coalesce(col("h"), lit(0L)).as("h"))
+            .localCheckpoint(true)
+          val sH = hFull.agg(coalesce(sum(col("h")), lit(0L))).head().getLong(0)
+          require(sH > 0, "hits: hub mass vanished (no edges?)")
+          hub = hFull
+            .select(col("node"), expr(s"(h * ${scale}L) div ${sH}L").as("h"))
+            .localCheckpoint(true)
+          i += 1
+        }
+        nodes.join(hub, "node").join(auth, "node")
+          .select(col("node"), col("h").as("hub"), col("a").as("auth"))
+      } finally nodes.unpersist(false)
+    } finally e.unpersist(false)
+  }
+
+  /** Neighbor-set Jaccard similarity between DESTINATION nodes of a
+    * bipartite edge set — the link-prediction / "similar suppliers"
+    * query: two dst nodes are similar when many src nodes point at
+    * both. One row per unordered pair with co-neighbor count ≥ `minCo`,
+    * top-`k` per node (both orientations emitted so every node gets its
+    * own ranked list): `(a, b, co, na, nb, jaccard_ppm)` with
+    * `jaccard_ppm = co·10⁶ div (na + nb − co)` — exact, monotone, no
+    * floats. Distinct from [[Cf.userNeighbors]]'s squared-cosine: the
+    * Jaccard denominator is the neighborhood UNION, the standard link-
+    * prediction ranking (Liben-Nowell & Kleinberg).
+    *
+    * Scale shape: pair generation is SRC-BLOCKED (equi-join on src) —
+    * candidates multiply only within one src's dst list; `maxDeg` drops
+    * hub src nodes up front (a src pointing at half the graph yields
+    * deg² pairs and no signal — the Cf stop-cut), and `minCo` prunes
+    * before the ranking window. Windows are per-node, never global.
+    */
+  def nodeJaccard(edges: DataFrame, srcCol: String, dstCol: String,
+                  maxDeg: Long, minCo: Long, k: Int): DataFrame = {
+    require(maxDeg >= 1, s"maxDeg must be positive, got $maxDeg")
+    require(minCo >= 1, s"minCo must be positive, got $minCo")
+    require(k >= 1, s"k must be positive, got $k")
+    val base = edges.select(col(srcCol).cast("long").as("u"),
+      col(dstCol).cast("long").as("v")).distinct()
+    val kept = base.join(
+      base.groupBy(col("u")).agg(count(lit(1)).as("__d"))
+        .filter(col("__d") <= maxDeg).select(col("u")), "u")
+    val nv = kept.groupBy(col("v")).agg(count(lit(1)).as("__n"))
+    val co = kept.select(col("u"), col("v").as("a"))
+      .join(kept.select(col("u"), col("v").as("b")), "u")
+      .filter(col("a") =!= col("b"))
+      .groupBy(col("a"), col("b")).agg(count(lit(1)).as("co"))
+      .filter(col("co") >= minCo)
+    val sim = co
+      .join(nv.select(col("v").as("a"), col("__n").as("na")), "a")
+      .join(nv.select(col("v").as("b"), col("__n").as("nb")), "b")
+      .select(col("a"), col("b"), col("co"), col("na"), col("nb"),
+        expr("(co * 1000000) div (na + nb - co)").as("jaccard_ppm"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("a"))
+      .orderBy(col("jaccard_ppm").desc, col("b"))
+    sim.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= k)
+      .select(col("a"), col("b"), col("co"), col("na"), col("nb"),
+        col("jaccard_ppm"))
+  }
 }

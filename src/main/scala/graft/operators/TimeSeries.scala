@@ -156,4 +156,34 @@ object TimeSeries {
           .otherwise(round(col("num").cast("double") /
             col("den").cast("double"), 6)).as("r6"))
   }
+
+  /** Day-of-week seasonal residuals: each daily observation compared to
+    * its `(group, dow)` cell's mean — the detector that does NOT flag
+    * every weekend dip the way the trailing-window one (q169) does,
+    * because the baseline is the same weekday's own history.
+    *
+    * All integer: with `n` days and sum `s` in the cell, the deviation
+    * in basis points is `sign(v·n − s) · (|v·n − s| · 10⁴ div s)` —
+    * cross-multiplied so no mean is ever materialized, the abs/sign
+    * split making floor-vs-truncate division agree in every engine (the
+    * q169 discipline). `is_anomaly` flags |dev| ≥ `thresholdBp`.
+    * Cells exist only where a day was observed, so `s ≥ 1` and the
+    * division is total. Scale shape: one grouped aggregate over (group,
+    * dow) broadcast-joined back — two narrow shuffles, no windows.
+    */
+  def dowResiduals(daily: DataFrame, groupCol: String, dayCol: String,
+                   valCol: String, thresholdBp: Long): DataFrame = {
+    require(thresholdBp >= 1, s"thresholdBp must be positive, got $thresholdBp")
+    val d = daily.select(col(groupCol), col(dayCol),
+      col(valCol).cast("long").as("v"),
+      dayofweek(col(dayCol)).cast("long").as("dow"))
+    val cell = d.groupBy(col(groupCol), col("dow"))
+      .agg(count(lit(1)).as("n_days"), sum(col("v")).as("s"))
+    d.join(cell, Seq(groupCol, "dow"))
+      .select(col(groupCol), col(dayCol), col("dow"), col("v"),
+        col("n_days"), col("s"),
+        (signum(col("v") * col("n_days") - col("s")).cast("long") *
+          expr("(abs(v * n_days - s) * 10000) div s")).as("dev_bp"))
+      .withColumn("is_anomaly", abs(col("dev_bp")) >= thresholdBp)
+  }
 }

@@ -543,6 +543,292 @@ object AnalyticsQueries {
              |  (CAST(sum(CASE WHEN te.i IS NOT NULL THEN 1 ELSE 0 END)
              |    AS BIGINT) * 1000000) // CAST(count(*) AS BIGINT) AS hit_ppm
              |FROM top LEFT JOIN te ON te.u = top.u AND te.i = top.i
-             |GROUP BY 1 ORDER BY 1""".stripMargin))
+             |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // ---- HITS hubs & authorities (Graph.hits): the query-dependent
+    // eigenvector pair over the directed commerce graph cust→supp —
+    // customers that buy from many good suppliers are hubs, suppliers
+    // bought by many good hubs are authorities. Exact fixed-point
+    // integers: both vectors renormalized to sum `scale` by floored
+    // division each half-iteration, so the oracle statically unrolls
+    // all five iterations (the q233 discipline) and must land on
+    // identical scores. ----
+    Q("q244_hits",
+      (s, dir) => {
+        val edges = t(s, dir, "lineitem")
+          .select(col("l_orderkey"), col("l_suppkey"))
+          .join(t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey")),
+            col("l_orderkey") === col("o_orderkey"))
+          .groupBy(col("o_custkey").cast("long").as("src"),
+            (col("l_suppkey") + 10000000L).cast("long").as("dst"))
+          .agg(count(lit(1)).as("n"))
+          .filter(col("n") >= 2)
+          .select(col("src"), col("dst"))
+        graft.operators.Graph.hits(edges, "src", "dst", iters = 5)
+          .orderBy(col("auth").desc, col("node")).limit(20)
+      },
+      Some(hitsOracleSql(5, 1000000L))),
+
+    // ---- Market-basket association rules (operators/Basket): exact
+    // a-priori over item pairs within each order's distinct-part basket.
+    // Directed rules with support >= 2, confidence and lift in integer
+    // ppm; mega-baskets dropped up front by the maxBasketSize stop-cut
+    // (part of the definition, replayed by the oracle). ----
+    Q("q245_basket_rules",
+      (s, dir) => {
+        val items = t(s, dir, "lineitem")
+          .select(col("l_orderkey"), col("l_partkey"))
+        graft.operators.Basket.rules(items, "l_orderkey", "l_partkey",
+            minSupport = 2L, maxBasketSize = 8L)
+          .orderBy(col("lift_ppm").desc, col("ante"), col("cons"))
+          .limit(100)
+      },
+      Some("""WITH ui AS (SELECT DISTINCT CAST(l_orderkey AS BIGINT) AS b,
+             |    CAST(l_partkey AS BIGINT) AS i FROM lineitem),
+             |sz AS (SELECT b, CAST(count(*) AS BIGINT) AS z
+             |       FROM ui GROUP BY 1),
+             |k AS (SELECT ui.b, ui.i FROM ui JOIN sz USING (b)
+             |      WHERE sz.z <= 8),
+             |nb AS (SELECT CAST(count(DISTINCT b) AS BIGINT) AS n FROM k),
+             |sup AS (SELECT i, CAST(count(*) AS BIGINT) AS s
+             |        FROM k GROUP BY 1),
+             |p AS (SELECT x.i AS ia, y.i AS ib,
+             |        CAST(count(*) AS BIGINT) AS sup_ab
+             |      FROM k x JOIN k y ON x.b = y.b AND x.i < y.i
+             |      GROUP BY 1, 2 HAVING count(*) >= 2),
+             |dr AS (SELECT ia AS ante, ib AS cons, sup_ab FROM p
+             |       UNION ALL SELECT ib, ia, sup_ab FROM p)
+             |SELECT dr.ante, dr.cons, dr.sup_ab, sa.s AS sup_a,
+             |  sb.s AS sup_b,
+             |  (dr.sup_ab * 1000000) // sa.s AS conf_ppm,
+             |  (dr.sup_ab * (SELECT n FROM nb) * 1000000)
+             |    // (sa.s * sb.s) AS lift_ppm
+             |FROM dr JOIN sup sa ON sa.i = dr.ante
+             |JOIN sup sb ON sb.i = dr.cons
+             |ORDER BY lift_ppm DESC, ante, cons LIMIT 100""".stripMargin)),
+
+    // ---- First-order Markov transition matrix (Sequences.transitions):
+    // per-user event streams ordered by (ts, event_id), successor via
+    // ONE lead window — never a self-join per lag — transition counts,
+    // exact ppm probabilities, and the per-state successor ranking. ----
+    Q("q246_markov_transitions",
+      (s, dir) => {
+        graft.operators.Sequences.transitions(t(s, dir, "events"),
+            "user_id", "ts", "event_id", "event_type")
+          .orderBy(col("from_state"), col("rnk"))
+      },
+      Some("""WITH e AS (SELECT CAST(user_id AS BIGINT) AS u, ts,
+             |    CAST(event_id AS BIGINT) AS eid, event_type AS st
+             |  FROM events),
+             |p AS (SELECT st AS from_state, lead(st) OVER (
+             |        PARTITION BY u ORDER BY ts, eid) AS to_state
+             |      FROM e),
+             |c AS (SELECT from_state, to_state,
+             |        CAST(count(*) AS BIGINT) AS n
+             |      FROM p WHERE to_state IS NOT NULL GROUP BY 1, 2),
+             |w AS (SELECT from_state, to_state, n,
+             |        CAST(sum(n) OVER (PARTITION BY from_state)
+             |          AS BIGINT) AS row_n,
+             |        CAST(row_number() OVER (PARTITION BY from_state
+             |          ORDER BY n DESC, to_state) AS BIGINT) AS rnk
+             |      FROM c)
+             |SELECT from_state, to_state, n, row_n,
+             |  (n * 1000000) // row_n AS p_ppm, rnk
+             |FROM w ORDER BY from_state, rnk""".stripMargin)),
+
+    // ---- Day-of-week seasonal residuals (TimeSeries.dowResiduals):
+    // each day's volume vs its own weekday's mean — the detector that
+    // does not flag every weekend dip. Integer basis points via the
+    // cross-multiplied abs/sign split; threshold 2500 bp. Spark
+    // dayofweek is 1=Sunday; DuckDB's is 0=Sunday, shifted in the
+    // oracle. ----
+    Q("q247_dow_residuals",
+      (s, dir) => {
+        val daily = t(s, dir, "events")
+          .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+          .agg(count(lit(1)).as("v"))
+        graft.operators.TimeSeries.dowResiduals(daily, "event_type",
+            "day", "v", thresholdBp = 2500L)
+          .orderBy(col("event_type"), col("day"))
+      },
+      Some("""WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS day,
+             |    CAST(count(*) AS BIGINT) AS v FROM events GROUP BY 1, 2),
+             |d AS (SELECT event_type, day, v,
+             |        CAST(dayofweek(day) + 1 AS BIGINT) AS dow
+             |      FROM daily),
+             |c AS (SELECT event_type, dow, CAST(count(*) AS BIGINT)
+             |        AS n_days, CAST(sum(v) AS BIGINT) AS s
+             |      FROM d GROUP BY 1, 2)
+             |SELECT d.event_type, d.day, d.dow, d.v, c.n_days, c.s,
+             |  (CASE WHEN d.v * c.n_days - c.s < 0 THEN -1
+             |        WHEN d.v * c.n_days - c.s > 0 THEN 1 ELSE 0 END)
+             |    * ((abs(d.v * c.n_days - c.s) * 10000) // c.s) AS dev_bp,
+             |  (abs((CASE WHEN d.v * c.n_days - c.s < 0 THEN -1
+             |        WHEN d.v * c.n_days - c.s > 0 THEN 1 ELSE 0 END)
+             |    * ((abs(d.v * c.n_days - c.s) * 10000) // c.s)) >= 2500)
+             |    AS is_anomaly
+             |FROM d JOIN c USING (event_type, dow)
+             |ORDER BY event_type, day""".stripMargin)),
+
+    // ---- Holt linear forecast (Forecast.holtLinear): 7-day volume
+    // forecast per event type by double-exponential smoothing in exact
+    // micro-unit integers (alpha=2/10, beta=1/10), the recurrence run as
+    // one codegen'd aggregate fold per key. The oracle replays every
+    // smoothing step in a recursive CTE with the identical portable
+    // sign-split division. ----
+    Q("q248_holt_forecast",
+      (s, dir) => {
+        val daily = t(s, dir, "events")
+          .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+          .agg(count(lit(1)).as("v"))
+        graft.operators.Forecast.holtLinear(daily, "event_type", "day",
+            "v", horizon = 7)
+          .orderBy(col("event_type"), col("h"))
+      },
+      Some(holtOracleSql(7))),
+
+    // ---- Frequent event trigrams (Sequences.frequentNgrams): the top
+    // contiguous 3-step paths across user sessions — two leads over one
+    // per-user window, counted once per (overlapping) occurrence,
+    // support >= 10. The sequence-mining sibling of q210's skip-grams
+    // (document axis) and q246's transitions (order 1). ----
+    Q("q249_event_trigrams",
+      (s, dir) => {
+        graft.operators.Sequences.frequentNgrams(t(s, dir, "events"),
+            "user_id", "ts", "event_id", "event_type", n = 3,
+            minSupport = 10L)
+          .orderBy(col("n_occ").desc, col("gram"))
+      },
+      Some("""WITH e AS (SELECT CAST(user_id AS BIGINT) AS u, ts,
+             |    CAST(event_id AS BIGINT) AS eid, event_type AS st
+             |  FROM events),
+             |l AS (SELECT st AS s0,
+             |        lead(st, 1) OVER (PARTITION BY u ORDER BY ts, eid)
+             |          AS s1,
+             |        lead(st, 2) OVER (PARTITION BY u ORDER BY ts, eid)
+             |          AS s2
+             |      FROM e)
+             |SELECT s0 || '>' || s1 || '>' || s2 AS gram,
+             |  CAST(count(*) AS BIGINT) AS n_occ
+             |FROM l WHERE s1 IS NOT NULL AND s2 IS NOT NULL
+             |GROUP BY 1 HAVING count(*) >= 10
+             |ORDER BY n_occ DESC, gram""".stripMargin)),
+
+    // ---- Co-purchase link prediction (Graph.nodeJaccard): similar
+    // suppliers by shared-customer Jaccard in exact ppm — the union
+    // denominator (Liben-Nowell/Kleinberg), distinct from q238's
+    // squared-cosine CF. Src-blocked pair generation with the maxDeg
+    // hub cut, top-5 per supplier. ----
+    Q("q250_link_predict",
+      (s, dir) => {
+        val ui = t(s, dir, "lineitem")
+          .select(col("l_orderkey"), col("l_suppkey"))
+          .join(t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey")),
+            col("l_orderkey") === col("o_orderkey"))
+          .select(col("o_custkey").as("u"), col("l_suppkey").as("v"))
+        graft.operators.Graph.nodeJaccard(ui, "u", "v",
+            maxDeg = 64L, minCo = 2L, k = 5)
+          .orderBy(col("a"), col("jaccard_ppm").desc, col("b"))
+      },
+      Some("""WITH ui AS (SELECT DISTINCT CAST(o_custkey AS BIGINT) AS u,
+             |    CAST(l_suppkey AS BIGINT) AS v
+             |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+             |dg AS (SELECT u, CAST(count(*) AS BIGINT) AS d
+             |       FROM ui GROUP BY 1),
+             |k AS (SELECT ui.u, ui.v FROM ui JOIN dg USING (u)
+             |      WHERE dg.d <= 64),
+             |nv AS (SELECT v, CAST(count(*) AS BIGINT) AS n
+             |       FROM k GROUP BY 1),
+             |co AS (SELECT x.v AS a, y.v AS b,
+             |         CAST(count(*) AS BIGINT) AS co
+             |       FROM k x JOIN k y ON x.u = y.u AND x.v <> y.v
+             |       GROUP BY 1, 2 HAVING count(*) >= 2),
+             |sim AS (SELECT co.a, co.b, co.co, na.n AS na, nb.n AS nb,
+             |          (co.co * 1000000) // (na.n + nb.n - co.co)
+             |            AS jaccard_ppm
+             |        FROM co JOIN nv na ON na.v = co.a
+             |        JOIN nv nb ON nb.v = co.b),
+             |top AS (SELECT a, b, co, na, nb, jaccard_ppm,
+             |          row_number() OVER (PARTITION BY a
+             |            ORDER BY jaccard_ppm DESC, b) AS rn
+             |        FROM sim)
+             |SELECT a, b, co, na, nb, jaccard_ppm FROM top
+             |WHERE rn <= 5
+             |ORDER BY a, jaccard_ppm DESC, b""".stripMargin))
   )
+
+  /** q244 oracle: every HITS half-iteration replayed — contribution sum,
+    * zero-fill from the node list, exact scalar total, floored
+    * renormalization — as a static CTE unroll. All scores are
+    * non-negative, so DuckDB's `//` and Spark's `div` agree without a
+    * sign split.
+    */
+  private def hitsOracleSql(iters: Int, scale: Long): String = {
+    val steps = (1 to iters).map { k =>
+      s"""af$k AS MATERIALIZED (SELECT n.node, COALESCE(a.a, 0) AS a
+         |  FROM nodes n LEFT JOIN (
+         |    SELECT e.v AS node, CAST(sum(h.h) AS BIGINT) AS a
+         |    FROM e JOIN h${k - 1} h ON e.u = h.node GROUP BY 1
+         |  ) a USING (node)),
+         |a$k AS MATERIALIZED (SELECT node,
+         |  (a * $scale) // (SELECT CAST(sum(a) AS BIGINT) FROM af$k) AS a
+         |  FROM af$k),
+         |hf$k AS MATERIALIZED (SELECT n.node, COALESCE(h.h, 0) AS h
+         |  FROM nodes n LEFT JOIN (
+         |    SELECT e.u AS node, CAST(sum(a.a) AS BIGINT) AS h
+         |    FROM e JOIN a$k a ON e.v = a.node GROUP BY 1
+         |  ) h USING (node)),
+         |h$k AS MATERIALIZED (SELECT node,
+         |  (h * $scale) // (SELECT CAST(sum(h) AS BIGINT) FROM hf$k) AS h
+         |  FROM hf$k)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH e AS MATERIALIZED (SELECT CAST(o_custkey AS BIGINT) AS u,
+       |    CAST(l_suppkey + 10000000 AS BIGINT) AS v
+       |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+       |  GROUP BY 1, 2 HAVING count(*) >= 2),
+       |nodes AS MATERIALIZED (SELECT u AS node FROM e
+       |  UNION SELECT v FROM e),
+       |h0 AS (SELECT node, CAST(1 AS BIGINT) AS h FROM nodes),
+       |$steps
+       |SELECT n.node, h$iters.h AS hub, a$iters.a AS auth
+       |FROM nodes n JOIN h$iters USING (node) JOIN a$iters USING (node)
+       |ORDER BY auth DESC, n.node LIMIT 20""".stripMargin
+  }
+
+  /** q248 oracle: the Holt recurrence replayed step-for-step in a
+    * recursive CTE — init l₂=y₂, b₂=y₂−y₁, then the level/trend updates
+    * with the SAME explicit sign-split floored division the operator
+    * writes out (the level expression appears twice inside the trend,
+    * exactly as in the Spark fold).
+    */
+  private def holtOracleSql(horizon: Int): String = {
+    def idiv(x: String, d: Int): String =
+      s"(CASE WHEN ($x) < 0 THEN -((-($x)) // $d) ELSE ($x) // $d END)"
+    val lNext = idiv("2 * d.y + 8 * (s.l + s.bb)", 10)
+    s"""WITH RECURSIVE
+       |dd AS (SELECT event_type AS k, CAST(ts AS DATE) AS day,
+       |    CAST(count(*) AS BIGINT) * 1000000 AS y
+       |  FROM events GROUP BY 1, 2),
+       |ix AS (SELECT k, day, y, CAST(row_number() OVER (
+       |    PARTITION BY k ORDER BY day) AS BIGINT) AS i FROM dd),
+       |nn AS (SELECT k, CAST(count(*) AS BIGINT) AS n_days,
+       |    max(day) AS last_day FROM dd GROUP BY 1),
+       |s AS (
+       |  SELECT a.k, CAST(2 AS BIGINT) AS t, b.y AS l, b.y - a.y AS bb
+       |  FROM ix a JOIN ix b ON a.k = b.k AND a.i = 1 AND b.i = 2
+       |  UNION ALL
+       |  SELECT s.k, s.t + 1, $lNext,
+       |    ${idiv(s"1 * ($lNext - s.l) + 9 * s.bb", 10)}
+       |  FROM s JOIN ix d ON d.k = s.k AND d.i = s.t + 1
+       |),
+       |fin AS (SELECT s.k, s.l, s.bb FROM s
+       |        JOIN nn ON nn.k = s.k AND s.t = nn.n_days),
+       |hz AS (SELECT CAST(unnest(range(1, ${horizon + 1})) AS BIGINT) AS h)
+       |SELECT fin.k AS event_type, nn.n_days, nn.last_day,
+       |  fin.l AS level_micro, fin.bb AS trend_micro, hz.h,
+       |  nn.last_day + CAST(hz.h AS INT) AS forecast_day,
+       |  fin.l + hz.h * fin.bb AS forecast_micro
+       |FROM fin JOIN nn USING (k) CROSS JOIN hz
+       |ORDER BY event_type, hz.h""".stripMargin
+  }
 }
