@@ -754,7 +754,95 @@ object AnalyticsQueries {
              |        FROM sim)
              |SELECT a, b, co, na, nb, jaccard_ppm FROM top
              |WHERE rn <= 5
-             |ORDER BY a, jaccard_ppm DESC, b""".stripMargin))
+             |ORDER BY a, jaccard_ppm DESC, b""".stripMargin)),
+
+    // ---- Markov removal-effect attribution (operators/Attribution):
+    // journeys START -> touches -> CONV/NULL, transition matrix counted
+    // distributed, conversion probability by 30 exact integer
+    // value-iteration rounds, channel credit = the drop when that
+    // channel is removed. The matrix is a bounded driver artifact (the
+    // codebook discipline); the oracle replays journeys, matrix, all 30
+    // rounds per removal, and the share normalization. ----
+    Q("q251_markov_attribution",
+      (s, dir) => {
+        graft.operators.Attribution.markovRemoval(t(s, dir, "events"),
+            "user_id", "ts", "event_id", "event_type", "purchase",
+            iters = 30)
+          .orderBy(col("channel"))
+      },
+      Some(markovOracleSql(30)),
+      None),
+
+    // ---- Kaplan-Meier survival to first purchase by entry channel
+    // (operators/Survival): right-censored time-to-event — users who
+    // never convert shrink the risk set instead of vanishing. Exact
+    // floored ppm product, the sequential fold replayed row-for-row by
+    // the oracle's recursive CTE. ----
+    Q("q252_survival_km",
+      (s, dir) => {
+        val e = t(s, dir, "events").select(
+          col("user_id").cast("long").as("u"), col("ts"),
+          col("event_id").cast("long").as("eid"),
+          col("event_type").as("st"))
+        val wu = Window.partitionBy(col("u")).orderBy(col("ts"), col("eid"))
+        val fe = e.withColumn("rn", row_number().over(wu))
+          .filter(col("rn") === 1).select(col("u"), col("st").as("grp"))
+        val agg0 = e.groupBy(col("u")).agg(min(col("ts")).as("t0"),
+          max(col("ts")).as("tl"),
+          min(when(col("st") === "purchase", col("ts"))).as("pt"))
+        val spans = fe.join(agg0, "u").select(col("grp"),
+          when(col("pt").isNotNull,
+            datediff(to_date(col("pt")), to_date(col("t0"))))
+            .otherwise(datediff(to_date(col("tl")), to_date(col("t0"))))
+            .cast("long").as("dur"),
+          when(col("pt").isNotNull, lit(1L)).otherwise(lit(0L)).as("ev"))
+        graft.operators.Survival.kaplanMeier(spans, "grp", "dur", "ev")
+          .orderBy(col("grp"), col("dur"))
+      },
+      Some("""WITH RECURSIVE
+             |e AS MATERIALIZED (SELECT CAST(user_id AS BIGINT) AS u,
+             |    ts, CAST(event_id AS BIGINT) AS eid, event_type AS st
+             |  FROM events),
+             |fe AS (SELECT u, st AS grp FROM (
+             |    SELECT u, st, row_number() OVER (
+             |      PARTITION BY u ORDER BY ts, eid) AS rn FROM e) t
+             |  WHERE rn = 1),
+             |ag AS (SELECT u, min(ts) AS t0, max(ts) AS tl,
+             |    min(CASE WHEN st = 'purchase' THEN ts END) AS pt
+             |  FROM e GROUP BY 1),
+             |spans AS MATERIALIZED (SELECT fe.grp,
+             |    CAST(CASE WHEN ag.pt IS NOT NULL
+             |      THEN CAST(ag.pt AS DATE) - CAST(ag.t0 AS DATE)
+             |      ELSE CAST(ag.tl AS DATE) - CAST(ag.t0 AS DATE) END
+             |      AS BIGINT) AS dur,
+             |    CAST(CASE WHEN ag.pt IS NOT NULL THEN 1 ELSE 0 END
+             |      AS BIGINT) AS ev
+             |  FROM fe JOIN ag USING (u)),
+             |bd AS MATERIALIZED (SELECT grp, dur,
+             |    CAST(sum(ev) AS BIGINT) AS d,
+             |    CAST(sum(1 - ev) AS BIGINT) AS c
+             |  FROM spans GROUP BY 1, 2),
+             |rk AS MATERIALIZED (SELECT grp, dur, d, c,
+             |    CAST(sum(d + c) OVER (PARTITION BY grp)
+             |      - (sum(d + c) OVER (PARTITION BY grp ORDER BY dur
+             |           ROWS UNBOUNDED PRECEDING) - d - c) AS BIGINT)
+             |      AS n_risk,
+             |    CAST(row_number() OVER (PARTITION BY grp ORDER BY dur)
+             |      AS BIGINT) AS idx
+             |  FROM bd),
+             |s AS (SELECT grp, idx, dur, n_risk, d, c,
+             |    CAST(CASE WHEN d > 0
+             |      THEN (1000000 * (n_risk - d)) // n_risk
+             |      ELSE 1000000 END AS BIGINT) AS s_ppm
+             |  FROM rk WHERE idx = 1
+             |  UNION ALL
+             |  SELECT rk.grp, rk.idx, rk.dur, rk.n_risk, rk.d, rk.c,
+             |    CAST(CASE WHEN rk.d > 0
+             |      THEN (s.s_ppm * (rk.n_risk - rk.d)) // rk.n_risk
+             |      ELSE s.s_ppm END AS BIGINT)
+             |  FROM s JOIN rk ON rk.grp = s.grp AND rk.idx = s.idx + 1)
+             |SELECT grp, dur, n_risk, d, c, s_ppm FROM s
+             |ORDER BY grp, dur""".stripMargin))
   )
 
   /** q244 oracle: every HITS half-iteration replayed — contribution sum,
@@ -794,6 +882,82 @@ object AnalyticsQueries {
        |FROM nodes n JOIN h$iters USING (node) JOIN a$iters USING (node)
        |ORDER BY auth DESC, n.node LIMIT 20""".stripMargin
   }
+
+  /** q251 oracle: the ENTIRE Markov attribution replayed — journey
+    * windows, first-conversion cut, START/CONV/NULL transitions, matrix
+    * with absorbing self-loops, `iters` value-iteration rounds per
+    * removal variant in ONE recursive CTE (removals iterate in
+    * parallel as a cross-joined dimension), clamped removal effects and
+    * the share normalization. All quantities non-negative, so `//`
+    * matches Spark's `div`.
+    */
+  private def markovOracleSql(iters: Int): String =
+    s"""WITH RECURSIVE
+       |e AS MATERIALIZED (SELECT CAST(user_id AS BIGINT) AS u, ts,
+       |    CAST(event_id AS BIGINT) AS eid, event_type AS st
+       |  FROM events),
+       |r AS MATERIALIZED (SELECT u, st, CAST(row_number() OVER (
+       |    PARTITION BY u ORDER BY ts, eid) AS BIGINT) AS rn FROM e),
+       |fp AS (SELECT u, min(rn) AS fprn FROM r
+       |       WHERE st = 'purchase' GROUP BY 1),
+       |k AS MATERIALIZED (SELECT r.u,
+       |    CASE WHEN r.st = 'purchase' THEN 'CONV' ELSE r.st END AS st,
+       |    r.rn
+       |  FROM r LEFT JOIN fp USING (u)
+       |  WHERE fp.fprn IS NULL OR r.rn <= fp.fprn),
+       |tr AS (SELECT i, j FROM (
+       |    SELECT st AS i, lead(st) OVER (PARTITION BY u ORDER BY rn)
+       |      AS j FROM k) t WHERE j IS NOT NULL
+       |  UNION ALL
+       |  SELECT 'START' AS i, st AS j FROM (
+       |    SELECT st, row_number() OVER (PARTITION BY u ORDER BY rn)
+       |      AS rr FROM k) t WHERE rr = 1
+       |  UNION ALL
+       |  SELECT st AS i, 'NULL' AS j FROM (
+       |    SELECT st, row_number() OVER (PARTITION BY u ORDER BY rn DESC)
+       |      AS rr FROM k) t WHERE rr = 1 AND st <> 'CONV'),
+       |m AS MATERIALIZED (SELECT i, j, CAST(count(*) AS BIGINT) AS n
+       |  FROM tr GROUP BY 1, 2),
+       |rowtot AS (SELECT i, CAST(sum(n) AS BIGINT) AS rt
+       |  FROM m GROUP BY 1),
+       |mm AS MATERIALIZED (
+       |  SELECT m.i, m.j, m.n, rowtot.rt FROM m JOIN rowtot USING (i)
+       |  UNION ALL SELECT 'CONV', 'CONV', CAST(1 AS BIGINT),
+       |    CAST(1 AS BIGINT)
+       |  UNION ALL SELECT 'NULL', 'NULL', CAST(1 AS BIGINT),
+       |    CAST(1 AS BIGINT)),
+       |states AS MATERIALIZED (SELECT DISTINCT s FROM (
+       |  SELECT i AS s FROM mm UNION ALL SELECT j FROM mm) t),
+       |rm AS MATERIALIZED (SELECT 'NONE' AS r
+       |  UNION ALL SELECT DISTINCT i FROM m WHERE i <> 'START'),
+       |pv AS (
+       |  SELECT rm.r, CAST(0 AS BIGINT) AS it, states.s,
+       |    CAST(CASE WHEN states.s = 'CONV' THEN 1000000 ELSE 0 END
+       |      AS BIGINT) AS p
+       |  FROM states CROSS JOIN rm
+       |  UNION ALL
+       |  SELECT pv.r, pv.it + 1, mm.i AS s,
+       |    CAST(CASE WHEN mm.i = pv.r THEN 0
+       |      ELSE sum(mm.n * (CASE WHEN pv.s = pv.r THEN 0
+       |        ELSE pv.p END)) // max(mm.rt) END AS BIGINT) AS p
+       |  FROM pv JOIN mm ON mm.j = pv.s
+       |  WHERE pv.it < $iters
+       |  GROUP BY pv.r, pv.it, mm.i),
+       |pf AS MATERIALIZED (SELECT r, s, p FROM pv WHERE it = $iters),
+       |fullp AS (SELECT p FROM pf WHERE r = 'NONE' AND s = 'START'),
+       |effs AS MATERIALIZED (SELECT ch.channel,
+       |    (SELECT p FROM fullp) AS p_full_ppm,
+       |    pf.p AS p_removed_ppm,
+       |    greatest((SELECT p FROM fullp) - pf.p, 0) AS removal_ppm
+       |  FROM (SELECT DISTINCT i AS channel FROM m
+       |        WHERE i <> 'START') ch
+       |  JOIN pf ON pf.r = ch.channel AND pf.s = 'START'),
+       |tot AS (SELECT CAST(sum(removal_ppm) AS BIGINT) AS t FROM effs)
+       |SELECT channel, p_full_ppm, p_removed_ppm, removal_ppm,
+       |  CAST(CASE WHEN (SELECT t FROM tot) > 0
+       |    THEN (removal_ppm * 1000000) // (SELECT t FROM tot)
+       |    ELSE 0 END AS BIGINT) AS share_ppm
+       |FROM effs ORDER BY channel""".stripMargin
 
   /** q248 oracle: the Holt recurrence replayed step-for-step in a
     * recursive CTE — init l₂=y₂, b₂=y₂−y₁, then the level/trend updates
