@@ -365,4 +365,66 @@ class PlanSpec extends SparkSpec {
         s"phrase lead-chain must not add per-word exchanges:\n$p")
     }
   }
+
+  test("sequence mining: lead-window shape — no self-join, bounded exchanges") {
+    withoutAqe {
+      // transitions: user window + pair count + from_state windows
+      // (operator planned directly — the query adds a presentation sort)
+      val ev = Tables(spark, sfDir, "events")
+      val pt = plan(graft.operators.Sequences.transitions(
+        ev, "user_id", "ts", "event_id", "event_type"))
+      assert(pt.collect { case j: SortMergeJoinExec => j }.isEmpty &&
+        pt.collect { case j: BroadcastHashJoinExec => j }.isEmpty,
+        s"transitions must be lead-windows, never an event self-join:\n$pt")
+      assert(shuffles(pt).size <= 3,
+        s"transitions: user regroup + count + state window, got more:\n$pt")
+      // trigrams: both leads share ONE user window exchange
+      val pg = plan(graft.operators.Sequences.frequentNgrams(
+        ev, "user_id", "ts", "event_id", "event_type", 3, 10L))
+      assert(pg.collect { case j: SortMergeJoinExec => j }.isEmpty &&
+        pg.collect { case j: BroadcastHashJoinExec => j }.isEmpty,
+        s"trigrams must not self-join the event table per position:\n$pg")
+      assert(shuffles(pg).size <= 2,
+        s"trigrams: one user window + one gram count, got more:\n$pg")
+    }
+  }
+
+  test("basket rules / link prediction: blocked equi-joins, no BNLJ/cartesian") {
+    withoutAqe {
+      for (name <- Seq("q245_basket_rules", "q250_link_predict")) {
+        val p = plan(registry(name)(spark, sfDir))
+        assert(p.collect {
+          case j: org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec => j
+          case j: org.apache.spark.sql.execution.joins.CartesianProductExec => j
+        }.isEmpty,
+          s"$name: pair generation degenerated to nested-loop/cartesian:\n$p")
+      }
+    }
+  }
+
+  test("holt forecast: per-key fold — two aggregates, no join, no flat window") {
+    withoutAqe {
+      val daily = Tables(spark, sfDir, "events")
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("v"))
+      val p = plan(graft.operators.Forecast.holtLinear(
+        daily, "event_type", "day", "v", 7))
+      assert(p.collect { case j: SortMergeJoinExec => j }.isEmpty &&
+        p.collect { case j: BroadcastHashJoinExec => j }.isEmpty,
+        s"holt must fold per key, not join a state table:\n$p")
+      assert(shuffles(p).size <= 2,
+        s"holt: daily aggregate + key fold only, got more exchanges:\n$p")
+    }
+  }
+
+  test("kaplan-meier: no BNLJ; the curve join stays an equi-join") {
+    withoutAqe {
+      val p = plan(registry("q252_survival_km")(spark, sfDir))
+      assert(p.collect {
+        case j: org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec => j
+        case j: org.apache.spark.sql.execution.joins.CartesianProductExec => j
+      }.isEmpty,
+        s"kaplan-meier: curve join-back degenerated to nested-loop:\n$p")
+    }
+  }
 }
