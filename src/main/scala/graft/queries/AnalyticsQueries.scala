@@ -842,8 +842,132 @@ object AnalyticsQueries {
              |      ELSE s.s_ppm END AS BIGINT)
              |  FROM s JOIN rk ON rk.grp = s.grp AND rk.idx = s.idx + 1)
              |SELECT grp, dur, n_risk, d, c, s_ppm FROM s
-             |ORDER BY grp, dur""".stripMargin))
+             |ORDER BY grp, dur""".stripMargin)),
+
+    // ---- Holt forecast backtest (Forecast + temporal holdout): train
+    // on all days up to (global max day − 7), forecast the held-out
+    // week, score per event type — MAE and signed bias in exact
+    // micro-units (the q243 holdout discipline applied to the
+    // forecaster). The pivot derives from max(day) inside both engines;
+    // the oracle replays the truncated-series smoothing and the error
+    // aggregation. ----
+    Q("q253_holt_backtest",
+      (s, dir) => {
+        val daily = t(s, dir, "events")
+          .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+          .agg(count(lit(1)).as("v"))
+        val maxDay = java.time.LocalDate.parse(
+          daily.agg(max(col("day")).cast("string")).head().getString(0))
+        val pivot = java.sql.Date.valueOf(maxDay.minusDays(7))
+        val fc = graft.operators.Forecast.holtLinear(
+          daily.filter(col("day") <= lit(pivot)), "event_type", "day",
+          "v", horizon = 7)
+        fc.join(daily.select(col("event_type"),
+              col("day").as("forecast_day"), col("v").as("actual")),
+            Seq("event_type", "forecast_day"))
+          .select(col("event_type"),
+            (col("forecast_micro") - col("actual") * 1000000L).as("err"))
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n_eval"),
+            sum(abs(col("err"))).as("__sabs"), sum(col("err")).as("__serr"))
+          .select(col("event_type"), col("n_eval"),
+            expr("__sabs div n_eval").as("mae_micro"),
+            (signum(col("__serr")).cast("long") *
+              expr("abs(__serr) div n_eval")).as("bias_micro"))
+          .orderBy(col("event_type"))
+      },
+      Some(holtBacktestOracleSql)),
+
+    // ---- Simpson's-paradox screen (Trend.groupTrend at two
+    // altitudes): per-brand quantity→price slope sign vs the aggregate
+    // slope sign, in exact integer rationals — the subgroup-reversal
+    // warning that should precede any "aggregate trend" claim. The
+    // single-row aggregate side rides a broadcast cross join, no driver
+    // constant. ----
+    Q("q254_simpson_screen",
+      (s, dir) => {
+        val d = t(s, dir, "lineitem")
+          .join(t(s, dir, "part").select(col("p_partkey"), col("p_brand")),
+            col("l_partkey") === col("p_partkey"))
+          .select(col("p_brand"), col("l_quantity").cast("long").as("x"),
+            floor(col("l_extendedprice")).cast("long").as("y"))
+        val per = graft.operators.Trend.groupTrend(d, Seq("p_brand"), "x", "y")
+          .select(col("p_brand"), col("n"), col("slope_num"), col("slope_den"))
+        val agg = graft.operators.Trend.groupTrend(d, Seq.empty, "x", "y")
+          .select(col("slope_num").as("agg_num"), col("slope_den").as("agg_den"))
+        per.crossJoin(broadcast(agg))
+          .withColumn("reversed",
+            (col("slope_num") > 0 && col("agg_num") < 0) ||
+              (col("slope_num") < 0 && col("agg_num") > 0))
+          .orderBy(col("p_brand"))
+      },
+      Some("""WITH d AS MATERIALIZED (SELECT p_brand,
+             |    CAST(l_quantity AS BIGINT) AS x,
+             |    CAST(floor(l_extendedprice) AS BIGINT) AS y
+             |  FROM lineitem JOIN part ON l_partkey = p_partkey),
+             |per AS (SELECT p_brand, CAST(count(*) AS BIGINT) AS n,
+             |    CAST(count(*) * sum(x * y) - sum(x) * sum(y) AS BIGINT)
+             |      AS slope_num,
+             |    CAST(count(*) * sum(x * x) - sum(x) * sum(x) AS BIGINT)
+             |      AS slope_den
+             |  FROM d GROUP BY 1),
+             |ag AS (SELECT
+             |    CAST(count(*) * sum(x * y) - sum(x) * sum(y) AS BIGINT)
+             |      AS agg_num,
+             |    CAST(count(*) * sum(x * x) - sum(x) * sum(x) AS BIGINT)
+             |      AS agg_den
+             |  FROM d)
+             |SELECT per.p_brand, per.n, per.slope_num, per.slope_den,
+             |  ag.agg_num, ag.agg_den,
+             |  ((per.slope_num > 0 AND ag.agg_num < 0) OR
+             |   (per.slope_num < 0 AND ag.agg_num > 0)) AS reversed
+             |FROM per CROSS JOIN ag ORDER BY p_brand""".stripMargin))
   )
+
+  /** q253 oracle: the q248 recursive smoothing replay over the
+    * TRUNCATED series (days ≤ max(day) − 7), joined against held-out
+    * actuals, MAE/bias in micro-units with the sign-split mean.
+    */
+  private def holtBacktestOracleSql: String = {
+    def idiv(x: String, d: Int): String =
+      s"(CASE WHEN ($x) < 0 THEN -((-($x)) // $d) ELSE ($x) // $d END)"
+    val lNext = idiv("2 * d.y + 8 * (s.l + s.bb)", 10)
+    s"""WITH RECURSIVE
+       |alld AS MATERIALIZED (SELECT event_type AS k,
+       |    CAST(ts AS DATE) AS day, CAST(count(*) AS BIGINT) AS v
+       |  FROM events GROUP BY 1, 2),
+       |piv AS (SELECT max(day) - 7 AS pd FROM alld),
+       |dd AS MATERIALIZED (SELECT k, day, v * 1000000 AS y FROM alld
+       |  WHERE day <= (SELECT pd FROM piv)),
+       |ix AS MATERIALIZED (SELECT k, day, y, CAST(row_number() OVER (
+       |    PARTITION BY k ORDER BY day) AS BIGINT) AS i FROM dd),
+       |nn AS (SELECT k, CAST(count(*) AS BIGINT) AS n_days,
+       |    max(day) AS last_day FROM dd GROUP BY 1),
+       |s AS (
+       |  SELECT a.k, CAST(2 AS BIGINT) AS t, b.y AS l, b.y - a.y AS bb
+       |  FROM ix a JOIN ix b ON a.k = b.k AND a.i = 1 AND b.i = 2
+       |  UNION ALL
+       |  SELECT s.k, s.t + 1, $lNext,
+       |    ${idiv(s"1 * ($lNext - s.l) + 9 * s.bb", 10)}
+       |  FROM s JOIN ix d ON d.k = s.k AND d.i = s.t + 1
+       |),
+       |fin AS (SELECT s.k, s.l, s.bb FROM s
+       |        JOIN nn ON nn.k = s.k AND s.t = nn.n_days),
+       |hz AS (SELECT CAST(unnest(range(1, 8)) AS BIGINT) AS h),
+       |fc AS (SELECT fin.k, nn.last_day + CAST(hz.h AS INT) AS fday,
+       |    fin.l + hz.h * fin.bb AS fm
+       |  FROM fin JOIN nn USING (k) CROSS JOIN hz),
+       |er AS (SELECT fc.k, fc.fm - alld.v * 1000000 AS err
+       |  FROM fc JOIN alld ON alld.k = fc.k AND alld.day = fc.fday),
+       |agg AS (SELECT k AS event_type, CAST(count(*) AS BIGINT) AS n_eval,
+       |    CAST(sum(abs(err)) AS BIGINT) AS sabs,
+       |    CAST(sum(err) AS BIGINT) AS serr
+       |  FROM er GROUP BY 1)
+       |SELECT event_type, n_eval, sabs // n_eval AS mae_micro,
+       |  CAST((CASE WHEN serr < 0 THEN -1 WHEN serr > 0 THEN 1 ELSE 0 END)
+       |    * (abs(serr) // n_eval) AS BIGINT) AS bias_micro
+       |FROM agg ORDER BY event_type""".stripMargin
+  }
 
   /** q244 oracle: every HITS half-iteration replayed — contribution sum,
     * zero-fill from the node list, exact scalar total, floored
