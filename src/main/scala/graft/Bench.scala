@@ -31,6 +31,8 @@ object Bench {
     "q164_ohlc", "q165_skyline", "q170_exact_quantiles",
     "q214_gk_quantiles", "q217_interval_join", "q218_setsim_bipartite",
     "q219_heavy_hitters_mg", "q220_ppr",
+    "q233_weighted_sssp", "q238_cf_recommend", "q246_markov_transitions",
+    "q252_survival_km",
   )
 
   def main(args: Array[String]): Unit = {

@@ -921,7 +921,29 @@ object AnalyticsQueries {
              |  ag.agg_num, ag.agg_den,
              |  ((per.slope_num > 0 AND ag.agg_num < 0) OR
              |   (per.slope_num < 0 AND ag.agg_num > 0)) AS reversed
-             |FROM per CROSS JOIN ag ORDER BY p_brand""".stripMargin))
+             |FROM per CROSS JOIN ag ORDER BY p_brand""".stripMargin)),
+
+    // ---- STREAMING Holt forecast twin (StreamingCounts + Forecast):
+    // per-microbatch additive daily-count shards (the q239/_SUCCESS
+    // discipline) folded by sum — counts are additive, so the drained
+    // stream's dailies EQUAL the batch aggregate and the forecaster
+    // answers with q248's oracle verbatim. Extends the streaming-shard
+    // family to the forecasting wing. ----
+    Q("q255_stream_holt",
+      (s, dir) => {
+        import graft.streaming.{StreamingCounts, Streams}
+        val tmp = java.nio.file.Files.createTempDirectory("graft_q255_").toString
+        StreamingCounts.streamingDailyCounts(
+          Streams.eventsStream(s, dir).select(col("event_type"), col("ts")),
+          "event_type", "ts", s"$tmp/counts", s"$tmp/ckpt")
+        val daily = StreamingCounts.readMergedDailyCounts(s, s"$tmp/counts",
+            "event_type")
+          .withColumnRenamed("cnt", "v")
+        graft.operators.Forecast.holtLinear(daily, "event_type", "day",
+            "v", horizon = 7)
+          .orderBy(col("event_type"), col("h"))
+      },
+      Some(holtOracleSql(7)))
   )
 
   /** q253 oracle: the q248 recursive smoothing replay over the
