@@ -81,4 +81,58 @@ object Trend {
               (col("varx_num").cast("double") *
                 col("vary_num").cast("double")), 6)))
   }
+
+  /** Full pairwise correlation MATRIX over `valCols` in ONE corpus pass:
+    * one grouped aggregate computes every Σxᵢ, Σxᵢ², Σxᵢxⱼ — p·(p+3)/2
+    * sums total — and the p·(p−1)/2 pair rows are projected off that
+    * (group-count-sized) aggregate afterwards. The at-scale point: a
+    * p-measure correlation report costs the SAME single scan as one
+    * pair, where calling [[groupCorr]] per pair would rescan the corpus
+    * p·(p−1)/2 times. Components are the exact integer rationals of
+    * [[groupCorr]] (same overflow budget per measure: n·Σx² < 2⁶³,
+    * callers pre-scale); `r2_6` the one identically-written double.
+    * Output: one row per (group, ordered pair col_a < col_b by input
+    * order) — `(…group, col_a, col_b, n, cov_num, varx_num, vary_num,
+    * r2_6)`.
+    */
+  def corrMatrix(df: DataFrame, groupCols: Seq[String],
+                 valCols: Seq[String]): DataFrame = {
+    require(valCols.size >= 2, s"need >= 2 measures, got ${valCols.size}")
+    require(valCols.distinct.size == valCols.size, "measures must be distinct")
+    val n = valCols.size
+    val aggs =
+      Seq(count(lit(1)).as("n")) ++
+        valCols.zipWithIndex.map { case (c, i) =>
+          sum(col(c).cast("long")).as(s"s$i") } ++
+        (for (i <- 0 until n; j <- i until n) yield
+          sum(col(valCols(i)).cast("long") * col(valCols(j)).cast("long"))
+            .as(s"p${i}_$j"))
+    // materialized ONCE (group-count-sized): without the checkpoint,
+    // per-branch column pruning specializes each union branch's
+    // aggregate, the exchange subplans stop matching, and the corpus
+    // would be rescanned once per pair — exactly what this operator
+    // exists to avoid
+    val base = (if (groupCols.isEmpty) df.groupBy()
+                else df.groupBy(groupCols.map(col): _*))
+      .agg(aggs.head, aggs.tail: _*)
+      .localCheckpoint(true)
+    val pairs = for (i <- 0 until n; j <- (i + 1) until n) yield
+      base.select(groupCols.map(col) ++ Seq(
+        lit(valCols(i)).as("col_a"), lit(valCols(j)).as("col_b"),
+        col("n"),
+        (col("n") * col(s"p${i}_$j") - col(s"s$i") * col(s"s$j"))
+          .as("cov_num"),
+        (col("n") * col(s"p${i}_$i") - col(s"s$i") * col(s"s$i"))
+          .as("varx_num"),
+        (col("n") * col(s"p${j}_$j") - col(s"s$j") * col(s"s$j"))
+          .as("vary_num")): _*)
+    pairs.reduce(_ unionByName _)
+      .withColumn("r2_6",
+        when(col("varx_num") === 0L || col("vary_num") === 0L,
+          lit(null).cast("double"))
+          .otherwise(round(
+            col("cov_num").cast("double") * col("cov_num").cast("double") /
+              (col("varx_num").cast("double") *
+                col("vary_num").cast("double")), 6)))
+  }
 }

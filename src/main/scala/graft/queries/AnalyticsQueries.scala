@@ -943,7 +943,79 @@ object AnalyticsQueries {
             "v", horizon = 7)
           .orderBy(col("event_type"), col("h"))
       },
-      Some(holtOracleSql(7)))
+      Some(holtOracleSql(7))),
+
+    // ---- One-pass correlation matrix (Trend.corrMatrix): all six
+    // measure pairs (qty, price, discount, tax) per brand from ONE
+    // corpus scan — p·(p+3)/2 sums in a single aggregate, pair rows
+    // projected off the materialized group-sized result (per-pair
+    // groupCorr calls would rescan the corpus six times). Exact integer
+    // components, q240's overflow budget per measure. ----
+    Q("q256_corr_matrix",
+      (s, dir) => {
+        val d = t(s, dir, "lineitem")
+          .join(t(s, dir, "part").select(col("p_partkey"), col("p_brand")),
+            col("l_partkey") === col("p_partkey"))
+          .select(col("p_brand"),
+            col("l_quantity").cast("long").as("qty"),
+            floor(col("l_extendedprice")).cast("long").as("price_usd"),
+            floor(col("l_discount") * 100).cast("long").as("disc_pct"),
+            floor(col("l_tax") * 100).cast("long").as("tax_pct"))
+        graft.operators.Trend.corrMatrix(d, Seq("p_brand"),
+            Seq("qty", "price_usd", "disc_pct", "tax_pct"))
+          .orderBy(col("p_brand"), col("col_a"), col("col_b"))
+      },
+      Some("""WITH d AS MATERIALIZED (SELECT p_brand,
+             |    CAST(l_quantity AS BIGINT) AS q,
+             |    CAST(floor(l_extendedprice) AS BIGINT) AS p,
+             |    CAST(floor(l_discount * 100) AS BIGINT) AS dc,
+             |    CAST(floor(l_tax * 100) AS BIGINT) AS tx
+             |  FROM lineitem JOIN part ON l_partkey = p_partkey),
+             |a AS MATERIALIZED (SELECT p_brand,
+             |    CAST(count(*) AS BIGINT) AS n,
+             |    CAST(sum(q) AS BIGINT) AS sq, CAST(sum(p) AS BIGINT) AS sp,
+             |    CAST(sum(dc) AS BIGINT) AS sdc,
+             |    CAST(sum(tx) AS BIGINT) AS stx,
+             |    CAST(sum(q*q) AS BIGINT) AS mqq,
+             |    CAST(sum(q*p) AS BIGINT) AS mqp,
+             |    CAST(sum(q*dc) AS BIGINT) AS mqdc,
+             |    CAST(sum(q*tx) AS BIGINT) AS mqtx,
+             |    CAST(sum(p*p) AS BIGINT) AS mpp,
+             |    CAST(sum(p*dc) AS BIGINT) AS mpdc,
+             |    CAST(sum(p*tx) AS BIGINT) AS mptx,
+             |    CAST(sum(dc*dc) AS BIGINT) AS mdcdc,
+             |    CAST(sum(dc*tx) AS BIGINT) AS mdctx,
+             |    CAST(sum(tx*tx) AS BIGINT) AS mtxtx
+             |  FROM d GROUP BY 1),
+             |u AS (
+             |  SELECT p_brand, 'qty' AS col_a, 'price_usd' AS col_b, n,
+             |    n*mqp - sq*sp AS cov_num, n*mqq - sq*sq AS varx_num,
+             |    n*mpp - sp*sp AS vary_num FROM a
+             |  UNION ALL
+             |  SELECT p_brand, 'qty', 'disc_pct', n,
+             |    n*mqdc - sq*sdc, n*mqq - sq*sq, n*mdcdc - sdc*sdc FROM a
+             |  UNION ALL
+             |  SELECT p_brand, 'qty', 'tax_pct', n,
+             |    n*mqtx - sq*stx, n*mqq - sq*sq, n*mtxtx - stx*stx FROM a
+             |  UNION ALL
+             |  SELECT p_brand, 'price_usd', 'disc_pct', n,
+             |    n*mpdc - sp*sdc, n*mpp - sp*sp, n*mdcdc - sdc*sdc FROM a
+             |  UNION ALL
+             |  SELECT p_brand, 'price_usd', 'tax_pct', n,
+             |    n*mptx - sp*stx, n*mpp - sp*sp, n*mtxtx - stx*stx FROM a
+             |  UNION ALL
+             |  SELECT p_brand, 'disc_pct', 'tax_pct', n,
+             |    n*mdctx - sdc*stx, n*mdcdc - sdc*sdc, n*mtxtx - stx*stx
+             |  FROM a)
+             |SELECT p_brand, col_a, col_b, n,
+             |  CAST(cov_num AS BIGINT) AS cov_num,
+             |  CAST(varx_num AS BIGINT) AS varx_num,
+             |  CAST(vary_num AS BIGINT) AS vary_num,
+             |  CASE WHEN varx_num = 0 OR vary_num = 0 THEN NULL
+             |    ELSE round(CAST(cov_num AS DOUBLE) * CAST(cov_num AS DOUBLE)
+             |      / (CAST(varx_num AS DOUBLE) * CAST(vary_num AS DOUBLE)), 6)
+             |  END AS r2_6
+             |FROM u ORDER BY p_brand, col_a, col_b""".stripMargin))
   )
 
   /** q253 oracle: the q248 recursive smoothing replay over the

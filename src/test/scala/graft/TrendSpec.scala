@@ -35,4 +35,26 @@ class TrendSpec extends SparkSpec {
     assert(got("c")._3 == 0L && got("c")._4.isEmpty,
       s"constant y must emit vary=0 and null r2: ${got("c")}")
   }
+
+  test("corrMatrix: every pair row equals the per-pair groupCorr (one scan vs p scans)") {
+    val rnd = new scala.util.Random(7)
+    val df = (1 to 300).map { i =>
+      val g = if (i % 2 == 0) "a" else "b"
+      (g, i.toLong, 2L * i + rnd.nextInt(40), rnd.nextInt(100).toLong)
+    }.toDF("g", "x", "y", "z").repartition(5)
+    val cols = Seq("x", "y", "z")
+    val matrix = Trend.corrMatrix(df, Seq("g"), cols)
+      .as[(String, String, String, Long, Long, Long, Long, Option[Double])]
+      .collect().map(r => (r._1, r._2, r._3) -> ((r._4, r._5, r._6, r._7, r._8)))
+      .toMap
+    assert(matrix.size == 2 * 3, s"2 groups x 3 pairs expected: ${matrix.keys}")
+    for (i <- cols.indices; j <- (i + 1) until cols.size) {
+      val single = Trend.groupCorr(df, Seq("g"), cols(i), cols(j))
+        .as[(String, Long, Long, Long, Long, Option[Double])].collect()
+        .map(r => r._1 -> ((r._2, r._3, r._4, r._5, r._6))).toMap
+      for (g <- Seq("a", "b"))
+        assert(matrix((g, cols(i), cols(j))) == single(g),
+          s"pair (${cols(i)},${cols(j)}) group $g diverged")
+    }
+  }
 }
