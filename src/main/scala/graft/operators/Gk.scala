@@ -128,6 +128,40 @@ object Gk {
       .select(g ++ Seq(col("value"), col("w")): _*)
   }
 
+  /** ROLLUP quantile report from one register build — the quantile
+    * analog of the q163 HLL cube: registers are built ONCE at the
+    * finest `dims` granularity, and every coarser rollup level
+    * `(d₁..dₖ, *, …)` is the UNION of those same registers with the
+    * rolled dimensions replaced by the `"*"` marker — one corpus scan
+    * for a multi-level percentile dashboard, where per-level rebuilds
+    * would rescan the corpus `levels` times. Union-merging registers is
+    * the GK mergeable-summary law: the merged table represents the
+    * exact multiset union, with rank error the SUM of the component
+    * builds' bounds (still ∝ n_level/k + buckets — each level's
+    * registers came from ONE build).
+    *
+    * `dims` must be STRING-typed: the `"*"` filler is only unambiguous
+    * for string dimensions, and a real `"*"` dimension value would be
+    * indistinguishable from the rollup marker (the hllCube lesson —
+    * enforced here with a loud require, not a silent coercion).
+    */
+  def rollupEstimate(regs: DataFrame, dims: Seq[String],
+                     qs: Seq[(String, Int, Int)]): DataFrame = {
+    require(dims.nonEmpty, "rollupEstimate needs at least one dimension")
+    dims.foreach { d =>
+      require(regs.schema(d).dataType ==
+          org.apache.spark.sql.types.StringType,
+        s"rollup dimension '$d' must be STRING (the '*' filler is " +
+          "ambiguous for other types); cast it before building registers")
+    }
+    val levels = (0 to dims.size).reverse.map { keep =>
+      regs.select(dims.zipWithIndex.map { case (d, i) =>
+        (if (i < keep) col(d) else lit("*")).as(d)
+      } ++ Seq(col("value"), col("w")): _*)
+    }
+    estimate(levels.reduce(_ unionByName _), dims, qs)
+  }
+
   /** Quantile estimates from a register table (built, unioned from
     * shards, or compressed): for each rational target qNum/qDen the
     * smallest register value whose cumulative weight reaches

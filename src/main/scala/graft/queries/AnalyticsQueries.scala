@@ -1015,7 +1015,73 @@ object AnalyticsQueries {
              |    ELSE round(CAST(cov_num AS DOUBLE) * CAST(cov_num AS DOUBLE)
              |      / (CAST(varx_num AS DOUBLE) * CAST(vary_num AS DOUBLE)), 6)
              |  END AS r2_6
-             |FROM u ORDER BY p_brand, col_a, col_b""".stripMargin))
+             |FROM u ORDER BY p_brand, col_a, col_b""".stripMargin)),
+
+    // ---- GK quantile ROLLUP cube (Gk.rollupEstimate): price-cent
+    // percentiles at (returnflag, linestatus), (returnflag, *) and
+    // (*, *) from ONE register build — the quantile analog of the q163
+    // HLL cube; every rollup level is a union of the same registers, so
+    // the whole report costs one corpus scan. Deterministic compaction
+    // means the oracle replays the build, the three-level union, and
+    // every ceil-rank selection from scratch. ----
+    Q("q257_gk_rollup",
+      (s, dir) => {
+        val li = t(s, dir, "lineitem").select(
+          col("l_returnflag"), col("l_linestatus"),
+          round(col("l_extendedprice") * 100).cast("long").as("c"),
+          (col("l_orderkey").cast("long") * 10L +
+            col("l_linenumber").cast("long")).as("id"))
+        val regs = graft.operators.Gk.registers(li, "c", "id",
+          Seq("l_returnflag", "l_linestatus"), k = 64, buckets = 8)
+        graft.operators.Gk.rollupEstimate(regs,
+            Seq("l_returnflag", "l_linestatus"),
+            Seq(("p50", 1, 2), ("p90", 9, 10), ("p99", 99, 100)))
+          .withColumn("est", col("est").cast("long"))
+          .orderBy(col("l_returnflag"), col("l_linestatus"), col("q"))
+      },
+      Some("""WITH e AS MATERIALIZED (SELECT l_returnflag AS rf,
+             |    l_linestatus AS ls,
+             |    CAST(round(l_extendedprice * 100) AS BIGINT) AS c,
+             |    CAST(l_orderkey AS BIGINT) * 10
+             |      + CAST(l_linenumber AS BIGINT) AS id
+             |  FROM lineitem),
+             |b AS (SELECT rf, ls, c, id,
+             |    CAST(concat('0x', substr(md5(concat('b:', id)), 1, 8))
+             |      AS BIGINT) % 8 AS bk FROM e),
+             |r AS (SELECT rf, ls, bk, c, id,
+             |    CAST(row_number() OVER (PARTITION BY rf, ls, bk
+             |      ORDER BY c, id) AS BIGINT) AS rn,
+             |    CAST(count(*) OVER (PARTITION BY rf, ls, bk)
+             |      AS BIGINT) AS nb
+             |  FROM b),
+             |g AS MATERIALIZED (SELECT rf, ls, c,
+             |    CASE WHEN rn % ((nb + 63) // 64) = 0
+             |      THEN (nb + 63) // 64
+             |      ELSE nb % ((nb + 63) // 64) END AS w
+             |  FROM r WHERE rn % ((nb + 63) // 64) = 0 OR rn = nb),
+             |lv AS (SELECT rf, ls, c, w FROM g
+             |  UNION ALL SELECT rf, '*', c, w FROM g
+             |  UNION ALL SELECT '*', '*', c, w FROM g),
+             |d AS (SELECT rf, ls, c, CAST(sum(w) AS BIGINT) AS w
+             |  FROM lv GROUP BY 1, 2, 3),
+             |s AS MATERIALIZED (SELECT rf, ls, c,
+             |    CAST(sum(w) OVER (PARTITION BY rf, ls ORDER BY c)
+             |      AS BIGINT) AS cum,
+             |    CAST(sum(w) OVER (PARTITION BY rf, ls) AS BIGINT) AS tot
+             |  FROM d),
+             |qq(q, num, den) AS (VALUES ('p50', 1, 2), ('p90', 9, 10),
+             |    ('p99', 99, 100)),
+             |tg AS (SELECT DISTINCT s.rf, s.ls, qq.q, s.tot,
+             |    (s.tot * qq.num + qq.den - 1) // qq.den AS k_target
+             |  FROM s, qq)
+             |SELECT tg.rf AS l_returnflag, tg.ls AS l_linestatus, tg.q,
+             |  CAST(tg.tot AS BIGINT) AS w_total,
+             |  CAST(tg.k_target AS BIGINT) AS k_target,
+             |  CAST(min(s.c) AS BIGINT) AS est
+             |FROM tg JOIN s ON s.rf = tg.rf AND s.ls = tg.ls
+             |  AND s.cum >= tg.k_target
+             |GROUP BY 1, 2, 3, 4, 5
+             |ORDER BY 1, 2, 3""".stripMargin))
   )
 
   /** q253 oracle: the q248 recursive smoothing replay over the

@@ -309,6 +309,40 @@ class PropertySpec extends SparkSpec {
       }
   }
 
+  test("gk rollup laws: finest level equals plain estimate; '*' weight is the " +
+    "whole corpus; non-string dims refuse") {
+    import graft.operators.Gk
+    val rows = sampleN(Gen.chooseNum(0L, 500L), 1500).zipWithIndex.map {
+      case (v, i) =>
+        (if (i % 3 == 0) "a" else "b", if (i % 2 == 0) "x" else "y",
+          i.toLong, (v * v).toDouble)
+    }
+    val df = rows.toDF("d1", "d2", "id", "v").repartition(5)
+    val regs = Gk.registers(df, "v", "id", Seq("d1", "d2"), 40, 4)
+    val qs = Seq(("p50", 1, 2), ("p90", 9, 10))
+    val roll = Gk.rollupEstimate(regs, Seq("d1", "d2"), qs)
+      .as[(String, String, String, Long, Long, Double)].collect()
+    // finest level rows == the plain estimate, register-for-register
+    val plain = Gk.estimate(regs, Seq("d1", "d2"), qs)
+      .as[(String, String, String, Long, Long, Double)].collect().toSet
+    assert(roll.filter(r => r._1 != "*" && r._2 != "*").toSet == plain)
+    // the (*, *) level's total weight is the whole corpus, exactly
+    val top = roll.filter(r => r._1 == "*" && r._2 == "*")
+    assert(top.nonEmpty && top.forall(_._4 == rows.length.toLong),
+      s"top-level w_total must equal n: ${top.toSeq}")
+    // intermediate level (d1, *) conserves each d1 slice's weight
+    val mid = roll.filter(r => r._1 != "*" && r._2 == "*")
+    val byD1 = rows.groupBy(_._1).map { case (g, rs) => g -> rs.size.toLong }
+    assert(mid.forall(r => r._4 == byD1(r._1)), s"mid-level weights: ${mid.toSeq}")
+    // non-string dims must refuse loudly, not coerce
+    val bad = rows.toDF("d1", "d2", "id", "v")
+      .withColumn("d2", lit(1L))
+    intercept[IllegalArgumentException] {
+      Gk.rollupEstimate(Gk.registers(bad, "v", "id", Seq("d1", "d2"), 40, 4),
+        Seq("d1", "d2"), qs)
+    }
+  }
+
   test("gk sliding law: windowDays=1 equals the plain per-day estimate") {
     import graft.operators.Gk
     val rows = sampleN(Gen.zip(Gen.chooseNum(0L, 9L), Gen.chooseNum(0L, 5000L)), 800)
