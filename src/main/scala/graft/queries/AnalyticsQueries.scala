@@ -965,57 +965,7 @@ object AnalyticsQueries {
             Seq("qty", "price_usd", "disc_pct", "tax_pct"))
           .orderBy(col("p_brand"), col("col_a"), col("col_b"))
       },
-      Some("""WITH d AS MATERIALIZED (SELECT p_brand,
-             |    CAST(l_quantity AS BIGINT) AS q,
-             |    CAST(floor(l_extendedprice) AS BIGINT) AS p,
-             |    CAST(floor(l_discount * 100) AS BIGINT) AS dc,
-             |    CAST(floor(l_tax * 100) AS BIGINT) AS tx
-             |  FROM lineitem JOIN part ON l_partkey = p_partkey),
-             |a AS MATERIALIZED (SELECT p_brand,
-             |    CAST(count(*) AS BIGINT) AS n,
-             |    CAST(sum(q) AS BIGINT) AS sq, CAST(sum(p) AS BIGINT) AS sp,
-             |    CAST(sum(dc) AS BIGINT) AS sdc,
-             |    CAST(sum(tx) AS BIGINT) AS stx,
-             |    CAST(sum(q*q) AS BIGINT) AS mqq,
-             |    CAST(sum(q*p) AS BIGINT) AS mqp,
-             |    CAST(sum(q*dc) AS BIGINT) AS mqdc,
-             |    CAST(sum(q*tx) AS BIGINT) AS mqtx,
-             |    CAST(sum(p*p) AS BIGINT) AS mpp,
-             |    CAST(sum(p*dc) AS BIGINT) AS mpdc,
-             |    CAST(sum(p*tx) AS BIGINT) AS mptx,
-             |    CAST(sum(dc*dc) AS BIGINT) AS mdcdc,
-             |    CAST(sum(dc*tx) AS BIGINT) AS mdctx,
-             |    CAST(sum(tx*tx) AS BIGINT) AS mtxtx
-             |  FROM d GROUP BY 1),
-             |u AS (
-             |  SELECT p_brand, 'qty' AS col_a, 'price_usd' AS col_b, n,
-             |    n*mqp - sq*sp AS cov_num, n*mqq - sq*sq AS varx_num,
-             |    n*mpp - sp*sp AS vary_num FROM a
-             |  UNION ALL
-             |  SELECT p_brand, 'qty', 'disc_pct', n,
-             |    n*mqdc - sq*sdc, n*mqq - sq*sq, n*mdcdc - sdc*sdc FROM a
-             |  UNION ALL
-             |  SELECT p_brand, 'qty', 'tax_pct', n,
-             |    n*mqtx - sq*stx, n*mqq - sq*sq, n*mtxtx - stx*stx FROM a
-             |  UNION ALL
-             |  SELECT p_brand, 'price_usd', 'disc_pct', n,
-             |    n*mpdc - sp*sdc, n*mpp - sp*sp, n*mdcdc - sdc*sdc FROM a
-             |  UNION ALL
-             |  SELECT p_brand, 'price_usd', 'tax_pct', n,
-             |    n*mptx - sp*stx, n*mpp - sp*sp, n*mtxtx - stx*stx FROM a
-             |  UNION ALL
-             |  SELECT p_brand, 'disc_pct', 'tax_pct', n,
-             |    n*mdctx - sdc*stx, n*mdcdc - sdc*sdc, n*mtxtx - stx*stx
-             |  FROM a)
-             |SELECT p_brand, col_a, col_b, n,
-             |  CAST(cov_num AS BIGINT) AS cov_num,
-             |  CAST(varx_num AS BIGINT) AS varx_num,
-             |  CAST(vary_num AS BIGINT) AS vary_num,
-             |  CASE WHEN varx_num = 0 OR vary_num = 0 THEN NULL
-             |    ELSE round(CAST(cov_num AS DOUBLE) * CAST(cov_num AS DOUBLE)
-             |      / (CAST(varx_num AS DOUBLE) * CAST(vary_num AS DOUBLE)), 6)
-             |  END AS r2_6
-             |FROM u ORDER BY p_brand, col_a, col_b""".stripMargin)),
+      Some(corrMatrixOracleSql)),
 
     // ---- GK quantile ROLLUP cube (Gk.rollupEstimate): price-cent
     // percentiles at (returnflag, linestatus), (returnflag, *) and
@@ -1081,8 +1031,100 @@ object AnalyticsQueries {
              |FROM tg JOIN s ON s.rf = tg.rf AND s.ls = tg.ls
              |  AND s.cum >= tg.k_target
              |GROUP BY 1, 2, 3, 4, 5
-             |ORDER BY 1, 2, 3""".stripMargin))
+             |ORDER BY 1, 2, 3""".stripMargin)),
+
+    // ---- STREAMING correlation matrix twin (StreamingMoments +
+    // corrMatrixFromMoments): per-microbatch sufficient-moment shards
+    // (n, Σxᵢ, Σxᵢxⱼ per brand) under the _SUCCESS discipline, folded
+    // by SUM — the additive-sums member of the streaming-shard family
+    // (counts/HLL/KMV/GK/MG, now moments). Sums of products are
+    // additive, so the drained stream's matrix EQUALS the batch
+    // operator's and answers with q256's oracle verbatim. The part
+    // dimension rides a stream-static broadcast join. ----
+    Q("q258_stream_corr_matrix",
+      (s, dir) => {
+        import graft.streaming.StreamingMoments
+        val cols = Seq("qty", "price_usd", "disc_pct", "tax_pct")
+        val schema = s.read.parquet(s"$dir/lineitem.parquet").schema
+        val raw = s.readStream.schema(schema)
+          .option("pathGlobFilter", "lineitem.parquet").parquet(dir)
+        val part = broadcast(t(s, dir, "part")
+          .select(col("p_partkey"), col("p_brand")))
+        val li = raw.join(part, col("l_partkey") === col("p_partkey"))
+          .select(col("p_brand"),
+            col("l_quantity").cast("long").as("qty"),
+            floor(col("l_extendedprice")).cast("long").as("price_usd"),
+            floor(col("l_discount") * 100).cast("long").as("disc_pct"),
+            floor(col("l_tax") * 100).cast("long").as("tax_pct"))
+        val tmp = java.nio.file.Files.createTempDirectory("graft_q258_").toString
+        StreamingMoments.streamingMoments(li, "p_brand", cols,
+          s"$tmp/moments", s"$tmp/ckpt")
+        StreamingMoments.corrMatrixFromMoments(
+            StreamingMoments.readMergedMoments(s, s"$tmp/moments",
+              "p_brand", cols.size),
+            "p_brand", cols)
+          .orderBy(col("p_brand"), col("col_a"), col("col_b"))
+      },
+      // the batch q256 oracle verbatim: the fold law guarantees equality
+      Some(corrMatrixOracleSql))
   )
+
+  /** Shared by q256 (batch) and q258 (streaming twin): the one-pass
+    * correlation-matrix replay — single aggregate of all sums, six pair
+    * projections, identical double rounding.
+    */
+  private val corrMatrixOracleSql: String =
+    """WITH d AS MATERIALIZED (SELECT p_brand,
+             |    CAST(l_quantity AS BIGINT) AS q,
+             |    CAST(floor(l_extendedprice) AS BIGINT) AS p,
+             |    CAST(floor(l_discount * 100) AS BIGINT) AS dc,
+             |    CAST(floor(l_tax * 100) AS BIGINT) AS tx
+             |  FROM lineitem JOIN part ON l_partkey = p_partkey),
+             |a AS MATERIALIZED (SELECT p_brand,
+             |    CAST(count(*) AS BIGINT) AS n,
+             |    CAST(sum(q) AS BIGINT) AS sq, CAST(sum(p) AS BIGINT) AS sp,
+             |    CAST(sum(dc) AS BIGINT) AS sdc,
+             |    CAST(sum(tx) AS BIGINT) AS stx,
+             |    CAST(sum(q*q) AS BIGINT) AS mqq,
+             |    CAST(sum(q*p) AS BIGINT) AS mqp,
+             |    CAST(sum(q*dc) AS BIGINT) AS mqdc,
+             |    CAST(sum(q*tx) AS BIGINT) AS mqtx,
+             |    CAST(sum(p*p) AS BIGINT) AS mpp,
+             |    CAST(sum(p*dc) AS BIGINT) AS mpdc,
+             |    CAST(sum(p*tx) AS BIGINT) AS mptx,
+             |    CAST(sum(dc*dc) AS BIGINT) AS mdcdc,
+             |    CAST(sum(dc*tx) AS BIGINT) AS mdctx,
+             |    CAST(sum(tx*tx) AS BIGINT) AS mtxtx
+             |  FROM d GROUP BY 1),
+             |u AS (
+             |  SELECT p_brand, 'qty' AS col_a, 'price_usd' AS col_b, n,
+             |    n*mqp - sq*sp AS cov_num, n*mqq - sq*sq AS varx_num,
+             |    n*mpp - sp*sp AS vary_num FROM a
+             |  UNION ALL
+             |  SELECT p_brand, 'qty', 'disc_pct', n,
+             |    n*mqdc - sq*sdc, n*mqq - sq*sq, n*mdcdc - sdc*sdc FROM a
+             |  UNION ALL
+             |  SELECT p_brand, 'qty', 'tax_pct', n,
+             |    n*mqtx - sq*stx, n*mqq - sq*sq, n*mtxtx - stx*stx FROM a
+             |  UNION ALL
+             |  SELECT p_brand, 'price_usd', 'disc_pct', n,
+             |    n*mpdc - sp*sdc, n*mpp - sp*sp, n*mdcdc - sdc*sdc FROM a
+             |  UNION ALL
+             |  SELECT p_brand, 'price_usd', 'tax_pct', n,
+             |    n*mptx - sp*stx, n*mpp - sp*sp, n*mtxtx - stx*stx FROM a
+             |  UNION ALL
+             |  SELECT p_brand, 'disc_pct', 'tax_pct', n,
+             |    n*mdctx - sdc*stx, n*mdcdc - sdc*sdc, n*mtxtx - stx*stx
+             |  FROM a)
+             |SELECT p_brand, col_a, col_b, n,
+             |  CAST(cov_num AS BIGINT) AS cov_num,
+             |  CAST(varx_num AS BIGINT) AS varx_num,
+             |  CAST(vary_num AS BIGINT) AS vary_num,
+             |  CASE WHEN varx_num = 0 OR vary_num = 0 THEN NULL
+             |    ELSE round(CAST(cov_num AS DOUBLE) * CAST(cov_num AS DOUBLE)
+             |      / (CAST(varx_num AS DOUBLE) * CAST(vary_num AS DOUBLE)), 6)
+             |  END AS r2_6
+             |FROM u ORDER BY p_brand, col_a, col_b""".stripMargin
 
   /** q253 oracle: the q248 recursive smoothing replay over the
     * TRUNCATED series (days ≤ max(day) − 7), joined against held-out
