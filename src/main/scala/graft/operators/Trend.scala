@@ -82,6 +82,55 @@ object Trend {
                 col("vary_num").cast("double")), 6)))
   }
 
+  /** Theil–Sen robust slope per group — the median of all pairwise
+    * slopes `(y_j−y_i)/(x_j−x_i)` over `x_i < x_j`: a single wild
+    * outlier day moves [[groupTrend]]'s OLS slope arbitrarily but moves
+    * at most half the pairwise slopes, so the median barely shifts (the
+    * robust-statistics wing's regression member, next to the MAD and
+    * the Tukey fences).
+    *
+    * Exact-median contract, engine-portable: pair slopes are rationals
+    * with positive denominators; they are totally ordered by the
+    * DOCUMENTED key `(sign(num)·(|num|·10⁶ div den), num, den)` — the
+    * floored micro-slope first (identical in any engine via the
+    * explicit sign split), exact numerator/denominator as tie-breaks —
+    * and the median is the ceil-rank ⌈P/2⌉ element of that order. Two
+    * rationals within 10⁻⁶ of each other may order by (num, den) rather
+    * than true value; the selected element is still a true pairwise
+    * slope and the rule replays bit-for-bit in SQL.
+    *
+    * Scale shape: the pair self-join is GROUP-BLOCKED (equi-join on the
+    * group key); per-group pair count is span²/2 where span is the
+    * series length — calendar-bounded for daily series (the
+    * [[TimeSeries]] argument), NOT data-proportional. One join + one
+    * per-group window.
+    */
+  def theilSen(df: DataFrame, groupCols: Seq[String], xCol: String,
+               yCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val g = groupCols.map(col)
+    val d = df.select(g ++ Seq(col(xCol).cast("long").as("__x"),
+      col(yCol).cast("long").as("__y")): _*)
+    val a = d.select(g ++ Seq(col("__x").as("__xa"), col("__y").as("__ya")): _*)
+    val b = d.select(g ++ Seq(col("__x").as("__xb"), col("__y").as("__yb")): _*)
+    val pairs = a.join(b, groupCols).filter(col("__xa") < col("__xb"))
+      .select(g ++ Seq((col("__yb") - col("__ya")).as("num"),
+        (col("__xb") - col("__xa")).as("den")): _*)
+      .withColumn("sk", signum(col("num")).cast("long") *
+        expr("(abs(num) * 1000000) div den"))
+    val w = Window.partitionBy(g: _*)
+      .orderBy(col("sk"), col("num"), col("den"))
+    val wn = Window.partitionBy(g: _*)
+    pairs
+      .withColumn("__rn", row_number().over(w).cast("long"))
+      .withColumn("n_pairs", count(lit(1)).over(wn))
+      .filter(col("__rn") === expr("(n_pairs + 1) div 2"))
+      .select(g ++ Seq(col("n_pairs"), col("num").as("med_num"),
+        col("den").as("med_den")): _*)
+      .withColumn("slope6", round(col("med_num").cast("double") /
+        col("med_den").cast("double"), 6))
+  }
+
   /** Full pairwise correlation MATRIX over `valCols` in ONE corpus pass:
     * one grouped aggregate computes every Σxᵢ, Σxᵢ², Σxᵢxⱼ — p·(p+3)/2
     * sums total — and the p·(p−1)/2 pair rows are projected off that

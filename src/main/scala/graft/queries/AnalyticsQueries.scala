@@ -1066,7 +1066,49 @@ object AnalyticsQueries {
           .orderBy(col("p_brand"), col("col_a"), col("col_b"))
       },
       // the batch q256 oracle verbatim: the fold law guarantees equality
-      Some(corrMatrixOracleSql))
+      Some(corrMatrixOracleSql)),
+
+    // ---- Theil-Sen robust daily-growth slope (Trend.theilSen): the
+    // median of all pairwise day-to-day slopes per event type — one
+    // outlier day can move the OLS slope (q172) arbitrarily but moves
+    // at most half the pairwise slopes. Exact median by the documented
+    // (floored micro-slope, num, den) total order, group-blocked pair
+    // join, pairs bounded by the calendar span squared. Full oracle. ----
+    Q("q259_theil_sen",
+      (s, dir) => {
+        val daily = t(s, dir, "events")
+          .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+          .agg(count(lit(1)).as("v"))
+          .select(col("event_type"),
+            datediff(col("day"), lit("1970-01-01")).cast("long").as("x"),
+            col("v"))
+        graft.operators.Trend.theilSen(daily, Seq("event_type"), "x", "v")
+          .orderBy(col("event_type"))
+      },
+      Some("""WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS day,
+             |    CAST(count(*) AS BIGINT) AS v FROM events GROUP BY 1, 2),
+             |d AS (SELECT event_type,
+             |    CAST(day - DATE '1970-01-01' AS BIGINT) AS x, v
+             |  FROM daily),
+             |p AS (SELECT a.event_type, b.v - a.v AS num, b.x - a.x AS den
+             |      FROM d a JOIN d b ON a.event_type = b.event_type
+             |        AND a.x < b.x),
+             |k AS (SELECT event_type, num, den,
+             |    CAST((CASE WHEN num < 0 THEN -1 WHEN num > 0 THEN 1
+             |      ELSE 0 END) * ((abs(num) * 1000000) // den) AS BIGINT)
+             |      AS sk
+             |  FROM p),
+             |r AS (SELECT event_type, num, den, sk,
+             |    CAST(row_number() OVER (PARTITION BY event_type
+             |      ORDER BY sk, num, den) AS BIGINT) AS rn,
+             |    CAST(count(*) OVER (PARTITION BY event_type) AS BIGINT)
+             |      AS n_pairs
+             |  FROM k)
+             |SELECT event_type, n_pairs, num AS med_num, den AS med_den,
+             |  round(CAST(num AS DOUBLE) / CAST(den AS DOUBLE), 6)
+             |    AS slope6
+             |FROM r WHERE rn = (n_pairs + 1) // 2
+             |ORDER BY event_type""".stripMargin))
   )
 
   /** Shared by q256 (batch) and q258 (streaming twin): the one-pass

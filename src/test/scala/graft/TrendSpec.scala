@@ -36,6 +36,35 @@ class TrendSpec extends SparkSpec {
       s"constant y must emit vary=0 and null r2: ${got("c")}")
   }
 
+  test("theilSen: immune to the outlier that wrecks OLS; exact driver mirror") {
+    // clean slope-5 line with one wild outlier day
+    val pts = (1 to 30).map(i =>
+      ("g", i.toLong, if (i == 16) 1000000L else 5L * i + 3L))
+    val df = pts.toDF("g", "x", "y").repartition(4)
+    val ts = Trend.theilSen(df, Seq("g"), "x", "y")
+      .as[(String, Long, Long, Long, Double)].collect()
+    assert(ts.length == 1)
+    val (_, nPairs, num, den, slope6) = ts.head
+    assert(nPairs == 30L * 29L / 2L)
+    assert(slope6 == 5.0, s"median slope must ignore the outlier: $slope6")
+
+    // the OLS slope on the same data is far from 5
+    val ols = Trend.groupTrend(df, Seq("g"), "x", "y")
+      .select($"slope6").as[Option[Double]].head()
+    assert(ols.exists(s => math.abs(s - 5.0) > 10.0),
+      s"fixture must actually wreck OLS, got $ols")
+
+    // exact mirror of the documented order + ceil-rank rule
+    val pairs = for {
+      i <- pts.indices; j <- pts.indices if pts(i)._2 < pts(j)._2
+    } yield (pts(j)._3 - pts(i)._3, pts(j)._2 - pts(i)._2)
+    def sk(p: (Long, Long)): Long =
+      math.signum(p._1) * (math.abs(p._1) * 1000000L / p._2)
+    val ordered = pairs.sortBy(p => (sk(p), p._1, p._2))
+    val med = ordered((pairs.size + 1) / 2 - 1)
+    assert((num, den) == med, s"median pair mirror: ($num,$den) vs $med")
+  }
+
   test("corrMatrix: every pair row equals the per-pair groupCorr (one scan vs p scans)") {
     val rnd = new scala.util.Random(7)
     val df = (1 to 300).map { i =>
