@@ -1108,8 +1108,102 @@ object AnalyticsQueries {
              |  round(CAST(num AS DOUBLE) / CAST(den AS DOUBLE), 6)
              |    AS slope6
              |FROM r WHERE rn = (n_pairs + 1) // 2
-             |ORDER BY event_type""".stripMargin))
+             |ORDER BY event_type""".stripMargin)),
+
+    // ---- Seasonally-adjusted Holt forecast (dow factors + Forecast
+    // composed): divide each day by its weekday's mean-ratio factor
+    // (integer ppm, the q247 cells), smooth the deseasonalized series
+    // with q248's Holt fold, then re-apply the forecast day's own
+    // weekday factor — the standard season-trend split, exact and
+    // engine-replayable end-to-end (the small truncation to integer
+    // adjusted counts is part of the contract and replays too). ----
+    Q("q260_seasonal_forecast",
+      (s, dir) => {
+        val daily = t(s, dir, "events")
+          .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+          .agg(count(lit(1)).as("v"))
+          .withColumn("dow", dayofweek(col("day")).cast("long"))
+        val cell = daily.groupBy(col("event_type"), col("dow"))
+          .agg(count(lit(1)).as("n_dow"), sum(col("v")).as("s_dow"))
+        val tot = daily.groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n_days"), sum(col("v")).as("s_tot"))
+        val factors = cell.join(tot, "event_type")
+          .select(col("event_type"), col("dow"),
+            expr("(s_dow * n_days * 1000000) div (n_dow * s_tot)")
+              .as("factor_ppm"))
+        val adj = daily.join(factors, Seq("event_type", "dow"))
+          .select(col("event_type"), col("day"),
+            expr("(v * 1000000) div factor_ppm").as("v_adj"))
+        val fc = graft.operators.Forecast.holtLinear(adj, "event_type",
+          "day", "v_adj", horizon = 7)
+        fc.withColumn("dow", dayofweek(col("forecast_day")).cast("long"))
+          .join(factors, Seq("event_type", "dow"))
+          .select(col("event_type"), col("h"), col("forecast_day"),
+            col("factor_ppm"), col("forecast_micro").as("f_adj_micro"),
+            expr("(forecast_micro * factor_ppm) div 1000000")
+              .as("f_micro"))
+          .orderBy(col("event_type"), col("h"))
+      },
+      Some(seasonalForecastOracleSql))
   )
+
+  /** q260 oracle: weekday factors, the integer deseasonalization, the
+    * q248 recursive smoothing replay over the ADJUSTED series, and the
+    * re-seasonalized forecasts — end-to-end. DuckDB dayofweek is
+    * 0=Sunday (Spark's is 1), shifted at both uses.
+    */
+  private def seasonalForecastOracleSql: String = {
+    def idiv(x: String, d: Int): String =
+      s"(CASE WHEN ($x) < 0 THEN -((-($x)) // $d) ELSE ($x) // $d END)"
+    val lNext = idiv("2 * d.y + 8 * (s.l + s.bb)", 10)
+    s"""WITH RECURSIVE
+       |daily AS MATERIALIZED (SELECT event_type,
+       |    CAST(ts AS DATE) AS day, CAST(count(*) AS BIGINT) AS v,
+       |    CAST(dayofweek(CAST(ts AS DATE)) + 1 AS BIGINT) AS dow
+       |  FROM events GROUP BY 1, 2),
+       |cell AS (SELECT event_type, dow, CAST(count(*) AS BIGINT)
+       |    AS n_dow, CAST(sum(v) AS BIGINT) AS s_dow
+       |  FROM daily GROUP BY 1, 2),
+       |tt AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_days,
+       |    CAST(sum(v) AS BIGINT) AS s_tot
+       |  FROM daily GROUP BY 1),
+       |fac AS MATERIALIZED (SELECT cell.event_type, cell.dow,
+       |    CAST((cell.s_dow * tt.n_days * 1000000)
+       |      // (cell.n_dow * tt.s_tot) AS BIGINT) AS factor_ppm
+       |  FROM cell JOIN tt USING (event_type)),
+       |dd AS MATERIALIZED (SELECT daily.event_type AS k, daily.day,
+       |    ((daily.v * 1000000) // fac.factor_ppm) * 1000000 AS y
+       |  FROM daily JOIN fac ON fac.event_type = daily.event_type
+       |    AND fac.dow = daily.dow),
+       |ix AS MATERIALIZED (SELECT k, day, y, CAST(row_number() OVER (
+       |    PARTITION BY k ORDER BY day) AS BIGINT) AS i FROM dd),
+       |nn AS (SELECT k, CAST(count(*) AS BIGINT) AS n_days,
+       |    max(day) AS last_day FROM dd GROUP BY 1),
+       |s AS (
+       |  SELECT a.k, CAST(2 AS BIGINT) AS t, b.y AS l, b.y - a.y AS bb
+       |  FROM ix a JOIN ix b ON a.k = b.k AND a.i = 1 AND b.i = 2
+       |  UNION ALL
+       |  SELECT s.k, s.t + 1, $lNext,
+       |    ${idiv(s"1 * ($lNext - s.l) + 9 * s.bb", 10)}
+       |  FROM s JOIN ix d ON d.k = s.k AND d.i = s.t + 1
+       |),
+       |fin AS (SELECT s.k, s.l, s.bb FROM s
+       |        JOIN nn ON nn.k = s.k AND s.t = nn.n_days),
+       |hz AS (SELECT CAST(unnest(range(1, 8)) AS BIGINT) AS h),
+       |fc AS (SELECT fin.k AS event_type, hz.h,
+       |    nn.last_day + CAST(hz.h AS INT) AS forecast_day,
+       |    fin.l + hz.h * fin.bb AS f_adj_micro
+       |  FROM fin JOIN nn USING (k) CROSS JOIN hz)
+       |SELECT fc.event_type, fc.h, fc.forecast_day, fac.factor_ppm,
+       |  fc.f_adj_micro,
+       |  CAST((CASE WHEN fc.f_adj_micro < 0
+       |    THEN -((-(fc.f_adj_micro * fac.factor_ppm)) // 1000000)
+       |    ELSE (fc.f_adj_micro * fac.factor_ppm) // 1000000 END)
+       |    AS BIGINT) AS f_micro
+       |FROM fc JOIN fac ON fac.event_type = fc.event_type
+       |  AND fac.dow = CAST(dayofweek(fc.forecast_day) + 1 AS BIGINT)
+       |ORDER BY fc.event_type, fc.h""".stripMargin
+  }
 
   /** Shared by q256 (batch) and q258 (streaming twin): the one-pass
     * correlation-matrix replay — single aggregate of all sums, six pair
