@@ -105,6 +105,41 @@ object TimeSeries {
         col("s_max"))
   }
 
+  /** Two-level binary segmentation — the multiple-change-point
+    * extension of [[changePoint]]: find each series' best split, then
+    * the best split WITHIN each resulting half (the classic binary
+    * segmentation recursion, unrolled to depth 2 — each level is the
+    * same integer CUSUM argmax with the smallest-day tie rule, so the
+    * whole tree replays in SQL). Emits one `level=1` row per group
+    * (side −1) and one `level=2` row per non-empty half (side 0 =
+    * at-or-before the top split, side 1 = after), each with its own
+    * segment-local `n_days`, `total`, `at_day`, `s_max`.
+    *
+    * Scale shape: [[changePoint]] twice — the second call over the same
+    * rows with the side bit appended to the key (groups only get finer;
+    * no new shuffle class, no driver state).
+    */
+  def binarySegment(daily: DataFrame, groupCol: String, dayCol: String,
+                    valCol: String): DataFrame = {
+    val l1 = changePoint(daily, groupCol, dayCol, valCol)
+    val sided = daily
+      .join(l1.select(col(groupCol), col("at_day").as("__cp1")), Seq(groupCol))
+      .withColumn("__side",
+        when(col(dayCol) <= col("__cp1"), lit(0L)).otherwise(lit(1L)))
+      .withColumn("__gk",
+        concat_ws("\u0001", col(groupCol), col("__side")))
+    val l2 = changePoint(
+        sided.select(col("__gk"), col(dayCol), col(valCol)),
+        "__gk", dayCol, valCol)
+      .withColumn(groupCol, split(col("__gk"), "\u0001").getItem(0))
+      .withColumn("side", split(col("__gk"), "\u0001").getItem(1).cast("long"))
+      .select(col(groupCol), lit(2L).as("level"), col("side"),
+        col("n_days"), col("total"), col("at_day"), col("s_max"))
+    l1.select(col(groupCol), lit(1L).as("level"), lit(-1L).as("side"),
+        col("n_days"), col("total"), col("at_day"), col("s_max"))
+      .unionByName(l2)
+  }
+
   /** Exact sample autocorrelation per group at lags `1..maxLag`:
     *
     *   r_k = Σ_{d≤D−k} (c_d − μ)(c_{d+k} − μ) / Σ (c_d − μ)²

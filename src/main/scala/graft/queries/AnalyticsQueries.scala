@@ -1144,7 +1144,74 @@ object AnalyticsQueries {
               .as("f_micro"))
           .orderBy(col("event_type"), col("h"))
       },
-      Some(seasonalForecastOracleSql))
+      Some(seasonalForecastOracleSql)),
+
+    // ---- Two-level binary segmentation (TimeSeries.binarySegment):
+    // the q235 CUSUM argmax, then the best split WITHIN each half —
+    // the classic multiple-change-point recursion unrolled to depth 2,
+    // every level the same integer cross-multiplied statistic with the
+    // smallest-day tie rule, so the whole tree replays in SQL. ----
+    Q("q261_binary_segmentation",
+      (s, dir) => {
+        val daily = t(s, dir, "events")
+          .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+          .agg(count(lit(1)).as("cnt"))
+        graft.operators.TimeSeries.binarySegment(daily, "event_type",
+            "day", "cnt")
+          .orderBy(col("event_type"), col("level"), col("side"))
+      },
+      Some("""WITH daily AS MATERIALIZED (SELECT event_type,
+             |    CAST(ts AS DATE) AS day, CAST(count(*) AS BIGINT) AS v
+             |  FROM events GROUP BY 1, 2),
+             |d1 AS (SELECT event_type, day, v,
+             |    CAST(row_number() OVER (PARTITION BY event_type
+             |      ORDER BY day) AS BIGINT) AS idx,
+             |    CAST(sum(v) OVER (PARTITION BY event_type ORDER BY day)
+             |      AS BIGINT) AS cum
+             |  FROM daily),
+             |t1 AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_days,
+             |    CAST(sum(v) AS BIGINT) AS total FROM daily GROUP BY 1),
+             |s1 AS (SELECT d1.event_type, d1.day, t1.n_days, t1.total,
+             |    abs(t1.n_days * d1.cum - d1.idx * t1.total) AS sd
+             |  FROM d1 JOIN t1 USING (event_type)),
+             |m1 AS (SELECT event_type, CAST(max(sd) AS BIGINT) AS s_max
+             |  FROM s1 GROUP BY 1),
+             |l1 AS MATERIALIZED (SELECT s1.event_type, s1.n_days,
+             |    s1.total, min(s1.day) AS at_day, m1.s_max
+             |  FROM s1 JOIN m1 ON m1.event_type = s1.event_type
+             |    AND s1.sd = m1.s_max
+             |  GROUP BY 1, 2, 3, 5),
+             |sided AS MATERIALIZED (SELECT daily.event_type, daily.day,
+             |    daily.v,
+             |    CASE WHEN daily.day <= l1.at_day THEN 0 ELSE 1 END AS side
+             |  FROM daily JOIN l1 USING (event_type)),
+             |d2 AS (SELECT event_type, side, day, v,
+             |    CAST(row_number() OVER (PARTITION BY event_type, side
+             |      ORDER BY day) AS BIGINT) AS idx,
+             |    CAST(sum(v) OVER (PARTITION BY event_type, side
+             |      ORDER BY day) AS BIGINT) AS cum
+             |  FROM sided),
+             |t2 AS (SELECT event_type, side, CAST(count(*) AS BIGINT)
+             |    AS n_days, CAST(sum(v) AS BIGINT) AS total
+             |  FROM sided GROUP BY 1, 2),
+             |s2 AS (SELECT d2.event_type, d2.side, d2.day, t2.n_days,
+             |    t2.total, abs(t2.n_days * d2.cum - d2.idx * t2.total) AS sd
+             |  FROM d2 JOIN t2 USING (event_type, side)),
+             |m2 AS (SELECT event_type, side, CAST(max(sd) AS BIGINT)
+             |    AS s_max FROM s2 GROUP BY 1, 2),
+             |l2 AS (SELECT s2.event_type, s2.side, s2.n_days, s2.total,
+             |    min(s2.day) AS at_day, m2.s_max
+             |  FROM s2 JOIN m2 ON m2.event_type = s2.event_type
+             |    AND m2.side = s2.side AND s2.sd = m2.s_max
+             |  GROUP BY 1, 2, 3, 4, 6)
+             |SELECT event_type, CAST(1 AS BIGINT) AS level,
+             |  CAST(-1 AS BIGINT) AS side, n_days, total, at_day, s_max
+             |FROM l1
+             |UNION ALL
+             |SELECT event_type, CAST(2 AS BIGINT), CAST(side AS BIGINT),
+             |  n_days, total, at_day, s_max
+             |FROM l2
+             |ORDER BY event_type, level, side""".stripMargin))
   )
 
   /** q260 oracle: weekday factors, the integer deseasonalization, the

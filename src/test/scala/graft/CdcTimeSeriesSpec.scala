@@ -94,6 +94,26 @@ class CdcTimeSeriesSpec extends SparkSpec {
     assert(got("flat") == ((4L, 20L, days(0), 0L)), s"flat: ${got("flat")}")
   }
 
+  test("binarySegment: level 1 takes the bigger planted break, level 2 the smaller") {
+    // 12 days: 10,10,10,10 | 50,50,50,50 | 60,60,60,60 — the big jump
+    // (10→50 after day 4) should win level 1; the small one (50→60
+    // after day 8) is level 2's side-1 find
+    val days = (1 to 12).map(d => ts(f"2024-03-$d%02d 00:00:00"))
+    val vals = Seq.fill(4)(10L) ++ Seq.fill(4)(50L) ++ Seq.fill(4)(60L)
+    val df = days.zip(vals).map { case (d, v) => ("s", d, v) }
+      .toDF("g", "day", "v").repartition(4)
+    val got = TimeSeries.binarySegment(df, "g", "day", "v")
+      .as[(String, Long, Long, Long, Long, Timestamp, Long)].collect()
+      .map(r => (r._2, r._3) -> ((r._4, r._5, r._6, r._7))).toMap
+    assert(got((1L, -1L))._3 == days(3), s"level1 split: ${got((1L, -1L))}")
+    // side 0 = the flat 10s: S=0 everywhere, tie to its first day
+    assert(got((2L, 0L)) == ((4L, 40L, days(0), 0L)),
+      s"side 0: ${got((2L, 0L))}")
+    // side 1 = 50,50,50,50,60,60,60,60: split after its 4th day
+    assert(got((2L, 1L))._3 == days(7), s"side 1: ${got((2L, 1L))}")
+    assert(got.size == 3)
+  }
+
   test("acf matches a driver mirror on a random series; constant series has den 0") {
     val rnd = new scala.util.Random(11)
     val vals = (1 to 40).map(_ => rnd.nextInt(500).toLong)
