@@ -1211,7 +1211,92 @@ object AnalyticsQueries {
              |SELECT event_type, CAST(2 AS BIGINT), CAST(side AS BIGINT),
              |  n_days, total, at_day, s_max
              |FROM l2
-             |ORDER BY event_type, level, side""".stripMargin))
+             |ORDER BY event_type, level, side""".stripMargin)),
+
+    // ---- Cohort retention triangle: users grouped by first-active
+    // epoch week, retention = share of the cohort active again at each
+    // week age — the classic retention matrix in exact ppm (the q187
+    // bitmap's reporting-table sibling, q204's LTV shape applied to
+    // presence instead of revenue). Integer epoch weeks, two hash
+    // aggregates and one join. ----
+    Q("q262_retention_triangle",
+      (s, dir) => {
+        val uw = t(s, dir, "events")
+          .select(col("user_id").cast("long").as("u"),
+            expr("CAST(ts AS LONG) DIV 604800").as("wk"))
+          .distinct()
+        val first = uw.groupBy(col("u")).agg(min(col("wk")).as("cohort_wk"))
+        val sizes = first.groupBy(col("cohort_wk"))
+          .agg(count(lit(1)).as("n_cohort"))
+        uw.join(first, "u")
+          .groupBy(col("cohort_wk"), (col("wk") - col("cohort_wk")).as("age_wk"))
+          .agg(count(lit(1)).as("n_active"))
+          .join(sizes, "cohort_wk")
+          .select(col("cohort_wk"), col("age_wk"), col("n_cohort"),
+            col("n_active"),
+            expr("(n_active * 1000000) div n_cohort").as("ret_ppm"))
+          .orderBy(col("cohort_wk"), col("age_wk"))
+      },
+      Some("""WITH uw AS (SELECT DISTINCT CAST(user_id AS BIGINT) AS u,
+             |    CAST(epoch(ts) AS BIGINT) // 604800 AS wk FROM events),
+             |f AS (SELECT u, min(wk) AS cohort_wk FROM uw GROUP BY 1),
+             |sz AS (SELECT cohort_wk, CAST(count(*) AS BIGINT)
+             |    AS n_cohort FROM f GROUP BY 1),
+             |act AS (SELECT f.cohort_wk, uw.wk - f.cohort_wk AS age_wk,
+             |    CAST(count(*) AS BIGINT) AS n_active
+             |  FROM uw JOIN f USING (u) GROUP BY 1, 2)
+             |SELECT act.cohort_wk, act.age_wk, sz.n_cohort, act.n_active,
+             |  (act.n_active * 1000000) // sz.n_cohort AS ret_ppm
+             |FROM act JOIN sz USING (cohort_wk)
+             |ORDER BY cohort_wk, age_wk""".stripMargin)),
+
+    // ---- Laspeyres price index by ship month: monthly basket cost at
+    // base-month quantities over the base-month cost, in exact ppm —
+    // unit prices are integer cents div quantities (deterministic
+    // floor), only items traded in BOTH months contribute (documented,
+    // replayed). The price-level dashboard the q213 elasticity slope
+    // complements. ----
+    Q("q263_price_index",
+      (s, dir) => {
+        val li = t(s, dir, "lineitem")
+          .groupBy(date_format(col("l_shipdate"), "yyyy-MM").as("mon"),
+            col("l_partkey").as("item"))
+          .agg(sum(round(col("l_extendedprice") * 100).cast("long"))
+              .as("cents"),
+            sum(col("l_quantity").cast("long")).as("qty"))
+          .select(col("mon"), col("item"),
+            expr("cents div qty").as("unit"), col("qty"))
+        val baseMon = li.agg(min(col("mon")).as("base_mon"))
+        val base = li.join(broadcast(baseMon),
+            col("mon") === col("base_mon"))
+          .select(col("item"), col("unit").as("unit_b"),
+            col("qty").as("qty_b"))
+        li.join(base, "item")
+          .groupBy(col("mon"))
+          .agg(count(lit(1)).as("n_items"),
+            sum(col("unit") * col("qty_b")).as("__num"),
+            sum(col("unit_b") * col("qty_b")).as("__den"))
+          .select(col("mon"), col("n_items"),
+            expr("(__num * 1000000) div __den").as("index_ppm"))
+          .orderBy(col("mon"))
+      },
+      Some("""WITH li AS (SELECT strftime(CAST(l_shipdate AS DATE),
+             |      '%Y-%m') AS mon,
+             |    CAST(l_partkey AS BIGINT) AS item,
+             |    CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+             |      AS BIGINT) AS cents,
+             |    CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty
+             |  FROM lineitem GROUP BY 1, 2),
+             |u AS (SELECT mon, item, cents // qty AS unit, qty FROM li),
+             |bm AS (SELECT min(mon) AS base_mon FROM u),
+             |b AS (SELECT item, unit AS unit_b, qty AS qty_b FROM u
+             |      WHERE mon = (SELECT base_mon FROM bm)),
+             |j AS (SELECT u.mon, CAST(count(*) AS BIGINT) AS n_items,
+             |    CAST(sum(u.unit * b.qty_b) AS BIGINT) AS num,
+             |    CAST(sum(b.unit_b * b.qty_b) AS BIGINT) AS den
+             |  FROM u JOIN b USING (item) GROUP BY 1)
+             |SELECT mon, n_items, (num * 1000000) // den AS index_ppm
+             |FROM j ORDER BY mon""".stripMargin))
   )
 
   /** q260 oracle: weekday factors, the integer deseasonalization, the
