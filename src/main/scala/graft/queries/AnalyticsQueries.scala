@@ -1296,7 +1296,83 @@ object AnalyticsQueries {
              |    CAST(sum(b.unit_b * b.qty_b) AS BIGINT) AS den
              |  FROM u JOIN b USING (item) GROUP BY 1)
              |SELECT mon, n_items, (num * 1000000) // den AS index_ppm
-             |FROM j ORDER BY mon""".stripMargin))
+             |FROM j ORDER BY mon""".stripMargin)),
+
+    // ---- In-session co-occurrence rules (q23 sessionization composed
+    // with Basket.rules): which event types co-occur within one 30-min
+    // session beyond what their base rates predict — baskets are
+    // (user, session) composites, items the distinct event types, type
+    // ids assigned by the replayable sorted-order rank. ----
+    Q("q264_session_cooccurrence",
+      (s, dir) => {
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts"), col("event_id"))
+        val gapUs = unix_micros(col("ts")) -
+          lag(unix_micros(col("ts")), 1).over(w)
+        val sess = t(s, dir, "events")
+          .withColumn("new_s",
+            when(gapUs.isNull || gapUs > 1800000000L, 1).otherwise(0))
+          .withColumn("sess", sum(col("new_s")).over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+          .select((col("user_id").cast("long") * 100000L +
+            col("sess").cast("long")).as("b"), col("event_type"))
+        val tw = Window.orderBy(col("event_type"))
+        val types = sess.select(col("event_type")).distinct()
+          .withColumn("tid", row_number().over(tw).cast("long"))
+        val items = sess.join(broadcast(types), "event_type")
+          .select(col("b"), col("tid"))
+        graft.operators.Basket.rules(items, "b", "tid",
+            minSupport = 10L, maxBasketSize = 8L)
+          .join(broadcast(types.select(col("tid").as("ante"),
+            col("event_type").as("ante_type"))), "ante")
+          .join(broadcast(types.select(col("tid").as("cons"),
+            col("event_type").as("cons_type"))), "cons")
+          .select(col("ante_type"), col("cons_type"), col("sup_ab"),
+            col("sup_a"), col("sup_b"), col("conf_ppm"), col("lift_ppm"))
+          .orderBy(col("ante_type"), col("cons_type"))
+      },
+      Some("""WITH x AS (SELECT user_id, event_id, ts, event_type,
+             |    CASE WHEN lag(ts) OVER (PARTITION BY user_id
+             |        ORDER BY ts, event_id) IS NULL
+             |      OR epoch_us(ts) - lag(epoch_us(ts)) OVER (
+             |        PARTITION BY user_id ORDER BY ts, event_id)
+             |        > 1800000000
+             |      THEN 1 ELSE 0 END AS new_s
+             |  FROM events),
+             |y AS (SELECT user_id, event_type,
+             |    CAST(sum(new_s) OVER (PARTITION BY user_id
+             |      ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING)
+             |      AS BIGINT) AS sess
+             |  FROM x),
+             |tp AS (SELECT event_type, CAST(row_number() OVER (
+             |    ORDER BY event_type) AS BIGINT) AS tid
+             |  FROM (SELECT DISTINCT event_type FROM y) t),
+             |ui AS (SELECT DISTINCT CAST(y.user_id AS BIGINT) * 100000
+             |    + y.sess AS b, tp.tid AS i
+             |  FROM y JOIN tp USING (event_type)),
+             |sz AS (SELECT b, CAST(count(*) AS BIGINT) AS z
+             |  FROM ui GROUP BY 1),
+             |k AS (SELECT ui.b, ui.i FROM ui JOIN sz USING (b)
+             |      WHERE sz.z <= 8),
+             |nb AS (SELECT CAST(count(DISTINCT b) AS BIGINT) AS n FROM k),
+             |sup AS (SELECT i, CAST(count(*) AS BIGINT) AS s
+             |        FROM k GROUP BY 1),
+             |p AS (SELECT a.i AS ia, b2.i AS ib,
+             |        CAST(count(*) AS BIGINT) AS sup_ab
+             |      FROM k a JOIN k b2 ON a.b = b2.b AND a.i < b2.i
+             |      GROUP BY 1, 2 HAVING count(*) >= 10),
+             |dr AS (SELECT ia AS ante, ib AS cons, sup_ab FROM p
+             |       UNION ALL SELECT ib, ia, sup_ab FROM p)
+             |SELECT ta.event_type AS ante_type, tc.event_type AS cons_type,
+             |  dr.sup_ab, sa.s AS sup_a, sb.s AS sup_b,
+             |  (dr.sup_ab * 1000000) // sa.s AS conf_ppm,
+             |  (dr.sup_ab * (SELECT n FROM nb) * 1000000)
+             |    // (sa.s * sb.s) AS lift_ppm
+             |FROM dr JOIN sup sa ON sa.i = dr.ante
+             |JOIN sup sb ON sb.i = dr.cons
+             |JOIN tp ta ON ta.tid = dr.ante
+             |JOIN tp tc ON tc.tid = dr.cons
+             |ORDER BY ante_type, cons_type""".stripMargin))
   )
 
   /** q260 oracle: weekday factors, the integer deseasonalization, the
