@@ -39,6 +39,23 @@ import org.apache.spark.sql.functions._
   */
 object Graph {
 
+  /** Free a DEAD iteration's localCheckpoint blocks. The eager
+    * checkpoint of the NEXT vector has already materialized from them,
+    * so nothing can read them again — but Spark only reclaims them when
+    * driver GC happens to collect the Dataset, which on a long suite
+    * (or a 1000-executor cluster) leaves `iters` node-sized block sets
+    * pinned in executor storage for the whole query. Only frames whose
+    * plan IS a checkpoint materialization (LogicalRDD) are touched, so
+    * calling it on the un-checkpointed init vector is a no-op; callers
+    * must only pass vectors with no live lazy readers (the rank→rank
+    * loops qualify; frontier-style loops do NOT — their next round
+    * lazily re-reads the previous vector).
+    */
+  private def freeDeadCheckpoint(df: DataFrame): Unit =
+    df.queryExecution.analyzed.collect {
+      case l: org.apache.spark.sql.execution.LogicalRDD => l
+    }.foreach(_.rdd.unpersist(false))
+
   /** Exact triangle counts and degrees per node of an UNDIRECTED graph
     * (direction and duplicates in the input edge list are ignored;
     * self-loops dropped). Returns `(node, deg, tri)` — one row per node
@@ -196,6 +213,7 @@ object Graph {
                 .head().getLong(0)
               converged = maxDelta <= epsilon
             }
+            freeDeadCheckpoint(rank)
             rank = materialized
             ranIters = i
             i += 1
@@ -279,7 +297,9 @@ object Graph {
               // per-round eager checkpoint: see pageRankFixedConverged —
               // lazy rounds replay their predecessors' joins inside the
               // next materialization
-              rank = next.localCheckpoint(true)
+              val materialized = next.localCheckpoint(true)
+              freeDeadCheckpoint(rank)
+              rank = materialized
               i += 1
             }
             rank
@@ -458,10 +478,12 @@ object Graph {
                   expr("(85 * r * w) div (100 * wd)").as("c"))
                 .groupBy(col("node"))
                 .agg(sum(col("c")).as("s"))
-              rank = nodes.join(contribs, Seq("node"), "left")
+              val materialized = nodes.join(contribs, Seq("node"), "left")
                 .select(col("node"),
                   (lit(base + dShare) + coalesce(col("s"), lit(0L))).as("r"))
                 .localCheckpoint(true)
+              freeDeadCheckpoint(rank)
+              rank = materialized
             }
             rank
           } finally wdeg.unpersist(false)
@@ -575,11 +597,17 @@ object Graph {
           val aFull = nodes.join(aRaw, Seq("node"), "left")
             .select(col("node"), coalesce(col("a"), lit(0L)).as("a"))
             .localCheckpoint(true)
+          // the old hub fed aRaw, which aFull's eager checkpoint just
+          // consumed — dead from here (see freeDeadCheckpoint)
+          freeDeadCheckpoint(hub)
           val sA = aFull.agg(coalesce(sum(col("a")), lit(0L))).head().getLong(0)
           require(sA > 0, "hits: authority mass vanished (no edges?)")
+          val oldAuth = auth
           auth = aFull
             .select(col("node"), expr(s"(a * ${scale}L) div ${sA}L").as("a"))
             .localCheckpoint(true)
+          freeDeadCheckpoint(aFull)
+          freeDeadCheckpoint(oldAuth)
           val hRaw = e.join(auth.withColumnRenamed("node", "dst"), "dst")
             .groupBy(col("src").as("node")).agg(sum(col("a")).as("h"))
           val hFull = nodes.join(hRaw, Seq("node"), "left")
@@ -590,6 +618,7 @@ object Graph {
           hub = hFull
             .select(col("node"), expr(s"(h * ${scale}L) div ${sH}L").as("h"))
             .localCheckpoint(true)
+          freeDeadCheckpoint(hFull)
           i += 1
         }
         nodes.join(hub, "node").join(auth, "node")
