@@ -32,7 +32,7 @@ object Bench {
     "q214_gk_quantiles", "q217_interval_join", "q218_setsim_bipartite",
     "q219_heavy_hitters_mg", "q220_ppr",
     "q233_weighted_sssp", "q238_cf_recommend", "q246_markov_transitions",
-    "q252_survival_km",
+    "q252_survival_km", "q248_holt_forecast", "q256_corr_matrix",
   )
 
   def main(args: Array[String]): Unit = {
