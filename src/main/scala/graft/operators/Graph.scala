@@ -347,6 +347,13 @@ object Graph {
       .select(col("node"), lit(0L).as("dist"))
       .localCheckpoint(true)
     var frontier = visited.select(col("node"))
+    // dead-set reclamation (see freeDeadCheckpoint): each round's `next`
+    // checkpoint consumes the previous frontier, and the new `visited`
+    // checkpoint consumes the old one — both freed at their death point
+    // so a deep traversal holds two node-sized block sets, not 2·rounds.
+    // The round-1 frontier is a VIEW over the init `visited` checkpoint,
+    // which is why only direct-checkpoint handles are ever freed.
+    var prevFrontier: DataFrame = null
     var d = 0L
     var done = frontier.isEmpty
     while (!done) {
@@ -354,14 +361,18 @@ object Graph {
         .select(col("v").as("node")).distinct()
         .join(visited.select(col("node")), Seq("node"), "left_anti")
         .localCheckpoint(true)
+      if (prevFrontier != null) freeDeadCheckpoint(prevFrontier)
       if (next.isEmpty) done = true
       else {
         d += 1
         require(d <= maxRounds, s"BFS did not finish in $maxRounds rounds")
-        visited = visited
+        val grown = visited
           .unionByName(next.select(col("node"), lit(d).as("dist")))
           .localCheckpoint(true)
+        freeDeadCheckpoint(visited)
+        visited = grown
         frontier = next
+        prevFrontier = next
       }
     }
     visited
@@ -409,11 +420,14 @@ object Graph {
       else {
         rounds += 1
         require(rounds < maxRounds, s"k-core did not converge in $maxRounds rounds")
-        cur = cur
+        val peeled = cur
           .join(weak.select(col("n").as("a")), Seq("a"), "left_anti")
           .join(weak.select(col("n").as("b")), Seq("b"), "left_anti")
           .select(col("a"), col("b"))
           .localCheckpoint(true)
+        // the old edge set is dead once the peel materialized from it
+        freeDeadCheckpoint(cur)
+        cur = peeled
       }
     }
     cur.select(explode(array(col("a"), col("b"))).as("node"))
@@ -531,6 +545,13 @@ object Graph {
       .select(col("node"), lit(0L).as("dist"))
       .localCheckpoint(true)
     var frontier = dist
+    // dead-set reclamation (see freeDeadCheckpoint / bfsHops): the old
+    // dist and the previous round's improved-set are both fully consumed
+    // by this round's eager checkpoints before they are freed. Round 1's
+    // frontier ALIASES the init dist checkpoint — its only read (the
+    // cand join) has materialized into `improved` by the time the old
+    // dist is freed, and frontier is reassigned in the same branch.
+    var prevFrontier: DataFrame = null
     var r = 0
     var done = frontier.isEmpty
     while (!done) {
@@ -544,15 +565,19 @@ object Graph {
         .filter(col("old").isNull || col("dist") < col("old"))
         .select(col("node"), col("dist"))
         .localCheckpoint(true)
+      if (prevFrontier != null) freeDeadCheckpoint(prevFrontier)
       if (improved.isEmpty) done = true
       else {
         r += 1
         require(r <= maxRounds,
           s"weighted shortest paths did not converge in $maxRounds rounds")
-        dist = dist.unionByName(improved)
+        val folded = dist.unionByName(improved)
           .groupBy(col("node")).agg(min(col("dist")).as("dist"))
           .localCheckpoint(true)
+        freeDeadCheckpoint(dist)
+        dist = folded
         frontier = improved
+        prevFrontier = improved
       }
     }
     dist
