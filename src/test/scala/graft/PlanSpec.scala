@@ -417,6 +417,41 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("corrMatrix: pair rows never rescan the corpus (materialized aggregate)") {
+    withoutAqe {
+      val d = Tables(spark, sfDir, "lineitem")
+        .select(col("l_quantity").cast("long").as("a"),
+          floor(col("l_extendedprice")).cast("long").as("b"),
+          floor(col("l_discount") * 100).cast("long").as("c"))
+      val p = plan(graft.operators.Trend.corrMatrix(d, Nil, Seq("a", "b", "c")))
+      // the one corpus scan happened inside the checkpoint at build time;
+      // the pair projections must read ONLY the materialized aggregate —
+      // a file scan here would mean column pruning split the scan per pair
+      assert(p.collect {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+      }.isEmpty,
+        s"corrMatrix pair rows rescanned the corpus:\n$p")
+    }
+  }
+
+  test("theilSen: group-blocked pair join — no BNLJ, no cartesian") {
+    withoutAqe {
+      val daily = Tables(spark, sfDir, "events")
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("v"))
+        .select(col("event_type"),
+          datediff(col("day"), lit("1970-01-01")).cast("long").as("x"),
+          col("v"))
+      val p = plan(graft.operators.Trend.theilSen(
+        daily, Seq("event_type"), "x", "v"))
+      assert(p.collect {
+        case j: org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec => j
+        case j: org.apache.spark.sql.execution.joins.CartesianProductExec => j
+      }.isEmpty,
+        s"theilSen pair generation degenerated to nested-loop/cartesian:\n$p")
+    }
+  }
+
   test("kaplan-meier: no BNLJ; the curve join stays an equi-join") {
     withoutAqe {
       val p = plan(registry("q252_survival_km")(spark, sfDir))
