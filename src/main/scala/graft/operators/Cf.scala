@@ -29,6 +29,23 @@ import org.apache.spark.sql.functions._
   */
 object Cf {
 
+  /** Distinct (u, i) pairs with the stop-item cut applied, materialized
+    * ONCE (`localCheckpoint`): the base distinct + df filter feed the
+    * per-user counts, BOTH sides of the pair self-join, and (in
+    * [[recommend]]) the candidate expansion and the seen-item anti-join
+    * — five readers that would otherwise each replay the corpus
+    * distinct (the [[Trend.corrMatrix]] materialize-once discipline).
+    */
+  private def keptPairs(ui: DataFrame, uCol: String, iCol: String,
+                        maxDf: Long): DataFrame = {
+    val base = ui.select(col(uCol).cast("long").as("u"),
+      col(iCol).cast("long").as("i")).distinct()
+    base.join(
+      base.groupBy(col("i")).agg(count(lit(1)).as("__df"))
+        .filter(col("__df") <= maxDf).select(col("i")), "i")
+      .localCheckpoint(true)
+  }
+
   /** `ui`: one row per DISTINCT (user, item). Returns per-user top-`k`
     * neighbors `(u, nb, co, sim2_ppm)`.
     */
@@ -37,11 +54,11 @@ object Cf {
     require(maxDf >= 1, s"maxDf must be positive, got $maxDf")
     require(minCo >= 1, s"minCo must be positive, got $minCo")
     require(k >= 1, s"k must be positive, got $k")
-    val base = ui.select(col(uCol).cast("long").as("u"),
-      col(iCol).cast("long").as("i")).distinct()
-    val kept = base.join(
-      base.groupBy(col("i")).agg(count(lit(1)).as("__df"))
-        .filter(col("__df") <= maxDf).select(col("i")), "i")
+    neighborsFromKept(keptPairs(ui, uCol, iCol, maxDf), minCo, k)
+  }
+
+  private def neighborsFromKept(kept: DataFrame, minCo: Long,
+                                k: Int): DataFrame = {
     val nu = kept.groupBy(col("u")).agg(count(lit(1)).as("__n"))
     val co = kept.select(col("i"), col("u").as("ua"))
       .join(kept.select(col("i"), col("u").as("ub")), "i")
@@ -69,13 +86,19 @@ object Cf {
     */
   def recommend(ui: DataFrame, uCol: String, iCol: String,
                 maxDf: Long, minCo: Long, k: Int, topN: Int): DataFrame = {
+    require(maxDf >= 1, s"maxDf must be positive, got $maxDf")
+    require(minCo >= 1, s"minCo must be positive, got $minCo")
+    require(k >= 1, s"k must be positive, got $k")
     require(topN >= 1, s"topN must be positive, got $topN")
+    // the seen-item anti-join runs against the user's FULL basket (stop
+    // items included), so `base` stays alongside the kept pairs
     val base = ui.select(col(uCol).cast("long").as("u"),
-      col(iCol).cast("long").as("i")).distinct()
+      col(iCol).cast("long").as("i")).distinct().localCheckpoint(true)
     val kept = base.join(
       base.groupBy(col("i")).agg(count(lit(1)).as("__df"))
         .filter(col("__df") <= maxDf).select(col("i")), "i")
-    val nbrs = userNeighbors(ui, uCol, iCol, maxDf, minCo, k)
+      .localCheckpoint(true)
+    val nbrs = neighborsFromKept(kept, minCo, k)
     val cand = nbrs
       .join(kept.select(col("u").as("nb"), col("i")), "nb")
       .join(base.select(col("u"), col("i")), Seq("u", "i"), "left_anti")
