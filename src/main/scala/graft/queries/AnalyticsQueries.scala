@@ -1372,7 +1372,64 @@ object AnalyticsQueries {
              |JOIN sup sb ON sb.i = dr.cons
              |JOIN tp ta ON ta.tid = dr.ante
              |JOIN tp tc ON tc.tid = dr.cons
-             |ORDER BY ante_type, cons_type""".stripMargin))
+             |ORDER BY ante_type, cons_type""".stripMargin)),
+
+    // ---- RAKE keyword extraction (operators/Keywords): top-3 phrases
+    // per English document — candidate phrases are stopword-free token
+    // runs, word score deg·10⁶ div freq, phrase score the sum. The
+    // whole pipeline (tokenize, segment window, phrase regroup, word
+    // stats, scoring, per-doc ranking) is relational and replays in the
+    // oracle; only segment ORDER matters, so the engines' different
+    // token positions cancel. ----
+    Q("q265_rake_keywords",
+      (s, dir) => {
+        graft.operators.Keywords.rake(
+            t(s, dir, "documents").filter(col("lang") === "en"),
+            "doc_id", "text")
+          .orderBy(col("doc_id"), col("rnk"))
+      },
+      Some("""WITH d AS MATERIALIZED (SELECT doc_id AS id,
+             |    lower(text) AS t FROM documents WHERE lang = 'en'),
+             |tk0 AS (SELECT id,
+             |    unnest(regexp_split_to_array(t, '[^a-z0-9]+')) AS tok,
+             |    CAST(unnest(range(1,
+             |      len(regexp_split_to_array(t, '[^a-z0-9]+')) + 1))
+             |      AS BIGINT) AS pos
+             |  FROM d),
+             |tk AS (SELECT id, tok, pos,
+             |    CASE WHEN tok IN ('the','a','an','of','to','in','and',
+             |      'or','is','are','was','were','for','on','with','as',
+             |      'by','at','be','this','that','it','from','their','its')
+             |      THEN 1 ELSE 0 END AS is_stop
+             |  FROM tk0 WHERE tok <> ''),
+             |sg AS (SELECT id, tok, pos, is_stop,
+             |    CAST(sum(is_stop) OVER (PARTITION BY id ORDER BY pos
+             |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS seg
+             |  FROM tk),
+             |ph AS MATERIALIZED (SELECT id, seg,
+             |    string_agg(tok, ' ' ORDER BY pos) AS phrase,
+             |    CAST(count(*) AS BIGINT) AS plen
+             |  FROM sg WHERE is_stop = 0 GROUP BY 1, 2
+             |  HAVING count(*) <= 4),
+             |wd AS MATERIALIZED (SELECT id, seg, plen,
+             |    unnest(string_split(phrase, ' ')) AS word FROM ph),
+             |ws AS (SELECT word, CAST(count(*) AS BIGINT) AS freq,
+             |    CAST(sum(plen) AS BIGINT) AS deg FROM wd GROUP BY 1),
+             |sc AS (SELECT wd.id, wd.seg,
+             |    CAST(sum((ws.deg * 1000000) // ws.freq) AS BIGINT)
+             |      AS score_ppm
+             |  FROM wd JOIN ws USING (word) GROUP BY 1, 2),
+             |pp AS (SELECT ph.id, ph.phrase,
+             |    CAST(count(*) AS BIGINT) AS n_occ,
+             |    CAST(max(sc.score_ppm) AS BIGINT) AS score_ppm
+             |  FROM ph JOIN sc ON sc.id = ph.id AND sc.seg = ph.seg
+             |  GROUP BY 1, 2),
+             |tr AS (SELECT id, phrase, n_occ, score_ppm,
+             |    CAST(row_number() OVER (PARTITION BY id
+             |      ORDER BY score_ppm DESC, phrase) AS BIGINT) AS rnk
+             |  FROM pp)
+             |SELECT id AS doc_id, phrase, n_occ, score_ppm, rnk
+             |FROM tr WHERE rnk <= 3 ORDER BY doc_id, rnk""".stripMargin))
   )
 
   /** q260 oracle: weekday factors, the integer deseasonalization, the
