@@ -1429,7 +1429,71 @@ object AnalyticsQueries {
              |      ORDER BY score_ppm DESC, phrase) AS BIGINT) AS rnk
              |  FROM pp)
              |SELECT id AS doc_id, phrase, n_occ, score_ppm, rnk
-             |FROM tr WHERE rnk <= 3 ORDER BY doc_id, rnk""".stripMargin))
+             |FROM tr WHERE rnk <= 3 ORDER BY doc_id, rnk""".stripMargin)),
+
+    // ---- Behavioral diversity (Gini-Simpson index) per user: 1 − Σp²
+    // in exact ppm — the diversity measure that needs NO logarithm (an
+    // entropy would drag in transcendentals no two engines round
+    // alike). 10⁶ − (Σnᵢ²·10⁶ div N²): 0 = single-behavior user,
+    // → 10⁶·(k−1)/k for a uniform k-type user. Two hash aggregates. ----
+    Q("q266_behavior_diversity",
+      (s, dir) => {
+        val byType = t(s, dir, "events")
+          .groupBy(col("user_id").cast("long").as("u"), col("event_type"))
+          .agg(count(lit(1)).as("n"))
+        byType.groupBy(col("u"))
+          .agg(sum(col("n")).as("n_events"),
+            count(lit(1)).as("n_types"),
+            sum(col("n") * col("n")).as("__ss"))
+          .select(col("u"), col("n_events"), col("n_types"),
+            (lit(1000000L) -
+              expr("(__ss * 1000000) div (n_events * n_events)"))
+              .as("simpson_ppm"))
+          .orderBy(col("u"))
+      },
+      Some("""WITH bt AS (SELECT CAST(user_id AS BIGINT) AS u, event_type,
+             |    CAST(count(*) AS BIGINT) AS n FROM events GROUP BY 1, 2),
+             |ag AS (SELECT u, CAST(sum(n) AS BIGINT) AS n_events,
+             |    CAST(count(*) AS BIGINT) AS n_types,
+             |    CAST(sum(n * n) AS BIGINT) AS ss
+             |  FROM bt GROUP BY 1)
+             |SELECT u, n_events, n_types,
+             |  1000000 - (ss * 1000000) // (n_events * n_events)
+             |    AS simpson_ppm
+             |FROM ag ORDER BY u""".stripMargin)),
+
+    // ---- Burstiness (Fano factor) of daily volume per event type:
+    // variance-to-mean in exact integer rationals —
+    // (n·Σv²−(Σv)²)·10⁶ div (n·Σv), 10⁶ = Poisson-like, higher =
+    // bursty, lower = regular. One aggregate over the daily series;
+    // the dispersion diagnostic next to the q235 change point and the
+    // q236 ACF. ----
+    Q("q267_fano_burstiness",
+      (s, dir) => {
+        t(s, dir, "events")
+          .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+          .agg(count(lit(1)).as("v"))
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n_days"), sum(col("v")).as("total"),
+            sum(col("v") * col("v")).as("__ss"))
+          .select(col("event_type"), col("n_days"), col("total"),
+            (col("n_days") * col("__ss") - col("total") * col("total"))
+              .as("var_num"),
+            expr("((n_days * __ss - total * total) * 1000000) " +
+              "div (n_days * total)").as("fano_ppm"))
+          .orderBy(col("event_type"))
+      },
+      Some("""WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS day,
+             |    CAST(count(*) AS BIGINT) AS v FROM events GROUP BY 1, 2),
+             |ag AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_days,
+             |    CAST(sum(v) AS BIGINT) AS total,
+             |    CAST(sum(v * v) AS BIGINT) AS ss
+             |  FROM daily GROUP BY 1)
+             |SELECT event_type, n_days, total,
+             |  n_days * ss - total * total AS var_num,
+             |  ((n_days * ss - total * total) * 1000000)
+             |    // (n_days * total) AS fano_ppm
+             |FROM ag ORDER BY event_type""".stripMargin))
   )
 
   /** q260 oracle: weekday factors, the integer deseasonalization, the
