@@ -1493,6 +1493,98 @@ object AnalyticsQueries {
              |  n_days * ss - total * total AS var_num,
              |  ((n_days * ss - total * total) * 1000000)
              |    // (n_days * total) AS fano_ppm
+             |FROM ag ORDER BY event_type""".stripMargin)),
+
+    // ---- Bowley quartile skewness of order totals per priority:
+    // (Q1 + Q3 − 2·Q2)·10⁶ div (Q3 − Q1) from EXACT counting-selection
+    // quartiles (the q170 ceil-rank discipline, one windowed pass for
+    // all three) — the robust skew measure no moment estimator matches
+    // under heavy tails; sign-split division for portability, null when
+    // the IQR is zero. ----
+    Q("q268_bowley_skew",
+      (s, dir) => {
+        val counts = t(s, dir, "orders")
+          .groupBy(col("o_orderpriority"),
+            round(col("o_totalprice") * 100).cast("long").as("__v"))
+          .agg(count(lit(1)).as("__n"))
+        val wOrd = Window.partitionBy(col("o_orderpriority"))
+          .orderBy(col("__v"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val wAll = Window.partitionBy(col("o_orderpriority"))
+        val q = counts
+          .withColumn("__cum", sum(col("__n")).over(wOrd))
+          .withColumn("__tot", sum(col("__n")).over(wAll))
+          .groupBy(col("o_orderpriority"))
+          .agg(sum(col("__n")).as("n"),
+            min(when(col("__cum") >= expr("(__tot * 25 + 99) DIV 100"),
+              col("__v"))).as("q1"),
+            min(when(col("__cum") >= expr("(__tot * 50 + 99) DIV 100"),
+              col("__v"))).as("q2"),
+            min(when(col("__cum") >= expr("(__tot * 75 + 99) DIV 100"),
+              col("__v"))).as("q3"))
+        q.select(col("o_orderpriority"), col("n"), col("q1"), col("q2"),
+            col("q3"),
+            when(col("q3") === col("q1"), lit(null).cast("long"))
+              .otherwise(
+                signum(col("q1") + col("q3") - lit(2L) * col("q2")).cast("long") *
+                  expr("(abs(q1 + q3 - 2 * q2) * 1000000) div (q3 - q1)"))
+              .as("bowley_ppm"))
+          .orderBy(col("o_orderpriority"))
+      },
+      Some("""WITH c AS (SELECT o_orderpriority,
+             |    CAST(round(o_totalprice * 100) AS BIGINT) AS v,
+             |    CAST(count(*) AS BIGINT) AS n
+             |  FROM orders GROUP BY 1, 2),
+             |s AS (SELECT o_orderpriority, v,
+             |    CAST(sum(n) OVER (PARTITION BY o_orderpriority
+             |      ORDER BY v ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum,
+             |    CAST(sum(n) OVER (PARTITION BY o_orderpriority)
+             |      AS BIGINT) AS tot
+             |  FROM c),
+             |q AS (SELECT o_orderpriority, CAST(min(tot) AS BIGINT) AS n,
+             |    CAST(min(CASE WHEN cum >= (tot * 25 + 99) // 100
+             |      THEN v END) AS BIGINT) AS q1,
+             |    CAST(min(CASE WHEN cum >= (tot * 50 + 99) // 100
+             |      THEN v END) AS BIGINT) AS q2,
+             |    CAST(min(CASE WHEN cum >= (tot * 75 + 99) // 100
+             |      THEN v END) AS BIGINT) AS q3
+             |  FROM s GROUP BY 1)
+             |SELECT o_orderpriority, n, q1, q2, q3,
+             |  CASE WHEN q3 = q1 THEN NULL
+             |    ELSE (CASE WHEN q1 + q3 - 2 * q2 < 0 THEN -1
+             |      WHEN q1 + q3 - 2 * q2 > 0 THEN 1 ELSE 0 END)
+             |      * ((abs(q1 + q3 - 2 * q2) * 1000000) // (q3 - q1))
+             |  END AS bowley_ppm
+             |FROM q ORDER BY o_orderpriority""".stripMargin)),
+
+    // ---- Weekday concentration (Herfindahl over day-of-week shares)
+    // per event type: Σ T_dow²·10⁶ div T² — exact-integer seasonality
+    // concentration (uniform 7-day spread → 142857 ppm, single-day
+    // spikes → 10⁶), the forecastability screen feeding the q260
+    // seasonal adjustment. ----
+    Q("q269_weekday_concentration",
+      (s, dir) => {
+        t(s, dir, "events")
+          .groupBy(col("event_type"),
+            dayofweek(to_date(col("ts"))).cast("long").as("dow"))
+          .agg(count(lit(1)).as("t_dow"))
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n_dows"), sum(col("t_dow")).as("total"),
+            sum(col("t_dow") * col("t_dow")).as("__ss"))
+          .select(col("event_type"), col("n_dows"), col("total"),
+            expr("(__ss * 1000000) div (total * total)").as("hhi_ppm"))
+          .orderBy(col("event_type"))
+      },
+      Some("""WITH dw AS (SELECT event_type,
+             |    CAST(dayofweek(CAST(ts AS DATE)) + 1 AS BIGINT) AS dow,
+             |    CAST(count(*) AS BIGINT) AS t_dow
+             |  FROM events GROUP BY 1, 2),
+             |ag AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_dows,
+             |    CAST(sum(t_dow) AS BIGINT) AS total,
+             |    CAST(sum(t_dow * t_dow) AS BIGINT) AS ss
+             |  FROM dw GROUP BY 1)
+             |SELECT event_type, n_dows, total,
+             |  (ss * 1000000) // (total * total) AS hhi_ppm
              |FROM ag ORDER BY event_type""".stripMargin))
   )
 
