@@ -102,6 +102,62 @@ object Mg {
       .select(g ++ Seq(col("value"), (col("c") - col("__s")).as("c")): _*)
   }
 
+  /** SLIDING-WINDOW heavy hitters — "trending this week": per-day MG
+    * summaries are built ONCE, each target day's trailing `windowDays`
+    * summaries merge by [[mergeCounters]] (the multiway law — the
+    * summary-table-only fold of q161's sliding KMV and q229's sliding
+    * GK, now for the counter family), and the survivors are EXACTLY
+    * recounted against the candidate-pruned corpus. The emitted rows
+    * are every `(day, value)` whose exact trailing-window count reaches
+    * `W_day div (k+1) + 1` — above the merged summary's error bound, so
+    * the MG screen has NO false negatives and the output EQUALS the
+    * direct exact computation (the q189/q219 sketch-free-oracle
+    * discipline).
+    *
+    * Scale shape: the corpus is scanned twice — once for the per-day
+    * summaries + exact per-day value counts, once never (the recount
+    * reads the VALUE-COUNT table, not the corpus). The window fold
+    * explodes each summary row to ≤ `windowDays` target days
+    * (summary-table-sized), and the recount join touches only
+    * candidate (day, value) pairs (≤ k per day). All equi-joins.
+    */
+  def slidingSupport(df: DataFrame, valueCol: String, dayCol: String,
+                     windowDays: Int, k: Int): DataFrame = {
+    require(windowDays >= 1, s"windowDays must be positive, got $windowDays")
+    val base = df.filter(col(valueCol).isNotNull)
+      .select(col(dayCol).cast("date").as("day"),
+        col(valueCol).cast("string").as("value"))
+    val daily = summary(base, "value", Seq("day"), k)
+    val days = base.select(col("day")).distinct()
+    // each daily summary row reaches the observed target days in
+    // [day, day + windowDays); unobserved targets drop via the semi-join
+    val expand = explode(sequence(lit(0), lit(windowDays - 1))).as("__off")
+    val reach = daily.select(col("day"), col("value"), col("c"), expand)
+      .select(date_add(col("day"), col("__off")).as("day"),
+        col("value"), col("c"))
+      .join(days, Seq("day"), "left_semi")
+    val screened = mergeCounters(reach, Seq("day"), k)
+    // exact per-day value counts + window totals, summaries never consulted
+    val vc = base.groupBy(col("day"), col("value"))
+      .agg(count(lit(1)).as("n"))
+    val dailyTot = base.groupBy(col("day")).agg(count(lit(1)).as("nd"))
+    val wTot = dailyTot.select(col("day"), col("nd"), expand)
+      .select(date_add(col("day"), col("__off")).as("day"), col("nd"))
+      .join(days, Seq("day"), "left_semi")
+      .groupBy(col("day")).agg(sum(col("nd")).as("w_total"))
+    val recount = vc.select(col("day"), col("value"), col("n"), expand)
+      .select(date_add(col("day"), col("__off")).as("day"),
+        col("value"), col("n"))
+      .join(screened.select(col("day"), col("value")), Seq("day", "value"),
+        "left_semi")
+      .groupBy(col("day"), col("value")).agg(sum(col("n")).as("wcount"))
+    recount.join(wTot, "day")
+      .withColumn("threshold", expr("w_total div " + (k + 1) + " + 1"))
+      .filter(col("wcount") >= col("threshold"))
+      .select(col("day"), col("value"), col("wcount"), col("w_total"),
+        col("threshold"))
+  }
+
   /** Streaming build: each microbatch's MG summary lands as its own
     * `batch=<id>` shard under the `_SUCCESS`-guarded idempotency rule
     * shared with the other sketch families, so a replayed microbatch is

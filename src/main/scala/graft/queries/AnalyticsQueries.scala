@@ -1585,7 +1585,44 @@ object AnalyticsQueries {
              |  FROM dw GROUP BY 1)
              |SELECT event_type, n_dows, total,
              |  (ss * 1000000) // (total * total) AS hhi_ppm
-             |FROM ag ORDER BY event_type""".stripMargin))
+             |FROM ag ORDER BY event_type""".stripMargin)),
+
+    // ---- Sliding-window heavy hitters (Mg.slidingSupport): "trending
+    // this week" — per-day MG summaries built once, each day's trailing
+    // 7-day summaries merged by the multiway counter law, survivors
+    // exactly recounted. The MG guarantee makes the screen complete
+    // above W div (k+1) + 1, so the output EQUALS the direct exact
+    // window computation and the oracle is sketch-free (the q189/q219
+    // discipline, now sliding — the counter-family member next to
+    // q161's sliding KMV and q229's sliding GK). ----
+    Q("q270_trending_support",
+      (s, dir) => {
+        graft.operators.Mg.slidingSupport(
+            t(s, dir, "events").select(col("ts"), col("event_type")),
+            "event_type", "ts", windowDays = 7, k = 8)
+          .orderBy(col("day"), col("value"))
+      },
+      Some("""WITH e AS (SELECT CAST(ts AS DATE) AS day,
+             |    event_type AS value FROM events),
+             |days AS (SELECT DISTINCT day FROM e),
+             |vc AS (SELECT day, value, CAST(count(*) AS BIGINT) AS n
+             |  FROM e GROUP BY 1, 2),
+             |dt AS (SELECT day, CAST(count(*) AS BIGINT) AS nd
+             |  FROM e GROUP BY 1),
+             |wt AS (SELECT t.day, CAST(sum(dt.nd) AS BIGINT) AS w_total
+             |  FROM days t JOIN dt ON dt.day > t.day - 7
+             |    AND dt.day <= t.day
+             |  GROUP BY 1),
+             |wc AS (SELECT t.day, vc.value, CAST(sum(vc.n) AS BIGINT)
+             |    AS wcount
+             |  FROM days t JOIN vc ON vc.day > t.day - 7
+             |    AND vc.day <= t.day
+             |  GROUP BY 1, 2)
+             |SELECT wc.day, wc.value, wc.wcount, wt.w_total,
+             |  wt.w_total // 9 + 1 AS threshold
+             |FROM wc JOIN wt USING (day)
+             |WHERE wc.wcount >= wt.w_total // 9 + 1
+             |ORDER BY day, value""".stripMargin))
   )
 
   /** q260 oracle: weekday factors, the integer deseasonalization, the

@@ -8,6 +8,40 @@ import graft.operators.Mg
   * physical partitionings, since only the GUARANTEES (not the counters)
   * are order-free — per group and globally, on a zipf-ish multiset.
   */
+class MgSlidingSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("slidingSupport equals the direct exact windowed threshold computation") {
+    // 10 days, a planted heavy value on days 4-8, background noise
+    val rows = (1 to 10).flatMap { d =>
+      val day = java.sql.Date.valueOf(java.time.LocalDate.of(2026, 1, d))
+      val heavy = if (d >= 4 && d <= 8) Seq.fill(20)(("hot", day)) else Nil
+      val noise = (1 to 10).map(i => (s"v$i", day))
+      heavy ++ noise
+    }
+    val df = rows.toDF("value", "day").repartition(5)
+    val got = graft.operators.Mg.slidingSupport(df, "value", "day",
+        windowDays = 3, k = 4)
+      .as[(java.sql.Date, String, Long, Long, Long)].collect().toSet
+
+    // brute force: exact trailing-3-day counts vs W div 5 + 1
+    val byDay = rows.groupBy(_._2)
+    val days = byDay.keys.toSeq.sortBy(_.toLocalDate.toEpochDay)
+    val expect = days.flatMap { t =>
+      val win = days.filter(d =>
+        !d.after(t) && d.toLocalDate.isAfter(t.toLocalDate.minusDays(3)))
+      val counts = win.flatMap(byDay).groupBy(_._1)
+        .map { case (v, rs) => v -> rs.size.toLong }
+      val w = counts.values.sum
+      val thr = w / 5 + 1
+      counts.filter(_._2 >= thr).map { case (v, c) => (t, v, c, w, thr) }
+    }.toSet
+    assert(got == expect, s"got ${got.toSeq.sortBy(_._1.toString)}\n" +
+      s"want ${expect.toSeq.sortBy(_._1.toString)}")
+    assert(expect.exists(_._2 == "hot"), "fixture must surface the hot value")
+  }
+}
+
 class MgSpec extends SparkSpec {
   import spark.implicits._
 
