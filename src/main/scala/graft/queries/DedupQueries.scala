@@ -256,6 +256,59 @@ object DedupQueries {
     * cosine re-rank (the q42/q54-proven bit-identical fold). round(...)+0.0
     * canonicalizes IEEE -0.0 (Spark's BigDecimal round never emits it).
     */
+  /** q271 oracle GENERATOR: q57's IVF replay with the label predicate
+    * applied to BOTH the codebook training sample and the corpus
+    * assignment — the pre-filter contract: cells are trained and probed
+    * over exactly the rows the predicate admits, so a hash match proves
+    * the filtered index end-to-end (training, assignment, probing,
+    * cosine ranking).
+    */
+  private def q271OracleGen(s: SparkSession, dir: String): String = {
+    val sample = Tables(s, dir, "embeddings")
+      .filter(col("label") === 3)
+      .select(col("vec_id"), col("embedding")).orderBy(col("vec_id"))
+      .limit(100000).collect()
+      .map(_.getSeq[Number](1).map(_.doubleValue()).toArray)
+    val cents = Similarity.lloyd(sample, 16, iters = 10, seed = 42)
+    def vec(a: Array[Double]): String =
+      a.map(java.lang.Double.toString).mkString("[", ", ", "]")
+    val centsD = cents.zipWithIndex
+      .map { case (v, i) => s"($i, ${vec(v)})" }.mkString(",\n    ")
+    val centsF = cents.zipWithIndex
+      .map { case (v, i) => s"($i, ${vec(v.map(_.toFloat.toDouble))})" }
+      .mkString(",\n    ")
+    def l2(e: String, c: String): String =
+      s"""list_sum(list_transform(list_zip($e, $c),
+         |          x -> (CAST(x[1] AS DOUBLE) - x[2]) * (CAST(x[1] AS DOUBLE) - x[2])))""".stripMargin
+    s"""WITH centsd(cell, cvec) AS (VALUES
+       |    $centsD),
+       |centsf(cell, cvec) AS (VALUES
+       |    $centsF),
+       |a AS (SELECT e.vec_id AS nid, e.embedding AS ne, c.cell,
+       |        row_number() OVER (PARTITION BY e.vec_id
+       |          ORDER BY ${l2("e.embedding", "c.cvec")}, c.cell) AS arn
+       |      FROM embeddings e CROSS JOIN centsd c
+       |      WHERE e.label = 3),
+       |asg AS (SELECT nid, ne, cell FROM a WHERE arn = 1),
+       |p AS (SELECT q.vec_id AS qid, q.embedding AS qe, c.cell,
+       |        row_number() OVER (PARTITION BY q.vec_id
+       |          ORDER BY ${l2("q.embedding", "c.cvec")}, c.cell) AS crn
+       |      FROM embeddings q CROSS JOIN centsf c
+       |      WHERE q.vec_id < 5),
+       |probed AS (SELECT qid, qe, cell FROM p WHERE crn <= 4),
+       |sims AS (SELECT probed.qid, asg.nid,
+       |    list_sum(list_transform(list_zip(probed.qe, asg.ne),
+       |        x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))
+       |      / (sqrt(list_sum(list_transform(probed.qe, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+       |       * sqrt(list_sum(list_transform(asg.ne, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) AS sim
+       |  FROM probed JOIN asg ON probed.cell = asg.cell AND asg.nid != probed.qid),
+       |r AS (SELECT qid, nid, sim,
+       |    row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rn
+       |  FROM sims)
+       |SELECT qid, nid, round(sim, 4) + 0.0 AS sim, rn FROM r WHERE rn <= 5
+       |ORDER BY qid, rn""".stripMargin
+  }
+
   private def q57OracleGen(s: SparkSession, dir: String): String = {
     val sample = Tables(s, dir, "embeddings")
       .select(col("vec_id"), col("embedding")).orderBy(col("vec_id"))
@@ -812,6 +865,28 @@ object DedupQueries {
       },
       None,
       oracleGen = Some(q57OracleGen _)),
+
+    // ---- FILTERED vector search (the vector-DB pre-filter shape): the
+    // q57 IVF pipeline over only the rows a metadata predicate admits
+    // (label = 3) — codebook trained, cells assigned, and probes scored
+    // entirely within the filtered slice, so recall never collapses the
+    // way post-filtering a global top-k does when the filter is
+    // selective. Same generated-oracle discipline as q57 with the
+    // predicate applied to both the training sample and the corpus. ----
+    Q("q271_knn_filtered",
+      (s, dir) => {
+        val emb = t(s, dir, "embeddings")
+        val q = emb.filter(col("vec_id") < 5)
+          .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+        val c = emb.filter(col("label") === 3)
+          .select(col("vec_id").as("nid"), col("embedding").as("ne"))
+        Similarity.ivfTopK(q, c, k = 5, nCells = 16, nProbe = 4)
+          .select(col("qid"), col("nid"), round(col("sim"), 4).as("sim"),
+            col("rn"))
+          .orderBy(col("qid"), col("rn"))
+      },
+      None,
+      oracleGen = Some(q271OracleGen _)),
 
     // ---- ANN scale path #3: product quantization (ADC). The corpus
     // compresses to 8 sub-centroid codes per vector; queries rank by the
