@@ -173,17 +173,17 @@ object Graph {
           var ranIters = 0
           var converged = false
           while (i <= iters && !converged) {
-            // one exact integer scalar per round: sum of the per-dangling-
-            // node floored share — the same decomposition the oracle's
-            // target-map replay sums row-wise, so totals agree bit-for-bit
-            // the denominator is precomputed as a Long IN SCALA: an SQL-side
-            // `100 * $n` would parse n as an Int literal and overflow Int
-            // arithmetic beyond ~21.4M nodes (ANSI throw / silent wrap)
-            val dShare =
-              if (nDangling == 0) 0L
-              else rank.join(dangling, Seq("node"), "left_semi")
-                .agg(coalesce(sum(expr(s"(85 * r) div ${100L * n}")), lit(0L)))
-                .head().getLong(0)
+            // exact integer dangling share per round: sum of the per-
+            // dangling-node floored share — the same decomposition the
+            // oracle's target-map replay sums row-wise, so totals agree
+            // bit-for-bit. The denominator is precomputed as a Long IN
+            // SCALA: an SQL-side `100 * $n` would parse n as an Int
+            // literal and overflow Int arithmetic beyond ~21.4M nodes.
+            // FOLDED into the round's one checkpoint job as a broadcast
+            // 1-row aggregate instead of a separate `.head()` action —
+            // two driver round-trips per iteration collapse to one, which
+            // on a 10-round run is the dominant fixed cost at small SF
+            // and pure scheduler overhead at cluster scale.
             val contribs = e
               .join(rank.withColumnRenamed("node", "src"), "src")
               .join(deg, "src")
@@ -191,9 +191,19 @@ object Graph {
                 expr("(85 * r) div (100 * od)").as("c"))
               .groupBy(col("node"))
               .agg(sum(col("c")).as("s"))
-            val next = nodes.join(contribs, Seq("node"), "left")
-              .select(col("node"),
-                (lit(base + dShare) + coalesce(col("s"), lit(0L))).as("r"))
+            val withC = nodes.join(contribs, Seq("node"), "left")
+            val next =
+              if (nDangling == 0)
+                withC.select(col("node"),
+                  (lit(base) + coalesce(col("s"), lit(0L))).as("r"))
+              else {
+                val dsh = rank.join(dangling, Seq("node"), "left_semi")
+                  .agg(coalesce(sum(expr(s"(85 * r) div ${100L * n}")), lit(0L))
+                    .as("__dsh"))
+                withC.crossJoin(broadcast(dsh))
+                  .select(col("node"),
+                    (lit(base) + col("__dsh") + coalesce(col("s"), lit(0L))).as("r"))
+              }
             // cut lineage EVERY round: an every-4th checkpoint replays the
             // intervening iterations' joins inside each materialization
             // (rounds 1-3 re-execute as part of round 4's plan — ~2.5x the
