@@ -49,6 +49,18 @@ object Attribution {
     val r = events.select(col(userCol).as("u"), col(tsCol).as("ts0"),
         col(tieCol).as("tie0"), col(stateCol).as("st"))
       .withColumn("rn", row_number().over(w).cast("long"))
+    // in-band sentinel guard: START/CONV/NULL are absorbing-state markers
+    // INJECTED by this operator — a real channel carrying one of those
+    // names would silently merge with its absorbing state (a channel
+    // literally named "NULL" would absorb every non-converting journey's
+    // exit credit). convState itself maps to CONV by contract, so "CONV"
+    // is only forbidden when it isn't the declared conversion state.
+    val sentinelPred =
+      if (convState == "CONV") col("st").isin("START", "NULL")
+      else col("st").isin("START", "NULL", "CONV")
+    require(r.filter(sentinelPred).isEmpty,
+      "markovRemoval: state column contains a reserved sentinel name " +
+        "(START/CONV/NULL) — rename or namespace real channels")
     val fp = r.filter(col("st") === convState)
       .groupBy(col("u")).agg(min(col("rn")).as("fprn"))
     val kept = r.join(fp, Seq("u"), "left")
@@ -70,12 +82,17 @@ object Attribution {
     val m = consec.unionByName(starts).unionByName(ends)
       .groupBy(col("i"), col("j")).agg(count(lit(1)).as("n"))
 
-    // bounded driver artifact: (states+3)^2 rows at most
+    // bounded driver artifact: (states+3)^2 rows at most — but PROVE the
+    // bound DISTRIBUTED before collecting, or a high-cardinality state
+    // column would pull the full matrix onto the driver just to fail the
+    // require (the guard must run before the risk it guards against)
+    val nStates = m.select(col("i").as("s"))
+      .unionByName(m.select(col("j").as("s"))).distinct().count()
+    require(nStates <= maxStates,
+      s"markovRemoval: $nStates states exceeds maxStates=$maxStates")
     val rows = m.collect().map(r0 =>
       (r0.getString(0), r0.getString(1), r0.getLong(2)))
     val states = (rows.map(_._1) ++ rows.map(_._2)).distinct
-    require(states.length <= maxStates,
-      s"markovRemoval: ${states.length} states exceeds maxStates=$maxStates")
     val rowTot = rows.groupBy(_._1).map { case (i, rs) => i -> rs.map(_._3).sum }
     val channels = rows.map(_._1).distinct.filter(_ != "START").sorted
 

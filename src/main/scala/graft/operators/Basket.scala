@@ -38,7 +38,11 @@ object Basket {
             minSupport: Long, maxBasketSize: Long): DataFrame = {
     require(minSupport >= 1, s"minSupport must be positive, got $minSupport")
     require(maxBasketSize >= 2, s"maxBasketSize must be >= 2, got $maxBasketSize")
-    val base = items.select(col(basketCol).cast("long").as("b"),
+    // the basket id is internal (never emitted) — keep its ORIGINAL type,
+    // so callers can pass a struct/string composite key that cannot alias
+    // (a numeric user*K+sess composite silently merges baskets past K
+    // sessions per user)
+    val base = items.select(col(basketCol).as("b"),
       col(itemCol).cast("long").as("i")).distinct()
     val kept = base.join(
       base.groupBy(col("b")).agg(count(lit(1)).as("__sz"))

@@ -154,6 +154,12 @@ object Gk {
         s"rollup dimension '$d' must be STRING (the '*' filler is " +
           "ambiguous for other types); cast it before building registers")
     }
+    // ...and a genuine "*" VALUE would still collide with the filler —
+    // reject it loudly too. One scan over the register frame, which is
+    // sketch-sized by construction, not corpus-sized.
+    require(regs.filter(dims.map(d => col(d) === "*").reduce(_ || _)).isEmpty,
+      "rollupEstimate: a dimension value equals the rollup marker '*' — " +
+        "namespace or escape it before building registers")
     val levels = (0 to dims.size).reverse.map { keep =>
       regs.select(dims.zipWithIndex.map { case (d, i) =>
         (if (i < keep) col(d) else lit("*")).as(d)

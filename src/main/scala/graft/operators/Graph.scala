@@ -179,11 +179,14 @@ object Graph {
             // bit-for-bit. The denominator is precomputed as a Long IN
             // SCALA: an SQL-side `100 * $n` would parse n as an Int
             // literal and overflow Int arithmetic beyond ~21.4M nodes.
-            // FOLDED into the round's one checkpoint job as a broadcast
+            // FOLDED into the round's checkpoint job as a broadcast
             // 1-row aggregate instead of a separate `.head()` action —
-            // two driver round-trips per iteration collapse to one, which
-            // on a 10-round run is the dominant fixed cost at small SF
-            // and pure scheduler overhead at cluster scale.
+            // one action per iteration instead of two (the broadcast
+            // subquery still runs as a driver-coordinated exchange inside
+            // that action, but the extra collect-plus-resubmit round-trip
+            // is gone), which on a 10-round run is the dominant fixed
+            // cost at small SF and pure scheduler overhead at cluster
+            // scale.
             val contribs = e
               .join(rank.withColumnRenamed("node", "src"), "src")
               .join(deg, "src")
@@ -197,6 +200,11 @@ object Graph {
                 withC.select(col("node"),
                   (lit(base) + coalesce(col("s"), lit(0L))).as("r"))
               else {
+                // dsh keeps `rank` as a lazy reader inside `next`; it MUST
+                // be fully consumed by the eager localCheckpoint(true)
+                // below BEFORE freeDeadCheckpoint(rank) runs (the
+                // no-live-lazy-readers contract) — a lazy checkpoint here
+                // would read freed blocks.
                 val dsh = rank.join(dangling, Seq("node"), "left_semi")
                   .agg(coalesce(sum(expr(s"(85 * r) div ${100L * n}")), lit(0L))
                     .as("__dsh"))
@@ -287,11 +295,6 @@ object Graph {
                 when(col("__is") === 1, lit(init)).otherwise(lit(0L)).as("r"))
             var i = 1
             while (i <= iters) {
-              val dShare =
-                if (nDangling == 0) 0L
-                else rank.join(dangling, Seq("node"), "left_semi")
-                  .agg(coalesce(sum(expr(s"(85 * r) div ${100L * nSeeds}")), lit(0L)))
-                  .head().getLong(0)
               val contribs = e
                 .join(rank.withColumnRenamed("node", "src"), "src")
                 .join(deg, "src")
@@ -299,11 +302,31 @@ object Graph {
                   expr("(85 * r) div (100 * od)").as("c"))
                 .groupBy(col("node"))
                 .agg(sum(col("c")).as("s"))
-              val next = nodes.join(contribs, Seq("node"), "left")
+              val withC = nodes.join(contribs, Seq("node"), "left")
                 .join(isSeed, Seq("node"), "left")
-                .select(col("node"),
-                  (when(col("__is") === 1, lit(base + dShare)).otherwise(lit(0L)) +
-                    coalesce(col("s"), lit(0L))).as("r"))
+              // dangling share folded into the round's checkpoint job as a
+              // broadcast 1-row aggregate (one action per iteration instead
+              // of two — see pageRankFixedConverged); here the share is
+              // paid ONLY to seeds, so the broadcast scalar gates on
+              // __is === 1 instead of being added unconditionally. As in
+              // pageRankFixedConverged, dsh makes `rank` a lazy reader of
+              // `next`: it must be fully consumed by the eager
+              // localCheckpoint(true) before freeDeadCheckpoint(rank).
+              val next =
+                if (nDangling == 0)
+                  withC.select(col("node"),
+                    (when(col("__is") === 1, lit(base)).otherwise(lit(0L)) +
+                      coalesce(col("s"), lit(0L))).as("r"))
+                else {
+                  val dsh = rank.join(dangling, Seq("node"), "left_semi")
+                    .agg(coalesce(sum(expr(s"(85 * r) div ${100L * nSeeds}")), lit(0L))
+                      .as("__dsh"))
+                  withC.crossJoin(broadcast(dsh))
+                    .select(col("node"),
+                      (when(col("__is") === 1, lit(base) + col("__dsh"))
+                        .otherwise(lit(0L)) +
+                        coalesce(col("s"), lit(0L))).as("r"))
+                }
               // per-round eager checkpoint: see pageRankFixedConverged —
               // lazy rounds replay their predecessors' joins inside the
               // next materialization
@@ -490,11 +513,6 @@ object Graph {
           try {
             var rank = nodes.select(col("node"), lit(init).as("r"))
             for (_ <- 1 to iters) {
-              val dShare =
-                if (nDangling == 0) 0L
-                else rank.join(dangling, Seq("node"), "left_semi")
-                  .agg(coalesce(sum(expr(s"(85 * r) div ${100L * n}")), lit(0L)))
-                  .head().getLong(0)
               val contribs = e
                 .join(rank.withColumnRenamed("node", "src"), "src")
                 .join(wdeg, "src")
@@ -502,10 +520,25 @@ object Graph {
                   expr("(85 * r * w) div (100 * wd)").as("c"))
                 .groupBy(col("node"))
                 .agg(sum(col("c")).as("s"))
-              val materialized = nodes.join(contribs, Seq("node"), "left")
-                .select(col("node"),
-                  (lit(base + dShare) + coalesce(col("s"), lit(0L))).as("r"))
-                .localCheckpoint(true)
+              val withC = nodes.join(contribs, Seq("node"), "left")
+              // dangling share folded into the round's checkpoint job as a
+              // broadcast 1-row aggregate (one action per iteration instead
+              // of two — see pageRankFixedConverged). dsh makes `rank` a
+              // lazy reader of `next`: it must be fully consumed by the
+              // eager localCheckpoint(true) before freeDeadCheckpoint(rank).
+              val next =
+                if (nDangling == 0)
+                  withC.select(col("node"),
+                    (lit(base) + coalesce(col("s"), lit(0L))).as("r"))
+                else {
+                  val dsh = rank.join(dangling, Seq("node"), "left_semi")
+                    .agg(coalesce(sum(expr(s"(85 * r) div ${100L * n}")), lit(0L))
+                      .as("__dsh"))
+                  withC.crossJoin(broadcast(dsh))
+                    .select(col("node"),
+                      (lit(base) + col("__dsh") + coalesce(col("s"), lit(0L))).as("r"))
+                }
+              val materialized = next.localCheckpoint(true)
               freeDeadCheckpoint(rank)
               rank = materialized
             }

@@ -87,9 +87,10 @@ object SetJoin {
   }
 
   /** Bipartite (R–S) variant: every (left, right) pair with
-    * Jaccard >= tNum/tDen — the set-level decontamination/containment
-    * query (corpus vs a reference corpus). Same machinery as [[allPairs]]
-    * with the two-corpus refinements:
+    * Jaccard >= tNum/tDen — the symmetric two-corpus similarity query
+    * (corpus vs a reference corpus; for the asymmetric decontamination
+    * predicate |L∩R|/|L| see [[bipartiteContainment]]). Same machinery
+    * as [[allPairs]] with the two-corpus refinements:
     *
     *  - the global rarest-first token order comes from the df over the
     *    UNION of both corpora (the prefix theorem needs one COMMON total
@@ -149,5 +150,81 @@ object SetJoin {
         size(col("ta")).cast("long") + size(col("tb")).cast("long") - col("isect"))
       .filter(col("isect") * tDen >= col("uni") * tNum)
       .select(col("id_l"), col("id_r"), col("isect"), col("uni"))
+  }
+
+  /** ASYMMETRIC containment variant of [[bipartite]]: every (left, right)
+    * pair with |L∩R| / |L| >= tNum/tDen — the set-level decontamination
+    * predicate ("this corpus doc is mostly contained in some reference
+    * doc"), where Jaccard under-fires when the reference side is much
+    * larger (a 20-shingle doc fully inside a 500-shingle reference has
+    * J ≈ 0.04 but containment 1.0).
+    *
+    * Prefix theorem, containment form: |L∩R| >= ceil(t·|L|) means L may
+    * miss at most |L| - ceil(t·|L|) of its tokens from R, so L's prefix
+    * of the |L| - ceil(t·|L|) + 1 RAREST tokens (union-df order, as in
+    * [[bipartite]]) must contain a shared token — the prefix cut applies
+    * to the CONTAINED side only. The containing side gets NO prefix: the
+    * required overlap depends only on |L|, which is unknown at R's index
+    * time and can be arbitrarily small, so R expands fully — but the
+    * cross-presence drop still applies losslessly on both sides (a
+    * shared token exists on both), and R's expansion joins only against
+    * L's rare prefix tokens, so candidate work stays ∝ Σ prefix
+    * co-occurrence, not |R|·|L|. Length filter: |R|·tDen >= |L|·tNum
+    * (the overlap can't exceed |R|); there is no upper bound on |R| by
+    * construction. Verification is the same fused integer kernel:
+    * keep iff isect·tDen >= len_l·tNum — bit-exact in any engine.
+    */
+  def bipartiteContainment(left: DataFrame, leftId: String,
+                           right: DataFrame, rightId: String, toksCol: String,
+                           tNum: Int, tDen: Int): DataFrame = {
+    require(tNum > 0 && tDen >= tNum, s"need 0 < tNum/tDen <= 1, got $tNum/$tDen")
+    def base(df: DataFrame, id: String) = df
+      .select(col(id).as("__id"), array_distinct(col(toksCol)).as("__tk"))
+      .filter(size(col("__tk")) > 0)
+    val bl = base(left, leftId)
+    val br = base(right, rightId)
+    val tokDf = bl.select(explode(col("__tk")).as("t"), lit(1L).as("__s"))
+      .unionByName(br.select(explode(col("__tk")).as("t"), lit(2L).as("__s")))
+      .groupBy(col("t"))
+      .agg(sum(when(col("__s") === 1L, 1L).otherwise(0L)).as("dfl"),
+        sum(when(col("__s") === 2L, 1L).otherwise(0L)).as("dfr"),
+        count(lit(1)).as("df"))
+    // contained side: rarest-first prefix, entries for tokens absent from
+    // the reference dropped losslessly
+    val prefL = bl
+      .select(col("__id"), explode(col("__tk")).as("t"))
+      .join(tokDf, Seq("t"))
+      .groupBy(col("__id"))
+      .agg(sort_array(collect_list(struct(col("df"), col("t"), col("dfr"))))
+        .as("st"))
+      .select(col("__id"), col("st"), size(col("st")).cast("long").as("len"))
+      .withColumn("plen",
+        col("len") - call_function("div",
+          col("len") * tNum + (tDen - 1), lit(tDen.toLong)) + 1L)
+      .select(col("__id"), col("len"),
+        explode(slice(col("st"), lit(1), col("plen").cast("int"))).as("s"))
+      .filter(col("s.dfr") >= 1L)
+      .select(col("__id"), col("len"), col("s.t").as("t"))
+    // containing side: full expansion (no prefix bound exists), tokens
+    // absent from the left dropped losslessly before the join
+    val fullR = br
+      .select(col("__id"), size(col("__tk")).cast("long").as("len"),
+        explode(col("__tk")).as("t"))
+      .join(tokDf.filter(col("dfl") >= 1L).select(col("t")), Seq("t"))
+    val cand = prefL.as("a").join(fullR.as("b"),
+        col("a.t") === col("b.t") &&
+          col("b.len") * tDen >= col("a.len") * tNum)
+      .select(col("a.__id").as("id_l"), col("b.__id").as("id_r"))
+      .distinct()
+    val sl = bl.select(col("__id").as("id_l"), array_sort(col("__tk")).as("ta"))
+    val sr = br.select(col("__id").as("id_r"), array_sort(col("__tk")).as("tb"))
+    cand
+      .join(sl, Seq("id_l"))
+      .join(sr, Seq("id_r"))
+      .withColumn("isect",
+        graft.expressions.SortedIntersectCount(col("ta"), col("tb")))
+      .withColumn("len_l", size(col("ta")).cast("long"))
+      .filter(col("isect") * tDen >= col("len_l") * tNum)
+      .select(col("id_l"), col("id_r"), col("isect"), col("len_l"))
   }
 }

@@ -126,13 +126,17 @@ object TimeSeries {
       .join(l1.select(col(groupCol), col("at_day").as("__cp1")), Seq(groupCol))
       .withColumn("__side",
         when(col(dayCol) <= col("__cp1"), lit(0L)).otherwise(lit(1L)))
+      // the level-2 key is a STRUCT (group, side), not a string encoding:
+      // a concat_ws/split round-trip corrupts grouping for group values
+      // containing the separator and silently string-coerces non-string
+      // group columns — struct grouping is lossless and typed
       .withColumn("__gk",
-        concat_ws("\u0001", col(groupCol), col("__side")))
+        struct(col(groupCol).as("g"), col("__side").as("side")))
     val l2 = changePoint(
         sided.select(col("__gk"), col(dayCol), col(valCol)),
         "__gk", dayCol, valCol)
-      .withColumn(groupCol, split(col("__gk"), "\u0001").getItem(0))
-      .withColumn("side", split(col("__gk"), "\u0001").getItem(1).cast("long"))
+      .withColumn(groupCol, col("__gk").getField("g"))
+      .withColumn("side", col("__gk").getField("side"))
       .select(col(groupCol), lit(2L).as("level"), col("side"),
         col("n_days"), col("total"), col("at_day"), col("s_max"))
     l1.select(col(groupCol), lit(1L).as("level"), lit(-1L).as("side"),

@@ -1314,8 +1314,11 @@ object AnalyticsQueries {
             when(gapUs.isNull || gapUs > 1800000000L, 1).otherwise(0))
           .withColumn("sess", sum(col("new_s")).over(
             w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-          .select((col("user_id").cast("long") * 100000L +
-            col("sess").cast("long")).as("b"), col("event_type"))
+          // struct basket key — a numeric user*K+sess composite would
+          // alias baskets across users past K sessions (and the oracle,
+          // replicating it, couldn't catch the merge)
+          .select(struct(col("user_id").cast("long").as("u"),
+            col("sess").cast("long").as("s")).as("b"), col("event_type"))
         val tw = Window.orderBy(col("event_type"))
         val types = sess.select(col("event_type")).distinct()
           .withColumn("tid", row_number().over(tw).cast("long"))
@@ -1347,19 +1350,21 @@ object AnalyticsQueries {
              |tp AS (SELECT event_type, CAST(row_number() OVER (
              |    ORDER BY event_type) AS BIGINT) AS tid
              |  FROM (SELECT DISTINCT event_type FROM y) t),
-             |ui AS (SELECT DISTINCT CAST(y.user_id AS BIGINT) * 100000
-             |    + y.sess AS b, tp.tid AS i
+             |ui AS (SELECT DISTINCT CAST(y.user_id AS BIGINT) AS bu,
+             |    y.sess AS bs, tp.tid AS i
              |  FROM y JOIN tp USING (event_type)),
-             |sz AS (SELECT b, CAST(count(*) AS BIGINT) AS z
-             |  FROM ui GROUP BY 1),
-             |k AS (SELECT ui.b, ui.i FROM ui JOIN sz USING (b)
+             |sz AS (SELECT bu, bs, CAST(count(*) AS BIGINT) AS z
+             |  FROM ui GROUP BY 1, 2),
+             |k AS (SELECT ui.bu, ui.bs, ui.i FROM ui JOIN sz USING (bu, bs)
              |      WHERE sz.z <= 8),
-             |nb AS (SELECT CAST(count(DISTINCT b) AS BIGINT) AS n FROM k),
+             |nb AS (SELECT CAST(count(*) AS BIGINT) AS n
+             |       FROM (SELECT DISTINCT bu, bs FROM k) kb),
              |sup AS (SELECT i, CAST(count(*) AS BIGINT) AS s
              |        FROM k GROUP BY 1),
              |p AS (SELECT a.i AS ia, b2.i AS ib,
              |        CAST(count(*) AS BIGINT) AS sup_ab
-             |      FROM k a JOIN k b2 ON a.b = b2.b AND a.i < b2.i
+             |      FROM k a JOIN k b2 ON a.bu = b2.bu AND a.bs = b2.bs
+             |        AND a.i < b2.i
              |      GROUP BY 1, 2 HAVING count(*) >= 10),
              |dr AS (SELECT ia AS ante, ib AS cons, sup_ab FROM p
              |       UNION ALL SELECT ib, ia, sup_ab FROM p)

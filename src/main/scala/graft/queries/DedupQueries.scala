@@ -196,6 +196,23 @@ object DedupQueries {
        |       THEN 'train' ELSE 'val' END AS split
        |FROM alld ORDER BY doc_id""".stripMargin
 
+  /** q272 oracle: the q230 closure labeling without the split column —
+    * every doc mapped to its component minimum, singletons to themselves.
+    */
+  private lazy val q272OracleSql: String =
+    s"""WITH RECURSIVE $minhashCtes,
+       |und AS (SELECT id_a AS a, id_b AS b FROM j WHERE jaccard >= 0.8
+       |        UNION SELECT id_b, id_a FROM j WHERE jaccard >= 0.8),
+       |reach(src, dst) AS (
+       |  SELECT a, b FROM und
+       |  UNION
+       |  SELECT r.src, u.b FROM reach r JOIN und u ON r.dst = u.a),
+       |lbl AS (SELECT src AS id, least(src, min(dst)) AS label
+       |        FROM reach GROUP BY src)
+       |SELECT doc_id, coalesce(l.label, doc_id) AS label
+       |FROM documents LEFT JOIN lbl l ON l.id = doc_id
+       |ORDER BY doc_id""".stripMargin
+
   /** q53 oracle: replays hyperplane-LSH bucketing + cosine verification in
     * DuckDB. The planes (VectorFns.planeFor, seeds 0..3, dim 64 — exactly
     * what embeddingPairs(nBits = 4) uses) are emitted as double literals via
@@ -709,6 +726,44 @@ object DedupQueries {
              |WHERE 4 * isect >= sa.n + sb.n - isect
              |ORDER BY id_l, id_r""".stripMargin)),
 
+    // ---- Asymmetric CONTAINMENT bipartite join
+    // (SetJoin.bipartiteContainment): the decontamination predicate
+    // proper — |corpus ∩ ref| / |corpus| >= 1/2 over 3-word shingles,
+    // same two-corpus fixture as q218. Jaccard under-fires when the
+    // reference doc is much larger; containment catches a corpus doc
+    // mostly inside ANY reference doc regardless of the reference's
+    // size. Prefix cut on the contained side only (the containing side
+    // has no prefix bound), cross-presence drop on both. Oracle: the
+    // independent exact containment join — so a hash match proves
+    // no-false-negatives for the asymmetric mode too. ----
+    Q("q273_setsim_containment",
+      (s, dir) => {
+        val docs = t(s, dir, "documents").select(col("doc_id"),
+          TextFns.wordShingles(TextFns.tokens(col("text")), 3).as("sh"))
+        val corpus = docs.filter(col("doc_id") % 5 =!= 0)
+        val ref = docs.filter(col("doc_id") % 5 === 0)
+        graft.operators.SetJoin
+          .bipartiteContainment(corpus, "doc_id", ref, "doc_id", "sh", 1, 2)
+          .orderBy(col("id_l"), col("id_r"))
+      },
+      Some("""WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+             |           FROM documents WHERE length(trim(text)) > 0),
+             |s AS MATERIALIZED (SELECT doc_id,
+             |        list_distinct(list_transform(range(1, len(toks) - 1),
+             |          i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS sh
+             |      FROM t WHERE len(toks) >= 3),
+             |u AS MATERIALIZED (SELECT doc_id, unnest(sh) AS g FROM s),
+             |sz AS (SELECT doc_id, CAST(len(sh) AS BIGINT) AS n FROM s),
+             |p AS (SELECT a.doc_id AS id_l, b.doc_id AS id_r,
+             |        CAST(count(*) AS BIGINT) AS isect
+             |      FROM u a JOIN u b ON a.g = b.g
+             |        AND a.doc_id % 5 <> 0 AND b.doc_id % 5 = 0
+             |      GROUP BY 1, 2)
+             |SELECT id_l, id_r, isect, sa.n AS len_l
+             |FROM p JOIN sz sa ON sa.doc_id = id_l
+             |WHERE 2 * isect >= sa.n
+             |ORDER BY id_l, id_r""".stripMargin)),
+
     // ---- End-to-end corpus dedup: LSH pairs -> transitive clusters ->
     // one representative per cluster (what a training pipeline actually
     // runs; q50 exposes the pairs, this exposes the surviving corpus). ----
@@ -811,6 +866,28 @@ object DedupQueries {
           .orderBy(col("doc_id"))
       },
       Some(q94OracleSql)),
+
+    // ---- Distributed connected components, hash-proven: the SAME q94
+    // pair graph, but with smallGraphThreshold = 0 so the label-
+    // propagation + pointer-jumping regime — the path a 100 TB pair
+    // graph actually takes — computes the closure instead of the driver
+    // union-find. Every doc is labeled with its component minimum
+    // (singletons keep themselves); the oracle is the q230 recursive-CTE
+    // closure without the split column. Both regimes now have a
+    // hash-verified CORRECTNESS row over the identical fixture, proving
+    // they agree end-to-end, not just on DedupSpec's toy graphs. ----
+    Q("q272_cc_distributed",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val pairs = Dedup.minhashPairs(docs, "doc_id", "text",
+          threshold = 0.8, portableHash = true)
+        val comps = Dedup.connectedComponents(pairs, smallGraphThreshold = 0L)
+        docs.join(comps.withColumnRenamed("id", "doc_id"), Seq("doc_id"), "left")
+          .select(col("doc_id"),
+            coalesce(col("label"), col("doc_id")).as("label"))
+          .orderBy(col("doc_id"))
+      },
+      Some(q272OracleSql)),
 
     // ---- Dedup impact report: what the q94 corpus dedup actually BUYS —
     // docs and characters kept/dropped, in counts and ppm, one summary

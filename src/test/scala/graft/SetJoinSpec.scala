@@ -61,4 +61,42 @@ class SetJoinSpec extends SparkSpec {
         s"t=$tn/$td: missing=${(want -- got).take(3)} extra=${(got -- want).take(3)}")
     }
   }
+
+  test("bipartiteContainment equals brute force across thresholds") {
+    val rnd = new scala.util.Random(13)
+    def corpus(n: Int, maxLen: Int) = (0 until n).map { i =>
+      (i.toLong, Seq.fill(1 + rnd.nextInt(maxLen))("t" + rnd.nextInt(30)))
+    }
+    val ls = corpus(60, 8)
+    val rs = corpus(40, 12)
+    val (ldf, rdf) = (ls.toDF("id", "toks"), rs.toDF("id", "toks"))
+    val (lSets, rSets) =
+      (ls.map { case (i, t) => (i, t.toSet) }, rs.map { case (i, t) => (i, t.toSet) })
+    for ((tn, td) <- Seq((1, 2), (1, 4), (3, 4), (9, 10), (1, 1))) {
+      val got = SetJoin.bipartiteContainment(ldf, "id", rdf, "id", "toks", tn, td)
+        .as[(Long, Long, Long, Long)].collect().toSet
+      val want = (for {
+        (a, sa) <- lSets
+        (b, sb) <- rSets
+        isect = (sa & sb).size
+        if isect * td >= sa.size * tn
+      } yield (a, b, isect.toLong, sa.size.toLong)).toSet
+      assert(got == want,
+        s"t=$tn/$td: missing=${(want -- got).take(3)} extra=${(got -- want).take(3)}")
+    }
+  }
+
+  test("containment catches the subset-of-large-reference pair Jaccard misses") {
+    // a 4-shingle doc fully inside a 40-shingle reference: containment 1.0
+    // but Jaccard 0.1 — the decontamination case the asymmetric mode exists
+    // for
+    val small = Seq((1L, (0 until 4).map("t" + _))).toDF("id", "toks")
+    val big = Seq((9L, (0 until 40).map("t" + _))).toDF("id", "toks")
+    val jac = SetJoin.bipartite(small, "id", big, "id", "toks", 1, 2)
+    assert(jac.isEmpty, "Jaccard 1/2 must NOT match a 0.1-J pair")
+    val con = SetJoin.bipartiteContainment(small, "id", big, "id", "toks", 1, 1)
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(con == Seq((1L, 9L, 4L, 4L)),
+      s"containment 1/1 must match the fully-contained pair, got $con")
+  }
 }
