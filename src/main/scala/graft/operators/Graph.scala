@@ -343,6 +343,67 @@ object Graph {
     } finally e.unpersist(false)
   }
 
+  /** Community detection by SYNCHRONOUS label propagation (LPA) over an
+    * undirected graph — the community-assignment member of the graph
+    * wing (ranking: PageRank/HITS; traversal: BFS/SSSP; structure:
+    * triangles/k-core; this: who clusters with whom).
+    *
+    * Determinism contract: labels start as node ids; each round EVERY
+    * node simultaneously adopts the most frequent label among its
+    * neighbors plus its own current label (the self-inclusive variant —
+    * pure-neighbor synchronous LPA oscillates two-colorings on
+    * bipartite graphs), ties broken by the SMALLEST label. All counts
+    * are integers and the tie rule is total, so a fixed `rounds` run is
+    * bit-exact in any engine — asynchronous/randomized LPA (the usual
+    * formulation) is irreproducible by design and can't be
+    * oracle-verified. Synchronous LPA need not converge, so `rounds` is
+    * part of the operator's definition (the oracle unrolls exactly that
+    * many rounds), not a convergence cap.
+    *
+    * Scale shape: per round, one edge-join against the node-sized label
+    * vector (edges pre-partitioned by the join key ONCE, reused every
+    * round), one (node, label) count aggregate, one per-node min-struct
+    * fold — shuffle ∝ edges, the q128 cost class. Lineage is cut per
+    * round (localCheckpoint) with dead-checkpoint reclamation.
+    */
+  def labelPropagation(edges: DataFrame, srcCol: String, dstCol: String,
+                       rounds: Int = 4): DataFrame = {
+    require(rounds >= 1, s"rounds must be positive, got $rounds")
+    val a = edges
+      .select(col(srcCol).cast("long").as("u"), col(dstCol).cast("long").as("v"))
+      .filter(col("u") =!= col("v"))
+    val und = a.unionByName(a.select(col("v").as("u"), col("u").as("v")))
+      .distinct()
+      // pre-partition by v once: every round's label join keys on v and
+      // reuses this exchange; only the node-sized label vector shuffles
+      .repartition(col("v")).persist()
+    try {
+      var labels = und.select(col("v").as("node")).distinct()
+        .withColumn("label", col("node"))
+        .localCheckpoint(true)
+      var i = 1
+      while (i <= rounds) {
+        val nbr = und
+          .join(labels.withColumnRenamed("node", "v"), "v")
+          .select(col("u").as("node"), col("label"))
+        val counts = nbr.unionByName(labels)
+          .groupBy(col("node"), col("label"))
+          .agg(count(lit(1)).as("c"))
+        // argmax by count, smallest label on ties: min of (-c, label)
+        val next = counts
+          .groupBy(col("node"))
+          .agg(min(struct((-col("c")).as("nc"), col("label").as("l")))
+            .as("m"))
+          .select(col("node"), col("m.l").as("label"))
+          .localCheckpoint(true)
+        freeDeadCheckpoint(labels)
+        labels = next
+        i += 1
+      }
+      labels
+    } finally und.unpersist(false)
+  }
+
   /** Multi-source BFS hop distances over an undirected graph: for every
     * node reachable from `sources`, the MINIMUM number of edge hops from
     * any source (`dist`, sources themselves at 0). Distances are mins,

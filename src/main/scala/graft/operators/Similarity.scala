@@ -415,7 +415,6 @@ object Similarity {
                       nCells: Int = 16, m: Int = 8, kSub: Int = 16,
                       cId: String = "nid", cVec: String = "ne",
                       maxTrain: Int = 100000): Unit = {
-    import org.apache.spark.sql.GraftShim.{column, expression}
     val spark = corpus.sparkSession
     import spark.implicits._
     val sample = corpus.select(col(cId), col(cVec)).orderBy(col(cId))
@@ -423,12 +422,36 @@ object Similarity {
       .map(_.getSeq[Number](1).map(_.doubleValue()).toArray)
     val cents = lloyd(sample, nCells, iters = 10, seed = 42)
     val cbs = trainPq(residualsOf(sample, cents), m, kSub)
+    val centroids = cents.zipWithIndex.map { case (v, i) => (i, v.toSeq) }
+      .toSeq.toDF("cell", "cvec")
+    encodeIvfPq(corpus, cents, cbs, cId, cVec)
+      .write.partitionBy("cell").mode("overwrite").parquet(s"$path/codes")
+    centroids.write.mode("overwrite").parquet(s"$path/centroids")
+    cbs.zipWithIndex.flatMap { case (cb, mi) =>
+        cb.zipWithIndex.map { case (v, code) => (mi, code, v.toSeq) }
+      }.toSeq.toDF("mi", "code", "cvec")
+      .write.mode("overwrite").parquet(s"$path/codebooks")
+  }
+
+  /** Assign-to-nearest-cell + residual PQ encode with GIVEN constants —
+    * the one distributed projection shared by the initial build and the
+    * incremental append (both must produce bit-identical codes for the
+    * same vector, or an appended index would disagree with a rebuilt
+    * one).
+    */
+  private def encodeIvfPq(df: DataFrame, cents: Array[Array[Double]],
+                          cbs: Array[Array[Array[Double]]],
+                          cId: String, cVec: String): DataFrame = {
+    import org.apache.spark.sql.GraftShim.{column, expression}
+    val spark = df.sparkSession
+    import spark.implicits._
+    val m = cbs.length
     val sub = cbs(0)(0).length
     val centroids = cents.zipWithIndex.map { case (v, i) => (i, v.toSeq) }
       .toSeq.toDF("cell", "cvec")
-    val assigned = corpus.select(col(cId), col(cVec),
+    val assigned = df.select(col(cId), col(cVec),
       column(graft.expressions.NearestCell(expression(col(cVec)), cents)).as("cell"))
-    val enc = assigned.join(broadcast(centroids), "cell")
+    assigned.join(broadcast(centroids), "cell")
       .withColumn("__rvec",
         zip_with(col(cVec).cast("array<double>"), col("cvec"), (a, b) => a - b))
       .select(col(cId),
@@ -437,12 +460,43 @@ object Similarity {
             expression(slice(col("__rvec"), mi * sub + 1, sub)), cbs(mi)))
         }: _*).as("codes"),
         col("cell"))
-    enc.write.partitionBy("cell").mode("overwrite").parquet(s"$path/codes")
-    centroids.write.mode("overwrite").parquet(s"$path/centroids")
-    cbs.zipWithIndex.flatMap { case (cb, mi) =>
-        cb.zipWithIndex.map { case (v, code) => (mi, code, v.toSeq) }
-      }.toSeq.toDF("mi", "code", "cvec")
-      .write.mode("overwrite").parquet(s"$path/codebooks")
+  }
+
+  /** INCREMENTAL index maintenance: encode a day's new vectors against
+    * the FROZEN codebooks and append them to the persisted layout — the
+    * [[buildIvfPqIndex]] counterpart of the dedup store's daily
+    * increment (q112) and the streaming stores' touched-partition
+    * discipline (q137/q148). Without this, appending a day of vectors
+    * means retraining both codebooks and re-encoding the WHOLE corpus;
+    * with it, the increment pays one bounded driver read (the tiny
+    * centroid/codebook tables), one distributed encode of ITS OWN rows,
+    * and appends files ONLY under the `cell=` directories its vectors
+    * land in — the base corpus is never read, never re-encoded, never
+    * rewritten, and concurrent serving keeps working (parquet appends
+    * are new files, a snapshot listing stays consistent).
+    *
+    * Codebooks are frozen BY DESIGN: assignment and codes stay
+    * bit-identical to a monolithic encode with the same constants (the
+    * q275 oracle proves exactly that equivalence), and served rankings
+    * never shift under an append that doesn't concern the query. The
+    * cost is standard IVF drift — if the increment's distribution walks
+    * away from the training sample, ADC quality degrades and the
+    * rebuild cadence is the caller's policy knob (the same trade the
+    * frozen BPE/vocab and k-means codebooks make).
+    */
+  def appendToIvfPqIndex(increment: DataFrame, path: String,
+                         cId: String = "nid", cVec: String = "ne"): Unit = {
+    val spark = increment.sparkSession
+    import spark.implicits._
+    val cents = spark.read.parquet(s"$path/centroids").as[(Int, Seq[Double])]
+      .collect().sortBy(_._1).map(_._2.toArray)
+    val cbRows = spark.read.parquet(s"$path/codebooks").as[(Int, Int, Seq[Double])]
+      .collect()
+    val m = cbRows.iterator.map(_._1).max + 1
+    val cbs = Array.tabulate(m)(mi =>
+      cbRows.filter(_._1 == mi).sortBy(_._2).map(_._3.toArray))
+    encodeIvfPq(increment, cents, cbs, cId, cVec)
+      .write.partitionBy("cell").mode("append").parquet(s"$path/codes")
   }
 
   /** ONLINE half: answer a query batch from a persisted `buildIvfPqIndex`

@@ -436,11 +436,21 @@ object DedupQueries {
   private val ivfPqCtesCache =
     scala.collection.concurrent.TrieMap.empty[String, String]
 
-  private def ivfPqReplayCtes(s: SparkSession, dir: String): String =
-    ivfPqCtesCache.getOrElseUpdate(dir, ivfPqReplayCtesUncached(s, dir))
+  /** `trainWhere`: optional SQL predicate restricting the TRAINING sample
+    * (the q275 incremental case trains on the base corpus only); the
+    * assignment/encode replay always runs over ALL embeddings — exactly
+    * what build-on-base + append-increment produces with frozen
+    * codebooks.
+    */
+  private def ivfPqReplayCtes(s: SparkSession, dir: String,
+                              trainWhere: Option[String] = None): String =
+    ivfPqCtesCache.getOrElseUpdate(dir + trainWhere.mkString,
+      ivfPqReplayCtesUncached(s, dir, trainWhere))
 
-  private def ivfPqReplayCtesUncached(s: SparkSession, dir: String): String = {
-    val sample = Tables(s, dir, "embeddings")
+  private def ivfPqReplayCtesUncached(s: SparkSession, dir: String,
+                                      trainWhere: Option[String]): String = {
+    val src = Tables(s, dir, "embeddings")
+    val sample = trainWhere.fold(src)(w => src.filter(w))
       .select(col("vec_id"), col("embedding")).orderBy(col("vec_id"))
       .limit(100000).collect()
       .map(_.getSeq[Number](1).map(_.doubleValue()).toArray)
@@ -496,6 +506,16 @@ object DedupQueries {
 
   private def q99OracleGen(s: SparkSession, dir: String): String =
     s"""WITH ${ivfPqReplayCtes(s, dir)}
+       |SELECT qid, nid, round(adist, 4) AS adist, rn FROM r WHERE rn <= 5
+       |ORDER BY qid, rn""".stripMargin
+
+  /** q275 oracle GENERATOR: the q99 replay with the TRAINING sample
+    * restricted to the base corpus (vec_id % 3 != 0) while the encode
+    * replay covers all vectors — the frozen-codebook incremental-append
+    * equivalence.
+    */
+  private def q275OracleGen(s: SparkSession, dir: String): String =
+    s"""WITH ${ivfPqReplayCtes(s, dir, Some("vec_id % 3 != 0"))}
        |SELECT qid, nid, round(adist, 4) AS adist, rn FROM r WHERE rn <= 5
        |ORDER BY qid, rn""".stripMargin
 
@@ -998,6 +1018,36 @@ object DedupQueries {
       },
       None,
       oracleGen = Some(q99OracleGen _)),
+
+    // ---- INCREMENTAL IVF-PQ maintenance (Similarity.appendToIvfPqIndex):
+    // the index is built on the base corpus (vec_id % 3 != 0), the
+    // "daily increment" (vec_id % 3 = 0) is encoded against the FROZEN
+    // codebooks and appended to only the cell partitions it lands in —
+    // no retrain, no re-encode of the base — then served. The oracle
+    // trains on the base sample and replays assignment/encode over ALL
+    // vectors, which is exactly the frozen-codebook equivalence the
+    // append claims: build(base) + append(inc) == monolithic encode of
+    // base ∪ inc with base-trained constants. ----
+    Q("q275_ivfpq_incremental",
+      (s, dir) => {
+        val emb = t(s, dir, "embeddings")
+        val base = emb.filter(col("vec_id") % 3 =!= 0)
+          .select(col("vec_id").as("nid"), col("embedding").as("ne"))
+        val inc = emb.filter(col("vec_id") % 3 === 0)
+          .select(col("vec_id").as("nid"), col("embedding").as("ne"))
+        val q = emb.filter(col("vec_id") < 5)
+          .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+        val tmp = java.nio.file.Files
+          .createTempDirectory("graft_ivfpq_inc_").toString
+        Similarity.buildIvfPqIndex(base, tmp)
+        Similarity.appendToIvfPqIndex(inc, tmp)
+        Similarity.serveIvfPq(s, tmp, q, k = 5, nProbe = 4)
+          .select(col("qid"), col("nid"), round(col("adist"), 4).as("adist"),
+            col("rn"))
+          .orderBy(col("qid"), col("rn"))
+      },
+      None,
+      oracleGen = Some(q275OracleGen _)),
 
     // ---- G1 token chunker (size 30, overlap 5), content-hash checked. ----
     Q("q55_chunk",

@@ -327,6 +327,48 @@ object MiscQueries {
              |SELECT node, r FROM pr WHERE iter = 10
              |ORDER BY r DESC, node LIMIT 20""".stripMargin)),
 
+    // ---- Community detection: SYNCHRONOUS self-inclusive label
+    // propagation (Graph.labelPropagation) on the q128 commerce graph —
+    // 4 fixed rounds, most-frequent-neighbor-label with the
+    // smallest-label tie rule, every step integer arithmetic, so the
+    // oracle replays the rounds as a static 4-level unroll (the q156
+    // k-core discipline; synchronous LPA need not converge, so the
+    // round count is part of the operator's definition). ----
+    Q("q274_communities_lpa",
+      (s, dir) => {
+        val pairs = t(s, dir, "lineitem").select(col("l_orderkey"), col("l_suppkey"))
+          .join(t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey")),
+            col("l_orderkey") === col("o_orderkey"))
+          .select(col("o_custkey").as("cust"),
+            (col("l_suppkey") + 10000000L).as("supp"))
+          .distinct()
+        graft.operators.Graph.labelPropagation(
+            pairs, "cust", "supp", rounds = 4)
+          .orderBy(col("node"))
+      },
+      Some {
+        val roundCtes = (1 to 4).map { i =>
+          val prev = s"l${i - 1}"
+          s"""c$i AS (SELECT node, label, CAST(count(*) AS BIGINT) AS c
+             |  FROM (SELECT e.u AS node, l.label
+             |          FROM e JOIN $prev l ON l.node = e.v
+             |        UNION ALL SELECT node, label FROM $prev) x$i
+             |  GROUP BY 1, 2),
+             |l$i AS (SELECT node, label FROM (SELECT node, label,
+             |    row_number() OVER (PARTITION BY node
+             |      ORDER BY c DESC, label) AS rn
+             |  FROM c$i) y$i WHERE rn = 1)""".stripMargin
+        }.mkString(",\n")
+        s"""WITH pairs AS (SELECT DISTINCT CAST(o_custkey AS BIGINT) AS cust,
+           |    CAST(l_suppkey + 10000000 AS BIGINT) AS supp
+           |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+           |e AS (SELECT cust AS u, supp AS v FROM pairs
+           |      UNION SELECT supp, cust FROM pairs),
+           |l0 AS (SELECT DISTINCT v AS node, v AS label FROM e),
+           |$roundCtes
+           |SELECT node, label FROM l4 ORDER BY node""".stripMargin
+      }),
+
     // ---- Dangling-node PageRank: the same fixed-point operator on the
     // ONE-WAY commerce graph (cust -> supp only), where every supplier is
     // a dangling sink and every customer is uncited — the web/citation

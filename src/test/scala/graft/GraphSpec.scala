@@ -290,4 +290,22 @@ class GraphSpec extends SparkSpec {
     }
     assert(err.getMessage.contains("did not converge"))
   }
+
+  test("labelPropagation: bridged triangles split into their cliques; " +
+      "a 4-cycle settles without oscillation") {
+    // two triangles joined by one bridge edge — each triangle is its own
+    // community labeled by its minimum node
+    val tri = Seq((1L, 2L), (2L, 3L), (1L, 3L), (4L, 5L), (5L, 6L), (4L, 6L),
+      (3L, 4L)).toDF("s", "d")
+    val got = graft.operators.Graph.labelPropagation(tri, "s", "d", rounds = 4)
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L, 5L -> 4L, 6L -> 4L),
+      s"got $got")
+    // bipartite 4-cycle: pure-neighbor synchronous LPA would two-color and
+    // oscillate forever; the self-inclusive variant converges to one label
+    val cyc = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L)).toDF("s", "d")
+    val g2 = graft.operators.Graph.labelPropagation(cyc, "s", "d", rounds = 4)
+      .as[(Long, Long)].collect().toMap
+    assert(g2.values.toSet == Set(1L), s"4-cycle should unify on label 1, got $g2")
+  }
 }

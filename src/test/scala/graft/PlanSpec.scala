@@ -172,6 +172,43 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("IVF-PQ incremental append: chunked == one-shot, only touched cells " +
+      "gain files, base files untouched") {
+    import graft.operators.Similarity
+    val emb = Tables(spark, sfDir, "embeddings")
+    val base = emb.filter(col("vec_id") % 3 =!= 0)
+      .select(col("vec_id").as("nid"), col("embedding").as("ne"))
+    val inc = emb.filter(col("vec_id") % 3 === 0)
+      .select(col("vec_id").as("nid"), col("embedding").as("ne"))
+    val t1 = java.nio.file.Files.createTempDirectory("graft_inc1_").toString
+    val t2 = java.nio.file.Files.createTempDirectory("graft_inc2_").toString
+    Similarity.buildIvfPqIndex(base, t1)
+    Similarity.buildIvfPqIndex(base, t2)
+    // files present before the append — the append must not rewrite them
+    def files(p: String) = new java.io.File(s"$p/codes").listFiles()
+      .filter(_.isDirectory).flatMap(_.listFiles())
+      .filter(_.getName.endsWith(".parquet")).map(_.getPath).toSet
+    val before = files(t1)
+    // one-shot vs two-chunk append: final code rows must be identical
+    Similarity.appendToIvfPqIndex(inc, t1)
+    Similarity.appendToIvfPqIndex(inc.filter(col("nid") % 2 === 0), t2)
+    Similarity.appendToIvfPqIndex(inc.filter(col("nid") % 2 =!= 0), t2)
+    def codeRows(p: String) = spark.read.parquet(s"$p/codes")
+      .select(col("nid"), col("codes"), col("cell"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Int](1), r.getInt(2))).toSet
+    val (r1, r2) = (codeRows(t1), codeRows(t2))
+    assert(r1 == r2, "chunked append must equal one-shot append")
+    assert(r1.size == base.count() + inc.count(), "every vector indexed once")
+    assert(files(t1).intersect(before) == before,
+      "append must add files, never rewrite the base build's files")
+    // appended rows are encoded with the FROZEN constants: cells touched
+    // by the increment are exactly the increment's assignment cells
+    val incCells = r1.filter(t => t._1 % 3 == 0).map(_._3)
+    val newDirs = (files(t1) -- before).map(f =>
+      f.split("/").find(_.startsWith("cell=")).get.stripPrefix("cell=").toInt)
+    assert(newDirs == incCells, s"new files in $newDirs but increment cells $incCells")
+  }
+
   test("q50 minhash: single pair-generating exchange above the cached base") {
     withoutAqe {
       val p = plan(registry("q50_minhash_pairs")(spark, sfDir))
