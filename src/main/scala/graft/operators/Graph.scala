@@ -44,17 +44,23 @@ object Graph {
     * so nothing can read them again — but Spark only reclaims them when
     * driver GC happens to collect the Dataset, which on a long suite
     * (or a 1000-executor cluster) leaves `iters` node-sized block sets
-    * pinned in executor storage for the whole query. Only frames whose
-    * plan IS a checkpoint materialization (LogicalRDD) are touched, so
-    * calling it on the un-checkpointed init vector is a no-op; callers
-    * must only pass vectors with no live lazy readers (the rank→rank
-    * loops qualify; frontier-style loops do NOT — their next round
-    * lazily re-reads the previous vector).
+    * pinned in executor storage for the whole query. Frees ONLY when
+    * the frame's whole plan IS one checkpoint materialization
+    * (a bare LogicalRDD — exactly what `localCheckpoint(true)`
+    * returns): a round-1 call on the un-checkpointed init vector is
+    * then a guaranteed no-op even when the CALLER's input pipeline
+    * contains its own upstream localCheckpoints (collecting every
+    * LogicalRDD in the tree would free those too — live blocks the
+    * caller still reads; found by feeding a checkpointed edge list).
+    * Callers must only pass vectors with no live lazy readers (the
+    * rank→rank loops qualify; frontier-style loops do NOT — their next
+    * round lazily re-reads the previous vector).
     */
   private def freeDeadCheckpoint(df: DataFrame): Unit =
-    df.queryExecution.analyzed.collect {
-      case l: org.apache.spark.sql.execution.LogicalRDD => l
-    }.foreach(_.rdd.unpersist(false))
+    df.queryExecution.analyzed match {
+      case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd.unpersist(false)
+      case _ => ()
+    }
 
   /** Exact triangle counts and degrees per node of an UNDIRECTED graph
     * (direction and duplicates in the input edge list are ignored;
@@ -163,10 +169,14 @@ object Graph {
           val n = nodes.count()
           val init = scale / n
           val base = ((15L * scale) / 100L) / n
-          // node-sized, used by every iteration's contribution join —
-          // persisted so the per-iteration cost is the rank join + dst
-          // aggregate, not a fresh degree shuffle over the edge list
-          val deg = e.groupBy(col("src")).agg(count(lit(1)).as("od")).persist()
+          // the out-degree is a property of the STATIC edge list, so it is
+          // folded into the persisted (src-partitioned) edges ONCE —
+          // (src, dst, od) — instead of re-joined every round: the
+          // per-iteration cost is exactly one edge×rank join + one dst
+          // aggregate, nothing edge-sized beyond that
+          val ed = e
+            .join(e.groupBy(col("src")).agg(count(lit(1)).as("od")), "src")
+            .persist()
           try {
           var rank = nodes.select(col("node"), lit(init).as("r"))
           var i = 1
@@ -187,9 +197,8 @@ object Graph {
             // is gone), which on a 10-round run is the dominant fixed
             // cost at small SF and pure scheduler overhead at cluster
             // scale.
-            val contribs = e
+            val contribs = ed
               .join(rank.withColumnRenamed("node", "src"), "src")
-              .join(deg, "src")
               .select(col("dst").as("node"),
                 expr("(85 * r) div (100 * od)").as("c"))
               .groupBy(col("node"))
@@ -216,8 +225,9 @@ object Graph {
             // intervening iterations' joins inside each materialization
             // (rounds 1-3 re-execute as part of round 4's plan — ~2.5x the
             // minimum edge-join work over a 10-iteration run; this +
-            // the deg persist + the src pre-partition measured 12.6s ->
-            // 7.3s warm on the sf0.1 commerce graph). With an eager
+            // the degree-folded edge persist + the src pre-partition
+            // measured 12.6s -> 7.3s warm on the sf0.1 commerce graph,
+            // the r10 capture environment). With an eager
             // per-round checkpoint the total edge-join work is exactly
             // `iters`, and the dangling/convergence scalar aggregates read
             // a materialized node-sized vector either way.
@@ -237,7 +247,7 @@ object Graph {
             i += 1
           }
           (rank, ranIters)
-          } finally deg.unpersist(false)
+          } finally ed.unpersist(false)
         } finally dangling.unpersist(false)
       } finally nodes.unpersist(false)
     } finally e.unpersist(false)
@@ -286,24 +296,31 @@ object Graph {
             val nDangling = dangling.count()
             val init = scale / nSeeds
             val base = ((15L * scale) / 100L) / nSeeds
-            // persisted for the same reason as pageRankFixedConverged's deg
-            val deg = e.groupBy(col("src")).agg(count(lit(1)).as("od")).persist()
+            // degree folded into the persisted edges once — see
+            // pageRankFixedConverged's ed
+            val ed = e
+              .join(e.groupBy(col("src")).agg(count(lit(1)).as("od")), "src")
+              .persist()
             try {
-            val isSeed = seed.withColumn("__is", lit(1))
-            var rank = nodes.join(isSeed, Seq("node"), "left")
-              .select(col("node"),
-                when(col("__is") === 1, lit(init)).otherwise(lit(0L)).as("r"))
+            // node-sized (node, __is) vector computed ONCE: the seed-flag
+            // join is loop-invariant, so hoisting it saves one node-sized
+            // join per round (10 rounds = 10 joins on the default run)
+            val nodeSeed = nodes
+              .join(seed.withColumn("__is", lit(1)), Seq("node"), "left")
+              .select(col("node"), coalesce(col("__is"), lit(0)).as("__is"))
+              .persist()
+            try {
+            var rank = nodeSeed.select(col("node"),
+              when(col("__is") === 1, lit(init)).otherwise(lit(0L)).as("r"))
             var i = 1
             while (i <= iters) {
-              val contribs = e
+              val contribs = ed
                 .join(rank.withColumnRenamed("node", "src"), "src")
-                .join(deg, "src")
                 .select(col("dst").as("node"),
                   expr("(85 * r) div (100 * od)").as("c"))
                 .groupBy(col("node"))
                 .agg(sum(col("c")).as("s"))
-              val withC = nodes.join(contribs, Seq("node"), "left")
-                .join(isSeed, Seq("node"), "left")
+              val withC = nodeSeed.join(contribs, Seq("node"), "left")
               // dangling share folded into the round's checkpoint job as a
               // broadcast 1-row aggregate (one action per iteration instead
               // of two — see pageRankFixedConverged); here the share is
@@ -336,7 +353,8 @@ object Graph {
               i += 1
             }
             rank
-            } finally deg.unpersist(false)
+            } finally nodeSeed.unpersist(false)
+            } finally ed.unpersist(false)
           } finally dangling.unpersist(false)
         } finally seed.unpersist(false)
       } finally nodes.unpersist(false)
@@ -570,13 +588,16 @@ object Graph {
           val n = nodes.count()
           val init = scale / n
           val base = ((15L * scale) / 100L) / n
-          val wdeg = e.groupBy(col("src")).agg(sum(col("w")).as("wd")).persist()
+          // total out-weight folded into the persisted edges once — see
+          // pageRankFixedConverged's ed
+          val ed = e
+            .join(e.groupBy(col("src")).agg(sum(col("w")).as("wd")), "src")
+            .persist()
           try {
             var rank = nodes.select(col("node"), lit(init).as("r"))
             for (_ <- 1 to iters) {
-              val contribs = e
+              val contribs = ed
                 .join(rank.withColumnRenamed("node", "src"), "src")
-                .join(wdeg, "src")
                 .select(col("dst").as("node"),
                   expr("(85 * r * w) div (100 * wd)").as("c"))
                 .groupBy(col("node"))
@@ -604,7 +625,7 @@ object Graph {
               rank = materialized
             }
             rank
-          } finally wdeg.unpersist(false)
+          } finally ed.unpersist(false)
         } finally dangling.unpersist(false)
       } finally nodes.unpersist(false)
     } finally e.unpersist(false)
