@@ -291,6 +291,28 @@ class GraphSpec extends SparkSpec {
     assert(err.getMessage.contains("did not converge"))
   }
 
+  test("iteration loops never free a CALLER's upstream checkpoint") {
+    // regression: freeDeadCheckpoint used to collect every LogicalRDD in
+    // the plan, so round 1 (init rank still derived from the input) freed
+    // a localCheckpoint the caller's pipeline contained — later rounds
+    // then died with CHECKPOINT_RDD_BLOCK_ID_NOT_FOUND
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 1L), (3L, 4L), (4L, 5L))
+      .toDF("src", "dst").localCheckpoint(true)
+    val edges = pairs.unionByName(pairs.select($"dst".as("src"), $"src".as("dst")))
+    val viaCheckpointed = graft.operators.Graph
+      .pageRankFixed(edges, "src", "dst", iters = 6)
+      .as[(Long, Long)].collect().toMap
+    val plain = graft.operators.Graph.pageRankFixed(
+        Seq((1L, 2L), (2L, 3L), (3L, 1L), (3L, 4L), (4L, 5L), (2L, 1L),
+          (3L, 2L), (1L, 3L), (4L, 3L), (5L, 4L)).toDF("src", "dst"),
+        "src", "dst", iters = 6)
+      .as[(Long, Long)].collect().toMap
+    assert(viaCheckpointed == plain,
+      "checkpointed-input run must complete and match the plain run")
+    // and the caller's checkpoint must still be readable afterwards
+    assert(pairs.count() == 5L, "caller's checkpoint was freed by the loop")
+  }
+
   test("labelPropagation: bridged triangles split into their cliques; " +
       "a 4-cycle settles without oscillation") {
     // two triangles joined by one bridge edge — each triangle is its own
