@@ -499,6 +499,69 @@ object Similarity {
       .write.partitionBy("cell").mode("append").parquet(s"$path/codes")
   }
 
+  private def tombstonesOf(spark: org.apache.spark.sql.SparkSession,
+                           path: String): Option[DataFrame] = {
+    val p = new org.apache.hadoop.fs.Path(s"$path/tombstones")
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    if (fs.exists(p)) Some(spark.read.parquet(p.toString)) else None
+  }
+
+  /** LOGICAL delete from a persisted IVF-PQ index: ids append to a
+    * `path/tombstones` log; [[serveIvfPq]] anti-joins it (broadcast —
+    * the log is bounded by the compaction cadence, not the corpus) so
+    * deleted vectors stop being served IMMEDIATELY without touching a
+    * single codes file. [[compactIvfPqIndex]] later makes the delete
+    * physical. The delete/compact split is the standard lakehouse
+    * lifecycle: deletes are cheap and constant-time, the partition
+    * rewrite is batched and touches only cells that actually contain
+    * dead rows.
+    */
+  def tombstoneIvfPq(deletes: DataFrame, path: String,
+                     cId: String = "nid"): Unit =
+    deletes.select(col(cId)).distinct()
+      .write.mode("append").parquet(s"$path/tombstones")
+
+  /** PHYSICAL delete: rewrite exactly the `cell=` partitions that
+    * contain tombstoned rows (dynamic partition overwrite — untouched
+    * cells' files are never read or rewritten), drop partitions whose
+    * every row died (dynamic overwrite can't replace a partition the
+    * write produces no rows for — the q148 emptied-bucket discipline),
+    * then clear the tombstone log. Serving is equivalent before and
+    * after compaction (spec-pinned); a crash between the codes rewrite
+    * and the tombstone clear re-runs as a no-op rewrite of already-clean
+    * cells. The rewrite is materialized (localCheckpoint) before the
+    * overwrite so the job never reads the files it is replacing; the
+    * touched-cell volume per compaction is the memory bound — compact on
+    * a cadence that keeps it reasonable, as with any lakehouse table.
+    */
+  def compactIvfPqIndex(spark: org.apache.spark.sql.SparkSession,
+                        path: String, cId: String = "nid"): Unit = {
+    val tombOpt = tombstonesOf(spark, path)
+    if (tombOpt.isEmpty) return
+    val tomb = tombOpt.get.select(col(cId)).distinct().localCheckpoint(true)
+    val codes = spark.read.parquet(s"$path/codes")
+    val touched = codes.join(tomb, Seq(cId), "left_semi")
+      .select(col("cell")).distinct().collect().map(_.getInt(0))
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    if (touched.nonEmpty) {
+      val survivors = codes
+        .where(col("cell").isin(touched.map(Int.box): _*))
+        .join(tomb, Seq(cId), "left_anti")
+        .localCheckpoint(true)
+      survivors.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("cell")
+        .parquet(s"$path/codes")
+      val nonEmpty = survivors.select(col("cell")).distinct()
+        .collect().map(_.getInt(0)).toSet
+      touched.filterNot(nonEmpty).foreach { c =>
+        fs.delete(new org.apache.hadoop.fs.Path(s"$path/codes/cell=$c"), true)
+      }
+    }
+    fs.delete(new org.apache.hadoop.fs.Path(s"$path/tombstones"), true)
+  }
+
   /** ONLINE half: answer a query batch from a persisted `buildIvfPqIndex`
     * layout. The probe set is bounded (|queries| × nProbe), so the distinct
     * probed cell ids collect to the driver and push down as a STATIC
@@ -539,8 +602,12 @@ object Similarity {
           cbs)).as("dt"))
 
     val cellsHit = probed.select(col("cell")).distinct().collect().map(_.getInt(0))
-    val codes = spark.read.parquet(s"$path/codes")
+    val codesRaw = spark.read.parquet(s"$path/codes")
       .where(col("cell").isin(cellsHit.map(Int.box): _*))
+    // logical deletes ([[tombstoneIvfPq]]) drop out here, immediately and
+    // broadcast-cheap; [[compactIvfPqIndex]] makes them physical later
+    val codes = tombstonesOf(spark, path).fold(codesRaw)(t =>
+      codesRaw.join(broadcast(t.select(col(cId)).distinct()), Seq(cId), "left_anti"))
 
     val adist = (0 until m).map { mi =>
       element_at(element_at(col("dt"), mi + 1), element_at(col("codes"), mi + 1) + 1)

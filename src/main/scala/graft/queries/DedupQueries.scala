@@ -442,13 +442,20 @@ object DedupQueries {
     * what build-on-base + append-increment produces with frozen
     * codebooks.
     */
+  /** `serveExclude`: optional SQL predicate over `codes` dropped from the
+    * serving candidates (the q276 tombstone case) — the replay's encode
+    * still covers every vector; only the ANSWER path excludes, exactly
+    * like the tombstone anti-join.
+    */
   private def ivfPqReplayCtes(s: SparkSession, dir: String,
-                              trainWhere: Option[String] = None): String =
-    ivfPqCtesCache.getOrElseUpdate(dir + trainWhere.mkString,
-      ivfPqReplayCtesUncached(s, dir, trainWhere))
+                              trainWhere: Option[String] = None,
+                              serveExclude: Option[String] = None): String =
+    ivfPqCtesCache.getOrElseUpdate(dir + trainWhere.mkString + serveExclude.mkString,
+      ivfPqReplayCtesUncached(s, dir, trainWhere, serveExclude))
 
   private def ivfPqReplayCtesUncached(s: SparkSession, dir: String,
-                                      trainWhere: Option[String]): String = {
+                                      trainWhere: Option[String],
+                                      serveExclude: Option[String]): String = {
     val src = Tables(s, dir, "embeddings")
     val sample = trainWhere.fold(src)(w => src.filter(w))
       .select(col("vec_id"), col("embedding")).orderBy(col("vec_id"))
@@ -496,6 +503,7 @@ object DedupQueries {
        |pd AS (SELECT probed.qid, codes.nid, codes.m,
        |         ${l2res("probed.qr", "codes.m")} AS d
        |       FROM probed JOIN codes ON codes.cell = probed.cell AND codes.nid != probed.qid
+       |         AND (${serveExclude.fold("TRUE")(e => s"NOT ($e)")})
        |       JOIN cb ON cb.m = codes.m AND cb.c = codes.c),
        |ad AS (SELECT qid, nid, list_sum(list(d ORDER BY m)) AS adist
        |       FROM pd GROUP BY qid, nid),
@@ -516,6 +524,17 @@ object DedupQueries {
     */
   private def q275OracleGen(s: SparkSession, dir: String): String =
     s"""WITH ${ivfPqReplayCtes(s, dir, Some("vec_id % 3 != 0"))}
+       |SELECT qid, nid, round(adist, 4) AS adist, rn FROM r WHERE rn <= 5
+       |ORDER BY qid, rn""".stripMargin
+
+  /** q276 oracle GENERATOR: the q275 replay with tombstoned vectors
+    * (vec_id % 7 = 0) excluded from the SERVING candidates only — the
+    * delete must not shift anything about the index's constants or the
+    * surviving rows' codes.
+    */
+  private def q276OracleGen(s: SparkSession, dir: String): String =
+    s"""WITH ${ivfPqReplayCtes(s, dir, Some("vec_id % 3 != 0"),
+          serveExclude = Some("codes.nid % 7 = 0"))}
        |SELECT qid, nid, round(adist, 4) AS adist, rn FROM r WHERE rn <= 5
        |ORDER BY qid, rn""".stripMargin
 
@@ -1048,6 +1067,39 @@ object DedupQueries {
       },
       None,
       oracleGen = Some(q275OracleGen _)),
+
+    // ---- IVF-PQ DELETE lifecycle (tombstone + compact + serve): the
+    // q275 index with vec_id % 7 = 0 logically deleted, then physically
+    // compacted (only cells containing dead rows are rewritten; emptied
+    // cells' partitions dropped), then served. The oracle is the q275
+    // replay with tombstoned ids excluded from the serving candidates
+    // ONLY — a delete must not move the constants or any survivor's
+    // codes. Serving equivalence before/after compaction is spec-pinned
+    // in PlanSpec. ----
+    Q("q276_ivfpq_delete",
+      (s, dir) => {
+        val emb = t(s, dir, "embeddings")
+        val base = emb.filter(col("vec_id") % 3 =!= 0)
+          .select(col("vec_id").as("nid"), col("embedding").as("ne"))
+        val inc = emb.filter(col("vec_id") % 3 === 0)
+          .select(col("vec_id").as("nid"), col("embedding").as("ne"))
+        val q = emb.filter(col("vec_id") < 5)
+          .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+        val tmp = java.nio.file.Files
+          .createTempDirectory("graft_ivfpq_del_").toString
+        Similarity.buildIvfPqIndex(base, tmp)
+        Similarity.appendToIvfPqIndex(inc, tmp)
+        Similarity.tombstoneIvfPq(
+          emb.filter(col("vec_id") % 7 === 0).select(col("vec_id").as("nid")),
+          tmp)
+        Similarity.compactIvfPqIndex(s, tmp)
+        Similarity.serveIvfPq(s, tmp, q, k = 5, nProbe = 4)
+          .select(col("qid"), col("nid"), round(col("adist"), 4).as("adist"),
+            col("rn"))
+          .orderBy(col("qid"), col("rn"))
+      },
+      None,
+      oracleGen = Some(q276OracleGen _)),
 
     // ---- G1 token chunker (size 30, overlap 5), content-hash checked. ----
     Q("q55_chunk",

@@ -209,6 +209,55 @@ class PlanSpec extends SparkSpec {
     assert(newDirs == incCells, s"new files in $newDirs but increment cells $incCells")
   }
 
+  test("IVF-PQ delete lifecycle: tombstoned serve == compacted serve; " +
+      "emptied cells dropped; untouched cells' files unchanged") {
+    import graft.operators.Similarity
+    import spark.implicits._
+    val emb = Tables(spark, sfDir, "embeddings")
+    val corpus = emb.select(col("vec_id").as("nid"), col("embedding").as("ne"))
+    val queries = emb.filter(col("vec_id") < 3)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+    val tmp = java.nio.file.Files.createTempDirectory("graft_ivfpq_del_").toString
+    Similarity.buildIvfPqIndex(corpus, tmp)
+    def files() = new java.io.File(s"$tmp/codes").listFiles()
+      .filter(_.isDirectory).flatMap(d => d.listFiles()
+        .filter(_.getName.endsWith(".parquet")).map(f => (d.getName, f.getPath)))
+      .groupBy(_._1).map { case (k, v) => k -> v.map(_._2).toSet }
+    val before = files()
+    val codes0 = spark.read.parquet(s"$tmp/codes")
+      .select(col("nid"), col("cell")).collect().map(r => (r.getLong(0), r.getInt(1)))
+    // kill one whole cell plus every 7th id: exercises both the rewrite
+    // path and the emptied-partition drop
+    val victimCell = codes0.groupBy(_._2).minBy(_._2.length)._1
+    val dead = (codes0.filter(_._2 == victimCell).map(_._1) ++
+      codes0.map(_._1).filter(_ % 7 == 0)).distinct
+    Similarity.tombstoneIvfPq(dead.toSeq.toDF("nid"), tmp)
+    val logical = Similarity.serveIvfPq(spark, tmp, queries, k = 5)
+      .orderBy(col("qid"), col("rn")).collect().toSeq
+    assert(logical.nonEmpty &&
+      !logical.exists(r => dead.contains(r.getLong(1))),
+      "tombstoned ids must stop being served immediately")
+    Similarity.compactIvfPqIndex(spark, tmp)
+    val physical = Similarity.serveIvfPq(spark, tmp, queries, k = 5)
+      .orderBy(col("qid"), col("rn")).collect().toSeq
+    assert(logical == physical, "compaction must not change served answers")
+    assert(!new java.io.File(s"$tmp/tombstones").exists(),
+      "compaction must clear the tombstone log")
+    val after = files()
+    assert(!after.contains(s"cell=$victimCell"),
+      "a cell whose every row died must have its partition dropped")
+    // cells with no dead rows keep their exact files
+    val deadCells = codes0.filter(t => dead.contains(t._1)).map(_._2).toSet
+    before.keys.filterNot(k =>
+        deadCells.contains(k.stripPrefix("cell=").toInt)).foreach { k =>
+      assert(after(k) == before(k), s"untouched $k was rewritten")
+    }
+    val left = spark.read.parquet(s"$tmp/codes").select(col("nid"))
+      .collect().map(_.getLong(0)).toSet
+    assert(left.intersect(dead.toSet).isEmpty && left.size == codes0.length - dead.length,
+      "compaction must drop exactly the tombstoned rows")
+  }
+
   test("q50 minhash: single pair-generating exchange above the cached base") {
     withoutAqe {
       val p = plan(registry("q50_minhash_pairs")(spark, sfDir))
