@@ -719,9 +719,12 @@ object Graph {
     * normalized in-degree.
     *
     * Scale shape: per iteration, two edge-joins + grouped sums (shuffle
-    * ∝ edges, map-side partials) and two node-sized scalar aggregates
-    * (the dangling-share cost class); the edge list is src/dst
-    * partitioned once and reused; lineage cut per round.
+    * ∝ edges, map-side partials); each half-step's normalizer is folded
+    * into its checkpoint job as a broadcast 1-row aggregate over the
+    * already-checkpointed vector (one action per half-step, the
+    * q133/q220 dangling-share discipline — the zero-mass guard stays
+    * loud via raise_error); the edge list is src/dst partitioned once
+    * and reused; lineage cut per round.
     * Overflow budget: post-normalization vectors sum to ≤ scale, so a
     * per-node score ≤ scale and the renormalization numerator is
     * ≤ scale·maxdeg·scale — with the default `scale` = 10⁶, safe to
@@ -750,11 +753,19 @@ object Graph {
           // the old hub fed aRaw, which aFull's eager checkpoint just
           // consumed — dead from here (see freeDeadCheckpoint)
           freeDeadCheckpoint(hub)
-          val sA = aFull.agg(coalesce(sum(col("a")), lit(0L))).head().getLong(0)
-          require(sA > 0, "hits: authority mass vanished (no edges?)")
+          // normalizer folded into the checkpoint job as a broadcast 1-row
+          // aggregate over the ALREADY-CHECKPOINTED vector (cheap reread,
+          // never the edge join) — one action per half-step instead of
+          // two, the q220/q133 dangling-share discipline; the
+          // mass-vanished guard stays loud via raise_error instead of a
+          // driver-side require
           val oldAuth = auth
-          auth = aFull
-            .select(col("node"), expr(s"(a * ${scale}L) div ${sA}L").as("a"))
+          val sAdf = aFull.agg(coalesce(sum(col("a")), lit(0L)).as("__s"))
+          auth = aFull.crossJoin(broadcast(sAdf))
+            .select(col("node"), expr(
+              s"CASE WHEN __s > 0 THEN (a * ${scale}L) div __s " +
+                "ELSE raise_error('hits: authority mass vanished (no edges?)') END")
+              .cast("long").as("a"))
             .localCheckpoint(true)
           freeDeadCheckpoint(aFull)
           freeDeadCheckpoint(oldAuth)
@@ -763,10 +774,12 @@ object Graph {
           val hFull = nodes.join(hRaw, Seq("node"), "left")
             .select(col("node"), coalesce(col("h"), lit(0L)).as("h"))
             .localCheckpoint(true)
-          val sH = hFull.agg(coalesce(sum(col("h")), lit(0L))).head().getLong(0)
-          require(sH > 0, "hits: hub mass vanished (no edges?)")
-          hub = hFull
-            .select(col("node"), expr(s"(h * ${scale}L) div ${sH}L").as("h"))
+          val sHdf = hFull.agg(coalesce(sum(col("h")), lit(0L)).as("__s"))
+          hub = hFull.crossJoin(broadcast(sHdf))
+            .select(col("node"), expr(
+              s"CASE WHEN __s > 0 THEN (h * ${scale}L) div __s " +
+                "ELSE raise_error('hits: hub mass vanished (no edges?)') END")
+              .cast("long").as("h"))
             .localCheckpoint(true)
           freeDeadCheckpoint(hFull)
           i += 1
