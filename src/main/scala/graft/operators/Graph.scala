@@ -422,6 +422,82 @@ object Graph {
     } finally und.unpersist(false)
   }
 
+  /** EXACT modularity of a community assignment over an undirected
+    * graph — the standard partition-quality score (Newman):
+    *
+    *   Q = Σ_c [ m_c/m − (d_c/(2m))² ]
+    *
+    * with m the undirected edge count, m_c community c's internal edge
+    * count, d_c the sum of its members' degrees. Over the common
+    * denominator 4m² this is ONE integer rational:
+    *
+    *   Q = Σ_c (4·m·m_c − d_c²) / (4m²)
+    *
+    * so the score is exact-integer end-to-end: per-community
+    * contribution numerators are BIGINTs, the global numerator is their
+    * sum, and `q_ppm = sign(S)·((|S|·10⁶) div 4m²)` uses the abs/sign
+    * split so floor-vs-truncate division agrees in every engine (S is
+    * negative for worse-than-random partitions). Overflow budget:
+    * `4·m·m_c ≤ 4m²` and `|S|·10⁶ < 2⁶³` needs m < ~10⁶·√2.3 — beyond
+    * that, drop to per-million-edge units before scoring.
+    *
+    * Returns one row per community — `(label, n_nodes, m_in, d_tot,
+    * contrib_num)` — each carrying the global `m` and `q_ppm`
+    * (constant columns via a broadcast 1-row cross join, never a
+    * driver action). Nodes absent from `assign` are rejected loudly:
+    * a silently-dropped node would understate d_c and overstate Q.
+    *
+    * Scale shape: one symmetrize+distinct pass, one degree aggregate,
+    * one edge×assign join (both endpoints) + internal-edge aggregate,
+    * one community aggregate — shuffle ∝ edges, no iteration, no
+    * windows. The natural composition is [[labelPropagation]] → this
+    * (assign, then score the assignment).
+    */
+  def modularity(edges: DataFrame, srcCol: String, dstCol: String,
+                 assign: DataFrame, nodeCol: String,
+                 labelCol: String): DataFrame = {
+    val a0 = edges
+      .select(col(srcCol).cast("long").as("u"), col(dstCol).cast("long").as("v"))
+      .filter(col("u") =!= col("v"))
+    val und = a0
+      .select(least(col("u"), col("v")).as("u"),
+        greatest(col("u"), col("v")).as("v"))
+      .distinct()
+      .localCheckpoint(true)
+    val lbl = assign
+      .select(col(nodeCol).cast("long").as("node"), col(labelCol).as("lbl"))
+      .distinct()
+    val nodes = und.select(col("u").as("node"))
+      .unionByName(und.select(col("v").as("node"))).distinct()
+    require(nodes.join(lbl, Seq("node"), "left_anti").isEmpty,
+      "modularity: assignment is missing graph nodes — score would be wrong")
+    val deg = und.select(explode(array(col("u"), col("v"))).as("node"))
+      .groupBy(col("node")).agg(count(lit(1)).as("d"))
+    val dC = deg.join(lbl, "node")
+      .groupBy(col("lbl")).agg(sum(col("d")).as("d_tot"),
+        count(lit(1)).as("n_nodes"))
+    val mIn = und
+      .join(lbl.select(col("node").as("u"), col("lbl").as("lu")), "u")
+      .join(lbl.select(col("node").as("v"), col("lbl").as("lv")), "v")
+      .filter(col("lu") === col("lv"))
+      .groupBy(col("lu").as("lbl")).agg(count(lit(1)).as("m_in"))
+    val mDf = und.agg(count(lit(1)).as("m"))
+    val perC = dC.join(mIn, Seq("lbl"), "left")
+      .select(col("lbl").as("label"), col("n_nodes"),
+        coalesce(col("m_in"), lit(0L)).as("m_in"), col("d_tot"))
+      .crossJoin(broadcast(mDf))
+      .withColumn("contrib_num",
+        lit(4L) * col("m") * col("m_in") - col("d_tot") * col("d_tot"))
+    val qDf = perC.agg(sum(col("contrib_num")).as("__s"),
+      max(col("m")).as("__m"))
+      .select(
+        (signum(col("__s")).cast("long") *
+          expr("(abs(__s) * 1000000) div (4 * __m * __m)")).as("q_ppm"))
+    perC.crossJoin(broadcast(qDf))
+      .select(col("label"), col("n_nodes"), col("m_in"), col("d_tot"),
+        col("contrib_num"), col("m"), col("q_ppm"))
+  }
+
   /** Multi-source BFS hop distances over an undirected graph: for every
     * node reachable from `sources`, the MINIMUM number of edge hops from
     * any source (`dist`, sources themselves at 0). Distances are mins,

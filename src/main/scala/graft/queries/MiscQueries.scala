@@ -13,6 +13,49 @@ import graft.Tables
 object MiscQueries {
   private def t(s: SparkSession, dir: String, n: String): DataFrame = Tables(s, dir, n)
 
+  /** The q274 synchronous self-inclusive LPA replay over the symmetrized
+    * commerce graph, statically unrolled: CTEs `pairs`, `e` (u, v),
+    * `l0..l<rounds>` (node, label). Shared by q274 (the assignment) and
+    * q277 (its modularity).
+    */
+  private def lpaUnrollCtes(rounds: Int): String = {
+    val roundCtes = (1 to rounds).map { i =>
+      val prev = s"l${i - 1}"
+      s"""c$i AS (SELECT node, label, CAST(count(*) AS BIGINT) AS c
+         |  FROM (SELECT e.u AS node, l.label
+         |          FROM e JOIN $prev l ON l.node = e.v
+         |        UNION ALL SELECT node, label FROM $prev) x$i
+         |  GROUP BY 1, 2),
+         |l$i AS (SELECT node, label FROM (SELECT node, label,
+         |    row_number() OVER (PARTITION BY node
+         |      ORDER BY c DESC, label) AS rn
+         |  FROM c$i) y$i WHERE rn = 1)""".stripMargin
+    }.mkString(",\n")
+    s"""pairs AS (SELECT CAST(o_custkey AS BIGINT) AS cust,
+       |    CAST(l_suppkey + 10000000 AS BIGINT) AS supp
+       |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+       |  GROUP BY 1, 2 HAVING count(*) >= 2),
+       |e AS (SELECT cust AS u, supp AS v FROM pairs
+       |      UNION SELECT supp, cust FROM pairs),
+       |l0 AS (SELECT DISTINCT v AS node, v AS label FROM e),
+       |$roundCtes""".stripMargin
+  }
+
+  /** The q156 repeat-trade commerce graph (customer-supplier pairs with
+    * >= 2 lineitems) — sparse enough that LPA resolves MULTIPLE
+    * communities (the fully-dense q128 bipartite graph collapses to one
+    * label, a degenerate fixture for community queries).
+    */
+  private def repeatTradePairs(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem").select(col("l_orderkey"), col("l_suppkey"))
+      .join(t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey")),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_custkey").as("cust"),
+        (col("l_suppkey") + 10000000L).as("supp"))
+      .agg(count(lit(1)).as("w"))
+      .filter(col("w") >= 2)
+      .select(col("cust"), col("supp"))
+
   /** q133 oracle GENERATOR (the q57 inline-constants pattern): the
     * edge-contribution recursion replays in SQL exactly as q128's, while
     * the ten per-iteration dangling shares are inlined as integer literals
@@ -328,7 +371,7 @@ object MiscQueries {
              |ORDER BY r DESC, node LIMIT 20""".stripMargin)),
 
     // ---- Community detection: SYNCHRONOUS self-inclusive label
-    // propagation (Graph.labelPropagation) on the q128 commerce graph —
+    // propagation (Graph.labelPropagation) on the q156 repeat-trade graph —
     // 4 fixed rounds, most-frequent-neighbor-label with the
     // smallest-label tie rule, every step integer arithmetic, so the
     // oracle replays the rounds as a static 4-level unroll (the q156
@@ -336,38 +379,55 @@ object MiscQueries {
     // round count is part of the operator's definition). ----
     Q("q274_communities_lpa",
       (s, dir) => {
-        val pairs = t(s, dir, "lineitem").select(col("l_orderkey"), col("l_suppkey"))
-          .join(t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey")),
-            col("l_orderkey") === col("o_orderkey"))
-          .select(col("o_custkey").as("cust"),
-            (col("l_suppkey") + 10000000L).as("supp"))
-          .distinct()
+        val pairs = repeatTradePairs(s, dir)
         graft.operators.Graph.labelPropagation(
             pairs, "cust", "supp", rounds = 4)
           .orderBy(col("node"))
       },
-      Some {
-        val roundCtes = (1 to 4).map { i =>
-          val prev = s"l${i - 1}"
-          s"""c$i AS (SELECT node, label, CAST(count(*) AS BIGINT) AS c
-             |  FROM (SELECT e.u AS node, l.label
-             |          FROM e JOIN $prev l ON l.node = e.v
-             |        UNION ALL SELECT node, label FROM $prev) x$i
-             |  GROUP BY 1, 2),
-             |l$i AS (SELECT node, label FROM (SELECT node, label,
-             |    row_number() OVER (PARTITION BY node
-             |      ORDER BY c DESC, label) AS rn
-             |  FROM c$i) y$i WHERE rn = 1)""".stripMargin
-        }.mkString(",\n")
-        s"""WITH pairs AS (SELECT DISTINCT CAST(o_custkey AS BIGINT) AS cust,
-           |    CAST(l_suppkey + 10000000 AS BIGINT) AS supp
-           |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
-           |e AS (SELECT cust AS u, supp AS v FROM pairs
-           |      UNION SELECT supp, cust FROM pairs),
-           |l0 AS (SELECT DISTINCT v AS node, v AS label FROM e),
-           |$roundCtes
-           |SELECT node, label FROM l4 ORDER BY node""".stripMargin
-      }),
+      Some(s"""WITH ${lpaUnrollCtes(4)}
+              |SELECT node, label FROM l4 ORDER BY node""".stripMargin)),
+
+    // ---- Modularity of the q274 assignment (Graph.modularity): the
+    // partition-quality score as ONE exact-integer rational over the
+    // common denominator 4m² — per-community contribution numerators
+    // 4·m·m_c − d_c², global q_ppm with the abs/sign floored division.
+    // The natural composition: LPA assigns, modularity evaluates. The
+    // oracle chains the q274 unroll with the relational score. ----
+    Q("q277_modularity",
+      (s, dir) => {
+        val pairs = repeatTradePairs(s, dir)
+        val lbls = graft.operators.Graph.labelPropagation(
+          pairs, "cust", "supp", rounds = 4)
+        graft.operators.Graph.modularity(
+            pairs, "cust", "supp", lbls, "node", "label")
+          .orderBy(col("label"))
+      },
+      Some(s"""WITH ${lpaUnrollCtes(4)},
+              |und AS (SELECT DISTINCT least(u, v) AS u, greatest(u, v) AS v
+              |        FROM e),
+              |mm AS (SELECT CAST(count(*) AS BIGINT) AS m FROM und),
+              |deg AS (SELECT node, CAST(count(*) AS BIGINT) AS d
+              |  FROM (SELECT u AS node FROM und
+              |        UNION ALL SELECT v FROM und) dd GROUP BY 1),
+              |dc AS (SELECT l.label AS lbl, CAST(sum(deg.d) AS BIGINT) AS d_tot,
+              |         CAST(count(*) AS BIGINT) AS n_nodes
+              |       FROM deg JOIN l4 l USING (node) GROUP BY 1),
+              |mi AS (SELECT lu.label AS lbl, CAST(count(*) AS BIGINT) AS m_in
+              |       FROM und JOIN l4 lu ON lu.node = und.u
+              |                JOIN l4 lv ON lv.node = und.v
+              |       WHERE lu.label = lv.label GROUP BY 1),
+              |perc AS (SELECT dc.lbl AS label, dc.n_nodes,
+              |    COALESCE(mi.m_in, 0) AS m_in, dc.d_tot, mm.m,
+              |    4 * mm.m * COALESCE(mi.m_in, 0) - dc.d_tot * dc.d_tot
+              |      AS contrib_num
+              |  FROM dc LEFT JOIN mi USING (lbl) CROSS JOIN mm),
+              |qq AS (SELECT (CASE WHEN sum(contrib_num) < 0 THEN -1
+              |          WHEN sum(contrib_num) > 0 THEN 1 ELSE 0 END)
+              |        * ((abs(CAST(sum(contrib_num) AS BIGINT)) * 1000000)
+              |           // (4 * max(m) * max(m))) AS q_ppm
+              |       FROM perc)
+              |SELECT label, n_nodes, m_in, d_tot, contrib_num, m, q_ppm
+              |FROM perc CROSS JOIN qq ORDER BY label""".stripMargin)),
 
     // ---- Dangling-node PageRank: the same fixed-point operator on the
     // ONE-WAY commerce graph (cust -> supp only), where every supplier is

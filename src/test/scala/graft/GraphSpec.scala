@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.functions.{col, lit}
 
 import graft.operators.Graph
 
@@ -329,5 +329,31 @@ class GraphSpec extends SparkSpec {
     val g2 = graft.operators.Graph.labelPropagation(cyc, "s", "d", rounds = 4)
       .as[(Long, Long)].collect().toMap
     assert(g2.values.toSet == Set(1L), s"4-cycle should unify on label 1, got $g2")
+  }
+
+  test("modularity: exact integer score on bridged triangles; " +
+      "single-community and missing-node contracts") {
+    val tri = Seq((1L, 2L), (2L, 3L), (1L, 3L), (4L, 5L), (5L, 6L), (4L, 6L),
+      (3L, 4L)).toDF("s", "d")
+    val lbls = graft.operators.Graph.labelPropagation(tri, "s", "d", rounds = 4)
+    val got = graft.operators.Graph
+      .modularity(tri, "s", "d", lbls, "node", "label")
+      .orderBy($"label")
+      .as[(Long, Long, Long, Long, Long, Long, Long)].collect().toSeq
+    // m=7; each triangle community: m_in=3, d_tot=7 -> contrib 4*7*3-49=35;
+    // Q = 70/196 -> 357142 ppm (floored)
+    assert(got == Seq((1L, 3L, 3L, 7L, 35L, 7L, 357142L),
+      (4L, 3L, 3L, 7L, 35L, 7L, 357142L)), s"got $got")
+    // everything in ONE community: Q = (4*7*7 - 14*14)/(4*49) = 0 exactly
+    val one = lbls.select($"node", lit(0L).as("label"))
+    val q1 = graft.operators.Graph
+      .modularity(tri, "s", "d", one, "node", "label")
+      .select($"q_ppm").distinct().as[Long].collect().toSeq
+    assert(q1 == Seq(0L), s"one-community modularity must be 0, got $q1")
+    val err = intercept[IllegalArgumentException] {
+      graft.operators.Graph.modularity(tri, "s", "d",
+        lbls.filter($"node" =!= 3L), "node", "label").count()
+    }
+    assert(err.getMessage.contains("missing graph nodes"))
   }
 }
