@@ -561,4 +561,29 @@ object Dedup {
         round(VectorFns.cosine(col("a.__v"), col("b.__v")), 4).as("cosine"))
       .filter(col("cosine") >= threshold)
   }
+
+  /** BIPARTITE embedding matches — [[embeddingPairs]] across two corpora:
+    * every (left, right) pair sharing a hyperplane-LSH bucket with exact
+    * cosine ≥ threshold. The SEMANTIC decontamination primitive: n-gram
+    * decontamination (q101) misses a paraphrased benchmark answer whose
+    * surface tokens all changed; the embedding space catches it. Both
+    * sides bucket under the SAME planes (one broadcast-free scan each),
+    * the join is bucket-blocked so candidate work is ∝ per-bucket
+    * cross-products — at 100 TB the benchmark side is tiny, so its
+    * bucketed form broadcasts and the corpus never shuffles. Ids may
+    * collide across corpora; the pair key is (id_l, id_r).
+    */
+  def crossCorpusEmbeddingMatches(left: DataFrame, leftId: String,
+                                  right: DataFrame, rightId: String,
+                                  vecCol: String, threshold: Double = 0.95,
+                                  nBits: Int = 8): DataFrame = {
+    val bl = left.select(col(leftId).as("id_l"), col(vecCol).as("__vl"),
+      VectorFns.lshBucket(col(vecCol), nBits).as("__bkt"))
+    val br = right.select(col(rightId).as("id_r"), col(vecCol).as("__vr"),
+      VectorFns.lshBucket(col(vecCol), nBits).as("__bkt"))
+    bl.join(br, "__bkt")
+      .select(col("id_l"), col("id_r"),
+        round(VectorFns.cosine(col("__vl"), col("__vr")), 4).as("cosine"))
+      .filter(col("cosine") >= threshold)
+  }
 }

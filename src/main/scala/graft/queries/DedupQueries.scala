@@ -614,7 +614,58 @@ object DedupQueries {
        |SELECT id_a, id_b, cosine FROM p WHERE cosine >= 0.35 ORDER BY id_a, id_b""".stripMargin
   }
 
+  /** q278 oracle: the q53 hyperplane replay split bipartite (corpus
+    * vec_id % 5 != 0 vs benchmark % 5 = 0), aggregated to the per-corpus-
+    * vector keep decision.
+    */
+  private lazy val q278OracleSql: String = {
+    val bitExprs = Array.tabulate(4)(b =>
+      planeBitSql(graft.functions.VectorFns.planeFor(b, 64)))
+    s"""WITH b AS (SELECT vec_id, embedding,
+       |    [${bitExprs.mkString(",\n     ")}] AS bits
+       |  FROM embeddings),
+       |p AS (SELECT a.vec_id AS id_l, c.vec_id AS id_r
+       |  FROM b a JOIN b c ON a.bits = c.bits
+       |    AND a.vec_id % 5 <> 0 AND c.vec_id % 5 = 0
+       |  WHERE round(list_sum(list_transform(list_zip(a.embedding, c.embedding),
+       |        x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))
+       |      / (sqrt(list_sum(list_transform(a.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+       |       * sqrt(list_sum(list_transform(c.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 4) >= 0.35),
+       |h AS (SELECT id_l AS vec_id, CAST(count(*) AS BIGINT) AS n_hits
+       |      FROM p GROUP BY 1)
+       |SELECT e.vec_id, COALESCE(h.n_hits, 0) AS n_hits,
+       |  h.vec_id IS NULL AS keep
+       |FROM embeddings e LEFT JOIN h USING (vec_id)
+       |WHERE e.vec_id % 5 <> 0
+       |ORDER BY e.vec_id""".stripMargin
+  }
+
   def all: Seq[Q] = Seq(
+
+    // ---- SEMANTIC decontamination (Dedup.crossCorpusEmbeddingMatches):
+    // the embedding-level benchmark-leakage check — corpus vectors
+    // (vec_id % 5 != 0) vs a benchmark corpus (% 5 = 0), bucket-blocked
+    // under the shared hyperplanes, exact-cosine verified; a corpus doc
+    // with ANY benchmark match at cosine >= 0.35 is dropped. Catches the
+    // paraphrased leak q101's n-gram probe structurally misses. Oracle =
+    // the q53 plane replay split bipartite + the keep aggregation. ----
+    Q("q278_semantic_decontamination",
+      (s, dir) => {
+        val emb = t(s, dir, "embeddings")
+        val corpus = emb.filter(col("vec_id") % 5 =!= 0)
+        val bench = emb.filter(col("vec_id") % 5 === 0)
+        val hits = Dedup.crossCorpusEmbeddingMatches(
+            corpus, "vec_id", bench, "vec_id", "embedding",
+            threshold = 0.35, nBits = 4)
+          .groupBy(col("id_l").as("vec_id")).agg(count(lit(1)).as("n_hits"))
+        corpus.select(col("vec_id"))
+          .join(hits, Seq("vec_id"), "left")
+          .select(col("vec_id"),
+            coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+            col("n_hits").isNull.as("keep"))
+          .orderBy(col("vec_id"))
+      },
+      Some(q278OracleSql)),
 
     // ---- MinHash+LSH near-dup candidate pairs, Jaccard-verified. ----
     Q("q50_minhash_pairs",
