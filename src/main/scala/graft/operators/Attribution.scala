@@ -79,20 +79,26 @@ object Attribution {
     val ends = kept.withColumn("rr", row_number().over(wkd))
       .filter(col("rr") === 1 && col("st") =!= "CONV")
       .select(col("st").as("i"), lit("NULL").as("j"))
+    // persisted across the two actions below (guard count + collect) so
+    // the heavy journey pipeline — two window passes, join, three-way
+    // union, aggregate — runs ONCE, not once per action
     val m = consec.unionByName(starts).unionByName(ends)
       .groupBy(col("i"), col("j")).agg(count(lit(1)).as("n"))
-
-    // bounded driver artifact: (states+3)^2 rows at most — but PROVE the
-    // bound DISTRIBUTED before collecting, or a high-cardinality state
-    // column would pull the full matrix onto the driver just to fail the
-    // require (the guard must run before the risk it guards against)
-    val nStates = m.select(col("i").as("s"))
-      .unionByName(m.select(col("j").as("s"))).distinct().count()
-    require(nStates <= maxStates,
-      s"markovRemoval: $nStates states exceeds maxStates=$maxStates")
-    val rows = m.collect().map(r0 =>
-      (r0.getString(0), r0.getString(1), r0.getLong(2)))
-    val states = (rows.map(_._1) ++ rows.map(_._2)).distinct
+      .persist()
+    val (rows, states) = try {
+      // bounded driver artifact: (states+3)^2 rows at most — but PROVE
+      // the bound DISTRIBUTED before collecting, or a high-cardinality
+      // state column would pull the full matrix onto the driver just to
+      // fail the require (the guard must run before the risk it guards
+      // against)
+      val nStates = m.select(col("i").as("s"))
+        .unionByName(m.select(col("j").as("s"))).distinct().count()
+      require(nStates <= maxStates,
+        s"markovRemoval: $nStates states exceeds maxStates=$maxStates")
+      val rs = m.collect().map(r0 =>
+        (r0.getString(0), r0.getString(1), r0.getLong(2)))
+      (rs, (rs.map(_._1) ++ rs.map(_._2)).distinct)
+    } finally m.unpersist(false)
     val rowTot = rows.groupBy(_._1).map { case (i, rs) => i -> rs.map(_._3).sum }
     val channels = rows.map(_._1).distinct.filter(_ != "START").sorted
 

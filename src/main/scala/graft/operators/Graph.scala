@@ -178,6 +178,12 @@ object Graph {
             .join(e.groupBy(col("src")).agg(count(lit(1)).as("od")), "src")
             .persist()
           try {
+          // materialize ed and drop the raw edge cache NOW: the loop reads
+          // only ed/nodes/dangling (all independently materialized above),
+          // so holding both edge-sized caches would double the storage
+          // footprint for the whole iteration
+          ed.count()
+          e.unpersist(false)
           var rank = nodes.select(col("node"), lit(init).as("r"))
           var i = 1
           var ranIters = 0
@@ -310,6 +316,9 @@ object Graph {
               .select(col("node"), coalesce(col("__is"), lit(0)).as("__is"))
               .persist()
             try {
+            // see pageRankFixedConverged: one edge-sized cache, not two
+            ed.count()
+            e.unpersist(false)
             var rank = nodeSeed.select(col("node"),
               when(col("__is") === 1, lit(init)).otherwise(lit(0L)).as("r"))
             var i = 1
@@ -471,6 +480,12 @@ object Graph {
       .unionByName(und.select(col("v").as("node"))).distinct()
     require(nodes.join(lbl, Seq("node"), "left_anti").isEmpty,
       "modularity: assignment is missing graph nodes — score would be wrong")
+    // equally loud for the dual case: a node carrying TWO labels would
+    // double-count its degree (and shared-label internal edges) and
+    // silently corrupt Q
+    require(lbl.groupBy(col("node")).agg(count(lit(1)).as("__c"))
+        .filter(col("__c") > 1L).isEmpty,
+      "modularity: a node has multiple labels — assignment must be a partition")
     val deg = und.select(explode(array(col("u"), col("v"))).as("node"))
       .groupBy(col("node")).agg(count(lit(1)).as("d"))
     val dC = deg.join(lbl, "node")
@@ -670,6 +685,9 @@ object Graph {
             .join(e.groupBy(col("src")).agg(sum(col("w")).as("wd")), "src")
             .persist()
           try {
+            // see pageRankFixedConverged: one edge-sized cache, not two
+            ed.count()
+            e.unpersist(false)
             var rank = nodes.select(col("node"), lit(init).as("r"))
             for (_ <- 1 to iters) {
               val contribs = ed
@@ -814,6 +832,10 @@ object Graph {
       .distinct()
       .repartition(col("src")).persist()
     try {
+      // loud up front: with zero rows the per-row raise_error guard below
+      // never evaluates (a projection over no rows), so an edge-less
+      // input would otherwise return an empty result silently
+      require(!e.isEmpty, "hits: no edges — nothing to rank")
       val nodes = e.select(col("src").as("node"))
         .union(e.select(col("dst").as("node"))).distinct().persist()
       try {

@@ -486,7 +486,19 @@ object Similarity {
     */
   def appendToIvfPqIndex(increment: DataFrame, path: String,
                          cId: String = "nid", cVec: String = "ne"): Unit = {
-    val spark = increment.sparkSession
+    val (cents, cbs) = loadIvfPqConstants(increment.sparkSession, path)
+    encodeIvfPq(increment, cents, cbs, cId, cVec)
+      .write.partitionBy("cell").mode("append").parquet(s"$path/codes")
+  }
+
+  /** Decode the persisted index's frozen constants — nCells + m·kSub
+    * rows, driver-resident by design. ONE decoder shared by serving and
+    * appending: the two must agree on the layout or an appended index
+    * silently disagrees with a served one.
+    */
+  private def loadIvfPqConstants(spark: org.apache.spark.sql.SparkSession,
+                                 path: String)
+      : (Array[Array[Double]], Array[Array[Array[Double]]]) = {
     import spark.implicits._
     val cents = spark.read.parquet(s"$path/centroids").as[(Int, Seq[Double])]
       .collect().sortBy(_._1).map(_._2.toArray)
@@ -495,8 +507,7 @@ object Similarity {
     val m = cbRows.iterator.map(_._1).max + 1
     val cbs = Array.tabulate(m)(mi =>
       cbRows.filter(_._1 == mi).sortBy(_._2).map(_._3.toArray))
-    encodeIvfPq(increment, cents, cbs, cId, cVec)
-      .write.partitionBy("cell").mode("append").parquet(s"$path/codes")
+    (cents, cbs)
   }
 
   private def tombstonesOf(spark: org.apache.spark.sql.SparkSession,
@@ -538,28 +549,40 @@ object Similarity {
                         path: String, cId: String = "nid"): Unit = {
     val tombOpt = tombstonesOf(spark, path)
     if (tombOpt.isEmpty) return
-    val tomb = tombOpt.get.select(col(cId)).distinct().localCheckpoint(true)
-    val codes = spark.read.parquet(s"$path/codes")
-    val touched = codes.join(tomb, Seq(cId), "left_semi")
-      .select(col("cell")).distinct().collect().map(_.getInt(0))
-    val fs = new org.apache.hadoop.fs.Path(path)
-      .getFileSystem(spark.sessionState.newHadoopConf())
-    if (touched.nonEmpty) {
-      val survivors = codes
-        .where(col("cell").isin(touched.map(Int.box): _*))
-        .join(tomb, Seq(cId), "left_anti")
-        .localCheckpoint(true)
-      survivors.write.mode("overwrite")
-        .option("partitionOverwriteMode", "dynamic")
-        .partitionBy("cell")
-        .parquet(s"$path/codes")
-      val nonEmpty = survivors.select(col("cell")).distinct()
-        .collect().map(_.getInt(0)).toSet
-      touched.filterNot(nonEmpty).foreach { c =>
-        fs.delete(new org.apache.hadoop.fs.Path(s"$path/codes/cell=$c"), true)
+    // a checkpoint's blocks stay pinned until driver GC unless freed
+    // explicitly (the Graph.freeDeadCheckpoint lesson) — on a periodic
+    // compaction cadence that leak compounds per run
+    def freeCheckpoint(df: DataFrame): Unit =
+      df.queryExecution.analyzed match {
+        case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd.unpersist(false)
+        case _ => ()
       }
-    }
-    fs.delete(new org.apache.hadoop.fs.Path(s"$path/tombstones"), true)
+    val tomb = tombOpt.get.select(col(cId)).distinct().localCheckpoint(true)
+    try {
+      val codes = spark.read.parquet(s"$path/codes")
+      val touched = codes.join(tomb, Seq(cId), "left_semi")
+        .select(col("cell")).distinct().collect().map(_.getInt(0))
+      val fs = new org.apache.hadoop.fs.Path(path)
+        .getFileSystem(spark.sessionState.newHadoopConf())
+      if (touched.nonEmpty) {
+        val survivors = codes
+          .where(col("cell").isin(touched.map(Int.box): _*))
+          .join(tomb, Seq(cId), "left_anti")
+          .localCheckpoint(true)
+        try {
+          survivors.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("cell")
+            .parquet(s"$path/codes")
+          val nonEmpty = survivors.select(col("cell")).distinct()
+            .collect().map(_.getInt(0)).toSet
+          touched.filterNot(nonEmpty).foreach { c =>
+            fs.delete(new org.apache.hadoop.fs.Path(s"$path/codes/cell=$c"), true)
+          }
+        } finally freeCheckpoint(survivors)
+      }
+      fs.delete(new org.apache.hadoop.fs.Path(s"$path/tombstones"), true)
+    } finally freeCheckpoint(tomb)
   }
 
   /** ONLINE half: answer a query batch from a persisted `buildIvfPqIndex`
@@ -578,14 +601,8 @@ object Similarity {
                  cId: String = "nid"): DataFrame = {
     import org.apache.spark.sql.GraftShim.{column, expression}
     import spark.implicits._
-    // codebooks: nCells + m*kSub rows — driver-resident by design
-    val cents = spark.read.parquet(s"$path/centroids").as[(Int, Seq[Double])]
-      .collect().sortBy(_._1).map(_._2.toArray)
-    val cbRows = spark.read.parquet(s"$path/codebooks").as[(Int, Int, Seq[Double])]
-      .collect()
-    val m = cbRows.iterator.map(_._1).max + 1
-    val cbs = Array.tabulate(m)(mi =>
-      cbRows.filter(_._1 == mi).sortBy(_._2).map(_._3.toArray))
+    val (cents, cbs) = loadIvfPqConstants(spark, path)
+    val m = cbs.length
     val centroids = cents.zipWithIndex.map { case (v, i) => (i, v.toSeq) }
       .toSeq.toDF("cell", "cvec")
 

@@ -450,7 +450,8 @@ object DedupQueries {
   private def ivfPqReplayCtes(s: SparkSession, dir: String,
                               trainWhere: Option[String] = None,
                               serveExclude: Option[String] = None): String =
-    ivfPqCtesCache.getOrElseUpdate(dir + trainWhere.mkString + serveExclude.mkString,
+    ivfPqCtesCache.getOrElseUpdate(
+      s"$dir|t=${trainWhere.mkString}|x=${serveExclude.mkString}",
       ivfPqReplayCtesUncached(s, dir, trainWhere, serveExclude))
 
   private def ivfPqReplayCtesUncached(s: SparkSession, dir: String,

@@ -355,5 +355,19 @@ class GraphSpec extends SparkSpec {
         lbls.filter($"node" =!= 3L), "node", "label").count()
     }
     assert(err.getMessage.contains("missing graph nodes"))
+    val err2 = intercept[IllegalArgumentException] {
+      graft.operators.Graph.modularity(tri, "s", "d",
+        lbls.unionByName(Seq((3L, 99L)).toDF("node", "label")),
+        "node", "label").count()
+    }
+    assert(err2.getMessage.contains("multiple labels"))
+  }
+
+  test("hits: edge-less input fails loudly, not silently empty") {
+    val err = intercept[IllegalArgumentException] {
+      graft.operators.Graph.hits(
+        Seq.empty[(Long, Long)].toDF("s", "d"), "s", "d")
+    }
+    assert(err.getMessage.contains("no edges"))
   }
 }
