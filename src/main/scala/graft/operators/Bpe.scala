@@ -192,6 +192,43 @@ object Bpe {
     }.mkString.trim
   }
 
+  /** DISTRIBUTED decode — the inspection/debugging inverse of [[encode]]
+    * (what did sequence X actually say?): the per-symbol piece mapping of
+    * [[decode]] is precomputed driver-side into a vocab-sized broadcast
+    * dim, each id row joins its piece, and documents reassemble in token
+    * order. Unknown ids drop exactly as [[decode]]'s flatMap does; a doc
+    * whose every id is unknown (or whose id array is empty) is absent.
+    * Output: `(idCol, text_decoded)`.
+    *
+    * Scale shape: posexplode + broadcast join + one doc-keyed regroup —
+    * ONE token-scale shuffle, the price of order-preserving reassembly
+    * (unlike [[encode]]'s zero-shuffle narrow map, which never needs to
+    * regroup because it transforms arrays in place). Decode is the
+    * diagnostic path — typically run on a sample, not the corpus.
+    */
+  def decodeDf(df: DataFrame, idCol: String, idsCol: String,
+               model: Model): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val pieces = model.vocab.toSeq.map { case (s, i) =>
+      val out = s match {
+        case Eow => " "
+        case x if x.length > Eow.length && x.endsWith(Eow) =>
+          x.dropRight(Eow.length) + " "
+        case x => x
+      }
+      (i, out)
+    }.toDF("__tid", "__piece")
+    df.select(col(idCol), posexplode(col(idsCol).cast("array<long>"))
+        .as(Seq("__pos", "__tid")))
+      .join(broadcast(pieces), Seq("__tid"))
+      .groupBy(col(idCol))
+      .agg(trim(array_join(transform(
+        array_sort(collect_list(struct(col("__pos").as("p"),
+          col("__piece").as("s")))),
+        x => x.getField("s")), "")).as("text_decoded"))
+  }
+
   /** Per-executor memo cache for [[encodeWord]]: the greedy merge loop
     * runs once per distinct word PER EXECUTOR instead of once per token
     * occurrence. Bounded so a pathological vocabulary can't OOM an

@@ -775,6 +775,31 @@ object TextQueries {
       None,
       oracleGen = Some(q116OracleGen _)),
 
+    // ---- BPE decode ROUND-TRIP (Bpe.decodeDf): the q116 encoding decoded
+    // back distributed — broadcast piece dim, token-order reassembly —
+    // and compared against the canonical whitespace-tokenized text. The
+    // tokenizer trains on the corpus it encodes, so every character is in
+    // vocabulary and the round-trip law decode(encode(text)) == canon
+    // holds exactly; `ok` makes the law itself the hash-verified output.
+    // Oracle = the q116 dictionary augmented with each word's driver-side
+    // decode, reassembled per doc in SQL. ----
+    Q("q279_bpe_roundtrip",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val model = graft.operators.Bpe.train(docs, "text", numMerges = 40)
+        val enc = graft.operators.Bpe.encode(docs, "doc_id", "text", model)
+        val dec = graft.operators.Bpe.decodeDf(enc, "doc_id", "ids", model)
+        val canon = docs.select(col("doc_id"),
+            concat_ws(" ", TextFns.tokens(lower(col("text")))).as("canon"))
+        dec.join(canon, "doc_id")
+          .select(col("doc_id"),
+            length(col("text_decoded")).cast("long").as("n_chars_decoded"),
+            (col("text_decoded") === col("canon")).as("ok"))
+          .orderBy(col("doc_id"))
+      },
+      None,
+      oracleGen = Some(q279OracleGen _)),
+
     // ---- Sequence packing re-based on BPE subword counts (the VERDICT-r5
     // ask): identical two-phase distributed exclusive scan as q103, but the
     // per-document token count comes from the learned tokenizer, which is
@@ -1503,6 +1528,44 @@ object TextQueries {
        |  CAST(sum(n_unk_w) AS BIGINT) AS n_unk
        |FROM j GROUP BY doc_id ORDER BY doc_id""".stripMargin
       .replace("__DICT__", bpeDictRows(s, dir))
+
+  /** q279 oracle GENERATOR: per-word driver-side decode of the trained
+    * encoding inlined as a VALUES dict; DuckDB independently replays the
+    * distributed part (tokenize, dict join, position-ordered reassembly,
+    * canonical compare). Word-joined reassembly equals the piece-stream
+    * decode exactly because the corpus-trained vocabulary has no unknown
+    * ids (every character was seen in training).
+    */
+  private def q279OracleGen(s: SparkSession, dir: String): String = {
+    val docs = t(s, dir, "documents")
+    val model = graft.operators.Bpe.train(docs, "text", numMerges = 40)
+    val words = docs
+      .select(explode(TextFns.tokens(lower(col("text")))).as("w"))
+      .distinct().orderBy(col("w")).collect().map(_.getString(0))
+    require(words.nonEmpty, "bpe oracle: empty corpus")
+    val rows = words.map { w =>
+      val dec = graft.operators.Bpe.decode(
+        graft.operators.Bpe.encodeWord(w, model).toSeq, model)
+      s"('${w.replace("'", "''")}', '${dec.replace("'", "''")}')"
+    }.mkString(",\n    ")
+    """WITH dict(word, dec) AS (VALUES
+      |    __DICT__),
+      |d AS (SELECT doc_id,
+      |        CASE WHEN length(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
+      |             ELSE string_split_regex(lower(trim(text)), '\s+') END AS toks
+      |      FROM documents),
+      |tok AS (SELECT doc_id, unnest(generate_series(1, len(toks))) AS pos, toks
+      |        FROM d WHERE len(toks) > 0),
+      |j AS (SELECT doc_id, pos, toks[pos] AS word FROM tok),
+      |r AS (SELECT j.doc_id,
+      |        array_to_string(list(dict.dec ORDER BY j.pos), ' ') AS dec_text,
+      |        array_to_string(list(j.word ORDER BY j.pos), ' ') AS canon
+      |      FROM j JOIN dict USING (word) GROUP BY j.doc_id)
+      |SELECT doc_id, CAST(length(dec_text) AS BIGINT) AS n_chars_decoded,
+      |  dec_text = canon AS ok
+      |FROM r ORDER BY doc_id""".stripMargin
+      .replace("__DICT__", rows)
+  }
 
   private def q117OracleGen(s: SparkSession, dir: String): String =
     """WITH dict(word, sub_str, n_sub, n_unk_w) AS (VALUES

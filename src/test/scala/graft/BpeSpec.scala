@@ -129,4 +129,27 @@ class BpeSpec extends SparkSpec {
       .as[(Long, String, Long)].collect().toSeq
     assert(streamed == batch, s"stream/batch token divergence: $streamed vs $batch")
   }
+
+  test("decodeDf round-trips encode and matches the driver decode") {
+    val rows = Seq((1L, "low lower newest"), (2L, "widest lowest low"),
+      (3L, "low"))
+    val m = Bpe.trainOnCounts(corpus, numMerges = 6)
+    val df = rows.toDF("doc_id", "text")
+    val enc = Bpe.encode(df, "doc_id", "text", m)
+    val dec = Bpe.decodeDf(enc, "doc_id", "ids", m)
+      .orderBy("doc_id").as[(Long, String)].collect().toSeq
+    assert(dec == rows.map { case (id, t) => (id, t) },
+      s"round trip broke: $dec")
+    // distributed decode == driver decode on the same id sequences
+    val encRows = enc.select(col("doc_id"), col("ids"))
+      .orderBy("doc_id").as[(Long, Seq[Long])].collect()
+    val driver = encRows.map { case (id, ids) => (id, Bpe.decode(ids, m)) }.toSeq
+    assert(dec == driver, s"distributed vs driver decode: $dec vs $driver")
+    // unknown ids drop, matching the driver's flatMap
+    val withUnk = enc.withColumn("ids",
+      concat(col("ids"), array(lit(999999L))))
+    val dec2 = Bpe.decodeDf(withUnk, "doc_id", "ids", m)
+      .orderBy("doc_id").as[(Long, String)].collect().toSeq
+    assert(dec2 == dec, "unknown ids must drop silently like Bpe.decode")
+  }
 }
