@@ -513,6 +513,69 @@ object Graph {
         col("contrib_num"), col("m"), col("q_ppm"))
   }
 
+  /** EXACT per-community conductance — the local counterpart of
+    * [[modularity]]'s global score: for community c,
+    *
+    *   φ(c) = cut(c) / min(vol(c), vol(V) − vol(c))
+    *
+    * with cut(c) the number of undirected edges with exactly one end in
+    * c and vol the degree sum (vol(V) = 2m). Low φ = a well-separated
+    * community; the screening metric for "is this cluster real or an
+    * artifact of the assignment". Exact integers end-to-end:
+    * `cond_ppm = (cut·10⁶) div min(d_tot, 2m − d_tot)`, with the
+    * whole-graph community (denominator 0, cut 0) defined as 0. Same
+    * partition contract and loud guards as [[modularity]].
+    *
+    * Scale shape: one symmetrize+distinct pass, one degree aggregate,
+    * one edge×assign join + per-community cut/internal counts — shuffle
+    * ∝ edges, no iteration. Returns `(label, n_nodes, cut, d_tot,
+    * cond_ppm)`.
+    */
+  def conductance(edges: DataFrame, srcCol: String, dstCol: String,
+                  assign: DataFrame, nodeCol: String,
+                  labelCol: String): DataFrame = {
+    val a0 = edges
+      .select(col(srcCol).cast("long").as("u"), col(dstCol).cast("long").as("v"))
+      .filter(col("u") =!= col("v"))
+    val und = a0
+      .select(least(col("u"), col("v")).as("u"),
+        greatest(col("u"), col("v")).as("v"))
+      .distinct()
+      .localCheckpoint(true)
+    val lbl = assign
+      .select(col(nodeCol).cast("long").as("node"), col(labelCol).as("lbl"))
+      .distinct()
+    val nodes = und.select(col("u").as("node"))
+      .unionByName(und.select(col("v").as("node"))).distinct()
+    require(nodes.join(lbl, Seq("node"), "left_anti").isEmpty,
+      "conductance: assignment is missing graph nodes — score would be wrong")
+    require(lbl.groupBy(col("node")).agg(count(lit(1)).as("__c"))
+        .filter(col("__c") > 1L).isEmpty,
+      "conductance: a node has multiple labels — assignment must be a partition")
+    val deg = und.select(explode(array(col("u"), col("v"))).as("node"))
+      .groupBy(col("node")).agg(count(lit(1)).as("d"))
+    val dC = deg.join(lbl, "node")
+      .groupBy(col("lbl")).agg(sum(col("d")).as("d_tot"),
+        count(lit(1)).as("n_nodes"))
+    // a boundary edge (lu != lv) contributes to BOTH sides' cuts
+    val tagged = und
+      .join(lbl.select(col("node").as("u"), col("lbl").as("lu")), "u")
+      .join(lbl.select(col("node").as("v"), col("lbl").as("lv")), "v")
+      .filter(col("lu") =!= col("lv"))
+    val cuts = tagged.select(col("lu").as("lbl"))
+      .unionByName(tagged.select(col("lv").as("lbl")))
+      .groupBy(col("lbl")).agg(count(lit(1)).as("cut"))
+    val mDf = und.agg((count(lit(1)) * 2L).as("vol_all"))
+    dC.join(cuts, Seq("lbl"), "left")
+      .crossJoin(broadcast(mDf))
+      .withColumn("cut", coalesce(col("cut"), lit(0L)))
+      .select(col("lbl").as("label"), col("n_nodes"), col("cut"),
+        col("d_tot"),
+        expr("""CASE WHEN least(d_tot, vol_all - d_tot) = 0 THEN CAST(0 AS BIGINT)
+                ELSE (cut * 1000000) div least(d_tot, vol_all - d_tot)
+                END""").as("cond_ppm"))
+  }
+
   /** Multi-source BFS hop distances over an undirected graph: for every
     * node reachable from `sources`, the MINIMUM number of edge hops from
     * any source (`dist`, sources themselves at 0). Distances are mins,

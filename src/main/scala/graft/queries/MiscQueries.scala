@@ -429,6 +429,47 @@ object MiscQueries {
               |SELECT label, n_nodes, m_in, d_tot, contrib_num, m, q_ppm
               |FROM perc CROSS JOIN qq ORDER BY label""".stripMargin)),
 
+    // ---- Per-community conductance (Graph.conductance) of the q274
+    // assignment: cut / min(vol, 2m − vol) in exact integer ppm — the
+    // LOCAL separation score beside q277's global modularity (a low-φ
+    // community is genuinely separated; a high-φ one is an assignment
+    // artifact). Same oracle skeleton: the LPA unroll + the relational
+    // cut/volume counts. ----
+    Q("q280_conductance",
+      (s, dir) => {
+        val pairs = repeatTradePairs(s, dir)
+        val lbls = graft.operators.Graph.labelPropagation(
+          pairs, "cust", "supp", rounds = 4)
+        graft.operators.Graph.conductance(
+            pairs, "cust", "supp", lbls, "node", "label")
+          .orderBy(col("label"))
+      },
+      Some(s"""WITH ${lpaUnrollCtes(4)},
+              |und AS (SELECT DISTINCT least(u, v) AS u, greatest(u, v) AS v
+              |        FROM e),
+              |mm AS (SELECT CAST(2 * count(*) AS BIGINT) AS vol_all FROM und),
+              |deg AS (SELECT node, CAST(count(*) AS BIGINT) AS d
+              |  FROM (SELECT u AS node FROM und
+              |        UNION ALL SELECT v FROM und) dd GROUP BY 1),
+              |dc AS (SELECT l.label AS lbl, CAST(sum(deg.d) AS BIGINT) AS d_tot,
+              |         CAST(count(*) AS BIGINT) AS n_nodes
+              |       FROM deg JOIN l4 l USING (node) GROUP BY 1),
+              |bd AS (SELECT lu.label AS la, lv.label AS lb
+              |       FROM und JOIN l4 lu ON lu.node = und.u
+              |                JOIN l4 lv ON lv.node = und.v
+              |       WHERE lu.label <> lv.label),
+              |cuts AS (SELECT lbl, CAST(count(*) AS BIGINT) AS cut
+              |         FROM (SELECT la AS lbl FROM bd
+              |               UNION ALL SELECT lb FROM bd) x GROUP BY 1)
+              |SELECT dc.lbl AS label, dc.n_nodes,
+              |  COALESCE(cuts.cut, 0) AS cut, dc.d_tot,
+              |  CASE WHEN least(dc.d_tot, mm.vol_all - dc.d_tot) = 0
+              |       THEN CAST(0 AS BIGINT)
+              |       ELSE (COALESCE(cuts.cut, 0) * 1000000)
+              |         // least(dc.d_tot, mm.vol_all - dc.d_tot) END AS cond_ppm
+              |FROM dc LEFT JOIN cuts USING (lbl) CROSS JOIN mm
+              |ORDER BY label""".stripMargin)),
+
     // ---- Dangling-node PageRank: the same fixed-point operator on the
     // ONE-WAY commerce graph (cust -> supp only), where every supplier is
     // a dangling sink and every customer is uncited — the web/citation

@@ -363,6 +363,25 @@ class GraphSpec extends SparkSpec {
     assert(err2.getMessage.contains("multiple labels"))
   }
 
+  test("conductance: bridged triangles cut exactly the bridge; " +
+      "whole-graph community scores 0") {
+    val tri = Seq((1L, 2L), (2L, 3L), (1L, 3L), (4L, 5L), (5L, 6L), (4L, 6L),
+      (3L, 4L)).toDF("s", "d")
+    val lbls = graft.operators.Graph.labelPropagation(tri, "s", "d", rounds = 4)
+    val got = graft.operators.Graph
+      .conductance(tri, "s", "d", lbls, "node", "label")
+      .orderBy($"label")
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    // each triangle: cut = 1 (the bridge), vol = 7, 2m = 14,
+    // min(7, 14-7) = 7 -> 1e6 div 7 = 142857
+    assert(got == Seq((1L, 3L, 1L, 7L, 142857L), (4L, 3L, 1L, 7L, 142857L)),
+      s"got $got")
+    val one = lbls.select($"node", lit(0L).as("label"))
+    val q0 = graft.operators.Graph.conductance(tri, "s", "d", one, "node", "label")
+      .select($"cut", $"cond_ppm").as[(Long, Long)].collect().toSeq
+    assert(q0 == Seq((0L, 0L)), s"whole-graph community must be (cut=0, 0), got $q0")
+  }
+
   test("hits: edge-less input fails loudly, not silently empty") {
     val err = intercept[IllegalArgumentException] {
       graft.operators.Graph.hits(
