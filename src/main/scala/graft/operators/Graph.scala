@@ -405,6 +405,9 @@ object Graph {
       // reuses this exchange; only the node-sized label vector shuffles
       .repartition(col("v")).persist()
     try {
+      // loud, like hits: an edge-less graph has nothing to cluster, and a
+      // silently empty assignment would score as a perfect partition
+      require(!und.isEmpty, "labelPropagation: no edges — nothing to cluster")
       var labels = und.select(col("v").as("node")).distinct()
         .withColumn("label", col("node"))
         .localCheckpoint(true)
@@ -455,6 +458,12 @@ object Graph {
     * (constant columns via a broadcast 1-row cross join, never a
     * driver action). Nodes absent from `assign` are rejected loudly:
     * a silently-dropped node would understate d_c and overstate Q.
+    * The DUAL direction is asymmetric BY DESIGN: assignment rows for
+    * nodes absent from the graph (a stale assignment scored against a
+    * shrunk edge list, or genuinely isolated nodes) are dropped — an
+    * edge-less node has degree 0 and internal-edge count 0, so its
+    * exact contribution to Q is 0 and dropping it cannot move the
+    * score; only its `n_nodes` seat disappears.
     *
     * Scale shape: one symmetrize+distinct pass, one degree aggregate,
     * one edge×assign join (both endpoints) + internal-edge aggregate,
@@ -468,49 +477,67 @@ object Graph {
     val a0 = edges
       .select(col(srcCol).cast("long").as("u"), col(dstCol).cast("long").as("v"))
       .filter(col("u") =!= col("v"))
+    // persist (not localCheckpoint) + finally-unpersist: a checkpoint's
+    // edge-sized blocks would stay pinned until driver GC — on a score-
+    // every-assignment cadence that leak compounds (the freeDeadCheckpoint
+    // lesson). The returned frame is materialized community-sized below,
+    // so nothing reads und after the unpersist.
     val und = a0
       .select(least(col("u"), col("v")).as("u"),
         greatest(col("u"), col("v")).as("v"))
       .distinct()
-      .localCheckpoint(true)
-    val lbl = assign
-      .select(col(nodeCol).cast("long").as("node"), col(labelCol).as("lbl"))
-      .distinct()
-    val nodes = und.select(col("u").as("node"))
-      .unionByName(und.select(col("v").as("node"))).distinct()
-    require(nodes.join(lbl, Seq("node"), "left_anti").isEmpty,
-      "modularity: assignment is missing graph nodes — score would be wrong")
-    // equally loud for the dual case: a node carrying TWO labels would
-    // double-count its degree (and shared-label internal edges) and
-    // silently corrupt Q
-    require(lbl.groupBy(col("node")).agg(count(lit(1)).as("__c"))
-        .filter(col("__c") > 1L).isEmpty,
-      "modularity: a node has multiple labels — assignment must be a partition")
-    val deg = und.select(explode(array(col("u"), col("v"))).as("node"))
-      .groupBy(col("node")).agg(count(lit(1)).as("d"))
-    val dC = deg.join(lbl, "node")
-      .groupBy(col("lbl")).agg(sum(col("d")).as("d_tot"),
-        count(lit(1)).as("n_nodes"))
-    val mIn = und
-      .join(lbl.select(col("node").as("u"), col("lbl").as("lu")), "u")
-      .join(lbl.select(col("node").as("v"), col("lbl").as("lv")), "v")
-      .filter(col("lu") === col("lv"))
-      .groupBy(col("lu").as("lbl")).agg(count(lit(1)).as("m_in"))
-    val mDf = und.agg(count(lit(1)).as("m"))
-    val perC = dC.join(mIn, Seq("lbl"), "left")
-      .select(col("lbl").as("label"), col("n_nodes"),
-        coalesce(col("m_in"), lit(0L)).as("m_in"), col("d_tot"))
-      .crossJoin(broadcast(mDf))
-      .withColumn("contrib_num",
-        lit(4L) * col("m") * col("m_in") - col("d_tot") * col("d_tot"))
-    val qDf = perC.agg(sum(col("contrib_num")).as("__s"),
-      max(col("m")).as("__m"))
-      .select(
-        (signum(col("__s")).cast("long") *
-          expr("(abs(__s) * 1000000) div (4 * __m * __m)")).as("q_ppm"))
-    perC.crossJoin(broadcast(qDf))
-      .select(col("label"), col("n_nodes"), col("m_in"), col("d_tot"),
-        col("contrib_num"), col("m"), col("q_ppm"))
+      .persist()
+    try {
+      val lbl = assign
+        .select(col(nodeCol).cast("long").as("node"), col(labelCol).as("lbl"))
+        .distinct()
+      val nodes = und.select(col("u").as("node"))
+        .unionByName(und.select(col("v").as("node"))).distinct()
+      // BOTH partition guards in ONE aggregate pass (one job, not two):
+      // a graph node with no label would understate d_c and overstate Q;
+      // a node carrying TWO labels would double-count its degree and
+      // shared-label internal edges. Full outer join of per-node label
+      // counts vs graph nodes: nl IS NULL on a graph-only row = missing;
+      // nl > 1 = not a partition; a lbl-only row (__g IS NULL) is the
+      // documented isolated-node drop, contribution exactly 0.
+      val chk = lbl.groupBy(col("node")).agg(count(lit(1)).as("nl"))
+        .join(nodes.withColumn("__g", lit(1)), Seq("node"), "full")
+        .agg(
+          sum(when(col("nl").isNull, 1L).otherwise(0L)).as("missing"),
+          sum(when(col("nl") > 1L, 1L).otherwise(0L)).as("multi"))
+        .collect()(0)
+      require(chk.getLong(0) == 0L,
+        "modularity: assignment is missing graph nodes — score would be wrong")
+      require(chk.getLong(1) == 0L,
+        "modularity: a node has multiple labels — assignment must be a partition")
+      val deg = und.select(explode(array(col("u"), col("v"))).as("node"))
+        .groupBy(col("node")).agg(count(lit(1)).as("d"))
+      val dC = deg.join(lbl, "node")
+        .groupBy(col("lbl")).agg(sum(col("d")).as("d_tot"),
+          count(lit(1)).as("n_nodes"))
+      val mIn = und
+        .join(lbl.select(col("node").as("u"), col("lbl").as("lu")), "u")
+        .join(lbl.select(col("node").as("v"), col("lbl").as("lv")), "v")
+        .filter(col("lu") === col("lv"))
+        .groupBy(col("lu").as("lbl")).agg(count(lit(1)).as("m_in"))
+      val mDf = und.agg(count(lit(1)).as("m"))
+      val perC = dC.join(mIn, Seq("lbl"), "left")
+        .select(col("lbl").as("label"), col("n_nodes"),
+          coalesce(col("m_in"), lit(0L)).as("m_in"), col("d_tot"))
+        .crossJoin(broadcast(mDf))
+        .withColumn("contrib_num",
+          lit(4L) * col("m") * col("m_in") - col("d_tot") * col("d_tot"))
+      val qDf = perC.agg(sum(col("contrib_num")).as("__s"),
+        max(col("m")).as("__m"))
+        .select(
+          (signum(col("__s")).cast("long") *
+            expr("(abs(__s) * 1000000) div (4 * __m * __m)")).as("q_ppm"))
+      // community-sized (≤ #labels rows) — the only retained blocks
+      perC.crossJoin(broadcast(qDf))
+        .select(col("label"), col("n_nodes"), col("m_in"), col("d_tot"),
+          col("contrib_num"), col("m"), col("q_ppm"))
+        .localCheckpoint(true)
+    } finally und.unpersist(false)
   }
 
   /** EXACT per-community conductance — the local counterpart of
@@ -524,7 +551,10 @@ object Graph {
     * artifact of the assignment". Exact integers end-to-end:
     * `cond_ppm = (cut·10⁶) div min(d_tot, 2m − d_tot)`, with the
     * whole-graph community (denominator 0, cut 0) defined as 0. Same
-    * partition contract and loud guards as [[modularity]].
+    * partition contract, loud guards, isolated-node-drop asymmetry
+    * (an edge-less assignment row has volume 0 and cut 0 — dropping it
+    * cannot move any community's φ), and persist/materialize discipline
+    * as [[modularity]].
     *
     * Scale shape: one symmetrize+distinct pass, one degree aggregate,
     * one edge×assign join + per-community cut/internal counts — shuffle
@@ -541,39 +571,49 @@ object Graph {
       .select(least(col("u"), col("v")).as("u"),
         greatest(col("u"), col("v")).as("v"))
       .distinct()
-      .localCheckpoint(true)
-    val lbl = assign
-      .select(col(nodeCol).cast("long").as("node"), col(labelCol).as("lbl"))
-      .distinct()
-    val nodes = und.select(col("u").as("node"))
-      .unionByName(und.select(col("v").as("node"))).distinct()
-    require(nodes.join(lbl, Seq("node"), "left_anti").isEmpty,
-      "conductance: assignment is missing graph nodes — score would be wrong")
-    require(lbl.groupBy(col("node")).agg(count(lit(1)).as("__c"))
-        .filter(col("__c") > 1L).isEmpty,
-      "conductance: a node has multiple labels — assignment must be a partition")
-    val deg = und.select(explode(array(col("u"), col("v"))).as("node"))
-      .groupBy(col("node")).agg(count(lit(1)).as("d"))
-    val dC = deg.join(lbl, "node")
-      .groupBy(col("lbl")).agg(sum(col("d")).as("d_tot"),
-        count(lit(1)).as("n_nodes"))
-    // a boundary edge (lu != lv) contributes to BOTH sides' cuts
-    val tagged = und
-      .join(lbl.select(col("node").as("u"), col("lbl").as("lu")), "u")
-      .join(lbl.select(col("node").as("v"), col("lbl").as("lv")), "v")
-      .filter(col("lu") =!= col("lv"))
-    val cuts = tagged.select(col("lu").as("lbl"))
-      .unionByName(tagged.select(col("lv").as("lbl")))
-      .groupBy(col("lbl")).agg(count(lit(1)).as("cut"))
-    val mDf = und.agg((count(lit(1)) * 2L).as("vol_all"))
-    dC.join(cuts, Seq("lbl"), "left")
-      .crossJoin(broadcast(mDf))
-      .withColumn("cut", coalesce(col("cut"), lit(0L)))
-      .select(col("lbl").as("label"), col("n_nodes"), col("cut"),
-        col("d_tot"),
-        expr("""CASE WHEN least(d_tot, vol_all - d_tot) = 0 THEN CAST(0 AS BIGINT)
-                ELSE (cut * 1000000) div least(d_tot, vol_all - d_tot)
-                END""").as("cond_ppm"))
+      .persist()
+    try {
+      val lbl = assign
+        .select(col(nodeCol).cast("long").as("node"), col(labelCol).as("lbl"))
+        .distinct()
+      val nodes = und.select(col("u").as("node"))
+        .unionByName(und.select(col("v").as("node"))).distinct()
+      // both partition guards in one aggregate pass — see modularity
+      val chk = lbl.groupBy(col("node")).agg(count(lit(1)).as("nl"))
+        .join(nodes.withColumn("__g", lit(1)), Seq("node"), "full")
+        .agg(
+          sum(when(col("nl").isNull, 1L).otherwise(0L)).as("missing"),
+          sum(when(col("nl") > 1L, 1L).otherwise(0L)).as("multi"))
+        .collect()(0)
+      require(chk.getLong(0) == 0L,
+        "conductance: assignment is missing graph nodes — score would be wrong")
+      require(chk.getLong(1) == 0L,
+        "conductance: a node has multiple labels — assignment must be a partition")
+      val deg = und.select(explode(array(col("u"), col("v"))).as("node"))
+        .groupBy(col("node")).agg(count(lit(1)).as("d"))
+      val dC = deg.join(lbl, "node")
+        .groupBy(col("lbl")).agg(sum(col("d")).as("d_tot"),
+          count(lit(1)).as("n_nodes"))
+      // a boundary edge (lu != lv) contributes to BOTH sides' cuts
+      val tagged = und
+        .join(lbl.select(col("node").as("u"), col("lbl").as("lu")), "u")
+        .join(lbl.select(col("node").as("v"), col("lbl").as("lv")), "v")
+        .filter(col("lu") =!= col("lv"))
+      val cuts = tagged.select(col("lu").as("lbl"))
+        .unionByName(tagged.select(col("lv").as("lbl")))
+        .groupBy(col("lbl")).agg(count(lit(1)).as("cut"))
+      val mDf = und.agg((count(lit(1)) * 2L).as("vol_all"))
+      // community-sized — the only retained blocks
+      dC.join(cuts, Seq("lbl"), "left")
+        .crossJoin(broadcast(mDf))
+        .withColumn("cut", coalesce(col("cut"), lit(0L)))
+        .select(col("lbl").as("label"), col("n_nodes"), col("cut"),
+          col("d_tot"),
+          expr("""CASE WHEN least(d_tot, vol_all - d_tot) = 0 THEN CAST(0 AS BIGINT)
+                  ELSE (cut * 1000000) div least(d_tot, vol_all - d_tot)
+                  END""").as("cond_ppm"))
+        .localCheckpoint(true)
+    } finally und.unpersist(false)
   }
 
   /** Multi-source BFS hop distances over an undirected graph: for every

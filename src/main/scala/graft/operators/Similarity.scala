@@ -482,13 +482,44 @@ object Similarity {
     * cost is standard IVF drift — if the increment's distribution walks
     * away from the training sample, ADC quality degrades and the
     * rebuild cadence is the caller's policy knob (the same trade the
-    * frozen BPE/vocab and k-means codebooks make).
+    * frozen BPE/vocab and k-means codebooks make) — [[rebuildIvfPqIndex]]
+    * is that rebuild.
+    *
+    * Append also PRUNES the increment's ids from the tombstone log:
+    * appending is a statement the vector exists, so a delete-then-
+    * reinsert serves the reinserted row (without the prune, the stale
+    * tombstone would hide it now and the next compaction would drop it
+    * permanently — last-writer-wins semantics, the SCD upsert rule).
     */
   def appendToIvfPqIndex(increment: DataFrame, path: String,
                          cId: String = "nid", cVec: String = "ne"): Unit = {
-    val (cents, cbs) = loadIvfPqConstants(increment.sparkSession, path)
+    val spark = increment.sparkSession
+    val root = resolveIvfPqRoot(spark, path)
+    val (cents, cbs) = loadIvfPqConstants(spark, root)
     encodeIvfPq(increment, cents, cbs, cId, cVec)
-      .write.partitionBy("cell").mode("append").parquet(s"$path/codes")
+      .write.partitionBy("cell").mode("append").parquet(s"$root/codes")
+    // delete-then-reinsert: an id tombstoned BEFORE this append must not
+    // keep suppressing the freshly appended row (serve would hide it now
+    // and compaction would physically drop it later — a silent loss). The
+    // log is bounded by the compaction cadence, so the prune rewrite is a
+    // bounded job: tombstones minus the increment's ids, materialized
+    // BEFORE the overwrite (never read the files being replaced).
+    tombstonesOf(spark, root).foreach { tomb =>
+      val pruned = tomb.select(col(cId)).distinct()
+        .join(broadcast(increment.select(col(cId)).distinct()), Seq(cId), "left_anti")
+        .localCheckpoint(true)
+      try {
+        val fs = new org.apache.hadoop.fs.Path(root)
+          .getFileSystem(spark.sessionState.newHadoopConf())
+        if (pruned.isEmpty)
+          fs.delete(new org.apache.hadoop.fs.Path(s"$root/tombstones"), true)
+        else if (pruned.count() != tomb.select(col(cId)).distinct().count())
+          pruned.write.mode("overwrite").parquet(s"$root/tombstones")
+      } finally pruned.queryExecution.analyzed match {
+        case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd.unpersist(false)
+        case _ => ()
+      }
+    }
   }
 
   /** Decode the persisted index's frozen constants — nCells + m·kSub
@@ -517,6 +548,87 @@ object Similarity {
     if (fs.exists(p)) Some(spark.read.parquet(p.toString)) else None
   }
 
+  /** Resolve the ACTIVE root of a possibly-versioned index: the `CURRENT`
+    * manifest (one short line naming the live version directory, written
+    * by [[rebuildIvfPqIndex]]) wins; its absence means the original flat
+    * [[buildIvfPqIndex]] layout at `path` itself. EVERY lifecycle verb
+    * (serve, append, tombstone, compact, constants load) resolves through
+    * here, so the rebuild's one-file manifest swap retargets the whole
+    * verb set at once — that one-file write IS the atomic cutover.
+    */
+  private def resolveIvfPqRoot(spark: org.apache.spark.sql.SparkSession,
+                               path: String): String = {
+    val p = new org.apache.hadoop.fs.Path(s"$path/CURRENT")
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(p)) path
+    else {
+      val in = fs.open(p)
+      val v = try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+              finally in.close()
+      require(v.matches("v\\d+"), s"corrupt index manifest $p: '$v'")
+      s"$path/$v"
+    }
+  }
+
+  /** Codebook RETRAIN + ATOMIC index rebuild — the lifecycle piece that
+    * answers [[appendToIvfPqIndex]]'s frozen-codebook drift: when enough
+    * increments have walked the corpus distribution away from the
+    * original training sample, ADC quality degrades, and the fix is a
+    * full retrain/re-encode — but one that must not take serving down or
+    * mutate the index readers are scanning.
+    *
+    * Versioned-directory + manifest design (the lakehouse snapshot
+    * discipline, same shape as `docetl build`'s frozen optimized-plan
+    * artifact — reference `zara_hybrid_etl.py:201-202`):
+    *
+    *   1. train fresh centroids + PQ codebooks on the CURRENT corpus
+    *      (identical sample/seed discipline to [[buildIvfPqIndex]], so a
+    *      rebuild on corpus C is bit-identical to a monolithic build on
+    *      C — the q281 oracle proves exactly that), and encode into
+    *      `path/v<N+1>/…` — a complete, self-contained index layout that
+    *      NO reader resolves yet;
+    *   2. commit by swapping the one-file `path/CURRENT` manifest
+    *      (write-tmp + rename-overwrite, the atomic primitive): readers
+    *      resolve the old version until the instant of the rename and
+    *      the new one after — never a half-written mix.
+    *
+    * The old version's directory is left intact (in-flight queries that
+    * already resolved it keep reading consistent files; retention/GC of
+    * dead versions is the caller's cadence, like any snapshot store).
+    * The new version starts with an EMPTY tombstone log: the caller
+    * passes the live corpus, so deletes are already physical in v<N+1>.
+    * Returns the new version id.
+    */
+  def rebuildIvfPqIndex(corpus: DataFrame, path: String,
+                        nCells: Int = 16, m: Int = 8, kSub: Int = 16,
+                        cId: String = "nid", cVec: String = "ne",
+                        maxTrain: Int = 100000): String = {
+    val spark = corpus.sparkSession
+    val conf = spark.sessionState.newHadoopConf()
+    val curPath = new org.apache.hadoop.fs.Path(s"$path/CURRENT")
+    val fs = curPath.getFileSystem(conf)
+    val next =
+      if (!fs.exists(curPath)) "v1"
+      else {
+        val in = fs.open(curPath)
+        val v = try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+                finally in.close()
+        require(v.matches("v\\d+"), s"corrupt index manifest $curPath: '$v'")
+        s"v${v.stripPrefix("v").toInt + 1}"
+      }
+    buildIvfPqIndex(corpus, s"$path/$next", nCells, m, kSub, cId, cVec, maxTrain)
+    val tmp = new org.apache.hadoop.fs.Path(s"$path/CURRENT.tmp")
+    val out = fs.create(tmp, true)
+    try out.write(next.getBytes("UTF-8")) finally out.close()
+    // the commit point: rename-with-overwrite is atomic on HDFS and the
+    // local FS — a reader sees the old manifest or the new one, never
+    // neither (a delete-then-rename would open exactly that window)
+    org.apache.hadoop.fs.FileContext.getFileContext(fs.getUri, conf).rename(
+      fs.makeQualified(tmp), fs.makeQualified(curPath),
+      org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+    next
+  }
+
   /** LOGICAL delete from a persisted IVF-PQ index: ids append to a
     * `path/tombstones` log; [[serveIvfPq]] anti-joins it (broadcast —
     * the log is bounded by the compaction cadence, not the corpus) so
@@ -530,7 +642,8 @@ object Similarity {
   def tombstoneIvfPq(deletes: DataFrame, path: String,
                      cId: String = "nid"): Unit =
     deletes.select(col(cId)).distinct()
-      .write.mode("append").parquet(s"$path/tombstones")
+      .write.mode("append").parquet(
+        s"${resolveIvfPqRoot(deletes.sparkSession, path)}/tombstones")
 
   /** PHYSICAL delete: rewrite exactly the `cell=` partitions that
     * contain tombstoned rows (dynamic partition overwrite — untouched
@@ -546,7 +659,8 @@ object Similarity {
     * a cadence that keeps it reasonable, as with any lakehouse table.
     */
   def compactIvfPqIndex(spark: org.apache.spark.sql.SparkSession,
-                        path: String, cId: String = "nid"): Unit = {
+                        rawPath: String, cId: String = "nid"): Unit = {
+    val path = resolveIvfPqRoot(spark, rawPath)
     val tombOpt = tombstonesOf(spark, path)
     if (tombOpt.isEmpty) return
     // a checkpoint's blocks stay pinned until driver GC unless freed
@@ -595,12 +709,16 @@ object Similarity {
     * (ADC sum, ties on candidate id), so served results match the inline
     * operator exactly.
     */
-  def serveIvfPq(spark: org.apache.spark.sql.SparkSession, path: String,
+  def serveIvfPq(spark: org.apache.spark.sql.SparkSession, rawPath: String,
                  queries: DataFrame, k: Int, nProbe: Int = 4,
                  qId: String = "qid", qVec: String = "qe",
                  cId: String = "nid"): DataFrame = {
     import org.apache.spark.sql.GraftShim.{column, expression}
     import spark.implicits._
+    // resolve ONCE: everything this serve reads (constants, codes,
+    // tombstones) comes from the same resolved version — a concurrent
+    // rebuild's manifest swap can never hand one query a mixed index
+    val path = resolveIvfPqRoot(spark, rawPath)
     val (cents, cbs) = loadIvfPqConstants(spark, path)
     val m = cbs.length
     val centroids = cents.zipWithIndex.map { case (v, i) => (i, v.toSeq) }

@@ -539,6 +539,17 @@ object DedupQueries {
        |SELECT qid, nid, round(adist, 4) AS adist, rn FROM r WHERE rn <= 5
        |ORDER BY qid, rn""".stripMargin
 
+  /** q281 oracle GENERATOR: the q99 FULL-corpus-trained replay — a
+    * rebuild retrains on the live corpus with the monolithic build's
+    * sample/seed discipline, so rebuild(build(base)+append(inc)) must
+    * serve exactly what a from-scratch build on base ∪ inc serves.
+    * (Memoized with q99's CTEs — one training pass covers both.)
+    */
+  private def q281OracleGen(s: SparkSession, dir: String): String =
+    s"""WITH ${ivfPqReplayCtes(s, dir)}
+       |SELECT qid, nid, round(adist, 4) AS adist, rn FROM r WHERE rn <= 5
+       |ORDER BY qid, rn""".stripMargin
+
   /** q136 oracle GENERATOR: recall@5 of the IVF-PQ replay against exact
     * L2 top-5 — set intersection of two deterministically-ranked id sets,
     * an exact integer per query.
@@ -1152,6 +1163,39 @@ object DedupQueries {
       },
       None,
       oracleGen = Some(q276OracleGen _)),
+
+    // ---- IVF-PQ REBUILD lifecycle (Similarity.rebuildIvfPqIndex): the
+    // q275 index (base build + frozen-codebook append) has drifted
+    // constants — its codebooks saw only the base corpus. The rebuild
+    // retrains on the LIVE corpus, encodes into a fresh version
+    // directory, and atomically swaps the CURRENT manifest; the old
+    // version keeps serving until the swap (PlanSpec-pinned). Served
+    // answers must now equal a monolithic build on the full corpus —
+    // the oracle is the full-corpus-trained q99 replay, which the
+    // pre-rebuild q275 index does NOT satisfy (different training set),
+    // so a rebuild that silently kept the old constants fails the hash. ----
+    Q("q281_ivfpq_rebuild",
+      (s, dir) => {
+        val emb = t(s, dir, "embeddings")
+        val base = emb.filter(col("vec_id") % 3 =!= 0)
+          .select(col("vec_id").as("nid"), col("embedding").as("ne"))
+        val inc = emb.filter(col("vec_id") % 3 === 0)
+          .select(col("vec_id").as("nid"), col("embedding").as("ne"))
+        val full = emb.select(col("vec_id").as("nid"), col("embedding").as("ne"))
+        val q = emb.filter(col("vec_id") < 5)
+          .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+        val tmp = java.nio.file.Files
+          .createTempDirectory("graft_ivfpq_rebuild_").toString
+        Similarity.buildIvfPqIndex(base, tmp)
+        Similarity.appendToIvfPqIndex(inc, tmp)
+        Similarity.rebuildIvfPqIndex(full, tmp)
+        Similarity.serveIvfPq(s, tmp, q, k = 5, nProbe = 4)
+          .select(col("qid"), col("nid"), round(col("adist"), 4).as("adist"),
+            col("rn"))
+          .orderBy(col("qid"), col("rn"))
+      },
+      None,
+      oracleGen = Some(q281OracleGen _)),
 
     // ---- G1 token chunker (size 30, overlap 5), content-hash checked. ----
     Q("q55_chunk",

@@ -258,6 +258,84 @@ class PlanSpec extends SparkSpec {
       "compaction must drop exactly the tombstoned rows")
   }
 
+  test("IVF-PQ rebuild: manifest swap is the cutover; old layout untouched; " +
+      "rebuilt serve == monolithic build; versions accumulate") {
+    import graft.operators.Similarity
+    val emb = Tables(spark, sfDir, "embeddings")
+    val base = emb.filter(col("vec_id") % 3 =!= 0)
+      .select(col("vec_id").as("nid"), col("embedding").as("ne"))
+    val inc = emb.filter(col("vec_id") % 3 === 0)
+      .select(col("vec_id").as("nid"), col("embedding").as("ne"))
+    val full = emb.select(col("vec_id").as("nid"), col("embedding").as("ne"))
+    val queries = emb.filter(col("vec_id") < 3)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+    val tmp = java.nio.file.Files.createTempDirectory("graft_rebuild_").toString
+    Similarity.buildIvfPqIndex(base, tmp)
+    Similarity.appendToIvfPqIndex(inc, tmp)
+    def legacyFiles() = new java.io.File(s"$tmp/codes").listFiles()
+      .filter(_.isDirectory).flatMap(_.listFiles())
+      .filter(_.getName.endsWith(".parquet"))
+      .map(f => (f.getPath, f.lastModified(), f.length())).toSet
+    val before = legacyFiles()
+    val v1 = Similarity.rebuildIvfPqIndex(full, tmp)
+    assert(v1 == "v1", s"first rebuild must version to v1, got $v1")
+    val manifest = scala.io.Source.fromFile(s"$tmp/CURRENT").mkString.trim
+    assert(manifest == "v1", s"CURRENT must name the new version, got '$manifest'")
+    // the old flat layout is byte-for-byte untouched: a reader that
+    // resolved the root before the swap keeps scanning consistent files
+    assert(legacyFiles() == before,
+      "rebuild must never mutate the previous version's files")
+    // rebuilt serve == monolithic build on the same corpus (same seeds,
+    // same sample discipline) — the drift is gone
+    val mono = java.nio.file.Files.createTempDirectory("graft_rebuild_mono_").toString
+    Similarity.buildIvfPqIndex(full, mono)
+    val a = Similarity.serveIvfPq(spark, tmp, queries, k = 5)
+      .orderBy(col("qid"), col("rn")).collect().toSeq
+    val b = Similarity.serveIvfPq(spark, mono, queries, k = 5)
+      .orderBy(col("qid"), col("rn")).collect().toSeq
+    assert(a == b, "rebuilt index must serve exactly the monolithic build's answers")
+    // versions accumulate: a second rebuild lands in v2, v1 stays intact,
+    // and post-swap appends resolve into the CURRENT version only
+    val v2 = Similarity.rebuildIvfPqIndex(full, tmp)
+    assert(v2 == "v2" && new java.io.File(s"$tmp/v1/codes").exists(),
+      "second rebuild must version to v2 and leave v1 on disk")
+    val v2Before = new java.io.File(s"$tmp/v2/codes").listFiles()
+      .filter(_.isDirectory).flatMap(_.listFiles()).length
+    Similarity.appendToIvfPqIndex(
+      emb.filter(col("vec_id") < 2).select(
+        (col("vec_id") + 1000000L).as("nid"), col("embedding").as("ne")), tmp)
+    val v2After = new java.io.File(s"$tmp/v2/codes").listFiles()
+      .filter(_.isDirectory).flatMap(_.listFiles()).length
+    assert(v2After > v2Before && legacyFiles() == before,
+      "append must land in the CURRENT version, not an old layout")
+  }
+
+  test("IVF-PQ delete-then-reinsert: append prunes stale tombstones so the " +
+      "reinserted vector serves and survives compaction") {
+    import graft.operators.Similarity
+    import spark.implicits._
+    val emb = Tables(spark, sfDir, "embeddings")
+    val corpus = emb.select(col("vec_id").as("nid"), col("embedding").as("ne"))
+    val queries = emb.filter(col("vec_id") < 3)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+    val tmp = java.nio.file.Files.createTempDirectory("graft_reinsert_").toString
+    // build WITHOUT one vector, delete an indexed one, then re-append both
+    val victim = 42L
+    Similarity.buildIvfPqIndex(corpus.filter(col("nid") =!= victim), tmp)
+    Similarity.tombstoneIvfPq(Seq(victim, 7L).toDF("nid"), tmp)
+    Similarity.appendToIvfPqIndex(corpus.filter(col("nid") === victim), tmp)
+    // victim's tombstone is pruned by the append; 7's survives
+    val tombLeft = spark.read.parquet(s"$tmp/tombstones")
+      .collect().map(_.getLong(0)).toSet
+    assert(tombLeft == Set(7L),
+      s"append must prune exactly its own ids from the log, left $tombLeft")
+    Similarity.compactIvfPqIndex(spark, tmp)
+    val served = spark.read.parquet(s"$tmp/codes").select(col("nid"))
+      .collect().map(_.getLong(0)).toSet
+    assert(served.contains(victim) && !served.contains(7L),
+      "reinserted vector must survive compaction; the real delete must not")
+  }
+
   test("q50 minhash: single pair-generating exchange above the cached base") {
     withoutAqe {
       val p = plan(registry("q50_minhash_pairs")(spark, sfDir))
