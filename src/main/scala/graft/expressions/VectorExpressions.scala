@@ -201,6 +201,70 @@ case class NearestCell(child: Expression, centroids: Array[Array[Double]])
     copy(child = newChild)
 }
 
+/** Squared L2 TO the nearest centroid — [[NearestCell]]'s companion
+  * returning the min DISTANCE instead of the argmin index: the per-
+  * subspace quantization error of PQ encoding, the measurable half of
+  * the frozen-codebook drift trade (Similarity.ivfPqDriftStats). Same
+  * fused loop, same strict-< scan; min over doubles is commutative, so
+  * the value is engine-exact however an oracle computes it.
+  */
+case class NearestCellDist(child: Expression, centroids: Array[Array[Double]])
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def dataType: DataType = DoubleType
+
+  private def elemIsFloat: Boolean =
+    child.dataType.asInstanceOf[ArrayType].elementType == FloatType
+
+  override def nullSafeEval(a: Any): Any = {
+    val v = a.asInstanceOf[ArrayData]
+    val n = v.numElements()
+    val f = elemIsFloat
+    var bestD = Double.MaxValue
+    var c = 0
+    while (c < centroids.length) {
+      val cen = centroids(c)
+      val m = math.min(n, cen.length)
+      var d = 0.0; var i = 0
+      while (i < m) {
+        val xv: Double = if (f) v.getFloat(i).toDouble else v.getDouble(i)
+        val diff = xv - cen(i); d += diff * diff
+        i += 1
+      }
+      if (d < bestD) bestD = d
+      c += 1
+    }
+    bestD
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val get = if (elemIsFloat) "getFloat" else "getDouble"
+    val cRef = ctx.addReferenceObj("centroids", centroids, "double[][]")
+    nullSafeCodeGen(ctx, ev, v => {
+      val c = ctx.freshName("c"); val i = ctx.freshName("i")
+      val d = ctx.freshName("d"); val bestD = ctx.freshName("bestD")
+      val m = ctx.freshName("m"); val diff = ctx.freshName("diff")
+      s"""
+         |double $bestD = Double.MAX_VALUE;
+         |for (int $c = 0; $c < $cRef.length; $c++) {
+         |  double[] cen = $cRef[$c];
+         |  int $m = java.lang.Math.min($v.numElements(), cen.length);
+         |  double $d = 0.0;
+         |  for (int $i = 0; $i < $m; $i++) {
+         |    double $diff = ((double) $v.$get($i)) - cen[$i];
+         |    $d += $diff * $diff;
+         |  }
+         |  if ($d < $bestD) $bestD = $d;
+         |}
+         |${ev.value} = $bestD;
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** Product-quantization asymmetric-distance table: for a query vector,
   * dt[m][c] = ||q_sub_m - codebook[m][c]||^2 over all M subspaces x K
   * sub-centroids — computed ONCE per query row (the FAISS ADC shape), so

@@ -441,6 +441,132 @@ object Dedup {
     labels
   }
 
+  /** PERSISTED cluster store — the [[connectedComponents]] labels as a
+    * maintained lakehouse table, so a continuously-running dedup pipeline
+    * stops recomputing the closure from ALL pairs every day. Layout:
+    * `path/bucket=N/` rows `(id, label)` with `bucket = label mod
+    * nBuckets` — PARTITIONED BY THE LABEL'S BUCKET, because maintenance
+    * rewrites rows by which COMPONENT changed: a merge touches only the
+    * buckets holding the merged labels, and every other bucket's files
+    * are never read, never rewritten (the q275 touched-partition
+    * discipline, PlanSpec-pinned).
+    */
+  def buildClusterStore(pairs: DataFrame, path: String,
+                        nBuckets: Int = 16): Unit = {
+    require(nBuckets >= 1, s"nBuckets must be positive, got $nBuckets")
+    connectedComponents(pairs)
+      .withColumn("bucket", pmod(col("label"), lit(nBuckets.toLong)))
+      .write.partitionBy("bucket").mode("overwrite").parquet(path)
+  }
+
+  /** The stored component labels, `(id, label)`. */
+  def readClusterStore(spark: org.apache.spark.sql.SparkSession,
+                       path: String): DataFrame =
+    spark.read.parquet(path).select(col("id"), col("label"))
+
+  /** INCREMENTAL cluster maintenance: merge a day's new duplicate pairs
+    * into a persisted [[buildClusterStore]] — the connected-components
+    * member of the increment discipline (pairs: q112; ANN: q275;
+    * streaming stores: q137/q148). Without it, day N pays a closure over
+    * N days of pairs; with it, the day pays work proportional to ITS OWN
+    * pairs plus the rows of the components it actually touches.
+    *
+    * The algebra that makes this exact: component labels are component
+    * MINIMA, and merging is associative — so the new pairs only need the
+    * QUOTIENT graph over current labels (endpoint label vs endpoint
+    * label, fresh nodes labeling themselves; ≤ one edge per new pair).
+    * [[connectedComponents]] on that bounded graph yields old-label →
+    * merged-label (the merged min is the min over member ids, exactly
+    * what a full recompute produces — q284 hash-proves the equivalence).
+    * Then: store rows in AFFECTED label-buckets are relabeled through
+    * the mapping, fresh endpoints insert with their merged label, and
+    * the dynamic partition overwrite rewrites ONLY the buckets holding
+    * moved-from or moved-to labels; a bucket whose every row migrated
+    * out is deleted explicitly (dynamic overwrite cannot replace a
+    * partition the write produces no rows for — the q148 emptied-bucket
+    * rule).
+    *
+    * Scale shape: the endpoint-label lookup is ONE read-only scan of the
+    * store (id is not the partition key — the lookup joins, it cannot
+    * prune; everything after prunes: the touched-bucket set collects as
+    * ≤ nBuckets ints and pushes down as a static partition filter). The
+    * quotient CC is increment-bounded and takes the same two-regime
+    * path as any pair graph. Crash between the codes write and nothing:
+    * the write is the only mutation, and it's an idempotent overwrite
+    * of the same buckets.
+    */
+  def mergeIntoClusterStore(newPairs: DataFrame, path: String,
+                            nBuckets: Int = 16): Unit = {
+    require(nBuckets >= 1, s"nBuckets must be positive, got $nBuckets")
+    val spark = newPairs.sparkSession
+    val store = spark.read.parquet(path)
+    val np = newPairs
+      .select(col("id_a").cast("long").as("id_a"),
+        col("id_b").cast("long").as("id_b"))
+      .filter(col("id_a") =!= col("id_b"))
+      .distinct()
+      .localCheckpoint(true)
+    try {
+      val ends = np.select(col("id_a").as("id"))
+        .unionByName(np.select(col("id_b").as("id"))).distinct()
+      val lab = ends.join(store.select(col("id"), col("label")), Seq("id"), "left")
+        .select(col("id"), coalesce(col("label"), col("id")).as("lbl"))
+      val quotient = np
+        .join(lab.select(col("id").as("id_a"), col("lbl").as("la")), "id_a")
+        .join(lab.select(col("id").as("id_b"), col("lbl").as("lb")), "id_b")
+        .filter(col("la") =!= col("lb"))
+        .select(col("la").as("id_a"), col("lb").as("id_b"))
+      if (quotient.isEmpty) return // every pair lands inside one component
+      // (old label | fresh id) -> merged component minimum
+      val merged = connectedComponents(quotient).localCheckpoint(true)
+      try {
+        val mapping = merged.filter(col("id") =!= col("label"))
+          .select(col("id").as("old"), col("label").as("nw"))
+        val inserts = ends
+          .join(store.select(col("id")), Seq("id"), "left_anti")
+          .join(merged.withColumnRenamed("id", "__q"),
+            col("id") === col("__q"), "left")
+          .select(col("id"), coalesce(col("label"), col("id")).as("label"))
+        // the touched PARTITION set is what collects — ≤ nBuckets ints,
+        // never labels: buckets losing rows (old labels) plus buckets
+        // gaining them (merged labels, insert labels)
+        val touched = mapping
+          .select(pmod(col("old"), lit(nBuckets.toLong)).as("b"))
+          .unionByName(mapping
+            .select(pmod(col("nw"), lit(nBuckets.toLong)).as("b")))
+          .unionByName(inserts
+            .select(pmod(col("label"), lit(nBuckets.toLong)).as("b")))
+          .distinct().collect().map(_.getLong(0))
+        val rewrite = store
+          .where(col("bucket").isin(touched.map(Long.box): _*))
+          .join(mapping.withColumnRenamed("old", "label"), Seq("label"), "left")
+          .select(col("id"), coalesce(col("nw"), col("label")).as("label"))
+          .unionByName(inserts)
+          .withColumn("bucket", pmod(col("label"), lit(nBuckets.toLong)))
+          .localCheckpoint(true) // never read the files being replaced
+        try {
+          rewrite.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("bucket")
+            .parquet(path)
+          val nonEmpty = rewrite.select(col("bucket")).distinct()
+            .collect().map(_.getLong(0)).toSet
+          val fs = new org.apache.hadoop.fs.Path(path)
+            .getFileSystem(spark.sessionState.newHadoopConf())
+          touched.filterNot(nonEmpty).foreach { b =>
+            fs.delete(new org.apache.hadoop.fs.Path(s"$path/bucket=$b"), true)
+          }
+        } finally freeLocalCheckpoint(rewrite)
+      } finally freeLocalCheckpoint(merged)
+    } finally freeLocalCheckpoint(np)
+  }
+
+  private def freeLocalCheckpoint(df: DataFrame): Unit =
+    df.queryExecution.analyzed match {
+      case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd.unpersist(false)
+      case _ => ()
+    }
+
   /** End-to-end corpus dedup: MinHash-LSH candidate pairs -> transitive
     * clusters -> keep one representative (lowest id) per cluster. Documents
     * not in any near-dup cluster survive untouched.

@@ -434,6 +434,200 @@ object Graph {
     } finally und.unpersist(false)
   }
 
+  /** WEIGHTED synchronous label propagation — [[labelPropagation]] where
+    * each neighbor's vote carries the edge's integer weight (trade
+    * counts, interaction strength) instead of 1: per round every node
+    * adopts the label with the largest WEIGHT SUM over its incident
+    * edges plus a weight-1 self-vote, ties to the smallest label. All
+    * sums are integers, so a fixed `rounds` run is bit-exact in any
+    * engine, same as the unweighted contract.
+    *
+    * Edge semantics (the weightedPageRank conventions): weights must be
+    * positive integers (loud otherwise — a zero/negative vote has no
+    * meaning here and silent drops would skew ties); input rows are
+    * undirected weighted edges and PARALLEL rows sum, including a row
+    * per orientation — (u,v,w) plus (v,u,w) is one undirected edge of
+    * weight 2w.
+    *
+    * Degeneration law (spec-pinned): on an edge list where each
+    * undirected edge appears ONCE, unit weights reproduce
+    * [[labelPropagation]] bit-for-bit — every vote is 1, the self-vote
+    * is 1, and the tie order is identical.
+    *
+    * Scale shape: identical to the unweighted operator — per round one
+    * edge-join against the node-sized label vector over the
+    * pre-partitioned persisted adjacency, one (node, label) weight-sum
+    * aggregate, one min-struct fold; shuffle ∝ edges.
+    */
+  def labelPropagationWeighted(edges: DataFrame, srcCol: String,
+                               dstCol: String, weightCol: String,
+                               rounds: Int = 4): DataFrame = {
+    require(rounds >= 1, s"rounds must be positive, got $rounds")
+    val a = edges
+      .select(col(srcCol).cast("long").as("u"), col(dstCol).cast("long").as("v"),
+        col(weightCol).cast("long").as("w"))
+      .filter(col("u") =!= col("v"))
+    require(a.filter(col("w") <= 0L || col("w").isNull).isEmpty,
+      "labelPropagationWeighted: weights must be positive integers")
+    val und = a.unionByName(a.select(col("v").as("u"), col("u").as("v"), col("w")))
+      .groupBy(col("u"), col("v")).agg(sum(col("w")).as("w"))
+      .repartition(col("v")).persist()
+    try {
+      require(!und.isEmpty, "labelPropagationWeighted: no edges — nothing to cluster")
+      var labels = und.select(col("v").as("node")).distinct()
+        .withColumn("label", col("node"))
+        .localCheckpoint(true)
+      var i = 1
+      while (i <= rounds) {
+        val nbr = und
+          .join(labels.withColumnRenamed("node", "v"), "v")
+          .select(col("u").as("node"), col("label"), col("w"))
+        val counts = nbr
+          .unionByName(labels.withColumn("w", lit(1L)))
+          .groupBy(col("node"), col("label"))
+          .agg(sum(col("w")).as("c"))
+        val next = counts
+          .groupBy(col("node"))
+          .agg(min(struct((-col("c")).as("nc"), col("label").as("l")))
+            .as("m"))
+          .select(col("node"), col("m.l").as("label"))
+          .localCheckpoint(true)
+        freeDeadCheckpoint(labels)
+        labels = next
+        i += 1
+      }
+      labels
+    } finally und.unpersist(false)
+  }
+
+  /** MODULARITY-GUIDED local-move refinement of a community assignment —
+    * the deterministic relational analog of the Louvain first phase
+    * (Blondel et al. 2008): each node evaluates moving into one of its
+    * NEIGHBOR communities and accepts iff the EXACT integer modularity
+    * delta is positive, so a [[labelPropagation]] assignment (which
+    * optimizes nothing) is pushed uphill on the same Q that
+    * [[modularity]] scores.
+    *
+    * The delta for moving node i from community a to community b, over
+    * modularity's common denominator 4m²:
+    *
+    *   Δnum = 4·m·(k_ib − k_ia) − 2·k_i·(d_b − d_a + k_i)
+    *
+    * with k_ic = edges from i into community c, k_i = i's degree, d_c =
+    * community degree sums WITH i still seated in a (so d_a includes
+    * k_i, d_b does not). Per node the accepted move maximizes Δnum,
+    * ties to the SMALLEST target label; Δnum ≤ 0 keeps the seat. Same
+    * overflow budget as [[modularity]] (m < ~10⁶·√2.3).
+    *
+    * Determinism: moves apply in two STAGES per sweep — even node ids
+    * move first (all against the pre-sweep assignment), then odd ids
+    * against the updated one. A single all-at-once synchronous step can
+    * oscillate pairs of adjacent nodes through each other's communities
+    * (the LPA bipartite pathology in move form); the parity split is
+    * the cheapest deterministic stagger, and both stages are pure
+    * integer relational passes an oracle replays exactly.
+    *
+    * Bounded by design: targets are NEIGHBOR communities only. The
+    * Louvain isolate-into-a-fresh-community move is deliberately
+    * excluded — labels here are opaque ids from the input assignment
+    * (LPA labels are node ids of arbitrary members), so a "fresh" label
+    * could collide with a live community's. A node whose only
+    * improving move is isolation keeps its seat.
+    *
+    * Same partition contract as [[modularity]] (graph nodes must all be
+    * labeled, one label each — one folded guard pass); assignment rows
+    * for nodes outside the graph are dropped with the same documented
+    * zero-contribution asymmetry.
+    *
+    * Scale shape: per stage, one edge-join against the node-sized label
+    * vector (adjacency pre-partitioned and persisted ONCE across all
+    * sweeps), two community-degree aggregates, one per-node min-struct
+    * fold — shuffle ∝ edges, the labelPropagation cost class; the
+    * moving side is parity-pruned before the join so each stage pays
+    * half the candidate work. Lineage is cut per stage with
+    * dead-checkpoint reclamation.
+    */
+  def refineCommunities(edges: DataFrame, srcCol: String, dstCol: String,
+                        assign: DataFrame, nodeCol: String,
+                        labelCol: String, sweeps: Int = 1): DataFrame = {
+    require(sweeps >= 1, s"sweeps must be positive, got $sweeps")
+    val a = edges
+      .select(col(srcCol).cast("long").as("u"), col(dstCol).cast("long").as("v"))
+      .filter(col("u") =!= col("v"))
+    val adj = a.unionByName(a.select(col("v").as("u"), col("u").as("v")))
+      .distinct()
+      .repartition(col("v")).persist()
+    try {
+      require(!adj.isEmpty, "refineCommunities: no edges — nothing to refine")
+      val lbl = assign
+        .select(col(nodeCol).cast("long").as("node"), col(labelCol).as("label"))
+        .distinct()
+      val nodes = adj.select(col("v").as("node")).distinct()
+      val chk = lbl.groupBy(col("node")).agg(count(lit(1)).as("nl"))
+        .join(nodes.withColumn("__g", lit(1)), Seq("node"), "full")
+        .agg(
+          sum(when(col("nl").isNull, 1L).otherwise(0L)).as("missing"),
+          sum(when(col("nl") > 1L, 1L).otherwise(0L)).as("multi"))
+        .collect()(0)
+      require(chk.getLong(0) == 0L,
+        "refineCommunities: assignment is missing graph nodes")
+      require(chk.getLong(1) == 0L,
+        "refineCommunities: a node has multiple labels — assignment must be a partition")
+      // |adj| = 2m exactly (symmetrized, distinct, no self-loops)
+      val mDf = adj.agg(expr("count(*) div 2").as("m"))
+      val deg = adj.groupBy(col("u").as("node")).agg(count(lit(1)).as("k"))
+
+      // one parity stage: only nodes with node % 2 == parity may move,
+      // all evaluated against `cur`, applied simultaneously
+      def stage(cur: DataFrame, parity: Int): DataFrame = {
+        val dC = deg.join(cur, "node")
+          .groupBy(col("label")).agg(sum(col("k")).as("d_tot"))
+        // candidate links: edges OUT of this stage's movable nodes,
+        // grouped by the neighbor's community
+        val kic = adj.filter(pmod(col("u"), lit(2)) === parity)
+          .join(cur.select(col("node").as("v"), col("label").as("nl")), "v")
+          .groupBy(col("u").as("node"), col("nl"))
+          .agg(count(lit(1)).as("kc"))
+        val ka = kic.join(cur, "node")
+          .filter(col("nl") === col("label"))
+          .select(col("node"), col("kc").as("ka"))
+        val cand = kic
+          .join(cur, "node")
+          .filter(col("nl") =!= col("label"))
+          .join(deg, "node")
+          .join(dC.select(col("label"), col("d_tot").as("d_a")), "label")
+          .join(dC.select(col("label").as("nl"), col("d_tot").as("d_b")), "nl")
+          .join(ka, Seq("node"), "left")
+          .withColumn("ka", coalesce(col("ka"), lit(0L)))
+          .crossJoin(broadcast(mDf))
+          .withColumn("delta_num",
+            lit(4L) * col("m") * (col("kc") - col("ka")) -
+              lit(2L) * col("k") * (col("d_b") - col("d_a") + col("k")))
+          .filter(col("delta_num") > 0L)
+        val best = cand
+          .groupBy(col("node"))
+          .agg(min(struct((-col("delta_num")).as("nd"), col("nl").as("l"))).as("mv"))
+          .select(col("node"), col("mv.l").as("new_label"))
+        cur.join(best, Seq("node"), "left")
+          .select(col("node"),
+            coalesce(col("new_label"), col("label")).as("label"))
+          .localCheckpoint(true)
+      }
+
+      var cur = lbl.localCheckpoint(true)
+      var s = 0
+      while (s < sweeps) {
+        val even = stage(cur, 0)
+        freeDeadCheckpoint(cur)
+        val odd = stage(even, 1)
+        freeDeadCheckpoint(even)
+        cur = odd
+        s += 1
+      }
+      cur
+    } finally adj.unpersist(false)
+  }
+
   /** EXACT modularity of a community assignment over an undirected
     * graph — the standard partition-quality score (Newman):
     *

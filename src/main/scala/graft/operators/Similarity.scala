@@ -699,6 +699,57 @@ object Similarity {
     } finally freeCheckpoint(tomb)
   }
 
+  /** QUANTIZATION-ERROR drift statistics — the policy knob behind
+    * [[rebuildIvfPqIndex]] made measurable. The frozen-codebook trade
+    * ([[appendToIvfPqIndex]]) degrades silently: if the increment's
+    * distribution walks away from the training sample, its vectors
+    * quantize WORSE (larger residual-to-code distance), ADC rankings
+    * blur, and nothing in the serve path says so. This scores each
+    * cohort's encoding error against the index's frozen constants:
+    * per row, the squared L2 between every residual subspace slice and
+    * its NEAREST sub-centroid (the exact error PQ encoding commits to),
+    * floored to integer micro-units PER SUBSPACE so every aggregate
+    * after that point is exact integer arithmetic — no double fold-order
+    * anywhere (the adist discipline, hardened one level earlier).
+    *
+    * Returns one row per cohort: `(cohort, n_vecs, err_micro_total,
+    * err_micro_avg)`. A drifting increment shows up as
+    * `err_micro_avg(increment) >> err_micro_avg(base)` — the caller's
+    * rebuild trigger. Scale shape: one distributed projection per row
+    * (cell assign + m fused min-distance loops, all codegen — the
+    * NearestCellDist sibling of the encode kernel), one broadcast of the
+    * tiny centroid table, one cohort aggregate; the corpus never
+    * shuffles and the index's code files are never read.
+    */
+  def ivfPqDriftStats(df: DataFrame, path: String, cohortCol: String,
+                      cId: String = "nid", cVec: String = "ne"): DataFrame = {
+    import org.apache.spark.sql.GraftShim.{column, expression}
+    val spark = df.sparkSession
+    import spark.implicits._
+    val root = resolveIvfPqRoot(spark, path)
+    val (cents, cbs) = loadIvfPqConstants(spark, root)
+    val m = cbs.length
+    val sub = cbs(0)(0).length
+    val centroids = cents.zipWithIndex.map { case (v, i) => (i, v.toSeq) }
+      .toSeq.toDF("cell", "cvec")
+    val assigned = df.select(col(cohortCol).as("cohort"), col(cId), col(cVec),
+      column(graft.expressions.NearestCell(expression(col(cVec)), cents)).as("cell"))
+    val errRow = (0 until m).map { mi =>
+      floor(column(graft.expressions.NearestCellDist(
+        expression(slice(col("__rvec"), mi * sub + 1, sub)), cbs(mi)))
+        * lit(1000000.0)).cast("long")
+    }.reduce(_ + _)
+    assigned.join(broadcast(centroids), "cell")
+      .withColumn("__rvec",
+        zip_with(col(cVec).cast("array<double>"), col("cvec"), (a, b) => a - b))
+      .select(col("cohort"), errRow.as("err_micro"))
+      .groupBy(col("cohort"))
+      .agg(count(lit(1)).as("n_vecs"),
+        sum(col("err_micro")).as("err_micro_total"))
+      .withColumn("err_micro_avg",
+        expr("err_micro_total div n_vecs"))
+  }
+
   /** ONLINE half: answer a query batch from a persisted `buildIvfPqIndex`
     * layout. The probe set is bounded (|queries| × nProbe), so the distinct
     * probed cell ids collect to the driver and push down as a STATIC

@@ -213,6 +213,22 @@ object DedupQueries {
        |FROM documents LEFT JOIN lbl l ON l.id = doc_id
        |ORDER BY doc_id""".stripMargin
 
+  /** q284 oracle: the q272 closure labels restricted to nodes that appear
+    * in at least one pair — exactly what the cluster store holds (docs
+    * with no near-dup pair never enter it).
+    */
+  private lazy val q284OracleSql: String =
+    s"""WITH RECURSIVE $minhashCtes,
+       |und AS (SELECT id_a AS a, id_b AS b FROM j WHERE jaccard >= 0.8
+       |        UNION SELECT id_b, id_a FROM j WHERE jaccard >= 0.8),
+       |reach(src, dst) AS (
+       |  SELECT a, b FROM und
+       |  UNION
+       |  SELECT r.src, u.b FROM reach r JOIN und u ON r.dst = u.a),
+       |lbl AS (SELECT src AS id, least(src, min(dst)) AS label
+       |        FROM reach GROUP BY src)
+       |SELECT id, label FROM lbl ORDER BY id""".stripMargin
+
   /** q53 oracle: replays hyperplane-LSH bucketing + cosine verification in
     * DuckDB. The planes (VectorFns.planeFor, seeds 0..3, dim 64 — exactly
     * what embeddingPairs(nBits = 4) uses) are emitted as double literals via
@@ -549,6 +565,33 @@ object DedupQueries {
     s"""WITH ${ivfPqReplayCtes(s, dir)}
        |SELECT qid, nid, round(adist, 4) AS adist, rn FROM r WHERE rn <= 5
        |ORDER BY qid, rn""".stripMargin
+
+  /** q285 oracle GENERATOR: per-subspace quantization error against the
+    * q275 base-trained constants — min over sub-centroids of the residual
+    * slice's L2², floored to micro-units PER (nid, m) so the row sum and
+    * both cohort aggregates are exact integers (min over doubles is
+    * commutative, so the only float op is replayed bit-identically).
+    * Reuses the memoized q275 replay CTEs (one training pass serves
+    * q275/q276/q285).
+    */
+  private def q285OracleGen(s: SparkSession, dir: String): String = {
+    val sub = 8
+    def l2res(rv: String, mExpr: String): String =
+      s"""list_sum(list_transform(list_zip($rv[$mExpr*$sub+1 : $mExpr*$sub+$sub], cb.cvec),
+         |          x -> (x[1] - x[2]) * (x[1] - x[2])))""".stripMargin
+    s"""WITH ${ivfPqReplayCtes(s, dir, Some("vec_id % 3 != 0"))},
+       |errm AS (SELECT asg.nid, cb.m,
+       |    CAST(floor(min(${l2res("asg.rvec", "cb.m")}) * 1000000) AS BIGINT) AS e
+       |  FROM asg CROSS JOIN cb GROUP BY 1, 2),
+       |errrow AS (SELECT nid, CAST(sum(e) AS BIGINT) AS err_micro
+       |           FROM errm GROUP BY 1)
+       |SELECT CASE WHEN nid % 3 = 0 THEN 'increment' ELSE 'base' END AS cohort,
+       |  CAST(count(*) AS BIGINT) AS n_vecs,
+       |  CAST(sum(err_micro) AS BIGINT) AS err_micro_total,
+       |  CAST(sum(err_micro) AS BIGINT) // CAST(count(*) AS BIGINT)
+       |    AS err_micro_avg
+       |FROM errrow GROUP BY 1 ORDER BY cohort""".stripMargin
+  }
 
   /** q136 oracle GENERATOR: recall@5 of the IVF-PQ replay against exact
     * L2 top-5 — set intersection of two deterministically-ranked id sets,
@@ -991,6 +1034,35 @@ object DedupQueries {
       },
       Some(q272OracleSql)),
 
+    // ---- INCREMENTAL cluster-store maintenance (Dedup.buildClusterStore +
+    // mergeIntoClusterStore): the q94 component labels persisted as a
+    // label-bucket-partitioned table, then the day's pairs (the q112
+    // incremental generator at the same threshold) merged in via the
+    // bounded QUOTIENT graph — only buckets holding merged labels are
+    // rewritten (PlanSpec pins untouched buckets byte-identical). The
+    // oracle is the full-recompute closure over base ∪ increment pairs
+    // (== the q272 closure, since base + incremental generation covers
+    // exactly the full run's pairs below the hot-bucket cap), so the
+    // hash proves incremental maintenance == recompute-from-scratch. ----
+    Q("q284_cluster_store_incremental",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val base = docs.filter(col("doc_id") % 3 =!= 0)
+        val newDocs = docs.filter(col("doc_id") % 3 === 0)
+        val tmp = java.nio.file.Files
+          .createTempDirectory("graft_q284_").toString + "/labels"
+        Dedup.buildClusterStore(
+          Dedup.minhashPairs(base, "doc_id", "text",
+            threshold = 0.8, portableHash = true), tmp)
+        Dedup.mergeIntoClusterStore(
+          Dedup.incrementalMinhashPairs(newDocs, base, "doc_id", "text",
+              threshold = 0.8, portableHash = true)
+            .select(col("new_id").as("id_a"), col("dup_id").as("id_b")),
+          tmp)
+        Dedup.readClusterStore(s, tmp).orderBy(col("id"))
+      },
+      Some(q284OracleSql)),
+
     // ---- Dedup impact report: what the q94 corpus dedup actually BUYS —
     // docs and characters kept/dropped, in counts and ppm, one summary
     // row. The decision artifact a curation run ships with its output
@@ -1196,6 +1268,32 @@ object DedupQueries {
       },
       None,
       oracleGen = Some(q281OracleGen _)),
+
+    // ---- IVF-PQ DRIFT statistics (Similarity.ivfPqDriftStats): the q281
+    // rebuild's trigger made measurable — per-cohort quantization error
+    // (residual slice to nearest frozen sub-centroid, floored micro-units
+    // per subspace so every aggregate is exact-integer) against the q275
+    // base-trained index. err_micro_avg(increment) >> err_micro_avg(base)
+    // is the "retrain now" signal; here the increment is an i.i.d. slice
+    // of the same synthetic distribution, so the two cohorts score within
+    // a few percent — the no-drift baseline the alarm calibrates against. ----
+    Q("q285_ivfpq_drift",
+      (s, dir) => {
+        val emb = t(s, dir, "embeddings")
+        val base = emb.filter(col("vec_id") % 3 =!= 0)
+          .select(col("vec_id").as("nid"), col("embedding").as("ne"))
+        val tmp = java.nio.file.Files
+          .createTempDirectory("graft_ivfpq_drift_").toString
+        Similarity.buildIvfPqIndex(base, tmp)
+        val all = emb.select(
+          when(col("vec_id") % 3 === 0, lit("increment"))
+            .otherwise(lit("base")).as("cohort"),
+          col("vec_id").as("nid"), col("embedding").as("ne"))
+        Similarity.ivfPqDriftStats(all, tmp, "cohort")
+          .orderBy(col("cohort"))
+      },
+      None,
+      oracleGen = Some(q285OracleGen _)),
 
     // ---- G1 token chunker (size 30, overlap 5), content-hash checked. ----
     Q("q55_chunk",

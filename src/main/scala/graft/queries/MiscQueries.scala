@@ -41,12 +41,53 @@ object MiscQueries {
        |$roundCtes""".stripMargin
   }
 
+  /** The q282 local-move refinement replay: given assignment CTE `cur`
+    * over the symmetrized edge CTE `e` (plus shared `degx`/`mmx`), one
+    * parity stage — movable nodes (node % 2 = parity) pick the neighbor
+    * community with the max EXACT integer modularity delta
+    * 4·m·(k_ib − k_ia) − 2·k_i·(d_b − d_a + k_i), ties to the smallest
+    * label, accept iff positive — emitting assignment CTE `out`. Two
+    * stages (even then odd) make one sweep, mirroring
+    * `Graph.refineCommunities` exactly.
+    */
+  /** Every multiply-referenced CTE is MATERIALIZED (the q244 unroll
+    * lesson, which bit again at sf0.1): DuckDB inlines plain CTEs at
+    * EACH reference, so a stage referencing its input assignment three
+    * times would re-run the whole upstream unroll three times — two
+    * stages deep that's a 9× recompute that spills the temp disk.
+    */
+  private def refineStageCtes(cur: String, parity: Int, out: String): String = {
+    val sfx = out
+    s"""dc$sfx AS MATERIALIZED (SELECT c.label, CAST(sum(degx.k) AS BIGINT) AS d_tot
+       |  FROM degx JOIN $cur c USING (node) GROUP BY 1),
+       |kic$sfx AS MATERIALIZED (SELECT e.u AS node, cl.label AS nl,
+       |    CAST(count(*) AS BIGINT) AS kc
+       |  FROM e JOIN $cur cl ON cl.node = e.v
+       |  WHERE e.u % 2 = $parity GROUP BY 1, 2),
+       |cand$sfx AS (SELECT k0.node, k0.nl,
+       |    4 * mmx.m * (k0.kc - COALESCE(ka.kc, 0))
+       |      - 2 * degx.k * (db.d_tot - da.d_tot + degx.k) AS delta
+       |  FROM kic$sfx k0
+       |  JOIN $cur c ON c.node = k0.node AND c.label <> k0.nl
+       |  JOIN degx ON degx.node = k0.node
+       |  JOIN dc$sfx da ON da.label = c.label
+       |  JOIN dc$sfx db ON db.label = k0.nl
+       |  LEFT JOIN kic$sfx ka ON ka.node = k0.node AND ka.nl = c.label
+       |  CROSS JOIN mmx),
+       |mv$sfx AS (SELECT node, nl FROM (SELECT node, nl, delta,
+       |    row_number() OVER (PARTITION BY node
+       |      ORDER BY delta DESC, nl) AS rn
+       |  FROM cand$sfx WHERE delta > 0) x$sfx WHERE rn = 1),
+       |$out AS MATERIALIZED (SELECT c.node, COALESCE(mv.nl, c.label) AS label
+       |  FROM $cur c LEFT JOIN mv$sfx mv USING (node))""".stripMargin
+  }
+
   /** The q156 repeat-trade commerce graph (customer-supplier pairs with
     * >= 2 lineitems) — sparse enough that LPA resolves MULTIPLE
     * communities (the fully-dense q128 bipartite graph collapses to one
     * label, a degenerate fixture for community queries).
     */
-  private def repeatTradePairs(s: SparkSession, dir: String): DataFrame =
+  private def repeatTradePairsWeighted(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "lineitem").select(col("l_orderkey"), col("l_suppkey"))
       .join(t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey")),
         col("l_orderkey") === col("o_orderkey"))
@@ -54,7 +95,39 @@ object MiscQueries {
         (col("l_suppkey") + 10000000L).as("supp"))
       .agg(count(lit(1)).as("w"))
       .filter(col("w") >= 2)
-      .select(col("cust"), col("supp"))
+
+  private def repeatTradePairs(s: SparkSession, dir: String): DataFrame =
+    repeatTradePairsWeighted(s, dir).select(col("cust"), col("supp"))
+
+  /** The q283 WEIGHTED LPA replay: same unroll as [[lpaUnrollCtes]] but
+    * votes sum the symmetrized edge weights (trade counts) and the
+    * self-vote weighs 1 — CTEs `wpairs`, `ew` (u, v, w),
+    * `wl0..wl<rounds>`.
+    */
+  private def lpaWeightedUnrollCtes(rounds: Int): String = {
+    val roundCtes = (1 to rounds).map { i =>
+      val prev = s"wl${i - 1}"
+      s"""wc$i AS (SELECT node, label, CAST(sum(w) AS BIGINT) AS c
+         |  FROM (SELECT ew.u AS node, l.label, ew.w
+         |          FROM ew JOIN $prev l ON l.node = ew.v
+         |        UNION ALL SELECT node, label, CAST(1 AS BIGINT) FROM $prev) wx$i
+         |  GROUP BY 1, 2),
+         |wl$i AS (SELECT node, label FROM (SELECT node, label,
+         |    row_number() OVER (PARTITION BY node
+         |      ORDER BY c DESC, label) AS rn
+         |  FROM wc$i) wy$i WHERE rn = 1)""".stripMargin
+    }.mkString(",\n")
+    s"""wpairs AS (SELECT CAST(o_custkey AS BIGINT) AS cust,
+       |    CAST(l_suppkey + 10000000 AS BIGINT) AS supp,
+       |    CAST(count(*) AS BIGINT) AS w
+       |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+       |  GROUP BY 1, 2 HAVING count(*) >= 2),
+       |ew AS (SELECT u, v, CAST(sum(w) AS BIGINT) AS w FROM (
+       |    SELECT cust AS u, supp AS v, w FROM wpairs
+       |    UNION ALL SELECT supp, cust, w FROM wpairs) ew0 GROUP BY 1, 2),
+       |wl0 AS (SELECT DISTINCT v AS node, v AS label FROM ew),
+       |$roundCtes""".stripMargin
+  }
 
   /** q133 oracle GENERATOR (the q57 inline-constants pattern): the
     * edge-contribution recursion replays in SQL exactly as q128's, while
@@ -469,6 +542,50 @@ object MiscQueries {
               |         // least(dc.d_tot, mm.vol_all - dc.d_tot) END AS cond_ppm
               |FROM dc LEFT JOIN cuts USING (lbl) CROSS JOIN mm
               |ORDER BY label""".stripMargin)),
+
+    // ---- Modularity-guided LOCAL-MOVE refinement (Graph.refineCommunities)
+    // of the q274 LPA assignment — the deterministic Louvain-phase-1
+    // analog: each node accepts the neighbor-community move with the max
+    // EXACT integer modularity delta (positive only, smallest-label
+    // ties), applied in two parity stages per sweep. LPA optimizes
+    // nothing, so this provably pushes q277's q_ppm uphill (GraphSpec
+    // pins q_ppm(refined) >= q_ppm(LPA) plus a one-move fixture); the
+    // oracle replays the unroll + both stages' integer deltas. ----
+    Q("q282_communities_refine",
+      (s, dir) => {
+        val pairs = repeatTradePairs(s, dir)
+        val lpa = graft.operators.Graph.labelPropagation(
+          pairs, "cust", "supp", rounds = 4)
+        graft.operators.Graph.refineCommunities(
+            pairs, "cust", "supp", lpa, "node", "label")
+          .orderBy(col("node"))
+      },
+      Some(s"""WITH ${lpaUnrollCtes(4)},
+              |l4m AS MATERIALIZED (SELECT node, label FROM l4),
+              |degx AS MATERIALIZED (SELECT u AS node,
+              |    CAST(count(*) AS BIGINT) AS k FROM e GROUP BY 1),
+              |mmx AS MATERIALIZED (SELECT CAST(count(*) AS BIGINT) // 2 AS m
+              |    FROM e),
+              |${refineStageCtes("l4m", 0, "ra")},
+              |${refineStageCtes("ra", 1, "rb")}
+              |SELECT node, label FROM rb ORDER BY node""".stripMargin)),
+
+    // ---- WEIGHTED label propagation (Graph.labelPropagationWeighted) on
+    // the repeat-trade graph with the trade count as the edge weight —
+    // the multiplicity q274 discards: a customer trading 9 times with
+    // one supplier now outvotes three 2-trade ties. Unit weights
+    // degenerate to q274 bit-for-bit (GraphSpec law, the
+    // weightedPageRank->q128 discipline); the oracle is the weighted
+    // unroll with the weight-1 self-vote. ----
+    Q("q283_communities_lpa_weighted",
+      (s, dir) => {
+        val pairs = repeatTradePairsWeighted(s, dir)
+        graft.operators.Graph.labelPropagationWeighted(
+            pairs, "cust", "supp", "w", rounds = 4)
+          .orderBy(col("node"))
+      },
+      Some(s"""WITH ${lpaWeightedUnrollCtes(4)}
+              |SELECT node, label FROM wl4 ORDER BY node""".stripMargin)),
 
     // ---- Dangling-node PageRank: the same fixed-point operator on the
     // ONE-WAY commerce graph (cust -> supp only), where every supplier is

@@ -382,6 +382,93 @@ class GraphSpec extends SparkSpec {
     assert(q0 == Seq((0L, 0L)), s"whole-graph community must be (cut=0, 0), got $q0")
   }
 
+  test("refineCommunities: one local move repairs a misassigned bridge node; " +
+      "an optimal assignment is a fixed point; empty input is loud") {
+    val tri = Seq((1L, 2L), (2L, 3L), (1L, 3L), (4L, 5L), (5L, 6L), (4L, 6L),
+      (3L, 4L)).toDF("s", "d")
+    // node 4 misassigned to the left triangle's community: the exact delta
+    // for moving 4 -> {5,6} is 4*7*(2-1) - 2*3*(4-10+3) = 46 > 0, every
+    // other node's candidate deltas are <= 0, so ONE stage-0 move lands the
+    // perfect split (Q 0.1224 -> 0.3571)
+    val bad = Seq((1L, 1L), (2L, 1L), (3L, 1L), (4L, 1L), (5L, 5L), (6L, 5L))
+      .toDF("node", "label")
+    val got = graft.operators.Graph
+      .refineCommunities(tri, "s", "d", bad, "node", "label")
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 5L, 5L -> 5L, 6L -> 5L),
+      s"got $got")
+    // and the refined assignment scores strictly higher than the input
+    def q(a: org.apache.spark.sql.DataFrame): Long = graft.operators.Graph
+      .modularity(tri, "s", "d", a, "node", "label")
+      .select($"q_ppm").distinct().as[Long].collect().head
+    assert(q(got.toSeq.toDF("node", "label")) > q(bad))
+    // a modularity-optimal assignment has no positive move: fixed point
+    val opt = got.toSeq.toDF("node", "label")
+    val again = graft.operators.Graph
+      .refineCommunities(tri, "s", "d", opt, "node", "label", sweeps = 2)
+      .as[(Long, Long)].collect().toMap
+    assert(again == got, s"optimal assignment must be a fixed point, got $again")
+    val err = intercept[IllegalArgumentException] {
+      graft.operators.Graph.refineCommunities(
+        Seq.empty[(Long, Long)].toDF("s", "d"), "s", "d", bad, "node", "label")
+    }
+    assert(err.getMessage.contains("no edges"))
+  }
+
+  test("refineCommunities: LPA on the repeat-trade graph is improvable and " +
+      "the sweep never lowers q_ppm") {
+    val pairs = Tables(spark, sfDir, "lineitem")
+      .select(col("l_orderkey"), col("l_suppkey"))
+      .join(Tables(spark, sfDir, "orders")
+        .select(col("o_orderkey"), col("o_custkey")),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_custkey").as("cust"),
+        (col("l_suppkey") + org.apache.spark.sql.functions.lit(10000000L)).as("supp"))
+      .agg(org.apache.spark.sql.functions.count(lit(1)).as("w"))
+      .filter(col("w") >= 2)
+      .select(col("cust"), col("supp"))
+    val lpa = graft.operators.Graph.labelPropagation(pairs, "cust", "supp", rounds = 4)
+    val refined = graft.operators.Graph
+      .refineCommunities(pairs, "cust", "supp", lpa, "node", "label")
+    def q(a: org.apache.spark.sql.DataFrame): Long = graft.operators.Graph
+      .modularity(pairs, "cust", "supp", a, "node", "label")
+      .select($"q_ppm").distinct().as[Long].collect().head
+    val (q0, q1) = (q(lpa), q(refined))
+    assert(q1 >= q0, s"refinement lowered modularity: $q0 -> $q1")
+  }
+
+  test("labelPropagationWeighted: unit weights degenerate to labelPropagation " +
+      "bit-for-bit; a heavy edge outvotes edge count; loud on w <= 0") {
+    // single-orientation random edge list: the degeneration law's domain
+    val rnd = new scala.util.Random(11)
+    val raw = (1 to 80).map(_ => (rnd.nextInt(15).toLong, rnd.nextInt(15).toLong))
+      .filter(p => p._1 < p._2).distinct
+    val unw = graft.operators.Graph.labelPropagation(
+        raw.toDF("s", "d"), "s", "d", rounds = 4)
+      .as[(Long, Long)].collect().toMap
+    val unit = graft.operators.Graph.labelPropagationWeighted(
+        raw.map(p => (p._1, p._2, 1L)).toDF("s", "d", "w"), "s", "d", "w",
+        rounds = 4)
+      .as[(Long, Long)].collect().toMap
+    assert(unit == unw, "unit weights must reproduce the unweighted operator")
+    // node 30 has TWO unit edges into the {1,2,3} clique but ONE weight-10
+    // edge to node 40: count votes {1,2}, weight votes 40
+    val wd = Seq((1L, 2L, 1L), (2L, 3L, 1L), (1L, 3L, 1L),
+      (30L, 1L, 1L), (30L, 2L, 1L), (30L, 40L, 10L)).toDF("s", "d", "w")
+    val got = graft.operators.Graph.labelPropagationWeighted(
+        wd, "s", "d", "w", rounds = 1)
+      .as[(Long, Long)].collect().toMap
+    assert(got(30L) == 40L, s"weight must outvote count, got ${got(30L)}")
+    val unwGot = graft.operators.Graph.labelPropagation(
+        wd, "s", "d", rounds = 1).as[(Long, Long)].collect().toMap
+    assert(unwGot(30L) == 1L, s"count vote sanity check, got ${unwGot(30L)}")
+    val err = intercept[IllegalArgumentException] {
+      graft.operators.Graph.labelPropagationWeighted(
+        Seq((1L, 2L, 0L)).toDF("s", "d", "w"), "s", "d", "w")
+    }
+    assert(err.getMessage.contains("positive"))
+  }
+
   test("hits: edge-less input fails loudly, not silently empty") {
     val err = intercept[IllegalArgumentException] {
       graft.operators.Graph.hits(

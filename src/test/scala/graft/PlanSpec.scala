@@ -336,6 +336,53 @@ class PlanSpec extends SparkSpec {
       "reinserted vector must survive compaction; the real delete must not")
   }
 
+  test("cluster store merge: only buckets holding merged labels are rewritten; " +
+      "emptied buckets dropped; labels always equal a full recompute") {
+    import graft.operators.Dedup
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft_cstore_")
+      .toString + "/labels"
+    // three 2-node components: labels 1 (bucket 1), 10 (bucket 2), 20 (bucket 4)
+    Dedup.buildClusterStore(
+      Seq((1L, 2L), (10L, 11L), (20L, 21L)).toDF("id_a", "id_b"), tmp, nBuckets = 8)
+    def files() = new java.io.File(tmp).listFiles().filter(_.isDirectory)
+      .map(d => d.getName -> d.listFiles()
+        .filter(_.getName.endsWith(".parquet"))
+        .map(f => (f.getPath, f.lastModified(), f.length())).toSet).toMap
+    def stored() = Dedup.readClusterStore(spark, tmp)
+      .as[(Long, Long)].collect().toSet
+    def full(pairs: Seq[(Long, Long)]) = Dedup
+      .connectedComponents(pairs.toDF("id_a", "id_b"))
+      .as[(Long, Long)].collect().toSet
+    val before = files()
+    // day 1: fresh node 30 joins component 1; fresh pair (40,41) founds a
+    // new component — components 10 and 20 are not involved
+    val day1 = Seq((2L, 30L), (40L, 41L))
+    Dedup.mergeIntoClusterStore(day1.toDF("id_a", "id_b"), tmp, nBuckets = 8)
+    val after1 = files()
+    assert(after1("bucket=2") == before("bucket=2") &&
+      after1("bucket=4") == before("bucket=4"),
+      "buckets of untouched components must keep their exact files")
+    val all1 = Seq((1L, 2L), (10L, 11L), (20L, 21L)) ++ day1
+    assert(stored() == full(all1), "incremental labels must equal a full recompute")
+    // day 2: the bridge (11,21) merges components 10 and 20 into label 10 —
+    // bucket 4 empties (its rows migrate to bucket 2) and must be dropped
+    Dedup.mergeIntoClusterStore(Seq((11L, 21L)).toDF("id_a", "id_b"), tmp,
+      nBuckets = 8)
+    assert(!new java.io.File(s"$tmp/bucket=4").exists(),
+      "a bucket whose every row migrated out must be dropped")
+    val after2 = files()
+    assert(after2("bucket=1") == after1("bucket=1") &&
+      after2("bucket=0") == after1("bucket=0"),
+      "the merge of 10/20 must not rewrite components 1 or 40")
+    assert(stored() == full(all1 :+ (11L, 21L)))
+    // a pair INSIDE one component is a no-op: zero files touched
+    val snap = files()
+    Dedup.mergeIntoClusterStore(Seq((1L, 30L)).toDF("id_a", "id_b"), tmp,
+      nBuckets = 8)
+    assert(files() == snap, "an intra-component pair must write nothing")
+  }
+
   test("q50 minhash: single pair-generating exchange above the cached base") {
     withoutAqe {
       val p = plan(registry("q50_minhash_pairs")(spark, sfDir))

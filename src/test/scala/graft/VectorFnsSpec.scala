@@ -19,6 +19,37 @@ class VectorFnsSpec extends SparkSpec {
     assert(math.abs(rows(1)._2 - 1.0) < 1e-12)
   }
 
+  test("NearestCellDist returns NearestCell's own distance; drift stats flag " +
+      "a shifted increment against the frozen codebooks") {
+    import org.apache.spark.sql.GraftShim.{column, expression}
+    val cents = Array(Array(0.0, 0.0), Array(10.0, 10.0))
+    val df = Seq(Seq(1.0, 1.0), Seq(9.0, 8.0), Seq(4.0, 5.0)).toDF("v")
+    val rows = df.select(
+      column(graft.expressions.NearestCell(expression(col("v")), cents)).as("c"),
+      column(graft.expressions.NearestCellDist(expression(col("v")), cents)).as("d"))
+      .as[(Int, Double)].collect().toSeq
+    // (1,1)->cell 0 d=2; (9,8)->cell 1 d=5; (4,5)->cell 0 d=41 (< 61)
+    assert(rows == Seq((0, 2.0), (1, 5.0), (0, 41.0)), s"got $rows")
+    // a genuinely shifted increment must score a larger avg error than the
+    // base cohort it was NOT trained on
+    val emb = Tables(spark, sfDir, "embeddings")
+    val base = emb.filter(col("vec_id") % 3 =!= 0)
+      .select(col("vec_id").as("nid"), col("embedding").as("ne"))
+    val tmp = java.nio.file.Files.createTempDirectory("graft_drift_").toString
+    Similarity.buildIvfPqIndex(base, tmp)
+    val shifted = emb.select(
+      when(col("vec_id") % 3 === 0, lit("shifted")).otherwise(lit("base")).as("cohort"),
+      col("vec_id").as("nid"),
+      when(col("vec_id") % 3 === 0,
+        transform(col("embedding"), x => x * lit(3.0f) + lit(2.0f)))
+        .otherwise(col("embedding")).as("ne"))
+    val avg = Similarity.ivfPqDriftStats(shifted, tmp, "cohort")
+      .as[(String, Long, Long, Long)].collect()
+      .map(r => r._1 -> r._4).toMap
+    assert(avg("shifted") > 2 * avg("base"),
+      s"a 3x+2 affine shift must blow up quantization error, got $avg")
+  }
+
   test("lsh bucket is deterministic and identical vectors collide") {
     val v = Seq.fill(8)(0.5f)
     val df = Seq(v, v).toDF("v")
