@@ -628,6 +628,102 @@ object Graph {
     } finally adj.unpersist(false)
   }
 
+  /** WEIGHTED local-move refinement — [[refineCommunities]] climbing
+    * [[modularityWeighted]]'s Q_w instead of the unweighted Q: the exact
+    * integer delta for moving node i from community a to b becomes
+    *
+    *   Δnum = 4·W·(w_ib − w_ia) − 2·s_i·(s_b − s_a + s_i)
+    *
+    * with w_ic the WEIGHT from i into community c, s_i its strength and
+    * s_c community strength sums (a seating i, b not). Everything else —
+    * parity stages, positive-only acceptance, smallest-label ties,
+    * neighbor-communities-only targets, the one-pass partition guards,
+    * checkpoint discipline — is the unweighted operator verbatim, and
+    * unit weights on a deduped edge list degenerate to it bit-for-bit
+    * (spec law). The natural composition is
+    * [[labelPropagationWeighted]] → this → [[modularityWeighted]].
+    */
+  def refineCommunitiesWeighted(edges: DataFrame, srcCol: String,
+                                dstCol: String, weightCol: String,
+                                assign: DataFrame, nodeCol: String,
+                                labelCol: String, sweeps: Int = 1): DataFrame = {
+    require(sweeps >= 1, s"sweeps must be positive, got $sweeps")
+    val a = edges
+      .select(col(srcCol).cast("long").as("u"), col(dstCol).cast("long").as("v"),
+        col(weightCol).cast("long").as("w"))
+      .filter(col("u") =!= col("v"))
+    require(a.filter(col("w") <= 0L || col("w").isNull).isEmpty,
+      "refineCommunitiesWeighted: weights must be positive integers")
+    val adj = a.unionByName(a.select(col("v").as("u"), col("u").as("v"), col("w")))
+      .groupBy(col("u"), col("v")).agg(sum(col("w")).as("w"))
+      .repartition(col("v")).persist()
+    try {
+      require(!adj.isEmpty, "refineCommunitiesWeighted: no edges — nothing to refine")
+      val lbl = assign
+        .select(col(nodeCol).cast("long").as("node"), col(labelCol).as("label"))
+        .distinct()
+      val nodes = adj.select(col("v").as("node")).distinct()
+      val chk = lbl.groupBy(col("node")).agg(count(lit(1)).as("nl"))
+        .join(nodes.withColumn("__g", lit(1)), Seq("node"), "full")
+        .agg(
+          sum(when(col("nl").isNull, 1L).otherwise(0L)).as("missing"),
+          sum(when(col("nl") > 1L, 1L).otherwise(0L)).as("multi"))
+        .collect()(0)
+      require(chk.getLong(0) == 0L,
+        "refineCommunitiesWeighted: assignment is missing graph nodes")
+      require(chk.getLong(1) == 0L,
+        "refineCommunitiesWeighted: a node has multiple labels — assignment must be a partition")
+      // Σ adj.w = 2W exactly (symmetrized, no self-loops)
+      val wDf = adj.agg(expr("sum(w) div 2").as("W"))
+      val strength = adj.groupBy(col("u").as("node")).agg(sum(col("w")).as("k"))
+
+      def stage(cur: DataFrame, parity: Int): DataFrame = {
+        val sC = strength.join(cur, "node")
+          .groupBy(col("label")).agg(sum(col("k")).as("s_tot"))
+        val wic = adj.filter(pmod(col("u"), lit(2)) === parity)
+          .join(cur.select(col("node").as("v"), col("label").as("nl")), "v")
+          .groupBy(col("u").as("node"), col("nl"))
+          .agg(sum(col("w")).as("kc"))
+        val wa = wic.join(cur, "node")
+          .filter(col("nl") === col("label"))
+          .select(col("node"), col("kc").as("ka"))
+        val cand = wic
+          .join(cur, "node")
+          .filter(col("nl") =!= col("label"))
+          .join(strength, "node")
+          .join(sC.select(col("label"), col("s_tot").as("s_a")), "label")
+          .join(sC.select(col("label").as("nl"), col("s_tot").as("s_b")), "nl")
+          .join(wa, Seq("node"), "left")
+          .withColumn("ka", coalesce(col("ka"), lit(0L)))
+          .crossJoin(broadcast(wDf))
+          .withColumn("delta_num",
+            lit(4L) * col("W") * (col("kc") - col("ka")) -
+              lit(2L) * col("k") * (col("s_b") - col("s_a") + col("k")))
+          .filter(col("delta_num") > 0L)
+        val best = cand
+          .groupBy(col("node"))
+          .agg(min(struct((-col("delta_num")).as("nd"), col("nl").as("l"))).as("mv"))
+          .select(col("node"), col("mv.l").as("new_label"))
+        cur.join(best, Seq("node"), "left")
+          .select(col("node"),
+            coalesce(col("new_label"), col("label")).as("label"))
+          .localCheckpoint(true)
+      }
+
+      var cur = lbl.localCheckpoint(true)
+      var s = 0
+      while (s < sweeps) {
+        val even = stage(cur, 0)
+        freeDeadCheckpoint(cur)
+        val odd = stage(even, 1)
+        freeDeadCheckpoint(even)
+        cur = odd
+        s += 1
+      }
+      cur
+    } finally adj.unpersist(false)
+  }
+
   /** EXACT modularity of a community assignment over an undirected
     * graph — the standard partition-quality score (Newman):
     *
@@ -806,6 +902,91 @@ object Graph {
           expr("""CASE WHEN least(d_tot, vol_all - d_tot) = 0 THEN CAST(0 AS BIGINT)
                   ELSE (cut * 1000000) div least(d_tot, vol_all - d_tot)
                   END""").as("cond_ppm"))
+        .localCheckpoint(true)
+    } finally und.unpersist(false)
+  }
+
+  /** WEIGHTED exact modularity — [[modularity]] with every count
+    * replaced by an integer weight sum (Newman's generalization):
+    *
+    *   Q_w = Σ_c [ w_c/W − (s_c/(2W))² ]
+    *       = Σ_c (4·W·w_c − s_c²) / (4W²)
+    *
+    * with W the total undirected edge weight, w_c community c's internal
+    * weight, s_c its members' strength (weighted-degree) sum. The score
+    * [[labelPropagationWeighted]]'s assignments should be judged by:
+    * unweighted Q would call a heavy-edge community wrong whenever a
+    * count-majority disagrees with the weight-majority that formed it.
+    *
+    * Edge semantics are [[labelPropagationWeighted]]'s: positive integer
+    * weights (loud otherwise), undirected, parallel rows sum — including
+    * one row per orientation. Degeneration law (spec-pinned): on an edge
+    * list where each undirected edge appears once, unit weights
+    * reproduce [[modularity]]'s table bit-for-bit (every count IS the
+    * weight sum). Same partition contract, one-pass folded guards,
+    * isolated-node-drop asymmetry, persist/materialize discipline, and
+    * overflow budget (W in place of m) as the unweighted operator.
+    *
+    * Returns `(label, n_nodes, w_in, s_tot, contrib_num, w, q_ppm)`.
+    */
+  def modularityWeighted(edges: DataFrame, srcCol: String, dstCol: String,
+                         weightCol: String, assign: DataFrame,
+                         nodeCol: String, labelCol: String): DataFrame = {
+    val a0 = edges
+      .select(col(srcCol).cast("long").as("u"), col(dstCol).cast("long").as("v"),
+        col(weightCol).cast("long").as("w"))
+      .filter(col("u") =!= col("v"))
+    require(a0.filter(col("w") <= 0L || col("w").isNull).isEmpty,
+      "modularityWeighted: weights must be positive integers")
+    val und = a0
+      .select(least(col("u"), col("v")).as("u"),
+        greatest(col("u"), col("v")).as("v"), col("w"))
+      .groupBy(col("u"), col("v")).agg(sum(col("w")).as("w"))
+      .persist()
+    try {
+      val lbl = assign
+        .select(col(nodeCol).cast("long").as("node"), col(labelCol).as("lbl"))
+        .distinct()
+      val nodes = und.select(col("u").as("node"))
+        .unionByName(und.select(col("v").as("node"))).distinct()
+      val chk = lbl.groupBy(col("node")).agg(count(lit(1)).as("nl"))
+        .join(nodes.withColumn("__g", lit(1)), Seq("node"), "full")
+        .agg(
+          sum(when(col("nl").isNull, 1L).otherwise(0L)).as("missing"),
+          sum(when(col("nl") > 1L, 1L).otherwise(0L)).as("multi"))
+        .collect()(0)
+      require(chk.getLong(0) == 0L,
+        "modularityWeighted: assignment is missing graph nodes — score would be wrong")
+      require(chk.getLong(1) == 0L,
+        "modularityWeighted: a node has multiple labels — assignment must be a partition")
+      val strength = und
+        .select(explode(array(
+          struct(col("u").as("node"), col("w")),
+          struct(col("v").as("node"), col("w")))).as("s"))
+        .groupBy(col("s.node").as("node")).agg(sum(col("s.w")).as("d"))
+      val sC = strength.join(lbl, "node")
+        .groupBy(col("lbl")).agg(sum(col("d")).as("s_tot"),
+          count(lit(1)).as("n_nodes"))
+      val wIn = und
+        .join(lbl.select(col("node").as("u"), col("lbl").as("lu")), "u")
+        .join(lbl.select(col("node").as("v"), col("lbl").as("lv")), "v")
+        .filter(col("lu") === col("lv"))
+        .groupBy(col("lu").as("lbl")).agg(sum(col("w")).as("w_in"))
+      val wDf = und.agg(sum(col("w")).as("w"))
+      val perC = sC.join(wIn, Seq("lbl"), "left")
+        .select(col("lbl").as("label"), col("n_nodes"),
+          coalesce(col("w_in"), lit(0L)).as("w_in"), col("s_tot"))
+        .crossJoin(broadcast(wDf))
+        .withColumn("contrib_num",
+          lit(4L) * col("w") * col("w_in") - col("s_tot") * col("s_tot"))
+      val qDf = perC.agg(sum(col("contrib_num")).as("__s"),
+        max(col("w")).as("__w"))
+        .select(
+          (signum(col("__s")).cast("long") *
+            expr("(abs(__s) * 1000000) div (4 * __w * __w)")).as("q_ppm"))
+      perC.crossJoin(broadcast(qDf))
+        .select(col("label"), col("n_nodes"), col("w_in"), col("s_tot"),
+          col("contrib_num"), col("w"), col("q_ppm"))
         .localCheckpoint(true)
     } finally und.unpersist(false)
   }

@@ -229,6 +229,24 @@ object DedupQueries {
        |        FROM reach GROUP BY src)
        |SELECT id, label FROM lbl ORDER BY id""".stripMargin
 
+  /** q288 oracle: the q284 closure at q115's threshold (0.2) — the
+    * streaming cluster store's labels must equal a from-scratch closure
+    * over every pair the arrival-order pipeline emits, and the union of
+    * arrival-order pairs is exactly the full run's pair set (same band
+    * collisions, same Jaccard gate; the q115 cap approximation).
+    */
+  private lazy val q288OracleSql: String =
+    s"""WITH RECURSIVE $minhashCtes,
+       |und AS (SELECT id_a AS a, id_b AS b FROM j WHERE jaccard >= 0.2
+       |        UNION SELECT id_b, id_a FROM j WHERE jaccard >= 0.2),
+       |reach(src, dst) AS (
+       |  SELECT a, b FROM und
+       |  UNION
+       |  SELECT r.src, u.b FROM reach r JOIN und u ON r.dst = u.a),
+       |lbl AS (SELECT src AS id, least(src, min(dst)) AS label
+       |        FROM reach GROUP BY src)
+       |SELECT id, label FROM lbl ORDER BY id""".stripMargin
+
   /** q53 oracle: replays hyperplane-LSH bucketing + cosine verification in
     * DuckDB. The planes (VectorFns.planeFor, seeds 0..3, dim 64 — exactly
     * what embeddingPairs(nBits = 4) uses) are emitted as double literals via
@@ -1062,6 +1080,37 @@ object DedupQueries {
         Dedup.readClusterStore(s, tmp).orderBy(col("id"))
       },
       Some(q284OracleSql)),
+
+    // ---- STREAMING cluster-store maintenance
+    // (StreamingDedup.clusteredSink): q115's arrival-order pipeline with
+    // each batch folding its OWN pairs shard into the persisted component
+    // labels via the q284 quotient-graph merge — exactly-once by algebra
+    // (a replayed shard's endpoints already share components -> empty
+    // quotient -> zero writes). The final labels equal a from-scratch
+    // closure over the full pair set, which the oracle computes with the
+    // q284 recursive CTE at q115's threshold. ----
+    Q("q288_stream_cluster_store",
+      (s, dir) => {
+        import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+        implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+        import s.implicits._
+        val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+        val tmp = java.nio.file.Files.createTempDirectory("graft_q288_").toString
+        val input = MemoryStream[(Long, String)]
+        val q = graft.streaming.StreamingDedup.clusteredSink(
+          input.toDF().toDF("doc_id", "text"), "doc_id", "text",
+          s"$tmp/store", s"$tmp/pairs", s"$tmp/clusters", s"$tmp/ckpt",
+          threshold = 0.2, portableHash = true)
+        try {
+          for (r <- 0 to 2) {
+            input.addData(docs.filter(col("doc_id") % 3 === r)
+              .as[(Long, String)].collect().toSeq)
+            q.processAllAvailable()
+          }
+        } finally q.stop()
+        Dedup.readClusterStore(s, s"$tmp/clusters").orderBy(col("id"))
+      },
+      Some(q288OracleSql)),
 
     // ---- Dedup impact report: what the q94 corpus dedup actually BUYS —
     // docs and characters kept/dropped, in counts and ppm, one summary

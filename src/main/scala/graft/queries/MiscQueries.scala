@@ -82,6 +82,37 @@ object MiscQueries {
        |  FROM $cur c LEFT JOIN mv$sfx mv USING (node))""".stripMargin
   }
 
+  /** The q287 WEIGHTED local-move stage: [[refineStageCtes]] with every
+    * count a weight sum — adjacency `ew` (u, v, w), strengths `degwx`,
+    * total weight `mmwx`, delta 4·W·(w_ib − w_ia) − 2·s_i·(s_b − s_a + s_i).
+    */
+  private def refineStageWeightedCtes(cur: String, parity: Int,
+                                      out: String): String = {
+    val sfx = out
+    s"""sc$sfx AS MATERIALIZED (SELECT c.label, CAST(sum(degwx.k) AS BIGINT) AS s_tot
+       |  FROM degwx JOIN $cur c USING (node) GROUP BY 1),
+       |wic$sfx AS MATERIALIZED (SELECT ew.u AS node, cl.label AS nl,
+       |    CAST(sum(ew.w) AS BIGINT) AS kc
+       |  FROM ew JOIN $cur cl ON cl.node = ew.v
+       |  WHERE ew.u % 2 = $parity GROUP BY 1, 2),
+       |wcand$sfx AS (SELECT k0.node, k0.nl,
+       |    4 * mmwx.W * (k0.kc - COALESCE(ka.kc, 0))
+       |      - 2 * degwx.k * (sb.s_tot - sa.s_tot + degwx.k) AS delta
+       |  FROM wic$sfx k0
+       |  JOIN $cur c ON c.node = k0.node AND c.label <> k0.nl
+       |  JOIN degwx ON degwx.node = k0.node
+       |  JOIN sc$sfx sa ON sa.label = c.label
+       |  JOIN sc$sfx sb ON sb.label = k0.nl
+       |  LEFT JOIN wic$sfx ka ON ka.node = k0.node AND ka.nl = c.label
+       |  CROSS JOIN mmwx),
+       |wmv$sfx AS (SELECT node, nl FROM (SELECT node, nl, delta,
+       |    row_number() OVER (PARTITION BY node
+       |      ORDER BY delta DESC, nl) AS rn
+       |  FROM wcand$sfx WHERE delta > 0) wx$sfx WHERE rn = 1),
+       |$out AS MATERIALIZED (SELECT c.node, COALESCE(mv.nl, c.label) AS label
+       |  FROM $cur c LEFT JOIN wmv$sfx mv USING (node))""".stripMargin
+  }
+
   /** The q156 repeat-trade commerce graph (customer-supplier pairs with
     * >= 2 lineitems) — sparse enough that LPA resolves MULTIPLE
     * communities (the fully-dense q128 bipartite graph collapses to one
@@ -586,6 +617,76 @@ object MiscQueries {
       },
       Some(s"""WITH ${lpaWeightedUnrollCtes(4)}
               |SELECT node, label FROM wl4 ORDER BY node""".stripMargin)),
+
+    // ---- WEIGHTED modularity (Graph.modularityWeighted) scoring the q283
+    // weighted-LPA assignment on the weighted repeat-trade graph —
+    // Q_w = Σ_c (4·W·w_c − s_c²)/(4W²) in exact integers, the score a
+    // weight-formed assignment should be judged by (unweighted Q would
+    // call a heavy-edge community wrong wherever count- and
+    // weight-majorities disagree). Unit weights degenerate to q277's
+    // table bit-for-bit (GraphSpec law). ----
+    Q("q286_modularity_weighted",
+      (s, dir) => {
+        val pairs = repeatTradePairsWeighted(s, dir)
+        val lbls = graft.operators.Graph.labelPropagationWeighted(
+          pairs, "cust", "supp", "w", rounds = 4)
+        graft.operators.Graph.modularityWeighted(
+            pairs, "cust", "supp", "w", lbls, "node", "label")
+          .orderBy(col("label"))
+      },
+      Some(s"""WITH ${lpaWeightedUnrollCtes(4)},
+              |wl4m AS MATERIALIZED (SELECT node, label FROM wl4),
+              |undw AS MATERIALIZED (SELECT least(cust, supp) AS u,
+              |    greatest(cust, supp) AS v, CAST(sum(w) AS BIGINT) AS w
+              |  FROM wpairs GROUP BY 1, 2),
+              |ww AS (SELECT CAST(sum(w) AS BIGINT) AS w FROM undw),
+              |strw AS (SELECT node, CAST(sum(w) AS BIGINT) AS d
+              |  FROM (SELECT u AS node, w FROM undw
+              |        UNION ALL SELECT v, w FROM undw) sd GROUP BY 1),
+              |scw AS (SELECT l.label AS lbl, CAST(sum(strw.d) AS BIGINT) AS s_tot,
+              |         CAST(count(*) AS BIGINT) AS n_nodes
+              |       FROM strw JOIN wl4m l USING (node) GROUP BY 1),
+              |wi AS (SELECT lu.label AS lbl, CAST(sum(undw.w) AS BIGINT) AS w_in
+              |       FROM undw JOIN wl4m lu ON lu.node = undw.u
+              |                 JOIN wl4m lv ON lv.node = undw.v
+              |       WHERE lu.label = lv.label GROUP BY 1),
+              |percw AS (SELECT scw.lbl AS label, scw.n_nodes,
+              |    COALESCE(wi.w_in, 0) AS w_in, scw.s_tot, ww.w,
+              |    4 * ww.w * COALESCE(wi.w_in, 0) - scw.s_tot * scw.s_tot
+              |      AS contrib_num
+              |  FROM scw LEFT JOIN wi USING (lbl) CROSS JOIN ww),
+              |qqw AS (SELECT (CASE WHEN sum(contrib_num) < 0 THEN -1
+              |          WHEN sum(contrib_num) > 0 THEN 1 ELSE 0 END)
+              |        * ((abs(CAST(sum(contrib_num) AS BIGINT)) * 1000000)
+              |           // (4 * max(w) * max(w))) AS q_ppm
+              |       FROM percw)
+              |SELECT label, n_nodes, w_in, s_tot, contrib_num, w, q_ppm
+              |FROM percw CROSS JOIN qqw ORDER BY label""".stripMargin)),
+
+    // ---- WEIGHTED local-move refinement (Graph.refineCommunitiesWeighted)
+    // of the q283 weighted-LPA assignment — the q282 sweep climbing Q_w:
+    // weight sums replace counts in the exact integer delta, so a heavy
+    // trading pair consolidates even when a count-majority points away
+    // (GraphSpec fixture). Same parity staging; oracle replays the
+    // weighted unroll + both weighted stages. ----
+    Q("q287_communities_refine_weighted",
+      (s, dir) => {
+        val pairs = repeatTradePairsWeighted(s, dir)
+        val lpa = graft.operators.Graph.labelPropagationWeighted(
+          pairs, "cust", "supp", "w", rounds = 4)
+        graft.operators.Graph.refineCommunitiesWeighted(
+            pairs, "cust", "supp", "w", lpa, "node", "label")
+          .orderBy(col("node"))
+      },
+      Some(s"""WITH ${lpaWeightedUnrollCtes(4)},
+              |wl4m AS MATERIALIZED (SELECT node, label FROM wl4),
+              |degwx AS MATERIALIZED (SELECT u AS node,
+              |    CAST(sum(w) AS BIGINT) AS k FROM ew GROUP BY 1),
+              |mmwx AS MATERIALIZED (SELECT CAST(sum(w) AS BIGINT) // 2 AS W
+              |    FROM ew),
+              |${refineStageWeightedCtes("wl4m", 0, "wra")},
+              |${refineStageWeightedCtes("wra", 1, "wrb")}
+              |SELECT node, label FROM wrb ORDER BY node""".stripMargin)),
 
     // ---- Dangling-node PageRank: the same fixed-point operator on the
     // ONE-WAY commerce graph (cust -> supp only), where every supplier is

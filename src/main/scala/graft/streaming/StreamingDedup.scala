@@ -350,6 +350,60 @@ object StreamingDedup {
       .option("checkpointLocation", checkpoint)
       .start()
 
+  /** Fold one batch's committed pairs shard into a persisted cluster
+    * store ([[graft.operators.Dedup.mergeIntoClusterStore]]) — the
+    * STREAMING maintenance of the transitive-closure labels, so a
+    * continuously-ingesting dedup pipeline carries its component
+    * assignment forward instead of recomputing the closure from all
+    * pairs ever emitted. Exactly-once without a marker, by algebra:
+    * merging an already-merged shard finds every pair's endpoints in one
+    * component (empty quotient graph → zero writes), and a batch
+    * replayed after its store merge emits an empty shard anyway. Reads
+    * the SHARD, not the in-flight batch — a crash between the pairs
+    * write and this merge replays into the same shard-driven fold.
+    */
+  def mergeBatchClusters(spark: SparkSession, pairsPath: String,
+                         clustersPath: String, batchId: Long,
+                         clusterBuckets: Int = 16): Unit = {
+    val shard = s"$pairsPath/batch=$batchId"
+    val ok = new org.apache.hadoop.fs.Path(s"$shard/_SUCCESS")
+    val fs = ok.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(ok)) return
+    val p = spark.read.parquet(shard)
+      .select(col("new_id").as("id_a"), col("dup_id").as("id_b"))
+    if (p.isEmpty) return
+    if (!fs.exists(new org.apache.hadoop.fs.Path(clustersPath)))
+      Dedup.buildClusterStore(p, clustersPath, clusterBuckets)
+    else
+      Dedup.mergeIntoClusterStore(p, clustersPath, clusterBuckets)
+  }
+
+  /** [[sink]] plus per-batch cluster-store maintenance: each microbatch
+    * pairs against history, lands its shard, merges into the corpus
+    * store, and then folds its OWN pairs into the persisted component
+    * labels — the labels at any instant equal a from-scratch closure
+    * over every pair emitted so far (the q284 equivalence, applied one
+    * increment at a time; q288 hash-proves the composition).
+    */
+  def clusteredSink(stream: DataFrame, idCol: String, textCol: String,
+                    storePath: String, pairsPath: String,
+                    clustersPath: String, checkpoint: String,
+                    numHashes: Int = 32, bands: Int = 8, shingleK: Int = 3,
+                    threshold: Double = 0.5, maxBucket: Int = 1000,
+                    portableHash: Boolean = false,
+                    nBuckets: Int = 16, nBandBuckets: Int = 16,
+                    clusterBuckets: Int = 16): org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        processBatch(batch, idCol, textCol, storePath, pairsPath, batchId,
+          numHashes, bands, shingleK, threshold, maxBucket, portableHash,
+          nBuckets, nBandBuckets)
+        mergeBatchClusters(batch.sparkSession, pairsPath, clustersPath,
+          batchId, clusterBuckets)
+      }
+      .option("checkpointLocation", checkpoint)
+      .start()
+
   /** The persisted corpus (docs table; bucket column dropped). */
   def corpus(spark: SparkSession, storePath: String): DataFrame =
     spark.read.parquet(docsPath(storePath)).drop("__bucket")

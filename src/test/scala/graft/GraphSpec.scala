@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.functions.{col, lit}
+import org.apache.spark.sql.functions.{col, lit, when}
 
 import graft.operators.Graph
 
@@ -435,6 +435,25 @@ class GraphSpec extends SparkSpec {
       .select($"q_ppm").distinct().as[Long].collect().head
     val (q0, q1) = (q(lpa), q(refined))
     assert(q1 >= q0, s"refinement lowered modularity: $q0 -> $q1")
+    // and the weighted pipeline climbs Q_w the same way
+    val wPairs = Tables(spark, sfDir, "lineitem")
+      .select(col("l_orderkey"), col("l_suppkey"))
+      .join(Tables(spark, sfDir, "orders")
+        .select(col("o_orderkey"), col("o_custkey")),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_custkey").as("cust"),
+        (col("l_suppkey") + org.apache.spark.sql.functions.lit(10000000L)).as("supp"))
+      .agg(org.apache.spark.sql.functions.count(lit(1)).as("w"))
+      .filter(col("w") >= 2)
+    val wLpa = graft.operators.Graph.labelPropagationWeighted(
+      wPairs, "cust", "supp", "w", rounds = 4)
+    val wRef = graft.operators.Graph.refineCommunitiesWeighted(
+      wPairs, "cust", "supp", "w", wLpa, "node", "label")
+    def qw(a: org.apache.spark.sql.DataFrame): Long = graft.operators.Graph
+      .modularityWeighted(wPairs, "cust", "supp", "w", a, "node", "label")
+      .select($"q_ppm").distinct().as[Long].collect().head
+    val (w0, w1) = (qw(wLpa), qw(wRef))
+    assert(w1 >= w0, s"weighted refinement lowered Q_w: $w0 -> $w1")
   }
 
   test("labelPropagationWeighted: unit weights degenerate to labelPropagation " +
@@ -467,6 +486,72 @@ class GraphSpec extends SparkSpec {
         Seq((1L, 2L, 0L)).toDF("s", "d", "w"), "s", "d", "w")
     }
     assert(err.getMessage.contains("positive"))
+  }
+
+  test("modularityWeighted: unit weights reproduce modularity bit-for-bit; " +
+      "a heavy bridge flips the split's sign; loud on w <= 0") {
+    val tri = Seq((1L, 2L), (2L, 3L), (1L, 3L), (4L, 5L), (5L, 6L), (4L, 6L),
+      (3L, 4L)).toDF("s", "d")
+    val lbls = graft.operators.Graph.labelPropagation(tri, "s", "d", rounds = 4)
+    val unw = graft.operators.Graph
+      .modularity(tri, "s", "d", lbls, "node", "label")
+      .select($"label", $"n_nodes", $"m_in", $"d_tot", $"contrib_num", $"m", $"q_ppm")
+      .orderBy($"label").as[(Long, Long, Long, Long, Long, Long, Long)]
+      .collect().toSeq
+    val w1 = tri.withColumn("w", lit(1L))
+    val wgt = graft.operators.Graph
+      .modularityWeighted(w1, "s", "d", "w", lbls, "node", "label")
+      .select($"label", $"n_nodes", $"w_in", $"s_tot", $"contrib_num", $"w", $"q_ppm")
+      .orderBy($"label").as[(Long, Long, Long, Long, Long, Long, Long)]
+      .collect().toSeq
+    assert(wgt == unw, s"unit weights must reproduce the unweighted table:\n$wgt\nvs\n$unw")
+    // weight-100 bridge: the triangle split keeps only 6/106 of the mass
+    // internal, so weighted Q goes NEGATIVE while unweighted Q stays +357142
+    val heavy = tri.withColumn("w",
+      when($"s" === 3L && $"d" === 4L, lit(100L)).otherwise(lit(1L)))
+    val qw = graft.operators.Graph
+      .modularityWeighted(heavy, "s", "d", "w", lbls, "node", "label")
+      .select($"q_ppm").distinct().as[Long].collect().toSeq
+    assert(qw.length == 1 && qw.head < 0L,
+      s"a dominant cut edge must score the split negative, got $qw")
+    val err = intercept[IllegalArgumentException] {
+      graft.operators.Graph.modularityWeighted(
+        tri.withColumn("w", lit(0L)), "s", "d", "w", lbls, "node", "label")
+    }
+    assert(err.getMessage.contains("positive"))
+  }
+
+  test("refineCommunitiesWeighted: unit weights degenerate to the unweighted " +
+      "sweep; a heavy edge consolidates its endpoints; Q_w never drops") {
+    val tri = Seq((1L, 2L), (2L, 3L), (1L, 3L), (4L, 5L), (5L, 6L), (4L, 6L),
+      (3L, 4L)).toDF("s", "d")
+    val bad = Seq((1L, 1L), (2L, 1L), (3L, 1L), (4L, 1L), (5L, 5L), (6L, 5L))
+      .toDF("node", "label")
+    val unit = graft.operators.Graph
+      .refineCommunitiesWeighted(tri.withColumn("w", lit(1L)), "s", "d", "w",
+        bad, "node", "label")
+      .as[(Long, Long)].collect().toMap
+    val unw = graft.operators.Graph
+      .refineCommunities(tri, "s", "d", bad, "node", "label")
+      .as[(Long, Long)].collect().toMap
+    assert(unit == unw, "unit weights must reproduce the unweighted sweep")
+    // node 7 hangs off A by two unit edges but is tied to node 6 by w=10:
+    // the unweighted sweep would leave 6 in B (one link vs two), the
+    // weighted delta moves the heavy pair together
+    val wd = Seq((1L, 2L, 1L), (2L, 3L, 1L), (1L, 3L, 1L),
+      (4L, 5L, 1L), (5L, 6L, 1L), (4L, 6L, 1L), (3L, 4L, 1L),
+      (7L, 1L, 1L), (7L, 2L, 1L), (7L, 6L, 10L)).toDF("s", "d", "w")
+    val assign = Seq((1L, 1L), (2L, 1L), (3L, 1L), (7L, 1L),
+      (4L, 4L), (5L, 4L), (6L, 4L)).toDF("node", "label")
+    val got = graft.operators.Graph
+      .refineCommunitiesWeighted(wd, "s", "d", "w", assign, "node", "label")
+      .as[(Long, Long)].collect().toMap
+    assert(got(6L) == got(7L), s"the w=10 pair must land together, got $got")
+    def qw(a: org.apache.spark.sql.DataFrame): Long = graft.operators.Graph
+      .modularityWeighted(wd, "s", "d", "w", a, "node", "label")
+      .select($"q_ppm").distinct().as[Long].collect().head
+    assert(qw(got.toSeq.toDF("node", "label")) >= qw(assign),
+      "the weighted sweep must not lower Q_w on this fixture")
   }
 
   test("hits: edge-less input fails loudly, not silently empty") {

@@ -109,6 +109,34 @@ class StreamingSpec extends SparkSpec {
     assert(spark.read.parquet(target).count() == n1, "full redelivery must merge to no-op")
   }
 
+  test("streaming cluster merge: shard replay is a zero-write no-op; " +
+      "an uncommitted shard is skipped") {
+    import spark.implicits._
+    import graft.streaming.StreamingDedup
+    val tmp = java.nio.file.Files.createTempDirectory("graft_sclu_").toString
+    Seq((2L, 1L), (30L, 2L)).toDF("new_id", "dup_id")
+      .write.parquet(s"$tmp/pairs/batch=0")
+    StreamingDedup.mergeBatchClusters(spark, s"$tmp/pairs", s"$tmp/clusters", 0L)
+    def stored() = graft.operators.Dedup.readClusterStore(spark, s"$tmp/clusters")
+      .as[(Long, Long)].collect().toSet
+    def files() = new java.io.File(s"$tmp/clusters").listFiles()
+      .filter(_.isDirectory).flatMap(_.listFiles())
+      .filter(_.getName.endsWith(".parquet"))
+      .map(f => (f.getPath, f.lastModified(), f.length())).toSet
+    assert(stored() == Set((1L, 1L), (2L, 1L), (30L, 1L)))
+    val snap = files()
+    // replay: same shard folds again — endpoints already share a component
+    StreamingDedup.mergeBatchClusters(spark, s"$tmp/pairs", s"$tmp/clusters", 0L)
+    assert(files() == snap, "a replayed shard must write nothing")
+    // a shard without its _SUCCESS marker (torn write) must be skipped
+    Seq((7L, 8L)).toDF("new_id", "dup_id")
+      .write.parquet(s"$tmp/pairs/batch=1")
+    new java.io.File(s"$tmp/pairs/batch=1/_SUCCESS").delete()
+    StreamingDedup.mergeBatchClusters(spark, s"$tmp/pairs", s"$tmp/clusters", 1L)
+    assert(stored() == Set((1L, 1L), (2L, 1L), (30L, 1L)),
+      "an uncommitted shard must not reach the cluster store")
+  }
+
   test("streaming count-min: batch shards are idempotent under full redelivery") {
     import graft.operators.Sketches
     import spark.implicits._
