@@ -444,25 +444,115 @@ object Dedup {
   /** PERSISTED cluster store — the [[connectedComponents]] labels as a
     * maintained lakehouse table, so a continuously-running dedup pipeline
     * stops recomputing the closure from ALL pairs every day. Layout:
-    * `path/bucket=N/` rows `(id, label)` with `bucket = label mod
-    * nBuckets` — PARTITIONED BY THE LABEL'S BUCKET, because maintenance
-    * rewrites rows by which COMPONENT changed: a merge touches only the
-    * buckets holding the merged labels, and every other bucket's files
-    * are never read, never rewritten (the q275 touched-partition
-    * discipline, PlanSpec-pinned).
+    * immutable data directories `path/d<G>/bucket=N/` holding rows
+    * `(id, label)` with `bucket = label mod nBuckets` — PARTITIONED BY
+    * THE LABEL'S BUCKET, because maintenance rewrites rows by which
+    * COMPONENT changed — plus the one-file `path/CURRENT` manifest
+    * (generation, bucket count, and the live `bucket → directory` map),
+    * committed by write-tmp + atomic rename. A merge writes ONLY its
+    * touched buckets into a fresh generation directory and remaps them
+    * in the manifest swap: every other bucket's files are never read,
+    * never rewritten (the q275 touched-partition discipline,
+    * PlanSpec-pinned), a reader that resolved the previous manifest
+    * keeps scanning exactly the previous files (never a half-committed
+    * mixture), and a crash anywhere before the swap leaves the store
+    * bit-identical. Superseded generation directories stay on disk for
+    * in-flight readers; reclaiming them is the caller's retention
+    * cadence, as with any snapshot store.
     */
   def buildClusterStore(pairs: DataFrame, path: String,
                         nBuckets: Int = 16): Unit = {
     require(nBuckets >= 1, s"nBuckets must be positive, got $nBuckets")
+    val spark = pairs.sparkSession
     connectedComponents(pairs)
       .withColumn("bucket", pmod(col("label"), lit(nBuckets.toLong)))
-      .write.partitionBy("bucket").mode("overwrite").parquet(path)
+      .write.partitionBy("bucket").mode("overwrite").parquet(s"$path/d1")
+    writeStoreManifest(spark, path, StoreManifest(1L, nBuckets,
+      listBucketDirs(spark, s"$path/d1").map((_, "d1"))))
+  }
+
+  /** The live manifest of a cluster store: generation counter, bucket
+    * count, and the `bucket → data directory` map. One text file
+    * (`CURRENT`), swapped atomically — the same one-file-commit
+    * primitive as the IVF-PQ codes catalog.
+    */
+  private[graft] case class StoreManifest(gen: Long, nBuckets: Int,
+                                          entries: Seq[(Long, String)])
+
+  private def listBucketDirs(spark: org.apache.spark.sql.SparkSession,
+                             dir: String): Seq[Long] = {
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(p)) Seq.empty
+    else fs.listStatus(p).filter(_.isDirectory)
+      .map(_.getPath.getName).filter(_.startsWith("bucket="))
+      .map(_.stripPrefix("bucket=").toLong).toSeq.sorted
+  }
+
+  private[graft] def readStoreManifest(spark: org.apache.spark.sql.SparkSession,
+                                       path: String): Option[StoreManifest] = {
+    val p = new org.apache.hadoop.fs.Path(s"$path/CURRENT")
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      val lines = try scala.io.Source.fromInputStream(in, "UTF-8")
+        .getLines().toList finally in.close()
+      require(lines.length >= 2 && lines.head.startsWith("gen=") &&
+        lines(1).startsWith("buckets="), s"corrupt cluster-store manifest $p")
+      val entries = lines.drop(2).filter(_.nonEmpty).map { l =>
+        val t = l.split("\t", 2)
+        (t(0).toLong, t(1))
+      }
+      Some(StoreManifest(lines.head.stripPrefix("gen=").toLong,
+        lines(1).stripPrefix("buckets=").toInt, entries))
+    }
+  }
+
+  private def writeStoreManifest(spark: org.apache.spark.sql.SparkSession,
+                                 path: String, m: StoreManifest): Unit = {
+    val conf = spark.sessionState.newHadoopConf()
+    val dst = new org.apache.hadoop.fs.Path(s"$path/CURRENT")
+    val fs = dst.getFileSystem(conf)
+    val tmp = new org.apache.hadoop.fs.Path(s"$path/CURRENT.tmp")
+    val body = (Seq(s"gen=${m.gen}", s"buckets=${m.nBuckets}") ++
+      m.entries.sortBy(_._1).map { case (b, d) => s"$b\t$d" }).mkString("\n")
+    val out = fs.create(tmp, true)
+    try out.write(body.getBytes("UTF-8")) finally out.close()
+    org.apache.hadoop.fs.FileContext.getFileContext(fs.getUri, conf).rename(
+      fs.makeQualified(tmp), fs.makeQualified(dst),
+      org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+  }
+
+  /** Manifest of a store, synthesizing the implicit one for a legacy
+    * flat layout (`path/bucket=N` directly, pre-manifest stores).
+    */
+  private def storeManifestOf(spark: org.apache.spark.sql.SparkSession,
+                              path: String, nBuckets: Int): StoreManifest =
+    readStoreManifest(spark, path).getOrElse(
+      StoreManifest(0L, nBuckets, listBucketDirs(spark, path).map((_, "."))))
+
+  /** The live store rows `(id, label, bucket)`, resolved through the
+    * manifest: each generation directory is read restricted to the
+    * buckets still mapped to it.
+    */
+  private def readStoreRaw(spark: org.apache.spark.sql.SparkSession,
+                           path: String, m: StoreManifest): DataFrame = {
+    require(m.entries.nonEmpty, s"cluster store at $path has no buckets")
+    m.entries.groupBy(_._2).toSeq.sortBy(_._1).map { case (dir, es) =>
+      val base = if (dir == ".") path else s"$path/$dir"
+      spark.read.option("basePath", base).parquet(base)
+        .where(col("bucket").isin(es.map(_._1).map(Long.box): _*))
+    }.reduce(_.unionByName(_))
   }
 
   /** The stored component labels, `(id, label)`. */
   def readClusterStore(spark: org.apache.spark.sql.SparkSession,
                        path: String): DataFrame =
-    spark.read.parquet(path).select(col("id"), col("label"))
+    readStoreManifest(spark, path) match {
+      case Some(m) => readStoreRaw(spark, path, m).select(col("id"), col("label"))
+      case None => spark.read.parquet(path).select(col("id"), col("label"))
+    }
 
   /** INCREMENTAL cluster maintenance: merge a day's new duplicate pairs
     * into a persisted [[buildClusterStore]] — the connected-components
@@ -491,15 +581,36 @@ object Dedup {
     * prune; everything after prunes: the touched-bucket set collects as
     * ≤ nBuckets ints and pushes down as a static partition filter). The
     * quotient CC is increment-bounded and takes the same two-regime
-    * path as any pair graph. Crash between the codes write and nothing:
-    * the write is the only mutation, and it's an idempotent overwrite
-    * of the same buckets.
+    * path as any pair graph.
+    *
+    * CRASH/READER SAFETY: the merge mutates nothing in place. Touched
+    * buckets' new rows land in a fresh `d<gen+1>` generation directory,
+    * and the one-file manifest rename is the commit — remapping moved
+    * buckets, keeping untouched entries, and simply dropping a bucket
+    * whose every row migrated out. A crash anywhere before the rename
+    * leaves the previous store bit-identical (the retried merge rewrites
+    * the same generation directory); a reader that resolved the previous
+    * manifest mid-merge keeps scanning entirely-previous files.
     */
   def mergeIntoClusterStore(newPairs: DataFrame, path: String,
                             nBuckets: Int = 16): Unit = {
     require(nBuckets >= 1, s"nBuckets must be positive, got $nBuckets")
     val spark = newPairs.sparkSession
-    val store = spark.read.parquet(path)
+    // one-time migration of a pre-manifest flat store: rewrite it as
+    // generation d1 so the snapshot discipline covers it from here on
+    if (readStoreManifest(spark, path).isEmpty) {
+      val flat = spark.read.parquet(path).localCheckpoint(true)
+      try flat.write.partitionBy("bucket").mode("overwrite")
+        .parquet(s"$path/d1")
+      finally freeLocalCheckpoint(flat)
+      writeStoreManifest(spark, path, StoreManifest(1L, nBuckets,
+        listBucketDirs(spark, s"$path/d1").map((_, "d1"))))
+    }
+    val manifest = readStoreManifest(spark, path).get
+    require(manifest.nBuckets == nBuckets,
+      s"cluster store at $path was built with ${manifest.nBuckets} buckets, " +
+        s"merge called with $nBuckets")
+    val store = readStoreRaw(spark, path, manifest)
     val np = newPairs
       .select(col("id_a").cast("long").as("id_a"),
         col("id_b").cast("long").as("id_b"))
@@ -537,26 +648,23 @@ object Dedup {
           .unionByName(inserts
             .select(pmod(col("label"), lit(nBuckets.toLong)).as("b")))
           .distinct().collect().map(_.getLong(0))
-        val rewrite = store
+        // touched buckets' new state lands in a FRESH generation
+        // directory — the old files are never read-while-replaced (no
+        // checkpoint barrier needed) and never mutated at all
+        val dir = s"d${manifest.gen + 1}"
+        store
           .where(col("bucket").isin(touched.map(Long.box): _*))
           .join(mapping.withColumnRenamed("old", "label"), Seq("label"), "left")
           .select(col("id"), coalesce(col("nw"), col("label")).as("label"))
           .unionByName(inserts)
           .withColumn("bucket", pmod(col("label"), lit(nBuckets.toLong)))
-          .localCheckpoint(true) // never read the files being replaced
-        try {
-          rewrite.write.mode("overwrite")
-            .option("partitionOverwriteMode", "dynamic")
-            .partitionBy("bucket")
-            .parquet(path)
-          val nonEmpty = rewrite.select(col("bucket")).distinct()
-            .collect().map(_.getLong(0)).toSet
-          val fs = new org.apache.hadoop.fs.Path(path)
-            .getFileSystem(spark.sessionState.newHadoopConf())
-          touched.filterNot(nonEmpty).foreach { b =>
-            fs.delete(new org.apache.hadoop.fs.Path(s"$path/bucket=$b"), true)
-          }
-        } finally freeLocalCheckpoint(rewrite)
+          .write.mode("overwrite").partitionBy("bucket").parquet(s"$path/$dir")
+        // the COMMIT: untouched buckets keep their entries, moved buckets
+        // remap to the new generation, emptied buckets leave the manifest
+        writeStoreManifest(spark, path,
+          StoreManifest(manifest.gen + 1, nBuckets,
+            manifest.entries.filterNot(e => touched.contains(e._1)) ++
+              listBucketDirs(spark, s"$path/$dir").map((_, dir))))
       } finally freeLocalCheckpoint(merged)
     } finally freeLocalCheckpoint(np)
   }

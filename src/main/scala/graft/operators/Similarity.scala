@@ -431,7 +431,118 @@ object Similarity {
         cb.zipWithIndex.map { case (v, code) => (mi, code, v.toSeq) }
       }.toSeq.toDF("mi", "code", "cvec")
       .write.mode("overwrite").parquet(s"$path/codebooks")
+    // the initial codes catalog: every landed cell served from the build
+    // directory — writing it last means a crashed build leaves no catalog
+    // and the index is simply absent, never half-described
+    writeCodesCatalog(spark, path,
+      CodesCatalog(1L, listCellDirs(spark, s"$path/codes").map((_, "codes"))))
   }
+
+  /** The codes CATALOG of one index version: which data directory (or
+    * directories) serve each coarse cell, plus a monotonically-increasing
+    * generation counter. Persisted as the one-file `CODESMAP` text
+    * (`gen=N` then `cell<TAB>relDir` lines), committed by write-tmp +
+    * atomic rename-overwrite — the same one-file-commit primitive as the
+    * version manifest in [[rebuildIvfPqIndex]], one level down: CURRENT
+    * picks the version, CODESMAP picks the version's live data files.
+    *
+    * Why a catalog instead of one mutable `codes/` directory: it makes
+    * BOTH remaining lifecycle mutations crash/replay-safe snapshots.
+    * An append lands its rows under an increment-identity directory
+    * (`appends/<id>`, mode overwrite, so a retried crash rewrites
+    * instead of duplicating) and becomes visible only at the catalog
+    * rename; a compaction writes surviving rows of the touched cells to
+    * a fresh `compact_g<N>` directory and remaps them in one rename, so
+    * a reader that resolved the previous catalog keeps scanning exactly
+    * the previous files — never a half-committed mixture, and never an
+    * in-place partition rewrite. A cell may map to several directories
+    * (base build + appends); compaction collapses its touched cells back
+    * to one. Superseded data directories are left on disk for in-flight
+    * readers (physical cleanup is the version-retention cadence,
+    * [[vacuumIvfPqVersions]] / the caller's GC).
+    */
+  private case class CodesCatalog(gen: Long, entries: Seq[(Int, String)])
+
+  private def listCellDirs(spark: org.apache.spark.sql.SparkSession,
+                           dir: String): Seq[Int] = {
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(p)) Seq.empty
+    else fs.listStatus(p).filter(_.isDirectory)
+      .map(_.getPath.getName).filter(_.startsWith("cell="))
+      .map(_.stripPrefix("cell=").toInt).toSeq.sorted
+  }
+
+  private def readCodesCatalog(spark: org.apache.spark.sql.SparkSession,
+                               root: String): Option[CodesCatalog] = {
+    val p = new org.apache.hadoop.fs.Path(s"$root/CODESMAP")
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      val lines = try scala.io.Source.fromInputStream(in, "UTF-8")
+        .getLines().toList finally in.close()
+      require(lines.nonEmpty && lines.head.startsWith("gen="),
+        s"corrupt codes catalog $p")
+      val entries = lines.tail.filter(_.nonEmpty).map { l =>
+        val t = l.split("\t", 2)
+        (t(0).toInt, t(1))
+      }
+      Some(CodesCatalog(lines.head.stripPrefix("gen=").toLong, entries))
+    }
+  }
+
+  /** Catalog of a resolved root, synthesizing the implicit one for a
+    * legacy map-less layout (every `cell=` directory under `codes/`).
+    */
+  private def codesCatalogOf(spark: org.apache.spark.sql.SparkSession,
+                             root: String): CodesCatalog =
+    readCodesCatalog(spark, root).getOrElse(
+      CodesCatalog(0L, listCellDirs(spark, s"$root/codes").map((_, "codes"))))
+
+  private def writeCodesCatalog(spark: org.apache.spark.sql.SparkSession,
+                                root: String, cat: CodesCatalog): Unit = {
+    val conf = spark.sessionState.newHadoopConf()
+    val dst = new org.apache.hadoop.fs.Path(s"$root/CODESMAP")
+    val fs = dst.getFileSystem(conf)
+    val tmp = new org.apache.hadoop.fs.Path(s"$root/CODESMAP.tmp")
+    val body = (s"gen=${cat.gen}" +:
+      cat.entries.distinct.sortBy(e => (e._1, e._2))
+        .map { case (c, d) => s"$c\t$d" }).mkString("\n")
+    val out = fs.create(tmp, true)
+    try out.write(body.getBytes("UTF-8")) finally out.close()
+    org.apache.hadoop.fs.FileContext.getFileContext(fs.getUri, conf).rename(
+      fs.makeQualified(tmp), fs.makeQualified(dst),
+      org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+  }
+
+  /** All LIVE code rows of one index version, resolved through the codes
+    * catalog: each data directory is read restricted to the cells the
+    * catalog still maps to it (a compaction leaves a touched cell's old
+    * files physically in place but unreferenced — a plain directory read
+    * would resurrect them). One cell-partition-pruned scan per catalog
+    * directory; a fresh build is exactly one.
+    */
+  private def readCodes(spark: org.apache.spark.sql.SparkSession,
+                        root: String): DataFrame = {
+    val cat = codesCatalogOf(spark, root)
+    require(cat.entries.nonEmpty, s"IVF-PQ index at $root has no code partitions")
+    cat.entries.groupBy(_._2).toSeq.sortBy(_._1).map { case (dir, es) =>
+      val cells = es.map(_._1).distinct
+      spark.read.option("basePath", s"$root/$dir").parquet(s"$root/$dir")
+        .where(col("cell").isin(cells.map(Int.box): _*))
+    }.reduce(_.unionByName(_))
+  }
+
+  /** Public catalog-resolved view of a persisted index's code rows —
+    * `(id, codes, cell)` across the base build and every committed
+    * append, with compaction remaps applied. The reader the lifecycle
+    * specs (and any external inspection) should use; a raw directory
+    * read sees unreferenced files.
+    */
+  def readIvfPqCodes(spark: org.apache.spark.sql.SparkSession,
+                     path: String): DataFrame =
+    readCodes(spark, resolveIvfPqRoot(spark, path))
 
   /** Assign-to-nearest-cell + residual PQ encode with GIVEN constants —
     * the one distributed projection shared by the initial build and the
@@ -470,10 +581,10 @@ object Similarity {
     * means retraining both codebooks and re-encoding the WHOLE corpus;
     * with it, the increment pays one bounded driver read (the tiny
     * centroid/codebook tables), one distributed encode of ITS OWN rows,
-    * and appends files ONLY under the `cell=` directories its vectors
-    * land in — the base corpus is never read, never re-encoded, never
-    * rewritten, and concurrent serving keeps working (parquet appends
-    * are new files, a snapshot listing stays consistent).
+    * and lands files ONLY for the cells its vectors hit, under its own
+    * `appends/<id>` directory — the base corpus is never read, never
+    * re-encoded, never rewritten, and concurrent serving keeps working
+    * (the append is invisible until its one-file catalog commit).
     *
     * Codebooks are frozen BY DESIGN: assignment and codes stay
     * bit-identical to a monolithic encode with the same constants (the
@@ -490,20 +601,40 @@ object Similarity {
     * reinsert serves the reinserted row (without the prune, the stale
     * tombstone would hide it now and the next compaction would drop it
     * permanently — last-writer-wins semantics, the SCD upsert rule).
+    * The prune runs BEFORE the codes land: the bad interleavings of the
+    * reverse order (codes landed, prune lost, compaction physically
+    * drops the reinserted row — a silent permanent loss) reduce to a
+    * transient one (tombstone pruned, codes not yet landed: an
+    * uncompacted stale row resurrects until the retry completes, and a
+    * compacted one was already gone).
+    *
+    * CRASH/REPLAY SAFETY: the increment's encoded rows land under an
+    * increment-identity directory (`appends/<appendId>`, mode OVERWRITE)
+    * and become visible only when the codes catalog commits (one-file
+    * atomic rename). A crashed call retried with the SAME `appendId`
+    * rewrites the same directory and re-unions the same catalog entries
+    * — exactly-once, never a double-write; a call replayed AFTER its
+    * commit finds its directory in the catalog and returns immediately.
+    * Callers with retry semantics must therefore pass a stable
+    * `appendId` (the batch/run id); the default derives a fresh id from
+    * the catalog generation, which is safe only for never-retried calls.
     */
   def appendToIvfPqIndex(increment: DataFrame, path: String,
-                         cId: String = "nid", cVec: String = "ne"): Unit = {
+                         cId: String = "nid", cVec: String = "ne",
+                         appendId: String = null): Unit = {
     val spark = increment.sparkSession
     val root = resolveIvfPqRoot(spark, path)
-    val (cents, cbs) = loadIvfPqConstants(spark, root)
-    encodeIvfPq(increment, cents, cbs, cId, cVec)
-      .write.partitionBy("cell").mode("append").parquet(s"$root/codes")
+    val cat = codesCatalogOf(spark, root)
+    val dir = s"appends/${Option(appendId).getOrElse(s"g${cat.gen + 1}")}"
+    // replayed after its own commit: the catalog already serves this
+    // increment — an idempotent no-op
+    if (cat.entries.exists(_._2 == dir)) return
     // delete-then-reinsert: an id tombstoned BEFORE this append must not
-    // keep suppressing the freshly appended row (serve would hide it now
-    // and compaction would physically drop it later — a silent loss). The
-    // log is bounded by the compaction cadence, so the prune rewrite is a
-    // bounded job: tombstones minus the increment's ids, materialized
-    // BEFORE the overwrite (never read the files being replaced).
+    // keep suppressing the freshly appended row. The log is bounded by
+    // the compaction cadence, so the prune rewrite is a bounded job:
+    // tombstones minus the increment's ids, materialized BEFORE the
+    // overwrite (never read the files being replaced). Re-running a
+    // half-done call re-prunes to the same log — idempotent.
     tombstonesOf(spark, root).foreach { tomb =>
       val pruned = tomb.select(col(cId)).distinct()
         .join(broadcast(increment.select(col(cId)).distinct()), Seq(cId), "left_anti")
@@ -520,6 +651,15 @@ object Similarity {
         case _ => ()
       }
     }
+    val (cents, cbs) = loadIvfPqConstants(spark, root)
+    encodeIvfPq(increment, cents, cbs, cId, cVec)
+      .write.partitionBy("cell").mode("overwrite").parquet(s"$root/$dir")
+    // the COMMIT point: the catalog gains this increment's (cell, dir)
+    // entries in one atomic rename — a reader sees all of the append or
+    // none of it, and a crash before this line leaves the index exactly
+    // as it was
+    writeCodesCatalog(spark, root, CodesCatalog(cat.gen + 1,
+      cat.entries ++ listCellDirs(spark, s"$root/$dir").map((_, dir))))
   }
 
   /** Decode the persisted index's frozen constants — nCells + m·kSub
@@ -629,6 +769,99 @@ object Similarity {
     next
   }
 
+  /** Retention GC for the versioned index — the vacuum half of the
+    * [[rebuildIvfPqIndex]] snapshot story: rebuilds deliberately leave
+    * old `path/v<N>` directories on disk so in-flight readers that
+    * resolved them keep scanning consistent files; this reclaims the
+    * ones older than the retention window. Keeps the CURRENT version
+    * plus the `keep − 1` versions preceding it (numerically — version
+    * ids are monotone by construction) and deletes every older `v<M>`
+    * directory; `keep` must cover the longest concurrent read, exactly
+    * the snapshot-store retention contract. Versions NEWER than CURRENT
+    * (a rebuild in flight that hasn't committed) are never touched, and
+    * neither is the pre-versioning flat layout at `path` itself — it
+    * predates the version discipline, so its removal is the caller's
+    * explicit call. No-op on an unversioned index. Returns the deleted
+    * version ids.
+    */
+  def vacuumIvfPqVersions(spark: org.apache.spark.sql.SparkSession,
+                          path: String, keep: Int = 1): Seq[String] = {
+    require(keep >= 1, s"keep must be positive, got $keep")
+    val conf = spark.sessionState.newHadoopConf()
+    val curPath = new org.apache.hadoop.fs.Path(s"$path/CURRENT")
+    val fs = curPath.getFileSystem(conf)
+    if (!fs.exists(curPath)) return Seq.empty
+    val in = fs.open(curPath)
+    val cur = try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+              finally in.close()
+    require(cur.matches("v\\d+"), s"corrupt index manifest $curPath: '$cur'")
+    val curN = cur.stripPrefix("v").toLong
+    fs.listStatus(new org.apache.hadoop.fs.Path(path))
+      .filter(_.isDirectory)
+      .map(_.getPath.getName)
+      .filter(_.matches("v\\d+"))
+      .filter(v => v.stripPrefix("v").toLong <= curN - keep)
+      .sorted.toSeq
+      .map { v =>
+        fs.delete(new org.apache.hadoop.fs.Path(s"$path/$v"), true)
+        v
+      }
+  }
+
+  /** Drift-TRIGGERED rebuild policy — [[ivfPqDriftStats]] composed with
+    * [[rebuildIvfPqIndex]] into the closed loop the two halves describe:
+    * score the live corpus's quantization error per cohort against the
+    * index's frozen constants, and retrain/re-encode (atomic versioned
+    * cutover) iff the non-base cohorts' average error exceeds
+    * `ratioPpm` millionths of the base cohort's. All comparison
+    * arithmetic is exact integers (micro-unit averages from the drift
+    * stats, the ppm ratio by floored division), so the fire/skip
+    * decision replays bit-identically in any engine. Returns ONE row —
+    * `(rebuilt, base_avg_micro, drifted_avg_micro, ratio_ppm, version)`
+    * — the audit record a maintenance cadence logs; `version` is the
+    * new version id when fired, the resolved current root's when
+    * skipped. The corpus passed must be the LIVE rows (the rebuild
+    * trains and encodes exactly what it is given; deletes become
+    * physical in the new version). A zero base error with nonzero drift
+    * error fires unconditionally (the ratio is unbounded); zero drift
+    * error never fires.
+    */
+  def rebuildIfDrifted(corpus: DataFrame, path: String, cohortCol: String,
+                       baseCohort: String = "base", ratioPpm: Long = 2000000L,
+                       nCells: Int = 16, m: Int = 8, kSub: Int = 16,
+                       cId: String = "nid", cVec: String = "ne",
+                       maxTrain: Int = 100000): DataFrame = {
+    require(ratioPpm > 0L, s"ratioPpm must be positive, got $ratioPpm")
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val stats = ivfPqDriftStats(corpus, path, cohortCol, cId, cVec)
+      .select(
+        when(col("cohort") === baseCohort, lit("base")).otherwise(lit("drift"))
+          .as("side"),
+        col("n_vecs"), col("err_micro_total"))
+      .groupBy(col("side"))
+      .agg(expr("sum(err_micro_total) div sum(n_vecs)").as("avg_micro"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val base = stats.getOrElse("base", 0L)
+    val drifted = stats.getOrElse("drift", 0L)
+    require(stats.contains("base") && stats.contains("drift"),
+      s"rebuildIfDrifted: corpus must carry both a '$baseCohort' cohort " +
+        s"and at least one other, saw sides ${stats.keySet.mkString(",")}")
+    val ratio = if (base > 0L) drifted * 1000000L / base
+                else if (drifted > 0L) Long.MaxValue else 0L
+    val fire = ratio > ratioPpm
+    val version =
+      if (fire) rebuildIvfPqIndex(corpus.drop(cohortCol), path,
+        nCells, m, kSub, cId, cVec, maxTrain)
+      else resolveIvfPqRoot(spark, path).split('/').last match {
+        case v if v.matches("v\\d+") => v
+        case _ => "flat"
+      }
+    Seq((fire, base, drifted, ratio, version))
+      .toDF("rebuilt", "base_avg_micro", "drifted_avg_micro", "ratio_ppm",
+        "version")
+  }
+
   /** LOGICAL delete from a persisted IVF-PQ index: ids append to a
     * `path/tombstones` log; [[serveIvfPq]] anti-joins it (broadcast —
     * the log is bounded by the compaction cadence, not the corpus) so
@@ -645,23 +878,28 @@ object Similarity {
       .write.mode("append").parquet(
         s"${resolveIvfPqRoot(deletes.sparkSession, path)}/tombstones")
 
-  /** PHYSICAL delete: rewrite exactly the `cell=` partitions that
-    * contain tombstoned rows (dynamic partition overwrite — untouched
-    * cells' files are never read or rewritten), drop partitions whose
-    * every row died (dynamic overwrite can't replace a partition the
-    * write produces no rows for — the q148 emptied-bucket discipline),
-    * then clear the tombstone log. Serving is equivalent before and
-    * after compaction (spec-pinned); a crash between the codes rewrite
-    * and the tombstone clear re-runs as a no-op rewrite of already-clean
-    * cells. The rewrite is materialized (localCheckpoint) before the
-    * overwrite so the job never reads the files it is replacing; the
-    * touched-cell volume per compaction is the memory bound — compact on
-    * a cadence that keeps it reasonable, as with any lakehouse table.
+  /** PHYSICAL delete: rewrite exactly the cells that contain tombstoned
+    * rows — surviving rows land in a fresh `compact_g<N>` directory and
+    * the codes catalog remaps the touched cells there in ONE atomic
+    * rename, so untouched cells' files are never read or rewritten and
+    * a concurrent reader that resolved the previous catalog keeps
+    * scanning exactly the previous files (entirely-old or entirely-new,
+    * never a mixture — the q281 snapshot discipline one level down). A
+    * cell whose every row died simply leaves the catalog; its old files,
+    * like every superseded data directory, stay on disk for in-flight
+    * readers until version retention ([[vacuumIvfPqVersions]]) reclaims
+    * them. The tombstone log clears AFTER the commit: a crash anywhere
+    * re-runs as either the identical compaction (commit not reached) or
+    * a no-op scan of already-clean cells (commit reached, log not yet
+    * cleared — serving is unchanged either way, since the anti-join of
+    * an already-compacted id drops nothing). The touched-cell volume per
+    * compaction is the memory bound — compact on a cadence that keeps it
+    * reasonable, as with any lakehouse table.
     */
   def compactIvfPqIndex(spark: org.apache.spark.sql.SparkSession,
-                        rawPath: String, cId: String = "nid"): Unit = {
-    val path = resolveIvfPqRoot(spark, rawPath)
-    val tombOpt = tombstonesOf(spark, path)
+                        path: String, cId: String = "nid"): Unit = {
+    val root = resolveIvfPqRoot(spark, path)
+    val tombOpt = tombstonesOf(spark, root)
     if (tombOpt.isEmpty) return
     // a checkpoint's blocks stay pinned until driver GC unless freed
     // explicitly (the Graph.freeDeadCheckpoint lesson) — on a periodic
@@ -673,29 +911,28 @@ object Similarity {
       }
     val tomb = tombOpt.get.select(col(cId)).distinct().localCheckpoint(true)
     try {
-      val codes = spark.read.parquet(s"$path/codes")
+      val cat = codesCatalogOf(spark, root)
+      val codes = readCodes(spark, root)
       val touched = codes.join(tomb, Seq(cId), "left_semi")
         .select(col("cell")).distinct().collect().map(_.getInt(0))
-      val fs = new org.apache.hadoop.fs.Path(path)
+      val fs = new org.apache.hadoop.fs.Path(root)
         .getFileSystem(spark.sessionState.newHadoopConf())
       if (touched.nonEmpty) {
-        val survivors = codes
-          .where(col("cell").isin(touched.map(Int.box): _*))
+        val dir = s"compact_g${cat.gen + 1}"
+        // the survivors write reads old files and writes a FRESH
+        // directory — never the files it supersedes, so no checkpoint
+        // barrier is needed between read and write
+        codes.where(col("cell").isin(touched.map(Int.box): _*))
           .join(tomb, Seq(cId), "left_anti")
-          .localCheckpoint(true)
-        try {
-          survivors.write.mode("overwrite")
-            .option("partitionOverwriteMode", "dynamic")
-            .partitionBy("cell")
-            .parquet(s"$path/codes")
-          val nonEmpty = survivors.select(col("cell")).distinct()
-            .collect().map(_.getInt(0)).toSet
-          touched.filterNot(nonEmpty).foreach { c =>
-            fs.delete(new org.apache.hadoop.fs.Path(s"$path/codes/cell=$c"), true)
-          }
-        } finally freeCheckpoint(survivors)
+          .write.mode("overwrite").partitionBy("cell")
+          .parquet(s"$root/$dir")
+        // the COMMIT: untouched cells keep their entries, touched cells
+        // collapse to the compacted directory, emptied cells disappear
+        writeCodesCatalog(spark, root, CodesCatalog(cat.gen + 1,
+          cat.entries.filterNot(e => touched.contains(e._1)) ++
+            listCellDirs(spark, s"$root/$dir").map((_, dir))))
       }
-      fs.delete(new org.apache.hadoop.fs.Path(s"$path/tombstones"), true)
+      fs.delete(new org.apache.hadoop.fs.Path(s"$root/tombstones"), true)
     } finally freeCheckpoint(tomb)
   }
 
@@ -760,7 +997,7 @@ object Similarity {
     * (ADC sum, ties on candidate id), so served results match the inline
     * operator exactly.
     */
-  def serveIvfPq(spark: org.apache.spark.sql.SparkSession, rawPath: String,
+  def serveIvfPq(spark: org.apache.spark.sql.SparkSession, path: String,
                  queries: DataFrame, k: Int, nProbe: Int = 4,
                  qId: String = "qid", qVec: String = "qe",
                  cId: String = "nid"): DataFrame = {
@@ -769,8 +1006,8 @@ object Similarity {
     // resolve ONCE: everything this serve reads (constants, codes,
     // tombstones) comes from the same resolved version — a concurrent
     // rebuild's manifest swap can never hand one query a mixed index
-    val path = resolveIvfPqRoot(spark, rawPath)
-    val (cents, cbs) = loadIvfPqConstants(spark, path)
+    val root = resolveIvfPqRoot(spark, path)
+    val (cents, cbs) = loadIvfPqConstants(spark, root)
     val m = cbs.length
     val centroids = cents.zipWithIndex.map { case (v, i) => (i, v.toSeq) }
       .toSeq.toDF("cell", "cvec")
@@ -788,11 +1025,11 @@ object Similarity {
           cbs)).as("dt"))
 
     val cellsHit = probed.select(col("cell")).distinct().collect().map(_.getInt(0))
-    val codesRaw = spark.read.parquet(s"$path/codes")
+    val codesRaw = readCodes(spark, root)
       .where(col("cell").isin(cellsHit.map(Int.box): _*))
     // logical deletes ([[tombstoneIvfPq]]) drop out here, immediately and
     // broadcast-cheap; [[compactIvfPqIndex]] makes them physical later
-    val codes = tombstonesOf(spark, path).fold(codesRaw)(t =>
+    val codes = tombstonesOf(spark, root).fold(codesRaw)(t =>
       codesRaw.join(broadcast(t.select(col(cId)).distinct()), Seq(cId), "left_anti"))
 
     val adist = (0 until m).map { mi =>
@@ -802,6 +1039,11 @@ object Similarity {
     broadcast(probed).join(codes, "cell")
       .filter(col(cId) =!= col(qId))
       .select(col(qId), col(cId), adist.as("adist"))
+      // defense in depth against any double-landed id (a replayed append
+      // outside the appendId discipline): a duplicated candidate carries
+      // an identical adist, so deduping by (query, id) is deterministic
+      // and stops it occupying two of the k result slots
+      .dropDuplicates(qId, cId)
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= k)
   }

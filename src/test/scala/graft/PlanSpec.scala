@@ -172,8 +172,8 @@ class PlanSpec extends SparkSpec {
     }
   }
 
-  test("IVF-PQ incremental append: chunked == one-shot, only touched cells " +
-      "gain files, base files untouched") {
+  test("IVF-PQ incremental append: chunked == one-shot, appends land in their " +
+      "own directories for exactly the increment's cells, base files untouched") {
     import graft.operators.Similarity
     val emb = Tables(spark, sfDir, "embeddings")
     val base = emb.filter(col("vec_id") % 3 =!= 0)
@@ -187,30 +187,66 @@ class PlanSpec extends SparkSpec {
     // files present before the append — the append must not rewrite them
     def files(p: String) = new java.io.File(s"$p/codes").listFiles()
       .filter(_.isDirectory).flatMap(_.listFiles())
-      .filter(_.getName.endsWith(".parquet")).map(_.getPath).toSet
+      .filter(_.getName.endsWith(".parquet"))
+      .map(f => (f.getPath, f.lastModified(), f.length())).toSet
     val before = files(t1)
     // one-shot vs two-chunk append: final code rows must be identical
     Similarity.appendToIvfPqIndex(inc, t1)
     Similarity.appendToIvfPqIndex(inc.filter(col("nid") % 2 === 0), t2)
     Similarity.appendToIvfPqIndex(inc.filter(col("nid") % 2 =!= 0), t2)
-    def codeRows(p: String) = spark.read.parquet(s"$p/codes")
+    def codeRows(p: String) = Similarity.readIvfPqCodes(spark, p)
       .select(col("nid"), col("codes"), col("cell"))
       .collect().map(r => (r.getLong(0), r.getSeq[Int](1), r.getInt(2))).toSet
     val (r1, r2) = (codeRows(t1), codeRows(t2))
     assert(r1 == r2, "chunked append must equal one-shot append")
     assert(r1.size == base.count() + inc.count(), "every vector indexed once")
-    assert(files(t1).intersect(before) == before,
-      "append must add files, never rewrite the base build's files")
+    assert(files(t1) == before,
+      "append must land in its own directory, never touch the base build's files")
     // appended rows are encoded with the FROZEN constants: cells touched
     // by the increment are exactly the increment's assignment cells
     val incCells = r1.filter(t => t._1 % 3 == 0).map(_._3)
-    val newDirs = (files(t1) -- before).map(f =>
-      f.split("/").find(_.startsWith("cell=")).get.stripPrefix("cell=").toInt)
+    val newDirs = new java.io.File(s"$t1/appends").listFiles()
+      .filter(_.isDirectory).flatMap(_.listFiles()).filter(_.isDirectory)
+      .map(_.getName.stripPrefix("cell=").toInt).toSet
     assert(newDirs == incCells, s"new files in $newDirs but increment cells $incCells")
   }
 
+  test("IVF-PQ append replay: a crashed-and-retried append with a stable " +
+      "appendId is exactly-once; served answers carry no duplicate slots") {
+    import graft.operators.Similarity
+    val emb = Tables(spark, sfDir, "embeddings")
+    val base = emb.filter(col("vec_id") % 3 =!= 0)
+      .select(col("vec_id").as("nid"), col("embedding").as("ne"))
+    val inc = emb.filter(col("vec_id") % 3 === 0)
+      .select(col("vec_id").as("nid"), col("embedding").as("ne"))
+    val queries = emb.filter(col("vec_id") < 3)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+    val once = java.nio.file.Files.createTempDirectory("graft_replay1_").toString
+    val twice = java.nio.file.Files.createTempDirectory("graft_replay2_").toString
+    Similarity.buildIvfPqIndex(base, once)
+    Similarity.buildIvfPqIndex(base, twice)
+    Similarity.appendToIvfPqIndex(inc, once, appendId = "day1")
+    Similarity.appendToIvfPqIndex(inc, twice, appendId = "day1")
+    Similarity.appendToIvfPqIndex(inc, twice, appendId = "day1") // the replay
+    def state(p: String) = Similarity.readIvfPqCodes(spark, p)
+      .collect().map(r => (r.getLong(0), r.getSeq[Int](1), r.getInt(2))).toSet
+    assert(state(once) == state(twice),
+      "replayed append must leave the index bit-identical to a single append")
+    assert(state(twice).size == base.count() + inc.count(),
+      "replay must not double-index any vector")
+    val a = Similarity.serveIvfPq(spark, once, queries, k = 5)
+      .orderBy(col("qid"), col("rn")).collect().toSeq
+    val b = Similarity.serveIvfPq(spark, twice, queries, k = 5)
+      .orderBy(col("qid"), col("rn")).collect().toSeq
+    assert(a == b, "served answers must be unchanged by the replay")
+    b.groupBy(r => (r.getLong(0), r.getLong(1))).foreach { case (k2, v) =>
+      assert(v.size == 1, s"candidate $k2 occupies ${v.size} result slots")
+    }
+  }
+
   test("IVF-PQ delete lifecycle: tombstoned serve == compacted serve; " +
-      "emptied cells dropped; untouched cells' files unchanged") {
+      "emptied cells leave the catalog; reader isolation — every pre-compaction " +
+      "file survives byte-identical for in-flight readers") {
     import graft.operators.Similarity
     import spark.implicits._
     val emb = Tables(spark, sfDir, "embeddings")
@@ -221,13 +257,20 @@ class PlanSpec extends SparkSpec {
     Similarity.buildIvfPqIndex(corpus, tmp)
     def files() = new java.io.File(s"$tmp/codes").listFiles()
       .filter(_.isDirectory).flatMap(d => d.listFiles()
-        .filter(_.getName.endsWith(".parquet")).map(f => (d.getName, f.getPath)))
+        .filter(_.getName.endsWith(".parquet"))
+        .map(f => (d.getName, (f.getPath, f.lastModified(), f.length()))))
       .groupBy(_._1).map { case (k, v) => k -> v.map(_._2).toSet }
+    def liveRows() = Similarity.readIvfPqCodes(spark, tmp)
+      .select(col("nid"), col("cell")).collect()
+      .map(r => (r.getLong(0), r.getInt(1)))
     val before = files()
-    val codes0 = spark.read.parquet(s"$tmp/codes")
-      .select(col("nid"), col("cell")).collect().map(r => (r.getLong(0), r.getInt(1)))
+    val codes0 = liveRows()
+    // a reader that resolved the catalog BEFORE the compaction: it scans
+    // these exact rows and must keep seeing them afterwards
+    val preReaderRows = spark.read.parquet(s"$tmp/codes")
+      .select(col("nid")).collect().map(_.getLong(0)).toSet
     // kill one whole cell plus every 7th id: exercises both the rewrite
-    // path and the emptied-partition drop
+    // path and the emptied-cell catalog drop
     val victimCell = codes0.groupBy(_._2).minBy(_._2.length)._1
     val dead = (codes0.filter(_._2 == victimCell).map(_._1) ++
       codes0.map(_._1).filter(_ % 7 == 0)).distinct
@@ -243,18 +286,20 @@ class PlanSpec extends SparkSpec {
     assert(logical == physical, "compaction must not change served answers")
     assert(!new java.io.File(s"$tmp/tombstones").exists(),
       "compaction must clear the tombstone log")
-    val after = files()
-    assert(!after.contains(s"cell=$victimCell"),
-      "a cell whose every row died must have its partition dropped")
-    // cells with no dead rows keep their exact files
-    val deadCells = codes0.filter(t => dead.contains(t._1)).map(_._2).toSet
-    before.keys.filterNot(k =>
-        deadCells.contains(k.stripPrefix("cell=").toInt)).foreach { k =>
-      assert(after(k) == before(k), s"untouched $k was rewritten")
-    }
-    val left = spark.read.parquet(s"$tmp/codes").select(col("nid"))
-      .collect().map(_.getLong(0)).toSet
-    assert(left.intersect(dead.toSet).isEmpty && left.size == codes0.length - dead.length,
+    // reader isolation: compaction writes a FRESH directory and remaps —
+    // it never mutates a file the previous catalog referenced, so the
+    // in-flight reader's scan is still byte-identical
+    assert(files() == before,
+      "compaction must never rewrite or delete previously-referenced files")
+    assert(spark.read.parquet(s"$tmp/codes").select(col("nid"))
+      .collect().map(_.getLong(0)).toSet == preReaderRows,
+      "a reader holding the pre-compaction catalog must see the old rows intact")
+    // the LIVE view: dead rows gone, emptied cell out of the catalog
+    val left = liveRows()
+    assert(!left.map(_._2).contains(victimCell),
+      "a cell whose every row died must leave the live catalog")
+    assert(left.map(_._1).toSet.intersect(dead.toSet).isEmpty &&
+      left.length == codes0.length - dead.length,
       "compaction must drop exactly the tombstoned rows")
   }
 
@@ -299,15 +344,32 @@ class PlanSpec extends SparkSpec {
     val v2 = Similarity.rebuildIvfPqIndex(full, tmp)
     assert(v2 == "v2" && new java.io.File(s"$tmp/v1/codes").exists(),
       "second rebuild must version to v2 and leave v1 on disk")
-    val v2Before = new java.io.File(s"$tmp/v2/codes").listFiles()
-      .filter(_.isDirectory).flatMap(_.listFiles()).length
+    // the flat-era append dir predates the rebuild; the post-swap append
+    // must land under v2, adding nothing to the old layouts
+    val flatAppendDirs = new java.io.File(s"$tmp/appends").listFiles().length
     Similarity.appendToIvfPqIndex(
       emb.filter(col("vec_id") < 2).select(
         (col("vec_id") + 1000000L).as("nid"), col("embedding").as("ne")), tmp)
-    val v2After = new java.io.File(s"$tmp/v2/codes").listFiles()
-      .filter(_.isDirectory).flatMap(_.listFiles()).length
-    assert(v2After > v2Before && legacyFiles() == before,
+    assert(new java.io.File(s"$tmp/v2/appends").exists() &&
+      new java.io.File(s"$tmp/appends").listFiles().length == flatAppendDirs &&
+      !new java.io.File(s"$tmp/v1/appends").exists() &&
+      legacyFiles() == before,
       "append must land in the CURRENT version, not an old layout")
+    assert(Similarity.readIvfPqCodes(spark, tmp)
+      .filter(col("nid") >= 1000000L).count() == 2,
+      "the post-swap append must be visible through the CURRENT version")
+    // retention GC: vacuum(keep = 1) reclaims v1, keeps v2, serve unaffected
+    val servedPre = Similarity.serveIvfPq(spark, tmp, queries, k = 5)
+      .orderBy(col("qid"), col("rn")).collect().toSeq
+    val deleted = Similarity.vacuumIvfPqVersions(spark, tmp, keep = 1)
+    assert(deleted == Seq("v1") && !new java.io.File(s"$tmp/v1").exists() &&
+      new java.io.File(s"$tmp/v2/codes").exists(),
+      s"vacuum must delete exactly the versions past retention, got $deleted")
+    val servedPost = Similarity.serveIvfPq(spark, tmp, queries, k = 5)
+      .orderBy(col("qid"), col("rn")).collect().toSeq
+    assert(servedPre == servedPost, "vacuum must not change served answers")
+    assert(Similarity.vacuumIvfPqVersions(spark, tmp, keep = 1).isEmpty,
+      "a second vacuum at the same retention must be a no-op")
   }
 
   test("IVF-PQ delete-then-reinsert: append prunes stale tombstones so the " +
@@ -330,14 +392,63 @@ class PlanSpec extends SparkSpec {
     assert(tombLeft == Set(7L),
       s"append must prune exactly its own ids from the log, left $tombLeft")
     Similarity.compactIvfPqIndex(spark, tmp)
-    val served = spark.read.parquet(s"$tmp/codes").select(col("nid"))
+    val served = Similarity.readIvfPqCodes(spark, tmp).select(col("nid"))
       .collect().map(_.getLong(0)).toSet
     assert(served.contains(victim) && !served.contains(7L),
       "reinserted vector must survive compaction; the real delete must not")
   }
 
-  test("cluster store merge: only buckets holding merged labels are rewritten; " +
-      "emptied buckets dropped; labels always equal a full recompute") {
+  test("IVF-PQ drift-triggered rebuild: a planted shifted increment fires the " +
+      "retrain; a no-drift corpus provably skips it") {
+    import graft.operators.Similarity
+    val emb = Tables(spark, sfDir, "embeddings")
+    val base = emb.filter(col("vec_id") % 3 =!= 0)
+      .select(col("vec_id").as("nid"), col("embedding").as("ne"))
+    // the VectorFnsSpec 3x+2 fixture pattern: walk the increment's
+    // distribution far from the training sample
+    val shifted = emb.filter(col("vec_id") % 3 === 0)
+      .select(col("vec_id").as("nid"),
+        transform(col("embedding").cast("array<double>"),
+          x => x * lit(3.0) + lit(2.0)).as("ne"))
+    val tmp = java.nio.file.Files.createTempDirectory("graft_drift_fire_").toString
+    Similarity.buildIvfPqIndex(base, tmp)
+    Similarity.appendToIvfPqIndex(shifted, tmp)
+    val live = base.withColumn("cohort", lit("base"))
+      .unionByName(shifted.withColumn("cohort", lit("increment")))
+    val fired = Similarity.rebuildIfDrifted(live, tmp, "cohort").collect()(0)
+    assert(fired.getBoolean(0) && fired.getString(4) == "v1",
+      s"a 3x+2 shifted increment must fire the rebuild, got $fired")
+    assert(fired.getLong(3) > 2000000L,
+      s"the fired ratio must exceed the 2x default threshold, got ${fired.getLong(3)}")
+    // the rebuilt index serves the monolithic full-live-corpus build's answers
+    val queries = emb.filter(col("vec_id") < 3)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+    val mono = java.nio.file.Files.createTempDirectory("graft_drift_mono_").toString
+    Similarity.buildIvfPqIndex(
+      base.unionByName(shifted.select(col("nid"), col("ne"))), mono)
+    assert(Similarity.serveIvfPq(spark, tmp, queries, k = 5)
+        .orderBy(col("qid"), col("rn")).collect().toSeq ==
+      Similarity.serveIvfPq(spark, mono, queries, k = 5)
+        .orderBy(col("qid"), col("rn")).collect().toSeq,
+      "the fired rebuild must serve the monolithic build's answers")
+    // no drift: an i.i.d. increment of the same distribution skips
+    val skipTmp = java.nio.file.Files.createTempDirectory("graft_drift_skip_").toString
+    val inc = emb.filter(col("vec_id") % 3 === 0)
+      .select(col("vec_id").as("nid"), col("embedding").as("ne"))
+    Similarity.buildIvfPqIndex(base, skipTmp)
+    Similarity.appendToIvfPqIndex(inc, skipTmp)
+    val calm = base.withColumn("cohort", lit("base"))
+      .unionByName(inc.withColumn("cohort", lit("increment")))
+    val skipped = Similarity.rebuildIfDrifted(calm, skipTmp, "cohort").collect()(0)
+    assert(!skipped.getBoolean(0) && skipped.getString(4) == "flat",
+      s"an i.i.d. increment must not fire the rebuild, got $skipped")
+    assert(!new java.io.File(s"$skipTmp/CURRENT").exists(),
+      "a skipped rebuild must leave the index unversioned and untouched")
+  }
+
+  test("cluster store merge: only buckets holding merged labels gain a new " +
+      "generation; emptied buckets leave the manifest; old files stay " +
+      "byte-identical for in-flight readers; labels always equal a full recompute") {
     import graft.operators.Dedup
     import spark.implicits._
     val tmp = java.nio.file.Files.createTempDirectory("graft_cstore_")
@@ -345,42 +456,65 @@ class PlanSpec extends SparkSpec {
     // three 2-node components: labels 1 (bucket 1), 10 (bucket 2), 20 (bucket 4)
     Dedup.buildClusterStore(
       Seq((1L, 2L), (10L, 11L), (20L, 21L)).toDF("id_a", "id_b"), tmp, nBuckets = 8)
-    def files() = new java.io.File(tmp).listFiles().filter(_.isDirectory)
-      .map(d => d.getName -> d.listFiles()
-        .filter(_.getName.endsWith(".parquet"))
-        .map(f => (f.getPath, f.lastModified(), f.length())).toSet).toMap
+    // every parquet file across all generation dirs, keyed by (gen, bucket)
+    def files() = new java.io.File(tmp).listFiles()
+      .filter(d => d.isDirectory && d.getName.startsWith("d"))
+      .flatMap(g => g.listFiles().filter(_.isDirectory).map(b =>
+        (g.getName, b.getName) -> b.listFiles()
+          .filter(_.getName.endsWith(".parquet"))
+          .map(f => (f.getPath, f.lastModified(), f.length())).toSet)).toMap
+    def manifest() = Dedup.readStoreManifest(spark, tmp).get
+    def liveBuckets() = manifest().entries.map(_._1).toSet
     def stored() = Dedup.readClusterStore(spark, tmp)
       .as[(Long, Long)].collect().toSet
     def full(pairs: Seq[(Long, Long)]) = Dedup
       .connectedComponents(pairs.toDF("id_a", "id_b"))
       .as[(Long, Long)].collect().toSet
     val before = files()
+    val storedBefore = stored()
+    val manifestBefore = manifest()
     // day 1: fresh node 30 joins component 1; fresh pair (40,41) founds a
     // new component — components 10 and 20 are not involved
     val day1 = Seq((2L, 30L), (40L, 41L))
     Dedup.mergeIntoClusterStore(day1.toDF("id_a", "id_b"), tmp, nBuckets = 8)
     val after1 = files()
-    assert(after1("bucket=2") == before("bucket=2") &&
-      after1("bucket=4") == before("bucket=4"),
-      "buckets of untouched components must keep their exact files")
+    assert(before.forall { case (k, v) => after1(k) == v },
+      "a merge must never rewrite or delete an existing generation's files")
+    assert(manifest().entries.filter(e => Set(2L, 4L)(e._1)) ==
+      manifestBefore.entries.filter(e => Set(2L, 4L)(e._1)),
+      "buckets of untouched components must keep their manifest entries")
+    // reader isolation: a reader that resolved the pre-merge manifest
+    // scans exactly the pre-merge rows — its generation dirs are intact
+    val oldView = manifestBefore.entries.groupBy(_._2).toSeq.map { case (d, es) =>
+      spark.read.option("basePath", s"$tmp/$d").parquet(s"$tmp/$d")
+        .where(col("bucket").isin(es.map(_._1).map(Long.box): _*))
+    }.reduce(_.unionByName(_)).select(col("id"), col("label"))
+      .as[(Long, Long)].collect().toSet
+    assert(oldView == storedBefore,
+      "a reader holding the pre-merge manifest must see the old labels intact")
     val all1 = Seq((1L, 2L), (10L, 11L), (20L, 21L)) ++ day1
     assert(stored() == full(all1), "incremental labels must equal a full recompute")
     // day 2: the bridge (11,21) merges components 10 and 20 into label 10 —
-    // bucket 4 empties (its rows migrate to bucket 2) and must be dropped
+    // bucket 4 empties (its rows migrate to bucket 2) and must leave the manifest
+    val manifest1 = manifest()
     Dedup.mergeIntoClusterStore(Seq((11L, 21L)).toDF("id_a", "id_b"), tmp,
       nBuckets = 8)
-    assert(!new java.io.File(s"$tmp/bucket=4").exists(),
-      "a bucket whose every row migrated out must be dropped")
+    assert(!liveBuckets().contains(4L),
+      "a bucket whose every row migrated out must leave the manifest")
     val after2 = files()
-    assert(after2("bucket=1") == after1("bucket=1") &&
-      after2("bucket=0") == after1("bucket=0"),
-      "the merge of 10/20 must not rewrite components 1 or 40")
+    assert(after1.forall { case (k, v) => after2(k) == v },
+      "the merge of 10/20 must not rewrite existing files of 1 or 40")
+    assert(manifest().entries.filter(e => Set(0L, 1L)(e._1)) ==
+      manifest1.entries.filter(e => Set(0L, 1L)(e._1)),
+      "the merge of 10/20 must not remap components 1 or 40")
     assert(stored() == full(all1 :+ (11L, 21L)))
-    // a pair INSIDE one component is a no-op: zero files touched
+    // a pair INSIDE one component is a no-op: zero files, zero manifest churn
     val snap = files()
+    val snapManifest = manifest()
     Dedup.mergeIntoClusterStore(Seq((1L, 30L)).toDF("id_a", "id_b"), tmp,
       nBuckets = 8)
-    assert(files() == snap, "an intra-component pair must write nothing")
+    assert(files() == snap && manifest() == snapManifest,
+      "an intra-component pair must write nothing")
   }
 
   test("q50 minhash: single pair-generating exchange above the cached base") {
