@@ -525,7 +525,18 @@ object Graph {
     * oscillate pairs of adjacent nodes through each other's communities
     * (the LPA bipartite pathology in move form); the parity split is
     * the cheapest deterministic stagger, and both stages are pure
-    * integer relational passes an oracle replays exactly.
+    * integer relational passes an oracle replays exactly. NOTE the
+    * stagger is a determinism device, not a monotonicity proof: moves
+    * WITHIN one stage apply simultaneously against the pre-stage
+    * assignment, so two same-parity movers whose deltas each assumed
+    * the other stays put (adjacent movers, or two movers into the same
+    * target community, whose joint move double-counts the target's
+    * degree growth) can jointly land below the sum of their individual
+    * deltas — in adversarial fixtures a stage can lower Q. Exact
+    * monotonicity would need sequential (one-node-at-a-time)
+    * application, which is not a distributed shape; in practice each
+    * accepted move points uphill and sweeps converge (the GraphSpec
+    * fixtures pin concrete uphill cases, not a universal guarantee).
     *
     * Bounded by design: targets are NEIGHBOR communities only. The
     * Louvain isolate-into-a-fresh-community move is deliberately
@@ -535,9 +546,12 @@ object Graph {
     * improving move is isolation keeps its seat.
     *
     * Same partition contract as [[modularity]] (graph nodes must all be
-    * labeled, one label each — one folded guard pass); assignment rows
-    * for nodes outside the graph are dropped with the same documented
-    * zero-contribution asymmetry.
+    * labeled, one label each — one folded guard pass). Assignment rows
+    * for nodes OUTSIDE the graph pass through unchanged: an edge-less
+    * node has no neighbor communities, so it can never move, and its
+    * seat costs Q nothing either way (the [[modularity]] asymmetry in
+    * the other direction — that operator drops such rows from its
+    * n_nodes count, this one returns them untouched).
     *
     * Scale shape: per stage, one edge-join against the node-sized label
     * vector (adjacency pre-partitioned and persisted ONCE across all
@@ -673,55 +687,222 @@ object Graph {
         "refineCommunitiesWeighted: assignment is missing graph nodes")
       require(chk.getLong(1) == 0L,
         "refineCommunitiesWeighted: a node has multiple labels — assignment must be a partition")
-      // Σ adj.w = 2W exactly (symmetrized, no self-loops)
-      val wDf = adj.agg(expr("sum(w) div 2").as("W"))
-      val strength = adj.groupBy(col("u").as("node")).agg(sum(col("w")).as("k"))
-
-      def stage(cur: DataFrame, parity: Int): DataFrame = {
-        val sC = strength.join(cur, "node")
-          .groupBy(col("label")).agg(sum(col("k")).as("s_tot"))
-        val wic = adj.filter(pmod(col("u"), lit(2)) === parity)
-          .join(cur.select(col("node").as("v"), col("label").as("nl")), "v")
-          .groupBy(col("u").as("node"), col("nl"))
-          .agg(sum(col("w")).as("kc"))
-        val wa = wic.join(cur, "node")
-          .filter(col("nl") === col("label"))
-          .select(col("node"), col("kc").as("ka"))
-        val cand = wic
-          .join(cur, "node")
-          .filter(col("nl") =!= col("label"))
-          .join(strength, "node")
-          .join(sC.select(col("label"), col("s_tot").as("s_a")), "label")
-          .join(sC.select(col("label").as("nl"), col("s_tot").as("s_b")), "nl")
-          .join(wa, Seq("node"), "left")
-          .withColumn("ka", coalesce(col("ka"), lit(0L)))
-          .crossJoin(broadcast(wDf))
-          .withColumn("delta_num",
-            lit(4L) * col("W") * (col("kc") - col("ka")) -
-              lit(2L) * col("k") * (col("s_b") - col("s_a") + col("k")))
-          .filter(col("delta_num") > 0L)
-        val best = cand
-          .groupBy(col("node"))
-          .agg(min(struct((-col("delta_num")).as("nd"), col("nl").as("l"))).as("mv"))
-          .select(col("node"), col("mv.l").as("new_label"))
-        cur.join(best, Seq("node"), "left")
-          .select(col("node"),
-            coalesce(col("new_label"), col("label")).as("label"))
-          .localCheckpoint(true)
-      }
-
-      var cur = lbl.localCheckpoint(true)
-      var s = 0
-      while (s < sweeps) {
-        val even = stage(cur, 0)
-        freeDeadCheckpoint(cur)
-        val odd = stage(even, 1)
-        freeDeadCheckpoint(even)
-        cur = odd
-        s += 1
-      }
-      cur
+      refineWeightedSweeps(adj, None, lbl, sweeps)
     } finally adj.unpersist(false)
+  }
+
+  /** The weighted local-move sweep loop shared by
+    * [[refineCommunitiesWeighted]] (simple graphs — `selfStr` = None)
+    * and the contracted community graphs of [[louvainCommunities]],
+    * where a super-node carries a SELF-LOOP (its community's internal
+    * weight). `selfStr` rows are `(node, sw)` with `sw` in STRENGTH
+    * units — 2 × the node's self-loop weight, the standard convention
+    * under which the contracted graph's modularity equals the expanded
+    * partition's on the original graph exactly (the self-loop moves
+    * with its node, so it cancels out of the linear delta term, but it
+    * DOES sit in the node's strength and in 2W — get either wrong and
+    * contracted-level moves stop being original-Q-improving). Nodes
+    * absent from `selfStr` have no self-loop; `selfStr` nodes absent
+    * from `adj` (fully-isolated communities) still count toward W but
+    * can never move — the caller's expansion passes them through.
+    *
+    * `adj` must be the symmetrized, self-loop-free, parallel-summed
+    * adjacency, pre-partitioned and persisted by the caller; `lbl` a
+    * guarded partition of its nodes.
+    */
+  private def refineWeightedSweeps(adj: DataFrame, selfStr: Option[DataFrame],
+                                   lbl: DataFrame, sweeps: Int): DataFrame = {
+    // Σ adj.w = 2W_inter exactly (symmetrized, no self-loops); each
+    // self-loop contributes its strength units on top
+    val wDf = selfStr match {
+      case None => adj.agg(expr("sum(w) div 2").as("W"))
+      case Some(ss) =>
+        adj.agg(sum(col("w")).as("__aw"))
+          .crossJoin(ss.agg(coalesce(sum(col("sw")), lit(0L)).as("__sw")))
+          .select(expr("(__aw + __sw) div 2").as("W"))
+    }
+    val interStr = adj.groupBy(col("u").as("node")).agg(sum(col("w")).as("k"))
+    val strength = selfStr match {
+      case None => interStr
+      case Some(ss) => interStr.join(ss, Seq("node"), "left")
+        .select(col("node"), (col("k") + coalesce(col("sw"), lit(0L))).as("k"))
+    }
+
+    def stage(cur: DataFrame, parity: Int): DataFrame = {
+      val sC = strength.join(cur, "node")
+        .groupBy(col("label")).agg(sum(col("k")).as("s_tot"))
+      val wic = adj.filter(pmod(col("u"), lit(2)) === parity)
+        .join(cur.select(col("node").as("v"), col("label").as("nl")), "v")
+        .groupBy(col("u").as("node"), col("nl"))
+        .agg(sum(col("w")).as("kc"))
+      val wa = wic.join(cur, "node")
+        .filter(col("nl") === col("label"))
+        .select(col("node"), col("kc").as("ka"))
+      val cand = wic
+        .join(cur, "node")
+        .filter(col("nl") =!= col("label"))
+        .join(strength, "node")
+        .join(sC.select(col("label"), col("s_tot").as("s_a")), "label")
+        .join(sC.select(col("label").as("nl"), col("s_tot").as("s_b")), "nl")
+        .join(wa, Seq("node"), "left")
+        .withColumn("ka", coalesce(col("ka"), lit(0L)))
+        .crossJoin(broadcast(wDf))
+        .withColumn("delta_num",
+          lit(4L) * col("W") * (col("kc") - col("ka")) -
+            lit(2L) * col("k") * (col("s_b") - col("s_a") + col("k")))
+        .filter(col("delta_num") > 0L)
+      val best = cand
+        .groupBy(col("node"))
+        .agg(min(struct((-col("delta_num")).as("nd"), col("nl").as("l"))).as("mv"))
+        .select(col("node"), col("mv.l").as("new_label"))
+      cur.join(best, Seq("node"), "left")
+        .select(col("node"),
+          coalesce(col("new_label"), col("label")).as("label"))
+        .localCheckpoint(true)
+    }
+
+    var cur = lbl.localCheckpoint(true)
+    var s = 0
+    while (s < sweeps) {
+      val even = stage(cur, 0)
+      freeDeadCheckpoint(cur)
+      val odd = stage(even, 1)
+      freeDeadCheckpoint(even)
+      cur = odd
+      s += 1
+    }
+    cur
+  }
+
+  /** Deterministic community-graph CONTRACTION — the Louvain phase-2
+    * primitive (Blondel et al. 2008): collapse each community of
+    * `assign` to one super-node and sum edge weights between/within.
+    * Returns the canonical undirected community edge list
+    * `(src, dst, w)` with `src <= dst`: `src < dst` rows are summed
+    * INTER-community weights, `src = dst` rows the summed
+    * INTRA-community weight (the contracted self-loop, which
+    * [[louvainCommunities]] folds into super-node strength as 2·w —
+    * the convention under which Q(contracted partition) equals
+    * Q(expanded partition) on the original graph exactly). Input
+    * conventions are [[refineCommunitiesWeighted]]'s: positive integer
+    * weights (loud otherwise), rows are undirected edges, parallel rows
+    * sum across both orientations; self-loop input rows are dropped.
+    * The assignment must cover every graph node with exactly one label
+    * (loud one-pass guard).
+    *
+    * Scale shape: one canonicalize+sum pass, two label joins against
+    * the node-sized assignment, one community-pair aggregate — shuffle
+    * ∝ edges, no iteration. The output is |communities|²-bounded but in
+    * practice ∝ the cut structure — the whole point of contraction is
+    * that it SHRINKS.
+    */
+  def contractCommunities(edges: DataFrame, srcCol: String, dstCol: String,
+                          weightCol: String, assign: DataFrame,
+                          nodeCol: String, labelCol: String): DataFrame = {
+    val a = edges
+      .select(col(srcCol).cast("long").as("u"), col(dstCol).cast("long").as("v"),
+        col(weightCol).cast("long").as("w"))
+      .filter(col("u") =!= col("v"))
+    require(a.filter(col("w") <= 0L || col("w").isNull).isEmpty,
+      "contractCommunities: weights must be positive integers")
+    val und = a
+      .select(least(col("u"), col("v")).as("u"),
+        greatest(col("u"), col("v")).as("v"), col("w"))
+      .groupBy(col("u"), col("v")).agg(sum(col("w")).as("w"))
+    val lbl = assign
+      .select(col(nodeCol).cast("long").as("node"), col(labelCol).cast("long").as("label"))
+      .distinct()
+    val nodes = und.select(col("u").as("node"))
+      .unionByName(und.select(col("v").as("node"))).distinct()
+    val chk = lbl.groupBy(col("node")).agg(count(lit(1)).as("nl"))
+      .join(nodes.withColumn("__g", lit(1)), Seq("node"), "full")
+      .agg(
+        sum(when(col("nl").isNull && col("__g").isNotNull, 1L).otherwise(0L))
+          .as("missing"),
+        sum(when(col("nl") > 1L, 1L).otherwise(0L)).as("multi"))
+      .collect()(0)
+    require(chk.getLong(0) == 0L,
+      "contractCommunities: assignment is missing graph nodes")
+    require(chk.getLong(1) == 0L,
+      "contractCommunities: a node has multiple labels — assignment must be a partition")
+    und
+      .join(lbl.select(col("node").as("u"), col("label").as("la")), "u")
+      .join(lbl.select(col("node").as("v"), col("label").as("lb")), "v")
+      .select(least(col("la"), col("lb")).as("src"),
+        greatest(col("la"), col("lb")).as("dst"), col("w"))
+      .groupBy(col("src"), col("dst")).agg(sum(col("w")).as("w"))
+  }
+
+  /** MULTI-LEVEL modularity optimization — the full Louvain loop
+    * (Blondel et al. 2008), deterministic and relational end-to-end:
+    * phase 1 is [[refineCommunitiesWeighted]]'s local-move sweeps on the
+    * given assignment; each further level CONTRACTS the graph by the
+    * current communities ([[contractCommunities]]) and re-runs the same
+    * sweeps on the contracted graph (super-node self-loops folded into
+    * strength, so every accepted contracted-level move — a whole
+    * community changing sides — increases the ORIGINAL graph's Q_w by
+    * exactly its integer delta), then expands the super-labels back
+    * down. This captures exactly the moves phase 1 cannot: a community
+    * pair worth merging whose every single-node move is negative (each
+    * node's intra ties pin it — the GraphSpec two-triangle fixture).
+    *
+    * Determinism inherits from the pieces: integer deltas, parity
+    * staging (contracted super-node ids are community labels — original
+    * node ids, so the parity rule is well-defined), smallest-label
+    * ties. Contracted levels start from singletons (each super-node its
+    * own community, the Louvain convention). A level whose contraction
+    * has NO inter-community edges stops the loop (nothing left to
+    * merge); isolated super-nodes pass through expansion unchanged.
+    * Labels remain opaque original-assignment ids at every level.
+    *
+    * Scale shape: level 1 is the refinement's cost (shuffle ∝ edges per
+    * stage); each further level contracts once (∝ edges) and sweeps a
+    * graph of |communities| nodes — geometrically cheaper, the property
+    * that makes Louvain the 100-TB community algorithm.
+    */
+  def louvainCommunities(edges: DataFrame, srcCol: String, dstCol: String,
+                         weightCol: String, assign: DataFrame,
+                         nodeCol: String, labelCol: String,
+                         levels: Int = 2, sweeps: Int = 1): DataFrame = {
+    require(levels >= 1, s"levels must be positive, got $levels")
+    var cur = refineCommunitiesWeighted(edges, srcCol, dstCol, weightCol,
+      assign, nodeCol, labelCol, sweeps)
+    var l = 2
+    var done = false
+    while (l <= levels && !done) {
+      val c = contractCommunities(edges, srcCol, dstCol, weightCol,
+        cur, "node", "label").localCheckpoint(true)
+      try {
+        val inter = c.filter(col("src") =!= col("dst"))
+        if (inter.isEmpty) done = true
+        else {
+          // self-loop strength units: 2 × the community's internal weight
+          val selfStr = c.filter(col("src") === col("dst"))
+            .select(col("src").as("node"), (lit(2L) * col("w")).as("sw"))
+          val adj = inter
+            .select(col("src").as("u"), col("dst").as("v"), col("w"))
+            .unionByName(inter
+              .select(col("dst").as("u"), col("src").as("v"), col("w")))
+            .repartition(col("v")).persist()
+          try {
+            val singles = adj.select(col("v").as("node")).distinct()
+              .withColumn("label", col("node"))
+            val sub = refineWeightedSweeps(adj, Some(selfStr), singles, sweeps)
+            val next = cur.join(
+              sub.select(col("node").as("label"), col("label").as("__nl")),
+              Seq("label"), "left")
+              .select(col("node"),
+                coalesce(col("__nl"), col("label")).as("label"))
+              .localCheckpoint(true)
+            freeDeadCheckpoint(sub)
+            freeDeadCheckpoint(cur)
+            cur = next
+          } finally adj.unpersist(false)
+        }
+      } finally freeDeadCheckpoint(c)
+      l += 1
+    }
+    cur
   }
 
   /** EXACT modularity of a community assignment over an undirected

@@ -83,28 +83,34 @@ object MiscQueries {
   }
 
   /** The q287 WEIGHTED local-move stage: [[refineStageCtes]] with every
-    * count a weight sum — adjacency `ew` (u, v, w), strengths `degwx`,
-    * total weight `mmwx`, delta 4·W·(w_ib − w_ia) − 2·s_i·(s_b − s_a + s_i).
+    * count a weight sum — adjacency `adj` (u, v, w), strengths `str`
+    * (node, k — self-loop strength already folded in for contracted
+    * graphs), total weight `tot` (one column W), delta
+    * 4·W·(w_ib − w_ia) − 2·s_i·(s_b − s_a + s_i). The CTE names are
+    * parameters so the q289 contracted level replays the same stage over
+    * its own adjacency/strength/total CTEs.
     */
   private def refineStageWeightedCtes(cur: String, parity: Int,
-                                      out: String): String = {
+                                      out: String, adj: String = "ew",
+                                      str: String = "degwx",
+                                      tot: String = "mmwx"): String = {
     val sfx = out
-    s"""sc$sfx AS MATERIALIZED (SELECT c.label, CAST(sum(degwx.k) AS BIGINT) AS s_tot
-       |  FROM degwx JOIN $cur c USING (node) GROUP BY 1),
-       |wic$sfx AS MATERIALIZED (SELECT ew.u AS node, cl.label AS nl,
-       |    CAST(sum(ew.w) AS BIGINT) AS kc
-       |  FROM ew JOIN $cur cl ON cl.node = ew.v
-       |  WHERE ew.u % 2 = $parity GROUP BY 1, 2),
+    s"""sc$sfx AS MATERIALIZED (SELECT c.label, CAST(sum($str.k) AS BIGINT) AS s_tot
+       |  FROM $str JOIN $cur c USING (node) GROUP BY 1),
+       |wic$sfx AS MATERIALIZED (SELECT $adj.u AS node, cl.label AS nl,
+       |    CAST(sum($adj.w) AS BIGINT) AS kc
+       |  FROM $adj JOIN $cur cl ON cl.node = $adj.v
+       |  WHERE $adj.u % 2 = $parity GROUP BY 1, 2),
        |wcand$sfx AS (SELECT k0.node, k0.nl,
-       |    4 * mmwx.W * (k0.kc - COALESCE(ka.kc, 0))
-       |      - 2 * degwx.k * (sb.s_tot - sa.s_tot + degwx.k) AS delta
+       |    4 * $tot.W * (k0.kc - COALESCE(ka.kc, 0))
+       |      - 2 * $str.k * (sb.s_tot - sa.s_tot + $str.k) AS delta
        |  FROM wic$sfx k0
        |  JOIN $cur c ON c.node = k0.node AND c.label <> k0.nl
-       |  JOIN degwx ON degwx.node = k0.node
+       |  JOIN $str ON $str.node = k0.node
        |  JOIN sc$sfx sa ON sa.label = c.label
        |  JOIN sc$sfx sb ON sb.label = k0.nl
        |  LEFT JOIN wic$sfx ka ON ka.node = k0.node AND ka.nl = c.label
-       |  CROSS JOIN mmwx),
+       |  CROSS JOIN $tot),
        |wmv$sfx AS (SELECT node, nl FROM (SELECT node, nl, delta,
        |    row_number() OVER (PARTITION BY node
        |      ORDER BY delta DESC, nl) AS rn
@@ -687,6 +693,64 @@ object MiscQueries {
               |${refineStageWeightedCtes("wl4m", 0, "wra")},
               |${refineStageWeightedCtes("wra", 1, "wrb")}
               |SELECT node, label FROM wrb ORDER BY node""".stripMargin)),
+
+    // ---- MULTI-LEVEL Louvain (Graph.louvainCommunities): the q287
+    // phase-1 sweep, then the phase-2 CONTRACTION — communities collapse
+    // to super-nodes (inter weights summed, intra weight as a self-loop
+    // folded into super-node strength), the same exact-integer sweep
+    // runs on the contracted graph from singletons, and the super-labels
+    // expand back down. Every contracted-level move is a WHOLE community
+    // changing sides, worth exactly its integer delta on the ORIGINAL
+    // graph's Q_w — the moves phase 1 provably cannot make (GraphSpec
+    // two-triangle fixture). The oracle replays the full composition:
+    // weighted unroll, both phase-1 stages, the contraction CTEs, both
+    // contracted stages over the self-loop-aware strengths, expansion. ----
+    Q("q289_communities_louvain",
+      (s, dir) => {
+        val pairs = repeatTradePairsWeighted(s, dir)
+        val lpa = graft.operators.Graph.labelPropagationWeighted(
+          pairs, "cust", "supp", "w", rounds = 4)
+        graft.operators.Graph.louvainCommunities(
+            pairs, "cust", "supp", "w", lpa, "node", "label", levels = 2)
+          .orderBy(col("node"))
+      },
+      Some(s"""WITH ${lpaWeightedUnrollCtes(4)},
+              |wl4m AS MATERIALIZED (SELECT node, label FROM wl4),
+              |degwx AS MATERIALIZED (SELECT u AS node,
+              |    CAST(sum(w) AS BIGINT) AS k FROM ew GROUP BY 1),
+              |mmwx AS MATERIALIZED (SELECT CAST(sum(w) AS BIGINT) // 2 AS W
+              |    FROM ew),
+              |${refineStageWeightedCtes("wl4m", 0, "wra")},
+              |${refineStageWeightedCtes("wra", 1, "wrb")},
+              |lund AS MATERIALIZED (SELECT least(cust, supp) AS u,
+              |    greatest(cust, supp) AS v, CAST(sum(w) AS BIGINT) AS w
+              |  FROM wpairs GROUP BY 1, 2),
+              |lcall AS MATERIALIZED (SELECT least(lu.label, lv.label) AS src,
+              |    greatest(lu.label, lv.label) AS dst,
+              |    CAST(sum(lund.w) AS BIGINT) AS w
+              |  FROM lund JOIN wrb lu ON lu.node = lund.u
+              |            JOIN wrb lv ON lv.node = lund.v
+              |  GROUP BY 1, 2),
+              |cew AS MATERIALIZED (SELECT src AS u, dst AS v, w FROM lcall
+              |    WHERE src <> dst
+              |  UNION ALL SELECT dst, src, w FROM lcall WHERE src <> dst),
+              |cself AS MATERIALIZED (SELECT src AS node,
+              |    CAST(2 * w AS BIGINT) AS sw FROM lcall WHERE src = dst),
+              |cdegx AS MATERIALIZED (SELECT i.node,
+              |    CAST(i.k + COALESCE(cself.sw, 0) AS BIGINT) AS k
+              |  FROM (SELECT u AS node, sum(w) AS k FROM cew GROUP BY 1) i
+              |  LEFT JOIN cself USING (node)),
+              |cmm AS MATERIALIZED (SELECT CAST(
+              |    ((SELECT COALESCE(sum(w), 0) FROM cew)
+              |     + (SELECT COALESCE(sum(sw), 0) FROM cself)) // 2
+              |  AS BIGINT) AS W),
+              |cl0 AS MATERIALIZED (SELECT DISTINCT v AS node, v AS label
+              |    FROM cew),
+              |${refineStageWeightedCtes("cl0", 0, "ca", "cew", "cdegx", "cmm")},
+              |${refineStageWeightedCtes("ca", 1, "cb", "cew", "cdegx", "cmm")}
+              |SELECT f.node AS node, COALESCE(cx.label, f.label) AS label
+              |FROM wrb f LEFT JOIN cb cx ON cx.node = f.label
+              |ORDER BY f.node""".stripMargin)),
 
     // ---- Dangling-node PageRank: the same fixed-point operator on the
     // ONE-WAY commerce graph (cust -> supp only), where every supplier is

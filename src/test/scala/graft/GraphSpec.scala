@@ -415,8 +415,12 @@ class GraphSpec extends SparkSpec {
     assert(err.getMessage.contains("no edges"))
   }
 
+  // NOTE: uphill-on-this-fixture, not a universal law — same-parity moves
+  // apply simultaneously, so an adversarial graph could jointly overshoot
+  // (documented in the operator's Scaladoc); this pins the concrete
+  // pipelines the queries ship.
   test("refineCommunities: LPA on the repeat-trade graph is improvable and " +
-      "the sweep never lowers q_ppm") {
+      "the sweep does not lower q_ppm on this fixture") {
     val pairs = Tables(spark, sfDir, "lineitem")
       .select(col("l_orderkey"), col("l_suppkey"))
       .join(Tables(spark, sfDir, "orders")
@@ -454,6 +458,58 @@ class GraphSpec extends SparkSpec {
       .select($"q_ppm").distinct().as[Long].collect().head
     val (w0, w1) = (qw(wLpa), qw(wRef))
     assert(w1 >= w0, s"weighted refinement lowered Q_w: $w0 -> $w1")
+  }
+
+  test("louvainCommunities: one contraction level provably beats node-level " +
+      "moves alone; contraction is exact; no-inter-edge contraction stops") {
+    // two heavy triangles {1,2,3} and {4,5,6} joined by a w=4 bridge, plus
+    // a heavy background pair {7,8} inflating W: every SINGLE-node move is
+    // negative (3->B and 4->A both score exactly -13208 — each node's
+    // intra ties pin it), but merging the triangle communities WHOLE is
+    // worth +6232, which only the contracted level can see (super-node B
+    // moving into A's community from singletons: 4*534*4 - 2*34*34)
+    val wEdges = Seq((1L, 2L, 5L), (1L, 3L, 5L), (2L, 3L, 5L),
+      (4L, 5L, 5L), (4L, 6L, 5L), (5L, 6L, 5L),
+      (3L, 4L, 4L), (7L, 8L, 500L)).toDF("s", "d", "w")
+    val assign = Seq((1L, 1L), (2L, 1L), (3L, 1L), (4L, 4L), (5L, 4L),
+      (6L, 4L), (7L, 7L), (8L, 7L)).toDF("node", "label")
+    // phase 1 alone is stuck: the assignment is its own fixed point
+    val phase1 = graft.operators.Graph.refineCommunitiesWeighted(
+      wEdges, "s", "d", "w", assign, "node", "label", sweeps = 2)
+      .as[(Long, Long)].collect().toMap
+    assert(phase1 == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L, 5L -> 4L,
+      6L -> 4L, 7L -> 7L, 8L -> 7L),
+      s"node-level moves must all be negative here, got $phase1")
+    // the contraction itself is exact: inter weight 4, both triangle
+    // self-loops 15, the background self-loop 500
+    val c = graft.operators.Graph.contractCommunities(
+      wEdges, "s", "d", "w", assign, "node", "label")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(c == Set((1L, 1L, 15L), (1L, 4L, 4L), (4L, 4L, 15L),
+      (7L, 7L, 500L)), s"got $c")
+    // level 2 merges the triangles and lifts Q_w 113769 -> 119232
+    val merged = graft.operators.Graph.louvainCommunities(
+      wEdges, "s", "d", "w", assign, "node", "label", levels = 2)
+      .as[(Long, Long)].collect().toMap
+    assert(merged == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 5L -> 1L,
+      6L -> 1L, 7L -> 7L, 8L -> 7L), s"got $merged")
+    def qw(a: org.apache.spark.sql.DataFrame): Long = graft.operators.Graph
+      .modularityWeighted(wEdges, "s", "d", "w", a, "node", "label")
+      .select($"q_ppm").distinct().as[Long].collect().head
+    assert(qw(assign) == 113769L && qw(merged.toSeq.toDF("node", "label")) == 119232L,
+      "exact integer Q_w before/after the contraction-level merge")
+    // a further level finds no inter-community edge structure worth
+    // merging ({1..6} vs {7,8} are disconnected): fixed point
+    val deeper = graft.operators.Graph.louvainCommunities(
+      wEdges, "s", "d", "w", assign, "node", "label", levels = 4)
+      .as[(Long, Long)].collect().toMap
+    assert(deeper == merged, s"disconnected communities must stop the loop, got $deeper")
+    // partition guard is loud at the contraction too
+    val err = intercept[IllegalArgumentException] {
+      graft.operators.Graph.contractCommunities(wEdges, "s", "d", "w",
+        assign.filter($"node" =!= 5L), "node", "label")
+    }
+    assert(err.getMessage.contains("missing graph nodes"))
   }
 
   test("labelPropagationWeighted: unit weights degenerate to labelPropagation " +
