@@ -37,8 +37,9 @@ object Bench {
     // timing evidence (judge ask, VERDICT r12 item 6)
     "q274_communities_lpa", "q275_ivfpq_incremental",
     // r14: the rebuild/serve and incremental-cluster-store lifecycle wings
-    // (judge ask, VERDICT r13 item 7)
+    // (judge ask, VERDICT r13 item 7), plus the multi-level Louvain
     "q281_ivfpq_rebuild", "q284_cluster_store_incremental",
+    "q289_communities_louvain",
   )
 
   def main(args: Array[String]): Unit = {

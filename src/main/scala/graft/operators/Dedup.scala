@@ -669,6 +669,36 @@ object Dedup {
     } finally freeLocalCheckpoint(np)
   }
 
+  /** Retention GC for the cluster store: delete every generation
+    * directory (`d<G>`) the CURRENT manifest no longer references — a
+    * merge leaves its superseded bucket files on disk for in-flight
+    * readers, and this reclaims them once those readers are gone. Run
+    * on a cadence that covers the longest concurrent read (a reader
+    * still holding a pre-merge manifest is exactly what this breaks —
+    * the standard snapshot-retention trade, same as
+    * `Similarity.vacuumIvfPqVersions`). A generation stays alive as
+    * long as ANY bucket still maps to it, so the live set is
+    * reference-driven, not age-driven. No-op on a legacy flat store.
+    * Returns the deleted directory names.
+    */
+  def vacuumClusterStore(spark: org.apache.spark.sql.SparkSession,
+                         path: String): Seq[String] =
+    readStoreManifest(spark, path) match {
+      case None => Seq.empty
+      case Some(m) =>
+        val live = m.entries.map(_._2).toSet
+        val p = new org.apache.hadoop.fs.Path(path)
+        val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+        fs.listStatus(p).filter(_.isDirectory)
+          .map(_.getPath.getName)
+          .filter(n => n.matches("d\\d+") && !live.contains(n))
+          .sorted.toSeq
+          .map { d =>
+            fs.delete(new org.apache.hadoop.fs.Path(s"$path/$d"), true)
+            d
+          }
+    }
+
   private def freeLocalCheckpoint(df: DataFrame): Unit =
     df.queryExecution.analyzed match {
       case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd.unpersist(false)

@@ -808,6 +808,41 @@ object Similarity {
       }
   }
 
+  /** WITHIN-version data GC — [[vacuumIvfPqVersions]]' finer-grained
+    * sibling: delete the resolved root's data directories (`codes`,
+    * `appends/<id>`, `compact_g<N>`) that the codes catalog no longer
+    * references at all — a compaction that remapped every cell an append
+    * landed leaves that append's directory fully dead, and a compaction
+    * of every base cell orphans `codes` itself. Reference-driven, not
+    * age-driven: a directory stays as long as ANY cell still maps to it
+    * (its stale cell SUBdirectories, if any, are the price of not
+    * breaking the live cells' files — bounded by the compaction
+    * cadence). Same retention trade as every vacuum here: a reader
+    * still holding a pre-compaction catalog is what this breaks, so run
+    * it once those readers are gone. Never touches constants, the
+    * tombstone log, the catalog, or version directories. Returns the
+    * deleted directory names.
+    */
+  def vacuumIvfPqData(spark: org.apache.spark.sql.SparkSession,
+                      path: String): Seq[String] = {
+    val root = resolveIvfPqRoot(spark, path)
+    val live = codesCatalogOf(spark, root).entries.map(_._2).toSet
+    val p = new org.apache.hadoop.fs.Path(root)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    val top = fs.listStatus(p).filter(_.isDirectory)
+      .map(_.getPath.getName).toSeq
+    val appendDirs =
+      if (!top.contains("appends")) Seq.empty
+      else fs.listStatus(new org.apache.hadoop.fs.Path(s"$root/appends"))
+        .filter(_.isDirectory).map(s => s"appends/${s.getPath.getName}").toSeq
+    (top.filter(n => n == "codes" || n.matches("compact_g\\d+")) ++ appendDirs)
+      .filterNot(live.contains).sorted
+      .map { d =>
+        fs.delete(new org.apache.hadoop.fs.Path(s"$root/$d"), true)
+        d
+      }
+  }
+
   /** Drift-TRIGGERED rebuild policy — [[ivfPqDriftStats]] composed with
     * [[rebuildIvfPqIndex]] into the closed loop the two halves describe:
     * score the live corpus's quantization error per cohort against the

@@ -515,6 +515,52 @@ class PlanSpec extends SparkSpec {
       nBuckets = 8)
     assert(files() == snap && manifest() == snapManifest,
       "an intra-component pair must write nothing")
+    // retention GC: after day 2 every d1 bucket has been remapped (b1 day 1,
+    // b2 day 2) or dropped (b4) — d1 is unreferenced and reclaimable
+    val labelsPre = stored()
+    val vacuumed = Dedup.vacuumClusterStore(spark, tmp)
+    assert(vacuumed == Seq("d1") && !new java.io.File(s"$tmp/d1").exists(),
+      s"vacuum must reclaim exactly the unreferenced generations, got $vacuumed")
+    assert(stored() == labelsPre, "vacuum must not change the live labels")
+    assert(Dedup.vacuumClusterStore(spark, tmp).isEmpty,
+      "a second vacuum must be a no-op")
+  }
+
+  test("IVF-PQ within-version data GC: a fully-compacted-away append " +
+      "directory is reclaimed; partially-live directories survive") {
+    import graft.operators.Similarity
+    val emb = Tables(spark, sfDir, "embeddings")
+    val base = emb.filter(col("vec_id") % 3 =!= 0)
+      .select(col("vec_id").as("nid"), col("embedding").as("ne"))
+    val inc = emb.filter(col("vec_id") % 3 === 0)
+      .select(col("vec_id").as("nid"), col("embedding").as("ne"))
+    val queries = emb.filter(col("vec_id") < 3)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+    val tmp = java.nio.file.Files.createTempDirectory("graft_datagc_").toString
+    Similarity.buildIvfPqIndex(base, tmp)
+    Similarity.appendToIvfPqIndex(inc, tmp, appendId = "day1")
+    // delete the whole increment and compact: every cell the append
+    // landed is remapped to the compaction directory, so appends/day1
+    // carries zero live catalog entries afterwards
+    Similarity.tombstoneIvfPq(inc, tmp)
+    Similarity.compactIvfPqIndex(spark, tmp)
+    val servedPre = Similarity.serveIvfPq(spark, tmp, queries, k = 5)
+      .orderBy(col("qid"), col("rn")).collect().toSeq
+    val rowsPre = Similarity.readIvfPqCodes(spark, tmp)
+      .collect().map(_.getLong(0)).toSet
+    val vacuumed = Similarity.vacuumIvfPqData(spark, tmp)
+    assert(vacuumed.contains("appends/day1") &&
+      !new java.io.File(s"$tmp/appends/day1").exists(),
+      s"the dead append directory must be reclaimed, got $vacuumed")
+    assert(Similarity.readIvfPqCodes(spark, tmp)
+      .collect().map(_.getLong(0)).toSet == rowsPre &&
+      rowsPre == base.collect().map(_.getLong(0)).toSet,
+      "vacuum must not change the live rows")
+    assert(Similarity.serveIvfPq(spark, tmp, queries, k = 5)
+      .orderBy(col("qid"), col("rn")).collect().toSeq == servedPre,
+      "vacuum must not change served answers")
+    assert(Similarity.vacuumIvfPqData(spark, tmp).isEmpty,
+      "a second vacuum must be a no-op")
   }
 
   test("q50 minhash: single pair-generating exchange above the cached base") {

@@ -119,10 +119,17 @@ class StreamingSpec extends SparkSpec {
     StreamingDedup.mergeBatchClusters(spark, s"$tmp/pairs", s"$tmp/clusters", 0L)
     def stored() = graft.operators.Dedup.readClusterStore(spark, s"$tmp/clusters")
       .as[(Long, Long)].collect().toSet
-    def files() = new java.io.File(s"$tmp/clusters").listFiles()
-      .filter(_.isDirectory).flatMap(_.listFiles())
-      .filter(_.getName.endsWith(".parquet"))
-      .map(f => (f.getPath, f.lastModified(), f.length())).toSet
+    // every parquet file across all generation directories, plus the
+    // manifest bytes — a no-op merge must move NEITHER
+    def files(): (Set[(String, Long, Long)], String) = {
+      def walk(d: java.io.File): Seq[java.io.File] =
+        if (d.isDirectory) d.listFiles().toSeq.flatMap(walk) else Seq(d)
+      (walk(new java.io.File(s"$tmp/clusters"))
+        .filter(_.getName.endsWith(".parquet"))
+        .map(f => (f.getPath, f.lastModified(), f.length())).toSet,
+        new String(java.nio.file.Files.readAllBytes(
+          java.nio.file.Paths.get(s"$tmp/clusters/CURRENT")), "UTF-8"))
+    }
     assert(stored() == Set((1L, 1L), (2L, 1L), (30L, 1L)))
     val snap = files()
     // replay: same shard folds again — endpoints already share a component
