@@ -1087,6 +1087,80 @@ object Graph {
     } finally und.unpersist(false)
   }
 
+  /** WEIGHTED per-community conductance — [[conductance]] with every
+    * count an integer weight sum, completing the weighted community
+    * suite (weighted LPA assigns, Q_w scores globally, THIS scores
+    * locally): φ_w(c) = cut_w(c) / min(vol_w(c), 2W − vol_w(c)) in
+    * exact integer ppm, with cut_w the summed weight of boundary edges,
+    * vol_w the summed strength of members, W the total edge weight. A
+    * community tied to the outside by one heavy edge is exactly as
+    * leaky as one tied by many light ones — the multiplicity the
+    * unweighted score discards. Edge conventions are
+    * [[modularityWeighted]]'s: positive integer weights (loud
+    * otherwise), undirected, parallel rows sum across orientations;
+    * unit weights on a deduped edge list reproduce [[conductance]]
+    * bit-for-bit (spec law). Same one-pass partition guards, same
+    * community-sized output `(label, n_nodes, cut_w, vol_w, cond_ppm)`.
+    */
+  def conductanceWeighted(edges: DataFrame, srcCol: String, dstCol: String,
+                          weightCol: String, assign: DataFrame,
+                          nodeCol: String, labelCol: String): DataFrame = {
+    val a0 = edges
+      .select(col(srcCol).cast("long").as("u"), col(dstCol).cast("long").as("v"),
+        col(weightCol).cast("long").as("w"))
+      .filter(col("u") =!= col("v"))
+    require(a0.filter(col("w") <= 0L || col("w").isNull).isEmpty,
+      "conductanceWeighted: weights must be positive integers")
+    val und = a0
+      .select(least(col("u"), col("v")).as("u"),
+        greatest(col("u"), col("v")).as("v"), col("w"))
+      .groupBy(col("u"), col("v")).agg(sum(col("w")).as("w"))
+      .persist()
+    try {
+      val lbl = assign
+        .select(col(nodeCol).cast("long").as("node"), col(labelCol).as("lbl"))
+        .distinct()
+      val nodes = und.select(col("u").as("node"))
+        .unionByName(und.select(col("v").as("node"))).distinct()
+      val chk = lbl.groupBy(col("node")).agg(count(lit(1)).as("nl"))
+        .join(nodes.withColumn("__g", lit(1)), Seq("node"), "full")
+        .agg(
+          sum(when(col("nl").isNull, 1L).otherwise(0L)).as("missing"),
+          sum(when(col("nl") > 1L, 1L).otherwise(0L)).as("multi"))
+        .collect()(0)
+      require(chk.getLong(0) == 0L,
+        "conductanceWeighted: assignment is missing graph nodes — score would be wrong")
+      require(chk.getLong(1) == 0L,
+        "conductanceWeighted: a node has multiple labels — assignment must be a partition")
+      val strength = und
+        .select(explode(array(
+          struct(col("u").as("node"), col("w")),
+          struct(col("v").as("node"), col("w")))).as("s"))
+        .groupBy(col("s.node").as("node")).agg(sum(col("s.w")).as("d"))
+      val dC = strength.join(lbl, "node")
+        .groupBy(col("lbl")).agg(sum(col("d")).as("vol_w"),
+          count(lit(1)).as("n_nodes"))
+      // a boundary edge (lu != lv) contributes its WEIGHT to both cuts
+      val tagged = und
+        .join(lbl.select(col("node").as("u"), col("lbl").as("lu")), "u")
+        .join(lbl.select(col("node").as("v"), col("lbl").as("lv")), "v")
+        .filter(col("lu") =!= col("lv"))
+      val cuts = tagged.select(col("lu").as("lbl"), col("w"))
+        .unionByName(tagged.select(col("lv").as("lbl"), col("w")))
+        .groupBy(col("lbl")).agg(sum(col("w")).as("cut_w"))
+      val mDf = und.agg((sum(col("w")) * 2L).as("vol_all"))
+      dC.join(cuts, Seq("lbl"), "left")
+        .crossJoin(broadcast(mDf))
+        .withColumn("cut_w", coalesce(col("cut_w"), lit(0L)))
+        .select(col("lbl").as("label"), col("n_nodes"), col("cut_w"),
+          col("vol_w"),
+          expr("""CASE WHEN least(vol_w, vol_all - vol_w) = 0 THEN CAST(0 AS BIGINT)
+                  ELSE (cut_w * 1000000) div least(vol_w, vol_all - vol_w)
+                  END""").as("cond_ppm"))
+        .localCheckpoint(true)
+    } finally und.unpersist(false)
+  }
+
   /** WEIGHTED exact modularity — [[modularity]] with every count
     * replaced by an integer weight sum (Newman's generalization):
     *

@@ -21,6 +21,18 @@ import org.apache.spark.sql.functions._
   * never reads the path it is replacing. The anti-join's key side is
   * unhinted: AQE broadcasts a normal deletion list, and a pathological
   * key set degrades to a shuffle join instead of an OOM.
+  *
+  * IN-PLACE BY DESIGN — the one store that must NOT take the r14
+  * snapshot-manifest discipline (Similarity's codes catalog, Dedup's
+  * cluster-store generations): those keep superseded files on disk for
+  * in-flight readers, but a compliance purge's whole point is that the
+  * purged bytes are physically GONE when the call returns — reader
+  * isolation here would mean retaining the data the subject asked to
+  * erase until some later vacuum. The trade is a crash window instead:
+  * a call torn between the dynamic overwrite and the emptied-dir drop
+  * leaves a stale full-bucket directory, so a purge must be RE-RUN to
+  * completion after a crash (it is idempotent — already-deleted keys
+  * anti-join to the same keep-set and the same dirs drop).
   */
 object Purge {
 

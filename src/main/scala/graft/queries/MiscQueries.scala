@@ -752,6 +752,51 @@ object MiscQueries {
               |FROM wrb f LEFT JOIN cb cx ON cx.node = f.label
               |ORDER BY f.node""".stripMargin)),
 
+    // ---- WEIGHTED conductance (Graph.conductanceWeighted) of the q283
+    // weighted-LPA assignment — the LOCAL separation score in weight
+    // units, completing the weighted community suite (q283 assigns, q286
+    // scores globally, this scores per community): cut and volume are
+    // weight sums, so one heavy boundary edge leaks exactly as much as
+    // its multiplicity says (q280's unweighted score counts it once).
+    // Unit weights degenerate to q280's table bit-for-bit (GraphSpec
+    // law); the oracle mirrors q280's skeleton over the weighted CTEs. ----
+    Q("q293_conductance_weighted",
+      (s, dir) => {
+        val pairs = repeatTradePairsWeighted(s, dir)
+        val lbls = graft.operators.Graph.labelPropagationWeighted(
+          pairs, "cust", "supp", "w", rounds = 4)
+        graft.operators.Graph.conductanceWeighted(
+            pairs, "cust", "supp", "w", lbls, "node", "label")
+          .orderBy(col("label"))
+      },
+      Some(s"""WITH ${lpaWeightedUnrollCtes(4)},
+              |wl4m AS MATERIALIZED (SELECT node, label FROM wl4),
+              |undw AS MATERIALIZED (SELECT least(cust, supp) AS u,
+              |    greatest(cust, supp) AS v, CAST(sum(w) AS BIGINT) AS w
+              |  FROM wpairs GROUP BY 1, 2),
+              |mmw AS (SELECT CAST(2 * sum(w) AS BIGINT) AS vol_all FROM undw),
+              |strw AS (SELECT node, CAST(sum(w) AS BIGINT) AS d
+              |  FROM (SELECT u AS node, w FROM undw
+              |        UNION ALL SELECT v, w FROM undw) sd GROUP BY 1),
+              |dcw AS (SELECT l.label AS lbl, CAST(sum(strw.d) AS BIGINT) AS vol_w,
+              |         CAST(count(*) AS BIGINT) AS n_nodes
+              |       FROM strw JOIN wl4m l USING (node) GROUP BY 1),
+              |bdw AS (SELECT lu.label AS la, lv.label AS lb, undw.w
+              |       FROM undw JOIN wl4m lu ON lu.node = undw.u
+              |                 JOIN wl4m lv ON lv.node = undw.v
+              |       WHERE lu.label <> lv.label),
+              |cutsw AS (SELECT lbl, CAST(sum(w) AS BIGINT) AS cut_w
+              |         FROM (SELECT la AS lbl, w FROM bdw
+              |               UNION ALL SELECT lb, w FROM bdw) x GROUP BY 1)
+              |SELECT dcw.lbl AS label, dcw.n_nodes,
+              |  COALESCE(cutsw.cut_w, 0) AS cut_w, dcw.vol_w,
+              |  CASE WHEN least(dcw.vol_w, mmw.vol_all - dcw.vol_w) = 0
+              |       THEN CAST(0 AS BIGINT)
+              |       ELSE (COALESCE(cutsw.cut_w, 0) * 1000000)
+              |         // least(dcw.vol_w, mmw.vol_all - dcw.vol_w) END AS cond_ppm
+              |FROM dcw LEFT JOIN cutsw USING (lbl) CROSS JOIN mmw
+              |ORDER BY label""".stripMargin)),
+
     // ---- Dangling-node PageRank: the same fixed-point operator on the
     // ONE-WAY commerce graph (cust -> supp only), where every supplier is
     // a dangling sink and every customer is uncited — the web/citation

@@ -460,6 +460,43 @@ class GraphSpec extends SparkSpec {
     assert(w1 >= w0, s"weighted refinement lowered Q_w: $w0 -> $w1")
   }
 
+  test("conductanceWeighted: unit weights degenerate to conductance; a heavy " +
+      "bridge leaks its full weight; whole-graph community scores 0") {
+    val tri = Seq((1L, 2L), (2L, 3L), (1L, 3L), (4L, 5L), (5L, 6L), (4L, 6L),
+      (3L, 4L)).toDF("s", "d")
+    val lbls = graft.operators.Graph.labelPropagation(tri, "s", "d", rounds = 4)
+    // unit weights on the deduped edge list: bit-for-bit the unweighted table
+    val unit = graft.operators.Graph
+      .conductanceWeighted(tri.withColumn("w", lit(1L)), "s", "d", "w",
+        lbls, "node", "label")
+      .orderBy($"label")
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    val plain = graft.operators.Graph
+      .conductance(tri, "s", "d", lbls, "node", "label")
+      .orderBy($"label")
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    assert(unit == plain, s"unit weights must degenerate exactly: $unit vs $plain")
+    // a weight-100 bridge: cut_w = 100, vol_w = 106, 2W = 212 ->
+    // 100e6 div 106 = 943396 (the unweighted score would say 142857)
+    val wtri = Seq((1L, 2L, 1L), (2L, 3L, 1L), (1L, 3L, 1L),
+      (4L, 5L, 1L), (5L, 6L, 1L), (4L, 6L, 1L), (3L, 4L, 100L))
+      .toDF("s", "d", "w")
+    val got = graft.operators.Graph
+      .conductanceWeighted(wtri, "s", "d", "w",
+        Seq((1L, 1L), (2L, 1L), (3L, 1L), (4L, 4L), (5L, 4L), (6L, 4L))
+          .toDF("node", "label"), "node", "label")
+      .orderBy($"label")
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    assert(got == Seq((1L, 3L, 100L, 106L, 943396L),
+      (4L, 3L, 100L, 106L, 943396L)), s"got $got")
+    // one community holding everything: no boundary, score 0
+    val one = graft.operators.Graph
+      .conductanceWeighted(wtri, "s", "d", "w",
+        (1L to 6L).map((_, 0L)).toDF("node", "label"), "node", "label")
+      .select($"cut_w", $"cond_ppm").as[(Long, Long)].collect().toSeq
+    assert(one == Seq((0L, 0L)), s"whole-graph community must be (0, 0), got $one")
+  }
+
   test("louvainCommunities: one contraction level provably beats node-level " +
       "moves alone; contraction is exact; no-inter-edge contraction stops") {
     // two heavy triangles {1,2,3} and {4,5,6} joined by a w=4 bridge, plus
