@@ -856,9 +856,13 @@ object Graph {
     * Labels remain opaque original-assignment ids at every level.
     *
     * Scale shape: level 1 is the refinement's cost (shuffle ∝ edges per
-    * stage); each further level contracts once (∝ edges) and sweeps a
-    * graph of |communities| nodes — geometrically cheaper, the property
-    * that makes Louvain the 100-TB community algorithm.
+    * stage); level 2 contracts the ORIGINAL graph once (∝ edges); every
+    * further level contracts the previous COMMUNITY graph by that
+    * level's sub-assignment (contraction composes: contracting by A
+    * then by B equals contracting by B∘A, weights summing identically),
+    * so deeper levels cost ∝ the shrinking community graph, never a
+    * re-scan of the original edges — the geometric shrink that makes
+    * Louvain the 100-TB community algorithm.
     */
   def louvainCommunities(edges: DataFrame, srcCol: String, dstCol: String,
                          weightCol: String, assign: DataFrame,
@@ -867,41 +871,66 @@ object Graph {
     require(levels >= 1, s"levels must be positive, got $levels")
     var cur = refineCommunitiesWeighted(edges, srcCol, dstCol, weightCol,
       assign, nodeCol, labelCol, sweeps)
+    // canonical community edges incl. self-loops, materialized per level;
+    // seeded from the original graph, then maintained by composing
+    // contractions on the (small) community graph itself
+    var cEdges = contractCommunities(edges, srcCol, dstCol, weightCol,
+      cur, "node", "label").localCheckpoint(true)
     var l = 2
     var done = false
     while (l <= levels && !done) {
-      val c = contractCommunities(edges, srcCol, dstCol, weightCol,
-        cur, "node", "label").localCheckpoint(true)
-      try {
-        val inter = c.filter(col("src") =!= col("dst"))
-        if (inter.isEmpty) done = true
-        else {
-          // self-loop strength units: 2 × the community's internal weight
-          val selfStr = c.filter(col("src") === col("dst"))
-            .select(col("src").as("node"), (lit(2L) * col("w")).as("sw"))
-          val adj = inter
-            .select(col("src").as("u"), col("dst").as("v"), col("w"))
-            .unionByName(inter
-              .select(col("dst").as("u"), col("src").as("v"), col("w")))
-            .repartition(col("v")).persist()
-          try {
-            val singles = adj.select(col("v").as("node")).distinct()
-              .withColumn("label", col("node"))
-            val sub = refineWeightedSweeps(adj, Some(selfStr), singles, sweeps)
-            val next = cur.join(
-              sub.select(col("node").as("label"), col("label").as("__nl")),
-              Seq("label"), "left")
-              .select(col("node"),
-                coalesce(col("__nl"), col("label")).as("label"))
+      val inter = cEdges.filter(col("src") =!= col("dst"))
+      if (inter.isEmpty) done = true
+      else {
+        // self-loop strength units: 2 × the community's internal weight
+        val selfStr = cEdges.filter(col("src") === col("dst"))
+          .select(col("src").as("node"), (lit(2L) * col("w")).as("sw"))
+        val adj = inter
+          .select(col("src").as("u"), col("dst").as("v"), col("w"))
+          .unionByName(inter
+            .select(col("dst").as("u"), col("src").as("v"), col("w")))
+          .repartition(col("v")).persist()
+        try {
+          val singles = adj.select(col("v").as("node")).distinct()
+            .withColumn("label", col("node"))
+          val sub = refineWeightedSweeps(adj, Some(selfStr), singles, sweeps)
+          val next = cur.join(
+            sub.select(col("node").as("label"), col("label").as("__nl")),
+            Seq("label"), "left")
+            .select(col("node"),
+              coalesce(col("__nl"), col("label")).as("label"))
+            .localCheckpoint(true)
+          if (l < levels) {
+            // next level's community graph: contract THIS community graph
+            // by the sub-assignment (isolated super-nodes map to
+            // themselves); intra edges stay intra, merged inter edges fold
+            // into the new self-loops — exactly the direct contraction of
+            // the original graph by the composed labels, at community-
+            // graph cost. Materialized BEFORE its parent checkpoint frees.
+            val nextEdges = cEdges
+              .join(sub.select(col("node").as("src"), col("label").as("__ls")),
+                Seq("src"), "left")
+              .join(sub.select(col("node").as("dst"), col("label").as("__ld")),
+                Seq("dst"), "left")
+              .select(
+                least(coalesce(col("__ls"), col("src")),
+                  coalesce(col("__ld"), col("dst"))).as("src"),
+                greatest(coalesce(col("__ls"), col("src")),
+                  coalesce(col("__ld"), col("dst"))).as("dst"),
+                col("w"))
+              .groupBy(col("src"), col("dst")).agg(sum(col("w")).as("w"))
               .localCheckpoint(true)
-            freeDeadCheckpoint(sub)
-            freeDeadCheckpoint(cur)
-            cur = next
-          } finally adj.unpersist(false)
-        }
-      } finally freeDeadCheckpoint(c)
+            freeDeadCheckpoint(cEdges)
+            cEdges = nextEdges
+          }
+          freeDeadCheckpoint(sub)
+          freeDeadCheckpoint(cur)
+          cur = next
+        } finally adj.unpersist(false)
+      }
       l += 1
     }
+    freeDeadCheckpoint(cEdges)
     cur
   }
 

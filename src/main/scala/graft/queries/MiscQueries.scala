@@ -707,7 +707,13 @@ object MiscQueries {
     // contracted stages over the self-loop-aware strengths, expansion. ----
     Q("q289_communities_louvain",
       (s, dir) => {
-        val pairs = repeatTradePairsWeighted(s, dir)
+        // materialize the derived edge list ONCE: the composed operators
+        // (LPA, the refine sweep, the contraction) each re-scan their
+        // edges input with their own guards, and without this the
+        // lineitem⋈orders derivation would re-run per operator — at
+        // 100 TB a caller persists the edge list before a multi-pass
+        // community pipeline, so the query models exactly that
+        val pairs = repeatTradePairsWeighted(s, dir).localCheckpoint(true)
         val lpa = graft.operators.Graph.labelPropagationWeighted(
           pairs, "cust", "supp", "w", rounds = 4)
         graft.operators.Graph.louvainCommunities(
