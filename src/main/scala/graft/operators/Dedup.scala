@@ -524,24 +524,17 @@ object Dedup {
       org.apache.hadoop.fs.Options.Rename.OVERWRITE)
   }
 
-  /** Manifest of a store, synthesizing the implicit one for a legacy
-    * flat layout (`path/bucket=N` directly, pre-manifest stores).
-    */
-  private def storeManifestOf(spark: org.apache.spark.sql.SparkSession,
-                              path: String, nBuckets: Int): StoreManifest =
-    readStoreManifest(spark, path).getOrElse(
-      StoreManifest(0L, nBuckets, listBucketDirs(spark, path).map((_, "."))))
-
   /** The live store rows `(id, label, bucket)`, resolved through the
     * manifest: each generation directory is read restricted to the
-    * buckets still mapped to it.
+    * buckets still mapped to it (a superseded generation physically
+    * retains its old bucket dirs for in-flight readers — an unmapped
+    * read would resurrect them).
     */
   private def readStoreRaw(spark: org.apache.spark.sql.SparkSession,
                            path: String, m: StoreManifest): DataFrame = {
     require(m.entries.nonEmpty, s"cluster store at $path has no buckets")
     m.entries.groupBy(_._2).toSeq.sortBy(_._1).map { case (dir, es) =>
-      val base = if (dir == ".") path else s"$path/$dir"
-      spark.read.option("basePath", base).parquet(base)
+      spark.read.option("basePath", s"$path/$dir").parquet(s"$path/$dir")
         .where(col("bucket").isin(es.map(_._1).map(Long.box): _*))
     }.reduce(_.unionByName(_))
   }
