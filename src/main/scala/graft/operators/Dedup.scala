@@ -464,11 +464,21 @@ object Dedup {
                         nBuckets: Int = 16): Unit = {
     require(nBuckets >= 1, s"nBuckets must be positive, got $nBuckets")
     val spark = pairs.sparkSession
+    // a re-build over an EXISTING store (periodic full recompute) is a
+    // mutation like any other: it lands in a fresh generation directory
+    // and commits via the manifest swap — writing into d1 in place would
+    // tear the very readers the manifest isolates (d1 may still carry
+    // live entries for never-touched buckets)
+    val gen = readStoreManifest(spark, path).map(_.gen + 1).getOrElse(1L)
+    val dir = s"d$gen"
     connectedComponents(pairs)
       .withColumn("bucket", pmod(col("label"), lit(nBuckets.toLong)))
-      .write.partitionBy("bucket").mode("overwrite").parquet(s"$path/d1")
-    writeStoreManifest(spark, path, StoreManifest(1L, nBuckets,
-      listBucketDirs(spark, s"$path/d1").map((_, "d1"))))
+      .write.partitionBy("bucket").mode("overwrite").parquet(s"$path/$dir")
+    require(Snapshot.dirExists(spark, s"$path/$dir"),
+      s"build staging $dir vanished before commit — a concurrent vacuum " +
+        "ran during the build (one maintenance writer at a time)")
+    writeStoreManifest(spark, path, StoreManifest(gen, nBuckets,
+      listBucketDirs(spark, s"$path/$dir").map((_, dir))))
   }
 
   /** The live manifest of a cluster store: generation counter, bucket
@@ -480,49 +490,28 @@ object Dedup {
                                           entries: Seq[(Long, String)])
 
   private def listBucketDirs(spark: org.apache.spark.sql.SparkSession,
-                             dir: String): Seq[Long] = {
-    val p = new org.apache.hadoop.fs.Path(dir)
-    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
-    if (!fs.exists(p)) Seq.empty
-    else fs.listStatus(p).filter(_.isDirectory)
-      .map(_.getPath.getName).filter(_.startsWith("bucket="))
-      .map(_.stripPrefix("bucket=").toLong).toSeq.sorted
-  }
+                             dir: String): Seq[Long] =
+    Snapshot.listKvDirs(spark, dir, "bucket")
 
   private[graft] def readStoreManifest(spark: org.apache.spark.sql.SparkSession,
-                                       path: String): Option[StoreManifest] = {
-    val p = new org.apache.hadoop.fs.Path(s"$path/CURRENT")
-    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
-    if (!fs.exists(p)) None
-    else {
-      val in = fs.open(p)
-      val lines = try scala.io.Source.fromInputStream(in, "UTF-8")
-        .getLines().toList finally in.close()
+                                       path: String): Option[StoreManifest] =
+    Snapshot.readLines(spark, s"$path/CURRENT").map { lines =>
       require(lines.length >= 2 && lines.head.startsWith("gen=") &&
-        lines(1).startsWith("buckets="), s"corrupt cluster-store manifest $p")
+        lines(1).startsWith("buckets="),
+        s"corrupt cluster-store manifest at $path")
       val entries = lines.drop(2).filter(_.nonEmpty).map { l =>
         val t = l.split("\t", 2)
         (t(0).toLong, t(1))
       }
-      Some(StoreManifest(lines.head.stripPrefix("gen=").toLong,
-        lines(1).stripPrefix("buckets=").toInt, entries))
+      StoreManifest(lines.head.stripPrefix("gen=").toLong,
+        lines(1).stripPrefix("buckets=").toInt, entries)
     }
-  }
 
   private def writeStoreManifest(spark: org.apache.spark.sql.SparkSession,
-                                 path: String, m: StoreManifest): Unit = {
-    val conf = spark.sessionState.newHadoopConf()
-    val dst = new org.apache.hadoop.fs.Path(s"$path/CURRENT")
-    val fs = dst.getFileSystem(conf)
-    val tmp = new org.apache.hadoop.fs.Path(s"$path/CURRENT.tmp")
-    val body = (Seq(s"gen=${m.gen}", s"buckets=${m.nBuckets}") ++
-      m.entries.sortBy(_._1).map { case (b, d) => s"$b\t$d" }).mkString("\n")
-    val out = fs.create(tmp, true)
-    try out.write(body.getBytes("UTF-8")) finally out.close()
-    org.apache.hadoop.fs.FileContext.getFileContext(fs.getUri, conf).rename(
-      fs.makeQualified(tmp), fs.makeQualified(dst),
-      org.apache.hadoop.fs.Options.Rename.OVERWRITE)
-  }
+                                 path: String, m: StoreManifest): Unit =
+    Snapshot.writeLines(spark, s"$path/CURRENT",
+      Seq(s"gen=${m.gen}", s"buckets=${m.nBuckets}") ++
+        m.entries.sortBy(_._1).map { case (b, d) => s"$b\t$d" })
 
   /** The live store rows `(id, label, bucket)`, resolved through the
     * manifest: each generation directory is read restricted to the
@@ -539,13 +528,57 @@ object Dedup {
     }.reduce(_.unionByName(_))
   }
 
-  /** The stored component labels, `(id, label)`. */
+  /** The stored component labels, `(id, label)`. The manifest-less
+    * fallback reads the legacy flat layout via the EXPLICIT bucket-dir
+    * list, so it stays readable even beside a half-written migration
+    * generation (a recursive read over two partition depths would fail
+    * discovery).
+    */
   def readClusterStore(spark: org.apache.spark.sql.SparkSession,
                        path: String): DataFrame =
     readStoreManifest(spark, path) match {
       case Some(m) => readStoreRaw(spark, path, m).select(col("id"), col("label"))
-      case None => spark.read.parquet(path).select(col("id"), col("label"))
+      case None =>
+        val bks = listBucketDirs(spark, path)
+        require(bks.nonEmpty, s"not a cluster store: $path")
+        spark.read.option("basePath", path)
+          .parquet(bks.map(b => s"$path/bucket=$b"): _*)
+          .select(col("id"), col("label"))
     }
+
+  /** One-time crash-safe migration of a pre-manifest flat store into the
+    * generation layout: land the rows as `d1` (skipped when a prior
+    * attempt already left a complete `_SUCCESS`-marked d1), validate
+    * that the caller's `nBuckets` really is the layout's modulus BEFORE
+    * stamping it into the manifest (a wrong value would silently
+    * mis-route every future touched-bucket computation — the guard makes
+    * it loud instead), then commit the manifest. Re-runnable from any
+    * crash point: the flat source is always read via the explicit
+    * bucket-dir list, never a recursive discovery that a half-written d1
+    * would break.
+    */
+  private def migrateFlatStore(spark: org.apache.spark.sql.SparkSession,
+                               path: String, nBuckets: Int): Unit = {
+    val flatBuckets = listBucketDirs(spark, path)
+    require(flatBuckets.nonEmpty, s"not a cluster store: $path")
+    val d1 = s"$path/d1"
+    val landed = Snapshot.dirExists(spark, s"$d1/_SUCCESS")
+    val src =
+      if (landed) spark.read.option("basePath", d1).parquet(d1)
+      else spark.read.option("basePath", path)
+        .parquet(flatBuckets.map(b => s"$path/bucket=$b"): _*)
+    require(src.filter(
+        pmod(col("label"), lit(nBuckets.toLong)) =!= col("bucket")).isEmpty,
+      s"cluster store at $path is not bucketed label mod $nBuckets — " +
+        "pass the store's original nBuckets")
+    if (!landed) {
+      val snap = src.localCheckpoint(true)
+      try snap.write.partitionBy("bucket").mode("overwrite").parquet(d1)
+      finally freeLocalCheckpoint(snap)
+    }
+    writeStoreManifest(spark, path, StoreManifest(1L, nBuckets,
+      listBucketDirs(spark, d1).map((_, "d1"))))
+  }
 
   /** INCREMENTAL cluster maintenance: merge a day's new duplicate pairs
     * into a persisted [[buildClusterStore]] — the connected-components
@@ -591,14 +624,8 @@ object Dedup {
     val spark = newPairs.sparkSession
     // one-time migration of a pre-manifest flat store: rewrite it as
     // generation d1 so the snapshot discipline covers it from here on
-    if (readStoreManifest(spark, path).isEmpty) {
-      val flat = spark.read.parquet(path).localCheckpoint(true)
-      try flat.write.partitionBy("bucket").mode("overwrite")
-        .parquet(s"$path/d1")
-      finally freeLocalCheckpoint(flat)
-      writeStoreManifest(spark, path, StoreManifest(1L, nBuckets,
-        listBucketDirs(spark, s"$path/d1").map((_, "d1"))))
-    }
+    if (readStoreManifest(spark, path).isEmpty)
+      migrateFlatStore(spark, path, nBuckets)
     val manifest = readStoreManifest(spark, path).get
     require(manifest.nBuckets == nBuckets,
       s"cluster store at $path was built with ${manifest.nBuckets} buckets, " +
@@ -652,6 +679,13 @@ object Dedup {
           .unionByName(inserts)
           .withColumn("bucket", pmod(col("label"), lit(nBuckets.toLong)))
           .write.mode("overwrite").partitionBy("bucket").parquet(s"$path/$dir")
+        // staging-vanished guard: never commit a manifest that drops the
+        // touched buckets because a concurrent vacuum (a violation of
+        // the single-maintenance-writer contract) deleted the freshly
+        // written generation
+        require(Snapshot.dirExists(spark, s"$path/$dir"),
+          s"merge staging $dir vanished before commit — a concurrent " +
+            "vacuum ran during the merge (one maintenance writer at a time)")
         // the COMMIT: untouched buckets keep their entries, moved buckets
         // remap to the new generation, emptied buckets leave the manifest
         writeStoreManifest(spark, path,
@@ -669,10 +703,14 @@ object Dedup {
     * on a cadence that covers the longest concurrent read (a reader
     * still holding a pre-merge manifest is exactly what this breaks —
     * the standard snapshot-retention trade, same as
-    * `Similarity.vacuumIvfPqVersions`). A generation stays alive as
-    * long as ANY bucket still maps to it, so the live set is
-    * reference-driven, not age-driven. No-op on a legacy flat store.
-    * Returns the deleted directory names.
+    * `Similarity.vacuumIvfPqVersions`), and NEVER concurrently with a
+    * merge or rebuild (the Snapshot single-maintenance-writer contract:
+    * it would reclaim the mutation's not-yet-committed generation; the
+    * mutation's staging guard turns that into a loud failure rather
+    * than silent loss, but the schedule is the caller's). A generation
+    * stays alive as long as ANY bucket still maps to it, so the live
+    * set is reference-driven, not age-driven. No-op on a legacy flat
+    * store. Returns the deleted directory names.
     */
   def vacuumClusterStore(spark: org.apache.spark.sql.SparkSession,
                          path: String): Seq[String] =

@@ -869,13 +869,57 @@ object Graph {
                          nodeCol: String, labelCol: String,
                          levels: Int = 2, sweeps: Int = 1): DataFrame = {
     require(levels >= 1, s"levels must be positive, got $levels")
-    var cur = refineCommunitiesWeighted(edges, srcCol, dstCol, weightCol,
-      assign, nodeCol, labelCol, sweeps)
-    // canonical community edges incl. self-loops, materialized per level;
-    // seeded from the original graph, then maintained by composing
-    // contractions on the (small) community graph itself
-    var cEdges = contractCommunities(edges, srcCol, dstCol, weightCol,
-      cur, "node", "label").localCheckpoint(true)
+    val a = edges
+      .select(col(srcCol).cast("long").as("u"), col(dstCol).cast("long").as("v"),
+        col(weightCol).cast("long").as("w"))
+      .filter(col("u") =!= col("v"))
+    require(a.filter(col("w") <= 0L || col("w").isNull).isEmpty,
+      "louvainCommunities: weights must be positive integers")
+    // canonicalize + guard the ORIGINAL edge list exactly ONCE: the
+    // level-1 sweep's adjacency and the seed contraction both derive
+    // from this one materialization (calling the public refine +
+    // contract operators back-to-back would scan and re-guard the full
+    // edge list twice — a duplicated full pass at 100 TB)
+    val und = a
+      .select(least(col("u"), col("v")).as("u"),
+        greatest(col("u"), col("v")).as("v"), col("w"))
+      .groupBy(col("u"), col("v")).agg(sum(col("w")).as("w"))
+      .localCheckpoint(true)
+    require(!und.isEmpty, "louvainCommunities: no edges — nothing to cluster")
+    val adj = und
+      .unionByName(und.select(col("v").as("u"), col("u").as("v"), col("w")))
+      .repartition(col("v")).persist()
+    var cur: DataFrame = null
+    var cEdges: DataFrame = null
+    try {
+      val lbl = assign
+        .select(col(nodeCol).cast("long").as("node"), col(labelCol).as("label"))
+        .distinct()
+      val nodes = adj.select(col("v").as("node")).distinct()
+      val chk = lbl.groupBy(col("node")).agg(count(lit(1)).as("nl"))
+        .join(nodes.withColumn("__g", lit(1)), Seq("node"), "full")
+        .agg(
+          sum(when(col("nl").isNull, 1L).otherwise(0L)).as("missing"),
+          sum(when(col("nl") > 1L, 1L).otherwise(0L)).as("multi"))
+        .collect()(0)
+      require(chk.getLong(0) == 0L,
+        "louvainCommunities: assignment is missing graph nodes")
+      require(chk.getLong(1) == 0L,
+        "louvainCommunities: a node has multiple labels — assignment must be a partition")
+      cur = refineWeightedSweeps(adj, None, lbl, sweeps)
+      // seed contraction from the SAME canonical edges (cur covers every
+      // graph node by construction, so no re-guard is needed)
+      cEdges = und
+        .join(cur.select(col("node").as("u"), col("label").as("__la")), "u")
+        .join(cur.select(col("node").as("v"), col("label").as("__lb")), "v")
+        .select(least(col("__la"), col("__lb")).as("src"),
+          greatest(col("__la"), col("__lb")).as("dst"), col("w"))
+        .groupBy(col("src"), col("dst")).agg(sum(col("w")).as("w"))
+        .localCheckpoint(true)
+    } finally {
+      adj.unpersist(false)
+      freeDeadCheckpoint(und)
+    }
     var l = 2
     var done = false
     while (l <= levels && !done) {

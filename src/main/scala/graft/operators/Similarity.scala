@@ -434,8 +434,8 @@ object Similarity {
     // the initial codes catalog: every landed cell served from the build
     // directory — writing it last means a crashed build leaves no catalog
     // and the index is simply absent, never half-described
-    writeCodesCatalog(spark, path,
-      CodesCatalog(1L, listCellDirs(spark, s"$path/codes").map((_, "codes"))))
+    writeCodesCatalog(spark, path, CodesCatalog(1L, Seq.empty,
+      listCellDirs(spark, s"$path/codes").map((_, "codes", 1L))))
   }
 
   /** The codes CATALOG of one index version: which data directory (or
@@ -461,36 +461,55 @@ object Similarity {
     * readers (physical cleanup is the version-retention cadence,
     * [[vacuumIvfPqVersions]] / the caller's GC).
     */
-  private case class CodesCatalog(gen: Long, entries: Seq[(Int, String)])
+  /** `applied` is the durable ledger of committed append ids: the replay
+    * guard can NOT be keyed on the append's directory still appearing in
+    * `entries`, because a later compaction legitimately remaps every
+    * cell an append landed (its directory leaves the entries while its
+    * ROWS live on in the compacted files) — an orchestrator retry after
+    * that compaction would otherwise re-append every still-live id and
+    * resurrect tombstone-compacted ones. The ledger is bounded by the
+    * append cadence between rebuilds (a rebuild starts a fresh version
+    * with an empty ledger — replaying a pre-rebuild append into the new
+    * version is a NEW statement about the new lineage and is the
+    * orchestrator's to fence).
+    */
+  /** Entries are `(cell, dataDir, gen)` — the GENERATION at which the
+    * directory committed is part of the entry because tombstones are
+    * generation-FENCED (see [[tombstoneIvfPq]]): a row is dead iff some
+    * tombstone for its id carries a generation ≥ its directory's. That
+    * one fence resolves delete-then-reinsert with no tombstone pruning
+    * at all — the reinserted row's directory commits at a LATER
+    * generation than the tombstone, so it serves immediately, while the
+    * stale pre-delete row stays dead and compaction physically drops
+    * it (the prune-based design could never remove the stale row: once
+    * the tombstone was pruned, both physical rows were live forever).
+    */
+  private case class CodesCatalog(gen: Long, applied: Seq[String],
+                                  entries: Seq[(Int, String, Long)])
 
   private def listCellDirs(spark: org.apache.spark.sql.SparkSession,
-                           dir: String): Seq[Int] = {
-    val p = new org.apache.hadoop.fs.Path(dir)
-    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
-    if (!fs.exists(p)) Seq.empty
-    else fs.listStatus(p).filter(_.isDirectory)
-      .map(_.getPath.getName).filter(_.startsWith("cell="))
-      .map(_.stripPrefix("cell=").toInt).toSeq.sorted
-  }
+                           dir: String): Seq[Int] =
+    Snapshot.listKvDirs(spark, dir, "cell").map(_.toInt)
 
   private def readCodesCatalog(spark: org.apache.spark.sql.SparkSession,
-                               root: String): Option[CodesCatalog] = {
-    val p = new org.apache.hadoop.fs.Path(s"$root/CODESMAP")
-    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
-    if (!fs.exists(p)) None
-    else {
-      val in = fs.open(p)
-      val lines = try scala.io.Source.fromInputStream(in, "UTF-8")
-        .getLines().toList finally in.close()
+                               root: String): Option[CodesCatalog] =
+    Snapshot.readLines(spark, s"$root/CODESMAP").map { lines =>
       require(lines.nonEmpty && lines.head.startsWith("gen="),
-        s"corrupt codes catalog $p")
-      val entries = lines.tail.filter(_.nonEmpty).map { l =>
-        val t = l.split("\t", 2)
-        (t(0).toInt, t(1))
-      }
-      Some(CodesCatalog(lines.head.stripPrefix("gen=").toLong, entries))
+        s"corrupt codes catalog at $root")
+      // `applied=` is optional for catalogs written before the ledger
+      val hasApplied = lines.length > 1 && lines(1).startsWith("applied=")
+      val applied =
+        if (!hasApplied) Seq.empty
+        else lines(1).stripPrefix("applied=").split(",").toSeq
+          .filter(_.nonEmpty)
+      val entries = lines.drop(if (hasApplied) 2 else 1)
+        .filter(_.nonEmpty).map { l =>
+          val t = l.split("\t", 3)
+          // 2-field lines predate generation fencing: gen 0
+          (t(0).toInt, t(1), if (t.length > 2) t(2).toLong else 0L)
+        }
+      CodesCatalog(lines.head.stripPrefix("gen=").toLong, applied, entries)
     }
-  }
 
   /** Catalog of a resolved root, synthesizing the implicit one for a
     * legacy map-less layout (every `cell=` directory under `codes/`).
@@ -498,23 +517,16 @@ object Similarity {
   private def codesCatalogOf(spark: org.apache.spark.sql.SparkSession,
                              root: String): CodesCatalog =
     readCodesCatalog(spark, root).getOrElse(
-      CodesCatalog(0L, listCellDirs(spark, s"$root/codes").map((_, "codes"))))
+      CodesCatalog(0L, Seq.empty,
+        listCellDirs(spark, s"$root/codes").map((_, "codes", 0L))))
 
   private def writeCodesCatalog(spark: org.apache.spark.sql.SparkSession,
-                                root: String, cat: CodesCatalog): Unit = {
-    val conf = spark.sessionState.newHadoopConf()
-    val dst = new org.apache.hadoop.fs.Path(s"$root/CODESMAP")
-    val fs = dst.getFileSystem(conf)
-    val tmp = new org.apache.hadoop.fs.Path(s"$root/CODESMAP.tmp")
-    val body = (s"gen=${cat.gen}" +:
-      cat.entries.distinct.sortBy(e => (e._1, e._2))
-        .map { case (c, d) => s"$c\t$d" }).mkString("\n")
-    val out = fs.create(tmp, true)
-    try out.write(body.getBytes("UTF-8")) finally out.close()
-    org.apache.hadoop.fs.FileContext.getFileContext(fs.getUri, conf).rename(
-      fs.makeQualified(tmp), fs.makeQualified(dst),
-      org.apache.hadoop.fs.Options.Rename.OVERWRITE)
-  }
+                                root: String, cat: CodesCatalog): Unit =
+    Snapshot.writeLines(spark, s"$root/CODESMAP",
+      Seq(s"gen=${cat.gen}",
+        s"applied=${cat.applied.distinct.sorted.mkString(",")}") ++
+        cat.entries.distinct.sortBy(e => (e._1, e._2))
+          .map { case (c, d, g) => s"$c\t$d\t$g" })
 
   /** All LIVE code rows of one index version, resolved through the codes
     * catalog: each data directory is read restricted to the cells the
@@ -524,13 +536,21 @@ object Similarity {
     * directory; a fresh build is exactly one.
     */
   private def readCodes(spark: org.apache.spark.sql.SparkSession,
-                        root: String): DataFrame = {
+                        root: String): DataFrame =
+    readCodesTagged(spark, root).drop("__gen")
+
+  /** [[readCodes]] with each row tagged `__gen` = its directory's commit
+    * generation — the row-side half of the tombstone generation fence.
+    */
+  private def readCodesTagged(spark: org.apache.spark.sql.SparkSession,
+                              root: String): DataFrame = {
     val cat = codesCatalogOf(spark, root)
     require(cat.entries.nonEmpty, s"IVF-PQ index at $root has no code partitions")
     cat.entries.groupBy(_._2).toSeq.sortBy(_._1).map { case (dir, es) =>
       val cells = es.map(_._1).distinct
       spark.read.option("basePath", s"$root/$dir").parquet(s"$root/$dir")
         .where(col("cell").isin(cells.map(Int.box): _*))
+        .withColumn("__gen", lit(es.map(_._3).max))
     }.reduce(_.unionByName(_))
   }
 
@@ -596,17 +616,24 @@ object Similarity {
     * frozen BPE/vocab and k-means codebooks make) — [[rebuildIvfPqIndex]]
     * is that rebuild.
     *
-    * Append also PRUNES the increment's ids from the tombstone log:
-    * appending is a statement the vector exists, so a delete-then-
-    * reinsert serves the reinserted row (without the prune, the stale
-    * tombstone would hide it now and the next compaction would drop it
-    * permanently — last-writer-wins semantics, the SCD upsert rule).
-    * The prune runs BEFORE the codes land: the bad interleavings of the
-    * reverse order (codes landed, prune lost, compaction physically
-    * drops the reinserted row — a silent permanent loss) reduce to a
-    * transient one (tombstone pruned, codes not yet landed: an
-    * uncompacted stale row resurrects until the retry completes, and a
-    * compacted one was already gone).
+    * Delete-then-reinsert needs NO tombstone mutation at all: tombstones
+    * are generation-fenced ([[tombstoneIvfPq]]), and this append's
+    * directory commits at a LATER catalog generation than any existing
+    * tombstone — the reinserted row out-generations the delete and
+    * serves immediately, while the stale pre-delete row (if one is
+    * still physically present) stays dead and compaction drops it.
+    * Last-writer-wins falls out of the fence, with none of the
+    * prune-ordering crash windows a log rewrite would carry, and
+    * without the prune design's unfixable flaw (a pruned tombstone
+    * revived the stale old row FOREVER — two live rows per reinserted
+    * id that no compaction could ever separate).
+    *
+    * Contract on ids: an increment id must be NEW to the index or
+    * previously tombstoned. Re-appending a live, never-deleted id is an
+    * UPDATE, which this operator does not implement — it would leave
+    * two fence-live rows for the id (serving dedups to the closer one
+    * as defense, but the store carries both); delete first, then
+    * append.
     *
     * CRASH/REPLAY SAFETY: the increment's encoded rows land under an
     * increment-identity directory (`appends/<appendId>`, mode OVERWRITE)
@@ -614,10 +641,14 @@ object Similarity {
     * atomic rename). A crashed call retried with the SAME `appendId`
     * rewrites the same directory and re-unions the same catalog entries
     * — exactly-once, never a double-write; a call replayed AFTER its
-    * commit finds its directory in the catalog and returns immediately.
-    * Callers with retry semantics must therefore pass a stable
-    * `appendId` (the batch/run id); the default derives a fresh id from
-    * the catalog generation, which is safe only for never-retried calls.
+    * commit finds its id in the catalog's durable applied-append LEDGER
+    * and returns immediately (the ledger, not the directory entries,
+    * because an intervening compaction legitimately remaps an append's
+    * cells — without the ledger such a replay would double-index every
+    * still-live id and resurrect tombstone-compacted ones). Callers
+    * with retry semantics must therefore pass a stable `appendId` (the
+    * batch/run id); the default derives a fresh id from the catalog
+    * generation, which is safe only for never-retried calls.
     */
   def appendToIvfPqIndex(increment: DataFrame, path: String,
                          cId: String = "nid", cVec: String = "ne",
@@ -625,41 +656,31 @@ object Similarity {
     val spark = increment.sparkSession
     val root = resolveIvfPqRoot(spark, path)
     val cat = codesCatalogOf(spark, root)
-    val dir = s"appends/${Option(appendId).getOrElse(s"g${cat.gen + 1}")}"
-    // replayed after its own commit: the catalog already serves this
-    // increment — an idempotent no-op
-    if (cat.entries.exists(_._2 == dir)) return
-    // delete-then-reinsert: an id tombstoned BEFORE this append must not
-    // keep suppressing the freshly appended row. The log is bounded by
-    // the compaction cadence, so the prune rewrite is a bounded job:
-    // tombstones minus the increment's ids, materialized BEFORE the
-    // overwrite (never read the files being replaced). Re-running a
-    // half-done call re-prunes to the same log — idempotent.
-    tombstonesOf(spark, root).foreach { tomb =>
-      val pruned = tomb.select(col(cId)).distinct()
-        .join(broadcast(increment.select(col(cId)).distinct()), Seq(cId), "left_anti")
-        .localCheckpoint(true)
-      try {
-        val fs = new org.apache.hadoop.fs.Path(root)
-          .getFileSystem(spark.sessionState.newHadoopConf())
-        if (pruned.isEmpty)
-          fs.delete(new org.apache.hadoop.fs.Path(s"$root/tombstones"), true)
-        else if (pruned.count() != tomb.select(col(cId)).distinct().count())
-          pruned.write.mode("overwrite").parquet(s"$root/tombstones")
-      } finally pruned.queryExecution.analyzed match {
-        case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd.unpersist(false)
-        case _ => ()
-      }
-    }
+    val id = Option(appendId).getOrElse(s"g${cat.gen + 1}")
+    require(id.matches("[A-Za-z0-9._-]+"),
+      s"appendId must be a plain token, got '$id'")
+    val dir = s"appends/$id"
+    // replayed after its own commit: the applied-id LEDGER (not the
+    // entries — a compaction may have remapped them) says this increment
+    // is already in the index — an idempotent no-op
+    if (cat.applied.contains(id)) return
     val (cents, cbs) = loadIvfPqConstants(spark, root)
     encodeIvfPq(increment, cents, cbs, cId, cVec)
       .write.partitionBy("cell").mode("overwrite").parquet(s"$root/$dir")
+    // staging-vanished guard: if a concurrent vacuum (a violation of the
+    // single-maintenance-writer contract) deleted the landed directory,
+    // committing now would silently drop the increment — fail loudly
+    require(Snapshot.dirExists(spark, s"$root/$dir"),
+      s"append staging $dir vanished before commit — a concurrent vacuum " +
+        "ran during the append (one maintenance writer at a time)")
     // the COMMIT point: the catalog gains this increment's (cell, dir)
-    // entries in one atomic rename — a reader sees all of the append or
-    // none of it, and a crash before this line leaves the index exactly
-    // as it was
+    // entries and its ledger id in one atomic rename — a reader sees all
+    // of the append or none of it, and a crash before this line leaves
+    // the index exactly as it was
     writeCodesCatalog(spark, root, CodesCatalog(cat.gen + 1,
-      cat.entries ++ listCellDirs(spark, s"$root/$dir").map((_, dir))))
+      cat.applied :+ id,
+      cat.entries ++
+        listCellDirs(spark, s"$root/$dir").map((_, dir, cat.gen + 1))))
   }
 
   /** Decode the persisted index's frozen constants — nCells + m·kSub
@@ -681,11 +702,25 @@ object Similarity {
     (cents, cbs)
   }
 
+  /** The tombstone log as `(id, gen)` — per id, the LATEST fencing
+    * generation (several deletes of one id keep the max). Legacy rows
+    * written before generation fencing carry no `gen` column and fence
+    * at Long.MaxValue (the old hide-unconditionally behavior).
+    */
   private def tombstonesOf(spark: org.apache.spark.sql.SparkSession,
-                           path: String): Option[DataFrame] = {
+                           path: String, cId: String): Option[DataFrame] = {
     val p = new org.apache.hadoop.fs.Path(s"$path/tombstones")
     val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
-    if (fs.exists(p)) Some(spark.read.parquet(p.toString)) else None
+    if (!fs.exists(p)) None
+    else {
+      val raw = spark.read.option("mergeSchema", "true").parquet(p.toString)
+      val withGen =
+        if (raw.columns.contains("__tgen"))
+          raw.select(col(cId),
+            coalesce(col("__tgen"), lit(Long.MaxValue)).as("__tgen"))
+        else raw.select(col(cId), lit(Long.MaxValue).as("__tgen"))
+      Some(withGen.groupBy(col(cId)).agg(max(col("__tgen")).as("__tgen")))
+    }
   }
 
   /** Resolve the ACTIVE root of a possibly-versioned index: the `CURRENT`
@@ -697,18 +732,14 @@ object Similarity {
     * verb set at once — that one-file write IS the atomic cutover.
     */
   private def resolveIvfPqRoot(spark: org.apache.spark.sql.SparkSession,
-                               path: String): String = {
-    val p = new org.apache.hadoop.fs.Path(s"$path/CURRENT")
-    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
-    if (!fs.exists(p)) path
-    else {
-      val in = fs.open(p)
-      val v = try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
-              finally in.close()
-      require(v.matches("v\\d+"), s"corrupt index manifest $p: '$v'")
-      s"$path/$v"
+                               path: String): String =
+    Snapshot.readLines(spark, s"$path/CURRENT") match {
+      case None => path
+      case Some(lines) =>
+        val v = lines.mkString("\n").trim
+        require(v.matches("v\\d+"), s"corrupt index manifest at $path: '$v'")
+        s"$path/$v"
     }
-  }
 
   /** Codebook RETRAIN + ATOMIC index rebuild — the lifecycle piece that
     * answers [[appendToIvfPqIndex]]'s frozen-codebook drift: when enough
@@ -744,28 +775,17 @@ object Similarity {
                         cId: String = "nid", cVec: String = "ne",
                         maxTrain: Int = 100000): String = {
     val spark = corpus.sparkSession
-    val conf = spark.sessionState.newHadoopConf()
-    val curPath = new org.apache.hadoop.fs.Path(s"$path/CURRENT")
-    val fs = curPath.getFileSystem(conf)
-    val next =
-      if (!fs.exists(curPath)) "v1"
-      else {
-        val in = fs.open(curPath)
-        val v = try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
-                finally in.close()
-        require(v.matches("v\\d+"), s"corrupt index manifest $curPath: '$v'")
+    val next = Snapshot.readLines(spark, s"$path/CURRENT") match {
+      case None => "v1"
+      case Some(lines) =>
+        val v = lines.mkString("\n").trim
+        require(v.matches("v\\d+"), s"corrupt index manifest at $path: '$v'")
         s"v${v.stripPrefix("v").toInt + 1}"
-      }
+    }
     buildIvfPqIndex(corpus, s"$path/$next", nCells, m, kSub, cId, cVec, maxTrain)
-    val tmp = new org.apache.hadoop.fs.Path(s"$path/CURRENT.tmp")
-    val out = fs.create(tmp, true)
-    try out.write(next.getBytes("UTF-8")) finally out.close()
-    // the commit point: rename-with-overwrite is atomic on HDFS and the
-    // local FS — a reader sees the old manifest or the new one, never
-    // neither (a delete-then-rename would open exactly that window)
-    org.apache.hadoop.fs.FileContext.getFileContext(fs.getUri, conf).rename(
-      fs.makeQualified(tmp), fs.makeQualified(curPath),
-      org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+    // the commit point: one-file atomic rename-overwrite (Snapshot) — a
+    // reader sees the old manifest or the new one, never neither
+    Snapshot.writeLines(spark, s"$path/CURRENT", Seq(next))
     next
   }
 
@@ -787,16 +807,14 @@ object Similarity {
   def vacuumIvfPqVersions(spark: org.apache.spark.sql.SparkSession,
                           path: String, keep: Int = 1): Seq[String] = {
     require(keep >= 1, s"keep must be positive, got $keep")
-    val conf = spark.sessionState.newHadoopConf()
-    val curPath = new org.apache.hadoop.fs.Path(s"$path/CURRENT")
-    val fs = curPath.getFileSystem(conf)
-    if (!fs.exists(curPath)) return Seq.empty
-    val in = fs.open(curPath)
-    val cur = try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
-              finally in.close()
-    require(cur.matches("v\\d+"), s"corrupt index manifest $curPath: '$cur'")
+    val lines = Snapshot.readLines(spark, s"$path/CURRENT")
+      .getOrElse(return Seq.empty)
+    val cur = lines.mkString("\n").trim
+    require(cur.matches("v\\d+"), s"corrupt index manifest at $path: '$cur'")
     val curN = cur.stripPrefix("v").toLong
-    fs.listStatus(new org.apache.hadoop.fs.Path(path))
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    fs.listStatus(p)
       .filter(_.isDirectory)
       .map(_.getPath.getName)
       .filter(_.matches("v\\d+"))
@@ -819,9 +837,14 @@ object Similarity {
     * breaking the live cells' files — bounded by the compaction
     * cadence). Same retention trade as every vacuum here: a reader
     * still holding a pre-compaction catalog is what this breaks, so run
-    * it once those readers are gone. Never touches constants, the
-    * tombstone log, the catalog, or version directories. Returns the
-    * deleted directory names.
+    * it once those readers are gone — and NEVER concurrently with an
+    * append/compaction on the same version (the Snapshot single-
+    * maintenance-writer contract: this would reclaim the mutation's
+    * not-yet-committed staging directory; the mutation's commit guard
+    * turns that into a loud failure rather than silent loss, but the
+    * schedule is the caller's). Never touches constants, the tombstone
+    * log, the catalog, or version directories. Returns the deleted
+    * directory names.
     */
   def vacuumIvfPqData(spark: org.apache.spark.sql.SparkSession,
                       path: String): Seq[String] = {
@@ -898,20 +921,31 @@ object Similarity {
   }
 
   /** LOGICAL delete from a persisted IVF-PQ index: ids append to a
-    * `path/tombstones` log; [[serveIvfPq]] anti-joins it (broadcast —
-    * the log is bounded by the compaction cadence, not the corpus) so
+    * `path/tombstones` log; [[serveIvfPq]] drops fenced rows (broadcast
+    * — the log is bounded by the compaction cadence, not the corpus) so
     * deleted vectors stop being served IMMEDIATELY without touching a
     * single codes file. [[compactIvfPqIndex]] later makes the delete
     * physical. The delete/compact split is the standard lakehouse
     * lifecycle: deletes are cheap and constant-time, the partition
     * rewrite is batched and touches only cells that actually contain
     * dead rows.
+    *
+    * Each tombstone row records the codes catalog's CURRENT generation
+    * as its FENCE: it kills exactly the rows whose data directory
+    * committed at or before that generation — i.e. every copy of the id
+    * that existed when the delete was issued — while a LATER append of
+    * the same id out-generations it and serves (delete-then-reinsert
+    * with no tombstone rewrite; see [[appendToIvfPqIndex]]).
     */
   def tombstoneIvfPq(deletes: DataFrame, path: String,
-                     cId: String = "nid"): Unit =
+                     cId: String = "nid"): Unit = {
+    val spark = deletes.sparkSession
+    val root = resolveIvfPqRoot(spark, path)
+    val fence = codesCatalogOf(spark, root).gen
     deletes.select(col(cId)).distinct()
-      .write.mode("append").parquet(
-        s"${resolveIvfPqRoot(deletes.sparkSession, path)}/tombstones")
+      .withColumn("__tgen", lit(fence))
+      .write.mode("append").parquet(s"$root/tombstones")
+  }
 
   /** PHYSICAL delete: rewrite exactly the cells that contain tombstoned
     * rows — surviving rows land in a fresh `compact_g<N>` directory and
@@ -934,7 +968,7 @@ object Similarity {
   def compactIvfPqIndex(spark: org.apache.spark.sql.SparkSession,
                         path: String, cId: String = "nid"): Unit = {
     val root = resolveIvfPqRoot(spark, path)
-    val tombOpt = tombstonesOf(spark, root)
+    val tombOpt = tombstonesOf(spark, root, cId)
     if (tombOpt.isEmpty) return
     // a checkpoint's blocks stay pinned until driver GC unless freed
     // explicitly (the Graph.freeDeadCheckpoint lesson) — on a periodic
@@ -944,11 +978,17 @@ object Similarity {
         case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd.unpersist(false)
         case _ => ()
       }
-    val tomb = tombOpt.get.select(col(cId)).distinct().localCheckpoint(true)
+    val tomb = tombOpt.get.localCheckpoint(true) // (id, max fence gen)
     try {
       val cat = codesCatalogOf(spark, root)
-      val codes = readCodes(spark, root)
-      val touched = codes.join(tomb, Seq(cId), "left_semi")
+      // a row is DEAD iff its id's tombstone fences at or after the
+      // row's directory generation (the serve-path rule, made physical):
+      // pre-delete copies of a reinserted id die, the reinsert survives
+      val flagged = readCodesTagged(spark, root)
+        .join(broadcast(tomb), Seq(cId), "left")
+        .withColumn("__dead",
+          col("__tgen").isNotNull && col("__tgen") >= col("__gen"))
+      val touched = flagged.filter(col("__dead"))
         .select(col("cell")).distinct().collect().map(_.getInt(0))
       val fs = new org.apache.hadoop.fs.Path(root)
         .getFileSystem(spark.sessionState.newHadoopConf())
@@ -957,15 +997,24 @@ object Similarity {
         // the survivors write reads old files and writes a FRESH
         // directory — never the files it supersedes, so no checkpoint
         // barrier is needed between read and write
-        codes.where(col("cell").isin(touched.map(Int.box): _*))
-          .join(tomb, Seq(cId), "left_anti")
+        flagged.where(col("cell").isin(touched.map(Int.box): _*))
+          .filter(!col("__dead"))
+          .drop("__tgen", "__gen", "__dead")
           .write.mode("overwrite").partitionBy("cell")
           .parquet(s"$root/$dir")
+        // staging-vanished guard (see appendToIvfPqIndex): never commit a
+        // catalog that drops the touched cells because a concurrent
+        // vacuum deleted the freshly-written directory
+        require(Snapshot.dirExists(spark, s"$root/$dir"),
+          s"compaction staging $dir vanished before commit — a concurrent " +
+            "vacuum ran during the compaction (one maintenance writer at a time)")
         // the COMMIT: untouched cells keep their entries, touched cells
-        // collapse to the compacted directory, emptied cells disappear
-        writeCodesCatalog(spark, root, CodesCatalog(cat.gen + 1,
+        // collapse to the compacted directory, emptied cells disappear;
+        // the applied-append ledger carries over (those increments ARE in
+        // the compacted rows)
+        writeCodesCatalog(spark, root, CodesCatalog(cat.gen + 1, cat.applied,
           cat.entries.filterNot(e => touched.contains(e._1)) ++
-            listCellDirs(spark, s"$root/$dir").map((_, dir))))
+            listCellDirs(spark, s"$root/$dir").map((_, dir, cat.gen + 1))))
       }
       fs.delete(new org.apache.hadoop.fs.Path(s"$root/tombstones"), true)
     } finally freeCheckpoint(tomb)
@@ -1060,12 +1109,18 @@ object Similarity {
           cbs)).as("dt"))
 
     val cellsHit = probed.select(col("cell")).distinct().collect().map(_.getInt(0))
-    val codesRaw = readCodes(spark, root)
+    val codesRaw = readCodesTagged(spark, root)
       .where(col("cell").isin(cellsHit.map(Int.box): _*))
     // logical deletes ([[tombstoneIvfPq]]) drop out here, immediately and
-    // broadcast-cheap; [[compactIvfPqIndex]] makes them physical later
-    val codes = tombstonesOf(spark, root).fold(codesRaw)(t =>
-      codesRaw.join(broadcast(t.select(col(cId)).distinct()), Seq(cId), "left_anti"))
+    // broadcast-cheap, via the GENERATION FENCE: a row dies iff a
+    // tombstone for its id fences at or after the row's directory
+    // generation — so a post-delete re-append serves while every
+    // pre-delete copy stays hidden; [[compactIvfPqIndex]] makes the
+    // deletes physical later
+    val codes = tombstonesOf(spark, root, cId).fold(codesRaw)(t =>
+      codesRaw.join(broadcast(t), Seq(cId), "left")
+        .filter(col("__tgen").isNull || col("__tgen") < col("__gen"))
+        .drop("__tgen"))
 
     val adist = (0 until m).map { mi =>
       element_at(element_at(col("dt"), mi + 1), element_at(col("codes"), mi + 1) + 1)
@@ -1074,11 +1129,11 @@ object Similarity {
     broadcast(probed).join(codes, "cell")
       .filter(col(cId) =!= col(qId))
       .select(col(qId), col(cId), adist.as("adist"))
-      // defense in depth against any double-landed id (a replayed append
-      // outside the appendId discipline): a duplicated candidate carries
-      // an identical adist, so deduping by (query, id) is deterministic
-      // and stops it occupying two of the k result slots
-      .dropDuplicates(qId, cId)
+      // defense in depth against a double-live id (an update-by-append
+      // outside the operator's contract): keep the CLOSER copy — min is
+      // deterministic even when the copies' distances differ, where a
+      // dropDuplicates would keep a partition-order-dependent one
+      .groupBy(col(qId), col(cId)).agg(min(col("adist")).as("adist"))
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= k)
   }

@@ -372,8 +372,9 @@ class PlanSpec extends SparkSpec {
       "a second vacuum at the same retention must be a no-op")
   }
 
-  test("IVF-PQ delete-then-reinsert: append prunes stale tombstones so the " +
-      "reinserted vector serves and survives compaction") {
+  test("IVF-PQ delete-then-reinsert: the generation fence serves the " +
+      "reinserted vector immediately, keeps every pre-delete copy dead, and " +
+      "compaction keeps exactly the reinserted row") {
     import graft.operators.Similarity
     import spark.implicits._
     val emb = Tables(spark, sfDir, "embeddings")
@@ -381,21 +382,44 @@ class PlanSpec extends SparkSpec {
     val queries = emb.filter(col("vec_id") < 3)
       .select(col("vec_id").as("qid"), col("embedding").as("qe"))
     val tmp = java.nio.file.Files.createTempDirectory("graft_reinsert_").toString
-    // build WITHOUT one vector, delete an indexed one, then re-append both
+    // build WITH the victim's original vector, delete it plus a plain id,
+    // then re-append the victim with a DIFFERENT vector — the hard case:
+    // the stale pre-delete row stays physically on disk until compaction
     val victim = 42L
-    Similarity.buildIvfPqIndex(corpus.filter(col("nid") =!= victim), tmp)
+    Similarity.buildIvfPqIndex(corpus, tmp)
     Similarity.tombstoneIvfPq(Seq(victim, 7L).toDF("nid"), tmp)
-    Similarity.appendToIvfPqIndex(corpus.filter(col("nid") === victim), tmp)
-    // victim's tombstone is pruned by the append; 7's survives
-    val tombLeft = spark.read.parquet(s"$tmp/tombstones")
-      .collect().map(_.getLong(0)).toSet
-    assert(tombLeft == Set(7L),
-      s"append must prune exactly its own ids from the log, left $tombLeft")
+    val reinserted = corpus.filter(col("nid") === victim)
+      .select(col("nid"),
+        transform(col("ne").cast("array<double>"),
+          x => x * lit(0.5) + lit(0.25)).as("ne"))
+    Similarity.appendToIvfPqIndex(reinserted, tmp, appendId = "reinsert")
+    // the log is NOT rewritten — both tombstones remain, fence-generation'd
+    assert(spark.read.parquet(s"$tmp/tombstones")
+      .select(col("nid")).collect().map(_.getLong(0)).toSet == Set(victim, 7L),
+      "the fence design never rewrites the tombstone log on append")
+    // the appended row's codes are the truth the lifecycle must preserve
+    val newRow = spark.read.parquet(s"$tmp/appends/reinsert")
+      .collect().map(r => (r.getLong(0), r.getSeq[Int](1))).toSet
+    assert(newRow.size == 1 && newRow.head._1 == victim)
+    // served: 7 is gone, the victim is alive (out-generations its tombstone)
+    // probe every cell so candidate coverage is total, not probe-dependent
+    val servedPre = Similarity.serveIvfPq(spark, tmp, queries, k = 1000, nProbe = 16)
+      .select(col("nid")).collect().map(_.getLong(0)).toSet
+    assert(servedPre.contains(victim) && !servedPre.contains(7L),
+      "reinsert must serve immediately; the plain delete must not")
     Similarity.compactIvfPqIndex(spark, tmp)
-    val served = Similarity.readIvfPqCodes(spark, tmp).select(col("nid"))
-      .collect().map(_.getLong(0)).toSet
-    assert(served.contains(victim) && !served.contains(7L),
-      "reinserted vector must survive compaction; the real delete must not")
+    assert(!new java.io.File(s"$tmp/tombstones").exists())
+    // exactly ONE live row for the victim, and it is the REINSERTED one —
+    // the pre-delete copy is physically gone
+    val live = Similarity.readIvfPqCodes(spark, tmp)
+      .collect().map(r => (r.getLong(0), r.getSeq[Int](1))).toList
+    val victimRows = live.filter(_._1 == victim)
+    assert(victimRows.size == 1 && victimRows.head._2 == newRow.head._2,
+      s"compaction must keep exactly the reinserted row, got $victimRows")
+    assert(!live.exists(_._1 == 7L), "the plain delete must be physical now")
+    val servedPost = Similarity.serveIvfPq(spark, tmp, queries, k = 1000, nProbe = 16)
+      .select(col("nid")).collect().map(_.getLong(0)).toSet
+    assert(servedPost == servedPre, "compaction must not change served ids")
   }
 
   test("IVF-PQ drift-triggered rebuild: a planted shifted increment fires the " +
