@@ -1487,6 +1487,55 @@ object DedupQueries {
       None,
       oracleGen = Some(q281OracleGen _)),
 
+    // ---- STREAMING ANN-index maintenance (StreamingIndex
+    // .indexAppendSink): the q275 increment fed as a STREAM — three
+    // microbatches of vectors append to the base-trained index via
+    // foreachBatch, each under its batch-id-keyed appendId, then one
+    // batch is REPLAYED after its commit (the restart-after-crash
+    // interleaving) and the applied-append ledger makes it a detected
+    // no-op. Served result must equal q275's batch-append oracle
+    // exactly: same frozen constants, every streamed vector present
+    // ONCE. The exactly-once argument is idempotence of the per-batch
+    // append, not sink-side coordination — q288's discipline on the
+    // index lifecycle. ----
+    Q("q294_stream_ivfpq_append",
+      (s, dir) => {
+        import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+        implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+        import s.implicits._
+        val emb = t(s, dir, "embeddings")
+        val base = emb.filter(col("vec_id") % 3 =!= 0)
+          .select(col("vec_id").as("nid"), col("embedding").as("ne"))
+        val inc = emb.filter(col("vec_id") % 3 === 0)
+          .select(col("vec_id").as("nid"), col("embedding").as("ne"))
+        val q = emb.filter(col("vec_id") < 5)
+          .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+        val tmp = java.nio.file.Files
+          .createTempDirectory("graft_q294_").toString
+        Similarity.buildIvfPqIndex(base, tmp)
+        val input = MemoryStream[(Long, Seq[Float])]
+        val sink = graft.streaming.StreamingIndex.indexAppendSink(
+          input.toDF().toDF("nid", "ne"), tmp, s"$tmp/ckpt")
+        val arrivals = inc.as[(Long, Seq[Float])].collect()
+        try {
+          for (r <- 0 to 2) {
+            input.addData(arrivals.filter(_._1 / 3 % 3 == r).toSeq)
+            sink.processAllAvailable()
+          }
+        } finally sink.stop()
+        // restart-replay of a committed batch: same appendId, same rows —
+        // the ledger detects it and the index is untouched
+        Similarity.appendToIvfPqIndex(
+          arrivals.filter(_._1 / 3 % 3 == 1).toSeq.toDF("nid", "ne"),
+          tmp, appendId = "batch-1")
+        Similarity.serveIvfPq(s, tmp, q, k = 5, nProbe = 4)
+          .select(col("qid"), col("nid"), round(col("adist"), 4).as("adist"),
+            col("rn"))
+          .orderBy(col("qid"), col("rn"))
+      },
+      None,
+      oracleGen = Some(q275OracleGen _)),
+
     // ---- G1 token chunker (size 30, overlap 5), content-hash checked. ----
     Q("q55_chunk",
       (s, dir) => {

@@ -700,4 +700,90 @@ class StreamingSpec extends SparkSpec {
       "id", Seq("seq")).as[(Long, String)].collect().toSet
     assert(s3 == batchMerge, "streaming snapshot must equal the batch MERGE")
   }
+
+  test("streaming IVF-PQ append: committed-batch replay is a ledger no-op, " +
+    "a half-landed staging replay commits exactly once, and a checkpoint " +
+    "restart continues the batch sequence") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.operators.Similarity
+    import graft.streaming.StreamingIndex
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+
+    val emb = Tables(spark, sfDir, "embeddings")
+    val base = emb.filter(col("vec_id") % 3 =!= 0)
+      .select(col("vec_id").as("nid"), col("embedding").as("ne"))
+    val inc = emb.filter(col("vec_id") % 3 === 0)
+      .select(col("vec_id").as("nid"), col("embedding").as("ne"))
+      .as[(Long, Seq[Float])].collect()
+    def grp(r: Int) = inc.filter(_._1 / 3 % 3 == r)
+    assert(grp(0).nonEmpty && grp(1).nonEmpty && grp(2).nonEmpty,
+      "fixture needs three non-empty arrival groups")
+    val tmp = java.nio.file.Files.createTempDirectory("graft_sidx_").toString
+    Similarity.buildIvfPqIndex(base, tmp)
+
+    // two real microbatches through the sink
+    val input = MemoryStream[(Long, Seq[Float])]
+    val sink = StreamingIndex.indexAppendSink(
+      input.toDF().toDF("nid", "ne"), tmp, s"$tmp/ckpt")
+    try {
+      Seq(0, 1).foreach { r =>
+        input.addData(grp(r).toSeq); sink.processAllAvailable()
+      }
+    } finally sink.stop()
+
+    def codesmap(): List[String] =
+      scala.io.Source.fromFile(s"$tmp/CODESMAP").getLines().toList
+    val after2 = codesmap()
+    val ledger = after2.find(_.startsWith("applied="))
+      .get.stripPrefix("applied=").split(",").filter(_.nonEmpty).toSet
+    assert(ledger.size == 2 && ledger.forall(_.startsWith("batch-")),
+      s"two streamed batches must land two ledger ids, got $ledger")
+
+    // replay EVERY committed batch id (restart-after-crash): detected
+    // no-ops — the catalog file is byte-identical, nothing re-lands
+    ledger.foreach { id =>
+      Similarity.appendToIvfPqIndex(grp(0).toSeq.toDF("nid", "ne"), tmp,
+        appendId = id)
+    }
+    assert(codesmap() == after2,
+      "replaying committed batch ids must not touch the catalog")
+
+    // half-landed interleaving: staging for a NEW id exists (with junk
+    // rows simulating a crash mid-write), the catalog never saw it — the
+    // retry must overwrite the staging in place and commit exactly once
+    Seq((-999L, grp(2).head._2)).toDF("nid", "ne")
+      .write.parquet(s"$tmp/appends/batch-99/cell=0")
+    Similarity.appendToIvfPqIndex(grp(2).toSeq.toDF("nid", "ne"), tmp,
+      appendId = "batch-99")
+    val served = Similarity.readIvfPqCodes(spark, tmp)
+      .groupBy(col("nid")).agg(count(lit(1)).as("n"))
+      .as[(Long, Long)].collect().toMap
+    assert(!served.contains(-999L),
+      "the junk half-landed row must be overwritten, never served")
+    assert(served.values.forall(_ == 1L),
+      "every id must be indexed exactly once after replays")
+    assert(grp(2).forall(v => served.contains(v._1)),
+      "the retried batch's rows must all be present")
+
+    // a restart from the same checkpoint (same source, new query)
+    // continues the batch sequence rather than reusing a committed id:
+    // a NEW arrival lands under a fresh ledger entry
+    val emb2 = emb.filter(col("vec_id") % 3 === 1).limit(5)
+      .select((col("vec_id") + 1000000L).as("nid"), col("embedding").as("ne"))
+      .as[(Long, Seq[Float])].collect()
+    val sink2 = StreamingIndex.indexAppendSink(
+      input.toDF().toDF("nid", "ne"), tmp, s"$tmp/ckpt")
+    try { input.addData(emb2.toSeq); sink2.processAllAvailable() }
+    finally sink2.stop()
+    val finalLedger = codesmap().find(_.startsWith("applied="))
+      .get.stripPrefix("applied=").split(",").filter(_.nonEmpty).toSet
+    assert(finalLedger.size == 4,
+      s"restart must mint a fresh batch id, got $finalLedger")
+    val served2 = Similarity.readIvfPqCodes(spark, tmp)
+      .groupBy(col("nid")).agg(count(lit(1)).as("n"))
+      .as[(Long, Long)].collect().toMap
+    assert(emb2.forall(v => served2(v._1) == 1L),
+      "post-restart arrivals must serve exactly once")
+  }
 }
