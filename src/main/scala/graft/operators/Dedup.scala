@@ -493,25 +493,57 @@ object Dedup {
                              dir: String): Seq[Long] =
     Snapshot.listKvDirs(spark, dir, "bucket")
 
+  private def parseStoreManifest(where: String,
+                                 lines: List[String]): StoreManifest = {
+    require(lines.length >= 2 && lines.head.startsWith("gen=") &&
+      lines(1).startsWith("buckets="),
+      s"corrupt cluster-store manifest at $where")
+    val entries = lines.drop(2).filter(_.nonEmpty).map { l =>
+      val t = l.split("\t", 2)
+      (t(0).toLong, t(1))
+    }
+    StoreManifest(lines.head.stripPrefix("gen=").toLong,
+      lines(1).stripPrefix("buckets=").toInt, entries)
+  }
+
+  private def renderStoreManifest(m: StoreManifest): Seq[String] =
+    Seq(s"gen=${m.gen}", s"buckets=${m.nBuckets}") ++
+      m.entries.sortBy(_._1).map { case (b, d) => s"$b\t$d" }
+
   private[graft] def readStoreManifest(spark: org.apache.spark.sql.SparkSession,
                                        path: String): Option[StoreManifest] =
-    Snapshot.readLines(spark, s"$path/CURRENT").map { lines =>
-      require(lines.length >= 2 && lines.head.startsWith("gen=") &&
-        lines(1).startsWith("buckets="),
-        s"corrupt cluster-store manifest at $path")
-      val entries = lines.drop(2).filter(_.nonEmpty).map { l =>
-        val t = l.split("\t", 2)
-        (t(0).toLong, t(1))
-      }
-      StoreManifest(lines.head.stripPrefix("gen=").toLong,
-        lines(1).stripPrefix("buckets=").toInt, entries)
-    }
+    Snapshot.readLines(spark, s"$path/CURRENT")
+      .map(parseStoreManifest(path, _))
 
+  /** Commit a new manifest — and BACKFILL the one being replaced into
+    * the `manifests/<gen>` history first, so every committed generation
+    * stays resolvable for time-travel reads ([[readClusterStoreAsOf]])
+    * until [[vacuumClusterStore]] retires it. Only the OLD (committed)
+    * manifest is ever copied — the new one exists solely as `CURRENT`
+    * until the NEXT mutation archives it — so a crash anywhere in here
+    * can never mint a history snapshot of a mutation that did not
+    * commit, and the backfill is idempotent (same bytes, derived from
+    * the committed file) so a retried mutation heals a half-done one.
+    */
   private def writeStoreManifest(spark: org.apache.spark.sql.SparkSession,
-                                 path: String, m: StoreManifest): Unit =
-    Snapshot.writeLines(spark, s"$path/CURRENT",
-      Seq(s"gen=${m.gen}", s"buckets=${m.nBuckets}") ++
-        m.entries.sortBy(_._1).map { case (b, d) => s"$b\t$d" })
+                                 path: String, m: StoreManifest): Unit = {
+    readStoreManifest(spark, path).foreach { prev =>
+      val hist = s"$path/manifests/${prev.gen}"
+      if (!Snapshot.dirExists(spark, hist))
+        Snapshot.writeLines(spark, hist, renderStoreManifest(prev))
+    }
+    Snapshot.writeLines(spark, s"$path/CURRENT", renderStoreManifest(m))
+  }
+
+  /** The numeric history manifests under `path/manifests`, sorted. */
+  private def listHistoryGens(spark: org.apache.spark.sql.SparkSession,
+                              path: String): Seq[Long] = {
+    val p = new org.apache.hadoop.fs.Path(s"$path/manifests")
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(p)) Seq.empty
+    else fs.listStatus(p).filter(_.isFile).map(_.getPath.getName)
+      .filter(_.matches("\\d+")).map(_.toLong).toSeq.sorted
+  }
 
   /** The live store rows `(id, label, bucket)`, resolved through the
     * manifest: each generation directory is read restricted to the
@@ -545,6 +577,37 @@ object Dedup {
           .parquet(bks.map(b => s"$path/bucket=$b"): _*)
           .select(col("id"), col("label"))
     }
+
+  /** TIME-TRAVEL read: the store's labels exactly as generation `gen`
+    * committed them. Every mutation archives the manifest it replaces
+    * into `manifests/<gen>` ([[writeStoreManifest]]) and generation
+    * data directories are immutable once committed, so resolving the
+    * historical manifest reproduces the old snapshot byte-for-byte —
+    * the Iceberg/Delta snapshot-read shape, manifest-pointer-only, zero
+    * data copies. Retention is [[vacuumClusterStore]]'s `keepGens`: a
+    * vacuumed generation fails LOUDLY at manifest resolution (the
+    * manifest is deleted together with the data directories it pinned),
+    * never by silently scanning half-reclaimed buckets. Audit shape at
+    * 100 TB: diffing two generations' labels is two manifest reads and
+    * a join over only the buckets whose entries differ.
+    */
+  def readClusterStoreAsOf(spark: org.apache.spark.sql.SparkSession,
+                           path: String, gen: Long): DataFrame = {
+    val cur = readStoreManifest(spark, path).getOrElse(
+      throw new IllegalArgumentException(s"not a manifested cluster store: $path"))
+    val m =
+      if (gen == cur.gen) cur
+      else {
+        require(gen < cur.gen,
+          s"generation $gen of $path is in the future (current is ${cur.gen})")
+        parseStoreManifest(s"$path@$gen",
+          Snapshot.readLines(spark, s"$path/manifests/$gen").getOrElse(
+            throw new IllegalArgumentException(
+              s"generation $gen of $path is not retained — vacuumed, or " +
+                "the store predates manifest history")))
+      }
+    readStoreRaw(spark, path, m).select(col("id"), col("label"))
+  }
 
   /** One-time crash-safe migration of a pre-manifest flat store into the
     * generation layout: land the rows as `d1` (skipped when a prior
@@ -696,39 +759,56 @@ object Dedup {
     } finally freeLocalCheckpoint(np)
   }
 
-  /** Retention GC for the cluster store: delete every generation
-    * directory (`d<G>`) the CURRENT manifest no longer references — a
-    * merge leaves its superseded bucket files on disk for in-flight
-    * readers, and this reclaims them once those readers are gone. Run
-    * on a cadence that covers the longest concurrent read (a reader
-    * still holding a pre-merge manifest is exactly what this breaks —
-    * the standard snapshot-retention trade, same as
-    * `Similarity.vacuumIvfPqVersions`), and NEVER concurrently with a
-    * merge or rebuild (the Snapshot single-maintenance-writer contract:
-    * it would reclaim the mutation's not-yet-committed generation; the
-    * mutation's staging guard turns that into a loud failure rather
-    * than silent loss, but the schedule is the caller's). A generation
-    * stays alive as long as ANY bucket still maps to it, so the live
-    * set is reference-driven, not age-driven. No-op on a legacy flat
-    * store. Returns the deleted directory names.
+  /** Retention GC for the cluster store: keep the CURRENT snapshot plus
+    * the newest `keepGens − 1` archived manifests, then delete every
+    * generation directory (`d<G>`) none of the RETAINED snapshots
+    * references — and the retired manifests themselves, in that order
+    * (data first, so a crash mid-vacuum can only leave a still-
+    * resolvable manifest over still-present dirs, never a manifest
+    * whose dirs are gone). Retention and reachability compose: a
+    * generation directory stays alive as long as ANY retained
+    * snapshot's bucket still maps to it, so `keepGens = 1` is exactly
+    * the old CURRENT-only behavior plus history trimming, and a larger
+    * `keepGens` is the time-travel window ([[readClusterStoreAsOf]]) —
+    * the Iceberg expire-snapshots trade. Run on a cadence that covers
+    * the longest concurrent read (a reader still holding a pre-merge
+    * manifest is exactly what this breaks), and NEVER concurrently
+    * with a merge or rebuild (the Snapshot single-maintenance-writer
+    * contract: it would reclaim the mutation's not-yet-committed
+    * generation; the mutation's staging guard turns that into a loud
+    * failure rather than silent loss, but the schedule is the
+    * caller's). No-op on a legacy flat store. Returns the deleted
+    * names (data dirs, then `manifests/<gen>` entries).
     */
   def vacuumClusterStore(spark: org.apache.spark.sql.SparkSession,
-                         path: String): Seq[String] =
+                         path: String, keepGens: Int = 1): Seq[String] = {
+    require(keepGens >= 1, s"keepGens must be positive, got $keepGens")
     readStoreManifest(spark, path) match {
       case None => Seq.empty
       case Some(m) =>
-        val live = m.entries.map(_._2).toSet
+        val hist = listHistoryGens(spark, path).filter(_ < m.gen)
+        val retainedHist = hist.takeRight(keepGens - 1)
+        val retired = hist.dropRight(keepGens - 1)
+        val live = (m.entries.map(_._2) ++ retainedHist.flatMap { g =>
+          Snapshot.readLines(spark, s"$path/manifests/$g")
+            .map(parseStoreManifest(s"$path@$g", _).entries.map(_._2))
+            .getOrElse(Seq.empty)
+        }).toSet
         val p = new org.apache.hadoop.fs.Path(path)
         val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
-        fs.listStatus(p).filter(_.isDirectory)
+        val deadDirs = fs.listStatus(p).filter(_.isDirectory)
           .map(_.getPath.getName)
           .filter(n => n.matches("d\\d+") && !live.contains(n))
           .sorted.toSeq
-          .map { d =>
-            fs.delete(new org.apache.hadoop.fs.Path(s"$path/$d"), true)
-            d
-          }
+        deadDirs.foreach(d =>
+          fs.delete(new org.apache.hadoop.fs.Path(s"$path/$d"), true))
+        val deadManifests = retired.map { g =>
+          fs.delete(new org.apache.hadoop.fs.Path(s"$path/manifests/$g"), false)
+          s"manifests/$g"
+        }
+        deadDirs ++ deadManifests
     }
+  }
 
   private def freeLocalCheckpoint(df: DataFrame): Unit =
     df.queryExecution.analyzed match {

@@ -476,13 +476,14 @@ object Similarity {
   /** Entries are `(cell, dataDir, gen)` — the GENERATION at which the
     * directory committed is part of the entry because tombstones are
     * generation-FENCED (see [[tombstoneIvfPq]]): a row is dead iff some
-    * tombstone for its id carries a generation ≥ its directory's. That
-    * one fence resolves delete-then-reinsert with no tombstone pruning
-    * at all — the reinserted row's directory commits at a LATER
-    * generation than the tombstone, so it serves immediately, while the
-    * stale pre-delete row stays dead and compaction physically drops
-    * it (the prune-based design could never remove the stale row: once
-    * the tombstone was pruned, both physical rows were live forever).
+    * tombstone for its id carries a generation STRICTLY greater than
+    * its directory's. That one fence resolves delete-then-reinsert with
+    * no tombstone pruning at all — the reinserted row's directory
+    * commits at a later generation than the tombstone's fence, so it
+    * serves immediately, while the stale pre-delete row stays dead and
+    * compaction physically drops it (the prune-based design could never
+    * remove the stale row: once the tombstone was pruned, both physical
+    * rows were live forever).
     */
   private case class CodesCatalog(gen: Long, applied: Seq[String],
                                   entries: Seq[(Int, String, Long)])
@@ -491,25 +492,44 @@ object Similarity {
                            dir: String): Seq[Int] =
     Snapshot.listKvDirs(spark, dir, "cell").map(_.toInt)
 
+  private def parseCodesCatalog(where: String,
+                                lines: List[String]): CodesCatalog = {
+    require(lines.nonEmpty && lines.head.startsWith("gen="),
+      s"corrupt codes catalog at $where")
+    // `applied=` is optional for catalogs written before the ledger
+    val hasApplied = lines.length > 1 && lines(1).startsWith("applied=")
+    val applied =
+      if (!hasApplied) Seq.empty
+      else lines(1).stripPrefix("applied=").split(",").toSeq
+        .filter(_.nonEmpty)
+    val entries = lines.drop(if (hasApplied) 2 else 1)
+      .filter(_.nonEmpty).map { l =>
+        val t = l.split("\t", 3)
+        // 2-field lines predate generation fencing: gen 0
+        (t(0).toInt, t(1), if (t.length > 2) t(2).toLong else 0L)
+      }
+    CodesCatalog(lines.head.stripPrefix("gen=").toLong, applied, entries)
+  }
+
+  private def renderCodesCatalog(cat: CodesCatalog): Seq[String] =
+    Seq(s"gen=${cat.gen}",
+      s"applied=${cat.applied.distinct.sorted.mkString(",")}") ++
+      cat.entries.distinct.sortBy(e => (e._1, e._2))
+        .map { case (c, d, g) => s"$c\t$d\t$g" }
+
   private def readCodesCatalog(spark: org.apache.spark.sql.SparkSession,
                                root: String): Option[CodesCatalog] =
-    Snapshot.readLines(spark, s"$root/CODESMAP").map { lines =>
-      require(lines.nonEmpty && lines.head.startsWith("gen="),
-        s"corrupt codes catalog at $root")
-      // `applied=` is optional for catalogs written before the ledger
-      val hasApplied = lines.length > 1 && lines(1).startsWith("applied=")
-      val applied =
-        if (!hasApplied) Seq.empty
-        else lines(1).stripPrefix("applied=").split(",").toSeq
-          .filter(_.nonEmpty)
-      val entries = lines.drop(if (hasApplied) 2 else 1)
-        .filter(_.nonEmpty).map { l =>
-          val t = l.split("\t", 3)
-          // 2-field lines predate generation fencing: gen 0
-          (t(0).toInt, t(1), if (t.length > 2) t(2).toLong else 0L)
-        }
-      CodesCatalog(lines.head.stripPrefix("gen=").toLong, applied, entries)
-    }
+    Snapshot.readLines(spark, s"$root/CODESMAP")
+      .map(parseCodesCatalog(root, _))
+
+  /** The catalog exactly as generation `gen` committed it, from the
+    * `catalogs/<gen>` history ([[writeCodesCatalog]]'s backfill), or the
+    * live CODESMAP when `gen` IS the current generation.
+    */
+  private def readCodesCatalogAt(spark: org.apache.spark.sql.SparkSession,
+                                 root: String, gen: Long): Option[CodesCatalog] =
+    Snapshot.readLines(spark, s"$root/catalogs/$gen")
+      .map(parseCodesCatalog(s"$root@$gen", _))
 
   /** Catalog of a resolved root, synthesizing the implicit one for a
     * legacy map-less layout (every `cell=` directory under `codes/`).
@@ -520,13 +540,24 @@ object Similarity {
       CodesCatalog(0L, Seq.empty,
         listCellDirs(spark, s"$root/codes").map((_, "codes", 0L))))
 
+  /** Commit a new catalog — BACKFILLING the one being replaced into the
+    * `catalogs/<gen>` history first (the cluster store's
+    * `writeStoreManifest` discipline): only the OLD, committed catalog
+    * is ever archived, so a crash can never mint a history snapshot of
+    * a mutation that did not commit, and the idempotent backfill heals
+    * a half-done one on the next mutation. Every committed generation
+    * therefore stays resolvable for as-of serving
+    * ([[serveIvfPq]]'s `asOfGen`) until [[vacuumIvfPqData]] retires it.
+    */
   private def writeCodesCatalog(spark: org.apache.spark.sql.SparkSession,
-                                root: String, cat: CodesCatalog): Unit =
-    Snapshot.writeLines(spark, s"$root/CODESMAP",
-      Seq(s"gen=${cat.gen}",
-        s"applied=${cat.applied.distinct.sorted.mkString(",")}") ++
-        cat.entries.distinct.sortBy(e => (e._1, e._2))
-          .map { case (c, d, g) => s"$c\t$d\t$g" })
+                                root: String, cat: CodesCatalog): Unit = {
+    readCodesCatalog(spark, root).foreach { prev =>
+      val hist = s"$root/catalogs/${prev.gen}"
+      if (!Snapshot.dirExists(spark, hist))
+        Snapshot.writeLines(spark, hist, renderCodesCatalog(prev))
+    }
+    Snapshot.writeLines(spark, s"$root/CODESMAP", renderCodesCatalog(cat))
+  }
 
   /** All LIVE code rows of one index version, resolved through the codes
     * catalog: each data directory is read restricted to the cells the
@@ -543,8 +574,11 @@ object Similarity {
     * generation — the row-side half of the tombstone generation fence.
     */
   private def readCodesTagged(spark: org.apache.spark.sql.SparkSession,
-                              root: String): DataFrame = {
-    val cat = codesCatalogOf(spark, root)
+                              root: String): DataFrame =
+    readCodesTagged(spark, root, codesCatalogOf(spark, root))
+
+  private def readCodesTagged(spark: org.apache.spark.sql.SparkSession,
+                              root: String, cat: CodesCatalog): DataFrame = {
     require(cat.entries.nonEmpty, s"IVF-PQ index at $root has no code partitions")
     cat.entries.groupBy(_._2).toSeq.sortBy(_._1).map { case (dir, es) =>
       val cells = es.map(_._1).distinct
@@ -702,25 +736,59 @@ object Similarity {
     (cents, cbs)
   }
 
-  /** The tombstone log as `(id, gen)` — per id, the LATEST fencing
-    * generation (several deletes of one id keep the max). Legacy rows
-    * written before generation fencing carry no `gen` column and fence
-    * at Long.MaxValue (the old hide-unconditionally behavior).
-    */
-  private def tombstonesOf(spark: org.apache.spark.sql.SparkSession,
-                           path: String, cId: String): Option[DataFrame] = {
-    val p = new org.apache.hadoop.fs.Path(s"$path/tombstones")
+  private def tombstoneRowsAt(spark: org.apache.spark.sql.SparkSession,
+                              dir: String, cId: String): Option[DataFrame] = {
+    val p = new org.apache.hadoop.fs.Path(dir)
     val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
     if (!fs.exists(p)) None
     else {
       val raw = spark.read.option("mergeSchema", "true").parquet(p.toString)
-      val withGen =
+      Some(
         if (raw.columns.contains("__tgen"))
           raw.select(col(cId),
             coalesce(col("__tgen"), lit(Long.MaxValue)).as("__tgen"))
-        else raw.select(col(cId), lit(Long.MaxValue).as("__tgen"))
-      Some(withGen.groupBy(col(cId)).agg(max(col("__tgen")).as("__tgen")))
+        else raw.select(col(cId), lit(Long.MaxValue).as("__tgen")))
     }
+  }
+
+  /** The tombstone log as `(id, gen)` — per id, the LATEST fencing
+    * generation (several deletes of one id keep the max). Legacy rows
+    * written before generation fencing carry no `gen` column and fence
+    * at Long.MaxValue (the old hide-unconditionally behavior).
+    *
+    * `asOf = Some(g)`: the log exactly as a generation-`g` reader saw
+    * it — the LIVE log plus every archive a LATER compaction retired
+    * (`tombhist/g<N>` with N > g: an archive retired at N ≤ g is
+    * provably inert for an as-of-g read, because catalog g already
+    * references the compacted directories its tombstones were applied
+    * to), restricted to fences ≤ g (a delete issued after the snapshot
+    * has a later fence and must not reach back). Pre-fence legacy rows
+    * (fence Long.MaxValue) are excluded by that filter BY DESIGN: they
+    * cannot be dated, and every as-of-resolvable generation postdates
+    * the fence feature anyway (no archived catalog exists from before
+    * it).
+    */
+  private def tombstonesOf(spark: org.apache.spark.sql.SparkSession,
+                           path: String, cId: String,
+                           asOf: Option[Long] = None): Option[DataFrame] = {
+    val live = tombstoneRowsAt(spark, s"$path/tombstones", cId)
+    val rows = asOf match {
+      case None => live
+      case Some(g) =>
+        val hist = {
+          val p = new org.apache.hadoop.fs.Path(s"$path/tombhist")
+          val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+          if (!fs.exists(p)) Seq.empty
+          else fs.listStatus(p).filter(_.isDirectory)
+            .map(_.getPath.getName).filter(_.matches("g\\d+"))
+            .filter(_.stripPrefix("g").toLong > g).sorted.toSeq
+        }
+        val archived = hist.flatMap(h =>
+          tombstoneRowsAt(spark, s"$path/tombhist/$h", cId))
+        (live.toSeq ++ archived).reduceOption(_.unionByName(_))
+          .map(_.filter(col("__tgen") <= g))
+    }
+    rows.map(_.groupBy(col(cId)).agg(max(col("__tgen")).as("__tgen")))
   }
 
   /** Resolve the ACTIVE root of a possibly-versioned index: the `CURRENT`
@@ -842,28 +910,63 @@ object Similarity {
     * maintenance-writer contract: this would reclaim the mutation's
     * not-yet-committed staging directory; the mutation's commit guard
     * turns that into a loud failure rather than silent loss, but the
-    * schedule is the caller's). Never touches constants, the tombstone
-    * log, the catalog, or version directories. Returns the deleted
-    * directory names.
+    * schedule is the caller's). Never touches constants, the live
+    * tombstone log, the live catalog, or version directories.
+    *
+    * `keepGens` is the as-of retention window, composing with catalog
+    * history exactly like `Dedup.vacuumClusterStore`: the live set is
+    * the union of directories referenced by the CURRENT catalog plus
+    * the newest `keepGens − 1` archived ones; older `catalogs/<gen>`
+    * entries are retired (an as-of serve past the window then fails
+    * loudly at catalog resolution, never scans half-reclaimed dirs),
+    * and a `tombhist/g<N>` archive is retired once N ≤ the smallest
+    * retained generation (it is provably inert for every retained
+    * as-of read — each one's catalog already references the compacted
+    * directories those tombstones were applied to). Data dirs first,
+    * then catalogs, then tombstone archives, so a crash mid-vacuum
+    * leaves resolvable catalogs over present dirs. Returns the deleted
+    * names.
     */
   def vacuumIvfPqData(spark: org.apache.spark.sql.SparkSession,
-                      path: String): Seq[String] = {
+                      path: String, keepGens: Int = 1): Seq[String] = {
+    require(keepGens >= 1, s"keepGens must be positive, got $keepGens")
     val root = resolveIvfPqRoot(spark, path)
-    val live = codesCatalogOf(spark, root).entries.map(_._2).toSet
+    val cur = codesCatalogOf(spark, root)
     val p = new org.apache.hadoop.fs.Path(root)
     val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    def numbered(dir: String, prefix: String): Seq[Long] = {
+      val d = new org.apache.hadoop.fs.Path(s"$root/$dir")
+      if (!fs.exists(d)) Seq.empty
+      else fs.listStatus(d).map(_.getPath.getName)
+        .filter(_.matches(s"$prefix\\d+"))
+        .map(_.stripPrefix(prefix).toLong).toSeq.sorted
+    }
+    val hist = numbered("catalogs", "").filter(_ < cur.gen)
+    val retainedHist = hist.takeRight(keepGens - 1)
+    val retiredCats = hist.dropRight(keepGens - 1)
+    val live = (cur.entries.map(_._2) ++ retainedHist.flatMap(g =>
+      readCodesCatalogAt(spark, root, g).map(_.entries.map(_._2))
+        .getOrElse(Seq.empty))).toSet
     val top = fs.listStatus(p).filter(_.isDirectory)
       .map(_.getPath.getName).toSeq
     val appendDirs =
       if (!top.contains("appends")) Seq.empty
       else fs.listStatus(new org.apache.hadoop.fs.Path(s"$root/appends"))
         .filter(_.isDirectory).map(s => s"appends/${s.getPath.getName}").toSeq
-    (top.filter(n => n == "codes" || n.matches("compact_g\\d+")) ++ appendDirs)
-      .filterNot(live.contains).sorted
-      .map { d =>
-        fs.delete(new org.apache.hadoop.fs.Path(s"$root/$d"), true)
-        d
-      }
+    val deadDirs = (top.filter(n => n == "codes" || n.matches("compact_g\\d+"))
+      ++ appendDirs).filterNot(live.contains).sorted
+    deadDirs.foreach(d =>
+      fs.delete(new org.apache.hadoop.fs.Path(s"$root/$d"), true))
+    val deadCats = retiredCats.map { g =>
+      fs.delete(new org.apache.hadoop.fs.Path(s"$root/catalogs/$g"), false)
+      s"catalogs/$g"
+    }
+    val minRetained = (retainedHist ++ Seq(cur.gen)).min
+    val deadTombs = numbered("tombhist", "g").filter(_ <= minRetained).map { g =>
+      fs.delete(new org.apache.hadoop.fs.Path(s"$root/tombhist/g$g"), true)
+      s"tombhist/g$g"
+    }
+    deadDirs ++ deadCats ++ deadTombs
   }
 
   /** Drift-TRIGGERED rebuild policy — [[ivfPqDriftStats]] composed with
@@ -930,21 +1033,31 @@ object Similarity {
     * rewrite is batched and touches only cells that actually contain
     * dead rows.
     *
-    * Each tombstone row records the codes catalog's CURRENT generation
-    * as its FENCE: it kills exactly the rows whose data directory
-    * committed at or before that generation — i.e. every copy of the id
-    * that existed when the delete was issued — while a LATER append of
-    * the same id out-generations it and serves (delete-then-reinsert
-    * with no tombstone rewrite; see [[appendToIvfPqIndex]]).
+    * A delete is a MUTATION like any other, so it advances the catalog
+    * generation: the tombstone rows land fenced at `gen + 1` and the
+    * catalog (same entries, same ledger) commits at `gen + 1` — which
+    * both kills every row whose directory committed at or before the
+    * delete (dirGen ≤ gen < fence) and lets a LATER append of the same
+    * id out-generation it and serve (delete-then-reinsert with no
+    * tombstone rewrite; see [[appendToIvfPqIndex]]). The bump also
+    * makes the delete a first-class SNAPSHOT: as-of serving at the
+    * pre-delete generation cleanly excludes it (fence > that gen),
+    * with no boundary ambiguity about deletes issued "at" a
+    * generation. Crash order: tombstones land BEFORE the catalog bump
+    * — a crash between the two leaves fence = gen + 1 rows under a
+    * gen-`gen` catalog, which serve applies identically (fence ≥ every
+    * live dirGen either way), and the missed snapshot boundary is
+    * healed at the next mutation's backfill.
     */
   def tombstoneIvfPq(deletes: DataFrame, path: String,
                      cId: String = "nid"): Unit = {
     val spark = deletes.sparkSession
     val root = resolveIvfPqRoot(spark, path)
-    val fence = codesCatalogOf(spark, root).gen
+    val cat = codesCatalogOf(spark, root)
     deletes.select(col(cId)).distinct()
-      .withColumn("__tgen", lit(fence))
+      .withColumn("__tgen", lit(cat.gen + 1))
       .write.mode("append").parquet(s"$root/tombstones")
+    writeCodesCatalog(spark, root, cat.copy(gen = cat.gen + 1))
   }
 
   /** PHYSICAL delete: rewrite exactly the cells that contain tombstoned
@@ -957,13 +1070,21 @@ object Similarity {
     * cell whose every row died simply leaves the catalog; its old files,
     * like every superseded data directory, stay on disk for in-flight
     * readers until version retention ([[vacuumIvfPqVersions]]) reclaims
-    * them. The tombstone log clears AFTER the commit: a crash anywhere
-    * re-runs as either the identical compaction (commit not reached) or
-    * a no-op scan of already-clean cells (commit reached, log not yet
-    * cleared — serving is unchanged either way, since the anti-join of
-    * an already-compacted id drops nothing). The touched-cell volume per
-    * compaction is the memory bound — compact on a cadence that keeps it
-    * reasonable, as with any lakehouse table.
+    * them. The tombstone log is ARCHIVED (not deleted) after the
+    * commit, into `tombhist/g<newGen>`: archived tombstones are inert
+    * for the live index — every row the new catalog references
+    * out-generations them — but as-of serving at pre-compaction
+    * generations still needs them to hide the then-deleted rows, so
+    * they live until [[vacuumIvfPqData]] retires those generations. A
+    * crash anywhere re-runs as either the identical compaction (commit
+    * not reached) or a no-op sweep (commit reached, log not yet
+    * archived: zero dead rows found, the generation bumps again, and
+    * the archive completes — serving unchanged either way). Compaction
+    * always advances the catalog generation, even when no cell needed
+    * rewriting, so every archive lands under a unique generation name.
+    * The touched-cell volume per compaction is the memory bound —
+    * compact on a cadence that keeps it reasonable, as with any
+    * lakehouse table.
     */
   def compactIvfPqIndex(spark: org.apache.spark.sql.SparkSession,
                         path: String, cId: String = "nid"): Unit = {
@@ -981,19 +1102,20 @@ object Similarity {
     val tomb = tombOpt.get.localCheckpoint(true) // (id, max fence gen)
     try {
       val cat = codesCatalogOf(spark, root)
-      // a row is DEAD iff its id's tombstone fences at or after the
+      // a row is DEAD iff its id's tombstone fences STRICTLY after the
       // row's directory generation (the serve-path rule, made physical):
       // pre-delete copies of a reinserted id die, the reinsert survives
       val flagged = readCodesTagged(spark, root)
         .join(broadcast(tomb), Seq(cId), "left")
         .withColumn("__dead",
-          col("__tgen").isNotNull && col("__tgen") >= col("__gen"))
+          col("__tgen").isNotNull && col("__tgen") > col("__gen"))
       val touched = flagged.filter(col("__dead"))
         .select(col("cell")).distinct().collect().map(_.getInt(0))
       val fs = new org.apache.hadoop.fs.Path(root)
         .getFileSystem(spark.sessionState.newHadoopConf())
+      val newGen = cat.gen + 1
       if (touched.nonEmpty) {
-        val dir = s"compact_g${cat.gen + 1}"
+        val dir = s"compact_g$newGen"
         // the survivors write reads old files and writes a FRESH
         // directory — never the files it supersedes, so no checkpoint
         // barrier is needed between read and write
@@ -1012,11 +1134,21 @@ object Similarity {
         // collapse to the compacted directory, emptied cells disappear;
         // the applied-append ledger carries over (those increments ARE in
         // the compacted rows)
-        writeCodesCatalog(spark, root, CodesCatalog(cat.gen + 1, cat.applied,
+        writeCodesCatalog(spark, root, CodesCatalog(newGen, cat.applied,
           cat.entries.filterNot(e => touched.contains(e._1)) ++
-            listCellDirs(spark, s"$root/$dir").map((_, dir, cat.gen + 1))))
+            listCellDirs(spark, s"$root/$dir").map((_, dir, newGen))))
+      } else {
+        // nothing to rewrite, but the generation still advances so the
+        // archive below gets a unique, ordered name and the sweep is a
+        // first-class snapshot boundary
+        writeCodesCatalog(spark, root, cat.copy(gen = newGen))
       }
-      fs.delete(new org.apache.hadoop.fs.Path(s"$root/tombstones"), true)
+      // ARCHIVE the applied log for as-of readers at pre-compaction
+      // generations; inert for the live index from here on
+      fs.mkdirs(new org.apache.hadoop.fs.Path(s"$root/tombhist"))
+      require(fs.rename(new org.apache.hadoop.fs.Path(s"$root/tombstones"),
+        new org.apache.hadoop.fs.Path(s"$root/tombhist/g$newGen")),
+        s"could not archive the tombstone log to tombhist/g$newGen")
     } finally freeCheckpoint(tomb)
   }
 
@@ -1080,17 +1212,43 @@ object Similarity {
     * never read outside the probed cells. Same ranking as `ivfPqTopK`
     * (ADC sum, ties on candidate id), so served results match the inline
     * operator exactly.
+    *
+    * `asOfGen = Some(g)`: TIME-TRAVEL serve — answer from the index
+    * exactly as catalog generation `g` committed it, through the
+    * `catalogs/<gen>` history ([[writeCodesCatalog]]) and the archived
+    * tombstone logs ([[tombstonesOf]]'s as-of union): appends after `g`
+    * are invisible, deletes after `g` have not happened yet (a
+    * physically compacted-away row still SERVES as-of a pre-delete
+    * generation — its old directory stays on disk until
+    * [[vacuumIvfPqData]] retires that generation), and constants are
+    * frozen per version so the replay is bit-exact. As-of resolution is
+    * WITHIN the current version's lineage; serving an older REBUILT
+    * version is just `serveIvfPq(path/v<N>)` directly. A vacuumed
+    * generation fails loudly at catalog resolution.
     */
   def serveIvfPq(spark: org.apache.spark.sql.SparkSession, path: String,
                  queries: DataFrame, k: Int, nProbe: Int = 4,
                  qId: String = "qid", qVec: String = "qe",
-                 cId: String = "nid"): DataFrame = {
+                 cId: String = "nid",
+                 asOfGen: Option[Long] = None): DataFrame = {
     import org.apache.spark.sql.GraftShim.{column, expression}
     import spark.implicits._
     // resolve ONCE: everything this serve reads (constants, codes,
     // tombstones) comes from the same resolved version — a concurrent
     // rebuild's manifest swap can never hand one query a mixed index
     val root = resolveIvfPqRoot(spark, path)
+    val liveCat = codesCatalogOf(spark, root)
+    val cat = asOfGen match {
+      case None => liveCat
+      case Some(g) if g == liveCat.gen => liveCat
+      case Some(g) =>
+        require(g < liveCat.gen,
+          s"generation $g of $root is in the future (current is ${liveCat.gen})")
+        readCodesCatalogAt(spark, root, g).getOrElse(
+          throw new IllegalArgumentException(
+            s"generation $g of $root is not retained — vacuumed, or the " +
+              "index predates catalog history"))
+    }
     val (cents, cbs) = loadIvfPqConstants(spark, root)
     val m = cbs.length
     val centroids = cents.zipWithIndex.map { case (v, i) => (i, v.toSeq) }
@@ -1109,17 +1267,19 @@ object Similarity {
           cbs)).as("dt"))
 
     val cellsHit = probed.select(col("cell")).distinct().collect().map(_.getInt(0))
-    val codesRaw = readCodesTagged(spark, root)
+    val codesRaw = readCodesTagged(spark, root, cat)
       .where(col("cell").isin(cellsHit.map(Int.box): _*))
     // logical deletes ([[tombstoneIvfPq]]) drop out here, immediately and
     // broadcast-cheap, via the GENERATION FENCE: a row dies iff a
-    // tombstone for its id fences at or after the row's directory
-    // generation — so a post-delete re-append serves while every
-    // pre-delete copy stays hidden; [[compactIvfPqIndex]] makes the
-    // deletes physical later
-    val codes = tombstonesOf(spark, root, cId).fold(codesRaw)(t =>
+    // tombstone for its id fences STRICTLY after the row's directory
+    // generation (a delete bumps the generation it fences at, so
+    // strictness is what lets the crash-interleaved append that shares
+    // the fence's generation survive) — a post-delete re-append serves
+    // while every pre-delete copy stays hidden; [[compactIvfPqIndex]]
+    // makes the deletes physical later
+    val codes = tombstonesOf(spark, root, cId, asOfGen).fold(codesRaw)(t =>
       codesRaw.join(broadcast(t), Seq(cId), "left")
-        .filter(col("__tgen").isNull || col("__tgen") < col("__gen"))
+        .filter(col("__tgen").isNull || col("__tgen") <= col("__gen"))
         .drop("__tgen"))
 
     val adist = (0 until m).map { mi =>

@@ -229,6 +229,36 @@ object DedupQueries {
        |        FROM reach GROUP BY src)
        |SELECT id, label FROM lbl ORDER BY id""".stripMargin
 
+  /** q295 oracle: the q284 closure restricted to BASE documents
+    * (doc_id % 3 != 0) on both candidate endpoints — exactly the pairs
+    * `minhashPairs(base)` emits, because banding is per-document
+    * deterministic and the hot-bucket cap (1000) binds in neither the
+    * base-only nor the full run at this scale (the same slack q284's
+    * union-equals-full argument already leans on). This is the state
+    * the store committed at generation 1, which the time-travel read
+    * must reproduce byte-exactly AFTER the day-1 increment merged.
+    */
+  private lazy val q295OracleSql: String =
+    s"""WITH RECURSIVE $minhashPrefixCtes,
+       |cand AS (SELECT DISTINCT a.doc_id AS id_a, c.doc_id AS id_b
+       |  FROM banded a
+       |  JOIN ok ON ok.band = a.band AND ok.key = a.key
+       |  JOIN banded c ON a.band = c.band AND a.key = c.key AND a.doc_id < c.doc_id
+       |  WHERE a.doc_id % 3 <> 0 AND c.doc_id % 3 <> 0),
+       |j AS (SELECT id_a, id_b,
+       |    round(CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
+       |      / CAST(len(list_distinct(sa.sh || sb.sh)) AS DOUBLE), 4) AS jaccard
+       |  FROM cand JOIN g sa ON sa.doc_id = cand.id_a JOIN g sb ON sb.doc_id = cand.id_b),
+       |und AS (SELECT id_a AS a, id_b AS b FROM j WHERE jaccard >= 0.8
+       |        UNION SELECT id_b, id_a FROM j WHERE jaccard >= 0.8),
+       |reach(src, dst) AS (
+       |  SELECT a, b FROM und
+       |  UNION
+       |  SELECT r.src, u.b FROM reach r JOIN und u ON r.dst = u.a),
+       |lbl AS (SELECT src AS id, least(src, min(dst)) AS label
+       |        FROM reach GROUP BY src)
+       |SELECT id, label FROM lbl ORDER BY id""".stripMargin
+
   /** q288 oracle: the q284 closure at q115's threshold (0.2) — the
     * streaming cluster store's labels must equal a from-scratch closure
     * over every pair the arrival-order pipeline emits, and the union of
@@ -1130,6 +1160,36 @@ object DedupQueries {
       },
       Some(q284OracleSql)),
 
+    // ---- TIME-TRAVEL read of the cluster store (Dedup
+    // .readClusterStoreAsOf): the q284 lifecycle — build on the base
+    // corpus (generation 1), merge the day-1 increment (generation 2) —
+    // then read the store AS OF generation 1 through its archived
+    // manifest: the pre-increment labels must come back byte-exact even
+    // though the live store has since merged components. Every mutation
+    // archives the manifest it replaces into manifests/<gen>, data
+    // generation dirs are immutable, so the historical read is a
+    // manifest-pointer resolution with zero data copies (the
+    // Iceberg/Delta snapshot-read shape); retention is
+    // vacuumClusterStore(keepGens), PlanSpec-pinned. ----
+    Q("q295_cluster_store_time_travel",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val base = docs.filter(col("doc_id") % 3 =!= 0)
+        val newDocs = docs.filter(col("doc_id") % 3 === 0)
+        val tmp = java.nio.file.Files
+          .createTempDirectory("graft_q295_").toString + "/labels"
+        Dedup.buildClusterStore(
+          Dedup.minhashPairs(base, "doc_id", "text",
+            threshold = 0.8, portableHash = true), tmp)
+        Dedup.mergeIntoClusterStore(
+          Dedup.incrementalMinhashPairs(newDocs, base, "doc_id", "text",
+              threshold = 0.8, portableHash = true)
+            .select(col("new_id").as("id_a"), col("dup_id").as("id_b")),
+          tmp)
+        Dedup.readClusterStoreAsOf(s, tmp, 1L).orderBy(col("id"))
+      },
+      Some(q295OracleSql)),
+
     // ---- STREAMING cluster-store maintenance
     // (StreamingDedup.clusteredSink): q115's arrival-order pipeline with
     // each batch folding its OWN pairs shard into the persisted component
@@ -1333,6 +1393,42 @@ object DedupQueries {
       },
       None,
       oracleGen = Some(q276OracleGen _)),
+
+    // ---- TIME-TRAVEL serve of the IVF-PQ index (serveIvfPq asOfGen):
+    // the q276 lifecycle run to the end — build (gen 1), append (gen 2),
+    // tombstone (gen 3: a delete is a mutation, so it bumps), compact
+    // (gen 4, deletes PHYSICAL) — then served AS OF generation 2 through
+    // the archived catalog and the tombhist fences: the deleted vectors,
+    // physically gone from the live index, must serve again bit-exactly
+    // (their pre-compaction directories stay on disk until
+    // vacuumIvfPqData retires the generation), and appends/deletes after
+    // the snapshot are invisible. The oracle is q275's — the full
+    // pre-delete index — which the LIVE serve (q276) provably no longer
+    // satisfies. Retention + per-generation replay pinned in PlanSpec. ----
+    Q("q296_ivfpq_time_travel",
+      (s, dir) => {
+        val emb = t(s, dir, "embeddings")
+        val base = emb.filter(col("vec_id") % 3 =!= 0)
+          .select(col("vec_id").as("nid"), col("embedding").as("ne"))
+        val inc = emb.filter(col("vec_id") % 3 === 0)
+          .select(col("vec_id").as("nid"), col("embedding").as("ne"))
+        val q = emb.filter(col("vec_id") < 5)
+          .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+        val tmp = java.nio.file.Files
+          .createTempDirectory("graft_ivfpq_tt_").toString
+        Similarity.buildIvfPqIndex(base, tmp)
+        Similarity.appendToIvfPqIndex(inc, tmp)
+        Similarity.tombstoneIvfPq(
+          emb.filter(col("vec_id") % 7 === 0).select(col("vec_id").as("nid")),
+          tmp)
+        Similarity.compactIvfPqIndex(s, tmp)
+        Similarity.serveIvfPq(s, tmp, q, k = 5, nProbe = 4, asOfGen = Some(2L))
+          .select(col("qid"), col("nid"), round(col("adist"), 4).as("adist"),
+            col("rn"))
+          .orderBy(col("qid"), col("rn"))
+      },
+      None,
+      oracleGen = Some(q275OracleGen _)),
 
     // ---- IVF-PQ REBUILD lifecycle (Similarity.rebuildIvfPqIndex): the
     // q275 index (base build + frozen-codebook append) has drifted

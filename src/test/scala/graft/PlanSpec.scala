@@ -543,11 +543,57 @@ class PlanSpec extends SparkSpec {
     // b2 day 2) or dropped (b4) — d1 is unreferenced and reclaimable
     val labelsPre = stored()
     val vacuumed = Dedup.vacuumClusterStore(spark, tmp)
-    assert(vacuumed == Seq("d1") && !new java.io.File(s"$tmp/d1").exists(),
-      s"vacuum must reclaim exactly the unreferenced generations, got $vacuumed")
+    assert(vacuumed == Seq("d1", "manifests/1", "manifests/2") &&
+      !new java.io.File(s"$tmp/d1").exists(),
+      s"keepGens=1 vacuum must reclaim the unreferenced generation AND " +
+        s"retire the archived history, got $vacuumed")
     assert(stored() == labelsPre, "vacuum must not change the live labels")
     assert(Dedup.vacuumClusterStore(spark, tmp).isEmpty,
       "a second vacuum must be a no-op")
+  }
+
+  test("cluster-store time travel: every committed generation reads back " +
+      "byte-exact through its archived manifest, retention bounds the " +
+      "window, and a vacuumed generation fails loudly") {
+    import graft.operators.Dedup
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft_ctt_").toString + "/labels"
+    def stored() = Dedup.readClusterStore(spark, tmp)
+      .as[(Long, Long)].collect().toSet
+    def asOf(g: Long) = Dedup.readClusterStoreAsOf(spark, tmp, g)
+      .as[(Long, Long)].collect().toSet
+    // gen 1: three 2-node components; gen 2: growth + a new component;
+    // gen 3: the bridge merge (the reader-isolation fixture's history)
+    Dedup.buildClusterStore(
+      Seq((1L, 2L), (10L, 11L), (20L, 21L)).toDF("id_a", "id_b"), tmp, nBuckets = 8)
+    val atG1 = stored()
+    Dedup.mergeIntoClusterStore(
+      Seq((2L, 30L), (40L, 41L)).toDF("id_a", "id_b"), tmp, nBuckets = 8)
+    val atG2 = stored()
+    Dedup.mergeIntoClusterStore(
+      Seq((11L, 21L)).toDF("id_a", "id_b"), tmp, nBuckets = 8)
+    val atG3 = stored()
+    assert(Dedup.readStoreManifest(spark, tmp).get.gen == 3L)
+    // every generation resolves to exactly the state it committed
+    assert(asOf(3L) == atG3, "as-of CURRENT must equal the live read")
+    assert(asOf(2L) == atG2, "as-of 2 must reproduce the pre-bridge labels")
+    assert(asOf(1L) == atG1, "as-of 1 must reproduce the built labels")
+    intercept[IllegalArgumentException](asOf(4L)) // the future
+    // keepGens=2 keeps the time-travel window at {2, 3}: manifests/1 is
+    // retired, but every dir manifest 2 references stays alive
+    val v2 = Dedup.vacuumClusterStore(spark, tmp, keepGens = 2)
+    assert(v2 == Seq("manifests/1"),
+      s"keepGens=2 must retire only the oldest manifest here, got $v2")
+    assert(asOf(2L) == atG2, "the retained window must survive the vacuum")
+    intercept[IllegalArgumentException](asOf(1L))
+    assert(stored() == atG3, "vacuum must never move the live read")
+    // keepGens=1 collapses to CURRENT-only: manifests/2 and the now-
+    // unreferenced d1 go; as-of 2 fails loudly; the live read is intact
+    val v1 = Dedup.vacuumClusterStore(spark, tmp)
+    assert(v1.contains("manifests/2") && v1.contains("d1"),
+      s"keepGens=1 must retire the remaining history and its dirs, got $v1")
+    intercept[IllegalArgumentException](asOf(2L))
+    assert(asOf(3L) == atG3 && stored() == atG3)
   }
 
   test("IVF-PQ within-version data GC: a fully-compacted-away append " +
@@ -585,6 +631,58 @@ class PlanSpec extends SparkSpec {
       "vacuum must not change served answers")
     assert(Similarity.vacuumIvfPqData(spark, tmp).isEmpty,
       "a second vacuum must be a no-op")
+  }
+
+  test("IVF-PQ time travel: every lifecycle generation serves back exactly, " +
+      "a compacted-away row still serves as-of its pre-delete snapshot, and " +
+      "retention bounds the window") {
+    import graft.operators.Similarity
+    val emb = Tables(spark, sfDir, "embeddings")
+    val base = emb.filter(col("vec_id") % 3 =!= 0)
+      .select(col("vec_id").as("nid"), col("embedding").as("ne"))
+    val inc = emb.filter(col("vec_id") % 3 === 0)
+      .select(col("vec_id").as("nid"), col("embedding").as("ne"))
+    val queries = emb.filter(col("vec_id") < 3)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+    val tmp = java.nio.file.Files.createTempDirectory("graft_itt_").toString
+    def serveNow() = Similarity.serveIvfPq(spark, tmp, queries, k = 5)
+      .orderBy(col("qid"), col("rn")).collect().toSeq
+    def serveAt(g: Long) = Similarity
+      .serveIvfPq(spark, tmp, queries, k = 5, asOfGen = Some(g))
+      .orderBy(col("qid"), col("rn")).collect().toSeq
+    Similarity.buildIvfPqIndex(base, tmp)                  // gen 1
+    val atG1 = serveNow()
+    Similarity.appendToIvfPqIndex(inc, tmp, appendId = "day1") // gen 2
+    val atG2 = serveNow()
+    Similarity.tombstoneIvfPq(                             // gen 3 (bump)
+      emb.filter(col("vec_id") % 7 === 0).select(col("vec_id").as("nid")), tmp)
+    val atG3 = serveNow()
+    Similarity.compactIvfPqIndex(spark, tmp)               // gen 4
+    val atG4 = serveNow()
+    assert(atG4 == atG3, "compaction must not change served answers")
+    assert(atG2 != atG3, "the fixture's delete must actually move the top-k")
+    // every generation replays bit-exactly — including g2, whose deleted
+    // rows are PHYSICALLY gone from the live index but still on disk in
+    // the directories catalog 2 references
+    assert(serveAt(4L) == atG4 && serveAt(3L) == atG3 &&
+      serveAt(2L) == atG2 && serveAt(1L) == atG1,
+      "each archived generation must serve exactly its committed state")
+    intercept[IllegalArgumentException](serveAt(9L)) // the future
+    // keepGens=2 keeps the {3, 4} window: catalogs 1-2 retire, the g4
+    // tombstone archive survives (as-of 3 still needs the fences)
+    val v2 = Similarity.vacuumIvfPqData(spark, tmp, keepGens = 2)
+    assert(v2.contains("catalogs/1") && v2.contains("catalogs/2") &&
+      !v2.exists(_.startsWith("tombhist/")),
+      s"keepGens=2 must retire catalogs 1-2 and keep the archive, got $v2")
+    assert(serveAt(3L) == atG3, "the retained window must survive the vacuum")
+    intercept[IllegalArgumentException](serveAt(2L))
+    // keepGens=1 collapses to the live state only
+    val v1 = Similarity.vacuumIvfPqData(spark, tmp)
+    assert(v1.contains("catalogs/3") && v1.contains("tombhist/g4"),
+      s"keepGens=1 must retire the rest of the history, got $v1")
+    intercept[IllegalArgumentException](serveAt(3L))
+    assert(serveNow() == atG4 && serveAt(4L) == atG4,
+      "the live state must be untouched by retention")
   }
 
   test("q50 minhash: single pair-generating exchange above the cached base") {
