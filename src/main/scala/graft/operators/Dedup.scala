@@ -592,21 +592,76 @@ object Dedup {
     * a join over only the buckets whose entries differ.
     */
   def readClusterStoreAsOf(spark: org.apache.spark.sql.SparkSession,
-                           path: String, gen: Long): DataFrame = {
+                           path: String, gen: Long): DataFrame =
+    readStoreRaw(spark, path, manifestAt(spark, path, gen))
+      .select(col("id"), col("label"))
+
+  /** Resolve the manifest of one committed generation: the live CURRENT
+    * when `gen` is the current generation, the `manifests/<gen>` archive
+    * otherwise; loud on the future and on vacuumed history.
+    */
+  private def manifestAt(spark: org.apache.spark.sql.SparkSession,
+                         path: String, gen: Long): StoreManifest = {
     val cur = readStoreManifest(spark, path).getOrElse(
       throw new IllegalArgumentException(s"not a manifested cluster store: $path"))
-    val m =
-      if (gen == cur.gen) cur
-      else {
-        require(gen < cur.gen,
-          s"generation $gen of $path is in the future (current is ${cur.gen})")
-        parseStoreManifest(s"$path@$gen",
-          Snapshot.readLines(spark, s"$path/manifests/$gen").getOrElse(
-            throw new IllegalArgumentException(
-              s"generation $gen of $path is not retained — vacuumed, or " +
-                "the store predates manifest history")))
-      }
-    readStoreRaw(spark, path, m).select(col("id"), col("label"))
+    if (gen == cur.gen) cur
+    else {
+      require(gen < cur.gen,
+        s"generation $gen of $path is in the future (current is ${cur.gen})")
+      parseStoreManifest(s"$path@$gen",
+        Snapshot.readLines(spark, s"$path/manifests/$gen").getOrElse(
+          throw new IllegalArgumentException(
+            s"generation $gen of $path is not retained — vacuumed, or " +
+              "the store predates manifest history")))
+    }
+  }
+
+  /** AUDIT diff of two committed generations — `(id, label_a, label_b,
+    * change)` with `change` ∈ `added` (only in `genB`) | `removed` (only
+    * in `genA`) | `moved` (label changed) — resolved entirely through the
+    * manifests, MANIFEST-PRUNED: generation data directories are
+    * immutable once committed, so a bucket whose `(bucket → directory)`
+    * entry is identical in both snapshots is byte-identical and provably
+    * contributes nothing; only entry-DIFFERING buckets are read, each
+    * side from its own directory. The pruning is complete, not
+    * approximate: a row's bucket is a pure function of its label
+    * ([[mergeIntoClusterStore]]'s `pmod(label, nBuckets)`), so a relabel
+    * changes the contents of both the moved-from and moved-to buckets,
+    * an insert changes its label's bucket, and every content change
+    * routes that bucket through a fresh generation directory at commit —
+    * a changed row can never hide in an entry-equal bucket. Cost at
+    * 100 TB: two manifest reads plus one full-outer join over ONLY the
+    * touched buckets — zero data read when the snapshots are equal, and
+    * an audit of "what did yesterday's merges move" never rescans the
+    * corpus-sized stable majority. Rows read from a changed bucket whose
+    * labels agree (carried along by the bucket rewrite) drop out in the
+    * final filter.
+    */
+  def diffClusterStore(spark: org.apache.spark.sql.SparkSession,
+                       path: String, genA: Long, genB: Long): DataFrame = {
+    val (ma, mb) = (manifestAt(spark, path, genA), manifestAt(spark, path, genB))
+    val (ea, eb) = (ma.entries.toMap, mb.entries.toMap)
+    val changed = (ea.keySet ++ eb.keySet).filter(b => ea.get(b) != eb.get(b))
+    // explicit bucket-directory reads, not a generation-dir scan with a
+    // partition filter: the diff's file LISTING is proportional to the
+    // changed buckets, so the stable majority costs zero metadata ops too
+    def side(m: StoreManifest): DataFrame = {
+      val es = m.entries.filter(e => changed.contains(e._1))
+      if (es.isEmpty) spark.range(0).select(col("id"), col("id").as("label"))
+      else es.groupBy(_._2).toSeq.sortBy(_._1).map { case (dir, bs) =>
+        spark.read.option("basePath", s"$path/$dir")
+          .parquet(bs.map(b => s"$path/$dir/bucket=${b._1}"): _*)
+      }.reduce(_.unionByName(_)).select(col("id"), col("label"))
+    }
+    side(ma).select(col("id"), col("label").as("label_a"))
+      .join(side(mb).select(col("id"), col("label").as("label_b")),
+        Seq("id"), "full_outer")
+      .filter(col("label_a").isNull || col("label_b").isNull ||
+        col("label_a") =!= col("label_b"))
+      .withColumn("change",
+        when(col("label_a").isNull, lit("added"))
+          .when(col("label_b").isNull, lit("removed"))
+          .otherwise(lit("moved")))
   }
 
   /** One-time crash-safe migration of a pre-manifest flat store into the

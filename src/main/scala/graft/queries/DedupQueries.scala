@@ -259,6 +259,58 @@ object DedupQueries {
        |        FROM reach GROUP BY src)
        |SELECT id, label FROM lbl ORDER BY id""".stripMargin
 
+  /** q297 oracle: both closures side by side — the base-only labels
+    * (q295's tail, generation 1) full-outer-joined to the full-corpus
+    * labels (q284's tail, generation 2) — keeping exactly the rows whose
+    * membership or label changed. The store never drops ids, so the
+    * `removed` branch is provably empty here (the full pair set contains
+    * the base pair set under the shared hot-bucket-cap slack), but the
+    * CASE keeps the operator's full contract in the hash.
+    */
+  private lazy val q297OracleSql: String =
+    s"""WITH RECURSIVE $minhashPrefixCtes,
+       |candb AS (SELECT DISTINCT a.doc_id AS id_a, c.doc_id AS id_b
+       |  FROM banded a
+       |  JOIN ok ON ok.band = a.band AND ok.key = a.key
+       |  JOIN banded c ON a.band = c.band AND a.key = c.key AND a.doc_id < c.doc_id
+       |  WHERE a.doc_id % 3 <> 0 AND c.doc_id % 3 <> 0),
+       |jb AS (SELECT id_a, id_b,
+       |    round(CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
+       |      / CAST(len(list_distinct(sa.sh || sb.sh)) AS DOUBLE), 4) AS jaccard
+       |  FROM candb JOIN g sa ON sa.doc_id = candb.id_a JOIN g sb ON sb.doc_id = candb.id_b),
+       |undb AS (SELECT id_a AS a, id_b AS b FROM jb WHERE jaccard >= 0.8
+       |         UNION SELECT id_b, id_a FROM jb WHERE jaccard >= 0.8),
+       |reachb(src, dst) AS (
+       |  SELECT a, b FROM undb
+       |  UNION
+       |  SELECT r.src, u.b FROM reachb r JOIN undb u ON r.dst = u.a),
+       |blb AS (SELECT src AS id, least(src, min(dst)) AS label
+       |        FROM reachb GROUP BY src),
+       |cand AS (SELECT DISTINCT a.doc_id AS id_a, c.doc_id AS id_b
+       |  FROM banded a
+       |  JOIN ok ON ok.band = a.band AND ok.key = a.key
+       |  JOIN banded c ON a.band = c.band AND a.key = c.key AND a.doc_id < c.doc_id),
+       |j AS (SELECT id_a, id_b,
+       |    round(CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
+       |      / CAST(len(list_distinct(sa.sh || sb.sh)) AS DOUBLE), 4) AS jaccard
+       |  FROM cand JOIN g sa ON sa.doc_id = cand.id_a JOIN g sb ON sb.doc_id = cand.id_b),
+       |und AS (SELECT id_a AS a, id_b AS b FROM j WHERE jaccard >= 0.8
+       |        UNION SELECT id_b, id_a FROM j WHERE jaccard >= 0.8),
+       |reach(src, dst) AS (
+       |  SELECT a, b FROM und
+       |  UNION
+       |  SELECT r.src, u.b FROM reach r JOIN und u ON r.dst = u.a),
+       |flb AS (SELECT src AS id, least(src, min(dst)) AS label
+       |        FROM reach GROUP BY src)
+       |SELECT coalesce(b.id, f.id) AS id, b.label AS label_a,
+       |  f.label AS label_b,
+       |  CASE WHEN b.id IS NULL THEN 'added'
+       |       WHEN f.id IS NULL THEN 'removed'
+       |       ELSE 'moved' END AS change
+       |FROM blb b FULL OUTER JOIN flb f ON b.id = f.id
+       |WHERE b.id IS NULL OR f.id IS NULL OR b.label <> f.label
+       |ORDER BY id""".stripMargin
+
   /** q288 oracle: the q284 closure at q115's threshold (0.2) — the
     * streaming cluster store's labels must equal a from-scratch closure
     * over every pair the arrival-order pipeline emits, and the union of
@@ -1189,6 +1241,35 @@ object DedupQueries {
         Dedup.readClusterStoreAsOf(s, tmp, 1L).orderBy(col("id"))
       },
       Some(q295OracleSql)),
+
+    // ---- MANIFEST-PRUNED generation diff (Dedup.diffClusterStore): the
+    // q295 lifecycle's two snapshots audited against each other — which
+    // ids the day-1 merge added and which components it moved — reading
+    // ONLY the buckets whose manifest entries differ between the two
+    // generations (immutable generation dirs make entry-equal buckets
+    // provably byte-identical, and bucket = pmod(label, n) routes every
+    // changed row through an entry-differing bucket, so the pruning is
+    // complete). The oracle computes both closures from scratch and
+    // full-outer-diffs them — the hash proves the pruned two-manifest
+    // read equals the full recompute diff. ----
+    Q("q297_cluster_store_diff",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val base = docs.filter(col("doc_id") % 3 =!= 0)
+        val newDocs = docs.filter(col("doc_id") % 3 === 0)
+        val tmp = java.nio.file.Files
+          .createTempDirectory("graft_q297_").toString + "/labels"
+        Dedup.buildClusterStore(
+          Dedup.minhashPairs(base, "doc_id", "text",
+            threshold = 0.8, portableHash = true), tmp)
+        Dedup.mergeIntoClusterStore(
+          Dedup.incrementalMinhashPairs(newDocs, base, "doc_id", "text",
+              threshold = 0.8, portableHash = true)
+            .select(col("new_id").as("id_a"), col("dup_id").as("id_b")),
+          tmp)
+        Dedup.diffClusterStore(s, tmp, 1L, 2L).orderBy(col("id"))
+      },
+      Some(q297OracleSql)),
 
     // ---- STREAMING cluster-store maintenance
     // (StreamingDedup.clusteredSink): q115's arrival-order pipeline with

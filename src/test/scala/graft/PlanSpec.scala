@@ -596,6 +596,64 @@ class PlanSpec extends SparkSpec {
     assert(asOf(3L) == atG3 && stored() == atG3)
   }
 
+  test("cluster-store generation diff: added/moved/removed exact in both " +
+      "directions, self-diff empty, and the scan touches ONLY buckets " +
+      "whose manifest entries differ") {
+    import graft.operators.Dedup
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft_cdiff_").toString + "/labels"
+    def diff(a: Long, b: Long) = Dedup.diffClusterStore(spark, tmp, a, b)
+    def rows(a: Long, b: Long) = diff(a, b)
+      .as[(Long, Option[Long], Option[Long], String)].collect().toSet
+    // the time-travel fixture's history: gen 1 three 2-node components,
+    // gen 2 growth + a new component, gen 3 the bridge merge
+    Dedup.buildClusterStore(
+      Seq((1L, 2L), (10L, 11L), (20L, 21L)).toDF("id_a", "id_b"), tmp, nBuckets = 8)
+    Dedup.mergeIntoClusterStore(
+      Seq((2L, 30L), (40L, 41L)).toDF("id_a", "id_b"), tmp, nBuckets = 8)
+    Dedup.mergeIntoClusterStore(
+      Seq((11L, 21L)).toDF("id_a", "id_b"), tmp, nBuckets = 8)
+    assert(rows(2L, 3L) == Set(
+      (20L, Some(20L), Some(10L), "moved"),
+      (21L, Some(20L), Some(10L), "moved")),
+      "the bridge merge must read back as exactly its two relabels")
+    assert(rows(1L, 2L) == Set(
+      (30L, None, Some(1L), "added"),
+      (40L, None, Some(40L), "added"),
+      (41L, None, Some(40L), "added")),
+      "the growth merge must read back as exactly its three inserts")
+    assert(rows(1L, 3L) == Set(
+      (30L, None, Some(1L), "added"),
+      (40L, None, Some(40L), "added"),
+      (41L, None, Some(40L), "added"),
+      (20L, Some(20L), Some(10L), "moved"),
+      (21L, Some(20L), Some(10L), "moved")),
+      "a multi-generation diff must compose both mutations")
+    // the diff is directional: swapping the roles flips added <-> removed
+    assert(rows(3L, 1L) == Set(
+      (30L, Some(1L), None, "removed"),
+      (40L, Some(40L), None, "removed"),
+      (41L, Some(40L), None, "removed"),
+      (20L, Some(10L), Some(20L), "moved"),
+      (21L, Some(10L), Some(20L), "moved")),
+      "the reverse diff must flip added to removed and swap labels")
+    assert(diff(3L, 3L).isEmpty && diff(1L, 1L).isEmpty,
+      "a self-diff must be empty")
+    // the manifest-pruning pin: gens 2 and 3 differ only in the buckets
+    // of labels 20 (moved-from, emptied) and 10 (moved-to) — every file
+    // the diff plan reads must live under those two bucket partitions
+    val scanned = diff(2L, 3L).inputFiles.toSeq
+    assert(scanned.nonEmpty &&
+      scanned.forall(f => f.contains("/bucket=2/") || f.contains("/bucket=4/")),
+      s"diff must scan only entry-differing buckets, scanned: $scanned")
+    // reverse-diff of the two merges plants a removed row in a bucket one
+    // side lacks entirely — the one-sided-empty read path
+    assert(rows(2L, 1L) == Set(
+      (30L, Some(1L), None, "removed"),
+      (40L, Some(40L), None, "removed"),
+      (41L, Some(40L), None, "removed")))
+  }
+
   test("IVF-PQ within-version data GC: a fully-compacted-away append " +
       "directory is reclaimed; partially-live directories survive") {
     import graft.operators.Similarity
