@@ -39,7 +39,8 @@ object Bench {
     // r14: the rebuild/serve and incremental-cluster-store lifecycle wings
     // (judge ask, VERDICT r13 item 7), plus the multi-level Louvain
     "q281_ivfpq_rebuild", "q284_cluster_store_incremental",
-    "q289_communities_louvain",
+    "q289_communities_louvain", "q296_ivfpq_time_travel",
+    "q297_cluster_store_diff", "q298_agg_store_incremental",
   )
 
   def main(args: Array[String]): Unit = {

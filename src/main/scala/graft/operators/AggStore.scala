@@ -1,0 +1,199 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** INCREMENTAL AGGREGATE STORE — exact per-key `(count, sum)` state
+  * maintained as a lakehouse table, the incremental-view-maintenance
+  * member of the increment discipline (pairs: q112; ANN: q275; cluster
+  * store: q284): a corpus-wide statistic (tokens per domain, rows per
+  * customer, bytes per source) that a 100 TB pipeline re-derives daily
+  * should pay the DAY's scan, not the corpus's. Counts and sums form a
+  * commutative monoid over exact integers, so folding increments in any
+  * order equals the full recompute bit-for-bit (q298 hash-proves it) —
+  * no merge-order caveats, no floating-point drift (the house
+  * integer-exact convention; `sum` overflow at ~9.2e18 is the caller's
+  * unit choice, same as every long-summing aggregate here).
+  *
+  * Layout and snapshot semantics are the shared [[GenStore]] machinery:
+  * immutable `path/d<G>/bucket=N/` data directories holding rows
+  * `(key, cnt, total)` with `bucket = pmod(xxhash64(key), nBuckets)` —
+  * partitioned by the KEY's hash, because maintenance rewrites rows by
+  * which KEY changed — plus the one-file `CURRENT` manifest committed by
+  * write-tmp + atomic rename. A merge aggregates the increment, collects
+  * its ≤ nBuckets touched bucket ids, rewrites ONLY those buckets
+  * (carrying their untouched keys along) into a fresh generation
+  * directory, and remaps them in the manifest swap — untouched buckets
+  * are never read, never listed, never rewritten; a reader holding the
+  * previous manifest keeps scanning byte-identical files; and a crash
+  * anywhere before the swap leaves the store bit-identical. Time travel
+  * ([[readAggStoreAsOf]]), retention ([[vacuumAggStore]]), and the
+  * manifest-pruned audit diff ([[diffAggStore]]) come from [[GenStore]]
+  * unchanged. The bucket is a pure function of the key, so the diff's
+  * pruning is complete (the [[GenStore.diff]] soundness requirement).
+  *
+  * EXACTLY-ONCE for streaming writers: unlike the cluster store's
+  * quotient merge, an aggregate increment is NOT idempotent — replaying
+  * a batch double-counts — so the manifest carries an applied-id LEDGER
+  * (the [[Similarity]] codes-catalog discipline): a merge called with an
+  * `appliedId` already in the ledger is a detected no-op, and the ledger
+  * entry commits atomically WITH the merged state in the same manifest
+  * rename, so there is no window where the state landed but the ledger
+  * missed it. `StreamingAggStore.aggStoreSink` keys the id by the
+  * microbatch id.
+  *
+  * Ref: the reference accumulates run-level aggregate summaries as it
+  * processes each batch of articles (airflow/dags/zara_hybrid_etl.py:
+  * 259-287, save_final_outputs); re-expressed as a maintained snapshot
+  * store rather than a driver-side summary dict.
+  */
+object AggStore {
+
+  private def bucketOf(nBuckets: Int) =
+    pmod(xxhash64(col("key")), lit(nBuckets.toLong))
+
+  private def aggregated(rows: DataFrame, keyCol: String,
+                         valCol: String): DataFrame =
+    rows.select(col(keyCol).as("key"), col(valCol).cast("long").as("__v"))
+      .groupBy(col("key"))
+      .agg(count(lit(1)).as("cnt"), sum(col("__v")).as("total"))
+
+  /** Build (or fully rebuild) the store from scratch. On an existing
+    * store this is a mutation like any other: it lands in a fresh
+    * generation directory and commits via the manifest swap (the
+    * [[Dedup.buildClusterStore]] reader-isolation argument). `appliedId`
+    * stamps the ledger when a streaming writer's FIRST batch creates the
+    * store, so its replay is detected by the merge path.
+    */
+  def buildAggStore(rows: DataFrame, path: String, keyCol: String,
+                    valCol: String, nBuckets: Int = 16,
+                    appliedId: Option[String] = None): Unit = {
+    require(nBuckets >= 1, s"nBuckets must be positive, got $nBuckets")
+    val spark = rows.sparkSession
+    val prev = GenStore.read(spark, path)
+    val gen = prev.map(_.gen + 1).getOrElse(1L)
+    val dir = s"d$gen"
+    aggregated(rows, keyCol, valCol)
+      .withColumn("bucket", bucketOf(nBuckets))
+      .write.partitionBy("bucket").mode("overwrite").parquet(s"$path/$dir")
+    require(Snapshot.dirExists(spark, s"$path/$dir"),
+      s"build staging $dir vanished before commit — a concurrent vacuum " +
+        "ran during the build (one maintenance writer at a time)")
+    GenStore.write(spark, path, GenStore.Manifest(gen, nBuckets,
+      prev.map(_.applied).getOrElse(Seq.empty) ++ appliedId.toSeq,
+      Snapshot.listKvDirs(spark, s"$path/$dir", "bucket").map((_, dir))))
+  }
+
+  /** Merge an increment: per-key counts/sums ADD (exact integer monoid,
+    * so increment-merge == full recompute in any order). Only the
+    * buckets holding incremented keys are read and rewritten — their
+    * untouched keys carry along — into a fresh `d<gen+1>` directory,
+    * committed by the manifest swap. Work ∝ the increment plus the rows
+    * of the buckets it touches, never the store.
+    *
+    * `appliedId` is the exactly-once handle for replaying callers
+    * (streaming microbatches, retried orchestrator tasks): an id already
+    * in the manifest's ledger returns as a detected no-op without
+    * touching a file; otherwise the id commits atomically with the
+    * merged state. Crash replay is safe in both halves: a retry after a
+    * lost commit rewrites the SAME `d<gen+1>` staging directory in
+    * overwrite mode (the manifest still names gen, so the name and the
+    * content — derived from the committed state plus the same increment
+    * — are identical) and commits once. Keys never leave the store and
+    * counts only grow; retractions are not a merge (model deletes as a
+    * rebuild, the q281 rebuild-cadence argument).
+    */
+  def mergeIntoAggStore(increment: DataFrame, path: String, keyCol: String,
+                        valCol: String,
+                        appliedId: Option[String] = None): Unit = {
+    val spark = increment.sparkSession
+    val manifest = GenStore.read(spark, path).getOrElse(
+      throw new IllegalArgumentException(s"not an aggregate store: $path"))
+    if (appliedId.exists(manifest.applied.contains)) return // replay: no-op
+    val nBuckets = manifest.nBuckets
+    val delta = aggregated(increment, keyCol, valCol)
+      .withColumn("bucket", bucketOf(nBuckets))
+      .localCheckpoint(true) // bounded: the increment's distinct keys
+    try {
+      // the touched PARTITION set is what collects — ≤ nBuckets longs
+      val touched = delta.select(col("bucket")).distinct()
+        .collect().map(_.getLong(0))
+      if (touched.isEmpty) return // empty increment: nothing to commit
+      val existing = manifest.entries.filter(e => touched.contains(e._1))
+      val cur =
+        if (existing.isEmpty) // every touched bucket is brand new
+          delta.select(col("key"), col("cnt"), col("total")).limit(0)
+        else GenStore.readBucketDirs(spark, path, existing)
+          .select(col("key"), col("cnt"), col("total"))
+      val dir = s"d${manifest.gen + 1}"
+      cur.join(delta
+          .select(col("key"), col("cnt").as("dcnt"), col("total").as("dtotal")),
+          Seq("key"), "full_outer")
+        .select(col("key"),
+          (coalesce(col("cnt"), lit(0L)) + coalesce(col("dcnt"), lit(0L)))
+            .as("cnt"),
+          (coalesce(col("total"), lit(0L)) + coalesce(col("dtotal"), lit(0L)))
+            .as("total"))
+        .withColumn("bucket", bucketOf(nBuckets))
+        .write.mode("overwrite").partitionBy("bucket").parquet(s"$path/$dir")
+      require(Snapshot.dirExists(spark, s"$path/$dir"),
+        s"merge staging $dir vanished before commit — a concurrent vacuum " +
+          "ran during the merge (one maintenance writer at a time)")
+      // the COMMIT: untouched buckets keep their entries, touched buckets
+      // remap to the new generation, the applied id lands atomically with
+      // them (no state-without-ledger window)
+      GenStore.write(spark, path,
+        GenStore.Manifest(manifest.gen + 1, nBuckets,
+          manifest.applied ++ appliedId.toSeq,
+          manifest.entries.filterNot(e => touched.contains(e._1)) ++
+            Snapshot.listKvDirs(spark, s"$path/$dir", "bucket").map((_, dir))))
+    } finally delta.queryExecution.analyzed match {
+      case lr: org.apache.spark.sql.execution.LogicalRDD =>
+        lr.rdd.unpersist(blocking = false)
+      case _ =>
+    }
+  }
+
+  /** Is there a committed store at `path`? (The streaming sink's
+    * first-batch build-vs-merge probe.)
+    */
+  def aggStoreExists(spark: org.apache.spark.sql.SparkSession,
+                     path: String): Boolean =
+    GenStore.read(spark, path).isDefined
+
+  /** The stored per-key state, `(key, cnt, total)`. */
+  def readAggStore(spark: org.apache.spark.sql.SparkSession,
+                   path: String): DataFrame =
+    GenStore.readRaw(spark, path,
+        GenStore.read(spark, path).getOrElse(
+          throw new IllegalArgumentException(s"not an aggregate store: $path")))
+      .select(col("key"), col("cnt"), col("total"))
+
+  /** TIME-TRAVEL read: the state exactly as generation `gen` committed
+    * it, through the archived manifest ([[GenStore.at]]); loud past the
+    * retention window.
+    */
+  def readAggStoreAsOf(spark: org.apache.spark.sql.SparkSession,
+                       path: String, gen: Long): DataFrame =
+    GenStore.readRaw(spark, path, GenStore.at(spark, path, gen))
+      .select(col("key"), col("cnt"), col("total"))
+
+  /** Manifest-pruned audit diff of two committed generations:
+    * `(key, cnt_a, total_a, cnt_b, total_b, change)` with `change` ∈
+    * `added` | `removed` | `changed` — reads only the buckets whose
+    * manifest entries differ ([[GenStore.diff]]); at 100 TB, "what did
+    * yesterday's loads change" costs the changed buckets, not the store.
+    */
+  def diffAggStore(spark: org.apache.spark.sql.SparkSession,
+                   path: String, genA: Long, genB: Long): DataFrame =
+    GenStore.diff(spark, path, genA, genB, "key", Seq("cnt", "total"),
+      "changed")
+
+  /** Retention GC ([[GenStore.vacuum]]): keep CURRENT plus the newest
+    * `keepGens − 1` snapshots, reclaim unreferenced generation dirs and
+    * retired manifests. Same contract as [[Dedup.vacuumClusterStore]].
+    */
+  def vacuumAggStore(spark: org.apache.spark.sql.SparkSession,
+                     path: String, keepGens: Int = 1): Seq[String] =
+    GenStore.vacuum(spark, path, keepGens)
+}

@@ -477,88 +477,24 @@ object Dedup {
     require(Snapshot.dirExists(spark, s"$path/$dir"),
       s"build staging $dir vanished before commit — a concurrent vacuum " +
         "ran during the build (one maintenance writer at a time)")
-    writeStoreManifest(spark, path, StoreManifest(gen, nBuckets,
+    GenStore.write(spark, path, GenStore.Manifest(gen, nBuckets, Seq.empty,
       listBucketDirs(spark, s"$path/$dir").map((_, dir))))
   }
 
   /** The live manifest of a cluster store: generation counter, bucket
     * count, and the `bucket → data directory` map. One text file
-    * (`CURRENT`), swapped atomically — the same one-file-commit
-    * primitive as the IVF-PQ codes catalog.
+    * (`CURRENT`), swapped atomically — the snapshot-store machinery is
+    * the shared [[GenStore]] (manifest history, time travel, retention
+    * vacuum, manifest-pruned diff), the same one-file-commit primitive
+    * as the IVF-PQ codes catalog.
     */
-  private[graft] case class StoreManifest(gen: Long, nBuckets: Int,
-                                          entries: Seq[(Long, String)])
+  private[graft] def readStoreManifest(spark: org.apache.spark.sql.SparkSession,
+                                       path: String): Option[GenStore.Manifest] =
+    GenStore.read(spark, path)
 
   private def listBucketDirs(spark: org.apache.spark.sql.SparkSession,
                              dir: String): Seq[Long] =
     Snapshot.listKvDirs(spark, dir, "bucket")
-
-  private def parseStoreManifest(where: String,
-                                 lines: List[String]): StoreManifest = {
-    require(lines.length >= 2 && lines.head.startsWith("gen=") &&
-      lines(1).startsWith("buckets="),
-      s"corrupt cluster-store manifest at $where")
-    val entries = lines.drop(2).filter(_.nonEmpty).map { l =>
-      val t = l.split("\t", 2)
-      (t(0).toLong, t(1))
-    }
-    StoreManifest(lines.head.stripPrefix("gen=").toLong,
-      lines(1).stripPrefix("buckets=").toInt, entries)
-  }
-
-  private def renderStoreManifest(m: StoreManifest): Seq[String] =
-    Seq(s"gen=${m.gen}", s"buckets=${m.nBuckets}") ++
-      m.entries.sortBy(_._1).map { case (b, d) => s"$b\t$d" }
-
-  private[graft] def readStoreManifest(spark: org.apache.spark.sql.SparkSession,
-                                       path: String): Option[StoreManifest] =
-    Snapshot.readLines(spark, s"$path/CURRENT")
-      .map(parseStoreManifest(path, _))
-
-  /** Commit a new manifest — and BACKFILL the one being replaced into
-    * the `manifests/<gen>` history first, so every committed generation
-    * stays resolvable for time-travel reads ([[readClusterStoreAsOf]])
-    * until [[vacuumClusterStore]] retires it. Only the OLD (committed)
-    * manifest is ever copied — the new one exists solely as `CURRENT`
-    * until the NEXT mutation archives it — so a crash anywhere in here
-    * can never mint a history snapshot of a mutation that did not
-    * commit, and the backfill is idempotent (same bytes, derived from
-    * the committed file) so a retried mutation heals a half-done one.
-    */
-  private def writeStoreManifest(spark: org.apache.spark.sql.SparkSession,
-                                 path: String, m: StoreManifest): Unit = {
-    readStoreManifest(spark, path).foreach { prev =>
-      val hist = s"$path/manifests/${prev.gen}"
-      if (!Snapshot.dirExists(spark, hist))
-        Snapshot.writeLines(spark, hist, renderStoreManifest(prev))
-    }
-    Snapshot.writeLines(spark, s"$path/CURRENT", renderStoreManifest(m))
-  }
-
-  /** The numeric history manifests under `path/manifests`, sorted. */
-  private def listHistoryGens(spark: org.apache.spark.sql.SparkSession,
-                              path: String): Seq[Long] = {
-    val p = new org.apache.hadoop.fs.Path(s"$path/manifests")
-    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
-    if (!fs.exists(p)) Seq.empty
-    else fs.listStatus(p).filter(_.isFile).map(_.getPath.getName)
-      .filter(_.matches("\\d+")).map(_.toLong).toSeq.sorted
-  }
-
-  /** The live store rows `(id, label, bucket)`, resolved through the
-    * manifest: each generation directory is read restricted to the
-    * buckets still mapped to it (a superseded generation physically
-    * retains its old bucket dirs for in-flight readers — an unmapped
-    * read would resurrect them).
-    */
-  private def readStoreRaw(spark: org.apache.spark.sql.SparkSession,
-                           path: String, m: StoreManifest): DataFrame = {
-    require(m.entries.nonEmpty, s"cluster store at $path has no buckets")
-    m.entries.groupBy(_._2).toSeq.sortBy(_._1).map { case (dir, es) =>
-      spark.read.option("basePath", s"$path/$dir").parquet(s"$path/$dir")
-        .where(col("bucket").isin(es.map(_._1).map(Long.box): _*))
-    }.reduce(_.unionByName(_))
-  }
 
   /** The stored component labels, `(id, label)`. The manifest-less
     * fallback reads the legacy flat layout via the EXPLICIT bucket-dir
@@ -569,7 +505,8 @@ object Dedup {
   def readClusterStore(spark: org.apache.spark.sql.SparkSession,
                        path: String): DataFrame =
     readStoreManifest(spark, path) match {
-      case Some(m) => readStoreRaw(spark, path, m).select(col("id"), col("label"))
+      case Some(m) =>
+        GenStore.readRaw(spark, path, m).select(col("id"), col("label"))
       case None =>
         val bks = listBucketDirs(spark, path)
         require(bks.nonEmpty, s"not a cluster store: $path")
@@ -580,7 +517,7 @@ object Dedup {
 
   /** TIME-TRAVEL read: the store's labels exactly as generation `gen`
     * committed them. Every mutation archives the manifest it replaces
-    * into `manifests/<gen>` ([[writeStoreManifest]]) and generation
+    * into `manifests/<gen>` ([[GenStore.write]]) and generation
     * data directories are immutable once committed, so resolving the
     * historical manifest reproduces the old snapshot byte-for-byte —
     * the Iceberg/Delta snapshot-read shape, manifest-pointer-only, zero
@@ -593,28 +530,8 @@ object Dedup {
     */
   def readClusterStoreAsOf(spark: org.apache.spark.sql.SparkSession,
                            path: String, gen: Long): DataFrame =
-    readStoreRaw(spark, path, manifestAt(spark, path, gen))
+    GenStore.readRaw(spark, path, GenStore.at(spark, path, gen))
       .select(col("id"), col("label"))
-
-  /** Resolve the manifest of one committed generation: the live CURRENT
-    * when `gen` is the current generation, the `manifests/<gen>` archive
-    * otherwise; loud on the future and on vacuumed history.
-    */
-  private def manifestAt(spark: org.apache.spark.sql.SparkSession,
-                         path: String, gen: Long): StoreManifest = {
-    val cur = readStoreManifest(spark, path).getOrElse(
-      throw new IllegalArgumentException(s"not a manifested cluster store: $path"))
-    if (gen == cur.gen) cur
-    else {
-      require(gen < cur.gen,
-        s"generation $gen of $path is in the future (current is ${cur.gen})")
-      parseStoreManifest(s"$path@$gen",
-        Snapshot.readLines(spark, s"$path/manifests/$gen").getOrElse(
-          throw new IllegalArgumentException(
-            s"generation $gen of $path is not retained — vacuumed, or " +
-              "the store predates manifest history")))
-    }
-  }
 
   /** AUDIT diff of two committed generations — `(id, label_a, label_b,
     * change)` with `change` ∈ `added` (only in `genB`) | `removed` (only
@@ -638,31 +555,8 @@ object Dedup {
     * final filter.
     */
   def diffClusterStore(spark: org.apache.spark.sql.SparkSession,
-                       path: String, genA: Long, genB: Long): DataFrame = {
-    val (ma, mb) = (manifestAt(spark, path, genA), manifestAt(spark, path, genB))
-    val (ea, eb) = (ma.entries.toMap, mb.entries.toMap)
-    val changed = (ea.keySet ++ eb.keySet).filter(b => ea.get(b) != eb.get(b))
-    // explicit bucket-directory reads, not a generation-dir scan with a
-    // partition filter: the diff's file LISTING is proportional to the
-    // changed buckets, so the stable majority costs zero metadata ops too
-    def side(m: StoreManifest): DataFrame = {
-      val es = m.entries.filter(e => changed.contains(e._1))
-      if (es.isEmpty) spark.range(0).select(col("id"), col("id").as("label"))
-      else es.groupBy(_._2).toSeq.sortBy(_._1).map { case (dir, bs) =>
-        spark.read.option("basePath", s"$path/$dir")
-          .parquet(bs.map(b => s"$path/$dir/bucket=${b._1}"): _*)
-      }.reduce(_.unionByName(_)).select(col("id"), col("label"))
-    }
-    side(ma).select(col("id"), col("label").as("label_a"))
-      .join(side(mb).select(col("id"), col("label").as("label_b")),
-        Seq("id"), "full_outer")
-      .filter(col("label_a").isNull || col("label_b").isNull ||
-        col("label_a") =!= col("label_b"))
-      .withColumn("change",
-        when(col("label_a").isNull, lit("added"))
-          .when(col("label_b").isNull, lit("removed"))
-          .otherwise(lit("moved")))
-  }
+                       path: String, genA: Long, genB: Long): DataFrame =
+    GenStore.diff(spark, path, genA, genB, "id", Seq("label"), "moved")
 
   /** One-time crash-safe migration of a pre-manifest flat store into the
     * generation layout: land the rows as `d1` (skipped when a prior
@@ -694,7 +588,7 @@ object Dedup {
       try snap.write.partitionBy("bucket").mode("overwrite").parquet(d1)
       finally freeLocalCheckpoint(snap)
     }
-    writeStoreManifest(spark, path, StoreManifest(1L, nBuckets,
+    GenStore.write(spark, path, GenStore.Manifest(1L, nBuckets, Seq.empty,
       listBucketDirs(spark, d1).map((_, "d1"))))
   }
 
@@ -748,7 +642,7 @@ object Dedup {
     require(manifest.nBuckets == nBuckets,
       s"cluster store at $path was built with ${manifest.nBuckets} buckets, " +
         s"merge called with $nBuckets")
-    val store = readStoreRaw(spark, path, manifest)
+    val store = GenStore.readRaw(spark, path, manifest)
     val np = newPairs
       .select(col("id_a").cast("long").as("id_a"),
         col("id_b").cast("long").as("id_b"))
@@ -806,8 +700,8 @@ object Dedup {
             "vacuum ran during the merge (one maintenance writer at a time)")
         // the COMMIT: untouched buckets keep their entries, moved buckets
         // remap to the new generation, emptied buckets leave the manifest
-        writeStoreManifest(spark, path,
-          StoreManifest(manifest.gen + 1, nBuckets,
+        GenStore.write(spark, path,
+          GenStore.Manifest(manifest.gen + 1, nBuckets, manifest.applied,
             manifest.entries.filterNot(e => touched.contains(e._1)) ++
               listBucketDirs(spark, s"$path/$dir").map((_, dir))))
       } finally freeLocalCheckpoint(merged)
@@ -836,34 +730,8 @@ object Dedup {
     * names (data dirs, then `manifests/<gen>` entries).
     */
   def vacuumClusterStore(spark: org.apache.spark.sql.SparkSession,
-                         path: String, keepGens: Int = 1): Seq[String] = {
-    require(keepGens >= 1, s"keepGens must be positive, got $keepGens")
-    readStoreManifest(spark, path) match {
-      case None => Seq.empty
-      case Some(m) =>
-        val hist = listHistoryGens(spark, path).filter(_ < m.gen)
-        val retainedHist = hist.takeRight(keepGens - 1)
-        val retired = hist.dropRight(keepGens - 1)
-        val live = (m.entries.map(_._2) ++ retainedHist.flatMap { g =>
-          Snapshot.readLines(spark, s"$path/manifests/$g")
-            .map(parseStoreManifest(s"$path@$g", _).entries.map(_._2))
-            .getOrElse(Seq.empty)
-        }).toSet
-        val p = new org.apache.hadoop.fs.Path(path)
-        val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
-        val deadDirs = fs.listStatus(p).filter(_.isDirectory)
-          .map(_.getPath.getName)
-          .filter(n => n.matches("d\\d+") && !live.contains(n))
-          .sorted.toSeq
-        deadDirs.foreach(d =>
-          fs.delete(new org.apache.hadoop.fs.Path(s"$path/$d"), true))
-        val deadManifests = retired.map { g =>
-          fs.delete(new org.apache.hadoop.fs.Path(s"$path/manifests/$g"), false)
-          s"manifests/$g"
-        }
-        deadDirs ++ deadManifests
-    }
-  }
+                         path: String, keepGens: Int = 1): Seq[String] =
+    GenStore.vacuum(spark, path, keepGens)
 
   private def freeLocalCheckpoint(df: DataFrame): Unit =
     df.queryExecution.analyzed match {

@@ -1,0 +1,230 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** The GENERATION-MANIFEST store machinery shared by every
+  * bucket-partitioned snapshot store in this engine — the dedup cluster
+  * store ([[Dedup.buildClusterStore]]) and the incremental aggregate
+  * store ([[AggStore]]). One store = immutable data directories
+  * `path/d<G>/bucket=N/` plus the one-file `path/CURRENT` manifest
+  * (generation counter, bucket count, an applied-batch ledger for
+  * streaming writers, and the live `bucket → directory` map), committed
+  * by [[Snapshot.writeLines]]'s write-tmp + atomic rename. Factored here
+  * so the snapshot semantics — archive-on-replace manifest history,
+  * time-travel resolution, retention-windowed vacuum, manifest-pruned
+  * generation diff — are ONE implementation, not per-store copies that
+  * can drift (the [[Snapshot]] rationale, one level up).
+  *
+  * Inherits [[Snapshot]]'s concurrency contract: any number of readers,
+  * ONE maintenance writer at a time; readers resolve a manifest once and
+  * scan immutable directories, so they are isolated from every in-flight
+  * mutation and from the manifest history itself.
+  */
+private[operators] object GenStore {
+
+  /** A committed snapshot: generation counter, bucket count, the
+    * applied-batch ledger (streaming exactly-once; empty for
+    * batch-only stores), and the live `bucket → data directory` map.
+    */
+  case class Manifest(gen: Long, nBuckets: Int, applied: Seq[String],
+                      entries: Seq[(Long, String)])
+
+  def parse(where: String, lines: List[String]): Manifest = {
+    require(lines.length >= 2 && lines.head.startsWith("gen=") &&
+      lines(1).startsWith("buckets="),
+      s"corrupt store manifest at $where")
+    // `applied=` is optional for manifests written before the ledger
+    val hasApplied = lines.length > 2 && lines(2).startsWith("applied=")
+    val applied =
+      if (!hasApplied) Seq.empty
+      else lines(2).stripPrefix("applied=").split(",").toSeq.filter(_.nonEmpty)
+    val entries = lines.drop(if (hasApplied) 3 else 2)
+      .filter(_.nonEmpty).map { l =>
+        val t = l.split("\t", 2)
+        (t(0).toLong, t(1))
+      }
+    Manifest(lines.head.stripPrefix("gen=").toLong,
+      lines(1).stripPrefix("buckets=").toInt, applied, entries)
+  }
+
+  def render(m: Manifest): Seq[String] =
+    Seq(s"gen=${m.gen}", s"buckets=${m.nBuckets}",
+      s"applied=${m.applied.distinct.sorted.mkString(",")}") ++
+      m.entries.sortBy(_._1).map { case (b, d) => s"$b\t$d" }
+
+  def read(spark: org.apache.spark.sql.SparkSession,
+           path: String): Option[Manifest] =
+    Snapshot.readLines(spark, s"$path/CURRENT").map(parse(path, _))
+
+  /** Commit a new manifest — and BACKFILL the one being replaced into
+    * the `manifests/<gen>` history first, so every committed generation
+    * stays resolvable for time-travel reads until [[vacuum]] retires
+    * it. Only the OLD (committed) manifest is ever copied — the new one
+    * exists solely as `CURRENT` until the NEXT mutation archives it —
+    * so a crash anywhere in here can never mint a history snapshot of a
+    * mutation that did not commit, and the backfill is idempotent
+    * (derived from the committed file) so a retried mutation heals a
+    * half-done one.
+    */
+  def write(spark: org.apache.spark.sql.SparkSession,
+            path: String, m: Manifest): Unit = {
+    read(spark, path).foreach { prev =>
+      val hist = s"$path/manifests/${prev.gen}"
+      if (!Snapshot.dirExists(spark, hist))
+        Snapshot.writeLines(spark, hist, render(prev))
+    }
+    Snapshot.writeLines(spark, s"$path/CURRENT", render(m))
+  }
+
+  /** The numeric history manifests under `path/manifests`, sorted. */
+  def listHistoryGens(spark: org.apache.spark.sql.SparkSession,
+                      path: String): Seq[Long] = {
+    val p = new org.apache.hadoop.fs.Path(s"$path/manifests")
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(p)) Seq.empty
+    else fs.listStatus(p).filter(_.isFile).map(_.getPath.getName)
+      .filter(_.matches("\\d+")).map(_.toLong).toSeq.sorted
+  }
+
+  /** Resolve the manifest of one committed generation: the live CURRENT
+    * when `gen` is the current generation, the `manifests/<gen>`
+    * archive otherwise; loud on the future and on vacuumed history.
+    */
+  def at(spark: org.apache.spark.sql.SparkSession,
+         path: String, gen: Long): Manifest = {
+    val cur = read(spark, path).getOrElse(
+      throw new IllegalArgumentException(s"not a manifested store: $path"))
+    if (gen == cur.gen) cur
+    else {
+      require(gen < cur.gen,
+        s"generation $gen of $path is in the future (current is ${cur.gen})")
+      parse(s"$path@$gen",
+        Snapshot.readLines(spark, s"$path/manifests/$gen").getOrElse(
+          throw new IllegalArgumentException(
+            s"generation $gen of $path is not retained — vacuumed, or " +
+              "the store predates manifest history")))
+    }
+  }
+
+  /** The store rows of one snapshot, resolved through its manifest: each
+    * generation directory is read restricted to the buckets still
+    * mapped to it (a superseded generation physically retains its old
+    * bucket dirs for in-flight readers — an unmapped read would
+    * resurrect them). Returns all data columns plus `bucket`.
+    */
+  def readRaw(spark: org.apache.spark.sql.SparkSession,
+              path: String, m: Manifest): DataFrame = {
+    require(m.entries.nonEmpty, s"store at $path has no buckets")
+    m.entries.groupBy(_._2).toSeq.sortBy(_._1).map { case (dir, es) =>
+      spark.read.option("basePath", s"$path/$dir").parquet(s"$path/$dir")
+        .where(col("bucket").isin(es.map(_._1).map(Long.box): _*))
+    }.reduce(_.unionByName(_))
+  }
+
+  /** Explicit bucket-directory read of a subset of entries — the diff
+    * shape: the file LISTING itself is proportional to the entries
+    * passed, so the stable majority of a store costs zero metadata ops.
+    */
+  def readBucketDirs(spark: org.apache.spark.sql.SparkSession,
+                     path: String, entries: Seq[(Long, String)]): DataFrame =
+    entries.groupBy(_._2).toSeq.sortBy(_._1).map { case (dir, bs) =>
+      spark.read.option("basePath", s"$path/$dir")
+        .parquet(bs.map(b => s"$path/$dir/bucket=${b._1}"): _*)
+    }.reduce(_.unionByName(_))
+
+  /** Retention GC: keep the CURRENT snapshot plus the newest
+    * `keepGens − 1` archived manifests, then delete every generation
+    * directory (`d<G>`) none of the RETAINED snapshots references — and
+    * the retired manifests themselves, in that order (data first, so a
+    * crash mid-vacuum can only leave a still-resolvable manifest over
+    * still-present dirs, never a manifest whose dirs are gone).
+    * Retention and reachability compose: a generation directory stays
+    * alive as long as ANY retained snapshot's bucket still maps to it,
+    * so `keepGens = 1` is CURRENT-only behavior plus history trimming,
+    * and a larger `keepGens` is the time-travel window — the Iceberg
+    * expire-snapshots trade. Run on a cadence that covers the longest
+    * concurrent read, and NEVER concurrently with a mutation (the
+    * [[Snapshot]] single-maintenance-writer contract: it would reclaim
+    * the mutation's not-yet-committed generation; the mutation's
+    * staging guard turns that into a loud failure rather than silent
+    * loss, but the schedule is the caller's). No-op on a manifest-less
+    * path. Returns the deleted names (data dirs, then
+    * `manifests/<gen>` entries).
+    */
+  def vacuum(spark: org.apache.spark.sql.SparkSession,
+             path: String, keepGens: Int): Seq[String] = {
+    require(keepGens >= 1, s"keepGens must be positive, got $keepGens")
+    read(spark, path) match {
+      case None => Seq.empty
+      case Some(m) =>
+        val hist = listHistoryGens(spark, path).filter(_ < m.gen)
+        val retainedHist = hist.takeRight(keepGens - 1)
+        val retired = hist.dropRight(keepGens - 1)
+        val live = (m.entries.map(_._2) ++ retainedHist.flatMap { g =>
+          Snapshot.readLines(spark, s"$path/manifests/$g")
+            .map(parse(s"$path@$g", _).entries.map(_._2))
+            .getOrElse(Seq.empty)
+        }).toSet
+        val p = new org.apache.hadoop.fs.Path(path)
+        val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+        val deadDirs = fs.listStatus(p).filter(_.isDirectory)
+          .map(_.getPath.getName)
+          .filter(n => n.matches("d\\d+") && !live.contains(n))
+          .sorted.toSeq
+        deadDirs.foreach(d =>
+          fs.delete(new org.apache.hadoop.fs.Path(s"$path/$d"), true))
+        val deadManifests = retired.map { g =>
+          fs.delete(new org.apache.hadoop.fs.Path(s"$path/manifests/$g"), false)
+          s"manifests/$g"
+        }
+        deadDirs ++ deadManifests
+    }
+  }
+
+  /** AUDIT diff of two committed generations — `(key, <v>_a..., <v>_b...,
+    * change)` with `change` ∈ `added` (only in `genB`) | `removed` (only
+    * in `genA`) | `movedTag` (any value column changed) — resolved
+    * entirely through the manifests, MANIFEST-PRUNED: generation data
+    * directories are immutable once committed, so a bucket whose
+    * `(bucket → directory)` entry is identical in both snapshots is
+    * byte-identical and provably contributes nothing; only
+    * entry-DIFFERING buckets are read, each side from its own directory,
+    * via [[readBucketDirs]] so the file listing is also proportional to
+    * the change. SOUNDNESS REQUIREMENT on the store: a row's bucket must
+    * be a pure function of columns that determine its diff identity —
+    * then every changed row lands in an entry-differing bucket (its
+    * content change routed that bucket through a fresh generation
+    * directory at commit) and the pruning is complete, not approximate.
+    * Rows read from a changed bucket whose values agree (carried along
+    * by the bucket rewrite) drop out in the final filter. Cost at
+    * 100 TB: two manifest reads plus one full-outer join over ONLY the
+    * touched buckets — zero data read when the snapshots are equal.
+    */
+  def diff(spark: org.apache.spark.sql.SparkSession, path: String,
+           genA: Long, genB: Long, keyCol: String, valCols: Seq[String],
+           movedTag: String): DataFrame = {
+    val (ma, mb) = (at(spark, path, genA), at(spark, path, genB))
+    val (ea, eb) = (ma.entries.toMap, mb.entries.toMap)
+    val changed = (ea.keySet ++ eb.keySet).filter(b => ea.get(b) != eb.get(b))
+    def side(m: Manifest, tag: String): DataFrame = {
+      val es = m.entries.filter(e => changed.contains(e._1))
+      // schema from a live entry when this side has no changed buckets
+      // (limit(0) folds to an empty relation — zero data read)
+      val df = readBucketDirs(spark, path,
+        if (es.nonEmpty) es else m.entries.take(1))
+      val named = (if (es.nonEmpty) df else df.limit(0))
+        .select(col(keyCol) +:
+          valCols.map(v => col(v).as(s"${v}_$tag")): _*)
+      named.withColumn(s"__p$tag", lit(true))
+    }
+    side(ma, "a").join(side(mb, "b"), Seq(keyCol), "full_outer")
+      .filter(col("__pa").isNull || col("__pb").isNull ||
+        valCols.map(v => col(s"${v}_a") =!= col(s"${v}_b")).reduce(_ || _))
+      .withColumn("change",
+        when(col("__pa").isNull, lit("added"))
+          .when(col("__pb").isNull, lit("removed"))
+          .otherwise(lit(movedTag)))
+      .drop("__pa", "__pb")
+  }
+}

@@ -1627,7 +1627,111 @@ object AnalyticsQueries {
              |  wt.w_total // 9 + 1 AS threshold
              |FROM wc JOIN wt USING (day)
              |WHERE wc.wcount >= wt.w_total // 9 + 1
-             |ORDER BY day, value""".stripMargin))
+             |ORDER BY day, value""".stripMargin)),
+
+    // ---- INCREMENTAL AGGREGATE STORE (AggStore.buildAggStore +
+    // mergeIntoAggStore): exact per-key (count, sum) state maintained as
+    // a GenStore snapshot table — the incremental-view-maintenance member
+    // of the increment discipline. Base lineitems (l_orderkey % 3 != 0)
+    // build generation 1; the day's rows merge in as generation 2,
+    // rewriting ONLY the buckets holding incremented suppkeys (their
+    // untouched keys carry along — PlanSpec pins untouched buckets
+    // byte-identical). Counts and sums are a commutative integer monoid,
+    // so the oracle is the FULL recompute groupBy — the hash proves
+    // increment-merge == recompute-from-scratch, bit-for-bit. ----
+    Q("q298_agg_store_incremental",
+      (s, dir) => {
+        import graft.operators.AggStore
+        val li = t(s, dir, "lineitem")
+          .select(col("l_suppkey"), col("l_orderkey"),
+            col("l_quantity").cast("long").as("qty"))
+        val tmp = java.nio.file.Files
+          .createTempDirectory("graft_q298_").toString + "/aggs"
+        AggStore.buildAggStore(li.filter(col("l_orderkey") % 3 =!= 0),
+          tmp, "l_suppkey", "qty")
+        AggStore.mergeIntoAggStore(li.filter(col("l_orderkey") % 3 === 0),
+          tmp, "l_suppkey", "qty")
+        AggStore.readAggStore(s, tmp).orderBy(col("key"))
+      },
+      Some("""SELECT l_suppkey AS key, count(*) AS cnt,
+             |  CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS total
+             |FROM lineitem GROUP BY 1 ORDER BY key""".stripMargin)),
+
+    // ---- Manifest-pruned aggregate-store diff (AggStore.diffAggStore):
+    // the q298 lifecycle's two snapshots audited against each other —
+    // which suppkeys the day's load added and which counts/sums it
+    // changed — reading only entry-differing buckets (the q297 GenStore
+    // machinery on a second store type). Oracle: both groupBys
+    // recomputed from scratch and full-outer-diffed. ----
+    Q("q299_agg_store_diff",
+      (s, dir) => {
+        import graft.operators.AggStore
+        val li = t(s, dir, "lineitem")
+          .select(col("l_suppkey"), col("l_orderkey"),
+            col("l_quantity").cast("long").as("qty"))
+        val tmp = java.nio.file.Files
+          .createTempDirectory("graft_q299_").toString + "/aggs"
+        AggStore.buildAggStore(li.filter(col("l_orderkey") % 3 =!= 0),
+          tmp, "l_suppkey", "qty")
+        AggStore.mergeIntoAggStore(li.filter(col("l_orderkey") % 3 === 0),
+          tmp, "l_suppkey", "qty")
+        AggStore.diffAggStore(s, tmp, 1L, 2L).orderBy(col("key"))
+      },
+      Some("""WITH b AS (SELECT l_suppkey AS key, count(*) AS cnt,
+             |    CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS total
+             |  FROM lineitem WHERE l_orderkey % 3 <> 0 GROUP BY 1),
+             |f AS (SELECT l_suppkey AS key, count(*) AS cnt,
+             |    CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS total
+             |  FROM lineitem GROUP BY 1)
+             |SELECT coalesce(b.key, f.key) AS key,
+             |  b.cnt AS cnt_a, b.total AS total_a,
+             |  f.cnt AS cnt_b, f.total AS total_b,
+             |  CASE WHEN b.key IS NULL THEN 'added'
+             |       WHEN f.key IS NULL THEN 'removed'
+             |       ELSE 'changed' END AS change
+             |FROM b FULL OUTER JOIN f ON b.key = f.key
+             |WHERE b.key IS NULL OR f.key IS NULL
+             |   OR b.cnt <> f.cnt OR b.total <> f.total
+             |ORDER BY key""".stripMargin)),
+
+    // ---- STREAMING aggregate-store maintenance (StreamingAggStore
+    // .aggStoreSink): the q298 rows fed as a stream, each microbatch
+    // folding its per-key counts/sums into the store — exactly-once by
+    // the APPLIED LEDGER, because unlike the cluster store's quotient
+    // merge an aggregate increment is NOT idempotent (a replayed batch
+    // would double-count): the batch id is the merge's appliedId, the
+    // ledger entry commits atomically with the merged state in the one
+    // manifest rename, and a replay is a detected no-op
+    // (StreamingSpec-pinned). Final state hash-equals the full groupBy
+    // recompute. ----
+    Q("q300_stream_agg_store",
+      (s, dir) => {
+        import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+        implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+        import s.implicits._
+        val li = t(s, dir, "lineitem")
+          .select(col("l_suppkey"), col("l_orderkey"),
+            col("l_quantity").cast("long").as("qty"))
+        val tmp = java.nio.file.Files
+          .createTempDirectory("graft_q300_").toString
+        val input = MemoryStream[(Long, Long)]
+        val q = graft.streaming.StreamingAggStore.aggStoreSink(
+          input.toDF().toDF("l_suppkey", "qty"),
+          s"$tmp/aggs", s"$tmp/ckpt", keyCol = "l_suppkey", valCol = "qty")
+        try {
+          for (r <- 0 to 2) {
+            input.addData(li.filter(col("l_orderkey") % 3 === r)
+              .select(col("l_suppkey"), col("qty"))
+              .as[(Long, Long)].collect().toSeq)
+            q.processAllAvailable()
+          }
+        } finally q.stop()
+        graft.operators.AggStore.readAggStore(s, s"$tmp/aggs")
+          .orderBy(col("key"))
+      },
+      Some("""SELECT l_suppkey AS key, count(*) AS cnt,
+             |  CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS total
+             |FROM lineitem GROUP BY 1 ORDER BY key""".stripMargin))
   )
 
   /** q260 oracle: weekday factors, the integer deseasonalization, the

@@ -654,6 +654,72 @@ class PlanSpec extends SparkSpec {
       (41L, Some(40L), None, "removed")))
   }
 
+  test("aggregate store: merges rewrite only touched buckets, replayed " +
+      "appliedIds are detected no-ops, half-landed staging retries commit " +
+      "once, and time travel / diff / vacuum compose") {
+    import graft.operators.AggStore
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft_aggs_").toString + "/aggs"
+    def files() = new java.io.File(tmp).listFiles()
+      .filter(d => d.isDirectory && d.getName.startsWith("d"))
+      .flatMap(g => g.listFiles().filter(_.isDirectory).map(b =>
+        (g.getName, b.getName) -> b.listFiles()
+          .filter(_.getName.endsWith(".parquet"))
+          .map(f => (f.getPath, f.lastModified(), f.length())).toSet)).toMap
+    def state() = AggStore.readAggStore(spark, tmp)
+      .as[(Long, Long, Long)].collect().toSet
+    AggStore.buildAggStore(
+      Seq((1L, 10L), (2L, 20L), (3L, 30L), (4L, 40L), (1L, 5L)).toDF("k", "v"),
+      tmp, "k", "v", nBuckets = 8)
+    val atG1 = state()
+    assert(atG1 == Set((1L, 2L, 15L), (2L, 1L, 20L), (3L, 1L, 30L), (4L, 1L, 40L)))
+    val before = files()
+    AggStore.mergeIntoAggStore(Seq((2L, 7L), (9L, 1L)).toDF("k", "v"),
+      tmp, "k", "v", appliedId = Some("day-1"))
+    val atG2 = state()
+    assert(atG2 == Set((1L, 2L, 15L), (2L, 2L, 27L), (3L, 1L, 30L),
+      (4L, 1L, 40L), (9L, 1L, 1L)),
+      "counts add, sums add, untouched keys carry, new keys insert")
+    assert(before.forall { case (k, v) => files()(k) == v },
+      "a merge must never rewrite or delete an existing generation's files")
+    // committed replay: the appliedId is in the ledger — byte-identical
+    // manifest, no new generation, state untouched
+    val manifestBytes = scala.io.Source.fromFile(s"$tmp/CURRENT").mkString
+    AggStore.mergeIntoAggStore(Seq((2L, 100L)).toDF("k", "v"),
+      tmp, "k", "v", appliedId = Some("day-1"))
+    assert(scala.io.Source.fromFile(s"$tmp/CURRENT").mkString == manifestBytes &&
+      state() == atG2, "a replayed appliedId must be a detected no-op")
+    // half-landed staging: junk d3 exists (crash mid-write), the manifest
+    // never saw it — the retry overwrites in place and commits exactly once
+    Seq((999L, 999L, 999L)).toDF("key", "cnt", "total")
+      .withColumn("bucket", lit(0L))
+      .write.partitionBy("bucket").parquet(s"$tmp/d3")
+    AggStore.mergeIntoAggStore(Seq((3L, 3L)).toDF("k", "v"),
+      tmp, "k", "v", appliedId = Some("day-2"))
+    val atG3 = state()
+    assert(!atG3.exists(_._1 == 999L) &&
+      atG3 == atG2.filterNot(_._1 == 3L) + ((3L, 2L, 33L)),
+      "the junk staging must be overwritten, never served")
+    // time travel: every committed generation reads back exactly
+    assert(AggStore.readAggStoreAsOf(spark, tmp, 1L)
+      .as[(Long, Long, Long)].collect().toSet == atG1)
+    assert(AggStore.readAggStoreAsOf(spark, tmp, 2L)
+      .as[(Long, Long, Long)].collect().toSet == atG2)
+    // manifest-pruned diff: exactly the day-1 insert + change
+    val d12 = AggStore.diffAggStore(spark, tmp, 1L, 2L)
+      .select(col("key"), col("cnt_b"), col("total_b"), col("change"))
+      .as[(Long, Long, Long, String)].collect().toSet
+    assert(d12 == Set((2L, 2L, 27L, "changed"), (9L, 1L, 1L, "added")),
+      s"diff must read back exactly the merge's effect, got $d12")
+    // retention: keepGens=1 trims the history; live state untouched
+    val v = AggStore.vacuumAggStore(spark, tmp)
+    assert(v.contains("manifests/1") && v.contains("manifests/2"),
+      s"vacuum must retire the archived history, got $v")
+    intercept[IllegalArgumentException](
+      AggStore.readAggStoreAsOf(spark, tmp, 1L))
+    assert(state() == atG3, "vacuum must never move the live read")
+  }
+
   test("IVF-PQ within-version data GC: a fully-compacted-away append " +
       "directory is reclaimed; partially-live directories survive") {
     import graft.operators.Similarity

@@ -786,4 +786,64 @@ class StreamingSpec extends SparkSpec {
     assert(emb2.forall(v => served2(v._1) == 1L),
       "post-restart arrivals must serve exactly once")
   }
+
+  test("streaming aggregate store: the first batch creates the store, " +
+    "committed-batch replay is a ledger no-op (an aggregate increment is " +
+    "NOT idempotent — the ledger is what makes it exactly-once), and a " +
+    "checkpoint restart mints a fresh batch id") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.operators.AggStore
+    import graft.streaming.StreamingAggStore
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+
+    val tmp = java.nio.file.Files.createTempDirectory("graft_saggs_").toString
+    val store = s"$tmp/aggs"
+    def current(): List[String] =
+      scala.io.Source.fromFile(s"$store/CURRENT").getLines().toList
+    def state() = AggStore.readAggStore(spark, store)
+      .as[(Long, Long, Long)].collect().toSet
+
+    val input = MemoryStream[(Long, Long)]
+    val sink = StreamingAggStore.aggStoreSink(input.toDF().toDF("k", "v"),
+      store, s"$tmp/ckpt", keyCol = "k", valCol = "v", nBuckets = 8)
+    try {
+      input.addData(Seq((1L, 10L), (2L, 20L))) // batch 0: BUILDS the store
+      sink.processAllAvailable()
+      input.addData(Seq((1L, 1L), (3L, 30L)))  // batch 1: merges
+      sink.processAllAvailable()
+    } finally sink.stop()
+    val after2 = current()
+    val ledger = after2.find(_.startsWith("applied="))
+      .get.stripPrefix("applied=").split(",").filter(_.nonEmpty).toSet
+    assert(ledger == Set("batch-0", "batch-1"),
+      s"both batches must land ledger entries, got $ledger")
+    val st2 = state()
+    assert(st2 == Set((1L, 2L, 11L), (2L, 1L, 20L), (3L, 1L, 30L)),
+      "streamed folds must produce the exact per-key counts and sums")
+
+    // replay EVERY committed batch id with a would-double-count increment:
+    // detected no-ops — manifest byte-identical, state untouched (this is
+    // the case the quotient-merge store wins by algebra and THIS store can
+    // only win by the ledger)
+    ledger.foreach { id =>
+      AggStore.mergeIntoAggStore(Seq((1L, 999L)).toDF("k", "v"),
+        store, "k", "v", appliedId = Some(id))
+    }
+    assert(current() == after2 && state() == st2,
+      "replaying committed batch ids must not change manifest or state")
+
+    // a restart from the same checkpoint continues the batch sequence:
+    // a NEW arrival lands under a fresh ledger entry, folded exactly once
+    val sink2 = StreamingAggStore.aggStoreSink(input.toDF().toDF("k", "v"),
+      store, s"$tmp/ckpt", keyCol = "k", valCol = "v", nBuckets = 8)
+    try { input.addData(Seq((2L, 2L))); sink2.processAllAvailable() }
+    finally sink2.stop()
+    val finalLedger = current().find(_.startsWith("applied="))
+      .get.stripPrefix("applied=").split(",").filter(_.nonEmpty).toSet
+    assert(finalLedger == Set("batch-0", "batch-1", "batch-2"),
+      s"restart must mint a fresh batch id, got $finalLedger")
+    assert(state() == Set((1L, 2L, 11L), (2L, 2L, 22L), (3L, 1L, 30L)),
+      "post-restart arrivals must fold exactly once")
+  }
 }
