@@ -196,4 +196,14 @@ object AggStore {
   def vacuumAggStore(spark: org.apache.spark.sql.SparkSession,
                      path: String, keepGens: Int = 1): Seq[String] =
     GenStore.vacuum(spark, path, keepGens)
+
+  /** Pointer-only ROLLBACK to an archived generation ([[GenStore
+    * .rollback]]): "undo yesterday's bad load" — the state AND the
+    * applied ledger revert together, so the reverted batches re-apply
+    * on a re-feed instead of being refused by a stale ledger; the bad
+    * state stays archived (diffable) until retention retires it.
+    */
+  def rollbackAggStore(spark: org.apache.spark.sql.SparkSession,
+                       path: String, gen: Long): Unit =
+    GenStore.rollback(spark, path, gen)
 }

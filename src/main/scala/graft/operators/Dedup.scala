@@ -733,6 +733,18 @@ object Dedup {
                          path: String, keepGens: Int = 1): Seq[String] =
     GenStore.vacuum(spark, path, keepGens)
 
+  /** Pointer-only ROLLBACK to an archived generation ([[GenStore
+    * .rollback]]): undo a bad merge — zero data copies (immutable
+    * generation dirs), the rolled-back-from state stays archived and
+    * diffable until retention retires it, and a re-merge of the
+    * reverted day's pairs reconverges to the same labels (q284's
+    * associative-minima algebra makes the cluster merge insensitive to
+    * replay order — hash-pinned by the rollback lifecycle query).
+    */
+  def rollbackClusterStore(spark: org.apache.spark.sql.SparkSession,
+                           path: String, gen: Long): Unit =
+    GenStore.rollback(spark, path, gen)
+
   private def freeLocalCheckpoint(df: DataFrame): Unit =
     df.queryExecution.analyzed match {
       case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd.unpersist(false)

@@ -182,6 +182,38 @@ private[operators] object GenStore {
     }
   }
 
+  /** ROLLBACK: make an archived generation the live state again — the
+    * "undo yesterday's bad load" verb that [[diff]]'s audit naturally
+    * leads to. A rollback is a first-class MUTATION, not history
+    * surgery: the generation counter advances and the rolled-back-from
+    * manifest archives like any other (so the bad state stays
+    * diffable/auditable until retention retires it), while the commit
+    * itself is POINTER-ONLY — data directories are immutable, so
+    * reverting is committing a manifest that references the target's
+    * directories again, zero data copies at any store size (the Iceberg
+    * rollback shape). The applied LEDGER reverts WITH the state: batches
+    * applied after the target are no longer reflected in the rows, so
+    * their ids must be re-appliable — a post-rollback re-feed of those
+    * batches folds them again instead of being refused by a ledger that
+    * outlived the state it described (exactly-once is a property of
+    * state+ledger as one atomic unit, which is why they share the
+    * manifest). Loud when the target is vacuumed or in the future.
+    * Returns the committed manifest.
+    */
+  def rollback(spark: org.apache.spark.sql.SparkSession,
+               path: String, gen: Long): Manifest = {
+    val cur = read(spark, path).getOrElse(
+      throw new IllegalArgumentException(s"not a manifested store: $path"))
+    require(gen < cur.gen,
+      s"rollback target $gen of $path must precede the current " +
+        s"generation ${cur.gen}")
+    val target = at(spark, path, gen)
+    val next = Manifest(cur.gen + 1, target.nBuckets, target.applied,
+      target.entries)
+    write(spark, path, next)
+    next
+  }
+
   /** AUDIT diff of two committed generations — `(key, <v>_a..., <v>_b...,
     * change)` with `change` ∈ `added` (only in `genB`) | `removed` (only
     * in `genA`) | `movedTag` (any value column changed) — resolved

@@ -1731,6 +1731,38 @@ object AnalyticsQueries {
       },
       Some("""SELECT l_suppkey AS key, count(*) AS cnt,
              |  CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS total
+             |FROM lineitem GROUP BY 1 ORDER BY key""".stripMargin)),
+
+    // ---- Pointer-only ROLLBACK (AggStore.rollbackAggStore): the q298
+    // store takes a BAD day-1 load (every quantity inflated by 7),
+    // rollback reverts to generation 1 — zero data copies, the bad state
+    // stays archived and diffable — and the CORRECT day-1 load then
+    // merges. The ledger reverted with the state, so the re-feed applies
+    // instead of being refused. Oracle is q298's full recompute: the
+    // hash proves the bad load left NO residue (which a state-only
+    // rollback with a stale ledger, or a partial revert, could not
+    // satisfy). ----
+    Q("q301_agg_store_rollback",
+      (s, dir) => {
+        import graft.operators.AggStore
+        val li = t(s, dir, "lineitem")
+          .select(col("l_suppkey"), col("l_orderkey"),
+            col("l_quantity").cast("long").as("qty"))
+        val inc = li.filter(col("l_orderkey") % 3 === 0)
+        val tmp = java.nio.file.Files
+          .createTempDirectory("graft_q301_").toString + "/aggs"
+        AggStore.buildAggStore(li.filter(col("l_orderkey") % 3 =!= 0),
+          tmp, "l_suppkey", "qty")                                   // gen 1
+        AggStore.mergeIntoAggStore(                                  // gen 2: BAD
+          inc.withColumn("qty", col("qty") + lit(7L)),
+          tmp, "l_suppkey", "qty", appliedId = Some("day-1"))
+        AggStore.rollbackAggStore(s, tmp, 1L)                        // gen 3
+        AggStore.mergeIntoAggStore(inc,                              // gen 4: good
+          tmp, "l_suppkey", "qty", appliedId = Some("day-1"))
+        AggStore.readAggStore(s, tmp).orderBy(col("key"))
+      },
+      Some("""SELECT l_suppkey AS key, count(*) AS cnt,
+             |  CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS total
              |FROM lineitem GROUP BY 1 ORDER BY key""".stripMargin))
   )
 

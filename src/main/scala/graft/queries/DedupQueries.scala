@@ -1271,6 +1271,43 @@ object DedupQueries {
       },
       Some(q297OracleSql)),
 
+    // ---- Pointer-only ROLLBACK of the cluster store (Dedup
+    // .rollbackClusterStore): the q284 lifecycle with an undo in the
+    // middle — build base (gen 1), merge the day-1 pairs (gen 2),
+    // ROLLBACK to 1 (gen 3: a first-class mutation, zero data copies),
+    // merge the same pairs again (gen 4). The oracle is q284's full
+    // closure: the hash proves the re-merge reconverges exactly —
+    // component labels are associative minima, so replaying the day
+    // against the reverted state lands on the identical answer a
+    // never-rolled-back store holds. ----
+    Q("q302_cluster_store_rollback",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val base = docs.filter(col("doc_id") % 3 =!= 0)
+        val newDocs = docs.filter(col("doc_id") % 3 === 0)
+        val tmp = java.nio.file.Files
+          .createTempDirectory("graft_q302_").toString + "/labels"
+        val dayPairs = Dedup
+          .incrementalMinhashPairs(newDocs, base, "doc_id", "text",
+            threshold = 0.8, portableHash = true)
+          .select(col("new_id").as("id_a"), col("dup_id").as("id_b"))
+          .localCheckpoint(true)
+        try {
+          Dedup.buildClusterStore(
+            Dedup.minhashPairs(base, "doc_id", "text",
+              threshold = 0.8, portableHash = true), tmp)       // gen 1
+          Dedup.mergeIntoClusterStore(dayPairs, tmp)            // gen 2
+          Dedup.rollbackClusterStore(s, tmp, 1L)                // gen 3
+          Dedup.mergeIntoClusterStore(dayPairs, tmp)            // gen 4
+        } finally dayPairs.queryExecution.analyzed match {
+          case l: org.apache.spark.sql.execution.LogicalRDD =>
+            l.rdd.unpersist(false)
+          case _ => ()
+        }
+        Dedup.readClusterStore(s, tmp).orderBy(col("id"))
+      },
+      Some(q284OracleSql)),
+
     // ---- STREAMING cluster-store maintenance
     // (StreamingDedup.clusteredSink): q115's arrival-order pipeline with
     // each batch folding its OWN pairs shard into the persisted component

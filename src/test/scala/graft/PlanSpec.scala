@@ -720,6 +720,59 @@ class PlanSpec extends SparkSpec {
     assert(state() == atG3, "vacuum must never move the live read")
   }
 
+  test("store rollback: pointer-only (no data file is written or touched), " +
+      "the ledger reverts with the state so the reverted batch re-applies, " +
+      "the bad state stays archived and diffable, and vacuum reclaims it") {
+    import graft.operators.AggStore
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft_rb_").toString + "/aggs"
+    def allFiles() = new java.io.File(tmp).listFiles()
+      .filter(d => d.isDirectory && d.getName.startsWith("d"))
+      .flatMap(g => g.listFiles().filter(_.isDirectory).flatMap(_.listFiles()
+        .filter(_.getName.endsWith(".parquet"))
+        .map(f => (f.getPath, f.lastModified(), f.length())))).toSet
+    def state() = AggStore.readAggStore(spark, tmp)
+      .as[(Long, Long, Long)].collect().toSet
+    AggStore.buildAggStore(Seq((1L, 10L), (2L, 20L)).toDF("k", "v"),
+      tmp, "k", "v", nBuckets = 8)                                 // gen 1
+    val atG1 = state()
+    AggStore.mergeIntoAggStore(Seq((1L, 777L)).toDF("k", "v"),     // gen 2: BAD
+      tmp, "k", "v", appliedId = Some("day-1"))
+    val atG2 = state()
+    val filesBefore = allFiles()
+    AggStore.rollbackAggStore(spark, tmp, 1L)                      // gen 3
+    assert(state() == atG1, "rollback must revert the live state")
+    assert(allFiles() == filesBefore,
+      "rollback must be pointer-only — no data file written, touched, or removed")
+    // the reverted batch id re-applies: the ledger rolled back WITH the
+    // state (a stale ledger would refuse this and silently drop the day)
+    AggStore.mergeIntoAggStore(Seq((1L, 1L)).toDF("k", "v"),       // gen 4
+      tmp, "k", "v", appliedId = Some("day-1"))
+    assert(state() == Set((1L, 2L, 11L), (2L, 1L, 20L)),
+      "a re-fed batch after rollback must fold, not be refused")
+    // and it is exactly-once again from here
+    AggStore.mergeIntoAggStore(Seq((1L, 999L)).toDF("k", "v"),
+      tmp, "k", "v", appliedId = Some("day-1"))
+    assert(state() == Set((1L, 2L, 11L), (2L, 1L, 20L)))
+    // the bad state stayed archived: diffable, time-travel-readable
+    assert(AggStore.readAggStoreAsOf(spark, tmp, 2L)
+      .as[(Long, Long, Long)].collect().toSet == atG2,
+      "the rolled-back-from generation must stay resolvable")
+    val d24 = AggStore.diffAggStore(spark, tmp, 2L, 4L)
+      .select(col("key"), col("total_a"), col("total_b"))
+      .as[(Long, Long, Long)].collect().toSet
+    assert(d24 == Set((1L, 787L, 11L)),
+      s"diff across the rollback must show the undo, got $d24")
+    // retention then retires the bad lineage like any other history
+    AggStore.vacuumAggStore(spark, tmp)
+    intercept[IllegalArgumentException](
+      AggStore.readAggStoreAsOf(spark, tmp, 2L))
+    assert(state() == Set((1L, 2L, 11L), (2L, 1L, 20L)))
+    // rolling back to the current or a future generation is loud
+    intercept[IllegalArgumentException](
+      AggStore.rollbackAggStore(spark, tmp, 99L))
+  }
+
   test("IVF-PQ within-version data GC: a fully-compacted-away append " +
       "directory is reclaimed; partially-live directories survive") {
     import graft.operators.Similarity
