@@ -49,8 +49,17 @@ import org.apache.spark.sql.functions._
   */
 object AggStore {
 
+  /** Null keys are rejected LOUDLY inside the write job (zero extra
+    * passes): a null key could never fold — SQL null does not join to
+    * itself, so every merge would insert a fresh null row instead of
+    * adding to the old one — and its null bucket would land in the HIVE
+    * default partition, poisoning the manifest's numeric bucket list.
+    */
   private def bucketOf(nBuckets: Int) =
-    pmod(xxhash64(col("key")), lit(nBuckets.toLong))
+    when(col("key").isNull, raise_error(lit(
+        "agg-store keys must be non-null (a null key can never fold: " +
+          "null does not join to itself)")).cast("long"))
+      .otherwise(pmod(xxhash64(col("key")), lit(nBuckets.toLong)))
 
   private def aggregated(rows: DataFrame, keyCol: String,
                          valCol: String): DataFrame =
@@ -63,7 +72,11 @@ object AggStore {
     * generation directory and commits via the manifest swap (the
     * [[Dedup.buildClusterStore]] reader-isolation argument). `appliedId`
     * stamps the ledger when a streaming writer's FIRST batch creates the
-    * store, so its replay is detected by the merge path.
+    * store, so its replay is detected by the merge path. A rebuild over
+    * an existing store CARRIES the ledger forward — the rebuild source
+    * is assumed to already reflect every applied batch (it is the full
+    * dataset those batches fed); a rebuild from a source that does NOT
+    * is a different store and belongs at a different path.
     */
   def buildAggStore(rows: DataFrame, path: String, keyCol: String,
                     valCol: String, nBuckets: Int = 16,

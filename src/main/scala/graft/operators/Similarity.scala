@@ -1225,6 +1225,16 @@ object Similarity {
     * WITHIN the current version's lineage; serving an older REBUILT
     * version is just `serveIvfPq(path/v<N>)` directly. A vacuumed
     * generation fails loudly at catalog resolution.
+    *
+    * A WRITE-side rollback verb (the `GenStore.rollback` the snapshot
+    * stores carry, q301/q302) is deliberately ABSENT for the index: the
+    * tombstone log lives outside the catalog file, so a catalog-pointer
+    * revert alone would leave post-target fences killing the very rows
+    * the rollback restored. Undo for an index is therefore this read
+    * path (`asOfGen`) for serving the old answer, or
+    * [[rebuildIvfPqIndex]] over a time-traveled corpus for making it
+    * the live state — the stores whose ledger and state share ONE
+    * manifest are exactly the ones that can roll back by pointer.
     */
   def serveIvfPq(spark: org.apache.spark.sql.SparkSession, path: String,
                  queries: DataFrame, k: Int, nProbe: Int = 4,

@@ -718,6 +718,13 @@ class PlanSpec extends SparkSpec {
     intercept[IllegalArgumentException](
       AggStore.readAggStoreAsOf(spark, tmp, 1L))
     assert(state() == atG3, "vacuum must never move the live read")
+    // null keys fail LOUDLY inside the write job (they could never fold:
+    // null does not join to itself) — and the store is left untouched
+    val boom = intercept[Exception](
+      AggStore.mergeIntoAggStore(
+        Seq((Some(7L), 1L), (None, 1L)).toDF("k", "v"), tmp, "k", "v"))
+    assert(boom.getMessage != null || boom.getCause != null)
+    assert(state() == atG3, "a rejected null-key merge must not commit")
   }
 
   test("store rollback: pointer-only (no data file is written or touched), " +
