@@ -160,11 +160,7 @@ object AggStore {
           manifest.applied ++ appliedId.toSeq,
           manifest.entries.filterNot(e => touched.contains(e._1)) ++
             Snapshot.listKvDirs(spark, s"$path/$dir", "bucket").map((_, dir))))
-    } finally delta.queryExecution.analyzed match {
-      case lr: org.apache.spark.sql.execution.LogicalRDD =>
-        lr.rdd.unpersist(blocking = false)
-      case _ =>
-    }
+    } finally freeCheckpoint(delta)
   }
 
   /** Is there a committed store at `path`? (The streaming sink's
@@ -209,6 +205,70 @@ object AggStore {
   def vacuumAggStore(spark: org.apache.spark.sql.SparkSession,
                      path: String, keepGens: Int = 1): Seq[String] =
     GenStore.vacuum(spark, path, keepGens)
+
+  /** The resolvable snapshots, newest first ([[GenStore.history]]):
+    * `(gen, nBuckets, nEntries, nApplied)` — what can still be read,
+    * diffed, or rolled back to. Manifest reads only.
+    */
+  def aggStoreHistory(spark: org.apache.spark.sql.SparkSession,
+                      path: String): Seq[(Long, Int, Int, Int)] =
+    GenStore.history(spark, path)
+
+  /** COMPLIANCE PURGE: physically remove the keys' aggregate rows from
+    * every file under `path` — live state AND time-travel history
+    * ([[GenStore.purgeCommitted]]; the [[Purge]] contract on a snapshot
+    * store: erasure trumps reader isolation, and the call truncates the
+    * archive because a resolvable pre-purge snapshot is exactly what
+    * compliance forbids). The surviving state lands as a normal
+    * mutation first — only the keys' buckets are read and rewritten,
+    * carrying their untouched keys — then history truncates and the
+    * remapped-away bucket dirs are surgically deleted. The applied
+    * ledger survives (the remaining state still reflects every applied
+    * batch, minus the erased subject). Re-run to completion after a
+    * crash (idempotent: already-purged keys anti-join to the same keep
+    * set). Returns the number of rows deleted.
+    */
+  def purgeAggStoreKeys(keys: DataFrame, path: String,
+                        keyCol: String = "key"): Long = {
+    val spark = keys.sparkSession
+    val manifest = GenStore.read(spark, path).getOrElse(
+      throw new IllegalArgumentException(s"not an aggregate store: $path"))
+    val k = keys.select(col(keyCol).as("key")).distinct().localCheckpoint(true)
+    try {
+      val touched = k.select(bucketOf(manifest.nBuckets).as("bucket"))
+        .distinct().collect().map(_.getLong(0)).toSet // ≤ nBuckets
+      val existing = manifest.entries.filter(e => touched.contains(e._1))
+      if (existing.isEmpty) return 0L // none of the keys ever stored
+      val cur = GenStore.readBucketDirs(spark, path, existing)
+        .select(col("key"), col("cnt"), col("total"))
+      val keep = cur.join(k, Seq("key"), "left_anti").localCheckpoint(true)
+      try {
+        val deleted = cur.count() - keep.count()
+        if (deleted == 0L) return 0L // keys absent: nothing to erase
+        val dir = s"d${manifest.gen + 1}"
+        keep.withColumn("bucket", bucketOf(manifest.nBuckets))
+          .write.mode("overwrite").partitionBy("bucket").parquet(s"$path/$dir")
+        require(Snapshot.dirExists(spark, s"$path/$dir"),
+          s"purge staging $dir vanished before commit — a concurrent " +
+            "vacuum ran during the purge (one maintenance writer at a time)")
+        GenStore.write(spark, path,
+          GenStore.Manifest(manifest.gen + 1, manifest.nBuckets,
+            manifest.applied,
+            manifest.entries.filterNot(e => touched.contains(e._1)) ++
+              Snapshot.listKvDirs(spark, s"$path/$dir", "bucket")
+                .map((_, dir))))
+        GenStore.purgeCommitted(spark, path, manifest.entries, touched)
+        deleted
+      } finally freeCheckpoint(keep)
+    } finally freeCheckpoint(k)
+  }
+
+  private def freeCheckpoint(df: DataFrame): Unit =
+    df.queryExecution.analyzed match {
+      case l: org.apache.spark.sql.execution.LogicalRDD =>
+        l.rdd.unpersist(false)
+      case _ => ()
+    }
 
   /** Pointer-only ROLLBACK to an archived generation ([[GenStore
     * .rollback]]): "undo yesterday's bad load" — the state AND the

@@ -733,6 +733,100 @@ object Dedup {
                          path: String, keepGens: Int = 1): Seq[String] =
     GenStore.vacuum(spark, path, keepGens)
 
+  /** The resolvable snapshots, newest first ([[GenStore.history]]):
+    * `(gen, nBuckets, nEntries, nApplied)` — what can still be read,
+    * diffed, or rolled back to. Manifest reads only.
+    */
+  def clusterStoreHistory(spark: org.apache.spark.sql.SparkSession,
+                          path: String): Seq[(Long, Int, Int, Int)] =
+    GenStore.history(spark, path)
+
+  /** COMPLIANCE PURGE: physically remove the ids' rows from every file
+    * under `path` — live state AND time-travel history ([[GenStore
+    * .purgeCommitted]]; the [[Purge]] contract on a snapshot store). The
+    * closure subtlety a plain row-delete would miss: a component LABEL
+    * is its minimum member id, so erasing that member would leave every
+    * other row carrying the erased subject's id as its label — the purge
+    * therefore RELABELS each touched component to its surviving minimum
+    * (survivors keep their membership: the store is a closure
+    * accumulator and components never split retroactively — the pairs
+    * that bridged them were observed, erasing a document does not
+    * un-observe its duplicates' mutual similarity; a component purged to
+    * one member stays as that singleton row). Work: one read-only store
+    * scan to find the affected labels (the id is not the partition key —
+    * same lookup shape as [[mergeIntoClusterStore]]), then everything
+    * prunes: affected rows live in the affected labels' buckets, new
+    * labels land in the survivors' buckets, and only that touched union
+    * is rewritten into the fresh generation before history truncates and
+    * the remapped-away bucket dirs are surgically deleted. Re-run to
+    * completion after a crash (idempotent: already-purged ids anti-join
+    * to the same survivors, already-relabeled components relabel to the
+    * same minima). Returns the number of rows deleted.
+    */
+  def purgeClusterStoreIds(ids: DataFrame, path: String): Long = {
+    val spark = ids.sparkSession
+    val manifest = readStoreManifest(spark, path).getOrElse(
+      throw new IllegalArgumentException(s"not a manifested cluster store: $path"))
+    val n = manifest.nBuckets
+    val idsd = ids.select(col("id").cast("long").as("id")).distinct()
+      .localCheckpoint(true)
+    try {
+      // the affected COMPONENTS: labels of any component holding a
+      // purged id (bounded by |ids|) — one read-only scan, then pruned
+      val affected = GenStore.readRaw(spark, path, manifest)
+        .join(idsd, Seq("id"), "left_semi")
+        .select(col("label")).distinct().localCheckpoint(true)
+      try {
+        if (affected.isEmpty) return 0L // none of the ids ever stored
+        val oldBuckets = affected
+          .select(pmod(col("label"), lit(n.toLong)).as("b"))
+          .distinct().collect().map(_.getLong(0)).toSet // ≤ nBuckets
+        val compRows = GenStore.readBucketDirs(spark, path,
+            manifest.entries.filter(e => oldBuckets.contains(e._1)))
+          .join(affected, Seq("label"), "left_semi")
+          .select(col("id"), col("label"))
+          .localCheckpoint(true)
+        try {
+          val surv = compRows.join(idsd, Seq("id"), "left_anti")
+          // relabel each touched component to its SURVIVING minimum
+          val relabeled = surv
+            .join(surv.groupBy(col("label"))
+                .agg(min(col("id")).as("__new")), Seq("label"))
+            .select(col("id"), col("__new").as("label"))
+            .localCheckpoint(true)
+          try {
+            val deleted = compRows.count() - relabeled.count()
+            if (deleted == 0L) return 0L // ids absent: nothing to erase
+            val newBuckets = relabeled
+              .select(pmod(col("label"), lit(n.toLong)).as("b"))
+              .distinct().collect().map(_.getLong(0)).toSet
+            val touched = oldBuckets ++ newBuckets
+            val dir = s"d${manifest.gen + 1}"
+            // rows of the touched buckets, minus every affected-component
+            // row (purged AND survivors), plus the relabeled survivors
+            GenStore.readBucketDirs(spark, path,
+                manifest.entries.filter(e => touched.contains(e._1)))
+              .join(affected, Seq("label"), "left_anti")
+              .select(col("id"), col("label"))
+              .unionByName(relabeled)
+              .withColumn("bucket", pmod(col("label"), lit(n.toLong)))
+              .write.mode("overwrite").partitionBy("bucket")
+              .parquet(s"$path/$dir")
+            require(Snapshot.dirExists(spark, s"$path/$dir"),
+              s"purge staging $dir vanished before commit — a concurrent " +
+                "vacuum ran during the purge (one maintenance writer at a time)")
+            GenStore.write(spark, path,
+              GenStore.Manifest(manifest.gen + 1, n, manifest.applied,
+                manifest.entries.filterNot(e => touched.contains(e._1)) ++
+                  listBucketDirs(spark, s"$path/$dir").map((_, dir))))
+            GenStore.purgeCommitted(spark, path, manifest.entries, touched)
+            deleted
+          } finally freeLocalCheckpoint(relabeled)
+        } finally freeLocalCheckpoint(compRows)
+      } finally freeLocalCheckpoint(affected)
+    } finally freeLocalCheckpoint(idsd)
+  }
+
   /** Pointer-only ROLLBACK to an archived generation ([[GenStore
     * .rollback]]): undo a bad merge — zero data copies (immutable
     * generation dirs), the rolled-back-from state stays archived and

@@ -182,6 +182,22 @@ private[operators] object GenStore {
     }
   }
 
+  /** The committed generations still resolvable at `path` — CURRENT plus
+    * every retained archive — newest first, as
+    * `(gen, nBuckets, nEntries, nApplied)`: the audit surface for "what
+    * snapshots can I still read/diff/roll back to". Manifest reads only;
+    * zero data listing.
+    */
+  def history(spark: org.apache.spark.sql.SparkSession,
+              path: String): Seq[(Long, Int, Int, Int)] = {
+    val cur = read(spark, path).getOrElse(
+      throw new IllegalArgumentException(s"not a manifested store: $path"))
+    val archived = listHistoryGens(spark, path).filter(_ < cur.gen)
+      .map(g => at(spark, path, g))
+    (archived :+ cur).sortBy(-_.gen)
+      .map(m => (m.gen, m.nBuckets, m.entries.size, m.applied.size))
+  }
+
   /** ROLLBACK: make an archived generation the live state again — the
     * "undo yesterday's bad load" verb that [[diff]]'s audit naturally
     * leads to. A rollback is a first-class MUTATION, not history
@@ -212,6 +228,40 @@ private[operators] object GenStore {
       target.entries)
     write(spark, path, next)
     next
+  }
+
+  /** The compliance tail of a PURGE — the one verb that violates the
+    * snapshot contract ON PURPOSE (the [[Purge]] trade, applied to a
+    * snapshot store): right-to-be-forgotten means the purged bytes must
+    * be physically GONE from every file under `path` when the call
+    * returns, including time-travel history. The caller has already
+    * landed the surviving state as a normal mutation (fresh generation
+    * dir + manifest swap — crash-safe on its own); this completes it:
+    * (1) history TRUNCATES — `vacuum(keepGens = 1)` retires every
+    * archived manifest and drops fully-unreferenced generation dirs
+    * (an archived snapshot that can resolve the purged rows is exactly
+    * what compliance forbids); (2) SUB-DIRECTORY SURGERY — the bucket
+    * dirs the rewrite remapped away from, now referenced by NO retained
+    * manifest, are deleted explicitly, because whole-dir reclaim cannot
+    * reach a purged bucket inside a generation dir that other buckets
+    * keep alive. Re-runnable from any crash point (both steps are
+    * idempotent); the deliberate trade is an in-flight reader holding a
+    * pre-purge manifest, which breaks — compliance wants the bytes gone
+    * NOW, not at a vacuum cadence. Returns the deleted names.
+    */
+  def purgeCommitted(spark: org.apache.spark.sql.SparkSession, path: String,
+                     preEntries: Seq[(Long, String)],
+                     touched: Set[Long]): Seq[String] = {
+    val truncated = vacuum(spark, path, keepGens = 1)
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    val surgical = preEntries.filter(e => touched.contains(e._1))
+      .map { case (b, d) => s"$d/bucket=$b" }
+      .filter(sub => Snapshot.dirExists(spark, s"$path/$sub"))
+      .sorted
+    surgical.foreach(sub =>
+      fs.delete(new org.apache.hadoop.fs.Path(s"$path/$sub"), true))
+    truncated ++ surgical
   }
 
   /** AUDIT diff of two committed generations — `(key, <v>_a..., <v>_b...,

@@ -1763,7 +1763,35 @@ object AnalyticsQueries {
       },
       Some("""SELECT l_suppkey AS key, count(*) AS cnt,
              |  CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS total
-             |FROM lineitem GROUP BY 1 ORDER BY key""".stripMargin))
+             |FROM lineitem GROUP BY 1 ORDER BY key""".stripMargin)),
+
+    // ---- COMPLIANCE PURGE of the aggregate store (AggStore
+    // .purgeAggStoreKeys): build on the full table, then erase every
+    // suppkey ≡ 0 (mod 7) — the rows are physically gone from every file
+    // under the store (live state AND time-travel history: the purge
+    // truncates the archive and surgically deletes the remapped-away
+    // bucket dirs, because a resolvable pre-purge snapshot is exactly
+    // what compliance forbids — PlanSpec pins the full-file sweep). Only
+    // the purged keys' buckets are rewritten; the oracle is the groupBy
+    // over the surviving keys. ----
+    Q("q303_agg_store_purge",
+      (s, dir) => {
+        import graft.operators.AggStore
+        val li = t(s, dir, "lineitem")
+          .select(col("l_suppkey"), col("l_quantity").cast("long").as("qty"))
+        val tmp = java.nio.file.Files
+          .createTempDirectory("graft_q303_").toString + "/aggs"
+        AggStore.buildAggStore(li, tmp, "l_suppkey", "qty")
+        AggStore.purgeAggStoreKeys(
+          li.filter(col("l_suppkey") % 7 === 0)
+            .select(col("l_suppkey")).distinct(),
+          tmp, "l_suppkey")
+        AggStore.readAggStore(s, tmp).orderBy(col("key"))
+      },
+      Some("""SELECT l_suppkey AS key, count(*) AS cnt,
+             |  CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS total
+             |FROM lineitem WHERE l_suppkey % 7 <> 0
+             |GROUP BY 1 ORDER BY key""".stripMargin))
   )
 
   /** q260 oracle: weekday factors, the integer deseasonalization, the

@@ -1308,6 +1308,46 @@ object DedupQueries {
       },
       Some(q284OracleSql)),
 
+    // ---- COMPLIANCE PURGE of the cluster store (Dedup
+    // .purgeClusterStoreIds): the q284 full closure persisted, then every
+    // doc_id ≡ 0 (mod 5) erased. The closure subtlety the oracle proves:
+    // a component's label is its minimum member id, so erasing that
+    // member RELABELS the component to its surviving minimum (otherwise
+    // every other row would keep carrying the erased subject's id as its
+    // label); survivors keep membership (the store is a closure
+    // accumulator — erasing a document does not un-observe its
+    // duplicates' mutual similarity), a component purged to one member
+    // stays a singleton. Oracle: the q284 closure, minus purged ids,
+    // windowed to the surviving minimum per old component. PlanSpec pins
+    // the bytes-gone sweep over every file, history truncation, and the
+    // bucket surgery. ----
+    Q("q304_cluster_store_purge",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val tmp = java.nio.file.Files
+          .createTempDirectory("graft_q304_").toString + "/labels"
+        Dedup.buildClusterStore(
+          Dedup.minhashPairs(docs, "doc_id", "text",
+            threshold = 0.8, portableHash = true), tmp)
+        Dedup.purgeClusterStoreIds(
+          docs.filter(col("doc_id") % 5 === 0)
+            .select(col("doc_id").as("id")), tmp)
+        Dedup.readClusterStore(s, tmp).orderBy(col("id"))
+      },
+      Some(s"""WITH RECURSIVE $minhashCtes,
+         |und AS (SELECT id_a AS a, id_b AS b FROM j WHERE jaccard >= 0.8
+         |        UNION SELECT id_b, id_a FROM j WHERE jaccard >= 0.8),
+         |reach(src, dst) AS (
+         |  SELECT a, b FROM und
+         |  UNION
+         |  SELECT r.src, u.b FROM reach r JOIN und u ON r.dst = u.a),
+         |lbl AS (SELECT src AS id, least(src, min(dst)) AS label
+         |        FROM reach GROUP BY src),
+         |surv AS (SELECT id, label FROM lbl WHERE id % 5 <> 0),
+         |rel AS (SELECT id, min(id) OVER (PARTITION BY label) AS label
+         |        FROM surv)
+         |SELECT id, label FROM rel ORDER BY id""".stripMargin)),
+
     // ---- STREAMING cluster-store maintenance
     // (StreamingDedup.clusteredSink): q115's arrival-order pipeline with
     // each batch folding its OWN pairs shard into the persisted component

@@ -765,6 +765,14 @@ class PlanSpec extends SparkSpec {
     assert(AggStore.readAggStoreAsOf(spark, tmp, 2L)
       .as[(Long, Long, Long)].collect().toSet == atG2,
       "the rolled-back-from generation must stay resolvable")
+    // history surfaces every resolvable snapshot, newest first — with the
+    // rollback and the re-fed batch as first-class generations
+    val hist = AggStore.aggStoreHistory(spark, tmp)
+    assert(hist.map(_._1) == Seq(4L, 3L, 2L, 1L),
+      s"history must list all four generations newest-first, got $hist")
+    assert(hist.find(_._1 == 4L).get._4 == 1 &&
+      hist.find(_._1 == 3L).get._4 == 0,
+      "the ledger must read 1 applied id after the re-feed, 0 at the rollback")
     val d24 = AggStore.diffAggStore(spark, tmp, 2L, 4L)
       .select(col("key"), col("total_a"), col("total_b"))
       .as[(Long, Long, Long)].collect().toSet
@@ -778,6 +786,82 @@ class PlanSpec extends SparkSpec {
     // rolling back to the current or a future generation is loud
     intercept[IllegalArgumentException](
       AggStore.rollbackAggStore(spark, tmp, 99L))
+  }
+
+  test("snapshot-store compliance purge: purged bytes are gone from EVERY " +
+      "file under the store (live and history), components relabel to the " +
+      "surviving minimum, the ledger survives, and untouched buckets stay " +
+      "byte-identical") {
+    import graft.operators.{AggStore, Dedup}
+    import spark.implicits._
+    def allParquet(f: java.io.File): Seq[String] =
+      if (f.isDirectory) f.listFiles().toSeq.flatMap(allParquet)
+      else if (f.getName.endsWith(".parquet")) Seq(f.getPath) else Seq.empty
+
+    // ---- aggregate store ----
+    val atmp = java.nio.file.Files.createTempDirectory("graft_apurge_").toString + "/aggs"
+    AggStore.buildAggStore(
+      Seq((1L, 10L), (2L, 20L), (3L, 30L), (4L, 40L)).toDF("k", "v"),
+      atmp, "k", "v", nBuckets = 8)
+    AggStore.mergeIntoAggStore(Seq((1L, 1L)).toDF("k", "v"),
+      atmp, "k", "v", appliedId = Some("day-1"))
+    val untouchedBefore = new java.io.File(atmp).listFiles()
+      .filter(d => d.isDirectory && d.getName.startsWith("d"))
+      .flatMap(g => g.listFiles().filter(_.isDirectory).map(b =>
+        (g.getName, b.getName) -> b.listFiles().map(_.getName).toSet)).toMap
+    val deleted = AggStore.purgeAggStoreKeys(
+      Seq(2L, 9L).toDF("k"), atmp, "k")
+    assert(deleted == 1L, s"only key 2 is stored, got $deleted")
+    assert(AggStore.readAggStore(spark, atmp)
+      .as[(Long, Long, Long)].collect().toSet ==
+      Set((1L, 2L, 11L), (3L, 1L, 30L), (4L, 1L, 40L)))
+    // the compliance sweep: NO file under the store holds the purged key
+    val residue = spark.read
+      .parquet(allParquet(new java.io.File(atmp)): _*)
+      .select(col("key")).as[Long].collect().toSet
+    assert(!residue.contains(2L),
+      "purged keys must be physically gone from every file under the store")
+    // history truncated: the archive would resolve the pre-purge state
+    assert(AggStore.aggStoreHistory(spark, atmp).map(_._1) == Seq(3L),
+      "purge must truncate the snapshot history")
+    intercept[IllegalArgumentException](
+      AggStore.readAggStoreAsOf(spark, atmp, 2L))
+    // the ledger survives: the applied batch is still refused
+    AggStore.mergeIntoAggStore(Seq((1L, 999L)).toDF("k", "v"),
+      atmp, "k", "v", appliedId = Some("day-1"))
+    assert(AggStore.readAggStore(spark, atmp)
+      .as[(Long, Long, Long)].collect().toSet ==
+      Set((1L, 2L, 11L), (3L, 1L, 30L), (4L, 1L, 40L)),
+      "the ledger must survive the purge")
+    // purging absent keys is a no-op (no generation burned)
+    assert(AggStore.purgeAggStoreKeys(Seq(777L).toDF("k"), atmp, "k") == 0L)
+    assert(AggStore.aggStoreHistory(spark, atmp).map(_._1) == Seq(3L))
+
+    // ---- cluster store: the label-relabel subtlety ----
+    val ctmp = java.nio.file.Files.createTempDirectory("graft_cpurge_").toString + "/labels"
+    Dedup.buildClusterStore(
+      Seq((1L, 2L), (2L, 30L), (10L, 11L)).toDF("id_a", "id_b"),
+      ctmp, nBuckets = 8)
+    // purge id 1 — the MINIMUM of component {1,2,30}: survivors must
+    // relabel to 2, never keep carrying the erased subject's id
+    assert(Dedup.purgeClusterStoreIds(Seq(1L).toDF("id"), ctmp) == 1L)
+    assert(Dedup.readClusterStore(spark, ctmp)
+      .as[(Long, Long)].collect().toSet ==
+      Set((2L, 2L), (30L, 2L), (10L, 10L), (11L, 10L)),
+      "survivors must relabel to the surviving minimum; untouched " +
+        "components must keep their labels")
+    val clusterResidue = spark.read
+      .parquet(allParquet(new java.io.File(ctmp)): _*)
+      .select(col("id"), col("label"))
+      .as[(Long, Long)].collect().flatMap(r => Seq(r._1, r._2)).toSet
+    assert(!clusterResidue.contains(1L),
+      "the erased id must appear in NO file — not as a row, not as a label")
+    // purge down to a singleton: {10,11} minus 10 keeps (11,11)
+    assert(Dedup.purgeClusterStoreIds(Seq(10L).toDF("id"), ctmp) == 1L)
+    val finalRows = Dedup.readClusterStore(spark, ctmp)
+      .as[(Long, Long)].collect().toSet
+    assert(finalRows == Set((2L, 2L), (30L, 2L), (11L, 11L)),
+      s"a component purged to one member stays a singleton, got $finalRows")
   }
 
   test("IVF-PQ within-version data GC: a fully-compacted-away append " +
