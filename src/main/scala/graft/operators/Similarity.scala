@@ -1091,14 +1091,6 @@ object Similarity {
     val root = resolveIvfPqRoot(spark, path)
     val tombOpt = tombstonesOf(spark, root, cId)
     if (tombOpt.isEmpty) return
-    // a checkpoint's blocks stay pinned until driver GC unless freed
-    // explicitly (the Graph.freeDeadCheckpoint lesson) — on a periodic
-    // compaction cadence that leak compounds per run
-    def freeCheckpoint(df: DataFrame): Unit =
-      df.queryExecution.analyzed match {
-        case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd.unpersist(false)
-        case _ => ()
-      }
     val tomb = tombOpt.get.localCheckpoint(true) // (id, max fence gen)
     try {
       val cat = codesCatalogOf(spark, root)
@@ -1150,6 +1142,97 @@ object Similarity {
         new org.apache.hadoop.fs.Path(s"$root/tombhist/g$newGen")),
         s"could not archive the tombstone log to tombhist/g$newGen")
     } finally freeCheckpoint(tomb)
+  }
+
+  /** A checkpoint's blocks stay pinned until driver GC unless freed
+    * explicitly (the Graph.freeDeadCheckpoint lesson) — on a periodic
+    * maintenance cadence that leak compounds per run.
+    */
+  private def freeCheckpoint(df: DataFrame): Unit =
+    df.queryExecution.analyzed match {
+      case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd.unpersist(false)
+      case _ => ()
+    }
+
+  /** COMPLIANCE PURGE: physically erase the ids' bytes from every file
+    * under the index when the call returns — the [[Purge]] contract on
+    * the ANN store, composed from the lifecycle's own verbs plus the
+    * surgery they cannot do alone: (1) [[tombstoneIvfPq]] +
+    * [[compactIvfPqIndex]] make the deletes physical in the LIVE state
+    * (and sweep any rows an earlier logical delete left on disk);
+    * (2) [[vacuumIvfPqVersions]]`(keep = 1)` erases superseded index
+    * VERSIONS wholesale (their corpora contain the subject);
+    * (3) [[vacuumIvfPqData]]`(keepGens = 1)` truncates the catalog
+    * history and the archived tombstone logs — the tombstone rows
+    * themselves carry the purged ids, so the log archives are as
+    * radioactive as the code rows, and a resolvable pre-purge snapshot
+    * is exactly what compliance forbids; (4) a CELL-LEVEL SURGERY sweep
+    * deletes every `cell=` subdirectory on disk that the (now sole)
+    * CURRENT catalog does not reference — unreferenced subdirs inside
+    * partially-live data directories are precisely where superseded
+    * copies of the purged rows hide, from this compaction AND any
+    * earlier one, and whole-directory vacuum cannot reach them. NOT
+    * erased by design: the trained constants — centroids/codebooks are
+    * k-means aggregates over a training sample, not row bytes; a regime
+    * that treats learned aggregates as personal data re-trains via
+    * [[rebuildIvfPqIndex]] on the post-purge corpus (and then vacuums
+    * the old version). Re-run to completion after a crash (every leg is
+    * idempotent or re-runnable); in-flight readers holding pre-purge
+    * catalogs break — compliance wants the bytes gone NOW. Returns the
+    * number of physical code rows erased.
+    */
+  def purgeIvfPqIds(ids: DataFrame, path: String,
+                    cId: String = "nid"): Long = {
+    val spark = ids.sparkSession
+    val root = resolveIvfPqRoot(spark, path)
+    val idsd = ids.select(col(cId)).distinct().localCheckpoint(true)
+    val deleted =
+      try readCodesTagged(spark, root)
+        .join(idsd, Seq(cId), "left_semi").count()
+      finally freeCheckpoint(idsd)
+    // always run the full tail even when no physical row matched: an
+    // EARLIER delete+compaction may have left the ids only in archived
+    // catalogs/tombstone logs, which steps 2-4 are what erase
+    tombstoneIvfPq(ids, path, cId)
+    compactIvfPqIndex(spark, path, cId)
+    vacuumIvfPqVersions(spark, path, keep = 1)
+    vacuumIvfPqData(spark, path, keepGens = 1)
+    // the ABANDONED pre-versioning flat layout: once a rebuild versioned
+    // the index, the flat files at `path` are dead weight no reader
+    // resolves through CURRENT — but they still hold the whole corpus,
+    // so a purge erases them (this is exactly the "caller's explicit
+    // call" [[vacuumIvfPqVersions]] reserves flat-layout removal for)
+    if (root != path) {
+      val pp = new org.apache.hadoop.fs.Path(path)
+      val pfs = pp.getFileSystem(spark.sessionState.newHadoopConf())
+      pfs.listStatus(pp).map(_.getPath.getName)
+        .filter(n => n != "CURRENT" && !n.matches("v\\d+"))
+        .foreach(n =>
+          pfs.delete(new org.apache.hadoop.fs.Path(s"$path/$n"), true))
+    }
+    val cat = codesCatalogOf(spark, root)
+    val live = cat.entries.map(e => (e._2, e._1)).toSet
+    val p = new org.apache.hadoop.fs.Path(root)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    val top = fs.listStatus(p).filter(_.isDirectory)
+      .map(_.getPath.getName).toSeq
+    val dataDirs = top.filter(n => n == "codes" || n.matches("compact_g\\d+")) ++
+      (if (!top.contains("appends")) Seq.empty
+       else fs.listStatus(new org.apache.hadoop.fs.Path(s"$root/appends"))
+         .filter(_.isDirectory).map(s => s"appends/${s.getPath.getName}").toSeq)
+    dataDirs.foreach { d =>
+      listCellDirs(spark, s"$root/$d").filterNot(c => live((d, c)))
+        .foreach(c => fs.delete(
+          new org.apache.hadoop.fs.Path(s"$root/$d/cell=$c"), true))
+    }
+    // the history parents are empty now (keepGens = 1 retired every
+    // archive) — drop the husks so nothing under the index even NAMES
+    // the purged lineage
+    Seq("tombhist", "catalogs").foreach { h =>
+      val hp = new org.apache.hadoop.fs.Path(s"$root/$h")
+      if (fs.exists(hp) && fs.listStatus(hp).isEmpty) fs.delete(hp, true)
+    }
+    deleted
   }
 
   /** QUANTIZATION-ERROR drift statistics — the policy knob behind

@@ -669,6 +669,18 @@ object DedupQueries {
        |SELECT qid, nid, round(adist, 4) AS adist, rn FROM r WHERE rn <= 5
        |ORDER BY qid, rn""".stripMargin
 
+  /** q305 oracle GENERATOR: the q99 full-corpus replay with the purged
+    * vectors (vec_id % 5 = 0) excluded from the serving candidates —
+    * a purge must not move the constants or any survivor's codes (the
+    * q276 delete semantics; what the purge ADDS over a delete is the
+    * bytes-gone guarantee, which PlanSpec sweeps files for).
+    */
+  private def q305OracleGen(s: SparkSession, dir: String): String =
+    s"""WITH ${ivfPqReplayCtes(s, dir,
+          serveExclude = Some("codes.nid % 5 = 0"))}
+       |SELECT qid, nid, round(adist, 4) AS adist, rn FROM r WHERE rn <= 5
+       |ORDER BY qid, rn""".stripMargin
+
   /** q281 oracle GENERATOR: the q99 FULL-corpus-trained replay — a
     * rebuild retrains on the live corpus with the monolithic build's
     * sample/seed discipline, so rebuild(build(base)+append(inc)) must
@@ -1551,6 +1563,47 @@ object DedupQueries {
       },
       None,
       oracleGen = Some(q276OracleGen _)),
+
+    // ---- COMPLIANCE PURGE of the IVF-PQ index (Similarity
+    // .purgeIvfPqIds): a full-corpus index with an append in its history
+    // (so appends/ directories and catalog archives exist to be
+    // scrubbed), then every vec_id ≡ 0 (mod 5) purged — delete made
+    // physical by the lifecycle's own verbs, superseded versions erased
+    // wholesale, catalog history and the archived tombstone logs
+    // truncated (the tombstone rows themselves carry the purged ids),
+    // and every cell= subdirectory the sole remaining catalog does not
+    // reference surgically deleted. Serving equivalence is the q276
+    // delete oracle on the full corpus; the bytes-gone sweep is
+    // PlanSpec's. ----
+    Q("q305_ivfpq_purge",
+      (s, dir) => {
+        val emb = t(s, dir, "embeddings")
+        val base = emb.filter(col("vec_id") % 3 =!= 0)
+          .select(col("vec_id").as("nid"), col("embedding").as("ne"))
+        val inc = emb.filter(col("vec_id") % 3 === 0)
+          .select(col("vec_id").as("nid"), col("embedding").as("ne"))
+        val q = emb.filter(col("vec_id") < 5)
+          .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+        val tmp = java.nio.file.Files
+          .createTempDirectory("graft_ivfpq_purge_").toString
+        // FULL-corpus constants (train on everything), increment appended
+        // so the purge has append directories and history to scrub
+        Similarity.buildIvfPqIndex(base.unionByName(inc), tmp)
+        Similarity.tombstoneIvfPq(
+          base.unionByName(inc).filter(col("nid") % 3 === 0)
+            .select(col("nid")), tmp)
+        Similarity.compactIvfPqIndex(s, tmp)
+        Similarity.appendToIvfPqIndex(inc, tmp, appendId = "re-add")
+        Similarity.purgeIvfPqIds(
+          emb.filter(col("vec_id") % 5 === 0).select(col("vec_id").as("nid")),
+          tmp)
+        Similarity.serveIvfPq(s, tmp, q, k = 5, nProbe = 4)
+          .select(col("qid"), col("nid"), round(col("adist"), 4).as("adist"),
+            col("rn"))
+          .orderBy(col("qid"), col("rn"))
+      },
+      None,
+      oracleGen = Some(q305OracleGen _)),
 
     // ---- TIME-TRAVEL serve of the IVF-PQ index (serveIvfPq asOfGen):
     // the q276 lifecycle run to the end — build (gen 1), append (gen 2),

@@ -864,6 +864,77 @@ class PlanSpec extends SparkSpec {
       s"a component purged to one member stays a singleton, got $finalRows")
   }
 
+  test("IVF-PQ compliance purge: purged ids appear in NO file under the " +
+      "index — code rows, tombstone logs, archived catalogs, superseded " +
+      "versions — and the survivors keep serving") {
+    import graft.operators.Similarity
+    import spark.implicits._
+    val emb = Tables(spark, sfDir, "embeddings")
+    val base = emb.filter(col("vec_id") % 3 =!= 0)
+      .select(col("vec_id").as("nid"), col("embedding").as("ne"))
+    val inc = emb.filter(col("vec_id") % 3 === 0)
+      .select(col("vec_id").as("nid"), col("embedding").as("ne"))
+    val queries = emb.filter(col("vec_id") < 3)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+    val tmp = java.nio.file.Files.createTempDirectory("graft_ipurge_").toString
+    // a full lifecycle so every byte-hiding place exists: flat build +
+    // append (the ABANDONED flat layout a rebuild leaves at path),
+    // rebuild #1 (v1), post-rebuild delete + compact (archived catalogs
+    // + a tombstone-log archive inside v1), re-append, rebuild #2 (v2 —
+    // v1 becomes the superseded version retaining the whole corpus)
+    Similarity.buildIvfPqIndex(base, tmp)
+    Similarity.appendToIvfPqIndex(inc, tmp, appendId = "day1")
+    Similarity.rebuildIvfPqIndex(base.unionByName(inc), tmp)
+    Similarity.tombstoneIvfPq(
+      emb.filter(col("vec_id") % 11 === 0).select(col("vec_id").as("nid")), tmp)
+    Similarity.compactIvfPqIndex(spark, tmp)
+    Similarity.appendToIvfPqIndex(
+      emb.filter(col("vec_id") % 11 === 0)
+        .select(col("vec_id").as("nid"), col("embedding").as("ne")),
+      tmp, appendId = "re-add")
+    Similarity.rebuildIvfPqIndex(base.unionByName(inc), tmp)
+    val purged = emb.filter(col("vec_id") % 5 === 0)
+      .select(col("vec_id").as("vec_id")).as[Long].collect().toSet
+    val deleted = Similarity.purgeIvfPqIds(
+      emb.filter(col("vec_id") % 5 === 0).select(col("vec_id").as("nid")), tmp)
+    assert(deleted == purged.size,
+      s"every live purged row must be counted, got $deleted of ${purged.size}")
+    // the compliance sweep: NO parquet file under the whole index tree
+    // holds a purged id — not a code row, not a tombstone row
+    def idFiles(f: java.io.File): Seq[String] =
+      if (f.isDirectory) f.listFiles().toSeq.flatMap(idFiles)
+      else if (f.getName.endsWith(".parquet") &&
+        (f.getPath.contains("cell=") || f.getPath.contains("tomb")))
+        Seq(f.getPath)
+      else Seq.empty
+    val files = idFiles(new java.io.File(tmp))
+    assert(files.nonEmpty, "the sweep must actually find data files")
+    val residue = spark.read.option("mergeSchema", "true")
+      .parquet(files: _*).select(col("nid")).as[Long].collect().toSet
+    assert(residue.intersect(purged).isEmpty,
+      "purged ids must be physically gone from every file under the index")
+    // the superseded version, the abandoned flat layout, catalog
+    // history, and tombstone archives are all gone
+    assert(!new java.io.File(s"$tmp/v1").exists(),
+      "the superseded version directory must be erased")
+    assert(!new java.io.File(s"$tmp/codes").exists() &&
+      !new java.io.File(s"$tmp/appends").exists() &&
+      !new java.io.File(s"$tmp/CODESMAP").exists(),
+      "the abandoned pre-versioning flat layout must be erased")
+    val root = new java.io.File(s"$tmp/v2")
+    assert(!new java.io.File(root, "tombstones").exists() &&
+      !new java.io.File(root, "tombhist").exists(),
+      "no tombstone log or archive may survive a purge")
+    val cats = new java.io.File(root, "catalogs")
+    assert(!cats.exists() || cats.listFiles().isEmpty,
+      "the catalog history must be truncated")
+    // survivors keep serving, purged ids never rank
+    val served = Similarity.serveIvfPq(spark, tmp, queries, k = 5)
+      .select(col("nid")).as[Long].collect().toSet
+    assert(served.nonEmpty && served.intersect(purged).isEmpty,
+      "the purged ids must never serve; the survivors must")
+  }
+
   test("IVF-PQ within-version data GC: a fully-compacted-away append " +
       "directory is reclaimed; partially-live directories survive") {
     import graft.operators.Similarity
