@@ -36,6 +36,28 @@ object EventQueries {
       |  valid_to IS NULL AS is_current
       |FROM v ORDER BY user_id, version""".stripMargin
 
+  /** q306 oracle: the scd2 replay over the observations MINUS the purged
+    * subjects — what a batch run over the purged log produces, which the
+    * purge's regenerated dimension must equal exactly.
+    */
+  private lazy val q306OracleSql: String =
+    """WITH ch AS (SELECT user_id, event_type, ts, event_id,
+      |        lag(event_type) OVER (PARTITION BY user_id
+      |          ORDER BY ts, event_id) AS prev
+      |      FROM events WHERE user_id % 9 <> 0),
+      |k AS (SELECT user_id, event_type, ts, event_id FROM ch
+      |      WHERE prev IS NULL OR prev <> event_type),
+      |v AS (SELECT user_id,
+      |        CAST(row_number() OVER (PARTITION BY user_id
+      |          ORDER BY ts, event_id) AS BIGINT) AS version,
+      |        event_type AS state, ts AS valid_from,
+      |        lead(ts) OVER (PARTITION BY user_id
+      |          ORDER BY ts, event_id) AS valid_to
+      |      FROM k)
+      |SELECT user_id, version, state, valid_from, valid_to,
+      |  valid_to IS NULL AS is_current
+      |FROM v ORDER BY user_id, version""".stripMargin
+
   /** CDC merge oracle over customer base + orders change feed — shared by
     * q145 (batch MERGE) and q148 (streaming maintenance), whose
     * batch-equivalence contract is exactly "the maintained snapshot
@@ -332,6 +354,50 @@ object EventQueries {
           .orderBy(col("user_id"), col("version"))
       },
       Some(scd2OracleSql)),
+
+    // ---- COMPLIANCE PURGE of the SCD pair (StreamingScd.purgeKeys): the
+    // q137 maintained stores, then every user_id ≡ 0 (mod 9) erased from
+    // BOTH — observations rewritten out of the touched log buckets, and
+    // the dimension needing no purge logic of its own because it is a
+    // pure function of the log per bucket: the touched buckets simply
+    // REGENERATE from the purged log, co-bucketed survivors re-version to
+    // what a batch run over the purged observations produces (exactly
+    // this oracle), and a purged user yields no versions at all.
+    // Emptied buckets drop explicitly (the q148 rule — dynamic overwrite
+    // cannot replace a partition the write produces no rows for, and the
+    // un-replaced files would be exactly where the purged bytes
+    // survive). ----
+    Q("q306_scd2_purge",
+      (s, dir) => {
+        import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+        implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+        import s.implicits._
+        val ev = t(s, dir, "events")
+          .select(col("user_id"), col("event_type"), col("ts"), col("event_id"))
+        val tmp = java.nio.file.Files.createTempDirectory("graft_q306_").toString
+        val input = MemoryStream[(Long, String, java.sql.Timestamp, Long)]
+        val q = graft.streaming.StreamingScd.sink(
+          input.toDF().toDF("user_id", "event_type", "ts", "event_id"),
+          "user_id", Seq("event_type"), "ts", "event_id",
+          s"$tmp/obs", s"$tmp/dim", s"$tmp/ckpt")
+        try {
+          for (r <- 0 to 2) {
+            input.addData(ev.filter(col("event_id") % 3 === r)
+              .as[(Long, String, java.sql.Timestamp, Long)].collect().toSeq)
+            q.processAllAvailable()
+          }
+        } finally q.stop()
+        graft.streaming.StreamingScd.purgeKeys(
+          ev.filter(col("user_id") % 9 === 0).select(col("user_id")),
+          "user_id", Seq("event_type"), "ts", "event_id",
+          s"$tmp/obs", s"$tmp/dim")
+        graft.streaming.StreamingScd.dim(s, s"$tmp/dim")
+          .select(col("user_id"), col("version"),
+            col("state.event_type").as("state"),
+            col("valid_from"), col("valid_to"), col("is_current"))
+          .orderBy(col("user_id"), col("version"))
+      },
+      Some(q306OracleSql)),
 
     // ---- Point-in-time SCD2 consumption (operators/Scd.pointInTime):
     // the dimension is each user's non-purchase activity state; the facts

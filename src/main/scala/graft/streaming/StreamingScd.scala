@@ -140,4 +140,81 @@ object StreamingScd {
   /** The dimension as a DataFrame (bucket column dropped). */
   def dim(spark: org.apache.spark.sql.SparkSession, dimPath: String): DataFrame =
     spark.read.parquet(dimPath).drop("__bucket")
+
+  /** COMPLIANCE PURGE of the SCD pair: physically erase every
+    * observation AND every dimension version of the keys from both
+    * stores when the call returns (the [[graft.operators.Purge]]
+    * contract). The dimension needs no purge logic of its own — it is a
+    * PURE FUNCTION of the log per bucket (this module's crash-safety
+    * argument, cashed in a second time): rewrite the touched LOG buckets
+    * without the subject's observations, then regenerate exactly those
+    * dimension buckets from the purged log — a key with no observations
+    * simply produces no versions, and co-bucketed survivors re-version
+    * to byte-what-a-batch-run-would-produce. Both rewrites are dynamic
+    * partition overwrites with the emptied-bucket drop (a bucket whose
+    * every row was purged produces no partition, so its stale dir is
+    * dropped explicitly — the q148 rule; without it the purged bytes
+    * would survive in the un-replaced files). In-place by design, like
+    * every purge: re-run to completion after a crash (idempotent —
+    * already-purged keys anti-join to the same keep set and the same
+    * regeneration), and in-flight readers of the touched buckets break.
+    * Returns the number of observations deleted.
+    */
+  def purgeKeys(keys: DataFrame, keyCol: String, attrCols: Seq[String],
+                tsCol: String, tieCol: String,
+                obsPath: String, dimPath: String,
+                nBuckets: Int = 16): Long = {
+    val spark = keys.sparkSession
+    val k = keys.select(col(keyCol)).distinct().localCheckpoint(true)
+    def free(df: DataFrame): Unit = df.queryExecution.analyzed match {
+      case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd.unpersist(false)
+      case _ => ()
+    }
+    try {
+      val touched = k
+        .select(bucketOf(col(keyCol), nBuckets).as("__bucket"))
+        .distinct().collect().map(_.getInt(0)).toSet // ≤ nBuckets
+      if (touched.isEmpty) return 0L
+      val bucketFilter = col("__bucket").isin(touched.map(Int.box).toSeq: _*)
+      val logT = spark.read.parquet(obsPath).where(bucketFilter)
+      val keep = logT.join(k, Seq(keyCol), "left_anti").localCheckpoint(true)
+      try {
+        val deleted = logT.count() - keep.count()
+        if (deleted == 0L) return 0L // keys absent: nothing to erase
+        val fs = new org.apache.hadoop.fs.Path(obsPath)
+          .getFileSystem(spark.sessionState.newHadoopConf())
+        def dropEmptied(path: String, nonEmpty: Set[Int]): Unit =
+          touched.filterNot(nonEmpty).foreach(b => fs.delete(
+            new org.apache.hadoop.fs.Path(s"$path/__bucket=$b"), true))
+        keep.write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("__bucket").parquet(obsPath)
+        dropEmptied(obsPath, keep.select(col("__bucket")).distinct()
+          .collect().map(_.getInt(0)).toSet)
+        // regenerate the touched dimension buckets purely from the
+        // purged log (fresh read — the overwrite above has committed);
+        // a log left with no bucket dirs at all (every key purged) has
+        // nothing to regenerate FROM, so every touched dim dir drops
+        val logHasData = fs.exists(new org.apache.hadoop.fs.Path(obsPath)) &&
+          fs.listStatus(new org.apache.hadoop.fs.Path(obsPath))
+            .exists(_.getPath.getName.startsWith("__bucket="))
+        if (!logHasData) dropEmptied(dimPath, Set.empty)
+        else {
+          val reversioned = Scd.scd2(
+              spark.read.parquet(obsPath).where(bucketFilter),
+              keyCol, attrCols, tsCol, tieCol)
+            .withColumn("__bucket", bucketOf(col(keyCol), nBuckets))
+            .localCheckpoint(true)
+          try {
+            reversioned.write.mode("overwrite")
+              .option("partitionOverwriteMode", "dynamic")
+              .partitionBy("__bucket").parquet(dimPath)
+            dropEmptied(dimPath, reversioned.select(col("__bucket")).distinct()
+              .collect().map(_.getInt(0)).toSet)
+          } finally free(reversioned)
+        }
+        deleted
+      } finally free(keep)
+    } finally free(k)
+  }
 }

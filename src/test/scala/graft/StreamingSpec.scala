@@ -419,6 +419,74 @@ class StreamingSpec extends SparkSpec {
       "untouched bucket partitions must not be rewritten")
   }
 
+  test("SCD compliance purge: the subject's bytes are gone from BOTH " +
+      "stores' every file, co-bucketed survivors re-version from the " +
+      "purged log, untouched buckets stay byte-identical, and the purge " +
+      "is idempotent") {
+    import graft.streaming.StreamingScd
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft_pscd_").toString
+    val obs = s"file:$tmp/obs"
+    val dimp = s"file:$tmp/dim"
+    def ts(min: Int) = new java.sql.Timestamp(1700000000000L + min * 60000L)
+    val bOf = Seq((1L to 40L): _*).toDF("k")
+      .select(col("k"), pmod(xxhash64(col("k")), lit(16L)).cast("int").as("b"))
+      .as[(Long, Int)].collect().toMap
+    // kSame shares key 1's bucket (the co-bucketed survivor), kOther is
+    // in a different bucket (the untouched control)
+    val kSame = (2L to 40L).find(bOf(_) == bOf(1L)).get
+    val kOther = (2L to 40L).find(bOf(_) != bOf(1L)).get
+    val b0 = Seq(
+      (1L, "a", ts(0), 1L), (1L, "b", ts(10), 2L),
+      (kSame, "a", ts(0), 3L), (kSame, "c", ts(20), 4L),
+      (kOther, "a", ts(0), 5L)).toDF("k", "attr", "ts", "tie")
+    StreamingScd.processBatch(b0, "k", Seq("attr"), "ts", "tie", obs, dimp)
+    def bucketFiles(b: Int): Map[String, Long] = {
+      val d = new java.io.File(s"$tmp/dim/__bucket=$b")
+      if (!d.exists()) Map.empty
+      else d.listFiles().filter(_.getName.endsWith(".parquet"))
+        .map(f => f.getName -> f.lastModified()).toMap
+    }
+    val otherBefore = bucketFiles(bOf(kOther))
+    // purge subject 1 (the absent-key no-op is the idempotence re-run
+    // below — same code path, and it cannot perturb the control bucket)
+    val deleted = StreamingScd.purgeKeys(Seq(1L).toDF("k"),
+      "k", Seq("attr"), "ts", "tie", obs, dimp)
+    assert(deleted == 2L, s"subject 1 had two observations, got $deleted")
+    // the compliance sweep: NO file under either store names the subject
+    def allParquet(f: java.io.File): Seq[String] =
+      if (f.isDirectory) f.listFiles().toSeq.flatMap(allParquet)
+      else if (f.getName.endsWith(".parquet")) Seq(f.getPath) else Seq.empty
+    Seq(s"$tmp/obs", s"$tmp/dim").foreach { store =>
+      val ks = spark.read.parquet(allParquet(new java.io.File(store)): _*)
+        .select(col("k")).as[Long].collect().toSet
+      assert(!ks.contains(1L),
+        s"purged key must be gone from every file under $store, got $ks")
+    }
+    // the co-bucketed survivor re-versions to exactly the batch answer
+    val dim = StreamingScd.dim(spark, dimp)
+      .select(col("k"), col("version"), col("state.attr").as("a"),
+        col("is_current"))
+      .as[(Long, Long, String, Boolean)].collect().toSet
+    assert(dim == Set(
+      (kSame, 1L, "a", false), (kSame, 2L, "c", true),
+      (kOther, 1L, "a", true)),
+      s"survivors must re-version from the purged log: $dim")
+    // the untouched bucket was never rewritten
+    assert(bucketFiles(bOf(kOther)) == otherBefore,
+      "untouched buckets must stay byte-identical across a purge")
+    // idempotent: a re-run erases nothing further and changes nothing
+    assert(StreamingScd.purgeKeys(Seq(1L).toDF("k"),
+      "k", Seq("attr"), "ts", "tie", obs, dimp) == 0L)
+    // purge the co-bucketed survivor too: its bucket empties in BOTH
+    // stores and the stale dirs drop rather than survive un-replaced
+    assert(StreamingScd.purgeKeys(Seq(kSame, 1L).toDF("k"),
+      "k", Seq("attr"), "ts", "tie", obs, dimp) == 2L)
+    assert(!new java.io.File(s"$tmp/dim/__bucket=${bOf(1L)}").exists() &&
+      !new java.io.File(s"$tmp/obs/__bucket=${bOf(1L)}").exists(),
+      "an emptied bucket's stale dir must drop in both stores")
+  }
+
   test("stateful sessions: event-time timeout flushes an idle session in streaming mode") {
     import java.sql.Timestamp
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
