@@ -1144,6 +1144,69 @@ object Similarity {
     } finally freeCheckpoint(tomb)
   }
 
+  /** RECALL-TARGETED nProbe tuning — the serving-quality sibling of
+    * [[rebuildIfDrifted]]'s drift policy: nProbe is the one serving knob
+    * that trades latency for recall (more probed cells → more candidates
+    * → better recall, linearly more ADC work), and picking it by hand is
+    * guesswork that silently rots as the corpus grows. This measures
+    * recall@k against EXACT search for each candidate nProbe on a
+    * caller-supplied query sample, and returns one audit row per
+    * candidate — `(n_probe, n_hit, n_exact, recall_ppm, chosen)` with
+    * `chosen` on the SMALLEST candidate meeting `targetPpm` (recall is
+    * monotone non-decreasing in nProbe — probing more cells only adds
+    * candidates — so the smallest passing value is the cheapest
+    * compliant configuration), or on the highest-recall candidate
+    * (ties → smaller nProbe) when none passes: the caller then knows the
+    * target is unreachable at this index geometry and the fix is more
+    * cells probed than offered, a refine stage ([[annRefine]] / q139),
+    * or a rebuild. Integer-exact: recall_ppm = ⌊10⁶·hits/exact⌋.
+    *
+    * Scale shape: the exact ground truth is ONE brute-force top-k over
+    * the corpus (queries broadcast — this is the same bounded audit
+    * cost as q136's recall row, run on a SAMPLE of queries, not the
+    * serving path); each candidate then costs one [[serveIvfPq]], which
+    * reads only its probed cells. The loop is |candidates| bounded
+    * driver iterations of distributed jobs — the [[rebuildIfDrifted]]
+    * audit-row discipline, not a per-row collect.
+    */
+  def tuneIvfPqNProbe(spark: org.apache.spark.sql.SparkSession, path: String,
+                      queries: DataFrame, corpus: DataFrame, k: Int,
+                      targetPpm: Long,
+                      candidates: Seq[Int] = Seq(1, 2, 4, 8),
+                      qId: String = "qid", qVec: String = "qe",
+                      cId: String = "nid", cVec: String = "ne"): DataFrame = {
+    require(candidates.nonEmpty && candidates.forall(_ >= 1),
+      s"candidate nProbe values must be positive, got $candidates")
+    require(k >= 1, s"k must be positive, got $k")
+    import spark.implicits._
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(qId)).orderBy(col("__d2"), col(cId))
+    val exact = broadcast(queries.select(col(qId), col(qVec)))
+      .crossJoin(corpus.select(col(cId), col(cVec)))
+      .filter(col(cId) =!= col(qId))
+      .select(col(qId), col(cId),
+        graft.functions.VectorFns.l2sq(col(qVec), col(cVec)).as("__d2"))
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= k)
+      .select(col(qId), col(cId))
+      .localCheckpoint(true)
+    try {
+      val nExact = exact.count()
+      require(nExact > 0, "the query sample produced no exact neighbors")
+      val rows = candidates.distinct.sorted.map { np =>
+        val served = serveIvfPq(spark, path, queries, k, nProbe = np,
+          qId = qId, qVec = qVec, cId = cId)
+        val nHit = exact.join(served.select(col(qId), col(cId)),
+          Seq(qId, cId), "left_semi").count()
+        (np, nHit, nExact, 1000000L * nHit / nExact)
+      }
+      val chosen = rows.find(_._4 >= targetPpm).map(_._1)
+        .getOrElse(rows.maxBy(r => (r._4, -r._1))._1)
+      rows.map(r => (r._1, r._2, r._3, r._4, r._1 == chosen))
+        .toDF("n_probe", "n_hit", "n_exact", "recall_ppm", "chosen")
+    } finally freeCheckpoint(exact)
+  }
+
   /** A checkpoint's blocks stay pinned until driver GC unless freed
     * explicitly (the Graph.freeDeadCheckpoint lesson) — on a periodic
     * maintenance cadence that leak compounds per run.

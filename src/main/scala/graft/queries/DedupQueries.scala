@@ -572,17 +572,20 @@ object DedupQueries {
   private def ivfPqReplayCtes(s: SparkSession, dir: String,
                               trainWhere: Option[String] = None,
                               serveExclude: Option[String] = None,
-                              srcView: Option[(String, DataFrame => DataFrame)] = None)
+                              srcView: Option[(String, DataFrame => DataFrame)] = None,
+                              extraProbes: Seq[Int] = Seq.empty)
       : String =
     ivfPqCtesCache.getOrElseUpdate(
       s"$dir|t=${trainWhere.mkString}|x=${serveExclude.mkString}|" +
-        s"s=${srcView.map(_._1).mkString}",
-      ivfPqReplayCtesUncached(s, dir, trainWhere, serveExclude, srcView))
+        s"s=${srcView.map(_._1).mkString}|p=${extraProbes.mkString(",")}",
+      ivfPqReplayCtesUncached(s, dir, trainWhere, serveExclude, srcView,
+        extraProbes))
 
   private def ivfPqReplayCtesUncached(s: SparkSession, dir: String,
                                       trainWhere: Option[String],
                                       serveExclude: Option[String],
-                                      srcView: Option[(String, DataFrame => DataFrame)])
+                                      srcView: Option[(String, DataFrame => DataFrame)],
+                                      extraProbes: Seq[Int])
       : String = {
     val src = srcView.fold(Tables(s, dir, "embeddings"))(v =>
       v._2(Tables(s, dir, "embeddings")))
@@ -628,19 +631,22 @@ object DedupQueries {
        |          ORDER BY ${l2("q.embedding", "c.cvec")}, c.cell) AS prn
        |      FROM $srcTbl q CROSS JOIN cents c
        |      WHERE q.vec_id < 5),
-       |probed AS (SELECT qid, cell,
-       |             list_transform(list_zip(qe, cvec), x -> CAST(x[1] AS DOUBLE) - x[2]) AS qr
-       |           FROM p WHERE prn <= 4),
-       |pd AS (SELECT probed.qid, codes.nid, codes.m,
-       |         ${l2res("probed.qr", "codes.m")} AS d
-       |       FROM probed JOIN codes ON codes.cell = probed.cell AND codes.nid != probed.qid
-       |         AND (${serveExclude.fold("TRUE")(e => s"NOT ($e)")})
-       |       JOIN cb ON cb.m = codes.m AND cb.c = codes.c),
-       |ad AS (SELECT qid, nid, list_sum(list(d ORDER BY m)) AS adist
-       |       FROM pd GROUP BY qid, nid),
-       |r AS (SELECT qid, nid, adist,
-       |        row_number() OVER (PARTITION BY qid ORDER BY adist, nid) AS rn
-       |      FROM ad)""".stripMargin
+       |${(Seq((4, "")) ++ extraProbes.filter(_ != 4).distinct.sorted
+             .map(np => (np, s"_$np"))).map { case (np, sx) =>
+           s"""probed$sx AS (SELECT qid, cell,
+              |             list_transform(list_zip(qe, cvec), x -> CAST(x[1] AS DOUBLE) - x[2]) AS qr
+              |           FROM p WHERE prn <= $np),
+              |pd$sx AS (SELECT probed$sx.qid, codes.nid, codes.m,
+              |         ${l2res(s"probed$sx.qr", "codes.m")} AS d
+              |       FROM probed$sx JOIN codes ON codes.cell = probed$sx.cell AND codes.nid != probed$sx.qid
+              |         AND (${serveExclude.fold("TRUE")(e => s"NOT ($e)")})
+              |       JOIN cb ON cb.m = codes.m AND cb.c = codes.c),
+              |ad$sx AS (SELECT qid, nid, list_sum(list(d ORDER BY m)) AS adist
+              |       FROM pd$sx GROUP BY qid, nid),
+              |r$sx AS (SELECT qid, nid, adist,
+              |        row_number() OVER (PARTITION BY qid ORDER BY adist, nid) AS rn
+              |      FROM ad$sx)""".stripMargin
+         }.mkString(",\n")}""".stripMargin
   }
 
   private def q99OracleGen(s: SparkSession, dir: String): String =
@@ -776,6 +782,50 @@ object DedupQueries {
        |           ON approx.qid = exact.qid AND approx.nid = exact.nid
        |         GROUP BY exact.qid)
        |SELECT qid, n_hit, CAST(5 AS BIGINT) AS k FROM hits ORDER BY qid""".stripMargin
+  }
+
+  /** q307 oracle GENERATOR: the q136 recall replay at EVERY candidate
+    * nProbe (per-probe serving chains from the shared prefix), each
+    * scored against the same exact top-5, with `chosen` on the smallest
+    * candidate reaching 80% recall (800000 ppm) — or the highest-recall,
+    * ties to the smaller probe count, when none passes. Integer-exact
+    * recall via floored division on both engines.
+    */
+  private def q307OracleGen(s: SparkSession, dir: String): String = {
+    val l2e =
+      """list_sum(list_transform(list_zip(q.embedding, e.embedding),
+        |           x -> (CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE))
+        |              * (CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE))))""".stripMargin
+    val cands = Seq(1, 2, 4, 8)
+    val recCtes = cands.map { np =>
+      val r = if (np == 4) "r" else s"r_$np"
+      s"""rec_$np AS (SELECT CAST($np AS BIGINT) AS n_probe,
+         |    CAST(count(approx.nid) AS BIGINT) AS n_hit
+         |  FROM exact LEFT JOIN (SELECT qid, nid FROM $r WHERE rn <= 5) approx
+         |    ON approx.qid = exact.qid AND approx.nid = exact.nid)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH ${ivfPqReplayCtes(s, dir, extraProbes = cands.filter(_ != 4))},
+       |ex AS (SELECT q.vec_id AS qid, e.vec_id AS nid,
+       |         row_number() OVER (PARTITION BY q.vec_id
+       |           ORDER BY $l2e, e.vec_id) AS ern
+       |       FROM embeddings q CROSS JOIN embeddings e
+       |       WHERE q.vec_id < 5 AND e.vec_id != q.vec_id),
+       |exact AS (SELECT qid, nid FROM ex WHERE ern <= 5),
+       |nex AS (SELECT CAST(count(*) AS BIGINT) AS n_exact FROM exact),
+       |$recCtes,
+       |u AS (${cands.map(np =>
+             s"SELECT n_probe, n_hit FROM rec_$np").mkString("\n  UNION ALL\n  ")}),
+       |scored AS (SELECT u.n_probe, u.n_hit, nex.n_exact,
+       |    1000000 * u.n_hit // nex.n_exact AS recall_ppm
+       |  FROM u CROSS JOIN nex),
+       |pick AS (SELECT coalesce(
+       |    (SELECT min(n_probe) FROM scored WHERE recall_ppm >= 800000),
+       |    (SELECT n_probe FROM scored
+       |     ORDER BY recall_ppm DESC, n_probe ASC LIMIT 1)) AS c)
+       |SELECT scored.n_probe, scored.n_hit, scored.n_exact,
+       |  CAST(scored.recall_ppm AS BIGINT) AS recall_ppm,
+       |  scored.n_probe = pick.c AS chosen
+       |FROM scored CROSS JOIN pick ORDER BY n_probe""".stripMargin
   }
 
   /** q139 oracle GENERATOR: recall@5 of the REFINED IVF-PQ serving path —
@@ -1563,6 +1613,34 @@ object DedupQueries {
       },
       None,
       oracleGen = Some(q276OracleGen _)),
+
+    // ---- RECALL-TARGETED nProbe tuning (Similarity.tuneIvfPqNProbe):
+    // the serving-quality sibling of the q290 drift policy — one audit
+    // row per candidate nProbe with exact-integer recall@5 against
+    // brute-force search, `chosen` on the smallest candidate reaching
+    // 80% recall (recall is monotone in nProbe — probing more cells only
+    // adds candidates — so the smallest passing value is the cheapest
+    // compliant serving config), or the highest-recall candidate when
+    // none passes. The oracle replays the ENTIRE serve at every
+    // candidate probe count from the shared training prefix and picks
+    // with the same floored-ppm rule — the hash proves recall
+    // measurement, ranking, and choice end to end. ----
+    Q("q307_ivfpq_tune",
+      (s, dir) => {
+        val emb = t(s, dir, "embeddings")
+        val corpus = emb
+          .select(col("vec_id").as("nid"), col("embedding").as("ne"))
+        val q = emb.filter(col("vec_id") < 5)
+          .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+        val tmp = java.nio.file.Files
+          .createTempDirectory("graft_ivfpq_tune_").toString
+        Similarity.buildIvfPqIndex(corpus, tmp)
+        Similarity.tuneIvfPqNProbe(s, tmp, q, corpus, k = 5,
+            targetPpm = 800000L, candidates = Seq(1, 2, 4, 8))
+          .orderBy(col("n_probe"))
+      },
+      None,
+      oracleGen = Some(q307OracleGen _)),
 
     // ---- COMPLIANCE PURGE of the IVF-PQ index (Similarity
     // .purgeIvfPqIds): a full-corpus index with an append in its history

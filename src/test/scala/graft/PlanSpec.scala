@@ -864,6 +864,42 @@ class PlanSpec extends SparkSpec {
       s"a component purged to one member stays a singleton, got $finalRows")
   }
 
+  test("nProbe tuner: recall is monotone non-decreasing in nProbe, exactly " +
+      "one candidate is chosen — the smallest meeting the target — and an " +
+      "unreachable target falls back to the best candidate") {
+    import graft.operators.Similarity
+    import spark.implicits._
+    val emb = Tables(spark, sfDir, "embeddings")
+    val corpus = emb.select(col("vec_id").as("nid"), col("embedding").as("ne"))
+    val queries = emb.filter(col("vec_id") < 3)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+    val tmp = java.nio.file.Files.createTempDirectory("graft_tune_").toString
+    Similarity.buildIvfPqIndex(corpus, tmp)
+    def tuned(target: Long) = Similarity
+      .tuneIvfPqNProbe(spark, tmp, queries, corpus, k = 5, target,
+        candidates = Seq(1, 2, 4, 8))
+      .as[(Int, Long, Long, Long, Boolean)].collect().sortBy(_._1)
+    val rows = tuned(800000L)
+    assert(rows.map(_._1).toSeq == Seq(1, 2, 4, 8))
+    assert(rows.sliding(2).forall(p => p(0)._4 <= p(1)._4),
+      s"recall must be monotone non-decreasing in nProbe: $rows")
+    assert(rows.count(_._5) == 1, "exactly one candidate must be chosen")
+    val expect = rows.find(_._4 >= 800000L).map(_._1)
+      .getOrElse(rows.maxBy(r => (r._4, -r._1))._1)
+    assert(rows.find(_._5).get._1 == expect,
+      s"chosen must be the smallest candidate meeting the target: $rows")
+    // an unreachable target (recall_ppm can never exceed 1e6) falls back
+    // to the highest-recall candidate, ties to the smaller probe count
+    val hard = tuned(1000001L)
+    assert(hard.count(_._5) == 1 &&
+      hard.find(_._5).get._1 == hard.maxBy(r => (r._4, -r._1))._1,
+      s"an unreachable target must pick the best candidate: $hard")
+    // loud on nonsense
+    intercept[IllegalArgumentException](
+      Similarity.tuneIvfPqNProbe(spark, tmp, queries, corpus, k = 5,
+        800000L, candidates = Seq.empty))
+  }
+
   test("IVF-PQ compliance purge: purged ids appear in NO file under the " +
       "index — code rows, tombstone logs, archived catalogs, superseded " +
       "versions — and the survivors keep serving") {
