@@ -566,6 +566,83 @@ object EventQueries {
       },
       Some(cdcMergedOracleSql)),
 
+    // ---- COMPLIANCE PURGE of the CDC pair (StreamingCdc.purgeKeys):
+    // the q148 maintained stores, then every custkey ≡ 0 (mod 13) erased
+    // from BOTH — change records AND the bootstrap base rows rewritten
+    // out of the touched log buckets (a CDC delete record still carries
+    // the subject's key and last payload, exactly what a purge must not
+    // retain), and the snapshot needing no purge logic of its own: the
+    // touched buckets re-resolve from the purged log, per-key resolution
+    // making end-filtering and log-filtering provably identical — which
+    // is what the oracle checks: the q148 merge over the non-purged keys
+    // only. ----
+    Q("q308_cdc_purge",
+      (s, dir) => {
+        import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+        implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+        import s.implicits._
+        val snap = t(s, dir, "customer")
+          .select(col("c_custkey").as("id"),
+            round(col("c_acctbal"), 2).as("bal"),
+            col("c_mktsegment").as("seg"))
+        val deltas = t(s, dir, "orders")
+          .select(col("o_custkey").as("id"),
+            round(col("o_totalprice"), 2).as("bal"),
+            col("o_orderpriority").as("seg"),
+            when(col("o_orderstatus") === "F" &&
+              col("o_orderpriority") === "1-URGENT", "D")
+              .otherwise("U").as("op"),
+            col("o_orderdate").as("seq_ts"), col("o_orderkey").as("seq_id"),
+            col("o_orderkey").as("change_id"))
+        val tmp = java.nio.file.Files.createTempDirectory("graft_q308_").toString
+        graft.streaming.StreamingCdc.bootstrap(snap, "id",
+          Seq("seq_ts", "seq_id"), Seq("timestamp", "bigint"),
+          "op", "change_id", s"$tmp/log", s"$tmp/snap")
+        val input = MemoryStream[
+          (Long, Double, String, String, java.sql.Timestamp, Long, Long)]
+        val q = graft.streaming.StreamingCdc.sink(
+          input.toDF().toDF("id", "bal", "seg", "op", "seq_ts", "seq_id",
+            "change_id"),
+          "id", Seq("seq_ts", "seq_id"), "op", "change_id",
+          s"$tmp/log", s"$tmp/snap", s"$tmp/ckpt")
+        try {
+          for (r <- 0 to 2) {
+            input.addData(deltas.filter(col("seq_id") % 3 === r)
+              .as[(Long, Double, String, String, java.sql.Timestamp, Long, Long)]
+              .collect().toSeq)
+            q.processAllAvailable()
+          }
+        } finally q.stop()
+        graft.streaming.StreamingCdc.purgeKeys(
+          snap.select(col("id")).unionByName(deltas.select(col("id")))
+            .filter(col("id") % 13 === 0),
+          "id", Seq("seq_ts", "seq_id"), "op", "change_id",
+          s"$tmp/log", s"$tmp/snap")
+        graft.streaming.StreamingCdc.snapshot(s, s"$tmp/snap")
+          .orderBy(col("id"))
+      },
+      Some(
+        """WITH base AS (SELECT c_custkey AS id, round(c_acctbal, 2) AS bal,
+          |        c_mktsegment AS seg, 0 AS src,
+          |        CAST(NULL AS TIMESTAMP) AS s1, CAST(NULL AS BIGINT) AS s2,
+          |        CAST(NULL AS VARCHAR) AS op
+          |      FROM customer WHERE c_custkey % 13 <> 0),
+          |d AS (SELECT o_custkey AS id, round(o_totalprice, 2) AS bal,
+          |        o_orderpriority AS seg, 1 AS src,
+          |        o_orderdate AS s1, o_orderkey AS s2,
+          |        CASE WHEN o_orderstatus = 'F'
+          |              AND o_orderpriority = '1-URGENT'
+          |          THEN 'D' ELSE 'U' END AS op
+          |      FROM orders WHERE o_custkey % 13 <> 0),
+          |u AS (SELECT * FROM base UNION ALL SELECT * FROM d),
+          |r AS (SELECT *, row_number() OVER (PARTITION BY id
+          |        ORDER BY src DESC, s1 DESC NULLS LAST, s2 DESC NULLS LAST)
+          |        AS rn
+          |      FROM u)
+          |SELECT id, bal, seg FROM r
+          |WHERE rn = 1 AND (op IS NULL OR op <> 'D')
+          |ORDER BY id""".stripMargin)),
+
     // ---- Time-series gap fill + interpolation (operators/TimeSeries):
     // per-user daily purchase cents densified onto each user's own day
     // span, forward-filled and linearly interpolated. Cents are per-event

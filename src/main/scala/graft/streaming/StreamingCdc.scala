@@ -175,4 +175,78 @@ object StreamingCdc {
   /** The maintained snapshot as a DataFrame (bucket column dropped). */
   def snapshot(spark: SparkSession, snapPath: String): DataFrame =
     spark.read.parquet(snapPath).drop("__bucket")
+
+  /** COMPLIANCE PURGE of the CDC pair: physically erase every change
+    * record AND the snapshot row of the keys from both stores (the
+    * [[graft.operators.Purge]] contract; the [[StreamingScd.purgeKeys]]
+    * argument verbatim, because the two modules share the
+    * pure-function-of-the-log design): rewrite the touched LOG buckets
+    * without the subject's rows — base-snapshot `__src = 0` rows
+    * included, they carry the subject's payload too — then re-resolve
+    * exactly those snapshot buckets from the purged log. A tombstoned
+    * (op = delete) subject is erased from the log as well: a CDC delete
+    * record still CONTAINS the subject's key and last payload, which is
+    * precisely what a compliance purge must not retain. Emptied buckets
+    * drop explicitly in both stores (dynamic overwrite cannot replace a
+    * partition the write produces no rows for). In-place by design;
+    * re-run to completion after a crash (idempotent). Returns the number
+    * of log rows deleted.
+    */
+  def purgeKeys(keys: DataFrame, keyCol: String, seqCols: Seq[String],
+                opCol: String, tieCol: String,
+                logPath: String, snapPath: String,
+                nBuckets: Int = 16, deleteOp: String = "D"): Long = {
+    val spark = keys.sparkSession
+    val k = keys.select(col(keyCol)).distinct().localCheckpoint(true)
+    def free(df: DataFrame): Unit = df.queryExecution.analyzed match {
+      case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd.unpersist(false)
+      case _ => ()
+    }
+    try {
+      val touched = k
+        .select(bucketOf(col(keyCol), nBuckets).as("__bucket"))
+        .distinct().collect().map(_.getInt(0)).toSet // ≤ nBuckets
+      if (touched.isEmpty) return 0L
+      val bucketFilter = col("__bucket").isin(touched.map(Int.box).toSeq: _*)
+      val logT = spark.read.parquet(logPath).where(bucketFilter)
+      val keep = logT.join(k, Seq(keyCol), "left_anti").localCheckpoint(true)
+      try {
+        val deleted = logT.count() - keep.count()
+        if (deleted == 0L) return 0L // keys absent: nothing to erase
+        val fs = new org.apache.hadoop.fs.Path(logPath)
+          .getFileSystem(spark.sessionState.newHadoopConf())
+        def dropEmptied(path: String, nonEmpty: Set[Int]): Unit =
+          touched.filterNot(nonEmpty).foreach(b => fs.delete(
+            new org.apache.hadoop.fs.Path(s"$path/__bucket=$b"), true))
+        keep.write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("__bucket").parquet(logPath)
+        dropEmptied(logPath, keep.select(col("__bucket")).distinct()
+          .collect().map(_.getInt(0)).toSet)
+        // re-resolve the touched snapshot buckets purely from the purged
+        // log (fresh read — the overwrite above has committed); a log
+        // left with no bucket dirs at all has nothing to resolve FROM
+        val logHasData = fs.exists(new org.apache.hadoop.fs.Path(logPath)) &&
+          fs.listStatus(new org.apache.hadoop.fs.Path(logPath))
+            .exists(_.getPath.getName.startsWith("__bucket="))
+        if (!logHasData) dropEmptied(snapPath, Set.empty)
+        else {
+          val resolved = Cdc.resolveLog(
+              spark.read.parquet(logPath).where(bucketFilter)
+                .drop("__bucket", tieCol),
+              keyCol, seqCols, opCol, deleteOp)
+            .withColumn("__bucket", bucketOf(col(keyCol), nBuckets))
+            .localCheckpoint(true)
+          try {
+            resolved.write.mode("overwrite")
+              .option("partitionOverwriteMode", "dynamic")
+              .partitionBy("__bucket").parquet(snapPath)
+            dropEmptied(snapPath, resolved.select(col("__bucket")).distinct()
+              .collect().map(_.getInt(0)).toSet)
+          } finally free(resolved)
+        }
+        deleted
+      } finally free(keep)
+    } finally free(k)
+  }
 }

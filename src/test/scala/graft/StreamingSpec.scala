@@ -769,6 +769,59 @@ class StreamingSpec extends SparkSpec {
     assert(s3 == batchMerge, "streaming snapshot must equal the batch MERGE")
   }
 
+  test("CDC compliance purge: the subject's bytes — base rows, updates, AND " +
+      "the delete tombstone that still carries their last payload — are " +
+      "gone from both stores; survivors re-resolve; idempotent") {
+    import graft.streaming.StreamingCdc
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft_pcdc_").toString
+    val log = s"file:$tmp/log"
+    val snp = s"file:$tmp/snap"
+    val bOf = Seq((1L to 40L): _*).toDF("k")
+      .select(col("k"), pmod(xxhash64(col("k")), lit(16L)).cast("int").as("b"))
+      .as[(Long, Int)].collect().toMap
+    val kSame = (2L to 40L).find(bOf(_) == bOf(1L)).get
+    val base = Seq((1L, "a"), (kSame, "b")).toDF("id", "v")
+    StreamingCdc.bootstrap(base, "id", Seq("seq"), Seq("bigint"),
+      "op", "tie", log, snp)
+    // subject 1 gets an update and then a CDC DELETE — the tombstone row
+    // still carries their key and last payload in the log
+    val b0 = Seq((1L, "a2", "U", 1L, 100L), (1L, "gone", "D", 2L, 101L),
+      (kSame, "b2", "U", 1L, 102L)).toDF("id", "v", "op", "seq", "tie")
+    StreamingCdc.processBatch(b0, "id", Seq("seq"), "op", "tie", log, snp)
+    def snapSet() = StreamingCdc.snapshot(spark, snp)
+      .as[(Long, String)].collect().toSet
+    assert(snapSet() == Set((kSame, "b2")),
+      "the tombstone must already hide subject 1 from the SNAPSHOT")
+    // ...but the LOG still holds 3 rows naming the subject — the purge
+    // is what erases those bytes
+    val deleted = StreamingCdc.purgeKeys(Seq(1L).toDF("id"),
+      "id", Seq("seq"), "op", "tie", log, snp)
+    assert(deleted == 3L,
+      s"base row + update + tombstone must all be erased, got $deleted")
+    def allParquet(f: java.io.File): Seq[String] =
+      if (f.isDirectory) f.listFiles().toSeq.flatMap(allParquet)
+      else if (f.getName.endsWith(".parquet")) Seq(f.getPath) else Seq.empty
+    Seq(s"$tmp/log", s"$tmp/snap").foreach { store =>
+      val ids = spark.read.parquet(allParquet(new java.io.File(store)): _*)
+        .select(col("id")).as[Long].collect().toSet
+      assert(!ids.contains(1L),
+        s"the subject must be gone from every file under $store, got $ids")
+    }
+    // the co-bucketed survivor re-resolved to the same state
+    assert(snapSet() == Set((kSame, "b2")),
+      "survivors must re-resolve unchanged from the purged log")
+    // idempotent re-run
+    assert(StreamingCdc.purgeKeys(Seq(1L).toDF("id"),
+      "id", Seq("seq"), "op", "tie", log, snp) == 0L)
+    // purging the survivor empties the bucket in BOTH stores
+    assert(StreamingCdc.purgeKeys(Seq(kSame).toDF("id"),
+      "id", Seq("seq"), "op", "tie", log, snp) == 2L)
+    assert(!new java.io.File(s"$tmp/log/__bucket=${bOf(1L)}").exists() &&
+      !new java.io.File(s"$tmp/snap/__bucket=${bOf(1L)}").exists(),
+      "an emptied bucket's stale dir must drop in both stores")
+  }
+
   test("streaming IVF-PQ append: committed-batch replay is a ledger no-op, " +
     "a half-landed staging replay commits exactly once, and a checkpoint " +
     "restart continues the batch sequence") {
