@@ -1209,6 +1209,64 @@ object DedupQueries {
       },
       Some(q115OracleSql)),
 
+    // ---- COMPLIANCE PURGE of the dedup working stores (StreamingDedup
+    // .purgeDocs): the q115 pipeline's stores, then every doc_id ≡ 0
+    // (mod 17) erased — text/shingles/signature rows from the id-bucketed
+    // docs table (pruned rewrite), band rows from the key-bucketed index
+    // (one read-only scan finds the touched key-buckets — the rows are
+    // findable only by id), and every pairs-shard row naming a subject
+    // (shards rewritten in place, _SUCCESS re-minted so the exactly-once
+    // replay guard survives). The purge also writes the ids to the
+    // SUPPRESSION LIST, because this store's merge treats absent ids as
+    // new — without it a replayed committed batch would re-ingest the
+    // subject from its own payload (StreamingSpec pins both the
+    // resurrection block and upstream re-send suppression). Oracle: the
+    // q115 arrival-order pairs minus every pair naming a subject. ----
+    Q("q309_dedup_store_purge",
+      (s, dir) => {
+        import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+        implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+        import s.implicits._
+        val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+        val tmp = java.nio.file.Files.createTempDirectory("graft_q309_").toString
+        val input = MemoryStream[(Long, String)]
+        val q = graft.streaming.StreamingDedup.sink(
+          input.toDF().toDF("doc_id", "text"), "doc_id", "text",
+          s"$tmp/store", s"$tmp/pairs", s"$tmp/ckpt",
+          threshold = 0.2, portableHash = true)
+        try {
+          for (r <- 0 to 2) {
+            input.addData(docs.filter(col("doc_id") % 3 === r)
+              .as[(Long, String)].collect().toSeq)
+            q.processAllAvailable()
+          }
+        } finally q.stop()
+        graft.streaming.StreamingDedup.purgeDocs(
+          docs.filter(col("doc_id") % 17 === 0).select(col("doc_id")),
+          s"$tmp/store", idCol = "doc_id", pairsPath = Some(s"$tmp/pairs"))
+        graft.streaming.StreamingDedup.pairs(s, s"$tmp/pairs")
+          .orderBy(col("new_id"), col("dup_id"))
+      },
+      Some(
+        s"""WITH $minhashPrefixCtes,
+           |cand0 AS (SELECT DISTINCT a.doc_id AS id_a, c.doc_id AS id_b
+           |  FROM banded a
+           |  JOIN ok ON ok.band = a.band AND ok.key = a.key
+           |  JOIN banded c ON a.band = c.band AND a.key = c.key AND a.doc_id < c.doc_id),
+           |cand AS (SELECT
+           |    CASE WHEN id_a % 3 >= id_b % 3 THEN id_a ELSE id_b END AS new_id,
+           |    CASE WHEN id_a % 3 >= id_b % 3 THEN id_b ELSE id_a END AS dup_id,
+           |    id_a % 3 != id_b % 3 AS dup_is_existing
+           |  FROM cand0),
+           |j AS (SELECT new_id, dup_id, dup_is_existing,
+           |    round(CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
+           |      / CAST(len(list_distinct(sa.sh || sb.sh)) AS DOUBLE), 4) AS jaccard
+           |  FROM cand JOIN g sa ON sa.doc_id = cand.new_id
+           |            JOIN g sb ON sb.doc_id = cand.dup_id)
+           |SELECT new_id, dup_id, dup_is_existing, jaccard FROM j
+           |WHERE jaccard >= 0.2 AND new_id % 17 <> 0 AND dup_id % 17 <> 0
+           |ORDER BY new_id, dup_id""".stripMargin)),
+
     // ---- Corpus dedup, hash-proven END-TO-END: the portable q92 pipeline
     // at threshold 0.8 plus transitive clustering — the oracle computes the
     // components with a recursive CTE and keeps the same min-id

@@ -82,6 +82,7 @@ object StreamingDedup {
 
   private[graft] def docsPath(storePath: String): String = s"$storePath/docs"
   private[graft] def bandsPath(storePath: String): String = s"$storePath/bands"
+  private[graft] def purgedPath(storePath: String): String = s"$storePath/_purged"
 
   /** The batch enriched with the store columns: text digest, shingles,
     * signature, band keys — the single per-document text-processing pass
@@ -190,7 +191,19 @@ object StreamingDedup {
     // collapse exact (id, text) duplicates (a duplicated row would
     // otherwise pair with itself through the bucket expansion and land in
     // the store twice)
-    val deduped = batch.select(col(idCol), col(textCol)).distinct()
+    val arrived = batch.select(col(idCol), col(textCol)).distinct()
+    // the SUPPRESSION LIST ([[purgeDocs]]): a purged subject must never
+    // re-enter the store — not from a replayed committed batch (whose
+    // shard guard skips the pairs but whose store merge would otherwise
+    // see the purged doc as "new"), and not from an upstream re-send.
+    // The list is purge-sized and the anti-join broadcasts.
+    val supP = new org.apache.hadoop.fs.Path(purgedPath(storePath))
+    val deduped =
+      if (!supP.getFileSystem(conf).exists(supP)) arrived
+      else arrived.join(
+        broadcast(spark.read.parquet(purgedPath(storePath))
+          .select(col(idCol)).distinct()),
+        Seq(idCol), "left_anti")
     // an empty microbatch (recovery, no-data trigger) must not create
     // empty store directories or probe anything
     if (deduped.isEmpty) return
@@ -412,4 +425,136 @@ object StreamingDedup {
   def pairs(spark: SparkSession, pairsPath: String): DataFrame =
     spark.read.parquet(pairsPath)
       .select(col("new_id"), col("dup_id"), col("dup_is_existing"), col("jaccard"))
+
+  /** COMPLIANCE PURGE of the dedup working stores: physically erase the
+    * documents' rows — text, digest, shingles, signature, band keys, and
+    * every emitted pair naming them — from `docs/`, `bands/`, and
+    * (optionally) the pairs ledger (the [[graft.operators.Purge]]
+    * contract; the downstream cluster store has its own
+    * [[graft.operators.Dedup.purgeClusterStoreIds]]). Pruning is
+    * layout-honest: `docs/` is id-bucketed, so its rewrite prunes to the
+    * subjects' buckets; `bands/` is bucketed by BAND KEY, so the
+    * subjects' rows are findable only by id — ONE read-only scan of the
+    * band index collects the touched `__bbk` buckets (the same
+    * unprunable-lookup cost the cluster-store merge pays), and only
+    * those are rewritten; pairs shards are found by the same scan shape
+    * and rewritten IN PLACE per `batch=` directory — the overwrite
+    * re-mints the shard's `_SUCCESS`, so the exactly-once replay guard
+    * survives the purge (a replayed batch still detects its committed
+    * shard; it just no longer names the subject). Emptied bucket
+    * partitions drop explicitly (dynamic overwrite cannot replace a
+    * partition the write produces no rows for).
+    *
+    * THE SUPPRESSION LIST: erasing the rows is not enough for this
+    * store, because the store merge treats any absent id as NEW — a
+    * committed batch replayed after the purge (the crash-recovery
+    * window) would re-ingest the subject from the batch's own payload,
+    * and so would an upstream re-send. The purge therefore records the
+    * ids under `_purged/` FIRST (so even a purge torn mid-sweep already
+    * suppresses), and every future batch anti-joins its arrivals against
+    * the list — a purged subject never re-enters, which is the
+    * right-to-be-forgotten semantics: continued processing must not
+    * re-ingest the subject it just erased. In-place by design; re-run to
+    * completion after a crash (idempotent). Returns the number of
+    * document rows erased from `docs/`.
+    */
+  def purgeDocs(ids: DataFrame, storePath: String, idCol: String = "doc_id",
+                pairsPath: Option[String] = None): Long = {
+    val spark = ids.sparkSession
+    val conf = spark.sessionState.newHadoopConf()
+    val fs = new org.apache.hadoop.fs.Path(storePath).getFileSystem(conf)
+    val metaP = new org.apache.hadoop.fs.Path(storePath, "_graft_dedup_meta.json")
+    require(fs.exists(metaP), s"not a dedup store: $storePath (no meta)")
+    val metaS = {
+      val in = fs.open(metaP)
+      try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+      finally in.close()
+    }
+    val nBuckets = s""""nBuckets":(\\d+)""".r
+      .findFirstMatchIn(metaS).get.group(1).toInt
+    def free(df: DataFrame): Unit = df.queryExecution.analyzed match {
+      case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd.unpersist(false)
+      case _ => ()
+    }
+    def dropEmptied(path: String, pCol: String, touched: Set[Int],
+                    nonEmpty: Set[Int]): Unit =
+      touched.filterNot(nonEmpty).foreach(b => fs.delete(
+        new org.apache.hadoop.fs.Path(s"$path/$pCol=$b"), true))
+    val k = ids.select(col(idCol)).distinct().localCheckpoint(true)
+    try {
+      // suppression list FIRST: a purge torn anywhere after this line
+      // already blocks re-ingestion (duplicate appends are harmless —
+      // the consumer is an anti-join)
+      k.write.mode("append").parquet(purgedPath(storePath))
+      // docs/ — id-bucketed: prune to the subjects' buckets
+      val touched = k.select(bucketOf(col(idCol), nBuckets).as("__bucket"))
+        .distinct().collect().map(_.getInt(0)).toSet
+      val docsT = spark.read.parquet(docsPath(storePath))
+        .where(col("__bucket").isin(touched.map(Int.box).toSeq: _*))
+      val keep = docsT.join(k, Seq(idCol), "left_anti").localCheckpoint(true)
+      val deleted =
+        try {
+          val d = docsT.count() - keep.count()
+          if (d > 0L) {
+            keep.write.mode("overwrite")
+              .option("partitionOverwriteMode", "dynamic")
+              .partitionBy("__bucket").parquet(docsPath(storePath))
+            dropEmptied(docsPath(storePath), "__bucket", touched,
+              keep.select(col("__bucket")).distinct()
+                .collect().map(_.getInt(0)).toSet)
+          }
+          d
+        } finally free(keep)
+      // NO early-out on deleted == 0: the bands-before-docs merge order
+      // means a crash window can leave band rows whose docs row never
+      // landed — a compliance purge must sweep bands and pairs regardless
+      // bands/ — key-bucketed: one read-only scan finds the buckets that
+      // actually hold the subjects' band rows, then only those rewrite
+      val bandsP = new org.apache.hadoop.fs.Path(bandsPath(storePath))
+      if (fs.exists(bandsP)) {
+        val tb = spark.read.parquet(bandsPath(storePath))
+          .join(k, Seq(idCol), "left_semi")
+          .select(col("__bbk")).distinct().collect().map(_.getInt(0)).toSet
+        if (tb.nonEmpty) {
+          val bandsT = spark.read.parquet(bandsPath(storePath))
+            .where(col("__bbk").isin(tb.map(Int.box).toSeq: _*))
+          val keepB = bandsT.join(k, Seq(idCol), "left_anti")
+            .localCheckpoint(true)
+          try {
+            keepB.write.mode("overwrite")
+              .option("partitionOverwriteMode", "dynamic")
+              .partitionBy("__bbk").parquet(bandsPath(storePath))
+            dropEmptied(bandsPath(storePath), "__bbk", tb,
+              keepB.select(col("__bbk")).distinct()
+                .collect().map(_.getInt(0)).toSet)
+          } finally free(keepB)
+        }
+      }
+      // pairs ledger — per-batch shard dirs; rewrite only shards naming a
+      // subject, preserving each shard's existence (= the replay guard)
+      pairsPath.foreach { pp =>
+        val ppP = new org.apache.hadoop.fs.Path(pp)
+        if (fs.exists(ppP)) {
+          val all = spark.read.parquet(pp)
+          val hit = all
+            .join(k.select(col(idCol).as("new_id")), Seq("new_id"), "left_semi")
+            .select(col("batch"))
+            .unionByName(all
+              .join(k.select(col(idCol).as("dup_id")), Seq("dup_id"), "left_semi")
+              .select(col("batch")))
+            .distinct().collect().map(_.get(0).toString)
+          hit.foreach { b =>
+            val dir = s"$pp/batch=$b"
+            val keepP = spark.read.parquet(dir)
+              .join(k.select(col(idCol).as("new_id")), Seq("new_id"), "left_anti")
+              .join(k.select(col(idCol).as("dup_id")), Seq("dup_id"), "left_anti")
+              .localCheckpoint(true)
+            try keepP.write.mode("overwrite").parquet(dir)
+            finally free(keepP)
+          }
+        }
+      }
+      deleted
+    } finally free(k)
+  }
 }

@@ -195,6 +195,75 @@ class StreamingSpec extends SparkSpec {
     assert(regs() == r1, "redelivered batches must not change the registers")
   }
 
+  test("dedup-store compliance purge: the subject's text, shingles, band " +
+      "rows, and pairs are gone from every file; shard replay guards " +
+      "survive; survivors keep pairing against the purged history") {
+    import graft.streaming.StreamingDedup
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft_pdedup_").toString
+    val store = s"file:$tmp/store"
+    val pairs = s"file:$tmp/pairs"
+    val text = "w1 w2 w3 w4 w5 w6"
+    StreamingDedup.processBatch(
+      Seq((1L, text), (2L, text)).toDF("id", "text"),
+      "id", "text", store, pairs, 0L, threshold = 0.5)
+    StreamingDedup.processBatch(Seq((3L, text)).toDF("id", "text"),
+      "id", "text", store, pairs, 1L, threshold = 0.5)
+    def pairSet() = StreamingDedup.pairs(spark, pairs)
+      .as[(Long, Long, Boolean, Double)].collect().toSet
+    assert(pairSet() == Set((1L, 2L, false, 1.0), (3L, 1L, true, 1.0),
+      (3L, 2L, true, 1.0)))
+    // purge subject 1 — present in docs, bands, and BOTH pairs shards
+    val deleted = StreamingDedup.purgeDocs(Seq(1L).toDF("id"), store,
+      idCol = "id", pairsPath = Some(pairs))
+    assert(deleted == 1L, s"one docs row must be erased, got $deleted")
+    // the sweep: no file under docs/, bands/, or pairs/ names the subject
+    def allParquet(f: java.io.File): Seq[String] =
+      if (f.isDirectory) f.listFiles().toSeq.flatMap(allParquet)
+      else if (f.getName.endsWith(".parquet")) Seq(f.getPath) else Seq.empty
+    Seq(s"$tmp/store/docs" -> Seq("id"), s"$tmp/store/bands" -> Seq("id"),
+      s"$tmp/pairs" -> Seq("new_id", "dup_id")).foreach { case (dir, cols) =>
+      val fs = allParquet(new java.io.File(dir))
+      if (fs.nonEmpty) {
+        val found = spark.read.parquet(fs: _*)
+          .select(cols.map(col): _*).collect()
+          .flatMap(r => cols.indices.map(r.getLong)).toSet
+        assert(!found.contains(1L),
+          s"subject must be gone from every file under $dir, got $found")
+      }
+    }
+    assert(pairSet() == Set((3L, 2L, true, 1.0)),
+      s"only subject-free pairs may survive: ${pairSet()}")
+    // the shard replay guard SURVIVES the purge, and the SUPPRESSION
+    // LIST blocks the resurrection a bare row-erase would allow: the
+    // replayed batch's shard is detected AND its store merge must not
+    // re-ingest the purged subject from the batch's own payload
+    assert(new java.io.File(s"$tmp/pairs/batch=0/_SUCCESS").exists())
+    StreamingDedup.processBatch(
+      Seq((1L, text), (2L, text)).toDF("id", "text"),
+      "id", "text", store, pairs, 0L, threshold = 0.5)
+    assert(pairSet() == Set((3L, 2L, true, 1.0)),
+      "a replayed committed batch must stay a no-op after the purge")
+    val docsIds = spark.read.parquet(s"$tmp/store/docs")
+      .select(col("id")).as[Long].collect().toSet
+    assert(!docsIds.contains(1L),
+      "a replayed batch must NOT re-ingest the purged subject")
+    // survivors keep pairing against the purged history; the purged
+    // subject never reappears as a dup side, and an upstream RE-SEND of
+    // the subject under a fresh batch id is suppressed too
+    StreamingDedup.processBatch(Seq((4L, text), (1L, text)).toDF("id", "text"),
+      "id", "text", store, pairs, 2L, threshold = 0.5)
+    assert(pairSet() == Set((3L, 2L, true, 1.0),
+      (4L, 2L, true, 1.0), (4L, 3L, true, 1.0)),
+      s"post-purge pairing must cover exactly the survivors: ${pairSet()}")
+    assert(!spark.read.parquet(s"$tmp/store/docs")
+      .select(col("id")).as[Long].collect().toSet.contains(1L),
+      "an upstream re-send of the purged subject must be suppressed")
+    // idempotent re-run
+    assert(StreamingDedup.purgeDocs(Seq(1L).toDF("id"), store,
+      idCol = "id", pairsPath = Some(pairs)) == 0L)
+  }
+
   test("streaming incremental dedup: replayed batches add zero pairs, history pairs once") {
     import graft.streaming.StreamingDedup
     import spark.implicits._
