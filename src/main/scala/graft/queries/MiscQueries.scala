@@ -1086,6 +1086,63 @@ object MiscQueries {
              |FROM o WHERE levenshtein(na, nb) <= 1
              |ORDER BY new_id, peer_id""".stripMargin)),
 
+    // ---- COMPLIANCE PURGE of the ER working stores (StreamingEntities
+    // .purgeIds): the q141 pipeline's stores, then every custkey ≡ 0
+    // (mod 11) erased — the subject's (id, name) row from the id-bucketed
+    // names table, its variant rows (each CARRIES the name — as
+    // radioactive as the names row) from the variant-bucketed index via
+    // one read-only id scan, every pairs-shard row naming the subject
+    // (shards rewritten in place, _SUCCESS re-minted), and the ids landed
+    // on the suppression list FIRST so a replayed committed batch or an
+    // upstream re-send can never re-ingest them (the store merge treats
+    // absent ids as new — EntitiesSpec pins the resurrection block).
+    // Oracle: the q141 arrival-order pairs minus every pair naming a
+    // subject. ----
+    Q("q310_entity_store_purge",
+      (s, dir) => {
+        import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+        implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+        import s.implicits._
+        val c = t(s, dir, "customer")
+          .select(col("c_custkey").as("id"), col("c_name").as("nm"))
+        val tmp = java.nio.file.Files.createTempDirectory("graft_q310_").toString
+        val input = MemoryStream[(Long, String)]
+        val q = graft.streaming.StreamingEntities.sink(
+          input.toDF().toDF("id", "nm"), "id", "nm",
+          s"$tmp/store", s"$tmp/pairs", s"$tmp/ckpt")
+        try {
+          for (r <- 0 to 2) {
+            input.addData(c.filter(col("id") % 3 === r)
+              .as[(Long, String)].collect().toSeq)
+            q.processAllAvailable()
+          }
+        } finally q.stop()
+        graft.streaming.StreamingEntities.purgeIds(
+          c.filter(col("id") % 11 === 0).select(col("id")),
+          s"$tmp/store", idCol = "id", pairsPath = Some(s"$tmp/pairs"))
+        graft.streaming.StreamingEntities.pairs(s, s"$tmp/pairs")
+          .orderBy(col("new_id"), col("peer_id"))
+      },
+      Some("""WITH n AS (SELECT c_custkey AS id, c_name AS nm FROM customer),
+             |v AS (SELECT DISTINCT id, nm, var FROM (
+             |        SELECT id, nm,
+             |          substr(nm, 1, i - 1) || substr(nm, i + 1, length(nm)) AS var
+             |        FROM n, unnest(generate_series(1, length(nm))) AS t(i)
+             |        UNION ALL SELECT id, nm, nm FROM n)),
+             |cand AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b,
+             |           a.nm AS na, b.nm AS nb
+             |         FROM v a JOIN v b ON a.var = b.var AND a.id < b.id),
+             |o AS (SELECT
+             |        CASE WHEN id_a % 3 >= id_b % 3 THEN id_a ELSE id_b END AS new_id,
+             |        CASE WHEN id_a % 3 >= id_b % 3 THEN id_b ELSE id_a END AS peer_id,
+             |        id_a % 3 <> id_b % 3 AS peer_is_existing, na, nb
+             |      FROM cand)
+             |SELECT new_id, peer_id, peer_is_existing,
+             |  CAST(levenshtein(na, nb) AS BIGINT) AS dist
+             |FROM o WHERE levenshtein(na, nb) <= 1
+             |  AND new_id % 11 <> 0 AND peer_id % 11 <> 0
+             |ORDER BY new_id, peer_id""".stripMargin)),
+
     // ---- Bloom-filter semi-join reduction (operators/Bloom): the thin
     // urgent-finalized orders slice folds into an 8192-bit portable-md5
     // Bloom filter; lineitem is pruned by a pure Column predicate (no

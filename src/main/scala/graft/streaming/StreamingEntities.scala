@@ -51,6 +51,7 @@ object StreamingEntities {
 
   private[graft] def namesPath(storePath: String): String = s"$storePath/names"
   private[graft] def varsPath(storePath: String): String = s"$storePath/vars"
+  private[graft] def purgedPath(storePath: String): String = s"$storePath/_purged"
 
   private def checkOrWriteMeta(fs: org.apache.hadoop.fs.FileSystem,
                                storePath: String, maxDist: Int, cap: Int,
@@ -108,7 +109,17 @@ object StreamingEntities {
     val storeExists = fs.exists(namesP)
     checkOrWriteMeta(fs, storePath, maxDist, cap, nBuckets, nVarBuckets,
       write = false)
-    val deduped = batch.select(col(idCol), col(nameCol)).distinct()
+    val arrived = batch.select(col(idCol), col(nameCol)).distinct()
+    // the SUPPRESSION LIST ([[purgeIds]]): a purged subject must never
+    // re-enter — not from a replayed committed batch (the merge treats
+    // absent ids as new), not from an upstream re-send
+    val supP = new org.apache.hadoop.fs.Path(purgedPath(storePath))
+    val deduped =
+      if (!supP.getFileSystem(conf).exists(supP)) arrived
+      else arrived.join(
+        broadcast(spark.read.parquet(purgedPath(storePath))
+          .select(col(idCol)).distinct()),
+        Seq(idCol), "left_anti")
     if (deduped.isEmpty) return
     val withBucket = deduped
       .withColumn("__bucket", bucketOf(col(idCol), nBuckets))
@@ -232,4 +243,111 @@ object StreamingEntities {
   def pairs(spark: SparkSession, pairsPath: String): DataFrame =
     spark.read.parquet(pairsPath)
       .select(col("new_id"), col("peer_id"), col("peer_is_existing"), col("dist"))
+
+  /** COMPLIANCE PURGE of the ER working stores — [[StreamingDedup
+    * .purgeDocs]]'s argument on the entity layout, teeth included: the
+    * subject's `(id, name)` row leaves the id-bucketed names table
+    * (pruned rewrite); its variant rows — each carrying the NAME — leave
+    * the variant-bucketed index, found by ONE read-only scan (the rows
+    * are findable only by id) and rewritten only in the touched
+    * `__vbk=` buckets; every pairs-shard row naming the subject is
+    * rewritten in place with `_SUCCESS` re-minted (the replay guard
+    * survives); and the ids land on the SUPPRESSION LIST (`_purged/`,
+    * written FIRST) because the merge treats absent ids as new — a
+    * committed batch replayed after the purge, or an upstream re-send,
+    * would otherwise re-ingest the subject from its own payload.
+    * Emptied bucket partitions drop explicitly. In-place; re-run to
+    * completion after a crash (idempotent). Returns the names rows
+    * erased.
+    */
+  def purgeIds(ids: DataFrame, storePath: String, idCol: String = "id",
+               pairsPath: Option[String] = None): Long = {
+    val spark = ids.sparkSession
+    val conf = spark.sessionState.newHadoopConf()
+    val fs = new org.apache.hadoop.fs.Path(storePath).getFileSystem(conf)
+    val metaP = new org.apache.hadoop.fs.Path(storePath, "_graft_entities_meta.json")
+    require(fs.exists(metaP), s"not an entity store: $storePath (no meta)")
+    val metaS = {
+      val in = fs.open(metaP)
+      try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+      finally in.close()
+    }
+    val nBuckets = s""""nBuckets":(\\d+)""".r
+      .findFirstMatchIn(metaS).get.group(1).toInt
+    def free(df: DataFrame): Unit = df.queryExecution.analyzed match {
+      case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd.unpersist(false)
+      case _ => ()
+    }
+    def dropEmptied(path: String, pCol: String, touched: Set[Int],
+                    nonEmpty: Set[Int]): Unit =
+      touched.filterNot(nonEmpty).foreach(b => fs.delete(
+        new org.apache.hadoop.fs.Path(s"$path/$pCol=$b"), true))
+    val k = ids.select(col(idCol)).distinct().localCheckpoint(true)
+    try {
+      k.write.mode("append").parquet(purgedPath(storePath))
+      val touched = k.select(bucketOf(col(idCol), nBuckets).as("__bucket"))
+        .distinct().collect().map(_.getInt(0)).toSet
+      val namesT = spark.read.parquet(namesPath(storePath))
+        .where(col("__bucket").isin(touched.map(Int.box).toSeq: _*))
+      val keep = namesT.join(k, Seq(idCol), "left_anti").localCheckpoint(true)
+      val deleted =
+        try {
+          val d = namesT.count() - keep.count()
+          if (d > 0L) {
+            keep.write.mode("overwrite")
+              .option("partitionOverwriteMode", "dynamic")
+              .partitionBy("__bucket").parquet(namesPath(storePath))
+            dropEmptied(namesPath(storePath), "__bucket", touched,
+              keep.select(col("__bucket")).distinct()
+                .collect().map(_.getInt(0)).toSet)
+          }
+          d
+        } finally free(keep)
+      // no early-out: the vars-before-names merge order means a crash
+      // window can leave variant rows whose names row never landed
+      val varsP = new org.apache.hadoop.fs.Path(varsPath(storePath))
+      if (fs.exists(varsP)) {
+        val tv = spark.read.parquet(varsPath(storePath))
+          .join(k, Seq(idCol), "left_semi")
+          .select(col("__vbk")).distinct().collect().map(_.getInt(0)).toSet
+        if (tv.nonEmpty) {
+          val varsT = spark.read.parquet(varsPath(storePath))
+            .where(col("__vbk").isin(tv.map(Int.box).toSeq: _*))
+          val keepV = varsT.join(k, Seq(idCol), "left_anti")
+            .localCheckpoint(true)
+          try {
+            keepV.write.mode("overwrite")
+              .option("partitionOverwriteMode", "dynamic")
+              .partitionBy("__vbk").parquet(varsPath(storePath))
+            dropEmptied(varsPath(storePath), "__vbk", tv,
+              keepV.select(col("__vbk")).distinct()
+                .collect().map(_.getInt(0)).toSet)
+          } finally free(keepV)
+        }
+      }
+      pairsPath.foreach { pp =>
+        val ppP = new org.apache.hadoop.fs.Path(pp)
+        if (fs.exists(ppP)) {
+          val all = spark.read.parquet(pp)
+          val hit = all
+            .join(k.select(col(idCol).as("new_id")), Seq("new_id"), "left_semi")
+            .select(col("batch"))
+            .unionByName(all
+              .join(k.select(col(idCol).as("peer_id")), Seq("peer_id"), "left_semi")
+              .select(col("batch")))
+            .distinct().collect().map(_.get(0).toString)
+          hit.foreach { b =>
+            val dir = s"$pp/batch=$b"
+            val keepP = spark.read.parquet(dir)
+              .join(k.select(col(idCol).as("new_id")), Seq("new_id"), "left_anti")
+              .join(k.select(col(idCol).as("peer_id")), Seq("peer_id"), "left_anti")
+              .localCheckpoint(true)
+            try keepP.write.mode("overwrite").parquet(dir)
+            finally free(keepP)
+          }
+        }
+      }
+      deleted
+    } finally free(k)
+  }
 }

@@ -99,6 +99,62 @@ class EntitiesSpec extends SparkSpec {
     assert(e.getMessage.contains("disjoint"))
   }
 
+  test("ER compliance purge: the subject's name, variant rows, and pairs " +
+      "are gone from every file; the suppression list blocks replay " +
+      "resurrection and re-sends; survivors keep matching") {
+    import graft.streaming.StreamingEntities
+    val tmp = java.nio.file.Files.createTempDirectory("graft_pent_").toString
+    val store = s"file:$tmp/store"
+    val pairs = s"file:$tmp/pairs"
+    def pairSet() = StreamingEntities.pairs(spark, pairs)
+      .as[(Long, Long, Boolean, Long)].collect().toSet
+    val b0 = Seq((1L, "smith"), (2L, "smyth")).toDF("id", "nm")
+    StreamingEntities.processBatch(b0, "id", "nm", store, pairs, 0L)
+    StreamingEntities.processBatch(Seq((3L, "smiths")).toDF("id", "nm"),
+      "id", "nm", store, pairs, 1L)
+    assert(pairSet() == Set((1L, 2L, false, 1L), (3L, 1L, true, 1L)))
+    // purge subject 1 — in names, vars, and both pairs shards
+    val deleted = StreamingEntities.purgeIds(Seq(1L).toDF("id"), store,
+      idCol = "id", pairsPath = Some(pairs))
+    assert(deleted == 1L)
+    // the sweep: no file under names/, vars/, or pairs/ names the subject
+    def allParquet(f: java.io.File): Seq[String] =
+      if (f.isDirectory) f.listFiles().toSeq.flatMap(allParquet)
+      else if (f.getName.endsWith(".parquet")) Seq(f.getPath) else Seq.empty
+    Seq(s"$tmp/store/names" -> Seq("id"), s"$tmp/store/vars" -> Seq("id"),
+      s"$tmp/pairs" -> Seq("new_id", "peer_id")).foreach { case (dir, cols) =>
+      val fl = allParquet(new java.io.File(dir))
+      if (fl.nonEmpty) {
+        val found = spark.read.parquet(fl: _*)
+          .select(cols.map(org.apache.spark.sql.functions.col): _*).collect()
+          .flatMap(r => cols.indices.map(r.getLong)).toSet
+        assert(!found.contains(1L),
+          s"subject must be gone from every file under $dir, got $found")
+      }
+    }
+    assert(pairSet() == Set.empty,
+      s"both pairs named the subject — none may survive: ${pairSet()}")
+    // replay of the committed batch 0 must NOT resurrect the subject
+    // (shard guard holds, suppression list blocks the store merge)
+    StreamingEntities.processBatch(b0, "id", "nm", store, pairs, 0L)
+    assert(!StreamingEntities.names(spark, store)
+      .as[(Long, String)].collect().map(_._1).contains(1L),
+      "a replayed batch must not re-ingest the purged subject")
+    // an upstream re-send under a fresh batch id is suppressed, while a
+    // genuine new arrival still matches the surviving history
+    StreamingEntities.processBatch(
+      Seq((1L, "smith"), (4L, "smythe")).toDF("id", "nm"),
+      "id", "nm", store, pairs, 2L)
+    val after = pairSet()
+    assert(!after.exists(p => p._1 == 1L || p._2 == 1L),
+      s"the purged subject must never pair again: $after")
+    assert(after.contains((4L, 2L, true, 1L)),
+      s"survivors and new arrivals must keep matching: $after")
+    // idempotent re-run
+    assert(StreamingEntities.purgeIds(Seq(1L).toDF("id"), store,
+      idCol = "id", pairsPath = Some(pairs)) == 0L)
+  }
+
   test("streaming entity resolution: replay is a no-op, drift fails loudly, store prunes") {
     import graft.streaming.StreamingEntities
     val tmp = java.nio.file.Files.createTempDirectory("graft_sent_").toString
