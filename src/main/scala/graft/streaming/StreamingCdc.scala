@@ -78,7 +78,21 @@ object StreamingCdc {
                    logPath: String, snapPath: String,
                    nBuckets: Int = 16, deleteOp: String = "D"): Unit = {
     val spark = batch.sparkSession
-    val changes = batch.distinct()
+    // the SUPPRESSION LIST ([[purgeKeys]]): the log merge is idempotent
+    // on change ids, and a purge just ERASED the subject's change ids —
+    // so a committed batch replayed after the purge would re-ingest the
+    // subject from its own payload. The list blocks that, and upstream
+    // re-sends with it.
+    val arrived = batch.distinct()
+    val supP = new org.apache.hadoop.fs.Path(s"$logPath/_purged")
+    val suppressed =
+      if (!supP.getFileSystem(spark.sessionState.newHadoopConf()).exists(supP))
+        arrived
+      else arrived.join(
+        broadcast(spark.read.parquet(s"$logPath/_purged")
+          .select(col(keyCol)).distinct()),
+        Seq(keyCol), "left_anti")
+    val changes = suppressed
       .withColumn("__src", lit(1))
       .withColumn("__bucket", bucketOf(col(keyCol), nBuckets))
       .persist()
@@ -207,6 +221,11 @@ object StreamingCdc {
         .select(bucketOf(col(keyCol), nBuckets).as("__bucket"))
         .distinct().collect().map(_.getInt(0)).toSet // ≤ nBuckets
       if (touched.isEmpty) return 0L
+      // suppression list BEFORE any sweep (see [[processBatch]]): the log
+      // merge is idempotent on the very change ids this purge erases, so
+      // a committed batch replayed after the purge would otherwise
+      // re-ingest the subject; never written for an empty key set
+      k.write.mode("append").parquet(s"$logPath/_purged")
       val bucketFilter = col("__bucket").isin(touched.map(Int.box).toSeq: _*)
       val logT = spark.read.parquet(logPath).where(bucketFilter)
       val keep = logT.join(k, Seq(keyCol), "left_anti").localCheckpoint(true)

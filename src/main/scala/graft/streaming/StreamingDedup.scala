@@ -482,13 +482,15 @@ object StreamingDedup {
         new org.apache.hadoop.fs.Path(s"$path/$pCol=$b"), true))
     val k = ids.select(col(idCol)).distinct().localCheckpoint(true)
     try {
-      // suppression list FIRST: a purge torn anywhere after this line
-      // already blocks re-ingestion (duplicate appends are harmless —
-      // the consumer is an anti-join)
-      k.write.mode("append").parquet(purgedPath(storePath))
       // docs/ — id-bucketed: prune to the subjects' buckets
       val touched = k.select(bucketOf(col(idCol), nBuckets).as("__bucket"))
         .distinct().collect().map(_.getInt(0)).toSet
+      if (touched.isEmpty) return 0L // no keys at all
+      // suppression list BEFORE any sweep: a purge torn anywhere after
+      // this line already blocks re-ingestion (duplicate appends are
+      // harmless — the consumer is an anti-join; never written for an
+      // empty key set, whose part-less parquet dir would break readers)
+      k.write.mode("append").parquet(purgedPath(storePath))
       val docsT = spark.read.parquet(docsPath(storePath))
         .where(col("__bucket").isin(touched.map(Int.box).toSeq: _*))
       val keep = docsT.join(k, Seq(idCol), "left_anti").localCheckpoint(true)

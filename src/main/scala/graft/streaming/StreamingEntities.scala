@@ -284,9 +284,12 @@ object StreamingEntities {
         new org.apache.hadoop.fs.Path(s"$path/$pCol=$b"), true))
     val k = ids.select(col(idCol)).distinct().localCheckpoint(true)
     try {
-      k.write.mode("append").parquet(purgedPath(storePath))
       val touched = k.select(bucketOf(col(idCol), nBuckets).as("__bucket"))
         .distinct().collect().map(_.getInt(0)).toSet
+      if (touched.isEmpty) return 0L // no keys at all
+      // suppression list BEFORE any sweep (never for an empty key set —
+      // a part-less parquet dir would break the reader)
+      k.write.mode("append").parquet(purgedPath(storePath))
       val namesT = spark.read.parquet(namesPath(storePath))
         .where(col("__bucket").isin(touched.map(Int.box).toSeq: _*))
       val keep = namesT.join(k, Seq(idCol), "left_anti").localCheckpoint(true)

@@ -55,10 +55,24 @@ object StreamingScd {
                    nBuckets: Int = 16): Unit = {
     val spark = batch.sparkSession
     val obsCols = (Seq(keyCol) ++ attrCols ++ Seq(tsCol, tieCol)).map(col)
+    // the SUPPRESSION LIST ([[purgeKeys]]): the log merge is idempotent
+    // on tie ids, and a purge just ERASED the subject's tie ids — so a
+    // committed batch replayed after the purge would re-ingest the
+    // subject from its own payload. The list blocks that, and upstream
+    // re-sends with it.
+    val arrived = batch.select(obsCols: _*).distinct()
+    val supP = new org.apache.hadoop.fs.Path(s"$obsPath/_purged")
+    val conf0 = spark.sessionState.newHadoopConf()
+    val suppressed =
+      if (!supP.getFileSystem(conf0).exists(supP)) arrived
+      else arrived.join(
+        broadcast(spark.read.parquet(s"$obsPath/_purged")
+          .select(col(keyCol)).distinct()),
+        Seq(keyCol), "left_anti")
     // an at-least-once source can duplicate a row INSIDE one batch;
     // conflicting payloads under one observation id are upstream bugs and
     // fail loudly (the check is increment-sized)
-    val obs = batch.select(obsCols: _*).distinct()
+    val obs = suppressed
       .withColumn("__bucket", bucketOf(col(keyCol), nBuckets))
       .persist()
     // an empty microbatch (recovery, no-data trigger) touches no buckets
@@ -175,6 +189,13 @@ object StreamingScd {
         .select(bucketOf(col(keyCol), nBuckets).as("__bucket"))
         .distinct().collect().map(_.getInt(0)).toSet // ≤ nBuckets
       if (touched.isEmpty) return 0L
+      // suppression list BEFORE any sweep (see [[processBatch]]): the log
+      // merge is idempotent on the very tie ids this purge erases, so a
+      // committed batch replayed after the purge would otherwise
+      // re-ingest the subject; a torn purge already suppresses from here
+      // on (never written for an empty key set — a part-less parquet dir
+      // would break the reader's schema inference)
+      k.write.mode("append").parquet(s"$obsPath/_purged")
       val bucketFilter = col("__bucket").isin(touched.map(Int.box).toSeq: _*)
       val logT = spark.read.parquet(obsPath).where(bucketFilter)
       val keep = logT.join(k, Seq(keyCol), "left_anti").localCheckpoint(true)

@@ -522,10 +522,15 @@ class StreamingSpec extends SparkSpec {
     val deleted = StreamingScd.purgeKeys(Seq(1L).toDF("k"),
       "k", Seq("attr"), "ts", "tie", obs, dimp)
     assert(deleted == 2L, s"subject 1 had two observations, got $deleted")
-    // the compliance sweep: NO file under either store names the subject
+    // the compliance sweep: NO data file under either store names the
+    // subject. (The suppression list under _purged/ retains the BARE key
+    // by design — the minimal identifier needed to honor the erasure
+    // against replays and re-sends; every payload byte is gone.)
     def allParquet(f: java.io.File): Seq[String] =
       if (f.isDirectory) f.listFiles().toSeq.flatMap(allParquet)
-      else if (f.getName.endsWith(".parquet")) Seq(f.getPath) else Seq.empty
+      else if (f.getName.endsWith(".parquet") &&
+        f.getPath.contains("__bucket=")) Seq(f.getPath)
+      else Seq.empty
     Seq(s"$tmp/obs", s"$tmp/dim").foreach { store =>
       val ks = spark.read.parquet(allParquet(new java.io.File(store)): _*)
         .select(col("k")).as[Long].collect().toSet
@@ -547,6 +552,18 @@ class StreamingSpec extends SparkSpec {
     // idempotent: a re-run erases nothing further and changes nothing
     assert(StreamingScd.purgeKeys(Seq(1L).toDF("k"),
       "k", Seq("attr"), "ts", "tie", obs, dimp) == 0L)
+    // the RESURRECTION pin: the log merge is idempotent on tie ids, and
+    // the purge just erased the subject's — a committed batch replayed
+    // after the purge must NOT re-ingest the subject from its own
+    // payload (the suppression list blocks it), nor may an upstream
+    // re-send under fresh observation ids
+    StreamingScd.processBatch(b0, "k", Seq("attr"), "ts", "tie", obs, dimp)
+    StreamingScd.processBatch(
+      Seq((1L, "back", ts(30), 9L)).toDF("k", "attr", "ts", "tie"),
+      "k", Seq("attr"), "ts", "tie", obs, dimp)
+    assert(!StreamingScd.dim(spark, dimp).select(col("k"))
+      .as[Long].collect().contains(1L),
+      "a purged subject must never re-enter — not via replay, not via re-send")
     // purge the co-bucketed survivor too: its bucket empties in BOTH
     // stores and the stale dirs drop rather than survive un-replaced
     assert(StreamingScd.purgeKeys(Seq(kSame, 1L).toDF("k"),
@@ -868,9 +885,13 @@ class StreamingSpec extends SparkSpec {
       "id", Seq("seq"), "op", "tie", log, snp)
     assert(deleted == 3L,
       s"base row + update + tombstone must all be erased, got $deleted")
+    // (the _purged suppression list retains the BARE key by design — the
+    // minimal identifier needed to honor the erasure; payload bytes gone)
     def allParquet(f: java.io.File): Seq[String] =
       if (f.isDirectory) f.listFiles().toSeq.flatMap(allParquet)
-      else if (f.getName.endsWith(".parquet")) Seq(f.getPath) else Seq.empty
+      else if (f.getName.endsWith(".parquet") &&
+        f.getPath.contains("__bucket=")) Seq(f.getPath)
+      else Seq.empty
     Seq(s"$tmp/log", s"$tmp/snap").foreach { store =>
       val ids = spark.read.parquet(allParquet(new java.io.File(store)): _*)
         .select(col("id")).as[Long].collect().toSet
@@ -883,6 +904,18 @@ class StreamingSpec extends SparkSpec {
     // idempotent re-run
     assert(StreamingCdc.purgeKeys(Seq(1L).toDF("id"),
       "id", Seq("seq"), "op", "tie", log, snp) == 0L)
+    // the RESURRECTION pin: the log merge is idempotent on change ids,
+    // and the purge just erased the subject's — a committed batch
+    // replayed after the purge must NOT re-ingest the subject (the
+    // suppression list blocks it), nor may a re-send under fresh ids
+    StreamingCdc.processBatch(b0, "id", Seq("seq"), "op", "tie", log, snp)
+    StreamingCdc.processBatch(
+      Seq((1L, "back", "U", 9L, 200L)).toDF("id", "v", "op", "seq", "tie"),
+      "id", Seq("seq"), "op", "tie", log, snp)
+    val logIds = spark.read.parquet(allParquet(new java.io.File(s"$tmp/log")): _*)
+      .select(col("id")).as[Long].collect().toSet
+    assert(!logIds.contains(1L) && snapSet() == Set((kSame, "b2")),
+      "a purged subject must never re-enter — not via replay, not via re-send")
     // purging the survivor empties the bucket in BOTH stores
     assert(StreamingCdc.purgeKeys(Seq(kSame).toDF("id"),
       "id", Seq("seq"), "op", "tie", log, snp) == 2L)
