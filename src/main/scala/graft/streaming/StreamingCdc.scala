@@ -268,4 +268,11 @@ object StreamingCdc {
       } finally free(keep)
     } finally free(k)
   }
+
+  /** Re-admit re-consented subjects ([[Suppression.clear]]): the erased
+    * history stays erased; new change records ingest normally again.
+    */
+  def unsuppressKeys(keys: DataFrame, keyCol: String,
+                     logPath: String): Long =
+    Suppression.clear(keys, s"$logPath/_purged", keyCol)
 }

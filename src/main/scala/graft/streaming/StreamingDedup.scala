@@ -559,4 +559,14 @@ object StreamingDedup {
       deleted
     } finally free(k)
   }
+
+  /** Re-admit re-consented subjects: remove them from the suppression
+    * list so their NEW documents ingest normally ([[Suppression.clear]];
+    * the erased history stays erased — re-admission re-opens the door,
+    * it does not restore what the purge destroyed). Returns the number
+    * of listed ids cleared.
+    */
+  def unsuppressDocs(ids: DataFrame, storePath: String,
+                     idCol: String = "doc_id"): Long =
+    Suppression.clear(ids, purgedPath(storePath), idCol)
 }

@@ -353,4 +353,11 @@ object StreamingEntities {
       deleted
     } finally free(k)
   }
+
+  /** Re-admit re-consented subjects ([[Suppression.clear]]): the erased
+    * history stays erased; new arrivals ingest normally again.
+    */
+  def unsuppressIds(ids: DataFrame, storePath: String,
+                    idCol: String = "id"): Long =
+    Suppression.clear(ids, purgedPath(storePath), idCol)
 }

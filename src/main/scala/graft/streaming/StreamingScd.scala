@@ -238,4 +238,11 @@ object StreamingScd {
       } finally free(keep)
     } finally free(k)
   }
+
+  /** Re-admit re-consented subjects ([[Suppression.clear]]): the erased
+    * history stays erased; new observations ingest normally again.
+    */
+  def unsuppressKeys(keys: DataFrame, keyCol: String,
+                     obsPath: String): Long =
+    Suppression.clear(keys, s"$obsPath/_purged", keyCol)
 }

@@ -262,6 +262,19 @@ class StreamingSpec extends SparkSpec {
     // idempotent re-run
     assert(StreamingDedup.purgeDocs(Seq(1L).toDF("id"), store,
       idCol = "id", pairsPath = Some(pairs)) == 0L)
+    // RE-ADMISSION: suppression is reversible policy (re-consent) while
+    // erasure is not — after unsuppress, the subject's NEW document
+    // ingests and pairs normally; the erased history stays erased
+    assert(StreamingDedup.unsuppressDocs(Seq(1L).toDF("id"), store,
+      idCol = "id") == 1L)
+    StreamingDedup.processBatch(Seq((1L, text)).toDF("id", "text"),
+      "id", "text", store, pairs, 3L, threshold = 0.5)
+    val readmitted = pairSet()
+    assert(readmitted.exists(p => p._1 == 1L && p._3),
+      s"a re-admitted subject's new data must pair against history: $readmitted")
+    // clearing an unlisted key is a counted no-op
+    assert(StreamingDedup.unsuppressDocs(Seq(1L).toDF("id"), store,
+      idCol = "id") == 0L)
   }
 
   test("streaming incremental dedup: replayed batches add zero pairs, history pairs once") {
