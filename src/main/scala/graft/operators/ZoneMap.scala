@@ -1,0 +1,120 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** ZONE MAP — the file-level min/max statistics index that turns a
+  * [[ZOrder]] layout into actual file skipping: a tiny metadata table
+  * with ONE row per data file recording each filter column's min/max
+  * (and row count), consulted before the scan so a range predicate
+  * reads only the files whose `[min, max]` span intersects it. This is
+  * the lakehouse scan primitive (Iceberg/Delta file stats, Parquet
+  * footer row-group stats, one level up): on 100 TB laid out
+  * z-contiguously, a 2-D range predicate touches a handful of grid
+  * cells, so the pruned read lists and opens ~the selectivity's worth
+  * of files instead of all of them — the scan cost becomes proportional
+  * to the ANSWER, not the corpus.
+  *
+  * Scale shape, piece by piece:
+  *  - BUILD is one columnar pass over ONLY the stat columns (parquet
+  *    column pruning makes that a narrow scan, not a row read) grouped
+  *    by `input_file_name()` — the shuffle is one row per file. On a
+  *    real lakehouse the same stats come free from parquet footers at
+  *    write time; materializing them as a table is the engine-portable
+  *    form, amortized across every subsequent pruned read. The map is
+  *    data, so it rebuilds with the layout (stats describe immutable
+  *    files; rewriting files invalidates their rows — pair the build
+  *    with [[ZOrder.layout]]'s write, as [[writeZOrdered]] does).
+  *  - PRUNE filters the zone map (tiny: |files| rows) and collects the
+  *    surviving file NAMES — the same driver-side file list every
+  *    parquet scan's planning already materializes, now shorter.
+  *  - READ opens exactly the survivors and re-applies the predicates as
+  *    residuals (file-level stats admit false positives — a file whose
+  *    span intersects the range can still hold no matching row — but
+  *    never false negatives, which is the correctness law
+  *    `ZoneMapSpec` pins and q311's oracle hash-proves).
+  *
+  * NULL soundness: parquet-style min/max ignore nulls, so an all-null
+  * file carries null stats and the intersection test (null-safe SQL
+  * comparison → not true → dropped) skips it — CORRECT for range
+  * predicates, because `v BETWEEN lo AND hi` is never true for null
+  * `v` either. Stat columns must be long-castable (ints/longs; route
+  * dates through day numbers, doubles through micro-units — the house
+  * integer-exact convention).
+  *
+  * Ref: the reference filters its article corpus by numeric thresholds
+  * before the expensive per-article work (airflow/dags/
+  * zara_hybrid_etl.py:151-210, collect+filter); re-expressed as the
+  * layout + stats + pruned-scan contract that survives 100 TB.
+  */
+object ZoneMap {
+
+  /** One row per data file under `dataPath`: `file`, `n`, and
+    * `<c>_min`/`<c>_max` (long) per stat column. Columnar: reads only
+    * `statCols`. The output is metadata-sized (|files| rows) and is
+    * written as a single file so the prune's read never fans out.
+    */
+  def buildZoneMap(spark: SparkSession, dataPath: String,
+                   statCols: Seq[String], zonePath: String): Unit = {
+    require(statCols.nonEmpty, "zone map needs at least one stat column")
+    val aggs = statCols.flatMap(c => Seq(
+      min(col(c).cast("long")).as(s"${c}_min"),
+      max(col(c).cast("long")).as(s"${c}_max"))) :+ count(lit(1)).as("n")
+    spark.read.parquet(dataPath)
+      .select(input_file_name().as("file") +: statCols.map(col): _*)
+      .groupBy(col("file"))
+      .agg(aggs.head, aggs.tail: _*)
+      .coalesce(1)
+      .write.mode("overwrite").parquet(zonePath)
+  }
+
+  /** The skipping decision, made once on the metadata table: data files
+    * whose `[min, max]` intersects EVERY predicate's `[lo, hi]`, plus
+    * the total file count. The collect is the surviving file list — the
+    * bounded driver artifact any parquet scan's planner holds anyway.
+    */
+  def pruneFiles(spark: SparkSession, zonePath: String,
+                 preds: Seq[(String, Long, Long)]): (Seq[String], Long) = {
+    require(preds.nonEmpty, "pruned read needs at least one predicate")
+    val zm = spark.read.parquet(zonePath)
+    val keep = preds.map { case (c, lo, hi) =>
+      col(s"${c}_min") <= lit(hi) && col(s"${c}_max") >= lit(lo)
+    }.reduce(_ && _)
+    val total = zm.count()
+    val survivors = zm.where(keep).select(col("file"))
+      .collect().map(_.getString(0)).toSeq.sorted
+    (survivors, total)
+  }
+
+  /** Scan `dataPath` THROUGH the zone map: open only the files whose
+    * stats intersect every `(col, lo, hi)` predicate, then re-apply the
+    * predicates as residual filters (stats admit false positives, never
+    * false negatives). Zero survivors short-circuits to an empty frame
+    * with the data schema (`limit(0)` folds to an empty relation — no
+    * data read). Equality with the full-scan filter is the q311 oracle.
+    */
+  def prunedRead(spark: SparkSession, dataPath: String, zonePath: String,
+                 preds: Seq[(String, Long, Long)]): DataFrame = {
+    val residual = preds.map { case (c, lo, hi) =>
+      col(c).cast("long").between(lit(lo), lit(hi))
+    }.reduce(_ && _)
+    val (files, _) = pruneFiles(spark, zonePath, preds)
+    if (files.isEmpty) spark.read.parquet(dataPath).where(residual).limit(0)
+    else spark.read.parquet(files: _*).where(residual)
+  }
+
+  /** The paired write: z-order `df` on the two stat columns, land the
+    * z-contiguous files, and build their zone map in one call — the
+    * `OPTIMIZE ZORDER BY` + stats-refresh unit. Narrow per-file spans
+    * on BOTH columns (the [[ZOrder.layoutStats]] contract) are exactly
+    * what makes the map selective.
+    */
+  def writeZOrdered(df: DataFrame, dataPath: String, zonePath: String,
+                    colA: String, colB: String, bits: Int = 8,
+                    partitions: Int = 32): Unit = {
+    ZOrder.layout(df, colA, colB, bits, partitions)
+      .drop("__z")
+      .write.mode("overwrite").parquet(dataPath)
+    buildZoneMap(df.sparkSession, dataPath, Seq(colA, colB), zonePath)
+  }
+}

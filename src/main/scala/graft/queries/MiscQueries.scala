@@ -312,6 +312,40 @@ object MiscQueries {
              |    (((event_id % 256) >> i) & 1) * (1::BIGINT << CAST(2*i+1 AS INT)))) AS BIGINT) AS z
              |FROM events ORDER BY event_id""".stripMargin)),
 
+    // ---- ZONE-MAP pruned scan (ZoneMap.writeZOrdered + prunedRead):
+    // the q93 curve made load-bearing — lineitem is laid out
+    // z-contiguously on (l_partkey, l_suppkey), a per-file min/max
+    // stats table is built in one narrow columnar pass, and a 2-D range
+    // predicate then opens ONLY the files whose spans intersect it
+    // (ZoneMapSpec pins the strict-subset skipping and that inputFiles
+    // == the survivors). Stats admit false positives, never false
+    // negatives, and the residual filter re-applies the predicate — so
+    // the oracle is simply the full-scan filter, and the hash proves
+    // the pruned scan loses nothing. At 100 TB this is THE scan
+    // primitive: cost ∝ the answer's files, not the corpus's. ----
+    Q("q311_zonemap_scan",
+      (s, dir) => {
+        import graft.operators.ZoneMap
+        val tmp = java.nio.file.Files
+          .createTempDirectory("graft_q311_").toString
+        val li = t(s, dir, "lineitem")
+          .select(col("l_partkey"), col("l_suppkey"),
+            col("l_quantity").cast("long").as("qty"), col("l_returnflag"))
+        ZoneMap.writeZOrdered(li, s"$tmp/data", s"$tmp/zone",
+          "l_partkey", "l_suppkey", bits = 8, partitions = 16)
+        ZoneMap.prunedRead(s, s"$tmp/data", s"$tmp/zone",
+            Seq(("l_partkey", 100L, 300L), ("l_suppkey", 10L, 40L)))
+          .groupBy(col("l_returnflag"))
+          .agg(count(lit(1)).as("n"), sum(col("qty")).as("qty_sum"))
+          .orderBy(col("l_returnflag"))
+      },
+      Some("""SELECT l_returnflag, count(*) AS n,
+             |  CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty_sum
+             |FROM lineitem
+             |WHERE l_partkey BETWEEN 100 AND 300
+             |  AND l_suppkey BETWEEN 10 AND 40
+             |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
     // ---- TPC-H Q5 shape: 5-way join, date filter, revenue per nation.
     // All dimensions broadcast; lineitem (the only big table) shuffles
     // once for the final aggregation only.

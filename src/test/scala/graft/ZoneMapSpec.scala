@@ -1,0 +1,101 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.ZoneMap
+
+/** Pins the zone-map contract: (1) the correctness law — a pruned read
+  * equals the full-scan filter bit-for-bit (stats admit false
+  * positives, never false negatives); (2) the skipping property — on a
+  * z-ordered layout a tight 2-D range predicate opens a strict subset
+  * of the files, and the frame's actual `inputFiles` are exactly the
+  * survivors; (3) the null/empty edges.
+  */
+class ZoneMapSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tmp(tag: String): String =
+    java.nio.file.Files.createTempDirectory(s"graft_zm_$tag").toString
+
+  test("pruned read equals the full-scan filter, and opens fewer files") {
+    val dir = tmp("law")
+    val grid = spark.range(0, 64 * 64).select(
+      (col("id") % 64).cast("long").as("a"),
+      (col("id") / 64).cast("long").as("b"),
+      col("id").as("payload"))
+    ZoneMap.writeZOrdered(grid, s"$dir/data", s"$dir/zone",
+      "a", "b", bits = 8, partitions = 16)
+
+    val preds = Seq(("a", 10L, 20L), ("b", 40L, 50L))
+    val pruned = ZoneMap.prunedRead(spark, s"$dir/data", s"$dir/zone", preds)
+    val full = spark.read.parquet(s"$dir/data")
+      .where(col("a").between(10, 20) && col("b").between(40, 50))
+    assert(pruned.select("a", "b", "payload").as[(Long, Long, Long)]
+      .collect().toSet ==
+      full.select("a", "b", "payload").as[(Long, Long, Long)]
+        .collect().toSet, "pruned read must equal the full-scan filter")
+
+    val (kept, total) = ZoneMap.pruneFiles(spark, s"$dir/zone", preds)
+    assert(total == 16L, s"expected 16 files in the map, got $total")
+    assert(kept.size < 16,
+      s"an 11x11 window over a z-ordered 64x64 grid must skip files, " +
+        s"kept ${kept.size} of $total")
+    assert(pruned.inputFiles.map(_.replace("file://", "")).toSet ==
+      kept.map(_.replace("file:///", "/")).toSet,
+      "the scan must open exactly the surviving files")
+  }
+
+  test("z-order prunes on BOTH dimensions; a 1-D sort only on its own") {
+    val dir = tmp("dims")
+    val grid = spark.range(0, 64 * 64).select(
+      (col("id") % 64).cast("long").as("a"),
+      (col("id") / 64).cast("long").as("b"))
+    ZoneMap.writeZOrdered(grid, s"$dir/z", s"$dir/zz", "a", "b",
+      bits = 8, partitions = 16)
+    // 1-D contrast: range-partition by `a` alone, same file count
+    grid.repartitionByRange(16, col("a"))
+      .write.mode("overwrite").parquet(s"$dir/s")
+    ZoneMap.buildZoneMap(spark, s"$dir/s", Seq("a", "b"), s"$dir/sz")
+
+    val bPred = Seq(("b", 0L, 7L)) // selective on the NON-sort column
+    val (zKept, _) = ZoneMap.pruneFiles(spark, s"$dir/zz", bPred)
+    val (sKept, sTotal) = ZoneMap.pruneFiles(spark, s"$dir/sz", bPred)
+    assert(sKept.size.toLong == sTotal,
+      "a 1-D a-sort leaves b spanning the full range in every file — " +
+        "a b-predicate prunes nothing")
+    assert(zKept.size < sKept.size,
+      s"z-order must prune on b where the a-sort cannot " +
+        s"(${zKept.size} vs ${sKept.size})")
+  }
+
+  test("zero survivors short-circuit to an empty frame with the data schema") {
+    val dir = tmp("empty")
+    val grid = spark.range(0, 256).select(
+      (col("id") % 16).cast("long").as("a"),
+      (col("id") / 16).cast("long").as("b"))
+    ZoneMap.writeZOrdered(grid, s"$dir/data", s"$dir/zone", "a", "b",
+      bits = 4, partitions = 4)
+    val out = ZoneMap.prunedRead(spark, s"$dir/data", s"$dir/zone",
+      Seq(("a", 1000L, 2000L)))
+    assert(out.columns.toSeq == Seq("a", "b"))
+    assert(out.isEmpty, "an out-of-range predicate must return no rows")
+  }
+
+  test("all-null files are skipped; null rows never match a range predicate") {
+    val dir = tmp("nulls")
+    Seq((1L, 10L), (2L, 20L)).toDF("k", "v")
+      .coalesce(1).write.parquet(s"$dir/data")
+    Seq((3L, Option.empty[Long]), (4L, Option.empty[Long])).toDF("k", "v")
+      .coalesce(1).write.mode("append").parquet(s"$dir/data")
+    ZoneMap.buildZoneMap(spark, s"$dir/data", Seq("v"), s"$dir/zone")
+    val preds = Seq(("v", 0L, 100L))
+    val (kept, total) = ZoneMap.pruneFiles(spark, s"$dir/zone", preds)
+    assert(total == 2L && kept.size == 1,
+      s"the all-null file must be skipped (kept ${kept.size} of $total)")
+    val got = ZoneMap.prunedRead(spark, s"$dir/data", s"$dir/zone", preds)
+      .select("k").as[Long].collect().toSet
+    assert(got == Set(1L, 2L),
+      "null v rows can never match v BETWEEN 0 AND 100 — skipping their " +
+        "file is sound")
+  }
+}
