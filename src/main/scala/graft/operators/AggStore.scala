@@ -257,7 +257,7 @@ object AggStore {
             manifest.entries.filterNot(e => touched.contains(e._1)) ++
               Snapshot.listKvDirs(spark, s"$path/$dir", "bucket")
                 .map((_, dir))))
-        GenStore.purgeCommitted(spark, path, manifest.entries, touched)
+        GenStore.purgeCommitted(spark, path)
         deleted
       } finally freeCheckpoint(keep)
     } finally freeCheckpoint(k)

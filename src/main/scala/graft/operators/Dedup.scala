@@ -819,7 +819,7 @@ object Dedup {
               GenStore.Manifest(manifest.gen + 1, n, manifest.applied,
                 manifest.entries.filterNot(e => touched.contains(e._1)) ++
                   listBucketDirs(spark, s"$path/$dir").map((_, dir))))
-            GenStore.purgeCommitted(spark, path, manifest.entries, touched)
+            GenStore.purgeCommitted(spark, path)
             deleted
           } finally freeLocalCheckpoint(relabeled)
         } finally freeLocalCheckpoint(compRows)

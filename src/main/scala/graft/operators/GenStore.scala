@@ -21,7 +21,7 @@ import org.apache.spark.sql.functions._
   * scan immutable directories, so they are isolated from every in-flight
   * mutation and from the manifest history itself.
   */
-private[operators] object GenStore {
+private[graft] object GenStore {
 
   /** A committed snapshot: generation counter, bucket count, the
     * applied-batch ledger (streaming exactly-once; empty for
@@ -240,25 +240,31 @@ private[operators] object GenStore {
     * (1) history TRUNCATES — `vacuum(keepGens = 1)` retires every
     * archived manifest and drops fully-unreferenced generation dirs
     * (an archived snapshot that can resolve the purged rows is exactly
-    * what compliance forbids); (2) SUB-DIRECTORY SURGERY — the bucket
-    * dirs the rewrite remapped away from, now referenced by NO retained
-    * manifest, are deleted explicitly, because whole-dir reclaim cannot
-    * reach a purged bucket inside a generation dir that other buckets
-    * keep alive. Re-runnable from any crash point (both steps are
-    * idempotent); the deliberate trade is an in-flight reader holding a
-    * pre-purge manifest, which breaks — compliance wants the bytes gone
-    * NOW, not at a vacuum cadence. Returns the deleted names.
+    * what compliance forbids); (2) ORPHAN-BUCKET SCRUB — every
+    * `bucket=` subdirectory inside a still-live generation dir whose
+    * `(bucket → dir)` entry is NOT in the current manifest is deleted,
+    * because whole-dir reclaim cannot reach a purged bucket inside a
+    * generation dir that other buckets keep alive. The scrub is derived
+    * entirely from the CURRENT manifest and a per-dir listing (not from
+    * the caller's pre-purge entry snapshot, which a crash would lose) —
+    * so a re-run from ANY crash point, including after the survivor
+    * commit already landed, still completes the erasure. The deliberate
+    * trade is an in-flight reader holding a pre-purge manifest, which
+    * breaks — compliance wants the bytes gone NOW, not at a vacuum
+    * cadence. Returns the deleted names.
     */
-  def purgeCommitted(spark: org.apache.spark.sql.SparkSession, path: String,
-                     preEntries: Seq[(Long, String)],
-                     touched: Set[Long]): Seq[String] = {
+  def purgeCommitted(spark: org.apache.spark.sql.SparkSession,
+                     path: String): Seq[String] = {
     val truncated = vacuum(spark, path, keepGens = 1)
+    val m = read(spark, path).getOrElse(return truncated)
+    val owned = m.entries.map { case (b, d) => (d, b) }.toSet
     val p = new org.apache.hadoop.fs.Path(path)
     val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
-    val surgical = preEntries.filter(e => touched.contains(e._1))
-      .map { case (b, d) => s"$d/bucket=$b" }
-      .filter(sub => Snapshot.dirExists(spark, s"$path/$sub"))
-      .sorted
+    val surgical = m.entries.map(_._2).distinct.sorted.flatMap { d =>
+      Snapshot.listKvDirs(spark, s"$path/$d", "bucket")
+        .filterNot(b => owned.contains((d, b)))
+        .map(b => s"$d/bucket=$b")
+    }
     surgical.foreach(sub =>
       fs.delete(new org.apache.hadoop.fs.Path(s"$path/$sub"), true))
     truncated ++ surgical

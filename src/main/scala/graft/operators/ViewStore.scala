@@ -1,0 +1,486 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** INCREMENTAL MATERIALIZED JOIN-VIEW STORE — the view
+  * `V = SELECT grp, count(*), sum(v) FROM A JOIN B USING (key) GROUP BY
+  * grp` maintained as a lakehouse table under INSERT-ONLY increments to
+  * BOTH sides, the join member of the increment discipline (aggregate:
+  * [[AggStore]]; clusters: q284; ANN: q275): at 100 TB "revenue per
+  * customer across orders ⋈ lineitems" re-derived daily should pay the
+  * DAY's join, not the corpus's join.
+  *
+  * THE DELTA RULE, factored per join key. A pair (a-row, b-row)
+  * contributes `(1, v_b)` to its a-row's group, so per `(key, grp)` the
+  * view's contribution is `na(key, grp) · (nb(key), vb(key))` where
+  * `na` counts a-rows and `(nb, vb)` aggregate b-rows of that key. An
+  * increment changes only the keys it touches, so
+  *
+  *   ΔV(grp) = Σ_touched-keys  na_new·nb_new − na_old·nb_old   (counts)
+  *             Σ_touched-keys  na_new·vb_new − na_old·vb_old   (sums)
+  *
+  * — algebraically identical to the textbook three-term rule
+  * `ΔA⋈B ∪ A⋈ΔB ∪ ΔA⋈ΔB` (expand the products), but computed as ONE
+  * join of the touched keys' old+new side states instead of three. All
+  * arithmetic is the exact integer monoid, so increment-merge equals
+  * the full recompute bit-for-bit in any merge order (q312's oracle
+  * hash-proves it; `ViewStoreSpec` pins the laws).
+  *
+  * STATE. Three [[GenStore]] substores under one root, each with its
+  * own manifest, history, and applied-id ledger:
+  *  - `path/a`:    `(key, grp, na)` — a-side tuple counts, bucketed by
+  *    `pmod(xxhash64(key), nBuckets)` (the JOIN key: a merge reads only
+  *    the buckets holding incremented keys);
+  *  - `path/b`:    `(key, nb, vb)` — b-side per-key count/sum, same
+  *    bucketing (the compressed b-state: the view never needs b rows,
+  *    only their per-key aggregates);
+  *  - `path/view`: `(key, cnt, total)` with `key` = the GROUP value,
+  *    bucketed by it (maintenance rewrites rows by which group
+  *    changed).
+  * A merge touches ≤ |increment keys| side buckets and ≤ |changed
+  * groups| view buckets — untouched buckets are never read, listed, or
+  * rewritten, and readers holding a previous manifest keep scanning
+  * byte-identical files. Time travel, retention vacuum, audit diff,
+  * and pointer-only rollback come from [[GenStore]] per substore.
+  *
+  * EXACTLY-ONCE ACROSS THREE MANIFESTS. A join-view increment is not
+  * idempotent (a replayed batch double-counts), and one call commits
+  * three stores — so each substore's ledger carries the `appliedId`,
+  * and the legs commit in the FIXED order view → a → b. The view delta
+  * is a function of the increment and the PRE-increment side states,
+  * and sides mutate only after the view committed; so a crash replay
+  * at any point is safe: legs whose ledger already holds the id skip
+  * (their inputs are gone from the others' perspective only AFTER
+  * their own commit), legs that never committed recompute from side
+  * states that are still pre-increment. Between a view commit and the
+  * b commit the view is ahead of the side states by one batch — the
+  * sides are maintenance-internal state, not a user surface, and the
+  * single-maintenance-writer contract means the retry completes before
+  * the next batch.
+  *
+  * PURGE + SUPPRESSION (the [[Purge]] contract on a three-store view):
+  * erasing a GROUP must erase its view row, its a-rows, and the b-rows
+  * of join keys that become ORPHANED (no surviving a-row — for
+  * orders ⋈ lineitems per customer, exactly the subject's lineitems; a
+  * key shared with a surviving group keeps its b-rows, which are that
+  * group's data too). Because the merge treats absent keys as new, a
+  * replayed committed batch or an upstream re-send would re-ingest the
+  * purged subject from its own payload — the r14 log-merge-store
+  * lesson — so the purge writes SUPPRESSION LISTS first
+  * (`_purged/groups`, `_purged/keys`), which every merge anti-joins
+  * before touching state; [[readmitJoinViewGroups]] reverses the group
+  * suppression on re-consent (erased KEYS stay suppressed: their
+  * orphanhood was computed at erasure and cannot be re-derived).
+  *
+  * Ref: the reference joins fetched papers to their extracted metrics
+  * and aggregates per run (airflow/dags/zara_hybrid_etl.py:211-258);
+  * re-expressed as a maintained join view rather than a per-run dict.
+  */
+object ViewStore {
+
+  /** Null keys/groups are rejected LOUDLY inside the write job: a null
+    * join key never joins to itself, so its side state could never fold
+    * (the [[AggStore]] argument), and a null bucket would poison the
+    * manifest's numeric bucket list.
+    */
+  private def bucketOf(nBuckets: Int) =
+    when(col("key").isNull, raise_error(lit(
+        "join-view keys must be non-null (a null key can never join)"))
+      .cast("long"))
+      .otherwise(pmod(xxhash64(col("key")), lit(nBuckets.toLong)))
+
+  /** `(key, grp, na)` from raw a-side rows. */
+  private def aggA(rows: DataFrame, keyCol: String, grpCol: String): DataFrame =
+    rows.select(col(keyCol).as("key"),
+        when(col(grpCol).isNull, raise_error(lit(
+          "join-view groups must be non-null")).cast("long"))
+          .otherwise(col(grpCol).cast("long")).as("grp"))
+      .groupBy(col("key"), col("grp"))
+      .agg(count(lit(1)).as("na"))
+
+  /** `(key, nb, vb)` from raw b-side rows. */
+  private def aggB(rows: DataFrame, keyCol: String, valCol: String): DataFrame =
+    rows.select(col(keyCol).as("key"), col(valCol).cast("long").as("__v"))
+      .groupBy(col("key"))
+      .agg(count(lit(1)).as("nb"), sum(col("__v")).as("vb"))
+
+  // ---- substore plumbing (one bucket convention for all three: hash of
+  // the substore's own `key` column) ----
+
+  private def writeSub(spark: SparkSession, subPath: String, rows: DataFrame,
+                       nBuckets: Int, prevApplied: Seq[String],
+                       prevGen: Long, keepEntries: Seq[(Long, String)],
+                       appliedId: Option[String]): Unit = {
+    val gen = prevGen + 1
+    val dir = s"d$gen"
+    rows.withColumn("bucket", bucketOf(nBuckets))
+      .write.mode("overwrite").partitionBy("bucket").parquet(s"$subPath/$dir")
+    require(Snapshot.dirExists(spark, s"$subPath/$dir"),
+      s"staging $dir vanished before commit — a concurrent vacuum ran " +
+        "(one maintenance writer at a time)")
+    GenStore.write(spark, subPath, GenStore.Manifest(gen, nBuckets,
+      prevApplied ++ appliedId.toSeq,
+      keepEntries ++
+        Snapshot.listKvDirs(spark, s"$subPath/$dir", "bucket").map((_, dir))))
+  }
+
+  /** All rows of a substore; empty-with-schema when the substore has no
+    * entries yet (a legitimately empty side or view).
+    */
+  private def readSub(spark: SparkSession, subPath: String,
+                      cols: Seq[String], template: DataFrame): DataFrame = {
+    val m = GenStore.read(spark, subPath).getOrElse(
+      throw new IllegalArgumentException(s"not a join-view substore: $subPath"))
+    if (m.entries.isEmpty) template.select(cols.map(col): _*).limit(0)
+    else GenStore.readRaw(spark, subPath, m).select(cols.map(col): _*)
+  }
+
+  /** Additive merge of a pre-aggregated delta into one substore: read
+    * only the buckets holding delta keys, full-outer on the identity
+    * columns, sum columns ADD, rewrite those buckets into a fresh
+    * generation, commit with the applied id. A ledger hit is a detected
+    * no-op; an EMPTY delta commits the id POINTER-ONLY (same entries,
+    * next generation) so a crash replay of the whole three-leg merge
+    * finds all three ledgers stamped.
+    */
+  private def mergeSub(spark: SparkSession, subPath: String, delta: DataFrame,
+                       idCols: Seq[String], sumCols: Seq[String],
+                       appliedId: Option[String]): Unit = {
+    val m = GenStore.read(spark, subPath).getOrElse(
+      throw new IllegalArgumentException(s"not a join-view substore: $subPath"))
+    if (appliedId.exists(m.applied.contains)) return // replay: no-op
+    val cols = idCols ++ sumCols
+    val touched = delta.select(bucketOf(m.nBuckets).as("bucket"))
+      .distinct().collect().map(_.getLong(0)).toSet // ≤ nBuckets
+    if (touched.isEmpty) { // nothing to fold: stamp the ledger pointer-only
+      appliedId.foreach(id => GenStore.write(spark, subPath,
+        GenStore.Manifest(m.gen + 1, m.nBuckets, m.applied :+ id, m.entries)))
+      return
+    }
+    val existing = m.entries.filter(e => touched.contains(e._1))
+    val cur =
+      if (existing.isEmpty) delta.select(cols.map(col): _*).limit(0)
+      else GenStore.readBucketDirs(spark, subPath, existing)
+        .select(cols.map(col): _*)
+    val merged = cur.join(
+        delta.select(idCols.map(col) ++
+          sumCols.map(c => col(c).as(s"__d$c")): _*),
+        idCols, "full_outer")
+      .select(idCols.map(col) ++ sumCols.map(c =>
+        (coalesce(col(c), lit(0L)) + coalesce(col(s"__d$c"), lit(0L)))
+          .as(c)): _*)
+    writeSub(spark, subPath, merged, m.nBuckets, m.applied, m.gen,
+      m.entries.filterNot(e => touched.contains(e._1)), appliedId)
+  }
+
+  /** The per-(key, grp) view contribution of one side-state pair. */
+  private def contributions(aState: DataFrame, bState: DataFrame): DataFrame =
+    aState.join(bState, Seq("key"), "left")
+      .select(col("key"), col("grp"),
+        (col("na") * coalesce(col("nb"), lit(0L))).as("cnt"),
+        (col("na") * coalesce(col("vb"), lit(0L))).as("total"))
+
+  /** Build (or rebuild) the view store from full sides. A rebuild over
+    * an existing store is a mutation like any other per substore —
+    * fresh generations, manifest swaps, ledgers carried forward.
+    */
+  def buildJoinView(a: DataFrame, b: DataFrame, path: String,
+                    aKeyCol: String, aGrpCol: String,
+                    bKeyCol: String, bValCol: String,
+                    nBuckets: Int = 16,
+                    appliedId: Option[String] = None): Unit = {
+    require(nBuckets >= 1, s"nBuckets must be positive, got $nBuckets")
+    val spark = a.sparkSession
+    val aSt = aggA(a, aKeyCol, aGrpCol)
+    val bSt = aggB(b, bKeyCol, bValCol)
+    val view = contributions(aSt, bSt)
+      .filter(col("cnt") =!= 0L)
+      .groupBy(col("grp").as("key"))
+      .agg(sum(col("cnt")).as("cnt"), sum(col("total")).as("total"))
+    def prev(sub: String) = GenStore.read(spark, s"$path/$sub")
+    Seq(("view", view),
+        ("a", aSt), ("b", bSt)).foreach { case (sub, rows) =>
+      val p = prev(sub)
+      writeSub(spark, s"$path/$sub", rows, nBuckets,
+        p.map(_.applied).getOrElse(Seq.empty), p.map(_.gen).getOrElse(0L),
+        Seq.empty, appliedId)
+    }
+  }
+
+  /** Is there a committed view store at `path`? ALL THREE substores
+    * must have manifests — a crash mid-build leaves a prefix of the
+    * view → a → b sequence, and the streaming sink's replay must then
+    * re-BUILD (idempotent by content: same first batch, fresh
+    * generations), not merge against missing sides.
+    */
+  def joinViewExists(spark: SparkSession, path: String): Boolean =
+    Seq("view", "a", "b").forall(sub =>
+      GenStore.read(spark, s"$path/$sub").isDefined)
+
+  private def suppressed(df: DataFrame, spark: SparkSession,
+                         listPath: String, onCol: String): DataFrame = {
+    val p = new org.apache.hadoop.fs.Path(listPath)
+    if (!p.getFileSystem(spark.sessionState.newHadoopConf()).exists(p)) df
+    else df.join(
+      broadcast(spark.read.parquet(listPath).select(col(onCol)).distinct()),
+      Seq(onCol), "left_anti")
+  }
+
+  /** Merge one increment — new a-rows AND new b-rows in the same batch
+    * (either may be empty) — by the factored delta rule. Cost ∝ the
+    * increment plus the side/view buckets it touches, never the store.
+    * `appliedId` is the exactly-once handle; see the class doc for the
+    * three-ledger crash-replay argument. Purged subjects are filtered
+    * against the suppression lists BEFORE any state is read.
+    */
+  def mergeIntoJoinView(da: DataFrame, db: DataFrame, path: String,
+                        aKeyCol: String, aGrpCol: String,
+                        bKeyCol: String, bValCol: String,
+                        appliedId: Option[String] = None): Unit = {
+    val spark = da.sparkSession
+    val mView = GenStore.read(spark, s"$path/view").getOrElse(
+      throw new IllegalArgumentException(s"not a join-view store: $path"))
+    val mA = GenStore.read(spark, s"$path/a").getOrElse(
+      throw new IllegalArgumentException(s"join-view a-substore missing: $path"))
+    val mB = GenStore.read(spark, s"$path/b").getOrElse(
+      throw new IllegalArgumentException(s"join-view b-substore missing: $path"))
+    if (appliedId.exists(id => mView.applied.contains(id) &&
+      mA.applied.contains(id) && mB.applied.contains(id))) return // replay
+    val nBuckets = mView.nBuckets
+
+    val daS = suppressed(
+      da.select(col(aKeyCol).as("key"), col(aGrpCol).cast("long").as("grp")),
+      spark, s"$path/_purged/groups", "grp")
+    val dbS = suppressed(
+      db.select(col(bKeyCol).as("key"), col(bValCol).as(bValCol)),
+      spark, s"$path/_purged/keys", "key")
+    val dA = aggA(daS, "key", "grp").localCheckpoint(true)
+    val dB = aggB(dbS, "key", bValCol).localCheckpoint(true)
+    try {
+      val touchedKeys = dA.select(col("key"))
+        .union(dB.select(col("key"))).distinct().localCheckpoint(true)
+      try {
+        // one bucket set serves both sides (same hash, same nBuckets)
+        val touched = touchedKeys.select(bucketOf(nBuckets).as("bucket"))
+          .distinct().collect().map(_.getLong(0)).toSet // ≤ nBuckets
+        def oldSide(m: GenStore.Manifest, sub: String,
+                    cols: Seq[String], template: DataFrame): DataFrame = {
+          val es = m.entries.filter(e => touched.contains(e._1))
+          if (es.isEmpty) template.select(cols.map(col): _*).limit(0)
+          else GenStore.readBucketDirs(spark, s"$path/$sub", es)
+            .select(cols.map(col): _*)
+            .join(touchedKeys, Seq("key"), "left_semi")
+        }
+        if (appliedId.forall(id => !mView.applied.contains(id))) {
+          // leg 1 — the VIEW, from the PRE-increment side states
+          val aOld = oldSide(mA, "a", Seq("key", "grp", "na"), dA)
+          val bOld = oldSide(mB, "b", Seq("key", "nb", "vb"), dB)
+          val aPair = aOld
+            .join(dA.select(col("key"), col("grp"), col("na").as("dna")),
+              Seq("key", "grp"), "full_outer")
+            .select(col("key"), col("grp"),
+              coalesce(col("na"), lit(0L)).as("na_old"),
+              (coalesce(col("na"), lit(0L)) + coalesce(col("dna"), lit(0L)))
+                .as("na_new"))
+          val bPair = bOld
+            .join(dB.select(col("key"), col("nb").as("dnb"),
+              col("vb").as("dvb")), Seq("key"), "full_outer")
+            .select(col("key"),
+              coalesce(col("nb"), lit(0L)).as("nb_old"),
+              coalesce(col("vb"), lit(0L)).as("vb_old"),
+              (coalesce(col("nb"), lit(0L)) + coalesce(col("dnb"), lit(0L)))
+                .as("nb_new"),
+              (coalesce(col("vb"), lit(0L)) + coalesce(col("dvb"), lit(0L)))
+                .as("vb_new"))
+          val viewDelta = aPair.join(bPair, Seq("key"), "left")
+            .select(col("grp"),
+              (col("na_new") * coalesce(col("nb_new"), lit(0L)) -
+                col("na_old") * coalesce(col("nb_old"), lit(0L))).as("dcnt"),
+              (col("na_new") * coalesce(col("vb_new"), lit(0L)) -
+                col("na_old") * coalesce(col("vb_old"), lit(0L))).as("dtot"))
+            .groupBy(col("grp").as("key"))
+            .agg(sum(col("dcnt")).as("cnt"), sum(col("dtot")).as("total"))
+            .filter(col("cnt") =!= 0L || col("total") =!= 0L)
+          mergeSub(spark, s"$path/view", viewDelta,
+            Seq("key"), Seq("cnt", "total"), appliedId)
+        }
+        // legs 2/3 — the sides, from the increment alone
+        mergeSub(spark, s"$path/a", dA.select(col("key"), col("grp"),
+          col("na")), Seq("key", "grp"), Seq("na"), appliedId)
+        mergeSub(spark, s"$path/b", dB, Seq("key"), Seq("nb", "vb"),
+          appliedId)
+      } finally freeCheckpoint(touchedKeys)
+    } finally { freeCheckpoint(dA); freeCheckpoint(dB) }
+  }
+
+  /** The materialized view, `(key, cnt, total)` — `key` is the group. */
+  def readJoinView(spark: SparkSession, path: String): DataFrame = {
+    val m = GenStore.read(spark, s"$path/view").getOrElse(
+      throw new IllegalArgumentException(s"not a join-view store: $path"))
+    if (m.entries.isEmpty)
+      spark.range(0).select(col("id").as("key"), col("id").as("cnt"),
+        col("id").as("total")).limit(0)
+    else GenStore.readRaw(spark, s"$path/view", m)
+      .select(col("key"), col("cnt"), col("total"))
+  }
+
+  /** TIME-TRAVEL read of the view as of one of ITS generations (each
+    * merge advances every substore by exactly one generation, so the
+    * view's history is the batch history).
+    */
+  def readJoinViewAsOf(spark: SparkSession, path: String,
+                       gen: Long): DataFrame =
+    GenStore.readRaw(spark, s"$path/view", GenStore.at(spark, s"$path/view", gen))
+      .select(col("key"), col("cnt"), col("total"))
+
+  /** Retention GC across all three substores ([[GenStore.vacuum]]). */
+  def vacuumJoinView(spark: SparkSession, path: String,
+                     keepGens: Int = 1): Seq[String] =
+    Seq("view", "a", "b").flatMap(sub =>
+      GenStore.vacuum(spark, s"$path/$sub", keepGens).map(n => s"$sub/$n"))
+
+  /** The view substore's resolvable snapshots, newest first. */
+  def joinViewHistory(spark: SparkSession,
+                      path: String): Seq[(Long, Int, Int, Int)] =
+    GenStore.history(spark, s"$path/view")
+
+  /** COMPLIANCE PURGE of whole GROUPS (the subject = the group value):
+    * erases the groups' view rows, their a-rows, and the b-rows of join
+    * keys left with NO surviving a-row (their data existed only as the
+    * subject's) — from live state AND time-travel history
+    * ([[GenStore.purgeCommitted]] per substore). SUPPRESSION LISTS land
+    * FIRST — groups, then the orphaned keys (computed from the
+    * pre-purge a-state, PERSISTED before any rewrite so a crash between
+    * sweeps cannot lose them; each sweep re-reads its list, making the
+    * whole purge re-runnable from any point). A key shared with a
+    * surviving group keeps its b-rows — they are the surviving group's
+    * data too (the documented shared-key trade). Locating a group's
+    * keys costs ONE full a-substore scan (the store is bucketed by join
+    * key for increment locality, not by group): batch purge requests on
+    * a cadence to amortize it. Returns `(aRows, bRows, viewRows)`
+    * deleted.
+    */
+  def purgeJoinViewGroups(groups: DataFrame, path: String,
+                          grpCol: String = "key"): (Long, Long, Long) = {
+    val spark = groups.sparkSession
+    val g = groups.select(col(grpCol).cast("long").as("grp")).distinct()
+      .localCheckpoint(true)
+    try {
+      require(!g.isEmpty, "purge needs at least one group")
+      // (1) suppression lists BEFORE any sweep: groups now, orphaned keys
+      // as soon as they are derivable from the still-intact a-state
+      g.write.mode("append").parquet(s"$path/_purged/groups")
+      val mA = GenStore.read(spark, s"$path/a").getOrElse(
+        throw new IllegalArgumentException(s"not a join-view store: $path"))
+      val aAll = readSub(spark, s"$path/a", Seq("key", "grp", "na"),
+        spark.range(0).select(col("id").as("key"), col("id").as("grp"),
+          col("id").as("na")))
+      val subjectRows = aAll.join(g, Seq("grp"), "left_semi")
+        .localCheckpoint(true)
+      try {
+        val orphanKeys = subjectRows.select(col("key")).distinct()
+          .join(aAll.join(g, Seq("grp"), "left_anti").select(col("key")),
+            Seq("key"), "left_anti")
+          .localCheckpoint(true)
+        try {
+          if (!orphanKeys.isEmpty)
+            orphanKeys.write.mode("append").parquet(s"$path/_purged/keys")
+
+          // (2) sweeps, each keyed off its PERSISTED list (re-runnable)
+          val vDel = sweepSub(spark, s"$path/view", Seq("key", "cnt", "total"),
+            g.select(col("grp").as("key")))
+          val aDel = sweepA(spark, s"$path/a", g)
+          val keysP = new org.apache.hadoop.fs.Path(s"$path/_purged/keys")
+          val bDel =
+            if (!keysP.getFileSystem(spark.sessionState.newHadoopConf())
+              .exists(keysP)) 0L
+            else sweepSub(spark, s"$path/b", Seq("key", "nb", "vb"),
+              spark.read.parquet(s"$path/_purged/keys")
+                .select(col("key")).distinct())
+          (aDel, bDel, vDel)
+        } finally freeCheckpoint(orphanKeys)
+      } finally freeCheckpoint(subjectRows)
+    } finally freeCheckpoint(g)
+  }
+
+  /** Delete a substore's rows whose `key` is in `keys`: land survivors
+    * as a normal mutation (touched buckets only), then truncate history
+    * and surgically drop the remapped-away bucket dirs.
+    */
+  private def sweepSub(spark: SparkSession, subPath: String,
+                       cols: Seq[String], keys: DataFrame): Long = {
+    val m = GenStore.read(spark, subPath).getOrElse(
+      throw new IllegalArgumentException(s"not a join-view substore: $subPath"))
+    val k = keys.localCheckpoint(true)
+    try {
+      val touched = k.select(bucketOf(m.nBuckets).as("bucket"))
+        .distinct().collect().map(_.getLong(0)).toSet
+      val existing = m.entries.filter(e => touched.contains(e._1))
+      if (existing.isEmpty) {
+        GenStore.purgeCommitted(spark, subPath); return 0L
+      }
+      val cur = GenStore.readBucketDirs(spark, subPath, existing)
+        .select(cols.map(col): _*)
+      val keep = cur.join(k, Seq("key"), "left_anti").localCheckpoint(true)
+      try {
+        val deleted = cur.count() - keep.count()
+        if (deleted > 0L)
+          writeSub(spark, subPath, keep, m.nBuckets, m.applied, m.gen,
+            m.entries.filterNot(e => touched.contains(e._1)), None)
+        // truncate+scrub even when nothing deleted NOW: a crash re-run
+        // after the survivor commit landed must still erase history
+        GenStore.purgeCommitted(spark, subPath)
+        deleted
+      } finally freeCheckpoint(keep)
+    } finally freeCheckpoint(k)
+  }
+
+  /** The a-substore sweep deletes by GROUP, which any bucket may hold —
+    * a full-store rewrite is avoided by still only rewriting the
+    * buckets that actually contain subject rows.
+    */
+  private def sweepA(spark: SparkSession, subPath: String,
+                     g: DataFrame): Long = {
+    val m = GenStore.read(spark, subPath).getOrElse(
+      throw new IllegalArgumentException(s"not a join-view substore: $subPath"))
+    if (m.entries.isEmpty) return 0L
+    val all = GenStore.readRaw(spark, subPath, m)
+      .select(col("key"), col("grp"), col("na"))
+    val touched = all.join(g, Seq("grp"), "left_semi")
+      .select(bucketOf(m.nBuckets).as("bucket")).distinct()
+      .collect().map(_.getLong(0)).toSet
+    if (touched.isEmpty) { GenStore.purgeCommitted(spark, subPath); return 0L }
+    val existing = m.entries.filter(e => touched.contains(e._1))
+    val cur = GenStore.readBucketDirs(spark, subPath, existing)
+      .select(col("key"), col("grp"), col("na"))
+    val keep = cur.join(g, Seq("grp"), "left_anti").localCheckpoint(true)
+    try {
+      val deleted = cur.count() - keep.count()
+      if (deleted > 0L)
+        writeSub(spark, subPath, keep, m.nBuckets, m.applied, m.gen,
+          m.entries.filterNot(e => touched.contains(e._1)), None)
+      GenStore.purgeCommitted(spark, subPath)
+      deleted
+    } finally freeCheckpoint(keep)
+  }
+
+  /** UN-SUPPRESSION on re-consent: re-admit groups so their NEW data
+    * ingests again. Reverses policy, not erasure — purged history is
+    * gone, and erased JOIN KEYS stay suppressed (their orphanhood was
+    * computed against the erased state; a re-sent payload for them must
+    * still be refused).
+    */
+  def readmitJoinViewGroups(groups: DataFrame, path: String,
+                            grpCol: String = "key"): Long =
+    graft.streaming.Suppression.clear(
+      groups.select(col(grpCol).cast("long").as("grp")),
+      s"$path/_purged/groups", "grp")
+
+  private def freeCheckpoint(df: DataFrame): Unit =
+    df.queryExecution.analyzed match {
+      case l: org.apache.spark.sql.execution.LogicalRDD =>
+        l.rdd.unpersist(false)
+      case _ => ()
+    }
+}

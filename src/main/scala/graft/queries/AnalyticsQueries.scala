@@ -1791,6 +1791,115 @@ object AnalyticsQueries {
       Some("""SELECT l_suppkey AS key, count(*) AS cnt,
              |  CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS total
              |FROM lineitem WHERE l_suppkey % 7 <> 0
+             |GROUP BY 1 ORDER BY key""".stripMargin)),
+
+    // ---- INCREMENTAL MATERIALIZED JOIN VIEW (ViewStore.buildJoinView +
+    // mergeIntoJoinView): `SELECT o_custkey, count(*), sum(qty) FROM
+    // orders JOIN lineitem USING (orderkey) GROUP BY 1` maintained as a
+    // three-substore GenStore table under insert-only increments to
+    // BOTH sides in the same batch. The delta rule is factored per join
+    // key — ΔV = Σ na_new·nb_new − na_old·nb_old over touched keys,
+    // algebraically the textbook ΔA⋈B ∪ A⋈ΔB ∪ ΔA⋈ΔB but ONE join
+    // instead of three — and reads only the side buckets holding
+    // incremented keys. Exact integer monoid, so the oracle is the FULL
+    // recompute join: the hash proves increment-merge == recompute,
+    // bit-for-bit, including the cross term (both splits interleave:
+    // build gets ⅔ of orders and ½ of lineitems, the increment the
+    // rest). ----
+    Q("q312_join_view_incremental",
+      (s, dir) => {
+        import graft.operators.ViewStore
+        val o = t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"))
+        val l = t(s, dir, "lineitem")
+          .select(col("l_orderkey"), col("l_quantity").cast("long").as("qty"))
+        val tmp = java.nio.file.Files
+          .createTempDirectory("graft_q312_").toString + "/jv"
+        ViewStore.buildJoinView(
+          o.filter(col("o_orderkey") % 3 =!= 0),
+          l.filter(col("l_orderkey") % 2 =!= 0),
+          tmp, "o_orderkey", "o_custkey", "l_orderkey", "qty")
+        ViewStore.mergeIntoJoinView(
+          o.filter(col("o_orderkey") % 3 === 0),
+          l.filter(col("l_orderkey") % 2 === 0),
+          tmp, "o_orderkey", "o_custkey", "l_orderkey", "qty",
+          appliedId = Some("day-1"))
+        ViewStore.readJoinView(s, tmp).orderBy(col("key"))
+      },
+      Some("""SELECT o_custkey AS key, count(*) AS cnt,
+             |  CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS total
+             |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+             |GROUP BY 1 ORDER BY key""".stripMargin)),
+
+    // ---- STREAMING join-view maintenance (StreamingJoinView
+    // .joinViewSink): the q312 sides arrive as ONE tagged change feed
+    // (side ∈ a|b — the union'd CDC shape), each microbatch folding a
+    // two-sided increment through the same delta rule — exactly-once by
+    // the THREE-ledger discipline (view → a → b, batch id as appliedId
+    // in each; a replayed batch skips fully-applied legs and resumes
+    // half-applied sequences mid-order). Final view hash-equals the
+    // full join recompute. ----
+    Q("q313_stream_join_view",
+      (s, dir) => {
+        import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+        implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+        import s.implicits._
+        val o = t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"))
+        val l = t(s, dir, "lineitem")
+          .select(col("l_orderkey"), col("l_quantity").cast("long").as("qty"))
+        val tmp = java.nio.file.Files
+          .createTempDirectory("graft_q313_").toString
+        val input = MemoryStream[(String, Long, Long, Long)]
+        val q = graft.streaming.StreamingJoinView.joinViewSink(
+          input.toDF().toDF("side", "key", "grp", "v"),
+          s"$tmp/jv", s"$tmp/ckpt")
+        try {
+          for (r <- 0 to 2) {
+            val aRows = o.filter(col("o_orderkey") % 3 === r)
+              .select(lit("a"), col("o_orderkey"), col("o_custkey"), lit(0L))
+            val bRows = l.filter(col("l_orderkey") % 3 === r)
+              .select(lit("b"), col("l_orderkey"), lit(0L), col("qty"))
+            input.addData(aRows.unionAll(bRows)
+              .as[(String, Long, Long, Long)].collect().toSeq)
+            q.processAllAvailable()
+          }
+        } finally q.stop()
+        graft.operators.ViewStore.readJoinView(s, s"$tmp/jv")
+          .orderBy(col("key"))
+      },
+      Some("""SELECT o_custkey AS key, count(*) AS cnt,
+             |  CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS total
+             |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+             |GROUP BY 1 ORDER BY key""".stripMargin)),
+
+    // ---- COMPLIANCE PURGE on the join view (ViewStore
+    // .purgeJoinViewGroups — the eighth persisted store shape to carry
+    // the purge verb): erasing a customer erases their view row, their
+    // a-rows, and the b-rows of join keys left with NO surviving a-row
+    // (their lineitems existed only as the subject's data), from live
+    // state AND history; suppression lists land first so replayed
+    // committed batches cannot re-ingest the subject (ViewStoreSpec
+    // replays a re-send after the purge). Oracle: the join recomputed
+    // WITHOUT the subjects — the hash proves zero residue reaches the
+    // served view. ----
+    Q("q314_join_view_purge",
+      (s, dir) => {
+        import graft.operators.ViewStore
+        val o = t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"))
+        val l = t(s, dir, "lineitem")
+          .select(col("l_orderkey"), col("l_quantity").cast("long").as("qty"))
+        val tmp = java.nio.file.Files
+          .createTempDirectory("graft_q314_").toString + "/jv"
+        ViewStore.buildJoinView(o, l, tmp,
+          "o_orderkey", "o_custkey", "l_orderkey", "qty")
+        ViewStore.purgeJoinViewGroups(
+          o.filter(col("o_custkey") % 10 === 3)
+            .select(col("o_custkey").as("key")).distinct(), tmp)
+        ViewStore.readJoinView(s, tmp).orderBy(col("key"))
+      },
+      Some("""SELECT o_custkey AS key, count(*) AS cnt,
+             |  CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS total
+             |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+             |WHERE o_custkey % 10 <> 3
              |GROUP BY 1 ORDER BY key""".stripMargin))
   )
 

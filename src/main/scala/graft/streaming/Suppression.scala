@@ -12,7 +12,7 @@ import org.apache.spark.sql.functions._
   * One implementation because the list layout is identical everywhere:
   * a parquet directory of bare keys, consumed by a per-batch anti-join.
   */
-private[streaming] object Suppression {
+private[graft] object Suppression {
 
   /** Remove `keys` from the list at `listPath`. Returns how many listed
     * keys were actually cleared. An emptied list DELETES the directory

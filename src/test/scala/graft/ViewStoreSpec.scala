@@ -1,0 +1,152 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{GenStore, ViewStore}
+
+/** Pins the join-view store's laws: increment-merge equals the full
+  * recompute (the factored delta rule, both sides in one batch), replay
+  * is a no-op in all three substores, purge erases the subject from
+  * every file (orphaned b-keys included, shared keys excluded) and the
+  * suppression lists block a replayed committed batch from re-ingesting
+  * the subject, and re-admission re-opens the door without restoring
+  * history.
+  */
+class ViewStoreSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tmp(): String =
+    java.nio.file.Files.createTempDirectory("graft_vs_").toString + "/jv"
+
+  private def a1 = Seq((1L, 10L), (2L, 10L)).toDF("okey", "cust")
+  private def a2 = Seq((3L, 20L), (4L, 30L)).toDF("okey", "cust")
+  private def b1 = Seq((1L, 5L), (3L, 2L)).toDF("okey", "qty")
+  private def b2 = Seq((1L, 7L), (2L, 1L), (4L, 4L), (4L, 6L))
+    .toDF("okey", "qty")
+
+  // full recompute of the fixture: cust 10 -> (3, 13), 20 -> (1, 2),
+  // 30 -> (2, 10)
+  private val full = Set((10L, 3L, 13L), (20L, 1L, 2L), (30L, 2L, 10L))
+
+  private def build(path: String): Unit =
+    ViewStore.buildJoinView(a1, b1, path, "okey", "cust", "okey", "qty",
+      nBuckets = 4, appliedId = Some("batch-0"))
+
+  private def view(path: String): Set[(Long, Long, Long)] =
+    ViewStore.readJoinView(spark, path)
+      .as[(Long, Long, Long)].collect().toSet
+
+  test("increment-merge on both sides equals the full recompute") {
+    val path = tmp()
+    build(path)
+    assert(view(path) == Set((10L, 1L, 5L)),
+      "build view must be the partial join (b's key 3 has no a-row yet)")
+    ViewStore.mergeIntoJoinView(a2, b2, path, "okey", "cust", "okey", "qty",
+      appliedId = Some("batch-1"))
+    assert(view(path) == full,
+      "after the increment the view must equal the full A JOIN B GROUP BY")
+  }
+
+  test("a replayed batch id is a detected no-op in all three substores") {
+    val path = tmp()
+    build(path)
+    ViewStore.mergeIntoJoinView(a2, b2, path, "okey", "cust", "okey", "qty",
+      appliedId = Some("batch-1"))
+    val gens = Seq("view", "a", "b")
+      .map(s => GenStore.read(spark, s"$path/$s").get.gen)
+    ViewStore.mergeIntoJoinView(a2, b2, path, "okey", "cust", "okey", "qty",
+      appliedId = Some("batch-1")) // replay
+    assert(Seq("view", "a", "b")
+      .map(s => GenStore.read(spark, s"$path/$s").get.gen) == gens,
+      "a replay must not advance any substore generation")
+    assert(view(path) == full, "a replay must not double-count")
+    // and the id is in every ledger (the all-three crash-replay check)
+    Seq("view", "a", "b").foreach(s =>
+      assert(GenStore.read(spark, s"$path/$s").get.applied
+        .contains("batch-1"), s"$s ledger must hold batch-1"))
+  }
+
+  test("an empty increment leg still stamps the ledger, pointer-only") {
+    val path = tmp()
+    build(path)
+    // b-only batch: the a-substore gets a pointer-only ledger commit
+    ViewStore.mergeIntoJoinView(a1.limit(0), b2, path,
+      "okey", "cust", "okey", "qty", appliedId = Some("batch-1"))
+    val mA = GenStore.read(spark, s"$path/a").get
+    assert(mA.applied.contains("batch-1"),
+      "the empty a-leg must stamp its ledger")
+    // b2's key-4 rows have no stored a-row yet: they land in the b-state
+    // but contribute nothing to the view until their a-row arrives
+    assert(view(path) == Set((10L, 3L, 13L)),
+      s"b-only increment joins only stored a-rows, got ${view(path)}")
+  }
+
+  test("time travel reads the view as each batch committed it") {
+    val path = tmp()
+    build(path)
+    ViewStore.mergeIntoJoinView(a2, b2, path, "okey", "cust", "okey", "qty",
+      appliedId = Some("batch-1"))
+    val asOf1 = ViewStore.readJoinViewAsOf(spark, path, 1L)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(asOf1 == Set((10L, 1L, 5L)),
+      "generation 1 must replay the build-time view")
+    assert(ViewStore.joinViewHistory(spark, path).map(_._1) == Seq(2L, 1L))
+  }
+
+  test("purge erases the subject everywhere; shared keys survive; " +
+    "replayed batches and re-sends are suppressed until re-admission") {
+    val path = tmp()
+    // cust 77 and 88 SHARE join key 9; cust 77 exclusively owns key 8
+    val a = Seq((8L, 77L), (9L, 77L), (9L, 88L)).toDF("okey", "cust")
+    val b = Seq((8L, 100L), (9L, 3L)).toDF("okey", "qty")
+    ViewStore.buildJoinView(a, b, path, "okey", "cust", "okey", "qty",
+      nBuckets = 4, appliedId = Some("batch-0"))
+    assert(view(path) == Set((77L, 2L, 103L), (88L, 1L, 3L)))
+
+    val (aDel, bDel, vDel) = ViewStore.purgeJoinViewGroups(
+      Seq(77L).toDF("key"), path)
+    assert((aDel, bDel, vDel) == (2L, 1L, 1L),
+      s"expected (2 a-rows, 1 orphaned b-row, 1 view row), " +
+        s"got ($aDel, $bDel, $vDel)")
+    assert(view(path) == Set((88L, 1L, 3L)),
+      "the surviving group's view row must be untouched")
+
+    // residue sweep: no file under the store may still hold the subject
+    val files = {
+      def walk(d: java.io.File): Seq[java.io.File] =
+        if (d.isDirectory) d.listFiles().toSeq.flatMap(walk)
+        else if (d.getName.endsWith(".parquet")) Seq(d) else Seq.empty
+      walk(new java.io.File(path.stripSuffix("/jv")))
+    }
+    files.foreach { f =>
+      val df = spark.read.parquet(f.getAbsolutePath)
+      val cols = df.columns.toSet
+      // the suppression list holds the bare group id BY DESIGN (policy,
+      // not subject data) — everything else must be clean
+      if (cols.contains("grp") && !f.getAbsolutePath.contains("_purged"))
+        assert(df.filter(col("grp") === 77L).isEmpty, s"residue in $f")
+      if (f.getAbsolutePath.contains("/view/") && cols.contains("key"))
+        assert(df.filter(col("key") === 77L).isEmpty, s"residue in $f")
+      if (f.getAbsolutePath.contains("/b/") && cols.contains("key") &&
+        !f.getAbsolutePath.contains("_purged"))
+        assert(df.filter(col("key") === 8L).isEmpty,
+          s"orphaned key residue in $f")
+    }
+
+    // a replayed committed batch (same payload, fresh id — the upstream
+    // re-send) must NOT re-ingest the purged subject...
+    ViewStore.mergeIntoJoinView(
+      Seq((8L, 77L)).toDF("okey", "cust"), Seq((8L, 100L)).toDF("okey", "qty"),
+      path, "okey", "cust", "okey", "qty", appliedId = Some("resend-1"))
+    assert(view(path) == Set((88L, 1L, 3L)),
+      "suppression must block the purged subject's replayed rows")
+
+    // ...until re-admission, after which NEW data (fresh keys) ingests
+    assert(ViewStore.readmitJoinViewGroups(Seq(77L).toDF("key"), path) == 1L)
+    ViewStore.mergeIntoJoinView(
+      Seq((15L, 77L)).toDF("okey", "cust"), Seq((15L, 9L)).toDF("okey", "qty"),
+      path, "okey", "cust", "okey", "qty", appliedId = Some("post-readmit"))
+    assert(view(path) == Set((88L, 1L, 3L), (77L, 1L, 9L)),
+      "a re-admitted subject's new data must ingest; erased keys stay gone")
+  }
+}
