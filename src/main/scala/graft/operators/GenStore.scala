@@ -270,6 +270,122 @@ private[graft] object GenStore {
     truncated ++ surgical
   }
 
+  // ---- shared substore plumbing: stores whose rows carry a `key`
+  // column (any hashable type) bucketed by `pmod(xxhash64(key), n)`,
+  // with additive long-monoid value columns. One implementation of the
+  // commit/merge/sweep verbs, used by the join-view substores
+  // ([[ViewStore]]) and the inverted text index ([[TextIndex]]) — the
+  // same no-per-store-copies rationale as the manifest machinery above.
+
+  /** Null keys are rejected LOUDLY inside the write job: a null key can
+    * never fold (SQL null does not join to itself) and its null bucket
+    * would land in the Hive default partition, poisoning the manifest's
+    * numeric bucket list.
+    */
+  def bucketOfKey(nBuckets: Int): org.apache.spark.sql.Column =
+    when(col("key").isNull, raise_error(lit(
+        "store keys must be non-null (a null key can never fold)"))
+      .cast("long"))
+      .otherwise(pmod(xxhash64(col("key")), lit(nBuckets.toLong)))
+
+  /** Land `rows` (plus their `bucket`) as generation `prevGen + 1` and
+    * commit the manifest: `keepEntries` stay mapped where they were,
+    * the fresh directory's buckets remap, `appliedId` joins the ledger
+    * atomically with the state.
+    */
+  def commitGen(spark: org.apache.spark.sql.SparkSession, subPath: String,
+                rows: DataFrame, nBuckets: Int, prevApplied: Seq[String],
+                prevGen: Long, keepEntries: Seq[(Long, String)],
+                appliedId: Option[String]): Unit = {
+    val gen = prevGen + 1
+    val dir = s"d$gen"
+    rows.withColumn("bucket", bucketOfKey(nBuckets))
+      .write.mode("overwrite").partitionBy("bucket").parquet(s"$subPath/$dir")
+    require(Snapshot.dirExists(spark, s"$subPath/$dir"),
+      s"staging $dir vanished before commit — a concurrent vacuum ran " +
+        "(one maintenance writer at a time)")
+    write(spark, subPath, Manifest(gen, nBuckets,
+      prevApplied ++ appliedId.toSeq,
+      keepEntries ++
+        Snapshot.listKvDirs(spark, s"$subPath/$dir", "bucket").map((_, dir))))
+  }
+
+  /** Additive merge of a pre-aggregated delta: read only the buckets
+    * holding delta keys, full-outer on the identity columns, sum
+    * columns ADD (the exact long monoid — negative deltas are legal,
+    * retractions are the caller's semantics), rewrite those buckets
+    * into a fresh generation. A ledger hit is a detected no-op; an
+    * EMPTY delta commits the id POINTER-ONLY (same entries, next
+    * generation) so a multi-substore caller's crash replay finds every
+    * ledger stamped.
+    */
+  def mergeAdditive(spark: org.apache.spark.sql.SparkSession,
+                    subPath: String, delta: DataFrame, idCols: Seq[String],
+                    sumCols: Seq[String], appliedId: Option[String]): Unit = {
+    val m = read(spark, subPath).getOrElse(
+      throw new IllegalArgumentException(s"not a keyed substore: $subPath"))
+    if (appliedId.exists(m.applied.contains)) return // replay: no-op
+    val cols = idCols ++ sumCols
+    val touched = delta.select(bucketOfKey(m.nBuckets).as("bucket"))
+      .distinct().collect().map(_.getLong(0)).toSet // ≤ nBuckets
+    if (touched.isEmpty) { // nothing to fold: stamp the ledger pointer-only
+      appliedId.foreach(id => write(spark, subPath,
+        Manifest(m.gen + 1, m.nBuckets, m.applied :+ id, m.entries)))
+      return
+    }
+    val existing = m.entries.filter(e => touched.contains(e._1))
+    val cur =
+      if (existing.isEmpty) delta.select(cols.map(col): _*).limit(0)
+      else readBucketDirs(spark, subPath, existing).select(cols.map(col): _*)
+    val merged = cur.join(
+        delta.select(idCols.map(col) ++
+          sumCols.map(c => col(c).as(s"__d$c")): _*),
+        idCols, "full_outer")
+      .select(idCols.map(col) ++ sumCols.map(c =>
+        (coalesce(col(c), lit(0L)) + coalesce(col(s"__d$c"), lit(0L)))
+          .as(c)): _*)
+    commitGen(spark, subPath, merged, m.nBuckets, m.applied, m.gen,
+      m.entries.filterNot(e => touched.contains(e._1)), appliedId)
+  }
+
+  /** Purge-sweep of a keyed substore: delete the rows whose `key` is in
+    * `keys` — land survivors as a normal mutation over the touched
+    * buckets only, then truncate history and scrub orphan bucket dirs
+    * ([[purgeCommitted]] runs even when nothing is deleted NOW, so a
+    * crash re-run after the survivor commit landed still completes the
+    * erasure). Returns the rows deleted.
+    */
+  def sweepKeys(spark: org.apache.spark.sql.SparkSession, subPath: String,
+                cols: Seq[String], keys: DataFrame): Long = {
+    val m = read(spark, subPath).getOrElse(
+      throw new IllegalArgumentException(s"not a keyed substore: $subPath"))
+    val k = keys.localCheckpoint(true)
+    try {
+      val touched = k.select(bucketOfKey(m.nBuckets).as("bucket"))
+        .distinct().collect().map(_.getLong(0)).toSet
+      val existing = m.entries.filter(e => touched.contains(e._1))
+      if (existing.isEmpty) { purgeCommitted(spark, subPath); return 0L }
+      val cur = readBucketDirs(spark, subPath, existing)
+        .select(cols.map(col): _*)
+      val keep = cur.join(k, Seq("key"), "left_anti").localCheckpoint(true)
+      try {
+        val deleted = cur.count() - keep.count()
+        if (deleted > 0L)
+          commitGen(spark, subPath, keep, m.nBuckets, m.applied, m.gen,
+            m.entries.filterNot(e => touched.contains(e._1)), None)
+        purgeCommitted(spark, subPath)
+        deleted
+      } finally freeLocal(keep)
+    } finally freeLocal(k)
+  }
+
+  private[operators] def freeLocal(df: DataFrame): Unit =
+    df.queryExecution.analyzed match {
+      case l: org.apache.spark.sql.execution.LogicalRDD =>
+        l.rdd.unpersist(false)
+      case _ => ()
+    }
+
   /** AUDIT diff of two committed generations — `(key, <v>_a..., <v>_b...,
     * change)` with `change` ∈ `added` (only in `genB`) | `removed` (only
     * in `genA`) | `movedTag` (any value column changed) — resolved

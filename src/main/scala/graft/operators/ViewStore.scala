@@ -79,17 +79,6 @@ import org.apache.spark.sql.functions._
   */
 object ViewStore {
 
-  /** Null keys/groups are rejected LOUDLY inside the write job: a null
-    * join key never joins to itself, so its side state could never fold
-    * (the [[AggStore]] argument), and a null bucket would poison the
-    * manifest's numeric bucket list.
-    */
-  private def bucketOf(nBuckets: Int) =
-    when(col("key").isNull, raise_error(lit(
-        "join-view keys must be non-null (a null key can never join)"))
-      .cast("long"))
-      .otherwise(pmod(xxhash64(col("key")), lit(nBuckets.toLong)))
-
   /** `(key, grp, na)` from raw a-side rows. */
   private def aggA(rows: DataFrame, keyCol: String, grpCol: String): DataFrame =
     rows.select(col(keyCol).as("key"),
@@ -108,23 +97,6 @@ object ViewStore {
   // ---- substore plumbing (one bucket convention for all three: hash of
   // the substore's own `key` column) ----
 
-  private def writeSub(spark: SparkSession, subPath: String, rows: DataFrame,
-                       nBuckets: Int, prevApplied: Seq[String],
-                       prevGen: Long, keepEntries: Seq[(Long, String)],
-                       appliedId: Option[String]): Unit = {
-    val gen = prevGen + 1
-    val dir = s"d$gen"
-    rows.withColumn("bucket", bucketOf(nBuckets))
-      .write.mode("overwrite").partitionBy("bucket").parquet(s"$subPath/$dir")
-    require(Snapshot.dirExists(spark, s"$subPath/$dir"),
-      s"staging $dir vanished before commit — a concurrent vacuum ran " +
-        "(one maintenance writer at a time)")
-    GenStore.write(spark, subPath, GenStore.Manifest(gen, nBuckets,
-      prevApplied ++ appliedId.toSeq,
-      keepEntries ++
-        Snapshot.listKvDirs(spark, s"$subPath/$dir", "bucket").map((_, dir))))
-  }
-
   /** All rows of a substore; empty-with-schema when the substore has no
     * entries yet (a legitimately empty side or view).
     */
@@ -134,44 +106,6 @@ object ViewStore {
       throw new IllegalArgumentException(s"not a join-view substore: $subPath"))
     if (m.entries.isEmpty) template.select(cols.map(col): _*).limit(0)
     else GenStore.readRaw(spark, subPath, m).select(cols.map(col): _*)
-  }
-
-  /** Additive merge of a pre-aggregated delta into one substore: read
-    * only the buckets holding delta keys, full-outer on the identity
-    * columns, sum columns ADD, rewrite those buckets into a fresh
-    * generation, commit with the applied id. A ledger hit is a detected
-    * no-op; an EMPTY delta commits the id POINTER-ONLY (same entries,
-    * next generation) so a crash replay of the whole three-leg merge
-    * finds all three ledgers stamped.
-    */
-  private def mergeSub(spark: SparkSession, subPath: String, delta: DataFrame,
-                       idCols: Seq[String], sumCols: Seq[String],
-                       appliedId: Option[String]): Unit = {
-    val m = GenStore.read(spark, subPath).getOrElse(
-      throw new IllegalArgumentException(s"not a join-view substore: $subPath"))
-    if (appliedId.exists(m.applied.contains)) return // replay: no-op
-    val cols = idCols ++ sumCols
-    val touched = delta.select(bucketOf(m.nBuckets).as("bucket"))
-      .distinct().collect().map(_.getLong(0)).toSet // ≤ nBuckets
-    if (touched.isEmpty) { // nothing to fold: stamp the ledger pointer-only
-      appliedId.foreach(id => GenStore.write(spark, subPath,
-        GenStore.Manifest(m.gen + 1, m.nBuckets, m.applied :+ id, m.entries)))
-      return
-    }
-    val existing = m.entries.filter(e => touched.contains(e._1))
-    val cur =
-      if (existing.isEmpty) delta.select(cols.map(col): _*).limit(0)
-      else GenStore.readBucketDirs(spark, subPath, existing)
-        .select(cols.map(col): _*)
-    val merged = cur.join(
-        delta.select(idCols.map(col) ++
-          sumCols.map(c => col(c).as(s"__d$c")): _*),
-        idCols, "full_outer")
-      .select(idCols.map(col) ++ sumCols.map(c =>
-        (coalesce(col(c), lit(0L)) + coalesce(col(s"__d$c"), lit(0L)))
-          .as(c)): _*)
-    writeSub(spark, subPath, merged, m.nBuckets, m.applied, m.gen,
-      m.entries.filterNot(e => touched.contains(e._1)), appliedId)
   }
 
   /** The per-(key, grp) view contribution of one side-state pair. */
@@ -202,7 +136,7 @@ object ViewStore {
     Seq(("view", view),
         ("a", aSt), ("b", bSt)).foreach { case (sub, rows) =>
       val p = prev(sub)
-      writeSub(spark, s"$path/$sub", rows, nBuckets,
+      GenStore.commitGen(spark, s"$path/$sub", rows, nBuckets,
         p.map(_.applied).getOrElse(Seq.empty), p.map(_.gen).getOrElse(0L),
         Seq.empty, appliedId)
     }
@@ -262,7 +196,7 @@ object ViewStore {
         .union(dB.select(col("key"))).distinct().localCheckpoint(true)
       try {
         // one bucket set serves both sides (same hash, same nBuckets)
-        val touched = touchedKeys.select(bucketOf(nBuckets).as("bucket"))
+        val touched = touchedKeys.select(GenStore.bucketOfKey(nBuckets).as("bucket"))
           .distinct().collect().map(_.getLong(0)).toSet // ≤ nBuckets
         def oldSide(m: GenStore.Manifest, sub: String,
                     cols: Seq[String], template: DataFrame): DataFrame = {
@@ -302,13 +236,13 @@ object ViewStore {
             .groupBy(col("grp").as("key"))
             .agg(sum(col("dcnt")).as("cnt"), sum(col("dtot")).as("total"))
             .filter(col("cnt") =!= 0L || col("total") =!= 0L)
-          mergeSub(spark, s"$path/view", viewDelta,
+          GenStore.mergeAdditive(spark, s"$path/view", viewDelta,
             Seq("key"), Seq("cnt", "total"), appliedId)
         }
         // legs 2/3 — the sides, from the increment alone
-        mergeSub(spark, s"$path/a", dA.select(col("key"), col("grp"),
+        GenStore.mergeAdditive(spark, s"$path/a", dA.select(col("key"), col("grp"),
           col("na")), Seq("key", "grp"), Seq("na"), appliedId)
-        mergeSub(spark, s"$path/b", dB, Seq("key"), Seq("nb", "vb"),
+        GenStore.mergeAdditive(spark, s"$path/b", dB, Seq("key"), Seq("nb", "vb"),
           appliedId)
       } finally freeCheckpoint(touchedKeys)
     } finally { freeCheckpoint(dA); freeCheckpoint(dB) }
@@ -388,52 +322,20 @@ object ViewStore {
             orphanKeys.write.mode("append").parquet(s"$path/_purged/keys")
 
           // (2) sweeps, each keyed off its PERSISTED list (re-runnable)
-          val vDel = sweepSub(spark, s"$path/view", Seq("key", "cnt", "total"),
+          val vDel = GenStore.sweepKeys(spark, s"$path/view", Seq("key", "cnt", "total"),
             g.select(col("grp").as("key")))
           val aDel = sweepA(spark, s"$path/a", g)
           val keysP = new org.apache.hadoop.fs.Path(s"$path/_purged/keys")
           val bDel =
             if (!keysP.getFileSystem(spark.sessionState.newHadoopConf())
               .exists(keysP)) 0L
-            else sweepSub(spark, s"$path/b", Seq("key", "nb", "vb"),
+            else GenStore.sweepKeys(spark, s"$path/b", Seq("key", "nb", "vb"),
               spark.read.parquet(s"$path/_purged/keys")
                 .select(col("key")).distinct())
           (aDel, bDel, vDel)
         } finally freeCheckpoint(orphanKeys)
       } finally freeCheckpoint(subjectRows)
     } finally freeCheckpoint(g)
-  }
-
-  /** Delete a substore's rows whose `key` is in `keys`: land survivors
-    * as a normal mutation (touched buckets only), then truncate history
-    * and surgically drop the remapped-away bucket dirs.
-    */
-  private def sweepSub(spark: SparkSession, subPath: String,
-                       cols: Seq[String], keys: DataFrame): Long = {
-    val m = GenStore.read(spark, subPath).getOrElse(
-      throw new IllegalArgumentException(s"not a join-view substore: $subPath"))
-    val k = keys.localCheckpoint(true)
-    try {
-      val touched = k.select(bucketOf(m.nBuckets).as("bucket"))
-        .distinct().collect().map(_.getLong(0)).toSet
-      val existing = m.entries.filter(e => touched.contains(e._1))
-      if (existing.isEmpty) {
-        GenStore.purgeCommitted(spark, subPath); return 0L
-      }
-      val cur = GenStore.readBucketDirs(spark, subPath, existing)
-        .select(cols.map(col): _*)
-      val keep = cur.join(k, Seq("key"), "left_anti").localCheckpoint(true)
-      try {
-        val deleted = cur.count() - keep.count()
-        if (deleted > 0L)
-          writeSub(spark, subPath, keep, m.nBuckets, m.applied, m.gen,
-            m.entries.filterNot(e => touched.contains(e._1)), None)
-        // truncate+scrub even when nothing deleted NOW: a crash re-run
-        // after the survivor commit landed must still erase history
-        GenStore.purgeCommitted(spark, subPath)
-        deleted
-      } finally freeCheckpoint(keep)
-    } finally freeCheckpoint(k)
   }
 
   /** The a-substore sweep deletes by GROUP, which any bucket may hold —
@@ -448,7 +350,7 @@ object ViewStore {
     val all = GenStore.readRaw(spark, subPath, m)
       .select(col("key"), col("grp"), col("na"))
     val touched = all.join(g, Seq("grp"), "left_semi")
-      .select(bucketOf(m.nBuckets).as("bucket")).distinct()
+      .select(GenStore.bucketOfKey(m.nBuckets).as("bucket")).distinct()
       .collect().map(_.getLong(0)).toSet
     if (touched.isEmpty) { GenStore.purgeCommitted(spark, subPath); return 0L }
     val existing = m.entries.filter(e => touched.contains(e._1))
@@ -458,7 +360,7 @@ object ViewStore {
     try {
       val deleted = cur.count() - keep.count()
       if (deleted > 0L)
-        writeSub(spark, subPath, keep, m.nBuckets, m.applied, m.gen,
+        GenStore.commitGen(spark, subPath, keep, m.nBuckets, m.applied, m.gen,
           m.entries.filterNot(e => touched.contains(e._1)), None)
       GenStore.purgeCommitted(spark, subPath)
       deleted
