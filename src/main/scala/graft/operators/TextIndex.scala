@@ -1,0 +1,317 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFns
+
+/** PERSISTED INCREMENTAL INVERTED INDEX — BM25 keyword retrieval as a
+  * maintained lakehouse table, the lexical twin of the IVF-PQ index
+  * lifecycle (q275/q281: build → serve → append → purge, snapshot-
+  * committed): [[Bm25.search]] recomputes postings per call, which is
+  * right for ad-hoc jobs and wrong for a 100 TB corpus served daily —
+  * there the postings are STATE, appends must cost the day's documents,
+  * and a query must read only its own terms' posting lists.
+  *
+  * STATE. Three [[GenStore]] substores under one root (the [[ViewStore]]
+  * discipline), each with manifest history, time travel, and an
+  * applied-id ledger:
+  *  - `path/postings`: `(key = term, id, tf)` bucketed by
+  *    `pmod(xxhash64(term), nBuckets)` — a query term's FULL posting
+  *    list lives in one bucket, so serving k terms reads ≤ k buckets
+  *    and document frequency is exact from the rows already read (no
+  *    separate df table to drift);
+  *  - `path/dl`:       `(key = doc id, dl)` bucketed by id — the
+  *    length-normalization lookup, read only for candidate documents;
+  *  - `path/stats`:    one row `(key = 0, nd, sumdl)` — the corpus
+  *    constants, additive like everything else.
+  * All merges are the exact long monoid via [[GenStore.mergeAdditive]];
+  * a document is IMMUTABLE and appended once (re-sending a batch is
+  * caught by the ledgers; re-using a doc id across different batches is
+  * the caller's contract violation, same as every id-keyed store here).
+  *
+  * SERVE reads manifest-resolved immutable files: ≤ |query terms|
+  * posting buckets + ≤ |candidates| dl buckets + one stats row — the
+  * corpus is never scanned and never shuffled for a query. Scoring is
+  * [[Bm25]]'s determinism discipline verbatim: idf quantized to 6 dp,
+  * per-document contributions folded in TERM order — so the served
+  * top-k over an incrementally-built index hash-equals the one-shot
+  * batch computation (q315's oracle).
+  *
+  * EXACTLY-ONCE appends: the three ledgers stamp in the fixed order
+  * postings → dl → stats; each leg's delta is a deterministic function
+  * of the increment alone (no cross-substore reads), so a crash replay
+  * resumes mid-order without double counts.
+  *
+  * PURGE (the [[Purge]] contract): erasing documents erases their
+  * posting rows (scattered across term buckets — located by one full
+  * postings scan, the [[ViewStore.purgeJoinViewGroups]] trade: the
+  * store is bucketed for SERVE locality, compliance pays the scan,
+  * batched on a cadence), their dl rows, and their stats contribution —
+  * the stats decrement rides the caller's `purgeId` through the ledger
+  * so a crash re-run cannot decrement twice, and the suppression list
+  * (`_purged/ids`, landed first) blocks replayed batches and upstream
+  * re-sends from re-ingesting the subject; [[readmitTextIndexDocs]]
+  * reverses the policy on re-consent. df needs no repair: it is derived
+  * from postings at serve time.
+  *
+  * Ref: the reference greps fetched papers for query keywords when
+  * selecting what to process (airflow/dags/zara_hybrid_etl.py:151-210);
+  * re-expressed as a served, maintained index rather than a re-scan.
+  */
+object TextIndex {
+
+  private def toks(docs: DataFrame, idCol: String, textCol: String) =
+    docs.select(col(idCol).as("id"),
+        explode(TextFns.tokens(lower(col(textCol)))).as("key"))
+      .filter(col("key").isNotNull)
+
+  /** `(key = term, id, tf)` — and `dl` derives from tf sums so both
+    * aggregations share one tokenize pass (the [[Bm25]] exchange-reuse
+    * argument).
+    */
+  private def tfOf(docs: DataFrame, idCol: String, textCol: String) =
+    toks(docs, idCol, textCol)
+      .groupBy(col("key"), col("id"))
+      .agg(count(lit(1)).as("tf"))
+
+  private def deltas(docs: DataFrame, idCol: String,
+                     textCol: String): (DataFrame, DataFrame, DataFrame) = {
+    val tf = tfOf(docs, idCol, textCol)
+    val dl = tf.groupBy(col("id").as("key")).agg(sum(col("tf")).as("dl"))
+    val stats = dl.agg(count(lit(1)).as("nd"), sum(col("dl")).as("sumdl"))
+      .select(lit(0L).as("key"), col("nd"),
+        coalesce(col("sumdl"), lit(0L)).as("sumdl"))
+      .filter(col("nd") > 0L)
+    (tf, dl, stats)
+  }
+
+  /** Build (or fully rebuild) the index. Documents with no tokens index
+    * nothing and do not count toward `nd` (the [[Bm25]] convention).
+    */
+  def buildTextIndex(docs: DataFrame, path: String, idCol: String,
+                     textCol: String, nBuckets: Int = 16,
+                     appliedId: Option[String] = None): Unit = {
+    require(nBuckets >= 1, s"nBuckets must be positive, got $nBuckets")
+    val spark = docs.sparkSession
+    val (tf, dl, stats) = deltas(docs, idCol, textCol)
+    Seq(("postings", tf), ("dl", dl), ("stats", stats)).foreach {
+      case (sub, rows) =>
+        val p = GenStore.read(spark, s"$path/$sub")
+        GenStore.commitGen(spark, s"$path/$sub", rows, nBuckets,
+          p.map(_.applied).getOrElse(Seq.empty), p.map(_.gen).getOrElse(0L),
+          Seq.empty, appliedId)
+    }
+  }
+
+  /** Is there a committed index at `path`? All three substores must
+    * have manifests (the crash-mid-build replay probe, as
+    * [[ViewStore.joinViewExists]]).
+    */
+  def textIndexExists(spark: SparkSession, path: String): Boolean =
+    Seq("postings", "dl", "stats").forall(sub =>
+      GenStore.read(spark, s"$path/$sub").isDefined)
+
+  /** Append a batch of NEW documents: three additive merges in ledger
+    * order, each touching only the buckets its delta keys hash to.
+    * Purged subjects are filtered against the suppression list before
+    * any state is read.
+    */
+  def mergeIntoTextIndex(docs: DataFrame, path: String, idCol: String,
+                         textCol: String,
+                         appliedId: Option[String] = None): Unit = {
+    val spark = docs.sparkSession
+    require(textIndexExists(spark, path), s"not a text index: $path")
+    val supP = new org.apache.hadoop.fs.Path(s"$path/_purged/ids")
+    val admitted =
+      if (!supP.getFileSystem(spark.sessionState.newHadoopConf()).exists(supP))
+        docs
+      else docs.join(
+        broadcast(spark.read.parquet(s"$path/_purged/ids")
+          .select(col("key").as(idCol)).distinct()),
+        Seq(idCol), "left_anti")
+    val (tf, dl, stats) = deltas(admitted, idCol, textCol)
+    val tfC = tf.localCheckpoint(true)
+    try {
+      GenStore.mergeAdditive(spark, s"$path/postings", tfC,
+        Seq("key", "id"), Seq("tf"), appliedId)
+      val dlC = tfC.groupBy(col("id").as("key")).agg(sum(col("tf")).as("dl"))
+        .localCheckpoint(true)
+      try {
+        GenStore.mergeAdditive(spark, s"$path/dl", dlC,
+          Seq("key"), Seq("dl"), appliedId)
+        GenStore.mergeAdditive(spark, s"$path/stats",
+          dlC.agg(count(lit(1)).as("nd"), sum(col("dl")).as("sumdl"))
+            .select(lit(0L).as("key"), col("nd"),
+              coalesce(col("sumdl"), lit(0L)).as("sumdl"))
+            .filter(col("nd") > 0L),
+          Seq("key"), Seq("nd", "sumdl"), appliedId)
+      } finally GenStore.freeLocal(dlC)
+    } finally GenStore.freeLocal(tfC)
+  }
+
+  /** Serve BM25 top-k: `(qid, <idCol>, score, rn)`. Reads ≤ |query
+    * terms| posting buckets, ≤ |candidate docs| dl buckets, one stats
+    * row. Scoring replays [[Bm25.search]] bit-for-bit (6-dp idf,
+    * term-ordered fold), which is what lets q315's full-corpus oracle
+    * hash-prove the incremental index.
+    */
+  def serveTextIndex(spark: SparkSession, path: String, queries: DataFrame,
+                     qIdCol: String, qTextCol: String, idCol: String,
+                     k: Int = 10, k1: Double = 1.2,
+                     b: Double = 0.75): DataFrame = {
+    val mPost = GenStore.read(spark, s"$path/postings").getOrElse(
+      throw new IllegalArgumentException(s"not a text index: $path"))
+    val mDl = GenStore.read(spark, s"$path/dl").getOrElse(
+      throw new IllegalArgumentException(s"not a text index: $path"))
+    val statsRow = GenStore.readRaw(spark, s"$path/stats",
+        GenStore.read(spark, s"$path/stats").getOrElse(
+          throw new IllegalArgumentException(s"not a text index: $path")))
+      .select(col("nd"), col("sumdl")).head()
+    val (nd, sumdl) = (statsRow.getLong(0), statsRow.getLong(1))
+    require(nd > 0L, s"text index at $path is empty")
+    val avgdl = sumdl.toDouble / nd
+
+    // no checkpoints here: serve RETURNS a lazy frame, so pinned blocks
+    // could not be freed before the caller consumes it; the query-term
+    // set is tiny and recomputing it is cheaper than leaking blocks
+    val qterms = queries.select(col(qIdCol).as("__qid"),
+        explode(TextFns.tokens(lower(col(qTextCol)))).as("key"))
+      .distinct()
+    val touched = qterms.select(GenStore.bucketOfKey(mPost.nBuckets)
+        .as("bucket")).distinct().collect().map(_.getLong(0)).toSet
+      val existing = mPost.entries.filter(e => touched.contains(e._1))
+      if (existing.isEmpty)
+        return qterms.select(col("__qid").as(qIdCol), lit(0L).as(idCol),
+          lit(0.0).as("score"), lit(0).as("rn")).limit(0)
+      val post = GenStore.readBucketDirs(spark, s"$path/postings", existing)
+        .select(col("key"), col("id"), col("tf"))
+      // df is EXACT from the buckets read: a term's whole posting list
+      // is co-bucketed
+      val dfT = post.join(broadcast(qterms.select(col("key")).distinct()),
+          Seq("key"), "left_semi")
+        .groupBy(col("key")).agg(count(lit(1)).as("df"))
+      val cand = broadcast(qterms).join(post, Seq("key"))
+        .join(broadcast(dfT), Seq("key"))
+    val dlTouched = cand.select(col("id").as("key"))
+          .distinct().select(GenStore.bucketOfKey(mDl.nBuckets).as("bucket"))
+          .distinct().collect().map(_.getLong(0)).toSet
+        val dlExisting = mDl.entries.filter(e => dlTouched.contains(e._1))
+        // terms can hash into live buckets yet match no posting row —
+        // zero candidates means zero results, short-circuited
+        if (dlExisting.isEmpty)
+          return qterms.select(col("__qid").as(qIdCol), lit(0L).as(idCol),
+            lit(0.0).as("score"), lit(0).as("rn")).limit(0)
+        val dlRows = GenStore.readBucketDirs(spark, s"$path/dl", dlExisting)
+          .select(col("key").as("id"), col("dl"))
+          .join(cand.select(col("id")).distinct(), Seq("id"), "left_semi")
+        val idf = round(log(lit(1.0) +
+          (lit(nd) - col("df") + lit(0.5)) / (col("df") + lit(0.5))), 6)
+        val tfPart = (col("tf") * lit(k1 + 1.0)) /
+          (col("tf") + lit(k1) *
+            (lit(1.0) - lit(b) + lit(b) * col("dl") / lit(avgdl)))
+        val scored = cand.join(dlRows, Seq("id"))
+          .select(col("__qid"), col("id"), col("key"),
+            (idf * tfPart).as("contrib"))
+          .groupBy(col("__qid"), col("id"))
+          .agg(sort_array(collect_list(struct(col("key"), col("contrib"))))
+            .as("cs"))
+          .select(col("__qid"), col("id"),
+            aggregate(col("cs"), lit(0.0),
+              (acc, x) => acc + x.getField("contrib")).as("score"))
+        val w = Window.partitionBy(col("__qid"))
+          .orderBy(col("score").desc, col("id"))
+        scored.withColumn("rn", row_number().over(w))
+          .filter(col("rn") <= k)
+          .select(col("__qid").as(qIdCol), col("id").as(idCol),
+            col("score"), col("rn"))
+  }
+
+  /** COMPLIANCE PURGE of documents by id. `purgeId` (the compliance
+    * ticket) makes the stats decrement exactly-once through the ledger;
+    * the row sweeps are idempotent by content. Order: suppression list,
+    * stats decrement (computed from the still-intact dl rows), dl
+    * sweep, postings sweep — re-runnable from any crash point. Returns
+    * `(postingRows, dlRows)` deleted.
+    */
+  def purgeTextIndexDocs(ids: DataFrame, path: String, purgeId: String,
+                         idCol: String = "id"): (Long, Long) = {
+    val spark = ids.sparkSession
+    require(textIndexExists(spark, path), s"not a text index: $path")
+    val k = ids.select(col(idCol).cast("long").as("key")).distinct()
+      .localCheckpoint(true)
+    try {
+      require(!k.isEmpty, "purge needs at least one document id")
+      k.write.mode("append").parquet(s"$path/_purged/ids")
+      // stats decrement FIRST, ledgered — dl rows are still intact, so
+      // the delta is derivable; a re-run finds the ledger stamped
+      val mDl = GenStore.read(spark, s"$path/dl").get
+      val dlTouched = k.select(GenStore.bucketOfKey(mDl.nBuckets)
+        .as("bucket")).distinct().collect().map(_.getLong(0)).toSet
+      val dlExisting = mDl.entries.filter(e => dlTouched.contains(e._1))
+      val victimDl =
+        if (dlExisting.isEmpty)
+          spark.range(0).select(col("id").as("key"), col("id").as("dl"))
+        else GenStore.readBucketDirs(spark, s"$path/dl", dlExisting)
+          .select(col("key"), col("dl"))
+          .join(k, Seq("key"), "left_semi")
+      GenStore.mergeAdditive(spark, s"$path/stats",
+        victimDl.agg(count(lit(1)).as("n"), sum(col("dl")).as("s"))
+          .select(lit(0L).as("key"), (-col("n")).as("nd"),
+            (-coalesce(col("s"), lit(0L))).as("sumdl"))
+          .filter(col("nd") < 0L),
+        Seq("key"), Seq("nd", "sumdl"), Some(s"purge-$purgeId"))
+      val dlDeleted = GenStore.sweepKeys(spark, s"$path/dl",
+        Seq("key", "dl"), k)
+      val postDeleted = sweepPostings(spark, s"$path/postings", k)
+      (postDeleted, dlDeleted)
+    } finally GenStore.freeLocal(k)
+  }
+
+  /** Posting rows are bucketed by TERM, so the subject's rows may sit
+    * in any bucket: one full postings scan locates the touched buckets
+    * (using the partition column already attached by the manifest
+    * read), then only those rewrite.
+    */
+  private def sweepPostings(spark: SparkSession, subPath: String,
+                            ids: DataFrame): Long = {
+    val m = GenStore.read(spark, subPath).get
+    if (m.entries.isEmpty) { GenStore.purgeCommitted(spark, subPath); return 0L }
+    val all = GenStore.readRaw(spark, subPath, m)
+    // partition discovery types `bucket` as int — normalize to long
+    val touched = all.join(ids.select(col("key").as("id")), Seq("id"),
+        "left_semi")
+      .select(col("bucket").cast("long")).distinct()
+      .collect().map(_.getLong(0)).toSet
+    if (touched.isEmpty) { GenStore.purgeCommitted(spark, subPath); return 0L }
+    val existing = m.entries.filter(e => touched.contains(e._1))
+    val cur = GenStore.readBucketDirs(spark, subPath, existing)
+      .select(col("key"), col("id"), col("tf"))
+    val keep = cur.join(ids.select(col("key").as("id")), Seq("id"),
+      "left_anti").localCheckpoint(true)
+    try {
+      val deleted = cur.count() - keep.count()
+      if (deleted > 0L)
+        GenStore.commitGen(spark, subPath, keep, m.nBuckets, m.applied,
+          m.gen, m.entries.filterNot(e => touched.contains(e._1)), None)
+      GenStore.purgeCommitted(spark, subPath)
+      deleted
+    } finally GenStore.freeLocal(keep)
+  }
+
+  /** UN-SUPPRESSION on re-consent: future batches carrying these ids
+    * ingest again. Policy reversal only — the erased postings are gone.
+    */
+  def readmitTextIndexDocs(ids: DataFrame, path: String,
+                           idCol: String = "id"): Long =
+    graft.streaming.Suppression.clear(
+      ids.select(col(idCol).cast("long").as("key")),
+      s"$path/_purged/ids", "key")
+
+  /** Retention GC across the three substores. */
+  def vacuumTextIndex(spark: SparkSession, path: String,
+                      keepGens: Int = 1): Seq[String] =
+    Seq("postings", "dl", "stats").flatMap(sub =>
+      GenStore.vacuum(spark, s"$path/$sub", keepGens).map(n => s"$sub/$n"))
+}

@@ -14,6 +14,40 @@ import graft.functions.TextFns
 object TextQueries {
   private def t(s: SparkSession, dir: String, n: String): DataFrame = Tables(s, dir, n)
 
+  /** The q97 BM25 oracle, parameterized by a document filter so the
+    * index-lifecycle queries reuse it verbatim: q315/q317 prove
+    * increment-built == batch-computed on the full corpus (`where` =
+    * ""), q316 proves the purge repaired nd/avgdl/df/tf exactly
+    * (`where` = the surviving-corpus predicate).
+    */
+  private def bm25OracleSql(where: String): String =
+    s"""WITH q(qid, qtext) AS (VALUES
+       |    (1::BIGINT, 'fast table scan'),
+       |    (2::BIGINT, 'hash join merge'),
+       |    (3::BIGINT, 'stream window batch group')),
+       |toks AS (SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\\s+')) AS t
+       |         FROM documents WHERE length(trim(text)) > 0 $where),
+       |tf AS (SELECT doc_id, t, CAST(count(*) AS BIGINT) AS tf FROM toks GROUP BY 1, 2),
+       |dl AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS dl FROM toks GROUP BY 1),
+       |stats AS (SELECT avg(dl) AS avgdl, CAST(count(*) AS BIGINT) AS nd FROM dl),
+       |df AS (SELECT t, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+       |qt AS (SELECT DISTINCT qid, unnest(string_split_regex(lower(trim(qtext)), '\\s+')) AS t
+       |       FROM q),
+       |contrib AS (SELECT qt.qid, tf.doc_id, qt.t,
+       |    round(ln(1.0 + (stats.nd - df.df + 0.5) / (df.df + 0.5)), 6)
+       |      * (tf.tf * 2.2) / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / stats.avgdl)) AS c
+       |  FROM qt JOIN tf ON tf.t = qt.t
+       |          JOIN dl ON dl.doc_id = tf.doc_id
+       |          JOIN df ON df.t = qt.t
+       |          CROSS JOIN stats),
+       |scored AS (SELECT qid, doc_id, list_sum(list(c ORDER BY t)) AS score
+       |           FROM contrib GROUP BY qid, doc_id),
+       |r AS (SELECT qid, doc_id, score,
+       |        row_number() OVER (PARTITION BY qid ORDER BY score DESC, doc_id) AS rn
+       |      FROM scored)
+       |SELECT qid, doc_id, round(score, 4) AS score, rn FROM r WHERE rn <= 10
+       |ORDER BY qid, rn""".stripMargin
+
   /** The corpus-hygiene chain (repetition -> exact dedup -> benchmark
     * decontamination -> uniform domain mix) as DuckDB CTEs `t0..s4` —
     * shared verbatim by the q106 oracle and the q122 pretraining-pipeline
@@ -264,6 +298,109 @@ object TextQueries {
              |         (acc, x) -> (acc * 1000003 + x) % 2147483647)
              |  END AS fp
              |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    // ---- PERSISTED INVERTED INDEX, incremental build + serve
+    // (TextIndex.buildTextIndex + mergeIntoTextIndex + serveTextIndex):
+    // the q97 BM25 computation as a maintained lakehouse index — ⅓ of
+    // the documents append AFTER the build, and serving reads ONLY the
+    // query terms' posting buckets (+ candidate dl buckets + one stats
+    // row), never scanning or shuffling the corpus. All three substores
+    // are additive GenStore tables (postings/dl/stats) with the
+    // three-ledger exactly-once discipline (TextIndexSpec pins replay).
+    // Oracle: the ONE-SHOT full-corpus BM25 (q97's SQL verbatim) — the
+    // hash proves increment-built == batch-computed, idf quantization
+    // and term-ordered fold included. ----
+    Q("q315_text_index_search",
+      (s, dir) => {
+        val spark = s
+        import spark.implicits._
+        val queries = Seq(
+          (1L, "fast table scan"),
+          (2L, "hash join merge"),
+          (3L, "stream window batch group")).toDF("qid", "qtext")
+        val docs = t(s, dir, "documents")
+        val tmp = java.nio.file.Files
+          .createTempDirectory("graft_q315_").toString + "/ix"
+        graft.operators.TextIndex.buildTextIndex(
+          docs.filter(col("doc_id") % 3 =!= 0), tmp, "doc_id", "text")
+        graft.operators.TextIndex.mergeIntoTextIndex(
+          docs.filter(col("doc_id") % 3 === 0), tmp, "doc_id", "text",
+          appliedId = Some("day-1"))
+        graft.operators.TextIndex.serveTextIndex(s, tmp, queries,
+            "qid", "qtext", "doc_id", k = 10)
+          .select(col("qid"), col("doc_id"),
+            round(col("score"), 4).as("score"), col("rn"))
+          .orderBy(col("qid"), col("rn"))
+      },
+      Some(bm25OracleSql(where = ""))),
+
+    // ---- COMPLIANCE PURGE on the inverted index (TextIndex
+    // .purgeTextIndexDocs): erasing documents erases their posting rows
+    // (located across term buckets), their dl rows, and their stats
+    // contribution — the decrement rides the purge ticket through the
+    // stats ledger (exactly-once on a crash re-run), df self-repairs
+    // because serve derives it from postings. Oracle: BM25 recomputed
+    // on the SURVIVING corpus — the hash proves nd/avgdl/df/tf all
+    // repaired exactly (a stale stats row or posting residue would
+    // shift every score). ----
+    Q("q316_text_index_purge",
+      (s, dir) => {
+        val spark = s
+        import spark.implicits._
+        val queries = Seq(
+          (1L, "fast table scan"),
+          (2L, "hash join merge"),
+          (3L, "stream window batch group")).toDF("qid", "qtext")
+        val docs = t(s, dir, "documents")
+        val tmp = java.nio.file.Files
+          .createTempDirectory("graft_q316_").toString + "/ix"
+        graft.operators.TextIndex.buildTextIndex(docs, tmp, "doc_id", "text")
+        graft.operators.TextIndex.purgeTextIndexDocs(
+          docs.filter(col("doc_id") % 7 === 0).select(col("doc_id").as("id")),
+          tmp, purgeId = "q316-ticket")
+        graft.operators.TextIndex.serveTextIndex(s, tmp, queries,
+            "qid", "qtext", "doc_id", k = 10)
+          .select(col("qid"), col("doc_id"),
+            round(col("score"), 4).as("score"), col("rn"))
+          .orderBy(col("qid"), col("rn"))
+      },
+      Some(bm25OracleSql(where = "AND doc_id % 7 <> 0"))),
+
+    // ---- STREAMING index maintenance (StreamingTextIndex
+    // .textIndexSink): documents arrive as a stream, each microbatch
+    // folds its posting/dl/stats deltas — exactly-once by the
+    // three-ledger discipline, batch id as appliedId. Final index
+    // serves the full-corpus BM25, hash-proven. ----
+    Q("q317_stream_text_index",
+      (s, dir) => {
+        import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+        implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+        import s.implicits._
+        val queries = Seq(
+          (1L, "fast table scan"),
+          (2L, "hash join merge"),
+          (3L, "stream window batch group")).toDF("qid", "qtext")
+        val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+        val tmp = java.nio.file.Files
+          .createTempDirectory("graft_q317_").toString
+        val input = MemoryStream[(Long, String)]
+        val q = graft.streaming.StreamingTextIndex.textIndexSink(
+          input.toDF().toDF("doc_id", "text"),
+          s"$tmp/ix", s"$tmp/ckpt", idCol = "doc_id", textCol = "text")
+        try {
+          for (r <- 0 to 2) {
+            input.addData(docs.filter(col("doc_id") % 3 === r)
+              .as[(Long, String)].collect().toSeq)
+            q.processAllAvailable()
+          }
+        } finally q.stop()
+        graft.operators.TextIndex.serveTextIndex(s, s"$tmp/ix", queries,
+            "qid", "qtext", "doc_id", k = 10)
+          .select(col("qid"), col("doc_id"),
+            round(col("score"), 4).as("score"), col("rn"))
+          .orderBy(col("qid"), col("rn"))
+      },
+      Some(bm25OracleSql(where = ""))),
 
     // ---- BM25 keyword retrieval (operators/Bm25): lexical top-k, the
     // counterpart of the embedding ANN family. The oracle replays the

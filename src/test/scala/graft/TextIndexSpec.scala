@@ -1,0 +1,127 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Bm25, GenStore, TextIndex}
+
+/** Pins the inverted-index lifecycle laws: an incrementally-built index
+  * serves bit-for-bit what the one-shot [[Bm25.search]] computes over
+  * the same corpus (the increment law), replays are ledger-detected,
+  * purge erases the subject everywhere and repairs the corpus stats
+  * exactly (post-purge serving equals a fresh build on the surviving
+  * corpus), suppression blocks re-sends until re-admission.
+  */
+class TextIndexSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tmp(): String =
+    java.nio.file.Files.createTempDirectory("graft_ti_").toString + "/ix"
+
+  private val docsAll = Seq(
+    (1L, "apple banana apple kiwi"),
+    (2L, "banana cherry banana"),
+    (3L, "cherry apple date plum"),
+    (4L, "date egg fig"),
+    (5L, "egg fig grape apple"),
+    (6L, "plum kiwi grape date banana"))
+
+  private def docs(f: Long => Boolean) =
+    docsAll.filter(d => f(d._1)).toDF("doc_id", "text")
+
+  private val queries = Seq((1L, "apple date"), (2L, "banana grape egg"))
+    .toDF("qid", "qtext")
+
+  private def served(path: String): Set[(Long, Long, Double, Int)] =
+    TextIndex.serveTextIndex(spark, path, queries, "qid", "qtext",
+        "doc_id", k = 3)
+      .select(col("qid"), col("doc_id"), round(col("score"), 6).as("s"),
+        col("rn"))
+      .as[(Long, Long, Double, Int)].collect().toSet
+
+  private def oneShot(d: org.apache.spark.sql.DataFrame) =
+    Bm25.search(d, "doc_id", "text", queries, "qid", "qtext", k = 3)
+      .select(col("qid"), col("doc_id"), round(col("score"), 6).as("s"),
+        col("rn"))
+      .as[(Long, Long, Double, Int)].collect().toSet
+
+  test("incremental build + append serves what the one-shot batch computes") {
+    val path = tmp()
+    TextIndex.buildTextIndex(docs(_ % 2 == 1), path, "doc_id", "text",
+      nBuckets = 4, appliedId = Some("batch-0"))
+    TextIndex.mergeIntoTextIndex(docs(_ % 2 == 0), path, "doc_id", "text",
+      appliedId = Some("batch-1"))
+    assert(served(path) == oneShot(docsAll.toDF("doc_id", "text")),
+      "incrementally-built index must serve the full-corpus BM25")
+  }
+
+  test("a replayed append id is a detected no-op in all three substores") {
+    val path = tmp()
+    TextIndex.buildTextIndex(docs(_ % 2 == 1), path, "doc_id", "text",
+      nBuckets = 4, appliedId = Some("batch-0"))
+    TextIndex.mergeIntoTextIndex(docs(_ % 2 == 0), path, "doc_id", "text",
+      appliedId = Some("batch-1"))
+    val gens = Seq("postings", "dl", "stats")
+      .map(s => GenStore.read(spark, s"$path/$s").get.gen)
+    TextIndex.mergeIntoTextIndex(docs(_ % 2 == 0), path, "doc_id", "text",
+      appliedId = Some("batch-1")) // replay
+    assert(Seq("postings", "dl", "stats")
+      .map(s => GenStore.read(spark, s"$path/$s").get.gen) == gens,
+      "a replay must not advance any substore generation")
+    assert(served(path) == oneShot(docsAll.toDF("doc_id", "text")),
+      "a replay must not double tf/dl/stats")
+  }
+
+  test("a query over terms absent from the index returns no rows") {
+    val path = tmp()
+    TextIndex.buildTextIndex(docs(_ => true), path, "doc_id", "text",
+      nBuckets = 4)
+    val out = TextIndex.serveTextIndex(spark, path,
+      Seq((9L, "zzz qqq")).toDF("qid", "qtext"), "qid", "qtext", "doc_id")
+    assert(out.isEmpty)
+  }
+
+  test("purge repairs stats exactly, erases every byte, and suppresses " +
+    "re-sends until re-admission") {
+    val path = tmp()
+    TextIndex.buildTextIndex(docs(_ => true), path, "doc_id", "text",
+      nBuckets = 4, appliedId = Some("batch-0"))
+    val (postDel, dlDel) = TextIndex.purgeTextIndexDocs(
+      Seq(1L, 4L).toDF("id"), path, purgeId = "ticket-7")
+    assert(dlDel == 2L, s"both docs' dl rows must go, got $dlDel")
+    assert(postDel == 6L,
+      s"doc 1 and doc 4 carry 3 distinct terms each, got $postDel")
+    // serving now equals a FRESH index on the survivors — stats included
+    val fresh = tmp()
+    TextIndex.buildTextIndex(docs(d => d != 1L && d != 4L), fresh,
+      "doc_id", "text", nBuckets = 4)
+    assert(served(path) == served(fresh),
+      "post-purge serving must equal a fresh build on the survivors " +
+        "(nd, avgdl, df all repaired)")
+
+    // residue sweep: no parquet file under the index may hold the ids
+    def walk(d: java.io.File): Seq[java.io.File] =
+      if (d.isDirectory) d.listFiles().toSeq.flatMap(walk)
+      else if (d.getName.endsWith(".parquet")) Seq(d) else Seq.empty
+    walk(new java.io.File(path)).foreach { f =>
+      val df = spark.read.parquet(f.getAbsolutePath)
+      if (df.columns.contains("id"))
+        assert(df.filter(col("id").isin(1L, 4L)).isEmpty, s"residue in $f")
+      if (df.columns.contains("dl") && df.columns.contains("key"))
+        assert(df.filter(col("key").isin(1L, 4L)).isEmpty, s"residue in $f")
+    }
+
+    // upstream re-send of the purged subject: suppressed...
+    TextIndex.mergeIntoTextIndex(docs(_ == 1L), path, "doc_id", "text",
+      appliedId = Some("resend"))
+    assert(served(path) == served(fresh), "re-send must be suppressed")
+    // ...until re-admission
+    assert(TextIndex.readmitTextIndexDocs(Seq(1L).toDF("id"), path) == 1L)
+    TextIndex.mergeIntoTextIndex(docs(_ == 1L), path, "doc_id", "text",
+      appliedId = Some("post-readmit"))
+    val rebuilt = tmp()
+    TextIndex.buildTextIndex(docs(_ != 4L), rebuilt, "doc_id", "text",
+      nBuckets = 4)
+    assert(served(path) == served(rebuilt),
+      "a re-admitted doc must index again")
+  }
+}
