@@ -367,6 +367,38 @@ object ViewStore {
     } finally freeCheckpoint(keep)
   }
 
+  /** Manifest-pruned AUDIT diff of the served view between two of its
+    * committed generations ([[GenStore.diff]]): which groups a batch
+    * added or changed, reading only entry-differing view buckets.
+    */
+  def diffJoinView(spark: SparkSession, path: String,
+                   genA: Long, genB: Long): DataFrame =
+    GenStore.diff(spark, s"$path/view", genA, genB, "key",
+      Seq("cnt", "total"), "changed")
+
+  /** Pointer-only ROLLBACK of the LAST `batchesBack` batches — "undo
+    * yesterday's bad two-sided load". Addressed RELATIVELY, not by
+    * absolute generation: every build/merge advances all three
+    * substores by exactly one generation (pointer-only for an empty
+    * leg), but purge sweeps advance only the substores that lost rows,
+    * so absolute generations drift apart across a purge — while "N
+    * mutations ago" stays aligned within the window since the last
+    * purge (which truncated the rollback history anyway; [[GenStore
+    * .at]] is loud past it). State and applied ledgers revert together
+    * per substore ([[GenStore.rollback]]), so the reverted batches
+    * re-apply on a re-feed instead of being refused.
+    */
+  def rollbackJoinView(spark: SparkSession, path: String,
+                       batchesBack: Int): Unit = {
+    require(batchesBack >= 1,
+      s"batchesBack must be positive, got $batchesBack")
+    Seq("view", "a", "b").foreach { sub =>
+      val cur = GenStore.read(spark, s"$path/$sub").getOrElse(
+        throw new IllegalArgumentException(s"not a join-view store: $path"))
+      GenStore.rollback(spark, s"$path/$sub", cur.gen - batchesBack)
+    }
+  }
+
   /** UN-SUPPRESSION on re-consent: re-admit groups so their NEW data
     * ingests again. Reverses policy, not erasure — purged history is
     * gone, and erased JOIN KEYS stay suppressed (their orphanhood was

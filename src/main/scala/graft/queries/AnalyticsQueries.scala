@@ -1900,6 +1900,46 @@ object AnalyticsQueries {
              |  CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS total
              |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
              |WHERE o_custkey % 10 <> 3
+             |GROUP BY 1 ORDER BY key""".stripMargin)),
+
+    // ---- Pointer-only ROLLBACK on the join view (ViewStore
+    // .rollbackJoinView — the q301 verb on the three-substore shape,
+    // addressed in BATCHES because absolute generations drift across a
+    // purge): the q312 store takes a BAD day-1 load (every quantity
+    // inflated by 100), rollback reverts all three substores one batch
+    // — zero data copies — and the CORRECT day-1 load re-feeds under
+    // the SAME applied id (the ledgers reverted with the state). Oracle
+    // is the full recompute: the hash proves the bad load left no
+    // residue in the view OR the side states the re-feed folded
+    // against. ----
+    Q("q318_join_view_rollback",
+      (s, dir) => {
+        import graft.operators.ViewStore
+        val o = t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"))
+        val l = t(s, dir, "lineitem")
+          .select(col("l_orderkey"), col("l_quantity").cast("long").as("qty"))
+        val (oInc, lInc) =
+          (o.filter(col("o_orderkey") % 3 === 0),
+            l.filter(col("l_orderkey") % 2 === 0))
+        val tmp = java.nio.file.Files
+          .createTempDirectory("graft_q318_").toString + "/jv"
+        ViewStore.buildJoinView(
+          o.filter(col("o_orderkey") % 3 =!= 0),
+          l.filter(col("l_orderkey") % 2 =!= 0),
+          tmp, "o_orderkey", "o_custkey", "l_orderkey", "qty")
+        ViewStore.mergeIntoJoinView(oInc,                      // BAD load
+          lInc.withColumn("qty", col("qty") + lit(100L)),
+          tmp, "o_orderkey", "o_custkey", "l_orderkey", "qty",
+          appliedId = Some("day-1"))
+        ViewStore.rollbackJoinView(s, tmp, batchesBack = 1)
+        ViewStore.mergeIntoJoinView(oInc, lInc,                // corrected
+          tmp, "o_orderkey", "o_custkey", "l_orderkey", "qty",
+          appliedId = Some("day-1"))
+        ViewStore.readJoinView(s, tmp).orderBy(col("key"))
+      },
+      Some("""SELECT o_custkey AS key, count(*) AS cnt,
+             |  CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS total
+             |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
              |GROUP BY 1 ORDER BY key""".stripMargin))
   )
 

@@ -93,6 +93,31 @@ class ViewStoreSpec extends SparkSpec {
     assert(ViewStore.joinViewHistory(spark, path).map(_._1) == Seq(2L, 1L))
   }
 
+  test("rollback reverts state AND ledgers batch-aligned; the re-fed " +
+    "batch applies; diff audits the change") {
+    val path = tmp()
+    build(path)
+    // BAD day-1 load: every qty inflated by 100
+    ViewStore.mergeIntoJoinView(a2,
+      b2.withColumn("qty", col("qty") + lit(100L)), path,
+      "okey", "cust", "okey", "qty", appliedId = Some("day-1"))
+    assert(view(path) != full, "the bad load must be visible")
+    ViewStore.rollbackJoinView(spark, path, batchesBack = 1)
+    assert(view(path) == Set((10L, 1L, 5L)),
+      "rollback must restore the build-time view")
+    // the ledger reverted WITH the state: the SAME id re-applies
+    ViewStore.mergeIntoJoinView(a2, b2, path, "okey", "cust", "okey", "qty",
+      appliedId = Some("day-1"))
+    assert(view(path) == full, "the corrected re-feed must fold")
+    // audit: generation 1 -> current shows what day-1 changed
+    val d = ViewStore.diffJoinView(spark, path, 1L,
+      GenStore.read(spark, s"$path/view").get.gen)
+      .select(col("key"), col("change"))
+      .as[(Long, String)].collect().toSet
+    assert(d == Set((10L, "changed"), (20L, "added"), (30L, "added")),
+      s"diff must audit the day-1 groups, got $d")
+  }
+
   test("purge erases the subject everywhere; shared keys survive; " +
     "replayed batches and re-sends are suppressed until re-admission") {
     val path = tmp()
