@@ -155,12 +155,17 @@ object TextIndex {
     * terms| posting buckets, ≤ |candidate docs| dl buckets, one stats
     * row. Scoring replays [[Bm25.search]] bit-for-bit (6-dp idf,
     * term-ordered fold), which is what lets q315's full-corpus oracle
-    * hash-prove the incremental index.
+    * hash-prove the incremental index. `requireAll = true` switches to
+    * CONJUNCTIVE retrieval — only documents matching EVERY query term
+    * rank (the posting-list intersection, computed on the same
+    * contribution rows: matched-term count == the query's term count) —
+    * the precision mode for short keyword queries at corpus scale,
+    * where disjunctive top-k drowns in single-term matches.
     */
   def serveTextIndex(spark: SparkSession, path: String, queries: DataFrame,
                      qIdCol: String, qTextCol: String, idCol: String,
-                     k: Int = 10, k1: Double = 1.2,
-                     b: Double = 0.75): DataFrame = {
+                     k: Int = 10, k1: Double = 1.2, b: Double = 0.75,
+                     requireAll: Boolean = false): DataFrame = {
     val mPost = GenStore.read(spark, s"$path/postings").getOrElse(
       throw new IllegalArgumentException(s"not a text index: $path"))
     val mDl = GenStore.read(spark, s"$path/dl").getOrElse(
@@ -179,53 +184,58 @@ object TextIndex {
     val qterms = queries.select(col(qIdCol).as("__qid"),
         explode(TextFns.tokens(lower(col(qTextCol)))).as("key"))
       .distinct()
+    def empty = qterms.select(col("__qid").as(qIdCol), lit(0L).as(idCol),
+      lit(0.0).as("score"), lit(0).as("rn")).limit(0)
     val touched = qterms.select(GenStore.bucketOfKey(mPost.nBuckets)
-        .as("bucket")).distinct().collect().map(_.getLong(0)).toSet
-      val existing = mPost.entries.filter(e => touched.contains(e._1))
-      if (existing.isEmpty)
-        return qterms.select(col("__qid").as(qIdCol), lit(0L).as(idCol),
-          lit(0.0).as("score"), lit(0).as("rn")).limit(0)
-      val post = GenStore.readBucketDirs(spark, s"$path/postings", existing)
-        .select(col("key"), col("id"), col("tf"))
-      // df is EXACT from the buckets read: a term's whole posting list
-      // is co-bucketed
-      val dfT = post.join(broadcast(qterms.select(col("key")).distinct()),
-          Seq("key"), "left_semi")
-        .groupBy(col("key")).agg(count(lit(1)).as("df"))
-      val cand = broadcast(qterms).join(post, Seq("key"))
-        .join(broadcast(dfT), Seq("key"))
+      .as("bucket")).distinct().collect().map(_.getLong(0)).toSet
+    val existing = mPost.entries.filter(e => touched.contains(e._1))
+    if (existing.isEmpty) return empty
+    val post = GenStore.readBucketDirs(spark, s"$path/postings", existing)
+      .select(col("key"), col("id"), col("tf"))
+    // df is EXACT from the buckets read: a term's whole posting list
+    // is co-bucketed
+    val dfT = post.join(broadcast(qterms.select(col("key")).distinct()),
+        Seq("key"), "left_semi")
+      .groupBy(col("key")).agg(count(lit(1)).as("df"))
+    val cand = broadcast(qterms).join(post, Seq("key"))
+      .join(broadcast(dfT), Seq("key"))
     val dlTouched = cand.select(col("id").as("key"))
-          .distinct().select(GenStore.bucketOfKey(mDl.nBuckets).as("bucket"))
-          .distinct().collect().map(_.getLong(0)).toSet
-        val dlExisting = mDl.entries.filter(e => dlTouched.contains(e._1))
-        // terms can hash into live buckets yet match no posting row —
-        // zero candidates means zero results, short-circuited
-        if (dlExisting.isEmpty)
-          return qterms.select(col("__qid").as(qIdCol), lit(0L).as(idCol),
-            lit(0.0).as("score"), lit(0).as("rn")).limit(0)
-        val dlRows = GenStore.readBucketDirs(spark, s"$path/dl", dlExisting)
-          .select(col("key").as("id"), col("dl"))
-          .join(cand.select(col("id")).distinct(), Seq("id"), "left_semi")
-        val idf = round(log(lit(1.0) +
-          (lit(nd) - col("df") + lit(0.5)) / (col("df") + lit(0.5))), 6)
-        val tfPart = (col("tf") * lit(k1 + 1.0)) /
-          (col("tf") + lit(k1) *
-            (lit(1.0) - lit(b) + lit(b) * col("dl") / lit(avgdl)))
-        val scored = cand.join(dlRows, Seq("id"))
-          .select(col("__qid"), col("id"), col("key"),
-            (idf * tfPart).as("contrib"))
-          .groupBy(col("__qid"), col("id"))
-          .agg(sort_array(collect_list(struct(col("key"), col("contrib"))))
-            .as("cs"))
-          .select(col("__qid"), col("id"),
-            aggregate(col("cs"), lit(0.0),
-              (acc, x) => acc + x.getField("contrib")).as("score"))
-        val w = Window.partitionBy(col("__qid"))
-          .orderBy(col("score").desc, col("id"))
-        scored.withColumn("rn", row_number().over(w))
-          .filter(col("rn") <= k)
-          .select(col("__qid").as(qIdCol), col("id").as(idCol),
-            col("score"), col("rn"))
+      .distinct().select(GenStore.bucketOfKey(mDl.nBuckets).as("bucket"))
+      .distinct().collect().map(_.getLong(0)).toSet
+    val dlExisting = mDl.entries.filter(e => dlTouched.contains(e._1))
+    // terms can hash into live buckets yet match no posting row —
+    // zero candidates means zero results, short-circuited
+    if (dlExisting.isEmpty) return empty
+    val dlRows = GenStore.readBucketDirs(spark, s"$path/dl", dlExisting)
+      .select(col("key").as("id"), col("dl"))
+      .join(cand.select(col("id")).distinct(), Seq("id"), "left_semi")
+    val idf = round(log(lit(1.0) +
+      (lit(nd) - col("df") + lit(0.5)) / (col("df") + lit(0.5))), 6)
+    val tfPart = (col("tf") * lit(k1 + 1.0)) /
+      (col("tf") + lit(k1) *
+        (lit(1.0) - lit(b) + lit(b) * col("dl") / lit(avgdl)))
+    val scored = cand.join(dlRows, Seq("id"))
+      .select(col("__qid"), col("id"), col("key"),
+        (idf * tfPart).as("contrib"))
+      .groupBy(col("__qid"), col("id"))
+      .agg(sort_array(collect_list(struct(col("key"), col("contrib"))))
+        .as("cs"))
+      .select(col("__qid"), col("id"),
+        aggregate(col("cs"), lit(0.0),
+          (acc, x) => acc + x.getField("contrib")).as("score"),
+        size(col("cs")).as("__nmatch"))
+    val filtered =
+      if (!requireAll) scored
+      else scored.join( // qterms rows are distinct: count == term count
+        broadcast(qterms.groupBy(col("__qid"))
+          .agg(count(lit(1)).as("__nq"))), Seq("__qid"))
+        .filter(col("__nmatch") === col("__nq"))
+    val w = Window.partitionBy(col("__qid"))
+      .orderBy(col("score").desc, col("id"))
+    filtered.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select(col("__qid").as(qIdCol), col("id").as(idCol),
+        col("score"), col("rn"))
   }
 
   /** COMPLIANCE PURGE of documents by id. `purgeId` (the compliance

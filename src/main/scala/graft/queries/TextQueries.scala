@@ -20,7 +20,8 @@ object TextQueries {
     * ""), q316 proves the purge repaired nd/avgdl/df/tf exactly
     * (`where` = the surviving-corpus predicate).
     */
-  private def bm25OracleSql(where: String): String =
+  private def bm25OracleSql(where: String,
+                            conjunctive: Boolean = false): String =
     s"""WITH q(qid, qtext) AS (VALUES
        |    (1::BIGINT, 'fast table scan'),
        |    (2::BIGINT, 'hash join merge'),
@@ -40,11 +41,15 @@ object TextQueries {
        |          JOIN dl ON dl.doc_id = tf.doc_id
        |          JOIN df ON df.t = qt.t
        |          CROSS JOIN stats),
-       |scored AS (SELECT qid, doc_id, list_sum(list(c ORDER BY t)) AS score
+       |qn AS (SELECT qid, CAST(count(*) AS BIGINT) AS nq FROM qt GROUP BY 1),
+       |scored AS (SELECT qid, doc_id, list_sum(list(c ORDER BY t)) AS score,
+       |             CAST(count(*) AS BIGINT) AS nm
        |           FROM contrib GROUP BY qid, doc_id),
+       |flt AS (SELECT scored.* FROM scored JOIN qn USING (qid)
+       |        ${if (conjunctive) "WHERE scored.nm = qn.nq" else ""}),
        |r AS (SELECT qid, doc_id, score,
        |        row_number() OVER (PARTITION BY qid ORDER BY score DESC, doc_id) AS rn
-       |      FROM scored)
+       |      FROM flt)
        |SELECT qid, doc_id, round(score, 4) AS score, rn FROM r WHERE rn <= 10
        |ORDER BY qid, rn""".stripMargin
 
@@ -366,6 +371,35 @@ object TextQueries {
       },
       Some(bm25OracleSql(where = "AND doc_id % 7 <> 0"))),
 
+    // ---- CONJUNCTIVE retrieval on the index (serveTextIndex
+    // requireAll): only documents matching EVERY query term rank — the
+    // posting-list intersection, decided on the contribution rows
+    // already in hand (matched-term count == query term count, zero
+    // extra reads). The precision mode for short keyword queries at
+    // corpus scale, where disjunctive top-k drowns in single-term
+    // matches. Same BM25 scores as q315 on the surviving candidates
+    // (the oracle replays the intersection with a HAVING-style join
+    // filter). ----
+    Q("q319_text_index_conjunctive",
+      (s, dir) => {
+        val spark = s
+        import spark.implicits._
+        val queries = Seq(
+          (1L, "fast table scan"),
+          (2L, "hash join merge"),
+          (3L, "stream window batch group")).toDF("qid", "qtext")
+        val tmp = java.nio.file.Files
+          .createTempDirectory("graft_q319_").toString + "/ix"
+        graft.operators.TextIndex.buildTextIndex(
+          t(s, dir, "documents"), tmp, "doc_id", "text")
+        graft.operators.TextIndex.serveTextIndex(s, tmp, queries,
+            "qid", "qtext", "doc_id", k = 10, requireAll = true)
+          .select(col("qid"), col("doc_id"),
+            round(col("score"), 4).as("score"), col("rn"))
+          .orderBy(col("qid"), col("rn"))
+      },
+      Some(bm25OracleSql(where = "", conjunctive = true))),
+
     // ---- STREAMING index maintenance (StreamingTextIndex
     // .textIndexSink): documents arrive as a stream, each microbatch
     // folds its posting/dl/stats deltas — exactly-once by the
@@ -444,7 +478,7 @@ object TextQueries {
              |           FROM contrib GROUP BY qid, doc_id),
              |r AS (SELECT qid, doc_id, score,
              |        row_number() OVER (PARTITION BY qid ORDER BY score DESC, doc_id) AS rn
-             |      FROM scored)
+             |      FROM flt)
              |SELECT qid, doc_id, round(score, 4) AS score, rn FROM r WHERE rn <= 10
              |ORDER BY qid, rn""".stripMargin)),
 

@@ -80,6 +80,19 @@ class TextIndexSpec extends SparkSpec {
     assert(out.isEmpty)
   }
 
+  test("conjunctive mode keeps only documents matching every query term") {
+    val path = tmp()
+    TextIndex.buildTextIndex(docs(_ => true), path, "doc_id", "text",
+      nBuckets = 4)
+    val got = TextIndex.serveTextIndex(spark, path, queries,
+        "qid", "qtext", "doc_id", k = 10, requireAll = true)
+      .select(col("qid"), col("doc_id"))
+      .as[(Long, Long)].collect().toSet
+    // "apple date": only doc 3 holds both; "banana grape egg": no doc
+    // holds all three
+    assert(got == Set((1L, 3L)), s"conjunctive candidates wrong: $got")
+  }
+
   test("purge repairs stats exactly, erases every byte, and suppresses " +
     "re-sends until re-admission") {
     val path = tmp()
