@@ -41,6 +41,10 @@ object Bench {
     "q281_ivfpq_rebuild", "q284_cluster_store_incremental",
     "q289_communities_louvain", "q296_ivfpq_time_travel",
     "q297_cluster_store_diff", "q298_agg_store_incremental",
+    // r15: the three new wings — zone-map pruned scan, incremental join
+    // view, inverted-index lifecycle — carry timing evidence
+    "q311_zonemap_scan", "q312_join_view_incremental",
+    "q315_text_index_search",
   )
 
   def main(args: Array[String]): Unit = {
