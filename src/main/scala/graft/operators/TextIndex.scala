@@ -87,16 +87,38 @@ object TextIndex {
     (tf, dl, stats)
   }
 
+  /** `(key = term, id, pos, n = 1)` — one row per OCCURRENCE, 0-based
+    * token position. The positional posting for phrase search: the
+    * identity `(key, id, pos)` never collides across appends (documents
+    * are immutable and appended once), so the shared additive merge
+    * carries it unchanged; the `n` column exists only to satisfy the
+    * monoid shape.
+    */
+  private def posOf(docs: DataFrame, idCol: String, textCol: String) =
+    docs.select(col(idCol).as("id"),
+        posexplode(TextFns.tokens(lower(col(textCol))))
+          .as(Seq("pos", "key")))
+      .filter(col("key").isNotNull)
+      .select(col("key"), col("id"), col("pos").cast("long").as("pos"),
+        lit(1L).as("n"))
+
   /** Build (or fully rebuild) the index. Documents with no tokens index
     * nothing and do not count toward `nd` (the [[Bm25]] convention).
+    * `positional = true` additionally materializes per-occurrence
+    * positions (the `pos` substore) to serve [[phraseSearch]] — tf-fold
+    * inflation traded for exact phrase adjacency, the classic
+    * positional-index cost.
     */
   def buildTextIndex(docs: DataFrame, path: String, idCol: String,
                      textCol: String, nBuckets: Int = 16,
-                     appliedId: Option[String] = None): Unit = {
+                     appliedId: Option[String] = None,
+                     positional: Boolean = false): Unit = {
     require(nBuckets >= 1, s"nBuckets must be positive, got $nBuckets")
     val spark = docs.sparkSession
     val (tf, dl, stats) = deltas(docs, idCol, textCol)
-    Seq(("postings", tf), ("dl", dl), ("stats", stats)).foreach {
+    val subs = Seq(("postings", tf), ("dl", dl), ("stats", stats)) ++
+      (if (positional) Seq(("pos", posOf(docs, idCol, textCol))) else Seq.empty)
+    subs.foreach {
       case (sub, rows) =>
         val p = GenStore.read(spark, s"$path/$sub")
         GenStore.commitGen(spark, s"$path/$sub", rows, nBuckets,
@@ -147,8 +169,55 @@ object TextIndex {
               coalesce(col("sumdl"), lit(0L)).as("sumdl"))
             .filter(col("nd") > 0L),
           Seq("key"), Seq("nd", "sumdl"), appliedId)
+        // the positional substore rides the same ledger when the index
+        // was built positional (fourth leg, same crash-replay argument)
+        if (GenStore.read(spark, s"$path/pos").isDefined)
+          GenStore.mergeAdditive(spark, s"$path/pos",
+            posOf(admitted, idCol, textCol),
+            Seq("key", "id", "pos"), Seq("n"), appliedId)
       } finally GenStore.freeLocal(dlC)
     } finally GenStore.freeLocal(tfC)
+  }
+
+  /** PHRASE SEARCH over the positional substore: documents containing
+    * the EXACT token sequence, ranked by phrase frequency. One phrase
+    * per call (the terms are driver constants, like any lookup key):
+    * the i-th term's occurrences are start-aligned (`pos − i`) and the
+    * n lists intersect by equi-join on `(id, start)` — reads ≤ n
+    * posting buckets, never the corpus; a repeated term joins its own
+    * list, which is exactly the multiset semantics a self-overlapping
+    * phrase needs. Returns `(<idCol>, phrase_tf, rn)` top-k by
+    * frequency (ties on id).
+    */
+  def phraseSearch(spark: SparkSession, path: String, phrase: String,
+                   idCol: String, k: Int = 10): DataFrame = {
+    val terms = phrase.toLowerCase.trim.split("\\s+").toSeq
+    require(terms.length >= 2,
+      "phraseSearch needs >= 2 terms (use serveTextIndex for one)")
+    val mPos = GenStore.read(spark, s"$path/pos").getOrElse(
+      throw new IllegalArgumentException(
+        s"no positional substore at $path — build with positional = true"))
+    import spark.implicits._
+    val tdf = terms.distinct.toDF("key")
+    val touched = tdf.select(GenStore.bucketOfKey(mPos.nBuckets)
+      .as("bucket")).distinct().collect().map(_.getLong(0)).toSet
+    val existing = mPos.entries.filter(e => touched.contains(e._1))
+    def empty = spark.range(0).select(col("id").as(idCol),
+      col("id").as("phrase_tf"), col("id").cast("int").as("rn"))
+    if (existing.isEmpty) return empty
+    val rows = GenStore.readBucketDirs(spark, s"$path/pos", existing)
+      .join(broadcast(tdf), Seq("key"), "left_semi")
+      .select(col("key"), col("id"), col("pos"))
+    val starts = terms.zipWithIndex.map { case (t, i) =>
+      rows.filter(col("key") === lit(t))
+        .select(col("id"), (col("pos") - lit(i.toLong)).as("start"))
+    }.reduce(_.join(_, Seq("id", "start")))
+    val counted = starts.groupBy(col("id"))
+      .agg(count(lit(1)).as("phrase_tf"))
+    val w = Window.orderBy(col("phrase_tf").desc, col("id"))
+    counted.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select(col("id").as(idCol), col("phrase_tf"), col("rn"))
   }
 
   /** Serve BM25 top-k: `(qid, <idCol>, score, rn)`. Reads ≤ |query
@@ -274,7 +343,10 @@ object TextIndex {
         Seq("key"), Seq("nd", "sumdl"), Some(s"purge-$purgeId"))
       val dlDeleted = GenStore.sweepKeys(spark, s"$path/dl",
         Seq("key", "dl"), k)
-      val postDeleted = sweepPostings(spark, s"$path/postings", k)
+      val postDeleted = sweepPostings(spark, s"$path/postings",
+        Seq("key", "id", "tf"), k)
+      if (GenStore.read(spark, s"$path/pos").isDefined)
+        sweepPostings(spark, s"$path/pos", Seq("key", "id", "pos", "n"), k)
       (postDeleted, dlDeleted)
     } finally GenStore.freeLocal(k)
   }
@@ -285,7 +357,7 @@ object TextIndex {
     * read), then only those rewrite.
     */
   private def sweepPostings(spark: SparkSession, subPath: String,
-                            ids: DataFrame): Long = {
+                            cols: Seq[String], ids: DataFrame): Long = {
     val m = GenStore.read(spark, subPath).get
     if (m.entries.isEmpty) { GenStore.purgeCommitted(spark, subPath); return 0L }
     val all = GenStore.readRaw(spark, subPath, m)
@@ -297,7 +369,7 @@ object TextIndex {
     if (touched.isEmpty) { GenStore.purgeCommitted(spark, subPath); return 0L }
     val existing = m.entries.filter(e => touched.contains(e._1))
     val cur = GenStore.readBucketDirs(spark, subPath, existing)
-      .select(col("key"), col("id"), col("tf"))
+      .select(cols.map(col): _*)
     val keep = cur.join(ids.select(col("key").as("id")), Seq("id"),
       "left_anti").localCheckpoint(true)
     try {
@@ -319,9 +391,12 @@ object TextIndex {
       ids.select(col(idCol).cast("long").as("key")),
       s"$path/_purged/ids", "key")
 
-  /** Retention GC across the three substores. */
+  /** Retention GC across the substores (the positional one included
+    * when present). */
   def vacuumTextIndex(spark: SparkSession, path: String,
                       keepGens: Int = 1): Seq[String] =
-    Seq("postings", "dl", "stats").flatMap(sub =>
-      GenStore.vacuum(spark, s"$path/$sub", keepGens).map(n => s"$sub/$n"))
+    Seq("postings", "dl", "stats", "pos")
+      .filter(sub => GenStore.read(spark, s"$path/$sub").isDefined)
+      .flatMap(sub =>
+        GenStore.vacuum(spark, s"$path/$sub", keepGens).map(n => s"$sub/$n"))
 }

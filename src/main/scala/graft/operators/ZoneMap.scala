@@ -54,18 +54,53 @@ object ZoneMap {
     * `statCols`. The output is metadata-sized (|files| rows) and is
     * written as a single file so the prune's read never fans out.
     */
-  def buildZoneMap(spark: SparkSession, dataPath: String,
-                   statCols: Seq[String], zonePath: String): Unit = {
+  private def statsFrame(data: DataFrame, statCols: Seq[String]): DataFrame = {
     require(statCols.nonEmpty, "zone map needs at least one stat column")
     val aggs = statCols.flatMap(c => Seq(
       min(col(c).cast("long")).as(s"${c}_min"),
       max(col(c).cast("long")).as(s"${c}_max"))) :+ count(lit(1)).as("n")
-    spark.read.parquet(dataPath)
-      .select(input_file_name().as("file") +: statCols.map(col): _*)
+    data.select(input_file_name().as("file") +: statCols.map(col): _*)
       .groupBy(col("file"))
       .agg(aggs.head, aggs.tail: _*)
+  }
+
+  def buildZoneMap(spark: SparkSession, dataPath: String,
+                   statCols: Seq[String], zonePath: String): Unit =
+    statsFrame(spark.read.parquet(dataPath), statCols)
       .coalesce(1)
       .write.mode("overwrite").parquet(zonePath)
+
+  /** INCREMENTAL maintenance: append `df` as new data files and extend
+    * the zone map with ONLY their stats — existing files are immutable,
+    * so their rows are already correct and are carried verbatim. The
+    * new files are identified by a before/after directory listing
+    * (metadata-only), read back explicitly, and their stats union into
+    * the map — cost ∝ the increment, never the corpus (the same
+    * increment discipline as every store here). Single maintenance
+    * writer, as everywhere.
+    */
+  def appendWithStats(df: DataFrame, dataPath: String,
+                      statCols: Seq[String], zonePath: String): Unit = {
+    val spark = df.sparkSession
+    val p = new org.apache.hadoop.fs.Path(dataPath)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    def files(): Set[String] =
+      if (!fs.exists(p)) Set.empty
+      else fs.listStatus(p).filter(_.isFile).map(_.getPath.getName)
+        .filter(_.endsWith(".parquet")).toSet
+    val before = files()
+    df.write.mode("append").parquet(dataPath)
+    val fresh = (files() -- before).toSeq.sorted.map(n => s"$dataPath/$n")
+    if (fresh.isEmpty) return // empty increment: nothing to describe
+    val newStats = statsFrame(spark.read.parquet(fresh: _*), statCols)
+    val zp = new org.apache.hadoop.fs.Path(zonePath)
+    val merged =
+      (if (zp.getFileSystem(spark.sessionState.newHadoopConf()).exists(zp))
+        spark.read.parquet(zonePath).unionByName(newStats)
+      else newStats)
+        .localCheckpoint(true) // materialize BEFORE overwriting the source
+    try merged.coalesce(1).write.mode("overwrite").parquet(zonePath)
+    finally GenStore.freeLocal(merged)
   }
 
   /** The skipping decision, made once on the metadata table: data files

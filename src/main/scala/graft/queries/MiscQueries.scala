@@ -346,6 +346,42 @@ object MiscQueries {
              |  AND l_suppkey BETWEEN 10 AND 40
              |GROUP BY 1 ORDER BY 1""".stripMargin)),
 
+    // ---- INCREMENTAL zone-map maintenance (ZoneMap.appendWithStats):
+    // half of lineitem lands z-ordered at build, the other half
+    // APPENDS — new files' stats are computed by reading only them
+    // (before/after listing diff, cost ∝ the increment) and union into
+    // the map; existing files are immutable so their rows carry
+    // verbatim. The pruned read stays exact across the append boundary
+    // (same full-scan-filter oracle as q311) even though the appended
+    // files are not z-clustered — stats admit false positives, never
+    // false negatives, the append degrades SKIPPING, never
+    // correctness. ----
+    Q("q321_zonemap_append",
+      (s, dir) => {
+        import graft.operators.ZoneMap
+        val tmp = java.nio.file.Files
+          .createTempDirectory("graft_q321_").toString
+        val li = t(s, dir, "lineitem")
+          .select(col("l_partkey"), col("l_suppkey"),
+            col("l_quantity").cast("long").as("qty"), col("l_returnflag"))
+        ZoneMap.writeZOrdered(li.filter(col("l_partkey") % 2 =!= 0),
+          s"$tmp/data", s"$tmp/zone",
+          "l_partkey", "l_suppkey", bits = 8, partitions = 16)
+        ZoneMap.appendWithStats(li.filter(col("l_partkey") % 2 === 0),
+          s"$tmp/data", Seq("l_partkey", "l_suppkey"), s"$tmp/zone")
+        ZoneMap.prunedRead(s, s"$tmp/data", s"$tmp/zone",
+            Seq(("l_partkey", 100L, 300L), ("l_suppkey", 10L, 40L)))
+          .groupBy(col("l_returnflag"))
+          .agg(count(lit(1)).as("n"), sum(col("qty")).as("qty_sum"))
+          .orderBy(col("l_returnflag"))
+      },
+      Some("""SELECT l_returnflag, count(*) AS n,
+             |  CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty_sum
+             |FROM lineitem
+             |WHERE l_partkey BETWEEN 100 AND 300
+             |  AND l_suppkey BETWEEN 10 AND 40
+             |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
     // ---- TPC-H Q5 shape: 5-way join, date filter, revenue per nation.
     // All dimensions broadcast; lineitem (the only big table) shuffles
     // once for the final aggregation only.

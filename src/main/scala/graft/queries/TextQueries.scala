@@ -400,6 +400,44 @@ object TextQueries {
       },
       Some(bm25OracleSql(where = "", conjunctive = true))),
 
+    // ---- PHRASE SEARCH over the positional substore (TextIndex
+    // .phraseSearch): documents containing the EXACT token sequence,
+    // ranked by phrase frequency — the i-th term's occurrences
+    // start-align (pos − i) and the lists intersect by equi-join on
+    // (id, start), reading ≤ n posting buckets. Half the corpus is
+    // indexed positionally at build, half appends — the oracle counts
+    // adjacent pairs over the FULL corpus, proving the positional
+    // increment discipline. ----
+    Q("q320_text_index_phrase",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val tmp = java.nio.file.Files
+          .createTempDirectory("graft_q320_").toString + "/ix"
+        graft.operators.TextIndex.buildTextIndex(
+          docs.filter(col("doc_id") % 2 =!= 0), tmp, "doc_id", "text",
+          positional = true)
+        graft.operators.TextIndex.mergeIntoTextIndex(
+          docs.filter(col("doc_id") % 2 === 0), tmp, "doc_id", "text",
+          appliedId = Some("day-1"))
+        graft.operators.TextIndex.phraseSearch(s, tmp, "fast table",
+            "doc_id", k = 20)
+          .orderBy(col("rn"))
+      },
+      Some("""WITH t AS (SELECT doc_id,
+             |      string_split_regex(lower(trim(text)), '\s+') AS toks
+             |    FROM documents WHERE length(trim(text)) > 0),
+             |bg AS (SELECT doc_id,
+             |      unnest(generate_series(1, len(toks) - 1)) AS i, toks
+             |    FROM t WHERE len(toks) >= 2),
+             |p AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS phrase_tf
+             |    FROM bg WHERE toks[i] = 'fast' AND toks[i + 1] = 'table'
+             |    GROUP BY 1),
+             |r AS (SELECT doc_id, phrase_tf,
+             |    row_number() OVER (ORDER BY phrase_tf DESC, doc_id) AS rn
+             |  FROM p)
+             |SELECT doc_id, phrase_tf, rn FROM r WHERE rn <= 20
+             |ORDER BY rn""".stripMargin)),
+
     // ---- STREAMING index maintenance (StreamingTextIndex
     // .textIndexSink): documents arrive as a stream, each microbatch
     // folds its posting/dl/stats deltas — exactly-once by the

@@ -93,6 +93,25 @@ class TextIndexSpec extends SparkSpec {
     assert(got == Set((1L, 3L)), s"conjunctive candidates wrong: $got")
   }
 
+  test("phrase search intersects start-aligned positional postings, " +
+    "across incremental appends") {
+    val path = tmp()
+    TextIndex.buildTextIndex(docs(_ % 2 == 1), path, "doc_id", "text",
+      nBuckets = 4, appliedId = Some("b0"), positional = true)
+    TextIndex.mergeIntoTextIndex(docs(_ % 2 == 0), path, "doc_id", "text",
+      appliedId = Some("b1"))
+    def hits(p: String) = TextIndex.phraseSearch(spark, path, p, "doc_id")
+      .select(col("doc_id"), col("phrase_tf"))
+      .as[(Long, Long)].collect().toSet
+    // "egg fig": doc 4 ("date egg fig", built) and doc 5 ("egg fig grape
+    // apple", appended) — once each
+    assert(hits("egg fig") == Set((4L, 1L), (5L, 1L)))
+    // 3-term with a repeated term: only doc 1
+    assert(hits("apple banana apple") == Set((1L, 1L)))
+    // adjacent-in-wrong-order must NOT match
+    assert(hits("kiwi apple") == Set.empty)
+  }
+
   test("purge repairs stats exactly, erases every byte, and suppresses " +
     "re-sends until re-admission") {
     val path = tmp()

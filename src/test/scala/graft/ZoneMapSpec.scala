@@ -81,6 +81,37 @@ class ZoneMapSpec extends SparkSpec {
     assert(out.isEmpty, "an out-of-range predicate must return no rows")
   }
 
+  test("appendWithStats extends the map with only the new files' stats") {
+    val dir = tmp("append")
+    val half1 = spark.range(0, 32 * 64).select(
+      (col("id") % 32).cast("long").as("a"),
+      (col("id") / 32).cast("long").as("b"))
+    ZoneMap.writeZOrdered(half1, s"$dir/data", s"$dir/zone", "a", "b",
+      bits = 8, partitions = 8)
+    val (_, before) = ZoneMap.pruneFiles(spark, s"$dir/zone",
+      Seq(("a", 0L, 100L)))
+    val half2 = spark.range(0, 32 * 64).select(
+      ((col("id") % 32) + 32).cast("long").as("a"),
+      (col("id") / 32).cast("long").as("b"))
+    ZoneMap.appendWithStats(half2.repartition(4), s"$dir/data",
+      Seq("a", "b"), s"$dir/zone")
+    val (_, after) = ZoneMap.pruneFiles(spark, s"$dir/zone",
+      Seq(("a", 0L, 100L)))
+    assert(after > before, "the map must gain rows for the new files")
+    // the law holds across the append boundary...
+    val preds = Seq(("a", 28L, 36L))
+    val pruned = ZoneMap.prunedRead(spark, s"$dir/data", s"$dir/zone", preds)
+    val full = spark.read.parquet(s"$dir/data")
+      .where(col("a").between(28, 36))
+    assert(pruned.select("a", "b").as[(Long, Long)].collect().toSet ==
+      full.select("a", "b").as[(Long, Long)].collect().toSet)
+    // ...and an old-range-only predicate skips every appended file
+    val (oldOnly, total) = ZoneMap.pruneFiles(spark, s"$dir/zone",
+      Seq(("a", 0L, 20L)))
+    assert(total == after && oldOnly.size <= before,
+      "a predicate inside the old range must not open appended files")
+  }
+
   test("all-null files are skipped; null rows never match a range predicate") {
     val dir = tmp("nulls")
     Seq((1L, 10L), (2L, 20L)).toDF("k", "v")
