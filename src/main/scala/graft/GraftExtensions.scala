@@ -35,5 +35,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("minhash_sig"),
       new ExpressionInfo(classOf[MinHashSig].getName, "minhash_sig"),
       (es: Seq[Expression]) => MinHashSig.fromSql(es)))
+    // materialized-view rewrite: aggregates over a registered base
+    // relation serve from the maintained AggStore instead of scanning
+    // the corpus (MvCatalog.registerAggView is the freshness contract)
+    ext.injectOptimizerRule(sp => graft.plans.AggStoreRewrite(sp))
   }
 }

@@ -1,0 +1,208 @@
+package graft.plans
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute, AttributeReference, Cast, Expression, Literal, NamedExpression}
+import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Count, Sum}
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, LogicalPlan, Project}
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+import org.apache.spark.sql.types.LongType
+
+import graft.operators.AggStore
+
+/** MATERIALIZED-VIEW REWRITE — the optimizer-side payoff of the
+  * incremental aggregate store ([[AggStore]]): a query that re-derives
+  * `SELECT k, count(*), sum(v) FROM base GROUP BY k` should not scan
+  * 100 TB of base when a maintained store already holds exactly that
+  * state. This `Rule[LogicalPlan]` rewrites a MATCHING aggregate into a
+  * scan of the registered store — store-size I/O instead of
+  * corpus-size, with the rest of the query plan (joins above, filters
+  * above, ordering) untouched; it is the classic single-table MV
+  * rewrite (Hive/Calcite `ALTER MV REBUILD` serving, Spark's own
+  * `CacheManager.useCachedData` shape) expressed over the engine's own
+  * snapshot store.
+  *
+  * The match is deliberately CONSERVATIVE — a rewrite must never change
+  * semantics, so anything unrecognized is left alone:
+  *  - the aggregate's child is the registered parquet relation (same
+  *    `HadoopFsRelation` root paths), bare or under a column-pruning
+  *    `Project` of plain attributes (what Catalyst itself produces) —
+  *    no filters, no joins, no expressions;
+  *  - exactly one grouping expression: the registered key column;
+  *  - every aggregate output is the group key, `count(<literal>)`
+  *    (what `count(*)` lowers to), or `sum(<valCol>)` with at most a
+  *    widening cast to long — non-distinct, unfiltered;
+  *  - output attribute ids are PRESERVED via aliases, so parent
+  *    operators resolve unchanged.
+  *
+  * FRESHNESS is the registration contract, as in every MV system: by
+  * registering, the caller asserts the store at `storePath` reflects
+  * the current base table (the increment discipline keeps it so — a
+  * day's load merges into the store when it lands in the base). The
+  * rewrite serves the store's CURRENT manifest snapshot.
+  *
+  * Wire-up: session-wide via `spark.experimental.extraOptimizations`
+  * (live sessions, what the spec and q322 use) or cluster-wide via
+  * `graft.GraftExtensions` (`injectOptimizerRule`).
+  */
+object MvCatalog {
+
+  /** One registered view: the base relation's root paths, the grouped
+    * key column, the summed value column, and the store that serves it.
+    */
+  case class MvEntry(rootPaths: Set[String], keyCol: String,
+                     valCol: String, storePath: String)
+
+  private val reg = scala.collection.mutable.ArrayBuffer.empty[MvEntry]
+
+  /** Register `storePath` (an [[AggStore]]) as the materialization of
+    * `base.groupBy(keyCol).agg(count(*), sum(valCol))`. `base` must be
+    * a bare parquet read (optionally column-pruned) — loud otherwise,
+    * because a silent non-registration would just mean silent
+    * non-rewrites later.
+    */
+  def registerAggView(base: DataFrame, keyCol: String, valCol: String,
+                      storePath: String): Unit = {
+    val paths = AggStoreRewrite.relationPaths(base.queryExecution.analyzed)
+      .getOrElse(throw new IllegalArgumentException(
+        "registerAggView needs a bare parquet relation (optionally " +
+          "column-pruned) as the base"))
+    require(base.columns.contains(keyCol) && base.columns.contains(valCol),
+      s"base must carry $keyCol and $valCol")
+    synchronized { reg += MvEntry(paths, keyCol, valCol, storePath) }
+  }
+
+  def clear(): Unit = synchronized { reg.clear() }
+
+  def entries: Seq[MvEntry] = synchronized { reg.toList }
+}
+
+case class AggStoreRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
+
+  override def apply(plan: LogicalPlan): LogicalPlan = {
+    if (MvCatalog.entries.isEmpty) return plan
+    plan.transformUp {
+      case agg @ Aggregate(Seq(g), aggExprs, child, _) =>
+        rewrite(g, aggExprs, child).getOrElse(agg)
+    }
+  }
+
+  /** The store scan, projected to the aggregate's own output names AND
+    * attribute ids — parents resolve as if nothing happened.
+    */
+  private def rewrite(g: Expression, aggExprs: Seq[NamedExpression],
+                      child: LogicalPlan): Option[LogicalPlan] = {
+    val matched = for {
+      (rel, visible) <- relationWithOutput(child)
+      relPaths = AggStoreRewrite.pathsOf(rel)
+      entry <- MvCatalog.entries.find(e =>
+        PathNorm.pathsEqual(relPaths, e.rootPaths))
+      keyAttr <- attrNamed(visible, entry.keyCol)
+      valAttr <- attrNamed(visible, entry.valCol)
+      gAttr <- asAttr(g) if gAttr.exprId == keyAttr.exprId
+      outs <- mapOutputs(aggExprs, keyAttr, valAttr)
+    } yield (entry, keyAttr, outs)
+    matched.flatMap { case (entry, keyAttr, outs) =>
+      val store = AggStore.readAggStore(spark, entry.storePath)
+        .queryExecution.analyzed
+      val Seq(sKey, sCnt, sTotal) = store.output.take(3)
+      // only rewrite when types line up exactly — never change semantics
+      if (sKey.dataType != keyAttr.dataType) None
+      else Some(Project(outs.map {
+        case (orig, StoreCol.Key) =>
+          Alias(sKey, orig.name)(exprId = orig.exprId)
+        case (orig, StoreCol.Cnt) =>
+          Alias(sCnt, orig.name)(exprId = orig.exprId)
+        case (orig, StoreCol.Total) =>
+          Alias(sTotal, orig.name)(exprId = orig.exprId)
+      }, store))
+    }
+  }
+
+  private sealed trait StoreColT
+  private object StoreCol {
+    case object Key extends StoreColT
+    case object Cnt extends StoreColT
+    case object Total extends StoreColT
+  }
+
+  /** Every aggregate output must be the key, count(<lit>), or
+    * sum(<val>) — else no rewrite. */
+  private def mapOutputs(aggExprs: Seq[NamedExpression], keyAttr: Attribute,
+                         valAttr: Attribute)
+      : Option[Seq[(NamedExpression, StoreColT)]] = {
+    val mapped = aggExprs.map { ne =>
+      val inner = ne match {
+        case Alias(c, _) => c
+        case other => other
+      }
+      inner match {
+        case a: AttributeReference if a.exprId == keyAttr.exprId =>
+          Some(ne -> (StoreCol.Key: StoreColT))
+        case AggregateExpression(Count(Seq(Literal(_, _))), _, false, None, _) =>
+          Some(ne -> (StoreCol.Cnt: StoreColT))
+        case AggregateExpression(s: Sum, _, false, None, _)
+            if isValRef(s.child, valAttr) =>
+          Some(ne -> (StoreCol.Total: StoreColT))
+        case _ => None
+      }
+    }
+    if (mapped.forall(_.isDefined)) Some(mapped.flatten) else None
+  }
+
+  /** `v` or `cast(v as long)` — the widening the store's own write
+    * applies. */
+  private def isValRef(e: Expression, valAttr: Attribute): Boolean = e match {
+    case a: AttributeReference => a.exprId == valAttr.exprId
+    case Cast(a: AttributeReference, LongType, _, _) =>
+      a.exprId == valAttr.exprId
+    case _ => false
+  }
+
+  private def asAttr(e: Expression): Option[AttributeReference] = e match {
+    case a: AttributeReference => Some(a)
+    case Alias(a: AttributeReference, _) => Some(a)
+    case _ => None
+  }
+
+  private def attrNamed(attrs: Seq[Attribute],
+                        name: String): Option[Attribute] =
+    attrs.find(_.name == name)
+
+  /** The relation under the aggregate: bare, or through a
+    * column-pruning Project of plain attributes. Returns the relation
+    * plus the attributes visible to the aggregate.
+    */
+  private def relationWithOutput(child: LogicalPlan)
+      : Option[(LogicalRelation, Seq[Attribute])] = child match {
+    case r: LogicalRelation => Some((r, r.output))
+    case Project(projList, r: LogicalRelation)
+        if projList.forall(_.isInstanceOf[AttributeReference]) =>
+      Some((r, projList.map(_.asInstanceOf[AttributeReference])))
+    case _ => None
+  }
+}
+
+object AggStoreRewrite {
+  private[plans] def pathsOf(rel: LogicalRelation): Set[String] =
+    rel.relation match {
+      case fs: HadoopFsRelation =>
+        fs.location.rootPaths.map(_.toString).toSet
+      case _ => Set.empty
+    }
+
+  private[plans] def relationPaths(plan: LogicalPlan): Option[Set[String]] =
+    plan.collectFirst {
+      case r: LogicalRelation if pathsOf(r).nonEmpty => pathsOf(r)
+    }
+}
+
+/** Path-set equality with scheme-normalization (`file:` vs `file://`),
+  * so a view registered from one API surface matches a scan planned
+  * from another. */
+private object PathNorm {
+  private def norm(p: String): String =
+    p.replaceFirst("^file:/+", "/")
+  def pathsEqual(a: Set[String], b: Set[String]): Boolean =
+    a.nonEmpty && a.map(norm) == b.map(norm)
+}

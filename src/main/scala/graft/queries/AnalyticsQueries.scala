@@ -1940,7 +1940,48 @@ object AnalyticsQueries {
       Some("""SELECT o_custkey AS key, count(*) AS cnt,
              |  CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS total
              |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
-             |GROUP BY 1 ORDER BY key""".stripMargin))
+             |GROUP BY 1 ORDER BY key""".stripMargin)),
+
+    // ---- MATERIALIZED-VIEW REWRITE (plans/AggStoreRewrite, a real
+    // Rule[LogicalPlan] via spark.experimental / GraftExtensions): the
+    // q298 store's optimizer-side payoff — a query that groups the
+    // registered base table by the registered key with count/sum is
+    // REWRITTEN to scan the store (store-size I/O, not corpus-size),
+    // output attribute ids preserved so operators above resolve
+    // unchanged. The rewrite fires during the eager checkpoint inside
+    // the try block (MvRewriteSpec pins that inputFiles move to the
+    // store and that non-matching shapes are left alone); the rule and
+    // registration are restored/cleared before returning so the shared
+    // session is untouched. Oracle: the plain groupBy — the hash
+    // proves the SERVED store state equals the direct aggregation. ----
+    Q("q322_mv_rewrite",
+      (s, dir) => {
+        import graft.operators.AggStore
+        import graft.plans.{AggStoreRewrite, MvCatalog}
+        val li = t(s, dir, "lineitem")
+        val tmp = java.nio.file.Files
+          .createTempDirectory("graft_q322_").toString + "/store"
+        AggStore.buildAggStore(
+          li.select(col("l_suppkey"), col("l_quantity")),
+          tmp, "l_suppkey", "l_quantity")
+        val prev = s.experimental.extraOptimizations
+        s.experimental.extraOptimizations = prev :+ AggStoreRewrite(s)
+        try {
+          MvCatalog.registerAggView(li, "l_suppkey", "l_quantity", tmp)
+          li.groupBy(col("l_suppkey"))
+            .agg(count(lit(1)).as("cnt"),
+              sum(col("l_quantity").cast("long")).as("total"))
+            .localCheckpoint(true) // rewrite fires HERE, rule still live
+            .withColumnRenamed("l_suppkey", "key")
+            .orderBy(col("key"))
+        } finally {
+          s.experimental.extraOptimizations = prev
+          MvCatalog.clear()
+        }
+      },
+      Some("""SELECT l_suppkey AS key, count(*) AS cnt,
+             |  CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS total
+             |FROM lineitem GROUP BY 1 ORDER BY key""".stripMargin))
   )
 
   /** q260 oracle: weekday factors, the integer deseasonalization, the

@@ -516,7 +516,7 @@ object TextQueries {
              |           FROM contrib GROUP BY qid, doc_id),
              |r AS (SELECT qid, doc_id, score,
              |        row_number() OVER (PARTITION BY qid ORDER BY score DESC, doc_id) AS rn
-             |      FROM flt)
+             |      FROM scored)
              |SELECT qid, doc_id, round(score, 4) AS score, rn FROM r WHERE rn <= 10
              |ORDER BY qid, rn""".stripMargin)),
 

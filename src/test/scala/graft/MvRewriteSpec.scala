@@ -1,0 +1,89 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.AggStore
+import graft.plans.{AggStoreRewrite, MvCatalog}
+
+/** Pins the materialized-view rewrite: a matching single-table
+  * count/sum aggregate is served from the registered AggStore (the
+  * scan's input files move from the base table to the store), results
+  * are bit-identical, and anything the conservative matcher does not
+  * recognize — extra aggregates, filters below the aggregate, an
+  * unregistered table — is left alone.
+  */
+class MvRewriteSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def withRule[T](body: => T): T = {
+    val prev = spark.experimental.extraOptimizations
+    spark.experimental.extraOptimizations = prev :+ AggStoreRewrite(spark)
+    try body
+    finally {
+      spark.experimental.extraOptimizations = prev
+      MvCatalog.clear()
+    }
+  }
+
+  test("a matching aggregate is served from the store, bit-identical") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_mv_").toString
+    Seq((1L, 10L), (1L, 20L), (2L, 5L), (3L, 7L), (3L, 7L))
+      .toDF("k", "v").write.parquet(s"$dir/base")
+    val base = spark.read.parquet(s"$dir/base")
+    AggStore.buildAggStore(base, s"$dir/store", "k", "v")
+    withRule {
+      MvCatalog.registerAggView(base, "k", "v", s"$dir/store")
+      val q = base.groupBy(col("k"))
+        .agg(count(lit(1)).as("cnt"), sum(col("v").cast("long")).as("total"))
+      assert(q.inputFiles.exists(_.contains("/store/")),
+        "the rewritten plan must scan the store")
+      assert(!q.inputFiles.exists(_.contains("/base/")),
+        "the rewritten plan must not touch the base table")
+      assert(q.orderBy("k").as[(Long, Long, Long)].collect().toSeq ==
+        Seq((1L, 2L, 30L), (2L, 1L, 5L), (3L, 2L, 14L)),
+        "served results must equal the direct aggregation")
+      // ...and the rewrite composes with operators ABOVE the aggregate
+      val top = q.filter(col("total") > 10L).orderBy(col("k"))
+      assert(top.inputFiles.exists(_.contains("/store/")))
+      assert(top.as[(Long, Long, Long)].collect().toSeq ==
+        Seq((1L, 2L, 30L), (3L, 2L, 14L)))
+    }
+  }
+
+  test("non-matching shapes are left alone") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_mv2_").toString
+    Seq((1L, 10L), (2L, 5L)).toDF("k", "v").write.parquet(s"$dir/base")
+    val base = spark.read.parquet(s"$dir/base")
+    AggStore.buildAggStore(base, s"$dir/store", "k", "v")
+    withRule {
+      MvCatalog.registerAggView(base, "k", "v", s"$dir/store")
+      // extra aggregate the store cannot serve
+      val avgQ = base.groupBy(col("k"))
+        .agg(count(lit(1)).as("cnt"), avg(col("v")).as("a"))
+      assert(!avgQ.inputFiles.exists(_.contains("/store/")),
+        "an avg aggregate must not be rewritten")
+      // filter BELOW the aggregate changes the grouped rows
+      val filtered = base.filter(col("v") > 6L).groupBy(col("k"))
+        .agg(count(lit(1)).as("cnt"), sum(col("v").cast("long")).as("total"))
+      assert(!filtered.inputFiles.exists(_.contains("/store/")),
+        "a filtered base must not be rewritten")
+      assert(filtered.orderBy("k").as[(Long, Long, Long)].collect().toSeq ==
+        Seq((1L, 1L, 10L)))
+      // a different table never matches
+      val other = Seq((9L, 9L)).toDF("k", "v")
+      assert(other.groupBy(col("k")).agg(count(lit(1)).as("cnt"))
+        .collect().toSeq.nonEmpty)
+    }
+  }
+
+  test("without a registration the rule is a no-op") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_mv3_").toString
+    Seq((1L, 10L)).toDF("k", "v").write.parquet(s"$dir/base")
+    val base = spark.read.parquet(s"$dir/base")
+    withRule {
+      val q = base.groupBy(col("k")).agg(count(lit(1)).as("cnt"))
+      assert(q.inputFiles.exists(_.contains("/base/")))
+      assert(q.as[(Long, Long)].collect().toSeq == Seq((1L, 1L)))
+    }
+  }
+}
