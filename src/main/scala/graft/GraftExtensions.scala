@@ -39,5 +39,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // relation serve from the maintained AggStore instead of scanning
     // the corpus (MvCatalog.registerAggView is the freshness contract)
     ext.injectOptimizerRule(sp => graft.plans.AggStoreRewrite(sp))
+    ext.injectOptimizerRule(sp => graft.plans.JoinViewRewrite(sp))
   }
 }

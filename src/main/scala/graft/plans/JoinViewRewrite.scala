@@ -1,0 +1,184 @@
+package graft.plans
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute, AttributeReference, Cast, EqualTo, Expression, Literal, NamedExpression}
+import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Count, Sum}
+import org.apache.spark.sql.catalyst.plans.Inner
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Join, LogicalPlan, Project}
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.execution.datasources.LogicalRelation
+import org.apache.spark.sql.types.LongType
+
+import graft.operators.ViewStore
+
+/** JOIN-VIEW REWRITE — the [[AggStoreRewrite]] idea one operator up:
+  * `SELECT grp, count(*), sum(v) FROM A JOIN B ON A.k = B.k GROUP BY
+  * grp` over REGISTERED base relations rewrites to a scan of the
+  * maintained [[ViewStore]] — the query skips the corpus-size join
+  * AND the corpus-size aggregation, paying view-size I/O. Same
+  * conservative contract: inner equi-join on exactly the registered
+  * keys, no extra conditions, no filters, (column-pruning) Projects of
+  * plain attributes only, relations matched by root paths in either
+  * join order, count/sum shapes with at most a widening cast — and
+  * anything unrecognized is left untouched. Freshness is the
+  * registration contract, maintained by the same increment discipline
+  * that maintains the view.
+  */
+object JoinViewCatalog {
+
+  case class JvEntry(aPaths: Set[String], bPaths: Set[String],
+                     aKeyCol: String, aGrpCol: String,
+                     bKeyCol: String, bValCol: String, storePath: String)
+
+  private val reg = scala.collection.mutable.ArrayBuffer.empty[JvEntry]
+
+  /** Register `storePath` (a [[ViewStore]]) as the materialization of
+    * `a.join(b, a(aKeyCol) === b(bKeyCol)).groupBy(aGrpCol)
+    * .agg(count(*), sum(bValCol))`. Both bases must be bare parquet
+    * reads — loud otherwise.
+    */
+  def registerJoinView(a: DataFrame, b: DataFrame,
+                       aKeyCol: String, aGrpCol: String,
+                       bKeyCol: String, bValCol: String,
+                       storePath: String): Unit = {
+    def paths(df: DataFrame, what: String): Set[String] =
+      AggStoreRewrite.relationPaths(df.queryExecution.analyzed)
+        .getOrElse(throw new IllegalArgumentException(
+          s"registerJoinView needs a bare parquet relation for $what"))
+    val (ap, bp) = (paths(a, "A"), paths(b, "B"))
+    synchronized {
+      reg += JvEntry(ap, bp, aKeyCol, aGrpCol, bKeyCol, bValCol, storePath)
+    }
+  }
+
+  def clear(): Unit = synchronized { reg.clear() }
+
+  def entries: Seq[JvEntry] = synchronized { reg.toList }
+}
+
+case class JoinViewRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
+
+  override def apply(plan: LogicalPlan): LogicalPlan = {
+    if (JoinViewCatalog.entries.isEmpty) return plan
+    plan.transformUp {
+      case agg @ Aggregate(Seq(g), aggExprs, child, _) =>
+        rewrite(g, aggExprs, child).getOrElse(agg)
+    }
+  }
+
+  /** A side of the join: the relation's root paths, the attributes the
+    * join sees (through column-pruning Projects of attributes), and the
+    * attribute of an optimizer-inferred `IsNotNull` filter if one sits
+    * above the relation. That filter is the ONLY predicate accepted —
+    * and only when it guards the JOIN KEY (checked by the caller),
+    * because an inner equi-join drops null keys anyway, so the filter
+    * is semantically a no-op for the view's pair set.
+    */
+  private def side(plan: LogicalPlan)
+      : Option[(Set[String], Seq[Attribute], Option[Attribute])] = {
+    def bare(p: LogicalPlan): Option[(Set[String], Seq[Attribute])] =
+      p match {
+        case r: LogicalRelation =>
+          Some((AggStoreRewrite.pathsOf(r), r.output))
+        case Project(projList, r: LogicalRelation)
+            if projList.forall(_.isInstanceOf[AttributeReference]) =>
+          Some((AggStoreRewrite.pathsOf(r),
+            projList.map(_.asInstanceOf[AttributeReference])))
+        case _ => None
+      }
+    plan match {
+      case org.apache.spark.sql.catalyst.plans.logical.Filter(
+          org.apache.spark.sql.catalyst.expressions.IsNotNull(
+            a: AttributeReference), inner) =>
+        bare(inner).map { case (p, attrs) => (p, attrs, Some(a)) }
+      case other => bare(other).map { case (p, attrs) => (p, attrs, None) }
+    }
+  }
+
+  private def stripProject(plan: LogicalPlan): LogicalPlan = plan match {
+    case Project(projList, child)
+        if projList.forall(_.isInstanceOf[AttributeReference]) => child
+    case other => other
+  }
+
+  private def rewrite(g: Expression, aggExprs: Seq[NamedExpression],
+                      child: LogicalPlan): Option[LogicalPlan] = {
+    val matched = stripProject(child) match {
+      case Join(l, r, Inner,
+          Some(EqualTo(x: AttributeReference, y: AttributeReference)), _) =>
+        for {
+          (lp, lAttrs, lFilt) <- side(l)
+          (rp, rAttrs, rFilt) <- side(r)
+          entry <- JoinViewCatalog.entries.find(e =>
+            PathNorm.pathsEqual(lp, e.aPaths) &&
+              PathNorm.pathsEqual(rp, e.bPaths))
+          aKey <- lAttrs.find(_.name == entry.aKeyCol)
+          aGrp <- lAttrs.find(_.name == entry.aGrpCol)
+          bKey <- rAttrs.find(_.name == entry.bKeyCol)
+          bVal <- rAttrs.find(_.name == entry.bValCol)
+          // the equi-condition must be exactly the registered key pair
+          // (either literal order)
+          _ <- Some(()).filter(_ =>
+            (x.exprId == aKey.exprId && y.exprId == bKey.exprId) ||
+              (x.exprId == bKey.exprId && y.exprId == aKey.exprId))
+          // any accepted filter must be the inferred null guard on the
+          // join key itself — a real predicate blocks the rewrite
+          _ <- Some(()).filter(_ =>
+            lFilt.forall(_.exprId == aKey.exprId) &&
+              rFilt.forall(_.exprId == bKey.exprId))
+          gAttr <- g match {
+            case a: AttributeReference => Some(a)
+            case Alias(a: AttributeReference, _) => Some(a)
+            case _ => None
+          }
+          _ <- Some(()).filter(_ => gAttr.exprId == aGrp.exprId)
+          outs <- mapOutputs(aggExprs, aGrp, bVal)
+        } yield (entry, aGrp, outs)
+      case _ => None
+    }
+    matched.flatMap { case (entry, aGrp, outs) =>
+      val store = ViewStore.readJoinView(spark, entry.storePath)
+        .queryExecution.analyzed
+      val Seq(sKey, sCnt, sTotal) = store.output.take(3)
+      // the view stores the group as LONG (ViewStore.aggA casts); only
+      // rewrite when the query's group attribute is long too
+      if (sKey.dataType != aGrp.dataType) None
+      else Some(Project(outs.map {
+        case (orig, 0) => Alias(sKey, orig.name)(exprId = orig.exprId)
+        case (orig, 1) => Alias(sCnt, orig.name)(exprId = orig.exprId)
+        case (orig, _) => Alias(sTotal, orig.name)(exprId = orig.exprId)
+      }, store))
+    }
+  }
+
+  /** Each output must be the group key (0), count(<lit>) (1), or
+    * sum(<bVal>) with at most a widening cast (2). */
+  private def mapOutputs(aggExprs: Seq[NamedExpression], grpAttr: Attribute,
+                         valAttr: Attribute)
+      : Option[Seq[(NamedExpression, Int)]] = {
+    val mapped = aggExprs.map { ne =>
+      val inner = ne match {
+        case Alias(c, _) => c
+        case other => other
+      }
+      inner match {
+        case a: AttributeReference if a.exprId == grpAttr.exprId =>
+          Some(ne -> 0)
+        case AggregateExpression(Count(Seq(Literal(_, _))), _, false, None, _) =>
+          Some(ne -> 1)
+        case AggregateExpression(s: Sum, _, false, None, _)
+            if isValRef(s.child, valAttr) =>
+          Some(ne -> 2)
+        case _ => None
+      }
+    }
+    if (mapped.forall(_.isDefined)) Some(mapped.flatten) else None
+  }
+
+  private def isValRef(e: Expression, valAttr: Attribute): Boolean = e match {
+    case a: AttributeReference => a.exprId == valAttr.exprId
+    case Cast(a: AttributeReference, LongType, _, _) =>
+      a.exprId == valAttr.exprId
+    case _ => false
+  }
+}

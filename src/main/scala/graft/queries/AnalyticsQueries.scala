@@ -1981,7 +1981,50 @@ object AnalyticsQueries {
       },
       Some("""SELECT l_suppkey AS key, count(*) AS cnt,
              |  CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS total
-             |FROM lineitem GROUP BY 1 ORDER BY key""".stripMargin))
+             |FROM lineitem GROUP BY 1 ORDER BY key""".stripMargin)),
+
+    // ---- JOIN-VIEW REWRITE (plans/JoinViewRewrite): the q322 idea one
+    // operator up — the orders ⋈ lineitem per-customer aggregate over
+    // REGISTERED bases rewrites to scan the maintained ViewStore,
+    // skipping the corpus-size join AND aggregation. The matcher
+    // additionally accepts the optimizer's inferred IsNotNull(joinKey)
+    // guards (semantically no-ops under an inner equi-join) and
+    // nothing else; MvRewriteSpec pins the outer-join and
+    // filtered-base refusals. Oracle: the full join recompute through
+    // the live rewrite (eager checkpoint). ----
+    Q("q323_join_view_rewrite",
+      (s, dir) => {
+        import graft.operators.ViewStore
+        import graft.plans.{JoinViewCatalog, JoinViewRewrite}
+        val o = t(s, dir, "orders")
+        val l = t(s, dir, "lineitem")
+        val tmp = java.nio.file.Files
+          .createTempDirectory("graft_q323_").toString + "/jv"
+        ViewStore.buildJoinView(
+          o.select(col("o_orderkey"), col("o_custkey")),
+          l.select(col("l_orderkey"), col("l_quantity")),
+          tmp, "o_orderkey", "o_custkey", "l_orderkey", "l_quantity")
+        val prev = s.experimental.extraOptimizations
+        s.experimental.extraOptimizations = prev :+ JoinViewRewrite(s)
+        try {
+          JoinViewCatalog.registerJoinView(o, l,
+            "o_orderkey", "o_custkey", "l_orderkey", "l_quantity", tmp)
+          o.join(l, o("o_orderkey") === l("l_orderkey"))
+            .groupBy(col("o_custkey"))
+            .agg(count(lit(1)).as("cnt"),
+              sum(col("l_quantity").cast("long")).as("total"))
+            .localCheckpoint(true) // rewrite fires HERE, rule still live
+            .withColumnRenamed("o_custkey", "key")
+            .orderBy(col("key"))
+        } finally {
+          s.experimental.extraOptimizations = prev
+          JoinViewCatalog.clear()
+        }
+      },
+      Some("""SELECT o_custkey AS key, count(*) AS cnt,
+             |  CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS total
+             |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+             |GROUP BY 1 ORDER BY key""".stripMargin))
   )
 
   /** q260 oracle: weekday factors, the integer deseasonalization, the

@@ -2,8 +2,8 @@ package graft
 
 import org.apache.spark.sql.functions._
 
-import graft.operators.AggStore
-import graft.plans.{AggStoreRewrite, MvCatalog}
+import graft.operators.{AggStore, ViewStore}
+import graft.plans.{AggStoreRewrite, JoinViewCatalog, JoinViewRewrite, MvCatalog}
 
 /** Pins the materialized-view rewrite: a matching single-table
   * count/sum aggregate is served from the registered AggStore (the
@@ -17,11 +17,13 @@ class MvRewriteSpec extends SparkSpec {
 
   private def withRule[T](body: => T): T = {
     val prev = spark.experimental.extraOptimizations
-    spark.experimental.extraOptimizations = prev :+ AggStoreRewrite(spark)
+    spark.experimental.extraOptimizations =
+      prev ++ Seq(AggStoreRewrite(spark), JoinViewRewrite(spark))
     try body
     finally {
       spark.experimental.extraOptimizations = prev
       MvCatalog.clear()
+      JoinViewCatalog.clear()
     }
   }
 
@@ -73,6 +75,44 @@ class MvRewriteSpec extends SparkSpec {
       val other = Seq((9L, 9L)).toDF("k", "v")
       assert(other.groupBy(col("k")).agg(count(lit(1)).as("cnt"))
         .collect().toSeq.nonEmpty)
+    }
+  }
+
+  test("a matching join-aggregate is served from the join-view store") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_mvj_").toString
+    Seq((1L, 10L), (2L, 10L), (3L, 20L)).toDF("okey", "cust")
+      .write.parquet(s"$dir/a")
+    Seq((1L, 5L), (1L, 7L), (3L, 2L)).toDF("okey", "qty")
+      .write.parquet(s"$dir/b")
+    val a = spark.read.parquet(s"$dir/a")
+    val b = spark.read.parquet(s"$dir/b")
+    ViewStore.buildJoinView(a, b, s"$dir/jv", "okey", "cust", "okey", "qty",
+      nBuckets = 4)
+    withRule {
+      JoinViewCatalog.registerJoinView(a, b, "okey", "cust", "okey", "qty",
+        s"$dir/jv")
+      val q = a.join(b, a("okey") === b("okey"))
+        .groupBy(col("cust"))
+        .agg(count(lit(1)).as("cnt"), sum(col("qty").cast("long")).as("total"))
+      assert(q.inputFiles.exists(_.contains("/jv/")),
+        "the rewritten plan must scan the view store")
+      assert(!q.inputFiles.exists(f =>
+        f.contains("/a/") || f.contains("/b/")),
+        "the rewritten plan must not touch either base")
+      assert(q.orderBy("cust").as[(Long, Long, Long)].collect().toSeq ==
+        Seq((10L, 2L, 12L), (20L, 1L, 2L)))
+      // a LEFT join has different semantics — left alone
+      val lj = a.join(b, a("okey") === b("okey"), "left")
+        .groupBy(col("cust"))
+        .agg(count(lit(1)).as("cnt"))
+      assert(!lj.inputFiles.exists(_.contains("/jv/")),
+        "an outer join must not be rewritten")
+      // a filter below the join changes the pairs — left alone
+      val fj = a.filter(col("cust") > 10L).join(b, a("okey") === b("okey"))
+        .groupBy(col("cust"))
+        .agg(count(lit(1)).as("cnt"), sum(col("qty").cast("long")).as("total"))
+      assert(!fj.inputFiles.exists(_.contains("/jv/")),
+        "a filtered base must not be rewritten")
     }
   }
 
