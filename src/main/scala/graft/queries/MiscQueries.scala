@@ -382,6 +382,49 @@ object MiscQueries {
              |  AND l_suppkey BETWEEN 10 AND 40
              |GROUP BY 1 ORDER BY 1""".stripMargin)),
 
+    // ---- STREAMING zone-map maintenance (StreamingZoneMap
+    // .zoneMapSink): lineitem arrives in three microbatches, each
+    // landing as data files with the stats map extended by only those
+    // files' rows — the map is a pure function of the files on disk
+    // (one row per landed file, the appendWithStats listing diff), so
+    // pruned reads stay exact at every point in the stream. Same
+    // full-scan-filter oracle as the q311 family. ----
+    Q("q324_stream_zonemap",
+      (s, dir) => {
+        import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+        implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+        import s.implicits._
+        import graft.operators.ZoneMap
+        val tmp = java.nio.file.Files
+          .createTempDirectory("graft_q324_").toString
+        val li = t(s, dir, "lineitem")
+          .select(col("l_partkey"), col("l_suppkey"),
+            col("l_quantity").cast("long").as("qty"))
+        val input = MemoryStream[(Long, Long, Long)]
+        val q = graft.streaming.StreamingZoneMap.zoneMapSink(
+          input.toDF().toDF("l_partkey", "l_suppkey", "qty"),
+          s"$tmp/data", Seq("l_partkey", "l_suppkey"), s"$tmp/zone",
+          s"$tmp/ckpt")
+        try {
+          for (r <- 0 to 2) {
+            input.addData(li.filter(col("l_partkey") % 3 === r)
+              .as[(Long, Long, Long)].collect().toSeq)
+            q.processAllAvailable()
+          }
+        } finally q.stop()
+        ZoneMap.prunedRead(s, s"$tmp/data", s"$tmp/zone",
+            Seq(("l_partkey", 100L, 300L), ("l_suppkey", 10L, 40L)))
+          .groupBy(col("l_suppkey"))
+          .agg(count(lit(1)).as("n"), sum(col("qty")).as("qty_sum"))
+          .orderBy(col("l_suppkey"))
+      },
+      Some("""SELECT l_suppkey, count(*) AS n,
+             |  CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty_sum
+             |FROM lineitem
+             |WHERE l_partkey BETWEEN 100 AND 300
+             |  AND l_suppkey BETWEEN 10 AND 40
+             |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
     // ---- TPC-H Q5 shape: 5-way join, date filter, revenue per nation.
     // All dimensions broadcast; lineitem (the only big table) shuffles
     // once for the final aggregation only.
