@@ -234,14 +234,22 @@ object TextIndex {
   def serveTextIndex(spark: SparkSession, path: String, queries: DataFrame,
                      qIdCol: String, qTextCol: String, idCol: String,
                      k: Int = 10, k1: Double = 1.2, b: Double = 0.75,
-                     requireAll: Boolean = false): DataFrame = {
-    val mPost = GenStore.read(spark, s"$path/postings").getOrElse(
-      throw new IllegalArgumentException(s"not a text index: $path"))
-    val mDl = GenStore.read(spark, s"$path/dl").getOrElse(
-      throw new IllegalArgumentException(s"not a text index: $path"))
-    val statsRow = GenStore.readRaw(spark, s"$path/stats",
-        GenStore.read(spark, s"$path/stats").getOrElse(
-          throw new IllegalArgumentException(s"not a text index: $path")))
+                     requireAll: Boolean = false,
+                     asOfGen: Option[Long] = None): DataFrame = {
+    // TIME TRAVEL: every append advances all substores by exactly one
+    // generation (the four-leg ledger order), so one generation number
+    // addresses a consistent index snapshot — postings, lengths, and
+    // corpus stats as batch <gen> committed them. Loud past retention
+    // ([[GenStore.at]]). Alignment holds until a purge (which
+    // truncates history anyway — nothing older remains resolvable).
+    def resolve(sub: String): GenStore.Manifest = {
+      val cur = GenStore.read(spark, s"$path/$sub").getOrElse(
+        throw new IllegalArgumentException(s"not a text index: $path"))
+      asOfGen.map(g => GenStore.at(spark, s"$path/$sub", g)).getOrElse(cur)
+    }
+    val mPost = resolve("postings")
+    val mDl = resolve("dl")
+    val statsRow = GenStore.readRaw(spark, s"$path/stats", resolve("stats"))
       .select(col("nd"), col("sumdl")).head()
     val (nd, sumdl) = (statsRow.getLong(0), statsRow.getLong(1))
     require(nd > 0L, s"text index at $path is empty")

@@ -2024,6 +2024,36 @@ object AnalyticsQueries {
       Some("""SELECT o_custkey AS key, count(*) AS cnt,
              |  CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS total
              |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+             |GROUP BY 1 ORDER BY key""".stripMargin)),
+
+    // ---- TIME-TRAVEL read on the join view (ViewStore
+    // .readJoinViewAsOf): generation 1 is the build-time view — the
+    // oracle recomputes the join over ONLY the build subsets (both
+    // sides partial), so the hash proves the archived snapshot replays
+    // bit-exact after the two-sided increment landed on top of it. ----
+    Q("q326_join_view_time_travel",
+      (s, dir) => {
+        import graft.operators.ViewStore
+        val o = t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"))
+        val l = t(s, dir, "lineitem")
+          .select(col("l_orderkey"), col("l_quantity").cast("long").as("qty"))
+        val tmp = java.nio.file.Files
+          .createTempDirectory("graft_q326_").toString + "/jv"
+        ViewStore.buildJoinView(
+          o.filter(col("o_orderkey") % 3 =!= 0),
+          l.filter(col("l_orderkey") % 2 =!= 0),
+          tmp, "o_orderkey", "o_custkey", "l_orderkey", "qty")
+        ViewStore.mergeIntoJoinView(
+          o.filter(col("o_orderkey") % 3 === 0),
+          l.filter(col("l_orderkey") % 2 === 0),
+          tmp, "o_orderkey", "o_custkey", "l_orderkey", "qty",
+          appliedId = Some("day-1"))
+        ViewStore.readJoinViewAsOf(s, tmp, 1L).orderBy(col("key"))
+      },
+      Some("""SELECT o_custkey AS key, count(*) AS cnt,
+             |  CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS total
+             |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+             |WHERE o_orderkey % 3 <> 0 AND l_orderkey % 2 <> 0
              |GROUP BY 1 ORDER BY key""".stripMargin))
   )
 

@@ -438,6 +438,38 @@ object TextQueries {
              |SELECT doc_id, phrase_tf, rn FROM r WHERE rn <= 20
              |ORDER BY rn""".stripMargin)),
 
+    // ---- TIME-TRAVEL serving on the index (serveTextIndex asOfGen):
+    // every append advances all substores by exactly one generation,
+    // so one number addresses a consistent snapshot — postings,
+    // lengths, AND the corpus stats as that batch committed them.
+    // Build on ⅔, append ⅓, then serve AS OF generation 1: the oracle
+    // is BM25 over ONLY the build-time corpus — the hash proves the
+    // archived generation replays bit-exact (stale stats or leaked
+    // postings from the append would shift every score). ----
+    Q("q325_text_index_time_travel",
+      (s, dir) => {
+        val spark = s
+        import spark.implicits._
+        val queries = Seq(
+          (1L, "fast table scan"),
+          (2L, "hash join merge"),
+          (3L, "stream window batch group")).toDF("qid", "qtext")
+        val docs = t(s, dir, "documents")
+        val tmp = java.nio.file.Files
+          .createTempDirectory("graft_q325_").toString + "/ix"
+        graft.operators.TextIndex.buildTextIndex(
+          docs.filter(col("doc_id") % 3 =!= 0), tmp, "doc_id", "text")
+        graft.operators.TextIndex.mergeIntoTextIndex(
+          docs.filter(col("doc_id") % 3 === 0), tmp, "doc_id", "text",
+          appliedId = Some("day-1"))
+        graft.operators.TextIndex.serveTextIndex(s, tmp, queries,
+            "qid", "qtext", "doc_id", k = 10, asOfGen = Some(1L))
+          .select(col("qid"), col("doc_id"),
+            round(col("score"), 4).as("score"), col("rn"))
+          .orderBy(col("qid"), col("rn"))
+      },
+      Some(bm25OracleSql(where = "AND doc_id % 3 <> 0"))),
+
     // ---- STREAMING index maintenance (StreamingTextIndex
     // .textIndexSink): documents arrive as a stream, each microbatch
     // folds its posting/dl/stats deltas — exactly-once by the

@@ -93,6 +93,27 @@ class TextIndexSpec extends SparkSpec {
     assert(got == Set((1L, 3L)), s"conjunctive candidates wrong: $got")
   }
 
+  test("serve as-of replays the index exactly as each batch committed it") {
+    val path = tmp()
+    TextIndex.buildTextIndex(docs(_ % 2 == 1), path, "doc_id", "text",
+      nBuckets = 4, appliedId = Some("b0"))
+    TextIndex.mergeIntoTextIndex(docs(_ % 2 == 0), path, "doc_id", "text",
+      appliedId = Some("b1"))
+    val fresh = tmp()
+    TextIndex.buildTextIndex(docs(_ % 2 == 1), fresh, "doc_id", "text",
+      nBuckets = 4)
+    def at(p: String, g: Option[Long]) =
+      TextIndex.serveTextIndex(spark, p, queries, "qid", "qtext",
+          "doc_id", k = 3, asOfGen = g)
+        .select(col("qid"), col("doc_id"), round(col("score"), 6), col("rn"))
+        .as[(Long, Long, Double, Int)].collect().toSet
+    assert(at(path, Some(1L)) == at(fresh, None),
+      "generation 1 must serve exactly the build-time corpus " +
+        "(postings, lengths, AND stats)")
+    assert(at(path, None) == oneShot(docsAll.toDF("doc_id", "text")),
+      "the current generation serves the full corpus")
+  }
+
   test("phrase search intersects start-aligned positional postings, " +
     "across incremental appends") {
     val path = tmp()
