@@ -178,6 +178,16 @@ object AggStore {
           throw new IllegalArgumentException(s"not an aggregate store: $path")))
       .select(col("key"), col("cnt"), col("total"))
 
+  /** POINT LOOKUP ([[GenStore.lookupKeys]]): the keys' `(key, cnt,
+    * total)` rows, reading only the buckets the keys hash to — "these
+    * customers' aggregates" costs ≤ |keys| bucket dirs, never the
+    * store. The serving-path complement of the maintenance verbs.
+    */
+  def lookupAggStoreKeys(keys: DataFrame, path: String,
+                         keyCol: String = "key"): DataFrame =
+    GenStore.lookupKeys(keys.sparkSession, path, Seq("key", "cnt", "total"),
+      keys.select(col(keyCol).as("key")))
+
   /** TIME-TRAVEL read: the state exactly as generation `gen` committed
     * it, through the archived manifest ([[GenStore.at]]); loud past the
     * retention window.

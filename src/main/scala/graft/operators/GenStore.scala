@@ -348,6 +348,35 @@ private[graft] object GenStore {
       m.entries.filterNot(e => touched.contains(e._1)), appliedId)
   }
 
+  /** POINT LOOKUP on a keyed substore: the rows whose `key` is in
+    * `keys`, reading ONLY the buckets those keys hash to — the
+    * manifest IS the index, so "these customers' state" costs
+    * ≤ min(|keys|, nBuckets) bucket directories of I/O and listing,
+    * never the store. The exact-match filter re-applies as a semi-join
+    * (hash buckets admit co-resident keys — false positives at bucket
+    * granularity, never false negatives, the zone-map argument at hash
+    * granularity).
+    */
+  def lookupKeys(spark: org.apache.spark.sql.SparkSession, subPath: String,
+                 cols: Seq[String], keys: DataFrame): DataFrame = {
+    val m = read(spark, subPath).getOrElse(
+      throw new IllegalArgumentException(s"not a keyed substore: $subPath"))
+    val k = keys.select(col("key")).distinct()
+    val touched = k.select(bucketOfKey(m.nBuckets).as("bucket"))
+      .distinct().collect().map(_.getLong(0)).toSet // ≤ nBuckets
+    val existing = m.entries.filter(e => touched.contains(e._1))
+    if (existing.isEmpty) {
+      val tmpl =
+        if (m.entries.isEmpty)
+          throw new IllegalArgumentException(s"store at $subPath is empty")
+        else readBucketDirs(spark, subPath, m.entries.take(1))
+      return tmpl.select(cols.map(col): _*).limit(0)
+    }
+    readBucketDirs(spark, subPath, existing)
+      .select(cols.map(col): _*)
+      .join(broadcast(k), Seq("key"), "left_semi")
+  }
+
   /** Purge-sweep of a keyed substore: delete the rows whose `key` is in
     * `keys` — land survivors as a normal mutation over the touched
     * buckets only, then truncate history and scrub orphan bucket dirs

@@ -259,6 +259,17 @@ object ViewStore {
       .select(col("key"), col("cnt"), col("total"))
   }
 
+  /** POINT LOOKUP ([[GenStore.lookupKeys]]): the groups' view rows,
+    * reading only the view buckets the groups hash to — "these
+    * customers' joined totals" costs ≤ |groups| bucket dirs, never the
+    * view, let alone the join.
+    */
+  def lookupJoinViewGroups(groups: DataFrame, path: String,
+                           grpCol: String = "key"): DataFrame =
+    GenStore.lookupKeys(groups.sparkSession, s"$path/view",
+      Seq("key", "cnt", "total"),
+      groups.select(col(grpCol).cast("long").as("key")))
+
   /** TIME-TRAVEL read of the view as of one of ITS generations (each
     * merge advances every substore by exactly one generation, so the
     * view's history is the batch history).

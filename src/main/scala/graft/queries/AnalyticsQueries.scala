@@ -2054,6 +2054,32 @@ object AnalyticsQueries {
              |  CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS total
              |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
              |WHERE o_orderkey % 3 <> 0 AND l_orderkey % 2 <> 0
+             |GROUP BY 1 ORDER BY key""".stripMargin)),
+
+    // ---- POINT LOOKUP on the aggregate store (AggStore
+    // .lookupAggStoreKeys / GenStore.lookupKeys): "these suppliers'
+    // aggregates" reads ONLY the buckets the keys hash to — the
+    // manifest IS the index (≤ |keys| bucket dirs of I/O and listing,
+    // never the store; ViewStoreSpec pins the strict-subset inputFiles
+    // on the view twin). Semi-join re-applies exactness: hash buckets
+    // admit co-resident keys, never lose one. Oracle: the filtered
+    // groupBy recompute. ----
+    Q("q327_agg_store_lookup",
+      (s, dir) => {
+        import graft.operators.AggStore
+        val li = t(s, dir, "lineitem")
+          .select(col("l_suppkey"), col("l_quantity").cast("long").as("qty"))
+        val tmp = java.nio.file.Files
+          .createTempDirectory("graft_q327_").toString + "/aggs"
+        AggStore.buildAggStore(li, tmp, "l_suppkey", "qty")
+        AggStore.lookupAggStoreKeys(
+          li.filter(col("l_suppkey") % 11 === 0)
+            .select(col("l_suppkey")).distinct(),
+          tmp, "l_suppkey").orderBy(col("key"))
+      },
+      Some("""SELECT l_suppkey AS key, count(*) AS cnt,
+             |  CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS total
+             |FROM lineitem WHERE l_suppkey % 11 = 0
              |GROUP BY 1 ORDER BY key""".stripMargin))
   )
 

@@ -93,6 +93,20 @@ class ViewStoreSpec extends SparkSpec {
     assert(ViewStore.joinViewHistory(spark, path).map(_._1) == Seq(2L, 1L))
   }
 
+  test("point lookup reads only the groups' view buckets") {
+    val path = tmp()
+    build(path)
+    ViewStore.mergeIntoJoinView(a2, b2, path, "okey", "cust", "okey", "qty",
+      appliedId = Some("batch-1"))
+    val one = ViewStore.lookupJoinViewGroups(Seq(20L).toDF("key"), path)
+    assert(one.as[(Long, Long, Long)].collect().toSet == Set((20L, 1L, 2L)))
+    val allFiles = ViewStore.readJoinView(spark, path).inputFiles.toSet
+    val lookFiles = one.inputFiles.toSet
+    assert(lookFiles.subsetOf(allFiles) && lookFiles.size < allFiles.size,
+      s"lookup must open a strict subset of the view's files " +
+        s"(${lookFiles.size} of ${allFiles.size})")
+  }
+
   test("rollback reverts state AND ledgers batch-aligned; the re-fed " +
     "batch applies; diff audits the change") {
     val path = tmp()
