@@ -390,6 +390,28 @@ object TextIndex {
     } finally GenStore.freeLocal(keep)
   }
 
+  /** Pointer-only ROLLBACK of the LAST `batchesBack` appends — "undo
+    * yesterday's bad document load" — batch-RELATIVE for the
+    * [[ViewStore.rollbackJoinView]] reason: every append advances every
+    * present substore (positional included) by exactly one generation,
+    * while purge sweeps advance only the substores that lost rows, so
+    * absolute generations drift across a purge but "N appends ago"
+    * stays aligned within the window since the last purge (which
+    * truncated the history anyway). Ledgers revert with state, so the
+    * corrected re-feed applies under the same id.
+    */
+  def rollbackTextIndex(spark: SparkSession, path: String,
+                        batchesBack: Int): Unit = {
+    require(batchesBack >= 1,
+      s"batchesBack must be positive, got $batchesBack")
+    Seq("postings", "dl", "stats", "pos")
+      .filter(sub => GenStore.read(spark, s"$path/$sub").isDefined)
+      .foreach { sub =>
+        val cur = GenStore.read(spark, s"$path/$sub").get
+        GenStore.rollback(spark, s"$path/$sub", cur.gen - batchesBack)
+      }
+  }
+
   /** UN-SUPPRESSION on re-consent: future batches carrying these ids
     * ingest again. Policy reversal only — the erased postings are gone.
     */

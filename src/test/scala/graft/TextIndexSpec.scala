@@ -93,6 +93,25 @@ class TextIndexSpec extends SparkSpec {
     assert(got == Set((1L, 3L)), s"conjunctive candidates wrong: $got")
   }
 
+  test("rollback reverts an append pointer-only; the re-feed applies") {
+    val path = tmp()
+    TextIndex.buildTextIndex(docs(_ % 2 == 1), path, "doc_id", "text",
+      nBuckets = 4, appliedId = Some("b0"), positional = true)
+    // BAD load: the even docs arrive with corrupted text
+    TextIndex.mergeIntoTextIndex(
+      docs(_ % 2 == 0).withColumn("text", lit("garbage garbage")),
+      path, "doc_id", "text", appliedId = Some("b1"))
+    TextIndex.rollbackTextIndex(spark, path, batchesBack = 1)
+    TextIndex.mergeIntoTextIndex(docs(_ % 2 == 0), path, "doc_id", "text",
+      appliedId = Some("b1")) // ledger reverted: same id applies
+    assert(served(path) == oneShot(docsAll.toDF("doc_id", "text")),
+      "post-rollback re-feed must equal the never-corrupted index")
+    // the positional substore reverted in lockstep
+    assert(TextIndex.phraseSearch(spark, path, "egg fig", "doc_id")
+      .select(col("doc_id")).as[Long].collect().toSet == Set(4L, 5L),
+      "the positional substore must carry the corrected load")
+  }
+
   test("serve as-of replays the index exactly as each batch committed it") {
     val path = tmp()
     TextIndex.buildTextIndex(docs(_ % 2 == 1), path, "doc_id", "text",
