@@ -152,6 +152,24 @@ class TextIndexSpec extends SparkSpec {
     assert(hits("kiwi apple") == Set.empty)
   }
 
+  test("vacuum trims history to the retention window; serving unaffected") {
+    val path = tmp()
+    TextIndex.buildTextIndex(docs(_ % 2 == 1), path, "doc_id", "text",
+      nBuckets = 4, appliedId = Some("b0"))
+    TextIndex.mergeIntoTextIndex(docs(_ % 2 == 0), path, "doc_id", "text",
+      appliedId = Some("b1"))
+    val before = served(path)
+    val deleted = TextIndex.vacuumTextIndex(spark, path, keepGens = 1)
+    assert(deleted.nonEmpty, "generation-1 dirs and manifests must retire")
+    assert(served(path) == before, "vacuum must not move the served answer")
+    val err = intercept[IllegalArgumentException] {
+      TextIndex.serveTextIndex(spark, path, queries, "qid", "qtext",
+        "doc_id", asOfGen = Some(1L)).collect()
+    }
+    assert(err.getMessage.contains("not retained"),
+      "a vacuumed generation must fail loudly, never scan partially")
+  }
+
   test("purge repairs stats exactly, erases every byte, and suppresses " +
     "re-sends until re-admission") {
     val path = tmp()

@@ -93,6 +93,23 @@ class ViewStoreSpec extends SparkSpec {
     assert(ViewStore.joinViewHistory(spark, path).map(_._1) == Seq(2L, 1L))
   }
 
+  test("vacuum trims all three substores' history; the view unaffected") {
+    val path = tmp()
+    build(path)
+    ViewStore.mergeIntoJoinView(a2, b2, path, "okey", "cust", "okey", "qty",
+      appliedId = Some("batch-1"))
+    val before = view(path)
+    val deleted = ViewStore.vacuumJoinView(spark, path, keepGens = 1)
+    assert(deleted.exists(_.startsWith("view/")) &&
+      deleted.exists(_.startsWith("a/")) && deleted.exists(_.startsWith("b/")),
+      s"all three substores must retire generation-1 state, got $deleted")
+    assert(view(path) == before, "vacuum must not move the served view")
+    val err = intercept[IllegalArgumentException] {
+      ViewStore.readJoinViewAsOf(spark, path, 1L).collect()
+    }
+    assert(err.getMessage.contains("not retained"))
+  }
+
   test("point lookup reads only the groups' view buckets") {
     val path = tmp()
     build(path)
