@@ -116,8 +116,17 @@ object TextIndex {
     require(nBuckets >= 1, s"nBuckets must be positive, got $nBuckets")
     val spark = docs.sparkSession
     val (tf, dl, stats) = deltas(docs, idCol, textCol)
-    val subs = Seq(("postings", tf), ("dl", dl), ("stats", stats)) ++
-      (if (positional) Seq(("pos", posOf(docs, idCol, textCol))) else Seq.empty)
+    // the POSITIONAL leg commits FIRST: [[textIndexExists]] probes
+    // postings/dl/stats (stats last in this order), so "the index
+    // exists" then IMPLIES the pos substore exists when it was
+    // requested — a crash between any two legs leaves exists() false
+    // and the idempotent re-build heals all four, instead of the old
+    // pos-last order where a crash before the pos commit minted an
+    // "existing" index whose merges silently skipped the fourth leg
+    // forever (phraseSearch would throw much later, unrecoverably).
+    val subs = (if (positional) Seq(("pos", posOf(docs, idCol, textCol)))
+      else Seq.empty) ++
+      Seq(("postings", tf), ("dl", dl), ("stats", stats))
     subs.foreach {
       case (sub, rows) =>
         val p = GenStore.read(spark, s"$path/$sub")
@@ -129,7 +138,9 @@ object TextIndex {
 
   /** Is there a committed index at `path`? All three substores must
     * have manifests (the crash-mid-build replay probe, as
-    * [[ViewStore.joinViewExists]]).
+    * [[ViewStore.joinViewExists]]). Positional builds commit `pos`
+    * FIRST, so a positive probe also guarantees the pos substore when
+    * one was requested — see [[buildTextIndex]].
     */
   def textIndexExists(spark: SparkSession, path: String): Boolean =
     Seq("postings", "dl", "stats").forall(sub =>
@@ -214,9 +225,13 @@ object TextIndex {
     }.reduce(_.join(_, Seq("id", "start")))
     val counted = starts.groupBy(col("id"))
       .agg(count(lit(1)).as("phrase_tf"))
+    // top-k via orderBy + limit (TakeOrderedAndProject: per-partition
+    // heap then a k-row merge — never a single-partition full window,
+    // and the shape cannot regress if a later refactor drops the rank
+    // filter); rn derives AFTER the bound, over ≤ k rows
+    val topk = counted.orderBy(col("phrase_tf").desc, col("id")).limit(k)
     val w = Window.orderBy(col("phrase_tf").desc, col("id"))
-    counted.withColumn("rn", row_number().over(w))
-      .filter(col("rn") <= k)
+    topk.withColumn("rn", row_number().over(w))
       .select(col("id").as(idCol), col("phrase_tf"), col("rn"))
   }
 
@@ -326,7 +341,13 @@ object TextIndex {
                          idCol: String = "id"): (Long, Long) = {
     val spark = ids.sparkSession
     require(textIndexExists(spark, path), s"not a text index: $path")
-    val k = ids.select(col(idCol).cast("long").as("key")).distinct()
+    // the purge keys MUST stay the stored id's NATIVE type: the index
+    // accepts any hashable id (xxhash64 buckets strings fine), and a
+    // cast-to-long here would null out non-long ids — the sweeps would
+    // match nothing, the suppression list would fill with nulls, and
+    // the compliance erase would silently not happen while history
+    // still truncated
+    val k = ids.select(col(idCol).as("key")).distinct()
       .localCheckpoint(true)
     try {
       require(!k.isEmpty, "purge needs at least one document id")
@@ -414,11 +435,12 @@ object TextIndex {
 
   /** UN-SUPPRESSION on re-consent: future batches carrying these ids
     * ingest again. Policy reversal only — the erased postings are gone.
+    * Native id type, matching the purge's suppression rows.
     */
   def readmitTextIndexDocs(ids: DataFrame, path: String,
                            idCol: String = "id"): Long =
     graft.streaming.Suppression.clear(
-      ids.select(col(idCol).cast("long").as("key")),
+      ids.select(col(idCol).as("key")),
       s"$path/_purged/ids", "key")
 
   /** Retention GC across the substores (the positional one included

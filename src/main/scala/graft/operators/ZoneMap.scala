@@ -82,25 +82,63 @@ object ZoneMap {
   def appendWithStats(df: DataFrame, dataPath: String,
                       statCols: Seq[String], zonePath: String): Unit = {
     val spark = df.sparkSession
+    val conf = spark.sessionState.newHadoopConf()
     val p = new org.apache.hadoop.fs.Path(dataPath)
-    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
-    def files(): Set[String] =
-      if (!fs.exists(p)) Set.empty
-      else fs.listStatus(p).filter(_.isFile).map(_.getPath.getName)
-        .filter(_.endsWith(".parquet")).toSet
-    val before = files()
-    df.write.mode("append").parquet(dataPath)
-    val fresh = (files() -- before).toSeq.sorted.map(n => s"$dataPath/$n")
-    if (fresh.isEmpty) return // empty increment: nothing to describe
-    val newStats = statsFrame(spark.read.parquet(fresh: _*), statCols)
-    val zp = new org.apache.hadoop.fs.Path(zonePath)
-    val merged =
-      (if (zp.getFileSystem(spark.sessionState.newHadoopConf()).exists(zp))
-        spark.read.parquet(zonePath).unionByName(newStats)
-      else newStats)
-        .localCheckpoint(true) // materialize BEFORE overwriting the source
-    try merged.coalesce(1).write.mode("overwrite").parquet(zonePath)
-    finally GenStore.freeLocal(merged)
+    val fs = p.getFileSystem(conf)
+    // SINGLE-WRITER GUARD (the [[GenStore.commitGen]] staging-guard
+    // idea for a listing-diff append): two interleaved appenders would
+    // each attribute the OTHER's files to themselves and the zone map
+    // would gain duplicate rows — so the append takes an EXCLUSIVE
+    // claim file first (create-no-overwrite is atomic on HDFS and the
+    // local FS) and a concurrent violation fails LOUDLY here instead
+    // of mis-attributing. A crash leaves the claim behind; the next
+    // append's failure message says exactly what to check before
+    // removing it — stale-lock hygiene, the caller's maintenance
+    // window discipline as everywhere.
+    if (!fs.exists(p)) fs.mkdirs(p)
+    val claim = new org.apache.hadoop.fs.Path(s"$dataPath/_zm_append.lock")
+    val out =
+      try fs.create(claim, false)
+      catch {
+        case e: java.io.IOException => throw new IllegalStateException(
+          s"zone-map append claim already held at $claim — a concurrent " +
+            "append is running (one maintenance writer at a time), or a " +
+            "crashed one left its claim: verify no appender is live, " +
+            "then remove the file", e)
+      }
+    out.close()
+    try {
+      def files(): Set[String] =
+        fs.listStatus(p).filter(_.isFile).map(_.getPath.getName)
+          .filter(_.endsWith(".parquet")).toSet
+      val before = files()
+      df.write.mode("append").parquet(dataPath)
+      val fresh = (files() -- before).toSeq.sorted.map(n => s"$dataPath/$n")
+      if (fresh.isEmpty) return // empty increment: nothing to describe
+      val newStats = statsFrame(spark.read.parquet(fresh: _*), statCols)
+      val zp = new org.apache.hadoop.fs.Path(zonePath)
+      val zmExists = zp.getFileSystem(conf).exists(zp)
+      if (zmExists) {
+        // defense in depth behind the claim: a file the map already
+        // describes can only mean an interleaved appender slipped the
+        // lock (manual removal) — duplicate stats rows would make the
+        // pruned read open it twice, duplicating result rows
+        val freshNames = fresh.map(_.split('/').last)
+        val clash = spark.read.parquet(zonePath)
+          .where(element_at(split(col("file"), "/"), -1)
+            .isin(freshNames: _*)).count()
+        require(clash == 0L,
+          s"zone map at $zonePath already describes $clash of the " +
+            "appended files — appends interleaved despite the claim " +
+            "(one maintenance writer at a time)")
+      }
+      val merged =
+        (if (zmExists) spark.read.parquet(zonePath).unionByName(newStats)
+        else newStats)
+          .localCheckpoint(true) // materialize BEFORE overwriting the source
+      try merged.coalesce(1).write.mode("overwrite").parquet(zonePath)
+      finally GenStore.freeLocal(merged)
+    } finally fs.delete(claim, false)
   }
 
   /** The skipping decision, made once on the metadata table: data files

@@ -6,7 +6,7 @@ import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression,
 import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, LogicalPlan, Project}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
-import org.apache.spark.sql.types.LongType
+import org.apache.spark.sql.types.{ByteType, DataType, IntegerType, LongType, ShortType}
 
 import graft.operators.AggStore
 
@@ -69,6 +69,15 @@ object MvCatalog {
           "column-pruned) as the base"))
     require(base.columns.contains(keyCol) && base.columns.contains(valCol),
       s"base must carry $keyCol and $valCol")
+    // the store's `total` is the LONG sum the build applied via
+    // cast(long) — any NUMERIC value column registers (the matcher
+    // serves `sum(cast(v as long))`, which truncates exactly as the
+    // store's own write did), but a non-numeric one can only ever
+    // mis-serve; loud here rather than silent non-rewrites later.
+    require(base.schema(valCol).dataType
+        .isInstanceOf[org.apache.spark.sql.types.NumericType],
+      s"registerAggView: value column $valCol must be numeric " +
+        s"(got ${base.schema(valCol).dataType.simpleString})")
     synchronized { reg += MvEntry(paths, keyCol, valCol, storePath) }
   }
 
@@ -92,16 +101,22 @@ case class AggStoreRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
     */
   private def rewrite(g: Expression, aggExprs: Seq[NamedExpression],
                       child: LogicalPlan): Option[LogicalPlan] = {
-    val matched = for {
-      (rel, visible) <- relationWithOutput(child)
-      relPaths = AggStoreRewrite.pathsOf(rel)
-      entry <- MvCatalog.entries.find(e =>
-        PathNorm.pathsEqual(relPaths, e.rootPaths))
-      keyAttr <- attrNamed(visible, entry.keyCol)
-      valAttr <- attrNamed(visible, entry.valCol)
-      gAttr <- asAttr(g) if gAttr.exprId == keyAttr.exprId
-      outs <- mapOutputs(aggExprs, keyAttr, valAttr)
-    } yield (entry, keyAttr, outs)
+    // several views may register the same base (different value
+    // columns) — try EVERY path-matching entry, first full match wins
+    val matched = relationWithOutput(child).flatMap { case (rel, visible) =>
+      val relPaths = AggStoreRewrite.pathsOf(rel)
+      MvCatalog.entries.iterator
+        .filter(e => PathNorm.pathsEqual(relPaths, e.rootPaths))
+        .flatMap { entry =>
+          for {
+            keyAttr <- attrNamed(visible, entry.keyCol)
+            valAttr <- attrNamed(visible, entry.valCol)
+            gAttr <- asAttr(g) if gAttr.exprId == keyAttr.exprId
+            outs <- mapOutputs(aggExprs, keyAttr, valAttr)
+          } yield (entry, keyAttr, outs)
+        }
+        .nextOption()
+    }
     matched.flatMap { case (entry, keyAttr, outs) =>
       val store = AggStore.readAggStore(spark, entry.storePath)
         .queryExecution.analyzed
@@ -139,7 +154,10 @@ case class AggStoreRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
       inner match {
         case a: AttributeReference if a.exprId == keyAttr.exprId =>
           Some(ne -> (StoreCol.Key: StoreColT))
-        case AggregateExpression(Count(Seq(Literal(_, _))), _, false, None, _) =>
+        // the literal must be NON-null: count(NULL) is 0 for every
+        // group, not the store's per-key row count
+        case AggregateExpression(Count(Seq(Literal(v, _))), _, false, None, _)
+            if v != null =>
           Some(ne -> (StoreCol.Cnt: StoreColT))
         case AggregateExpression(s: Sum, _, false, None, _)
             if isValRef(s.child, valAttr) =>
@@ -150,10 +168,16 @@ case class AggStoreRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
     if (mapped.forall(_.isDefined)) Some(mapped.flatten) else None
   }
 
-  /** `v` or `cast(v as long)` — the widening the store's own write
-    * applies. */
+  /** `v` (INTEGRAL only) or `cast(v as long)` (any numeric `v`). The
+    * store's `total` is `sum(cast(v as long))`: a query that applies
+    * the same cast truncates exactly as the store's write did, so the
+    * rewrite is value-identical for any numeric source — but a BARE
+    * `sum(doubleCol)` is a true double sum, and serving the store's
+    * truncated long under the original attribute id would silently
+    * change both the values and the attribute's dataType mid-plan. */
   private def isValRef(e: Expression, valAttr: Attribute): Boolean = e match {
-    case a: AttributeReference => a.exprId == valAttr.exprId
+    case a: AttributeReference =>
+      a.exprId == valAttr.exprId && AggStoreRewrite.integral(a.dataType)
     case Cast(a: AttributeReference, LongType, _, _) =>
       a.exprId == valAttr.exprId
     case _ => false
@@ -184,6 +208,14 @@ case class AggStoreRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
 }
 
 object AggStoreRewrite {
+  /** The exact-long-sum input types: Sum over these yields LongType ==
+    * the store's `total` column, value-identical to the store's own
+    * cast(long) fold. */
+  private[plans] def integral(t: DataType): Boolean = t match {
+    case ByteType | ShortType | IntegerType | LongType => true
+    case _ => false
+  }
+
   private[plans] def pathsOf(rel: LogicalRelation): Set[String] =
     rel.relation match {
       case fs: HadoopFsRelation =>

@@ -46,6 +46,17 @@ object JoinViewCatalog {
         .getOrElse(throw new IllegalArgumentException(
           s"registerJoinView needs a bare parquet relation for $what"))
     val (ap, bp) = (paths(a, "A"), paths(b, "B"))
+    // the view stores grp as LONG and total as the exact LONG sum —
+    // a non-long group would only ever produce silent non-rewrites,
+    // and a non-numeric value column can only mis-serve; loud here
+    require(a.schema(aGrpCol).dataType == org.apache.spark.sql.types.LongType,
+      s"registerJoinView: group column $aGrpCol must be LongType " +
+        s"(got ${a.schema(aGrpCol).dataType.simpleString}) — the view " +
+        "stores groups as long")
+    require(b.schema(bValCol).dataType
+        .isInstanceOf[org.apache.spark.sql.types.NumericType],
+      s"registerJoinView: value column $bValCol must be numeric " +
+        s"(got ${b.schema(bValCol).dataType.simpleString})")
     synchronized {
       reg += JvEntry(ap, bp, aKeyCol, aGrpCol, bKeyCol, bValCol, storePath)
     }
@@ -106,10 +117,12 @@ case class JoinViewRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
     val matched = stripProject(child) match {
       case Join(l, r, Inner,
           Some(EqualTo(x: AttributeReference, y: AttributeReference)), _) =>
-        for {
-          (lp, lAttrs, lFilt) <- side(l)
-          (rp, rAttrs, rFilt) <- side(r)
-          entry <- JoinViewCatalog.entries.find(e =>
+        // several views may register the same base pair — try every
+        // path-matching entry, first full match wins
+        (for {
+          (lp, lAttrs, lFilt) <- side(l).iterator
+          (rp, rAttrs, rFilt) <- side(r).iterator
+          entry <- JoinViewCatalog.entries.iterator.filter(e =>
             PathNorm.pathsEqual(lp, e.aPaths) &&
               PathNorm.pathsEqual(rp, e.bPaths))
           aKey <- lAttrs.find(_.name == entry.aKeyCol)
@@ -133,7 +146,7 @@ case class JoinViewRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
           }
           _ <- Some(()).filter(_ => gAttr.exprId == aGrp.exprId)
           outs <- mapOutputs(aggExprs, aGrp, bVal)
-        } yield (entry, aGrp, outs)
+        } yield (entry, aGrp, outs)).nextOption()
       case _ => None
     }
     matched.flatMap { case (entry, aGrp, outs) =>
@@ -164,7 +177,10 @@ case class JoinViewRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
       inner match {
         case a: AttributeReference if a.exprId == grpAttr.exprId =>
           Some(ne -> 0)
-        case AggregateExpression(Count(Seq(Literal(_, _))), _, false, None, _) =>
+        // non-null literal only: count(NULL) is 0 per group, not the
+        // view's pair count
+        case AggregateExpression(Count(Seq(Literal(v, _))), _, false, None, _)
+            if v != null =>
           Some(ne -> 1)
         case AggregateExpression(s: Sum, _, false, None, _)
             if isValRef(s.child, valAttr) =>
@@ -175,8 +191,13 @@ case class JoinViewRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
     if (mapped.forall(_.isDefined)) Some(mapped.flatten) else None
   }
 
+  /** `v` (integral only) or `cast(v as long)` (any numeric `v`, which
+    * truncates exactly as the view's own write did) — the
+    * [[AggStoreRewrite.isValRef]] argument verbatim: a bare fractional
+    * sum must never serve the truncated long. */
   private def isValRef(e: Expression, valAttr: Attribute): Boolean = e match {
-    case a: AttributeReference => a.exprId == valAttr.exprId
+    case a: AttributeReference =>
+      a.exprId == valAttr.exprId && AggStoreRewrite.integral(a.dataType)
     case Cast(a: AttributeReference, LongType, _, _) =>
       a.exprId == valAttr.exprId
     case _ => false

@@ -116,6 +116,51 @@ class MvRewriteSpec extends SparkSpec {
     }
   }
 
+  test("type discipline: a bare fractional sum never serves the truncated " +
+    "store total; the query's own cast(long) does; count(NULL) is never " +
+    "the store count") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_mvt_").toString
+    Seq((1L, 10L, 1.5, "x"), (1L, 20L, 2.5, "y"), (2L, 5L, 0.5, "z"))
+      .toDF("k", "v", "d", "s").write.parquet(s"$dir/base")
+    val base = spark.read.parquet(s"$dir/base")
+    AggStore.buildAggStore(base, s"$dir/store", "k", "v")
+    // store over the DOUBLE column: total = sum(cast(d as long)), truncated
+    AggStore.buildAggStore(base, s"$dir/store_d", "k", "d")
+    withRule {
+      // non-numeric value columns refuse loudly at registration
+      val err = intercept[IllegalArgumentException] {
+        MvCatalog.registerAggView(base, "k", "s", s"$dir/store")
+      }
+      assert(err.getMessage.contains("must be numeric"))
+      MvCatalog.registerAggView(base, "k", "v", s"$dir/store")
+      MvCatalog.registerAggView(base, "k", "d", s"$dir/store_d")
+      // a BARE sum(double) is a true double sum — the store holds the
+      // cast-truncated long, so the matcher must refuse
+      val sumD = base.groupBy(col("k"))
+        .agg(count(lit(1)).as("cnt"), sum(col("d")).as("total"))
+      assert(!sumD.inputFiles.exists(_.contains("/store_d/")),
+        "a fractional sum must not serve the truncated store total")
+      assert(sumD.orderBy("k").as[(Long, Long, Double)].collect().toSeq ==
+        Seq((1L, 2L, 4.0), (2L, 1L, 0.5)))
+      // ...but the query's OWN cast(long) truncates exactly as the
+      // store's write did — value-identical, rewrite fires
+      val sumCast = base.groupBy(col("k"))
+        .agg(count(lit(1)).as("cnt"), sum(col("d").cast("long")).as("total"))
+      assert(sumCast.inputFiles.exists(_.contains("/store_d/")),
+        "sum(cast(d as long)) matches the store's own fold")
+      assert(sumCast.orderBy("k").as[(Long, Long, Long)].collect().toSeq ==
+        Seq((1L, 2L, 3L), (2L, 1L, 0L)))
+      // count(NULL) is 0 for every group — not the store's row count
+      val cn = base.groupBy(col("k"))
+        .agg(count(lit(null)).as("cnt"),
+          sum(col("v").cast("long")).as("total"))
+      assert(!cn.inputFiles.exists(_.contains("/store/")),
+        "count(NULL) must not rewrite to the store count")
+      assert(cn.orderBy("k").as[(Long, Long, Long)].collect().toSeq ==
+        Seq((1L, 0L, 30L), (2L, 0L, 5L)))
+    }
+  }
+
   test("without a registration the rule is a no-op") {
     val dir = java.nio.file.Files.createTempDirectory("graft_mv3_").toString
     Seq((1L, 10L)).toDF("k", "v").write.parquet(s"$dir/base")

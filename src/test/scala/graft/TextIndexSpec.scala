@@ -214,4 +214,33 @@ class TextIndexSpec extends SparkSpec {
     assert(served(path) == served(rebuilt),
       "a re-admitted doc must index again")
   }
+
+  test("purge keys stay the stored id's native type — string ids erase") {
+    val path = tmp()
+    val sdocs = docsAll.map { case (i, t) => (s"doc-$i", t) }
+    TextIndex.buildTextIndex(sdocs.toDF("doc_id", "text"), path,
+      "doc_id", "text", nBuckets = 4)
+    val (postDel, dlDel) = TextIndex.purgeTextIndexDocs(
+      Seq("doc-1", "doc-4").toDF("id"), path, purgeId = "ticket-s")
+    assert(dlDel == 2L && postDel == 6L,
+      s"string-id purge must sweep the same rows as long ids " +
+        s"(got post=$postDel dl=$dlDel) — a cast-to-long would null the " +
+        "keys and silently erase nothing")
+    // serving equals a fresh build on the survivors
+    val fresh = tmp()
+    TextIndex.buildTextIndex(
+      sdocs.filter(d => d._1 != "doc-1" && d._1 != "doc-4")
+        .toDF("doc_id", "text"), fresh, "doc_id", "text", nBuckets = 4)
+    def servedS(p: String) =
+      TextIndex.serveTextIndex(spark, p, queries, "qid", "qtext",
+          "doc_id", k = 3)
+        .select(col("qid"), col("doc_id"), round(col("score"), 6), col("rn"))
+        .as[(Long, String, Double, Int)].collect().toSet
+    assert(servedS(path) == servedS(fresh))
+    // suppression list holds the native ids, and re-admission clears them
+    assert(spark.read.parquet(s"$path/_purged/ids")
+      .as[String].collect().toSet == Set("doc-1", "doc-4"))
+    assert(TextIndex.readmitTextIndexDocs(
+      Seq("doc-1", "doc-4").toDF("id"), path) == 2L)
+  }
 }

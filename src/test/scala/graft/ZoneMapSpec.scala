@@ -129,4 +129,27 @@ class ZoneMapSpec extends SparkSpec {
       "null v rows can never match v BETWEEN 0 AND 100 — skipping their " +
         "file is sound")
   }
+
+  test("a held append claim fails a concurrent append loudly") {
+    val dir = tmp("claim")
+    val half1 = spark.range(0, 64).select(
+      col("id").as("a"), (col("id") * 2).as("b"))
+    ZoneMap.writeZOrdered(half1, s"$dir/data", s"$dir/zone", "a", "b",
+      bits = 8, partitions = 2)
+    // simulate a concurrent (or crashed) appender's claim
+    val claim = new java.io.File(s"$dir/data/_zm_append.lock")
+    assert(claim.createNewFile())
+    val err = intercept[IllegalStateException] {
+      ZoneMap.appendWithStats(half1, s"$dir/data", Seq("a", "b"),
+        s"$dir/zone")
+    }
+    assert(err.getMessage.contains("claim already held"),
+      "an interleaved append must fail loudly, never mis-attribute files")
+    // releasing the claim lets the append proceed, and it cleans up after
+    assert(claim.delete())
+    ZoneMap.appendWithStats(half1, s"$dir/data", Seq("a", "b"), s"$dir/zone")
+    assert(!claim.exists(), "the append must release its claim")
+    val full = spark.read.parquet(s"$dir/data").count()
+    assert(full == 128L, "both halves must have landed")
+  }
 }
