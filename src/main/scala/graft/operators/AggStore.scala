@@ -185,7 +185,8 @@ object AggStore {
     */
   def lookupAggStoreKeys(keys: DataFrame, path: String,
                          keyCol: String = "key"): DataFrame =
-    GenStore.lookupKeys(keys.sparkSession, path, Seq("key", "cnt", "total"),
+    GenStore.lookupKeys(keys.sparkSession, path,
+      Seq("key"), Seq("cnt", "total"),
       keys.select(col(keyCol).as("key")))
 
   /** TIME-TRAVEL read: the state exactly as generation `gen` committed

@@ -310,42 +310,123 @@ private[graft] object GenStore {
         Snapshot.listKvDirs(spark, s"$subPath/$dir", "bucket").map((_, dir))))
   }
 
-  /** Additive merge of a pre-aggregated delta: read only the buckets
-    * holding delta keys, full-outer on the identity columns, sum
-    * columns ADD (the exact long monoid — negative deltas are legal,
-    * retractions are the caller's semantics), rewrite those buckets
-    * into a fresh generation. A ledger hit is a detected no-op; an
-    * EMPTY delta commits the id POINTER-ONLY (same entries, next
-    * generation) so a multi-substore caller's crash replay finds every
-    * ledger stamped.
+  /** FOLDED read of a keyed additive substore: the per-identity sums
+    * across every segment the entries name — `sum` over the exact long
+    * monoid, so folding one segment is the identity and folding many
+    * equals the eager merge bit-for-bit (the LSM read path; see
+    * [[mergeAdditive]]). The aggregation runs over ONLY the buckets
+    * passed, so serve-path folds cost the touched buckets, never the
+    * store.
+    */
+  def foldRead(spark: org.apache.spark.sql.SparkSession, subPath: String,
+               entries: Seq[(Long, String)], idCols: Seq[String],
+               sumCols: Seq[String]): DataFrame = {
+    require(entries.nonEmpty, s"substore at $subPath has no buckets")
+    val aggs = sumCols.map(c => sum(col(c)).as(c))
+    readBucketDirs(spark, subPath, entries)
+      .groupBy(idCols.map(col): _*)
+      .agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** Additive merge of a pre-aggregated delta — LSM-TIERED: the delta
+    * lands as a per-batch SEGMENT under its touched buckets (a fresh
+    * `d<gen+1>` whose bucket dirs JOIN the manifest alongside the
+    * buckets' existing entries, rather than replacing them), so a
+    * merge's write cost is ∝ the INCREMENT, never the touched buckets'
+    * volume — the classic LSM trade for a hot-key streaming feed into
+    * a 100 TB store, where rewriting a hot bucket wholesale per
+    * microbatch is the write amplification that kills the shape.
+    * Readers fold segments through [[foldRead]] (the exact long monoid
+    * makes fold-at-read == eager-merge bit-for-bit, in any order); a
+    * bucket whose segment count would exceed `maxSegments` is COMPACTED
+    * in the same commit — its segments fold with the delta into the new
+    * directory and its old entries drop — bounding every bucket's read
+    * fan-out. A ledger hit is a detected no-op; an EMPTY delta commits
+    * POINTER-ONLY (same entries, next generation, ledger stamped when
+    * an id is present) UNCONDITIONALLY, so multi-substore callers'
+    * generations advance in lockstep even for a one-sided batch and a
+    * crash replay finds every ledger stamped. Crash-replay safe like
+    * every mutation here: the staging dir rewrites deterministically
+    * (committed state + same increment) and the manifest swap is the
+    * only commit point.
     */
   def mergeAdditive(spark: org.apache.spark.sql.SparkSession,
                     subPath: String, delta: DataFrame, idCols: Seq[String],
-                    sumCols: Seq[String], appliedId: Option[String]): Unit = {
+                    sumCols: Seq[String], appliedId: Option[String],
+                    maxSegments: Int = 8): Unit = {
+    require(maxSegments >= 1, s"maxSegments must be positive, got $maxSegments")
     val m = read(spark, subPath).getOrElse(
       throw new IllegalArgumentException(s"not a keyed substore: $subPath"))
     if (appliedId.exists(m.applied.contains)) return // replay: no-op
     val cols = idCols ++ sumCols
     val touched = delta.select(bucketOfKey(m.nBuckets).as("bucket"))
       .distinct().collect().map(_.getLong(0)).toSet // ≤ nBuckets
-    if (touched.isEmpty) { // nothing to fold: stamp the ledger pointer-only
-      appliedId.foreach(id => write(spark, subPath,
-        Manifest(m.gen + 1, m.nBuckets, m.applied :+ id, m.entries)))
+    if (touched.isEmpty) {
+      // nothing to fold: advance pointer-only — ALWAYS, id or not, so
+      // sibling substores sharing a batch cadence stay gen-aligned
+      write(spark, subPath,
+        Manifest(m.gen + 1, m.nBuckets, m.applied ++ appliedId.toSeq,
+          m.entries))
       return
     }
-    val existing = m.entries.filter(e => touched.contains(e._1))
-    val cur =
-      if (existing.isEmpty) delta.select(cols.map(col): _*).limit(0)
-      else readBucketDirs(spark, subPath, existing).select(cols.map(col): _*)
-    val merged = cur.join(
-        delta.select(idCols.map(col) ++
-          sumCols.map(c => col(c).as(s"__d$c")): _*),
-        idCols, "full_outer")
-      .select(idCols.map(col) ++ sumCols.map(c =>
-        (coalesce(col(c), lit(0L)) + coalesce(col(s"__d$c"), lit(0L)))
-          .as(c)): _*)
-    commitGen(spark, subPath, merged, m.nBuckets, m.applied, m.gen,
-      m.entries.filterNot(e => touched.contains(e._1)), appliedId)
+    val segCount = m.entries.groupBy(_._1).view.mapValues(_.size).toMap
+    val compact = touched.filter(b => segCount.getOrElse(b, 0) + 1 > maxSegments)
+    val deltaCols = delta.select(cols.map(col): _*)
+    val appendRows = // under-threshold buckets: the delta IS the segment
+      if (compact.isEmpty) deltaCols
+      else deltaCols.where(!bucketOfKey(m.nBuckets).isin(
+        compact.toSeq.map(Long.box): _*))
+    val rows =
+      if (compact.isEmpty) appendRows
+      else { // over-threshold buckets: fold their segments WITH the delta
+        val folded = foldRead(spark, subPath,
+            m.entries.filter(e => compact.contains(e._1)), idCols, sumCols)
+          .join(deltaCols.where(bucketOfKey(m.nBuckets).isin(
+              compact.toSeq.map(Long.box): _*))
+            .select(idCols.map(col) ++
+              sumCols.map(c => col(c).as(s"__d$c")): _*),
+            idCols, "full_outer")
+          .select(idCols.map(col) ++ sumCols.map(c =>
+            (coalesce(col(c), lit(0L)) + coalesce(col(s"__d$c"), lit(0L)))
+              .as(c)): _*)
+        appendRows.unionByName(folded)
+      }
+    // compacted buckets REMAP to the new dir alone; appended buckets
+    // keep their old segments and gain the new one; untouched buckets
+    // carry verbatim
+    commitGen(spark, subPath, rows, m.nBuckets, m.applied, m.gen,
+      m.entries.filterNot(e => compact.contains(e._1)), appliedId)
+  }
+
+  /** Explicit compaction of a keyed additive substore: every bucket
+    * with more than `maxSegments` segments folds into one, committed as
+    * a normal mutation (fresh generation, manifest swap, history
+    * archived). `maxSegments = 1` is the full fold. Run on a cadence,
+    * like any LSM's background compaction; [[vacuum]] then reclaims the
+    * superseded segment dirs past retention. Returns the number of
+    * buckets compacted.
+    */
+  def compactAdditive(spark: org.apache.spark.sql.SparkSession,
+                      subPath: String, idCols: Seq[String],
+                      sumCols: Seq[String], maxSegments: Int = 1): Int = {
+    require(maxSegments >= 1, s"maxSegments must be positive, got $maxSegments")
+    val m = read(spark, subPath).getOrElse(
+      throw new IllegalArgumentException(s"not a keyed substore: $subPath"))
+    val over = m.entries.groupBy(_._1).filter(_._2.size > maxSegments).keySet
+    if (over.isEmpty) {
+      // still a mutation: advance pointer-only so store-level compaction
+      // verbs keep sibling substores gen-aligned (the batch-relative
+      // rollback invariant — every mutation advances every substore by
+      // exactly one)
+      write(spark, subPath,
+        Manifest(m.gen + 1, m.nBuckets, m.applied, m.entries))
+      return 0
+    }
+    val rows = foldRead(spark, subPath,
+      m.entries.filter(e => over.contains(e._1)), idCols, sumCols)
+    commitGen(spark, subPath, rows, m.nBuckets, m.applied, m.gen,
+      m.entries.filterNot(e => over.contains(e._1)), None)
+    over.size
   }
 
   /** POINT LOOKUP on a keyed substore: the rows whose `key` is in
@@ -358,13 +439,16 @@ private[graft] object GenStore {
     * granularity).
     */
   def lookupKeys(spark: org.apache.spark.sql.SparkSession, subPath: String,
-                 cols: Seq[String], keys: DataFrame): DataFrame = {
+                 idCols: Seq[String], sumCols: Seq[String],
+                 keys: DataFrame): DataFrame = {
+    require(idCols.contains("key"), "lookupKeys needs `key` among idCols")
     val m = read(spark, subPath).getOrElse(
       throw new IllegalArgumentException(s"not a keyed substore: $subPath"))
     val k = keys.select(col("key")).distinct()
     val touched = k.select(bucketOfKey(m.nBuckets).as("bucket"))
       .distinct().collect().map(_.getLong(0)).toSet // ≤ nBuckets
     val existing = m.entries.filter(e => touched.contains(e._1))
+    val cols = idCols ++ sumCols
     if (existing.isEmpty) {
       val tmpl =
         if (m.entries.isEmpty)
@@ -372,9 +456,14 @@ private[graft] object GenStore {
         else readBucketDirs(spark, subPath, m.entries.take(1))
       return tmpl.select(cols.map(col): _*).limit(0)
     }
+    // semi-join FIRST (rows ∝ the keys), fold second — LSM segments of
+    // a key sum to its state ([[foldRead]])
+    val aggs = sumCols.map(c => sum(col(c)).as(c))
     readBucketDirs(spark, subPath, existing)
       .select(cols.map(col): _*)
       .join(broadcast(k), Seq("key"), "left_semi")
+      .groupBy(idCols.map(col): _*)
+      .agg(aggs.head, aggs.tail: _*)
   }
 
   /** Purge-sweep of a keyed substore: delete the rows whose `key` is in
@@ -385,7 +474,8 @@ private[graft] object GenStore {
     * erasure). Returns the rows deleted.
     */
   def sweepKeys(spark: org.apache.spark.sql.SparkSession, subPath: String,
-                cols: Seq[String], keys: DataFrame): Long = {
+                idCols: Seq[String], sumCols: Seq[String],
+                keys: DataFrame): Long = {
     val m = read(spark, subPath).getOrElse(
       throw new IllegalArgumentException(s"not a keyed substore: $subPath"))
     val k = keys.localCheckpoint(true)
@@ -394,8 +484,9 @@ private[graft] object GenStore {
         .distinct().collect().map(_.getLong(0)).toSet
       val existing = m.entries.filter(e => touched.contains(e._1))
       if (existing.isEmpty) { purgeCommitted(spark, subPath); return 0L }
-      val cur = readBucketDirs(spark, subPath, existing)
-        .select(cols.map(col): _*)
+      // fold the touched buckets so survivors land as ONE segment and
+      // the deleted count is LOGICAL rows, not segment rows
+      val cur = foldRead(spark, subPath, existing, idCols, sumCols)
       val keep = cur.join(k, Seq("key"), "left_anti").localCheckpoint(true)
       try {
         val deleted = cur.count() - keep.count()
@@ -438,14 +529,32 @@ private[graft] object GenStore {
            genA: Long, genB: Long, keyCol: String, valCols: Seq[String],
            movedTag: String): DataFrame = {
     val (ma, mb) = (at(spark, path, genA), at(spark, path, genB))
-    val (ea, eb) = (ma.entries.toMap, mb.entries.toMap)
-    val changed = (ea.keySet ++ eb.keySet).filter(b => ea.get(b) != eb.get(b))
+    // a bucket may map to SEVERAL segment dirs (the LSM tier) — compare
+    // segment SETS: equal sets ⇒ byte-identical content, prune; a plain
+    // toMap would collapse segments and mis-prune
+    def segs(m: Manifest): Map[Long, Set[String]] =
+      m.entries.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val (ea, eb) = (segs(ma), segs(mb))
+    val changed = (ea.keySet ++ eb.keySet)
+      .filter(b => ea.getOrElse(b, Set.empty) != eb.getOrElse(b, Set.empty))
+    val segmented = (ma.entries ++ mb.entries).groupBy(_._1)
+      .exists(_._2.map(_._2).distinct.size > 1)
     def side(m: Manifest, tag: String): DataFrame = {
       val es = m.entries.filter(e => changed.contains(e._1))
       // schema from a live entry when this side has no changed buckets
       // (limit(0) folds to an empty relation — zero data read)
-      val df = readBucketDirs(spark, path,
+      val df0 = readBucketDirs(spark, path,
         if (es.nonEmpty) es else m.entries.take(1))
+      // fold segments per key when any exist — only additive stores
+      // grow segments ([[mergeAdditive]]), so summing is their own
+      // read semantics; single-segment stores take the raw path
+      // unchanged (their valCols need not be summable)
+      val df =
+        if (!segmented) df0
+        else {
+          val aggs = valCols.map(v => sum(col(v)).as(v))
+          df0.groupBy(col(keyCol)).agg(aggs.head, aggs.tail: _*)
+        }
       val named = (if (es.nonEmpty) df else df.limit(0))
         .select(col(keyCol) +:
           valCols.map(v => col(v).as(s"${v}_$tag")): _*)

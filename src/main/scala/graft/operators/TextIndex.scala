@@ -26,8 +26,13 @@ import graft.functions.TextFns
   *    length-normalization lookup, read only for candidate documents;
   *  - `path/stats`:    one row `(key = 0, nd, sumdl)` — the corpus
   *    constants, additive like everything else.
-  * All merges are the exact long monoid via [[GenStore.mergeAdditive]];
-  * a document is IMMUTABLE and appended once (re-sending a batch is
+  * All merges are the exact long monoid via [[GenStore.mergeAdditive]],
+  * LSM-tiered: a day's postings land as SEGMENTS under their term
+  * buckets (write ∝ the increment, not the hot buckets' volume), folded
+  * at read where identities can repeat — only `stats` does; postings/
+  * dl/pos rows are append-unique, so serve reads them raw — and
+  * compacted past a segment threshold or by [[compactTextIndex]]. A
+  * document is IMMUTABLE and appended once (re-sending a batch is
   * caught by the ledgers; re-using a doc id across different batches is
   * the caller's contract violation, same as every id-keyed store here).
   *
@@ -264,7 +269,10 @@ object TextIndex {
     }
     val mPost = resolve("postings")
     val mDl = resolve("dl")
-    val statsRow = GenStore.readRaw(spark, s"$path/stats", resolve("stats"))
+    // stats is the ONE substore whose key repeats across batches (every
+    // merge lands a (0, nd, sumdl) segment) — fold to the corpus totals
+    val statsRow = GenStore.foldRead(spark, s"$path/stats",
+        resolve("stats").entries, Seq("key"), Seq("nd", "sumdl"))
       .select(col("nd"), col("sumdl")).head()
     val (nd, sumdl) = (statsRow.getLong(0), statsRow.getLong(1))
     require(nd > 0L, s"text index at $path is empty")
@@ -371,7 +379,7 @@ object TextIndex {
           .filter(col("nd") < 0L),
         Seq("key"), Seq("nd", "sumdl"), Some(s"purge-$purgeId"))
       val dlDeleted = GenStore.sweepKeys(spark, s"$path/dl",
-        Seq("key", "dl"), k)
+        Seq("key"), Seq("dl"), k)
       val postDeleted = sweepPostings(spark, s"$path/postings",
         Seq("key", "id", "tf"), k)
       if (GenStore.read(spark, s"$path/pos").isDefined)
@@ -451,4 +459,23 @@ object TextIndex {
       .filter(sub => GenStore.read(spark, s"$path/$sub").isDefined)
       .flatMap(sub =>
         GenStore.vacuum(spark, s"$path/$sub", keepGens).map(n => s"$sub/$n"))
+
+  /** LSM compaction across the substores ([[GenStore.compactAdditive]]):
+    * buckets holding more than `maxSegments` delta segments fold into
+    * one; each present substore advances exactly one generation
+    * (pointer-only when nothing folds), keeping the batch-relative
+    * rollback alignment. Returns buckets compacted per substore.
+    */
+  def compactTextIndex(spark: SparkSession, path: String,
+                       maxSegments: Int = 1): Seq[(String, Int)] =
+    Seq(("postings", Seq("key", "id"), Seq("tf")),
+        ("dl", Seq("key"), Seq("dl")),
+        ("stats", Seq("key"), Seq("nd", "sumdl")),
+        ("pos", Seq("key", "id", "pos"), Seq("n")))
+      .filter { case (sub, _, _) =>
+        GenStore.read(spark, s"$path/$sub").isDefined }
+      .map { case (sub, ids, sums) =>
+        sub -> GenStore.compactAdditive(spark, s"$path/$sub", ids, sums,
+          maxSegments)
+      }
 }

@@ -38,11 +38,18 @@ import org.apache.spark.sql.functions._
   *  - `path/view`: `(key, cnt, total)` with `key` = the GROUP value,
   *    bucketed by it (maintenance rewrites rows by which group
   *    changed).
-  * A merge touches ≤ |increment keys| side buckets and ≤ |changed
-  * groups| view buckets — untouched buckets are never read, listed, or
-  * rewritten, and readers holding a previous manifest keep scanning
-  * byte-identical files. Time travel, retention vacuum, audit diff,
-  * and pointer-only rollback come from [[GenStore]] per substore.
+  * A merge READS ≤ |increment keys| side buckets (the pre-increment
+  * states the delta rule needs) and WRITES only the increment itself:
+  * deltas land as LSM SEGMENTS under their buckets
+  * ([[GenStore.mergeAdditive]]), folded at read time by the same exact
+  * monoid, auto-compacted past a segment threshold and on demand by
+  * [[compactJoinView]] — so a hot group's bucket is never rewritten
+  * wholesale per batch, the write amplification that would kill a
+  * streaming feed into a 100 TB view. Untouched buckets are never
+  * read, listed, or rewritten, and readers holding a previous manifest
+  * keep scanning byte-identical files. Time travel, retention vacuum,
+  * audit diff, and pointer-only rollback come from [[GenStore]] per
+  * substore.
   *
   * EXACTLY-ONCE ACROSS THREE MANIFESTS. A join-view increment is not
   * idempotent (a replayed batch double-counts), and one call commits
@@ -97,15 +104,19 @@ object ViewStore {
   // ---- substore plumbing (one bucket convention for all three: hash of
   // the substore's own `key` column) ----
 
-  /** All rows of a substore; empty-with-schema when the substore has no
-    * entries yet (a legitimately empty side or view).
+  /** The FOLDED state of a substore ([[GenStore.foldRead]] — merges
+    * land as LSM segments, so a key's state is the sum over them);
+    * empty-with-schema when the substore has no entries yet (a
+    * legitimately empty side or view).
     */
   private def readSub(spark: SparkSession, subPath: String,
-                      cols: Seq[String], template: DataFrame): DataFrame = {
+                      idCols: Seq[String], sumCols: Seq[String],
+                      template: DataFrame): DataFrame = {
     val m = GenStore.read(spark, subPath).getOrElse(
       throw new IllegalArgumentException(s"not a join-view substore: $subPath"))
-    if (m.entries.isEmpty) template.select(cols.map(col): _*).limit(0)
-    else GenStore.readRaw(spark, subPath, m).select(cols.map(col): _*)
+    if (m.entries.isEmpty)
+      template.select((idCols ++ sumCols).map(col): _*).limit(0)
+    else GenStore.foldRead(spark, subPath, m.entries, idCols, sumCols)
   }
 
   /** The per-(key, grp) view contribution of one side-state pair. */
@@ -198,18 +209,27 @@ object ViewStore {
         // one bucket set serves both sides (same hash, same nBuckets)
         val touched = touchedKeys.select(GenStore.bucketOfKey(nBuckets).as("bucket"))
           .distinct().collect().map(_.getLong(0)).toSet // ≤ nBuckets
-        def oldSide(m: GenStore.Manifest, sub: String,
-                    cols: Seq[String], template: DataFrame): DataFrame = {
+        // a side's PRE-increment state: touched buckets only, semi-join
+        // FIRST (rows ∝ the increment's keys), then fold the LSM
+        // segments to per-identity state ([[GenStore.foldRead]])
+        def oldSide(m: GenStore.Manifest, sub: String, idCols: Seq[String],
+                    sumCols: Seq[String], template: DataFrame): DataFrame = {
+          val cols = idCols ++ sumCols
           val es = m.entries.filter(e => touched.contains(e._1))
           if (es.isEmpty) template.select(cols.map(col): _*).limit(0)
-          else GenStore.readBucketDirs(spark, s"$path/$sub", es)
-            .select(cols.map(col): _*)
-            .join(touchedKeys, Seq("key"), "left_semi")
+          else {
+            val aggs = sumCols.map(c => sum(col(c)).as(c))
+            GenStore.readBucketDirs(spark, s"$path/$sub", es)
+              .select(cols.map(col): _*)
+              .join(touchedKeys, Seq("key"), "left_semi")
+              .groupBy(idCols.map(col): _*)
+              .agg(aggs.head, aggs.tail: _*)
+          }
         }
         if (appliedId.forall(id => !mView.applied.contains(id))) {
           // leg 1 — the VIEW, from the PRE-increment side states
-          val aOld = oldSide(mA, "a", Seq("key", "grp", "na"), dA)
-          val bOld = oldSide(mB, "b", Seq("key", "nb", "vb"), dB)
+          val aOld = oldSide(mA, "a", Seq("key", "grp"), Seq("na"), dA)
+          val bOld = oldSide(mB, "b", Seq("key"), Seq("nb", "vb"), dB)
           val aPair = aOld
             .join(dA.select(col("key"), col("grp"), col("na").as("dna")),
               Seq("key", "grp"), "full_outer")
@@ -248,15 +268,16 @@ object ViewStore {
     } finally { freeCheckpoint(dA); freeCheckpoint(dB) }
   }
 
-  /** The materialized view, `(key, cnt, total)` — `key` is the group. */
+  /** The materialized view, `(key, cnt, total)` — `key` is the group;
+    * folded over the LSM segments ([[GenStore.foldRead]]). */
   def readJoinView(spark: SparkSession, path: String): DataFrame = {
     val m = GenStore.read(spark, s"$path/view").getOrElse(
       throw new IllegalArgumentException(s"not a join-view store: $path"))
     if (m.entries.isEmpty)
       spark.range(0).select(col("id").as("key"), col("id").as("cnt"),
         col("id").as("total")).limit(0)
-    else GenStore.readRaw(spark, s"$path/view", m)
-      .select(col("key"), col("cnt"), col("total"))
+    else GenStore.foldRead(spark, s"$path/view", m.entries,
+      Seq("key"), Seq("cnt", "total"))
   }
 
   /** POINT LOOKUP ([[GenStore.lookupKeys]]): the groups' view rows,
@@ -267,7 +288,7 @@ object ViewStore {
   def lookupJoinViewGroups(groups: DataFrame, path: String,
                            grpCol: String = "key"): DataFrame =
     GenStore.lookupKeys(groups.sparkSession, s"$path/view",
-      Seq("key", "cnt", "total"),
+      Seq("key"), Seq("cnt", "total"),
       groups.select(col(grpCol).cast("long").as("key")))
 
   /** TIME-TRAVEL read of the view as of one of ITS generations (each
@@ -276,14 +297,32 @@ object ViewStore {
     */
   def readJoinViewAsOf(spark: SparkSession, path: String,
                        gen: Long): DataFrame =
-    GenStore.readRaw(spark, s"$path/view", GenStore.at(spark, s"$path/view", gen))
-      .select(col("key"), col("cnt"), col("total"))
+    GenStore.foldRead(spark, s"$path/view",
+      GenStore.at(spark, s"$path/view", gen).entries,
+      Seq("key"), Seq("cnt", "total"))
 
   /** Retention GC across all three substores ([[GenStore.vacuum]]). */
   def vacuumJoinView(spark: SparkSession, path: String,
                      keepGens: Int = 1): Seq[String] =
     Seq("view", "a", "b").flatMap(sub =>
       GenStore.vacuum(spark, s"$path/$sub", keepGens).map(n => s"$sub/$n"))
+
+  /** LSM compaction across the three substores ([[GenStore
+    * .compactAdditive]]): every bucket holding more than `maxSegments`
+    * delta segments folds into one. Each substore advances exactly one
+    * generation (pointer-only when it has nothing to fold), keeping the
+    * batch-relative rollback alignment. Run on a cadence, then [[
+    * vacuumJoinView]] reclaims the superseded segments past retention.
+    * Returns buckets compacted per substore.
+    */
+  def compactJoinView(spark: SparkSession, path: String,
+                      maxSegments: Int = 1): Seq[(String, Int)] =
+    Seq(("view", Seq("key"), Seq("cnt", "total")),
+        ("a", Seq("key", "grp"), Seq("na")),
+        ("b", Seq("key"), Seq("nb", "vb"))).map { case (sub, ids, sums) =>
+      sub -> GenStore.compactAdditive(spark, s"$path/$sub", ids, sums,
+        maxSegments)
+    }
 
   /** The view substore's resolvable snapshots, newest first. */
   def joinViewHistory(spark: SparkSession,
@@ -318,7 +357,7 @@ object ViewStore {
       g.write.mode("append").parquet(s"$path/_purged/groups")
       val mA = GenStore.read(spark, s"$path/a").getOrElse(
         throw new IllegalArgumentException(s"not a join-view store: $path"))
-      val aAll = readSub(spark, s"$path/a", Seq("key", "grp", "na"),
+      val aAll = readSub(spark, s"$path/a", Seq("key", "grp"), Seq("na"),
         spark.range(0).select(col("id").as("key"), col("id").as("grp"),
           col("id").as("na")))
       val subjectRows = aAll.join(g, Seq("grp"), "left_semi")
@@ -333,14 +372,15 @@ object ViewStore {
             orphanKeys.write.mode("append").parquet(s"$path/_purged/keys")
 
           // (2) sweeps, each keyed off its PERSISTED list (re-runnable)
-          val vDel = GenStore.sweepKeys(spark, s"$path/view", Seq("key", "cnt", "total"),
-            g.select(col("grp").as("key")))
+          val vDel = GenStore.sweepKeys(spark, s"$path/view",
+            Seq("key"), Seq("cnt", "total"), g.select(col("grp").as("key")))
           val aDel = sweepA(spark, s"$path/a", g)
           val keysP = new org.apache.hadoop.fs.Path(s"$path/_purged/keys")
           val bDel =
             if (!keysP.getFileSystem(spark.sessionState.newHadoopConf())
               .exists(keysP)) 0L
-            else GenStore.sweepKeys(spark, s"$path/b", Seq("key", "nb", "vb"),
+            else GenStore.sweepKeys(spark, s"$path/b",
+              Seq("key"), Seq("nb", "vb"),
               spark.read.parquet(s"$path/_purged/keys")
                 .select(col("key")).distinct())
           (aDel, bDel, vDel)
@@ -365,8 +405,9 @@ object ViewStore {
       .collect().map(_.getLong(0)).toSet
     if (touched.isEmpty) { GenStore.purgeCommitted(spark, subPath); return 0L }
     val existing = m.entries.filter(e => touched.contains(e._1))
-    val cur = GenStore.readBucketDirs(spark, subPath, existing)
-      .select(col("key"), col("grp"), col("na"))
+    // folded, so survivors land as one segment and counts are logical
+    val cur = GenStore.foldRead(spark, subPath, existing,
+      Seq("key", "grp"), Seq("na"))
     val keep = cur.join(g, Seq("grp"), "left_anti").localCheckpoint(true)
     try {
       val deleted = cur.count() - keep.count()

@@ -243,4 +243,31 @@ class TextIndexSpec extends SparkSpec {
     assert(TextIndex.readmitTextIndexDocs(
       Seq("doc-1", "doc-4").toDF("id"), path) == 2L)
   }
+
+  test("appends land as LSM segments; compaction folds them; serving " +
+    "unchanged") {
+    val path = tmp()
+    TextIndex.buildTextIndex(docs(_ % 2 == 1), path, "doc_id", "text",
+      nBuckets = 4, appliedId = Some("b0"))
+    TextIndex.mergeIntoTextIndex(docs(_ % 2 == 0), path, "doc_id", "text",
+      appliedId = Some("b1"))
+    // the stats key (0) repeats every batch — its bucket holds two
+    // segments now, folded at serve time
+    val mStats = GenStore.read(spark, s"$path/stats").get
+    assert(mStats.entries.size == 2 &&
+      mStats.entries.map(_._1).distinct.size == 1,
+      s"stats must hold two segments of one bucket, got ${mStats.entries}")
+    val before = served(path)
+    val compacted = TextIndex.compactTextIndex(spark, path).toMap
+    assert(compacted("stats") == 1,
+      s"the stats bucket must fold, got $compacted")
+    assert(GenStore.read(spark, s"$path/stats").get.entries.size == 1)
+    assert(served(path) == before,
+      "compaction must not move the served ranking")
+    // every substore advanced exactly once (pointer-only where nothing
+    // folded) — the batch-relative alignment invariant
+    val gens = Seq("postings", "dl", "stats")
+      .map(s => GenStore.read(spark, s"$path/$s").get.gen)
+    assert(gens.distinct.size == 1, s"substores must stay aligned: $gens")
+  }
 }

@@ -205,4 +205,89 @@ class ViewStoreSpec extends SparkSpec {
     assert(view(path) == Set((88L, 1L, 3L), (77L, 1L, 9L)),
       "a re-admitted subject's new data must ingest; erased keys stay gone")
   }
+
+  test("a merge WRITES the increment, not the touched bucket " +
+    "(LSM delta segments)") {
+    val path = tmp()
+    // nBuckets = 1: every group lands in ONE bucket — the hot-bucket
+    // worst case the LSM tier exists for
+    val aBig = spark.range(0, 200)
+      .select(col("id").as("okey"), (col("id") % 100).as("cust"))
+    val bBig = spark.range(0, 200)
+      .select(col("id").as("okey"), lit(2L).as("qty"))
+    ViewStore.buildJoinView(aBig, bBig, path, "okey", "cust", "okey", "qty",
+      nBuckets = 1, appliedId = Some("b0"))
+    ViewStore.mergeIntoJoinView(
+      Seq((1000L, 7L)).toDF("okey", "cust"),
+      Seq((1000L, 5L)).toDF("okey", "qty"),
+      path, "okey", "cust", "okey", "qty", appliedId = Some("b1"))
+    // the new generation dir holds ONLY the delta's rows — the 100-key
+    // bucket was NOT rewritten (written bytes ∝ the increment)
+    assert(spark.read.parquet(s"$path/view/d2").count() == 1L,
+      "the view's d2 segment must hold the one changed group")
+    assert(spark.read.parquet(s"$path/a/d2").count() == 1L,
+      "the a-substore's d2 segment must hold the one new a-row state")
+    // the bucket now maps to BOTH segment dirs in the manifest
+    val mv = GenStore.read(spark, s"$path/view").get
+    assert(mv.entries.map(_._1).distinct.size == 1 && mv.entries.size == 2,
+      s"bucket 0 must map to two segments, got ${mv.entries}")
+    // folded serving equals the recompute: cust c has okeys {c, c+100},
+    // 1 b-row of qty 2 each → (2, 4); cust 7 gains (1000, qty 5)
+    val expect = (0L until 100L)
+      .map(c => if (c == 7L) (c, 3L, 9L) else (c, 2L, 4L)).toSet
+    assert(view(path) == expect, "fold-at-read must equal the eager merge")
+  }
+
+  test("segments auto-compact past the threshold; explicit compaction " +
+    "folds to one; substores stay gen-aligned throughout") {
+    val path = tmp()
+    build(path)
+    for (i <- 1 to 10)
+      ViewStore.mergeIntoJoinView(
+        Seq((100L + i, 10L)).toDF("okey", "cust"),
+        Seq((100L + i, 1L)).toDF("okey", "qty"),
+        path, "okey", "cust", "okey", "qty", appliedId = Some(s"m$i"))
+    // ten hot-group merges: state exact, segment fan-out bounded by the
+    // auto-compaction threshold
+    assert(view(path) == Set((10L, 11L, 15L)),
+      s"ten (cnt+1, total+1) increments on (10, 1, 5), got ${view(path)}")
+    val mv = GenStore.read(spark, s"$path/view").get
+    assert(mv.entries.groupBy(_._1).forall(_._2.size <= 8),
+      s"auto-compaction must bound segments at 8, got ${mv.entries}")
+    val before = view(path)
+    val compacted = ViewStore.compactJoinView(spark, path, maxSegments = 1)
+    assert(compacted.exists(_._2 > 0), s"something must fold, got $compacted")
+    val mv2 = GenStore.read(spark, s"$path/view").get
+    assert(mv2.entries.groupBy(_._1).forall(_._2.size == 1),
+      "full compaction must leave single-segment buckets")
+    assert(view(path) == before, "compaction must not move the view")
+    // every mutation advanced every substore by exactly one generation
+    val gens = Seq("view", "a", "b")
+      .map(s => GenStore.read(spark, s"$path/$s").get.gen)
+    assert(gens.distinct.size == 1,
+      s"substores must stay gen-aligned, got $gens")
+  }
+
+  test("one-sided and all-zero-delta batches advance every substore in " +
+    "lockstep, applied id or not") {
+    val path = tmp()
+    build(path)
+    def gens = Seq("view", "a", "b")
+      .map(s => GenStore.read(spark, s"$path/$s").get.gen)
+    assert(gens == Seq(1L, 1L, 1L))
+    // a-only batch, NO applied id, new key with no b-state: the view's
+    // delta is all-zero and b's is empty — BOTH must still commit
+    // pointer-only, or the substores drift and batch-relative rollback
+    // addresses different batches per substore
+    ViewStore.mergeIntoJoinView(
+      Seq((50L, 40L)).toDF("okey", "cust"), b1.limit(0),
+      path, "okey", "cust", "okey", "qty")
+    assert(gens == Seq(2L, 2L, 2L),
+      s"a one-sided no-id batch must advance all three, got $gens")
+    assert(view(path) == Set((10L, 1L, 5L)),
+      "key 50 has no b-state: the view is unchanged")
+    // batch-relative rollback stays aligned across the one-sided batch
+    ViewStore.rollbackJoinView(spark, path, batchesBack = 1)
+    assert(gens == Seq(3L, 3L, 3L) && view(path) == Set((10L, 1L, 5L)))
+  }
 }
