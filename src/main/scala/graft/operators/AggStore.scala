@@ -95,6 +95,9 @@ object AggStore {
     GenStore.write(spark, path, GenStore.Manifest(gen, nBuckets,
       prev.map(_.applied).getOrElse(Seq.empty) ++ appliedId.toSeq,
       Snapshot.listKvDirs(spark, s"$path/$dir", "bucket").map((_, dir))))
+    // freshness fingerprint for the MV rewrite — strictly AFTER the
+    // commit ([[BaseFiles]] ordering argument)
+    BaseFiles.record(spark, path, rows.inputFiles.toSeq)
   }
 
   /** Merge an increment: per-key counts/sums ADD (exact integer monoid,
@@ -160,6 +163,8 @@ object AggStore {
           manifest.applied ++ appliedId.toSeq,
           manifest.entries.filterNot(e => touched.contains(e._1)) ++
             Snapshot.listKvDirs(spark, s"$path/$dir", "bucket").map((_, dir))))
+      // freshness fingerprint AFTER the commit ([[BaseFiles]])
+      BaseFiles.record(spark, path, increment.inputFiles.toSeq)
     } finally freeCheckpoint(delta)
   }
 

@@ -151,6 +151,10 @@ object ViewStore {
         p.map(_.applied).getOrElse(Seq.empty), p.map(_.gen).getOrElse(0L),
         Seq.empty, appliedId)
     }
+    // freshness fingerprint for the MV rewrite — both bases' files,
+    // strictly AFTER the commits ([[BaseFiles]] ordering argument)
+    BaseFiles.record(spark, path,
+      a.inputFiles.toSeq ++ b.inputFiles.toSeq)
   }
 
   /** Is there a committed view store at `path`? ALL THREE substores
@@ -266,6 +270,9 @@ object ViewStore {
           appliedId)
       } finally freeCheckpoint(touchedKeys)
     } finally { freeCheckpoint(dA); freeCheckpoint(dB) }
+    // freshness fingerprint AFTER all three legs ([[BaseFiles]])
+    BaseFiles.record(spark, path,
+      da.inputFiles.toSeq ++ db.inputFiles.toSeq)
   }
 
   /** The materialized view, `(key, cnt, total)` — `key` is the group;

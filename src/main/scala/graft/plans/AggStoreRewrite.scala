@@ -113,6 +113,12 @@ case class AggStoreRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
             valAttr <- attrNamed(visible, entry.valCol)
             gAttr <- asAttr(g) if gAttr.exprId == keyAttr.exprId
             outs <- mapOutputs(aggExprs, keyAttr, valAttr)
+            // FRESHNESS: every file this scan would read must be
+            // reflected in the store, or serving it is a stale answer
+            // — refuse and answer from the base (correct, just not
+            // accelerated) until the landed files merge in
+            _ <- Some(()).filter(_ =>
+              AggStoreRewrite.freshOrLog(spark, entry.storePath, rel, log))
           } yield (entry, keyAttr, outs)
         }
         .nextOption()
@@ -222,6 +228,27 @@ object AggStoreRewrite {
         fs.location.rootPaths.map(_.toString).toSet
       case _ => Set.empty
     }
+
+  /** The freshness gate ([[graft.operators.BaseFiles.covers]]): true
+    * when the relation's landed files are all reflected in the store's
+    * fingerprint (or no fingerprint exists — pre-guard stores keep the
+    * registration contract); logs the refusal otherwise so staleness is
+    * observable, not silent.
+    */
+  private[plans] def freshOrLog(spark: SparkSession, storePath: String,
+                                rel: LogicalRelation,
+                                log: org.slf4j.Logger): Boolean = {
+    val files = rel.relation match {
+      case fs: HadoopFsRelation => fs.location.inputFiles.toSeq
+      case _ => Seq.empty
+    }
+    val ok = graft.operators.BaseFiles.covers(spark, storePath, files)
+    if (!ok) log.warn(
+      s"MV rewrite refused: base ${pathsOf(rel).mkString(",")} has landed " +
+        s"files not reflected in the store at $storePath — answering from " +
+        "the base; merge the new files into the store to restore serving")
+    ok
+  }
 
   private[plans] def relationPaths(plan: LogicalPlan): Option[Set[String]] =
     plan.collectFirst {

@@ -86,23 +86,26 @@ case class JoinViewRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
     * is semantically a no-op for the view's pair set.
     */
   private def side(plan: LogicalPlan)
-      : Option[(Set[String], Seq[Attribute], Option[Attribute])] = {
-    def bare(p: LogicalPlan): Option[(Set[String], Seq[Attribute])] =
+      : Option[(Set[String], Seq[Attribute], Option[Attribute],
+        LogicalRelation)] = {
+    def bare(p: LogicalPlan)
+        : Option[(Set[String], Seq[Attribute], LogicalRelation)] =
       p match {
         case r: LogicalRelation =>
-          Some((AggStoreRewrite.pathsOf(r), r.output))
+          Some((AggStoreRewrite.pathsOf(r), r.output, r))
         case Project(projList, r: LogicalRelation)
             if projList.forall(_.isInstanceOf[AttributeReference]) =>
           Some((AggStoreRewrite.pathsOf(r),
-            projList.map(_.asInstanceOf[AttributeReference])))
+            projList.map(_.asInstanceOf[AttributeReference]), r))
         case _ => None
       }
     plan match {
       case org.apache.spark.sql.catalyst.plans.logical.Filter(
           org.apache.spark.sql.catalyst.expressions.IsNotNull(
             a: AttributeReference), inner) =>
-        bare(inner).map { case (p, attrs) => (p, attrs, Some(a)) }
-      case other => bare(other).map { case (p, attrs) => (p, attrs, None) }
+        bare(inner).map { case (p, attrs, r) => (p, attrs, Some(a), r) }
+      case other =>
+        bare(other).map { case (p, attrs, r) => (p, attrs, None, r) }
     }
   }
 
@@ -120,11 +123,17 @@ case class JoinViewRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
         // several views may register the same base pair — try every
         // path-matching entry, first full match wins
         (for {
-          (lp, lAttrs, lFilt) <- side(l).iterator
-          (rp, rAttrs, rFilt) <- side(r).iterator
+          (lp, lAttrs, lFilt, lRel) <- side(l).iterator
+          (rp, rAttrs, rFilt, rRel) <- side(r).iterator
           entry <- JoinViewCatalog.entries.iterator.filter(e =>
             PathNorm.pathsEqual(lp, e.aPaths) &&
               PathNorm.pathsEqual(rp, e.bPaths))
+          // FRESHNESS: both bases' landed files must be reflected in
+          // the view store, else answer from the bases (correct, not
+          // accelerated) until the new files merge in
+          _ <- Some(()).filter(_ =>
+            AggStoreRewrite.freshOrLog(spark, entry.storePath, lRel, log) &&
+              AggStoreRewrite.freshOrLog(spark, entry.storePath, rRel, log))
           aKey <- lAttrs.find(_.name == entry.aKeyCol)
           aGrp <- lAttrs.find(_.name == entry.aGrpCol)
           bKey <- rAttrs.find(_.name == entry.bKeyCol)

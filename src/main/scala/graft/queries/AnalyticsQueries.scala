@@ -2080,7 +2080,52 @@ object AnalyticsQueries {
       Some("""SELECT l_suppkey AS key, count(*) AS cnt,
              |  CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS total
              |FROM lineitem WHERE l_suppkey % 11 = 0
-             |GROUP BY 1 ORDER BY key""".stripMargin))
+             |GROUP BY 1 ORDER BY key""".stripMargin)),
+
+    // ---- MV-REWRITE FRESHNESS GUARD (operators/BaseFiles +
+    // AggStoreRewrite.freshOrLog): every store build/merge records its
+    // source's landed-file fingerprint; the rewrite REFUSES when the
+    // scan's inputFiles have moved past it — closing the one window
+    // where a stale registration could silently serve stale
+    // aggregates. Here half of lineitem builds the store, the other
+    // half lands in the base WITHOUT a merge, and the query (rule
+    // live, eager checkpoint) must answer the FULL corpus from the
+    // base: the full-corpus oracle hash-proves the stale store did not
+    // serve. MvRewriteSpec additionally pins that merging the landed
+    // files restores the rewrite. ----
+    Q("q328_mv_rewrite_freshness",
+      (s, dir) => {
+        import graft.operators.AggStore
+        import graft.plans.{AggStoreRewrite, MvCatalog}
+        val li = t(s, dir, "lineitem")
+          .select(col("l_suppkey"), col("l_quantity").cast("long").as("qty"))
+        val tmp = java.nio.file.Files
+          .createTempDirectory("graft_q328_").toString
+        li.filter(col("l_suppkey") % 2 === 1).write.parquet(s"$tmp/base")
+        AggStore.buildAggStore(s.read.parquet(s"$tmp/base"),
+          s"$tmp/store", "l_suppkey", "qty")
+        val prev = s.experimental.extraOptimizations
+        s.experimental.extraOptimizations = prev :+ AggStoreRewrite(s)
+        try {
+          MvCatalog.registerAggView(s.read.parquet(s"$tmp/base"),
+            "l_suppkey", "qty", s"$tmp/store")
+          // the day's load lands in the base WITHOUT a store merge
+          li.filter(col("l_suppkey") % 2 === 0)
+            .write.mode("append").parquet(s"$tmp/base")
+          s.read.parquet(s"$tmp/base")
+            .groupBy(col("l_suppkey"))
+            .agg(count(lit(1)).as("cnt"), sum(col("qty")).as("total"))
+            .localCheckpoint(true) // the rule runs HERE — and refuses
+            .withColumnRenamed("l_suppkey", "key")
+            .orderBy(col("key"))
+        } finally {
+          s.experimental.extraOptimizations = prev
+          MvCatalog.clear()
+        }
+      },
+      Some("""SELECT l_suppkey AS key, count(*) AS cnt,
+             |  CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS total
+             |FROM lineitem GROUP BY 1 ORDER BY key""".stripMargin))
   )
 
   /** q260 oracle: weekday factors, the integer deseasonalization, the

@@ -161,6 +161,46 @@ class MvRewriteSpec extends SparkSpec {
     }
   }
 
+  test("freshness guard: files landed after the last store merge refuse " +
+    "the rewrite until they are merged in") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_mvf_").toString
+    Seq((1L, 10L), (2L, 5L)).toDF("k", "v").write.parquet(s"$dir/base")
+    AggStore.buildAggStore(spark.read.parquet(s"$dir/base"),
+      s"$dir/store", "k", "v")
+    withRule {
+      MvCatalog.registerAggView(spark.read.parquet(s"$dir/base"),
+        "k", "v", s"$dir/store")
+      def q = spark.read.parquet(s"$dir/base").groupBy(col("k"))
+        .agg(count(lit(1)).as("cnt"), sum(col("v").cast("long")).as("total"))
+      assert(q.inputFiles.exists(_.contains("/store/")),
+        "fresh store: the rewrite must fire")
+      // a new file lands in the base WITHOUT a store merge — the one
+      // reachable-stale-answer window; the rule must refuse and the
+      // query must answer from the base, new rows included
+      Seq((1L, 100L), (3L, 7L)).toDF("k", "v")
+        .write.mode("append").parquet(s"$dir/base")
+      val stale = q
+      assert(!stale.inputFiles.exists(_.contains("/store/")),
+        "unmerged landed files must refuse the rewrite")
+      assert(stale.orderBy("k").as[(Long, Long, Long)].collect().toSeq ==
+        Seq((1L, 2L, 110L), (2L, 1L, 5L), (3L, 1L, 7L)),
+        "the refused query must answer fresh from the base")
+      // merging the landed increment restores serving — and serves the
+      // post-merge truth
+      def norm(p: String) = p.replaceFirst("^file:/+", "/")
+      val fp = graft.operators.BaseFiles.read(spark, s"$dir/store").get
+      val landed = spark.read.parquet(s"$dir/base").inputFiles.toSeq
+        .filterNot(f => fp.contains(norm(f)))
+      AggStore.mergeIntoAggStore(spark.read.parquet(landed: _*),
+        s"$dir/store", "k", "v", appliedId = Some("day-1"))
+      val served = q
+      assert(served.inputFiles.exists(_.contains("/store/")),
+        "merging the landed files must restore the rewrite")
+      assert(served.orderBy("k").as[(Long, Long, Long)].collect().toSeq ==
+        Seq((1L, 2L, 110L), (2L, 1L, 5L), (3L, 1L, 7L)))
+    }
+  }
+
   test("without a registration the rule is a no-op") {
     val dir = java.nio.file.Files.createTempDirectory("graft_mv3_").toString
     Seq((1L, 10L)).toDF("k", "v").write.parquet(s"$dir/base")
