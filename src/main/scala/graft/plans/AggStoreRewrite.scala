@@ -259,8 +259,8 @@ object AggStoreRewrite {
 /** Path-set equality with scheme-normalization (`file:` vs `file://`),
   * so a view registered from one API surface matches a scan planned
   * from another. */
-private object PathNorm {
-  private def norm(p: String): String =
+private[plans] object PathNorm {
+  def norm(p: String): String =
     p.replaceFirst("^file:/+", "/")
   def pathsEqual(a: Set[String], b: Set[String]): Boolean =
     a.nonEmpty && a.map(norm) == b.map(norm)

@@ -1,0 +1,213 @@
+package graft.plans
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.expressions.{Alias, AttributeReference, Cast, EqualTo, Expression, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual, Literal}
+import org.apache.spark.sql.catalyst.plans.logical.{Filter, LocalRelation, LogicalPlan, Project}
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.execution.datasources.LogicalRelation
+import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
+
+import graft.operators.ZoneMap
+
+/** PLANNER-INTEGRATED ZONE-MAP PRUNING — the q322 rewrite pattern one
+  * operator down the stack: [[ZoneMap.prunedRead]] skips files, but
+  * only when called explicitly; a plain `spark.read.parquet(path)
+  * .filter(range)` over the same data scanned everything. This rule
+  * makes the engine's best scan primitive something users get FOR
+  * FREE: register `(dataPath, zonePath, statCols)` once, and every
+  * `Filter(range-conjunction, scan)` over that path rewrites to a scan
+  * of only the files whose min/max stats intersect the range — the
+  * file-skipping every lakehouse planner does from its table format's
+  * stats (Delta/Iceberg data skipping), expressed over the engine's own
+  * zone-map table.
+  *
+  * CONSERVATIVE, like the MV rewrites — a rewrite must never change
+  * semantics:
+  *  - only bounds derivable from top-level CONJUNCTS of the filter are
+  *    used for pruning (`>=`, `>`, `<=`, `<`, `=` against integral
+  *    literals, either operand order, with at most a widening cast on
+  *    the column); every OTHER conjunct is simply not a pruning bound —
+  *    dropping conjuncts only WIDENS the surviving file set, so
+  *    partial extraction stays sound;
+  *  - the ORIGINAL filter is kept above the pruned scan as the
+  *    residual (file stats admit false positives, never false
+  *    negatives — the [[ZoneMap]] law, so pruned + residual ≡ full
+  *    scan + filter, which is exactly what the q329 oracle hash-proves);
+  *  - FRESHNESS: every file the relation would scan must be DESCRIBED
+  *    by the zone map ([[ZoneMap.appendWithStats]] keeps it so); a
+  *    landed file the map has never seen refuses the rewrite (logged) —
+  *    skipping an undescribed file would be a wrong answer, the same
+  *    reachable-stale window the MV rewrites guard with [[graft
+  *    .operators.BaseFiles]];
+  *  - output attribute ids are PRESERVED via aliases, so parents (the
+  *    residual filter included) resolve unchanged.
+  *
+  * Cost at plan time: one metadata-table read (|files| rows) and the
+  * surviving file list — the same driver-side artifacts any parquet
+  * scan's partition pruning already materializes. At 100 TB the win is
+  * the scan itself: a 2-D range over a z-ordered layout opens ~the
+  * answer's worth of files instead of the corpus's.
+  */
+object ZoneMapCatalog {
+
+  case class ZmEntry(dataPaths: Set[String], zonePath: String,
+                     statCols: Seq[String])
+
+  private val reg = scala.collection.mutable.ArrayBuffer.empty[ZmEntry]
+
+  /** Register the zone map at `zonePath` (built by
+    * [[ZoneMap.buildZoneMap]] / [[ZoneMap.writeZOrdered]] over
+    * `dataPath` with `statCols`) for automatic filter-time pruning.
+    * Loud when `dataPath` is not a readable parquet relation.
+    */
+  def register(spark: SparkSession, dataPath: String, zonePath: String,
+               statCols: Seq[String]): Unit = {
+    require(statCols.nonEmpty, "register needs at least one stat column")
+    val paths = AggStoreRewrite.relationPaths(
+      spark.read.parquet(dataPath).queryExecution.analyzed)
+      .getOrElse(throw new IllegalArgumentException(
+        s"not a readable parquet relation: $dataPath"))
+    synchronized { reg += ZmEntry(paths, zonePath, statCols) }
+  }
+
+  def clear(): Unit = synchronized { reg.clear() }
+
+  def entries: Seq[ZmEntry] = synchronized { reg.toList }
+}
+
+case class ZoneMapPrune(spark: SparkSession) extends Rule[LogicalPlan] {
+
+  override def apply(plan: LogicalPlan): LogicalPlan = {
+    if (ZoneMapCatalog.entries.isEmpty) return plan
+    plan.transformUp {
+      case f @ Filter(cond, rel: LogicalRelation) =>
+        prune(cond, rel).getOrElse(f)
+    }
+  }
+
+  /** The rewritten Filter (residual kept, scan pruned), or None when the
+    * shape, freshness, or skipping potential says leave it alone.
+    */
+  private def prune(cond: Expression,
+                    rel: LogicalRelation): Option[LogicalPlan] = {
+    val relPaths = AggStoreRewrite.pathsOf(rel)
+    for {
+      entry <- ZoneMapCatalog.entries.find(e =>
+        PathNorm.pathsEqual(relPaths, e.dataPaths))
+      relFiles = rel.relation match {
+        case fs: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+          fs.location.inputFiles.toSeq
+        case _ => Seq.empty
+      }
+      described = spark.read.parquet(entry.zonePath)
+        .select(org.apache.spark.sql.functions.col("file"))
+        .collect().map(r => PathNorm.norm(r.getString(0))).toSet
+      _ <- { // freshness: an undescribed file would be silently skipped
+        val fresh = relFiles.nonEmpty &&
+          relFiles.forall(f => described.contains(PathNorm.norm(f)))
+        if (!fresh) log.warn(
+          s"zone-map prune refused: ${relPaths.mkString(",")} has landed " +
+            s"files not described by ${entry.zonePath} — scanning all; " +
+            "appendWithStats the new files to restore skipping")
+        if (fresh) Some(()) else None
+      }
+      bounds = extractBounds(cond, rel, entry.statCols)
+      if bounds.nonEmpty
+      preds = bounds.toSeq.map { case (c, (lo, hi)) => (c, lo, hi) }
+      pruned <- {
+        val (survivors, total) = ZoneMap.pruneFiles(spark, entry.zonePath,
+          preds)
+        if (survivors.size >= total) None // nothing skipped: no churn
+        else if (survivors.isEmpty)
+          Some(LocalRelation(rel.output)) // provably empty, zero data read
+        else rebuild(rel, survivors).map(Filter(cond, _)) // residual kept
+      }
+    } yield pruned
+  }
+
+  /** Per stat column: the tightest `[lo, hi]` derivable from the
+    * filter's conjuncts. Integer semantics make strict bounds exact
+    * (`c > v` ⟺ `c ≥ v+1`), with overflow guarded by dropping the
+    * bound (sound: fewer bounds = wider file set).
+    */
+  private def extractBounds(cond: Expression, rel: LogicalRelation,
+                            statCols: Seq[String])
+      : Map[String, (Long, Long)] = {
+    val relIds = rel.output.map(a => a.exprId -> a.name).toMap
+    def statName(e: Expression): Option[String] = e match {
+      case a: AttributeReference
+          if relIds.get(a.exprId).exists(statCols.contains) =>
+        Some(a.name)
+      case Cast(a: AttributeReference, LongType, _, _)
+          if relIds.get(a.exprId).exists(statCols.contains) =>
+        Some(a.name)
+      case _ => None
+    }
+    def litVal(e: Expression): Option[Long] = e match {
+      case Literal(v: Byte, ByteType) => Some(v.toLong)
+      case Literal(v: Short, ShortType) => Some(v.toLong)
+      case Literal(v: Int, IntegerType) => Some(v.toLong)
+      case Literal(v: Long, LongType) => Some(v)
+      case _ => None
+    }
+    def conjuncts(e: Expression): Seq[Expression] = e match {
+      case org.apache.spark.sql.catalyst.expressions.And(l, r) =>
+        conjuncts(l) ++ conjuncts(r)
+      case other => Seq(other)
+    }
+    val lows = scala.collection.mutable.Map.empty[String, Long]
+    val highs = scala.collection.mutable.Map.empty[String, Long]
+    def lo(c: String, v: Long): Unit =
+      lows(c) = math.max(lows.getOrElse(c, Long.MinValue), v)
+    def hi(c: String, v: Long): Unit =
+      highs(c) = math.min(highs.getOrElse(c, Long.MaxValue), v)
+    conjuncts(cond).foreach {
+      case GreaterThanOrEqual(a, l) =>
+        for (c <- statName(a); v <- litVal(l)) lo(c, v)
+      case LessThanOrEqual(a, l) =>
+        for (c <- statName(a); v <- litVal(l)) hi(c, v)
+      case GreaterThan(a, l) =>
+        for (c <- statName(a); v <- litVal(l) if v < Long.MaxValue)
+          lo(c, v + 1)
+      case LessThan(a, l) =>
+        for (c <- statName(a); v <- litVal(l) if v > Long.MinValue)
+          hi(c, v - 1)
+      case EqualTo(a, l) if statName(a).isDefined =>
+        for (c <- statName(a); v <- litVal(l)) { lo(c, v); hi(c, v) }
+      // mirrored literal-first forms
+      case GreaterThanOrEqual(l, a) if statName(a).isDefined =>
+        for (c <- statName(a); v <- litVal(l)) hi(c, v)
+      case LessThanOrEqual(l, a) if statName(a).isDefined =>
+        for (c <- statName(a); v <- litVal(l)) lo(c, v)
+      case GreaterThan(l, a) if statName(a).isDefined =>
+        for (c <- statName(a); v <- litVal(l) if v > Long.MinValue)
+          hi(c, v - 1)
+      case LessThan(l, a) if statName(a).isDefined =>
+        for (c <- statName(a); v <- litVal(l) if v < Long.MaxValue)
+          lo(c, v + 1)
+      case EqualTo(l, a) if statName(a).isDefined && litVal(l).isDefined =>
+        for (c <- statName(a); v <- litVal(l)) { lo(c, v); hi(c, v) }
+      case _ => () // not a pruning bound — stays in the residual
+    }
+    (lows.keySet ++ highs.keySet).map { c =>
+      c -> (lows.getOrElse(c, Long.MinValue), highs.getOrElse(c, Long.MaxValue))
+    }.toMap
+  }
+
+  /** The survivor-file relation, projected back to the original
+    * attribute names AND ids so the residual filter and everything
+    * above resolve unchanged; None if the survivor schema ever fails to
+    * line up (never expected — same parquet files).
+    */
+  private def rebuild(rel: LogicalRelation,
+                      survivors: Seq[String]): Option[LogicalPlan] = {
+    val fresh = spark.read.parquet(survivors: _*).queryExecution.analyzed
+    val byName = fresh.output.map(a => a.name -> a).toMap
+    val aliases = rel.output.map { old =>
+      byName.get(old.name).filter(_.dataType == old.dataType)
+        .map(na => Alias(na, old.name)(exprId = old.exprId))
+    }
+    if (aliases.exists(_.isEmpty)) None
+    else Some(Project(aliases.flatten, fresh))
+  }
+}

@@ -382,6 +382,52 @@ object MiscQueries {
              |  AND l_suppkey BETWEEN 10 AND 40
              |GROUP BY 1 ORDER BY 1""".stripMargin)),
 
+    // ---- PLANNER-INTEGRATED zone-map pruning (plans/ZoneMapPrune +
+    // ZoneMapCatalog): q311's skipping with NO explicit prunedRead
+    // call — a PLAIN spark.read.parquet(...).filter(range) over the
+    // registered layout is rewritten by the injected optimizer rule to
+    // open only the stat-intersecting files, with the original filter
+    // kept as the residual (stats admit false positives, never false
+    // negatives) and attribute ids preserved. ZoneMapSpec pins the
+    // strict-subset inputFiles and the stale-map refusal (an
+    // undescribed landed file scans everything rather than skipping
+    // blind). Oracle: the same full-scan filter as q311 — the hash
+    // proves the free skipping loses nothing. ----
+    Q("q329_zonemap_rewrite",
+      (s, dir) => {
+        import graft.operators.ZoneMap
+        import graft.plans.{ZoneMapCatalog, ZoneMapPrune}
+        val tmp = java.nio.file.Files
+          .createTempDirectory("graft_q329_").toString
+        val li = t(s, dir, "lineitem")
+          .select(col("l_partkey"), col("l_suppkey"),
+            col("l_quantity").cast("long").as("qty"), col("l_returnflag"))
+        ZoneMap.writeZOrdered(li, s"$tmp/data", s"$tmp/zone",
+          "l_partkey", "l_suppkey", bits = 8, partitions = 16)
+        val prev = s.experimental.extraOptimizations
+        s.experimental.extraOptimizations = prev :+ ZoneMapPrune(s)
+        try {
+          ZoneMapCatalog.register(s, s"$tmp/data", s"$tmp/zone",
+            Seq("l_partkey", "l_suppkey"))
+          s.read.parquet(s"$tmp/data")
+            .filter(col("l_partkey").between(100, 300) &&
+              col("l_suppkey").between(10, 40))
+            .groupBy(col("l_returnflag"))
+            .agg(count(lit(1)).as("n"), sum(col("qty")).as("qty_sum"))
+            .localCheckpoint(true) // the prune rule fires HERE
+            .orderBy(col("l_returnflag"))
+        } finally {
+          s.experimental.extraOptimizations = prev
+          ZoneMapCatalog.clear()
+        }
+      },
+      Some("""SELECT l_returnflag, count(*) AS n,
+             |  CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty_sum
+             |FROM lineitem
+             |WHERE l_partkey BETWEEN 100 AND 300
+             |  AND l_suppkey BETWEEN 10 AND 40
+             |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
     // ---- STREAMING zone-map maintenance (StreamingZoneMap
     // .zoneMapSink): lineitem arrives in three microbatches, each
     // landing as data files with the stats map extended by only those

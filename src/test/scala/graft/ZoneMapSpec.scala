@@ -130,6 +130,52 @@ class ZoneMapSpec extends SparkSpec {
         "file is sound")
   }
 
+  test("a registered zone map prunes PLAIN filters in the planner; " +
+    "an undescribed landed file refuses the rewrite") {
+    val dir = tmp("rule")
+    val df = spark.range(0, 32 * 64).select(
+      (col("id") % 32).cast("long").as("a"),
+      (col("id") / 32).cast("long").as("b"))
+    ZoneMap.writeZOrdered(df, s"$dir/data", s"$dir/zone", "a", "b",
+      bits = 8, partitions = 8)
+    val prev = spark.experimental.extraOptimizations
+    spark.experimental.extraOptimizations =
+      prev :+ graft.plans.ZoneMapPrune(spark)
+    try {
+      graft.plans.ZoneMapCatalog.register(spark, s"$dir/data",
+        s"$dir/zone", Seq("a", "b"))
+      val allFiles = ZoneMap.pruneFiles(spark, s"$dir/zone",
+        Seq(("a", Long.MinValue, Long.MaxValue)))._2
+      def q = spark.read.parquet(s"$dir/data")
+        .filter(col("a") >= 3 && col("a") <= 6 && col("b").between(10, 20))
+      assert(q.inputFiles.length < allFiles,
+        s"a plain filter must open a strict subset " +
+          s"(${q.inputFiles.length} of $allFiles)")
+      val expect = (0L until 32 * 64)
+        .map(i => (i % 32, i / 32))
+        .filter { case (a, b) => a >= 3 && a <= 6 && b >= 10 && b <= 20 }
+        .toSet
+      assert(q.as[(Long, Long)].collect().toSet == expect,
+        "the pruned plan must equal the full-scan filter")
+      // a provably-empty range folds to a local empty relation
+      assert(spark.read.parquet(s"$dir/data").filter(col("a") > 1000L)
+        .isEmpty)
+      // an undescribed file lands (no appendWithStats): the rule must
+      // REFUSE — skipping that file would lose its rows
+      Seq((3L, 15L)).toDF("a", "b")
+        .write.mode("append").parquet(s"$dir/data")
+      val q2 = spark.read.parquet(s"$dir/data")
+        .filter(col("a") >= 3 && col("a") <= 6 && col("b").between(10, 20))
+      assert(q2.inputFiles.length > allFiles,
+        "a stale map must scan everything, never skip blind")
+      assert(q2.count() == expect.size + 1,
+        "the refused query must see the landed row")
+    } finally {
+      spark.experimental.extraOptimizations = prev
+      graft.plans.ZoneMapCatalog.clear()
+    }
+  }
+
   test("a held append claim fails a concurrent append loudly") {
     val dir = tmp("claim")
     val half1 = spark.range(0, 64).select(
