@@ -1,12 +1,12 @@
 package graft.plans
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute, AttributeReference, Cast, Expression, Literal, NamedExpression}
-import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Count, Sum}
-import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, LogicalPlan, Project}
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.catalyst.expressions.{Alias, And, Attribute, AttributeReference, Cast, Divide, EqualTo, Expression, GetStructField, In, IsNotNull, Literal, NamedExpression}
+import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Average, Count, Sum}
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, LogicalPlan, Project}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
-import org.apache.spark.sql.types.{ByteType, DataType, IntegerType, LongType, ShortType}
+import org.apache.spark.sql.types.{ByteType, DataType, DoubleType, IntegerType, LongType, ShortType, StructField, StructType}
 
 import graft.operators.AggStore
 
@@ -27,19 +27,31 @@ import graft.operators.AggStore
   *  - the aggregate's child is the registered parquet relation (same
   *    `HadoopFsRelation` root paths), bare or under a column-pruning
   *    `Project` of plain attributes (what Catalyst itself produces) —
-  *    no filters, no joins, no expressions;
-  *  - exactly one grouping expression: the registered key column;
-  *  - every aggregate output is the group key, `count(<literal>)`
-  *    (what `count(*)` lowers to), or `sum(<valCol>)` with at most a
-  *    widening cast to long — non-distinct, unfiltered;
+  *    no joins, no expressions, and the ONLY filter accepted is a
+  *    key-literal predicate (below), which turns the rewrite into a
+  *    POINT LOOKUP;
+  *  - the grouping expressions are exactly the registered key columns,
+  *    in order (one column, or several registered as a struct key);
+  *  - every aggregate output is a group key, `count(<non-null lit>)`
+  *    (what `count(*)` lowers to), `sum(<valCol>)` with at most a
+  *    widening cast to long, or `avg(<valCol>)` (served as
+  *    `total / cnt` from the store's own columns) — non-distinct,
+  *    unfiltered;
+  *  - POINT LOOKUP: a pushed-down `key = lit` / `key IN (lits)` filter
+  *    (plus the optimizer's inferred `IsNotNull(key)`) over a
+  *    single-column integral key rewrites to
+  *    [[AggStore.lookupAggStoreKeys]] — the manifest-pruned bucket read
+  *    (q327's shape), so "these keys' aggregates" costs ≤ |keys| bucket
+  *    dirs instead of even the store scan;
   *  - output attribute ids are PRESERVED via aliases, so parent
   *    operators resolve unchanged.
   *
-  * FRESHNESS is the registration contract, as in every MV system: by
-  * registering, the caller asserts the store at `storePath` reflects
-  * the current base table (the increment discipline keeps it so — a
-  * day's load merges into the store when it lands in the base). The
-  * rewrite serves the store's CURRENT manifest snapshot.
+  * FRESHNESS is verified, not just contracted: every store build/merge
+  * fingerprints its source's landed files ([[graft.operators
+  * .BaseFiles]]), and the rewrite refuses — loudly, in the log — when
+  * the scan's `inputFiles` have moved past the fingerprint, answering
+  * from the base until the new files merge in. A store with no
+  * fingerprint (non-file sources) keeps the registration contract.
   *
   * Wire-up: session-wide via `spark.experimental.extraOptimizations`
   * (live sessions, what the spec and q322 use) or cluster-wide via
@@ -48,9 +60,10 @@ import graft.operators.AggStore
 object MvCatalog {
 
   /** One registered view: the base relation's root paths, the grouped
-    * key column, the summed value column, and the store that serves it.
+    * key columns (several = a struct-keyed store), the summed value
+    * column, and the store that serves it.
     */
-  case class MvEntry(rootPaths: Set[String], keyCol: String,
+  case class MvEntry(rootPaths: Set[String], keyCols: Seq[String],
                      valCol: String, storePath: String)
 
   private val reg = scala.collection.mutable.ArrayBuffer.empty[MvEntry]
@@ -62,13 +75,23 @@ object MvCatalog {
     * non-rewrites later.
     */
   def registerAggView(base: DataFrame, keyCol: String, valCol: String,
+                      storePath: String): Unit =
+    registerAggView(base, Seq(keyCol), valCol, storePath)
+
+  /** Multi-column registration: the store was built with
+    * `struct(keyCols*)` as its key (field names = the column names);
+    * a query grouping by exactly these columns, in order, serves from
+    * it with each group column projected back out of the struct.
+    */
+  def registerAggView(base: DataFrame, keyCols: Seq[String], valCol: String,
                       storePath: String): Unit = {
+    require(keyCols.nonEmpty, "registerAggView needs at least one key column")
     val paths = AggStoreRewrite.relationPaths(base.queryExecution.analyzed)
       .getOrElse(throw new IllegalArgumentException(
         "registerAggView needs a bare parquet relation (optionally " +
           "column-pruned) as the base"))
-    require(base.columns.contains(keyCol) && base.columns.contains(valCol),
-      s"base must carry $keyCol and $valCol")
+    (keyCols :+ valCol).foreach(c => require(base.columns.contains(c),
+      s"base must carry $c"))
     // the store's `total` is the LONG sum the build applied via
     // cast(long) — any NUMERIC value column registers (the matcher
     // serves `sum(cast(v as long))`, which truncates exactly as the
@@ -78,7 +101,7 @@ object MvCatalog {
         .isInstanceOf[org.apache.spark.sql.types.NumericType],
       s"registerAggView: value column $valCol must be numeric " +
         s"(got ${base.schema(valCol).dataType.simpleString})")
-    synchronized { reg += MvEntry(paths, keyCol, valCol, storePath) }
+    synchronized { reg += MvEntry(paths, keyCols, valCol, storePath) }
   }
 
   def clear(): Unit = synchronized { reg.clear() }
@@ -91,83 +114,137 @@ case class AggStoreRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
   override def apply(plan: LogicalPlan): LogicalPlan = {
     if (MvCatalog.entries.isEmpty) return plan
     plan.transformUp {
-      case agg @ Aggregate(Seq(g), aggExprs, child, _) =>
-        rewrite(g, aggExprs, child).getOrElse(agg)
+      case agg @ Aggregate(gs, aggExprs, child, _) if gs.nonEmpty =>
+        rewrite(gs, aggExprs, child).getOrElse(agg)
     }
   }
 
-  /** The store scan, projected to the aggregate's own output names AND
-    * attribute ids — parents resolve as if nothing happened.
+  /** The store scan (or bucket-pruned lookup), projected to the
+    * aggregate's own output names AND attribute ids — parents resolve
+    * as if nothing happened.
     */
-  private def rewrite(g: Expression, aggExprs: Seq[NamedExpression],
+  private def rewrite(gs: Seq[Expression], aggExprs: Seq[NamedExpression],
                       child: LogicalPlan): Option[LogicalPlan] = {
     // several views may register the same base (different value
     // columns) — try EVERY path-matching entry, first full match wins
-    val matched = relationWithOutput(child).flatMap { case (rel, visible) =>
+    val matched = childShape(child).flatMap { case (rel, visible, keyPred) =>
       val relPaths = AggStoreRewrite.pathsOf(rel)
       MvCatalog.entries.iterator
         .filter(e => PathNorm.pathsEqual(relPaths, e.rootPaths))
         .flatMap { entry =>
           for {
-            keyAttr <- attrNamed(visible, entry.keyCol)
+            keyAttrs <- allDefined(entry.keyCols.map(attrNamed(visible, _)))
             valAttr <- attrNamed(visible, entry.valCol)
-            gAttr <- asAttr(g) if gAttr.exprId == keyAttr.exprId
-            outs <- mapOutputs(aggExprs, keyAttr, valAttr)
+            gAttrs <- allDefined(gs.map(asAttr))
+            // the grouping is exactly the registered keys, in order
+            _ <- Some(()).filter(_ => gAttrs.length == keyAttrs.length &&
+              gAttrs.zip(keyAttrs).forall { case (ga, ka) =>
+                ga.exprId == ka.exprId })
+            // a key-literal filter is accepted only on a single-column
+            // INTEGRAL key, literals type-equal and non-null — it
+            // becomes the point lookup below
+            _ <- Some(()).filter(_ => keyPred.forall { case (a, lits) =>
+              keyAttrs.length == 1 && a.exprId == keyAttrs.head.exprId &&
+                AggStoreRewrite.integral(keyAttrs.head.dataType) &&
+                lits.forall(l => l.dataType == keyAttrs.head.dataType &&
+                  l.value != null)
+            })
+            outs <- mapOutputs(aggExprs, keyAttrs, valAttr)
             // FRESHNESS: every file this scan would read must be
             // reflected in the store, or serving it is a stale answer
             // — refuse and answer from the base (correct, just not
             // accelerated) until the landed files merge in
             _ <- Some(()).filter(_ =>
               AggStoreRewrite.freshOrLog(spark, entry.storePath, rel, log))
-          } yield (entry, keyAttr, outs)
+          } yield (entry, keyAttrs, outs, keyPred)
         }
         .nextOption()
     }
-    matched.flatMap { case (entry, keyAttr, outs) =>
-      val store = AggStore.readAggStore(spark, entry.storePath)
-        .queryExecution.analyzed
+    matched.flatMap { case (entry, keyAttrs, outs, keyPred) =>
+      val storeDf = keyPred match {
+        case Some((_, lits)) => // POINT LOOKUP: ≤ |keys| bucket dirs
+          val schema = StructType(Seq(
+            StructField("key", keyAttrs.head.dataType)))
+          val rows: Seq[Row] = lits.map(l => Row(l.value)).distinct
+          AggStore.lookupAggStoreKeys(
+            spark.createDataFrame(
+              java.util.Arrays.asList(rows: _*), schema),
+            entry.storePath)
+        case None => AggStore.readAggStore(spark, entry.storePath)
+      }
+      // inject the OPTIMIZED subplan: the hint-resolution and subquery
+      // batches have already run on the outer tree, so an analyzed
+      // fragment (the lookup's broadcast hint in particular) would
+      // reach physical planning unresolved
+      val store = storeDf.queryExecution.optimizedPlan
       val Seq(sKey, sCnt, sTotal) = store.output.take(3)
       // only rewrite when types line up exactly — never change semantics
-      if (sKey.dataType != keyAttr.dataType) None
+      val keyTypesOk =
+        if (keyAttrs.length == 1) sKey.dataType == keyAttrs.head.dataType
+        else sKey.dataType match {
+          case st: StructType =>
+            st.fields.length == keyAttrs.length &&
+              st.fields.zip(keyAttrs).zip(entry.keyCols).forall {
+                case ((f, ka), kc) =>
+                  f.name == kc && f.dataType == ka.dataType
+              }
+          case _ => false
+        }
+      if (!keyTypesOk) None
       else Some(Project(outs.map {
-        case (orig, StoreCol.Key) =>
-          Alias(sKey, orig.name)(exprId = orig.exprId)
-        case (orig, StoreCol.Cnt) =>
+        case (orig, OutCol.Key(i)) =>
+          val e: Expression =
+            if (keyAttrs.length == 1) sKey
+            else GetStructField(sKey, i, Some(entry.keyCols(i)))
+          Alias(e, orig.name)(exprId = orig.exprId)
+        case (orig, OutCol.Cnt) =>
           Alias(sCnt, orig.name)(exprId = orig.exprId)
-        case (orig, StoreCol.Total) =>
+        case (orig, OutCol.Total) =>
           Alias(sTotal, orig.name)(exprId = orig.exprId)
+        case (orig, OutCol.Mean) =>
+          // avg(v) == total / cnt from the store's own columns; for an
+          // integral child Spark's Average is double(sum)/double(count),
+          // and integer partial sums are exact in double — identical
+          Alias(Divide(Cast(sTotal, DoubleType), Cast(sCnt, DoubleType)),
+            orig.name)(exprId = orig.exprId)
       }, store))
     }
   }
 
-  private sealed trait StoreColT
-  private object StoreCol {
-    case object Key extends StoreColT
-    case object Cnt extends StoreColT
-    case object Total extends StoreColT
+  private sealed trait OutColT
+  private object OutCol {
+    case class Key(i: Int) extends OutColT
+    case object Cnt extends OutColT
+    case object Total extends OutColT
+    case object Mean extends OutColT
   }
 
-  /** Every aggregate output must be the key, count(<lit>), or
-    * sum(<val>) — else no rewrite. */
-  private def mapOutputs(aggExprs: Seq[NamedExpression], keyAttr: Attribute,
-                         valAttr: Attribute)
-      : Option[Seq[(NamedExpression, StoreColT)]] = {
+  /** Every aggregate output must be a group key, count(<lit>),
+    * sum(<val>), or avg(<val>) — else no rewrite. */
+  private def mapOutputs(aggExprs: Seq[NamedExpression],
+                         keyAttrs: Seq[Attribute], valAttr: Attribute)
+      : Option[Seq[(NamedExpression, OutColT)]] = {
     val mapped = aggExprs.map { ne =>
       val inner = ne match {
         case Alias(c, _) => c
         case other => other
       }
       inner match {
-        case a: AttributeReference if a.exprId == keyAttr.exprId =>
-          Some(ne -> (StoreCol.Key: StoreColT))
+        case a: AttributeReference
+            if keyAttrs.exists(_.exprId == a.exprId) =>
+          Some(ne -> (OutCol.Key(keyAttrs.indexWhere(_.exprId == a.exprId))
+            : OutColT))
         // the literal must be NON-null: count(NULL) is 0 for every
         // group, not the store's per-key row count
         case AggregateExpression(Count(Seq(Literal(v, _))), _, false, None, _)
             if v != null =>
-          Some(ne -> (StoreCol.Cnt: StoreColT))
+          Some(ne -> (OutCol.Cnt: OutColT))
         case AggregateExpression(s: Sum, _, false, None, _)
             if isValRef(s.child, valAttr) =>
-          Some(ne -> (StoreCol.Total: StoreColT))
+          Some(ne -> (OutCol.Total: OutColT))
+        case AggregateExpression(a: Average, _, false, None, _)
+            if isValRef(a.child, valAttr) =>
+          Some(ne -> (OutCol.Mean: OutColT))
         case _ => None
       }
     }
@@ -195,21 +272,71 @@ case class AggStoreRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
     case _ => None
   }
 
+  private def allDefined[T](xs: Seq[Option[T]]): Option[Seq[T]] =
+    if (xs.forall(_.isDefined)) Some(xs.flatten) else None
+
   private def attrNamed(attrs: Seq[Attribute],
                         name: String): Option[Attribute] =
     attrs.find(_.name == name)
 
-  /** The relation under the aggregate: bare, or through a
-    * column-pruning Project of plain attributes. Returns the relation
-    * plus the attributes visible to the aggregate.
+  /** The relation under the aggregate: bare, through a column-pruning
+    * Project of plain attributes, and/or above a KEY-LITERAL filter
+    * (what `WHERE key IN (...)` becomes once the optimizer pushes it
+    * below the aggregate). Returns the relation, the attributes visible
+    * to the aggregate, and the parsed key predicate if one gates the
+    * scan. Any OTHER filter shape refuses the whole match — a value
+    * predicate changes the grouped rows and must never be rewritten.
     */
-  private def relationWithOutput(child: LogicalPlan)
-      : Option[(LogicalRelation, Seq[Attribute])] = child match {
-    case r: LogicalRelation => Some((r, r.output))
-    case Project(projList, r: LogicalRelation)
-        if projList.forall(_.isInstanceOf[AttributeReference]) =>
-      Some((r, projList.map(_.asInstanceOf[AttributeReference])))
-    case _ => None
+  private def childShape(child: LogicalPlan)
+      : Option[(LogicalRelation, Seq[Attribute],
+        Option[(AttributeReference, Seq[Literal])])] = {
+    def attrsOf(projList: Seq[NamedExpression]): Option[Seq[Attribute]] =
+      if (projList.forall(_.isInstanceOf[AttributeReference]))
+        Some(projList.map(_.asInstanceOf[AttributeReference]))
+      else None
+    child match {
+      case r: LogicalRelation => Some((r, r.output, None))
+      case Project(pl, r: LogicalRelation) =>
+        attrsOf(pl).map(as => (r, as, None))
+      case Filter(pred, r: LogicalRelation) =>
+        keyLiteralPred(pred).map(kp => (r, r.output, Some(kp)))
+      case Project(pl, Filter(pred, r: LogicalRelation)) =>
+        for (as <- attrsOf(pl); kp <- keyLiteralPred(pred))
+          yield (r, as, Some(kp))
+      case Filter(pred, Project(pl, r: LogicalRelation)) =>
+        for (as <- attrsOf(pl); kp <- keyLiteralPred(pred))
+          yield (r, as, Some(kp))
+      case _ => None
+    }
+  }
+
+  /** Exactly one `attr = lit` / `attr IN (lits)` conjunct, plus any
+    * number of `IsNotNull` guards on the SAME attribute (the optimizer
+    * infers one from the equality) — nothing else. The caller validates
+    * the attribute against the registered key.
+    */
+  private def keyLiteralPred(pred: Expression)
+      : Option[(AttributeReference, Seq[Literal])] = {
+    def conjuncts(e: Expression): Seq[Expression] = e match {
+      case And(l, r) => conjuncts(l) ++ conjuncts(r)
+      case other => Seq(other)
+    }
+    val cs = conjuncts(pred)
+    val keyLits = cs.collect {
+      case In(a: AttributeReference, vs)
+          if vs.nonEmpty && vs.forall(_.isInstanceOf[Literal]) =>
+        (a, vs.map(_.asInstanceOf[Literal]))
+      case EqualTo(a: AttributeReference, l: Literal) => (a, Seq(l))
+      case EqualTo(l: Literal, a: AttributeReference) => (a, Seq(l))
+    }
+    val notNulls = cs.collect { case IsNotNull(a: AttributeReference) => a }
+    val others = cs.length - keyLits.length - notNulls.length
+    keyLits match {
+      case Seq((a, lits)) if others == 0 &&
+          notNulls.forall(_.exprId == a.exprId) =>
+        Some((a, lits))
+      case _ => None
+    }
   }
 }
 

@@ -1,8 +1,8 @@
 package graft.plans
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute, AttributeReference, Cast, EqualTo, Expression, Literal, NamedExpression}
-import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Count, Sum}
+import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute, AttributeReference, Cast, Divide, EqualTo, Expression, Literal, NamedExpression}
+import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Average, Count, Sum}
 import org.apache.spark.sql.catalyst.plans.Inner
 import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Join, LogicalPlan, Project}
 import org.apache.spark.sql.catalyst.rules.Rule
@@ -159,8 +159,10 @@ case class JoinViewRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
       case _ => None
     }
     matched.flatMap { case (entry, aGrp, outs) =>
+      // optimized subplan, not analyzed — the outer tree's hint and
+      // subquery batches have already run (the AggStoreRewrite argument)
       val store = ViewStore.readJoinView(spark, entry.storePath)
-        .queryExecution.analyzed
+        .queryExecution.optimizedPlan
       val Seq(sKey, sCnt, sTotal) = store.output.take(3)
       // the view stores the group as LONG (ViewStore.aggA casts); only
       // rewrite when the query's group attribute is long too
@@ -168,13 +170,20 @@ case class JoinViewRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
       else Some(Project(outs.map {
         case (orig, 0) => Alias(sKey, orig.name)(exprId = orig.exprId)
         case (orig, 1) => Alias(sCnt, orig.name)(exprId = orig.exprId)
-        case (orig, _) => Alias(sTotal, orig.name)(exprId = orig.exprId)
+        case (orig, 2) => Alias(sTotal, orig.name)(exprId = orig.exprId)
+        case (orig, _) => // avg == total / cnt (the AggStoreRewrite
+          // exactness argument: integer partial sums are exact in double)
+          Alias(Divide(
+            Cast(sTotal, org.apache.spark.sql.types.DoubleType),
+            Cast(sCnt, org.apache.spark.sql.types.DoubleType)),
+            orig.name)(exprId = orig.exprId)
       }, store))
     }
   }
 
-  /** Each output must be the group key (0), count(<lit>) (1), or
-    * sum(<bVal>) with at most a widening cast (2). */
+  /** Each output must be the group key (0), count(<lit>) (1),
+    * sum(<bVal>) with at most a widening cast (2), or avg(<bVal>) (3).
+    */
   private def mapOutputs(aggExprs: Seq[NamedExpression], grpAttr: Attribute,
                          valAttr: Attribute)
       : Option[Seq[(NamedExpression, Int)]] = {
@@ -194,6 +203,9 @@ case class JoinViewRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
         case AggregateExpression(s: Sum, _, false, None, _)
             if isValRef(s.child, valAttr) =>
           Some(ne -> 2)
+        case AggregateExpression(a: Average, _, false, None, _)
+            if isValRef(a.child, valAttr) =>
+          Some(ne -> 3)
         case _ => None
       }
     }

@@ -2125,7 +2125,119 @@ object AnalyticsQueries {
       },
       Some("""SELECT l_suppkey AS key, count(*) AS cnt,
              |  CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS total
-             |FROM lineitem GROUP BY 1 ORDER BY key""".stripMargin))
+             |FROM lineitem GROUP BY 1 ORDER BY key""".stripMargin)),
+
+    // ---- MV rewrite, AVG shape (AggStoreRewrite OutCol.Mean): avg(v)
+    // is served as total/cnt from the store's own columns — exact for
+    // integral inputs because Spark's own Average is double(sum)/
+    // double(count) and integer partial sums are exact in double. The
+    // rounding happens ABOVE the served aggregate (after the
+    // checkpoint), so the rewrite fires on the plain avg shape. ----
+    Q("q330_mv_rewrite_avg",
+      (s, dir) => {
+        import graft.operators.AggStore
+        import graft.plans.{AggStoreRewrite, MvCatalog}
+        val li = t(s, dir, "lineitem")
+        val tmp = java.nio.file.Files
+          .createTempDirectory("graft_q330_").toString + "/store"
+        AggStore.buildAggStore(
+          li.select(col("l_suppkey"), col("l_quantity")),
+          tmp, "l_suppkey", "l_quantity")
+        val prev = s.experimental.extraOptimizations
+        s.experimental.extraOptimizations = prev :+ AggStoreRewrite(s)
+        try {
+          MvCatalog.registerAggView(li, "l_suppkey", "l_quantity", tmp)
+          li.groupBy(col("l_suppkey"))
+            .agg(count(lit(1)).as("cnt"),
+              avg(col("l_quantity").cast("long")).as("avg_qty"))
+            .localCheckpoint(true) // rewrite fires HERE, rule still live
+            .withColumnRenamed("l_suppkey", "key")
+            .select(col("key"), col("cnt"),
+              round(col("avg_qty"), 6).as("avg_qty"))
+            .orderBy(col("key"))
+        } finally {
+          s.experimental.extraOptimizations = prev
+          MvCatalog.clear()
+        }
+      },
+      Some("""SELECT l_suppkey AS key, count(*) AS cnt,
+             |  round(avg(CAST(l_quantity AS BIGINT)), 6) AS avg_qty
+             |FROM lineitem GROUP BY 1 ORDER BY key""".stripMargin)),
+
+    // ---- MV rewrite, POINT-LOOKUP shape (AggStoreRewrite keyLiteralPred
+    // + AggStore.lookupAggStoreKeys): a `WHERE key IN (lits)` above the
+    // matched aggregate — pushed below it by the optimizer — rewrites
+    // to the manifest-pruned bucket lookup (q327's read), so "these
+    // suppliers' aggregates" costs ≤ |keys| bucket dirs instead of even
+    // a store scan; MvRewriteSpec pins the strict-subset inputFiles.
+    // Oracle: the filtered groupBy recompute. ----
+    Q("q331_mv_rewrite_lookup",
+      (s, dir) => {
+        import graft.operators.AggStore
+        import graft.plans.{AggStoreRewrite, MvCatalog}
+        val li = t(s, dir, "lineitem")
+        val tmp = java.nio.file.Files
+          .createTempDirectory("graft_q331_").toString + "/store"
+        AggStore.buildAggStore(
+          li.select(col("l_suppkey"), col("l_quantity")),
+          tmp, "l_suppkey", "l_quantity")
+        val prev = s.experimental.extraOptimizations
+        s.experimental.extraOptimizations = prev :+ AggStoreRewrite(s)
+        try {
+          MvCatalog.registerAggView(li, "l_suppkey", "l_quantity", tmp)
+          li.filter(col("l_suppkey").isin(11L, 22L, 33L, 44L))
+            .groupBy(col("l_suppkey"))
+            .agg(count(lit(1)).as("cnt"),
+              sum(col("l_quantity").cast("long")).as("total"))
+            .localCheckpoint(true) // rewrite fires HERE, rule still live
+            .withColumnRenamed("l_suppkey", "key")
+            .orderBy(col("key"))
+        } finally {
+          s.experimental.extraOptimizations = prev
+          MvCatalog.clear()
+        }
+      },
+      Some("""SELECT l_suppkey AS key, count(*) AS cnt,
+             |  CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS total
+             |FROM lineitem WHERE l_suppkey IN (11, 22, 33, 44)
+             |GROUP BY 1 ORDER BY key""".stripMargin)),
+
+    // ---- MV rewrite, MULTI-KEY shape (struct-keyed store): the store
+    // is built over struct(l_suppkey, l_returnflag) and a query grouping
+    // by exactly those columns, in order, serves with each group column
+    // projected back out of the struct (GetStructField, attribute ids
+    // preserved); MvRewriteSpec pins the wrong-order refusal. Oracle:
+    // the two-column groupBy recompute. ----
+    Q("q332_mv_rewrite_multikey",
+      (s, dir) => {
+        import graft.operators.AggStore
+        import graft.plans.{AggStoreRewrite, MvCatalog}
+        val li = t(s, dir, "lineitem")
+        val tmp = java.nio.file.Files
+          .createTempDirectory("graft_q332_").toString + "/store"
+        AggStore.buildAggStore(
+          li.select(struct(col("l_suppkey"), col("l_returnflag")).as("kk"),
+            col("l_quantity")),
+          tmp, "kk", "l_quantity")
+        val prev = s.experimental.extraOptimizations
+        s.experimental.extraOptimizations = prev :+ AggStoreRewrite(s)
+        try {
+          MvCatalog.registerAggView(li, Seq("l_suppkey", "l_returnflag"),
+            "l_quantity", tmp)
+          li.groupBy(col("l_suppkey"), col("l_returnflag"))
+            .agg(count(lit(1)).as("cnt"),
+              sum(col("l_quantity").cast("long")).as("total"))
+            .localCheckpoint(true) // rewrite fires HERE, rule still live
+            .withColumnRenamed("l_suppkey", "key")
+            .orderBy(col("key"), col("l_returnflag"))
+        } finally {
+          s.experimental.extraOptimizations = prev
+          MvCatalog.clear()
+        }
+      },
+      Some("""SELECT l_suppkey AS key, l_returnflag, count(*) AS cnt,
+             |  CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS total
+             |FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin))
   )
 
   /** q260 oracle: weekday factors, the integer deseasonalization, the

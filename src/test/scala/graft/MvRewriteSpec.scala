@@ -59,11 +59,20 @@ class MvRewriteSpec extends SparkSpec {
     AggStore.buildAggStore(base, s"$dir/store", "k", "v")
     withRule {
       MvCatalog.registerAggView(base, "k", "v", s"$dir/store")
-      // extra aggregate the store cannot serve
+      // avg(v) serves as total/cnt from the store's own columns —
+      // exact for integral inputs (integer partial sums are exact in
+      // double)
       val avgQ = base.groupBy(col("k"))
         .agg(count(lit(1)).as("cnt"), avg(col("v")).as("a"))
-      assert(!avgQ.inputFiles.exists(_.contains("/store/")),
-        "an avg aggregate must not be rewritten")
+      assert(avgQ.inputFiles.exists(_.contains("/store/")),
+        "avg must serve from the store")
+      assert(avgQ.orderBy("k").as[(Long, Long, Double)].collect().toSeq ==
+        Seq((1L, 1L, 10.0), (2L, 1L, 5.0)))
+      // an aggregate the store genuinely cannot serve — max — refuses
+      val maxQ = base.groupBy(col("k"))
+        .agg(count(lit(1)).as("cnt"), max(col("v")).as("m"))
+      assert(!maxQ.inputFiles.exists(_.contains("/store/")),
+        "a max aggregate must not be rewritten")
       // filter BELOW the aggregate changes the grouped rows
       val filtered = base.filter(col("v") > 6L).groupBy(col("k"))
         .agg(count(lit(1)).as("cnt"), sum(col("v").cast("long")).as("total"))
@@ -158,6 +167,68 @@ class MvRewriteSpec extends SparkSpec {
         "count(NULL) must not rewrite to the store count")
       assert(cn.orderBy("k").as[(Long, Long, Long)].collect().toSeq ==
         Seq((1L, 0L, 30L), (2L, 0L, 5L)))
+    }
+  }
+
+  test("a pushed-down key-literal filter becomes a bucket-pruned point " +
+    "lookup; value filters still refuse") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_mvl_").toString
+    spark.range(0, 40).select((col("id") % 20).as("k"), col("id").as("v"))
+      .write.parquet(s"$dir/base")
+    val base = spark.read.parquet(s"$dir/base")
+    AggStore.buildAggStore(base, s"$dir/store", "k", "v", nBuckets = 8)
+    withRule {
+      MvCatalog.registerAggView(base, "k", "v", s"$dir/store")
+      val q = base.filter(col("k").isin(1L, 3L)).groupBy(col("k"))
+        .agg(count(lit(1)).as("cnt"), sum(col("v").cast("long")).as("total"))
+      assert(q.inputFiles.exists(_.contains("/store/")),
+        "the key-IN aggregate must serve from the store")
+      // ...and through the manifest-pruned lookup: a strict subset of
+      // the store's buckets
+      val all = AggStore.readAggStore(spark, s"$dir/store").inputFiles.toSet
+      assert(q.inputFiles.toSet.subsetOf(all) &&
+        q.inputFiles.length < all.size,
+        s"lookup must open a strict subset (${q.inputFiles.length} of " +
+          s"${all.size})")
+      assert(q.orderBy("k").as[(Long, Long, Long)].collect().toSeq ==
+        Seq((1L, 2L, 22L), (3L, 2L, 26L)),
+        "k=1: v∈{1,21}; k=3: v∈{3,23}")
+      // single-equality form too
+      val eq = base.filter(col("k") === 5L).groupBy(col("k"))
+        .agg(count(lit(1)).as("cnt"), sum(col("v").cast("long")).as("total"))
+      assert(eq.inputFiles.exists(_.contains("/store/")))
+      assert(eq.as[(Long, Long, Long)].collect().toSeq == Seq((5L, 2L, 30L)))
+      // a VALUE filter changes the grouped rows — always refused
+      val vq = base.filter(col("v") > 30L).groupBy(col("k"))
+        .agg(count(lit(1)).as("cnt"), sum(col("v").cast("long")).as("total"))
+      assert(!vq.inputFiles.exists(_.contains("/store/")),
+        "a value filter must never serve from the store")
+    }
+  }
+
+  test("multi-column groupBy serves from a struct-keyed store, in " +
+    "registration order only") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_mvm_").toString
+    Seq((1L, "a", 10L), (1L, "b", 20L), (1L, "a", 5L), (2L, "b", 7L))
+      .toDF("k1", "k2", "v").write.parquet(s"$dir/base")
+    val base = spark.read.parquet(s"$dir/base")
+    AggStore.buildAggStore(
+      base.select(struct(col("k1"), col("k2")).as("kk"), col("v")),
+      s"$dir/store", "kk", "v", nBuckets = 4)
+    withRule {
+      MvCatalog.registerAggView(base, Seq("k1", "k2"), "v", s"$dir/store")
+      val q = base.groupBy(col("k1"), col("k2"))
+        .agg(count(lit(1)).as("cnt"), sum(col("v").cast("long")).as("total"))
+      assert(q.inputFiles.exists(_.contains("/store/")),
+        "the two-key aggregate must serve from the struct-keyed store")
+      assert(q.orderBy("k1", "k2").as[(Long, String, Long, Long)]
+        .collect().toSeq ==
+        Seq((1L, "a", 2L, 15L), (1L, "b", 1L, 20L), (2L, "b", 1L, 7L)))
+      // wrong grouping order ≠ the registered key order — refused
+      val swapped = base.groupBy(col("k2"), col("k1"))
+        .agg(count(lit(1)).as("cnt"))
+      assert(!swapped.inputFiles.exists(_.contains("/store/")),
+        "a different key order must not be rewritten")
     }
   }
 
