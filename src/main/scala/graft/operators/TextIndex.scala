@@ -250,12 +250,31 @@ object TextIndex {
     * contribution rows: matched-term count == the query's term count) —
     * the precision mode for short keyword queries at corpus scale,
     * where disjunctive top-k drowns in single-term matches.
+    *
+    * MAX-SCORE PRUNING (`maxScorePrune`, disjunctive mode): before the
+    * dl join, every candidate gets a score UPPER BOUND from its posting
+    * rows alone — `dl ≥ tf`, and the tf-part is monotonically
+    * decreasing in dl, so substituting `dl = tf` bounds each term's
+    * contribution above. The top-k candidates BY BOUND are scored
+    * exactly (a k-row dl read) and the k-th exact score becomes the
+    * bar τ: any candidate whose bound is below τ has exact < τ ≤ the
+    * true k-th score and can never rank — the WAND/max-score family's
+    * argument, run as two set-level passes instead of a posting
+    * cursor. Every seed doc's bound ≥ its exact ≥ τ, so ≥ k survivors
+    * always remain, and a 1e-9 slack absorbs float-summation
+    * reordering at the boundary — the pruning is SCORE-EXACT (the
+    * spec pins pruned ≡ unpruned; q315's oracle hash-proves the
+    * default path). The win is structural at corpus scale: a high-df
+    * query term admits millions of single-term candidates whose dl
+    * buckets are never read. Conjunctive mode skips it (τ from a
+    * not-yet-intersected seed would over-prune).
     */
   def serveTextIndex(spark: SparkSession, path: String, queries: DataFrame,
                      qIdCol: String, qTextCol: String, idCol: String,
                      k: Int = 10, k1: Double = 1.2, b: Double = 0.75,
                      requireAll: Boolean = false,
-                     asOfGen: Option[Long] = None): DataFrame = {
+                     asOfGen: Option[Long] = None,
+                     maxScorePrune: Boolean = true): DataFrame = {
     // TIME TRAVEL: every append advances all substores by exactly one
     // generation (the four-leg ledger order), so one generation number
     // addresses a consistent index snapshot — postings, lengths, and
@@ -299,31 +318,69 @@ object TextIndex {
       .groupBy(col("key")).agg(count(lit(1)).as("df"))
     val cand = broadcast(qterms).join(post, Seq("key"))
       .join(broadcast(dfT), Seq("key"))
-    val dlTouched = cand.select(col("id").as("key"))
-      .distinct().select(GenStore.bucketOfKey(mDl.nBuckets).as("bucket"))
-      .distinct().collect().map(_.getLong(0)).toSet
-    val dlExisting = mDl.entries.filter(e => dlTouched.contains(e._1))
-    // terms can hash into live buckets yet match no posting row —
-    // zero candidates means zero results, short-circuited
-    if (dlExisting.isEmpty) return empty
-    val dlRows = GenStore.readBucketDirs(spark, s"$path/dl", dlExisting)
-      .select(col("key").as("id"), col("dl"))
-      .join(cand.select(col("id")).distinct(), Seq("id"), "left_semi")
     val idf = round(log(lit(1.0) +
       (lit(nd) - col("df") + lit(0.5)) / (col("df") + lit(0.5))), 6)
-    val tfPart = (col("tf") * lit(k1 + 1.0)) /
-      (col("tf") + lit(k1) *
-        (lit(1.0) - lit(b) + lit(b) * col("dl") / lit(avgdl)))
-    val scored = cand.join(dlRows, Seq("id"))
-      .select(col("__qid"), col("id"), col("key"),
-        (idf * tfPart).as("contrib"))
-      .groupBy(col("__qid"), col("id"))
-      .agg(sort_array(collect_list(struct(col("key"), col("contrib"))))
-        .as("cs"))
-      .select(col("__qid"), col("id"),
-        aggregate(col("cs"), lit(0.0),
-          (acc, x) => acc + x.getField("contrib")).as("score"),
-        size(col("cs")).as("__nmatch"))
+    // the EXACT scoring leg over a candidate subset: dl read ∝ the
+    // subset's buckets, then the deterministic term-ordered fold —
+    // shared verbatim by the seed and final legs so pruning can never
+    // drift from the unpruned computation
+    def scoreOf(c: DataFrame): DataFrame = {
+      val dlTouched = c.select(col("id").as("key"))
+        .distinct().select(GenStore.bucketOfKey(mDl.nBuckets).as("bucket"))
+        .distinct().collect().map(_.getLong(0)).toSet
+      val dlExisting = mDl.entries.filter(e => dlTouched.contains(e._1))
+      // terms can hash into live buckets yet match no posting row —
+      // zero candidates means zero scored rows
+      if (dlExisting.isEmpty)
+        return c.select(col("__qid"), col("id")).limit(0)
+          .withColumn("score", lit(0.0))
+          .withColumn("__nmatch", lit(0))
+      val dlRows = GenStore.readBucketDirs(spark, s"$path/dl", dlExisting)
+        .select(col("key").as("id"), col("dl"))
+        .join(c.select(col("id")).distinct(), Seq("id"), "left_semi")
+      val tfPart = (col("tf") * lit(k1 + 1.0)) /
+        (col("tf") + lit(k1) *
+          (lit(1.0) - lit(b) + lit(b) * col("dl") / lit(avgdl)))
+      c.join(dlRows, Seq("id"))
+        .select(col("__qid"), col("id"), col("key"),
+          (idf * tfPart).as("contrib"))
+        .groupBy(col("__qid"), col("id"))
+        .agg(sort_array(collect_list(struct(col("key"), col("contrib"))))
+          .as("cs"))
+        .select(col("__qid"), col("id"),
+          aggregate(col("cs"), lit(0.0),
+            (acc, x) => acc + x.getField("contrib")).as("score"),
+          size(col("cs")).as("__nmatch"))
+    }
+    // MAX-SCORE pruning (see class doc): bound each candidate from its
+    // posting rows alone (dl := tf), seed τ from the top-k bounds'
+    // exact scores, keep only bound ≥ τ − ε
+    val candK =
+      if (requireAll || !maxScorePrune) cand
+      else {
+        val ubPart = (col("tf") * lit(k1 + 1.0)) /
+          (col("tf") + lit(k1) *
+            (lit(1.0) - lit(b) + lit(b) * col("tf") / lit(avgdl)))
+        val ubDoc = cand
+          .select(col("__qid"), col("id"), (idf * ubPart).as("__c"))
+          .groupBy(col("__qid"), col("id"))
+          .agg(sum(col("__c")).as("__ub"))
+        val wUb = Window.partitionBy(col("__qid"))
+          .orderBy(col("__ub").desc, col("id"))
+        val seed = ubDoc.withColumn("__r", row_number().over(wUb))
+          .filter(col("__r") <= k).select(col("__qid"), col("id"))
+        val tau = scoreOf(cand.join(seed, Seq("__qid", "id"), "left_semi"))
+          .groupBy(col("__qid"))
+          .agg(count(lit(1)).as("__n"), min(col("score")).as("__tau"))
+          .filter(col("__n") >= k) // < k docs total: nothing to prune
+          .select(col("__qid"), col("__tau"))
+        cand.join(ubDoc, Seq("__qid", "id"))
+          .join(tau, Seq("__qid"), "left")
+          .filter(col("__tau").isNull ||
+            col("__ub") >= col("__tau") - lit(1e-9))
+          .drop("__ub", "__tau")
+      }
+    val scored = scoreOf(candK)
     val filtered =
       if (!requireAll) scored
       else scored.join( // qterms rows are distinct: count == term count
