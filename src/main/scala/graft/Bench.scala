@@ -45,6 +45,10 @@ object Bench {
     // view, inverted-index lifecycle — carry timing evidence
     "q311_zonemap_scan", "q312_join_view_incremental",
     "q315_text_index_search",
+    // r16: the planner-integrated wings — free zone-map pruning, the
+    // point-lookup MV rewrite, and the LSM merge-compact lifecycle
+    "q329_zonemap_rewrite", "q331_mv_rewrite_lookup",
+    "q333_view_lsm_compaction",
   )
 
   def main(args: Array[String]): Unit = {

@@ -61,11 +61,34 @@ object AggStore {
           "null does not join to itself)")).cast("long"))
       .otherwise(pmod(xxhash64(col("key")), lit(nBuckets.toLong)))
 
-  private def aggregated(rows: DataFrame, keyCol: String,
-                         valCol: String): DataFrame =
-    rows.select(col(keyCol).as("key"), col(valCol).cast("long").as("__v"))
+  /** Per-key `(cnt, total)` — plus `(vmin, vmax)` for EXTREMA stores:
+    * min/max over exact longs form a commutative monoid too, but only
+    * under INSERT-ONLY increments (a retraction cannot lower a max —
+    * which is exactly the contract this store already has: keys never
+    * leave, counts only grow; deletes are a rebuild).
+    */
+  private def aggregated(rows: DataFrame, keyCol: String, valCol: String,
+                         extrema: Boolean): DataFrame = {
+    val g = rows
+      .select(col(keyCol).as("key"), col(valCol).cast("long").as("__v"))
       .groupBy(col("key"))
-      .agg(count(lit(1)).as("cnt"), sum(col("__v")).as("total"))
+    if (!extrema) g.agg(count(lit(1)).as("cnt"), sum(col("__v")).as("total"))
+    else g.agg(count(lit(1)).as("cnt"), sum(col("__v")).as("total"),
+      min(col("__v")).as("vmin"), max(col("__v")).as("vmax"))
+  }
+
+  /** Does the store at `path` carry the extrema columns? Marked by a
+    * one-file manifest written BEFORE the first build write, so a
+    * crashed build re-run re-marks idempotently and a merge can never
+    * mis-detect the schema.
+    */
+  def hasExtrema(spark: org.apache.spark.sql.SparkSession,
+                 path: String): Boolean =
+    Snapshot.dirExists(spark, s"$path/EXTREMA")
+
+  private def storeCols(extrema: Boolean): Seq[String] =
+    if (extrema) Seq("key", "cnt", "total", "vmin", "vmax")
+    else Seq("key", "cnt", "total")
 
   /** Build (or fully rebuild) the store from scratch. On an existing
     * store this is a mutation like any other: it lands in a fresh
@@ -80,13 +103,20 @@ object AggStore {
     */
   def buildAggStore(rows: DataFrame, path: String, keyCol: String,
                     valCol: String, nBuckets: Int = 16,
-                    appliedId: Option[String] = None): Unit = {
+                    appliedId: Option[String] = None,
+                    extrema: Boolean = false): Unit = {
     require(nBuckets >= 1, s"nBuckets must be positive, got $nBuckets")
     val spark = rows.sparkSession
     val prev = GenStore.read(spark, path)
+    // a rebuild must not silently change the store's shape
+    require(prev.isEmpty || extrema == hasExtrema(spark, path),
+      s"store at $path is ${if (hasExtrema(spark, path)) "" else "not "}an " +
+        "extrema store — rebuild with the matching flag or use a new path")
+    if (extrema && prev.isEmpty)
+      Snapshot.writeLines(spark, s"$path/EXTREMA", Seq("v1"))
     val gen = prev.map(_.gen + 1).getOrElse(1L)
     val dir = s"d$gen"
-    aggregated(rows, keyCol, valCol)
+    aggregated(rows, keyCol, valCol, extrema)
       .withColumn("bucket", bucketOf(nBuckets))
       .write.partitionBy("bucket").mode("overwrite").parquet(s"$path/$dir")
     require(Snapshot.dirExists(spark, s"$path/$dir"),
@@ -127,7 +157,9 @@ object AggStore {
       throw new IllegalArgumentException(s"not an aggregate store: $path"))
     if (appliedId.exists(manifest.applied.contains)) return // replay: no-op
     val nBuckets = manifest.nBuckets
-    val delta = aggregated(increment, keyCol, valCol)
+    val extrema = hasExtrema(spark, path)
+    val cols = storeCols(extrema)
+    val delta = aggregated(increment, keyCol, valCol, extrema)
       .withColumn("bucket", bucketOf(nBuckets))
       .localCheckpoint(true) // bounded: the increment's distinct keys
     try {
@@ -138,18 +170,25 @@ object AggStore {
       val existing = manifest.entries.filter(e => touched.contains(e._1))
       val cur =
         if (existing.isEmpty) // every touched bucket is brand new
-          delta.select(col("key"), col("cnt"), col("total")).limit(0)
+          delta.select(cols.map(col): _*).limit(0)
         else GenStore.readBucketDirs(spark, path, existing)
-          .select(col("key"), col("cnt"), col("total"))
+          .select(cols.map(col): _*)
       val dir = s"d${manifest.gen + 1}"
+      // counts/sums ADD; extrema fold by least/greatest (null-skipping,
+      // so a one-sided key takes the present side) — the insert-only
+      // min/max monoid
+      val folded = Seq(
+        (coalesce(col("cnt"), lit(0L)) + coalesce(col("dcnt"), lit(0L)))
+          .as("cnt"),
+        (coalesce(col("total"), lit(0L)) + coalesce(col("dtotal"), lit(0L)))
+          .as("total")) ++
+        (if (extrema) Seq(least(col("vmin"), col("dvmin")).as("vmin"),
+          greatest(col("vmax"), col("dvmax")).as("vmax"))
+        else Seq.empty)
       cur.join(delta
-          .select(col("key"), col("cnt").as("dcnt"), col("total").as("dtotal")),
+          .select(col("key") +: cols.tail.map(c => col(c).as(s"d$c")): _*),
           Seq("key"), "full_outer")
-        .select(col("key"),
-          (coalesce(col("cnt"), lit(0L)) + coalesce(col("dcnt"), lit(0L)))
-            .as("cnt"),
-          (coalesce(col("total"), lit(0L)) + coalesce(col("dtotal"), lit(0L)))
-            .as("total"))
+        .select(col("key") +: folded: _*)
         .withColumn("bucket", bucketOf(nBuckets))
         .write.mode("overwrite").partitionBy("bucket").parquet(s"$path/$dir")
       require(Snapshot.dirExists(spark, s"$path/$dir"),
@@ -182,6 +221,20 @@ object AggStore {
         GenStore.read(spark, path).getOrElse(
           throw new IllegalArgumentException(s"not an aggregate store: $path")))
       .select(col("key"), col("cnt"), col("total"))
+
+  /** The extrema store's full state, `(key, cnt, total, vmin, vmax)` —
+    * loud on a store built without extrema.
+    */
+  def readAggStoreExtrema(spark: org.apache.spark.sql.SparkSession,
+                          path: String): DataFrame = {
+    require(hasExtrema(spark, path),
+      s"store at $path was not built with extrema = true")
+    GenStore.readRaw(spark, path,
+        GenStore.read(spark, path).getOrElse(
+          throw new IllegalArgumentException(s"not an aggregate store: $path")))
+      .select(col("key"), col("cnt"), col("total"),
+        col("vmin"), col("vmax"))
+  }
 
   /** POINT LOOKUP ([[GenStore.lookupKeys]]): the keys' `(key, cnt,
     * total)` rows, reading only the buckets the keys hash to — "these
@@ -256,7 +309,7 @@ object AggStore {
       val existing = manifest.entries.filter(e => touched.contains(e._1))
       if (existing.isEmpty) return 0L // none of the keys ever stored
       val cur = GenStore.readBucketDirs(spark, path, existing)
-        .select(col("key"), col("cnt"), col("total"))
+        .select(storeCols(hasExtrema(spark, path)).map(col): _*)
       val keep = cur.join(k, Seq("key"), "left_anti").localCheckpoint(true)
       try {
         val deleted = cur.count() - keep.count()

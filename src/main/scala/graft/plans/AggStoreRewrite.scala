@@ -2,7 +2,7 @@ package graft.plans
 
 import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.catalyst.expressions.{Alias, And, Attribute, AttributeReference, Cast, Divide, EqualTo, Expression, GetStructField, In, IsNotNull, Literal, NamedExpression}
-import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Average, Count, Sum}
+import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Average, Count, Max, Min, Sum}
 import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, LogicalPlan, Project}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
@@ -150,6 +150,15 @@ case class AggStoreRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
                   l.value != null)
             })
             outs <- mapOutputs(aggExprs, keyAttrs, valAttr)
+            // min/max serve only from an EXTREMA store (insert-only
+            // monoid columns the plain store does not carry), and not
+            // through the 3-column point lookup
+            _ <- Some(()).filter { _ =>
+              val needsExtrema = outs.exists(o =>
+                o._2 == OutCol.Lo || o._2 == OutCol.Hi)
+              !needsExtrema || (keyPred.isEmpty &&
+                AggStore.hasExtrema(spark, entry.storePath))
+            }
             // FRESHNESS: every file this scan would read must be
             // reflected in the store, or serving it is a stale answer
             // — refuse and answer from the base (correct, just not
@@ -161,6 +170,8 @@ case class AggStoreRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
         .nextOption()
     }
     matched.flatMap { case (entry, keyAttrs, outs, keyPred) =>
+      val needsExtrema = outs.exists(o =>
+        o._2 == OutCol.Lo || o._2 == OutCol.Hi)
       val storeDf = keyPred match {
         case Some((_, lits)) => // POINT LOOKUP: ≤ |keys| bucket dirs
           val schema = StructType(Seq(
@@ -170,14 +181,17 @@ case class AggStoreRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
             spark.createDataFrame(
               java.util.Arrays.asList(rows: _*), schema),
             entry.storePath)
-        case None => AggStore.readAggStore(spark, entry.storePath)
+        case None =>
+          if (needsExtrema) AggStore.readAggStoreExtrema(spark, entry.storePath)
+          else AggStore.readAggStore(spark, entry.storePath)
       }
       // inject the OPTIMIZED subplan: the hint-resolution and subquery
       // batches have already run on the outer tree, so an analyzed
       // fragment (the lookup's broadcast hint in particular) would
       // reach physical planning unresolved
       val store = storeDf.queryExecution.optimizedPlan
-      val Seq(sKey, sCnt, sTotal) = store.output.take(3)
+      def sCol(n: String): Attribute = store.output.find(_.name == n).get
+      val (sKey, sCnt, sTotal) = (sCol("key"), sCol("cnt"), sCol("total"))
       // only rewrite when types line up exactly — never change semantics
       val keyTypesOk =
         if (keyAttrs.length == 1) sKey.dataType == keyAttrs.head.dataType
@@ -207,6 +221,10 @@ case class AggStoreRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
           // and integer partial sums are exact in double — identical
           Alias(Divide(Cast(sTotal, DoubleType), Cast(sCnt, DoubleType)),
             orig.name)(exprId = orig.exprId)
+        case (orig, OutCol.Lo) =>
+          Alias(sCol("vmin"), orig.name)(exprId = orig.exprId)
+        case (orig, OutCol.Hi) =>
+          Alias(sCol("vmax"), orig.name)(exprId = orig.exprId)
       }, store))
     }
   }
@@ -217,6 +235,8 @@ case class AggStoreRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
     case object Cnt extends OutColT
     case object Total extends OutColT
     case object Mean extends OutColT
+    case object Lo extends OutColT
+    case object Hi extends OutColT
   }
 
   /** Every aggregate output must be a group key, count(<lit>),
@@ -245,6 +265,15 @@ case class AggStoreRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
         case AggregateExpression(a: Average, _, false, None, _)
             if isValRef(a.child, valAttr) =>
           Some(ne -> (OutCol.Mean: OutColT))
+        // min/max over the value column, LONG-typed only (the extrema
+        // columns are min/max of cast(v as long); a bare int child's
+        // Min is IntegerType and would flip the attribute's type)
+        case AggregateExpression(m: Min, _, false, None, _)
+            if isValRef(m.child, valAttr) && m.dataType == LongType =>
+          Some(ne -> (OutCol.Lo: OutColT))
+        case AggregateExpression(m: Max, _, false, None, _)
+            if isValRef(m.child, valAttr) && m.dataType == LongType =>
+          Some(ne -> (OutCol.Hi: OutColT))
         case _ => None
       }
     }

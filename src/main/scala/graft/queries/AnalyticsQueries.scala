@@ -2237,7 +2237,86 @@ object AnalyticsQueries {
       },
       Some("""SELECT l_suppkey AS key, l_returnflag, count(*) AS cnt,
              |  CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS total
-             |FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin))
+             |FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
+    // ---- LSM lifecycle on the join view (GenStore.mergeAdditive's
+    // delta-segment tier + ViewStore.compactJoinView + vacuum): a build
+    // and FOUR two-sided increments land as per-batch segments — each
+    // merge writes the increment, never the touched buckets' volume
+    // (ViewStoreSpec pins the written-bytes law) — then compaction
+    // folds every multi-segment bucket to one and vacuum reclaims the
+    // superseded segment dirs. The exact long monoid makes
+    // fold-at-read == eager-merge in any order, so the oracle is the
+    // one full recompute and the hash proves the whole
+    // land-fold-compact-reclaim cycle is lossless. ----
+    Q("q333_view_lsm_compaction",
+      (s, dir) => {
+        import graft.operators.ViewStore
+        val o = t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"))
+        val l = t(s, dir, "lineitem")
+          .select(col("l_orderkey"), col("l_quantity").cast("long").as("qty"))
+        val tmp = java.nio.file.Files
+          .createTempDirectory("graft_q333_").toString + "/jv"
+        ViewStore.buildJoinView(
+          o.filter(col("o_orderkey") % 5 === 0),
+          l.filter(col("l_orderkey") % 5 === 0),
+          tmp, "o_orderkey", "o_custkey", "l_orderkey", "qty")
+        for (r <- 1 to 4)
+          ViewStore.mergeIntoJoinView(
+            o.filter(col("o_orderkey") % 5 === r),
+            l.filter(col("l_orderkey") % 5 === r),
+            tmp, "o_orderkey", "o_custkey", "l_orderkey", "qty",
+            appliedId = Some(s"day-$r"))
+        ViewStore.compactJoinView(s, tmp)
+        ViewStore.vacuumJoinView(s, tmp)
+        ViewStore.readJoinView(s, tmp).orderBy(col("key"))
+      },
+      Some("""SELECT o_custkey AS key, count(*) AS cnt,
+             |  CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS total
+             |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+             |GROUP BY 1 ORDER BY key""".stripMargin)),
+
+    // ---- MV rewrite, MIN/MAX shape over an EXTREMA store (AggStore
+    // extrema = true: per-key vmin/vmax ride the same buckets — min/max
+    // over exact longs are a commutative monoid UNDER INSERT-ONLY
+    // increments, exactly this store's contract since keys never leave
+    // and deletes are a rebuild; merges fold by least/greatest). The
+    // rule serves min/max only when the registered store carries the
+    // columns (MvRewriteSpec pins the plain-store refusal) and never
+    // through the 3-column point lookup. Oracle: the direct four-agg
+    // recompute. ----
+    Q("q334_mv_rewrite_minmax",
+      (s, dir) => {
+        import graft.operators.AggStore
+        import graft.plans.{AggStoreRewrite, MvCatalog}
+        val li = t(s, dir, "lineitem")
+        val tmp = java.nio.file.Files
+          .createTempDirectory("graft_q334_").toString + "/store"
+        AggStore.buildAggStore(
+          li.select(col("l_suppkey"), col("l_quantity")),
+          tmp, "l_suppkey", "l_quantity", extrema = true)
+        val prev = s.experimental.extraOptimizations
+        s.experimental.extraOptimizations = prev :+ AggStoreRewrite(s)
+        try {
+          MvCatalog.registerAggView(li, "l_suppkey", "l_quantity", tmp)
+          li.groupBy(col("l_suppkey"))
+            .agg(count(lit(1)).as("cnt"),
+              sum(col("l_quantity").cast("long")).as("total"),
+              min(col("l_quantity").cast("long")).as("qmin"),
+              max(col("l_quantity").cast("long")).as("qmax"))
+            .localCheckpoint(true) // rewrite fires HERE, rule still live
+            .withColumnRenamed("l_suppkey", "key")
+            .orderBy(col("key"))
+        } finally {
+          s.experimental.extraOptimizations = prev
+          MvCatalog.clear()
+        }
+      },
+      Some("""SELECT l_suppkey AS key, count(*) AS cnt,
+             |  CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS total,
+             |  min(CAST(l_quantity AS BIGINT)) AS qmin,
+             |  max(CAST(l_quantity AS BIGINT)) AS qmax
+             |FROM lineitem GROUP BY 1 ORDER BY key""".stripMargin))
   )
 
   /** q260 oracle: weekday factors, the integer deseasonalization, the

@@ -206,6 +206,36 @@ class MvRewriteSpec extends SparkSpec {
     }
   }
 
+  test("min/max serve from an EXTREMA store and never from a plain one") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_mvx_").toString
+    Seq((1L, 10L), (1L, 3L), (2L, 7L)).toDF("k", "v")
+      .write.parquet(s"$dir/base")
+    val base = spark.read.parquet(s"$dir/base")
+    AggStore.buildAggStore(base, s"$dir/plain", "k", "v")
+    AggStore.buildAggStore(base.filter(col("v") =!= 3L), s"$dir/ext",
+      "k", "v", extrema = true)
+    // insert-only increment folds the extrema by least/greatest
+    AggStore.mergeIntoAggStore(base.filter(col("v") === 3L), s"$dir/ext",
+      "k", "v", appliedId = Some("inc-1"))
+    withRule {
+      MvCatalog.registerAggView(base, "k", "v", s"$dir/ext")
+      val q = base.groupBy(col("k"))
+        .agg(count(lit(1)).as("cnt"),
+          min(col("v")).as("lo"), max(col("v")).as("hi"))
+      assert(q.inputFiles.exists(_.contains("/ext/")),
+        "min/max must serve from the extrema store")
+      assert(q.orderBy("k").as[(Long, Long, Long, Long)].collect().toSeq ==
+        Seq((1L, 2L, 3L, 10L), (2L, 1L, 7L, 7L)))
+      MvCatalog.clear()
+      // a store without the columns must refuse
+      MvCatalog.registerAggView(base, "k", "v", s"$dir/plain")
+      val p = base.groupBy(col("k"))
+        .agg(count(lit(1)).as("cnt"), min(col("v")).as("lo"))
+      assert(!p.inputFiles.exists(_.contains("/plain/")),
+        "a plain store cannot serve min/max")
+    }
+  }
+
   test("multi-column groupBy serves from a struct-keyed store, in " +
     "registration order only") {
     val dir = java.nio.file.Files.createTempDirectory("graft_mvm_").toString
