@@ -251,22 +251,28 @@ object TextIndex {
     * the precision mode for short keyword queries at corpus scale,
     * where disjunctive top-k drowns in single-term matches.
     *
-    * MAX-SCORE PRUNING (`maxScorePrune`, disjunctive mode): before the
-    * dl join, every candidate gets a score UPPER BOUND from its posting
-    * rows alone — `dl ≥ tf`, and the tf-part is monotonically
-    * decreasing in dl, so substituting `dl = tf` bounds each term's
-    * contribution above. The top-k candidates BY BOUND are scored
-    * exactly (a k-row dl read) and the k-th exact score becomes the
-    * bar τ: any candidate whose bound is below τ has exact < τ ≤ the
-    * true k-th score and can never rank — the WAND/max-score family's
-    * argument, run as two set-level passes instead of a posting
-    * cursor. Every seed doc's bound ≥ its exact ≥ τ, so ≥ k survivors
-    * always remain, and a 1e-9 slack absorbs float-summation
-    * reordering at the boundary — the pruning is SCORE-EXACT (the
-    * spec pins pruned ≡ unpruned; q315's oracle hash-proves the
-    * default path). The win is structural at corpus scale: a high-df
-    * query term admits millions of single-term candidates whose dl
-    * buckets are never read. Conjunctive mode skips it (τ from a
+    * MAX-SCORE PRUNING (`maxScorePrune`, disjunctive mode, OPT-IN):
+    * before the dl join, every candidate gets a score UPPER BOUND from
+    * its posting rows alone — `dl ≥ tf`, and the tf-part is
+    * monotonically decreasing in dl, so substituting `dl = tf` bounds
+    * each term's contribution above. The top-k candidates BY BOUND are
+    * scored exactly (a k-row dl read) and the k-th exact score becomes
+    * the bar τ: any candidate whose bound is below τ has exact < τ ≤
+    * the true k-th score and can never rank — the WAND/max-score
+    * family's argument, run as two set-level passes instead of a
+    * posting cursor. Every seed doc's bound ≥ its exact ≥ τ, so ≥ k
+    * survivors always remain, and a 1e-9 slack absorbs float-summation
+    * reordering at the boundary — the pruning is SCORE-EXACT (the spec
+    * pins pruned ≡ unpruned including tie order). It is OFF by default
+    * because it is a corpus-scale trade, MEASURED, not guessed
+    * ([[ServeBench]] at sf0.1: pruned 6.3 s vs unpruned 1.7 s —
+    * Spark's lazy model re-derives the candidate frame for the bound,
+    * seed, and final legs, and at ~50k docs those extra posting passes
+    * dominate the dl reads they save): enable it when high-df query
+    * terms admit candidate sets whose LENGTH-NORMALIZATION I/O — the
+    * per-candidate dl bucket reads — outweighs ~three extra passes
+    * over ≤ |terms| posting buckets, i.e. when candidates are
+    * millions, not thousands. Conjunctive mode skips it (τ from a
     * not-yet-intersected seed would over-prune).
     */
   def serveTextIndex(spark: SparkSession, path: String, queries: DataFrame,
@@ -274,7 +280,7 @@ object TextIndex {
                      k: Int = 10, k1: Double = 1.2, b: Double = 0.75,
                      requireAll: Boolean = false,
                      asOfGen: Option[Long] = None,
-                     maxScorePrune: Boolean = true): DataFrame = {
+                     maxScorePrune: Boolean = false): DataFrame = {
     // TIME TRAVEL: every append advances all substores by exactly one
     // generation (the four-leg ledger order), so one generation number
     // addresses a consistent index snapshot — postings, lengths, and
