@@ -17,12 +17,18 @@ import graft.operators.ViewStore
   * maintained [[ViewStore]] — the query skips the corpus-size join
   * AND the corpus-size aggregation, paying view-size I/O. Same
   * conservative contract: inner equi-join on exactly the registered
-  * keys, no extra conditions, no filters, (column-pruning) Projects of
-  * plain attributes only, relations matched by root paths in either
-  * join order, count/sum shapes with at most a widening cast — and
-  * anything unrecognized is left untouched. Freshness is the
-  * registration contract, maintained by the same increment discipline
-  * that maintains the view.
+  * keys, (column-pruning) Projects of plain attributes only, relations
+  * matched by root paths in either join order, count/sum/avg shapes
+  * with at most a widening cast — and anything unrecognized is left
+  * untouched. The only predicates accepted are the optimizer's
+  * inferred join-key null guards, plus — on the A side — ONE
+  * `grp = lit` / `grp IN (lits)` conjunct (what a group point filter
+  * becomes once pushed below the aggregate and the join), which turns
+  * the rewrite into the bucket-pruned POINT LOOKUP
+  * [[ViewStore.lookupJoinViewGroups]]: ≤ |groups| view buckets instead
+  * of even the view scan. FRESHNESS is verified against the store's
+  * landed-file fingerprint ([[graft.operators.BaseFiles]]), as in
+  * [[AggStoreRewrite]].
   */
 object JoinViewCatalog {
 
@@ -78,16 +84,16 @@ case class JoinViewRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
   }
 
   /** A side of the join: the relation's root paths, the attributes the
-    * join sees (through column-pruning Projects of attributes), and the
-    * attribute of an optimizer-inferred `IsNotNull` filter if one sits
-    * above the relation. That filter is the ONLY predicate accepted —
-    * and only when it guards the JOIN KEY (checked by the caller),
-    * because an inner equi-join drops null keys anyway, so the filter
-    * is semantically a no-op for the view's pair set.
+    * join sees (through column-pruning Projects of attributes), the
+    * attributes of optimizer-inferred `IsNotNull` guards, and at most
+    * ONE `attr = lit` / `attr IN (lits)` conjunct (what a group-key
+    * point filter becomes once pushed below the aggregate and the
+    * join). Anything else refuses the side. The caller validates which
+    * attributes the guards and the key predicate are allowed to name.
     */
   private def side(plan: LogicalPlan)
-      : Option[(Set[String], Seq[Attribute], Option[Attribute],
-        LogicalRelation)] = {
+      : Option[(Set[String], Seq[Attribute], Seq[AttributeReference],
+        Option[(AttributeReference, Seq[Literal])], LogicalRelation)] = {
     def bare(p: LogicalPlan)
         : Option[(Set[String], Seq[Attribute], LogicalRelation)] =
       p match {
@@ -100,12 +106,34 @@ case class JoinViewRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
         case _ => None
       }
     plan match {
-      case org.apache.spark.sql.catalyst.plans.logical.Filter(
-          org.apache.spark.sql.catalyst.expressions.IsNotNull(
-            a: AttributeReference), inner) =>
-        bare(inner).map { case (p, attrs, r) => (p, attrs, Some(a), r) }
+      case org.apache.spark.sql.catalyst.plans.logical.Filter(pred, inner) =>
+        def conjuncts(e: Expression): Seq[Expression] = e match {
+          case org.apache.spark.sql.catalyst.expressions.And(a, b) =>
+            conjuncts(a) ++ conjuncts(b)
+          case other => Seq(other)
+        }
+        val cs = conjuncts(pred)
+        val notNulls = cs.collect {
+          case org.apache.spark.sql.catalyst.expressions.IsNotNull(
+            a: AttributeReference) => a
+        }
+        val keyLits = cs.collect {
+          case org.apache.spark.sql.catalyst.expressions.In(
+              a: AttributeReference, vs)
+              if vs.nonEmpty && vs.forall(_.isInstanceOf[Literal]) =>
+            (a, vs.map(_.asInstanceOf[Literal]))
+          case EqualTo(a: AttributeReference, l: Literal) => (a, Seq(l))
+          case EqualTo(l: Literal, a: AttributeReference) => (a, Seq(l))
+        }
+        val others = cs.length - notNulls.length - keyLits.length
+        if (others > 0 || keyLits.length > 1) None
+        else bare(inner).map { case (p, attrs, r) =>
+          (p, attrs, notNulls, keyLits.headOption, r)
+        }
       case other =>
-        bare(other).map { case (p, attrs, r) => (p, attrs, None, r) }
+        bare(other).map { case (p, attrs, r) =>
+          (p, attrs, Seq.empty, None, r)
+        }
     }
   }
 
@@ -123,8 +151,8 @@ case class JoinViewRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
         // several views may register the same base pair — try every
         // path-matching entry, first full match wins
         (for {
-          (lp, lAttrs, lFilt, lRel) <- side(l).iterator
-          (rp, rAttrs, rFilt, rRel) <- side(r).iterator
+          (lp, lAttrs, lNulls, lKeyLit, lRel) <- side(l).iterator
+          (rp, rAttrs, rNulls, rKeyLit, rRel) <- side(r).iterator
           entry <- JoinViewCatalog.entries.iterator.filter(e =>
             PathNorm.pathsEqual(lp, e.aPaths) &&
               PathNorm.pathsEqual(rp, e.bPaths))
@@ -143,11 +171,23 @@ case class JoinViewRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
           _ <- Some(()).filter(_ =>
             (x.exprId == aKey.exprId && y.exprId == bKey.exprId) ||
               (x.exprId == bKey.exprId && y.exprId == aKey.exprId))
-          // any accepted filter must be the inferred null guard on the
-          // join key itself — a real predicate blocks the rewrite
+          // the b side accepts only the inferred join-key null guard —
+          // an inner equi-join drops null keys anyway; a key-literal
+          // predicate there would change the PAIR set, never rewritable
           _ <- Some(()).filter(_ =>
-            lFilt.forall(_.exprId == aKey.exprId) &&
-              rFilt.forall(_.exprId == bKey.exprId))
+            rKeyLit.isEmpty && rNulls.forall(_.exprId == bKey.exprId))
+          // the a side additionally accepts ONE group-literal predicate
+          // (the pushed-down point filter — it becomes the bucket-pruned
+          // lookup below) plus its inferred IsNotNull(grp): the view
+          // build rejects null groups loudly, so the guard is vacuous
+          // exactly when the literal predicate is present
+          _ <- Some(()).filter(_ => lKeyLit.forall { case (a, lits) =>
+            a.exprId == aGrp.exprId &&
+              lits.forall(lt => lt.dataType == LongType && lt.value != null)
+          })
+          _ <- Some(()).filter(_ => lNulls.forall(n =>
+            n.exprId == aKey.exprId ||
+              (lKeyLit.isDefined && n.exprId == aGrp.exprId)))
           gAttr <- g match {
             case a: AttributeReference => Some(a)
             case Alias(a: AttributeReference, _) => Some(a)
@@ -155,14 +195,21 @@ case class JoinViewRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
           }
           _ <- Some(()).filter(_ => gAttr.exprId == aGrp.exprId)
           outs <- mapOutputs(aggExprs, aGrp, bVal)
-        } yield (entry, aGrp, outs)).nextOption()
+        } yield (entry, aGrp, outs, lKeyLit)).nextOption()
       case _ => None
     }
-    matched.flatMap { case (entry, aGrp, outs) =>
+    matched.flatMap { case (entry, aGrp, outs, keyLit) =>
       // optimized subplan, not analyzed — the outer tree's hint and
       // subquery batches have already run (the AggStoreRewrite argument)
-      val store = ViewStore.readJoinView(spark, entry.storePath)
-        .queryExecution.optimizedPlan
+      val storeDf = keyLit match {
+        case Some((_, lits)) => // POINT LOOKUP: ≤ |groups| view buckets
+          import spark.implicits._
+          ViewStore.lookupJoinViewGroups(
+            lits.map(_.value.asInstanceOf[Long]).distinct.toDF("key"),
+            entry.storePath)
+        case None => ViewStore.readJoinView(spark, entry.storePath)
+      }
+      val store = storeDf.queryExecution.optimizedPlan
       val Seq(sKey, sCnt, sTotal) = store.output.take(3)
       // the view stores the group as LONG (ViewStore.aggA casts); only
       // rewrite when the query's group attribute is long too

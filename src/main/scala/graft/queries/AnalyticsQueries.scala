@@ -2316,6 +2316,95 @@ object AnalyticsQueries {
              |  CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS total,
              |  min(CAST(l_quantity AS BIGINT)) AS qmin,
              |  max(CAST(l_quantity AS BIGINT)) AS qmax
+             |FROM lineitem GROUP BY 1 ORDER BY key""".stripMargin)),
+
+    // ---- JOIN-VIEW POINT-LOOKUP REWRITE (JoinViewRewrite + ViewStore
+    // .lookupJoinViewGroups): "these customers' joined totals" — a
+    // `WHERE o_custkey IN (lits)` above the join-aggregate, pushed by
+    // the optimizer below the aggregate AND below the join onto the
+    // a-side, rewrites to the manifest-pruned view lookup: ≤ |groups|
+    // view bucket dirs instead of the corpus join, the corpus
+    // aggregation, or even the view scan (MvRewriteSpec pins the
+    // strict-subset inputFiles and the value-filter refusal). Oracle:
+    // the filtered join recompute. ----
+    Q("q335_join_view_lookup_rewrite",
+      (s, dir) => {
+        import graft.operators.ViewStore
+        import graft.plans.{JoinViewCatalog, JoinViewRewrite}
+        val o = t(s, dir, "orders")
+        val l = t(s, dir, "lineitem")
+        val tmp = java.nio.file.Files
+          .createTempDirectory("graft_q335_").toString + "/jv"
+        ViewStore.buildJoinView(
+          o.select(col("o_orderkey"), col("o_custkey")),
+          l.select(col("l_orderkey"), col("l_quantity")),
+          tmp, "o_orderkey", "o_custkey", "l_orderkey", "l_quantity")
+        val prev = s.experimental.extraOptimizations
+        s.experimental.extraOptimizations = prev :+ JoinViewRewrite(s)
+        try {
+          JoinViewCatalog.registerJoinView(o, l,
+            "o_orderkey", "o_custkey", "l_orderkey", "l_quantity", tmp)
+          o.join(l, o("o_orderkey") === l("l_orderkey"))
+            .filter(col("o_custkey").isin(7L, 77L, 777L))
+            .groupBy(col("o_custkey"))
+            .agg(count(lit(1)).as("cnt"),
+              sum(col("l_quantity").cast("long")).as("total"))
+            .localCheckpoint(true) // rewrite fires HERE, rule still live
+            .withColumnRenamed("o_custkey", "key")
+            .orderBy(col("key"))
+        } finally {
+          s.experimental.extraOptimizations = prev
+          JoinViewCatalog.clear()
+        }
+      },
+      Some("""SELECT o_custkey AS key, count(*) AS cnt,
+             |  CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS total
+             |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+             |WHERE o_custkey IN (7, 77, 777)
+             |GROUP BY 1 ORDER BY key""".stripMargin)),
+
+    // ---- EXTREMA store under INCREMENTS (AggStore extrema = true +
+    // mergeIntoAggStore): vmin/vmax fold by least/greatest across an
+    // insert-only increment — one-sided keys take the present side —
+    // and the MV rewrite serves the post-merge min/max. Oracle: the
+    // full-corpus four-aggregate recompute, hash-proving the folded
+    // extrema equal the one-shot build's. ----
+    Q("q336_agg_store_extrema_incremental",
+      (s, dir) => {
+        import graft.operators.AggStore
+        import graft.plans.{AggStoreRewrite, MvCatalog}
+        val li = t(s, dir, "lineitem")
+        val tmp = java.nio.file.Files
+          .createTempDirectory("graft_q336_").toString + "/store"
+        AggStore.buildAggStore(
+          li.filter(col("l_orderkey") % 2 === 1)
+            .select(col("l_suppkey"), col("l_quantity")),
+          tmp, "l_suppkey", "l_quantity", extrema = true)
+        AggStore.mergeIntoAggStore(
+          li.filter(col("l_orderkey") % 2 === 0)
+            .select(col("l_suppkey"), col("l_quantity")),
+          tmp, "l_suppkey", "l_quantity", appliedId = Some("day-1"))
+        val prev = s.experimental.extraOptimizations
+        s.experimental.extraOptimizations = prev :+ AggStoreRewrite(s)
+        try {
+          MvCatalog.registerAggView(li, "l_suppkey", "l_quantity", tmp)
+          li.groupBy(col("l_suppkey"))
+            .agg(count(lit(1)).as("cnt"),
+              sum(col("l_quantity").cast("long")).as("total"),
+              min(col("l_quantity").cast("long")).as("qmin"),
+              max(col("l_quantity").cast("long")).as("qmax"))
+            .localCheckpoint(true) // rewrite fires HERE, rule still live
+            .withColumnRenamed("l_suppkey", "key")
+            .orderBy(col("key"))
+        } finally {
+          s.experimental.extraOptimizations = prev
+          MvCatalog.clear()
+        }
+      },
+      Some("""SELECT l_suppkey AS key, count(*) AS cnt,
+             |  CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS total,
+             |  min(CAST(l_quantity AS BIGINT)) AS qmin,
+             |  max(CAST(l_quantity AS BIGINT)) AS qmax
              |FROM lineitem GROUP BY 1 ORDER BY key""".stripMargin))
   )
 

@@ -262,6 +262,46 @@ class MvRewriteSpec extends SparkSpec {
     }
   }
 
+  test("a group point filter over the join-aggregate becomes a " +
+    "bucket-pruned view lookup; value filters still refuse") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_mvjl_").toString
+    spark.range(0, 60).select(col("id").as("okey"), (col("id") % 20).as("cust"))
+      .write.parquet(s"$dir/a")
+    spark.range(0, 60).select(col("id").as("okey"), (col("id") % 7).as("qty"))
+      .write.parquet(s"$dir/b")
+    val a = spark.read.parquet(s"$dir/a")
+    val b = spark.read.parquet(s"$dir/b")
+    ViewStore.buildJoinView(a, b, s"$dir/jv", "okey", "cust", "okey", "qty",
+      nBuckets = 8)
+    withRule {
+      JoinViewCatalog.registerJoinView(a, b, "okey", "cust", "okey", "qty",
+        s"$dir/jv")
+      val q = a.join(b, a("okey") === b("okey"))
+        .filter(col("cust").isin(3L, 5L))
+        .groupBy(col("cust"))
+        .agg(count(lit(1)).as("cnt"), sum(col("qty").cast("long")).as("total"))
+      assert(q.inputFiles.exists(_.contains("/jv/")),
+        "the group point filter must serve from the view store")
+      // ...through the manifest-pruned lookup: a strict subset of the
+      // view's bucket files
+      val all = ViewStore.readJoinView(spark, s"$dir/jv").inputFiles.toSet
+      assert(q.inputFiles.toSet.subsetOf(all) && q.inputFiles.length < all.size,
+        s"lookup must open a strict subset (${q.inputFiles.length} of " +
+          s"${all.size})")
+      // cust c owns okeys {c, c+20, c+40}; qty = okey % 7
+      def expect(c: Long) = (c, 3L, (c % 7) + ((c + 20) % 7) + ((c + 40) % 7))
+      assert(q.orderBy("cust").as[(Long, Long, Long)].collect().toSeq ==
+        Seq(expect(3L), expect(5L)))
+      // a VALUE filter on either side still refuses
+      val vq = a.join(b, a("okey") === b("okey"))
+        .filter(col("qty") > 3L)
+        .groupBy(col("cust"))
+        .agg(count(lit(1)).as("cnt"), sum(col("qty").cast("long")).as("total"))
+      assert(!vq.inputFiles.exists(_.contains("/jv/")),
+        "a value filter must never serve from the view")
+    }
+  }
+
   test("freshness guard: files landed after the last store merge refuse " +
     "the rewrite until they are merged in") {
     val dir = java.nio.file.Files.createTempDirectory("graft_mvf_").toString
