@@ -46,9 +46,11 @@ object Bench {
     "q311_zonemap_scan", "q312_join_view_incremental",
     "q315_text_index_search",
     // r16: the planner-integrated wings — free zone-map pruning, the
-    // point-lookup MV rewrite, and the LSM merge-compact lifecycle
+    // point-lookup MV rewrites (store + join view), the LSM
+    // merge-compact lifecycle, and the recluster-policy lifecycle
     "q329_zonemap_rewrite", "q331_mv_rewrite_lookup",
-    "q333_view_lsm_compaction",
+    "q333_view_lsm_compaction", "q335_join_view_lookup_rewrite",
+    "q337_zonemap_recluster",
   )
 
   def main(args: Array[String]): Unit = {

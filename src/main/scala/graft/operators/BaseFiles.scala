@@ -32,6 +32,14 @@ package graft.operators
   * driver-side file list every parquet scan's planning already
   * materializes; a real deployment would roll per-partition digests,
   * which this layout accommodates without changing the check.
+  *
+  * COMPLIANCE interaction: a store-side purge deliberately diverges
+  * the store from a base that still holds the subject, and the
+  * fingerprint keeps the rewrite serving the PURGED state — which is
+  * the compliant answer (the erased subject must not be served). When
+  * the base itself purges by rewriting files, the new file names fall
+  * outside the fingerprint, the rewrite refuses, and the normal merge
+  * discipline re-records them — fail-safe in both directions.
   */
 private[graft] object BaseFiles {
 

@@ -190,4 +190,64 @@ object ZoneMap {
       .write.mode("overwrite").parquet(dataPath)
     buildZoneMap(df.sparkSession, dataPath, Seq(colA, colB), zonePath)
   }
+
+  /** LAYOUT DRIFT, measured from the zone map alone (|files| rows of
+    * metadata, zero data read): the mean over files of the product of
+    * per-dimension NORMALIZED spans — `Π_c (span_c / global_c)` in
+    * exact ppm. A z-clustered file covers a narrow cell of the value
+    * grid (tiny product); an appended unclustered file spans ~the whole
+    * range on both dimensions (product → 1), so the mean rises toward
+    * the unclustered files' share of the layout. This is the skipping
+    * analog of the IVF-PQ residual-drift statistic (q285): the number
+    * that says when append cost has eaten the layout's selectivity.
+    * Degenerate global ranges (a constant column) count as fully
+    * spanned. Returns `(driftPpm, nFiles)`.
+    */
+  def layoutDrift(spark: SparkSession, zonePath: String,
+                  colA: String, colB: String): (Long, Long) = {
+    val zm = spark.read.parquet(zonePath)
+    def span(c: String) = col(s"${c}_max") - col(s"${c}_min") + lit(1L)
+    val g = zm.agg(
+      (max(col(s"${colA}_max")) - min(col(s"${colA}_min")) + lit(1L))
+        .as("ga"),
+      (max(col(s"${colB}_max")) - min(col(s"${colB}_min")) + lit(1L))
+        .as("gb"),
+      count(lit(1)).as("n")).head()
+    val (ga, gb, n) = (g.getLong(0), g.getLong(1), g.getLong(2))
+    require(n > 0L, s"zone map at $zonePath is empty")
+    // Σ of per-file span products (long; null spans — all-null stat
+    // files — count as fully spanned), divided ONCE on the driver in
+    // BigInt so the ppm is exact with zero overflow risk
+    val s = zm.agg(sum(
+        coalesce(span(colA) * span(colB), lit(ga * gb))).as("s"))
+      .head().getLong(0)
+    val drift =
+      (BigInt(s) * 1000000 / (BigInt(ga) * BigInt(gb) * BigInt(n))).toLong
+    (drift, n)
+  }
+
+  /** RECLUSTER POLICY — the layout twin of the IVF-PQ
+    * `rebuildIfDrifted` cadence verb (q290): appends keep pruned reads
+    * CORRECT but erode SKIPPING (appended files are not z-clustered);
+    * when [[layoutDrift]] crosses `maxDriftPpm`, the whole layout
+    * re-z-orders and the map rebuilds — one decision point a scheduler
+    * can call after every append window, paying the full rewrite only
+    * when the metadata says the selectivity is gone. The rewrite runs
+    * under the same single-maintenance-writer contract as every
+    * mutation here (readers mid-scan of the old files race a full
+    * overwrite — schedule it like any `OPTIMIZE`). Returns the drift
+    * that was measured and whether a recluster ran.
+    */
+  def reclusterIfDegraded(spark: SparkSession, dataPath: String,
+                          zonePath: String, colA: String, colB: String,
+                          maxDriftPpm: Long = 250000L, bits: Int = 8,
+                          partitions: Int = 32): (Long, Boolean) = {
+    val (drift, _) = layoutDrift(spark, zonePath, colA, colB)
+    if (drift <= maxDriftPpm) return (drift, false)
+    // materialize BEFORE overwriting the source being read
+    val cur = spark.read.parquet(dataPath).localCheckpoint(true)
+    try writeZOrdered(cur, dataPath, zonePath, colA, colB, bits, partitions)
+    finally GenStore.freeLocal(cur)
+    (drift, true)
+  }
 }

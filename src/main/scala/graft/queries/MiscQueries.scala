@@ -428,6 +428,50 @@ object MiscQueries {
              |  AND l_suppkey BETWEEN 10 AND 40
              |GROUP BY 1 ORDER BY 1""".stripMargin)),
 
+    // ---- ZONE-MAP RECLUSTER POLICY (ZoneMap.layoutDrift +
+    // reclusterIfDegraded — the IVF-PQ rebuildIfDrifted cadence verb
+    // on the layout): appends keep pruned reads CORRECT but erode
+    // SKIPPING (appended files are not z-clustered); the drift
+    // statistic — mean per-file normalized span product, exact ppm,
+    // computed from the metadata table alone — says when, and crossing
+    // the threshold re-z-orders the layout and rebuilds the map. Here
+    // half of lineitem builds clustered, the other half appends
+    // unclustered (full-span files), the policy TRIPS, and the pruned
+    // read over the re-laid-out corpus hash-matches the same full-scan
+    // oracle as q311/q321 — the whole degrade-measure-recluster cycle
+    // is lossless. ZoneMapSpec pins the no-op below threshold and the
+    // restored selectivity (smaller surviving-file share). ----
+    Q("q337_zonemap_recluster",
+      (s, dir) => {
+        import graft.operators.ZoneMap
+        val tmp = java.nio.file.Files
+          .createTempDirectory("graft_q337_").toString
+        val li = t(s, dir, "lineitem")
+          .select(col("l_partkey"), col("l_suppkey"),
+            col("l_quantity").cast("long").as("qty"), col("l_returnflag"))
+        ZoneMap.writeZOrdered(li.filter(col("l_partkey") % 2 =!= 0),
+          s"$tmp/data", s"$tmp/zone",
+          "l_partkey", "l_suppkey", bits = 8, partitions = 16)
+        ZoneMap.appendWithStats(
+          li.filter(col("l_partkey") % 2 === 0).repartition(8),
+          s"$tmp/data", Seq("l_partkey", "l_suppkey"), s"$tmp/zone")
+        val (_, ran) = ZoneMap.reclusterIfDegraded(s, s"$tmp/data",
+          s"$tmp/zone", "l_partkey", "l_suppkey", maxDriftPpm = 250000L,
+          bits = 8, partitions = 16)
+        require(ran, "the unclustered append must trip the drift policy")
+        ZoneMap.prunedRead(s, s"$tmp/data", s"$tmp/zone",
+            Seq(("l_partkey", 100L, 300L), ("l_suppkey", 10L, 40L)))
+          .groupBy(col("l_returnflag"))
+          .agg(count(lit(1)).as("n"), sum(col("qty")).as("qty_sum"))
+          .orderBy(col("l_returnflag"))
+      },
+      Some("""SELECT l_returnflag, count(*) AS n,
+             |  CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty_sum
+             |FROM lineitem
+             |WHERE l_partkey BETWEEN 100 AND 300
+             |  AND l_suppkey BETWEEN 10 AND 40
+             |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
     // ---- STREAMING zone-map maintenance (StreamingZoneMap
     // .zoneMapSink): lineitem arrives in three microbatches, each
     // landing as data files with the stats map extended by only those

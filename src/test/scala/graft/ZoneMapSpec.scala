@@ -176,6 +176,45 @@ class ZoneMapSpec extends SparkSpec {
     }
   }
 
+  test("recluster policy: unclustered appends raise the measured drift " +
+    "until it trips a full re-layout that restores selectivity") {
+    val dir = tmp("drift")
+    val grid = spark.range(0, 32 * 64).select(
+      (col("id") % 32).cast("long").as("a"),
+      (col("id") / 32).cast("long").as("b"))
+    ZoneMap.writeZOrdered(grid, s"$dir/data", s"$dir/zone", "a", "b",
+      bits = 8, partitions = 8)
+    val (d0, _) = ZoneMap.layoutDrift(spark, s"$dir/zone", "a", "b")
+    // a clustered layout sits below the threshold: the policy no-ops
+    val (d1, ran1) = ZoneMap.reclusterIfDegraded(spark, s"$dir/data",
+      s"$dir/zone", "a", "b", maxDriftPpm = 250000L, partitions = 8)
+    assert(!ran1 && d1 == d0, s"clustered layout must not recluster ($d0)")
+    // UNCLUSTERED append: round-robin files span ~the full range on
+    // both dimensions — correctness holds, skipping erodes, drift rises
+    ZoneMap.appendWithStats(grid.repartition(4), s"$dir/data",
+      Seq("a", "b"), s"$dir/zone")
+    val (d2, _) = ZoneMap.layoutDrift(spark, s"$dir/zone", "a", "b")
+    assert(d2 > d0, s"full-span appends must raise drift ($d0 -> $d2)")
+    val preds = Seq(("a", 3L, 6L), ("b", 10L, 20L))
+    val (survBefore, totBefore) = ZoneMap.pruneFiles(spark, s"$dir/zone",
+      preds)
+    val (d3, ran3) = ZoneMap.reclusterIfDegraded(spark, s"$dir/data",
+      s"$dir/zone", "a", "b", maxDriftPpm = 250000L, partitions = 8)
+    assert(ran3 && d3 == d2, s"drift $d2 must trip the 250000 threshold")
+    val (survAfter, totAfter) = ZoneMap.pruneFiles(spark, s"$dir/zone", preds)
+    // the re-layout restores selectivity: a smaller SHARE of files
+    // opened for the same predicate (integer cross-multiplied)
+    assert(survAfter.size.toLong * totBefore < survBefore.size.toLong * totAfter,
+      s"recluster must improve skipping " +
+        s"(${survAfter.size}/$totAfter vs ${survBefore.size}/$totBefore)")
+    // and zero rows moved: the doubled grid survives, pruned == filter
+    assert(spark.read.parquet(s"$dir/data").count() == 2L * 32 * 64)
+    val got = ZoneMap.prunedRead(spark, s"$dir/data", s"$dir/zone", preds)
+      .groupBy(col("a")).count().as[(Long, Long)].collect().toSet
+    assert(got == (3L to 6L).map(a => (a, 22L)).toSet,
+      "each surviving a-value: 11 b's x 2 copies")
+  }
+
   test("a held append claim fails a concurrent append loudly") {
     val dir = tmp("claim")
     val half1 = spark.range(0, 64).select(
