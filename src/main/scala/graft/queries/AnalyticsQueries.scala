@@ -2405,6 +2405,45 @@ object AnalyticsQueries {
              |  CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS total,
              |  min(CAST(l_quantity AS BIGINT)) AS qmin,
              |  max(CAST(l_quantity AS BIGINT)) AS qmax
+             |FROM lineitem GROUP BY 1 ORDER BY key""".stripMargin)),
+
+    // ---- STREAMING extrema-store maintenance (StreamingAggStore
+    // .aggStoreSink(extrema = true)): a stream is insert-only BY
+    // CONSTRUCTION — exactly the contract the vmin/vmax monoid needs —
+    // so per-key min/max maintain under microbatch folds with the same
+    // batch-id ledger exactly-once as the counts and sums. The drained
+    // store's full five-column state hash-matches the one-shot batch
+    // aggregate. ----
+    Q("q338_stream_agg_store_extrema",
+      (s, dir) => {
+        import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+        implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+        import s.implicits._
+        val li = t(s, dir, "lineitem")
+          .select(col("l_suppkey"), col("l_orderkey"),
+            col("l_quantity").cast("long").as("qty"))
+        val tmp = java.nio.file.Files
+          .createTempDirectory("graft_q338_").toString
+        val input = MemoryStream[(Long, Long)]
+        val q = graft.streaming.StreamingAggStore.aggStoreSink(
+          input.toDF().toDF("l_suppkey", "qty"),
+          s"$tmp/aggs", s"$tmp/ckpt", keyCol = "l_suppkey", valCol = "qty",
+          extrema = true)
+        try {
+          for (r <- 0 to 2) {
+            input.addData(li.filter(col("l_orderkey") % 3 === r)
+              .select(col("l_suppkey"), col("qty"))
+              .as[(Long, Long)].collect().toSeq)
+            q.processAllAvailable()
+          }
+        } finally q.stop()
+        graft.operators.AggStore.readAggStoreExtrema(s, s"$tmp/aggs")
+          .orderBy(col("key"))
+      },
+      Some("""SELECT l_suppkey AS key, count(*) AS cnt,
+             |  CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS total,
+             |  min(CAST(l_quantity AS BIGINT)) AS vmin,
+             |  max(CAST(l_quantity AS BIGINT)) AS vmax
              |FROM lineitem GROUP BY 1 ORDER BY key""".stripMargin))
   )
 

@@ -472,6 +472,59 @@ object MiscQueries {
              |  AND l_suppkey BETWEEN 10 AND 40
              |GROUP BY 1 ORDER BY 1""".stripMargin)),
 
+    // ---- STREAMING maintenance ∘ PLANNER pruning (StreamingZoneMap +
+    // ZoneMapPrune): the stream keeps the stats map a pure function of
+    // the files on disk, so the FRESHNESS probe inside the injected
+    // rule passes at every drained point and a PLAIN filter over the
+    // streamed layout is file-skipped for free — the two r15/r16 wings
+    // composing. Oracle: the full-scan filter. ----
+    Q("q339_stream_zonemap_rewrite",
+      (s, dir) => {
+        import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+        implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+        import s.implicits._
+        import graft.plans.{ZoneMapCatalog, ZoneMapPrune}
+        val tmp = java.nio.file.Files
+          .createTempDirectory("graft_q339_").toString
+        val li = t(s, dir, "lineitem")
+          .select(col("l_partkey"), col("l_suppkey"),
+            col("l_quantity").cast("long").as("qty"))
+        val input = MemoryStream[(Long, Long, Long)]
+        val q = graft.streaming.StreamingZoneMap.zoneMapSink(
+          input.toDF().toDF("l_partkey", "l_suppkey", "qty"),
+          s"$tmp/data", Seq("l_partkey", "l_suppkey"), s"$tmp/zone",
+          s"$tmp/ckpt")
+        try {
+          for (r <- 0 to 2) {
+            input.addData(li.filter(col("l_partkey") % 3 === r)
+              .as[(Long, Long, Long)].collect().toSeq)
+            q.processAllAvailable()
+          }
+        } finally q.stop()
+        val prev = s.experimental.extraOptimizations
+        s.experimental.extraOptimizations = prev :+ ZoneMapPrune(s)
+        try {
+          ZoneMapCatalog.register(s, s"$tmp/data", s"$tmp/zone",
+            Seq("l_partkey", "l_suppkey"))
+          s.read.parquet(s"$tmp/data")
+            .filter(col("l_partkey").between(100, 300) &&
+              col("l_suppkey").between(10, 40))
+            .groupBy(col("l_suppkey"))
+            .agg(count(lit(1)).as("n"), sum(col("qty")).as("qty_sum"))
+            .localCheckpoint(true) // the prune rule fires HERE
+            .orderBy(col("l_suppkey"))
+        } finally {
+          s.experimental.extraOptimizations = prev
+          ZoneMapCatalog.clear()
+        }
+      },
+      Some("""SELECT l_suppkey, count(*) AS n,
+             |  CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty_sum
+             |FROM lineitem
+             |WHERE l_partkey BETWEEN 100 AND 300
+             |  AND l_suppkey BETWEEN 10 AND 40
+             |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
     // ---- STREAMING zone-map maintenance (StreamingZoneMap
     // .zoneMapSink): lineitem arrives in three microbatches, each
     // landing as data files with the stats map extended by only those

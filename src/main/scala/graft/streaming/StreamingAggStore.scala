@@ -45,10 +45,15 @@ object StreamingAggStore {
   /** Start the fold sink: one [[AggStore.mergeIntoAggStore]] per
     * microbatch, `appliedId` keyed by the batch id; the first batch
     * builds the store with `nBuckets` when it does not exist yet.
+    * `extrema = true` builds an EXTREMA store (per-key vmin/vmax riding
+    * the same buckets — the insert-only min/max monoid a stream
+    * satisfies by construction); merges self-detect the shape from the
+    * store's marker, so only the build needs the flag.
     */
   def aggStoreSink(stream: DataFrame, path: String, checkpoint: String,
                    keyCol: String = "key", valCol: String = "val",
-                   nBuckets: Int = 16): StreamingQuery =
+                   nBuckets: Int = 16,
+                   extrema: Boolean = false): StreamingQuery =
     stream.writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         // an empty replay batch (possible on restart) must not burn a
@@ -57,7 +62,8 @@ object StreamingAggStore {
           val spark = batch.sparkSession
           val id = Some(s"batch-$batchId")
           if (!AggStore.aggStoreExists(spark, path))
-            AggStore.buildAggStore(batch, path, keyCol, valCol, nBuckets, id)
+            AggStore.buildAggStore(batch, path, keyCol, valCol, nBuckets, id,
+              extrema)
           else
             AggStore.mergeIntoAggStore(batch, path, keyCol, valCol, id)
         }
