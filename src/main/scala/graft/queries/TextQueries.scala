@@ -470,6 +470,46 @@ object TextQueries {
       },
       Some(bm25OracleSql(where = "AND doc_id % 3 <> 0"))),
 
+    // ---- LSM lifecycle on the text index (q333's lexical twin:
+    // GenStore delta segments + TextIndex.compactTextIndex + vacuum):
+    // a build and TWO document appends land as per-batch segments
+    // across the substores, compaction folds every multi-segment
+    // bucket (each substore advancing exactly one generation,
+    // pointer-only where nothing folds — the batch-relative alignment
+    // invariant), vacuum reclaims the superseded segments, and BM25
+    // serving over the compacted index hash-matches the one-shot
+    // full-corpus computation — the land-fold-reclaim cycle is
+    // lossless on the lexical store too. ----
+    Q("q340_text_index_compaction",
+      (s, dir) => {
+        val spark = s
+        import spark.implicits._
+        val queries = Seq(
+          (1L, "fast table scan"),
+          (2L, "hash join merge"),
+          (3L, "stream window batch group")).toDF("qid", "qtext")
+        val docs = t(s, dir, "documents")
+        val tmp = java.nio.file.Files
+          .createTempDirectory("graft_q340_").toString + "/ix"
+        graft.operators.TextIndex.buildTextIndex(
+          docs.filter(col("doc_id") % 3 === 0), tmp, "doc_id", "text",
+          appliedId = Some("b0"))
+        graft.operators.TextIndex.mergeIntoTextIndex(
+          docs.filter(col("doc_id") % 3 === 1), tmp, "doc_id", "text",
+          appliedId = Some("b1"))
+        graft.operators.TextIndex.mergeIntoTextIndex(
+          docs.filter(col("doc_id") % 3 === 2), tmp, "doc_id", "text",
+          appliedId = Some("b2"))
+        graft.operators.TextIndex.compactTextIndex(s, tmp)
+        graft.operators.TextIndex.vacuumTextIndex(s, tmp)
+        graft.operators.TextIndex.serveTextIndex(s, tmp, queries,
+            "qid", "qtext", "doc_id", k = 10)
+          .select(col("qid"), col("doc_id"),
+            round(col("score"), 4).as("score"), col("rn"))
+          .orderBy(col("qid"), col("rn"))
+      },
+      Some(bm25OracleSql(where = ""))),
+
     // ---- STREAMING index maintenance (StreamingTextIndex
     // .textIndexSink): documents arrive as a stream, each microbatch
     // folds its posting/dl/stats deltas — exactly-once by the
