@@ -35,10 +35,16 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("minhash_sig"),
       new ExpressionInfo(classOf[MinHashSig].getName, "minhash_sig"),
       (es: Seq[Expression]) => MinHashSig.fromSql(es)))
-    // materialized-view rewrite: aggregates over a registered base
-    // relation serve from the maintained AggStore instead of scanning
-    // the corpus (MvCatalog.registerAggView is the freshness contract)
+    // materialized-view rewrites: aggregates over a registered base
+    // relation serve from the maintained AggStore / ViewStore instead
+    // of scanning the corpus (registration + the BaseFiles landed-file
+    // fingerprint gate freshness — stale bases refuse and answer from
+    // the base)
     ext.injectOptimizerRule(sp => graft.plans.AggStoreRewrite(sp))
     ext.injectOptimizerRule(sp => graft.plans.JoinViewRewrite(sp))
+    // zone-map pruning: plain filters over a registered z-ordered
+    // layout open only the stat-intersecting files (residual kept,
+    // undescribed landed files refuse)
+    ext.injectOptimizerRule(sp => graft.plans.ZoneMapPrune(sp))
   }
 }
