@@ -161,15 +161,19 @@ case class ZoneMapPrune(spark: SparkSession) extends Rule[LogicalPlan] {
       lows(c) = math.max(lows.getOrElse(c, Long.MinValue), v)
     def hi(c: String, v: Long): Unit =
       highs(c) = math.min(highs.getOrElse(c, Long.MaxValue), v)
+    // guard each attr-first case on the ATTR side actually resolving,
+    // or it would swallow the literal-first shape before its mirrored
+    // case can run (a completeness miss, never a correctness one —
+    // missing bounds only widen the file set)
     conjuncts(cond).foreach {
-      case GreaterThanOrEqual(a, l) =>
+      case GreaterThanOrEqual(a, l) if statName(a).isDefined =>
         for (c <- statName(a); v <- litVal(l)) lo(c, v)
-      case LessThanOrEqual(a, l) =>
+      case LessThanOrEqual(a, l) if statName(a).isDefined =>
         for (c <- statName(a); v <- litVal(l)) hi(c, v)
-      case GreaterThan(a, l) =>
+      case GreaterThan(a, l) if statName(a).isDefined =>
         for (c <- statName(a); v <- litVal(l) if v < Long.MaxValue)
           lo(c, v + 1)
-      case LessThan(a, l) =>
+      case LessThan(a, l) if statName(a).isDefined =>
         for (c <- statName(a); v <- litVal(l) if v > Long.MinValue)
           hi(c, v - 1)
       case EqualTo(a, l) if statName(a).isDefined =>

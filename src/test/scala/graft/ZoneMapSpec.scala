@@ -160,6 +160,13 @@ class ZoneMapSpec extends SparkSpec {
       // a provably-empty range folds to a local empty relation
       assert(spark.read.parquet(s"$dir/data").filter(col("a") > 1000L)
         .isEmpty)
+      // literal-first operand order prunes identically
+      val qm = spark.read.parquet(s"$dir/data")
+        .filter(lit(3L) <= col("a") && lit(6L) >= col("a") &&
+          col("b").between(10, 20))
+      assert(qm.inputFiles.length < allFiles,
+        "literal-first comparisons must extract the same bounds")
+      assert(qm.as[(Long, Long)].collect().toSet == expect)
       // an undescribed file lands (no appendWithStats): the rule must
       // REFUSE — skipping that file would lose its rows
       Seq((3L, 15L)).toDF("a", "b")
