@@ -126,8 +126,10 @@ object AggStore {
       prev.map(_.applied).getOrElse(Seq.empty) ++ appliedId.toSeq,
       Snapshot.listKvDirs(spark, s"$path/$dir", "bucket").map((_, dir))))
     // freshness fingerprint for the MV rewrite — strictly AFTER the
-    // commit ([[BaseFiles]] ordering argument)
-    BaseFiles.record(spark, path, rows.inputFiles.toSeq)
+    // commit ([[BaseFiles]] ordering argument); a build RESETS it (the
+    // rebuilt state derives from exactly these files, and stale names
+    // would trip the shrinkage check after a legitimate base compaction)
+    BaseFiles.reset(spark, path, rows.inputFiles.toSeq)
   }
 
   /** Merge an increment: per-key counts/sums ADD (exact integer monoid,

@@ -4,21 +4,34 @@ package graft.operators
   * freshness evidence the MV-rewrite rules check before serving a
   * store instead of the base ([[graft.plans.AggStoreRewrite]] /
   * [[graft.plans.JoinViewRewrite]]). Registration alone makes
-  * freshness a pure caller contract; this closes the one window where
-  * a wrong answer was reachable WITHOUT a loud contract violation: a
-  * base table that gained files after the last store merge would
-  * silently serve stale aggregates.
+  * freshness a pure caller contract; this closes the windows where a
+  * wrong answer was reachable WITHOUT a loud contract violation, in
+  * BOTH directions: a base that GAINED files after the last store
+  * mutation (the rewrite would silently serve stale aggregates), and
+  * a base that LOST files the store folded (file-level retention, a
+  * partition drop — the rewrite would silently serve rows the base no
+  * longer holds).
   *
   * MECHANISM. Every store build/merge records the NORMALIZED file
   * listing of its source frame (`DataFrame.inputFiles` — exactly the
   * files whose rows the mutation folded) into the one-file
   * `<storePath>/BASEFILES` manifest ([[Snapshot.writeLines]]'s atomic
-  * rename, union semantics across mutations). At rewrite time the rule
-  * compares the scan relation's `inputFiles` against the fingerprint:
-  * every file the query would scan must already be REFLECTED in the
-  * store, else the rewrite refuses (logged) and the query answers from
+  * rename; MERGES union into it, a BUILD/rebuild [[reset]]s it to
+  * exactly its source's listing — the rebuilt state is a pure function
+  * of those files alone, and carrying older names would refuse forever
+  * after a legitimate base compaction). At rewrite time the rule
+  * compares the scan relation's `inputFiles` against the fingerprint
+  * BOTH WAYS: every file the query would scan must be reflected in the
+  * store (no unseen additions), and every fingerprinted file UNDER THE
+  * SCANNED ROOTS must still be in the scan (no deletions of folded
+  * files — fingerprint entries under other roots are a multi-base
+  * store's other side and are out of this scan's scope). Either
+  * violation refuses the rewrite (logged) and the query answers from
   * the base — correct, just not accelerated. The day's load merging
-  * into the store records the day's files, restoring the rewrite.
+  * into the store records the day's files, restoring the rewrite; a
+  * shrunken base requires the rebuild that deletion semantics demand
+  * anyway (the store's merge contract is insert-only), and the rebuild
+  * resets the fingerprint.
   *
   * FAIL-SAFE ORDERING: the fingerprint lands strictly AFTER the store
   * mutation commits, so a crash between the two leaves files
@@ -46,7 +59,8 @@ private[graft] object BaseFiles {
   private def norm(p: String): String = p.replaceFirst("^file:/+", "/")
 
   /** Union `files` into the store's fingerprint (no-op for an empty
-    * listing — non-file sources leave the fingerprint untouched).
+    * listing — non-file sources leave the fingerprint untouched). The
+    * MERGE verb: increments fold on top of recorded state.
     */
   def record(spark: org.apache.spark.sql.SparkSession, storePath: String,
              files: Seq[String]): Unit = {
@@ -57,21 +71,49 @@ private[graft] object BaseFiles {
       Snapshot.writeLines(spark, s"$storePath/BASEFILES", next.toSeq.sorted)
   }
 
+  /** Replace the fingerprint with exactly `files` — the BUILD/rebuild
+    * verb: the rebuilt state is a pure function of its source files
+    * alone, so names from superseded base generations must not linger
+    * (they would trip the shrinkage check forever after a legitimate
+    * base compaction). An empty listing (non-file source) DELETES the
+    * fingerprint — an empty-set fingerprint would refuse every scan,
+    * where "no fingerprint" correctly falls back to the registration
+    * contract.
+    */
+  def reset(spark: org.apache.spark.sql.SparkSession, storePath: String,
+            files: Seq[String]): Unit =
+    if (files.isEmpty) {
+      val p = new org.apache.hadoop.fs.Path(s"$storePath/BASEFILES")
+      val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+      if (fs.exists(p)) fs.delete(p, false)
+    } else Snapshot.writeLines(spark, s"$storePath/BASEFILES",
+      files.map(norm).distinct.sorted)
+
   /** The recorded fingerprint, or None when the store has none. */
   def read(spark: org.apache.spark.sql.SparkSession,
            storePath: String): Option[Set[String]] =
     Snapshot.readLines(spark, s"$storePath/BASEFILES")
       .map(_.filter(_.nonEmpty).map(norm).toSet)
 
-  /** Is every file of the scan relation reflected in the store? True
+  /** Does the fingerprint and the scan agree on the base's files? True
     * when no fingerprint exists (registration contract, unchanged);
     * false — refuse the rewrite — when the base has files the store's
-    * mutations never saw.
+    * mutations never saw (ADDITION: a stale rewrite would under-count),
+    * OR when a fingerprinted file under the scan's root paths is gone
+    * from the scan (SHRINKAGE: file-level retention or a partition
+    * drop deleted rows the store still serves). The root scoping keeps
+    * a multi-base store (the join view records BOTH sides into one
+    * fingerprint) checkable one relation at a time.
     */
   def covers(spark: org.apache.spark.sql.SparkSession, storePath: String,
-             relFiles: Seq[String]): Boolean =
+             relFiles: Seq[String], relRoots: Seq[String]): Boolean =
     read(spark, storePath) match {
       case None => true
-      case Some(fp) => relFiles.nonEmpty && relFiles.map(norm).forall(fp)
+      case Some(fp) =>
+        val rf = relFiles.map(norm).toSet
+        val roots = relRoots.map(r => norm(r).stripSuffix("/"))
+        val fpUnderRoots = fp.filter(f =>
+          roots.exists(r => f == r || f.startsWith(r + "/")))
+        relFiles.nonEmpty && rf.forall(fp) && fpUnderRoots.forall(rf)
     }
 }

@@ -537,20 +537,27 @@ private[graft] object GenStore {
     val (ea, eb) = (segs(ma), segs(mb))
     val changed = (ea.keySet ++ eb.keySet)
       .filter(b => ea.getOrElse(b, Set.empty) != eb.getOrElse(b, Set.empty))
-    val segmented = (ma.entries ++ mb.entries).groupBy(_._1)
-      .exists(_._2.map(_._2).distinct.size > 1)
-    def side(m: Manifest, tag: String): DataFrame = {
+    // segmentation is a PER-MANIFEST property: a content-changed bucket
+    // maps to different dirs ACROSS the two snapshots (the normal diff
+    // case), which says nothing about either side needing a fold —
+    // only a bucket with >1 segment within ITS OWN manifest does. A
+    // combined check would flip every real diff to the folded path,
+    // silently requiring summable valCols of single-segment stores and
+    // paying an unnecessary per-side shuffle.
+    def segmented(e: Map[Long, Set[String]]): Boolean =
+      e.exists(_._2.size > 1)
+    def side(m: Manifest, tag: String, seg: Boolean): DataFrame = {
       val es = m.entries.filter(e => changed.contains(e._1))
       // schema from a live entry when this side has no changed buckets
       // (limit(0) folds to an empty relation — zero data read)
       val df0 = readBucketDirs(spark, path,
         if (es.nonEmpty) es else m.entries.take(1))
-      // fold segments per key when any exist — only additive stores
-      // grow segments ([[mergeAdditive]]), so summing is their own
-      // read semantics; single-segment stores take the raw path
+      // fold segments per key when THIS side has any — only additive
+      // stores grow segments ([[mergeAdditive]]), so summing is their
+      // own read semantics; single-segment sides take the raw path
       // unchanged (their valCols need not be summable)
       val df =
-        if (!segmented) df0
+        if (!seg) df0
         else {
           val aggs = valCols.map(v => sum(col(v)).as(v))
           df0.groupBy(col(keyCol)).agg(aggs.head, aggs.tail: _*)
@@ -560,7 +567,8 @@ private[graft] object GenStore {
           valCols.map(v => col(v).as(s"${v}_$tag")): _*)
       named.withColumn(s"__p$tag", lit(true))
     }
-    side(ma, "a").join(side(mb, "b"), Seq(keyCol), "full_outer")
+    side(ma, "a", segmented(ea)).join(side(mb, "b", segmented(eb)),
+        Seq(keyCol), "full_outer")
       .filter(col("__pa").isNull || col("__pb").isNull ||
         valCols.map(v => col(s"${v}_a") =!= col(s"${v}_b")).reduce(_ || _))
       .withColumn("change",

@@ -152,8 +152,10 @@ object ViewStore {
         Seq.empty, appliedId)
     }
     // freshness fingerprint for the MV rewrite — both bases' files,
-    // strictly AFTER the commits ([[BaseFiles]] ordering argument)
-    BaseFiles.record(spark, path,
+    // strictly AFTER the commits ([[BaseFiles]] ordering argument); a
+    // build RESETS it (stale names would trip the shrinkage check
+    // after a legitimate base compaction)
+    BaseFiles.reset(spark, path,
       a.inputFiles.toSeq ++ b.inputFiles.toSeq)
   }
 

@@ -1,7 +1,8 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DataType, DateType, TimestampType}
 
 /** ZONE MAP — the file-level min/max statistics index that turns a
   * [[ZOrder]] layout into actual file skipping: a tiny metadata table
@@ -38,9 +39,24 @@ import org.apache.spark.sql.functions._
   * file carries null stats and the intersection test (null-safe SQL
   * comparison → not true → dropped) skips it — CORRECT for range
   * predicates, because `v BETWEEN lo AND hi` is never true for null
-  * `v` either. Stat columns must be long-castable (ints/longs; route
-  * dates through day numbers, doubles through micro-units — the house
-  * integer-exact convention).
+  * `v` either. Stat columns are anything with an exact integer image:
+  * ints/longs as-is, DATE as epoch DAYS (`unix_date` — the same int
+  * Catalyst stores date literals as), TIMESTAMP as epoch MICROS
+  * (`unix_micros` — ditto); route doubles through micro-units, the
+  * house integer-exact convention.
+  *
+  * PLAN-TIME METADATA ([[ZoneMapMeta]]): every mutation also commits a
+  * one-file `_ZMMETA` manifest inside the zone directory — generation
+  * counter, the zone parquet's own file signature, and the per-file
+  * stats — so freshness checks, pruning decisions, and the drift
+  * statistic are ONE cached driver-side metadata read instead of
+  * repeated zone-TABLE parquet scans per planned query (the
+  * BaseFiles/Snapshot listing-manifest pattern applied to the planner
+  * hot path; at 1M described files those scans were real planning
+  * latency). The signature ties the manifest to the exact parquet
+  * footprint it describes, so a crash between the two writes can only
+  * produce a DETECTED-stale manifest (ignored, scan fallback), never a
+  * silently wrong prune.
   *
   * Ref: the reference filters its article corpus by numeric thresholds
   * before the expensive per-article work (airflow/dags/
@@ -49,26 +65,42 @@ import org.apache.spark.sql.functions._
   */
 object ZoneMap {
 
+  /** The column's exact integer image, the unit every stat, literal,
+    * and residual agree on: DATE → epoch days (the very int Catalyst
+    * stores date literals as), TIMESTAMP → epoch micros (ditto),
+    * numerics → cast(long). Shared with [[ZOrder.assign]] so a layout
+    * clustered on a date column and its zone map speak the same unit.
+    */
+  private[graft] def statExpr(dt: DataType, c: Column): Column = dt match {
+    case DateType => unix_date(c).cast("long")
+    case TimestampType => unix_micros(c)
+    case _ => c.cast("long")
+  }
+
   /** One row per data file under `dataPath`: `file`, `n`, and
-    * `<c>_min`/`<c>_max` (long) per stat column. Columnar: reads only
-    * `statCols`. The output is metadata-sized (|files| rows) and is
-    * written as a single file so the prune's read never fans out.
+    * `<c>_min`/`<c>_max` (long, the [[statExpr]] unit) per stat
+    * column. Columnar: reads only `statCols`. The output is
+    * metadata-sized (|files| rows) and is written as a single file so
+    * the prune's read never fans out.
     */
   private def statsFrame(data: DataFrame, statCols: Seq[String]): DataFrame = {
     require(statCols.nonEmpty, "zone map needs at least one stat column")
-    val aggs = statCols.flatMap(c => Seq(
-      min(col(c).cast("long")).as(s"${c}_min"),
-      max(col(c).cast("long")).as(s"${c}_max"))) :+ count(lit(1)).as("n")
+    val aggs = statCols.flatMap { c =>
+      val e = statExpr(data.schema(c).dataType, col(c))
+      Seq(min(e).as(s"${c}_min"), max(e).as(s"${c}_max"))
+    } :+ count(lit(1)).as("n")
     data.select(input_file_name().as("file") +: statCols.map(col): _*)
       .groupBy(col("file"))
       .agg(aggs.head, aggs.tail: _*)
   }
 
   def buildZoneMap(spark: SparkSession, dataPath: String,
-                   statCols: Seq[String], zonePath: String): Unit =
+                   statCols: Seq[String], zonePath: String): Unit = {
     statsFrame(spark.read.parquet(dataPath), statCols)
       .coalesce(1)
       .write.mode("overwrite").parquet(zonePath)
+    ZoneMapMeta.write(spark, zonePath, statCols)
+  }
 
   /** INCREMENTAL maintenance: append `df` as new data files and extend
     * the zone map with ONLY their stats — existing files are immutable,
@@ -138,25 +170,33 @@ object ZoneMap {
           .localCheckpoint(true) // materialize BEFORE overwriting the source
       try merged.coalesce(1).write.mode("overwrite").parquet(zonePath)
       finally GenStore.freeLocal(merged)
+      ZoneMapMeta.write(spark, zonePath, statCols)
     } finally fs.delete(claim, false)
   }
 
-  /** The skipping decision, made once on the metadata table: data files
-    * whose `[min, max]` intersects EVERY predicate's `[lo, hi]`, plus
-    * the total file count. The collect is the surviving file list — the
+  /** The skipping decision, made once on the metadata: data files whose
+    * `[min, max]` intersects EVERY predicate's `[lo, hi]`, plus the
+    * total file count. Served from the cached [[ZoneMapMeta]] manifest
+    * when one validates (zero Spark jobs — plan-time cost is one
+    * metadata read, amortized across re-plans), falling back to the
+    * zone-table scan for pre-manifest maps. The survivor list is the
     * bounded driver artifact any parquet scan's planner holds anyway.
     */
   def pruneFiles(spark: SparkSession, zonePath: String,
                  preds: Seq[(String, Long, Long)]): (Seq[String], Long) = {
     require(preds.nonEmpty, "pruned read needs at least one predicate")
-    val zm = spark.read.parquet(zonePath)
-    val keep = preds.map { case (c, lo, hi) =>
-      col(s"${c}_min") <= lit(hi) && col(s"${c}_max") >= lit(lo)
-    }.reduce(_ && _)
-    val total = zm.count()
-    val survivors = zm.where(keep).select(col("file"))
-      .collect().map(_.getString(0)).toSeq.sorted
-    (survivors, total)
+    ZoneMapMeta.load(spark, zonePath) match {
+      case Some(meta) => ZoneMapMeta.prune(meta, preds)
+      case None =>
+        val zm = spark.read.parquet(zonePath)
+        val keep = preds.map { case (c, lo, hi) =>
+          col(s"${c}_min") <= lit(hi) && col(s"${c}_max") >= lit(lo)
+        }.reduce(_ && _)
+        val total = zm.count()
+        val survivors = zm.where(keep).select(col("file"))
+          .collect().map(_.getString(0)).toSeq.sorted
+        (survivors, total)
+    }
   }
 
   /** Scan `dataPath` THROUGH the zone map: open only the files whose
@@ -168,12 +208,17 @@ object ZoneMap {
     */
   def prunedRead(spark: SparkSession, dataPath: String, zonePath: String,
                  preds: Seq[(String, Long, Long)]): DataFrame = {
-    val residual = preds.map { case (c, lo, hi) =>
-      col(c).cast("long").between(lit(lo), lit(hi))
-    }.reduce(_ && _)
     val (files, _) = pruneFiles(spark, zonePath, preds)
-    if (files.isEmpty) spark.read.parquet(dataPath).where(residual).limit(0)
-    else spark.read.parquet(files: _*).where(residual)
+    val base =
+      if (files.isEmpty) spark.read.parquet(dataPath)
+      else spark.read.parquet(files: _*)
+    // residual in the same [[statExpr]] unit the stats were built in
+    // (epoch days for dates, micros for timestamps, cast(long) else)
+    val residual = preds.map { case (c, lo, hi) =>
+      statExpr(base.schema(c).dataType, col(c)).between(lit(lo), lit(hi))
+    }.reduce(_ && _)
+    if (files.isEmpty) base.where(residual).limit(0)
+    else base.where(residual)
   }
 
   /** The paired write: z-order `df` on the two stat columns, land the
@@ -201,29 +246,43 @@ object ZoneMap {
     * analog of the IVF-PQ residual-drift statistic (q285): the number
     * that says when append cost has eaten the layout's selectivity.
     * Degenerate global ranges (a constant column) count as fully
-    * spanned. Returns `(driftPpm, nFiles)`.
+    * spanned; all-null stat files count as fully spanned. EVERY step
+    * runs in BigInt on the driver over the (metadata-sized, same
+    * magnitude as the survivor list) per-file stats — a per-file span
+    * product of two wide-range columns (dates in days × amounts in
+    * micro-units easily pass 1e12 each) overflows Long, and a wrapped
+    * product would silently defeat or falsely trip the recluster
+    * policy. Returns `(driftPpm, nFiles)`.
     */
   def layoutDrift(spark: SparkSession, zonePath: String,
                   colA: String, colB: String): (Long, Long) = {
-    val zm = spark.read.parquet(zonePath)
-    def span(c: String) = col(s"${c}_max") - col(s"${c}_min") + lit(1L)
-    val g = zm.agg(
-      (max(col(s"${colA}_max")) - min(col(s"${colA}_min")) + lit(1L))
-        .as("ga"),
-      (max(col(s"${colB}_max")) - min(col(s"${colB}_min")) + lit(1L))
-        .as("gb"),
-      count(lit(1)).as("n")).head()
-    val (ga, gb, n) = (g.getLong(0), g.getLong(1), g.getLong(2))
-    require(n > 0L, s"zone map at $zonePath is empty")
-    // Σ of per-file span products (long; null spans — all-null stat
-    // files — count as fully spanned), divided ONCE on the driver in
-    // BigInt so the ppm is exact with zero overflow risk
-    val s = zm.agg(sum(
-        coalesce(span(colA) * span(colB), lit(ga * gb))).as("s"))
-      .head().getLong(0)
-    val drift =
-      (BigInt(s) * 1000000 / (BigInt(ga) * BigInt(gb) * BigInt(n))).toLong
-    (drift, n)
+    val stats: Seq[(Option[(Long, Long)], Option[(Long, Long)])] =
+      ZoneMapMeta.load(spark, zonePath) match {
+        case Some(meta) => meta.files.map(f =>
+          (f.stats.getOrElse(colA, None), f.stats.getOrElse(colB, None)))
+        case None =>
+          spark.read.parquet(zonePath)
+            .select(col(s"${colA}_min"), col(s"${colA}_max"),
+              col(s"${colB}_min"), col(s"${colB}_max"))
+            .collect().toSeq.map { r =>
+              def p(i: Int) =
+                if (r.isNullAt(i) || r.isNullAt(i + 1)) None
+                else Some((r.getLong(i), r.getLong(i + 1)))
+              (p(0), p(2))
+            }
+      }
+    val n = stats.size
+    require(n > 0, s"zone map at $zonePath is empty")
+    def global(side: Seq[(Long, Long)]): BigInt =
+      if (side.isEmpty) BigInt(1) // all-null column: degenerate range
+      else BigInt(side.map(_._2).max) - BigInt(side.map(_._1).min) + 1
+    val (ga, gb) = (global(stats.flatMap(_._1)), global(stats.flatMap(_._2)))
+    val total = stats.map { case (a, b) =>
+      val sa = a.map(t => BigInt(t._2) - BigInt(t._1) + 1).getOrElse(ga)
+      val sb = b.map(t => BigInt(t._2) - BigInt(t._1) + 1).getOrElse(gb)
+      sa * sb
+    }.sum
+    ((total * 1000000 / (ga * gb * n)).toLong, n.toLong)
   }
 
   /** RECLUSTER POLICY — the layout twin of the IVF-PQ

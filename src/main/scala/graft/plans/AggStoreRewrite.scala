@@ -216,9 +216,18 @@ case class AggStoreRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
         case (orig, OutCol.Total) =>
           Alias(sTotal, orig.name)(exprId = orig.exprId)
         case (orig, OutCol.Mean) =>
-          // avg(v) == total / cnt from the store's own columns; for an
-          // integral child Spark's Average is double(sum)/double(count),
-          // and integer partial sums are exact in double — identical
+          // avg(v) == total / cnt from the store's own columns.
+          // EXACTNESS NOTE (a documented, deliberate deviation at the
+          // extreme): Spark's native Average over an integral child
+          // accumulates partial sums in a DOUBLE buffer, which rounds
+          // once a partial sum passes 2^53; the store divides its
+          // EXACT long total once, so beyond that magnitude the served
+          // avg is the arithmetically-correct value where the native
+          // plan's is the buffer-rounded one. Below 2^53 per partial
+          // sum (every oracle here, and any sane unit choice short of
+          // summing >9e15 in one partition) they are bit-identical;
+          // past it the rewrite is deliberately MORE accurate rather
+          // than bug-compatible with the rounding.
           Alias(Divide(Cast(sTotal, DoubleType), Cast(sCnt, DoubleType)),
             orig.name)(exprId = orig.exprId)
         case (orig, OutCol.Lo) =>
@@ -386,10 +395,12 @@ object AggStoreRewrite {
     }
 
   /** The freshness gate ([[graft.operators.BaseFiles.covers]]): true
-    * when the relation's landed files are all reflected in the store's
-    * fingerprint (or no fingerprint exists — pre-guard stores keep the
-    * registration contract); logs the refusal otherwise so staleness is
-    * observable, not silent.
+    * when the relation's landed files exactly agree with the store's
+    * fingerprint under this relation's roots — no files the store's
+    * mutations never saw, no fingerprinted files the base has since
+    * lost (or no fingerprint exists — pre-guard stores keep the
+    * registration contract); logs the refusal otherwise so staleness
+    * is observable, not silent.
     */
   private[plans] def freshOrLog(spark: SparkSession, storePath: String,
                                 rel: LogicalRelation,
@@ -398,11 +409,13 @@ object AggStoreRewrite {
       case fs: HadoopFsRelation => fs.location.inputFiles.toSeq
       case _ => Seq.empty
     }
-    val ok = graft.operators.BaseFiles.covers(spark, storePath, files)
+    val ok = graft.operators.BaseFiles.covers(spark, storePath, files,
+      pathsOf(rel).toSeq)
     if (!ok) log.warn(
       s"MV rewrite refused: base ${pathsOf(rel).mkString(",")} has landed " +
-        s"files not reflected in the store at $storePath — answering from " +
-        "the base; merge the new files into the store to restore serving")
+        s"or deleted files not reflected in the store at $storePath — " +
+        "answering from the base; merge the new files (or rebuild after " +
+        "a base shrink) to restore serving")
     ok
   }
 

@@ -218,8 +218,11 @@ case class JoinViewRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
         case (orig, 0) => Alias(sKey, orig.name)(exprId = orig.exprId)
         case (orig, 1) => Alias(sCnt, orig.name)(exprId = orig.exprId)
         case (orig, 2) => Alias(sTotal, orig.name)(exprId = orig.exprId)
-        case (orig, _) => // avg == total / cnt (the AggStoreRewrite
-          // exactness argument: integer partial sums are exact in double)
+        case (orig, _) => // avg == total / cnt — see AggStoreRewrite's
+          // EXACTNESS NOTE: bit-identical to native Average below 2^53
+          // per partial sum; past it the store's one-divide of the
+          // exact long total is deliberately MORE accurate than the
+          // native double-buffer rounding (documented deviation)
           Alias(Divide(
             Cast(sTotal, org.apache.spark.sql.types.DoubleType),
             Cast(sCnt, org.apache.spark.sql.types.DoubleType)),

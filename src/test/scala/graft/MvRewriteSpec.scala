@@ -342,6 +342,44 @@ class MvRewriteSpec extends SparkSpec {
     }
   }
 
+  test("shrinkage guard: base files deleted after the store folded them " +
+    "refuse the rewrite; a rebuild resets the fingerprint and restores") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_mvs_").toString
+    Seq((1L, 10L), (2L, 5L), (3L, 7L)).toDF("k", "v")
+      .repartition(3).write.parquet(s"$dir/base")
+    AggStore.buildAggStore(spark.read.parquet(s"$dir/base"),
+      s"$dir/store", "k", "v")
+    withRule {
+      MvCatalog.registerAggView(spark.read.parquet(s"$dir/base"),
+        "k", "v", s"$dir/store")
+      def q = spark.read.parquet(s"$dir/base").groupBy(col("k"))
+        .agg(count(lit(1)).as("cnt"), sum(col("v").cast("long")).as("total"))
+      assert(q.inputFiles.exists(_.contains("/store/")),
+        "fresh store: the rewrite must fire")
+      // file-level retention drops ONE base data file — no rewrite, no
+      // new names: the forward (addition) check alone cannot see it,
+      // but the store still serves the deleted file's rows
+      val victim = spark.read.parquet(s"$dir/base").inputFiles.head
+      assert(new java.io.File(new java.net.URI(victim)).delete())
+      val shrunk = q
+      assert(!shrunk.inputFiles.exists(_.contains("/store/")),
+        "deleted base files must refuse the rewrite")
+      val baseTruth = shrunk.orderBy("k").as[(Long, Long, Long)]
+        .collect().toSeq
+      assert(baseTruth.length == 2,
+        s"the base recompute must reflect the deletion, got $baseTruth")
+      // the rebuild deletion semantics demand anyway RESETS the
+      // fingerprint — serving resumes, now over the shrunken truth
+      AggStore.buildAggStore(spark.read.parquet(s"$dir/base"),
+        s"$dir/store", "k", "v")
+      val served = q
+      assert(served.inputFiles.exists(_.contains("/store/")),
+        "a rebuild must restore the rewrite")
+      assert(served.orderBy("k").as[(Long, Long, Long)].collect().toSeq ==
+        baseTruth, "the restored serving must equal the base recompute")
+    }
+  }
+
   test("without a registration the rule is a no-op") {
     val dir = java.nio.file.Files.createTempDirectory("graft_mv3_").toString
     Seq((1L, 10L)).toDF("k", "v").write.parquet(s"$dir/base")

@@ -149,6 +149,27 @@ class ViewStoreSpec extends SparkSpec {
       s"diff must audit the day-1 groups, got $d")
   }
 
+  test("GenStore.diff folds only sides whose OWN manifest is segmented: " +
+    "a content-changed bucket keeps the raw path for non-summable valCols") {
+    val path = tmp()
+    // two single-segment snapshots with a STRING value column — the
+    // normal diff case (content changed, bucket dirs differ ACROSS the
+    // manifests); a combined segmentation check would wrongly take the
+    // folded path and try sum(string)
+    GenStore.commitGen(spark, path,
+      Seq((1L, "x"), (2L, "y")).toDF("key", "v"),
+      4, Seq.empty, 0L, Seq.empty, None)
+    val m1 = GenStore.read(spark, path).get
+    GenStore.commitGen(spark, path,
+      Seq((1L, "x2"), (2L, "y")).toDF("key", "v"),
+      4, m1.applied, m1.gen, Seq.empty, None)
+    val m2 = GenStore.read(spark, path).get
+    val d = GenStore.diff(spark, path, m1.gen, m2.gen, "key",
+        Seq("v"), "changed")
+      .select(col("key"), col("change")).as[(Long, String)].collect().toSet
+    assert(d == Set((1L, "changed")), s"raw-path diff must work, got $d")
+  }
+
   test("purge erases the subject everywhere; shared keys survive; " +
     "replayed batches and re-sends are suppressed until re-admission") {
     val path = tmp()
