@@ -51,6 +51,11 @@ object Bench {
     "q329_zonemap_rewrite", "q331_mv_rewrite_lookup",
     "q333_view_lsm_compaction", "q335_join_view_lookup_rewrite",
     "q337_zonemap_recluster",
+    // r17: date-typed planner pruning (the manifest-cached plan-time
+    // metadata path), the extrema join view through the rewrite, and
+    // the unified maintenance sweep lifecycle
+    "q341_zonemap_date", "q343_join_view_extrema",
+    "q344_maintenance_sweep",
   )
 
   def main(args: Array[String]): Unit = {

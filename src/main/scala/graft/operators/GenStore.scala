@@ -277,6 +277,41 @@ private[graft] object GenStore {
   // ([[ViewStore]]) and the inverted text index ([[TextIndex]]) — the
   // same no-per-store-copies rationale as the manifest machinery above.
 
+  /** Per-column SEGMENT FOLD of a keyed substore: how one key's rows
+    * combine across LSM segments. SUM is the additive default (exact
+    * long monoid); MIN/MAX are the extrema monoids, commutative too but
+    * only under INSERT-ONLY increments — a retraction cannot raise a
+    * min, which is exactly the contract these stores already carry
+    * (the [[AggStore]] extrema argument at substore level). `agg` folds
+    * many segments at read; `pair` folds one delta row against the
+    * folded state (both null-skipping: a one-sided key takes the
+    * present side — coalesce for sums, least/greatest's null-skip for
+    * extrema).
+    */
+  sealed trait Fold {
+    def agg(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column
+    def pair(a: org.apache.spark.sql.Column,
+             b: org.apache.spark.sql.Column): org.apache.spark.sql.Column
+  }
+  case object FoldSum extends Fold {
+    def agg(c: org.apache.spark.sql.Column) = sum(c)
+    def pair(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+      coalesce(a, lit(0L)) + coalesce(b, lit(0L))
+  }
+  case object FoldMin extends Fold {
+    def agg(c: org.apache.spark.sql.Column) = min(c)
+    def pair(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+      least(a, b)
+  }
+  case object FoldMax extends Fold {
+    def agg(c: org.apache.spark.sql.Column) = max(c)
+    def pair(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+      greatest(a, b)
+  }
+  /** The all-additive spec the sum-only signatures delegate through. */
+  def sums(cols: Seq[String]): Seq[(String, Fold)] =
+    cols.map(_ -> (FoldSum: Fold))
+
   /** Null keys are rejected LOUDLY inside the write job: a null key can
     * never fold (SQL null does not join to itself) and its null bucket
     * would land in the Hive default partition, poisoning the manifest's
@@ -320,9 +355,16 @@ private[graft] object GenStore {
     */
   def foldRead(spark: org.apache.spark.sql.SparkSession, subPath: String,
                entries: Seq[(Long, String)], idCols: Seq[String],
-               sumCols: Seq[String]): DataFrame = {
+               sumCols: Seq[String]): DataFrame =
+    foldReadWith(spark, subPath, entries, idCols, sums(sumCols))
+
+  /** Fold-spec form: each value column folds by its own monoid
+    * ([[Fold]]) — what the extrema-carrying substores read through. */
+  def foldReadWith(spark: org.apache.spark.sql.SparkSession, subPath: String,
+                   entries: Seq[(Long, String)], idCols: Seq[String],
+                   folds: Seq[(String, Fold)]): DataFrame = {
     require(entries.nonEmpty, s"substore at $subPath has no buckets")
-    val aggs = sumCols.map(c => sum(col(c)).as(c))
+    val aggs = folds.map { case (c, f) => f.agg(col(c)).as(c) }
     readBucketDirs(spark, subPath, entries)
       .groupBy(idCols.map(col): _*)
       .agg(aggs.head, aggs.tail: _*)
@@ -353,12 +395,23 @@ private[graft] object GenStore {
   def mergeAdditive(spark: org.apache.spark.sql.SparkSession,
                     subPath: String, delta: DataFrame, idCols: Seq[String],
                     sumCols: Seq[String], appliedId: Option[String],
-                    maxSegments: Int = 8): Unit = {
+                    maxSegments: Int = 8): Unit =
+    mergeAdditiveWith(spark, subPath, delta, idCols, sums(sumCols),
+      appliedId, maxSegments)
+
+  /** Fold-spec form of the LSM merge: segments still land per batch and
+    * compact past `maxSegments`, but each value column folds by its own
+    * monoid ([[Fold]] — extrema columns by least/greatest). */
+  def mergeAdditiveWith(spark: org.apache.spark.sql.SparkSession,
+                        subPath: String, delta: DataFrame,
+                        idCols: Seq[String], folds: Seq[(String, Fold)],
+                        appliedId: Option[String],
+                        maxSegments: Int = 8): Unit = {
     require(maxSegments >= 1, s"maxSegments must be positive, got $maxSegments")
     val m = read(spark, subPath).getOrElse(
       throw new IllegalArgumentException(s"not a keyed substore: $subPath"))
     if (appliedId.exists(m.applied.contains)) return // replay: no-op
-    val cols = idCols ++ sumCols
+    val cols = idCols ++ folds.map(_._1)
     val touched = delta.select(bucketOfKey(m.nBuckets).as("bucket"))
       .distinct().collect().map(_.getLong(0)).toSet // ≤ nBuckets
     if (touched.isEmpty) {
@@ -379,16 +432,15 @@ private[graft] object GenStore {
     val rows =
       if (compact.isEmpty) appendRows
       else { // over-threshold buckets: fold their segments WITH the delta
-        val folded = foldRead(spark, subPath,
-            m.entries.filter(e => compact.contains(e._1)), idCols, sumCols)
+        val folded = foldReadWith(spark, subPath,
+            m.entries.filter(e => compact.contains(e._1)), idCols, folds)
           .join(deltaCols.where(bucketOfKey(m.nBuckets).isin(
               compact.toSeq.map(Long.box): _*))
             .select(idCols.map(col) ++
-              sumCols.map(c => col(c).as(s"__d$c")): _*),
+              folds.map { case (c, _) => col(c).as(s"__d$c") }: _*),
             idCols, "full_outer")
-          .select(idCols.map(col) ++ sumCols.map(c =>
-            (coalesce(col(c), lit(0L)) + coalesce(col(s"__d$c"), lit(0L)))
-              .as(c)): _*)
+          .select(idCols.map(col) ++ folds.map { case (c, f) =>
+            f.pair(col(c), col(s"__d$c")).as(c) }: _*)
         appendRows.unionByName(folded)
       }
     // compacted buckets REMAP to the new dir alone; appended buckets
@@ -408,7 +460,14 @@ private[graft] object GenStore {
     */
   def compactAdditive(spark: org.apache.spark.sql.SparkSession,
                       subPath: String, idCols: Seq[String],
-                      sumCols: Seq[String], maxSegments: Int = 1): Int = {
+                      sumCols: Seq[String], maxSegments: Int = 1): Int =
+    compactAdditiveWith(spark, subPath, idCols, sums(sumCols), maxSegments)
+
+  /** Fold-spec form ([[Fold]] per value column). */
+  def compactAdditiveWith(spark: org.apache.spark.sql.SparkSession,
+                          subPath: String, idCols: Seq[String],
+                          folds: Seq[(String, Fold)],
+                          maxSegments: Int = 1): Int = {
     require(maxSegments >= 1, s"maxSegments must be positive, got $maxSegments")
     val m = read(spark, subPath).getOrElse(
       throw new IllegalArgumentException(s"not a keyed substore: $subPath"))
@@ -422,8 +481,8 @@ private[graft] object GenStore {
         Manifest(m.gen + 1, m.nBuckets, m.applied, m.entries))
       return 0
     }
-    val rows = foldRead(spark, subPath,
-      m.entries.filter(e => over.contains(e._1)), idCols, sumCols)
+    val rows = foldReadWith(spark, subPath,
+      m.entries.filter(e => over.contains(e._1)), idCols, folds)
     commitGen(spark, subPath, rows, m.nBuckets, m.applied, m.gen,
       m.entries.filterNot(e => over.contains(e._1)), None)
     over.size
@@ -440,7 +499,14 @@ private[graft] object GenStore {
     */
   def lookupKeys(spark: org.apache.spark.sql.SparkSession, subPath: String,
                  idCols: Seq[String], sumCols: Seq[String],
-                 keys: DataFrame): DataFrame = {
+                 keys: DataFrame): DataFrame =
+    lookupKeysWith(spark, subPath, idCols, sums(sumCols), keys)
+
+  /** Fold-spec form ([[Fold]] per value column). */
+  def lookupKeysWith(spark: org.apache.spark.sql.SparkSession,
+                     subPath: String, idCols: Seq[String],
+                     folds: Seq[(String, Fold)],
+                     keys: DataFrame): DataFrame = {
     require(idCols.contains("key"), "lookupKeys needs `key` among idCols")
     val m = read(spark, subPath).getOrElse(
       throw new IllegalArgumentException(s"not a keyed substore: $subPath"))
@@ -448,7 +514,7 @@ private[graft] object GenStore {
     val touched = k.select(bucketOfKey(m.nBuckets).as("bucket"))
       .distinct().collect().map(_.getLong(0)).toSet // ≤ nBuckets
     val existing = m.entries.filter(e => touched.contains(e._1))
-    val cols = idCols ++ sumCols
+    val cols = idCols ++ folds.map(_._1)
     if (existing.isEmpty) {
       val tmpl =
         if (m.entries.isEmpty)
@@ -457,8 +523,8 @@ private[graft] object GenStore {
       return tmpl.select(cols.map(col): _*).limit(0)
     }
     // semi-join FIRST (rows ∝ the keys), fold second — LSM segments of
-    // a key sum to its state ([[foldRead]])
-    val aggs = sumCols.map(c => sum(col(c)).as(c))
+    // a key fold to its state ([[foldRead]])
+    val aggs = folds.map { case (c, f) => f.agg(col(c)).as(c) }
     readBucketDirs(spark, subPath, existing)
       .select(cols.map(col): _*)
       .join(broadcast(k), Seq("key"), "left_semi")
@@ -475,7 +541,13 @@ private[graft] object GenStore {
     */
   def sweepKeys(spark: org.apache.spark.sql.SparkSession, subPath: String,
                 idCols: Seq[String], sumCols: Seq[String],
-                keys: DataFrame): Long = {
+                keys: DataFrame): Long =
+    sweepKeysWith(spark, subPath, idCols, sums(sumCols), keys)
+
+  /** Fold-spec form ([[Fold]] per value column). */
+  def sweepKeysWith(spark: org.apache.spark.sql.SparkSession,
+                    subPath: String, idCols: Seq[String],
+                    folds: Seq[(String, Fold)], keys: DataFrame): Long = {
     val m = read(spark, subPath).getOrElse(
       throw new IllegalArgumentException(s"not a keyed substore: $subPath"))
     val k = keys.localCheckpoint(true)
@@ -486,7 +558,7 @@ private[graft] object GenStore {
       if (existing.isEmpty) { purgeCommitted(spark, subPath); return 0L }
       // fold the touched buckets so survivors land as ONE segment and
       // the deleted count is LOGICAL rows, not segment rows
-      val cur = foldRead(spark, subPath, existing, idCols, sumCols)
+      val cur = foldReadWith(spark, subPath, existing, idCols, folds)
       val keep = cur.join(k, Seq("key"), "left_anti").localCheckpoint(true)
       try {
         val deleted = cur.count() - keep.count()
@@ -527,7 +599,15 @@ private[graft] object GenStore {
     */
   def diff(spark: org.apache.spark.sql.SparkSession, path: String,
            genA: Long, genB: Long, keyCol: String, valCols: Seq[String],
-           movedTag: String): DataFrame = {
+           movedTag: String): DataFrame =
+    diffWith(spark, path, genA, genB, keyCol, sums(valCols), movedTag)
+
+  /** Fold-spec form ([[Fold]] per value column — a segmented extrema
+    * side folds by its own monoid, never a mis-sum). */
+  def diffWith(spark: org.apache.spark.sql.SparkSession, path: String,
+               genA: Long, genB: Long, keyCol: String,
+               foldSpec: Seq[(String, Fold)], movedTag: String): DataFrame = {
+    val valCols = foldSpec.map(_._1)
     val (ma, mb) = (at(spark, path, genA), at(spark, path, genB))
     // a bucket may map to SEVERAL segment dirs (the LSM tier) — compare
     // segment SETS: equal sets ⇒ byte-identical content, prune; a plain
@@ -559,7 +639,7 @@ private[graft] object GenStore {
       val df =
         if (!seg) df0
         else {
-          val aggs = valCols.map(v => sum(col(v)).as(v))
+          val aggs = foldSpec.map { case (v, f) => f.agg(col(v)).as(v) }
           df0.groupBy(col(keyCol)).agg(aggs.head, aggs.tail: _*)
         }
       val named = (if (es.nonEmpty) df else df.limit(0))

@@ -1,0 +1,186 @@
+package graft.operators
+
+import org.apache.spark.sql.SparkSession
+
+/** UNIFIED TABLE SERVICES — the one cadence verb over every store
+  * family's ad-hoc maintenance: LSM compaction ([[GenStore
+  * .compactAdditive]] via each store's wrapper), retention vacuum
+  * ([[GenStore.vacuum]] ditto), and layout re-clustering
+  * ([[ZoneMap.reclusterIfDegraded]]). A scheduler calls
+  * [[Maintenance.sweep]] with the deployment's registered targets and
+  * ONE policy; the sweep INSPECTS each store's manifests first —
+  * segment-count histogram, archived-generation depth, drift ppm, all
+  * metadata-only reads — and runs exactly the verbs the numbers call
+  * for, reporting per target what it did and why (or that it was
+  * healthy). This is the OPTIMIZE/VACUUM/ANALYZE janitor loop every
+  * lakehouse grows, factored once.
+  *
+  * SERVING IS UNCHANGED BY CONSTRUCTION: every verb the sweep runs is
+  * one of the stores' own committed mutations, each of which is
+  * hash-proven elsewhere to preserve the served state (compaction folds
+  * by each column's own monoid — `MaintenanceSpec` re-pins the
+  * composite: a degraded multi-store fixture driven to healthy by ONE
+  * call, with every serving read bit-identical before/after).
+  *
+  * CONCURRENCY: the sweep IS a maintenance writer — the
+  * [[Snapshot]] single-maintenance-writer contract applies per store;
+  * schedule it in the same window as any other mutation. Inspection
+  * reads are manifest-only, so a sweep over a thousand stores costs a
+  * thousand small file reads plus whatever verbs actually fire.
+  *
+  * At 100 TB: cadence verbs that fire only when the metadata says so
+  * are the difference between background maintenance proportional to
+  * CHURN and a nightly full rewrite of every store; inspection is
+  * O(manifest) per store, and each fired verb is already bounded by
+  * the store's own increment discipline (fold only over-threshold
+  * buckets, delete only unreferenced dirs, re-layout only a drifted
+  * layout).
+  */
+object Maintenance {
+
+  /** One policy for the whole sweep: compact a substore when any bucket
+    * holds more than `maxSegments` LSM segments; vacuum a store when it
+    * retains more than `keepGens` resolvable generations (CURRENT
+    * included); re-z-order a layout when its measured drift passes
+    * `maxDriftPpm` (re-layout knobs `bits`/`partitions` as in
+    * [[ZoneMap.writeZOrdered]]).
+    */
+  case class Policy(maxSegments: Int = 8, keepGens: Int = 3,
+                    maxDriftPpm: Long = 250000L, bits: Int = 8,
+                    partitions: Int = 32)
+
+  /** A maintainable store. `AggStoreT` (one [[GenStore]] at the root —
+    * the aggregate store, the dedup cluster store, any single-manifest
+    * snapshot store: its merges rewrite whole buckets, so only
+    * retention applies); `JoinViewT` ([[ViewStore]]'s three substores);
+    * `TextIndexT` ([[TextIndex]]'s three or four legs); `ZoneMapT` (a
+    * z-ordered layout + its stats map + the two cluster columns the
+    * drift statistic needs).
+    */
+  sealed trait Target { def label: String }
+  case class AggStoreT(path: String) extends Target {
+    def label: String = s"aggstore:$path"
+  }
+  case class JoinViewT(path: String) extends Target {
+    def label: String = s"joinview:$path"
+  }
+  case class TextIndexT(path: String) extends Target {
+    def label: String = s"textindex:$path"
+  }
+  case class ZoneMapT(dataPath: String, zonePath: String,
+                      colA: String, colB: String) extends Target {
+    def label: String = s"zonemap:$dataPath"
+  }
+
+  /** What the sweep did to one target: `verb` ∈ compact | vacuum |
+    * recluster | none, with the inspection numbers that justified it.
+    */
+  case class Action(target: String, verb: String, detail: String)
+
+  /** Detect the store family at `root` from its own layout — the
+    * manifest files ARE the registry: `view/a/b` manifests → join view;
+    * `postings/dl/stats` → text index; a root `CURRENT` → single
+    * GenStore. Zone-map layouts need their cluster columns and are
+    * registered explicitly. None when nothing manifested lives there.
+    */
+  def detect(spark: SparkSession, root: String): Option[Target] = {
+    def isStore(p: String) = GenStore.read(spark, p).isDefined
+    if (Seq("view", "a", "b").forall(s => isStore(s"$root/$s")))
+      Some(JoinViewT(root))
+    else if (Seq("postings", "dl", "stats").forall(s => isStore(s"$root/$s")))
+      Some(TextIndexT(root))
+    else if (isStore(root)) Some(AggStoreT(root))
+    else None
+  }
+
+  /** Detection-first sweep: classify each root, then [[sweep]]. Roots
+    * holding no manifested store report `verb = skip`. */
+  def sweepRoots(spark: SparkSession, roots: Seq[String],
+                 policy: Policy = Policy()): Seq[Action] = {
+    val (found, unknown) = roots.map(r => r -> detect(spark, r))
+      .partition(_._2.isDefined)
+    unknown.map { case (r, _) =>
+      Action(r, "skip", "no manifested store detected")
+    } ++ sweep(spark, found.flatMap(_._2), policy)
+  }
+
+  /** THE verb: inspect every target, run exactly what its numbers call
+    * for, report everything (healthy targets report `none`). */
+  def sweep(spark: SparkSession, targets: Seq[Target],
+            policy: Policy = Policy()): Seq[Action] =
+    targets.flatMap {
+      case t @ AggStoreT(path) =>
+        vacuumIfDeep(spark, t.label, Seq("" -> path), policy)
+      case t @ JoinViewT(path) =>
+        val subs = Seq("view", "a", "b").map(s => s -> s"$path/$s")
+        compactIfSegmented(spark, t.label, subs, policy,
+          () => ViewStore.compactJoinView(spark, path, policy.maxSegments)) ++
+          vacuumIfDeep(spark, t.label, subs, policy)
+      case t @ TextIndexT(path) =>
+        val subs = Seq("postings", "dl", "stats", "pos")
+          .map(s => s -> s"$path/$s")
+          .filter(s => GenStore.read(spark, s._2).isDefined)
+        compactIfSegmented(spark, t.label, subs, policy,
+          () => TextIndex.compactTextIndex(spark, path, policy.maxSegments)) ++
+          vacuumIfDeep(spark, t.label, subs, policy)
+      case t @ ZoneMapT(dataPath, zonePath, colA, colB) =>
+        val (drift, ran) = ZoneMap.reclusterIfDegraded(spark, dataPath,
+          zonePath, colA, colB, policy.maxDriftPpm, policy.bits,
+          policy.partitions)
+        Seq(
+          if (ran) Action(t.label, "recluster",
+            s"drift ${drift}ppm > ${policy.maxDriftPpm}ppm: re-z-ordered " +
+              s"on ($colA, $colB) and rebuilt the stats map")
+          else Action(t.label, "none",
+            s"drift ${drift}ppm <= ${policy.maxDriftPpm}ppm"))
+    }
+
+  /** The worst bucket's segment count across `subs` (manifest-only). */
+  private def maxSegs(spark: SparkSession,
+                      subs: Seq[(String, String)]): Int =
+    subs.flatMap { case (_, p) =>
+      GenStore.read(spark, p).toSeq.flatMap(
+        _.entries.groupBy(_._1).map(_._2.size))
+    }.foldLeft(0)(math.max)
+
+  private def compactIfSegmented(spark: SparkSession, label: String,
+                                 subs: Seq[(String, String)], policy: Policy,
+                                 run: () => Seq[(String, Int)]): Seq[Action] = {
+    val worst = maxSegs(spark, subs)
+    if (worst <= policy.maxSegments)
+      Seq(Action(label, "none",
+        s"max $worst segments/bucket <= ${policy.maxSegments}"))
+    else {
+      val compacted = run()
+      Seq(Action(label, "compact",
+        s"max $worst segments/bucket > ${policy.maxSegments}: folded " +
+          compacted.map { case (s, n) => s"$s:$n" }.mkString(",") +
+          " buckets"))
+    }
+  }
+
+  /** Vacuum when any sub retains more than `keepGens` resolvable
+    * generations (CURRENT + archived manifests). Substores vacuum
+    * together — they share the batch cadence, so depth is aligned. */
+  private def vacuumIfDeep(spark: SparkSession, label: String,
+                           subs: Seq[(String, String)],
+                           policy: Policy): Seq[Action] = {
+    val depth = subs.map { case (_, p) =>
+      GenStore.read(spark, p).map(m =>
+        GenStore.listHistoryGens(spark, p).count(_ < m.gen) + 1)
+        .getOrElse(0)
+    }.foldLeft(0)(math.max)
+    if (depth <= policy.keepGens)
+      Seq(Action(label, "none",
+        s"$depth resolvable generations <= ${policy.keepGens}"))
+    else {
+      val deleted = subs.flatMap { case (s, p) =>
+        GenStore.vacuum(spark, p, policy.keepGens)
+          .map(n => if (s.isEmpty) n else s"$s/$n")
+      }
+      Seq(Action(label, "vacuum",
+        s"$depth resolvable generations > ${policy.keepGens}: reclaimed " +
+          s"${deleted.size} dirs/manifests"))
+    }
+  }
+}

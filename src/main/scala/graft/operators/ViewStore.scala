@@ -86,6 +86,31 @@ import org.apache.spark.sql.functions._
   */
 object ViewStore {
 
+  /** EXTREMA views additionally serve `min(v)`/`max(v)` per group —
+    * exact long min/max, valid under the store's existing INSERT-ONLY
+    * contract (the [[AggStore]] extrema argument pushed through a
+    * join): a group's min over A⋈B is the min over its join keys k
+    * (with `na(k, grp) ≥ 1`) of the b-side per-key min — multiplicity
+    * never moves an extremum — and under insert-only increments both
+    * levels are least/greatest monoids, folded by [[GenStore.FoldMin]]/
+    * [[GenStore.FoldMax]] across LSM segments. Marked by a one-file
+    * manifest written BEFORE the first build commit (idempotent
+    * re-mark on a crashed build; a merge can never mis-detect the
+    * schema).
+    */
+  def hasExtrema(spark: SparkSession, path: String): Boolean =
+    Snapshot.dirExists(spark, s"$path/EXTREMA")
+
+  private def bFolds(extrema: Boolean): Seq[(String, GenStore.Fold)] =
+    GenStore.sums(Seq("nb", "vb")) ++
+      (if (extrema) Seq("vmin" -> (GenStore.FoldMin: GenStore.Fold),
+        "vmax" -> (GenStore.FoldMax: GenStore.Fold)) else Seq.empty)
+
+  private def viewFolds(extrema: Boolean): Seq[(String, GenStore.Fold)] =
+    GenStore.sums(Seq("cnt", "total")) ++
+      (if (extrema) Seq("vmin" -> (GenStore.FoldMin: GenStore.Fold),
+        "vmax" -> (GenStore.FoldMax: GenStore.Fold)) else Seq.empty)
+
   /** `(key, grp, na)` from raw a-side rows. */
   private def aggA(rows: DataFrame, keyCol: String, grpCol: String): DataFrame =
     rows.select(col(keyCol).as("key"),
@@ -95,11 +120,17 @@ object ViewStore {
       .groupBy(col("key"), col("grp"))
       .agg(count(lit(1)).as("na"))
 
-  /** `(key, nb, vb)` from raw b-side rows. */
-  private def aggB(rows: DataFrame, keyCol: String, valCol: String): DataFrame =
-    rows.select(col(keyCol).as("key"), col(valCol).cast("long").as("__v"))
+  /** `(key, nb, vb)` — plus `(vmin, vmax)` for extrema stores — from
+    * raw b-side rows. */
+  private def aggB(rows: DataFrame, keyCol: String, valCol: String,
+                   extrema: Boolean): DataFrame = {
+    val g = rows
+      .select(col(keyCol).as("key"), col(valCol).cast("long").as("__v"))
       .groupBy(col("key"))
-      .agg(count(lit(1)).as("nb"), sum(col("__v")).as("vb"))
+    if (!extrema) g.agg(count(lit(1)).as("nb"), sum(col("__v")).as("vb"))
+    else g.agg(count(lit(1)).as("nb"), sum(col("__v")).as("vb"),
+      min(col("__v")).as("vmin"), max(col("__v")).as("vmax"))
+  }
 
   // ---- substore plumbing (one bucket convention for all three: hash of
   // the substore's own `key` column) ----
@@ -119,12 +150,28 @@ object ViewStore {
     else GenStore.foldRead(spark, subPath, m.entries, idCols, sumCols)
   }
 
-  /** The per-(key, grp) view contribution of one side-state pair. */
-  private def contributions(aState: DataFrame, bState: DataFrame): DataFrame =
-    aState.join(bState, Seq("key"), "left")
-      .select(col("key"), col("grp"),
-        (col("na") * coalesce(col("nb"), lit(0L))).as("cnt"),
-        (col("na") * coalesce(col("vb"), lit(0L))).as("total"))
+  /** The per-(key, grp) view contribution of one side-state pair —
+    * extrema stores also carry the b-side per-key min/max through
+    * (null when the key has no b rows; min/max aggregation skips it). */
+  private def contributions(aState: DataFrame, bState: DataFrame,
+                            extrema: Boolean): DataFrame = {
+    val base = Seq(col("key"), col("grp"),
+      (col("na") * coalesce(col("nb"), lit(0L))).as("cnt"),
+      (col("na") * coalesce(col("vb"), lit(0L))).as("total"))
+    val ext = if (extrema) Seq(col("vmin"), col("vmax")) else Seq.empty
+    aState.join(bState, Seq("key"), "left").select(base ++ ext: _*)
+  }
+
+  /** Per-group view rows from contributions: counts/sums add, extrema
+    * fold by min/max over the group's keys. */
+  private def viewOf(contrib: DataFrame, extrema: Boolean): DataFrame = {
+    val aggs = Seq(sum(col("cnt")).as("cnt"), sum(col("total")).as("total")) ++
+      (if (extrema) Seq(min(col("vmin")).as("vmin"),
+        max(col("vmax")).as("vmax")) else Seq.empty)
+    contrib.filter(col("cnt") =!= 0L)
+      .groupBy(col("grp").as("key"))
+      .agg(aggs.head, aggs.tail: _*)
+  }
 
   /** Build (or rebuild) the view store from full sides. A rebuild over
     * an existing store is a mutation like any other per substore —
@@ -134,15 +181,19 @@ object ViewStore {
                     aKeyCol: String, aGrpCol: String,
                     bKeyCol: String, bValCol: String,
                     nBuckets: Int = 16,
-                    appliedId: Option[String] = None): Unit = {
+                    appliedId: Option[String] = None,
+                    extrema: Boolean = false): Unit = {
     require(nBuckets >= 1, s"nBuckets must be positive, got $nBuckets")
     val spark = a.sparkSession
+    // a rebuild must not silently change the store's shape
+    require(!joinViewExists(spark, path) ||
+      extrema == hasExtrema(spark, path),
+      s"view store at $path is ${if (hasExtrema(spark, path)) "" else "not "}" +
+        "an extrema store — rebuild with the matching flag or use a new path")
+    if (extrema) Snapshot.writeLines(spark, s"$path/EXTREMA", Seq("v1"))
     val aSt = aggA(a, aKeyCol, aGrpCol)
-    val bSt = aggB(b, bKeyCol, bValCol)
-    val view = contributions(aSt, bSt)
-      .filter(col("cnt") =!= 0L)
-      .groupBy(col("grp").as("key"))
-      .agg(sum(col("cnt")).as("cnt"), sum(col("total")).as("total"))
+    val bSt = aggB(b, bKeyCol, bValCol, extrema)
+    val view = viewOf(contributions(aSt, bSt, extrema), extrema)
     def prev(sub: String) = GenStore.read(spark, s"$path/$sub")
     Seq(("view", view),
         ("a", aSt), ("b", bSt)).foreach { case (sub, rows) =>
@@ -199,6 +250,7 @@ object ViewStore {
     if (appliedId.exists(id => mView.applied.contains(id) &&
       mA.applied.contains(id) && mB.applied.contains(id))) return // replay
     val nBuckets = mView.nBuckets
+    val extrema = hasExtrema(spark, path)
 
     val daS = suppressed(
       da.select(col(aKeyCol).as("key"), col(aGrpCol).cast("long").as("grp")),
@@ -207,7 +259,7 @@ object ViewStore {
       db.select(col(bKeyCol).as("key"), col(bValCol).as(bValCol)),
       spark, s"$path/_purged/keys", "key")
     val dA = aggA(daS, "key", "grp").localCheckpoint(true)
-    val dB = aggB(dbS, "key", bValCol).localCheckpoint(true)
+    val dB = aggB(dbS, "key", bValCol, extrema).localCheckpoint(true)
     try {
       val touchedKeys = dA.select(col("key"))
         .union(dB.select(col("key"))).distinct().localCheckpoint(true)
@@ -219,12 +271,13 @@ object ViewStore {
         // FIRST (rows ∝ the increment's keys), then fold the LSM
         // segments to per-identity state ([[GenStore.foldRead]])
         def oldSide(m: GenStore.Manifest, sub: String, idCols: Seq[String],
-                    sumCols: Seq[String], template: DataFrame): DataFrame = {
-          val cols = idCols ++ sumCols
+                    folds: Seq[(String, GenStore.Fold)],
+                    template: DataFrame): DataFrame = {
+          val cols = idCols ++ folds.map(_._1)
           val es = m.entries.filter(e => touched.contains(e._1))
           if (es.isEmpty) template.select(cols.map(col): _*).limit(0)
           else {
-            val aggs = sumCols.map(c => sum(col(c)).as(c))
+            val aggs = folds.map { case (c, f) => f.agg(col(c)).as(c) }
             GenStore.readBucketDirs(spark, s"$path/$sub", es)
               .select(cols.map(col): _*)
               .join(touchedKeys, Seq("key"), "left_semi")
@@ -234,8 +287,9 @@ object ViewStore {
         }
         if (appliedId.forall(id => !mView.applied.contains(id))) {
           // leg 1 — the VIEW, from the PRE-increment side states
-          val aOld = oldSide(mA, "a", Seq("key", "grp"), Seq("na"), dA)
-          val bOld = oldSide(mB, "b", Seq("key"), Seq("nb", "vb"), dB)
+          val aOld = oldSide(mA, "a", Seq("key", "grp"),
+            GenStore.sums(Seq("na")), dA)
+          val bOld = oldSide(mB, "b", Seq("key"), bFolds(extrema), dB)
           val aPair = aOld
             .join(dA.select(col("key"), col("grp"), col("na").as("dna")),
               Seq("key", "grp"), "full_outer")
@@ -243,33 +297,55 @@ object ViewStore {
               coalesce(col("na"), lit(0L)).as("na_old"),
               (coalesce(col("na"), lit(0L)) + coalesce(col("dna"), lit(0L)))
                 .as("na_new"))
+          // extrema fold POST-increment: least/greatest are null-skipping,
+          // so a one-sided key takes the present side — the per-key
+          // min/max AFTER this batch, which is what the group candidates
+          // below must see (the insert-only monoid argument: the key's
+          // LAST touch emits its final extrema for every group it is in)
+          val bExtCols =
+            if (!extrema) Seq.empty
+            else Seq(least(col("vmin"), col("dvmin")).as("vmin_new"),
+              greatest(col("vmax"), col("dvmax")).as("vmax_new"))
+          val dbCols = Seq(col("key"), col("nb").as("dnb"),
+            col("vb").as("dvb")) ++
+            (if (extrema) Seq(col("vmin").as("dvmin"),
+              col("vmax").as("dvmax")) else Seq.empty)
           val bPair = bOld
-            .join(dB.select(col("key"), col("nb").as("dnb"),
-              col("vb").as("dvb")), Seq("key"), "full_outer")
-            .select(col("key"),
+            .join(dB.select(dbCols: _*), Seq("key"), "full_outer")
+            .select(Seq(col("key"),
               coalesce(col("nb"), lit(0L)).as("nb_old"),
               coalesce(col("vb"), lit(0L)).as("vb_old"),
               (coalesce(col("nb"), lit(0L)) + coalesce(col("dnb"), lit(0L)))
                 .as("nb_new"),
               (coalesce(col("vb"), lit(0L)) + coalesce(col("dvb"), lit(0L)))
-                .as("vb_new"))
+                .as("vb_new")) ++ bExtCols: _*)
+          // every aPair row has na_new >= 1, so each is an extrema
+          // candidate for its group: min/max over candidates folds with
+          // the stored segments by the same least/greatest monoid
+          val deltaAggs =
+            Seq(sum(col("dcnt")).as("cnt"), sum(col("dtot")).as("total")) ++
+              (if (extrema) Seq(min(col("vmin_new")).as("vmin"),
+                max(col("vmax_new")).as("vmax")) else Seq.empty)
+          val deltaSel = Seq(col("grp"),
+            (col("na_new") * coalesce(col("nb_new"), lit(0L)) -
+              col("na_old") * coalesce(col("nb_old"), lit(0L))).as("dcnt"),
+            (col("na_new") * coalesce(col("vb_new"), lit(0L)) -
+              col("na_old") * coalesce(col("vb_old"), lit(0L))).as("dtot")) ++
+            (if (extrema) Seq(col("vmin_new"), col("vmax_new"))
+            else Seq.empty)
           val viewDelta = aPair.join(bPair, Seq("key"), "left")
-            .select(col("grp"),
-              (col("na_new") * coalesce(col("nb_new"), lit(0L)) -
-                col("na_old") * coalesce(col("nb_old"), lit(0L))).as("dcnt"),
-              (col("na_new") * coalesce(col("vb_new"), lit(0L)) -
-                col("na_old") * coalesce(col("vb_old"), lit(0L))).as("dtot"))
+            .select(deltaSel: _*)
             .groupBy(col("grp").as("key"))
-            .agg(sum(col("dcnt")).as("cnt"), sum(col("dtot")).as("total"))
+            .agg(deltaAggs.head, deltaAggs.tail: _*)
             .filter(col("cnt") =!= 0L || col("total") =!= 0L)
-          GenStore.mergeAdditive(spark, s"$path/view", viewDelta,
-            Seq("key"), Seq("cnt", "total"), appliedId)
+          GenStore.mergeAdditiveWith(spark, s"$path/view", viewDelta,
+            Seq("key"), viewFolds(extrema), appliedId)
         }
         // legs 2/3 — the sides, from the increment alone
         GenStore.mergeAdditive(spark, s"$path/a", dA.select(col("key"), col("grp"),
           col("na")), Seq("key", "grp"), Seq("na"), appliedId)
-        GenStore.mergeAdditive(spark, s"$path/b", dB, Seq("key"), Seq("nb", "vb"),
-          appliedId)
+        GenStore.mergeAdditiveWith(spark, s"$path/b", dB, Seq("key"),
+          bFolds(extrema), appliedId)
       } finally freeCheckpoint(touchedKeys)
     } finally { freeCheckpoint(dA); freeCheckpoint(dB) }
     // freshness fingerprint AFTER all three legs ([[BaseFiles]])
@@ -278,7 +354,8 @@ object ViewStore {
   }
 
   /** The materialized view, `(key, cnt, total)` — `key` is the group;
-    * folded over the LSM segments ([[GenStore.foldRead]]). */
+    * folded over the LSM segments ([[GenStore.foldRead]]). Works on an
+    * extrema store too (the extra columns are simply not selected). */
   def readJoinView(spark: SparkSession, path: String): DataFrame = {
     val m = GenStore.read(spark, s"$path/view").getOrElse(
       throw new IllegalArgumentException(s"not a join-view store: $path"))
@@ -287,6 +364,23 @@ object ViewStore {
         col("id").as("total")).limit(0)
     else GenStore.foldRead(spark, s"$path/view", m.entries,
       Seq("key"), Seq("cnt", "total"))
+  }
+
+  /** The extrema view, `(key, cnt, total, vmin, vmax)` — loud on a
+    * store built without `extrema = true`. `vmin`/`vmax` are null for
+    * a group none of whose keys ever had b rows (no joined rows — such
+    * groups are filtered at build/merge, so in practice non-null). */
+  def readJoinViewExtrema(spark: SparkSession, path: String): DataFrame = {
+    require(hasExtrema(spark, path),
+      s"view store at $path was not built with extrema = true")
+    val m = GenStore.read(spark, s"$path/view").getOrElse(
+      throw new IllegalArgumentException(s"not a join-view store: $path"))
+    if (m.entries.isEmpty)
+      spark.range(0).select(col("id").as("key"), col("id").as("cnt"),
+        col("id").as("total"), col("id").as("vmin"), col("id").as("vmax"))
+        .limit(0)
+    else GenStore.foldReadWith(spark, s"$path/view", m.entries,
+      Seq("key"), viewFolds(extrema = true))
   }
 
   /** POINT LOOKUP ([[GenStore.lookupKeys]]): the groups' view rows,
@@ -299,6 +393,18 @@ object ViewStore {
     GenStore.lookupKeys(groups.sparkSession, s"$path/view",
       Seq("key"), Seq("cnt", "total"),
       groups.select(col(grpCol).cast("long").as("key")))
+
+  /** Point lookup on an extrema store, `(key, cnt, total, vmin, vmax)`
+    * — the same ≤ |groups| bucket reads, extrema folded by their own
+    * monoid. Loud on a plain store. */
+  def lookupJoinViewGroupsExtrema(groups: DataFrame, path: String,
+                                  grpCol: String = "key"): DataFrame = {
+    require(hasExtrema(groups.sparkSession, path),
+      s"view store at $path was not built with extrema = true")
+    GenStore.lookupKeysWith(groups.sparkSession, s"$path/view",
+      Seq("key"), viewFolds(extrema = true),
+      groups.select(col(grpCol).cast("long").as("key")))
+  }
 
   /** TIME-TRAVEL read of the view as of one of ITS generations (each
     * merge advances every substore by exactly one generation, so the
@@ -325,13 +431,15 @@ object ViewStore {
     * Returns buckets compacted per substore.
     */
   def compactJoinView(spark: SparkSession, path: String,
-                      maxSegments: Int = 1): Seq[(String, Int)] =
-    Seq(("view", Seq("key"), Seq("cnt", "total")),
-        ("a", Seq("key", "grp"), Seq("na")),
-        ("b", Seq("key"), Seq("nb", "vb"))).map { case (sub, ids, sums) =>
-      sub -> GenStore.compactAdditive(spark, s"$path/$sub", ids, sums,
+                      maxSegments: Int = 1): Seq[(String, Int)] = {
+    val extrema = hasExtrema(spark, path)
+    Seq(("view", Seq("key"), viewFolds(extrema)),
+        ("a", Seq("key", "grp"), GenStore.sums(Seq("na"))),
+        ("b", Seq("key"), bFolds(extrema))).map { case (sub, ids, folds) =>
+      sub -> GenStore.compactAdditiveWith(spark, s"$path/$sub", ids, folds,
         maxSegments)
     }
+  }
 
   /** The view substore's resolvable snapshots, newest first. */
   def joinViewHistory(spark: SparkSession,
@@ -380,16 +488,19 @@ object ViewStore {
           if (!orphanKeys.isEmpty)
             orphanKeys.write.mode("append").parquet(s"$path/_purged/keys")
 
-          // (2) sweeps, each keyed off its PERSISTED list (re-runnable)
-          val vDel = GenStore.sweepKeys(spark, s"$path/view",
-            Seq("key"), Seq("cnt", "total"), g.select(col("grp").as("key")))
+          // (2) sweeps, each keyed off its PERSISTED list (re-runnable);
+          // fold-spec'd so an extrema store's min/max columns survive
+          // the survivor fold intact, never mis-summed or dropped
+          val extrema = hasExtrema(spark, path)
+          val vDel = GenStore.sweepKeysWith(spark, s"$path/view",
+            Seq("key"), viewFolds(extrema), g.select(col("grp").as("key")))
           val aDel = sweepA(spark, s"$path/a", g)
           val keysP = new org.apache.hadoop.fs.Path(s"$path/_purged/keys")
           val bDel =
             if (!keysP.getFileSystem(spark.sessionState.newHadoopConf())
               .exists(keysP)) 0L
-            else GenStore.sweepKeys(spark, s"$path/b",
-              Seq("key"), Seq("nb", "vb"),
+            else GenStore.sweepKeysWith(spark, s"$path/b",
+              Seq("key"), bFolds(extrema),
               spark.read.parquet(s"$path/_purged/keys")
                 .select(col("key")).distinct())
           (aDel, bDel, vDel)
@@ -434,8 +545,8 @@ object ViewStore {
     */
   def diffJoinView(spark: SparkSession, path: String,
                    genA: Long, genB: Long): DataFrame =
-    GenStore.diff(spark, s"$path/view", genA, genB, "key",
-      Seq("cnt", "total"), "changed")
+    GenStore.diffWith(spark, s"$path/view", genA, genB, "key",
+      viewFolds(hasExtrema(spark, path)), "changed")
 
   /** Pointer-only ROLLBACK of the LAST `batchesBack` batches — "undo
     * yesterday's bad two-sided load". Addressed RELATIVELY, not by

@@ -27,14 +27,15 @@ import org.apache.spark.sql.functions._
   */
 object ZOrder {
 
-  /** `v` scaled affinely into [0, 2^bits): ((v - mn) * (2^bits - 1))
-    * div (mx - mn), exact in Long (requires range * 2^bits < 2^63 —
-    * fine for any real key space at bits <= 16).
+  /** `v` (already in its [[ZoneMap.statExpr]] long image) scaled
+    * affinely into [0, 2^bits): ((v - mn) * (2^bits - 1)) div (mx - mn),
+    * exact in Long (requires range * 2^bits < 2^63 — fine for any real
+    * key space at bits <= 16).
     */
   private def scaled(v: Column, mn: Column, mx: Column, bits: Int): Column =
     when(mx === mn, lit(0L)).otherwise(
       call_function("div",
-        (v.cast("long") - mn) * lit((1L << bits) - 1), mx - mn))
+        (v - mn) * lit((1L << bits) - 1), mx - mn))
 
   /** Bit-interleave of two `bits`-wide non-negative ints: bit i of `a`
     * lands at position 2i+1, bit i of `b` at 2i. Disjoint powers of two,
@@ -53,12 +54,16 @@ object ZOrder {
     * artifact, codebook rule); the z map itself is narrow.
     */
   def assign(df: DataFrame, colA: String, colB: String, bits: Int = 8): DataFrame = {
-    val r = df.agg(min(col(colA)).cast("long"), max(col(colA)).cast("long"),
-      min(col(colB)).cast("long"), max(col(colB)).cast("long")).head()
+    // the [[ZoneMap.statExpr]] integer image — dates as epoch days,
+    // timestamps as epoch micros, numerics as cast(long) — so a layout
+    // clustered on a date column and its zone map speak the same unit
+    val ia = ZoneMap.statExpr(df.schema(colA).dataType, col(colA))
+    val ib = ZoneMap.statExpr(df.schema(colB).dataType, col(colB))
+    val r = df.agg(min(ia), max(ia), min(ib), max(ib)).head()
     val (amn, amx, bmn, bmx) = (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
     df.withColumn("__z", interleave(
-      scaled(col(colA), lit(amn), lit(amx), bits),
-      scaled(col(colB), lit(bmn), lit(bmx), bits), bits))
+      scaled(ia, lit(amn), lit(amx), bits),
+      scaled(ib, lit(bmn), lit(bmx), bits), bits))
   }
 
   /** Write path: z-assign then range-partition by `__z` so files are
@@ -76,14 +81,14 @@ object ZOrder {
   def layoutStats(df: DataFrame, colA: String, colB: String, bits: Int = 8,
                   gridBits: Int = 2): DataFrame = {
     require(gridBits <= bits, s"gridBits $gridBits must be <= bits $bits")
+    val ia = ZoneMap.statExpr(df.schema(colA).dataType, col(colA))
+    val ib = ZoneMap.statExpr(df.schema(colB).dataType, col(colB))
     assign(df, colA, colB, bits)
       .withColumn("bucket", call_function("div", col("__z"),
         lit(1L << (2 * bits - 2 * gridBits))))
       .groupBy(col("bucket"))
       .agg(count(lit(1)).as("n"),
-        min(col(colA)).cast("long").as("a_min"),
-        max(col(colA)).cast("long").as("a_max"),
-        min(col(colB)).cast("long").as("b_min"),
-        max(col(colB)).cast("long").as("b_max"))
+        min(ia).as("a_min"), max(ia).as("a_max"),
+        min(ib).as("b_min"), max(ib).as("b_max"))
   }
 }

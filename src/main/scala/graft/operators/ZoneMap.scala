@@ -96,10 +96,12 @@ object ZoneMap {
 
   def buildZoneMap(spark: SparkSession, dataPath: String,
                    statCols: Seq[String], zonePath: String): Unit = {
+    // gen captured first: the overwrite deletes the superseded manifest
+    val prevGen = ZoneMapMeta.currentGen(spark, zonePath)
     statsFrame(spark.read.parquet(dataPath), statCols)
       .coalesce(1)
       .write.mode("overwrite").parquet(zonePath)
-    ZoneMapMeta.write(spark, zonePath, statCols)
+    ZoneMapMeta.write(spark, zonePath, statCols, prevGen)
   }
 
   /** INCREMENTAL maintenance: append `df` as new data files and extend
@@ -168,9 +170,10 @@ object ZoneMap {
         (if (zmExists) spark.read.parquet(zonePath).unionByName(newStats)
         else newStats)
           .localCheckpoint(true) // materialize BEFORE overwriting the source
+      val prevGen = ZoneMapMeta.currentGen(spark, zonePath)
       try merged.coalesce(1).write.mode("overwrite").parquet(zonePath)
       finally GenStore.freeLocal(merged)
-      ZoneMapMeta.write(spark, zonePath, statCols)
+      ZoneMapMeta.write(spark, zonePath, statCols, prevGen)
     } finally fs.delete(claim, false)
   }
 
@@ -258,8 +261,15 @@ object ZoneMap {
                   colA: String, colB: String): (Long, Long) = {
     val stats: Seq[(Option[(Long, Long)], Option[(Long, Long)])] =
       ZoneMapMeta.load(spark, zonePath) match {
-        case Some(meta) => meta.files.map(f =>
-          (f.stats.getOrElse(colA, None), f.stats.getOrElse(colB, None)))
+        case Some(meta) =>
+          // parity with the zone-table path, which fails to resolve
+          // `<c>_min` for an undescribed column — never a silent
+          // treat-as-fully-spanned
+          Seq(colA, colB).foreach(c => require(meta.statCols.contains(c),
+            s"zone map at $zonePath describes ${meta.statCols.mkString(",")}" +
+              s", not $c"))
+          meta.files.map(f =>
+            (f.stats.getOrElse(colA, None), f.stats.getOrElse(colB, None)))
         case None =>
           spark.read.parquet(zonePath)
             .select(col(s"${colA}_min"), col(s"${colA}_max"),

@@ -1,0 +1,209 @@
+package graft.operators
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions.col
+
+/** PLAN-TIME METADATA MANIFEST for a [[ZoneMap]] — the
+  * BaseFiles/Snapshot listing-manifest pattern applied to the planner
+  * hot path. Before this, every `Filter` the [[graft.plans.ZoneMapPrune]]
+  * rule matched cost THREE zone-table parquet scans at plan time (the
+  * freshness `collect`, the `count()`, the survivors `collect`); at 1M
+  * described files that is real per-query planning latency. Now every
+  * zone-map mutation also commits `_ZMMETA`, a one-file text manifest
+  * inside the zone directory holding the generation counter, the zone
+  * parquet's own FILE SIGNATURE, and the per-file stats — so freshness,
+  * pruning, and the drift statistic are ONE driver-side metadata read,
+  * cached by signature and amortized to ZERO Spark jobs on re-plan.
+  *
+  * CRASH SAFETY — why the signature, not just the gen counter: the
+  * manifest is written strictly AFTER the zone parquet it describes
+  * (both in [[ZoneMap.buildZoneMap]] and [[ZoneMap.appendWithStats]]).
+  * A crash between the two writes leaves a manifest whose recorded
+  * signature no longer matches the zone directory's actual parquet
+  * footprint; [[load]] detects the mismatch and returns None, and every
+  * consumer falls back to scanning the zone TABLE itself (correct,
+  * just not amortized). A torn manifest write is impossible —
+  * [[Snapshot.writeLines]] commits by atomic rename — and a torn PARSE
+  * (schema drift, manual edit) also degrades to None. The manifest can
+  * therefore only ever be detected-stale, never silently wrong: the
+  * stats served from it are bit-identical to the zone table's because
+  * they were collected from that exact table under the signature that
+  * still matches.
+  *
+  * CACHE: a process-wide map keyed by normalized zone path, validated
+  * on every [[load]] against the CURRENT directory signature (one FS
+  * listing — pure namenode metadata, no Spark job, no file open). A
+  * rebuilt or appended zone map changes the parquet footprint, the
+  * signature moves, the stale cache entry misses, and the new manifest
+  * is read once. Single maintenance writer per store, as everywhere.
+  *
+  * At 100 TB: the manifest is |files| lines of text — the same
+  * magnitude as the driver-side file list any parquet scan's planning
+  * already holds; reading it once per (zonePath, generation) replaces
+  * per-query metadata-table jobs with a hashmap lookup.
+  */
+private[graft] object ZoneMapMeta {
+
+  /** One described data file: name, row count, and per stat column the
+    * `[min, max]` image in the [[ZoneMap.statExpr]] unit — None for a
+    * file whose column is all-null (parquet-style stats ignore nulls),
+    * which every consumer treats exactly as the zone TABLE's null stats:
+    * dropped by range intersection, fully-spanned by drift.
+    */
+  case class FileStat(file: String, n: Long,
+                      stats: Map[String, Option[(Long, Long)]])
+
+  case class Meta(gen: Long, sig: String, statCols: Seq[String],
+                  files: Seq[FileStat])
+
+  private val cache =
+    new java.util.concurrent.ConcurrentHashMap[String, Meta]()
+
+  private def key(zonePath: String): String =
+    zonePath.replaceFirst("^file:/+", "/").stripSuffix("/")
+
+  private def manifestFile(zonePath: String): String = s"$zonePath/_ZMMETA"
+
+  /** The zone directory's parquet footprint, hashed: sorted
+    * `name:length` pairs of the data files only (`_ZMMETA`, `_SUCCESS`
+    * and friends excluded). Listing-only — no file is opened.
+    */
+  private def signature(spark: SparkSession, zonePath: String): String = {
+    val p = new org.apache.hadoop.fs.Path(zonePath)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(p)) return "absent"
+    val parts = fs.listStatus(p).filter(_.isFile)
+      .filter(_.getPath.getName.endsWith(".parquet"))
+      .map(s => s"${s.getPath.getName}:${s.getLen}")
+      .sorted
+    val md = java.security.MessageDigest.getInstance("MD5")
+    parts.foreach(s => md.update(s.getBytes("UTF-8")))
+    md.digest().map("%02x".format(_)).mkString
+  }
+
+  /** The superseded manifest's generation (0 when none) — callers
+    * capture this BEFORE mutating the zone parquet, because the
+    * overwrite deletes the whole zone directory, old manifest included.
+    */
+  def currentGen(spark: SparkSession, zonePath: String): Long =
+    rawRead(spark, zonePath).map(_.gen).getOrElse(0L)
+
+  /** Commit the manifest describing the zone parquet that was JUST
+    * written at `zonePath` — called strictly after every zone-map
+    * mutation, with the generation captured by [[currentGen]] before
+    * it. One metadata-sized read of the fresh zone table, one atomic
+    * manifest rename, cache primed.
+    */
+  def write(spark: SparkSession, zonePath: String,
+            statCols: Seq[String], prevGen: Long): Unit = {
+    val cols = col("file") +: col("n") +:
+      statCols.flatMap(c => Seq(col(s"${c}_min"), col(s"${c}_max")))
+    val rows = spark.read.parquet(zonePath).select(cols: _*).collect()
+    val files = rows.map { r =>
+      val stats = statCols.zipWithIndex.map { case (c, i) =>
+        val (mi, ma) = (2 + 2 * i, 3 + 2 * i)
+        c -> (if (r.isNullAt(mi) || r.isNullAt(ma)) None
+              else Some((r.getLong(mi), r.getLong(ma))))
+      }.toMap
+      FileStat(r.getString(0), r.getLong(1), stats)
+    }.toSeq.sortBy(_.file)
+    // gen continues from the superseded manifest (captured before the
+    // mutation) regardless of its signature validity — it is a mutation
+    // counter, not the cache key
+    val gen = prevGen + 1
+    val sig = signature(spark, zonePath)
+    val header = Seq("zmmeta v1", s"gen=$gen", s"sig=$sig",
+      s"cols=${statCols.mkString(",")}")
+    val body = files.map { f =>
+      val ss = statCols.map(c => f.stats(c) match {
+        case Some((lo, hi)) => s"$lo:$hi"
+        case None => "-"
+      })
+      (f.n.toString +: ss :+ f.file).mkString("\t")
+    }
+    Snapshot.writeLines(spark, manifestFile(zonePath), header ++ body)
+    cache.put(key(zonePath), Meta(gen, sig, statCols, files))
+  }
+
+  /** The manifest, IF it provably describes the zone parquet currently
+    * on disk: cache hit validated against the live directory signature,
+    * else one manifest read, else None (pre-manifest map, crash between
+    * the two writes, or unparseable) — consumers fall back to the zone
+    * TABLE, which is always authoritative.
+    */
+  def load(spark: SparkSession, zonePath: String): Option[Meta] = {
+    val sig = signature(spark, zonePath)
+    val k = key(zonePath)
+    Option(cache.get(k)).filter(_.sig == sig).orElse {
+      rawRead(spark, zonePath).filter(_.sig == sig).map { m =>
+        cache.put(k, m); m
+      }
+    }
+  }
+
+  /** Parse the manifest without signature validation (gen continuity
+    * needs the superseded one). Any malformation — torn content, stale
+    * checksum sidecar, unreadable file — → None, loudly never: the zone
+    * TABLE is authoritative and every consumer falls back to it.
+    */
+  private def rawRead(spark: SparkSession, zonePath: String): Option[Meta] =
+    try rawReadInner(spark, zonePath)
+    catch { case scala.util.control.NonFatal(_) => None }
+
+  private def rawReadInner(spark: SparkSession,
+                           zonePath: String): Option[Meta] =
+    Snapshot.readLines(spark, manifestFile(zonePath)).flatMap { lines =>
+      try {
+        val Seq(magic, genL, sigL, colsL) = lines.take(4)
+        require(magic == "zmmeta v1", s"unknown manifest format: $magic")
+        val gen = genL.stripPrefix("gen=").toLong
+        val sig = sigL.stripPrefix("sig=")
+        val statCols = colsL.stripPrefix("cols=").split(',').toSeq
+          .filter(_.nonEmpty)
+        val files = lines.drop(4).filter(_.nonEmpty).map { ln =>
+          val parts = ln.split('\t')
+          require(parts.length == statCols.length + 2, s"torn line: $ln")
+          val n = parts(0).toLong
+          val stats = statCols.zipWithIndex.map { case (c, i) =>
+            c -> (parts(1 + i) match {
+              case "-" => None
+              case s =>
+                val Array(lo, hi) = s.split(':')
+                Some((lo.toLong, hi.toLong))
+            })
+          }.toMap
+          FileStat(parts.last, n, stats)
+        }
+        Some(Meta(gen, sig, statCols, files))
+      } catch { case scala.util.control.NonFatal(_) => None }
+    }
+
+  /** The skipping decision on the CACHED stats — pure driver compute,
+    * zero Spark jobs. Same algebra as the zone-table SQL path: a file
+    * survives when every predicate's `[lo, hi]` intersects its
+    * `[min, max]`; null stats (all-null file) never intersect, exactly
+    * as the null-safe SQL comparison drops them. A predicate on a
+    * column the manifest does not describe is the same contract error
+    * the SQL path surfaces as an unresolved `<c>_min` — loud, not a
+    * silent full-scan.
+    */
+  def prune(meta: Meta, preds: Seq[(String, Long, Long)])
+      : (Seq[String], Long) = {
+    val missing = preds.map(_._1).filterNot(meta.statCols.contains)
+    require(missing.isEmpty,
+      s"zone map describes ${meta.statCols.mkString(",")} but was asked " +
+        s"to prune on ${missing.mkString(",")}")
+    val survivors = meta.files.filter { f =>
+      preds.forall { case (c, lo, hi) =>
+        f.stats.getOrElse(c, None) match {
+          case Some((mn, mx)) => mn <= hi && mx >= lo
+          case None => false
+        }
+      }
+    }.map(_.file).sorted
+    (survivors, meta.files.size.toLong)
+  }
+
+  /** Test seam + maintenance hygiene: drop the process-wide cache. */
+  private[graft] def invalidate(): Unit = cache.clear()
+}

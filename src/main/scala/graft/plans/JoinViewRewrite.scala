@@ -2,7 +2,7 @@ package graft.plans
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute, AttributeReference, Cast, Divide, EqualTo, Expression, Literal, NamedExpression}
-import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Average, Count, Sum}
+import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Average, Count, Max, Min, Sum}
 import org.apache.spark.sql.catalyst.plans.Inner
 import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Join, LogicalPlan, Project}
 import org.apache.spark.sql.catalyst.rules.Rule
@@ -199,18 +199,28 @@ case class JoinViewRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
       case _ => None
     }
     matched.flatMap { case (entry, aGrp, outs, keyLit) =>
+      // min/max serve only from an EXTREMA view (insert-only monoid
+      // columns the plain view does not carry)
+      val needsExtrema = outs.exists(o => o._2 == 4 || o._2 == 5)
+      if (needsExtrema && !ViewStore.hasExtrema(spark, entry.storePath)) None
+      else {
       // optimized subplan, not analyzed — the outer tree's hint and
       // subquery batches have already run (the AggStoreRewrite argument)
       val storeDf = keyLit match {
         case Some((_, lits)) => // POINT LOOKUP: ≤ |groups| view buckets
           import spark.implicits._
-          ViewStore.lookupJoinViewGroups(
-            lits.map(_.value.asInstanceOf[Long]).distinct.toDF("key"),
-            entry.storePath)
-        case None => ViewStore.readJoinView(spark, entry.storePath)
+          val ks = lits.map(_.value.asInstanceOf[Long]).distinct.toDF("key")
+          if (needsExtrema)
+            ViewStore.lookupJoinViewGroupsExtrema(ks, entry.storePath)
+          else ViewStore.lookupJoinViewGroups(ks, entry.storePath)
+        case None =>
+          if (needsExtrema)
+            ViewStore.readJoinViewExtrema(spark, entry.storePath)
+          else ViewStore.readJoinView(spark, entry.storePath)
       }
       val store = storeDf.queryExecution.optimizedPlan
-      val Seq(sKey, sCnt, sTotal) = store.output.take(3)
+      def sCol(n: String): Attribute = store.output.find(_.name == n).get
+      val (sKey, sCnt, sTotal) = (sCol("key"), sCol("cnt"), sCol("total"))
       // the view stores the group as LONG (ViewStore.aggA casts); only
       // rewrite when the query's group attribute is long too
       if (sKey.dataType != aGrp.dataType) None
@@ -218,6 +228,8 @@ case class JoinViewRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
         case (orig, 0) => Alias(sKey, orig.name)(exprId = orig.exprId)
         case (orig, 1) => Alias(sCnt, orig.name)(exprId = orig.exprId)
         case (orig, 2) => Alias(sTotal, orig.name)(exprId = orig.exprId)
+        case (orig, 4) => Alias(sCol("vmin"), orig.name)(exprId = orig.exprId)
+        case (orig, 5) => Alias(sCol("vmax"), orig.name)(exprId = orig.exprId)
         case (orig, _) => // avg == total / cnt — see AggStoreRewrite's
           // EXACTNESS NOTE: bit-identical to native Average below 2^53
           // per partial sum; past it the store's one-divide of the
@@ -228,11 +240,15 @@ case class JoinViewRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
             Cast(sCnt, org.apache.spark.sql.types.DoubleType)),
             orig.name)(exprId = orig.exprId)
       }, store))
+      }
     }
   }
 
   /** Each output must be the group key (0), count(<lit>) (1),
-    * sum(<bVal>) with at most a widening cast (2), or avg(<bVal>) (3).
+    * sum(<bVal>) with at most a widening cast (2), avg(<bVal>) (3), or
+    * — extrema views only — min(<bVal>) (4) / max(<bVal>) (5),
+    * LONG-typed like the stored extrema (a bare int child's Min is
+    * IntegerType and would flip the attribute's type mid-plan).
     */
   private def mapOutputs(aggExprs: Seq[NamedExpression], grpAttr: Attribute,
                          valAttr: Attribute)
@@ -256,6 +272,12 @@ case class JoinViewRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
         case AggregateExpression(a: Average, _, false, None, _)
             if isValRef(a.child, valAttr) =>
           Some(ne -> 3)
+        case AggregateExpression(m: Min, _, false, None, _)
+            if isValRef(m.child, valAttr) && m.dataType == LongType =>
+          Some(ne -> 4)
+        case AggregateExpression(m: Max, _, false, None, _)
+            if isValRef(m.child, valAttr) && m.dataType == LongType =>
+          Some(ne -> 5)
         case _ => None
       }
     }

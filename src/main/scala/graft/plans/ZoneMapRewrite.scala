@@ -5,9 +5,9 @@ import org.apache.spark.sql.catalyst.expressions.{Alias, AttributeReference, Cas
 import org.apache.spark.sql.catalyst.plans.logical.{Filter, LocalRelation, LogicalPlan, Project}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.datasources.LogicalRelation
-import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
+import org.apache.spark.sql.types.{ByteType, DateType, IntegerType, LongType, ShortType, TimestampType}
 
-import graft.operators.ZoneMap
+import graft.operators.{ZoneMap, ZoneMapMeta}
 
 /** PLANNER-INTEGRATED ZONE-MAP PRUNING — the q322 rewrite pattern one
   * operator down the stack: [[ZoneMap.prunedRead]] skips files, but
@@ -42,11 +42,13 @@ import graft.operators.ZoneMap
   *  - output attribute ids are PRESERVED via aliases, so parents (the
   *    residual filter included) resolve unchanged.
   *
-  * Cost at plan time: one metadata-table read (|files| rows) and the
-  * surviving file list — the same driver-side artifacts any parquet
-  * scan's partition pruning already materializes. At 100 TB the win is
-  * the scan itself: a 2-D range over a z-ordered layout opens ~the
-  * answer's worth of files instead of the corpus's.
+  * Cost at plan time: ONE cached metadata read — the [[graft.operators
+  * .ZoneMapMeta]] `_ZMMETA` manifest, validated by directory signature
+  * and held in a process-wide cache, answers freshness AND pruning with
+  * zero Spark jobs (pre-manifest maps fall back to the zone-table scan,
+  * authoritative either way). At 100 TB the win is the scan itself: a
+  * 2-D range over a z-ordered layout opens ~the answer's worth of files
+  * instead of the corpus's.
   */
 object ZoneMapCatalog {
 
@@ -87,60 +89,92 @@ case class ZoneMapPrune(spark: SparkSession) extends Rule[LogicalPlan] {
 
   /** The rewritten Filter (residual kept, scan pruned), or None when the
     * shape, freshness, or skipping potential says leave it alone.
+    * Candidate resolution iterates ALL path-matching registrations and
+    * takes the first FRESH one (the [[JoinViewRewrite]] house gotcha:
+    * a rebuilt zone map registered without clearing must not let the
+    * stale registration pin a refusal forever). Freshness is answered
+    * from the [[ZoneMapMeta]] manifest when one validates — the whole
+    * decision is then driver-side metadata, ZERO zone-table scans per
+    * planned query — with the zone TABLE as the authoritative fallback
+    * for pre-manifest maps.
     */
   private def prune(cond: Expression,
                     rel: LogicalRelation): Option[LogicalPlan] = {
     val relPaths = AggStoreRewrite.pathsOf(rel)
-    for {
-      entry <- ZoneMapCatalog.entries.find(e =>
-        PathNorm.pathsEqual(relPaths, e.dataPaths))
-      relFiles = rel.relation match {
-        case fs: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
-          fs.location.inputFiles.toSeq
-        case _ => Seq.empty
+    val candidates = ZoneMapCatalog.entries.distinct.filter(e =>
+      PathNorm.pathsEqual(relPaths, e.dataPaths))
+    if (candidates.isEmpty) return None
+    val relFiles = rel.relation match {
+      case fs: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+        fs.location.inputFiles.toSeq
+      case _ => Seq.empty
+    }
+    // freshness: an undescribed file would be silently skipped
+    def isFresh(e: ZoneMapCatalog.ZmEntry): Boolean = {
+      val described = ZoneMapMeta.load(spark, e.zonePath) match {
+        case Some(meta) => meta.files.map(f => PathNorm.norm(f.file)).toSet
+        case None => spark.read.parquet(e.zonePath)
+          .select(org.apache.spark.sql.functions.col("file"))
+          .collect().map(r => PathNorm.norm(r.getString(0))).toSet
       }
-      described = spark.read.parquet(entry.zonePath)
-        .select(org.apache.spark.sql.functions.col("file"))
-        .collect().map(r => PathNorm.norm(r.getString(0))).toSet
-      _ <- { // freshness: an undescribed file would be silently skipped
-        val fresh = relFiles.nonEmpty &&
-          relFiles.forall(f => described.contains(PathNorm.norm(f)))
-        if (!fresh) log.warn(
-          s"zone-map prune refused: ${relPaths.mkString(",")} has landed " +
-            s"files not described by ${entry.zonePath} — scanning all; " +
-            "appendWithStats the new files to restore skipping")
-        if (fresh) Some(()) else None
-      }
-      bounds = extractBounds(cond, rel, entry.statCols)
-      if bounds.nonEmpty
-      preds = bounds.toSeq.map { case (c, (lo, hi)) => (c, lo, hi) }
-      pruned <- {
-        val (survivors, total) = ZoneMap.pruneFiles(spark, entry.zonePath,
-          preds)
-        if (survivors.size >= total) None // nothing skipped: no churn
-        else if (survivors.isEmpty)
-          Some(LocalRelation(rel.output)) // provably empty, zero data read
-        else rebuild(rel, survivors).map(Filter(cond, _)) // residual kept
-      }
-    } yield pruned
+      relFiles.nonEmpty &&
+        relFiles.forall(f => described.contains(PathNorm.norm(f)))
+    }
+    val entry = candidates.find(isFresh).getOrElse {
+      log.warn(
+        s"zone-map prune refused: ${relPaths.mkString(",")} has landed " +
+          s"files not described by any of ${candidates.map(_.zonePath)
+            .mkString(",")} — scanning all; appendWithStats the new " +
+          "files (or register the rebuilt map) to restore skipping")
+      return None
+    }
+    val bounds = extractBounds(cond, rel, entry.statCols)
+    if (bounds.isEmpty) return None
+    val preds = bounds.toSeq.map { case (c, (lo, hi)) => (c, lo, hi) }
+    val (survivors, total) = ZoneMap.pruneFiles(spark, entry.zonePath, preds)
+    if (survivors.size >= total) None // nothing skipped: no churn
+    else if (survivors.isEmpty)
+      Some(LocalRelation(rel.output)) // provably empty, zero data read
+    else rebuild(rel, survivors).map(Filter(cond, _)) // residual kept
   }
 
   /** Per stat column: the tightest `[lo, hi]` derivable from the
-    * filter's conjuncts. Integer semantics make strict bounds exact
-    * (`c > v` ⟺ `c ≥ v+1`), with overflow guarded by dropping the
+    * filter's conjuncts, in the STAT unit ([[ZoneMap.statExpr]]: epoch
+    * days for dates, epoch micros for timestamps, the long image else).
+    * Integer semantics make strict bounds exact (`c > v` ⟺ `c ≥ v+1`
+    * in the literal's unit), with overflow guarded by dropping the
     * bound (sound: fewer bounds = wider file set).
+    *
+    * DATE/TIMESTAMP literals carry the SAME integers Catalyst stores —
+    * `Literal(days: Int, DateType)` / `Literal(micros: Long,
+    * TimestampType)` — so they feed the integer-exact machinery
+    * unchanged. The one cross-unit shape is the cast Catalyst inserts
+    * for a date column compared against a timestamp:
+    * `Cast(dateCol, TimestampType) ⋈ Literal(micros)` — under a UTC
+    * session (where the cast is exactly `days * MICROS_PER_DAY`) the
+    * micros bound converts to an inclusive DAY bound by ceil/floor
+    * division; any other session timezone skips the conjunct (sound —
+    * it stays in the residual). An equality on a non-midnight micros
+    * value yields `ceil > floor`, an empty day range — correctly
+    * pruning everything, since no date cast to timestamp can hit it.
     */
   private def extractBounds(cond: Expression, rel: LogicalRelation,
                             statCols: Seq[String])
       : Map[String, (Long, Long)] = {
     val relIds = rel.output.map(a => a.exprId -> a.name).toMap
-    def statName(e: Expression): Option[String] = e match {
-      case a: AttributeReference
-          if relIds.get(a.exprId).exists(statCols.contains) =>
-        Some(a.name)
-      case Cast(a: AttributeReference, LongType, _, _)
-          if relIds.get(a.exprId).exists(statCols.contains) =>
-        Some(a.name)
+    val utc = spark.sessionState.conf.sessionLocalTimeZone == "UTC"
+    val MicrosPerDay = 86400000000L
+    def isStat(a: AttributeReference): Boolean =
+      relIds.get(a.exprId).exists(statCols.contains)
+    // (column, divisor): the literal's unit divided by `divisor` is the
+    // stat unit — 1 everywhere except micros-literal-over-days-stats
+    def statName(e: Expression): Option[(String, Long)] = e match {
+      case a: AttributeReference if isStat(a) => Some((a.name, 1L))
+      case Cast(a: AttributeReference, LongType, _, _) if isStat(a) =>
+        Some((a.name, 1L))
+      case Cast(a: AttributeReference, TimestampType, _, _)
+          if a.dataType == DateType && isStat(a) && utc =>
+        Some((a.name, MicrosPerDay))
       case _ => None
     }
     def litVal(e: Expression): Option[Long] = e match {
@@ -148,6 +182,8 @@ case class ZoneMapPrune(spark: SparkSession) extends Rule[LogicalPlan] {
       case Literal(v: Short, ShortType) => Some(v.toLong)
       case Literal(v: Int, IntegerType) => Some(v.toLong)
       case Literal(v: Long, LongType) => Some(v)
+      case Literal(v: Int, DateType) => Some(v.toLong) // epoch days
+      case Literal(v: Long, TimestampType) => Some(v) // epoch micros
       case _ => None
     }
     def conjuncts(e: Expression): Seq[Expression] = e match {
@@ -157,10 +193,18 @@ case class ZoneMapPrune(spark: SparkSession) extends Rule[LogicalPlan] {
     }
     val lows = scala.collection.mutable.Map.empty[String, Long]
     val highs = scala.collection.mutable.Map.empty[String, Long]
-    def lo(c: String, v: Long): Unit =
-      lows(c) = math.max(lows.getOrElse(c, Long.MinValue), v)
-    def hi(c: String, v: Long): Unit =
-      highs(c) = math.min(highs.getOrElse(c, Long.MaxValue), v)
+    // inclusive literal-unit bound → inclusive stat-unit bound:
+    // stat*div ≥ v ⟺ stat ≥ ceil(v/div); stat*div ≤ v ⟺ stat ≤ floor(v/div)
+    // (Math.floorDiv is exact floor for div>0 with no overflow)
+    def lo(cd: (String, Long), v: Long): Unit = {
+      val (c, div) = cd
+      val b = Math.floorDiv(v, div) + (if (Math.floorMod(v, div) == 0) 0 else 1)
+      lows(c) = math.max(lows.getOrElse(c, Long.MinValue), b)
+    }
+    def hi(cd: (String, Long), v: Long): Unit = {
+      val (c, div) = cd
+      highs(c) = math.min(highs.getOrElse(c, Long.MaxValue), Math.floorDiv(v, div))
+    }
     // guard each attr-first case on the ATTR side actually resolving,
     // or it would swallow the literal-first shape before its mirrored
     // case can run (a completeness miss, never a correctness one —

@@ -2056,6 +2056,107 @@ object AnalyticsQueries {
              |WHERE o_orderkey % 3 <> 0 AND l_orderkey % 2 <> 0
              |GROUP BY 1 ORDER BY key""".stripMargin)),
 
+    // ---- EXTREMA JOIN VIEW through the REWRITE (ViewStore extrema +
+    // plans/JoinViewRewrite min/max outputs): q334's insert-only
+    // min/max monoid argument pushed through a join — a group's
+    // min over A⋈B is the min over its join keys of the b-side per-key
+    // min (multiplicity never moves an extremum), maintained at BOTH
+    // levels by least/greatest LSM folds (GenStore.FoldMin/FoldMax).
+    // Build from subsets + a two-sided increment, so the served
+    // extrema fold across real delta segments; then a PLAIN
+    // `groupBy(cust).agg(count, sum, min, max)` over the registered
+    // bases serves from the store. MvRewriteSpec pins that min/max
+    // REFUSE on a plain (non-extrema) view. Oracle: the full join
+    // recompute. ----
+    Q("q343_join_view_extrema",
+      (s, dir) => {
+        import graft.operators.ViewStore
+        import graft.plans.{JoinViewCatalog, JoinViewRewrite}
+        val o = t(s, dir, "orders")
+        val l = t(s, dir, "lineitem")
+        val tmp = java.nio.file.Files
+          .createTempDirectory("graft_q343_").toString + "/jv"
+        ViewStore.buildJoinView(
+          o.select(col("o_orderkey"), col("o_custkey"))
+            .filter(col("o_orderkey") % 3 =!= 0),
+          l.select(col("l_orderkey"), col("l_quantity"))
+            .filter(col("l_orderkey") % 2 =!= 0),
+          tmp, "o_orderkey", "o_custkey", "l_orderkey", "l_quantity",
+          extrema = true)
+        ViewStore.mergeIntoJoinView(
+          o.select(col("o_orderkey"), col("o_custkey"))
+            .filter(col("o_orderkey") % 3 === 0),
+          l.select(col("l_orderkey"), col("l_quantity"))
+            .filter(col("l_orderkey") % 2 === 0),
+          tmp, "o_orderkey", "o_custkey", "l_orderkey", "l_quantity",
+          appliedId = Some("day-1"))
+        val prev = s.experimental.extraOptimizations
+        s.experimental.extraOptimizations = prev :+ JoinViewRewrite(s)
+        try {
+          JoinViewCatalog.registerJoinView(o, l,
+            "o_orderkey", "o_custkey", "l_orderkey", "l_quantity", tmp)
+          o.join(l, o("o_orderkey") === l("l_orderkey"))
+            .groupBy(col("o_custkey"))
+            .agg(count(lit(1)).as("cnt"),
+              sum(col("l_quantity").cast("long")).as("total"),
+              min(col("l_quantity").cast("long")).as("vmin"),
+              max(col("l_quantity").cast("long")).as("vmax"))
+            .localCheckpoint(true) // rewrite fires HERE, rule still live
+            .withColumnRenamed("o_custkey", "key")
+            .orderBy(col("key"))
+        } finally {
+          s.experimental.extraOptimizations = prev
+          JoinViewCatalog.clear()
+        }
+      },
+      Some("""SELECT o_custkey AS key, count(*) AS cnt,
+             |  CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS total,
+             |  min(CAST(l_quantity AS BIGINT)) AS vmin,
+             |  max(CAST(l_quantity AS BIGINT)) AS vmax
+             |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+             |GROUP BY 1 ORDER BY key""".stripMargin)),
+
+    // ---- UNIFIED TABLE SERVICES (operators/Maintenance.sweep): the
+    // engine's cadence verbs — LSM compaction, retention vacuum, layout
+    // recluster — behind ONE call that inspects each registered store's
+    // manifests (segment histogram, generation depth, drift ppm; all
+    // metadata-only) and runs exactly what the numbers demand. Here a
+    // join view over orders ⋈ lineitem degrades through four daily
+    // two-sided merges (LSM segments pile up, history deepens), ONE
+    // sweep compacts + vacuums it, and the served view hash-matches the
+    // one-shot join oracle — maintenance is serving-invariant by
+    // construction (MaintenanceSpec pins the multi-family fixture and
+    // the all-none second sweep). ----
+    Q("q344_maintenance_sweep",
+      (s, dir) => {
+        import graft.operators.{Maintenance, ViewStore}
+        import graft.operators.Maintenance.{JoinViewT, Policy}
+        val o = t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"))
+        val l = t(s, dir, "lineitem")
+          .select(col("l_orderkey"), col("l_quantity"))
+        val tmp = java.nio.file.Files
+          .createTempDirectory("graft_q344_").toString + "/jv"
+        ViewStore.buildJoinView(
+          o.filter(col("o_orderkey") % 5 === 0),
+          l.filter(col("l_orderkey") % 5 === 0),
+          tmp, "o_orderkey", "o_custkey", "l_orderkey", "l_quantity")
+        (1L to 4L).foreach(i => ViewStore.mergeIntoJoinView(
+          o.filter(col("o_orderkey") % 5 === i),
+          l.filter(col("l_orderkey") % 5 === i),
+          tmp, "o_orderkey", "o_custkey", "l_orderkey", "l_quantity",
+          appliedId = Some(s"day-$i")))
+        val actions = Maintenance.sweep(s, Seq(JoinViewT(tmp)),
+          Policy(maxSegments = 2, keepGens = 2))
+        require(actions.exists(_.verb == "compact") &&
+          actions.exists(_.verb == "vacuum"),
+          s"the degraded view must trip compact+vacuum, got $actions")
+        ViewStore.readJoinView(s, tmp).orderBy(col("key"))
+      },
+      Some("""SELECT o_custkey AS key, count(*) AS cnt,
+             |  CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS total
+             |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+             |GROUP BY 1 ORDER BY key""".stripMargin)),
+
     // ---- POINT LOOKUP on the aggregate store (AggStore
     // .lookupAggStoreKeys / GenStore.lookupKeys): "these suppliers'
     // aggregates" reads ONLY the buckets the keys hash to — the

@@ -568,6 +568,96 @@ object MiscQueries {
              |  AND l_suppkey BETWEEN 10 AND 40
              |GROUP BY 1 ORDER BY 1""".stripMargin)),
 
+    // ---- DATE zone-map pruning through the PLANNER (ZoneMapPrune over
+    // DateType stats): the single most common warehouse filter — a date
+    // range — now file-skips for free. orders is z-ordered on
+    // (order DATE, custkey); stats store the date's exact integer image
+    // (epoch DAYS, the very int Catalyst stores date literals as, via
+    // ZoneMap.statExpr — shared with ZOrder.assign so layout and map
+    // speak the same unit), and a PLAIN `.filter(date BETWEEN ...)`
+    // extracts day-number bounds from the folded DateType literals.
+    // Oracle: the full-scan date filter — the hash proves the skipping
+    // loses nothing. ZoneMapSpec pins the strict-subset inputFiles. ----
+    Q("q341_zonemap_date",
+      (s, dir) => {
+        import graft.operators.ZoneMap
+        import graft.plans.{ZoneMapCatalog, ZoneMapPrune}
+        val tmp = java.nio.file.Files
+          .createTempDirectory("graft_q341_").toString
+        val od = t(s, dir, "orders")
+          .select(to_date(col("o_orderdate")).as("od"),
+            col("o_custkey"), col("o_orderpriority"))
+        ZoneMap.writeZOrdered(od, s"$tmp/data", s"$tmp/zone",
+          "od", "o_custkey", bits = 8, partitions = 16)
+        val prev = s.experimental.extraOptimizations
+        s.experimental.extraOptimizations = prev :+ ZoneMapPrune(s)
+        try {
+          ZoneMapCatalog.register(s, s"$tmp/data", s"$tmp/zone",
+            Seq("od", "o_custkey"))
+          s.read.parquet(s"$tmp/data")
+            .filter(col("od").between(
+              lit(java.sql.Date.valueOf("1996-01-01")),
+              lit(java.sql.Date.valueOf("1996-12-31"))))
+            .groupBy(col("o_orderpriority"))
+            .agg(count(lit(1)).as("n"), sum(col("o_custkey")).as("ck_sum"))
+            .localCheckpoint(true) // the prune rule fires HERE
+            .orderBy(col("o_orderpriority"))
+        } finally {
+          s.experimental.extraOptimizations = prev
+          ZoneMapCatalog.clear()
+        }
+      },
+      Some("""SELECT o_orderpriority, count(*) AS n,
+             |  CAST(sum(o_custkey) AS BIGINT) AS ck_sum
+             |FROM orders
+             |WHERE CAST(o_orderdate AS DATE)
+             |  BETWEEN DATE '1996-01-01' AND DATE '1996-12-31'
+             |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // ---- TIMESTAMP zone-map pruning through the PLANNER: same
+    // machinery at micros resolution — stats are epoch MICROS
+    // (unix_micros, the long Catalyst stores timestamp literals as),
+    // bounds extract from the folded TimestampType literals, strict
+    // bounds exact under integer semantics. The reference partitions
+    // its sink by timestamp (zara_hybrid_etl.py:240-243); this is that
+    // filter shape made free at scan time. ----
+    Q("q342_zonemap_timestamp",
+      (s, dir) => {
+        import graft.operators.ZoneMap
+        import graft.plans.{ZoneMapCatalog, ZoneMapPrune}
+        val tmp = java.nio.file.Files
+          .createTempDirectory("graft_q342_").toString
+        val od = t(s, dir, "orders")
+          .select(col("o_orderdate"), col("o_custkey"),
+            col("o_orderpriority"))
+        ZoneMap.writeZOrdered(od, s"$tmp/data", s"$tmp/zone",
+          "o_orderdate", "o_custkey", bits = 8, partitions = 16)
+        val prev = s.experimental.extraOptimizations
+        s.experimental.extraOptimizations = prev :+ ZoneMapPrune(s)
+        try {
+          ZoneMapCatalog.register(s, s"$tmp/data", s"$tmp/zone",
+            Seq("o_orderdate", "o_custkey"))
+          s.read.parquet(s"$tmp/data")
+            .filter(col("o_orderdate") >=
+              lit(java.sql.Timestamp.valueOf("1996-01-01 00:00:00")) &&
+              col("o_orderdate") <
+              lit(java.sql.Timestamp.valueOf("1997-01-01 00:00:00")))
+            .groupBy(col("o_orderpriority"))
+            .agg(count(lit(1)).as("n"), sum(col("o_custkey")).as("ck_sum"))
+            .localCheckpoint(true) // the prune rule fires HERE
+            .orderBy(col("o_orderpriority"))
+        } finally {
+          s.experimental.extraOptimizations = prev
+          ZoneMapCatalog.clear()
+        }
+      },
+      Some("""SELECT o_orderpriority, count(*) AS n,
+             |  CAST(sum(o_custkey) AS BIGINT) AS ck_sum
+             |FROM orders
+             |WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+             |  AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+             |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
     // ---- TPC-H Q5 shape: 5-way join, date filter, revenue per nation.
     // All dimensions broadcast; lineitem (the only big table) shuffles
     // once for the final aggregation only.

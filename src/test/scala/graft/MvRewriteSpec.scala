@@ -125,6 +125,58 @@ class MvRewriteSpec extends SparkSpec {
     }
   }
 
+  test("join-view min/max serve from an EXTREMA view and refuse on a " +
+    "plain one") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_mvjx_").toString
+    Seq((1L, 10L), (2L, 10L), (3L, 20L)).toDF("okey", "cust")
+      .write.parquet(s"$dir/a")
+    Seq((1L, 5L), (1L, 7L), (2L, 1L), (3L, 2L)).toDF("okey", "qty")
+      .write.parquet(s"$dir/b")
+    val a = spark.read.parquet(s"$dir/a")
+    val b = spark.read.parquet(s"$dir/b")
+    ViewStore.buildJoinView(a, b, s"$dir/jvx", "okey", "cust", "okey", "qty",
+      nBuckets = 4, extrema = true)
+    ViewStore.buildJoinView(a, b, s"$dir/jvp", "okey", "cust", "okey", "qty",
+      nBuckets = 4) // plain twin
+    withRule {
+      JoinViewCatalog.registerJoinView(a, b, "okey", "cust", "okey", "qty",
+        s"$dir/jvx")
+      def q = a.join(b, a("okey") === b("okey"))
+        .groupBy(col("cust"))
+        .agg(count(lit(1)).as("cnt"),
+          min(col("qty").cast("long")).as("vmin"),
+          max(col("qty").cast("long")).as("vmax"))
+      assert(q.inputFiles.exists(_.contains("/jvx/")),
+        "min/max must serve from the extrema view store")
+      assert(!q.inputFiles.exists(f => f.contains("/a/") || f.contains("/b/")),
+        "the rewritten plan must not touch either base")
+      // cust 10: keys {1, 2} -> qtys {5, 7, 1}; cust 20: key 3 -> {2}
+      assert(q.orderBy("cust").as[(Long, Long, Long, Long)].collect().toSeq ==
+        Seq((10L, 3L, 1L, 7L), (20L, 1L, 2L, 2L)),
+        "served extrema must equal the direct recompute")
+      // a group point filter composes: extrema through the bucket lookup
+      val pq = a.join(b, a("okey") === b("okey"))
+        .filter(col("cust") === 10L)
+        .groupBy(col("cust"))
+        .agg(max(col("qty").cast("long")).as("vmax"))
+      assert(pq.inputFiles.exists(_.contains("/jvx/")))
+      assert(pq.as[(Long, Long)].collect().toSeq == Seq((10L, 7L)))
+      // a bare int-typed min would flip the output type — never rewritten
+      // (qty here is long so the cast is identity; pin with the PLAIN
+      // store below instead)
+      JoinViewCatalog.clear()
+      JoinViewCatalog.registerJoinView(a, b, "okey", "cust", "okey", "qty",
+        s"$dir/jvp")
+      val refused = a.join(b, a("okey") === b("okey"))
+        .groupBy(col("cust"))
+        .agg(min(col("qty").cast("long")).as("vmin"))
+      assert(!refused.inputFiles.exists(_.contains("/jvp/")),
+        "a plain view store must never serve min/max")
+      assert(refused.orderBy("cust").as[(Long, Long)].collect().toSeq ==
+        Seq((10L, 1L), (20L, 2L)), "the refused query answers from the base")
+    }
+  }
+
   test("type discipline: a bare fractional sum never serves the truncated " +
     "store total; the query's own cast(long) does; count(NULL) is never " +
     "the store count") {

@@ -47,6 +47,40 @@ class ViewStoreSpec extends SparkSpec {
       "after the increment the view must equal the full A JOIN B GROUP BY")
   }
 
+  test("extrema store: min/max fold by least/greatest across build, " +
+    "merge segments, compaction, lookup, and purge") {
+    val path = tmp()
+    ViewStore.buildJoinView(a1, b1, path, "okey", "cust", "okey", "qty",
+      nBuckets = 4, appliedId = Some("batch-0"), extrema = true)
+    def ext = ViewStore.readJoinViewExtrema(spark, path)
+      .as[(Long, Long, Long, Long, Long)].collect().toSet
+    assert(ext == Set((10L, 1L, 5L, 5L, 5L)),
+      "build view: cust 10 has one joined row of qty 5")
+    ViewStore.mergeIntoJoinView(a2, b2, path, "okey", "cust", "okey", "qty",
+      appliedId = Some("batch-1"))
+    // cust 10: keys {1,2} -> qtys {5,7,1}; 20: {2}; 30: {4,6}
+    val fullExt = Set((10L, 3L, 13L, 1L, 7L), (20L, 1L, 2L, 2L, 2L),
+      (30L, 2L, 10L, 4L, 6L))
+    assert(ext == fullExt,
+      "post-merge extrema must fold across the delta segments")
+    assert(ViewStore.lookupJoinViewGroupsExtrema(Seq(10L).toDF("key"), path)
+      .as[(Long, Long, Long, Long, Long)].collect().toSet ==
+      Set((10L, 3L, 13L, 1L, 7L)), "point lookup folds extrema too")
+    ViewStore.compactJoinView(spark, path)
+    assert(ext == fullExt, "compaction folds by each column's own monoid")
+    // the read path refuses extrema on a plain store, and a rebuild
+    // must not silently change the store's shape
+    intercept[IllegalArgumentException] {
+      ViewStore.buildJoinView(a1, b1, path, "okey", "cust", "okey", "qty",
+        nBuckets = 4)
+    }
+    // purge a group: survivors keep their extrema intact (fold-spec'd
+    // sweep — a sum-fold would have corrupted or dropped vmin/vmax)
+    ViewStore.purgeJoinViewGroups(Seq(10L).toDF("grp"), path, "grp")
+    assert(ext == fullExt - ((10L, 3L, 13L, 1L, 7L)),
+      "purge sweeps must preserve surviving extrema bit-exact")
+  }
+
   test("a replayed batch id is a detected no-op in all three substores") {
     val path = tmp()
     build(path)

@@ -222,6 +222,178 @@ class ZoneMapSpec extends SparkSpec {
       "each surviving a-value: 11 b's x 2 copies")
   }
 
+  test("DATE stats prune plain filters in the planner; the cast-to-" +
+    "timestamp comparison shape converts micros bounds to exact days") {
+    val dir = tmp("date")
+    val rows = spark.range(0, 1024).select(
+      date_add(lit(java.sql.Date.valueOf("1994-01-01")),
+        (col("id") % 256).cast("int")).as("d"),
+      (col("id") / 4).cast("long").as("k"))
+    operators.ZoneMap.writeZOrdered(rows, s"$dir/data", s"$dir/zone",
+      "d", "k", bits = 8, partitions = 8)
+    val prev = spark.experimental.extraOptimizations
+    spark.experimental.extraOptimizations =
+      prev :+ graft.plans.ZoneMapPrune(spark)
+    try {
+      graft.plans.ZoneMapCatalog.register(spark, s"$dir/data",
+        s"$dir/zone", Seq("d", "k"))
+      // plain date BETWEEN: folded DateType literals are epoch days —
+      // the integer-exact machinery unchanged
+      val q = spark.read.parquet(s"$dir/data")
+        .filter(col("d").between(
+          lit(java.sql.Date.valueOf("1994-01-10")),
+          lit(java.sql.Date.valueOf("1994-01-20"))))
+      assert(q.inputFiles.length < 8,
+        s"a tight date range must skip files (${q.inputFiles.length} of 8)")
+      assert(q.count() == 11L * 4,
+        "11 days x 4 rows/day — the pruned plan must lose nothing")
+      // the cast shape Catalyst inserts for date-vs-timestamp: micros
+      // bounds convert by ceil/floor division to INCLUSIVE day bounds
+      // (UTC session). 00:00:01 is past midnight of the 10th, so the
+      // >= bound rounds UP to the 11th.
+      val qc = spark.read.parquet(s"$dir/data")
+        .filter(col("d") >=
+          lit(java.sql.Timestamp.valueOf("1994-01-10 00:00:01")) &&
+          col("d") <= lit(java.sql.Timestamp.valueOf("1994-01-20 12:00:00")))
+      assert(qc.inputFiles.length < 8,
+        "the cast(date as timestamp) shape must still extract bounds")
+      assert(qc.select(min(col("d")).cast("string"),
+        max(col("d")).cast("string")).as[(String, String)]
+        .head() == (("1994-01-11", "1994-01-20")),
+        "micros bounds must convert to exact inclusive day bounds")
+      // a non-midnight EQUALITY can match no date: empty range, zero read
+      assert(spark.read.parquet(s"$dir/data")
+        .filter(col("d") ===
+          lit(java.sql.Timestamp.valueOf("1994-01-10 06:00:00"))).isEmpty)
+    } finally {
+      spark.experimental.extraOptimizations = prev
+      graft.plans.ZoneMapCatalog.clear()
+    }
+  }
+
+  test("the _ZMMETA manifest answers pruning with ZERO Spark jobs and " +
+    "the planner never touches the zone table when it validates") {
+    val dir = tmp("meta")
+    val grid = spark.range(0, 32 * 64).select(
+      (col("id") % 32).cast("long").as("a"),
+      (col("id") / 32).cast("long").as("b"))
+    operators.ZoneMap.writeZOrdered(grid, s"$dir/data", s"$dir/zone",
+      "a", "b", bits = 8, partitions = 8)
+    val m1 = operators.ZoneMapMeta.load(spark, s"$dir/zone")
+    assert(m1.exists(_.gen == 1L), "build must commit generation 1")
+    assert(m1.exists(_.files.size == 8))
+    // appends advance the generation and re-describe exactly the files
+    operators.ZoneMap.appendWithStats(grid.repartition(2), s"$dir/data",
+      Seq("a", "b"), s"$dir/zone")
+    val m2 = operators.ZoneMapMeta.load(spark, s"$dir/zone")
+    assert(m2.exists(_.gen == 2L), "append must advance the generation")
+    assert(m2.exists(_.files.size == 10))
+    // cache identity: the second load is the same instance, no re-read
+    assert(operators.ZoneMapMeta.load(spark, s"$dir/zone").get eq m2.get)
+    // ZERO Spark jobs for the pruning decision (the marker job proves
+    // the listener bus drained past our window)
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          js: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        jobs.incrementAndGet(); ()
+      }
+    }
+    spark.sparkContext.addSparkListener(listener)
+    val preds = Seq(("a", 3L, 6L), ("b", 10L, 20L))
+    val (survivors, total) =
+      try {
+        val r = operators.ZoneMap.pruneFiles(spark, s"$dir/zone", preds)
+        // marker: an RDD count is EXACTLY one job (no AQE sub-jobs)
+        spark.sparkContext.parallelize(Seq(1), 1).count()
+        val deadline = System.currentTimeMillis + 20000
+        while (jobs.get() < 1 && System.currentTimeMillis < deadline)
+          Thread.sleep(20)
+        assert(jobs.get() == 1,
+          s"pruneFiles with a valid manifest must run zero Spark jobs " +
+            s"beyond the marker, saw ${jobs.get() - 1}")
+        r
+      } finally spark.sparkContext.removeSparkListener(listener)
+    assert(total == 10L && survivors.nonEmpty && survivors.size < 10)
+    // the decisive pin: corrupt the zone TABLE's parquet bytes IN PLACE
+    // (same name, same length — the manifest signature still validates).
+    // If the planner or pruneFiles ever read the zone table, they would
+    // now crash; serving every decision from the manifest, they prune on.
+    val zoneParts = new java.io.File(s"$dir/zone").listFiles()
+      .filter(_.getName.endsWith(".parquet"))
+    zoneParts.foreach { f =>
+      val raf = new java.io.RandomAccessFile(f, "rw")
+      try { raf.seek(0); raf.write(Array.fill[Byte](f.length().toInt.min(64))(0)) }
+      finally raf.close()
+    }
+    operators.ZoneMapMeta.invalidate() // force the manifest re-read path
+    val (s2, t2) = operators.ZoneMap.pruneFiles(spark, s"$dir/zone", preds)
+    assert((s2, t2) == ((survivors, total)),
+      "a valid manifest must serve the identical decision without the table")
+    val prev = spark.experimental.extraOptimizations
+    spark.experimental.extraOptimizations =
+      prev :+ graft.plans.ZoneMapPrune(spark)
+    try {
+      graft.plans.ZoneMapCatalog.register(spark, s"$dir/data",
+        s"$dir/zone", Seq("a", "b"))
+      val q = spark.read.parquet(s"$dir/data")
+        .filter(col("a").between(3, 6) && col("b").between(10, 20))
+      assert(q.inputFiles.length < 10,
+        "planner freshness + pruning must be served from the manifest")
+      assert(q.count() == 4L * 11 * 2)
+    } finally {
+      spark.experimental.extraOptimizations = prev
+      graft.plans.ZoneMapCatalog.clear()
+    }
+    // a manifest that fails to parse degrades to the zone-table scan
+    // (which is authoritative) — prove with a SECOND, uncorrupted map
+    val dir2 = tmp("meta2")
+    operators.ZoneMap.writeZOrdered(grid, s"$dir2/data", s"$dir2/zone",
+      "a", "b", bits = 8, partitions = 8)
+    val (sv, tv) = operators.ZoneMap.pruneFiles(spark, s"$dir2/zone", preds)
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$dir2/zone/_ZMMETA"),
+      "not a manifest".getBytes("UTF-8"))
+    operators.ZoneMapMeta.invalidate()
+    assert(operators.ZoneMapMeta.load(spark, s"$dir2/zone").isEmpty,
+      "a torn manifest must be detected, never parsed wrong")
+    assert(operators.ZoneMap.pruneFiles(spark, s"$dir2/zone", preds) ==
+      ((sv, tv)), "the fallback zone-table scan must agree")
+  }
+
+  test("a stale registration does not pin refusal: the first FRESH " +
+    "path-matching entry wins") {
+    val dir = tmp("twin")
+    val grid = spark.range(0, 1024).select(
+      (col("id") % 32).cast("long").as("a"),
+      (col("id") / 32).cast("long").as("b"))
+    operators.ZoneMap.writeZOrdered(grid, s"$dir/data", s"$dir/zoneA",
+      "a", "b", bits = 8, partitions = 8)
+    val prev = spark.experimental.extraOptimizations
+    spark.experimental.extraOptimizations =
+      prev :+ graft.plans.ZoneMapPrune(spark)
+    try {
+      graft.plans.ZoneMapCatalog.register(spark, s"$dir/data",
+        s"$dir/zoneA", Seq("a", "b"))
+      // the layout is REBUILT (new file names) with its map at a new
+      // path, and registered WITHOUT clearing — the house gotcha: the
+      // stale zoneA entry describes none of the current files and must
+      // not pin a refusal forever
+      operators.ZoneMap.writeZOrdered(grid, s"$dir/data", s"$dir/zoneB",
+        "a", "b", bits = 8, partitions = 8)
+      graft.plans.ZoneMapCatalog.register(spark, s"$dir/data",
+        s"$dir/zoneB", Seq("a", "b"))
+      val q = spark.read.parquet(s"$dir/data")
+        .filter(col("a").between(3, 6) && col("b").between(10, 20))
+      assert(q.inputFiles.length < 8,
+        "the fresh zoneB registration must prune despite stale zoneA")
+      assert(q.count() == 4L * 11)
+    } finally {
+      spark.experimental.extraOptimizations = prev
+      graft.plans.ZoneMapCatalog.clear()
+    }
+  }
+
   test("a held append claim fails a concurrent append loudly") {
     val dir = tmp("claim")
     val half1 = spark.range(0, 64).select(
