@@ -55,7 +55,7 @@ object Bench {
     // metadata path), the extrema join view through the rewrite, and
     // the unified maintenance sweep lifecycle
     "q341_zonemap_date", "q343_join_view_extrema",
-    "q344_maintenance_sweep",
+    "q344_maintenance_sweep", "q346_mv_extrema_lookup",
   )
 
   def main(args: Array[String]): Unit = {

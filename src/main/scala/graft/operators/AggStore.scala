@@ -249,6 +249,28 @@ object AggStore {
       Seq("key"), Seq("cnt", "total"),
       keys.select(col(keyCol).as("key")))
 
+  /** Point lookup on an EXTREMA store: the keys' full five-column rows
+    * `(key, cnt, total, vmin, vmax)` through the same manifest-pruned
+    * bucket read as [[lookupAggStoreKeys]], each column folded by its
+    * own monoid ([[GenStore.FoldMin]]/[[GenStore.FoldMax]] for the
+    * extrema — this store's merges rewrite buckets wholesale so a key
+    * occupies one segment and the fold is the identity, but the spec'd
+    * read keeps the lookup correct if the write path ever tiers). Loud
+    * on a store built without `extrema = true` — the columns would not
+    * resolve, and a silent three-column fallback would mis-serve the
+    * caller that asked for extrema.
+    */
+  def lookupAggStoreKeysExtrema(keys: DataFrame, path: String,
+                                keyCol: String = "key"): DataFrame = {
+    require(hasExtrema(keys.sparkSession, path),
+      s"store at $path was not built with extrema = true")
+    GenStore.lookupKeysWith(keys.sparkSession, path, Seq("key"),
+      GenStore.sums(Seq("cnt", "total")) ++
+        Seq("vmin" -> (GenStore.FoldMin: GenStore.Fold),
+          "vmax" -> (GenStore.FoldMax: GenStore.Fold)),
+      keys.select(col(keyCol).as("key")))
+  }
+
   /** TIME-TRAVEL read: the state exactly as generation `gen` committed
     * it, through the archived manifest ([[GenStore.at]]); loud past the
     * retention window.

@@ -5,8 +5,10 @@ import org.apache.spark.sql.SparkSession
 /** UNIFIED TABLE SERVICES — the one cadence verb over every store
   * family's ad-hoc maintenance: LSM compaction ([[GenStore
   * .compactAdditive]] via each store's wrapper), retention vacuum
-  * ([[GenStore.vacuum]] ditto), and layout re-clustering
-  * ([[ZoneMap.reclusterIfDegraded]]). A scheduler calls
+  * ([[GenStore.vacuum]] ditto), layout re-clustering
+  * ([[ZoneMap.reclusterIfDegraded]]), and the ANN index's
+  * tombstone-compaction + catalog/version retention
+  * ([[Similarity.compactIvfPqIndex]] / `vacuumIvfPq*`). A scheduler calls
   * [[Maintenance.sweep]] with the deployment's registered targets and
   * ONE policy; the sweep INSPECTS each store's manifests first —
   * segment-count histogram, archived-generation depth, drift ppm, all
@@ -43,11 +45,17 @@ object Maintenance {
     * retains more than `keepGens` resolvable generations (CURRENT
     * included); re-z-order a layout when its measured drift passes
     * `maxDriftPpm` (re-layout knobs `bits`/`partitions` as in
-    * [[ZoneMap.writeZOrdered]]).
+    * [[ZoneMap.writeZOrdered]]). For the ANN family: compact the index
+    * when the live tombstone log holds more than `maxTombstones` rows
+    * (default 0 — any logical delete is made physical at the next
+    * sweep), and retire rebuilt versions past `keepVersions`
+    * ([[Similarity.vacuumIvfPqVersions]]'s retention window; 2 keeps
+    * one pre-rebuild version for in-flight readers).
     */
   case class Policy(maxSegments: Int = 8, keepGens: Int = 3,
                     maxDriftPpm: Long = 250000L, bits: Int = 8,
-                    partitions: Int = 32)
+                    partitions: Int = 32, maxTombstones: Long = 0L,
+                    keepVersions: Int = 2)
 
   /** A maintainable store. `AggStoreT` (one [[GenStore]] at the root —
     * the aggregate store, the dedup cluster store, any single-manifest
@@ -71,6 +79,16 @@ object Maintenance {
                       colA: String, colB: String) extends Target {
     def label: String = s"zonemap:$dataPath"
   }
+  /** The versioned IVF-PQ index ([[Similarity]]): live-tombstone
+    * compaction, catalog-generation retention, version retention — all
+    * decided from [[Similarity.ivfPqMaintenanceStats]]'s store-metadata
+    * read. The corpus-driven DRIFT rebuild deliberately stays outside
+    * the sweep (it needs the live corpus, which a metadata-only janitor
+    * does not have). `cId` is the index's id column, as at build time.
+    */
+  case class IvfPqT(path: String, cId: String = "nid") extends Target {
+    def label: String = s"ivfpq:$path"
+  }
 
   /** What the sweep did to one target: `verb` ∈ compact | vacuum |
     * recluster | none, with the inspection numbers that justified it.
@@ -79,16 +97,29 @@ object Maintenance {
 
   /** Detect the store family at `root` from its own layout — the
     * manifest files ARE the registry: `view/a/b` manifests → join view;
-    * `postings/dl/stats` → text index; a root `CURRENT` → single
-    * GenStore. Zone-map layouts need their cluster columns and are
-    * registered explicitly. None when nothing manifested lives there.
+    * `postings/dl/stats` → text index; a `CURRENT` naming a `v<N>`
+    * version, or a `CODESMAP` codes catalog → IVF-PQ index (checked
+    * BEFORE the GenStore probe: both families share the `CURRENT` file
+    * name, disambiguated by its first line — `v<N>` vs `gen=`; the
+    * peek is deliberately non-throwing here because detection
+    * CLASSIFIES, while the verbs that then run stay loud on anything
+    * actually corrupt); a root `gen=` `CURRENT` → single GenStore.
+    * Zone-map layouts need their cluster columns and are registered
+    * explicitly (or via the planner catalog —
+    * [[graft.plans.ZoneMapCatalog.zoneTargetsFromCatalog]]). None when
+    * nothing manifested lives there.
     */
   def detect(spark: SparkSession, root: String): Option[Target] = {
-    def isStore(p: String) = GenStore.read(spark, p).isDefined
+    def head(p: String): Option[String] =
+      Snapshot.readLines(spark, s"$p/CURRENT").flatMap(_.headOption)
+    def isStore(p: String) = head(p).exists(_.startsWith("gen="))
     if (Seq("view", "a", "b").forall(s => isStore(s"$root/$s")))
       Some(JoinViewT(root))
     else if (Seq("postings", "dl", "stats").forall(s => isStore(s"$root/$s")))
       Some(TextIndexT(root))
+    else if (head(root).exists(_.trim.matches("v\\d+")) ||
+      Snapshot.readLines(spark, s"$root/CODESMAP").isDefined)
+      Some(IvfPqT(root))
     else if (isStore(root)) Some(AggStoreT(root))
     else None
   }
@@ -123,6 +154,39 @@ object Maintenance {
         compactIfSegmented(spark, t.label, subs, policy,
           () => TextIndex.compactTextIndex(spark, path, policy.maxSegments)) ++
           vacuumIfDeep(spark, t.label, subs, policy)
+      case t @ IvfPqT(path, cId) =>
+        val (tombs, _, _) = Similarity.ivfPqMaintenanceStats(spark, path)
+        val compactAct =
+          if (tombs > policy.maxTombstones) {
+            Similarity.compactIvfPqIndex(spark, path, cId)
+            Action(t.label, "compact",
+              s"$tombs live tombstone rows > ${policy.maxTombstones}: " +
+                "rewrote their cells physically and archived the log")
+          } else Action(t.label, "none",
+            s"$tombs live tombstone rows <= ${policy.maxTombstones}")
+        // re-inspect AFTER a possible compaction: it advances the
+        // catalog generation, which is exactly what retention counts
+        val (_, catGens, versions) =
+          Similarity.ivfPqMaintenanceStats(spark, path)
+        val dataAct =
+          if (catGens > policy.keepGens) {
+            val deleted = Similarity.vacuumIvfPqData(spark, path,
+              policy.keepGens)
+            Action(t.label, "vacuum",
+              s"$catGens catalog generations > ${policy.keepGens}: " +
+                s"reclaimed ${deleted.size} dirs/catalogs/logs")
+          } else Action(t.label, "none",
+            s"$catGens catalog generations <= ${policy.keepGens}")
+        val verAct =
+          if (versions > policy.keepVersions) {
+            val deleted = Similarity.vacuumIvfPqVersions(spark, path,
+              policy.keepVersions)
+            Action(t.label, "vacuum",
+              s"$versions resolvable versions > ${policy.keepVersions}: " +
+                s"reclaimed ${deleted.mkString(",")}")
+          } else Action(t.label, "none",
+            s"$versions resolvable versions <= ${policy.keepVersions}")
+        Seq(compactAct, dataAct, verAct)
       case t @ ZoneMapT(dataPath, zonePath, colA, colB) =>
         val (drift, ran) = ZoneMap.reclusterIfDegraded(spark, dataPath,
           zonePath, colA, colB, policy.maxDriftPpm, policy.bits,

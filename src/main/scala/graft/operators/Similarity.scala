@@ -969,6 +969,56 @@ object Similarity {
     deadDirs ++ deadCats ++ deadTombs
   }
 
+  /** Store-METADATA inspection for the unified maintenance sweep
+    * ([[Maintenance]]'s `IvfPqT` target): everything the cadence
+    * decision needs with the CODES never read —
+    * `(liveTombstoneRows, catalogGens, resolvableVersions)`:
+    *  - `liveTombstoneRows` counts the resolved root's UN-archived
+    *    tombstone log (the logical deletes a [[compactIvfPqIndex]]
+    *    would make physical) — a log-only read bounded by the delete
+    *    rate since the last compaction, zero rows when the log is
+    *    absent/archived;
+    *  - `catalogGens` is the as-of retention depth: the live CODESMAP
+    *    plus the archived `catalogs/<gen>` files [[vacuumIvfPqData]]
+    *    would retire;
+    *  - `resolvableVersions` counts the `v<N>` directories at or below
+    *    CURRENT that [[vacuumIvfPqVersions]] retains or retires (1 for
+    *    a pre-versioning flat index).
+    * The corpus-driven DRIFT rebuild ([[rebuildIfDrifted]])
+    * deliberately stays OUTSIDE this surface: its statistic needs the
+    * live corpus passed in, which a metadata-only janitor does not
+    * have — rebuild cadence is the ingest pipeline's, with the corpus
+    * in hand.
+    */
+  def ivfPqMaintenanceStats(spark: org.apache.spark.sql.SparkSession,
+                            path: String): (Long, Int, Int) = {
+    val root = resolveIvfPqRoot(spark, path)
+    val conf = spark.sessionState.newHadoopConf()
+    val tombP = new org.apache.hadoop.fs.Path(s"$root/tombstones")
+    val tombs =
+      if (!tombP.getFileSystem(conf).exists(tombP)) 0L
+      else spark.read.parquet(s"$root/tombstones").count()
+    val cat = codesCatalogOf(spark, root)
+    val catsP = new org.apache.hadoop.fs.Path(s"$root/catalogs")
+    val catFs = catsP.getFileSystem(conf)
+    val archived =
+      if (!catFs.exists(catsP)) 0
+      else catFs.listStatus(catsP).map(_.getPath.getName)
+        .count(n => n.matches("\\d+") && n.toLong < cat.gen)
+    val versions = Snapshot.readLines(spark, s"$path/CURRENT") match {
+      case None => 1 // pre-versioning flat layout
+      case Some(lines) =>
+        val cur = lines.mkString("\n").trim
+        require(cur.matches("v\\d+"), s"corrupt index manifest at $path: '$cur'")
+        val curN = cur.stripPrefix("v").toLong
+        val p = new org.apache.hadoop.fs.Path(path)
+        p.getFileSystem(conf).listStatus(p).filter(_.isDirectory)
+          .map(_.getPath.getName)
+          .count(n => n.matches("v\\d+") && n.stripPrefix("v").toLong <= curN)
+    }
+    (tombs, archived + 1, versions)
+  }
+
   /** Drift-TRIGGERED rebuild policy — [[ivfPqDriftStats]] composed with
     * [[rebuildIvfPqIndex]] into the closed loop the two halves describe:
     * score the live corpus's quantization error per cohort against the

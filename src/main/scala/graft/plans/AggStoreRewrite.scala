@@ -42,7 +42,9 @@ import graft.operators.AggStore
   *    single-column integral key rewrites to
   *    [[AggStore.lookupAggStoreKeys]] — the manifest-pruned bucket read
   *    (q327's shape), so "these keys' aggregates" costs ≤ |keys| bucket
-  *    dirs instead of even the store scan;
+  *    dirs instead of even the store scan; min/max outputs route the
+  *    same lookup through [[AggStore.lookupAggStoreKeysExtrema]] when
+  *    the store carries extrema (q346), refusing otherwise;
   *  - output attribute ids are PRESERVED via aliases, so parent
   *    operators resolve unchanged.
   *
@@ -151,13 +153,13 @@ case class AggStoreRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
             })
             outs <- mapOutputs(aggExprs, keyAttrs, valAttr)
             // min/max serve only from an EXTREMA store (insert-only
-            // monoid columns the plain store does not carry), and not
-            // through the 3-column point lookup
+            // monoid columns the plain store does not carry) — both
+            // as a full store scan and through the bucket-pruned point
+            // lookup ([[AggStore.lookupAggStoreKeysExtrema]])
             _ <- Some(()).filter { _ =>
               val needsExtrema = outs.exists(o =>
                 o._2 == OutCol.Lo || o._2 == OutCol.Hi)
-              !needsExtrema || (keyPred.isEmpty &&
-                AggStore.hasExtrema(spark, entry.storePath))
+              !needsExtrema || AggStore.hasExtrema(spark, entry.storePath)
             }
             // FRESHNESS: every file this scan would read must be
             // reflected in the store, or serving it is a stale answer
@@ -177,10 +179,11 @@ case class AggStoreRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
           val schema = StructType(Seq(
             StructField("key", keyAttrs.head.dataType)))
           val rows: Seq[Row] = lits.map(l => Row(l.value)).distinct
-          AggStore.lookupAggStoreKeys(
-            spark.createDataFrame(
-              java.util.Arrays.asList(rows: _*), schema),
-            entry.storePath)
+          val keysDf = spark.createDataFrame(
+            java.util.Arrays.asList(rows: _*), schema)
+          if (needsExtrema) // the five-column lookup, extrema-folded
+            AggStore.lookupAggStoreKeysExtrema(keysDf, entry.storePath)
+          else AggStore.lookupAggStoreKeys(keysDf, entry.storePath)
         case None =>
           if (needsExtrema) AggStore.readAggStoreExtrema(spark, entry.storePath)
           else AggStore.readAggStore(spark, entry.storePath)

@@ -75,6 +75,22 @@ object ZoneMapCatalog {
   def clear(): Unit = synchronized { reg.clear() }
 
   def entries: Seq[ZmEntry] = synchronized { reg.toList }
+
+  /** A planner registration doubles as the SWEEP registry: every entry
+    * with at least two stat columns becomes a [[graft.operators
+    * .Maintenance.ZoneMapT]] recluster target (the drift statistic is
+    * 2-D — the first two stat columns are the cluster pair, matching
+    * [[graft.operators.ZoneMap.writeZOrdered]]'s signature).
+    * Single-column registrations are pruning-only and are skipped, as
+    * are multi-root ones (a recluster overwrites ONE directory) —
+    * register those with the sweep explicitly if they need a cadence.
+    */
+  def zoneTargetsFromCatalog: Seq[graft.operators.Maintenance.ZoneMapT] =
+    entries.collect {
+      case e if e.statCols.length >= 2 && e.dataPaths.size == 1 =>
+        graft.operators.Maintenance.ZoneMapT(PathNorm.norm(e.dataPaths.head),
+          e.zonePath, e.statCols(0), e.statCols(1))
+    }.distinct
 }
 
 case class ZoneMapPrune(spark: SparkSession) extends Rule[LogicalPlan] {
@@ -148,15 +164,23 @@ case class ZoneMapPrune(spark: SparkSession) extends Rule[LogicalPlan] {
     * DATE/TIMESTAMP literals carry the SAME integers Catalyst stores —
     * `Literal(days: Int, DateType)` / `Literal(micros: Long,
     * TimestampType)` — so they feed the integer-exact machinery
-    * unchanged. The one cross-unit shape is the cast Catalyst inserts
-    * for a date column compared against a timestamp:
-    * `Cast(dateCol, TimestampType) ⋈ Literal(micros)` — under a UTC
-    * session (where the cast is exactly `days * MICROS_PER_DAY`) the
-    * micros bound converts to an inclusive DAY bound by ceil/floor
-    * division; any other session timezone skips the conjunct (sound —
-    * it stays in the residual). An equality on a non-midnight micros
-    * value yields `ceil > floor`, an empty day range — correctly
-    * pruning everything, since no date cast to timestamp can hit it.
+    * unchanged. TWO cross-unit cast shapes are accepted, both only
+    * under a UTC session (any other timezone skips the conjunct —
+    * sound, it stays in the residual):
+    *  - `Cast(dateCol, TimestampType) ⋈ Literal(micros)` (a date
+    *    column compared against a timestamp — the cast is exactly
+    *    `days * MICROS_PER_DAY`): the micros bound converts to an
+    *    inclusive DAY bound by ceil/floor division. An equality on a
+    *    non-midnight micros value yields `ceil > floor`, an empty day
+    *    range — correctly pruning everything, since no date cast to
+    *    timestamp can hit it.
+    *  - `Cast(tsCol, DateType) ⋈ Literal(days)` (the
+    *    `to_date(ts) BETWEEN …` warehouse filter — the cast is exactly
+    *    `floorDiv(micros, MICROS_PER_DAY)`): day `d` covers micros
+    *    `[d·U, (d+1)·U − 1]`, so a lower day bound becomes `d·U` and
+    *    an upper one `(d+1)·U − 1`; a multiplication that would
+    *    overflow Long drops the bound (sound — fewer bounds only
+    *    widen the file set).
     */
   private def extractBounds(cond: Expression, rel: LogicalRelation,
                             statCols: Seq[String])
@@ -166,15 +190,24 @@ case class ZoneMapPrune(spark: SparkSession) extends Rule[LogicalPlan] {
     val MicrosPerDay = 86400000000L
     def isStat(a: AttributeReference): Boolean =
       relIds.get(a.exprId).exists(statCols.contains)
-    // (column, divisor): the literal's unit divided by `divisor` is the
-    // stat unit — 1 everywhere except micros-literal-over-days-stats
-    def statName(e: Expression): Option[(String, Long)] = e match {
-      case a: AttributeReference if isStat(a) => Some((a.name, 1L))
+    // how an inclusive bound in the LITERAL's unit converts to an
+    // inclusive bound in the STAT unit — identity except for the two
+    // cross-unit cast shapes (finer literal: ceil/floor division;
+    // coarser literal: day-start/day-end multiplication)
+    sealed trait Conv
+    case object Same extends Conv
+    case object MicrosOverDays extends Conv // micros literal, day stats
+    case object DaysOverMicros extends Conv // day literal, micros stats
+    def statName(e: Expression): Option[(String, Conv)] = e match {
+      case a: AttributeReference if isStat(a) => Some((a.name, Same))
       case Cast(a: AttributeReference, LongType, _, _) if isStat(a) =>
-        Some((a.name, 1L))
+        Some((a.name, Same))
       case Cast(a: AttributeReference, TimestampType, _, _)
           if a.dataType == DateType && isStat(a) && utc =>
-        Some((a.name, MicrosPerDay))
+        Some((a.name, MicrosOverDays))
+      case Cast(a: AttributeReference, DateType, _, _)
+          if a.dataType == TimestampType && isStat(a) && utc =>
+        Some((a.name, DaysOverMicros))
       case _ => None
     }
     def litVal(e: Expression): Option[Long] = e match {
@@ -194,17 +227,30 @@ case class ZoneMapPrune(spark: SparkSession) extends Rule[LogicalPlan] {
     val lows = scala.collection.mutable.Map.empty[String, Long]
     val highs = scala.collection.mutable.Map.empty[String, Long]
     // inclusive literal-unit bound → inclusive stat-unit bound:
-    // stat*div ≥ v ⟺ stat ≥ ceil(v/div); stat*div ≤ v ⟺ stat ≤ floor(v/div)
-    // (Math.floorDiv is exact floor for div>0 with no overflow)
-    def lo(cd: (String, Long), v: Long): Unit = {
-      val (c, div) = cd
-      val b = Math.floorDiv(v, div) + (if (Math.floorMod(v, div) == 0) 0 else 1)
-      lows(c) = math.max(lows.getOrElse(c, Long.MinValue), b)
+    //  - MicrosOverDays: day·U ≥ v ⟺ day ≥ ceil(v/U); day·U ≤ v ⟺
+    //    day ≤ floor(v/U) (Math.floorDiv is exact floor, no overflow)
+    //  - DaysOverMicros: floorDiv(m,U) ≥ d ⟺ m ≥ d·U; floorDiv(m,U) ≤ d
+    //    ⟺ m ≤ (d+1)·U − 1 (exact-arithmetic overflow drops the bound —
+    //    sound, the conjunct stays in the residual)
+    def conv(cc: Conv, v: Long, isLo: Boolean): Option[Long] = cc match {
+      case Same => Some(v)
+      case MicrosOverDays =>
+        Some(if (isLo) Math.floorDiv(v, MicrosPerDay) +
+          (if (Math.floorMod(v, MicrosPerDay) == 0) 0 else 1)
+        else Math.floorDiv(v, MicrosPerDay))
+      case DaysOverMicros =>
+        try Some(
+          if (isLo) Math.multiplyExact(v, MicrosPerDay)
+          else Math.subtractExact(
+            Math.multiplyExact(Math.addExact(v, 1L), MicrosPerDay), 1L))
+        catch { case _: ArithmeticException => None } // overflow: drop
     }
-    def hi(cd: (String, Long), v: Long): Unit = {
-      val (c, div) = cd
-      highs(c) = math.min(highs.getOrElse(c, Long.MaxValue), Math.floorDiv(v, div))
-    }
+    def lo(cd: (String, Conv), v: Long): Unit =
+      conv(cd._2, v, isLo = true).foreach(b =>
+        lows(cd._1) = math.max(lows.getOrElse(cd._1, Long.MinValue), b))
+    def hi(cd: (String, Conv), v: Long): Unit =
+      conv(cd._2, v, isLo = false).foreach(b =>
+        highs(cd._1) = math.min(highs.getOrElse(cd._1, Long.MaxValue), b))
     // guard each attr-first case on the ATTR side actually resolving,
     // or it would swallow the literal-first shape before its mirrored
     // case can run (a completeness miss, never a correctness one —

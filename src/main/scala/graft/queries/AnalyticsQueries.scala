@@ -2545,7 +2545,94 @@ object AnalyticsQueries {
              |  CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS total,
              |  min(CAST(l_quantity AS BIGINT)) AS vmin,
              |  max(CAST(l_quantity AS BIGINT)) AS vmax
-             |FROM lineitem GROUP BY 1 ORDER BY key""".stripMargin))
+             |FROM lineitem GROUP BY 1 ORDER BY key""".stripMargin)),
+
+    // ---- STREAMING extrema join view (StreamingJoinView.joinViewSink
+    // (extrema = true)): the q343 store maintained from the tagged
+    // change feed — a stream is insert-only BY CONSTRUCTION, exactly
+    // the least/greatest contract the extrema columns need, so the
+    // twin carries per-group vmin/vmax at NO protocol change (the flag
+    // only shapes the first-batch build; merges self-detect the store's
+    // marker). The drained extrema view hash-matches the full join
+    // recompute. ----
+    Q("q345_stream_join_view_extrema",
+      (s, dir) => {
+        import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+        implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+        import s.implicits._
+        val o = t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"))
+        val l = t(s, dir, "lineitem")
+          .select(col("l_orderkey"), col("l_quantity").cast("long").as("qty"))
+        val tmp = java.nio.file.Files
+          .createTempDirectory("graft_q345_").toString
+        val input = MemoryStream[(String, Long, Long, Long)]
+        val q = graft.streaming.StreamingJoinView.joinViewSink(
+          input.toDF().toDF("side", "key", "grp", "v"),
+          s"$tmp/jv", s"$tmp/ckpt", extrema = true)
+        try {
+          for (r <- 0 to 2) {
+            val aRows = o.filter(col("o_orderkey") % 3 === r)
+              .select(lit("a"), col("o_orderkey"), col("o_custkey"), lit(0L))
+            val bRows = l.filter(col("l_orderkey") % 3 === r)
+              .select(lit("b"), col("l_orderkey"), lit(0L), col("qty"))
+            input.addData(aRows.unionAll(bRows)
+              .as[(String, Long, Long, Long)].collect().toSeq)
+            q.processAllAvailable()
+          }
+        } finally q.stop()
+        graft.operators.ViewStore.readJoinViewExtrema(s, s"$tmp/jv")
+          .orderBy(col("key"))
+      },
+      Some("""SELECT o_custkey AS key, count(*) AS cnt,
+             |  CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS total,
+             |  min(CAST(l_quantity AS BIGINT)) AS vmin,
+             |  max(CAST(l_quantity AS BIGINT)) AS vmax
+             |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+             |GROUP BY 1 ORDER BY key""".stripMargin)),
+
+    // ---- EXTREMA POINT LOOKUP through the MV rewrite (AggStore
+    // .lookupAggStoreKeysExtrema + the widened AggStoreRewrite gate):
+    // min/max serving composed with q327's bucket-pruned point lookup —
+    // a `key IN (lits)` groupBy with count/sum/min/max over the
+    // registered base serves from ≤ |keys| bucket dirs of the extrema
+    // store, closing the r16 refusal (min/max previously served only by
+    // full store scans). MvRewriteSpec pins the values through the
+    // lookup path and the plain-store refusal. Oracle: the filtered
+    // groupBy recompute. ----
+    Q("q346_mv_extrema_lookup",
+      (s, dir) => {
+        import graft.operators.AggStore
+        import graft.plans.{AggStoreRewrite, MvCatalog}
+        val li = t(s, dir, "lineitem")
+        val tmp = java.nio.file.Files
+          .createTempDirectory("graft_q346_").toString + "/store"
+        AggStore.buildAggStore(
+          li.select(col("l_suppkey"), col("l_quantity")),
+          tmp, "l_suppkey", "l_quantity", extrema = true)
+        val prev = s.experimental.extraOptimizations
+        s.experimental.extraOptimizations = prev :+ AggStoreRewrite(s)
+        try {
+          MvCatalog.registerAggView(li, "l_suppkey", "l_quantity", tmp)
+          li.filter(col("l_suppkey").isin(3, 7, 9))
+            .groupBy(col("l_suppkey"))
+            .agg(count(lit(1)).as("cnt"),
+              sum(col("l_quantity").cast("long")).as("total"),
+              min(col("l_quantity").cast("long")).as("vmin"),
+              max(col("l_quantity").cast("long")).as("vmax"))
+            .localCheckpoint(true) // rewrite fires HERE, rule still live
+            .withColumnRenamed("l_suppkey", "key")
+            .orderBy(col("key"))
+        } finally {
+          s.experimental.extraOptimizations = prev
+          MvCatalog.clear()
+        }
+      },
+      Some("""SELECT l_suppkey AS key, count(*) AS cnt,
+             |  CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS total,
+             |  min(CAST(l_quantity AS BIGINT)) AS vmin,
+             |  max(CAST(l_quantity AS BIGINT)) AS vmax
+             |FROM lineitem WHERE l_suppkey IN (3, 7, 9)
+             |GROUP BY 1 ORDER BY key""".stripMargin))
   )
 
   /** q260 oracle: weekday factors, the integer deseasonalization, the

@@ -36,11 +36,19 @@ object StreamingJoinView {
   /** Start the fold sink over a tagged feed `(side, key, grp?, v?)`:
     * rows with `side = "a"` carry `(key, grp)`, rows with `side = "b"`
     * carry `(key, v)`; the first batch builds the store.
+    *
+    * `extrema = true` builds an EXTREMA view (per-group vmin/vmax riding
+    * the same buckets) at NO protocol change: a stream is insert-only
+    * BY CONSTRUCTION — exactly the least/greatest-monoid contract the
+    * extrema columns need ([[ViewStore.hasExtrema]]) — so the tagged
+    * feed carries them for free; merges self-detect the shape from the
+    * store's marker, so only the first-batch build needs the flag.
     */
   def joinViewSink(stream: DataFrame, path: String, checkpoint: String,
                    sideCol: String = "side", keyCol: String = "key",
                    grpCol: String = "grp", valCol: String = "v",
-                   nBuckets: Int = 16): StreamingQuery =
+                   nBuckets: Int = 16,
+                   extrema: Boolean = false): StreamingQuery =
     stream.writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         // an empty replay batch must not burn a ledger entry
@@ -53,7 +61,7 @@ object StreamingJoinView {
           val id = Some(s"batch-$batchId")
           if (!ViewStore.joinViewExists(spark, path))
             ViewStore.buildJoinView(da, db, path, keyCol, grpCol,
-              keyCol, valCol, nBuckets, id)
+              keyCol, valCol, nBuckets, id, extrema)
           else
             ViewStore.mergeIntoJoinView(da, db, path, keyCol, grpCol,
               keyCol, valCol, id)

@@ -2,9 +2,9 @@ package graft
 
 import org.apache.spark.sql.functions._
 
-import graft.operators.{AggStore, GenStore, Maintenance, TextIndex,
-  ViewStore, ZoneMap}
-import graft.operators.Maintenance.{AggStoreT, JoinViewT, Policy,
+import graft.operators.{AggStore, GenStore, Maintenance, Similarity,
+  TextIndex, ViewStore, ZoneMap}
+import graft.operators.Maintenance.{AggStoreT, IvfPqT, JoinViewT, Policy,
   TextIndexT, ZoneMapT}
 
 /** Pins the unified table-services verb: ONE [[Maintenance.sweep]] over
@@ -118,6 +118,69 @@ class MaintenanceSpec extends SparkSpec {
       ZoneMapT(zd, zz, "a", "b")), policy)
     assert(again.forall(_.verb == "none"),
       s"a healthy fleet must sweep to all-none, got $again")
+  }
+
+  test("the ANN family sweeps to healthy: tombstones compact, catalog " +
+    "and version retention fire, serving bit-identical") {
+    val dir = tmp("ann")
+    val idx = s"$dir/idx"
+    def vecs(from: Long, n: Long) = spark.range(from, from + n)
+      .select(col("id").as("nid"),
+        array((0 until 4).map(i =>
+          ((col("id") * (i + 1)) % 17).cast("double")): _*).as("ne"))
+    val corpus = vecs(0, 200)
+    // three rebuilds -> three resolvable versions (v1..v3)
+    (1 to 3).foreach(_ => Similarity.rebuildIvfPqIndex(corpus, idx,
+      nCells = 4, m = 2, kSub = 4))
+    // two appends on the live version -> catalog history deepens
+    Similarity.appendToIvfPqIndex(vecs(200, 20), idx, appendId = "day1")
+    Similarity.appendToIvfPqIndex(vecs(220, 20), idx, appendId = "day2")
+    // logical deletes -> a live tombstone log
+    Similarity.tombstoneIvfPq(Seq(3L, 9L, 201L).toDF("nid"), idx)
+    val policy = Policy(keepGens = 2, keepVersions = 2)
+    val (tombs0, cats0, vers0) = Similarity.ivfPqMaintenanceStats(spark, idx)
+    assert(tombs0 == 3L && cats0 > policy.keepGens &&
+      vers0 > policy.keepVersions,
+      s"fixture must be degraded, got $tombs0/$cats0/$vers0")
+    val queries = vecs(0, 3).select(col("nid").as("qid"), col("ne").as("qe"))
+    def serve = Similarity.serveIvfPq(spark, idx, queries, k = 5)
+      .orderBy(col("qid"), col("rn")).collect().toSeq
+    val before = serve
+    assert(!before.exists(r => Seq(3L, 9L, 201L).contains(r.getLong(1))),
+      "tombstoned ids must already be logically gone")
+    val actions = Maintenance.sweep(spark, Seq(IvfPqT(idx)), policy)
+    assert(actions.count(_.verb == "compact") == 1 &&
+      actions.count(_.verb == "vacuum") == 2,
+      s"tombstones compact and both retentions fire, got $actions")
+    assert(serve == before, "maintenance must not change served answers")
+    val (t1, c1, v1) = Similarity.ivfPqMaintenanceStats(spark, idx)
+    assert(t1 == 0L && c1 <= policy.keepGens && v1 <= policy.keepVersions,
+      s"sweep must drive the numbers under policy, got $t1/$c1/$v1")
+    val again = Maintenance.sweep(spark, Seq(IvfPqT(idx)), policy)
+    assert(again.forall(_.verb == "none"),
+      s"a healthy index must sweep to all-none, got $again")
+    // detection: the `v<N>` version manifest names the family
+    assert(Maintenance.detect(spark, idx).contains(IvfPqT(idx)))
+  }
+
+  test("a planner zone-map registration doubles as the sweep registry") {
+    val dir = tmp("zreg")
+    val grid = spark.range(0, 256).select(
+      (col("id") % 16).cast("long").as("a"),
+      (col("id") / 16).cast("long").as("b"))
+    ZoneMap.writeZOrdered(grid, s"$dir/data", s"$dir/zone", "a", "b",
+      bits = 8, partitions = 4)
+    graft.plans.ZoneMapCatalog.register(spark, s"$dir/data", s"$dir/zone",
+      Seq("a", "b"))
+    try {
+      val targets = graft.plans.ZoneMapCatalog.zoneTargetsFromCatalog
+      assert(targets.map(t => (t.zonePath, t.colA, t.colB)) ==
+        Seq((s"$dir/zone", "a", "b")),
+        s"the registration must map to a recluster target, got $targets")
+      val acts = Maintenance.sweep(spark, targets)
+      assert(acts.nonEmpty && acts.forall(_.verb == "none"),
+        s"a fresh clustered layout is healthy, got $acts")
+    } finally graft.plans.ZoneMapCatalog.clear()
   }
 
   test("sweepRoots detects each family from its own manifests and " +

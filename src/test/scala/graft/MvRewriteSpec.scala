@@ -288,6 +288,45 @@ class MvRewriteSpec extends SparkSpec {
     }
   }
 
+  test("min/max serve THROUGH the bucket-pruned point lookup on an " +
+    "extrema store; a plain store still refuses them") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_mvxl_").toString
+    spark.range(0, 40).select((col("id") % 20).as("k"), col("id").as("v"))
+      .write.parquet(s"$dir/base")
+    val base = spark.read.parquet(s"$dir/base")
+    AggStore.buildAggStore(base, s"$dir/ext", "k", "v", nBuckets = 8,
+      extrema = true)
+    AggStore.buildAggStore(base, s"$dir/plain", "k", "v", nBuckets = 8)
+    withRule {
+      MvCatalog.registerAggView(base, "k", "v", s"$dir/ext")
+      val q = base.filter(col("k").isin(1L, 3L)).groupBy(col("k"))
+        .agg(count(lit(1)).as("cnt"), sum(col("v").cast("long")).as("total"),
+          min(col("v")).as("lo"), max(col("v")).as("hi"))
+      assert(q.inputFiles.exists(_.contains("/ext/")),
+        "the key-IN extrema aggregate must serve from the extrema store")
+      // ...and through the manifest-pruned five-column lookup: a strict
+      // subset of the store's buckets
+      val all = AggStore.readAggStoreExtrema(spark, s"$dir/ext")
+        .inputFiles.toSet
+      assert(q.inputFiles.toSet.subsetOf(all) &&
+        q.inputFiles.length < all.size,
+        s"extrema lookup must open a strict subset " +
+          s"(${q.inputFiles.length} of ${all.size})")
+      assert(q.orderBy("k").as[(Long, Long, Long, Long, Long)]
+        .collect().toSeq ==
+        Seq((1L, 2L, 22L, 1L, 21L), (3L, 2L, 26L, 3L, 23L)),
+        "k=1: v∈{1,21}; k=3: v∈{3,23}")
+      MvCatalog.clear()
+      // the lookup path refuses min/max on a store without the columns
+      MvCatalog.registerAggView(base, "k", "v", s"$dir/plain")
+      val p = base.filter(col("k") === 5L).groupBy(col("k"))
+        .agg(min(col("v")).as("lo"))
+      assert(!p.inputFiles.exists(_.contains("/plain/")),
+        "a plain store must not serve min/max through the lookup either")
+      assert(p.as[(Long, Long)].collect().toSeq == Seq((5L, 5L)))
+    }
+  }
+
   test("multi-column groupBy serves from a struct-keyed store, in " +
     "registration order only") {
     val dir = java.nio.file.Files.createTempDirectory("graft_mvm_").toString

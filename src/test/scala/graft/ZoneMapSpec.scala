@@ -271,6 +271,53 @@ class ZoneMapSpec extends SparkSpec {
     }
   }
 
+  test("the cast-to-date shape over TIMESTAMP stats converts day bounds " +
+    "to exact micros spans") {
+    val dir = tmp("tsdate")
+    // one row every 6h shifted to 18:00, 256 days from 1994-01-01 UTC
+    // (epoch 757382400): day boundaries matter — 18:00 of day d is
+    // inside [d·U, (d+1)·U − 1] but past any midnight comparison point
+    val rows = spark.range(0, 1024).select(
+      timestamp_seconds(lit(757382400L) + (col("id") % 256) * 86400L +
+        lit(64800L)).as("ts"),
+      (col("id") / 4).cast("long").as("k"))
+    operators.ZoneMap.writeZOrdered(rows, s"$dir/data", s"$dir/zone",
+      "ts", "k", bits = 8, partitions = 8)
+    val prev = spark.experimental.extraOptimizations
+    spark.experimental.extraOptimizations =
+      prev :+ graft.plans.ZoneMapPrune(spark)
+    try {
+      graft.plans.ZoneMapCatalog.register(spark, s"$dir/data",
+        s"$dir/zone", Seq("ts", "k"))
+      // the to_date(ts) BETWEEN warehouse filter: day d covers micros
+      // [d·U, (d+1)·U − 1] — lower day bounds multiply to day-start,
+      // upper ones to day-end
+      val q = spark.read.parquet(s"$dir/data")
+        .filter(to_date(col("ts")).between(
+          lit(java.sql.Date.valueOf("1994-01-10")),
+          lit(java.sql.Date.valueOf("1994-01-20"))))
+      assert(q.inputFiles.length < 8,
+        s"a tight day range must skip files (${q.inputFiles.length} of 8)")
+      assert(q.count() == 11L * 4,
+        "11 days x 4 rows/day — the pruned plan must lose nothing")
+      // a STRICT day bound: to_date(ts) < d ⟺ ts ≤ d·U − 1 (the
+      // inclusive-day conversion after the strict-to-inclusive step)
+      val q2 = spark.read.parquet(s"$dir/data")
+        .filter(to_date(col("ts")) < lit(java.sql.Date.valueOf("1994-01-03")))
+      assert(q2.inputFiles.length < 8)
+      assert(q2.count() == 2L * 4, "days 1-2 only")
+      // day EQUALITY spans the whole day's micros — the 18:00 rows of
+      // exactly that day survive
+      val qe = spark.read.parquet(s"$dir/data")
+        .filter(to_date(col("ts")) === lit(java.sql.Date.valueOf("1994-02-01")))
+      assert(qe.inputFiles.length < 8)
+      assert(qe.count() == 4L, "one day x 4 rows")
+    } finally {
+      spark.experimental.extraOptimizations = prev
+      graft.plans.ZoneMapCatalog.clear()
+    }
+  }
+
   test("the _ZMMETA manifest answers pruning with ZERO Spark jobs and " +
     "the planner never touches the zone table when it validates") {
     val dir = tmp("meta")
