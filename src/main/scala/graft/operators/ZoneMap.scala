@@ -2,7 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{DataType, DateType, TimestampType}
+import org.apache.spark.sql.types.{DataType, DateType, StringType, TimestampType}
 
 /** ZONE MAP — the file-level min/max statistics index that turns a
   * [[ZOrder]] layout into actual file skipping: a tiny metadata table
@@ -43,7 +43,12 @@ import org.apache.spark.sql.types.{DataType, DateType, TimestampType}
   * ints/longs as-is, DATE as epoch DAYS (`unix_date` — the same int
   * Catalyst stores date literals as), TIMESTAMP as epoch MICROS
   * (`unix_micros` — ditto); route doubles through micro-units, the
-  * house integer-exact convention.
+  * house integer-exact convention. STRING columns carry raw min/max
+  * under the default binary collation (UTF-8 byte order — parquet's
+  * own string-stat order) as PRUNE-ONLY stats: equality and range
+  * filters on them file-skip through [[pruneFilesTyped]] and the
+  * planner rule, but they cannot be z-order cluster dimensions or
+  * drift inputs (both need the integer image, and refuse loudly).
   *
   * PLAN-TIME METADATA ([[ZoneMapMeta]]): every mutation also commits a
   * one-file `_ZMMETA` manifest inside the zone directory — generation
@@ -78,15 +83,22 @@ object ZoneMap {
   }
 
   /** One row per data file under `dataPath`: `file`, `n`, and
-    * `<c>_min`/`<c>_max` (long, the [[statExpr]] unit) per stat
-    * column. Columnar: reads only `statCols`. The output is
-    * metadata-sized (|files| rows) and is written as a single file so
-    * the prune's read never fans out.
+    * `<c>_min`/`<c>_max` per stat column — LONG in the [[statExpr]]
+    * unit for integer-image columns, the RAW string for StringType
+    * ones (min/max under Spark's default binary collation = UTF-8
+    * byte order, the same order parquet's own string stats use; string
+    * stat columns are PRUNE-ONLY — they cannot be z-order cluster
+    * dimensions, whose bit-interleave needs the integer image, and the
+    * drift statistic refuses them loudly). Columnar: reads only
+    * `statCols`. The output is metadata-sized (|files| rows) and is
+    * written as a single file so the prune's read never fans out.
     */
   private def statsFrame(data: DataFrame, statCols: Seq[String]): DataFrame = {
     require(statCols.nonEmpty, "zone map needs at least one stat column")
     val aggs = statCols.flatMap { c =>
-      val e = statExpr(data.schema(c).dataType, col(c))
+      val e =
+        if (data.schema(c).dataType == StringType) col(c)
+        else statExpr(data.schema(c).dataType, col(c))
       Seq(min(e).as(s"${c}_min"), max(e).as(s"${c}_max"))
     } :+ count(lit(1)).as("n")
     data.select(input_file_name().as("file") +: statCols.map(col): _*)
@@ -186,15 +198,37 @@ object ZoneMap {
     * bounded driver artifact any parquet scan's planner holds anyway.
     */
   def pruneFiles(spark: SparkSession, zonePath: String,
-                 preds: Seq[(String, Long, Long)]): (Seq[String], Long) = {
-    require(preds.nonEmpty, "pruned read needs at least one predicate")
+                 preds: Seq[(String, Long, Long)]): (Seq[String], Long) =
+    pruneFilesTyped(spark, zonePath, preds, Seq.empty)
+
+  /** Typed form: long-image predicates plus STRING ranges (each side
+    * optional — strings have no greatest element to stand in for
+    * "unbounded") over string stat columns. Both paths compare strings
+    * in the SAME order — the manifest by explicit UTF-8 byte
+    * comparison ([[ZoneMapMeta.cmpUtf8]]), the zone-table fallback by
+    * Spark's own string comparison (default binary collation = UTF-8
+    * byte order, the order the stats were aggregated under) — so the
+    * decision is identical wherever it is made.
+    */
+  def pruneFilesTyped(spark: SparkSession, zonePath: String,
+                      preds: Seq[(String, Long, Long)],
+                      strPreds: Seq[(String, Option[String], Option[String])])
+      : (Seq[String], Long) = {
+    require(preds.nonEmpty || strPreds.nonEmpty,
+      "pruned read needs at least one predicate")
+    require(strPreds.forall(p => p._2.isDefined || p._3.isDefined),
+      "a string predicate needs at least one bound")
     ZoneMapMeta.load(spark, zonePath) match {
-      case Some(meta) => ZoneMapMeta.prune(meta, preds)
+      case Some(meta) => ZoneMapMeta.pruneTyped(meta, preds, strPreds)
       case None =>
         val zm = spark.read.parquet(zonePath)
-        val keep = preds.map { case (c, lo, hi) =>
+        val keep = (preds.map { case (c, lo, hi) =>
           col(s"${c}_min") <= lit(hi) && col(s"${c}_max") >= lit(lo)
-        }.reduce(_ && _)
+        } ++ strPreds.map { case (c, lo, hi) =>
+          (hi.map(h => col(s"${c}_min") <= lit(h)) ++
+            lo.map(l => col(s"${c}_max") >= lit(l)))
+            .reduce(_ && _)
+        }).reduce(_ && _)
         val total = zm.count()
         val survivors = zm.where(keep).select(col("file"))
           .collect().map(_.getString(0)).toSeq.sorted
@@ -268,6 +302,11 @@ object ZoneMap {
           Seq(colA, colB).foreach(c => require(meta.statCols.contains(c),
             s"zone map at $zonePath describes ${meta.statCols.mkString(",")}" +
               s", not $c"))
+          // string stats are prune-only: they have no span arithmetic,
+          // so a silent treat-as-fully-spanned would mask a mis-config
+          Seq(colA, colB).foreach(c => require(!meta.strCols.contains(c),
+            s"drift needs integer-image stats, but $c is a string stat " +
+              "column (prune-only)"))
           meta.files.map(f =>
             (f.stats.getOrElse(colA, None), f.stats.getOrElse(colB, None)))
         case None =>

@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.types.StringType
 
 /** PLAN-TIME METADATA MANIFEST for a [[ZoneMap]] — the
   * BaseFiles/Snapshot listing-manifest pattern applied to the planner
@@ -30,6 +31,19 @@ import org.apache.spark.sql.functions.col
   * they were collected from that exact table under the signature that
   * still matches.
   *
+  * FORMATS: `zmmeta v1` carries long-image stats only (`lo:hi` decimal
+  * slots) — every manifest written before string stats existed, still
+  * parsed verbatim. A map with any STRING stat column commits
+  * `zmmeta v2`, which adds a `strs=` header line naming the string
+  * subset and hex-encodes those columns' min/max (UTF-8 bytes → hex:
+  * tab/colon/newline-proof for arbitrary values, lossless both ways).
+  * String comparisons everywhere use UTF-8 BYTE order ([[cmpUtf8]]) —
+  * the same order Spark's default binary collation gives its min/max
+  * aggregates and its string comparisons, so the manifest's decision
+  * is bit-identical to the zone-table SQL path's; `java.lang.String
+  * .compareTo` (UTF-16 code units) would disagree on supplementary
+  * characters and is deliberately NOT used.
+  *
   * CACHE: a process-wide map keyed by normalized zone path, validated
   * on every [[load]] against the CURRENT directory signature (one FS
   * listing — pure namenode metadata, no Spark job, no file open). A
@@ -45,16 +59,43 @@ import org.apache.spark.sql.functions.col
 private[graft] object ZoneMapMeta {
 
   /** One described data file: name, row count, and per stat column the
-    * `[min, max]` image in the [[ZoneMap.statExpr]] unit — None for a
-    * file whose column is all-null (parquet-style stats ignore nulls),
-    * which every consumer treats exactly as the zone TABLE's null stats:
-    * dropped by range intersection, fully-spanned by drift.
+    * `[min, max]` image — `stats` in the [[ZoneMap.statExpr]] long unit
+    * for integer-image columns, `sstats` as raw strings for StringType
+    * ones. None for a file whose column is all-null (parquet-style
+    * stats ignore nulls), which every consumer treats exactly as the
+    * zone TABLE's null stats: dropped by range intersection,
+    * fully-spanned by drift.
     */
   case class FileStat(file: String, n: Long,
-                      stats: Map[String, Option[(Long, Long)]])
+                      stats: Map[String, Option[(Long, Long)]],
+                      sstats: Map[String, Option[(String, String)]] =
+                        Map.empty)
 
   case class Meta(gen: Long, sig: String, statCols: Seq[String],
-                  files: Seq[FileStat])
+                  files: Seq[FileStat], strCols: Set[String] = Set.empty)
+
+  /** UTF-8 byte order — Spark's default binary collation, the order the
+    * zone table's min/max were aggregated under. */
+  private[graft] def cmpUtf8(a: String, b: String): Int = {
+    val (x, y) = (a.getBytes("UTF-8"), b.getBytes("UTF-8"))
+    var i = 0
+    val n = math.min(x.length, y.length)
+    while (i < n) {
+      val d = (x(i) & 0xff) - (y(i) & 0xff)
+      if (d != 0) return d
+      i += 1
+    }
+    x.length - y.length
+  }
+
+  private def hex(s: String): String =
+    s.getBytes("UTF-8").map("%02x".format(_)).mkString
+
+  private def unhex(h: String): String = {
+    require(h.length % 2 == 0, s"torn hex: $h")
+    new String(h.grouped(2).map(Integer.parseInt(_, 16).toByte).toArray,
+      "UTF-8")
+  }
 
   private val cache =
     new java.util.concurrent.ConcurrentHashMap[String, Meta]()
@@ -92,37 +133,57 @@ private[graft] object ZoneMapMeta {
     * written at `zonePath` — called strictly after every zone-map
     * mutation, with the generation captured by [[currentGen]] before
     * it. One metadata-sized read of the fresh zone table, one atomic
-    * manifest rename, cache primed.
+    * manifest rename, cache primed. The string/long split per column
+    * is read off the zone table's own schema — the authority on what
+    * the build aggregated.
     */
   def write(spark: SparkSession, zonePath: String,
             statCols: Seq[String], prevGen: Long): Unit = {
+    val zm = spark.read.parquet(zonePath)
+    val strCols = statCols.filter(c =>
+      zm.schema(s"${c}_min").dataType == StringType).toSet
     val cols = col("file") +: col("n") +:
       statCols.flatMap(c => Seq(col(s"${c}_min"), col(s"${c}_max")))
-    val rows = spark.read.parquet(zonePath).select(cols: _*).collect()
+    val rows = zm.select(cols: _*).collect()
     val files = rows.map { r =>
-      val stats = statCols.zipWithIndex.map { case (c, i) =>
+      def slot[T](c: String, i: Int, get: Int => T): Option[(T, T)] = {
         val (mi, ma) = (2 + 2 * i, 3 + 2 * i)
-        c -> (if (r.isNullAt(mi) || r.isNullAt(ma)) None
-              else Some((r.getLong(mi), r.getLong(ma))))
-      }.toMap
-      FileStat(r.getString(0), r.getLong(1), stats)
+        if (r.isNullAt(mi) || r.isNullAt(ma)) None
+        else Some((get(mi), get(ma)))
+      }
+      val stats = statCols.zipWithIndex
+        .filterNot { case (c, _) => strCols.contains(c) }
+        .map { case (c, i) => c -> slot(c, i, r.getLong) }.toMap
+      val sstats = statCols.zipWithIndex
+        .filter { case (c, _) => strCols.contains(c) }
+        .map { case (c, i) => c -> slot(c, i, r.getString) }.toMap
+      FileStat(r.getString(0), r.getLong(1), stats, sstats)
     }.toSeq.sortBy(_.file)
     // gen continues from the superseded manifest (captured before the
     // mutation) regardless of its signature validity — it is a mutation
     // counter, not the cache key
     val gen = prevGen + 1
     val sig = signature(spark, zonePath)
-    val header = Seq("zmmeta v1", s"gen=$gen", s"sig=$sig",
-      s"cols=${statCols.mkString(",")}")
+    val v2 = strCols.nonEmpty
+    val header =
+      Seq(if (v2) "zmmeta v2" else "zmmeta v1", s"gen=$gen", s"sig=$sig",
+        s"cols=${statCols.mkString(",")}") ++
+        (if (v2) Seq(s"strs=${statCols.filter(strCols.contains)
+          .mkString(",")}") else Seq.empty)
     val body = files.map { f =>
-      val ss = statCols.map(c => f.stats(c) match {
-        case Some((lo, hi)) => s"$lo:$hi"
-        case None => "-"
-      })
+      val ss = statCols.map { c =>
+        if (strCols.contains(c)) f.sstats(c) match {
+          case Some((lo, hi)) => s"${hex(lo)}:${hex(hi)}"
+          case None => "-"
+        } else f.stats(c) match {
+          case Some((lo, hi)) => s"$lo:$hi"
+          case None => "-"
+        }
+      }
       (f.n.toString +: ss :+ f.file).mkString("\t")
     }
     Snapshot.writeLines(spark, manifestFile(zonePath), header ++ body)
-    cache.put(key(zonePath), Meta(gen, sig, statCols, files))
+    cache.put(key(zonePath), Meta(gen, sig, statCols, files, strCols))
   }
 
   /** The manifest, IF it provably describes the zone parquet currently
@@ -154,27 +215,45 @@ private[graft] object ZoneMapMeta {
                            zonePath: String): Option[Meta] =
     Snapshot.readLines(spark, manifestFile(zonePath)).flatMap { lines =>
       try {
-        val Seq(magic, genL, sigL, colsL) = lines.take(4)
-        require(magic == "zmmeta v1", s"unknown manifest format: $magic")
+        val magic = lines.head
+        require(magic == "zmmeta v1" || magic == "zmmeta v2",
+          s"unknown manifest format: $magic")
+        val v2 = magic == "zmmeta v2"
+        val Seq(genL, sigL, colsL) = lines.slice(1, 4)
         val gen = genL.stripPrefix("gen=").toLong
         val sig = sigL.stripPrefix("sig=")
         val statCols = colsL.stripPrefix("cols=").split(',').toSeq
           .filter(_.nonEmpty)
-        val files = lines.drop(4).filter(_.nonEmpty).map { ln =>
+        val strCols: Set[String] =
+          if (!v2) Set.empty
+          else {
+            val l = lines(4)
+            require(l.startsWith("strs="), s"v2 manifest missing strs: $l")
+            l.stripPrefix("strs=").split(',').toSet.filter(_.nonEmpty)
+          }
+        val files = lines.drop(if (v2) 5 else 4).filter(_.nonEmpty).map { ln =>
           val parts = ln.split('\t')
           require(parts.length == statCols.length + 2, s"torn line: $ln")
           val n = parts(0).toLong
-          val stats = statCols.zipWithIndex.map { case (c, i) =>
-            c -> (parts(1 + i) match {
-              case "-" => None
-              case s =>
-                val Array(lo, hi) = s.split(':')
-                Some((lo.toLong, hi.toLong))
-            })
-          }.toMap
-          FileStat(parts.last, n, stats)
+          def pair(i: Int): Option[(String, String)] = parts(1 + i) match {
+            case "-" => None
+            case s =>
+              val Array(lo, hi) = s.split(':')
+              Some((lo, hi))
+          }
+          val stats = statCols.zipWithIndex
+            .filterNot { case (c, _) => strCols.contains(c) }
+            .map { case (c, i) =>
+              c -> pair(i).map { case (lo, hi) => (lo.toLong, hi.toLong) }
+            }.toMap
+          val sstats = statCols.zipWithIndex
+            .filter { case (c, _) => strCols.contains(c) }
+            .map { case (c, i) =>
+              c -> pair(i).map { case (lo, hi) => (unhex(lo), unhex(hi)) }
+            }.toMap
+          FileStat(parts.last, n, stats, sstats)
         }
-        Some(Meta(gen, sig, statCols, files))
+        Some(Meta(gen, sig, statCols, files, strCols))
       } catch { case scala.util.control.NonFatal(_) => None }
     }
 
@@ -188,15 +267,42 @@ private[graft] object ZoneMapMeta {
     * silent full-scan.
     */
   def prune(meta: Meta, preds: Seq[(String, Long, Long)])
+      : (Seq[String], Long) =
+    pruneTyped(meta, preds, Seq.empty)
+
+  /** Typed form: long-image predicates plus STRING ranges over string
+    * stat columns — each side OPTIONAL, because unlike the long unit
+    * (whose Long.Min/MaxValue sentinels are real values) strings have
+    * no greatest element to stand in for "unbounded". Comparisons run
+    * in UTF-8 byte order ([[cmpUtf8]] — identical to the binary
+    * collation the stats were aggregated under, so the manifest's
+    * decision matches the zone-table SQL path bit for bit).
+    */
+  def pruneTyped(meta: Meta, preds: Seq[(String, Long, Long)],
+                 strPreds: Seq[(String, Option[String], Option[String])])
       : (Seq[String], Long) = {
-    val missing = preds.map(_._1).filterNot(meta.statCols.contains)
+    val askedStr = strPreds.map(_._1)
+    val missing = (preds.map(_._1) ++ askedStr)
+      .filterNot(meta.statCols.contains)
     require(missing.isEmpty,
       s"zone map describes ${meta.statCols.mkString(",")} but was asked " +
         s"to prune on ${missing.mkString(",")}")
+    val mistyped = preds.map(_._1).filter(meta.strCols.contains) ++
+      askedStr.filterNot(meta.strCols.contains)
+    require(mistyped.isEmpty,
+      s"predicate type does not match the stat column type for " +
+        s"${mistyped.mkString(",")} (string stats take string bounds)")
     val survivors = meta.files.filter { f =>
       preds.forall { case (c, lo, hi) =>
         f.stats.getOrElse(c, None) match {
           case Some((mn, mx)) => mn <= hi && mx >= lo
+          case None => false
+        }
+      } && strPreds.forall { case (c, lo, hi) =>
+        f.sstats.getOrElse(c, None) match {
+          case Some((mn, mx)) =>
+            hi.forall(h => cmpUtf8(mn, h) <= 0) &&
+              lo.forall(l => cmpUtf8(mx, l) >= 0)
           case None => false
         }
       }

@@ -6,7 +6,8 @@ import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression,
 import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, LogicalPlan, Project}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
-import org.apache.spark.sql.types.{ByteType, DataType, DoubleType, IntegerType, LongType, ShortType, StructField, StructType}
+import org.apache.spark.sql.catalyst.CatalystTypeConverters
+import org.apache.spark.sql.types.{BooleanType, ByteType, DataType, DateType, DoubleType, IntegerType, LongType, ShortType, StringType, StructField, StructType, TimestampType}
 
 import graft.operators.AggStore
 
@@ -39,7 +40,8 @@ import graft.operators.AggStore
   *    unfiltered;
   *  - POINT LOOKUP: a pushed-down `key = lit` / `key IN (lits)` filter
   *    (plus the optimizer's inferred `IsNotNull(key)`) over a
-  *    single-column integral key rewrites to
+  *    single-column equality-joinable key (integral / string / date /
+  *    timestamp / boolean) rewrites to
   *    [[AggStore.lookupAggStoreKeys]] — the manifest-pruned bucket read
   *    (q327's shape), so "these keys' aggregates" costs ≤ |keys| bucket
   *    dirs instead of even the store scan; min/max outputs route the
@@ -143,11 +145,13 @@ case class AggStoreRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
               gAttrs.zip(keyAttrs).forall { case (ga, ka) =>
                 ga.exprId == ka.exprId })
             // a key-literal filter is accepted only on a single-column
-            // INTEGRAL key, literals type-equal and non-null — it
-            // becomes the point lookup below
+            // equality-joinable key ([[AggStoreRewrite.lookupable]]:
+            // integral / string / date / timestamp / boolean), literals
+            // type-equal and non-null — it becomes the point lookup
+            // below
             _ <- Some(()).filter(_ => keyPred.forall { case (a, lits) =>
               keyAttrs.length == 1 && a.exprId == keyAttrs.head.exprId &&
-                AggStoreRewrite.integral(keyAttrs.head.dataType) &&
+                AggStoreRewrite.lookupable(keyAttrs.head.dataType) &&
                 lits.forall(l => l.dataType == keyAttrs.head.dataType &&
                   l.value != null)
             })
@@ -178,7 +182,13 @@ case class AggStoreRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
         case Some((_, lits)) => // POINT LOOKUP: ≤ |keys| bucket dirs
           val schema = StructType(Seq(
             StructField("key", keyAttrs.head.dataType)))
-          val rows: Seq[Row] = lits.map(l => Row(l.value)).distinct
+          // literals carry INTERNAL values (UTF8String, epoch days,
+          // micros) — bridge them back to the DataFrame surface, where
+          // createDataFrame re-converts exactly (lossless round trip
+          // for every lookupable type)
+          val toScala = CatalystTypeConverters
+            .createToScalaConverter(keyAttrs.head.dataType)
+          val rows: Seq[Row] = lits.map(l => Row(toScala(l.value))).distinct
           val keysDf = spark.createDataFrame(
             java.util.Arrays.asList(rows: _*), schema)
           if (needsExtrema) // the five-column lookup, extrema-folded
@@ -387,6 +397,19 @@ object AggStoreRewrite {
     * cast(long) fold. */
   private[plans] def integral(t: DataType): Boolean = t match {
     case ByteType | ShortType | IntegerType | LongType => true
+    case _ => false
+  }
+
+  /** Key types the point lookup serves: the equality-joinable atomic
+    * types a warehouse keys on, each with a lossless internal↔external
+    * round trip through [[CatalystTypeConverters]] (UTF8String↔String,
+    * epoch days↔Date, micros↔Timestamp). Fractional keys are excluded
+    * on purpose — equality filters on fractional columns are already
+    * semantically fraught, and the match would invite them.
+    */
+  private[plans] def lookupable(t: DataType): Boolean = t match {
+    case ByteType | ShortType | IntegerType | LongType | StringType |
+         DateType | TimestampType | BooleanType => true
     case _ => false
   }
 

@@ -1,11 +1,11 @@
 package graft.plans
 
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.catalyst.expressions.{Alias, AttributeReference, Cast, EqualTo, Expression, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual, Literal}
+import org.apache.spark.sql.catalyst.expressions.{Alias, AttributeReference, Cast, EqualTo, Expression, GreaterThan, GreaterThanOrEqual, In, InSet, LessThan, LessThanOrEqual, Literal}
 import org.apache.spark.sql.catalyst.plans.logical.{Filter, LocalRelation, LogicalPlan, Project}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.datasources.LogicalRelation
-import org.apache.spark.sql.types.{ByteType, DateType, IntegerType, LongType, ShortType, TimestampType}
+import org.apache.spark.sql.types.{ByteType, DateType, IntegerType, LongType, ShortType, StringType, TimestampType}
 
 import graft.operators.{ZoneMap, ZoneMapMeta}
 
@@ -26,9 +26,11 @@ import graft.operators.{ZoneMap, ZoneMapMeta}
   *  - only bounds derivable from top-level CONJUNCTS of the filter are
   *    used for pruning (`>=`, `>`, `<=`, `<`, `=` against integral
   *    literals, either operand order, with at most a widening cast on
-  *    the column); every OTHER conjunct is simply not a pruning bound —
-  *    dropping conjuncts only WIDENS the surviving file set, so
-  *    partial extraction stays sound;
+  *    the column; `IN` lists — and their `InSet` lowering — by their
+  *    [min, max] envelope; STRING stat columns by binary-collation
+  *    bounds, inclusive on strict comparisons); every OTHER conjunct
+  *    is simply not a pruning bound — dropping conjuncts only WIDENS
+  *    the surviving file set, so partial extraction stays sound;
   *  - the ORIGINAL filter is kept above the pruned scan as the
   *    residual (file stats admit false positives, never false
   *    negatives — the [[ZoneMap]] law, so pruned + residual ≡ full
@@ -144,10 +146,12 @@ case class ZoneMapPrune(spark: SparkSession) extends Rule[LogicalPlan] {
           "files (or register the rebuilt map) to restore skipping")
       return None
     }
-    val bounds = extractBounds(cond, rel, entry.statCols)
-    if (bounds.isEmpty) return None
+    val (bounds, sBounds) = extractBounds(cond, rel, entry.statCols)
+    if (bounds.isEmpty && sBounds.isEmpty) return None
     val preds = bounds.toSeq.map { case (c, (lo, hi)) => (c, lo, hi) }
-    val (survivors, total) = ZoneMap.pruneFiles(spark, entry.zonePath, preds)
+    val strPreds = sBounds.toSeq.map { case (c, (lo, hi)) => (c, lo, hi) }
+    val (survivors, total) =
+      ZoneMap.pruneFilesTyped(spark, entry.zonePath, preds, strPreds)
     if (survivors.size >= total) None // nothing skipped: no churn
     else if (survivors.isEmpty)
       Some(LocalRelation(rel.output)) // provably empty, zero data read
@@ -156,10 +160,13 @@ case class ZoneMapPrune(spark: SparkSession) extends Rule[LogicalPlan] {
 
   /** Per stat column: the tightest `[lo, hi]` derivable from the
     * filter's conjuncts, in the STAT unit ([[ZoneMap.statExpr]]: epoch
-    * days for dates, epoch micros for timestamps, the long image else).
-    * Integer semantics make strict bounds exact (`c > v` ⟺ `c ≥ v+1`
-    * in the literal's unit), with overflow guarded by dropping the
-    * bound (sound: fewer bounds = wider file set).
+    * days for dates, epoch micros for timestamps, the long image else)
+    * — plus, separately, STRING bounds for string stat columns
+    * (binary-collation order, inclusive on both strict and non-strict
+    * comparisons, each side optional). Integer semantics make strict
+    * bounds exact (`c > v` ⟺ `c ≥ v+1` in the literal's unit), with
+    * overflow guarded by dropping the bound (sound: fewer bounds =
+    * wider file set).
     *
     * DATE/TIMESTAMP literals carry the SAME integers Catalyst stores —
     * `Literal(days: Int, DateType)` / `Literal(micros: Long,
@@ -184,7 +191,8 @@ case class ZoneMapPrune(spark: SparkSession) extends Rule[LogicalPlan] {
     */
   private def extractBounds(cond: Expression, rel: LogicalRelation,
                             statCols: Seq[String])
-      : Map[String, (Long, Long)] = {
+      : (Map[String, (Long, Long)],
+         Map[String, (Option[String], Option[String])]) = {
     val relIds = rel.output.map(a => a.exprId -> a.name).toMap
     val utc = spark.sessionState.conf.sessionLocalTimeZone == "UTC"
     val MicrosPerDay = 86400000000L
@@ -199,7 +207,10 @@ case class ZoneMapPrune(spark: SparkSession) extends Rule[LogicalPlan] {
     case object MicrosOverDays extends Conv // micros literal, day stats
     case object DaysOverMicros extends Conv // day literal, micros stats
     def statName(e: Expression): Option[(String, Conv)] = e match {
-      case a: AttributeReference if isStat(a) => Some((a.name, Same))
+      // bare STRING attrs route to the string machinery below (casts
+      // only ever target the integer-image types)
+      case a: AttributeReference
+          if isStat(a) && a.dataType != StringType => Some((a.name, Same))
       case Cast(a: AttributeReference, LongType, _, _) if isStat(a) =>
         Some((a.name, Same))
       case Cast(a: AttributeReference, TimestampType, _, _)
@@ -219,6 +230,45 @@ case class ZoneMapPrune(spark: SparkSession) extends Rule[LogicalPlan] {
       case Literal(v: Long, TimestampType) => Some(v) // epoch micros
       case _ => None
     }
+    // InSet elements are bare INTERNAL values (no Literal wrapper, no
+    // dataType to hand) — but for every type statName admits, the
+    // internal rep is exactly one of these integrals (int days for
+    // dates, long micros for timestamps); a fractional/decimal/string
+    // element returns None and skips its conjunct
+    def rawVal(v: Any): Option[Long] = v match {
+      case b: Byte => Some(b.toLong)
+      case s: Short => Some(s.toLong)
+      case i: Int => Some(i.toLong)
+      case l: Long => Some(l)
+      case _ => None
+    }
+    // STRING stat columns: binary-collation bounds, INCLUSIVE on both
+    // strict and non-strict comparisons (there is no "+1" on strings;
+    // widening a strict bound to inclusive is sound — the residual
+    // keeps strictness) — compared in UTF-8 byte order, the order the
+    // stats were aggregated under ([[graft.operators.ZoneMapMeta
+    // .cmpUtf8]])
+    def sStatName(e: Expression): Option[String] = e match {
+      case a: AttributeReference
+          if isStat(a) && a.dataType == StringType => Some(a.name)
+      case _ => None
+    }
+    def sLitVal(e: Expression): Option[String] = e match {
+      case Literal(v, StringType) if v != null => Some(v.toString)
+      case _ => None
+    }
+    val utf8Ord: Ordering[String] =
+      (a, b) => graft.operators.ZoneMapMeta.cmpUtf8(a, b)
+    val slows = scala.collection.mutable.Map.empty[String, String]
+    val shighs = scala.collection.mutable.Map.empty[String, String]
+    def slo(c: String, v: String): Unit = // keep the GREATER lower bound
+      slows(c) = slows.get(c)
+        .filter(x => graft.operators.ZoneMapMeta.cmpUtf8(x, v) >= 0)
+        .getOrElse(v)
+    def shi(c: String, v: String): Unit = // keep the SMALLER upper bound
+      shighs(c) = shighs.get(c)
+        .filter(x => graft.operators.ZoneMapMeta.cmpUtf8(x, v) <= 0)
+        .getOrElse(v)
     def conjuncts(e: Expression): Seq[Expression] = e match {
       case org.apache.spark.sql.catalyst.expressions.And(l, r) =>
         conjuncts(l) ++ conjuncts(r)
@@ -281,11 +331,74 @@ case class ZoneMapPrune(spark: SparkSession) extends Rule[LogicalPlan] {
           lo(c, v + 1)
       case EqualTo(l, a) if statName(a).isDefined && litVal(l).isDefined =>
         for (c <- statName(a); v <- litVal(l)) { lo(c, v); hi(c, v) }
+      // IN lists prune by their ENVELOPE [min, max] — the exact
+      // per-literal file union would prune sparse lists tighter, but
+      // the envelope composes with the one-interval-per-column prune
+      // machinery unchanged and the residual keeps exactness either
+      // way (the common warehouse shape is a run of adjacent days,
+      // where the envelope IS exact). A list with any non-extractable
+      // element (null, a fractional literal) is skipped whole — sound.
+      // Both the literal form and the optimizer's hash-set lowering
+      // (OptimizeIn rewrites lists past the conversion threshold to
+      // InSet over INTERNAL values — the same integers litVal reads
+      // out of Literal: int days, long micros) extract identically.
+      case In(a, vs) if statName(a).isDefined && vs.nonEmpty &&
+          vs.forall { case l: Literal => litVal(l).isDefined
+            case _ => false } =>
+        for (c <- statName(a)) {
+          val ls = vs.map { case l: Literal => litVal(l).get }
+          lo(c, ls.min); hi(c, ls.max)
+        }
+      case InSet(a, hset) if statName(a).isDefined && hset.nonEmpty &&
+          hset.forall(rawVal(_).isDefined) =>
+        for (c <- statName(a)) {
+          val ls = hset.toSeq.map(rawVal(_).get)
+          lo(c, ls.min); hi(c, ls.max)
+        }
+      // ---- STRING stat columns: the same shapes, inclusive bounds ----
+      case GreaterThanOrEqual(a, l) if sStatName(a).isDefined =>
+        for (c <- sStatName(a); v <- sLitVal(l)) slo(c, v)
+      case GreaterThan(a, l) if sStatName(a).isDefined =>
+        for (c <- sStatName(a); v <- sLitVal(l)) slo(c, v)
+      case LessThanOrEqual(a, l) if sStatName(a).isDefined =>
+        for (c <- sStatName(a); v <- sLitVal(l)) shi(c, v)
+      case LessThan(a, l) if sStatName(a).isDefined =>
+        for (c <- sStatName(a); v <- sLitVal(l)) shi(c, v)
+      case EqualTo(a, l) if sStatName(a).isDefined =>
+        for (c <- sStatName(a); v <- sLitVal(l)) { slo(c, v); shi(c, v) }
+      // mirrored literal-first forms
+      case GreaterThanOrEqual(l, a) if sStatName(a).isDefined =>
+        for (c <- sStatName(a); v <- sLitVal(l)) shi(c, v)
+      case GreaterThan(l, a) if sStatName(a).isDefined =>
+        for (c <- sStatName(a); v <- sLitVal(l)) shi(c, v)
+      case LessThanOrEqual(l, a) if sStatName(a).isDefined =>
+        for (c <- sStatName(a); v <- sLitVal(l)) slo(c, v)
+      case LessThan(l, a) if sStatName(a).isDefined =>
+        for (c <- sStatName(a); v <- sLitVal(l)) slo(c, v)
+      case EqualTo(l, a) if sStatName(a).isDefined && sLitVal(l).isDefined =>
+        for (c <- sStatName(a); v <- sLitVal(l)) { slo(c, v); shi(c, v) }
+      case In(a, vs) if sStatName(a).isDefined && vs.nonEmpty &&
+          vs.forall { case l: Literal => sLitVal(l).isDefined
+            case _ => false } =>
+        for (c <- sStatName(a)) {
+          val ls = vs.map { case l: Literal => sLitVal(l).get }
+          slo(c, ls.min(utf8Ord)); shi(c, ls.max(utf8Ord))
+        }
+      case InSet(a, hset) if sStatName(a).isDefined && hset.nonEmpty &&
+          hset.forall(_.isInstanceOf[
+            org.apache.spark.unsafe.types.UTF8String]) =>
+        for (c <- sStatName(a)) {
+          val ls = hset.toSeq.map(_.toString)
+          slo(c, ls.min(utf8Ord)); shi(c, ls.max(utf8Ord))
+        }
       case _ => () // not a pruning bound — stays in the residual
     }
-    (lows.keySet ++ highs.keySet).map { c =>
+    ((lows.keySet ++ highs.keySet).map { c =>
       c -> (lows.getOrElse(c, Long.MinValue), highs.getOrElse(c, Long.MaxValue))
-    }.toMap
+    }.toMap,
+      (slows.keySet ++ shighs.keySet).map { c =>
+        c -> (slows.get(c), shighs.get(c))
+      }.toMap)
   }
 
   /** The survivor-file relation, projected back to the original

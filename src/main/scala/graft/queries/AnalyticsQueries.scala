@@ -2632,6 +2632,46 @@ object AnalyticsQueries {
              |  min(CAST(l_quantity AS BIGINT)) AS vmin,
              |  max(CAST(l_quantity AS BIGINT)) AS vmax
              |FROM lineitem WHERE l_suppkey IN (3, 7, 9)
+             |GROUP BY 1 ORDER BY key""".stripMargin)),
+
+    // ---- STRING-keyed point lookup through the MV rewrite
+    // (AggStoreRewrite.lookupable + CatalystTypeConverters): the
+    // key-literal lookup widened past integral keys to what warehouses
+    // actually key on — strings, dates, timestamps — by bridging the
+    // literal's INTERNAL value (UTF8String, epoch days, micros) back
+    // to the DataFrame surface, a lossless round trip. `l_returnflag
+    // IN ('A', 'N')` reads ≤ 2 bucket dirs of the store. MvRewriteSpec
+    // pins string and date keys plus the strict-subset inputFiles.
+    // Oracle: the filtered groupBy recompute. ----
+    Q("q348_mv_string_lookup",
+      (s, dir) => {
+        import graft.operators.AggStore
+        import graft.plans.{AggStoreRewrite, MvCatalog}
+        val li = t(s, dir, "lineitem")
+        val tmp = java.nio.file.Files
+          .createTempDirectory("graft_q348_").toString + "/store"
+        AggStore.buildAggStore(
+          li.select(col("l_returnflag"), col("l_quantity")),
+          tmp, "l_returnflag", "l_quantity")
+        val prev = s.experimental.extraOptimizations
+        s.experimental.extraOptimizations = prev :+ AggStoreRewrite(s)
+        try {
+          MvCatalog.registerAggView(li, "l_returnflag", "l_quantity", tmp)
+          li.filter(col("l_returnflag").isin("A", "N"))
+            .groupBy(col("l_returnflag"))
+            .agg(count(lit(1)).as("cnt"),
+              sum(col("l_quantity").cast("long")).as("total"))
+            .localCheckpoint(true) // rewrite fires HERE, rule still live
+            .withColumnRenamed("l_returnflag", "key")
+            .orderBy(col("key"))
+        } finally {
+          s.experimental.extraOptimizations = prev
+          MvCatalog.clear()
+        }
+      },
+      Some("""SELECT l_returnflag AS key, count(*) AS cnt,
+             |  CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS total
+             |FROM lineitem WHERE l_returnflag IN ('A', 'N')
              |GROUP BY 1 ORDER BY key""".stripMargin))
   )
 

@@ -658,6 +658,95 @@ object MiscQueries {
              |  AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
              |GROUP BY 1 ORDER BY 1""".stripMargin)),
 
+    // ---- IN-LIST zone-map pruning through the PLANNER (ZoneMapPrune's
+    // envelope extraction): `o_orderdate IN (a run of days)` — the
+    // other filter real warehouses write — prunes by the list's
+    // [min, max] envelope, composing with the one-interval-per-column
+    // machinery unchanged; the kept residual re-applies list exactness
+    // (for a run of adjacent days the envelope IS exact). ZoneMapSpec
+    // additionally pins the InSet lowering past OptimizeIn's threshold.
+    // Oracle: the full-scan recompute. ----
+    Q("q347_zonemap_in_list",
+      (s, dir) => {
+        import graft.operators.ZoneMap
+        import graft.plans.{ZoneMapCatalog, ZoneMapPrune}
+        val tmp = java.nio.file.Files
+          .createTempDirectory("graft_q347_").toString
+        val od = t(s, dir, "orders")
+          .select(to_date(col("o_orderdate")).as("od"),
+            col("o_custkey"), col("o_orderpriority"))
+        ZoneMap.writeZOrdered(od, s"$tmp/data", s"$tmp/zone",
+          "od", "o_custkey", bits = 8, partitions = 16)
+        val prev = s.experimental.extraOptimizations
+        s.experimental.extraOptimizations = prev :+ ZoneMapPrune(s)
+        try {
+          ZoneMapCatalog.register(s, s"$tmp/data", s"$tmp/zone",
+            Seq("od", "o_custkey"))
+          s.read.parquet(s"$tmp/data")
+            .filter(col("od").isin(
+              java.sql.Date.valueOf("1995-03-01"),
+              java.sql.Date.valueOf("1995-03-02"),
+              java.sql.Date.valueOf("1995-03-04")))
+            .groupBy(col("o_orderpriority"))
+            .agg(count(lit(1)).as("n"), sum(col("o_custkey")).as("ck_sum"))
+            .localCheckpoint(true) // the prune rule fires HERE
+            .orderBy(col("o_orderpriority"))
+        } finally {
+          s.experimental.extraOptimizations = prev
+          ZoneMapCatalog.clear()
+        }
+      },
+      Some("""SELECT o_orderpriority, count(*) AS n,
+             |  CAST(sum(o_custkey) AS BIGINT) AS ck_sum
+             |FROM orders
+             |WHERE CAST(o_orderdate AS DATE) IN
+             |  (DATE '1995-03-01', DATE '1995-03-02', DATE '1995-03-04')
+             |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // ---- STRING zone-map pruning through the PLANNER (ZoneMap string
+    // stats + ZoneMapPrune's binary-collation bounds): `c_mktsegment =
+    // 'BUILDING'` — the dimension-equality filter warehouses write —
+    // file-skips over a segment-sorted layout from raw string min/max
+    // stats compared in UTF-8 byte order (exactly the order Spark's
+    // min/max aggregated them under, so the decision is bit-identical
+    // wherever made; java String order would disagree on supplementary
+    // chars and is deliberately not used). String stats are PRUNE-ONLY:
+    // no z-order dimension, no drift input — ZoneMapSpec pins the
+    // refusals, the v2 manifest round-trip, and the IN/range shapes.
+    // Oracle: the full-scan recompute. ----
+    Q("q349_zonemap_string",
+      (s, dir) => {
+        import graft.operators.ZoneMap
+        import graft.plans.{ZoneMapCatalog, ZoneMapPrune}
+        val tmp = java.nio.file.Files
+          .createTempDirectory("graft_q349_").toString
+        val c = t(s, dir, "customer")
+          .select(col("c_mktsegment"), col("c_custkey"), col("c_nationkey"))
+        c.repartitionByRange(8, col("c_mktsegment"), col("c_custkey"))
+          .write.parquet(s"$tmp/data")
+        ZoneMap.buildZoneMap(s, s"$tmp/data",
+          Seq("c_mktsegment", "c_custkey"), s"$tmp/zone")
+        val prev = s.experimental.extraOptimizations
+        s.experimental.extraOptimizations = prev :+ ZoneMapPrune(s)
+        try {
+          ZoneMapCatalog.register(s, s"$tmp/data", s"$tmp/zone",
+            Seq("c_mktsegment", "c_custkey"))
+          s.read.parquet(s"$tmp/data")
+            .filter(col("c_mktsegment") === "BUILDING")
+            .groupBy(col("c_nationkey"))
+            .agg(count(lit(1)).as("n"), sum(col("c_custkey")).as("ck_sum"))
+            .localCheckpoint(true) // the prune rule fires HERE
+            .orderBy(col("c_nationkey"))
+        } finally {
+          s.experimental.extraOptimizations = prev
+          ZoneMapCatalog.clear()
+        }
+      },
+      Some("""SELECT c_nationkey, count(*) AS n,
+             |  CAST(sum(c_custkey) AS BIGINT) AS ck_sum
+             |FROM customer WHERE c_mktsegment = 'BUILDING'
+             |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
     // ---- TPC-H Q5 shape: 5-way join, date filter, revenue per nation.
     // All dimensions broadcast; lineitem (the only big table) shuffles
     // once for the final aggregation only.

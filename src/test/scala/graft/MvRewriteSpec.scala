@@ -288,6 +288,43 @@ class MvRewriteSpec extends SparkSpec {
     }
   }
 
+  test("string and date keys serve through the point lookup — the " +
+    "internal-value bridge is a lossless round trip") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_mvk_").toString
+    Seq(("a", 10L), ("a", 20L), ("b", 5L), ("c", 7L)).toDF("k", "v")
+      .write.parquet(s"$dir/sbase")
+    val sbase = spark.read.parquet(s"$dir/sbase")
+    AggStore.buildAggStore(sbase, s"$dir/sstore", "k", "v", nBuckets = 8)
+    def d(s: String) = java.sql.Date.valueOf(s)
+    Seq((d("1994-01-01"), 1L), (d("1994-01-02"), 2L), (d("1994-01-02"), 3L),
+      (d("1994-01-03"), 4L)).toDF("k", "v").write.parquet(s"$dir/dbase")
+    val dbase = spark.read.parquet(s"$dir/dbase")
+    AggStore.buildAggStore(dbase, s"$dir/dstore", "k", "v", nBuckets = 8)
+    withRule {
+      MvCatalog.registerAggView(sbase, "k", "v", s"$dir/sstore")
+      MvCatalog.registerAggView(dbase, "k", "v", s"$dir/dstore")
+      // string IN: UTF8String literals bridge back to java Strings
+      val sq = sbase.filter(col("k").isin("a", "c")).groupBy(col("k"))
+        .agg(count(lit(1)).as("cnt"), sum(col("v").cast("long")).as("total"))
+      assert(sq.inputFiles.exists(_.contains("/sstore/")),
+        "a string-keyed IN aggregate must serve from the store")
+      val sAll = AggStore.readAggStore(spark, s"$dir/sstore").inputFiles.toSet
+      assert(sq.inputFiles.toSet.subsetOf(sAll) &&
+        sq.inputFiles.length < sAll.size,
+        "the string lookup must open a strict subset of the buckets")
+      assert(sq.orderBy("k").as[(String, Long, Long)].collect().toSeq ==
+        Seq(("a", 2L, 30L), ("c", 1L, 7L)))
+      // date equality: epoch-day literals bridge back to java Dates
+      val dq = dbase.filter(col("k") === lit(d("1994-01-02")))
+        .groupBy(col("k"))
+        .agg(count(lit(1)).as("cnt"), sum(col("v").cast("long")).as("total"))
+      assert(dq.inputFiles.exists(_.contains("/dstore/")),
+        "a date-keyed equality aggregate must serve from the store")
+      assert(dq.as[(java.sql.Date, Long, Long)].collect().toSeq ==
+        Seq((d("1994-01-02"), 2L, 5L)))
+    }
+  }
+
   test("min/max serve THROUGH the bucket-pruned point lookup on an " +
     "extrema store; a plain store still refuses them") {
     val dir = java.nio.file.Files.createTempDirectory("graft_mvxl_").toString

@@ -318,6 +318,96 @@ class ZoneMapSpec extends SparkSpec {
     }
   }
 
+  test("IN lists prune by their envelope, through both the literal form " +
+    "and the InSet lowering") {
+    val dir = tmp("inlist")
+    val grid = spark.range(0, 1024).select(
+      (col("id") % 256).cast("long").as("a"),
+      (col("id") / 4).cast("long").as("k"))
+    operators.ZoneMap.writeZOrdered(grid, s"$dir/data", s"$dir/zone",
+      "a", "k", bits = 8, partitions = 8)
+    val prev = spark.experimental.extraOptimizations
+    spark.experimental.extraOptimizations =
+      prev :+ graft.plans.ZoneMapPrune(spark)
+    try {
+      graft.plans.ZoneMapCatalog.register(spark, s"$dir/data",
+        s"$dir/zone", Seq("a", "k"))
+      // 3 literals: stays In — envelope [10, 13]
+      val q = spark.read.parquet(s"$dir/data")
+        .filter(col("a").isin(10L, 11L, 13L))
+      assert(q.inputFiles.length < 8,
+        s"a tight IN envelope must skip files (${q.inputFiles.length} of 8)")
+      assert(q.count() == 3L * 4,
+        "3 values x 4 rows each — the residual keeps list exactness " +
+          "(12 is inside the envelope but not the list)")
+      // 12 literals: OptimizeIn lowers to InSet past the conversion
+      // threshold (10) — raw internal values, same envelope machinery
+      val q2 = spark.read.parquet(s"$dir/data")
+        .filter(col("a").isin((40L to 51L).map(Long.box): _*))
+      assert(q2.inputFiles.length < 8,
+        s"the InSet lowering must still extract (${q2.inputFiles.length})")
+      assert(q2.count() == 12L * 4)
+    } finally {
+      spark.experimental.extraOptimizations = prev
+      graft.plans.ZoneMapCatalog.clear()
+    }
+  }
+
+  test("STRING stat columns prune equality, IN, and range filters in " +
+    "binary order; the v2 manifest round-trips; drift refuses them") {
+    val dir = tmp("str")
+    val segs = Seq("AUTOMOBILE", "BUILDING", "FURNITURE", "MACHINERY")
+    // one file per segment (append + coalesce guarantees segregation)
+    segs.zipWithIndex.foreach { case (s0, i) =>
+      spark.range(0, 256).filter(col("id") % 4 === i)
+        .select(lit(s0).as("seg"), col("id").as("v"))
+        .coalesce(1).write.mode("append").parquet(s"$dir/data")
+    }
+    operators.ZoneMap.buildZoneMap(spark, s"$dir/data",
+      Seq("seg", "v"), s"$dir/zone")
+    // the MIXED long+string map commits the v2 manifest and round-trips
+    operators.ZoneMapMeta.invalidate()
+    val meta = operators.ZoneMapMeta.load(spark, s"$dir/zone")
+    assert(meta.exists(_.strCols == Set("seg")),
+      s"v2 manifest must carry the string column set, got $meta")
+    assert(meta.get.files.forall(_.sstats("seg").isDefined))
+    val prev = spark.experimental.extraOptimizations
+    spark.experimental.extraOptimizations =
+      prev :+ graft.plans.ZoneMapPrune(spark)
+    try {
+      graft.plans.ZoneMapCatalog.register(spark, s"$dir/data",
+        s"$dir/zone", Seq("seg", "v"))
+      // equality: one segment, one file
+      val q = spark.read.parquet(s"$dir/data")
+        .filter(col("seg") === "BUILDING")
+      assert(q.inputFiles.length < 4,
+        s"string equality must skip files (${q.inputFiles.length} of 4)")
+      assert(q.count() == 64L)
+      // IN envelope (adjacent segments)
+      val q2 = spark.read.parquet(s"$dir/data")
+        .filter(col("seg").isin("AUTOMOBILE", "BUILDING"))
+      assert(q2.inputFiles.length < 4)
+      assert(q2.count() == 128L)
+      // one-sided range, in UTF-8 byte order
+      val q3 = spark.read.parquet(s"$dir/data").filter(col("seg") >= "F")
+      assert(q3.inputFiles.length < 4)
+      assert(q3.count() == 128L, "FURNITURE + MACHINERY")
+      // composed with a long-stat conjunct on the same filter
+      val q4 = spark.read.parquet(s"$dir/data")
+        .filter(col("seg") === "MACHINERY" && col("v") <= 100L)
+      assert(q4.inputFiles.length < 4)
+      assert(q4.count() == 25L, "ids 3,7,...,99")
+    } finally {
+      spark.experimental.extraOptimizations = prev
+      graft.plans.ZoneMapCatalog.clear()
+    }
+    // drift needs integer-image stats — a string column refuses loudly
+    val err = intercept[IllegalArgumentException] {
+      operators.ZoneMap.layoutDrift(spark, s"$dir/zone", "seg", "v")
+    }
+    assert(err.getMessage.contains("prune-only"))
+  }
+
   test("the _ZMMETA manifest answers pruning with ZERO Spark jobs and " +
     "the planner never touches the zone table when it validates") {
     val dir = tmp("meta")
