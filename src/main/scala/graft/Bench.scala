@@ -56,6 +56,7 @@ object Bench {
     // the unified maintenance sweep lifecycle
     "q341_zonemap_date", "q343_join_view_extrema",
     "q344_maintenance_sweep", "q346_mv_extrema_lookup",
+    "q350_zonemap_bloom",
   )
 
   def main(args: Array[String]): Unit = {

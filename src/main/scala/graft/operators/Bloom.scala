@@ -30,9 +30,33 @@ import org.apache.spark.sql.functions._
 object Bloom {
 
   /** Position of value `v` under hash row `i`, in [0, m). */
-  private def pos(i: Int, v: Column, m: Int): Column =
+  private[operators] def pos(i: Int, v: Column, m: Int): Column =
     conv(substring(md5(concat(lit(s"$i:"), v.cast("string")).cast("binary")),
       1, 8), 16, 10).cast("long") % m
+
+  /** Driver-side twin of [[pos]] — the SAME position, computed without a
+    * Spark job (the planner's bloom-prune path, [[ZoneMapMeta]]): md5 of
+    * the identical `"i:<value>"` UTF-8 bytes, first 8 hex digits of the
+    * digest as a base-16 long, mod m. `v` must be the value's
+    * cast-to-string rendering (decimal for integrals, the raw string
+    * for strings) — exactly what the aggregated side hashed.
+    * `BloomSpec` pins position-for-position parity.
+    */
+  def posLocal(i: Int, v: String, m: Int): Long = {
+    val hex = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"$i:$v".getBytes("UTF-8"))
+      .take(4).map("%02x".format(_)).mkString
+    java.lang.Long.parseLong(hex, 16) % m
+  }
+
+  /** Driver-side membership test over packed words ([[bitWords]] layout:
+    * word j holds positions [64j, 64j+64), LSB-first). */
+  def mightContainLocal(words: Array[Long], v: String, m: Int,
+                        k: Int): Boolean =
+    (0 until k).forall { i =>
+      val p = posLocal(i, v, m)
+      ((words((p / 64).toInt) >>> (p % 64)) & 1L) == 1L
+    }
 
   /** The filter as a TABLE of distinct set bit positions (≤ m rows) —
     * the mergeable form: filters over different dim shards union-distinct

@@ -106,14 +106,61 @@ object ZoneMap {
       .agg(aggs.head, aggs.tail: _*)
   }
 
+  /** Per-file bloom words for `bloomCols` — one aggregation per column:
+    * `(file, value-as-string)` distinct, the k [[Bloom.pos]] position
+    * expressions exploded, positions distinct per file, collected and
+    * packed driver-side. The collect is ≤ |files| · m/64 longs — the
+    * manifest's own magnitude. A file present for one column but
+    * all-null in another gets all-zero words for the latter (zero
+    * values set zero bits — correctly dropping every equality).
+    */
+  private def bloomsOf(data: DataFrame, bloomCols: Seq[String],
+                       m: Int, k: Int)
+      : Map[String, Map[String, Array[Long]]] = {
+    require(m > 0 && m % 64 == 0,
+      s"bloom m must be a positive multiple of 64, got $m")
+    require(k >= 1, s"bloom k must be positive, got $k")
+    val perCol = bloomCols.map { c =>
+      val rows = data
+        .select(input_file_name().as("file"), col(c).cast("string").as("__v"))
+        .where(col("__v").isNotNull)
+        .distinct()
+        .select(col("file"), explode(array((0 until k).map(i =>
+          Bloom.pos(i, col("__v"), m)): _*)).as("pos"))
+        .distinct()
+        .collect()
+      c -> rows.groupBy(_.getString(0)).map { case (f, rs) =>
+        val words = new Array[Long](m / 64)
+        rs.foreach { r =>
+          val p = r.getLong(1)
+          words((p / 64).toInt) |= (1L << (p % 64))
+        }
+        f -> words
+      }
+    }
+    val allFiles = perCol.flatMap(_._2.keys).distinct
+    allFiles.map { f =>
+      f -> perCol.map { case (c, byFile) =>
+        c -> byFile.getOrElse(f, new Array[Long](m / 64))
+      }.toMap
+    }.toMap
+  }
+
   def buildZoneMap(spark: SparkSession, dataPath: String,
-                   statCols: Seq[String], zonePath: String): Unit = {
+                   statCols: Seq[String], zonePath: String,
+                   bloomCols: Seq[String] = Seq.empty,
+                   bloomM: Int = 4096, bloomK: Int = 3): Unit = {
     // gen captured first: the overwrite deletes the superseded manifest
     val prevGen = ZoneMapMeta.currentGen(spark, zonePath)
-    statsFrame(spark.read.parquet(dataPath), statCols)
+    val data = spark.read.parquet(dataPath)
+    statsFrame(data, statCols)
       .coalesce(1)
       .write.mode("overwrite").parquet(zonePath)
-    ZoneMapMeta.write(spark, zonePath, statCols, prevGen)
+    val blooms =
+      if (bloomCols.isEmpty) None
+      else Some(ZoneMapMeta.BloomStats(bloomCols, bloomM, bloomK,
+        bloomsOf(data, bloomCols, bloomM, bloomK)))
+    ZoneMapMeta.write(spark, zonePath, statCols, prevGen, blooms)
   }
 
   /** INCREMENTAL maintenance: append `df` as new data files and extend
@@ -122,11 +169,18 @@ object ZoneMap {
     * new files are identified by a before/after directory listing
     * (metadata-only), read back explicitly, and their stats union into
     * the map — cost ∝ the increment, never the corpus (the same
-    * increment discipline as every store here). Single maintenance
+    * increment discipline as every store here). A BLOOM map's per-file
+    * words follow the same rule: prior files' words carry verbatim
+    * from the manifest, only the fresh files aggregate, and the spec
+    * (columns, m, k) is fixed at build time — an append that would
+    * change it, or that asks for blooms the map/manifest cannot
+    * support, refuses loudly BEFORE any data lands. Single maintenance
     * writer, as everywhere.
     */
   def appendWithStats(df: DataFrame, dataPath: String,
-                      statCols: Seq[String], zonePath: String): Unit = {
+                      statCols: Seq[String], zonePath: String,
+                      bloomCols: Seq[String] = Seq.empty,
+                      bloomM: Int = 4096, bloomK: Int = 3): Unit = {
     val spark = df.sparkSession
     val conf = spark.sessionState.newHadoopConf()
     val p = new org.apache.hadoop.fs.Path(dataPath)
@@ -157,13 +211,50 @@ object ZoneMap {
       def files(): Set[String] =
         fs.listStatus(p).filter(_.isFile).map(_.getPath.getName)
           .filter(_.endsWith(".parquet")).toSet
+      val zp = new org.apache.hadoop.fs.Path(zonePath)
+      val zmExists = zp.getFileSystem(conf).exists(zp)
+      // BLOOM CONTINUITY — resolved BEFORE any data lands (a spec
+      // mismatch must refuse with nothing written) and before the zone
+      // overwrite moves the directory signature: an existing bloom
+      // map's spec comes from its (still-valid) manifest, whose
+      // per-file words carry forward verbatim; only the FRESH files
+      // aggregate. The spec cannot be changed or introduced by an
+      // append (old files' blooms are only recomputable from a full
+      // data scan — that is a rebuild), and a crash-degraded manifest
+      // on a bloom map refuses loudly rather than silently dropping
+      // the filters.
+      val prior = ZoneMapMeta.load(spark, zonePath)
+      val bloomSpec: Option[(Seq[String], Int, Int)] =
+        if (!zmExists) {
+          if (bloomCols.isEmpty) None else Some((bloomCols, bloomM, bloomK))
+        } else prior match {
+          case Some(pm) if pm.bloomCols.nonEmpty =>
+            require(bloomCols.isEmpty || (bloomCols == pm.bloomCols &&
+              bloomM == pm.bloomM && bloomK == pm.bloomK),
+              s"zone map at $zonePath carries blooms " +
+                s"(${pm.bloomCols.mkString(",")}, m=${pm.bloomM}, " +
+                s"k=${pm.bloomK}) — an append cannot change the spec; " +
+                "rebuild the map to re-spec")
+            Some((pm.bloomCols, pm.bloomM, pm.bloomK))
+          case Some(_) =>
+            require(bloomCols.isEmpty,
+              s"zone map at $zonePath has no blooms — an append cannot " +
+                "add them (old files' words need a full data scan); " +
+                "rebuild with bloomCols to introduce them")
+            None
+          case None =>
+            require(bloomCols.isEmpty,
+              s"zone map at $zonePath has no valid _ZMMETA manifest but " +
+                "bloom columns were requested — a crash between the zone " +
+                "write and the manifest commit loses the per-file words; " +
+                "rebuild the map to restore blooms")
+            None
+        }
       val before = files()
       df.write.mode("append").parquet(dataPath)
       val fresh = (files() -- before).toSeq.sorted.map(n => s"$dataPath/$n")
       if (fresh.isEmpty) return // empty increment: nothing to describe
       val newStats = statsFrame(spark.read.parquet(fresh: _*), statCols)
-      val zp = new org.apache.hadoop.fs.Path(zonePath)
-      val zmExists = zp.getFileSystem(conf).exists(zp)
       if (zmExists) {
         // defense in depth behind the claim: a file the map already
         // describes can only mean an interleaved appender slipped the
@@ -178,6 +269,17 @@ object ZoneMap {
             "appended files — appends interleaved despite the claim " +
             "(one maintenance writer at a time)")
       }
+      val mergedBlooms = bloomSpec.map { case (cols, m, k) =>
+        // prior files carry verbatim — a file with a missing (`-`)
+        // column slot keeps the gap (never drops), NOT zero words
+        // (which would wrongly drop it)
+        val priorPerFile = prior.map(_.files
+            .map(f => f.file -> f.blooms).toMap)
+          .getOrElse(Map.empty)
+        ZoneMapMeta.BloomStats(cols, m, k,
+          priorPerFile ++
+            bloomsOf(spark.read.parquet(fresh: _*), cols, m, k))
+      }
       val merged =
         (if (zmExists) spark.read.parquet(zonePath).unionByName(newStats)
         else newStats)
@@ -185,7 +287,7 @@ object ZoneMap {
       val prevGen = ZoneMapMeta.currentGen(spark, zonePath)
       try merged.coalesce(1).write.mode("overwrite").parquet(zonePath)
       finally GenStore.freeLocal(merged)
-      ZoneMapMeta.write(spark, zonePath, statCols, prevGen)
+      ZoneMapMeta.write(spark, zonePath, statCols, prevGen, mergedBlooms)
     } finally fs.delete(claim, false)
   }
 
@@ -212,25 +314,34 @@ object ZoneMap {
     */
   def pruneFilesTyped(spark: SparkSession, zonePath: String,
                       preds: Seq[(String, Long, Long)],
-                      strPreds: Seq[(String, Option[String], Option[String])])
+                      strPreds: Seq[(String, Option[String], Option[String])],
+                      bloomPreds: Seq[(String, Seq[String])] = Seq.empty)
       : (Seq[String], Long) = {
-    require(preds.nonEmpty || strPreds.nonEmpty,
+    require(preds.nonEmpty || strPreds.nonEmpty || bloomPreds.nonEmpty,
       "pruned read needs at least one predicate")
     require(strPreds.forall(p => p._2.isDefined || p._3.isDefined),
       "a string predicate needs at least one bound")
     ZoneMapMeta.load(spark, zonePath) match {
-      case Some(meta) => ZoneMapMeta.pruneTyped(meta, preds, strPreds)
+      case Some(meta) => ZoneMapMeta.pruneTyped(meta, preds, strPreds,
+        bloomPreds)
       case None =>
+        // blooms live ONLY in the manifest: without a valid one they
+        // cannot drop anything — WIDENING-only degradation (a bloom is
+        // pure selectivity, min/max stays authoritative in the table),
+        // so a crash-degraded map scans more, never wrong. With no
+        // other bounds, every file survives.
         val zm = spark.read.parquet(zonePath)
-        val keep = (preds.map { case (c, lo, hi) =>
+        val total = zm.count()
+        val boundPreds = preds.map { case (c, lo, hi) =>
           col(s"${c}_min") <= lit(hi) && col(s"${c}_max") >= lit(lo)
         } ++ strPreds.map { case (c, lo, hi) =>
           (hi.map(h => col(s"${c}_min") <= lit(h)) ++
             lo.map(l => col(s"${c}_max") >= lit(l)))
             .reduce(_ && _)
-        }).reduce(_ && _)
-        val total = zm.count()
-        val survivors = zm.where(keep).select(col("file"))
+        }
+        val pruned = if (boundPreds.isEmpty) zm
+          else zm.where(boundPreds.reduce(_ && _))
+        val survivors = pruned.select(col("file"))
           .collect().map(_.getString(0)).toSeq.sorted
         (survivors, total)
     }

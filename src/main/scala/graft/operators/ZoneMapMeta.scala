@@ -37,6 +37,14 @@ import org.apache.spark.sql.types.StringType
   * `zmmeta v2`, which adds a `strs=` header line naming the string
   * subset and hex-encodes those columns' min/max (UTF-8 bytes → hex:
   * tab/colon/newline-proof for arbitrary values, lossless both ways).
+  * A map built with BLOOM columns commits `zmmeta v3`, which adds
+  * `bloomcols=`/`bloomm=`/`bloomk=` header lines and per-file
+  * hex-packed filter words ([[BloomStats]]) — the equality/IN skipping
+  * leg that min/max structurally cannot express (a value absent from a
+  * file whose span covers it). Blooms live ONLY in the manifest: the
+  * zone TABLE stays the min/max authority, so a detected-stale
+  * manifest degrades bloom skipping to nothing (wider file set, never
+  * wrong) while min/max pruning falls back to the table as always.
   * String comparisons everywhere use UTF-8 BYTE order ([[cmpUtf8]]) —
   * the same order Spark's default binary collation gives its min/max
   * aggregates and its string comparisons, so the manifest's decision
@@ -69,10 +77,25 @@ private[graft] object ZoneMapMeta {
   case class FileStat(file: String, n: Long,
                       stats: Map[String, Option[(Long, Long)]],
                       sstats: Map[String, Option[(String, String)]] =
-                        Map.empty)
+                        Map.empty,
+                      blooms: Map[String, Array[Long]] = Map.empty)
 
   case class Meta(gen: Long, sig: String, statCols: Seq[String],
-                  files: Seq[FileStat], strCols: Set[String] = Set.empty)
+                  files: Seq[FileStat], strCols: Set[String] = Set.empty,
+                  bloomCols: Seq[String] = Seq.empty, bloomM: Int = 0,
+                  bloomK: Int = 0)
+
+  /** Per-file bloom filters for equality/IN skipping ([[ZoneMap
+    * .buildZoneMap]]'s `bloomCols`): the [[Bloom]] md5 family packed to
+    * `m/64` words per (file, column) — an all-null file carries
+    * all-zero words (correctly dropping every equality), and a file
+    * with NO entry (pre-bloom manifests, `-` slots) never drops.
+    * Manifest cost: m/4 hex chars per file per column — size m to the
+    * layout's file count (the |files| listing-magnitude note in the
+    * class doc; blooms are opt-in per column for exactly this trade).
+    */
+  case class BloomStats(cols: Seq[String], m: Int, k: Int,
+                        perFile: Map[String, Map[String, Array[Long]]])
 
   /** UTF-8 byte order — Spark's default binary collation, the order the
     * zone table's min/max were aggregated under. */
@@ -138,7 +161,8 @@ private[graft] object ZoneMapMeta {
     * the build aggregated.
     */
   def write(spark: SparkSession, zonePath: String,
-            statCols: Seq[String], prevGen: Long): Unit = {
+            statCols: Seq[String], prevGen: Long,
+            blooms: Option[BloomStats] = None): Unit = {
     val zm = spark.read.parquet(zonePath)
     val strCols = statCols.filter(c =>
       zm.schema(s"${c}_min").dataType == StringType).toSet
@@ -157,19 +181,38 @@ private[graft] object ZoneMapMeta {
       val sstats = statCols.zipWithIndex
         .filter { case (c, _) => strCols.contains(c) }
         .map { case (c, i) => c -> slot(c, i, r.getString) }.toMap
-      FileStat(r.getString(0), r.getLong(1), stats, sstats)
+      val file = r.getString(0)
+      // a described file ABSENT from perFile had no non-null values at
+      // all — all-zero words per column, correctly dropping every
+      // equality. A file PRESENT with a missing column keeps the gap
+      // (written as `-`, never drops): that is an append carrying a
+      // pre-bloom file forward, where zeros would wrongly drop it.
+      val bl = blooms.map { b =>
+        b.perFile.get(file) match {
+          case Some(per) => b.cols.flatMap(c => per.get(c).map(c -> _)).toMap
+          case None =>
+            b.cols.map(c => c -> new Array[Long](b.m / 64)).toMap
+        }
+      }.getOrElse(Map.empty)
+      FileStat(file, r.getLong(1), stats, sstats, bl)
     }.toSeq.sortBy(_.file)
     // gen continues from the superseded manifest (captured before the
     // mutation) regardless of its signature validity — it is a mutation
     // counter, not the cache key
     val gen = prevGen + 1
     val sig = signature(spark, zonePath)
+    // format floor: v1 for pure-long maps (byte-identical to every
+    // pre-string manifest), v2 adds string slots, v3 adds bloom slots
+    val v3 = blooms.isDefined
     val v2 = strCols.nonEmpty
+    val magic = if (v3) "zmmeta v3" else if (v2) "zmmeta v2" else "zmmeta v1"
     val header =
-      Seq(if (v2) "zmmeta v2" else "zmmeta v1", s"gen=$gen", s"sig=$sig",
+      Seq(magic, s"gen=$gen", s"sig=$sig",
         s"cols=${statCols.mkString(",")}") ++
-        (if (v2) Seq(s"strs=${statCols.filter(strCols.contains)
-          .mkString(",")}") else Seq.empty)
+        (if (v2 || v3) Seq(s"strs=${statCols.filter(strCols.contains)
+          .mkString(",")}") else Seq.empty) ++
+        blooms.toSeq.flatMap(b => Seq(s"bloomcols=${b.cols.mkString(",")}",
+          s"bloomm=${b.m}", s"bloomk=${b.k}"))
     val body = files.map { f =>
       val ss = statCols.map { c =>
         if (strCols.contains(c)) f.sstats(c) match {
@@ -180,10 +223,15 @@ private[graft] object ZoneMapMeta {
           case None => "-"
         }
       }
-      (f.n.toString +: ss :+ f.file).mkString("\t")
+      val bs = blooms.toSeq.flatMap(b => b.cols.map(c =>
+        f.blooms.get(c).map(_.map(w => f"$w%016x").mkString)
+          .getOrElse("-")))
+      (f.n.toString +: (ss ++ bs) :+ f.file).mkString("\t")
     }
     Snapshot.writeLines(spark, manifestFile(zonePath), header ++ body)
-    cache.put(key(zonePath), Meta(gen, sig, statCols, files, strCols))
+    cache.put(key(zonePath), Meta(gen, sig, statCols, files, strCols,
+      blooms.map(_.cols).getOrElse(Seq.empty),
+      blooms.map(_.m).getOrElse(0), blooms.map(_.k).getOrElse(0)))
   }
 
   /** The manifest, IF it provably describes the zone parquet currently
@@ -216,9 +264,10 @@ private[graft] object ZoneMapMeta {
     Snapshot.readLines(spark, manifestFile(zonePath)).flatMap { lines =>
       try {
         val magic = lines.head
-        require(magic == "zmmeta v1" || magic == "zmmeta v2",
-          s"unknown manifest format: $magic")
-        val v2 = magic == "zmmeta v2"
+        require(magic == "zmmeta v1" || magic == "zmmeta v2" ||
+          magic == "zmmeta v3", s"unknown manifest format: $magic")
+        val v3 = magic == "zmmeta v3"
+        val v2 = magic == "zmmeta v2" || v3
         val Seq(genL, sigL, colsL) = lines.slice(1, 4)
         val gen = genL.stripPrefix("gen=").toLong
         val sig = sigL.stripPrefix("sig=")
@@ -231,9 +280,20 @@ private[graft] object ZoneMapMeta {
             require(l.startsWith("strs="), s"v2 manifest missing strs: $l")
             l.stripPrefix("strs=").split(',').toSet.filter(_.nonEmpty)
           }
-        val files = lines.drop(if (v2) 5 else 4).filter(_.nonEmpty).map { ln =>
+        val (bloomCols, bloomM, bloomK) =
+          if (!v3) (Seq.empty[String], 0, 0)
+          else {
+            val Seq(bc, bm, bk) = lines.slice(5, 8)
+            require(bc.startsWith("bloomcols=") && bm.startsWith("bloomm=") &&
+              bk.startsWith("bloomk="), s"v3 manifest missing bloom header")
+            (bc.stripPrefix("bloomcols=").split(',').toSeq.filter(_.nonEmpty),
+              bm.stripPrefix("bloomm=").toInt, bk.stripPrefix("bloomk=").toInt)
+          }
+        val headerLen = if (v3) 8 else if (v2) 5 else 4
+        val files = lines.drop(headerLen).filter(_.nonEmpty).map { ln =>
           val parts = ln.split('\t')
-          require(parts.length == statCols.length + 2, s"torn line: $ln")
+          require(parts.length == statCols.length + bloomCols.length + 2,
+            s"torn line: $ln")
           val n = parts(0).toLong
           def pair(i: Int): Option[(String, String)] = parts(1 + i) match {
             case "-" => None
@@ -251,9 +311,19 @@ private[graft] object ZoneMapMeta {
             .map { case (c, i) =>
               c -> pair(i).map { case (lo, hi) => (unhex(lo), unhex(hi)) }
             }.toMap
-          FileStat(parts.last, n, stats, sstats)
+          val blooms = bloomCols.zipWithIndex.flatMap { case (c, i) =>
+            parts(1 + statCols.length + i) match {
+              case "-" => None // pre-bloom slot: never drops
+              case h =>
+                require(h.length == bloomM / 64 * 16, s"torn bloom: $ln")
+                Some(c -> h.grouped(16)
+                  .map(java.lang.Long.parseUnsignedLong(_, 16)).toArray)
+            }
+          }.toMap
+          FileStat(parts.last, n, stats, sstats, blooms)
         }
-        Some(Meta(gen, sig, statCols, files, strCols))
+        Some(Meta(gen, sig, statCols, files, strCols, bloomCols, bloomM,
+          bloomK))
       } catch { case scala.util.control.NonFatal(_) => None }
     }
 
@@ -279,7 +349,8 @@ private[graft] object ZoneMapMeta {
     * decision matches the zone-table SQL path bit for bit).
     */
   def pruneTyped(meta: Meta, preds: Seq[(String, Long, Long)],
-                 strPreds: Seq[(String, Option[String], Option[String])])
+                 strPreds: Seq[(String, Option[String], Option[String])],
+                 bloomPreds: Seq[(String, Seq[String])] = Seq.empty)
       : (Seq[String], Long) = {
     val askedStr = strPreds.map(_._1)
     val missing = (preds.map(_._1) ++ askedStr)
@@ -292,6 +363,12 @@ private[graft] object ZoneMapMeta {
     require(mistyped.isEmpty,
       s"predicate type does not match the stat column type for " +
         s"${mistyped.mkString(",")} (string stats take string bounds)")
+    val noBloom = bloomPreds.map(_._1).filterNot(meta.bloomCols.contains)
+    require(noBloom.isEmpty,
+      s"zone map carries blooms for ${meta.bloomCols.mkString(",")} but " +
+        s"was asked to bloom-prune on ${noBloom.mkString(",")}")
+    require(bloomPreds.forall(_._2.nonEmpty),
+      "a bloom predicate needs at least one candidate value")
     val survivors = meta.files.filter { f =>
       preds.forall { case (c, lo, hi) =>
         f.stats.getOrElse(c, None) match {
@@ -304,6 +381,14 @@ private[graft] object ZoneMapMeta {
             hi.forall(h => cmpUtf8(mn, h) <= 0) &&
               lo.forall(l => cmpUtf8(mx, l) >= 0)
           case None => false
+        }
+      } && bloomPreds.forall { case (c, vals) =>
+        // an equality/IN survives when ANY candidate might be present;
+        // a file without the bloom (pre-bloom `-` slot) never drops
+        f.blooms.get(c) match {
+          case Some(words) => vals.exists(v =>
+            Bloom.mightContainLocal(words, v, meta.bloomM, meta.bloomK))
+          case None => true
         }
       }
     }.map(_.file).sorted

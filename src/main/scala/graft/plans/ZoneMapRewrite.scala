@@ -31,6 +31,12 @@ import graft.operators.{ZoneMap, ZoneMapMeta}
   *    bounds, inclusive on strict comparisons); every OTHER conjunct
   *    is simply not a pruning bound — dropping conjuncts only WIDENS
   *    the surviving file set, so partial extraction stays sound;
+  *  - BLOOM columns ([[ZoneMap.buildZoneMap]]'s `bloomCols`,
+  *    discovered from the map's own `_ZMMETA` manifest) additionally
+  *    drop files whose per-file filter proves an equality/IN value
+  *    ABSENT — the skipping min/max structurally cannot express (a
+  *    value inside a file's span but not in the file); false-positive
+  *    only, so pruned + residual stays ≡ full scan + filter;
   *  - the ORIGINAL filter is kept above the pruned scan as the
   *    residual (file stats admit false positives, never false
   *    negatives — the [[ZoneMap]] law, so pruned + residual ≡ full
@@ -147,11 +153,17 @@ case class ZoneMapPrune(spark: SparkSession) extends Rule[LogicalPlan] {
       return None
     }
     val (bounds, sBounds) = extractBounds(cond, rel, entry.statCols)
-    if (bounds.isEmpty && sBounds.isEmpty) return None
+    // bloom columns come from the map's own manifest (cached, zero
+    // jobs) — registration stays a (paths, statCols) contract
+    val bloomCols = ZoneMapMeta.load(spark, entry.zonePath)
+      .map(_.bloomCols).getOrElse(Seq.empty)
+    val bloomPreds = extractBloomValues(cond, rel, bloomCols)
+    if (bounds.isEmpty && sBounds.isEmpty && bloomPreds.isEmpty) return None
     val preds = bounds.toSeq.map { case (c, (lo, hi)) => (c, lo, hi) }
     val strPreds = sBounds.toSeq.map { case (c, (lo, hi)) => (c, lo, hi) }
     val (survivors, total) =
-      ZoneMap.pruneFilesTyped(spark, entry.zonePath, preds, strPreds)
+      ZoneMap.pruneFilesTyped(spark, entry.zonePath, preds, strPreds,
+        bloomPreds)
     if (survivors.size >= total) None // nothing skipped: no churn
     else if (survivors.isEmpty)
       Some(LocalRelation(rel.output)) // provably empty, zero data read
@@ -399,6 +411,72 @@ case class ZoneMapPrune(spark: SparkSession) extends Rule[LogicalPlan] {
       (slows.keySet ++ shighs.keySet).map { c =>
         c -> (slows.get(c), shighs.get(c))
       }.toMap)
+  }
+
+  /** Candidate value renderings per BLOOM column from equality/IN
+    * conjuncts (`In`'s `InSet` lowering included) — exactly the
+    * `cast(value as string)` the build hashed: decimal for integral
+    * columns, the raw string for string ones. Only INTEGRAL and STRING
+    * attributes participate — a date/timestamp InSet element is a bare
+    * int/long whose decimal rendering would NOT match the column's
+    * cast-to-string (an ISO date), and a mismatched rendering would
+    * wrongly DROP files; their min/max bounds already prune. Each
+    * conjunct is its own predicate (AND across conjuncts); a file
+    * passes one when ANY of its candidate values might be present (IN
+    * semantics). Anything unrecognized contributes nothing — blooms
+    * only ever drop provable non-matches, so partial extraction is
+    * sound.
+    */
+  private def extractBloomValues(cond: Expression, rel: LogicalRelation,
+                                 bloomCols: Seq[String])
+      : Seq[(String, Seq[String])] = {
+    if (bloomCols.isEmpty) return Seq.empty
+    val relIds = rel.output.map(a => a.exprId -> a.name).toMap
+    def bName(e: Expression): Option[String] = e match {
+      case a: AttributeReference
+          if relIds.get(a.exprId).exists(bloomCols.contains) &&
+            (a.dataType == StringType || (a.dataType match {
+              case ByteType | ShortType | IntegerType | LongType => true
+              case _ => false
+            })) =>
+        Some(a.name)
+      case _ => None
+    }
+    def render(e: Expression): Option[String] = e match {
+      case Literal(v: Byte, ByteType) => Some(v.toString)
+      case Literal(v: Short, ShortType) => Some(v.toString)
+      case Literal(v: Int, IntegerType) => Some(v.toString)
+      case Literal(v: Long, LongType) => Some(v.toString)
+      case Literal(v, StringType) if v != null => Some(v.toString)
+      case _ => None
+    }
+    def renderRaw(v: Any): Option[String] = v match {
+      case b: Byte => Some(b.toString)
+      case s: Short => Some(s.toString)
+      case i: Int => Some(i.toString)
+      case l: Long => Some(l.toString)
+      case u: org.apache.spark.unsafe.types.UTF8String => Some(u.toString)
+      case _ => None
+    }
+    def conjuncts(e: Expression): Seq[Expression] = e match {
+      case org.apache.spark.sql.catalyst.expressions.And(l, r) =>
+        conjuncts(l) ++ conjuncts(r)
+      case other => Seq(other)
+    }
+    conjuncts(cond).flatMap {
+      case EqualTo(a, l) if bName(a).isDefined =>
+        for (c <- bName(a); v <- render(l)) yield (c, Seq(v))
+      case EqualTo(l, a) if bName(a).isDefined && render(l).isDefined =>
+        for (c <- bName(a); v <- render(l)) yield (c, Seq(v))
+      case In(a, vs) if bName(a).isDefined && vs.nonEmpty &&
+          vs.forall { case l: Literal => render(l).isDefined
+            case _ => false } =>
+        bName(a).map(c => (c, vs.map { case l: Literal => render(l).get }))
+      case InSet(a, hset) if bName(a).isDefined && hset.nonEmpty &&
+          hset.forall(renderRaw(_).isDefined) =>
+        bName(a).map(c => (c, hset.toSeq.flatMap(renderRaw)))
+      case _ => None
+    }
   }
 
   /** The survivor-file relation, projected back to the original

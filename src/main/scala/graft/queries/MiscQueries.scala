@@ -747,6 +747,51 @@ object MiscQueries {
              |FROM customer WHERE c_mktsegment = 'BUILDING'
              |GROUP BY 1 ORDER BY 1""".stripMargin)),
 
+    // ---- BLOOM file skipping through the PLANNER (ZoneMap bloomCols +
+    // ZoneMapMeta v3 + ZoneMapPrune.extractBloomValues): the skipping
+    // min/max structurally CANNOT express — a key inside every file's
+    // span but present in only some files. Four interleaved files
+    // (orderkey mod 4) make range stats useless; per-file md5 blooms
+    // (the q149 portable family, driver-side twin position-parity
+    // pinned in BloomSpec) prove three of four files cannot hold the
+    // probed keys. False-positive-only, so the kept residual keeps the
+    // result exact — the full-scan oracle hash-proves it. Blooms live
+    // only in the _ZMMETA manifest: a crash-degraded manifest widens
+    // the scan, never wrongs it. ----
+    Q("q350_zonemap_bloom",
+      (s, dir) => {
+        import graft.operators.ZoneMap
+        import graft.plans.{ZoneMapCatalog, ZoneMapPrune}
+        val tmp = java.nio.file.Files
+          .createTempDirectory("graft_q350_").toString
+        val o = t(s, dir, "orders")
+          .select(col("o_orderkey"), col("o_custkey"), col("o_orderpriority"))
+        (0L to 3L).foreach(i => o.filter(col("o_orderkey") % 4 === i)
+          .coalesce(1).write.mode("append").parquet(s"$tmp/data"))
+        ZoneMap.buildZoneMap(s, s"$tmp/data", Seq("o_custkey"),
+          s"$tmp/zone", bloomCols = Seq("o_orderkey"),
+          bloomM = 1 << 20, bloomK = 5)
+        val prev = s.experimental.extraOptimizations
+        s.experimental.extraOptimizations = prev :+ ZoneMapPrune(s)
+        try {
+          ZoneMapCatalog.register(s, s"$tmp/data", s"$tmp/zone",
+            Seq("o_custkey"))
+          s.read.parquet(s"$tmp/data")
+            .filter(col("o_orderkey").isin(11L, 17L, 23L, 100L))
+            .groupBy(col("o_orderpriority"))
+            .agg(count(lit(1)).as("n"), sum(col("o_custkey")).as("ck_sum"))
+            .localCheckpoint(true) // the prune rule fires HERE
+            .orderBy(col("o_orderpriority"))
+        } finally {
+          s.experimental.extraOptimizations = prev
+          ZoneMapCatalog.clear()
+        }
+      },
+      Some("""SELECT o_orderpriority, count(*) AS n,
+             |  CAST(sum(o_custkey) AS BIGINT) AS ck_sum
+             |FROM orders WHERE o_orderkey IN (11, 17, 23, 100)
+             |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
     // ---- TPC-H Q5 shape: 5-way join, date filter, revenue per nation.
     // All dimensions broadcast; lineitem (the only big table) shuffles
     // once for the final aggregation only.

@@ -60,4 +60,30 @@ class BloomSpec extends SparkSpec {
     }.isEmpty, "bloom probe must not be planned as a join")
     assert(pass.count() > 0)
   }
+
+  test("posLocal/mightContainLocal are position-for-position identical " +
+    "to the aggregated side — the planner's driver-side bloom test") {
+    val m = 4096
+    val k = 3
+    // strings, integrals-as-strings, negatives, non-ASCII: all render
+    // exactly as cast-to-string did on the aggregated side
+    val vals = Seq("0", "42", "-7", "hello", "ümlaut", "1994-01-10")
+    vals.foreach { v =>
+      val agg = Bloom.positions(Seq(v).toDF("key"), "key", m, k)
+        .collect().map(_.getLong(0)).toSet
+      val loc = (0 until k).map(i => Bloom.posLocal(i, v, m)).toSet
+      assert(agg == loc, s"position parity for '$v': agg=$agg loc=$loc")
+    }
+    // long-typed dim: cast-to-string is the decimal rendering
+    val aggL = Bloom.positions(Seq(42L).toDF("key"), "key", m, k)
+      .collect().map(_.getLong(0)).toSet
+    assert(aggL == (0 until k).map(i => Bloom.posLocal(i, "42", m)).toSet)
+    // membership over packed words: inserted values pass, an absent one
+    // fails (md5 is deterministic, so this is a fixed outcome, not luck)
+    val words = Bloom.bitWords(
+      Bloom.positions(vals.toDF("key"), "key", m, k), m)
+    vals.foreach(v =>
+      assert(Bloom.mightContainLocal(words, v, m, k), s"'$v' must pass"))
+    assert(!Bloom.mightContainLocal(words, "absent-value", m, k))
+  }
 }

@@ -408,6 +408,70 @@ class ZoneMapSpec extends SparkSpec {
     assert(err.getMessage.contains("prune-only"))
   }
 
+  test("per-file BLOOMS drop equality/IN values min/max cannot; appends " +
+    "carry prior words and refuse spec changes; the v3 manifest " +
+    "round-trips") {
+    val dir = tmp("bloom")
+    // two interleaved files: near-identical [0,1023] spans, disjoint
+    // parities — min/max can never separate them, only the bloom can
+    (0 until 2).foreach { par =>
+      spark.range(0, 1024).filter(col("id") % 2 === par)
+        .select(col("id").as("v"), (col("id") * 2).as("w"))
+        .coalesce(1).write.mode("append").parquet(s"$dir/data")
+    }
+    operators.ZoneMap.buildZoneMap(spark, s"$dir/data", Seq("v"),
+      s"$dir/zone", bloomCols = Seq("v"), bloomM = 4096, bloomK = 3)
+    // v3 manifest round-trips through a cold cache
+    operators.ZoneMapMeta.invalidate()
+    val meta = operators.ZoneMapMeta.load(spark, s"$dir/zone")
+    assert(meta.exists(m => m.bloomCols == Seq("v") && m.bloomM == 4096 &&
+      m.bloomK == 3), s"v3 manifest must carry the bloom spec, got $meta")
+    val prev = spark.experimental.extraOptimizations
+    spark.experimental.extraOptimizations =
+      prev :+ graft.plans.ZoneMapPrune(spark)
+    try {
+      graft.plans.ZoneMapCatalog.register(spark, s"$dir/data",
+        s"$dir/zone", Seq("v"))
+      // equality on an odd value: both spans cover it, the even file's
+      // bloom proves it absent
+      val q = spark.read.parquet(s"$dir/data").filter(col("v") === 7L)
+      assert(q.inputFiles.length == 1,
+        s"bloom must drop the even file (${q.inputFiles.length} of 2)")
+      assert(q.count() == 1L)
+      // IN across parities: both files genuinely needed
+      val q2 = spark.read.parquet(s"$dir/data")
+        .filter(col("v").isin(6L, 7L))
+      assert(q2.inputFiles.length == 2)
+      assert(q2.count() == 2L)
+      // append overlapping even multiples of 6 in [0, 96]: prior words
+      // carry verbatim, the new file gets its own
+      operators.ZoneMap.appendWithStats(
+        spark.range(0, 97).filter(col("id") % 6 === 0)
+          .select(col("id").as("v"), (col("id") * 2).as("w")),
+        s"$dir/data", Seq("v"), s"$dir/zone")
+      // 7: odd file only — the appended file's span [0,96] covers it,
+      // its bloom proves it absent
+      val q3 = spark.read.parquet(s"$dir/data").filter(col("v") === 7L)
+      assert(q3.inputFiles.length == 1)
+      assert(q3.count() == 1L)
+      // 12: even file + appended file (both contain it), odd bloom-drops
+      val q4 = spark.read.parquet(s"$dir/data").filter(col("v") === 12L)
+      assert(q4.inputFiles.length == 2)
+      assert(q4.count() == 2L)
+      // an append cannot change the bloom spec
+      val err = intercept[IllegalArgumentException] {
+        operators.ZoneMap.appendWithStats(
+          spark.range(5000, 5002).select(col("id").as("v"),
+            (col("id") * 2).as("w")),
+          s"$dir/data", Seq("v"), s"$dir/zone", bloomCols = Seq("w"))
+      }
+      assert(err.getMessage.contains("cannot change the spec"))
+    } finally {
+      spark.experimental.extraOptimizations = prev
+      graft.plans.ZoneMapCatalog.clear()
+    }
+  }
+
   test("the _ZMMETA manifest answers pruning with ZERO Spark jobs and " +
     "the planner never touches the zone table when it validates") {
     val dir = tmp("meta")
