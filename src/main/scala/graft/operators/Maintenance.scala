@@ -84,14 +84,20 @@ object Maintenance {
     * decided from [[Similarity.ivfPqMaintenanceStats]]'s store-metadata
     * read. The corpus-driven DRIFT rebuild deliberately stays outside
     * the sweep (it needs the live corpus, which a metadata-only janitor
-    * does not have). `cId` is the index's id column, as at build time.
+    * does not have). `cId` is the index's id column as at build time —
+    * a FALLBACK only: when a live tombstone log exists, its own schema
+    * names the column authoritatively
+    * ([[Similarity.ivfPqTombstoneIdCol]]) and overrides this, so
+    * detect()-built targets compact correctly whatever the build used.
     */
   case class IvfPqT(path: String, cId: String = "nid") extends Target {
     def label: String = s"ivfpq:$path"
   }
 
   /** What the sweep did to one target: `verb` ∈ compact | vacuum |
-    * recluster | none, with the inspection numbers that justified it.
+    * recluster | none | skip | error, with the inspection numbers that
+    * justified it (`error` carries the exception — the target was
+    * skipped, the sweep CONTINUED).
     */
   case class Action(target: String, verb: String, detail: String)
 
@@ -136,10 +142,29 @@ object Maintenance {
   }
 
   /** THE verb: inspect every target, run exactly what its numbers call
-    * for, report everything (healthy targets report `none`). */
+    * for, report everything (healthy targets report `none`). PER-TARGET
+    * error isolation: a corrupt manifest, a vanished directory, or a
+    * mis-registered target reports `verb = error` and the sweep moves
+    * on — one bad store must never leave the rest of the fleet
+    * unmaintained (each verb is itself crash-safe, so an error here
+    * never leaves ITS store half-mutated either; it re-heals on the
+    * next sweep after the operator fixes the cause).
+    */
   def sweep(spark: SparkSession, targets: Seq[Target],
             policy: Policy = Policy()): Seq[Action] =
-    targets.flatMap {
+    targets.flatMap { t =>
+      try sweepOne(spark, t, policy)
+      catch {
+        case scala.util.control.NonFatal(e) =>
+          Seq(Action(t.label, "error",
+            s"${e.getClass.getSimpleName}: ${e.getMessage} — target " +
+              "skipped, sweep continued"))
+      }
+    }
+
+  private def sweepOne(spark: SparkSession, target: Target,
+                       policy: Policy): Seq[Action] =
+    Seq(target).flatMap {
       case t @ AggStoreT(path) =>
         vacuumIfDeep(spark, t.label, Seq("" -> path), policy)
       case t @ JoinViewT(path) =>
@@ -156,9 +181,15 @@ object Maintenance {
           vacuumIfDeep(spark, t.label, subs, policy)
       case t @ IvfPqT(path, cId) =>
         val (tombs, _, _) = Similarity.ivfPqMaintenanceStats(spark, path)
+        // the live log's OWN id column (one parquet footer) overrides
+        // the target's default: a detect()-built target cannot know the
+        // build-time cId, and compacting against the wrong column name
+        // would fail mid-sweep
+        val cIdEff = Similarity.ivfPqTombstoneIdCol(spark, path)
+          .getOrElse(cId)
         val compactAct =
           if (tombs > policy.maxTombstones) {
-            Similarity.compactIvfPqIndex(spark, path, cId)
+            Similarity.compactIvfPqIndex(spark, path, cIdEff)
             Action(t.label, "compact",
               s"$tombs live tombstone rows > ${policy.maxTombstones}: " +
                 "rewrote their cells physically and archived the log")

@@ -1019,6 +1019,23 @@ object Similarity {
     (tombs, archived + 1, versions)
   }
 
+  /** The LIVE tombstone log's own id column — its only non-fence field,
+    * read from one parquet footer. The authority a [[Maintenance]]
+    * sweep target built by directory DETECTION needs before compacting:
+    * `detect()` cannot know the build-time `cId`, and compacting with a
+    * guessed one would fail (or worse) against a log keyed differently.
+    * None when no live log exists — then there is nothing to compact
+    * and the column is moot.
+    */
+  def ivfPqTombstoneIdCol(spark: org.apache.spark.sql.SparkSession,
+                          path: String): Option[String] = {
+    val root = resolveIvfPqRoot(spark, path)
+    val p = new org.apache.hadoop.fs.Path(s"$root/tombstones")
+    if (!p.getFileSystem(spark.sessionState.newHadoopConf()).exists(p)) None
+    else spark.read.parquet(s"$root/tombstones")
+      .schema.fieldNames.find(_ != "__tgen")
+  }
+
   /** Drift-TRIGGERED rebuild policy — [[ivfPqDriftStats]] composed with
     * [[rebuildIvfPqIndex]] into the closed loop the two halves describe:
     * score the live corpus's quantization error per cohort against the

@@ -120,29 +120,32 @@ object ZoneMap {
     require(m > 0 && m % 64 == 0,
       s"bloom m must be a positive multiple of 64, got $m")
     require(k >= 1, s"bloom k must be positive, got $k")
-    val perCol = bloomCols.map { c =>
-      val rows = data
-        .select(input_file_name().as("file"), col(c).cast("string").as("__v"))
-        .where(col("__v").isNotNull)
-        .distinct()
-        .select(col("file"), explode(array((0 until k).map(i =>
-          Bloom.pos(i, col("__v"), m)): _*)).as("pos"))
-        .distinct()
-        .collect()
-      c -> rows.groupBy(_.getString(0)).map { case (f, rs) =>
+    // ONE pass for every bloom column: each row explodes to its
+    // |cols|·k (column, position) pairs (null values yield null
+    // positions, dropped after the explode), distinct'd down to
+    // ≤ |files|·|cols|·m rows by partial aggregation — never a scan
+    // per column
+    val pairs = bloomCols.flatMap(c => (0 until k).map(i =>
+      struct(lit(c).as("c"), Bloom.pos(i, col(c), m).as("pos"))))
+    val rows = data
+      .select(input_file_name().as("file"),
+        explode(array(pairs: _*)).as("p"))
+      .select(col("file"), col("p.c").as("c"), col("p.pos").as("pos"))
+      .where(col("pos").isNotNull)
+      .distinct()
+      .collect()
+    val grouped = rows.groupBy(r => (r.getString(0), r.getString(1)))
+      .map { case ((f, c), rs) =>
         val words = new Array[Long](m / 64)
         rs.foreach { r =>
-          val p = r.getLong(1)
+          val p = r.getLong(2)
           words((p / 64).toInt) |= (1L << (p % 64))
         }
-        f -> words
+        (f, c) -> words
       }
-    }
-    val allFiles = perCol.flatMap(_._2.keys).distinct
-    allFiles.map { f =>
-      f -> perCol.map { case (c, byFile) =>
-        c -> byFile.getOrElse(f, new Array[Long](m / 64))
-      }.toMap
+    grouped.keys.map(_._1).toSeq.distinct.map { f =>
+      f -> bloomCols.map(c =>
+        c -> grouped.getOrElse((f, c), new Array[Long](m / 64))).toMap
     }.toMap
   }
 
@@ -243,6 +246,17 @@ object ZoneMap {
                 "rebuild with bloomCols to introduce them")
             None
           case None =>
+            // the manifest does not VALIDATE, but if it still PARSES
+            // and names blooms, the map provably had them — appending
+            // would commit a fresh valid manifest WITHOUT them, a
+            // permanent silent loss. (An unparseable-or-deleted
+            // manifest on a bloom map is the residual undetectable
+            // window — then this degrades to a bloom-less append.)
+            require(ZoneMapMeta.rawBloomCols(spark, zonePath).isEmpty,
+              s"zone map at $zonePath carried blooms but its _ZMMETA " +
+                "no longer validates (crash between the zone write and " +
+                "the manifest commit) — rebuild the map; appending would " +
+                "silently drop the filters")
             require(bloomCols.isEmpty,
               s"zone map at $zonePath has no valid _ZMMETA manifest but " +
                 "bloom columns were requested — a crash between the zone " +
@@ -463,10 +477,34 @@ object ZoneMap {
                           partitions: Int = 32): (Long, Boolean) = {
     val (drift, _) = layoutDrift(spark, zonePath, colA, colB)
     if (drift <= maxDriftPpm) return (drift, false)
+    // the rebuild must preserve the map's FULL spec — stat columns
+    // beyond the cluster pair, and the bloom spec — or an automated
+    // sweep would silently narrow what the planner can prune on (and a
+    // later query bounding a dropped column would fail at plan time
+    // inside pruneTyped's described-columns guard). Stat columns come
+    // from the manifest, falling back to the zone table's own schema
+    // (authoritative; `<c>_min` fields in build order); the bloom spec
+    // exists only in the manifest — a crash-degraded manifest loses it
+    // here, the same documented window as the append path, and the
+    // rebuild restores a valid (bloom-less) manifest either way.
+    val meta = ZoneMapMeta.load(spark, zonePath)
+    val statCols = meta.map(_.statCols).getOrElse(
+      spark.read.parquet(zonePath).schema.fieldNames.toSeq
+        .filter(_.endsWith("_min")).map(_.stripSuffix("_min")))
+    require(Seq(colA, colB).forall(statCols.contains),
+      s"zone map at $zonePath describes ${statCols.mkString(",")} — " +
+        s"cluster pair ($colA, $colB) must be among them")
+    val (bCols, bM, bK) = meta.filter(_.bloomCols.nonEmpty)
+      .map(m => (m.bloomCols, m.bloomM, m.bloomK))
+      .getOrElse((Seq.empty[String], 4096, 3))
     // materialize BEFORE overwriting the source being read
     val cur = spark.read.parquet(dataPath).localCheckpoint(true)
-    try writeZOrdered(cur, dataPath, zonePath, colA, colB, bits, partitions)
-    finally GenStore.freeLocal(cur)
+    try {
+      ZOrder.layout(cur, colA, colB, bits, partitions)
+        .drop("__z")
+        .write.mode("overwrite").parquet(dataPath)
+      buildZoneMap(spark, dataPath, statCols, zonePath, bCols, bM, bK)
+    } finally GenStore.freeLocal(cur)
     (drift, true)
   }
 }

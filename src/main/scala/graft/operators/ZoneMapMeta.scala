@@ -250,6 +250,18 @@ private[graft] object ZoneMapMeta {
     }
   }
 
+  /** The (possibly STALE) manifest's bloom columns, signature UNCHECKED
+    * — the append path's loss probe: a manifest that no longer
+    * validates but still parses and names blooms proves the map had
+    * them, so an append that would commit a bloom-less replacement can
+    * refuse loudly instead of losing the filters silently. Empty when
+    * the manifest is absent or unparseable (the residual undetectable
+    * window).
+    */
+  private[operators] def rawBloomCols(spark: SparkSession,
+                                      zonePath: String): Seq[String] =
+    rawRead(spark, zonePath).map(_.bloomCols).getOrElse(Seq.empty)
+
   /** Parse the manifest without signature validation (gen continuity
     * needs the superseded one). Any malformation — torn content, stale
     * checksum sidecar, unreadable file — → None, loudly never: the zone

@@ -88,14 +88,24 @@ object ZoneMapCatalog {
     * with at least two stat columns becomes a [[graft.operators
     * .Maintenance.ZoneMapT]] recluster target (the drift statistic is
     * 2-D — the first two stat columns are the cluster pair, matching
-    * [[graft.operators.ZoneMap.writeZOrdered]]'s signature).
-    * Single-column registrations are pruning-only and are skipped, as
-    * are multi-root ones (a recluster overwrites ONE directory) —
-    * register those with the sweep explicitly if they need a cadence.
+    * [[graft.operators.ZoneMap.writeZOrdered]]'s signature). Skipped —
+    * a registry must never enroll a target whose inspection would
+    * throw: single-column registrations (pruning-only), multi-root
+    * ones (a recluster overwrites ONE directory), entries whose first
+    * two stat columns are not both integer-image (string stats are
+    * prune-only — no span arithmetic, no cluster dimension), and
+    * entries whose manifest does not currently validate (the column
+    * TYPES are only knowable from it; the next mutation restores the
+    * manifest and the entry re-enrolls). Register those with the sweep
+    * explicitly if they need a cadence.
     */
-  def zoneTargetsFromCatalog: Seq[graft.operators.Maintenance.ZoneMapT] =
+  def zoneTargetsFromCatalog(spark: SparkSession)
+      : Seq[graft.operators.Maintenance.ZoneMapT] =
     entries.collect {
-      case e if e.statCols.length >= 2 && e.dataPaths.size == 1 =>
+      case e if e.statCols.length >= 2 && e.dataPaths.size == 1 &&
+          graft.operators.ZoneMapMeta.load(spark, e.zonePath).exists(m =>
+            !m.strCols.contains(e.statCols(0)) &&
+              !m.strCols.contains(e.statCols(1))) =>
         graft.operators.Maintenance.ZoneMapT(PathNorm.norm(e.dataPaths.head),
           e.zonePath, e.statCols(0), e.statCols(1))
     }.distinct
@@ -281,11 +291,6 @@ case class ZoneMapPrune(spark: SparkSession) extends Rule[LogicalPlan] {
       shighs(c) = shighs.get(c)
         .filter(x => graft.operators.ZoneMapMeta.cmpUtf8(x, v) <= 0)
         .getOrElse(v)
-    def conjuncts(e: Expression): Seq[Expression] = e match {
-      case org.apache.spark.sql.catalyst.expressions.And(l, r) =>
-        conjuncts(l) ++ conjuncts(r)
-      case other => Seq(other)
-    }
     val lows = scala.collection.mutable.Map.empty[String, Long]
     val highs = scala.collection.mutable.Map.empty[String, Long]
     // inclusive literal-unit bound → inclusive stat-unit bound:
@@ -317,7 +322,7 @@ case class ZoneMapPrune(spark: SparkSession) extends Rule[LogicalPlan] {
     // or it would swallow the literal-first shape before its mirrored
     // case can run (a completeness miss, never a correctness one —
     // missing bounds only widen the file set)
-    conjuncts(cond).foreach {
+    conjunctsOf(cond).foreach {
       case GreaterThanOrEqual(a, l) if statName(a).isDefined =>
         for (c <- statName(a); v <- litVal(l)) lo(c, v)
       case LessThanOrEqual(a, l) if statName(a).isDefined =>
@@ -413,6 +418,14 @@ case class ZoneMapPrune(spark: SparkSession) extends Rule[LogicalPlan] {
       }.toMap)
   }
 
+  /** Top-level AND conjuncts — shared by the bound and bloom
+    * extractors so the one split can never drift between them. */
+  private def conjunctsOf(e: Expression): Seq[Expression] = e match {
+    case org.apache.spark.sql.catalyst.expressions.And(l, r) =>
+      conjunctsOf(l) ++ conjunctsOf(r)
+    case other => Seq(other)
+  }
+
   /** Candidate value renderings per BLOOM column from equality/IN
     * conjuncts (`In`'s `InSet` lowering included) — exactly the
     * `cast(value as string)` the build hashed: decimal for integral
@@ -458,12 +471,7 @@ case class ZoneMapPrune(spark: SparkSession) extends Rule[LogicalPlan] {
       case u: org.apache.spark.unsafe.types.UTF8String => Some(u.toString)
       case _ => None
     }
-    def conjuncts(e: Expression): Seq[Expression] = e match {
-      case org.apache.spark.sql.catalyst.expressions.And(l, r) =>
-        conjuncts(l) ++ conjuncts(r)
-      case other => Seq(other)
-    }
-    conjuncts(cond).flatMap {
+    conjunctsOf(cond).flatMap {
       case EqualTo(a, l) if bName(a).isDefined =>
         for (c <- bName(a); v <- render(l)) yield (c, Seq(v))
       case EqualTo(l, a) if bName(a).isDefined && render(l).isDefined =>

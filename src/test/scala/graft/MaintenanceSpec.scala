@@ -163,23 +163,46 @@ class MaintenanceSpec extends SparkSpec {
     assert(Maintenance.detect(spark, idx).contains(IvfPqT(idx)))
   }
 
-  test("a planner zone-map registration doubles as the sweep registry") {
+  test("a planner zone-map registration doubles as the sweep registry; " +
+    "string-stat registrations never enroll; errors isolate per target") {
     val dir = tmp("zreg")
     val grid = spark.range(0, 256).select(
       (col("id") % 16).cast("long").as("a"),
       (col("id") / 16).cast("long").as("b"))
     ZoneMap.writeZOrdered(grid, s"$dir/data", s"$dir/zone", "a", "b",
       bits = 8, partitions = 4)
+    // a pruning-only STRING registration (q349's shape) must NOT become
+    // a recluster target — its drift inspection would refuse
+    spark.range(0, 64).select(
+        concat(lit("s"), (col("id") % 4)).as("seg"), col("id").as("v"))
+      .write.parquet(s"$dir/sdata")
+    ZoneMap.buildZoneMap(spark, s"$dir/sdata", Seq("seg", "v"),
+      s"$dir/szone")
     graft.plans.ZoneMapCatalog.register(spark, s"$dir/data", s"$dir/zone",
       Seq("a", "b"))
+    graft.plans.ZoneMapCatalog.register(spark, s"$dir/sdata", s"$dir/szone",
+      Seq("seg", "v"))
     try {
-      val targets = graft.plans.ZoneMapCatalog.zoneTargetsFromCatalog
+      val targets = graft.plans.ZoneMapCatalog.zoneTargetsFromCatalog(spark)
       assert(targets.map(t => (t.zonePath, t.colA, t.colB)) ==
         Seq((s"$dir/zone", "a", "b")),
-        s"the registration must map to a recluster target, got $targets")
+        s"only the integer-image registration enrolls, got $targets")
       val acts = Maintenance.sweep(spark, targets)
       assert(acts.nonEmpty && acts.forall(_.verb == "none"),
         s"a fresh clustered layout is healthy, got $acts")
+      // per-target error isolation: a corrupt target reports `error`
+      // and the healthy one still sweeps
+      new java.io.File(s"$dir/bad").mkdirs()
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(s"$dir/bad/CURRENT"), "garbage")
+      val mixed = Maintenance.sweep(spark,
+        Seq(IvfPqT(s"$dir/bad")) ++ targets)
+      assert(mixed.exists(a => a.verb == "error" &&
+        a.target.startsWith("ivfpq:")),
+        s"the corrupt target must report error, got $mixed")
+      assert(mixed.exists(a => a.verb == "none" &&
+        a.target.startsWith("zonemap:")),
+        s"the healthy target must still sweep, got $mixed")
     } finally graft.plans.ZoneMapCatalog.clear()
   }
 

@@ -472,6 +472,33 @@ class ZoneMapSpec extends SparkSpec {
     }
   }
 
+  test("recluster preserves the map's FULL spec: stat columns beyond " +
+    "the cluster pair and the bloom spec survive the rebuild") {
+    val dir = tmp("respec")
+    // unclustered layout (interleaved repartition): drift ~ full-span
+    spark.range(0, 1024).select(
+        (col("id") % 32).cast("long").as("a"),
+        (col("id") / 32).cast("long").as("b"),
+        (col("id") % 7).cast("long").as("c"))
+      .repartition(4).write.parquet(s"$dir/data")
+    operators.ZoneMap.buildZoneMap(spark, s"$dir/data", Seq("a", "b", "c"),
+      s"$dir/zone", bloomCols = Seq("c"), bloomM = 1024, bloomK = 3)
+    val (drift, ran) = operators.ZoneMap.reclusterIfDegraded(spark,
+      s"$dir/data", s"$dir/zone", "a", "b", maxDriftPpm = 1000L)
+    assert(ran, s"an interleaved layout must trip the policy ($drift ppm)")
+    operators.ZoneMapMeta.invalidate()
+    val meta = operators.ZoneMapMeta.load(spark, s"$dir/zone").get
+    assert(meta.statCols == Seq("a", "b", "c"),
+      s"the rebuilt map must keep ALL stat columns, got ${meta.statCols}")
+    assert(meta.bloomCols == Seq("c") && meta.bloomM == 1024 &&
+      meta.bloomK == 3,
+      s"the rebuilt map must keep the bloom spec, got $meta")
+    // the third column still prunes (both by bounds and by bloom)
+    val (surv, total) = operators.ZoneMap.pruneFiles(spark, s"$dir/zone",
+      Seq(("c", 2L, 2L)))
+    assert(total > 0 && surv.nonEmpty, "the rebuilt stats must resolve c")
+  }
+
   test("the _ZMMETA manifest answers pruning with ZERO Spark jobs and " +
     "the planner never touches the zone table when it validates") {
     val dir = tmp("meta")
