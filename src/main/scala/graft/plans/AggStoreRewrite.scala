@@ -41,7 +41,9 @@ import graft.operators.AggStore
   *  - POINT LOOKUP: a pushed-down `key = lit` / `key IN (lits)` filter
   *    (plus the optimizer's inferred `IsNotNull(key)`) over a
   *    single-column equality-joinable key (integral / string / date /
-  *    timestamp / boolean) rewrites to
+  *    timestamp / boolean), or a conjunction of per-column equalities
+  *    covering a multi-column (struct-keyed) registration exactly once
+  *    each, rewrites to
   *    [[AggStore.lookupAggStoreKeys]] — the manifest-pruned bucket read
   *    (q327's shape), so "these keys' aggregates" costs ≤ |keys| bucket
   *    dirs instead of even the store scan; min/max outputs route the
@@ -144,16 +146,27 @@ case class AggStoreRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
             _ <- Some(()).filter(_ => gAttrs.length == keyAttrs.length &&
               gAttrs.zip(keyAttrs).forall { case (ga, ka) =>
                 ga.exprId == ka.exprId })
-            // a key-literal filter is accepted only on a single-column
-            // equality-joinable key ([[AggStoreRewrite.lookupable]]:
-            // integral / string / date / timestamp / boolean), literals
-            // type-equal and non-null — it becomes the point lookup
-            // below
-            _ <- Some(()).filter(_ => keyPred.forall { case (a, lits) =>
-              keyAttrs.length == 1 && a.exprId == keyAttrs.head.exprId &&
-                AggStoreRewrite.lookupable(keyAttrs.head.dataType) &&
-                lits.forall(l => l.dataType == keyAttrs.head.dataType &&
-                  l.value != null)
+            // a key-literal filter is accepted only on equality-joinable
+            // key columns ([[AggStoreRewrite.lookupable]]: integral /
+            // string / date / timestamp / boolean), literals type-equal
+            // and non-null — single-column `= / IN`, or a conjunction of
+            // equalities covering a multi-column key exactly once each —
+            // it becomes the point lookup below
+            _ <- Some(()).filter(_ => keyPred.forall {
+              case SingleKey(a, lits) =>
+                keyAttrs.length == 1 && a.exprId == keyAttrs.head.exprId &&
+                  AggStoreRewrite.lookupable(keyAttrs.head.dataType) &&
+                  lits.forall(l => l.dataType == keyAttrs.head.dataType &&
+                    l.value != null)
+              case MultiKey(eqs) =>
+                keyAttrs.length >= 2 && eqs.length == keyAttrs.length &&
+                  keyAttrs.forall(ka =>
+                    eqs.count(_._1.exprId == ka.exprId) == 1) &&
+                  eqs.forall { case (a, l) =>
+                    keyAttrs.find(_.exprId == a.exprId).exists(ka =>
+                      AggStoreRewrite.lookupable(ka.dataType) &&
+                        l.dataType == ka.dataType && l.value != null)
+                  }
             })
             outs <- mapOutputs(aggExprs, keyAttrs, valAttr)
             // min/max serve only from an EXTREMA store (insert-only
@@ -178,8 +191,12 @@ case class AggStoreRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
     matched.flatMap { case (entry, keyAttrs, outs, keyPred) =>
       val needsExtrema = outs.exists(o =>
         o._2 == OutCol.Lo || o._2 == OutCol.Hi)
+      def lookupOf(keysDf: DataFrame): DataFrame =
+        if (needsExtrema) // the five-column lookup, extrema-folded
+          AggStore.lookupAggStoreKeysExtrema(keysDf, entry.storePath)
+        else AggStore.lookupAggStoreKeys(keysDf, entry.storePath)
       val storeDf = keyPred match {
-        case Some((_, lits)) => // POINT LOOKUP: ≤ |keys| bucket dirs
+        case Some(SingleKey(_, lits)) => // POINT LOOKUP: ≤ |keys| buckets
           val schema = StructType(Seq(
             StructField("key", keyAttrs.head.dataType)))
           // literals carry INTERNAL values (UTF8String, epoch days,
@@ -189,11 +206,22 @@ case class AggStoreRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
           val toScala = CatalystTypeConverters
             .createToScalaConverter(keyAttrs.head.dataType)
           val rows: Seq[Row] = lits.map(l => Row(toScala(l.value))).distinct
-          val keysDf = spark.createDataFrame(
-            java.util.Arrays.asList(rows: _*), schema)
-          if (needsExtrema) // the five-column lookup, extrema-folded
-            AggStore.lookupAggStoreKeysExtrema(keysDf, entry.storePath)
-          else AggStore.lookupAggStoreKeys(keysDf, entry.storePath)
+          lookupOf(spark.createDataFrame(
+            java.util.Arrays.asList(rows: _*), schema))
+        case Some(MultiKey(eqs)) =>
+          // ONE struct-key row, fields in registered order — a single
+          // bucket dir of I/O, the struct twin of the lookup above
+          val ordered = keyAttrs.map(ka =>
+            eqs.find(_._1.exprId == ka.exprId).get._2)
+          val schema = StructType(Seq(StructField("key", StructType(
+            entry.keyCols.zip(keyAttrs).map { case (n, ka) =>
+              StructField(n, ka.dataType) }))))
+          val row = Row(Row(keyAttrs.zip(ordered).map { case (ka, l) =>
+            CatalystTypeConverters.createToScalaConverter(ka.dataType)(
+              l.value)
+          }: _*))
+          lookupOf(spark.createDataFrame(
+            java.util.Arrays.asList(row), schema))
         case None =>
           if (needsExtrema) AggStore.readAggStoreExtrema(spark, entry.storePath)
           else AggStore.readAggStore(spark, entry.storePath)
@@ -260,6 +288,21 @@ case class AggStoreRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
     case object Lo extends OutColT
     case object Hi extends OutColT
   }
+
+  /** A parsed key-literal filter: `key = lit` / `key IN (lits)` on a
+    * single-column key, or a CONJUNCTION of per-column equalities
+    * covering a multi-column (struct-keyed) registration exactly once
+    * each — "this (customer, month)'s aggregate", the struct-key
+    * lookup q332's serving naturally composes with. Multi-key IN is
+    * deliberately not matched: a conjunction of INs denotes a cross
+    * product the caller may not intend, and the single-row equality is
+    * the shape warehouses write.
+    */
+  private sealed trait KeyPredT
+  private case class SingleKey(a: AttributeReference,
+                               lits: Seq[Literal]) extends KeyPredT
+  private case class MultiKey(eqs: Seq[(AttributeReference, Literal)])
+    extends KeyPredT
 
   /** Every aggregate output must be a group key, count(<lit>),
     * sum(<val>), or avg(<val>) — else no rewrite. */
@@ -339,8 +382,7 @@ case class AggStoreRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
     * predicate changes the grouped rows and must never be rewritten.
     */
   private def childShape(child: LogicalPlan)
-      : Option[(LogicalRelation, Seq[Attribute],
-        Option[(AttributeReference, Seq[Literal])])] = {
+      : Option[(LogicalRelation, Seq[Attribute], Option[KeyPredT])] = {
     def attrsOf(projList: Seq[NamedExpression]): Option[Seq[Attribute]] =
       if (projList.forall(_.isInstanceOf[AttributeReference]))
         Some(projList.map(_.asInstanceOf[AttributeReference]))
@@ -361,13 +403,14 @@ case class AggStoreRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
     }
   }
 
-  /** Exactly one `attr = lit` / `attr IN (lits)` conjunct, plus any
-    * number of `IsNotNull` guards on the SAME attribute (the optimizer
-    * infers one from the equality) — nothing else. The caller validates
-    * the attribute against the registered key.
+  /** Key-literal conjuncts plus any number of `IsNotNull` guards on the
+    * predicated attributes (the optimizer infers one per equality) —
+    * nothing else. One `attr = lit` / `attr IN (lits)` conjunct parses
+    * as [[SingleKey]]; two or more single-literal equalities on
+    * DISTINCT attributes parse as [[MultiKey]] (the struct-key shape).
+    * The caller validates the attributes against the registered key.
     */
-  private def keyLiteralPred(pred: Expression)
-      : Option[(AttributeReference, Seq[Literal])] = {
+  private def keyLiteralPred(pred: Expression): Option[KeyPredT] = {
     def conjuncts(e: Expression): Seq[Expression] = e match {
       case And(l, r) => conjuncts(l) ++ conjuncts(r)
       case other => Seq(other)
@@ -385,7 +428,12 @@ case class AggStoreRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
     keyLits match {
       case Seq((a, lits)) if others == 0 &&
           notNulls.forall(_.exprId == a.exprId) =>
-        Some((a, lits))
+        Some(SingleKey(a, lits))
+      case many if many.length >= 2 && others == 0 &&
+          many.forall(_._2.length == 1) &&
+          many.map(_._1.exprId).distinct.length == many.length &&
+          notNulls.forall(n => many.exists(_._1.exprId == n.exprId)) =>
+        Some(MultiKey(many.map { case (a, ls) => (a, ls.head) }))
       case _ => None
     }
   }

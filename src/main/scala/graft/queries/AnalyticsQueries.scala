@@ -2672,7 +2672,50 @@ object AnalyticsQueries {
       Some("""SELECT l_returnflag AS key, count(*) AS cnt,
              |  CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS total
              |FROM lineitem WHERE l_returnflag IN ('A', 'N')
-             |GROUP BY 1 ORDER BY key""".stripMargin))
+             |GROUP BY 1 ORDER BY key""".stripMargin)),
+
+    // ---- MULTI-KEY point lookup through the MV rewrite
+    // (AggStoreRewrite's MultiKey predicate): q332's struct-keyed
+    // serving composed with q331's bucket-pruned lookup — a
+    // conjunction of per-column equalities covering the registered
+    // (l_suppkey, l_returnflag) key exactly once becomes ONE
+    // struct-key row and ONE bucket dir of I/O; "this (supplier,
+    // flag)'s aggregate" never scans even the store. A PARTIAL key
+    // filter (one equality of two) refuses and answers from the base —
+    // MvRewriteSpec pins both. Oracle: the filtered groupBy recompute.
+    // ----
+    Q("q351_mv_multikey_lookup",
+      (s, dir) => {
+        import graft.operators.AggStore
+        import graft.plans.{AggStoreRewrite, MvCatalog}
+        val li = t(s, dir, "lineitem")
+        val tmp = java.nio.file.Files
+          .createTempDirectory("graft_q351_").toString + "/store"
+        AggStore.buildAggStore(
+          li.select(struct(col("l_suppkey"), col("l_returnflag")).as("kk"),
+            col("l_quantity")),
+          tmp, "kk", "l_quantity")
+        val prev = s.experimental.extraOptimizations
+        s.experimental.extraOptimizations = prev :+ AggStoreRewrite(s)
+        try {
+          MvCatalog.registerAggView(li, Seq("l_suppkey", "l_returnflag"),
+            "l_quantity", tmp)
+          li.filter(col("l_suppkey") === 7 && col("l_returnflag") === "A")
+            .groupBy(col("l_suppkey"), col("l_returnflag"))
+            .agg(count(lit(1)).as("cnt"),
+              sum(col("l_quantity").cast("long")).as("total"))
+            .localCheckpoint(true) // rewrite fires HERE, rule still live
+            .withColumnRenamed("l_suppkey", "key")
+            .orderBy(col("key"))
+        } finally {
+          s.experimental.extraOptimizations = prev
+          MvCatalog.clear()
+        }
+      },
+      Some("""SELECT l_suppkey AS key, l_returnflag, count(*) AS cnt,
+             |  CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS total
+             |FROM lineitem WHERE l_suppkey = 7 AND l_returnflag = 'A'
+             |GROUP BY 1, 2 ORDER BY key""".stripMargin))
   )
 
   /** q260 oracle: weekday factors, the integer deseasonalization, the

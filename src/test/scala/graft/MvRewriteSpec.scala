@@ -390,6 +390,41 @@ class MvRewriteSpec extends SparkSpec {
     }
   }
 
+  test("a conjunction of per-column equalities over a struct-keyed " +
+    "store becomes a single-bucket lookup; partial keys refuse") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_mvmk_").toString
+    Seq((1L, "a", 10L), (1L, "b", 20L), (1L, "a", 5L), (2L, "b", 7L))
+      .toDF("k1", "k2", "v").write.parquet(s"$dir/base")
+    val base = spark.read.parquet(s"$dir/base")
+    AggStore.buildAggStore(
+      base.select(struct(col("k1"), col("k2")).as("kk"), col("v")),
+      s"$dir/store", "kk", "v", nBuckets = 8)
+    withRule {
+      MvCatalog.registerAggView(base, Seq("k1", "k2"), "v", s"$dir/store")
+      val q = base.filter(col("k1") === 1L && col("k2") === "a")
+        .groupBy(col("k1"), col("k2"))
+        .agg(count(lit(1)).as("cnt"), sum(col("v").cast("long")).as("total"))
+      assert(q.inputFiles.exists(_.contains("/store/")),
+        "the full-key equality conjunction must serve from the store")
+      val all = AggStore.readAggStore(spark, s"$dir/store").inputFiles.toSet
+      assert(q.inputFiles.toSet.subsetOf(all) &&
+        q.inputFiles.length < all.size,
+        s"multi-key lookup must open a strict subset " +
+          s"(${q.inputFiles.length} of ${all.size})")
+      assert(q.as[(Long, String, Long, Long)].collect().toSeq ==
+        Seq((1L, "a", 2L, 15L)))
+      // a PARTIAL key filter changes which groups exist vs the lookup's
+      // semantics — refused, answered from the base
+      val partial = base.filter(col("k1") === 1L)
+        .groupBy(col("k1"), col("k2"))
+        .agg(count(lit(1)).as("cnt"))
+      assert(!partial.inputFiles.exists(_.contains("/store/")),
+        "a partial key equality must not be rewritten")
+      assert(partial.orderBy("k2").as[(Long, String, Long)]
+        .collect().toSeq == Seq((1L, "a", 2L), (1L, "b", 1L)))
+    }
+  }
+
   test("a group point filter over the join-aggregate becomes a " +
     "bucket-pruned view lookup; value filters still refuse") {
     val dir = java.nio.file.Files.createTempDirectory("graft_mvjl_").toString
