@@ -1,7 +1,7 @@
 package graft.plans
 
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.catalyst.expressions.{Alias, AttributeReference, Cast, EqualTo, Expression, GreaterThan, GreaterThanOrEqual, In, InSet, LessThan, LessThanOrEqual, Literal}
+import org.apache.spark.sql.catalyst.expressions.{Alias, AttributeReference, Cast, EqualTo, Expression, GreaterThan, GreaterThanOrEqual, In, InSet, LessThan, LessThanOrEqual, Literal, Or}
 import org.apache.spark.sql.catalyst.plans.logical.{Filter, LocalRelation, LogicalPlan, Project}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.datasources.LogicalRelation
@@ -281,24 +281,20 @@ case class ZoneMapPrune(spark: SparkSession) extends Rule[LogicalPlan] {
     }
     val utf8Ord: Ordering[String] =
       (a, b) => graft.operators.ZoneMapMeta.cmpUtf8(a, b)
-    val slows = scala.collection.mutable.Map.empty[String, String]
-    val shighs = scala.collection.mutable.Map.empty[String, String]
-    def slo(c: String, v: String): Unit = // keep the GREATER lower bound
-      slows(c) = slows.get(c)
-        .filter(x => graft.operators.ZoneMapMeta.cmpUtf8(x, v) >= 0)
-        .getOrElse(v)
-    def shi(c: String, v: String): Unit = // keep the SMALLER upper bound
-      shighs(c) = shighs.get(c)
-        .filter(x => graft.operators.ZoneMapMeta.cmpUtf8(x, v) <= 0)
-        .getOrElse(v)
-    val lows = scala.collection.mutable.Map.empty[String, Long]
-    val highs = scala.collection.mutable.Map.empty[String, Long]
-    // inclusive literal-unit bound → inclusive stat-unit bound:
-    //  - MicrosOverDays: day·U ≥ v ⟺ day ≥ ceil(v/U); day·U ≤ v ⟺
-    //    day ≤ floor(v/U) (Math.floorDiv is exact floor, no overflow)
-    //  - DaysOverMicros: floorDiv(m,U) ≥ d ⟺ m ≥ d·U; floorDiv(m,U) ≤ d
-    //    ⟺ m ≤ (d+1)·U − 1 (exact-arithmetic overflow drops the bound —
-    //    sound, the conjunct stays in the residual)
+    // one bound set (long + string, lower + upper); conjuncts compose
+    // by INTERSECTION (greatest lower / least upper)
+    class Bounds {
+      val lows = scala.collection.mutable.Map.empty[String, Long]
+      val highs = scala.collection.mutable.Map.empty[String, Long]
+      val slows = scala.collection.mutable.Map.empty[String, String]
+      val shighs = scala.collection.mutable.Map.empty[String, String]
+    }
+    // inclusive literal-unit bound -> inclusive stat-unit bound:
+    //  - MicrosOverDays: day*U >= v <=> day >= ceil(v/U); day*U <= v <=>
+    //    day <= floor(v/U) (Math.floorDiv is exact floor, no overflow)
+    //  - DaysOverMicros: floorDiv(m,U) >= d <=> m >= d*U; floorDiv(m,U)
+    //    <= d <=> m <= (d+1)*U - 1 (exact-arithmetic overflow drops the
+    //    bound -- sound, the conjunct stays in the residual)
     def conv(cc: Conv, v: Long, isLo: Boolean): Option[Long] = cc match {
       case Same => Some(v)
       case MicrosOverDays =>
@@ -312,109 +308,151 @@ case class ZoneMapPrune(spark: SparkSession) extends Rule[LogicalPlan] {
             Math.multiplyExact(Math.addExact(v, 1L), MicrosPerDay), 1L))
         catch { case _: ArithmeticException => None } // overflow: drop
     }
-    def lo(cd: (String, Conv), v: Long): Unit =
-      conv(cd._2, v, isLo = true).foreach(b =>
-        lows(cd._1) = math.max(lows.getOrElse(cd._1, Long.MinValue), b))
-    def hi(cd: (String, Conv), v: Long): Unit =
-      conv(cd._2, v, isLo = false).foreach(b =>
-        highs(cd._1) = math.min(highs.getOrElse(cd._1, Long.MaxValue), b))
-    // guard each attr-first case on the ATTR side actually resolving,
-    // or it would swallow the literal-first shape before its mirrored
-    // case can run (a completeness miss, never a correctness one —
-    // missing bounds only widen the file set)
-    conjunctsOf(cond).foreach {
-      case GreaterThanOrEqual(a, l) if statName(a).isDefined =>
-        for (c <- statName(a); v <- litVal(l)) lo(c, v)
-      case LessThanOrEqual(a, l) if statName(a).isDefined =>
-        for (c <- statName(a); v <- litVal(l)) hi(c, v)
-      case GreaterThan(a, l) if statName(a).isDefined =>
-        for (c <- statName(a); v <- litVal(l) if v < Long.MaxValue)
-          lo(c, v + 1)
-      case LessThan(a, l) if statName(a).isDefined =>
-        for (c <- statName(a); v <- litVal(l) if v > Long.MinValue)
-          hi(c, v - 1)
-      case EqualTo(a, l) if statName(a).isDefined =>
-        for (c <- statName(a); v <- litVal(l)) { lo(c, v); hi(c, v) }
-      // mirrored literal-first forms
-      case GreaterThanOrEqual(l, a) if statName(a).isDefined =>
-        for (c <- statName(a); v <- litVal(l)) hi(c, v)
-      case LessThanOrEqual(l, a) if statName(a).isDefined =>
-        for (c <- statName(a); v <- litVal(l)) lo(c, v)
-      case GreaterThan(l, a) if statName(a).isDefined =>
-        for (c <- statName(a); v <- litVal(l) if v > Long.MinValue)
-          hi(c, v - 1)
-      case LessThan(l, a) if statName(a).isDefined =>
-        for (c <- statName(a); v <- litVal(l) if v < Long.MaxValue)
-          lo(c, v + 1)
-      case EqualTo(l, a) if statName(a).isDefined && litVal(l).isDefined =>
-        for (c <- statName(a); v <- litVal(l)) { lo(c, v); hi(c, v) }
-      // IN lists prune by their ENVELOPE [min, max] — the exact
-      // per-literal file union would prune sparse lists tighter, but
-      // the envelope composes with the one-interval-per-column prune
-      // machinery unchanged and the residual keeps exactness either
-      // way (the common warehouse shape is a run of adjacent days,
-      // where the envelope IS exact). A list with any non-extractable
-      // element (null, a fractional literal) is skipped whole — sound.
-      // Both the literal form and the optimizer's hash-set lowering
-      // (OptimizeIn rewrites lists past the conversion threshold to
-      // InSet over INTERNAL values — the same integers litVal reads
-      // out of Literal: int days, long micros) extract identically.
-      case In(a, vs) if statName(a).isDefined && vs.nonEmpty &&
-          vs.forall { case l: Literal => litVal(l).isDefined
-            case _ => false } =>
-        for (c <- statName(a)) {
-          val ls = vs.map { case l: Literal => litVal(l).get }
-          lo(c, ls.min); hi(c, ls.max)
-        }
-      case InSet(a, hset) if statName(a).isDefined && hset.nonEmpty &&
-          hset.forall(rawVal(_).isDefined) =>
-        for (c <- statName(a)) {
-          val ls = hset.toSeq.map(rawVal(_).get)
-          lo(c, ls.min); hi(c, ls.max)
-        }
-      // ---- STRING stat columns: the same shapes, inclusive bounds ----
-      case GreaterThanOrEqual(a, l) if sStatName(a).isDefined =>
-        for (c <- sStatName(a); v <- sLitVal(l)) slo(c, v)
-      case GreaterThan(a, l) if sStatName(a).isDefined =>
-        for (c <- sStatName(a); v <- sLitVal(l)) slo(c, v)
-      case LessThanOrEqual(a, l) if sStatName(a).isDefined =>
-        for (c <- sStatName(a); v <- sLitVal(l)) shi(c, v)
-      case LessThan(a, l) if sStatName(a).isDefined =>
-        for (c <- sStatName(a); v <- sLitVal(l)) shi(c, v)
-      case EqualTo(a, l) if sStatName(a).isDefined =>
-        for (c <- sStatName(a); v <- sLitVal(l)) { slo(c, v); shi(c, v) }
-      // mirrored literal-first forms
-      case GreaterThanOrEqual(l, a) if sStatName(a).isDefined =>
-        for (c <- sStatName(a); v <- sLitVal(l)) shi(c, v)
-      case GreaterThan(l, a) if sStatName(a).isDefined =>
-        for (c <- sStatName(a); v <- sLitVal(l)) shi(c, v)
-      case LessThanOrEqual(l, a) if sStatName(a).isDefined =>
-        for (c <- sStatName(a); v <- sLitVal(l)) slo(c, v)
-      case LessThan(l, a) if sStatName(a).isDefined =>
-        for (c <- sStatName(a); v <- sLitVal(l)) slo(c, v)
-      case EqualTo(l, a) if sStatName(a).isDefined && sLitVal(l).isDefined =>
-        for (c <- sStatName(a); v <- sLitVal(l)) { slo(c, v); shi(c, v) }
-      case In(a, vs) if sStatName(a).isDefined && vs.nonEmpty &&
-          vs.forall { case l: Literal => sLitVal(l).isDefined
-            case _ => false } =>
-        for (c <- sStatName(a)) {
-          val ls = vs.map { case l: Literal => sLitVal(l).get }
-          slo(c, ls.min(utf8Ord)); shi(c, ls.max(utf8Ord))
-        }
-      case InSet(a, hset) if sStatName(a).isDefined && hset.nonEmpty &&
-          hset.forall(_.isInstanceOf[
-            org.apache.spark.unsafe.types.UTF8String]) =>
-        for (c <- sStatName(a)) {
-          val ls = hset.toSeq.map(_.toString)
-          slo(c, ls.min(utf8Ord)); shi(c, ls.max(utf8Ord))
-        }
-      case _ => () // not a pruning bound — stays in the residual
+    /** Harvest `cs` (a conjunction) into `b` — recursive so a
+      * disjunction's sides reuse the identical case analysis. */
+    def harvest(b: Bounds, cs: Seq[Expression]): Unit = {
+      def lo(cd: (String, Conv), v: Long): Unit =
+        conv(cd._2, v, isLo = true).foreach(x =>
+          b.lows(cd._1) = math.max(b.lows.getOrElse(cd._1, Long.MinValue), x))
+      def hi(cd: (String, Conv), v: Long): Unit =
+        conv(cd._2, v, isLo = false).foreach(x =>
+          b.highs(cd._1) = math.min(b.highs.getOrElse(cd._1, Long.MaxValue), x))
+      def slo(c: String, v: String): Unit = // keep the GREATER lower bound
+        b.slows(c) = b.slows.get(c)
+          .filter(x => graft.operators.ZoneMapMeta.cmpUtf8(x, v) >= 0)
+          .getOrElse(v)
+      def shi(c: String, v: String): Unit = // keep the SMALLER upper bound
+        b.shighs(c) = b.shighs.get(c)
+          .filter(x => graft.operators.ZoneMapMeta.cmpUtf8(x, v) <= 0)
+          .getOrElse(v)
+      // guard each attr-first case on the ATTR side actually resolving,
+      // or it would swallow the literal-first shape before its mirrored
+      // case can run (a completeness miss, never a correctness one --
+      // missing bounds only widen the file set)
+      cs.foreach {
+        case GreaterThanOrEqual(a, l) if statName(a).isDefined =>
+          for (c <- statName(a); v <- litVal(l)) lo(c, v)
+        case LessThanOrEqual(a, l) if statName(a).isDefined =>
+          for (c <- statName(a); v <- litVal(l)) hi(c, v)
+        case GreaterThan(a, l) if statName(a).isDefined =>
+          for (c <- statName(a); v <- litVal(l) if v < Long.MaxValue)
+            lo(c, v + 1)
+        case LessThan(a, l) if statName(a).isDefined =>
+          for (c <- statName(a); v <- litVal(l) if v > Long.MinValue)
+            hi(c, v - 1)
+        case EqualTo(a, l) if statName(a).isDefined =>
+          for (c <- statName(a); v <- litVal(l)) { lo(c, v); hi(c, v) }
+        // mirrored literal-first forms
+        case GreaterThanOrEqual(l, a) if statName(a).isDefined =>
+          for (c <- statName(a); v <- litVal(l)) hi(c, v)
+        case LessThanOrEqual(l, a) if statName(a).isDefined =>
+          for (c <- statName(a); v <- litVal(l)) lo(c, v)
+        case GreaterThan(l, a) if statName(a).isDefined =>
+          for (c <- statName(a); v <- litVal(l) if v > Long.MinValue)
+            hi(c, v - 1)
+        case LessThan(l, a) if statName(a).isDefined =>
+          for (c <- statName(a); v <- litVal(l) if v < Long.MaxValue)
+            lo(c, v + 1)
+        case EqualTo(l, a) if statName(a).isDefined && litVal(l).isDefined =>
+          for (c <- statName(a); v <- litVal(l)) { lo(c, v); hi(c, v) }
+        // IN lists prune by their ENVELOPE [min, max] -- the exact
+        // per-literal file union would prune sparse lists tighter, but
+        // the envelope composes with the one-interval-per-column prune
+        // machinery unchanged and the residual keeps exactness either
+        // way (the common warehouse shape is a run of adjacent days,
+        // where the envelope IS exact). A list with any non-extractable
+        // element (null, a fractional literal) is skipped whole --
+        // sound. Both the literal form and the optimizer's hash-set
+        // lowering (OptimizeIn rewrites lists past the conversion
+        // threshold to InSet over INTERNAL values -- the same integers
+        // litVal reads out of Literal: int days, long micros) extract
+        // identically.
+        case In(a, vs) if statName(a).isDefined && vs.nonEmpty &&
+            vs.forall { case l: Literal => litVal(l).isDefined
+              case _ => false } =>
+          for (c <- statName(a)) {
+            val ls = vs.map { case l: Literal => litVal(l).get }
+            lo(c, ls.min); hi(c, ls.max)
+          }
+        case InSet(a, hset) if statName(a).isDefined && hset.nonEmpty &&
+            hset.forall(rawVal(_).isDefined) =>
+          for (c <- statName(a)) {
+            val ls = hset.toSeq.map(rawVal(_).get)
+            lo(c, ls.min); hi(c, ls.max)
+          }
+        // ---- STRING stat columns: the same shapes, inclusive bounds ----
+        case GreaterThanOrEqual(a, l) if sStatName(a).isDefined =>
+          for (c <- sStatName(a); v <- sLitVal(l)) slo(c, v)
+        case GreaterThan(a, l) if sStatName(a).isDefined =>
+          for (c <- sStatName(a); v <- sLitVal(l)) slo(c, v)
+        case LessThanOrEqual(a, l) if sStatName(a).isDefined =>
+          for (c <- sStatName(a); v <- sLitVal(l)) shi(c, v)
+        case LessThan(a, l) if sStatName(a).isDefined =>
+          for (c <- sStatName(a); v <- sLitVal(l)) shi(c, v)
+        case EqualTo(a, l) if sStatName(a).isDefined =>
+          for (c <- sStatName(a); v <- sLitVal(l)) { slo(c, v); shi(c, v) }
+        // mirrored literal-first forms
+        case GreaterThanOrEqual(l, a) if sStatName(a).isDefined =>
+          for (c <- sStatName(a); v <- sLitVal(l)) shi(c, v)
+        case GreaterThan(l, a) if sStatName(a).isDefined =>
+          for (c <- sStatName(a); v <- sLitVal(l)) shi(c, v)
+        case LessThanOrEqual(l, a) if sStatName(a).isDefined =>
+          for (c <- sStatName(a); v <- sLitVal(l)) slo(c, v)
+        case LessThan(l, a) if sStatName(a).isDefined =>
+          for (c <- sStatName(a); v <- sLitVal(l)) slo(c, v)
+        case EqualTo(l, a) if sStatName(a).isDefined && sLitVal(l).isDefined =>
+          for (c <- sStatName(a); v <- sLitVal(l)) { slo(c, v); shi(c, v) }
+        case In(a, vs) if sStatName(a).isDefined && vs.nonEmpty &&
+            vs.forall { case l: Literal => sLitVal(l).isDefined
+              case _ => false } =>
+          for (c <- sStatName(a)) {
+            val ls = vs.map { case l: Literal => sLitVal(l).get }
+            slo(c, ls.min(utf8Ord)); shi(c, ls.max(utf8Ord))
+          }
+        case InSet(a, hset) if sStatName(a).isDefined && hset.nonEmpty &&
+            hset.forall(_.isInstanceOf[
+              org.apache.spark.unsafe.types.UTF8String]) =>
+          for (c <- sStatName(a)) {
+            val ls = hset.toSeq.map(_.toString)
+            slo(c, ls.min(utf8Ord)); shi(c, ls.max(utf8Ord))
+          }
+        // ---- a DISJUNCTION prunes by the per-column UNION envelope of
+        // its sides (`d BETWEEN a AND b OR d BETWEEN c AND e`, the
+        // seasonal shape): each side harvests recursively, and a column
+        // contributes a lower bound only when EVERY side bounds it
+        // below (one unbounded side makes the union unbounded below --
+        // emitting min over a subset would over-prune), symmetrically
+        // above. The envelope is a SUPERSET of the disjunction's true
+        // region -- per-column independence only widens further -- and
+        // the kept residual restores exactness, the same
+        // false-positive-only law as every bound here.
+        case o: Or =>
+          def disj(e: Expression): Seq[Expression] = e match {
+            case Or(dl, dr) => disj(dl) ++ disj(dr)
+            case other => Seq(other)
+          }
+          val sides = disj(o).map { d =>
+            val sb = new Bounds; harvest(sb, conjunctsOf(d)); sb
+          }
+          sides.map(_.lows.keySet).reduce(_ & _).foreach(c =>
+            lo((c, Same), sides.map(_.lows(c)).min))
+          sides.map(_.highs.keySet).reduce(_ & _).foreach(c =>
+            hi((c, Same), sides.map(_.highs(c)).max))
+          sides.map(_.slows.keySet).reduce(_ & _).foreach(c =>
+            slo(c, sides.map(_.slows(c)).min(utf8Ord)))
+          sides.map(_.shighs.keySet).reduce(_ & _).foreach(c =>
+            shi(c, sides.map(_.shighs(c)).max(utf8Ord)))
+        case _ => () // not a pruning bound -- stays in the residual
+      }
     }
-    ((lows.keySet ++ highs.keySet).map { c =>
-      c -> (lows.getOrElse(c, Long.MinValue), highs.getOrElse(c, Long.MaxValue))
+    val top = new Bounds
+    harvest(top, conjunctsOf(cond))
+    ((top.lows.keySet ++ top.highs.keySet).map { c =>
+      c -> (top.lows.getOrElse(c, Long.MinValue),
+        top.highs.getOrElse(c, Long.MaxValue))
     }.toMap,
-      (slows.keySet ++ shighs.keySet).map { c =>
-        c -> (slows.get(c), shighs.get(c))
+      (top.slows.keySet ++ top.shighs.keySet).map { c =>
+        c -> (top.slows.get(c), top.shighs.get(c))
       }.toMap)
   }
 

@@ -703,6 +703,56 @@ object MiscQueries {
              |  (DATE '1995-03-01', DATE '1995-03-02', DATE '1995-03-04')
              |GROUP BY 1 ORDER BY 1""".stripMargin)),
 
+    // ---- DISJUNCTION zone-map pruning through the PLANNER
+    // (ZoneMapPrune's recursive union-envelope harvest): the seasonal
+    // `d BETWEEN .. OR d BETWEEN ..` filter — each side harvests
+    // through the identical case analysis, a column contributes only
+    // when EVERY side bounds it (one unbounded side would make a
+    // partial min over-prune), and the union envelope is a superset of
+    // the disjunction's true region, so the kept residual restores
+    // exactness. ZoneMapSpec pins the one-sided and cross-column
+    // widenings. Oracle: the full-scan recompute. ----
+    Q("q352_zonemap_or_seasons",
+      (s, dir) => {
+        import graft.operators.ZoneMap
+        import graft.plans.{ZoneMapCatalog, ZoneMapPrune}
+        val tmp = java.nio.file.Files
+          .createTempDirectory("graft_q352_").toString
+        val od = t(s, dir, "orders")
+          .select(to_date(col("o_orderdate")).as("od"),
+            col("o_custkey"), col("o_orderpriority"))
+        ZoneMap.writeZOrdered(od, s"$tmp/data", s"$tmp/zone",
+          "od", "o_custkey", bits = 8, partitions = 16)
+        val prev = s.experimental.extraOptimizations
+        s.experimental.extraOptimizations = prev :+ ZoneMapPrune(s)
+        try {
+          ZoneMapCatalog.register(s, s"$tmp/data", s"$tmp/zone",
+            Seq("od", "o_custkey"))
+          s.read.parquet(s"$tmp/data")
+            .filter(col("od").between(
+              lit(java.sql.Date.valueOf("1994-12-15")),
+              lit(java.sql.Date.valueOf("1994-12-31"))) ||
+              col("od").between(
+                lit(java.sql.Date.valueOf("1995-12-15")),
+                lit(java.sql.Date.valueOf("1995-12-31"))))
+            .groupBy(col("o_orderpriority"))
+            .agg(count(lit(1)).as("n"), sum(col("o_custkey")).as("ck_sum"))
+            .localCheckpoint(true) // the prune rule fires HERE
+            .orderBy(col("o_orderpriority"))
+        } finally {
+          s.experimental.extraOptimizations = prev
+          ZoneMapCatalog.clear()
+        }
+      },
+      Some("""SELECT o_orderpriority, count(*) AS n,
+             |  CAST(sum(o_custkey) AS BIGINT) AS ck_sum
+             |FROM orders
+             |WHERE CAST(o_orderdate AS DATE)
+             |    BETWEEN DATE '1994-12-15' AND DATE '1994-12-31'
+             |  OR CAST(o_orderdate AS DATE)
+             |    BETWEEN DATE '1995-12-15' AND DATE '1995-12-31'
+             |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
     // ---- STRING zone-map pruning through the PLANNER (ZoneMap string
     // stats + ZoneMapPrune's binary-collation bounds): `c_mktsegment =
     // 'BUILDING'` — the dimension-equality filter warehouses write —

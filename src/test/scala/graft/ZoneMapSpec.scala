@@ -472,6 +472,44 @@ class ZoneMapSpec extends SparkSpec {
     }
   }
 
+  test("a disjunction prunes by its per-column union envelope; " +
+    "one-sided and cross-column disjuncts widen, never over-prune") {
+    val dir = tmp("or")
+    val rows = spark.range(0, 1024).select(
+      (col("id") % 256).cast("long").as("a"),
+      (col("id") / 4).cast("long").as("k"))
+    operators.ZoneMap.writeZOrdered(rows, s"$dir/data", s"$dir/zone",
+      "a", "k", bits = 8, partitions = 8)
+    val prev = spark.experimental.extraOptimizations
+    spark.experimental.extraOptimizations =
+      prev :+ graft.plans.ZoneMapPrune(spark)
+    try {
+      graft.plans.ZoneMapCatalog.register(spark, s"$dir/data",
+        s"$dir/zone", Seq("a", "k"))
+      // two tight seasons: union envelope [10, 60] skips, the residual
+      // drops the between-season rows
+      val q = spark.read.parquet(s"$dir/data")
+        .filter(col("a").between(10L, 20L) || col("a").between(50L, 60L))
+      assert(q.inputFiles.length < 8,
+        s"the union envelope must skip files (${q.inputFiles.length} of 8)")
+      assert(q.count() == 22L * 4, "11 + 11 values x 4 rows each")
+      // one side unbounded below: no lower envelope (min over a subset
+      // would over-prune), the upper one still bounds
+      val q2 = spark.read.parquet(s"$dir/data")
+        .filter(col("a") <= 20L || col("a").between(50L, 60L))
+      assert(q2.inputFiles.length < 8)
+      assert(q2.count() == 32L * 4)
+      // a disjunct on a DIFFERENT column contributes nothing — correct
+      // result from the full scan
+      val q3 = spark.read.parquet(s"$dir/data")
+        .filter(col("a") <= 5L || col("k") >= 250L)
+      assert(q3.count() == 48L, "24 low-a rows + 24 high-k rows, disjoint")
+    } finally {
+      spark.experimental.extraOptimizations = prev
+      graft.plans.ZoneMapCatalog.clear()
+    }
+  }
+
   test("recluster preserves the map's FULL spec: stat columns beyond " +
     "the cluster pair and the bloom spec survive the rebuild") {
     val dir = tmp("respec")
