@@ -162,10 +162,11 @@ case class AggStoreRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
                 keyAttrs.length >= 2 && eqs.length == keyAttrs.length &&
                   keyAttrs.forall(ka =>
                     eqs.count(_._1.exprId == ka.exprId) == 1) &&
-                  eqs.forall { case (a, l) =>
+                  eqs.forall { case (a, ls) =>
                     keyAttrs.find(_.exprId == a.exprId).exists(ka =>
                       AggStoreRewrite.lookupable(ka.dataType) &&
-                        l.dataType == ka.dataType && l.value != null)
+                        ls.forall(l => l.dataType == ka.dataType &&
+                          l.value != null))
                   }
             })
             outs <- mapOutputs(aggExprs, keyAttrs, valAttr)
@@ -209,19 +210,24 @@ case class AggStoreRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
           lookupOf(spark.createDataFrame(
             java.util.Arrays.asList(rows: _*), schema))
         case Some(MultiKey(eqs)) =>
-          // ONE struct-key row, fields in registered order — a single
-          // bucket dir of I/O, the struct twin of the lookup above
-          val ordered = keyAttrs.map(ka =>
+          // struct-key rows in registered order — the cross product of
+          // the one allowed IN with the fixed equalities, ≤ |IN| bucket
+          // dirs of I/O, the struct twin of the lookup above
+          val ordered: Seq[Seq[Literal]] = keyAttrs.map(ka =>
             eqs.find(_._1.exprId == ka.exprId).get._2)
           val schema = StructType(Seq(StructField("key", StructType(
             entry.keyCols.zip(keyAttrs).map { case (n, ka) =>
               StructField(n, ka.dataType) }))))
-          val row = Row(Row(keyAttrs.zip(ordered).map { case (ka, l) =>
-            CatalystTypeConverters.createToScalaConverter(ka.dataType)(
-              l.value)
-          }: _*))
+          val convs = keyAttrs.map(ka =>
+            CatalystTypeConverters.createToScalaConverter(ka.dataType))
+          val rows: Seq[Row] = ordered
+            .foldLeft(Seq(Seq.empty[Literal]))((acc, ls) =>
+              for (p <- acc; l <- ls) yield p :+ l)
+            .map(combo => Row(Row(combo.zip(convs).map {
+              case (l, cv) => cv(l.value) }: _*)))
+            .distinct
           lookupOf(spark.createDataFrame(
-            java.util.Arrays.asList(row), schema))
+            java.util.Arrays.asList(rows: _*), schema))
         case None =>
           if (needsExtrema) AggStore.readAggStoreExtrema(spark, entry.storePath)
           else AggStore.readAggStore(spark, entry.storePath)
@@ -290,18 +296,20 @@ case class AggStoreRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
   }
 
   /** A parsed key-literal filter: `key = lit` / `key IN (lits)` on a
-    * single-column key, or a CONJUNCTION of per-column equalities
+    * single-column key, or a CONJUNCTION of per-column predicates
     * covering a multi-column (struct-keyed) registration exactly once
     * each — "this (customer, month)'s aggregate", the struct-key
-    * lookup q332's serving naturally composes with. Multi-key IN is
-    * deliberately not matched: a conjunction of INs denotes a cross
-    * product the caller may not intend, and the single-row equality is
-    * the shape warehouses write.
+    * lookup q332's serving naturally composes with. AT MOST ONE of the
+    * multi-key conjuncts may be an IN list ("these suppliers' flag-A
+    * aggregates" — the cross product is degenerate and unambiguous);
+    * two or more INs are deliberately not matched: their full cross
+    * product is a shape the caller may not intend, and the lookup row
+    * count would be multiplicative.
     */
   private sealed trait KeyPredT
   private case class SingleKey(a: AttributeReference,
                                lits: Seq[Literal]) extends KeyPredT
-  private case class MultiKey(eqs: Seq[(AttributeReference, Literal)])
+  private case class MultiKey(eqs: Seq[(AttributeReference, Seq[Literal])])
     extends KeyPredT
 
   /** Every aggregate output must be a group key, count(<lit>),
@@ -406,9 +414,10 @@ case class AggStoreRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
   /** Key-literal conjuncts plus any number of `IsNotNull` guards on the
     * predicated attributes (the optimizer infers one per equality) —
     * nothing else. One `attr = lit` / `attr IN (lits)` conjunct parses
-    * as [[SingleKey]]; two or more single-literal equalities on
-    * DISTINCT attributes parse as [[MultiKey]] (the struct-key shape).
-    * The caller validates the attributes against the registered key.
+    * as [[SingleKey]]; two or more per-column predicates on DISTINCT
+    * attributes — at most one of them an IN list — parse as
+    * [[MultiKey]] (the struct-key shape). The caller validates the
+    * attributes against the registered key.
     */
   private def keyLiteralPred(pred: Expression): Option[KeyPredT] = {
     def conjuncts(e: Expression): Seq[Expression] = e match {
@@ -430,10 +439,10 @@ case class AggStoreRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
           notNulls.forall(_.exprId == a.exprId) =>
         Some(SingleKey(a, lits))
       case many if many.length >= 2 && others == 0 &&
-          many.forall(_._2.length == 1) &&
+          many.count(_._2.length > 1) <= 1 &&
           many.map(_._1.exprId).distinct.length == many.length &&
           notNulls.forall(n => many.exists(_._1.exprId == n.exprId)) =>
-        Some(MultiKey(many.map { case (a, ls) => (a, ls.head) }))
+        Some(MultiKey(many))
       case _ => None
     }
   }

@@ -413,6 +413,26 @@ class MvRewriteSpec extends SparkSpec {
           s"(${q.inputFiles.length} of ${all.size})")
       assert(q.as[(Long, String, Long, Long)].collect().toSeq ==
         Seq((1L, "a", 2L, 15L)))
+      // ONE IN among the equalities: the degenerate cross product —
+      // "these k1s' k2=a aggregates" — still a bucket-pruned lookup
+      val inq = base.filter(col("k1").isin(1L, 2L) && col("k2") === "a")
+        .groupBy(col("k1"), col("k2"))
+        .agg(count(lit(1)).as("cnt"), sum(col("v").cast("long")).as("total"))
+      assert(inq.inputFiles.exists(_.contains("/store/")),
+        "IN x equality over the struct key must serve from the store")
+      assert(inq.orderBy("k1").as[(Long, String, Long, Long)]
+        .collect().toSeq == Seq((1L, "a", 2L, 15L)),
+        "(2, a) has no rows; (1, a) folds its two")
+      // TWO INs would be a multiplicative cross product — refused
+      val twoIns = base.filter(col("k1").isin(1L, 2L) &&
+          col("k2").isin("a", "b"))
+        .groupBy(col("k1"), col("k2"))
+        .agg(count(lit(1)).as("cnt"))
+      assert(!twoIns.inputFiles.exists(_.contains("/store/")),
+        "a conjunction of two INs must not be rewritten")
+      assert(twoIns.orderBy("k1", "k2").as[(Long, String, Long)]
+        .collect().toSeq ==
+        Seq((1L, "a", 2L), (1L, "b", 1L), (2L, "b", 1L)))
       // a PARTIAL key filter changes which groups exist vs the lookup's
       // semantics — refused, answered from the base
       val partial = base.filter(col("k1") === 1L)
