@@ -106,13 +106,19 @@ object ZoneMap {
       .agg(aggs.head, aggs.tail: _*)
   }
 
-  /** Per-file bloom words for `bloomCols` — one aggregation per column:
-    * `(file, value-as-string)` distinct, the k [[Bloom.pos]] position
-    * expressions exploded, positions distinct per file, collected and
-    * packed driver-side. The collect is ≤ |files| · m/64 longs — the
-    * manifest's own magnitude. A file present for one column but
-    * all-null in another gets all-zero words for the latter (zero
-    * values set zero bits — correctly dropping every equality).
+  /** Per-file bloom words for `bloomCols` — one aggregation for every
+    * column: `(file, column, position)` distinct (each row explodes to
+    * its |cols|·k [[Bloom.pos]] positions; null values yield null
+    * positions, dropped after the explode), then packed to WORDS
+    * executor-side — `bit_or` of the per-position single-bit longs,
+    * grouped by `(file, column, position >> 6)` — so what reaches the
+    * driver is the NON-ZERO words only: ≤ |files| · |cols| · m/64
+    * longs, the manifest's own magnitude (collecting raw positions
+    * would be 64× that in rows, each with per-Row overhead — at
+    * q350-scale m (2^20) × hundreds of files, a driver OOM). A file
+    * present for one column but all-null in another gets all-zero
+    * words for the latter (zero values set zero bits — correctly
+    * dropping every equality).
     */
   private def bloomsOf(data: DataFrame, bloomCols: Seq[String],
                        m: Int, k: Int)
@@ -120,11 +126,10 @@ object ZoneMap {
     require(m > 0 && m % 64 == 0,
       s"bloom m must be a positive multiple of 64, got $m")
     require(k >= 1, s"bloom k must be positive, got $k")
-    // ONE pass for every bloom column: each row explodes to its
-    // |cols|·k (column, position) pairs (null values yield null
-    // positions, dropped after the explode), distinct'd down to
-    // ≤ |files|·|cols|·m rows by partial aggregation — never a scan
-    // per column
+    // ONE pass for every bloom column — never a scan per column; the
+    // distinct and the bit_or both partial-aggregate map-side. The
+    // variable-distance shiftleft goes through the SQL function (the
+    // Scala helper only takes a literal Int distance).
     val pairs = bloomCols.flatMap(c => (0 until k).map(i =>
       struct(lit(c).as("c"), Bloom.pos(i, col(c), m).as("pos"))))
     val rows = data
@@ -133,14 +138,15 @@ object ZoneMap {
       .select(col("file"), col("p.c").as("c"), col("p.pos").as("pos"))
       .where(col("pos").isNotNull)
       .distinct()
+      .groupBy(col("file"), col("c"), shiftright(col("pos"), 6).as("w"))
+      .agg(call_function("bit_or",
+        call_function("shiftleft", lit(1L),
+          pmod(col("pos"), lit(64)).cast("int"))).as("word"))
       .collect()
     val grouped = rows.groupBy(r => (r.getString(0), r.getString(1)))
       .map { case ((f, c), rs) =>
         val words = new Array[Long](m / 64)
-        rs.foreach { r =>
-          val p = r.getLong(2)
-          words((p / 64).toInt) |= (1L << (p % 64))
-        }
+        rs.foreach(r => words(r.getLong(2).toInt) |= r.getLong(3))
         (f, c) -> words
       }
     grouped.keys.map(_._1).toSeq.distinct.map { f =>
@@ -483,10 +489,15 @@ object ZoneMap {
     // later query bounding a dropped column would fail at plan time
     // inside pruneTyped's described-columns guard). Stat columns come
     // from the manifest, falling back to the zone table's own schema
-    // (authoritative; `<c>_min` fields in build order); the bloom spec
-    // exists only in the manifest — a crash-degraded manifest loses it
-    // here, the same documented window as the append path, and the
-    // rebuild restores a valid (bloom-less) manifest either way.
+    // (authoritative; `<c>_min` fields in build order). The bloom spec
+    // exists only in the manifest — and a STALE-but-parseable one
+    // (crash between the zone write and the manifest commit) still
+    // names the spec, which is safe to carry because the full rebuild
+    // recomputes every per-file word from the data anyway; dropping it
+    // here would be the silent permanent bloom loss the append path
+    // refuses loudly. Only an unparseable-or-deleted manifest (the
+    // append path's residual undetectable window) loses the spec, and
+    // the rebuild restores a valid (bloom-less) manifest either way.
     val meta = ZoneMapMeta.load(spark, zonePath)
     val statCols = meta.map(_.statCols).getOrElse(
       spark.read.parquet(zonePath).schema.fieldNames.toSeq
@@ -496,6 +507,7 @@ object ZoneMap {
         s"cluster pair ($colA, $colB) must be among them")
     val (bCols, bM, bK) = meta.filter(_.bloomCols.nonEmpty)
       .map(m => (m.bloomCols, m.bloomM, m.bloomK))
+      .orElse(ZoneMapMeta.rawBloomSpec(spark, zonePath))
       .getOrElse((Seq.empty[String], 4096, 3))
     // materialize BEFORE overwriting the source being read
     val cur = spark.read.parquet(dataPath).localCheckpoint(true)

@@ -262,6 +262,20 @@ private[graft] object ZoneMapMeta {
                                       zonePath: String): Seq[String] =
     rawRead(spark, zonePath).map(_.bloomCols).getOrElse(Seq.empty)
 
+  /** The (possibly STALE) manifest's full bloom spec, signature
+    * UNCHECKED — the REBUILD path's recovery twin of [[rawBloomCols]]:
+    * a full rebuild recomputes every per-file word from the data
+    * anyway, so carrying the spec out of a stale-but-parseable manifest
+    * is always safe, and NOT carrying it would let an automated sweep
+    * hitting a crash-degraded bloom map silently and permanently drop
+    * bloom skipping (the loss the append path refuses loudly). None
+    * when the manifest is absent, unparseable, or bloom-less.
+    */
+  private[operators] def rawBloomSpec(spark: SparkSession, zonePath: String)
+      : Option[(Seq[String], Int, Int)] =
+    rawRead(spark, zonePath).filter(_.bloomCols.nonEmpty)
+      .map(m => (m.bloomCols, m.bloomM, m.bloomK))
+
   /** Parse the manifest without signature validation (gen continuity
     * needs the superseded one). Any malformation — torn content, stale
     * checksum sidecar, unreadable file — → None, loudly never: the zone
@@ -310,8 +324,15 @@ private[graft] object ZoneMapMeta {
           def pair(i: Int): Option[(String, String)] = parts(1 + i) match {
             case "-" => None
             case s =>
-              val Array(lo, hi) = s.split(':')
-              Some((lo, hi))
+              // limit -1 keeps EMPTY tokens: a string slot whose min and
+              // max are both the empty string serializes as ":" (hex of
+              // "" is ""), and the default split drops trailing empties
+              // — the whole manifest would parse as torn, silently and
+              // PERMANENTLY losing its blooms (and blinding the append
+              // path's bloom-loss probe, which reads this same parse)
+              val lohi = s.split(":", -1)
+              require(lohi.length == 2, s"torn slot: $s")
+              Some((lohi(0), lohi(1)))
           }
           val stats = statCols.zipWithIndex
             .filterNot { case (c, _) => strCols.contains(c) }

@@ -117,7 +117,19 @@ case class ZoneMapPrune(spark: SparkSession) extends Rule[LogicalPlan] {
     if (ZoneMapCatalog.entries.isEmpty) return plan
     plan.transformUp {
       case f @ Filter(cond, rel: LogicalRelation) =>
-        prune(cond, rel).getOrElse(f)
+        // a REWRITE must never fail a query that would succeed
+        // unrewritten: any contract violation the prune path surfaces
+        // loudly when called explicitly (pruneTyped's described/typed
+        // requires) degrades HERE to "no rewrite" — the unpruned scan
+        // is always correct, and the warning keeps the refusal
+        // observable instead of silent
+        try prune(cond, rel).getOrElse(f)
+        catch {
+          case scala.util.control.NonFatal(e) =>
+            log.warn(s"zone-map prune skipped (rewrite must not fail " +
+              s"the query): ${e.getMessage}")
+            f
+        }
     }
   }
 
@@ -233,7 +245,19 @@ case class ZoneMapPrune(spark: SparkSession) extends Rule[LogicalPlan] {
       // only ever target the integer-image types)
       case a: AttributeReference
           if isStat(a) && a.dataType != StringType => Some((a.name, Same))
-      case Cast(a: AttributeReference, LongType, _, _) if isStat(a) =>
+      // the widening cast is only identity-in-the-stat-unit when the
+      // SOURCE is an integral type: cast(strStatCol as long) would put
+      // a long-image bound on a STRING stat column (mistyped prune —
+      // and the zone-table fallback's implicit cast nulls non-numeric
+      // strings, wrongly DROPPING files), and cast(ts as long) yields
+      // epoch SECONDS, not the micros the stats store — an upper bound
+      // in seconds would over-prune. Both skip the conjunct (sound: it
+      // stays in the residual).
+      case Cast(a: AttributeReference, LongType, _, _)
+          if isStat(a) && (a.dataType match {
+            case ByteType | ShortType | IntegerType | LongType => true
+            case _ => false
+          }) =>
         Some((a.name, Same))
       case Cast(a: AttributeReference, TimestampType, _, _)
           if a.dataType == DateType && isStat(a) && utc =>

@@ -660,6 +660,123 @@ class ZoneMapSpec extends SparkSpec {
     }
   }
 
+  test("cast(stringStatCol as long) never feeds a long bound: the " +
+    "conjunct skips and the rewrite cannot fail the query") {
+    val dir = tmp("strcast")
+    // string stat column holding NUMERIC renderings: the dangerous
+    // shape, because the zone-table fallback's implicit cast would
+    // compare them as longs and wrongly drop files if the bound formed
+    spark.range(0, 100)
+      .select(col("id").cast("string").as("s"), col("id").as("v"))
+      .repartitionByRange(4, col("id"))
+      .write.parquet(s"$dir/data")
+    operators.ZoneMap.buildZoneMap(spark, s"$dir/data", Seq("s"),
+      s"$dir/zone")
+    val prev = spark.experimental.extraOptimizations
+    spark.experimental.extraOptimizations =
+      prev :+ graft.plans.ZoneMapPrune(spark)
+    try {
+      graft.plans.ZoneMapCatalog.register(spark, s"$dir/data",
+        s"$dir/zone", Seq("s"))
+      // pre-guard this THREW at plan time (pruneTyped's mistyped
+      // require, propagated out of the optimizer rule) with a valid
+      // manifest, and over-pruned via the fallback's implicit cast
+      // with a stale one — now the conjunct is simply not a bound
+      val q = spark.read.parquet(s"$dir/data")
+        .filter(col("s").cast("long") === 5L)
+      assert(q.count() == 1L,
+        "the long-cast filter must answer from the residual, not a " +
+          "mistyped prune")
+      assert(q.inputFiles.length == 4,
+        "no bound is derivable from cast(stringStat as long) — all " +
+          s"files must survive (${q.inputFiles.length} of 4)")
+    } finally {
+      spark.experimental.extraOptimizations = prev
+      graft.plans.ZoneMapCatalog.clear()
+    }
+  }
+
+  test("an all-empty-string stat slot round-trips the manifest (split " +
+    "keeps empty tokens) and its blooms survive an append") {
+    val dir = tmp("emptystr")
+    // file 1: every s is the EMPTY string -> min = max = "" serializes
+    // as ":" -- the slot that used to parse as torn and permanently
+    // unload the manifest (silently dropping its blooms)
+    spark.range(0, 8).select(lit("").as("s"), col("id").as("k"))
+      .coalesce(1).write.parquet(s"$dir/data")
+    spark.range(0, 8).select(lit("x").as("s"), (col("id") + 100).as("k"))
+      .coalesce(1).write.mode("append").parquet(s"$dir/data")
+    operators.ZoneMap.buildZoneMap(spark, s"$dir/data", Seq("s"),
+      s"$dir/zone", bloomCols = Seq("k"), bloomM = 1024, bloomK = 3)
+    operators.ZoneMapMeta.invalidate()
+    val meta = operators.ZoneMapMeta.load(spark, s"$dir/zone")
+    assert(meta.isDefined,
+      "a manifest with an empty-string min/max slot must still load")
+    assert(meta.get.files.exists(_.sstats.get("s").flatten
+      .contains(("", ""))), "the empty-string slot must round-trip")
+    // blooms still DROP (only possible when the manifest serves them):
+    // k=3 lives in file 1 only; file 2's span [100,107] has no k stats
+    // to prune on, so only the bloom can drop it
+    val (surv, total) = operators.ZoneMap.pruneFilesTyped(spark,
+      s"$dir/zone", Seq.empty, Seq.empty, Seq(("k", Seq("3"))))
+    assert(total == 2L && surv.size == 1,
+      s"the bloom must drop the non-matching file (kept ${surv.size} of 2)")
+    // and the append path's loss-guard stays sighted: an append on this
+    // map carries the words instead of refusing or silently dropping
+    operators.ZoneMap.appendWithStats(
+      spark.range(0, 4).select(lit("y").as("s"), (col("id") + 200).as("k"))
+        .coalesce(1),
+      s"$dir/data", Seq("s"), s"$dir/zone")
+    operators.ZoneMapMeta.invalidate()
+    val after = operators.ZoneMapMeta.load(spark, s"$dir/zone")
+    assert(after.exists(_.bloomCols == Seq("k")),
+      "blooms must survive an append over the empty-string manifest")
+    val (surv2, total2) = operators.ZoneMap.pruneFilesTyped(spark,
+      s"$dir/zone", Seq.empty, Seq.empty, Seq(("k", Seq("3"))))
+    assert(total2 == 3L && surv2.size == 1,
+      s"carried words must still drop both non-matching files " +
+        s"(kept ${surv2.size} of 3)")
+  }
+
+  test("recluster recovers the bloom spec from a STALE-but-parseable " +
+    "manifest (the rebuild recomputes every word anyway)") {
+    val dir = tmp("stalebloom")
+    spark.range(0, 1024).select(
+        (col("id") % 32).cast("long").as("a"),
+        (col("id") / 32).cast("long").as("b"),
+        (col("id") % 7).cast("long").as("c"))
+      .repartition(4).write.parquet(s"$dir/data")
+    operators.ZoneMap.buildZoneMap(spark, s"$dir/data", Seq("a", "b", "c"),
+      s"$dir/zone", bloomCols = Seq("c"), bloomM = 1024, bloomK = 3)
+    // crash-degrade: the manifest still PARSES but its recorded
+    // signature no longer matches the zone directory (the window
+    // between a zone write and its manifest commit)
+    val mf = java.nio.file.Paths.get(s"$dir/zone/_ZMMETA")
+    val lines = java.nio.file.Files.readAllLines(mf)
+    val degraded = new java.util.ArrayList[String]()
+    lines.forEach(l => degraded.add(
+      if (l.startsWith("sig=")) "sig=deadbeef" else l))
+    java.nio.file.Files.write(mf, degraded)
+    // drop Hadoop's local-FS checksum sidecar: the out-of-band edit
+    // must read as STALE (parseable, wrong signature), not as torn
+    java.nio.file.Files.deleteIfExists(
+      java.nio.file.Paths.get(s"$dir/zone/._ZMMETA.crc"))
+    operators.ZoneMapMeta.invalidate()
+    assert(operators.ZoneMapMeta.load(spark, s"$dir/zone").isEmpty,
+      "the degraded manifest must not validate")
+    // the sweep's recluster must carry the spec out of the stale
+    // manifest — dropping it here would be the silent permanent bloom
+    // loss the append path refuses loudly
+    val (_, ran) = operators.ZoneMap.reclusterIfDegraded(spark,
+      s"$dir/data", s"$dir/zone", "a", "b", maxDriftPpm = 1000L)
+    assert(ran, "the interleaved layout must trip the policy")
+    operators.ZoneMapMeta.invalidate()
+    val meta = operators.ZoneMapMeta.load(spark, s"$dir/zone").get
+    assert(meta.bloomCols == Seq("c") && meta.bloomM == 1024 &&
+      meta.bloomK == 3,
+      s"the rebuilt map must recover the bloom spec, got $meta")
+  }
+
   test("a held append claim fails a concurrent append loudly") {
     val dir = tmp("claim")
     val half1 = spark.range(0, 64).select(
