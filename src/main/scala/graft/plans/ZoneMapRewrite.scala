@@ -31,6 +31,13 @@ import graft.operators.{ZoneMap, ZoneMapMeta}
   *    bounds, inclusive on strict comparisons); every OTHER conjunct
   *    is simply not a pruning bound — dropping conjuncts only WIDENS
   *    the surviving file set, so partial extraction stays sound;
+  *  - when the `_ZMMETA` manifest validates, the envelope decision is
+  *    REFINED by per-disjunct and per-IN-literal survivor-set UNIONS
+  *    ([[survivorSet]]): `d BETWEEN jan OR d BETWEEN dec` opens the
+  *    two seasons' files (not everything between), and a sparse
+  *    `k IN (...)` over a clustered key opens ~|literals| files — each
+  *    union of false-positive-only sets is false-positive-only, and
+  *    legs compose by intersection, so the law below is unchanged;
   *  - BLOOM columns ([[ZoneMap.buildZoneMap]]'s `bloomCols`,
   *    discovered from the map's own `_ZMMETA` manifest) additionally
   *    drop files whose per-file filter proves an equality/IN value
@@ -111,6 +118,14 @@ object ZoneMapCatalog {
     }.distinct
 }
 
+object ZoneMapPrune {
+  /** Per-literal IN refinement cap: past this the union is
+    * O(|literals|·|files|) driver compute for a list whose envelope is
+    * near-exact anyway (sparse lists are the win; dense runs of
+    * adjacent values ARE their envelope). */
+  private[plans] val InUnionCap = 256
+}
+
 case class ZoneMapPrune(spark: SparkSession) extends Rule[LogicalPlan] {
 
   override def apply(plan: LogicalPlan): LogicalPlan = {
@@ -138,11 +153,16 @@ case class ZoneMapPrune(spark: SparkSession) extends Rule[LogicalPlan] {
     * Candidate resolution iterates ALL path-matching registrations and
     * takes the first FRESH one (the [[JoinViewRewrite]] house gotcha:
     * a rebuilt zone map registered without clearing must not let the
-    * stale registration pin a refusal forever). Freshness is answered
-    * from the [[ZoneMapMeta]] manifest when one validates — the whole
-    * decision is then driver-side metadata, ZERO zone-table scans per
-    * planned query — with the zone TABLE as the authoritative fallback
-    * for pre-manifest maps.
+    * stale registration pin a refusal forever). The manifest is loaded
+    * ONCE per candidate (memoized below — it answers freshness, bloom
+    * discovery, and every survivor evaluation); when it validates the
+    * whole decision is driver-side metadata, ZERO zone-table scans per
+    * planned query, and the survivor set composes the envelope with
+    * per-disjunct and per-IN-literal UNION refinements
+    * ([[survivorSet]]). The zone TABLE is the authoritative fallback
+    * for pre-manifest maps — envelope-only there (the refinements need
+    * the cached per-file stats; a table scan per disjunct would be
+    * plan-time jobs, the very cost the manifest removed).
     */
   private def prune(cond: Expression,
                     rel: LogicalRelation): Option[LogicalPlan] = {
@@ -155,9 +175,16 @@ case class ZoneMapPrune(spark: SparkSession) extends Rule[LogicalPlan] {
         fs.location.inputFiles.toSeq
       case _ => Seq.empty
     }
+    // ONE load per candidate path (each a cache hit after the first
+    // query) — freshness, bloom columns, and pruning all read this
+    val metaCache = scala.collection.mutable.Map
+      .empty[String, Option[ZoneMapMeta.Meta]]
+    def metaOf(e: ZoneMapCatalog.ZmEntry): Option[ZoneMapMeta.Meta] =
+      metaCache.getOrElseUpdate(e.zonePath,
+        ZoneMapMeta.load(spark, e.zonePath))
     // freshness: an undescribed file would be silently skipped
     def isFresh(e: ZoneMapCatalog.ZmEntry): Boolean = {
-      val described = ZoneMapMeta.load(spark, e.zonePath) match {
+      val described = metaOf(e) match {
         case Some(meta) => meta.files.map(f => PathNorm.norm(f.file)).toSet
         case None => spark.read.parquet(e.zonePath)
           .select(org.apache.spark.sql.functions.col("file"))
@@ -174,22 +201,146 @@ case class ZoneMapPrune(spark: SparkSession) extends Rule[LogicalPlan] {
           "files (or register the rebuilt map) to restore skipping")
       return None
     }
-    val (bounds, sBounds) = extractBounds(cond, rel, entry.statCols)
-    // bloom columns come from the map's own manifest (cached, zero
-    // jobs) — registration stays a (paths, statCols) contract
-    val bloomCols = ZoneMapMeta.load(spark, entry.zonePath)
-      .map(_.bloomCols).getOrElse(Seq.empty)
-    val bloomPreds = extractBloomValues(cond, rel, bloomCols)
-    if (bounds.isEmpty && sBounds.isEmpty && bloomPreds.isEmpty) return None
-    val preds = bounds.toSeq.map { case (c, (lo, hi)) => (c, lo, hi) }
-    val strPreds = sBounds.toSeq.map { case (c, (lo, hi)) => (c, lo, hi) }
-    val (survivors, total) =
-      ZoneMap.pruneFilesTyped(spark, entry.zonePath, preds, strPreds,
-        bloomPreds)
-    if (survivors.size >= total) None // nothing skipped: no churn
-    else if (survivors.isEmpty)
-      Some(LocalRelation(rel.output)) // provably empty, zero data read
-    else rebuild(rel, survivors).map(Filter(cond, _)) // residual kept
+    metaOf(entry) match {
+      case Some(meta) =>
+        survivorSet(cond, rel, entry.statCols, meta).flatMap { surv =>
+          if (surv.size >= meta.files.size) None // nothing skipped
+          else if (surv.isEmpty)
+            Some(LocalRelation(rel.output)) // provably empty, no read
+          else rebuild(rel, surv.toSeq.sorted).map(Filter(cond, _))
+        }
+      case None =>
+        // pre-manifest (or crash-degraded) map: the zone-TABLE path —
+        // envelope bounds only; blooms live only in the manifest, so
+        // none apply here (widening-only degradation, never wrong)
+        val (bounds, sBounds) = extractBounds(cond, rel, entry.statCols)
+        if (bounds.isEmpty && sBounds.isEmpty) return None
+        val preds = bounds.toSeq.map { case (c, (lo, hi)) => (c, lo, hi) }
+        val strPreds = sBounds.toSeq.map { case (c, (lo, hi)) =>
+          (c, lo, hi) }
+        val (survivors, total) =
+          ZoneMap.pruneFilesTyped(spark, entry.zonePath, preds, strPreds)
+        if (survivors.size >= total) None // nothing skipped: no churn
+        else if (survivors.isEmpty)
+          Some(LocalRelation(rel.output)) // provably empty, no read
+        else rebuild(rel, survivors).map(Filter(cond, _)) // residual kept
+    }
+  }
+
+  /** The survivor FILE set for `e` over the cached manifest — pure
+    * driver compute, zero Spark jobs — or None when no sub-expression
+    * contributes any pruning information (no churn: leave the filter
+    * alone). Three kinds of legs, every one a false-positive-only
+    * SUPERSET of the files truly containing a matching row, so they
+    * compose by INTERSECTION and the kept residual restores exactness:
+    *  - the ENVELOPE leg: the conjunct harvest ([[extractBounds]] —
+    *    tightest one interval per column — plus the bloom predicates)
+    *    evaluated in one [[ZoneMapMeta.pruneTyped]] pass;
+    *  - one leg per top-level OR conjunct: the UNION of the disjuncts'
+    *    survivor sets, each side evaluated RECURSIVELY through this
+    *    same method (a row matching the disjunction matches some side,
+    *    whose survivor leg keeps its file — per-side false-positive-
+    *    only ∪ is false-positive-only). This is strictly tighter than
+    *    the per-column union ENVELOPE the harvest also emits: the
+    *    seasonal `d BETWEEN jan OR d BETWEEN dec` opens the two
+    *    seasons' files, not everything between. A side contributing
+    *    NO information admits every file — the union is the universe,
+    *    the leg is skipped;
+    *  - one leg per top-level IN/InSet conjunct on a stat column: the
+    *    per-literal survivor union ([[inUnion]]) — a sparse list over
+    *    a clustered key opens ~|literals| files, not the envelope.
+    */
+  private def survivorSet(e: Expression, rel: LogicalRelation,
+                          statCols: Seq[String],
+                          meta: ZoneMapMeta.Meta): Option[Set[String]] = {
+    val (bounds, sBounds) = extractBounds(e, rel, statCols)
+    val bloomPreds = extractBloomValues(e, rel, meta.bloomCols)
+    val envelope: Option[Set[String]] =
+      if (bounds.isEmpty && sBounds.isEmpty && bloomPreds.isEmpty) None
+      else Some(ZoneMapMeta.pruneTyped(meta,
+        bounds.toSeq.map { case (c, (lo, hi)) => (c, lo, hi) },
+        sBounds.toSeq.map { case (c, (lo, hi)) => (c, lo, hi) },
+        bloomPreds)._1.toSet)
+    val refinements: Seq[Set[String]] = conjunctsOf(e).flatMap {
+      case o: Or =>
+        val sides =
+          disjunctsOf(o).map(d => survivorSet(d, rel, statCols, meta))
+        if (sides.exists(_.isEmpty)) None
+        else Some(sides.flatten.reduce(_ union _))
+      case other => inUnion(other, rel, statCols, meta)
+    }
+    val legs = envelope.toSeq ++ refinements
+    if (legs.isEmpty) None else Some(legs.reduce(_ intersect _))
+  }
+
+  /** Per-literal survivor UNION for an IN/InSet conjunct on a stat
+    * column — each literal prunes as its own point interval (through
+    * the SAME [[ZoneMapMeta.pruneTyped]] law as every decision here)
+    * and the file sets union. None (no refinement, the envelope still
+    * applies) when the conjunct is not an extractable IN on a stat
+    * column, when the list is over [[ZoneMapPrune.InUnionCap]] (a
+    * dense list's envelope is already near-exact, and this union is
+    * O(|literals|·|files|) driver compute), or when ANY literal fails
+    * extraction or unit conversion — dropping one literal from a
+    * union would OVER-prune, the one direction this subsystem must
+    * never err in.
+    */
+  private def inUnion(e: Expression, rel: LogicalRelation,
+                      statCols: Seq[String],
+                      meta: ZoneMapMeta.Meta): Option[Set[String]] = {
+    val ex = new Extract(rel, statCols, utcSession)
+    def longUnion(c: String, cc: ex.Conv,
+                  vals: Seq[Long]): Option[Set[String]] = {
+      val ivs = vals.map(v =>
+        for (lo <- ex.conv(cc, v, isLo = true);
+             hi <- ex.conv(cc, v, isLo = false)) yield (lo, hi))
+      if (ivs.exists(_.isEmpty)) None // a dropped literal would over-prune
+      else Some(ivs.flatten.foldLeft(Set.empty[String]) { case (acc, (lo, hi)) =>
+        acc union ZoneMapMeta.pruneTyped(meta,
+          Seq((c, lo, hi)), Seq.empty)._1.toSet
+      })
+    }
+    def strUnion(c: String, vals: Seq[String]): Set[String] =
+      vals.foldLeft(Set.empty[String])((acc, v) =>
+        acc union ZoneMapMeta.pruneTyped(meta, Seq.empty,
+          Seq((c, Some(v), Some(v))))._1.toSet)
+    e match {
+      case In(a, vs) if vs.nonEmpty && vs.length <= ZoneMapPrune.InUnionCap &&
+          vs.forall(_.isInstanceOf[Literal]) =>
+        val lits = vs.map(_.asInstanceOf[Literal])
+        ex.statName(a) match {
+          case Some((c, cc)) if lits.forall(l => ex.litVal(l).isDefined) =>
+            longUnion(c, cc, lits.map(l => ex.litVal(l).get))
+          case _ => ex.sStatName(a) match {
+            case Some(c) if lits.forall(l => ex.sLitVal(l).isDefined) =>
+              Some(strUnion(c, lits.map(l => ex.sLitVal(l).get)))
+            case _ => None
+          }
+        }
+      case InSet(a, hset)
+          if hset.nonEmpty && hset.size <= ZoneMapPrune.InUnionCap =>
+        ex.statName(a) match {
+          case Some((c, cc)) if hset.forall(v => ex.rawVal(v).isDefined) =>
+            longUnion(c, cc, hset.toSeq.map(v => ex.rawVal(v).get))
+          case _ => ex.sStatName(a) match {
+            case Some(c) if hset.forall(_.isInstanceOf[
+                org.apache.spark.unsafe.types.UTF8String]) =>
+              Some(strUnion(c, hset.toSeq.map(_.toString)))
+            case _ => None
+          }
+        }
+      case _ => None
+    }
+  }
+
+  private def utcSession: Boolean =
+    spark.sessionState.conf.sessionLocalTimeZone == "UTC"
+
+  /** Flattened OR sides — shared by the harvest's union-envelope case
+    * and [[survivorSet]]'s per-disjunct refinement. */
+  private def disjunctsOf(e: Expression): Seq[Expression] = e match {
+    case Or(l, r) => disjunctsOf(l) ++ disjunctsOf(r)
+    case other => Seq(other)
   }
 
   /** Per stat column: the tightest `[lo, hi]` derivable from the
@@ -227,82 +378,8 @@ case class ZoneMapPrune(spark: SparkSession) extends Rule[LogicalPlan] {
                             statCols: Seq[String])
       : (Map[String, (Long, Long)],
          Map[String, (Option[String], Option[String])]) = {
-    val relIds = rel.output.map(a => a.exprId -> a.name).toMap
-    val utc = spark.sessionState.conf.sessionLocalTimeZone == "UTC"
-    val MicrosPerDay = 86400000000L
-    def isStat(a: AttributeReference): Boolean =
-      relIds.get(a.exprId).exists(statCols.contains)
-    // how an inclusive bound in the LITERAL's unit converts to an
-    // inclusive bound in the STAT unit — identity except for the two
-    // cross-unit cast shapes (finer literal: ceil/floor division;
-    // coarser literal: day-start/day-end multiplication)
-    sealed trait Conv
-    case object Same extends Conv
-    case object MicrosOverDays extends Conv // micros literal, day stats
-    case object DaysOverMicros extends Conv // day literal, micros stats
-    def statName(e: Expression): Option[(String, Conv)] = e match {
-      // bare STRING attrs route to the string machinery below (casts
-      // only ever target the integer-image types)
-      case a: AttributeReference
-          if isStat(a) && a.dataType != StringType => Some((a.name, Same))
-      // the widening cast is only identity-in-the-stat-unit when the
-      // SOURCE is an integral type: cast(strStatCol as long) would put
-      // a long-image bound on a STRING stat column (mistyped prune —
-      // and the zone-table fallback's implicit cast nulls non-numeric
-      // strings, wrongly DROPPING files), and cast(ts as long) yields
-      // epoch SECONDS, not the micros the stats store — an upper bound
-      // in seconds would over-prune. Both skip the conjunct (sound: it
-      // stays in the residual).
-      case Cast(a: AttributeReference, LongType, _, _)
-          if isStat(a) && (a.dataType match {
-            case ByteType | ShortType | IntegerType | LongType => true
-            case _ => false
-          }) =>
-        Some((a.name, Same))
-      case Cast(a: AttributeReference, TimestampType, _, _)
-          if a.dataType == DateType && isStat(a) && utc =>
-        Some((a.name, MicrosOverDays))
-      case Cast(a: AttributeReference, DateType, _, _)
-          if a.dataType == TimestampType && isStat(a) && utc =>
-        Some((a.name, DaysOverMicros))
-      case _ => None
-    }
-    def litVal(e: Expression): Option[Long] = e match {
-      case Literal(v: Byte, ByteType) => Some(v.toLong)
-      case Literal(v: Short, ShortType) => Some(v.toLong)
-      case Literal(v: Int, IntegerType) => Some(v.toLong)
-      case Literal(v: Long, LongType) => Some(v)
-      case Literal(v: Int, DateType) => Some(v.toLong) // epoch days
-      case Literal(v: Long, TimestampType) => Some(v) // epoch micros
-      case _ => None
-    }
-    // InSet elements are bare INTERNAL values (no Literal wrapper, no
-    // dataType to hand) — but for every type statName admits, the
-    // internal rep is exactly one of these integrals (int days for
-    // dates, long micros for timestamps); a fractional/decimal/string
-    // element returns None and skips its conjunct
-    def rawVal(v: Any): Option[Long] = v match {
-      case b: Byte => Some(b.toLong)
-      case s: Short => Some(s.toLong)
-      case i: Int => Some(i.toLong)
-      case l: Long => Some(l)
-      case _ => None
-    }
-    // STRING stat columns: binary-collation bounds, INCLUSIVE on both
-    // strict and non-strict comparisons (there is no "+1" on strings;
-    // widening a strict bound to inclusive is sound — the residual
-    // keeps strictness) — compared in UTF-8 byte order, the order the
-    // stats were aggregated under ([[graft.operators.ZoneMapMeta
-    // .cmpUtf8]])
-    def sStatName(e: Expression): Option[String] = e match {
-      case a: AttributeReference
-          if isStat(a) && a.dataType == StringType => Some(a.name)
-      case _ => None
-    }
-    def sLitVal(e: Expression): Option[String] = e match {
-      case Literal(v, StringType) if v != null => Some(v.toString)
-      case _ => None
-    }
+    val ex = new Extract(rel, statCols, utcSession)
+    import ex.{conv, litVal, rawVal, sLitVal, sStatName, statName, Conv, Same}
     val utf8Ord: Ordering[String] =
       (a, b) => graft.operators.ZoneMapMeta.cmpUtf8(a, b)
     // one bound set (long + string, lower + upper); conjuncts compose
@@ -312,25 +389,6 @@ case class ZoneMapPrune(spark: SparkSession) extends Rule[LogicalPlan] {
       val highs = scala.collection.mutable.Map.empty[String, Long]
       val slows = scala.collection.mutable.Map.empty[String, String]
       val shighs = scala.collection.mutable.Map.empty[String, String]
-    }
-    // inclusive literal-unit bound -> inclusive stat-unit bound:
-    //  - MicrosOverDays: day*U >= v <=> day >= ceil(v/U); day*U <= v <=>
-    //    day <= floor(v/U) (Math.floorDiv is exact floor, no overflow)
-    //  - DaysOverMicros: floorDiv(m,U) >= d <=> m >= d*U; floorDiv(m,U)
-    //    <= d <=> m <= (d+1)*U - 1 (exact-arithmetic overflow drops the
-    //    bound -- sound, the conjunct stays in the residual)
-    def conv(cc: Conv, v: Long, isLo: Boolean): Option[Long] = cc match {
-      case Same => Some(v)
-      case MicrosOverDays =>
-        Some(if (isLo) Math.floorDiv(v, MicrosPerDay) +
-          (if (Math.floorMod(v, MicrosPerDay) == 0) 0 else 1)
-        else Math.floorDiv(v, MicrosPerDay))
-      case DaysOverMicros =>
-        try Some(
-          if (isLo) Math.multiplyExact(v, MicrosPerDay)
-          else Math.subtractExact(
-            Math.multiplyExact(Math.addExact(v, 1L), MicrosPerDay), 1L))
-        catch { case _: ArithmeticException => None } // overflow: drop
     }
     /** Harvest `cs` (a conjunction) into `b` — recursive so a
       * disjunction's sides reuse the identical case analysis. */
@@ -451,11 +509,7 @@ case class ZoneMapPrune(spark: SparkSession) extends Rule[LogicalPlan] {
         // the kept residual restores exactness, the same
         // false-positive-only law as every bound here.
         case o: Or =>
-          def disj(e: Expression): Seq[Expression] = e match {
-            case Or(dl, dr) => disj(dl) ++ disj(dr)
-            case other => Seq(other)
-          }
-          val sides = disj(o).map { d =>
+          val sides = disjunctsOf(o).map { d =>
             val sb = new Bounds; harvest(sb, conjunctsOf(d)); sb
           }
           sides.map(_.lows.keySet).reduce(_ & _).foreach(c =>
@@ -546,6 +600,118 @@ case class ZoneMapPrune(spark: SparkSession) extends Rule[LogicalPlan] {
           hset.forall(renderRaw(_).isDefined) =>
         bName(a).map(c => (c, hset.toSeq.flatMap(renderRaw)))
       case _ => None
+    }
+  }
+
+  /** Shared bound-extraction helpers for one (relation, statCols) pair
+    * — the single case analysis both the conjunct harvest
+    * ([[extractBounds]]) and the per-literal IN refinement
+    * ([[inUnion]]) read, so the two can never drift on which shapes
+    * extract or how a literal's unit converts to the stat unit.
+    */
+  private final class Extract(rel: LogicalRelation, statCols: Seq[String],
+                              utc: Boolean) {
+    private val relIds = rel.output.map(a => a.exprId -> a.name).toMap
+    private val MicrosPerDay = 86400000000L
+
+    // how an inclusive bound in the LITERAL's unit converts to an
+    // inclusive bound in the STAT unit — identity except for the two
+    // cross-unit cast shapes (finer literal: ceil/floor division;
+    // coarser literal: day-start/day-end multiplication)
+    sealed trait Conv
+    case object Same extends Conv
+    case object MicrosOverDays extends Conv // micros literal, day stats
+    case object DaysOverMicros extends Conv // day literal, micros stats
+
+    def isStat(a: AttributeReference): Boolean =
+      relIds.get(a.exprId).exists(statCols.contains)
+
+    def statName(e: Expression): Option[(String, Conv)] = e match {
+      // bare STRING attrs route to the string machinery ([[sStatName]];
+      // casts only ever target the integer-image types)
+      case a: AttributeReference
+          if isStat(a) && a.dataType != StringType => Some((a.name, Same))
+      // the widening cast is only identity-in-the-stat-unit when the
+      // SOURCE is an integral type: cast(strStatCol as long) would put
+      // a long-image bound on a STRING stat column (mistyped prune —
+      // and the zone-table fallback's implicit cast nulls non-numeric
+      // strings, wrongly DROPPING files), and cast(ts as long) yields
+      // epoch SECONDS, not the micros the stats store — an upper bound
+      // in seconds would over-prune. Both skip the conjunct (sound: it
+      // stays in the residual).
+      case Cast(a: AttributeReference, LongType, _, _)
+          if isStat(a) && (a.dataType match {
+            case ByteType | ShortType | IntegerType | LongType => true
+            case _ => false
+          }) =>
+        Some((a.name, Same))
+      case Cast(a: AttributeReference, TimestampType, _, _)
+          if a.dataType == DateType && isStat(a) && utc =>
+        Some((a.name, MicrosOverDays))
+      case Cast(a: AttributeReference, DateType, _, _)
+          if a.dataType == TimestampType && isStat(a) && utc =>
+        Some((a.name, DaysOverMicros))
+      case _ => None
+    }
+
+    def litVal(e: Expression): Option[Long] = e match {
+      case Literal(v: Byte, ByteType) => Some(v.toLong)
+      case Literal(v: Short, ShortType) => Some(v.toLong)
+      case Literal(v: Int, IntegerType) => Some(v.toLong)
+      case Literal(v: Long, LongType) => Some(v)
+      case Literal(v: Int, DateType) => Some(v.toLong) // epoch days
+      case Literal(v: Long, TimestampType) => Some(v) // epoch micros
+      case _ => None
+    }
+
+    // InSet elements are bare INTERNAL values (no Literal wrapper, no
+    // dataType to hand) — but for every type statName admits, the
+    // internal rep is exactly one of these integrals (int days for
+    // dates, long micros for timestamps); a fractional/decimal/string
+    // element returns None and skips its conjunct
+    def rawVal(v: Any): Option[Long] = v match {
+      case b: Byte => Some(b.toLong)
+      case s: Short => Some(s.toLong)
+      case i: Int => Some(i.toLong)
+      case l: Long => Some(l)
+      case _ => None
+    }
+
+    // STRING stat columns: binary-collation bounds, INCLUSIVE on both
+    // strict and non-strict comparisons (there is no "+1" on strings;
+    // widening a strict bound to inclusive is sound — the residual
+    // keeps strictness) — compared in UTF-8 byte order, the order the
+    // stats were aggregated under ([[graft.operators.ZoneMapMeta
+    // .cmpUtf8]])
+    def sStatName(e: Expression): Option[String] = e match {
+      case a: AttributeReference
+          if isStat(a) && a.dataType == StringType => Some(a.name)
+      case _ => None
+    }
+
+    def sLitVal(e: Expression): Option[String] = e match {
+      case Literal(v, StringType) if v != null => Some(v.toString)
+      case _ => None
+    }
+
+    // inclusive literal-unit bound -> inclusive stat-unit bound:
+    //  - MicrosOverDays: day*U >= v <=> day >= ceil(v/U); day*U <= v <=>
+    //    day <= floor(v/U) (Math.floorDiv is exact floor, no overflow)
+    //  - DaysOverMicros: floorDiv(m,U) >= d <=> m >= d*U; floorDiv(m,U)
+    //    <= d <=> m <= (d+1)*U - 1 (exact-arithmetic overflow drops the
+    //    bound -- sound, the conjunct stays in the residual)
+    def conv(cc: Conv, v: Long, isLo: Boolean): Option[Long] = cc match {
+      case Same => Some(v)
+      case MicrosOverDays =>
+        Some(if (isLo) Math.floorDiv(v, MicrosPerDay) +
+          (if (Math.floorMod(v, MicrosPerDay) == 0) 0 else 1)
+        else Math.floorDiv(v, MicrosPerDay))
+      case DaysOverMicros =>
+        try Some(
+          if (isLo) Math.multiplyExact(v, MicrosPerDay)
+          else Math.subtractExact(
+            Math.multiplyExact(Math.addExact(v, 1L), MicrosPerDay), 1L))
+        catch { case _: ArithmeticException => None } // overflow: drop
     }
   }
 

@@ -510,6 +510,66 @@ class ZoneMapSpec extends SparkSpec {
     }
   }
 
+  test("per-disjunct survivor UNION opens only the seasons' files, and " +
+    "a sparse IN opens only its literals' files (strictly tighter " +
+    "than the envelope)") {
+    val dir = tmp("union")
+    // DETERMINISTIC 1-D clustered layout: file i spans a in
+    // [32i, 32i+31], every a value appears exactly 4 times
+    val base = spark.range(0, 1024).select(
+      (col("id") % 256).cast("long").as("a"), col("id").as("k"))
+    (0 until 8).foreach(i => base
+      .filter(col("a") >= i * 32 && col("a") < (i + 1) * 32)
+      .coalesce(1).write.mode("append").parquet(s"$dir/data"))
+    operators.ZoneMap.buildZoneMap(spark, s"$dir/data", Seq("a", "k"),
+      s"$dir/zone")
+    val prev = spark.experimental.extraOptimizations
+    spark.experimental.extraOptimizations =
+      prev :+ graft.plans.ZoneMapPrune(spark)
+    try {
+      graft.plans.ZoneMapCatalog.register(spark, s"$dir/data",
+        s"$dir/zone", Seq("a", "k"))
+      // the seasonal shape the feature is named for: the envelope
+      // [10, 245] keeps every file on this date-like clustered layout;
+      // the per-disjunct union opens EXACTLY the two seasons' files
+      val q = spark.read.parquet(s"$dir/data")
+        .filter(col("a").between(10L, 20L) || col("a").between(235L, 245L))
+      assert(q.inputFiles.length == 2,
+        s"the survivor union must open only the two seasons' files " +
+          s"(${q.inputFiles.length} of 8)")
+      assert(q.count() == 22L * 4)
+      // sparse IN at opposite ends: envelope [5, 250] keeps all 8,
+      // per-literal union opens the two containing files
+      val q2 = spark.read.parquet(s"$dir/data")
+        .filter(col("a").isin(5L, 250L))
+      assert(q2.inputFiles.length == 2,
+        s"the per-literal union must open only the literals' files " +
+          s"(${q2.inputFiles.length} of 8)")
+      assert(q2.count() == 8L)
+      // the InSet lowering (12 literals, past OptimizeIn's threshold):
+      // 11 values inside file 0 plus one in file 7 — still 2 files
+      val vals = (0 until 11).map(i => (i * 3).toLong) :+ 250L
+      val q3 = spark.read.parquet(s"$dir/data")
+        .filter(col("a").isin(vals: _*))
+      assert(q3.inputFiles.length == 2,
+        s"the InSet lowering must union per literal " +
+          s"(${q3.inputFiles.length} of 8)")
+      assert(q3.count() == 12L * 4)
+      // nested composition: a season OR a sparse pair — the disjunct
+      // recursion unions the season's file with the pair's two
+      val q4 = spark.read.parquet(s"$dir/data")
+        .filter(col("a").between(40L, 50L) ||
+          (col("a").isin(100L, 200L) && col("k") >= 0L))
+      assert(q4.inputFiles.length == 3,
+        s"recursion must refine inside disjuncts " +
+          s"(${q4.inputFiles.length} of 8)")
+      assert(q4.count() == 11L * 4 + 2L * 4)
+    } finally {
+      spark.experimental.extraOptimizations = prev
+      graft.plans.ZoneMapCatalog.clear()
+    }
+  }
+
   test("recluster preserves the map's FULL spec: stat columns beyond " +
     "the cluster pair and the bloom spec survive the rebuild") {
     val dir = tmp("respec")
