@@ -126,6 +126,20 @@ object ZoneMap {
     require(m > 0 && m % 64 == 0,
       s"bloom m must be a positive multiple of 64, got $m")
     require(k >= 1, s"bloom k must be positive, got $k")
+    // TIMESTAMP bloom columns hash cast(ts as string) = SESSION-ZONE
+    // text, and the planner's driver-side probe ([[graft.plans
+    // .ZoneMapRender.timestampUtc]]) renders UTC — a non-UTC build
+    // would set positions the probe can never reproduce, and the
+    // mismatch would wrongly DROP files. Refuse at build (both the
+    // build and the append route through here), so build and probe
+    // agree by construction; DATE columns render timezone-free.
+    bloomCols.filter(c =>
+        data.schema(c).dataType == TimestampType).foreach(c =>
+      require(data.sparkSession.sessionState.conf
+          .sessionLocalTimeZone == "UTC",
+        s"bloom column $c is TIMESTAMP: its hash is session-zone text " +
+          "but the planner probes in UTC — build under " +
+          "spark.sql.session.timeZone=UTC or drop it from bloomCols"))
     // ONE pass for every bloom column — never a scan per column; the
     // distinct and the bit_or both partial-aggregate map-side. The
     // variable-distance shiftleft goes through the SQL function (the

@@ -545,30 +545,38 @@ case class ZoneMapPrune(spark: SparkSession) extends Rule[LogicalPlan] {
   /** Candidate value renderings per BLOOM column from equality/IN
     * conjuncts (`In`'s `InSet` lowering included) — exactly the
     * `cast(value as string)` the build hashed: decimal for integral
-    * columns, the raw string for string ones. Only INTEGRAL and STRING
-    * attributes participate — a date/timestamp InSet element is a bare
-    * int/long whose decimal rendering would NOT match the column's
-    * cast-to-string (an ISO date), and a mismatched rendering would
-    * wrongly DROP files; their min/max bounds already prune. Each
-    * conjunct is its own predicate (AND across conjuncts); a file
-    * passes one when ANY of its candidate values might be present (IN
-    * semantics). Anything unrecognized contributes nothing — blooms
-    * only ever drop provable non-matches, so partial extraction is
-    * sound.
+    * columns, the raw string for string ones, the ISO forms for DATE
+    * and TIMESTAMP columns ([[ZoneMapRender]] — the driver twins of
+    * the cast's own formatters, parity-pinned in `ZoneMapSpec` against
+    * Spark's cast over a value matrix, because a mismatched rendering
+    * would wrongly DROP files). A date/timestamp InSet element is a
+    * bare int/long (epoch days/micros) routed through the ATTRIBUTE's
+    * type, never its decimal rendering. Timestamp columns participate
+    * only under a UTC session — cast(ts as string) is session-zone
+    * text, and [[graft.operators.ZoneMap.buildZoneMap]] refuses to
+    * build a timestamp bloom under anything else, so build and probe
+    * agree by construction; any out-of-range or unrecognized value
+    * contributes nothing (blooms only ever drop provable non-matches,
+    * partial extraction is sound). Each conjunct is its own predicate
+    * (AND across conjuncts); a file passes one when ANY of its
+    * candidate values might be present (IN semantics).
     */
   private def extractBloomValues(cond: Expression, rel: LogicalRelation,
                                  bloomCols: Seq[String])
       : Seq[(String, Seq[String])] = {
     if (bloomCols.isEmpty) return Seq.empty
     val relIds = rel.output.map(a => a.exprId -> a.name).toMap
-    def bName(e: Expression): Option[String] = e match {
+    val utc = utcSession
+    def bAttr(e: Expression): Option[AttributeReference] = e match {
       case a: AttributeReference
           if relIds.get(a.exprId).exists(bloomCols.contains) &&
-            (a.dataType == StringType || (a.dataType match {
+            (a.dataType match {
+              case StringType | DateType => true
+              case TimestampType => utc
               case ByteType | ShortType | IntegerType | LongType => true
               case _ => false
-            })) =>
-        Some(a.name)
+            }) =>
+        Some(a)
       case _ => None
     }
     def render(e: Expression): Option[String] = e match {
@@ -576,29 +584,40 @@ case class ZoneMapPrune(spark: SparkSession) extends Rule[LogicalPlan] {
       case Literal(v: Short, ShortType) => Some(v.toString)
       case Literal(v: Int, IntegerType) => Some(v.toString)
       case Literal(v: Long, LongType) => Some(v.toString)
+      case Literal(v: Int, DateType) => ZoneMapRender.date(v)
+      case Literal(v: Long, TimestampType) => ZoneMapRender.timestampUtc(v)
       case Literal(v, StringType) if v != null => Some(v.toString)
       case _ => None
     }
-    def renderRaw(v: Any): Option[String] = v match {
-      case b: Byte => Some(b.toString)
-      case s: Short => Some(s.toString)
-      case i: Int => Some(i.toString)
-      case l: Long => Some(l.toString)
-      case u: org.apache.spark.unsafe.types.UTF8String => Some(u.toString)
+    // InSet elements are bare internal values — the attribute's type
+    // decides the rendering (an Int is a DAY NUMBER on a date column,
+    // a decimal string would never match the build's ISO hash)
+    def renderRaw(v: Any, dt: org.apache.spark.sql.types.DataType)
+        : Option[String] = (v, dt) match {
+      case (i: Int, DateType) => ZoneMapRender.date(i)
+      case (l: Long, TimestampType) => ZoneMapRender.timestampUtc(l)
+      case (b: Byte, _) => Some(b.toString)
+      case (s: Short, _) => Some(s.toString)
+      case (i: Int, _) => Some(i.toString)
+      case (l: Long, _) => Some(l.toString)
+      case (u: org.apache.spark.unsafe.types.UTF8String, _) =>
+        Some(u.toString)
       case _ => None
     }
     conjunctsOf(cond).flatMap {
-      case EqualTo(a, l) if bName(a).isDefined =>
-        for (c <- bName(a); v <- render(l)) yield (c, Seq(v))
-      case EqualTo(l, a) if bName(a).isDefined && render(l).isDefined =>
-        for (c <- bName(a); v <- render(l)) yield (c, Seq(v))
-      case In(a, vs) if bName(a).isDefined && vs.nonEmpty &&
+      case EqualTo(a, l) if bAttr(a).isDefined =>
+        for (c <- bAttr(a); v <- render(l)) yield (c.name, Seq(v))
+      case EqualTo(l, a) if bAttr(a).isDefined && render(l).isDefined =>
+        for (c <- bAttr(a); v <- render(l)) yield (c.name, Seq(v))
+      case In(a, vs) if bAttr(a).isDefined && vs.nonEmpty &&
           vs.forall { case l: Literal => render(l).isDefined
             case _ => false } =>
-        bName(a).map(c => (c, vs.map { case l: Literal => render(l).get }))
-      case InSet(a, hset) if bName(a).isDefined && hset.nonEmpty &&
-          hset.forall(renderRaw(_).isDefined) =>
-        bName(a).map(c => (c, hset.toSeq.flatMap(renderRaw)))
+        bAttr(a).map(c =>
+          (c.name, vs.map { case l: Literal => render(l).get }))
+      case InSet(a, hset) if bAttr(a).isDefined && hset.nonEmpty &&
+          hset.forall(renderRaw(_, bAttr(a).get.dataType).isDefined) =>
+        bAttr(a).map(c =>
+          (c.name, hset.toSeq.flatMap(renderRaw(_, c.dataType))))
       case _ => None
     }
   }
@@ -730,5 +749,46 @@ case class ZoneMapPrune(spark: SparkSession) extends Rule[LogicalPlan] {
     }
     if (aliases.exists(_.isEmpty)) None
     else Some(Project(aliases.flatten, fresh))
+  }
+}
+
+/** Driver-side twins of `cast(value as string)` for DATE and TIMESTAMP
+  * — the renderings [[graft.operators.Bloom.posLocal]] must hash to
+  * reproduce the executor-side [[graft.operators.Bloom.pos]] positions
+  * bit for bit. Spark renders dates as proleptic-Gregorian ISO
+  * `yyyy-MM-dd` and timestamps as session-zone
+  * `yyyy-MM-dd HH:mm:ss[.f…]` with the microsecond fraction's trailing
+  * zeros trimmed (absent when zero). Both twins return None OUTSIDE
+  * years 1–9999 — Spark pads/signs wider years differently, and a
+  * wrong rendering would wrongly DROP files, so out-of-range values
+  * simply decline to participate (sound: the bloom predicate is pure
+  * selectivity). `ZoneMapSpec` pins both against Spark's actual cast
+  * over a value matrix.
+  */
+private[graft] object ZoneMapRender {
+
+  private val MinDay = java.time.LocalDate.of(1, 1, 1).toEpochDay
+  private val MaxDay = java.time.LocalDate.of(9999, 12, 31).toEpochDay
+
+  /** ISO `yyyy-MM-dd` for an epoch day, years 1–9999. */
+  def date(days: Int): Option[String] =
+    if (days < MinDay || days > MaxDay) None
+    else Some(java.time.LocalDate.ofEpochDay(days.toLong).toString)
+
+  /** `yyyy-MM-dd HH:mm:ss[.f…]` for epoch micros rendered in UTC —
+    * only valid when the session zone IS UTC (callers gate on it). */
+  def timestampUtc(micros: Long): Option[String] = {
+    val secs = Math.floorDiv(micros, 1000000L)
+    val frac = Math.floorMod(micros, 1000000L).toInt
+    val ldt = java.time.LocalDateTime.ofEpochSecond(secs, frac * 1000,
+      java.time.ZoneOffset.UTC)
+    if (ldt.getYear < 1 || ldt.getYear > 9999) None
+    else {
+      val base = f"${ldt.getYear}%04d-${ldt.getMonthValue}%02d-" +
+        f"${ldt.getDayOfMonth}%02d ${ldt.getHour}%02d:" +
+        f"${ldt.getMinute}%02d:${ldt.getSecond}%02d"
+      val trimmed = f"$frac%06d".reverse.dropWhile(_ == '0').reverse
+      Some(if (trimmed.isEmpty) base else s"$base.$trimmed")
+    }
   }
 }

@@ -842,6 +842,62 @@ object MiscQueries {
              |FROM orders WHERE o_orderkey IN (11, 17, 23, 100)
              |GROUP BY 1 ORDER BY 1""".stripMargin)),
 
+    // ---- DATE-key BLOOM file skipping through the PLANNER: the
+    // `l_shipdate IN (a sparse set of days)` warehouse shape over a
+    // layout whose files all span the full date range (interleaved by
+    // day-of-month residue), where min/max stats cannot separate them.
+    // The probe renders each date literal through ZoneMapRender.date —
+    // the driver twin of cast(date as string), parity-pinned in
+    // ZoneMapSpec, because a mismatched rendering would wrongly DROP
+    // files — and the 12-literal list exercises the InSet lowering,
+    // whose elements are bare epoch-day ints routed through the
+    // ATTRIBUTE's type. Oracle: the full-scan recompute. ----
+    Q("q354_zonemap_bloom_date",
+      (s, dir) => {
+        import graft.operators.ZoneMap
+        import graft.plans.{ZoneMapCatalog, ZoneMapPrune}
+        val tmp = java.nio.file.Files
+          .createTempDirectory("graft_q354_").toString
+        val o = t(s, dir, "orders")
+          .select(to_date(col("o_orderdate")).as("od"),
+            col("o_custkey"), col("o_orderpriority"))
+        (0 to 3).foreach(i => o
+          .filter(dayofmonth(col("od")) % 4 === i)
+          .coalesce(1).write.mode("append").parquet(s"$tmp/data"))
+        ZoneMap.buildZoneMap(s, s"$tmp/data", Seq("o_custkey"),
+          s"$tmp/zone", bloomCols = Seq("od"),
+          bloomM = 1 << 17, bloomK = 5)
+        val prev = s.experimental.extraOptimizations
+        s.experimental.extraOptimizations = prev :+ ZoneMapPrune(s)
+        try {
+          ZoneMapCatalog.register(s, s"$tmp/data", s"$tmp/zone",
+            Seq("o_custkey"))
+          // day-of-month residues {1, 2} only: the blooms prove the
+          // residue-0 and residue-3 files cannot hold any of the dates
+          val dates = (Seq(1, 5, 9, 13, 17, 21, 25, 29) ++
+            Seq(2, 6, 10, 14))
+            .map(d => java.sql.Date.valueOf(f"1996-03-$d%02d"))
+          s.read.parquet(s"$tmp/data")
+            .filter(col("od").isin(dates: _*))
+            .groupBy(col("o_orderpriority"))
+            .agg(count(lit(1)).as("n"), sum(col("o_custkey")).as("ck_sum"))
+            .localCheckpoint(true) // the prune rule fires HERE
+            .orderBy(col("o_orderpriority"))
+        } finally {
+          s.experimental.extraOptimizations = prev
+          ZoneMapCatalog.clear()
+        }
+      },
+      Some("""SELECT o_orderpriority, count(*) AS n,
+             |  CAST(sum(o_custkey) AS BIGINT) AS ck_sum
+             |FROM orders
+             |WHERE CAST(o_orderdate AS DATE) IN (
+             |  DATE '1996-03-01', DATE '1996-03-05', DATE '1996-03-09',
+             |  DATE '1996-03-13', DATE '1996-03-17', DATE '1996-03-21',
+             |  DATE '1996-03-25', DATE '1996-03-29', DATE '1996-03-02',
+             |  DATE '1996-03-06', DATE '1996-03-10', DATE '1996-03-14')
+             |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
     // ---- TPC-H Q5 shape: 5-way join, date filter, revenue per nation.
     // All dimensions broadcast; lineitem (the only big table) shuffles
     // once for the final aggregation only.

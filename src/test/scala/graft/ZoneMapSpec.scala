@@ -837,6 +837,91 @@ class ZoneMapSpec extends SparkSpec {
       s"the rebuilt map must recover the bloom spec, got $meta")
   }
 
+  test("ZoneMapRender twins Spark's cast-to-string exactly; DATE and " +
+    "TIMESTAMP blooms skip files in the planner") {
+    // ---- parity matrix: the driver rendering IS cast(v as string) ----
+    import spark.implicits._
+    val days = Seq(0, 1, -1, 10957, -25567, 19000, -141427,
+      java.time.LocalDate.of(1, 1, 1).toEpochDay.toInt,
+      java.time.LocalDate.of(9999, 12, 31).toEpochDay.toInt)
+    val dPairs = days.toDF("d")
+      .select(col("d"), expr("cast(date_from_unix_date(d) as string)")
+        .as("s")).as[(Int, String)].collect()
+    dPairs.foreach { case (d, s) =>
+      assert(graft.plans.ZoneMapRender.date(d).contains(s),
+        s"date($d) must render as $s, got ${graft.plans.ZoneMapRender.date(d)}")
+    }
+    assert(graft.plans.ZoneMapRender.date(
+      java.time.LocalDate.of(1, 1, 1).toEpochDay.toInt - 1).isEmpty,
+      "out-of-range days must decline, never mis-render")
+    val micros = Seq(0L, 1L, -1L, 500000L, 123456L, 86400000000L,
+      86400000000L + 123000L, -62135596800000000L, 253402300799999999L,
+      1234567890123456L, -3600000000L)
+    val tPairs = micros.toDF("m")
+      .select(col("m"), expr("cast(timestamp_micros(m) as string)")
+        .as("s")).as[(Long, String)].collect()
+    tPairs.foreach { case (m, s) =>
+      assert(graft.plans.ZoneMapRender.timestampUtc(m).contains(s),
+        s"ts($m) must render as $s, got " +
+          s"${graft.plans.ZoneMapRender.timestampUtc(m)}")
+    }
+    assert(graft.plans.ZoneMapRender
+      .timestampUtc(-62135596800000001L).isEmpty,
+      "pre-year-1 micros must decline, never mis-render")
+    // ---- end to end: interleaved files, only blooms can separate ----
+    val dir = tmp("datebloom")
+    val o = spark.range(0, 200).select(
+      expr("date_from_unix_date(cast(id as int))").as("d"),
+      expr("timestamp_micros(id * 1000000 + 500000)").as("ts"),
+      col("id").as("k"))
+    (0 to 1).foreach(p => o.filter(col("k") % 2 === p)
+      .coalesce(1).write.mode("append").parquet(s"$dir/data"))
+    operators.ZoneMap.buildZoneMap(spark, s"$dir/data", Seq("k"),
+      s"$dir/zone", bloomCols = Seq("d", "ts"), bloomM = 4096, bloomK = 3)
+    val prev = spark.experimental.extraOptimizations
+    spark.experimental.extraOptimizations =
+      prev :+ graft.plans.ZoneMapPrune(spark)
+    try {
+      graft.plans.ZoneMapCatalog.register(spark, s"$dir/data",
+        s"$dir/zone", Seq("k"))
+      // date equality (day 3 = odd file only)
+      val q = spark.read.parquet(s"$dir/data")
+        .filter(col("d") === java.sql.Date.valueOf("1970-01-04"))
+      assert(q.inputFiles.length == 1,
+        s"a date equality must bloom-skip (${q.inputFiles.length} of 2)")
+      assert(q.count() == 1L)
+      // 12 date literals: the InSet lowering routes bare epoch-day ints
+      // through the attribute's type (all odd days -> odd file only)
+      val dates = (0 until 12).map(i =>
+        java.sql.Date.valueOf(java.time.LocalDate.ofEpochDay(2 * i + 1)))
+      val q2 = spark.read.parquet(s"$dir/data")
+        .filter(col("d").isin(dates: _*))
+      assert(q2.inputFiles.length == 1,
+        s"a date InSet must bloom-skip (${q2.inputFiles.length} of 2)")
+      assert(q2.count() == 12L)
+      // timestamp equality with a fractional second (id 4 -> even file)
+      val q3 = spark.read.parquet(s"$dir/data")
+        .filter(col("ts") === expr("timestamp_micros(4500000)"))
+      assert(q3.inputFiles.length == 1,
+        s"a ts equality must bloom-skip (${q3.inputFiles.length} of 2)")
+      assert(q3.count() == 1L)
+    } finally {
+      spark.experimental.extraOptimizations = prev
+      graft.plans.ZoneMapCatalog.clear()
+    }
+    // a TIMESTAMP bloom build refuses under a non-UTC session
+    val tz = spark.conf.get("spark.sql.session.timeZone")
+    spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+    try {
+      val err = intercept[IllegalArgumentException] {
+        operators.ZoneMap.buildZoneMap(spark, s"$dir/data", Seq("k"),
+          s"$dir/zone2", bloomCols = Seq("ts"))
+      }
+      assert(err.getMessage.contains("UTC"),
+        "a non-UTC timestamp bloom build must refuse loudly")
+    } finally spark.conf.set("spark.sql.session.timeZone", tz)
+  }
+
   test("a held append claim fails a concurrent append loudly") {
     val dir = tmp("claim")
     val half1 = spark.range(0, 64).select(
