@@ -42,6 +42,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // the base)
     ext.injectOptimizerRule(sp => graft.plans.AggStoreRewrite(sp))
     ext.injectOptimizerRule(sp => graft.plans.JoinViewRewrite(sp))
+    // runtime filters: selective fact⋈dim equi-joins get the dim's key
+    // set injected above the fact side (exact IN, or the portable
+    // bloom past the IN cap) — INERT until
+    // spark.graft.runtimeFilters.enabled=true, because it runs a
+    // plan-time job per new dim. Injected BEFORE the zone-map rule so
+    // an injected IN composes into file skipping in the same pass.
+    ext.injectOptimizerRule(sp => graft.plans.RuntimeFilterJoin(sp))
     // zone-map pruning: plain filters over a registered z-ordered
     // layout open only the stat-intersecting files (residual kept,
     // undescribed landed files refuse)

@@ -1,0 +1,299 @@
+package graft.plans
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.expressions.{Add, And, AttributeReference, BitwiseAnd, Cast, Concat, Conv, EqualTo, Expression, In, IntegralDivide, IsNotNull, Literal, Md5, Remainder, ShiftRight, Substring}
+import org.apache.spark.sql.catalyst.expressions.CreateArray
+import org.apache.spark.sql.catalyst.expressions.ElementAt
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, Join, Limit, LogicalPlan, Project}
+import org.apache.spark.sql.catalyst.plans.{Inner, LeftSemi}
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.types.{BinaryType, BooleanType, ByteType, DataType, DateType, IntegerType, LongType, ShortType, StringType, TimestampType}
+import org.apache.spark.unsafe.types.UTF8String
+
+import graft.operators.Bloom
+
+/** PLANNER-INJECTED RUNTIME FILTERS — [[graft.operators.Bloom.reduce]]
+  * made automatic, the join twin of [[ZoneMapPrune]]'s scan rewrite: a
+  * selective fact⋈dim equi-join at 100 TB moves every fact row to the
+  * exchange only to drop most of them at the probe; the engine's best
+  * join primitive (fold the dim keys once, broadcast the bit-words as
+  * literals, drop non-joining fact rows INSIDE the scan's
+  * WholeStageCodegen filter) previously had to be called by hand. This
+  * rule injects it for free — the Spark/Delta "runtime filter" /
+  * dynamic semi-join reduction, expressed over the engine's own
+  * portable bloom.
+  *
+  * Match (CONSERVATIVE — a rewrite must never change semantics, and
+  * anything unrecognized is left alone): an INNER or LEFT SEMI join
+  * with a bare single-column equi-pair whose DIM side (a) carries a
+  * real filter (some conjunct beyond the optimizer's inferred
+  * `IsNotNull`s — an unfiltered dim reduces nothing worth a plan-time
+  * job), (b) sizes under `spark.graft.runtimeFilters.maxDimBytes`, and
+  * (c) is smaller than the fact side. The dim side's DISTINCT non-null
+  * keys are collected ONCE at plan time (memoized by the dim subtree's
+  * canonicalized form, so re-planning and repeated queries pay zero
+  * jobs) and become a predicate merged into the fact side's filter:
+  *
+  *  - ≤ `maxInKeys` keys: an exact `key IN (...)` — semantically exact
+  *    row pruning (an inner/semi join emits nothing for a fact row
+  *    whose key is not among the dim keys), pushed to the parquet scan
+  *    as row-group filters, lowered to `InSet` by `OptimizeIn`, and —
+  *    the composition this subsystem exists for — FILE-skipped by
+  *    [[ZoneMapPrune]]'s per-literal survivor union when the fact is a
+  *    registered zone-map layout;
+  *  - ≤ `maxBloomKeys`: the bloom predicate — the [[Bloom.posLocal]]
+  *    driver twin folds the keys into m/64 bit-words (m sized to
+  *    16·|keys|, FP ≈ 2^-k at k=5) and the injected expression
+  *    reproduces [[Bloom.mightContain]] node for node (md5 family —
+  *    every drop decision replays bit-identically; false-positive-only,
+  *    so reduced join ≡ unreduced join). Date/timestamp keys render
+  *    through [[ZoneMapRender]] under the same UTC discipline as the
+  *    zone-map blooms; a key that fails to render aborts the injection
+  *    (a missing key would wrongly DROP its fact rows);
+  *  - more: skip, logged — a filter that passes almost everything is
+  *    pure overhead.
+  *
+  * NULL soundness: dim nulls are excluded from the key set and fact
+  * nulls fail both predicate shapes (null semantics propagate to the
+  * filter, which drops) — exactly the rows an inner/semi equi-join can
+  * never emit. Idempotence is by memoized injection, keyed on the
+  * (canonical dim, fact-key exprId) pair, so optimizer fixed-point
+  * iterations converge instead of stacking filters. Every failure path
+  * logs and leaves the join alone — a rewrite must never fail a query
+  * that would succeed unrewritten.
+  *
+  * OFF by default: plan-time jobs must be opted into —
+  * `spark.conf.set("spark.graft.runtimeFilters.enabled", "true")`
+  * (readable per-session; [[graft.GraftExtensions]] injects the rule
+  * inert). Reference analog: the don't-move-what-you'll-drop manifest
+  * anti-join discipline (arxiv_hook.py:184-215), applied to join input
+  * instead of re-fetch.
+  */
+object RuntimeFilterJoin {
+  /** Test seam: how many times a dim harvest actually RAN a job (memo
+    * misses), process-wide — the spec pins re-plans at zero. */
+  private[graft] val harvestRuns =
+    new java.util.concurrent.atomic.AtomicInteger(0)
+  private[plans] val EnabledKey = "spark.graft.runtimeFilters.enabled"
+  private[plans] val MaxDimBytesKey = "spark.graft.runtimeFilters.maxDimBytes"
+  private[plans] val MaxInKeysKey = "spark.graft.runtimeFilters.maxInKeys"
+  private[plans] val MaxBloomKeysKey =
+    "spark.graft.runtimeFilters.maxBloomKeys"
+}
+
+case class RuntimeFilterJoin(spark: SparkSession) extends Rule[LogicalPlan] {
+  import RuntimeFilterJoin._
+
+  // plan-time memoization, both bounded below: collected key sets per
+  // canonical dim subtree (matched via sameResult — the API made for
+  // "is this the plan I already saw", robust where string forms drift;
+  // None = over maxBloomKeys, because remembering the refusal matters
+  // as much as the keys, or every re-plan would re-run the oversize
+  // job), and the (dim, fact-key) pairs already injected (exprIds are
+  // unique per analyzed query, so this is exactly once-per-query —
+  // fixed-point iterations and AQE re-plans hit it)
+  private val harvested = scala.collection.mutable.ArrayBuffer
+    .empty[(LogicalPlan, Int, Option[Seq[Any]])]
+  private val injected = scala.collection.mutable.Set.empty[(Long, Int, Int)]
+
+  override def apply(plan: LogicalPlan): LogicalPlan = {
+    if (spark.conf.get(EnabledKey, "false") != "true") return plan
+    plan.transformUp {
+      case j: Join =>
+        try reduce(j).getOrElse(j)
+        catch {
+          case scala.util.control.NonFatal(e) =>
+            log.warn(s"runtime-filter injection skipped (a rewrite must " +
+              s"not fail the query): ${e.getMessage}")
+            j
+        }
+    }
+  }
+
+  /** In-path key types: the equality-joinable atomics whose internal
+    * values wrap losslessly back into [[Literal]]s. */
+  private def inable(t: DataType): Boolean = t match {
+    case ByteType | ShortType | IntegerType | LongType | StringType |
+         DateType | TimestampType | BooleanType => true
+    case _ => false
+  }
+
+  private def reduce(j: Join): Option[LogicalPlan] = {
+    val cond = j.condition.getOrElse(return None)
+    val eqPairs = conjuncts(cond).collect {
+      case EqualTo(a: AttributeReference, b: AttributeReference)
+          if a.dataType == b.dataType && inable(a.dataType) => (a, b)
+    }
+    if (eqPairs.isEmpty) return None
+    // orient: (factSide, dimSide, factKey, dimKey) candidates — for a
+    // LEFT SEMI the left side is the one whose rows survive (the fact);
+    // for INNER either side may be the dim
+    val orientations: Seq[(LogicalPlan, LogicalPlan, AttributeReference,
+        AttributeReference)] = j.joinType match {
+      case LeftSemi => eqPairs.flatMap { case (a, b) =>
+        keyOf(j.left, a, b).flatMap(fk => keyOf(j.right, a, b).map(dk =>
+          (j.left, j.right, fk, dk)))
+      }
+      case Inner => eqPairs.flatMap { case (a, b) =>
+        keyOf(j.left, a, b).flatMap(fk => keyOf(j.right, a, b).map(dk =>
+          Seq((j.left, j.right, fk, dk), (j.right, j.left, dk, fk))))
+          .getOrElse(Seq.empty)
+      }
+      case _ => Seq.empty
+    }
+    val maxDim = spark.conf.get(MaxDimBytesKey, (64L << 20).toString).toLong
+    val pick = orientations.find { case (fact, dim, _, _) =>
+      hasRealFilter(dim) &&
+        dim.stats.sizeInBytes <= maxDim &&
+        fact.stats.sizeInBytes > dim.stats.sizeInBytes
+    }
+    val (fact, dim, factKey, dimKey) = pick.getOrElse(return None)
+    val keyIdx = dim.output.indexWhere(_.exprId == dimKey.exprId)
+    // keyed by fact-key exprId + dim identity (semanticHash), so a star
+    // join injecting from SEVERAL dims onto one fact key lands each
+    val injKey = (factKey.exprId.id, keyIdx, dim.semanticHash())
+    if (injected.contains(injKey)) return None
+    val keys = harvest(dim, dimKey, keyIdx).getOrElse(return None)
+    val maxIn = spark.conf.get(MaxInKeysKey, "4096").toInt
+    val pred: Expression =
+      if (keys.isEmpty) Literal(false) // a filtered-to-empty dim: exact
+      else if (keys.length <= maxIn)
+        In(factKey, keys.map(v => Literal(v, factKey.dataType)))
+      else bloomPred(factKey, keys).getOrElse(return None)
+    injected += injKey
+    if (injected.size > 4096) injected.clear() // bound; worst case re-inject
+    log.info(s"runtime filter injected: ${keys.length} dim keys as " +
+      s"${if (keys.length <= maxIn) "IN list" else "bloom"} on " +
+      s"${factKey.name}")
+    val newFact = withPred(fact, pred)
+    Some(if (fact eq j.left) j.copy(left = newFact)
+    else j.copy(right = newFact))
+  }
+
+  /** Merge into an existing top filter so the predicate sits DIRECTLY
+    * above the scan (what both [[ZoneMapPrune]] and the parquet filter
+    * translation match) — the optimizer's own CombineFilters has
+    * already run by the time injected rules fire. */
+  private def withPred(side: LogicalPlan, pred: Expression): LogicalPlan =
+    side match {
+      case Filter(c, child) => Filter(And(pred, c), child)
+      case other => Filter(pred, other)
+    }
+
+  private def keyOf(side: LogicalPlan, a: AttributeReference,
+                    b: AttributeReference): Option[AttributeReference] =
+    if (side.outputSet.contains(a)) Some(a)
+    else if (side.outputSet.contains(b)) Some(b)
+    else None
+
+  /** Some conjunct beyond the inferred IsNotNulls filters the dim. */
+  private def hasRealFilter(p: LogicalPlan): Boolean = p.exists {
+    case Filter(c, _) => conjuncts(c).exists {
+      case _: IsNotNull => false
+      case _ => true
+    }
+    case _ => false
+  }
+
+  private def conjuncts(e: Expression): Seq[Expression] = e match {
+    case And(l, r) => conjuncts(l) ++ conjuncts(r)
+    case other => Seq(other)
+  }
+
+  /** The dim side's distinct non-null keys, collected once at plan time
+    * (ONE Spark job, memoized — the same price [[ZoneMapPrune]] pays
+    * for a pre-manifest freshness probe) with a `maxBloomKeys + 1`
+    * limit so an unselective dim costs one bounded job, remembered,
+    * and never a driver OOM. None = over the cap (also memoized).
+    */
+  private def harvest(dim: LogicalPlan, key: AttributeReference,
+                      keyIdx: Int): Option[Seq[Any]] = {
+    harvested.collectFirst {
+      case (p, i, r) if i == keyIdx && p.sameResult(dim) => r
+    }.getOrElse {
+      if (harvested.size > 256) harvested.clear() // bound the memo
+      RuntimeFilterJoin.harvestRuns.incrementAndGet()
+      val maxBloom = spark.conf.get(MaxBloomKeysKey, "262144").toInt
+      val plan = Limit(Literal(maxBloom + 1),
+        Aggregate(Seq(key), Seq(key),
+          Project(Seq(key), Filter(IsNotNull(key), dim))))
+      val rows = spark.sessionState.executePlan(plan)
+        .executedPlan.executeCollect()
+      val r: Option[Seq[Any]] =
+        if (rows.length > maxBloom) {
+          log.info(s"runtime filter skipped: dim has > $maxBloom " +
+            s"distinct keys on ${key.name} — an unselective filter is " +
+            "pure overhead")
+          None
+        } else Some(rows.toSeq.map(_.get(0, key.dataType) match {
+          case u: UTF8String => u.clone() // detach from the row buffer
+          case v => v
+        }))
+      harvested += ((dim, keyIdx, r))
+      r
+    }
+  }
+
+  /** The bloom predicate over `factKey`, reproducing
+    * [[Bloom.mightContain]] node for node: for each of the k hash rows,
+    * position = conv(substring(md5(cast(concat('i:', cast(key as
+    * string)) as binary)), 1, 8), 16, 10) % m, and the position's bit
+    * must be set in the broadcast word array. The words fold
+    * driver-side through [[Bloom.posLocal]] — `BloomSpec` pins the
+    * twins position-for-position, which is what makes this plan-only.
+    * None when any key fails to render (dropping a key would wrongly
+    * drop its fact rows) — integral/string always render; date/ts only
+    * in range and (ts) under UTC.
+    */
+  private def bloomPred(factKey: AttributeReference,
+                        keys: Seq[Any]): Option[Expression] = {
+    val utc = spark.sessionState.conf.sessionLocalTimeZone == "UTC"
+    val tz = Some(spark.sessionState.conf.sessionLocalTimeZone)
+    def render(v: Any): Option[String] = (v, factKey.dataType) match {
+      case (i: Int, DateType) => ZoneMapRender.date(i)
+      case (l: Long, TimestampType) =>
+        if (utc) ZoneMapRender.timestampUtc(l) else None
+      case (u: UTF8String, _) => Some(u.toString)
+      case (b: Byte, _) => Some(b.toString)
+      case (s: Short, _) => Some(s.toString)
+      case (i: Int, _) => Some(i.toString)
+      case (l: Long, _) => Some(l.toString)
+      case _ => None
+    }
+    val rendered = keys.map(render)
+    if (rendered.exists(_.isEmpty)) return None
+    val k = 5
+    var m = 1024
+    while (m < 16 * keys.length && m < (1 << 21)) m <<= 1
+    val words = new Array[Long](m / 64)
+    rendered.flatten.foreach { s =>
+      (0 until k).foreach { i =>
+        val p = Bloom.posLocal(i, s, m)
+        words((p / 64).toInt) |= (1L << (p % 64))
+      }
+    }
+    val arr = CreateArray(words.toIndexedSeq.map(w => Literal(w, LongType)))
+    def pos(i: Int): Expression =
+      Remainder(
+        Cast(
+          Conv(
+            Substring(
+              Md5(Cast(
+                Concat(Seq(Literal(UTF8String.fromString(s"$i:"), StringType),
+                  Cast(factKey, StringType, tz))),
+                BinaryType, tz)),
+              Literal(1), Literal(8)),
+            Literal(16), Literal(10)),
+          LongType, tz),
+        Literal(m.toLong))
+    Some((0 until k).map { i =>
+      val p = pos(i)
+      val word = ElementAt(arr,
+        Add(Cast(IntegralDivide(p, Literal(64L)), IntegerType, tz),
+          Literal(1)))
+      val bit = Cast(Remainder(p, Literal(64L)), IntegerType, tz)
+      EqualTo(BitwiseAnd(ShiftRight(word, bit), Literal(1L)), Literal(1L))
+        .asInstanceOf[Expression]
+    }.reduce(And(_, _)))
+  }
+}

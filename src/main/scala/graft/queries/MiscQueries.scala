@@ -898,6 +898,96 @@ object MiscQueries {
              |  DATE '1996-03-06', DATE '1996-03-10', DATE '1996-03-14')
              |GROUP BY 1 ORDER BY 1""".stripMargin)),
 
+    // ---- PLANNER-INJECTED RUNTIME FILTER, IN path (RuntimeFilterJoin):
+    // the selective fact⋈dim join made cheap for free — the dim side's
+    // 39 distinct keys (p_size = 7) collect once at plan time and land
+    // as an exact `l_partkey IN (...)` merged into the fact side's
+    // filter, which (a) pushes to the parquet scan as row-group
+    // filters and (b) composes with ZoneMapPrune's per-literal
+    // survivor union to FILE-skip the z-ordered fact layout — rows
+    // that cannot join never reach the exchange, files that cannot
+    // hold them never open. Oracle: the plain unreduced join — the
+    // hash proves the reduction loses nothing. RuntimeFilterSpec pins
+    // the injected plan shape, the strict file subset, and the
+    // refusals. ----
+    Q("q355_runtime_filter_join",
+      (s, dir) => {
+        import graft.operators.ZoneMap
+        import graft.plans.{RuntimeFilterJoin, ZoneMapCatalog, ZoneMapPrune}
+        val tmp = java.nio.file.Files
+          .createTempDirectory("graft_q355_").toString
+        val l = t(s, dir, "lineitem")
+          .select(col("l_partkey"), col("l_suppkey"), col("l_quantity"),
+            col("l_extendedprice"))
+        ZoneMap.writeZOrdered(l, s"$tmp/data", s"$tmp/zone",
+          "l_partkey", "l_suppkey", bits = 8, partitions = 16)
+        val prev = s.experimental.extraOptimizations
+        s.experimental.extraOptimizations =
+          prev :+ RuntimeFilterJoin(s) :+ ZoneMapPrune(s)
+        s.conf.set("spark.graft.runtimeFilters.enabled", "true")
+        try {
+          ZoneMapCatalog.register(s, s"$tmp/data", s"$tmp/zone",
+            Seq("l_partkey", "l_suppkey"))
+          s.read.parquet(s"$tmp/data")
+            .join(t(s, dir, "part").filter(col("p_size") === 7),
+              col("l_partkey") === col("p_partkey"))
+            .groupBy(col("p_brand"))
+            .agg(count(lit(1)).as("n"),
+              sum(col("l_quantity").cast("long")).as("qty"),
+              round(sum(col("l_extendedprice")), 2).as("rev"))
+            .localCheckpoint(true) // injection + pruning fire HERE
+            .orderBy(col("p_brand"))
+        } finally {
+          s.experimental.extraOptimizations = prev
+          s.conf.unset("spark.graft.runtimeFilters.enabled")
+          ZoneMapCatalog.clear()
+        }
+      },
+      Some("""SELECT p_brand, count(*) AS n,
+             |  CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty,
+             |  round(sum(l_extendedprice), 2) AS rev
+             |FROM lineitem JOIN part ON l_partkey = p_partkey
+             |WHERE p_size = 7
+             |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // ---- RUNTIME FILTER, BLOOM path (maxInKeys = 0 forces it): the
+    // same join with the key set folded into broadcast bit-words and
+    // the mightContain predicate — Bloom.posLocal's driver fold against
+    // the injected md5-family expression, position-for-position the
+    // pair BloomSpec pins — dropping non-joining fact rows inside the
+    // scan's codegen filter. False-positive-only, so the reduced join
+    // hash-equals the plain join (the oracle). The path a 100 TB fact
+    // takes when the dim's key set outgrows an IN list. ----
+    Q("q356_runtime_filter_bloom",
+      (s, dir) => {
+        import graft.plans.RuntimeFilterJoin
+        val prev = s.experimental.extraOptimizations
+        s.experimental.extraOptimizations = prev :+ RuntimeFilterJoin(s)
+        s.conf.set("spark.graft.runtimeFilters.enabled", "true")
+        s.conf.set("spark.graft.runtimeFilters.maxInKeys", "0")
+        try {
+          t(s, dir, "lineitem")
+            .join(t(s, dir, "part").filter(col("p_size") === 7),
+              col("l_partkey") === col("p_partkey"))
+            .groupBy(col("p_brand"))
+            .agg(count(lit(1)).as("n"),
+              sum(col("l_quantity").cast("long")).as("qty"),
+              round(sum(col("l_extendedprice")), 2).as("rev"))
+            .localCheckpoint(true) // the bloom injection fires HERE
+            .orderBy(col("p_brand"))
+        } finally {
+          s.experimental.extraOptimizations = prev
+          s.conf.unset("spark.graft.runtimeFilters.enabled")
+          s.conf.unset("spark.graft.runtimeFilters.maxInKeys")
+        }
+      },
+      Some("""SELECT p_brand, count(*) AS n,
+             |  CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty,
+             |  round(sum(l_extendedprice), 2) AS rev
+             |FROM lineitem JOIN part ON l_partkey = p_partkey
+             |WHERE p_size = 7
+             |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
     // ---- TPC-H Q5 shape: 5-way join, date filter, revenue per nation.
     // All dimensions broadcast; lineitem (the only big table) shuffles
     // once for the final aggregation only.

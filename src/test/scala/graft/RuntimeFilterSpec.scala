@@ -1,0 +1,229 @@
+package graft
+
+import org.apache.spark.sql.catalyst.expressions.{AttributeReference, In, Md5}
+import org.apache.spark.sql.catalyst.plans.logical.Filter
+import org.apache.spark.sql.functions._
+
+import graft.operators.ZoneMap
+import graft.plans.{RuntimeFilterJoin, ZoneMapCatalog, ZoneMapPrune}
+
+/** Pins the planner-injected runtime filter ([[RuntimeFilterJoin]]):
+  * (1) the law — the reduced join EQUALS the unreduced join, both for
+  * the exact IN injection and the false-positive-only bloom injection;
+  * (2) the plan shape — the predicate lands in a Filter directly above
+  * the fact side, where the parquet translation and [[ZoneMapPrune]]
+  * read it, and composes into FILE skipping on a registered layout;
+  * (3) the measured reduction at the fact scan; (4) the refusals
+  * (disabled, unfiltered dim, oversized dim); (5) plan-time cost —
+  * the dim harvest is one job, memoized across plans.
+  */
+class RuntimeFilterSpec extends SparkSpec {
+
+  private def tmp(tag: String): String =
+    java.nio.file.Files.createTempDirectory(s"graft_rf_$tag").toString
+
+  /** fact: 8 files, file i holds k in [32i, 32i+31], 16 rows per k;
+    * dim: one row per key 0..255 with band = key % 64. */
+  private def fixture(dir: String): Unit = {
+    val fact = spark.range(0, 4096).select(
+      (col("id") % 256).cast("long").as("k"), col("id").as("v"))
+    (0 until 8).foreach(i => fact
+      .filter(col("k") >= i * 32 && col("k") < (i + 1) * 32)
+      .coalesce(1).write.mode("append").parquet(s"$dir/fact"))
+    ZoneMap.buildZoneMap(spark, s"$dir/fact", Seq("k"), s"$dir/zone")
+    spark.range(0, 256).select(col("id").as("dk"),
+      (col("id") % 64).as("band")).coalesce(1).write.parquet(s"$dir/dim")
+  }
+
+  private def withRules[T](extra: Boolean = true)(body: => T): T = {
+    val prev = spark.experimental.extraOptimizations
+    spark.experimental.extraOptimizations =
+      prev :+ RuntimeFilterJoin(spark) :+ ZoneMapPrune(spark)
+    spark.conf.set("spark.graft.runtimeFilters.enabled", "true")
+    try body
+    finally {
+      spark.experimental.extraOptimizations = prev
+      spark.conf.unset("spark.graft.runtimeFilters.enabled")
+      spark.conf.unset("spark.graft.runtimeFilters.maxInKeys")
+      spark.conf.unset("spark.graft.runtimeFilters.maxDimBytes")
+      ZoneMapCatalog.clear()
+    }
+  }
+
+  test("IN injection: reduced join equals plain join, the predicate " +
+    "reaches the fact scan, and zone-map FILE skipping composes") {
+    val dir = tmp("in")
+    fixture(dir)
+    // band 7 keeps dk in {7, 71, 135, 199} -> fact files 0, 2, 4, 6
+    def query() = spark.read.parquet(s"$dir/fact")
+      .join(spark.read.parquet(s"$dir/dim").filter(col("band") === 7),
+        col("k") === col("dk"))
+      .groupBy(col("dk"))
+      .agg(sum(col("v")).as("sv"), count(lit(1)).as("n"))
+    val plain = query().collect().map(_.toSeq).toSet
+    withRules() {
+      ZoneMapCatalog.register(spark, s"$dir/fact", s"$dir/zone", Seq("k"))
+      val q = query()
+      assert(q.collect().map(_.toSeq).toSet == plain,
+        "the reduced join must equal the unreduced join")
+      // the injected IN sits in a Filter on the fact side (4 literals)
+      val ins = q.queryExecution.optimizedPlan.collect {
+        case f: Filter => f.condition.collect {
+          case In(a: AttributeReference, vs) if a.name == "k" => vs.length
+        }
+      }.flatten
+      assert(ins == Seq(4),
+        s"expected one injected 4-key IN on the fact side, got $ins")
+      // composition: the per-literal survivor union opens the 4 files
+      val factFiles = q.inputFiles.count(_.contains("/fact/"))
+      assert(factFiles == 4,
+        s"IN + zone map must open only the keys' files ($factFiles of 8)")
+    }
+  }
+
+  test("BLOOM injection (forced): equality law, md5 predicate in the " +
+    "plan, measured row reduction at the fact side") {
+    val dir = tmp("bloom")
+    fixture(dir)
+    def query() = spark.read.parquet(s"$dir/fact")
+      .join(spark.read.parquet(s"$dir/dim").filter(col("band") === 7),
+        col("k") === col("dk"))
+      .groupBy(col("dk"))
+      .agg(sum(col("v")).as("sv"), count(lit(1)).as("n"))
+    val plain = query().collect().map(_.toSeq).toSet
+    withRules() {
+      spark.conf.set("spark.graft.runtimeFilters.maxInKeys", "0")
+      val q = query()
+      assert(q.collect().map(_.toSeq).toSet == plain,
+        "false positives only: the bloom-reduced join must equal the " +
+          "plain join")
+      val bloomFilter = q.queryExecution.optimizedPlan.collectFirst {
+        case f: Filter if f.condition.exists(_.isInstanceOf[Md5]) => f
+      }
+      assert(bloomFilter.isDefined,
+        "the bloom predicate must land in a Filter (md5 family)")
+      // measured reduction: re-execute exactly the injected filter
+      // fragment — of 4096 fact rows only the 64 true matches (plus
+      // any bloom false positives) survive
+      val kept = spark.sessionState.executePlan(bloomFilter.get)
+        .executedPlan.executeCollect().length
+      assert(kept >= 64 && kept <= 128,
+        s"the bloom must keep the 64 joining rows and little else ($kept)")
+    }
+  }
+
+  test("LEFT SEMI reduces the probe side; null fact keys drop exactly " +
+    "as the join drops them") {
+    val dir = tmp("semi")
+    fixture(dir)
+    // fact twin with a null-keyed row (null never joins; the injected
+    // IN evaluates null -> filter drops it, same as the semi join)
+    spark.sql("SELECT CAST(NULL AS BIGINT) AS k, CAST(-1 AS BIGINT) AS v")
+      .coalesce(1).write.mode("append").parquet(s"$dir/fact2")
+    spark.read.parquet(s"$dir/fact").write.mode("append")
+      .parquet(s"$dir/fact2")
+    def query() = spark.read.parquet(s"$dir/fact2")
+      .join(spark.read.parquet(s"$dir/dim").filter(col("band") === 7),
+        col("k") === col("dk"), "left_semi")
+    val plain = query().collect().map(_.toSeq).toSet
+    withRules() {
+      val q = query()
+      assert(q.collect().map(_.toSeq).toSet == plain,
+        "the reduced semi join must equal the plain semi join")
+      val hasIn = q.queryExecution.optimizedPlan.exists {
+        case f: Filter => f.condition.exists {
+          case In(a: AttributeReference, _) => a.name == "k"
+          case _ => false
+        }
+        case _ => false
+      }
+      assert(hasIn, "the semi join's probe side must carry the IN")
+    }
+  }
+
+  test("refusals: disabled by default, unfiltered dim, oversized dim — " +
+    "and a filtered-to-EMPTY dim injects false (exact)") {
+    val dir = tmp("refuse")
+    fixture(dir)
+    def q(dimFilter: Option[org.apache.spark.sql.Column]) = {
+      val dim = spark.read.parquet(s"$dir/dim")
+      spark.read.parquet(s"$dir/fact")
+        .join(dimFilter.map(dim.filter).getOrElse(dim),
+          col("k") === col("dk"))
+    }
+    def injectedIn(df: org.apache.spark.sql.DataFrame): Boolean =
+      df.queryExecution.optimizedPlan.exists {
+        case f: Filter => f.condition.exists {
+          case In(a: AttributeReference, _) => a.name == "k"
+          case _ => false
+        }
+        case _ => false
+      }
+    // disabled: the rule is registered but the conf gate is off
+    val prev = spark.experimental.extraOptimizations
+    spark.experimental.extraOptimizations =
+      prev :+ RuntimeFilterJoin(spark)
+    try assert(!injectedIn(q(Some(col("band") === 7))),
+      "without the conf opt-in the rule must be inert")
+    finally spark.experimental.extraOptimizations = prev
+    withRules() {
+      // a dim with no real filter (IsNotNull does not count) reduces
+      // nothing worth a plan-time job
+      assert(!injectedIn(q(None)), "an unfiltered dim must not inject")
+      // oversized dim refuses
+      spark.conf.set("spark.graft.runtimeFilters.maxDimBytes", "1")
+      assert(!injectedIn(q(Some(col("band") === 7))),
+        "an oversized dim must not inject")
+      spark.conf.unset("spark.graft.runtimeFilters.maxDimBytes")
+      // a filtered-to-empty dim is an exact empty join: literal false
+      val empty = q(Some(col("band") === 999))
+      assert(empty.count() == 0L)
+    }
+  }
+
+  test("the dim harvest is ONE plan-time job, memoized: a repeated " +
+    "plan optimizes with zero jobs") {
+    val dir = tmp("memo")
+    fixture(dir)
+    withRules() {
+      def query() = spark.read.parquet(s"$dir/fact")
+        .join(spark.read.parquet(s"$dir/dim").filter(col("band") === 9),
+          col("k") === col("dk"))
+      RuntimeFilterJoin.harvestRuns.set(0)
+      query().queryExecution.optimizedPlan // first plan: pays the job
+      assert(RuntimeFilterJoin.harvestRuns.get() == 1,
+        s"first plan must harvest once, ran ${RuntimeFilterJoin.harvestRuns.get()}")
+      val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+      val listener = new org.apache.spark.scheduler.SparkListener {
+        override def onJobStart(
+            js: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+          jobs.incrementAndGet(); ()
+        }
+      }
+      // build the frame BEFORE the window: spark.read.parquet runs
+      // schema-inference jobs that are not the planner's to answer for
+      val q2 = query()
+      spark.sparkContext.addSparkListener(listener)
+      try {
+        val injected = q2.queryExecution.optimizedPlan.exists {
+          case f: Filter => f.condition.exists {
+            case In(a: AttributeReference, _) => a.name == "k"
+            case _ => false
+          }
+          case _ => false
+        }
+        assert(injected, "the repeated plan must still get the filter")
+        spark.sparkContext.parallelize(Seq(1), 1).count() // marker job
+        val deadline = System.currentTimeMillis + 20000
+        while (jobs.get() < 1 && System.currentTimeMillis < deadline)
+          Thread.sleep(20)
+        assert(RuntimeFilterJoin.harvestRuns.get() == 1,
+          s"the re-plan must hit the memo, ran " +
+            s"${RuntimeFilterJoin.harvestRuns.get()} harvests")
+        assert(jobs.get() == 1,
+          s"a memoized harvest must re-plan with zero jobs beyond the " +
+            s"marker, saw ${jobs.get() - 1}")
+      } finally spark.sparkContext.removeSparkListener(listener)
+    }
+  }
+}
