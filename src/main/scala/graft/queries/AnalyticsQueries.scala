@@ -2715,7 +2715,50 @@ object AnalyticsQueries {
       Some("""SELECT l_suppkey AS key, l_returnflag, count(*) AS cnt,
              |  CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS total
              |FROM lineitem WHERE l_suppkey = 7 AND l_returnflag = 'A'
-             |GROUP BY 1, 2 ORDER BY key""".stripMargin))
+             |GROUP BY 1, 2 ORDER BY key""".stripMargin)),
+
+    // ---- TOP-K SERVING through the MV rewrite: the dashboard shape —
+    // `ORDER BY <stored agg> DESC LIMIT k` — serves from the
+    // maintained store with the Sort+Limit planned ABOVE the rewritten
+    // aggregate (store-size sort input instead of corpus-size scan;
+    // the store read is already bucket-wide, so this is plan
+    // composition, not new I/O). MvRewriteSpec pins the DataFrame and
+    // both SQL spellings (sort key in and NOT in the select) plus the
+    // refusal when the sort key is an agg the store does not carry
+    // (max) — correct from the base, never wrong from the store.
+    // Oracle: the direct top-k recompute, deterministic tiebreak on
+    // the key. ----
+    Q("q357_mv_topk",
+      (s, dir) => {
+        import graft.operators.AggStore
+        import graft.plans.{AggStoreRewrite, MvCatalog}
+        val li = t(s, dir, "lineitem")
+        val tmp = java.nio.file.Files
+          .createTempDirectory("graft_q357_").toString + "/store"
+        AggStore.buildAggStore(
+          li.select(col("l_suppkey"), col("l_quantity")),
+          tmp, "l_suppkey", "l_quantity")
+        val prev = s.experimental.extraOptimizations
+        s.experimental.extraOptimizations = prev :+ AggStoreRewrite(s)
+        try {
+          MvCatalog.registerAggView(li, "l_suppkey", "l_quantity", tmp)
+          li.groupBy(col("l_suppkey"))
+            .agg(count(lit(1)).as("cnt"),
+              sum(col("l_quantity").cast("long")).as("total"))
+            .orderBy(col("total").desc, col("l_suppkey"))
+            .limit(5)
+            .localCheckpoint(true) // rewrite fires HERE, rule still live
+            .withColumnRenamed("l_suppkey", "key")
+            .orderBy(col("total").desc, col("key"))
+        } finally {
+          s.experimental.extraOptimizations = prev
+          MvCatalog.clear()
+        }
+      },
+      Some("""SELECT l_suppkey AS key, count(*) AS cnt,
+             |  CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS total
+             |FROM lineitem GROUP BY 1
+             |ORDER BY total DESC, key LIMIT 5""".stripMargin))
   )
 
   /** q260 oracle: weekday factors, the integer deseasonalization, the

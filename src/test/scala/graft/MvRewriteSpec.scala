@@ -52,6 +52,51 @@ class MvRewriteSpec extends SparkSpec {
     }
   }
 
+  test("top-k serving: ORDER BY <agg> DESC LIMIT k over a registered " +
+    "aggregate serves from the store; an unstored sort key refuses") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_mvtopk_").toString
+    Seq((1L, 10L), (1L, 20L), (2L, 5L), (3L, 7L), (3L, 7L), (4L, 50L))
+      .toDF("k", "v").write.parquet(s"$dir/base")
+    val base = spark.read.parquet(s"$dir/base")
+    AggStore.buildAggStore(base, s"$dir/store", "k", "v")
+    withRule {
+      MvCatalog.registerAggView(base, "k", "v", s"$dir/store")
+      // the dashboard shape: top customers by stored sum
+      val top = base.groupBy(col("k"))
+        .agg(count(lit(1)).as("cnt"), sum(col("v").cast("long")).as("total"))
+        .orderBy(col("total").desc).limit(2)
+      assert(top.inputFiles.exists(_.contains("/store/")) &&
+        !top.inputFiles.exists(_.contains("/base/")),
+        "Sort+Limit above the aggregate must still serve from the store")
+      assert(top.as[(Long, Long, Long)].collect().toSeq ==
+        Seq((4L, 1L, 50L), (1L, 2L, 30L)))
+      // the SQL spelling, sort key named in the select
+      base.createOrReplaceTempView("mv_topk_base")
+      val sql1 = spark.sql("SELECT k, sum(cast(v AS bigint)) AS total " +
+        "FROM mv_topk_base GROUP BY k ORDER BY total DESC LIMIT 2")
+      assert(sql1.inputFiles.exists(_.contains("/store/")),
+        "the SQL top-k must serve from the store")
+      assert(sql1.as[(Long, Long)].collect().toSeq ==
+        Seq((4L, 50L), (1L, 30L)))
+      // the SQL spelling, sort key NOT in the select (the analyzer
+      // widens the aggregate and projects it away)
+      val sql2 = spark.sql("SELECT k FROM mv_topk_base GROUP BY k " +
+        "ORDER BY sum(cast(v AS bigint)) DESC LIMIT 2")
+      assert(sql2.inputFiles.exists(_.contains("/store/")),
+        "an ORDER-BY-only aggregate must still serve from the store")
+      assert(sql2.as[Long].collect().toSeq == Seq(4L, 1L))
+      // refusal: a sort key the store does not carry (max) recomputes
+      // from the base — correct, never wrong
+      val unstored = base.groupBy(col("k"))
+        .agg(count(lit(1)).as("cnt"), max(col("v")).as("m"))
+        .orderBy(col("m").desc).limit(2)
+      assert(!unstored.inputFiles.exists(_.contains("/store/")),
+        "an unstored sort key must refuse the rewrite")
+      assert(unstored.as[(Long, Long, Long)].collect().toSeq ==
+        Seq((4L, 1L, 50L), (1L, 2L, 20L)))
+    }
+  }
+
   test("non-matching shapes are left alone") {
     val dir = java.nio.file.Files.createTempDirectory("graft_mv2_").toString
     Seq((1L, 10L), (2L, 5L)).toDF("k", "v").write.parquet(s"$dir/base")
