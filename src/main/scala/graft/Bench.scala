@@ -56,7 +56,9 @@ object Bench {
     // the unified maintenance sweep lifecycle
     "q341_zonemap_date", "q343_join_view_extrema",
     "q344_maintenance_sweep", "q346_mv_extrema_lookup",
-    "q350_zonemap_bloom",
+    "q350_zonemap_bloom", "q354_zonemap_bloom_date",
+    "q355_runtime_filter_join", "q356_runtime_filter_bloom",
+    "q357_mv_topk",
   )
 
   def main(args: Array[String]): Unit = {

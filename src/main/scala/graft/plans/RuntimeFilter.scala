@@ -143,7 +143,15 @@ case class RuntimeFilterJoin(spark: SparkSession) extends Rule[LogicalPlan] {
     }
     val maxDim = spark.conf.get(MaxDimBytesKey, (64L << 20).toString).toLong
     val pick = orientations.find { case (fact, dim, _, _) =>
-      hasRealFilter(dim) &&
+      // a NON-DETERMINISTIC dim (rand()-sampled filter, shuffle-order-
+      // dependent expression) can produce a DIFFERENT row set at
+      // runtime than the plan-time harvest saw — an injected key set
+      // missing a runtime key would wrongly DROP its fact rows, the
+      // one direction this rule must never err; streaming dims cannot
+      // be executed at plan time at all
+      hasRealFilter(dim) && !dim.isStreaming &&
+        !dim.exists(_.expressions.exists(e =>
+          e.exists(!_.deterministic))) &&
         dim.stats.sizeInBytes <= maxDim &&
         fact.stats.sizeInBytes > dim.stats.sizeInBytes
     }

@@ -175,6 +175,11 @@ class RuntimeFilterSpec extends SparkSpec {
       assert(!injectedIn(q(Some(col("band") === 7))),
         "an oversized dim must not inject")
       spark.conf.unset("spark.graft.runtimeFilters.maxDimBytes")
+      // a NON-DETERMINISTIC dim refuses: the plan-time harvest and the
+      // runtime execution could see DIFFERENT rows, and a key set
+      // missing a runtime key would wrongly drop its fact rows
+      assert(!injectedIn(q(Some(col("band") === 7 && rand(42) < 0.9999))),
+        "a non-deterministic dim must not inject")
       // a filtered-to-empty dim is an exact empty join: literal false
       val empty = q(Some(col("band") === 999))
       assert(empty.count() == 0L)
