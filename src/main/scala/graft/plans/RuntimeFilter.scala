@@ -142,7 +142,8 @@ case class RuntimeFilterJoin(spark: SparkSession) extends Rule[LogicalPlan] {
       case _ => Seq.empty
     }
     val maxDim = spark.conf.get(MaxDimBytesKey, (64L << 20).toString).toLong
-    val pick = orientations.find { case (fact, dim, _, _) =>
+    val maxIn = spark.conf.get(MaxInKeysKey, "4096").toInt
+    def qualifies(fact: LogicalPlan, dim: LogicalPlan): Boolean =
       // a NON-DETERMINISTIC dim (rand()-sampled filter, shuffle-order-
       // dependent expression) can produce a DIFFERENT row set at
       // runtime than the plan-time harvest saw — an injected key set
@@ -154,28 +155,43 @@ case class RuntimeFilterJoin(spark: SparkSession) extends Rule[LogicalPlan] {
           e.exists(!_.deterministic))) &&
         dim.stats.sizeInBytes <= maxDim &&
         fact.stats.sizeInBytes > dim.stats.sizeInBytes
+    // EVERY qualifying orientation injects — a composite equi-key
+    // (k1 = a AND k2 = b) contributes one predicate per column, each
+    // independently sound (a fact row failing either key set cannot
+    // satisfy that equality, hence cannot join)
+    val leftPreds = Vector.newBuilder[Expression]
+    val rightPreds = Vector.newBuilder[Expression]
+    orientations.foreach { case (fact, dim, factKey, dimKey) =>
+      if (qualifies(fact, dim)) {
+        val keyIdx = dim.output.indexWhere(_.exprId == dimKey.exprId)
+        // keyed by fact-key exprId + dim identity (semanticHash), so a
+        // star join injecting from SEVERAL dims onto one fact key
+        // lands each, and fixed-point iterations land none twice
+        val injKey = (factKey.exprId.id, keyIdx, dim.semanticHash())
+        if (!injected.contains(injKey)) {
+          harvest(dim, dimKey, keyIdx).foreach { keys =>
+            val predOpt: Option[Expression] =
+              if (keys.isEmpty) Some(Literal(false)) // empty dim: exact
+              else if (keys.length <= maxIn)
+                Some(In(factKey, keys.map(v => Literal(v, factKey.dataType))))
+              else bloomPred(factKey, keys)
+            predOpt.foreach { pred =>
+              injected += injKey
+              if (injected.size > 4096) injected.clear() // bound
+              log.info(s"runtime filter injected: ${keys.length} dim " +
+                s"keys as ${if (keys.length <= maxIn) "IN list"
+                else "bloom"} on ${factKey.name}")
+              if (fact eq j.left) leftPreds += pred else rightPreds += pred
+            }
+          }
+        }
+      }
     }
-    val (fact, dim, factKey, dimKey) = pick.getOrElse(return None)
-    val keyIdx = dim.output.indexWhere(_.exprId == dimKey.exprId)
-    // keyed by fact-key exprId + dim identity (semanticHash), so a star
-    // join injecting from SEVERAL dims onto one fact key lands each
-    val injKey = (factKey.exprId.id, keyIdx, dim.semanticHash())
-    if (injected.contains(injKey)) return None
-    val keys = harvest(dim, dimKey, keyIdx).getOrElse(return None)
-    val maxIn = spark.conf.get(MaxInKeysKey, "4096").toInt
-    val pred: Expression =
-      if (keys.isEmpty) Literal(false) // a filtered-to-empty dim: exact
-      else if (keys.length <= maxIn)
-        In(factKey, keys.map(v => Literal(v, factKey.dataType)))
-      else bloomPred(factKey, keys).getOrElse(return None)
-    injected += injKey
-    if (injected.size > 4096) injected.clear() // bound; worst case re-inject
-    log.info(s"runtime filter injected: ${keys.length} dim keys as " +
-      s"${if (keys.length <= maxIn) "IN list" else "bloom"} on " +
-      s"${factKey.name}")
-    val newFact = withPred(fact, pred)
-    Some(if (fact eq j.left) j.copy(left = newFact)
-    else j.copy(right = newFact))
+    val (lp, rp) = (leftPreds.result(), rightPreds.result())
+    if (lp.isEmpty && rp.isEmpty) None
+    else Some(j.copy(
+      left = lp.foldLeft(j.left)((s, p) => withPred(s, p)),
+      right = rp.foldLeft(j.right)((s, p) => withPred(s, p))))
   }
 
   /** Merge into an existing top filter so the predicate sits DIRECTLY

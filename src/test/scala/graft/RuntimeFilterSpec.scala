@@ -141,6 +141,53 @@ class RuntimeFilterSpec extends SparkSpec {
     }
   }
 
+  test("a composite equi-key injects one predicate per column, and a " +
+    "star join lands one filter per dim") {
+    val dir = tmp("multi")
+    spark.range(0, 4096).select((col("id") % 256).cast("long").as("k"),
+      (col("id") % 13).cast("long").as("k2"), col("id").as("v"))
+      .coalesce(2).write.parquet(s"$dir/fact")
+    spark.range(0, 256).select(col("id").as("dk"),
+      (col("id") % 13).as("dk2"), (col("id") % 64).as("band"))
+      .coalesce(1).write.parquet(s"$dir/dim")
+    spark.range(0, 13).select(col("id").as("dk2b"),
+      (col("id") % 4).as("band2")).coalesce(1).write.parquet(s"$dir/dim2")
+    def ins(df: org.apache.spark.sql.DataFrame): Set[(String, Int)] =
+      df.queryExecution.optimizedPlan.collect {
+        case f: Filter => f.condition.collect {
+          case In(a: AttributeReference, vs) => (a.name, vs.length)
+        }
+      }.flatten.toSet
+    // composite key: band 7 keeps dk {7,71,135,199}, whose dk2 images
+    // {7,6,5,4} — BOTH columns' key sets inject
+    def comp() = spark.read.parquet(s"$dir/fact")
+      .join(spark.read.parquet(s"$dir/dim").filter(col("band") === 7),
+        col("k") === col("dk") && col("k2") === col("dk2"))
+    val plainComp = comp().collect().map(_.toSeq).toSet
+    withRules() {
+      val q = comp()
+      assert(q.collect().map(_.toSeq).toSet == plainComp,
+        "the doubly-reduced composite join must equal the plain join")
+      assert(ins(q) == Set(("k", 4), ("k2", 4)),
+        s"both key columns must inject their key sets, got ${ins(q)}")
+    }
+    // star: each dim contributes its own filter onto the same fact
+    def star() = spark.read.parquet(s"$dir/fact")
+      .join(spark.read.parquet(s"$dir/dim").filter(col("band") === 7),
+        col("k") === col("dk"))
+      .join(spark.read.parquet(s"$dir/dim2").filter(col("band2") === 3),
+        col("k2") === col("dk2b"))
+    val plainStar = star().collect().map(_.toSeq).toSet
+    withRules() {
+      val q = star()
+      assert(q.collect().map(_.toSeq).toSet == plainStar,
+        "the star-reduced join must equal the plain join")
+      // band2 = 3 keeps dim2 keys {3, 7, 11}
+      assert(ins(q) == Set(("k", 4), ("k2", 3)),
+        s"each dim must land its filter, got ${ins(q)}")
+    }
+  }
+
   test("refusals: disabled by default, unfiltered dim, oversized dim — " +
     "and a filtered-to-EMPTY dim injects false (exact)") {
     val dir = tmp("refuse")
