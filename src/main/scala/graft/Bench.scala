@@ -58,7 +58,7 @@ object Bench {
     "q344_maintenance_sweep", "q346_mv_extrema_lookup",
     "q350_zonemap_bloom", "q354_zonemap_bloom_date",
     "q355_runtime_filter_join", "q356_runtime_filter_bloom",
-    "q357_mv_topk",
+    "q357_mv_topk", "q358_zonemap_meta_count",
   )
 
   def main(args: Array[String]): Unit = {

@@ -83,15 +83,20 @@ object ZoneMap {
   }
 
   /** One row per data file under `dataPath`: `file`, `n`, and
-    * `<c>_min`/`<c>_max` per stat column — LONG in the [[statExpr]]
-    * unit for integer-image columns, the RAW string for StringType
-    * ones (min/max under Spark's default binary collation = UTF-8
-    * byte order, the same order parquet's own string stats use; string
-    * stat columns are PRUNE-ONLY — they cannot be z-order cluster
-    * dimensions, whose bit-interleave needs the integer image, and the
-    * drift statistic refuses them loudly). Columnar: reads only
-    * `statCols`. The output is metadata-sized (|files| rows) and is
-    * written as a single file so the prune's read never fans out.
+    * `<c>_min`/`<c>_max`/`<c>_cnt` per stat column — min/max LONG in
+    * the [[statExpr]] unit for integer-image columns, the RAW string
+    * for StringType ones (min/max under Spark's default binary
+    * collation = UTF-8 byte order, the same order parquet's own string
+    * stats use; string stat columns are PRUNE-ONLY — they cannot be
+    * z-order cluster dimensions, whose bit-interleave needs the
+    * integer image, and the drift statistic refuses them loudly), and
+    * `<c>_cnt` the NON-NULL count (parquet-footer-style null
+    * accounting — what lets the planner answer a fully-covered file's
+    * `count(*)` from metadata: all non-null values pass the range,
+    * null ones fail it, so the matching rows are exactly `<c>_cnt`).
+    * Columnar: reads only `statCols`. The output is metadata-sized
+    * (|files| rows) and is written as a single file so the prune's
+    * read never fans out.
     */
   private def statsFrame(data: DataFrame, statCols: Seq[String]): DataFrame = {
     require(statCols.nonEmpty, "zone map needs at least one stat column")
@@ -99,7 +104,8 @@ object ZoneMap {
       val e =
         if (data.schema(c).dataType == StringType) col(c)
         else statExpr(data.schema(c).dataType, col(c))
-      Seq(min(e).as(s"${c}_min"), max(e).as(s"${c}_max"))
+      Seq(min(e).as(s"${c}_min"), max(e).as(s"${c}_max"),
+        count(col(c)).as(s"${c}_cnt"))
     } :+ count(lit(1)).as("n")
     data.select(input_file_name().as("file") +: statCols.map(col): _*)
       .groupBy(col("file"))
@@ -315,7 +321,13 @@ object ZoneMap {
             bloomsOf(spark.read.parquet(fresh: _*), cols, m, k))
       }
       val merged =
-        (if (zmExists) spark.read.parquet(zonePath).unionByName(newStats)
+        // allowMissingColumns: a pre-`<c>_cnt` zone table (built before
+        // non-null counts existed) appends cleanly — its old files get
+        // null counts (UNKNOWN, so the metadata-count planner arm
+        // boundary-scans them, never guesses), the fresh files get real
+        // ones
+        (if (zmExists) spark.read.parquet(zonePath)
+          .unionByName(newStats, allowMissingColumns = true)
         else newStats)
           .localCheckpoint(true) // materialize BEFORE overwriting the source
       val prevGen = ZoneMapMeta.currentGen(spark, zonePath)

@@ -41,7 +41,13 @@ import org.apache.spark.sql.types.StringType
   * `bloomcols=`/`bloomm=`/`bloomk=` header lines and per-file
   * hex-packed filter words ([[BloomStats]]) — the equality/IN skipping
   * leg that min/max structurally cannot express (a value absent from a
-  * file whose span covers it). Blooms live ONLY in the manifest: the
+  * file whose span covers it). Every NEW manifest commits `zmmeta v4`:
+  * slots become `min:max:cnt` (`-:cnt` for all-null columns), where
+  * `cnt` is the column's NON-NULL row count — what lets the planner
+  * answer a fully-covered file's `count(*)` from metadata — with `-`
+  * standing for UNKNOWN on files carried from a pre-count zone table
+  * (the consumer boundary-scans those, never guesses); v1–v3 stay
+  * fully readable, all their counts unknown. Blooms live ONLY in the manifest: the
   * zone TABLE stays the min/max authority, so a detected-stale
   * manifest degrades bloom skipping to nothing (wider file set, never
   * wrong) while min/max pruning falls back to the table as always.
@@ -78,7 +84,8 @@ private[graft] object ZoneMapMeta {
                       stats: Map[String, Option[(Long, Long)]],
                       sstats: Map[String, Option[(String, String)]] =
                         Map.empty,
-                      blooms: Map[String, Array[Long]] = Map.empty)
+                      blooms: Map[String, Array[Long]] = Map.empty,
+                      cnts: Map[String, Option[Long]] = Map.empty)
 
   case class Meta(gen: Long, sig: String, statCols: Seq[String],
                   files: Seq[FileStat], strCols: Set[String] = Set.empty,
@@ -166,12 +173,19 @@ private[graft] object ZoneMapMeta {
     val zm = spark.read.parquet(zonePath)
     val strCols = statCols.filter(c =>
       zm.schema(s"${c}_min").dataType == StringType).toSet
+    // `<c>_cnt` (non-null count) may be ABSENT from a zone table built
+    // before counts existed and carried through an append — select a
+    // null placeholder so the manifest records UNKNOWN (the
+    // metadata-count consumer boundary-scans such files, never guesses)
     val cols = col("file") +: col("n") +:
-      statCols.flatMap(c => Seq(col(s"${c}_min"), col(s"${c}_max")))
+      statCols.flatMap(c => Seq(col(s"${c}_min"), col(s"${c}_max"),
+        (if (zm.columns.contains(s"${c}_cnt")) col(s"${c}_cnt")
+        else org.apache.spark.sql.functions.lit(null).cast("long"))
+          .as(s"${c}_cnt")))
     val rows = zm.select(cols: _*).collect()
     val files = rows.map { r =>
       def slot[T](c: String, i: Int, get: Int => T): Option[(T, T)] = {
-        val (mi, ma) = (2 + 2 * i, 3 + 2 * i)
+        val (mi, ma) = (2 + 3 * i, 3 + 3 * i)
         if (r.isNullAt(mi) || r.isNullAt(ma)) None
         else Some((get(mi), get(ma)))
       }
@@ -181,6 +195,9 @@ private[graft] object ZoneMapMeta {
       val sstats = statCols.zipWithIndex
         .filter { case (c, _) => strCols.contains(c) }
         .map { case (c, i) => c -> slot(c, i, r.getString) }.toMap
+      val cnts = statCols.zipWithIndex.map { case (c, i) =>
+        c -> (if (r.isNullAt(4 + 3 * i)) None else Some(r.getLong(4 + 3 * i)))
+      }.toMap
       val file = r.getString(0)
       // a described file ABSENT from perFile had no non-null values at
       // all — all-zero words per column, correctly dropping every
@@ -194,33 +211,31 @@ private[graft] object ZoneMapMeta {
             b.cols.map(c => c -> new Array[Long](b.m / 64)).toMap
         }
       }.getOrElse(Map.empty)
-      FileStat(file, r.getLong(1), stats, sstats, bl)
+      FileStat(file, r.getLong(1), stats, sstats, bl, cnts)
     }.toSeq.sortBy(_.file)
     // gen continues from the superseded manifest (captured before the
     // mutation) regardless of its signature validity — it is a mutation
     // counter, not the cache key
     val gen = prevGen + 1
     val sig = signature(spark, zonePath)
-    // format floor: v1 for pure-long maps (byte-identical to every
-    // pre-string manifest), v2 adds string slots, v3 adds bloom slots
-    val v3 = blooms.isDefined
-    val v2 = strCols.nonEmpty
-    val magic = if (v3) "zmmeta v3" else if (v2) "zmmeta v2" else "zmmeta v1"
+    // every NEW manifest commits v4 (min:max:cnt slots — the non-null
+    // counts the metadata-count planner arm serves from); v1–v3 stay
+    // fully READABLE, their files simply carrying unknown counts
     val header =
-      Seq(magic, s"gen=$gen", s"sig=$sig",
-        s"cols=${statCols.mkString(",")}") ++
-        (if (v2 || v3) Seq(s"strs=${statCols.filter(strCols.contains)
-          .mkString(",")}") else Seq.empty) ++
+      Seq("zmmeta v4", s"gen=$gen", s"sig=$sig",
+        s"cols=${statCols.mkString(",")}",
+        s"strs=${statCols.filter(strCols.contains).mkString(",")}") ++
         blooms.toSeq.flatMap(b => Seq(s"bloomcols=${b.cols.mkString(",")}",
           s"bloomm=${b.m}", s"bloomk=${b.k}"))
     val body = files.map { f =>
       val ss = statCols.map { c =>
+        val cnt = f.cnts.getOrElse(c, None).map(_.toString).getOrElse("-")
         if (strCols.contains(c)) f.sstats(c) match {
-          case Some((lo, hi)) => s"${hex(lo)}:${hex(hi)}"
-          case None => "-"
+          case Some((lo, hi)) => s"${hex(lo)}:${hex(hi)}:$cnt"
+          case None => s"-:$cnt"
         } else f.stats(c) match {
-          case Some((lo, hi)) => s"$lo:$hi"
-          case None => "-"
+          case Some((lo, hi)) => s"$lo:$hi:$cnt"
+          case None => s"-:$cnt"
         }
       }
       val bs = blooms.toSeq.flatMap(b => b.cols.map(c =>
@@ -291,9 +306,11 @@ private[graft] object ZoneMapMeta {
       try {
         val magic = lines.head
         require(magic == "zmmeta v1" || magic == "zmmeta v2" ||
-          magic == "zmmeta v3", s"unknown manifest format: $magic")
+          magic == "zmmeta v3" || magic == "zmmeta v4",
+          s"unknown manifest format: $magic")
+        val v4 = magic == "zmmeta v4"
         val v3 = magic == "zmmeta v3"
-        val v2 = magic == "zmmeta v2" || v3
+        val v2 = magic == "zmmeta v2" || v3 || v4
         val Seq(genL, sigL, colsL) = lines.slice(1, 4)
         val gen = genL.stripPrefix("gen=").toLong
         val sig = sigL.stripPrefix("sig=")
@@ -306,8 +323,12 @@ private[graft] object ZoneMapMeta {
             require(l.startsWith("strs="), s"v2 manifest missing strs: $l")
             l.stripPrefix("strs=").split(',').toSet.filter(_.nonEmpty)
           }
+        // v3 carries blooms always; v4 carries them OPTIONALLY (the
+        // header names them when present)
+        val hasBlooms = (v3 || (v4 && lines.length > 5 &&
+          lines(5).startsWith("bloomcols=")))
         val (bloomCols, bloomM, bloomK) =
-          if (!v3) (Seq.empty[String], 0, 0)
+          if (!hasBlooms) (Seq.empty[String], 0, 0)
           else {
             val Seq(bc, bm, bk) = lines.slice(5, 8)
             require(bc.startsWith("bloomcols=") && bm.startsWith("bloomm=") &&
@@ -315,25 +336,38 @@ private[graft] object ZoneMapMeta {
             (bc.stripPrefix("bloomcols=").split(',').toSeq.filter(_.nonEmpty),
               bm.stripPrefix("bloomm=").toInt, bk.stripPrefix("bloomk=").toInt)
           }
-        val headerLen = if (v3) 8 else if (v2) 5 else 4
+        val headerLen = if (hasBlooms) 8 else if (v2) 5 else 4
         val files = lines.drop(headerLen).filter(_.nonEmpty).map { ln =>
           val parts = ln.split('\t')
           require(parts.length == statCols.length + bloomCols.length + 2,
             s"torn line: $ln")
           val n = parts(0).toLong
-          def pair(i: Int): Option[(String, String)] = parts(1 + i) match {
-            case "-" => None
-            case s =>
-              // limit -1 keeps EMPTY tokens: a string slot whose min and
-              // max are both the empty string serializes as ":" (hex of
-              // "" is ""), and the default split drops trailing empties
-              // — the whole manifest would parse as torn, silently and
-              // PERMANENTLY losing its blooms (and blinding the append
-              // path's bloom-loss probe, which reads this same parse)
-              val lohi = s.split(":", -1)
-              require(lohi.length == 2, s"torn slot: $s")
-              Some((lohi(0), lohi(1)))
-          }
+          // v1–v3 slot: "lo:hi" | "-"; v4 slot: "lo:hi:cnt" | "-:cnt"
+          // (cnt "-" = unknown, carried from a pre-count zone table).
+          // limit -1 keeps EMPTY tokens: a string slot whose min and
+          // max are both the empty string serializes as "::cnt" (hex of
+          // "" is ""), and the default split drops trailing empties —
+          // the whole manifest would parse as torn, silently and
+          // PERMANENTLY losing its blooms (and blinding the append
+          // path's bloom-loss probe, which reads this same parse)
+          def cntOf(s: String): Option[Long] =
+            if (s == "-") None else Some(s.toLong)
+          def slot(i: Int): (Option[(String, String)], Option[Long]) =
+            parts(1 + i) match {
+              case "-" if !v4 => (None, None)
+              case s =>
+                val ts = s.split(":", -1)
+                if (v4) {
+                  require(ts.length == 3 || (ts.length == 2 && ts(0) == "-"),
+                    s"torn slot: $s")
+                  if (ts.length == 3) (Some((ts(0), ts(1))), cntOf(ts(2)))
+                  else (None, cntOf(ts(1)))
+                } else {
+                  require(ts.length == 2, s"torn slot: $s")
+                  (Some((ts(0), ts(1))), None)
+                }
+            }
+          def pair(i: Int): Option[(String, String)] = slot(i)._1
           val stats = statCols.zipWithIndex
             .filterNot { case (c, _) => strCols.contains(c) }
             .map { case (c, i) =>
@@ -344,6 +378,9 @@ private[graft] object ZoneMapMeta {
             .map { case (c, i) =>
               c -> pair(i).map { case (lo, hi) => (unhex(lo), unhex(hi)) }
             }.toMap
+          val cnts = statCols.zipWithIndex.map { case (c, i) =>
+            c -> slot(i)._2
+          }.toMap
           val blooms = bloomCols.zipWithIndex.flatMap { case (c, i) =>
             parts(1 + statCols.length + i) match {
               case "-" => None // pre-bloom slot: never drops
@@ -353,7 +390,7 @@ private[graft] object ZoneMapMeta {
                   .map(java.lang.Long.parseUnsignedLong(_, 16)).toArray)
             }
           }.toMap
-          FileStat(parts.last, n, stats, sstats, blooms)
+          FileStat(parts.last, n, stats, sstats, blooms, cnts)
         }
         Some(Meta(gen, sig, statCols, files, strCols, bloomCols, bloomM,
           bloomK))

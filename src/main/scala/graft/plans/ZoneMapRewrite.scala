@@ -1,8 +1,10 @@
 package graft.plans
 
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.catalyst.expressions.{Alias, AttributeReference, Cast, EqualTo, Expression, GreaterThan, GreaterThanOrEqual, In, InSet, LessThan, LessThanOrEqual, Literal, Or}
-import org.apache.spark.sql.catalyst.plans.logical.{Filter, LocalRelation, LogicalPlan, Project}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Add, Alias, AttributeReference, Cast, EqualTo, Expression, GreaterThan, GreaterThanOrEqual, In, InSet, IsNotNull, LessThan, LessThanOrEqual, Literal, NamedExpression, Or}
+import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Count}
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, LocalRelation, LogicalPlan, Project}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.datasources.LogicalRelation
 import org.apache.spark.sql.types.{ByteType, DateType, IntegerType, LongType, ShortType, StringType, TimestampType}
@@ -130,14 +132,28 @@ case class ZoneMapPrune(spark: SparkSession) extends Rule[LogicalPlan] {
 
   override def apply(plan: LogicalPlan): LogicalPlan = {
     if (ZoneMapCatalog.entries.isEmpty) return plan
-    plan.transformUp {
+    // a REWRITE must never fail a query that would succeed unrewritten:
+    // any contract violation the prune path surfaces loudly when called
+    // explicitly (pruneTyped's described/typed requires) degrades HERE
+    // to "no rewrite" — the unpruned scan is always correct, and the
+    // warning keeps the refusal observable instead of silent.
+    // COUNT aggregates rewrite top-DOWN first (the Aggregate must be
+    // seen while its child Filter is still the raw scan shape — after
+    // the bottom-up file-prune pass the child is already rewritten and
+    // the strictly-better metadata answer would be lost); whatever the
+    // count arm leaves alone still gets file pruning below.
+    val counted = plan.transformDown {
+      case agg @ Aggregate(gs, outs, child, _) if gs.isEmpty =>
+        try countFromMeta(outs, child).getOrElse(agg)
+        catch {
+          case scala.util.control.NonFatal(e) =>
+            log.warn(s"zone-map metadata count skipped (rewrite must " +
+              s"not fail the query): ${e.getMessage}")
+            agg
+        }
+    }
+    counted.transformUp {
       case f @ Filter(cond, rel: LogicalRelation) =>
-        // a REWRITE must never fail a query that would succeed
-        // unrewritten: any contract violation the prune path surfaces
-        // loudly when called explicitly (pruneTyped's described/typed
-        // requires) degrades HERE to "no rewrite" — the unpruned scan
-        // is always correct, and the warning keeps the refusal
-        // observable instead of silent
         try prune(cond, rel).getOrElse(f)
         catch {
           case scala.util.control.NonFatal(e) =>
@@ -164,8 +180,18 @@ case class ZoneMapPrune(spark: SparkSession) extends Rule[LogicalPlan] {
     * the cached per-file stats; a table scan per disjunct would be
     * plan-time jobs, the very cost the manifest removed).
     */
-  private def prune(cond: Expression,
-                    rel: LogicalRelation): Option[LogicalPlan] = {
+  /** The first FRESH path-matching registration for `rel`, its
+    * (possibly absent) validated manifest, and the relation's landed
+    * files — the shared entry-resolution for the filter-prune and
+    * metadata-count arms. ONE manifest load per candidate path (each a
+    * cache hit after the first query): freshness, bloom columns, and
+    * pruning all read it. Freshness = every landed file is DESCRIBED
+    * (an undescribed file would be silently skipped), answered from the
+    * manifest when one validates, the zone TABLE otherwise.
+    */
+  private def freshEntry(rel: LogicalRelation)
+      : Option[(ZoneMapCatalog.ZmEntry, Option[ZoneMapMeta.Meta],
+                Seq[String])] = {
     val relPaths = AggStoreRewrite.pathsOf(rel)
     val candidates = ZoneMapCatalog.entries.distinct.filter(e =>
       PathNorm.pathsEqual(relPaths, e.dataPaths))
@@ -175,14 +201,11 @@ case class ZoneMapPrune(spark: SparkSession) extends Rule[LogicalPlan] {
         fs.location.inputFiles.toSeq
       case _ => Seq.empty
     }
-    // ONE load per candidate path (each a cache hit after the first
-    // query) — freshness, bloom columns, and pruning all read this
     val metaCache = scala.collection.mutable.Map
       .empty[String, Option[ZoneMapMeta.Meta]]
     def metaOf(e: ZoneMapCatalog.ZmEntry): Option[ZoneMapMeta.Meta] =
       metaCache.getOrElseUpdate(e.zonePath,
         ZoneMapMeta.load(spark, e.zonePath))
-    // freshness: an undescribed file would be silently skipped
     def isFresh(e: ZoneMapCatalog.ZmEntry): Boolean = {
       val described = metaOf(e) match {
         case Some(meta) => meta.files.map(f => PathNorm.norm(f.file)).toSet
@@ -193,15 +216,23 @@ case class ZoneMapPrune(spark: SparkSession) extends Rule[LogicalPlan] {
       relFiles.nonEmpty &&
         relFiles.forall(f => described.contains(PathNorm.norm(f)))
     }
-    val entry = candidates.find(isFresh).getOrElse {
-      log.warn(
-        s"zone-map prune refused: ${relPaths.mkString(",")} has landed " +
-          s"files not described by any of ${candidates.map(_.zonePath)
-            .mkString(",")} — scanning all; appendWithStats the new " +
-          "files (or register the rebuilt map) to restore skipping")
-      return None
+    candidates.find(isFresh) match {
+      case Some(e) => Some((e, metaOf(e), relFiles))
+      case None =>
+        log.warn(
+          s"zone-map rewrite refused: ${relPaths.mkString(",")} has " +
+            s"landed files not described by any of ${candidates
+              .map(_.zonePath).mkString(",")} — scanning all; " +
+            "appendWithStats the new files (or register the rebuilt " +
+            "map) to restore skipping")
+        None
     }
-    metaOf(entry) match {
+  }
+
+  private def prune(cond: Expression,
+                    rel: LogicalRelation): Option[LogicalPlan] = {
+    val (entry, meta, _) = freshEntry(rel).getOrElse(return None)
+    meta match {
       case Some(meta) =>
         survivorSet(cond, rel, entry.statCols, meta).flatMap { surv =>
           if (surv.size >= meta.files.size) None // nothing skipped
@@ -224,6 +255,158 @@ case class ZoneMapPrune(spark: SparkSession) extends Rule[LogicalPlan] {
         else if (survivors.isEmpty)
           Some(LocalRelation(rel.output)) // provably empty, no read
         else rebuild(rel, survivors).map(Filter(cond, _)) // residual kept
+    }
+  }
+
+  /** `count(*)` ANSWERED FROM METADATA — the Iceberg/Delta
+    * count-from-manifest optimization over the engine's own zone map:
+    * an ungrouped count whose filter is a pure conjunction of
+    * single-column range/equality bounds on stat columns partitions
+    * the described files three ways against the v4 manifest's
+    * `min:max:cnt` slots —
+    *  - DISJOINT files (span outside some bound, or all-null in a
+    *    bounded column) contribute ZERO rows, provably;
+    *  - FULLY-COVERED files (every bounded column's span inside its
+    *    bound) contribute from METADATA: the bounded column's NON-NULL
+    *    count when one column is bounded (nulls fail the predicate,
+    *    everything else passes), the file's row count when several are
+    *    and none has nulls (`cnt == n` for each — with nulls the
+    *    per-column counts cannot compose, so the file boundary-scans);
+    *  - BOUNDARY files scan, with the original filter intact.
+    * The rewrite is the sum: a `LocalRelation` ONE-ROW answer when no
+    * boundary remains (zero Spark jobs, zero data read — the year-range
+    * count over a date-clustered 100 TB corpus in a metadata lookup),
+    * else `metaCount + count(boundary scan)`. CONSERVATIVE gates, every
+    * one sound-by-refusal: every output must be a non-distinct
+    * unfiltered `count(<non-null lit>)`; EVERY filter conjunct must be
+    * a recognized bound (one opaque conjunct and a covered file can no
+    * longer be proven all-match) — strict string comparisons refuse
+    * (their envelope widening would claim false coverage; integer
+    * strict bounds are exact via ±1), `IsNotNull(statCol)` is accepted
+    * as the full-range bound (its matching rows ARE the non-null
+    * count); files with UNKNOWN counts (carried from pre-v4 zone
+    * tables) boundary-scan, never guess; described files are
+    * intersected with the relation's landed files so a stale extra in
+    * the manifest can never over-count.
+    */
+  private def countFromMeta(outs: Seq[NamedExpression],
+                            child: LogicalPlan): Option[LogicalPlan] = {
+    val isCount = outs.nonEmpty && outs.forall {
+      case Alias(AggregateExpression(
+        Count(Seq(Literal(v, _))), _, false, None, _), _) => v != null
+      case _ => false
+    }
+    if (!isCount) return None
+    def plainAttrs(pl: Seq[NamedExpression]): Boolean =
+      pl.forall(_.isInstanceOf[AttributeReference])
+    val shape: Option[(Option[Expression], LogicalRelation)] = child match {
+      case rel: LogicalRelation => Some((None, rel))
+      case Project(pl, rel: LogicalRelation) if plainAttrs(pl) =>
+        Some((None, rel))
+      case Filter(c, rel: LogicalRelation) => Some((Some(c), rel))
+      case Project(pl, Filter(c, rel: LogicalRelation))
+          if plainAttrs(pl) => Some((Some(c), rel))
+      case Filter(c, Project(pl, rel: LogicalRelation))
+          if plainAttrs(pl) => Some((Some(c), rel))
+      case _ => None
+    }
+    val (condOpt, rel) = shape.getOrElse(return None)
+    val (entry, metaOpt, relFiles) = freshEntry(rel).getOrElse(return None)
+    val meta = metaOpt.getOrElse(return None) // counts live in the manifest
+    val relSet = relFiles.map(PathNorm.norm).toSet
+    val files = meta.files.filter(f => relSet.contains(PathNorm.norm(f.file)))
+    val ex = new Extract(rel, entry.statCols, utcSession)
+    val conjs = condOpt.map(conjunctsOf).getOrElse(Seq.empty)
+    val notNullCols = scala.collection.mutable.Set.empty[String]
+    def longBound(x: Expression, l: Expression): Boolean =
+      ex.statName(x).isDefined && ex.litVal(l).isDefined
+    def strBound(x: Expression, l: Expression): Boolean =
+      ex.sStatName(x).isDefined && ex.sLitVal(l).isDefined
+    def anyBound(a: Expression, b: Expression): Boolean =
+      longBound(a, b) || longBound(b, a) || strBound(a, b) || strBound(b, a)
+    val allRecognized = conjs.forall {
+      case IsNotNull(a: AttributeReference) =>
+        ex.statName(a).map(_._1).orElse(ex.sStatName(a)) match {
+          case Some(c) => notNullCols += c; true
+          case None => false
+        }
+      case GreaterThanOrEqual(a, b) => anyBound(a, b)
+      case LessThanOrEqual(a, b) => anyBound(a, b)
+      case EqualTo(a, b) => anyBound(a, b)
+      // STRICT comparisons: exact on integers (±1), but a string
+      // strict bound widens to inclusive in the envelope — a widened
+      // bound may claim full coverage a strict predicate does not have
+      case GreaterThan(a, b) =>
+        longBound(a, b) || longBound(b, a)
+      case LessThan(a, b) =>
+        longBound(a, b) || longBound(b, a)
+      case _ => false
+    }
+    if (!allRecognized) return None
+    val (bounds, sBounds) = condOpt
+      .map(extractBounds(_, rel, entry.statCols))
+      .getOrElse((Map.empty[String, (Long, Long)],
+        Map.empty[String, (Option[String], Option[String])]))
+    val allBound: Set[String] =
+      bounds.keySet ++ sBounds.keySet ++ notNullCols
+    val cmp = graft.operators.ZoneMapMeta.cmpUtf8 _
+    var metaCount = 0L
+    val boundary = Seq.newBuilder[String]
+    var nBoundary = 0
+    files.foreach { f =>
+      // per bounded column: 0 = provably disjoint, 2 = fully covered,
+      // 1 = partial (all-null columns are 0: no row passes a range OR
+      // an IsNotNull on them)
+      def covLong(c: String): Int = f.stats.getOrElse(c, None) match {
+        case None => 0
+        case Some((mn, mx)) =>
+          val (lo, hi) = bounds.getOrElse(c, (Long.MinValue, Long.MaxValue))
+          if (mx < lo || mn > hi) 0
+          else if (lo <= mn && mx <= hi) 2
+          else 1
+      }
+      def covStr(c: String): Int = f.sstats.getOrElse(c, None) match {
+        case None => 0
+        case Some((mn, mx)) =>
+          val (lo, hi) = sBounds.getOrElse(c,
+            (Option.empty[String], Option.empty[String]))
+          if (hi.exists(h => cmp(mn, h) > 0) ||
+            lo.exists(l => cmp(mx, l) < 0)) 0
+          else if (lo.forall(l => cmp(l, mn) <= 0) &&
+            hi.forall(h => cmp(mx, h) <= 0)) 2
+          else 1
+      }
+      def covOf(c: String): Int =
+        if (bounds.contains(c)) covLong(c)
+        else if (sBounds.contains(c)) covStr(c)
+        else if (meta.strCols.contains(c)) covStr(c) else covLong(c)
+      val covs = allBound.toSeq.map(covOf)
+      if (covs.contains(0)) () // provably zero matching rows
+      else if (covs.forall(_ == 2)) {
+        if (allBound.isEmpty) metaCount += f.n // no filter: every row
+        else if (allBound.size == 1)
+          f.cnts.getOrElse(allBound.head, None) match {
+            case Some(ct) => metaCount += ct
+            case None => boundary += f.file; nBoundary += 1
+          }
+        else {
+          val cs = allBound.toSeq.map(c => f.cnts.getOrElse(c, None))
+          if (cs.forall(_.contains(f.n))) metaCount += f.n
+          else { boundary += f.file; nBoundary += 1 }
+        }
+      } else { boundary += f.file; nBoundary += 1 }
+    }
+    val bFiles = boundary.result()
+    if (bFiles.isEmpty)
+      Some(LocalRelation(outs.map(_.toAttribute),
+        Seq(InternalRow.fromSeq(Seq.fill(outs.size)(metaCount)))))
+    else if (nBoundary >= files.size) None // nothing answered: no churn
+    else rebuild(rel, bFiles.sorted).map { scan =>
+      val inner = condOpt.map(Filter(_, scan)).getOrElse(scan)
+      val part = Alias(outs.head.asInstanceOf[Alias].child, "part_cnt")()
+      val aggNode = Aggregate(Nil, Seq(part), inner)
+      Project(outs.map(o => Alias(Add(part.toAttribute, Literal(metaCount)),
+        o.name)(exprId = o.exprId)), aggNode)
     }
   }
 

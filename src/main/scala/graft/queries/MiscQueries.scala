@@ -898,6 +898,49 @@ object MiscQueries {
              |  DATE '1996-03-06', DATE '1996-03-10', DATE '1996-03-14')
              |GROUP BY 1 ORDER BY 1""".stripMargin)),
 
+    // ---- METADATA-ANSWERED COUNT (ZoneMapPrune.countFromMeta over the
+    // zmmeta v4 min:max:cnt slots): the Iceberg/Delta count-from-
+    // manifest optimization — a date-range count(*) over a z-ordered
+    // layout partitions the files into disjoint (zero rows, provably),
+    // fully-covered (answered from the manifest's per-file non-null
+    // counts, zero data read), and boundary (scanned with the filter
+    // intact); the rewrite is metaCount + count(boundary scan), and a
+    // no-boundary query folds to a one-row LocalRelation with ZERO
+    // Spark jobs. ZoneMapSpec pins the null accounting (single-column
+    // counts serve cnt, multi-column with nulls refuses to guess), the
+    // strict-conjunct gate, the boundary-only inputFiles, the zero-job
+    // listener, and the v1-manifest fallback. Oracle: the full-scan
+    // recompute. ----
+    Q("q358_zonemap_meta_count",
+      (s, dir) => {
+        import graft.operators.ZoneMap
+        import graft.plans.{ZoneMapCatalog, ZoneMapPrune}
+        val tmp = java.nio.file.Files
+          .createTempDirectory("graft_q358_").toString
+        val od = t(s, dir, "orders")
+          .select(to_date(col("o_orderdate")).as("od"), col("o_custkey"))
+        ZoneMap.writeZOrdered(od, s"$tmp/data", s"$tmp/zone",
+          "od", "o_custkey", bits = 8, partitions = 16)
+        val prev = s.experimental.extraOptimizations
+        s.experimental.extraOptimizations = prev :+ ZoneMapPrune(s)
+        try {
+          ZoneMapCatalog.register(s, s"$tmp/data", s"$tmp/zone",
+            Seq("od", "o_custkey"))
+          s.read.parquet(s"$tmp/data")
+            .filter(col("od").between(
+              lit(java.sql.Date.valueOf("1994-01-01")),
+              lit(java.sql.Date.valueOf("1996-12-31"))))
+            .agg(count(lit(1)).as("n"))
+            .localCheckpoint(true) // the count rewrite fires HERE
+        } finally {
+          s.experimental.extraOptimizations = prev
+          ZoneMapCatalog.clear()
+        }
+      },
+      Some("""SELECT count(*) AS n FROM orders
+             |WHERE CAST(o_orderdate AS DATE)
+             |  BETWEEN DATE '1994-01-01' AND DATE '1996-12-31'""".stripMargin)),
+
     // ---- PLANNER-INJECTED RUNTIME FILTER, IN path (RuntimeFilterJoin):
     // the selective fact⋈dim join made cheap for free — the dim side's
     // 39 distinct keys (p_size = 7) collect once at plan time and land

@@ -922,6 +922,139 @@ class ZoneMapSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.session.timeZone", tz)
   }
 
+  test("count(*) answers from the v4 manifest: covered files from " +
+    "metadata (zero jobs when nothing scans), boundary files scan, " +
+    "null counts never guessed") {
+    val dir = tmp("metacount")
+    // 8 deterministic files: file i spans a in [32i, 32i+31], 4 rows
+    // per a value; k is NULL on every 4th row (cnt_k < n per file)
+    val base = spark.range(0, 1024).select(
+      (col("id") % 256).cast("long").as("a"),
+      when(col("id") % 4 === 0, lit(null).cast("long"))
+        .otherwise(col("id")).as("k"))
+    (0 until 8).foreach(i => base
+      .filter(col("a") >= i * 32 && col("a") < (i + 1) * 32)
+      .coalesce(1).write.mode("append").parquet(s"$dir/data"))
+    operators.ZoneMap.buildZoneMap(spark, s"$dir/data", Seq("a", "k"),
+      s"$dir/zone")
+    val prev = spark.experimental.extraOptimizations
+    spark.experimental.extraOptimizations =
+      prev :+ graft.plans.ZoneMapPrune(spark)
+    try {
+      graft.plans.ZoneMapCatalog.register(spark, s"$dir/data",
+        s"$dir/zone", Seq("a", "k"))
+      def cnt(df: org.apache.spark.sql.DataFrame): Long =
+        df.agg(count(lit(1)).as("n")).collect().head.getLong(0)
+      // (1) unfiltered count(*): pure metadata, no file opened
+      val q0 = spark.read.parquet(s"$dir/data").agg(count(lit(1)).as("n"))
+      assert(q0.queryExecution.optimizedPlan
+        .isInstanceOf[org.apache.spark.sql.catalyst.plans.logical
+          .LocalRelation], "an unfiltered count must fold to metadata")
+      assert(q0.collect().head.getLong(0) == 1024L)
+      // (2) mixed: files 1-2 fully inside [10, 120] answer from
+      // metadata, boundary files 0 and 3 scan — and ONLY they open
+      val q1 = spark.read.parquet(s"$dir/data")
+        .filter(col("a").between(10L, 120L)).agg(count(lit(1)).as("n"))
+      assert(q1.collect().head.getLong(0) == 111L * 4)
+      assert(q1.inputFiles.length == 2,
+        s"only the two boundary files may open (${q1.inputFiles.length})")
+      // (3) a bound on the NULLABLE column: full coverage serves the
+      // per-file NON-NULL count (nulls fail the predicate) — zero scan,
+      // zero jobs (the marker-job listener pin)
+      val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+      val listener = new org.apache.spark.scheduler.SparkListener {
+        override def onJobStart(
+            js: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+          jobs.incrementAndGet(); ()
+        }
+      }
+      val q2 = spark.read.parquet(s"$dir/data").filter(col("k") >= 0L)
+        .agg(count(lit(1)).as("n"))
+      spark.sparkContext.addSparkListener(listener)
+      val n2 =
+        try {
+          val r = q2.collect().head.getLong(0)
+          spark.sparkContext.parallelize(Seq(1), 1).count() // marker
+          val deadline = System.currentTimeMillis + 20000
+          while (jobs.get() < 1 && System.currentTimeMillis < deadline)
+            Thread.sleep(20)
+          assert(jobs.get() == 1,
+            s"a pure-metadata count must run zero Spark jobs beyond " +
+              s"the marker, saw ${jobs.get() - 1}")
+          r
+        } finally spark.sparkContext.removeSparkListener(listener)
+      assert(n2 == 768L, s"count must be the non-null count, got $n2")
+      // (4) multi-column coverage with NULLS in one column: per-column
+      // counts cannot compose, so every file scans — correct, never
+      // guessed
+      val q3 = spark.read.parquet(s"$dir/data")
+        .filter(col("a") >= 0L && col("k") >= 0L)
+        .agg(count(lit(1)).as("n"))
+      assert(q3.collect().head.getLong(0) == 768L)
+      // (5) an unrecognized conjunct refuses the arm; the result stays
+      // exact through the normal path
+      assert(cnt(spark.read.parquet(s"$dir/data")
+        .filter(col("a").between(10L, 120L) && col("k") % 2 === 1)) ==
+        spark.read.parquet(s"$dir/data")
+          .where(col("a").between(10L, 120L) && col("k") % 2 === 1).count())
+    } finally {
+      spark.experimental.extraOptimizations = prev
+      graft.plans.ZoneMapCatalog.clear()
+    }
+    // (6) a fresh v4 build records every count...
+    operators.ZoneMapMeta.invalidate()
+    val meta = operators.ZoneMapMeta.load(spark, s"$dir/zone").get
+    assert(meta.files.forall(_.cnts.values.forall(_.isDefined)),
+      "a fresh v4 build must record every non-null count")
+    // ...and (7) the PRE-v4 read path stays alive: downgrade the
+    // on-disk manifest to v1 by hand (strip the strs line and the :cnt
+    // tokens, same gen/sig) — it must load with every count UNKNOWN,
+    // serve IDENTICAL pruning decisions, and the count arm must refuse
+    // to guess while the query stays exact
+    val (survBefore, totBefore) = operators.ZoneMap.pruneFiles(spark,
+      s"$dir/zone", Seq(("a", 10L, 120L)))
+    val mf = java.nio.file.Paths.get(s"$dir/zone/_ZMMETA")
+    val v1 = new java.util.ArrayList[String]()
+    java.nio.file.Files.readAllLines(mf).forEach { l =>
+      if (l == "zmmeta v4") v1.add("zmmeta v1")
+      else if (l.startsWith("strs=")) () // v1 has no strs line
+      else if (l.contains("\t")) {
+        val parts = l.split("\t", -1)
+        val mid = parts.slice(1, parts.length - 1).map { s =>
+          val ts = s.split(":", -1)
+          if (ts.length == 3) s"${ts(0)}:${ts(1)}"
+          else "-"
+        }
+        v1.add((parts.head +: mid :+ parts.last).mkString("\t"))
+      } else v1.add(l)
+    }
+    java.nio.file.Files.write(mf, v1)
+    java.nio.file.Files.deleteIfExists(
+      java.nio.file.Paths.get(s"$dir/zone/._ZMMETA.crc"))
+    operators.ZoneMapMeta.invalidate()
+    val old = operators.ZoneMapMeta.load(spark, s"$dir/zone")
+    assert(old.isDefined, "a v1 manifest must still load")
+    assert(old.get.files.forall(_.cnts.values.forall(_.isEmpty)),
+      "pre-v4 counts are unknown, never guessed")
+    assert(operators.ZoneMap.pruneFiles(spark, s"$dir/zone",
+      Seq(("a", 10L, 120L))) == ((survBefore, totBefore)),
+      "v1 pruning decisions must be identical")
+    val prev2 = spark.experimental.extraOptimizations
+    spark.experimental.extraOptimizations =
+      prev2 :+ graft.plans.ZoneMapPrune(spark)
+    try {
+      graft.plans.ZoneMapCatalog.register(spark, s"$dir/data",
+        s"$dir/zone", Seq("a", "k"))
+      val q = spark.read.parquet(s"$dir/data")
+        .filter(col("a").between(10L, 120L)).agg(count(lit(1)).as("n"))
+      assert(q.collect().head.getLong(0) == 111L * 4,
+        "an unknown-count manifest must scan, never mis-count")
+    } finally {
+      spark.experimental.extraOptimizations = prev2
+      graft.plans.ZoneMapCatalog.clear()
+    }
+  }
+
   test("a held append claim fails a concurrent append loudly") {
     val dir = tmp("claim")
     val half1 = spark.range(0, 64).select(
