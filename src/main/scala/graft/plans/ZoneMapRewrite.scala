@@ -258,12 +258,13 @@ case class ZoneMapPrune(spark: SparkSession) extends Rule[LogicalPlan] {
     }
   }
 
-  /** `count(*)` ANSWERED FROM METADATA — the Iceberg/Delta
-    * count-from-manifest optimization over the engine's own zone map:
-    * an ungrouped count whose filter is a pure conjunction of
-    * single-column range/equality bounds on stat columns partitions
-    * the described files three ways against the v4 manifest's
-    * `min:max:cnt` slots —
+  /** `count(*)` / `min` / `max` ANSWERED FROM METADATA — the
+    * Iceberg/Delta aggregate-from-manifest optimization over the
+    * engine's own zone map: an ungrouped aggregate whose outputs are
+    * counts and min/max over stat columns, and whose filter is a pure
+    * conjunction of single-column range/equality bounds on stat
+    * columns, partitions the described files three ways against the v4
+    * manifest's `min:max:cnt` slots —
     *  - DISJOINT files (span outside some bound, or all-null in a
     *    bounded column) contribute ZERO rows, provably;
     *  - FULLY-COVERED files (every bounded column's span inside its
@@ -278,7 +279,14 @@ case class ZoneMapPrune(spark: SparkSession) extends Rule[LogicalPlan] {
     * count over a date-clustered 100 TB corpus in a metadata lookup),
     * else `metaCount + count(boundary scan)`. CONSERVATIVE gates, every
     * one sound-by-refusal: every output must be a non-distinct
-    * unfiltered `count(<non-null lit>)`; EVERY filter conjunct must be
+    * unfiltered `count(<non-null lit>)` or a `min`/`max` over a BARE
+    * stat-column attribute whose original type reconstructs losslessly
+    * from the stat unit (a fully-covered file's min(c) is its manifest
+    * `min_c` — min/max ignore c's own nulls, and any OTHER bounded
+    * column with nulls shrinks the survivor set unpredictably, so such
+    * files boundary-scan; boundary legs merge via `Least`/`Greatest`,
+    * whose null-skipping is exactly the empty-leg semantics); EVERY
+    * filter conjunct must be
     * a recognized bound (one opaque conjunct and a covered file can no
     * longer be proven all-match) — strict string comparisons refuse
     * (their envelope widening would claim false coverage; integer
@@ -291,12 +299,29 @@ case class ZoneMapPrune(spark: SparkSession) extends Rule[LogicalPlan] {
     */
   private def countFromMeta(outs: Seq[NamedExpression],
                             child: LogicalPlan): Option[LogicalPlan] = {
-    val isCount = outs.nonEmpty && outs.forall {
-      case Alias(AggregateExpression(
-        Count(Seq(Literal(v, _))), _, false, None, _), _) => v != null
-      case _ => false
+    // every output is a non-distinct, unfiltered count(<non-null lit>)
+    // or a min/max over a BARE column attribute (validated as a stat
+    // column of a reconstructible type below)
+    sealed trait MOut
+    case object CntOut extends MOut
+    case class MinOut(a: AttributeReference) extends MOut
+    case class MaxOut(a: AttributeReference) extends MOut
+    val parsedOuts: Seq[Option[(Alias, MOut)]] = outs.map {
+      case al @ Alias(AggregateExpression(
+        Count(Seq(Literal(v, _))), _, false, None, _), _) if v != null =>
+        Some((al, CntOut))
+      case al @ Alias(AggregateExpression(
+        org.apache.spark.sql.catalyst.expressions.aggregate
+          .Min(a: AttributeReference), _, false, None, _), _) =>
+        Some((al, MinOut(a)))
+      case al @ Alias(AggregateExpression(
+        org.apache.spark.sql.catalyst.expressions.aggregate
+          .Max(a: AttributeReference), _, false, None, _), _) =>
+        Some((al, MaxOut(a)))
+      case _ => None
     }
-    if (!isCount) return None
+    if (outs.isEmpty || parsedOuts.exists(_.isEmpty)) return None
+    val mOuts = parsedOuts.flatten
     def plainAttrs(pl: Seq[NamedExpression]): Boolean =
       pl.forall(_.isInstanceOf[AttributeReference])
     val shape: Option[(Option[Expression], LogicalRelation)] = child match {
@@ -316,6 +341,24 @@ case class ZoneMapPrune(spark: SparkSession) extends Rule[LogicalPlan] {
     val relSet = relFiles.map(PathNorm.norm).toSet
     val files = meta.files.filter(f => relSet.contains(PathNorm.norm(f.file)))
     val ex = new Extract(rel, entry.statCols, utcSession)
+    // min/max columns: described stat columns whose ORIGINAL type
+    // reconstructs losslessly from the stat unit (the long image for
+    // integrals/date/timestamp, the raw string for strings)
+    def mmCol(a: AttributeReference): Option[String] = a.dataType match {
+      case ByteType | ShortType | IntegerType | LongType | DateType |
+           TimestampType =>
+        ex.statName(a).collect { case (c, ex.Same) => c }
+          .filterNot(meta.strCols.contains)
+      case StringType =>
+        ex.sStatName(a).filter(meta.strCols.contains)
+      case _ => None
+    }
+    val mmOk = mOuts.forall {
+      case (_, MinOut(a)) => mmCol(a).isDefined
+      case (_, MaxOut(a)) => mmCol(a).isDefined
+      case _ => true
+    }
+    if (!mmOk) return None
     val conjs = condOpt.map(conjunctsOf).getOrElse(Seq.empty)
     val notNullCols = scala.collection.mutable.Set.empty[String]
     def longBound(x: Expression, l: Expression): Boolean =
@@ -351,6 +394,10 @@ case class ZoneMapPrune(spark: SparkSession) extends Rule[LogicalPlan] {
       bounds.keySet ++ sBounds.keySet ++ notNullCols
     val cmp = graft.operators.ZoneMapMeta.cmpUtf8 _
     var metaCount = 0L
+    val metaMinL = scala.collection.mutable.Map.empty[String, Long]
+    val metaMaxL = scala.collection.mutable.Map.empty[String, Long]
+    val metaMinS = scala.collection.mutable.Map.empty[String, String]
+    val metaMaxS = scala.collection.mutable.Map.empty[String, String]
     val boundary = Seq.newBuilder[String]
     var nBoundary = 0
     files.foreach { f =>
@@ -383,30 +430,118 @@ case class ZoneMapPrune(spark: SparkSession) extends Rule[LogicalPlan] {
       val covs = allBound.toSeq.map(covOf)
       if (covs.contains(0)) () // provably zero matching rows
       else if (covs.forall(_ == 2)) {
-        if (allBound.isEmpty) metaCount += f.n // no filter: every row
-        else if (allBound.size == 1)
-          f.cnts.getOrElse(allBound.head, None) match {
-            case Some(ct) => metaCount += ct
-            case None => boundary += f.file; nBoundary += 1
+        // every output must be answerable from this file's stats, or
+        // the whole file boundary-scans (a split contribution would
+        // double-count it)
+        def cntAnswer: Option[Long] =
+          if (allBound.isEmpty) Some(f.n)
+          else if (allBound.size == 1) f.cnts.getOrElse(allBound.head, None)
+          else {
+            val cs = allBound.toSeq.map(c => f.cnts.getOrElse(c, None))
+            if (cs.forall(_.contains(f.n))) Some(f.n) else None
           }
-        else {
-          val cs = allBound.toSeq.map(c => f.cnts.getOrElse(c, None))
-          if (cs.forall(_.contains(f.n))) metaCount += f.n
-          else { boundary += f.file; nBoundary += 1 }
+        // min/max over c is the file's own stat iff no OTHER bounded
+        // column excludes rows (nulls in d != c shrink the survivor
+        // set unpredictably; nulls in c itself are excluded by min/max
+        // semantics anyway)
+        def mmAnswerable(c: String): Boolean =
+          (allBound - c).forall(d =>
+            f.cnts.getOrElse(d, None).contains(f.n))
+        val answers: Seq[Option[() => Unit]] = mOuts.map {
+          case (_, CntOut) => cntAnswer.map(ct => () => metaCount += ct)
+          case (_, MinOut(a)) =>
+            val c = mmCol(a).get
+            if (!mmAnswerable(c)) None
+            else if (meta.strCols.contains(c))
+              f.sstats.getOrElse(c, None) match {
+                case Some((mn, _)) => Some(() => metaMinS(c) =
+                  metaMinS.get(c).filter(x => cmp(x, mn) <= 0).getOrElse(mn))
+                case None => Some(() => ()) // all-null: no contribution
+              }
+            else f.stats.getOrElse(c, None) match {
+              case Some((mn, _)) => Some(() => metaMinL(c) =
+                math.min(metaMinL.getOrElse(c, Long.MaxValue), mn))
+              case None => Some(() => ())
+            }
+          case (_, MaxOut(a)) =>
+            val c = mmCol(a).get
+            if (!mmAnswerable(c)) None
+            else if (meta.strCols.contains(c))
+              f.sstats.getOrElse(c, None) match {
+                case Some((_, mx)) => Some(() => metaMaxS(c) =
+                  metaMaxS.get(c).filter(x => cmp(x, mx) >= 0).getOrElse(mx))
+                case None => Some(() => ())
+              }
+            else f.stats.getOrElse(c, None) match {
+              case Some((_, mx)) => Some(() => metaMaxL(c) =
+                math.max(metaMaxL.getOrElse(c, Long.MinValue), mx))
+              case None => Some(() => ())
+            }
         }
+        if (answers.forall(_.isDefined)) answers.foreach(_.get.apply())
+        else { boundary += f.file; nBoundary += 1 }
       } else { boundary += f.file; nBoundary += 1 }
+    }
+    // the stat-unit long back to the column's ORIGINAL internal value
+    // (epoch days stay int, micros stay long, integrals narrow — all
+    // lossless, the values came from that very column)
+    def internalOf(v: Long, dt: org.apache.spark.sql.types.DataType): Any =
+      dt match {
+        case ByteType => v.toByte
+        case ShortType => v.toShort
+        case IntegerType | DateType => v.toInt
+        case _ => v
+      }
+    def metaValue(o: MOut): Option[(Any,
+        org.apache.spark.sql.types.DataType)] = o match {
+      case CntOut => Some((metaCount, LongType))
+      case MinOut(a) =>
+        val c = mmCol(a).get
+        if (meta.strCols.contains(c)) metaMinS.get(c).map(s =>
+          (org.apache.spark.unsafe.types.UTF8String.fromString(s),
+            a.dataType))
+        else metaMinL.get(c).map(v => (internalOf(v, a.dataType), a.dataType))
+      case MaxOut(a) =>
+        val c = mmCol(a).get
+        if (meta.strCols.contains(c)) metaMaxS.get(c).map(s =>
+          (org.apache.spark.unsafe.types.UTF8String.fromString(s),
+            a.dataType))
+        else metaMaxL.get(c).map(v => (internalOf(v, a.dataType), a.dataType))
     }
     val bFiles = boundary.result()
     if (bFiles.isEmpty)
+      // a global aggregate over zero matching rows is ONE row with
+      // count 0 and null min/max — exactly what absent meta values emit
       Some(LocalRelation(outs.map(_.toAttribute),
-        Seq(InternalRow.fromSeq(Seq.fill(outs.size)(metaCount)))))
+        Seq(InternalRow.fromSeq(mOuts.map(o =>
+          metaValue(o._2).map(_._1).orNull)))))
     else if (nBoundary >= files.size) None // nothing answered: no churn
     else rebuild(rel, bFiles.sorted).map { scan =>
       val inner = condOpt.map(Filter(_, scan)).getOrElse(scan)
-      val part = Alias(outs.head.asInstanceOf[Alias].child, "part_cnt")()
-      val aggNode = Aggregate(Nil, Seq(part), inner)
-      Project(outs.map(o => Alias(Add(part.toAttribute, Literal(metaCount)),
-        o.name)(exprId = o.exprId)), aggNode)
+      val parts = mOuts.zipWithIndex.map { case ((al, _), i) =>
+        Alias(al.child, s"part_$i")()
+      }
+      val aggNode = Aggregate(Nil, parts, inner)
+      val projected = mOuts.zip(parts).map { case ((al, o), part) =>
+        val merged: Expression = o match {
+          case CntOut => Add(part.toAttribute, Literal(metaCount))
+          case mo => metaValue(mo) match {
+            // Least/Greatest skip nulls, so an empty boundary-scan leg
+            // (null) yields the metadata value and vice versa — the
+            // exact null semantics of the direct aggregate
+            case Some((v, dt)) =>
+              val lit = Literal(v, dt)
+              if (mo.isInstanceOf[MinOut])
+                org.apache.spark.sql.catalyst.expressions
+                  .Least(Seq(part.toAttribute, lit))
+              else org.apache.spark.sql.catalyst.expressions
+                .Greatest(Seq(part.toAttribute, lit))
+            case None => part.toAttribute
+          }
+        }
+        Alias(merged, al.name)(exprId = al.exprId)
+      }
+      Project(projected, aggNode)
     }
   }
 

@@ -941,6 +941,55 @@ object MiscQueries {
              |WHERE CAST(o_orderdate AS DATE)
              |  BETWEEN DATE '1994-01-01' AND DATE '1996-12-31'""".stripMargin)),
 
+    // ---- METADATA-ANSWERED MIN/MAX (the same countFromMeta arm,
+    // mixed outputs): a fully-covered file's min(c) IS its manifest
+    // min_c (min/max ignore c's own nulls; any OTHER bounded column
+    // with nulls forces that file to scan — per-column stats cannot
+    // say which rows survive), boundary legs merge through
+    // Least/Greatest whose null-skipping is exactly the empty-leg
+    // semantics, and the DATE stat unit (epoch days) reconstructs the
+    // original DateType value losslessly. ZoneMapSpec pins the typed
+    // reconstruction, the boundary-only inputFiles, and the
+    // nullable-bounded-column refusal. Oracle: the full-scan
+    // recompute. ----
+    Q("q359_zonemap_meta_minmax",
+      (s, dir) => {
+        import graft.operators.ZoneMap
+        import graft.plans.{ZoneMapCatalog, ZoneMapPrune}
+        val tmp = java.nio.file.Files
+          .createTempDirectory("graft_q359_").toString
+        val od = t(s, dir, "orders")
+          .select(to_date(col("o_orderdate")).as("od"), col("o_custkey"))
+        ZoneMap.writeZOrdered(od, s"$tmp/data", s"$tmp/zone",
+          "od", "o_custkey", bits = 8, partitions = 16)
+        val prev = s.experimental.extraOptimizations
+        s.experimental.extraOptimizations = prev :+ ZoneMapPrune(s)
+        try {
+          ZoneMapCatalog.register(s, s"$tmp/data", s"$tmp/zone",
+            Seq("od", "o_custkey"))
+          s.read.parquet(s"$tmp/data")
+            .filter(col("od").between(
+              lit(java.sql.Date.valueOf("1994-01-01")),
+              lit(java.sql.Date.valueOf("1996-12-31"))))
+            .agg(count(lit(1)).as("n"),
+              min(col("od")).as("mn"), max(col("od")).as("mx"),
+              min(col("o_custkey")).as("mnc"),
+              max(col("o_custkey")).as("mxc"))
+            .localCheckpoint(true) // the aggregate rewrite fires HERE
+        } finally {
+          s.experimental.extraOptimizations = prev
+          ZoneMapCatalog.clear()
+        }
+      },
+      Some("""SELECT count(*) AS n,
+             |  min(CAST(o_orderdate AS DATE)) AS mn,
+             |  max(CAST(o_orderdate AS DATE)) AS mx,
+             |  CAST(min(o_custkey) AS BIGINT) AS mnc,
+             |  CAST(max(o_custkey) AS BIGINT) AS mxc
+             |FROM orders
+             |WHERE CAST(o_orderdate AS DATE)
+             |  BETWEEN DATE '1994-01-01' AND DATE '1996-12-31'""".stripMargin)),
+
     // ---- PLANNER-INJECTED RUNTIME FILTER, IN path (RuntimeFilterJoin):
     // the selective fact⋈dim join made cheap for free — the dim side's
     // 39 distinct keys (p_size = 7) collect once at plan time and land

@@ -1055,6 +1055,75 @@ class ZoneMapSpec extends SparkSpec {
     }
   }
 
+  test("min/max answer from metadata alongside counts: types " +
+    "reconstruct exactly, boundary legs merge via Least/Greatest, and " +
+    "other-column nulls force the scan") {
+    val dir = tmp("metamm")
+    // file i spans a in [32i, 32i+31]; d is the date image of a; st its
+    // zero-padded string (binary order == numeric order); k equals a
+    // but is NULL wherever a % 4 == 0 (so cnt_k < n in every file)
+    val base = spark.range(0, 1024).select(
+      (col("id") % 256).cast("long").as("a"),
+      expr("date_from_unix_date(cast(id % 256 as int))").as("d"),
+      format_string("%03d", col("id") % 256).as("st"),
+      when((col("id") % 256) % 4 === 0, lit(null).cast("long"))
+        .otherwise(col("id") % 256).as("k"))
+    (0 until 8).foreach(i => base
+      .filter(col("a") >= i * 32 && col("a") < (i + 1) * 32)
+      .coalesce(1).write.mode("append").parquet(s"$dir/data"))
+    operators.ZoneMap.buildZoneMap(spark, s"$dir/data",
+      Seq("a", "d", "st", "k"), s"$dir/zone")
+    def agg0(df: org.apache.spark.sql.DataFrame) = df.agg(
+      count(lit(1)).as("n"), min(col("a")).as("mna"),
+      max(col("a")).as("mxa"), min(col("d")).as("mnd"),
+      max(col("d")).as("mxd"), min(col("st")).as("mns"),
+      max(col("st")).as("mxs"))
+    def agg1(df: org.apache.spark.sql.DataFrame) = df
+      .filter(col("a").between(10L, 120L))
+      .agg(min(col("a")).as("mna"), max(col("a")).as("mxa"),
+        min(col("k")).as("mnk"), max(col("k")).as("mxk"),
+        count(lit(1)).as("n"))
+    def agg2(df: org.apache.spark.sql.DataFrame) = df
+      .filter(col("k") >= 0L).agg(min(col("a")).as("mna"))
+    val raw = spark.read.parquet(s"$dir/data")
+    val (d0, d1, d2) =
+      (agg0(raw).collect().head, agg1(raw).collect().head,
+        agg2(raw).collect().head)
+    val prev = spark.experimental.extraOptimizations
+    spark.experimental.extraOptimizations =
+      prev :+ graft.plans.ZoneMapPrune(spark)
+    try {
+      graft.plans.ZoneMapCatalog.register(spark, s"$dir/data",
+        s"$dir/zone", Seq("a", "d", "st", "k"))
+      // (1) unfiltered mixed aggregate: pure metadata, exact typed
+      // reconstruction (long, DATE, string)
+      val q0 = agg0(spark.read.parquet(s"$dir/data"))
+      assert(q0.queryExecution.optimizedPlan
+        .isInstanceOf[org.apache.spark.sql.catalyst.plans.logical
+          .LocalRelation], "an unfiltered min/max/count must fold to " +
+        "metadata")
+      assert(q0.collect().head == d0,
+        "metadata values must equal the direct aggregate")
+      // (2) boundary merge: covered files contribute their stats, the
+      // two boundary files scan, Least/Greatest combine — and min(k)
+      // rides along because the bounded column a has no nulls
+      val q1 = agg1(spark.read.parquet(s"$dir/data"))
+      assert(q1.collect().head == d1,
+        "merged min/max/count must equal the direct aggregate")
+      assert(q1.inputFiles.length == 2,
+        s"only the boundary files may open (${q1.inputFiles.length})")
+      // (3) the flip: the BOUNDED column k has nulls, so min(a) over
+      // covered files is not provable from stats — everything scans,
+      // the answer stays exact
+      val q2 = agg2(spark.read.parquet(s"$dir/data"))
+      assert(q2.collect().head == d2,
+        "a nullable bounded column must scan, never mis-serve")
+    } finally {
+      spark.experimental.extraOptimizations = prev
+      graft.plans.ZoneMapCatalog.clear()
+    }
+  }
+
   test("a held append claim fails a concurrent append loudly") {
     val dir = tmp("claim")
     val half1 = spark.range(0, 64).select(
