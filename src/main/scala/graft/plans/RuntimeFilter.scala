@@ -2,7 +2,7 @@ package graft.plans
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.expressions.{Add, And, AttributeReference, BitwiseAnd, Cast, Concat, Conv, EqualTo, Expression, In, IntegralDivide, IsNotNull, Literal, Md5, Remainder, ShiftRight, Substring}
-import org.apache.spark.sql.catalyst.expressions.CreateArray
+
 import org.apache.spark.sql.catalyst.expressions.ElementAt
 import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, Join, Limit, LogicalPlan, Project}
 import org.apache.spark.sql.catalyst.plans.{Inner, LeftSemi}
@@ -84,17 +84,37 @@ object RuntimeFilterJoin {
 case class RuntimeFilterJoin(spark: SparkSession) extends Rule[LogicalPlan] {
   import RuntimeFilterJoin._
 
-  // plan-time memoization, both bounded below: collected key sets per
-  // canonical dim subtree (matched via sameResult — the API made for
-  // "is this the plan I already saw", robust where string forms drift;
-  // None = over maxBloomKeys, because remembering the refusal matters
-  // as much as the keys, or every re-plan would re-run the oversize
-  // job), and the (dim, fact-key) pairs already injected (exprIds are
-  // unique per analyzed query, so this is exactly once-per-query —
-  // fixed-point iterations and AQE re-plans hit it)
+  // plan-time memoization, both bounded below and SYNCHRONIZED (the
+  // optimizer may run concurrently for parallel queries on one session;
+  // unguarded mutation could corrupt the memo — degrading to lost
+  // injections at best): collected key sets per canonical dim subtree
+  // (matched via sameResult — the API made for "is this the plan I
+  // already saw", robust where string forms drift), and the
+  // (dim, fact-key) pairs already injected (exprIds are unique per
+  // analyzed query, so this is exactly once-per-query — fixed-point
+  // iterations and AQE re-plans hit it). Both evict OLDEST on overflow
+  // (never clear wholesale — a wholesale clear mid-fixed-point could
+  // re-inject a filter already placed this run).
+  //
+  // SNAPSHOT SEMANTICS: a harvest memo entry pins the dim's key set
+  // for the LIFE of this rule instance — correctness relies on the
+  // dim's logical plan identity changing whenever its data does. A
+  // fresh `spark.read` re-lists and gets a new relation (new identity);
+  // a CACHED/reused relation object whose underlying files mutate
+  // replays the plan-time keys — the same stale-read window Spark's
+  // own scan snapshotting has, documented here because an injected
+  // filter turns a stale read into stale ROW DROPS on the fact side.
+  // The third slot records the maxBloomKeys cap the harvest ran under:
+  // a None (oversize) refusal is only honored while the current cap is
+  // ≤ the recorded one — raising the cap re-harvests instead of
+  // replaying a refusal the new cap might not make. A Some is always
+  // the COMPLETE distinct key set (the cap+1 limit did not bite), so
+  // it stays valid under any cap; the CURRENT cap still gates whether
+  // it is small enough to inject.
   private val harvested = scala.collection.mutable.ArrayBuffer
-    .empty[(LogicalPlan, Int, Option[Seq[Any]])]
-  private val injected = scala.collection.mutable.Set.empty[(Long, Int, Int)]
+    .empty[(LogicalPlan, Int, Int, Option[Seq[Any]])]
+  private val injected =
+    scala.collection.mutable.LinkedHashSet.empty[(Long, Int, Int)]
 
   override def apply(plan: LogicalPlan): LogicalPlan = {
     if (spark.conf.get(EnabledKey, "false") != "true") return plan
@@ -168,7 +188,7 @@ case class RuntimeFilterJoin(spark: SparkSession) extends Rule[LogicalPlan] {
         // star join injecting from SEVERAL dims onto one fact key
         // lands each, and fixed-point iterations land none twice
         val injKey = (factKey.exprId.id, keyIdx, dim.semanticHash())
-        if (!injected.contains(injKey)) {
+        if (!injected.synchronized(injected.contains(injKey))) {
           harvest(dim, dimKey, keyIdx).foreach { keys =>
             val predOpt: Option[Expression] =
               if (keys.isEmpty) Some(Literal(false)) // empty dim: exact
@@ -176,8 +196,11 @@ case class RuntimeFilterJoin(spark: SparkSession) extends Rule[LogicalPlan] {
                 Some(In(factKey, keys.map(v => Literal(v, factKey.dataType))))
               else bloomPred(factKey, keys)
             predOpt.foreach { pred =>
-              injected += injKey
-              if (injected.size > 4096) injected.clear() // bound
+              injected.synchronized {
+                injected += injKey
+                while (injected.size > 4096) // bound: evict OLDEST only
+                  injected -= injected.head
+              }
               log.info(s"runtime filter injected: ${keys.length} dim " +
                 s"keys as ${if (keys.length <= maxIn) "IN list"
                 else "bloom"} on ${factKey.name}")
@@ -232,18 +255,24 @@ case class RuntimeFilterJoin(spark: SparkSession) extends Rule[LogicalPlan] {
     */
   private def harvest(dim: LogicalPlan, key: AttributeReference,
                       keyIdx: Int): Option[Seq[Any]] = {
-    harvested.collectFirst {
-      case (p, i, r) if i == keyIdx && p.sameResult(dim) => r
-    }.getOrElse {
-      if (harvested.size > 256) harvested.clear() // bound the memo
+    val maxBloom = spark.conf.get(MaxBloomKeysKey, "262144").toInt
+    val memo = harvested.synchronized {
+      harvested.collectFirst {
+        // a Some is the complete distinct key set — valid under any
+        // cap; a None refusal only stands while the cap has not been
+        // RAISED past the one it was made under (else re-harvest)
+        case (p, i, cap, r) if i == keyIdx &&
+            (r.isDefined || cap >= maxBloom) && p.sameResult(dim) => r
+      }
+    }
+    val r = memo.getOrElse {
       RuntimeFilterJoin.harvestRuns.incrementAndGet()
-      val maxBloom = spark.conf.get(MaxBloomKeysKey, "262144").toInt
       val plan = Limit(Literal(maxBloom + 1),
         Aggregate(Seq(key), Seq(key),
           Project(Seq(key), Filter(IsNotNull(key), dim))))
       val rows = spark.sessionState.executePlan(plan)
         .executedPlan.executeCollect()
-      val r: Option[Seq[Any]] =
+      val res: Option[Seq[Any]] =
         if (rows.length > maxBloom) {
           log.info(s"runtime filter skipped: dim has > $maxBloom " +
             s"distinct keys on ${key.name} — an unselective filter is " +
@@ -253,9 +282,16 @@ case class RuntimeFilterJoin(spark: SparkSession) extends Rule[LogicalPlan] {
           case u: UTF8String => u.clone() // detach from the row buffer
           case v => v
         }))
-      harvested += ((dim, keyIdx, r))
-      r
+      harvested.synchronized {
+        harvested += ((dim, keyIdx, maxBloom, res))
+        if (harvested.size > 256) // bound the memo: evict OLDEST only
+          harvested.remove(0, harvested.size - 256)
+      }
+      res
     }
+    // the CURRENT cap gates injection size even on a memo hit (a
+    // lowered cap must not inject a now-oversize key set)
+    r.filter(_.length <= maxBloom)
   }
 
   /** The bloom predicate over `factKey`, reproducing
@@ -296,7 +332,13 @@ case class RuntimeFilterJoin(spark: SparkSession) extends Rule[LogicalPlan] {
         words((p / 64).toInt) |= (1L << (p % 64))
       }
     }
-    val arr = CreateArray(words.toIndexedSeq.map(w => Literal(w, LongType)))
+    // an already-FOLDED array literal, not CreateArray of literals:
+    // when the rule runs where ConstantFolding will not revisit (e.g.
+    // experimental.extraOptimizations), a CreateArray re-materializes
+    // all m/64 words per row per probe — on exactly the 100 TB fact
+    // scans the filter targets (ADVICE r18, low)
+    val arr = Literal.create(words.toSeq,
+      org.apache.spark.sql.types.ArrayType(LongType, containsNull = false))
     def pos(i: Int): Expression =
       Remainder(
         Cast(

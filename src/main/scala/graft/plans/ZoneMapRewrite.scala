@@ -243,8 +243,10 @@ case class ZoneMapPrune(spark: SparkSession) extends Rule[LogicalPlan] {
       case None =>
         // pre-manifest (or crash-degraded) map: the zone-TABLE path —
         // envelope bounds only; blooms live only in the manifest, so
-        // none apply here (widening-only degradation, never wrong)
-        val (bounds, sBounds) = extractBounds(cond, rel, entry.statCols)
+        // none apply here (widening-only degradation, never wrong).
+        // Dropped bounds are fine HERE: pruning only widens on a drop.
+        val hb = extractBounds(cond, rel, entry.statCols)
+        val (bounds, sBounds) = (hb.longB, hb.strB)
         if (bounds.isEmpty && sBounds.isEmpty) return None
         val preds = bounds.toSeq.map { case (c, (lo, hi)) => (c, lo, hi) }
         val strPreds = sBounds.toSeq.map { case (c, (lo, hi)) =>
@@ -386,10 +388,17 @@ case class ZoneMapPrune(spark: SparkSession) extends Rule[LogicalPlan] {
       case _ => false
     }
     if (!allRecognized) return None
-    val (bounds, sBounds) = condOpt
+    val hb = condOpt
       .map(extractBounds(_, rel, entry.statCols))
-      .getOrElse((Map.empty[String, (Long, Long)],
-        Map.empty[String, (Option[String], Option[String])]))
+      .getOrElse(Harvested(Map.empty, Map.empty, dropped = false))
+    // the honesty bit: a conjunct the gate above RECOGNIZED but the
+    // harvest could not MATERIALIZE (strict bound at the Long edge,
+    // cross-unit conversion overflow) leaves its column unconstrained
+    // in the coverage test — a "covered" file could then contribute
+    // rows the dropped conjunct actually excludes. Refuse the whole
+    // metadata answer; the unrewritten aggregate is always correct.
+    if (hb.dropped) return None
+    val (bounds, sBounds) = (hb.longB, hb.strB)
     val allBound: Set[String] =
       bounds.keySet ++ sBounds.keySet ++ notNullCols
     val cmp = graft.operators.ZoneMapMeta.cmpUtf8 _
@@ -571,7 +580,8 @@ case class ZoneMapPrune(spark: SparkSession) extends Rule[LogicalPlan] {
   private def survivorSet(e: Expression, rel: LogicalRelation,
                           statCols: Seq[String],
                           meta: ZoneMapMeta.Meta): Option[Set[String]] = {
-    val (bounds, sBounds) = extractBounds(e, rel, statCols)
+    val hb = extractBounds(e, rel, statCols)
+    val (bounds, sBounds) = (hb.longB, hb.strB)
     val bloomPreds = extractBloomValues(e, rel, meta.bloomCols)
     val envelope: Option[Set[String]] =
       if (bounds.isEmpty && sBounds.isEmpty && bloomPreds.isEmpty) None
@@ -661,6 +671,26 @@ case class ZoneMapPrune(spark: SparkSession) extends Rule[LogicalPlan] {
     case other => Seq(other)
   }
 
+  /** The conjunct harvest's result: per-column long and string bounds,
+    * plus the honesty bit the metadata-AGGREGATE arms gate on.
+    * `dropped` is true when a conjunct whose SHAPE the harvest
+    * recognizes failed to MATERIALIZE its bound — a strict comparison
+    * at the Long edge (`c > Long.MaxValue` has no `v+1`), a cross-unit
+    * conversion that overflowed in [[Extract.conv]], or a literal that
+    * would not extract after the shape matched. For FILE PRUNING a
+    * dropped bound is harmless (fewer bounds only widen the survivor
+    * set; the residual keeps exactness), but for a COVERAGE claim it is
+    * fatal: a "fully covered" file would contribute counts/min/max
+    * although the dropped conjunct may match zero rows. The r18 gate
+    * re-implemented recognition separately from the harvest and the two
+    * disagreed on exactly these edges — deriving the bit from the
+    * harvest itself closes the window for good (ADVICE r18, medium).
+    */
+  private case class Harvested(
+      longB: Map[String, (Long, Long)],
+      strB: Map[String, (Option[String], Option[String])],
+      dropped: Boolean)
+
   /** Per stat column: the tightest `[lo, hi]` derivable from the
     * filter's conjuncts, in the STAT unit ([[ZoneMap.statExpr]]: epoch
     * days for dates, epoch micros for timestamps, the long image else)
@@ -669,7 +699,8 @@ case class ZoneMapPrune(spark: SparkSession) extends Rule[LogicalPlan] {
     * comparisons, each side optional). Integer semantics make strict
     * bounds exact (`c > v` ⟺ `c ≥ v+1` in the literal's unit), with
     * overflow guarded by dropping the bound (sound: fewer bounds =
-    * wider file set).
+    * wider file set) — every such drop is reported via
+    * [[Harvested.dropped]] so coverage-claiming consumers can refuse.
     *
     * DATE/TIMESTAMP literals carry the SAME integers Catalyst stores —
     * `Literal(days: Int, DateType)` / `Literal(micros: Long,
@@ -693,30 +724,49 @@ case class ZoneMapPrune(spark: SparkSession) extends Rule[LogicalPlan] {
     *    widen the file set).
     */
   private def extractBounds(cond: Expression, rel: LogicalRelation,
-                            statCols: Seq[String])
-      : (Map[String, (Long, Long)],
-         Map[String, (Option[String], Option[String])]) = {
+                            statCols: Seq[String]): Harvested = {
     val ex = new Extract(rel, statCols, utcSession)
     import ex.{conv, litVal, rawVal, sLitVal, sStatName, statName, Conv, Same}
     val utf8Ord: Ordering[String] =
       (a, b) => graft.operators.ZoneMapMeta.cmpUtf8(a, b)
     // one bound set (long + string, lower + upper); conjuncts compose
-    // by INTERSECTION (greatest lower / least upper)
+    // by INTERSECTION (greatest lower / least upper). `dropped` records
+    // a recognized shape that landed no bound ([[Harvested]]).
     class Bounds {
       val lows = scala.collection.mutable.Map.empty[String, Long]
       val highs = scala.collection.mutable.Map.empty[String, Long]
       val slows = scala.collection.mutable.Map.empty[String, String]
       val shighs = scala.collection.mutable.Map.empty[String, String]
+      var dropped = false
     }
     /** Harvest `cs` (a conjunction) into `b` — recursive so a
       * disjunction's sides reuse the identical case analysis. */
     def harvest(b: Bounds, cs: Seq[Expression]): Unit = {
       def lo(cd: (String, Conv), v: Long): Unit =
-        conv(cd._2, v, isLo = true).foreach(x =>
-          b.lows(cd._1) = math.max(b.lows.getOrElse(cd._1, Long.MinValue), x))
+        conv(cd._2, v, isLo = true) match {
+          case Some(x) => b.lows(cd._1) =
+            math.max(b.lows.getOrElse(cd._1, Long.MinValue), x)
+          case None => b.dropped = true // conv overflow: bound lost
+        }
       def hi(cd: (String, Conv), v: Long): Unit =
-        conv(cd._2, v, isLo = false).foreach(x =>
-          b.highs(cd._1) = math.min(b.highs.getOrElse(cd._1, Long.MaxValue), x))
+        conv(cd._2, v, isLo = false) match {
+          case Some(x) => b.highs(cd._1) =
+            math.min(b.highs.getOrElse(cd._1, Long.MaxValue), x)
+          case None => b.dropped = true // conv overflow: bound lost
+        }
+      // a recognized comparison whose literal fails to extract (the
+      // attr side matched, the value side did not) lands no bound —
+      // report it, same as a conv drop
+      def emitL(cOpt: Option[(String, Conv)], vOpt: Option[Long])(
+          f: ((String, Conv), Long) => Unit): Unit = (cOpt, vOpt) match {
+        case (Some(c), Some(v)) => f(c, v)
+        case _ => b.dropped = true
+      }
+      def emitS(cOpt: Option[String], vOpt: Option[String])(
+          f: (String, String) => Unit): Unit = (cOpt, vOpt) match {
+        case (Some(c), Some(v)) => f(c, v)
+        case _ => b.dropped = true
+      }
       def slo(c: String, v: String): Unit = // keep the GREATER lower bound
         b.slows(c) = b.slows.get(c)
           .filter(x => graft.operators.ZoneMapMeta.cmpUtf8(x, v) >= 0)
@@ -731,30 +781,34 @@ case class ZoneMapPrune(spark: SparkSession) extends Rule[LogicalPlan] {
       // missing bounds only widen the file set)
       cs.foreach {
         case GreaterThanOrEqual(a, l) if statName(a).isDefined =>
-          for (c <- statName(a); v <- litVal(l)) lo(c, v)
+          emitL(statName(a), litVal(l))((c, v) => lo(c, v))
         case LessThanOrEqual(a, l) if statName(a).isDefined =>
-          for (c <- statName(a); v <- litVal(l)) hi(c, v)
+          emitL(statName(a), litVal(l))((c, v) => hi(c, v))
         case GreaterThan(a, l) if statName(a).isDefined =>
-          for (c <- statName(a); v <- litVal(l) if v < Long.MaxValue)
-            lo(c, v + 1)
+          emitL(statName(a), litVal(l))((c, v) =>
+            if (v < Long.MaxValue) lo(c, v + 1)
+            else b.dropped = true) // no v+1 at the edge: bound lost
         case LessThan(a, l) if statName(a).isDefined =>
-          for (c <- statName(a); v <- litVal(l) if v > Long.MinValue)
-            hi(c, v - 1)
+          emitL(statName(a), litVal(l))((c, v) =>
+            if (v > Long.MinValue) hi(c, v - 1)
+            else b.dropped = true)
         case EqualTo(a, l) if statName(a).isDefined =>
-          for (c <- statName(a); v <- litVal(l)) { lo(c, v); hi(c, v) }
+          emitL(statName(a), litVal(l))((c, v) => { lo(c, v); hi(c, v) })
         // mirrored literal-first forms
         case GreaterThanOrEqual(l, a) if statName(a).isDefined =>
-          for (c <- statName(a); v <- litVal(l)) hi(c, v)
+          emitL(statName(a), litVal(l))((c, v) => hi(c, v))
         case LessThanOrEqual(l, a) if statName(a).isDefined =>
-          for (c <- statName(a); v <- litVal(l)) lo(c, v)
+          emitL(statName(a), litVal(l))((c, v) => lo(c, v))
         case GreaterThan(l, a) if statName(a).isDefined =>
-          for (c <- statName(a); v <- litVal(l) if v > Long.MinValue)
-            hi(c, v - 1)
+          emitL(statName(a), litVal(l))((c, v) =>
+            if (v > Long.MinValue) hi(c, v - 1)
+            else b.dropped = true)
         case LessThan(l, a) if statName(a).isDefined =>
-          for (c <- statName(a); v <- litVal(l) if v < Long.MaxValue)
-            lo(c, v + 1)
+          emitL(statName(a), litVal(l))((c, v) =>
+            if (v < Long.MaxValue) lo(c, v + 1)
+            else b.dropped = true)
         case EqualTo(l, a) if statName(a).isDefined && litVal(l).isDefined =>
-          for (c <- statName(a); v <- litVal(l)) { lo(c, v); hi(c, v) }
+          emitL(statName(a), litVal(l))((c, v) => { lo(c, v); hi(c, v) })
         // IN lists prune by their ENVELOPE [min, max] -- the exact
         // per-literal file union would prune sparse lists tighter, but
         // the envelope composes with the one-interval-per-column prune
@@ -782,26 +836,26 @@ case class ZoneMapPrune(spark: SparkSession) extends Rule[LogicalPlan] {
           }
         // ---- STRING stat columns: the same shapes, inclusive bounds ----
         case GreaterThanOrEqual(a, l) if sStatName(a).isDefined =>
-          for (c <- sStatName(a); v <- sLitVal(l)) slo(c, v)
+          emitS(sStatName(a), sLitVal(l))((c, v) => slo(c, v))
         case GreaterThan(a, l) if sStatName(a).isDefined =>
-          for (c <- sStatName(a); v <- sLitVal(l)) slo(c, v)
+          emitS(sStatName(a), sLitVal(l))((c, v) => slo(c, v))
         case LessThanOrEqual(a, l) if sStatName(a).isDefined =>
-          for (c <- sStatName(a); v <- sLitVal(l)) shi(c, v)
+          emitS(sStatName(a), sLitVal(l))((c, v) => shi(c, v))
         case LessThan(a, l) if sStatName(a).isDefined =>
-          for (c <- sStatName(a); v <- sLitVal(l)) shi(c, v)
+          emitS(sStatName(a), sLitVal(l))((c, v) => shi(c, v))
         case EqualTo(a, l) if sStatName(a).isDefined =>
-          for (c <- sStatName(a); v <- sLitVal(l)) { slo(c, v); shi(c, v) }
+          emitS(sStatName(a), sLitVal(l))((c, v) => { slo(c, v); shi(c, v) })
         // mirrored literal-first forms
         case GreaterThanOrEqual(l, a) if sStatName(a).isDefined =>
-          for (c <- sStatName(a); v <- sLitVal(l)) shi(c, v)
+          emitS(sStatName(a), sLitVal(l))((c, v) => shi(c, v))
         case GreaterThan(l, a) if sStatName(a).isDefined =>
-          for (c <- sStatName(a); v <- sLitVal(l)) shi(c, v)
+          emitS(sStatName(a), sLitVal(l))((c, v) => shi(c, v))
         case LessThanOrEqual(l, a) if sStatName(a).isDefined =>
-          for (c <- sStatName(a); v <- sLitVal(l)) slo(c, v)
+          emitS(sStatName(a), sLitVal(l))((c, v) => slo(c, v))
         case LessThan(l, a) if sStatName(a).isDefined =>
-          for (c <- sStatName(a); v <- sLitVal(l)) slo(c, v)
+          emitS(sStatName(a), sLitVal(l))((c, v) => slo(c, v))
         case EqualTo(l, a) if sStatName(a).isDefined && sLitVal(l).isDefined =>
-          for (c <- sStatName(a); v <- sLitVal(l)) { slo(c, v); shi(c, v) }
+          emitS(sStatName(a), sLitVal(l))((c, v) => { slo(c, v); shi(c, v) })
         case In(a, vs) if sStatName(a).isDefined && vs.nonEmpty &&
             vs.forall { case l: Literal => sLitVal(l).isDefined
               case _ => false } =>
@@ -830,6 +884,7 @@ case class ZoneMapPrune(spark: SparkSession) extends Rule[LogicalPlan] {
           val sides = disjunctsOf(o).map { d =>
             val sb = new Bounds; harvest(sb, conjunctsOf(d)); sb
           }
+          if (sides.exists(_.dropped)) b.dropped = true
           sides.map(_.lows.keySet).reduce(_ & _).foreach(c =>
             lo((c, Same), sides.map(_.lows(c)).min))
           sides.map(_.highs.keySet).reduce(_ & _).foreach(c =>
@@ -843,13 +898,15 @@ case class ZoneMapPrune(spark: SparkSession) extends Rule[LogicalPlan] {
     }
     val top = new Bounds
     harvest(top, conjunctsOf(cond))
-    ((top.lows.keySet ++ top.highs.keySet).map { c =>
-      c -> (top.lows.getOrElse(c, Long.MinValue),
-        top.highs.getOrElse(c, Long.MaxValue))
-    }.toMap,
+    Harvested(
+      (top.lows.keySet ++ top.highs.keySet).map { c =>
+        c -> (top.lows.getOrElse(c, Long.MinValue),
+          top.highs.getOrElse(c, Long.MaxValue))
+      }.toMap,
       (top.slows.keySet ++ top.shighs.keySet).map { c =>
         c -> (top.slows.get(c), top.shighs.get(c))
-      }.toMap)
+      }.toMap,
+      top.dropped)
   }
 
   /** Top-level AND conjuncts — shared by the bound and bloom

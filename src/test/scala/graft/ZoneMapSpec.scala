@@ -1124,6 +1124,50 @@ class ZoneMapSpec extends SparkSpec {
     }
   }
 
+  test("a recognized-but-unmaterializable bound refuses the metadata " +
+    "answer: the strict Long.MaxValue edge never mis-counts") {
+    // the r18 ADVICE medium: `a > Long.MaxValue` passes the gate's
+    // shape recognition but the harvest has no v+1 to emit — the
+    // column lands UNCONSTRAINED in the coverage test, so every file
+    // read as "covered" and the metadata count served cnt_a (1024)
+    // where the true answer is 0. The harvest-derived `dropped` bit
+    // now refuses the arm; the unrewritten scan stays exact.
+    val dir = tmp("metadrop")
+    val base = spark.range(0, 1024).select(col("id").as("a"))
+    (0 until 4).foreach(i => base
+      .filter(col("a") >= i * 256 && col("a") < (i + 1) * 256)
+      .coalesce(1).write.mode("append").parquet(s"$dir/data"))
+    operators.ZoneMap.buildZoneMap(spark, s"$dir/data", Seq("a"),
+      s"$dir/zone")
+    val prev = spark.experimental.extraOptimizations
+    spark.experimental.extraOptimizations =
+      prev :+ graft.plans.ZoneMapPrune(spark)
+    try {
+      graft.plans.ZoneMapCatalog.register(spark, s"$dir/data",
+        s"$dir/zone", Seq("a"))
+      val strict = spark.read.parquet(s"$dir/data")
+        .filter(col("a") > lit(Long.MaxValue)).agg(count(lit(1)).as("n"))
+      assert(strict.collect().head.getLong(0) == 0L,
+        "a dropped strict edge bound must refuse the metadata count")
+      // the materializable twin still serves: >= MaxValue lands a real
+      // bound, every file is provably disjoint, zero-row LocalRelation
+      val incl = spark.read.parquet(s"$dir/data")
+        .filter(col("a") >= lit(Long.MaxValue)).agg(count(lit(1)).as("n"))
+      assert(incl.queryExecution.optimizedPlan
+        .isInstanceOf[org.apache.spark.sql.catalyst.plans.logical
+          .LocalRelation], "an all-disjoint bound must fold to metadata")
+      assert(incl.collect().head.getLong(0) == 0L)
+      // and the strict edge must not have poisoned file PRUNING either
+      // (drops only widen there): a normal strict bound still answers
+      val mid = spark.read.parquet(s"$dir/data")
+        .filter(col("a") > lit(511L)).agg(count(lit(1)).as("n"))
+      assert(mid.collect().head.getLong(0) == 512L)
+    } finally {
+      spark.experimental.extraOptimizations = prev
+      graft.plans.ZoneMapCatalog.clear()
+    }
+  }
+
   test("a held append claim fails a concurrent append loudly") {
     val dir = tmp("claim")
     val half1 = spark.range(0, 64).select(
