@@ -98,6 +98,26 @@ object ZoneMap {
     * (|files| rows) and is written as a single file so the prune's
     * read never fans out.
     */
+  /** Which stat columns also carry a PER-FILE EXACT SUM (`<c>_sum`) —
+    * the zmmeta v5 slot the metadata-SUM/AVG planner arm serves from.
+    * INTEGRAL types only: their long sum is exact (house style —
+    * money/measures live in integer micro-units), so a fully-covered
+    * file's contribution is one manifest read. DATE/TIMESTAMP sums are
+    * meaningless SQL (Spark refuses them), strings have none, and
+    * FLOAT/DOUBLE are deliberately refused everywhere in the sum path:
+    * their sum is addition-order-dependent, so a manifest sum could
+    * disagree with a scan's partial-aggregation order — an engine
+    * answering from metadata must never serve a value a recompute
+    * could legitimately contradict.
+    */
+  private[graft] def summable(dt: DataType): Boolean = dt match {
+    case org.apache.spark.sql.types.ByteType |
+         org.apache.spark.sql.types.ShortType |
+         org.apache.spark.sql.types.IntegerType |
+         org.apache.spark.sql.types.LongType => true
+    case _ => false
+  }
+
   private def statsFrame(data: DataFrame, statCols: Seq[String]): DataFrame = {
     require(statCols.nonEmpty, "zone map needs at least one stat column")
     val aggs = statCols.flatMap { c =>
@@ -105,7 +125,14 @@ object ZoneMap {
         if (data.schema(c).dataType == StringType) col(c)
         else statExpr(data.schema(c).dataType, col(c))
       Seq(min(e).as(s"${c}_min"), max(e).as(s"${c}_max"),
-        count(col(c)).as(s"${c}_cnt"))
+        count(col(c)).as(s"${c}_cnt")) ++
+        // try_sum: a file whose long sum genuinely overflows records
+        // UNKNOWN (null → "-" in the manifest, consumer boundary-scans)
+        // instead of failing the build under ANSI or wrapping under
+        // legacy — a served sum is therefore always the exact integer
+        (if (summable(data.schema(c).dataType))
+          Seq(try_sum(col(c).cast("long")).as(s"${c}_sum"))
+        else Seq.empty)
     } :+ count(lit(1)).as("n")
     data.select(input_file_name().as("file") +: statCols.map(col): _*)
       .groupBy(col("file"))

@@ -41,13 +41,20 @@ import org.apache.spark.sql.types.StringType
   * `bloomcols=`/`bloomm=`/`bloomk=` header lines and per-file
   * hex-packed filter words ([[BloomStats]]) — the equality/IN skipping
   * leg that min/max structurally cannot express (a value absent from a
-  * file whose span covers it). Every NEW manifest commits `zmmeta v4`:
-  * slots become `min:max:cnt` (`-:cnt` for all-null columns), where
-  * `cnt` is the column's NON-NULL row count — what lets the planner
-  * answer a fully-covered file's `count(*)` from metadata — with `-`
-  * standing for UNKNOWN on files carried from a pre-count zone table
-  * (the consumer boundary-scans those, never guesses); v1–v3 stay
-  * fully readable, all their counts unknown. Blooms live ONLY in the manifest: the
+  * file whose span covers it). `zmmeta v4` made slots `min:max:cnt`
+  * (`-:cnt` for all-null columns), where `cnt` is the column's
+  * NON-NULL row count — what lets the planner answer a fully-covered
+  * file's `count(*)` from metadata. Every NEW manifest commits
+  * `zmmeta v5`, which appends the column's EXACT integer sum:
+  * `min:max:cnt:sum` (`-:cnt:sum` for all-null columns) — what lets
+  * the planner answer a fully-covered file's `sum`/`avg` from
+  * metadata; the sum token is `-` (UNKNOWN) for non-summable columns
+  * (strings, date/timestamp, anything float — see
+  * [[ZoneMap.summable]]), for files carried from pre-sum zone tables,
+  * and for a file whose sum genuinely overflows a long (`try_sum` at
+  * build). `-` counts/sums make the consumer boundary-scan, never
+  * guess; v1–v4 stay fully readable, their missing tokens unknown.
+  * Blooms live ONLY in the manifest: the
   * zone TABLE stays the min/max authority, so a detected-stale
   * manifest degrades bloom skipping to nothing (wider file set, never
   * wrong) while min/max pruning falls back to the table as always.
@@ -85,7 +92,8 @@ private[graft] object ZoneMapMeta {
                       sstats: Map[String, Option[(String, String)]] =
                         Map.empty,
                       blooms: Map[String, Array[Long]] = Map.empty,
-                      cnts: Map[String, Option[Long]] = Map.empty)
+                      cnts: Map[String, Option[Long]] = Map.empty,
+                      sums: Map[String, Option[Long]] = Map.empty)
 
   case class Meta(gen: Long, sig: String, statCols: Seq[String],
                   files: Seq[FileStat], strCols: Set[String] = Set.empty,
@@ -174,21 +182,26 @@ private[graft] object ZoneMapMeta {
     val strCols = statCols.filter(c =>
       zm.schema(s"${c}_min").dataType == StringType).toSet
     // `<c>_cnt` (non-null count) may be ABSENT from a zone table built
-    // before counts existed and carried through an append — select a
-    // null placeholder so the manifest records UNKNOWN (the
-    // metadata-count consumer boundary-scans such files, never guesses)
+    // before counts existed and carried through an append, and
+    // `<c>_sum` from one built before sums (or for a non-summable
+    // column, which never has one) — select null placeholders so the
+    // manifest records UNKNOWN (the metadata-aggregate consumer
+    // boundary-scans such files, never guesses)
+    def orNull(name: String): org.apache.spark.sql.Column =
+      (if (zm.columns.contains(name)) col(name)
+      else org.apache.spark.sql.functions.lit(null).cast("long")).as(name)
     val cols = col("file") +: col("n") +:
       statCols.flatMap(c => Seq(col(s"${c}_min"), col(s"${c}_max"),
-        (if (zm.columns.contains(s"${c}_cnt")) col(s"${c}_cnt")
-        else org.apache.spark.sql.functions.lit(null).cast("long"))
-          .as(s"${c}_cnt")))
+        orNull(s"${c}_cnt"), orNull(s"${c}_sum")))
     val rows = zm.select(cols: _*).collect()
     val files = rows.map { r =>
       def slot[T](c: String, i: Int, get: Int => T): Option[(T, T)] = {
-        val (mi, ma) = (2 + 3 * i, 3 + 3 * i)
+        val (mi, ma) = (2 + 4 * i, 3 + 4 * i)
         if (r.isNullAt(mi) || r.isNullAt(ma)) None
         else Some((get(mi), get(ma)))
       }
+      def longAt(j: Int): Option[Long] =
+        if (r.isNullAt(j)) None else Some(r.getLong(j))
       val stats = statCols.zipWithIndex
         .filterNot { case (c, _) => strCols.contains(c) }
         .map { case (c, i) => c -> slot(c, i, r.getLong) }.toMap
@@ -196,7 +209,10 @@ private[graft] object ZoneMapMeta {
         .filter { case (c, _) => strCols.contains(c) }
         .map { case (c, i) => c -> slot(c, i, r.getString) }.toMap
       val cnts = statCols.zipWithIndex.map { case (c, i) =>
-        c -> (if (r.isNullAt(4 + 3 * i)) None else Some(r.getLong(4 + 3 * i)))
+        c -> longAt(4 + 4 * i)
+      }.toMap
+      val sums = statCols.zipWithIndex.map { case (c, i) =>
+        c -> longAt(5 + 4 * i)
       }.toMap
       val file = r.getString(0)
       // a described file ABSENT from perFile had no non-null values at
@@ -211,18 +227,20 @@ private[graft] object ZoneMapMeta {
             b.cols.map(c => c -> new Array[Long](b.m / 64)).toMap
         }
       }.getOrElse(Map.empty)
-      FileStat(file, r.getLong(1), stats, sstats, bl, cnts)
+      FileStat(file, r.getLong(1), stats, sstats, bl, cnts, sums)
     }.toSeq.sortBy(_.file)
     // gen continues from the superseded manifest (captured before the
     // mutation) regardless of its signature validity — it is a mutation
     // counter, not the cache key
     val gen = prevGen + 1
     val sig = signature(spark, zonePath)
-    // every NEW manifest commits v4 (min:max:cnt slots — the non-null
-    // counts the metadata-count planner arm serves from); v1–v3 stay
-    // fully READABLE, their files simply carrying unknown counts
+    // every NEW manifest commits v5 (min:max:cnt:sum slots — the
+    // non-null counts and exact integer sums the metadata-aggregate
+    // planner arm serves from; sum is `-` for non-summable columns and
+    // files carried from pre-sum zone tables); v1–v4 stay fully
+    // READABLE, their files simply carrying unknown counts/sums
     val header =
-      Seq("zmmeta v4", s"gen=$gen", s"sig=$sig",
+      Seq("zmmeta v5", s"gen=$gen", s"sig=$sig",
         s"cols=${statCols.mkString(",")}",
         s"strs=${statCols.filter(strCols.contains).mkString(",")}") ++
         blooms.toSeq.flatMap(b => Seq(s"bloomcols=${b.cols.mkString(",")}",
@@ -230,12 +248,13 @@ private[graft] object ZoneMapMeta {
     val body = files.map { f =>
       val ss = statCols.map { c =>
         val cnt = f.cnts.getOrElse(c, None).map(_.toString).getOrElse("-")
+        val sm = f.sums.getOrElse(c, None).map(_.toString).getOrElse("-")
         if (strCols.contains(c)) f.sstats(c) match {
-          case Some((lo, hi)) => s"${hex(lo)}:${hex(hi)}:$cnt"
-          case None => s"-:$cnt"
+          case Some((lo, hi)) => s"${hex(lo)}:${hex(hi)}:$cnt:$sm"
+          case None => s"-:$cnt:$sm"
         } else f.stats(c) match {
-          case Some((lo, hi)) => s"$lo:$hi:$cnt"
-          case None => s"-:$cnt"
+          case Some((lo, hi)) => s"$lo:$hi:$cnt:$sm"
+          case None => s"-:$cnt:$sm"
         }
       }
       val bs = blooms.toSeq.flatMap(b => b.cols.map(c =>
@@ -306,9 +325,13 @@ private[graft] object ZoneMapMeta {
       try {
         val magic = lines.head
         require(magic == "zmmeta v1" || magic == "zmmeta v2" ||
-          magic == "zmmeta v3" || magic == "zmmeta v4",
+          magic == "zmmeta v3" || magic == "zmmeta v4" ||
+          magic == "zmmeta v5",
           s"unknown manifest format: $magic")
-        val v4 = magic == "zmmeta v4"
+        val v5 = magic == "zmmeta v5"
+        // v4 introduced the cnt token; v5 appends the sum token —
+        // every v4 parse rule applies to v5 lines too
+        val v4 = magic == "zmmeta v4" || v5
         val v3 = magic == "zmmeta v3"
         val v2 = magic == "zmmeta v2" || v3 || v4
         val Seq(genL, sigL, colsL) = lines.slice(1, 4)
@@ -342,29 +365,36 @@ private[graft] object ZoneMapMeta {
           require(parts.length == statCols.length + bloomCols.length + 2,
             s"torn line: $ln")
           val n = parts(0).toLong
-          // v1–v3 slot: "lo:hi" | "-"; v4 slot: "lo:hi:cnt" | "-:cnt"
-          // (cnt "-" = unknown, carried from a pre-count zone table).
+          // v1–v3 slot: "lo:hi" | "-"; v4 slot: "lo:hi:cnt" | "-:cnt";
+          // v5 slot: "lo:hi:cnt:sum" | "-:cnt:sum" (cnt/sum "-" =
+          // unknown — carried from a pre-count/pre-sum zone table, or
+          // a non-summable column which never has a sum).
           // limit -1 keeps EMPTY tokens: a string slot whose min and
-          // max are both the empty string serializes as "::cnt" (hex of
-          // "" is ""), and the default split drops trailing empties —
-          // the whole manifest would parse as torn, silently and
-          // PERMANENTLY losing its blooms (and blinding the append
+          // max are both the empty string serializes as "::cnt:sum"
+          // (hex of "" is ""), and the default split drops trailing
+          // empties — the whole manifest would parse as torn, silently
+          // and PERMANENTLY losing its blooms (and blinding the append
           // path's bloom-loss probe, which reads this same parse)
           def cntOf(s: String): Option[Long] =
             if (s == "-") None else Some(s.toLong)
-          def slot(i: Int): (Option[(String, String)], Option[Long]) =
+          def slot(i: Int)
+              : (Option[(String, String)], Option[Long], Option[Long]) =
             parts(1 + i) match {
-              case "-" if !v4 => (None, None)
+              case "-" if !v4 => (None, None, None)
               case s =>
                 val ts = s.split(":", -1)
+                val want = if (v5) 4 else if (v4) 3 else 2
                 if (v4) {
-                  require(ts.length == 3 || (ts.length == 2 && ts(0) == "-"),
+                  require(ts.length == want ||
+                    (ts.length == want - 1 && ts(0) == "-"),
                     s"torn slot: $s")
-                  if (ts.length == 3) (Some((ts(0), ts(1))), cntOf(ts(2)))
-                  else (None, cntOf(ts(1)))
+                  val sm = if (v5) cntOf(ts(ts.length - 1)) else None
+                  val ct = cntOf(ts(if (v5) ts.length - 2 else ts.length - 1))
+                  if (ts.length == want) (Some((ts(0), ts(1))), ct, sm)
+                  else (None, ct, sm)
                 } else {
                   require(ts.length == 2, s"torn slot: $s")
-                  (Some((ts(0), ts(1))), None)
+                  (Some((ts(0), ts(1))), None, None)
                 }
             }
           def pair(i: Int): Option[(String, String)] = slot(i)._1
@@ -381,6 +411,9 @@ private[graft] object ZoneMapMeta {
           val cnts = statCols.zipWithIndex.map { case (c, i) =>
             c -> slot(i)._2
           }.toMap
+          val sums = statCols.zipWithIndex.map { case (c, i) =>
+            c -> slot(i)._3
+          }.toMap
           val blooms = bloomCols.zipWithIndex.flatMap { case (c, i) =>
             parts(1 + statCols.length + i) match {
               case "-" => None // pre-bloom slot: never drops
@@ -390,7 +423,7 @@ private[graft] object ZoneMapMeta {
                   .map(java.lang.Long.parseUnsignedLong(_, 16)).toArray)
             }
           }.toMap
-          FileStat(parts.last, n, stats, sstats, blooms, cnts)
+          FileStat(parts.last, n, stats, sstats, blooms, cnts, sums)
         }
         Some(Meta(gen, sig, statCols, files, strCols, bloomCols, bloomM,
           bloomK))

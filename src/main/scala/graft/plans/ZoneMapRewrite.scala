@@ -2,12 +2,12 @@ package graft.plans
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{Add, Alias, AttributeReference, Cast, EqualTo, Expression, GreaterThan, GreaterThanOrEqual, In, InSet, IsNotNull, LessThan, LessThanOrEqual, Literal, NamedExpression, Or}
-import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Count}
+import org.apache.spark.sql.catalyst.expressions.{Add, Alias, Attribute, AttributeReference, Cast, Coalesce, Divide, EqualTo, EvalMode, Expression, GreaterThan, GreaterThanOrEqual, If, In, InSet, IsNotNull, LessThan, LessThanOrEqual, Literal, NamedExpression, Or}
+import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Average, Count, Sum}
 import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, LocalRelation, LogicalPlan, Project}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.datasources.LogicalRelation
-import org.apache.spark.sql.types.{ByteType, DateType, IntegerType, LongType, ShortType, StringType, TimestampType}
+import org.apache.spark.sql.types.{ByteType, DateType, DoubleType, IntegerType, LongType, ShortType, StringType, TimestampType}
 
 import graft.operators.{ZoneMap, ZoneMapMeta}
 
@@ -260,13 +260,14 @@ case class ZoneMapPrune(spark: SparkSession) extends Rule[LogicalPlan] {
     }
   }
 
-  /** `count(*)` / `min` / `max` ANSWERED FROM METADATA — the
-    * Iceberg/Delta aggregate-from-manifest optimization over the
+  /** `count(*)` / `min` / `max` / `sum` / `avg` ANSWERED FROM METADATA
+    * — the Iceberg/Delta aggregate-from-manifest optimization over the
     * engine's own zone map: an ungrouped aggregate whose outputs are
-    * counts and min/max over stat columns, and whose filter is a pure
-    * conjunction of single-column range/equality bounds on stat
-    * columns, partitions the described files three ways against the v4
-    * manifest's `min:max:cnt` slots —
+    * counts, min/max, and integral sums/averages over stat columns,
+    * and whose filter is a pure conjunction of single-column
+    * range/equality bounds on stat columns, partitions the described
+    * files three ways against the v5 manifest's `min:max:cnt:sum`
+    * slots —
     *  - DISJOINT files (span outside some bound, or all-null in a
     *    bounded column) contribute ZERO rows, provably;
     *  - FULLY-COVERED files (every bounded column's span inside its
@@ -298,6 +299,22 @@ case class ZoneMapPrune(spark: SparkSession) extends Rule[LogicalPlan] {
     * tables) boundary-scan, never guess; described files are
     * intersected with the relation's landed files so a stale extra in
     * the manifest can never over-count.
+    *
+    * SUM and AVG ride the same three-way partition on the v5 sum slot:
+    * a fully-covered file's `sum(c)` is its manifest `sum_c` under the
+    * SAME other-columns-null-free condition as min/max (sum's own
+    * nulls are excluded on both sides), accumulated exactly
+    * (`addExact` — a long overflow aborts the rewrite, degrading to
+    * the unrewritten aggregate whose own overflow behavior then
+    * applies untouched); files with unknown sums (pre-v5 carries,
+    * build-time `try_sum` overflow, non-summable types — float/double
+    * NEVER have a sum slot, their addition is order-dependent)
+    * boundary-scan. Boundary legs merge by `coalesce(partial, 0) +
+    * metaSum` guarded by the zero-values witness (sum over no values
+    * is NULL, not 0), and AVG decomposes into its exact (sum, count)
+    * pair — merged as one division, explicitly null-guarded so ANSI
+    * sessions never divide by zero. `try_sum`/`try_avg` refuse (their
+    * overflow-to-null cannot merge with a plain Add).
     */
   private def countFromMeta(outs: Seq[NamedExpression],
                             child: LogicalPlan): Option[LogicalPlan] = {
@@ -308,6 +325,8 @@ case class ZoneMapPrune(spark: SparkSession) extends Rule[LogicalPlan] {
     case object CntOut extends MOut
     case class MinOut(a: AttributeReference) extends MOut
     case class MaxOut(a: AttributeReference) extends MOut
+    case class SumOut(a: AttributeReference) extends MOut
+    case class AvgOut(a: AttributeReference) extends MOut
     val parsedOuts: Seq[Option[(Alias, MOut)]] = outs.map {
       case al @ Alias(AggregateExpression(
         Count(Seq(Literal(v, _))), _, false, None, _), _) if v != null =>
@@ -320,6 +339,17 @@ case class ZoneMapPrune(spark: SparkSession) extends Rule[LogicalPlan] {
         org.apache.spark.sql.catalyst.expressions.aggregate
           .Max(a: AttributeReference), _, false, None, _), _) =>
         Some((al, MaxOut(a)))
+      // TRY-mode sum/avg refuse: try_sum turns overflow into null while
+      // the merge's Add follows plain session semantics — the shapes
+      // would disagree exactly where it matters
+      case al @ Alias(AggregateExpression(
+        Sum(a: AttributeReference, ctx), _, false, None, _), _)
+          if ctx.evalMode != EvalMode.TRY =>
+        Some((al, SumOut(a)))
+      case al @ Alias(AggregateExpression(
+        Average(a: AttributeReference, em), _, false, None, _), _)
+          if em != EvalMode.TRY =>
+        Some((al, AvgOut(a)))
       case _ => None
     }
     if (outs.isEmpty || parsedOuts.exists(_.isEmpty)) return None
@@ -355,9 +385,23 @@ case class ZoneMapPrune(spark: SparkSession) extends Rule[LogicalPlan] {
         ex.sStatName(a).filter(meta.strCols.contains)
       case _ => None
     }
+    // sum/avg columns: described INTEGRAL stat columns only, identity
+    // stat unit (the long image IS the value, so the manifest sum is
+    // the value sum). Date/timestamp sums are not valid SQL; strings
+    // have none; float/double refuse — their sum is addition-order-
+    // dependent, and a metadata answer must never serve a value a
+    // recompute could legitimately contradict ([[ZoneMap.summable]]).
+    def sumColOf(a: AttributeReference): Option[String] = a.dataType match {
+      case ByteType | ShortType | IntegerType | LongType =>
+        ex.statName(a).collect { case (c, ex.Same) => c }
+          .filterNot(meta.strCols.contains)
+      case _ => None
+    }
     val mmOk = mOuts.forall {
       case (_, MinOut(a)) => mmCol(a).isDefined
       case (_, MaxOut(a)) => mmCol(a).isDefined
+      case (_, SumOut(a)) => sumColOf(a).isDefined
+      case (_, AvgOut(a)) => sumColOf(a).isDefined
       case _ => true
     }
     if (!mmOk) return None
@@ -407,6 +451,14 @@ case class ZoneMapPrune(spark: SparkSession) extends Rule[LogicalPlan] {
     val metaMaxL = scala.collection.mutable.Map.empty[String, Long]
     val metaMinS = scala.collection.mutable.Map.empty[String, String]
     val metaMaxS = scala.collection.mutable.Map.empty[String, String]
+    // per sum/avg column: the exact covered-side sum (addExact — a
+    // partial that overflows long aborts the whole rewrite via the
+    // NonFatal catch in apply, degrading to the unrewritten aggregate)
+    // and the covered-side NON-NULL count it spans (the avg divisor,
+    // and the null witness: zero contributing values means the sum leg
+    // is NULL, not 0)
+    val metaSumL = scala.collection.mutable.Map.empty[String, Long]
+    val metaSumCnt = scala.collection.mutable.Map.empty[String, Long]
     val boundary = Seq.newBuilder[String]
     var nBoundary = 0
     files.foreach { f =>
@@ -456,8 +508,26 @@ case class ZoneMapPrune(spark: SparkSession) extends Rule[LogicalPlan] {
         def mmAnswerable(c: String): Boolean =
           (allBound - c).forall(d =>
             f.cnts.getOrElse(d, None).contains(f.n))
+        // a column asked for by BOTH sum and avg must accumulate once
+        // per file — the closures below guard on this per-file set
+        val sumTouched = scala.collection.mutable.Set.empty[String]
+        def sumAnswer(a: AttributeReference): Option[() => Unit] = {
+          val c = sumColOf(a).get
+          if (!mmAnswerable(c)) None
+          else (f.cnts.getOrElse(c, None), f.sums.getOrElse(c, None)) match {
+            case (Some(0L), _) => Some(() => ()) // all-null: contributes 0 values
+            case (Some(ct), Some(sm)) => Some(() =>
+              if (sumTouched.add(c)) {
+                metaSumL(c) = Math.addExact(metaSumL.getOrElse(c, 0L), sm)
+                metaSumCnt(c) = metaSumCnt.getOrElse(c, 0L) + ct
+              })
+            case _ => None // unknown count or sum (pre-v5 / overflow): scan
+          }
+        }
         val answers: Seq[Option[() => Unit]] = mOuts.map {
           case (_, CntOut) => cntAnswer.map(ct => () => metaCount += ct)
+          case (_, SumOut(a)) => sumAnswer(a)
+          case (_, AvgOut(a)) => sumAnswer(a)
           case (_, MinOut(a)) =>
             val c = mmCol(a).get
             if (!mmAnswerable(c)) None
@@ -516,6 +586,27 @@ case class ZoneMapPrune(spark: SparkSession) extends Rule[LogicalPlan] {
           (org.apache.spark.unsafe.types.UTF8String.fromString(s),
             a.dataType))
         else metaMaxL.get(c).map(v => (internalOf(v, a.dataType), a.dataType))
+      // None when ZERO covered values contributed: sum/avg over no
+      // values is NULL, never 0 — absent meta values emit exactly that
+      case SumOut(a) =>
+        val c = sumColOf(a).get
+        if (metaSumCnt.getOrElse(c, 0L) > 0L) Some((metaSumL(c), LongType))
+        else None
+      // the served average is the EXACT integer sum over the count —
+      // bit-identical to Spark's Average (which accumulates its sum in
+      // a double for integral inputs) whenever the exact sum is within
+      // double's 2^53 integer range, and the DETERMINISTIC value beyond
+      // it, where Spark's own double accumulation becomes partial-
+      // aggregation-order-dependent (run-to-run nondeterministic — an
+      // impossible and pointless target to replicate; serving the
+      // exact quotient is the same determinism argument as refusing
+      // float sums outright)
+      case AvgOut(a) =>
+        val c = sumColOf(a).get
+        val mc = metaSumCnt.getOrElse(c, 0L)
+        if (mc > 0L)
+          Some((metaSumL(c).toDouble / mc.toDouble, DoubleType))
+        else None
     }
     val bFiles = boundary.result()
     if (bFiles.isEmpty)
@@ -527,29 +618,58 @@ case class ZoneMapPrune(spark: SparkSession) extends Rule[LogicalPlan] {
     else if (nBoundary >= files.size) None // nothing answered: no churn
     else rebuild(rel, bFiles.sorted).map { scan =>
       val inner = condOpt.map(Filter(_, scan)).getOrElse(scan)
-      val parts = mOuts.zipWithIndex.map { case ((al, _), i) =>
-        Alias(al.child, s"part_$i")()
+      // the boundary-scan aggregate's part list: one part per output,
+      // except AVG which decomposes into its (sum, count) pair — an
+      // Average part cannot merge with a metadata leg, but its exact
+      // pieces can (avg = (metaSum + partSum) / (metaCnt + partCnt))
+      val partsBuf =
+        scala.collection.mutable.ArrayBuffer.empty[NamedExpression]
+      def addPart(e: Expression): Attribute = {
+        val al = Alias(e, s"part_${partsBuf.size}")()
+        partsBuf += al
+        al.toAttribute
       }
-      val aggNode = Aggregate(Nil, parts, inner)
-      val projected = mOuts.zip(parts).map { case ((al, o), part) =>
+      val projected = mOuts.map { case (al, o) =>
         val merged: Expression = o match {
-          case CntOut => Add(part.toAttribute, Literal(metaCount))
+          case CntOut => Add(addPart(al.child), Literal(metaCount))
+          case SumOut(a) =>
+            val part = addPart(al.child)
+            val c = sumColOf(a).get
+            if (metaSumCnt.getOrElse(c, 0L) > 0L)
+              // an empty boundary leg is NULL ("no values"), which must
+              // act as zero against a real metadata sum — coalesce,
+              // never bare Add (null + x = null would erase the sum)
+              Add(Coalesce(Seq(part, Literal(0L))), Literal(metaSumL(c)))
+            else part // no covered values: the boundary leg IS the sum
+          case AvgOut(a) =>
+            val c = sumColOf(a).get
+            val sPart = addPart(Sum(a).toAggregateExpression())
+            val cPart = addPart(Count(a).toAggregateExpression())
+            val totS = Add(Coalesce(Seq(sPart, Literal(0L))),
+              Literal(metaSumL.getOrElse(c, 0L)))
+            val totC = Add(cPart, Literal(metaSumCnt.getOrElse(c, 0L)))
+            // zero total values → NULL (Average's own empty semantics),
+            // guarded explicitly so ANSI sessions never divide by zero
+            If(EqualTo(totC, Literal(0L)), Literal(null, DoubleType),
+              Divide(Cast(totS, DoubleType), Cast(totC, DoubleType)))
           case mo => metaValue(mo) match {
             // Least/Greatest skip nulls, so an empty boundary-scan leg
             // (null) yields the metadata value and vice versa — the
             // exact null semantics of the direct aggregate
             case Some((v, dt)) =>
+              val part = addPart(al.child)
               val lit = Literal(v, dt)
               if (mo.isInstanceOf[MinOut])
                 org.apache.spark.sql.catalyst.expressions
-                  .Least(Seq(part.toAttribute, lit))
+                  .Least(Seq(part, lit))
               else org.apache.spark.sql.catalyst.expressions
-                .Greatest(Seq(part.toAttribute, lit))
-            case None => part.toAttribute
+                .Greatest(Seq(part, lit))
+            case None => addPart(al.child)
           }
         }
         Alias(merged, al.name)(exprId = al.exprId)
       }
+      val aggNode = Aggregate(Nil, partsBuf.toSeq, inner)
       Project(projected, aggNode)
     }
   }

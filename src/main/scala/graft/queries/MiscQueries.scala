@@ -990,6 +990,57 @@ object MiscQueries {
              |WHERE CAST(o_orderdate AS DATE)
              |  BETWEEN DATE '1994-01-01' AND DATE '1996-12-31'""".stripMargin)),
 
+    // ---- METADATA-ANSWERED SUM/AVG (the same countFromMeta arm over
+    // the zmmeta v5 min:max:cnt:sum slots): the most common dashboard
+    // aggregate — `sum(measure) WHERE date BETWEEN …` — served from the
+    // manifest for fully-covered files (exact integer sums, addExact,
+    // never floats — their sum is addition-order-dependent) and merged
+    // with the boundary scan via coalesce(partial,0)+metaSum; AVG
+    // decomposes into its exact (sum, count) pair and divides once,
+    // null-guarded. Mixed with count/min/max to prove the arms compose
+    // in one aggregate. ZoneMapSpec pins the zero-job no-boundary fold,
+    // the null-not-zero law, the float refusal, and the v4 fallback
+    // (sums unknown → scan, never guess). Oracle: the full-scan
+    // recompute. ----
+    Q("q360_zonemap_meta_sum",
+      (s, dir) => {
+        import graft.operators.ZoneMap
+        import graft.plans.{ZoneMapCatalog, ZoneMapPrune}
+        val tmp = java.nio.file.Files
+          .createTempDirectory("graft_q360_").toString
+        val od = t(s, dir, "orders")
+          .select(to_date(col("o_orderdate")).as("od"), col("o_custkey"))
+        ZoneMap.writeZOrdered(od, s"$tmp/data", s"$tmp/zone",
+          "od", "o_custkey", bits = 8, partitions = 16)
+        val prev = s.experimental.extraOptimizations
+        s.experimental.extraOptimizations = prev :+ ZoneMapPrune(s)
+        try {
+          ZoneMapCatalog.register(s, s"$tmp/data", s"$tmp/zone",
+            Seq("od", "o_custkey"))
+          s.read.parquet(s"$tmp/data")
+            .filter(col("od").between(
+              lit(java.sql.Date.valueOf("1994-01-01")),
+              lit(java.sql.Date.valueOf("1996-12-31"))))
+            .agg(count(lit(1)).as("n"),
+              sum(col("o_custkey")).as("sck"),
+              avg(col("o_custkey")).as("ack"),
+              min(col("o_custkey")).as("mnc"),
+              max(col("od")).as("mxd"))
+            .localCheckpoint(true) // the aggregate rewrite fires HERE
+        } finally {
+          s.experimental.extraOptimizations = prev
+          ZoneMapCatalog.clear()
+        }
+      },
+      Some("""SELECT count(*) AS n,
+             |  CAST(sum(o_custkey) AS BIGINT) AS sck,
+             |  avg(o_custkey) AS ack,
+             |  CAST(min(o_custkey) AS BIGINT) AS mnc,
+             |  max(CAST(o_orderdate AS DATE)) AS mxd
+             |FROM orders
+             |WHERE CAST(o_orderdate AS DATE)
+             |  BETWEEN DATE '1994-01-01' AND DATE '1996-12-31'""".stripMargin)),
+
     // ---- PLANNER-INJECTED RUNTIME FILTER, IN path (RuntimeFilterJoin):
     // the selective fact⋈dim join made cheap for free — the dim side's
     // 39 distinct keys (p_size = 7) collect once at plan time and land

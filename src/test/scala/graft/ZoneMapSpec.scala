@@ -1016,14 +1016,14 @@ class ZoneMapSpec extends SparkSpec {
     val mf = java.nio.file.Paths.get(s"$dir/zone/_ZMMETA")
     val v1 = new java.util.ArrayList[String]()
     java.nio.file.Files.readAllLines(mf).forEach { l =>
-      if (l == "zmmeta v4") v1.add("zmmeta v1")
+      if (l == "zmmeta v5") v1.add("zmmeta v1")
       else if (l.startsWith("strs=")) () // v1 has no strs line
       else if (l.contains("\t")) {
         val parts = l.split("\t", -1)
         val mid = parts.slice(1, parts.length - 1).map { s =>
           val ts = s.split(":", -1)
-          if (ts.length == 3) s"${ts(0)}:${ts(1)}"
-          else "-"
+          if (ts(0) == "-") "-" // all-null slot loses its cnt/sum in v1
+          else s"${ts(0)}:${ts(1)}"
         }
         v1.add((parts.head +: mid :+ parts.last).mkString("\t"))
       } else v1.add(l)
@@ -1120,6 +1120,151 @@ class ZoneMapSpec extends SparkSpec {
         "a nullable bounded column must scan, never mis-serve")
     } finally {
       spark.experimental.extraOptimizations = prev
+      graft.plans.ZoneMapCatalog.clear()
+    }
+  }
+
+  test("sum/avg answer from the v5 manifest: exact integer sums merge " +
+    "with the boundary scan, no-boundary folds to zero jobs, sum over " +
+    "no values is NULL, floats refuse, v4 manifests never guess") {
+    val dir = tmp("metasum")
+    // file i spans a in [32i, 32i+31], 4 rows per a value; k equals the
+    // row id but is NULL on every 4th row (cnt_k < n per file); x is a
+    // DOUBLE stat column (sum must refuse it); z is ALWAYS null (sum
+    // over zero values is NULL, never 0)
+    val base = spark.range(0, 1024).select(
+      (col("id") % 256).cast("long").as("a"),
+      when(col("id") % 4 === 0, lit(null).cast("long"))
+        .otherwise(col("id")).as("k"),
+      (col("id") * lit(0.5)).as("x"),
+      lit(null).cast("long").as("z"))
+    (0 until 8).foreach(i => base
+      .filter(col("a") >= i * 32 && col("a") < (i + 1) * 32)
+      .coalesce(1).write.mode("append").parquet(s"$dir/data"))
+    operators.ZoneMap.buildZoneMap(spark, s"$dir/data",
+      Seq("a", "k", "x", "z"), s"$dir/zone")
+    def agg0(df: org.apache.spark.sql.DataFrame) = df.agg(
+      count(lit(1)).as("n"), sum(col("a")).as("sa"),
+      avg(col("a")).as("va"), sum(col("k")).as("sk"),
+      avg(col("k")).as("vk"), sum(col("z")).as("sz"),
+      avg(col("z")).as("vz"))
+    def agg1(df: org.apache.spark.sql.DataFrame) = df
+      .filter(col("a").between(10L, 120L))
+      .agg(sum(col("a")).as("sa"), avg(col("a")).as("va"),
+        count(lit(1)).as("n"), min(col("a")).as("mna"))
+    def agg2(df: org.apache.spark.sql.DataFrame) = df
+      .filter(col("a").between(32L, 63L)) // exactly file 1: no boundary
+      .agg(sum(col("a")).as("sa"), avg(col("a")).as("va"))
+    def agg3(df: org.apache.spark.sql.DataFrame) = df
+      .agg(sum(col("x")).as("sx")) // DOUBLE: must refuse, stay exact
+    val raw = spark.read.parquet(s"$dir/data")
+    val (d0, d1, d2, d3) =
+      (agg0(raw).collect().head, agg1(raw).collect().head,
+        agg2(raw).collect().head, agg3(raw).collect().head)
+    val prev = spark.experimental.extraOptimizations
+    spark.experimental.extraOptimizations =
+      prev :+ graft.plans.ZoneMapPrune(spark)
+    try {
+      graft.plans.ZoneMapCatalog.register(spark, s"$dir/data",
+        s"$dir/zone", Seq("a", "k", "x", "z"))
+      // (1) unfiltered mixed sums/avgs: pure metadata — including the
+      // nullable column (its sum spans only non-null values on both
+      // sides) and the all-null column (NULL, never 0)
+      val q0 = agg0(spark.read.parquet(s"$dir/data"))
+      assert(q0.queryExecution.optimizedPlan
+        .isInstanceOf[org.apache.spark.sql.catalyst.plans.logical
+          .LocalRelation], "an unfiltered sum/avg must fold to metadata")
+      assert(q0.collect().head == d0,
+        "metadata sums/avgs must equal the direct aggregate")
+      // (2) boundary merge: covered files contribute exact sums, the
+      // two boundary files scan, avg merges as one exact division
+      val q1 = agg1(spark.read.parquet(s"$dir/data"))
+      assert(q1.collect().head == d1,
+        "merged sum/avg must equal the direct aggregate")
+      assert(q1.inputFiles.length == 2,
+        s"only the boundary files may open (${q1.inputFiles.length})")
+      // (3) a file-aligned range leaves NO boundary: zero Spark jobs
+      // beyond the marker (the listener pin)
+      val q2 = agg2(spark.read.parquet(s"$dir/data"))
+      val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+      val listener = new org.apache.spark.scheduler.SparkListener {
+        override def onJobStart(
+            js: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+          jobs.incrementAndGet(); ()
+        }
+      }
+      spark.sparkContext.addSparkListener(listener)
+      try {
+        assert(q2.collect().head == d2)
+        spark.sparkContext.parallelize(Seq(1), 1).count() // marker
+        val deadline = System.currentTimeMillis + 20000
+        while (jobs.get() < 1 && System.currentTimeMillis < deadline)
+          Thread.sleep(20)
+        assert(jobs.get() == 1,
+          s"a no-boundary sum/avg must run zero Spark jobs beyond the " +
+            s"marker, saw ${jobs.get() - 1}")
+      } finally spark.sparkContext.removeSparkListener(listener)
+      // (4) the float refusal: a DOUBLE column's sum is addition-order-
+      // dependent — no manifest slot, no rewrite, result stays exact
+      val q3 = agg3(spark.read.parquet(s"$dir/data"))
+      assert(!q3.queryExecution.optimizedPlan
+        .isInstanceOf[org.apache.spark.sql.catalyst.plans.logical
+          .LocalRelation], "a double sum must never answer from metadata")
+      assert(q3.collect().head == d3)
+    } finally {
+      spark.experimental.extraOptimizations = prev
+      graft.plans.ZoneMapCatalog.clear()
+    }
+    // (5) a fresh v5 build records sums for the integral columns and
+    // none for the double...
+    operators.ZoneMapMeta.invalidate()
+    val meta = operators.ZoneMapMeta.load(spark, s"$dir/zone").get
+    assert(meta.files.forall(f => f.sums("a").isDefined &&
+      f.sums("k").isDefined && f.sums("x").isEmpty),
+      "v5 must carry integral sums and no float ones")
+    // ...and (6) the v4 read path stays alive: downgrade the on-disk
+    // manifest by hand (strip the :sum token, same gen/sig) — it must
+    // load with every sum UNKNOWN, still serve metadata COUNTS, and
+    // the sum query must scan, never guess
+    val mf = java.nio.file.Paths.get(s"$dir/zone/_ZMMETA")
+    val v4 = new java.util.ArrayList[String]()
+    java.nio.file.Files.readAllLines(mf).forEach { l =>
+      if (l == "zmmeta v5") v4.add("zmmeta v4")
+      else if (l.contains("\t")) {
+        val parts = l.split("\t", -1)
+        val mid = parts.slice(1, parts.length - 1).map { s =>
+          val ts = s.split(":", -1)
+          ts.slice(0, ts.length - 1).mkString(":")
+        }
+        v4.add((parts.head +: mid :+ parts.last).mkString("\t"))
+      } else v4.add(l)
+    }
+    java.nio.file.Files.write(mf, v4)
+    java.nio.file.Files.deleteIfExists(
+      java.nio.file.Paths.get(s"$dir/zone/._ZMMETA.crc"))
+    operators.ZoneMapMeta.invalidate()
+    val old = operators.ZoneMapMeta.load(spark, s"$dir/zone")
+    assert(old.isDefined, "a v4 manifest must still load")
+    assert(old.get.files.forall(_.sums.values.forall(_.isEmpty)),
+      "pre-v5 sums are unknown, never guessed")
+    val prev2 = spark.experimental.extraOptimizations
+    spark.experimental.extraOptimizations =
+      prev2 :+ graft.plans.ZoneMapPrune(spark)
+    try {
+      graft.plans.ZoneMapCatalog.register(spark, s"$dir/data",
+        s"$dir/zone", Seq("a", "k", "x", "z"))
+      val qc = spark.read.parquet(s"$dir/data").agg(count(lit(1)).as("n"))
+      assert(qc.queryExecution.optimizedPlan
+        .isInstanceOf[org.apache.spark.sql.catalyst.plans.logical
+          .LocalRelation], "v4 counts must still serve from metadata")
+      assert(qc.collect().head.getLong(0) == 1024L)
+      val qs = agg1(spark.read.parquet(s"$dir/data"))
+      assert(qs.collect().head == d1,
+        "an unknown-sum manifest must scan, never mis-serve")
+      assert(qs.inputFiles.length > 2,
+        "unknown sums must widen to a scan (boundary-only would guess)")
+    } finally {
+      spark.experimental.extraOptimizations = prev2
       graft.plans.ZoneMapCatalog.clear()
     }
   }
