@@ -25,11 +25,18 @@ import graft.operators.Bloom
   *
   * Match (CONSERVATIVE — a rewrite must never change semantics, and
   * anything unrecognized is left alone): an INNER or LEFT SEMI join
-  * with a bare single-column equi-pair whose DIM side (a) carries a
+  * with a single-column equi-pair — each side a bare column OR a
+  * column under an INJECTIVE widening cast ([[widens]]: integral
+  * widening, date→timestamp under UTC), because the real-schema norm
+  * is `cast(l_partkey as bigint) = p_partkey`; keys harvest on the
+  * bare dim column, render through the cast inverse
+  * ([[convertKeys]]), and inject on the BARE fact column (where the
+  * parquet pushdown and the zone-map union both live). A lossy cast
+  * refuses. The DIM side must (a) carry a
   * real filter (some conjunct beyond the optimizer's inferred
   * `IsNotNull`s — an unfiltered dim reduces nothing worth a plan-time
-  * job), (b) sizes under `spark.graft.runtimeFilters.maxDimBytes`, and
-  * (c) is smaller than the fact side. The dim side's DISTINCT non-null
+  * job), (b) size under `spark.graft.runtimeFilters.maxDimBytes`, and
+  * (c) be smaller than the fact side. The dim side's DISTINCT non-null
   * keys are collected ONCE at plan time (memoized by the dim subtree's
   * canonicalized form, so re-planning and repeated queries pay zero
   * jobs) and become a predicate merged into the fact side's filter:
@@ -138,29 +145,143 @@ case class RuntimeFilterJoin(spark: SparkSession) extends Rule[LogicalPlan] {
     case _ => false
   }
 
+  /** One side of an equi-comparison: the BARE column plus the widening
+    * cast the comparison sees it through (None = compared as-is). */
+  private case class Key(attr: AttributeReference, cast: Option[DataType]) {
+    def comparedType: DataType = cast.getOrElse(attr.dataType)
+  }
+
+  private def intRank(t: DataType): Int = t match {
+    case ByteType => 1
+    case ShortType => 2
+    case IntegerType => 3
+    case LongType => 4
+    case _ => 0
+  }
+
+  /** INJECTIVE widening casts only — the real-schema norm is
+    * `cast(l_partkey as bigint) = p_partkey` (int fact key, bigint dim
+    * key), and an injective widening is sound to unwrap: every narrow
+    * value maps to exactly one wide value, so keys can be rendered
+    * through the cast inverse onto the bare column. Integral widening
+    * (byte→short→int→long) always; date→timestamp ONLY under a UTC
+    * session (the cast is then exactly `days · MICROS_PER_DAY`; under
+    * any other zone the mapping shifts with the zone's history and the
+    * driver-side inverse could disagree). Anything lossy — narrowing,
+    * timestamp→date, float/decimal/string targets — refuses: the pair
+    * simply does not extract and the join is left alone.
+    */
+  private def widens(from: DataType, to: DataType, utc: Boolean): Boolean =
+    (intRank(from) > 0 && intRank(to) > intRank(from)) ||
+      (from == DateType && to == TimestampType && utc)
+
+  private def unwrapKey(e: Expression, utc: Boolean): Option[Key] = e match {
+    case a: AttributeReference => Some(Key(a, None))
+    case Cast(a: AttributeReference, t, _, _)
+        if widens(a.dataType, t, utc) => Some(Key(a, Some(t)))
+    case _ => None
+  }
+
+  private val MicrosPerDay = 86400000000L
+
+  /** Harvested dim keys (the DIM attr's internal type) rendered into
+    * the FACT attr's internal type, through the compared type: the dim
+    * side's widening (if any) applies forward — total and exact, except
+    * a date→timestamp multiplication that would overflow ABORTS the
+    * whole injection (None: in that regime Spark's own cast behavior is
+    * mode-dependent, and guessing could wrongly drop fact rows) — and
+    * the fact side's widening applies INVERSE: a wide key outside the
+    * narrow type's image (a long beyond int range, a non-midnight
+    * timestamp against a date column) is DROPPED, which is sound
+    * because the fact cast is total and exact, so no fact value can
+    * ever widen onto the dropped key and no joinable row is lost.
+    */
+  private def convertKeys(keys: Seq[Any], dk: Key,
+                          fk: Key): Option[Seq[Any]] = {
+    if (dk.cast.isEmpty && fk.cast.isEmpty) return Some(keys)
+    def toLong(v: Any): Long = v match {
+      case b: Byte => b.toLong
+      case s: Short => s.toLong
+      case i: Int => i.toLong
+      case l: Long => l
+    }
+    def widen(v: Any, from: DataType, to: DataType): Option[Any] =
+      (from, to) match {
+        case (f, t) if f == t => Some(v)
+        case (DateType, TimestampType) =>
+          try Some(Math.multiplyExact(toLong(v), MicrosPerDay))
+          catch { case _: ArithmeticException => None }
+        case (_, ShortType) => Some(toLong(v).toShort)
+        case (_, IntegerType) => Some(toLong(v).toInt)
+        case (_, LongType) => Some(toLong(v))
+        case _ => None
+      }
+    def narrowInv(v: Any, from: DataType, to: DataType): Option[Any] =
+      (from, to) match {
+        case (f, t) if f == t => Some(v)
+        case (TimestampType, DateType) =>
+          val m = v.asInstanceOf[Long]
+          if (Math.floorMod(m, MicrosPerDay) != 0L) None
+          else {
+            val d = Math.floorDiv(m, MicrosPerDay)
+            if (d >= Int.MinValue && d <= Int.MaxValue) Some(d.toInt)
+            else None
+          }
+        case (_, ByteType) =>
+          val l = toLong(v)
+          if (l >= Byte.MinValue && l <= Byte.MaxValue) Some(l.toByte)
+          else None
+        case (_, ShortType) =>
+          val l = toLong(v)
+          if (l >= Short.MinValue && l <= Short.MaxValue) Some(l.toShort)
+          else None
+        case (_, IntegerType) =>
+          val l = toLong(v)
+          if (l >= Int.MinValue && l <= Int.MaxValue) Some(l.toInt)
+          else None
+        case _ => None
+      }
+    val out = Seq.newBuilder[Any]
+    keys.foreach { v =>
+      widen(v, dk.attr.dataType, dk.comparedType) match {
+        case None => return None // mode-dependent cast: abort, never guess
+        case Some(w) => narrowInv(w, fk.comparedType, fk.attr.dataType)
+          .foreach(out += _) // inverse miss: unmatchable key, drop
+      }
+    }
+    Some(out.result())
+  }
+
   private def reduce(j: Join): Option[LogicalPlan] = {
     val cond = j.condition.getOrElse(return None)
-    val eqPairs = conjuncts(cond).collect {
-      case EqualTo(a: AttributeReference, b: AttributeReference)
-          if a.dataType == b.dataType && inable(a.dataType) => (a, b)
+    val utc = spark.sessionState.conf.sessionLocalTimeZone == "UTC"
+    val eqPairs: Seq[(Key, Key)] = conjuncts(cond).flatMap {
+      case EqualTo(l, r) =>
+        for {
+          lk <- unwrapKey(l, utc)
+          rk <- unwrapKey(r, utc)
+          if lk.comparedType == rk.comparedType &&
+            inable(lk.attr.dataType) && inable(rk.attr.dataType)
+        } yield (lk, rk)
+      case _ => None
     }
     if (eqPairs.isEmpty) return None
     // orient: (factSide, dimSide, factKey, dimKey) candidates — for a
     // LEFT SEMI the left side is the one whose rows survive (the fact);
     // for INNER either side may be the dim
-    val orientations: Seq[(LogicalPlan, LogicalPlan, AttributeReference,
-        AttributeReference)] = j.joinType match {
-      case LeftSemi => eqPairs.flatMap { case (a, b) =>
-        keyOf(j.left, a, b).flatMap(fk => keyOf(j.right, a, b).map(dk =>
-          (j.left, j.right, fk, dk)))
+    val orientations: Seq[(LogicalPlan, LogicalPlan, Key, Key)] =
+      j.joinType match {
+        case LeftSemi => eqPairs.flatMap { case (a, b) =>
+          keyOf(j.left, a, b).flatMap(fk => keyOf(j.right, a, b).map(dk =>
+            (j.left, j.right, fk, dk)))
+        }
+        case Inner => eqPairs.flatMap { case (a, b) =>
+          keyOf(j.left, a, b).flatMap(fk => keyOf(j.right, a, b).map(dk =>
+            Seq((j.left, j.right, fk, dk), (j.right, j.left, dk, fk))))
+            .getOrElse(Seq.empty)
+        }
+        case _ => Seq.empty
       }
-      case Inner => eqPairs.flatMap { case (a, b) =>
-        keyOf(j.left, a, b).flatMap(fk => keyOf(j.right, a, b).map(dk =>
-          Seq((j.left, j.right, fk, dk), (j.right, j.left, dk, fk))))
-          .getOrElse(Seq.empty)
-      }
-      case _ => Seq.empty
-    }
     val maxDim = spark.conf.get(MaxDimBytesKey, (64L << 20).toString).toLong
     val maxIn = spark.conf.get(MaxInKeysKey, "4096").toInt
     def qualifies(fact: LogicalPlan, dim: LogicalPlan): Boolean =
@@ -181,32 +302,35 @@ case class RuntimeFilterJoin(spark: SparkSession) extends Rule[LogicalPlan] {
     // satisfy that equality, hence cannot join)
     val leftPreds = Vector.newBuilder[Expression]
     val rightPreds = Vector.newBuilder[Expression]
-    orientations.foreach { case (fact, dim, factKey, dimKey) =>
+    orientations.foreach { case (fact, dim, fk, dk) =>
       if (qualifies(fact, dim)) {
-        val keyIdx = dim.output.indexWhere(_.exprId == dimKey.exprId)
+        val factKey = fk.attr // injection lands on the BARE fact column
+        val keyIdx = dim.output.indexWhere(_.exprId == dk.attr.exprId)
         // keyed by fact-key exprId + dim identity (semanticHash), so a
         // star join injecting from SEVERAL dims onto one fact key
         // lands each, and fixed-point iterations land none twice
         val injKey = (factKey.exprId.id, keyIdx, dim.semanticHash())
         if (!injected.synchronized(injected.contains(injKey))) {
-          harvest(dim, dimKey, keyIdx).foreach { keys =>
-            val predOpt: Option[Expression] =
-              if (keys.isEmpty) Some(Literal(false)) // empty dim: exact
-              else if (keys.length <= maxIn)
-                Some(In(factKey, keys.map(v => Literal(v, factKey.dataType))))
-              else bloomPred(factKey, keys)
-            predOpt.foreach { pred =>
-              injected.synchronized {
-                injected += injKey
-                while (injected.size > 4096) // bound: evict OLDEST only
-                  injected -= injected.head
+          harvest(dim, dk.attr, keyIdx).flatMap(convertKeys(_, dk, fk))
+            .foreach { keys =>
+              val predOpt: Option[Expression] =
+                if (keys.isEmpty) Some(Literal(false)) // empty dim: exact
+                else if (keys.length <= maxIn)
+                  Some(In(factKey,
+                    keys.map(v => Literal(v, factKey.dataType))))
+                else bloomPred(factKey, keys)
+              predOpt.foreach { pred =>
+                injected.synchronized {
+                  injected += injKey
+                  while (injected.size > 4096) // bound: evict OLDEST only
+                    injected -= injected.head
+                }
+                log.info(s"runtime filter injected: ${keys.length} dim " +
+                  s"keys as ${if (keys.length <= maxIn) "IN list"
+                  else "bloom"} on ${factKey.name}")
+                if (fact eq j.left) leftPreds += pred else rightPreds += pred
               }
-              log.info(s"runtime filter injected: ${keys.length} dim " +
-                s"keys as ${if (keys.length <= maxIn) "IN list"
-                else "bloom"} on ${factKey.name}")
-              if (fact eq j.left) leftPreds += pred else rightPreds += pred
             }
-          }
         }
       }
     }
@@ -227,10 +351,9 @@ case class RuntimeFilterJoin(spark: SparkSession) extends Rule[LogicalPlan] {
       case other => Filter(pred, other)
     }
 
-  private def keyOf(side: LogicalPlan, a: AttributeReference,
-                    b: AttributeReference): Option[AttributeReference] =
-    if (side.outputSet.contains(a)) Some(a)
-    else if (side.outputSet.contains(b)) Some(b)
+  private def keyOf(side: LogicalPlan, a: Key, b: Key): Option[Key] =
+    if (side.outputSet.contains(a.attr)) Some(a)
+    else if (side.outputSet.contains(b.attr)) Some(b)
     else None
 
   /** Some conjunct beyond the inferred IsNotNulls filters the dim. */

@@ -1131,6 +1131,46 @@ object MiscQueries {
              |WHERE p_size = 7
              |GROUP BY 1 ORDER BY 1""".stripMargin)),
 
+    // ---- RUNTIME FILTER through a WIDENING CAST (the real-schema
+    // norm): the fact key is INT, the dim key BIGINT, so the analyzer
+    // compares `cast(lpk as bigint) = p_partkey` — the r18 rule refused
+    // this shape. Now the injective widening unwraps: keys harvest on
+    // the bare dim column, render through the cast INVERSE (a long
+    // outside int range is unmatchable and drops — no int can widen
+    // onto it), and the IN lands on the BARE int fact column where the
+    // scan filter lives. Oracle: the plain unreduced join. Spec pins
+    // the injected type/arity, the dim-side-cast twin, the date=ts
+    // midnight rendering, and the narrowing refusal. ----
+    Q("q361_runtime_filter_cast",
+      (s, dir) => {
+        import graft.plans.RuntimeFilterJoin
+        val prev = s.experimental.extraOptimizations
+        s.experimental.extraOptimizations = prev :+ RuntimeFilterJoin(s)
+        s.conf.set("spark.graft.runtimeFilters.enabled", "true")
+        try {
+          t(s, dir, "lineitem")
+            .select(col("l_partkey").cast("int").as("lpk"),
+              col("l_quantity"), col("l_extendedprice"))
+            .join(t(s, dir, "part").filter(col("p_size") === 7),
+              col("lpk") === col("p_partkey"))
+            .groupBy(col("p_brand"))
+            .agg(count(lit(1)).as("n"),
+              sum(col("l_quantity").cast("long")).as("qty"),
+              round(sum(col("l_extendedprice")), 2).as("rev"))
+            .localCheckpoint(true) // the cast-unwrapped injection fires HERE
+            .orderBy(col("p_brand"))
+        } finally {
+          s.experimental.extraOptimizations = prev
+          s.conf.unset("spark.graft.runtimeFilters.enabled")
+        }
+      },
+      Some("""SELECT p_brand, count(*) AS n,
+             |  CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty,
+             |  round(sum(l_extendedprice), 2) AS rev
+             |FROM lineitem JOIN part ON CAST(l_partkey AS INTEGER) = p_partkey
+             |WHERE p_size = 7
+             |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
     // ---- TPC-H Q5 shape: 5-way join, date filter, revenue per nation.
     // All dimensions broadcast; lineitem (the only big table) shuffles
     // once for the final aggregation only.

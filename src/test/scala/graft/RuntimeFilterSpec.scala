@@ -233,6 +233,93 @@ class RuntimeFilterSpec extends SparkSpec {
     }
   }
 
+  test("widening-cast equi-pairs inject on the BARE fact column: keys " +
+    "render through the cast inverse, unmatchable keys drop, dim-side " +
+    "casts widen forward, lossy casts refuse") {
+    val dir = tmp("cast")
+    // INT fact key — the real-schema norm `cast(ki as bigint) = dk`
+    spark.range(0, 4096).select(
+      (col("id") % 256).cast("int").as("ki"), col("id").as("v"))
+      .coalesce(2).write.parquet(s"$dir/fact")
+    // LONG dim keys; band 7 keeps {7, 71, 135, 199} PLUS a value
+    // outside int range — unmatchable through the widening, dropped
+    spark.range(0, 256).select(col("id").as("dk"),
+      (col("id") % 64).as("band"))
+      .union(spark.sql(
+        "SELECT CAST(5000000000 AS BIGINT), CAST(7 AS BIGINT)"))
+      .coalesce(1).write.parquet(s"$dir/dim")
+    def ins(df: org.apache.spark.sql.DataFrame)
+        : Seq[(String, org.apache.spark.sql.types.DataType, Int)] =
+      df.queryExecution.optimizedPlan.collect {
+        case f: Filter => f.condition.collect {
+          case In(a: AttributeReference, vs) => (a.name, a.dataType, vs.length)
+        }
+      }.flatten
+    def query() = spark.read.parquet(s"$dir/fact")
+      .join(spark.read.parquet(s"$dir/dim").filter(col("band") === 7),
+        col("ki") === col("dk")) // coercion casts the INT fact side up
+    val plain = query().collect().map(_.toSeq).toSet
+    withRules() {
+      val q = query()
+      assert(q.collect().map(_.toSeq).toSet == plain,
+        "the cast-unwrapped reduction must equal the plain join")
+      assert(ins(q) ==
+        Seq(("ki", org.apache.spark.sql.types.IntegerType, 4)),
+        s"expected a 4-key INT IN on the bare fact column, got ${ins(q)}")
+    }
+    // dim-side cast: a SHORT dim key widens FORWARD onto the long fact
+    spark.range(0, 4096).select((col("id") % 256).as("k"),
+      col("id").as("v")).coalesce(2).write.parquet(s"$dir/fact2")
+    spark.range(0, 64).select(col("id").cast("short").as("dks"),
+      (col("id") % 16).as("band")).coalesce(1).write.parquet(s"$dir/dim2")
+    def query2() = spark.read.parquet(s"$dir/fact2")
+      .join(spark.read.parquet(s"$dir/dim2").filter(col("band") === 3),
+        col("k") === col("dks")) // coercion casts the SHORT dim side up
+    val plain2 = query2().collect().map(_.toSeq).toSet
+    withRules() {
+      val q = query2()
+      assert(q.collect().map(_.toSeq).toSet == plain2)
+      assert(ins(q) == Seq(("k", org.apache.spark.sql.types.LongType, 4)),
+        s"the dim keys must widen onto the bare fact key, got ${ins(q)}")
+    }
+    // date fact key = timestamp dim key (UTC session): midnight dim
+    // keys render back to days, non-midnight ones are unmatchable
+    spark.range(0, 1024).select(
+      expr("date_from_unix_date(cast(id % 32 as int))").as("d"),
+      col("id").as("v")).coalesce(2).write.parquet(s"$dir/fact3")
+    spark.sql(
+      """SELECT * FROM VALUES
+        |  (TIMESTAMP '1970-01-03 00:00:00', 1),
+        |  (TIMESTAMP '1970-01-05 00:00:00', 1),
+        |  (TIMESTAMP '1970-01-05 12:30:00', 1),
+        |  (TIMESTAMP '1975-01-01 00:00:00', 2)
+        |AS t(dts, band)""".stripMargin)
+      .coalesce(1).write.parquet(s"$dir/dim3")
+    def query3() = spark.read.parquet(s"$dir/fact3")
+      .join(spark.read.parquet(s"$dir/dim3").filter(col("band") === 1),
+        col("d") === col("dts")) // coercion casts the DATE side up
+    val plain3 = query3().collect().map(_.toSeq).toSet
+    withRules() {
+      val q = query3()
+      assert(q.collect().map(_.toSeq).toSet == plain3)
+      assert(ins(q) == Seq(("d", org.apache.spark.sql.types.DateType, 2)),
+        s"midnight keys render to days, the 12:30 one drops, got ${ins(q)}")
+    }
+    // LOSSY refusal: a hand-built NARROWING cast never unwraps — the
+    // user asked for a truncating join and the rule must leave it alone
+    val f2 = spark.read.parquet(s"$dir/fact2")
+    val d1 = spark.read.parquet(s"$dir/dim2")
+      .filter(col("band") === 3).select(col("dks").cast("int").as("dki"))
+    def lossy() = f2.join(d1, f2("k").cast("int") === d1("dki"))
+    val plainLossy = lossy().count()
+    withRules() {
+      val q = lossy()
+      assert(q.count() == plainLossy)
+      assert(ins(q).isEmpty,
+        s"a narrowing cast must refuse injection, got ${ins(q)}")
+    }
+  }
+
   test("the dim harvest is ONE plan-time job, memoized: a repeated " +
     "plan optimizes with zero jobs") {
     val dir = tmp("memo")
