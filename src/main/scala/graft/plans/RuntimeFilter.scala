@@ -56,7 +56,13 @@ import graft.operators.Bloom
   *    so reduced join ≡ unreduced join). Date/timestamp keys render
   *    through [[ZoneMapRender]] under the same UTC discipline as the
   *    zone-map blooms; a key that fails to render aborts the injection
-  *    (a missing key would wrongly DROP its fact rows);
+  *    (a missing key would wrongly DROP its fact rows). The md5
+  *    predicate is opaque to [[ZoneMapPrune]]'s harvest, so on a
+  *    registered zone-map fact layout the SAME bounded key set hands
+  *    to the manifest directly ([[ZoneMapPrune.keySkipSurvivors]]) and
+  *    the fact scan is swapped for its survivor files — a >maxInKeys
+  *    dim still FILE-skips the 100 TB fact, with the bloom kept as the
+  *    row-level residual;
   *  - more: skip, logged — a filter that passes almost everything is
   *    pure overhead.
   *
@@ -302,6 +308,40 @@ case class RuntimeFilterJoin(spark: SparkSession) extends Rule[LogicalPlan] {
     // satisfy that equality, hence cannot join)
     val leftPreds = Vector.newBuilder[Expression]
     val rightPreds = Vector.newBuilder[Expression]
+    // BLOOM × ZONE-MAP COMPOSITION: past maxInKeys the injected
+    // predicate is the md5 expression, which ZoneMapPrune cannot
+    // harvest — so the bounded key set is handed to the zone map
+    // DIRECTLY ([[ZoneMapPrune.keySkipSurvivors]]: sorted keys + one
+    // binary search per file, driver-only) and the fact relation is
+    // swapped for its survivor projection. Several filters landing on
+    // one relation INTERSECT their survivor sets (each is a false-
+    // positive-only superset). The predicate always stays as the
+    // row-level residual; any refusal just means predicate-only.
+    val factSurv =
+      new java.util.IdentityHashMap[org.apache.spark.sql.execution
+        .datasources.LogicalRelation, (Set[String], Int)]()
+    def zoneSkipInto(fact: LogicalPlan, factKey: AttributeReference,
+                     keys: Seq[Any]): Unit = {
+      val rels = fact.collect {
+        case r: org.apache.spark.sql.execution.datasources
+          .LogicalRelation => r
+      }
+      if (rels.length != 1) return // one scan only: no ambiguity
+      val rel = rels.head
+      if (!rel.outputSet.contains(factKey)) return
+      zmHelper.keySkipSurvivors(rel, factKey, keys).foreach {
+        case (surv, total) =>
+          val set = surv.toSet
+          val merged = Option(factSurv.get(rel)) match {
+            case Some((prev, t)) => (prev intersect set, t)
+            case None => (set, total)
+          }
+          factSurv.put(rel, merged)
+          log.info(s"runtime filter zone-map skip: ${merged._1.size} of " +
+            s"$total fact files survive the ${keys.length}-key set on " +
+            s"${factKey.name}")
+      }
+    }
     orientations.foreach { case (fact, dim, fk, dk) =>
       if (qualifies(fact, dim)) {
         val factKey = fk.attr // injection lands on the BARE fact column
@@ -329,6 +369,11 @@ case class RuntimeFilterJoin(spark: SparkSession) extends Rule[LogicalPlan] {
                   s"keys as ${if (keys.length <= maxIn) "IN list"
                   else "bloom"} on ${factKey.name}")
                 if (fact eq j.left) leftPreds += pred else rightPreds += pred
+                // the IN path composes through ZoneMapPrune's own
+                // per-literal union; only the bloom path needs the
+                // direct hand-off
+                if (keys.nonEmpty && keys.length > maxIn)
+                  zoneSkipInto(fact, factKey, keys)
               }
             }
         }
@@ -336,10 +381,29 @@ case class RuntimeFilterJoin(spark: SparkSession) extends Rule[LogicalPlan] {
     }
     val (lp, rp) = (leftPreds.result(), rightPreds.result())
     if (lp.isEmpty && rp.isEmpty) None
-    else Some(j.copy(
-      left = lp.foldLeft(j.left)((s, p) => withPred(s, p)),
-      right = rp.foldLeft(j.right)((s, p) => withPred(s, p))))
+    else {
+      def applySwaps(side: LogicalPlan): LogicalPlan =
+        if (factSurv.isEmpty) side
+        else side.transformUp {
+          case r: org.apache.spark.sql.execution.datasources
+              .LogicalRelation if factSurv.containsKey(r) =>
+            val (surv, total) = factSurv.get(r)
+            if (surv.size >= total) r // nothing skipped: no churn
+            else if (surv.isEmpty)
+              // every file provably keyless: exact empty scan, no read
+              org.apache.spark.sql.catalyst.plans.logical
+                .LocalRelation(r.output)
+            else zmHelper.rebuildFor(r, surv.toSeq.sorted).getOrElse(r)
+        }
+      Some(j.copy(
+        left = applySwaps(lp.foldLeft(j.left)((s, p) => withPred(s, p))),
+        right = applySwaps(rp.foldLeft(j.right)((s, p) => withPred(s, p)))))
+    }
   }
+
+  /** Shared zone-map helpers for the bloom-path composition — the same
+    * freshness/rebuild discipline as the filter-prune rule. */
+  private lazy val zmHelper = ZoneMapPrune(spark)
 
   /** Merge into an existing top filter so the predicate sits DIRECTLY
     * above the scan (what both [[ZoneMapPrune]] and the parquet filter

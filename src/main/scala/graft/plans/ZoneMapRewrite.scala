@@ -781,6 +781,91 @@ case class ZoneMapPrune(spark: SparkSession) extends Rule[LogicalPlan] {
     }
   }
 
+  /** FILE SKIPPING FOR A BOUNDED KEY SET — the [[RuntimeFilterJoin]]
+    * bloom-path composition: past `maxInKeys` the injected predicate is
+    * the md5 expression, which the filter-prune arm cannot harvest, so
+    * the rule hands its already-bounded harvested key set here instead.
+    * The survivor law is the per-literal IN union's ([[inUnion]]) — a
+    * file survives iff SOME key lies within its span, a false-positive-
+    * only superset of the files holding a joinable row — computed as
+    * one sorted array + binary search per file (O(|files|·log|keys|)
+    * driver compute, manifest-cached, zero Spark jobs; the naive
+    * per-literal loop would be O(|keys|·|files|), unaffordable at the
+    * 100 TB file counts this exists for). Span-only by design: the
+    * per-file bloom refinement would be O(|keys|·k) per file, and the
+    * row-level bloom predicate already handles in-span non-members.
+    * None (no skipping, predicate-only) when the relation has no fresh
+    * manifest-backed registration, the key column is not a stat column
+    * of the matching type, or any key fails unit conversion — a
+    * dropped key would OVER-skip, the direction this subsystem must
+    * never err in. Returns (survivors, total landed+described).
+    */
+  private[plans] def keySkipSurvivors(rel: LogicalRelation,
+                                      key: AttributeReference,
+                                      keys: Seq[Any])
+      : Option[(Seq[String], Int)] = {
+    val (entry, metaOpt, relFiles) = freshEntry(rel).getOrElse(return None)
+    val meta = metaOpt.getOrElse(return None)
+    val c = rel.output.find(_.exprId == key.exprId).map(_.name)
+      .filter(entry.statCols.contains).getOrElse(return None)
+    val relSet = relFiles.map(PathNorm.norm).toSet
+    val files = meta.files.filter(f => relSet.contains(PathNorm.norm(f.file)))
+    if (key.dataType == StringType) {
+      if (!meta.strCols.contains(c)) return None // mistyped: refuse
+      val vals = keys.map {
+        case u: org.apache.spark.unsafe.types.UTF8String => Some(u.toString)
+        case s: String => Some(s)
+        case _ => None
+      }
+      if (vals.exists(_.isEmpty)) return None
+      val cmp = ZoneMapMeta.cmpUtf8 _
+      val sorted = vals.flatten.distinct
+        .sortWith((a, b) => cmp(a, b) < 0).toArray
+      def anyIn(mn: String, mx: String): Boolean = {
+        var lo = 0; var hi = sorted.length
+        while (lo < hi) {
+          val mid = (lo + hi) >>> 1
+          if (cmp(sorted(mid), mn) < 0) lo = mid + 1 else hi = mid
+        }
+        lo < sorted.length && cmp(sorted(lo), mx) <= 0
+      }
+      val surv = files.filter(f =>
+        f.sstats.getOrElse(c, None).exists { case (mn, mx) => anyIn(mn, mx) })
+      Some((surv.map(_.file).sorted, files.size))
+    } else {
+      if (meta.strCols.contains(c)) return None // mistyped: refuse
+      def toUnit(v: Any): Option[Long] = (v, key.dataType) match {
+        case (b: Byte, ByteType) => Some(b.toLong)
+        case (s: Short, ShortType) => Some(s.toLong)
+        case (i: Int, IntegerType) => Some(i.toLong)
+        case (i: Int, DateType) => Some(i.toLong) // epoch days, the stat unit
+        case (l: Long, LongType) => Some(l)
+        case (l: Long, TimestampType) => Some(l) // epoch micros, ditto
+        case _ => None
+      }
+      val ls = keys.map(toUnit)
+      if (ls.exists(_.isEmpty)) return None // a dropped key would over-skip
+      val sorted = ls.flatten.distinct.sorted.toArray
+      def anyIn(mn: Long, mx: Long): Boolean = {
+        var lo = 0; var hi = sorted.length
+        while (lo < hi) {
+          val mid = (lo + hi) >>> 1
+          if (sorted(mid) < mn) lo = mid + 1 else hi = mid
+        }
+        lo < sorted.length && sorted(lo) <= mx
+      }
+      val surv = files.filter(f =>
+        f.stats.getOrElse(c, None).exists { case (mn, mx) => anyIn(mn, mx) })
+      Some((surv.map(_.file).sorted, files.size))
+    }
+  }
+
+  /** [[rebuild]] for the cross-rule composition above — same exprId-
+    * preserving survivor projection. */
+  private[plans] def rebuildFor(rel: LogicalRelation,
+                                survivors: Seq[String]): Option[LogicalPlan] =
+    rebuild(rel, survivors)
+
   private def utcSession: Boolean =
     spark.sessionState.conf.sessionLocalTimeZone == "UTC"
 

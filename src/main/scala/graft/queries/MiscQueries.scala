@@ -1131,6 +1131,59 @@ object MiscQueries {
              |WHERE p_size = 7
              |GROUP BY 1 ORDER BY 1""".stripMargin)),
 
+    // ---- RUNTIME FILTER, BLOOM path × ZONE-MAP FILE SKIPPING
+    // (maxInKeys = 0 forces the bloom): past the IN cap the injected
+    // md5 predicate is opaque to ZoneMapPrune's harvest, so the rule
+    // hands its bounded key set to the manifest DIRECTLY (sorted keys
+    // + one binary search per file, driver-only) and swaps the fact
+    // scan for its survivor files — a >maxInKeys dim still file-skips
+    // the z-ordered fact layout, with the bloom kept as the row-level
+    // residual. Oracle: the plain unreduced join. RuntimeFilterSpec
+    // pins the strict inputFiles subset, the md5 residual, the
+    // unregistered predicate-only fallback, and the empty-intersection
+    // zero-file swap. ----
+    Q("q362_runtime_filter_bloom_zm",
+      (s, dir) => {
+        import graft.operators.ZoneMap
+        import graft.plans.{RuntimeFilterJoin, ZoneMapCatalog, ZoneMapPrune}
+        val tmp = java.nio.file.Files
+          .createTempDirectory("graft_q362_").toString
+        val l = t(s, dir, "lineitem")
+          .select(col("l_partkey"), col("l_suppkey"), col("l_quantity"),
+            col("l_extendedprice"))
+        ZoneMap.writeZOrdered(l, s"$tmp/data", s"$tmp/zone",
+          "l_partkey", "l_suppkey", bits = 8, partitions = 16)
+        val prev = s.experimental.extraOptimizations
+        s.experimental.extraOptimizations =
+          prev :+ RuntimeFilterJoin(s) :+ ZoneMapPrune(s)
+        s.conf.set("spark.graft.runtimeFilters.enabled", "true")
+        s.conf.set("spark.graft.runtimeFilters.maxInKeys", "0")
+        try {
+          ZoneMapCatalog.register(s, s"$tmp/data", s"$tmp/zone",
+            Seq("l_partkey", "l_suppkey"))
+          s.read.parquet(s"$tmp/data")
+            .join(t(s, dir, "part").filter(col("p_size") === 7),
+              col("l_partkey") === col("p_partkey"))
+            .groupBy(col("p_brand"))
+            .agg(count(lit(1)).as("n"),
+              sum(col("l_quantity").cast("long")).as("qty"),
+              round(sum(col("l_extendedprice")), 2).as("rev"))
+            .localCheckpoint(true) // bloom injection + file skip fire HERE
+            .orderBy(col("p_brand"))
+        } finally {
+          s.experimental.extraOptimizations = prev
+          s.conf.unset("spark.graft.runtimeFilters.enabled")
+          s.conf.unset("spark.graft.runtimeFilters.maxInKeys")
+          ZoneMapCatalog.clear()
+        }
+      },
+      Some("""SELECT p_brand, count(*) AS n,
+             |  CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty,
+             |  round(sum(l_extendedprice), 2) AS rev
+             |FROM lineitem JOIN part ON l_partkey = p_partkey
+             |WHERE p_size = 7
+             |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
     // ---- RUNTIME FILTER through a WIDENING CAST (the real-schema
     // norm): the fact key is INT, the dim key BIGINT, so the analyzer
     // compares `cast(lpk as bigint) = p_partkey` — the r18 rule refused

@@ -233,6 +233,61 @@ class RuntimeFilterSpec extends SparkSpec {
     }
   }
 
+  test("the BLOOM path composes with zone-map FILE skipping: the key " +
+    "set hands to the manifest directly, survivors only open, the md5 " +
+    "residual stays, and an unregistered fact is predicate-only") {
+    val dir = tmp("bloomzm")
+    fixture(dir)
+    def query() = spark.read.parquet(s"$dir/fact")
+      .join(spark.read.parquet(s"$dir/dim").filter(col("band") === 7),
+        col("k") === col("dk"))
+      .groupBy(col("dk"))
+      .agg(sum(col("v")).as("sv"), count(lit(1)).as("n"))
+    val plain = query().collect().map(_.toSeq).toSet
+    withRules() {
+      spark.conf.set("spark.graft.runtimeFilters.maxInKeys", "0")
+      // registered layout: band 7's keys {7,71,135,199} live in files
+      // 0,2,4,6 — the bloom path must open exactly those
+      ZoneMapCatalog.register(spark, s"$dir/fact", s"$dir/zone", Seq("k"))
+      val q = query()
+      assert(q.collect().map(_.toSeq).toSet == plain,
+        "the file-skipped bloom join must equal the plain join")
+      val hasMd5 = q.queryExecution.optimizedPlan.exists {
+        case f: Filter => f.condition.exists(_.isInstanceOf[Md5])
+        case _ => false
+      }
+      assert(hasMd5, "the md5 residual must stay above the pruned scan")
+      val factFiles = q.inputFiles.count(_.contains("/fact/"))
+      assert(factFiles == 4,
+        s"bloom + zone map must open only the keys' files ($factFiles of 8)")
+    }
+    // unregistered: the predicate still injects, every file opens
+    withRules() {
+      spark.conf.set("spark.graft.runtimeFilters.maxInKeys", "0")
+      val q = query()
+      assert(q.collect().map(_.toSeq).toSet == plain)
+      assert(q.inputFiles.count(_.contains("/fact/")) == 8,
+        "without a registration the bloom path is predicate-only")
+    }
+    // an EMPTY intersection (dim keys outside every file's span) swaps
+    // the scan for an empty relation — zero fact files open
+    spark.sql("SELECT CAST(9999 AS BIGINT) AS dk, CAST(7 AS BIGINT) AS band")
+      .coalesce(1).write.mode("append").parquet(s"$dir/dim")
+    def miss() = spark.read.parquet(s"$dir/fact")
+      .join(spark.read.parquet(s"$dir/dim")
+        .filter(col("band") === 7 && col("dk") > 5000),
+        col("k") === col("dk"))
+    val plainMiss = miss().count()
+    withRules() {
+      spark.conf.set("spark.graft.runtimeFilters.maxInKeys", "0")
+      ZoneMapCatalog.register(spark, s"$dir/fact", s"$dir/zone", Seq("k"))
+      val q = miss()
+      assert(q.count() == plainMiss && plainMiss == 0L)
+      assert(q.inputFiles.count(_.contains("/fact/")) == 0,
+        "a keyless span set must open zero fact files")
+    }
+  }
+
   test("widening-cast equi-pairs inject on the BARE fact column: keys " +
     "render through the cast inverse, unmatchable keys drop, dim-side " +
     "casts widen forward, lossy casts refuse") {
