@@ -1,16 +1,16 @@
 package graft.plans
 
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.catalyst.expressions.{Add, And, AttributeReference, BitwiseAnd, Cast, Concat, Conv, EqualTo, Expression, In, IntegralDivide, IsNotNull, Literal, Md5, Remainder, ShiftRight, Substring}
+import org.apache.spark.sql.catalyst.expressions.{And, AttributeReference, Cast, EqualTo, Expression, In, IsNotNull, Literal}
 
-import org.apache.spark.sql.catalyst.expressions.ElementAt
+
 import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, Join, Limit, LogicalPlan, Project}
 import org.apache.spark.sql.catalyst.plans.{Inner, LeftSemi}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.types.{BinaryType, BooleanType, ByteType, DataType, DateType, IntegerType, LongType, ShortType, StringType, TimestampType}
 import org.apache.spark.unsafe.types.UTF8String
 
-import graft.operators.Bloom
+import graft.operators.BloomKm
 
 /** PLANNER-INJECTED RUNTIME FILTERS — [[graft.operators.Bloom.reduce]]
   * made automatic, the join twin of [[ZoneMapPrune]]'s scan rewrite: a
@@ -48,15 +48,18 @@ import graft.operators.Bloom
   *    the composition this subsystem exists for — FILE-skipped by
   *    [[ZoneMapPrune]]'s per-literal survivor union when the fact is a
   *    registered zone-map layout;
-  *  - ≤ `maxBloomKeys`: the bloom predicate — the [[Bloom.posLocal]]
-  *    driver twin folds the keys into m/64 bit-words (m sized to
-  *    16·|keys|, FP ≈ 2^-k at k=5) and the injected expression
-  *    reproduces [[Bloom.mightContain]] node for node (md5 family —
-  *    every drop decision replays bit-identically; false-positive-only,
-  *    so reduced join ≡ unreduced join). Date/timestamp keys render
-  *    through [[ZoneMapRender]] under the same UTC discipline as the
+  *  - ≤ `maxBloomKeys`: the bloom predicate — the keys fold into m/64
+  *    bit-words driver-side (m sized to 16·|keys|, FP ≈ 2^-k at k=5)
+  *    and the injected predicate is a `StaticInvoke` of
+  *    [[graft.operators.BloomKm.probe]]: Kirsch–Mitzenmacher double
+  *    hashing, ONE md5 + k bit tests per fact row, the same code path
+  *    the driver fold ran (build/probe parity by construction;
+  *    false-positive-only, so reduced join ≡ unreduced join — see
+  *    [[BloomKm]] for why the portable md5-family expression was the
+  *    wrong shape here). Date/timestamp keys render through
+  *    [[ZoneMapRender]] under the same UTC discipline as the
   *    zone-map blooms; a key that fails to render aborts the injection
-  *    (a missing key would wrongly DROP its fact rows). The md5
+  *    (a missing key would wrongly DROP its fact rows). The probe
   *    predicate is opaque to [[ZoneMapPrune]]'s harvest, so on a
   *    registered zone-map fact layout the SAME bounded key set hands
   *    to the manifest directly ([[ZoneMapPrune.keySkipSurvivors]]) and
@@ -481,16 +484,21 @@ case class RuntimeFilterJoin(spark: SparkSession) extends Rule[LogicalPlan] {
     r.filter(_.length <= maxBloom)
   }
 
-  /** The bloom predicate over `factKey`, reproducing
-    * [[Bloom.mightContain]] node for node: for each of the k hash rows,
-    * position = conv(substring(md5(cast(concat('i:', cast(key as
-    * string)) as binary)), 1, 8), 16, 10) % m, and the position's bit
-    * must be set in the broadcast word array. The words fold
-    * driver-side through [[Bloom.posLocal]] — `BloomSpec` pins the
-    * twins position-for-position, which is what makes this plan-only.
-    * None when any key fails to render (dropping a key would wrongly
-    * drop its fact rows) — integral/string always render; date/ts only
-    * in range and (ts) under UTC.
+  /** The bloom predicate over `factKey`: a `StaticInvoke` of
+    * [[BloomKm.probe]] — Kirsch–Mitzenmacher double hashing, ONE md5 +
+    * k bit tests per fact row over the already-folded broadcast word
+    * literal. The words fold driver-side through [[BloomKm.setBits]],
+    * the SAME `hashes`/`posOf` code path the probe runs, so build and
+    * probe agree by construction (the r18 shape instead reproduced
+    * [[Bloom.mightContain]] with five full md5 calls per row — its
+    * portability bought nothing here, because the equality law is
+    * proved against the PLAIN join, and `FilterExec`'s predicate split
+    * makes any built-in single-md5 rewrite cost MORE, not less — see
+    * [[BloomKm]]). `propagateNull` drops null fact keys exactly as the
+    * old expression's null propagation did, and exactly as the join
+    * would. None when any key fails to render (dropping a key would
+    * wrongly drop its fact rows) — integral/string always render;
+    * date/ts only in range and (ts) under UTC.
     */
   private def bloomPred(factKey: AttributeReference,
                         keys: Seq[Any]): Option[Expression] = {
@@ -513,12 +521,7 @@ case class RuntimeFilterJoin(spark: SparkSession) extends Rule[LogicalPlan] {
     var m = 1024
     while (m < 16 * keys.length && m < (1 << 21)) m <<= 1
     val words = new Array[Long](m / 64)
-    rendered.flatten.foreach { s =>
-      (0 until k).foreach { i =>
-        val p = Bloom.posLocal(i, s, m)
-        words((p / 64).toInt) |= (1L << (p % 64))
-      }
-    }
+    rendered.flatten.foreach(s => BloomKm.setBits(words, s, m, k))
     // an already-FOLDED array literal, not CreateArray of literals:
     // when the rule runs where ConstantFolding will not revisit (e.g.
     // experimental.extraOptimizations), a CreateArray re-materializes
@@ -526,27 +529,15 @@ case class RuntimeFilterJoin(spark: SparkSession) extends Rule[LogicalPlan] {
     // scans the filter targets (ADVICE r18, low)
     val arr = Literal.create(words.toSeq,
       org.apache.spark.sql.types.ArrayType(LongType, containsNull = false))
-    def pos(i: Int): Expression =
-      Remainder(
-        Cast(
-          Conv(
-            Substring(
-              Md5(Cast(
-                Concat(Seq(Literal(UTF8String.fromString(s"$i:"), StringType),
-                  Cast(factKey, StringType, tz))),
-                BinaryType, tz)),
-              Literal(1), Literal(8)),
-            Literal(16), Literal(10)),
-          LongType, tz),
-        Literal(m.toLong))
-    Some((0 until k).map { i =>
-      val p = pos(i)
-      val word = ElementAt(arr,
-        Add(Cast(IntegralDivide(p, Literal(64L)), IntegerType, tz),
-          Literal(1)))
-      val bit = Cast(Remainder(p, Literal(64L)), IntegerType, tz)
-      EqualTo(BitwiseAnd(ShiftRight(word, bit), Literal(1L)), Literal(1L))
-        .asInstanceOf[Expression]
-    }.reduce(And(_, _)))
+    Some(org.apache.spark.sql.catalyst.expressions.objects.StaticInvoke(
+      BloomKm.getClass,
+      org.apache.spark.sql.types.BooleanType,
+      "probe",
+      Seq(Cast(factKey, StringType, tz), arr, Literal(m), Literal(k)),
+      inputTypes = Seq(StringType,
+        org.apache.spark.sql.types.ArrayType(LongType, containsNull = false),
+        IntegerType, IntegerType),
+      propagateNull = true,
+      returnNullable = false))
   }
 }

@@ -1094,13 +1094,15 @@ object MiscQueries {
              |GROUP BY 1 ORDER BY 1""".stripMargin)),
 
     // ---- RUNTIME FILTER, BLOOM path (maxInKeys = 0 forces it): the
-    // same join with the key set folded into broadcast bit-words and
-    // the mightContain predicate — Bloom.posLocal's driver fold against
-    // the injected md5-family expression, position-for-position the
-    // pair BloomSpec pins — dropping non-joining fact rows inside the
-    // scan's codegen filter. False-positive-only, so the reduced join
-    // hash-equals the plain join (the oracle). The path a 100 TB fact
-    // takes when the dim's key set outgrows an IN list. ----
+    // same join with the key set folded into broadcast bit-words and a
+    // StaticInvoke of BloomKm.probe — Kirsch–Mitzenmacher double
+    // hashing, ONE md5 + k bit tests per fact row, the SAME code path
+    // the driver fold ran (parity by construction; the r18 shape was
+    // five full md5 calls per row and measured as the path's dominant
+    // cost) — dropping non-joining fact rows inside the scan's codegen
+    // filter. False-positive-only, so the reduced join hash-equals the
+    // plain join (the oracle). The path a 100 TB fact takes when the
+    // dim's key set outgrows an IN list. ----
     Q("q356_runtime_filter_bloom",
       (s, dir) => {
         import graft.plans.RuntimeFilterJoin
@@ -1133,7 +1135,7 @@ object MiscQueries {
 
     // ---- RUNTIME FILTER, BLOOM path × ZONE-MAP FILE SKIPPING
     // (maxInKeys = 0 forces the bloom): past the IN cap the injected
-    // md5 predicate is opaque to ZoneMapPrune's harvest, so the rule
+    // probe predicate is opaque to ZoneMapPrune's harvest, so the rule
     // hands its bounded key set to the manifest DIRECTLY (sorted keys
     // + one binary search per file, driver-only) and swaps the fact
     // scan for its survivor files — a >maxInKeys dim still file-skips

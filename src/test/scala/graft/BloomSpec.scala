@@ -86,4 +86,35 @@ class BloomSpec extends SparkSpec {
       assert(Bloom.mightContainLocal(words, v, m, k), s"'$v' must pass"))
     assert(!Bloom.mightContainLocal(words, "absent-value", m, k))
   }
+
+  test("BloomKm (the injected runtime-filter probe): no false " +
+    "negatives by construction, sane FP rate, executor probe equals " +
+    "the driver twin, and non-power-of-two m refuses") {
+    import graft.operators.BloomKm
+    val (m, k) = (4096, 5)
+    val members = (0 until 200).map(i => s"key-$i")
+    val words = new Array[Long](m / 64)
+    members.foreach(s => BloomKm.setBits(words, s, m, k))
+    // fold and probe are ONE code path: every member passes, always
+    members.foreach(s =>
+      assert(BloomKm.mightContain(words, s, m, k), s"'$s' must pass"))
+    // FP sanity at m = 20.5·n, k = 5: expect a few percent, not a sieve
+    val fps = (0 until 2000).count(i =>
+      BloomKm.mightContain(words, s"absent-$i", m, k))
+    assert(fps < 200, s"false-positive rate out of band: $fps / 2000")
+    // the executor-side probe (UTF8String + ArrayData, what the
+    // StaticInvoke calls) decides identically to the driver twin
+    val arr = org.apache.spark.sql.catalyst.util.ArrayData
+      .toArrayData(words)
+    (members.take(20) ++ (0 until 20).map(i => s"absent-$i")).foreach { s =>
+      assert(BloomKm.probe(
+        org.apache.spark.unsafe.types.UTF8String.fromString(s),
+        arr, m, k) == BloomKm.mightContain(words, s, m, k),
+        s"probe/twin disagreement on '$s'")
+    }
+    // m must be a power of two (the mask arithmetic relies on it)
+    intercept[IllegalArgumentException] {
+      BloomKm.setBits(new Array[Long](3), "x", 192, k)
+    }
+  }
 }

@@ -1,6 +1,7 @@
 package graft
 
-import org.apache.spark.sql.catalyst.expressions.{AttributeReference, In, Md5}
+import org.apache.spark.sql.catalyst.expressions.{AttributeReference, In}
+import org.apache.spark.sql.catalyst.expressions.objects.StaticInvoke
 import org.apache.spark.sql.catalyst.plans.logical.Filter
 import org.apache.spark.sql.functions._
 
@@ -81,7 +82,7 @@ class RuntimeFilterSpec extends SparkSpec {
     }
   }
 
-  test("BLOOM injection (forced): equality law, md5 predicate in the " +
+  test("BLOOM injection (forced): equality law, the single-md5 probe in the " +
     "plan, measured row reduction at the fact side") {
     val dir = tmp("bloom")
     fixture(dir)
@@ -98,10 +99,13 @@ class RuntimeFilterSpec extends SparkSpec {
         "false positives only: the bloom-reduced join must equal the " +
           "plain join")
       val bloomFilter = q.queryExecution.optimizedPlan.collectFirst {
-        case f: Filter if f.condition.exists(_.isInstanceOf[Md5]) => f
+        case f: Filter if f.condition.exists {
+          case si: StaticInvoke => si.functionName == "probe"
+          case _ => false
+        } => f
       }
       assert(bloomFilter.isDefined,
-        "the bloom predicate must land in a Filter (md5 family)")
+        "the bloom predicate must land in a Filter (the BloomKm probe)")
       // measured reduction: re-execute exactly the injected filter
       // fragment — of 4096 fact rows only the 64 true matches (plus
       // any bloom false positives) survive
@@ -234,7 +238,7 @@ class RuntimeFilterSpec extends SparkSpec {
   }
 
   test("the BLOOM path composes with zone-map FILE skipping: the key " +
-    "set hands to the manifest directly, survivors only open, the md5 " +
+    "set hands to the manifest directly, survivors only open, the " +
     "residual stays, and an unregistered fact is predicate-only") {
     val dir = tmp("bloomzm")
     fixture(dir)
@@ -252,11 +256,14 @@ class RuntimeFilterSpec extends SparkSpec {
       val q = query()
       assert(q.collect().map(_.toSeq).toSet == plain,
         "the file-skipped bloom join must equal the plain join")
-      val hasMd5 = q.queryExecution.optimizedPlan.exists {
-        case f: Filter => f.condition.exists(_.isInstanceOf[Md5])
+      val hasProbe = q.queryExecution.optimizedPlan.exists {
+        case f: Filter => f.condition.exists {
+          case si: StaticInvoke => si.functionName == "probe"
+          case _ => false
+        }
         case _ => false
       }
-      assert(hasMd5, "the md5 residual must stay above the pruned scan")
+      assert(hasProbe, "the probe residual must stay above the pruned scan")
       val factFiles = q.inputFiles.count(_.contains("/fact/"))
       assert(factFiles == 4,
         s"bloom + zone map must open only the keys' files ($factFiles of 8)")
