@@ -295,10 +295,19 @@ case class ZoneMapPrune(spark: SparkSession) extends Rule[LogicalPlan] {
     * (their envelope widening would claim false coverage; integer
     * strict bounds are exact via ±1), `IsNotNull(statCol)` is accepted
     * as the full-range bound (its matching rows ARE the non-null
-    * count); files with UNKNOWN counts (carried from pre-v4 zone
-    * tables) boundary-scan, never guess; described files are
-    * intersected with the relation's landed files so a stale extra in
-    * the manifest can never over-count.
+    * count), and `IsNull(statCol)` is accepted as the COMPLEMENT
+    * conjunct — a file's matching rows w.r.t. it are its `n − cnt`
+    * null rows (cnt == n is provably disjoint), so `count(*) WHERE c
+    * IS NULL` is a pure manifest read; the general count law is
+    * per-conjunct survivor subsets composing only when at most ONE is
+    * proper (two proper subsets' intersection is unknowable from
+    * counts — boundary-scan); a min/max/sum column that is ITSELF
+    * under IS NULL contributes nothing (its survivors are all null in
+    * it), and any OTHER active IS NULL column forces mm/sum files to
+    * scan unless it is all-null; files with UNKNOWN counts (carried
+    * from pre-v4 zone tables) boundary-scan, never guess; described
+    * files are intersected with the relation's landed files so a stale
+    * extra in the manifest can never over-count.
     *
     * SUM and AVG ride the same three-way partition on the v5 sum slot:
     * a fully-covered file's `sum(c)` is its manifest `sum_c` under the
@@ -407,6 +416,11 @@ case class ZoneMapPrune(spark: SparkSession) extends Rule[LogicalPlan] {
     if (!mmOk) return None
     val conjs = condOpt.map(conjunctsOf).getOrElse(Seq.empty)
     val notNullCols = scala.collection.mutable.Set.empty[String]
+    // `c IS NULL` conjuncts — answerable from the manifest COUNTS
+    // alone: a file's matching rows w.r.t. the conjunct are its
+    // `n − cnt_c` null rows (no span arithmetic involved); cnt == n is
+    // a provably-disjoint file, unknown counts boundary-scan
+    val isNullCols = scala.collection.mutable.Set.empty[String]
     def longBound(x: Expression, l: Expression): Boolean =
       ex.statName(x).isDefined && ex.litVal(l).isDefined
     def strBound(x: Expression, l: Expression): Boolean =
@@ -417,6 +431,12 @@ case class ZoneMapPrune(spark: SparkSession) extends Rule[LogicalPlan] {
       case IsNotNull(a: AttributeReference) =>
         ex.statName(a).map(_._1).orElse(ex.sStatName(a)) match {
           case Some(c) => notNullCols += c; true
+          case None => false
+        }
+      case org.apache.spark.sql.catalyst.expressions
+          .IsNull(a: AttributeReference) =>
+        ex.statName(a).map(_._1).orElse(ex.sStatName(a)) match {
+          case Some(c) => isNullCols += c; true
           case None => false
         }
       case GreaterThanOrEqual(a, b) => anyBound(a, b)
@@ -488,32 +508,63 @@ case class ZoneMapPrune(spark: SparkSession) extends Rule[LogicalPlan] {
         if (bounds.contains(c)) covLong(c)
         else if (sBounds.contains(c)) covStr(c)
         else if (meta.strCols.contains(c)) covStr(c) else covLong(c)
-      val covs = allBound.toSeq.map(covOf)
+      // IS NULL conjuncts decide on counts alone: cnt == n → zero
+      // survivors, provably; unknown → boundary; else ACTIVE (the
+      // file's null rows are its survivors w.r.t. this conjunct)
+      def nullCov(c: String): Int = f.cnts.getOrElse(c, None) match {
+        case None => 1
+        case Some(ct) if ct == f.n => 0
+        case _ => 2
+      }
+      val covs = allBound.toSeq.map(covOf) ++ isNullCols.toSeq.map(nullCov)
       if (covs.contains(0)) () // provably zero matching rows
       else if (covs.forall(_ == 2)) {
         // every output must be answerable from this file's stats, or
         // the whole file boundary-scans (a split contribution would
         // double-count it)
-        def cntAnswer: Option[Long] =
-          if (allBound.isEmpty) Some(f.n)
-          else if (allBound.size == 1) f.cnts.getOrElse(allBound.head, None)
+        //
+        // count(*): each conjunct's survivor set w.r.t. this file is a
+        // COUNTED subset — non-null(d) (cnt_d) for a covered range
+        // bound, null(c) (n − cnt_c) for an IS NULL — and the matching
+        // rows are their intersection: exactly n when every subset is
+        // full, exactly the one proper subset's size when a single
+        // conjunct filters, unknowable (refuse, boundary-scan) when
+        // two or more do — per-conjunct counts cannot compose
+        def cntAnswer: Option[Long] = {
+          val contribs: Seq[Option[Long]] =
+            allBound.toSeq.map(c => f.cnts.getOrElse(c, None)) ++
+              isNullCols.toSeq.map(c =>
+                f.cnts.getOrElse(c, None).map(f.n - _))
+          if (contribs.isEmpty) Some(f.n)
+          else if (contribs.exists(_.isEmpty)) None
           else {
-            val cs = allBound.toSeq.map(c => f.cnts.getOrElse(c, None))
-            if (cs.forall(_.contains(f.n))) Some(f.n) else None
+            val filtering = contribs.flatten.filter(_ != f.n)
+            filtering.length match {
+              case 0 => Some(f.n)
+              case 1 => Some(filtering.head)
+              case _ => None
+            }
           }
-        // min/max over c is the file's own stat iff no OTHER bounded
-        // column excludes rows (nulls in d != c shrink the survivor
-        // set unpredictably; nulls in c itself are excluded by min/max
-        // semantics anyway)
+        }
+        // min/max over c is the file's own stat iff no OTHER conjunct
+        // excludes rows: every other range-bounded column null-free,
+        // every other IS NULL column all-null (nulls in c itself are
+        // excluded by min/max semantics anyway). A column that is
+        // ITSELF under IS NULL contributes NOTHING, unconditionally —
+        // its survivors are all null in c, so min/max/sum over them is
+        // null whatever the other conjuncts keep.
         def mmAnswerable(c: String): Boolean =
           (allBound - c).forall(d =>
-            f.cnts.getOrElse(d, None).contains(f.n))
+            f.cnts.getOrElse(d, None).contains(f.n)) &&
+            (isNullCols - c).forall(d =>
+              f.cnts.getOrElse(d, None).contains(0L))
         // a column asked for by BOTH sum and avg must accumulate once
         // per file — the closures below guard on this per-file set
         val sumTouched = scala.collection.mutable.Set.empty[String]
         def sumAnswer(a: AttributeReference): Option[() => Unit] = {
           val c = sumColOf(a).get
-          if (!mmAnswerable(c)) None
+          if (isNullCols.contains(c)) Some(() => ()) // survivors all-null in c
+          else if (!mmAnswerable(c)) None
           else (f.cnts.getOrElse(c, None), f.sums.getOrElse(c, None)) match {
             case (Some(0L), _) => Some(() => ()) // all-null: contributes 0 values
             case (Some(ct), Some(sm)) => Some(() =>
@@ -530,7 +581,8 @@ case class ZoneMapPrune(spark: SparkSession) extends Rule[LogicalPlan] {
           case (_, AvgOut(a)) => sumAnswer(a)
           case (_, MinOut(a)) =>
             val c = mmCol(a).get
-            if (!mmAnswerable(c)) None
+            if (isNullCols.contains(c)) Some(() => ()) // all-null survivors
+            else if (!mmAnswerable(c)) None
             else if (meta.strCols.contains(c))
               f.sstats.getOrElse(c, None) match {
                 case Some((mn, _)) => Some(() => metaMinS(c) =
@@ -544,7 +596,8 @@ case class ZoneMapPrune(spark: SparkSession) extends Rule[LogicalPlan] {
             }
           case (_, MaxOut(a)) =>
             val c = mmCol(a).get
-            if (!mmAnswerable(c)) None
+            if (isNullCols.contains(c)) Some(() => ()) // all-null survivors
+            else if (!mmAnswerable(c)) None
             else if (meta.strCols.contains(c))
               f.sstats.getOrElse(c, None) match {
                 case Some((_, mx)) => Some(() => metaMaxS(c) =

@@ -1133,6 +1133,50 @@ object MiscQueries {
              |WHERE p_size = 7
              |GROUP BY 1 ORDER BY 1""".stripMargin)),
 
+    // ---- METADATA-ANSWERED `IS NULL` COUNT (the countFromMeta arm's
+    // complement conjunct): `count(*) WHERE c IS NULL` is answerable
+    // per covered file as `n − cnt_c` — the manifest already carries
+    // both numbers — composed under the general survivor-subset law
+    // (at most ONE proper subset per file, else boundary-scan). Here
+    // every file is covered w.r.t. the custkey range, so the whole
+    // count folds to a zero-job LocalRelation. ZoneMapSpec pins the
+    // boundary merge, the all-null and null-free edge files, the
+    // two-proper-subsets refusal, and the min/max refusal under an
+    // active IS NULL. Oracle: the full-scan recompute. ----
+    Q("q363_zonemap_meta_isnull",
+      (s, dir) => {
+        import graft.operators.ZoneMap
+        import graft.plans.{ZoneMapCatalog, ZoneMapPrune}
+        val tmp = java.nio.file.Files
+          .createTempDirectory("graft_q363_").toString
+        val od = t(s, dir, "orders").select(
+          when(col("o_orderkey") % 5 === 0, lit(null).cast("date"))
+            .otherwise(to_date(col("o_orderdate"))).as("od"),
+          col("o_custkey"), col("o_orderkey"))
+        (0 until 4).foreach(i => od
+          .filter(col("o_orderkey") % 4 === i)
+          .coalesce(1).write.mode("append").parquet(s"$tmp/data"))
+        ZoneMap.buildZoneMap(s, s"$tmp/data", Seq("od", "o_custkey"),
+          s"$tmp/zone")
+        val prev = s.experimental.extraOptimizations
+        s.experimental.extraOptimizations = prev :+ ZoneMapPrune(s)
+        try {
+          ZoneMapCatalog.register(s, s"$tmp/data", s"$tmp/zone",
+            Seq("od", "o_custkey"))
+          s.read.parquet(s"$tmp/data")
+            .filter(col("od").isNull && col("o_custkey") >= 1L)
+            .agg(count(lit(1)).as("n"))
+            .localCheckpoint(true) // the IS NULL count rewrite fires HERE
+        } finally {
+          s.experimental.extraOptimizations = prev
+          ZoneMapCatalog.clear()
+        }
+      },
+      Some("""SELECT count(*) AS n FROM orders
+             |WHERE (CASE WHEN o_orderkey % 5 = 0 THEN NULL
+             |       ELSE CAST(o_orderdate AS DATE) END) IS NULL
+             |  AND o_custkey >= 1""".stripMargin)),
+
     // ---- RUNTIME FILTER, BLOOM path × ZONE-MAP FILE SKIPPING
     // (maxInKeys = 0 forces the bloom): past the IN cap the injected
     // probe predicate is opaque to ZoneMapPrune's harvest, so the rule

@@ -984,9 +984,11 @@ class ZoneMapSpec extends SparkSpec {
           r
         } finally spark.sparkContext.removeSparkListener(listener)
       assert(n2 == 768L, s"count must be the non-null count, got $n2")
-      // (4) multi-column coverage with NULLS in one column: per-column
-      // counts cannot compose, so every file scans — correct, never
-      // guessed
+      // (4) multi-column coverage with NULLS in one column: under the
+      // survivor-subset law the null-free column is non-filtering and
+      // the single proper subset (cnt_k) answers exactly — were BOTH
+      // columns nullable the counts could not compose and the files
+      // would scan (pinned in the IS NULL suite's two-subset case)
       val q3 = spark.read.parquet(s"$dir/data")
         .filter(col("a") >= 0L && col("k") >= 0L)
         .agg(count(lit(1)).as("n"))
@@ -1265,6 +1267,92 @@ class ZoneMapSpec extends SparkSpec {
         "unknown sums must widen to a scan (boundary-only would guess)")
     } finally {
       spark.experimental.extraOptimizations = prev2
+      graft.plans.ZoneMapCatalog.clear()
+    }
+  }
+
+  test("IS NULL answers from metadata as the complement count: " +
+    "boundary merge holds, edge files resolve exactly, two proper " +
+    "subsets refuse, and min/max under an active IS NULL scans") {
+    val dir = tmp("metanull")
+    // file i spans a in [32i, 32i+31]; k null every 4th row, k2 null
+    // every 3rd (a second, differently-patterned nullable), z all-null
+    val base = spark.range(0, 1024).select(
+      (col("id") % 256).cast("long").as("a"),
+      when(col("id") % 4 === 0, lit(null).cast("long"))
+        .otherwise(col("id")).as("k"),
+      when(col("id") % 3 === 0, lit(null).cast("long"))
+        .otherwise(col("id")).as("k2"),
+      lit(null).cast("long").as("z"))
+    (0 until 8).foreach(i => base
+      .filter(col("a") >= i * 32 && col("a") < (i + 1) * 32)
+      .coalesce(1).write.mode("append").parquet(s"$dir/data"))
+    operators.ZoneMap.buildZoneMap(spark, s"$dir/data",
+      Seq("a", "k", "k2", "z"), s"$dir/zone")
+    def cntOf(df: org.apache.spark.sql.DataFrame): Long =
+      df.agg(count(lit(1)).as("n")).collect().head.getLong(0)
+    def isLocal(df: org.apache.spark.sql.DataFrame): Boolean =
+      df.agg(count(lit(1)).as("n")).queryExecution.optimizedPlan
+        .isInstanceOf[org.apache.spark.sql.catalyst.plans.logical
+          .LocalRelation]
+    val raw = spark.read.parquet(s"$dir/data")
+    val direct = Map(
+      "k" -> cntOf(raw.filter(col("k").isNull)),
+      "mix" -> cntOf(raw.filter(col("k").isNull &&
+        col("a").between(10L, 120L))),
+      "z" -> cntOf(raw.filter(col("z").isNull)),
+      "a" -> cntOf(raw.filter(col("a").isNull)),
+      "kk2" -> cntOf(raw.filter(col("k").isNull && col("k2").isNull)))
+    val dMin = raw.filter(col("k").isNull).agg(min(col("a")).as("m"))
+      .collect().head
+    val dSumK = raw.filter(col("k").isNull).agg(sum(col("k")).as("s"))
+      .collect().head
+    val prev = spark.experimental.extraOptimizations
+    spark.experimental.extraOptimizations =
+      prev :+ graft.plans.ZoneMapPrune(spark)
+    try {
+      graft.plans.ZoneMapCatalog.register(spark, s"$dir/data",
+        s"$dir/zone", Seq("a", "k", "k2", "z"))
+      def q = spark.read.parquet(s"$dir/data")
+      // (1) pure IS NULL: n − cnt_k per file, zero scan
+      assert(isLocal(q.filter(col("k").isNull)),
+        "a pure IS NULL count must fold to metadata")
+      assert(cntOf(q.filter(col("k").isNull)) == direct("k"))
+      // (2) mixed with a range: covered files serve n − cnt_k (the one
+      // proper subset), the two boundary files scan
+      val mix = q.filter(col("k").isNull && col("a").between(10L, 120L))
+        .agg(count(lit(1)).as("n"))
+      assert(mix.collect().head.getLong(0) == direct("mix"))
+      assert(mix.inputFiles.length == 2,
+        s"only the boundary files may open (${mix.inputFiles.length})")
+      // (3) all-null column: every row matches, still pure metadata
+      assert(isLocal(q.filter(col("z").isNull)))
+      assert(cntOf(q.filter(col("z").isNull)) == direct("z") &&
+        direct("z") == 1024L)
+      // (4) null-free column: every file provably disjoint, count 0
+      assert(isLocal(q.filter(col("a").isNull)))
+      assert(cntOf(q.filter(col("a").isNull)) == direct("a") &&
+        direct("a") == 0L)
+      // (5) TWO proper subsets cannot compose from counts: refuse,
+      // scan, stay exact
+      assert(cntOf(q.filter(col("k").isNull && col("k2").isNull)) ==
+        direct("kk2"))
+      // (6) min over ANOTHER column under an active IS NULL: the
+      // survivor subset is not the stats' domain — scan, stay exact
+      val qMin = q.filter(col("k").isNull).agg(min(col("a")).as("m"))
+      assert(!qMin.queryExecution.optimizedPlan
+        .isInstanceOf[org.apache.spark.sql.catalyst.plans.logical
+          .LocalRelation], "min under an active IS NULL must scan")
+      assert(qMin.collect().head == dMin)
+      // (7) sum over the IS NULL column ITSELF: survivors are all null
+      // in it — NULL from pure metadata, never 0
+      val qSum = q.filter(col("k").isNull).agg(sum(col("k")).as("s"))
+      assert(qSum.queryExecution.optimizedPlan
+        .isInstanceOf[org.apache.spark.sql.catalyst.plans.logical
+          .LocalRelation], "sum of the IS NULL column folds to metadata")
+      assert(qSum.collect().head == dSumK && dSumK.isNullAt(0))
+    } finally {
+      spark.experimental.extraOptimizations = prev
       graft.plans.ZoneMapCatalog.clear()
     }
   }
