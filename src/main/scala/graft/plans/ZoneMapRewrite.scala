@@ -151,6 +151,14 @@ case class ZoneMapPrune(spark: SparkSession) extends Rule[LogicalPlan] {
               s"not fail the query): ${e.getMessage}")
             agg
         }
+      case agg @ Aggregate(Seq(g), outs, child, _) =>
+        try groupedCountFromMeta(g, outs, child).getOrElse(agg)
+        catch {
+          case scala.util.control.NonFatal(e) =>
+            log.warn(s"zone-map grouped metadata count skipped (rewrite " +
+              s"must not fail the query): ${e.getMessage}")
+            agg
+        }
     }
     counted.transformUp {
       case f @ Filter(cond, rel: LogicalRelation) =>
@@ -325,47 +333,14 @@ case class ZoneMapPrune(spark: SparkSession) extends Rule[LogicalPlan] {
     * sessions never divide by zero. `try_sum`/`try_avg` refuse (their
     * overflow-to-null cannot merge with a plain Add).
     */
-  private def countFromMeta(outs: Seq[NamedExpression],
-                            child: LogicalPlan): Option[LogicalPlan] = {
-    // every output is a non-distinct, unfiltered count(<non-null lit>)
-    // or a min/max over a BARE column attribute (validated as a stat
-    // column of a reconstructible type below)
-    sealed trait MOut
-    case object CntOut extends MOut
-    case class MinOut(a: AttributeReference) extends MOut
-    case class MaxOut(a: AttributeReference) extends MOut
-    case class SumOut(a: AttributeReference) extends MOut
-    case class AvgOut(a: AttributeReference) extends MOut
-    val parsedOuts: Seq[Option[(Alias, MOut)]] = outs.map {
-      case al @ Alias(AggregateExpression(
-        Count(Seq(Literal(v, _))), _, false, None, _), _) if v != null =>
-        Some((al, CntOut))
-      case al @ Alias(AggregateExpression(
-        org.apache.spark.sql.catalyst.expressions.aggregate
-          .Min(a: AttributeReference), _, false, None, _), _) =>
-        Some((al, MinOut(a)))
-      case al @ Alias(AggregateExpression(
-        org.apache.spark.sql.catalyst.expressions.aggregate
-          .Max(a: AttributeReference), _, false, None, _), _) =>
-        Some((al, MaxOut(a)))
-      // TRY-mode sum/avg refuse: try_sum turns overflow into null while
-      // the merge's Add follows plain session semantics — the shapes
-      // would disagree exactly where it matters
-      case al @ Alias(AggregateExpression(
-        Sum(a: AttributeReference, ctx), _, false, None, _), _)
-          if ctx.evalMode != EvalMode.TRY =>
-        Some((al, SumOut(a)))
-      case al @ Alias(AggregateExpression(
-        Average(a: AttributeReference, em), _, false, None, _), _)
-          if em != EvalMode.TRY =>
-        Some((al, AvgOut(a)))
-      case _ => None
-    }
-    if (outs.isEmpty || parsedOuts.exists(_.isEmpty)) return None
-    val mOuts = parsedOuts.flatten
+  /** The aggregate-arm child shapes: a bare scan, optionally under a
+    * Filter and/or a plain-attribute Project (any alias would hide an
+    * expression the stats know nothing about). */
+  private def aggShape(child: LogicalPlan)
+      : Option[(Option[Expression], LogicalRelation)] = {
     def plainAttrs(pl: Seq[NamedExpression]): Boolean =
       pl.forall(_.isInstanceOf[AttributeReference])
-    val shape: Option[(Option[Expression], LogicalRelation)] = child match {
+    child match {
       case rel: LogicalRelation => Some((None, rel))
       case Project(pl, rel: LogicalRelation) if plainAttrs(pl) =>
         Some((None, rel))
@@ -376,44 +351,23 @@ case class ZoneMapPrune(spark: SparkSession) extends Rule[LogicalPlan] {
           if plainAttrs(pl) => Some((Some(c), rel))
       case _ => None
     }
-    val (condOpt, rel) = shape.getOrElse(return None)
-    val (entry, metaOpt, relFiles) = freshEntry(rel).getOrElse(return None)
-    val meta = metaOpt.getOrElse(return None) // counts live in the manifest
-    val relSet = relFiles.map(PathNorm.norm).toSet
-    val files = meta.files.filter(f => relSet.contains(PathNorm.norm(f.file)))
-    val ex = new Extract(rel, entry.statCols, utcSession)
-    // min/max columns: described stat columns whose ORIGINAL type
-    // reconstructs losslessly from the stat unit (the long image for
-    // integrals/date/timestamp, the raw string for strings)
-    def mmCol(a: AttributeReference): Option[String] = a.dataType match {
-      case ByteType | ShortType | IntegerType | LongType | DateType |
-           TimestampType =>
-        ex.statName(a).collect { case (c, ex.Same) => c }
-          .filterNot(meta.strCols.contains)
-      case StringType =>
-        ex.sStatName(a).filter(meta.strCols.contains)
-      case _ => None
-    }
-    // sum/avg columns: described INTEGRAL stat columns only, identity
-    // stat unit (the long image IS the value, so the manifest sum is
-    // the value sum). Date/timestamp sums are not valid SQL; strings
-    // have none; float/double refuse — their sum is addition-order-
-    // dependent, and a metadata answer must never serve a value a
-    // recompute could legitimately contradict ([[ZoneMap.summable]]).
-    def sumColOf(a: AttributeReference): Option[String] = a.dataType match {
-      case ByteType | ShortType | IntegerType | LongType =>
-        ex.statName(a).collect { case (c, ex.Same) => c }
-          .filterNot(meta.strCols.contains)
-      case _ => None
-    }
-    val mmOk = mOuts.forall {
-      case (_, MinOut(a)) => mmCol(a).isDefined
-      case (_, MaxOut(a)) => mmCol(a).isDefined
-      case (_, SumOut(a)) => sumColOf(a).isDefined
-      case (_, AvgOut(a)) => sumColOf(a).isDefined
-      case _ => true
-    }
-    if (!mmOk) return None
+  }
+
+  /** The metadata-aggregate arms' shared conjunct gate: EVERY filter
+    * conjunct must be a recognized bound (range/equality on a stat
+    * column, `IsNotNull` as the full-range bound, `IsNull` as the
+    * complement conjunct) AND every recognized bound must have
+    * MATERIALIZED in the harvest ([[Harvested.dropped]]) — one opaque
+    * or dropped conjunct and a covered file can no longer be proven
+    * all-match. None = refuse the whole metadata answer.
+    */
+  private case class AggGate(
+      bounds: Map[String, (Long, Long)],
+      sBounds: Map[String, (Option[String], Option[String])],
+      notNullCols: Set[String], isNullCols: Set[String])
+
+  private def aggGate(condOpt: Option[Expression], rel: LogicalRelation,
+                      ex: Extract, statCols: Seq[String]): Option[AggGate] = {
     val conjs = condOpt.map(conjunctsOf).getOrElse(Seq.empty)
     val notNullCols = scala.collection.mutable.Set.empty[String]
     // `c IS NULL` conjuncts — answerable from the manifest COUNTS
@@ -453,7 +407,7 @@ case class ZoneMapPrune(spark: SparkSession) extends Rule[LogicalPlan] {
     }
     if (!allRecognized) return None
     val hb = condOpt
-      .map(extractBounds(_, rel, entry.statCols))
+      .map(extractBounds(_, rel, statCols))
       .getOrElse(Harvested(Map.empty, Map.empty, dropped = false))
     // the honesty bit: a conjunct the gate above RECOGNIZED but the
     // harvest could not MATERIALIZE (strict bound at the Long edge,
@@ -461,8 +415,102 @@ case class ZoneMapPrune(spark: SparkSession) extends Rule[LogicalPlan] {
     // in the coverage test — a "covered" file could then contribute
     // rows the dropped conjunct actually excludes. Refuse the whole
     // metadata answer; the unrewritten aggregate is always correct.
-    if (hb.dropped) return None
-    val (bounds, sBounds) = (hb.longB, hb.strB)
+    if (hb.dropped) None
+    else Some(AggGate(hb.longB, hb.strB, notNullCols.toSet,
+      isNullCols.toSet))
+  }
+
+  /** The stat-unit long back to the column's ORIGINAL internal value
+    * (epoch days stay int, micros stay long, integrals narrow — all
+    * lossless, the values came from that very column). */
+  private def internalOf(v: Long,
+                         dt: org.apache.spark.sql.types.DataType): Any =
+    dt match {
+      case ByteType => v.toByte
+      case ShortType => v.toShort
+      case IntegerType | DateType => v.toInt
+      case _ => v
+    }
+
+  private def countFromMeta(outs: Seq[NamedExpression],
+                            child: LogicalPlan): Option[LogicalPlan] = {
+    // every output is a non-distinct, unfiltered count(<non-null lit>)
+    // or a min/max over a BARE column attribute (validated as a stat
+    // column of a reconstructible type below)
+    sealed trait MOut
+    case object CntOut extends MOut
+    case class MinOut(a: AttributeReference) extends MOut
+    case class MaxOut(a: AttributeReference) extends MOut
+    case class SumOut(a: AttributeReference) extends MOut
+    case class AvgOut(a: AttributeReference) extends MOut
+    val parsedOuts: Seq[Option[(Alias, MOut)]] = outs.map {
+      case al @ Alias(AggregateExpression(
+        Count(Seq(Literal(v, _))), _, false, None, _), _) if v != null =>
+        Some((al, CntOut))
+      case al @ Alias(AggregateExpression(
+        org.apache.spark.sql.catalyst.expressions.aggregate
+          .Min(a: AttributeReference), _, false, None, _), _) =>
+        Some((al, MinOut(a)))
+      case al @ Alias(AggregateExpression(
+        org.apache.spark.sql.catalyst.expressions.aggregate
+          .Max(a: AttributeReference), _, false, None, _), _) =>
+        Some((al, MaxOut(a)))
+      // TRY-mode sum/avg refuse: try_sum turns overflow into null while
+      // the merge's Add follows plain session semantics — the shapes
+      // would disagree exactly where it matters
+      case al @ Alias(AggregateExpression(
+        Sum(a: AttributeReference, ctx), _, false, None, _), _)
+          if ctx.evalMode != EvalMode.TRY =>
+        Some((al, SumOut(a)))
+      case al @ Alias(AggregateExpression(
+        Average(a: AttributeReference, em), _, false, None, _), _)
+          if em != EvalMode.TRY =>
+        Some((al, AvgOut(a)))
+      case _ => None
+    }
+    if (outs.isEmpty || parsedOuts.exists(_.isEmpty)) return None
+    val mOuts = parsedOuts.flatten
+    val (condOpt, rel) = aggShape(child).getOrElse(return None)
+    val (entry, metaOpt, relFiles) = freshEntry(rel).getOrElse(return None)
+    val meta = metaOpt.getOrElse(return None) // counts live in the manifest
+    val relSet = relFiles.map(PathNorm.norm).toSet
+    val files = meta.files.filter(f => relSet.contains(PathNorm.norm(f.file)))
+    val ex = new Extract(rel, entry.statCols, utcSession)
+    // min/max columns: described stat columns whose ORIGINAL type
+    // reconstructs losslessly from the stat unit (the long image for
+    // integrals/date/timestamp, the raw string for strings)
+    def mmCol(a: AttributeReference): Option[String] = a.dataType match {
+      case ByteType | ShortType | IntegerType | LongType | DateType |
+           TimestampType =>
+        ex.statName(a).collect { case (c, ex.Same) => c }
+          .filterNot(meta.strCols.contains)
+      case StringType =>
+        ex.sStatName(a).filter(meta.strCols.contains)
+      case _ => None
+    }
+    // sum/avg columns: described INTEGRAL stat columns only, identity
+    // stat unit (the long image IS the value, so the manifest sum is
+    // the value sum). Date/timestamp sums are not valid SQL; strings
+    // have none; float/double refuse — their sum is addition-order-
+    // dependent, and a metadata answer must never serve a value a
+    // recompute could legitimately contradict ([[ZoneMap.summable]]).
+    def sumColOf(a: AttributeReference): Option[String] = a.dataType match {
+      case ByteType | ShortType | IntegerType | LongType =>
+        ex.statName(a).collect { case (c, ex.Same) => c }
+          .filterNot(meta.strCols.contains)
+      case _ => None
+    }
+    val mmOk = mOuts.forall {
+      case (_, MinOut(a)) => mmCol(a).isDefined
+      case (_, MaxOut(a)) => mmCol(a).isDefined
+      case (_, SumOut(a)) => sumColOf(a).isDefined
+      case (_, AvgOut(a)) => sumColOf(a).isDefined
+      case _ => true
+    }
+    if (!mmOk) return None
+    val gate = aggGate(condOpt, rel, ex, entry.statCols)
+      .getOrElse(return None)
+    val AggGate(bounds, sBounds, notNullCols, isNullCols) = gate
     val allBound: Set[String] =
       bounds.keySet ++ sBounds.keySet ++ notNullCols
     val cmp = graft.operators.ZoneMapMeta.cmpUtf8 _
@@ -614,16 +662,6 @@ case class ZoneMapPrune(spark: SparkSession) extends Rule[LogicalPlan] {
         else { boundary += f.file; nBoundary += 1 }
       } else { boundary += f.file; nBoundary += 1 }
     }
-    // the stat-unit long back to the column's ORIGINAL internal value
-    // (epoch days stay int, micros stay long, integrals narrow — all
-    // lossless, the values came from that very column)
-    def internalOf(v: Long, dt: org.apache.spark.sql.types.DataType): Any =
-      dt match {
-        case ByteType => v.toByte
-        case ShortType => v.toShort
-        case IntegerType | DateType => v.toInt
-        case _ => v
-      }
     def metaValue(o: MOut): Option[(Any,
         org.apache.spark.sql.types.DataType)] = o match {
       case CntOut => Some((metaCount, LongType))
@@ -724,6 +762,202 @@ case class ZoneMapPrune(spark: SparkSession) extends Rule[LogicalPlan] {
       }
       val aggNode = Aggregate(Nil, partsBuf.toSeq, inner)
       Project(projected, aggNode)
+    }
+  }
+
+  /** GROUPED metadata counts over a CLUSTERED layout — the
+    * daily-counts dashboard shape: `GROUP BY od` over a date-clustered
+    * (or z-ordered, or per-partition-written) layout where a file's
+    * `min_od == max_od` makes it SINGLE-VALUED in the group key, so
+    * its per-group count answers from the manifest and only mixed-span
+    * files scan. Same three-way law as the ungrouped arm, per file:
+    *  - DISJOINT w.r.t. the (gate-recognized) filter — contributes no
+    *    group, provably;
+    *  - COVERED + single-valued in the group column + group column
+    *    NULL-FREE in the file (`cnt_g == n` — a null would belong to
+    *    the NULL group the single value cannot represent) + the
+    *    survivor-subset count law answers — contributes
+    *    `(g_value, matching rows)` to the driver-side group map;
+    *  - everything else BOUNDARY-scans with the filter intact.
+    * The rewrite is the merge: a zero-job `LocalRelation` of the group
+    * map when no boundary remains, else
+    * `Aggregate(g, sum(partial))` over the UNION of the boundary
+    * scan's grouped counts and the map — per-group addition, exactly
+    * how partial counts compose. CONSERVATIVE gates: exactly one BARE
+    * grouping attribute whose original type reconstructs losslessly
+    * from the stat unit (the min/max law — a group VALUE is served, so
+    * lossy reconstruction would mislabel groups), outputs limited to
+    * the grouping attribute and non-distinct `count(<literal>)`s, and
+    * the shared [[aggGate]] conjunct discipline. A group column that
+    * is not a stat column, a grouped `sum`, a second grouping key —
+    * refuse, the unrewritten aggregate is always correct.
+    */
+  private def groupedCountFromMeta(g0: Expression,
+                                   outs: Seq[NamedExpression],
+                                   child: LogicalPlan)
+      : Option[LogicalPlan] = {
+    val g = g0 match {
+      case a: AttributeReference => a
+      case _ => return None
+    }
+    sealed trait GOut
+    case object GKey extends GOut
+    case object GCnt extends GOut
+    val parsed: Seq[Option[(NamedExpression, GOut)]] = outs.map {
+      case a: AttributeReference if a.exprId == g.exprId => Some((a, GKey))
+      case al @ Alias(a: AttributeReference, _) if a.exprId == g.exprId =>
+        Some((al, GKey))
+      case al @ Alias(AggregateExpression(
+        Count(Seq(Literal(v, _))), _, false, None, _), _) if v != null =>
+        Some((al, GCnt))
+      case _ => None
+    }
+    if (parsed.exists(_.isEmpty)) return None
+    val gOuts = parsed.flatten
+    if (!gOuts.exists(_._2 == GCnt)) return None
+    val (condOpt, rel) = aggShape(child).getOrElse(return None)
+    val (entry, metaOpt, relFiles) = freshEntry(rel).getOrElse(return None)
+    val meta = metaOpt.getOrElse(return None)
+    val ex = new Extract(rel, entry.statCols, utcSession)
+    // the group column: a described stat column whose ORIGINAL type
+    // reconstructs losslessly from the stat unit (the mmCol law — a
+    // group VALUE is being served)
+    val gCol: String = (g.dataType match {
+      case ByteType | ShortType | IntegerType | LongType | DateType |
+           TimestampType =>
+        ex.statName(g).collect { case (c, ex.Same) => c }
+          .filterNot(meta.strCols.contains)
+      case StringType => ex.sStatName(g).filter(meta.strCols.contains)
+      case _ => None
+    }).getOrElse(return None)
+    val gate = aggGate(condOpt, rel, ex, entry.statCols)
+      .getOrElse(return None)
+    val AggGate(bounds, sBounds, notNullCols, isNullCols) = gate
+    val allBound: Set[String] =
+      bounds.keySet ++ sBounds.keySet ++ notNullCols
+    val relSet = relFiles.map(PathNorm.norm).toSet
+    val files = meta.files.filter(f => relSet.contains(PathNorm.norm(f.file)))
+    val cmp = graft.operators.ZoneMapMeta.cmpUtf8 _
+    val metaGroups = scala.collection.mutable.Map.empty[Any, Long]
+    val boundary = Seq.newBuilder[String]
+    var nBoundary = 0
+    files.foreach { f =>
+      def covLong(c: String): Int = f.stats.getOrElse(c, None) match {
+        case None => 0
+        case Some((mn, mx)) =>
+          val (lo, hi) = bounds.getOrElse(c, (Long.MinValue, Long.MaxValue))
+          if (mx < lo || mn > hi) 0
+          else if (lo <= mn && mx <= hi) 2
+          else 1
+      }
+      def covStr(c: String): Int = f.sstats.getOrElse(c, None) match {
+        case None => 0
+        case Some((mn, mx)) =>
+          val (lo, hi) = sBounds.getOrElse(c,
+            (Option.empty[String], Option.empty[String]))
+          if (hi.exists(h => cmp(mn, h) > 0) ||
+            lo.exists(l => cmp(mx, l) < 0)) 0
+          else if (lo.forall(l => cmp(l, mn) <= 0) &&
+            hi.forall(h => cmp(mx, h) <= 0)) 2
+          else 1
+      }
+      def covOf(c: String): Int =
+        if (bounds.contains(c)) covLong(c)
+        else if (sBounds.contains(c)) covStr(c)
+        else if (meta.strCols.contains(c)) covStr(c) else covLong(c)
+      def nullCov(c: String): Int = f.cnts.getOrElse(c, None) match {
+        case None => 1
+        case Some(ct) if ct == f.n => 0
+        case _ => 2
+      }
+      val covs = allBound.toSeq.map(covOf) ++ isNullCols.toSeq.map(nullCov)
+      if (covs.contains(0)) () // provably zero matching rows: no group
+      else {
+        // the survivor-subset count law, verbatim from the ungrouped arm
+        def cntAnswer: Option[Long] = {
+          val contribs: Seq[Option[Long]] =
+            allBound.toSeq.map(c => f.cnts.getOrElse(c, None)) ++
+              isNullCols.toSeq.map(c =>
+                f.cnts.getOrElse(c, None).map(f.n - _))
+          if (contribs.isEmpty) Some(f.n)
+          else if (contribs.exists(_.isEmpty)) None
+          else {
+            val filtering = contribs.flatten.filter(_ != f.n)
+            filtering.length match {
+              case 0 => Some(f.n)
+              case 1 => Some(filtering.head)
+              case _ => None
+            }
+          }
+        }
+        val single: Option[Any] =
+          if (meta.strCols.contains(gCol))
+            f.sstats.getOrElse(gCol, None).collect {
+              case (mn, mx) if mn == mx => mn
+            }
+          else f.stats.getOrElse(gCol, None).collect {
+            case (mn, mx) if mn == mx => mn
+          }
+        val answer =
+          if (covs.forall(_ == 2) && single.isDefined &&
+            f.cnts.getOrElse(gCol, None).contains(f.n)) cntAnswer
+          else None
+        answer match {
+          case Some(ct) =>
+            metaGroups(single.get) =
+              metaGroups.getOrElse(single.get, 0L) + ct
+          case None => boundary += f.file; nBoundary += 1
+        }
+      }
+    }
+    def internalG(v: Any): Any =
+      if (meta.strCols.contains(gCol))
+        org.apache.spark.unsafe.types.UTF8String
+          .fromString(v.asInstanceOf[String])
+      else internalOf(v.asInstanceOf[Long], g.dataType)
+    val bFiles = boundary.result()
+    if (bFiles.isEmpty)
+      // the whole grouped count is a metadata read: one LocalRelation
+      // row per group, zero Spark jobs when nothing scans
+      Some(LocalRelation(outs.map(_.toAttribute),
+        metaGroups.toSeq.map { case (gv, ct) =>
+          InternalRow.fromSeq(gOuts.map {
+            case (_, GKey) => internalG(gv)
+            case (_, GCnt) => ct
+          })
+        }))
+    else if (nBoundary >= files.size) None // nothing answered: no churn
+    else rebuild(rel, bFiles.sorted).map { scan =>
+      val inner = condOpt.map(Filter(_, scan)).getOrElse(scan)
+      val pc = Alias(Count(Literal(1)).toAggregateExpression(), "part_cnt")()
+      val scanAgg = Aggregate(Seq(g), Seq(g, pc), inner)
+      val gMeta = AttributeReference("g_meta", g.dataType)()
+      val cMeta = AttributeReference("cnt_meta", LongType,
+        nullable = false)()
+      val metaRel = LocalRelation(Seq(gMeta, cMeta),
+        metaGroups.toSeq.map { case (gv, ct) =>
+          InternalRow.fromSeq(Seq(internalG(gv), ct))
+        })
+      // Union keeps the FIRST child's attr ids, so the final aggregate
+      // groups by g itself and per-group counts compose by addition —
+      // exactly how partial counts merge
+      val u = org.apache.spark.sql.catalyst.plans.logical
+        .Union(Seq(scanAgg, metaRel))
+      val gU = u.output.head
+      val pcU = u.output(1)
+      val finalOuts = gOuts.map {
+        case (ne, GKey) =>
+          if (ne.exprId == gU.exprId) gU
+          else Alias(gU, ne.name)(exprId = ne.exprId)
+        case (ne, GCnt) =>
+          // every union group has ≥ 1 row, so the sum is never null;
+          // the coalesce keeps the output attr non-nullable like the
+          // count it replaces
+          Alias(Coalesce(Seq(
+            Sum(pcU).toAggregateExpression(), Literal(0L))),
+            ne.name)(exprId = ne.exprId)
+      }
+      Aggregate(Seq(gU), finalOuts, u)
     }
   }
 

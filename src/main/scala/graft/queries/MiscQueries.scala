@@ -1230,6 +1230,58 @@ object MiscQueries {
              |WHERE p_size = 7
              |GROUP BY 1 ORDER BY 1""".stripMargin)),
 
+    // ---- GROUPED METADATA COUNTS over a CLUSTERED layout (the
+    // daily-counts dashboard shape, groupedCountFromMeta): files
+    // written one-per-priority are SINGLE-VALUED in the group key
+    // (min == max in the manifest), so their per-group counts answer
+    // from metadata and only the deliberately-mixed file scans; the
+    // merge is Aggregate(g, sum(partial)) over the UNION of the
+    // boundary scan's grouped counts and the driver-side group map —
+    // per-group addition, exactly how partial counts compose.
+    // ZoneMapSpec pins the zero-job all-single-valued fold, the
+    // null-group handling, and the refusals. Oracle: the full-scan
+    // recompute. ----
+    Q("q364_zonemap_grouped_count",
+      (s, dir) => {
+        import graft.operators.ZoneMap
+        import graft.plans.{ZoneMapCatalog, ZoneMapPrune}
+        val tmp = java.nio.file.Files
+          .createTempDirectory("graft_q364_").toString
+        val o = t(s, dir, "orders").select(
+          col("o_orderpriority").as("pri"),
+          to_date(col("o_orderdate")).as("od"), col("o_orderkey"))
+        val ps = o.select(col("pri")).distinct()
+          .collect().map(_.getString(0)).sorted
+        // one file per priority (single-valued in the group key) for
+        // the bulk, one MIXED file carrying a 5% sample (boundary)
+        ps.foreach(p => o
+          .filter(col("pri") === p && col("o_orderkey") % 20 =!= 0)
+          .coalesce(1).write.mode("append").parquet(s"$tmp/data"))
+        o.filter(col("o_orderkey") % 20 === 0)
+          .coalesce(1).write.mode("append").parquet(s"$tmp/data")
+        ZoneMap.buildZoneMap(s, s"$tmp/data", Seq("pri", "od"),
+          s"$tmp/zone")
+        val prev = s.experimental.extraOptimizations
+        s.experimental.extraOptimizations = prev :+ ZoneMapPrune(s)
+        try {
+          ZoneMapCatalog.register(s, s"$tmp/data", s"$tmp/zone",
+            Seq("pri", "od"))
+          s.read.parquet(s"$tmp/data")
+            .filter(col("od") >= lit(java.sql.Date.valueOf("1992-01-01")))
+            .groupBy(col("pri"))
+            .agg(count(lit(1)).as("n"))
+            .localCheckpoint(true) // the grouped rewrite fires HERE
+            .orderBy(col("pri"))
+        } finally {
+          s.experimental.extraOptimizations = prev
+          ZoneMapCatalog.clear()
+        }
+      },
+      Some("""SELECT o_orderpriority AS pri, count(*) AS n
+             |FROM orders
+             |WHERE CAST(o_orderdate AS DATE) >= DATE '1992-01-01'
+             |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
     // ---- RUNTIME FILTER through a WIDENING CAST (the real-schema
     // norm): the fact key is INT, the dim key BIGINT, so the analyzer
     // compares `cast(lpk as bigint) = p_partkey` — the r18 rule refused
