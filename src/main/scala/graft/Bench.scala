@@ -59,6 +59,12 @@ object Bench {
     "q350_zonemap_bloom", "q354_zonemap_bloom_date",
     "q355_runtime_filter_join", "q356_runtime_filter_bloom",
     "q357_mv_topk", "q358_zonemap_meta_count",
+    // r19: metadata-answered sum/avg (zmmeta v5), the IS NULL and
+    // grouped count arms, widening-cast runtime filters, and the
+    // bloom-path zone-map composition with the single-md5 probe
+    "q360_zonemap_meta_sum", "q361_runtime_filter_cast",
+    "q362_runtime_filter_bloom_zm", "q363_zonemap_meta_isnull",
+    "q364_zonemap_grouped_count",
   )
 
   def main(args: Array[String]): Unit = {

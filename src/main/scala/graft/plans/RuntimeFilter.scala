@@ -100,10 +100,11 @@ object RuntimeFilterJoin {
 case class RuntimeFilterJoin(spark: SparkSession) extends Rule[LogicalPlan] {
   import RuntimeFilterJoin._
 
-  // plan-time memoization, both bounded below and SYNCHRONIZED (the
-  // optimizer may run concurrently for parallel queries on one session;
-  // unguarded mutation could corrupt the memo — degrading to lost
-  // injections at best): collected key sets per canonical dim subtree
+  // plan-time memoization, both bounded below and SYNCHRONIZED (ADVICE
+  // r18, low: the optimizer may run concurrently for parallel queries
+  // on one session; unguarded mutation could corrupt the memo —
+  // degrading to lost injections at best): collected key sets per
+  // canonical dim subtree
   // (matched via sameResult — the API made for "is this the plan I
   // already saw", robust where string forms drift), and the
   // (dim, fact-key) pairs already injected (exprIds are unique per
@@ -112,7 +113,8 @@ case class RuntimeFilterJoin(spark: SparkSession) extends Rule[LogicalPlan] {
   // (never clear wholesale — a wholesale clear mid-fixed-point could
   // re-inject a filter already placed this run).
   //
-  // SNAPSHOT SEMANTICS: a harvest memo entry pins the dim's key set
+  // SNAPSHOT SEMANTICS (ADVICE r18, low — documented + cap-keyed): a
+  // harvest memo entry pins the dim's key set
   // for the LIFE of this rule instance — correctness relies on the
   // dim's logical plan identity changing whenever its data does. A
   // fresh `spark.read` re-lists and gets a new relation (new identity);

@@ -734,15 +734,23 @@ case class ZoneMapPrune(spark: SparkSession) extends Rule[LogicalPlan] {
             else part // no covered values: the boundary leg IS the sum
           case AvgOut(a) =>
             val c = sumColOf(a).get
-            val sPart = addPart(Sum(a).toAggregateExpression())
+            // the boundary sum part accumulates in DOUBLE, exactly like
+            // Spark's own integral Average — a LongType Sum part would
+            // THROW under ANSI on a > 2^63 boundary total where the
+            // direct (unrewritten) average succeeds, and a rewrite must
+            // never fail a query that would succeed unrewritten; within
+            // double's 2^53 integer range (every sum a double can hold
+            // losslessly) the double path is exact and bit-identical
+            val sPart = addPart(
+              Sum(Cast(a, DoubleType)).toAggregateExpression())
             val cPart = addPart(Count(a).toAggregateExpression())
-            val totS = Add(Coalesce(Seq(sPart, Literal(0L))),
-              Literal(metaSumL.getOrElse(c, 0L)))
+            val totS = Add(Coalesce(Seq(sPart, Literal(0.0d))),
+              Literal(metaSumL.getOrElse(c, 0L).toDouble))
             val totC = Add(cPart, Literal(metaSumCnt.getOrElse(c, 0L)))
             // zero total values → NULL (Average's own empty semantics),
             // guarded explicitly so ANSI sessions never divide by zero
             If(EqualTo(totC, Literal(0L)), Literal(null, DoubleType),
-              Divide(Cast(totS, DoubleType), Cast(totC, DoubleType)))
+              Divide(totS, Cast(totC, DoubleType)))
           case mo => metaValue(mo) match {
             // Least/Greatest skip nulls, so an empty boundary-scan leg
             // (null) yields the metadata value and vice versa — the
