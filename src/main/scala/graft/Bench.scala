@@ -64,7 +64,7 @@ object Bench {
     // bloom-path zone-map composition with the single-md5 probe
     "q360_zonemap_meta_sum", "q361_runtime_filter_cast",
     "q362_runtime_filter_bloom_zm", "q363_zonemap_meta_isnull",
-    "q364_zonemap_grouped_count",
+    "q364_zonemap_grouped_count", "q365_zonemap_grouped_sum",
   )
 
   def main(args: Array[String]): Unit = {

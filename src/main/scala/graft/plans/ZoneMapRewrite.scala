@@ -773,32 +773,42 @@ case class ZoneMapPrune(spark: SparkSession) extends Rule[LogicalPlan] {
     }
   }
 
-  /** GROUPED metadata counts over a CLUSTERED layout — the
-    * daily-counts dashboard shape: `GROUP BY od` over a date-clustered
-    * (or z-ordered, or per-partition-written) layout where a file's
-    * `min_od == max_od` makes it SINGLE-VALUED in the group key, so
-    * its per-group count answers from the manifest and only mixed-span
-    * files scan. Same three-way law as the ungrouped arm, per file:
+  /** GROUPED metadata aggregates over a CLUSTERED layout — the
+    * daily-dashboard shape: `GROUP BY od` + count/sum/avg over a
+    * date-clustered (or z-ordered, or per-partition-written) layout
+    * where a file's `min_od == max_od` makes it SINGLE-VALUED in the
+    * group key, so its per-group contributions answer from the
+    * manifest and only mixed-span files scan. Same three-way law as
+    * the ungrouped arm, per file:
     *  - DISJOINT w.r.t. the (gate-recognized) filter — contributes no
     *    group, provably;
     *  - COVERED + single-valued in the group column + group column
     *    NULL-FREE in the file (`cnt_g == n` — a null would belong to
-    *    the NULL group the single value cannot represent) + the
-    *    survivor-subset count law answers — contributes
-    *    `(g_value, matching rows)` to the driver-side group map;
+    *    the NULL group the single value cannot represent) + every
+    *    output answerable (the survivor-subset count law for counts;
+    *    the v5 sum slots under the ungrouped arm's other-columns-
+    *    null-free condition for sums and averages) — contributes its
+    *    slots to the driver-side group map;
     *  - everything else BOUNDARY-scans with the filter intact.
-    * The rewrite is the merge: a zero-job `LocalRelation` of the group
-    * map when no boundary remains, else
-    * `Aggregate(g, sum(partial))` over the UNION of the boundary
-    * scan's grouped counts and the map — per-group addition, exactly
-    * how partial counts compose. CONSERVATIVE gates: exactly one BARE
-    * grouping attribute whose original type reconstructs losslessly
-    * from the stat unit (the min/max law — a group VALUE is served, so
-    * lossy reconstruction would mislabel groups), outputs limited to
-    * the grouping attribute and non-distinct `count(<literal>)`s, and
-    * the shared [[aggGate]] conjunct discipline. A group column that
-    * is not a stat column, a grouped `sum`, a second grouping key —
-    * refuse, the unrewritten aggregate is always correct.
+    * Every output owns partial SLOTS — count: matching rows; sum: the
+    * exact integer value-sum or NULL for "no values"; avg: a DOUBLE
+    * value-sum (exactly like Spark's own integral Average, so an ANSI
+    * session cannot throw where the direct query succeeds) plus the
+    * non-null count — and the metadata rows and the boundary scan's
+    * partial aggregates share that layout, so the merge is ONE
+    * per-group `Sum` per slot over their UNION (null sum slots skip,
+    * keeping no-values groups NULL, never 0; avg divides once,
+    * zero-count-guarded), folding to a zero-job `LocalRelation` of the
+    * group map when no boundary remains. CONSERVATIVE gates: exactly
+    * one BARE grouping attribute whose original type reconstructs
+    * losslessly from the stat unit (the min/max law — a group VALUE is
+    * served, so lossy reconstruction would mislabel groups), outputs
+    * limited to the grouping attribute, non-distinct
+    * `count(<literal>)`s, and non-TRY `sum`/`avg` over integral stat
+    * columns, and the shared [[aggGate]] conjunct discipline. A group
+    * column that is not a stat column, a float sum, an expression
+    * key, a second grouping key — refuse, the unrewritten aggregate is
+    * always correct.
     */
   private def groupedCountFromMeta(g0: Expression,
                                    outs: Seq[NamedExpression],
@@ -811,6 +821,8 @@ case class ZoneMapPrune(spark: SparkSession) extends Rule[LogicalPlan] {
     sealed trait GOut
     case object GKey extends GOut
     case object GCnt extends GOut
+    case class GSum(a: AttributeReference) extends GOut
+    case class GAvg(a: AttributeReference) extends GOut
     val parsed: Seq[Option[(NamedExpression, GOut)]] = outs.map {
       case a: AttributeReference if a.exprId == g.exprId => Some((a, GKey))
       case al @ Alias(a: AttributeReference, _) if a.exprId == g.exprId =>
@@ -818,11 +830,21 @@ case class ZoneMapPrune(spark: SparkSession) extends Rule[LogicalPlan] {
       case al @ Alias(AggregateExpression(
         Count(Seq(Literal(v, _))), _, false, None, _), _) if v != null =>
         Some((al, GCnt))
+      // grouped sum/avg ride the v5 sum slots under the same TRY-mode
+      // refusal as the ungrouped arm
+      case al @ Alias(AggregateExpression(
+        Sum(a: AttributeReference, ctx), _, false, None, _), _)
+          if ctx.evalMode != EvalMode.TRY =>
+        Some((al, GSum(a)))
+      case al @ Alias(AggregateExpression(
+        Average(a: AttributeReference, em), _, false, None, _), _)
+          if em != EvalMode.TRY =>
+        Some((al, GAvg(a)))
       case _ => None
     }
     if (parsed.exists(_.isEmpty)) return None
     val gOuts = parsed.flatten
-    if (!gOuts.exists(_._2 == GCnt)) return None
+    if (!gOuts.exists(o => o._2 != GKey)) return None
     val (condOpt, rel) = aggShape(child).getOrElse(return None)
     val (entry, metaOpt, relFiles) = freshEntry(rel).getOrElse(return None)
     val meta = metaOpt.getOrElse(return None)
@@ -843,10 +865,31 @@ case class ZoneMapPrune(spark: SparkSession) extends Rule[LogicalPlan] {
     val AggGate(bounds, sBounds, notNullCols, isNullCols) = gate
     val allBound: Set[String] =
       bounds.keySet ++ sBounds.keySet ++ notNullCols
+    // grouped sum/avg columns: the ungrouped arm's law (integral,
+    // identity stat unit, never strings/floats)
+    def sumColOf(a: AttributeReference): Option[String] = a.dataType match {
+      case ByteType | ShortType | IntegerType | LongType =>
+        ex.statName(a).collect { case (c, ex.Same) => c }
+          .filterNot(meta.strCols.contains)
+      case _ => None
+    }
+    val sumOk = gOuts.forall {
+      case (_, GSum(a)) => sumColOf(a).isDefined
+      case (_, GAvg(a)) => sumColOf(a).isDefined
+      case _ => true
+    }
+    if (!sumOk) return None
     val relSet = relFiles.map(PathNorm.norm).toSet
     val files = meta.files.filter(f => relSet.contains(PathNorm.norm(f.file)))
     val cmp = graft.operators.ZoneMapMeta.cmpUtf8 _
-    val metaGroups = scala.collection.mutable.Map.empty[Any, Long]
+    // the non-key outputs, each owning 1 partial slot (count: matching
+    // rows; sum: value-sum-or-null) or 2 (avg: value-sum + non-null
+    // count) — metadata contributions and the boundary scan's partial
+    // aggregates share this exact layout, so the merge is ONE
+    // per-group Sum over their union, no per-output special cases
+    val aggOuts = gOuts.filter(_._2 != GKey)
+    val metaGroups =
+      scala.collection.mutable.Map.empty[Any, Array[Option[Long]]]
     val boundary = Seq.newBuilder[String]
     var nBoundary = 0
     files.foreach { f =>
@@ -898,6 +941,27 @@ case class ZoneMapPrune(spark: SparkSession) extends Rule[LogicalPlan] {
             }
           }
         }
+        def mmAnswerable(c: String): Boolean =
+          (allBound - c).forall(d =>
+            f.cnts.getOrElse(d, None).contains(f.n)) &&
+            (isNullCols - c).forall(d =>
+              f.cnts.getOrElse(d, None).contains(0L))
+        // (value-sum-or-null, non-null count) of `a` over this file's
+        // MATCHING rows — the ungrouped sumAnswer law: a column itself
+        // under IS NULL contributes no values; any other conjunct
+        // excluding rows (mmAnswerable false) or an unknown cnt/sum
+        // makes the file unanswerable
+        def sumPair(a: AttributeReference): Option[(Option[Long], Long)] = {
+          val c = sumColOf(a).get
+          if (isNullCols.contains(c)) Some((None, 0L))
+          else if (!mmAnswerable(c)) None
+          else (f.cnts.getOrElse(c, None),
+            f.sums.getOrElse(c, None)) match {
+            case (Some(0L), _) => Some((None, 0L))
+            case (Some(ct), Some(sm)) => Some((Some(sm), ct))
+            case _ => None
+          }
+        }
         val single: Option[Any] =
           if (meta.strCols.contains(gCol))
             f.sstats.getOrElse(gCol, None).collect {
@@ -906,14 +970,32 @@ case class ZoneMapPrune(spark: SparkSession) extends Rule[LogicalPlan] {
           else f.stats.getOrElse(gCol, None).collect {
             case (mn, mx) if mn == mx => mn
           }
-        val answer =
-          if (covs.forall(_ == 2) && single.isDefined &&
-            f.cnts.getOrElse(gCol, None).contains(f.n)) cntAnswer
-          else None
-        answer match {
-          case Some(ct) =>
-            metaGroups(single.get) =
-              metaGroups.getOrElse(single.get, 0L) + ct
+        val contribs: Option[Seq[Option[Long]]] =
+          if (!(covs.forall(_ == 2) && single.isDefined &&
+            f.cnts.getOrElse(gCol, None).contains(f.n))) None
+          else {
+            val per: Seq[Option[Seq[Option[Long]]]] = aggOuts.map {
+              case (_, GCnt) => cntAnswer.map(ct => Seq(Some(ct)))
+              case (_, GSum(a)) => sumPair(a).map { case (sm, _) => Seq(sm) }
+              case (_, GAvg(a)) =>
+                sumPair(a).map { case (sm, ct) => Seq(sm, Some(ct)) }
+              case _ => None // GKey filtered out above
+            }
+            if (per.exists(_.isEmpty)) None else Some(per.flatMap(_.get))
+          }
+        contribs match {
+          case Some(vals) =>
+            val acc = metaGroups.getOrElseUpdate(single.get,
+              Array.fill[Option[Long]](vals.length)(None))
+            vals.zipWithIndex.foreach { case (v, i) =>
+              (acc(i), v) match {
+                // exact integer accumulation; a null slot ("no values")
+                // acts as the additive identity without becoming 0
+                case (Some(x), Some(y)) => acc(i) = Some(Math.addExact(x, y))
+                case (None, Some(y)) => acc(i) = Some(y)
+                case _ => ()
+              }
+            }
           case None => boundary += f.file; nBoundary += 1
         }
       }
@@ -924,46 +1006,114 @@ case class ZoneMapPrune(spark: SparkSession) extends Rule[LogicalPlan] {
           .fromString(v.asInstanceOf[String])
       else internalOf(v.asInstanceOf[Long], g.dataType)
     val bFiles = boundary.result()
+    // slot offsets into the per-group accumulator, per agg output
+    val slotOffs: Seq[Int] = aggOuts.scanLeft(0) { case (off, (_, o)) =>
+      off + (o match { case GAvg(_) => 2; case _ => 1 })
+    }
     if (bFiles.isEmpty)
-      // the whole grouped count is a metadata read: one LocalRelation
-      // row per group, zero Spark jobs when nothing scans
+      // the whole grouped aggregate is a metadata read: one
+      // LocalRelation row per group, zero Spark jobs when nothing scans
       Some(LocalRelation(outs.map(_.toAttribute),
-        metaGroups.toSeq.map { case (gv, ct) =>
+        metaGroups.toSeq.map { case (gv, acc) =>
+          var ai = 0
           InternalRow.fromSeq(gOuts.map {
             case (_, GKey) => internalG(gv)
-            case (_, GCnt) => ct
+            case (_, o) =>
+              val off = slotOffs(ai); ai += 1
+              o match {
+                case GCnt => acc(off).getOrElse(0L)
+                case GSum(_) => acc(off).map(Long.box).orNull
+                case GAvg(_) =>
+                  val ct = acc(off + 1).getOrElse(0L)
+                  if (ct == 0L) null
+                  else acc(off).map(_.toDouble / ct.toDouble)
+                    .map(Double.box).orNull
+                case GKey => null // unreachable
+              }
           })
         }))
     else if (nBoundary >= files.size) None // nothing answered: no churn
     else rebuild(rel, bFiles.sorted).map { scan =>
       val inner = condOpt.map(Filter(_, scan)).getOrElse(scan)
-      val pc = Alias(Count(Literal(1)).toAggregateExpression(), "part_cnt")()
-      val scanAgg = Aggregate(Seq(g), Seq(g, pc), inner)
+      // scan-leg partials in the exact slot layout the metadata rows
+      // use — count partials as longs, sum partials long (ANSI parity
+      // with the direct grouped sum), avg value-sums in DOUBLE exactly
+      // like Average itself (a long part would throw where the direct
+      // average succeeds)
+      val partExprs =
+        scala.collection.mutable.ArrayBuffer.empty[NamedExpression]
+      def addPart(e: Expression): Unit =
+        partExprs += Alias(e, s"part_${partExprs.size}")()
+      aggOuts.foreach {
+        case (_, GCnt) => addPart(Count(Literal(1)).toAggregateExpression())
+        case (_, GSum(a)) => addPart(Sum(a).toAggregateExpression())
+        case (_, GAvg(a)) =>
+          addPart(Sum(Cast(a, DoubleType)).toAggregateExpression())
+          addPart(Count(a).toAggregateExpression())
+        case _ => ()
+      }
+      val scanAgg = Aggregate(Seq(g), g +: partExprs.toSeq, inner)
+      // the metadata leg: same arity and types, one row per group
       val gMeta = AttributeReference("g_meta", g.dataType)()
-      val cMeta = AttributeReference("cnt_meta", LongType,
-        nullable = false)()
-      val metaRel = LocalRelation(Seq(gMeta, cMeta),
-        metaGroups.toSeq.map { case (gv, ct) =>
-          InternalRow.fromSeq(Seq(internalG(gv), ct))
+      val metaAttrs = gMeta +: aggOuts.flatMap {
+        case (_, GCnt) =>
+          Seq(AttributeReference("m_cnt", LongType, nullable = false)())
+        case (_, GSum(_)) => Seq(AttributeReference("m_sum", LongType)())
+        case (_, GAvg(_)) =>
+          Seq(AttributeReference("m_asum", DoubleType)(),
+            AttributeReference("m_acnt", LongType, nullable = false)())
+        case _ => Seq.empty
+      }
+      val metaRel = LocalRelation(metaAttrs,
+        metaGroups.toSeq.map { case (gv, acc) =>
+          var ai = 0
+          InternalRow.fromSeq(internalG(gv) +: aggOuts.flatMap {
+            case (_, o) =>
+              val off = slotOffs(ai); ai += 1
+              o match {
+                case GCnt => Seq(acc(off).getOrElse(0L))
+                case GSum(_) => Seq(acc(off).map(Long.box).orNull)
+                case GAvg(_) => Seq(
+                  acc(off).map(v => Double.box(v.toDouble)).orNull,
+                  acc(off + 1).getOrElse(0L))
+                case GKey => Seq.empty
+              }
+          })
         })
       // Union keeps the FIRST child's attr ids, so the final aggregate
-      // groups by g itself and per-group counts compose by addition —
-      // exactly how partial counts merge
+      // groups by g itself and every slot composes by per-group Sum —
+      // exactly how partial aggregates merge (null sum slots are "no
+      // values" and Sum skips them, so a group whose every leg had no
+      // values stays NULL, never 0)
       val u = org.apache.spark.sql.catalyst.plans.logical
         .Union(Seq(scanAgg, metaRel))
       val gU = u.output.head
-      val pcU = u.output(1)
+      val partsU = u.output.tail
+      var ai = 0
       val finalOuts = gOuts.map {
         case (ne, GKey) =>
           if (ne.exprId == gU.exprId) gU
           else Alias(gU, ne.name)(exprId = ne.exprId)
-        case (ne, GCnt) =>
-          // every union group has ≥ 1 row, so the sum is never null;
-          // the coalesce keeps the output attr non-nullable like the
-          // count it replaces
-          Alias(Coalesce(Seq(
-            Sum(pcU).toAggregateExpression(), Literal(0L))),
-            ne.name)(exprId = ne.exprId)
+        case (ne, o) =>
+          val off = slotOffs(ai); ai += 1
+          val merged: Expression = o match {
+            case GCnt =>
+              // every union group has ≥ 1 row with a non-null count
+              // part; the coalesce keeps the attr non-nullable like
+              // the count it replaces
+              Coalesce(Seq(Sum(partsU(off)).toAggregateExpression(),
+                Literal(0L)))
+            case GSum(_) => Sum(partsU(off)).toAggregateExpression()
+            case GAvg(_) =>
+              val totC = Sum(partsU(off + 1)).toAggregateExpression()
+              val totC2 = Sum(partsU(off + 1)).toAggregateExpression()
+              val totS = Sum(partsU(off)).toAggregateExpression()
+              If(EqualTo(Coalesce(Seq(totC, Literal(0L))), Literal(0L)),
+                Literal(null, DoubleType),
+                Divide(totS, Cast(totC2, DoubleType)))
+            case GKey => gU // unreachable
+          }
+          Alias(merged, ne.name)(exprId = ne.exprId)
       }
       Aggregate(Seq(gU), finalOuts, u)
     }

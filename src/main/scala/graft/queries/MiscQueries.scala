@@ -1282,6 +1282,56 @@ object MiscQueries {
              |WHERE CAST(o_orderdate AS DATE) >= DATE '1992-01-01'
              |GROUP BY 1 ORDER BY 1""".stripMargin)),
 
+    // ---- GROUPED METADATA SUM/AVG (the grouped arm's full dashboard
+    // shape): per-priority single-valued files serve count, the exact
+    // v5 integer sum, AND the average's (double-sum, count) slot pair
+    // from the manifest; the mixed file's partial aggregates merge by
+    // one per-group Sum per slot over the Union — no per-output
+    // special cases. Oracle: the full-scan recompute. ----
+    Q("q365_zonemap_grouped_sum",
+      (s, dir) => {
+        import graft.operators.ZoneMap
+        import graft.plans.{ZoneMapCatalog, ZoneMapPrune}
+        val tmp = java.nio.file.Files
+          .createTempDirectory("graft_q365_").toString
+        val o = t(s, dir, "orders").select(
+          col("o_orderpriority").as("pri"),
+          to_date(col("o_orderdate")).as("od"),
+          col("o_custkey"), col("o_orderkey"))
+        val ps = o.select(col("pri")).distinct()
+          .collect().map(_.getString(0)).sorted
+        ps.foreach(p => o
+          .filter(col("pri") === p && col("o_orderkey") % 20 =!= 0)
+          .coalesce(1).write.mode("append").parquet(s"$tmp/data"))
+        o.filter(col("o_orderkey") % 20 === 0)
+          .coalesce(1).write.mode("append").parquet(s"$tmp/data")
+        ZoneMap.buildZoneMap(s, s"$tmp/data",
+          Seq("pri", "od", "o_custkey"), s"$tmp/zone")
+        val prev = s.experimental.extraOptimizations
+        s.experimental.extraOptimizations = prev :+ ZoneMapPrune(s)
+        try {
+          ZoneMapCatalog.register(s, s"$tmp/data", s"$tmp/zone",
+            Seq("pri", "od", "o_custkey"))
+          s.read.parquet(s"$tmp/data")
+            .filter(col("od") >= lit(java.sql.Date.valueOf("1992-01-01")))
+            .groupBy(col("pri"))
+            .agg(count(lit(1)).as("n"),
+              sum(col("o_custkey")).as("sck"),
+              avg(col("o_custkey")).as("ack"))
+            .localCheckpoint(true) // the grouped sum rewrite fires HERE
+            .orderBy(col("pri"))
+        } finally {
+          s.experimental.extraOptimizations = prev
+          ZoneMapCatalog.clear()
+        }
+      },
+      Some("""SELECT o_orderpriority AS pri, count(*) AS n,
+             |  CAST(sum(o_custkey) AS BIGINT) AS sck,
+             |  avg(o_custkey) AS ack
+             |FROM orders
+             |WHERE CAST(o_orderdate AS DATE) >= DATE '1992-01-01'
+             |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
     // ---- RUNTIME FILTER through a WIDENING CAST (the real-schema
     // norm): the fact key is INT, the dim key BIGINT, so the analyzer
     // compares `cast(lpk as bigint) = p_partkey` — the r18 rule refused

@@ -1357,31 +1357,35 @@ class ZoneMapSpec extends SparkSpec {
     }
   }
 
-  test("grouped counts answer from metadata on clustered layouts: " +
-    "single-valued files serve their group, mixed files scan, the " +
-    "all-covered case folds to zero jobs, and refusals stay exact") {
+  test("grouped aggregates answer from metadata on clustered layouts: " +
+    "single-valued files serve their group's count/sum/avg, mixed " +
+    "files scan, the all-covered case folds to zero jobs, and " +
+    "refusals stay exact") {
     val dir = tmp("metagrp")
-    // files 0..7: single-valued grp = i, a in [32i, 32i+31], 128 rows;
-    // file 8: MIXED grp (with NULLs — the null group) and a in
-    // [256, 287], disjoint from the others' a-spans
+    // files 0..7: single-valued grp = i, a in [32i, 32i+31], 128 rows,
+    // w a NON-stat column; file 8: MIXED grp (with NULLs — the null
+    // group) and a in [256, 287], disjoint from the others' a-spans
     (0 until 8).foreach(i => spark.range(0, 128).select(
       lit(i.toLong).as("grp"),
-      (lit(i * 32) + col("id") % 32).cast("long").as("a"))
+      (lit(i * 32) + col("id") % 32).cast("long").as("a"),
+      (col("id") * 3).as("w"))
       .coalesce(1).write.mode("append").parquet(s"$dir/data"))
     spark.range(0, 96).select(
       when(col("id") % 8 === 7, lit(null).cast("long"))
         .otherwise(col("id") % 8).as("grp"),
-      (lit(256) + col("id") % 32).cast("long").as("a"))
+      (lit(256) + col("id") % 32).cast("long").as("a"),
+      (col("id") * 3).as("w"))
       .coalesce(1).write.mode("append").parquet(s"$dir/data")
     operators.ZoneMap.buildZoneMap(spark, s"$dir/data", Seq("grp", "a"),
       s"$dir/zone")
     def grouped(df: org.apache.spark.sql.DataFrame) =
-      df.groupBy(col("grp")).agg(count(lit(1)).as("n"))
+      df.groupBy(col("grp")).agg(count(lit(1)).as("n"),
+        sum(col("a")).as("s"), avg(col("a")).as("v"))
     val raw = spark.read.parquet(s"$dir/data")
     val dAll = grouped(raw).collect().map(_.toSeq).toSet
     val dCov = grouped(raw.filter(col("a") <= 255L))
       .collect().map(_.toSeq).toSet
-    val dSum = raw.groupBy(col("grp")).agg(sum(col("a")).as("s"))
+    val dW = raw.groupBy(col("grp")).agg(sum(col("w")).as("sw"))
       .collect().map(_.toSeq).toSet
     val prev = spark.experimental.extraOptimizations
     spark.experimental.extraOptimizations =
@@ -1390,28 +1394,31 @@ class ZoneMapSpec extends SparkSpec {
       graft.plans.ZoneMapCatalog.register(spark, s"$dir/data",
         s"$dir/zone", Seq("grp", "a"))
       def q = spark.read.parquet(s"$dir/data")
-      // (1) unfiltered: the 8 single-valued files serve from metadata,
-      // ONLY the mixed file scans (its null rows land in the null
-      // group through the scan leg, exactly as the direct aggregate)
+      // (1) unfiltered count+sum+avg: the 8 single-valued files serve
+      // every slot from metadata, ONLY the mixed file scans (its null
+      // rows land in the null group through the scan leg, exactly as
+      // the direct aggregate; its sums merge by per-group addition)
       val q1 = grouped(q)
       assert(q1.collect().map(_.toSeq).toSet == dAll,
-        "merged grouped counts must equal the direct aggregate")
+        "merged grouped count/sum/avg must equal the direct aggregate")
       assert(q1.inputFiles.length == 1,
         s"only the mixed file may open (${q1.inputFiles.length})")
       // (2) a bound excluding the mixed file: every surviving file is
-      // single-valued and covered — zero Spark jobs beyond the marker
+      // single-valued and covered — the whole grouped aggregate folds
+      // to a LocalRelation, sums and averages included
       val q2 = grouped(q.filter(col("a") <= 255L))
       assert(q2.queryExecution.optimizedPlan
         .isInstanceOf[org.apache.spark.sql.catalyst.plans.logical
           .LocalRelation],
-        "an all-covered grouped count must fold to metadata")
+        "an all-covered grouped aggregate must fold to metadata")
       assert(q2.collect().map(_.toSeq).toSet == dCov)
-      // (3) refusal: a grouped SUM is not a count — unrewritten, exact
-      val q3 = q.groupBy(col("grp")).agg(sum(col("a")).as("s"))
+      // (3) refusal: a grouped sum over a NON-stat column — the
+      // manifest has no slot for it; unrewritten, exact
+      val q3 = q.groupBy(col("grp")).agg(sum(col("w")).as("sw"))
       assert(!q3.queryExecution.optimizedPlan
         .isInstanceOf[org.apache.spark.sql.catalyst.plans.logical
           .LocalRelation])
-      assert(q3.collect().map(_.toSeq).toSet == dSum)
+      assert(q3.collect().map(_.toSeq).toSet == dW)
       // (4) refusal: grouping by a NON-stat column — unrewritten, exact
       val dfExpr = q.select(col("grp"), (col("a") % 2).as("par"))
       val dPar = dfExpr.groupBy(col("par")).agg(count(lit(1)).as("n"))
