@@ -3,10 +3,13 @@ package graft
 import org.apache.spark.sql.SparkSession
 
 /** Dev tool: time ONE OR MORE registry queries at the Bench harness's
-  * exact settings (local[32], AQE, warmed tables) without paying the
-  * full headline sweep — the iterate-on-one-query loop the README's
-  * capture convention assumes. Run:
-  *   SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 \
+  * settings (same conf keys AND the same `SPARK_GRAFT_CPUS` default, so
+  * the two tools never silently disagree on parallelism — pass
+  * `SPARK_GRAFT_CPUS=32` to match the official sf0.1 capture
+  * convention) without paying the full headline sweep — the
+  * iterate-on-one-query loop the README's capture convention assumes.
+  * Run:
+  *   SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 SPARK_GRAFT_CPUS=32 \
   *     sbt "runMain graft.BenchOne q356_runtime_filter_bloom[,q355_...]"
   * Prints per-query `[bench-one] name runs=[a,b,c] min=x` lines; the
   * official per-round numbers stay [[Bench]]'s (quiet, min-of-three,
@@ -17,7 +20,7 @@ object BenchOne {
     require(args.nonEmpty, "usage: BenchOne <query>[,<query>...]")
     val names = args(0).split(',').toSeq.filter(_.nonEmpty)
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4") // Bench's default
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)

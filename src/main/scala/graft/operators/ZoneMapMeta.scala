@@ -377,26 +377,36 @@ private[graft] object ZoneMapMeta {
           // path's bloom-loss probe, which reads this same parse)
           def cntOf(s: String): Option[Long] =
             if (s == "-") None else Some(s.toLong)
+          // each slot parsed ONCE per line (stats, sstats, cnts, and
+          // sums all read the same triple — re-splitting per consumer
+          // would 4x the string work on exactly the 100 TB-scale
+          // manifests this subsystem targets)
+          val slots: IndexedSeq[(Option[(String, String)], Option[Long],
+              Option[Long])] =
+            statCols.indices.map { i =>
+              parts(1 + i) match {
+                case "-" if !v4 => (None, None, None)
+                case s =>
+                  val ts = s.split(":", -1)
+                  val want = if (v5) 4 else if (v4) 3 else 2
+                  if (v4) {
+                    require(ts.length == want ||
+                      (ts.length == want - 1 && ts(0) == "-"),
+                      s"torn slot: $s")
+                    val sm = if (v5) cntOf(ts(ts.length - 1)) else None
+                    val ct =
+                      cntOf(ts(if (v5) ts.length - 2 else ts.length - 1))
+                    if (ts.length == want) (Some((ts(0), ts(1))), ct, sm)
+                    else (None, ct, sm)
+                  } else {
+                    require(ts.length == 2, s"torn slot: $s")
+                    (Some((ts(0), ts(1))), None, None)
+                  }
+              }
+            }
           def slot(i: Int)
               : (Option[(String, String)], Option[Long], Option[Long]) =
-            parts(1 + i) match {
-              case "-" if !v4 => (None, None, None)
-              case s =>
-                val ts = s.split(":", -1)
-                val want = if (v5) 4 else if (v4) 3 else 2
-                if (v4) {
-                  require(ts.length == want ||
-                    (ts.length == want - 1 && ts(0) == "-"),
-                    s"torn slot: $s")
-                  val sm = if (v5) cntOf(ts(ts.length - 1)) else None
-                  val ct = cntOf(ts(if (v5) ts.length - 2 else ts.length - 1))
-                  if (ts.length == want) (Some((ts(0), ts(1))), ct, sm)
-                  else (None, ct, sm)
-                } else {
-                  require(ts.length == 2, s"torn slot: $s")
-                  (Some((ts(0), ts(1))), None, None)
-                }
-            }
+            slots(i)
           def pair(i: Int): Option[(String, String)] = slot(i)._1
           val stats = statCols.zipWithIndex
             .filterNot { case (c, _) => strCols.contains(c) }

@@ -374,10 +374,15 @@ case class RuntimeFilterJoin(spark: SparkSession) extends Rule[LogicalPlan] {
                   s"keys as ${if (keys.length <= maxIn) "IN list"
                   else "bloom"} on ${factKey.name}")
                 if (fact eq j.left) leftPreds += pred else rightPreds += pred
-                // the IN path composes through ZoneMapPrune's own
-                // per-literal union; only the bloom path needs the
-                // direct hand-off
-                if (keys.nonEmpty && keys.length > maxIn)
+                // the direct hand-off covers BOTH shapes ZoneMapPrune's
+                // own per-literal union cannot: the bloom path (any
+                // size — the probe predicate is opaque to the harvest)
+                // and the 257..maxInKeys IN band (past InUnionCap the
+                // rule falls back to the near-useless [min,max]
+                // envelope); a ≤ InUnionCap IN stays with the rule,
+                // whose per-literal union also bloom-refines per file
+                if (keys.nonEmpty && (keys.length > maxIn ||
+                  keys.length > ZoneMapPrune.InUnionCap))
                   zoneSkipInto(fact, factKey, keys)
               }
             }

@@ -432,6 +432,126 @@ case class ZoneMapPrune(spark: SparkSession) extends Rule[LogicalPlan] {
       case _ => v
     }
 
+  /** Sum/avg columns for the metadata-aggregate arms: described
+    * INTEGRAL stat columns only, identity stat unit (the long image IS
+    * the value, so the manifest sum is the value sum). Date/timestamp
+    * sums are not valid SQL; strings have none; float/double refuse —
+    * their sum is addition-order-dependent, and a metadata answer must
+    * never serve a value a recompute could legitimately contradict
+    * ([[ZoneMap.summable]]). */
+  private def sumColFor(ex: Extract, meta: ZoneMapMeta.Meta,
+                        a: AttributeReference): Option[String] =
+    a.dataType match {
+      case ByteType | ShortType | IntegerType | LongType =>
+        ex.statName(a).collect { case (c, ex.Same) => c }
+          .filterNot(meta.strCols.contains)
+      case _ => None
+    }
+
+  /** The PER-FILE answerability law shared by the ungrouped and
+    * grouped metadata-aggregate arms — ONE implementation so the two
+    * cannot drift (the r18 gate/harvest-drift lesson applied to this
+    * code itself):
+    *  - [[covs]]: per bounded column 0 = provably disjoint, 2 = fully
+    *    covered, 1 = partial (all-null columns are 0 for range bounds
+    *    — no row passes a range or IsNotNull on them); IS NULL columns
+    *    decide on counts alone (cnt == n → 0, unknown → 1, else 2 =
+    *    ACTIVE, the null rows being the survivors w.r.t. it);
+    *  - [[cntAnswer]]: each conjunct's survivor set w.r.t. the file is
+    *    a COUNTED subset — non-null(d) for a covered range bound,
+    *    null(c) for IS NULL — and the matching rows are their
+    *    intersection: exactly n when every subset is full, exactly the
+    *    one proper subset's size when a single conjunct filters,
+    *    unknowable (None → boundary-scan) when two or more do;
+    *  - [[mmAnswerable]]: min/max/sum over c is the file's own stat
+    *    iff no OTHER conjunct excludes rows — every other
+    *    range-bounded column null-free, every other IS NULL column
+    *    all-null;
+    *  - [[sumPair]]: (value-sum-or-NULL, non-null count) of a sum
+    *    column over the file's MATCHING rows — a column itself under
+    *    IS NULL contributes NO values (its survivors are all null in
+    *    it), an unknown cnt/sum (pre-v5 carry, build-time overflow)
+    *    is unanswerable.
+    */
+  private final class FileLaw(gate: AggGate, meta: ZoneMapMeta.Meta) {
+    val allBound: Set[String] =
+      gate.bounds.keySet ++ gate.sBounds.keySet ++ gate.notNullCols
+    val isNullCols: Set[String] = gate.isNullCols
+    private val cmp = graft.operators.ZoneMapMeta.cmpUtf8 _
+
+    private def covLong(f: ZoneMapMeta.FileStat, c: String): Int =
+      f.stats.getOrElse(c, None) match {
+        case None => 0
+        case Some((mn, mx)) =>
+          val (lo, hi) =
+            gate.bounds.getOrElse(c, (Long.MinValue, Long.MaxValue))
+          if (mx < lo || mn > hi) 0
+          else if (lo <= mn && mx <= hi) 2
+          else 1
+      }
+
+    private def covStr(f: ZoneMapMeta.FileStat, c: String): Int =
+      f.sstats.getOrElse(c, None) match {
+        case None => 0
+        case Some((mn, mx)) =>
+          val (lo, hi) = gate.sBounds.getOrElse(c,
+            (Option.empty[String], Option.empty[String]))
+          if (hi.exists(h => cmp(mn, h) > 0) ||
+            lo.exists(l => cmp(mx, l) < 0)) 0
+          else if (lo.forall(l => cmp(l, mn) <= 0) &&
+            hi.forall(h => cmp(mx, h) <= 0)) 2
+          else 1
+      }
+
+    private def covOf(f: ZoneMapMeta.FileStat, c: String): Int =
+      if (gate.bounds.contains(c)) covLong(f, c)
+      else if (gate.sBounds.contains(c)) covStr(f, c)
+      else if (meta.strCols.contains(c)) covStr(f, c) else covLong(f, c)
+
+    private def nullCov(f: ZoneMapMeta.FileStat, c: String): Int =
+      f.cnts.getOrElse(c, None) match {
+        case None => 1
+        case Some(ct) if ct == f.n => 0
+        case _ => 2
+      }
+
+    def covs(f: ZoneMapMeta.FileStat): Seq[Int] =
+      allBound.toSeq.map(covOf(f, _)) ++
+        isNullCols.toSeq.map(nullCov(f, _))
+
+    def cntAnswer(f: ZoneMapMeta.FileStat): Option[Long] = {
+      val contribs: Seq[Option[Long]] =
+        allBound.toSeq.map(c => f.cnts.getOrElse(c, None)) ++
+          isNullCols.toSeq.map(c => f.cnts.getOrElse(c, None).map(f.n - _))
+      if (contribs.isEmpty) Some(f.n)
+      else if (contribs.exists(_.isEmpty)) None
+      else {
+        val filtering = contribs.flatten.filter(_ != f.n)
+        filtering.length match {
+          case 0 => Some(f.n)
+          case 1 => Some(filtering.head)
+          case _ => None
+        }
+      }
+    }
+
+    def mmAnswerable(f: ZoneMapMeta.FileStat, c: String): Boolean =
+      (allBound - c).forall(d =>
+        f.cnts.getOrElse(d, None).contains(f.n)) &&
+        (isNullCols - c).forall(d =>
+          f.cnts.getOrElse(d, None).contains(0L))
+
+    def sumPair(f: ZoneMapMeta.FileStat,
+                c: String): Option[(Option[Long], Long)] =
+      if (isNullCols.contains(c)) Some((None, 0L))
+      else if (!mmAnswerable(f, c)) None
+      else (f.cnts.getOrElse(c, None), f.sums.getOrElse(c, None)) match {
+        case (Some(0L), _) => Some((None, 0L)) // all-null: no values
+        case (Some(ct), Some(sm)) => Some((Some(sm), ct))
+        case _ => None // unknown cnt or sum (pre-v5 / overflow): scan
+      }
+  }
+
   private def countFromMeta(outs: Seq[NamedExpression],
                             child: LogicalPlan): Option[LogicalPlan] = {
     // every output is a non-distinct, unfiltered count(<non-null lit>)
@@ -488,18 +608,8 @@ case class ZoneMapPrune(spark: SparkSession) extends Rule[LogicalPlan] {
         ex.sStatName(a).filter(meta.strCols.contains)
       case _ => None
     }
-    // sum/avg columns: described INTEGRAL stat columns only, identity
-    // stat unit (the long image IS the value, so the manifest sum is
-    // the value sum). Date/timestamp sums are not valid SQL; strings
-    // have none; float/double refuse — their sum is addition-order-
-    // dependent, and a metadata answer must never serve a value a
-    // recompute could legitimately contradict ([[ZoneMap.summable]]).
-    def sumColOf(a: AttributeReference): Option[String] = a.dataType match {
-      case ByteType | ShortType | IntegerType | LongType =>
-        ex.statName(a).collect { case (c, ex.Same) => c }
-          .filterNot(meta.strCols.contains)
-      case _ => None
-    }
+    def sumColOf(a: AttributeReference): Option[String] =
+      sumColFor(ex, meta, a)
     val mmOk = mOuts.forall {
       case (_, MinOut(a)) => mmCol(a).isDefined
       case (_, MaxOut(a)) => mmCol(a).isDefined
@@ -510,9 +620,8 @@ case class ZoneMapPrune(spark: SparkSession) extends Rule[LogicalPlan] {
     if (!mmOk) return None
     val gate = aggGate(condOpt, rel, ex, entry.statCols)
       .getOrElse(return None)
-    val AggGate(bounds, sBounds, notNullCols, isNullCols) = gate
-    val allBound: Set[String] =
-      bounds.keySet ++ sBounds.keySet ++ notNullCols
+    val law = new FileLaw(gate, meta)
+    val isNullCols = law.isNullCols
     val cmp = graft.operators.ZoneMapMeta.cmpUtf8 _
     var metaCount = 0L
     val metaMinL = scala.collection.mutable.Map.empty[String, Long]
@@ -530,107 +639,36 @@ case class ZoneMapPrune(spark: SparkSession) extends Rule[LogicalPlan] {
     val boundary = Seq.newBuilder[String]
     var nBoundary = 0
     files.foreach { f =>
-      // per bounded column: 0 = provably disjoint, 2 = fully covered,
-      // 1 = partial (all-null columns are 0: no row passes a range OR
-      // an IsNotNull on them)
-      def covLong(c: String): Int = f.stats.getOrElse(c, None) match {
-        case None => 0
-        case Some((mn, mx)) =>
-          val (lo, hi) = bounds.getOrElse(c, (Long.MinValue, Long.MaxValue))
-          if (mx < lo || mn > hi) 0
-          else if (lo <= mn && mx <= hi) 2
-          else 1
-      }
-      def covStr(c: String): Int = f.sstats.getOrElse(c, None) match {
-        case None => 0
-        case Some((mn, mx)) =>
-          val (lo, hi) = sBounds.getOrElse(c,
-            (Option.empty[String], Option.empty[String]))
-          if (hi.exists(h => cmp(mn, h) > 0) ||
-            lo.exists(l => cmp(mx, l) < 0)) 0
-          else if (lo.forall(l => cmp(l, mn) <= 0) &&
-            hi.forall(h => cmp(mx, h) <= 0)) 2
-          else 1
-      }
-      def covOf(c: String): Int =
-        if (bounds.contains(c)) covLong(c)
-        else if (sBounds.contains(c)) covStr(c)
-        else if (meta.strCols.contains(c)) covStr(c) else covLong(c)
-      // IS NULL conjuncts decide on counts alone: cnt == n → zero
-      // survivors, provably; unknown → boundary; else ACTIVE (the
-      // file's null rows are its survivors w.r.t. this conjunct)
-      def nullCov(c: String): Int = f.cnts.getOrElse(c, None) match {
-        case None => 1
-        case Some(ct) if ct == f.n => 0
-        case _ => 2
-      }
-      val covs = allBound.toSeq.map(covOf) ++ isNullCols.toSeq.map(nullCov)
+      val covs = law.covs(f)
       if (covs.contains(0)) () // provably zero matching rows
       else if (covs.forall(_ == 2)) {
         // every output must be answerable from this file's stats, or
         // the whole file boundary-scans (a split contribution would
-        // double-count it)
+        // double-count it) — the answerability law itself lives in
+        // [[FileLaw]], shared with the grouped arm
         //
-        // count(*): each conjunct's survivor set w.r.t. this file is a
-        // COUNTED subset — non-null(d) (cnt_d) for a covered range
-        // bound, null(c) (n − cnt_c) for an IS NULL — and the matching
-        // rows are their intersection: exactly n when every subset is
-        // full, exactly the one proper subset's size when a single
-        // conjunct filters, unknowable (refuse, boundary-scan) when
-        // two or more do — per-conjunct counts cannot compose
-        def cntAnswer: Option[Long] = {
-          val contribs: Seq[Option[Long]] =
-            allBound.toSeq.map(c => f.cnts.getOrElse(c, None)) ++
-              isNullCols.toSeq.map(c =>
-                f.cnts.getOrElse(c, None).map(f.n - _))
-          if (contribs.isEmpty) Some(f.n)
-          else if (contribs.exists(_.isEmpty)) None
-          else {
-            val filtering = contribs.flatten.filter(_ != f.n)
-            filtering.length match {
-              case 0 => Some(f.n)
-              case 1 => Some(filtering.head)
-              case _ => None
-            }
-          }
-        }
-        // min/max over c is the file's own stat iff no OTHER conjunct
-        // excludes rows: every other range-bounded column null-free,
-        // every other IS NULL column all-null (nulls in c itself are
-        // excluded by min/max semantics anyway). A column that is
-        // ITSELF under IS NULL contributes NOTHING, unconditionally —
-        // its survivors are all null in c, so min/max/sum over them is
-        // null whatever the other conjuncts keep.
-        def mmAnswerable(c: String): Boolean =
-          (allBound - c).forall(d =>
-            f.cnts.getOrElse(d, None).contains(f.n)) &&
-            (isNullCols - c).forall(d =>
-              f.cnts.getOrElse(d, None).contains(0L))
         // a column asked for by BOTH sum and avg must accumulate once
         // per file — the closures below guard on this per-file set
         val sumTouched = scala.collection.mutable.Set.empty[String]
         def sumAnswer(a: AttributeReference): Option[() => Unit] = {
           val c = sumColOf(a).get
-          if (isNullCols.contains(c)) Some(() => ()) // survivors all-null in c
-          else if (!mmAnswerable(c)) None
-          else (f.cnts.getOrElse(c, None), f.sums.getOrElse(c, None)) match {
-            case (Some(0L), _) => Some(() => ()) // all-null: contributes 0 values
-            case (Some(ct), Some(sm)) => Some(() =>
-              if (sumTouched.add(c)) {
-                metaSumL(c) = Math.addExact(metaSumL.getOrElse(c, 0L), sm)
-                metaSumCnt(c) = metaSumCnt.getOrElse(c, 0L) + ct
-              })
-            case _ => None // unknown count or sum (pre-v5 / overflow): scan
+          law.sumPair(f, c).map { case (sm, ct) => () =>
+            if (sumTouched.add(c)) {
+              sm.foreach(v =>
+                metaSumL(c) = Math.addExact(metaSumL.getOrElse(c, 0L), v))
+              metaSumCnt(c) = metaSumCnt.getOrElse(c, 0L) + ct
+            }
           }
         }
         val answers: Seq[Option[() => Unit]] = mOuts.map {
-          case (_, CntOut) => cntAnswer.map(ct => () => metaCount += ct)
+          case (_, CntOut) =>
+            law.cntAnswer(f).map(ct => () => metaCount += ct)
           case (_, SumOut(a)) => sumAnswer(a)
           case (_, AvgOut(a)) => sumAnswer(a)
           case (_, MinOut(a)) =>
             val c = mmCol(a).get
             if (isNullCols.contains(c)) Some(() => ()) // all-null survivors
-            else if (!mmAnswerable(c)) None
+            else if (!law.mmAnswerable(f, c)) None
             else if (meta.strCols.contains(c))
               f.sstats.getOrElse(c, None) match {
                 case Some((mn, _)) => Some(() => metaMinS(c) =
@@ -645,7 +683,7 @@ case class ZoneMapPrune(spark: SparkSession) extends Rule[LogicalPlan] {
           case (_, MaxOut(a)) =>
             val c = mmCol(a).get
             if (isNullCols.contains(c)) Some(() => ()) // all-null survivors
-            else if (!mmAnswerable(c)) None
+            else if (!law.mmAnswerable(f, c)) None
             else if (meta.strCols.contains(c))
               f.sstats.getOrElse(c, None) match {
                 case Some((_, mx)) => Some(() => metaMaxS(c) =
@@ -862,17 +900,9 @@ case class ZoneMapPrune(spark: SparkSession) extends Rule[LogicalPlan] {
     }).getOrElse(return None)
     val gate = aggGate(condOpt, rel, ex, entry.statCols)
       .getOrElse(return None)
-    val AggGate(bounds, sBounds, notNullCols, isNullCols) = gate
-    val allBound: Set[String] =
-      bounds.keySet ++ sBounds.keySet ++ notNullCols
-    // grouped sum/avg columns: the ungrouped arm's law (integral,
-    // identity stat unit, never strings/floats)
-    def sumColOf(a: AttributeReference): Option[String] = a.dataType match {
-      case ByteType | ShortType | IntegerType | LongType =>
-        ex.statName(a).collect { case (c, ex.Same) => c }
-          .filterNot(meta.strCols.contains)
-      case _ => None
-    }
+    val law = new FileLaw(gate, meta)
+    def sumColOf(a: AttributeReference): Option[String] =
+      sumColFor(ex, meta, a)
     val sumOk = gOuts.forall {
       case (_, GSum(a)) => sumColOf(a).isDefined
       case (_, GAvg(a)) => sumColOf(a).isDefined
@@ -881,7 +911,6 @@ case class ZoneMapPrune(spark: SparkSession) extends Rule[LogicalPlan] {
     if (!sumOk) return None
     val relSet = relFiles.map(PathNorm.norm).toSet
     val files = meta.files.filter(f => relSet.contains(PathNorm.norm(f.file)))
-    val cmp = graft.operators.ZoneMapMeta.cmpUtf8 _
     // the non-key outputs, each owning 1 partial slot (count: matching
     // rows; sum: value-sum-or-null) or 2 (avg: value-sum + non-null
     // count) — metadata contributions and the boundary scan's partial
@@ -893,75 +922,9 @@ case class ZoneMapPrune(spark: SparkSession) extends Rule[LogicalPlan] {
     val boundary = Seq.newBuilder[String]
     var nBoundary = 0
     files.foreach { f =>
-      def covLong(c: String): Int = f.stats.getOrElse(c, None) match {
-        case None => 0
-        case Some((mn, mx)) =>
-          val (lo, hi) = bounds.getOrElse(c, (Long.MinValue, Long.MaxValue))
-          if (mx < lo || mn > hi) 0
-          else if (lo <= mn && mx <= hi) 2
-          else 1
-      }
-      def covStr(c: String): Int = f.sstats.getOrElse(c, None) match {
-        case None => 0
-        case Some((mn, mx)) =>
-          val (lo, hi) = sBounds.getOrElse(c,
-            (Option.empty[String], Option.empty[String]))
-          if (hi.exists(h => cmp(mn, h) > 0) ||
-            lo.exists(l => cmp(mx, l) < 0)) 0
-          else if (lo.forall(l => cmp(l, mn) <= 0) &&
-            hi.forall(h => cmp(mx, h) <= 0)) 2
-          else 1
-      }
-      def covOf(c: String): Int =
-        if (bounds.contains(c)) covLong(c)
-        else if (sBounds.contains(c)) covStr(c)
-        else if (meta.strCols.contains(c)) covStr(c) else covLong(c)
-      def nullCov(c: String): Int = f.cnts.getOrElse(c, None) match {
-        case None => 1
-        case Some(ct) if ct == f.n => 0
-        case _ => 2
-      }
-      val covs = allBound.toSeq.map(covOf) ++ isNullCols.toSeq.map(nullCov)
+      val covs = law.covs(f)
       if (covs.contains(0)) () // provably zero matching rows: no group
       else {
-        // the survivor-subset count law, verbatim from the ungrouped arm
-        def cntAnswer: Option[Long] = {
-          val contribs: Seq[Option[Long]] =
-            allBound.toSeq.map(c => f.cnts.getOrElse(c, None)) ++
-              isNullCols.toSeq.map(c =>
-                f.cnts.getOrElse(c, None).map(f.n - _))
-          if (contribs.isEmpty) Some(f.n)
-          else if (contribs.exists(_.isEmpty)) None
-          else {
-            val filtering = contribs.flatten.filter(_ != f.n)
-            filtering.length match {
-              case 0 => Some(f.n)
-              case 1 => Some(filtering.head)
-              case _ => None
-            }
-          }
-        }
-        def mmAnswerable(c: String): Boolean =
-          (allBound - c).forall(d =>
-            f.cnts.getOrElse(d, None).contains(f.n)) &&
-            (isNullCols - c).forall(d =>
-              f.cnts.getOrElse(d, None).contains(0L))
-        // (value-sum-or-null, non-null count) of `a` over this file's
-        // MATCHING rows — the ungrouped sumAnswer law: a column itself
-        // under IS NULL contributes no values; any other conjunct
-        // excluding rows (mmAnswerable false) or an unknown cnt/sum
-        // makes the file unanswerable
-        def sumPair(a: AttributeReference): Option[(Option[Long], Long)] = {
-          val c = sumColOf(a).get
-          if (isNullCols.contains(c)) Some((None, 0L))
-          else if (!mmAnswerable(c)) None
-          else (f.cnts.getOrElse(c, None),
-            f.sums.getOrElse(c, None)) match {
-            case (Some(0L), _) => Some((None, 0L))
-            case (Some(ct), Some(sm)) => Some((Some(sm), ct))
-            case _ => None
-          }
-        }
         val single: Option[Any] =
           if (meta.strCols.contains(gCol))
             f.sstats.getOrElse(gCol, None).collect {
@@ -975,10 +938,11 @@ case class ZoneMapPrune(spark: SparkSession) extends Rule[LogicalPlan] {
             f.cnts.getOrElse(gCol, None).contains(f.n))) None
           else {
             val per: Seq[Option[Seq[Option[Long]]]] = aggOuts.map {
-              case (_, GCnt) => cntAnswer.map(ct => Seq(Some(ct)))
-              case (_, GSum(a)) => sumPair(a).map { case (sm, _) => Seq(sm) }
-              case (_, GAvg(a)) =>
-                sumPair(a).map { case (sm, ct) => Seq(sm, Some(ct)) }
+              case (_, GCnt) => law.cntAnswer(f).map(ct => Seq(Some(ct)))
+              case (_, GSum(a)) => law.sumPair(f, sumColOf(a).get)
+                .map { case (sm, _) => Seq(sm) }
+              case (_, GAvg(a)) => law.sumPair(f, sumColOf(a).get)
+                .map { case (sm, ct) => Seq(sm, Some(ct)) }
               case _ => None // GKey filtered out above
             }
             if (per.exists(_.isEmpty)) None else Some(per.flatMap(_.get))
@@ -1105,12 +1069,14 @@ case class ZoneMapPrune(spark: SparkSession) extends Rule[LogicalPlan] {
                 Literal(0L)))
             case GSum(_) => Sum(partsU(off)).toAggregateExpression()
             case GAvg(_) =>
+              // ONE AggregateExpression instance referenced twice —
+              // PhysicalAggregation dedups by identity (resultId), so
+              // a second instance would compute the sum twice per group
               val totC = Sum(partsU(off + 1)).toAggregateExpression()
-              val totC2 = Sum(partsU(off + 1)).toAggregateExpression()
               val totS = Sum(partsU(off)).toAggregateExpression()
               If(EqualTo(Coalesce(Seq(totC, Literal(0L))), Literal(0L)),
                 Literal(null, DoubleType),
-                Divide(totS, Cast(totC2, DoubleType)))
+                Divide(totS, Cast(totC, DoubleType)))
             case GKey => gU // unreachable
           }
           Alias(merged, ne.name)(exprId = ne.exprId)

@@ -295,6 +295,40 @@ class RuntimeFilterSpec extends SparkSpec {
     }
   }
 
+  test("an IN past ZoneMapPrune's per-literal cap still FILE-skips " +
+    "via the direct hand-off (the 257..maxInKeys band)") {
+    val dir = tmp("bigin")
+    // 16 files, file i holds k in [64i, 64i+63]; the dim filter keeps
+    // 320 keys in four bands — (k % 256) < 80 — whose [min,max]
+    // ENVELOPE spans 14 of 16 files while the true per-key survivor
+    // set is 8: only the direct hand-off (sorted keys + binary search)
+    // can tell them apart, because 320 literals exceed InUnionCap
+    val fact = spark.range(0, 4096).select(
+      (col("id") % 1024).cast("long").as("k"), col("id").as("v"))
+    (0 until 16).foreach(i => fact
+      .filter(col("k") >= i * 64 && col("k") < (i + 1) * 64)
+      .coalesce(1).write.mode("append").parquet(s"$dir/fact"))
+    ZoneMap.buildZoneMap(spark, s"$dir/fact", Seq("k"), s"$dir/zone")
+    spark.range(0, 1024).select(col("id").as("dk"),
+      ((col("id") % 256) < 80).as("sel"))
+      .coalesce(1).write.parquet(s"$dir/dim")
+    def query() = spark.read.parquet(s"$dir/fact")
+      .join(spark.read.parquet(s"$dir/dim").filter(col("sel")),
+        col("k") === col("dk"))
+      .groupBy(col("dk")).agg(sum(col("v")).as("sv"))
+    val plain = query().collect().map(_.toSeq).toSet
+    withRules() {
+      ZoneMapCatalog.register(spark, s"$dir/fact", s"$dir/zone", Seq("k"))
+      val q = query()
+      assert(q.collect().map(_.toSeq).toSet == plain,
+        "the file-skipped big-IN join must equal the plain join")
+      val factFiles = q.inputFiles.count(_.contains("/fact/"))
+      assert(factFiles == 8,
+        s"the hand-off must open the 8 true survivor files, not the " +
+          s"14-file envelope ($factFiles of 16)")
+    }
+  }
+
   test("widening-cast equi-pairs inject on the BARE fact column: keys " +
     "render through the cast inverse, unmatchable keys drop, dim-side " +
     "casts widen forward, lossy casts refuse") {
