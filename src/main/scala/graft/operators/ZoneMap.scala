@@ -1,8 +1,9 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, GraftShim, SparkSession}
+import org.apache.spark.sql.catalyst.expressions.UnscaledValue
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{DataType, DateType, StringType, TimestampType}
+import org.apache.spark.sql.types.{DataType, DateType, DecimalType, StringType, TimestampType}
 
 /** ZONE MAP — the file-level min/max statistics index that turns a
   * [[ZOrder]] layout into actual file skipping: a tiny metadata table
@@ -73,12 +74,27 @@ object ZoneMap {
   /** The column's exact integer image, the unit every stat, literal,
     * and residual agree on: DATE → epoch days (the very int Catalyst
     * stores date literals as), TIMESTAMP → epoch micros (ditto),
-    * numerics → cast(long). Shared with [[ZOrder.assign]] so a layout
+    * DECIMAL(p ≤ 18, s) → the UNSCALED long (the very compact value
+    * Catalyst stores — `123.45` at scale 2 is `12345`; min/max/sum of
+    * unscaled values ARE the unscaled min/max/sum at one fixed scale,
+    * so the manifest's decimal slots are exact, unlike the truncating
+    * `cast(long)` a naive image would take), integrals → cast(long).
+    * Wider decimals refuse LOUDLY: their unscaled value exceeds a
+    * long, and a silently truncated image would serve wrong stats —
+    * route p > 18 money through narrower types or integer micro-units
+    * (house style). Shared with [[ZOrder.assign]] so a layout
     * clustered on a date column and its zone map speak the same unit.
     */
   private[graft] def statExpr(dt: DataType, c: Column): Column = dt match {
     case DateType => unix_date(c).cast("long")
     case TimestampType => unix_micros(c)
+    case d: DecimalType =>
+      require(d.precision <= 18,
+        s"decimal stat columns carry their exact UNSCALED long image, " +
+          s"which $d exceeds (precision > 18) — a truncated image would " +
+          "serve wrong min/max/sum from metadata; use precision <= 18 " +
+          "or integer micro-units for wider money")
+      GraftShim.column(UnscaledValue(GraftShim.expression(c)))
     case _ => c.cast("long")
   }
 
@@ -99,10 +115,12 @@ object ZoneMap {
     * read never fans out.
     */
   /** Which stat columns also carry a PER-FILE EXACT SUM (`<c>_sum`) —
-    * the zmmeta v5 slot the metadata-SUM/AVG planner arm serves from.
-    * INTEGRAL types only: their long sum is exact (house style —
-    * money/measures live in integer micro-units), so a fully-covered
-    * file's contribution is one manifest read. DATE/TIMESTAMP sums are
+    * the zmmeta v5/v6 slot the metadata-SUM/AVG planner arm serves
+    * from. INTEGRAL types, and (v6) DECIMAL(p ≤ 18, s): a decimal's
+    * sum at fixed scale is the sum of its unscaled longs — exact, no
+    * order-dependence (unlike floats there is no excuse to refuse:
+    * `sum(l_extendedprice)`, the revenue aggregate of every warehouse
+    * dashboard, is exactly this shape). DATE/TIMESTAMP sums are
     * meaningless SQL (Spark refuses them), strings have none, and
     * FLOAT/DOUBLE are deliberately refused everywhere in the sum path:
     * their sum is addition-order-dependent, so a manifest sum could
@@ -115,6 +133,7 @@ object ZoneMap {
          org.apache.spark.sql.types.ShortType |
          org.apache.spark.sql.types.IntegerType |
          org.apache.spark.sql.types.LongType => true
+    case d: DecimalType => d.precision <= 18
     case _ => false
   }
 
@@ -126,12 +145,16 @@ object ZoneMap {
         else statExpr(data.schema(c).dataType, col(c))
       Seq(min(e).as(s"${c}_min"), max(e).as(s"${c}_max"),
         count(col(c)).as(s"${c}_cnt")) ++
-        // try_sum: a file whose long sum genuinely overflows records
-        // UNKNOWN (null → "-" in the manifest, consumer boundary-scans)
-        // instead of failing the build under ANSI or wrapping under
-        // legacy — a served sum is therefore always the exact integer
+        // try_sum over the STAT IMAGE (the long itself for integrals,
+        // the unscaled long for v6 decimals — sums of unscaled values
+        // at one fixed scale are exact): a file whose long sum
+        // genuinely overflows records UNKNOWN (null → "-" in the
+        // manifest, consumer boundary-scans) instead of failing the
+        // build under ANSI or wrapping under legacy — a served sum is
+        // therefore always the exact integer
         (if (summable(data.schema(c).dataType))
-          Seq(try_sum(col(c).cast("long")).as(s"${c}_sum"))
+          Seq(try_sum(statExpr(data.schema(c).dataType, col(c)))
+            .as(s"${c}_sum"))
         else Seq.empty)
     } :+ count(lit(1)).as("n")
     data.select(input_file_name().as("file") +: statCols.map(col): _*)

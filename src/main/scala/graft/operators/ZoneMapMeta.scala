@@ -54,6 +54,15 @@ import org.apache.spark.sql.types.StringType
   * and for a file whose sum genuinely overflows a long (`try_sum` at
   * build). `-` counts/sums make the consumer boundary-scan, never
   * guess; v1–v4 stay fully readable, their missing tokens unknown.
+  * `zmmeta v6` is a SEMANTIC bump with the identical line format:
+  * DECIMAL(p ≤ 18) stat columns now carry their EXACT unscaled-long
+  * image ([[ZoneMap.statExpr]]) in the min/max/sum slots — a manifest
+  * written by a pre-v6 build took the TRUNCATING `cast(long)` image
+  * for decimals, so decimal-serving consumers (the metadata-aggregate
+  * planner arms) gate on [[Meta.ver]] ≥ 6 and treat a carried v1–v5
+  * manifest's decimal slots as unanswerable (boundary-scan, never a
+  * wrong answer from a lossy image); non-decimal columns are
+  * bit-identical across v5/v6 and keep serving.
   * Blooms live ONLY in the manifest: the
   * zone TABLE stays the min/max authority, so a detected-stale
   * manifest degrades bloom skipping to nothing (wider file set, never
@@ -95,10 +104,14 @@ private[graft] object ZoneMapMeta {
                       cnts: Map[String, Option[Long]] = Map.empty,
                       sums: Map[String, Option[Long]] = Map.empty)
 
+  /** `ver` is the manifest's format/semantics version (the magic
+    * line's digit): consumers that reconstruct DECIMAL values from the
+    * long slots must see ≥ 6 — earlier builds wrote a truncated
+    * decimal image (see the class doc). */
   case class Meta(gen: Long, sig: String, statCols: Seq[String],
                   files: Seq[FileStat], strCols: Set[String] = Set.empty,
                   bloomCols: Seq[String] = Seq.empty, bloomM: Int = 0,
-                  bloomK: Int = 0)
+                  bloomK: Int = 0, ver: Int = 6)
 
   /** Per-file bloom filters for equality/IN skipping ([[ZoneMap
     * .buildZoneMap]]'s `bloomCols`): the [[Bloom]] md5 family packed to
@@ -234,13 +247,13 @@ private[graft] object ZoneMapMeta {
     // counter, not the cache key
     val gen = prevGen + 1
     val sig = signature(spark, zonePath)
-    // every NEW manifest commits v5 (min:max:cnt:sum slots — the
-    // non-null counts and exact integer sums the metadata-aggregate
-    // planner arm serves from; sum is `-` for non-summable columns and
-    // files carried from pre-sum zone tables); v1–v4 stay fully
-    // READABLE, their files simply carrying unknown counts/sums
+    // every NEW manifest commits v6 (v5's min:max:cnt:sum line format,
+    // with decimal stat columns now guaranteed to carry their EXACT
+    // unscaled-long image — the semantic gate decimal consumers read);
+    // v1–v5 stay fully READABLE, their files simply carrying unknown
+    // counts/sums and ver-gated (lossy) decimal slots
     val header =
-      Seq("zmmeta v5", s"gen=$gen", s"sig=$sig",
+      Seq("zmmeta v6", s"gen=$gen", s"sig=$sig",
         s"cols=${statCols.mkString(",")}",
         s"strs=${statCols.filter(strCols.contains).mkString(",")}") ++
         blooms.toSeq.flatMap(b => Seq(s"bloomcols=${b.cols.mkString(",")}",
@@ -324,16 +337,16 @@ private[graft] object ZoneMapMeta {
     Snapshot.readLines(spark, manifestFile(zonePath)).flatMap { lines =>
       try {
         val magic = lines.head
-        require(magic == "zmmeta v1" || magic == "zmmeta v2" ||
-          magic == "zmmeta v3" || magic == "zmmeta v4" ||
-          magic == "zmmeta v5",
-          s"unknown manifest format: $magic")
-        val v5 = magic == "zmmeta v5"
-        // v4 introduced the cnt token; v5 appends the sum token —
-        // every v4 parse rule applies to v5 lines too
-        val v4 = magic == "zmmeta v4" || v5
-        val v3 = magic == "zmmeta v3"
-        val v2 = magic == "zmmeta v2" || v3 || v4
+        require(magic.startsWith("zmmeta v"), s"unknown manifest: $magic")
+        val ver = magic.stripPrefix("zmmeta v").toInt
+        require(ver >= 1 && ver <= 6, s"unknown manifest format: $magic")
+        // v4 introduced the cnt token; v5 appends the sum token; v6 is
+        // v5's line format with exact decimal images (a semantic gate
+        // read off Meta.ver, not a parse change)
+        val v5 = ver >= 5
+        val v4 = ver >= 4
+        val v3 = ver == 3
+        val v2 = ver >= 2
         val Seq(genL, sigL, colsL) = lines.slice(1, 4)
         val gen = genL.stripPrefix("gen=").toLong
         val sig = sigL.stripPrefix("sig=")
@@ -436,7 +449,7 @@ private[graft] object ZoneMapMeta {
           FileStat(parts.last, n, stats, sstats, blooms, cnts, sums)
         }
         Some(Meta(gen, sig, statCols, files, strCols, bloomCols, bloomM,
-          bloomK))
+          bloomK, ver))
       } catch { case scala.util.control.NonFatal(_) => None }
     }
 

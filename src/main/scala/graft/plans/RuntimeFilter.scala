@@ -188,8 +188,18 @@ case class RuntimeFilterJoin(spark: SparkSession) extends Rule[LogicalPlan] {
 
   private def unwrapKey(e: Expression, utc: Boolean): Option[Key] = e match {
     case a: AttributeReference => Some(Key(a, None))
-    case Cast(a: AttributeReference, t, _, _)
-        if widens(a.dataType, t, utc) => Some(Key(a, Some(t)))
+    // the date→timestamp arm additionally requires the Cast NODE's own
+    // timeZoneId (resolved at analysis, possibly under a different
+    // session zone than the one this rule runs under) to be UTC: a plan
+    // analyzed under a non-UTC zone and executed after the session
+    // flips to UTC carries a non-UTC cast, and convertKeys'
+    // days·MICROS_PER_DAY mapping would disagree with the cast's actual
+    // semantics — wrongly DROPPING joinable fact rows (ADVICE r19, low)
+    case Cast(a: AttributeReference, t, tzId, _)
+        if widens(a.dataType, t, utc) &&
+          (!(a.dataType == DateType && t == TimestampType) ||
+            tzId.forall(_ == "UTC")) =>
+      Some(Key(a, Some(t)))
     case _ => None
   }
 

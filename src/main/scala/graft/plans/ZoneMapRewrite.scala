@@ -2,12 +2,12 @@ package graft.plans
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{Add, Alias, Attribute, AttributeReference, Cast, Coalesce, Divide, EqualTo, EvalMode, Expression, GreaterThan, GreaterThanOrEqual, If, In, InSet, IsNotNull, LessThan, LessThanOrEqual, Literal, NamedExpression, Or}
+import org.apache.spark.sql.catalyst.expressions.{Add, Alias, Attribute, AttributeReference, Cast, CheckOverflow, Coalesce, Divide, EqualTo, EvalMode, Expression, GreaterThan, GreaterThanOrEqual, If, In, InSet, IsNotNull, LessThan, LessThanOrEqual, Literal, NamedExpression, Or}
 import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Average, Count, Sum}
 import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, LocalRelation, LogicalPlan, Project}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.datasources.LogicalRelation
-import org.apache.spark.sql.types.{ByteType, DateType, DoubleType, IntegerType, LongType, ShortType, StringType, TimestampType}
+import org.apache.spark.sql.types.{ByteType, DateType, Decimal, DecimalType, DoubleType, IntegerType, LongType, ShortType, StringType, TimestampType}
 
 import graft.operators.{ZoneMap, ZoneMapMeta}
 
@@ -421,28 +421,78 @@ case class ZoneMapPrune(spark: SparkSession) extends Rule[LogicalPlan] {
   }
 
   /** The stat-unit long back to the column's ORIGINAL internal value
-    * (epoch days stay int, micros stay long, integrals narrow — all
-    * lossless, the values came from that very column). */
+    * (epoch days stay int, micros stay long, integrals narrow,
+    * decimals reconstruct from the unscaled long — all lossless, the
+    * values came from that very column under a ver ≥ 6 manifest). */
   private def internalOf(v: Long,
                          dt: org.apache.spark.sql.types.DataType): Any =
     dt match {
       case ByteType => v.toByte
       case ShortType => v.toShort
       case IntegerType | DateType => v.toInt
+      case d: DecimalType =>
+        Decimal(BigDecimal(java.math.BigDecimal.valueOf(v, d.scale)),
+          d.precision, d.scale)
       case _ => v
     }
 
+  /** `Sum(decimal(p, s))`'s result type — Spark's
+    * `DecimalType.bounded(p + 10, s)`, the type the merge legs and
+    * reconstructed metadata sums must carry. */
+  private def sumDecType(d: DecimalType): DecimalType =
+    DecimalType(math.min(38, d.precision + 10), d.scale)
+
+  /** The exact [[Decimal]] for `unscaled` at `scale`, carried at the
+    * (wider) target precision — scales equal by construction, so the
+    * conversion never rounds. */
+  private def decOf(unscaled: Long, scale: Int, t: DecimalType): Decimal =
+    Decimal(BigDecimal(java.math.BigDecimal.valueOf(unscaled, scale)),
+      t.precision, t.scale)
+
+  /** Spark's OWN final-average computation over externally-merged
+    * (sum, count) legs: [[Average.evaluateExpression]] with its two
+    * buffer attributes substituted for the merged totals. Whatever
+    * divide/rounding/overflow shape the running Spark version uses for
+    * the input type — the decimal path's precision-adjusted HALF_UP
+    * division included — this reproduces it BY CONSTRUCTION: there is
+    * no hand-built division twin to drift from Spark's semantics
+    * (the same no-twin discipline as the [[graft.operators.BloomKm]]
+    * shared probe). `totS` must carry the buffer sum's dataType and
+    * `totC` the count's (asserted loudly — a type drift here would be
+    * a silent semantics change). */
+  private def avgEval(a: AttributeReference, em: EvalMode.Value,
+                      totS: Expression, totC: Expression): Expression = {
+    val avg = Average(a, em)
+    val Seq(sumA, cntA) = avg.aggBufferAttributes
+    require(sumA.name == "sum" && cntA.name == "count",
+      s"Average buffer layout drifted: ${avg.aggBufferAttributes}")
+    require(totS.dataType == sumA.dataType,
+      s"avg sum-leg type drift: ${totS.dataType} vs ${sumA.dataType}")
+    require(totC.dataType == cntA.dataType,
+      s"avg count-leg type drift: ${totC.dataType} vs ${cntA.dataType}")
+    avg.evaluateExpression.transformUp {
+      case att: AttributeReference if att.exprId == sumA.exprId => totS
+      case att: AttributeReference if att.exprId == cntA.exprId => totC
+    }
+  }
+
   /** Sum/avg columns for the metadata-aggregate arms: described
-    * INTEGRAL stat columns only, identity stat unit (the long image IS
-    * the value, so the manifest sum is the value sum). Date/timestamp
-    * sums are not valid SQL; strings have none; float/double refuse —
-    * their sum is addition-order-dependent, and a metadata answer must
-    * never serve a value a recompute could legitimately contradict
-    * ([[ZoneMap.summable]]). */
+    * INTEGRAL stat columns (identity stat unit — the long image IS the
+    * value, so the manifest sum is the value sum) and, under a ver ≥ 6
+    * manifest, DECIMAL(p ≤ 18) ones (unscaled-long stat unit — the
+    * manifest sum is the unscaled value sum at the column's fixed
+    * scale, exact; a pre-v6 manifest's decimal slots are a TRUNCATED
+    * image and refuse). Date/timestamp sums are not valid SQL; strings
+    * have none; float/double refuse — their sum is addition-order-
+    * dependent, and a metadata answer must never serve a value a
+    * recompute could legitimately contradict ([[ZoneMap.summable]]). */
   private def sumColFor(ex: Extract, meta: ZoneMapMeta.Meta,
                         a: AttributeReference): Option[String] =
     a.dataType match {
       case ByteType | ShortType | IntegerType | LongType =>
+        ex.statName(a).collect { case (c, ex.Same) => c }
+          .filterNot(meta.strCols.contains)
+      case d: DecimalType if d.precision <= 18 && meta.ver >= 6 =>
         ex.statName(a).collect { case (c, ex.Same) => c }
           .filterNot(meta.strCols.contains)
       case _ => None
@@ -561,8 +611,11 @@ case class ZoneMapPrune(spark: SparkSession) extends Rule[LogicalPlan] {
     case object CntOut extends MOut
     case class MinOut(a: AttributeReference) extends MOut
     case class MaxOut(a: AttributeReference) extends MOut
-    case class SumOut(a: AttributeReference) extends MOut
-    case class AvgOut(a: AttributeReference) extends MOut
+    // sum/avg carry the query's own eval MODE (ANSI throw vs legacy
+    // null-on-overflow) so the merge legs reproduce exactly the
+    // overflow behavior the direct aggregate would have had
+    case class SumOut(a: AttributeReference, em: EvalMode.Value) extends MOut
+    case class AvgOut(a: AttributeReference, em: EvalMode.Value) extends MOut
     val parsedOuts: Seq[Option[(Alias, MOut)]] = outs.map {
       case al @ Alias(AggregateExpression(
         Count(Seq(Literal(v, _))), _, false, None, _), _) if v != null =>
@@ -581,11 +634,11 @@ case class ZoneMapPrune(spark: SparkSession) extends Rule[LogicalPlan] {
       case al @ Alias(AggregateExpression(
         Sum(a: AttributeReference, ctx), _, false, None, _), _)
           if ctx.evalMode != EvalMode.TRY =>
-        Some((al, SumOut(a)))
+        Some((al, SumOut(a, ctx.evalMode)))
       case al @ Alias(AggregateExpression(
         Average(a: AttributeReference, em), _, false, None, _), _)
           if em != EvalMode.TRY =>
-        Some((al, AvgOut(a)))
+        Some((al, AvgOut(a, em)))
       case _ => None
     }
     if (outs.isEmpty || parsedOuts.exists(_.isEmpty)) return None
@@ -598,10 +651,15 @@ case class ZoneMapPrune(spark: SparkSession) extends Rule[LogicalPlan] {
     val ex = new Extract(rel, entry.statCols, utcSession)
     // min/max columns: described stat columns whose ORIGINAL type
     // reconstructs losslessly from the stat unit (the long image for
-    // integrals/date/timestamp, the raw string for strings)
+    // integrals/date/timestamp, the unscaled long for ver ≥ 6
+    // decimals — min/max of unscaled values at one fixed scale ARE the
+    // unscaled min/max — the raw string for strings)
     def mmCol(a: AttributeReference): Option[String] = a.dataType match {
       case ByteType | ShortType | IntegerType | LongType | DateType |
            TimestampType =>
+        ex.statName(a).collect { case (c, ex.Same) => c }
+          .filterNot(meta.strCols.contains)
+      case d: DecimalType if d.precision <= 18 && meta.ver >= 6 =>
         ex.statName(a).collect { case (c, ex.Same) => c }
           .filterNot(meta.strCols.contains)
       case StringType =>
@@ -613,8 +671,8 @@ case class ZoneMapPrune(spark: SparkSession) extends Rule[LogicalPlan] {
     val mmOk = mOuts.forall {
       case (_, MinOut(a)) => mmCol(a).isDefined
       case (_, MaxOut(a)) => mmCol(a).isDefined
-      case (_, SumOut(a)) => sumColOf(a).isDefined
-      case (_, AvgOut(a)) => sumColOf(a).isDefined
+      case (_, SumOut(a, _)) => sumColOf(a).isDefined
+      case (_, AvgOut(a, _)) => sumColOf(a).isDefined
       case _ => true
     }
     if (!mmOk) return None
@@ -663,8 +721,8 @@ case class ZoneMapPrune(spark: SparkSession) extends Rule[LogicalPlan] {
         val answers: Seq[Option[() => Unit]] = mOuts.map {
           case (_, CntOut) =>
             law.cntAnswer(f).map(ct => () => metaCount += ct)
-          case (_, SumOut(a)) => sumAnswer(a)
-          case (_, AvgOut(a)) => sumAnswer(a)
+          case (_, SumOut(a, _)) => sumAnswer(a)
+          case (_, AvgOut(a, _)) => sumAnswer(a)
           case (_, MinOut(a)) =>
             val c = mmCol(a).get
             if (isNullCols.contains(c)) Some(() => ()) // all-null survivors
@@ -717,9 +775,16 @@ case class ZoneMapPrune(spark: SparkSession) extends Rule[LogicalPlan] {
         else metaMaxL.get(c).map(v => (internalOf(v, a.dataType), a.dataType))
       // None when ZERO covered values contributed: sum/avg over no
       // values is NULL, never 0 — absent meta values emit exactly that
-      case SumOut(a) =>
+      case SumOut(a, _) =>
         val c = sumColOf(a).get
-        if (metaSumCnt.getOrElse(c, 0L) > 0L) Some((metaSumL(c), LongType))
+        if (metaSumCnt.getOrElse(c, 0L) > 0L) a.dataType match {
+          case d: DecimalType =>
+            // Sum(decimal(p,s)) yields Decimal(p+10, s): reconstruct it
+            // from the exact unscaled sum at the column's own scale
+            val rt = sumDecType(d)
+            Some((decOf(metaSumL(c), d.scale, rt), rt))
+          case _ => Some((metaSumL(c), LongType))
+        }
         else None
       // the served average is the EXACT integer sum over the count —
       // bit-identical to Spark's Average (which accumulates its sum in
@@ -729,13 +794,24 @@ case class ZoneMapPrune(spark: SparkSession) extends Rule[LogicalPlan] {
       // aggregation-order-dependent (run-to-run nondeterministic — an
       // impossible and pointless target to replicate; serving the
       // exact quotient is the same determinism argument as refusing
-      // float sums outright)
-      case AvgOut(a) =>
+      // float sums outright). DECIMAL averages evaluate Spark's OWN
+      // final-average expression ([[avgEval]]) over the exact
+      // (sum, count) literals on the driver — the precision-adjusted
+      // HALF_UP division included, by construction, zero Spark jobs
+      case AvgOut(a, em) =>
         val c = sumColOf(a).get
         val mc = metaSumCnt.getOrElse(c, 0L)
-        if (mc > 0L)
-          Some((metaSumL(c).toDouble / mc.toDouble, DoubleType))
-        else None
+        if (mc == 0L) None
+        else a.dataType match {
+          case d: DecimalType =>
+            val sumT = sumDecType(d)
+            val e = avgEval(a, em,
+              Literal(decOf(metaSumL(c), d.scale, sumT), sumT),
+              Literal(mc))
+            Some((e.eval(), e.dataType))
+          case _ =>
+            Some((metaSumL(c).toDouble / mc.toDouble, DoubleType))
+        }
     }
     val bFiles = boundary.result()
     if (bFiles.isEmpty)
@@ -761,34 +837,83 @@ case class ZoneMapPrune(spark: SparkSession) extends Rule[LogicalPlan] {
       val projected = mOuts.map { case (al, o) =>
         val merged: Expression = o match {
           case CntOut => Add(addPart(al.child), Literal(metaCount))
-          case SumOut(a) =>
+          case SumOut(a, em) =>
             val part = addPart(al.child)
             val c = sumColOf(a).get
-            if (metaSumCnt.getOrElse(c, 0L) > 0L)
-              // an empty boundary leg is NULL ("no values"), which must
-              // act as zero against a real metadata sum — coalesce,
-              // never bare Add (null + x = null would erase the sum)
-              Add(Coalesce(Seq(part, Literal(0L))), Literal(metaSumL(c)))
-            else part // no covered values: the boundary leg IS the sum
-          case AvgOut(a) =>
+            if (metaSumCnt.getOrElse(c, 0L) == 0L)
+              part // no covered values: the boundary leg IS the sum
+            else a.dataType match {
+              case d: DecimalType =>
+                // the merge mirrors Sum's own merge+evaluate: decimal
+                // Add computes exactly (Decimal arithmetic is BigDecimal
+                // under the hood; the node's declared wider type never
+                // rounds the value) and CheckOverflow enforces the
+                // Sum(p+10, s) result type with the query's own mode —
+                // ANSI throws, legacy nulls — exactly where the direct
+                // aggregate's final CheckOverflowInSum would. (A
+                // boundary-SUBSET sum overflowing where the total does
+                // not — sign cancellation across legs — surfaces the
+                // mode's overflow behavior one merge early; Spark's own
+                // per-partition partials carry the same exposure shape,
+                // partition-boundary-dependently.)
+                val sumT = sumDecType(d)
+                CheckOverflow(
+                  Add(Coalesce(Seq(part, Literal(decOf(0L, d.scale, sumT),
+                    sumT))), Literal(decOf(metaSumL(c), d.scale, sumT),
+                    sumT)),
+                  sumT, nullOnOverflow = em == EvalMode.LEGACY)
+              case _ =>
+                // an empty boundary leg is NULL ("no values"), which
+                // must act as zero against a real metadata sum —
+                // coalesce, never bare Add (null + x = null would erase
+                // the sum)
+                Add(Coalesce(Seq(part, Literal(0L))), Literal(metaSumL(c)))
+            }
+          case AvgOut(a, em) =>
             val c = sumColOf(a).get
-            // the boundary sum part accumulates in DOUBLE, exactly like
-            // Spark's own integral Average — a LongType Sum part would
-            // THROW under ANSI on a > 2^63 boundary total where the
-            // direct (unrewritten) average succeeds, and a rewrite must
-            // never fail a query that would succeed unrewritten; within
-            // double's 2^53 integer range (every sum a double can hold
-            // losslessly) the double path is exact and bit-identical
-            val sPart = addPart(
-              Sum(Cast(a, DoubleType)).toAggregateExpression())
-            val cPart = addPart(Count(a).toAggregateExpression())
-            val totS = Add(Coalesce(Seq(sPart, Literal(0.0d))),
-              Literal(metaSumL.getOrElse(c, 0L).toDouble))
-            val totC = Add(cPart, Literal(metaSumCnt.getOrElse(c, 0L)))
-            // zero total values → NULL (Average's own empty semantics),
-            // guarded explicitly so ANSI sessions never divide by zero
-            If(EqualTo(totC, Literal(0L)), Literal(null, DoubleType),
-              Divide(totS, Cast(totC, DoubleType)))
+            a.dataType match {
+              case d: DecimalType =>
+                // DECIMAL averages merge exactly: the boundary leg is a
+                // native decimal Sum partial plus its non-null Count,
+                // the metadata leg the exact unscaled-sum literal, and
+                // the final division is Spark's OWN average expression
+                // over the merged (sum, count) pair ([[avgEval]] — no
+                // division twin to drift). Zero total values short-
+                // circuit to NULL before any division evaluates.
+                val sumT = sumDecType(d)
+                val sPart = addPart(Sum(a).toAggregateExpression())
+                val cPart = addPart(Count(a).toAggregateExpression())
+                val totC = Add(cPart, Literal(metaSumCnt.getOrElse(c, 0L)))
+                val totS = CheckOverflow(
+                  Add(Coalesce(Seq(sPart, Literal(decOf(0L, d.scale, sumT),
+                    sumT))),
+                    Literal(decOf(metaSumL.getOrElse(c, 0L), d.scale, sumT),
+                      sumT)),
+                  sumT, nullOnOverflow = em == EvalMode.LEGACY)
+                val rt = Average(a, em).dataType
+                If(EqualTo(totC, Literal(0L)), Literal(null, rt),
+                  avgEval(a, em, totS, totC))
+              case _ =>
+                // the boundary sum part accumulates in DOUBLE, exactly
+                // like Spark's own integral Average — a LongType Sum
+                // part would THROW under ANSI on a > 2^63 boundary
+                // total where the direct (unrewritten) average
+                // succeeds, and a rewrite must never fail a query that
+                // would succeed unrewritten; within double's 2^53
+                // integer range (every sum a double can hold
+                // losslessly) the double path is exact and bit-identical
+                val sPart = addPart(
+                  Sum(Cast(a, DoubleType)).toAggregateExpression())
+                val cPart = addPart(Count(a).toAggregateExpression())
+                val totS = Add(Coalesce(Seq(sPart, Literal(0.0d))),
+                  Literal(metaSumL.getOrElse(c, 0L).toDouble))
+                val totC = Add(cPart, Literal(metaSumCnt.getOrElse(c, 0L)))
+                // zero total values → NULL (Average's own empty
+                // semantics), guarded explicitly so ANSI sessions never
+                // divide by zero
+                If(EqualTo(totC, Literal(0L)), Literal(null, DoubleType),
+                  Divide(totS, Cast(totC, DoubleType)))
+            }
           case mo => metaValue(mo) match {
             // Least/Greatest skip nulls, so an empty boundary-scan leg
             // (null) yields the metadata value and vice versa — the
@@ -902,7 +1027,12 @@ case class ZoneMapPrune(spark: SparkSession) extends Rule[LogicalPlan] {
       .getOrElse(return None)
     val law = new FileLaw(gate, meta)
     def sumColOf(a: AttributeReference): Option[String] =
-      sumColFor(ex, meta, a)
+      a.dataType match {
+        // decimal slots are long-UNSCALED; the grouped merge below is
+        // long-typed — refuse until the grouped arm grows decimal legs
+        case _: DecimalType => None
+        case _ => sumColFor(ex, meta, a)
+      }
     val sumOk = gOuts.forall {
       case (_, GSum(a)) => sumColOf(a).isDefined
       case (_, GAvg(a)) => sumColOf(a).isDefined

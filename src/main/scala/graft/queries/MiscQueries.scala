@@ -1332,6 +1332,91 @@ object MiscQueries {
              |WHERE CAST(o_orderdate AS DATE) >= DATE '1992-01-01'
              |GROUP BY 1 ORDER BY 1""".stripMargin)),
 
+    // ---- DECIMAL METADATA AGGREGATES (zmmeta v6 unscaled-long slots):
+    // the revenue half of the dashboard — count/sum/avg/min/max over a
+    // DECIMAL(12,2) money column on a date-clustered layout. The v6
+    // manifest stores each file's decimal min/max/sum as EXACT unscaled
+    // longs ([[ZoneMap.statExpr]]), covered files serve from them
+    // (sum reconstructs as Decimal(p+10, s); avg evaluates Spark's OWN
+    // average expression over the exact (sum, count) pair — no division
+    // twin), boundary files scan and merge. The avg output renders as a
+    // STRING on both sides so the oracle can replicate Spark's two-step
+    // HALF_UP decimal division with exact integer arithmetic (DuckDB's
+    // own avg(decimal) is a double — numerically different at the last
+    // digit). ZoneMapSpec pins the no-boundary zero-job fold, the
+    // v5-carry refusal (a pre-v6 manifest's decimal image is lossy),
+    // and the wide-decimal build refusal. Oracle: the full-scan
+    // recompute. ----
+    Q("q366_zonemap_meta_decimal",
+      (s, dir) => {
+        import graft.operators.{ZOrder, ZoneMap}
+        import graft.plans.{ZoneMapCatalog, ZoneMapPrune}
+        import org.apache.spark.sql.types.DecimalType
+        val tmp = java.nio.file.Files
+          .createTempDirectory("graft_q366_").toString
+        // quarter-valued money built from integers: k·25/100 is exact
+        // in double (dyadic) and casts to DECIMAL(12,2) losslessly, so
+        // Spark and the DuckDB oracle construct identical decimals
+        val o = t(s, dir, "orders").select(
+          to_date(col("o_orderdate")).as("od"), col("o_custkey"),
+          ((col("o_orderkey") % 400000) * 25 / 100.0)
+            .cast(DecimalType(12, 2)).as("price"))
+        ZOrder.layout(o, "od", "o_custkey", 8, 16).drop("__z")
+          .write.mode("overwrite").parquet(s"$tmp/data")
+        ZoneMap.buildZoneMap(s, s"$tmp/data",
+          Seq("od", "o_custkey", "price"), s"$tmp/zone")
+        val prev = s.experimental.extraOptimizations
+        s.experimental.extraOptimizations = prev :+ ZoneMapPrune(s)
+        try {
+          ZoneMapCatalog.register(s, s"$tmp/data", s"$tmp/zone",
+            Seq("od", "o_custkey", "price"))
+          s.read.parquet(s"$tmp/data")
+            .filter(col("od").between(
+              lit(java.sql.Date.valueOf("1994-01-01")),
+              lit(java.sql.Date.valueOf("1996-12-31"))))
+            .agg(count(lit(1)).as("n"),
+              sum(col("price")).as("sp"),
+              avg(col("price")).as("vp"),
+              min(col("price")).as("mnp"),
+              max(col("price")).as("mxp"))
+            .select(col("n"), col("sp"), col("vp").cast("string").as("vp"),
+              col("mnp"), col("mxp"))
+            .localCheckpoint(true) // the decimal metadata arm fires HERE
+        } finally {
+          s.experimental.extraOptimizations = prev
+          ZoneMapCatalog.clear()
+        }
+      },
+      // the avg leg replicates Spark's decimal Average EXACTLY in
+      // integer arithmetic: divide the unscaled scale-2 sum at scale 18
+      // (the precision-adjusted Divide's scale), HALF_UP, then round to
+      // the result scale 6, HALF_UP — pinned against pyspark over a
+      // 214-case matrix including constructed halfway quotients
+      Some("""WITH f AS (
+             |  SELECT CAST((o_orderkey % 400000) * 25 / 100.0
+             |           AS DECIMAL(12,2)) AS price
+             |  FROM orders
+             |  WHERE CAST(o_orderdate AS DATE)
+             |    BETWEEN DATE '1994-01-01' AND DATE '1996-12-31'),
+             |agg AS (
+             |  SELECT count(*) AS n, sum(price) AS sp,
+             |         min(price) AS mnp, max(price) AS mxp,
+             |         CAST(sum(price) * 100 AS HUGEINT) AS u,
+             |         count(price) AS k
+             |  FROM f),
+             |q18 AS (
+             |  SELECT *,
+             |    (2 * u * 10000000000000000 + k) // (2 * k) AS q1
+             |  FROM agg)
+             |SELECT n, sp,
+             |  printf('%d.%06d',
+             |    CAST(((2 * q1 + 1000000000000) // 2000000000000)
+             |         // 1000000 AS BIGINT),
+             |    CAST(((2 * q1 + 1000000000000) // 2000000000000)
+             |         % 1000000 AS BIGINT)) AS vp,
+             |  mnp, mxp
+             |FROM q18""".stripMargin)),
+
     // ---- RUNTIME FILTER through a WIDENING CAST (the real-schema
     // norm): the fact key is INT, the dim key BIGINT, so the analyzer
     // compares `cast(lpk as bigint) = p_partkey` — the r18 rule refused

@@ -416,6 +416,50 @@ class RuntimeFilterSpec extends SparkSpec {
     }
   }
 
+  test("a date→timestamp equi-cast carrying a NON-UTC zone refuses " +
+    "injection even after the session moves to UTC (ADVICE r19: the " +
+    "cast node's own timeZoneId is resolved at analysis and may " +
+    "disagree with the session the rule runs under)") {
+    val dir = tmp("casttz")
+    spark.range(0, 1024).select(
+      expr("date_from_unix_date(cast(id % 32 as int))").as("d"),
+      col("id").as("v")).coalesce(2).write.parquet(s"$dir/fact")
+    spark.sql(
+      """SELECT * FROM VALUES
+        |  (TIMESTAMP '1970-01-03 00:00:00', 1),
+        |  (TIMESTAMP '1975-01-01 00:00:00', 2)
+        |AS t(dts, band)""".stripMargin)
+      .coalesce(1).write.parquet(s"$dir/dim")
+    def query() = spark.read.parquet(s"$dir/fact")
+      .join(spark.read.parquet(s"$dir/dim").filter(col("band") === 1),
+        col("d") === col("dts")) // coercion casts the DATE side up
+    def ins(df: org.apache.spark.sql.DataFrame): Seq[Int] =
+      df.queryExecution.optimizedPlan.collect {
+        case f: Filter => f.condition.collect {
+          case In(a: AttributeReference, vs) if a.name == "d" => vs.length
+        }
+      }.flatten
+    val prevTz = spark.conf.get("spark.sql.session.timeZone")
+    try {
+      // ANALYZE under a non-UTC zone: the Cast(d as timestamp) node
+      // pins timeZoneId = LA at construction (Datasets analyze eagerly)
+      spark.conf.set("spark.sql.session.timeZone", "America/Los_Angeles")
+      val q = query()
+      // ... then OPTIMIZE under UTC: the session gate alone would now
+      // pass, but the cast's own zone says its semantics are not the
+      // days·MICROS_PER_DAY mapping convertKeys inverts — refuse
+      spark.conf.set("spark.sql.session.timeZone", prevTz)
+      withRules() {
+        assert(ins(q).isEmpty,
+          s"a non-UTC cast must refuse injection, got ${ins(q)}")
+        // and a UTC-analyzed twin of the same query still injects
+        val ok = query()
+        assert(ins(ok) == Seq(1),
+          s"the UTC-analyzed twin must inject its one key, got ${ins(ok)}")
+      }
+    } finally spark.conf.set("spark.sql.session.timeZone", prevTz)
+  }
+
   test("the dim harvest is ONE plan-time job, memoized: a repeated " +
     "plan optimizes with zero jobs") {
     val dir = tmp("memo")

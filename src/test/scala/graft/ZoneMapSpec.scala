@@ -1018,7 +1018,7 @@ class ZoneMapSpec extends SparkSpec {
     val mf = java.nio.file.Paths.get(s"$dir/zone/_ZMMETA")
     val v1 = new java.util.ArrayList[String]()
     java.nio.file.Files.readAllLines(mf).forEach { l =>
-      if (l == "zmmeta v5") v1.add("zmmeta v1")
+      if (l == "zmmeta v6") v1.add("zmmeta v1")
       else if (l.startsWith("strs=")) () // v1 has no strs line
       else if (l.contains("\t")) {
         val parts = l.split("\t", -1)
@@ -1231,7 +1231,7 @@ class ZoneMapSpec extends SparkSpec {
     val mf = java.nio.file.Paths.get(s"$dir/zone/_ZMMETA")
     val v4 = new java.util.ArrayList[String]()
     java.nio.file.Files.readAllLines(mf).forEach { l =>
-      if (l == "zmmeta v5") v4.add("zmmeta v4")
+      if (l == "zmmeta v6") v4.add("zmmeta v4")
       else if (l.contains("\t")) {
         val parts = l.split("\t", -1)
         val mid = parts.slice(1, parts.length - 1).map { s =>
@@ -1269,6 +1269,117 @@ class ZoneMapSpec extends SparkSpec {
       spark.experimental.extraOptimizations = prev2
       graft.plans.ZoneMapCatalog.clear()
     }
+  }
+
+  test("DECIMAL sum/avg/min/max answer from the v6 manifest as exact " +
+    "unscaled longs: no-boundary folds to a LocalRelation, the " +
+    "boundary merge and the avg division are Spark's own semantics, " +
+    "a carried v5 manifest refuses decimal slots (lossy image), and " +
+    "a wide decimal refuses at build") {
+    import org.apache.spark.sql.types.DecimalType
+    val dir = tmp("metadec")
+    // file i spans a in [32i, 32i+31]; p = quarter-valued money built
+    // from integers (exact at scale 2); pn nulls every 4th row; zd is
+    // ALWAYS null (sum/avg over no values must stay NULL, never 0)
+    val base = spark.range(0, 1024).select(
+      (col("id") % 256).cast("long").as("a"),
+      (((col("id") % 1000) * 25) / 100.0).cast(DecimalType(12, 2)).as("p"),
+      when(col("id") % 4 === 0, lit(null).cast(DecimalType(12, 2)))
+        .otherwise((col("id") * 25 / 100.0).cast(DecimalType(12, 2)))
+        .as("pn"),
+      lit(null).cast(DecimalType(12, 2)).as("zd"))
+    (0 until 8).foreach(i => base
+      .filter(col("a") >= i * 32 && col("a") < (i + 1) * 32)
+      .coalesce(1).write.mode("append").parquet(s"$dir/data"))
+    operators.ZoneMap.buildZoneMap(spark, s"$dir/data",
+      Seq("a", "p", "pn", "zd"), s"$dir/zone")
+    def agg0(df: org.apache.spark.sql.DataFrame) = df.agg(
+      count(lit(1)).as("n"), sum(col("p")).as("sp"), avg(col("p")).as("vp"),
+      min(col("p")).as("mnp"), max(col("p")).as("mxp"),
+      sum(col("pn")).as("spn"), avg(col("pn")).as("vpn"),
+      sum(col("zd")).as("szd"), avg(col("zd")).as("vzd"))
+    def agg1(df: org.apache.spark.sql.DataFrame) = df
+      .filter(col("a").between(10L, 120L))
+      .agg(count(lit(1)).as("n"), sum(col("p")).as("sp"),
+        avg(col("pn")).as("vpn"), min(col("p")).as("mnp"))
+    val raw = spark.read.parquet(s"$dir/data")
+    val (d0, d1) = (agg0(raw).collect().head, agg1(raw).collect().head)
+    val prev = spark.experimental.extraOptimizations
+    spark.experimental.extraOptimizations =
+      prev :+ graft.plans.ZoneMapPrune(spark)
+    try {
+      graft.plans.ZoneMapCatalog.register(spark, s"$dir/data",
+        s"$dir/zone", Seq("a", "p", "pn", "zd"))
+      // (1) unfiltered: pure metadata — the avg evaluates Spark's OWN
+      // average expression over the exact (sum, count) pair at plan
+      // time, so the value is bit-identical to the direct aggregate
+      val q0 = agg0(spark.read.parquet(s"$dir/data"))
+      assert(q0.queryExecution.optimizedPlan
+        .isInstanceOf[org.apache.spark.sql.catalyst.plans.logical
+          .LocalRelation],
+        "an unfiltered decimal sum/avg/min/max must fold to metadata")
+      assert(q0.collect().head == d0,
+        "metadata decimal aggregates must equal the direct aggregate")
+      // (2) boundary merge: covered files contribute exact unscaled
+      // sums, the two boundary files scan, the avg merges through
+      // Spark's own division
+      val q1 = agg1(spark.read.parquet(s"$dir/data"))
+      assert(q1.collect().head == d1,
+        "merged decimal sum/avg/min must equal the direct aggregate")
+      assert(q1.inputFiles.length == 2,
+        s"only the boundary files may open (${q1.inputFiles.length})")
+    } finally {
+      spark.experimental.extraOptimizations = prev
+      graft.plans.ZoneMapCatalog.clear()
+    }
+    // (3) the v5-carry gate: the SAME line format under a v5 magic
+    // means "written by a pre-v6 build", whose decimal image was the
+    // TRUNCATING cast(long) — decimal outputs must refuse the metadata
+    // answer (scan, stay exact) while integral ones keep serving
+    val mf = java.nio.file.Paths.get(s"$dir/zone/_ZMMETA")
+    val v5 = new java.util.ArrayList[String]()
+    java.nio.file.Files.readAllLines(mf).forEach { l =>
+      if (l == "zmmeta v6") v5.add("zmmeta v5") else v5.add(l)
+    }
+    java.nio.file.Files.write(mf, v5)
+    java.nio.file.Files.deleteIfExists(
+      java.nio.file.Paths.get(s"$dir/zone/._ZMMETA.crc"))
+    operators.ZoneMapMeta.invalidate()
+    assert(operators.ZoneMapMeta.load(spark, s"$dir/zone")
+      .exists(_.ver == 5), "the downgraded manifest must load as v5")
+    val prev2 = spark.experimental.extraOptimizations
+    spark.experimental.extraOptimizations =
+      prev2 :+ graft.plans.ZoneMapPrune(spark)
+    try {
+      graft.plans.ZoneMapCatalog.register(spark, s"$dir/data",
+        s"$dir/zone", Seq("a", "p", "pn", "zd"))
+      val qd = spark.read.parquet(s"$dir/data").agg(sum(col("p")).as("sp"))
+      assert(!qd.queryExecution.optimizedPlan
+        .isInstanceOf[org.apache.spark.sql.catalyst.plans.logical
+          .LocalRelation],
+        "a v5 manifest's decimal slots are a lossy image: refuse")
+      assert(qd.collect().head == raw.agg(sum(col("p")).as("sp"))
+        .collect().head, "the refusal must stay exact (full scan)")
+      val qa = spark.read.parquet(s"$dir/data").agg(sum(col("a")).as("sa"))
+      assert(qa.queryExecution.optimizedPlan
+        .isInstanceOf[org.apache.spark.sql.catalyst.plans.logical
+          .LocalRelation],
+        "integral slots are exact under v5 and must keep serving")
+    } finally {
+      spark.experimental.extraOptimizations = prev2
+      graft.plans.ZoneMapCatalog.clear()
+    }
+    // (4) wide decimals refuse at BUILD, loudly: a silently truncated
+    // image would serve wrong stats later
+    val wide = spark.range(0, 16)
+      .select(col("id").cast(DecimalType(22, 2)).as("w"))
+    wide.write.mode("overwrite").parquet(s"$dir/wdata")
+    val e = intercept[IllegalArgumentException] {
+      operators.ZoneMap.buildZoneMap(spark, s"$dir/wdata", Seq("w"),
+        s"$dir/wzone")
+    }
+    assert(e.getMessage.contains("UNSCALED"),
+      s"the refusal must name the lesson, got: ${e.getMessage}")
   }
 
   test("IS NULL answers from metadata as the complement count: " +
