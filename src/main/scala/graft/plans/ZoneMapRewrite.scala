@@ -143,20 +143,14 @@ case class ZoneMapPrune(spark: SparkSession) extends Rule[LogicalPlan] {
     // the strictly-better metadata answer would be lost); whatever the
     // count arm leaves alone still gets file pruning below.
     val counted = plan.transformDown {
-      case agg @ Aggregate(gs, outs, child, _) if gs.isEmpty =>
-        try countFromMeta(outs, child).getOrElse(agg)
-        catch {
+      case agg @ Aggregate(gs, outs, child, _) =>
+        try {
+          (if (gs.isEmpty) countFromMeta(outs, child)
+          else groupedCountFromMeta(gs, outs, child)).getOrElse(agg)
+        } catch {
           case scala.util.control.NonFatal(e) =>
-            log.warn(s"zone-map metadata count skipped (rewrite must " +
+            log.warn(s"zone-map metadata aggregate skipped (rewrite must " +
               s"not fail the query): ${e.getMessage}")
-            agg
-        }
-      case agg @ Aggregate(Seq(g), outs, child, _) =>
-        try groupedCountFromMeta(g, outs, child).getOrElse(agg)
-        catch {
-          case scala.util.control.NonFatal(e) =>
-            log.warn(s"zone-map grouped metadata count skipped (rewrite " +
-              s"must not fail the query): ${e.getMessage}")
             agg
         }
     }
@@ -476,6 +470,29 @@ case class ZoneMapPrune(spark: SparkSession) extends Rule[LogicalPlan] {
     }
   }
 
+  /** Min/max (and group-key) columns for the metadata-aggregate arms:
+    * described stat columns whose ORIGINAL type reconstructs
+    * losslessly from the stat unit — the long image for
+    * integrals/date/timestamp, the unscaled long for ver ≥ 6 decimals
+    * (min/max of unscaled values at one fixed scale ARE the unscaled
+    * min/max; a pre-v6 manifest's decimal image is lossy and refuses),
+    * the raw string for string stat columns. ONE law shared by the
+    * ungrouped and grouped arms so the two cannot drift. */
+  private def mmColFor(ex: Extract, meta: ZoneMapMeta.Meta,
+                       a: AttributeReference): Option[String] =
+    a.dataType match {
+      case ByteType | ShortType | IntegerType | LongType | DateType |
+           TimestampType =>
+        ex.statName(a).collect { case (c, ex.Same) => c }
+          .filterNot(meta.strCols.contains)
+      case d: DecimalType if d.precision <= 18 && meta.ver >= 6 =>
+        ex.statName(a).collect { case (c, ex.Same) => c }
+          .filterNot(meta.strCols.contains)
+      case StringType =>
+        ex.sStatName(a).filter(meta.strCols.contains)
+      case _ => None
+    }
+
   /** Sum/avg columns for the metadata-aggregate arms: described
     * INTEGRAL stat columns (identity stat unit — the long image IS the
     * value, so the manifest sum is the value sum) and, under a ver ≥ 6
@@ -649,23 +666,7 @@ case class ZoneMapPrune(spark: SparkSession) extends Rule[LogicalPlan] {
     val relSet = relFiles.map(PathNorm.norm).toSet
     val files = meta.files.filter(f => relSet.contains(PathNorm.norm(f.file)))
     val ex = new Extract(rel, entry.statCols, utcSession)
-    // min/max columns: described stat columns whose ORIGINAL type
-    // reconstructs losslessly from the stat unit (the long image for
-    // integrals/date/timestamp, the unscaled long for ver ≥ 6
-    // decimals — min/max of unscaled values at one fixed scale ARE the
-    // unscaled min/max — the raw string for strings)
-    def mmCol(a: AttributeReference): Option[String] = a.dataType match {
-      case ByteType | ShortType | IntegerType | LongType | DateType |
-           TimestampType =>
-        ex.statName(a).collect { case (c, ex.Same) => c }
-          .filterNot(meta.strCols.contains)
-      case d: DecimalType if d.precision <= 18 && meta.ver >= 6 =>
-        ex.statName(a).collect { case (c, ex.Same) => c }
-          .filterNot(meta.strCols.contains)
-      case StringType =>
-        ex.sStatName(a).filter(meta.strCols.contains)
-      case _ => None
-    }
+    def mmCol(a: AttributeReference): Option[String] = mmColFor(ex, meta, a)
     def sumColOf(a: AttributeReference): Option[String] =
       sumColFor(ex, meta, a)
     val mmOk = mOuts.forall {
@@ -937,255 +938,563 @@ case class ZoneMapPrune(spark: SparkSession) extends Rule[LogicalPlan] {
   }
 
   /** GROUPED metadata aggregates over a CLUSTERED layout — the
-    * daily-dashboard shape: `GROUP BY od` + count/sum/avg over a
-    * date-clustered (or z-ordered, or per-partition-written) layout
-    * where a file's `min_od == max_od` makes it SINGLE-VALUED in the
-    * group key, so its per-group contributions answer from the
-    * manifest and only mixed-span files scan. Same three-way law as
-    * the ungrouped arm, per file:
+    * daily-dashboard shape generalized to the full warehouse rollup:
+    * `GROUP BY k1, …, kn` + count/sum/avg/min/max over a layout where
+    * files are SINGLE-VALUED in every group key (date-clustered,
+    * per-partition-written, or z-ordered narrow spans), so their
+    * per-group contributions answer from the manifest and only mixed
+    * files scan. TPC-H Q1 — `GROUP BY l_returnflag, l_linestatus` with
+    * sum/avg/count over a flag-clustered layout — is a manifest read.
+    * Same three-way law as the ungrouped arm, per file:
     *  - DISJOINT w.r.t. the (gate-recognized) filter — contributes no
-    *    group, provably;
-    *  - COVERED + single-valued in the group column + group column
-    *    NULL-FREE in the file (`cnt_g == n` — a null would belong to
-    *    the NULL group the single value cannot represent) + every
-    *    output answerable (the survivor-subset count law for counts;
-    *    the v5 sum slots under the ungrouped arm's other-columns-
-    *    null-free condition for sums and averages) — contributes its
-    *    slots to the driver-side group map;
+    *    group, provably; an EMPTY file (n = 0) contributes nothing;
+    *  - COVERED + every key RESOLVED + every output answerable
+    *    (the shared [[FileLaw]]) — contributes its slots to the
+    *    driver-side group map;
     *  - everything else BOUNDARY-scans with the filter intact.
+    * A key RESOLVES per file three ways:
+    *  - a BARE stat-column attribute ([[mmColFor]] law — a group VALUE
+    *    is served, so the type must reconstruct losslessly: integer-
+    *    image, ver ≥ 6 decimal, or string), single-valued
+    *    (`min == max`, null-free `cnt == n`);
+    *  - ALL-NULL in the key (`cnt == 0`): the file's rows belong to
+    *    SQL's NULL group — served, composing with the complement-count
+    *    law (the whitelisted date mappings below are null-intolerant,
+    *    so their NULL group is exactly the column's);
+    *  - a WHITELISTED date mapping over a date/timestamp stat column —
+    *    `year(d)`, `quarter(d)`, `month(d)`, `trunc(d, 'mm'|…)`,
+    *    `date_trunc('month'|…, ts)` — whose per-file CONSTANCY is
+    *    provable from the bounds alone: monotone truncations are
+    *    constant iff they agree on min and max; the periodic
+    *    year-resetting extractions (month, quarter) iff min and max
+    *    share the truncated (year, period) — `month(d)` equal at the
+    *    ends of a 13-month span is NOT constant, and the witness
+    *    refuses it. The group VALUE evaluates the query's OWN
+    *    expression over the bound (no reimplementation to drift);
+    *    timestamp mappings gate on a UTC session AND a UTC cast/trunc
+    *    zone, the same discipline as every timestamp rendering here.
+    *  Mixed-null keys (0 < cnt < n) boundary-scan: their rows split
+    *  between the value group and the NULL group, and two proper
+    *  subsets are unknowable from counts.
     * Every output owns partial SLOTS — count: matching rows; sum: the
-    * exact integer value-sum or NULL for "no values"; avg: a DOUBLE
-    * value-sum (exactly like Spark's own integral Average, so an ANSI
-    * session cannot throw where the direct query succeeds) plus the
-    * non-null count — and the metadata rows and the boundary scan's
-    * partial aggregates share that layout, so the merge is ONE
-    * per-group `Sum` per slot over their UNION (null sum slots skip,
-    * keeping no-values groups NULL, never 0; avg divides once,
-    * zero-count-guarded), folding to a zero-job `LocalRelation` of the
-    * group map when no boundary remains. CONSERVATIVE gates: exactly
-    * one BARE grouping attribute whose original type reconstructs
-    * losslessly from the stat unit (the min/max law — a group VALUE is
-    * served, so lossy reconstruction would mislabel groups), outputs
-    * limited to the grouping attribute, non-distinct
-    * `count(<literal>)`s, and non-TRY `sum`/`avg` over integral stat
-    * columns, and the shared [[aggGate]] conjunct discipline. A group
-    * column that is not a stat column, a float sum, an expression
-    * key, a second grouping key — refuse, the unrewritten aggregate is
-    * always correct.
+    * exact integer (or unscaled-decimal) value-sum or NULL for "no
+    * values"; avg: the value-sum plus the non-null count (DOUBLE sums
+    * for integral inputs, exactly like Spark's own Average; DECIMAL
+    * sums at Sum's (p+10, s) type with the final division evaluated
+    * through Spark's OWN average expression, [[avgEval]]); min/max:
+    * the file's own stat under [[FileLaw.mmAnswerable]] — and the
+    * metadata rows and the boundary scan's partial aggregates share
+    * that slot layout, so the merge is ONE per-group aggregate per
+    * slot over their UNION (Sum for adds, Min/Max for extrema — a
+    * partial min of partial mins IS the min), folding to a zero-job
+    * `LocalRelation` of the group map when no boundary remains.
+    * Driver cost: O(|files| · |outputs|) manifest folds and a group
+    * map bounded by |served files| — the manifest's own magnitude, the
+    * bounded driver artifact this subsystem already holds.
+    * CONSERVATIVE gates: outputs limited to group keys, non-distinct
+    * `count(<literal>)`s, non-TRY `sum`/`avg` over [[sumColFor]]
+    * columns, and `min`/`max` over [[mmColFor]] columns; the shared
+    * [[aggGate]] conjunct discipline. A non-stat key, a float sum, a
+    * non-whitelisted expression key — refuse, the unrewritten
+    * aggregate is always correct.
     */
-  private def groupedCountFromMeta(g0: Expression,
+  private def groupedCountFromMeta(gs: Seq[Expression],
                                    outs: Seq[NamedExpression],
                                    child: LogicalPlan)
       : Option[LogicalPlan] = {
-    val g = g0 match {
-      case a: AttributeReference => a
-      case _ => return None
+    // the grouped arm's child shapes: [[aggShape]]'s, plus the
+    // analyzer's own PullOutGroupingExpressions form — a Project
+    // carrying `<expr> AS _groupingexpression#N` aliases (every
+    // expression group key reaches the optimizer THIS way, the bare
+    // expression never does) — whose aliases substitute back into the
+    // grouping keys below; an alias referenced by anything the stats
+    // cannot answer (an aggregate over it, an unrecognized expression)
+    // refuses downstream through the same column-resolution gates
+    def groupedShape(c: LogicalPlan)
+        : Option[(Option[Expression], LogicalRelation,
+          Map[Long, Expression])] = {
+      def split(pl: Seq[NamedExpression]): Option[Map[Long, Expression]] =
+        if (pl.forall(p => p.isInstanceOf[AttributeReference] ||
+          p.isInstanceOf[Alias]))
+          Some(pl.collect { case al @ Alias(e, _) =>
+            al.exprId.id -> e }.toMap)
+        else None
+      c match {
+        case rel: LogicalRelation => Some((None, rel, Map.empty))
+        case Filter(cnd, rel: LogicalRelation) =>
+          Some((Some(cnd), rel, Map.empty))
+        case Project(pl, rel: LogicalRelation) =>
+          split(pl).map(m => (None, rel, m))
+        case Project(pl, Filter(cnd, rel: LogicalRelation)) =>
+          split(pl).map(m => (Some(cnd), rel, m))
+        case Filter(cnd, Project(pl, rel: LogicalRelation))
+            if pl.forall(_.isInstanceOf[AttributeReference]) =>
+          Some((Some(cnd), rel, Map.empty))
+        case _ => None
+      }
     }
-    sealed trait GOut
-    case object GKey extends GOut
-    case object GCnt extends GOut
-    case class GSum(a: AttributeReference) extends GOut
-    case class GAvg(a: AttributeReference) extends GOut
-    val parsed: Seq[Option[(NamedExpression, GOut)]] = outs.map {
-      case a: AttributeReference if a.exprId == g.exprId => Some((a, GKey))
-      case al @ Alias(a: AttributeReference, _) if a.exprId == g.exprId =>
-        Some((al, GKey))
-      case al @ Alias(AggregateExpression(
-        Count(Seq(Literal(v, _))), _, false, None, _), _) if v != null =>
-        Some((al, GCnt))
-      // grouped sum/avg ride the v5 sum slots under the same TRY-mode
-      // refusal as the ungrouped arm
-      case al @ Alias(AggregateExpression(
-        Sum(a: AttributeReference, ctx), _, false, None, _), _)
-          if ctx.evalMode != EvalMode.TRY =>
-        Some((al, GSum(a)))
-      case al @ Alias(AggregateExpression(
-        Average(a: AttributeReference, em), _, false, None, _), _)
-          if em != EvalMode.TRY =>
-        Some((al, GAvg(a)))
-      case _ => None
+    val (condOpt, rel, pulled) = groupedShape(child).getOrElse(return None)
+    def unPull(e: Expression): Expression = e match {
+      case a: AttributeReference => pulled.getOrElse(a.exprId.id, a)
+      case other => other
     }
-    if (parsed.exists(_.isEmpty)) return None
-    val gOuts = parsed.flatten
-    if (!gOuts.exists(o => o._2 != GKey)) return None
-    val (condOpt, rel) = aggShape(child).getOrElse(return None)
     val (entry, metaOpt, relFiles) = freshEntry(rel).getOrElse(return None)
     val meta = metaOpt.getOrElse(return None)
     val ex = new Extract(rel, entry.statCols, utcSession)
-    // the group column: a described stat column whose ORIGINAL type
-    // reconstructs losslessly from the stat unit (the mmCol law — a
-    // group VALUE is being served)
-    val gCol: String = (g.dataType match {
-      case ByteType | ShortType | IntegerType | LongType | DateType |
-           TimestampType =>
-        ex.statName(g).collect { case (c, ex.Same) => c }
-          .filterNot(meta.strCols.contains)
-      case StringType => ex.sStatName(g).filter(meta.strCols.contains)
+    val cmpS = graft.operators.ZoneMapMeta.cmpUtf8 _
+
+    // ---- group keys ----
+    /** One grouping key: `gOrig` as the Aggregate's grouping list has
+      * it (possibly a pulled `_groupingexpression` attribute), `g` the
+      * substituted-back expression the stats reason about, the stat
+      * column it reads, and (for expression keys) the constancy
+      * witness over the file's [min, max] in the stat unit. */
+    case class GKey(gOrig: Expression, g: Expression,
+                    a: AttributeReference, c: String,
+                    isStr: Boolean,
+                    witness: Option[(Long, Long) => Boolean]) {
+      /** The group value when the file is provably constant: the
+        * query's OWN expression evaluated at the bound (internal
+        * form) — for a bare attribute this is the reconstructed stat
+        * value itself. */
+      def valueAt(unit: Long): Any = g.transform {
+        case att: AttributeReference if att.exprId == a.exprId =>
+          Literal(internalOf(unit, a.dataType), a.dataType)
+      }.eval()
+    }
+    def keyCol(a: AttributeReference): Option[(String, Boolean)] =
+      mmColFor(ex, meta, a).map(c => (c, meta.strCols.contains(c)))
+    // the date source under a whitelisted mapping: the bare attr of the
+    // wanted type, or the analyzer's own date↔timestamp cast — UTC
+    // session AND UTC cast zone only (the same two-sided gate as
+    // [[RuntimeFilterJoin]]'s unwrap: a non-UTC cast's mapping is not
+    // the one the driver-side witness inverts)
+    def dateSrc(e: Expression,
+                want: org.apache.spark.sql.types.DataType)
+        : Option[AttributeReference] = e match {
+      case a: AttributeReference if a.dataType == want => Some(a)
+      case Cast(a: AttributeReference, t, tz, _)
+          if t == want &&
+            (a.dataType == DateType || a.dataType == TimestampType) &&
+            utcSession && tz.forall(_ == "UTC") => Some(a)
       case _ => None
-    }).getOrElse(return None)
+    }
+    def ldOf(unit: Long,
+             dt: org.apache.spark.sql.types.DataType): java.time.LocalDate =
+      dt match {
+        case DateType => java.time.LocalDate.ofEpochDay(unit)
+        case _ => // TimestampType epoch micros, rendered in UTC (gated)
+          java.time.LocalDateTime.ofEpochSecond(
+            Math.floorDiv(unit, 1000000L), 0,
+            java.time.ZoneOffset.UTC).toLocalDate
+      }
+    // trunc formats that are MONOTONE over time (constant-iff-equal-at-
+    // the-ends); `day`/`dd` additionally for date_trunc (a date's trunc
+    // to day is the identity — listed for the timestamp form only)
+    val monotoneFmts =
+      Set("year", "yyyy", "yy", "quarter", "month", "mon", "mm", "week")
+    def fmtOf(e: Expression): Option[String] = e match {
+      case Literal(u: org.apache.spark.unsafe.types.UTF8String,
+        StringType) =>
+        Option(u).map(_.toString.toLowerCase(java.util.Locale.ROOT))
+      case _ => None
+    }
+    def exprKey(gOrig: Expression, g: Expression): Option[GKey] = {
+      def mk(a: AttributeReference,
+             w: (Long, Long) => Boolean): Option[GKey] =
+        keyCol(a).collect { case (c, false) =>
+          GKey(gOrig, g, a, c, isStr = false, Some(w)) }
+      import org.apache.spark.sql.catalyst.expressions.{Month, Quarter, TruncDate, TruncTimestamp, Year}
+      g match {
+        case Year(ch) => dateSrc(ch, DateType).flatMap(a =>
+          mk(a, (lo, hi) =>
+            ldOf(lo, a.dataType).getYear == ldOf(hi, a.dataType).getYear))
+        case Quarter(ch) => dateSrc(ch, DateType).flatMap { a =>
+          def q(u: Long) = {
+            val d = ldOf(u, a.dataType)
+            (d.getYear, (d.getMonthValue - 1) / 3)
+          }
+          mk(a, (lo, hi) => q(lo) == q(hi))
+        }
+        case Month(ch) => dateSrc(ch, DateType).flatMap { a =>
+          // month RESETS yearly: equal month values 13 months apart are
+          // not constancy — the witness is the full (year, month) pair
+          def m(u: Long) = {
+            val d = ldOf(u, a.dataType)
+            (d.getYear, d.getMonthValue)
+          }
+          mk(a, (lo, hi) => m(lo) == m(hi))
+        }
+        case td @ TruncDate(ch, fmt)
+            if fmtOf(fmt).exists(monotoneFmts.contains) =>
+          dateSrc(ch, DateType).flatMap { a =>
+            def v(u: Long) =
+              GKey(td, td, a, "", isStr = false, None).valueAt(u)
+            mk(a, (lo, hi) => v(lo) == v(hi))
+          }
+        case tt @ TruncTimestamp(fmt, ch, tz)
+            if fmtOf(fmt).exists(f =>
+              monotoneFmts.contains(f) || f == "day" || f == "dd") &&
+              utcSession && tz.forall(_ == "UTC") =>
+          dateSrc(ch, TimestampType).flatMap { a =>
+            def v(u: Long) =
+              GKey(tt, tt, a, "", isStr = false, None).valueAt(u)
+            mk(a, (lo, hi) => v(lo) == v(hi))
+          }
+        case _ => None
+      }
+    }
+    val keysOpt: Seq[Option[GKey]] = gs.map { gOrig =>
+      unPull(gOrig) match {
+        case a: AttributeReference =>
+          keyCol(a).map { case (c, isStr) =>
+            GKey(gOrig, a, a, c, isStr, None) }
+        case g => exprKey(gOrig, g)
+      }
+    }
+    if (keysOpt.exists(_.isEmpty)) return None
+    val keys = keysOpt.flatten
+
+    // ---- outputs ----
+    sealed trait GOut
+    case class GKeyOut(i: Int) extends GOut
+    case object GCnt extends GOut
+    case class GSum(a: AttributeReference, em: EvalMode.Value) extends GOut
+    case class GAvg(a: AttributeReference, em: EvalMode.Value) extends GOut
+    case class GMin(a: AttributeReference) extends GOut
+    case class GMax(a: AttributeReference) extends GOut
+    def keyIdx(ne: NamedExpression): Option[Int] = {
+      val e = ne match { case Alias(ch, _) => ch; case other => other }
+      keys.zipWithIndex.collectFirst {
+        case (k, i) if e.semanticEquals(k.gOrig) ||
+          e.semanticEquals(k.g) => i
+      }
+    }
+    val parsed: Seq[Option[(NamedExpression, GOut)]] = outs.map { ne =>
+      keyIdx(ne).map(i => (ne, GKeyOut(i): GOut)).orElse(ne match {
+        case al @ Alias(AggregateExpression(
+          Count(Seq(Literal(v, _))), _, false, None, _), _) if v != null =>
+          Some((al, GCnt))
+        // grouped sum/avg ride the sum slots under the same TRY-mode
+        // refusal as the ungrouped arm
+        case al @ Alias(AggregateExpression(
+          Sum(a: AttributeReference, ctx), _, false, None, _), _)
+            if ctx.evalMode != EvalMode.TRY =>
+          Some((al, GSum(a, ctx.evalMode)))
+        case al @ Alias(AggregateExpression(
+          Average(a: AttributeReference, em), _, false, None, _), _)
+            if em != EvalMode.TRY =>
+          Some((al, GAvg(a, em)))
+        case al @ Alias(AggregateExpression(
+          org.apache.spark.sql.catalyst.expressions.aggregate
+            .Min(a: AttributeReference), _, false, None, _), _) =>
+          Some((al, GMin(a)))
+        case al @ Alias(AggregateExpression(
+          org.apache.spark.sql.catalyst.expressions.aggregate
+            .Max(a: AttributeReference), _, false, None, _), _) =>
+          Some((al, GMax(a)))
+        case _ => None
+      })
+    }
+    if (parsed.exists(_.isEmpty)) return None
+    val gOuts = parsed.flatten
+    if (!gOuts.exists(o => !o._2.isInstanceOf[GKeyOut])) return None
+    def sumColOf(a: AttributeReference): Option[String] =
+      sumColFor(ex, meta, a)
+    def mmColOf(a: AttributeReference): Option[String] =
+      mmColFor(ex, meta, a)
+    val colsOk = gOuts.forall {
+      case (_, GSum(a, _)) => sumColOf(a).isDefined
+      case (_, GAvg(a, _)) => sumColOf(a).isDefined
+      case (_, GMin(a)) => mmColOf(a).isDefined
+      case (_, GMax(a)) => mmColOf(a).isDefined
+      case _ => true
+    }
+    if (!colsOk) return None
     val gate = aggGate(condOpt, rel, ex, entry.statCols)
       .getOrElse(return None)
     val law = new FileLaw(gate, meta)
-    def sumColOf(a: AttributeReference): Option[String] =
-      a.dataType match {
-        // decimal slots are long-UNSCALED; the grouped merge below is
-        // long-typed — refuse until the grouped arm grows decimal legs
-        case _: DecimalType => None
-        case _ => sumColFor(ex, meta, a)
-      }
-    val sumOk = gOuts.forall {
-      case (_, GSum(a)) => sumColOf(a).isDefined
-      case (_, GAvg(a)) => sumColOf(a).isDefined
-      case _ => true
-    }
-    if (!sumOk) return None
     val relSet = relFiles.map(PathNorm.norm).toSet
     val files = meta.files.filter(f => relSet.contains(PathNorm.norm(f.file)))
-    // the non-key outputs, each owning 1 partial slot (count: matching
-    // rows; sum: value-sum-or-null) or 2 (avg: value-sum + non-null
-    // count) — metadata contributions and the boundary scan's partial
-    // aggregates share this exact layout, so the merge is ONE
-    // per-group Sum over their union, no per-output special cases
-    val aggOuts = gOuts.filter(_._2 != GKey)
+
+    // ---- per-file fold ----
+    /** Key state per file: Some(value) = every row belongs to ONE group
+      * in this key (value may be [[NullGroup]] — the file is ALL-null
+      * and its rows belong to SQL's null group); None = mixed/unknown,
+      * the file boundary-scans. */
+    case object NullGroup
+    def keyState(f: ZoneMapMeta.FileStat, k: GKey): Option[Any] =
+      f.cnts.getOrElse(k.c, None) match {
+        case Some(0L) => Some(NullGroup)
+        case Some(ct) if ct == f.n =>
+          if (k.isStr)
+            f.sstats.getOrElse(k.c, None).collect {
+              case (mn, mx) if mn == mx =>
+                org.apache.spark.unsafe.types.UTF8String.fromString(mn)
+            }
+          else f.stats.getOrElse(k.c, None).flatMap { case (mn, mx) =>
+            k.witness match {
+              case None => if (mn == mx) Option(k.valueAt(mn)) else None
+              case Some(w) => if (w(mn, mx)) Option(k.valueAt(mn)) else None
+            }
+          }
+        case _ => None // mixed nulls or unknown count: boundary
+      }
+    def mmContrib(f: ZoneMapMeta.FileStat, a: AttributeReference,
+                  isMin: Boolean): Option[Seq[Option[Any]]] = {
+      val c = mmColOf(a).get
+      if (law.isNullCols.contains(c)) Some(Seq(None)) // all-null survivors
+      else if (!law.mmAnswerable(f, c)) None
+      else if (meta.strCols.contains(c))
+        Some(Seq(f.sstats.getOrElse(c, None)
+          .map(p => if (isMin) p._1 else p._2)))
+      else Some(Seq(f.stats.getOrElse(c, None)
+        .map(p => if (isMin) p._1 else p._2)))
+    }
+    def answerOf(f: ZoneMapMeta.FileStat,
+                 o: GOut): Option[Seq[Option[Any]]] = o match {
+      case GCnt => law.cntAnswer(f).map(ct => Seq(Some(ct)))
+      case GSum(a, _) =>
+        law.sumPair(f, sumColOf(a).get).map { case (sm, _) => Seq(sm) }
+      case GAvg(a, _) =>
+        law.sumPair(f, sumColOf(a).get).map { case (sm, ct) =>
+          Seq(sm, Some(ct)) }
+      case GMin(a) => mmContrib(f, a, isMin = true)
+      case GMax(a) => mmContrib(f, a, isMin = false)
+      case _ => None // GKeyOut filtered out below
+    }
+    val aggOuts = gOuts.filter(!_._2.isInstanceOf[GKeyOut])
+    def slotsOf(o: GOut): Int = o match {
+      case GAvg(_, _) => 2
+      case _ => 1
+    }
+    val slotOffs = aggOuts.scanLeft(0)((off, p) => off + slotsOf(p._2))
+    val nSlots = slotOffs.last
+    /** Slot values are raw stat-unit longs (counts, value sums,
+      * extrema) or raw strings; None = "no values yet". Adds merge by
+      * `addExact` (overflow aborts the rewrite via the NonFatal catch),
+      * extrema by min/max in the stat order. */
+    def foldSlot(o: GOut, acc: Option[Any],
+                 v: Option[Any]): Option[Any] = (acc, v) match {
+      case (a, None) => a
+      case (None, s) => s
+      case (Some(x), Some(y)) => o match {
+        case GMin(a) if a.dataType == StringType =>
+          Some(if (cmpS(x.asInstanceOf[String],
+            y.asInstanceOf[String]) <= 0) x else y)
+        case GMax(a) if a.dataType == StringType =>
+          Some(if (cmpS(x.asInstanceOf[String],
+            y.asInstanceOf[String]) >= 0) x else y)
+        case GMin(_) =>
+          Some(math.min(x.asInstanceOf[Long], y.asInstanceOf[Long]))
+        case GMax(_) =>
+          Some(math.max(x.asInstanceOf[Long], y.asInstanceOf[Long]))
+        case _ =>
+          Some(Math.addExact(x.asInstanceOf[Long], y.asInstanceOf[Long]))
+      }
+    }
     val metaGroups =
-      scala.collection.mutable.Map.empty[Any, Array[Option[Long]]]
+      scala.collection.mutable.LinkedHashMap
+        .empty[Seq[Any], Array[Option[Any]]]
     val boundary = Seq.newBuilder[String]
     var nBoundary = 0
     files.foreach { f =>
-      val covs = law.covs(f)
-      if (covs.contains(0)) () // provably zero matching rows: no group
+      if (f.n == 0L) () // an empty file has no rows and no groups
       else {
-        val single: Option[Any] =
-          if (meta.strCols.contains(gCol))
-            f.sstats.getOrElse(gCol, None).collect {
-              case (mn, mx) if mn == mx => mn
+        val covs = law.covs(f)
+        if (covs.contains(0)) () // provably zero matching rows: no group
+        else {
+          val kvs = keys.map(keyState(f, _))
+          val contribs: Option[Seq[Seq[Option[Any]]]] =
+            if (!(covs.forall(_ == 2) && kvs.forall(_.isDefined))) None
+            else {
+              val per = aggOuts.map { case (_, o) => answerOf(f, o) }
+              if (per.exists(_.isEmpty)) None else Some(per.map(_.get))
             }
-          else f.stats.getOrElse(gCol, None).collect {
-            case (mn, mx) if mn == mx => mn
-          }
-        val contribs: Option[Seq[Option[Long]]] =
-          if (!(covs.forall(_ == 2) && single.isDefined &&
-            f.cnts.getOrElse(gCol, None).contains(f.n))) None
-          else {
-            val per: Seq[Option[Seq[Option[Long]]]] = aggOuts.map {
-              case (_, GCnt) => law.cntAnswer(f).map(ct => Seq(Some(ct)))
-              case (_, GSum(a)) => law.sumPair(f, sumColOf(a).get)
-                .map { case (sm, _) => Seq(sm) }
-              case (_, GAvg(a)) => law.sumPair(f, sumColOf(a).get)
-                .map { case (sm, ct) => Seq(sm, Some(ct)) }
-              case _ => None // GKey filtered out above
-            }
-            if (per.exists(_.isEmpty)) None else Some(per.flatMap(_.get))
-          }
-        contribs match {
-          case Some(vals) =>
-            val acc = metaGroups.getOrElseUpdate(single.get,
-              Array.fill[Option[Long]](vals.length)(None))
-            vals.zipWithIndex.foreach { case (v, i) =>
-              (acc(i), v) match {
-                // exact integer accumulation; a null slot ("no values")
-                // acts as the additive identity without becoming 0
-                case (Some(x), Some(y)) => acc(i) = Some(Math.addExact(x, y))
-                case (None, Some(y)) => acc(i) = Some(y)
-                case _ => ()
+          contribs match {
+            case Some(vals) =>
+              val acc = metaGroups.getOrElseUpdate(kvs.map(_.get),
+                Array.fill[Option[Any]](nSlots)(None))
+              var off = 0
+              aggOuts.zip(vals).foreach { case ((_, o), vs) =>
+                vs.zipWithIndex.foreach { case (v, j) =>
+                  acc(off + j) = foldSlot(o, acc(off + j), v)
+                }
+                off += slotsOf(o)
               }
-            }
-          case None => boundary += f.file; nBoundary += 1
+            case None => boundary += f.file; nBoundary += 1
+          }
         }
       }
     }
-    def internalG(v: Any): Any =
-      if (meta.strCols.contains(gCol))
-        org.apache.spark.unsafe.types.UTF8String
-          .fromString(v.asInstanceOf[String])
-      else internalOf(v.asInstanceOf[Long], g.dataType)
-    val bFiles = boundary.result()
-    // slot offsets into the per-group accumulator, per agg output
-    val slotOffs: Seq[Int] = aggOuts.scanLeft(0) { case (off, (_, o)) =>
-      off + (o match { case GAvg(_) => 2; case _ => 1 })
+
+    // ---- emit ----
+    def keyInternal(v: Any): Any = v match {
+      case NullGroup => null
+      case other => other
     }
+    def sumTypeOf(a: AttributeReference)
+        : org.apache.spark.sql.types.DataType = a.dataType match {
+      case d: DecimalType => sumDecType(d)
+      case _ => LongType
+    }
+    /** The metadata row's slot values for one output (raw-partial
+      * form — shared verbatim between the LocalRelation fold's final
+      * values and the Union leg's partial rows for adds/extrema; avg
+      * finalizes separately). */
+    def slotValues(o: GOut, acc: Array[Option[Any]],
+                   off: Int): Seq[Any] = o match {
+      case GCnt => Seq(acc(off).map(_.asInstanceOf[Long])
+        .getOrElse(0L))
+      case GSum(a, _) => a.dataType match {
+        case d: DecimalType => Seq(acc(off)
+          .map(u => decOf(u.asInstanceOf[Long], d.scale, sumDecType(d)))
+          .orNull)
+        case _ => Seq(acc(off).map(u => Long.box(u.asInstanceOf[Long]))
+          .orNull)
+      }
+      case GAvg(a, _) =>
+        val cnt = acc(off + 1).map(_.asInstanceOf[Long]).getOrElse(0L)
+        val sm = a.dataType match {
+          case d: DecimalType => acc(off)
+            .map(u => decOf(u.asInstanceOf[Long], d.scale, sumDecType(d)))
+            .orNull
+          case _ => acc(off)
+            .map(u => Double.box(u.asInstanceOf[Long].toDouble)).orNull
+        }
+        Seq(sm, cnt)
+      case GMin(a) => Seq(mmInternal(a, acc(off)))
+      case GMax(a) => Seq(mmInternal(a, acc(off)))
+      case _ => Seq.empty
+    }
+    def mmInternal(a: AttributeReference, v: Option[Any]): Any =
+      if (a.dataType == StringType)
+        v.map(s => org.apache.spark.unsafe.types.UTF8String
+          .fromString(s.asInstanceOf[String])).orNull
+      else v.map(l => internalOf(l.asInstanceOf[Long], a.dataType)).orNull
+    val bFiles = boundary.result()
     if (bFiles.isEmpty)
       // the whole grouped aggregate is a metadata read: one
       // LocalRelation row per group, zero Spark jobs when nothing scans
       Some(LocalRelation(outs.map(_.toAttribute),
-        metaGroups.toSeq.map { case (gv, acc) =>
+        metaGroups.toSeq.map { case (gvs, acc) =>
           var ai = 0
           InternalRow.fromSeq(gOuts.map {
-            case (_, GKey) => internalG(gv)
+            case (_, GKeyOut(i)) => keyInternal(gvs(i))
             case (_, o) =>
               val off = slotOffs(ai); ai += 1
               o match {
-                case GCnt => acc(off).getOrElse(0L)
-                case GSum(_) => acc(off).map(Long.box).orNull
-                case GAvg(_) =>
-                  val ct = acc(off + 1).getOrElse(0L)
-                  if (ct == 0L) null
-                  else acc(off).map(_.toDouble / ct.toDouble)
-                    .map(Double.box).orNull
-                case GKey => null // unreachable
+                case GAvg(a, em) =>
+                  val cnt =
+                    acc(off + 1).map(_.asInstanceOf[Long]).getOrElse(0L)
+                  if (cnt == 0L) null
+                  else a.dataType match {
+                    case d: DecimalType =>
+                      // Spark's OWN average expression over the exact
+                      // (sum, count) pair, evaluated on the driver
+                      val sumT = sumDecType(d)
+                      avgEval(a, em,
+                        Literal(decOf(acc(off).get.asInstanceOf[Long],
+                          d.scale, sumT), sumT),
+                        Literal(cnt)).eval()
+                    case _ => acc(off)
+                      .map(u => Double
+                        .box(u.asInstanceOf[Long].toDouble / cnt.toDouble))
+                      .orNull
+                  }
+                case other => slotValues(other, acc, off).head
               }
           })
         }))
     else if (nBoundary >= files.size) None // nothing answered: no churn
     else rebuild(rel, bFiles.sorted).map { scan =>
-      val inner = condOpt.map(Filter(_, scan)).getOrElse(scan)
+      // the scan leg keeps the ORIGINAL child plan (its filter, and
+      // the analyzer's pulled-grouping Project when present) with only
+      // the relation swapped for its survivor projection — exprIds are
+      // preserved by rebuild, so everything above resolves unchanged
+      val inner = child.transformUp {
+        case r: LogicalRelation if r eq rel => scan
+      }
+      // scan-leg key outputs: the attr itself for bare/pulled keys
+      // (Union keeps the FIRST child's ids, so the final aggregate
+      // groups by the original attributes), an alias for direct
+      // expression keys
+      val keyOuts: Seq[NamedExpression] = keys.zipWithIndex.map {
+        case (k, i) => k.gOrig match {
+          case a: AttributeReference => a
+          case g => Alias(g, s"gk_$i")()
+        }
+      }
       // scan-leg partials in the exact slot layout the metadata rows
-      // use — count partials as longs, sum partials long (ANSI parity
-      // with the direct grouped sum), avg value-sums in DOUBLE exactly
-      // like Average itself (a long part would throw where the direct
-      // average succeeds)
+      // use — count partials as longs, integral sum partials long
+      // (ANSI parity with the direct grouped sum), decimal sums at
+      // Sum's own (p+10, s), avg value-sums DOUBLE for integral inputs
+      // exactly like Average itself, extrema as native Min/Max
       val partExprs =
         scala.collection.mutable.ArrayBuffer.empty[NamedExpression]
       def addPart(e: Expression): Unit =
         partExprs += Alias(e, s"part_${partExprs.size}")()
       aggOuts.foreach {
         case (_, GCnt) => addPart(Count(Literal(1)).toAggregateExpression())
-        case (_, GSum(a)) => addPart(Sum(a).toAggregateExpression())
-        case (_, GAvg(a)) =>
-          addPart(Sum(Cast(a, DoubleType)).toAggregateExpression())
+        case (_, GSum(a, _)) => addPart(Sum(a).toAggregateExpression())
+        case (_, GAvg(a, _)) =>
+          a.dataType match {
+            case _: DecimalType => addPart(Sum(a).toAggregateExpression())
+            case _ =>
+              addPart(Sum(Cast(a, DoubleType)).toAggregateExpression())
+          }
           addPart(Count(a).toAggregateExpression())
+        case (_, GMin(a)) => addPart(
+          org.apache.spark.sql.catalyst.expressions.aggregate.Min(a)
+            .toAggregateExpression())
+        case (_, GMax(a)) => addPart(
+          org.apache.spark.sql.catalyst.expressions.aggregate.Max(a)
+            .toAggregateExpression())
         case _ => ()
       }
-      val scanAgg = Aggregate(Seq(g), g +: partExprs.toSeq, inner)
+      val scanAgg = Aggregate(gs, keyOuts ++ partExprs.toSeq, inner)
       // the metadata leg: same arity and types, one row per group
-      val gMeta = AttributeReference("g_meta", g.dataType)()
-      val metaAttrs = gMeta +: aggOuts.flatMap {
+      val metaKeyAttrs = keys.zipWithIndex.map { case (k, i) =>
+        AttributeReference(s"g_meta_$i", k.g.dataType)()
+      }
+      val metaSlotAttrs = aggOuts.flatMap {
         case (_, GCnt) =>
           Seq(AttributeReference("m_cnt", LongType, nullable = false)())
-        case (_, GSum(_)) => Seq(AttributeReference("m_sum", LongType)())
-        case (_, GAvg(_)) =>
-          Seq(AttributeReference("m_asum", DoubleType)(),
-            AttributeReference("m_acnt", LongType, nullable = false)())
+        case (_, GSum(a, _)) =>
+          Seq(AttributeReference("m_sum", sumTypeOf(a))())
+        case (_, GAvg(a, _)) => Seq(
+          AttributeReference("m_asum", sumTypeOf(a) match {
+            case d: DecimalType => d
+            case _ => DoubleType
+          })(),
+          AttributeReference("m_acnt", LongType, nullable = false)())
+        case (_, GMin(a)) => Seq(AttributeReference("m_mm", a.dataType)())
+        case (_, GMax(a)) => Seq(AttributeReference("m_mx", a.dataType)())
         case _ => Seq.empty
       }
-      val metaRel = LocalRelation(metaAttrs,
-        metaGroups.toSeq.map { case (gv, acc) =>
+      val metaRel = LocalRelation(metaKeyAttrs ++ metaSlotAttrs,
+        metaGroups.toSeq.map { case (gvs, acc) =>
           var ai = 0
-          InternalRow.fromSeq(internalG(gv) +: aggOuts.flatMap {
+          InternalRow.fromSeq(gvs.map(keyInternal) ++ aggOuts.flatMap {
             case (_, o) =>
               val off = slotOffs(ai); ai += 1
-              o match {
-                case GCnt => Seq(acc(off).getOrElse(0L))
-                case GSum(_) => Seq(acc(off).map(Long.box).orNull)
-                case GAvg(_) => Seq(
-                  acc(off).map(v => Double.box(v.toDouble)).orNull,
-                  acc(off + 1).getOrElse(0L))
-                case GKey => Seq.empty
-              }
+              slotValues(o, acc, off)
           })
         })
       // Union keeps the FIRST child's attr ids, so the final aggregate
-      // groups by g itself and every slot composes by per-group Sum —
-      // exactly how partial aggregates merge (null sum slots are "no
-      // values" and Sum skips them, so a group whose every leg had no
-      // values stays NULL, never 0)
+      // groups by the scan leg's keys and every slot composes by a
+      // per-group aggregate — Sum for adds (null slots are "no values"
+      // and Sum skips them, so a group whose every leg had no values
+      // stays NULL, never 0), Min/Max for extrema (a min of partial
+      // mins IS the min, with exactly the right null skipping)
       val u = org.apache.spark.sql.catalyst.plans.logical
         .Union(Seq(scanAgg, metaRel))
-      val gU = u.output.head
-      val partsU = u.output.tail
+      val gUs = u.output.take(keys.length)
+      val partsU = u.output.drop(keys.length)
       var ai = 0
       val finalOuts = gOuts.map {
-        case (ne, GKey) =>
+        case (ne, GKeyOut(i)) =>
+          val gU = gUs(i)
           if (ne.exprId == gU.exprId) gU
           else Alias(gU, ne.name)(exprId = ne.exprId)
         case (ne, o) =>
@@ -1197,21 +1506,48 @@ case class ZoneMapPrune(spark: SparkSession) extends Rule[LogicalPlan] {
               // the count it replaces
               Coalesce(Seq(Sum(partsU(off)).toAggregateExpression(),
                 Literal(0L)))
-            case GSum(_) => Sum(partsU(off)).toAggregateExpression()
-            case GAvg(_) =>
+            case GSum(a, em) => a.dataType match {
+              case d: DecimalType =>
+                // Sum over the (p+10, s) partials widens to (p+20, s);
+                // CheckOverflow enforces the original result type with
+                // the query's own overflow mode, exactly where the
+                // direct sum's final check sits
+                CheckOverflow(Sum(partsU(off)).toAggregateExpression(),
+                  sumDecType(d), nullOnOverflow = em == EvalMode.LEGACY)
+              case _ => Sum(partsU(off)).toAggregateExpression()
+            }
+            case GAvg(a, em) =>
               // ONE AggregateExpression instance referenced twice —
               // PhysicalAggregation dedups by identity (resultId), so
               // a second instance would compute the sum twice per group
-              val totC = Sum(partsU(off + 1)).toAggregateExpression()
+              val totC = Coalesce(Seq(
+                Sum(partsU(off + 1)).toAggregateExpression(),
+                Literal(0L)))
               val totS = Sum(partsU(off)).toAggregateExpression()
-              If(EqualTo(Coalesce(Seq(totC, Literal(0L))), Literal(0L)),
-                Literal(null, DoubleType),
-                Divide(totS, Cast(totC, DoubleType)))
-            case GKey => gU // unreachable
+              a.dataType match {
+                case d: DecimalType =>
+                  val rt = Average(a, em).dataType
+                  If(EqualTo(totC, Literal(0L)), Literal(null, rt),
+                    avgEval(a, em,
+                      CheckOverflow(totS, sumDecType(d),
+                        nullOnOverflow = em == EvalMode.LEGACY),
+                      totC))
+                case _ =>
+                  If(EqualTo(totC, Literal(0L)),
+                    Literal(null, DoubleType),
+                    Divide(totS, Cast(totC, DoubleType)))
+              }
+            case GMin(_) =>
+              org.apache.spark.sql.catalyst.expressions.aggregate
+                .Min(partsU(off)).toAggregateExpression()
+            case GMax(_) =>
+              org.apache.spark.sql.catalyst.expressions.aggregate
+                .Max(partsU(off)).toAggregateExpression()
+            case GKeyOut(_) => gUs.head // unreachable
           }
           Alias(merged, ne.name)(exprId = ne.exprId)
       }
-      Aggregate(Seq(gU), finalOuts, u)
+      Aggregate(gUs, finalOuts, u)
     }
   }
 

@@ -1417,6 +1417,148 @@ object MiscQueries {
              |  mnp, mxp
              |FROM q18""".stripMargin)),
 
+    // ---- TPC-H Q1 THROUGH THE GROUPED METADATA ARM: multi-key string
+    // grouping (returnflag × linestatus), count, long sum, long avg,
+    // DECIMAL sum/avg (v6 unscaled slots + Spark's own division),
+    // decimal min and date max — on a flag-clustered layout every
+    // per-pair file is single-valued in BOTH keys and serves every
+    // slot from the manifest; only the 5% mixed file scans and merges
+    // through the per-slot Union aggregates. The canonical warehouse
+    // rollup as a metadata read. ZoneMapSpec pins the multi-key law,
+    // the NULL group, and the refusals. Oracle: the full-scan
+    // recompute (decimal avg via the exact two-step HALF_UP integer
+    // replication, as q366). ----
+    Q("q367_zonemap_grouped_q1",
+      (s, dir) => {
+        import graft.operators.ZoneMap
+        import graft.plans.{ZoneMapCatalog, ZoneMapPrune}
+        import org.apache.spark.sql.types.DecimalType
+        val tmp = java.nio.file.Files
+          .createTempDirectory("graft_q367_").toString
+        val l = t(s, dir, "lineitem").select(
+          col("l_returnflag").as("flag"), col("l_linestatus").as("st"),
+          col("l_quantity").cast("long").as("qty"),
+          (((col("l_orderkey") * 4 + col("l_linenumber")) % 400000)
+            * 25 / 100.0).cast(DecimalType(12, 2)).as("price"),
+          to_date(col("l_shipdate")).as("od"),
+          col("l_orderkey"))
+        val pairs = l.select(col("flag"), col("st")).distinct()
+          .collect().map(r => (r.getString(0), r.getString(1))).sorted
+        pairs.foreach { case (f0, s0) => l
+          .filter(col("flag") === f0 && col("st") === s0 &&
+            col("l_orderkey") % 20 =!= 0)
+          .drop("l_orderkey")
+          .coalesce(1).write.mode("append").parquet(s"$tmp/data")
+        }
+        l.filter(col("l_orderkey") % 20 === 0).drop("l_orderkey")
+          .coalesce(1).write.mode("append").parquet(s"$tmp/data")
+        ZoneMap.buildZoneMap(s, s"$tmp/data",
+          Seq("flag", "st", "qty", "price", "od"), s"$tmp/zone")
+        val prev = s.experimental.extraOptimizations
+        s.experimental.extraOptimizations = prev :+ ZoneMapPrune(s)
+        try {
+          ZoneMapCatalog.register(s, s"$tmp/data", s"$tmp/zone",
+            Seq("flag", "st", "qty", "price", "od"))
+          s.read.parquet(s"$tmp/data")
+            .filter(col("od") >= lit(java.sql.Date.valueOf("1992-01-01")))
+            .groupBy(col("flag"), col("st"))
+            .agg(count(lit(1)).as("n"), sum(col("qty")).as("sq"),
+              avg(col("qty")).as("vq"), sum(col("price")).as("sp"),
+              avg(col("price")).as("vp"), min(col("price")).as("mnp"),
+              max(col("od")).as("mxd"))
+            .select(col("flag"), col("st"), col("n"), col("sq"),
+              col("vq"), col("sp"), col("vp").cast("string").as("vp"),
+              col("mnp"), col("mxd"))
+            .localCheckpoint(true) // the multi-key grouped arm fires HERE
+            .orderBy(col("flag"), col("st"))
+        } finally {
+          s.experimental.extraOptimizations = prev
+          ZoneMapCatalog.clear()
+        }
+      },
+      Some("""WITH f AS (
+             |  SELECT l_returnflag AS flag, l_linestatus AS st,
+             |    CAST(l_quantity AS BIGINT) AS qty,
+             |    CAST(((l_orderkey*4 + l_linenumber) % 400000) * 25
+             |         / 100.0 AS DECIMAL(12,2)) AS price,
+             |    CAST(l_shipdate AS DATE) AS od
+             |  FROM lineitem
+             |  WHERE CAST(l_shipdate AS DATE) >= DATE '1992-01-01'),
+             |a AS (
+             |  SELECT flag, st, count(*) AS n, sum(qty) AS sq,
+             |    avg(qty) AS vq, sum(price) AS sp, min(price) AS mnp,
+             |    max(od) AS mxd,
+             |    CAST(sum(price) * 100 AS HUGEINT) AS u,
+             |    count(price) AS k
+             |  FROM f GROUP BY 1, 2),
+             |b AS (SELECT *,
+             |  (2 * u * 10000000000000000 + k) // (2 * k) AS q1
+             |  FROM a)
+             |SELECT flag, st, n, CAST(sq AS BIGINT) AS sq, vq, sp,
+             |  printf('%d.%06d',
+             |    CAST(((2*q1 + 1000000000000) // 2000000000000)
+             |         // 1000000 AS BIGINT),
+             |    CAST(((2*q1 + 1000000000000) // 2000000000000)
+             |         % 1000000 AS BIGINT)) AS vp,
+             |  mnp, mxd
+             |FROM b ORDER BY flag, st""".stripMargin)),
+
+    // ---- MONTHLY ROLLUP THROUGH A MONOTONE EXPRESSION KEY:
+    // `GROUP BY trunc(od, 'mm')` over a month-clustered layout — a
+    // file whose od bounds truncate to the SAME month is provably
+    // single-valued in the month even when its days span, so it
+    // serves its group from the manifest (the value evaluated through
+    // Spark's own trunc); the mixed file scans. The witness refuses
+    // non-constant spans (a 13-month wrap with equal month NUMBERS is
+    // pinned refused in ZoneMapSpec, with year/date_trunc/dayofmonth
+    // variants). Oracle: the full-scan recompute. ----
+    Q("q368_zonemap_grouped_month",
+      (s, dir) => {
+        import graft.operators.ZoneMap
+        import graft.plans.{ZoneMapCatalog, ZoneMapPrune}
+        val tmp = java.nio.file.Files
+          .createTempDirectory("graft_q368_").toString
+        val o = t(s, dir, "orders").select(
+          to_date(col("o_orderdate")).as("od"),
+          col("o_custkey"), col("o_orderkey"))
+          .filter(col("od") >= lit(java.sql.Date.valueOf("1995-01-01")) &&
+            col("od") < lit(java.sql.Date.valueOf("1997-01-01")))
+        val yms = o.select((year(col("od")) * 100 + month(col("od")))
+          .as("ym")).distinct().collect().map(_.getInt(0)).sorted
+        yms.foreach(ym => o
+          .filter(year(col("od")) * 100 + month(col("od")) === ym &&
+            col("o_orderkey") % 20 =!= 0)
+          .drop("o_orderkey")
+          .coalesce(1).write.mode("append").parquet(s"$tmp/data"))
+        o.filter(col("o_orderkey") % 20 === 0).drop("o_orderkey")
+          .coalesce(1).write.mode("append").parquet(s"$tmp/data")
+        ZoneMap.buildZoneMap(s, s"$tmp/data", Seq("od", "o_custkey"),
+          s"$tmp/zone")
+        val prev = s.experimental.extraOptimizations
+        s.experimental.extraOptimizations = prev :+ ZoneMapPrune(s)
+        try {
+          ZoneMapCatalog.register(s, s"$tmp/data", s"$tmp/zone",
+            Seq("od", "o_custkey"))
+          s.read.parquet(s"$tmp/data")
+            .filter(col("od") >= lit(java.sql.Date.valueOf("1995-01-01")))
+            .groupBy(trunc(col("od"), "mm").as("m"))
+            .agg(count(lit(1)).as("n"), sum(col("o_custkey")).as("sck"),
+              avg(col("o_custkey")).as("ack"))
+            .localCheckpoint(true) // the expression-key arm fires HERE
+            .orderBy(col("m"))
+        } finally {
+          s.experimental.extraOptimizations = prev
+          ZoneMapCatalog.clear()
+        }
+      },
+      Some("""SELECT date_trunc('month', CAST(o_orderdate AS DATE)) AS m,
+             |  count(*) AS n, CAST(sum(o_custkey) AS BIGINT) AS sck,
+             |  avg(o_custkey) AS ack
+             |FROM orders
+             |WHERE CAST(o_orderdate AS DATE) >= DATE '1995-01-01'
+             |  AND CAST(o_orderdate AS DATE) < DATE '1997-01-01'
+             |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
     // ---- RUNTIME FILTER through a WIDENING CAST (the real-schema
     // norm): the fact key is INT, the dim key BIGINT, so the analyzer
     // compares `cast(lpk as bigint) = p_partkey` — the r18 rule refused

@@ -1542,6 +1542,166 @@ class ZoneMapSpec extends SparkSpec {
     }
   }
 
+  test("multi-key grouped metadata aggregates (the TPC-H Q1 shape): " +
+    "string pair keys, grouped min/max, decimal sum/avg, the NULL " +
+    "group from an all-null-key file, and the refusals") {
+    import org.apache.spark.sql.types.DecimalType
+    val dir = tmp("metaq1")
+    val flags = Seq("A", "N", "R")
+    val stats = Seq("F", "O")
+    def block(f: String, st: Option[String], n: Int, odBase: String) =
+      spark.range(0, n).select(
+        lit(f).as("flag"),
+        st.map(lit(_)).getOrElse(lit(null).cast("string")).as("st"),
+        (col("id") % 50 + 1).cast("long").as("qty"),
+        ((col("id") % 400) * 25 / 100.0).cast(DecimalType(12, 2))
+          .as("price"),
+        date_add(lit(java.sql.Date.valueOf(odBase)),
+          (col("id") % 20).cast("int")).as("od"))
+    // one file per (flag, st) pair — single-valued in BOTH keys
+    for (f <- flags; st <- stats)
+      block(f, Some(st), 96, "1995-03-01")
+        .coalesce(1).write.mode("append").parquet(s"$dir/data")
+    // an ALL-null-st file: its rows belong to (A, NULL) — served
+    block("A", None, 64, "1995-06-01")
+      .coalesce(1).write.mode("append").parquet(s"$dir/data")
+    // a MIXED file (several flags, some null st), od in 1999: boundary
+    spark.range(0, 80).select(
+      element_at(array(lit("A"), lit("N"), lit("R")),
+        (col("id") % 3 + 1).cast("int")).as("flag"),
+      when(col("id") % 7 === 0, lit(null).cast("string"))
+        .otherwise(element_at(array(lit("F"), lit("O")),
+          (col("id") % 2 + 1).cast("int"))).as("st"),
+      (col("id") % 50 + 1).cast("long").as("qty"),
+      ((col("id") % 400) * 25 / 100.0).cast(DecimalType(12, 2))
+        .as("price"),
+      date_add(lit(java.sql.Date.valueOf("1999-01-01")),
+        (col("id") % 20).cast("int")).as("od"))
+      .coalesce(1).write.mode("append").parquet(s"$dir/data")
+    operators.ZoneMap.buildZoneMap(spark, s"$dir/data",
+      Seq("flag", "st", "qty", "price", "od"), s"$dir/zone")
+    def q1(df: org.apache.spark.sql.DataFrame) =
+      df.groupBy(col("flag"), col("st")).agg(count(lit(1)).as("n"),
+        sum(col("qty")).as("sq"), sum(col("price")).as("sp"),
+        avg(col("price")).as("vp"), min(col("od")).as("mnd"),
+        max(col("price")).as("mxp"))
+    val raw = spark.read.parquet(s"$dir/data")
+    val dAll = q1(raw).collect().map(_.toSeq).toSet
+    val dCov = q1(raw.filter(col("od") < lit(java.sql.Date
+      .valueOf("1999-01-01")))).collect().map(_.toSeq).toSet
+    val prev = spark.experimental.extraOptimizations
+    spark.experimental.extraOptimizations =
+      prev :+ graft.plans.ZoneMapPrune(spark)
+    try {
+      graft.plans.ZoneMapCatalog.register(spark, s"$dir/data",
+        s"$dir/zone", Seq("flag", "st", "qty", "price", "od"))
+      def q = spark.read.parquet(s"$dir/data")
+      // (1) unfiltered: the 6 pair files AND the all-null-st file serve
+      // every slot (count, long sum, decimal sum/avg through Spark's
+      // own division, date min, decimal max); only the mixed file scans
+      val r1 = q1(q)
+      assert(r1.collect().map(_.toSeq).toSet == dAll,
+        "multi-key grouped metadata must equal the direct aggregate")
+      assert(r1.inputFiles.length == 1,
+        s"only the mixed file may open (${r1.inputFiles.length})")
+      // (2) excluding the mixed file by its od span: zero-scan fold,
+      // with the (A, NULL) group served purely from metadata
+      val r2 = q1(q.filter(col("od") < lit(java.sql.Date
+        .valueOf("1999-01-01"))))
+      assert(r2.queryExecution.optimizedPlan
+        .isInstanceOf[org.apache.spark.sql.catalyst.plans.logical
+          .LocalRelation],
+        "all-covered multi-key grouping must fold to metadata")
+      assert(r2.collect().map(_.toSeq).toSet == dCov)
+      assert(r2.collect().exists(r => r.getString(0) == "A" && r.isNullAt(1)),
+        "the all-null-key file must serve the NULL group")
+      // (3) refusal: grouped min over a column under an ACTIVE IS NULL
+      // on another column forces the file to prove the other column
+      // all-null — mixed files scan, result stays exact
+      val dIs = raw.filter(col("st").isNull).groupBy(col("flag"))
+        .agg(count(lit(1)).as("n"), min(col("qty")).as("mq"))
+        .collect().map(_.toSeq).toSet
+      val r3 = q.filter(col("st").isNull).groupBy(col("flag"))
+        .agg(count(lit(1)).as("n"), min(col("qty")).as("mq"))
+      assert(r3.collect().map(_.toSeq).toSet == dIs,
+        "IS NULL + grouped min must stay exact")
+    } finally {
+      spark.experimental.extraOptimizations = prev
+      graft.plans.ZoneMapCatalog.clear()
+    }
+  }
+
+  test("monotone expression group keys: trunc/date_trunc/year serve " +
+    "from mapped bounds, month refuses the 13-month wrap, and a " +
+    "non-whitelisted expression refuses") {
+    val dir = tmp("metamonth")
+    // one file per month for 1995-01..1995-06 (od spans stay INSIDE
+    // the month: day 3 + id%20 ≤ day 22), plus a WRAP file whose od
+    // runs 1995-03-15..1996-03-10 — month(od) is 3 at BOTH ends but
+    // not constant, so the (year, month) witness must boundary-scan
+    // it; ts is od's midnight timestamp twin (UTC session)
+    def block(base: String, spanDays: Int, n: Int) =
+      spark.range(0, n).select(
+        date_add(lit(java.sql.Date.valueOf(base)),
+          (col("id") % spanDays).cast("int")).as("od"),
+        (col("id") % 100).cast("long").as("v"))
+        .select(col("od"), col("od").cast("timestamp").as("ts"), col("v"))
+    (1 to 6).foreach(m => block(f"1995-$m%02d-03", 20, 64)
+      .coalesce(1).write.mode("append").parquet(s"$dir/data"))
+    block("1995-03-15", 361, 64)
+      .coalesce(1).write.mode("append").parquet(s"$dir/data")
+    val dir3 = s"$dir/data"
+    operators.ZoneMap.buildZoneMap(spark, dir3, Seq("od", "ts", "v"),
+      s"$dir/zone3")
+    val raw = spark.read.parquet(dir3)
+    def byTrunc(df: org.apache.spark.sql.DataFrame) =
+      df.groupBy(trunc(col("od"), "mm").as("m"))
+        .agg(count(lit(1)).as("n"), sum(col("v")).as("sv"))
+    def byYear(df: org.apache.spark.sql.DataFrame) =
+      df.groupBy(year(col("od")).as("y")).agg(count(lit(1)).as("n"))
+    def byDt(df: org.apache.spark.sql.DataFrame) =
+      df.groupBy(date_trunc("month", col("ts")).as("m"))
+        .agg(sum(col("v")).as("sv"))
+    def byDom(df: org.apache.spark.sql.DataFrame) =
+      df.groupBy(dayofmonth(col("od")).as("d"))
+        .agg(count(lit(1)).as("n"))
+    val (dT, dY, dD, dDom) = (
+      byTrunc(raw).collect().map(_.toSeq).toSet,
+      byYear(raw).collect().map(_.toSeq).toSet,
+      byDt(raw).collect().map(_.toSeq).toSet,
+      byDom(raw).collect().map(_.toSeq).toSet)
+    val prev = spark.experimental.extraOptimizations
+    spark.experimental.extraOptimizations =
+      prev :+ graft.plans.ZoneMapPrune(spark)
+    try {
+      graft.plans.ZoneMapCatalog.register(spark, dir3, s"$dir/zone3",
+        Seq("od", "ts", "v"))
+      def q = spark.read.parquet(dir3)
+      // (1) trunc(od, 'mm'): the month files serve, the wrap/tail file
+      // scans; values equal the direct aggregate
+      val r1 = byTrunc(q)
+      assert(r1.collect().map(_.toSeq).toSet == dT,
+        "trunc-month grouping must equal the direct aggregate")
+      assert(r1.inputFiles.length < raw.inputFiles.length,
+        "single-month files must serve from metadata (strict subset)")
+      // (2) year(od) and date_trunc('month', ts) both rewrite
+      assert(byYear(q).collect().map(_.toSeq).toSet == dY)
+      assert(byDt(q).collect().map(_.toSeq).toSet == dD)
+      // (3) dayofmonth is NOT a whitelisted mapping (not constant on
+      // any month span): unrewritten, exact
+      val r4 = byDom(q)
+      assert(!r4.queryExecution.optimizedPlan
+        .isInstanceOf[org.apache.spark.sql.catalyst.plans.logical
+          .LocalRelation])
+      assert(r4.inputFiles.length == raw.inputFiles.length,
+        "a non-whitelisted expression key must scan everything")
+      assert(r4.collect().map(_.toSeq).toSet == dDom)
+    } finally {
+      spark.experimental.extraOptimizations = prev
+      graft.plans.ZoneMapCatalog.clear()
+    }
+  }
+
   test("a recognized-but-unmaterializable bound refuses the metadata " +
     "answer: the strict Long.MaxValue edge never mis-counts") {
     // the r18 ADVICE medium: `a > Long.MaxValue` passes the gate's
