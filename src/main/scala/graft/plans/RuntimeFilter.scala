@@ -323,6 +323,26 @@ case class RuntimeFilterJoin(spark: SparkSession) extends Rule[LogicalPlan] {
     // satisfy that equality, hence cannot join)
     val leftPreds = Vector.newBuilder[Expression]
     val rightPreds = Vector.newBuilder[Expression]
+    // SEMI-JOIN ELIMINATION: a LEFT SEMI whose ONLY condition is the
+    // one equi-pair, with the dim's COMPLETE key set harvested into an
+    // exact predicate (an IN over the converted keys, or `false` for
+    // an empty dim), IS that predicate — semi output ≡ "fact rows
+    // whose key equals some dim key" ≡ Filter(In): dim nulls are
+    // excluded from the harvest exactly as the equality never matches
+    // them, a null fact key fails IN exactly as it fails the join, dim
+    // duplicates dedup on both sides, and convertKeys' inverse drops
+    // only keys no fact value can widen onto. The join node, its
+    // exchange, and the build side disappear — and what remains is a
+    // plain Filter-over-scan, which [[ZoneMapPrune]]'s file-skipping
+    // AND metadata-AGGREGATE arms can then answer ("sum of revenue
+    // for these parts" becomes a manifest read on a key-clustered
+    // layout). NEVER for the bloom path: false positives would ADD
+    // rows with no join left to re-check. Same plan-time-snapshot
+    // caveat as the injection itself (documented on the memo above) —
+    // the IN path was already semantically exact row pruning, the
+    // elimination just stops re-checking it.
+    val semiExact = j.joinType == LeftSemi && conjuncts(cond).length == 1
+    var semiEliminate = false
     // BLOOM × ZONE-MAP COMPOSITION: past maxInKeys the injected
     // predicate is the md5 expression, which ZoneMapPrune cannot
     // harvest — so the bounded key set is handed to the zone map
@@ -368,12 +388,14 @@ case class RuntimeFilterJoin(spark: SparkSession) extends Rule[LogicalPlan] {
         if (!injected.synchronized(injected.contains(injKey))) {
           harvest(dim, dk.attr, keyIdx).flatMap(convertKeys(_, dk, fk))
             .foreach { keys =>
+              val exact = keys.isEmpty || keys.length <= maxIn
               val predOpt: Option[Expression] =
                 if (keys.isEmpty) Some(Literal(false)) // empty dim: exact
                 else if (keys.length <= maxIn)
                   Some(In(factKey,
                     keys.map(v => Literal(v, factKey.dataType))))
                 else bloomPred(factKey, keys)
+              if (semiExact && exact) semiEliminate = true
               predOpt.foreach { pred =>
                 injected.synchronized {
                   injected += injKey
@@ -415,7 +437,11 @@ case class RuntimeFilterJoin(spark: SparkSession) extends Rule[LogicalPlan] {
                 .LocalRelation(r.output)
             else zmHelper.rebuildFor(r, surv.toSeq.sorted).getOrElse(r)
         }
-      Some(j.copy(
+      if (semiEliminate && rp.isEmpty && lp.length == 1) {
+        log.info("semi join eliminated: the exact key-set filter IS the " +
+          "join (single equi-pair, complete dim key set)")
+        Some(applySwaps(withPred(j.left, lp.head)))
+      } else Some(j.copy(
         left = applySwaps(lp.foldLeft(j.left)((s, p) => withPred(s, p))),
         right = applySwaps(rp.foldLeft(j.right)((s, p) => withPred(s, p)))))
     }

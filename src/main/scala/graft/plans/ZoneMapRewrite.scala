@@ -126,6 +126,14 @@ object ZoneMapPrune {
     * near-exact anyway (sparse lists are the win; dense runs of
     * adjacent values ARE their envelope). */
   private[plans] val InUnionCap = 256
+
+  /** IN-conjunct cap for the metadata-AGGREGATE gate — higher than
+    * [[InUnionCap]] because the per-file test here is one binary
+    * search over the sorted literals (O(|files|·log|literals|)), not a
+    * per-literal prune pass; sized to [[RuntimeFilterJoin]]'s default
+    * `maxInKeys`, whose injected (and semi-join-eliminating) IN is
+    * exactly the conjunct this gate exists to answer through. */
+  private[plans] val AggInCap = 4096
 }
 
 case class ZoneMapPrune(spark: SparkSession) extends Rule[LogicalPlan] {
@@ -355,10 +363,18 @@ case class ZoneMapPrune(spark: SparkSession) extends Rule[LogicalPlan] {
     * or dropped conjunct and a covered file can no longer be proven
     * all-match. None = refuse the whole metadata answer.
     */
+  /** `inSets` carries each long-image column's IN-conjunct literal
+    * sets (sorted, stat unit, intersected when a column has several):
+    * the per-file refinement a span test cannot make — a single-valued
+    * file whose value is NOT a member is provably disjoint even when
+    * the value sits inside the list's envelope. This is what lets an
+    * aggregate above a [[RuntimeFilterJoin]]-eliminated semi join
+    * ("sum of revenue for these 39 parts") answer from metadata. */
   private case class AggGate(
       bounds: Map[String, (Long, Long)],
       sBounds: Map[String, (Option[String], Option[String])],
-      notNullCols: Set[String], isNullCols: Set[String])
+      notNullCols: Set[String], isNullCols: Set[String],
+      inSets: Map[String, Array[Long]] = Map.empty)
 
   private def aggGate(condOpt: Option[Expression], rel: LogicalRelation,
                       ex: Extract, statCols: Seq[String]): Option[AggGate] = {
@@ -375,6 +391,20 @@ case class ZoneMapPrune(spark: SparkSession) extends Rule[LogicalPlan] {
       ex.sStatName(x).isDefined && ex.sLitVal(l).isDefined
     def anyBound(a: Expression, b: Expression): Boolean =
       longBound(a, b) || longBound(b, a) || strBound(a, b) || strBound(b, a)
+    // IN/InSet conjuncts on long-image stat columns (identity unit
+    // only — a cross-unit point set's per-literal ceil/floor emptiness
+    // is not worth the subtlety): the sorted literal set refines the
+    // per-file coverage test; several sets on one column intersect
+    val inSets = scala.collection.mutable.Map.empty[String, Array[Long]]
+    def addIn(c: String, vals: Seq[Long]): Unit = {
+      val sorted = vals.distinct.sorted.toArray
+      inSets(c) = inSets.get(c) match {
+        case Some(prev) => // both conjuncts must hold: intersect
+          val p = prev.toSet
+          sorted.filter(p.contains)
+        case None => sorted
+      }
+    }
     val allRecognized = conjs.forall {
       case IsNotNull(a: AttributeReference) =>
         ex.statName(a).map(_._1).orElse(ex.sStatName(a)) match {
@@ -397,6 +427,23 @@ case class ZoneMapPrune(spark: SparkSession) extends Rule[LogicalPlan] {
         longBound(a, b) || longBound(b, a)
       case LessThan(a, b) =>
         longBound(a, b) || longBound(b, a)
+      case In(a, vs) if vs.nonEmpty &&
+          vs.length <= ZoneMapPrune.AggInCap &&
+          vs.forall(_.isInstanceOf[Literal]) =>
+        ex.statName(a) match {
+          case Some((c, ex.Same))
+              if vs.forall(l => ex.litVal(l).isDefined) =>
+            addIn(c, vs.map(l => ex.litVal(l).get)); true
+          case _ => false
+        }
+      case InSet(a, hset) if hset.nonEmpty &&
+          hset.size <= ZoneMapPrune.AggInCap =>
+        ex.statName(a) match {
+          case Some((c, ex.Same))
+              if hset.forall(v => ex.rawVal(v).isDefined) =>
+            addIn(c, hset.toSeq.map(v => ex.rawVal(v).get)); true
+          case _ => false
+        }
       case _ => false
     }
     if (!allRecognized) return None
@@ -411,7 +458,7 @@ case class ZoneMapPrune(spark: SparkSession) extends Rule[LogicalPlan] {
     // metadata answer; the unrewritten aggregate is always correct.
     if (hb.dropped) None
     else Some(AggGate(hb.longB, hb.strB, notNullCols.toSet,
-      isNullCols.toSet))
+      isNullCols.toSet, inSets.toMap))
   }
 
   /** The stat-unit long back to the column's ORIGINAL internal value
@@ -523,7 +570,10 @@ case class ZoneMapPrune(spark: SparkSession) extends Rule[LogicalPlan] {
     *    covered, 1 = partial (all-null columns are 0 for range bounds
     *    — no row passes a range or IsNotNull on them); IS NULL columns
     *    decide on counts alone (cnt == n → 0, unknown → 1, else 2 =
-    *    ACTIVE, the null rows being the survivors w.r.t. it);
+    *    ACTIVE, the null rows being the survivors w.r.t. it); columns
+    *    under an IN conjunct additionally refine through the sorted
+    *    literal set ([[covIn]]) — no member in the span is disjoint,
+    *    single-valued-member is covered, anything else boundary;
     *  - [[cntAnswer]]: each conjunct's survivor set w.r.t. the file is
     *    a COUNTED subset — non-null(d) for a covered range bound,
     *    null(c) for IS NULL — and the matching rows are their
@@ -570,10 +620,42 @@ case class ZoneMapPrune(spark: SparkSession) extends Rule[LogicalPlan] {
           else 1
       }
 
-    private def covOf(f: ZoneMapMeta.FileStat, c: String): Int =
-      if (gate.bounds.contains(c)) covLong(f, c)
-      else if (gate.sBounds.contains(c)) covStr(f, c)
-      else if (meta.strCols.contains(c)) covStr(f, c) else covLong(f, c)
+    /** IN-set coverage for a long-image column: 0 when NO member lies
+      * in the file's span (one binary search — the per-literal
+      * disjointness a span test cannot see), 2 when the file is
+      * single-valued AND the value is a member (every non-null row
+      * passes, same counted subset as a covered range bound), 1
+      * otherwise (boundary). An intersected-to-empty set matches
+      * nothing, provably. */
+    private def covIn(f: ZoneMapMeta.FileStat, c: String): Int =
+      f.stats.getOrElse(c, None) match {
+        case None => 0
+        case Some((mn, mx)) =>
+          val s = gate.inSets(c)
+          var lo = 0
+          var hi = s.length
+          while (lo < hi) {
+            val mid = (lo + hi) >>> 1
+            if (s(mid) < mn) lo = mid + 1 else hi = mid
+          }
+          if (!(lo < s.length && s(lo) <= mx)) 0
+          else if (mn == mx) 2
+          else 1
+      }
+
+    private def covOf(f: ZoneMapMeta.FileStat, c: String): Int = {
+      val base =
+        if (gate.bounds.contains(c)) covLong(f, c)
+        else if (gate.sBounds.contains(c)) covStr(f, c)
+        else if (meta.strCols.contains(c)) covStr(f, c) else covLong(f, c)
+      gate.inSets.get(c) match {
+        case None => base
+        case Some(_) => // every test must hold: disjoint wins, full
+          // coverage needs both, anything else is boundary
+          val ic = covIn(f, c)
+          if (base == 0 || ic == 0) 0 else math.min(base, ic)
+      }
+    }
 
     private def nullCov(f: ZoneMapMeta.FileStat, c: String): Int =
       f.cnts.getOrElse(c, None) match {

@@ -1559,6 +1559,63 @@ object MiscQueries {
              |  AND CAST(o_orderdate AS DATE) < DATE '1997-01-01'
              |GROUP BY 1 ORDER BY 1""".stripMargin)),
 
+    // ---- SEMI-JOIN ELIMINATION × METADATA AGGREGATE (the
+    // runtime-filter/metadata-arm composition): a LEFT SEMI against a
+    // filtered dim with a single equi-pair harvests the dim's COMPLETE
+    // key set into an exact IN — which IS the semi semantics, so
+    // RuntimeFilterJoin drops the join node entirely — and the
+    // IN-aware aggregate gate then answers count/sum/avg/min/max
+    // ABOVE what used to be a join: per file, a key-clustered
+    // single-valued member serves from the manifest, a no-member span
+    // is per-literal disjoint, spans holding a member boundary-scan.
+    // "Total revenue for the region's nations" with the exchange, the
+    // build side, AND most of the scan gone. RuntimeFilterSpec pins
+    // the no-Join plan, the zero-scan fold, and the bloom/multi-
+    // conjunct refusals. Oracle: the plain semi-join recompute. ----
+    Q("q369_semi_eliminate_meta_agg",
+      (s, dir) => {
+        import graft.operators.ZoneMap
+        import graft.plans.{RuntimeFilterJoin, ZoneMapCatalog, ZoneMapPrune}
+        val tmp = java.nio.file.Files
+          .createTempDirectory("graft_q369_").toString
+        val f = t(s, dir, "orders").select(
+          (col("o_custkey") % 25).as("nk"), col("o_custkey").as("v"))
+        // hash-clustered by key: most files single-valued in nk, hash
+        // collisions leave some multi-key files (the boundary path)
+        f.repartition(25, col("nk"))
+          .write.mode("overwrite").parquet(s"$tmp/data")
+        ZoneMap.buildZoneMap(s, s"$tmp/data", Seq("nk", "v"),
+          s"$tmp/zone")
+        val prev = s.experimental.extraOptimizations
+        s.experimental.extraOptimizations =
+          prev :+ RuntimeFilterJoin(s) :+ ZoneMapPrune(s)
+        s.conf.set("spark.graft.runtimeFilters.enabled", "true")
+        try {
+          ZoneMapCatalog.register(s, s"$tmp/data", s"$tmp/zone",
+            Seq("nk", "v"))
+          s.read.parquet(s"$tmp/data")
+            .join(t(s, dir, "nation").filter(col("n_regionkey") === 2),
+              col("nk") === col("n_nationkey"), "left_semi")
+            .agg(count(lit(1)).as("n"), sum(col("v")).as("sv"),
+              avg(col("v")).as("av"), min(col("v")).as("mnv"),
+              max(col("nk")).as("mxk"))
+            .localCheckpoint(true) // elimination + metadata agg fire HERE
+        } finally {
+          s.experimental.extraOptimizations = prev
+          s.conf.unset("spark.graft.runtimeFilters.enabled")
+          ZoneMapCatalog.clear()
+        }
+      },
+      Some("""SELECT count(*) AS n,
+             |  CAST(sum(o_custkey) AS BIGINT) AS sv,
+             |  avg(o_custkey) AS av,
+             |  CAST(min(o_custkey) AS BIGINT) AS mnv,
+             |  CAST(max(o_custkey % 25) AS BIGINT) AS mxk
+             |FROM orders
+             |WHERE (o_custkey % 25) IN
+             |  (SELECT n_nationkey FROM nation WHERE n_regionkey = 2)"""
+        .stripMargin)),
+
     // ---- RUNTIME FILTER through a WIDENING CAST (the real-schema
     // norm): the fact key is INT, the dim key BIGINT, so the analyzer
     // compares `cast(lpk as bigint) = p_partkey` — the r18 rule refused

@@ -416,6 +416,82 @@ class RuntimeFilterSpec extends SparkSpec {
     }
   }
 
+  test("a single-pair LEFT SEMI with an exact IN harvest ELIMINATES " +
+    "the join, the metadata-aggregate arm answers above it, and the " +
+    "bloom / multi-conjunct shapes keep the join") {
+    val dir = tmp("semielim")
+    fixture(dir)
+    def hasJoin(df: org.apache.spark.sql.DataFrame): Boolean =
+      df.queryExecution.optimizedPlan.exists {
+        case _: org.apache.spark.sql.catalyst.plans.logical.Join => true
+        case _ => false
+      }
+    // (1) spanning files: elimination leaves an aggregate over
+    // Filter(IN, scan), and the per-literal file skipping opens only
+    // the 4 files whose span holds a dim key (sum(v) is not a stat
+    // column here, so the aggregate itself stays a scan — the
+    // metadata-served variant is section 2)
+    def semiAgg() = spark.read.parquet(s"$dir/fact")
+      .join(spark.read.parquet(s"$dir/dim").filter(col("band") === 7),
+        col("k") === col("dk"), "left_semi")
+      .agg(count(lit(1)).as("n"), sum(col("v")).as("sv"))
+    val plain = semiAgg().collect().head
+    withRules() {
+      ZoneMapCatalog.register(spark, s"$dir/fact", s"$dir/zone", Seq("k"))
+      val q = semiAgg()
+      assert(!hasJoin(q), "the exact-IN semi join must be eliminated")
+      assert(q.collect().head == plain,
+        "the eliminated semi must equal the real semi join")
+      assert(q.inputFiles.count(_.contains("/fact/")) == 4,
+        "only files whose span holds a dim key may open")
+    }
+    // (2) single-valued files: every file either serves (its one key
+    // is a member) or is per-literal disjoint — the whole aggregate
+    // over what WAS a join folds to a zero-scan LocalRelation
+    val f2 = spark.range(0, 512).select(
+      (col("id") % 8).cast("long").as("k"), col("id").as("v"))
+    (0 until 8).foreach(i => f2.filter(col("k") === i)
+      .coalesce(1).write.mode("append").parquet(s"$dir/fact2"))
+    ZoneMap.buildZoneMap(spark, s"$dir/fact2", Seq("k", "v"),
+      s"$dir/zone2")
+    spark.range(0, 16).select(col("id").as("dk"),
+      (col("id") % 4).as("band")).coalesce(1).write.parquet(s"$dir/dim2")
+    def semiAgg2() = spark.read.parquet(s"$dir/fact2")
+      .join(spark.read.parquet(s"$dir/dim2").filter(col("band") === 3),
+        col("k") === col("dk"), "left_semi")
+      .agg(count(lit(1)).as("n"), sum(col("v")).as("sv"),
+        min(col("v")).as("mnv"), max(col("k")).as("mxk"))
+    val plain2 = semiAgg2().collect().head
+    withRules() {
+      ZoneMapCatalog.register(spark, s"$dir/fact2", s"$dir/zone2",
+        Seq("k", "v"))
+      val q2 = semiAgg2()
+      assert(q2.queryExecution.optimizedPlan
+        .isInstanceOf[org.apache.spark.sql.catalyst.plans.logical
+          .LocalRelation],
+        "single-valued member files + disjoint rest must fold the " +
+          "post-elimination aggregate to metadata")
+      assert(q2.collect().head == plain2)
+    }
+    // (3) a second conjunct keeps the join (the filter alone is not
+    // the semi semantics), and the bloom path keeps it (false
+    // positives would add rows with no join to re-check)
+    def semiTwo() = spark.read.parquet(s"$dir/fact")
+      .join(spark.read.parquet(s"$dir/dim").filter(col("band") === 7),
+        col("k") === col("dk") && col("v") >= col("dk"), "left_semi")
+      .agg(count(lit(1)).as("n"))
+    val plainTwo = semiTwo().collect().head
+    withRules() {
+      val qt = semiTwo()
+      assert(hasJoin(qt), "a multi-conjunct semi must keep the join")
+      assert(qt.collect().head == plainTwo)
+      spark.conf.set("spark.graft.runtimeFilters.maxInKeys", "0")
+      val qb = semiAgg()
+      assert(hasJoin(qb), "the bloom path must keep the join")
+      assert(qb.collect().head == plain)
+    }
+  }
+
   test("a date→timestamp equi-cast carrying a NON-UTC zone refuses " +
     "injection even after the session moves to UTC (ADVICE r19: the " +
     "cast node's own timeZoneId is resolved at analysis and may " +
