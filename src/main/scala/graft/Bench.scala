@@ -65,6 +65,12 @@ object Bench {
     "q360_zonemap_meta_sum", "q361_runtime_filter_cast",
     "q362_runtime_filter_bloom_zm", "q363_zonemap_meta_isnull",
     "q364_zonemap_grouped_count", "q365_zonemap_grouped_sum",
+    // r20: decimal metadata aggregates (zmmeta v6), the multi-key /
+    // expression-key grouped arms (TPC-H Q1 and the monthly rollup as
+    // manifest reads), and the semi-join-elimination × metadata-
+    // aggregate composition
+    "q366_zonemap_meta_decimal", "q367_zonemap_grouped_q1",
+    "q368_zonemap_grouped_month", "q369_semi_eliminate_meta_agg",
   )
 
   def main(args: Array[String]): Unit = {
