@@ -71,6 +71,7 @@ object Bench {
     // aggregate composition
     "q366_zonemap_meta_decimal", "q367_zonemap_grouped_q1",
     "q368_zonemap_grouped_month", "q369_semi_eliminate_meta_agg",
+    "q370_zonemap_decimal_prune",
   )
 
   def main(args: Array[String]): Unit = {

@@ -386,7 +386,7 @@ case class ZoneMapPrune(spark: SparkSession) extends Rule[LogicalPlan] {
     // a provably-disjoint file, unknown counts boundary-scan
     val isNullCols = scala.collection.mutable.Set.empty[String]
     def longBound(x: Expression, l: Expression): Boolean =
-      ex.statName(x).isDefined && ex.litVal(l).isDefined
+      ex.statName(x).exists(cd => ex.litVal(l, cd._2).isDefined)
     def strBound(x: Expression, l: Expression): Boolean =
       ex.sStatName(x).isDefined && ex.sLitVal(l).isDefined
     def anyBound(a: Expression, b: Expression): Boolean =
@@ -431,17 +431,17 @@ case class ZoneMapPrune(spark: SparkSession) extends Rule[LogicalPlan] {
           vs.length <= ZoneMapPrune.AggInCap &&
           vs.forall(_.isInstanceOf[Literal]) =>
         ex.statName(a) match {
-          case Some((c, ex.Same))
-              if vs.forall(l => ex.litVal(l).isDefined) =>
-            addIn(c, vs.map(l => ex.litVal(l).get)); true
+          case Some((c, cc)) if ex.identityConv(cc) &&
+              vs.forall(l => ex.litVal(l, cc).isDefined) =>
+            addIn(c, vs.map(l => ex.litVal(l, cc).get)); true
           case _ => false
         }
       case InSet(a, hset) if hset.nonEmpty &&
           hset.size <= ZoneMapPrune.AggInCap =>
         ex.statName(a) match {
-          case Some((c, ex.Same))
-              if hset.forall(v => ex.rawVal(v).isDefined) =>
-            addIn(c, hset.toSeq.map(v => ex.rawVal(v).get)); true
+          case Some((c, cc)) if ex.identityConv(cc) &&
+              hset.forall(v => ex.rawVal(v, cc).isDefined) =>
+            addIn(c, hset.toSeq.map(v => ex.rawVal(v, cc).get)); true
           case _ => false
         }
       case _ => false
@@ -533,7 +533,7 @@ case class ZoneMapPrune(spark: SparkSession) extends Rule[LogicalPlan] {
         ex.statName(a).collect { case (c, ex.Same) => c }
           .filterNot(meta.strCols.contains)
       case d: DecimalType if d.precision <= 18 && meta.ver >= 6 =>
-        ex.statName(a).collect { case (c, ex.Same) => c }
+        ex.statName(a).collect { case (c, ex.DecCol(_)) => c }
           .filterNot(meta.strCols.contains)
       case StringType =>
         ex.sStatName(a).filter(meta.strCols.contains)
@@ -557,7 +557,7 @@ case class ZoneMapPrune(spark: SparkSession) extends Rule[LogicalPlan] {
         ex.statName(a).collect { case (c, ex.Same) => c }
           .filterNot(meta.strCols.contains)
       case d: DecimalType if d.precision <= 18 && meta.ver >= 6 =>
-        ex.statName(a).collect { case (c, ex.Same) => c }
+        ex.statName(a).collect { case (c, ex.DecCol(_)) => c }
           .filterNot(meta.strCols.contains)
       case _ => None
     }
@@ -1716,8 +1716,9 @@ case class ZoneMapPrune(spark: SparkSession) extends Rule[LogicalPlan] {
           vs.forall(_.isInstanceOf[Literal]) =>
         val lits = vs.map(_.asInstanceOf[Literal])
         ex.statName(a) match {
-          case Some((c, cc)) if lits.forall(l => ex.litVal(l).isDefined) =>
-            longUnion(c, cc, lits.map(l => ex.litVal(l).get))
+          case Some((c, cc))
+              if lits.forall(l => ex.litVal(l, cc).isDefined) =>
+            longUnion(c, cc, lits.map(l => ex.litVal(l, cc).get))
           case _ => ex.sStatName(a) match {
             case Some(c) if lits.forall(l => ex.sLitVal(l).isDefined) =>
               Some(strUnion(c, lits.map(l => ex.sLitVal(l).get)))
@@ -1727,8 +1728,9 @@ case class ZoneMapPrune(spark: SparkSession) extends Rule[LogicalPlan] {
       case InSet(a, hset)
           if hset.nonEmpty && hset.size <= ZoneMapPrune.InUnionCap =>
         ex.statName(a) match {
-          case Some((c, cc)) if hset.forall(v => ex.rawVal(v).isDefined) =>
-            longUnion(c, cc, hset.toSeq.map(v => ex.rawVal(v).get))
+          case Some((c, cc))
+              if hset.forall(v => ex.rawVal(v, cc).isDefined) =>
+            longUnion(c, cc, hset.toSeq.map(v => ex.rawVal(v, cc).get))
           case _ => ex.sStatName(a) match {
             case Some(c) if hset.forall(_.isInstanceOf[
                 org.apache.spark.unsafe.types.UTF8String]) =>
@@ -1939,40 +1941,48 @@ case class ZoneMapPrune(spark: SparkSession) extends Rule[LogicalPlan] {
         b.shighs(c) = b.shighs.get(c)
           .filter(x => graft.operators.ZoneMapMeta.cmpUtf8(x, v) <= 0)
           .getOrElse(v)
+      // conv-aware literal readers for the attr's own column (the
+      // DecCol scale travels with the column, so decimal literals
+      // rescale exactly or refuse)
+      def lvFor(a: Expression, l: Expression): Option[Long] =
+        statName(a).flatMap(cd => litVal(l, cd._2))
+      def rvFor(a: Expression, v: Any): Option[Long] =
+        statName(a).flatMap(cd => rawVal(v, cd._2))
       // guard each attr-first case on the ATTR side actually resolving,
       // or it would swallow the literal-first shape before its mirrored
       // case can run (a completeness miss, never a correctness one --
       // missing bounds only widen the file set)
       cs.foreach {
         case GreaterThanOrEqual(a, l) if statName(a).isDefined =>
-          emitL(statName(a), litVal(l))((c, v) => lo(c, v))
+          emitL(statName(a), lvFor(a, l))((c, v) => lo(c, v))
         case LessThanOrEqual(a, l) if statName(a).isDefined =>
-          emitL(statName(a), litVal(l))((c, v) => hi(c, v))
+          emitL(statName(a), lvFor(a, l))((c, v) => hi(c, v))
         case GreaterThan(a, l) if statName(a).isDefined =>
-          emitL(statName(a), litVal(l))((c, v) =>
+          emitL(statName(a), lvFor(a, l))((c, v) =>
             if (v < Long.MaxValue) lo(c, v + 1)
             else b.dropped = true) // no v+1 at the edge: bound lost
         case LessThan(a, l) if statName(a).isDefined =>
-          emitL(statName(a), litVal(l))((c, v) =>
+          emitL(statName(a), lvFor(a, l))((c, v) =>
             if (v > Long.MinValue) hi(c, v - 1)
             else b.dropped = true)
         case EqualTo(a, l) if statName(a).isDefined =>
-          emitL(statName(a), litVal(l))((c, v) => { lo(c, v); hi(c, v) })
+          emitL(statName(a), lvFor(a, l))((c, v) => { lo(c, v); hi(c, v) })
         // mirrored literal-first forms
         case GreaterThanOrEqual(l, a) if statName(a).isDefined =>
-          emitL(statName(a), litVal(l))((c, v) => hi(c, v))
+          emitL(statName(a), lvFor(a, l))((c, v) => hi(c, v))
         case LessThanOrEqual(l, a) if statName(a).isDefined =>
-          emitL(statName(a), litVal(l))((c, v) => lo(c, v))
+          emitL(statName(a), lvFor(a, l))((c, v) => lo(c, v))
         case GreaterThan(l, a) if statName(a).isDefined =>
-          emitL(statName(a), litVal(l))((c, v) =>
+          emitL(statName(a), lvFor(a, l))((c, v) =>
             if (v > Long.MinValue) hi(c, v - 1)
             else b.dropped = true)
         case LessThan(l, a) if statName(a).isDefined =>
-          emitL(statName(a), litVal(l))((c, v) =>
+          emitL(statName(a), lvFor(a, l))((c, v) =>
             if (v < Long.MaxValue) lo(c, v + 1)
             else b.dropped = true)
-        case EqualTo(l, a) if statName(a).isDefined && litVal(l).isDefined =>
-          emitL(statName(a), litVal(l))((c, v) => { lo(c, v); hi(c, v) })
+        case EqualTo(l, a) if statName(a).isDefined &&
+            lvFor(a, l).isDefined =>
+          emitL(statName(a), lvFor(a, l))((c, v) => { lo(c, v); hi(c, v) })
         // IN lists prune by their ENVELOPE [min, max] -- the exact
         // per-literal file union would prune sparse lists tighter, but
         // the envelope composes with the one-interval-per-column prune
@@ -1986,16 +1996,16 @@ case class ZoneMapPrune(spark: SparkSession) extends Rule[LogicalPlan] {
         // litVal reads out of Literal: int days, long micros) extract
         // identically.
         case In(a, vs) if statName(a).isDefined && vs.nonEmpty &&
-            vs.forall { case l: Literal => litVal(l).isDefined
+            vs.forall { case l: Literal => lvFor(a, l).isDefined
               case _ => false } =>
           for (c <- statName(a)) {
-            val ls = vs.map { case l: Literal => litVal(l).get }
+            val ls = vs.map { case l: Literal => lvFor(a, l).get }
             lo(c, ls.min); hi(c, ls.max)
           }
         case InSet(a, hset) if statName(a).isDefined && hset.nonEmpty &&
-            hset.forall(rawVal(_).isDefined) =>
+            hset.forall(rvFor(a, _).isDefined) =>
           for (c <- statName(a)) {
-            val ls = hset.toSeq.map(rawVal(_).get)
+            val ls = hset.toSeq.map(rvFor(a, _).get)
             lo(c, ls.min); hi(c, ls.max)
           }
         // ---- STRING stat columns: the same shapes, inclusive bounds ----
@@ -2175,20 +2185,42 @@ case class ZoneMapPrune(spark: SparkSession) extends Rule[LogicalPlan] {
     // how an inclusive bound in the LITERAL's unit converts to an
     // inclusive bound in the STAT unit — identity except for the two
     // cross-unit cast shapes (finer literal: ceil/floor division;
-    // coarser literal: day-start/day-end multiplication)
+    // coarser literal: day-start/day-end multiplication). DecCol marks
+    // a DECIMAL stat column (p ≤ 18 — unscaled-long stat unit): the
+    // conversion itself is identity, but the LITERAL extraction is
+    // scale-aware ([[litVal]] rescales exactly or refuses), and the
+    // identity-unit consumers (sum/min-max/group-key columns, IN sets)
+    // accept it alongside [[Same]] via [[identityConv]]
     sealed trait Conv
     case object Same extends Conv
+    case class DecCol(scale: Int) extends Conv // decimal col, unscaled unit
     case object MicrosOverDays extends Conv // micros literal, day stats
     case object DaysOverMicros extends Conv // day literal, micros stats
+
+    /** The convs whose stat unit maps values 1:1 (the long image IS the
+      * value, or its unscaled image at one fixed scale). */
+    def identityConv(cc: Conv): Boolean = cc match {
+      case Same | DecCol(_) => true
+      case _ => false
+    }
 
     def isStat(a: AttributeReference): Boolean =
       relIds.get(a.exprId).exists(statCols.contains)
 
     def statName(e: Expression): Option[(String, Conv)] = e match {
       // bare STRING attrs route to the string machinery ([[sStatName]];
-      // casts only ever target the integer-image types)
-      case a: AttributeReference
-          if isStat(a) && a.dataType != StringType => Some((a.name, Same))
+      // casts only ever target the integer-image types). DECIMAL attrs
+      // carry their scale (p ≤ 18 only — a wider unscaled value
+      // exceeds the long stat unit and such columns refuse at build
+      // anyway); comparisons whose coercion CASTS the decimal column
+      // (a finer-scaled literal) fall through unrecognized — sound,
+      // the conjunct stays in the residual
+      case a: AttributeReference if isStat(a) => a.dataType match {
+        case StringType => None
+        case d: DecimalType =>
+          if (d.precision <= 18) Some((a.name, DecCol(d.scale))) else None
+        case _ => Some((a.name, Same))
+      }
       // the widening cast is only identity-in-the-stat-unit when the
       // SOURCE is an integral type: cast(strStatCol as long) would put
       // a long-image bound on a STRING stat column (mistyped prune —
@@ -2221,6 +2253,37 @@ case class ZoneMapPrune(spark: SparkSession) extends Rule[LogicalPlan] {
       case Literal(v: Long, TimestampType) => Some(v) // epoch micros
       case _ => None
     }
+
+    /** Conv-aware literal extraction: a [[DecCol]] column's literal is
+      * a Decimal whose value rescales EXACTLY to the column's scale
+      * (coercion usually equalizes the scales already — a coarser
+      * literal like the folded `price >= 500` rescales up exactly; a
+      * finer one would have CAST the column and never reaches here),
+      * yielding the unscaled long that IS the stat unit; anything
+      * inexact or out of long range refuses, the conjunct stays in
+      * the residual. Every other conv reads the integral forms. */
+    def litVal(e: Expression, cc: Conv): Option[Long] = cc match {
+      case DecCol(s) => e match {
+        case Literal(d: Decimal, _) if d != null => rescaleDec(d, s)
+        case _ => None
+      }
+      case _ => litVal(e)
+    }
+
+    def rawVal(v: Any, cc: Conv): Option[Long] = cc match {
+      case DecCol(s) => v match {
+        case d: Decimal => rescaleDec(d, s)
+        case _ => None
+      }
+      case _ => rawVal(v)
+    }
+
+    private def rescaleDec(d: Decimal, s: Int): Option[Long] =
+      try {
+        val bd = d.toJavaBigDecimal.setScale(s) // throws if it would round
+        val u = bd.unscaledValue()
+        if (u.bitLength() <= 63) Some(u.longValueExact()) else None
+      } catch { case _: ArithmeticException => None }
 
     // InSet elements are bare INTERNAL values (no Literal wrapper, no
     // dataType to hand) — but for every type statName admits, the
@@ -2259,7 +2322,7 @@ case class ZoneMapPrune(spark: SparkSession) extends Rule[LogicalPlan] {
     //    <= d <=> m <= (d+1)*U - 1 (exact-arithmetic overflow drops the
     //    bound -- sound, the conjunct stays in the residual)
     def conv(cc: Conv, v: Long, isLo: Boolean): Option[Long] = cc match {
-      case Same => Some(v)
+      case Same | DecCol(_) => Some(v) // litVal already rescaled exactly
       case MicrosOverDays =>
         Some(if (isLo) Math.floorDiv(v, MicrosPerDay) +
           (if (Math.floorMod(v, MicrosPerDay) == 0) 0 else 1)

@@ -1616,6 +1616,58 @@ object MiscQueries {
              |  (SELECT n_nationkey FROM nation WHERE n_regionkey = 2)"""
         .stripMargin)),
 
+    // ---- DECIMAL RANGE PRUNING (v6 as a first-class filter unit):
+    // the money column is a z-order CLUSTER DIMENSION (its unscaled
+    // long image feeds the bit interleave like any integral), and a
+    // plain `.filter(price BETWEEN ...)` extracts decimal literals at
+    // the column scale (exact rescale or residual-only) to open only
+    // the files whose unscaled span intersects — with the metadata-
+    // aggregate arm composing on top: covered files serve
+    // count/sum/min/max, boundary files scan and merge. ZoneMapSpec
+    // pins range/strict/IN/coerced-int extraction, the file-aligned
+    // zero-scan fold, and the UnwrapCast composition. Oracle: the
+    // full-scan recompute. ----
+    Q("q370_zonemap_decimal_prune",
+      (s, dir) => {
+        import graft.operators.{ZOrder, ZoneMap}
+        import graft.plans.{ZoneMapCatalog, ZoneMapPrune}
+        import org.apache.spark.sql.types.DecimalType
+        val tmp = java.nio.file.Files
+          .createTempDirectory("graft_q370_").toString
+        val o = t(s, dir, "orders").select(
+          ((col("o_orderkey") % 400000) * 25 / 100.0)
+            .cast(DecimalType(12, 2)).as("price"),
+          to_date(col("o_orderdate")).as("od"), col("o_custkey"))
+        ZOrder.layout(o, "price", "od", 8, 16).drop("__z")
+          .write.mode("overwrite").parquet(s"$tmp/data")
+        ZoneMap.buildZoneMap(s, s"$tmp/data",
+          Seq("price", "od", "o_custkey"), s"$tmp/zone")
+        val prev = s.experimental.extraOptimizations
+        s.experimental.extraOptimizations = prev :+ ZoneMapPrune(s)
+        try {
+          ZoneMapCatalog.register(s, s"$tmp/data", s"$tmp/zone",
+            Seq("price", "od", "o_custkey"))
+          s.read.parquet(s"$tmp/data")
+            .filter(col("price").between(
+              lit(java.math.BigDecimal.valueOf(100000, 2)),
+              lit(java.math.BigDecimal.valueOf(400000, 2))))
+            .agg(count(lit(1)).as("n"), sum(col("price")).as("sp"),
+              min(col("od")).as("mnd"), max(col("price")).as("mxp"))
+            .localCheckpoint(true) // decimal prune + metadata agg fire HERE
+        } finally {
+          s.experimental.extraOptimizations = prev
+          ZoneMapCatalog.clear()
+        }
+      },
+      Some("""SELECT count(*) AS n, sum(price) AS sp,
+             |  min(od) AS mnd, max(price) AS mxp
+             |FROM (SELECT CAST((o_orderkey % 400000) * 25 / 100.0
+             |               AS DECIMAL(12,2)) AS price,
+             |             CAST(o_orderdate AS DATE) AS od
+             |      FROM orders)
+             |WHERE price BETWEEN CAST('1000.00' AS DECIMAL(12,2))
+             |  AND CAST('4000.00' AS DECIMAL(12,2))""".stripMargin)),
+
     // ---- RUNTIME FILTER through a WIDENING CAST (the real-schema
     // norm): the fact key is INT, the dim key BIGINT, so the analyzer
     // compares `cast(lpk as bigint) = p_partkey` — the r18 rule refused

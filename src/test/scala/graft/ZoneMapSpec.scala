@@ -1542,6 +1542,99 @@ class ZoneMapSpec extends SparkSpec {
     }
   }
 
+  test("DECIMAL bounds prune files in the planner (v6 unscaled stats): " +
+    "range/strict/IN/coerced-int literals extract at the column scale, " +
+    "the aggregate gate composes, and an inexact scale refuses") {
+    import org.apache.spark.sql.types.DecimalType
+    val dir = tmp("decprune")
+    def d2(cents: Long) = lit(java.math.BigDecimal.valueOf(cents, 2))
+    // file i: price in [100·i, 100·i + 99.75] (quarter steps), 8 files
+    (0 until 8).foreach(i => spark.range(0, 400).select(
+      ((lit(10000 * i) + (col("id") % 400) * 25) / 100.0)
+        .cast(DecimalType(12, 2)).as("price"),
+      col("id").as("v"))
+      .coalesce(1).write.mode("append").parquet(s"$dir/data"))
+    operators.ZoneMap.buildZoneMap(spark, s"$dir/data", Seq("price", "v"),
+      s"$dir/zone")
+    val raw = spark.read.parquet(s"$dir/data")
+    val prev = spark.experimental.extraOptimizations
+    spark.experimental.extraOptimizations =
+      prev :+ graft.plans.ZoneMapPrune(spark)
+    try {
+      graft.plans.ZoneMapCatalog.register(spark, s"$dir/data",
+        s"$dir/zone", Seq("price", "v"))
+      def q = spark.read.parquet(s"$dir/data")
+      // (1) a decimal range opens only the intersecting files
+      val r1 = q.filter(col("price") >= d2(25000) &&
+        col("price") <= d2(45000))
+      val e1 = raw.filter(col("price") >= d2(25000) &&
+        col("price") <= d2(45000)).collect().map(_.toSeq).toSet
+      assert(r1.collect().map(_.toSeq).toSet == e1)
+      assert(r1.inputFiles.length == 3,
+        s"250.00..450.00 spans files 2,3,4 (${r1.inputFiles.length})")
+      // (2) strict bounds are exact in unscaled space (±1 on cents):
+      // > 199.75 excludes file 1 entirely
+      val r2 = q.filter(col("price") > d2(19975) &&
+        col("price") < d2(30000))
+      val e2 = raw.filter(col("price") > d2(19975) &&
+        col("price") < d2(30000)).collect().map(_.toSeq).toSet
+      assert(r2.collect().map(_.toSeq).toSet == e2)
+      assert(r2.inputFiles.length == 1,
+        s"strict bounds must open exactly file 2 (${r2.inputFiles.length})")
+      // (3) a coerced INT literal (scale 0 → rescales exactly)
+      val r3 = q.filter(col("price") >= lit(700))
+      val e3 = raw.filter(col("price") >= lit(700))
+        .collect().map(_.toSeq).toSet
+      assert(r3.collect().map(_.toSeq).toSet == e3)
+      assert(r3.inputFiles.length == 1)
+      // (4) sparse IN: the per-literal union opens one file per value
+      val r4 = q.filter(col("price").isin(
+        java.math.BigDecimal.valueOf(25025, 2),
+        java.math.BigDecimal.valueOf(61250, 2)))
+      val e4 = raw.filter(col("price").isin(
+        java.math.BigDecimal.valueOf(25025, 2),
+        java.math.BigDecimal.valueOf(61250, 2)))
+        .collect().map(_.toSeq).toSet
+      assert(r4.collect().map(_.toSeq).toSet == e4)
+      assert(r4.inputFiles.length == 2,
+        s"two sparse values open two files (${r4.inputFiles.length})")
+      // (5) the aggregate gate composes: a file-aligned decimal range
+      // folds count+sum(price) to a zero-scan LocalRelation
+      val r5 = q.filter(col("price").between(d2(20000), d2(39975)))
+        .agg(count(lit(1)).as("n"), sum(col("price")).as("sp"))
+      val e5 = raw.filter(col("price").between(d2(20000), d2(39975)))
+        .agg(count(lit(1)).as("n"), sum(col("price")).as("sp"))
+        .collect().head
+      assert(r5.queryExecution.optimizedPlan
+        .isInstanceOf[org.apache.spark.sql.catalyst.plans.logical
+          .LocalRelation],
+        "a file-aligned decimal range must fold the aggregate")
+      assert(r5.collect().head == e5)
+      // (6) a FINER-scaled literal: Spark's own
+      // UnwrapCastInBinaryComparison resolves the cast-wrapped column
+      // BEFORE this rule runs (a provably-false equality folds to an
+      // empty relation; a finer bound rounds to the column's scale) —
+      // the two rules COMPOSE, and whatever shape survives unwrapping
+      // either extracts at the column scale or stays in the residual
+      val r6 = q.filter(col("price") ===
+        lit(new java.math.BigDecimal("250.005")))
+      assert(r6.count() == 0L,
+        "an unrepresentable equality is provably empty")
+      val r7 = q.filter(col("price") >=
+        lit(new java.math.BigDecimal("699.995")))
+      val e7 = raw.filter(col("price") >=
+        lit(new java.math.BigDecimal("699.995")))
+        .collect().map(_.toSeq).toSet
+      assert(r7.collect().map(_.toSeq).toSet == e7)
+      assert(r7.inputFiles.length <= 1,
+        s"the unwrapped rounded bound still prunes " +
+          s"(${r7.inputFiles.length})")
+    } finally {
+      spark.experimental.extraOptimizations = prev
+      graft.plans.ZoneMapCatalog.clear()
+    }
+  }
+
   test("multi-key grouped metadata aggregates (the TPC-H Q1 shape): " +
     "string pair keys, grouped min/max, decimal sum/avg, the NULL " +
     "group from an all-null-key file, and the refusals") {
