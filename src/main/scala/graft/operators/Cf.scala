@@ -60,11 +60,23 @@ object Cf {
   private def neighborsFromKept(kept: DataFrame, minCo: Long,
                                 k: Int): DataFrame = {
     val nu = kept.groupBy(col("u")).agg(count(lit(1)).as("__n"))
-    val co = kept.select(col("i"), col("u").as("ua"))
+    // co-consumption is SYMMETRIC — co(a,b) == co(b,a) == |shared items|
+    // — so the item-blocked self-join generates each unordered pair ONCE
+    // (ua < ub instead of ua ≠ ub: HALF the generated rows through the
+    // pipeline's heaviest exchange and aggregation, guide §2.3) and the
+    // ordered view the per-user ranking needs is the mirror of the
+    // AGGREGATED, minCo-pruned pairs — orders of magnitude fewer rows
+    // than the generated ones. The checkpoint keeps the second
+    // orientation from re-running the half-join (and sim2_ppm is
+    // symmetric too: co²·10⁶ div (na·nb) commutes in na, nb).
+    val half = kept.select(col("i"), col("u").as("ua"))
       .join(kept.select(col("i"), col("u").as("ub")), "i")
-      .filter(col("ua") =!= col("ub"))
+      .filter(col("ua") < col("ub"))
       .groupBy(col("ua"), col("ub")).agg(count(lit(1)).as("co"))
       .filter(col("co") >= minCo)
+      .localCheckpoint(true)
+    val co = half.unionByName(
+      half.select(col("ub").as("ua"), col("ua").as("ub"), col("co")))
     val sim = co
       .join(nu.select(col("u").as("ua"), col("__n").as("__na")), "ua")
       .join(nu.select(col("u").as("ub"), col("__n").as("__nb")), "ub")

@@ -412,42 +412,68 @@ private[graft] object GenStore {
       throw new IllegalArgumentException(s"not a keyed substore: $subPath"))
     if (appliedId.exists(m.applied.contains)) return // replay: no-op
     val cols = idCols ++ folds.map(_._1)
-    val touched = delta.select(bucketOfKey(m.nBuckets).as("bucket"))
-      .distinct().collect().map(_.getLong(0)).toSet // ≤ nBuckets
-    if (touched.isEmpty) {
-      // nothing to fold: advance pointer-only — ALWAYS, id or not, so
-      // sibling substores sharing a batch cadence stay gen-aligned
-      write(spark, subPath,
-        Manifest(m.gen + 1, m.nBuckets, m.applied ++ appliedId.toSeq,
-          m.entries))
-      return
+    // The delta rows are consumed TWICE — the touched-bucket collect and
+    // the segment write (three times when a bucket compacts) — and
+    // callers hand arbitrarily expensive pipelines here (the join-view
+    // delta rule is a two-sided bucket read + three joins + an
+    // aggregate; the positional-index delta re-tokenizes its batch), so
+    // a lazy delta re-ran its whole pipeline per consumer. Materialize
+    // it ONCE (eager localCheckpoint, bounded like [[AggStore
+    // .mergeIntoAggStore]]'s delta: the increment's rows) — UNLESS the
+    // plan is already checkpoint-rooted narrow work (the ViewStore side
+    // legs pass projections of their own checkpoints), where a second
+    // materialization would only add a copy.
+    def cheap(p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)
+        : Boolean = p match {
+      case _: org.apache.spark.sql.execution.LogicalRDD => true
+      case _: org.apache.spark.sql.catalyst.plans.logical.LocalRelation => true
+      case pr: org.apache.spark.sql.catalyst.plans.logical.Project =>
+        cheap(pr.child)
+      case f: org.apache.spark.sql.catalyst.plans.logical.Filter =>
+        cheap(f.child)
+      case _ => false
     }
-    val segCount = m.entries.groupBy(_._1).view.mapValues(_.size).toMap
-    val compact = touched.filter(b => segCount.getOrElse(b, 0) + 1 > maxSegments)
-    val deltaCols = delta.select(cols.map(col): _*)
-    val appendRows = // under-threshold buckets: the delta IS the segment
-      if (compact.isEmpty) deltaCols
-      else deltaCols.where(!bucketOfKey(m.nBuckets).isin(
-        compact.toSeq.map(Long.box): _*))
-    val rows =
-      if (compact.isEmpty) appendRows
-      else { // over-threshold buckets: fold their segments WITH the delta
-        val folded = foldReadWith(spark, subPath,
-            m.entries.filter(e => compact.contains(e._1)), idCols, folds)
-          .join(deltaCols.where(bucketOfKey(m.nBuckets).isin(
-              compact.toSeq.map(Long.box): _*))
-            .select(idCols.map(col) ++
-              folds.map { case (c, _) => col(c).as(s"__d$c") }: _*),
-            idCols, "full_outer")
-          .select(idCols.map(col) ++ folds.map { case (c, f) =>
-            f.pair(col(c), col(s"__d$c")).as(c) }: _*)
-        appendRows.unionByName(folded)
+    val reuse = cheap(delta.queryExecution.analyzed)
+    val deltaCols =
+      if (reuse) delta.select(cols.map(col): _*)
+      else delta.select(cols.map(col): _*).localCheckpoint(true)
+    try {
+      val touched = deltaCols.select(bucketOfKey(m.nBuckets).as("bucket"))
+        .distinct().collect().map(_.getLong(0)).toSet // ≤ nBuckets
+      if (touched.isEmpty) {
+        // nothing to fold: advance pointer-only — ALWAYS, id or not, so
+        // sibling substores sharing a batch cadence stay gen-aligned
+        write(spark, subPath,
+          Manifest(m.gen + 1, m.nBuckets, m.applied ++ appliedId.toSeq,
+            m.entries))
+        return
       }
-    // compacted buckets REMAP to the new dir alone; appended buckets
-    // keep their old segments and gain the new one; untouched buckets
-    // carry verbatim
-    commitGen(spark, subPath, rows, m.nBuckets, m.applied, m.gen,
-      m.entries.filterNot(e => compact.contains(e._1)), appliedId)
+      val segCount = m.entries.groupBy(_._1).view.mapValues(_.size).toMap
+      val compact = touched.filter(b => segCount.getOrElse(b, 0) + 1 > maxSegments)
+      val appendRows = // under-threshold buckets: the delta IS the segment
+        if (compact.isEmpty) deltaCols
+        else deltaCols.where(!bucketOfKey(m.nBuckets).isin(
+          compact.toSeq.map(Long.box): _*))
+      val rows =
+        if (compact.isEmpty) appendRows
+        else { // over-threshold buckets: fold their segments WITH the delta
+          val folded = foldReadWith(spark, subPath,
+              m.entries.filter(e => compact.contains(e._1)), idCols, folds)
+            .join(deltaCols.where(bucketOfKey(m.nBuckets).isin(
+                compact.toSeq.map(Long.box): _*))
+              .select(idCols.map(col) ++
+                folds.map { case (c, _) => col(c).as(s"__d$c") }: _*),
+              idCols, "full_outer")
+            .select(idCols.map(col) ++ folds.map { case (c, f) =>
+              f.pair(col(c), col(s"__d$c")).as(c) }: _*)
+          appendRows.unionByName(folded)
+        }
+      // compacted buckets REMAP to the new dir alone; appended buckets
+      // keep their old segments and gain the new one; untouched buckets
+      // carry verbatim
+      commitGen(spark, subPath, rows, m.nBuckets, m.applied, m.gen,
+        m.entries.filterNot(e => compact.contains(e._1)), appliedId)
+    } finally if (!reuse) freeLocal(deltaCols)
   }
 
   /** Explicit compaction of a keyed additive substore: every bucket

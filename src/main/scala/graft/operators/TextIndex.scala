@@ -81,16 +81,17 @@ object TextIndex {
       .groupBy(col("key"), col("id"))
       .agg(count(lit(1)).as("tf"))
 
-  private def deltas(docs: DataFrame, idCol: String,
-                     textCol: String): (DataFrame, DataFrame, DataFrame) = {
-    val tf = tfOf(docs, idCol, textCol)
-    val dl = tf.groupBy(col("id").as("key")).agg(sum(col("tf")).as("dl"))
-    val stats = dl.agg(count(lit(1)).as("nd"), sum(col("dl")).as("sumdl"))
+  /** The dl→stats roll-up both the build and the merge derive from a
+    * materialized tf (checkpoint-rooted, so re-reading it per consumer
+    * never re-tokenizes the corpus). */
+  private def dlOf(tf: DataFrame): DataFrame =
+    tf.groupBy(col("id").as("key")).agg(sum(col("tf")).as("dl"))
+
+  private def statsOf(dl: DataFrame): DataFrame =
+    dl.agg(count(lit(1)).as("nd"), sum(col("dl")).as("sumdl"))
       .select(lit(0L).as("key"), col("nd"),
         coalesce(col("sumdl"), lit(0L)).as("sumdl"))
       .filter(col("nd") > 0L)
-    (tf, dl, stats)
-  }
 
   /** `(key = term, id, pos, n = 1)` — one row per OCCURRENCE, 0-based
     * token position. The positional posting for phrase search: the
@@ -120,25 +121,37 @@ object TextIndex {
                      positional: Boolean = false): Unit = {
     require(nBuckets >= 1, s"nBuckets must be positive, got $nBuckets")
     val spark = docs.sparkSession
-    val (tf, dl, stats) = deltas(docs, idCol, textCol)
-    // the POSITIONAL leg commits FIRST: [[textIndexExists]] probes
-    // postings/dl/stats (stats last in this order), so "the index
-    // exists" then IMPLIES the pos substore exists when it was
-    // requested — a crash between any two legs leaves exists() false
-    // and the idempotent re-build heals all four, instead of the old
-    // pos-last order where a crash before the pos commit minted an
-    // "existing" index whose merges silently skipped the fourth leg
-    // forever (phraseSearch would throw much later, unrecoverably).
-    val subs = (if (positional) Seq(("pos", posOf(docs, idCol, textCol)))
-      else Seq.empty) ++
-      Seq(("postings", tf), ("dl", dl), ("stats", stats))
-    subs.foreach {
-      case (sub, rows) =>
-        val p = GenStore.read(spark, s"$path/$sub")
-        GenStore.commitGen(spark, s"$path/$sub", rows, nBuckets,
-          p.map(_.applied).getOrElse(Seq.empty), p.map(_.gen).getOrElse(0L),
-          Seq.empty, appliedId)
-    }
+    // tf materializes ONCE (eager checkpoint): the postings commit
+    // writes it, dl derives from it, stats from dl — a lazy tf made
+    // each of those three commits re-run the tokenize+aggregate
+    // pipeline from the raw corpus (three full tokenize passes per
+    // build; guide §1.2: remove the wasted passes first). dl likewise
+    // (two consumers: its own commit and the stats roll-up). Bounded:
+    // the per-(term, doc) aggregate, not the token stream.
+    val tf = tfOf(docs, idCol, textCol).localCheckpoint(true)
+    try {
+      val dl = dlOf(tf).localCheckpoint(true)
+      try {
+        // the POSITIONAL leg commits FIRST: [[textIndexExists]] probes
+        // postings/dl/stats (stats last in this order), so "the index
+        // exists" then IMPLIES the pos substore exists when it was
+        // requested — a crash between any two legs leaves exists() false
+        // and the idempotent re-build heals all four, instead of the old
+        // pos-last order where a crash before the pos commit minted an
+        // "existing" index whose merges silently skipped the fourth leg
+        // forever (phraseSearch would throw much later, unrecoverably).
+        val subs = (if (positional) Seq(("pos", posOf(docs, idCol, textCol)))
+          else Seq.empty) ++
+          Seq(("postings", tf), ("dl", dl), ("stats", statsOf(dl)))
+        subs.foreach {
+          case (sub, rows) =>
+            val p = GenStore.read(spark, s"$path/$sub")
+            GenStore.commitGen(spark, s"$path/$sub", rows, nBuckets,
+              p.map(_.applied).getOrElse(Seq.empty), p.map(_.gen).getOrElse(0L),
+              Seq.empty, appliedId)
+        }
+      } finally GenStore.freeLocal(dl)
+    } finally GenStore.freeLocal(tf)
   }
 
   /** Is there a committed index at `path`? All three substores must
@@ -169,21 +182,15 @@ object TextIndex {
         broadcast(spark.read.parquet(s"$path/_purged/ids")
           .select(col("key").as(idCol)).distinct()),
         Seq(idCol), "left_anti")
-    val (tf, dl, stats) = deltas(admitted, idCol, textCol)
-    val tfC = tf.localCheckpoint(true)
+    val tfC = tfOf(admitted, idCol, textCol).localCheckpoint(true)
     try {
       GenStore.mergeAdditive(spark, s"$path/postings", tfC,
         Seq("key", "id"), Seq("tf"), appliedId)
-      val dlC = tfC.groupBy(col("id").as("key")).agg(sum(col("tf")).as("dl"))
-        .localCheckpoint(true)
+      val dlC = dlOf(tfC).localCheckpoint(true)
       try {
         GenStore.mergeAdditive(spark, s"$path/dl", dlC,
           Seq("key"), Seq("dl"), appliedId)
-        GenStore.mergeAdditive(spark, s"$path/stats",
-          dlC.agg(count(lit(1)).as("nd"), sum(col("dl")).as("sumdl"))
-            .select(lit(0L).as("key"), col("nd"),
-              coalesce(col("sumdl"), lit(0L)).as("sumdl"))
-            .filter(col("nd") > 0L),
+        GenStore.mergeAdditive(spark, s"$path/stats", statsOf(dlC),
           Seq("key"), Seq("nd", "sumdl"), appliedId)
         // the positional substore rides the same ledger when the index
         // was built positional (fourth leg, same crash-replay argument)

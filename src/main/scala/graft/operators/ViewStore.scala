@@ -191,17 +191,27 @@ object ViewStore {
       s"view store at $path is ${if (hasExtrema(spark, path)) "" else "not "}" +
         "an extrema store — rebuild with the matching flag or use a new path")
     if (extrema) Snapshot.writeLines(spark, s"$path/EXTREMA", Seq("v1"))
-    val aSt = aggA(a, aKeyCol, aGrpCol)
-    val bSt = aggB(b, bKeyCol, bValCol, extrema)
-    val view = viewOf(contributions(aSt, bSt, extrema), extrema)
-    def prev(sub: String) = GenStore.read(spark, s"$path/$sub")
-    Seq(("view", view),
-        ("a", aSt), ("b", bSt)).foreach { case (sub, rows) =>
-      val p = prev(sub)
-      GenStore.commitGen(spark, s"$path/$sub", rows, nBuckets,
-        p.map(_.applied).getOrElse(Seq.empty), p.map(_.gen).getOrElse(0L),
-        Seq.empty, appliedId)
-    }
+    // each side's aggregate state materializes ONCE (eager checkpoint):
+    // the view commit reads BOTH (the contributions join) and each side
+    // commit reads its own — a lazy aSt/bSt made the three commitGen
+    // writes re-run aggA twice and aggB twice from the raw sides
+    // (guide §1.2: remove the wasted passes before anything else).
+    // Bounded: the per-key aggregated side states, not the raw sides.
+    val aSt = aggA(a, aKeyCol, aGrpCol).localCheckpoint(true)
+    try {
+      val bSt = aggB(b, bKeyCol, bValCol, extrema).localCheckpoint(true)
+      try {
+        val view = viewOf(contributions(aSt, bSt, extrema), extrema)
+        def prev(sub: String) = GenStore.read(spark, s"$path/$sub")
+        Seq(("view", view),
+            ("a", aSt), ("b", bSt)).foreach { case (sub, rows) =>
+          val p = prev(sub)
+          GenStore.commitGen(spark, s"$path/$sub", rows, nBuckets,
+            p.map(_.applied).getOrElse(Seq.empty), p.map(_.gen).getOrElse(0L),
+            Seq.empty, appliedId)
+        }
+      } finally freeCheckpoint(bSt)
+    } finally freeCheckpoint(aSt)
     // freshness fingerprint for the MV rewrite — both bases' files,
     // strictly AFTER the commits ([[BaseFiles]] ordering argument); a
     // build RESETS it (stale names would trip the shrinkage check

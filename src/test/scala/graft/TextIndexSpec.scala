@@ -291,4 +291,25 @@ class TextIndexSpec extends SparkSpec {
       .map(s => GenStore.read(spark, s"$path/$s").get.gen)
     assert(gens.distinct.size == 1, s"substores must stay aligned: $gens")
   }
+
+  test("a non-positional build tokenizes the corpus exactly once") {
+    // r20 optimization pin: the postings/dl/stats commits all derive
+    // from one tf aggregate — a lazy tf re-ran the tokenize pipeline
+    // from the raw corpus once PER COMMIT (three full passes per
+    // build). The accumulator counts raw text-row reads.
+    val path = tmp()
+    val acc = spark.sparkContext.longAccumulator("tokenize-evals")
+    val counted = udf((t: String) => { acc.add(1L); t })
+    val instr = docs(_ => true)
+      .select(col("doc_id"), counted(col("text")).as("text"))
+    TextIndex.buildTextIndex(instr, path, "doc_id", "text")
+    assert(acc.value == docsAll.size.toLong,
+      s"the corpus (${docsAll.size} docs) must tokenize exactly once " +
+        s"per build, got ${acc.value} per-row evaluations")
+    assert(served(path) == {
+      val ref = tmp()
+      TextIndex.buildTextIndex(docs(_ => true), ref, "doc_id", "text")
+      served(ref)
+    }, "single-tokenize must not change the served ranking")
+  }
 }

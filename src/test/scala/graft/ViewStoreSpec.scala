@@ -345,4 +345,58 @@ class ViewStoreSpec extends SparkSpec {
     ViewStore.rollbackJoinView(spark, path, batchesBack = 1)
     assert(gens == Seq(3L, 3L, 3L) && view(path) == Set((10L, 1L, 5L)))
   }
+
+  test("the LSM merge evaluates a non-trivial delta pipeline exactly once") {
+    // r20 optimization pin: mergeAdditive consumes its delta twice (the
+    // touched-bucket collect and the segment write) — an expensive delta
+    // pipeline must be materialized once, never re-run per consumer. The
+    // accumulator counts per-row evaluations of the pipeline BELOW the
+    // delta's aggregate; a regression to lazy re-evaluation doubles it.
+    import org.apache.spark.sql.functions.{col, sum, udf}
+    val sub = java.nio.file.Files
+      .createTempDirectory("graft_vs_once_").toString + "/sub"
+    GenStore.commitGen(spark, sub,
+      Seq((1L, 10L)).toDF("key", "v"), 4, Seq.empty, 0L, Seq.empty, None)
+    val acc = spark.sparkContext.longAccumulator("delta-evals")
+    val counted = udf((v: Long) => { acc.add(1L); v })
+    val delta = Seq((1L, 5L), (2L, 7L), (2L, 3L)).toDF("key", "raw")
+      .select(col("key"), counted(col("raw")).as("raw"))
+      .groupBy(col("key")).agg(sum(col("raw")).as("v"))
+    GenStore.mergeAdditive(spark, sub, delta, Seq("key"), Seq("v"), None)
+    assert(acc.value == 3L,
+      s"the delta pipeline must run exactly once (3 input rows), " +
+        s"got ${acc.value} per-row evaluations")
+    val state = GenStore.foldRead(spark, sub,
+      GenStore.read(spark, sub).get.entries, Seq("key"), Seq("v"))
+      .as[(Long, Long)].collect().toSet
+    assert(state == Set((1L, 15L), (2L, 10L)),
+      "single-evaluation must not change the folded state")
+  }
+
+  test("buildJoinView evaluates each raw side exactly once") {
+    // r20 optimization pin: the three substore commits (view, a, b) read
+    // the side aggregates — a lazy aggA/aggB re-ran each raw side twice
+    // per build (once under the view's contributions join, once under
+    // its own commit). The accumulator counts raw a-side row reads. The
+    // side is PARQUET-BACKED on purpose: over a LocalRelation the
+    // optimizer's ConvertToLocalRelation evaluates the probe at
+    // plan time once per derived Dataset and the count would measure
+    // optimizer runs, not data passes.
+    import org.apache.spark.sql.functions.{col, udf}
+    val path = tmp()
+    val aPath = java.nio.file.Files
+      .createTempDirectory("graft_vs_side_").toString + "/a"
+    a1.write.parquet(aPath)
+    val acc = spark.sparkContext.longAccumulator("a-side-evals")
+    val counted = udf((v: Long) => { acc.add(1L); v })
+    val aInstr = spark.read.parquet(aPath)
+      .select(counted(col("okey")).as("okey"), col("cust"))
+    ViewStore.buildJoinView(aInstr, b1, path, "okey", "cust", "okey", "qty",
+      nBuckets = 4)
+    assert(acc.value == 2L,
+      s"the raw a-side (2 rows) must be read exactly once per build, " +
+        s"got ${acc.value} per-row evaluations")
+    assert(view(path) == Set((10L, 1L, 5L)),
+      "single-evaluation must not change the built view")
+  }
 }
