@@ -13,6 +13,22 @@ import graft.Tables
 object MiscQueries {
   private def t(s: SparkSession, dir: String, n: String): DataFrame = Tables(s, dir, n)
 
+  /** One scan for a multi-write layout fixture (r20, guide §1.2): the
+    * per-file append loops below each ran a full source scan+filter PER
+    * FILE — checkpoint the source once, write the N files from memory,
+    * free the blocks as soon as the layout has landed (the served read
+    * scans the WRITTEN files, never this checkpoint).
+    */
+  private def withLocal[T](df: DataFrame)(f: DataFrame => T): T = {
+    val c = df.localCheckpoint(true)
+    try f(c)
+    finally c.queryExecution.analyzed match {
+      case l: org.apache.spark.sql.execution.LogicalRDD =>
+        l.rdd.unpersist(false)
+      case _ => ()
+    }
+  }
+
   /** The q274 synchronous self-inclusive LPA replay over the symmetrized
     * commerce graph, statically unrolled: CTEs `pairs`, `e` (u, v),
     * `l0..l<rounds>` (node, label). Shared by q274 (the assignment) and
@@ -816,8 +832,9 @@ object MiscQueries {
           .createTempDirectory("graft_q350_").toString
         val o = t(s, dir, "orders")
           .select(col("o_orderkey"), col("o_custkey"), col("o_orderpriority"))
-        (0L to 3L).foreach(i => o.filter(col("o_orderkey") % 4 === i)
-          .coalesce(1).write.mode("append").parquet(s"$tmp/data"))
+        withLocal(o)(oc => (0L to 3L).foreach(i =>
+          oc.filter(col("o_orderkey") % 4 === i)
+            .coalesce(1).write.mode("append").parquet(s"$tmp/data")))
         ZoneMap.buildZoneMap(s, s"$tmp/data", Seq("o_custkey"),
           s"$tmp/zone", bloomCols = Seq("o_orderkey"),
           bloomM = 1 << 20, bloomK = 5)
@@ -861,9 +878,9 @@ object MiscQueries {
         val o = t(s, dir, "orders")
           .select(to_date(col("o_orderdate")).as("od"),
             col("o_custkey"), col("o_orderpriority"))
-        (0 to 3).foreach(i => o
+        withLocal(o)(oc => (0 to 3).foreach(i => oc
           .filter(dayofmonth(col("od")) % 4 === i)
-          .coalesce(1).write.mode("append").parquet(s"$tmp/data"))
+          .coalesce(1).write.mode("append").parquet(s"$tmp/data")))
         ZoneMap.buildZoneMap(s, s"$tmp/data", Seq("o_custkey"),
           s"$tmp/zone", bloomCols = Seq("od"),
           bloomM = 1 << 17, bloomK = 5)
@@ -1153,9 +1170,9 @@ object MiscQueries {
           when(col("o_orderkey") % 5 === 0, lit(null).cast("date"))
             .otherwise(to_date(col("o_orderdate"))).as("od"),
           col("o_custkey"), col("o_orderkey"))
-        (0 until 4).foreach(i => od
+        withLocal(od)(odc => (0 until 4).foreach(i => odc
           .filter(col("o_orderkey") % 4 === i)
-          .coalesce(1).write.mode("append").parquet(s"$tmp/data"))
+          .coalesce(1).write.mode("append").parquet(s"$tmp/data")))
         ZoneMap.buildZoneMap(s, s"$tmp/data", Seq("od", "o_custkey"),
           s"$tmp/zone")
         val prev = s.experimental.extraOptimizations
@@ -1250,15 +1267,17 @@ object MiscQueries {
         val o = t(s, dir, "orders").select(
           col("o_orderpriority").as("pri"),
           to_date(col("o_orderdate")).as("od"), col("o_orderkey"))
-        val ps = o.select(col("pri")).distinct()
-          .collect().map(_.getString(0)).sorted
-        // one file per priority (single-valued in the group key) for
-        // the bulk, one MIXED file carrying a 5% sample (boundary)
-        ps.foreach(p => o
-          .filter(col("pri") === p && col("o_orderkey") % 20 =!= 0)
-          .coalesce(1).write.mode("append").parquet(s"$tmp/data"))
-        o.filter(col("o_orderkey") % 20 === 0)
-          .coalesce(1).write.mode("append").parquet(s"$tmp/data")
+        withLocal(o) { oc =>
+          val ps = oc.select(col("pri")).distinct()
+            .collect().map(_.getString(0)).sorted
+          // one file per priority (single-valued in the group key) for
+          // the bulk, one MIXED file carrying a 5% sample (boundary)
+          ps.foreach(p => oc
+            .filter(col("pri") === p && col("o_orderkey") % 20 =!= 0)
+            .coalesce(1).write.mode("append").parquet(s"$tmp/data"))
+          oc.filter(col("o_orderkey") % 20 === 0)
+            .coalesce(1).write.mode("append").parquet(s"$tmp/data")
+        }
         ZoneMap.buildZoneMap(s, s"$tmp/data", Seq("pri", "od"),
           s"$tmp/zone")
         val prev = s.experimental.extraOptimizations
@@ -1298,13 +1317,15 @@ object MiscQueries {
           col("o_orderpriority").as("pri"),
           to_date(col("o_orderdate")).as("od"),
           col("o_custkey"), col("o_orderkey"))
-        val ps = o.select(col("pri")).distinct()
-          .collect().map(_.getString(0)).sorted
-        ps.foreach(p => o
-          .filter(col("pri") === p && col("o_orderkey") % 20 =!= 0)
-          .coalesce(1).write.mode("append").parquet(s"$tmp/data"))
-        o.filter(col("o_orderkey") % 20 === 0)
-          .coalesce(1).write.mode("append").parquet(s"$tmp/data")
+        withLocal(o) { oc =>
+          val ps = oc.select(col("pri")).distinct()
+            .collect().map(_.getString(0)).sorted
+          ps.foreach(p => oc
+            .filter(col("pri") === p && col("o_orderkey") % 20 =!= 0)
+            .coalesce(1).write.mode("append").parquet(s"$tmp/data"))
+          oc.filter(col("o_orderkey") % 20 === 0)
+            .coalesce(1).write.mode("append").parquet(s"$tmp/data")
+        }
         ZoneMap.buildZoneMap(s, s"$tmp/data",
           Seq("pri", "od", "o_custkey"), s"$tmp/zone")
         val prev = s.experimental.extraOptimizations
@@ -1442,16 +1463,18 @@ object MiscQueries {
             * 25 / 100.0).cast(DecimalType(12, 2)).as("price"),
           to_date(col("l_shipdate")).as("od"),
           col("l_orderkey"))
-        val pairs = l.select(col("flag"), col("st")).distinct()
-          .collect().map(r => (r.getString(0), r.getString(1))).sorted
-        pairs.foreach { case (f0, s0) => l
-          .filter(col("flag") === f0 && col("st") === s0 &&
-            col("l_orderkey") % 20 =!= 0)
-          .drop("l_orderkey")
-          .coalesce(1).write.mode("append").parquet(s"$tmp/data")
+        withLocal(l) { lc =>
+          val pairs = lc.select(col("flag"), col("st")).distinct()
+            .collect().map(r => (r.getString(0), r.getString(1))).sorted
+          pairs.foreach { case (f0, s0) => lc
+            .filter(col("flag") === f0 && col("st") === s0 &&
+              col("l_orderkey") % 20 =!= 0)
+            .drop("l_orderkey")
+            .coalesce(1).write.mode("append").parquet(s"$tmp/data")
+          }
+          lc.filter(col("l_orderkey") % 20 === 0).drop("l_orderkey")
+            .coalesce(1).write.mode("append").parquet(s"$tmp/data")
         }
-        l.filter(col("l_orderkey") % 20 === 0).drop("l_orderkey")
-          .coalesce(1).write.mode("append").parquet(s"$tmp/data")
         ZoneMap.buildZoneMap(s, s"$tmp/data",
           Seq("flag", "st", "qty", "price", "od"), s"$tmp/zone")
         val prev = s.experimental.extraOptimizations
@@ -1523,15 +1546,17 @@ object MiscQueries {
           col("o_custkey"), col("o_orderkey"))
           .filter(col("od") >= lit(java.sql.Date.valueOf("1995-01-01")) &&
             col("od") < lit(java.sql.Date.valueOf("1997-01-01")))
-        val yms = o.select((year(col("od")) * 100 + month(col("od")))
-          .as("ym")).distinct().collect().map(_.getInt(0)).sorted
-        yms.foreach(ym => o
-          .filter(year(col("od")) * 100 + month(col("od")) === ym &&
-            col("o_orderkey") % 20 =!= 0)
-          .drop("o_orderkey")
-          .coalesce(1).write.mode("append").parquet(s"$tmp/data"))
-        o.filter(col("o_orderkey") % 20 === 0).drop("o_orderkey")
-          .coalesce(1).write.mode("append").parquet(s"$tmp/data")
+        withLocal(o) { oc =>
+          val yms = oc.select((year(col("od")) * 100 + month(col("od")))
+            .as("ym")).distinct().collect().map(_.getInt(0)).sorted
+          yms.foreach(ym => oc
+            .filter(year(col("od")) * 100 + month(col("od")) === ym &&
+              col("o_orderkey") % 20 =!= 0)
+            .drop("o_orderkey")
+            .coalesce(1).write.mode("append").parquet(s"$tmp/data"))
+          oc.filter(col("o_orderkey") % 20 === 0).drop("o_orderkey")
+            .coalesce(1).write.mode("append").parquet(s"$tmp/data")
+        }
         ZoneMap.buildZoneMap(s, s"$tmp/data", Seq("od", "o_custkey"),
           s"$tmp/zone")
         val prev = s.experimental.extraOptimizations
