@@ -86,19 +86,30 @@ object Dedup {
                    threshold: Double = 0.5, maxBucket: Int = 1000,
                    portableHash: Boolean = false): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
-    val sh = array_distinct(TextFns.wordShingles(TextFns.tokens(col(textCol)), shingleK))
-    // Persist: the shingle sets feed signature generation AND both sides of
-    // the candidate verification join — recomputing tokenization+hashing per
-    // consumer would multiply the dominant cost 4-6x.
-    // The signature is the native codegen'd MinHashSig expression (one fused
-    // pass); the declarative shingleHashes/minhashSignature pair below stays
-    // as the reference formulation and produces identical signatures.
-    val base = graft.Tables.spread(df)
-      .select(col(idCol).as("__id"), sh.as("__sh"))
-      .filter(size(col("__sh")) > 0)
-      .withColumn("__sig",
-        graft.expressions.MinHashSig(col("__sh"), numHashes, 7, portableHash))
-      .persist()
+    // one implementation with the pre-signed path (r20): tokenize + sign
+    // through [[signedSide]], pair through [[pairsFromSigned]] — a caller
+    // that already holds a signed side (a persisted signature store, or a
+    // corpus shared between a full build and an incremental pass, the
+    // q284 lifecycle) skips the per-document text work entirely, and the
+    // two paths cannot drift because they ARE one path.
+    pairsFromSigned(
+      signedSide(df, idCol, textCol, numHashes, bands, shingleK, portableHash),
+      threshold, maxBucket)
+  }
+
+  /** Self-pairs over a PRE-SIGNED side (the [[signedSide]] schema) — the
+    * [[minhashPairs]] pipeline minus every tokenize/shingle/signature
+    * expression, so feeding a materialized signed side pays zero text
+    * processing (the production shape: signatures are written at ingest
+    * and every later pairing reads them).
+    */
+  def pairsFromSigned(signed: DataFrame, threshold: Double = 0.5,
+                      maxBucket: Int = 1000): DataFrame = {
+    // Persist: the shingle sets feed both sides of the candidate
+    // verification join, the band keys both sides of the self-join —
+    // recomputing a text-fed side's tokenization+hashing per consumer
+    // would multiply the dominant cost 4-6x.
+    val base = signed.select(col("__id"), col("__sh"), col("__bk")).persist()
     // Materialize the cache BEFORE fan-out: the hot-bucket count, the banded
     // cache fill and the candidate pipeline otherwise launch as concurrent
     // AQE stage jobs that each recompute the (dominant) shingle+signature
@@ -109,8 +120,7 @@ object Dedup {
     // bands rows per doc, no shingle payload — so cache it instead of
     // re-running the explode over the (much wider) cached base per consumer.
     val banded = base
-      .select(col("__id"),
-        explode(bandKeys(col("__sig"), numHashes, bands, portableHash)).as("__b"))
+      .select(col("__id"), explode(col("__bk")).as("__b"))
       .select(col("__id"), col("__b.band").as("band"), col("__b.key").as("key"))
       .persist()
 

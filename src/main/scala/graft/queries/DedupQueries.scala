@@ -16,6 +16,24 @@ import graft.operators.{Chunker, Dedup, Similarity}
 object DedupQueries {
   private def t(s: SparkSession, dir: String, n: String): DataFrame = Tables(s, dir, n)
 
+  /** r20 (guide §1.2): ONE signing of the base corpus shared across a
+    * build + an incremental pass (the q284 lifecycle) — the two passes
+    * each re-tokenized and re-signed the same 2/3 of the corpus. In
+    * production the existing side's signatures are a persisted store;
+    * the eager checkpoint is that store for the fixture, freed as soon
+    * as the lifecycle's mutations have committed (the served read scans
+    * the store, never this).
+    */
+  private def withSignedBase[T](signed: DataFrame)(f: DataFrame => T): T = {
+    val c = signed.localCheckpoint(true)
+    try f(c)
+    finally c.queryExecution.analyzed match {
+      case l: org.apache.spark.sql.execution.LogicalRDD =>
+        l.rdd.unpersist(false)
+      case _ => ()
+    }
+  }
+
   /** q92 oracle: replays the whole MinHash-LSH pipeline in DuckDB. The
     * universal-hash constants (MinHashSig.constants(32, 7) — exactly what
     * the Spark side plans) are inlined as literals; the md5-based shingle
@@ -1320,14 +1338,18 @@ object DedupQueries {
         val newDocs = docs.filter(col("doc_id") % 3 === 0)
         val tmp = java.nio.file.Files
           .createTempDirectory("graft_q284_").toString + "/labels"
-        Dedup.buildClusterStore(
-          Dedup.minhashPairs(base, "doc_id", "text",
-            threshold = 0.8, portableHash = true), tmp)
-        Dedup.mergeIntoClusterStore(
-          Dedup.incrementalMinhashPairs(newDocs, base, "doc_id", "text",
-              threshold = 0.8, portableHash = true)
-            .select(col("new_id").as("id_a"), col("dup_id").as("id_b")),
-          tmp)
+        withSignedBase(Dedup.signedSide(base, "doc_id", "text",
+            portableHash = true)) { sb =>
+          Dedup.buildClusterStore(
+            Dedup.pairsFromSigned(sb, threshold = 0.8), tmp)
+          Dedup.mergeIntoClusterStore(
+            Dedup.incrementalPairsSigned(
+              Dedup.signedSide(newDocs, "doc_id", "text",
+                portableHash = true),
+              sb, threshold = 0.8, maxBucket = 1000)
+              .select(col("new_id").as("id_a"), col("dup_id").as("id_b")),
+            tmp)
+        }
         Dedup.readClusterStore(s, tmp).orderBy(col("id"))
       },
       Some(q284OracleSql)),
@@ -1350,14 +1372,18 @@ object DedupQueries {
         val newDocs = docs.filter(col("doc_id") % 3 === 0)
         val tmp = java.nio.file.Files
           .createTempDirectory("graft_q295_").toString + "/labels"
-        Dedup.buildClusterStore(
-          Dedup.minhashPairs(base, "doc_id", "text",
-            threshold = 0.8, portableHash = true), tmp)
-        Dedup.mergeIntoClusterStore(
-          Dedup.incrementalMinhashPairs(newDocs, base, "doc_id", "text",
-              threshold = 0.8, portableHash = true)
-            .select(col("new_id").as("id_a"), col("dup_id").as("id_b")),
-          tmp)
+        withSignedBase(Dedup.signedSide(base, "doc_id", "text",
+            portableHash = true)) { sb =>
+          Dedup.buildClusterStore(
+            Dedup.pairsFromSigned(sb, threshold = 0.8), tmp)
+          Dedup.mergeIntoClusterStore(
+            Dedup.incrementalPairsSigned(
+              Dedup.signedSide(newDocs, "doc_id", "text",
+                portableHash = true),
+              sb, threshold = 0.8, maxBucket = 1000)
+              .select(col("new_id").as("id_a"), col("dup_id").as("id_b")),
+            tmp)
+        }
         Dedup.readClusterStoreAsOf(s, tmp, 1L).orderBy(col("id"))
       },
       Some(q295OracleSql)),
@@ -1379,14 +1405,18 @@ object DedupQueries {
         val newDocs = docs.filter(col("doc_id") % 3 === 0)
         val tmp = java.nio.file.Files
           .createTempDirectory("graft_q297_").toString + "/labels"
-        Dedup.buildClusterStore(
-          Dedup.minhashPairs(base, "doc_id", "text",
-            threshold = 0.8, portableHash = true), tmp)
-        Dedup.mergeIntoClusterStore(
-          Dedup.incrementalMinhashPairs(newDocs, base, "doc_id", "text",
-              threshold = 0.8, portableHash = true)
-            .select(col("new_id").as("id_a"), col("dup_id").as("id_b")),
-          tmp)
+        withSignedBase(Dedup.signedSide(base, "doc_id", "text",
+            portableHash = true)) { sb =>
+          Dedup.buildClusterStore(
+            Dedup.pairsFromSigned(sb, threshold = 0.8), tmp)
+          Dedup.mergeIntoClusterStore(
+            Dedup.incrementalPairsSigned(
+              Dedup.signedSide(newDocs, "doc_id", "text",
+                portableHash = true),
+              sb, threshold = 0.8, maxBucket = 1000)
+              .select(col("new_id").as("id_a"), col("dup_id").as("id_b")),
+            tmp)
+        }
         Dedup.diffClusterStore(s, tmp, 1L, 2L).orderBy(col("id"))
       },
       Some(q297OracleSql)),
@@ -1407,15 +1437,19 @@ object DedupQueries {
         val newDocs = docs.filter(col("doc_id") % 3 === 0)
         val tmp = java.nio.file.Files
           .createTempDirectory("graft_q302_").toString + "/labels"
-        val dayPairs = Dedup
-          .incrementalMinhashPairs(newDocs, base, "doc_id", "text",
-            threshold = 0.8, portableHash = true)
-          .select(col("new_id").as("id_a"), col("dup_id").as("id_b"))
-          .localCheckpoint(true)
-        try {
+        val dayPairs = withSignedBase(Dedup.signedSide(base, "doc_id",
+            "text", portableHash = true)) { sb =>
+          val pairs = Dedup.incrementalPairsSigned(
+              Dedup.signedSide(newDocs, "doc_id", "text",
+                portableHash = true),
+              sb, threshold = 0.8, maxBucket = 1000)
+            .select(col("new_id").as("id_a"), col("dup_id").as("id_b"))
+            .localCheckpoint(true)
           Dedup.buildClusterStore(
-            Dedup.minhashPairs(base, "doc_id", "text",
-              threshold = 0.8, portableHash = true), tmp)       // gen 1
+            Dedup.pairsFromSigned(sb, threshold = 0.8), tmp)    // gen 1
+          pairs
+        }
+        try {
           Dedup.mergeIntoClusterStore(dayPairs, tmp)            // gen 2
           Dedup.rollbackClusterStore(s, tmp, 1L)                // gen 3
           Dedup.mergeIntoClusterStore(dayPairs, tmp)            // gen 4
