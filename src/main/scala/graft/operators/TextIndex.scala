@@ -128,30 +128,44 @@ object TextIndex {
     // build; guide §1.2: remove the wasted passes first). dl likewise
     // (two consumers: its own commit and the stats roll-up). Bounded:
     // the per-(term, doc) aggregate, not the token stream.
-    val tf = tfOf(docs, idCol, textCol).localCheckpoint(true)
+    // A POSITIONAL build tokenizes ONCE TOO (r20, same guide section):
+    // the per-occurrence pos rows are the finest-grained view of the
+    // token stream, so tf — the count per (term, doc) — derives from
+    // the checkpointed pos rows by one cheap aggregate instead of a
+    // SECOND full tokenize pass over the corpus (tokenization is the
+    // build's dominant per-document cost; the old shape paid it twice,
+    // TextIndexSpec pins the single evaluation).
+    val posC = if (positional)
+      Some(posOf(docs, idCol, textCol).localCheckpoint(true)) else None
     try {
-      val dl = dlOf(tf).localCheckpoint(true)
+      val tf = (posC match {
+        case Some(p) =>
+          p.groupBy(col("key"), col("id")).agg(count(lit(1)).as("tf"))
+        case None => tfOf(docs, idCol, textCol)
+      }).localCheckpoint(true)
       try {
-        // the POSITIONAL leg commits FIRST: [[textIndexExists]] probes
-        // postings/dl/stats (stats last in this order), so "the index
-        // exists" then IMPLIES the pos substore exists when it was
-        // requested — a crash between any two legs leaves exists() false
-        // and the idempotent re-build heals all four, instead of the old
-        // pos-last order where a crash before the pos commit minted an
-        // "existing" index whose merges silently skipped the fourth leg
-        // forever (phraseSearch would throw much later, unrecoverably).
-        val subs = (if (positional) Seq(("pos", posOf(docs, idCol, textCol)))
-          else Seq.empty) ++
-          Seq(("postings", tf), ("dl", dl), ("stats", statsOf(dl)))
-        subs.foreach {
-          case (sub, rows) =>
-            val p = GenStore.read(spark, s"$path/$sub")
-            GenStore.commitGen(spark, s"$path/$sub", rows, nBuckets,
-              p.map(_.applied).getOrElse(Seq.empty), p.map(_.gen).getOrElse(0L),
-              Seq.empty, appliedId)
-        }
-      } finally GenStore.freeLocal(dl)
-    } finally GenStore.freeLocal(tf)
+        val dl = dlOf(tf).localCheckpoint(true)
+        try {
+          // the POSITIONAL leg commits FIRST: [[textIndexExists]] probes
+          // postings/dl/stats (stats last in this order), so "the index
+          // exists" then IMPLIES the pos substore exists when it was
+          // requested — a crash between any two legs leaves exists() false
+          // and the idempotent re-build heals all four, instead of the old
+          // pos-last order where a crash before the pos commit minted an
+          // "existing" index whose merges silently skipped the fourth leg
+          // forever (phraseSearch would throw much later, unrecoverably).
+          val subs = posC.map(p => ("pos", p)).toSeq ++
+            Seq(("postings", tf), ("dl", dl), ("stats", statsOf(dl)))
+          subs.foreach {
+            case (sub, rows) =>
+              val p = GenStore.read(spark, s"$path/$sub")
+              GenStore.commitGen(spark, s"$path/$sub", rows, nBuckets,
+                p.map(_.applied).getOrElse(Seq.empty), p.map(_.gen).getOrElse(0L),
+                Seq.empty, appliedId)
+          }
+        } finally GenStore.freeLocal(dl)
+      } finally GenStore.freeLocal(tf)
+    } finally posC.foreach(GenStore.freeLocal)
   }
 
   /** Is there a committed index at `path`? All three substores must
@@ -182,24 +196,35 @@ object TextIndex {
         broadcast(spark.read.parquet(s"$path/_purged/ids")
           .select(col("key").as(idCol)).distinct()),
         Seq(idCol), "left_anti")
-    val tfC = tfOf(admitted, idCol, textCol).localCheckpoint(true)
+    // a positional index's append tokenizes ONCE, like the build: pos
+    // materializes first and tf derives from it (the merge order —
+    // postings → dl → stats → pos — is the LEDGER order and is
+    // unchanged; only where the rows come from is)
+    val positional = GenStore.read(spark, s"$path/pos").isDefined
+    val posC = if (positional)
+      Some(posOf(admitted, idCol, textCol).localCheckpoint(true)) else None
     try {
-      GenStore.mergeAdditive(spark, s"$path/postings", tfC,
-        Seq("key", "id"), Seq("tf"), appliedId)
-      val dlC = dlOf(tfC).localCheckpoint(true)
+      val tfC = (posC match {
+        case Some(p) =>
+          p.groupBy(col("key"), col("id")).agg(count(lit(1)).as("tf"))
+        case None => tfOf(admitted, idCol, textCol)
+      }).localCheckpoint(true)
       try {
-        GenStore.mergeAdditive(spark, s"$path/dl", dlC,
-          Seq("key"), Seq("dl"), appliedId)
-        GenStore.mergeAdditive(spark, s"$path/stats", statsOf(dlC),
-          Seq("key"), Seq("nd", "sumdl"), appliedId)
-        // the positional substore rides the same ledger when the index
-        // was built positional (fourth leg, same crash-replay argument)
-        if (GenStore.read(spark, s"$path/pos").isDefined)
-          GenStore.mergeAdditive(spark, s"$path/pos",
-            posOf(admitted, idCol, textCol),
-            Seq("key", "id", "pos"), Seq("n"), appliedId)
-      } finally GenStore.freeLocal(dlC)
-    } finally GenStore.freeLocal(tfC)
+        GenStore.mergeAdditive(spark, s"$path/postings", tfC,
+          Seq("key", "id"), Seq("tf"), appliedId)
+        val dlC = dlOf(tfC).localCheckpoint(true)
+        try {
+          GenStore.mergeAdditive(spark, s"$path/dl", dlC,
+            Seq("key"), Seq("dl"), appliedId)
+          GenStore.mergeAdditive(spark, s"$path/stats", statsOf(dlC),
+            Seq("key"), Seq("nd", "sumdl"), appliedId)
+          // the positional substore rides the same ledger when the index
+          // was built positional (fourth leg, same crash-replay argument)
+          posC.foreach(p => GenStore.mergeAdditive(spark, s"$path/pos", p,
+            Seq("key", "id", "pos"), Seq("n"), appliedId))
+        } finally GenStore.freeLocal(dlC)
+      } finally GenStore.freeLocal(tfC)
+    } finally posC.foreach(GenStore.freeLocal)
   }
 
   /** PHRASE SEARCH over the positional substore: documents containing

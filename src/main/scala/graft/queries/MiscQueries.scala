@@ -29,6 +29,53 @@ object MiscQueries {
     }
   }
 
+  /** OVERLAP a layout fixture's independent per-file writes (guide
+    * §2.6 "overlap independent jobs"): the sequential append loop paid
+    * one full job's latency per file even though no write depends on
+    * another — a 25-file monthly layout was 25 back-to-back
+    * single-task jobs on an otherwise idle 32-core session. Each slice
+    * writes `coalesce(1)` into its OWN staging directory (concurrent
+    * jobs must never share one output path — they would share its
+    * `_temporary`, and the first job to commit deletes the others'
+    * in-flight task attempts), then the landed part files move into
+    * `dest` with driver-side renames: metadata-only, and the staged
+    * name keeps its job-unique UUID so names cannot collide. File
+    * CONTENTS are identical to the sequential appends — the same slice
+    * rows, one file per slice — so the zone maps built over `dest` and
+    * every served result are unchanged; only the wall-clock is (the
+    * slowest slice instead of the sum). A handful of jobs in flight is
+    * enough to hide the per-job floor; more would just contend.
+    */
+  private def writeSlicesPar(dest: String, slices: Seq[DataFrame]): Unit = {
+    require(slices.nonEmpty, "writeSlicesPar needs at least one slice")
+    val spark = slices.head.sparkSession
+    val destP = new org.apache.hadoop.fs.Path(dest)
+    val fs = destP.getFileSystem(spark.sessionState.newHadoopConf())
+    fs.mkdirs(destP)
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(
+      math.min(slices.size, 8))
+    try {
+      import scala.concurrent.{Await, ExecutionContext, Future}
+      implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+      val staged = slices.zipWithIndex.map { case (df, i) =>
+        Future {
+          val stage = s"$dest/_stage-$i"
+          df.coalesce(1).write.mode("overwrite").parquet(stage)
+          stage
+        }
+      }
+      Await.result(Future.sequence(staged), scala.concurrent.duration.Duration.Inf)
+        .foreach { stage =>
+          val sp = new org.apache.hadoop.fs.Path(stage)
+          fs.listStatus(sp).map(_.getPath)
+            .filter(_.getName.endsWith(".parquet"))
+            .foreach(p => fs.rename(p,
+              new org.apache.hadoop.fs.Path(destP, p.getName)))
+          fs.delete(sp, true)
+        }
+    } finally pool.shutdown()
+  }
+
   /** The q274 synchronous self-inclusive LPA replay over the symmetrized
     * commerce graph, statically unrolled: CTEs `pairs`, `e` (u, v),
     * `l0..l<rounds>` (node, label). Shared by q274 (the assignment) and
@@ -832,9 +879,8 @@ object MiscQueries {
           .createTempDirectory("graft_q350_").toString
         val o = t(s, dir, "orders")
           .select(col("o_orderkey"), col("o_custkey"), col("o_orderpriority"))
-        withLocal(o)(oc => (0L to 3L).foreach(i =>
-          oc.filter(col("o_orderkey") % 4 === i)
-            .coalesce(1).write.mode("append").parquet(s"$tmp/data")))
+        withLocal(o)(oc => writeSlicesPar(s"$tmp/data",
+          (0L to 3L).map(i => oc.filter(col("o_orderkey") % 4 === i))))
         ZoneMap.buildZoneMap(s, s"$tmp/data", Seq("o_custkey"),
           s"$tmp/zone", bloomCols = Seq("o_orderkey"),
           bloomM = 1 << 20, bloomK = 5)
@@ -878,9 +924,8 @@ object MiscQueries {
         val o = t(s, dir, "orders")
           .select(to_date(col("o_orderdate")).as("od"),
             col("o_custkey"), col("o_orderpriority"))
-        withLocal(o)(oc => (0 to 3).foreach(i => oc
-          .filter(dayofmonth(col("od")) % 4 === i)
-          .coalesce(1).write.mode("append").parquet(s"$tmp/data")))
+        withLocal(o)(oc => writeSlicesPar(s"$tmp/data",
+          (0 to 3).map(i => oc.filter(dayofmonth(col("od")) % 4 === i))))
         ZoneMap.buildZoneMap(s, s"$tmp/data", Seq("o_custkey"),
           s"$tmp/zone", bloomCols = Seq("od"),
           bloomM = 1 << 17, bloomK = 5)
@@ -1170,9 +1215,8 @@ object MiscQueries {
           when(col("o_orderkey") % 5 === 0, lit(null).cast("date"))
             .otherwise(to_date(col("o_orderdate"))).as("od"),
           col("o_custkey"), col("o_orderkey"))
-        withLocal(od)(odc => (0 until 4).foreach(i => odc
-          .filter(col("o_orderkey") % 4 === i)
-          .coalesce(1).write.mode("append").parquet(s"$tmp/data")))
+        withLocal(od)(odc => writeSlicesPar(s"$tmp/data",
+          (0 until 4).map(i => odc.filter(col("o_orderkey") % 4 === i))))
         ZoneMap.buildZoneMap(s, s"$tmp/data", Seq("od", "o_custkey"),
           s"$tmp/zone")
         val prev = s.experimental.extraOptimizations
@@ -1272,11 +1316,10 @@ object MiscQueries {
             .collect().map(_.getString(0)).sorted
           // one file per priority (single-valued in the group key) for
           // the bulk, one MIXED file carrying a 5% sample (boundary)
-          ps.foreach(p => oc
-            .filter(col("pri") === p && col("o_orderkey") % 20 =!= 0)
-            .coalesce(1).write.mode("append").parquet(s"$tmp/data"))
-          oc.filter(col("o_orderkey") % 20 === 0)
-            .coalesce(1).write.mode("append").parquet(s"$tmp/data")
+          writeSlicesPar(s"$tmp/data",
+            ps.map(p => oc
+              .filter(col("pri") === p && col("o_orderkey") % 20 =!= 0))
+              :+ oc.filter(col("o_orderkey") % 20 === 0))
         }
         ZoneMap.buildZoneMap(s, s"$tmp/data", Seq("pri", "od"),
           s"$tmp/zone")
@@ -1320,11 +1363,10 @@ object MiscQueries {
         withLocal(o) { oc =>
           val ps = oc.select(col("pri")).distinct()
             .collect().map(_.getString(0)).sorted
-          ps.foreach(p => oc
-            .filter(col("pri") === p && col("o_orderkey") % 20 =!= 0)
-            .coalesce(1).write.mode("append").parquet(s"$tmp/data"))
-          oc.filter(col("o_orderkey") % 20 === 0)
-            .coalesce(1).write.mode("append").parquet(s"$tmp/data")
+          writeSlicesPar(s"$tmp/data",
+            ps.map(p => oc
+              .filter(col("pri") === p && col("o_orderkey") % 20 =!= 0))
+              :+ oc.filter(col("o_orderkey") % 20 === 0))
         }
         ZoneMap.buildZoneMap(s, s"$tmp/data",
           Seq("pri", "od", "o_custkey"), s"$tmp/zone")
@@ -1466,14 +1508,12 @@ object MiscQueries {
         withLocal(l) { lc =>
           val pairs = lc.select(col("flag"), col("st")).distinct()
             .collect().map(r => (r.getString(0), r.getString(1))).sorted
-          pairs.foreach { case (f0, s0) => lc
-            .filter(col("flag") === f0 && col("st") === s0 &&
-              col("l_orderkey") % 20 =!= 0)
-            .drop("l_orderkey")
-            .coalesce(1).write.mode("append").parquet(s"$tmp/data")
-          }
-          lc.filter(col("l_orderkey") % 20 === 0).drop("l_orderkey")
-            .coalesce(1).write.mode("append").parquet(s"$tmp/data")
+          writeSlicesPar(s"$tmp/data",
+            pairs.toSeq.map { case (f0, s0) => lc
+              .filter(col("flag") === f0 && col("st") === s0 &&
+                col("l_orderkey") % 20 =!= 0)
+              .drop("l_orderkey")
+            } :+ lc.filter(col("l_orderkey") % 20 === 0).drop("l_orderkey"))
         }
         ZoneMap.buildZoneMap(s, s"$tmp/data",
           Seq("flag", "st", "qty", "price", "od"), s"$tmp/zone")
@@ -1549,13 +1589,12 @@ object MiscQueries {
         withLocal(o) { oc =>
           val yms = oc.select((year(col("od")) * 100 + month(col("od")))
             .as("ym")).distinct().collect().map(_.getInt(0)).sorted
-          yms.foreach(ym => oc
-            .filter(year(col("od")) * 100 + month(col("od")) === ym &&
-              col("o_orderkey") % 20 =!= 0)
-            .drop("o_orderkey")
-            .coalesce(1).write.mode("append").parquet(s"$tmp/data"))
-          oc.filter(col("o_orderkey") % 20 === 0).drop("o_orderkey")
-            .coalesce(1).write.mode("append").parquet(s"$tmp/data")
+          writeSlicesPar(s"$tmp/data",
+            yms.toSeq.map(ym => oc
+              .filter(year(col("od")) * 100 + month(col("od")) === ym &&
+                col("o_orderkey") % 20 =!= 0)
+              .drop("o_orderkey"))
+              :+ oc.filter(col("o_orderkey") % 20 === 0).drop("o_orderkey"))
         }
         ZoneMap.buildZoneMap(s, s"$tmp/data", Seq("od", "o_custkey"),
           s"$tmp/zone")

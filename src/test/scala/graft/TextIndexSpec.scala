@@ -312,4 +312,42 @@ class TextIndexSpec extends SparkSpec {
       served(ref)
     }, "single-tokenize must not change the served ranking")
   }
+
+  test("a positional build and append tokenize the corpus exactly once each") {
+    // r20 optimization pin: the per-occurrence pos rows are the
+    // finest-grained view of the token stream, so tf derives from the
+    // checkpointed pos aggregate — the old shape ran tfOf AND posOf,
+    // two full tokenize passes per positional build (and per append).
+    val path = tmp()
+    val acc = spark.sparkContext.longAccumulator("tokenize-evals-pos")
+    val counted = udf((t: String) => { acc.add(1L); t })
+    def instr(f: Long => Boolean) = docs(f)
+      .select(col("doc_id"), counted(col("text")).as("text"))
+    TextIndex.buildTextIndex(instr(_ % 2 == 1), path, "doc_id", "text",
+      positional = true)
+    val nBuild = docsAll.count(_._1 % 2 == 1).toLong
+    assert(acc.value == nBuild,
+      s"a positional build must tokenize its $nBuild docs exactly once, " +
+        s"got ${acc.value} per-row evaluations")
+    TextIndex.mergeIntoTextIndex(instr(_ % 2 == 0), path, "doc_id", "text",
+      appliedId = Some("batch-1"))
+    assert(acc.value == docsAll.size.toLong,
+      "a positional append must tokenize its increment exactly once, got " +
+        s"${acc.value - nBuild} per-row evaluations over " +
+        s"${docsAll.size - nBuild.toInt} docs")
+    // the derived tf must serve and phrase-match exactly like a
+    // reference positional lifecycle over the same corpus split
+    val ref = tmp()
+    TextIndex.buildTextIndex(docs(_ % 2 == 1), ref, "doc_id", "text",
+      positional = true)
+    TextIndex.mergeIntoTextIndex(docs(_ % 2 == 0), ref, "doc_id", "text",
+      appliedId = Some("batch-1"))
+    assert(served(path) == served(ref),
+      "pos-derived tf must not change the served ranking")
+    def phrase(p: String) =
+      TextIndex.phraseSearch(spark, p, "banana apple", "doc_id", k = 5)
+        .as[(Long, Long, Int)].collect().toSet
+    assert(phrase(path) == phrase(ref),
+      "the positional substore must be unchanged by the single-tokenize")
+  }
 }
