@@ -597,6 +597,35 @@ private[graft] object GenStore {
     } finally freeLocal(k)
   }
 
+  /** Run INDEPENDENT store mutations concurrently (guide §2.6 "overlap
+    * independent jobs"): each thunk mutates a DIFFERENT substore — its
+    * own manifest file, its own generation directories, no shared
+    * mutable state beyond the thread-safe SparkSession — so
+    * overlapping them changes wall-clock (the slowest commit instead
+    * of the sum of commit latencies), never the committed end state.
+    * Callers stay responsible for any load-bearing ORDER: the
+    * join-view VIEW leg must commit before either side mutates (its
+    * delta reads the PRE-increment side state), the text index's pos
+    * leg must commit first and stats last (the existence-probe
+    * implication) — only provably order-free groups go through here.
+    * A failure propagates after the group settles; a crash mid-group
+    * leaves a SUBSET of substores committed, which is exactly the
+    * state a crash mid-sequence leaves — every caller's replay
+    * argument already covers arbitrary committed subsets (each leg is
+    * a deterministic function of its inputs and its OWN ledger).
+    * Results return in input order.
+    */
+  private[operators] def inParallel[T](thunks: Seq[() => T]): Seq[T] = {
+    if (thunks.size <= 1) return thunks.map(_())
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(thunks.size)
+    try {
+      import scala.concurrent.{Await, ExecutionContext, Future}
+      implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+      Await.result(Future.sequence(thunks.map(t => Future(t()))),
+        scala.concurrent.duration.Duration.Inf)
+    } finally pool.shutdown()
+  }
+
   private[operators] def freeLocal(df: DataFrame): Unit =
     df.queryExecution.analyzed match {
       case l: org.apache.spark.sql.execution.LogicalRDD =>

@@ -154,15 +154,21 @@ object TextIndex {
           // pos-last order where a crash before the pos commit minted an
           // "existing" index whose merges silently skipped the fourth leg
           // forever (phraseSearch would throw much later, unrecoverably).
-          val subs = posC.map(p => ("pos", p)).toSeq ++
-            Seq(("postings", tf), ("dl", dl), ("stats", statsOf(dl)))
-          subs.foreach {
-            case (sub, rows) =>
-              val p = GenStore.read(spark, s"$path/$sub")
-              GenStore.commitGen(spark, s"$path/$sub", rows, nBuckets,
-                p.map(_.applied).getOrElse(Seq.empty), p.map(_.gen).getOrElse(0L),
-                Seq.empty, appliedId)
+          // Between those two ordering anchors, postings and dl are
+          // independent writes of checkpointed frames and OVERLAP
+          // ([[GenStore.inParallel]]): exists() stays false until the
+          // stats commit regardless of which lands first, so every
+          // crash subset still re-builds.
+          def commit(sub: String, rows: DataFrame): Unit = {
+            val p = GenStore.read(spark, s"$path/$sub")
+            GenStore.commitGen(spark, s"$path/$sub", rows, nBuckets,
+              p.map(_.applied).getOrElse(Seq.empty), p.map(_.gen).getOrElse(0L),
+              Seq.empty, appliedId)
           }
+          posC.foreach(p => commit("pos", p))
+          GenStore.inParallel(Seq(
+            () => commit("postings", tf), () => commit("dl", dl)))
+          commit("stats", statsOf(dl))
         } finally GenStore.freeLocal(dl)
       } finally GenStore.freeLocal(tf)
     } finally posC.foreach(GenStore.freeLocal)
@@ -615,10 +621,11 @@ object TextIndex {
     * when present). */
   def vacuumTextIndex(spark: SparkSession, path: String,
                       keepGens: Int = 1): Seq[String] =
-    Seq("postings", "dl", "stats", "pos")
+    GenStore.inParallel(Seq("postings", "dl", "stats", "pos")
       .filter(sub => GenStore.read(spark, s"$path/$sub").isDefined)
-      .flatMap(sub =>
-        GenStore.vacuum(spark, s"$path/$sub", keepGens).map(n => s"$sub/$n"))
+      .map(sub => () =>
+        GenStore.vacuum(spark, s"$path/$sub", keepGens).map(n => s"$sub/$n")))
+      .flatten
 
   /** LSM compaction across the substores ([[GenStore.compactAdditive]]):
     * buckets holding more than `maxSegments` delta segments fold into
@@ -628,14 +635,18 @@ object TextIndex {
     */
   def compactTextIndex(spark: SparkSession, path: String,
                        maxSegments: Int = 1): Seq[(String, Int)] =
-    Seq(("postings", Seq("key", "id"), Seq("tf")),
-        ("dl", Seq("key"), Seq("dl")),
-        ("stats", Seq("key"), Seq("nd", "sumdl")),
-        ("pos", Seq("key", "id", "pos"), Seq("n")))
-      .filter { case (sub, _, _) =>
-        GenStore.read(spark, s"$path/$sub").isDefined }
-      .map { case (sub, ids, sums) =>
-        sub -> GenStore.compactAdditive(spark, s"$path/$sub", ids, sums,
-          maxSegments)
-      }
+    // per-substore compaction is content-neutral and independent —
+    // the fold-commits overlap ([[GenStore.inParallel]]; end state
+    // identical, serve equality pinned in TextIndexSpec)
+    GenStore.inParallel(
+      Seq(("postings", Seq("key", "id"), Seq("tf")),
+          ("dl", Seq("key"), Seq("dl")),
+          ("stats", Seq("key"), Seq("nd", "sumdl")),
+          ("pos", Seq("key", "id", "pos"), Seq("n")))
+        .filter { case (sub, _, _) =>
+          GenStore.read(spark, s"$path/$sub").isDefined }
+        .map { case (sub, ids, sums) =>
+          () => sub -> GenStore.compactAdditive(spark, s"$path/$sub", ids,
+            sums, maxSegments)
+        })
 }

@@ -54,13 +54,18 @@ import org.apache.spark.sql.functions._
   * EXACTLY-ONCE ACROSS THREE MANIFESTS. A join-view increment is not
   * idempotent (a replayed batch double-counts), and one call commits
   * three stores — so each substore's ledger carries the `appliedId`,
-  * and the legs commit in the FIXED order view → a → b. The view delta
-  * is a function of the increment and the PRE-increment side states,
-  * and sides mutate only after the view committed; so a crash replay
-  * at any point is safe: legs whose ledger already holds the id skip
-  * (their inputs are gone from the others' perspective only AFTER
-  * their own commit), legs that never committed recompute from side
-  * states that are still pre-increment. Between a view commit and the
+  * and the VIEW leg commits FIRST; the two side legs then commit
+  * CONCURRENTLY ([[GenStore.inParallel]] — each is a deterministic
+  * function of the increment and its OWN ledger, so they are
+  * order-free between themselves). The view delta is a function of
+  * the increment and the PRE-increment side states, and sides mutate
+  * only after the view committed; so a crash replay at any point is
+  * safe: legs whose ledger already holds the id skip (their inputs
+  * are gone from the others' perspective only AFTER their own
+  * commit), legs that never committed recompute from side states
+  * that are still pre-increment — and any committed SUBSET of the two
+  * sides replays identically (committed side skips, the other
+  * recomputes the same increment-only delta). Between a view commit and the
   * b commit the view is ahead of the side states by one batch — the
   * sides are maintenance-internal state, not a user surface, and the
   * single-maintenance-writer contract means the retry completes before
@@ -202,14 +207,20 @@ object ViewStore {
       val bSt = aggB(b, bKeyCol, bValCol, extrema).localCheckpoint(true)
       try {
         val view = viewOf(contributions(aSt, bSt, extrema), extrema)
-        def prev(sub: String) = GenStore.read(spark, s"$path/$sub")
-        Seq(("view", view),
-            ("a", aSt), ("b", bSt)).foreach { case (sub, rows) =>
-          val p = prev(sub)
+        def commit(sub: String, rows: DataFrame): Unit = {
+          val p = GenStore.read(spark, s"$path/$sub")
           GenStore.commitGen(spark, s"$path/$sub", rows, nBuckets,
             p.map(_.applied).getOrElse(Seq.empty), p.map(_.gen).getOrElse(0L),
             Seq.empty, appliedId)
         }
+        // view FIRST (the merge-path ordering invariant, kept for the
+        // build too); the side commits are independent writes of the
+        // two checkpointed states and overlap ([[GenStore.inParallel]]
+        // — a crash leaves a subset, joinViewExists probes all three,
+        // and the idempotent re-build heals any subset)
+        commit("view", view)
+        GenStore.inParallel(Seq(
+          () => commit("a", aSt), () => commit("b", bSt)))
       } finally freeCheckpoint(bSt)
     } finally freeCheckpoint(aSt)
     // freshness fingerprint for the MV rewrite — both bases' files,
@@ -351,11 +362,20 @@ object ViewStore {
           GenStore.mergeAdditiveWith(spark, s"$path/view", viewDelta,
             Seq("key"), viewFolds(extrema), appliedId)
         }
-        // legs 2/3 — the sides, from the increment alone
-        GenStore.mergeAdditive(spark, s"$path/a", dA.select(col("key"), col("grp"),
-          col("na")), Seq("key", "grp"), Seq("na"), appliedId)
-        GenStore.mergeAdditiveWith(spark, s"$path/b", dB, Seq("key"),
-          bFolds(extrema), appliedId)
+        // legs 2/3 — the sides, from the increment alone. They commit
+        // strictly AFTER the view leg (which read their PRE-increment
+        // state) but are independent of EACH OTHER — each is a
+        // deterministic function of the increment and its OWN ledger —
+        // so they overlap ([[GenStore.inParallel]]): a crash leaving
+        // either subset committed replays exactly like the old
+        // sequential order's crash states (committed legs skip via
+        // their ledger, uncommitted legs recompute the same delta).
+        GenStore.inParallel(Seq(
+          () => GenStore.mergeAdditive(spark, s"$path/a",
+            dA.select(col("key"), col("grp"), col("na")),
+            Seq("key", "grp"), Seq("na"), appliedId),
+          () => GenStore.mergeAdditiveWith(spark, s"$path/b", dB, Seq("key"),
+            bFolds(extrema), appliedId)))
       } finally freeCheckpoint(touchedKeys)
     } finally { freeCheckpoint(dA); freeCheckpoint(dB) }
     // freshness fingerprint AFTER all three legs ([[BaseFiles]])
@@ -426,11 +446,13 @@ object ViewStore {
       GenStore.at(spark, s"$path/view", gen).entries,
       Seq("key"), Seq("cnt", "total"))
 
-  /** Retention GC across all three substores ([[GenStore.vacuum]]). */
+  /** Retention GC across all three substores ([[GenStore.vacuum]]) —
+    * independent per substore, overlapped ([[GenStore.inParallel]]). */
   def vacuumJoinView(spark: SparkSession, path: String,
                      keepGens: Int = 1): Seq[String] =
-    Seq("view", "a", "b").flatMap(sub =>
-      GenStore.vacuum(spark, s"$path/$sub", keepGens).map(n => s"$sub/$n"))
+    GenStore.inParallel(Seq("view", "a", "b").map(sub => () =>
+      GenStore.vacuum(spark, s"$path/$sub", keepGens).map(n => s"$sub/$n")))
+      .flatten
 
   /** LSM compaction across the three substores ([[GenStore
     * .compactAdditive]]): every bucket holding more than `maxSegments`
@@ -443,12 +465,17 @@ object ViewStore {
   def compactJoinView(spark: SparkSession, path: String,
                       maxSegments: Int = 1): Seq[(String, Int)] = {
     val extrema = hasExtrema(spark, path)
-    Seq(("view", Seq("key"), viewFolds(extrema)),
-        ("a", Seq("key", "grp"), GenStore.sums(Seq("na"))),
-        ("b", Seq("key"), bFolds(extrema))).map { case (sub, ids, folds) =>
-      sub -> GenStore.compactAdditiveWith(spark, s"$path/$sub", ids, folds,
-        maxSegments)
-    }
+    // each substore's compaction is content-neutral and touches only
+    // its own manifest/directories — the three fold-commits overlap
+    // ([[GenStore.inParallel]]; end state identical, pinned by
+    // ViewStoreSpec's compaction laws)
+    GenStore.inParallel(
+      Seq(("view", Seq("key"), viewFolds(extrema)),
+          ("a", Seq("key", "grp"), GenStore.sums(Seq("na"))),
+          ("b", Seq("key"), bFolds(extrema))).map { case (sub, ids, folds) =>
+        () => sub -> GenStore.compactAdditiveWith(spark, s"$path/$sub", ids,
+          folds, maxSegments)
+      })
   }
 
   /** The view substore's resolvable snapshots, newest first. */
