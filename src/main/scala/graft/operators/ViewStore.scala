@@ -202,10 +202,14 @@ object ViewStore {
     // writes re-run aggA twice and aggB twice from the raw sides
     // (guide §1.2: remove the wasted passes before anything else).
     // Bounded: the per-key aggregated side states, not the raw sides.
-    val aSt = aggA(a, aKeyCol, aGrpCol).localCheckpoint(true)
+    // The two materializations are independent aggregations of
+    // different inputs and OVERLAP ([[GenStore.inParallel]], §2.6).
+    val sts = GenStore.inParallel(Seq(
+      () => aggA(a, aKeyCol, aGrpCol).localCheckpoint(true),
+      () => aggB(b, bKeyCol, bValCol, extrema).localCheckpoint(true)))
+    val (aSt, bSt) = (sts(0), sts(1))
     try {
-      val bSt = aggB(b, bKeyCol, bValCol, extrema).localCheckpoint(true)
-      try {
+      {
         val view = viewOf(contributions(aSt, bSt, extrema), extrema)
         def commit(sub: String, rows: DataFrame): Unit = {
           val p = GenStore.read(spark, s"$path/$sub")
@@ -221,8 +225,8 @@ object ViewStore {
         commit("view", view)
         GenStore.inParallel(Seq(
           () => commit("a", aSt), () => commit("b", bSt)))
-      } finally freeCheckpoint(bSt)
-    } finally freeCheckpoint(aSt)
+      }
+    } finally { freeCheckpoint(aSt); freeCheckpoint(bSt) }
     // freshness fingerprint for the MV rewrite — both bases' files,
     // strictly AFTER the commits ([[BaseFiles]] ordering argument); a
     // build RESETS it (stale names would trip the shrinkage check
@@ -279,8 +283,12 @@ object ViewStore {
     val dbS = suppressed(
       db.select(col(bKeyCol).as("key"), col(bValCol).as(bValCol)),
       spark, s"$path/_purged/keys", "key")
-    val dA = aggA(daS, "key", "grp").localCheckpoint(true)
-    val dB = aggB(dbS, "key", bValCol, extrema).localCheckpoint(true)
+    // independent delta aggregations of different inputs — overlapped
+    // like the build's side states ([[GenStore.inParallel]], §2.6)
+    val ds = GenStore.inParallel(Seq(
+      () => aggA(daS, "key", "grp").localCheckpoint(true),
+      () => aggB(dbS, "key", bValCol, extrema).localCheckpoint(true)))
+    val (dA, dB) = (ds(0), ds(1))
     try {
       val touchedKeys = dA.select(col("key"))
         .union(dB.select(col("key"))).distinct().localCheckpoint(true)
